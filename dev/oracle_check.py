@@ -1,0 +1,90 @@
+#!/usr/bin/env python3
+"""Local pre-flight for the driver's DuckDB oracle gate.
+
+Usage: python3 dev/oracle_check.py <verify_out_dir> <sf_dir>
+
+Reads each <out_dir>/<name> parquet (Spark output) and runs the matching
+SQL from <out_dir>/oracle_sql.json in DuckDB over <sf_dir>/*.parquet,
+then compares row counts, column names/types, and values.
+"""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+import numpy as np
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].reset_index(drop=True)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df
+
+def main(out_dir: str, sf_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    n_fail = 0
+    for name in sorted(oracle):
+        sql = oracle[name]
+        path = os.path.join(out_dir, name)
+        if not os.path.isdir(path):
+            print(f"FAIL {name}: no spark output at {path}")
+            n_fail += 1
+            continue
+        try:
+            spark_df = canon(pd.read_parquet(path))
+            duck_df = canon(con.sql(sql).df())
+        except Exception as e:
+            print(f"FAIL {name}: {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        if list(spark_df.columns) != list(duck_df.columns):
+            print(f"FAIL {name}: columns {list(spark_df.columns)} vs {list(duck_df.columns)}")
+            n_fail += 1
+            continue
+        if len(spark_df) != len(duck_df):
+            print(f"FAIL {name}: rows {len(spark_df)} vs {len(duck_df)}")
+            n_fail += 1
+            continue
+        bad = []
+        for c in spark_df.columns:
+            a, b = spark_df[c], duck_df[c]
+            if np.issubdtype(a.dtype, np.floating) or np.issubdtype(b.dtype, np.floating):
+                af = a.astype(float).to_numpy()
+                bf = b.astype(float).to_numpy()
+                ok = np.isclose(af, bf, rtol=0, atol=1e-9, equal_nan=True)
+                exact = np.array_equal(af, bf, equal_nan=True)
+                if not ok.all():
+                    bad.append((c, int((~ok).sum()), "value"))
+                elif not exact:
+                    bad.append((c, int((af != bf).sum()), "ulp-only"))
+            else:
+                try:
+                    neq = (a != b) & ~(a.isna() & b.isna())
+                except Exception:
+                    neq = a.astype(str) != b.astype(str)
+                if neq.any():
+                    bad.append((c, int(neq.sum()), "value"))
+        hard = [x for x in bad if x[2] == "value"]
+        if hard:
+            print(f"FAIL {name}: mismatched cols {hard}")
+            i = None
+            c = hard[0][0]
+            mask = (spark_df[c].astype(str) != duck_df[c].astype(str))
+            idx = mask[mask].index[:3]
+            for i in idx:
+                print(f"  row {i} col {c}: spark={spark_df[c][i]!r} duck={duck_df[c][i]!r}")
+            n_fail += 1
+        elif bad:
+            print(f"WARN {name}: float ulp diffs {bad} (rows={len(spark_df)})")
+        else:
+            print(f"ok   {name} ({len(spark_df)} rows, {len(spark_df.columns)} cols)")
+    print(f"== {len(oracle) - n_fail}/{len(oracle)} passed")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

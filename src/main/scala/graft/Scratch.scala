@@ -1,0 +1,19 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only smoke: drive the driver-contract surface by hand. */
+object Scratch {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val e = SparkEntry.entry(spark)
+    println(s"== entry rows: ${e.count()}")
+    e.show(10, truncate = false)
+    spark.stop()
+  }
+}

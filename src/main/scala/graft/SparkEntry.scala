@@ -1,13 +1,37 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.queries.OracleQueries
+import graft.ops.TextOps
+import graft.sources.Tables
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The dashboard workload in one plan: clean text (F1–F7 chain), filter
+    * empties, per-language counts with average cleaned length.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    docs
+      .select(col("doc_id"), col("lang"),
+        TextOps.cleanText(col("text")).as("clean_text"))
+      .filter(length(col("clean_text")) > 0)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(length(col("clean_text"))), 4).as("avg_len"))
+      .orderBy(desc("n_docs"), asc("lang"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    OracleQueries.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted keys → driver records a weaker
+    * rows-only check. */
+  def oracleSql: Map[String, String] = OracleQueries.oracleSql
 }

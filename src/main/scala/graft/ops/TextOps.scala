@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text preprocessing as composed native Catalyst expressions — the Spark
+  * re-expression of the reference's per-row Python `preprocess_text`
+  * (`cleaner.py:118-150`, F1–F7 in SURVEY.md §2.6). Everything here stays
+  * inside whole-stage codegen; no UDFs except the Porter stemmer
+  * (graft.functions.PorterStemmer), which is kept out of this chain so the
+  * pure-expression path can be oracle-checked against DuckDB.
+  */
+object TextOps {
+
+  /** Stopword list for the expression chain. Deliberately small and fixed:
+    * the oracle SQL embeds the same literal list, so the two must stay in
+    * sync (reference uses NLTK's English stopwords, `cleaner.py:143-145`).
+    */
+  val stopwords: Seq[String] = Seq(
+    "the", "and", "for", "that", "with", "this", "from", "have",
+    "will", "are", "was", "a", "an", "of", "in", "on", "to", "is", "it")
+
+  /** F1 null-coalesce + F2 lowercase + F3 strip non-alpha. */
+  def normalize(c: Column): Column =
+    regexp_replace(lower(coalesce(c, lit(""))), "[^a-z ]", "")
+
+  /** F4 tokenize on single spaces (reference fallback `text.split()`). */
+  def tokenize(c: Column): Column = split(c, " ")
+
+  /** F5 drop stopwords and tokens of length <= 2. */
+  def contentTokens(c: Column): Column = {
+    val sw = array(stopwords.map(lit): _*)
+    filter(tokenize(c), w => length(w) > 2 && !array_contains(sw, w))
+  }
+
+  /** Full F1–F7 chain (sans stemming): normalized, tokenized, filtered,
+    * re-joined. Matches `preprocess_text` minus the Porter stem step.
+    */
+  def cleanText(c: Column): Column =
+    array_join(contentTokens(normalize(c)), " ")
+
+  /** W1 word-frequency table (the relational form of the reference's
+    * word-cloud aggregation, `dashboard.py:36-37`): explode tokens,
+    * hash-aggregate counts. Scales: no driver-side string concat like the
+    * reference's `" ".join(...)`.
+    */
+  def wordFrequency(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("word"))
+}

@@ -1,0 +1,342 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.sources.Tables
+import graft.ops.TextOps
+
+/** The declared oracle-checked query corpus (SURVEY.md §2.11, Q1–Q24).
+  *
+  * Each entry has a Spark implementation and semantically-identical ANSI
+  * SQL for DuckDB over the same parquet tables. Determinism rules:
+  * every query ends in a total ORDER BY over non-null keys (or adds
+  * explicit NULLS FIRST), computed doubles are rounded to 4 dp, counts are
+  * BIGINT on both sides, and no nondeterministic functions appear.
+  * Column names are aliased identically on both sides — the driver's
+  * comparator sorts columns by name before hashing.
+  */
+object OracleQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** Literal stopword array for the DuckDB side of Q20 — must mirror
+    * [[TextOps.stopwords]]. */
+  private val sqlStopwords: String =
+    TextOps.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q1 — S1/S2/S4/O1: scan, project, global sort (reference extract.py:60-68)
+    "q1_scan_sort" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
+    // Q2 — P1/P2: ignore-missing drop + projection (cleaner.py:92-94, dashboard.py:46)
+    "q2_project" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .drop("text", "n_chars", "no_such_column")
+        .orderBy("doc_id")
+    }),
+
+    // Q3 — P3/P4/P5: null-filter + equality + length predicates (cleaner.py:96-97,168-169; dashboard.py:24-25)
+    "q3_filter" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .filter(col("text").isNotNull && length(col("text")) > 0 && col("lang") === "en")
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    }),
+
+    // Q4 — P8/O3: ordered top-N preview (dashboard.py:46)
+    "q4_limit" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+        .limit(10)
+    }),
+
+    // Q5 — A1: dedup keeping min id per key (cleaner.py:99-101, deterministic variant)
+    "q5_dedup" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy("text").agg(min("doc_id").as("doc_id"))
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // Q6 — A2/O2: value_counts, count-desc (dashboard.py:28-31)
+    "q6_value_counts" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy("lang").agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), asc("lang"))
+    }),
+
+    // Q7 — A4: distinct values sorted (dashboard.py:21)
+    "q7_distinct" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select("source").distinct()
+        .orderBy("source")
+    }),
+
+    // Q8 — A3/A5/A6: single-pass multi-aggregate: row count, null counts, count-distinct (extract.py:123-128, ml_pipeline_dag.py:184)
+    "q8_profile" -> ((s, dir) => {
+      t(s, dir, "documents").agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("text").isNull.cast("long")).as("null_text"),
+        sum(col("lang").isNull.cast("long")).as("null_lang"),
+        countDistinct(col("lang")).as("n_langs"))
+    }),
+
+    // Q9 — A7→F10: word-frequency table (dashboard.py:36-37, relational form)
+    "q9_word_freq" -> ((s, dir) =>
+      TextOps.wordFrequency(t(s, dir, "documents"), "text")),
+
+    // Q10 — rollup aggregation over nation
+    "q10_rollup" -> ((s, dir) => {
+      t(s, dir, "nation")
+        .rollup("n_regionkey", "n_nationkey")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(asc_nulls_first("n_regionkey"), asc_nulls_first("n_nationkey"))
+    }),
+
+    // Q11 — J1: broadcast lookup join topic→theme (cleaner.py:210-220)
+    "q11_theme_join" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").withColumn("topic", col("label") % 5)
+      e.join(broadcast(Tables.themeLookup(s)), Seq("topic"), "left")
+        .select("vec_id", "topic", "theme")
+        .orderBy("vec_id")
+    }),
+
+    // Q12 — inner equi-join orders⋈customer
+    "q12_join_inner" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      o.join(c, o("o_custkey") === c("c_custkey"), "inner")
+        .select("o_orderkey", "c_name", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
+    // Q13 — left join + aggregate: orders per customer incl. customers with none
+    "q13_join_left" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy("c_custkey").agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_custkey")
+    }),
+
+    // Q14 — left-semi join (EXISTS)
+    "q14_join_semi" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val big = t(s, dir, "orders").filter(col("o_totalprice") > 100000)
+      c.join(big, c("c_custkey") === big("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // Q15 — left-anti join (NOT EXISTS): customers with no high-value orders
+    "q15_join_anti" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // Q16 — non-equi range join: lineitems shipped after their order date
+    "q16_join_range" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      o.join(l, l("l_orderkey") === o("o_orderkey") && l("l_shipdate") > o("o_orderdate"))
+        .groupBy("o_orderkey").agg(count(lit(1)).as("n_late"))
+        .orderBy("o_orderkey")
+    }),
+
+    // Q17 — O4: top-10 per group via row_number window (cleaner.py:204-208 pattern)
+    "q17_topk_window" -> ((s, dir) => {
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy(desc("l_quantity"), asc("l_orderkey"), asc("l_linenumber"))
+      t(s, dir, "lineitem")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .select("l_returnflag", "rn", "l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_returnflag", "rn")
+    }),
+
+    // Q18 — set operations: (evens ∪ multiples-of-3) ∖ multiples-of-5
+    "q18_set_ops" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select("c_custkey")
+      val a = c.filter(col("c_custkey") % 2 === 0)
+      val b = c.filter(col("c_custkey") % 3 === 0)
+      val x = c.filter(col("c_custkey") % 5 === 0)
+      a.union(b).distinct().except(x).orderBy("c_custkey")
+    }),
+
+    // Q19 — window frame: moving 3-row sum of order totals by date
+    "q19_window_frame" -> ((s, dir) => {
+      val w = Window.orderBy("o_orderdate", "o_orderkey").rowsBetween(-2, 0)
+      t(s, dir, "orders")
+        .withColumn("mv_sum", round(sum(col("o_totalprice")).over(w), 4))
+        .select("o_orderkey", "mv_sum")
+        .orderBy("o_orderkey")
+    }),
+
+    // Q20 — F1–F7 text-preprocessing chain (sans Porter stem; cleaner.py:118-150)
+    "q20_text_clean" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.cleanText(col("text")).as("clean_text"))
+        .orderBy("doc_id")
+    }),
+
+    // Q21 — F8 date parse with coerce + F9 rating regexp-extract (cleaner.py:103-107)
+    "q21_parse" -> ((s, dir) => {
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        date_format(
+          to_date(date_format(col("o_orderdate"), "MM/dd/yyyy"), "MM/dd/yyyy"),
+          "yyyy-MM-dd").as("d"),
+        regexp_extract(
+          concat(((col("o_orderkey") % 5) + 1).cast("string"), lit(" star")),
+          "^(\\d+)", 1).cast("int").as("stars"))
+        .orderBy("o_orderkey")
+    }),
+
+    // Q22 — F15 argmax over an array column (cleaner.py:199-201)
+    "q22_argmax" -> ((s, dir) => {
+      t(s, dir, "embeddings").select(
+        col("vec_id"),
+        (array_position(col("embedding"), array_max(col("embedding"))) - 1)
+          .cast("int").as("best_dim"))
+        .orderBy("vec_id")
+    }),
+
+    // Q23 — JSON extraction from the events props payload
+    "q23_json" -> ((s, dir) => {
+      Tables.events(s, dir).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .orderBy("event_id")
+    }),
+
+    // Q24 — §2.9 batch form: tumbling 1-hour event-time window counts
+    "q24_tumbling_window" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 4).as("sum_value"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+          col("event_type"), col("cnt"), col("sum_value"))
+        .orderBy("hour_start", "event_type")
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_scan_sort" ->
+      "SELECT doc_id, lang, source, n_chars FROM documents ORDER BY doc_id",
+    "q2_project" ->
+      "SELECT doc_id, lang, source FROM documents ORDER BY doc_id",
+    "q3_filter" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+         WHERE text IS NOT NULL AND length(text) > 0 AND lang = 'en'
+         ORDER BY doc_id""",
+    "q4_limit" ->
+      "SELECT doc_id, n_chars FROM documents ORDER BY doc_id LIMIT 10",
+    "q5_dedup" ->
+      """SELECT min(doc_id) AS doc_id, text FROM documents
+         GROUP BY text ORDER BY doc_id""",
+    "q6_value_counts" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS cnt FROM documents
+         GROUP BY lang ORDER BY cnt DESC, lang""",
+    "q7_distinct" ->
+      "SELECT DISTINCT source FROM documents ORDER BY source",
+    "q8_profile" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_text,
+                CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_lang,
+                CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+         FROM documents""",
+    "q9_word_freq" ->
+      """SELECT word, CAST(count(*) AS BIGINT) AS cnt
+         FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) u
+         WHERE word <> '' GROUP BY word ORDER BY cnt DESC, word""",
+    "q10_rollup" ->
+      """SELECT n_regionkey, n_nationkey, CAST(count(*) AS BIGINT) AS cnt
+         FROM nation GROUP BY ROLLUP(n_regionkey, n_nationkey)
+         ORDER BY n_regionkey NULLS FIRST, n_nationkey NULLS FIRST""",
+    "q11_theme_join" ->
+      """SELECT e.vec_id, (e.label % 5) AS topic, t.theme
+         FROM embeddings e
+         LEFT JOIN (VALUES (0, 'Customer Support Issues'),
+                           (1, 'Billing & Subscription Problems'),
+                           (2, 'Service Quality Concerns'),
+                           (3, 'Account Management Issues'),
+                           (4, 'Delivery & Product Issues')) t(topic, theme)
+           ON (e.label % 5) = t.topic
+         ORDER BY e.vec_id""",
+    "q12_join_inner" ->
+      """SELECT o.o_orderkey, c.c_name, o.o_totalprice
+         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         ORDER BY o.o_orderkey""",
+    "q13_join_left" ->
+      """SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
+         FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+         GROUP BY c.c_custkey ORDER BY c.c_custkey""",
+    "q14_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+         ORDER BY c_custkey""",
+    "q15_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+         ORDER BY c_custkey""",
+    "q16_join_range" ->
+      """SELECT o.o_orderkey, CAST(count(*) AS BIGINT) AS n_late
+         FROM orders o JOIN lineitem l
+           ON l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+         GROUP BY o.o_orderkey ORDER BY o.o_orderkey""",
+    "q17_topk_window" ->
+      """SELECT l_returnflag, CAST(rn AS INT) AS rn, l_orderkey, l_linenumber, l_quantity
+         FROM (SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+                      row_number() OVER (PARTITION BY l_returnflag
+                        ORDER BY l_quantity DESC, l_orderkey, l_linenumber) AS rn
+               FROM lineitem) r
+         WHERE rn <= 10 ORDER BY l_returnflag, rn""",
+    "q18_set_ops" ->
+      """SELECT c_custkey FROM (
+           (SELECT c_custkey FROM customer WHERE c_custkey % 2 = 0
+            UNION
+            SELECT c_custkey FROM customer WHERE c_custkey % 3 = 0)
+           EXCEPT
+           SELECT c_custkey FROM customer WHERE c_custkey % 5 = 0) u
+         ORDER BY c_custkey""",
+    "q19_window_frame" ->
+      """SELECT o_orderkey,
+                round(sum(o_totalprice) OVER (ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mv_sum
+         FROM orders ORDER BY o_orderkey""",
+    "q20_text_clean" ->
+      s"""SELECT doc_id,
+                 array_to_string(list_filter(
+                   string_split(regexp_replace(lower(coalesce(text, '')), '[^a-z ]', '', 'g'), ' '),
+                   w -> length(w) > 2 AND NOT list_contains($sqlStopwords, w)), ' ') AS clean_text
+          FROM documents ORDER BY doc_id""",
+    "q21_parse" ->
+      """SELECT o_orderkey,
+                strftime(CAST(strptime(strftime(o_orderdate, '%m/%d/%Y'), '%m/%d/%Y') AS DATE), '%Y-%m-%d') AS d,
+                CAST(regexp_extract(CAST(o_orderkey % 5 + 1 AS VARCHAR) || ' star', '^(\d+)', 1) AS INT) AS stars
+         FROM orders ORDER BY o_orderkey""",
+    "q22_argmax" ->
+      """SELECT vec_id,
+                CAST(list_position(embedding, list_aggregate(embedding, 'max')) - 1 AS INT) AS best_dim
+         FROM embeddings ORDER BY vec_id""",
+    "q23_json" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+         FROM events ORDER BY event_id""",
+    "q24_tumbling_window" ->
+      """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS hour_start,
+                event_type, CAST(count(*) AS BIGINT) AS cnt, round(sum(value), 4) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""")
+}

@@ -1,0 +1,53 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Readers for the benchmark tables (TESTDATA.md): TPC-H-ish star schema
+  * plus `events` / `documents` / `embeddings`.
+  *
+  * Reference capability covered here: CSV/parquet scans with explicit
+  * schemas (reference `extract.py:117`, `cleaner.py:302` — S2/S4 in
+  * SURVEY.md §2.1). Parquet carries its own schema, so unlike the
+  * reference's `inferSchema` pandas reads these are deterministic.
+  */
+object Tables {
+
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    name match {
+      case "events" => events(spark, dir)
+      case n        => spark.read.parquet(s"$dir/$n.parquet")
+    }
+
+  /** `events.parquet` stores `ts` as INT64 TIMESTAMP(NANOS), which Spark's
+    * vectorized parquet reader rejects ([PARQUET_TYPE_ILLEGAL]). Read the
+    * nanos as a plain long and floor to microseconds — the same truncation
+    * DuckDB applies on CAST(timestamp_ns AS TIMESTAMP), so oracle results
+    * line up.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** The 5-row topic→theme dimension (reference `cleaner.py:211-217`, J1).
+    * Always broadcast — it is a constant-size lookup.
+    */
+  def themeLookup(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    themeLabels.toSeq.toDF("topic", "theme")
+  }
+
+  /** Literal topic→theme map from reference `cleaner.py:211-217`. */
+  val themeLabels: Map[Int, String] = Map(
+    0 -> "Customer Support Issues",
+    1 -> "Billing & Subscription Problems",
+    2 -> "Service Quality Concerns",
+    3 -> "Account Management Issues",
+    4 -> "Delivery & Product Issues")
+}

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.OracleQueries
+
+/** Smoke + exact-value checks for the oracle corpus on sf0.001.
+  * The full hash-match against DuckDB runs via graft.Verify +
+  * dev/oracle_check.py (and the driver's t2 gate).
+  */
+class OracleQueriesSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.session
+  val dir = "/root/testdata/sf0.001"
+
+  test("every declared query runs and returns rows on sf0.001") {
+    for ((name, fn) <- OracleQueries.queries) {
+      val df = fn(spark, dir)
+      assert(df.count() > 0, s"$name returned no rows")
+    }
+  }
+
+  test("every query with oracle SQL exists in the query map") {
+    val missing = OracleQueries.oracleSql.keySet -- OracleQueries.queries.keySet
+    assert(missing.isEmpty, s"oracle SQL without query impl: $missing")
+  }
+
+  test("q10 rollup over nation has 25 leaf + 5 region + 1 total rows") {
+    assert(OracleQueries.queries("q10_rollup")(spark, dir).count() === 31)
+  }
+
+  test("q11 theme join assigns one of the five labels to every row") {
+    val themes = OracleQueries.queries("q11_theme_join")(spark, dir)
+      .select("theme").distinct().collect().map(_.getString(0)).toSet
+    assert(themes.subsetOf(graft.sources.Tables.themeLabels.values.toSet))
+  }
+
+  test("q20 clean text matches [a-z ]* with all tokens length > 2") {
+    val rows = OracleQueries.queries("q20_text_clean")(spark, dir)
+      .limit(50).collect()
+    for (r <- rows) {
+      val s = r.getAs[String]("clean_text")
+      assert(s.matches("[a-z ]*"), s"bad chars in: $s")
+      assert(s.split(" ").filter(_.nonEmpty).forall(_.length > 2))
+    }
+  }
+
+  test("q4 limit returns exactly 10 ordered ids") {
+    val ids = OracleQueries.queries("q4_limit")(spark, dir)
+      .collect().map(_.getLong(0))
+    assert(ids.length === 10 && ids.sameElements(ids.sorted))
+  }
+}
