@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression for Porter stemming — the engine's exemplar
+  * custom `Expression` (SURVEY.md §2.8): the one text operator with no
+  * Spark built-in. Generates a static call into [[PorterStemmer]] so the
+  * surrounding projection stays inside whole-stage codegen, unlike a
+  * Scala UDF which would break the codegen stage and add ser/de overhead.
+  */
+case class PorterStem(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"porter_stem requires a string argument, got ${child.dataType}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(
+      PorterStemmer.stem(input.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"UTF8String.fromString(graft.functions.PorterStemmer.stem($c.toString()))")
+
+  override def prettyName: String = "porter_stem"
+
+  override protected def withNewChildInternal(newChild: Expression): PorterStem =
+    copy(child = newChild)
+}
+
+/** Column-level entry points for the custom expressions. */
+object GraftFunctions {
+
+  import org.apache.spark.sql.graft.bridge
+
+  /** Porter-stem a string column (one token per row). */
+  def porterStem(c: Column): Column =
+    bridge.column(PorterStem(bridge.expression(c)))
+
+  /** Fused F1–F7 preprocess (incl. stemming) as one codegen'd call —
+    * the scale path; see [[TextPipeline]]. */
+  def preprocessText(c: Column): Column =
+    bridge.column(PreprocessText(bridge.expression(c)))
+}

@@ -1,0 +1,187 @@
+package graft.functions
+
+/** Porter stemming algorithm (M.F. Porter, 1980, "An algorithm for suffix
+  * stripping" — program.txt at tartarus.org), implemented from the
+  * published algorithm description.
+  *
+  * Replaces the reference's per-row NLTK stemmer call
+  * (`cleaner.py:147-148`, operator F6 in SURVEY.md §2.6). The reference
+  * runs NLTK in its default NLTK_EXTENSIONS mode, so where that mode
+  * departs from the 1980 paper we follow NLTK (FIXTURES.md §6 golden
+  * vectors define the contract):
+  *   - step 1a: "ies" → "ie" for 4-letter words (ties→tie);
+  *   - step 1b: "ied" → "ie"/"i" analogously (died→die, cried→cri);
+  *   - step 1c: trailing y → i whenever preceded by a consonant and the
+  *     word has length > 2 (trying→tri), instead of requiring another
+  *     vowel in the stem;
+  *   - step 2: revised suffix list (bli→ble, fulli→ful, logi→log);
+  *   - small irregular-forms pool (sky, news, dying, ...).
+  *
+  * Pure and stateless: safe to call from generated code on executor
+  * threads.
+  */
+object PorterStemmer extends Serializable {
+
+  private val irregular: Map[String, String] = Map(
+    "sky" -> "sky", "news" -> "news", "howe" -> "howe",
+    "dying" -> "die", "lying" -> "lie", "tying" -> "tie",
+    "atlas" -> "atlas", "cosmos" -> "cosmos", "bias" -> "bias",
+    "andes" -> "andes", "inning" -> "inning", "innings" -> "inning",
+    "outing" -> "outing", "outings" -> "outing",
+    "canning" -> "canning", "cannings" -> "canning",
+    "proceed" -> "proceed", "exceed" -> "exceed", "succeed" -> "succeed")
+
+  def stem(word: String): String = {
+    if (word == null) return null
+    val w = word.toLowerCase
+    if (w.length <= 2) return w
+    irregular.get(w) match {
+      case Some(s) => s
+      case None =>
+        var s = step1a(w)
+        s = step1b(s)
+        s = step1c(s)
+        s = step2(s)
+        s = step3(s)
+        s = step4(s)
+        step5(s)
+    }
+  }
+
+  /** Is s(i) a consonant? y is a consonant at position 0 or after a
+    * vowel; a vowel after a consonant. */
+  private def cons(s: String, i: Int): Boolean = s.charAt(i) match {
+    case 'a' | 'e' | 'i' | 'o' | 'u' => false
+    case 'y'                         => if (i == 0) true else !cons(s, i - 1)
+    case _                           => true
+  }
+
+  /** The measure m: number of VC sequences in [C](VC)^m[V]. */
+  private def measure(s: String): Int = {
+    var i = 0
+    val n = s.length
+    while (i < n && cons(s, i)) i += 1 // skip initial consonants
+    var m = 0
+    while (i < n) {
+      while (i < n && !cons(s, i)) i += 1 // vowels
+      if (i < n) {
+        m += 1
+        while (i < n && cons(s, i)) i += 1 // consonants
+      }
+    }
+    m
+  }
+
+  private def hasVowel(s: String): Boolean =
+    (0 until s.length).exists(i => !cons(s, i))
+
+  private def endsDoubleCons(s: String): Boolean = {
+    val n = s.length
+    n >= 2 && s.charAt(n - 1) == s.charAt(n - 2) && cons(s, n - 1)
+  }
+
+  /** *o condition: stem ends cvc where the final c is not w, x or y. */
+  private def endsCvc(s: String): Boolean = {
+    val n = s.length
+    if (n < 3) return false
+    val last = s.charAt(n - 1)
+    cons(s, n - 3) && !cons(s, n - 2) && cons(s, n - 1) &&
+      last != 'w' && last != 'x' && last != 'y'
+  }
+
+  private def replace(w: String, suffix: String, repl: String): String =
+    w.substring(0, w.length - suffix.length) + repl
+
+  private def step1a(w: String): String =
+    if (w.endsWith("sses")) replace(w, "sses", "ss")
+    else if (w.endsWith("ies"))
+      replace(w, "ies", if (w.length == 4) "ie" else "i")
+    else if (w.endsWith("ss")) w
+    else if (w.endsWith("s")) replace(w, "s", "")
+    else w
+
+  private def step1b(w: String): String = {
+    if (w.endsWith("ied"))
+      return replace(w, "ied", if (w.length == 4) "ie" else "i")
+    if (w.endsWith("eed")) {
+      val stem = w.substring(0, w.length - 3)
+      return if (measure(stem) > 0) replace(w, "eed", "ee") else w
+    }
+    val dropped =
+      if (w.endsWith("ed") && hasVowel(w.substring(0, w.length - 2)))
+        Some(w.substring(0, w.length - 2))
+      else if (w.endsWith("ing") && hasVowel(w.substring(0, w.length - 3)))
+        Some(w.substring(0, w.length - 3))
+      else None
+    dropped match {
+      case None => w
+      case Some(s) =>
+        if (s.endsWith("at") || s.endsWith("bl") || s.endsWith("iz")) s + "e"
+        else if (endsDoubleCons(s) && !"lsz".contains(s.charAt(s.length - 1)))
+          s.substring(0, s.length - 1)
+        else if (measure(s) == 1 && endsCvc(s)) s + "e"
+        else s
+    }
+  }
+
+  private def step1c(w: String): String =
+    if (w.length > 2 && w.endsWith("y") && cons(w, w.length - 2))
+      replace(w, "y", "i")
+    else w
+
+  /** (condition-measure, suffix, replacement) lists; first match wins,
+    * mirroring NLTK's _apply_rule_list ordering. */
+  private val step2Rules: Seq[(String, String)] = Seq(
+    "ational" -> "ate", "tional" -> "tion", "enci" -> "ence",
+    "anci" -> "ance", "izer" -> "ize", "bli" -> "ble", "alli" -> "al",
+    "entli" -> "ent", "eli" -> "e", "ousli" -> "ous", "ization" -> "ize",
+    "ation" -> "ate", "ator" -> "ate", "alism" -> "al", "iveness" -> "ive",
+    "fulness" -> "ful", "ousness" -> "ous", "aliti" -> "al",
+    "iviti" -> "ive", "biliti" -> "ble", "fulli" -> "ful", "logi" -> "log")
+
+  private val step3Rules: Seq[(String, String)] = Seq(
+    "icate" -> "ic", "ative" -> "", "alize" -> "al", "iciti" -> "ic",
+    "ical" -> "ic", "ful" -> "", "ness" -> "")
+
+  private val step4Suffixes: Seq[String] = Seq(
+    "al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
+    "ment", "ent", "ion", "ou", "ism", "ate", "iti", "ous", "ive", "ize")
+
+  private def applyRules(w: String, rules: Seq[(String, String)]): String = {
+    for ((suf, repl) <- rules) {
+      if (w.endsWith(suf)) {
+        val stem = w.substring(0, w.length - suf.length)
+        return if (measure(stem) > 0) stem + repl else w
+      }
+    }
+    w
+  }
+
+  private def step2(w: String): String = applyRules(w, step2Rules)
+
+  private def step3(w: String): String = applyRules(w, step3Rules)
+
+  private def step4(w: String): String = {
+    for (suf <- step4Suffixes) {
+      if (w.endsWith(suf)) {
+        val stem = w.substring(0, w.length - suf.length)
+        val ok = measure(stem) > 1 &&
+          (suf != "ion" || (stem.nonEmpty &&
+            (stem.endsWith("s") || stem.endsWith("t"))))
+        return if (ok) stem else w
+      }
+    }
+    w
+  }
+
+  private def step5(w: String): String = {
+    var s = w
+    if (s.endsWith("e")) {
+      val stem = s.substring(0, s.length - 1)
+      val m = measure(stem)
+      if (m > 1 || (m == 1 && !endsCvc(stem))) s = stem
+    }
+    if (measure(s) > 1 && s.endsWith("ll")) s = s.substring(0, s.length - 1)
+    s
+  }
+}

@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass implementation of the reference's full `preprocess_text`
+  * (F1–F7, `cleaner.py:118-150`): lowercase, strip non-alpha, tokenize on
+  * spaces, drop stopwords and short tokens, Porter-stem, re-join.
+  *
+  * Exists because Spark's higher-order functions (transform/filter) are
+  * CodegenFallback — the declarative chain in [[graft.ops.TextOps]] drops
+  * the projection out of whole-stage codegen and interprets the lambda per
+  * token. This fused form is one generated static call per row. The two
+  * are cross-validated in StemExpressionSpec; the declarative (sans-stem)
+  * form is what the DuckDB oracle checks.
+  */
+object TextPipeline {
+
+  /** Canonical stopword list — single source of truth, mirrored into the
+    * oracle SQL via TextOps. */
+  val stopwords: Seq[String] = Seq(
+    "the", "and", "for", "that", "with", "this", "from", "have",
+    "will", "are", "was", "a", "an", "of", "in", "on", "to", "is", "it")
+
+  private val stopwordSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    stopwords.foreach(s.add)
+    s
+  }
+
+  /** Null-safe scalar core; called from generated code. */
+  def preprocess(text: String): String = {
+    if (text == null) return ""
+    val n = text.length
+    val out = new java.lang.StringBuilder(n)
+    val tok = new java.lang.StringBuilder(16)
+    var i = 0
+    while (i <= n) {
+      val c0 = if (i < n) text.charAt(i) else ' '
+      val c = if (c0 >= 'A' && c0 <= 'Z') (c0 + 32).toChar else c0
+      if (c >= 'a' && c <= 'z') {
+        tok.append(c)
+      } else if (c == ' ') {
+        if (tok.length > 2) {
+          val t = tok.toString
+          if (!stopwordSet.contains(t)) {
+            if (out.length > 0) out.append(' ')
+            out.append(PorterStemmer.stem(t))
+          }
+        }
+        tok.setLength(0)
+      }
+      // any other character is stripped (regexp_replace '[^a-z ]' → '')
+      i += 1
+    }
+    out.toString
+  }
+}
+
+/** Whole-pipeline text preprocessing as one codegen'd Catalyst expression:
+  * `preprocess_text(text)`. Null input yields "" (the reference's F1
+  * `coalesce` semantics, cleaner.py:128-129).
+  */
+case class PreprocessText(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    val s = if (v == null) null else v.asInstanceOf[UTF8String].toString
+    UTF8String.fromString(TextPipeline.preprocess(s))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val resultCode =
+      code"""
+        ${childGen.code}
+        UTF8String ${ev.value} = UTF8String.fromString(
+          graft.functions.TextPipeline.preprocess(
+            ${childGen.isNull} ? null : ${childGen.value}.toString()));
+      """
+    ev.copy(code = resultCode, isNull = FalseLiteral)
+  }
+
+  override def prettyName: String = "preprocess_text"
+
+  override protected def withNewChildInternal(newChild: Expression): PreprocessText =
+    copy(child = newChild)
+}

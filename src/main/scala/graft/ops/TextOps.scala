@@ -15,10 +15,10 @@ object TextOps {
   /** Stopword list for the expression chain. Deliberately small and fixed:
     * the oracle SQL embeds the same literal list, so the two must stay in
     * sync (reference uses NLTK's English stopwords, `cleaner.py:143-145`).
+    * Canonical copy lives in [[graft.functions.TextPipeline]] so the fused
+    * codegen expression shares it.
     */
-  val stopwords: Seq[String] = Seq(
-    "the", "and", "for", "that", "with", "this", "from", "have",
-    "will", "are", "was", "a", "an", "of", "in", "on", "to", "is", "it")
+  val stopwords: Seq[String] = graft.functions.TextPipeline.stopwords
 
   /** F1 null-coalesce + F2 lowercase + F3 strip non-alpha. */
   def normalize(c: Column): Column =
@@ -38,6 +38,16 @@ object TextOps {
     */
   def cleanText(c: Column): Column =
     array_join(contentTokens(normalize(c)), " ")
+
+  /** F6 Porter stem applied to every token, via the custom codegen
+    * expression (stays inside whole-stage codegen). */
+  def stemmedTokens(c: Column): Column =
+    transform(contentTokens(normalize(c)),
+      w => graft.functions.GraftFunctions.porterStem(w))
+
+  /** Complete reference `preprocess_text` (F1–F7 incl. stemming,
+    * `cleaner.py:118-150`): normalize → tokenize → filter → stem → join. */
+  def preprocess(c: Column): Column = array_join(stemmedTokens(c), " ")
 
   /** W1 word-frequency table (the relational form of the reference's
     * word-cloud aggregation, `dashboard.py:36-37`): explode tokens,

@@ -190,6 +190,16 @@ object OracleQueries {
         .orderBy("doc_id")
     }),
 
+    // Q20* — full preprocess incl. Porter stem (custom codegen Expression).
+    // No DuckDB oracle (stemming is not SQL-expressible) → rows-only check;
+    // semantics pinned by PorterStemmerSpec golden vectors.
+    "q20s_stem" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.GraftFunctions.preprocessText(col("text")).as("stemmed_text"))
+        .orderBy("doc_id")
+    }),
+
     // Q21 — F8 date parse with coerce + F9 rating regexp-extract (cleaner.py:103-107)
     "q21_parse" -> ((s, dir) => {
       t(s, dir, "orders").select(

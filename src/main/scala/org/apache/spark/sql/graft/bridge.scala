@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Minimal bridge to the `private[sql]` Expression ↔ Column conversions
+  * (Spark 4 wraps Column around ColumnNode, so `new Column(expr)` no
+  * longer exists). This is the only code living inside Spark's package
+  * namespace; everything else uses public APIs.
+  */
+object bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

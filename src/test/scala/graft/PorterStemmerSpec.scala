@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.functions.PorterStemmer.stem
+
+class PorterStemmerSpec extends AnyFunSuite {
+
+  test("FIXTURES.md §6 golden vectors") {
+    val golden = Map(
+      "subscription" -> "subscript", "cancelled" -> "cancel",
+      "boxes" -> "box", "trying" -> "tri", "address" -> "address",
+      "multiple" -> "multipl", "issues" -> "issu",
+      "fraudulent" -> "fraudul")
+    for ((w, s) <- golden) assert(stem(w) === s, s"stem($w)")
+  }
+
+  test("examples from the published algorithm (Porter 1980)") {
+    val cases = Map(
+      "caresses" -> "caress", "ponies" -> "poni", "cats" -> "cat",
+      "feed" -> "feed", "agreed" -> "agre", "plastered" -> "plaster",
+      "motoring" -> "motor", "sing" -> "sing",
+      "conflated" -> "conflat", "troubled" -> "troubl", "sized" -> "size",
+      "hopping" -> "hop", "tanned" -> "tan", "falling" -> "fall",
+      "hissing" -> "hiss", "failing" -> "fail", "filing" -> "file",
+      "happy" -> "happi",
+      "relational" -> "relat", "conditional" -> "condit",
+      "valenci" -> "valenc", "digitizer" -> "digit", "operator" -> "oper",
+      "feudalism" -> "feudal", "decisiveness" -> "decis",
+      "hopefulness" -> "hope", "callousness" -> "callous",
+      "triplicate" -> "triplic", "formative" -> "form",
+      "formalize" -> "formal", "electrical" -> "electr",
+      "hopeful" -> "hope", "goodness" -> "good",
+      "revival" -> "reviv", "allowance" -> "allow",
+      "inference" -> "infer", "airliner" -> "airlin",
+      "adjustable" -> "adjust", "defensible" -> "defens",
+      "irritant" -> "irrit", "replacement" -> "replac",
+      "adjustment" -> "adjust", "dependent" -> "depend",
+      "adoption" -> "adopt", "communism" -> "commun",
+      "activate" -> "activ", "effective" -> "effect",
+      "probate" -> "probat", "rate" -> "rate", "cease" -> "ceas",
+      "controlling" -> "control")
+    for ((w, s) <- cases) assert(stem(w) === s, s"stem($w)")
+  }
+
+  test("NLTK-extension behaviors the reference depends on") {
+    assert(stem("ties") === "tie")       // ies→ie for 4-letter words
+    assert(stem("flies") === "fli")
+    assert(stem("died") === "die")       // ied→ie for 4-letter words
+    assert(stem("cried") === "cri")
+    assert(stem("sky") === "sky")        // irregular pool
+    assert(stem("dying") === "die")
+    assert(stem("news") === "news")
+    assert(stem("crying") === "cri")     // y→i without vowel in stem
+  }
+
+  test("short words and nulls pass through") {
+    assert(stem(null) === null)
+    assert(stem("") === "")
+    assert(stem("a") === "a")
+    assert(stem("on") === "on")
+  }
+
+  test("properties: lowercase alpha in, lowercase alpha out, bounded length, deterministic") {
+    val wordGen = Gen.chooseNum(1, 20)
+      .flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+    val prop = Prop.forAll(wordGen) { w =>
+      val s = stem(w)
+      s.matches("[a-z]*") && s.length <= w.length + 1 && stem(w) == s
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(res.passed, res.status.toString)
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GraftFunctions.porterStem
+import graft.ops.TextOps
+
+class StemExpressionSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  test("porter_stem expression works in a projection (codegen path)") {
+    val df = Seq("subscription", "cancelled", "boxes", "trying")
+      .toDF("w")
+      .select(porterStem(col("w")).as("s"))
+    assert(df.as[String].collect().toSeq ===
+      Seq("subscript", "cancel", "box", "tri"))
+  }
+
+  test("porter_stem propagates nulls") {
+    val df = Seq(Some("issues"), None).toDF("w")
+      .select(porterStem(col("w")).as("s"))
+    assert(df.collect().map(r => Option(r.getString(0))).toSeq ===
+      Seq(Some("issu"), None))
+  }
+
+  test("porter_stem inside transform() over token arrays") {
+    val out = Seq("billing issues with multiple boxes").toDF("text")
+      .select(TextOps.preprocess(col("text")).as("p"))
+      .as[String].head()
+    assert(out === "bill issu multipl box")
+  }
+
+  test("fused preprocess_text over a file scan stays in whole-stage codegen") {
+    // The HOF chain (transform/filter lambdas) is CodegenFallback in
+    // Spark, so the scale path is the fused expression. A local relation
+    // would be constant-folded away, so scan parquet.
+    val df = graft.sources.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(graft.functions.GraftFunctions.preprocessText(col("text")).as("p"))
+    val plan = df.queryExecution.executedPlan.toString
+    // "*(1) Project [...]" = projection inside whole-stage-codegen stage 1
+    assert(plan.contains("*(1) Project [preprocess_text"), plan)
+  }
+
+  test("fused preprocess_text matches the declarative HOF chain on real data") {
+    val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val mismatches = docs.select(
+      TextOps.preprocess(col("text")).as("hof"),
+      graft.functions.GraftFunctions.preprocessText(col("text")).as("fused"))
+      .filter(col("hof") =!= col("fused"))
+      .count()
+    assert(mismatches === 0)
+  }
+
+  test("fused preprocess_text maps null to empty string (F1 coalesce semantics)") {
+    val out = Seq(Option.empty[String]).toDF("text")
+      .select(graft.functions.GraftFunctions.preprocessText(col("text")).as("p"))
+      .collect()
+    assert(out.head.getString(0) === "")
+  }
+}
