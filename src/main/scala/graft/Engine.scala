@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.ml.PipelineModel
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ml.ThemePipeline
+import graft.ops.Cleaning
+
+/** M8 whole-pipeline facade — the reference's `process_pipeline`
+  * (`cleaner.py:288-324`) as one Spark application: clean → preprocess →
+  * LDA themes → classifier → metrics. Unlike the reference there is no
+  * CSV materialization between stages; the lineage is one lazy plan with
+  * actions only at ML fits and the final writes.
+  */
+object Engine {
+
+  case class RunResult(
+      processed: DataFrame,
+      classifier: PipelineModel,
+      metrics: Metrics)
+
+  case class Metrics(
+      accuracy: Double,
+      f1Score: Double,
+      totalProcessedRecords: Long,
+      uniqueThemes: Long)
+
+  /** Run the full pipeline over a raw reviews frame (FIXTURES.md §1
+    * schema). Seeds fixed at 42 throughout, mirroring the reference.
+    */
+  def run(reviewsRaw: DataFrame): RunResult = {
+    val prepped = Cleaning.cleanAndPreprocess(reviewsRaw)
+
+    // M1+M2+M3: topic model + theme labels
+    val (featureModel, ldaModel) =
+      ThemePipeline.fitLda(prepped, "processed_review")
+    val withTopics = ldaModel.transform(featureModel.transform(prepped))
+    val themed = ThemePipeline.assignThemes(withTopics)
+      .select("id", "rating", "rating_num", "date", "review",
+        "processed_review", "topic", "theme")
+      .cache()
+
+    // M4: stratified split; M5: classifier; M6: metrics
+    val (train, test) = ThemePipeline.stratifiedSplit(themed, "theme", "id")
+    val pipeline = ThemePipeline.classifierPipeline("processed_review", "theme")
+    val model = pipeline.fit(train)
+    val predictions = model.transform(test)
+    val (acc, f1) = ThemePipeline.evaluate(predictions)
+
+    val metrics = Metrics(
+      accuracy = acc,
+      f1Score = f1,
+      totalProcessedRecords = themed.count(),
+      uniqueThemes = themed.select("theme").distinct().count())
+    RunResult(themed, model, metrics)
+  }
+
+  /** Metrics document as a single-row DataFrame (S5 sink shape,
+    * `loader.py:212-247`) — written with `.write.json(path)`. */
+  def metricsDocument(spark: SparkSession, m: Metrics): DataFrame = {
+    import spark.implicits._
+    Seq((m.accuracy, m.f1Score, m.totalProcessedRecords, m.uniqueThemes))
+      .toDF("accuracy", "f1_score", "total_processed_records", "unique_themes")
+      .withColumn("processing_timestamp",
+        date_format(current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss"))
+  }
+}

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.queries.OracleQueries
+import graft.queries.{OracleQueries, ScaleQueries}
 import graft.ops.TextOps
 import graft.sources.Tables
 
@@ -28,10 +28,11 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    OracleQueries.queries
+    OracleQueries.queries ++ ScaleQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver records a weaker
     * rows-only check. */
-  def oracleSql: Map[String, String] = OracleQueries.oracleSql
+  def oracleSql: Map[String, String] =
+    OracleQueries.oracleSql ++ ScaleQueries.oracleSql
 }

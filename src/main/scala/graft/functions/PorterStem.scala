@@ -52,4 +52,8 @@ object GraftFunctions {
     * the scale path; see [[TextPipeline]]. */
   def preprocessText(c: Column): Column =
     bridge.column(PreprocessText(bridge.expression(c)))
+
+  /** 64-bit SimHash fingerprint of a whitespace-tokenized string. */
+  def simHash64(c: Column): Column =
+    bridge.column(SimHash64(bridge.expression(c)))
 }

@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** 64-bit SimHash (Charikar 2002, "Similarity estimation techniques from
+  * rounding algorithms"; applied to near-dup detection as in Manku et al.
+  * 2007): hash every whitespace token, accumulate ±1 per bit weighted by
+  * term frequency, take the sign vector. Single pass, no allocation
+  * beyond the 64 counters — safe for codegen on executor threads.
+  */
+object SimHash {
+
+  private final val FnvOffset = 0xcbf29ce484222325L
+  private final val FnvPrime = 0x100000001b3L
+
+  /** Murmur3 fmix64 finalizer for avalanche. */
+  private def mix(x: Long): Long = {
+    var h = x
+    h ^= h >>> 33
+    h *= 0xff51afd7ed558ccdL
+    h ^= h >>> 33
+    h *= 0xc4ceb9fe1a85ec53L
+    h ^= h >>> 33
+    h
+  }
+
+  def simhash64(text: String): Long = {
+    if (text == null) return 0L
+    val counts = new Array[Int](64)
+    var h = FnvOffset
+    var inTok = false
+    var i = 0
+    val n = text.length
+    while (i <= n) {
+      val c = if (i < n) text.charAt(i) else ' '
+      if (c != ' ') {
+        h = (h ^ c) * FnvPrime // FNV-1a over UTF-16 code units
+        inTok = true
+      } else if (inTok) {
+        val th = mix(h)
+        var b = 0
+        while (b < 64) {
+          if (((th >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+        h = FnvOffset
+        inTok = false
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+}
+
+/** `simhash64(text)` as a codegen'd Catalyst expression. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    SimHash.simhash64(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.SimHash.simhash64($c.toString())")
+
+  override def prettyName: String = "simhash64"
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}

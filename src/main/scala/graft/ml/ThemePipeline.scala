@@ -1,0 +1,147 @@
+package graft.ml
+
+import org.apache.spark.ml.{Pipeline, PipelineModel, PipelineStage}
+import org.apache.spark.ml.classification.RandomForestClassifier
+import org.apache.spark.ml.clustering.{LDA, LDAModel}
+import org.apache.spark.ml.evaluation.MulticlassClassificationEvaluator
+import org.apache.spark.ml.feature._
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Spark ML re-expression of the reference's NLP/ML operators
+  * (SURVEY.md §2.7, M1–M8):
+  *  - M1 TF-IDF vectorization (`cleaner.py:175-188`): CountVectorizer
+  *    (minDF=2, maxDF=0.9, vocabSize=1000) + IDF, with unigram+bigram
+  *    terms via NGram — HashingTF is rejected because M2's topic
+  *    top-words need an inspectable vocabulary.
+  *  - M2 LDA k=5, maxIter=20, seed=42 (`cleaner.py:190-208`);
+  *    describeTopics(10) gives the top-words table.
+  *  - M3 argmax(topicDistribution) → broadcast theme-label join
+  *    (`cleaner.py:210-220`).
+  *  - M4 stratified 80/20 split, seed 42 (`cleaner.py:245-248`) via
+  *    sampleBy + left-anti complement (per-stratum Bernoulli — exact
+  *    proportions asserted within tolerance, not equality).
+  *  - M5 RandomForest 100 trees, seed 42 (`cleaner.py:250-260`).
+  *  - M6 accuracy + weighted F1 (`cleaner.py:262-270`).
+  *  - M7 PipelineModel.save/load (`cleaner.py:275-286`).
+  *
+  * Numeric parity with sklearn is not attempted (different IDF smoothing,
+  * LDA optimizer, forest construction); structural behavior is tested:
+  * topics partition rows 0..k-1, themes draw from the fixed label map,
+  * accuracy ≥ loose floor on the fixture (SURVEY.md §7 "What's hard").
+  */
+object ThemePipeline {
+
+  /** M1: tokenized unigram+bigram TF-IDF features over a preprocessed
+    * text column. */
+  def featureStages(textCol: String, vocabSize: Int = 1000,
+      minDF: Double = 2.0, maxDF: Double = 0.9): Array[PipelineStage] = {
+    val tok = new RegexTokenizer()
+      .setInputCol(textCol).setOutputCol("__tokens")
+      .setPattern("\\s+").setToLowercase(false)
+    val bigrams = new NGram()
+      .setN(2).setInputCol("__tokens").setOutputCol("__bigrams")
+    val terms = new SQLTransformer()
+      .setStatement(
+        "SELECT *, concat(__tokens, __bigrams) AS __terms FROM __THIS__")
+    val cv = new CountVectorizer()
+      .setInputCol("__terms").setOutputCol("__tf")
+      .setVocabSize(vocabSize).setMinDF(minDF).setMaxDF(maxDF)
+    val idf = new IDF().setInputCol("__tf").setOutputCol("features")
+    Array(tok, bigrams, terms, cv, idf)
+  }
+
+  /** M1+M2: fit features + LDA; returns (featureModel, ldaModel). */
+  def fitLda(df: DataFrame, textCol: String, k: Int = 5,
+      maxIter: Int = 20, seed: Long = 42L): (PipelineModel, LDAModel) = {
+    val fm = new Pipeline().setStages(featureStages(textCol)).fit(df)
+    val featured = fm.transform(df)
+    val lda = new LDA().setK(k).setMaxIter(maxIter).setSeed(seed)
+      .setFeaturesCol("features")
+    (fm, lda.fit(featured))
+  }
+
+  /** M2 top-words: (topic, term, weight) table from describeTopics —
+    * the O4 window-rank shape, resolved against the vocabulary. */
+  def topicTopWords(fm: PipelineModel, lda: LDAModel,
+      topN: Int = 10): DataFrame = {
+    val vocab = fm.stages.collectFirst {
+      case m: CountVectorizerModel => m.vocabulary
+    }.getOrElse(Array.empty[String])
+    val spark = lda.describeTopics(topN).sparkSession
+    val vocabDf = spark.createDataFrame(
+      vocab.zipWithIndex.map { case (t, i) => (i, t) }.toSeq)
+      .toDF("termIndex", "term")
+    lda.describeTopics(topN)
+      .select(col("topic"),
+        explode(arrays_zip(col("termIndices"), col("termWeights"))).as("tw"))
+      .select(col("topic"), col("tw.termIndices").as("termIndex"),
+        col("tw.termWeights").as("weight"))
+      .join(broadcast(vocabDf), "termIndex")
+      .select("topic", "term", "weight")
+      .orderBy(asc("topic"), desc("weight"), asc("term"))
+  }
+
+  /** M3: argmax of the topic distribution → topic id → theme label via
+    * broadcast lookup (J1 + F15). */
+  def assignThemes(withTopics: DataFrame): DataFrame = {
+    val arr = vector_to_array(col("topicDistribution"))
+    val withTopic = withTopics.withColumn("topic",
+      (array_position(arr, array_max(arr)) - 1).cast("int"))
+    val lookup = Tables.themeLookup(withTopics.sparkSession)
+    withTopic.join(broadcast(lookup), Seq("topic"), "left")
+  }
+
+  /** M4: stratified frac/1-frac split on `labelCol`, seed-fixed.
+    * Per-stratum Bernoulli (sampleBy), complement via left-anti on a
+    * row id that must uniquely key rows. */
+  def stratifiedSplit(df: DataFrame, labelCol: String, idCol: String,
+      frac: Double = 0.8, seed: Long = 42L): (DataFrame, DataFrame) = {
+    val fractions = df.select(labelCol).distinct().collect()
+      .map(r => r.get(0) -> frac).toMap
+    val train = df.stat.sampleBy(labelCol, fractions, seed)
+    val test = df.join(train.select(idCol), Seq(idCol), "left_anti")
+    (train, test)
+  }
+
+  /** M5: end-to-end classifier pipeline text → theme. Prediction is the
+    * numeric label index; [[predictedLabel]] maps it back to the string
+    * (IndexToString needs label metadata RF doesn't always carry). */
+  def classifierPipeline(textCol: String, labelCol: String,
+      numTrees: Int = 100): Pipeline = {
+    val indexer = new StringIndexer()
+      .setInputCol(labelCol).setOutputCol("label")
+      .setStringOrderType("alphabetAsc")
+    val rf = new RandomForestClassifier()
+      .setNumTrees(numTrees).setSeed(42L)
+      .setFeaturesCol("features").setLabelCol("label")
+    new Pipeline().setStages(
+      featureStages(textCol) ++ Array[PipelineStage](indexer, rf))
+  }
+
+  /** Map the numeric `prediction` back to the label string using the
+    * fitted StringIndexerModel inside `model`. */
+  def predictedLabel(model: PipelineModel, predictions: DataFrame,
+      outCol: String): DataFrame = {
+    val labels = model.stages.collectFirst {
+      case m: StringIndexerModel => m.labelsArray.head
+    }.getOrElse(Array.empty[String])
+    val labelArr = array(labels.map(lit): _*)
+    predictions.withColumn(outCol,
+      element_at(labelArr, col("prediction").cast("int") + 1))
+  }
+
+  /** M6: (accuracy, weighted F1) on a predictions frame. */
+  def evaluate(predictions: DataFrame): (Double, Double) = {
+    val acc = new MulticlassClassificationEvaluator()
+      .setLabelCol("label").setPredictionCol("prediction")
+      .setMetricName("accuracy").evaluate(predictions)
+    val f1 = new MulticlassClassificationEvaluator()
+      .setLabelCol("label").setPredictionCol("prediction")
+      .setMetricName("weightedFMeasure").evaluate(predictions)
+    (acc, f1)
+  }
+}

@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** The reference's `clean_dataframe` (`cleaner.py:77-116`) re-expressed as
+  * one lazy Spark plan: header normalization, column drops, null filter,
+  * keep-first dedup, date coercion.
+  */
+object Cleaning {
+
+  /** Canonical raw-review schema (FIXTURES.md §1, from extract.py:60-68). */
+  val reviewsRawSchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("name", StringType, nullable = true),
+    StructField("rating", StringType, nullable = true),
+    StructField("date", StringType, nullable = true),
+    StructField("review", StringType, nullable = true)))
+
+  /** P6 header normalization (`cleaner.py:109-110`). Spark column renames
+    * are metadata-only — no data movement. */
+  def normalizeHeaders(df: DataFrame): DataFrame =
+    df.toDF(df.columns.map(_.toLowerCase): _*)
+
+  /** Full clean: P1 ignore-missing drops, P3 null filter, A1 keep-first
+    * dedup (deterministic: min id wins, the reference's keep='first' under
+    * its id-sorted extract), F8 date parse with coerce-to-null, F9 rating
+    * parse (engine extension).
+    *
+    * Scale: the dedup window shuffles once on `review`; everything else
+    * is map-side. For very hot duplicate keys, pre-aggregate by content
+    * hash (Dedup.exactByHash) before the window.
+    */
+  def clean(df: DataFrame): DataFrame = {
+    val lower = normalizeHeaders(df)
+    val dropped = lower.drop("unnamed: 0", "name")
+    val nonNull = dropped.filter(col("review").isNotNull)
+    val w = Window.partitionBy("review").orderBy("id")
+    nonNull
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+      // try_to_date = pandas errors='coerce' (null on failure); plain
+      // to_date throws under Spark 4's default ANSI mode
+      .withColumn("date", try_to_date(col("date"), "MM/dd/yyyy"))
+      .withColumn("rating_num",
+        regexp_extract(col("rating"), "^(\\d+)", 1).cast("int"))
+  }
+
+  /** Clean + F1–F7 preprocess via the fused codegen expression, dropping
+    * rows that are empty after preprocessing (P5, cleaner.py:168-169). */
+  def cleanAndPreprocess(df: DataFrame): DataFrame =
+    clean(df)
+      .withColumn("processed_review",
+        graft.functions.GraftFunctions.preprocessText(col("review")))
+      .filter(length(col("processed_review")) > 0)
+}

@@ -1,0 +1,151 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale corpus curation — the
+  * training-data-pipeline extensions beyond the reference's exact
+  * `drop_duplicates` (A1, `cleaner.py:99-101`).
+  *
+  * Scale design notes (100 TB target):
+  *  - Signatures (MinHash, SimHash) are computed map-side with zero
+  *    shuffle — per-row expressions over the token array.
+  *  - Candidate generation shuffles once on (band, bandHash) — the LSH
+  *    contract keeps buckets small, so the self-join is a plain shuffled
+  *    hash join. A pathological bucket (thousands of identical docs)
+  *    should be handled upstream by exact-hash dedup first, which removes
+  *    identical texts before LSH runs.
+  *  - No driver-side collection anywhere.
+  */
+object Dedup {
+
+  /** Exact dedup keeping the smallest id per identical text — one shuffle
+    * on the (hashed) key. Grouping on md5(text) rather than the full text
+    * keeps shuffle rows small when documents are large.
+    */
+  def exactByHash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), md5(col(textCol)).as("h"))
+      .groupBy("h").agg(min(col(idCol)).as(idCol))
+      .select(idCol, "h")
+
+  /** k-permutation MinHash signature over the distinct-token set of
+    * `textCol` (1-word shingles). Hash family: xxhash64 seeded by the
+    * permutation index — deterministic, no RNG state.
+    */
+  def minHashSignature(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 32): DataFrame = {
+    val tokens = array_distinct(split(col(textCol), " "))
+    val sig = array((0 until k).map { i =>
+      array_min(transform(tokens, t => xxhash64(lit(i), t)))
+    }: _*)
+    df.select(col(idCol), sig.as("sig"))
+  }
+
+  /** LSH-banded near-duplicate candidate pairs with signature-estimated
+    * Jaccard. bands × rowsPerBand must equal k. Returns
+    * (id_a, id_b, est_jaccard) for pairs colliding in ≥1 band with
+    * estimate ≥ minJaccard.
+    */
+  def minHashPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 32, bands: Int = 8, minJaccard: Double = 0.7): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    val sigs = minHashSignature(df, idCol, textCol, k)
+
+    val banded = sigs.select(
+      col(idCol),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64(lit(b), slice(col("sig"), b * r + 1, r)).as("bh"))
+      }: _*)).as("bk"))
+      .select(col(idCol), col("bk.band"), col("bk.bh"))
+
+    val a = banded.select(col("band"), col("bh"), col(idCol).as("id_a"))
+    val b = banded.select(col("band"), col("bh"), col(idCol).as("id_b"))
+    val pairs = a.join(b, Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+
+    val sa = sigs.select(col(idCol).as("id_a"), col("sig").as("sig_a"))
+    val sb = sigs.select(col(idCol).as("id_b"), col("sig").as("sig_b"))
+    pairs.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          m => m)).cast("double") / k)
+      .filter(col("est_jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** 64-bit SimHash fingerprints via the custom codegen expression. */
+  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      graft.functions.GraftFunctions.simHash64(col(textCol)).as("simhash"))
+
+  /** SimHash near-duplicate pairs with Hamming distance ≤ maxDist.
+    * Candidates via the pigeonhole chunk trick: split 64 bits into
+    * maxDist+1 chunks; any pair within maxDist shares ≥1 exact chunk.
+    */
+  def simHashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3): DataFrame = {
+    val nChunks = maxDist + 1
+    require(64 % nChunks == 0,
+      s"maxDist+1 must divide 64 for full recall, got $nChunks chunks")
+    val chunkBits = 64 / nChunks
+    val mask = (1L << chunkBits) - 1
+    val sh = simHash(df, idCol, textCol)
+    val chunked = sh.select(
+      col(idCol), col("simhash"),
+      explode(array((0 until nChunks).map { j =>
+        struct(lit(j).as("cid"),
+          shiftrightunsigned(col("simhash"), j * chunkBits)
+            .bitwiseAND(lit(mask)).as("chunk"))
+      }: _*)).as("ck"))
+      .select(col(idCol), col("simhash"), col("ck.cid"), col("ck.chunk"))
+
+    val a = chunked.select(col("cid"), col("chunk"),
+      col(idCol).as("id_a"), col("simhash").as("sh_a"))
+    val b = chunked.select(col("cid"), col("chunk"),
+      col(idCol).as("id_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("cid", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxDist)
+      .select("id_a", "id_b", "hamming")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Exact n-gram Jaccard similarity for the top pairs in a bounded id
+    * slice (pairwise exact comparison is quadratic — the full-corpus path
+    * is [[minHashPairs]]; this is the auditable exact form).
+    */
+  def ngramJaccardTopPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, maxId: Long = 150, topN: Int = 100): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val grams = df.filter(col(idCol) < maxId)
+      .select(col(idCol),
+        explode(when(size(toks) >= n,
+          transform(sequence(lit(0), size(toks) - n),
+            i => concat_ws(" ",
+              element_at(toks, i + 1), element_at(toks, i + 2),
+              element_at(toks, i + 3))))
+          .otherwise(array())).as("gram"))
+      .distinct()
+
+    val sizes = grams.groupBy(idCol).agg(count(lit(1)).as("sz"))
+    val ga = grams.select(col(idCol).as("id_a"), col("gram"))
+    val gb = grams.select(col(idCol).as("id_b"), col("gram"))
+    val inter = ga.join(gb, "gram").filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("jac",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .orderBy(desc("jac"), asc("id_a"), asc("id_b"))
+      .limit(topN)
+      .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jac"))
+      .orderBy(desc("jac"), asc("id_a"), asc("id_b"))
+  }
+}

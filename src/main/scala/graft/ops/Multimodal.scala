@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video payloads as opaque
+  * `binary` columns with typed metadata, plus decode / feature-extract
+  * stages.
+  *
+  * The decode step is a STUB — this container has no image/audio codecs,
+  * so `fakeDecode*` produce deterministic hash-derived features with the
+  * real schema, partitioning and batch shape. Swapping in a real decoder
+  * means replacing the fake feature expression with a `mapPartitions`
+  * over batched rows (partition = batch; one codec init per partition,
+  * amortized like an Arrow/pandas-UDF batch), keeping every signature
+  * below identical.
+  */
+object Multimodal {
+
+  /** Wrap a source frame into the canonical multimodal schema:
+    * (id, media struct{payload binary, mime, n_bytes}). Here the payload
+    * is the document text bytes — a stand-in with realistic sizes.
+    */
+  def asMedia(df: DataFrame, idCol: String, payloadCol: String,
+      mime: String): DataFrame =
+    df.select(
+      col(idCol),
+      struct(
+        col(payloadCol).cast("binary").as("payload"),
+        lit(mime).as("mime"),
+        length(col(payloadCol).cast("binary")).cast("long").as("n_bytes"))
+        .as("media"))
+
+  /** STUB decode: deterministic pseudo-metadata derived from the payload
+    * hash — stands in for image width/height/channels until a real codec
+    * is wired in (`???` boundary). */
+  def fakeDecodeImageMeta(media: Column): Column = {
+    val h = xxhash64(media.getField("payload"))
+    struct(
+      (pmod(h, lit(1920L)) + 16).cast("int").as("width"),
+      (pmod(shiftrightunsigned(h, 11), lit(1080L)) + 16).cast("int").as("height"),
+      lit(3).as("channels"))
+  }
+
+  /** STUB feature extraction: an 8-dim deterministic embedding from
+    * seeded payload hashes, unit-scaled — the real path would run a
+    * vision/audio encoder per partition batch. */
+  def fakeFeatures(media: Column, dim: Int = 8): Column =
+    transform(sequence(lit(0), lit(dim - 1)),
+      i => pmod(xxhash64(i, media.getField("payload")), lit(1000L))
+        .cast("double") / 1000.0)
+
+  /** Full stub pipeline over a frame with a `media` column: decode
+    * metadata + features, ready for Similarity.cosineTopK-style search.
+    */
+  def decodeAndFeaturize(df: DataFrame, idCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      col("media.mime").as("mime"),
+      col("media.n_bytes").as("n_bytes"),
+      fakeDecodeImageMeta(col("media")).as("meta"),
+      fakeFeatures(col("media")).as("features"))
+}

@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`).
+  *
+  * Scale design (100 TB / billions of vectors):
+  *  - The query set is broadcast (small); the corpus is scanned once,
+  *    partition-parallel, with per-partition top-k via the window — no
+  *    corpus shuffle in the brute-force path beyond the final tiny top-k.
+  *  - The LSH path buckets the corpus by random-hyperplane signature so
+  *    each query probes only its bucket (plus 1-bit-flip neighbors);
+  *    bucketing is a map-side expression, the probe is an equi-join on
+  *    the bucket id.
+  *  - All arithmetic is double-precision with sequential index-order
+  *    folds, which makes results bit-reproducible and oracle-comparable.
+  */
+object Similarity {
+
+  /** Elementwise sequential dot product in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+
+  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Exact brute-force cosine top-k: for each query vector (id < nQueries)
+    * find the k most similar corpus vectors (id >= nQueries).
+    * Returns (qid, rn, cid, sim).
+    */
+  def cosineTopK(df: DataFrame, idCol: String, vecCol: String,
+      nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val base = df.select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val queries = base.filter(col(idCol) < nQueries)
+      .select(col(idCol).as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val corpus = base.filter(col(idCol) >= nQueries)
+      .select(col(idCol).as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+    val sims = corpus.join(broadcast(queries))
+      .withColumn("sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("cid"))
+    sims.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("rn").cast("int").as("rn"), col("cid"),
+        round(col("sim"), 4).as("sim"))
+      .orderBy("qid", "rn")
+  }
+
+  /** Deterministic random-hyperplane signature: `planes` sign bits packed
+    * into an int. Hyperplanes are generated driver-side from a fixed seed
+    * and inlined as literals (tiny: planes × dim doubles).
+    */
+  def hyperplaneBucket(vec: Column, dim: Int, planes: Int = 8,
+      seed: Long = 42L): Column = {
+    val rnd = new scala.util.Random(seed)
+    val hp: Seq[Array[Double]] =
+      Seq.fill(planes)(Array.fill(dim)(rnd.nextGaussian()))
+    val bits = hp.zipWithIndex.map { case (plane, i) =>
+      val planeLit = array(plane.map(lit): _*)
+      when(dot(vec, planeLit) >= 0, lit(1 << i)).otherwise(lit(0))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** LSH-bucketed ANN: probe the query's bucket and all 1-bit-flip
+    * neighbor buckets (multi-probe) — approximate recall, corpus-scan
+    * cost ~ bucketFraction instead of 1. Returns (qid, rn, cid, sim).
+    */
+  def annTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      nQueries: Int = 10, k: Int = 5, planes: Int = 8): DataFrame = {
+    val base = df.select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .withColumn("bucket", hyperplaneBucket(col("v"), dim, planes))
+    val corpus = base.filter(col(idCol) >= nQueries)
+      .select(col(idCol).as("cid"), col("v").as("cv"), col("nrm").as("cn"),
+        col("bucket"))
+    // each query probes its own bucket + every 1-bit flip
+    val probes = explode(array((0 to planes).map { i =>
+      if (i == 0) col("bucket")
+      else col("bucket").bitwiseXOR(lit(1 << (i - 1)))
+    }: _*)).as("bucket_probe")
+    val queries = base.filter(col(idCol) < nQueries)
+      .select(col(idCol).as("qid"), col("v").as("qv"), col("nrm").as("qn"),
+        probes)
+      .withColumnRenamed("bucket_probe", "bucket")
+    val sims = corpus.join(broadcast(queries), "bucket")
+      .withColumn("sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("cid"))
+    sims.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("rn").cast("int").as("rn"), col("cid"),
+        round(col("sim"), 4).as("sim"))
+      .orderBy("qid", "rn")
+  }
+
+  /** Embedding-cosine near-duplicate pairs: all pairs above `minSim`
+    * within a bounded id slice (exact, quadratic — the audit form; the
+    * scale form buckets first like [[annTopK]]).
+    */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      maxId: Long = 200, minSim: Double = 0.4): DataFrame = {
+    val base = df.filter(col(idCol) < maxId)
+      .select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val a = base.select(col(idCol).as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = base.select(col(idCol).as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("sim") >= minSim)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+      .orderBy("id_a", "id_b")
+  }
+}

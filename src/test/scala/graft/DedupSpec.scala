@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Dedup
+
+class DedupSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  val dir = "/root/testdata/sf0.001"
+  def docs = graft.sources.Tables(spark, dir, "documents")
+
+  test("exactByHash keeps one row per distinct text, min id") {
+    val df = Seq((3L, "aaa"), (1L, "aaa"), (2L, "bbb")).toDF("doc_id", "text")
+    val out = Dedup.exactByHash(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+  }
+
+  test("minhash signature length k; identical texts → identical signatures") {
+    val df = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "x y z w q"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minHashSignature(df, "doc_id", "text", k = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L).length === 16)
+    assert(sigs(1L) === sigs(2L))
+    assert(sigs(1L) !== sigs(3L))
+  }
+
+  test("minHashPairs finds identical docs with est_jaccard 1.0") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "totally different words here now ok"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minHashPairs(df, "doc_id", "text",
+      k = 16, bands = 4, minJaccard = 0.9).collect()
+    assert(pairs.length === 1)
+    assert(pairs.head.getLong(0) === 1L && pairs.head.getLong(1) === 2L)
+    assert(pairs.head.getDouble(2) === 1.0)
+  }
+
+  test("minhash estimate correlates with exact unigram jaccard on real docs") {
+    val pairs = Dedup.minHashPairs(docs, "doc_id", "text",
+      k = 32, bands = 4, minJaccard = 0.9)
+    val sample = pairs.limit(20).collect()
+    assert(sample.nonEmpty)
+    // verify one pair exactly
+    val r = sample.head
+    val texts = docs.filter(col("doc_id").isin(r.getLong(0), r.getLong(1)))
+      .select("text").as[String].collect()
+    val (sa, sb) = (texts(0).split(" ").toSet, texts(1).split(" ").toSet)
+    val exact = sa.intersect(sb).size.toDouble / sa.union(sb).size
+    assert(math.abs(exact - r.getDouble(2)) < 0.35,
+      s"estimate ${r.getDouble(2)} vs exact $exact")
+  }
+
+  test("simhash: identical → distance 0, near-identical → small distance") {
+    import graft.functions.SimHash.simhash64
+    val a = simhash64("the quick brown fox jumps over the lazy dog " * 8)
+    val b = simhash64("the quick brown fox jumps over the lazy dog " * 8)
+    val c = simhash64(("the quick brown fox jumps over the lazy dog " * 8) + "one extra")
+    val d = simhash64("completely unrelated text about spark engines and parquet")
+    assert(a === b)
+    assert(java.lang.Long.bitCount(a ^ c) <= 8)
+    assert(java.lang.Long.bitCount(a ^ d) > 8)
+  }
+
+  test("simHashPairs on real docs returns symmetric-free ordered pairs") {
+    val pairs = Dedup.simHashPairs(docs, "doc_id", "text", maxDist = 3)
+      .collect()
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(pairs.forall(r => r.getInt(2) <= 3))
+  }
+
+  test("ngram jaccard top pairs are ordered desc and bounded") {
+    val out = Dedup.ngramJaccardTopPairs(docs, "doc_id", "text",
+      n = 3, maxId = 100, topN = 20).collect()
+    assert(out.length === 20)
+    val jacs = out.map(_.getDouble(2))
+    assert(jacs.zip(jacs.tail).forall { case (a, b) => a >= b })
+    assert(jacs.forall(j => j >= 0.0 && j <= 1.0))
+  }
+}

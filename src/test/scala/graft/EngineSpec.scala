@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Cleaning
+import graft.sources.Tables
+
+/** Golden end-to-end: full M8 pipeline on a 128-row review fixture
+  * replicating the bundled sample's statistics (FIXTURES.md §1): 13
+  * distinct reviews, all "1 star", dates 2022-07-23..2025-03-18, plus
+  * adversarial rows (null review, empty-after-preprocessing, bad date).
+  */
+class EngineSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  /** Deterministic 128-row fixture with the reference sample's shape. */
+  def fixture: DataFrame = {
+    val distinctReviews = Seq(
+      "The customer support team never responded to my emails about billing",
+      "I was charged twice for my subscription and nobody will fix it",
+      "Delivery took three weeks and the box arrived damaged and open",
+      "Cancelled my account but they kept charging my credit card monthly",
+      "The service quality has declined badly over the past several months",
+      "Multiple issues with account management and password reset flows",
+      "Fraudulent charges appeared after I signed up for the trial period",
+      "Product stopped working after two days and returns are impossible",
+      "Support chat disconnects constantly and agents never follow up",
+      "Billing statements are confusing and full of hidden service fees",
+      "My address change was ignored and packages went to the old house",
+      "The app crashes whenever I try to update my subscription plan",
+      "Quality control seems nonexistent judging by the damaged items")
+    val dates = Seq("07/23/2022", "11/02/2023", "03/18/2025", "05/10/2024")
+    val rows = (0 until 125).map { i =>
+      (i.toLong, s"Reviewer $i", "1 star", dates(i % dates.length),
+        distinctReviews(i % distinctReviews.length))
+    } ++ Seq(
+      (125L, "Null Reviewer", "1 star", "01/01/2024", null),
+      (126L, "Empty Reviewer", "1 star", "99/99/2025", "12345 !!! 678"),
+      (127L, "Dup Reviewer", "1 star", "02/02/2024", distinctReviews.head))
+    rows.toDF("id", "name", "rating", "date", "review")
+  }
+
+  test("clean: dedup 128→13 distinct + adversarial, nulls dropped, dates coerced") {
+    val cleaned = Cleaning.clean(fixture)
+    // 13 distinct reviews + 1 digits-only review; null dropped; dup folded
+    assert(cleaned.count() === 14)
+    assert(cleaned.filter("review IS NULL").count() === 0)
+    // keep-first: id 0 survives for the duplicated first review
+    assert(cleaned.filter("id = 127").count() === 0)
+    assert(cleaned.filter("id = 0").count() === 1)
+    // invalid date coerced to null (row 126), valid ones parsed
+    assert(cleaned.filter("id = 126 AND date IS NULL").count() === 1)
+    assert(cleaned.filter("date IS NOT NULL").count() === 13)
+    assert(cleaned.filter("rating_num = 1").count() === 14)
+  }
+
+  test("cleanAndPreprocess drops rows empty after preprocessing") {
+    val prepped = Cleaning.cleanAndPreprocess(fixture)
+    assert(prepped.count() === 13) // digits-only review becomes empty
+    val texts = prepped.select("processed_review").as[String].collect()
+    assert(texts.forall(_.matches("[a-z ]+")))
+  }
+
+  test("full Engine.run: themes partition rows, metrics populated") {
+    val result = Engine.run(fixture)
+    val themed = result.processed
+    assert(themed.count() === 13)
+    val topics = themed.select("topic").distinct().as[Int].collect()
+    assert(topics.forall(t => t >= 0 && t < 5))
+    val themes = themed.select("theme").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(themes.subsetOf(Tables.themeLabels.values.toSet))
+    assert(result.metrics.totalProcessedRecords === 13)
+    assert(result.metrics.uniqueThemes >= 1)
+    assert(result.metrics.accuracy >= 0.0 && result.metrics.accuracy <= 1.0)
+  }
+
+  test("classifier model round-trips through save/load (M7)") {
+    val result = Engine.run(fixture)
+    val path = java.nio.file.Files.createTempDirectory("graft-model").toString
+    result.classifier.write.overwrite().save(path)
+    val loaded = org.apache.spark.ml.PipelineModel.load(path)
+    assert(loaded.stages.length === result.classifier.stages.length)
+  }
+}

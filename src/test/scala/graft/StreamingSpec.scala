@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.Streams
+import graft.streaming.Streams.Event
+
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  private def eventRows(limit: Int): Seq[Event] =
+    graft.sources.Tables(spark, "/root/testdata/sf0.001", "events")
+      .orderBy("event_id").limit(limit)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect().toSeq
+
+  test("streaming tumbling window counts match the batch computation") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = eventRows(500)
+    val stream = MemoryStream[Event]
+    stream.addData(rows)
+    val agg = Streams.tumblingCounts(stream.toDF())
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("stream_counts").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("stream_counts")
+        .select("window_start", "event_type", "cnt")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+        .toSet
+      val batch = rows.toDF()
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("window.start"), col("event_type"), col("cnt"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+        .toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
+  test("watermarked streaming dedup drops in-horizon duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = eventRows(50)
+    val stream = MemoryStream[Event]
+    stream.addData(base ++ base) // every event duplicated
+    val deduped = Streams.dedupStream(stream.toDF(), Seq("event_id"))
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("stream_dedup").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("stream_dedup").count() === 50)
+    } finally q.stop()
+  }
+
+  test("sessionize groups events by gap (batch-mode flatMapGroupsWithState)") {
+    implicit val s = spark
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Long) = new java.sql.Timestamp(t0.getTime + min * 60000)
+    val events = Seq(
+      Event(1, ts(0), 7L, "click", 1.0),
+      Event(2, ts(5), 7L, "click", 2.0),
+      Event(3, ts(90), 7L, "click", 3.0), // new session after 85-min gap
+      Event(4, ts(95), 7L, "click", 4.0),
+      Event(5, ts(0), 8L, "view", 5.0)).toDS()
+    val sessions = Streams.sessionize(events, gapMinutes = 30)
+      .collect().sortBy(s => (s.user_id, s.session_start.getTime))
+    // batch mode: final open sessions are not emitted without timeout;
+    // user 7's first session closes when the 90-min event arrives
+    assert(sessions.exists(s =>
+      s.user_id == 7L && s.n_events == 2 && s.total_value == 3.0))
+  }
+}

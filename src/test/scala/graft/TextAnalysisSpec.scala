@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.TextAnalysis
+
+class TextAnalysisSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  test("languageId: marker argmax with first-match tie-break, und on zero hits") {
+    val df = Seq(
+      (1L, "the cat and the dog with hats"),
+      (2L, "el gato los perros las casas"),
+      (3L, "der hund und nicht die katze"),
+      (4L, "xyz qqq zzz"),
+      (5L, "the el the el")) // tie en=2 es=2 → en wins (list order)
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.languageId(df, "doc_id", "text")
+      .select("doc_id", "pred_lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "en")
+    assert(out(2L) === "es")
+    assert(out(3L) === "de")
+    assert(out(4L) === "und")
+    assert(out(5L) === "en")
+  }
+
+  test("qualityFeatures: ratios bounded and lengths exact") {
+    val df = Seq((1L, "abc def!! 123 the")).toDF("doc_id", "text")
+    val r = TextAnalysis.qualityFeatures(df, "doc_id", "text").head()
+    assert(r.getAs[Long]("n_chars") === 17L)
+    assert(r.getAs[Long]("n_tokens") === 4L)
+    val alpha = r.getAs[Double]("alpha_ratio")
+    assert(alpha > 0 && alpha < 1)
+    assert(r.getAs[Double]("stopword_ratio") === 0.25) // "the" of 4 tokens
+  }
+
+  test("tokenCounts: three tokenizers agree on simple input") {
+    val df = Seq((1L, "one two three")).toDF("doc_id", "text")
+    val r = TextAnalysis.tokenCounts(df, "doc_id", "text").head()
+    assert(r.getAs[Long]("ws_tokens") === 3L)
+    assert(r.getAs[Long]("alpha_tokens") === 3L)
+    assert(r.getAs[Long]("bpe_est") === 4L) // ceil(13/4)
+  }
+
+  test("fingerprints: identical normalized text → identical fp") {
+    val df = Seq((1L, "Hello World!"), (2L, "hello world"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val fps = TextAnalysis.fingerprints(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fps(1L) === fps(2L))
+    assert(fps(1L) !== fps(3L))
+    assert(fps(1L).length === 16)
+  }
+}
