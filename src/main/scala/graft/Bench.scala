@@ -44,6 +44,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Warm the JVM + codegen + file-index paths so the first timed query
+    // is not charged session startup.
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    graft.sources.Tables(spark, sfDir, "lineitem").limit(1000).count()
+
     val results = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         val t0 = System.nanoTime()

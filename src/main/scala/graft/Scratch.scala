@@ -1,19 +1,30 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Dev-only smoke: drive the driver-contract surface by hand. */
+/** Dev-only: drive entry() or print formatted plans for named queries.
+  * Usage: runMain graft.Scratch [explain q1 q2 ...]
+  */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val e = SparkEntry.entry(spark)
-    println(s"== entry rows: ${e.count()}")
-    e.show(10, truncate = false)
+    if (args.nonEmpty && args(0) == "explain") {
+      val dir = "/root/testdata/sf0.001"
+      for (name <- args.drop(1)) {
+        println(s"\n======== $name ========")
+        SparkEntry.queries(name)(spark, dir).explain("formatted")
+      }
+    } else {
+      val e = SparkEntry.entry(spark)
+      println(s"== entry rows: ${e.count()}")
+      e.show(10, truncate = false)
+    }
     spark.stop()
   }
 }

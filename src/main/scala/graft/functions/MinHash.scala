@@ -1,0 +1,126 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** MinHash signatures as one fused pass per row (Broder 1997, "On the
+  * resemblance and containment of documents").
+  *
+  * The declarative form (k × `array_min(transform(tokens, xxhash64))`)
+  * re-tokenizes and re-hashes per permutation through CodegenFallback
+  * lambdas — measured 44 s for 5 000 docs at k=32. This expression
+  * tokenizes once, hashes each token once (FNV-1a), and derives the k
+  * permutation values with an fmix64 finalizer over per-permutation
+  * seeds: O(tokens × k) long ops, fully codegen'd.
+  *
+  * MinHash is over the token *multiset*; duplicate tokens cannot change a
+  * minimum, so no dedup pass is needed for set semantics.
+  */
+object MinHash {
+
+  private final val FnvOffset = 0xcbf29ce484222325L
+  private final val FnvPrime = 0x100000001b3L
+
+  /** Per-permutation seeds, fixed by a splittable generator — stable
+    * across JVMs (no RNG state at execution time). */
+  private final val MaxK = 128
+  private val seeds: Array[Long] = {
+    val r = new java.util.SplittableRandom(42L)
+    Array.fill(MaxK)(r.nextLong())
+  }
+
+  private def fmix64(x: Long): Long = {
+    var h = x
+    h ^= h >>> 33
+    h *= 0xff51afd7ed558ccdL
+    h ^= h >>> 33
+    h *= 0xc4ceb9fe1a85ec53L
+    h ^= h >>> 33
+    h
+  }
+
+  def signature(text: String, k: Int): Array[Long] = {
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    if (text == null) return sig
+    val n = text.length
+    var h = FnvOffset
+    var inTok = false
+    var i = 0
+    while (i <= n) {
+      val c = if (i < n) text.charAt(i) else ' '
+      if (c != ' ') {
+        h = (h ^ c) * FnvPrime
+        inTok = true
+      } else if (inTok) {
+        var p = 0
+        while (p < k) {
+          val v = fmix64(h ^ seeds(p))
+          if (v < sig(p)) sig(p) = v
+          p += 1
+        }
+        h = FnvOffset
+        inTok = false
+      }
+      i += 1
+    }
+    sig
+  }
+
+  /** Count of positions where two equal-length long arrays agree —
+    * the signature-agreement numerator of the Jaccard estimate. */
+  def eqCount(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
+}
+
+/** `minhash_sig(text)` → array<bigint> of k permutation minima. */
+case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
+  require(k > 0 && k <= 128, "k must be in 1..128")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      MinHash.signature(input.asInstanceOf[UTF8String].toString, k))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.MinHash.signature($c.toString(), $k))")
+
+  override def prettyName: String = "minhash_sig"
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** `array_eq_count(a, b)` → int: positions where two long arrays agree. */
+case class ArrayEqCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    MinHash.eqCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.MinHash.eqCount($a, $b)")
+
+  override def prettyName: String = "array_eq_count"
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArrayEqCount =
+    copy(left = newLeft, right = newRight)
+}

@@ -56,4 +56,12 @@ object GraftFunctions {
   /** 64-bit SimHash fingerprint of a whitespace-tokenized string. */
   def simHash64(c: Column): Column =
     bridge.column(SimHash64(bridge.expression(c)))
+
+  /** k-permutation MinHash signature (fused single pass). */
+  def minHashSig(c: Column, k: Int): Column =
+    bridge.column(MinHashSig(bridge.expression(c), k))
+
+  /** Positions where two equal-length long arrays agree. */
+  def arrayEqCount(a: Column, b: Column): Column =
+    bridge.column(ArrayEqCount(bridge.expression(a), bridge.expression(b)))
 }

@@ -28,18 +28,15 @@ object Dedup {
       .groupBy("h").agg(min(col(idCol)).as(idCol))
       .select(idCol, "h")
 
-  /** k-permutation MinHash signature over the distinct-token set of
-    * `textCol` (1-word shingles). Hash family: xxhash64 seeded by the
-    * permutation index — deterministic, no RNG state.
+  /** k-permutation MinHash signature over the token set of `textCol`
+    * (1-word shingles), computed by the fused codegen expression
+    * [[graft.functions.MinHashSig]] — one tokenize+hash pass per row,
+    * deterministic seeds, no RNG state, no shuffle.
     */
   def minHashSignature(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 32): DataFrame = {
-    val tokens = array_distinct(split(col(textCol), " "))
-    val sig = array((0 until k).map { i =>
-      array_min(transform(tokens, t => xxhash64(lit(i), t)))
-    }: _*)
-    df.select(col(idCol), sig.as("sig"))
-  }
+      k: Int = 32): DataFrame =
+    df.select(col(idCol),
+      graft.functions.GraftFunctions.minHashSig(col(textCol), k).as("sig"))
 
   /** LSH-banded near-duplicate candidate pairs with signature-estimated
     * Jaccard. bands × rowsPerBand must equal k. Returns
@@ -70,8 +67,8 @@ object Dedup {
     val sb = sigs.select(col(idCol).as("id_b"), col("sig").as("sig_b"))
     pairs.join(sa, "id_a").join(sb, "id_b")
       .withColumn("est_jaccard",
-        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
-          m => m)).cast("double") / k)
+        graft.functions.GraftFunctions.arrayEqCount(col("sig_a"), col("sig_b"))
+          .cast("double") / k)
       .filter(col("est_jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
       .orderBy("id_a", "id_b")

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GraftFunctions.{arrayEqCount, minHashSig}
+import graft.functions.MinHash
+
+class MinHashSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  test("signature: k minima, deterministic, multiset-invariant") {
+    val a = MinHash.signature("x y z", 16)
+    val b = MinHash.signature("x y z x y z z", 16) // same token set
+    val c = MinHash.signature("completely different tokens", 16)
+    assert(a.length === 16)
+    assert(a.toSeq === b.toSeq)
+    assert(a.toSeq !== c.toSeq)
+    assert(MinHash.signature("x y z", 16).toSeq === a.toSeq)
+  }
+
+  test("signature agreement estimates jaccard within sampling error") {
+    // sets share 50 of 150 union tokens → jaccard = 1/3
+    val shared = (0 until 50).map(i => s"s$i")
+    val ta = (shared ++ (0 until 50).map(i => s"a$i")).mkString(" ")
+    val tb = (shared ++ (0 until 50).map(i => s"b$i")).mkString(" ")
+    val k = 128
+    val est = MinHash.eqCount(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        MinHash.signature(ta, k)),
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        MinHash.signature(tb, k))).toDouble / k
+    assert(math.abs(est - 1.0 / 3) < 0.15, s"estimate $est")
+  }
+
+  test("expressions run codegen'd over a DataFrame") {
+    val df = Seq(("a b c", "a b c"), ("a b c", "x y z"))
+      .toDF("t1", "t2")
+      .select(arrayEqCount(minHashSig(col("t1"), 16),
+        minHashSig(col("t2"), 16)).as("eq"))
+    val eq = df.as[Int].collect()
+    assert(eq(0) === 16)
+    assert(eq(1) < 16)
+  }
+
+  test("null text yields the empty signature (all Long.MaxValue)") {
+    val sig = MinHash.signature(null, 4)
+    assert(sig.forall(_ == Long.MaxValue))
+  }
+}
