@@ -4,7 +4,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.queries.{OracleQueries, ScaleQueries}
-import graft.ops.TextOps
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -18,7 +17,8 @@ object SparkEntry {
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
     docs
       .select(col("doc_id"), col("lang"),
-        TextOps.cleanText(col("text")).as("clean_text"))
+        graft.functions.GraftFunctions.preprocessText(col("text"))
+          .as("clean_text"))
       .filter(length(col("clean_text")) > 0)
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),

@@ -64,4 +64,8 @@ object GraftFunctions {
   /** Positions where two equal-length long arrays agree. */
   def arrayEqCount(a: Column, b: Column): Column =
     bridge.column(ArrayEqCount(bridge.expression(a), bridge.expression(b)))
+
+  /** Sequential-order dot product over two array<double> columns. */
+  def dotProduct(a: Column, b: Column): Column =
+    bridge.column(DotProduct(bridge.expression(a), bridge.expression(b)))
 }

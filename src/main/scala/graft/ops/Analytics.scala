@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The dashboard/interactive query workload (SURVEY.md §2.3–§2.5,
+  * `dashboard.py`): four canonical shapes — filter, group-count, word
+  * frequency, top-N — plus profiling aggregates. Each is one short
+  * DataFrame query over a (typically cached) table, mirroring
+  * `@st.cache_data` + per-widget recompute.
+  */
+object Analytics {
+
+  /** A2/O2 `value_counts()`: per-key counts, count-desc then key-asc. */
+  def valueCounts(df: DataFrame, keyCol: String): DataFrame =
+    df.groupBy(keyCol).agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc(keyCol))
+
+  /** A4 distinct values sorted (filter-dropdown population). */
+  def distinctSorted(df: DataFrame, c: String): DataFrame =
+    df.select(c).distinct().orderBy(c)
+
+  /** A3 exact + approximate count-distinct. At 100 TB use the HLL
+    * estimate; exact requires a full shuffle of distinct values. */
+  def countDistinctBoth(df: DataFrame, c: String): DataFrame =
+    df.agg(countDistinct(col(c)).as("exact"),
+      approx_count_distinct(col(c)).as("approx"))
+
+  /** A5 per-column null counts in a single pass. */
+  def nullCounts(df: DataFrame): DataFrame =
+    df.agg(
+      count(lit(1)).as("n_rows"),
+      df.columns.toSeq.map(c =>
+        sum(col(c).isNull.cast("long")).as(s"null_$c")): _*)
+
+  /** P4+P2+O3: the dashboard detail view — equality filter, projection,
+    * ordered top-N (plans as TakeOrderedAndProject, no global sort). */
+  def filteredPreview(df: DataFrame, filterCol: String, value: String,
+      projectCols: Seq[String], orderCol: String, n: Int = 10): DataFrame =
+    df.filter(col(filterCol) === value)
+      .select(projectCols.map(col): _*)
+      .orderBy(orderCol).limit(n)
+
+  /** O4 top-k rows per group by score. */
+  def topKPerGroup(df: DataFrame, groupCol: String, scoreCol: String,
+      tieBreak: Seq[String], k: Int): DataFrame = {
+    val w = Window.partitionBy(groupCol)
+      .orderBy(desc(scoreCol) +: tieBreak.map(asc): _*)
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
+  /** W1 word frequency — delegated to TextOps. */
+  def wordFrequency(df: DataFrame, textCol: String): DataFrame =
+    TextOps.wordFrequency(df, textCol)
+}

@@ -20,12 +20,12 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Elementwise sequential dot product in double precision. */
+  /** Elementwise sequential dot product in double precision — fused
+    * codegen expression (HOF aggregate/zip_with is CodegenFallback). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.GraftFunctions.dotProduct(a, b)
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 

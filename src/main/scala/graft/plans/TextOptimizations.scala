@@ -1,0 +1,42 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions.Lower
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+
+import graft.functions.PreprocessText
+
+/** Illustrative optimizer rule (SURVEY.md §4 stretch item): collapse
+  * redundant case-normalization around the text pipeline.
+  *
+  *  - `lower(lower(x))`        → `lower(x)`      (lower is idempotent)
+  *  - `preprocess_text(lower(x))` → `preprocess_text(x)` (it lowercases
+  *    internally, first step of F1–F7)
+  *  - `lower(preprocess_text(x))` → `preprocess_text(x)` (its output is
+  *    already lowercase by construction)
+  *
+  * Note `preprocess_text(preprocess_text(x))` is NOT collapsed: Porter
+  * stemming is not idempotent (e.g. stem("aged")="ag" would then be
+  * dropped by the length filter on a second pass).
+  *
+  * Registered via [[GraftExtensions]]
+  * (`.withExtensions(new GraftExtensions)`) or
+  * `spark.experimental.extraOptimizations ++= Seq(CollapseTextNormalization)`.
+  */
+object CollapseTextNormalization extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case Lower(Lower(c))          => Lower(c)
+      case PreprocessText(Lower(c)) => PreprocessText(c)
+      case Lower(PreprocessText(c)) => PreprocessText(c)
+    }
+}
+
+/** Session-extension registration point for the engine's custom rules
+  * and SQL-callable functions. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => CollapseTextNormalization)
+  }
+}

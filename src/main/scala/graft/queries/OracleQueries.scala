@@ -238,11 +238,15 @@ object OracleQueries {
         .orderBy("vec_id")
     }),
 
-    // Q23 — JSON extraction from the events props payload
+    // Q23 — JSON extraction from the events props payload: both the
+    // path form (get_json_object) and the typed form (from_json struct)
     "q23_json" -> ((s, dir) => {
-      Tables.events(s, dir).select(
-        col("event_id"),
-        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      Tables.events(s, dir)
+        .withColumn("j", from_json(col("props"), lit("k BIGINT")))
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"),
+          col("j.k").as("k_typed"))
         .orderBy("event_id")
     }),
 
@@ -369,7 +373,9 @@ object OracleQueries {
                 CAST(list_position(embedding, list_aggregate(embedding, 'max')) - 1 AS INT) AS best_dim
          FROM embeddings ORDER BY vec_id""",
     "q23_json" ->
-      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      """SELECT event_id,
+                CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+                CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed
          FROM events ORDER BY event_id""",
     "q24_tumbling_window" ->
       """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS hour_start,

@@ -1,0 +1,55 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sinks (SURVEY.md §2.1 S3–S9): CSV/parquet/JSON writers with the
+  * reference's timestamp-versioned layout.
+  *
+  * The reference stages DataFrames through in-memory buffers and boto3
+  * uploads (`loader.py:109-130`); on Spark the writers stream straight to
+  * the filesystem — local paths here, `s3a://` URIs on a cluster with no
+  * code change (S6: bucket checks become `FileSystem.exists`).
+  */
+object Sinks {
+
+  /** S3 CSV sink: header on, no index column (Spark has none — the
+    * reference's `index=False`, `loader.py:110-114`). */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  /** S4 parquet sink. */
+  def writeParquet(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** S8 timestamp-versioned sink: `<base>/run_ts=<yyyyMMdd_HHmmss>/...`
+    * as a real partition column, so readers prune by run
+    * (`spark.read.parquet(base).filter($"run_ts" === v)` scans one run).
+    * The reference interpolates the version into flat object keys
+    * (`ml_pipeline_dag.py:225-248`); a partition column gives the same
+    * layout plus predicate pushdown.
+    */
+  def writeVersioned(df: DataFrame, base: String, runTs: String): Unit =
+    df.withColumn("run_ts", lit(runTs))
+      .write.mode(SaveMode.Append).partitionBy("run_ts").parquet(base)
+
+  /** List run versions present under a versioned base path. */
+  def runVersions(spark: SparkSession, base: String): Seq[String] =
+    spark.read.parquet(base).select("run_ts").distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+
+  /** S5 JSON metrics sink: single-row document with injected timestamp
+    * (`loader.py:212-247`). coalesce(1): a metrics document is one row —
+    * one file, not 32 shards. */
+  def writeMetricsJson(df: DataFrame, path: String): Unit =
+    df.withColumn("timestamp",
+      date_format(current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss"))
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).json(path)
+
+  /** S2 CSV scan with explicit schema (no inferSchema in production
+    * paths — determinism; SURVEY.md §1.3). */
+  def readCsv(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
+}

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GraftFunctions.preprocessText
+import graft.plans.CollapseTextNormalization
+
+class OptimizerRuleSpec extends AnyFunSuite {
+
+  lazy val spark = {
+    val s = TestSpark.session
+    s.experimental.extraOptimizations =
+      s.experimental.extraOptimizations :+ CollapseTextNormalization
+    s
+  }
+
+  test("lower(lower(x)) collapses to lower(x)") {
+    val df = graft.sources.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(lower(lower(col("text"))).as("t"))
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("lower(lower"), plan)
+    assert(plan.contains("lower"), plan)
+  }
+
+  test("preprocess_text(lower(x)) and lower(preprocess_text(x)) collapse") {
+    val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val p1 = docs.select(preprocessText(lower(col("text"))).as("t"))
+      .queryExecution.optimizedPlan.toString
+    assert(!p1.contains("lower"), p1)
+    val p2 = docs.select(lower(preprocessText(col("text"))).as("t"))
+      .queryExecution.optimizedPlan.toString
+    assert(!p2.contains("lower"), p2)
+  }
+
+  test("collapsed plan produces identical results") {
+    val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .limit(50)
+    val a = docs.select(preprocessText(lower(col("text"))).as("t"))
+      .collect().map(_.getString(0)).toSeq
+    val b = docs.select(preprocessText(col("text")).as("t"))
+      .collect().map(_.getString(0)).toSeq
+    assert(a === b)
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Sinks
+
+class SinksSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-sink").toString
+
+  test("csv round-trip with explicit schema preserves values") {
+    val path = tmp() + "/reviews"
+    val df = Seq((1L, "alice", "1 star"), (2L, "bob", "5 stars"))
+      .toDF("id", "name", "rating")
+    Sinks.writeCsv(df, path)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("name",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("rating",
+        org.apache.spark.sql.types.StringType)))
+    val back = Sinks.readCsv(spark, path, schema)
+    assert(back.orderBy("id").collect().map(_.toSeq).toSeq ===
+      df.orderBy("id").collect().map(_.toSeq).toSeq)
+  }
+
+  test("versioned sink partitions by run_ts and prunes on read") {
+    val base = tmp() + "/versioned"
+    val df1 = Seq((1L, "a")).toDF("id", "v")
+    val df2 = Seq((2L, "b")).toDF("id", "v")
+    Sinks.writeVersioned(df1, base, "20260812_060000")
+    Sinks.writeVersioned(df2, base, "20260812_070000")
+    assert(Sinks.runVersions(spark, base) ===
+      Seq("20260812_060000", "20260812_070000"))
+    val one = spark.read.parquet(base)
+      .filter(col("run_ts") === "20260812_070000")
+    assert(one.count() === 1)
+    // partition pruning: only the selected run directory is scanned
+    val scan = one.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(run_ts"), scan)
+  }
+
+  test("metrics json sink writes one document with injected timestamp") {
+    val path = tmp() + "/metrics"
+    val m = Engine.Metrics(0.9, 0.88, 100L, 5L)
+    Sinks.writeMetricsJson(Engine.metricsDocument(spark, m), path)
+    val back = spark.read.json(path)
+    assert(back.count() === 1)
+    val row = back.head()
+    assert(row.getAs[Double]("accuracy") === 0.9)
+    assert(row.getAs[String]("timestamp").length >= 19)
+  }
+}
