@@ -74,7 +74,10 @@ object OracleQueries {
         .limit(10)
     }),
 
-    // Q5 — A1: dedup keeping min id per key (cleaner.py:99-101, deterministic variant)
+    // Q5 — A1: dedup keeping min id per key (cleaner.py:99-101,
+    // deterministic variant). Shuffles the full text as the grouping key
+    // to match the oracle exactly; the scale path is q25_dedup_hash
+    // (group on md5 — small fixed-width shuffle rows).
     "q5_dedup" -> ((s, dir) => {
       t(s, dir, "documents")
         .groupBy("text").agg(min("doc_id").as("doc_id"))
@@ -190,7 +193,11 @@ object OracleQueries {
       a.union(b).distinct().except(x).orderBy("c_custkey")
     }),
 
-    // Q19 — window frame: moving 3-row sum of order totals by date
+    // Q19 — window frame: moving 3-row sum of order totals by date.
+    // Scale caveat: an unpartitioned window is a single-task sort — fine
+    // for the oracle's globally-ordered semantics, but at 100 TB this
+    // shape must be keyed (partitionBy) or range-partitioned first
+    // (df.repartitionByRange on the order key + per-partition windows).
     "q19_window_frame" -> ((s, dir) => {
       val w = Window.orderBy("o_orderdate", "o_orderkey").rowsBetween(-2, 0)
       t(s, dir, "orders")

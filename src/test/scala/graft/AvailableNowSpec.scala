@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.Streams
+
+/** The reference's hourly snapshot pipeline as an incremental batch:
+  * a file-source stream with Trigger.AvailableNow processes exactly the
+  * files present, then stops — one "DAG run" per invocation, but
+  * incremental instead of full re-extract (SURVEY.md §2.9).
+  */
+class AvailableNowSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+
+  test("AvailableNow run processes current files then terminates") {
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-stream-src").toString
+    val batch1 = graft.sources.Tables(spark, "/root/testdata/sf0.001", "events")
+      .orderBy("event_id").limit(200)
+    batch1.write.mode("append").parquet(srcDir)
+
+    val schema = batch1.schema
+    def runOnce(queryName: String): Long = {
+      val stream = spark.readStream.schema(schema).parquet(srcDir)
+      val agg = Streams.tumblingCounts(stream)
+      val q = agg.writeStream.outputMode("complete")
+        .format("memory").queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+        .start()
+      q.awaitTermination(60000)
+      spark.table(queryName).agg(sum("cnt")).head.getLong(0)
+    }
+
+    assert(runOnce("avail_now_1") === 200L)
+
+    // a second hourly "run" sees newly landed data incrementally
+    val batch2 = graft.sources.Tables(spark, "/root/testdata/sf0.001", "events")
+      .orderBy(desc("event_id")).limit(100)
+    batch2.write.mode("append").parquet(srcDir)
+    assert(runOnce("avail_now_2") === 300L)
+  }
+}
