@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join: attach to each left row the most recent
+  * right row with `right.ts <= left.ts` for the same key.
+  *
+  * Composed from built-ins (preference order (a) in the build contract):
+  * tag both sides, union, one window sorted by (ts, side) per key, carry
+  * the last non-null right payload forward, keep left rows. Cost: ONE
+  * shuffle on the key + a per-key sort — no range-join pair explosion,
+  * no per-row probe; this is the standard scalable formulation and it
+  * AQE-partitions like any other window.
+  *
+  * Ties: a right row at exactly left.ts is visible (inclusive, matching
+  * DuckDB/pandas ASOF semantics); callers should pre-dedup the right
+  * side per (key, ts) to make the carried payload deterministic.
+  */
+object AsOf {
+
+  /** @param payloadCols right-side columns to carry (must not collide
+    *                    with left column names) */
+  def asOfJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, payloadCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    // side 0 sorts before side 1 at equal ts → right row at ts == left.ts wins
+    val l = left.withColumn("__side", lit(1))
+    val r = right.select(
+      (Seq(col(keyCol), col(tsCol), lit(0).as("__side")) ++
+        payloadCols.map(col)): _*)
+
+    val lAligned = l.select(
+      (Seq(col(keyCol), col(tsCol), col("__side")) ++
+        payloadCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)) ++
+        leftCols.filterNot(c => c == keyCol || c == tsCol)
+          .map(c => col(c))): _*)
+    val rAligned = r.select(
+      (Seq(col(keyCol), col(tsCol), col("__side")) ++
+        payloadCols.map(col) ++
+        leftCols.filterNot(c => c == keyCol || c == tsCol)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(tsCol).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val carried = payloadCols.foldLeft(lAligned.unionByName(rAligned)) {
+      (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 1).drop("__side")
+  }
+}

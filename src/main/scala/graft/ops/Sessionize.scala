@@ -1,0 +1,38 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Gap-based sessionization in batch form: lag to detect gaps, a
+  * cumulative sum of break flags as the session id, then a per-session
+  * aggregate. One shuffle on the key; windows and aggregation share the
+  * partitioning. The streaming twin (flatMapGroupsWithState) lives in
+  * graft.streaming.Streams — this form is DuckDB-oracle-checkable and
+  * pins the same semantics.
+  */
+object Sessionize {
+
+  def sessionizeBatch(df: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valueCol: String, gapMinutes: Int = 30): DataFrame = {
+    val order = Window.partitionBy(keyCol).orderBy(col(tsCol), col(idCol))
+    val gapMs = gapMinutes * 60000L
+    val withBreaks = df
+      .withColumn("__prev", lag(col(tsCol), 1).over(order))
+      .withColumn("__brk",
+        when(col("__prev").isNull ||
+          (unix_millis(col(tsCol)) - unix_millis(col("__prev"))) > gapMs, 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        sum(col("__brk")).over(
+          order.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("int"))
+    withBreaks
+      .groupBy(col(keyCol), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        date_format(min(col(tsCol)), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        round(sum(col(valueCol)), 4).as("total_value"))
+      .orderBy(keyCol, "session_id")
+  }
+}

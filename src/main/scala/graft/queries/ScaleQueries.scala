@@ -86,6 +86,26 @@ object ScaleQueries {
         .orderBy("doc_id")
     }),
 
+    // as-of join: for each purchase, the user's most recent signup at or
+    // before the purchase time (union+window composition — one shuffle)
+    "q38_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val signups = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id", "ts")
+        .agg(min("event_id").as("signup_id"))
+      graft.ops.AsOf.asOfJoin(purchases, signups, "user_id", "ts",
+        Seq("signup_id"))
+        .select("event_id", "user_id", "signup_id")
+        .orderBy("event_id")
+    }),
+
+    // batch gap sessionization (oracle twin of Streams.sessionize)
+    "q39_sessionize" -> ((s, dir) =>
+      graft.ops.Sessionize.sessionizeBatch(Tables.events(s, dir),
+        "user_id", "ts", "event_id", "value", gapMinutes = 30)),
+
     // M1+M2+M3: LDA topic themes over preprocessed documents (rows-only:
     // topic assignment is seed/optimizer-specific)
     "q40_lda_themes" -> ((s, dir) => {
@@ -202,5 +222,37 @@ object ScaleQueries {
     "q35_fingerprint" ->
       """SELECT doc_id,
                 substr(md5(regexp_replace(lower(text), '[^a-z ]', '', 'g')), 1, 16) AS fp
-         FROM documents ORDER BY doc_id""")
+         FROM documents ORDER BY doc_id""",
+    "q38_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+                    FROM events WHERE event_type = 'purchase'),
+              s AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                           min(event_id) AS signup_id
+                    FROM events WHERE event_type = 'signup'
+                    GROUP BY user_id, CAST(ts AS TIMESTAMP))
+         SELECT p.event_id, p.user_id, s.signup_id
+         FROM p ASOF LEFT JOIN s
+           ON p.user_id = s.user_id AND p.ts >= s.ts
+         ORDER BY p.event_id""",
+    "q39_sessionize" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+                    FROM events),
+              l AS (SELECT *, lag(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS prev
+                    FROM e),
+              f AS (SELECT *, CASE WHEN prev IS NULL
+                                     OR epoch_ms(ts) - epoch_ms(prev) > 1800000
+                                   THEN 1 ELSE 0 END AS brk
+                    FROM l),
+              s AS (SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT)
+                      AS session_id
+                    FROM f)
+         SELECT user_id, session_id,
+                CAST(count(*) AS BIGINT) AS n_events,
+                strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                round(sum(value), 4) AS total_value
+         FROM s GROUP BY user_id, session_id
+         ORDER BY user_id, session_id""")
 }

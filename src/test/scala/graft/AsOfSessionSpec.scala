@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{AsOf, Sessionize}
+
+class AsOfSessionSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("asOfJoin picks the latest right row at or before each left ts") {
+    val left = Seq(
+      (100L, 1L, ts("2024-01-01 10:00:00")),
+      (101L, 1L, ts("2024-01-01 12:00:00")),
+      (102L, 2L, ts("2024-01-01 09:00:00"))) // user 2 has no prior signup
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (1L, ts("2024-01-01 08:00:00"), 900L),
+      (1L, ts("2024-01-01 11:00:00"), 901L),
+      (2L, ts("2024-01-01 09:30:00"), 902L)) // after user 2's event
+      .toDF("user_id", "ts", "signup_id")
+    val out = AsOf.asOfJoin(left, right, "user_id", "ts", Seq("signup_id"))
+      .select("event_id", "signup_id").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long]))
+      .toMap
+    assert(out(100L) === Some(900L)) // 08:00 signup visible at 10:00
+    assert(out(101L) === Some(901L)) // 11:00 signup supersedes at 12:00
+    assert(out(102L) === None)       // nothing at or before 09:00
+  }
+
+  test("asOfJoin: right row at exactly left ts is visible (inclusive)") {
+    val left = Seq((1L, 5L, ts("2024-01-01 10:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq((5L, ts("2024-01-01 10:00:00"), 7L))
+      .toDF("user_id", "ts", "signup_id")
+    val out = AsOf.asOfJoin(left, right, "user_id", "ts", Seq("signup_id"))
+    assert(out.head.getAs[Long]("signup_id") === 7L)
+  }
+
+  test("sessionizeBatch splits on gaps and aggregates per session") {
+    val df = Seq(
+      (1L, 7L, ts("2024-01-01 10:00:00"), 1.0),
+      (2L, 7L, ts("2024-01-01 10:10:00"), 2.0),
+      (3L, 7L, ts("2024-01-01 12:00:00"), 3.0), // 110-min gap → new session
+      (4L, 8L, ts("2024-01-01 10:00:00"), 4.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val out = Sessionize.sessionizeBatch(df, "user_id", "ts", "event_id",
+      "value", gapMinutes = 30).collect()
+    assert(out.length === 3)
+    val u7 = out.filter(_.getLong(0) == 7L).sortBy(_.getInt(1))
+    assert(u7(0).getAs[Long]("n_events") === 2L)
+    assert(u7(0).getAs[Double]("total_value") === 3.0)
+    assert(u7(1).getAs[Long]("n_events") === 1L)
+  }
+
+  test("batch sessionization agrees with the streaming sessionizer on closed sessions") {
+    implicit val s = spark
+    val events = graft.sources.Tables(spark, "/root/testdata/sf0.001", "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[graft.streaming.Streams.Event]
+    // compare at second granularity: the batch form's session_start is
+    // formatted to whole seconds, streaming keeps sub-second precision
+    val streaming = graft.streaming.Streams.sessionize(events, gapMinutes = 30)
+      .collect()
+      .map(x => (x.user_id, x.session_start.getTime / 1000, x.n_events)).toSet
+    val batch = Sessionize.sessionizeBatch(events.toDF(), "user_id", "ts",
+      "event_id", "value", gapMinutes = 30)
+      .select(col("user_id"),
+        unix_millis(to_timestamp(col("session_start"))).as("st"),
+        col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1) / 1000, r.getLong(2))).toSet
+    // streaming (batch-mode) omits the final open session per user;
+    // every emitted streaming session must match a batch session
+    assert(streaming.nonEmpty)
+    assert(streaming.subsetOf(batch))
+  }
+}
