@@ -120,6 +120,14 @@ object OracleQueries {
         .orderBy(asc_nulls_first("n_regionkey"), asc_nulls_first("n_nationkey"))
     }),
 
+    // Q10b — cube aggregation (free from Catalyst; declared in §2.3)
+    "q10b_cube" -> ((s, dir) => {
+      t(s, dir, "nation")
+        .cube("n_regionkey", "n_nationkey")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(asc_nulls_first("n_regionkey"), asc_nulls_first("n_nationkey"))
+    }),
+
     // Q11 — J1: broadcast lookup join topic→theme (cleaner.py:210-220)
     "q11_theme_join" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").withColumn("topic", col("label") % 5)
@@ -193,6 +201,14 @@ object OracleQueries {
       a.union(b).distinct().except(x).orderBy("c_custkey")
     }),
 
+    // Q18b — intersect (completes the §2.5 set-operation surface)
+    "q18b_intersect" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select("c_custkey")
+      c.filter(col("c_custkey") % 2 === 0)
+        .intersect(c.filter(col("c_custkey") % 3 === 0))
+        .orderBy("c_custkey")
+    }),
+
     // Q19 — window frame: moving 3-row sum of order totals by date.
     // Scale caveat: an unpartitioned window is a single-task sort — fine
     // for the oracle's globally-ordered semantics, but at 100 TB this
@@ -257,6 +273,25 @@ object OracleQueries {
         .orderBy("event_id")
     }),
 
+    // Q25x — scalar-function breadth beyond reference parity: math,
+    // string, and conditional expressions in one pass over lineitem
+    "q45_scalars" -> ((s, dir) => {
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_quantity") - 25).as("abs_dev"),
+        round(log(col("l_extendedprice") + 1), 4).as("ln_price"),
+        round(log10(col("l_extendedprice") + 1), 4).as("log10_price"),
+        round(pow(col("l_discount"), 2), 4).as("disc_sq"),
+        round(sqrt(col("l_quantity")), 4).as("sqrt_qty"),
+        substring(col("l_returnflag"), 1, 1).as("flag1"),
+        lpad(col("l_linenumber").cast("string"), 3, "0").as("line_pad"),
+        concat_ws("-", col("l_returnflag"), col("l_linestatus")).as("fs"),
+        when(col("l_discount") > 0.05, lit("high"))
+          .when(col("l_discount") > 0.02, lit("mid"))
+          .otherwise(lit("low")).as("disc_band"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     // Q24 — §2.9 batch form: tumbling 1-hour event-time window counts
     "q24_tumbling_window" -> ((s, dir) => {
       Tables.events(s, dir)
@@ -311,6 +346,29 @@ object OracleQueries {
       """SELECT n_regionkey, n_nationkey, CAST(count(*) AS BIGINT) AS cnt
          FROM nation GROUP BY ROLLUP(n_regionkey, n_nationkey)
          ORDER BY n_regionkey NULLS FIRST, n_nationkey NULLS FIRST""",
+    "q10b_cube" ->
+      """SELECT n_regionkey, n_nationkey, CAST(count(*) AS BIGINT) AS cnt
+         FROM nation GROUP BY CUBE(n_regionkey, n_nationkey)
+         ORDER BY n_regionkey NULLS FIRST, n_nationkey NULLS FIRST""",
+    "q18b_intersect" ->
+      """SELECT c_custkey FROM customer WHERE c_custkey % 2 = 0
+         INTERSECT
+         SELECT c_custkey FROM customer WHERE c_custkey % 3 = 0
+         ORDER BY c_custkey""",
+    "q45_scalars" ->
+      """SELECT l_orderkey, l_linenumber,
+                abs(l_quantity - 25) AS abs_dev,
+                round(ln(l_extendedprice + 1), 4) AS ln_price,
+                round(log10(l_extendedprice + 1), 4) AS log10_price,
+                round(pow(l_discount, 2), 4) AS disc_sq,
+                round(sqrt(l_quantity), 4) AS sqrt_qty,
+                substring(l_returnflag, 1, 1) AS flag1,
+                lpad(CAST(l_linenumber AS VARCHAR), 3, '0') AS line_pad,
+                concat_ws('-', l_returnflag, l_linestatus) AS fs,
+                CASE WHEN l_discount > 0.05 THEN 'high'
+                     WHEN l_discount > 0.02 THEN 'mid'
+                     ELSE 'low' END AS disc_band
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
     "q11_theme_join" ->
       """SELECT e.vec_id, (e.label % 5) AS topic, t.theme
          FROM embeddings e
