@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Typed `Aggregator` merging per-row MinHash signatures into a group
+  * signature by elementwise min — the custom-UDAF surface declared in
+  * SURVEY.md §2.8.
+  *
+  * Because min(minhash(A), minhash(B)) = minhash(A ∪ B) elementwise, the
+  * group signature equals the signature of the union of the groups'
+  * token sets. This lets group-level (cluster, source, partition-file)
+  * similarity be computed from row signatures alone, without re-reading
+  * text: partial aggregation happens map-side per Spark's usual
+  * partial+final split, so the full text never shuffles.
+  */
+class MinHashUnionAgg(k: Int) extends Aggregator[Seq[Long], Array[Long], Seq[Long]] {
+
+  override def zero: Array[Long] = Array.fill(k)(Long.MaxValue)
+
+  override def reduce(buf: Array[Long], row: Seq[Long]): Array[Long] = {
+    var i = 0
+    val n = math.min(buf.length, row.length)
+    while (i < n) {
+      if (row(i) < buf(i)) buf(i) = row(i)
+      i += 1
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) {
+      if (b(i) < a(i)) a(i) = b(i)
+      i += 1
+    }
+    a
+  }
+
+  override def finish(buf: Array[Long]): Seq[Long] = buf.toSeq
+
+  override def bufferEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+
+  override def outputEncoder: Encoder[Seq[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+}
+
+object MinHashUnionAgg {
+  /** Column form: `groupSignature(sigCol, k)` for use in `agg(...)`. */
+  def groupSignature(sig: Column, k: Int): Column =
+    udaf(new MinHashUnionAgg(k)).apply(sig)
+}

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{MinHash, MinHashUnionAgg}
+import graft.functions.GraftFunctions.minHashSig
+
+class MinHashUnionAggSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  test("group signature equals signature of concatenated group text") {
+    val k = 32
+    val df = Seq(
+      ("g1", "alpha beta gamma"),
+      ("g1", "delta epsilon"),
+      ("g2", "zeta eta"))
+      .toDF("g", "text")
+      .select(col("g"), minHashSig(col("text"), k).as("sig"))
+    val grouped = df.groupBy("g")
+      .agg(MinHashUnionAgg.groupSignature(col("sig"), k).as("gsig"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val expectedG1 = MinHash.signature("alpha beta gamma delta epsilon", k)
+    val expectedG2 = MinHash.signature("zeta eta", k)
+    assert(grouped("g1") === expectedG1.toSeq)
+    assert(grouped("g2") === expectedG2.toSeq)
+  }
+
+  test("per-source signatures over real docs estimate cross-source similarity") {
+    val k = 32
+    val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("source"), minHashSig(col("text"), k).as("sig"))
+    val bySource = docs.groupBy("source")
+      .agg(MinHashUnionAgg.groupSignature(col("sig"), k).as("gsig"))
+    val rows = bySource.collect()
+    assert(rows.length > 1)
+    assert(rows.forall(_.getSeq[Long](1).length == k))
+  }
+}

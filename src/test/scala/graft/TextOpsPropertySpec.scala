@@ -1,0 +1,52 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextPipeline
+
+/** Property-based invariants of the fused F1–F7 preprocess
+  * (SURVEY.md §5.2 item 4). */
+class TextOpsPropertySpec extends AnyFunSuite {
+
+  private val textGen: Gen[String] = Gen.listOf(Gen.frequency(
+    8 -> Gen.chooseNum(1, 10)
+      .flatMap(n => Gen.listOfN(n, Gen.alphaChar).map(_.mkString)),
+    2 -> Gen.oneOf("the", "and", "a", "of", "it"),
+    1 -> Gen.oneOf("123", "!!!", "a1b2", "..."),
+    1 -> Gen.const(""))).map(_.mkString(" "))
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(300), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("output alphabet is [a-z ] with single spaces, no edge spaces") {
+    check(Prop.forAll(textGen) { t =>
+      val out = TextPipeline.preprocess(t)
+      out.matches("[a-z]+( [a-z]+)*") || out.isEmpty
+    })
+  }
+
+  test("stopwords never survive preprocessing") {
+    check(Prop.forAll(textGen) { t =>
+      val out = TextPipeline.preprocess(t).split(" ").filter(_.nonEmpty)
+      out.forall(w => !TextPipeline.stopwords.contains(w))
+    })
+  }
+
+  test("token count never exceeds whitespace token count of the input") {
+    check(Prop.forAll(textGen) { t =>
+      val outN = TextPipeline.preprocess(t).split(" ").count(_.nonEmpty)
+      val inN = t.split(" ").count(_.nonEmpty)
+      outN <= inN
+    })
+  }
+
+  test("deterministic") {
+    check(Prop.forAll(textGen) { t =>
+      TextPipeline.preprocess(t) == TextPipeline.preprocess(t)
+    })
+  }
+}
