@@ -1,0 +1,39 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew-handling utilities. AQE's skew-join splitting handles sort-merge
+  * skew at runtime; explicit salting remains the tool when one join key
+  * dominates so heavily that even split partitions overwhelm a task, or
+  * when AQE is unavailable (streaming joins).
+  */
+object Skew {
+
+  /** Salted equi-join: the big side gets a deterministic per-row salt
+    * (hash of the whole row — no RNG, replayable), the small side is
+    * replicated saltFactor×, and the join key becomes (key, salt) so a
+    * hot key spreads over saltFactor tasks. Result equals the plain
+    * inner join row-for-row.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      saltFactor: Int): DataFrame = {
+    require(saltFactor > 0)
+    val rowHash = xxhash64(big.columns.map(col).toSeq: _*)
+    val bigSalted = big.withColumn("__salt",
+      pmod(rowHash, lit(saltFactor.toLong)).cast("int"))
+    val smallSalted = small.withColumn("__salt",
+      explode(array((0 until saltFactor).map(lit): _*)))
+    bigSalted.join(smallSalted, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Per-key frequency profile to decide whether salting is warranted:
+    * returns the top-n keys with their counts and share of all rows. */
+  def keySkewProfile(df: DataFrame, key: String, topN: Int = 10): DataFrame = {
+    val total = df.count()
+    df.groupBy(key).agg(count(lit(1)).as("cnt"))
+      .withColumn("share", round(col("cnt") / total.toDouble, 4))
+      .orderBy(desc("cnt"), asc(key))
+      .limit(topN)
+  }
+}

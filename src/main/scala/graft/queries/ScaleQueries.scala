@@ -140,6 +140,17 @@ object ScaleQueries {
         .withColumn("weight", round(col("weight"), 6))
     }),
 
+    // salted equi-join: same rows as the plain join (oracle proves it),
+    // with the hot-key spread that survives extreme skew at scale
+    "q44_salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val sup = t(s, dir, "supplier")
+        .withColumnRenamed("s_suppkey", "l_suppkey")
+      graft.ops.Skew.saltedJoin(li, sup, "l_suppkey", saltFactor = 8)
+        .select("l_orderkey", "l_linenumber", "s_name")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     // custom typed Aggregator: per-source group MinHash signatures
     // (union semantics via elementwise min; rows-only: hash family)
     "q43_group_signature" -> ((s, dir) => {
@@ -266,6 +277,10 @@ object ScaleQueries {
       """SELECT doc_id,
                 substr(md5(regexp_replace(lower(text), '[^a-z ]', '', 'g')), 1, 16) AS fp
          FROM documents ORDER BY doc_id""",
+    "q44_salted_join" ->
+      """SELECT l.l_orderkey, l.l_linenumber, s.s_name
+         FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         ORDER BY l.l_orderkey, l.l_linenumber""",
     "q38_asof_join" ->
       """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
                     FROM events WHERE event_type = 'purchase'),

@@ -47,6 +47,16 @@ object Sinks {
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).json(path)
 
+  /** Bucketed managed table: pre-shuffles once at write so later
+    * equi-joins and aggregations on `key` between tables with the same
+    * bucketing are exchange-free — the 100 TB answer to repeated joins
+    * on the same key (SURVEY.md "partitioning & shuffle"). */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table)
+
   /** S2 CSV scan with explicit schema (no inferSchema in production
     * paths — determinism; SURVEY.md §1.3). */
   def readCsv(spark: SparkSession, path: String,

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Skew
+import graft.sources.Sinks
+
+class SkewBucketSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  test("saltedJoin equals plain join on skewed data") {
+    // 90% of rows share one hot key
+    val big = (1 to 1000).map(i => (if (i <= 900) 1L else i.toLong, s"v$i"))
+      .toDF("k", "payload")
+    val small = Seq((1L, "hot"), (950L, "cold"), (999L, "cold2"))
+      .toDF("k", "dim")
+    val plain = big.join(small, "k")
+      .select("k", "payload", "dim").collect().map(_.toSeq).toSet
+    val salted = Skew.saltedJoin(big, small, "k", saltFactor = 8)
+      .select("k", "payload", "dim").collect().map(_.toSeq).toSet
+    assert(salted === plain)
+    assert(salted.size === 902)
+  }
+
+  test("keySkewProfile surfaces the hot key with its share") {
+    val big = (1 to 1000).map(i => (if (i <= 900) 1L else i.toLong, i))
+      .toDF("k", "v")
+    val prof = Skew.keySkewProfile(big, "k", topN = 3).collect()
+    assert(prof.head.getLong(0) === 1L)
+    assert(prof.head.getAs[Double]("share") === 0.9)
+  }
+
+  test("joining two same-bucketed tables needs no shuffle exchange") {
+    val warehouse = spark.conf.getOption("spark.sql.warehouse.dir")
+    val o = graft.sources.Tables(spark, "/root/testdata/sf0.001", "orders")
+    val c = graft.sources.Tables(spark, "/root/testdata/sf0.001", "customer")
+      .withColumnRenamed("c_custkey", "o_custkey")
+    Sinks.writeBucketed(o, "orders_b", "o_custkey", 8)
+    Sinks.writeBucketed(c, "customer_b", "o_custkey", 8)
+    try {
+      // disable auto-broadcast so the join would normally shuffle both sides
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("orders_b")
+        .join(spark.table("customer_b"), "o_custkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan)
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS customer_b")
+    }
+  }
+}
