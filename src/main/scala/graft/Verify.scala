@@ -15,7 +15,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Oracle-checked queries first, rows-only (incl. ML fits) last, so a
+    // driver-side time budget cuts the cheap checks, not the gated ones.
+    val ordered = SparkEntry.queries.toSeq.sortBy { case (name, _) =>
+      (if (SparkEntry.oracleSql.contains(name)) 0 else 1, name)
+    }
+    ordered.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

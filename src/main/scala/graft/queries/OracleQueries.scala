@@ -292,6 +292,21 @@ object OracleQueries {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // Q46 — statistical aggregates: exact interpolated percentiles,
+    // sample stddev, Pearson correlation per group
+    "q46_stats" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
+          round(expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty"),
+          round(stddev(col("l_extendedprice")), 4).as("sd_price"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("qty_price_corr"),
+          round(min(col("l_extendedprice")), 4).as("min_price"),
+          round(max(col("l_extendedprice")), 4).as("max_price"))
+        .orderBy("l_returnflag")
+    }),
+
     // Q24 — §2.9 batch form: tumbling 1-hour event-time window counts
     "q24_tumbling_window" -> ((s, dir) => {
       Tables.events(s, dir)
@@ -442,6 +457,15 @@ object OracleQueries {
                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed
          FROM events ORDER BY event_id""",
+    "q46_stats" ->
+      """SELECT l_returnflag,
+                round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+                round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+                round(stddev_samp(l_extendedprice), 4) AS sd_price,
+                round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+                round(min(l_extendedprice), 4) AS min_price,
+                round(max(l_extendedprice), 4) AS max_price
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q24_tumbling_window" ->
       """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS hour_start,
                 event_type, CAST(count(*) AS BIGINT) AS cnt, round(sum(value), 4) AS sum_value
