@@ -128,6 +128,26 @@ object OracleQueries {
         .orderBy(asc_nulls_first("n_regionkey"), asc_nulls_first("n_nationkey"))
     }),
 
+    // Q10c — explicit grouping sets (Spark 4 Dataset.groupingSets API)
+    "q10c_grouping_sets" -> ((s, dir) => {
+      val n = t(s, dir, "nation")
+      n.groupingSets(Seq(Seq(col("n_regionkey")), Seq()), col("n_regionkey"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(asc_nulls_first("n_regionkey"))
+    }),
+
+    // Q10d — pivot: order counts by status × priority (explicit value
+    // list keeps the output schema deterministic)
+    "q10d_pivot" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("o_orderstatus")
+    }),
+
     // Q11 — J1: broadcast lookup join topic→theme (cleaner.py:210-220)
     "q11_theme_join" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").withColumn("topic", col("label") % 5)
@@ -365,6 +385,18 @@ object OracleQueries {
       """SELECT n_regionkey, n_nationkey, CAST(count(*) AS BIGINT) AS cnt
          FROM nation GROUP BY CUBE(n_regionkey, n_nationkey)
          ORDER BY n_regionkey NULLS FIRST, n_nationkey NULLS FIRST""",
+    "q10c_grouping_sets" ->
+      """SELECT n_regionkey, CAST(count(*) AS BIGINT) AS cnt
+         FROM nation GROUP BY GROUPING SETS ((n_regionkey), ())
+         ORDER BY n_regionkey NULLS FIRST""",
+    "q10d_pivot" ->
+      """SELECT o_orderstatus,
+                CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS "1-URGENT",
+                CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS "2-HIGH",
+                CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS "3-MEDIUM",
+                CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS "4-NOT SPECIFIED",
+                CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS "5-LOW"
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "q18b_intersect" ->
       """SELECT c_custkey FROM customer WHERE c_custkey % 2 = 0
          INTERSECT
