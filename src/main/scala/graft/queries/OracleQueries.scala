@@ -156,6 +156,18 @@ object OracleQueries {
         .orderBy("vec_id")
     }),
 
+    // Q11b — J1 as a pure map expression instead of a join:
+    // element_at over a literal map (the broadcast-free form for
+    // constant-size lookups)
+    "q11b_theme_map" -> ((s, dir) => {
+      val themeMap = typedLit(Tables.themeLabels)
+      t(s, dir, "embeddings")
+        .withColumn("topic", col("label") % 5)
+        .select(col("vec_id"), col("topic"),
+          element_at(themeMap, col("topic")).as("theme"))
+        .orderBy("vec_id")
+    }),
+
     // Q12 — inner equi-join orders⋈customer
     "q12_join_inner" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -426,6 +438,16 @@ object OracleQueries {
                            (4, 'Delivery & Product Issues')) t(topic, theme)
            ON (e.label % 5) = t.topic
          ORDER BY e.vec_id""",
+    "q11b_theme_map" ->
+      """SELECT vec_id, (label % 5) AS topic,
+                CASE (label % 5)
+                  WHEN 0 THEN 'Customer Support Issues'
+                  WHEN 1 THEN 'Billing & Subscription Problems'
+                  WHEN 2 THEN 'Service Quality Concerns'
+                  WHEN 3 THEN 'Account Management Issues'
+                  WHEN 4 THEN 'Delivery & Product Issues'
+                END AS theme
+         FROM embeddings ORDER BY vec_id""",
     "q12_join_inner" ->
       """SELECT o.o_orderkey, c.c_name, o.o_totalprice
          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Analytics
+
+class AnalyticsSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  def docs = graft.sources.Tables(spark, "/root/testdata/sf0.001", "documents")
+
+  test("valueCounts orders count-desc then key-asc") {
+    val out = Analytics.valueCounts(docs, "lang").collect()
+    val counts = out.map(_.getLong(1))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+    assert(counts.sum === docs.count())
+  }
+
+  test("distinctSorted returns sorted unique values") {
+    val out = Analytics.distinctSorted(docs, "source")
+      .collect().map(_.getString(0))
+    assert(out.toSeq === out.toSeq.sorted)
+    assert(out.distinct.length === out.length)
+  }
+
+  test("countDistinctBoth: approx within 10% of exact") {
+    val r = Analytics.countDistinctBoth(docs, "text").head()
+    val exact = r.getLong(0)
+    val approx = r.getLong(1)
+    assert(math.abs(approx - exact).toDouble / exact < 0.1,
+      s"exact=$exact approx=$approx")
+  }
+
+  test("nullCounts reports zero nulls and total rows on documents") {
+    val r = Analytics.nullCounts(docs.select("doc_id", "text")).head()
+    assert(r.getAs[Long]("n_rows") === docs.count())
+    assert(r.getAs[Long]("null_text") === 0L)
+  }
+
+  test("filteredPreview plans as TakeOrderedAndProject (no global sort)") {
+    val df = Analytics.filteredPreview(docs, "lang", "en",
+      Seq("doc_id", "text"), "doc_id", n = 5)
+    assert(df.count() === 5)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("topKPerGroup keeps k rows per group") {
+    val out = Analytics.topKPerGroup(docs, "lang", "n_chars",
+      Seq("doc_id"), k = 3)
+    val sizes = out.groupBy("lang").count().collect().map(_.getLong(1))
+    assert(sizes.forall(_ <= 3))
+  }
+}
