@@ -14,7 +14,15 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if (args.nonEmpty && args(0) == "explain") {
+    if (args.nonEmpty && args(0) == "dsv2") {
+      val df = spark.read
+        .format(classOf[graft.sources.dsv2.ReviewTableProvider].getName)
+        .option("partitions", 4).load()
+      println(s"== dsv2 rows: ${df.count()}")
+      df.filter(org.apache.spark.sql.functions.col("name") === "Dup Reviewer")
+        .show(5, truncate = false)
+      df.select("id", "rating").explain("formatted")
+    } else if (args.nonEmpty && args(0) == "explain") {
       val dir = "/root/testdata/sf0.001"
       for (name <- args.drop(1)) {
         println(s"\n======== $name ========")

@@ -1,0 +1,49 @@
+package graft.sources
+
+import org.apache.spark.sql.types._
+
+/** Deterministic 128-row raw-review fixture replicating the reference's
+  * bundled sample statistics (FIXTURES.md §1): 13 distinct reviews, all
+  * "1 star", dates 2022-07-23..2025-03-18, plus adversarial rows (null
+  * review, digits-only review, invalid date, duplicate text). Shared by
+  * the DSv2 connector (the stand-in for the Neo4j RawReview store,
+  * extract.py:60-68) and the golden end-to-end tests.
+  */
+object ReviewFixture {
+
+  val schema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("name", StringType, nullable = true),
+    StructField("rating", StringType, nullable = true),
+    StructField("date", StringType, nullable = true),
+    StructField("review", StringType, nullable = true)))
+
+  val distinctReviews: Seq[String] = Seq(
+    "The customer support team never responded to my emails about billing",
+    "I was charged twice for my subscription and nobody will fix it",
+    "Delivery took three weeks and the box arrived damaged and open",
+    "Cancelled my account but they kept charging my credit card monthly",
+    "The service quality has declined badly over the past several months",
+    "Multiple issues with account management and password reset flows",
+    "Fraudulent charges appeared after I signed up for the trial period",
+    "Product stopped working after two days and returns are impossible",
+    "Support chat disconnects constantly and agents never follow up",
+    "Billing statements are confusing and full of hidden service fees",
+    "My address change was ignored and packages went to the old house",
+    "The app crashes whenever I try to update my subscription plan",
+    "Quality control seems nonexistent judging by the damaged items")
+
+  private val dates =
+    Seq("07/23/2022", "11/02/2023", "03/18/2025", "05/10/2024")
+
+  val numRows: Int = 128
+
+  /** Row i of the fixture as (id, name, rating, date, review). */
+  def row(i: Int): (Long, String, String, String, String) = i match {
+    case 125 => (125L, "Null Reviewer", "1 star", "01/01/2024", null)
+    case 126 => (126L, "Empty Reviewer", "1 star", "99/99/2025", "12345 !!! 678")
+    case 127 => (127L, "Dup Reviewer", "1 star", "02/02/2024", distinctReviews.head)
+    case _ => (i.toLong, s"Reviewer $i", "1 star", dates(i % dates.length),
+      distinctReviews(i % distinctReviews.length))
+  }
+}

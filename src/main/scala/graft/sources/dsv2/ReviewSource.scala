@@ -1,0 +1,156 @@
+package graft.sources.dsv2
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{EqualTo, Filter, IsNotNull}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.ReviewFixture
+
+/** DataSource V2 connector standing in for the reference's Neo4j
+  * `RawReview` store (S1, `extract.py:38-85`): the graph side is a node
+  * table consumed relationally, so the connector surface is a plain
+  * batch-read table with the two pushdowns the Cypher projection
+  * performs server-side —
+  *  - `SupportsPushDownRequiredColumns`: `RETURN r.id, r.name, ...`
+  *    lists 5 properties instead of `RETURN r` (extract.py:61-66);
+  *  - `SupportsPushDownFilters`: equality / IS NOT NULL predicates run
+  *    inside the store, mirroring a WHERE clause in the Cypher.
+  *
+  * Rows come from the deterministic [[ReviewFixture]] generator —
+  * swapping in a real Bolt/parquet backend changes only the reader.
+  * Partitioned by id range: `partitions` splits of `numRows`.
+  *
+  * Usage: `spark.read.format(classOf[ReviewTableProvider].getName)
+  * .option("partitions", 4).load()`.
+  */
+class ReviewTableProvider extends TableProvider {
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ReviewFixture.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new ReviewTable(properties.asScala.toMap)
+}
+
+class ReviewTable(props: Map[String, String]) extends Table with SupportsRead {
+
+  override def name(): String = "graft_reviews"
+
+  override def schema(): StructType = ReviewFixture.schema
+
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ReviewScanBuilder(
+      options.getInt("partitions", 4))
+}
+
+class ReviewScanBuilder(partitions: Int) extends ScanBuilder
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+
+  private var required: StructType = ReviewFixture.schema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  /** Accept equality and IS-NOT-NULL (what a Cypher WHERE would run
+    * store-side); everything else is returned for Spark to evaluate. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (supported, unsupported) = filters.partition {
+      case EqualTo(_, _) | IsNotNull(_) => true
+      case _                            => false
+    }
+    pushed = supported
+    unsupported
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new ReviewScan(required, pushed, partitions)
+}
+
+case class IdRangePartition(start: Int, end: Int) extends InputPartition
+
+class ReviewScan(required: StructType, pushed: Array[Filter],
+    partitions: Int) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+
+  override def description(): String =
+    s"graft-reviews ReadSchema: ${required.simpleString}, " +
+      s"PushedFilters: [${pushed.mkString(", ")}]"
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val n = ReviewFixture.numRows
+    val per = math.max(1, math.ceil(n.toDouble / partitions).toInt)
+    (0 until n by per)
+      .map(s => IdRangePartition(s, math.min(n, s + per)))
+      .toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ReviewReaderFactory(required, pushed)
+}
+
+class ReviewReaderFactory(required: StructType, pushed: Array[Filter])
+    extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val range = partition.asInstanceOf[IdRangePartition]
+    new PartitionReader[InternalRow] {
+      private var i = range.start - 1
+      private var current: InternalRow = _
+
+      private def fieldValue(r: (Long, String, String, String, String),
+          name: String): Any = name match {
+        case "id"     => r._1
+        case "name"   => r._2
+        case "rating" => r._3
+        case "date"   => r._4
+        case "review" => r._5
+      }
+
+      private def passes(r: (Long, String, String, String, String)): Boolean =
+        pushed.forall {
+          case EqualTo(attr, v) => fieldValue(r, attr) == v
+          case IsNotNull(attr)  => fieldValue(r, attr) != null
+          case _                => true
+        }
+
+      override def next(): Boolean = {
+        i += 1
+        while (i < range.end && !passes(ReviewFixture.row(i))) i += 1
+        if (i >= range.end) return false
+        val r = ReviewFixture.row(i)
+        current = new GenericInternalRow(
+          required.fields.map { f =>
+            fieldValue(r, f.name) match {
+              case null      => null
+              case s: String => UTF8String.fromString(s)
+              case l: Long   => l
+            }
+          }.asInstanceOf[Array[Any]])
+        true
+      }
+
+      override def get(): InternalRow = current
+
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -16,32 +16,12 @@ class EngineSpec extends AnyFunSuite {
   lazy val spark = TestSpark.session
   import spark.implicits._
 
-  /** Deterministic 128-row fixture with the reference sample's shape. */
-  def fixture: DataFrame = {
-    val distinctReviews = Seq(
-      "The customer support team never responded to my emails about billing",
-      "I was charged twice for my subscription and nobody will fix it",
-      "Delivery took three weeks and the box arrived damaged and open",
-      "Cancelled my account but they kept charging my credit card monthly",
-      "The service quality has declined badly over the past several months",
-      "Multiple issues with account management and password reset flows",
-      "Fraudulent charges appeared after I signed up for the trial period",
-      "Product stopped working after two days and returns are impossible",
-      "Support chat disconnects constantly and agents never follow up",
-      "Billing statements are confusing and full of hidden service fees",
-      "My address change was ignored and packages went to the old house",
-      "The app crashes whenever I try to update my subscription plan",
-      "Quality control seems nonexistent judging by the damaged items")
-    val dates = Seq("07/23/2022", "11/02/2023", "03/18/2025", "05/10/2024")
-    val rows = (0 until 125).map { i =>
-      (i.toLong, s"Reviewer $i", "1 star", dates(i % dates.length),
-        distinctReviews(i % distinctReviews.length))
-    } ++ Seq(
-      (125L, "Null Reviewer", "1 star", "01/01/2024", null),
-      (126L, "Empty Reviewer", "1 star", "99/99/2025", "12345 !!! 678"),
-      (127L, "Dup Reviewer", "1 star", "02/02/2024", distinctReviews.head))
-    rows.toDF("id", "name", "rating", "date", "review")
-  }
+  /** Deterministic 128-row fixture with the reference sample's shape
+    * (shared generator: graft.sources.ReviewFixture). */
+  def fixture: DataFrame =
+    (0 until graft.sources.ReviewFixture.numRows)
+      .map(graft.sources.ReviewFixture.row)
+      .toDF("id", "name", "rating", "date", "review")
 
   test("clean: dedup 128→13 distinct + adversarial, nulls dropped, dates coerced") {
     val cleaned = Cleaning.clean(fixture)

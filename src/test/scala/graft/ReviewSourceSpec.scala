@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.dsv2.ReviewTableProvider
+
+class ReviewSourceSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+
+  private def reviews =
+    spark.read.format(classOf[ReviewTableProvider].getName)
+      .option("partitions", 4).load()
+
+  test("reads the full 128-row fixture across 4 partitions") {
+    assert(reviews.count() === 128)
+    assert(reviews.rdd.getNumPartitions === 4)
+  }
+
+  test("column pruning reaches the scan (Cypher-projection equivalent)") {
+    val df = reviews.select("id", "rating")
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b
+    }.get
+    assert(scan.output.map(_.name).toSet === Set("id", "rating"))
+    assert(df.distinct().count() === 128)
+  }
+
+  test("equality and not-null filters push into the reader") {
+    val df = reviews.filter(col("review").isNotNull &&
+      col("name") === "Dup Reviewer")
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b
+    }.get
+    val desc = scan.scan.description()
+    assert(desc.contains("IsNotNull(review)"), desc)
+    assert(desc.contains("EqualTo(name,Dup Reviewer)"), desc)
+    assert(df.count() === 1)
+  }
+
+  test("unsupported predicates stay in Spark above the scan") {
+    val df = reviews.filter(length(col("review")) > 50)
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b
+    }.get
+    assert(!scan.scan.description().contains("length"), scan.scan.description())
+    assert(df.count() > 0)
+  }
+
+  test("full extract→clean→preprocess path over the connector") {
+    val prepped = graft.ops.Cleaning.cleanAndPreprocess(reviews)
+    // 13 distinct reviews survive (nulls, empty-after-preprocess, and
+    // duplicates removed) — same as the golden EngineSpec expectations
+    assert(prepped.count() === 13)
+  }
+}
