@@ -22,6 +22,21 @@ object OracleQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
+  /** Shared SQL text for Q47 — runs verbatim on both Spark SQL and
+    * DuckDB (the dialect-portable subset). */
+  private val q47Sql: String =
+    """SELECT l_orderkey,
+              round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+              CAST(o_orderdate AS DATE) AS order_date
+       FROM customer
+       JOIN orders ON c_custkey = o_custkey
+       JOIN lineitem ON l_orderkey = o_orderkey
+       WHERE c_mktsegment = 'BUILDING'
+         AND o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+         AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+       GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+       ORDER BY revenue DESC, l_orderkey LIMIT 10"""
+
   /** Literal stopword array for the DuckDB side of Q20 — must mirror
     * [[TextOps.stopwords]]. */
   private val sqlStopwords: String =
@@ -339,6 +354,16 @@ object OracleQueries {
         .orderBy("l_returnflag")
     }),
 
+    // Q47 — the spark.sql(...) surface: shipping-priority style
+    // customer⋈orders⋈lineitem (TPC-H Q3 shape), SAME SQL text as the
+    // DuckDB oracle — dialect-portable by construction
+    "q47_sql_shipping" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(q47Sql)
+    }),
+
     // Q24 — §2.9 batch form: tumbling 1-hour event-time window counts
     "q24_tumbling_window" -> ((s, dir) => {
       Tables.events(s, dir)
@@ -511,6 +536,7 @@ object OracleQueries {
                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed
          FROM events ORDER BY event_id""",
+    "q47_sql_shipping" -> q47Sql,
     "q46_stats" ->
       """SELECT l_returnflag,
                 round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,

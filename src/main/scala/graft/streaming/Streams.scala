@@ -39,6 +39,41 @@ object Streams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Watermarked stream-stream inner join: each left event pairs with
+    * right events of the same key whose event time falls within
+    * [left.ts - withinMinutes, left.ts]. Both sides watermarked so state
+    * on each side is bounded — the join is safe to run indefinitely.
+    * Left columns keep their names; right ts arrives as `right_ts`.
+    */
+  def streamStreamJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      withinMinutes: Int, watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+    val r = right.withWatermark("ts", watermark)
+      .withColumnRenamed("ts", "right_ts")
+      .withColumnRenamed(keyCol, s"right_$keyCol")
+    l.join(r,
+      col(keyCol) === col(s"right_$keyCol") &&
+        col("right_ts") <= col("ts") &&
+        col("right_ts") >= col("ts") - expr(s"INTERVAL $withinMinutes MINUTES"))
+      .drop(s"right_$keyCol")
+  }
+
+  /** foreachBatch sink: every micro-batch lands as a run_ts-versioned
+    * parquet snapshot (S8 layout) — the streaming form of the
+    * reference's timestamp-versioned S3 uploads. Batch id, not wall
+    * clock, keys the version: replays after failure overwrite the same
+    * version instead of duplicating it (exactly-once snapshots).
+    */
+  def writeVersionedSnapshots(stream: DataFrame, base: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.sources.Sinks.writeVersioned(batch.toDF(), base, f"batch_$id%06d")
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
 

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.Streams
+import graft.streaming.Streams.Event
+
+class StreamJoinSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  private def eventRows(limit: Int): Seq[Event] =
+    graft.sources.Tables(spark, "/root/testdata/sf0.001", "events")
+      .orderBy("event_id").limit(limit)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect().toSeq
+
+  test("stream-stream join matches the equivalent batch join") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = eventRows(400)
+    val purchases = rows.filter(_.event_type == "purchase")
+    val signups = rows.filter(_.event_type == "signup")
+
+    val ls = MemoryStream[Event]; ls.addData(purchases)
+    val rs = MemoryStream[Event]; rs.addData(signups)
+    val joined = Streams.streamStreamJoin(
+      ls.toDF(), rs.toDF().select("user_id", "ts"), "user_id",
+      withinMinutes = 120)
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ss_join").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ss_join")
+        .select("event_id", "right_ts").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1))).toSet
+      val batch = purchases.toDF().join(
+        signups.toDF().select(col("user_id"),
+          col("ts").as("right_ts")),
+        Seq("user_id"))
+        .filter(col("right_ts") <= col("ts") &&
+          col("right_ts") >= col("ts") - expr("INTERVAL 120 MINUTES"))
+        .select("event_id", "right_ts").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1))).toSet
+      assert(streamed === batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("foreachBatch writes run-versioned snapshots") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-snap").toString + "/out"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-snap-ckpt").toString
+    val s = MemoryStream[Event]
+    s.addData(eventRows(50))
+    val q = Streams.writeVersionedSnapshots(s.toDF(), base, ckpt)
+    q.awaitTermination(60000)
+    val versions = graft.sources.Sinks.runVersions(spark, base)
+    assert(versions === Seq("batch_000000"))
+    assert(spark.read.parquet(base).count() === 50)
+  }
+}
