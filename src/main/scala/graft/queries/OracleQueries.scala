@@ -364,6 +364,36 @@ object OracleQueries {
       s.sql(q47Sql)
     }),
 
+    // Q48 — array-function breadth over the embeddings vectors
+    "q48_arrays" -> ((s, dir) => {
+      val emb = transform(col("embedding"), x => x.cast("double"))
+      t(s, dir, "embeddings").select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        round(element_at(emb, 1), 4).as("first_val"),
+        round(element_at(emb, -1), 4).as("last_val"),
+        round(aggregate(slice(emb, 1, 8),
+          lit(0.0), (acc, x) => acc + x), 4).as("head8_sum"),
+        round(array_max(emb), 4).as("mx"),
+        round(array_min(emb), 4).as("mn"))
+        .orderBy("vec_id")
+    }),
+
+    // Q49 — string-function breadth over part names
+    "q49_strings" -> ((s, dir) => {
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        trim(col("p_name")).as("t"),
+        upper(col("p_brand")).as("u"),
+        reverse(col("p_type")).as("rev"),
+        substring(col("p_name"), 1, 5).as("head5"),
+        length(col("p_name")).cast("long").as("len"),
+        instr(col("p_name"), "a").cast("long").as("pos_a"),
+        regexp_replace(col("p_type"), "[aeiou]", "_").as("devowel"),
+        repeat(col("p_brand"), 2).as("rep2"))
+        .orderBy("p_partkey")
+    }),
+
     // Q24 — §2.9 batch form: tumbling 1-hour event-time window counts
     "q24_tumbling_window" -> ((s, dir) => {
       Tables.events(s, dir)
@@ -536,6 +566,26 @@ object OracleQueries {
                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed
          FROM events ORDER BY event_id""",
+    "q48_arrays" ->
+      """SELECT vec_id,
+                CAST(len(embedding) AS INT) AS dim,
+                round((embedding::DOUBLE[])[1], 4) AS first_val,
+                round((embedding::DOUBLE[])[-1], 4) AS last_val,
+                round(list_sum(list_slice(embedding::DOUBLE[], 1, 8)), 4) AS head8_sum,
+                round(list_max(embedding::DOUBLE[]), 4) AS mx,
+                round(list_min(embedding::DOUBLE[]), 4) AS mn
+         FROM embeddings ORDER BY vec_id""",
+    "q49_strings" ->
+      """SELECT p_partkey,
+                trim(p_name) AS t,
+                upper(p_brand) AS u,
+                reverse(p_type) AS rev,
+                substring(p_name, 1, 5) AS head5,
+                CAST(length(p_name) AS BIGINT) AS len,
+                CAST(instr(p_name, 'a') AS BIGINT) AS pos_a,
+                regexp_replace(p_type, '[aeiou]', '_', 'g') AS devowel,
+                repeat(p_brand, 2) AS rep2
+         FROM part ORDER BY p_partkey""",
     "q47_sql_shipping" -> q47Sql,
     "q46_stats" ->
       """SELECT l_returnflag,
