@@ -140,6 +140,21 @@ object ScaleQueries {
         .withColumn("weight", round(col("weight"), 6))
     }),
 
+    // end-to-end corpus curation: quality gate → language gate → exact
+    // dedup keep-min — the LLM-data-pipeline composite in one lazy plan
+    "q50_curation" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val quality = TextAnalysis.qualityFeatures(docs, "doc_id", "text")
+      val gated = docs.join(quality, "doc_id")
+        .filter(col("n_tokens") >= 30 && col("alpha_ratio") >= 0.9 &&
+          col("stopword_ratio") <= 0.5 && col("lang").isin("en", "de", "fr"))
+      gated
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min("doc_id").as("doc_id"), min("n_tokens").as("n_tokens"))
+        .select("doc_id", "n_tokens")
+        .orderBy("doc_id")
+    }),
+
     // salted equi-join: same rows as the plain join (oracle proves it),
     // with the hot-key spread that survives extreme skew at scale
     "q44_salted_join" -> ((s, dir) => {
@@ -277,6 +292,19 @@ object ScaleQueries {
       """SELECT doc_id,
                 substr(md5(regexp_replace(lower(text), '[^a-z ]', '', 'g')), 1, 16) AS fp
          FROM documents ORDER BY doc_id""",
+    "q50_curation" ->
+      s"""WITH q AS (SELECT doc_id, text, lang,
+                 CAST(len(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS BIGINT) AS n_tokens,
+                 round(length(regexp_replace(text, '[^a-z ]', '', 'g')) * 1.0
+                       / greatest(length(text), 1), 4) AS alpha_ratio,
+                 round(len(list_filter(string_split(text, ' '), t -> list_contains($sqlStopwords, t))) * 1.0
+                       / greatest(len(list_filter(string_split(text, ' '), t -> length(t) > 0)), 1), 4) AS stopword_ratio
+           FROM documents),
+           gated AS (SELECT * FROM q
+                     WHERE n_tokens >= 30 AND alpha_ratio >= 0.9
+                       AND stopword_ratio <= 0.5 AND lang IN ('en', 'de', 'fr'))
+          SELECT min(doc_id) AS doc_id, min(n_tokens) AS n_tokens
+          FROM gated GROUP BY md5(text) ORDER BY doc_id""",
     "q44_salted_join" ->
       """SELECT l.l_orderkey, l.l_linenumber, s.s_name
          FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
