@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only: measure annTopK recall vs brute force at both SFs. */
+object RecallProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val emb = graft.sources.Tables(spark, s"/root/testdata/$sf", "embeddings")
+      val exact = graft.ops.Similarity.cosineTopK(emb, "vec_id", "embedding",
+        nQueries = 20, k = 5).collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      for (planes <- Seq(6, 8)) {
+        val approx = graft.ops.Similarity.annTopK(emb, "vec_id", "embedding",
+          dim = 64, nQueries = 20, k = 5, planes = planes)
+          .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+        val recall = exact.intersect(approx).size.toDouble / exact.size
+        println(f"== $sf planes=$planes recall@5=$recall%.3f")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -67,22 +67,25 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
-  /** LSH-bucketed ANN: probe the query's bucket and all 1-bit-flip
-    * neighbor buckets (multi-probe) — approximate recall, corpus-scan
-    * cost ~ bucketFraction instead of 1. Returns (qid, rn, cid, sim).
+  /** LSH-bucketed ANN with multi-probe: each query probes its own bucket
+    * plus every bucket within Hamming distance `maxFlips` of it —
+    * recall/scan-fraction tradeoff is (Σ C(planes,i)) / 2^planes of the
+    * corpus (planes=8, maxFlips=2 → 37/256 ≈ 14 %). Returns
+    * (qid, rn, cid, sim).
     */
   def annTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-      nQueries: Int = 10, k: Int = 5, planes: Int = 8): DataFrame = {
+      nQueries: Int = 10, k: Int = 5, planes: Int = 8,
+      maxFlips: Int = 2): DataFrame = {
     val base = df.select(col(idCol), asDouble(col(vecCol)).as("v"))
       .withColumn("nrm", norm(col("v")))
       .withColumn("bucket", hyperplaneBucket(col("v"), dim, planes))
     val corpus = base.filter(col(idCol) >= nQueries)
       .select(col(idCol).as("cid"), col("v").as("cv"), col("nrm").as("cn"),
         col("bucket"))
-    // each query probes its own bucket + every 1-bit flip
-    val probes = explode(array((0 to planes).map { i =>
-      if (i == 0) col("bucket")
-      else col("bucket").bitwiseXOR(lit(1 << (i - 1)))
+    val flipMasks: Seq[Int] = (0 until (1 << planes))
+      .filter(m => Integer.bitCount(m) <= maxFlips)
+    val probes = explode(array(flipMasks.map { m =>
+      if (m == 0) col("bucket") else col("bucket").bitwiseXOR(lit(m))
     }: _*)).as("bucket_probe")
     val queries = base.filter(col(idCol) < nQueries)
       .select(col(idCol).as("qid"), col("v").as("qv"), col("nrm").as("qn"),

@@ -45,10 +45,11 @@ class SimilaritySpec extends AnyFunSuite {
       nQueries = 5, k = 3, planes = 8).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     assert(approx.nonEmpty)
-    // multi-probe over 9/256 of the bucket space: expect *some* overlap,
-    // not exactness — this guards against a broken bucketing, not recall
+    // Hamming≤2 multi-probe scans ~14% of buckets; measured recall@5 on
+    // this near-random corpus is ~0.3-0.5 — floor set well below that
+    // to catch broken bucketing, not seed drift
     val recall = exact.intersect(approx).size.toDouble / exact.size
-    assert(recall >= 0.0)
+    assert(recall >= 0.15, s"recall $recall")
   }
 
   test("hyperplane bucket is deterministic across invocations") {
