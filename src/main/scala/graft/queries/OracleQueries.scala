@@ -269,6 +269,34 @@ object OracleQueries {
         .orderBy("o_orderkey")
     }),
 
+    // Q51 — RANGE window frame (value-based, vs Q19's ROWS frame):
+    // revenue of lineitems within 5 quantity units below current
+    "q51_range_frame" -> ((s, dir) => {
+      val w = Window.partitionBy("l_orderkey").orderBy("l_quantity")
+        .rangeBetween(-5, 0)
+      t(s, dir, "lineitem")
+        .withColumn("near_rev", round(sum(col("l_extendedprice")).over(w), 4))
+        .select("l_orderkey", "l_linenumber", "near_rev")
+        // l_linenumber is not unique per order in this data — near_rev
+        // breaks the tie; rows still tied are fully identical
+        .orderBy("l_orderkey", "l_linenumber", "near_rev")
+    }),
+
+    // Q52 — window navigation: lag/lead/first/last per customer ordered
+    // by order date
+    "q52_window_nav" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "orders")
+        .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+        .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
+        .withColumn("first_key", first(col("o_orderkey")).over(wf))
+        .withColumn("last_key", last(col("o_orderkey")).over(wf))
+        .select("o_orderkey", "o_custkey", "prev_price", "next_price",
+          "first_key", "last_key")
+        .orderBy("o_orderkey")
+    }),
+
     // Q20 — F1–F7 text-preprocessing chain (sans Porter stem; cleaner.py:118-150)
     "q20_text_clean" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -336,7 +364,9 @@ object OracleQueries {
         when(col("l_discount") > 0.05, lit("high"))
           .when(col("l_discount") > 0.02, lit("mid"))
           .otherwise(lit("low")).as("disc_band"))
-        .orderBy("l_orderkey", "l_linenumber")
+        // (l_orderkey, l_linenumber) ties exist — the value-derived
+        // columns complete the total order (fully-tied rows are identical)
+        .orderBy("l_orderkey", "l_linenumber", "ln_price", "abs_dev", "disc_sq", "fs")
     }),
 
     // Q46 — statistical aggregates: exact interpolated percentiles,
@@ -482,7 +512,8 @@ object OracleQueries {
                 CASE WHEN l_discount > 0.05 THEN 'high'
                      WHEN l_discount > 0.02 THEN 'mid'
                      ELSE 'low' END AS disc_band
-         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+         FROM lineitem
+         ORDER BY l_orderkey, l_linenumber, ln_price, abs_dev, disc_sq, fs""",
     "q11_theme_join" ->
       """SELECT e.vec_id, (e.label % 5) AS topic, t.theme
          FROM embeddings e
@@ -566,6 +597,23 @@ object OracleQueries {
                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed
          FROM events ORDER BY event_id""",
+    "q51_range_frame" ->
+      """SELECT l_orderkey, l_linenumber,
+                round(sum(l_extendedprice) OVER (PARTITION BY l_orderkey
+                  ORDER BY l_quantity
+                  RANGE BETWEEN 5 PRECEDING AND CURRENT ROW), 4) AS near_rev
+         FROM lineitem ORDER BY l_orderkey, l_linenumber, near_rev""",
+    "q52_window_nav" ->
+      """SELECT o_orderkey, o_custkey,
+                lag(o_totalprice, 1) OVER w AS prev_price,
+                lead(o_totalprice, 1) OVER w AS next_price,
+                first_value(o_orderkey) OVER wf AS first_key,
+                last_value(o_orderkey) OVER wf AS last_key
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         ORDER BY o_orderkey""",
     "q48_arrays" ->
       """SELECT vec_id,
                 CAST(len(embedding) AS INT) AS dim,

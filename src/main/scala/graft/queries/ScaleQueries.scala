@@ -163,7 +163,9 @@ object ScaleQueries {
         .withColumnRenamed("s_suppkey", "l_suppkey")
       graft.ops.Skew.saltedJoin(li, sup, "l_suppkey", saltFactor = 8)
         .select("l_orderkey", "l_linenumber", "s_name")
-        .orderBy("l_orderkey", "l_linenumber")
+        // (l_orderkey, l_linenumber) is not unique in this data — s_name
+        // completes the total order
+        .orderBy("l_orderkey", "l_linenumber", "s_name")
     }),
 
     // custom typed Aggregator: per-source group MinHash signatures
@@ -308,7 +310,7 @@ object ScaleQueries {
     "q44_salted_join" ->
       """SELECT l.l_orderkey, l.l_linenumber, s.s_name
          FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
-         ORDER BY l.l_orderkey, l.l_linenumber""",
+         ORDER BY l.l_orderkey, l.l_linenumber, s.s_name""",
     "q38_asof_join" ->
       """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
                     FROM events WHERE event_type = 'purchase'),
