@@ -424,6 +424,30 @@ object OracleQueries {
         .orderBy("p_partkey")
     }),
 
+    // Q53 — null-handling scalars: nullif/coalesce/greatest/least/isnull
+    "q53_nulls" -> ((s, dir) => {
+      t(s, dir, "customer").select(
+        col("c_custkey"),
+        nullif(col("c_mktsegment"), lit("BUILDING")).as("seg_nb"),
+        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("(b)")).as("seg_or"),
+        greatest(col("c_acctbal"), lit(0.0)).as("bal_pos"),
+        least(col("c_acctbal"), lit(1000.0)).as("bal_cap"),
+        col("c_acctbal").isNull.cast("boolean").as("bal_is_null"))
+        .orderBy("c_custkey")
+    }),
+
+    // Q54 — filtered/conditional aggregation per group
+    "q54_filtered_agg" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          count(lit(1)).as("n_all"),
+          count_if(col("o_totalprice") > 300000).as("n_big"),
+          round(sum(when(col("o_totalprice") > 300000, col("o_totalprice"))
+            .otherwise(0.0)), 4).as("big_total"))
+        .orderBy("o_orderstatus")
+    }),
+
     // Q24 — §2.9 batch form: tumbling 1-hour event-time window counts
     "q24_tumbling_window" -> ((s, dir) => {
       Tables.events(s, dir)
@@ -597,6 +621,20 @@ object OracleQueries {
                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed
          FROM events ORDER BY event_id""",
+    "q53_nulls" ->
+      """SELECT c_custkey,
+                nullif(c_mktsegment, 'BUILDING') AS seg_nb,
+                coalesce(nullif(c_mktsegment, 'BUILDING'), '(b)') AS seg_or,
+                greatest(c_acctbal, 0.0) AS bal_pos,
+                least(c_acctbal, 1000.0) AS bal_cap,
+                (c_acctbal IS NULL) AS bal_is_null
+         FROM customer ORDER BY c_custkey""",
+    "q54_filtered_agg" ->
+      """SELECT o_orderstatus,
+                CAST(count(*) AS BIGINT) AS n_all,
+                CAST(count(*) FILTER (WHERE o_totalprice > 300000) AS BIGINT) AS n_big,
+                round(sum(CASE WHEN o_totalprice > 300000 THEN o_totalprice ELSE 0.0 END), 4) AS big_total
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "q51_range_frame" ->
       """SELECT l_orderkey, l_linenumber,
                 round(sum(l_extendedprice) OVER (PARTITION BY l_orderkey
