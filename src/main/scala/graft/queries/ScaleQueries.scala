@@ -32,7 +32,7 @@ object ScaleQueries {
   private def ldaFor(s: SparkSession, dir: String) =
     ldaCache.getOrElseUpdate(dir,
       graft.ml.ThemePipeline.fitLda(preppedDocs(s, dir), "processed",
-        k = 5, maxIter = 10))
+        k = 5, maxIter = 20))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup via content hash (scale form of A1)
@@ -98,8 +98,11 @@ object ScaleQueries {
       val media = graft.ops.Multimodal.asMedia(
         t(s, dir, "documents"), "doc_id", "text", "text/plain")
       graft.ops.Multimodal.decodeAndFeaturize(media, "doc_id")
+        // features is array<double>; serialize so the driver's rows-only
+        // canonicalizer (pandas sort) never sees a raw array column
         .select(col("doc_id"), col("mime"), col("n_bytes"),
-          col("meta.width"), col("meta.height"), col("features"))
+          col("meta.width"), col("meta.height"),
+          to_json(col("features")).as("features"))
         .orderBy("doc_id")
     }),
 
@@ -178,7 +181,10 @@ object ScaleQueries {
         .groupBy("source")
         .agg(graft.functions.MinHashUnionAgg.groupSignature(col("sig"), k)
           .as("gsig"))
-        .select(col("source"), col("gsig"))
+        // flatten array<bigint> to a csv string for the driver's rows-only
+        // canonicalizer (raw arrays are unhashable in its pandas sort)
+        .select(col("source"),
+          array_join(transform(col("gsig"), _.cast("string")), ",").as("gsig"))
         .orderBy("source")
     }),
 
