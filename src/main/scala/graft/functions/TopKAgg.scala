@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** One candidate row for bounded top-k selection: a score plus two
+  * numeric tie-breakers. Ranking order is (score DESC, t1 ASC, t2 ASC) —
+  * the O4 "top-k by score per group" shape (reference
+  * `cleaner.py:204-208`, `topic.argsort()[-10:]`).
+  */
+case class Scored(score: Double, t1: Long, t2: Long)
+
+/** Bounded-heap top-k as a typed `Aggregator` — the scale-safe
+  * replacement for `row_number() OVER (PARTITION BY g ORDER BY s) <= k`.
+  *
+  * The window form (even with Spark's WindowGroupLimit partial pass)
+  * must SORT every input partition in full before discarding all but k
+  * rows per group. This aggregate never sorts the input: each row is one
+  * comparison against the current k-th best (plus an O(k) insertion only
+  * when it improves the set), partial aggregation runs map-side, and only
+  * ≤ groups×k rows per input partition reach the shuffle. At 100 TB that
+  * is the difference between an O(n log n) per-partition sort of the
+  * whole table and an O(n) scan with a k-element state.
+  *
+  * The buffer is kept sorted best-first (ranking: score DESC, t1 ASC,
+  * t2 ASC), so reduce is O(1) for non-qualifying rows, merge is a k-way
+  * sorted merge, and finish is a no-op. Inputs must be non-null.
+  */
+class TopKAgg(k: Int)
+    extends Aggregator[Scored, Array[Scored], Seq[Scored]] {
+  require(k > 0, s"k must be positive, got $k")
+
+  /** true iff a ranks strictly better than b. */
+  @inline private def better(a: Scored, b: Scored): Boolean =
+    a.score > b.score ||
+      (a.score == b.score &&
+        (a.t1 < b.t1 || (a.t1 == b.t1 && a.t2 < b.t2)))
+
+  override def zero: Array[Scored] = Array.empty[Scored]
+
+  override def reduce(buf: Array[Scored], row: Scored): Array[Scored] = {
+    val n = buf.length
+    if (n == k && !better(row, buf(n - 1))) return buf // common case: O(1)
+    // find insertion point (k is small — linear scan is fine)
+    var i = 0
+    while (i < n && !better(row, buf(i))) i += 1
+    val out = new Array[Scored](math.min(n + 1, k))
+    System.arraycopy(buf, 0, out, 0, i)
+    if (i < out.length) {
+      out(i) = row
+      System.arraycopy(buf, i, out, i + 1,
+        math.min(n - i, out.length - i - 1))
+    }
+    out
+  }
+
+  override def merge(a: Array[Scored], b: Array[Scored]): Array[Scored] = {
+    if (a.isEmpty) return b
+    if (b.isEmpty) return a
+    val out = new Array[Scored](math.min(a.length + b.length, k))
+    var i = 0; var j = 0; var o = 0
+    while (o < out.length) {
+      if (j >= b.length || (i < a.length && !better(b(j), a(i)))) {
+        out(o) = a(i); i += 1
+      } else {
+        out(o) = b(j); j += 1
+      }
+      o += 1
+    }
+    out
+  }
+
+  override def finish(buf: Array[Scored]): Seq[Scored] = buf.toSeq
+
+  override def bufferEncoder: Encoder[Array[Scored]] =
+    ExpressionEncoder[Array[Scored]]()
+
+  override def outputEncoder: Encoder[Seq[Scored]] =
+    ExpressionEncoder[Seq[Scored]]()
+}
+
+object TopKAgg {
+  /** Column form for `agg(...)`: returns the top-k rows per group as a
+    * sorted `array<struct<score,t1,t2>>` (best first). Explode with
+    * `posexplode` to recover ranks 1..k.
+    */
+  def topK(score: Column, t1: Column, t2: Column, k: Int): Column =
+    udaf(new TopKAgg(k), ExpressionEncoder[Scored]())
+      .apply(score, t1, t2)
+}

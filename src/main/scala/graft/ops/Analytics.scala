@@ -42,13 +42,32 @@ object Analytics {
       .select(projectCols.map(col): _*)
       .orderBy(orderCol).limit(n)
 
-  /** O4 top-k rows per group by score. */
+  /** O4 top-k rows per group by score — window form. Generic over
+    * arbitrary tie-break columns, but even with Spark's WindowGroupLimit
+    * partial pass this sorts every input partition in full; prefer
+    * [[topKPerGroupAgg]] when the rank key fits (score, long, long).
+    */
   def topKPerGroup(df: DataFrame, groupCol: String, scoreCol: String,
       tieBreak: Seq[String], k: Int): DataFrame = {
     val w = Window.partitionBy(groupCol)
       .orderBy(desc(scoreCol) +: tieBreak.map(asc): _*)
     df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
+
+  /** O4 top-k rows per group — aggregate form, the 100 TB shape.
+    * Rank order is (score DESC, t1 ASC, t2 ASC) via the bounded-heap
+    * [[graft.functions.TopKAgg]]: O(n) map-side scan (no partition
+    * sort), partial aggregation, ≤ groups×k rows per partition shuffled.
+    * Returns (groupCol, rn int, score, t1, t2) with rn 1..k best-first.
+    */
+  def topKPerGroupAgg(df: DataFrame, groupCol: String, score: Column,
+      t1: Column, t2: Column, k: Int): DataFrame =
+    df.groupBy(groupCol)
+      .agg(graft.functions.TopKAgg.topK(score, t1, t2, k).as("__topk"))
+      .select(col(groupCol), posexplode(col("__topk")))
+      .select(col(groupCol), (col("pos") + 1).cast("int").as("rn"),
+        col("col.score").as("score"), col("col.t1").as("t1"),
+        col("col.t2").as("t2"))
 
   /** W1 word frequency — delegated to TextOps. */
   def wordFrequency(df: DataFrame, textCol: String): DataFrame =

@@ -2,15 +2,15 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (`Array[Float]`).
   *
   * Scale design (100 TB / billions of vectors):
   *  - The query set is broadcast (small); the corpus is scanned once,
-  *    partition-parallel, with per-partition top-k via the window — no
-  *    corpus shuffle in the brute-force path beyond the final tiny top-k.
+  *    partition-parallel, with per-partition bounded-heap top-k
+  *    (map-side partial aggregation, no candidate sort) — the only
+  *    shuffle carries ≤ nPartitions×nQueries×k candidate rows.
   *  - The LSH path buckets the corpus by random-hyperplane signature so
   *    each query probes only its bucket (plus 1-bit-flip neighbors);
   *    bucketing is a map-side expression, the probe is an equi-join on
@@ -43,13 +43,23 @@ object Similarity {
       .select(col(idCol).as("cid"), col("v").as("cv"), col("nrm").as("cn"))
     val sims = corpus.join(broadcast(queries))
       .withColumn("sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("cid"))
-    sims.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("qid"), col("rn").cast("int").as("rn"), col("cid"),
-        round(col("sim"), 4).as("sim"))
-      .orderBy("qid", "rn")
+    topKPerQuery(sims, k)
   }
+
+  /** Shared tail of the top-k paths: per-qid bounded-heap top-k via
+    * [[graft.functions.TopKAgg]] (rank = sim DESC, cid ASC — identical
+    * to the window form's row_number order). Candidates are reduced
+    * map-side to ≤ k per (partition, qid) with no sort of the candidate
+    * set; the single shuffle then carries ≤ nPartitions×nQueries×k rows.
+    */
+  private def topKPerQuery(sims: DataFrame, k: Int): DataFrame =
+    sims.groupBy("qid")
+      .agg(graft.functions.TopKAgg.topK(col("sim"), col("cid"), lit(0L), k)
+        .as("__topk"))
+      .select(col("qid"), posexplode(col("__topk")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rn"),
+        col("col.t1").as("cid"), round(col("col.score"), 4).as("sim"))
+      .orderBy("qid", "rn")
 
   /** Deterministic random-hyperplane signature: `planes` sign bits packed
     * into an int. Hyperplanes are generated driver-side from a fixed seed
@@ -93,12 +103,7 @@ object Similarity {
       .withColumnRenamed("bucket_probe", "bucket")
     val sims = corpus.join(broadcast(queries), "bucket")
       .withColumn("sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("cid"))
-    sims.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("qid"), col("rn").cast("int").as("rn"), col("cid"),
-        round(col("sim"), 4).as("sim"))
-      .orderBy("qid", "rn")
+    topKPerQuery(sims, k)
   }
 
   /** Embedding-cosine near-duplicate pairs: all pairs above `minSim`

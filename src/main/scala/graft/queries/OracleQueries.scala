@@ -228,14 +228,21 @@ object OracleQueries {
         .orderBy("o_orderkey")
     }),
 
-    // Q17 — O4: top-10 per group via row_number window (cleaner.py:204-208 pattern)
+    // Q17 — O4: top-10 per group (cleaner.py:204-208 pattern), via the
+    // bounded-heap TopKAgg aggregate: O(n) map-side scan with a
+    // 10-element state instead of the window form's full per-partition
+    // sort; only ≤ groups×10 rows per partition reach the shuffle.
+    // Rank semantics identical to row_number() OVER (PARTITION BY flag
+    // ORDER BY l_quantity DESC, l_orderkey, l_linenumber) <= 10.
     "q17_topk_window" -> ((s, dir) => {
-      val w = Window.partitionBy("l_returnflag")
-        .orderBy(desc("l_quantity"), asc("l_orderkey"), asc("l_linenumber"))
-      t(s, dir, "lineitem")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 10)
-        .select("l_returnflag", "rn", "l_orderkey", "l_linenumber", "l_quantity")
+      graft.ops.Analytics.topKPerGroupAgg(
+        t(s, dir, "lineitem"), "l_returnflag",
+        col("l_quantity"), col("l_orderkey"),
+        col("l_linenumber").cast("long"), k = 10)
+        .select(col("l_returnflag"), col("rn"),
+          col("t1").as("l_orderkey"),
+          col("t2").cast("int").as("l_linenumber"),
+          col("score").as("l_quantity"))
         .orderBy("l_returnflag", "rn")
     }),
 
