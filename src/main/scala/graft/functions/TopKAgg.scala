@@ -32,11 +32,17 @@ class TopKAgg(k: Int)
     extends Aggregator[Scored, Array[Scored], Seq[Scored]] {
   require(k > 0, s"k must be positive, got $k")
 
-  /** true iff a ranks strictly better than b. */
-  @inline private def better(a: Scored, b: Scored): Boolean =
-    a.score > b.score ||
-      (a.score == b.score &&
-        (a.t1 < b.t1 || (a.t1 == b.t1 && a.t2 < b.t2)))
+  /** true iff a ranks strictly better than b. Scores compare via
+    * `java.lang.Double.compare`, which is a TOTAL order (NaN greatest,
+    * matching Spark's sort semantics where NaN sorts above +Inf) — raw
+    * `>`/`==` would make both `better(a,b)` and `better(b,a)` false for
+    * NaN, breaking the sorted-buffer invariant that reduce's O(1)
+    * early-exit and merge rely on.
+    */
+  @inline private def better(a: Scored, b: Scored): Boolean = {
+    val c = java.lang.Double.compare(a.score, b.score)
+    c > 0 || (c == 0 && (a.t1 < b.t1 || (a.t1 == b.t1 && a.t2 < b.t2)))
+  }
 
   override def zero: Array[Scored] = Array.empty[Scored]
 

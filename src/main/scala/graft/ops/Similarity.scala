@@ -53,7 +53,12 @@ object Similarity {
     * set; the single shuffle then carries ≤ nPartitions×nQueries×k rows.
     */
   private def topKPerQuery(sims: DataFrame, k: Int): DataFrame =
-    sims.groupBy("qid")
+    // TopKAgg requires non-null inputs; a zero-norm vector yields
+    // sim = 0/0 = NaN. Drop both here (NaN similarity is meaningless for
+    // ranking) rather than relying on every caller to pre-filter.
+    sims.filter(col("sim").isNotNull && !isnan(col("sim")) &&
+        col("cid").isNotNull)
+      .groupBy("qid")
       .agg(graft.functions.TopKAgg.topK(col("sim"), col("cid"), lit(0L), k)
         .as("__topk"))
       .select(col("qid"), posexplode(col("__topk")))

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Analytics
+
+/** Pins [[graft.functions.TopKAgg]] directly (not just transitively via
+  * the q17/q29 oracle rows): the bounded-heap aggregate form must be
+  * row-identical to the row_number() window form on every input shape —
+  * ties, duplicate scores, groups smaller than k, k = 1, empty input,
+  * and many input partitions (which forces the partial-aggregation
+  * merge() path that single-partition local data never exercises).
+  */
+class TopKAggSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  /** Window-form reference result, projected to the agg form's schema. */
+  private def windowForm(df: DataFrame, k: Int): Seq[(String, Int, Double, Long, Long)] =
+    Analytics.topKPerGroup(df, "g", "score", Seq("t1", "t2"), k)
+      .select(col("g"), col("rn"), col("score"), col("t1"), col("t2"))
+      .as[(String, Int, Double, Long, Long)].collect().toSeq.sorted
+
+  private def aggForm(df: DataFrame, k: Int): Seq[(String, Int, Double, Long, Long)] =
+    Analytics.topKPerGroupAgg(df, "g", col("score"), col("t1"), col("t2"), k)
+      .select(col("g"), col("rn"), col("score"), col("t1"), col("t2"))
+      .as[(String, Int, Double, Long, Long)].collect().toSeq.sorted
+
+  private def check(df: DataFrame, k: Int): Unit =
+    assert(aggForm(df, k) === windowForm(df, k), s"k=$k")
+
+  test("agg form ≡ window form on random frames with ties, k in {1,3,10}") {
+    val rnd = new scala.util.Random(7)
+    // scores drawn from a tiny set → heavy ties; t1/t2 tie-break columns
+    // also collide so the t2 comparison path is exercised
+    val rows = (0 until 400).map { i =>
+      (s"g${rnd.nextInt(5)}", rnd.nextInt(6).toDouble,
+        rnd.nextInt(10).toLong, i.toLong)
+    }
+    // 8 input partitions on 400 rows: every group spans partitions, so
+    // partial buffers must merge
+    val df = spark.createDataFrame(rows).toDF("g", "score", "t1", "t2")
+      .repartition(8)
+    for (k <- Seq(1, 3, 10)) check(df, k)
+  }
+
+  test("groups with fewer than k rows return all their rows, ranked") {
+    val df = Seq(
+      ("a", 1.0, 1L, 1L), ("a", 2.0, 2L, 2L),
+      ("b", 5.0, 1L, 1L)).toDF("g", "score", "t1", "t2").repartition(4)
+    check(df, 10)
+    assert(aggForm(df, 10).count(_._1 == "a") === 2)
+    assert(aggForm(df, 10).count(_._1 == "b") === 1)
+  }
+
+  test("fully tied rows rank by (t1, t2) ascending") {
+    val df = Seq(
+      ("g", 3.0, 2L, 9L), ("g", 3.0, 1L, 5L),
+      ("g", 3.0, 1L, 2L), ("g", 3.0, 2L, 1L))
+      .toDF("g", "score", "t1", "t2").repartition(3)
+    check(df, 3)
+    val got = aggForm(df, 3).sortBy(_._2)
+    assert(got.map(r => (r._4, r._5)) === Seq((1L, 2L), (1L, 5L), (2L, 1L)))
+  }
+
+  test("empty input yields empty output") {
+    val df = Seq.empty[(String, Double, Long, Long)]
+      .toDF("g", "score", "t1", "t2")
+    assert(aggForm(df, 5).isEmpty)
+  }
+
+  test("NaN scores rank greatest (Spark sort order) and keep a total order") {
+    val df = Seq(
+      ("g", Double.NaN, 2L, 0L), ("g", 9.0, 1L, 0L),
+      ("g", Double.NaN, 1L, 0L), ("g", 1.0, 3L, 0L))
+      .toDF("g", "score", "t1", "t2").repartition(4)
+    val got = aggForm(df, 3).sortBy(_._2)
+    // NaN sorts above +Inf in Spark; ties among NaN break by t1
+    assert(got.map(_._4) === Seq(1L, 2L, 1L))
+    assert(got.take(2).forall(_._3.isNaN) && got(2)._3 === 9.0)
+  }
+}
