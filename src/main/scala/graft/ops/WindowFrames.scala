@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scale-safe GLOBAL window frames.
+  *
+  * `Window.orderBy(...)` with no partition key moves every row through a
+  * single task — correct, but a hard scale-killer at 100 TB (reference
+  * semantics: a globally-ordered moving aggregate, e.g. the running
+  * 3-row sum the dashboards derive). This operator computes the same
+  * ROWS-frame result fully partition-parallel:
+  *
+  *  1. Range-bucket the rows: boundaries come from a distributed
+  *     t-digest quantile sketch over a numeric proxy of the leading
+  *     order column (`approxQuantile` — one cheap scan, no shuffle; the
+  *     collected boundary array is O(buckets) doubles, independent of
+  *     data size, same class as `sampleBy`'s fraction map). Rows with
+  *     EQUAL proxy values always land in the same bucket (`proxy > b_i`
+  *     strictly), so bucket id is monotone w.r.t. the full
+  *     (ord1, ord2) lexicographic order and never splits a tie run.
+  *  2. Per bucket, the last `frameRows−1` rows (the only rows any later
+  *     bucket can see through a `ROWS BETWEEN frameRows−1 PRECEDING`
+  *     frame) are extracted with a per-bucket window — partition-
+  *     parallel, slim 4-column rows.
+  *  3. For every bucket, the last `frameRows−1` rows of ALL earlier
+  *     tails (handles buckets smaller than the frame) are injected as
+  *     carry rows; carries sort strictly before the bucket's real rows
+  *     because equal proxy values share a bucket.
+  *  4. One per-bucket window computes the frame aggregate; carry rows
+  *     are dropped after contributing to their successors' frames.
+  *
+  * Cost: two partition-parallel shuffles of a 4-column projection (vs
+  * the single-task global sort), plus tiny tail/carry frames
+  * (buckets × frameRows rows). Degenerates gracefully: if one proxy
+  * value dominates the distribution, its rows share one bucket — skewed
+  * but still correct.
+  *
+  * Requirements: order columns non-null; (ord1, ord2) a total order.
+  */
+object WindowFrames {
+
+  /** Moving `sum(valueCol)` over the global order (ord1, ord2) with
+    * frame `ROWS BETWEEN frameRows-1 PRECEDING AND CURRENT ROW`,
+    * computed without a single-partition sort.
+    *
+    * `proxy` must be a non-null numeric (castable to double) expression
+    * monotone in `ord1` (e.g. `col("ts").cast("double")`). Returns the
+    * projected frame (ord1, ord2, valueCol, outCol); callers needing
+    * more columns join back on the unique (ord1, ord2) key.
+    */
+  def globalRowsFrameSum(df: DataFrame, ord1: String, ord2: String,
+      valueCol: String, proxy: Column, frameRows: Int,
+      outCol: String, nBuckets: Int = 32): DataFrame = {
+    require(frameRows >= 1, s"frameRows must be >= 1, got $frameRows")
+    val carry = frameRows - 1
+
+    val proxied = df.select(col(ord1), col(ord2), col(valueCol),
+      proxy.cast("double").as("__proxy"))
+
+    // Distributed quantile sketch → O(nBuckets) boundary literals.
+    val bounds = proxied.stat
+      .approxQuantile("__proxy",
+        (1 until nBuckets).map(_.toDouble / nBuckets).toArray, 0.001)
+      .distinct.sorted
+    val bucketExpr: Column =
+      if (bounds.isEmpty) lit(0)
+      else bounds.map(b => when(col("__proxy") > lit(b), 1).otherwise(0))
+        .reduce(_ + _)
+
+    val main = proxied
+      .withColumn("__bucket", bucketExpr)
+      .drop("__proxy")
+      .withColumn("__carry", lit(0))
+
+    if (carry == 0) {
+      // frame = current row only; no cross-bucket dependency at all
+      return main
+        .withColumn(outCol, col(valueCol).cast("double"))
+        .drop("__bucket", "__carry")
+    }
+
+    // Last `carry` rows of each bucket — the only rows visible to any
+    // later bucket. Per-bucket window, slim projection.
+    val wTail = Window.partitionBy("__bucket")
+      .orderBy(desc(ord1), desc(ord2))
+    val tails = main
+      .withColumn("__rn", row_number().over(wTail))
+      .filter(col("__rn") <= carry)
+      .drop("__rn")
+
+    // For each target bucket: the last `carry` rows among ALL earlier
+    // tails (a bucket may hold fewer than `carry` rows, so the carries
+    // can span several predecessors). Both frames are
+    // O(buckets × frameRows) rows — the join and window are trivial.
+    val targets = main.select(col("__bucket").as("__tb")).distinct()
+    val wCarry = Window.partitionBy("__tb").orderBy(desc(ord1), desc(ord2))
+    val carries = tails.join(broadcast(targets), col("__bucket") < col("__tb"))
+      .withColumn("__rn", row_number().over(wCarry))
+      .filter(col("__rn") <= carry)
+      .select(col(ord1), col(ord2), col(valueCol),
+        col("__tb").as("__bucket"), lit(1).as("__carry"))
+
+    // Carries sort strictly before every real row of their target bucket
+    // (equal ord1 values share a bucket), so a plain (ord1, ord2) order
+    // inside the bucket reconstructs the exact global neighborhood.
+    val wFrame = Window.partitionBy("__bucket").orderBy(ord1, ord2)
+      .rowsBetween(-carry, 0)
+    main.unionByName(carries)
+      .withColumn(outCol, sum(col(valueCol)).over(wFrame))
+      .filter(col("__carry") === 0)
+      .drop("__bucket", "__carry")
+  }
+}

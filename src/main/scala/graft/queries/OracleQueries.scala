@@ -276,6 +276,21 @@ object OracleQueries {
         .orderBy("o_orderkey")
     }),
 
+    // Q19b — the SAME global-frame semantics as Q19 (same oracle SQL),
+    // computed scale-safe: range-bucket on the order key, per-bucket
+    // parallel frames, carry the (frame−1) boundary rows between
+    // buckets. No single-partition sort anywhere in the plan
+    // (asserted by WindowFramesSpec).
+    "q19b_window_frame" -> ((s, dir) => {
+      graft.ops.WindowFrames.globalRowsFrameSum(
+        t(s, dir, "orders"), "o_orderdate", "o_orderkey", "o_totalprice",
+        proxy = col("o_orderdate").cast("timestamp").cast("double"),
+        frameRows = 3,
+        outCol = "mv_raw")
+        .select(col("o_orderkey"), round(col("mv_raw"), 4).as("mv_sum"))
+        .orderBy("o_orderkey")
+    }),
+
     // Q51 — RANGE window frame (value-based, vs Q19's ROWS frame):
     // revenue of lineitems within 5 quantity units below current
     "q51_range_frame" -> ((s, dir) => {
@@ -604,6 +619,11 @@ object OracleQueries {
            SELECT c_custkey FROM customer WHERE c_custkey % 5 = 0) u
          ORDER BY c_custkey""",
     "q19_window_frame" ->
+      """SELECT o_orderkey,
+                round(sum(o_totalprice) OVER (ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mv_sum
+         FROM orders ORDER BY o_orderkey""",
+    "q19b_window_frame" ->
       """SELECT o_orderkey,
                 round(sum(o_totalprice) OVER (ORDER BY o_orderdate, o_orderkey
                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mv_sum
