@@ -24,7 +24,8 @@ object Engine {
       accuracy: Double,
       f1Score: Double,
       totalProcessedRecords: Long,
-      uniqueThemes: Long)
+      uniqueThemes: Long,
+      report: Seq[ThemePipeline.ClassMetrics])
 
   /** Run the full pipeline over a raw reviews frame (FIXTURES.md §1
     * schema). Seeds fixed at 42 throughout, mirroring the reference.
@@ -45,24 +46,56 @@ object Engine {
     val (train, test) = ThemePipeline.stratifiedSplit(themed, "theme", "id")
     val pipeline = ThemePipeline.classifierPipeline("processed_review", "theme")
     val model = pipeline.fit(train)
-    val predictions = model.transform(test)
+    val predictions = model.transform(test).cache()
     val (acc, f1) = ThemePipeline.evaluate(predictions)
+    val report = ThemePipeline.classificationReport(model, predictions)
+    predictions.unpersist()
 
     val metrics = Metrics(
       accuracy = acc,
       f1Score = f1,
       totalProcessedRecords = themed.count(),
-      uniqueThemes = themed.select("theme").distinct().count())
+      uniqueThemes = themed.select("theme").distinct().count(),
+      report = report)
     RunResult(themed, model, metrics)
   }
 
   /** Metrics document as a single-row DataFrame (S5 sink shape,
-    * `loader.py:212-247`) — written with `.write.json(path)`. */
+    * `loader.py:212-247`; per-class report from `cleaner.py:266-270`) —
+    * written with `.write.json(path)`.
+    *
+    * Timestamp naming mirrors the reference exactly: the TRANSFORM stage
+    * stamps `processing_timestamp` (`ml_pipeline_dag.py:169`) — injected
+    * here — and the UPLOAD stage stamps `timestamp` (`loader.py:229`) —
+    * injected by [[graft.sources.Sinks.writeMetricsJson]] at write time.
+    */
   def metricsDocument(spark: SparkSession, m: Metrics): DataFrame = {
     import spark.implicits._
-    Seq((m.accuracy, m.f1Score, m.totalProcessedRecords, m.uniqueThemes))
-      .toDF("accuracy", "f1_score", "total_processed_records", "unique_themes")
+    Seq((m.accuracy, m.f1Score, m.totalProcessedRecords, m.uniqueThemes,
+      m.report))
+      .toDF("accuracy", "f1_score", "total_processed_records",
+        "unique_themes", "classification_report")
       .withColumn("processing_timestamp",
+        date_format(current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss"))
+  }
+
+  /** Pipeline-summary document (`ml_pipeline_dag.py:344-369`): run
+    * identity, extracted/processed record counts, model quality, output
+    * location, status. One row — the reference's final
+    * `pipeline_summary.json` xcom/artifact.
+    */
+  def pipelineSummary(spark: SparkSession, pipelineId: String,
+      executionDate: String, recordsExtracted: Long, m: Metrics,
+      dataLocation: String,
+      status: String = "SUCCESS"): DataFrame = {
+    import spark.implicits._
+    Seq((pipelineId, executionDate, recordsExtracted,
+      m.totalProcessedRecords, m.accuracy, m.f1Score, m.uniqueThemes,
+      dataLocation, status))
+      .toDF("pipeline_id", "execution_date", "total_records_extracted",
+        "total_records_processed", "model_accuracy", "f1_score",
+        "unique_themes", "data_location", "pipeline_status")
+      .withColumn("completion_timestamp",
         date_format(current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss"))
   }
 }

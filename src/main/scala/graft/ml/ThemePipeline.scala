@@ -144,4 +144,64 @@ object ThemePipeline {
       .setMetricName("weightedFMeasure").evaluate(predictions)
     (acc, f1)
   }
+
+  /** One classification-report row: per-class precision/recall/F1 and
+    * support (`cleaner.py:266-270`, sklearn `classification_report`). */
+  case class ClassMetrics(theme: String, precision: Double, recall: Double,
+      f1: Double, support: Long)
+
+  /** M6 per-class report (`cleaner.py:266-270`): precision/recall/F1/
+    * support for every class present in labels or predictions, label
+    * indices mapped back to theme strings via the fitted StringIndexer.
+    *
+    * Computed relationally (three tiny aggregations over the predictions
+    * frame, joined on class id) rather than via the legacy RDD
+    * `MulticlassMetrics` — the aggregation is one distributed pass; only
+    * the per-class result (≤ #themes rows) is collected.
+    */
+  def classificationReport(model: PipelineModel,
+      predictions: DataFrame): Seq[ClassMetrics] =
+    classificationReport(
+      model.stages.collectFirst {
+        case m: StringIndexerModel => m.labelsArray.head
+      }.getOrElse(Array.empty[String]),
+      predictions)
+
+  /** As above with an explicit index→name mapping (class i = labels(i));
+    * classes outside the mapping keep their numeric id as the name. */
+  def classificationReport(labels: Array[String],
+      predictions: DataFrame): Seq[ClassMetrics] = {
+    // array of string literals; try_element_at (not element_at): an
+    // out-of-mapping class id must fall through to coalesce, not throw
+    // under ANSI mode
+    val labelArr =
+      if (labels.isEmpty) lit(null).cast("array<string>")
+      else array(labels.map(lit): _*)
+
+    val byLabel = predictions.groupBy(col("label").as("cls"))
+      .agg(count(lit(1)).as("support"))
+    val byPred = predictions.groupBy(col("prediction").as("cls"))
+      .agg(count(lit(1)).as("n_pred"))
+    val hits = predictions.filter(col("prediction") === col("label"))
+      .groupBy(col("label").as("cls")).agg(count(lit(1)).as("n_hit"))
+
+    val p = col("n_hit") / col("n_pred")
+    val r = col("n_hit") / col("support")
+    byLabel.join(byPred, Seq("cls"), "full_outer")
+      .join(hits, Seq("cls"), "left_outer")
+      .na.fill(0L, Seq("support", "n_pred", "n_hit"))
+      .select(
+        coalesce(try_element_at(labelArr, col("cls").cast("int") + 1),
+          col("cls").cast("string")).as("theme"),
+        when(col("n_pred") > 0, p).otherwise(0.0).as("precision"),
+        when(col("support") > 0, r).otherwise(0.0).as("recall"),
+        when(col("n_pred") > 0 && col("support") > 0 && (p + r) > 0,
+          lit(2.0) * p * r / (p + r)).otherwise(0.0).as("f1"),
+        col("support"))
+      .orderBy("theme")
+      .collect()
+      .map(row => ClassMetrics(row.getString(0), row.getDouble(1),
+        row.getDouble(2), row.getDouble(3), row.getLong(4)))
+      .toSeq
+  }
 }

@@ -1,0 +1,89 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, FileUtil, Path}
+import org.apache.spark.sql.SparkSession
+
+/** S6/S7 filesystem utilities on the Hadoop `FileSystem` API — the
+  * storage-boundary operations the reference performs with boto3:
+  * bucket existence check + create (`loader.py:74-85`), recursive
+  * directory upload (`loader.py:171-210`), and recursive download
+  * (`loader.py:249-266`).
+  *
+  * `FileSystem.get(uri, conf)` dispatches on the URI scheme, so every
+  * method here works unchanged against `file://`, `hdfs://`, or
+  * `s3a://` targets — on a cluster the same calls do the bucket-level
+  * work the boto3 client did, with no engine-code change. These are
+  * driver-side control-plane operations on METADATA and small artifact
+  * trees (models, metrics documents); bulk data movement stays in the
+  * distributed writers ([[Sinks]]).
+  */
+object Fs {
+
+  private def conf(spark: SparkSession): Configuration =
+    spark.sparkContext.hadoopConfiguration
+
+  private def fsFor(spark: SparkSession, path: String): (FileSystem, Path) = {
+    val p = new Path(path)
+    (p.getFileSystem(conf(spark)), p)
+  }
+
+  /** S6: does the path (object/file/directory) exist —
+    * `head_bucket`/`head_object` (`loader.py:74-79`). */
+  def exists(spark: SparkSession, path: String): Boolean = {
+    val (fs, p) = fsFor(spark, path)
+    fs.exists(p)
+  }
+
+  /** S6: ensure the directory exists, creating it (and parents) when
+    * missing — the reference's ensure-bucket (`loader.py:80-85`).
+    * Returns true when the call created it, false when already present.
+    */
+  def ensureDir(spark: SparkSession, path: String): Boolean = {
+    val (fs, p) = fsFor(spark, path)
+    if (fs.exists(p)) false else fs.mkdirs(p)
+  }
+
+  /** All files under `path`, recursively: (path, size) pairs — the
+    * reference's paginated `list_objects_v2` walk (`loader.py:249-255`).
+    */
+  def listRecursive(spark: SparkSession, path: String): Seq[(String, Long)] = {
+    val (fs, p) = fsFor(spark, path)
+    if (!fs.exists(p)) return Seq.empty
+    val it = fs.listFiles(p, true)
+    val out = Seq.newBuilder[(String, Long)]
+    while (it.hasNext) {
+      val st = it.next()
+      out += ((st.getPath.toString, st.getLen))
+    }
+    out.result()
+  }
+
+  /** S7: recursive copy src → dst across any scheme pair (upload when
+    * dst is remote, download when dst is local — `loader.py:171-210` and
+    * `249-266` are the same walk in the reference). Ensures the
+    * destination parent, preserves the tree shape, overwrites existing
+    * files. Returns the number of files copied.
+    */
+  def copyRecursive(spark: SparkSession, src: String, dst: String): Long = {
+    val (srcFs, srcPath) = fsFor(spark, src)
+    val (dstFs, dstPath) = fsFor(spark, dst)
+    require(srcFs.exists(srcPath), s"copy source does not exist: $src")
+    val parent = dstPath.getParent
+    if (parent != null && !dstFs.exists(parent)) dstFs.mkdirs(parent)
+    FileUtil.copy(srcFs, srcPath, dstFs, dstPath,
+      /* deleteSource = */ false, /* overwrite = */ true, conf(spark))
+    listRecursive(spark, dst).size.toLong
+  }
+
+  /** S7 download alias — reference `download_directory_from_s3`
+    * (`loader.py:249-266`); identical mechanics, named for intent. */
+  def download(spark: SparkSession, remote: String, localDir: String): Long =
+    copyRecursive(spark, remote, localDir)
+
+  /** Recursive delete (cleanup paths in tests/retention jobs). */
+  def deleteRecursive(spark: SparkSession, path: String): Boolean = {
+    val (fs, p) = fsFor(spark, path)
+    fs.exists(p) && fs.delete(p, true)
+  }
+}

@@ -9,7 +9,9 @@ import org.apache.spark.sql.functions._
   * The reference stages DataFrames through in-memory buffers and boto3
   * uploads (`loader.py:109-130`); on Spark the writers stream straight to
   * the filesystem — local paths here, `s3a://` URIs on a cluster with no
-  * code change (S6: bucket checks become `FileSystem.exists`).
+  * code change. The boto3 bucket/object control-plane calls (exists,
+  * ensure, recursive upload/download) live in [[Fs]] on the Hadoop
+  * `FileSystem` API (S6/S7).
   */
 object Sinks {
 

@@ -58,6 +58,70 @@ class EngineSpec extends AnyFunSuite {
     assert(result.metrics.accuracy >= 0.0 && result.metrics.accuracy <= 1.0)
   }
 
+  test("classification report: exact per-class precision/recall/F1/support") {
+    // hand-built confusion (label → prediction):
+    //   A: 2 rows, both → A            P_A = 2/2,  R_A = 2/2
+    //   B: 3 rows, 1 → B, 2 → C        P_B = 1/1,  R_B = 1/3, F1_B = 0.5
+    //   C: 1 row,  1 → C               P_C = 1/3 (3 C predictions), R_C = 1
+    val preds = Seq(
+      (0.0, 0.0), (0.0, 0.0),           // A/A, A/A
+      (1.0, 1.0), (1.0, 2.0), (1.0, 2.0), // B/B, B/C, B/C
+      (2.0, 2.0))                        // C/C
+      .toDF("label", "prediction")
+    val report = graft.ml.ThemePipeline
+      .classificationReport(Array("A", "B", "C"), preds)
+      .map(r => r.theme -> r).toMap
+    assert(report.keySet === Set("A", "B", "C"))
+    assert(report("A").precision === 1.0 && report("A").recall === 1.0 &&
+      report("A").f1 === 1.0 && report("A").support === 2L)
+    assert(report("B").precision === 1.0 && report("B").recall === 1.0 / 3)
+    assert(math.abs(report("B").f1 - 0.5) < 1e-12 && report("B").support === 3L)
+    assert(report("C").precision === 1.0 / 3 && report("C").recall === 1.0 &&
+      report("C").support === 1L)
+  }
+
+  test("classification report: class present only in predictions still reported") {
+    val preds = Seq((0.0, 0.0), (0.0, 1.0)).toDF("label", "prediction")
+    val report = graft.ml.ThemePipeline
+      .classificationReport(Array("A", "B"), preds)
+      .map(r => r.theme -> r).toMap
+    assert(report.keySet === Set("A", "B"))
+    assert(report("B").support === 0L && report("B").recall === 0.0)
+    assert(report("A").support === 2L && report("A").precision === 1.0 &&
+      report("A").recall === 0.5)
+  }
+
+  test("Engine.run metrics carry one report row per test-set theme") {
+    val m = Engine.run(fixture).metrics
+    assert(m.report.nonEmpty)
+    // every reported theme is a known label; support sums to the test set
+    assert(m.report.map(_.theme).toSet
+      .subsetOf(Tables.themeLabels.values.toSet))
+    assert(m.report.map(_.support).sum > 0)
+    assert(m.report.forall(r => r.precision >= 0 && r.precision <= 1 &&
+      r.recall >= 0 && r.recall <= 1 && r.f1 >= 0 && r.f1 <= 1))
+    // themes with nonzero support = themes present in test data — exactly
+    // one row each (report rows are keyed by class)
+    assert(m.report.map(_.theme).distinct.size === m.report.size)
+
+    val doc = Engine.metricsDocument(spark, m)
+    assert(doc.columns.contains("classification_report") &&
+      doc.columns.contains("processing_timestamp"))
+    assert(doc.count() === 1)
+
+    val summary = Engine.pipelineSummary(spark, "run-1",
+      "2026-08-12T00:00:00", recordsExtracted = 128L, m,
+      dataLocation = "file:///tmp/graft/processed")
+    assert(summary.columns.toSeq === Seq("pipeline_id", "execution_date",
+      "total_records_extracted", "total_records_processed",
+      "model_accuracy", "f1_score", "unique_themes", "data_location",
+      "pipeline_status", "completion_timestamp"))
+    val row = summary.collect().head
+    assert(row.getAs[Long]("total_records_extracted") === 128L)
+    assert(row.getAs[Long]("total_records_processed") === 13L)
+    assert(row.getAs[String]("pipeline_status") === "SUCCESS")
+  }
+
   test("classifier model round-trips through save/load (M7)") {
     val result = Engine.run(fixture)
     val path = java.nio.file.Files.createTempDirectory("graft-model").toString

@@ -46,9 +46,42 @@ class SinksSpec extends AnyFunSuite {
     assert(scan.contains("PartitionFilters: [isnotnull(run_ts"), scan)
   }
 
+  test("Fs: ensure/exists/copyRecursive/download round-trip a directory tree") {
+    import graft.sources.Fs
+    val root = tmp()
+    val src = s"$root/src"
+    // build a small tree: two files at different depths
+    assert(!Fs.exists(spark, src))
+    assert(Fs.ensureDir(spark, s"$src/nested"))
+    assert(Fs.ensureDir(spark, s"$src/nested") === false) // already there
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$src/a.txt"),
+      "alpha".getBytes)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$src/nested/b.txt"), "beta".getBytes)
+
+    // "upload" through the scheme-dispatching path (file:// URI)
+    val dst = s"file://$root/dst"
+    val copied = Fs.copyRecursive(spark, src, dst)
+    assert(copied === 2)
+    val listed = Fs.listRecursive(spark, dst).map(_._1).sorted
+    assert(listed.exists(_.endsWith("dst/a.txt")) &&
+      listed.exists(_.endsWith("dst/nested/b.txt")))
+
+    // "download" back and verify content survives both hops
+    val back = s"$root/back"
+    assert(Fs.download(spark, dst, back) === 2)
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$back/nested/b.txt"))) === "beta")
+
+    assert(Fs.deleteRecursive(spark, dst))
+    assert(!Fs.exists(spark, dst))
+  }
+
   test("metrics json sink writes one document with injected timestamp") {
     val path = tmp() + "/metrics"
-    val m = Engine.Metrics(0.9, 0.88, 100L, 5L)
+    val m = Engine.Metrics(0.9, 0.88, 100L, 5L,
+      Seq(graft.ml.ThemePipeline.ClassMetrics("Service Quality Concerns",
+        1.0, 0.5, 2.0 / 3, 4L)))
     Sinks.writeMetricsJson(Engine.metricsDocument(spark, m), path)
     val back = spark.read.json(path)
     assert(back.count() === 1)
