@@ -50,20 +50,34 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     graft.sources.Tables(spark, sfDir, "lineitem").limit(1000).count()
 
+    // Two timed runs per query, report the MIN: a single-run design lets
+    // one machine-noise event (GC, page cache eviction, a co-tenant
+    // burst) masquerade as a regression. The min of two is a far more
+    // stable point estimate of achievable latency; failures are surfaced
+    // in a "failed" array instead of silently timing the exception path.
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
     val results = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-        name -> (System.nanoTime() - t0) / 1e9
+        def once(): Option[Double] = {
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            None
+          }
+        }
+        val times = Seq(once(), once()).flatten
+        if (times.isEmpty) failed += name
+        name -> (if (times.isEmpty) -1.0 else times.min)
       }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val ok = results.filter(_._2 >= 0)
+    val qs = ok.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val failedArr = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = ok.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedArr,"sf":"$sfDir"}"""
     // sbt's logger decorates stdout with [info] prefixes, which breaks
     // line-oriented JSON parsing downstream — always ALSO write the line
     // to a bare file: $SPARK_GRAFT_BENCH_OUT if set, else ./bench_out.json.

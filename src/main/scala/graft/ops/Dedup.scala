@@ -49,30 +49,37 @@ object Dedup {
     val r = k / bands
     val sigs = minHashSignature(df, idCol, textCol, k)
 
-    // Carry the signature through the band explode (k longs per row —
-    // cheap) so the Jaccard estimate is computed inside the band join
-    // and sub-threshold pairs die BEFORE the distinct: the dedup shuffle
-    // then only carries surviving pairs, not every band collision.
+    // The band self-join carries ONLY (band, bh, id): a colliding pair
+    // is two longs, not two k-long signatures. A near-dup pair collides
+    // in up to `bands` bands, so carrying signatures through the join
+    // multiplies shuffle bytes by bands × k×8B per pair (~the old
+    // shape's 100 TB bottleneck); here collisions dedup to unique id
+    // pairs FIRST, and only the survivors pull their two signatures
+    // back (equi-joins on id — AQE broadcasts the signature side when
+    // small) for the Jaccard estimate.
     val banded = sigs.select(
-      col(idCol), col("sig"),
+      col(idCol),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           xxhash64(lit(b), slice(col("sig"), b * r + 1, r)).as("bh"))
       }: _*)).as("bk"))
-      .select(col(idCol), col("sig"), col("bk.band"), col("bk.bh"))
+      .select(col(idCol), col("bk.band"), col("bk.bh"))
 
-    val a = banded.select(col("band"), col("bh"),
-      col(idCol).as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("bh"),
-      col(idCol).as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "bh"))
+    val a = banded.select(col("band"), col("bh"), col(idCol).as("id_a"))
+    val b = banded.select(col("band"), col("bh"), col(idCol).as("id_b"))
+    val pairs = a.join(b, Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+
+    pairs
+      .join(sigs.select(col(idCol).as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col(idCol).as("id_b"), col("sig").as("sig_b")), "id_b")
       .withColumn("est_jaccard",
         graft.functions.GraftFunctions.arrayEqCount(col("sig_a"), col("sig_b"))
           .cast("double") / k)
       .filter(col("est_jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
-      .distinct()
       .orderBy("id_a", "id_b")
   }
 
