@@ -13,12 +13,12 @@ object RecallProbe {
       val emb = graft.sources.Tables(spark, s"/root/testdata/$sf", "embeddings")
       val exact = graft.ops.Similarity.cosineTopK(emb, "vec_id", "embedding",
         nQueries = 20, k = 5).collect().map(r => (r.getLong(0), r.getLong(2))).toSet
-      for (planes <- Seq(6, 8)) {
+      for (planes <- Seq(6, 8); tables <- Seq(1, 2, 3)) {
         val approx = graft.ops.Similarity.annTopK(emb, "vec_id", "embedding",
-          dim = 64, nQueries = 20, k = 5, planes = planes)
+          dim = 64, nQueries = 20, k = 5, planes = planes, tables = tables)
           .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
         val recall = exact.intersect(approx).size.toDouble / exact.size
-        println(f"== $sf planes=$planes recall@5=$recall%.3f")
+        println(f"== $sf planes=$planes tables=$tables recall@5=$recall%.3f")
       }
     }
     spark.stop()

@@ -7,15 +7,113 @@ import org.apache.spark.sql.functions._
   * `binary` columns with typed metadata, plus decode / feature-extract
   * stages.
   *
-  * The decode step is a STUB — this container has no image/audio codecs,
-  * so `fakeDecode*` produce deterministic hash-derived features with the
-  * real schema, partitioning and batch shape. Swapping in a real decoder
-  * means replacing the fake feature expression with a `mapPartitions`
-  * over batched rows (partition = batch; one codec init per partition,
-  * amortized like an Arrow/pandas-UDF batch), keeping every signature
-  * below identical.
+  * Two decode paths:
+  *  - [[decodeImageMetaBatch]] — the REAL batch-decode boundary: a
+  *    `mapPartitions` where one codec instance is constructed per
+  *    partition and reused across every row (the Arrow/pandas-UDF
+  *    batch-amortization shape; a libjpeg/ffmpeg handle would live
+  *    exactly where [[HeaderCodec]] does). The bundled codec parses
+  *    BMP and PNG headers — the pure-JVM subset this container can
+  *    decode; payloads in other formats yield null metadata.
+  *  - `fakeDecode*` — the documented no-codec FALLBACK: deterministic
+  *    hash-derived pseudo-metadata with the real schema and batch
+  *    shape, for payloads (like the text stand-ins in q36) that no
+  *    JVM codec can open.
   */
 object Multimodal {
+
+  /** Parsed image header metadata. */
+  case class ImageMeta(width: Int, height: Int, channels: Int, format: String)
+
+  /** Per-partition "codec": constructed once per batch/partition and
+    * reused for every row, so a real decoder's expensive native init
+    * (context, tables, threads) is amortized exactly like an Arrow
+    * batch UDF. Header parsing itself is stateless; the class exists to
+    * hold the handle slot and make the lifecycle explicit.
+    */
+  final class HeaderCodec {
+
+    private def leInt(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+        ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+    private def beInt(b: Array[Byte], off: Int): Int =
+      ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+        ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+    /** BMP: 14-byte file header + BITMAPINFOHEADER; width/height LE at
+      * offsets 18/22 (height negative ⇒ top-down), bits-per-pixel LE16
+      * at 28. */
+    private def bmp(p: Array[Byte]): Option[ImageMeta] =
+      if (p.length >= 30 && p(0) == 'B' && p(1) == 'M')
+        Some(ImageMeta(leInt(p, 18), math.abs(leInt(p, 22)),
+          math.max(1, ((p(28) & 0xff) | ((p(29) & 0xff) << 8)) / 8), "bmp"))
+      else None
+
+    /** PNG: 8-byte signature then the IHDR chunk; width/height BE at
+      * offsets 16/20, color type at 25 → channel count. */
+    private def png(p: Array[Byte]): Option[ImageMeta] =
+      if (p.length >= 26 && (p(0) & 0xff) == 0x89 && p(1) == 'P' &&
+          p(2) == 'N' && p(3) == 'G' &&
+          p(12) == 'I' && p(13) == 'H' && p(14) == 'D' && p(15) == 'R') {
+        val channels = p(25) match {
+          case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+          case _ => 1
+        }
+        Some(ImageMeta(beInt(p, 16), beInt(p, 20), channels, "png"))
+      } else None
+
+    def decode(payload: Array[Byte]): Option[ImageMeta] =
+      if (payload == null) None else bmp(payload).orElse(png(payload))
+  }
+
+  /** Minimal valid 24-bit BMP of the given dimensions (file header +
+    * BITMAPINFOHEADER + deterministic pixel array, rows padded to 4
+    * bytes) — the synthetic-image generator for fixtures and q37. */
+  def syntheticBmp(width: Int, height: Int): Array[Byte] = {
+    require(width > 0 && height > 0, "dimensions must be positive")
+    val rowBytes = (width * 3 + 3) / 4 * 4
+    val dataSize = rowBytes * height
+    val buf = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+      .putInt(54 + dataSize).putInt(0).putInt(54)       // file size, reserved, data offset
+      .putInt(40).putInt(width).putInt(height)          // info header
+      .putShort(1).putShort(24)                         // planes, bpp
+      .putInt(0).putInt(dataSize)                       // no compression
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)    // 72 dpi, palette
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < rowBytes) { buf.put(((x + y) % 251).toByte); x += 1 }
+      y += 1
+    }
+    buf.array()
+  }
+
+  /** REAL decode boundary: batch header decode over the media payload
+    * via `mapPartitions` — one [[HeaderCodec]] per partition, zero
+    * shuffle, null metadata for payloads no codec recognizes. Returns
+    * (id, mime, n_bytes, width, height, channels, format).
+    */
+  def decodeImageMetaBatch(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+        col("media.payload").as("payload"), col("media.mime").as("mime"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions { rows =>
+        val codec = new HeaderCodec  // once per partition, reused per row
+        rows.map { case (id, payload, mime) =>
+          val m = codec.decode(payload)
+          (id, mime,
+            if (payload == null) 0L else payload.length.toLong,
+            m.map(_.width), m.map(_.height), m.map(_.channels),
+            m.map(_.format))
+        }
+      }
+      .toDF("id", "mime", "n_bytes", "width", "height", "channels", "format")
+  }
 
   /** Wrap a source frame into the canonical multimodal schema:
     * (id, media struct{payload binary, mime, n_bytes}). Here the payload
@@ -31,9 +129,28 @@ object Multimodal {
         length(col(payloadCol).cast("binary")).cast("long").as("n_bytes"))
         .as("media"))
 
-  /** STUB decode: deterministic pseudo-metadata derived from the payload
-    * hash — stands in for image width/height/channels until a real codec
-    * is wired in (`???` boundary). */
+  /** Synthetic image corpus: one BMP per input row, dimensions derived
+    * deterministically from the id. Generation runs in the same
+    * `mapPartitions` batch shape as decode — together with
+    * [[decodeImageMetaBatch]] this exercises the full binary-column
+    * round trip without any native codec. */
+  def syntheticImages(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id")).as[Long]
+      .mapPartitions(_.map { id =>
+        (id, syntheticBmp(16 + (id % 64).toInt, 16 + (id % 48).toInt))
+      })
+      .toDF("id", "payload")
+      .select(col("id"), struct(
+        col("payload"),
+        lit("image/bmp").as("mime"),
+        length(col("payload")).cast("long").as("n_bytes")).as("media"))
+  }
+
+  /** FALLBACK decode: deterministic pseudo-metadata derived from the
+    * payload hash, for payloads no JVM codec can open (the text
+    * stand-ins in q36) — same schema as the real path. */
   def fakeDecodeImageMeta(media: Column): Column = {
     val h = xxhash64(media.getField("payload"))
     struct(

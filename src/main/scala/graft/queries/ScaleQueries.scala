@@ -106,6 +106,20 @@ object ScaleQueries {
         .orderBy("doc_id")
     }),
 
+    // real multimodal decode boundary: synthesize a BMP per document id
+    // (mapPartitions batch), then batch-decode the headers with the
+    // per-partition codec — width/height must round-trip exactly
+    // (no oracle: binary payloads are engine-generated; pinned by
+    // MultimodalSpec)
+    "q37_image_decode" -> ((s, dir) => {
+      val images = graft.ops.Multimodal.syntheticImages(
+        t(s, dir, "documents"), "doc_id")
+      graft.ops.Multimodal.decodeImageMetaBatch(images, "id")
+        .select(col("id").as("doc_id"), col("n_bytes"), col("width"),
+          col("height"), col("channels"), col("format"))
+        .orderBy("doc_id")
+    }),
+
     // as-of join: for each purchase, the user's most recent signup at or
     // before the purchase time (union+window composition — one shuffle)
     "q38_asof_join" -> ((s, dir) => {

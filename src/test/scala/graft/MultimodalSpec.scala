@@ -37,6 +37,51 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("batch codec decodes real BMP headers: width/height round-trip exactly") {
+    val images = Multimodal.syntheticImages(
+      spark.range(0, 60).toDF("doc_id").repartition(4), "doc_id")
+    val decoded = Multimodal.decodeImageMetaBatch(images, "id")
+      .orderBy("id").collect()
+    assert(decoded.length === 60)
+    for (r <- decoded) {
+      val id = r.getLong(0)
+      assert(r.getInt(r.fieldIndex("width")) === 16 + (id % 64).toInt, s"id=$id")
+      assert(r.getInt(r.fieldIndex("height")) === 16 + (id % 48).toInt, s"id=$id")
+      assert(r.getInt(r.fieldIndex("channels")) === 3)
+      assert(r.getString(r.fieldIndex("format")) === "bmp")
+      // payload really contains the pixel array, not just a header
+      val w = 16 + (id % 64).toInt; val h = 16 + (id % 48).toInt
+      assert(r.getLong(r.fieldIndex("n_bytes")) === 54L + (w * 3 + 3) / 4 * 4 * h)
+    }
+  }
+
+  test("batch codec decodes PNG headers and nulls out unknown payloads") {
+    // hand-built PNG signature + IHDR (CRC omitted — the codec reads the
+    // header fields only, as a real streaming decoder's probe would)
+    def pngHeader(w: Int, h: Int, colorType: Byte): Array[Byte] = {
+      val buf = java.nio.ByteBuffer.allocate(33)
+      buf.put(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a))
+      buf.putInt(13).put("IHDR".getBytes)
+      buf.putInt(w).putInt(h).put(8.toByte).put(colorType)
+      buf.put(0.toByte).put(0.toByte).put(0.toByte)
+      buf.array()
+    }
+    val rows = Seq(
+      (1L, pngHeader(640, 480, 6), "image/png"),
+      (2L, pngHeader(32, 8, 0), "image/png"),
+      (3L, "just text".getBytes, "text/plain"))
+      .toDF("doc_id", "p", "mime")
+      .select(col("doc_id"), struct(col("p").as("payload"), col("mime"),
+        length(col("p")).cast("long").as("n_bytes")).as("media"))
+    val got = Multimodal.decodeImageMetaBatch(rows, "doc_id")
+      .orderBy("id").collect()
+    assert(got(0).getInt(3) === 640 && got(0).getInt(4) === 480 &&
+      got(0).getInt(5) === 4 && got(0).getString(6) === "png")
+    assert(got(1).getInt(3) === 32 && got(1).getInt(4) === 8 &&
+      got(1).getInt(5) === 1)
+    assert(got(2).isNullAt(3) && got(2).isNullAt(4) && got(2).isNullAt(6))
+  }
+
   test("stub features feed the similarity operator end-to-end") {
     val featured = Multimodal.decodeAndFeaturize(media, "doc_id")
       .select(col("doc_id").as("vec_id"),

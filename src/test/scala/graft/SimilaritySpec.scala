@@ -45,11 +45,12 @@ class SimilaritySpec extends AnyFunSuite {
       nQueries = 5, k = 3, planes = 8).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     assert(approx.nonEmpty)
-    // Hamming≤2 multi-probe scans ~14% of buckets; measured recall@5 on
-    // this near-random corpus is ~0.3-0.5 — floor set well below that
-    // to catch broken bucketing, not seed drift
+    // Two independent tables, Hamming≤2 multi-probe: ≤29% of buckets
+    // scanned; measured recall@5 on this near-random corpus is
+    // 0.58-0.61 (RecallProbe, planes=8 tables=2) — floor set below
+    // that to catch broken bucketing, not seed drift
     val recall = exact.intersect(approx).size.toDouble / exact.size
-    assert(recall >= 0.15, s"recall $recall")
+    assert(recall >= 0.4, s"recall $recall")
   }
 
   test("hyperplane bucket is deterministic across invocations") {
