@@ -205,6 +205,38 @@ object ScaleQueries {
     // M4+M5+M6: stratified split → RF classifier → metrics (rows-only)
     "q42_rf_metrics" -> ((s, dir) => {
       import s.implicits._
+      val (model, test, train_n, test_n) = rfFor(s, dir)
+      val (acc, f1) = graft.ml.ThemePipeline.evaluate(model.transform(test))
+      Seq((BigDecimal(acc).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(f1).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        train_n, test_n))
+        .toDF("accuracy", "f1_score", "n_train", "n_test")
+    }),
+
+    // M6 per-class classification report (cleaner.py:266-270) over the
+    // same fitted classifier (rows-only: ML-seed-dependent)
+    "q42b_class_report" -> ((s, dir) => {
+      import s.implicits._
+      val (model, test, _, _) = rfFor(s, dir)
+      graft.ml.ThemePipeline
+        .classificationReport(model, model.transform(test))
+        .map(r => (r.theme,
+          BigDecimal(r.precision).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          BigDecimal(r.recall).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          BigDecimal(r.f1).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          r.support))
+        .toDF("theme", "precision", "recall", "f1", "support")
+        .orderBy("theme")
+    }))
+
+  /** One RF fit per sf dir per JVM (shared by q42/q42b): returns
+    * (fitted model, test frame, train rows, test rows). */
+  private val rfCache = scala.collection.concurrent.TrieMap
+    .empty[String, (org.apache.spark.ml.PipelineModel,
+      org.apache.spark.sql.DataFrame, Long, Long)]
+
+  private def rfFor(s: SparkSession, dir: String) =
+    rfCache.getOrElseUpdate(dir, {
       val docs = preppedDocs(s, dir)
       val (fm, lda) = ldaFor(s, dir)
       val themed = graft.ml.ThemePipeline.assignThemes(
@@ -214,12 +246,8 @@ object ScaleQueries {
         themed, "theme", "doc_id")
       val model = graft.ml.ThemePipeline
         .classifierPipeline("processed", "theme").fit(train)
-      val (acc, f1) = graft.ml.ThemePipeline.evaluate(model.transform(test))
-      Seq((BigDecimal(acc).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
-        BigDecimal(f1).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
-        train.count(), test.count()))
-        .toDF("accuracy", "f1_score", "n_train", "n_test")
-    }))
+      (model, test.cache(), train.count(), test.count())
+    })
 
   private val sqlStopwords: String =
     TextOps.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
