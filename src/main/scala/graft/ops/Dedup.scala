@@ -122,6 +122,79 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Exact unigram-SET Jaccard pairs above a threshold within a bounded
+    * id slice — the SQL-expressible pair generator feeding
+    * [[connectedComponents]] (the full-corpus pair source is
+    * [[minHashPairs]]; this exact form exists so the clustering chain is
+    * oracle-checkable end-to-end).
+    */
+  def unigramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      maxId: Long = 150, minJaccard: Double = 0.6): DataFrame = {
+    val toks = df.filter(col(idCol) < maxId)
+      .select(col(idCol), explode(array_distinct(
+        filter(split(col(textCol), " "), t => length(t) > 0))).as("tok"))
+    val sizes = toks.groupBy(idCol).agg(count(lit(1)).as("sz"))
+    val a = toks.select(col(idCol).as("id_a"), col("tok"))
+    val b = toks.select(col(idCol).as("id_b"), col("tok"))
+    a.join(b, "tok").filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("jac",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jac") >= minJaccard)
+      .select("id_a", "id_b")
+  }
+
+  /** Connected components over an undirected pair set — near-duplicate
+    * CLUSTERING: every vertex gets the minimum id reachable from it, so
+    * a dup cluster collapses to one canonical representative (the "keep
+    * one per cluster" step after candidate generation).
+    *
+    * Hash-min label propagation: each iteration every vertex takes the
+    * min of its own label and its neighbors' labels; converges in
+    * O(graph diameter) iterations — near-dup clusters are dense, so
+    * diameter (and iteration count) is tiny in practice. The driver
+    * loop is over ACTIONS (one bounded join+agg per iteration with an
+    * early-exit convergence check), never over rows; each iteration is
+    * one distributed shuffle of (id, lbl) pairs. For adversarial
+    * long-chain graphs at extreme scale, the alternating
+    * large-star/small-star variant (Kiveris et al., "Connected
+    * Components in MapReduce", SoCC'14) drops iterations to
+    * O(log diameter); hash-min is the right default for dedup graphs.
+    *
+    * Returns (id, lbl) — one row per vertex appearing in `pairs`,
+    * lbl = min id of its component.
+    */
+  def connectedComponents(pairs: DataFrame, idA: String, idB: String,
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct()
+      .cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id")).cache()
+    var iter = 0
+    var changed = 1L
+    while (iter < maxIter && changed > 0) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(min("lbl").as("nlbl"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .cache()
+      changed = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.lbl") < col("o.lbl")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Exact n-gram Jaccard similarity for the top pairs in a bounded id
     * slice (pairwise exact comparison is quadratic — the full-corpus path
     * is [[minHashPairs]]; this is the auditable exact form).

@@ -202,6 +202,20 @@ object ScaleQueries {
         .orderBy("source")
     }),
 
+    // near-dup CLUSTERING: exact unigram-Jaccard pairs (bounded slice,
+    // SQL-expressible) → connected components → canonical representative
+    // per cluster. Oracle: DuckDB recursive CTE over the same pair set.
+    // The full-corpus pair source is minHashPairs; the chain is
+    // identical from pairs onward.
+    "q55_dedup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.unigramJaccardPairs(t(s, dir, "documents"),
+        "doc_id", "text", maxId = 150, minJaccard = 0.6)
+      Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
+          (col("lbl") === col("id")).as("is_rep"))
+        .orderBy("doc_id")
+    }),
+
     // M4+M5+M6: stratified split → RF classifier → metrics (rows-only)
     "q42_rf_metrics" -> ((s, dir) => {
       import s.implicits._
@@ -355,6 +369,26 @@ object ScaleQueries {
                        AND stopword_ratio <= 0.5 AND lang IN ('en', 'de', 'fr'))
           SELECT min(doc_id) AS doc_id, min(n_tokens) AS n_tokens
           FROM gated GROUP BY md5(text) ORDER BY doc_id""",
+    "q55_dedup_clusters" ->
+      """WITH RECURSIVE
+           toks AS (SELECT doc_id,
+                           list_distinct(list_filter(string_split(text, ' '),
+                                                     t -> length(t) > 0)) tk
+                    FROM documents WHERE doc_id < 150),
+           pairs AS (SELECT a.doc_id id_a, b.doc_id id_b
+                     FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+                     WHERE len(list_intersect(a.tk, b.tk)) * 1.0 /
+                           (len(a.tk) + len(b.tk)
+                            - len(list_intersect(a.tk, b.tk))) >= 0.6),
+           edges AS (SELECT id_a src, id_b dst FROM pairs
+                     UNION SELECT id_b, id_a FROM pairs),
+           reach(id, lbl) AS (
+             SELECT src, src FROM edges
+             UNION
+             SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id)
+         SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id,
+                (min(lbl) = id) AS is_rep
+         FROM reach GROUP BY id ORDER BY doc_id""",
     "q44_salted_join" ->
       """SELECT l.l_orderkey, l.l_linenumber, s.s_name
          FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey

@@ -76,6 +76,38 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.forall(r => r.getInt(2) <= 3))
   }
 
+  test("connectedComponents: chain, triangle, and isolated pair resolve to min ids") {
+    // chain 1-2-3-4-5 (diameter 4 forces several hash-min iterations),
+    // triangle 10-11-12 with extra edge, isolated pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("connectedComponents respects maxIter as a hard bound") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    // one iteration cannot finish the chain — labels must still be valid
+    // partial minima (monotone toward the fixpoint, never below min id)
+    val got = Dedup.connectedComponents(pairs, "id_a", "id_b", maxIter = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet === Set(1L, 2L, 3L, 4L))
+    assert(got.forall { case (id, lbl) => lbl >= 1L && lbl <= id })
+  }
+
+  test("unigram jaccard pairs → clusters chain runs on real docs") {
+    val pairs = Dedup.unigramJaccardPairs(docs, "doc_id", "text",
+      maxId = 150, minJaccard = 0.6)
+    val clusters = Dedup.connectedComponents(pairs, "id_a", "id_b").collect()
+    // every cluster label is a member of the vertex set and ≤ its vertex
+    val verts = clusters.map(_.getLong(0)).toSet
+    assert(clusters.forall(r => r.getLong(1) <= r.getLong(0)))
+    assert(clusters.forall(r => verts.contains(r.getLong(1))))
+  }
+
   test("ngram jaccard top pairs are ordered desc and bounded") {
     val out = Dedup.ngramJaccardTopPairs(docs, "doc_id", "text",
       n = 3, maxId = 100, topN = 20).collect()
