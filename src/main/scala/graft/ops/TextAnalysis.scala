@@ -64,6 +64,34 @@ object TextAnalysis {
         .as("stopword_ratio"))
   }
 
+  /** Repetition features — the Gopher-style within-document repetition
+    * filters (Rae et al. 2021 §A.1.2): duplicate-bigram fraction and
+    * most-frequent-word fraction. High values flag boilerplate/spam for
+    * corpus curation. Pure map-side expressions; the top-word scan is
+    * O(distinct × tokens) per row — bounded by document length, no
+    * shuffle.
+    */
+  def repetitionFeatures(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val txt = coalesce(col(textCol), lit(""))
+    val tk = filter(split(txt, " "), t => length(t) > 0)
+    val bigrams = when(size(tk) >= 2,
+      transform(sequence(lit(1), size(tk) - 1),
+        i => concat(element_at(tk, i), lit(" "), element_at(tk, i + 1))))
+      .otherwise(array())
+    val topCount = array_max(transform(array_distinct(tk),
+      t => size(filter(tk, x => x === t))))
+    df.select(
+      col(idCol),
+      size(tk).cast("long").as("n_tokens"),
+      round(when(size(bigrams) > 0,
+        lit(1.0) - size(array_distinct(bigrams)).cast("double")
+          / size(bigrams)).otherwise(0.0), 4).as("dup_bigram_frac"),
+      round(when(size(tk) > 0,
+        topCount.cast("double") / size(tk)).otherwise(0.0), 4)
+        .as("top_word_frac"))
+  }
+
   /** Token counts under three tokenizers: whitespace, alpha-runs (regex),
     * and a bytes/4 BPE-cost estimate. */
   def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame = {

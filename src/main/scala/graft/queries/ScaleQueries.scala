@@ -80,6 +80,11 @@ object ScaleQueries {
       TextAnalysis.qualityFeatures(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // Gopher-style repetition features (dup-bigram / top-word fractions)
+    "q33b_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionFeatures(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // token counting under three tokenizers
     "q34_tokens" -> ((s, dir) =>
       TextAnalysis.tokenCounts(t(s, dir, "documents"), "doc_id", "text")
@@ -346,6 +351,28 @@ object ScaleQueries {
                        / greatest(length(text), 1), 4) AS alpha_ratio,
                  round(sw_hits * 1.0 / greatest(n_tokens, 1), 4) AS stopword_ratio
           FROM f ORDER BY doc_id""",
+    "q33b_repetition" ->
+      """WITH f AS (SELECT doc_id,
+                list_filter(string_split(coalesce(text, ''), ' '),
+                            t -> length(t) > 0) AS tk
+           FROM documents),
+           g AS (SELECT doc_id, tk,
+                CASE WHEN len(tk) >= 2
+                     THEN list_transform(range(1, len(tk)),
+                                         i -> tk[i] || ' ' || tk[i+1])
+                     ELSE [] END AS bg
+           FROM f)
+         SELECT doc_id,
+                CAST(len(tk) AS BIGINT) AS n_tokens,
+                round(CASE WHEN len(bg) > 0
+                      THEN 1.0 - len(list_distinct(bg)) * 1.0 / len(bg)
+                      ELSE 0.0 END, 4) AS dup_bigram_frac,
+                round(CASE WHEN len(tk) > 0
+                      THEN list_max(list_transform(list_distinct(tk),
+                             t -> len(list_filter(tk, x -> x = t)))) * 1.0
+                           / len(tk)
+                      ELSE 0.0 END, 4) AS top_word_frac
+         FROM g ORDER BY doc_id""",
     "q34_tokens" ->
       """SELECT doc_id,
                 CAST(len(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS BIGINT) AS ws_tokens,

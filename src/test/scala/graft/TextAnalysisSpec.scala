@@ -46,6 +46,26 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r.getAs[Long]("bpe_est") === 4L) // ceil(13/4)
   }
 
+  test("repetitionFeatures: exact fractions on hand-built docs") {
+    val df = Seq(
+      (1L, "a a a a"),          // bigrams: 3×"a a" → dup 1-1/3; top word 4/4
+      (2L, "a b c d"),          // all distinct
+      (3L, "x"),                // single token: no bigrams
+      (4L, ""),                 // empty
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis
+      .repetitionFeatures(df, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(got(1L) === ((4L, 0.6667, 1.0)))
+    assert(got(2L) === ((4L, 0.0, 0.25)))
+    assert(got(3L) === ((1L, 0.0, 1.0)))
+    assert(got(4L) === ((0L, 0.0, 0.0)))
+    assert(got(5L) === ((0L, 0.0, 0.0)))
+  }
+
   test("fingerprints: identical normalized text → identical fp") {
     val df = Seq((1L, "Hello World!"), (2L, "hello world"), (3L, "other"))
       .toDF("doc_id", "text")
