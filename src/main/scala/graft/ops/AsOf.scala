@@ -4,26 +4,35 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** As-of (point-in-time) join: attach to each left row the most recent
-  * right row with `right.ts <= left.ts` for the same key.
+/** As-of (point-in-time) join: attach to each left row the nearest
+  * right row for the same key — `backward` (default): most recent right
+  * with `right.ts <= left.ts`; `forward`: earliest right with
+  * `right.ts >= left.ts` (the "next event" join).
   *
   * Composed from built-ins (preference order (a) in the build contract):
   * tag both sides, union, one window sorted by (ts, side) per key, carry
-  * the last non-null right payload forward, keep left rows. Cost: ONE
+  * the last non-null right payload forward, keep left rows. The forward
+  * direction is the same traversal with time reversed. Cost: ONE
   * shuffle on the key + a per-key sort — no range-join pair explosion,
   * no per-row probe; this is the standard scalable formulation and it
   * AQE-partitions like any other window.
   *
-  * Ties: a right row at exactly left.ts is visible (inclusive, matching
-  * DuckDB/pandas ASOF semantics); callers should pre-dedup the right
-  * side per (key, ts) to make the carried payload deterministic.
+  * Ties: a right row at exactly left.ts is visible in both directions
+  * (inclusive, matching DuckDB/pandas ASOF semantics); callers should
+  * pre-dedup the right side per (key, ts) to make the carried payload
+  * deterministic.
   */
 object AsOf {
 
   /** @param payloadCols right-side columns to carry (must not collide
-    *                    with left column names) */
+    *                    with left column names)
+    * @param direction   "backward" (right.ts <= left.ts, most recent) or
+    *                    "forward" (right.ts >= left.ts, earliest) */
   def asOfJoin(left: DataFrame, right: DataFrame, keyCol: String,
-      tsCol: String, payloadCols: Seq[String]): DataFrame = {
+      tsCol: String, payloadCols: Seq[String],
+      direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
     val leftCols = left.columns.toSeq
     // side 0 sorts before side 1 at equal ts → right row at ts == left.ts wins
     val l = left.withColumn("__side", lit(1))
@@ -42,8 +51,13 @@ object AsOf {
         leftCols.filterNot(c => c == keyCol || c == tsCol)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
 
+    // backward walks time ascending; forward walks it descending — in
+    // both, the right side (__side 0) sorts first at equal ts so an
+    // exactly-coincident right row is visible
+    val tsOrder =
+      if (direction == "backward") col(tsCol).asc else col(tsCol).desc
     val w = Window.partitionBy(keyCol)
-      .orderBy(col(tsCol).asc, col("__side").asc)
+      .orderBy(tsOrder, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val carried = payloadCols.foldLeft(lAligned.unionByName(rAligned)) {

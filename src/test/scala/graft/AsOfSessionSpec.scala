@@ -41,6 +41,27 @@ class AsOfSessionSpec extends AnyFunSuite {
     assert(out.head.getAs[Long]("signup_id") === 7L)
   }
 
+  test("asOfJoin forward picks the earliest right row at or after each left ts") {
+    val left = Seq(
+      (100L, 1L, ts("2024-01-01 10:00:00")),
+      (101L, 1L, ts("2024-01-01 12:00:00")), // nothing after noon
+      (102L, 2L, ts("2024-01-01 09:30:00")))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (1L, ts("2024-01-01 08:00:00"), 900L),  // before — invisible forward
+      (1L, ts("2024-01-01 11:00:00"), 901L),
+      (2L, ts("2024-01-01 09:30:00"), 902L))  // exactly at left ts
+      .toDF("user_id", "ts", "signup_id")
+    val out = AsOf.asOfJoin(left, right, "user_id", "ts", Seq("signup_id"),
+      direction = "forward")
+      .select("event_id", "signup_id").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long]))
+      .toMap
+    assert(out(100L) === Some(901L)) // next signup after 10:00 is 11:00
+    assert(out(101L) === None)       // nothing at or after 12:00
+    assert(out(102L) === Some(902L)) // inclusive at equal ts
+  }
+
   test("sessionizeBatch splits on gaps and aggregates per session") {
     val df = Seq(
       (1L, 7L, ts("2024-01-01 10:00:00"), 1.0),
