@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The library's session entry point: one place where the engine's
+  * Catalyst extensions and scale posture are configured, so every
+  * consumer (Bench, Verify, a user application, a 1000-executor
+  * cluster job) runs the same plan environment.
+  *
+  * Conf rationale at the 100 TB design point:
+  *  - `spark.sql.extensions` → [[graft.plans.GraftExtensions]]: the
+  *    engine's optimizer rules are active in EVERY session built here,
+  *    not just in tests.
+  *  - AQE on, with partition coalescing and skew-join splitting: runtime
+  *    re-planning is the first line of defense against skewed keys and
+  *    over-partitioned shuffles at scale.
+  *  - `files.maxPartitionBytes` 256 MiB: at 100 TB the default 128 MiB
+  *    yields ~800k scan tasks; doubling the split size halves scheduler
+  *    pressure while staying well inside executor memory for columnar
+  *    scans.
+  *  - `shuffle.partitions` is explicit (local: cores; cluster: 2–3× total
+  *    executor cores) — the static value only seeds AQE, which coalesces
+  *    down per-stage.
+  *  - UTC session timezone: timestamp determinism across heterogeneous
+  *    clusters (and against the DuckDB oracle).
+  */
+object GraftSession {
+
+  /** The engine's recommended session conf (see object doc). */
+  def scaleConf(shufflePartitions: Int): Map[String, String] = Map(
+    "spark.sql.extensions" -> classOf[graft.plans.GraftExtensions].getName,
+    "spark.sql.shuffle.partitions" -> shufflePartitions.toString,
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    "spark.sql.files.maxPartitionBytes" -> (256L * 1024 * 1024).toString,
+    "spark.sql.session.timeZone" -> "UTC")
+
+  /** A builder with the scale conf applied; callers add master/app
+    * specifics and `getOrCreate()`. */
+  def builder(shufflePartitions: Int): SparkSession.Builder =
+    scaleConf(shufflePartitions).foldLeft(SparkSession.builder()) {
+      case (b, (k, v)) => b.config(k, v)
+    }
+
+  /** Local session for the dev/bench/verify mains: `local[cores]`,
+    * shuffle partitions = cores, no UI. */
+  def local(cores: Int): SparkSession = {
+    val s = builder(shufflePartitions = cores)
+      .master(s"local[$cores]")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -33,6 +33,16 @@ class OptimizerRuleSpec extends AnyFunSuite {
     assert(!p2.contains("lower"), p2)
   }
 
+  test("GraftSession scale conf wires extensions and AQE posture") {
+    val conf = GraftSession.scaleConf(shufflePartitions = 64)
+    assert(conf("spark.sql.extensions") === "graft.plans.GraftExtensions")
+    assert(conf("spark.sql.shuffle.partitions") === "64")
+    assert(conf("spark.sql.adaptive.enabled") === "true")
+    assert(conf("spark.sql.adaptive.skewJoin.enabled") === "true")
+    assert(conf("spark.sql.files.maxPartitionBytes").toLong === 256L << 20)
+    assert(conf("spark.sql.session.timeZone") === "UTC")
+  }
+
   test("collapsed plan produces identical results") {
     val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001", "documents")
       .limit(50)
