@@ -28,7 +28,11 @@ object Bench {
     "q26_minhash_pairs",
     "q27_simhash_pairs",
     "q29_cosine_topk",
-    "q33_quality")
+    "q30_ann_lsh",
+    "q33_quality",
+    "q37_image_decode",
+    "q50_curation",
+    "q55_dedup_clusters")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

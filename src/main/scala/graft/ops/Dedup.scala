@@ -151,47 +151,75 @@ object Dedup {
     * a dup cluster collapses to one canonical representative (the "keep
     * one per cluster" step after candidate generation).
     *
-    * Hash-min label propagation: each iteration every vertex takes the
-    * min of its own label and its neighbors' labels; converges in
-    * O(graph diameter) iterations — near-dup clusters are dense, so
-    * diameter (and iteration count) is tiny in practice. The driver
-    * loop is over ACTIONS (one bounded join+agg per iteration with an
-    * early-exit convergence check), never over rows; each iteration is
-    * one distributed shuffle of (id, lbl) pairs. For adversarial
-    * long-chain graphs at extreme scale, the alternating
-    * large-star/small-star variant (Kiveris et al., "Connected
-    * Components in MapReduce", SoCC'14) drops iterations to
-    * O(log diameter); hash-min is the right default for dedup graphs.
+    * Hash-min label propagation with POINTER JUMPING: each iteration a
+    * vertex takes the min of (its label, its neighbors' labels, its
+    * label's label). The neighbor step alone needs O(diameter)
+    * iterations; the label-of-label path-compression step collapses
+    * chains exponentially, giving O(log diameter) — the same bound as
+    * the alternating large-star/small-star formulation (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14).
+    *
+    * Scale mechanics: the driver loop is over ACTIONS, never rows; each
+    * iteration is two bounded equi-joins + one aggregation over (id,
+    * lbl) pairs, with an early-exit convergence count. Two details make
+    * the loop viable:
+    *  - `localCheckpoint` (not `cache`) between iterations: caching
+    *    truncates EXECUTION but not the logical plan, so an iterative
+    *    DataFrame loop re-analyzes a plan that grows ~4× per iteration
+    *    and Catalyst time explodes within a handful of rounds (measured
+    *    46 s of pure optimizer time by iteration 3 on a 137-vertex
+    *    graph). Checkpointing truncates the lineage, keeping every
+    *    iteration's plan O(1). Local (executor-block) checkpoints trade
+    *    executor-loss recoverability for speed — right for a bounded
+    *    driver loop; swap in reliable `checkpoint` on a lossy cluster.
+    *  - the graph is repartitioned to match ITS size, not the corpus's:
+    *    a dedup graph is orders of magnitude smaller than the corpus
+    *    that produced it, and inheriting the corpus partition count
+    *    makes every tiny iteration pay full-width shuffle overhead.
     *
     * Returns (id, lbl) — one row per vertex appearing in `pairs`,
     * lbl = min id of its component.
     */
   def connectedComponents(pairs: DataFrame, idA: String, idB: String,
       maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+    // checkpoint the pair source before the symmetrizing union — the
+    // union references it twice, and the pair generator (an LSH join or
+    // an exact-similarity join) is the expensive subtree
+    val pairsCp = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .localCheckpoint()
+    val edgesRaw = pairsCp
+      .union(pairsCp.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .cache()
+      .localCheckpoint()
+    // size partitioning to the graph: ~1M edge rows per partition
+    val p = math.max(1, math.min(2048, (edgesRaw.count() / 1000000L).toInt + 1))
+    val edges = edgesRaw.repartition(p, col("src")).localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id")).cache()
+      .withColumn("lbl", col("id"))
+      .repartition(p, col("id")).localCheckpoint()
     var iter = 0
     var changed = 1L
     while (iter < maxIter && changed > 0) {
       val nbrMin = edges
         .join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id")).agg(min("lbl").as("nlbl"))
+      // pointer jump: my label's current label (path compression)
+      val jump = labels.as("l")
+        .join(labels.select(col("id").as("lbl"), col("lbl").as("jlbl")), "lbl")
+        .select(col("id"), col("jlbl"))
       val next = labels.join(nbrMin, Seq("id"), "left")
+        .join(jump, Seq("id"), "left")
         .select(col("id"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-        .cache()
+          least(col("lbl"),
+            coalesce(col("nlbl"), col("lbl")),
+            coalesce(col("jlbl"), col("lbl"))).as("lbl"))
+        .repartition(p, col("id")).localCheckpoint()
       changed = next.as("n")
         .join(labels.as("o"), col("n.id") === col("o.id"))
         .filter(col("n.lbl") < col("o.lbl")).count()
-      labels.unpersist()
       labels = next
       iter += 1
     }
-    edges.unpersist()
     labels
   }
 

@@ -192,6 +192,23 @@ object ScaleQueries {
         .orderBy("doc_id")
     }),
 
+    // sketch aggregates — the approximate forms that replace exact
+    // aggregation at 100 TB: HLL count-distinct (fixed-size state vs a
+    // full distinct shuffle) and t-digest style percentiles (vs a global
+    // sort). Rows-only: estimates are engine-specific; SketchSpec pins
+    // relative error against the exact values.
+    "q56_sketches" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("acd_orderkey"),
+          approx_count_distinct(col("l_extendedprice"), rsd = 0.02).as("acd_price"),
+          round(expr("approx_percentile(l_extendedprice, 0.5, 10000)"), 4)
+            .as("p50_price"),
+          round(expr("approx_percentile(l_extendedprice, 0.99, 10000)"), 4)
+            .as("p99_price"))
+        .orderBy("l_returnflag")),
+
     // salted equi-join: same rows as the plain join (oracle proves it),
     // with the hot-key spread that survives extreme skew at scale
     "q44_salted_join" -> ((s, dir) => {

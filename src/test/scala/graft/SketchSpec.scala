@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the q56 sketch aggregates against their exact counterparts:
+  * HLL count-distinct within its configured standard error, and
+  * approx_percentile (with high accuracy) close to the exact
+  * interpolated percentile. These are the fixed-state replacements for
+  * the full-shuffle exact forms at scale — the spec proves the
+  * estimates are usable, not just runnable.
+  */
+class SketchSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+
+  private val dir = "/root/testdata/sf0.01"
+  private lazy val li = graft.sources.Tables(spark, dir, "lineitem")
+
+  test("HLL count-distinct within 5% of exact per group") {
+    val exact = li.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_orderkey")).as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est = graft.queries.ScaleQueries.queries("q56_sketches")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet === exact.keySet)
+    for ((flag, e) <- exact) {
+      val a = est(flag)
+      assert(math.abs(a - e).toDouble / e <= 0.05,
+        s"$flag: approx $a vs exact $e")
+    }
+  }
+
+  test("approx p50 within 1% of exact interpolated percentile per group") {
+    val exact = li.groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("e"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val est = graft.queries.ScaleQueries.queries("q56_sketches")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    for ((flag, e) <- exact) {
+      assert(math.abs(est(flag) - e) / e <= 0.01,
+        s"$flag: approx ${est(flag)} vs exact $e")
+    }
+  }
+}
