@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus-mixing operators — the selection/budgeting layer
+  * of a training-data pipeline: draw a reproducible sample per group,
+  * enforce per-group document quotas (mixture weights), cap groups by
+  * token budget, and pack documents into fixed-size training sequences.
+  *
+  * Determinism discipline: "random" order is the md5 of a content key —
+  * stable across engines, runs, and partitionings (no RNG state, no
+  * sample() nondeterminism), so every operator here is oracle-checkable
+  * and idempotent across reruns. That is the property a 100 TB corpus
+  * build actually needs: re-running a failed stage must select the SAME
+  * documents.
+  *
+  * Scale notes: every operator is one per-group window over a slim
+  * projection. The rank forms (`row_number <= k`) hit Spark's
+  * WindowGroupLimit partial pass (per-partition top-k before the
+  * shuffle); the running-sum forms shuffle each group once. Groups are
+  * language/source-grained — thousands of groups, not billions — so
+  * per-group windows partition well.
+  */
+object Mixing {
+
+  /** Stable pseudo-random order: (md5(key), id) — id breaks the
+    * (vanishingly unlikely) hash tie to keep a total order. */
+  private def hashOrder(keyCol: Column, idCol: Column): Seq[Column] =
+    Seq(md5(coalesce(keyCol.cast("string"), lit(""))), idCol)
+
+  /** Deterministic k-per-group sample in hash order. */
+  def deterministicSample(df: DataFrame, groupCol: String, idCol: String,
+      keyCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(groupCol)
+      .orderBy(hashOrder(col(keyCol), col(idCol)): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** Corpus mixing by per-group quota: group g keeps its first
+    * `quotas(g)` documents in hash order; groups absent from the map are
+    * dropped. The quota map is a broadcast-free literal (J1 pattern). */
+  def mixByQuota(df: DataFrame, groupCol: String, idCol: String,
+      keyCol: String, quotas: Map[String, Int]): DataFrame = {
+    val quotaMap = typedLit(quotas)
+    val w = Window.partitionBy(groupCol)
+      .orderBy(hashOrder(col(keyCol), col(idCol)): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__quota", element_at(quotaMap, col(groupCol)))
+      .filter(col("__quota").isNotNull && col("__rn") <= col("__quota"))
+      .drop("__rn", "__quota")
+  }
+
+  /** Token-budget cap: keep documents per group, in hash order, while
+    * the running token total stays within `budget` (the first document
+    * crossing the budget is excluded). Returns the input columns plus
+    * `cum_tokens`. */
+  def tokenBudget(df: DataFrame, groupCol: String, idCol: String,
+      keyCol: String, tokensCol: String, budget: Long): DataFrame = {
+    val w = Window.partitionBy(groupCol)
+      .orderBy(hashOrder(col(keyCol), col(idCol)): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum_tokens", sum(col(tokensCol)).over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
+
+  /** Greedy contiguous sequence packing: walk each group in hash order
+    * and assign every document a bin id so each bin holds ~`binTokens`
+    * tokens (bin = floor of the PRE-document running total / binTokens —
+    * a document lands in the bin its predecessors filled up to, so bins
+    * can overflow by at most one document, never undershoot). The
+    * streaming-friendly approximation of first-fit packing used to build
+    * fixed-length training sequences. */
+  def packSequences(df: DataFrame, groupCol: String, idCol: String,
+      keyCol: String, tokensCol: String, binTokens: Long): DataFrame = {
+    val w = Window.partitionBy(groupCol)
+      .orderBy(hashOrder(col(keyCol), col(idCol)): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__cum", sum(col(tokensCol)).over(w))
+      .withColumn("bin",
+        floor((col("__cum") - col(tokensCol))
+          .cast("double") / binTokens).cast("bigint"))
+      .drop("__cum")
+  }
+}

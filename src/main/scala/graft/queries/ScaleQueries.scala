@@ -192,6 +192,37 @@ object ScaleQueries {
         .orderBy("doc_id")
     }),
 
+    // deterministic corpus mixing: hash-ordered k-per-source sample
+    "q57_sample" -> ((s, dir) =>
+      graft.ops.Mixing.deterministicSample(t(s, dir, "documents"),
+        "source", "doc_id", "text", k = 10)
+        .select("source", "doc_id")
+        .orderBy("source", "doc_id")),
+
+    // per-language token budget (running hash-ordered total ≤ 5000)
+    "q57b_token_budget" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val withTokens = docs.join(
+        TextAnalysis.tokenCounts(docs, "doc_id", "text")
+          .select("doc_id", "ws_tokens"), "doc_id")
+      graft.ops.Mixing.tokenBudget(withTokens, "lang", "doc_id", "text",
+        "ws_tokens", budget = 5000L)
+        .select("lang", "doc_id", "cum_tokens")
+        .orderBy("lang", "doc_id")
+    }),
+
+    // greedy sequence packing into ~2000-token bins per language
+    "q57c_packing" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val withTokens = docs.join(
+        TextAnalysis.tokenCounts(docs, "doc_id", "text")
+          .select("doc_id", "ws_tokens"), "doc_id")
+      graft.ops.Mixing.packSequences(withTokens, "lang", "doc_id", "text",
+        "ws_tokens", binTokens = 2000L)
+        .select("lang", "doc_id", "bin")
+        .orderBy("lang", "doc_id")
+    }),
+
     // sketch aggregates — the approximate forms that replace exact
     // aggregation at 100 TB: HLL count-distinct (fixed-size state vs a
     // full distinct shuffle) and t-digest style percentiles (vs a global
@@ -448,6 +479,38 @@ object ScaleQueries {
          SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id,
                 (min(lbl) = id) AS is_rep
          FROM reach GROUP BY id ORDER BY doc_id""",
+    "q57_sample" ->
+      """SELECT source, doc_id
+         FROM (SELECT source, doc_id,
+                      row_number() OVER (PARTITION BY source
+                        ORDER BY md5(coalesce(text, '')), doc_id) AS rn
+               FROM documents) r
+         WHERE rn <= 10 ORDER BY source, doc_id""",
+    "q57b_token_budget" ->
+      """WITH tk AS (SELECT doc_id, lang, text,
+                CAST(len(list_filter(string_split(text, ' '),
+                                     t -> length(t) > 0)) AS BIGINT) AS ws_tokens
+           FROM documents),
+           c AS (SELECT lang, doc_id,
+                sum(ws_tokens) OVER (PARTITION BY lang
+                  ORDER BY md5(coalesce(text, '')), doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+           FROM tk)
+         SELECT lang, doc_id, cum_tokens FROM c
+         WHERE cum_tokens <= 5000 ORDER BY lang, doc_id""",
+    "q57c_packing" ->
+      """WITH tk AS (SELECT doc_id, lang, text,
+                CAST(len(list_filter(string_split(text, ' '),
+                                     t -> length(t) > 0)) AS BIGINT) AS ws_tokens
+           FROM documents),
+           c AS (SELECT lang, doc_id, ws_tokens,
+                sum(ws_tokens) OVER (PARTITION BY lang
+                  ORDER BY md5(coalesce(text, '')), doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM tk)
+         SELECT lang, doc_id,
+                CAST(floor((cum - ws_tokens) * 1.0 / 2000) AS BIGINT) AS bin
+         FROM c ORDER BY lang, doc_id""",
     "q44_salted_join" ->
       """SELECT l.l_orderkey, l.l_linenumber, s.s_name
          FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey

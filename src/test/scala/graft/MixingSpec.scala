@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Mixing
+
+class MixingSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  private def docs = Seq(
+    ("a", 1L, "alpha text one", 3L),
+    ("a", 2L, "alpha text two", 3L),
+    ("a", 3L, "alpha text three", 3L),
+    ("b", 4L, "beta text", 2L),
+    ("b", 5L, "beta other", 2L),
+    ("c", 6L, "gamma", 1L))
+    .toDF("grp", "id", "text", "toks").repartition(3)
+
+  test("deterministicSample: k per group, stable across runs and partitionings") {
+    val s1 = Mixing.deterministicSample(docs, "grp", "id", "text", 2)
+      .select("grp", "id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val s2 = Mixing.deterministicSample(docs.repartition(7), "grp", "id", "text", 2)
+      .select("grp", "id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(s1 === s2)
+    assert(s1.count(_._1 == "a") === 2)
+    assert(s1.count(_._1 == "b") === 2)
+    assert(s1.count(_._1 == "c") === 1) // group smaller than k keeps all
+  }
+
+  test("mixByQuota: per-group quotas honored, unlisted groups dropped") {
+    val out = Mixing.mixByQuota(docs, "grp", "id", "text",
+      Map("a" -> 1, "b" -> 2))
+      .select("grp").collect().map(_.getString(0))
+    assert(out.count(_ == "a") === 1)
+    assert(out.count(_ == "b") === 2)
+    assert(!out.contains("c"))
+  }
+
+  test("tokenBudget: running total capped, first crossing doc excluded") {
+    // group a: 3 docs × 3 tokens, budget 7 → exactly 2 docs survive
+    // (cum 3, 6, 9) regardless of which hash order they land in
+    val out = Mixing.tokenBudget(docs, "grp", "id", "text", "toks", 7L)
+      .select("grp", "cum_tokens").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).sorted.toSeq).toMap
+    assert(out("a") === Seq(3L, 6L))
+    assert(out("b") === Seq(2L, 4L))
+    assert(out("c") === Seq(1L))
+  }
+
+  test("packSequences: bins fill to the cap and overflow by at most one doc") {
+    // group a in hash order has cums 3,6,9 → pre-doc totals 0,3,6 →
+    // binTokens=6: bins 0,0,1
+    val out = Mixing.packSequences(docs, "grp", "id", "text", "toks", 6L)
+      .filter(col("grp") === "a")
+      .select("bin").collect().map(_.getLong(0)).sorted.toSeq
+    assert(out === Seq(0L, 0L, 1L))
+  }
+
+  test("sample composes with budget: idempotent reselection") {
+    val once = Mixing.tokenBudget(docs, "grp", "id", "text", "toks", 7L)
+    val twice = Mixing.tokenBudget(
+      once.drop("cum_tokens"), "grp", "id", "text", "toks", 7L)
+    assert(once.select("id").collect().map(_.getLong(0)).toSet ===
+      twice.select("id").collect().map(_.getLong(0)).toSet)
+  }
+}
