@@ -22,6 +22,7 @@ object Bench {
     "q17_topk_window",
     "q19_window_frame",
     "q19b_window_frame",
+    "q19c_window_frame",
     "q20s_stem",
     "q24_tumbling_window",
     "q25_dedup_hash",

@@ -112,4 +112,86 @@ object WindowFrames {
       .filter(col("__carry") === 0)
       .drop("__bucket", "__carry")
   }
+
+  /** One row of the one-pass variant's concrete input: numeric sort
+    * keys (o1 primary — e.g. epoch seconds — o2 unique tiebreak) and the
+    * summed value. */
+  case class FrameRow(o1: Double, o2: Long, v: Double)
+
+  /** ONE-SHUFFLE variant of [[globalRowsFrameSum]]: range-partition on
+    * (o1, o2), sort within partitions, then compute the frames
+    * imperatively per partition with the (frameRows−1) boundary rows of
+    * every earlier partition broadcast as carries.
+    *
+    * This is the engine's only deliberate drop to the RDD layer, for a
+    * reason the DataFrame API cannot express: the tails job and the
+    * compute job run over the SAME shuffled RDD object, so Spark skips
+    * the range-shuffle map stage on the second job (cross-job shuffle
+    * reuse is lineage-based and does not happen across separately
+    * compiled DataFrame plans). Net cost: ONE range shuffle of a
+    * 3-column projection + a metadata-sized collect
+    * (nBuckets × frameRows rows, independent of data size — same class
+    * as `sampleBy`'s fraction collect).
+    *
+    * The per-row aggregate recomputes the frame sum oldest→newest
+    * (O(frameRows), matching Spark's SlidingWindowFunctionFrame
+    * association order, so results are bit-identical to the window
+    * form). Returns (o2, outCol).
+    */
+  def globalRowsFrameSumOnePass(df: DataFrame, ord1: String, ord2: String,
+      valueCol: String, proxy: Column, frameRows: Int, outCol: String,
+      nBuckets: Int = 32): DataFrame = {
+    require(frameRows >= 1, s"frameRows must be >= 1, got $frameRows")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val carry = frameRows - 1
+
+    val ds = df.select(proxy.cast("double").as("o1"),
+        col(ord2).cast("long").as("o2"),
+        col(valueCol).cast("double").as("v"))
+      .as[FrameRow]
+      .repartitionByRange(nBuckets, col("o1"), col("o2"))
+      .sortWithinPartitions("o1", "o2")
+    val rdd = ds.rdd // ONE shuffled RDD shared by both jobs below
+
+    // job 1: last `carry` rows per partition — tiny (metadata-sized)
+    val tails: Array[(Int, Array[FrameRow])] =
+      if (carry == 0) Array.empty
+      else rdd.mapPartitionsWithIndex { (pid, it) =>
+        val buf = new scala.collection.mutable.ArrayDeque[FrameRow]()
+        it.foreach { r =>
+          buf.append(r); if (buf.length > carry) buf.removeHead()
+        }
+        Iterator.single((pid, buf.toArray))
+      }.collect()
+
+    // carries for partition p = last `carry` rows among all earlier
+    // tails (covers partitions smaller than the frame)
+    val sortedTails = tails.sortBy(_._1)
+    val carryMap: Map[Int, Array[FrameRow]] =
+      (0 until nBuckets).map { p =>
+        p -> sortedTails.filter(_._1 < p).flatMap(_._2).takeRight(carry)
+      }.toMap
+    val bc = spark.sparkContext.broadcast(carryMap)
+
+    // job 2: per-partition moving sums, seeded with the carries; the
+    // shuffle map stage from job 1 is reused, not re-executed
+    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val ring = new Array[Double](frameRows)
+      var n = 0 // rows seen so far (carries + real)
+      def push(v: Double): Double = {
+        ring(n % frameRows) = v
+        n += 1
+        // sum oldest → newest (association order of the window form)
+        val len = math.min(n, frameRows)
+        var s = 0.0
+        var i = n - len
+        while (i < n) { s += ring(i % frameRows); i += 1 }
+        s
+      }
+      bc.value.getOrElse(pid, Array.empty[FrameRow]).foreach(r => push(r.v))
+      it.map(r => (r.o2, push(r.v)))
+    }
+    spark.createDataset(out).toDF(ord2, outCol)
+  }
 }

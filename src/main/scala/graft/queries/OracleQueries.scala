@@ -291,6 +291,19 @@ object OracleQueries {
         .orderBy("o_orderkey")
     }),
 
+    // Q19c — same semantics again in the ONE-SHUFFLE form:
+    // repartitionByRange + per-partition imperative frames + broadcast
+    // boundary carries over a shared shuffled RDD (see
+    // WindowFrames.globalRowsFrameSumOnePass for why RDD, not DataFrame)
+    "q19c_window_frame" -> ((s, dir) => {
+      graft.ops.WindowFrames.globalRowsFrameSumOnePass(
+        t(s, dir, "orders"), "o_orderdate", "o_orderkey", "o_totalprice",
+        proxy = col("o_orderdate").cast("timestamp").cast("double"),
+        frameRows = 3, outCol = "mv_raw")
+        .select(col("o_orderkey"), round(col("mv_raw"), 4).as("mv_sum"))
+        .orderBy("o_orderkey")
+    }),
+
     // Q51 — RANGE window frame (value-based, vs Q19's ROWS frame):
     // revenue of lineitems within 5 quantity units below current
     "q51_range_frame" -> ((s, dir) => {
@@ -624,6 +637,11 @@ object OracleQueries {
                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mv_sum
          FROM orders ORDER BY o_orderkey""",
     "q19b_window_frame" ->
+      """SELECT o_orderkey,
+                round(sum(o_totalprice) OVER (ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mv_sum
+         FROM orders ORDER BY o_orderkey""",
+    "q19c_window_frame" ->
       """SELECT o_orderkey,
                 round(sum(o_totalprice) OVER (ORDER BY o_orderdate, o_orderkey
                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mv_sum

@@ -60,6 +60,38 @@ class WindowFramesSpec extends AnyFunSuite {
     assert(scaleSafe(mk(Seq.empty), 3, 8).isEmpty)
   }
 
+  private def onePass(df: DataFrame, frameRows: Int,
+      nBuckets: Int): Seq[(Long, Double)] =
+    WindowFrames.globalRowsFrameSumOnePass(df, "ord1", "ord2", "v",
+      proxy = col("ord1"), frameRows, "mv", nBuckets)
+      .select(col("ord2"), round(col("mv"), 4).as("mv"))
+      .as[(Long, Double)].collect().toSeq.sortBy(_._1)
+
+  test("one-pass form matches the single-task window on random data") {
+    val rnd = new scala.util.Random(13)
+    val rows = (0 until 400).map { i =>
+      (rnd.nextInt(30), i.toLong, (rnd.nextInt(1000) - 500) / 10.0)
+    }
+    val df = mk(rows)
+    for (f <- Seq(1, 3, 5); nb <- Seq(3, 8))
+      assert(onePass(df, f, nb) === singleTask(df, f), s"frame=$f buckets=$nb")
+  }
+
+  test("one-pass form: sub-frame partitions and degenerate inputs") {
+    val tiny = mk((0 until 7).map(i => (i, i.toLong, i.toDouble)))
+    assert(onePass(tiny, 5, 8) === singleTask(tiny, 5)) // partitions < frame
+    assert(onePass(mk(Seq((1, 1L, 2.5))), 3, 4) === Seq((1L, 2.5)))
+    assert(onePass(mk(Seq.empty), 3, 4).isEmpty)
+  }
+
+  test("q19c equals q19 on sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val q19 = graft.queries.OracleQueries.queries("q19_window_frame")(spark, dir)
+    val q19c = graft.queries.OracleQueries.queries("q19c_window_frame")(spark, dir)
+    assert(q19c.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ===
+      q19.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+  }
+
   test("q19b equals q19 on sf0.001 and plans with no single-partition exchange") {
     val dir = "/root/testdata/sf0.001"
     val q19 = graft.queries.OracleQueries.queries("q19_window_frame")(spark, dir)
