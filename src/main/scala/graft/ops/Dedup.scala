@@ -47,6 +47,13 @@ object Dedup {
       k: Int = 32, bands: Int = 8, minJaccard: Double = 0.7): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
+    // The signature subtree feeds several plan branches (band-join
+    // sides + join-backs). Left lazy on purpose: at real scale the band
+    // join and join-backs are shuffle joins whose exchanges canonicalize
+    // identically, so ReusedExchange materializes the signature scan
+    // once; measured locally, checkpointing it eagerly bought nothing
+    // (the band-collision join dominates) and would make the operator
+    // eager.
     val sigs = minHashSignature(df, idCol, textCol, k)
 
     // The band self-join carries ONLY (band, bh, id): a colliding pair
