@@ -483,6 +483,31 @@ object OracleQueries {
         .orderBy("o_orderstatus")
     }),
 
+    // Q24b — sliding event-time windows (1 h window, 15 min slide):
+    // every event lands in 4 overlapping windows. Compared on epoch
+    // seconds to keep the oracle timezone-free.
+    "q24b_sliding_window" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("window.start").cast("long").as("ws_epoch"),
+          col("event_type"), col("cnt"))
+        .orderBy("ws_epoch", "event_type")
+    }),
+
+    // Q24c — built-in session windows (session_window, 30 min gap) —
+    // must agree with the hand-rolled lag+cumsum sessionizer (q39)
+    "q24c_session_window" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 4).as("total_value"))
+        .select(col("user_id"),
+          col("session_window.start").cast("long").as("start_epoch"),
+          col("n_events"), col("total_value"))
+        .orderBy("user_id", "start_epoch")
+    }),
+
     // Q24 — §2.9 batch form: tumbling 1-hour event-time window counts
     "q24_tumbling_window" -> ((s, dir) => {
       Tables.events(s, dir)
@@ -730,5 +755,34 @@ object OracleQueries {
     "q24_tumbling_window" ->
       """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS hour_start,
                 event_type, CAST(count(*) AS BIGINT) AS cnt, round(sum(value), 4) AS sum_value
-         FROM events GROUP BY 1, 2 ORDER BY 1, 2""")
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q24b_sliding_window" ->
+      """WITH e AS (SELECT event_type, epoch(CAST(ts AS TIMESTAMP)) AS es
+                    FROM events),
+              s AS (SELECT event_type,
+                           CAST((floor(es / 900) - k) * 900 AS BIGINT) AS ws_epoch
+                    FROM (SELECT *, unnest(range(0, 4)) AS k FROM e))
+         SELECT ws_epoch, event_type, CAST(count(*) AS BIGINT) AS cnt
+         FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q24c_session_window" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+                    FROM events),
+              l AS (SELECT *, lag(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts) AS prev
+                    FROM e),
+              f AS (SELECT *, CASE WHEN prev IS NULL
+                                     OR epoch_ms(ts) - epoch_ms(prev) >= 1800000
+                                   THEN 1 ELSE 0 END AS brk
+                    FROM l),
+              s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+                      ORDER BY ts
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS session_id
+                    FROM f)
+         SELECT user_id,
+                CAST(floor(epoch(min(ts))) AS BIGINT) AS start_epoch,
+                CAST(count(*) AS BIGINT) AS n_events,
+                round(sum(value), 4) AS total_value
+         FROM s GROUP BY user_id, session_id
+         ORDER BY user_id, start_epoch""")
 }
