@@ -73,7 +73,9 @@ object Fs {
     if (parent != null && !dstFs.exists(parent)) dstFs.mkdirs(parent)
     FileUtil.copy(srcFs, srcPath, dstFs, dstPath,
       /* deleteSource = */ false, /* overwrite = */ true, conf(spark))
-    listRecursive(spark, dst).size.toLong
+    // count what was copied (the source tree), not whatever happens to
+    // live under dst
+    listRecursive(spark, src).size.toLong
   }
 
   /** S7 download alias — reference `download_directory_from_s3`
