@@ -90,6 +90,57 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** AUDITABLE twin of the MinHash LSH pipeline, oracle-checkable
+    * end-to-end: the hash family is md5-derived (h_i(t) = first 15 hex
+    * chars of md5("i:" ++ token) as a long) so DuckDB computes the
+    * identical signatures, and band keys are the raw band-slice VALUES
+    * (not an engine-specific hash), so candidate generation, pair
+    * dedup, and the Jaccard estimate all match cross-engine exactly.
+    *
+    * This is the correctness anchor for [[minHashPairs]] (same
+    * pipeline shape with the fused xxhash64 codegen family and hashed
+    * band keys — the fast form); HOF expressions here are
+    * CodegenFallback and that is fine for an audit variant.
+    */
+  def minHashPairsAuditable(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, bands: Int = 2, minJaccard: Double = 0.75): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    val tokens = array_distinct(
+      filter(split(coalesce(col(textCol), lit("")), " "), t => length(t) > 0))
+    val sigCols = (0 until k).map { i =>
+      coalesce(
+        array_min(transform(tokens, t =>
+          conv(substring(md5(concat(lit(s"$i:"), t)), 1, 15), 16, 10)
+            .cast("long"))),
+        lit(Long.MaxValue))
+    }
+    val sigs = df.select(col(idCol), array(sigCols: _*).as("sig"))
+
+    val banded = sigs.select(col(idCol), col("sig"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws(",", slice(col("sig"), b * r + 1, r).cast("array<string>"))
+            .as("bk"))
+      }: _*)).as("x"))
+      .select(col(idCol), col("sig"), col("x.band"), col("x.bk"))
+
+    val a = banded.select(col("band"), col("bk"),
+      col(idCol).as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("bk"), col(idCol).as("id_b"))
+    a.join(b, Seq("band", "bk"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sig_a").distinct()
+      .join(sigs.select(col(idCol).as("id_b"), col("sig").as("sig_b")), "id_b")
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / k)
+      .filter(col("est_jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** 64-bit SimHash fingerprints via the custom codegen expression. */
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol),

@@ -45,6 +45,13 @@ object ScaleQueries {
       Dedup.minHashPairs(t(s, dir, "documents"), "doc_id", "text",
         k = 32, bands = 4, minJaccard = 0.9)),
 
+    // AUDITABLE MinHash LSH twin: md5-derived hash family + value-keyed
+    // bands → the whole signatures→banding→pairs→estimate pipeline is
+    // oracle-checked (the fast form q26 uses fused xxhash64; same shape)
+    "q26b_minhash_oracle" -> ((s, dir) =>
+      Dedup.minHashPairsAuditable(t(s, dir, "documents"), "doc_id", "text",
+        k = 8, bands = 2, minJaccard = 0.75)),
+
     // SimHash fingerprints + near-dup pairs (no oracle: custom hash)
     "q27_simhash_pairs" -> ((s, dir) =>
       Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text",
@@ -479,6 +486,49 @@ object ScaleQueries {
          SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id,
                 (min(lbl) = id) AS is_rep
          FROM reach GROUP BY id ORDER BY doc_id""",
+    "q26b_minhash_oracle" ->
+      """WITH toks AS (
+             SELECT doc_id,
+                    list_distinct(list_filter(string_split(coalesce(text, ''), ' '),
+                                              t -> length(t) > 0)) AS tk
+             FROM documents),
+           sigs AS (
+             SELECT doc_id,
+                    [coalesce(list_min(list_transform(tk,
+                       t -> CAST('0x' || substr(md5('0:' || t), 1, 15) AS BIGINT))), 9223372036854775807),
+                     coalesce(list_min(list_transform(tk,
+                       t -> CAST('0x' || substr(md5('1:' || t), 1, 15) AS BIGINT))), 9223372036854775807),
+                     coalesce(list_min(list_transform(tk,
+                       t -> CAST('0x' || substr(md5('2:' || t), 1, 15) AS BIGINT))), 9223372036854775807),
+                     coalesce(list_min(list_transform(tk,
+                       t -> CAST('0x' || substr(md5('3:' || t), 1, 15) AS BIGINT))), 9223372036854775807),
+                     coalesce(list_min(list_transform(tk,
+                       t -> CAST('0x' || substr(md5('4:' || t), 1, 15) AS BIGINT))), 9223372036854775807),
+                     coalesce(list_min(list_transform(tk,
+                       t -> CAST('0x' || substr(md5('5:' || t), 1, 15) AS BIGINT))), 9223372036854775807),
+                     coalesce(list_min(list_transform(tk,
+                       t -> CAST('0x' || substr(md5('6:' || t), 1, 15) AS BIGINT))), 9223372036854775807),
+                     coalesce(list_min(list_transform(tk,
+                       t -> CAST('0x' || substr(md5('7:' || t), 1, 15) AS BIGINT))), 9223372036854775807)] AS sig
+             FROM toks),
+           banded AS (
+             SELECT doc_id, sig, b.band,
+                    array_to_string(list_transform(list_slice(sig, b.band * 4 + 1, b.band * 4 + 4),
+                                                   x -> CAST(x AS VARCHAR)), ',') AS bk
+             FROM sigs, (SELECT unnest(range(0, 2)) AS band) b),
+           pairs AS (
+             SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b
+             FROM banded a JOIN banded bb
+               ON a.band = bb.band AND a.bk = bb.bk AND a.doc_id < bb.doc_id),
+           est AS (
+             SELECT p.id_a, p.id_b,
+                    len(list_filter(range(1, 9),
+                        i -> sa.sig[i] = sb.sig[i])) / 8.0 AS e
+             FROM pairs p
+             JOIN sigs sa ON sa.doc_id = p.id_a
+             JOIN sigs sb ON sb.doc_id = p.id_b)
+         SELECT id_a, id_b, round(e, 4) AS est_jaccard
+         FROM est WHERE e >= 0.75 ORDER BY id_a, id_b""",
     "q57_sample" ->
       """SELECT source, doc_id
          FROM (SELECT source, doc_id,
