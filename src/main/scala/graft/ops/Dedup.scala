@@ -141,6 +141,30 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** AUDITABLE SimHash twin (60-bit, md5-derived token hashes) — the
+    * oracle-checkable analog of [[simHash]]: per bit i, the fingerprint
+    * sets bit i iff at least half the token hashes have bit i set
+    * (2×ones ≥ n; empty token set → 0). Same charikar bit-vote
+    * semantics as the fused codegen SimHash64, with a hash family both
+    * engines can compute. Audit form: 60 HOF sub-expressions per row,
+    * O(60 × tokens) — fine for a correctness anchor, not the hot path.
+    */
+  def simHashAuditable(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val tokens = array_distinct(
+      filter(split(coalesce(col(textCol), lit("")), " "), t => length(t) > 0))
+    val hs = transform(tokens, t =>
+      conv(substring(md5(concat(lit("s:"), t)), 1, 15), 16, 10).cast("long"))
+    val withHs = df.select(col(idCol), hs.as("__hs"))
+    val n = size(col("__hs"))
+    val fingerprint = (0 until 60).map { i =>
+      val ones = size(filter(col("__hs"),
+        h => h.bitwiseAND(lit(1L << i)) =!= 0L))
+      when(n > 0 && ones * 2 >= n, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    withHs.select(col(idCol), fingerprint.as("simhash"))
+  }
+
   /** 64-bit SimHash fingerprints via the custom codegen expression. */
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol),

@@ -57,6 +57,13 @@ object ScaleQueries {
       Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text",
         maxDist = 3)),
 
+    // AUDITABLE SimHash twin: md5-derived token hashes, bit-vote
+    // fingerprint — oracle-checked (the fast q27 path uses the fused
+    // SimHash64 codegen expression)
+    "q27b_simhash_oracle" -> ((s, dir) =>
+      Dedup.simHashAuditable(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // exact trigram-Jaccard top pairs over a bounded slice
     "q28_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardTopPairs(t(s, dir, "documents"), "doc_id", "text",
@@ -341,6 +348,28 @@ object ScaleQueries {
   private val sqlStopwords: String =
     TextOps.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
+  /** Generated DuckDB twin of [[Dedup.simHashAuditable]]: 60 bit-vote
+    * terms over md5-derived token hashes. */
+  private val q27bSql: String = {
+    val bitTerms = (0 until 60).map { i =>
+      s"""CASE WHEN len(hs) > 0 AND
+         |2 * len(list_filter(hs, h -> (h >> $i) & 1 = 1)) >= len(hs)
+         |THEN CAST(${1L << i} AS BIGINT) ELSE 0 END""".stripMargin
+    }.mkString(" + ")
+    s"""WITH toks AS (
+           SELECT doc_id,
+                  list_distinct(list_filter(string_split(coalesce(text, ''), ' '),
+                                            t -> length(t) > 0)) AS tk
+           FROM documents),
+         hashed AS (
+           SELECT doc_id,
+                  list_transform(tk,
+                    t -> CAST('0x' || substr(md5('s:' || t), 1, 15) AS BIGINT)) AS hs
+           FROM toks)
+       SELECT doc_id, CAST($bitTerms AS BIGINT) AS simhash
+       FROM hashed ORDER BY doc_id"""
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q25_dedup_hash" ->
       """SELECT min(doc_id) AS doc_id, md5(text) AS h FROM documents
@@ -486,6 +515,7 @@ object ScaleQueries {
          SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id,
                 (min(lbl) = id) AS is_rep
          FROM reach GROUP BY id ORDER BY doc_id""",
+    "q27b_simhash_oracle" -> q27bSql,
     "q26b_minhash_oracle" ->
       """WITH toks AS (
              SELECT doc_id,
