@@ -26,6 +26,15 @@ class OracleQueriesSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracle SQL without query impl: $missing")
   }
 
+  test("full driver contract is consistent (incl. scale queries)") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle SQL without query impl: $missing")
+    // name collisions between the two query maps would shadow silently
+    val overlap = OracleQueries.queries.keySet
+      .intersect(graft.queries.ScaleQueries.queries.keySet)
+    assert(overlap.isEmpty, s"duplicate query names: $overlap")
+  }
+
   test("q10 rollup over nation has 25 leaf + 5 region + 1 total rows") {
     assert(OracleQueries.queries("q10_rollup")(spark, dir).count() === 31)
   }
