@@ -58,6 +58,15 @@ object Streams {
       .drop(s"right_$keyCol")
   }
 
+  /** Stream-static enrichment: join a stream against a small static
+    * dimension (the topic→theme lookup shape, J1) — the static side is
+    * broadcast per micro-batch, so the stream never shuffles. The
+    * 100 TB/day streaming analog of the reference's theme-label join.
+    */
+  def enrichWithStatic(stream: DataFrame, dim: DataFrame,
+      keyCol: String): DataFrame =
+    stream.join(broadcast(dim), Seq(keyCol), "left")
+
   /** foreachBatch sink: every micro-batch lands as a run_ts-versioned
     * parquet snapshot (S8 layout) — the streaming form of the
     * reference's timestamp-versioned S3 uploads. Batch id, not wall

@@ -42,6 +42,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment broadcasts the dim and matches batch join") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = eventRows(200)
+    val dim = Seq(("purchase", "rev"), ("signup", "acq"), ("view", "eng"))
+      .toDF("event_type", "category")
+    val stream = MemoryStream[Event]
+    stream.addData(rows)
+    val enriched = Streams.enrichWithStatic(stream.toDF(), dim, "event_type")
+    val q = enriched.writeStream.outputMode("append")
+      .format("memory").queryName("stream_enriched").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("stream_enriched")
+        .select("event_id", "category")
+        .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+      val batch = rows.toDF().join(dim, Seq("event_type"), "left")
+        .select("event_id", "category")
+        .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("watermarked streaming dedup drops in-horizon duplicates") {
     implicit val sqlCtx = spark.sqlContext
     val base = eventRows(50)
