@@ -37,6 +37,25 @@ object OracleQueries {
        GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
        ORDER BY revenue DESC, l_orderkey LIMIT 10"""
 
+  /** Shared SQL for Q47b — the TPC-H Q5 shape (local-supplier volume):
+    * a six-table join tree the optimizer must order well (two broadcast
+    * dims, three fact-side shuffles). Dialect-portable; runs verbatim on
+    * Spark SQL and DuckDB. */
+  private val q47bSql: String =
+    """SELECT n_name,
+              round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+       FROM customer
+       JOIN orders   ON c_custkey = o_custkey
+       JOIN lineitem ON l_orderkey = o_orderkey
+       JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       JOIN nation   ON s_nationkey = n_nationkey
+       JOIN region   ON n_regionkey = r_regionkey
+       WHERE r_name = 'ASIA'
+         AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+       GROUP BY n_name
+       ORDER BY revenue DESC, n_name"""
+
   /** Literal stopword array for the DuckDB side of Q20 — must mirror
     * [[TextOps.stopwords]]. */
   private val sqlStopwords: String =
@@ -429,6 +448,13 @@ object OracleQueries {
       s.sql(q47Sql)
     }),
 
+    // Q47b — TPC-H Q5 shape: six-table join, SAME SQL text as the oracle
+    "q47b_sql_volume" -> ((s, dir) => {
+      Seq("customer", "orders", "lineitem", "supplier", "nation", "region")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(q47bSql)
+    }),
+
     // Q48 — array-function breadth over the embeddings vectors
     "q48_arrays" -> ((s, dir) => {
       val emb = transform(col("embedding"), x => x.cast("double"))
@@ -743,6 +769,7 @@ object OracleQueries {
                 repeat(p_brand, 2) AS rep2
          FROM part ORDER BY p_partkey""",
     "q47_sql_shipping" -> q47Sql,
+    "q47b_sql_volume" -> q47bSql,
     "q46_stats" ->
       """SELECT l_returnflag,
                 round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,

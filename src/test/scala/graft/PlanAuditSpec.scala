@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.OracleQueries
+
+/** Physical-plan audits: the scan properties the 100 TB design depends
+  * on must hold in the actual plans, not just in intent — filters reach
+  * the parquet reader (`PushedFilters`), projections prune the read
+  * schema (`ReadSchema`), and broadcast joins stay broadcast.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    OracleQueries.queries(name)(spark, dir)
+      .queryExecution.executedPlan.toString
+
+  test("q3 filter is pushed to the parquet scan") {
+    val p = plan("q3_filter")
+    assert(p.contains("PushedFilters:"), p.take(2000))
+    assert(p.contains("IsNotNull(text)") || p.contains("IsNotNull(lang)"),
+      "null filters should reach the scan")
+    assert(p.contains("EqualTo(lang,en)"),
+      "equality predicate should reach the scan")
+  }
+
+  test("q1 projection prunes the read schema to selected columns") {
+    val p = plan("q1_scan_sort")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema:"))
+      .getOrElse(fail("no ReadSchema in plan"))
+    assert(readSchema.contains("doc_id") && readSchema.contains("lang") &&
+      readSchema.contains("source") && readSchema.contains("n_chars"))
+    assert(!readSchema.contains("text"),
+      s"text must not be read for a 4-column projection: $readSchema")
+  }
+
+  test("q0 aggregate reads only the six referenced lineitem columns") {
+    val p = plan("q0_pricing_summary")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema:"))
+      .getOrElse(fail("no ReadSchema in plan"))
+    assert(!readSchema.contains("l_shipdate") && !readSchema.contains("l_suppkey"),
+      s"unreferenced columns must be pruned: $readSchema")
+  }
+
+  test("q11 theme lookup joins via broadcast, not shuffle") {
+    val p = plan("q11_theme_join")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      p.take(2000))
+    assert(!p.contains("SortMergeJoin"),
+      "a 5-row lookup must never sort-merge")
+  }
+
+  test("q4 ordered preview plans as TakeOrderedAndProject, no global sort") {
+    val p = plan("q4_limit")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+}
