@@ -1,0 +1,97 @@
+package graft.sources.dsv2
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write._
+
+/** DSv2 WRITE path for the review connector — the store-side analog of
+  * the reference's load stage writing processed records back
+  * (`loader.py:109-130`), expressed through the V2 commit protocol:
+  *
+  *  - each task's [[ReviewDataWriter]] BUFFERS its rows and only ships
+  *    them inside its `WriterCommitMessage`;
+  *  - the driver-side [[ReviewBatchWrite]].`commit` installs all
+  *    partitions into the store in one atomic swap.
+  *
+  * That two-phase shape is what makes speculative or retried tasks safe:
+  * an aborted task's buffer is dropped (`abort` discards it) and only
+  * the task attempt whose commit message reaches the driver
+  * contributes — the exactly-once discipline a real Bolt/JDBC sink
+  * needs. `SupportsTruncate` maps `mode("overwrite")` onto
+  * truncate-then-install.
+  *
+  * The backing store is an in-JVM map keyed by the `store` option
+  * (valid for local/test use; a real backend replaces
+  * [[ReviewStore.install]] with the remote transaction).
+  */
+object ReviewStore {
+
+  private val tables = TrieMap.empty[String, Vector[InternalRow]]
+
+  def install(key: String, rows: Vector[InternalRow],
+      truncate: Boolean): Unit =
+    tables.updateWith(key) { prev =>
+      Some(if (truncate) rows else prev.getOrElse(Vector.empty) ++ rows)
+    }
+
+  def rows(key: String): Vector[InternalRow] =
+    tables.getOrElse(key, Vector.empty)
+
+  def clear(key: String): Unit = tables.remove(key)
+}
+
+class ReviewWriteBuilder(storeKey: String)
+    extends WriteBuilder with SupportsTruncate {
+
+  private var doTruncate = false
+
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new ReviewBatchWrite(storeKey, doTruncate)
+  }
+}
+
+/** Commit message: the task's buffered rows (UnsafeRow copies are
+  * serializable, so they travel back to the driver like any task
+  * result). */
+case class ReviewCommit(rows: Array[InternalRow]) extends WriterCommitMessage
+
+class ReviewBatchWrite(storeKey: String, truncate: Boolean)
+    extends BatchWrite {
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    new ReviewWriterFactory
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    ReviewStore.install(storeKey,
+      messages.iterator.flatMap {
+        case ReviewCommit(rows) => rows.iterator
+      }.toVector,
+      truncate)
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+class ReviewWriterFactory extends DataWriterFactory {
+  override def createWriter(partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] =
+    new ReviewDataWriter
+}
+
+class ReviewDataWriter extends DataWriter[InternalRow] {
+
+  private val buf = Vector.newBuilder[InternalRow]
+
+  // rows are reused by the caller — copy before buffering
+  override def write(row: InternalRow): Unit = buf += row.copy()
+
+  override def commit(): WriterCommitMessage = ReviewCommit(buf.result().toArray)
+
+  override def abort(): Unit = buf.clear()
+
+  override def close(): Unit = ()
+}

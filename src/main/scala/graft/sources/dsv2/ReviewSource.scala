@@ -43,18 +43,26 @@ class ReviewTableProvider extends TableProvider {
     new ReviewTable(properties.asScala.toMap)
 }
 
-class ReviewTable(props: Map[String, String]) extends Table with SupportsRead {
+class ReviewTable(props: Map[String, String]) extends Table
+    with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   override def name(): String = "graft_reviews"
 
   override def schema(): StructType = ReviewFixture.schema
 
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ReviewScanBuilder(
       options.getInt("partitions", 4))
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new ReviewWriteBuilder(info.options.getOrDefault("store", "default"))
 }
 
 class ReviewScanBuilder(partitions: Int) extends ScanBuilder

@@ -55,4 +55,25 @@ class ReviewSourceSpec extends AnyFunSuite {
     // duplicates removed) — same as the golden EngineSpec expectations
     assert(prepped.count() === 13)
   }
+
+  test("DSv2 write path: append accumulates, overwrite truncates (commit protocol)") {
+    import graft.sources.dsv2.ReviewStore
+    val key = "spec-store"
+    ReviewStore.clear(key)
+    val fmt = classOf[ReviewTableProvider].getName
+    try {
+      reviews.limit(10).write.format(fmt).option("store", key)
+        .mode("append").save()
+      assert(ReviewStore.rows(key).length === 10)
+      reviews.limit(10).write.format(fmt).option("store", key)
+        .mode("append").save()
+      assert(ReviewStore.rows(key).length === 20) // append accumulates
+      reviews.limit(5).write.format(fmt).option("store", key)
+        .mode("overwrite").save()
+      assert(ReviewStore.rows(key).length === 5) // truncate-then-install
+      // committed rows are real copies, not reused buffers
+      val ids = ReviewStore.rows(key).map(_.getLong(0)).toSet
+      assert(ids.size === 5 && ids.forall(_ >= 0))
+    } finally ReviewStore.clear(key)
+  }
 }
