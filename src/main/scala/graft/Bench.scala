@@ -71,7 +71,11 @@ object Bench {
     val qs = ok.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failedArr = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = ok.map(_._2).sum
+    // a failed query must not make "value" smaller (a regression would
+    // read as a speedup to consumers that only parse the total) —
+    // poison the total instead; the per-query map still carries the
+    // successful timings
+    val total = if (failed.isEmpty) ok.map(_._2).sum else -1.0
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedArr,"sf":"$sfDir"}"""
     // sbt's logger decorates stdout with [info] prefixes, which breaks

@@ -40,7 +40,11 @@ class TopKAgg(k: Int)
     * early-exit and merge rely on.
     */
   @inline private def better(a: Scored, b: Scored): Boolean = {
-    val c = java.lang.Double.compare(a.score, b.score)
+    // `+ 0.0` collapses -0.0 to 0.0: Spark's sort comparator treats the
+    // two zeros as EQUAL (falling through to the tiebreak), while raw
+    // Double.compare orders -0.0 < 0.0 — the zeros must tie here too or
+    // the agg form diverges from the window form on signed zeros.
+    val c = java.lang.Double.compare(a.score + 0.0, b.score + 0.0)
     c > 0 || (c == 0 && (a.t1 < b.t1 || (a.t1 == b.t1 && a.t2 < b.t2)))
   }
 

@@ -106,8 +106,7 @@ object Dedup {
       k: Int = 8, bands: Int = 2, minJaccard: Double = 0.75): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
-    val tokens = array_distinct(
-      filter(split(coalesce(col(textCol), lit("")), " "), t => length(t) > 0))
+    val tokens = TextOps.wsTokenSet(col(textCol))
     val sigCols = (0 until k).map { i =>
       coalesce(
         array_min(transform(tokens, t =>
@@ -151,8 +150,7 @@ object Dedup {
     */
   def simHashAuditable(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val tokens = array_distinct(
-      filter(split(coalesce(col(textCol), lit("")), " "), t => length(t) > 0))
+    val tokens = TextOps.wsTokenSet(col(textCol))
     val hs = transform(tokens, t =>
       conv(substring(md5(concat(lit("s:"), t)), 1, 15), 16, 10).cast("long"))
     val withHs = df.select(col(idCol), hs.as("__hs"))
@@ -213,8 +211,7 @@ object Dedup {
   def unigramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       maxId: Long = 150, minJaccard: Double = 0.6): DataFrame = {
     val toks = df.filter(col(idCol) < maxId)
-      .select(col(idCol), explode(array_distinct(
-        filter(split(col(textCol), " "), t => length(t) > 0))).as("tok"))
+      .select(col(idCol), explode(TextOps.wsTokenSet(col(textCol))).as("tok"))
     val sizes = toks.groupBy(idCol).agg(count(lit(1)).as("sz"))
     val a = toks.select(col(idCol).as("id_a"), col("tok"))
     val b = toks.select(col(idCol).as("id_b"), col("tok"))

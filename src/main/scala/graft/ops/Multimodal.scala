@@ -45,10 +45,17 @@ object Multimodal {
       * offsets 18/22 (height negative ⇒ top-down), bits-per-pixel LE16
       * at 28. */
     private def bmp(p: Array[Byte]): Option[ImageMeta] =
-      if (p.length >= 30 && p(0) == 'B' && p(1) == 'M')
-        Some(ImageMeta(leInt(p, 18), math.abs(leInt(p, 22)),
-          math.max(1, ((p(28) & 0xff) | ((p(29) & 0xff) << 8)) / 8), "bmp"))
-      else None
+      if (p.length >= 30 && p(0) == 'B' && p(1) == 'M') {
+        val w = leInt(p, 18)
+        val h = math.abs(leInt(p, 22)) // negative height = top-down BMP
+        val bpp = (p(28) & 0xff) | ((p(29) & 0xff) << 8)
+        // sanity-check parsed fields: a payload that merely starts with
+        // "BM" (corrupt file, text blob) must yield None, not garbage
+        if (w > 0 && w <= (1 << 20) && h > 0 && h <= (1 << 20) &&
+            Set(1, 4, 8, 16, 24, 32).contains(bpp))
+          Some(ImageMeta(w, h, math.max(1, bpp / 8), "bmp"))
+        else None
+      } else None
 
     /** PNG: 8-byte signature then the IHDR chunk; width/height BE at
       * offsets 16/20, color type at 25 → channel count. */
@@ -60,7 +67,11 @@ object Multimodal {
           case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
           case _ => 1
         }
-        Some(ImageMeta(beInt(p, 16), beInt(p, 20), channels, "png"))
+        val w = beInt(p, 16)
+        val h = beInt(p, 20)
+        if (w > 0 && w <= (1 << 20) && h > 0 && h <= (1 << 20))
+          Some(ImageMeta(w, h, channels, "png"))
+        else None
       } else None
 
     def decode(payload: Array[Byte]): Option[ImageMeta] =

@@ -73,8 +73,7 @@ object TextAnalysis {
     */
   def repetitionFeatures(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val txt = coalesce(col(textCol), lit(""))
-    val tk = filter(split(txt, " "), t => length(t) > 0)
+    val tk = TextOps.wsTokens(col(textCol))
     val bigrams = when(size(tk) >= 2,
       transform(sequence(lit(1), size(tk) - 1),
         i => concat(element_at(tk, i), lit(" "), element_at(tk, i + 1))))

@@ -27,6 +27,19 @@ object TextOps {
   /** F4 tokenize on single spaces (reference fallback `text.split()`). */
   def tokenize(c: Column): Column = split(c, " ")
 
+  /** Whitespace tokens, null-safe, empties dropped — the ONE
+    * tokenization definition every oracle-checked operator (quality,
+    * repetition, Jaccard, audit hash twins) shares with its DuckDB SQL
+    * (`list_filter(string_split(coalesce(text,''),' '), length>0)`).
+    * Keep the two in lockstep: drift here silently breaks every audit
+    * oracle at once. */
+  def wsTokens(c: Column): Column =
+    filter(split(coalesce(c, lit("")), " "), t => length(t) > 0)
+
+  /** [[wsTokens]] as a SET (distinct) — the shingle basis for the
+    * Jaccard/MinHash/SimHash family. */
+  def wsTokenSet(c: Column): Column = array_distinct(wsTokens(c))
+
   /** F5 drop stopwords and tokens of length <= 2. */
   def contentTokens(c: Column): Column = {
     val sw = array(stopwords.map(lit): _*)

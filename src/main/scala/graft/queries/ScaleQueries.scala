@@ -314,8 +314,11 @@ object ScaleQueries {
     "q42b_class_report" -> ((s, dir) => {
       import s.implicits._
       val (model, test, _, _) = rfFor(s, dir)
-      graft.ml.ThemePipeline
-        .classificationReport(model, model.transform(test))
+      // cache: the report runs three aggregations over the predictions
+      val preds = model.transform(test).cache()
+      val report = graft.ml.ThemePipeline.classificationReport(model, preds)
+      preds.unpersist()
+      report
         .map(r => (r.theme,
           BigDecimal(r.precision).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
           BigDecimal(r.recall).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
@@ -325,14 +328,17 @@ object ScaleQueries {
         .orderBy("theme")
     }))
 
-  /** One RF fit per sf dir per JVM (shared by q42/q42b): returns
-    * (fitted model, test frame, train rows, test rows). */
+  /** One RF fit per (session, sf dir) (shared by q42/q42b): returns
+    * (fitted model, test frame, train rows, test rows). Keyed by the
+    * session identity too — the cached test DataFrame is bound to the
+    * session that built it, and handing it to a later session in the
+    * same JVM would fail with a stopped-context error. */
   private val rfCache = scala.collection.concurrent.TrieMap
-    .empty[String, (org.apache.spark.ml.PipelineModel,
+    .empty[(Int, String), (org.apache.spark.ml.PipelineModel,
       org.apache.spark.sql.DataFrame, Long, Long)]
 
   private def rfFor(s: SparkSession, dir: String) =
-    rfCache.getOrElseUpdate(dir, {
+    rfCache.getOrElseUpdate((System.identityHashCode(s), dir), {
       val docs = preppedDocs(s, dir)
       val (fm, lda) = ldaFor(s, dir)
       val themed = graft.ml.ThemePipeline.assignThemes(

@@ -61,21 +61,32 @@ object Fs {
 
   /** S7: recursive copy src → dst across any scheme pair (upload when
     * dst is remote, download when dst is local — `loader.py:171-210` and
-    * `249-266` are the same walk in the reference). Ensures the
-    * destination parent, preserves the tree shape, overwrites existing
-    * files. Returns the number of files copied.
+    * `249-266` are the same walk in the reference). Walks the source
+    * tree and copies FILE BY FILE to the mirrored relative path,
+    * overwriting each target — exactly the reference's per-key upload
+    * loop, and idempotent: re-running after a partial failure
+    * re-overwrites in place. (A whole-tree `FileUtil.copy` would NEST
+    * src under an existing dst directory instead of overwriting.)
+    * Returns the number of files copied.
     */
   def copyRecursive(spark: SparkSession, src: String, dst: String): Long = {
     val (srcFs, srcPath) = fsFor(spark, src)
     val (dstFs, dstPath) = fsFor(spark, dst)
     require(srcFs.exists(srcPath), s"copy source does not exist: $src")
-    val parent = dstPath.getParent
-    if (parent != null && !dstFs.exists(parent)) dstFs.mkdirs(parent)
-    FileUtil.copy(srcFs, srcPath, dstFs, dstPath,
-      /* deleteSource = */ false, /* overwrite = */ true, conf(spark))
-    // count what was copied (the source tree), not whatever happens to
-    // live under dst
-    listRecursive(spark, src).size.toLong
+    val srcUri = srcFs.makeQualified(srcPath).toUri
+    var n = 0L
+    val it = srcFs.listFiles(srcPath, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val rel = srcUri.relativize(st.getPath.toUri).getPath
+      val target = if (rel.isEmpty) dstPath else new Path(dstPath, rel)
+      val parent = target.getParent
+      if (parent != null && !dstFs.exists(parent)) dstFs.mkdirs(parent)
+      FileUtil.copy(srcFs, st.getPath, dstFs, target,
+        /* deleteSource = */ false, /* overwrite = */ true, conf(spark))
+      n += 1
+    }
+    n
   }
 
   /** S7 download alias — reference `download_directory_from_s3`

@@ -73,6 +73,15 @@ class SinksSpec extends AnyFunSuite {
     assert(new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"$back/nested/b.txt"))) === "beta")
 
+    // idempotent retry: a second copy overwrites in place, never nests
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$src/a.txt"),
+      "alpha-v2".getBytes)
+    assert(Fs.copyRecursive(spark, src, dst) === 2)
+    assert(Fs.listRecursive(spark, dst).size === 2) // no dst/src/a.txt nesting
+    val dstLocal = dst.stripPrefix("file://")
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dstLocal/a.txt"))) === "alpha-v2")
+
     assert(Fs.deleteRecursive(spark, dst))
     assert(!Fs.exists(spark, dst))
   }

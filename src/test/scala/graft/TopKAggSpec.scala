@@ -72,6 +72,16 @@ class TopKAggSpec extends AnyFunSuite {
     assert(aggForm(df, 5).isEmpty)
   }
 
+  test("signed zeros tie (Spark sort semantics), break by t1") {
+    val df = Seq(
+      ("g", 0.0, 5L, 0L), ("g", -0.0, 1L, 0L), ("g", -1.0, 9L, 0L))
+      .toDF("g", "score", "t1", "t2").repartition(3)
+    // window form: -0.0 == 0.0, t1 asc picks t1=1 first — agg must agree
+    val got = aggForm(df, 1)
+    assert(got.map(_._4) === Seq(1L))
+    check(df, 2)
+  }
+
   test("NaN scores rank greatest (Spark sort order) and keep a total order") {
     val df = Seq(
       ("g", Double.NaN, 2L, 0L), ("g", 9.0, 1L, 0L),
