@@ -254,6 +254,31 @@ object ScaleQueries {
             .as("p99_price"))
         .orderBy("l_returnflag")),
 
+    // FULL corpus-build composite — the end-to-end training-data story
+    // in ONE lazy plan: quality gate (tokens/alpha/stopword) +
+    // repetition gate (dup-bigram) + language gate → exact dedup
+    // keep-min → deterministic per-language token budget. Every stage
+    // is an existing operator; Catalyst fuses the map-side gates into
+    // one scan pass.
+    "q50b_full_curation" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val quality = TextAnalysis.qualityFeatures(docs, "doc_id", "text")
+      val repetition = TextAnalysis.repetitionFeatures(docs, "doc_id", "text")
+        .select("doc_id", "dup_bigram_frac")
+      val gated = docs.join(quality, "doc_id").join(repetition, "doc_id")
+        .filter(col("n_tokens") >= 30 && col("alpha_ratio") >= 0.9 &&
+          col("stopword_ratio") <= 0.5 && col("dup_bigram_frac") <= 0.2 &&
+          col("lang").isin("en", "de", "fr"))
+      val deduped = gated
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min("doc_id").as("doc_id"), min("lang").as("lang"),
+          min("text").as("text"), min("n_tokens").as("n_tokens"))
+      graft.ops.Mixing.tokenBudget(deduped, "lang", "doc_id", "text",
+        "n_tokens", budget = 4000L)
+        .select("lang", "doc_id", "n_tokens", "cum_tokens")
+        .orderBy("lang", "doc_id")
+    }),
+
     // salted equi-join: same rows as the plain join (oracle proves it),
     // with the hot-key spread that survives extreme skew at scale
     "q44_salted_join" -> ((s, dir) => {
@@ -597,6 +622,40 @@ object ScaleQueries {
          SELECT lang, doc_id,
                 CAST(floor((cum - ws_tokens) * 1.0 / 2000) AS BIGINT) AS bin
          FROM c ORDER BY lang, doc_id""",
+    "q50b_full_curation" ->
+      s"""WITH q AS (SELECT doc_id, text, lang,
+                 CAST(len(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS BIGINT) AS n_tokens,
+                 round(length(regexp_replace(text, '[^a-z ]', '', 'g')) * 1.0
+                       / greatest(length(text), 1), 4) AS alpha_ratio,
+                 round(len(list_filter(string_split(text, ' '), t -> list_contains($sqlStopwords, t))) * 1.0
+                       / greatest(len(list_filter(string_split(text, ' '), t -> length(t) > 0)), 1), 4) AS stopword_ratio
+           FROM documents),
+           rep AS (SELECT doc_id,
+                 round(CASE WHEN len(bg) > 0
+                       THEN 1.0 - len(list_distinct(bg)) * 1.0 / len(bg)
+                       ELSE 0.0 END, 4) AS dup_bigram_frac
+             FROM (SELECT doc_id,
+                      CASE WHEN len(tk) >= 2
+                           THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+                           ELSE [] END AS bg
+                   FROM (SELECT doc_id,
+                            list_filter(string_split(coalesce(text, ''), ' '),
+                                        t -> length(t) > 0) AS tk
+                         FROM documents))),
+           gated AS (SELECT q.* FROM q JOIN rep USING (doc_id)
+                     WHERE n_tokens >= 30 AND alpha_ratio >= 0.9
+                       AND stopword_ratio <= 0.5 AND dup_bigram_frac <= 0.2
+                       AND lang IN ('en', 'de', 'fr')),
+           dedup AS (SELECT min(doc_id) AS doc_id, min(lang) AS lang,
+                            min(text) AS text, min(n_tokens) AS n_tokens
+                     FROM gated GROUP BY md5(text)),
+           c AS (SELECT lang, doc_id, n_tokens,
+                    sum(n_tokens) OVER (PARTITION BY lang
+                      ORDER BY md5(coalesce(text, '')), doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+                 FROM dedup)
+         SELECT lang, doc_id, n_tokens, cum_tokens FROM c
+         WHERE cum_tokens <= 4000 ORDER BY lang, doc_id""",
     "q44_salted_join" ->
       """SELECT l.l_orderkey, l.l_linenumber, s.s_name
          FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
