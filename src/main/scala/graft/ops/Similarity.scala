@@ -70,11 +70,16 @@ object Similarity {
     * into an int. Hyperplanes are generated driver-side from a fixed seed
     * and inlined as literals (tiny: planes × dim doubles).
     */
+  /** The deterministic hyperplane family (public so oracle twins can
+    * inline the SAME constants into cross-engine SQL). */
+  def hyperplanes(dim: Int, planes: Int, seed: Long): Seq[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(planes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
   def hyperplaneBucket(vec: Column, dim: Int, planes: Int = 8,
       seed: Long = 42L): Column = {
-    val rnd = new scala.util.Random(seed)
-    val hp: Seq[Array[Double]] =
-      Seq.fill(planes)(Array.fill(dim)(rnd.nextGaussian()))
+    val hp = hyperplanes(dim, planes, seed)
     val bits = hp.zipWithIndex.map { case (plane, i) =>
       val planeLit = array(plane.map(lit): _*)
       when(dot(vec, planeLit) >= 0, lit(1 << i)).otherwise(lit(0))

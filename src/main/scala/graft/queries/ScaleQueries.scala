@@ -74,10 +74,20 @@ object ScaleQueries {
       Similarity.cosineTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
         nQueries = 10, k = 5)),
 
-    // LSH-bucketed ANN (approximate recall; no oracle)
+    // LSH-bucketed ANN (approximate recall; no oracle — fast 2-table
+    // multi-probe form; the single-table twin below is oracle-checked)
     "q30_ann_lsh" -> ((s, dir) =>
       Similarity.annTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
         dim = 64, nQueries = 10, k = 5, planes = 8)),
+
+    // ANN oracle twin: single table, Hamming≤1 probes — the hyperplane
+    // constants are inlined verbatim into the DuckDB SQL, so bucketing,
+    // probing, candidate dedup, and the final top-k are all
+    // oracle-checked
+    "q30b_ann_oracle" -> ((s, dir) =>
+      Similarity.annTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        dim = 64, nQueries = 10, k = 5, planes = 8, maxFlips = 1,
+        tables = 1)),
 
     // embedding-cosine near-dup pairs over a bounded slice
     "q31_cosine_neardup" -> ((s, dir) =>
@@ -379,6 +389,36 @@ object ScaleQueries {
   private val sqlStopwords: String =
     TextOps.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
+  /** Generated DuckDB twin of the q30b ANN pipeline: the SAME
+    * hyperplane constants the Spark side uses (seed 42, table 0) are
+    * inlined as literal DOUBLE[] arrays; Double.toString round-trips to
+    * the identical bits, and both engines fold dot products in
+    * sequential index order, so bucket assignment matches exactly. */
+  private val q30bSql: String = {
+    val hp = graft.ops.Similarity.hyperplanes(dim = 64, planes = 8, seed = 42L)
+    val bucketTerms = hp.zipWithIndex.map { case (plane, j) =>
+      val arr = plane.map(_.toString).mkString("[", ", ", "]")
+      s"""(CASE WHEN list_sum(list_transform(range(1, 65),
+         |  i -> v[i] * ($arr::DOUBLE[])[i])) >= 0
+         |  THEN ${1 << j} ELSE 0 END)""".stripMargin
+    }.mkString(" + ")
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         b AS (SELECT vec_id, v, $bucketTerms AS bucket FROM base),
+         c AS (SELECT vec_id AS cid, v AS cv, bucket FROM b WHERE vec_id >= 10),
+         q AS (SELECT vec_id AS qid, v AS qv, bucket FROM b WHERE vec_id < 10),
+         probes AS (SELECT qid, qv, xor(bucket, m.m) AS bucket
+                    FROM q, (SELECT unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) AS m) m),
+         s AS (SELECT qid, cid, list_cosine_similarity(qv, cv) AS sim
+               FROM probes JOIN c USING (bucket)),
+         d AS (SELECT DISTINCT qid, cid, sim FROM s),
+         r AS (SELECT qid, cid, sim,
+                      row_number() OVER (PARTITION BY qid
+                        ORDER BY sim DESC, cid) AS rn
+               FROM d)
+       SELECT qid, CAST(rn AS INT) AS rn, cid, round(sim, 4) AS sim
+       FROM r WHERE rn <= 5 ORDER BY qid, rn"""
+  }
+
   /** Generated DuckDB twin of [[Dedup.simHashAuditable]]: 60 bit-vote
     * terms over md5-derived token hashes. */
   private val q27bSql: String = {
@@ -547,6 +587,7 @@ object ScaleQueries {
                 (min(lbl) = id) AS is_rep
          FROM reach GROUP BY id ORDER BY doc_id""",
     "q27b_simhash_oracle" -> q27bSql,
+    "q30b_ann_oracle" -> q30bSql,
     "q26b_minhash_oracle" ->
       """WITH toks AS (
              SELECT doc_id,
