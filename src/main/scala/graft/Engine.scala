@@ -79,6 +79,32 @@ object Engine {
         date_format(current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss"))
   }
 
+  /** M8 end-to-end with persistence — the reference's
+    * `process_pipeline(input, output)` (`cleaner.py:288-324`) plus the
+    * load stage: run the pipeline, then write the processed records
+    * (parquet), the fitted classifier, the metrics document (with the
+    * per-class report), and the pipeline summary under `outDir`.
+    * Returns the in-memory result for further use.
+    */
+  def runAndSave(reviewsRaw: DataFrame, outDir: String,
+      pipelineId: String = "manual"): RunResult = {
+    val spark = reviewsRaw.sparkSession
+    val result = run(reviewsRaw)
+    graft.sources.Fs.ensureDir(spark, outDir)
+    graft.sources.Sinks.writeParquet(result.processed, s"$outDir/processed")
+    result.classifier.write.overwrite().save(s"$outDir/model")
+    graft.sources.Sinks.writeMetricsJson(
+      metricsDocument(spark, result.metrics), s"$outDir/metrics")
+    graft.sources.Sinks.writeMetricsJson(
+      pipelineSummary(spark, pipelineId,
+        executionDate = java.time.LocalDate.now().toString,
+        recordsExtracted = reviewsRaw.count(),
+        m = result.metrics,
+        dataLocation = s"$outDir/processed"),
+      s"$outDir/summary")
+    result
+  }
+
   /** Pipeline-summary document (`ml_pipeline_dag.py:344-369`): run
     * identity, extracted/processed record counts, model quality, output
     * location, status. One row — the reference's final

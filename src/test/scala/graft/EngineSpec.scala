@@ -122,6 +122,21 @@ class EngineSpec extends AnyFunSuite {
     assert(row.getAs[String]("pipeline_status") === "SUCCESS")
   }
 
+  test("runAndSave persists processed data, model, metrics, and summary") {
+    val out = java.nio.file.Files.createTempDirectory("graft-run").toString
+    val result = Engine.runAndSave(fixture, out, pipelineId = "spec-run")
+    assert(spark.read.parquet(s"$out/processed").count() === 13)
+    assert(org.apache.spark.ml.PipelineModel.load(s"$out/model")
+      .stages.length === result.classifier.stages.length)
+    val metrics = spark.read.json(s"$out/metrics")
+    assert(metrics.count() === 1)
+    assert(metrics.columns.contains("classification_report"))
+    val summary = spark.read.json(s"$out/summary").head()
+    assert(summary.getAs[String]("pipeline_id") === "spec-run")
+    assert(summary.getAs[Long]("total_records_extracted") === 128L)
+    assert(summary.getAs[String]("pipeline_status") === "SUCCESS")
+  }
+
   test("classifier model round-trips through save/load (M7)") {
     val result = Engine.run(fixture)
     val path = java.nio.file.Files.createTempDirectory("graft-model").toString
