@@ -133,6 +133,64 @@ object Similarity {
     topKPerQuery(sims, k)
   }
 
+  /** IVF (inverted-file) ANN: a k-means coarse quantizer partitions the
+    * corpus into `nLists` cells; each query probes its `nProbe` nearest
+    * cells and ranks only their members — the second scale path beside
+    * the LSH route ([[annTopK]]), better when vectors cluster (LSH
+    * hyperplanes are data-oblivious; IVF centroids adapt to the data).
+    *
+    * Scale shape: the quantizer fits on the corpus (Spark ML KMeans —
+    * sampled/iterated distributed), cell assignment is one model
+    * transform (map-side), the centroid table is tiny and broadcast,
+    * and the probe is an equi-join on cell id: scan fraction ≈
+    * nProbe/nLists. Returns (qid, rn, cid, sim) like the other top-k
+    * paths.
+    */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
+      nQueries: Int = 10, k: Int = 5, nLists: Int = 16,
+      nProbe: Int = 4, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = df.sparkSession
+    val base = df.select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val corpus = base.filter(col(idCol) >= nQueries)
+
+    val km = new org.apache.spark.ml.clustering.KMeans()
+      .setK(nLists).setSeed(seed).setMaxIter(10)
+      .setFeaturesCol("__feat").setPredictionCol("cell")
+    val model = km.fit(corpus.withColumn("__feat", array_to_vector(col("v"))))
+    val assigned = model.transform(
+        corpus.withColumn("__feat", array_to_vector(col("v"))))
+      .select(col(idCol).as("cid"), col("v").as("cv"), col("nrm").as("cn"),
+        col("cell"))
+
+    // tiny centroid table (nLists rows) — broadcast both into the probe
+    // ranking and the candidate join
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq
+      .toDF("cell", "centroid")
+
+    val queries = base.filter(col(idCol) < nQueries)
+      .select(col(idCol).as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    // nearest cells by euclidean distance: |q|^2 - 2 q·c + |c|^2, and
+    // |q|^2 is constant per query — rank by (|c|^2 - 2 q·c)
+    val ranked = queries.crossJoin(broadcast(centroids))
+      .withColumn("__d",
+        dot(col("centroid"), col("centroid")) -
+          lit(2.0) * dot(col("qv"), col("centroid")))
+    val probes = ranked
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("__d").asc, col("cell").asc)))
+      .filter(col("__rn") <= nProbe)
+      .select("qid", "qv", "qn", "cell")
+
+    val sims = assigned.join(broadcast(probes), "cell")
+      .withColumn("sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    topKPerQuery(sims, k)
+  }
+
   /** Embedding-cosine near-duplicate pairs: all pairs above `minSim`
     * within a bounded id slice (exact, quadratic — the audit form; the
     * scale form buckets first like [[annTopK]]).

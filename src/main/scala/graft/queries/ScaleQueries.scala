@@ -89,6 +89,13 @@ object ScaleQueries {
         dim = 64, nQueries = 10, k = 5, planes = 8, maxFlips = 1,
         tables = 1)),
 
+    // IVF ANN: k-means coarse quantizer + nProbe nearest cells
+    // (rows-only: kmeans is seed/optimizer-specific; recall floor
+    // pinned in SimilaritySpec)
+    "q30c_ivf" -> ((s, dir) =>
+      Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        nQueries = 10, k = 5, nLists = 16, nProbe = 4)),
+
     // embedding-cosine near-dup pairs over a bounded slice
     "q31_cosine_neardup" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id",

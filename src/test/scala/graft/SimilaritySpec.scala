@@ -53,6 +53,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.4, s"recall $recall")
   }
 
+  test("ivfTopK: k rows per query, recall floor vs brute force") {
+    val exact = Similarity.cosineTopK(emb, "vec_id", "embedding",
+      nQueries = 5, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding",
+      nQueries = 5, k = 3, nLists = 8, nProbe = 3)
+    val rows = ivf.collect()
+    assert(rows.map(_.getLong(0)).distinct.length === 5)
+    assert(rows.forall(r => r.getInt(1) >= 1 && r.getInt(1) <= 3))
+    val approx = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    // 3/8 cells probed; near-random embeddings cluster weakly, so the
+    // floor is safety-net level (catches broken cell assignment)
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.2, s"recall $recall")
+  }
+
   test("hyperplane bucket is deterministic across invocations") {
     val b1 = emb.select(Similarity.hyperplaneBucket(
       transform(col("embedding"), x => x.cast("double")), 64).as("b"))
