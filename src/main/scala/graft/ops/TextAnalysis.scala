@@ -102,6 +102,44 @@ object TextAnalysis {
       ceil(length(txt) / lit(4.0)).cast("long").as("bpe_est"))
   }
 
+  /** Winnowing fingerprints (Schleimer et al., "Winnowing: Local
+    * Algorithms for Document Fingerprinting", SIGMOD 2003): hash every
+    * character k-gram, slide a window of `w` consecutive k-gram hashes,
+    * keep each window's minimum — the selected minima are the
+    * document's fingerprint set, robust to local edits (any match of
+    * length ≥ w+k−1 shares a fingerprint). This is the "rolling hash"
+    * fingerprint family; the k-gram hash here is md5-derived so the
+    * whole operator is oracle-checkable cross-engine (a codegen fast
+    * path would compute the k-gram hashes with O(1) rolling updates —
+    * same selected set).
+    *
+    * Emits (id, n_fps, fp_sample) — the distinct-fingerprint count and
+    * a CSV of the `sample` smallest (a stable, bounded digest of the
+    * set for comparison/joins).
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4, sample: Int = 5): DataFrame = {
+    val txt = coalesce(col(textCol), lit(""))
+    // k-gram hashes: hex15(md5(substr(text, i, k))) as long
+    val hs = when(length(txt) >= k,
+      transform(sequence(lit(1), length(txt) - (k - 1)),
+        i => conv(substring(md5(txt.substr(i, lit(k))), 1, 15), 16, 10)
+          .cast("long"))).otherwise(array())
+    val mins = when(size(col("__hs")) >= w,
+      transform(sequence(lit(1), size(col("__hs")) - (w - 1)),
+        j => array_min(slice(col("__hs"), j, lit(w)))))
+      .otherwise(when(size(col("__hs")) > 0, array(array_min(col("__hs"))))
+        .otherwise(array()))
+    df.select(col(idCol), hs.as("__hs"))
+      .withColumn("__fps", array_sort(array_distinct(mins)))
+      .select(
+        col(idCol),
+        size(col("__fps")).cast("long").as("n_fps"),
+        concat_ws(",",
+          transform(slice(col("__fps"), 1, sample), x => x.cast("string")))
+          .as("fp_sample"))
+  }
+
   /** Document fingerprint: md5 of the normalized text (cross-engine
     * checkable) plus a 64-bit content hash for compact joins. */
   def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame = {

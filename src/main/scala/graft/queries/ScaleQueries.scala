@@ -128,6 +128,13 @@ object ScaleQueries {
         .drop("fp64")
         .orderBy("doc_id")),
 
+    // winnowing fingerprints (rolling-hash family, Schleimer 2003):
+    // char 8-gram hashes → window-of-4 minima → distinct set digest
+    "q35b_winnow" -> ((s, dir) =>
+      TextAnalysis.winnowFingerprints(t(s, dir, "documents"),
+        "doc_id", "text", k = 8, w = 4, sample = 5)
+        .orderBy("doc_id")),
+
     // multimodal plumbing: binary payload + stubbed decode/featurize
     // (no oracle: stub features are hash-derived)
     "q36_multimodal" -> ((s, dir) => {
@@ -560,6 +567,26 @@ object ScaleQueries {
       """SELECT doc_id,
                 substr(md5(regexp_replace(lower(text), '[^a-z ]', '', 'g')), 1, 16) AS fp
          FROM documents ORDER BY doc_id""",
+    "q35b_winnow" ->
+      """WITH h AS (SELECT doc_id,
+                CASE WHEN length(coalesce(text, '')) >= 8
+                     THEN list_transform(range(1, length(text) - 6),
+                            i -> CAST('0x' || substr(md5(substr(text, i, 8)), 1, 15) AS BIGINT))
+                     ELSE [] END AS hs
+           FROM documents),
+           m AS (SELECT doc_id,
+                CASE WHEN len(hs) >= 4
+                     THEN list_transform(range(1, len(hs) - 2),
+                            j -> list_min(list_slice(hs, j, j + 3)))
+                     WHEN len(hs) > 0 THEN [list_min(hs)]
+                     ELSE [] END AS mins
+           FROM h),
+           f AS (SELECT doc_id, list_sort(list_distinct(mins)) AS fps FROM m)
+         SELECT doc_id,
+                CAST(len(fps) AS BIGINT) AS n_fps,
+                array_to_string(list_transform(list_slice(fps, 1, 5),
+                                               x -> CAST(x AS VARCHAR)), ',') AS fp_sample
+         FROM f ORDER BY doc_id""",
     "q50_curation" ->
       s"""WITH q AS (SELECT doc_id, text, lang,
                  CAST(len(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS BIGINT) AS n_tokens,

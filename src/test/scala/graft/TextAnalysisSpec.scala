@@ -66,6 +66,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(5L) === ((0L, 0.0, 0.0)))
   }
 
+  test("winnowFingerprints: local-edit robustness and degenerate lengths") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val df = Seq(
+      (1L, base),
+      (2L, base),                          // identical → identical set
+      (3L, base + " with a different tail appended here"),
+      (4L, "1234567"),                     // < k chars → no fingerprints
+      (5L, "12345678"),                    // exactly one k-gram
+      (6L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis
+      .winnowFingerprints(df, "doc_id", "text", k = 8, w = 4, sample = 50)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(got(1L) === got(2L))
+    // a shared substring of length >= w+k-1 guarantees shared minima
+    val fps1 = got(1L)._2.split(",").toSet
+    val fps3 = got(3L)._2.split(",").toSet
+    assert(fps1.intersect(fps3).nonEmpty)
+    assert(got(4L)._1 === 0L)
+    assert(got(5L)._1 === 1L)
+    assert(got(6L)._1 === 0L)
+  }
+
   test("fingerprints: identical normalized text → identical fp") {
     val df = Seq((1L, "Hello World!"), (2L, "hello world"), (3L, "other"))
       .toDF("doc_id", "text")
