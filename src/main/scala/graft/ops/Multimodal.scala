@@ -126,6 +126,106 @@ object Multimodal {
       .toDF("id", "mime", "n_bytes", "width", "height", "channels", "format")
   }
 
+  /** Nearest-neighbor resize of a 24-bit BMP payload — a REAL pixel
+    * transform (parse → sample → re-encode), no native codec needed.
+    * Returns None for payloads the codec cannot open. */
+  def resizeBmp(p: Array[Byte], tw: Int, th: Int): Option[Array[Byte]] = {
+    require(tw > 0 && th > 0, "target dimensions must be positive")
+    val codec = new HeaderCodec
+    codec.decode(p).filter(m => m.format == "bmp" && m.channels == 3)
+      .map { m =>
+        val srcRow = (m.width * 3 + 3) / 4 * 4
+        val out = syntheticBmp(tw, th) // correct header; pixels replaced
+        val dstRow = (tw * 3 + 3) / 4 * 4
+        var ty = 0
+        while (ty < th) {
+          val sy = ty.toLong * m.height / th
+          var tx = 0
+          while (tx < tw) {
+            val sx = tx.toLong * m.width / tw
+            val so = 54 + sy.toInt * srcRow + sx.toInt * 3
+            val to = 54 + ty * dstRow + tx * 3
+            if (so + 2 < p.length) {
+              out(to) = p(so); out(to + 1) = p(so + 1); out(to + 2) = p(so + 2)
+            }
+            tx += 1
+          }
+          ty += 1
+        }
+        out
+      }
+  }
+
+  /** Batch resize over the media payload (`mapPartitions`, one codec
+    * per partition): emits (id, payload) with each BMP resized to
+    * (tw, th); unparseable payloads pass through as null. */
+  def resizeImagesBatch(df: DataFrame, idCol: String, tw: Int,
+      th: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+        col("media.payload").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          (id, if (payload == null) null
+               else resizeBmp(payload, tw, th).orNull)
+        }
+      }
+      .toDF("id", "payload")
+      .select(col("id"), struct(
+        col("payload"), lit("image/bmp").as("mime"),
+        coalesce(length(col("payload")), lit(0)).cast("long").as("n_bytes"))
+        .as("media"))
+  }
+
+  /** Synthetic multi-frame container: 4-byte LE frame count, then each
+    * frame length-prefixed (4-byte LE) — the video stand-in. A real
+    * demuxer replaces the chunk walk; the batch shape, schema, and
+    * explode are the Spark-side plumbing either way. */
+  def packFrames(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val size = 4 + frames.map(4 + _.length).sum
+    val buf = java.nio.ByteBuffer.allocate(size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(frames.length)
+    frames.foreach { f => buf.putInt(f.length); buf.put(f) }
+    buf.array()
+  }
+
+  /** Frame sampling: demux the container and keep every `everyNth`
+    * frame (0, n, 2n, …) — one exploded row per kept frame:
+    * (id, frame_idx, frame). `mapPartitions` batch, zero shuffle. */
+  def sampleFramesBatch(df: DataFrame, idCol: String,
+      everyNth: Int): DataFrame = {
+    require(everyNth >= 1, s"everyNth must be >= 1, got $everyNth")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+        col("media.payload").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          if (payload == null || payload.length < 4) Iterator.empty
+          else {
+            val buf = java.nio.ByteBuffer.wrap(payload)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            val n = buf.getInt()
+            (0 until n).iterator.flatMap { i =>
+              if (buf.remaining() < 4) Iterator.empty
+              else {
+                val len = buf.getInt()
+                val frame = new Array[Byte](math.min(len, buf.remaining()))
+                buf.get(frame)
+                if (i % everyNth == 0) Iterator.single((id, i, frame))
+                else Iterator.empty
+              }
+            }.toSeq
+          }
+        }
+      }
+      .toDF("id", "frame_idx", "frame")
+  }
+
   /** Wrap a source frame into the canonical multimodal schema:
     * (id, media struct{payload binary, mime, n_bytes}). Here the payload
     * is the document text bytes — a stand-in with realistic sizes.

@@ -163,6 +163,19 @@ object ScaleQueries {
         .orderBy("doc_id")
     }),
 
+    // image resize chain: generate → resize to 32×24 (real pixel
+    // transform) → decode; every row must land on the target dims
+    // (no oracle: binary; pinned by MultimodalSpec)
+    "q37b_image_resize" -> ((s, dir) => {
+      val images = graft.ops.Multimodal.syntheticImages(
+        t(s, dir, "documents"), "doc_id")
+      val resized = graft.ops.Multimodal.resizeImagesBatch(images, "id", 32, 24)
+      graft.ops.Multimodal.decodeImageMetaBatch(resized, "id")
+        .select(col("id").as("doc_id"), col("n_bytes"), col("width"),
+          col("height"))
+        .orderBy("doc_id")
+    }),
+
     // as-of join: for each purchase, the user's most recent signup at or
     // before the purchase time (union+window composition — one shuffle)
     "q38_asof_join" -> ((s, dir) => {

@@ -82,6 +82,47 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(2).isNullAt(3) && got(2).isNullAt(4) && got(2).isNullAt(6))
   }
 
+  test("resizeBmp: real nearest-neighbor pixel transform round-trips") {
+    val src = Multimodal.syntheticBmp(60, 40)
+    val out = Multimodal.resizeBmp(src, 32, 24).get
+    val meta = (new Multimodal.HeaderCodec).decode(out).get
+    assert(meta.width === 32 && meta.height === 24 && meta.format === "bmp")
+    // nearest-neighbor: target (5, 7) samples source (5*60/32, 7*40/24)
+    val (sx, sy) = (5 * 60 / 32, 7 * 40 / 24)
+    val srcRow = (60 * 3 + 3) / 4 * 4
+    val dstRow = (32 * 3 + 3) / 4 * 4
+    assert(out(54 + 7 * dstRow + 5 * 3) === src(54 + sy * srcRow + sx * 3))
+    // non-BMP payload → None
+    assert(Multimodal.resizeBmp("not an image".getBytes, 8, 8).isEmpty)
+  }
+
+  test("resizeImagesBatch resizes every payload to the target dims") {
+    val images = Multimodal.syntheticImages(
+      spark.range(0, 20).toDF("doc_id").repartition(3), "doc_id")
+    val resized = Multimodal.resizeImagesBatch(images, "id", 32, 24)
+    val decoded = Multimodal.decodeImageMetaBatch(resized, "id").collect()
+    assert(decoded.length === 20)
+    assert(decoded.forall(r => r.getInt(r.fieldIndex("width")) === 32 &&
+      r.getInt(r.fieldIndex("height")) === 24))
+  }
+
+  test("sampleFramesBatch keeps every Nth frame with real decodable content") {
+    val frames = (0 until 5).map(i => Multimodal.syntheticBmp(16 + i, 10 + i))
+    val video = Multimodal.packFrames(frames)
+    val df = Seq((1L, video)).toDF("vid_id", "p")
+      .select(col("vid_id"), struct(col("p").as("payload"),
+        lit("video/x-frames").as("mime"),
+        length(col("p")).cast("long").as("n_bytes")).as("media"))
+    val sampled = Multimodal.sampleFramesBatch(df, "vid_id", everyNth = 2)
+      .collect().sortBy(_.getInt(1))
+    assert(sampled.map(_.getInt(1)).toSeq === Seq(0, 2, 4))
+    val codec = new Multimodal.HeaderCodec
+    for (r <- sampled) {
+      val m = codec.decode(r.getAs[Array[Byte]](2)).get
+      assert(m.width === 16 + r.getInt(1) && m.height === 10 + r.getInt(1))
+    }
+  }
+
   test("stub features feed the similarity operator end-to-end") {
     val featured = Multimodal.decodeAndFeaturize(media, "doc_id")
       .select(col("doc_id").as("vec_id"),
