@@ -110,8 +110,7 @@ object Dedup {
     val sigCols = (0 until k).map { i =>
       coalesce(
         array_min(transform(tokens, t =>
-          conv(substring(md5(concat(lit(s"$i:"), t)), 1, 15), 16, 10)
-            .cast("long"))),
+          TextOps.md5Hash60(concat(lit(s"$i:"), t)))),
         lit(Long.MaxValue))
     }
     val sigs = df.select(col(idCol), array(sigCols: _*).as("sig"))
@@ -152,7 +151,7 @@ object Dedup {
       textCol: String): DataFrame = {
     val tokens = TextOps.wsTokenSet(col(textCol))
     val hs = transform(tokens, t =>
-      conv(substring(md5(concat(lit("s:"), t)), 1, 15), 16, 10).cast("long"))
+      TextOps.md5Hash60(concat(lit("s:"), t)))
     val withHs = df.select(col(idCol), hs.as("__hs"))
     val n = size(col("__hs"))
     val fingerprint = (0 until 60).map { i =>

@@ -128,25 +128,42 @@ object Multimodal {
 
   /** Nearest-neighbor resize of a 24-bit BMP payload — a REAL pixel
     * transform (parse → sample → re-encode), no native codec needed.
-    * Returns None for payloads the codec cannot open. */
-  def resizeBmp(p: Array[Byte], tw: Int, th: Int): Option[Array[Byte]] = {
+    * Reads the pixel-data offset from the file header (BITMAPV4/V5
+    * headers place it past 54) and preserves orientation for top-down
+    * (negative-height) BMPs. All source offsets are computed in Long
+    * with bounds checks — a header claiming absurd dimensions must not
+    * index out of range. Returns None for payloads the codec cannot
+    * open. Pass a per-partition `codec` from batch callers. */
+  def resizeBmp(p: Array[Byte], tw: Int, th: Int,
+      codec: HeaderCodec = new HeaderCodec): Option[Array[Byte]] = {
     require(tw > 0 && th > 0, "target dimensions must be positive")
-    val codec = new HeaderCodec
     codec.decode(p).filter(m => m.format == "bmp" && m.channels == 3)
       .map { m =>
-        val srcRow = (m.width * 3 + 3) / 4 * 4
+        // pixel-array offset: file-header bytes 10..13 (LE)
+        val dataOff = ((p(10) & 0xff) | ((p(11) & 0xff) << 8) |
+          ((p(12) & 0xff) << 16) | ((p(13) & 0xff) << 24)).toLong
+        // raw height sign: negative = top-down row order
+        val rawH = (p(22) & 0xff) | ((p(23) & 0xff) << 8) |
+          ((p(24) & 0xff) << 16) | ((p(25) & 0xff) << 24)
+        val topDown = rawH < 0
+        val srcRow = (m.width.toLong * 3 + 3) / 4 * 4
         val out = syntheticBmp(tw, th) // correct header; pixels replaced
         val dstRow = (tw * 3 + 3) / 4 * 4
         var ty = 0
         while (ty < th) {
-          val sy = ty.toLong * m.height / th
+          val syLogical = ty.toLong * m.height / th
+          // stored row index: bottom-up files store row 0 last; the
+          // output (syntheticBmp) is bottom-up, so orientation maps
+          // logical rows to stored rows on both sides consistently
+          val sy = if (topDown) m.height - 1 - syLogical else syLogical
           var tx = 0
           while (tx < tw) {
             val sx = tx.toLong * m.width / tw
-            val so = 54 + sy.toInt * srcRow + sx.toInt * 3
+            val so = dataOff + sy * srcRow + sx * 3
             val to = 54 + ty * dstRow + tx * 3
-            if (so + 2 < p.length) {
-              out(to) = p(so); out(to + 1) = p(so + 1); out(to + 2) = p(so + 2)
+            if (so >= 0 && so + 2 < p.length) {
+              val s = so.toInt
+              out(to) = p(s); out(to + 1) = p(s + 1); out(to + 2) = p(s + 2)
             }
             tx += 1
           }
@@ -167,9 +184,10 @@ object Multimodal {
         col("media.payload").as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
+        val codec = new HeaderCodec // once per partition, reused per row
         rows.map { case (id, payload) =>
           (id, if (payload == null) null
-               else resizeBmp(payload, tw, th).orNull)
+               else resizeBmp(payload, tw, th, codec).orNull)
         }
       }
       .toDF("id", "payload")
@@ -205,21 +223,33 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.flatMap { case (id, payload) =>
+          // never trust container fields: a non-container payload (or a
+          // corrupt one) must demux to zero frames, not crash the task
+          // on a negative length or spin on a garbage frame count
           if (payload == null || payload.length < 4) Iterator.empty
           else {
             val buf = java.nio.ByteBuffer.wrap(payload)
               .order(java.nio.ByteOrder.LITTLE_ENDIAN)
             val n = buf.getInt()
-            (0 until n).iterator.flatMap { i =>
-              if (buf.remaining() < 4) Iterator.empty
-              else {
+            if (n <= 0 || n.toLong * 4 > buf.remaining()) Iterator.empty
+            else {
+              val out = Seq.newBuilder[(Long, Int, Array[Byte])]
+              var i = 0
+              var ok = true
+              while (ok && i < n && buf.remaining() >= 4) {
                 val len = buf.getInt()
-                val frame = new Array[Byte](math.min(len, buf.remaining()))
-                buf.get(frame)
-                if (i % everyNth == 0) Iterator.single((id, i, frame))
-                else Iterator.empty
+                if (len < 0 || len > buf.remaining()) ok = false
+                else {
+                  if (i % everyNth == 0) {
+                    val frame = new Array[Byte](len)
+                    buf.get(frame)
+                    out += ((id, i, frame))
+                  } else buf.position(buf.position() + len)
+                  i += 1
+                }
               }
-            }.toSeq
+              out.result().iterator
+            }
           }
         }
       }

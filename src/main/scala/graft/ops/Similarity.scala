@@ -151,18 +151,23 @@ object Similarity {
       nProbe: Int = 4, seed: Long = 42L): DataFrame = {
     import org.apache.spark.ml.functions.array_to_vector
     val spark = df.sparkSession
+    // quantize on the UNIT SPHERE: the final ranking is cosine, and on
+    // normalized vectors argmin ||q−c||² ≡ argmax q·c ≡ argmax cosine —
+    // fitting euclidean k-means on raw norms would send a query's true
+    // cosine neighbors to unprobed cells
     val base = df.select(col(idCol), asDouble(col(vecCol)).as("v"))
       .withColumn("nrm", norm(col("v")))
+      .filter(col("nrm") > 0)
+      .withColumn("vhat", transform(col("v"), x => x / col("nrm")))
     val corpus = base.filter(col(idCol) >= nQueries)
 
     val km = new org.apache.spark.ml.clustering.KMeans()
       .setK(nLists).setSeed(seed).setMaxIter(10)
       .setFeaturesCol("__feat").setPredictionCol("cell")
-    val model = km.fit(corpus.withColumn("__feat", array_to_vector(col("v"))))
-    val assigned = model.transform(
-        corpus.withColumn("__feat", array_to_vector(col("v"))))
-      .select(col(idCol).as("cid"), col("v").as("cv"), col("nrm").as("cn"),
-        col("cell"))
+    val withFeat = corpus.withColumn("__feat", array_to_vector(col("vhat")))
+    val model = km.fit(withFeat)
+    val assigned = model.transform(withFeat)
+      .select(col(idCol).as("cid"), col("vhat").as("chat"), col("cell"))
 
     // tiny centroid table (nLists rows) — broadcast both into the probe
     // ranking and the candidate join
@@ -172,22 +177,21 @@ object Similarity {
       .toDF("cell", "centroid")
 
     val queries = base.filter(col(idCol) < nQueries)
-      .select(col(idCol).as("qid"), col("v").as("qv"), col("nrm").as("qn"))
-    // nearest cells by euclidean distance: |q|^2 - 2 q·c + |c|^2, and
-    // |q|^2 is constant per query — rank by (|c|^2 - 2 q·c)
+      .select(col(idCol).as("qid"), col("vhat").as("qhat"))
+    // nearest cells: |q̂|² is constant — rank by (|c|² − 2 q̂·c)
     val ranked = queries.crossJoin(broadcast(centroids))
       .withColumn("__d",
         dot(col("centroid"), col("centroid")) -
-          lit(2.0) * dot(col("qv"), col("centroid")))
+          lit(2.0) * dot(col("qhat"), col("centroid")))
     val probes = ranked
       .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("qid")
           .orderBy(col("__d").asc, col("cell").asc)))
       .filter(col("__rn") <= nProbe)
-      .select("qid", "qv", "qn", "cell")
+      .select("qid", "qhat", "cell")
 
     val sims = assigned.join(broadcast(probes), "cell")
-      .withColumn("sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("sim", dot(col("qhat"), col("chat")))
     topKPerQuery(sims, k)
   }
 

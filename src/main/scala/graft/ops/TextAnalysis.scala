@@ -45,23 +45,46 @@ object TextAnalysis {
     withHits.withColumn("pred_lang", predOrdered)
   }
 
+  /** Column-level quality/repetition feature builders — shared by the
+    * per-family operators below and by single-scan composites (q50b)
+    * so "all gates in one projection" is one definition, not a copy. */
+  def nTokensCol(txt: Column): Column =
+    size(filter(split(txt, " "), t => length(t) > 0)).cast("long")
+
+  def alphaRatioCol(txt: Column): Column =
+    round(length(regexp_replace(txt, "[^a-z ]", "")).cast("double")
+      / greatest(length(txt), lit(1)), 4)
+
+  def stopwordRatioCol(txt: Column): Column = {
+    val tokens = split(txt, " ")
+    val sw = array(TextOps.stopwords.map(lit): _*)
+    round(size(filter(tokens, t => array_contains(sw, t))).cast("double")
+      / greatest(size(filter(tokens, t => length(t) > 0)), lit(1)), 4)
+  }
+
+  def dupBigramFracCol(txt: Column): Column = {
+    val tk = TextOps.wsTokens(txt)
+    val bigrams = when(size(tk) >= 2,
+      transform(sequence(lit(1), size(tk) - 1),
+        i => concat(element_at(tk, i), lit(" "), element_at(tk, i + 1))))
+      .otherwise(array())
+    round(when(size(bigrams) > 0,
+      lit(1.0) - size(array_distinct(bigrams)).cast("double")
+        / size(bigrams)).otherwise(0.0), 4)
+  }
+
   /** Quality features: length, token counts, alpha ratio, stopword ratio,
     * and a simple composite score in [0,1]. Mirrors the usual LLM-corpus
     * heuristics (length / punctuation / stopword-density filters).
     */
   def qualityFeatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val txt = col(textCol)
-    val tokens = split(txt, " ")
-    val sw = array(TextOps.stopwords.map(lit): _*)
     df.select(
       col(idCol),
       length(txt).cast("long").as("n_chars"),
-      size(filter(tokens, t => length(t) > 0)).cast("long").as("n_tokens"),
-      round(length(regexp_replace(txt, "[^a-z ]", "")).cast("double")
-        / greatest(length(txt), lit(1)), 4).as("alpha_ratio"),
-      round(size(filter(tokens, t => array_contains(sw, t))).cast("double")
-        / greatest(size(filter(tokens, t => length(t) > 0)), lit(1)), 4)
-        .as("stopword_ratio"))
+      nTokensCol(txt).as("n_tokens"),
+      alphaRatioCol(txt).as("alpha_ratio"),
+      stopwordRatioCol(txt).as("stopword_ratio"))
   }
 
   /** Repetition features — the Gopher-style within-document repetition
@@ -74,18 +97,12 @@ object TextAnalysis {
   def repetitionFeatures(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val tk = TextOps.wsTokens(col(textCol))
-    val bigrams = when(size(tk) >= 2,
-      transform(sequence(lit(1), size(tk) - 1),
-        i => concat(element_at(tk, i), lit(" "), element_at(tk, i + 1))))
-      .otherwise(array())
     val topCount = array_max(transform(array_distinct(tk),
       t => size(filter(tk, x => x === t))))
     df.select(
       col(idCol),
       size(tk).cast("long").as("n_tokens"),
-      round(when(size(bigrams) > 0,
-        lit(1.0) - size(array_distinct(bigrams)).cast("double")
-          / size(bigrams)).otherwise(0.0), 4).as("dup_bigram_frac"),
+      dupBigramFracCol(col(textCol)).as("dup_bigram_frac"),
       round(when(size(tk) > 0,
         topCount.cast("double") / size(tk)).otherwise(0.0), 4)
         .as("top_word_frac"))
@@ -123,8 +140,7 @@ object TextAnalysis {
     // k-gram hashes: hex15(md5(substr(text, i, k))) as long
     val hs = when(length(txt) >= k,
       transform(sequence(lit(1), length(txt) - (k - 1)),
-        i => conv(substring(md5(txt.substr(i, lit(k))), 1, 15), 16, 10)
-          .cast("long"))).otherwise(array())
+        i => TextOps.md5Hash60(txt.substr(i, lit(k))))).otherwise(array())
     val mins = when(size(col("__hs")) >= w,
       transform(sequence(lit(1), size(col("__hs")) - (w - 1)),
         j => array_min(slice(col("__hs"), j, lit(w)))))

@@ -40,6 +40,15 @@ object TextOps {
     * Jaccard/MinHash/SimHash family. */
   def wsTokenSet(c: Column): Column = array_distinct(wsTokens(c))
 
+  /** 60-bit md5-derived hash — the cross-engine audit hash family: the
+    * first 15 hex chars of md5 as a long, equal to DuckDB's
+    * `CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)`. Like [[wsTokens]],
+    * ONE definition on purpose: every audit oracle (MinHash, SimHash,
+    * winnowing twins) pairs this with that SQL expression, and drift in
+    * one copy would silently break them all. */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** F5 drop stopwords and tokens of length <= 2. */
   def contentTokens(c: Column): Column = {
     val sw = array(stopwords.map(lit): _*)

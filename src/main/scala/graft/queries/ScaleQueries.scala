@@ -299,17 +299,26 @@ object ScaleQueries {
     // one scan pass.
     "q50b_full_curation" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val quality = TextAnalysis.qualityFeatures(docs, "doc_id", "text")
-      val repetition = TextAnalysis.repetitionFeatures(docs, "doc_id", "text")
-        .select("doc_id", "dup_bigram_frac")
-      val gated = docs.join(quality, "doc_id").join(repetition, "doc_id")
+      // every gate column in ONE projection over one scan — the
+      // feature builders are shared column expressions, so there is no
+      // self-join and no shuffle before the dedup groupBy
+      val gated = docs.select(col("doc_id"), col("text"), col("lang"),
+          TextAnalysis.nTokensCol(col("text")).as("n_tokens"),
+          TextAnalysis.alphaRatioCol(col("text")).as("alpha_ratio"),
+          TextAnalysis.stopwordRatioCol(col("text")).as("stopword_ratio"),
+          TextAnalysis.dupBigramFracCol(col("text")).as("dup_bigram_frac"))
         .filter(col("n_tokens") >= 30 && col("alpha_ratio") >= 0.9 &&
           col("stopword_ratio") <= 0.5 && col("dup_bigram_frac") <= 0.2 &&
           col("lang").isin("en", "de", "fr"))
+      // arg-min dedup: all surviving columns come from the SAME row
+      // (the min-id one) — independent min() per column could pair one
+      // duplicate's id with another's lang
       val deduped = gated
         .groupBy(md5(col("text")).as("h"))
-        .agg(min("doc_id").as("doc_id"), min("lang").as("lang"),
-          min("text").as("text"), min("n_tokens").as("n_tokens"))
+        .agg(min("doc_id").as("doc_id"),
+          min_by(col("lang"), col("doc_id")).as("lang"),
+          min_by(col("text"), col("doc_id")).as("text"),
+          min_by(col("n_tokens"), col("doc_id")).as("n_tokens"))
       graft.ops.Mixing.tokenBudget(deduped, "lang", "doc_id", "text",
         "n_tokens", budget = 4000L)
         .select("lang", "doc_id", "n_tokens", "cum_tokens")
@@ -734,8 +743,10 @@ object ScaleQueries {
                      WHERE n_tokens >= 30 AND alpha_ratio >= 0.9
                        AND stopword_ratio <= 0.5 AND dup_bigram_frac <= 0.2
                        AND lang IN ('en', 'de', 'fr')),
-           dedup AS (SELECT min(doc_id) AS doc_id, min(lang) AS lang,
-                            min(text) AS text, min(n_tokens) AS n_tokens
+           dedup AS (SELECT min(doc_id) AS doc_id,
+                            arg_min(lang, doc_id) AS lang,
+                            arg_min(text, doc_id) AS text,
+                            arg_min(n_tokens, doc_id) AS n_tokens
                      FROM gated GROUP BY md5(text)),
            c AS (SELECT lang, doc_id, n_tokens,
                     sum(n_tokens) OVER (PARTITION BY lang
