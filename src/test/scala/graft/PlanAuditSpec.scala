@@ -57,4 +57,12 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan("q4_limit")
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
   }
+
+  test("q50b curation composite reads the documents table exactly once") {
+    val p = graft.queries.ScaleQueries.queries("q50b_full_curation")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val scans = "documents\\.parquet".r.findAllIn(p).length
+    assert(scans === 1,
+      s"all gates must evaluate in one scan pass, found $scans scans")
+  }
 }
