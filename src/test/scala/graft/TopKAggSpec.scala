@@ -82,6 +82,50 @@ class TopKAggSpec extends AnyFunSuite {
     check(df, 2)
   }
 
+  test("scalacheck: reduce/merge equal a reference sort under any partitioning") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import graft.functions.{Scored, TopKAgg}
+
+    // reference: Spark's sort order — NaN greatest, -0.0 == 0.0, then
+    // (t1, t2) ascending
+    def rank(rows: Seq[Scored], k: Int): Seq[Scored] =
+      rows.sortWith { (a, b) =>
+        val c = java.lang.Double.compare(a.score + 0.0, b.score + 0.0)
+        c > 0 || (c == 0 && (a.t1 < b.t1 || (a.t1 == b.t1 && a.t2 < b.t2)))
+      }.take(k)
+
+    val scoreGen = Gen.oneOf(Gen.chooseNum(-3, 3).map(_.toDouble),
+      Gen.oneOf(0.0, -0.0, Double.NaN))
+    val rowGen = for {
+      s <- scoreGen; t1 <- Gen.chooseNum(0L, 5L); t2 <- Gen.chooseNum(0L, 3L)
+    } yield Scored(s, t1, t2)
+    val caseGen = for {
+      rows <- Gen.listOf(rowGen)
+      k <- Gen.chooseNum(1, 10)
+      nParts <- Gen.chooseNum(1, 5)
+    } yield (rows, k, nParts)
+
+    val prop = Prop.forAll(caseGen) { case (rows, k, nParts) =>
+      val agg = new TopKAgg(k)
+      // partition rows round-robin, reduce each partition, merge all
+      val buffers = rows.zipWithIndex.groupBy(_._2 % nParts).values
+        .map(_.map(_._1).foldLeft(agg.zero)(agg.reduce))
+      val merged = buffers.foldLeft(agg.zero)(agg.merge)
+      val got = agg.finish(merged)
+      val want = rank(rows, k)
+      // rows that are RANK-identical (scores equal after zero-collapse,
+      // same tiebreaks) are interchangeable — e.g. (-0.0, 0, 1) vs
+      // (0.0, 0, 1) — so compare multisets of normalized rank keys, not
+      // raw elements (the window form is equally free to pick either)
+      def key(s: Scored): (Long, Long, Long) =
+        (java.lang.Double.doubleToLongBits(s.score + 0.0), s.t1, s.t2)
+      got.map(key).sorted == want.map(key).sorted
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("NaN scores rank greatest (Spark sort order) and keep a total order") {
     val df = Seq(
       ("g", Double.NaN, 2L, 0L), ("g", 9.0, 1L, 0L),
