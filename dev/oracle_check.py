@@ -53,7 +53,23 @@ def main(out_dir: str, sf_dir: str) -> int:
         bad = []
         for c in spark_df.columns:
             a, b = spark_df[c], duck_df[c]
-            if np.issubdtype(a.dtype, np.floating) or np.issubdtype(b.dtype, np.floating):
+            # The driver hashes raw values, so an int64 column on one side and
+            # float64 on the other (e.g. DuckDB sum(BIGINT) -> HUGEINT ->
+            # pandas float64) is a guaranteed driver failure even when
+            # np.isclose would pass. Flag dtype class mismatch as hard FAIL.
+            a_int = np.issubdtype(a.dtype, np.integer)
+            b_int = np.issubdtype(b.dtype, np.integer)
+            a_flt = np.issubdtype(a.dtype, np.floating)
+            b_flt = np.issubdtype(b.dtype, np.floating)
+            if (a_int and b_flt) or (a_flt and b_int):
+                bad.append((c, f"dtype {a.dtype} vs {b.dtype}", "value"))
+                continue
+            if a_int and b_int:
+                neq = (a.to_numpy() != b.to_numpy())
+                if neq.any():
+                    bad.append((c, int(neq.sum()), "value"))
+                continue
+            if a_flt or b_flt:
                 af = a.astype(float).to_numpy()
                 bf = b.astype(float).to_numpy()
                 ok = np.isclose(af, bf, rtol=0, atol=1e-9, equal_nan=True)

@@ -72,12 +72,18 @@ object Bench {
       .mkString("{", ",", "}")
     val failedArr = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // a failed query must not make "value" smaller (a regression would
-    // read as a speedup to consumers that only parse the total) —
-    // poison the total instead; the per-query map still carries the
-    // successful timings
-    val total = if (failed.isEmpty) ok.map(_._2).sum else -1.0
+    // read as a speedup to consumers that only parse the total), and a
+    // NEGATIVE sentinel would pass any `value <= budget` latency gate —
+    // poison the total UPWARD so no gate can mistake failure for speed;
+    // the per-query map still carries the successful timings
+    val total = if (failed.isEmpty) ok.map(_._2).sum else Double.MaxValue
+    // 1-minute load average at bench time: two rounds running, the
+    // driver's numbers caught a co-tenant burst that only a clean re-run
+    // could disambiguate — record the machine state alongside the result
+    val loadavg = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedArr,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedArr,"loadavg":$loadavg,"sf":"$sfDir"}"""
     // sbt's logger decorates stdout with [info] prefixes, which breaks
     // line-oriented JSON parsing downstream — always ALSO write the line
     // to a bare file: $SPARK_GRAFT_BENCH_OUT if set, else ./bench_out.json.

@@ -50,6 +50,19 @@ object GraftSession {
       .master(s"local[$cores]")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // getOrCreate silently reuses any pre-existing session, on which
+    // `spark.sql.extensions` (set at session BUILD time) cannot be
+    // retrofitted — the engine's optimizer rules would be absent despite
+    // this factory's contract. Detect that instead of running degraded.
+    val ext = s.conf.get("spark.sql.extensions", "")
+    if (!ext.contains(classOf[graft.plans.GraftExtensions].getName)) {
+      s.sparkContext.setLogLevel("WARN")
+      throw new IllegalStateException(
+        "GraftSession.local reused a pre-existing SparkSession built " +
+        s"without GraftExtensions (spark.sql.extensions='$ext'); stop it " +
+        "or build app sessions through GraftSession so the engine's " +
+        "optimizer rules are active")
+    }
     s.sparkContext.setLogLevel("WARN")
     s
   }

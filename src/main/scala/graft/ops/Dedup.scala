@@ -102,18 +102,28 @@ object Dedup {
     * band keys — the fast form); HOF expressions here are
     * CodegenFallback and that is fine for an audit variant.
     */
-  def minHashPairsAuditable(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 8, bands: Int = 2, minJaccard: Double = 0.75): DataFrame = {
-    require(k % bands == 0, "bands must divide k")
-    val r = k / bands
-    val tokens = TextOps.wsTokenSet(col(textCol))
-    val sigCols = (0 until k).map { i =>
+  /** The md5-family per-row MinHash signature — ONE definition shared
+    * by [[minHashPairsAuditable]] and the group-signature oracle twin
+    * (q43b): sig[i] = min over the ws-token SET of md5Hash60("i:"+tok),
+    * Long.MaxValue for an empty set. Pairs with the DuckDB expression
+    * `coalesce(list_min(list_transform(tk, t -> CAST('0x' ||
+    * substr(md5('i:' || t), 1, 15) AS BIGINT))), maxlong)`. */
+  def auditableMinHashSig(textCol: Column, k: Int): Column = {
+    val tokens = TextOps.wsTokenSet(textCol)
+    array((0 until k).map { i =>
       coalesce(
         array_min(transform(tokens, t =>
           TextOps.md5Hash60(concat(lit(s"$i:"), t)))),
         lit(Long.MaxValue))
-    }
-    val sigs = df.select(col(idCol), array(sigCols: _*).as("sig"))
+    }: _*)
+  }
+
+  def minHashPairsAuditable(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, bands: Int = 2, minJaccard: Double = 0.75): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    val sigs = df.select(col(idCol),
+      auditableMinHashSig(col(textCol), k).as("sig"))
 
     val banded = sigs.select(col(idCol), col("sig"),
       explode(array((0 until bands).map { b =>
@@ -265,13 +275,15 @@ object Dedup {
     // an exact-similarity join) is the expensive subtree
     val pairsCp = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .localCheckpoint()
-    val edgesRaw = pairsCp
+    // size partitioning to the graph, ~1M edge rows per partition; the
+    // symmetrized edge count is bounded by 2×pairs and the count() here
+    // scans already-checkpointed blocks — no standalone edge-count job
+    val p = math.max(1,
+      math.min(2048, (2L * pairsCp.count() / 1000000L).toInt + 1))
+    val edges = pairsCp
       .union(pairsCp.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .localCheckpoint()
-    // size partitioning to the graph: ~1M edge rows per partition
-    val p = math.max(1, math.min(2048, (edgesRaw.count() / 1000000L).toInt + 1))
-    val edges = edgesRaw.repartition(p, col("src")).localCheckpoint()
+      .repartition(p, col("src")).localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
       .repartition(p, col("id")).localCheckpoint()
@@ -285,18 +297,26 @@ object Dedup {
       val jump = labels.as("l")
         .join(labels.select(col("id").as("lbl"), col("lbl").as("jlbl")), "lbl")
         .select(col("id"), col("jlbl"))
+      // carry the previous label through the checkpoint so convergence
+      // is a cached-block filter+count, not a second join job per round
       val next = labels.join(nbrMin, Seq("id"), "left")
         .join(jump, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("lbl").as("prev"),
           least(col("lbl"),
             coalesce(col("nlbl"), col("lbl")),
             coalesce(col("jlbl"), col("lbl"))).as("lbl"))
         .repartition(p, col("id")).localCheckpoint()
-      changed = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.lbl") < col("o.lbl")).count()
-      labels = next
+      changed = next.filter(col("lbl") < col("prev")).count()
+      labels = next.select("id", "lbl")
       iter += 1
+    }
+    if (changed > 0) {
+      // silent non-convergence would surface as split dup clusters with
+      // no signal; the count is already in hand, so say so loudly
+      System.err.println(
+        s"[graft] connectedComponents: NOT converged after $maxIter " +
+        s"iterations ($changed labels still improving) — results are " +
+        "partial clusters; raise maxIter")
     }
     labels
   }

@@ -49,17 +49,20 @@ object TextAnalysis {
     * per-family operators below and by single-scan composites (q50b)
     * so "all gates in one projection" is one definition, not a copy. */
   def nTokensCol(txt: Column): Column =
-    size(filter(split(txt, " "), t => length(t) > 0)).cast("long")
+    size(TextOps.wsTokens(txt)).cast("long")
 
   def alphaRatioCol(txt: Column): Column =
     round(length(regexp_replace(txt, "[^a-z ]", "")).cast("double")
       / greatest(length(txt), lit(1)), 4)
 
   def stopwordRatioCol(txt: Column): Column = {
-    val tokens = split(txt, " ")
+    // built on the ONE shared tokenization (TextOps.wsTokens) — empty
+    // tokens are never stopwords, so filtering them first is
+    // hit-count-neutral, and null text now yields 0 tokens, not null
+    val tokens = TextOps.wsTokens(txt)
     val sw = array(TextOps.stopwords.map(lit): _*)
     round(size(filter(tokens, t => array_contains(sw, t))).cast("double")
-      / greatest(size(filter(tokens, t => length(t) > 0)), lit(1)), 4)
+      / greatest(size(tokens), lit(1)), 4)
   }
 
   def dupBigramFracCol(txt: Column): Column = {

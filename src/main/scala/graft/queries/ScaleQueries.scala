@@ -355,6 +355,23 @@ object ScaleQueries {
         .orderBy("source")
     }),
 
+    // AUDITABLE group-signature twin: the SAME MinHashUnionAgg typed
+    // Aggregator as q43, fed the md5-family per-row signatures — DuckDB
+    // recomputes each group signature as min-per-hash-index over the
+    // group, anchoring the UDAF's union semantics cross-engine
+    "q43b_group_signature_oracle" -> ((s, dir) => {
+      val k = 8
+      t(s, dir, "documents")
+        .select(col("source"),
+          Dedup.auditableMinHashSig(col("text"), k).as("sig"))
+        .groupBy("source")
+        .agg(graft.functions.MinHashUnionAgg.groupSignature(col("sig"), k)
+          .as("gsig"))
+        .select(col("source"),
+          array_join(transform(col("gsig"), _.cast("string")), ",").as("gsig"))
+        .orderBy("source")
+    }),
+
     // near-dup CLUSTERING: exact unigram-Jaccard pairs (bounded slice,
     // SQL-expressible) → connected components → canonical representative
     // per cluster. Oracle: DuckDB recursive CTE over the same pair set.
@@ -400,16 +417,28 @@ object ScaleQueries {
     }))
 
   /** One RF fit per (session, sf dir) (shared by q42/q42b): returns
-    * (fitted model, test frame, train rows, test rows). Keyed by the
-    * session identity too — the cached test DataFrame is bound to the
-    * session that built it, and handing it to a later session in the
-    * same JVM would fail with a stopped-context error. */
-  private val rfCache = scala.collection.concurrent.TrieMap
-    .empty[(Int, String), (org.apache.spark.ml.PipelineModel,
-      org.apache.spark.sql.DataFrame, Long, Long)]
+    * (fitted model, test frame, train rows, test rows). Keyed WEAKLY by
+    * the session object itself — the cached test DataFrame is bound to
+    * the session that built it, and handing it to a later session in
+    * the same JVM would fail with a stopped-context error. An identity
+    * hash code would be reusable after GC (a later session could
+    * collide into a dead entry); a weak key cannot collide and lets the
+    * model + cached frame be collected with their session. */
+  private val rfCache = new java.util.WeakHashMap[SparkSession,
+    scala.collection.concurrent.TrieMap[String,
+      (org.apache.spark.ml.PipelineModel,
+       org.apache.spark.sql.DataFrame, Long, Long)]]()
 
-  private def rfFor(s: SparkSession, dir: String) =
-    rfCache.getOrElseUpdate((System.identityHashCode(s), dir), {
+  private def rfFor(s: SparkSession, dir: String) = {
+    val perSession = rfCache.synchronized {
+      var m = rfCache.get(s)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty
+        rfCache.put(s, m)
+      }
+      m
+    }
+    perSession.getOrElseUpdate(dir, {
       val docs = preppedDocs(s, dir)
       val (fm, lda) = ldaFor(s, dir)
       val themed = graft.ml.ThemePipeline.assignThemes(
@@ -421,6 +450,7 @@ object ScaleQueries {
         .classifierPipeline("processed", "theme").fit(train)
       (model, test.cache(), train.count(), test.count())
     })
+  }
 
   private val sqlStopwords: String =
     TextOps.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -477,7 +507,34 @@ object ScaleQueries {
        FROM hashed ORDER BY doc_id"""
   }
 
+  /** Generated DuckDB twin of the q43b group-signature pipeline: the
+    * group signature is min-per-hash-index over the group's per-row
+    * md5-family signatures ([[graft.ops.Dedup.auditableMinHashSig]]) —
+    * exactly the union semantics MinHashUnionAgg implements. */
+  private val q43bSql: String = {
+    val k = 8
+    val maxl = Long.MaxValue.toString
+    val sigCols = (0 until k).map(i =>
+      s"""coalesce(list_min(list_transform(tk,
+         |  t -> CAST('0x' || substr(md5('$i:' || t), 1, 15) AS BIGINT))),
+         |  $maxl) AS s$i""".stripMargin).mkString(",\n       ")
+    val minCols = (0 until k).map(i => s"min(s$i) AS g$i").mkString(", ")
+    val catCols = (0 until k).map(i => s"CAST(g$i AS VARCHAR)")
+      .mkString(" || ',' || ")
+    s"""WITH toks AS (
+           SELECT source,
+                  list_distinct(list_filter(string_split(coalesce(text, ''), ' '),
+                                            t -> length(t) > 0)) AS tk
+           FROM documents),
+         sigs AS (SELECT source,
+       $sigCols
+           FROM toks),
+         g AS (SELECT source, $minCols FROM sigs GROUP BY source)
+       SELECT source, $catCols AS gsig FROM g ORDER BY source"""
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q43b_group_signature_oracle" -> q43bSql,
     "q25_dedup_hash" ->
       """SELECT min(doc_id) AS doc_id, md5(text) AS h FROM documents
          GROUP BY md5(text) ORDER BY doc_id""",
@@ -549,8 +606,8 @@ object ScaleQueries {
     "q33_quality" ->
       s"""WITH f AS (SELECT doc_id, text,
                  CAST(length(text) AS BIGINT) AS n_chars,
-                 CAST(len(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS BIGINT) AS n_tokens,
-                 len(list_filter(string_split(text, ' '), t -> list_contains($sqlStopwords, t))) AS sw_hits
+                 CAST(len(list_filter(string_split(coalesce(text, ''), ' '), t -> length(t) > 0)) AS BIGINT) AS n_tokens,
+                 len(list_filter(string_split(coalesce(text, ''), ' '), t -> list_contains($sqlStopwords, t))) AS sw_hits
           FROM documents)
           SELECT doc_id, n_chars, n_tokens,
                  round(length(regexp_replace(text, '[^a-z ]', '', 'g')) * 1.0
@@ -581,7 +638,7 @@ object ScaleQueries {
          FROM g ORDER BY doc_id""",
     "q34_tokens" ->
       """SELECT doc_id,
-                CAST(len(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS BIGINT) AS ws_tokens,
+                CAST(len(list_filter(string_split(coalesce(text, ''), ' '), t -> length(t) > 0)) AS BIGINT) AS ws_tokens,
                 CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS alpha_tokens,
                 CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe_est
          FROM documents ORDER BY doc_id""",
@@ -611,11 +668,11 @@ object ScaleQueries {
          FROM f ORDER BY doc_id""",
     "q50_curation" ->
       s"""WITH q AS (SELECT doc_id, text, lang,
-                 CAST(len(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS BIGINT) AS n_tokens,
+                 CAST(len(list_filter(string_split(coalesce(text, ''), ' '), t -> length(t) > 0)) AS BIGINT) AS n_tokens,
                  round(length(regexp_replace(text, '[^a-z ]', '', 'g')) * 1.0
                        / greatest(length(text), 1), 4) AS alpha_ratio,
-                 round(len(list_filter(string_split(text, ' '), t -> list_contains($sqlStopwords, t))) * 1.0
-                       / greatest(len(list_filter(string_split(text, ' '), t -> length(t) > 0)), 1), 4) AS stopword_ratio
+                 round(len(list_filter(string_split(coalesce(text, ''), ' '), t -> list_contains($sqlStopwords, t))) * 1.0
+                       / greatest(len(list_filter(string_split(coalesce(text, ''), ' '), t -> length(t) > 0)), 1), 4) AS stopword_ratio
            FROM documents),
            gated AS (SELECT * FROM q
                      WHERE n_tokens >= 30 AND alpha_ratio >= 0.9
@@ -625,7 +682,7 @@ object ScaleQueries {
     "q55_dedup_clusters" ->
       """WITH RECURSIVE
            toks AS (SELECT doc_id,
-                           list_distinct(list_filter(string_split(text, ' '),
+                           list_distinct(list_filter(string_split(coalesce(text, ''), ' '),
                                                      t -> length(t) > 0)) tk
                     FROM documents WHERE doc_id < 150),
            pairs AS (SELECT a.doc_id id_a, b.doc_id id_b
@@ -700,9 +757,9 @@ object ScaleQueries {
                                      t -> length(t) > 0)) AS BIGINT) AS ws_tokens
            FROM documents),
            c AS (SELECT lang, doc_id,
-                sum(ws_tokens) OVER (PARTITION BY lang
+                CAST(sum(ws_tokens) OVER (PARTITION BY lang
                   ORDER BY md5(coalesce(text, '')), doc_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
            FROM tk)
          SELECT lang, doc_id, cum_tokens FROM c
          WHERE cum_tokens <= 5000 ORDER BY lang, doc_id""",
@@ -721,11 +778,11 @@ object ScaleQueries {
          FROM c ORDER BY lang, doc_id""",
     "q50b_full_curation" ->
       s"""WITH q AS (SELECT doc_id, text, lang,
-                 CAST(len(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS BIGINT) AS n_tokens,
+                 CAST(len(list_filter(string_split(coalesce(text, ''), ' '), t -> length(t) > 0)) AS BIGINT) AS n_tokens,
                  round(length(regexp_replace(text, '[^a-z ]', '', 'g')) * 1.0
                        / greatest(length(text), 1), 4) AS alpha_ratio,
-                 round(len(list_filter(string_split(text, ' '), t -> list_contains($sqlStopwords, t))) * 1.0
-                       / greatest(len(list_filter(string_split(text, ' '), t -> length(t) > 0)), 1), 4) AS stopword_ratio
+                 round(len(list_filter(string_split(coalesce(text, ''), ' '), t -> list_contains($sqlStopwords, t))) * 1.0
+                       / greatest(len(list_filter(string_split(coalesce(text, ''), ' '), t -> length(t) > 0)), 1), 4) AS stopword_ratio
            FROM documents),
            rep AS (SELECT doc_id,
                  round(CASE WHEN len(bg) > 0
@@ -749,9 +806,9 @@ object ScaleQueries {
                             arg_min(n_tokens, doc_id) AS n_tokens
                      FROM gated GROUP BY md5(text)),
            c AS (SELECT lang, doc_id, n_tokens,
-                    sum(n_tokens) OVER (PARTITION BY lang
+                    CAST(sum(n_tokens) OVER (PARTITION BY lang
                       ORDER BY md5(coalesce(text, '')), doc_id
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
                  FROM dedup)
          SELECT lang, doc_id, n_tokens, cum_tokens FROM c
          WHERE cum_tokens <= 4000 ORDER BY lang, doc_id""",

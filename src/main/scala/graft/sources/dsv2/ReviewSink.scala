@@ -7,33 +7,67 @@ import org.apache.spark.sql.connector.write._
 
 /** DSv2 WRITE path for the review connector — the store-side analog of
   * the reference's load stage writing processed records back
-  * (`loader.py:109-130`), expressed through the V2 commit protocol:
+  * (`loader.py:109-130`), expressed through the V2 commit protocol in
+  * its honest-at-scale shape:
   *
-  *  - each task's [[ReviewDataWriter]] BUFFERS its rows and only ships
-  *    them inside its `WriterCommitMessage`;
-  *  - the driver-side [[ReviewBatchWrite]].`commit` installs all
-  *    partitions into the store in one atomic swap.
+  *  - each task's [[ReviewDataWriter]] writes its rows to a STAGING
+  *    slot keyed by (writeId, partition, task attempt) from the task
+  *    side, and its `WriterCommitMessage` carries only a MANIFEST
+  *    (staging key + row count) — never the data. A sink that ships
+  *    rows through commit messages funnels the whole dataset through
+  *    the driver, which is exactly the scale failure this protocol
+  *    exists to avoid.
+  *  - the driver-side [[ReviewBatchWrite]].`commit` flips visibility:
+  *    it installs, in one atomic swap, precisely the staged slots named
+  *    by the commit messages it received, in partition order.
   *
-  * That two-phase shape is what makes speculative or retried tasks safe:
-  * an aborted task's buffer is dropped (`abort` discards it) and only
-  * the task attempt whose commit message reaches the driver
-  * contributes — the exactly-once discipline a real Bolt/JDBC sink
-  * needs. `SupportsTruncate` maps `mode("overwrite")` onto
+  * That two-phase shape is what makes speculative or retried tasks
+  * safe: a task attempt that staged rows but whose commit message never
+  * reached the driver is simply not in the manifest list — its staging
+  * slot is swept, not installed. `abort` sweeps all staging for the
+  * write. `SupportsTruncate` maps `mode("overwrite")` onto
   * truncate-then-install.
   *
   * The backing store is an in-JVM map keyed by the `store` option
-  * (valid for local/test use; a real backend replaces
-  * [[ReviewStore.install]] with the remote transaction).
+  * (valid for local/test use, where task and driver share the JVM; a
+  * real backend replaces the staging area with task-side object-store
+  * files and [[ReviewStore.commitStaged]] with a metadata-only
+  * visibility flip over those files).
   */
 object ReviewStore {
 
   private val tables = TrieMap.empty[String, Vector[InternalRow]]
+  private val staging = TrieMap.empty[String, Vector[InternalRow]]
 
-  def install(key: String, rows: Vector[InternalRow],
-      truncate: Boolean): Unit =
-    tables.updateWith(key) { prev =>
+  /** Task-side: stage one attempt's rows under its manifest key. */
+  def stage(stagingKey: String, rows: Vector[InternalRow]): Unit =
+    staging.put(stagingKey, rows)
+
+  /** Visible for tests: rows currently staged (pre-visibility). */
+  def stagedRowCount: Int = staging.valuesIterator.map(_.size).sum
+
+  /** Driver-side visibility flip: install exactly the named staged
+    * slots (in the order given — callers pass partition order), then
+    * sweep ALL staging for the write, including slots from task
+    * attempts that never reported back (speculation, retries). */
+  def commitStaged(tableKey: String, writeId: String,
+      stagingKeys: Seq[String], truncate: Boolean): Unit = {
+    val rows = stagingKeys.iterator
+      .flatMap(k => staging.getOrElse(k,
+        throw new IllegalStateException(
+          s"commit references unknown staging slot $k — task staging " +
+          "was lost before the driver commit")))
+      .toVector
+    tables.updateWith(tableKey) { prev =>
       Some(if (truncate) rows else prev.getOrElse(Vector.empty) ++ rows)
     }
+    dropStaged(writeId)
+  }
+
+  /** Sweep every staging slot belonging to a write (commit epilogue and
+    * abort path both end here). */
+  def dropStaged(writeId: String): Unit =
+    staging.keys.filter(_.startsWith(writeId + "/")).foreach(staging.remove)
 
   def rows(key: String): Vector[InternalRow] =
     tables.getOrElse(key, Vector.empty)
@@ -54,44 +88,57 @@ class ReviewWriteBuilder(storeKey: String)
   }
 }
 
-/** Commit message: the task's buffered rows (UnsafeRow copies are
-  * serializable, so they travel back to the driver like any task
-  * result). */
-case class ReviewCommit(rows: Array[InternalRow]) extends WriterCommitMessage
+/** Commit message: a MANIFEST of what the task staged — its staging
+  * key, partition, and row count — not the rows themselves. */
+case class ReviewCommit(stagingKey: String, partitionId: Int,
+    rowCount: Long) extends WriterCommitMessage
 
 class ReviewBatchWrite(storeKey: String, truncate: Boolean)
     extends BatchWrite {
 
+  // unique per write so retried/aborted writes can never cross-install
+  private val writeId = java.util.UUID.randomUUID().toString
+
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    new ReviewWriterFactory
+    new ReviewWriterFactory(writeId)
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit =
-    ReviewStore.install(storeKey,
-      messages.iterator.flatMap {
-        case ReviewCommit(rows) => rows.iterator
-      }.toVector,
-      truncate)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val manifests = messages.iterator
+      .map { case m: ReviewCommit => m }
+      .toVector.sortBy(_.partitionId)
+    ReviewStore.commitStaged(storeKey, writeId,
+      manifests.map(_.stagingKey), truncate)
+  }
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    ReviewStore.dropStaged(writeId)
 }
 
-class ReviewWriterFactory extends DataWriterFactory {
+class ReviewWriterFactory(writeId: String) extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
-    new ReviewDataWriter
+    new ReviewDataWriter(writeId, partitionId, taskId)
 }
 
-class ReviewDataWriter extends DataWriter[InternalRow] {
+class ReviewDataWriter(writeId: String, partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
 
+  private val stagingKey = s"$writeId/$partitionId/$taskId"
   private val buf = Vector.newBuilder[InternalRow]
 
   // rows are reused by the caller — copy before buffering
   override def write(row: InternalRow): Unit = buf += row.copy()
 
-  override def commit(): WriterCommitMessage = ReviewCommit(buf.result().toArray)
+  // task-side commit: persist to staging HERE (the task), hand the
+  // driver only the manifest
+  override def commit(): WriterCommitMessage = {
+    val rows = buf.result()
+    ReviewStore.stage(stagingKey, rows)
+    ReviewCommit(stagingKey, partitionId, rows.size.toLong)
+  }
 
-  override def abort(): Unit = buf.clear()
+  override def abort(): Unit = { buf.clear() }
 
   override def close(): Unit = ()
 }

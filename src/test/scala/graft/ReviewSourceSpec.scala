@@ -76,4 +76,58 @@ class ReviewSourceSpec extends AnyFunSuite {
       assert(ids.size === 5 && ids.forall(_ >= 0))
     } finally ReviewStore.clear(key)
   }
+
+  test("commit installs only manifested attempts; speculative staging swept") {
+    import graft.sources.dsv2.{ReviewBatchWrite, ReviewCommit, ReviewStore,
+      ReviewWriteBuilder}
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    val key = "spec-retry-store"
+    ReviewStore.clear(key)
+    try {
+      val write = new ReviewWriteBuilder(key).build().toBatch
+        .asInstanceOf[ReviewBatchWrite]
+      val factory = write.createBatchWriterFactory(null)
+      def row(v: Long) = new GenericInternalRow(Array[Any](v))
+      // partition 0: original attempt (taskId 0) and a speculative retry
+      // (taskId 7) BOTH finish and stage — only one message reaches the
+      // driver, the other's staging must be swept, not installed
+      val w0 = factory.createWriter(0, 0L)
+      w0.write(row(1L)); w0.write(row(2L))
+      val m0 = w0.commit().asInstanceOf[ReviewCommit]
+      val w0retry = factory.createWriter(0, 7L)
+      w0retry.write(row(91L)); w0retry.write(row(92L))
+      w0retry.commit() // staged, but its message is "lost"
+      val w1 = factory.createWriter(1, 1L)
+      w1.write(row(3L))
+      val m1 = w1.commit().asInstanceOf[ReviewCommit]
+      // manifests carry counts, not rows
+      assert(m0.rowCount === 2L && m1.rowCount === 1L)
+      write.commit(Array(m1, m0)) // out of order: install sorts by partition
+      assert(ReviewStore.rows(key).map(_.getLong(0)) === Vector(1L, 2L, 3L))
+      // every slot of the write — including the speculative attempt's —
+      // was swept by the commit epilogue
+      assert(ReviewStore.stagedRowCount === 0)
+    } finally ReviewStore.clear(key)
+  }
+
+  test("abort sweeps all staging and installs nothing") {
+    import graft.sources.dsv2.{ReviewBatchWrite, ReviewStore,
+      ReviewWriteBuilder}
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    val key = "spec-abort-store"
+    ReviewStore.clear(key)
+    try {
+      val write = new ReviewWriteBuilder(key).build().toBatch
+        .asInstanceOf[ReviewBatchWrite]
+      val factory = write.createBatchWriterFactory(null)
+      val w = factory.createWriter(0, 0L)
+      w.write(new GenericInternalRow(Array[Any](5L)))
+      val m = w.commit()
+      write.abort(Array(m))
+      assert(ReviewStore.rows(key).isEmpty)
+      assert(ReviewStore.stagedRowCount === 0)
+      // committing after abort must fail: staging is gone
+      intercept[IllegalStateException] { write.commit(Array(m)) }
+    } finally ReviewStore.clear(key)
+  }
 }
