@@ -13,7 +13,11 @@ import org.apache.spark.sql.SparkSession
   * `FileSystem.get(uri, conf)` dispatches on the URI scheme, so every
   * method here works unchanged against `file://`, `hdfs://`, or
   * `s3a://` targets — on a cluster the same calls do the bucket-level
-  * work the boto3 client did, with no engine-code change. These are
+  * work the boto3 client did, with no engine-code change. The dispatch
+  * is exercised in tests against TWO schemes (`file://` and a
+  * registered `graftfs://`), including a cross-scheme copy; `s3a://`
+  * itself is argued by that symmetry, not tested (no object store in
+  * the sandbox). These are
   * driver-side control-plane operations on METADATA and small artifact
   * trees (models, metrics documents); bulk data movement stays in the
   * distributed writers ([[Sinks]]).

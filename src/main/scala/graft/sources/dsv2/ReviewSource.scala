@@ -35,19 +35,76 @@ import graft.sources.ReviewFixture
   */
 class ReviewTableProvider extends TableProvider {
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    // validate connection options at load() time — the earliest hook —
+    // so a bad URL fails before any job is planned
+    ReviewConnection.validate(options.asCaseSensitiveMap().asScala.toMap)
     ReviewFixture.schema
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     new ReviewTable(properties.asScala.toMap)
 }
 
+/** The connector's connection-option surface — the session-boundary
+  * contract of the reference's driver connect (`extract.py:38-58`:
+  * `GraphDatabase.driver(uri, auth=(user, password))`):
+  *
+  *  - `url`:  `bolt://host[:port]` or `neo4j://host[:port]`;
+  *  - `user` + `token`: basic-auth pair, both or neither.
+  *
+  * All optional — absent options mean the embedded fixture store (the
+  * sandbox has no live Bolt endpoint; a real backend consumes the same
+  * validated values). The token is never echoed back in descriptions
+  * or errors. */
+object ReviewConnection {
+
+  private val urlRe = "^(bolt|neo4j)://([^/:@\\s]+)(:(\\d{1,5}))?$".r
+
+  def validate(opts: Map[String, String]): Unit = {
+    opts.get("url").foreach { u =>
+      urlRe.findFirstMatchIn(u) match {
+        case None =>
+          throw new IllegalArgumentException(
+            s"review connector: malformed url '$u' — expected " +
+            "bolt://host[:port] or neo4j://host[:port]")
+        case Some(m) =>
+          Option(m.group(4)).map(_.toInt).foreach { port =>
+            if (port < 1 || port > 65535)
+              throw new IllegalArgumentException(
+                s"review connector: url port out of range in '$u'")
+          }
+      }
+    }
+    (opts.get("user"), opts.get("token")) match {
+      case (Some(_), None) | (None, Some(_)) =>
+        throw new IllegalArgumentException(
+          "review connector: user and token must be provided together")
+      case (Some(u), _) if u.trim.isEmpty =>
+        throw new IllegalArgumentException(
+          "review connector: user must be non-empty")
+      case _ => ()
+    }
+  }
+
+  /** Redacted description of the connection target for plan/`toString`
+    * surfaces: url + user, never the token. */
+  def describe(opts: Map[String, String]): String = {
+    val url = opts.getOrElse("url", "embedded-fixture")
+    val user = opts.get("user").map(u => s", user=$u").getOrElse("")
+    s"url=$url$user"
+  }
+}
+
 class ReviewTable(props: Map[String, String]) extends Table
     with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
-  override def name(): String = "graft_reviews"
+  ReviewConnection.validate(props)
+
+  override def name(): String =
+    s"graft_reviews(${ReviewConnection.describe(props)})"
 
   override def schema(): StructType = ReviewFixture.schema
 

@@ -1,0 +1,36 @@
+package graft
+
+import java.net.URI
+
+import org.apache.hadoop.fs.{FileStatus, Path, RawLocalFileSystem}
+import org.apache.hadoop.fs.permission.FsPermission
+
+/** A second Hadoop scheme for exercising [[graft.sources.Fs]]'s
+  * scheme dispatch: `graftfs:///...` resolves through
+  * `fs.graftfs.impl` to this class, which stores bytes on local disk
+  * but is a DIFFERENT FileSystem instance and URI authority than
+  * `file://` — so a copy between them takes the genuine cross-scheme
+  * path (two filesystems, qualified-URI relativization, per-file
+  * copy), the same shape as `file://` → `s3a://`.
+  *
+  * Statuses are rebuilt with eager permissions: RawLocalFileSystem's
+  * lazy permission loader does `new java.io.File(status-URI)`, which
+  * rejects any scheme but `file` — under a foreign scheme the lazy
+  * path must never run. */
+class GraftTestFs extends RawLocalFileSystem {
+
+  override def getUri: URI = URI.create("graftfs:///")
+
+  private def eager(st: FileStatus): FileStatus =
+    new FileStatus(st.getLen, st.isDirectory, st.getReplication,
+      st.getBlockSize, st.getModificationTime, st.getAccessTime,
+      if (st.isDirectory) FsPermission.getDirDefault
+      else FsPermission.getFileDefault,
+      null, null, st.getPath)
+
+  override def getFileStatus(f: Path): FileStatus =
+    eager(super.getFileStatus(f))
+
+  override def listStatus(f: Path): Array[FileStatus] =
+    super.listStatus(f).map(eager)
+}

@@ -77,6 +77,35 @@ class ReviewSourceSpec extends AnyFunSuite {
     } finally ReviewStore.clear(key)
   }
 
+  test("connection options: malformed url and half an auth pair are rejected") {
+    val fmt = classOf[ReviewTableProvider].getName
+    val e1 = intercept[IllegalArgumentException] {
+      spark.read.format(fmt).option("url", "http://nope:7687").load()
+    }
+    assert(e1.getMessage.contains("malformed url"))
+    val e2 = intercept[IllegalArgumentException] {
+      spark.read.format(fmt).option("url", "bolt://host:99999").load()
+    }
+    assert(e2.getMessage.contains("port out of range"))
+    val e3 = intercept[IllegalArgumentException] {
+      spark.read.format(fmt).option("user", "neo4j").load()
+    }
+    assert(e3.getMessage.contains("together"))
+  }
+
+  test("valid connection options load; token never echoed in the table name") {
+    val df = spark.read.format(classOf[ReviewTableProvider].getName)
+      .option("url", "bolt://reviews.internal:7687")
+      .option("user", "neo4j").option("token", "s3cret")
+      .option("partitions", 2).load()
+    assert(df.count() === 128)
+    val desc = graft.sources.dsv2.ReviewConnection.describe(Map(
+      "url" -> "bolt://reviews.internal:7687",
+      "user" -> "neo4j", "token" -> "s3cret"))
+    assert(desc.contains("bolt://reviews.internal:7687") &&
+      desc.contains("neo4j") && !desc.contains("s3cret"))
+  }
+
   test("commit installs only manifested attempts; speculative staging swept") {
     import graft.sources.dsv2.{ReviewBatchWrite, ReviewCommit, ReviewStore,
       ReviewWriteBuilder}

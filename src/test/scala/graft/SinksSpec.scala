@@ -86,6 +86,37 @@ class SinksSpec extends AnyFunSuite {
     assert(!Fs.exists(spark, dst))
   }
 
+  test("Fs: scheme dispatch reaches a second filesystem (graftfs://)") {
+    import graft.sources.Fs
+    // register the second scheme the way a cluster registers s3a
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftfs.impl", classOf[GraftTestFs].getName)
+    val root = tmp()
+    val src = s"$root/src"
+    Fs.ensureDir(spark, src)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$src/a.txt"),
+      "alpha".getBytes)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$src/b.txt"),
+      "beta".getBytes)
+
+    // upload file:// → graftfs:// (two distinct FileSystem instances)
+    val remote = s"graftfs://$root/remote"
+    assert(Fs.ensureDir(spark, remote))
+    assert(Fs.copyRecursive(spark, src, remote) === 2)
+    val listed = Fs.listRecursive(spark, remote)
+    assert(listed.size === 2)
+    // the listing is qualified under the remote scheme, not file://
+    assert(listed.forall(_._1.startsWith("graftfs:")), listed)
+
+    // download graftfs:// → local and verify bytes survived both hops
+    val back = s"$root/back"
+    assert(Fs.download(spark, remote, back) === 2)
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$back/b.txt"))) === "beta")
+    assert(Fs.deleteRecursive(spark, remote))
+    assert(!Fs.exists(spark, remote))
+  }
+
   test("metrics json sink writes one document with injected timestamp") {
     val path = tmp() + "/metrics"
     val m = Engine.Metrics(0.9, 0.88, 100L, 5L,
