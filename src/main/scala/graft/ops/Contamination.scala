@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination for training corpora: flag corpus
+  * documents that share long token n-grams with an evaluation set —
+  * the standard guard against test-set leakage into training data
+  * (n-gram overlap decontamination as popularized by the GPT-3 and
+  * Gopher dataset reports; no reference analog).
+  *
+  * Scale design (100 TB corpus, ~GB-scale benchmark):
+  *  - shingling is map-side: tokens → n-gram strings → 60-bit hashes,
+  *    one `explode` per document, then a per-doc `distinct`;
+  *  - the benchmark's distinct shingle set is orders of magnitude
+  *    smaller than the corpus — the hit test is a LEFT SEMI join on the
+  *    shingle hash, which AQE turns into a broadcast when the benchmark
+  *    side fits (and a shuffled semi-join when it doesn't; both
+  *    correct);
+  *  - output is one row per corpus doc: total shingles, hits, overlap
+  *    fraction, and the contamination flag — bounded by corpus row
+  *    count, not shingle count.
+  *
+  * Hashing uses [[TextOps.md5Hash60]] (the cross-engine audit family),
+  * so the whole pipeline — shingling, hashing, semi-join, counts — is
+  * DuckDB-checkable (q59).
+  */
+object Contamination {
+
+  /** Distinct (id, shingleHash) pairs: token n-grams of length `n`,
+    * md5Hash60-hashed. Documents shorter than `n` tokens contribute no
+    * rows. */
+  def shingles(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val tk = TextOps.wsTokens(col(textCol))
+    val grams: Column = when(size(tk) >= n,
+      transform(sequence(lit(1), size(tk) - n + 1),
+        i => concat_ws(" ", slice(tk, i, lit(n)))))
+      .otherwise(array())
+    df.select(col(idCol), explode(grams).as("gram"))
+      .select(col(idCol), TextOps.md5Hash60(col("gram")).as("h"))
+      .distinct()
+  }
+
+  /** Per-corpus-document overlap against the benchmark's shingle set.
+    * Returns (id, n_shingles, n_hits, frac, contaminated); every
+    * corpus row appears, including docs too short to shingle. */
+  def ngramOverlap(corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String,
+      n: Int = 8, threshold: Double = 0.1): DataFrame = {
+    val corpSh = shingles(corpus, idCol, textCol, n)
+    val benchSh = shingles(bench, idCol, textCol, n)
+      .select("h").distinct()
+    val tot = corpSh.groupBy(idCol).agg(count("*").as("n_shingles"))
+    val hits = corpSh.join(benchSh, Seq("h"), "left_semi")
+      .groupBy(idCol).agg(count("*").as("n_hits"))
+    val fracRaw = coalesce(col("n_hits"), lit(0L)).cast("double") /
+      greatest(coalesce(col("n_shingles"), lit(0L)), lit(1L))
+    corpus.select(col(idCol))
+      .join(tot, Seq(idCol), "left")
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(fracRaw, 4).as("frac"),
+        (fracRaw >= threshold).as("contaminated"))
+  }
+}

@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** PII redaction for training-corpus curation: scrub well-known
+  * identifier shapes (emails, phone numbers, IPv4 addresses) out of
+  * document text and count what was removed, so downstream mixing can
+  * gate on redaction density.
+  *
+  * No reference analog (the reference corpus is already clean); this is
+  * part of the LLM-data-pipeline surface. Scale design: pure map-side
+  * `regexp_replace`/`regexp_count` projections — zero shuffle, fully
+  * codegen, linear scans at any corpus size.
+  *
+  * The patterns are deliberately RE2-safe (no backreferences or
+  * lookarounds) so the SAME pattern strings run in Spark (java.util
+  * .regex) and the DuckDB oracle (RE2) with identical semantics.
+  */
+object Redaction {
+
+  /** Pattern source of truth — paired character-for-character with the
+    * oracle SQL (q58). */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRe = "\\+[0-9][0-9 ()-]{6,}[0-9]"
+  val ipv4Re =
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  val emailTag = "<EMAIL>"
+  val phoneTag = "<PHONE>"
+  val ipTag = "<IP>"
+
+  /** Scrubbed text: emails, then IPs, then phones. IPs go BEFORE
+    * phones: the phone pattern is greedy over digit/space runs and
+    * would otherwise swallow the leading octet of an adjacent IP
+    * ("+1 5550101234 10.1.2.3" → "<PHONE>.1.2.3"). The order is fixed
+    * and mirrored in the q58 oracle SQL. */
+  def scrubCol(txt: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(txt, emailRe, emailTag),
+        ipv4Re, ipTag),
+      phoneRe, phoneTag)
+
+  /** (id, scrubbed text, per-kind redaction counts, total). */
+  def scrub(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val txt = col(textCol)
+    df.select(col(idCol),
+      scrubCol(txt).as("text"),
+      regexp_count(txt, lit(emailRe)).cast("long").as("n_emails"),
+      regexp_count(txt, lit(phoneRe)).cast("long").as("n_phones"),
+      regexp_count(txt, lit(ipv4Re)).cast("long").as("n_ips"))
+      .withColumn("n_redactions",
+        col("n_emails") + col("n_phones") + col("n_ips"))
+  }
+}

@@ -274,6 +274,33 @@ object ScaleQueries {
         .orderBy("lang", "doc_id")
     }),
 
+    // PII redaction: deterministic synthetic PII is appended per doc
+    // (both engines build the identical input), then scrubbed — so the
+    // oracle checks real redactions, not a no-op pass over clean text
+    "q58_pii_scrub" -> ((s, dir) => {
+      val withPii = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or +1 555 010 "),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" from 10.0."),
+          expr("(doc_id div 256) % 256").cast("string"),
+          lit("."), (col("doc_id") % 256).cast("string")).as("text"))
+      graft.ops.Redaction.scrub(withPii, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // benchmark decontamination: docs 0-49 stand in as the eval set,
+    // the rest as the training corpus; 8-gram shingle-hash overlap
+    "q59_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.Contamination.ngramOverlap(
+        docs.filter(col("doc_id") >= 50),
+        docs.filter(col("doc_id") < 50),
+        "doc_id", "text", n = 8, threshold = 0.1)
+        .orderBy("doc_id")
+    }),
+
     // sketch aggregates — the approximate forms that replace exact
     // aggregation at 100 TB: HLL count-distinct (fixed-size state vs a
     // full distinct shuffle) and t-digest style percentiles (vs a global
@@ -533,8 +560,69 @@ object ScaleQueries {
        SELECT source, $catCols AS gsig FROM g ORDER BY source"""
   }
 
+  /** DuckDB twin of q58: identical PII-injection expression, identical
+    * RE2-safe patterns ([[graft.ops.Redaction]] is the source of
+    * truth), counts via regexp_extract_all (DuckDB has no
+    * regexp_count). */
+  private val q58Sql: String = {
+    import graft.ops.Redaction.{emailRe, phoneRe, ipv4Re}
+    // single-quote SQL string literals: escape nothing (patterns have
+    // no quotes), pass through verbatim
+    s"""WITH base AS (
+           SELECT doc_id,
+                  text || ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com or +1 555 010 '
+                       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       || ' from 10.0.'
+                       || CAST((doc_id // 256) % 256 AS VARCHAR)
+                       || '.' || CAST(doc_id % 256 AS VARCHAR) AS text
+           FROM documents)
+         SELECT doc_id,
+                regexp_replace(regexp_replace(regexp_replace(text,
+                    '$emailRe', '<EMAIL>', 'g'),
+                    '$ipv4Re', '<IP>', 'g'),
+                    '$phoneRe', '<PHONE>', 'g') AS text,
+                CAST(len(regexp_extract_all(text, '$emailRe')) AS BIGINT) AS n_emails,
+                CAST(len(regexp_extract_all(text, '$phoneRe')) AS BIGINT) AS n_phones,
+                CAST(len(regexp_extract_all(text, '$ipv4Re')) AS BIGINT) AS n_ips,
+                CAST(len(regexp_extract_all(text, '$emailRe'))
+                   + len(regexp_extract_all(text, '$phoneRe'))
+                   + len(regexp_extract_all(text, '$ipv4Re')) AS BIGINT) AS n_redactions
+         FROM base ORDER BY doc_id"""
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q43b_group_signature_oracle" -> q43bSql,
+    "q58_pii_scrub" -> q58Sql,
+    "q59_decontaminate" ->
+      """WITH tk AS (SELECT doc_id,
+                 list_filter(string_split(coalesce(text, ''), ' '),
+                             t -> length(t) > 0) AS tk
+           FROM documents),
+           sh AS (SELECT DISTINCT doc_id,
+                 CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS h
+             FROM (SELECT doc_id,
+                      unnest(CASE WHEN len(tk) >= 8
+                        THEN list_transform(range(1, len(tk) - 6),
+                               i -> array_to_string(list_slice(tk, i, i + 7), ' '))
+                        ELSE [] END) AS g
+                   FROM tk)),
+           bench AS (SELECT DISTINCT h FROM sh WHERE doc_id < 50),
+           corp AS (SELECT * FROM sh WHERE doc_id >= 50),
+           tot AS (SELECT doc_id, count(*) AS n_sh FROM corp GROUP BY doc_id),
+           hit AS (SELECT c.doc_id, count(*) AS n_hits
+                   FROM corp c JOIN bench b USING (h) GROUP BY c.doc_id)
+         SELECT d.doc_id,
+                CAST(coalesce(t.n_sh, 0) AS BIGINT) AS n_shingles,
+                CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+                round(coalesce(h.n_hits, 0) * 1.0
+                      / greatest(coalesce(t.n_sh, 0), 1), 4) AS frac,
+                (coalesce(h.n_hits, 0) * 1.0
+                 / greatest(coalesce(t.n_sh, 0), 1)) >= 0.1 AS contaminated
+         FROM (SELECT doc_id FROM documents WHERE doc_id >= 50) d
+         LEFT JOIN tot t USING (doc_id)
+         LEFT JOIN hit h USING (doc_id)
+         ORDER BY doc_id""",
     "q25_dedup_hash" ->
       """SELECT min(doc_id) AS doc_id, md5(text) AS h FROM documents
          GROUP BY md5(text) ORDER BY doc_id""",

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Contamination, Redaction}
+
+/** Pins the PII-redaction and benchmark-decontamination semantics on
+  * hand-built rows (the q58/q59 oracle twins check the full-corpus
+  * behavior cross-engine). */
+class CurationOpsSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  test("scrub replaces emails, phones, and IPv4s and counts each kind") {
+    val df = Seq(
+      (1L, "write to jo.doe+x@corp.example.org today"),
+      (2L, "call +1 (555) 010-1234 or +44 20 7946 0958"),
+      (3L, "host 192.168.0.1 and 10.0.0.2 up"),
+      (4L, "nothing sensitive here"),
+      (5L, "mix a@b.io +1 5550101234 10.1.2.3")).toDF("id", "text")
+    val out = Redaction.scrub(df, "id", "text")
+      .orderBy("id")
+      .as[(Long, String, Long, Long, Long, Long)].collect()
+    assert(out(0)._2 === "write to <EMAIL> today")
+    assert(out(0)._3 === 1L && out(0)._6 === 1L)
+    assert(out(1)._2 === "call <PHONE> or <PHONE>")
+    assert(out(1)._4 === 2L)
+    assert(out(2)._2 === "host <IP> and <IP> up")
+    assert(out(2)._5 === 2L)
+    assert(out(3)._2 === "nothing sensitive here" && out(3)._6 === 0L)
+    assert(out(4)._2 === "mix <EMAIL> <PHONE> <IP>" && out(4)._6 === 3L)
+  }
+
+  test("ngramOverlap flags docs sharing 8-grams with the benchmark") {
+    val eightGram = "one two three four five six seven eight"
+    val bench = Seq((100L, s"prefix $eightGram suffix")).toDF("id", "text")
+    val corpus = Seq(
+      // contains the benchmark 8-gram verbatim → contaminated
+      (1L, s"noise $eightGram more words here"),
+      // disjoint vocabulary → zero hits
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      // too short to shingle → zero shingles, still present
+      (3L, "tiny doc")).toDF("id", "text")
+    val out = Contamination.ngramOverlap(corpus, bench, "id", "text",
+      n = 8, threshold = 0.1)
+      .orderBy("id")
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+    assert(out.length === 3)
+    val (_, sh1, hits1, _, c1) = out(0)
+    assert(sh1 > 0 && hits1 >= 1 && c1, out(0))
+    assert(out(1)._3 === 0L && !out(1)._5)
+    assert(out(2)._2 === 0L && out(2)._3 === 0L && !out(2)._5)
+  }
+
+  test("shingles are distinct per doc and absent under n tokens") {
+    val df = Seq(
+      (1L, "a b c a b c a b c"), // repeated trigram "a b c" counted once
+      (2L, "a b")).toDF("id", "text")
+    val sh = Contamination.shingles(df, "id", "text", n = 3)
+    val perDoc = sh.groupBy("id").count().as[(Long, Long)].collect().toMap
+    // 7 trigram positions but only 3 distinct trigrams (abc, bca, cab)
+    assert(perDoc(1L) === 3L)
+    assert(!perDoc.contains(2L))
+  }
+}
