@@ -1,0 +1,30 @@
+package graft
+
+/** Dev probe: phase timing for q55 (pair generation vs the
+  * connected-components loop) at an sf dir. Not part of the driver
+  * contract. */
+object Q55Probe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = GraftSession.local(32)
+    val docs = graft.sources.Tables(spark, sfDir, "documents")
+    def time[T](tag: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[q55probe] $tag ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    // warm the scan
+    docs.count()
+    for (i <- 1 to 2) {
+      val pairs = time(s"run$i pairs")(
+        graft.ops.Dedup.unigramJaccardPairs(docs, "doc_id", "text",
+          maxId = 150, minJaccard = 0.6).localCheckpoint())
+      println(s"[q55probe] pair rows: ${pairs.count()}")
+      val labels = time(s"run$i cc")(
+        graft.ops.Dedup.connectedComponents(pairs, "id_a", "id_b"))
+      println(s"[q55probe] labels: ${labels.count()}")
+    }
+    spark.stop()
+  }
+}

@@ -265,21 +265,33 @@ object Dedup {
     *    that produced it, and inheriting the corpus partition count
     *    makes every tiny iteration pay full-width shuffle overhead.
     *
+    * Small graphs take an in-core union-find fast path instead: a
+    * dedup graph at or under `smallGraphEdges` pair rows (default 2^20
+    * ≈ 16 MB of ids) is solved exactly on the driver in milliseconds,
+    * where the iterative plan would pay multiple scheduled jobs of
+    * fixed overhead per round for a graph that fits in one task. This
+    * is the same bounded-collect discipline as the WindowFrames
+    * boundary rows: the collect is capped by the parameter, never by
+    * the data. Above the threshold the distributed loop runs — the
+    * 100 TB path.
+    *
     * Returns (id, lbl) — one row per vertex appearing in `pairs`,
     * lbl = min id of its component.
     */
   def connectedComponents(pairs: DataFrame, idA: String, idB: String,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20, smallGraphEdges: Long = 1L << 20): DataFrame = {
     // checkpoint the pair source before the symmetrizing union — the
     // union references it twice, and the pair generator (an LSH join or
     // an exact-similarity join) is the expensive subtree
-    val pairsCp = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+    val pairsCp = pairs
+      .select(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst"))
       .localCheckpoint()
+    val nPairs = pairsCp.count() // scans checkpointed blocks — cheap
+    if (nPairs <= smallGraphEdges) return ccInCore(pairsCp)
     // size partitioning to the graph, ~1M edge rows per partition; the
-    // symmetrized edge count is bounded by 2×pairs and the count() here
-    // scans already-checkpointed blocks — no standalone edge-count job
+    // symmetrized edge count is bounded by 2×pairs
     val p = math.max(1,
-      math.min(2048, (2L * pairsCp.count() / 1000000L).toInt + 1))
+      math.min(2048, (2L * nPairs / 1000000L).toInt + 1))
     val edges = pairsCp
       .union(pairsCp.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
@@ -319,6 +331,33 @@ object Dedup {
         "partial clusters; raise maxIter")
     }
     labels
+  }
+
+  /** Exact driver-side union-find (path-halving + union-by-min) for
+    * graphs under the small-graph threshold; returns the same (id,
+    * lbl = component min id) contract as the distributed loop. */
+  private def ccInCore(pairsCp: DataFrame): DataFrame = {
+    val edges = pairsCp.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = new scala.collection.mutable.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var root = parent.getOrElseUpdate(x, x)
+      while (parent(root) != root) root = parent(root)
+      // path halving
+      var cur = x
+      while (parent(cur) != root) { val nxt = parent(cur); parent(cur) = root; cur = nxt }
+      root
+    }
+    edges.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        // union by min keeps the root the component minimum as we go
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    val labels = parent.keys.toSeq.map(id => (id, find(id)))
+    val spark = pairsCp.sparkSession
+    import spark.implicits._
+    labels.toDF("id", "lbl")
   }
 
   /** Exact n-gram Jaccard similarity for the top pairs in a bounded id

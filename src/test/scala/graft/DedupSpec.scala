@@ -82,23 +82,31 @@ class DedupSpec extends AnyFunSuite {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
       (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L))
       .toDF("id_a", "id_b")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L)
+    // default: in-core union-find (under the small-graph threshold)
     val got = Dedup.connectedComponents(pairs, "id_a", "id_b")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
-      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    assert(got === expected)
+    // forced distributed loop (threshold 0): identical labels
+    val gotDist = Dedup.connectedComponents(pairs, "id_a", "id_b",
+      smallGraphEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotDist === expected)
   }
 
-  test("connectedComponents respects maxIter as a hard bound") {
+  test("connectedComponents respects maxIter as a hard bound (distributed path)") {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
     // one iteration cannot finish the chain — labels must still be valid
     // partial minima (monotone toward the fixpoint, never below min id)
-    val got = Dedup.connectedComponents(pairs, "id_a", "id_b", maxIter = 1)
+    val got = Dedup.connectedComponents(pairs, "id_a", "id_b", maxIter = 1,
+      smallGraphEdges = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.keySet === Set(1L, 2L, 3L, 4L))
     assert(got.forall { case (id, lbl) => lbl >= 1L && lbl <= id })
   }
 
-  test("unigram jaccard pairs → clusters chain runs on real docs") {
+  test("unigram jaccard pairs → clusters chain: both paths agree on real docs") {
     val pairs = Dedup.unigramJaccardPairs(docs, "doc_id", "text",
       maxId = 150, minJaccard = 0.6)
     val clusters = Dedup.connectedComponents(pairs, "id_a", "id_b").collect()
@@ -106,6 +114,12 @@ class DedupSpec extends AnyFunSuite {
     val verts = clusters.map(_.getLong(0)).toSet
     assert(clusters.forall(r => r.getLong(1) <= r.getLong(0)))
     assert(clusters.forall(r => verts.contains(r.getLong(1))))
+    // the distributed loop reaches the identical fixpoint on real data
+    val inCore = clusters.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Dedup.connectedComponents(pairs, "id_a", "id_b",
+      smallGraphEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist === inCore)
   }
 
   test("ngram jaccard top pairs are ordered desc and bounded") {
