@@ -360,6 +360,84 @@ object Dedup {
     labels.toDF("id", "lbl")
   }
 
+  /** FULL-corpus near-dup deduplication composite — the production
+    * shape: MinHash-LSH candidate pairs over the whole corpus
+    * ([[minHashPairsAuditable]], md5 audit family so every stage is
+    * cross-engine checkable) → [[connectedComponents]] → one row per
+    * document carrying its cluster id (the component's min doc id) and
+    * whether it is the cluster representative. Documents with no
+    * near-dup are their own singleton cluster.
+    *
+    * Scale: pair generation is the LSH-bucketed join (no all-pairs),
+    * clustering is pointer-jumping over the pair graph (in-core when
+    * the graph is small); the final assembly is one left join from the
+    * corpus to the label set.
+    */
+  def corpusDedup(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, bands: Int = 2, minJaccard: Double = 0.75): DataFrame = {
+    val pairs = minHashPairsAuditable(df, idCol, textCol, k, bands,
+      minJaccard).select("id_a", "id_b")
+    val cc = connectedComponents(pairs, "id_a", "id_b")
+    df.select(col(idCol).cast("long").as(idCol))
+      .join(cc.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("lbl"), col(idCol)).as("cluster_id"),
+        (coalesce(col("lbl"), col(idCol)) === col(idCol)).as("is_rep"))
+  }
+
+  /** Sub-document (paragraph-level) exact dedup: segment each document
+    * into fixed-width token chunks, keep only the corpus-wide FIRST
+    * occurrence of each distinct chunk (ordered by (doc id, chunk
+    * index)), and reassemble documents from their surviving chunks —
+    * the chunk-granular form of exact dedup a training pipeline runs to
+    * strip boilerplate and copied passages without dropping whole
+    * documents.
+    *
+    * Scale mechanics: chunking is a map-side explode (rows ≈ tokens/W);
+    * first-occurrence selection shuffles once on the chunk hash
+    * (row_number over md5 groups, which are tiny by construction);
+    * reassembly shuffles once on doc id. No joins against the corpus,
+    * no quadratic stage.
+    *
+    * Returns one row per input document: (id, text = surviving chunks
+    * joined by ' ', n_chunks, n_dropped). A document whose every chunk
+    * was seen earlier keeps an empty text rather than vanishing.
+    */
+  def chunkDedup(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = chunkTokens
+    val tk = TextOps.wsTokens(col(textCol))
+    val base = df.select(col(idCol).as("id"), tk.as("tk"))
+      .withColumn("nch",
+        ceil(size(col("tk")).cast("double") / w).cast("int"))
+    val chunks = base
+      .select(col("id"),
+        explode(when(col("nch") > 0,
+          sequence(lit(0), col("nch") - 1)).otherwise(array())).as("idx"),
+        col("tk"))
+      .select(col("id"), col("idx"),
+        concat_ws(" ",
+          slice(col("tk"), col("idx") * w + 1, lit(w))).as("para"))
+    val firstWin = Window.partitionBy(md5(col("para")))
+      .orderBy(col("id"), col("idx"))
+    val ranked = chunks.withColumn("rn", row_number().over(firstWin))
+    val perDoc = ranked.groupBy("id").agg(
+      concat_ws(" ",
+        transform(
+          array_sort(collect_list(when(col("rn") === 1,
+            struct(col("idx"), col("para"))))),
+          s => s.getField("para"))).as("text"),
+      count(lit(1)).as("n_chunks"),
+      sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dropped"))
+    df.select(col(idCol).as("id")).distinct()
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("text"), lit("")).as("text"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+  }
+
   /** Exact n-gram Jaccard similarity for the top pairs in a bounded id
     * slice (pairwise exact comparison is quadratic — the full-corpus path
     * is [[minHashPairs]]; this is the auditable exact form).

@@ -23,16 +23,30 @@ object ScaleQueries {
       graft.functions.GraftFunctions.preprocessText(col("text"))
         .as("processed"))
 
-  /** One LDA fit per sf dir per JVM — q40/q41/q42 share it instead of
-    * re-fitting (Verify runs every query in one session). */
-  private val ldaCache = scala.collection.concurrent.TrieMap
-    .empty[String, (org.apache.spark.ml.PipelineModel,
-      org.apache.spark.ml.clustering.LDAModel)]
+  /** One LDA fit per (session, sf dir) — q40/q41/q42 share it instead
+    * of re-fitting (Verify runs every query in one session). Weakly
+    * keyed by the session for the same reason as [[rfCache]]: a fitted
+    * model can hold references into the session that built it, and a
+    * dir-only key would hand a later session a model bound to a stopped
+    * context. */
+  private val ldaCache = new java.util.WeakHashMap[SparkSession,
+    scala.collection.concurrent.TrieMap[String,
+      (org.apache.spark.ml.PipelineModel,
+       org.apache.spark.ml.clustering.LDAModel)]]()
 
-  private def ldaFor(s: SparkSession, dir: String) =
-    ldaCache.getOrElseUpdate(dir,
+  private def ldaFor(s: SparkSession, dir: String) = {
+    val perSession = ldaCache.synchronized {
+      var m = ldaCache.get(s)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty
+        ldaCache.put(s, m)
+      }
+      m
+    }
+    perSession.getOrElseUpdate(dir,
       graft.ml.ThemePipeline.fitLda(preppedDocs(s, dir), "processed",
         k = 5, maxIter = 20))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup via content hash (scale form of A1)
@@ -300,6 +314,21 @@ object ScaleQueries {
         "doc_id", "text", n = 8, threshold = 0.1)
         .orderBy("doc_id")
     }),
+
+    // FULL-corpus near-dup dedup: LSH pairs (audit hash family) →
+    // connected components → cluster + representative per document,
+    // every stage oracle-checked end-to-end
+    "q61_corpus_dedup" -> ((s, dir) =>
+      Dedup.corpusDedup(t(s, dir, "documents"), "doc_id", "text",
+        k = 8, bands = 2, minJaccard = 0.75)
+        .orderBy("doc_id")),
+
+    // paragraph-level dedup: fixed 20-token chunks, first occurrence
+    // wins corpus-wide, documents reassembled from surviving chunks
+    "q60_chunk_dedup" -> ((s, dir) =>
+      Dedup.chunkDedup(t(s, dir, "documents"), "doc_id", "text",
+        chunkTokens = 20)
+        .orderBy("doc_id")),
 
     // sketch aggregates — the approximate forms that replace exact
     // aggregation at 100 TB: HLL count-distinct (fixed-size state vs a
@@ -591,9 +620,93 @@ object ScaleQueries {
          FROM base ORDER BY doc_id"""
   }
 
+  /** Generated DuckDB twin of q61 full-corpus dedup. The label loop is
+    * the SAME pointer-jumping update the Spark side runs, unrolled as 8
+    * chained CTE rounds (covers component diameter 2^8 — near-dup
+    * graphs are near-cliques with tiny diameter; a mismatch would fail
+    * the gate, not pass silently). `AS MATERIALIZED` is load-bearing:
+    * each round references the previous 3–4×, and DuckDB's default CTE
+    * inlining would expand the plan 3^8-fold. */
+  private val q61Sql: String = {
+    val maxl = Long.MaxValue.toString
+    val sigList = (0 until 8).map(i =>
+      s"""coalesce(list_min(list_transform(tk,
+         |  t -> CAST('0x' || substr(md5('$i:' || t), 1, 15) AS BIGINT))), $maxl)""".stripMargin)
+      .mkString("[", ",\n       ", "]")
+    val rounds = (1 to 8).map { r =>
+      val p = r - 1
+      s"""nbr$r AS MATERIALIZED (SELECT e.dst AS id, min(l.lbl) AS nlbl
+         |  FROM edges e JOIN l$p l ON l.id = e.src GROUP BY e.dst),
+         |jmp$r AS MATERIALIZED (SELECT a.id, b.lbl AS jlbl
+         |  FROM l$p a JOIN l$p b ON b.id = a.lbl),
+         |l$r AS MATERIALIZED (SELECT a.id,
+         |  least(a.lbl, coalesce(n.nlbl, a.lbl), coalesce(j.jlbl, a.lbl)) AS lbl
+         |  FROM l$p a LEFT JOIN nbr$r n ON n.id = a.id
+         |              LEFT JOIN jmp$r j ON j.id = a.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH toks AS (SELECT doc_id,
+             list_distinct(list_filter(string_split(coalesce(text, ''), ' '),
+                                       t -> length(t) > 0)) AS tk
+           FROM documents),
+         sigs AS MATERIALIZED (SELECT doc_id, $sigList AS sig FROM toks),
+         banded AS (SELECT doc_id, sig, b.band,
+             array_to_string(list_transform(
+               list_slice(sig, b.band * 4 + 1, b.band * 4 + 4),
+               x -> CAST(x AS VARCHAR)), ',') AS bk
+           FROM sigs, (SELECT unnest(range(0, 2)) AS band) b),
+         cpairs AS (SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b
+           FROM banded a JOIN banded bb
+             ON a.band = bb.band AND a.bk = bb.bk AND a.doc_id < bb.doc_id),
+         epairs AS (SELECT p.id_a, p.id_b
+           FROM cpairs p JOIN sigs sa ON sa.doc_id = p.id_a
+                         JOIN sigs sb ON sb.doc_id = p.id_b
+           WHERE len(list_filter(range(1, 9),
+                     i -> sa.sig[i] = sb.sig[i])) / 8.0 >= 0.75),
+         edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM epairs
+           UNION SELECT id_b, id_a FROM epairs),
+         l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS lbl FROM edges),
+         $rounds
+       SELECT d.doc_id,
+              CAST(coalesce(cl.lbl, d.doc_id) AS BIGINT) AS cluster_id,
+              (coalesce(cl.lbl, d.doc_id) = d.doc_id) AS is_rep
+       FROM documents d LEFT JOIN (SELECT id, lbl FROM l8) cl
+         ON cl.id = d.doc_id
+       ORDER BY d.doc_id"""
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q43b_group_signature_oracle" -> q43bSql,
+    "q61_corpus_dedup" -> q61Sql,
     "q58_pii_scrub" -> q58Sql,
+    "q60_chunk_dedup" ->
+      """WITH tkt AS (SELECT doc_id,
+                 list_filter(string_split(coalesce(text, ''), ' '),
+                             t -> length(t) > 0) AS tk
+           FROM documents),
+           ch AS (SELECT doc_id,
+                 unnest(range(0, CAST(ceil(len(tk) / 20.0) AS BIGINT))) AS idx,
+                 tk
+             FROM tkt),
+           p AS (SELECT doc_id, idx,
+                 array_to_string(list_slice(tk, idx * 20 + 1, idx * 20 + 20),
+                                 ' ') AS para
+             FROM ch),
+           r AS (SELECT doc_id, idx, para,
+                 row_number() OVER (PARTITION BY md5(para)
+                   ORDER BY doc_id, idx) AS rn
+             FROM p),
+           agg AS (SELECT doc_id,
+                 string_agg(CASE WHEN rn = 1 THEN para END, ' '
+                            ORDER BY idx) AS text,
+                 count(*) AS n_chunks,
+                 sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS n_dropped
+             FROM r GROUP BY doc_id)
+         SELECT d.doc_id,
+                coalesce(a.text, '') AS text,
+                CAST(coalesce(a.n_chunks, 0) AS BIGINT) AS n_chunks,
+                CAST(coalesce(a.n_dropped, 0) AS BIGINT) AS n_dropped
+         FROM documents d LEFT JOIN agg a USING (doc_id)
+         ORDER BY doc_id""",
     "q59_decontaminate" ->
       """WITH tk AS (SELECT doc_id,
                  list_filter(string_split(coalesce(text, ''), ' '),
@@ -627,7 +740,7 @@ object ScaleQueries {
       """SELECT min(doc_id) AS doc_id, md5(text) AS h FROM documents
          GROUP BY md5(text) ORDER BY doc_id""",
     "q28_ngram_jaccard" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') tk
+      """WITH toks AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') tk
                        FROM documents WHERE doc_id < 150),
               grams AS (SELECT DISTINCT doc_id,
                                tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS gram
@@ -841,7 +954,7 @@ object ScaleQueries {
          WHERE rn <= 10 ORDER BY source, doc_id""",
     "q57b_token_budget" ->
       """WITH tk AS (SELECT doc_id, lang, text,
-                CAST(len(list_filter(string_split(text, ' '),
+                CAST(len(list_filter(string_split(coalesce(text, ''), ' '),
                                      t -> length(t) > 0)) AS BIGINT) AS ws_tokens
            FROM documents),
            c AS (SELECT lang, doc_id,
@@ -853,7 +966,7 @@ object ScaleQueries {
          WHERE cum_tokens <= 5000 ORDER BY lang, doc_id""",
     "q57c_packing" ->
       """WITH tk AS (SELECT doc_id, lang, text,
-                CAST(len(list_filter(string_split(text, ' '),
+                CAST(len(list_filter(string_split(coalesce(text, ''), ' '),
                                      t -> length(t) > 0)) AS BIGINT) AS ws_tokens
            FROM documents),
            c AS (SELECT lang, doc_id, ws_tokens,

@@ -54,6 +54,23 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out(2)._2 === 0L && out(2)._3 === 0L && !out(2)._5)
   }
 
+  test("chunkDedup keeps first occurrence and reassembles surviving chunks") {
+    import graft.ops.Dedup
+    // chunk width 3: doc 1 = [a b c][d e f]; doc 2 repeats [a b c] then
+    // adds [x y z]; doc 3 is entirely doc 1's first chunk
+    val df = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c x y z"),
+      (3L, "a b c")).toDF("id", "text")
+    val out = Dedup.chunkDedup(df, "id", "text", chunkTokens = 3)
+      .orderBy("id")
+      .as[(Long, String, Long, Long)].collect()
+    assert(out(0) === ((1L, "a b c d e f", 2L, 0L)))
+    assert(out(1) === ((2L, "x y z", 2L, 1L)))
+    // all chunks seen before → empty text, row still present
+    assert(out(2) === ((3L, "", 1L, 1L)))
+  }
+
   test("shingles are distinct per doc and absent under n tokens") {
     val df = Seq(
       (1L, "a b c a b c a b c"), // repeated trigram "a b c" counted once

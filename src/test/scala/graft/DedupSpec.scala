@@ -122,6 +122,21 @@ class DedupSpec extends AnyFunSuite {
     assert(dist === inCore)
   }
 
+  test("corpusDedup: cluster invariants hold on real docs") {
+    val out = Dedup.corpusDedup(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    // one row per document
+    assert(out.length === docs.count())
+    // is_rep exactly when the doc is its own cluster id
+    assert(out.forall { case (id, cl, rep) => rep === (id == cl) })
+    // cluster ids are member minima: cl <= id and cl is a real doc
+    val ids = out.map(_._1).toSet
+    assert(out.forall { case (id, cl, _) => cl <= id && ids.contains(cl) })
+    // every cluster has exactly one representative
+    val byCluster = out.groupBy(_._2)
+    assert(byCluster.values.forall(_.count(_._3) === 1))
+  }
+
   test("ngram jaccard top pairs are ordered desc and bounded") {
     val out = Dedup.ngramJaccardTopPairs(docs, "doc_id", "text",
       n = 3, maxId = 100, topN = 20).collect()
