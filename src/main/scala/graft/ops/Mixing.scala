@@ -85,4 +85,37 @@ object Mixing {
           .cast("double") / binTokens).cast("bigint"))
       .drop("__cum")
   }
+
+  /** Fractional-epoch replication — the upsampling half of a training
+    * mix recipe ("source A for 2.3 epochs"): every document is emitted
+    * `floor(epochs)` times, and the deterministic FIRST
+    * `epochs - floor(epochs)` fraction of the group (in md5 hash
+    * order) once more. Re-running selects the same extra copies — the
+    * reproducibility a corpus build needs, with no RNG.
+    *
+    * `epochsCol` is evaluated per row (usually a per-source constant
+    * expression or a joined weight table). Sources with epochs < 1
+    * become deterministic subsamples; epochs = 0 drops the group.
+    *
+    * Output: input columns plus `copy` (0-based replica index), one row
+    * per emitted copy. Scale: one per-group window (rank + count) and a
+    * map-side explode of at most ceil(epochs) elements — no joins.
+    */
+  def epochReplicate(df: DataFrame, groupCol: String, idCol: String,
+      keyCol: String, epochsCol: Column): DataFrame = {
+    val w = Window.partitionBy(groupCol)
+      .orderBy(hashOrder(col(keyCol), col(idCol)): _*)
+    val wAll = Window.partitionBy(groupCol)
+    val fracRank = (col("__rn") - 1) * lit(1.0) / col("__cnt")
+    val e = col("__e")
+    df.withColumn("__e", epochsCol)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__cnt", count(lit(1)).over(wAll))
+      .withColumn("__reps",
+        floor(e) + when(fracRank < e - floor(e), 1L).otherwise(0L))
+      .filter(col("__reps") > 0)
+      .withColumn("copy",
+        explode(sequence(lit(0L), col("__reps") - 1)))
+      .drop("__e", "__rn", "__cnt", "__reps")
+  }
 }

@@ -315,6 +315,20 @@ object ScaleQueries {
         .orderBy("doc_id")
     }),
 
+    // fractional-epoch corpus replication: per-source epoch weights
+    // 0.5–3.3 derived from the source index; floor(e) full copies plus
+    // the deterministic first frac(e) of each source once more
+    "q62_epoch_mix" -> ((s, dir) => {
+      val epochs = lit(0.5) +
+        (substring(col("source"), 4, 10).cast("int") % 5)
+          .cast("double") * lit(0.7)
+      graft.ops.Mixing.epochReplicate(
+        t(s, dir, "documents").select("source", "doc_id", "text"),
+        "source", "doc_id", "text", epochs)
+        .select("source", "doc_id", "copy")
+        .orderBy("source", "doc_id", "copy")
+    }),
+
     // FULL-corpus near-dup dedup: LSH pairs (audit hash family) →
     // connected components → cluster + representative per document,
     // every stage oracle-checked end-to-end
@@ -677,6 +691,20 @@ object ScaleQueries {
   val oracleSql: Map[String, String] = Map(
     "q43b_group_signature_oracle" -> q43bSql,
     "q61_corpus_dedup" -> q61Sql,
+    "q62_epoch_mix" ->
+      """WITH s AS (SELECT source, doc_id,
+                 0.5 + (CAST(substr(source, 4) AS INT) % 5) * 0.7 AS e,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY md5(coalesce(text, '')), doc_id) AS rn,
+                 count(*) OVER (PARTITION BY source) AS cnt
+           FROM documents),
+           r AS (SELECT source, doc_id,
+                 CAST(floor(e) AS BIGINT)
+                   + (CASE WHEN (rn - 1) * 1.0 / cnt < e - floor(e)
+                      THEN 1 ELSE 0 END) AS reps
+           FROM s)
+         SELECT source, doc_id, unnest(range(0, reps)) AS copy
+         FROM r WHERE reps > 0 ORDER BY source, doc_id, copy""",
     "q58_pii_scrub" -> q58Sql,
     "q60_chunk_dedup" ->
       """WITH tkt AS (SELECT doc_id,

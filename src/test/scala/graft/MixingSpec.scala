@@ -59,6 +59,33 @@ class MixingSpec extends AnyFunSuite {
     assert(out === Seq(0L, 0L, 1L))
   }
 
+  test("epochReplicate: floor copies everywhere, frac extras deterministic") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      ("a", 1L, "t1"), ("a", 2L, "t2"), ("a", 3L, "t3"), ("a", 4L, "t4"),
+      ("b", 5L, "t5"), ("b", 6L, "t6"), ("b", 7L, "t7"), ("b", 8L, "t8"))
+      .toDF("source", "doc_id", "text")
+    // a: 2.5 epochs → 2 copies each + 2 docs get a third;
+    // b: 0.5 epochs → 2 of 4 docs exactly once
+    val e = when(col("source") === "a", 2.5).otherwise(0.5)
+    val out = Mixing.epochReplicate(df, "source", "doc_id", "text", e)
+      .select("source", "doc_id", "copy")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val perDoc = out.groupBy(t => (t._1, t._2)).view.mapValues(_.length).toMap
+    val aCounts = perDoc.collect { case (("a", _), n) => n }.toSeq.sorted
+    assert(aCounts === Seq(2, 2, 3, 3))
+    val bCounts = perDoc.collect { case (("b", _), n) => n }.toSeq
+    assert(bCounts === Seq(1, 1)) // two of four docs, once each
+    // copy indices are dense 0..reps-1 per doc
+    assert(out.groupBy(t => (t._1, t._2)).values.forall { copies =>
+      copies.map(_._3).sorted === (0L until copies.length).toSeq })
+    // deterministic: a second run selects the identical extras
+    val again = Mixing.epochReplicate(df, "source", "doc_id", "text", e)
+      .select("source", "doc_id", "copy")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.sorted.toSeq === again.sorted.toSeq)
+  }
+
   test("sample composes with budget: idempotent reselection") {
     val once = Mixing.tokenBudget(docs, "grp", "id", "text", "toks", 7L)
     val twice = Mixing.tokenBudget(
