@@ -62,6 +62,31 @@ object ReviewConnection {
 
   private val urlRe = "^(bolt|neo4j)://([^/:@\\s]+)(:(\\d{1,5}))?$".r
 
+  /** The store-transient failure a session retry covers (the
+    * `ServiceUnavailable` class of the reference's driver,
+    * `extract.py:52-58`): connection flaps that a fresh session
+    * resolves, as opposed to errors retries cannot fix. */
+  final class TransientStoreException(msg: String)
+    extends RuntimeException(msg)
+
+  /** Retry `f` on [[TransientStoreException]] with linear backoff —
+    * the session-open retry loop of the reference driver. Permanent
+    * errors pass through untouched; the last transient error is
+    * rethrown once retries are exhausted. */
+  def withRetry[T](maxRetries: Int, backoffMs: Long = 50L)(f: => T): T = {
+    var attempt = 0
+    while (true) {
+      try return f
+      catch {
+        case e: TransientStoreException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+          Thread.sleep(backoffMs * attempt)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   def validate(opts: Map[String, String]): Unit = {
     opts.get("url").foreach { u =>
       urlRe.findFirstMatchIn(u) match {
@@ -85,6 +110,11 @@ object ReviewConnection {
         throw new IllegalArgumentException(
           "review connector: user must be non-empty")
       case _ => ()
+    }
+    opts.get("maxRetries").foreach { r =>
+      if (!r.matches("\\d+"))
+        throw new IllegalArgumentException(
+          s"review connector: maxRetries must be a non-negative int, got '$r'")
     }
   }
 
@@ -114,7 +144,9 @@ class ReviewTable(props: Map[String, String]) extends Table
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ReviewScanBuilder(
-      options.getInt("partitions", 4))
+      options.getInt("partitions", 4),
+      options.getInt("maxRetries", 3),
+      options.getInt("simulateTransientFailures", 0))
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -122,7 +154,8 @@ class ReviewTable(props: Map[String, String]) extends Table
     new ReviewWriteBuilder(info.options.getOrDefault("store", "default"))
 }
 
-class ReviewScanBuilder(partitions: Int) extends ScanBuilder
+class ReviewScanBuilder(partitions: Int, maxRetries: Int,
+    simFailures: Int) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
   private var required: StructType = ReviewFixture.schema
@@ -144,13 +177,34 @@ class ReviewScanBuilder(partitions: Int) extends ScanBuilder
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new ReviewScan(required, pushed, partitions)
+  override def build(): Scan =
+    new ReviewScan(required, pushed, partitions, maxRetries, simFailures)
 }
 
 case class IdRangePartition(start: Int, end: Int) extends InputPartition
 
+/** Per-scan transient-failure injector (test hook): counts down
+  * `simulateTransientFailures` per (scan, partition) so the session
+  * retry path is exercisable without a network. */
+object ReviewFaults {
+  private val counters = scala.collection.concurrent.TrieMap
+    .empty[(String, Int), java.util.concurrent.atomic.AtomicInteger]
+
+  def maybeFail(scanId: String, partitionStart: Int, n: Int): Unit = {
+    if (n <= 0) return
+    val c = counters.getOrElseUpdate((scanId, partitionStart),
+      new java.util.concurrent.atomic.AtomicInteger(n))
+    if (c.getAndDecrement() > 0)
+      throw new ReviewConnection.TransientStoreException(
+        s"simulated store unavailable (scan $scanId partition $partitionStart)")
+  }
+}
+
 class ReviewScan(required: StructType, pushed: Array[Filter],
-    partitions: Int) extends Scan with Batch {
+    partitions: Int, maxRetries: Int, simFailures: Int)
+    extends Scan with Batch {
+
+  private val scanId = java.util.UUID.randomUUID().toString
 
   override def readSchema(): StructType = required
 
@@ -169,14 +223,22 @@ class ReviewScan(required: StructType, pushed: Array[Filter],
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ReviewReaderFactory(required, pushed)
+    new ReviewReaderFactory(required, pushed, scanId, maxRetries,
+      simFailures)
 }
 
-class ReviewReaderFactory(required: StructType, pushed: Array[Filter])
+class ReviewReaderFactory(required: StructType, pushed: Array[Filter],
+    scanId: String, maxRetries: Int, simFailures: Int)
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val range = partition.asInstanceOf[IdRangePartition]
+    // "open the session" under the retry loop — the reference driver's
+    // connect + retry-on-ServiceUnavailable boundary (extract.py:38-58);
+    // a transient flap costs a backoff, a permanent error propagates
+    ReviewConnection.withRetry(maxRetries, backoffMs = 10L) {
+      ReviewFaults.maybeFail(scanId, range.start, simFailures)
+    }
     new PartitionReader[InternalRow] {
       private var i = range.start - 1
       private var current: InternalRow = _

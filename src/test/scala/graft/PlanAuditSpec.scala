@@ -65,4 +65,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(scans === 1,
       s"all gates must evaluate in one scan pass, found $scans scans")
   }
+
+  test("q58 redaction is a pure projection pipeline (map-side only)") {
+    val p = graft.queries.ScaleQueries.queries("q58_pii_scrub")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // no join, no aggregate, and no shuffle except the final output sort
+    assert(!p.contains("Join") && !p.contains("HashAggregate"), p.take(2000))
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 1,
+      s"redaction must not shuffle before the output sort: $exchanges")
+  }
+
+  test("q59 decontamination hits the benchmark via a semi-join") {
+    val p = graft.queries.ScaleQueries.queries("q59_decontaminate")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("LeftSemi"), p.take(3000))
+  }
+
+  test("q62 epoch replication plans one window pass, no joins") {
+    val p = graft.queries.ScaleQueries.queries("q62_epoch_mix")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), "epoch replication must not join")
+    assert(p.contains("Window"), p.take(2000))
+  }
 }

@@ -106,6 +106,31 @@ class ReviewSourceSpec extends AnyFunSuite {
       desc.contains("neo4j") && !desc.contains("s3cret"))
   }
 
+  test("session retry: transient store flaps are absorbed up to maxRetries") {
+    val fmt = classOf[ReviewTableProvider].getName
+    // 2 flaps per partition, 3 retries → every partition succeeds
+    val df = spark.read.format(fmt)
+      .option("partitions", 4)
+      .option("simulateTransientFailures", 2)
+      .option("maxRetries", 3).load()
+    assert(df.count() === 128)
+    // more flaps than retries → the transient error escapes
+    val bad = spark.read.format(fmt)
+      .option("partitions", 1)
+      .option("simulateTransientFailures", 10)
+      .option("maxRetries", 1).load()
+    val e = intercept[Exception] { bad.count() }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(
+      _.isInstanceOf[graft.sources.dsv2.ReviewConnection.TransientStoreException]))
+    // malformed maxRetries is rejected at load()
+    val e2 = intercept[IllegalArgumentException] {
+      spark.read.format(fmt).option("maxRetries", "-1").load()
+    }
+    assert(e2.getMessage.contains("maxRetries"))
+  }
+
   test("commit installs only manifested attempts; speculative staging swept") {
     import graft.sources.dsv2.{ReviewBatchWrite, ReviewCommit, ReviewStore,
       ReviewWriteBuilder}
