@@ -33,7 +33,11 @@ object Bench {
     "q33_quality",
     "q37_image_decode",
     "q50_curation",
-    "q55_dedup_clusters")
+    "q55_dedup_clusters",
+    "q58_pii_scrub",
+    "q59_decontaminate",
+    "q60_chunk_dedup",
+    "q61_corpus_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
