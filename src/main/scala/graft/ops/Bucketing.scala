@@ -1,0 +1,41 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Bucketed-table utilities — the CO-LOCATED join path: two tables
+  * bucketed by their join key into the same bucket count join without
+  * any shuffle, because rows with equal keys are already in matching
+  * buckets on disk. At 100 TB this converts the dominant recurring
+  * fact-to-fact join from a full exchange of both sides into a local
+  * sort-merge per bucket — the single biggest shuffle saving available
+  * when the join key is known at write time.
+  *
+  * Spark's bucketing rides the session catalog (`bucketBy` requires
+  * `saveAsTable`), so these helpers manage catalog tables; the data
+  * itself is plain parquet under the warehouse dir plus bucket metadata
+  * in the catalog. BucketingSpec asserts the no-Exchange plan property
+  * — the claim is audited, not assumed.
+  */
+object Bucketing {
+
+  /** Write `df` as a bucketed catalog table (overwriting any previous
+    * one), bucketed AND sorted by `key` so the downstream sort-merge
+    * join needs neither exchange nor sort on this side. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table)
+  }
+
+  /** Join two same-bucket-count tables on their bucket key. With both
+    * sides bucketed this plans as a zero-exchange sort-merge join. */
+  def bucketedJoin(spark: SparkSession, leftTable: String,
+      rightTable: String, leftKey: String, rightKey: String): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable),
+      spark.table(leftTable)(leftKey) === spark.table(rightTable)(rightKey))
+
+  def dropTable(spark: SparkSession, table: String): Unit =
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+}
