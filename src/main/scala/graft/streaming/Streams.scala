@@ -67,6 +67,32 @@ object Streams {
       keyCol: String): DataFrame =
     stream.join(broadcast(dim), Seq(keyCol), "left")
 
+  /** Streaming corpus curation: the batch quality gates + PII scrub
+    * applied to a document STREAM — every transform is stateless
+    * (map-side projections and filters), so the streaming plan needs no
+    * watermark and no state store; this is the shape a continuous
+    * ingestion pipeline runs before documents ever land in the corpus.
+    * Emits (id, scrubbed text, n_tokens, alpha_ratio, n_redactions).
+    */
+  def curateStream(docs: DataFrame, idCol: String,
+      textCol: String, minTokens: Long = 30L,
+      minAlpha: Double = 0.9): DataFrame = {
+    val txt = col(textCol)
+    docs.select(col(idCol),
+        txt,
+        graft.ops.TextAnalysis.nTokensCol(txt).as("n_tokens"),
+        graft.ops.TextAnalysis.alphaRatioCol(txt).as("alpha_ratio"))
+      .filter(col("n_tokens") >= minTokens &&
+        col("alpha_ratio") >= minAlpha)
+      .select(col(idCol),
+        graft.ops.Redaction.scrubCol(txt).as("text"),
+        col("n_tokens"), col("alpha_ratio"),
+        (regexp_count(txt, lit(graft.ops.Redaction.emailRe)) +
+         regexp_count(txt, lit(graft.ops.Redaction.phoneRe)) +
+         regexp_count(txt, lit(graft.ops.Redaction.ipv4Re)))
+          .cast("long").as("n_redactions"))
+  }
+
   /** foreachBatch sink: every micro-batch lands as a run_ts-versioned
     * parquet snapshot (S8 layout) — the streaming form of the
     * reference's timestamp-versioned S3 uploads. Batch id, not wall

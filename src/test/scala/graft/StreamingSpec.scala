@@ -42,6 +42,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming curation gates and scrubs; matches the batch transform") {
+    implicit val sqlCtx = spark.sqlContext
+    val longText = Array.fill(40)("ok").mkString(" ")
+    val rows = Seq(
+      (1L, s"$longText mail me at a@b.com please"),
+      (2L, "too short to pass"),                    // fails n_tokens gate
+      (3L, s"$longText from 10.0.0.7 tonight"))
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(rows)
+    val curated = Streams.curateStream(
+      stream.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    val q = curated.writeStream.outputMode("append")
+      .format("memory").queryName("stream_curated").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("stream_curated")
+        .orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(4)))
+      assert(out.map(_._1).toSeq === Seq(1L, 3L)) // doc 2 gated out
+      assert(out(0)._2.contains("<EMAIL>") && out(0)._3 === 1L)
+      assert(out(1)._2.contains("<IP>") && out(1)._3 === 1L)
+      // stream-batch parity: identical rows from the batch form
+      val batch = Streams.curateStream(
+        rows.toDF("doc_id", "text"), "doc_id", "text")
+        .orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(4)))
+      assert(out.toSeq === batch.toSeq)
+    } finally q.stop()
+  }
+
   test("stream-static enrichment broadcasts the dim and matches batch join") {
     implicit val sqlCtx = spark.sqlContext
     val rows = eventRows(200)
