@@ -71,6 +71,43 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out(2) === ((3L, "", 1L, 1L)))
   }
 
+  test("scrub is idempotent and leaves no residual matches (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import graft.ops.Redaction.{emailRe, phoneRe, ipv4Re}
+    // the JVM mirror of scrubCol's replace chain (same patterns, same
+    // order) — lets the property run hundreds of cases off-Spark; a
+    // Spark-side equivalence check follows below
+    def scrubJvm(s: String): String = s
+      .replaceAll(emailRe, "<EMAIL>")
+      .replaceAll(ipv4Re, "<IP>")
+      .replaceAll(phoneRe, "<PHONE>")
+    val piiGen: Gen[String] = Gen.listOf(Gen.frequency(
+      5 -> Gen.chooseNum(1, 8)
+        .flatMap(n => Gen.listOfN(n, Gen.alphaChar).map(_.mkString)),
+      2 -> Gen.oneOf("bob@mail.com", "x.y+z@host.co", "a@@b.com"),
+      2 -> Gen.oneOf("+1 555 010 1234", "+44 (0) 20 7946", "++4 9999999"),
+      2 -> Gen.oneOf("10.0.0.1", "1.2.3.4.5.6.7.8", "999.1.1.1"),
+      1 -> Gen.oneOf("", ".", "@", "+"))).map(_.mkString(" "))
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(300),
+      Prop.forAll(piiGen) { t =>
+        val once = scrubJvm(t)
+        scrubJvm(once) == once &&
+          !emailRe.r.findFirstIn(once).isDefined &&
+          !ipv4Re.r.findFirstIn(once).isDefined &&
+          !phoneRe.r.findFirstIn(once).isDefined
+      })
+    assert(res.passed, res.status.toString)
+    // the Column chain agrees with the JVM mirror on adversarial rows
+    val rows = Seq("bob@mail.com at 10.0.0.1 call +1 555 010 1234",
+      "1.2.3.4.5.6.7.8", "a@@b.com ++4 9999999", "")
+    val sparkOut = rows.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      .select(col("id"), Redaction.scrubCol(col("text")).as("s"))
+      .orderBy("id").collect().map(_.getString(1)).toSeq
+    assert(sparkOut === rows.map(scrubJvm))
+  }
+
   test("shingles are distinct per doc and absent under n tokens") {
     val df = Seq(
       (1L, "a b c a b c a b c"), // repeated trigram "a b c" counted once
