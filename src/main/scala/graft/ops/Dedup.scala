@@ -47,24 +47,34 @@ object Dedup {
       k: Int = 32, bands: Int = 8, minJaccard: Double = 0.7): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
-    // The signature subtree feeds several plan branches (band-join
-    // sides + join-backs). Left lazy on purpose: at real scale the band
-    // join and join-backs are shuffle joins whose exchanges canonicalize
-    // identically, so ReusedExchange materializes the signature scan
-    // once; measured locally, checkpointing it eagerly bought nothing
-    // (the band-collision join dominates) and would make the operator
-    // eager.
     val sigs = minHashSignature(df, idCol, textCol, k)
 
-    // The band self-join carries ONLY (band, bh, id): a colliding pair
-    // is two longs, not two k-long signatures. A near-dup pair collides
-    // in up to `bands` bands, so carrying signatures through the join
-    // multiplies shuffle bytes by bands × k×8B per pair (~the old
-    // shape's 100 TB bottleneck); here collisions dedup to unique id
-    // pairs FIRST, and only the survivors pull their two signatures
-    // back (equi-joins on id — AQE broadcasts the signature side when
-    // small) for the Jaccard estimate.
-    val banded = sigs.select(
+    // Identical-signature COLLAPSE before the band join (same reasoning
+    // as corpusDedup, but output-preserving): a duplicated corpus puts
+    // whole identical-sig groups into every band bucket, making the
+    // collision join quadratic in group size. Grouping by the FULL
+    // signature (never a hash of it — a 64-bit group key collision
+    // would silently merge distinct groups) splits the output into
+    //  (1) within-group cliques, est exactly 1.0, emitted directly —
+    //      this quadratic part IS the output contract, generated
+    //      without touching the band join; and
+    //  (2) cross-group pairs, whose estimate depends only on the two
+    //      signatures — computed once per representative pair on the
+    //      distinct-signature band join, then expanded to members.
+    // The band self-join still carries ONLY (band, bh, id) (a colliding
+    // pair is two longs, not two k-long signatures), pairs dedup FIRST,
+    // and only survivors pull signatures back for the estimate.
+    val groups = sigs.groupBy("sig").agg(min(col(idCol)).as("rep"))
+    val memberOf = sigs.join(groups, "sig")
+      .select(col("rep"), col(idCol).as("mid"))
+
+    val clique = memberOf.as("x").join(memberOf.as("y"), "rep")
+      .filter(col("x.mid") < col("y.mid"))
+      .select(col("x.mid").as("id_a"), col("y.mid").as("id_b"),
+        lit(1.0).as("est_jaccard"))
+
+    val repSigs = groups.select(col("rep").as(idCol), col("sig"))
+    val banded = repSigs.select(
       col(idCol),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
@@ -74,19 +84,29 @@ object Dedup {
 
     val a = banded.select(col("band"), col("bh"), col(idCol).as("id_a"))
     val b = banded.select(col("band"), col("bh"), col(idCol).as("id_b"))
-    val pairs = a.join(b, Seq("band", "bh"))
+    val repPairs = a.join(b, Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
-
-    pairs
-      .join(sigs.select(col(idCol).as("id_a"), col("sig").as("sig_a")), "id_a")
-      .join(sigs.select(col(idCol).as("id_b"), col("sig").as("sig_b")), "id_b")
+      .join(repSigs.select(col(idCol).as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(repSigs.select(col(idCol).as("id_b"), col("sig").as("sig_b")), "id_b")
       .withColumn("est_jaccard",
         graft.functions.GraftFunctions.arrayEqCount(col("sig_a"), col("sig_b"))
           .cast("double") / k)
       .filter(col("est_jaccard") >= minJaccard)
-      .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
+      .select("id_a", "id_b", "est_jaccard")
+
+    // expand rep pairs to member pairs; members of different groups can
+    // interleave ids, so re-normalize the (a, b) order
+    val cross = repPairs
+      .join(memberOf.select(col("rep").as("id_a"), col("mid").as("ma")), "id_a")
+      .join(memberOf.select(col("rep").as("id_b"), col("mid").as("mb")), "id_b")
+      .select(least(col("ma"), col("mb")).as("id_a"),
+        greatest(col("ma"), col("mb")).as("id_b"), col("est_jaccard"))
+
+    clique.union(cross)
+      .select(col("id_a"), col("id_b"),
+        round(col("est_jaccard"), 4).as("est_jaccard"))
       .orderBy("id_a", "id_b")
   }
 
