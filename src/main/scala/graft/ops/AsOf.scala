@@ -27,27 +27,37 @@ object AsOf {
   /** @param payloadCols right-side columns to carry (must not collide
     *                    with left column names)
     * @param direction   "backward" (right.ts <= left.ts, most recent) or
-    *                    "forward" (right.ts >= left.ts, earliest) */
+    *                    "forward" (right.ts >= left.ts, earliest)
+    * @param toleranceSeconds when set, a match farther than this from
+    *                    the left timestamp is nulled out (pandas
+    *                    merge_asof `tolerance`) — compared in exact
+    *                    integer microseconds so the oracle twin agrees
+    *                    bit-for-bit */
   def asOfJoin(left: DataFrame, right: DataFrame, keyCol: String,
       tsCol: String, payloadCols: Seq[String],
-      direction: String = "backward"): DataFrame = {
+      direction: String = "backward",
+      toleranceSeconds: Option[Long] = None): DataFrame = {
     require(direction == "backward" || direction == "forward",
       s"direction must be backward|forward, got $direction")
     val leftCols = left.columns.toSeq
+    // the matched right timestamp rides along as a hidden payload so a
+    // tolerance bound can be applied after the carry
+    val carryCols = payloadCols :+ "__rts"
     // side 0 sorts before side 1 at equal ts → right row at ts == left.ts wins
     val l = left.withColumn("__side", lit(1))
     val r = right.select(
       (Seq(col(keyCol), col(tsCol), lit(0).as("__side")) ++
-        payloadCols.map(col)): _*)
+        payloadCols.map(col) :+ col(tsCol).as("__rts")): _*)
 
     val lAligned = l.select(
       (Seq(col(keyCol), col(tsCol), col("__side")) ++
         payloadCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)) ++
+        Seq(lit(null).cast(right.schema(tsCol).dataType).as("__rts")) ++
         leftCols.filterNot(c => c == keyCol || c == tsCol)
           .map(c => col(c))): _*)
     val rAligned = r.select(
       (Seq(col(keyCol), col(tsCol), col("__side")) ++
-        payloadCols.map(col) ++
+        payloadCols.map(col) ++ Seq(col("__rts")) ++
         leftCols.filterNot(c => c == keyCol || c == tsCol)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
 
@@ -60,9 +70,20 @@ object AsOf {
       .orderBy(tsOrder, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val carried = payloadCols.foldLeft(lAligned.unionByName(rAligned)) {
+    val carried = carryCols.foldLeft(lAligned.unionByName(rAligned)) {
       (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
     }
-    carried.filter(col("__side") === 1).drop("__side")
+    val joined = carried.filter(col("__side") === 1).drop("__side")
+    val bounded = toleranceSeconds match {
+      case None => joined
+      case Some(tol) =>
+        val outOfRange =
+          abs(unix_micros(col(tsCol)) - unix_micros(col("__rts"))) >
+            tol * 1000000L
+        payloadCols.foldLeft(joined) { (df, c) =>
+          df.withColumn(c, when(outOfRange, lit(null)).otherwise(col(c)))
+        }
+    }
+    bounded.drop("__rts")
   }
 }

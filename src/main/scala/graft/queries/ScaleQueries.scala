@@ -220,6 +220,21 @@ object ScaleQueries {
         .orderBy("event_id")
     }),
 
+    // toleranced as-of: matches farther than 1 hour back are nulled
+    // (pandas merge_asof tolerance semantics)
+    "q38c_asof_tolerance" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val signups = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id", "ts")
+        .agg(min("event_id").as("signup_id"))
+      graft.ops.AsOf.asOfJoin(purchases, signups, "user_id", "ts",
+        Seq("signup_id"), toleranceSeconds = Some(3600L))
+        .select("event_id", "user_id", "signup_id")
+        .orderBy("event_id")
+    }),
+
     // batch gap sessionization (oracle twin of Streams.sessionize)
     "q39_sessionize" -> ((s, dir) =>
       graft.ops.Sessionize.sessionizeBatch(Tables.events(s, dir),
@@ -1066,6 +1081,20 @@ object ScaleQueries {
          SELECT p.event_id, p.user_id, s.signup_id
          FROM p ASOF LEFT JOIN s
            ON p.user_id = s.user_id AND p.ts <= s.ts
+         ORDER BY p.event_id""",
+    "q38c_asof_tolerance" ->
+      """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+                    FROM events WHERE event_type = 'purchase'),
+              s AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                           min(event_id) AS signup_id
+                    FROM events WHERE event_type = 'signup'
+                    GROUP BY user_id, CAST(ts AS TIMESTAMP))
+         SELECT p.event_id, p.user_id,
+                CASE WHEN abs(epoch_us(p.ts) - epoch_us(s.ts))
+                          <= CAST(3600 AS BIGINT) * 1000000
+                     THEN s.signup_id END AS signup_id
+         FROM p ASOF LEFT JOIN s
+           ON p.user_id = s.user_id AND p.ts >= s.ts
          ORDER BY p.event_id""",
     "q39_sessionize" ->
       """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value

@@ -41,6 +41,28 @@ class AsOfSessionSpec extends AnyFunSuite {
     assert(out.head.getAs[Long]("signup_id") === 7L)
   }
 
+  test("asOfJoin tolerance nulls matches farther than the bound") {
+    val left = Seq(
+      (100L, 1L, ts("2024-01-01 10:00:00")),   // signup 2h back → too far
+      (101L, 1L, ts("2024-01-01 08:30:00")))   // signup 30min back → keeps
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq((1L, ts("2024-01-01 08:00:00"), 900L))
+      .toDF("user_id", "ts", "signup_id")
+    val out = AsOf.asOfJoin(left, right, "user_id", "ts", Seq("signup_id"),
+      toleranceSeconds = Some(3600L))
+      .select("event_id", "signup_id").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long]))
+      .toMap
+    assert(out(100L) === None)
+    assert(out(101L) === Some(900L))
+    // exactly at the bound is inclusive
+    val atBound = AsOf.asOfJoin(
+      Seq((1L, 1L, ts("2024-01-01 09:00:00"))).toDF("event_id", "user_id", "ts"),
+      right, "user_id", "ts", Seq("signup_id"),
+      toleranceSeconds = Some(3600L))
+    assert(atBound.head.getAs[Long]("signup_id") === 900L)
+  }
+
   test("asOfJoin forward picks the earliest right row at or after each left ts") {
     val left = Seq(
       (100L, 1L, ts("2024-01-01 10:00:00")),
