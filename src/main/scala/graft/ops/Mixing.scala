@@ -86,6 +86,61 @@ object Mixing {
       .drop("__cum")
   }
 
+  /** Temperature-scaled mixture sampling — the alpha-sampling recipe
+    * multilingual corpora use to flatten source imbalance: each group's
+    * quota is proportional to `weight(count)` (default `sqrt`, i.e.
+    * alpha = 0.5; identity reproduces natural proportions), normalized
+    * over all groups and scaled to `totalTarget` rows, then filled
+    * deterministically in md5 hash order.
+    *
+    * `sqrt` (not `pow(x, 0.5)`) on both engines on purpose: IEEE sqrt
+    * is correctly rounded everywhere, `pow` is not, and the oracle
+    * comparison needs the quota floor to land identically.
+    *
+    * Scale: one groupBy for counts (G group rows), a single-row total
+    * broadcast back over the G-row frame, and one per-group window —
+    * no global window over data rows.
+    */
+  def temperatureSample(df: DataFrame, groupCol: String, idCol: String,
+      keyCol: String, totalTarget: Long,
+      weight: Column => Column = sqrt): DataFrame = {
+    val counts = df.groupBy(groupCol)
+      .agg(count(lit(1)).cast("double").as("__cnt"))
+      .withColumn("__w", weight(col("__cnt")))
+    val total = counts.agg(sum("__w").as("__sw"))
+    val quotas = counts.crossJoin(broadcast(total))
+      .select(col(groupCol),
+        floor(lit(totalTarget.toDouble) * col("__w") / col("__sw"))
+          .cast("long").as("__quota"))
+    val w = Window.partitionBy(groupCol)
+      .orderBy(hashOrder(col(keyCol), col(idCol)): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .join(broadcast(quotas), groupCol)
+      .filter(col("__rn") <= col("__quota"))
+      .drop("__rn", "__quota")
+  }
+
+  /** Deterministic stratified split tag: within each group, the first
+    * `num/den` fraction in md5 hash order is "train", the rest "test".
+    * The boundary is EXACT integer arithmetic — `(count * num) div den`
+    * — so both engines agree with no floating-point cliff, and reruns
+    * reproduce the same membership (the property an eval split must
+    * have: a document can never migrate between train and test across
+    * pipeline runs). */
+  def stratifiedSplitTag(df: DataFrame, groupCol: String, idCol: String,
+      keyCol: String, num: Int = 4, den: Int = 5): DataFrame = {
+    require(num >= 0 && den > 0 && num <= den)
+    val w = Window.partitionBy(groupCol)
+      .orderBy(hashOrder(col(keyCol), col(idCol)): _*)
+    val wAll = Window.partitionBy(groupCol)
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__cnt", count(lit(1)).over(wAll))
+      .withColumn("split",
+        when(col("__rn") <= expr(s"(__cnt * $num) div $den"), "train")
+          .otherwise("test"))
+      .drop("__rn", "__cnt")
+  }
+
   /** Fractional-epoch replication — the upsampling half of a training
     * mix recipe ("source A for 2.3 epochs"): every document is emitted
     * `floor(epochs)` times, and the deterministic FIRST

@@ -344,6 +344,24 @@ object ScaleQueries {
         .orderBy("source", "doc_id", "copy")
     }),
 
+    // temperature-scaled (alpha=0.5) mixture sample over languages:
+    // quotas ∝ sqrt(count), 200 rows total, hash-order deterministic
+    "q63_temperature_mix" -> ((s, dir) =>
+      graft.ops.Mixing.temperatureSample(
+        t(s, dir, "documents").select("lang", "doc_id", "text"),
+        "lang", "doc_id", "text", totalTarget = 200L)
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")),
+
+    // deterministic stratified 80/20 split per language — exact integer
+    // boundary, rerun-stable membership
+    "q64_stratified_split" -> ((s, dir) =>
+      graft.ops.Mixing.stratifiedSplitTag(
+        t(s, dir, "documents").select("lang", "doc_id", "text"),
+        "lang", "doc_id", "text", num = 4, den = 5)
+        .select("lang", "doc_id", "split")
+        .orderBy("lang", "doc_id")),
+
     // FULL-corpus near-dup dedup: LSH pairs (audit hash family) →
     // connected components → cluster + representative per document,
     // every stage oracle-checked end-to-end
@@ -706,6 +724,29 @@ object ScaleQueries {
   val oracleSql: Map[String, String] = Map(
     "q43b_group_signature_oracle" -> q43bSql,
     "q61_corpus_dedup" -> q61Sql,
+    "q63_temperature_mix" ->
+      """WITH c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS cnt
+                    FROM documents GROUP BY lang),
+           q AS (SELECT lang,
+                 CAST(floor(200.0 * sqrt(cnt)
+                      / (SELECT sum(sqrt(cnt)) FROM c)) AS BIGINT) AS quota
+                 FROM c),
+           r AS (SELECT lang, doc_id,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY md5(coalesce(text, '')), doc_id) AS rn
+                 FROM documents)
+         SELECT r.lang, r.doc_id FROM r JOIN q USING (lang)
+         WHERE rn <= quota ORDER BY lang, doc_id""",
+    "q64_stratified_split" ->
+      """WITH r AS (SELECT lang, doc_id,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY md5(coalesce(text, '')), doc_id) AS rn,
+                 count(*) OVER (PARTITION BY lang) AS cnt
+           FROM documents)
+         SELECT lang, doc_id,
+                CASE WHEN rn <= (cnt * 4) // 5 THEN 'train'
+                     ELSE 'test' END AS split
+         FROM r ORDER BY lang, doc_id""",
     "q62_epoch_mix" ->
       """WITH s AS (SELECT source, doc_id,
                  0.5 + (CAST(substr(source, 4) AS INT) % 5) * 0.7 AS e,

@@ -59,6 +59,48 @@ class MixingSpec extends AnyFunSuite {
     assert(out === Seq(0L, 0L, 1L))
   }
 
+  test("temperatureSample flattens imbalance sub-linearly and is deterministic") {
+    import org.apache.spark.sql.functions._
+    // 64 a-rows vs 4 b-rows (16:1); sqrt weights make quotas 8:2 (4:1)
+    val df = ((1 to 64).map(i => ("a", i.toLong, s"ta$i")) ++
+      (1 to 4).map(i => ("b", 100L + i, s"tb$i")))
+      .toDF("source", "doc_id", "text")
+    val out = Mixing.temperatureSample(df, "source", "doc_id", "text",
+      totalTarget = 10L)
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // weights: sqrt(64)=8, sqrt(4)=2 → quotas floor(10*8/10)=8, floor(10*2/10)=2
+    assert(out === Map("a" -> 8L, "b" -> 2L))
+    // natural proportions would have been 9.4 : 0.6 — the small group
+    // gained representation, the property alpha-sampling exists for
+    val again = Mixing.temperatureSample(df, "source", "doc_id", "text",
+      totalTarget = 10L).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val first = Mixing.temperatureSample(df, "source", "doc_id", "text",
+      totalTarget = 10L).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(again === first)
+  }
+
+  test("stratifiedSplitTag: exact integer boundary, stable membership") {
+    import org.apache.spark.sql.functions._
+    val df = ((1 to 5).map(i => ("a", i.toLong, s"t$i")) :+
+      (("b", 99L, "only")))
+      .toDF("lang", "doc_id", "text")
+    val out = Mixing.stratifiedSplitTag(df, "lang", "doc_id", "text")
+      .select("lang", "doc_id", "split")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val aSplits = out.filter(_._1 == "a").map(_._3)
+    assert(aSplits.count(_ == "train") === 4 && aSplits.count(_ == "test") === 1)
+    // a singleton group: (1*4) div 5 = 0 → test only, never train-leaks
+    assert(out.filter(_._1 == "b").map(_._3).toSeq === Seq("test"))
+    // rerun gives identical membership (no RNG)
+    val again = Mixing.stratifiedSplitTag(df, "lang", "doc_id", "text")
+      .select("lang", "doc_id", "split")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(out.sortBy(_._2).toSeq === again.sortBy(_._2).toSeq)
+  }
+
   test("epochReplicate: floor copies everywhere, frac extras deterministic") {
     import org.apache.spark.sql.functions._
     val df = Seq(
