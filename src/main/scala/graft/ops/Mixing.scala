@@ -141,6 +141,33 @@ object Mixing {
       .drop("__rn", "__cnt")
   }
 
+  /** Sliding-window sequence chunking: split each document's token
+    * stream into training windows of `seqTokens` tokens advancing by
+    * `stride` (stride < seqTokens → overlapping context windows, the
+    * standard long-document prep for fixed-context training). Map-side
+    * explode, rows ≈ tokens/stride, no shuffle.
+    *
+    * Emits (id, win_idx, chunk, win_tokens); the final window may be
+    * short, and an empty document emits nothing.
+    */
+  def windowChunks(df: DataFrame, idCol: String, textCol: String,
+      seqTokens: Int, stride: Int): DataFrame = {
+    require(seqTokens > 0 && stride > 0)
+    val tk = TextOps.wsTokens(col(textCol))
+    df.select(col(idCol), tk.as("__tk"))
+      .withColumn("__nw",
+        ceil(size(col("__tk")).cast("double") / stride).cast("int"))
+      .select(col(idCol),
+        explode(when(col("__nw") > 0,
+          sequence(lit(0), col("__nw") - 1)).otherwise(array())).as("win_idx"),
+        col("__tk"))
+      .select(col(idCol), col("win_idx").cast("long").as("win_idx"),
+        concat_ws(" ",
+          slice(col("__tk"), col("win_idx") * stride + 1, lit(seqTokens)))
+          .as("chunk"))
+      .withColumn("win_tokens", size(split(col("chunk"), " ")).cast("long"))
+  }
+
   /** Fractional-epoch replication — the upsampling half of a training
     * mix recipe ("source A for 2.3 epochs"): every document is emitted
     * `floor(epochs)` times, and the deterministic FIRST

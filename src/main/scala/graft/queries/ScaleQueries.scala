@@ -344,6 +344,14 @@ object ScaleQueries {
         .orderBy("source", "doc_id", "copy")
     }),
 
+    // sliding-window sequence chunking: 128-token windows, stride 96
+    // (overlapping long-doc prep for fixed-context training)
+    "q65_window_chunks" -> ((s, dir) =>
+      graft.ops.Mixing.windowChunks(
+        t(s, dir, "documents").select("doc_id", "text"),
+        "doc_id", "text", seqTokens = 128, stride = 96)
+        .orderBy("doc_id", "win_idx")),
+
     // temperature-scaled (alpha=0.5) mixture sample over languages:
     // quotas ∝ sqrt(count), 200 rows total, hash-order deterministic
     "q63_temperature_mix" -> ((s, dir) =>
@@ -724,6 +732,22 @@ object ScaleQueries {
   val oracleSql: Map[String, String] = Map(
     "q43b_group_signature_oracle" -> q43bSql,
     "q61_corpus_dedup" -> q61Sql,
+    "q65_window_chunks" ->
+      """WITH tkt AS (SELECT doc_id,
+                 list_filter(string_split(coalesce(text, ''), ' '),
+                             t -> length(t) > 0) AS tk
+           FROM documents),
+           w AS (SELECT doc_id,
+                 unnest(range(0, CAST(ceil(len(tk) / 96.0) AS BIGINT))) AS win_idx,
+                 tk
+             FROM tkt),
+           c AS (SELECT doc_id, win_idx,
+                 array_to_string(list_slice(tk, win_idx * 96 + 1,
+                                            win_idx * 96 + 128), ' ') AS chunk
+             FROM w)
+         SELECT doc_id, win_idx, chunk,
+                CAST(len(string_split(chunk, ' ')) AS BIGINT) AS win_tokens
+         FROM c ORDER BY doc_id, win_idx""",
     "q63_temperature_mix" ->
       """WITH c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS cnt
                     FROM documents GROUP BY lang),

@@ -59,6 +59,24 @@ class MixingSpec extends AnyFunSuite {
     assert(out === Seq(0L, 0L, 1L))
   }
 
+  test("windowChunks: overlapping windows cover the stream, short tail kept") {
+    import org.apache.spark.sql.functions._
+    // 10 tokens, window 4, stride 3 → starts 0,3,6,9
+    val df = Seq((1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), (2L, ""))
+      .toDF("doc_id", "text")
+    val out = Mixing.windowChunks(df, "doc_id", "text",
+      seqTokens = 4, stride = 3)
+      .orderBy("doc_id", "win_idx")
+      .collect().map(r => (r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(out.map(_._2).toSeq === Seq(
+      "t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9", "t9"))
+    assert(out.map(_._3).toSeq === Seq(4L, 4L, 4L, 1L))
+    // consecutive windows overlap by seqTokens - stride = 1 token
+    assert(out(0)._2.split(" ").last === out(1)._2.split(" ").head)
+    // the empty doc emitted nothing
+    assert(out.length === 4)
+  }
+
   test("temperatureSample flattens imbalance sub-linearly and is deterministic") {
     import org.apache.spark.sql.functions._
     // 64 a-rows vs 4 b-rows (16:1); sqrt weights make quotas 8:2 (4:1)
