@@ -40,26 +40,25 @@ object AsOf {
     require(direction == "backward" || direction == "forward",
       s"direction must be backward|forward, got $direction")
     val leftCols = left.columns.toSeq
-    // the matched right timestamp rides along as a hidden payload so a
-    // tolerance bound can be applied after the carry
-    val carryCols = payloadCols :+ "__rts"
-    // side 0 sorts before side 1 at equal ts → right row at ts == left.ts wins
-    val l = left.withColumn("__side", lit(1))
-    val r = right.select(
-      (Seq(col(keyCol), col(tsCol), lit(0).as("__side")) ++
-        payloadCols.map(col) :+ col(tsCol).as("__rts")): _*)
+    // the whole matched right ROW travels as one struct (__m): carrying
+    // payload columns independently would let `last(_, ignoreNulls)`
+    // skip a nearer right row whose payload happens to be null, pairing
+    // a stale payload with a nearer row's timestamp — the as-of match
+    // is a row, not a per-column scavenger hunt
+    val mExpr = struct(
+      (col(tsCol).as("__rts") +: payloadCols.map(col)): _*)
+    val mType = right.select(mExpr.as("__m")).schema("__m").dataType
 
-    val lAligned = l.select(
-      (Seq(col(keyCol), col(tsCol), col("__side")) ++
-        payloadCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)) ++
-        Seq(lit(null).cast(right.schema(tsCol).dataType).as("__rts")) ++
-        leftCols.filterNot(c => c == keyCol || c == tsCol)
-          .map(c => col(c))): _*)
-    val rAligned = r.select(
-      (Seq(col(keyCol), col(tsCol), col("__side")) ++
-        payloadCols.map(col) ++ Seq(col("__rts")) ++
-        leftCols.filterNot(c => c == keyCol || c == tsCol)
-          .map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+    val otherLeft = leftCols.filterNot(c => c == keyCol || c == tsCol)
+    // side 0 sorts before side 1 at equal ts → right row at ts == left.ts wins
+    val lAligned = left.select(
+      (Seq(col(keyCol), col(tsCol), lit(1).as("__side"),
+        lit(null).cast(mType).as("__m")) ++
+        otherLeft.map(col)): _*)
+    val rAligned = right.select(
+      (Seq(col(keyCol), col(tsCol), lit(0).as("__side"),
+        mExpr.as("__m")) ++
+        otherLeft.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
 
     // backward walks time ascending; forward walks it descending — in
     // both, the right side (__side 0) sorts first at equal ts so an
@@ -70,20 +69,22 @@ object AsOf {
       .orderBy(tsOrder, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val carried = carryCols.foldLeft(lAligned.unionByName(rAligned)) {
-      (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    val joined = carried.filter(col("__side") === 1).drop("__side")
-    val bounded = toleranceSeconds match {
-      case None => joined
+    val carried = lAligned.unionByName(rAligned)
+      .withColumn("__m", last(col("__m"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    val matched = toleranceSeconds match {
+      case None => carried
       case Some(tol) =>
+        // a match farther than the bound is no match at all
         val outOfRange =
-          abs(unix_micros(col(tsCol)) - unix_micros(col("__rts"))) >
-            tol * 1000000L
-        payloadCols.foldLeft(joined) { (df, c) =>
-          df.withColumn(c, when(outOfRange, lit(null)).otherwise(col(c)))
-        }
+          abs(unix_micros(col(tsCol)) -
+            unix_micros(col("__m").getField("__rts"))) > tol * 1000000L
+        carried.withColumn("__m",
+          when(outOfRange, lit(null).cast(mType)).otherwise(col("__m")))
     }
-    bounded.drop("__rts")
+    payloadCols.foldLeft(matched) { (df, c) =>
+      df.withColumn(c, col("__m").getField(c))
+    }.select((Seq(col(keyCol), col(tsCol)) ++ payloadCols.map(col) ++
+      otherLeft.map(col)): _*)
   }
 }

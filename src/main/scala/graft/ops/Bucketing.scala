@@ -30,11 +30,16 @@ object Bucketing {
   }
 
   /** Join two same-bucket-count tables on their bucket key. With both
-    * sides bucketed this plans as a zero-exchange sort-merge join. */
+    * sides bucketed this plans as a zero-exchange sort-merge join. The
+    * join condition must reference the SAME DataFrame instances being
+    * joined (repeated `spark.table` calls would build the condition
+    * from different instances, which breaks self-joins outright). */
   def bucketedJoin(spark: SparkSession, leftTable: String,
-      rightTable: String, leftKey: String, rightKey: String): DataFrame =
-    spark.table(leftTable).join(spark.table(rightTable),
-      spark.table(leftTable)(leftKey) === spark.table(rightTable)(rightKey))
+      rightTable: String, leftKey: String, rightKey: String): DataFrame = {
+    val l = spark.table(leftTable)
+    val r = spark.table(rightTable).alias("__bj_right")
+    l.join(r, l(leftKey) === r(rightKey))
+  }
 
   def dropTable(spark: SparkSession, table: String): Unit =
     spark.sql(s"DROP TABLE IF EXISTS $table")

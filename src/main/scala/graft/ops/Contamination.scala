@@ -50,15 +50,19 @@ object Contamination {
       n: Int = 8, threshold: Double = 0.1): DataFrame = {
     val corpSh = shingles(corpus, idCol, textCol, n)
     val benchSh = shingles(bench, idCol, textCol, n)
-      .select("h").distinct()
-    val tot = corpSh.groupBy(idCol).agg(count("*").as("n_shingles"))
-    val hits = corpSh.join(benchSh, Seq("h"), "left_semi")
-      .groupBy(idCol).agg(count("*").as("n_hits"))
+      .select(col("h"), lit(1L).as("__hit")).distinct()
+    // ONE pass over the corpus shingles: a left join against the
+    // benchmark set feeds totals and hit counts from the same
+    // aggregation, instead of evaluating the explode+distinct corpus
+    // subtree once for totals and again for a semi-join
+    val stats = corpSh.join(benchSh, Seq("h"), "left")
+      .groupBy(idCol).agg(
+        count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
     val fracRaw = coalesce(col("n_hits"), lit(0L)).cast("double") /
       greatest(coalesce(col("n_shingles"), lit(0L)), lit(1L))
     corpus.select(col(idCol))
-      .join(tot, Seq(idCol), "left")
-      .join(hits, Seq(idCol), "left")
+      .join(stats, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),

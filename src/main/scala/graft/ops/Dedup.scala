@@ -308,6 +308,18 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, idA: String, idB: String,
       maxIter: Int = 20, smallGraphEdges: Long = 1L << 20): DataFrame = {
+    // ids are widened to long for the in-core path; a silent cast of a
+    // non-integral id type would turn every vertex into null, so refuse
+    // loudly instead (hash string ids to long upstream if needed)
+    Seq(idA, idB).foreach { c =>
+      import org.apache.spark.sql.types._
+      val ok = pairs.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+      require(ok, s"connectedComponents needs integral ids; '$c' is " +
+        s"${pairs.schema(c).dataType.simpleString}")
+    }
     // checkpoint the pair source before the symmetrizing union — the
     // union references it twice, and the pair generator (an LSH join or
     // an exact-similarity join) is the expensive subtree

@@ -108,10 +108,24 @@ object Mixing {
       .agg(count(lit(1)).cast("double").as("__cnt"))
       .withColumn("__w", weight(col("__cnt")))
     val total = counts.agg(sum("__w").as("__sw"))
-    val quotas = counts.crossJoin(broadcast(total))
+    // largest-remainder apportionment: plain floors would undershoot
+    // the target by up to G rows and starve groups whose exact share is
+    // under 1 — instead the floor shortfall is handed out one row each
+    // to the largest fractional remainders (ties broken by group name,
+    // so both engines and every rerun agree). The global rank window
+    // runs over G group rows, not data rows.
+    val exact = counts.crossJoin(broadcast(total))
+      .withColumn("__exact",
+        lit(totalTarget.toDouble) * col("__w") / col("__sw"))
+      .withColumn("__fl", floor(col("__exact")).cast("long"))
+      .withColumn("__rem", col("__exact") - floor(col("__exact")))
+    val short = exact.agg((lit(totalTarget) - sum("__fl")).as("__d"))
+    val remRank = Window.orderBy(col("__rem").desc, col(groupCol).asc)
+    val quotas = exact.crossJoin(broadcast(short))
+      .withColumn("__rk", row_number().over(remRank))
       .select(col(groupCol),
-        floor(lit(totalTarget.toDouble) * col("__w") / col("__sw"))
-          .cast("long").as("__quota"))
+        (col("__fl") +
+          when(col("__rk") <= col("__d"), 1L).otherwise(0L)).as("__quota"))
     val w = Window.partitionBy(groupCol)
       .orderBy(hashOrder(col(keyCol), col(idCol)): _*)
     df.withColumn("__rn", row_number().over(w))

@@ -42,14 +42,38 @@ object Redaction {
         ipv4Re, ipTag),
       phoneRe, phoneTag)
 
+  /** Per-kind redaction counts, STAGED like the scrub itself: emails
+    * are counted on the raw text, IPs on the email-scrubbed text,
+    * phones on the ip-scrubbed text — so each count is exactly the
+    * number of tags that replace stage inserts and the total equals
+    * what scrub actually removed. Counting every pattern independently
+    * on the raw text would double-count PII nested in another match
+    * (an IP inside an email's host is one removal, not two). ONE
+    * definition, shared by [[scrub]] and the streaming curation path.
+    */
+  def countCols(txt: Column): (Column, Column, Column) = {
+    val afterEmail = regexp_replace(txt, emailRe, emailTag)
+    val afterIp = regexp_replace(afterEmail, ipv4Re, ipTag)
+    (regexp_count(txt, lit(emailRe)).cast("long"),
+      regexp_count(afterEmail, lit(ipv4Re)).cast("long"),
+      regexp_count(afterIp, lit(phoneRe)).cast("long"))
+  }
+
+  /** Total staged redaction count — [[countCols]] summed. */
+  def totalCountCol(txt: Column): Column = {
+    val (e, i, p) = countCols(txt)
+    e + i + p
+  }
+
   /** (id, scrubbed text, per-kind redaction counts, total). */
   def scrub(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val txt = col(textCol)
+    val (nEmails, nIps, nPhones) = countCols(txt)
     df.select(col(idCol),
       scrubCol(txt).as("text"),
-      regexp_count(txt, lit(emailRe)).cast("long").as("n_emails"),
-      regexp_count(txt, lit(phoneRe)).cast("long").as("n_phones"),
-      regexp_count(txt, lit(ipv4Re)).cast("long").as("n_ips"))
+      nEmails.as("n_emails"),
+      nPhones.as("n_phones"),
+      nIps.as("n_ips"))
       .withColumn("n_redactions",
         col("n_emails") + col("n_phones") + col("n_ips"))
   }

@@ -23,30 +23,42 @@ object ScaleQueries {
       graft.functions.GraftFunctions.preprocessText(col("text"))
         .as("processed"))
 
+  /** Keyed-by-session model caches. Two layers of lifecycle defense:
+    * a weak key (an identity hash code would be reusable after GC and
+    * could collide a new session into a dead entry), PLUS explicit
+    * eviction when the owning SparkContext ends — the cached values
+    * (fitted models, cached DataFrames) reference their session, so a
+    * weak key alone would never be collected (the value would keep its
+    * own key strongly reachable, the classic WeakHashMap caveat). */
+  private def perSessionEntry[V](cache: java.util.WeakHashMap[SparkSession, V],
+      s: SparkSession)(mk: => V): V = cache.synchronized {
+    var m = cache.get(s)
+    if (m == null) {
+      m = mk
+      cache.put(s, m)
+      s.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd)
+              : Unit =
+            cache.synchronized { cache.remove(s) }
+        })
+    }
+    m
+  }
+
   /** One LDA fit per (session, sf dir) — q40/q41/q42 share it instead
-    * of re-fitting (Verify runs every query in one session). Weakly
-    * keyed by the session for the same reason as [[rfCache]]: a fitted
-    * model can hold references into the session that built it, and a
-    * dir-only key would hand a later session a model bound to a stopped
-    * context. */
+    * of re-fitting (Verify runs every query in one session). */
   private val ldaCache = new java.util.WeakHashMap[SparkSession,
     scala.collection.concurrent.TrieMap[String,
       (org.apache.spark.ml.PipelineModel,
        org.apache.spark.ml.clustering.LDAModel)]]()
 
-  private def ldaFor(s: SparkSession, dir: String) = {
-    val perSession = ldaCache.synchronized {
-      var m = ldaCache.get(s)
-      if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty
-        ldaCache.put(s, m)
-      }
-      m
-    }
-    perSession.getOrElseUpdate(dir,
-      graft.ml.ThemePipeline.fitLda(preppedDocs(s, dir), "processed",
-        k = 5, maxIter = 20))
-  }
+  private def ldaFor(s: SparkSession, dir: String) =
+    perSessionEntry(ldaCache, s)(scala.collection.concurrent.TrieMap.empty)
+      .getOrElseUpdate(dir,
+        graft.ml.ThemePipeline.fitLda(preppedDocs(s, dir), "processed",
+          k = 5, maxIter = 20))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup via content hash (scale form of A1)
@@ -528,27 +540,19 @@ object ScaleQueries {
     }))
 
   /** One RF fit per (session, sf dir) (shared by q42/q42b): returns
-    * (fitted model, test frame, train rows, test rows). Keyed WEAKLY by
-    * the session object itself — the cached test DataFrame is bound to
-    * the session that built it, and handing it to a later session in
-    * the same JVM would fail with a stopped-context error. An identity
-    * hash code would be reusable after GC (a later session could
-    * collide into a dead entry); a weak key cannot collide and lets the
-    * model + cached frame be collected with their session. */
+    * (fitted model, test frame, train rows, test rows). The cached test
+    * DataFrame is bound to the session that built it, and handing it to
+    * a later session in the same JVM would fail with a stopped-context
+    * error — lifecycle handled by [[perSessionEntry]] (weak key +
+    * application-end eviction). */
   private val rfCache = new java.util.WeakHashMap[SparkSession,
     scala.collection.concurrent.TrieMap[String,
       (org.apache.spark.ml.PipelineModel,
        org.apache.spark.sql.DataFrame, Long, Long)]]()
 
   private def rfFor(s: SparkSession, dir: String) = {
-    val perSession = rfCache.synchronized {
-      var m = rfCache.get(s)
-      if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty
-        rfCache.put(s, m)
-      }
-      m
-    }
+    val perSession =
+      perSessionEntry(rfCache, s)(scala.collection.concurrent.TrieMap.empty)
     perSession.getOrElseUpdate(dir, {
       val docs = preppedDocs(s, dir)
       val (fm, lda) = ldaFor(s, dir)
@@ -661,18 +665,22 @@ object ScaleQueries {
                        || CAST((doc_id // 256) % 256 AS VARCHAR)
                        || '.' || CAST(doc_id % 256 AS VARCHAR) AS text
            FROM documents)
+         , staged AS (
+           SELECT doc_id, text,
+                  regexp_replace(text, '$emailRe', '<EMAIL>', 'g') AS after_email
+           FROM base),
+         staged2 AS (
+           SELECT *, regexp_replace(after_email, '$ipv4Re', '<IP>', 'g') AS after_ip
+           FROM staged)
          SELECT doc_id,
-                regexp_replace(regexp_replace(regexp_replace(text,
-                    '$emailRe', '<EMAIL>', 'g'),
-                    '$ipv4Re', '<IP>', 'g'),
-                    '$phoneRe', '<PHONE>', 'g') AS text,
+                regexp_replace(after_ip, '$phoneRe', '<PHONE>', 'g') AS text,
                 CAST(len(regexp_extract_all(text, '$emailRe')) AS BIGINT) AS n_emails,
-                CAST(len(regexp_extract_all(text, '$phoneRe')) AS BIGINT) AS n_phones,
-                CAST(len(regexp_extract_all(text, '$ipv4Re')) AS BIGINT) AS n_ips,
+                CAST(len(regexp_extract_all(after_ip, '$phoneRe')) AS BIGINT) AS n_phones,
+                CAST(len(regexp_extract_all(after_email, '$ipv4Re')) AS BIGINT) AS n_ips,
                 CAST(len(regexp_extract_all(text, '$emailRe'))
-                   + len(regexp_extract_all(text, '$phoneRe'))
-                   + len(regexp_extract_all(text, '$ipv4Re')) AS BIGINT) AS n_redactions
-         FROM base ORDER BY doc_id"""
+                   + len(regexp_extract_all(after_ip, '$phoneRe'))
+                   + len(regexp_extract_all(after_email, '$ipv4Re')) AS BIGINT) AS n_redactions
+         FROM staged2 ORDER BY doc_id"""
   }
 
   /** Generated DuckDB twin of q61 full-corpus dedup. The label loop is
@@ -751,10 +759,16 @@ object ScaleQueries {
     "q63_temperature_mix" ->
       """WITH c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS cnt
                     FROM documents GROUP BY lang),
+           w AS (SELECT lang, sqrt(cnt) AS wt FROM c),
+           e AS (SELECT lang,
+                 200.0 * wt / (SELECT sum(wt) FROM w) AS ex FROM w),
+           f AS (SELECT lang, CAST(floor(ex) AS BIGINT) AS fl,
+                 ex - floor(ex) AS rem FROM e),
+           d AS (SELECT 200 - sum(fl) AS dd FROM f),
            q AS (SELECT lang,
-                 CAST(floor(200.0 * sqrt(cnt)
-                      / (SELECT sum(sqrt(cnt)) FROM c)) AS BIGINT) AS quota
-                 FROM c),
+                 fl + (CASE WHEN row_number() OVER (ORDER BY rem DESC, lang)
+                            <= (SELECT dd FROM d) THEN 1 ELSE 0 END) AS quota
+                 FROM f),
            r AS (SELECT lang, doc_id,
                  row_number() OVER (PARTITION BY lang
                    ORDER BY md5(coalesce(text, '')), doc_id) AS rn

@@ -87,7 +87,11 @@ object ReviewConnection {
     throw new IllegalStateException("unreachable")
   }
 
-  def validate(opts: Map[String, String]): Unit = {
+  def validate(rawOpts: Map[String, String]): Unit = {
+    // Spark consumes options CASE-INSENSITIVELY (CaseInsensitiveStringMap)
+    // — validation must see the same keys, or `.option("MaxRetries", -1)`
+    // would bypass the check yet still take effect
+    val opts = rawOpts.map { case (k, v) => k.toLowerCase -> v }
     opts.get("url").foreach { u =>
       urlRe.findFirstMatchIn(u) match {
         case None =>
@@ -111,7 +115,7 @@ object ReviewConnection {
           "review connector: user must be non-empty")
       case _ => ()
     }
-    opts.get("maxRetries").foreach { r =>
+    opts.get("maxretries").foreach { r =>
       if (!r.matches("\\d+"))
         throw new IllegalArgumentException(
           s"review connector: maxRetries must be a non-negative int, got '$r'")
@@ -120,7 +124,8 @@ object ReviewConnection {
 
   /** Redacted description of the connection target for plan/`toString`
     * surfaces: url + user, never the token. */
-  def describe(opts: Map[String, String]): String = {
+  def describe(rawOpts: Map[String, String]): String = {
+    val opts = rawOpts.map { case (k, v) => k.toLowerCase -> v }
     val url = opts.getOrElse("url", "embedded-fixture")
     val user = opts.get("user").map(u => s", user=$u").getOrElse("")
     s"url=$url$user"

@@ -87,10 +87,7 @@ object Streams {
       .select(col(idCol),
         graft.ops.Redaction.scrubCol(txt).as("text"),
         col("n_tokens"), col("alpha_ratio"),
-        (regexp_count(txt, lit(graft.ops.Redaction.emailRe)) +
-         regexp_count(txt, lit(graft.ops.Redaction.phoneRe)) +
-         regexp_count(txt, lit(graft.ops.Redaction.ipv4Re)))
-          .cast("long").as("n_redactions"))
+        graft.ops.Redaction.totalCountCol(txt).as("n_redactions"))
   }
 
   /** foreachBatch sink: every micro-batch lands as a run_ts-versioned

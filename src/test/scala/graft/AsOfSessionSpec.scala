@@ -63,6 +63,24 @@ class AsOfSessionSpec extends AnyFunSuite {
     assert(atBound.head.getAs[Long]("signup_id") === 900L)
   }
 
+  test("asOfJoin matches the nearest ROW even when its payload is null") {
+    // right rows: 08:00 with payload, 09:55 with NULL payload; the
+    // 09:55 row is the as-of match at 10:00 — its null payload must be
+    // returned, never the stale 08:00 payload (and with a 1h tolerance
+    // the match is in range, judged on the matched row's own timestamp)
+    val left = Seq((1L, 1L, ts("2024-01-01 10:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (1L, ts("2024-01-01 08:00:00"), Some(7L)),
+      (1L, ts("2024-01-01 09:55:00"), None))
+      .toDF("user_id", "ts", "signup_id")
+    val plain = AsOf.asOfJoin(left, right, "user_id", "ts", Seq("signup_id"))
+    assert(plain.head.isNullAt(plain.head.fieldIndex("signup_id")))
+    val tol = AsOf.asOfJoin(left, right, "user_id", "ts", Seq("signup_id"),
+      toleranceSeconds = Some(3600L))
+    assert(tol.head.isNullAt(tol.head.fieldIndex("signup_id")))
+  }
+
   test("asOfJoin forward picks the earliest right row at or after each left ts") {
     val left = Seq(
       (100L, 1L, ts("2024-01-01 10:00:00")),

@@ -100,6 +100,22 @@ class MixingSpec extends AnyFunSuite {
     assert(again === first)
   }
 
+  test("temperatureSample hits the target exactly via largest remainders") {
+    import org.apache.spark.sql.functions._
+    // three equal groups, target 10: exact shares 3.33… each; floors
+    // sum to 9 and one group (smallest name on the remainder tie) gets
+    // the leftover row — plain floors would emit only 9
+    val df = (for (g <- Seq("a", "b", "c"); i <- 1 to 9)
+      yield (g, (g.hashCode.toLong << 8) + i, s"$g$i"))
+      .toDF("source", "doc_id", "text")
+    val out = Mixing.temperatureSample(df, "source", "doc_id", "text",
+      totalTarget = 10L)
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.values.sum === 10L)
+    assert(out === Map("a" -> 4L, "b" -> 3L, "c" -> 3L))
+  }
+
   test("stratifiedSplitTag: exact integer boundary, stable membership") {
     import org.apache.spark.sql.functions._
     val df = ((1 to 5).map(i => ("a", i.toLong, s"t$i")) :+

@@ -129,6 +129,16 @@ class ReviewSourceSpec extends AnyFunSuite {
       spark.read.format(fmt).option("maxRetries", "-1").load()
     }
     assert(e2.getMessage.contains("maxRetries"))
+    // ...regardless of option-key casing (Spark reads options
+    // case-insensitively, so validation must too)
+    val e3 = intercept[IllegalArgumentException] {
+      spark.read.format(fmt).option("MaxRetries", "-1").load()
+    }
+    assert(e3.getMessage.contains("maxRetries"))
+    val e4 = intercept[IllegalArgumentException] {
+      spark.read.format(fmt).option("URL", "http://nope").load()
+    }
+    assert(e4.getMessage.contains("malformed url"))
   }
 
   test("commit installs only manifested attempts; speculative staging swept") {
