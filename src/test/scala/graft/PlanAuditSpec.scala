@@ -76,10 +76,15 @@ class PlanAuditSpec extends AnyFunSuite {
       s"redaction must not shuffle before the output sort: $exchanges")
   }
 
-  test("q59 decontamination hits the benchmark via a semi-join") {
+  test("q59 decontamination evaluates the corpus shingles exactly once") {
     val p = graft.queries.ScaleQueries.queries("q59_decontaminate")(spark, dir)
       .queryExecution.executedPlan.toString
-    assert(p.contains("LeftSemi"), p.take(3000))
+    // one scan for the corpus shingle subtree (totals + hits come from
+    // the SAME left-join aggregation), one for the benchmark shingles,
+    // one for the id spine — a second corpus shingle evaluation would
+    // make this 4
+    val scans = "documents\\.parquet".r.findAllIn(p).length
+    assert(scans === 3, s"expected 3 documents scans, found $scans")
   }
 
   test("q62 epoch replication plans one window pass, no joins") {
