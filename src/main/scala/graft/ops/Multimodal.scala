@@ -256,6 +256,171 @@ object Multimodal {
       .toDF("id", "frame_idx", "frame")
   }
 
+  /** Parsed audio (WAV/PCM) header metadata. */
+  case class AudioMeta(sampleRate: Int, channels: Int,
+      bitsPerSample: Int, nSamples: Long, format: String) {
+    def durationMs: Long =
+      if (sampleRate <= 0) 0L else nSamples * 1000L / sampleRate
+  }
+
+  /** Per-partition WAV codec — the audio sibling of [[HeaderCodec]]:
+    * walks the RIFF chunk list (never fixed offsets — real files carry
+    * LIST/fact chunks between fmt and data) and sanity-checks every
+    * parsed field so a corrupt payload yields None, not garbage. */
+  final class WavCodec {
+
+    private def leInt(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+        ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+    private def leShort(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+    private def tag(b: Array[Byte], off: Int): String =
+      new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    /** Parse header AND locate the data chunk: returns (meta, data
+      * chunk payload offset, data chunk length). */
+    def decodeWithData(p: Array[Byte]): Option[(AudioMeta, Int, Int)] = {
+      if (p == null || p.length < 44 ||
+        tag(p, 0) != "RIFF" || tag(p, 8) != "WAVE") return None
+      var off = 12
+      var rate, chans, bps = -1
+      var dataOff, dataLen = -1
+      while (off + 8 <= p.length && (rate < 0 || dataOff < 0)) {
+        val id = tag(p, off)
+        val size = leInt(p, off + 4)
+        if (size < 0 || off + 8 + size > p.length) return None
+        if (id == "fmt " && size >= 16) {
+          val audioFormat = leShort(p, off + 8)
+          if (audioFormat != 1) return None // PCM only
+          chans = leShort(p, off + 10)
+          rate = leInt(p, off + 12)
+          bps = leShort(p, off + 22)
+        } else if (id == "data") {
+          dataOff = off + 8
+          dataLen = size
+        }
+        off += 8 + size + (size & 1) // RIFF chunks pad to even
+      }
+      if (rate <= 0 || rate > 1000000 || chans <= 0 || chans > 64 ||
+        !Set(8, 16, 24, 32).contains(bps) || dataOff < 0) return None
+      val frameBytes = chans * (bps / 8)
+      Some((AudioMeta(rate, chans, bps, dataLen.toLong / frameBytes,
+        "wav"), dataOff, dataLen))
+    }
+
+    def decode(p: Array[Byte]): Option[AudioMeta] =
+      decodeWithData(p).map(_._1)
+  }
+
+  /** Minimal valid 16-bit PCM WAV — the synthetic-audio generator for
+    * fixtures and q66 (deterministic triangle-ish samples). */
+  def syntheticWav(sampleRate: Int, channels: Int,
+      nSamples: Int): Array[Byte] = {
+    require(sampleRate > 0 && channels > 0 && nSamples >= 0)
+    val dataLen = nSamples * channels * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
+      .put("fmt ".getBytes).putInt(16)
+      .putShort(1).putShort(channels.toShort)            // PCM, channels
+      .putInt(sampleRate).putInt(sampleRate * channels * 2)
+      .putShort((channels * 2).toShort).putShort(16)     // block align, bps
+      .put("data".getBytes).putInt(dataLen)
+    var i = 0
+    while (i < nSamples * channels) {
+      buf.putShort(((i * 7919) % 32768).toShort)
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** Synthetic audio corpus: one WAV per input row, rate/channels/
+    * length derived deterministically from the id. */
+  def syntheticAudio(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id")).as[Long]
+      .mapPartitions(_.map { id =>
+        (id, syntheticWav(8000 * (1 + (id % 3).toInt),
+          1 + (id % 2).toInt, 200 + (id % 100).toInt))
+      })
+      .toDF("id", "payload")
+      .select(col("id"), struct(
+        col("payload"),
+        lit("audio/wav").as("mime"),
+        length(col("payload")).cast("long").as("n_bytes")).as("media"))
+  }
+
+  /** Batch audio header decode — same `mapPartitions`/per-partition
+    * codec shape as [[decodeImageMetaBatch]]. Returns (id, n_bytes,
+    * sample_rate, channels, bits, n_samples, duration_ms, format);
+    * nulls for payloads the codec cannot open. */
+  def decodeAudioMetaBatch(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+        col("media.payload").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val codec = new WavCodec
+        rows.map { case (id, p) =>
+          val m = codec.decode(p)
+          (id, if (p == null) 0L else p.length.toLong,
+            m.map(_.sampleRate), m.map(_.channels),
+            m.map(_.bitsPerSample), m.map(_.nSamples),
+            m.map(_.durationMs), m.map(_.format))
+        }
+      }
+      .toDF("id", "n_bytes", "sample_rate", "channels", "bits",
+        "n_samples", "duration_ms", "format")
+  }
+
+  /** Sample-accurate clip: keep the first `maxSamples` frames,
+    * re-encoded as a canonical 44-byte-header WAV — the audio analog of
+    * the BMP resize (parse → slice → re-encode, no native codec). */
+  def clipWav(p: Array[Byte], maxSamples: Long,
+      codec: WavCodec = new WavCodec): Option[Array[Byte]] =
+    codec.decodeWithData(p).map { case (m, dataOff, _) =>
+      val keep = math.min(m.nSamples, maxSamples)
+      val frameBytes = m.channels * (m.bitsPerSample / 8)
+      val keepBytes = (keep * frameBytes).toInt
+      val buf = java.nio.ByteBuffer.allocate(44 + keepBytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes).putInt(36 + keepBytes).put("WAVE".getBytes)
+        .put("fmt ".getBytes).putInt(16)
+        .putShort(1).putShort(m.channels.toShort)
+        .putInt(m.sampleRate)
+        .putInt(m.sampleRate * frameBytes)
+        .putShort(frameBytes.toShort).putShort(m.bitsPerSample.toShort)
+        .put("data".getBytes).putInt(keepBytes)
+      buf.put(p, dataOff, keepBytes)
+      buf.array()
+    }
+
+  /** Batch clip over the media payload. Returns (id, media) with the
+    * clipped WAV (rows whose payload cannot be opened are dropped). */
+  def clipAudioBatch(df: DataFrame, idCol: String,
+      maxSamples: Long): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+        col("media.payload").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val codec = new WavCodec
+        rows.flatMap { case (id, p) =>
+          clipWav(p, maxSamples, codec).map(clip => (id, clip))
+        }
+      }
+      .toDF("id", "payload")
+      .select(col("id"), struct(
+        col("payload"),
+        lit("audio/wav").as("mime"),
+        length(col("payload")).cast("long").as("n_bytes")).as("media"))
+  }
+
   /** Wrap a source frame into the canonical multimodal schema:
     * (id, media struct{payload binary, mime, n_bytes}). Here the payload
     * is the document text bytes — a stand-in with realistic sizes.

@@ -232,6 +232,20 @@ object ScaleQueries {
         .orderBy("event_id")
     }),
 
+    // real audio decode boundary: synthesize a PCM WAV per document id,
+    // batch-decode via the chunk-walking per-partition codec (no
+    // oracle: binary payloads are engine-generated; pinned by
+    // MultimodalSpec round-trips)
+    "q66_audio_decode" -> ((s, dir) => {
+      val audio = graft.ops.Multimodal.syntheticAudio(
+        t(s, dir, "documents"), "doc_id")
+      graft.ops.Multimodal.decodeAudioMetaBatch(audio, "id")
+        .select(col("id").as("doc_id"), col("n_bytes"),
+          col("sample_rate"), col("channels"), col("bits"),
+          col("n_samples"), col("duration_ms"), col("format"))
+        .orderBy("doc_id")
+    }),
+
     // toleranced as-of: matches farther than 1 hour back are nulled
     // (pandas merge_asof tolerance semantics)
     "q38c_asof_tolerance" -> ((s, dir) => {

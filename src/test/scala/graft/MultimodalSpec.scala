@@ -123,6 +123,58 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("WAV codec: header fields round-trip, chunk walk skips LIST chunks") {
+    import graft.ops.Multimodal
+    val codec = new Multimodal.WavCodec
+    val wav = Multimodal.syntheticWav(16000, 2, 250)
+    val m = codec.decode(wav).get
+    assert(m.sampleRate === 16000 && m.channels === 2 &&
+      m.bitsPerSample === 16 && m.nSamples === 250L)
+    assert(m.durationMs === 250L * 1000 / 16000)
+    // real files carry extra chunks between fmt and data — splice a
+    // LIST chunk in and the walk must still find both
+    val fmtEnd = 12 + 8 + 16
+    val listChunk = "LIST".getBytes ++
+      Array[Byte](6, 0, 0, 0) ++ "INFOab".getBytes
+    val spliced = wav.take(fmtEnd) ++ listChunk ++ wav.drop(fmtEnd)
+    // patch the RIFF size field (bytes 4..7, LE)
+    val riffLen = spliced.length - 8
+    for (i <- 0 until 4) spliced(4 + i) = ((riffLen >> (8 * i)) & 0xff).toByte
+    val m2 = codec.decode(spliced).get
+    assert(m2 === m)
+    // corrupt payloads decode to None, never garbage
+    assert(codec.decode("RIFFxxxxWAVEjunk".getBytes).isEmpty)
+    assert(codec.decode("not audio at all".getBytes).isEmpty)
+    assert(codec.decode(null).isEmpty)
+  }
+
+  test("audio generate → decode → clip round-trips through the batch path") {
+    import graft.ops.Multimodal
+    val base = spark.range(0, 40).toDF("doc_id")
+    val audio = Multimodal.syntheticAudio(base, "doc_id")
+    val meta = Multimodal.decodeAudioMetaBatch(audio, "id")
+    assert(meta.count() === 40)
+    val rows = meta.orderBy("id").collect()
+    assert(rows.forall(r => r.getAs[String]("format") == "wav"))
+    // id-derived geometry round-trips exactly
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getAs[Int]("sample_rate") === 8000 * (1 + (id % 3).toInt))
+      assert(r.getAs[Int]("channels") === 1 + (id % 2).toInt)
+      assert(r.getAs[Long]("n_samples") === 200 + (id % 100))
+    }
+    // clip to 64 samples: every clipped payload re-decodes at 64
+    val clipped = Multimodal.clipAudioBatch(audio, "id", maxSamples = 64L)
+    val cm = Multimodal.decodeAudioMetaBatch(clipped, "id")
+      .orderBy("id").collect()
+    assert(cm.length === 40)
+    assert(cm.forall(_.getAs[Long]("n_samples") === 64L))
+    // rate/channels preserved by the re-encode
+    assert(cm.zip(rows).forall { case (c, o) =>
+      c.getAs[Int]("sample_rate") == o.getAs[Int]("sample_rate") &&
+        c.getAs[Int]("channels") == o.getAs[Int]("channels") })
+  }
+
   test("stub features feed the similarity operator end-to-end") {
     val featured = Multimodal.decodeAndFeaturize(media, "doc_id")
       .select(col("doc_id").as("vec_id"),
