@@ -421,6 +421,120 @@ object Multimodal {
         length(col("payload")).cast("long").as("n_bytes")).as("media"))
   }
 
+  /** Parsed video (AVI) header metadata. */
+  case class VideoMeta(width: Int, height: Int, nFrames: Int,
+      microsPerFrame: Int, format: String) {
+    /** Frame rate ×1000 (integer fps millis — exact, no float). */
+    def fpsX1000: Long =
+      if (microsPerFrame <= 0) 0L else 1000000000L / microsPerFrame
+  }
+
+  /** Per-partition AVI codec — completes the modality trio: the RIFF
+    * walk descends into LIST containers to find the `avih` main header
+    * wherever the muxer put it, with every field sanity-checked. */
+  final class AviCodec {
+
+    private def leInt(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+        ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+    private def tag(b: Array[Byte], off: Int): String =
+      new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    /** Depth-first chunk walk: returns the payload offset of the first
+      * `avih` chunk, descending into LIST containers. */
+    private def findAvih(p: Array[Byte], start: Int, end: Int): Int = {
+      var off = start
+      while (off + 8 <= end) {
+        val id = tag(p, off)
+        val size = leInt(p, off + 4)
+        if (size < 0 || off + 8 + size > end) return -1
+        if (id == "avih" && size >= 40) return off + 8
+        if (id == "LIST" && size >= 4) {
+          val inner = findAvih(p, off + 12, off + 8 + size)
+          if (inner >= 0) return inner
+        }
+        off += 8 + size + (size & 1)
+      }
+      -1
+    }
+
+    def decode(p: Array[Byte]): Option[VideoMeta] = {
+      if (p == null || p.length < 24 ||
+        tag(p, 0) != "RIFF" || tag(p, 8) != "AVI ") return None
+      val a = findAvih(p, 12, p.length)
+      if (a < 0 || a + 40 > p.length) return None
+      val usPerFrame = leInt(p, a)
+      val frames = leInt(p, a + 16)
+      val w = leInt(p, a + 32)
+      val h = leInt(p, a + 36)
+      if (w <= 0 || w > (1 << 16) || h <= 0 || h > (1 << 16) ||
+        frames < 0 || frames > 1000000000 ||
+        usPerFrame <= 0 || usPerFrame > 1000000000) None
+      else Some(VideoMeta(w, h, frames, usPerFrame, "avi"))
+    }
+  }
+
+  /** Minimal valid AVI: RIFF('AVI ') → LIST('hdrl') → avih. */
+  def syntheticAvi(width: Int, height: Int, nFrames: Int,
+      fps: Int): Array[Byte] = {
+    require(width > 0 && height > 0 && nFrames >= 0 && fps > 0)
+    val avihLen = 56
+    val listLen = 4 + 8 + avihLen // 'hdrl' + avih chunk header + body
+    val buf = java.nio.ByteBuffer.allocate(12 + 8 + listLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes).putInt(4 + 8 + listLen).put("AVI ".getBytes)
+      .put("LIST".getBytes).putInt(listLen).put("hdrl".getBytes)
+      .put("avih".getBytes).putInt(avihLen)
+      .putInt(1000000 / fps)                 // dwMicroSecPerFrame
+      .putInt(0).putInt(0).putInt(0)
+      .putInt(nFrames)                       // dwTotalFrames
+      .putInt(0).putInt(1).putInt(0)
+      .putInt(width).putInt(height)
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+    buf.array()
+  }
+
+  /** Synthetic video corpus: one AVI per input row, geometry derived
+    * deterministically from the id. */
+  def syntheticVideos(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id")).as[Long]
+      .mapPartitions(_.map { id =>
+        (id, syntheticAvi(320 + (id % 4).toInt * 160,
+          240 + (id % 3).toInt * 120, 24 * (10 + (id % 50).toInt),
+          if (id % 2 == 0) 25 else 30))
+      })
+      .toDF("id", "payload")
+      .select(col("id"), struct(
+        col("payload"),
+        lit("video/avi").as("mime"),
+        length(col("payload")).cast("long").as("n_bytes")).as("media"))
+  }
+
+  /** Batch video header decode — same shape as the image and audio
+    * paths. Returns (id, n_bytes, width, height, n_frames, fps_x1000,
+    * format); nulls for unrecognized payloads. */
+  def decodeVideoMetaBatch(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+        col("media.payload").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val codec = new AviCodec
+        rows.map { case (id, p) =>
+          val m = codec.decode(p)
+          (id, if (p == null) 0L else p.length.toLong,
+            m.map(_.width), m.map(_.height), m.map(_.nFrames),
+            m.map(_.fpsX1000), m.map(_.format))
+        }
+      }
+      .toDF("id", "n_bytes", "width", "height", "n_frames",
+        "fps_x1000", "format")
+  }
+
   /** Wrap a source frame into the canonical multimodal schema:
     * (id, media struct{payload binary, mime, n_bytes}). Here the payload
     * is the document text bytes — a stand-in with realistic sizes.

@@ -246,6 +246,17 @@ object ScaleQueries {
         .orderBy("doc_id")
     }),
 
+    // real video decode boundary: synthetic AVI per document id,
+    // chunk-walking header codec (no oracle: binary; MultimodalSpec)
+    "q67_video_decode" -> ((s, dir) => {
+      val videos = graft.ops.Multimodal.syntheticVideos(
+        t(s, dir, "documents"), "doc_id")
+      graft.ops.Multimodal.decodeVideoMetaBatch(videos, "id")
+        .select(col("id").as("doc_id"), col("n_bytes"), col("width"),
+          col("height"), col("n_frames"), col("fps_x1000"), col("format"))
+        .orderBy("doc_id")
+    }),
+
     // toleranced as-of: matches farther than 1 hour back are nulled
     // (pandas merge_asof tolerance semantics)
     "q38c_asof_tolerance" -> ((s, dir) => {

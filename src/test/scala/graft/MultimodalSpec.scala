@@ -175,6 +175,32 @@ class MultimodalSpec extends AnyFunSuite {
         c.getAs[Int]("channels") == o.getAs[Int]("channels") })
   }
 
+  test("AVI codec: avih found through nested LISTs, fields round-trip") {
+    import graft.ops.Multimodal
+    val codec = new Multimodal.AviCodec
+    val avi = Multimodal.syntheticAvi(640, 480, 240, 25)
+    val m = codec.decode(avi).get
+    assert(m.width === 640 && m.height === 480 && m.nFrames === 240)
+    assert(m.fpsX1000 === 25000L)
+    // corrupt payloads: truncated RIFF, wrong form, junk
+    assert(codec.decode(avi.take(20)).isEmpty)
+    assert(codec.decode("RIFF0000WAVEjunkjunk".getBytes).isEmpty)
+    assert(codec.decode(null).isEmpty)
+    // batch path over the synthetic corpus: geometry round-trips
+    val base = spark.range(0, 24).toDF("doc_id")
+    val rows = Multimodal.decodeVideoMetaBatch(
+      Multimodal.syntheticVideos(base, "doc_id"), "id")
+      .orderBy("id").collect()
+    assert(rows.length === 24)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getAs[Int]("width") === 320 + (id % 4).toInt * 160)
+      assert(r.getAs[Int]("height") === 240 + (id % 3).toInt * 120)
+      assert(r.getAs[Int]("n_frames") === 24 * (10 + (id % 50).toInt))
+      assert(r.getAs[String]("format") === "avi")
+    }
+  }
+
   test("stub features feed the similarity operator end-to-end") {
     val featured = Multimodal.decodeAndFeaturize(media, "doc_id")
       .select(col("doc_id").as("vec_id"),
