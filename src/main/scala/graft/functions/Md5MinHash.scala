@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The md5 AUDIT hash family's MinHash signature as one fused pass —
+  * value-identical to the declarative form in
+  * `graft.ops.Dedup.auditableMinHashSig` (sig[i] = min over ws tokens
+  * of the first 15 hex chars of md5("i:" + token) as a long, i.e. the
+  * top 60 bits of the digest), which pairs with DuckDB's
+  * `list_min(list_transform(tk, t -> CAST('0x' || substr(md5(i||':'||t),
+  * 1, 15) AS BIGINT)))`.
+  *
+  * The HOF form evaluates k × (transform + array_min) CodegenFallback
+  * lambdas with per-element Invoke overhead and intermediate arrays;
+  * this expression tokenizes once and runs the k digests per token
+  * inline. Duplicate tokens cannot change a minimum, so no distinct
+  * pass is needed — multiset minima equal set minima.
+  */
+object Md5MinHash {
+
+  private final val MaxK = 64
+
+  // "i:" prefixes, precomputed; md5 instances are per-thread (the
+  // digest object is stateful and tasks share nothing else)
+  private val prefixes: Array[Array[Byte]] =
+    Array.tabulate(MaxK)(i => s"$i:".getBytes("UTF-8"))
+
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Top 60 bits of a big-endian md5 digest — exactly the value of the
+    * first 15 hex characters parsed base-16. */
+  private def top60(d: Array[Byte]): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  def signature(text: UTF8String, k: Int): Array[Long] = {
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    if (text == null) return sig
+    val s = text.toString
+    val digest = md.get()
+    val n = s.length
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || s.charAt(i) == ' ') {
+        if (i > start) {
+          val tok = s.substring(start, i).getBytes("UTF-8")
+          var p = 0
+          while (p < k) {
+            digest.reset()
+            digest.update(prefixes(p))
+            digest.update(tok)
+            val v = top60(digest.digest())
+            if (v < sig(p)) sig(p) = v
+            p += 1
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    sig
+  }
+}
+
+/** `md5_minhash_sig(text)` → array<bigint> of k audit-family minima. */
+case class Md5MinHashSig(child: Expression, k: Int) extends UnaryExpression {
+  require(k > 0 && k <= 64, "k must be in 1..64")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      Md5MinHash.signature(input.asInstanceOf[UTF8String], k))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.Md5MinHash.signature($c, $k))")
+
+  override def prettyName: String = "md5_minhash_sig"
+
+  override protected def withNewChildInternal(newChild: Expression): Md5MinHashSig =
+    copy(child = newChild)
+}

@@ -61,6 +61,11 @@ object GraftFunctions {
   def minHashSig(c: Column, k: Int): Column =
     bridge.column(MinHashSig(bridge.expression(c), k))
 
+  /** md5 AUDIT-family MinHash signature (fused; value-identical to the
+    * declarative md5Hash60 HOF form and to the DuckDB twin). */
+  def md5MinHashSig(c: Column, k: Int): Column =
+    bridge.column(Md5MinHashSig(bridge.expression(c), k))
+
   /** Positions where two equal-length long arrays agree. */
   def arrayEqCount(a: Column, b: Column): Column =
     bridge.column(ArrayEqCount(bridge.expression(a), bridge.expression(b)))

@@ -123,20 +123,17 @@ object Dedup {
     * CodegenFallback and that is fine for an audit variant.
     */
   /** The md5-family per-row MinHash signature — ONE definition shared
-    * by [[minHashPairsAuditable]] and the group-signature oracle twin
-    * (q43b): sig[i] = min over the ws-token SET of md5Hash60("i:"+tok),
-    * Long.MaxValue for an empty set. Pairs with the DuckDB expression
-    * `coalesce(list_min(list_transform(tk, t -> CAST('0x' ||
-    * substr(md5('i:' || t), 1, 15) AS BIGINT))), maxlong)`. */
-  def auditableMinHashSig(textCol: Column, k: Int): Column = {
-    val tokens = TextOps.wsTokenSet(textCol)
-    array((0 until k).map { i =>
-      coalesce(
-        array_min(transform(tokens, t =>
-          TextOps.md5Hash60(concat(lit(s"$i:"), t)))),
-        lit(Long.MaxValue))
-    }: _*)
-  }
+    * by [[minHashPairsAuditable]], [[corpusDedup]], and the
+    * group-signature oracle twin (q43b): sig[i] = min over the ws-token
+    * SET of md5Hash60("i:"+tok), Long.MaxValue for an empty set. Pairs
+    * with the DuckDB expression `coalesce(list_min(list_transform(tk,
+    * t -> CAST('0x' || substr(md5('i:' || t), 1, 15) AS BIGINT))),
+    * maxlong)`. Computed by the fused [[graft.functions.Md5MinHashSig]]
+    * expression — value-identical to the declarative HOF form (pinned
+    * in MinHashSpec), minus k × CodegenFallback lambda overhead. */
+  def auditableMinHashSig(textCol: Column, k: Int): Column =
+    graft.functions.GraftFunctions.md5MinHashSig(
+      coalesce(textCol, lit("")), k)
 
   /** LSH band join + estimate filter over a prepared (id, sig) frame —
     * the shared core of [[minHashPairsAuditable]] (all docs) and

@@ -122,6 +122,30 @@ class DedupSpec extends AnyFunSuite {
     assert(dist === inCore)
   }
 
+  test("fused md5 signature equals the declarative HOF form on real docs") {
+    // the declarative twin the fused expression replaced — kept here as
+    // the cross-check so a drift in either re-fails this spec
+    def hofSig(textCol: org.apache.spark.sql.Column, k: Int) = {
+      val tokens = graft.ops.TextOps.wsTokenSet(textCol)
+      array((0 until k).map { i =>
+        coalesce(
+          array_min(transform(tokens, t =>
+            graft.ops.TextOps.md5Hash60(concat(lit(s"$i:"), t)))),
+          lit(Long.MaxValue))
+      }: _*)
+    }
+    val edge = Seq((9001L, ""), (9002L, "   "), (9003L, "a  b a"),
+      (9004L, "Ünïcödé tøkens æøå"))
+      .toDF("doc_id", "text")
+    val df = docs.select("doc_id", "text").unionByName(edge)
+    val mismatches = df.select(
+        Dedup.auditableMinHashSig(col("text"), 8).as("fused"),
+        hofSig(coalesce(col("text"), lit("")), 8).as("hof"))
+      .filter(col("fused") =!= col("hof"))
+      .count()
+    assert(mismatches === 0L)
+  }
+
   test("corpusDedup: cluster invariants hold on real docs") {
     val out = Dedup.corpusDedup(docs, "doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
