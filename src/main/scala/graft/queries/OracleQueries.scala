@@ -56,6 +56,31 @@ object OracleQueries {
        GROUP BY n_name
        ORDER BY revenue DESC, n_name"""
 
+  /** Shared SQL for Q47c — the TPC-H Q10 shape (returned-item
+    * reporting): fact-side filter, three joins (one broadcast dim),
+    * wide GROUP BY over customer attributes, top-N by revenue. */
+  private val q47cSql: String =
+    """SELECT c_custkey, c_name,
+              round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+              round(c_acctbal, 4) AS acctbal, n_name
+       FROM customer
+       JOIN orders   ON c_custkey = o_custkey
+       JOIN lineitem ON l_orderkey = o_orderkey
+       JOIN nation   ON c_nationkey = n_nationkey
+       WHERE l_returnflag = 'R'
+       GROUP BY c_custkey, c_name, c_acctbal, n_name
+       ORDER BY revenue DESC, c_custkey LIMIT 20"""
+
+  /** Shared SQL for Q47d — the TPC-H Q18 shape (large-order
+    * customers): aggregate-then-HAVING, the filter the planner must
+    * apply post-aggregation. */
+  private val q47dSql: String =
+    """SELECT o_orderkey, round(sum(l_quantity), 4) AS total_qty
+       FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       GROUP BY o_orderkey
+       HAVING sum(l_quantity) > 150
+       ORDER BY total_qty DESC, o_orderkey LIMIT 10"""
+
   /** Literal stopword array for the DuckDB side of Q20 — must mirror
     * [[TextOps.stopwords]]. */
   private val sqlStopwords: String =
@@ -455,6 +480,20 @@ object OracleQueries {
       s.sql(q47bSql)
     }),
 
+    // Q47c — TPC-H Q10 shape, SAME SQL text as the oracle
+    "q47c_sql_returns" -> ((s, dir) => {
+      Seq("customer", "orders", "lineitem", "nation")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(q47cSql)
+    }),
+
+    // Q47d — TPC-H Q18 shape (HAVING), SAME SQL text as the oracle
+    "q47d_sql_large_orders" -> ((s, dir) => {
+      Seq("orders", "lineitem")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(q47dSql)
+    }),
+
     // Q48 — array-function breadth over the embeddings vectors
     "q48_arrays" -> ((s, dir) => {
       val emb = transform(col("embedding"), x => x.cast("double"))
@@ -770,6 +809,8 @@ object OracleQueries {
          FROM part ORDER BY p_partkey""",
     "q47_sql_shipping" -> q47Sql,
     "q47b_sql_volume" -> q47bSql,
+    "q47c_sql_returns" -> q47cSql,
+    "q47d_sql_large_orders" -> q47dSql,
     "q46_stats" ->
       """SELECT l_returnflag,
                 round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
