@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The capstone facade: one call from raw documents to training
+  * sequences, chaining the individually oracle-anchored curation
+  * operators in their production order —
+  *
+  *  1. quality gates (token count, alpha ratio, stopword ratio, allowed
+  *     languages) evaluated in ONE projection over one scan;
+  *  2. PII scrub ([[Redaction]]);
+  *  3. full-corpus near-dup dedup ([[Dedup.corpusDedup]] — cluster
+  *     representatives survive);
+  *  4. benchmark decontamination ([[Contamination.ngramOverlap]] vs the
+  *     caller's eval set);
+  *  5. temperature-scaled mixture sampling per language
+  *     ([[Mixing.temperatureSample]]);
+  *  6. sliding-window sequence chunking ([[Mixing.windowChunks]]).
+  *
+  * Every stage is deterministic (md5 hash order, no RNG), so a re-run
+  * over the same input reproduces the corpus byte-for-byte — the
+  * property that makes a 100 TB build restartable. The returned frame
+  * is the training-sequence set; [[CorpusPipeline.Report]] carries the
+  * per-stage row counts (each an action over an already-needed frame,
+  * driver-side data is a handful of longs).
+  */
+object CorpusPipeline {
+
+  case class Config(
+      minTokens: Long = 30L,
+      minAlpha: Double = 0.9,
+      maxStopword: Double = 0.5,
+      langs: Seq[String] = Seq("en", "de", "fr"),
+      minJaccard: Double = 0.75,
+      contaminationNgram: Int = 8,
+      contaminationThreshold: Double = 0.1,
+      totalTarget: Long = 200L,
+      seqTokens: Int = 128,
+      stride: Int = 96)
+
+  case class Report(input: Long, gated: Long, deduped: Long,
+      clean: Long, sampled: Long, sequences: Long)
+
+  /** Build the training corpus. `docs` needs (doc_id, lang, text);
+    * `evalSet` needs (doc_id, text). Returns (sequences, report). */
+  def build(docs: DataFrame, evalSet: DataFrame,
+      cfg: Config = Config()): (DataFrame, Report) = {
+    val txt = col("text")
+    val gated = docs
+      .select(col("doc_id"), col("lang"), txt,
+        TextAnalysis.nTokensCol(txt).as("n_tokens"),
+        TextAnalysis.alphaRatioCol(txt).as("alpha_ratio"),
+        TextAnalysis.stopwordRatioCol(txt).as("stopword_ratio"))
+      .filter(col("n_tokens") >= cfg.minTokens &&
+        col("alpha_ratio") >= cfg.minAlpha &&
+        col("stopword_ratio") <= cfg.maxStopword &&
+        col("lang").isin(cfg.langs: _*))
+      .select(col("doc_id"), col("lang"),
+        Redaction.scrubCol(txt).as("text"))
+      .localCheckpoint() // several downstream stages re-read this frame
+
+    val reps = Dedup.corpusDedup(gated, "doc_id", "text",
+        minJaccard = cfg.minJaccard)
+      .filter(col("is_rep")).select("doc_id")
+    val deduped = gated.join(reps, "doc_id").localCheckpoint()
+
+    val flagged = Contamination.ngramOverlap(deduped, evalSet,
+        "doc_id", "text",
+        n = cfg.contaminationNgram, threshold = cfg.contaminationThreshold)
+      .filter(col("contaminated")).select("doc_id")
+    val clean = deduped.join(flagged, Seq("doc_id"), "left_anti")
+
+    val sampled = Mixing.temperatureSample(clean, "lang", "doc_id",
+      "text", cfg.totalTarget).localCheckpoint()
+
+    val sequences = Mixing.windowChunks(sampled, "doc_id", "text",
+      cfg.seqTokens, cfg.stride)
+
+    val report = Report(
+      input = docs.count(),
+      gated = gated.count(),
+      deduped = deduped.count(),
+      clean = clean.count(),
+      sampled = sampled.count(),
+      sequences = sequences.count())
+    (sequences, report)
+  }
+}

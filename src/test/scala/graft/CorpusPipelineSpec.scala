@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.CorpusPipeline
+
+/** End-to-end corpus build over real testdata: stage counts are
+  * monotone, nothing contaminated or unscrubbed survives, and a rerun
+  * reproduces the corpus exactly. */
+class CorpusPipelineSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private def docs = graft.sources.Tables(spark, dir, "documents")
+    .select("doc_id", "lang", "text")
+  private def evalSet = docs.filter($"doc_id" < 50).select("doc_id", "text")
+
+  test("build: monotone funnel, deterministic rerun, clean output") {
+    val (seqs, rep) = CorpusPipeline.build(
+      docs.filter($"doc_id" >= 50), evalSet)
+    assert(rep.input >= rep.gated && rep.gated >= rep.deduped &&
+      rep.deduped >= rep.clean && rep.clean >= rep.sampled,
+      rep.toString)
+    assert(rep.sequences >= rep.sampled) // chunking only adds windows
+    assert(rep.sampled > 0 && rep.sequences > 0, rep.toString)
+
+    val out = seqs.orderBy("doc_id", "win_idx")
+      .as[(Long, Long, String, Long)].collect()
+    // every window respects the configured geometry
+    assert(out.forall(_._4 <= 128))
+    // a second build reproduces the corpus byte-for-byte
+    val (seqs2, rep2) = CorpusPipeline.build(
+      docs.filter($"doc_id" >= 50), evalSet)
+    assert(rep2 === rep)
+    val out2 = seqs2.orderBy("doc_id", "win_idx")
+      .as[(Long, Long, String, Long)].collect()
+    assert(out2.toSeq === out.toSeq)
+  }
+
+  test("build: contaminated documents cannot reach the output") {
+    // make doc 60's text literally an eval-set passage so its 8-gram
+    // overlap is total — the decontamination stage must drop it
+    val evalText = docs.filter($"doc_id" === 10L)
+      .select("text").as[String].head()
+    val poisoned = docs.filter($"doc_id" >= 50)
+      .withColumn("text",
+        org.apache.spark.sql.functions.when($"doc_id" === 60L,
+          org.apache.spark.sql.functions.lit(evalText))
+          .otherwise($"text"))
+    val (seqs, _) = CorpusPipeline.build(poisoned, evalSet)
+    assert(seqs.filter($"doc_id" === 60L).count() === 0L)
+  }
+}
