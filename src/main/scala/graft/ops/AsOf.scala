@@ -39,6 +39,16 @@ object AsOf {
       toleranceSeconds: Option[Long] = None): DataFrame = {
     require(direction == "backward" || direction == "forward",
       s"direction must be backward|forward, got $direction")
+    // the matched-row struct reserves __rts for the right timestamp; a
+    // payload column with that name (or a duplicate payload name) would
+    // build an ambiguous struct whose getField silently resolves to the
+    // wrong field — refuse instead
+    require(!payloadCols.contains("__rts"),
+      "asOfJoin: payload column name __rts is reserved for the carried " +
+        "right timestamp — rename it on the right side first")
+    require(payloadCols.distinct.size == payloadCols.size,
+      s"asOfJoin: duplicate payload columns " +
+        payloadCols.diff(payloadCols.distinct).distinct.mkString(", "))
     val leftCols = left.columns.toSeq
     // the whole matched right ROW travels as one struct (__m): carrying
     // payload columns independently would let `last(_, ignoreNulls)`

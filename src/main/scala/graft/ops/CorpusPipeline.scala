@@ -69,7 +69,13 @@ object CorpusPipeline {
         "doc_id", "text",
         n = cfg.contaminationNgram, threshold = cfg.contaminationThreshold)
       .filter(col("contaminated")).select("doc_id")
+    // checkpointed: `clean`'s lineage is the whole contamination subtree
+    // (an explode of every corpus document into n-gram shingles). It is
+    // read twice — by the `sampled` chain and by the Report's count —
+    // and without truncation the second read would re-shingle the full
+    // corpus for one long. At 100 TB that is an entire extra pass.
     val clean = deduped.join(flagged, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
 
     val sampled = Mixing.temperatureSample(clean, "lang", "doc_id",
       "text", cfg.totalTarget).localCheckpoint()

@@ -19,6 +19,20 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Refuse non-integral id columns loudly where an id is about to be
+    * cast to long — the cast would turn every value into null and the
+    * nulls would flow on as garbage clusters. */
+  private def requireIntegralId(df: DataFrame, c: String,
+      op: String): Unit = {
+    import org.apache.spark.sql.types._
+    val ok = df.schema(c).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    require(ok, s"$op needs integral ids; '$c' is " +
+      s"${df.schema(c).dataType.simpleString}")
+  }
+
   /** Exact dedup keeping the smallest id per identical text — one shuffle
     * on the (hashed) key. Grouping on md5(text) rather than the full text
     * keeps shuffle rows small when documents are large.
@@ -308,22 +322,27 @@ object Dedup {
     // ids are widened to long for the in-core path; a silent cast of a
     // non-integral id type would turn every vertex into null, so refuse
     // loudly instead (hash string ids to long upstream if needed)
-    Seq(idA, idB).foreach { c =>
-      import org.apache.spark.sql.types._
-      val ok = pairs.schema(c).dataType match {
-        case ByteType | ShortType | IntegerType | LongType => true
-        case _ => false
-      }
-      require(ok, s"connectedComponents needs integral ids; '$c' is " +
-        s"${pairs.schema(c).dataType.simpleString}")
-    }
+    Seq(idA, idB).foreach(c => requireIntegralId(pairs, c,
+      "connectedComponents"))
     // checkpoint the pair source before the symmetrizing union — the
     // union references it twice, and the pair generator (an LSH join or
     // an exact-similarity join) is the expensive subtree
     val pairsCp = pairs
       .select(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst"))
       .localCheckpoint()
-    val nPairs = pairsCp.count() // scans checkpointed blocks — cheap
+    // one aggregate over the checkpointed blocks gets both the edge
+    // count and the null audit: the type require above cannot see
+    // nullability, and a null id (an upstream left join leaking through)
+    // would read as vertex 0 in the in-core path, silently merging
+    // unrelated components
+    val stats = pairsCp.agg(count(lit(1)).as("n"),
+      sum(when(col("src").isNull || col("dst").isNull, 1L)
+        .otherwise(0L)).as("nulls")).head()
+    val nPairs = stats.getLong(0)
+    require(stats.getLong(1) == 0L,
+      s"connectedComponents: ${stats.getLong(1)} pair rows carry a null " +
+        "id — a null vertex would silently merge unrelated components; " +
+        "drop or repair null ids upstream")
     if (nPairs <= smallGraphEdges) return ccInCore(pairsCp)
     // size partitioning to the graph, ~1M edge rows per partition; the
     // symmetrized edge count is bounded by 2×pairs
@@ -412,6 +431,10 @@ object Dedup {
     */
   def corpusDedup(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, bands: Int = 2, minJaccard: Double = 0.75): DataFrame = {
+    // the id is cast to long below; a non-integral id column would cast
+    // to all-nulls and sail past connectedComponents' integral-id guard
+    // (the cast output IS long) — refuse here with the same contract
+    requireIntegralId(df, idCol, "corpusDedup")
     // A heavily-duplicated corpus makes LSH buckets quadratic: one
     // identical-signature group of m docs shares every band value and
     // would emit m²/2 est=1.0 pairs. Collapse identical full signatures

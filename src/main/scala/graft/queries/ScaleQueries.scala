@@ -34,6 +34,12 @@ object ScaleQueries {
       s: SparkSession)(mk: => V): V = cache.synchronized {
     var m = cache.get(s)
     if (m == null) {
+      // third layer: a hard size bound. The listener only fires at
+      // APPLICATION end, so `newSession()` children on a long-lived
+      // SparkContext would still accumulate (value → session → key keeps
+      // every entry strongly reachable). Dropping the whole cache when it
+      // grows past a handful costs at most a re-fit, never a leak.
+      if (cache.size >= 8) cache.clear()
       m = mk
       cache.put(s, m)
       s.sparkContext.addSparkListener(

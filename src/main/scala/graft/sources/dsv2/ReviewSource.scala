@@ -202,6 +202,10 @@ object ReviewFaults {
     if (c.getAndDecrement() > 0)
       throw new ReviewConnection.TransientStoreException(
         s"simulated store unavailable (scan $scanId partition $partitionStart)")
+    // exhausted → this open succeeds; scanIds are never reused, so the
+    // entry would otherwise live for the JVM lifetime (one leaked counter
+    // per (scan, partition) ever created with fault injection on)
+    counters.remove((scanId, partitionStart))
   }
 }
 

@@ -39,6 +39,27 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(out2.toSeq === out.toSeq)
   }
 
+  test("build evaluates the contamination shingle subtree exactly once") {
+    // `clean` is checkpointed inside build; without that, the Report's
+    // clean.count() re-evaluates the whole ngramOverlap subtree (an
+    // explode of every corpus doc). The eval side of that subtree is
+    // evaluated in lockstep with the corpus side, so an accumulator
+    // ticking once per eval-set row counts subtree evaluations.
+    val seen = spark.sparkContext.longAccumulator("evalScans")
+    val tick = org.apache.spark.sql.functions.udf { s: String =>
+      seen.add(1); true
+    }
+    val evalCounted = evalSet.filter(tick($"text"))
+    val nEval = evalSet.count()
+    val (seqs, rep) = CorpusPipeline.build(
+      docs.filter($"doc_id" >= 50), evalCounted)
+    assert(rep.clean > 0)
+    seqs.count() // consume the returned frame like a caller would
+    assert(seen.value === nEval,
+      s"contamination subtree evaluated ${seen.value / nEval}x " +
+        s"(${seen.value} eval-row scans for $nEval rows) — expected once")
+  }
+
   test("build: contaminated documents cannot reach the output") {
     // make doc 60's text literally an eval-set passage so its 8-gram
     // overlap is total — the decontamination stage must drop it
