@@ -152,17 +152,32 @@ object Dedup {
   /** LSH band join + estimate filter over a prepared (id, sig) frame —
     * the shared core of [[minHashPairsAuditable]] (all docs) and
     * [[corpusDedup]] (distinct-signature representatives only). */
-  private def lshPairsFromSigs(sigs: DataFrame, idName: String,
-      k: Int, bands: Int, minJaccard: Double): DataFrame = {
+  /** Explode a (id, sig) frame into one row per LSH band, keyed by the
+    * band's raw VALUE string (cross-engine checkable, unlike an
+    * engine-specific band hash) — shared by the self-join pair
+    * generator and the batch-vs-static incremental join. */
+  private def lshBand(sigs: DataFrame, idName: String,
+      k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
-    val banded = sigs.select(col(idName), col("sig"),
+    sigs.select(col(idName), col("sig"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           concat_ws(",", slice(col("sig"), b * r + 1, r).cast("array<string>"))
             .as("bk"))
       }: _*)).as("x"))
       .select(col(idName), col("sig"), col("x.band"), col("x.bk"))
+  }
+
+  /** Signature-agreement Jaccard estimate between two sig columns. */
+  private def sigEstimate(sigA: Column, sigB: Column, k: Int): Column =
+    aggregate(zip_with(sigA, sigB,
+        (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / k
+
+  private def lshPairsFromSigs(sigs: DataFrame, idName: String,
+      k: Int, bands: Int, minJaccard: Double): DataFrame = {
+    val banded = lshBand(sigs, idName, k, bands)
 
     val a = banded.select(col("band"), col("bk"),
       col(idName).as("id_a"), col("sig").as("sig_a"))
@@ -171,10 +186,7 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b", "sig_a").distinct()
       .join(sigs.select(col(idName).as("id_b"), col("sig").as("sig_b")), "id_b")
-      .withColumn("est_jaccard",
-        aggregate(zip_with(col("sig_a"), col("sig_b"),
-            (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast("double") / k)
+      .withColumn("est_jaccard", sigEstimate(col("sig_a"), col("sig_b"), k))
       .filter(col("est_jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"),
         round(col("est_jaccard"), 4).as("est_jaccard"))
@@ -336,8 +348,8 @@ object Dedup {
     // would read as vertex 0 in the in-core path, silently merging
     // unrelated components
     val stats = pairsCp.agg(count(lit(1)).as("n"),
-      sum(when(col("src").isNull || col("dst").isNull, 1L)
-        .otherwise(0L)).as("nulls")).head()
+      coalesce(sum(when(col("src").isNull || col("dst").isNull, 1L)
+        .otherwise(0L)), lit(0L)).as("nulls")).head()
     val nPairs = stats.getLong(0)
     require(stats.getLong(1) == 0L,
       s"connectedComponents: ${stats.getLong(1)} pair rows carry a null " +
@@ -465,6 +477,125 @@ object Dedup {
         coalesce(col("lbl"), col(idCol)).as("cluster_id"),
         (coalesce(col("lbl"), col(idCol)) === col(idCol)).as("is_rep"))
   }
+
+  /** Persisted dedup STATE for incremental (cross-run) corpus dedup:
+    * one row per document — (id: long, sig: array<long> md5 audit-family
+    * MinHash, cluster_id: long = component min id). Built once from the
+    * initial corpus; subsequent batches fold in via
+    * [[corpusDedupIncremental]] WITHOUT re-scanning existing text (the
+    * signatures are sufficient statistics for LSH candidate
+    * generation). This is the operating mode the reference's hourly
+    * full re-run (ml_pipeline_dag.py:37-38) implies at 100 TB, where
+    * re-shingling the whole corpus per run is not viable.
+    */
+  def corpusSigState(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, bands: Int = 2, minJaccard: Double = 0.75): DataFrame = {
+    requireIntegralId(df, idCol, "corpusSigState")
+    val sigs = df.select(col(idCol).cast("long").as("id"),
+      auditableMinHashSig(col(textCol), k).as("sig"))
+    val assigned = corpusDedup(df, idCol, textCol, k, bands, minJaccard)
+    sigs.join(assigned.select(col(idCol).as("id"), col("cluster_id")), "id")
+      .select("id", "sig", "cluster_id")
+  }
+
+  /** Fold a NEW batch of documents into an existing dedup state —
+    * incremental cross-run corpus dedup. Returns the new state covering
+    * old ∪ new, with exactly the clusters a from-scratch [[corpusDedup]]
+    * over the union would produce (pinned by spec AND by the q68 oracle,
+    * which IS the from-scratch oracle).
+    *
+    * Why contraction is sound: the existing corpus participates only
+    * through its distinct signatures, each contracted to its cluster
+    * label. (1) Cross estimates depend only on the two signatures, so
+    * banding distinct old sigs against distinct new sigs generates
+    * exactly the component-merging edges the from-scratch join would —
+    * identical sigs agree on every band value and estimate 1.0, so
+    * cross-batch exact dups are caught by the same value-keyed join.
+    * (2) An old cluster is already connected internally, so one vertex
+    * per cluster (its label = member-min id) preserves components; two
+    * old clusters merge exactly when some new doc (or chain of new
+    * docs) links them. (3) Component minima are preserved because the
+    * old vertex IS its cluster's min id.
+    *
+    * Scale: the batch's text is scanned once (signature pass); the
+    * existing corpus contributes only its signature table — a
+    * batch-vs-static band join where the static side is pre-computed
+    * state, never re-read text. The cc graph is sized by NEW
+    * connectivity, not corpus size.
+    *
+    * Contract: id spaces of state and batch are disjoint (re-ingesting
+    * an existing id would make it two vertices), and state/batch use
+    * the same (k, bands, minJaccard).
+    */
+  def corpusDedupIncremental(state: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String,
+      k: Int = 8, bands: Int = 2, minJaccard: Double = 0.75): DataFrame = {
+    requireIntegralId(batch, idCol, "corpusDedupIncremental")
+    // batch signatures, identical-sig collapse first (same discipline
+    // and same reasoning as corpusDedup — never hash the group key)
+    val newSigs = batch.select(col(idCol).cast("long").as("id"),
+        auditableMinHashSig(col(textCol), k).as("sig"))
+      .withColumn("sigKey", concat_ws(",", col("sig")))
+      .localCheckpoint() // the signature pass feeds three consumers
+    val newGroups = newSigs.groupBy("sigKey")
+      .agg(min("id").as("rep"), first("sig").as("sig"))
+    val memberEdges = newSigs.select("sigKey", "id")
+      .join(newGroups.select("sigKey", "rep"), "sigKey")
+      .filter(col("id") =!= col("rep"))
+      .select(col("rep").as("id_a"), col("id").as("id_b"))
+    val newReps = newGroups.select(col("rep").as("id"), col("sig"))
+    val withinPairs = lshPairsFromSigs(newReps, "id", k, bands, minJaccard)
+      .select("id_a", "id_b")
+
+    // static side: one row per distinct existing signature, tied to the
+    // cluster structure by its cluster label (identical sigs are always
+    // co-clustered — est 1.0 ≥ any threshold — so min is a formality).
+    // The band join and the estimate re-join are keyed by the SIGNATURE
+    // (sigKey), never by the cluster vertex: several distinct sigs share
+    // a cluster, and joining estimates back by cluster id would score a
+    // band collision with one sig against ALL the cluster's sigs —
+    // forging edges from a band-match with sig X plus a near-estimate
+    // with unrelated sig Y (caught by the three-batch ≡ from-scratch
+    // spec). The cluster id enters only at the end, as the edge vertex.
+    val oldSigReps = state
+      .withColumn("sigKey", concat_ws(",", col("sig")))
+      .groupBy("sigKey")
+      .agg(min("cluster_id").as("cid"), first("sig").as("sig"))
+    val newBanded = lshBand(newReps, "id", k, bands)
+      .select(col("band"), col("bk"), col("id").as("id_new"),
+        col("sig").as("sig_new"))
+    val oldBanded = lshBand(
+        oldSigReps.select(col("sigKey").as("id"), col("sig")), "id",
+        k, bands)
+      .select(col("band"), col("bk"), col("id").as("oldKey"))
+    val crossPairs = newBanded.join(oldBanded, Seq("band", "bk"))
+      .select("oldKey", "id_new", "sig_new").distinct()
+      .join(oldSigReps.select(col("sigKey").as("oldKey"),
+        col("sig").as("sig_old"), col("cid")), "oldKey")
+      .filter(sigEstimate(col("sig_old"), col("sig_new"), k) >= minJaccard)
+      .select(col("cid").as("id_a"), col("id_new").as("id_b"))
+
+    val cc = connectedComponents(
+      memberEdges.union(withinPairs).union(crossPairs), "id_a", "id_b")
+    val newAssigned = newSigs.select("id", "sig")
+      .join(cc.select(col("id"), col("lbl")), Seq("id"), "left")
+      .select(col("id"), col("sig"),
+        coalesce(col("lbl"), col("id")).as("cluster_id"))
+    // relabel existing docs whose cluster vertex was touched; a new doc
+    // with a smaller id can become the new component min, so labels can
+    // move in either direction
+    val relabel = cc.select(col("id").as("cluster_id"), col("lbl").as("__nl"))
+    val oldAssigned = state.join(relabel, Seq("cluster_id"), "left")
+      .select(col("id"), col("sig"),
+        coalesce(col("__nl"), col("cluster_id")).as("cluster_id"))
+    oldAssigned.unionByName(newAssigned)
+  }
+
+  /** Present a dedup state as the per-document assignment frame
+    * [[corpusDedup]] returns: (idCol, cluster_id, is_rep). */
+  def assignmentFromState(state: DataFrame, idCol: String): DataFrame =
+    state.select(col("id").as(idCol), col("cluster_id"),
+      (col("cluster_id") === col("id")).as("is_rep"))
 
   /** Sub-document (paragraph-level) exact dedup: segment each document
     * into fixed-width token chunks, keep only the corpus-wide FIRST

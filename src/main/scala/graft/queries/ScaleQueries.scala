@@ -421,6 +421,22 @@ object ScaleQueries {
         k = 8, bands = 2, minJaccard = 0.75)
         .orderBy("doc_id")),
 
+    // INCREMENTAL cross-run corpus dedup: build the signature state
+    // from half the corpus, fold the other half in WITHOUT re-scanning
+    // the first half's text. The oracle is q61's from-scratch SQL over
+    // the full table — the strongest possible anchor: incremental must
+    // be indistinguishable from rebuilding.
+    "q68_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val state = Dedup.corpusSigState(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+        k = 8, bands = 2, minJaccard = 0.75)
+      val grown = Dedup.corpusDedupIncremental(state,
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+        k = 8, bands = 2, minJaccard = 0.75)
+      Dedup.assignmentFromState(grown, "doc_id").orderBy("doc_id")
+    }),
+
     // paragraph-level dedup: fixed 20-token chunks, first occurrence
     // wins corpus-wide, documents reassembled from surviving chunks
     "q60_chunk_dedup" -> ((s, dir) =>
@@ -771,6 +787,9 @@ object ScaleQueries {
   val oracleSql: Map[String, String] = Map(
     "q43b_group_signature_oracle" -> q43bSql,
     "q61_corpus_dedup" -> q61Sql,
+    // incremental two-batch build ≡ from-scratch build on the union —
+    // the oracle IS the from-scratch q61 SQL
+    "q68_incremental_dedup" -> q61Sql,
     "q65_window_chunks" ->
       """WITH tkt AS (SELECT doc_id,
                  list_filter(string_split(coalesce(text, ''), ' '),

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Dedup
+
+/** Incremental (cross-run) corpus dedup: growing the corpus batch by
+  * batch against the persisted signature state must be
+  * indistinguishable from rebuilding from scratch on the union — same
+  * clusters, same representatives — and must do so without ever
+  * re-reading existing corpus text (the state carries signatures).
+  */
+class IncrementalDedupSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  val dir = "/root/testdata/sf0.001"
+  def docs = graft.sources.Tables(spark, dir, "documents")
+    .select("doc_id", "text")
+
+  private def assignments(df: DataFrame): Seq[(Long, Long, Boolean)] =
+    df.select("doc_id", "cluster_id", "is_rep")
+      .orderBy("doc_id")
+      .as[(Long, Long, Boolean)].collect().toSeq
+
+  test("three-batch incremental build ≡ from-scratch build on the union") {
+    val fromScratch = assignments(
+      Dedup.corpusDedup(docs, "doc_id", "text"))
+
+    var state = Dedup.corpusSigState(
+      docs.filter($"doc_id" % 3 === 0), "doc_id", "text")
+    for (m <- Seq(1, 2)) {
+      state = state.localCheckpoint() // persisted-state stand-in per run
+      state = Dedup.corpusDedupIncremental(state,
+        docs.filter($"doc_id" % 3 === m), "doc_id", "text")
+    }
+    val incremental = assignments(
+      Dedup.assignmentFromState(state, "doc_id"))
+
+    assert(incremental === fromScratch)
+    // the real corpus is heavily duplicated; the equality above must be
+    // exercised by actual cross-batch clusters, not vacuously
+    assert(fromScratch.count(a => !a._3) > 0)
+  }
+
+  test("a new doc merges two existing clusters (old-old merge)") {
+    // A and B are token-disjoint (never an edge); C is their union, so
+    // Jaccard(C,A) = Jaccard(C,B) = 0.5 and C can bridge both
+    val a = (1 to 30).map(i => s"a$i").mkString(" ")
+    val b = (1 to 30).map(i => s"b$i").mkString(" ")
+    val c = s"$a $b"
+    val batch1 = Seq((10L, a), (20L, b)).toDF("doc_id", "text")
+    val batch2 = Seq((30L, c)).toDF("doc_id", "text")
+
+    val s1 = Dedup.corpusSigState(batch1, "doc_id", "text",
+      k = 16, bands = 8, minJaccard = 0.3)
+    // precondition: two separate clusters after batch 1 — otherwise the
+    // merge below would be vacuous
+    val pre = assignments(Dedup.assignmentFromState(s1, "doc_id"))
+    assert(pre.map(_._2).distinct.size === 2, pre.toString)
+
+    val s2 = Dedup.corpusDedupIncremental(s1, batch2, "doc_id", "text",
+      k = 16, bands = 8, minJaccard = 0.3)
+    val incr = assignments(Dedup.assignmentFromState(s2, "doc_id"))
+    val scratch = assignments(Dedup.corpusDedup(
+      batch1.union(batch2), "doc_id", "text",
+      k = 16, bands = 8, minJaccard = 0.3))
+    assert(incr === scratch)
+    // and the merge genuinely happened: one cluster, rooted at min id
+    assert(incr.map(_._2).distinct === Seq(10L), incr.toString)
+  }
+
+  test("AvailableNow stream folds file batches into persisted state") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_incr").toString
+    val inDir = s"$base/in"
+    val stateBase = s"$base/state"
+    // two parquet files → two micro-batches at maxFilesPerTrigger=1
+    docs.filter($"doc_id" % 2 === 0).coalesce(1)
+      .write.parquet(s"$inDir/p0")
+    docs.filter($"doc_id" % 2 === 1).coalesce(1)
+      .write.parquet(s"$inDir/p1")
+    val schema = docs.schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$inDir/p*")
+    val q = graft.streaming.Streams.dedupIncrementalAvailableNow(
+      stream, "doc_id", "text", stateBase, s"$base/ckpt")
+    q.awaitTermination(300000)
+
+    val versions = graft.sources.Sinks.runVersions(spark, stateBase)
+    assert(versions.size === 2, versions.toString)
+    val finalState = spark.read
+      .parquet(s"$stateBase/run_ts=${versions.max}")
+    val incr = assignments(Dedup.assignmentFromState(finalState, "doc_id"))
+    val scratch = assignments(Dedup.corpusDedup(docs, "doc_id", "text"))
+    assert(incr === scratch)
+  }
+}
