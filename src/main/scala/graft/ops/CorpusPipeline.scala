@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The capstone facade: one call from raw documents to training
@@ -19,11 +19,15 @@ import org.apache.spark.sql.functions._
   *  6. sliding-window sequence chunking ([[Mixing.windowChunks]]).
   *
   * Every stage is deterministic (md5 hash order, no RNG), so a re-run
-  * over the same input reproduces the corpus byte-for-byte — the
-  * property that makes a 100 TB build restartable. The returned frame
-  * is the training-sequence set; [[CorpusPipeline.Report]] carries the
-  * per-stage row counts (each an action over an already-needed frame,
-  * driver-side data is a handful of longs).
+  * over the same input reproduces the corpus byte-for-byte. [[build]]
+  * runs the chain in memory (localCheckpoint between stages);
+  * [[buildStaged]] additionally MATERIALIZES each stage as parquet
+  * under a staging directory with a completion manifest, so a run
+  * killed after stage k resumes from stage k+1 instead of re-running
+  * gates + scrub + dedup because mixing failed — at 100 TB each
+  * re-run avoided is a full corpus pass (the reference gets the same
+  * restartability crudely, from its per-stage CSV handoffs —
+  * cleaner.py:302,318).
   */
 object CorpusPipeline {
 
@@ -42,12 +46,11 @@ object CorpusPipeline {
   case class Report(input: Long, gated: Long, deduped: Long,
       clean: Long, sampled: Long, sequences: Long)
 
-  /** Build the training corpus. `docs` needs (doc_id, lang, text);
-    * `evalSet` needs (doc_id, text). Returns (sequences, report). */
-  def build(docs: DataFrame, evalSet: DataFrame,
-      cfg: Config = Config()): (DataFrame, Report) = {
+  // ---- the five stage transforms, shared by build and buildStaged ----
+
+  private def gateStage(docs: DataFrame, cfg: Config): DataFrame = {
     val txt = col("text")
-    val gated = docs
+    docs
       .select(col("doc_id"), col("lang"), txt,
         TextAnalysis.nTokensCol(txt).as("n_tokens"),
         TextAnalysis.alphaRatioCol(txt).as("alpha_ratio"),
@@ -58,30 +61,47 @@ object CorpusPipeline {
         col("lang").isin(cfg.langs: _*))
       .select(col("doc_id"), col("lang"),
         Redaction.scrubCol(txt).as("text"))
-      .localCheckpoint() // several downstream stages re-read this frame
+  }
 
+  private def dedupStage(gated: DataFrame, cfg: Config): DataFrame = {
     val reps = Dedup.corpusDedup(gated, "doc_id", "text",
         minJaccard = cfg.minJaccard)
       .filter(col("is_rep")).select("doc_id")
-    val deduped = gated.join(reps, "doc_id").localCheckpoint()
+    gated.join(reps, "doc_id")
+  }
 
+  private def cleanStage(deduped: DataFrame, evalSet: DataFrame,
+      cfg: Config): DataFrame = {
     val flagged = Contamination.ngramOverlap(deduped, evalSet,
         "doc_id", "text",
         n = cfg.contaminationNgram, threshold = cfg.contaminationThreshold)
       .filter(col("contaminated")).select("doc_id")
-    // checkpointed: `clean`'s lineage is the whole contamination subtree
-    // (an explode of every corpus document into n-gram shingles). It is
-    // read twice — by the `sampled` chain and by the Report's count —
-    // and without truncation the second read would re-shingle the full
-    // corpus for one long. At 100 TB that is an entire extra pass.
-    val clean = deduped.join(flagged, Seq("doc_id"), "left_anti")
-      .localCheckpoint()
+    deduped.join(flagged, Seq("doc_id"), "left_anti")
+  }
 
-    val sampled = Mixing.temperatureSample(clean, "lang", "doc_id",
-      "text", cfg.totalTarget).localCheckpoint()
+  private def sampleStage(clean: DataFrame, cfg: Config): DataFrame =
+    Mixing.temperatureSample(clean, "lang", "doc_id", "text",
+      cfg.totalTarget)
 
-    val sequences = Mixing.windowChunks(sampled, "doc_id", "text",
+  private def chunkStage(sampled: DataFrame, cfg: Config): DataFrame =
+    Mixing.windowChunks(sampled, "doc_id", "text",
       cfg.seqTokens, cfg.stride)
+
+  /** Build the training corpus in memory. `docs` needs (doc_id, lang,
+    * text); `evalSet` needs (doc_id, text). Returns (sequences, report).
+    * Restartable only by determinism — a rerun reproduces the output
+    * byte-for-byte; for resumable staging see [[buildStaged]]. */
+  def build(docs: DataFrame, evalSet: DataFrame,
+      cfg: Config = Config()): (DataFrame, Report) = {
+    // several downstream stages re-read each frame — checkpoints keep
+    // every corpus-scale subtree single-evaluation (the contamination
+    // shingle explode in particular: `clean` is read by the sampling
+    // chain AND by the Report count)
+    val gated = gateStage(docs, cfg).localCheckpoint()
+    val deduped = dedupStage(gated, cfg).localCheckpoint()
+    val clean = cleanStage(deduped, evalSet, cfg).localCheckpoint()
+    val sampled = sampleStage(clean, cfg).localCheckpoint()
+    val sequences = chunkStage(sampled, cfg)
 
     val report = Report(
       input = docs.count(),
@@ -91,5 +111,94 @@ object CorpusPipeline {
       sampled = sampled.count(),
       sequences = sequences.count())
     (sequences, report)
+  }
+
+  private val stageNames =
+    Seq("01_gated", "02_deduped", "03_clean", "04_sampled", "05_sequences")
+
+  /** Build with per-stage parquet materialization under `stagingDir`.
+    * Each stage directory gets a `_GRAFT_STAGE_COMPLETE` manifest
+    * (row count) written only after its parquet commit, so a killed run
+    * leaves no stage half-trusted: on the next call, complete stages
+    * are read back from parquet and only the first incomplete stage
+    * onward recomputes. A `_GRAFT_CONFIG` manifest pins the Config —
+    * resuming a staging directory with a different Config (which would
+    * silently mix incompatible stage outputs) fails loudly.
+    *
+    * Determinism makes resume exact: stages are pure functions of their
+    * staged inputs, so kill-after-stage-k + resume is byte-identical to
+    * an uninterrupted run (pinned by spec).
+    */
+  def buildStaged(docs: DataFrame, evalSet: DataFrame, stagingDir: String,
+      cfg: Config = Config()): (DataFrame, Report) = {
+    val spark = docs.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val basePath = new org.apache.hadoop.fs.Path(stagingDir)
+    val fs = basePath.getFileSystem(hconf)
+    fs.mkdirs(basePath)
+
+    def markerPath(rel: String) =
+      new org.apache.hadoop.fs.Path(s"$stagingDir/$rel")
+    def readMarker(rel: String): Option[String] = {
+      val p = markerPath(rel)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try {
+          val src = scala.io.Source.fromInputStream(in, "UTF-8")
+          try Some(src.mkString.trim) finally src.close()
+        } finally in.close()
+      }
+    }
+    def writeMarker(rel: String, content: String): Unit = {
+      val out = fs.create(markerPath(rel), true)
+      try out.write(
+        content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+
+    // config manifest: a resumed run MUST be the same build
+    val cfgStr = cfg.toString
+    readMarker("_GRAFT_CONFIG") match {
+      case Some(prev) => require(prev == cfgStr,
+        s"staging dir $stagingDir was written by a different Config " +
+          s"($prev); resuming would mix incompatible stage outputs — " +
+          "use a fresh staging dir or the original Config")
+      case None => writeMarker("_GRAFT_CONFIG", cfgStr)
+    }
+
+    def stage(name: String)(compute: => DataFrame): (DataFrame, Long) = {
+      val dataDir = s"$stagingDir/$name"
+      readMarker(s"$name/_GRAFT_STAGE_COMPLETE") match {
+        case Some(n) => (spark.read.parquet(dataDir), n.toLong)
+        case None =>
+          compute.write.mode(SaveMode.Overwrite).parquet(dataDir)
+          val back = spark.read.parquet(dataDir)
+          val n = back.count()
+          // written strictly after the parquet commit: its presence IS
+          // stage completeness
+          writeMarker(s"$name/_GRAFT_STAGE_COMPLETE", n.toString)
+          (back, n)
+      }
+    }
+
+    // the raw-input count is manifested too, so a resumed run never has
+    // to re-scan (or even be handed) the original input
+    val nInput = readMarker("00_input/_GRAFT_STAGE_COMPLETE") match {
+      case Some(n) => n.toLong
+      case None =>
+        val n = docs.count()
+        writeMarker("00_input/_GRAFT_STAGE_COMPLETE", n.toString)
+        n
+    }
+
+    val (gated, nGated) = stage("01_gated")(gateStage(docs, cfg))
+    val (deduped, nDeduped) = stage("02_deduped")(dedupStage(gated, cfg))
+    val (clean, nClean) = stage("03_clean")(cleanStage(deduped, evalSet, cfg))
+    val (sampled, nSampled) = stage("04_sampled")(sampleStage(clean, cfg))
+    val (sequences, nSeq) = stage("05_sequences")(chunkStage(sampled, cfg))
+
+    (sequences,
+      Report(nInput, nGated, nDeduped, nClean, nSampled, nSeq))
   }
 }

@@ -60,6 +60,51 @@ class CorpusPipelineSpec extends AnyFunSuite {
         s"(${seen.value} eval-row scans for $nEval rows) — expected once")
   }
 
+  test("buildStaged: staged build ≡ in-memory build; kill-after-stage-k resume is byte-identical and recomputes nothing staged") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_stage").toString
+    val input = docs.filter($"doc_id" >= 50)
+
+    val (seqsMem, repMem) = CorpusPipeline.build(input, evalSet)
+    val memOut = seqsMem.orderBy("doc_id", "win_idx")
+      .as[(Long, Long, String, Long)].collect().toSeq
+
+    // full staged run
+    val (seqsA, repA) = CorpusPipeline.buildStaged(input, evalSet,
+      s"$base/a")
+    assert(repA === repMem)
+    assert(seqsA.orderBy("doc_id", "win_idx")
+      .as[(Long, Long, String, Long)].collect().toSeq === memOut)
+
+    // simulate a run killed after stage 2: copy input/gated/deduped
+    // manifests + parquet into a fresh staging dir, then resume with an
+    // EMPTY docs frame — if any staged-complete stage were recomputed,
+    // the output could not match (and the gate stage would yield 0 rows)
+    for (s <- Seq("_GRAFT_CONFIG", "00_input", "01_gated", "02_deduped")) {
+      graft.sources.Fs.copyRecursive(spark, s"$base/a/$s", s"$base/b/$s")
+    }
+    val emptyDocs = input.limit(0)
+    val (seqsB, repB) = CorpusPipeline.buildStaged(emptyDocs, evalSet,
+      s"$base/b")
+    assert(repB === repMem)
+    assert(seqsB.orderBy("doc_id", "win_idx")
+      .as[(Long, Long, String, Long)].collect().toSeq === memOut)
+
+    // resuming under a different Config must fail loudly, not mix stages
+    val e = intercept[IllegalArgumentException] {
+      CorpusPipeline.buildStaged(input, evalSet, s"$base/a",
+        CorpusPipeline.Config(minTokens = 10L))
+    }
+    assert(e.getMessage.contains("different Config"))
+
+    // a second identical call is a pure read-back: same result
+    val (seqsC, repC) = CorpusPipeline.buildStaged(emptyDocs, evalSet,
+      s"$base/a")
+    assert(repC === repMem)
+    assert(seqsC.orderBy("doc_id", "win_idx")
+      .as[(Long, Long, String, Long)].collect().toSeq === memOut)
+  }
+
   test("build: contaminated documents cannot reach the output") {
     // make doc 60's text literally an eval-set passage so its 8-gram
     // overlap is total — the decontamination stage must drop it
