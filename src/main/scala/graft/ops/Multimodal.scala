@@ -210,9 +210,13 @@ object Multimodal {
     buf.array()
   }
 
-  /** Frame sampling: demux the container and keep every `everyNth`
-    * frame (0, n, 2n, …) — one exploded row per kept frame:
-    * (id, frame_idx, frame). `mapPartitions` batch, zero shuffle. */
+  /** Frame sampling: demux the payload and keep every `everyNth` frame
+    * (0, n, 2n, …) — one exploded row per kept frame:
+    * (id, frame_idx, frame). `mapPartitions` batch, one codec per
+    * partition, zero shuffle. A RIFF AVI payload takes the REAL demux
+    * path ([[AviCodec.frameSlices]] — the movi LIST's `00db`/`00dc`
+    * chunks); anything else falls back to the synthetic length-prefixed
+    * container. Skipped frames are never copied on either path. */
   def sampleFramesBatch(df: DataFrame, idCol: String,
       everyNth: Int): DataFrame = {
     require(everyNth >= 1, s"everyNth must be >= 1, got $everyNth")
@@ -222,12 +226,20 @@ object Multimodal {
         col("media.payload").as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
+        val codec = new AviCodec // once per partition, reused per row
         rows.flatMap { case (id, payload) =>
-          // never trust container fields: a non-container payload (or a
-          // corrupt one) must demux to zero frames, not crash the task
-          // on a negative length or spin on a garbage frame count
           if (payload == null || payload.length < 4) Iterator.empty
-          else {
+          else if (codec.isAvi(payload)) {
+            codec.frameSlices(payload).iterator.zipWithIndex.collect {
+              case ((off, len), i) if i % everyNth == 0 =>
+                val frame = new Array[Byte](len)
+                System.arraycopy(payload, off, frame, 0, len)
+                (id, i, frame)
+            }
+          } else {
+            // never trust container fields: a non-container payload (or
+            // a corrupt one) must demux to zero frames, not crash the
+            // task on a negative length or spin on a garbage count
             val buf = java.nio.ByteBuffer.wrap(payload)
               .order(java.nio.ByteOrder.LITTLE_ENDIAN)
             val n = buf.getInt()
@@ -290,7 +302,7 @@ object Multimodal {
       while (off + 8 <= p.length && (rate < 0 || dataOff < 0)) {
         val id = tag(p, off)
         val size = leInt(p, off + 4)
-        if (size < 0 || off + 8 + size > p.length) return None
+        if (size < 0 || off.toLong + 8 + size > p.length) return None
         if (id == "fmt " && size >= 16) {
           val audioFormat = leShort(p, off + 8)
           if (audioFormat != 1) return None // PCM only
@@ -448,7 +460,7 @@ object Multimodal {
       while (off + 8 <= end) {
         val id = tag(p, off)
         val size = leInt(p, off + 4)
-        if (size < 0 || off + 8 + size > end) return -1
+        if (size < 0 || off.toLong + 8 + size > end) return -1
         if (id == "avih" && size >= 40) return off + 8
         if (id == "LIST" && size >= 4) {
           val inner = findAvih(p, off + 12, off + 8 + size)
@@ -460,8 +472,7 @@ object Multimodal {
     }
 
     def decode(p: Array[Byte]): Option[VideoMeta] = {
-      if (p == null || p.length < 24 ||
-        tag(p, 0) != "RIFF" || tag(p, 8) != "AVI ") return None
+      if (!isAvi(p)) return None
       val a = findAvih(p, 12, p.length)
       if (a < 0 || a + 40 > p.length) return None
       val usPerFrame = leInt(p, a)
@@ -472,6 +483,56 @@ object Multimodal {
         frames < 0 || frames > 1000000000 ||
         usPerFrame <= 0 || usPerFrame > 1000000000) None
       else Some(VideoMeta(w, h, frames, usPerFrame, "avi"))
+    }
+
+    def isAvi(p: Array[Byte]): Boolean =
+      p != null && p.length >= 24 &&
+        tag(p, 0) == "RIFF" && tag(p, 8) == "AVI "
+
+    private def isFrameChunk(id: String): Boolean =
+      id.length == 4 && id(0).isDigit && id(1).isDigit &&
+        (id.endsWith("db") || id.endsWith("dc"))
+
+    /** REAL frame demux: (offset, length) of every `##db`/`##dc` video
+      * chunk inside the `movi` LIST, in stream order, descending into
+      * `rec ` grouping LISTs (interleaved AVIs wrap each frame group in
+      * one). Offsets only — callers copy just the frames they keep, so
+      * sampling every nth frame never materializes the skipped ones.
+      * Empty for corrupt payloads or payloads without a movi LIST. */
+    def frameSlices(p: Array[Byte]): Vector[(Int, Int)] = {
+      if (!isAvi(p)) return Vector.empty
+      val out = Vector.newBuilder[(Int, Int)]
+      var corrupt = false
+      def walkMovi(start: Int, end: Int): Unit = {
+        var off = start
+        while (!corrupt && off + 8 <= end) {
+          val id = tag(p, off)
+          val size = leInt(p, off + 4)
+          if (size < 0 || off.toLong + 8 + size > end) { corrupt = true; return }
+          if (isFrameChunk(id)) out += ((off + 8, size))
+          else if (id == "LIST" && size >= 4 && tag(p, off + 8) == "rec ")
+            walkMovi(off + 12, off + 8 + size)
+          off += 8 + size + (size & 1)
+        }
+      }
+      def findMovi(start: Int, end: Int): Unit = {
+        var off = start
+        while (off + 8 <= end) {
+          val id = tag(p, off)
+          val size = leInt(p, off + 4)
+          if (size < 0 || off.toLong + 8 + size > end) return
+          if (id == "LIST" && size >= 4) {
+            if (tag(p, off + 8) == "movi") {
+              walkMovi(off + 12, off + 8 + size); return
+            } else findMovi(off + 12, off + 8 + size)
+          }
+          off += 8 + size + (size & 1)
+        }
+      }
+      findMovi(12, p.length)
+      // a structurally corrupt movi yields NO frames, not a prefix that
+      // would read as a shorter-but-valid video
+      if (corrupt) Vector.empty else out.result()
     }
   }
 
@@ -495,6 +556,36 @@ object Multimodal {
     buf.array()
   }
 
+  /** Valid AVI CARRYING FRAMES: RIFF('AVI ') → LIST('hdrl'){avih} +
+    * LIST('movi'){one `00db` chunk per frame, odd sizes padded} — the
+    * generator for real-demux fixtures: pack BMPs in, demux them back
+    * out with [[AviCodec.frameSlices]]. */
+  def packAviFrames(width: Int, height: Int, fps: Int,
+      frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(width > 0 && height > 0 && fps > 0)
+    val avihLen = 56
+    val hdrlLen = 4 + 8 + avihLen
+    val moviLen = 4 + frames.map(f => 8 + f.length + (f.length & 1)).sum
+    val riffLen = 4 + (8 + hdrlLen) + (8 + moviLen)
+    val buf = java.nio.ByteBuffer.allocate(8 + riffLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes).putInt(riffLen).put("AVI ".getBytes)
+      .put("LIST".getBytes).putInt(hdrlLen).put("hdrl".getBytes)
+      .put("avih".getBytes).putInt(avihLen)
+      .putInt(1000000 / fps)
+      .putInt(0).putInt(0).putInt(0)
+      .putInt(frames.length)
+      .putInt(0).putInt(1).putInt(0)
+      .putInt(width).putInt(height)
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+    buf.put("LIST".getBytes).putInt(moviLen).put("movi".getBytes)
+    frames.foreach { f =>
+      buf.put("00db".getBytes).putInt(f.length).put(f)
+      if ((f.length & 1) == 1) buf.put(0.toByte) // RIFF even padding
+    }
+    buf.array()
+  }
+
   /** Synthetic video corpus: one AVI per input row, geometry derived
     * deterministically from the id. */
   def syntheticVideos(df: DataFrame, idCol: String): DataFrame = {
@@ -505,6 +596,27 @@ object Multimodal {
         (id, syntheticAvi(320 + (id % 4).toInt * 160,
           240 + (id % 3).toInt * 120, 24 * (10 + (id % 50).toInt),
           if (id % 2 == 0) 25 else 30))
+      })
+      .toDF("id", "payload")
+      .select(col("id"), struct(
+        col("payload"),
+        lit("video/avi").as("mime"),
+        length(col("payload")).cast("long").as("n_bytes")).as("media"))
+  }
+
+  /** Synthetic frame-carrying video corpus: one REAL AVI per input row
+    * (hdrl + movi of `00db` BMP frames), geometry and frame count
+    * derived deterministically from the id — the fixture source for the
+    * real-demux path of [[sampleFramesBatch]]. */
+  def syntheticFrameVideos(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val n = 3 + (id % 5).toInt
+        val frames = (0 until n).map(i =>
+          syntheticBmp(8 + ((id + i) % 16).toInt, 8 + (id % 8).toInt))
+        (id, packAviFrames(320, 240, 25, frames))
       })
       .toDF("id", "payload")
       .select(col("id"), struct(

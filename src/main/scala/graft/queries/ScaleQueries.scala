@@ -263,6 +263,19 @@ object ScaleQueries {
         .orderBy("doc_id")
     }),
 
+    // real AVI frame demux + sampling: every 2nd movi frame of a real
+    // container, frame bytes fingerprinted for the rows-only check
+    // (no oracle: binary; MultimodalSpec pins the demux round-trip)
+    "q69_frame_sample" -> ((s, dir) => {
+      val videos = graft.ops.Multimodal.syntheticFrameVideos(
+        t(s, dir, "documents"), "doc_id")
+      graft.ops.Multimodal.sampleFramesBatch(videos, "id", everyNth = 2)
+        .select(col("id").as("doc_id"), col("frame_idx"),
+          length(col("frame")).as("frame_bytes"),
+          md5(col("frame")).as("frame_md5"))
+        .orderBy("doc_id", "frame_idx")
+    }),
+
     // toleranced as-of: matches farther than 1 hour back are nulled
     // (pandas merge_asof tolerance semantics)
     "q38c_asof_tolerance" -> ((s, dir) => {

@@ -123,6 +123,43 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("real AVI demux: BMP frames packed into a movi LIST round-trip through sampling") {
+    // pack real decodable BMPs into a REAL AVI container (hdrl + movi
+    // with 00db chunks, odd sizes padded) and demux via the RIFF walk
+    val frames = (0 until 7).map(i => Multimodal.syntheticBmp(16 + i, 10 + i))
+    val avi = Multimodal.packAviFrames(320, 240, 25, frames)
+    // the same payload decodes as a video (header path)…
+    val codec = new Multimodal.AviCodec
+    val meta = codec.decode(avi).get
+    assert(meta.width === 320 && meta.height === 240 && meta.nFrames === 7)
+    // …and its movi LIST demuxes the exact frame bytes back out
+    assert(codec.frameSlices(avi).size === 7)
+
+    val df = Seq((1L, avi)).toDF("vid_id", "p")
+      .select(col("vid_id"), struct(col("p").as("payload"),
+        lit("video/avi").as("mime"),
+        length(col("p")).cast("long").as("n_bytes")).as("media"))
+    val sampled = Multimodal.sampleFramesBatch(df, "vid_id", everyNth = 3)
+      .collect().sortBy(_.getInt(1))
+    assert(sampled.map(_.getInt(1)).toSeq === Seq(0, 3, 6))
+    val img = new Multimodal.HeaderCodec
+    for (r <- sampled) {
+      val m = img.decode(r.getAs[Array[Byte]](2)).get
+      assert(m.width === 16 + r.getInt(1) && m.height === 10 + r.getInt(1))
+      assert(r.getAs[Array[Byte]](2).toSeq === frames(r.getInt(1)).toSeq)
+    }
+    // headers-only AVI (no movi) and corrupt movi payloads demux to zero
+    assert(codec.frameSlices(Multimodal.syntheticAvi(320, 240, 7, 25)).isEmpty)
+    val corrupt = avi.clone()
+    // clobber the first 00db chunk's size with a huge value
+    val sliceOff = codec.frameSlices(avi).head._1
+    corrupt(sliceOff - 4) = 0xff.toByte
+    corrupt(sliceOff - 3) = 0xff.toByte
+    corrupt(sliceOff - 2) = 0xff.toByte
+    corrupt(sliceOff - 1) = 0x7f.toByte
+    assert(codec.frameSlices(corrupt).isEmpty)
+  }
+
   test("WAV codec: header fields round-trip, chunk walk skips LIST chunks") {
     import graft.ops.Multimodal
     val codec = new Multimodal.WavCodec
