@@ -1,0 +1,85 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Dedup
+
+/** Recall property test for BOTH MinHash LSH families over a corpus
+  * with PLANTED near-duplicate pairs of known exact Jaccard. q26b's
+  * oracle pins the md5 audit family's VALUES cross-engine, but nothing
+  * else pins that either family actually RECOVERS near-dups at its
+  * configured (k, bands, threshold) — that contract lives here:
+  * planted-pair recall floors, bounded estimate error, and zero false
+  * positives among unrelated documents.
+  */
+class PlantedRecallSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  // deterministic corpus: 100 base docs of 60 distinct tokens drawn
+  // from a 5000-word vocab; each planted dup replaces 3 tokens with
+  // fresh out-of-vocab ones → exact Jaccard = 57/63 per construction
+  private val nBase = 100
+  private val exactJ = 57.0 / 63.0
+  private lazy val corpus = {
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until nBase).flatMap { i =>
+      val base = rnd.shuffle((0 until 5000).toList).take(60)
+        .map(t => s"w$t")
+      val dup = base.take(57) ++ (0 until 3).map(j => s"p${i}_$j")
+      Seq((i.toLong, base.mkString(" ")),
+        ((1000 + i).toLong, dup.mkString(" ")))
+    }
+    rows.toDF("doc_id", "text").localCheckpoint()
+  }
+
+  private def planted(pairs: Seq[(Long, Long, Double)]): Seq[(Long, Long, Double)] =
+    pairs.filter { case (a, b, _) => b == a + 1000 }
+
+  test("fast family (xxhash64, k=32, bands=8): recall ≥ 0.95, est error bounded, no false positives") {
+    val got = Dedup.minHashPairs(corpus, "doc_id", "text",
+        k = 32, bands = 8, minJaccard = 0.7)
+      .as[(Long, Long, Double)].collect().toSeq
+    val hits = planted(got)
+    val recall = hits.size.toDouble / nBase
+    assert(recall >= 0.95, s"fast-family recall $recall (${hits.size}/$nBase)")
+    // estimate quality on recovered pairs: k=32 → std ≈ 0.05 at j≈0.9
+    val errs = hits.map(h => math.abs(h._3 - exactJ))
+    assert(errs.max <= 0.25, s"max est error ${errs.max}")
+    assert(errs.sum / errs.size <= 0.08,
+      s"mean est error ${errs.sum / errs.size}")
+    // unrelated docs (true Jaccard ≈ 0.01) must never pair
+    assert(got.size === hits.size,
+      s"false positives: ${got.filterNot(h => planted(Seq(h)).nonEmpty).take(5)}")
+  }
+
+  test("audit family (md5, k=8, bands=2 — the q26b/q61 config): recall ≥ 0.6, est error bounded, no false positives") {
+    val got = Dedup.minHashPairsAuditable(corpus, "doc_id", "text",
+        k = 8, bands = 2, minJaccard = 0.75)
+      .as[(Long, Long, Double)].collect().toSeq
+    val hits = planted(got)
+    val recall = hits.size.toDouble / nBase
+    // theory at j=0.905, r=4, b=2: band hit ≈ 0.88, est ≥ 6/8 ≈ 0.94 —
+    // combined ≈ 0.85; the floor leaves deterministic-draw headroom
+    assert(recall >= 0.6, s"audit-family recall $recall (${hits.size}/$nBase)")
+    val errs = hits.map(h => math.abs(h._3 - exactJ))
+    assert(errs.max <= 0.35, s"max est error ${errs.max}") // 1/8 granularity
+    assert(errs.sum / errs.size <= 0.15,
+      s"mean est error ${errs.sum / errs.size}")
+    assert(got.size === hits.size,
+      s"false positives: ${got.filterNot(h => planted(Seq(h)).nonEmpty).take(5)}")
+  }
+
+  test("corpusDedup clusters recovered planted pairs under the base doc id") {
+    val assigned = Dedup.corpusDedup(corpus, "doc_id", "text",
+        k = 8, bands = 2, minJaccard = 0.75)
+      .as[(Long, Long, Boolean)].collect().toSeq
+    val byId = assigned.map(a => a._1 -> a._2).toMap
+    // every recovered dup clusters under its base; bases stay reps
+    val merged = (0 until nBase).count(i => byId(1000L + i) == i.toLong)
+    assert(merged.toDouble / nBase >= 0.6, s"clustered $merged/$nBase")
+    assert((0 until nBase).forall(i => byId(i.toLong) == i.toLong),
+      "a base doc lost its representative status")
+  }
+}
