@@ -33,6 +33,46 @@ object Dedup {
       s"${df.schema(c).dataType.simpleString}")
   }
 
+  /** Default LSH bucket-size ceiling: a 65k-row bucket contributes
+    * ~2.1 G candidate pairs to the self-join — past the point where a
+    * single bucket, not the corpus, is the job. */
+  val defaultMaxBucket: Int = 1 << 16
+
+  /** Eager per-bucket size audit before an LSH-style pairwise
+    * self-join — the skew guard for pathological buckets. Upstream
+    * signature collapse removes IDENTICAL signatures, but thousands of
+    * near-identical-but-DISTINCT signatures can still land in one band
+    * bucket, and a bucket of m rows contributes m²/2 candidate pairs.
+    * Buckets above maxBucket are EXCLUDED from the join and reported
+    * loudly (stderr: count + worst offender) — an explicit, audited
+    * exclusion rather than a silent quadratic stall, and never a
+    * silent cap: [[lshOversizedBuckets]] returns the same report as a
+    * frame for side-channel persistence, so excluded buckets stay
+    * visible to the pipeline that owns them.
+    *
+    * The checkpoint materializes the banded rows once; the audit
+    * aggregation and both sides of the subsequent self-join then read
+    * cached blocks instead of recomputing the signature subtree.
+    */
+  private def auditBuckets(banded: DataFrame, keys: Seq[String],
+      maxBucket: Int, op: String): DataFrame = {
+    val cp = banded.localCheckpoint()
+    val over = cp.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucket)
+    val worst = over.orderBy(desc("__n")).limit(20).collect()
+    if (worst.isEmpty) cp
+    else {
+      System.err.println(
+        s"[graft] $op: ${worst.length}${if (worst.length == 20) "+" else ""}" +
+        s" bucket(s) exceed maxBucket=$maxBucket (worst: " +
+        s"${worst.head.getLong(keys.length)} rows) — EXCLUDED from the " +
+        "pairwise join; pairs within them are NOT emitted. Raise " +
+        "maxBucket or tighten banding; lshOversizedBuckets(...) returns " +
+        "the full report")
+      cp.join(broadcast(over.select(keys.map(col): _*)), keys, "left_anti")
+    }
+  }
+
   /** Exact dedup keeping the smallest id per identical text — one shuffle
     * on the (hashed) key. Grouping on md5(text) rather than the full text
     * keeps shuffle rows small when documents are large.
@@ -58,7 +98,8 @@ object Dedup {
     * estimate ≥ minJaccard.
     */
   def minHashPairs(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 32, bands: Int = 8, minJaccard: Double = 0.7): DataFrame = {
+      k: Int = 32, bands: Int = 8, minJaccard: Double = 0.7,
+      maxBucket: Int = defaultMaxBucket): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
     val sigs = minHashSignature(df, idCol, textCol, k)
@@ -88,13 +129,15 @@ object Dedup {
         lit(1.0).as("est_jaccard"))
 
     val repSigs = groups.select(col("rep").as(idCol), col("sig"))
-    val banded = repSigs.select(
-      col(idCol),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          xxhash64(lit(b), slice(col("sig"), b * r + 1, r)).as("bh"))
-      }: _*)).as("bk"))
-      .select(col(idCol), col("bk.band"), col("bk.bh"))
+    val banded = auditBuckets(
+      repSigs.select(
+        col(idCol),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            xxhash64(lit(b), slice(col("sig"), b * r + 1, r)).as("bh"))
+        }: _*)).as("bk"))
+        .select(col(idCol), col("bk.band"), col("bk.bh")),
+      Seq("band", "bh"), maxBucket, "minHashPairs")
 
     val a = banded.select(col("band"), col("bh"), col(idCol).as("id_a"))
     val b = banded.select(col("band"), col("bh"), col(idCol).as("id_b"))
@@ -176,8 +219,10 @@ object Dedup {
       lit(0), (acc, v) => acc + v).cast("double") / k
 
   private def lshPairsFromSigs(sigs: DataFrame, idName: String,
-      k: Int, bands: Int, minJaccard: Double): DataFrame = {
-    val banded = lshBand(sigs, idName, k, bands)
+      k: Int, bands: Int, minJaccard: Double,
+      maxBucket: Int = defaultMaxBucket): DataFrame = {
+    val banded = auditBuckets(lshBand(sigs, idName, k, bands),
+      Seq("band", "bk"), maxBucket, "minHash LSH")
 
     val a = banded.select(col("band"), col("bk"),
       col(idName).as("id_a"), col("sig").as("sig_a"))
@@ -193,12 +238,37 @@ object Dedup {
   }
 
   def minHashPairsAuditable(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 8, bands: Int = 2, minJaccard: Double = 0.75): DataFrame = {
+      k: Int = 8, bands: Int = 2, minJaccard: Double = 0.75,
+      maxBucket: Int = defaultMaxBucket): DataFrame = {
     val sigs = df.select(col(idCol),
       auditableMinHashSig(col(textCol), k).as("sig"))
-    lshPairsFromSigs(sigs, idCol, k, bands, minJaccard)
+    lshPairsFromSigs(sigs, idCol, k, bands, minJaccard, maxBucket)
       .orderBy("id_a", "id_b")
   }
+
+  /** Full per-bucket profile of the audit-family LSH banding — one row
+    * per (band, bk) with its member count. This is the side-channel
+    * surface behind the skew guard: the pair generators exclude
+    * buckets above their maxBucket from the pairwise join (loudly),
+    * and this frame is how a pipeline persists/inspects what was
+    * excluded. Cross-engine checkable: band keys are the raw md5
+    * signature-slice values (q70 oracle).
+    */
+  def lshBucketProfile(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, bands: Int = 2): DataFrame = {
+    val sigs = df.select(col(idCol),
+      auditableMinHashSig(col(textCol), k).as("sig"))
+    lshBand(sigs, idCol, k, bands)
+      .groupBy("band", "bk").agg(count(lit(1)).as("n_ids"))
+  }
+
+  /** The oversized-bucket report: buckets whose member count exceeds
+    * maxBucket — exactly the buckets the pair generators exclude. */
+  def lshOversizedBuckets(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, bands: Int = 2,
+      maxBucket: Int = defaultMaxBucket): DataFrame =
+    lshBucketProfile(df, idCol, textCol, k, bands)
+      .filter(col("n_ids") > maxBucket)
 
   /** AUDITABLE SimHash twin (60-bit, md5-derived token hashes) — the
     * oracle-checkable analog of [[simHash]]: per bit i, the fingerprint
@@ -233,21 +303,23 @@ object Dedup {
     * maxDist+1 chunks; any pair within maxDist shares ≥1 exact chunk.
     */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxDist: Int = 3): DataFrame = {
+      maxDist: Int = 3, maxBucket: Int = defaultMaxBucket): DataFrame = {
     val nChunks = maxDist + 1
     require(64 % nChunks == 0,
       s"maxDist+1 must divide 64 for full recall, got $nChunks chunks")
     val chunkBits = 64 / nChunks
     val mask = (1L << chunkBits) - 1
     val sh = simHash(df, idCol, textCol)
-    val chunked = sh.select(
-      col(idCol), col("simhash"),
-      explode(array((0 until nChunks).map { j =>
-        struct(lit(j).as("cid"),
-          shiftrightunsigned(col("simhash"), j * chunkBits)
-            .bitwiseAND(lit(mask)).as("chunk"))
-      }: _*)).as("ck"))
-      .select(col(idCol), col("simhash"), col("ck.cid"), col("ck.chunk"))
+    val chunked = auditBuckets(
+      sh.select(
+        col(idCol), col("simhash"),
+        explode(array((0 until nChunks).map { j =>
+          struct(lit(j).as("cid"),
+            shiftrightunsigned(col("simhash"), j * chunkBits)
+              .bitwiseAND(lit(mask)).as("chunk"))
+        }: _*)).as("ck"))
+        .select(col(idCol), col("simhash"), col("ck.cid"), col("ck.chunk")),
+      Seq("cid", "chunk"), maxBucket, "simHashPairs")
 
     val a = chunked.select(col("cid"), col("chunk"),
       col(idCol).as("id_a"), col("simhash").as("sh_a"))
@@ -442,7 +514,8 @@ object Dedup {
     * corpus to the label set.
     */
   def corpusDedup(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 8, bands: Int = 2, minJaccard: Double = 0.75): DataFrame = {
+      k: Int = 8, bands: Int = 2, minJaccard: Double = 0.75,
+      maxBucket: Int = defaultMaxBucket): DataFrame = {
     // the id is cast to long below; a non-integral id column would cast
     // to all-nulls and sail past connectedComponents' integral-id guard
     // (the cast output IS long) — refuse here with the same contract
@@ -468,7 +541,7 @@ object Dedup {
       .select(col("rep").as("id_a"), col("id").as("id_b"))
     val repPairs = lshPairsFromSigs(
       groups.select(col("rep").as("id"), col("sig")), "id",
-      k, bands, minJaccard).select("id_a", "id_b")
+      k, bands, minJaccard, maxBucket).select("id_a", "id_b")
     val cc = connectedComponents(memberEdges.union(repPairs),
       "id_a", "id_b")
     df.select(col(idCol).cast("long").as(idCol))
@@ -529,7 +602,8 @@ object Dedup {
     */
   def corpusDedupIncremental(state: DataFrame, batch: DataFrame,
       idCol: String, textCol: String,
-      k: Int = 8, bands: Int = 2, minJaccard: Double = 0.75): DataFrame = {
+      k: Int = 8, bands: Int = 2, minJaccard: Double = 0.75,
+      maxBucket: Int = defaultMaxBucket): DataFrame = {
     requireIntegralId(batch, idCol, "corpusDedupIncremental")
     // batch signatures, identical-sig collapse first (same discipline
     // and same reasoning as corpusDedup — never hash the group key)
@@ -544,8 +618,8 @@ object Dedup {
       .filter(col("id") =!= col("rep"))
       .select(col("rep").as("id_a"), col("id").as("id_b"))
     val newReps = newGroups.select(col("rep").as("id"), col("sig"))
-    val withinPairs = lshPairsFromSigs(newReps, "id", k, bands, minJaccard)
-      .select("id_a", "id_b")
+    val withinPairs = lshPairsFromSigs(newReps, "id", k, bands, minJaccard,
+      maxBucket).select("id_a", "id_b")
 
     // static side: one row per distinct existing signature, tied to the
     // cluster structure by its cluster label (identical sigs are always
@@ -561,13 +635,20 @@ object Dedup {
       .withColumn("sigKey", concat_ws(",", col("sig")))
       .groupBy("sigKey")
       .agg(min("cluster_id").as("cid"), first("sig").as("sig"))
-    val newBanded = lshBand(newReps, "id", k, bands)
-      .select(col("band"), col("bk"), col("id").as("id_new"),
-        col("sig").as("sig_new"))
-    val oldBanded = lshBand(
-        oldSigReps.select(col("sigKey").as("id"), col("sig")), "id",
-        k, bands)
-      .select(col("band"), col("bk"), col("id").as("oldKey"))
+    // the batch-vs-static band join gets the same skew guard as the
+    // self-joins: a pathological bucket of b_new × b_old rows is
+    // quadratic in the product, so audit each side independently
+    val newBanded = auditBuckets(
+      lshBand(newReps, "id", k, bands)
+        .select(col("band"), col("bk"), col("id").as("id_new"),
+          col("sig").as("sig_new")),
+      Seq("band", "bk"), maxBucket, "corpusDedupIncremental batch side")
+    val oldBanded = auditBuckets(
+      lshBand(
+          oldSigReps.select(col("sigKey").as("id"), col("sig")), "id",
+          k, bands)
+        .select(col("band"), col("bk"), col("id").as("oldKey")),
+      Seq("band", "bk"), maxBucket, "corpusDedupIncremental state side")
     val crossPairs = newBanded.join(oldBanded, Seq("band", "bk"))
       .select("oldKey", "id_new", "sig_new").distinct()
       .join(oldSigReps.select(col("sigKey").as("oldKey"),

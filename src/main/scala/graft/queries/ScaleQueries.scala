@@ -276,6 +276,16 @@ object ScaleQueries {
         .orderBy("doc_id", "frame_idx")
     }),
 
+    // LSH bucket-size profile — the side-channel audit surface behind
+    // the oversized-bucket skew guard; band keys are raw md5
+    // signature-slice values, so sizes are oracle-checked end-to-end
+    "q70_lsh_buckets" -> ((s, dir) =>
+      Dedup.lshBucketProfile(t(s, dir, "documents"), "doc_id", "text",
+        k = 8, bands = 2)
+        .select(col("band"), col("bk"), col("n_ids"))
+        .orderBy(desc("n_ids"), col("band"), col("bk"))
+        .limit(50)),
+
     // toleranced as-of: matches farther than 1 hour back are nulled
     // (pandas merge_asof tolerance semantics)
     "q38c_asof_tolerance" -> ((s, dir) => {
@@ -797,7 +807,32 @@ object ScaleQueries {
        ORDER BY d.doc_id"""
   }
 
+  /** DuckDB twin of q70: the same md5-family signatures and raw-value
+    * band keys as q26b, bucket sizes by (band, bk). */
+  private val q70Sql: String = {
+    val maxl = Long.MaxValue.toString
+    val sigList = (0 until 8).map(i =>
+      s"""coalesce(list_min(list_transform(tk,
+         |  t -> CAST('0x' || substr(md5('$i:' || t), 1, 15) AS BIGINT))), $maxl)""".stripMargin)
+      .mkString("[", ",\n       ", "]")
+    s"""WITH toks AS (
+           SELECT doc_id,
+                  list_distinct(list_filter(string_split(coalesce(text, ''), ' '),
+                                            t -> length(t) > 0)) AS tk
+           FROM documents),
+         sigs AS (SELECT doc_id, $sigList AS sig FROM toks),
+         banded AS (
+           SELECT doc_id, b.band,
+                  array_to_string(list_transform(list_slice(sig, b.band * 4 + 1, b.band * 4 + 4),
+                                                 x -> CAST(x AS VARCHAR)), ',') AS bk
+           FROM sigs, (SELECT unnest(range(0, 2)) AS band) b)
+       SELECT CAST(band AS INT) AS band, bk, CAST(count(*) AS BIGINT) AS n_ids
+       FROM banded GROUP BY band, bk
+       ORDER BY n_ids DESC, band, bk LIMIT 50"""
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q70_lsh_buckets" -> q70Sql,
     "q43b_group_signature_oracle" -> q43bSql,
     "q61_corpus_dedup" -> q61Sql,
     // incremental two-batch build ≡ from-scratch build on the union —

@@ -1,0 +1,92 @@
+package graft
+
+import java.io.{ByteArrayOutputStream, PrintStream}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Dedup
+
+/** The oversized-bucket skew guard: an adversarial near-clique corpus
+  * (one group of identical texts big enough to blow its band buckets,
+  * plus a sea of near-identical two-token docs) must make the audit
+  * fire — a LOUD stderr report plus the `lshOversizedBuckets`
+  * side-channel — and the pairwise join must stay bounded by excluding
+  * exactly the oversized buckets, never by a silent cap. corpusDedup
+  * must still cluster the identical clique via signature collapse
+  * (the star), proving the guard composes with collapse instead of
+  * losing the clique.
+  */
+class DedupSkewSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  private val cliqueN = 50
+  private val seaN = 1000
+  // ids 0..999: "common rare_i" — distinct sigs, many sharing the
+  // all-common band key; ids 5000..5049: one identical text → one
+  // identical-signature group colliding in BOTH bands
+  private lazy val corpus = {
+    val sea = (0 until seaN).map(i => (i.toLong, s"common rare_$i"))
+    val clique = (0 until cliqueN).map(i =>
+      ((5000 + i).toLong, "the exact same boilerplate passage"))
+    (sea ++ clique).toDF("doc_id", "text").localCheckpoint()
+  }
+
+  test("lshOversizedBuckets reports the adversarial buckets and matches a manual recount") {
+    val over = Dedup.lshOversizedBuckets(corpus, "doc_id", "text",
+        k = 8, bands = 2, maxBucket = 20)
+      .as[(Int, String, Long)].collect().toSeq
+    assert(over.nonEmpty, "oversize report did not fire")
+    // the identical clique collides in both bands
+    assert(over.count(_._3 >= cliqueN) >= 2,
+      s"expected the $cliqueN-clique bucket in both bands, got $over")
+    // recount from the full profile: the report is exactly the >20 tail
+    val full = Dedup.lshBucketProfile(corpus, "doc_id", "text",
+        k = 8, bands = 2)
+      .as[(Int, String, Long)].collect().toSeq
+    assert(over.toSet === full.filter(_._3 > 20).toSet)
+  }
+
+  test("guarded pair join excludes oversized buckets loudly; unguarded emits the quadratic clique") {
+    val unguarded = Dedup.minHashPairsAuditable(corpus, "doc_id", "text",
+        k = 8, bands = 2, minJaccard = 0.75)
+      .as[(Long, Long, Double)].collect().toSeq
+    val inClique = unguarded.count(p => p._1 >= 5000 && p._2 >= 5000)
+    assert(inClique === cliqueN * (cliqueN - 1) / 2,
+      s"unguarded run must emit the full clique, got $inClique")
+
+    val errBuf = new ByteArrayOutputStream()
+    val realErr = System.err
+    val guarded =
+      try {
+        System.setErr(new PrintStream(errBuf, true))
+        Dedup.minHashPairsAuditable(corpus, "doc_id", "text",
+            k = 8, bands = 2, minJaccard = 0.75, maxBucket = 20)
+          .as[(Long, Long, Double)].collect().toSeq
+      } finally System.setErr(realErr)
+    val report = errBuf.toString
+    assert(report.contains("EXCLUDED from the pairwise join"),
+      s"no loud report on stderr, got: ${report.take(300)}")
+
+    // the join stays bounded: no clique pairs survive, and everything
+    // emitted is a subset of the unguarded output (exclusion, not
+    // fabrication)
+    assert(!guarded.exists(p => p._1 >= 5000 && p._2 >= 5000),
+      "guarded run still emitted pairs from an excluded bucket")
+    assert(guarded.toSet.subsetOf(unguarded.toSet))
+    assert(guarded.size < unguarded.size)
+  }
+
+  test("corpusDedup with the guard still clusters the identical clique via signature collapse") {
+    val assigned = Dedup.corpusDedup(corpus, "doc_id", "text",
+        k = 8, bands = 2, minJaccard = 0.75, maxBucket = 20)
+      .as[(Long, Long, Boolean)].collect().toSeq
+    val clique = assigned.filter(_._1 >= 5000)
+    assert(clique.size === cliqueN)
+    // one cluster under the min id, one representative
+    assert(clique.forall(_._2 == 5000L),
+      s"clique split: ${clique.filter(_._2 != 5000L).take(5)}")
+    assert(clique.count(_._3) === 1)
+  }
+}
