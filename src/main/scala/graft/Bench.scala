@@ -37,7 +37,12 @@ object Bench {
     "q58_pii_scrub",
     "q59_decontaminate",
     "q60_chunk_dedup",
-    "q61_corpus_dedup")
+    "q61_corpus_dedup",
+    "q62_epoch_mix",
+    "q63_temperature_mix",
+    "q64_stratified_split",
+    "q65_window_chunks",
+    "q70_lsh_buckets")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
