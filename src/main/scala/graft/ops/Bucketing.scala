@@ -24,6 +24,20 @@ object Bucketing {
   def writeBucketed(df: DataFrame, table: String, key: String,
       buckets: Int): Unit = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
+    require(!table.contains("."),
+      s"writeBucketed manages default-database tables only, got '$table'")
+    val spark = df.sparkSession
+    // a managed table's directory outlives a non-persistent catalog: a
+    // previous JVM's table data survives under the warehouse while the
+    // new session's catalog has no entry, and saveAsTable refuses to
+    // reuse the location. This helper OWNS the table by contract
+    // (overwrite semantics), so drop a cataloged previous version and
+    // clear an orphaned location before writing.
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.catalog.getDatabase("default").locationUri + "/" + table)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(table)

@@ -41,14 +41,21 @@ object CorpusPipeline {
       contaminationThreshold: Double = 0.1,
       totalTarget: Long = 200L,
       seqTokens: Int = 128,
-      stride: Int = 96)
+      stride: Int = 96,
+      // > 0: persist the corpus-scale stages (gated, deduped) as
+      // doc_id-bucketed+sorted catalog tables instead of in-memory
+      // checkpoints, so the dedup join and the decontamination
+      // anti-join plan with NO exchange on the corpus side — at 100 TB
+      // those two corpus-wide shuffles are the dominant movable cost.
+      // Size to cluster width (e.g. 4× executor count); 0 = off.
+      corpusBuckets: Int = 0)
 
   case class Report(input: Long, gated: Long, deduped: Long,
       clean: Long, sampled: Long, sequences: Long)
 
   // ---- the five stage transforms, shared by build and buildStaged ----
 
-  private def gateStage(docs: DataFrame, cfg: Config): DataFrame = {
+  private[graft] def gateStage(docs: DataFrame, cfg: Config): DataFrame = {
     val txt = col("text")
     docs
       .select(col("doc_id"), col("lang"), txt,
@@ -63,14 +70,14 @@ object CorpusPipeline {
         Redaction.scrubCol(txt).as("text"))
   }
 
-  private def dedupStage(gated: DataFrame, cfg: Config): DataFrame = {
+  private[graft] def dedupStage(gated: DataFrame, cfg: Config): DataFrame = {
     val reps = Dedup.corpusDedup(gated, "doc_id", "text",
         minJaccard = cfg.minJaccard)
       .filter(col("is_rep")).select("doc_id")
     gated.join(reps, "doc_id")
   }
 
-  private def cleanStage(deduped: DataFrame, evalSet: DataFrame,
+  private[graft] def cleanStage(deduped: DataFrame, evalSet: DataFrame,
       cfg: Config): DataFrame = {
     val flagged = Contamination.ngramOverlap(deduped, evalSet,
         "doc_id", "text",
@@ -96,9 +103,21 @@ object CorpusPipeline {
     // several downstream stages re-read each frame — checkpoints keep
     // every corpus-scale subtree single-evaluation (the contamination
     // shingle explode in particular: `clean` is read by the sampling
-    // chain AND by the Report count)
-    val gated = gateStage(docs, cfg).localCheckpoint()
-    val deduped = dedupStage(gated, cfg).localCheckpoint()
+    // chain AND by the Report count). With corpusBuckets > 0 the two
+    // corpus-scale stages persist as doc_id-bucketed catalog tables
+    // instead: same single-evaluation property, plus the downstream
+    // doc_id joins read pre-partitioned buckets — no corpus-side
+    // exchange (CapstoneBucketingSpec audits the plans). The tables
+    // (graft_capstone_{gated,deduped}) are overwritten per build.
+    def persistCorpus(df: DataFrame, name: String): DataFrame =
+      if (cfg.corpusBuckets <= 0) df.localCheckpoint()
+      else {
+        val tbl = s"graft_capstone_$name"
+        Bucketing.writeBucketed(df, tbl, "doc_id", cfg.corpusBuckets)
+        df.sparkSession.table(tbl)
+      }
+    val gated = persistCorpus(gateStage(docs, cfg), "gated")
+    val deduped = persistCorpus(dedupStage(gated, cfg), "deduped")
     val clean = cleanStage(deduped, evalSet, cfg).localCheckpoint()
     val sampled = sampleStage(clean, cfg).localCheckpoint()
     val sequences = chunkStage(sampled, cfg)

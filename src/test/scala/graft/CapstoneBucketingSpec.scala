@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.CorpusPipeline
+
+/** The capstone's bucketed mode, audited: with corpusBuckets set, the
+  * corpus-scale stages persist as doc_id-bucketed tables and the two
+  * corpus-wide joins (dedup representative join, decontamination
+  * anti-join) must plan with NO exchange on the corpus side — the
+  * shuffle saving the mode exists for — while producing byte-identical
+  * output to the checkpointed default.
+  */
+class CapstoneBucketingSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private def docs = graft.sources.Tables(spark, dir, "documents")
+    .select("doc_id", "lang", "text")
+  private def evalSet = docs.filter($"doc_id" < 50).select("doc_id", "text")
+  private val bucketedCfg = CorpusPipeline.Config(corpusBuckets = 8)
+
+  /** The topmost join of the plan — encountered first in pre-order, so
+    * deeper joins inside the non-corpus subtree don't shadow it. */
+  private def topJoin(p: SparkPlan): SparkPlan =
+    p.collectFirst {
+      case j: SortMergeJoinExec => j
+      case j: BroadcastHashJoinExec => j
+      case j: ShuffledHashJoinExec => j
+    }.getOrElse(fail(s"no join in plan:\n${p.toString.take(2000)}"))
+
+  private def corpusSide(j: SparkPlan): SparkPlan = j match {
+    case s: SortMergeJoinExec => s.left
+    case b: BroadcastHashJoinExec => b.left
+    case h: ShuffledHashJoinExec => h.left
+    case other => fail(s"unexpected join node $other")
+  }
+
+  private def assertCorpusSideUnshuffled(df: org.apache.spark.sql.DataFrame,
+      what: String): Unit = {
+    val left = corpusSide(topJoin(df.queryExecution.executedPlan))
+    assert(left.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      s"$what: corpus side shuffles:\n${left.toString.take(2000)}")
+    assert(left.toString.contains("Bucketed: true"),
+      s"$what: corpus side does not read buckets:\n${left.toString.take(2000)}")
+  }
+
+  test("bucketed build ≡ checkpointed build, byte-for-byte") {
+    val input = docs.filter($"doc_id" >= 50)
+    val (seqs0, rep0) = CorpusPipeline.build(input, evalSet)
+    val (seqsB, repB) = CorpusPipeline.build(input, evalSet, bucketedCfg)
+    assert(repB === rep0)
+    val out0 = seqs0.orderBy("doc_id", "win_idx")
+      .as[(Long, Long, String, Long)].collect().toSeq
+    val outB = seqsB.orderBy("doc_id", "win_idx")
+      .as[(Long, Long, String, Long)].collect().toSeq
+    assert(outB === out0)
+  }
+
+  test("dedup join and decontamination anti-join have no corpus-side exchange") {
+    // the equality test above (or this one's own build) leaves the
+    // bucketed stage tables in the catalog — rebuild to be order-proof
+    CorpusPipeline.build(docs.filter($"doc_id" >= 50), evalSet, bucketedCfg)
+    // at test scale the planner would broadcast the small side (which
+    // also has no corpus-side exchange, but trivially); force the
+    // sort-merge path a 100 TB run takes, and pin AQE off so the
+    // executed plan is a plain auditable tree
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      assertCorpusSideUnshuffled(
+        CorpusPipeline.dedupStage(spark.table("graft_capstone_gated"),
+          bucketedCfg),
+        "dedup representative join")
+      assertCorpusSideUnshuffled(
+        CorpusPipeline.cleanStage(spark.table("graft_capstone_deduped"),
+          evalSet, bucketedCfg),
+        "decontamination anti-join")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+}
