@@ -42,7 +42,9 @@ object Bench {
     "q63_temperature_mix",
     "q64_stratified_split",
     "q65_window_chunks",
-    "q70_lsh_buckets")
+    "q70_lsh_buckets",
+    "q71_boilerplate",
+    "q73b_semantic_ivf")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1,18 +1,23 @@
 package graft
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  * Optional args beyond (sfDir, outDir) restrict the run to the named
+  * queries — a dev fast path; the driver's two-arg form runs them all. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = GraftSession.local(cpus)
     new java.io.File(outDir).mkdirs()
     // Oracle-checked queries first, rows-only (incl. ML fits) last, so a
     // driver-side time budget cuts the cheap checks, not the gated ones.
-    val ordered = SparkEntry.queries.toSeq.sortBy { case (name, _) =>
-      (if (SparkEntry.oracleSql.contains(name)) 0 else 1, name)
-    }
+    val ordered = SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.isEmpty || only.contains(name) }
+      .sortBy { case (name, _) =>
+        (if (SparkEntry.oracleSql.contains(name)) 0 else 1, name)
+      }
     ordered.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

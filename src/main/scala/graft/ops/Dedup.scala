@@ -731,6 +731,66 @@ object Dedup {
         coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
   }
 
+  /** Cross-document BOILERPLATE removal (the C4-style cleanup at chunk
+    * granularity): a fixed-width token chunk whose exact content occurs
+    * in at least `minDocFreq` DISTINCT documents is boilerplate
+    * (site headers, license blurbs, navigation text — content repeated
+    * across documents, not within one), and is dropped from EVERY
+    * document; each document is reassembled from its surviving chunks
+    * in order. Complements [[chunkDedup]]: there the first occurrence
+    * survives (dedup), here no occurrence does (boilerplate is noise in
+    * all its positions).
+    *
+    * Returns (idCol, text, n_chunks, n_boiler) — n_boiler = how many of
+    * the document's chunks were removed as boilerplate.
+    *
+    * Scale: chunking is a map-side explode; document frequency is one
+    * hash aggregate on the chunk hash (count DISTINCT doc collapses
+    * map-side to ≤ one row per (partition, chunk)); the boilerplate set
+    * is tiny relative to the corpus (chunks crossing the doc-frequency
+    * bar), so the membership join broadcasts under AQE; reassembly is
+    * one aggregate on doc id. No corpus-×-corpus join anywhere.
+    */
+  def boilerplateScrub(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 20, minDocFreq: Int = 2): DataFrame = {
+    require(minDocFreq >= 2,
+      s"minDocFreq must be >= 2 (1 would scrub every chunk), got $minDocFreq")
+    val w = chunkTokens
+    val tk = TextOps.wsTokens(col(textCol))
+    val base = df.select(col(idCol).as("id"), tk.as("tk"))
+      .withColumn("nch",
+        ceil(size(col("tk")).cast("double") / w).cast("int"))
+    val chunks = base
+      .select(col("id"),
+        explode(when(col("nch") > 0,
+          sequence(lit(0), col("nch") - 1)).otherwise(array())).as("idx"),
+        col("tk"))
+      .select(col("id"), col("idx"),
+        concat_ws(" ",
+          slice(col("tk"), col("idx") * w + 1, lit(w))).as("para"))
+      .withColumn("h", md5(col("para")))
+    val boiler = chunks.groupBy("h")
+      .agg(countDistinct("id").as("docfreq"))
+      .filter(col("docfreq") >= minDocFreq)
+      .select("h")
+    val perDoc = chunks.join(boiler.withColumn("boiler", lit(true)),
+        Seq("h"), "left")
+      .groupBy("id").agg(
+        concat_ws(" ",
+          transform(
+            array_sort(collect_list(when(col("boiler").isNull,
+              struct(col("idx"), col("para"))))),
+            s => s.getField("para"))).as("text"),
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("boiler").isNotNull, 1L).otherwise(0L)).as("n_boiler"))
+    df.select(col(idCol).as("id")).distinct()
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("text"), lit("")).as("text"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"))
+  }
+
   /** Exact n-gram Jaccard similarity for the top pairs in a bounded id
     * slice (pairwise exact comparison is quadratic — the full-corpus path
     * is [[minHashPairs]]; this is the auditable exact form).

@@ -212,4 +212,93 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
       .orderBy("id_a", "id_b")
   }
+
+  // ---- semantic (embedding-space) near-duplicate DEDUP ----
+
+  /** Unit-normalized projection shared by the semantic-dedup paths.
+    * Zero-norm vectors (cosine undefined) are excluded here and fall out
+    * of the assignment as their own singleton clusters. */
+  private def unitVectors(df: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val dt = df.schema(idCol).dataType
+    require(Seq("tinyint", "smallint", "int", "bigint")
+        .contains(dt.simpleString),
+      s"semanticDedup needs integral ids; '$idCol' is ${dt.simpleString}")
+    df.select(col(idCol).cast("long").as("id"),
+        asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .filter(col("nrm") > 0)
+      .select(col("id"), transform(col("v"), x => x / col("nrm")).as("vhat"))
+  }
+
+  /** Shared tail: threshold pairs → connected components → one row per
+    * input id with (cluster_id = component min id, is_rep). */
+  private def ccAssignment(df: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame = {
+    val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    df.select(col(idCol).cast("long").as(idCol))
+      .join(cc.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("lbl"), col(idCol)).as("cluster_id"),
+        (coalesce(col("lbl"), col(idCol)) === col(idCol)).as("is_rep"))
+  }
+
+  /** EXACT semantic dedup — the audit form: all-pairs cosine over the
+    * whole embedding set, edges where sim ≥ `minSim`, connected
+    * components, one row per vector with its cluster and representative
+    * flag (same output contract as [[graft.ops.Dedup.corpusDedup]]).
+    * Quadratic in corpus size by construction — cross-engine checkable
+    * (a DuckDB twin can replay every stage), pinning the semantics the
+    * clustered scale form [[semanticDedup]] approximates.
+    */
+  def semanticDedupExact(df: DataFrame, idCol: String, vecCol: String,
+      minSim: Double = 0.4): DataFrame = {
+    val base = unitVectors(df, idCol, vecCol)
+    val a = base.select(col("id").as("id_a"), col("vhat").as("va"))
+    val b = base.select(col("id").as("id_b"), col("vhat").as("vb"))
+    val pairs = a.join(b, col("id_a") < col("id_b"))
+      .filter(dot(col("va"), col("vb")) >= minSim)
+      .select("id_a", "id_b")
+    ccAssignment(df, idCol, pairs)
+  }
+
+  /** Clustered semantic dedup — the scale form (the SemDeDup shape,
+    * Abbas et al. 2023): a k-means coarse quantizer on the unit sphere
+    * partitions the corpus into `nLists` cells, pairwise cosine runs
+    * only WITHIN each cell, and connected components over those edges
+    * assign clusters. Pair generation cost drops from N²/2 to
+    * Σ |cell|²/2 ≈ N²/(2·nLists) with balanced cells — and because the
+    * self-join is an equi-join on the cell id, it is one shuffle of the
+    * (cell, id, v̂) projection, never a cross join.
+    *
+    * Approximation contract: every reported edge is exact (sim really
+    * is ≥ `minSim`); edges BETWEEN cells are missed, so clusters can
+    * split relative to [[semanticDedupExact]] — never merge.
+    * SimilaritySpec pins planted-pair recall against the exact form.
+    * Size `nLists` ≈ √N/perCell to the corpus; cells are data-adaptive
+    * (fitted centroids), so duplicate-dense regions land in one cell.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      minSim: Double = 0.4, nLists: Int = 16,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val base = unitVectors(df, idCol, vecCol)
+    val km = new org.apache.spark.ml.clustering.KMeans()
+      .setK(nLists).setSeed(seed).setMaxIter(10)
+      .setFeaturesCol("__feat").setPredictionCol("cell")
+    val withFeat = base.withColumn("__feat", array_to_vector(col("vhat")))
+    val model = km.fit(withFeat)
+    val assigned = model.transform(withFeat)
+      .select(col("id"), col("vhat"), col("cell"))
+      // the cell self-join reads this twice; one evaluation, not two
+      .localCheckpoint()
+    val a = assigned.select(col("cell"), col("id").as("id_a"),
+      col("vhat").as("va"))
+    val b = assigned.select(col("cell"), col("id").as("id_b"),
+      col("vhat").as("vb"))
+    val pairs = a.join(b, Seq("cell")).filter(col("id_a") < col("id_b"))
+      .filter(dot(col("va"), col("vb")) >= minSim)
+      .select("id_a", "id_b")
+    ccAssignment(df, idCol, pairs)
+  }
 }

@@ -133,6 +133,22 @@ object ScaleQueries {
       Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id",
         "embedding", maxId = 200, minSim = 0.4)),
 
+    // EXACT semantic dedup (embedding-space clusters): all-pairs cosine
+    // edges ≥ 0.4 → connected components → cluster + rep per vector.
+    // The audit form — the DuckDB twin replays every stage including
+    // the component closure (recursive CTE).
+    "q73_semantic_dedup" -> ((s, dir) =>
+      Similarity.semanticDedupExact(t(s, dir, "embeddings"), "vec_id",
+        "embedding", minSim = 0.4).orderBy("vec_id")),
+
+    // clustered (SemDeDup-shape) semantic dedup — the scale path:
+    // k-means cells on the unit sphere, pairwise cosine WITHIN cells
+    // only. Rows-only (kmeans is seed/optimizer-specific);
+    // SimilaritySpec pins soundness + planted-pair recall vs q73.
+    "q73b_semantic_ivf" -> ((s, dir) =>
+      Similarity.semanticDedup(t(s, dir, "embeddings"), "vec_id",
+        "embedding", minSim = 0.4, nLists = 16).orderBy("vec_id")),
+
     // heuristic language identification
     "q32_lang_id" -> ((s, dir) =>
       TextAnalysis.languageId(t(s, dir, "documents"), "doc_id", "text")
@@ -465,6 +481,13 @@ object ScaleQueries {
     "q60_chunk_dedup" -> ((s, dir) =>
       Dedup.chunkDedup(t(s, dir, "documents"), "doc_id", "text",
         chunkTokens = 20)
+        .orderBy("doc_id")),
+
+    // cross-document boilerplate removal: 20-token chunks occurring in
+    // >= 2 distinct documents are scrubbed from EVERY document
+    "q71_boilerplate" -> ((s, dir) =>
+      Dedup.boilerplateScrub(t(s, dir, "documents"), "doc_id", "text",
+        chunkTokens = 20, minDocFreq = 2)
         .orderBy("doc_id")),
 
     // sketch aggregates — the approximate forms that replace exact
@@ -927,6 +950,55 @@ object ScaleQueries {
                 CAST(coalesce(a.n_dropped, 0) AS BIGINT) AS n_dropped
          FROM documents d LEFT JOIN agg a USING (doc_id)
          ORDER BY doc_id""",
+    "q71_boilerplate" ->
+      """WITH tkt AS (SELECT doc_id,
+                 list_filter(string_split(coalesce(text, ''), ' '),
+                             t -> length(t) > 0) AS tk
+           FROM documents),
+           ch AS (SELECT doc_id,
+                 unnest(range(0, CAST(ceil(len(tk) / 20.0) AS BIGINT))) AS idx,
+                 tk
+             FROM tkt),
+           p AS (SELECT doc_id, idx,
+                 array_to_string(list_slice(tk, idx * 20 + 1, idx * 20 + 20),
+                                 ' ') AS para
+             FROM ch),
+           freq AS (SELECT md5(para) AS h,
+                 count(DISTINCT doc_id) AS docfreq
+             FROM p GROUP BY md5(para)),
+           mk AS (SELECT doc_id, idx, para,
+                 (docfreq >= 2) AS boiler
+             FROM p JOIN freq ON md5(para) = h),
+           agg AS (SELECT doc_id,
+                 string_agg(CASE WHEN NOT boiler THEN para END, ' '
+                            ORDER BY idx) AS text,
+                 count(*) AS n_chunks,
+                 sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS n_boiler
+             FROM mk GROUP BY doc_id)
+         SELECT d.doc_id,
+                coalesce(a.text, '') AS text,
+                CAST(coalesce(a.n_chunks, 0) AS BIGINT) AS n_chunks,
+                CAST(coalesce(a.n_boiler, 0) AS BIGINT) AS n_boiler
+         FROM documents d LEFT JOIN agg a USING (doc_id)
+         ORDER BY doc_id""",
+    "q73_semantic_dedup" ->
+      """WITH RECURSIVE
+           base AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+           pairs AS (SELECT a.vec_id id_a, b.vec_id id_b
+                     FROM base a JOIN base b ON a.vec_id < b.vec_id
+                     WHERE list_cosine_similarity(a.v, b.v) >= 0.4),
+           edges AS (SELECT id_a src, id_b dst FROM pairs
+                     UNION SELECT id_b, id_a FROM pairs),
+           reach(id, lbl) AS (
+             SELECT src, src FROM edges
+             UNION
+             SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+           cc AS (SELECT id, min(lbl) AS lbl FROM reach GROUP BY id)
+         SELECT e.vec_id,
+                CAST(coalesce(c.lbl, e.vec_id) AS BIGINT) AS cluster_id,
+                (coalesce(c.lbl, e.vec_id) = e.vec_id) AS is_rep
+         FROM embeddings e LEFT JOIN cc c ON c.id = e.vec_id
+         ORDER BY e.vec_id""",
     "q59_decontaminate" ->
       """WITH tk AS (SELECT doc_id,
                  list_filter(string_split(coalesce(text, ''), ' '),

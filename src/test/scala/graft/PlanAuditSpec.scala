@@ -93,4 +93,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Join"), "epoch replication must not join")
     assert(p.contains("Window"), p.take(2000))
   }
+
+  test("q71 boilerplate scrub never plans a corpus-×-corpus join") {
+    val p = graft.queries.ScaleQueries.queries("q71_boilerplate")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the boilerplate-set membership join must be an equi-join on the
+    // chunk hash — a nested-loop/cartesian shape would be quadratic in
+    // corpus size
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("q73b clustered semantic dedup joins cells by equi-join, not cross") {
+    val p = graft.queries.ScaleQueries.queries("q73b_semantic_ivf")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // within-cell pair generation must be an equi self-join on the cell
+    // id; only the EXACT audit form (q73) is allowed its all-pairs shape
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
 }

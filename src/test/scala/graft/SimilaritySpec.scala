@@ -85,4 +85,56 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.forall(r => r.getLong(0) < r.getLong(1)))
     assert(out.forall(r => r.getDouble(2) >= 0.3))
   }
+
+  test("semanticDedupExact: planted clusters, transitivity, zero-norm singleton") {
+    // A-chain: 0~1 and 1~2 are above 0.9 but 0~2 is below — connected
+    // components must still merge all three (transitive closure).
+    val c = math.cos(Math.PI / 8) // ≈0.924 pairwise, 0-2 at π/4 ≈0.707
+    val s = math.sin(Math.PI / 8)
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(c.toFloat, s.toFloat, 0.0f)),
+      (2L, Array(math.cos(Math.PI / 4).toFloat,
+        math.sin(Math.PI / 4).toFloat, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f)),   // orthogonal singleton
+      (4L, Array(0.0f, 0.0f, -5.0f)),  // opposite of 3 (sim −1)
+      (5L, Array(0.0f, 0.0f, 0.0f)))   // zero norm — cosine undefined
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedupExact(df, "vec_id", "embedding",
+      minSim = 0.9).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(0L) === ((0L, true)))
+    assert(out(1L) === ((0L, false)))
+    assert(out(2L) === ((0L, false))) // via transitivity, not direct edge
+    assert(out(3L) === ((3L, true)))
+    assert(out(4L) === ((4L, true)))
+    assert(out(5L) === ((5L, true))) // zero vector: its own singleton
+  }
+
+  test("semanticDedup (clustered) refines exact and recovers planted dups") {
+    // plant exact duplicates of ten corpus vectors: identical vectors
+    // always share a k-means cell, so the clustered form MUST link them
+    val planted = emb.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val df = emb.select(col("vec_id").cast("long").as("vec_id"),
+      col("embedding")).union(planted)
+    val exact = Similarity.semanticDedupExact(df, "vec_id", "embedding",
+      minSim = 0.4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ivf = Similarity.semanticDedup(df, "vec_id", "embedding",
+      minSim = 0.4, nLists = 16).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ivf.keySet === exact.keySet)
+    // split-never-merge: within-cell edges are a subset of exact edges,
+    // so every clustered cluster must sit inside ONE exact cluster
+    ivf.groupBy(_._2).values.foreach { members =>
+      assert(members.keys.map(exact).toSet.size === 1,
+        s"clustered cluster spans several exact clusters: ${members.keys}")
+    }
+    // planted identical pairs are same-cell by construction → recovered
+    (0L until 10L).foreach { i =>
+      assert(ivf(i) === ivf(i + 100000L),
+        s"planted duplicate pair ($i, ${i + 100000L}) not linked")
+    }
+  }
 }
