@@ -44,6 +44,7 @@ object Bench {
     "q65_window_chunks",
     "q70_lsh_buckets",
     "q71_boilerplate",
+    "q72_shuffle",
     "q73b_semantic_ivf")
 
   def main(args: Array[String]): Unit = {

@@ -214,4 +214,27 @@ object Mixing {
         explode(sequence(lit(0L), col("__reps") - 1)))
       .drop("__e", "__rn", "__cnt", "__reps")
   }
+
+  /** The per-epoch shuffle key: md5("seed:id") — a new seed is a fresh,
+    * reproducible permutation (epoch reshuffling without RNG state). */
+  def shuffleKey(idCol: Column, seed: Long): Column =
+    md5(concat_ws(":", lit(seed), idCol.cast("string")))
+
+  /** Deterministic GLOBAL shuffle — the training-order randomization
+    * applied before sequence packing/chunking: rows are totally ordered
+    * by ([[shuffleKey]], id), carried in an explicit `shuffle_key`
+    * column so the order survives a write and a rerun reproduces it
+    * exactly.
+    *
+    * Deliberately rank-free: a global `row_number` window would funnel
+    * the whole corpus through ONE task (the q19 trap); a global sort is
+    * range-partitioned — Spark samples the key space and sorts
+    * partition-parallel — so this scales to the full corpus. Downstream
+    * consumers that need a dense position should derive it per
+    * partition/file, not globally.
+    */
+  def deterministicShuffle(df: DataFrame, idCol: String,
+      seed: Long = 0L): DataFrame =
+    df.withColumn("shuffle_key", shuffleKey(col(idCol), seed))
+      .orderBy(col("shuffle_key"), col(idCol))
 }

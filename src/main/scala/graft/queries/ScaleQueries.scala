@@ -452,6 +452,14 @@ object ScaleQueries {
         .select("lang", "doc_id", "split")
         .orderBy("lang", "doc_id")),
 
+    // deterministic GLOBAL shuffle (training-order randomization):
+    // range-partitioned sort on md5(seed:id) — rank-free on purpose
+    // (a global row_number would single-task the corpus)
+    "q72_shuffle" -> ((s, dir) =>
+      graft.ops.Mixing.deterministicShuffle(
+        t(s, dir, "documents").select("doc_id", "lang"),
+        "doc_id", seed = 7L)),
+
     // FULL-corpus near-dup dedup: LSH pairs (audit hash family) →
     // connected components → cluster + representative per document,
     // every stage oracle-checked end-to-end
@@ -896,6 +904,10 @@ object ScaleQueries {
                  FROM documents)
          SELECT r.lang, r.doc_id FROM r JOIN q USING (lang)
          WHERE rn <= quota ORDER BY lang, doc_id""",
+    "q72_shuffle" ->
+      """SELECT doc_id, lang,
+                md5('7:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+         FROM documents ORDER BY shuffle_key, doc_id""",
     "q64_stratified_split" ->
       """WITH r AS (SELECT lang, doc_id,
                  row_number() OVER (PARTITION BY lang

@@ -169,4 +169,18 @@ class MixingSpec extends AnyFunSuite {
     assert(once.select("id").collect().map(_.getLong(0)).toSet ===
       twice.select("id").collect().map(_.getLong(0)).toSet)
   }
+
+  test("deterministicShuffle: permutation, seed-stable, seed-sensitive") {
+    val df = (1L to 200L).map(i => (i, s"t$i")).toDF("id", "text")
+    val s7a = Mixing.deterministicShuffle(df, "id", seed = 7L)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    val s7b = Mixing.deterministicShuffle(df, "id", seed = 7L)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    val s8 = Mixing.deterministicShuffle(df, "id", seed = 8L)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(s7a.sorted === (1L to 200L))      // a permutation, nothing lost
+    assert(s7a === s7b)                      // same seed → same order
+    assert(s7a !== s8)                       // new seed → new epoch order
+    assert(s7a !== (1L to 200L).toSeq)       // and it actually shuffles
+  }
 }

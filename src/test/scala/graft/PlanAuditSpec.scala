@@ -104,6 +104,17 @@ class PlanAuditSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
 
+  test("q72 global shuffle plans a range sort, never a global window") {
+    val p = graft.queries.ScaleQueries.queries("q72_shuffle")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // a global row_number over the shuffle key would drag the whole
+    // corpus through one task; the rank-free design must plan as a
+    // range-partitioned Sort with no Window at all
+    assert(!p.contains("Window"), p.take(2000))
+    assert(p.contains("Sort"), p.take(2000))
+    assert(p.contains("rangepartitioning"), p.take(2000))
+  }
+
   test("q73b clustered semantic dedup joins cells by equi-join, not cross") {
     val p = graft.queries.ScaleQueries.queries("q73b_semantic_ivf")(spark, dir)
       .queryExecution.executedPlan.toString
