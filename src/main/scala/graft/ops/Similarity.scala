@@ -283,8 +283,12 @@ object Similarity {
       seed: Long = 42L): DataFrame = {
     import org.apache.spark.ml.functions.array_to_vector
     val base = unitVectors(df, idCol, vecCol)
+    // cells are a partitioning heuristic, not a result: random init +
+    // few iterations gives the same split-never-merge/recall contract
+    // (spec-pinned) at a third of the fit's job count — k-means|| init
+    // alone costs more passes than the whole refinement here
     val km = new org.apache.spark.ml.clustering.KMeans()
-      .setK(nLists).setSeed(seed).setMaxIter(10)
+      .setK(nLists).setSeed(seed).setMaxIter(5).setInitMode("random")
       .setFeaturesCol("__feat").setPredictionCol("cell")
     val withFeat = base.withColumn("__feat", array_to_vector(col("vhat")))
     val model = km.fit(withFeat)
