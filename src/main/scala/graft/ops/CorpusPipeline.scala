@@ -12,6 +12,9 @@ import org.apache.spark.sql.functions._
   *  2. PII scrub ([[Redaction]]);
   *  3. full-corpus near-dup dedup ([[Dedup.corpusDedup]] — cluster
   *     representatives survive);
+  *  3b. OPTIONAL semantic dedup over an embeddings frame
+  *     ([[Similarity.semanticDedup]] — catches paraphrase-level
+  *     duplicates MinHash cannot see);
   *  4. benchmark decontamination ([[Contamination.ngramOverlap]] vs the
   *     caller's eval set);
   *  5. temperature-scaled mixture sampling per language
@@ -48,10 +51,14 @@ object CorpusPipeline {
       // anti-join plan with NO exchange on the corpus side — at 100 TB
       // those two corpus-wide shuffles are the dominant movable cost.
       // Size to cluster width (e.g. 4× executor count); 0 = off.
-      corpusBuckets: Int = 0)
+      corpusBuckets: Int = 0,
+      // semantic (embedding-space) dedup stage — applied only when an
+      // embeddings frame is passed to build/buildStaged
+      semanticMinSim: Double = 0.9,
+      semanticLists: Int = 16)
 
   case class Report(input: Long, gated: Long, deduped: Long,
-      clean: Long, sampled: Long, sequences: Long)
+      semantic: Long, clean: Long, sampled: Long, sequences: Long)
 
   // ---- the five stage transforms, shared by build and buildStaged ----
 
@@ -77,6 +84,27 @@ object CorpusPipeline {
     gated.join(reps, "doc_id")
   }
 
+  /** Semantic (embedding-space) dedup over the lexical-dedup survivors:
+    * only near-dups MinHash cannot see (paraphrases, translations,
+    * re-tokenizations — same meaning, different tokens) remain at this
+    * point, which is exactly what embedding cosine catches. Documents
+    * WITHOUT an embedding row are kept — a missing vector is not
+    * evidence of duplication, and silently dropping them would turn
+    * embedding-pipeline lag into data loss. The clustered
+    * ([[Similarity.semanticDedup]]) form runs over only the survivors'
+    * vectors (slim join on doc id first). */
+  private[graft] def semanticStage(deduped: DataFrame, emb: DataFrame,
+      cfg: Config): DataFrame = {
+    val embSlice = emb.select(col("doc_id"), col("embedding"))
+      .join(deduped.select("doc_id"), "doc_id")
+    val reps = Similarity.semanticDedup(embSlice, "doc_id", "embedding",
+        minSim = cfg.semanticMinSim, nLists = cfg.semanticLists)
+      .filter(col("is_rep")).select("doc_id")
+    val noEmb = deduped.select("doc_id")
+      .join(emb.select("doc_id"), Seq("doc_id"), "left_anti")
+    deduped.join(reps.union(noEmb), "doc_id")
+  }
+
   private[graft] def cleanStage(deduped: DataFrame, evalSet: DataFrame,
       cfg: Config): DataFrame = {
     val flagged = Contamination.ngramOverlap(deduped, evalSet,
@@ -95,11 +123,15 @@ object CorpusPipeline {
       cfg.seqTokens, cfg.stride)
 
   /** Build the training corpus in memory. `docs` needs (doc_id, lang,
-    * text); `evalSet` needs (doc_id, text). Returns (sequences, report).
-    * Restartable only by determinism — a rerun reproduces the output
-    * byte-for-byte; for resumable staging see [[buildStaged]]. */
+    * text); `evalSet` needs (doc_id, text); `embeddings`, when given,
+    * needs (doc_id, embedding) and switches on the semantic-dedup stage
+    * between lexical dedup and decontamination. Returns
+    * (sequences, report). Restartable only by determinism — a rerun
+    * reproduces the output byte-for-byte; for resumable staging see
+    * [[buildStaged]]. */
   def build(docs: DataFrame, evalSet: DataFrame,
-      cfg: Config = Config()): (DataFrame, Report) = {
+      cfg: Config = Config(),
+      embeddings: Option[DataFrame] = None): (DataFrame, Report) = {
     // several downstream stages re-read each frame — checkpoints keep
     // every corpus-scale subtree single-evaluation (the contamination
     // shingle explode in particular: `clean` is read by the sampling
@@ -118,7 +150,12 @@ object CorpusPipeline {
       }
     val gated = persistCorpus(gateStage(docs, cfg), "gated")
     val deduped = persistCorpus(dedupStage(gated, cfg), "deduped")
-    val clean = cleanStage(deduped, evalSet, cfg).localCheckpoint()
+    val semantic = embeddings match {
+      case Some(emb) =>
+        persistCorpus(semanticStage(deduped, emb, cfg), "semantic")
+      case None => deduped
+    }
+    val clean = cleanStage(semantic, evalSet, cfg).localCheckpoint()
     val sampled = sampleStage(clean, cfg).localCheckpoint()
     val sequences = chunkStage(sampled, cfg)
 
@@ -126,14 +163,12 @@ object CorpusPipeline {
       input = docs.count(),
       gated = gated.count(),
       deduped = deduped.count(),
+      semantic = semantic.count(),
       clean = clean.count(),
       sampled = sampled.count(),
       sequences = sequences.count())
     (sequences, report)
   }
-
-  private val stageNames =
-    Seq("01_gated", "02_deduped", "03_clean", "04_sampled", "05_sequences")
 
   /** Build with per-stage parquet materialization under `stagingDir`.
     * Each stage directory gets a `_GRAFT_STAGE_COMPLETE` manifest
@@ -149,7 +184,8 @@ object CorpusPipeline {
     * an uninterrupted run (pinned by spec).
     */
   def buildStaged(docs: DataFrame, evalSet: DataFrame, stagingDir: String,
-      cfg: Config = Config()): (DataFrame, Report) = {
+      cfg: Config = Config(),
+      embeddings: Option[DataFrame] = None): (DataFrame, Report) = {
     val spark = docs.sparkSession
     val hconf = spark.sparkContext.hadoopConfiguration
     val basePath = new org.apache.hadoop.fs.Path(stagingDir)
@@ -176,8 +212,10 @@ object CorpusPipeline {
       finally out.close()
     }
 
-    // config manifest: a resumed run MUST be the same build
-    val cfgStr = cfg.toString
+    // config manifest: a resumed run MUST be the same build — including
+    // whether the semantic stage exists (an embeddings frame's PRESENCE
+    // changes the stage chain; its contents are pinned by determinism)
+    val cfgStr = cfg.toString + s";semantic=${embeddings.isDefined}"
     readMarker("_GRAFT_CONFIG") match {
       case Some(prev) => require(prev == cfgStr,
         s"staging dir $stagingDir was written by a different Config " +
@@ -213,11 +251,19 @@ object CorpusPipeline {
 
     val (gated, nGated) = stage("01_gated")(gateStage(docs, cfg))
     val (deduped, nDeduped) = stage("02_deduped")(dedupStage(gated, cfg))
-    val (clean, nClean) = stage("03_clean")(cleanStage(deduped, evalSet, cfg))
+    // "02b": the optional stage keeps the existing stage names (and any
+    // staging dir written without it) stable in both modes
+    val (semantic, nSemantic) = embeddings match {
+      case Some(emb) =>
+        stage("02b_semantic")(semanticStage(deduped, emb, cfg))
+      case None => (deduped, nDeduped)
+    }
+    val (clean, nClean) =
+      stage("03_clean")(cleanStage(semantic, evalSet, cfg))
     val (sampled, nSampled) = stage("04_sampled")(sampleStage(clean, cfg))
     val (sequences, nSeq) = stage("05_sequences")(chunkStage(sampled, cfg))
 
     (sequences,
-      Report(nInput, nGated, nDeduped, nClean, nSampled, nSeq))
+      Report(nInput, nGated, nDeduped, nSemantic, nClean, nSampled, nSeq))
   }
 }

@@ -280,20 +280,34 @@ object Similarity {
     */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
       minSim: Double = 0.4, nLists: Int = 16,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, smallCorpus: Int = 256): DataFrame = {
     import org.apache.spark.ml.functions.array_to_vector
+    // the fit path needs k <= n; n > smallCorpus >= nLists guarantees it
+    require(nLists <= smallCorpus,
+      s"nLists ($nLists) must be <= smallCorpus ($smallCorpus)")
     val base = unitVectors(df, idCol, vecCol)
-    // cells are a partitioning heuristic, not a result: random init +
-    // few iterations gives the same split-never-merge/recall contract
-    // (spec-pinned) at a third of the fit's job count — k-means|| init
-    // alone costs more passes than the whole refinement here
-    val km = new org.apache.spark.ml.clustering.KMeans()
-      .setK(nLists).setSeed(seed).setMaxIter(5).setInitMode("random")
-      .setFeaturesCol("__feat").setPredictionCol("cell")
-    val withFeat = base.withColumn("__feat", array_to_vector(col("vhat")))
-    val model = km.fit(withFeat)
-    val assigned = model.transform(withFeat)
-      .select(col("id"), col("vhat"), col("cell"))
+    val n = base.count()
+    val assigned = (if (n <= smallCorpus)
+      // tiny corpus (e.g. the survivor set of an upstream lexical
+      // dedup): a quantizer is pointless — one cell makes the
+      // within-cell join EXACT at <= smallCorpus²/2 pairs, and k-means
+      // with k near (or above) n is exactly where Spark ML's block
+      // trainer breaks on duplicate/short center sets
+      base.select(col("id"), col("vhat"), lit(0).as("cell"))
+    else {
+      // cells are a partitioning heuristic, not a result: random init +
+      // few iterations gives the same split-never-merge/recall contract
+      // (spec-pinned) at a third of the fit's job count — and random
+      // init keeps the center COUNT at k even when duplicate vectors
+      // get sampled (k-means|| dedups centers, and a short center set
+      // crashes the aggregator on heavily-duplicated corpora)
+      val km = new org.apache.spark.ml.clustering.KMeans()
+        .setK(nLists).setSeed(seed).setMaxIter(5).setInitMode("random")
+        .setFeaturesCol("__feat").setPredictionCol("cell")
+      val withFeat = base.withColumn("__feat", array_to_vector(col("vhat")))
+      val model = km.fit(withFeat)
+      model.transform(withFeat).select(col("id"), col("vhat"), col("cell"))
+    })
       // the cell self-join reads this twice; one evaluation, not two
       .localCheckpoint()
     val a = assigned.select(col("cell"), col("id").as("id_a"),

@@ -105,6 +105,73 @@ class CorpusPipelineSpec extends AnyFunSuite {
       .as[(Long, Long, String, Long)].collect().toSeq === memOut)
   }
 
+  // ---- synthetic fixture for the semantic stage: the real sf0.001
+  // corpus collapses to a handful of lexical reps (tiny shared vocab),
+  // so paraphrase structure is planted explicitly — 61 docs with
+  // pairwise-DISJOINT letter-only token sets (lexical dedup keeps all)
+  // and basis-vector embeddings (pairwise cosine 0) except doc 9001,
+  // whose embedding is doc 60's exactly (cosine 1).
+  private def tok(i: Int, j: Int): String =
+    s"d${(97 + i / 26).toChar}${(97 + i % 26).toChar}" +
+      s"x${(97 + j / 26).toChar}${(97 + j % 26).toChar}"
+  private def synDoc(i: Int): String =
+    (0 until 40).map(j => tok(i, j)).mkString(" ")
+  private def basis(i: Int): Array[Float] =
+    Array.tabulate(64)(d => if (d == i % 64) 1.0f else 0.0f)
+  private def synDocs = (
+    (1 to 60).map(i => (i.toLong, "en", synDoc(i))) :+
+      ((9001L, "en", synDoc(61)))).toDF("doc_id", "lang", "text")
+  private def synEmb = (
+    (1 to 60).map(i => (i.toLong, basis(i))) :+ ((9001L, basis(60))))
+    .toDF("doc_id", "embedding")
+  private def synEval = Seq((900L, (0 until 40).map(j =>
+    s"ev${(97 + j / 26).toChar}${(97 + j % 26).toChar}").mkString(" ")))
+    .toDF("doc_id", "text")
+
+  test("semantic stage drops paraphrase-level dups lexical dedup misses") {
+    // keep every clean doc through sampling so output membership tests
+    // the dedup stages, not the sampler's hash order
+    val cfg = CorpusPipeline.Config(totalTarget = 1000L,
+      semanticMinSim = 0.9)
+
+    // precondition: without the semantic stage the planted doc survives
+    val (seqsNone, repNone) = CorpusPipeline.build(synDocs, synEval, cfg)
+    assert(seqsNone.filter($"doc_id" === 9001L).count() > 0,
+      "planted doc must survive gates + lexical dedup for this test")
+    assert(repNone.semantic === repNone.deduped) // stage off: pass-through
+    assert(repNone.deduped === 61L) // disjoint token sets: all lexical reps
+
+    val (seqsSem, repSem) = CorpusPipeline.build(synDocs, synEval,
+      cfg, Some(synEmb))
+    assert(seqsSem.filter($"doc_id" === 9001L).count() === 0L,
+      "embedding-identical doc must be collapsed onto its representative")
+    assert(repSem.semantic === 60L) // exactly the planted pair collapsed
+    // and doc 60 (the min-id representative) is still in the output
+    assert(seqsSem.filter($"doc_id" === 60L).count() > 0)
+  }
+
+  test("buildStaged with semantic stage: resumable, config-pinned on/off") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_sem_stage").toString
+    val cfg = CorpusPipeline.Config(totalTarget = 1000L,
+      semanticMinSim = 0.9)
+    val (seqsMem, repMem) = CorpusPipeline.build(synDocs, synEval,
+      cfg, Some(synEmb))
+    val (seqsA, repA) = CorpusPipeline.buildStaged(synDocs, synEval,
+      s"$base/a", cfg, Some(synEmb))
+    assert(repA === repMem)
+    assert(seqsA.orderBy("doc_id", "win_idx")
+      .as[(Long, Long, String, Long)].collect().toSeq ===
+      seqsMem.orderBy("doc_id", "win_idx")
+        .as[(Long, Long, String, Long)].collect().toSeq)
+    // resuming the same staging dir WITHOUT the embeddings frame is a
+    // different build — must refuse, not silently skip the stage
+    val e = intercept[IllegalArgumentException] {
+      CorpusPipeline.buildStaged(synDocs, synEval, s"$base/a", cfg)
+    }
+    assert(e.getMessage.contains("different Config"))
+  }
+
   test("build: contaminated documents cannot reach the output") {
     // make doc 60's text literally an eval-set passage so its 8-gram
     // overlap is total — the decontamination stage must drop it
