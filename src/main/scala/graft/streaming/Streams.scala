@@ -149,6 +149,87 @@ object Streams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming corpus INGEST — the full front door as one AvailableNow
+    * pipeline, per micro-batch:
+    *
+    *  1. quality gates + PII scrub ([[graft.ops.CorpusPipeline.gateStage]]
+    *     — stateless, map-side);
+    *  2. per-document decontamination flags vs the static eval set
+    *     ([[graft.ops.Contamination.ngramOverlap]] — per-doc decision,
+    *     so batch-local evaluation is exact);
+    *  3. fold the batch into the persisted dedup signature state
+    *     ([[graft.ops.Dedup.corpusDedupIncremental]] — never re-reads
+    *     existing corpus text).
+    *
+    * Gated+flagged candidates land under `candBase/run_ts=batch_NNNNNN`
+    * and the signature state under `stateBase/...`; both OVERWRITE
+    * their own version so failure replays are idempotent. Candidates
+    * are deliberately NOT filtered to representatives at write time: a
+    * later batch can MERGE two existing clusters (the old-old merge),
+    * retroactively demoting the higher-id representative — acceptance
+    * is only final against the latest state, which is what
+    * [[ingestedCorpus]] evaluates. Parity with the batch capstone
+    * stages is spec-pinned (StreamingSpec).
+    */
+  def ingestAvailableNow(docs: DataFrame, evalSet: DataFrame,
+      stateBase: String, candBase: String, checkpoint: String,
+      cfg: graft.ops.CorpusPipeline.Config =
+        graft.ops.CorpusPipeline.Config(),
+      k: Int = 8, bands: Int = 2)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val spark = batch.sparkSession
+        val ver = f"batch_$id%06d"
+        // read twice below (candidate write + signature fold): one
+        // evaluation of the gate+scrub projection, not two
+        val gated = graft.ops.CorpusPipeline.gateStage(batch.toDF(), cfg)
+          .localCheckpoint()
+        val flags = graft.ops.Contamination.ngramOverlap(gated, evalSet,
+            "doc_id", "text",
+            n = cfg.contaminationNgram,
+            threshold = cfg.contaminationThreshold)
+          .select(col("doc_id"), col("contaminated"))
+        val cand = gated.join(flags, Seq("doc_id"), "left")
+          .withColumn("contaminated",
+            coalesce(col("contaminated"), lit(false)))
+        cand.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$candBase/run_ts=$ver")
+        val prior = scala.util.Try(
+            graft.sources.Sinks.runVersions(spark, stateBase))
+          .getOrElse(Seq.empty).filter(_ < ver)
+        val next =
+          if (prior.isEmpty)
+            graft.ops.Dedup.corpusSigState(gated, "doc_id", "text",
+              k, bands, cfg.minJaccard)
+          else
+            graft.ops.Dedup.corpusDedupIncremental(
+              spark.read.parquet(s"$stateBase/run_ts=${prior.max}"),
+              gated, "doc_id", "text", k, bands, cfg.minJaccard)
+        next.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$stateBase/run_ts=$ver")
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** The corpus an [[ingestAvailableNow]] run has accepted so far:
+    * candidate documents that are (a) not contaminated and (b) cluster
+    * REPRESENTATIVES against the LATEST signature state — evaluated at
+    * read time, so retroactive demotions (old-old cluster merges by a
+    * later batch) are honored. Returns (doc_id, lang, text). */
+  def ingestedCorpus(spark: SparkSession, stateBase: String,
+      candBase: String): DataFrame = {
+    val latest = graft.sources.Sinks.runVersions(spark, stateBase).max
+    val reps = graft.ops.Dedup.assignmentFromState(
+        spark.read.parquet(s"$stateBase/run_ts=$latest"), "doc_id")
+      .filter(col("is_rep")).select("doc_id")
+    spark.read.parquet(candBase)
+      .filter(!col("contaminated"))
+      .select("doc_id", "lang", "text")
+      .join(reps, "doc_id")
+  }
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
 

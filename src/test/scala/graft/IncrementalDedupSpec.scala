@@ -73,6 +73,42 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(incr.map(_._2).distinct === Seq(10L), incr.toString)
   }
 
+  test("ingestAvailableNow: streamed corpus ≡ batch gates→dedup→decontaminate") {
+    val full = graft.sources.Tables(spark, dir, "documents")
+      .select("doc_id", "lang", "text").filter($"doc_id" >= 50)
+    val evalSet = graft.sources.Tables(spark, dir, "documents")
+      .filter($"doc_id" < 50).select("doc_id", "text")
+    val cfg = graft.ops.CorpusPipeline.Config()
+
+    // batch expectation: the capstone's own first three stages
+    val gated = graft.ops.CorpusPipeline.gateStage(full, cfg)
+    val deduped = graft.ops.CorpusPipeline.dedupStage(gated, cfg)
+    val expected = graft.ops.CorpusPipeline
+      .cleanStage(deduped, evalSet, cfg)
+      .select("doc_id", "lang", "text").orderBy("doc_id")
+      .as[(Long, String, String)].collect().toSeq
+    assert(expected.nonEmpty)
+
+    // streamed in two micro-batches
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_ingest").toString
+    full.filter($"doc_id" % 2 === 0).coalesce(1)
+      .write.parquet(s"$base/in/p0")
+    full.filter($"doc_id" % 2 === 1).coalesce(1)
+      .write.parquet(s"$base/in/p1")
+    val stream = spark.readStream.schema(full.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$base/in/p*")
+    val q = graft.streaming.Streams.ingestAvailableNow(stream, evalSet,
+      s"$base/state", s"$base/cand", s"$base/ckpt", cfg)
+    q.awaitTermination(300000)
+
+    val got = graft.streaming.Streams.ingestedCorpus(spark,
+        s"$base/state", s"$base/cand")
+      .orderBy("doc_id").as[(Long, String, String)].collect().toSeq
+    assert(got === expected)
+  }
+
   test("AvailableNow stream folds file batches into persisted state") {
     val base = java.nio.file.Files
       .createTempDirectory("graft_incr").toString
