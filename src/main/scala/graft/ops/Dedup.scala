@@ -744,15 +744,20 @@ object Dedup {
     * Returns (idCol, text, n_chunks, n_boiler) — n_boiler = how many of
     * the document's chunks were removed as boilerplate.
     *
-    * Scale: chunking is a map-side explode; document frequency is one
-    * hash aggregate on the chunk hash (count DISTINCT doc collapses
-    * map-side to ≤ one row per (partition, chunk)); the boilerplate set
-    * is tiny relative to the corpus (chunks crossing the doc-frequency
-    * bar), so the membership join broadcasts under AQE; reassembly is
-    * one aggregate on doc id. No corpus-×-corpus join anywhere.
+    * Scale: chunking is a map-side explode EVALUATED ONCE — document
+    * frequency comes from a window over the chunk hash
+    * (dense_rank-by-doc then an unbounded max gives count-distinct-docs
+    * without a self-join, so the exploded corpus is never computed
+    * twice and no membership join exists to skew); reassembly is one
+    * aggregate on doc id. Window state is a sort spill, never a
+    * collected set. Two shuffles total (chunk hash, doc id) — the same
+    * shape as [[chunkDedup]]. No corpus-×-corpus join anywhere
+    * (plan-audited: the documents scan appears exactly twice — chunk
+    * subtree + id spine).
     */
   def boilerplateScrub(df: DataFrame, idCol: String, textCol: String,
       chunkTokens: Int = 20, minDocFreq: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     require(minDocFreq >= 2,
       s"minDocFreq must be >= 2 (1 would scrub every chunk), got $minDocFreq")
     val w = chunkTokens
@@ -769,20 +774,24 @@ object Dedup {
         concat_ws(" ",
           slice(col("tk"), col("idx") * w + 1, lit(w))).as("para"))
       .withColumn("h", md5(col("para")))
-    val boiler = chunks.groupBy("h")
-      .agg(countDistinct("id").as("docfreq"))
-      .filter(col("docfreq") >= minDocFreq)
-      .select("h")
-    val perDoc = chunks.join(boiler.withColumn("boiler", lit(true)),
-        Seq("h"), "left")
+    // count DISTINCT docs per chunk in one window pass: dense_rank over
+    // (h, id) numbers each chunk's distinct documents 1..D, and the
+    // unbounded max over the same partitioning is D — the agg+join
+    // formulation would evaluate the exploded corpus twice
+    val wOrd = Window.partitionBy("h").orderBy("id")
+    val wAll = Window.partitionBy("h")
+    val marked = chunks
+      .withColumn("__dr", dense_rank().over(wOrd))
+      .withColumn("boiler", max("__dr").over(wAll) >= minDocFreq)
+    val perDoc = marked
       .groupBy("id").agg(
         concat_ws(" ",
           transform(
-            array_sort(collect_list(when(col("boiler").isNull,
+            array_sort(collect_list(when(!col("boiler"),
               struct(col("idx"), col("para"))))),
             s => s.getField("para"))).as("text"),
         count(lit(1)).as("n_chunks"),
-        sum(when(col("boiler").isNotNull, 1L).otherwise(0L)).as("n_boiler"))
+        sum(when(col("boiler"), 1L).otherwise(0L)).as("n_boiler"))
     df.select(col(idCol).as("id")).distinct()
       .join(perDoc, Seq("id"), "left")
       .select(col("id").as(idCol),

@@ -94,14 +94,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("Window"), p.take(2000))
   }
 
-  test("q71 boilerplate scrub never plans a corpus-×-corpus join") {
+  test("q71 boilerplate scrub evaluates the exploded corpus exactly once") {
     val p = graft.queries.ScaleQueries.queries("q71_boilerplate")(spark, dir)
       .queryExecution.executedPlan.toString
-    // the boilerplate-set membership join must be an equi-join on the
-    // chunk hash — a nested-loop/cartesian shape would be quadratic in
-    // corpus size
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // one documents scan for the chunk-explode subtree (docfreq is a
+    // window over it, not an agg+join that would re-evaluate it) plus
+    // one for the id spine — an agg+join formulation would make this 3
+    val scans = "documents\\.parquet".r.findAllIn(p).length
+    assert(scans === 2, s"expected 2 documents scans, found $scans")
   }
 
   test("q72 global shuffle plans a range sort, never a global window") {
