@@ -286,6 +286,8 @@ object Similarity {
     require(nLists <= smallCorpus,
       s"nLists ($nLists) must be <= smallCorpus ($smallCorpus)")
     val base = unitVectors(df, idCol, vecCol)
+    // one pass over the slim (id, v̂) projection — the price of routing;
+    // the fit path would scan it 5+ times anyway
     val n = base.count()
     val assigned = (if (n <= smallCorpus)
       // tiny corpus (e.g. the survivor set of an upstream lexical

@@ -220,7 +220,11 @@ object Streams {
     * later batch) are honored. Returns (doc_id, lang, text). */
   def ingestedCorpus(spark: SparkSession, stateBase: String,
       candBase: String): DataFrame = {
-    val latest = graft.sources.Sinks.runVersions(spark, stateBase).max
+    val versions = scala.util.Try(
+      graft.sources.Sinks.runVersions(spark, stateBase)).getOrElse(Seq.empty)
+    require(versions.nonEmpty,
+      s"no ingest state under $stateBase — run ingestAvailableNow first")
+    val latest = versions.max
     val reps = graft.ops.Dedup.assignmentFromState(
         spark.read.parquet(s"$stateBase/run_ts=$latest"), "doc_id")
       .filter(col("is_rep")).select("doc_id")

@@ -1,0 +1,111 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Dedup, Similarity}
+
+/** Randomized cross-checks of the round-6 curation ops against exact
+  * in-memory reference implementations — seeded (deterministic) corpora,
+  * one small Spark job per case.
+  */
+class OpsPropertySpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  test("boilerplateScrub matches an in-memory reference on random corpora") {
+    val w = 3
+    val minDf = 2
+    val rnd = new scala.util.Random(42)
+    // small vocab + shared template chunks so cross-doc chunk
+    // collisions actually occur
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    val templates = Vector.fill(4)(
+      Vector.fill(w)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    for (c <- 1 to 15) {
+      val docs: Seq[(Long, String)] = (0 until (6 + rnd.nextInt(6))).map {
+        i =>
+          val parts = (0 until rnd.nextInt(5)).map { _ =>
+            if (rnd.nextBoolean()) templates(rnd.nextInt(templates.size))
+            else Vector.fill(rnd.nextInt(2 * w) + 1)(
+              vocab(rnd.nextInt(vocab.size))).mkString(" ")
+          }
+          (i.toLong, parts.mkString(" "))
+      }
+      // reference: chunk on whitespace tokens, count DISTINCT docs per
+      // chunk, drop every occurrence of chunks at/above the bar
+      val chunked: Seq[(Long, Seq[String])] = docs.map { case (id, t) =>
+        id -> t.split("\\s+").filter(_.nonEmpty).grouped(w)
+          .map(_.mkString(" ")).toSeq
+      }
+      val docFreq: Map[String, Int] = chunked
+        .flatMap { case (id, cs) => cs.distinct.map(_ -> id) }
+        .groupBy(_._1).map { case (ch, xs) => ch -> xs.map(_._2).distinct.size }
+      val expected: Map[Long, (String, Long, Long)] = chunked.map {
+        case (id, cs) =>
+          val kept = cs.filter(ch => docFreq(ch) < minDf)
+          id -> ((kept.mkString(" "), cs.size.toLong,
+            cs.count(ch => docFreq(ch) >= minDf).toLong))
+      }.toMap
+
+      val got = Dedup.boilerplateScrub(
+          docs.toDF("doc_id", "text"), "doc_id", "text",
+          chunkTokens = w, minDocFreq = minDf)
+        .collect()
+        .map(r => r.getLong(0) ->
+          ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(got === expected, s"case $c: docs=$docs")
+    }
+  }
+
+  test("semanticDedupExact matches an in-memory union-find on random vectors") {
+    val dim = 4
+    val minSim = 0.5
+    val rnd = new scala.util.Random(7)
+    for (c <- 1 to 15) {
+      val n = 6 + rnd.nextInt(8)
+      // small-int coordinates: exactly representable, and near-parallel
+      // vectors occur often at this dimension
+      val vecs: Seq[(Long, Array[Float])] = (0 until n).map { i =>
+        val v = Array.fill(dim)((rnd.nextInt(7) - 3).toFloat)
+        (i.toLong, v)
+      }
+      // reference mirrors the op's arithmetic exactly: double-cast,
+      // normalize each element, then a sequential index-order dot
+      def hat(v: Array[Float]): Option[Array[Double]] = {
+        val d = v.map(_.toDouble)
+        var s = 0.0; var i = 0
+        while (i < d.length) { s += d(i) * d(i); i += 1 }
+        val nrm = math.sqrt(s)
+        if (nrm > 0) Some(d.map(_ / nrm)) else None
+      }
+      val hats = vecs.map { case (id, v) => id -> hat(v) }.toMap
+      val parent = scala.collection.mutable.HashMap(
+        vecs.map(v => v._1 -> v._1): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      for {
+        (a, Some(ha)) <- hats.toSeq.sortBy(_._1)
+        (b, Some(hb)) <- hats.toSeq.sortBy(_._1) if a < b
+      } {
+        var s = 0.0; var i = 0
+        while (i < dim) { s += ha(i) * hb(i); i += 1 }
+        if (s >= minSim) {
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+      }
+      val expected = vecs.map { case (id, _) =>
+        val lbl = find(id)
+        (id, lbl, lbl == id)
+      }.toSet
+
+      val got = Similarity.semanticDedupExact(
+          vecs.toDF("vec_id", "embedding"), "vec_id", "embedding",
+          minSim = minSim)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      assert(got === expected, s"case $c: vecs=${vecs.map(_._2.toSeq)}")
+    }
+  }
+}
