@@ -213,6 +213,40 @@ object Similarity {
       .orderBy("id_a", "id_b")
   }
 
+  // ---- embedding storage: scalar int8 quantization ----
+
+  /** Per-vector scalar int8 quantization: each component maps to
+    * floor((x − min) · 255 / (max − min) + 0.5) ∈ [0, 255], stored with
+    * the vector's (min, max) for dequantization — 4× smaller than
+    * float32 at ≤ half-step reconstruction error per component, the
+    * standard storage form for billion-vector corpora. Pure map-side
+    * projection (zero shuffle). `floor(…+0.5)` instead of `round` on
+    * purpose: floor is exact in IEEE double on every engine, so the
+    * oracle can replay the exact quantization; a constant vector
+    * (max = min) quantizes to all-zero with its value carried in
+    * (min, max).
+    */
+  def quantizeInt8(df: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val v = asDouble(col(vecCol))
+    val mn = array_min(v)
+    val mx = array_max(v)
+    df.select(col(idCol),
+      when(mx > mn,
+        transform(v, x =>
+          floor((x - mn) * lit(255.0) / (mx - mn) + lit(0.5)).cast("int")))
+        .otherwise(transform(v, _ => lit(0))).as("q"),
+      mn.as("vmin"), mx.as("vmax"))
+  }
+
+  /** Inverse of [[quantizeInt8]]: x̂ = min + q · (max − min) / 255.
+    * Reconstruction error is ≤ (max − min)/510 per component. */
+  def dequantizeInt8(qCol: String, minCol: String,
+      maxCol: String): Column =
+    transform(col(qCol), q =>
+      col(minCol) +
+        q.cast("double") * (col(maxCol) - col(minCol)) / lit(255.0))
+
   // ---- semantic (embedding-space) near-duplicate DEDUP ----
 
   /** Unit-normalized projection shared by the semantic-dedup paths.

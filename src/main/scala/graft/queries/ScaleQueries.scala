@@ -133,6 +133,13 @@ object ScaleQueries {
       Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id",
         "embedding", maxId = 200, minSim = 0.4)),
 
+    // scalar int8 quantization of the embedding column — the 4× storage
+    // form for billion-vector corpora; floor(x+0.5) keeps the mapping
+    // exactly replayable cross-engine
+    "q74_quantize" -> ((s, dir) =>
+      Similarity.quantizeInt8(t(s, dir, "embeddings"), "vec_id",
+        "embedding").orderBy("vec_id")),
+
     // EXACT semantic dedup (embedding-space clusters): all-pairs cosine
     // edges ≥ 0.4 → connected components → cluster + rep per vector.
     // The audit form — the DuckDB twin replays every stage including
@@ -993,6 +1000,17 @@ object ScaleQueries {
                 CAST(coalesce(a.n_boiler, 0) AS BIGINT) AS n_boiler
          FROM documents d LEFT JOIN agg a USING (doc_id)
          ORDER BY doc_id""",
+    "q74_quantize" ->
+      """WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           m AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx
+                 FROM b)
+         SELECT vec_id,
+                CASE WHEN mx > mn
+                     THEN list_transform(v, x -> CAST(
+                       floor((x - mn) * 255.0 / (mx - mn) + 0.5) AS INTEGER))
+                     ELSE list_transform(v, x -> 0) END AS q,
+                mn AS vmin, mx AS vmax
+         FROM m ORDER BY vec_id""",
     "q73_semantic_dedup" ->
       """WITH RECURSIVE
            base AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),

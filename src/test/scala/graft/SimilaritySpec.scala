@@ -86,6 +86,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.forall(r => r.getDouble(2) >= 0.3))
   }
 
+  test("quantizeInt8 round-trip: half-step error bound, constant vectors exact") {
+    val df = Seq(
+      (1L, Array(-2.5f, 0.0f, 3.5f, 1.25f)),
+      (2L, Array(7.0f, 7.0f, 7.0f, 7.0f)),   // constant: mx == mn
+      (3L, Array(0.001f, -0.001f, 0.0005f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8(df, "vec_id", "embedding")
+    val back = q.select(col("vec_id"),
+      Similarity.dequantizeInt8("q", "vmin", "vmax").as("xhat"),
+      col("vmin"), col("vmax"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[Double](1), r.getDouble(2), r.getDouble(3)))).toMap
+    val orig = df.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    for ((id, (xhat, mn, mx)) <- back) {
+      val halfStep = (mx - mn) / 255.0 / 2.0 + 1e-12
+      orig(id).zip(xhat).foreach { case (x, xh) =>
+        assert(math.abs(x - xh) <= halfStep,
+          s"id=$id x=$x xhat=$xh bound=$halfStep")
+      }
+    }
+    // constant vector: quantizes to zeros, dequantizes exactly to vmin
+    assert(back(2L)._1.forall(_ === 7.0))
+    val qRow = q.filter(col("vec_id") === 2L)
+      .select("q").collect().head.getSeq[Int](0)
+    assert(qRow.forall(_ === 0))
+  }
+
   test("semanticDedupExact: planted clusters, transitivity, zero-norm singleton") {
     // A-chain: 0~1 and 1~2 are above 0.9 but 0~2 is below — connected
     // components must still merge all three (transitive closure).
