@@ -111,6 +111,35 @@ object TextAnalysis {
         .as("top_word_frac"))
   }
 
+  /** Lexical-diversity quality signals: Shannon entropy of the token
+    * distribution (low = repetitive/templated/spam — complements
+    * [[repetitionFeatures]], which only sees the single top word and
+    * adjacent bigrams) and type-token ratio (distinct/total). Pure
+    * map-side; the per-distinct-token count scan is
+    * O(distinct × tokens) per row like the top-word scan. The entropy
+    * fold runs in first-occurrence index order on both engines, and the
+    * 4-decimal round absorbs libm ulp differences.
+    */
+  def entropyFeatures(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val tk = TextOps.wsTokens(col(textCol))
+    val n = size(tk).cast("double")
+    val ent = aggregate(array_distinct(tk), lit(0.0),
+      (acc, t) => {
+        val p = size(filter(tk, x => x === t)).cast("double") / n
+        acc - p * log(p)
+      })
+    df.select(
+      col(idCol),
+      size(tk).cast("long").as("n_tokens"),
+      size(array_distinct(tk)).cast("long").as("n_types"),
+      round(when(size(tk) > 0,
+        size(array_distinct(tk)).cast("double") / n).otherwise(0.0), 4)
+        .as("type_token_ratio"),
+      round(when(size(tk) > 0, ent).otherwise(0.0), 4)
+        .as("token_entropy"))
+  }
+
   /** Token counts under three tokenizers: whitespace, alpha-runs (regex),
     * and a bytes/4 BPE-cost estimate. */
   def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -171,6 +171,12 @@ object ScaleQueries {
       TextAnalysis.repetitionFeatures(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // lexical diversity: token-distribution Shannon entropy + type-token
+    // ratio (low entropy = templated/spam)
+    "q75_entropy" -> ((s, dir) =>
+      TextAnalysis.entropyFeatures(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // token counting under three tokenizers
     "q34_tokens" -> ((s, dir) =>
       TextAnalysis.tokenCounts(t(s, dir, "documents"), "doc_id", "text")
@@ -1000,6 +1006,24 @@ object ScaleQueries {
                 CAST(coalesce(a.n_boiler, 0) AS BIGINT) AS n_boiler
          FROM documents d LEFT JOIN agg a USING (doc_id)
          ORDER BY doc_id""",
+    "q75_entropy" ->
+      """WITH tk AS (SELECT doc_id,
+                 list_filter(string_split(coalesce(text, ''), ' '),
+                             t -> length(t) > 0) AS tk
+           FROM documents)
+         SELECT doc_id,
+                CAST(len(tk) AS BIGINT) AS n_tokens,
+                CAST(len(list_distinct(tk)) AS BIGINT) AS n_types,
+                round(CASE WHEN len(tk) > 0
+                      THEN len(list_distinct(tk)) * 1.0 / len(tk)
+                      ELSE 0 END, 4) AS type_token_ratio,
+                round(CASE WHEN len(tk) > 0 THEN list_sum(
+                        list_transform(list_distinct(tk), t ->
+                          -(len(list_filter(tk, x -> x = t)) * 1.0 / len(tk))
+                           * ln(len(list_filter(tk, x -> x = t)) * 1.0
+                               / len(tk))))
+                      ELSE 0 END, 4) AS token_entropy
+         FROM tk ORDER BY doc_id""",
     "q74_quantize" ->
       """WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
            m AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx

@@ -114,6 +114,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(qRow.forall(_ === 0))
   }
 
+  test("cosine search over int8-dequantized vectors preserves top-k") {
+    val exact = Similarity.cosineTopK(emb, "vec_id", "embedding",
+      nQueries = 5, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val q = Similarity.quantizeInt8(emb, "vec_id", "embedding")
+    val deq = q.select(col("vec_id"),
+      Similarity.dequantizeInt8("q", "vmin", "vmax").as("embedding"))
+    val viaInt8 = Similarity.cosineTopK(deq, "vec_id", "embedding",
+      nQueries = 5, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    // int8 keeps ~2 decimal digits per component — on near-orthogonal
+    // synthetic vectors the induced sim perturbation is ~1e-2, so the
+    // top lists stay largely intact; the floor catches a broken
+    // quantizer, not borderline rank swaps
+    val overlap = exact.intersect(viaInt8).size.toDouble / exact.size
+    assert(overlap >= 0.8, s"overlap $overlap")
+  }
+
   test("semanticDedupExact: planted clusters, transitivity, zero-norm singleton") {
     // A-chain: 0~1 and 1~2 are above 0.9 but 0~2 is below — connected
     // components must still merge all three (transitive closure).

@@ -98,4 +98,23 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(fps(1L) !== fps(3L))
     assert(fps(1L).length === 16)
   }
+
+  test("entropyFeatures: exact values on hand-built docs") {
+    val df = Seq(
+      (1L, "a a a a"),          // one type: entropy 0, ttr 0.25
+      (2L, "a b c d"),          // uniform over 4: entropy ln(4), ttr 1
+      (3L, "a a b b"),          // uniform over 2: entropy ln(2)
+      (4L, ""))                 // empty: all zeros
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.entropyFeatures(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(out(1L) === ((4L, 1L, 0.25, 0.0)))
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    assert(math.abs(out(2L)._4 - r4(math.log(4.0))) < 1e-9)
+    assert(out(2L)._3 === 1.0)
+    assert(math.abs(out(3L)._4 - r4(math.log(2.0))) < 1e-9)
+    assert(out(4L) === ((0L, 0L, 0.0, 0.0)))
+  }
 }
