@@ -45,7 +45,9 @@ object Bench {
     "q70_lsh_buckets",
     "q71_boilerplate",
     "q72_shuffle",
-    "q73b_semantic_ivf")
+    "q73b_semantic_ivf",
+    "q74_quantize",
+    "q75_entropy")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -10,6 +10,10 @@ import org.apache.spark.sql.functions._
   *  1. quality gates (token count, alpha ratio, stopword ratio, allowed
   *     languages) evaluated in ONE projection over one scan;
   *  2. PII scrub ([[Redaction]]);
+  *  2b. OPTIONAL cross-document boilerplate scrub
+  *     ([[Dedup.boilerplateScrub]] — applied BEFORE dedup so shared
+  *     headers/footers don't drive the near-dup signatures; docs
+  *     reduced to empty are dropped);
   *  3. full-corpus near-dup dedup ([[Dedup.corpusDedup]] — cluster
   *     representatives survive);
   *  3b. OPTIONAL semantic dedup over an embeddings frame
@@ -55,10 +59,17 @@ object CorpusPipeline {
       // semantic (embedding-space) dedup stage — applied only when an
       // embeddings frame is passed to build/buildStaged
       semanticMinSim: Double = 0.9,
-      semanticLists: Int = 16)
+      semanticLists: Int = 16,
+      // >= 2: cross-document boilerplate scrub between the gates and
+      // lexical dedup (chunks in >= this many distinct docs removed
+      // from every doc) — stripping boilerplate FIRST keeps shared
+      // headers/footers from driving the near-dup signatures; 0 = off
+      boilerplateMinDocFreq: Int = 0,
+      boilerplateChunkTokens: Int = 20)
 
-  case class Report(input: Long, gated: Long, deduped: Long,
-      semantic: Long, clean: Long, sampled: Long, sequences: Long)
+  case class Report(input: Long, gated: Long, boiler: Long,
+      deduped: Long, semantic: Long, clean: Long, sampled: Long,
+      sequences: Long)
 
   // ---- the five stage transforms, shared by build and buildStaged ----
 
@@ -75,6 +86,19 @@ object CorpusPipeline {
         col("lang").isin(cfg.langs: _*))
       .select(col("doc_id"), col("lang"),
         Redaction.scrubCol(txt).as("text"))
+  }
+
+  /** Optional cross-document boilerplate scrub ([[Dedup.boilerplateScrub]])
+    * applied to the gated+scrubbed text. Documents whose text becomes
+    * EMPTY (pure boilerplate) are dropped — an empty doc is noise to
+    * every downstream stage. Keeps (doc_id, lang, text). */
+  private[graft] def boilerStage(gated: DataFrame, cfg: Config): DataFrame = {
+    val scrubbed = Dedup.boilerplateScrub(gated, "doc_id", "text",
+      chunkTokens = cfg.boilerplateChunkTokens,
+      minDocFreq = cfg.boilerplateMinDocFreq)
+    gated.select(col("doc_id"), col("lang"))
+      .join(scrubbed.filter(length(col("text")) > 0)
+        .select(col("doc_id"), col("text")), "doc_id")
   }
 
   private[graft] def dedupStage(gated: DataFrame, cfg: Config): DataFrame = {
@@ -149,7 +173,11 @@ object CorpusPipeline {
         df.sparkSession.table(tbl)
       }
     val gated = persistCorpus(gateStage(docs, cfg), "gated")
-    val deduped = persistCorpus(dedupStage(gated, cfg), "deduped")
+    val boiled =
+      if (cfg.boilerplateMinDocFreq >= 2)
+        persistCorpus(boilerStage(gated, cfg), "boiler")
+      else gated
+    val deduped = persistCorpus(dedupStage(boiled, cfg), "deduped")
     val semantic = embeddings match {
       case Some(emb) =>
         persistCorpus(semanticStage(deduped, emb, cfg), "semantic")
@@ -162,6 +190,7 @@ object CorpusPipeline {
     val report = Report(
       input = docs.count(),
       gated = gated.count(),
+      boiler = boiled.count(),
       deduped = deduped.count(),
       semantic = semantic.count(),
       clean = clean.count(),
@@ -250,7 +279,13 @@ object CorpusPipeline {
     }
 
     val (gated, nGated) = stage("01_gated")(gateStage(docs, cfg))
-    val (deduped, nDeduped) = stage("02_deduped")(dedupStage(gated, cfg))
+    // "01b"/"02b": optional stages keep the fixed stage names (and any
+    // staging dir written without them) stable in every mode
+    val (boiled, nBoiler) =
+      if (cfg.boilerplateMinDocFreq >= 2)
+        stage("01b_boiler")(boilerStage(gated, cfg))
+      else (gated, nGated)
+    val (deduped, nDeduped) = stage("02_deduped")(dedupStage(boiled, cfg))
     // "02b": the optional stage keeps the existing stage names (and any
     // staging dir written without it) stable in both modes
     val (semantic, nSemantic) = embeddings match {
@@ -264,6 +299,7 @@ object CorpusPipeline {
     val (sequences, nSeq) = stage("05_sequences")(chunkStage(sampled, cfg))
 
     (sequences,
-      Report(nInput, nGated, nDeduped, nSemantic, nClean, nSampled, nSeq))
+      Report(nInput, nGated, nBoiler, nDeduped, nSemantic, nClean,
+        nSampled, nSeq))
   }
 }

@@ -172,6 +172,41 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("different Config"))
   }
 
+  test("boilerplate stage scrubs shared chunks before dedup and drops emptied docs") {
+    // shared 40-token boilerplate block (2 chunks, and above the
+    // 30-token gate) prepended to docs 1-10; doc 30 is NOTHING BUT the
+    // block (must vanish); others untouched
+    val block = (0 until 40).map(j => tok(62, j)).mkString(" ")
+    val withBoiler = synDocs
+      .withColumn("text",
+        org.apache.spark.sql.functions.when($"doc_id" <= 10L,
+          org.apache.spark.sql.functions.concat_ws(" ",
+            org.apache.spark.sql.functions.lit(block), $"text"))
+          .when($"doc_id" === 30L,
+            org.apache.spark.sql.functions.lit(block))
+          .otherwise($"text"))
+    val cfg = CorpusPipeline.Config(totalTarget = 1000L,
+      boilerplateMinDocFreq = 2)
+    val (seqs, rep) = CorpusPipeline.build(withBoiler, synEval, cfg)
+    // doc 30 (pure boilerplate) is gone; its slot isn't in any stage after 01b
+    assert(rep.gated === 61L && rep.boiler === 60L, rep.toString)
+    assert(seqs.filter($"doc_id" === 30L).count() === 0L)
+    // docs 1-10 survive with the block scrubbed: their sequences must
+    // not contain any token of the block
+    val texts = seqs.filter($"doc_id" <= 10L)
+      .select("chunk").as[String].collect()
+    assert(texts.nonEmpty)
+    val blockToks = block.split(" ").toSet
+    assert(texts.forall(t => t.split(" ").forall(w => !blockToks.contains(w))))
+    // determinism with the stage on
+    val (seqs2, rep2) = CorpusPipeline.build(withBoiler, synEval, cfg)
+    assert(rep2 === rep)
+    assert(seqs2.orderBy("doc_id", "win_idx")
+      .as[(Long, Long, String, Long)].collect().toSeq ===
+      seqs.orderBy("doc_id", "win_idx")
+        .as[(Long, Long, String, Long)].collect().toSeq)
+  }
+
   test("build: contaminated documents cannot reach the output") {
     // make doc 60's text literally an eval-set passage so its 8-gram
     // overlap is total — the decontamination stage must drop it
