@@ -314,15 +314,18 @@ object Similarity {
     */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
       minSim: Double = 0.4, nLists: Int = 16,
-      seed: Long = 42L, smallCorpus: Int = 256): DataFrame = {
+      seed: Long = 42L, smallCorpus: Int = 256,
+      fitSampleMod: Int = 1): DataFrame = {
     import org.apache.spark.ml.functions.array_to_vector
     // the fit path needs k <= n; n > smallCorpus >= nLists guarantees it
     require(nLists <= smallCorpus,
       s"nLists ($nLists) must be <= smallCorpus ($smallCorpus)")
+    require(fitSampleMod >= 1, s"fitSampleMod must be >= 1, got $fitSampleMod")
     val base = unitVectors(df, idCol, vecCol)
-    // one pass over the slim (id, v̂) projection — the price of routing;
-    // the fit path would scan it 5+ times anyway
-    val n = base.count()
+    // routing probe: `limit(threshold+1).count()` stops scanning once
+    // threshold+1 rows exist — constant work at any corpus size, where
+    // a full count() would be an extra corpus pass
+    val n = base.limit(smallCorpus + 1).count()
     val assigned = (if (n <= smallCorpus)
       // tiny corpus (e.g. the survivor set of an upstream lexical
       // dedup): a quantizer is pointless — one cell makes the
@@ -341,7 +344,17 @@ object Similarity {
         .setK(nLists).setSeed(seed).setMaxIter(5).setInitMode("random")
         .setFeaturesCol("__feat").setPredictionCol("cell")
       val withFeat = base.withColumn("__feat", array_to_vector(col("vhat")))
-      val model = km.fit(withFeat)
+      // at corpus scale the quantizer never needs every vector: with
+      // fitSampleMod = m > 1 the fit runs on the deterministic ~1/m
+      // hash slice (content-keyed, so reruns fit on the SAME slice) and
+      // only the cell ASSIGNMENT touches the full corpus. Cells are a
+      // partitioning heuristic — a sampled fit moves cell boundaries,
+      // not the correctness of any reported pair.
+      val fitInput =
+        if (fitSampleMod == 1) withFeat
+        else withFeat.filter(
+          pmod(xxhash64(col("id")), lit(fitSampleMod.toLong)) === 0L)
+      val model = km.fit(fitInput)
       model.transform(withFeat).select(col("id"), col("vhat"), col("cell"))
     })
       // the cell self-join reads this twice; one evaluation, not two

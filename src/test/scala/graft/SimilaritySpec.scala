@@ -182,5 +182,16 @@ class SimilaritySpec extends AnyFunSuite {
       assert(ivf(i) === ivf(i + 100000L),
         s"planted duplicate pair ($i, ${i + 100000L}) not linked")
     }
+    // hash-sampled quantizer fit (the 100 TB path): moved cell
+    // boundaries still refine exact and still recover identical pairs
+    val sampled = Similarity.semanticDedup(df, "vec_id", "embedding",
+      minSim = 0.4, nLists = 16, fitSampleMod = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sampled.groupBy(_._2).values.foreach { members =>
+      assert(members.keys.map(exact).toSet.size === 1)
+    }
+    (0L until 10L).foreach { i =>
+      assert(sampled(i) === sampled(i + 100000L))
+    }
   }
 }
