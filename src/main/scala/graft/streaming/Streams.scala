@@ -163,8 +163,12 @@ object Streams {
     *
     * Gated+flagged candidates land under `candBase/run_ts=batch_NNNNNN`
     * and the signature state under `stateBase/...`; both OVERWRITE
-    * their own version so failure replays are idempotent. Candidates
-    * are deliberately NOT filtered to representatives at write time: a
+    * their own version so failure replays are idempotent. A document id
+    * ALREADY in the state is dropped from later batches (first write
+    * wins) — the incremental fold requires disjoint id spaces, and a
+    * dirty upstream re-sending a doc must not turn it into two state
+    * vertices and duplicated candidate rows. Candidates are
+    * deliberately NOT filtered to representatives at write time: a
     * later batch can MERGE two existing clusters (the old-old merge),
     * retroactively demoting the higher-id representative — acceptance
     * is only final against the latest state, which is what
@@ -181,31 +185,43 @@ object Streams {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         val spark = batch.sparkSession
         val ver = f"batch_$id%06d"
-        // read twice below (candidate write + signature fold): one
-        // evaluation of the gate+scrub projection, not two
-        val gated = graft.ops.CorpusPipeline.gateStage(batch.toDF(), cfg)
-          .localCheckpoint()
-        val flags = graft.ops.Contamination.ngramOverlap(gated, evalSet,
+        // only versions strictly BEFORE this batch id count as existing
+        // corpus: a replay must not read its own partial output as state
+        val prior = scala.util.Try(
+            graft.sources.Sinks.runVersions(spark, stateBase))
+          .getOrElse(Seq.empty).filter(_ < ver)
+        val priorState = prior.lastOption.map(v =>
+          spark.read.parquet(s"$stateBase/run_ts=$v"))
+        val gatedAll = graft.ops.CorpusPipeline.gateStage(batch.toDF(), cfg)
+        // first write wins: ids already in the state (a dirty upstream
+        // re-sending a doc) are dropped — the incremental fold requires
+        // disjoint id spaces
+        val fresh = (priorState match {
+          case Some(st) => gatedAll.join(
+            st.select(col("id").cast("long").as("doc_id")),
+            Seq("doc_id"), "left_anti")
+          case None => gatedAll
+          // read twice below (candidate write + signature fold): one
+          // evaluation of the gate+scrub+anti-join, not two
+        }).localCheckpoint()
+        val flags = graft.ops.Contamination.ngramOverlap(fresh, evalSet,
             "doc_id", "text",
             n = cfg.contaminationNgram,
             threshold = cfg.contaminationThreshold)
           .select(col("doc_id"), col("contaminated"))
-        val cand = gated.join(flags, Seq("doc_id"), "left")
+        val cand = fresh.join(flags, Seq("doc_id"), "left")
           .withColumn("contaminated",
             coalesce(col("contaminated"), lit(false)))
         cand.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
           .parquet(s"$candBase/run_ts=$ver")
-        val prior = scala.util.Try(
-            graft.sources.Sinks.runVersions(spark, stateBase))
-          .getOrElse(Seq.empty).filter(_ < ver)
-        val next =
-          if (prior.isEmpty)
-            graft.ops.Dedup.corpusSigState(gated, "doc_id", "text",
+        val next = priorState match {
+          case None =>
+            graft.ops.Dedup.corpusSigState(fresh, "doc_id", "text",
               k, bands, cfg.minJaccard)
-          else
-            graft.ops.Dedup.corpusDedupIncremental(
-              spark.read.parquet(s"$stateBase/run_ts=${prior.max}"),
-              gated, "doc_id", "text", k, bands, cfg.minJaccard)
+          case Some(st) =>
+            graft.ops.Dedup.corpusDedupIncremental(st,
+              fresh, "doc_id", "text", k, bands, cfg.minJaccard)
+        }
         next.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
           .parquet(s"$stateBase/run_ts=$ver")
       }

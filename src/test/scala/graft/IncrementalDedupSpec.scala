@@ -109,6 +109,41 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("ingestAvailableNow: re-ingested ids are dropped (first write wins)") {
+    val full = graft.sources.Tables(spark, dir, "documents")
+      .select("doc_id", "lang", "text").filter($"doc_id" >= 50)
+    val evalSet = graft.sources.Tables(spark, dir, "documents")
+      .filter($"doc_id" < 50).select("doc_id", "text")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_reingest").toString
+    // batch 2 REPLAYS the same documents as batch 1 (dirty upstream)
+    full.coalesce(1).write.parquet(s"$base/in/p0")
+    full.coalesce(1).write.parquet(s"$base/in/p1")
+    val stream = spark.readStream.schema(full.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$base/in/p*")
+    val q = graft.streaming.Streams.ingestAvailableNow(stream, evalSet,
+      s"$base/state", s"$base/cand", s"$base/ckpt")
+    q.awaitTermination(300000)
+
+    // state covers each id exactly once; corpus equals the batch result
+    val latest = graft.sources.Sinks
+      .runVersions(spark, s"$base/state").max
+    val state = spark.read.parquet(s"$base/state/run_ts=$latest")
+    assert(state.count() === state.select("id").distinct().count())
+    val cfg = graft.ops.CorpusPipeline.Config()
+    val expected = graft.ops.CorpusPipeline.cleanStage(
+        graft.ops.CorpusPipeline.dedupStage(
+          graft.ops.CorpusPipeline.gateStage(full, cfg), cfg),
+        evalSet, cfg)
+      .select("doc_id", "lang", "text").orderBy("doc_id")
+      .as[(Long, String, String)].collect().toSeq
+    val got = graft.streaming.Streams.ingestedCorpus(spark,
+        s"$base/state", s"$base/cand")
+      .orderBy("doc_id").as[(Long, String, String)].collect().toSeq
+    assert(got === expected)
+  }
+
   test("AvailableNow stream folds file batches into persisted state") {
     val base = java.nio.file.Files
       .createTempDirectory("graft_incr").toString
