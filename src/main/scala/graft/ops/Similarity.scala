@@ -265,6 +265,40 @@ object Similarity {
       .select(col("id"), transform(col("v"), x => x / col("nrm")).as("vhat"))
   }
 
+  /** Shared k-means cell assignment over unit vectors: (id, vhat,
+    * cell). Tiny corpora get one cell (a quantizer is pointless there,
+    * and k-means with k near n is exactly where Spark ML's block
+    * trainer breaks on duplicate/short center sets — the routing probe
+    * is `limit(threshold+1).count()`, constant work at any corpus
+    * size). The fit path uses random init + few iterations: cells are
+    * a partitioning heuristic, not a result, and random init keeps the
+    * center COUNT at k even when duplicate vectors get sampled
+    * (k-means|| dedups centers and a short center set crashes the
+    * aggregator on heavily-duplicated corpora). With fitSampleMod =
+    * m > 1 the fit trains on the deterministic ~1/m xxhash64 slice
+    * (content-keyed, so reruns fit the SAME slice) while assignment
+    * still covers every vector — at corpus scale the quantizer never
+    * needs the full corpus. */
+  private def cellAssign(base: DataFrame, nLists: Int, seed: Long,
+      smallCorpus: Int, fitSampleMod: Int): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val n = base.limit(smallCorpus + 1).count()
+    if (n <= smallCorpus)
+      base.select(col("id"), col("vhat"), lit(0).as("cell"))
+    else {
+      val km = new org.apache.spark.ml.clustering.KMeans()
+        .setK(nLists).setSeed(seed).setMaxIter(5).setInitMode("random")
+        .setFeaturesCol("__feat").setPredictionCol("cell")
+      val withFeat = base.withColumn("__feat", array_to_vector(col("vhat")))
+      val fitInput =
+        if (fitSampleMod == 1) withFeat
+        else withFeat.filter(
+          pmod(xxhash64(col("id")), lit(fitSampleMod.toLong)) === 0L)
+      val model = km.fit(fitInput)
+      model.transform(withFeat).select(col("id"), col("vhat"), col("cell"))
+    }
+  }
+
   /** Shared tail: threshold pairs → connected components → one row per
     * input id with (cluster_id = component min id, is_rep). */
   private def ccAssignment(df: DataFrame, idCol: String,
@@ -316,49 +350,15 @@ object Similarity {
       minSim: Double = 0.4, nLists: Int = 16,
       seed: Long = 42L, smallCorpus: Int = 256,
       fitSampleMod: Int = 1): DataFrame = {
-    import org.apache.spark.ml.functions.array_to_vector
     // the fit path needs k <= n; n > smallCorpus >= nLists guarantees it
     require(nLists <= smallCorpus,
       s"nLists ($nLists) must be <= smallCorpus ($smallCorpus)")
     require(fitSampleMod >= 1, s"fitSampleMod must be >= 1, got $fitSampleMod")
     val base = unitVectors(df, idCol, vecCol)
-    // routing probe: `limit(threshold+1).count()` stops scanning once
-    // threshold+1 rows exist — constant work at any corpus size, where
-    // a full count() would be an extra corpus pass
-    val n = base.limit(smallCorpus + 1).count()
-    val assigned = (if (n <= smallCorpus)
-      // tiny corpus (e.g. the survivor set of an upstream lexical
-      // dedup): a quantizer is pointless — one cell makes the
-      // within-cell join EXACT at <= smallCorpus²/2 pairs, and k-means
-      // with k near (or above) n is exactly where Spark ML's block
-      // trainer breaks on duplicate/short center sets
-      base.select(col("id"), col("vhat"), lit(0).as("cell"))
-    else {
-      // cells are a partitioning heuristic, not a result: random init +
-      // few iterations gives the same split-never-merge/recall contract
-      // (spec-pinned) at a third of the fit's job count — and random
-      // init keeps the center COUNT at k even when duplicate vectors
-      // get sampled (k-means|| dedups centers, and a short center set
-      // crashes the aggregator on heavily-duplicated corpora)
-      val km = new org.apache.spark.ml.clustering.KMeans()
-        .setK(nLists).setSeed(seed).setMaxIter(5).setInitMode("random")
-        .setFeaturesCol("__feat").setPredictionCol("cell")
-      val withFeat = base.withColumn("__feat", array_to_vector(col("vhat")))
-      // at corpus scale the quantizer never needs every vector: with
-      // fitSampleMod = m > 1 the fit runs on the deterministic ~1/m
-      // hash slice (content-keyed, so reruns fit on the SAME slice) and
-      // only the cell ASSIGNMENT touches the full corpus. Cells are a
-      // partitioning heuristic — a sampled fit moves cell boundaries,
-      // not the correctness of any reported pair.
-      val fitInput =
-        if (fitSampleMod == 1) withFeat
-        else withFeat.filter(
-          pmod(xxhash64(col("id")), lit(fitSampleMod.toLong)) === 0L)
-      val model = km.fit(fitInput)
-      model.transform(withFeat).select(col("id"), col("vhat"), col("cell"))
-    })
-      // the cell self-join reads this twice; one evaluation, not two
-      .localCheckpoint()
+    val assigned =
+      cellAssign(base, nLists, seed, smallCorpus, fitSampleMod)
+        // the cell self-join reads this twice; one evaluation, not two
+        .localCheckpoint()
     val a = assigned.select(col("cell"), col("id").as("id_a"),
       col("vhat").as("va"))
     val b = assigned.select(col("cell"), col("id").as("id_b"),
@@ -367,5 +367,32 @@ object Similarity {
       .filter(dot(col("va"), col("vb")) >= minSim)
       .select("id_a", "id_b")
     ccAssignment(df, idCol, pairs)
+  }
+
+  /** Cluster-balanced (diversity-aware) sampling: partition the
+    * embedding space into k-means cells and draw a temperature-scaled
+    * quota from EACH cell ([[graft.ops.Mixing.temperatureSample]],
+    * quotas ∝ √|cell|) — a sample that flattens embedding-space
+    * imbalance instead of mirroring it, so dense regions (near-dup
+    * heavy, topically redundant) stop dominating the selection. Returns
+    * (idCol, cell) for exactly `totalTarget` selected vectors, chosen
+    * deterministically in md5 hash order within each cell. Zero-norm
+    * vectors carry no direction and are excluded from the cell space.
+    *
+    * Scale shape: one cell assignment pass (sampled quantizer fit via
+    * `fitSampleMod` like [[semanticDedup]]), one G-row quota frame, one
+    * per-cell window — no corpus-×-corpus stage anywhere.
+    */
+  def clusterBalancedSample(df: DataFrame, idCol: String, vecCol: String,
+      totalTarget: Long, nLists: Int = 16, seed: Long = 42L,
+      smallCorpus: Int = 256, fitSampleMod: Int = 1): DataFrame = {
+    require(nLists <= smallCorpus,
+      s"nLists ($nLists) must be <= smallCorpus ($smallCorpus)")
+    require(fitSampleMod >= 1, s"fitSampleMod must be >= 1, got $fitSampleMod")
+    val base = unitVectors(df, idCol, vecCol)
+    val cells = cellAssign(base, nLists, seed, smallCorpus, fitSampleMod)
+      .select("id", "cell")
+    Mixing.temperatureSample(cells, "cell", "id", "id", totalTarget)
+      .select(col("id").as(idCol), col("cell"))
   }
 }

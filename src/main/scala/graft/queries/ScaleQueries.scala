@@ -140,6 +140,15 @@ object ScaleQueries {
       Similarity.quantizeInt8(t(s, dir, "embeddings"), "vec_id",
         "embedding").orderBy("vec_id")),
 
+    // cluster-balanced (diversity-aware) sampling: temperature quotas
+    // per k-means cell flatten embedding-space imbalance. Rows-only
+    // (kmeans cells are seed/optimizer-specific); SimilaritySpec pins
+    // exact total, subset, determinism.
+    "q76_cluster_sample" -> ((s, dir) =>
+      Similarity.clusterBalancedSample(t(s, dir, "embeddings"), "vec_id",
+        "embedding", totalTarget = 200L, nLists = 16)
+        .orderBy("vec_id")),
+
     // EXACT semantic dedup (embedding-space clusters): all-pairs cosine
     // edges ≥ 0.4 → connected components → cluster + rep per vector.
     // The audit form — the DuckDB twin replays every stage including

@@ -132,6 +132,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(overlap >= 0.8, s"overlap $overlap")
   }
 
+  test("clusterBalancedSample: exact total, subset, deterministic") {
+    val out = Similarity.clusterBalancedSample(emb, "vec_id", "embedding",
+      totalTarget = 100L, nLists = 16).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(out.length === 100)
+    assert(out.map(_._1).distinct.length === 100)
+    val corpusIds = emb.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(out.forall(r => corpusIds.contains(r._1)))
+    assert(out.map(_._2).distinct.length > 1, "expected several cells")
+    val again = Similarity.clusterBalancedSample(emb, "vec_id", "embedding",
+      totalTarget = 100L, nLists = 16).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(out.toSeq.sorted === again.toSeq.sorted)
+  }
+
   test("semanticDedupExact: planted clusters, transitivity, zero-norm singleton") {
     // A-chain: 0~1 and 1~2 are above 0.9 but 0~2 is below — connected
     // components must still merge all three (transitive closure).
