@@ -257,7 +257,8 @@ object Similarity {
     val dt = df.schema(idCol).dataType
     require(Seq("tinyint", "smallint", "int", "bigint")
         .contains(dt.simpleString),
-      s"semanticDedup needs integral ids; '$idCol' is ${dt.simpleString}")
+      s"semantic embedding ops need integral ids; '$idCol' is " +
+        dt.simpleString)
     df.select(col(idCol).cast("long").as("id"),
         asDouble(col(vecCol)).as("v"))
       .withColumn("nrm", norm(col("v")))
@@ -292,8 +293,21 @@ object Similarity {
       val withFeat = base.withColumn("__feat", array_to_vector(col("vhat")))
       val fitInput =
         if (fitSampleMod == 1) withFeat
-        else withFeat.filter(
-          pmod(xxhash64(col("id")), lit(fitSampleMod.toLong)) === 0L)
+        else {
+          val slice = withFeat.filter(
+            pmod(xxhash64(col("id")), lit(fitSampleMod.toLong)) === 0L)
+          // a too-aggressive mod can starve the fit below k vectors,
+          // which is the k>n crash again — fall back loudly, never cap
+          // silently (same constant-work limit probe as the routing)
+          if (slice.limit(nLists + 1).count() > nLists) slice
+          else {
+            System.err.println(
+              s"[graft] cellAssign: fitSampleMod=$fitSampleMod leaves " +
+                s"<= $nLists vectors in the fit slice — falling back " +
+                "to a full-corpus fit; lower fitSampleMod")
+            withFeat
+          }
+        }
       val model = km.fit(fitInput)
       model.transform(withFeat).select(col("id"), col("vhat"), col("cell"))
     }
