@@ -48,7 +48,8 @@ object Bench {
     "q73b_semantic_ivf",
     "q74_quantize",
     "q75_entropy",
-    "q76_cluster_sample")
+    "q76_cluster_sample",
+    "q77_novelty")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -140,6 +140,45 @@ object TextAnalysis {
         .as("token_entropy"))
   }
 
+  /** N-gram NOVELTY — the corpus-diversity metric: for each document,
+    * the fraction of its distinct token n-grams that occur in NO other
+    * document. Low novelty = the doc is assembled from corpus-common
+    * passages (templates, near-copies the dedup threshold let through);
+    * the corpus-level mean tracks how much unique signal a dataset
+    * actually adds. Shingling/hashing reuses the decontamination
+    * machinery ([[Contamination.shingles]], md5Hash60 audit family — so
+    * the whole metric is cross-engine checkable).
+    *
+    * Scale: shingles are map-side + per-doc distinct; document
+    * frequency is one window count over the shingle hash (the shingle
+    * frame is evaluated ONCE — no agg-plus-join double evaluation);
+    * per-doc stats are one aggregate on doc id. Same two-shuffle shape
+    * as [[graft.ops.Dedup.boilerplateScrub]].
+    *
+    * Returns (idCol, n_shingles, n_novel, novelty) for every input doc;
+    * docs too short to shingle carry zeros.
+    */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = Contamination.shingles(df, idCol, textCol, n)
+    // shingles() is distinct per (doc, hash), so document frequency is
+    // a plain count over the hash partition
+    val marked = sh.withColumn("__df",
+      count(lit(1)).over(Window.partitionBy("h")))
+    val stats = marked.groupBy(idCol).agg(
+      count(lit(1)).as("n_shingles"),
+      sum(when(col("__df") === 1, 1L).otherwise(0L)).as("n_novel"))
+    df.select(col(idCol))
+      .join(stats, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        round(coalesce(col("n_novel"), lit(0L)).cast("double") /
+          greatest(coalesce(col("n_shingles"), lit(0L)), lit(1L)), 4)
+          .as("novelty"))
+  }
+
   /** Token counts under three tokenizers: whitespace, alpha-runs (regex),
     * and a bytes/4 BPE-cost estimate. */
   def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame = {

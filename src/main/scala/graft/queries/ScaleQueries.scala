@@ -186,6 +186,12 @@ object ScaleQueries {
       TextAnalysis.entropyFeatures(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // corpus diversity: fraction of each doc's distinct 8-gram shingles
+    // occurring in NO other document (audit-family hashes, q59 machinery)
+    "q77_novelty" -> ((s, dir) =>
+      TextAnalysis.ngramNovelty(t(s, dir, "documents"), "doc_id", "text",
+        n = 8).orderBy("doc_id")),
+
     // token counting under three tokenizers
     "q34_tokens" -> ((s, dir) =>
       TextAnalysis.tokenCounts(t(s, dir, "documents"), "doc_id", "text")
@@ -1014,6 +1020,31 @@ object ScaleQueries {
                 CAST(coalesce(a.n_chunks, 0) AS BIGINT) AS n_chunks,
                 CAST(coalesce(a.n_boiler, 0) AS BIGINT) AS n_boiler
          FROM documents d LEFT JOIN agg a USING (doc_id)
+         ORDER BY doc_id""",
+    "q77_novelty" ->
+      """WITH tk AS (SELECT doc_id,
+                 list_filter(string_split(coalesce(text, ''), ' '),
+                             t -> length(t) > 0) AS tk
+           FROM documents),
+           sh AS (SELECT DISTINCT doc_id,
+                 CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS h
+             FROM (SELECT doc_id,
+                      unnest(CASE WHEN len(tk) >= 8
+                        THEN list_transform(range(1, len(tk) - 6),
+                               i -> array_to_string(list_slice(tk, i, i + 7), ' '))
+                        ELSE [] END) AS g
+                   FROM tk)),
+           f AS (SELECT h, count(*) AS df FROM sh GROUP BY h),
+           st AS (SELECT s.doc_id, count(*) AS n_shingles,
+                 sum(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS n_novel
+             FROM sh s JOIN f USING (h) GROUP BY s.doc_id)
+         SELECT d.doc_id,
+                CAST(coalesce(st.n_shingles, 0) AS BIGINT) AS n_shingles,
+                CAST(coalesce(st.n_novel, 0) AS BIGINT) AS n_novel,
+                round(coalesce(st.n_novel, 0) * 1.0
+                      / greatest(coalesce(st.n_shingles, 0), 1), 4)
+                  AS novelty
+         FROM documents d LEFT JOIN st USING (doc_id)
          ORDER BY doc_id""",
     "q75_entropy" ->
       """WITH tk AS (SELECT doc_id,

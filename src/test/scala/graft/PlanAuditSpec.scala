@@ -117,6 +117,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("rangepartitioning"), p.take(2000))
   }
 
+  test("q77 novelty evaluates the shingle frame exactly once") {
+    val p = graft.queries.ScaleQueries.queries("q77_novelty")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // document frequency is a window over the shingle hash — an
+    // agg+join formulation would re-evaluate the shingle explode and
+    // make this 3 scans instead of 2 (shingle subtree + id spine)
+    val scans = "documents\\.parquet".r.findAllIn(p).length
+    assert(scans === 2, s"expected 2 documents scans, found $scans")
+  }
+
   test("q73b clustered semantic dedup joins cells by equi-join, not cross") {
     val p = graft.queries.ScaleQueries.queries("q73b_semantic_ivf")(spark, dir)
       .queryExecution.executedPlan.toString

@@ -99,6 +99,23 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(fps(1L).length === 16)
   }
 
+  test("ngramNovelty: shared vs unique shingles, short docs zero") {
+    // n=3. Doc 1 and 2 share their first 3-gram exactly; the rest of
+    // each doc is unique. Doc 3 is too short to shingle.
+    val df = Seq(
+      (1L, "s1 s2 s3 u1 u2"),   // grams: [s1 s2 s3][s2 s3 u1][s3 u1 u2]
+      (2L, "s1 s2 s3 v1 v2"),
+      (3L, "x1 x2"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.ngramNovelty(df, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // each of docs 1-2: 3 shingles, 1 shared ("s1 s2 s3") → 2 novel
+    assert(out(1L) === ((3L, 2L, 0.6667)))
+    assert(out(2L) === ((3L, 2L, 0.6667)))
+    assert(out(3L) === ((0L, 0L, 0.0)))
+  }
+
   test("entropyFeatures: exact values on hand-built docs") {
     val df = Seq(
       (1L, "a a a a"),          // one type: entropy 0, ttr 0.25
