@@ -161,6 +161,13 @@ object Streams {
     *     ([[graft.ops.Dedup.corpusDedupIncremental]] — never re-reads
     *     existing corpus text).
     *
+    * Deliberately ABSENT: the cross-document boilerplate scrub
+    * ([[graft.ops.Dedup.boilerplateScrub]]) — chunk document-frequency
+    * is a corpus-global statistic, and evaluating it per micro-batch
+    * would silently under-count (a chunk's carriers split across
+    * batches never reach the bar). Run it as a periodic batch pass over
+    * the accepted corpus instead.
+    *
     * Gated+flagged candidates land under `candBase/run_ts=batch_NNNNNN`
     * and the signature state under `stateBase/...`; both OVERWRITE
     * their own version so failure replays are idempotent. A document id

@@ -207,6 +207,37 @@ class CorpusPipelineSpec extends AnyFunSuite {
         .as[(Long, Long, String, Long)].collect().toSeq)
   }
 
+  test("both optional stages compose: boiler drops feed the semantic join") {
+    val block = (0 until 40).map(j => tok(62, j)).mkString(" ")
+    val withBoiler = synDocs
+      .withColumn("text",
+        org.apache.spark.sql.functions.when($"doc_id" <= 10L,
+          org.apache.spark.sql.functions.concat_ws(" ",
+            org.apache.spark.sql.functions.lit(block), $"text"))
+          .when($"doc_id" === 30L,
+            org.apache.spark.sql.functions.lit(block))
+          .otherwise($"text"))
+    val cfg = CorpusPipeline.Config(totalTarget = 1000L,
+      semanticMinSim = 0.9, boilerplateMinDocFreq = 2)
+    val (seqs, rep) = CorpusPipeline.build(withBoiler, synEval,
+      cfg, Some(synEmb))
+    // boiler stage removes pure-boilerplate doc 30; semantic stage then
+    // collapses the planted embedding pair {60, 9001} among survivors
+    assert(rep.gated === 61L && rep.boiler === 60L &&
+      rep.semantic === 59L, rep.toString)
+    assert(seqs.filter($"doc_id" === 30L).count() === 0L)
+    assert(seqs.filter($"doc_id" === 9001L).count() === 0L)
+    assert(seqs.filter($"doc_id" === 60L).count() > 0)
+    // deterministic with both stages on
+    val (seqs2, rep2) = CorpusPipeline.build(withBoiler, synEval,
+      cfg, Some(synEmb))
+    assert(rep2 === rep)
+    assert(seqs2.orderBy("doc_id", "win_idx")
+      .as[(Long, Long, String, Long)].collect().toSeq ===
+      seqs.orderBy("doc_id", "win_idx")
+        .as[(Long, Long, String, Long)].collect().toSeq)
+  }
+
   test("build: contaminated documents cannot reach the output") {
     // make doc 60's text literally an eval-set passage so its 8-gram
     // overlap is total — the decontamination stage must drop it
