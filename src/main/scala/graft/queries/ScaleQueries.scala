@@ -135,10 +135,19 @@ object ScaleQueries {
 
     // scalar int8 quantization of the embedding column — the 4× storage
     // form for billion-vector corpora; floor(x+0.5) keeps the mapping
-    // exactly replayable cross-engine
+    // exactly replayable cross-engine. The oracle surface serializes the
+    // code array to a comma string (the driver's compare sorts/hashes
+    // every column, and array cells aren't hashable there); the operator
+    // itself returns the real array<int>.
     "q74_quantize" -> ((s, dir) =>
       Similarity.quantizeInt8(t(s, dir, "embeddings"), "vec_id",
-        "embedding").orderBy("vec_id")),
+        "embedding")
+        .select(col("vec_id"),
+          concat_ws(",", transform(col("q"), _.cast("string")))
+            .as("q_str"),
+          round(col("vmin"), 4).as("vmin"),
+          round(col("vmax"), 4).as("vmax"))
+        .orderBy("vec_id")),
 
     // cluster-balanced (diversity-aware) sampling: temperature quotas
     // per k-means cell flatten embedding-space imbalance. Rows-only
@@ -1069,11 +1078,11 @@ object ScaleQueries {
            m AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx
                  FROM b)
          SELECT vec_id,
-                CASE WHEN mx > mn
+                array_to_string(CASE WHEN mx > mn
                      THEN list_transform(v, x -> CAST(
                        floor((x - mn) * 255.0 / (mx - mn) + 0.5) AS INTEGER))
-                     ELSE list_transform(v, x -> 0) END AS q,
-                mn AS vmin, mx AS vmax
+                     ELSE list_transform(v, x -> 0) END, ',') AS q_str,
+                round(mn, 4) AS vmin, round(mx, 4) AS vmax
          FROM m ORDER BY vec_id""",
     "q73_semantic_dedup" ->
       """WITH RECURSIVE
