@@ -49,7 +49,10 @@ object Bench {
     "q74_quantize",
     "q75_entropy",
     "q76_cluster_sample",
-    "q77_novelty")
+    "q77_novelty",
+    "q78_unigram_ppl",
+    "q79_keywords",
+    "q80_containment")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -832,4 +832,40 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jac"))
       .orderBy(desc("jac"), asc("id_a"), asc("id_b"))
   }
+
+  /** Asymmetric n-gram CONTAINMENT pairs (Broder 1997's containment,
+    * c(A→B) = |S(A) ∩ S(B)| / |S(A)|): catches SUBSET duplication — a
+    * document wholly embedded in a larger one — which symmetric
+    * Jaccard under-scores exactly when the size gap is big (a doc
+    * fully quoted inside one 10× its size has Jaccard ≤ 0.1 but
+    * containment 1.0). The directed pair (a → b) reads "this fraction
+    * of a's n-grams also appear in b"; dedup policy usually drops the
+    * contained side.
+    *
+    * Exact pairwise comparison is quadratic, so like
+    * [[ngramJaccardTopPairs]] this is the bounded-slice AUDIT form
+    * (shingle basis: [[graft.ops.Contamination.shingles]], md5 audit
+    * family — every stage DuckDB-checkable). The corpus-scale screen
+    * for containment candidates is [[minHashPairs]] over chunk grain
+    * ([[chunkDedup]]'s shingling makes embedded copies collide).
+    *
+    * Returns directed (id_a, id_b, n_a, inter, containment) for pairs
+    * with containment ≥ `minContainment`.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, maxId: Long = 150, minContainment: Double = 0.8): DataFrame = {
+    val sh = Contamination.shingles(
+      df.filter(col(idCol) < maxId), idCol, textCol, n)
+    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("n_a"))
+    val sa = sh.select(col(idCol).as("id_a"), col("h"))
+    val sb = sh.select(col(idCol).as("id_b"), col("h"))
+    sa.join(sb, "h").filter(col("id_a") =!= col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col(idCol).as("id_a"), col("n_a")), "id_a")
+      .withColumn("containment",
+        col("inter").cast("double") / col("n_a"))
+      .filter(col("containment") >= minContainment)
+      .select(col("id_a"), col("id_b"), col("n_a"), col("inter"),
+        round(col("containment"), 4).as("containment"))
+  }
 }

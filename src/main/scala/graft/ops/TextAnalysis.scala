@@ -179,6 +179,79 @@ object TextAnalysis {
           .as("novelty"))
   }
 
+  /** Unigram language-model quality score — the perplexity-filter
+    * shape (CCNet/Wenzek 2020) with the corpus itself as the model:
+    * fit a unigram distribution from corpus token counts, then score
+    * every document by its mean negative log-likelihood and perplexity
+    * under it. Documents whose token mix is atypical for the corpus
+    * (spam, templated junk, wrong-language remnants) score high;
+    * mid-corpus prose scores low — threshold on `ppl` as a gate.
+    *
+    * Scale: token counting is one map-side-combined shuffle on the
+    * token; scoring re-explodes each document's occurrences and joins
+    * them to the count frame — vocabulary-sized, so AQE broadcasts it
+    * when it fits and shuffles both sides when it doesn't — then one
+    * aggregate on the doc id. No window, no driver-side state; the
+    * grand-total frame is a broadcast single row.
+    *
+    * Returns (idCol, n_tokens, avg_nll, ppl); token-less docs carry
+    * (0, 0.0, 1.0).
+    */
+  def unigramScore(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(TextOps.wsTokens(col(textCol))).as("tok"))
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("__tc"))
+    val total = counts.agg(sum("__tc").as("__tot"))
+    val scored = toks.join(counts, "tok")
+      .crossJoin(broadcast(total))
+      .select(col(idCol),
+        (-log(col("__tc").cast("double") / col("__tot"))).as("__nll"))
+      .groupBy(idCol).agg(
+        count(lit(1)).as("n_tokens"),
+        avg("__nll").as("__avg"))
+    df.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        round(coalesce(col("__avg"), lit(0.0)), 4).as("avg_nll"),
+        round(exp(coalesce(col("__avg"), lit(0.0))), 4).as("ppl"))
+  }
+
+  /** Top-k TF-IDF keywords per document — the per-doc summarization /
+    * topic-indexing primitive (and the exact-arithmetic sibling of the
+    * ML-side TF-IDF in [[graft.ml.ThemePipeline]], which feeds LDA).
+    * score(d, t) = tf(d, t) · ln(N / df(t)); ties break on the token
+    * string so ranks are total and reruns byte-identical.
+    *
+    * Scale: term frequency is one shuffle on (doc, token); document
+    * frequency aggregates THAT frame (no second corpus scan); the
+    * doc-count frame is a broadcast single row; ranking is a window
+    * partitioned by doc — parallel across docs, never a global sort.
+    *
+    * Returns (idCol, rank, keyword, score), k rows per scoreable doc.
+    */
+  def tfIdfKeywords(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = df.select(col(idCol),
+        explode(TextOps.wsTokens(col(textCol))).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("__df"))
+    val nDocs = df.agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy(idCol)
+      .orderBy(desc("__score"), asc("tok"))
+    tf.join(dfreq, "tok")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("__score",
+        col("tf").cast("double") *
+          log(col("__n").cast("double") / col("__df")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("tok").as("keyword"),
+        round(col("__score"), 4).as("score"))
+  }
+
   /** Token counts under three tokenizers: whitespace, alpha-runs (regex),
     * and a bytes/4 BPE-cost estimate. */
   def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame = {

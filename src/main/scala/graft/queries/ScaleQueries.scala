@@ -201,6 +201,23 @@ object ScaleQueries {
       TextAnalysis.ngramNovelty(t(s, dir, "documents"), "doc_id", "text",
         n = 8).orderBy("doc_id")),
 
+    // unigram-LM quality score (perplexity-filter shape): corpus token
+    // distribution → per-doc mean NLL + perplexity
+    "q78_unigram_ppl" -> ((s, dir) =>
+      TextAnalysis.unigramScore(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // top-5 TF-IDF keywords per document, total tie-break on the token
+    "q79_keywords" -> ((s, dir) =>
+      TextAnalysis.tfIdfKeywords(t(s, dir, "documents"), "doc_id", "text",
+        k = 5).orderBy("doc_id", "rank")),
+
+    // asymmetric n-gram containment (subset-duplication audit form)
+    "q80_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, maxId = 150, minContainment = 0.5)
+        .orderBy("id_a", "id_b")),
+
     // token counting under three tokenizers
     "q34_tokens" -> ((s, dir) =>
       TextAnalysis.tokenCounts(t(s, dir, "documents"), "doc_id", "text")
@@ -1073,6 +1090,67 @@ object ScaleQueries {
                                / len(tk))))
                       ELSE 0 END, 4) AS token_entropy
          FROM tk ORDER BY doc_id""",
+    "q78_unigram_ppl" ->
+      """WITH tk AS (SELECT doc_id,
+                 list_filter(string_split(coalesce(text, ''), ' '),
+                             t -> length(t) > 0) AS tk
+           FROM documents),
+           un AS (SELECT doc_id, unnest(tk) AS tok FROM tk),
+           cnt AS (SELECT tok, count(*) AS tc FROM un GROUP BY tok),
+           tot AS (SELECT sum(tc) AS tot FROM cnt),
+           sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                         avg(-ln(tc * 1.0 / tot)) AS a
+                  FROM un JOIN cnt USING (tok) CROSS JOIN tot
+                  GROUP BY doc_id)
+         SELECT d.doc_id,
+                CAST(coalesce(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
+                round(coalesce(sc.a, 0), 4) AS avg_nll,
+                round(exp(coalesce(sc.a, 0)), 4) AS ppl
+         FROM documents d LEFT JOIN sc USING (doc_id)
+         ORDER BY d.doc_id""",
+    "q79_keywords" ->
+      """WITH tk AS (SELECT doc_id,
+                 list_filter(string_split(coalesce(text, ''), ' '),
+                             t -> length(t) > 0) AS tk
+           FROM documents),
+           un AS (SELECT doc_id, unnest(tk) AS tok FROM tk),
+           tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+                  FROM un GROUP BY doc_id, tok),
+           dfq AS (SELECT tok, count(*) AS dfq FROM tf GROUP BY tok),
+           n AS (SELECT count(*) AS n FROM documents),
+           sc AS (SELECT doc_id, tok, tf * ln(n * 1.0 / dfq) AS score
+                  FROM tf JOIN dfq USING (tok) CROSS JOIN n),
+           rk AS (SELECT doc_id, tok, score,
+                         CAST(row_number() OVER (PARTITION BY doc_id
+                           ORDER BY score DESC, tok ASC) AS INTEGER) AS rank
+                  FROM sc)
+         SELECT doc_id, rank, tok AS keyword, round(score, 4) AS score
+         FROM rk WHERE rank <= 5 ORDER BY doc_id, rank""",
+    "q80_containment" ->
+      """WITH tk AS (SELECT doc_id,
+                 list_filter(string_split(coalesce(text, ''), ' '),
+                             t -> length(t) > 0) AS tk
+           FROM documents WHERE doc_id < 150),
+           sh AS (SELECT DISTINCT doc_id,
+                 CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS h
+             FROM (SELECT doc_id,
+                      unnest(CASE WHEN len(tk) >= 3
+                        THEN list_transform(range(1, len(tk) - 1),
+                               i -> array_to_string(list_slice(tk, i, i + 2), ' '))
+                        ELSE [] END) AS g
+                   FROM tk)),
+           sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_a
+                  FROM sh GROUP BY doc_id),
+           inter AS (SELECT a.doc_id id_a, b.doc_id id_b,
+                            CAST(count(*) AS BIGINT) AS inter
+                     FROM sh a JOIN sh b
+                       ON a.h = b.h AND a.doc_id != b.doc_id
+                     GROUP BY 1, 2)
+         SELECT i.id_a, i.id_b, s.n_a, i.inter,
+                round(i.inter * 1.0 / s.n_a, 4) AS containment
+         FROM inter i JOIN sz s ON s.doc_id = i.id_a
+         WHERE i.inter * 1.0 / s.n_a >= 0.5
+         ORDER BY id_a, id_b""",
     "q74_quantize" ->
       """WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
            m AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx

@@ -210,4 +210,38 @@ class DedupSpec extends AnyFunSuite {
     val totalBoiler = rows.map(_.getLong(3)).sum
     assert(totalBoiler > 0, "corpus has cross-doc chunks; scrub found none")
   }
+
+  test("containmentPairs: embedded doc scores 1.0 toward its host, not back") {
+    import spark.implicits._
+    val host = (1 to 30).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (1L, host),                                   // the big doc
+      (2L, (5 to 12).map(i => s"w$i").mkString(" ")), // wholly inside 1
+      (3L, "q1 q2 q3 q4 q5"))                        // disjoint
+      .toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(df, "doc_id", "text",
+      n = 3, maxId = 100, minContainment = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // doc 2 has 6 trigrams, all present in doc 1 → containment 1.0
+    assert(out((2L, 1L)) === ((6L, 6L, 1.0)))
+    // the reverse direction: 6 of doc 1's 28 trigrams — below 0.5
+    assert(!out.contains((1L, 2L)))
+    assert(out.keys.forall { case (a, b) => a != 3L && b != 3L })
+  }
+
+  test("containmentPairs vs Jaccard: subset duplication invisible to Jaccard is caught") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, (1 to 60).map(i => s"w$i").mkString(" ")),
+      (2L, (10 to 17).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(df, "doc_id", "text",
+      n = 3, maxId = 100, minContainment = 0.9)
+    assert(cont.filter(col("id_a") === 2L).count() === 1L)
+    val jac = Dedup.ngramJaccardTopPairs(df, "doc_id", "text",
+      n = 3, maxId = 100, topN = 10)
+      .collect().headOption.map(_.getDouble(2)).getOrElse(0.0)
+    assert(jac < 0.2, s"Jaccard should under-score the subset pair, got $jac")
+  }
 }

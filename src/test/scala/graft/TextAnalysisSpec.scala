@@ -134,4 +134,53 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(math.abs(out(3L)._4 - r4(math.log(2.0))) < 1e-9)
     assert(out(4L) === ((0L, 0L, 0.0, 0.0)))
   }
+
+  test("unigramScore: exact NLL/ppl on a hand-built corpus, empty doc scores (0, 0, 1)") {
+    // corpus counts: a=3, b=2, c=1; total 6
+    val df = Seq(
+      (1L, "a a b"),   // nll = -(ln(3/6)+ln(3/6)+ln(2/6))/3
+      (2L, "a b c"),   // nll = -(ln(3/6)+ln(2/6)+ln(1/6))/3
+      (3L, ""))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.unigramScore(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    val nll1 = -(math.log(0.5) + math.log(0.5) + math.log(2.0 / 6)) / 3
+    val nll2 = -(math.log(0.5) + math.log(2.0 / 6) + math.log(1.0 / 6)) / 3
+    assert(out(1L)._1 === 3L)
+    assert(math.abs(out(1L)._2 - r4(nll1)) < 1e-9)
+    assert(math.abs(out(1L)._3 - r4(math.exp(nll1))) < 1e-9)
+    assert(math.abs(out(2L)._2 - r4(nll2)) < 1e-9)
+    assert(out(2L)._2 > out(1L)._2, "rarer tokens must score higher")
+    assert(out(3L) === ((0L, 0.0, 1.0)))
+  }
+
+  test("tfIdfKeywords: scores exact, corpus-wide tokens drop to zero, token tie-break total") {
+    // 2 docs; "x" in both (idf ln(1) = 0), "q"/"z" unique to doc 1
+    val df = Seq(
+      (1L, "x q q z"),
+      (2L, "x x y"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.tfIdfKeywords(df, "doc_id", "text", k = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getString(2), r.getDouble(3)))).toMap
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    // doc 1: q scores 2·ln2, z scores 1·ln2, x scores 0
+    assert(out((1L, 1)) === (("q", r4(2 * math.log(2.0)))))
+    assert(out((1L, 2)) === (("z", r4(math.log(2.0)))))
+    // doc 2: y unique (1·ln2); x ranks after it despite tf=2 (idf 0)
+    assert(out((2L, 1)) === (("y", r4(math.log(2.0)))))
+    assert(out((2L, 2))._1 === "x")
+    assert(out((2L, 2))._2 === 0.0)
+  }
+
+  test("tfIdfKeywords: equal scores break ties on the token string") {
+    val df = Seq((1L, "b a"), (2L, "c d")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfIdfKeywords(df, "doc_id", "text", k = 2)
+      .filter(col("doc_id") === 1L).orderBy("rank")
+      .collect().map(_.getString(2)).toSeq
+    assert(out === Seq("a", "b"))
+  }
 }
