@@ -52,7 +52,9 @@ object Bench {
     "q77_novelty",
     "q78_unigram_ppl",
     "q79_keywords",
-    "q80_containment")
+    "q80_containment",
+    "q81_bpe_merges",
+    "q82_bpe_encode")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

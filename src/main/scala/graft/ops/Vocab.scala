@@ -1,0 +1,206 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Byte-pair-encoding vocabulary learning and encoding (Sennrich et al.
+  * 2016, "Neural Machine Translation of Rare Words with Subword Units")
+  * — the tokenizer-training piece of a training-data pipeline: learn a
+  * subword vocabulary FROM the corpus, then encode the corpus with it.
+  * (No reference analog; [[TextAnalysis.tokenCounts]] only estimates
+  * BPE cost, this actually builds the codec.)
+  *
+  * Scale design, the standard one for corpus-size-independent BPE
+  * (sentencepiece/subword-nmt train the same way):
+  *  - the ONLY corpus-scale work is word counting — one
+  *    map-side-combined shuffle on the token — and map-side encoding;
+  *  - the merge loop runs on the DRIVER over the collected
+  *    (word, count) dictionary, which is vocabulary-sized, not
+  *    corpus-sized: capped at `maxDictWords` top-frequency words with
+  *    a LOUD audit of the dropped tail (count + mass fraction), never
+  *    a silent cap. Pair statistics over a frequency-weighted dict are
+  *    exactly the corpus pair statistics for every retained word, so
+  *    100 TB and 100 MB corpora with the same word distribution learn
+  *    the same merges;
+  *  - encoding broadcasts the merge ranks and runs `mapPartitions`
+  *    with a per-partition word → tokens memo (words repeat heavily;
+  *    each distinct word is BPE-merged once per partition) — zero
+  *    shuffle, linear scan.
+  *
+  * Determinism: dictionary truncation orders by (count desc, word asc);
+  * each merge step picks (pairCount desc, pair lexicographic asc) —
+  * both total orders, so reruns reproduce the identical merge list and
+  * the identical encoding, cross-machine.
+  */
+object Vocab {
+
+  /** End-of-word marker symbol (subword-nmt convention): keeps
+    * word-final subwords distinct from word-internal ones and makes
+    * decoding (concatenate, split on the marker) exact. */
+  val EndOfWord = "</w>"
+
+  /** The learned model: merges in application order. `ranks` maps a
+    * symbol pair to its merge priority (lower = earlier = applied
+    * first during encoding). */
+  final case class BpeModel(merges: Seq[(String, String)]) {
+    lazy val ranks: Map[(String, String), Int] =
+      merges.zipWithIndex.toMap
+  }
+
+  /** Corpus word counts — the one corpus-scale aggregation
+    * (map-side-combined shuffle on the token). */
+  def wordCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(TextOps.wsTokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  private def toSymbols(word: String): Vector[String] =
+    word.map(_.toString).toVector :+ EndOfWord
+
+  /** Learn `numMerges` BPE merges from the corpus. The dictionary is
+    * the top `maxDictWords` words by (count desc, word asc); if the
+    * corpus has more distinct words, the dropped tail is reported to
+    * stderr with its mass fraction (an audited cap — raise
+    * maxDictWords to widen). Stops early when no adjacent pair occurs
+    * in ≥ 2 words' worth of frequency mass... precisely: when no pair
+    * occurs at all. */
+  def learnBpe(df: DataFrame, textCol: String, numMerges: Int,
+      maxDictWords: Int = 1 << 16): BpeModel = {
+    val wc = wordCounts(df, textCol)
+    // top-N collect is bounded by maxDictWords rows — metadata-scale
+    // relative to the corpus (the same discipline as Dedup's
+    // smallGraphEdges cap, and audited below)
+    val top = wc.orderBy(desc("cnt"), asc("word"))
+      .limit(maxDictWords + 1).collect()
+    val truncated = top.length > maxDictWords
+    val dict0 = (if (truncated) top.dropRight(1) else top)
+      .map(r => (r.getString(0), r.getLong(1)))
+    if (truncated) {
+      val tail = wc.agg(sum("cnt")).head().getLong(0) - dict0.map(_._2).sum
+      System.err.println(
+        s"[graft] learnBpe: dictionary capped at $maxDictWords distinct " +
+        s"words; dropped tail carries $tail token occurrences and does " +
+        "not vote on merges — raise maxDictWords to widen")
+    }
+
+    var dict: Array[(Vector[String], Long)] =
+      dict0.map { case (w, c) => (toSymbols(w), c) }
+    val merges = Vector.newBuilder[(String, String)]
+    var step = 0
+    var exhausted = false
+    while (step < numMerges && !exhausted) {
+      val pairCounts = scala.collection.mutable.HashMap
+        .empty[(String, String), Long]
+      dict.foreach { case (syms, cnt) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          pairCounts.update(p, pairCounts.getOrElse(p, 0L) + cnt)
+          i += 1
+        }
+      }
+      if (pairCounts.isEmpty) exhausted = true
+      else {
+        // total order: count desc, then pair lexicographic asc
+        val best = pairCounts.minBy { case ((a, b), c) => (-c, a, b) }._1
+        merges += best
+        val merged = best._1 + best._2
+        dict = dict.map { case (syms, cnt) =>
+          if (syms.length < 2) (syms, cnt)
+          else {
+            val out = Vector.newBuilder[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i < syms.length - 1 && syms(i) == best._1 &&
+                  syms(i + 1) == best._2) { out += merged; i += 2 }
+              else { out += syms(i); i += 1 }
+            }
+            (out.result(), cnt)
+          }
+        }
+        step += 1
+      }
+    }
+    BpeModel(merges.result())
+  }
+
+  /** The learned merge table as a frame: (rank, left, right, merged) —
+    * the persistable artifact (write it once, encode anywhere). */
+  def mergesFrame(df: DataFrame, textCol: String, numMerges: Int,
+      maxDictWords: Int = 1 << 16): DataFrame = {
+    val spark = df.sparkSession
+    val model = learnBpe(df, textCol, numMerges, maxDictWords)
+    val rows = model.merges.zipWithIndex.map { case ((a, b), i) =>
+      Row(i, a, b, a + b)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("rank", IntegerType, nullable = false),
+        StructField("left", StringType, nullable = false),
+        StructField("right", StringType, nullable = false),
+        StructField("merged", StringType, nullable = false))))
+  }
+
+  /** Greedy BPE encoding of one word under the rank table: repeatedly
+    * merge the lowest-rank adjacent pair (the canonical GPT-2-style
+    * apply loop — encoding follows training order, so train-then-encode
+    * on the same corpus is exact). */
+  private def encodeWord(word: String,
+      ranks: Map[(String, String), Int]): Vector[String] = {
+    var syms = toSymbols(word)
+    var done = false
+    while (!done && syms.length > 1) {
+      var bestRank = Int.MaxValue
+      var bestIdx = -1
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; bestIdx = i }
+        i += 1
+      }
+      if (bestIdx < 0) done = true
+      else syms = (syms.take(bestIdx) :+
+        (syms(bestIdx) + syms(bestIdx + 1))) ++ syms.drop(bestIdx + 2)
+    }
+    syms
+  }
+
+  /** Encode `textCol` with a learned model: (idCol, bpe_tokens,
+    * n_ws_tokens, n_bpe_tokens). Map-side only — broadcast ranks,
+    * per-partition word→tokens memo (each distinct word is merged once
+    * per partition, the batch-amortization shape). Words absent at
+    * train time fall back to characters by construction. */
+  def encodeBpe(df: DataFrame, idCol: String, textCol: String,
+      model: BpeModel): DataFrame = {
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(model.ranks)
+    val idType = df.schema(idCol).dataType
+    val in = df.select(col(idCol), TextOps.wsTokens(col(textCol)).as("__tk"))
+    val outSchema = StructType(Seq(
+      StructField("__id", idType, nullable = true),
+      StructField("bpe_tokens", ArrayType(StringType, containsNull = false),
+        nullable = false),
+      StructField("n_ws_tokens", LongType, nullable = false),
+      StructField("n_bpe_tokens", LongType, nullable = false)))
+    val enc = spark.createDataFrame(
+      in.rdd.mapPartitions { it =>
+        val ranks = bc.value
+        val memo = scala.collection.mutable.HashMap.empty[String, Vector[String]]
+        it.map { r =>
+          val words = r.getSeq[String](1)
+          val toks = words.iterator.flatMap(w =>
+            memo.getOrElseUpdate(w, encodeWord(w, ranks))).toVector
+          Row(r.get(0), toks, words.length.toLong, toks.length.toLong)
+        }
+      }, outSchema)
+    enc.withColumnRenamed("__id", idCol)
+  }
+
+  /** Inverse of [[encodeBpe]] as a column over `bpe_tokens`:
+    * concatenate and split on the end-of-word marker — exact by
+    * construction (spec-pinned round-trip). */
+  def decodeCol(tokensCol: String): org.apache.spark.sql.Column =
+    filter(split(concat_ws("", col(tokensCol)), EndOfWord),
+      w => length(w) > 0)
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import graft.ops.{Dedup, Similarity, TextAnalysis, TextOps}
+import graft.ops.{Dedup, Similarity, TextAnalysis, TextOps, Vocab}
 
 /** North-star extension queries (SURVEY.md §7 step 7): deduplication,
   * similarity search, and text analysis at corpus scale. Oracle SQL is
@@ -217,6 +217,28 @@ object ScaleQueries {
       Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
         n = 3, maxId = 150, minContainment = 0.5)
         .orderBy("id_a", "id_b")),
+
+    // BPE vocabulary learning: corpus word counts (the one shuffle) →
+    // driver merge loop over the frequency dict → persistable merge
+    // table. Rows-only (the merge recursion is not SQL-expressible);
+    // VocabSpec pins the hand-computed merge order and determinism.
+    "q81_bpe_merges" -> ((s, dir) =>
+      Vocab.mergesFrame(t(s, dir, "documents"), "text", numMerges = 50)
+        .orderBy("rank")),
+
+    // BPE encode under the corpus-trained model: map-side, broadcast
+    // ranks, per-partition word memo. Rows-only; VocabSpec pins the
+    // decode round-trip and count bounds.
+    "q82_bpe_encode" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val model = Vocab.learnBpe(d, "text", numMerges = 50)
+      Vocab.encodeBpe(d, "doc_id", "text", model)
+        .select(col("doc_id"), col("n_ws_tokens"), col("n_bpe_tokens"),
+          round(col("n_bpe_tokens").cast("double") /
+            greatest(col("n_ws_tokens"), lit(1L)), 4)
+            .as("tokens_per_word"))
+        .orderBy("doc_id")
+    }),
 
     // token counting under three tokenizers
     "q34_tokens" -> ((s, dir) =>

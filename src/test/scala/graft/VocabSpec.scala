@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{TextOps, Vocab}
+
+class VocabSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  val dir = "/root/testdata/sf0.001"
+  def docs = graft.sources.Tables(spark, dir, "documents")
+
+  test("learnBpe: Sennrich-style dictionary yields the hand-computed merge order") {
+    // dict: low×5, lower×2, newest×6, widest×3
+    // pair mass: (e,s)=(s,t)=(t,</w>)=9 → tie broken lexicographically
+    val df = Seq(
+      (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" "))
+      .toDF("text")
+    val model = Vocab.learnBpe(df, "text", numMerges = 5)
+    assert(model.merges === Seq(
+      ("e", "s"), ("es", "t"), ("est", Vocab.EndOfWord),
+      ("l", "o"), ("lo", "w")))
+  }
+
+  test("learnBpe is deterministic and bounded by available pairs") {
+    val df = Seq("ab ab cd").toDF("text")
+    val m1 = Vocab.learnBpe(df, "text", numMerges = 100)
+    val m2 = Vocab.learnBpe(df, "text", numMerges = 100)
+    assert(m1.merges === m2.merges)
+    // every symbol sequence collapses to one token, then no pairs remain:
+    // "ab</w>" needs 2 merges, "cd</w>" needs 2
+    assert(m1.merges.length === 4)
+  }
+
+  test("encodeBpe round-trips: decode(encode(doc)) equals the whitespace tokens") {
+    val sample = docs.limit(50)
+    val model = Vocab.learnBpe(sample, "text", numMerges = 80)
+    val enc = Vocab.encodeBpe(sample, "doc_id", "text", model)
+    val joined = enc.select(col("doc_id"),
+        Vocab.decodeCol("bpe_tokens").as("decoded"))
+      .join(sample.select(col("doc_id"),
+        TextOps.wsTokens(col("text")).as("orig")), "doc_id")
+    assert(joined.filter(col("decoded") =!= col("orig")).count() === 0L)
+  }
+
+  test("encodeBpe: trained merges compress, unseen words fall back to characters") {
+    val train = Seq((1L, "hello hello hello world world")).toDF("doc_id", "text")
+    val model = Vocab.learnBpe(train, "text", numMerges = 50)
+    val enc = Vocab.encodeBpe(
+      Seq((1L, "hello world"), (2L, "zq")).toDF("doc_id", "text"),
+      "doc_id", "text", model).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getSeq[String](1), r.getLong(2), r.getLong(3)))).toMap
+    // fully-merged training words: one token per word
+    assert(enc(1L)._1 === Seq("hello" + Vocab.EndOfWord,
+      "world" + Vocab.EndOfWord))
+    assert(enc(1L)._2 === 2L && enc(1L)._3 === 2L)
+    // "zq" never seen: stays characters + marker (no applicable merge)
+    assert(enc(2L)._1 === Seq("z", "q", Vocab.EndOfWord))
+  }
+
+  test("encodeBpe on the corpus: token counts bounded by chars and words") {
+    val sample = docs.limit(100)
+    val model = Vocab.learnBpe(sample, "text", numMerges = 100)
+    val bad = Vocab.encodeBpe(sample, "doc_id", "text", model)
+      .join(sample.select(col("doc_id"),
+        TextOps.wsTokens(col("text")).as("tk")), "doc_id")
+      .filter(col("n_bpe_tokens") < col("n_ws_tokens") ||
+        col("n_bpe_tokens") >
+          aggregate(col("tk"), lit(0L), (a, w) => a + length(w) + 1))
+    assert(bad.count() === 0L)
+  }
+
+  test("mergesFrame: persistable artifact matches the model") {
+    val df = Seq("ab ab cd").toDF("text")
+    val rows = Vocab.mergesFrame(df, "text", numMerges = 10)
+      .orderBy("rank").collect()
+    val model = Vocab.learnBpe(df, "text", numMerges = 10)
+    assert(rows.map(r => (r.getString(1), r.getString(2))).toSeq ===
+      model.merges)
+    assert(rows.forall(r => r.getString(3) ===
+      r.getString(1) + r.getString(2)))
+  }
+
+  test("learnBpe: dictionary cap is audited, merges still learned from the head") {
+    val df = Seq("aa aa aa bb bb cc").toDF("text")
+    // cap at 2 distinct words: "cc" drops out, merges still form
+    val model = Vocab.learnBpe(df, "text", numMerges = 4, maxDictWords = 2)
+    assert(model.merges.nonEmpty)
+    // "aa" (count 3) drives the first merge; the 3-3 tie between
+    // (a,a) and (a,</w>) breaks lexicographically — '<' sorts below 'a'
+    assert(model.merges.head === (("a", Vocab.EndOfWord)))
+    // no merge may involve symbols only "cc" (the dropped word) has
+    assert(model.merges.forall { case (l, r) =>
+      !l.contains("c") && !r.contains("c") })
+  }
+}
