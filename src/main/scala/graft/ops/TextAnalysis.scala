@@ -187,29 +187,36 @@ object TextAnalysis {
     * (spam, templated junk, wrong-language remnants) score high;
     * mid-corpus prose scores low — threshold on `ppl` as a gate.
     *
-    * Scale: token counting is one map-side-combined shuffle on the
-    * token; scoring re-explodes each document's occurrences and joins
-    * them to the count frame — vocabulary-sized, so AQE broadcasts it
-    * when it fits and shuffles both sides when it doesn't — then one
-    * aggregate on the doc id. No window, no driver-side state; the
-    * grand-total frame is a broadcast single row.
+    * Scale: ONE corpus scan builds the (doc, token, tf) frame — one
+    * map-side-combined shuffle — which is then materialized
+    * (localCheckpoint, the [[Dedup]] multi-consumer discipline: it
+    * feeds the model aggregation AND the scoring join, and without the
+    * checkpoint each consumer re-evaluates the corpus explode;
+    * PlanAuditSpec pins the single evaluation). Everything downstream
+    * is tf- or vocabulary-sized: token counts aggregate the tf frame,
+    * the scoring join is tf ⋈ vocab (AQE broadcasts a small vocab),
+    * the grand total is a broadcast single row. No occurrence-grain
+    * shuffle anywhere — hot-token skew never concentrates on one task.
     *
     * Returns (idCol, n_tokens, avg_nll, ppl); token-less docs carry
     * (0, 0.0, 1.0).
     */
   def unigramScore(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val toks = df.select(col(idCol),
-      explode(TextOps.wsTokens(col(textCol))).as("tok"))
-    val counts = toks.groupBy("tok").agg(count(lit(1)).as("__tc"))
+    val tf = df.select(col(idCol),
+        explode(TextOps.wsTokens(col(textCol))).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val counts = tf.groupBy("tok").agg(sum("tf").as("__tc"))
     val total = counts.agg(sum("__tc").as("__tot"))
-    val scored = toks.join(counts, "tok")
+    val scored = tf.join(counts, "tok")
       .crossJoin(broadcast(total))
-      .select(col(idCol),
-        (-log(col("__tc").cast("double") / col("__tot"))).as("__nll"))
+      .select(col(idCol), col("tf"),
+        (col("tf") *
+          -log(col("__tc").cast("double") / col("__tot"))).as("__nll"))
       .groupBy(idCol).agg(
-        count(lit(1)).as("n_tokens"),
-        avg("__nll").as("__avg"))
+        sum("tf").as("n_tokens"),
+        (sum("__nll") / sum("tf")).as("__avg"))
     df.select(col(idCol))
       .join(scored, Seq(idCol), "left")
       .select(col(idCol),
@@ -224,10 +231,13 @@ object TextAnalysis {
     * score(d, t) = tf(d, t) · ln(N / df(t)); ties break on the token
     * string so ranks are total and reruns byte-identical.
     *
-    * Scale: term frequency is one shuffle on (doc, token); document
-    * frequency aggregates THAT frame (no second corpus scan); the
-    * doc-count frame is a broadcast single row; ranking is a window
-    * partitioned by doc — parallel across docs, never a global sort.
+    * Scale: term frequency is one shuffle on (doc, token), then the
+    * frame is materialized (localCheckpoint — it feeds the
+    * document-frequency aggregation AND the scoring join; without it
+    * each consumer re-evaluates the corpus explode, PlanAuditSpec pins
+    * this); the doc-count frame is a broadcast single row; ranking is
+    * a window partitioned by doc — parallel across docs, never a
+    * global sort.
     *
     * Returns (idCol, rank, keyword, score), k rows per scoreable doc.
     */
@@ -237,6 +247,7 @@ object TextAnalysis {
     val tf = df.select(col(idCol),
         explode(TextOps.wsTokens(col(textCol))).as("tok"))
       .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("__df"))
     val nDocs = df.agg(count(lit(1)).as("__n"))
     val w = Window.partitionBy(idCol)

@@ -134,4 +134,27 @@ class PlanAuditSpec extends AnyFunSuite {
     // id; only the EXACT audit form (q73) is allowed its all-pairs shape
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
+
+  test("q78 unigram scoring evaluates the corpus explode once (tf checkpoint)") {
+    val p = graft.queries.ScaleQueries.queries("q78_unigram_ppl")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the tf frame is checkpointed and feeds the model aggregation AND
+    // the scoring join from cached blocks — the only parquet scan left
+    // in the final plan is the id spine; a per-consumer re-evaluation
+    // of the explode would show 3 corpus scans here
+    val scans = "documents\\.parquet".r.findAllIn(p).length
+    assert(scans <= 1, s"expected ≤1 documents scan, found $scans:\n" +
+      p.take(2000))
+  }
+
+  test("q79 keyword extraction evaluates the corpus explode once (tf checkpoint)") {
+    val p = graft.queries.ScaleQueries.queries("q79_keywords")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the one allowed scan is the N-docs count frame — a zero-column
+    // count-only read; the corpus text is only ever read by the
+    // checkpointed tf frame
+    val scans = "documents\\.parquet".r.findAllIn(p).length
+    assert(scans <= 1, s"expected ≤1 documents scan after the tf " +
+      s"checkpoint, found $scans:\n" + p.take(2000))
+  }
 }
