@@ -54,7 +54,8 @@ object Bench {
     "q79_keywords",
     "q80_containment",
     "q81_bpe_merges",
-    "q82_bpe_encode")
+    "q82_bpe_encode",
+    "q83_intradoc_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

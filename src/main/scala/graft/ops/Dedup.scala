@@ -833,6 +833,47 @@ object Dedup {
       .orderBy(desc("jac"), asc("id_a"), asc("id_b"))
   }
 
+  /** INTRA-document repetition scrub: within each document, keep the
+    * FIRST occurrence of every `chunkTokens`-token chunk and drop
+    * later repeats of the same chunk — the within-doc form of the
+    * Gopher repetition discipline (q33b measures it; this removes it).
+    * Complements [[chunkDedup]] (corpus-wide first occurrence) and
+    * [[boilerplateScrub]] (cross-doc document frequency): those need a
+    * corpus shuffle because their decision is global; this one's
+    * decision is local to the document, so it is a PURE PROJECTION —
+    * higher-order array expressions, zero shuffle, zero joins, linear
+    * scan, embarrassingly parallel at any corpus size (plan-audited).
+    *
+    * Returns (idCol, text, n_chunks, n_dropped) for every input doc.
+    */
+  def intraDocDedup(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 20): DataFrame = {
+    val w = chunkTokens
+    val tk = TextOps.wsTokens(col(textCol))
+    val nch = ceil(size(tk).cast("double") / w).cast("int")
+    val chunks = when(nch > 0,
+      transform(sequence(lit(0), nch - 1),
+        i => concat_ws(" ", slice(tk, i * w + 1, lit(w)))))
+      .otherwise(array().cast("array<string>"))
+    // keep chunk i iff it does not appear in the prefix before i
+    // (array_position = 0 means absent — matches the oracle's
+    // list_position contract)
+    val kept = filter(chunks, (c, i) =>
+      array_position(slice(chunks, lit(1), i), c) === 0)
+    // two-step projection ON PURPOSE: referencing the lambda-bearing
+    // `kept` expression from several output columns in one projection
+    // trips codegen subexpression elimination over the shared lambda
+    // variables (n_dropped silently computed 0); naming the arrays
+    // first makes every consumer read a plain column, and the repeated
+    // non-cheap alias keeps CollapseProject from re-inlining it
+    df.select(col(idCol), chunks.as("__chunks"), kept.as("__kept"))
+      .select(col(idCol),
+        concat_ws(" ", col("__kept")).as("text"),
+        size(col("__chunks")).cast("long").as("n_chunks"),
+        (size(col("__chunks")) - size(col("__kept"))).cast("long")
+          .as("n_dropped"))
+  }
+
   /** Asymmetric n-gram CONTAINMENT pairs (Broder 1997's containment,
     * c(A→B) = |S(A) ∩ S(B)| / |S(A)|): catches SUBSET duplication — a
     * document wholly embedded in a larger one — which symmetric

@@ -218,6 +218,12 @@ object ScaleQueries {
         n = 3, maxId = 150, minContainment = 0.5)
         .orderBy("id_a", "id_b")),
 
+    // intra-document repetition scrub: keep the first occurrence of
+    // each 20-token chunk WITHIN a doc — pure projection, zero shuffle
+    "q83_intradoc_dedup" -> ((s, dir) =>
+      Dedup.intraDocDedup(t(s, dir, "documents"), "doc_id", "text",
+        chunkTokens = 20).orderBy("doc_id")),
+
     // BPE vocabulary learning: corpus word counts (the one shuffle) →
     // driver merge loop over the frequency dict → persistable merge
     // table. Rows-only (the merge recursion is not SQL-expressible);
@@ -1173,6 +1179,28 @@ object ScaleQueries {
          FROM inter i JOIN sz s ON s.doc_id = i.id_a
          WHERE i.inter * 1.0 / s.n_a >= 0.5
          ORDER BY id_a, id_b""",
+    "q83_intradoc_dedup" ->
+      """WITH tkt AS (SELECT doc_id,
+                 list_filter(string_split(coalesce(text, ''), ' '),
+                             t -> length(t) > 0) AS tk
+           FROM documents),
+           c AS (SELECT doc_id,
+                 CASE WHEN len(tk) > 0
+                   THEN list_transform(
+                     range(0, CAST(ceil(len(tk) / 20.0) AS BIGINT)),
+                     i -> array_to_string(
+                       list_slice(tk, i * 20 + 1, i * 20 + 20), ' '))
+                   ELSE [] END AS chunks
+             FROM tkt),
+           k AS (SELECT doc_id, chunks,
+                 list_filter(chunks,
+                   (x, i) -> list_position(chunks[1:i-1], x) = 0) AS kept
+             FROM c)
+         SELECT doc_id,
+                array_to_string(kept, ' ') AS text,
+                CAST(len(chunks) AS BIGINT) AS n_chunks,
+                CAST(len(chunks) - len(kept) AS BIGINT) AS n_dropped
+         FROM k ORDER BY doc_id""",
     "q74_quantize" ->
       """WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
            m AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx

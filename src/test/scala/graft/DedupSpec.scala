@@ -211,6 +211,40 @@ class DedupSpec extends AnyFunSuite {
     assert(totalBoiler > 0, "corpus has cross-doc chunks; scrub found none")
   }
 
+  test("intraDocDedup: repeated chunks dropped within a doc, never across docs") {
+    import spark.implicits._
+    val df = Seq(
+      // chunks of 2 tokens: [a b][c d][a b][e f] → drop the repeat
+      (1L, "a b c d a b e f"),
+      // same chunk in ANOTHER doc must survive (decision is local)
+      (2L, "a b x y"),
+      // short tail chunk is its own chunk
+      (3L, "p q r"),
+      (4L, ""))
+      .toDF("doc_id", "text")
+    val out = Dedup.intraDocDedup(df, "doc_id", "text", chunkTokens = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === (("a b c d e f", 4L, 1L)))
+    assert(out(2L) === (("a b x y", 2L, 0L)))
+    assert(out(3L) === (("p q r", 2L, 0L)))
+    assert(out(4L) === (("", 0L, 0L)))
+  }
+
+  test("intraDocDedup is idempotent on its own output") {
+    val once = Dedup.intraDocDedup(docs, "doc_id", "text", chunkTokens = 5)
+    val twice = Dedup.intraDocDedup(
+      once.select(col("doc_id"), col("text")), "doc_id", "text",
+      chunkTokens = 5)
+    // chunk boundaries shift after removal, so exact equality is not
+    // guaranteed in general — but a second pass must never INCREASE
+    // text length
+    val joined = once.select(col("doc_id"), length(col("text")).as("l1"))
+      .join(twice.select(col("doc_id"), length(col("text")).as("l2")),
+        "doc_id")
+    assert(joined.filter(col("l2") > col("l1")).count() === 0L)
+  }
+
   test("containmentPairs: embedded doc scores 1.0 toward its host, not back") {
     import spark.implicits._
     val host = (1 to 30).map(i => s"w$i").mkString(" ")

@@ -157,4 +157,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(scans <= 1, s"expected ≤1 documents scan after the tf " +
       s"checkpoint, found $scans:\n" + p.take(2000))
   }
+
+  test("q83 intra-doc dedup is a pure projection (no join, no agg, one sort)") {
+    val p = graft.queries.ScaleQueries.queries("q83_intradoc_dedup")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join") && !p.contains("HashAggregate"), p.take(2000))
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 1,
+      s"intra-doc dedup must not shuffle before the output sort: $exchanges")
+  }
 }
