@@ -55,7 +55,9 @@ object Bench {
     "q80_containment",
     "q81_bpe_merges",
     "q82_bpe_encode",
-    "q83_intradoc_dedup")
+    "q83_intradoc_dedup",
+    "q84_composition",
+    "q85_weighted_sample")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

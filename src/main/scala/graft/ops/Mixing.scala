@@ -237,4 +237,25 @@ object Mixing {
       seed: Long = 0L): DataFrame =
     df.withColumn("shuffle_key", shuffleKey(col(idCol), seed))
       .orderBy(col("shuffle_key"), col(idCol))
+
+  /** Deterministic per-row uniform in [0, 1): the first 60 bits of
+    * md5("seed:id") over 2^60 — the RNG-free coin every weighted
+    * sampler here flips (same audit family as [[TextOps.md5Hash60]],
+    * so the coin itself is cross-engine checkable). */
+  def uniformFromId(idCol: Column, seed: Long): Column =
+    TextOps.md5Hash60(concat_ws(":", lit(seed), idCol.cast("string")))
+      .cast("double") / lit(math.pow(16.0, 15))
+
+  /** Quality-weighted Bernoulli downsampling (the CCNet/RefinedWeb
+    * shape): keep each row with its OWN probability `probCol` —
+    * typically a quality score in [0, 1], so high-quality documents
+    * survive preferentially — decided by the deterministic
+    * [[uniformFromId]] coin, so reruns keep the IDENTICAL subset (no
+    * RNG state, no seed-plumbing through executors), and acceptance is
+    * independent across rows. Pure projection + filter: zero shuffle,
+    * embarrassingly parallel. Probabilities are clamped to [0, 1]. */
+  def weightedBernoulliSample(df: DataFrame, idCol: String,
+      probCol: String, seed: Long = 0L): DataFrame =
+    df.filter(uniformFromId(col(idCol), seed) <
+      greatest(least(col(probCol).cast("double"), lit(1.0)), lit(0.0)))
 }

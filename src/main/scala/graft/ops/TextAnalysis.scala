@@ -263,6 +263,37 @@ object TextAnalysis {
         round(col("__score"), 4).as("score"))
   }
 
+  /** Corpus COMPOSITION audit — the first question asked of any
+    * training corpus: per (lang, source) cell, document/token/char
+    * volumes and each cell's share of the whole. One
+    * map-side-combined aggregation over one scan; the grand totals
+    * join back as a broadcast single row (never a global window — an
+    * empty-frame window funnels every group row through one task).
+    *
+    * Returns (lang, source, n_docs, n_tokens, n_chars,
+    * avg_doc_tokens, doc_share, token_share).
+    */
+  def corpusComposition(df: DataFrame, langCol: String = "lang",
+      sourceCol: String = "source", textCol: String = "text"): DataFrame = {
+    val cells = df.groupBy(col(langCol), col(sourceCol)).agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(TextOps.wsTokens(col(textCol))).cast("long"))
+        .as("n_tokens"),
+      sum(length(coalesce(col(textCol), lit(""))).cast("long"))
+        .as("n_chars"))
+    val totals = cells.agg(
+      sum("n_docs").as("__td"), sum("n_tokens").as("__tt"))
+    cells.crossJoin(broadcast(totals))
+      .select(col(langCol), col(sourceCol),
+        col("n_docs"), col("n_tokens"), col("n_chars"),
+        round(col("n_tokens").cast("double") / col("n_docs"), 4)
+          .as("avg_doc_tokens"),
+        round(col("n_docs").cast("double") / col("__td"), 4)
+          .as("doc_share"),
+        round(col("n_tokens").cast("double") / col("__tt"), 4)
+          .as("token_share"))
+  }
+
   /** Token counts under three tokenizers: whitespace, alpha-runs (regex),
     * and a bytes/4 BPE-cost estimate. */
   def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame = {

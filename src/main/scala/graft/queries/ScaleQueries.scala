@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import graft.ops.{Dedup, Similarity, TextAnalysis, TextOps, Vocab}
+import graft.ops.{Dedup, Mixing, Similarity, TextAnalysis, TextOps, Vocab}
 
 /** North-star extension queries (SURVEY.md §7 step 7): deduplication,
   * similarity search, and text analysis at corpus scale. Oracle SQL is
@@ -217,6 +217,22 @@ object ScaleQueries {
       Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
         n = 3, maxId = 150, minContainment = 0.5)
         .orderBy("id_a", "id_b")),
+
+    // corpus composition audit: per (lang, source) volumes and shares
+    "q84_composition" -> ((s, dir) =>
+      TextAnalysis.corpusComposition(t(s, dir, "documents"))
+        .orderBy("lang", "source")),
+
+    // quality-weighted Bernoulli downsampling: p = min(1, n_tokens/100),
+    // decided by the deterministic md5 coin — rerun keeps the same subset
+    "q85_weighted_sample" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("p", least(lit(1.0),
+          size(TextOps.wsTokens(col("text"))).cast("double") / 100.0))
+      Mixing.weightedBernoulliSample(d, "doc_id", "p", seed = 0L)
+        .select(col("doc_id"), round(col("p"), 4).as("p"))
+        .orderBy("doc_id")
+    }),
 
     // intra-document repetition scrub: keep the first occurrence of
     // each 20-token chunk WITHIN a doc — pure projection, zero shuffle
@@ -1201,6 +1217,30 @@ object ScaleQueries {
                 CAST(len(chunks) AS BIGINT) AS n_chunks,
                 CAST(len(chunks) - len(kept) AS BIGINT) AS n_dropped
          FROM k ORDER BY doc_id""",
+    "q84_composition" ->
+      """WITH cells AS (SELECT lang, source, count(*) AS n_docs,
+                sum(len(list_filter(string_split(coalesce(text, ''), ' '),
+                                    t -> length(t) > 0))) AS n_tokens,
+                sum(length(coalesce(text, ''))) AS n_chars
+           FROM documents GROUP BY lang, source),
+           tot AS (SELECT sum(n_docs) AS td, sum(n_tokens) AS tt FROM cells)
+         SELECT lang, source,
+                CAST(n_docs AS BIGINT) AS n_docs,
+                CAST(n_tokens AS BIGINT) AS n_tokens,
+                CAST(n_chars AS BIGINT) AS n_chars,
+                round(n_tokens * 1.0 / n_docs, 4) AS avg_doc_tokens,
+                round(n_docs * 1.0 / td, 4) AS doc_share,
+                round(n_tokens * 1.0 / tt, 4) AS token_share
+         FROM cells CROSS JOIN tot ORDER BY lang, source""",
+    "q85_weighted_sample" ->
+      """WITH d AS (SELECT doc_id,
+                least(1.0, len(list_filter(string_split(coalesce(text, ''), ' '),
+                                           t -> length(t) > 0)) / 100.0) AS p,
+                CAST('0x' || substr(md5('0:' || doc_id::VARCHAR), 1, 15)
+                     AS BIGINT) * 1.0 / 1152921504606846976 AS u
+           FROM documents)
+         SELECT doc_id, round(p, 4) AS p
+         FROM d WHERE u < p ORDER BY doc_id""",
     "q74_quantize" ->
       """WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
            m AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx

@@ -183,4 +183,37 @@ class MixingSpec extends AnyFunSuite {
     assert(s7a !== s8)                       // new seed → new epoch order
     assert(s7a !== (1L to 200L).toSeq)       // and it actually shuffles
   }
+
+  test("weightedBernoulliSample: degenerate probs, determinism, seed sensitivity, rate") {
+    val df = (1L to 500L).map(i => (i, 0.5)).toDF("id", "p")
+    assert(Mixing.weightedBernoulliSample(
+      df.withColumn("p", lit(0.0)), "id", "p").count() === 0L)
+    assert(Mixing.weightedBernoulliSample(
+      df.withColumn("p", lit(1.0)), "id", "p").count() === 500L)
+    // out-of-range probabilities clamp instead of misbehaving
+    assert(Mixing.weightedBernoulliSample(
+      df.withColumn("p", lit(7.5)), "id", "p").count() === 500L)
+    val a = Mixing.weightedBernoulliSample(df, "id", "p", seed = 0L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val b = Mixing.weightedBernoulliSample(df, "id", "p", seed = 0L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val c = Mixing.weightedBernoulliSample(df, "id", "p", seed = 1L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a === b)                          // rerun keeps the same subset
+    assert(a !== c)                          // new seed → new subset
+    // acceptance rate tracks p (binomial 3σ on n=500, p=.5 is ±0.067)
+    assert(a.size > 500 * 0.35 && a.size < 500 * 0.65,
+      s"rate ${a.size / 500.0} far from p=0.5")
+  }
+
+  test("weightedBernoulliSample: per-row probabilities bias survival toward quality") {
+    // 300 low-quality (p=.1) + 300 high-quality (p=.9) docs
+    val df = ((1L to 300L).map(i => (i, 0.1)) ++
+      (301L to 600L).map(i => (i, 0.9))).toDF("id", "p")
+    val kept = Mixing.weightedBernoulliSample(df, "id", "p")
+      .select("id").collect().map(_.getLong(0))
+    val lo = kept.count(_ <= 300L)
+    val hi = kept.count(_ > 300L)
+    assert(hi > lo * 3, s"high-quality survival ($hi) should dwarf low ($lo)")
+  }
 }

@@ -176,6 +176,22 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out((2L, 2))._2 === 0.0)
   }
 
+  test("corpusComposition: exact cell volumes and shares summing to one") {
+    val df = Seq(
+      (1L, "a b c", "en", "web"),
+      (2L, "d e", "en", "web"),
+      (3L, "f g h i j", "de", "books"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = TextAnalysis.corpusComposition(df)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5),
+          r.getDouble(6), r.getDouble(7)))).toMap
+    assert(out(("en", "web")) === ((2L, 5L, 8L, 2.5, 0.6667, 0.5)))
+    assert(out(("de", "books")) === ((1L, 5L, 9L, 5.0, 0.3333, 0.5)))
+    assert(math.abs(out.values.map(_._5).sum - 1.0) < 0.001)
+    assert(math.abs(out.values.map(_._6).sum - 1.0) < 0.001)
+  }
+
   test("tfIdfKeywords: equal scores break ties on the token string") {
     val df = Seq((1L, "b a"), (2L, "c d")).toDF("doc_id", "text")
     val out = TextAnalysis.tfIdfKeywords(df, "doc_id", "text", k = 2)
