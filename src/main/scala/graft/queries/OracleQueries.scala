@@ -245,6 +245,20 @@ object OracleQueries {
         .orderBy("c_custkey")
     }),
 
+    // Q13b — FULL OUTER join (completes the §2.4 join-type surface):
+    // both sides filtered so both contribute unmatched rows
+    "q13b_join_full" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_acctbal") < 0)
+        .select(col("c_custkey"), col("c_acctbal"))
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 300000)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "full")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          col("c_acctbal"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy("custkey", "o_orderkey")
+    }),
+
     // Q14 — left-semi join (EXISTS)
     "q14_join_semi" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -373,6 +387,23 @@ object OracleQueries {
         .withColumn("last_key", last(col("o_orderkey")).over(wf))
         .select("o_orderkey", "o_custkey", "prev_price", "next_price",
           "first_key", "last_key")
+        .orderBy("o_orderkey")
+    }),
+
+    // Q52b — ranking window family (rank/dense_rank/percent_rank/
+    // ntile/cume_dist; completes the §2.5 window surface). The order
+    // key ends in o_orderkey so ntile's row split is total.
+    "q52b_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rnk", rank().over(w))
+        .withColumn("drnk", dense_rank().over(w))
+        .withColumn("prnk", round(percent_rank().over(w), 4))
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("cdist", round(cume_dist().over(w), 4))
+        .select("o_orderkey", "o_custkey", "rnk", "drnk", "prnk",
+          "quartile", "cdist")
         .orderBy("o_orderkey")
     }),
 
@@ -691,6 +722,26 @@ object OracleQueries {
       """SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
          FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
          GROUP BY c.c_custkey ORDER BY c.c_custkey""",
+    "q13b_join_full" ->
+      """SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+                c.c_acctbal, o.o_orderkey, o.o_totalprice
+         FROM (SELECT c_custkey, c_acctbal FROM customer
+               WHERE c_acctbal < 0) c
+         FULL OUTER JOIN (SELECT o_custkey, o_orderkey, o_totalprice
+                          FROM orders WHERE o_totalprice > 300000) o
+           ON c.c_custkey = o.o_custkey
+         ORDER BY custkey, o_orderkey NULLS FIRST""",
+    "q52b_window_rank" ->
+      """SELECT o_orderkey, o_custkey,
+                CAST(rank() OVER w AS INT) AS rnk,
+                CAST(dense_rank() OVER w AS INT) AS drnk,
+                round(percent_rank() OVER w, 4) AS prnk,
+                CAST(ntile(4) OVER w AS INT) AS quartile,
+                round(cume_dist() OVER w, 4) AS cdist
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey)
+         ORDER BY o_orderkey""",
     "q14_join_semi" ->
       """SELECT c_custkey, c_name FROM customer c
          WHERE EXISTS (SELECT 1 FROM orders o
