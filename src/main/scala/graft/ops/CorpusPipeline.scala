@@ -65,7 +65,13 @@ object CorpusPipeline {
       // from every doc) — stripping boilerplate FIRST keeps shared
       // headers/footers from driving the near-dup signatures; 0 = off
       boilerplateMinDocFreq: Int = 0,
-      boilerplateChunkTokens: Int = 20)
+      boilerplateChunkTokens: Int = 20,
+      // > 0: intra-document repetition scrub (keep the first
+      // occurrence of each chunk WITHIN a doc) applied right after
+      // the gates — repeated passages otherwise dominate a doc's
+      // near-dup signature and its token budget; pure projection,
+      // costs no extra shuffle. 0 = off
+      intraDocChunkTokens: Int = 0)
 
   case class Report(input: Long, gated: Long, boiler: Long,
       deduped: Long, semantic: Long, clean: Long, sampled: Long,
@@ -75,6 +81,14 @@ object CorpusPipeline {
 
   private[graft] def gateStage(docs: DataFrame, cfg: Config): DataFrame = {
     val txt = col("text")
+    // PII scrub, then (optionally) the intra-doc repetition scrub —
+    // both pure projections, so the whole gate stage stays ONE scan
+    // with zero shuffle regardless of the flag
+    val outText =
+      if (cfg.intraDocChunkTokens > 0)
+        Dedup.intraDocScrubCol(Redaction.scrubCol(txt),
+          cfg.intraDocChunkTokens)
+      else Redaction.scrubCol(txt)
     docs
       .select(col("doc_id"), col("lang"), txt,
         TextAnalysis.nTokensCol(txt).as("n_tokens"),
@@ -84,8 +98,7 @@ object CorpusPipeline {
         col("alpha_ratio") >= cfg.minAlpha &&
         col("stopword_ratio") <= cfg.maxStopword &&
         col("lang").isin(cfg.langs: _*))
-      .select(col("doc_id"), col("lang"),
-        Redaction.scrubCol(txt).as("text"))
+      .select(col("doc_id"), col("lang"), outText.as("text"))
   }
 
   /** Optional cross-document boilerplate scrub ([[Dedup.boilerplateScrub]])

@@ -846,10 +846,12 @@ object Dedup {
     *
     * Returns (idCol, text, n_chunks, n_dropped) for every input doc.
     */
-  def intraDocDedup(df: DataFrame, idCol: String, textCol: String,
-      chunkTokens: Int = 20): DataFrame = {
+  /** The chunk array of `textCol` and its keep-first filtered form —
+    * the shared basis of [[intraDocDedup]] and [[intraDocScrubCol]]. */
+  private def intraDocChunks(textCol: Column,
+      chunkTokens: Int): (Column, Column) = {
     val w = chunkTokens
-    val tk = TextOps.wsTokens(col(textCol))
+    val tk = TextOps.wsTokens(textCol)
     val nch = ceil(size(tk).cast("double") / w).cast("int")
     val chunks = when(nch > 0,
       transform(sequence(lit(0), nch - 1),
@@ -860,6 +862,20 @@ object Dedup {
     // list_position contract)
     val kept = filter(chunks, (c, i) =>
       array_position(slice(chunks, lit(1), i), c) === 0)
+    (chunks, kept)
+  }
+
+  /** [[intraDocDedup]] as a pure scalar column (scrubbed text only) —
+    * for composing into a wider projection (e.g. the capstone's gate
+    * stage) without forcing the frame through this op's output schema.
+    * Single consumer of the lambda expression, so the projection-split
+    * workaround below is not needed here. */
+  def intraDocScrubCol(textCol: Column, chunkTokens: Int): Column =
+    concat_ws(" ", intraDocChunks(textCol, chunkTokens)._2)
+
+  def intraDocDedup(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 20): DataFrame = {
+    val (chunks, kept) = intraDocChunks(col(textCol), chunkTokens)
     // two-step projection ON PURPOSE: referencing the lambda-bearing
     // `kept` expression from several output columns in one projection
     // trips codegen subexpression elimination over the shared lambda

@@ -39,6 +39,38 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(out2.toSeq === out.toSeq)
   }
 
+  test("intra-doc scrub stage: repeats drop inside the gate projection, lang kept") {
+    import spark.implicits._
+    // gate thresholds relaxed so the synthetic doc passes, then the
+    // repeated 2-token chunk must be gone from the gated text
+    val cfg = CorpusPipeline.Config(minTokens = 4L, minAlpha = 0.0,
+      maxStopword = 1.0, intraDocChunkTokens = 2)
+    val in = Seq((1L, "en", "the cat the cat sat down"))
+      .toDF("doc_id", "lang", "text")
+    val out = CorpusPipeline.gateStage(in, cfg).collect()
+    assert(out.length === 1)
+    assert(out.head.getString(1) === "en")
+    assert(out.head.getString(2) === "the cat sat down")
+    // flag off → text passes through unscrubbed
+    val off = CorpusPipeline.gateStage(in,
+      cfg.copy(intraDocChunkTokens = 0)).collect()
+    assert(off.head.getString(2) === "the cat the cat sat down")
+  }
+
+  test("build with intra-doc scrub: deterministic and still a monotone funnel") {
+    val cfg = CorpusPipeline.Config(intraDocChunkTokens = 20)
+    val (seqs, rep) = CorpusPipeline.build(
+      docs.filter($"doc_id" >= 50), evalSet, cfg)
+    assert(rep.gated > 0 && rep.sequences > 0, rep.toString)
+    val out = seqs.orderBy("doc_id", "win_idx")
+      .as[(Long, Long, String, Long)].collect()
+    val (seqs2, rep2) = CorpusPipeline.build(
+      docs.filter($"doc_id" >= 50), evalSet, cfg)
+    assert(rep2 === rep)
+    assert(seqs2.orderBy("doc_id", "win_idx")
+      .as[(Long, Long, String, Long)].collect().toSeq === out.toSeq)
+  }
+
   test("build evaluates the contamination shingle subtree exactly once") {
     // `clean` is checkpointed inside build; without that, the Report's
     // clean.count() re-evaluates the whole ngramOverlap subtree (an
