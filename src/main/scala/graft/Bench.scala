@@ -54,10 +54,13 @@ object Bench {
     "q79_keywords",
     "q80_containment",
     "q81_bpe_merges",
+    "q81b_bpe_pairs",
     "q82_bpe_encode",
     "q83_intradoc_dedup",
     "q84_composition",
-    "q85_weighted_sample")
+    "q85_weighted_sample",
+    "q13b_join_full",
+    "q52b_window_rank")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

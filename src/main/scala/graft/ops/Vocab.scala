@@ -124,6 +124,24 @@ object Vocab {
     BpeModel(merges.result())
   }
 
+  /** Frequency-weighted adjacent symbol-pair counts over the initial
+    * character symbolization — EXACTLY the statistic the first BPE
+    * merge maximizes, as a declarative frame: the oracle twin that
+    * anchors the merge loop's core arithmetic cross-engine (the loop
+    * itself is not SQL-expressible, but its decision input is).
+    * Returns (l_sym, r_sym, cnt). */
+  def pairCountsFrame(df: DataFrame, textCol: String): DataFrame = {
+    val wc = wordCounts(df, textCol)
+    val syms = concat(split(col("word"), ""), array(lit(EndOfWord)))
+    wc.select(col("cnt"), syms.as("s"))
+      .select(col("cnt"),
+        explode(transform(sequence(lit(1), size(col("s")) - 1),
+          i => struct(element_at(col("s"), i).as("l"),
+            element_at(col("s"), i + 1).as("r")))).as("p"))
+      .groupBy(col("p.l").as("l_sym"), col("p.r").as("r_sym"))
+      .agg(sum("cnt").as("cnt"))
+  }
+
   /** The learned merge table as a frame: (rank, left, right, merged) —
     * the persistable artifact (write it once, encode anywhere). */
   def mergesFrame(df: DataFrame, textCol: String, numMerges: Int,

@@ -248,6 +248,15 @@ object ScaleQueries {
       Vocab.mergesFrame(t(s, dir, "documents"), "text", numMerges = 50)
         .orderBy("rank")),
 
+    // BPE AUDIT twin: the frequency-weighted symbol-pair counts the
+    // first merge maximizes, as a declarative frame — anchors the
+    // merge loop's decision input cross-engine
+    "q81b_bpe_pairs" -> ((s, dir) =>
+      Vocab.pairCountsFrame(t(s, dir, "documents"), "text")
+        .orderBy(desc("cnt"), col("l_sym"), col("r_sym"))
+        .limit(100)
+        .orderBy(desc("cnt"), col("l_sym"), col("r_sym"))),
+
     // BPE encode under the corpus-trained model: map-side, broadcast
     // ranks, per-partition word memo. Rows-only; VocabSpec pins the
     // decode round-trip and count bounds.
@@ -1217,6 +1226,23 @@ object ScaleQueries {
                 CAST(len(chunks) AS BIGINT) AS n_chunks,
                 CAST(len(chunks) - len(kept) AS BIGINT) AS n_dropped
          FROM k ORDER BY doc_id""",
+    "q81b_bpe_pairs" ->
+      """WITH w AS (SELECT unnest(list_filter(
+                 string_split(coalesce(text, ''), ' '),
+                 t -> length(t) > 0)) AS word
+           FROM documents),
+           wc AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),
+           s AS (SELECT cnt,
+                 list_append(string_split(word, ''), '</w>') AS s
+             FROM wc),
+           p AS (SELECT s[i] AS l_sym, s[i+1] AS r_sym, cnt
+                 FROM (SELECT cnt, s, unnest(range(1, len(s))) AS i
+                       FROM s)),
+           agg AS (SELECT l_sym, r_sym, CAST(sum(cnt) AS BIGINT) AS cnt
+                   FROM p GROUP BY l_sym, r_sym)
+         SELECT * FROM (SELECT * FROM agg
+                        ORDER BY cnt DESC, l_sym, r_sym LIMIT 100) x
+         ORDER BY cnt DESC, l_sym, r_sym""",
     "q84_composition" ->
       """WITH cells AS (SELECT lang, source, count(*) AS n_docs,
                 sum(len(list_filter(string_split(coalesce(text, ''), ' '),

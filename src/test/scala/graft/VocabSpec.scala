@@ -75,6 +75,15 @@ class VocabSpec extends AnyFunSuite {
     assert(bad.count() === 0L)
   }
 
+  test("pairCountsFrame: first learned merge IS the frame's argmax under the tie-break") {
+    val sample = docs.limit(200)
+    val top = Vocab.pairCountsFrame(sample, "text")
+      .orderBy(col("cnt").desc, col("l_sym"), col("r_sym"))
+      .limit(1).collect().head
+    val model = Vocab.learnBpe(sample, "text", numMerges = 1)
+    assert(model.merges.head === ((top.getString(0), top.getString(1))))
+  }
+
   test("mergesFrame: persistable artifact matches the model") {
     val df = Seq("ab ab cd").toDF("text")
     val rows = Vocab.mergesFrame(df, "text", numMerges = 10)
