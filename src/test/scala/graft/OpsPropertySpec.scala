@@ -108,4 +108,103 @@ class OpsPropertySpec extends AnyFunSuite {
       assert(got === expected, s"case $c: vecs=${vecs.map(_._2.toSeq)}")
     }
   }
+
+  test("intraDocDedup matches an in-memory keep-first reference on random docs") {
+    val w = 3
+    val rnd = new scala.util.Random(1234)
+    val vocab = Vector("aa", "bb", "cc", "dd")
+    for (c <- 1 to 15) {
+      val docs: Seq[(Long, String)] = (0 until 8).map { i =>
+        // tiny vocab so within-doc chunk repeats actually occur
+        (i.toLong, Vector.fill(rnd.nextInt(8 * w))(
+          vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val expected: Map[Long, (String, Long, Long)] = docs.map {
+        case (id, t) =>
+          val chunks = t.split("\\s+").filter(_.nonEmpty).grouped(w)
+            .map(_.mkString(" ")).toSeq
+          val kept = chunks.foldLeft(Vector.empty[String]) { (acc, ch) =>
+            if (acc.contains(ch)) acc else acc :+ ch
+          }
+          id -> ((kept.mkString(" "), chunks.size.toLong,
+            (chunks.size - kept.size).toLong))
+      }.toMap
+      val got = graft.ops.Dedup.intraDocDedup(
+          docs.toDF("doc_id", "text"), "doc_id", "text", chunkTokens = w)
+        .collect()
+        .map(r => r.getLong(0) ->
+          ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(got === expected, s"case $c: docs=$docs")
+    }
+  }
+
+  test("unigramScore matches an in-memory reference on random corpora") {
+    val rnd = new scala.util.Random(77)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    for (c <- 1 to 10) {
+      val docs: Seq[(Long, String)] = (0 until 10).map { i =>
+        (i.toLong, Vector.fill(rnd.nextInt(12))(
+          vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val all = docs.flatMap(_._2.split("\\s+").filter(_.nonEmpty))
+      val counts = all.groupBy(identity).view.mapValues(_.size).toMap
+      val total = all.size.toDouble
+      val expected: Map[Long, (Long, Double, Double)] = docs.map {
+        case (id, t) =>
+          val tk = t.split("\\s+").filter(_.nonEmpty)
+          if (tk.isEmpty) id -> ((0L, 0.0, 1.0))
+          else {
+            val nll = tk.map(w => -math.log(counts(w) / total)).sum / tk.length
+            id -> ((tk.length.toLong, r4(nll), r4(math.exp(nll))))
+          }
+      }.toMap
+      val got = graft.ops.TextAnalysis.unigramScore(
+          docs.toDF("doc_id", "text"), "doc_id", "text")
+        .collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+      // the engine sums tf-weighted terms; the reference sums per
+      // occurrence — identical mathematically, compare post-round with
+      // a 1-ulp-of-round tolerance
+      got.foreach { case (id, (n, a, p)) =>
+        val (en, ea, ep) = expected(id)
+        assert(n === en, s"case $c id $id")
+        assert(math.abs(a - ea) <= 1e-4 + 1e-9, s"case $c id $id: $a vs $ea")
+        assert(math.abs(p - ep) <= 1e-4 + 1e-9, s"case $c id $id: $p vs $ep")
+      }
+    }
+  }
+
+  test("containmentPairs matches an in-memory reference on random docs") {
+    val n = 2
+    val rnd = new scala.util.Random(9)
+    val vocab = Vector("x", "y", "z", "w")
+    for (c <- 1 to 10) {
+      val docs: Seq[(Long, String)] = (0 until 6).map { i =>
+        (i.toLong, Vector.fill(rnd.nextInt(10) + n)(
+          vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      def grams(t: String): Set[String] = {
+        val tk = t.split("\\s+").filter(_.nonEmpty)
+        if (tk.length < n) Set.empty
+        else tk.sliding(n).map(_.mkString(" ")).toSet
+      }
+      val sets = docs.map { case (id, t) => id -> grams(t) }.toMap
+      val expected = (for {
+        (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq
+        if a != b && sa.nonEmpty
+        inter = (sa intersect sb).size
+        cont = inter.toDouble / sa.size
+        if cont >= 0.5
+      } yield (a, b, sa.size.toLong, inter.toLong)).toSet
+      val got = graft.ops.Dedup.containmentPairs(
+          docs.toDF("doc_id", "text"), "doc_id", "text",
+          n = n, maxId = 100, minContainment = 0.5)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got === expected, s"case $c: docs=$docs")
+    }
+  }
 }
