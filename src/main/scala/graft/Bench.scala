@@ -53,6 +53,7 @@ object Bench {
     "q78_unigram_ppl",
     "q79_keywords",
     "q80_containment",
+    "q80b_containment_screen",
     "q81_bpe_merges",
     "q81b_bpe_pairs",
     "q82_bpe_encode",

@@ -55,8 +55,13 @@ object Dedup {
     * cached blocks instead of recomputing the signature subtree.
     */
   private def auditBuckets(banded: DataFrame, keys: Seq[String],
+      maxBucket: Int, op: String): DataFrame =
+    auditBucketsPreCp(banded.localCheckpoint(), keys, maxBucket, op)
+
+  /** [[auditBuckets]] for a frame the caller has ALREADY checkpointed
+    * (avoids a second materialization of the same rows). */
+  private def auditBucketsPreCp(cp: DataFrame, keys: Seq[String],
       maxBucket: Int, op: String): DataFrame = {
-    val cp = banded.localCheckpoint()
     val over = cp.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucket)
     val worst = over.orderBy(desc("__n")).limit(20).collect()
@@ -909,6 +914,40 @@ object Dedup {
     * Returns directed (id_a, id_b, n_a, inter, containment) for pairs
     * with containment ≥ `minContainment`.
     */
+  /** CORPUS-SCALE containment screen — the scale path
+    * [[containmentPairs]] is the bounded audit of. The set basis is
+    * winnowing fingerprints ([[TextAnalysis.winnowSetFrame]]) instead
+    * of all n-grams: offset-robust (any shared run of ≥ w+k−1 chars
+    * shares a fingerprint, Schleimer 2003) and ~w× sparser, so the
+    * join key space is a fraction of the text. One fingerprint frame —
+    * map-side, checkpointed once, feeding sizes AND both join sides —
+    * then the standard guarded self-join: ubiquitous fingerprints
+    * (boilerplate) above `maxBucket` carriers are excluded with the
+    * loud skew-guard report rather than joined quadratically.
+    * Asymmetric by construction: (a → b) reads "this fraction of a's
+    * fingerprints also occur in b"; high fraction with small |A| =
+    * candidate embedded copy. Returns
+    * (id_a, id_b, n_a, inter, fraction) with fraction ≥ `minFraction`.
+    */
+  def containmentScreen(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4, minFraction: Double = 0.5,
+      maxBucket: Int = defaultMaxBucket): DataFrame = {
+    val fp = TextAnalysis.winnowSetFrame(df, idCol, textCol, k, w)
+      .localCheckpoint()
+    val sizes = fp.groupBy(idCol).agg(count(lit(1)).as("n_a"))
+    val guarded = auditBucketsPreCp(fp, Seq("fp"), maxBucket,
+      "containmentScreen")
+    val a = guarded.select(col(idCol).as("id_a"), col("fp"))
+    val b = guarded.select(col(idCol).as("id_b"), col("fp"))
+    a.join(b, "fp").filter(col("id_a") =!= col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col(idCol).as("id_a"), col("n_a")), "id_a")
+      .withColumn("fraction", col("inter").cast("double") / col("n_a"))
+      .filter(col("fraction") >= minFraction)
+      .select(col("id_a"), col("id_b"), col("n_a"), col("inter"),
+        round(col("fraction"), 4).as("fraction"))
+  }
+
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, maxId: Long = 150, minContainment: Double = 0.8): DataFrame = {
     val sh = Contamination.shingles(

@@ -320,8 +320,12 @@ object TextAnalysis {
     * a CSV of the `sample` smallest (a stable, bounded digest of the
     * set for comparison/joins).
     */
-  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 8, w: Int = 4, sample: Int = 5): DataFrame = {
+  /** The per-doc winnowing fingerprint SET as a projection pipeline:
+    * (idCol, __fps sorted-distinct array). Shared by the
+    * [[winnowFingerprints]] summary and the exploded
+    * [[winnowSetFrame]]. */
+  private def winnowFpsFrame(df: DataFrame, idCol: String,
+      textCol: String, k: Int, w: Int): DataFrame = {
     val txt = coalesce(col(textCol), lit(""))
     // k-gram hashes: hex15(md5(substr(text, i, k))) as long
     val hs = when(length(txt) >= k,
@@ -334,13 +338,26 @@ object TextAnalysis {
         .otherwise(array()))
     df.select(col(idCol), hs.as("__hs"))
       .withColumn("__fps", array_sort(array_distinct(mins)))
+  }
+
+  /** Exploded winnowing fingerprints: one (idCol, fp) row per distinct
+    * fingerprint per doc — the join basis for offset-robust
+    * containment screening ([[graft.ops.Dedup.containmentScreen]]).
+    * Map-side only. */
+  def winnowSetFrame(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4): DataFrame =
+    winnowFpsFrame(df, idCol, textCol, k, w)
+      .select(col(idCol), explode(col("__fps")).as("fp"))
+
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4, sample: Int = 5): DataFrame =
+    winnowFpsFrame(df, idCol, textCol, k, w)
       .select(
         col(idCol),
         size(col("__fps")).cast("long").as("n_fps"),
         concat_ws(",",
           transform(slice(col("__fps"), 1, sample), x => x.cast("string")))
           .as("fp_sample"))
-  }
 
   /** Document fingerprint: md5 of the normalized text (cross-engine
     * checkable) plus a 64-bit content hash for compact joins. */

@@ -218,6 +218,13 @@ object ScaleQueries {
         n = 3, maxId = 150, minContainment = 0.5)
         .orderBy("id_a", "id_b")),
 
+    // corpus-scale containment screen: winnowing-fingerprint sets,
+    // guarded self-join — the scale path q80 is the bounded audit of
+    "q80b_containment_screen" -> ((s, dir) =>
+      Dedup.containmentScreen(t(s, dir, "documents"), "doc_id", "text",
+        k = 8, w = 4, minFraction = 0.8)
+        .orderBy("id_a", "id_b")),
+
     // corpus composition audit: per (lang, source) volumes and shares
     "q84_composition" -> ((s, dir) =>
       TextAnalysis.corpusComposition(t(s, dir, "documents"))
@@ -1226,6 +1233,33 @@ object ScaleQueries {
                 CAST(len(chunks) AS BIGINT) AS n_chunks,
                 CAST(len(chunks) - len(kept) AS BIGINT) AS n_dropped
          FROM k ORDER BY doc_id""",
+    "q80b_containment_screen" ->
+      """WITH h AS (SELECT doc_id,
+                CASE WHEN length(coalesce(text, '')) >= 8
+                     THEN list_transform(range(1, length(text) - 6),
+                            i -> CAST('0x' || substr(md5(substr(text, i, 8)), 1, 15) AS BIGINT))
+                     ELSE [] END AS hs
+           FROM documents),
+           m AS (SELECT doc_id,
+                CASE WHEN len(hs) >= 4
+                     THEN list_transform(range(1, len(hs) - 2),
+                            j -> list_min(list_slice(hs, j, j + 3)))
+                     WHEN len(hs) > 0 THEN [list_min(hs)]
+                     ELSE [] END AS mins
+           FROM h),
+           e AS (SELECT doc_id, unnest(list_distinct(mins)) AS fp FROM m),
+           sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_a
+                  FROM e GROUP BY doc_id),
+           inter AS (SELECT a.doc_id id_a, b.doc_id id_b,
+                            CAST(count(*) AS BIGINT) AS inter
+                     FROM e a JOIN e b
+                       ON a.fp = b.fp AND a.doc_id != b.doc_id
+                     GROUP BY 1, 2)
+         SELECT i.id_a, i.id_b, s.n_a, i.inter,
+                round(i.inter * 1.0 / s.n_a, 4) AS fraction
+         FROM inter i JOIN sz s ON s.doc_id = i.id_a
+         WHERE i.inter * 1.0 / s.n_a >= 0.8
+         ORDER BY id_a, id_b""",
     "q81b_bpe_pairs" ->
       """WITH w AS (SELECT unnest(list_filter(
                  string_split(coalesce(text, ''), ' '),

@@ -264,6 +264,42 @@ class DedupSpec extends AnyFunSuite {
     assert(out.keys.forall { case (a, b) => a != 3L && b != 3L })
   }
 
+  test("containmentScreen: embedded copy found at an arbitrary OFFSET, disjoint doc silent") {
+    import spark.implicits._
+    val small = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val host = "zz1 zz2 zz3 " + small + " qq1 qq2 qq3 qq4"
+    val df = Seq(
+      (1L, host),
+      (2L, small),
+      (3L, (100 to 120).map(i => s"uu$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Dedup.containmentScreen(df, "doc_id", "text",
+      k = 8, w = 4, minFraction = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(4))
+      .toMap
+    // doc 2's text occurs verbatim inside doc 1 at a nonzero offset —
+    // winnowing fingerprints are offset-robust, so the screen sees it
+    assert(out.keys.exists(_ == ((2L, 1L))),
+      s"embedded copy not screened: $out")
+    assert(out((2L, 1L)) >= 0.7)
+    assert(out.keys.forall { case (a, b) => a != 3L && b != 3L })
+  }
+
+  test("containmentScreen: ubiquitous fingerprints excluded by the skew guard") {
+    import spark.implicits._
+    // every doc shares one boilerplate phrase; tiny maxBucket forces
+    // its fingerprints out of the join — disjoint remainders mean no
+    // pair can reach the threshold through the guarded join
+    val boiler = "common header phrase everywhere"
+    val df = (1L to 30L).map(i =>
+      (i, s"$boiler unique${i}a unique${i}b unique${i}c"))
+      .toDF("doc_id", "text")
+    val out = Dedup.containmentScreen(df, "doc_id", "text",
+      k = 8, w = 4, minFraction = 0.9, maxBucket = 8)
+    assert(out.count() === 0L,
+      "guarded join must not emit pairs driven only by boilerplate")
+  }
+
   test("containmentPairs vs Jaccard: subset duplication invisible to Jaccard is caught") {
     import spark.implicits._
     val df = Seq(
