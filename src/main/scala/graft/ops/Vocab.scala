@@ -40,12 +40,26 @@ object Vocab {
     * decoding (concatenate, split on the marker) exact. */
   val EndOfWord = "</w>"
 
-  /** The learned model: merges in application order. `ranks` maps a
-    * symbol pair to its merge priority (lower = earlier = applied
-    * first during encoding). */
-  final case class BpeModel(merges: Seq[(String, String)]) {
+  /** Reserved id 0: the out-of-vocabulary token. */
+  val UnkToken = "<unk>"
+
+  /** The learned model: merges in application order plus the base
+    * (character-level) symbol inventory of the training dictionary.
+    * `ranks` maps a symbol pair to its merge priority (lower = earlier
+    * = applied first during encoding). `vocab` is the total id
+    * assignment: 0 = [[UnkToken]], then base symbols sorted, then
+    * merge products in merge order (first occurrence wins when two
+    * merge paths produce the same string) — a pure function of the
+    * model, so ids are stable across reruns and machines. */
+  final case class BpeModel(merges: Seq[(String, String)],
+      baseSymbols: Seq[String] = Nil) {
     lazy val ranks: Map[(String, String), Int] =
       merges.zipWithIndex.toMap
+    lazy val vocab: Map[String, Int] = {
+      val ordered = (UnkToken +: baseSymbols.distinct.sorted) ++
+        merges.map { case (a, b) => a + b }
+      ordered.distinct.zipWithIndex.toMap
+    }
   }
 
   /** Corpus word counts — the one corpus-scale aggregation
@@ -121,7 +135,8 @@ object Vocab {
         step += 1
       }
     }
-    BpeModel(merges.result())
+    BpeModel(merges.result(),
+      dict0.flatMap(_._1.map(_.toString)).distinct.sorted :+ EndOfWord)
   }
 
   /** Frequency-weighted adjacent symbol-pair counts over the initial
@@ -210,6 +225,53 @@ object Vocab {
           val toks = words.iterator.flatMap(w =>
             memo.getOrElseUpdate(w, encodeWord(w, ranks))).toVector
           Row(r.get(0), toks, words.length.toLong, toks.length.toLong)
+        }
+      }, outSchema)
+    enc.withColumnRenamed("__id", idCol)
+  }
+
+  /** The model's id assignment as a frame: (token_id, token) —
+    * persistable next to [[mergesFrame]]; id 0 is [[UnkToken]]. */
+  def vocabFrame(spark: org.apache.spark.sql.SparkSession,
+      model: BpeModel): DataFrame = {
+    val rows = model.vocab.toSeq.sortBy(_._2)
+      .map { case (t, i) => Row(i, t) }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("token_id", IntegerType, nullable = false),
+        StructField("token", StringType, nullable = false))))
+  }
+
+  /** [[encodeBpe]] to integer ids under the model's stable vocab
+    * (0 = unk for symbols outside the training inventory): the
+    * training-ready form. Same map-side execution; returns
+    * (idCol, token_ids, n_tokens, n_unk). */
+  def encodeIdsBpe(df: DataFrame, idCol: String, textCol: String,
+      model: BpeModel): DataFrame = {
+    val spark = df.sparkSession
+    val bcRanks = spark.sparkContext.broadcast(model.ranks)
+    val bcVocab = spark.sparkContext.broadcast(model.vocab)
+    val idType = df.schema(idCol).dataType
+    val in = df.select(col(idCol), TextOps.wsTokens(col(textCol)).as("__tk"))
+    val outSchema = StructType(Seq(
+      StructField("__id", idType, nullable = true),
+      StructField("token_ids", ArrayType(IntegerType, containsNull = false),
+        nullable = false),
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("n_unk", LongType, nullable = false)))
+    val enc = spark.createDataFrame(
+      in.rdd.mapPartitions { it =>
+        val ranks = bcRanks.value
+        val vocab = bcVocab.value
+        val memo = scala.collection.mutable.HashMap.empty[String, Vector[Int]]
+        it.map { r =>
+          val ids = r.getSeq[String](1).iterator.flatMap(w =>
+            memo.getOrElseUpdate(w,
+              encodeWord(w, ranks).map(t => vocab.getOrElse(t, 0))))
+            .toVector
+          Row(r.get(0), ids, ids.length.toLong,
+            ids.count(_ == 0).toLong)
         }
       }, outSchema)
     enc.withColumnRenamed("__id", idCol)

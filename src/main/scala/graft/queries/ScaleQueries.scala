@@ -241,6 +241,18 @@ object ScaleQueries {
         .orderBy("doc_id")
     }),
 
+    // BPE encode to stable integer ids (training-ready form): rows-only,
+    // VocabSpec pins id stability, the vocab round-trip and unk counting
+    "q82b_bpe_ids" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val model = Vocab.learnBpe(d, "text", numMerges = 50)
+      Vocab.encodeIdsBpe(d, "doc_id", "text", model)
+        .select(col("doc_id"), col("n_tokens"), col("n_unk"),
+          concat_ws(",", transform(slice(col("token_ids"), 1, 8),
+            x => x.cast("string"))).as("ids_head"))
+        .orderBy("doc_id")
+    }),
+
     // intra-document repetition scrub: keep the first occurrence of
     // each 20-token chunk WITHIN a doc — pure projection, zero shuffle
     "q83_intradoc_dedup" -> ((s, dir) =>

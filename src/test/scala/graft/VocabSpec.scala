@@ -95,6 +95,32 @@ class VocabSpec extends AnyFunSuite {
       r.getString(1) + r.getString(2)))
   }
 
+  test("vocab ids: stable assignment, id round-trip through the vocab frame, unk counted") {
+    val train = Seq((1L, "hello hello world world")).toDF("doc_id", "text")
+    val model = Vocab.learnBpe(train, "text", numMerges = 50)
+    // id 0 reserved; base symbols then merge products, no collisions
+    assert(model.vocab(Vocab.UnkToken) === 0)
+    assert(model.vocab.values.toSeq.distinct.size === model.vocab.size)
+    val vf = Vocab.vocabFrame(spark, model)
+    assert(vf.count() === model.vocab.size.toLong)
+    // encode: trained words resolve to non-unk ids; unseen chars → unk
+    val enc = Vocab.encodeIdsBpe(
+      Seq((1L, "hello world"), (2L, "Q")).toDF("doc_id", "text"),
+      "doc_id", "text", model).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getSeq[Int](1), r.getLong(2), r.getLong(3)))).toMap
+    assert(enc(1L)._3 === 0L, "trained words must not hit unk")
+    val inv = model.vocab.map(_.swap)
+    assert(enc(1L)._1.map(inv) ===
+      Seq("hello" + Vocab.EndOfWord, "world" + Vocab.EndOfWord))
+    // "Q" is outside the base inventory; its char maps to unk, the
+    // end-of-word marker is in-vocab
+    assert(enc(2L)._3 === 1L)
+    // rerun → identical ids (stability is the whole point)
+    val model2 = Vocab.learnBpe(train, "text", numMerges = 50)
+    assert(model2.vocab === model.vocab)
+  }
+
   test("learnBpe: dictionary cap is audited, merges still learned from the head") {
     val df = Seq("aa aa aa bb bb cc").toDF("text")
     // cap at 2 distinct words: "cc" drops out, merges still form
