@@ -90,6 +90,36 @@ object Streams {
         graft.ops.Redaction.totalCountCol(txt).as("n_redactions"))
   }
 
+  /** Streaming corpus QUALITY MONITOR: per event-time window, the mean
+    * quality features and volume of arriving documents — the
+    * drift-detection feed for an always-on ingest (a collapsing
+    * alpha-ratio or token-length mean is how an upstream extractor
+    * breaking shows up long before eyeballs reach the data). Stats
+    * only; thresholding/alerting stays downstream where the baseline
+    * lives. Watermarked tumbling windows, append-safe; per-window
+    * state is a fixed-width row.
+    */
+  def qualityMonitorStream(docs: DataFrame, tsCol: String,
+      textCol: String, windowLen: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    val txt = col(textCol)
+    docs.select(col(tsCol), txt,
+        graft.ops.TextAnalysis.nTokensCol(txt).as("__nt"),
+        graft.ops.TextAnalysis.alphaRatioCol(txt).as("__ar"),
+        graft.ops.TextAnalysis.stopwordRatioCol(txt).as("__sr"))
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg("__nt"), 4).as("avg_tokens"),
+        round(avg("__ar"), 4).as("avg_alpha"),
+        round(avg("__sr"), 4).as("avg_stopword"),
+        sum("__nt").as("total_tokens"))
+      .select(col("window.start").as("window_start"),
+        col("n_docs"), col("avg_tokens"), col("avg_alpha"),
+        col("avg_stopword"), col("total_tokens"))
+  }
+
   /** foreachBatch sink: every micro-batch lands as a run_ts-versioned
     * parquet snapshot (S8 layout) — the streaming form of the
     * reference's timestamp-versioned S3 uploads. Batch id, not wall

@@ -72,6 +72,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming quality monitor: windowed means match the batch computation") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def at(h: Int) = new java.sql.Timestamp(base.getTime + h * 3600L * 1000)
+    val good = Array.fill(40)("ok").mkString(" ")
+    val rows = Seq(
+      (at(0), good), (at(0), good + " the and with"),
+      (at(1), "short junk!!"), (at(1), good), (at(2), good))
+    val stream = MemoryStream[(java.sql.Timestamp, String)]
+    stream.addData(rows)
+    val mon = Streams.qualityMonitorStream(
+      stream.toDF().toDF("ts", "text"), "ts", "text")
+    val q = mon.writeStream.outputMode("append")
+      .format("memory").queryName("stream_quality").start()
+    try {
+      // append mode emits a window only after the watermark passes it;
+      // a second batch far in the future flushes all three
+      q.processAllAvailable()
+      stream.addData(Seq((at(100), "flush")))
+      q.processAllAvailable()
+      val streamed = spark.table("stream_quality")
+        .filter(col("window_start") < at(50))
+        .orderBy("window_start")
+        .collect().map(r => (r.getTimestamp(0), r.getLong(1),
+          r.getDouble(2), r.getDouble(3)))
+      val batch = rows.toDF("ts", "text")
+        .select(col("ts"), col("text"),
+          graft.ops.TextAnalysis.nTokensCol(col("text")).as("nt"),
+          graft.ops.TextAnalysis.alphaRatioCol(col("text")).as("ar"))
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"), round(avg("nt"), 4).as("t"),
+          round(avg("ar"), 4).as("a"))
+        .select(col("window.start"), col("n"), col("t"), col("a"))
+        .orderBy("start")
+        .collect().map(r => (r.getTimestamp(0), r.getLong(1),
+          r.getDouble(2), r.getDouble(3)))
+      assert(streamed.toSeq === batch.toSeq)
+      // the hour with junk shows the drop a monitor exists to catch
+      assert(streamed(1)._4 < streamed(0)._4)
+    } finally q.stop()
+  }
+
   test("stream-static enrichment broadcasts the dim and matches batch join") {
     implicit val sqlCtx = spark.sqlContext
     val rows = eventRows(200)
