@@ -50,6 +50,7 @@ object Bench {
     "q75_entropy",
     "q76_cluster_sample",
     "q77_novelty",
+    "q86_pq_topk",
     "q78_unigram_ppl",
     "q79_keywords",
     "q80_containment",

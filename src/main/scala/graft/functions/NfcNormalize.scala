@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Unicode NFC normalization as a native codegen expression — the
+  * canonical-composition step of text canonicalization (é as one code
+  * point, not e + combining acute), which Spark has no built-in for.
+  * A corpus ingested from the web mixes NFC and NFD producers; without
+  * this step, exact dedup, shingle hashing, and token statistics all
+  * treat the two encodings of the same text as different documents.
+  * Static call keeps the projection inside whole-stage codegen.
+  * Cross-engine anchored: DuckDB's `nfc_normalize` computes the same
+  * function, so oracle twins can replay it.
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"nfc_normalize requires a string argument, got ${child.dataType}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(
+      NfcNormalize.nfc(input.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"UTF8String.fromString(" +
+        s"graft.functions.NfcNormalize.nfc($c.toString()))")
+
+  override def prettyName: String = "graft_nfc_normalize"
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
+object NfcNormalize {
+  /** Fast path: `isNormalized` is a cheap scan that short-circuits the
+    * (allocating) composition for the overwhelmingly-common
+    * already-NFC input. */
+  def nfc(s: String): String =
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) s
+    else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+}

@@ -73,4 +73,16 @@ object GraftFunctions {
   /** Sequential-order dot product over two array<double> columns. */
   def dotProduct(a: Column, b: Column): Column =
     bridge.column(DotProduct(bridge.expression(a), bridge.expression(b)))
+
+  /** Unicode NFC canonical composition (null-propagating). */
+  def nfcNormalize(c: Column): Column =
+    bridge.column(NfcNormalize(bridge.expression(c)))
+
+  /** Winnowing fingerprint set (fused single pass, md5 audit family). */
+  def winnowFps(c: Column, k: Int, w: Int): Column =
+    bridge.column(WinnowFpSet(bridge.expression(c), k, w))
+
+  /** Product-quantization encode against in-plan reference codebooks. */
+  def pqEncode(c: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    bridge.column(PqEncodeExpr(bridge.expression(c), codebooks))
 }

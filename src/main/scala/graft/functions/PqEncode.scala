@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Product-quantization encode as one native codegen expression:
+  * input is a unit vector (array<double>, length dim); output is the
+  * m nearest-centroid codes, one per coordinate subspace — the PQ
+  * storage form. The codebooks ride along as a reference object
+  * (ks·dim doubles — a few KB), NOT as literal expression trees: at
+  * ks = 256 the literal-struct encoding is ~18k Catalyst nodes and
+  * falls out of codegen, while this stays one generated call per row.
+  * Ties break to the lower code, so encoding is deterministic.
+  */
+case class PqEncodeExpr(child: Expression,
+    codebooks: Array[Array[Array[Double]]]) extends UnaryExpression {
+  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty))
+
+  private def m: Int = codebooks.length
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pq_encode requires array<double>, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    PqEncodeExpr.encode(input.asInstanceOf[ArrayData], codebooks)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebooks", codebooks, "double[][][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.PqEncodeExpr.encode($c, $cbRef)")
+  }
+
+  override def prettyName: String = s"pq_encode_${m}x${codebooks(0).length}"
+
+  override protected def withNewChildInternal(
+      newChild: Expression): PqEncodeExpr = copy(child = newChild)
+}
+
+object PqEncodeExpr {
+  /** argmin_c ||x_j − c||² per subspace, lowest index on ties. */
+  def encode(v: ArrayData, cb: Array[Array[Array[Double]]]): ArrayData = {
+    val m = cb.length
+    val dsub = cb(0)(0).length
+    val codes = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      val book = cb(j)
+      val off = j * dsub
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < book.length) {
+        val cent = book(c)
+        var d = 0.0
+        var i = 0
+        while (i < dsub) {
+          val t = v.getDouble(off + i) - cent(i)
+          d += t * t
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      codes(j) = best
+      j += 1
+    }
+    new GenericArrayData(codes)
+  }
+}

@@ -1,0 +1,129 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Winnowing fingerprint SET (Schleimer 2003) as one fused pass —
+  * value-identical to the declarative chain in
+  * `graft.ops.TextAnalysis.winnowFpsFrame`:
+  *
+  *   hs(i)  = md5Hash60(substr(text, i+1, k))   for i in 0..n-k
+  *   mins(j) = min(hs(j..j+w-1))                 (window minima)
+  *   result  = sorted distinct minima            (array_sort∘array_distinct)
+  *
+  * with the same edge cases (n < k → empty; fewer than w hashes → the
+  * single global minimum), and the same md5 audit family
+  * (`TextOps.md5Hash60` = first 15 hex chars of md5 as a long = top 60
+  * bits of the digest), so the DuckDB winnowing twins replay it
+  * unchanged.
+  *
+  * Why fused: the HOF form is CodegenFallback — per-position
+  * interpreted `Substring.nullSafeEval` (each an O(position) UTF8
+  * byte scan: quadratic per document) plus boxed lambda Invokes. This
+  * pass decodes the text to code points ONCE, hashes each k-gram from
+  * the array (O(k) per position), and takes window minima with a
+  * monotonic deque (O(n) total) — linear in document length except
+  * for the per-position md5, which is the audit family's price.
+  */
+object WinnowFps {
+
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Top 60 bits of a big-endian md5 digest — exactly the first 15 hex
+    * characters parsed base-16 (the md5Hash60 value). */
+  private def top60(d: Array[Byte]): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  def fps(text: UTF8String, k: Int, w: Int): Array[Long] = {
+    if (text == null) return Array.emptyLongArray
+    // code-point array: `substr` in Spark indexes code points, so the
+    // char-based String API would drift on astral-plane input
+    val cps = text.toString.codePoints().toArray()
+    val n = cps.length
+    if (n < k) return Array.emptyLongArray
+    val m = n - k + 1
+    val hs = new Array[Long](m)
+    val digest = md.get()
+    var i = 0
+    while (i < m) {
+      digest.reset()
+      digest.update(new String(cps, i, k).getBytes("UTF-8"))
+      hs(i) = top60(digest.digest())
+      i += 1
+    }
+    val mins: Array[Long] =
+      if (m < w) {
+        var mn = hs(0)
+        var j = 1
+        while (j < m) { if (hs(j) < mn) mn = hs(j); j += 1 }
+        Array(mn)
+      } else {
+        // monotonic deque of indices: head is the window minimum
+        val out = new Array[Long](m - w + 1)
+        val dq = new Array[Int](m)
+        var head = 0
+        var tail = 0 // exclusive
+        var j = 0
+        while (j < m) {
+          while (tail > head && hs(dq(tail - 1)) >= hs(j)) tail -= 1
+          dq(tail) = j; tail += 1
+          if (dq(head) <= j - w) head += 1
+          if (j >= w - 1) out(j - w + 1) = hs(dq(head))
+          j += 1
+        }
+        out
+      }
+    java.util.Arrays.sort(mins)
+    // in-place dedup of the sorted minima
+    var wr = 0
+    var rd = 0
+    while (rd < mins.length) {
+      if (wr == 0 || mins(wr - 1) != mins(rd)) { mins(wr) = mins(rd); wr += 1 }
+      rd += 1
+    }
+    if (wr == mins.length) mins else java.util.Arrays.copyOf(mins, wr)
+  }
+}
+
+/** `winnow_fps(text)` → array<bigint> of sorted distinct winnowing
+  * fingerprints (k-gram length `k`, window `w`). */
+case class WinnowFpSet(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  require(k > 0, "k must be positive")
+  require(w > 0, "w must be positive")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"winnow_fps requires a string argument, got ${child.dataType}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      WinnowFps.fps(input.asInstanceOf[UTF8String], k, w))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.WinnowFps.fps($c, $k, $w))")
+
+  override def prettyName: String = "winnow_fps"
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFpSet =
+    copy(child = newChild)
+}

@@ -919,11 +919,22 @@ object Dedup {
     * winnowing fingerprints ([[TextAnalysis.winnowSetFrame]]) instead
     * of all n-grams: offset-robust (any shared run of ≥ w+k−1 chars
     * shares a fingerprint, Schleimer 2003) and ~w× sparser, so the
-    * join key space is a fraction of the text. One fingerprint frame —
-    * map-side, checkpointed once, feeding sizes AND both join sides —
-    * then the standard guarded self-join: ubiquitous fingerprints
-    * (boilerplate) above `maxBucket` carriers are excluded with the
-    * loud skew-guard report rather than joined quadratically.
+    * join key space is a fraction of the text.
+    *
+    * Boilerplate exclusion is a DOCUMENTED SEMANTIC of the screen, not
+    * an emergency guard: a fingerprint carried by more than
+    * `maxCarriers` documents is template/boilerplate text — it says
+    * nothing about pairwise copying, and joining it is quadratic in
+    * its carrier count (a templated corpus turns the join into
+    * carriers² pairs per ubiquitous fingerprint: measured 190M raw
+    * pairs on 5 000 templated docs before the cap, 1.8M after).
+    * Excluded fingerprints leave BOTH the numerator and the
+    * denominator: `n_a` counts a's SURVIVING (discriminative)
+    * fingerprints, so `fraction` reads "share of a's discriminative
+    * fingerprints also in b". Documents that are pure boilerplate
+    * (zero surviving fingerprints) drop out. The cap is replayed
+    * exactly by the DuckDB twin (a HAVING on the carrier count).
+    *
     * Asymmetric by construction: (a → b) reads "this fraction of a's
     * fingerprints also occur in b"; high fraction with small |A| =
     * candidate embedded copy. Returns
@@ -931,14 +942,26 @@ object Dedup {
     */
   def containmentScreen(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 4, minFraction: Double = 0.5,
-      maxBucket: Int = defaultMaxBucket): DataFrame = {
-    val fp = TextAnalysis.winnowSetFrame(df, idCol, textCol, k, w)
+      maxCarriers: Int = 64): DataFrame = {
+    // Spread the raw text BEFORE the fingerprint pass: it costs one md5
+    // per character position, so a narrow input (one parquet file → one
+    // split) serializes minutes of CPU onto a single core while the
+    // rest of the cluster idles. One shuffle of the raw text is orders
+    // of magnitude cheaper than that; AQE re-coalesces if the corpus is
+    // already wide.
+    val spread = df.repartition(
+      df.sparkSession.sessionState.conf.numShufflePartitions, col(idCol))
+    val fp = TextAnalysis.winnowSetFrame(spread, idCol, textCol, k, w)
       .localCheckpoint()
-    val sizes = fp.groupBy(idCol).agg(count(lit(1)).as("n_a"))
-    val guarded = auditBucketsPreCp(fp, Seq("fp"), maxBucket,
-      "containmentScreen")
-    val a = guarded.select(col(idCol).as("id_a"), col("fp"))
-    val b = guarded.select(col(idCol).as("id_b"), col("fp"))
+    val keep = fp.groupBy("fp").agg(count(lit(1)).as("__carriers"))
+      .filter(col("__carriers") <= maxCarriers)
+      .select("fp")
+    // surviving fingerprints feed sizes AND both self-join sides —
+    // checkpointed so the fp-keep join runs once, not three times
+    val kept = fp.join(keep, "fp").localCheckpoint()
+    val sizes = kept.groupBy(idCol).agg(count(lit(1)).as("n_a"))
+    val a = kept.select(col(idCol).as("id_a"), col("fp"))
+    val b = kept.select(col(idCol).as("id_b"), col("fp"))
     a.join(b, "fp").filter(col("id_a") =!= col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
       .join(sizes.select(col(idCol).as("id_a"), col("n_a")), "id_a")

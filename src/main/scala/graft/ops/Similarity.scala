@@ -409,4 +409,205 @@ object Similarity {
     Mixing.temperatureSample(cells, "cell", "id", "id", totalTarget)
       .select(col("id").as(idCol), col("cell"))
   }
+
+  // ---- product quantization (PQ) — compressed-domain ANN ----
+
+  /** The m per-subspace codebooks of a product quantizer: codebooks(j)
+    * is a ks × (dim/m) centroid matrix fit on the j-th subvector slice
+    * of the UNIT-normalized corpus. Driver-sized (m·ks·dim/m = ks·dim
+    * doubles — for 64-d, ks=16 that is 1024 doubles) and broadcast into
+    * both the encode and the search path. */
+  final case class PqCodebooks(m: Int, ks: Int, dim: Int,
+      codebooks: Array[Array[Array[Double]]])
+
+  /** Fit the product quantizer: split the unit sphere into `m`
+    * orthogonal coordinate subspaces of dim/m components each and run
+    * seeded Lloyd's (ks centroids) per subspace ON A SAMPLE, driver
+    * side. That is the standard PQ training shape (the codebook is
+    * ks·dim doubles — a few KB — and quantizer quality saturates at a
+    * few thousand samples per centroid; training it distributed costs
+    * m·iters scheduled jobs for no accuracy), while ENCODING — the
+    * corpus-sized pass — stays fully distributed in [[pqEncode]].
+    *
+    * Determinism: the sample is the first `fitCap` vectors in
+    * xxhash64(id) order (content-independent, rerun-stable, no RNG
+    * state), optionally pre-thinned to the ~1/`fitSampleMod` id-slice;
+    * init picks ks seeded-random sample rows; ties in assignment break
+    * to the lower centroid index. Same inputs → same codebooks,
+    * bit-for-bit.
+    */
+  def pqFit(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      m: Int = 8, ks: Int = 16, seed: Long = 42L,
+      fitSampleMod: Int = 1, fitCap: Int = 16384): PqCodebooks = {
+    require(dim % m == 0, s"m ($m) must divide dim ($dim)")
+    require(fitSampleMod >= 1, s"fitSampleMod must be >= 1, got $fitSampleMod")
+    require(fitCap > ks, s"fitCap ($fitCap) must exceed ks ($ks)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dsub = dim / m
+    val base = unitVectors(df, idCol, vecCol)
+    val sliced =
+      if (fitSampleMod == 1) base
+      else base.filter(
+        pmod(xxhash64(col("id")), lit(fitSampleMod.toLong)) === 0L)
+    // TakeOrdered by the content-independent hash: a bounded, uniform,
+    // deterministic sample regardless of how ids cluster in storage
+    val sample = sliced
+      .orderBy(xxhash64(col("id")), col("id"))
+      .limit(fitCap)
+      .select(col("vhat")).as[Seq[Double]].collect()
+      .map(_.toArray)
+    val pts =
+      if (sample.length > ks) sample
+      else {
+        System.err.println(
+          s"[graft] pqFit: fitSampleMod=$fitSampleMod leaves <= $ks " +
+            "vectors in the fit slice — falling back to a full-corpus " +
+            "sample; lower fitSampleMod")
+        base.orderBy(xxhash64(col("id")), col("id")).limit(fitCap)
+          .select(col("vhat")).as[Seq[Double]].collect().map(_.toArray)
+      }
+    require(pts.length > ks,
+      s"pqFit: corpus has <= $ks usable vectors — a $ks-centroid " +
+        "codebook is meaningless; lower ks")
+    val books = Array.tabulate(m) { j =>
+      val sub = pts.map(v => java.util.Arrays.copyOfRange(v, j * dsub,
+        (j + 1) * dsub))
+      lloyds(sub, ks, iters = 5, new scala.util.Random(seed + j))
+    }
+    PqCodebooks(m, ks, dim, books)
+  }
+
+  /** Seeded in-core Lloyd's: ks centers, fixed iterations, lowest-index
+    * tie-break, empty clusters keep their previous center. */
+  private def lloyds(pts: Array[Array[Double]], ks: Int, iters: Int,
+      rnd: scala.util.Random): Array[Array[Double]] = {
+    val d = pts(0).length
+    // init: ks distinct sample indices (sample size > ks is required)
+    val idx = rnd.shuffle(pts.indices.toVector).take(ks)
+    var centers = idx.map(i => pts(i).clone()).toArray
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(ks)(new Array[Double](d))
+      val counts = new Array[Long](ks)
+      var p = 0
+      while (p < pts.length) {
+        val v = pts(p)
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < ks) {
+          var dist = 0.0
+          var i = 0
+          while (i < d) {
+            val diff = v(i) - centers(c)(i); dist += diff * diff; i += 1
+          }
+          if (dist < bestD) { bestD = dist; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < d) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+        p += 1
+      }
+      centers = Array.tabulate(ks) { c =>
+        if (counts(c) == 0) centers(c)
+        else {
+          val ctr = new Array[Double](d)
+          var i = 0
+          while (i < d) { ctr(i) = sums(c)(i) / counts(c); i += 1 }
+          ctr
+        }
+      }
+      it += 1
+    }
+    centers
+  }
+
+  /** Encode each vector as its m nearest-centroid codes — the PQ
+    * storage form (m bytes-worth of small ints per vector: 32× smaller
+    * than a 64-d float32 embedding at m=8). Pure map-side, one native
+    * codegen expression per row ([[graft.functions.PqEncodeExpr]]); the
+    * codebooks ride along as a broadcast-sized reference object, not
+    * literal expression trees, so ks=256 codebooks don't bloat the
+    * plan. Ties break to the lower code — encoding is deterministic.
+    * Returns (id, codes: array<int> of length m).
+    */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+      pq: PqCodebooks): DataFrame = {
+    val base = unitVectors(df, idCol, vecCol)
+    base.select(col("id").as(idCol),
+      graft.functions.GraftFunctions.pqEncode(col("vhat"), pq.codebooks)
+        .as("codes"))
+  }
+
+  /** PQ/ADC top-k search with exact re-rank — the FAISS-style two-stage
+    * layout. Stage 1 ranks the ENCODED corpus against each query by
+    * asymmetric distance: sim(q, x) ≈ Σ_j q_j · c_{j,codes_j}, a pure
+    * table lookup per subspace into the query's precomputed lookup
+    * table (m·ks dots, built once per query from the codebooks). The
+    * corpus side of that scan never touches float vectors — it reads
+    * m-code rows, so at a billion vectors the hot set is the code
+    * table (32× smaller than float32 at m=8), the classic memory-bound
+    * billion-scale ANN layout. Stage 2 takes the per-query ADC
+    * shortlist (`rerank` candidates, bounded-heap [[topKPerQuery]] —
+    * deterministic sim DESC / cid ASC order) and re-scores ONLY those
+    * nQueries·rerank rows against true unit vectors — a broadcast
+    * semi-join back to the corpus, cost proportional to the shortlist,
+    * not the corpus. ADC quantization noise decides nothing final;
+    * it only has to land true neighbors inside the shortlist.
+    *
+    * Returns (qid, rn, cid, sim) with sim = EXACT cosine — directly
+    * comparable to [[cosineTopK]] / [[annTopK]] / [[ivfTopK]].
+    * `rerank` ≤ k disables stage 2 (pure compressed-domain ranking,
+    * ADC sims in the output).
+    */
+  def pqTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      nQueries: Int = 10, k: Int = 5, m: Int = 8, ks: Int = 256,
+      rerank: Int = 32, seed: Long = 42L,
+      fitSampleMod: Int = 1): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dsub = dim / m
+    val corpus = df.filter(col(idCol) >= nQueries)
+    val pq = pqFit(corpus, idCol, vecCol, dim, m, ks, seed, fitSampleMod)
+    val corpusUnit = unitVectors(corpus, idCol, vecCol)
+      .select(col("id").as("cid"), col("vhat"))
+      .localCheckpoint() // feeds encode AND the re-rank join once
+    val codes = corpusUnit.select(col("cid"),
+      graft.functions.GraftFunctions.pqEncode(col("vhat"), pq.codebooks)
+        .as("codes"))
+    // queries: nQueries unit vectors — metadata-sized driver collect
+    // (same discipline as the broadcast-queries side of cosineTopK)
+    val qRows = unitVectors(df.filter(col(idCol) < nQueries), idCol, vecCol)
+      .select(col("id"), col("vhat")).as[(Long, Seq[Double])].collect()
+    val luts: Seq[(Long, Seq[Double])] = qRows.toSeq.map { case (qid, qv) =>
+      // flat LUT: lut(j*ks + c) = q_j · codebook(j)(c)
+      val lut = for (j <- 0 until m; c <- 0 until ks) yield {
+        val cent = pq.codebooks(j)(c)
+        var s = 0.0
+        var i = 0
+        while (i < dsub) { s += qv(j * dsub + i) * cent(i); i += 1 }
+        s
+      }
+      (qid, lut)
+    }
+    val qdf = luts.toDF("qid", "lut")
+    val adc = codes.join(broadcast(qdf))
+      .withColumn("sim", aggregate(
+        zip_with(col("codes"),
+          sequence(lit(0), lit(m - 1)),
+          (c, j) => element_at(col("lut"), (j * lit(ks) + c + 1).cast("int"))),
+        lit(0.0), (acc, x) => acc + x))
+    if (rerank <= k) topKPerQuery(adc, k)
+    else {
+      val shortlist = topKPerQuery(adc, rerank).select("qid", "cid")
+      val qvec = qRows.toSeq.toDF("qid", "qv")
+      val exact = corpusUnit
+        .join(broadcast(shortlist), "cid")
+        .join(broadcast(qvec), "qid")
+        .withColumn("sim", dot(col("qv"), col("vhat")))
+      topKPerQuery(exact, k)
+    }
+  }
 }

@@ -325,19 +325,29 @@ object TextAnalysis {
     * [[winnowFingerprints]] summary and the exploded
     * [[winnowSetFrame]]. */
   private def winnowFpsFrame(df: DataFrame, idCol: String,
-      textCol: String, k: Int, w: Int): DataFrame = {
-    val txt = coalesce(col(textCol), lit(""))
+      textCol: String, k: Int, w: Int): DataFrame =
+    df.select(col(idCol),
+      graft.functions.GraftFunctions.winnowFps(
+        coalesce(col(textCol), lit("")), k, w).as("__fps"))
+
+  /** The declarative (HOF) winnowing chain the fused expression
+    * replicates — audit/parity form ONLY: per-position interpreted
+    * `substr` makes it quadratic per document. Kept so the spec can
+    * pin fused ≡ declarative on real data; the DuckDB winnowing twins
+    * replay this exact chain in SQL.
+    */
+  def winnowFpsDeclarative(textCol: Column, k: Int, w: Int): Column = {
+    val txt = coalesce(textCol, lit(""))
     // k-gram hashes: hex15(md5(substr(text, i, k))) as long
     val hs = when(length(txt) >= k,
       transform(sequence(lit(1), length(txt) - (k - 1)),
         i => TextOps.md5Hash60(txt.substr(i, lit(k))))).otherwise(array())
-    val mins = when(size(col("__hs")) >= w,
-      transform(sequence(lit(1), size(col("__hs")) - (w - 1)),
-        j => array_min(slice(col("__hs"), j, lit(w)))))
-      .otherwise(when(size(col("__hs")) > 0, array(array_min(col("__hs"))))
+    val mins = when(size(hs) >= w,
+      transform(sequence(lit(1), size(hs) - (w - 1)),
+        j => array_min(slice(hs, j, lit(w)))))
+      .otherwise(when(size(hs) > 0, array(array_min(hs)))
         .otherwise(array()))
-    df.select(col(idCol), hs.as("__hs"))
-      .withColumn("__fps", array_sort(array_distinct(mins)))
+    array_sort(array_distinct(mins))
   }
 
   /** Exploded winnowing fingerprints: one (idCol, fp) row per distinct

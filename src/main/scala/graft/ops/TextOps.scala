@@ -81,4 +81,23 @@ object TextOps {
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), asc("word"))
+
+  /** Encoding-level canonicalization — the FIRST pass of corpus
+    * ingestion, before any hashing or token statistics: Unicode NFC
+    * (composed form, so NFC and NFD producers of the same text hash
+    * identically), lowercase, control characters → space, whitespace
+    * runs collapsed, trimmed. Null → empty (F1 coalesce semantics).
+    * Pure map-side projection; every step is codegen (NFC via the
+    * native [[graft.functions.NfcNormalize]] expression). Whitespace
+    * is matched by the EXPLICIT class `[ \t\n\x0B\f\r]` rather than
+    * `\s` — Java and RE2 disagree on `\s` (vertical tab), and the
+    * DuckDB oracle twin must replay the exact function.
+    */
+  def canonicalizeCol(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        lower(graft.functions.GraftFunctions.nfcNormalize(
+          coalesce(c, lit("")))),
+        "[\\x00-\\x1f\\x7f]", " "),
+      "[ \\t\\n\\x0B\\f\\r]+", " "))
 }

@@ -158,6 +158,27 @@ object ScaleQueries {
         "embedding", totalTarget = 200L, nLists = 16)
         .orderBy("vec_id")),
 
+    // encoding-level canonicalization — NFC + lowercase + control
+    // strip + whitespace collapse, the pass every other text op
+    // assumes has already run at ingest. Fully oracle-checked (DuckDB
+    // nfc_normalize replays the NFC step; explicit whitespace class
+    // keeps Java and RE2 regex agreeing).
+    "q87_canonicalize" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextOps.canonicalizeCol(col("text")).as("canon"))
+        .orderBy("doc_id")),
+
+    // product-quantized ANN: 8 sub-codebooks × 256 centroids compress
+    // each 64-d vector to 8 codes (32× smaller than float32); queries
+    // rank the ENCODED corpus by LUT-summed asymmetric distance, then
+    // the 32-deep shortlist is re-scored with exact cosine (the
+    // FAISS-style two-stage layout). Rows-only (codebooks are kmeans
+    // seed/optimizer-specific); SimilaritySpec pins recall floor vs
+    // exact brute force, determinism, and planted-copy retrieval.
+    "q86_pq_topk" -> ((s, dir) =>
+      Similarity.pqTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        dim = 64, nQueries = 10, k = 5)),
+
     // EXACT semantic dedup (embedding-space clusters): all-pairs cosine
     // edges ≥ 0.4 → connected components → cluster + rep per vector.
     // The audit form — the DuckDB twin replays every stage including
@@ -1059,6 +1080,13 @@ object ScaleQueries {
          SELECT source, doc_id, unnest(range(0, reps)) AS copy
          FROM r WHERE reps > 0 ORDER BY source, doc_id, copy""",
     "q58_pii_scrub" -> q58Sql,
+    "q87_canonicalize" ->
+      """SELECT doc_id,
+                trim(regexp_replace(regexp_replace(
+                  lower(nfc_normalize(coalesce(text, ''))),
+                  '[\x00-\x1f\x7f]', ' ', 'g'),
+                  '[ \t\n\x0B\f\r]+', ' ', 'g')) AS canon
+         FROM documents ORDER BY doc_id""",
     "q60_chunk_dedup" ->
       """WITH tkt AS (SELECT doc_id,
                  list_filter(string_split(coalesce(text, ''), ' '),
@@ -1259,7 +1287,9 @@ object ScaleQueries {
                      WHEN len(hs) > 0 THEN [list_min(hs)]
                      ELSE [] END AS mins
            FROM h),
-           e AS (SELECT doc_id, unnest(list_distinct(mins)) AS fp FROM m),
+           e0 AS (SELECT doc_id, unnest(list_distinct(mins)) AS fp FROM m),
+           keepfp AS (SELECT fp FROM e0 GROUP BY fp HAVING count(*) <= 64),
+           e AS (SELECT e0.* FROM e0 JOIN keepfp USING (fp)),
            sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_a
                   FROM e GROUP BY doc_id),
            inter AS (SELECT a.doc_id id_a, b.doc_id id_b,

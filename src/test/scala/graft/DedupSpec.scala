@@ -285,19 +285,19 @@ class DedupSpec extends AnyFunSuite {
     assert(out.keys.forall { case (a, b) => a != 3L && b != 3L })
   }
 
-  test("containmentScreen: ubiquitous fingerprints excluded by the skew guard") {
+  test("containmentScreen: ubiquitous fingerprints boilerplate-excluded") {
     import spark.implicits._
-    // every doc shares one boilerplate phrase; tiny maxBucket forces
-    // its fingerprints out of the join — disjoint remainders mean no
-    // pair can reach the threshold through the guarded join
+    // every doc shares one boilerplate phrase; a tiny carrier cap
+    // excludes its fingerprints from numerator AND denominator —
+    // disjoint remainders mean no pair can reach the threshold
     val boiler = "common header phrase everywhere"
     val df = (1L to 30L).map(i =>
       (i, s"$boiler unique${i}a unique${i}b unique${i}c"))
       .toDF("doc_id", "text")
     val out = Dedup.containmentScreen(df, "doc_id", "text",
-      k = 8, w = 4, minFraction = 0.9, maxBucket = 8)
+      k = 8, w = 4, minFraction = 0.9, maxCarriers = 8)
     assert(out.count() === 0L,
-      "guarded join must not emit pairs driven only by boilerplate")
+      "capped join must not emit pairs driven only by boilerplate")
   }
 
   test("containmentPairs vs Jaccard: subset duplication invisible to Jaccard is caught") {

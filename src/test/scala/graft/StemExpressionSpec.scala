@@ -60,4 +60,36 @@ class StemExpressionSpec extends AnyFunSuite {
       .collect()
     assert(out.head.getString(0) === "")
   }
+
+  test("nfc_normalize composes NFD input, fixes nothing on NFC, keeps nulls") {
+    val nfd = "e\u0301cole" // e + combining acute
+    val nfc = "\u00e9cole"  // precomposed e-acute
+    val df = Seq(Some(nfd), Some(nfc), Some("plain ascii"), None).toDF("s")
+      .select(graft.functions.GraftFunctions.nfcNormalize(col("s")).as("n"))
+    val out = df.collect().map(r => Option(r.getString(0))).toSeq
+    assert(out === Seq(Some(nfc), Some(nfc), Some("plain ascii"), None))
+  }
+
+  test("canonicalizeCol: NFC + lower + control strip + whitespace collapse") {
+    val df = Seq(
+      Some("  Hello\t\tWORLD \r\n"),
+      Some("E\u0301cole\u0000 Franc\u0327aise"), // NFD accents + NUL control
+      Some(""),
+      None).toDF("text")
+      .select(TextOps.canonicalizeCol(col("text")).as("c"))
+    assert(df.collect().map(_.getString(0)).toSeq === Seq(
+      "hello world",
+      "\u00e9cole fran\u00e7aise",
+      "",
+      ""))
+  }
+
+  test("canonicalizeCol is idempotent on real documents") {
+    val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val once = TextOps.canonicalizeCol(col("text"))
+    val n = docs.select(once.as("a"),
+        TextOps.canonicalizeCol(once).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(n === 0)
+  }
 }

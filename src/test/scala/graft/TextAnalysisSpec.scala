@@ -89,6 +89,31 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(6L)._1 === 0L)
   }
 
+  test("fused winnow_fps ≡ declarative HOF chain (real docs + edge vectors)") {
+    import graft.functions.GraftFunctions.winnowFps
+    // real corpus: every doc must agree between the fused single-pass
+    // expression and the declarative substr/md5 chain it replaces
+    val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val mism = docs.select(
+        winnowFps(coalesce(col("text"), lit("")), 8, 4).as("fused"),
+        TextAnalysis.winnowFpsDeclarative(col("text"), 8, 4).as("decl"))
+      .filter(col("fused") =!= col("decl")).count()
+    assert(mism === 0)
+    // degenerate lengths, nulls, repeats, non-ascii, varied (k, w)
+    val edge = Seq("", "1234567", "12345678", "123456789",
+      "aaaaaaaaaaaaaaaaaaaa", "école française école",
+      null.asInstanceOf[String], "the quick brown fox jumps")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    for ((k, w) <- Seq((8, 4), (3, 2), (5, 1), (2, 7))) {
+      val n = edge.select(
+          winnowFps(coalesce(col("text"), lit("")), k, w).as("fused"),
+          TextAnalysis.winnowFpsDeclarative(col("text"), k, w).as("decl"))
+        .filter(col("fused") =!= col("decl")).count()
+      assert(n === 0, s"fused/declarative drift at k=$k w=$w")
+    }
+  }
+
   test("fingerprints: identical normalized text → identical fp") {
     val df = Seq((1L, "Hello World!"), (2L, "hello world"), (3L, "other"))
       .toDF("doc_id", "text")
