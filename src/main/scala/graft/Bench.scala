@@ -51,6 +51,7 @@ object Bench {
     "q76_cluster_sample",
     "q77_novelty",
     "q86_pq_topk",
+    "q88_ivfpq_topk",
     "q78_unigram_ppl",
     "q79_keywords",
     "q80_containment",

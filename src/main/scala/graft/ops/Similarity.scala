@@ -139,17 +139,19 @@ object Similarity {
     * the LSH route ([[annTopK]]), better when vectors cluster (LSH
     * hyperplanes are data-oblivious; IVF centroids adapt to the data).
     *
-    * Scale shape: the quantizer fits on the corpus (Spark ML KMeans —
-    * sampled/iterated distributed), cell assignment is one model
-    * transform (map-side), the centroid table is tiny and broadcast,
-    * and the probe is an equi-join on cell id: scan fraction ≈
-    * nProbe/nLists. Returns (qid, rn, cid, sim) like the other top-k
-    * paths.
+    * Scale shape: the quantizer fits driver-side on a deterministic
+    * bounded sample ([[fitSample]] — codebook quality saturates at a
+    * few thousand samples per centroid, so a distributed fit buys
+    * iters× scheduled passes for nothing), cell assignment is one
+    * map-side nearest-centroid pass (the single-codebook form of
+    * [[graft.functions.PqEncodeExpr]]), the centroid table is tiny and
+    * broadcast, and the probe is an equi-join on cell id: scan
+    * fraction ≈ nProbe/nLists. Returns (qid, rn, cid, sim) like the
+    * other top-k paths.
     */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
       nQueries: Int = 10, k: Int = 5, nLists: Int = 16,
       nProbe: Int = 4, seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.functions.array_to_vector
     val spark = df.sparkSession
     // quantize on the UNIT SPHERE: the final ranking is cosine, and on
     // normalized vectors argmin ||q−c||² ≡ argmax q·c ≡ argmax cosine —
@@ -161,19 +163,20 @@ object Similarity {
       .withColumn("vhat", transform(col("v"), x => x / col("nrm")))
     val corpus = base.filter(col(idCol) >= nQueries)
 
-    val km = new org.apache.spark.ml.clustering.KMeans()
-      .setK(nLists).setSeed(seed).setMaxIter(10)
-      .setFeaturesCol("__feat").setPredictionCol("cell")
-    val withFeat = corpus.withColumn("__feat", array_to_vector(col("vhat")))
-    val model = km.fit(withFeat)
-    val assigned = model.transform(withFeat)
-      .select(col(idCol).as("cid"), col("vhat").as("chat"), col("cell"))
+    val centers = lloyds(
+      fitSample(corpus.select(col(idCol).as("id"), col("vhat")),
+        fitCap = 16384, fitSampleMod = 1, minNeeded = nLists, "ivfTopK"),
+      nLists, iters = 10, new scala.util.Random(seed))
+    val assigned = corpus.select(col(idCol).as("cid"),
+      col("vhat").as("chat"),
+      element_at(graft.functions.GraftFunctions.pqEncode(col("vhat"),
+        Array(centers)), 1).as("cell"))
 
     // tiny centroid table (nLists rows) — broadcast both into the probe
     // ranking and the candidate join
     import spark.implicits._
-    val centroids = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray) }.toSeq
+    val centroids = centers.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "centroid")
 
     val queries = base.filter(col(idCol) < nQueries)
@@ -268,48 +271,30 @@ object Similarity {
 
   /** Shared k-means cell assignment over unit vectors: (id, vhat,
     * cell). Tiny corpora get one cell (a quantizer is pointless there,
-    * and k-means with k near n is exactly where Spark ML's block
-    * trainer breaks on duplicate/short center sets — the routing probe
-    * is `limit(threshold+1).count()`, constant work at any corpus
-    * size). The fit path uses random init + few iterations: cells are
-    * a partitioning heuristic, not a result, and random init keeps the
-    * center COUNT at k even when duplicate vectors get sampled
-    * (k-means|| dedups centers and a short center set crashes the
-    * aggregator on heavily-duplicated corpora). With fitSampleMod =
-    * m > 1 the fit trains on the deterministic ~1/m xxhash64 slice
-    * (content-keyed, so reruns fit the SAME slice) while assignment
-    * still covers every vector — at corpus scale the quantizer never
-    * needs the full corpus. */
+    * and k near n is degenerate — the routing probe is
+    * `limit(threshold+1).count()`, constant work at any corpus size).
+    * The fit is seeded in-core Lloyd's on the deterministic
+    * [[fitSample]] (random init keeps the center COUNT at k even when
+    * duplicate vectors get sampled — cells are a partitioning
+    * heuristic, not a result); assignment is a map-side
+    * nearest-centroid pass over EVERY vector via the single-codebook
+    * form of [[graft.functions.PqEncodeExpr]]. With fitSampleMod =
+    * m > 1 the fit sample pre-thins to the deterministic ~1/m xxhash64
+    * id-slice — at corpus scale the quantizer never needs the full
+    * corpus. */
   private def cellAssign(base: DataFrame, nLists: Int, seed: Long,
       smallCorpus: Int, fitSampleMod: Int): DataFrame = {
-    import org.apache.spark.ml.functions.array_to_vector
     val n = base.limit(smallCorpus + 1).count()
     if (n <= smallCorpus)
       base.select(col("id"), col("vhat"), lit(0).as("cell"))
     else {
-      val km = new org.apache.spark.ml.clustering.KMeans()
-        .setK(nLists).setSeed(seed).setMaxIter(5).setInitMode("random")
-        .setFeaturesCol("__feat").setPredictionCol("cell")
-      val withFeat = base.withColumn("__feat", array_to_vector(col("vhat")))
-      val fitInput =
-        if (fitSampleMod == 1) withFeat
-        else {
-          val slice = withFeat.filter(
-            pmod(xxhash64(col("id")), lit(fitSampleMod.toLong)) === 0L)
-          // a too-aggressive mod can starve the fit below k vectors,
-          // which is the k>n crash again — fall back loudly, never cap
-          // silently (same constant-work limit probe as the routing)
-          if (slice.limit(nLists + 1).count() > nLists) slice
-          else {
-            System.err.println(
-              s"[graft] cellAssign: fitSampleMod=$fitSampleMod leaves " +
-                s"<= $nLists vectors in the fit slice — falling back " +
-                "to a full-corpus fit; lower fitSampleMod")
-            withFeat
-          }
-        }
-      val model = km.fit(fitInput)
-      model.transform(withFeat).select(col("id"), col("vhat"), col("cell"))
+      val centers = lloyds(
+        fitSample(base.select(col("id"), col("vhat")), fitCap = 16384,
+          fitSampleMod = fitSampleMod, minNeeded = nLists, "cellAssign"),
+        nLists, iters = 5, new scala.util.Random(seed))
+      base.select(col("id"), col("vhat"),
+        element_at(graft.functions.GraftFunctions.pqEncode(col("vhat"),
+          Array(centers)), 1).as("cell"))
     }
   }
 
@@ -440,42 +425,60 @@ object Similarity {
       m: Int = 8, ks: Int = 16, seed: Long = 42L,
       fitSampleMod: Int = 1, fitCap: Int = 16384): PqCodebooks = {
     require(dim % m == 0, s"m ($m) must divide dim ($dim)")
-    require(fitSampleMod >= 1, s"fitSampleMod must be >= 1, got $fitSampleMod")
-    require(fitCap > ks, s"fitCap ($fitCap) must exceed ks ($ks)")
-    val spark = df.sparkSession
-    import spark.implicits._
     val dsub = dim / m
-    val base = unitVectors(df, idCol, vecCol)
-    val sliced =
-      if (fitSampleMod == 1) base
-      else base.filter(
-        pmod(xxhash64(col("id")), lit(fitSampleMod.toLong)) === 0L)
-    // TakeOrdered by the content-independent hash: a bounded, uniform,
-    // deterministic sample regardless of how ids cluster in storage
-    val sample = sliced
-      .orderBy(xxhash64(col("id")), col("id"))
-      .limit(fitCap)
-      .select(col("vhat")).as[Seq[Double]].collect()
-      .map(_.toArray)
-    val pts =
-      if (sample.length > ks) sample
-      else {
-        System.err.println(
-          s"[graft] pqFit: fitSampleMod=$fitSampleMod leaves <= $ks " +
-            "vectors in the fit slice — falling back to a full-corpus " +
-            "sample; lower fitSampleMod")
-        base.orderBy(xxhash64(col("id")), col("id")).limit(fitCap)
-          .select(col("vhat")).as[Seq[Double]].collect().map(_.toArray)
-      }
-    require(pts.length > ks,
-      s"pqFit: corpus has <= $ks usable vectors — a $ks-centroid " +
-        "codebook is meaningless; lower ks")
+    val pts = fitSample(unitVectors(df, idCol, vecCol), fitCap,
+      fitSampleMod, ks, "pqFit")
     val books = Array.tabulate(m) { j =>
       val sub = pts.map(v => java.util.Arrays.copyOfRange(v, j * dsub,
         (j + 1) * dsub))
       lloyds(sub, ks, iters = 5, new scala.util.Random(seed + j))
     }
     PqCodebooks(m, ks, dim, books)
+  }
+
+  /** Deterministic bounded driver-side fit sample over a unit-vector
+    * frame (columns `id`, `vhat`): the first `fitCap` vectors in
+    * xxhash64(id) order — content-independent, rerun-stable, no RNG
+    * state — optionally pre-thinned to the ~1/`fitSampleMod` id-slice.
+    * A too-aggressive mod that starves the slice below `minNeeded`
+    * falls back LOUDLY to the full-corpus sample (never a silent cap);
+    * fewer than `minNeeded` usable vectors overall is a hard error —
+    * a quantizer with k near n is meaningless.
+    *
+    * This is the classical quantizer-training shape shared by the PQ,
+    * IVF, and cell-assignment fits: codebook quality saturates at a
+    * few thousand samples per centroid, so the corpus-sized work stays
+    * in the distributed ASSIGNMENT pass, and the fit costs one
+    * TakeOrdered job instead of iters× distributed passes. */
+  private def fitSample(base: DataFrame, fitCap: Int, fitSampleMod: Int,
+      minNeeded: Int, what: String): Array[Array[Double]] = {
+    require(fitSampleMod >= 1, s"fitSampleMod must be >= 1, got $fitSampleMod")
+    require(fitCap > minNeeded, s"fitCap ($fitCap) must exceed $minNeeded")
+    val spark = base.sparkSession
+    import spark.implicits._
+    def take(df: DataFrame): Array[Array[Double]] = df
+      .orderBy(xxhash64(col("id")), col("id"))
+      .limit(fitCap)
+      .select(col("vhat")).as[Seq[Double]].collect()
+      .map(_.toArray)
+    val sample =
+      if (fitSampleMod == 1) take(base)
+      else take(base.filter(
+        pmod(xxhash64(col("id")), lit(fitSampleMod.toLong)) === 0L))
+    val pts =
+      if (sample.length > minNeeded) sample
+      else if (fitSampleMod == 1) sample
+      else {
+        System.err.println(
+          s"[graft] $what: fitSampleMod=$fitSampleMod leaves <= " +
+            s"$minNeeded vectors in the fit slice — falling back to a " +
+            "full-corpus sample; lower fitSampleMod")
+        take(base)
+      }
+    require(pts.length > minNeeded,
+      s"$what: corpus has <= $minNeeded usable vectors — a " +
+        s"$minNeeded-centroid quantizer is meaningless; lower k")
+    pts
   }
 
   /** Seeded in-core Lloyd's: ks centers, fixed iterations, lowest-index
@@ -604,6 +607,125 @@ object Similarity {
       val shortlist = topKPerQuery(adc, rerank).select("qid", "cid")
       val qvec = qRows.toSeq.toDF("qid", "qv")
       val exact = corpusUnit
+        .join(broadcast(shortlist), "cid")
+        .join(broadcast(qvec), "qid")
+        .withColumn("sim", dot(col("qv"), col("vhat")))
+      topKPerQuery(exact, k)
+    }
+  }
+
+  /** IVF-PQ top-k — the composed billion-scale ANN layout (the FAISS
+    * IVFADC structure): a coarse quantizer partitions the corpus into
+    * `nLists` cells, each vector stores only its cell id + the m PQ
+    * codes of its RESIDUAL (vhat − cell centroid), and a query touches
+    * just its `nProbe` nearest cells, ranking their members in the
+    * compressed domain before an exact re-rank of the shortlist.
+    *
+    * Why residuals: within a cell, vectors share the centroid, so the
+    * residual distribution is tighter than the raw corpus — the same
+    * ks-centroid budget quantizes it with far less error (this is what
+    * separates IVF-PQ from independently composing IVF and PQ). The
+    * inner-product decomposes exactly: q·x ≈ q·c_cell + q·r̂, so the
+    * per-candidate score is one cell-constant (carried on the
+    * broadcast probe row) plus the standard per-subspace LUT sum.
+    *
+    * Scale shape: both quantizers fit driver-side on one deterministic
+    * [[fitSample]] (two tiny models), the corpus-sized passes —
+    * assignment, residual, encode — are one map-side projection, the
+    * probe is an equi-join on cell id against broadcast (qid, cell)
+    * rows (scan fraction ≈ nProbe/nLists, and the scan reads
+    * cell+codes, never float vectors), and the exact re-rank touches
+    * nQueries·rerank rows. Returns (qid, rn, cid, sim) with sim =
+    * exact cosine (`rerank` ≤ k leaves ADC scores, compressed-only).
+    */
+  def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      nQueries: Int = 10, k: Int = 5, nLists: Int = 16, nProbe: Int = 4,
+      m: Int = 8, ks: Int = 256, rerank: Int = 32, seed: Long = 42L,
+      fitSampleMod: Int = 1): DataFrame = {
+    require(dim % m == 0, s"m ($m) must divide dim ($dim)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dsub = dim / m
+    val corpus = unitVectors(df.filter(col(idCol) >= nQueries), idCol,
+      vecCol)
+    // ONE driver-side sample feeds both fits: coarse centers on the
+    // vectors, PQ codebooks on the sample's residuals
+    val pts = fitSample(corpus, fitCap = 16384,
+      fitSampleMod = fitSampleMod, minNeeded = math.max(nLists, ks),
+      "ivfPqTopK")
+    val centers = lloyds(pts, nLists, iters = 10,
+      new scala.util.Random(seed))
+    def nearestCell(v: Array[Double]): Int = {
+      var best = 0; var bd = Double.MaxValue
+      var c = 0
+      while (c < nLists) {
+        var d = 0.0; var i = 0
+        while (i < dim) { val t = v(i) - centers(c)(i); d += t * t; i += 1 }
+        if (d < bd) { bd = d; best = c }
+        c += 1
+      }
+      best
+    }
+    val residuals = pts.map { v =>
+      val c = centers(nearestCell(v))
+      Array.tabulate(dim)(i => v(i) - c(i))
+    }
+    val books = Array.tabulate(m) { j =>
+      val sub = residuals.map(v => java.util.Arrays.copyOfRange(v,
+        j * dsub, (j + 1) * dsub))
+      lloyds(sub, ks, iters = 5, new scala.util.Random(seed + 1 + j))
+    }
+
+    // corpus pass: cell + residual codes in one map-side projection
+    val centroidDf = centers.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "centroid")
+    val corpusCp = corpus.select(col("id").as("cid"), col("vhat"))
+      .localCheckpoint() // feeds encode AND the re-rank join once
+    val encoded = corpusCp
+      .withColumn("cell",
+        element_at(graft.functions.GraftFunctions.pqEncode(col("vhat"),
+          Array(centers)), 1))
+      .join(broadcast(centroidDf), "cell")
+      .withColumn("codes", graft.functions.GraftFunctions.pqEncode(
+        zip_with(col("vhat"), col("centroid"), (x, c) => x - c), books))
+      .select("cid", "cell", "codes")
+
+    // query side: nQueries rows — probes carry the exact q·c_cell term
+    val qRows = unitVectors(df.filter(col(idCol) < nQueries), idCol,
+      vecCol).select(col("id"), col("vhat"))
+      .as[(Long, Seq[Double])].collect()
+    val probes = qRows.toSeq.flatMap { case (qid, qv) =>
+      val byDist = centers.zipWithIndex.map { case (c, i) =>
+        var d = 0.0; var dotQC = 0.0; var j = 0
+        while (j < dim) {
+          val t = qv(j) - c(j); d += t * t; dotQC += qv(j) * c(j); j += 1
+        }
+        (d, i, dotQC)
+      }.sortBy(p => (p._1, p._2)).take(nProbe)
+      byDist.map { case (_, cell, dotQC) => (qid, cell, dotQC) }
+    }.toDF("qid", "cell", "qdotc")
+    val luts = qRows.toSeq.map { case (qid, qv) =>
+      val lut = for (j <- 0 until m; c <- 0 until ks) yield {
+        val cent = books(j)(c)
+        var s = 0.0; var i = 0
+        while (i < dsub) { s += qv(j * dsub + i) * cent(i); i += 1 }
+        s
+      }
+      (qid, lut)
+    }.toDF("qid", "lut")
+
+    val adc = encoded.join(broadcast(probes), "cell")
+      .join(broadcast(luts), "qid")
+      .withColumn("sim", col("qdotc") + aggregate(
+        zip_with(col("codes"),
+          sequence(lit(0), lit(m - 1)),
+          (c, j) => element_at(col("lut"), (j * lit(ks) + c + 1).cast("int"))),
+        lit(0.0), (acc, x) => acc + x))
+    if (rerank <= k) topKPerQuery(adc, k)
+    else {
+      val shortlist = topKPerQuery(adc, rerank).select("qid", "cid")
+      val qvec = qRows.toSeq.toDF("qid", "qv")
+      val exact = corpusCp
         .join(broadcast(shortlist), "cid")
         .join(broadcast(qvec), "qid")
         .withColumn("sim", dot(col("qv"), col("vhat")))

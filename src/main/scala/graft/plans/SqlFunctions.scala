@@ -1,0 +1,93 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+import graft.functions._
+
+/** SQL registration of the engine's native expressions, so the full
+  * text/dedup/vector surface is reachable from `spark.sql(...)` and
+  * from SQL-only clients (a JDBC notebook, a SQL pipeline step) — not
+  * just the Scala column API. One definition site: [[GraftExtensions]]
+  * injects this list at session build, and [[SqlFunctions.registerInto]]
+  * retrofits an existing session (tests, REPL).
+  *
+  * Parameterized functions (minhash_sig k, winnow_fps k/w) require
+  * INTEGER LITERAL parameters — the expressions compile the parameter
+  * into their codegen, so a column-valued k has no meaning. Violations
+  * throw at analysis time with the argument name, not at runtime.
+  */
+object SqlFunctions {
+
+  private def litInt(fn: String, arg: String)(e: Expression): Int =
+    e match {
+      case Literal(v: Int, IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"$fn: $arg must be an integer literal, got $other")
+    }
+
+  private def arity(fn: String, n: Int)(
+      es: Seq[Expression]): Seq[Expression] = {
+    if (es.length != n) throw new IllegalArgumentException(
+      s"$fn expects $n argument(s), got ${es.length}")
+    es
+  }
+
+  /** (identifier, info, builder) triples for every SQL-callable
+    * expression the engine defines. */
+  val all: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    ("porter_stem", classOf[PorterStem],
+      (es: Seq[Expression]) =>
+        PorterStem(arity("porter_stem", 1)(es).head)),
+    ("preprocess_text", classOf[PreprocessText],
+      (es: Seq[Expression]) =>
+        PreprocessText(arity("preprocess_text", 1)(es).head)),
+    ("nfc_normalize", classOf[NfcNormalize],
+      (es: Seq[Expression]) =>
+        NfcNormalize(arity("nfc_normalize", 1)(es).head)),
+    ("simhash64", classOf[SimHash64],
+      (es: Seq[Expression]) =>
+        SimHash64(arity("simhash64", 1)(es).head)),
+    ("minhash_sig", classOf[MinHashSig],
+      (es: Seq[Expression]) => {
+        val Seq(c, k) = arity("minhash_sig", 2)(es)
+        MinHashSig(c, litInt("minhash_sig", "k")(k))
+      }),
+    ("md5_minhash_sig", classOf[Md5MinHashSig],
+      (es: Seq[Expression]) => {
+        val Seq(c, k) = arity("md5_minhash_sig", 2)(es)
+        Md5MinHashSig(c, litInt("md5_minhash_sig", "k")(k))
+      }),
+    ("winnow_fps", classOf[WinnowFpSet],
+      (es: Seq[Expression]) => {
+        val Seq(c, k, w) = arity("winnow_fps", 3)(es)
+        WinnowFpSet(c, litInt("winnow_fps", "k")(k),
+          litInt("winnow_fps", "w")(w))
+      }),
+    ("dot_product", classOf[DotProduct],
+      (es: Seq[Expression]) => {
+        val Seq(a, b) = arity("dot_product", 2)(es)
+        DotProduct(a, b)
+      }),
+    ("array_eq_count", classOf[ArrayEqCount],
+      (es: Seq[Expression]) => {
+        val Seq(a, b) = arity("array_eq_count", 2)(es)
+        ArrayEqCount(a, b)
+      })
+  ).map { case (name, clazz, builder) =>
+    (FunctionIdentifier(name),
+      new ExpressionInfo(clazz.getName, name), builder)
+  }
+
+  /** Retrofit registration into an already-built session (the
+    * extension path only applies at session build time). Idempotent —
+    * re-registering overwrites with the same builder. */
+  def registerInto(spark: SparkSession): Unit =
+    all.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry
+        .registerFunction(id, info, builder)
+    }
+}

@@ -38,5 +38,8 @@ object CollapseTextNormalization extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => CollapseTextNormalization)
+    SqlFunctions.all.foreach { case (id, info, builder) =>
+      e.injectFunction((id, info, builder))
+    }
   }
 }

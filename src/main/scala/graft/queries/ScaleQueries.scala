@@ -179,6 +179,16 @@ object ScaleQueries {
       Similarity.pqTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
         dim = 64, nQueries = 10, k = 5)),
 
+    // IVF-PQ: the COMPOSED billion-scale ANN layout (FAISS IVFADC) —
+    // coarse cells + residual PQ codes; a query scans ~nProbe/nLists of
+    // the corpus and only ever reads cell+codes (no float vectors),
+    // then the 32-deep shortlist is re-scored with exact cosine.
+    // Rows-only; SimilaritySpec pins recall floor, determinism, and
+    // planted-copy-through-own-cell retrieval.
+    "q88_ivfpq_topk" -> ((s, dir) =>
+      Similarity.ivfPqTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        dim = 64, nQueries = 10, k = 5)),
+
     // EXACT semantic dedup (embedding-space clusters): all-pairs cosine
     // edges ≥ 0.4 → connected components → cluster + rep per vector.
     // The audit form — the DuckDB twin replays every stage including

@@ -251,6 +251,48 @@ class SimilaritySpec extends AnyFunSuite {
       === again.toSeq)
   }
 
+  test("ivfPqTopK: k rows per query, recall floor vs brute force, deterministic") {
+    val exact = Similarity.cosineTopK(emb, "vec_id", "embedding",
+      nQueries = 5, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val rows = Similarity.ivfPqTopK(emb, "vec_id", "embedding", dim = 64,
+      nQueries = 5, k = 3).collect()
+    assert(rows.map(_.getLong(0)).distinct.length === 5)
+    assert(rows.forall(r => r.getInt(1) >= 1 && r.getInt(1) <= 3))
+    val approx = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    info(s"ivf-pq recall@3 = $recall")
+    // two lossy stages compound: a true neighbor must land in a probed
+    // cell (4 of 16) AND inside the 32-deep ADC shortlist — on
+    // near-random vectors the cell miss dominates (measured 0.4 here;
+    // a broken residual/LUT/probe scores ~0, which is what the floor
+    // catches — not probe-luck drift on a seed change)
+    assert(recall >= 0.25, s"recall $recall")
+    val again = Similarity.ivfPqTopK(emb, "vec_id", "embedding", dim = 64,
+      nQueries = 5, k = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+      === again.toSeq)
+  }
+
+  test("ivfPqTopK: planted copy of each query is retrieved via its own cell") {
+    // an identical corpus vector is assigned to the query's nearest
+    // cell, which is always the FIRST probed cell — the copy must
+    // survive the ADC shortlist and rank top-1 after exact re-rank
+    val copies = emb.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 200000L).as("vec_id"), col("embedding"))
+    val df = emb.select(col("vec_id").cast("long").as("vec_id"),
+      col("embedding")).union(copies)
+    val rows = Similarity.ivfPqTopK(df, "vec_id", "embedding", dim = 64,
+      nQueries = 5, k = 3).collect()
+    (0L until 5L).foreach { q =>
+      val top1 = rows.filter(r => r.getLong(0) == q && r.getInt(1) == 1)
+        .map(_.getLong(2)).headOption
+      assert(top1.contains(q + 200000L),
+        s"query $q: planted copy is not rank 1 ($top1)")
+    }
+  }
+
   test("pqTopK: compressed-only ranking (rerank off) finds planted copies") {
     // a corpus vector IDENTICAL to the query encodes to the codes that
     // maximize the query's own LUT sum among vectors with its

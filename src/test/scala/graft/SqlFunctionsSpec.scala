@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.SqlFunctions
+
+/** The engine's native expressions as SQL functions: every entry in
+  * [[SqlFunctions.all]] must be callable from `spark.sql`, agree with
+  * its Scala column-API form, and reject malformed parameters at
+  * analysis time. */
+class SqlFunctionsSpec extends AnyFunSuite {
+
+  lazy val spark = {
+    val s = TestSpark.session
+    SqlFunctions.registerInto(s)
+    s
+  }
+
+  test("scalar text functions agree with the column API on real docs") {
+    import graft.functions.GraftFunctions._
+    val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001",
+      "documents")
+    docs.createOrReplaceTempView("docs_sqlfn")
+    val viaSql = spark.sql(
+      """SELECT doc_id, porter_stem(lower(text)) AS st,
+                preprocess_text(text) AS pp,
+                nfc_normalize(text) AS nf,
+                simhash64(text) AS sh
+         FROM docs_sqlfn""")
+    val viaCol = docs.select(col("doc_id"),
+      porterStem(lower(col("text"))).as("st"),
+      preprocessText(col("text")).as("pp"),
+      nfcNormalize(col("text")).as("nf"),
+      simHash64(col("text")).as("sh"))
+    assert(viaSql.exceptAll(viaCol).isEmpty && viaCol.exceptAll(viaSql).isEmpty)
+  }
+
+  test("parameterized signatures agree with the column API") {
+    import graft.functions.GraftFunctions._
+    val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001",
+      "documents")
+    docs.createOrReplaceTempView("docs_sqlfn2")
+    val viaSql = spark.sql(
+      """SELECT doc_id, minhash_sig(text, 16) AS mh,
+                winnow_fps(text, 8, 4) AS wf
+         FROM docs_sqlfn2""")
+    val viaCol = docs.select(col("doc_id"),
+      minHashSig(col("text"), 16).as("mh"),
+      winnowFps(col("text"), 8, 4).as("wf"))
+    assert(viaSql.exceptAll(viaCol).isEmpty && viaCol.exceptAll(viaSql).isEmpty)
+  }
+
+  test("vector functions work in SQL over embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb.createOrReplaceTempView("emb_sqlfn")
+    val out = spark.sql(
+      """SELECT dot_product(CAST(embedding AS array<double>),
+                            CAST(embedding AS array<double>)) AS n2
+         FROM emb_sqlfn""").collect()
+    assert(out.nonEmpty && out.forall(_.getDouble(0) > 0.0))
+  }
+
+  test("non-literal k is rejected at analysis time with the argument name") {
+    val err = intercept[Exception] {
+      spark.sql("SELECT minhash_sig('abc', length('xx'))").collect()
+    }
+    assert(err.getMessage.contains("minhash_sig") ||
+      err.getCause != null &&
+        err.getCause.getMessage.contains("minhash_sig"))
+  }
+
+  test("wrong arity is rejected with the expected count") {
+    val err = intercept[Exception] {
+      spark.sql("SELECT porter_stem('a', 'b')").collect()
+    }
+    assert(err.getMessage.contains("porter_stem") ||
+      err.getCause != null &&
+        err.getCause.getMessage.contains("porter_stem"))
+  }
+}
