@@ -52,10 +52,12 @@ object Bench {
     "q77_novelty",
     "q86_pq_topk",
     "q88_ivfpq_topk",
+    "q89_compression",
     "q78_unigram_ppl",
     "q79_keywords",
     "q80_containment",
     "q80b_containment_screen",
+    "q80c_containment_fast",
     "q81_bpe_merges",
     "q81b_bpe_pairs",
     "q82_bpe_encode",

@@ -1,0 +1,19 @@
+package graft
+
+/** Dev probe: time named SparkEntry queries once each (arg 1 = sfDir,
+  * rest = query names). Not part of the driver contract. */
+object TimeProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val spark = GraftSession.local(
+      math.min(32, Runtime.getRuntime.availableProcessors()))
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    args.drop(1).foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      val n = fn(spark, sfDir).count()
+      println(f"[probe] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+    }
+    spark.stop()
+  }
+}

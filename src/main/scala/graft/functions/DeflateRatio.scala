@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Compression ratio (deflate bytes / UTF-8 bytes) as a native codegen
+  * expression — the classic third text-quality signal beside token
+  * entropy and n-gram repetition (C4/Gopher-style corpus filters flag
+  * documents that compress too WELL: templated boilerplate, repeated
+  * spans, generator loops — and too BADLY: binary noise, random
+  * strings). Deterministic: deflate with BEST_SPEED and no dictionary
+  * is a pure function of the bytes on any JVM (level is fixed, output
+  * is byte-stable for a given zlib; the SIGNAL consumers threshold on
+  * is stable to far coarser granularity than any zlib drift).
+  * Empty/whitespace-only input → ratio 0.0 (nothing to compress —
+  * callers gate on length separately).
+  */
+case class DeflateRatio(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"deflate_ratio requires a string argument, got ${child.dataType}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    DeflateRatio.ratio(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.DeflateRatio.ratio($c)")
+
+  override def prettyName: String = "deflate_ratio"
+
+  override protected def withNewChildInternal(
+      newChild: Expression): DeflateRatio = copy(child = newChild)
+}
+
+object DeflateRatio {
+
+  private val deflater = new ThreadLocal[java.util.zip.Deflater] {
+    override def initialValue(): java.util.zip.Deflater =
+      new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED, true)
+  }
+
+  def ratio(s: UTF8String): Double = {
+    val bytes = s.getBytes
+    if (bytes.isEmpty) return 0.0
+    val d = deflater.get()
+    d.reset()
+    d.setInput(bytes)
+    d.finish()
+    // count output without keeping it: fixed 8 KiB sink buffer
+    val sink = new Array[Byte](8192)
+    var out = 0L
+    while (!d.finished()) out += d.deflate(sink)
+    out.toDouble / bytes.length
+  }
+}

@@ -78,11 +78,17 @@ object GraftFunctions {
   def nfcNormalize(c: Column): Column =
     bridge.column(NfcNormalize(bridge.expression(c)))
 
-  /** Winnowing fingerprint set (fused single pass, md5 audit family). */
-  def winnowFps(c: Column, k: Int, w: Int): Column =
-    bridge.column(WinnowFpSet(bridge.expression(c), k, w))
+  /** Winnowing fingerprint set (fused single pass). `family`: "md5"
+    * (audit, oracle-replayable) or "fast" (rolling Rabin–Karp). */
+  def winnowFps(c: Column, k: Int, w: Int,
+      family: String = "md5"): Column =
+    bridge.column(WinnowFpSet(bridge.expression(c), k, w, family))
 
   /** Product-quantization encode against in-plan reference codebooks. */
   def pqEncode(c: Column, codebooks: Array[Array[Array[Double]]]): Column =
     bridge.column(PqEncodeExpr(bridge.expression(c), codebooks))
+
+  /** Deflate-compression ratio (compressed/raw bytes) — quality signal. */
+  def deflateRatio(c: Column): Column =
+    bridge.column(DeflateRatio(bridge.expression(c)))
 }

@@ -61,6 +61,55 @@ object WinnowFps {
       hs(i) = top60(digest.digest())
       i += 1
     }
+    minima(hs, w)
+  }
+
+  /** Fast-family fingerprints: rolling Rabin–Karp polynomial hash over
+    * code points — O(1) per position (the md5 audit family pays an
+    * O(k) digest per position), finalized with an fmix64 bit-mixer so
+    * window minima are uniform. Same winnowing guarantee and the same
+    * edge cases as [[fps]]; NOT the audit family — a DuckDB twin
+    * cannot replay it, so use it where the oracle is the md5 form's
+    * job (the production screen path, like the xxhash64 MinHash family
+    * vs its md5 twin). */
+  def fpsFast(text: UTF8String, k: Int, w: Int): Array[Long] = {
+    if (text == null) return Array.emptyLongArray
+    val cps = text.toString.codePoints().toArray()
+    val n = cps.length
+    if (n < k) return Array.emptyLongArray
+    val m = n - k + 1
+    val B = 0x100000001b3L
+    var bk = 1L // B^(k-1) for the outgoing code point
+    var j = 1
+    while (j < k) { bk *= B; j += 1 }
+    val hs = new Array[Long](m)
+    var h = 0L
+    var i = 0
+    while (i < k) { h = h * B + cps(i); i += 1 }
+    hs(0) = fmix64(h)
+    i = 1
+    while (i < m) {
+      h = (h - cps(i - 1) * bk) * B + cps(i + k - 1)
+      hs(i) = fmix64(h)
+      i += 1
+    }
+    minima(hs, w)
+  }
+
+  private def fmix64(x: Long): Long = {
+    var h = x
+    h ^= h >>> 33
+    h *= 0xff51afd7ed558ccdL
+    h ^= h >>> 33
+    h *= 0xc4ceb9fe1a85ec53L
+    h ^= h >>> 33
+    h
+  }
+
+  /** Shared winnowing tail: window minima over the k-gram hashes
+    * (monotonic deque, O(m)), then sorted distinct. */
+  private def minima(hs: Array[Long], w: Int): Array[Long] = {
+    val m = hs.length
     val mins: Array[Long] =
       if (m < w) {
         var mn = hs(0)
@@ -96,11 +145,16 @@ object WinnowFps {
 }
 
 /** `winnow_fps(text)` → array<bigint> of sorted distinct winnowing
-  * fingerprints (k-gram length `k`, window `w`). */
-case class WinnowFpSet(child: Expression, k: Int, w: Int)
-    extends UnaryExpression {
+  * fingerprints (k-gram length `k`, window `w`). `family` picks the
+  * k-gram hash: `md5` (audit — DuckDB twins replay it) or `fast`
+  * (rolling Rabin–Karp + fmix64 — the production screen path). */
+case class WinnowFpSet(child: Expression, k: Int, w: Int,
+    family: String = "md5") extends UnaryExpression {
   require(k > 0, "k must be positive")
   require(w > 0, "w must be positive")
+  require(family == "md5" || family == "fast",
+    s"family must be 'md5' or 'fast', got '$family'")
+  private def evalFn = if (family == "md5") "fps" else "fpsFast"
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -115,14 +169,15 @@ case class WinnowFpSet(child: Expression, k: Int, w: Int)
 
   override def nullSafeEval(input: Any): Any =
     new GenericArrayData(
-      WinnowFps.fps(input.asInstanceOf[UTF8String], k, w))
+      if (family == "md5") WinnowFps.fps(input.asInstanceOf[UTF8String], k, w)
+      else WinnowFps.fpsFast(input.asInstanceOf[UTF8String], k, w))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
       s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
-        s"graft.functions.WinnowFps.fps($c, $k, $w))")
+        s"graft.functions.WinnowFps.$evalFn($c, $k, $w))")
 
-  override def prettyName: String = "winnow_fps"
+  override def prettyName: String = s"winnow_fps_$family"
 
   override protected def withNewChildInternal(newChild: Expression): WinnowFpSet =
     copy(child = newChild)

@@ -942,17 +942,18 @@ object Dedup {
     */
   def containmentScreen(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 4, minFraction: Double = 0.5,
-      maxCarriers: Int = 64): DataFrame = {
-    // Spread the raw text BEFORE the fingerprint pass: it costs one md5
-    // per character position, so a narrow input (one parquet file → one
-    // split) serializes minutes of CPU onto a single core while the
-    // rest of the cluster idles. One shuffle of the raw text is orders
-    // of magnitude cheaper than that; AQE re-coalesces if the corpus is
-    // already wide.
+      maxCarriers: Int = 64, family: String = "md5"): DataFrame = {
+    // Spread the raw text BEFORE the fingerprint pass: it costs one
+    // hash per character position (an md5 digest in the audit family),
+    // so a narrow input (one parquet file → one split) serializes
+    // minutes of CPU onto a single core while the rest of the cluster
+    // idles. One shuffle of the raw text is orders of magnitude
+    // cheaper than that; AQE re-coalesces if the corpus is already
+    // wide.
     val spread = df.repartition(
       df.sparkSession.sessionState.conf.numShufflePartitions, col(idCol))
-    val fp = TextAnalysis.winnowSetFrame(spread, idCol, textCol, k, w)
-      .localCheckpoint()
+    val fp = TextAnalysis.winnowSetFrame(spread, idCol, textCol, k, w,
+      family).localCheckpoint()
     val keep = fp.groupBy("fp").agg(count(lit(1)).as("__carriers"))
       .filter(col("__carriers") <= maxCarriers)
       .select("fp")

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column
@@ -642,17 +642,39 @@ object Similarity {
       nQueries: Int = 10, k: Int = 5, nLists: Int = 16, nProbe: Int = 4,
       m: Int = 8, ks: Int = 256, rerank: Int = 32, seed: Long = 42L,
       fitSampleMod: Int = 1): DataFrame = {
+    val corpus = df.filter(col(idCol) >= nQueries)
+    val index = ivfPqBuild(corpus, idCol, vecCol, dim, nLists, m, ks,
+      seed, fitSampleMod)
+    ivfPqSearch(index, df.filter(col(idCol) < nQueries), idCol, vecCol,
+      k, nProbe, rerank, exact = Some(corpus.select(col(idCol),
+        col(vecCol))), exactIdCol = idCol, exactVecCol = vecCol)
+  }
+
+  /** A built IVF-PQ index: the two driver-sized quantizers plus the
+    * corpus code table (cid, cell, codes) — the only corpus-scale
+    * artifact, m ints per vector. Build once, persist with
+    * [[ivfPqSave]], query many times with [[ivfPqSearch]]: at corpus
+    * scale the index is infrastructure, not a per-query computation. */
+  final case class IvfPqIndex(dim: Int, nLists: Int, m: Int, ks: Int,
+      centers: Array[Array[Double]],
+      books: Array[Array[Array[Double]]],
+      codes: DataFrame)
+
+  /** Fit both quantizers on ONE deterministic driver-side sample
+    * (coarse centers on the vectors, PQ codebooks on the sample's
+    * residuals) and encode the whole corpus in one map-side
+    * projection. See [[ivfPqTopK]] for the layout rationale. */
+  def ivfPqBuild(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      nLists: Int = 16, m: Int = 8, ks: Int = 256, seed: Long = 42L,
+      fitSampleMod: Int = 1): IvfPqIndex = {
     require(dim % m == 0, s"m ($m) must divide dim ($dim)")
     val spark = df.sparkSession
     import spark.implicits._
     val dsub = dim / m
-    val corpus = unitVectors(df.filter(col(idCol) >= nQueries), idCol,
-      vecCol)
-    // ONE driver-side sample feeds both fits: coarse centers on the
-    // vectors, PQ codebooks on the sample's residuals
+    val corpus = unitVectors(df, idCol, vecCol)
     val pts = fitSample(corpus, fitCap = 16384,
       fitSampleMod = fitSampleMod, minNeeded = math.max(nLists, ks),
-      "ivfPqTopK")
+      "ivfPqBuild")
     val centers = lloyds(pts, nLists, iters = 10,
       new scala.util.Random(seed))
     def nearestCell(v: Array[Double]): Int = {
@@ -675,13 +697,9 @@ object Similarity {
         j * dsub, (j + 1) * dsub))
       lloyds(sub, ks, iters = 5, new scala.util.Random(seed + 1 + j))
     }
-
-    // corpus pass: cell + residual codes in one map-side projection
     val centroidDf = centers.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "centroid")
-    val corpusCp = corpus.select(col("id").as("cid"), col("vhat"))
-      .localCheckpoint() // feeds encode AND the re-rank join once
-    val encoded = corpusCp
+    val codes = corpus.select(col("id").as("cid"), col("vhat"))
       .withColumn("cell",
         element_at(graft.functions.GraftFunctions.pqEncode(col("vhat"),
           Array(centers)), 1))
@@ -689,13 +707,69 @@ object Similarity {
       .withColumn("codes", graft.functions.GraftFunctions.pqEncode(
         zip_with(col("vhat"), col("centroid"), (x, c) => x - c), books))
       .select("cid", "cell", "codes")
+    IvfPqIndex(dim, nLists, m, ks, centers, books, codes)
+  }
 
-    // query side: nQueries rows — probes carry the exact q·c_cell term
-    val qRows = unitVectors(df.filter(col(idCol) < nQueries), idCol,
-      vecCol).select(col("id"), col("vhat"))
-      .as[(Long, Seq[Double])].collect()
+  /** Persist an index: `<path>/codes` is the corpus-scale parquet
+    * (partitioned by cell, so a probe scans only its cells' files);
+    * `<path>/quantizers` holds both quantizers as rows (kind, j, c,
+    * vec); `<path>/meta` one row of shape params. All plain parquet —
+    * no JVM serialization, readable by any engine. */
+  def ivfPqSave(index: IvfPqIndex, path: String): Unit = {
+    val spark = index.codes.sparkSession
+    import spark.implicits._
+    index.codes.write.mode("overwrite")
+      .partitionBy("cell").parquet(s"$path/codes")
+    val qrows =
+      index.centers.zipWithIndex.map { case (c, i) =>
+        ("coarse", 0, i, c.toSeq)
+      }.toSeq ++
+      (for (j <- index.books.indices; c <- index.books(j).indices)
+        yield ("pq", j, c, index.books(j)(c).toSeq))
+    qrows.toDF("kind", "j", "c", "vec").repartition(1)
+      .write.mode("overwrite").parquet(s"$path/quantizers")
+    Seq((index.dim, index.nLists, index.m, index.ks))
+      .toDF("dim", "nLists", "m", "ks").repartition(1)
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load a persisted index. The quantizers are metadata-sized
+    * collects; the code table stays a lazy parquet scan. */
+  def ivfPqLoad(spark: SparkSession, path: String): IvfPqIndex = {
+    val meta = spark.read.parquet(s"$path/meta").collect().head
+    val (dim, nLists, m, ks) = (meta.getInt(0), meta.getInt(1),
+      meta.getInt(2), meta.getInt(3))
+    val q = spark.read.parquet(s"$path/quantizers").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2),
+        r.getSeq[Double](3).toArray))
+    val centers = q.filter(_._1 == "coarse").sortBy(_._3).map(_._4)
+    val books = Array.tabulate(m) { j =>
+      q.filter(p => p._1 == "pq" && p._2 == j).sortBy(_._3).map(_._4)
+    }
+    IvfPqIndex(dim, nLists, m, ks, centers, books,
+      spark.read.parquet(s"$path/codes").select("cid", "cell", "codes"))
+  }
+
+  /** Search an index: queries is a (qidCol, vecCol) frame, collected
+    * driver-side (broadcast-queries discipline — bounded by contract).
+    * Probes carry the exact q·c_cell inner-product constant; the scan
+    * touches only the probed cells' codes. `exact` supplies the raw
+    * corpus vectors for shortlist re-ranking (a broadcast
+    * shortlist-semi-join point-lookup against it); None or
+    * `rerank` ≤ k returns compressed-domain ADC scores directly. */
+  def ivfPqSearch(index: IvfPqIndex, queries: DataFrame, qidCol: String,
+      vecCol: String, k: Int = 5, nProbe: Int = 4, rerank: Int = 32,
+      exact: Option[DataFrame] = None, exactIdCol: String = "id",
+      exactVecCol: String = "vec"): DataFrame = {
+    val spark = index.codes.sparkSession
+    import spark.implicits._
+    val (dim, nLists, m, ks) = (index.dim, index.nLists, index.m,
+      index.ks)
+    val dsub = dim / m
+    val qRows = unitVectors(queries, qidCol, vecCol)
+      .select(col("id"), col("vhat")).as[(Long, Seq[Double])].collect()
     val probes = qRows.toSeq.flatMap { case (qid, qv) =>
-      val byDist = centers.zipWithIndex.map { case (c, i) =>
+      val byDist = index.centers.zipWithIndex.map { case (c, i) =>
         var d = 0.0; var dotQC = 0.0; var j = 0
         while (j < dim) {
           val t = qv(j) - c(j); d += t * t; dotQC += qv(j) * c(j); j += 1
@@ -706,30 +780,31 @@ object Similarity {
     }.toDF("qid", "cell", "qdotc")
     val luts = qRows.toSeq.map { case (qid, qv) =>
       val lut = for (j <- 0 until m; c <- 0 until ks) yield {
-        val cent = books(j)(c)
+        val cent = index.books(j)(c)
         var s = 0.0; var i = 0
         while (i < dsub) { s += qv(j * dsub + i) * cent(i); i += 1 }
         s
       }
       (qid, lut)
     }.toDF("qid", "lut")
-
-    val adc = encoded.join(broadcast(probes), "cell")
+    val adc = index.codes.join(broadcast(probes), "cell")
       .join(broadcast(luts), "qid")
       .withColumn("sim", col("qdotc") + aggregate(
         zip_with(col("codes"),
           sequence(lit(0), lit(m - 1)),
           (c, j) => element_at(col("lut"), (j * lit(ks) + c + 1).cast("int"))),
         lit(0.0), (acc, x) => acc + x))
-    if (rerank <= k) topKPerQuery(adc, k)
-    else {
-      val shortlist = topKPerQuery(adc, rerank).select("qid", "cid")
-      val qvec = qRows.toSeq.toDF("qid", "qv")
-      val exact = corpusCp
-        .join(broadcast(shortlist), "cid")
-        .join(broadcast(qvec), "qid")
-        .withColumn("sim", dot(col("qv"), col("vhat")))
-      topKPerQuery(exact, k)
+    exact match {
+      case Some(vecs) if rerank > k =>
+        val shortlist = topKPerQuery(adc, rerank).select("qid", "cid")
+        val qvec = qRows.toSeq.toDF("qid", "qv")
+        val rescored = unitVectors(vecs, exactIdCol, exactVecCol)
+          .select(col("id").as("cid"), col("vhat"))
+          .join(broadcast(shortlist), "cid")
+          .join(broadcast(qvec), "qid")
+          .withColumn("sim", dot(col("qv"), col("vhat")))
+        topKPerQuery(rescored, k)
+      case _ => topKPerQuery(adc, k)
     }
   }
 }

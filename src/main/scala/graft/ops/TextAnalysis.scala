@@ -90,6 +90,27 @@ object TextAnalysis {
       stopwordRatioCol(txt).as("stopword_ratio"))
   }
 
+  /** Compression-based quality signal — the classic third filter
+    * beside token entropy ([[entropyFeatures]]) and n-gram repetition
+    * ([[repetitionFeatures]]): deflate ratio per document (compressed
+    * bytes / raw UTF-8 bytes) via the native codegen
+    * [[graft.functions.DeflateRatio]]. Documents compressing too WELL
+    * are templated boilerplate / generator loops; too BADLY, binary
+    * noise or random strings — both flagged for curation, thresholds
+    * owned by the caller's gate (no silent drop here). Pure map-side
+    * projection, zero shuffle. */
+  def compressionFeatures(df: DataFrame, idCol: String, textCol: String,
+      minRatio: Double = 0.25, maxRatio: Double = 1.0): DataFrame = {
+    val r = graft.functions.GraftFunctions.deflateRatio(
+      coalesce(col(textCol), lit("")))
+    df.select(
+      col(idCol),
+      length(coalesce(col(textCol), lit(""))).cast("long").as("n_chars"),
+      round(r, 4).as("deflate_ratio"),
+      (r < minRatio).as("too_compressible"),
+      (r > maxRatio).as("incompressible"))
+  }
+
   /** Repetition features — the Gopher-style within-document repetition
     * filters (Rae et al. 2021 §A.1.2): duplicate-bigram fraction and
     * most-frequent-word fraction. High values flag boilerplate/spam for
@@ -325,10 +346,11 @@ object TextAnalysis {
     * [[winnowFingerprints]] summary and the exploded
     * [[winnowSetFrame]]. */
   private def winnowFpsFrame(df: DataFrame, idCol: String,
-      textCol: String, k: Int, w: Int): DataFrame =
+      textCol: String, k: Int, w: Int,
+      family: String = "md5"): DataFrame =
     df.select(col(idCol),
       graft.functions.GraftFunctions.winnowFps(
-        coalesce(col(textCol), lit("")), k, w).as("__fps"))
+        coalesce(col(textCol), lit("")), k, w, family).as("__fps"))
 
   /** The declarative (HOF) winnowing chain the fused expression
     * replicates — audit/parity form ONLY: per-position interpreted
@@ -355,8 +377,8 @@ object TextAnalysis {
     * containment screening ([[graft.ops.Dedup.containmentScreen]]).
     * Map-side only. */
   def winnowSetFrame(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 8, w: Int = 4): DataFrame =
-    winnowFpsFrame(df, idCol, textCol, k, w)
+      k: Int = 8, w: Int = 4, family: String = "md5"): DataFrame =
+    winnowFpsFrame(df, idCol, textCol, k, w, family)
       .select(col(idCol), explode(col("__fps")).as("fp"))
 
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,

@@ -51,6 +51,9 @@ object SqlFunctions {
     ("simhash64", classOf[SimHash64],
       (es: Seq[Expression]) =>
         SimHash64(arity("simhash64", 1)(es).head)),
+    ("deflate_ratio", classOf[DeflateRatio],
+      (es: Seq[Expression]) =>
+        DeflateRatio(arity("deflate_ratio", 1)(es).head)),
     ("minhash_sig", classOf[MinHashSig],
       (es: Seq[Expression]) => {
         val Seq(c, k) = arity("minhash_sig", 2)(es)

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.Lower
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 
-import graft.functions.PreprocessText
+import graft.functions.{NfcNormalize, PreprocessText}
 
 /** Illustrative optimizer rule (SURVEY.md §4 stretch item): collapse
   * redundant case-normalization around the text pipeline.
@@ -30,6 +30,10 @@ object CollapseTextNormalization extends Rule[LogicalPlan] {
       case Lower(Lower(c))          => Lower(c)
       case PreprocessText(Lower(c)) => PreprocessText(c)
       case Lower(PreprocessText(c)) => PreprocessText(c)
+      // NFC is idempotent (canonical composition is a projection);
+      // NFC∘lower is NOT collapsed — case mapping and composition
+      // do not commute for all code points
+      case NfcNormalize(NfcNormalize(c)) => NfcNormalize(c)
     }
 }
 

@@ -226,6 +226,15 @@ object ScaleQueries {
       TextAnalysis.entropyFeatures(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // compression-ratio quality signal (deflate bytes / raw bytes):
+    // too-compressible = boilerplate/generator loops, incompressible =
+    // noise. Rows-only (no zlib in the oracle); TextAnalysisSpec pins
+    // ordering (repeated < prose < random), bounds, null/empty, and
+    // determinism.
+    "q89_compression" -> ((s, dir) =>
+      TextAnalysis.compressionFeatures(t(s, dir, "documents"), "doc_id",
+        "text").orderBy("doc_id")),
+
     // corpus diversity: fraction of each doc's distinct 8-gram shingles
     // occurring in NO other document (audit-family hashes, q59 machinery)
     "q77_novelty" -> ((s, dir) =>
@@ -254,6 +263,16 @@ object ScaleQueries {
     "q80b_containment_screen" -> ((s, dir) =>
       Dedup.containmentScreen(t(s, dir, "documents"), "doc_id", "text",
         k = 8, w = 4, minFraction = 0.8)
+        .orderBy("id_a", "id_b")),
+
+    // production form of q80b: rolling Rabin–Karp fingerprints (O(1)
+    // per position vs the audit family's O(k) md5 digest) — same
+    // winnowing guarantee and screen plan, different hash family, so
+    // rows-only (DuckDB cannot replay the roll); DedupSpec pins
+    // planted-containment parity between the families.
+    "q80c_containment_fast" -> ((s, dir) =>
+      Dedup.containmentScreen(t(s, dir, "documents"), "doc_id", "text",
+        k = 8, w = 4, minFraction = 0.8, family = "fast")
         .orderBy("id_a", "id_b")),
 
     // corpus composition audit: per (lang, source) volumes and shares

@@ -1,0 +1,65 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** JSON-Lines corpus I/O — the interchange format LLM training corpora
+  * actually ship in (one JSON document per line, usually gzip/zstd
+  * shards). Mirrors the reference's CSV ingest discipline
+  * (`cleaner.py:27-47` read → validate → quarantine) at corpus scale:
+  *
+  *  - **Explicit schema, never inference.** Schema inference is a
+  *    full extra pass over 100 TB before the first real one; corpus
+  *    schemas are known. The caller passes the `StructType`.
+  *  - **Malformed lines are data, not exceptions.** A billion-line
+  *    crawl WILL contain truncated writes and encoding garbage; one
+  *    bad line must neither kill the job (FAILFAST) nor silently
+  *    vanish (DROPMALFORMED). PERMISSIVE + corrupt-record capture
+  *    splits the read into (clean, quarantine) — the quarantine frame
+  *    carries the raw line for replay/repair, same honesty discipline
+  *    as the LSH oversize report.
+  *  - Compression is transparent on read (Spark dispatches by file
+  *    extension); writes take an optional codec (`gzip`, `zstd`,
+  *    `none`) — sharded by the frame's partitioning.
+  */
+object Jsonl {
+
+  private val CorruptCol = "__corrupt_record"
+
+  /** Read a JSONL tree into (clean, quarantine): `clean` has exactly
+    * `schema`'s columns for lines that parsed AND carried at least one
+    * schema field; `quarantine` has (raw line, source file) for lines
+    * that did not parse as a JSON object of the expected shape. */
+  def readJsonl(spark: SparkSession, path: String,
+      schema: StructType): (DataFrame, DataFrame) = {
+    require(!schema.fieldNames.contains(CorruptCol),
+      s"schema must not contain the reserved column $CorruptCol")
+    val withCorrupt = schema.add(CorruptCol, "string")
+    val raw = spark.read
+      .schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .json(path)
+      .withColumn("__src", input_file_name())
+      // one materialization decides clean-vs-quarantine for both
+      // frames (it also sidesteps Spark's restriction on querying the
+      // corrupt column alone); without it each output re-parses the tree
+      .localCheckpoint()
+    val clean = raw.filter(col(CorruptCol).isNull)
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    val quarantine = raw.filter(col(CorruptCol).isNotNull)
+      .select(col(CorruptCol).as("raw"), col("__src").as("src_file"))
+    (clean, quarantine)
+  }
+
+  /** Write one JSON object per row, optionally compressed. Shard count
+    * follows the frame's partitioning (repartition upstream for a
+    * target shard size). */
+  def writeJsonl(df: DataFrame, path: String,
+      codec: String = "none"): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (codec == "none") w else w.option("compression", codec))
+      .json(path)
+  }
+}

@@ -300,6 +300,57 @@ class DedupSpec extends AnyFunSuite {
       "capped join must not emit pairs driven only by boilerplate")
   }
 
+  test("containmentScreen fast family: planted-containment parity with md5") {
+    import spark.implicits._
+    // doc 2 embeds all of doc 1 inside extra text; doc 3 is unrelated —
+    // BOTH hash families must flag (1 → 2) and nothing else. The
+    // fingerprint VALUES differ (different hash family); the screen's
+    // verdicts must not.
+    val inner = "the quick brown fox jumps over the lazy dog tonight"
+    val df = Seq(
+      (1L, inner),
+      (2L, s"prefix padding words here $inner and suffix trailer text"),
+      (3L, "completely different content with no shared runs at all zz"))
+      .toDF("doc_id", "text")
+    for (fam <- Seq("md5", "fast")) {
+      val out = Dedup.containmentScreen(df, "doc_id", "text",
+        k = 8, w = 4, minFraction = 0.8, family = fam)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(out.contains((1L, 2L)), s"$fam: embedded copy missed ($out)")
+      assert(!out.exists { case (a, b) => a == 3L || b == 3L },
+        s"$fam: unrelated doc flagged ($out)")
+    }
+  }
+
+  test("fast winnow family: deterministic, sorted-distinct, same edge cases as md5") {
+    import graft.functions.GraftFunctions.winnowFps
+    import spark.implicits._
+    val docs = Seq((1L, "a"), (2L, ""), (3L, "exactly8"), (4L, null),
+      (5L, "some longer text with enough k-grams to fill windows"))
+      .toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+        winnowFps(coalesce(col("text"), lit("")), 8, 4, "fast").as("f"),
+        winnowFps(coalesce(col("text"), lit("")), 8, 4, "md5").as("m"))
+      .orderBy("doc_id").collect()
+    out.foreach { r =>
+      val f = r.getSeq[Long](1)
+      val m = r.getSeq[Long](2)
+      // degenerate docs (< k chars → empty; < w k-grams → exactly one
+      // global min) must agree in CARDINALITY across families; a long
+      // doc's selected-minima count is hash-dependent, so only
+      // non-emptiness is family-invariant there
+      if (m.length <= 1) assert(f.length === m.length,
+        s"doc ${r.getLong(0)}: fast ${f.length} fps vs md5 ${m.length}")
+      else assert(f.nonEmpty)
+      assert(f === f.sorted && f.distinct.length === f.length)
+    }
+    val again = docs.select(col("doc_id"),
+        winnowFps(coalesce(col("text"), lit("")), 8, 4, "fast").as("f"))
+      .orderBy("doc_id").collect().map(_.getSeq[Long](1))
+    assert(out.map(_.getSeq[Long](1)).toSeq === again.toSeq)
+  }
+
   test("containmentPairs vs Jaccard: subset duplication invisible to Jaccard is caught") {
     import spark.implicits._
     val df = Seq(

@@ -1,0 +1,58 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Jsonl
+
+class JsonlSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+
+  private val schema = new StructType()
+    .add("doc_id", LongType).add("text", StringType)
+
+  test("readJsonl splits clean rows from quarantined malformed lines") {
+    val dir = Files.createTempDirectory("jsonl_in").toString
+    Files.writeString(Paths.get(dir, "part-0.jsonl"),
+      """{"doc_id": 1, "text": "alpha"}
+        |{"doc_id": 2, "text": "beta"}
+        |{"doc_id": 3, "text": "truncated
+        |not json at all
+        |{"doc_id": 4, "text": "gamma"}
+        |""".stripMargin)
+    val (clean, quarantine) = Jsonl.readJsonl(spark, dir, schema)
+    val rows = clean.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSeq === Seq((1L, "alpha"), (2L, "beta"), (4L, "gamma")))
+    val bad = quarantine.select("raw").collect().map(_.getString(0)).sorted
+    assert(bad.length === 2)
+    assert(bad.exists(_.contains("truncated")))
+    assert(bad.contains("not json at all"))
+    // quarantine carries the source file for replay
+    assert(quarantine.select("src_file").collect()
+      .forall(_.getString(0).contains("part-0.jsonl")))
+  }
+
+  test("writeJsonl -> readJsonl round-trips real documents, gzip transparent") {
+    val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001",
+      "documents").select("doc_id", "text")
+    val dir = Files.createTempDirectory("jsonl_rt").toString + "/docs"
+    Jsonl.writeJsonl(docs, dir, codec = "gzip")
+    val (clean, quarantine) = Jsonl.readJsonl(spark, dir, schema)
+    assert(quarantine.count() === 0L)
+    assert(clean.count() === docs.count())
+    assert(clean.exceptAll(docs).isEmpty && docs.exceptAll(clean).isEmpty)
+  }
+
+  test("readJsonl rejects a schema that collides with the corrupt column") {
+    val bad = new StructType().add("__corrupt_record", StringType)
+    val e = intercept[IllegalArgumentException] {
+      Jsonl.readJsonl(spark, "/tmp/nowhere", bad)
+    }
+    assert(e.getMessage.contains("__corrupt_record"))
+  }
+}

@@ -33,6 +33,16 @@ class OptimizerRuleSpec extends AnyFunSuite {
     assert(!p2.contains("lower"), p2)
   }
 
+  test("nfc_normalize(nfc_normalize(x)) collapses to one application") {
+    import graft.functions.GraftFunctions.nfcNormalize
+    val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val plan = docs.select(
+        nfcNormalize(nfcNormalize(col("text"))).as("t"))
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("graft_nfc_normalize(graft_nfc_normalize"), plan)
+    assert(plan.contains("graft_nfc_normalize"), plan)
+  }
+
   test("GraftSession scale conf wires extensions and AQE posture") {
     val conf = GraftSession.scaleConf(shufflePartitions = 64)
     assert(conf("spark.sql.extensions") === "graft.plans.GraftExtensions")

@@ -293,6 +293,41 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("ivfPq index: save -> load -> search reproduces the direct path exactly") {
+    val direct = Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+      dim = 64, nQueries = 5, k = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val corpus = emb.filter(col("vec_id") >= 5)
+    val queries = emb.filter(col("vec_id") < 5)
+    val index = Similarity.ivfPqBuild(corpus, "vec_id", "embedding",
+      dim = 64)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq").toString +
+      "/index"
+    Similarity.ivfPqSave(index, dir)
+    val loaded = Similarity.ivfPqLoad(spark, dir)
+    assert(loaded.dim === 64 && loaded.nLists === 16 &&
+      loaded.m === 8 && loaded.ks === 256)
+    assert(loaded.centers.map(_.toSeq).toSeq ===
+      index.centers.map(_.toSeq).toSeq)
+    val viaIndex = Similarity.ivfPqSearch(loaded, queries, "vec_id",
+      "embedding", k = 3,
+      exact = Some(corpus.select(col("vec_id"), col("embedding"))),
+      exactIdCol = "vec_id", exactVecCol = "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(viaIndex.toSeq === direct.toSeq)
+  }
+
+  test("ivfPq index: compressed-only search works without the exact frame") {
+    val corpus = emb.filter(col("vec_id") >= 5)
+    val index = Similarity.ivfPqBuild(corpus, "vec_id", "embedding",
+      dim = 64)
+    val rows = Similarity.ivfPqSearch(index,
+      emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 3,
+      exact = None).collect()
+    assert(rows.map(_.getLong(0)).distinct.length === 5)
+    assert(rows.forall(r => r.getInt(1) >= 1 && r.getInt(1) <= 3))
+  }
+
   test("pqTopK: compressed-only ranking (rerank off) finds planted copies") {
     // a corpus vector IDENTICAL to the query encodes to the codes that
     // maximize the query's own LUT sum among vectors with its

@@ -89,6 +89,41 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(6L)._1 === 0L)
   }
 
+  test("compressionFeatures: repeated < prose < random, bounds, null/empty") {
+    import spark.implicits._
+    val repeated = "spam ham " * 200
+    val prose = "The quick brown fox jumps over the lazy dog and then " +
+      "wanders far away to the river where it drinks quietly. " * 8
+    val random = (new scala.util.Random(7)).alphanumeric.take(1600).mkString
+    val df = Seq((1L, Some(repeated)), (2L, Some(prose)),
+      (3L, Some(random)), (4L, Some("")), (5L, None))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.compressionFeatures(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(out(1L) < out(2L), s"repeated ${out(1L)} !< prose ${out(2L)}")
+    assert(out(2L) < out(3L), s"prose ${out(2L)} !< random ${out(3L)}")
+    assert(out(4L) === 0.0 && out(5L) === 0.0)
+    // deflate never inflates text beyond a small framing overhead
+    assert(out.values.forall(v => v >= 0.0 && v <= 1.1))
+    // flags reflect the thresholds
+    val flagged = TextAnalysis.compressionFeatures(df, "doc_id", "text")
+      .filter(col("too_compressible")).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(flagged.contains(1L) && !flagged.contains(3L))
+  }
+
+  test("compressionFeatures is deterministic on real documents") {
+    val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001",
+      "documents")
+    val a = TextAnalysis.compressionFeatures(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getDouble(2)))
+    val b = TextAnalysis.compressionFeatures(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(a.toSeq === b.toSeq)
+    assert(a.forall { case (_, r) => r > 0.0 && r <= 1.1 })
+  }
+
   test("fused winnow_fps ≡ declarative HOF chain (real docs + edge vectors)") {
     import graft.functions.GraftFunctions.winnowFps
     // real corpus: every doc must agree between the fused single-pass
