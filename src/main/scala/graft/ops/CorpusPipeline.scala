@@ -71,7 +71,13 @@ object CorpusPipeline {
       // the gates — repeated passages otherwise dominate a doc's
       // near-dup signature and its token budget; pure projection,
       // costs no extra shuffle. 0 = off
-      intraDocChunkTokens: Int = 0)
+      intraDocChunkTokens: Int = 0,
+      // > 0: compression-ratio gate (deflate bytes / raw bytes) in the
+      // SAME gate projection — docs compressing below the floor are
+      // boilerplate/generator loops, above the ceiling binary noise;
+      // 0 disables (ceiling only applies when the floor is on)
+      minDeflateRatio: Double = 0.0,
+      maxDeflateRatio: Double = 1.0)
 
   case class Report(input: Long, gated: Long, boiler: Long,
       deduped: Long, semantic: Long, clean: Long, sampled: Long,
@@ -89,7 +95,7 @@ object CorpusPipeline {
         Dedup.intraDocScrubCol(Redaction.scrubCol(txt),
           cfg.intraDocChunkTokens)
       else Redaction.scrubCol(txt)
-    docs
+    val base = docs
       .select(col("doc_id"), col("lang"), txt,
         TextAnalysis.nTokensCol(txt).as("n_tokens"),
         TextAnalysis.alphaRatioCol(txt).as("alpha_ratio"),
@@ -98,7 +104,14 @@ object CorpusPipeline {
         col("alpha_ratio") >= cfg.minAlpha &&
         col("stopword_ratio") <= cfg.maxStopword &&
         col("lang").isin(cfg.langs: _*))
-      .select(col("doc_id"), col("lang"), outText.as("text"))
+    val gated =
+      if (cfg.minDeflateRatio <= 0.0) base
+      else {
+        val r = graft.functions.GraftFunctions.deflateRatio(
+          coalesce(txt, lit("")))
+        base.filter(r >= cfg.minDeflateRatio && r <= cfg.maxDeflateRatio)
+      }
+    gated.select(col("doc_id"), col("lang"), outText.as("text"))
   }
 
   /** Optional cross-document boilerplate scrub ([[Dedup.boilerplateScrub]])

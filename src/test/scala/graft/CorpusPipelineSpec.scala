@@ -39,6 +39,32 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(out2.toSeq === out.toSeq)
   }
 
+  test("compression gate: loop-generated doc dropped inside the gate projection") {
+    import spark.implicits._
+    // a doc that passes every lexical gate but is a generator loop —
+    // deflate flags what token/alpha/stopword ratios cannot: the
+    // 8-token period keeps dup-bigram gates blind but compresses ~20x
+    val loop = ("the cat and the dog ran around today " * 60).trim
+    val prose = "A merchant from the northern province carried rice " +
+      "and salt across the mountain pass before the winter storms " +
+      "closed every road to the coastal markets for the season there. " +
+      "Travelers who followed in the spring found the prices doubled " +
+      "and the inns full of soldiers waiting for their escort south."
+    val df = Seq((100L, "en", loop), (101L, "en", prose))
+      .toDF("doc_id", "lang", "text")
+    val cfgOff = CorpusPipeline.Config(minTokens = 10, minAlpha = 0.5,
+      maxStopword = 0.9)
+    val keptOff = CorpusPipeline.gateStage(df, cfgOff)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptOff === Set(100L, 101L),
+      "without the gate both docs must pass the lexical filters")
+    val cfgOn = cfgOff.copy(minDeflateRatio = 0.2)
+    val keptOn = CorpusPipeline.gateStage(df, cfgOn)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptOn === Set(101L),
+      s"the loop doc must fall to the compression floor ($keptOn)")
+  }
+
   test("intra-doc scrub stage: repeats drop inside the gate projection, lang kept") {
     import spark.implicits._
     // gate thresholds relaxed so the synthetic doc passes, then the

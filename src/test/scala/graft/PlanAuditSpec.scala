@@ -166,4 +166,46 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(exchanges <= 1,
       s"intra-doc dedup must not shuffle before the output sort: $exchanges")
   }
+
+  test("q87 canonicalization is a zero-shuffle projection over the scan") {
+    val p = graft.queries.ScaleQueries.queries("q87_canonicalize")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join") && !p.contains("HashAggregate"), p.take(2000))
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 1,
+      s"canonicalize must not shuffle before the output sort: $exchanges")
+  }
+
+  test("q89 compression signal is a zero-shuffle projection over the scan") {
+    val p = graft.queries.ScaleQueries.queries("q89_compression")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join") && !p.contains("HashAggregate"), p.take(2000))
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 1,
+      s"compression features must not shuffle before the output sort: " +
+        s"$exchanges")
+  }
+
+  test("q86 PQ search: every join is broadcast, codes side never shuffles") {
+    val p = graft.queries.ScaleQueries.queries("q86_pq_topk")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the corpus-side scans (encode + re-rank) join only against
+    // broadcast frames (query LUTs, shortlist, query vectors); a
+    // SortMergeJoin anywhere means a corpus-sized shuffle snuck in
+    assert(!p.contains("SortMergeJoin"),
+      "PQ search must not shuffle the corpus for a join:\n" + p.take(3000))
+    assert(!p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("q88 IVF-PQ search: probe and re-rank joins are broadcast") {
+    val p = graft.queries.ScaleQueries.queries("q88_ivfpq_topk")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin"),
+      "IVF-PQ search must not shuffle the corpus for a join:\n" +
+        p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
 }
