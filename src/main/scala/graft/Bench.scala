@@ -53,6 +53,7 @@ object Bench {
     "q86_pq_topk",
     "q88_ivfpq_topk",
     "q89_compression",
+    "q90_image_retrieval",
     "q78_unigram_ppl",
     "q79_keywords",
     "q80_containment",

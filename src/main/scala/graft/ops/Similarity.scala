@@ -697,17 +697,57 @@ object Similarity {
         j * dsub, (j + 1) * dsub))
       lloyds(sub, ks, iters = 5, new scala.util.Random(seed + 1 + j))
     }
-    val centroidDf = centers.zipWithIndex
+    val index = IvfPqIndex(dim, nLists, m, ks, centers, books, null)
+    index.copy(codes = encodeWithQuantizers(index, corpus))
+  }
+
+  /** Corpus-sized encode pass against FROZEN quantizers: cell
+    * assignment + residual PQ codes in one map-side projection (plus
+    * one broadcast join for the centroid lookup). Shared by the
+    * initial build and [[ivfPqAppend]]. Input must be the
+    * [[unitVectors]] form (id, vhat). */
+  private def encodeWithQuantizers(index: IvfPqIndex,
+      unit: DataFrame): DataFrame = {
+    val spark = unit.sparkSession
+    import spark.implicits._
+    val centroidDf = index.centers.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "centroid")
-    val codes = corpus.select(col("id").as("cid"), col("vhat"))
+    unit.select(col("id").as("cid"), col("vhat"))
       .withColumn("cell",
         element_at(graft.functions.GraftFunctions.pqEncode(col("vhat"),
-          Array(centers)), 1))
+          Array(index.centers)), 1))
       .join(broadcast(centroidDf), "cell")
       .withColumn("codes", graft.functions.GraftFunctions.pqEncode(
-        zip_with(col("vhat"), col("centroid"), (x, c) => x - c), books))
+        zip_with(col("vhat"), col("centroid"), (x, c) => x - c),
+        index.books))
       .select("cid", "cell", "codes")
-    IvfPqIndex(dim, nLists, m, ks, centers, books, codes)
+  }
+
+  /** Incremental index maintenance — the operational mode a growing
+    * corpus needs: encode a NEW batch against the index's frozen
+    * quantizers and extend the code table; the existing corpus is
+    * never re-read and no stored code changes (re-training the
+    * quantizers would invalidate every stored code — the classic
+    * IVF-PQ contract; rebuild deliberately when drift between the
+    * frozen centers and new data grows). The caller owns id
+    * disjointness, same as [[graft.ops.Dedup.corpusDedupIncremental]].
+    */
+  def ivfPqAppend(index: IvfPqIndex, df: DataFrame, idCol: String,
+      vecCol: String): IvfPqIndex =
+    index.copy(codes = index.codes.unionByName(
+      encodeWithQuantizers(index, unitVectors(df, idCol, vecCol))))
+
+  /** [[ivfPqAppend]] against a PERSISTED index: encodes the batch with
+    * the stored quantizers and APPENDS its cells' parquet files under
+    * `<path>/codes` — existing files are untouched, so the append is
+    * one batch-sized write, not an index rewrite. Returns the loaded
+    * post-append index. */
+  def ivfPqAppendSave(spark: SparkSession, path: String, df: DataFrame,
+      idCol: String, vecCol: String): IvfPqIndex = {
+    val index = ivfPqLoad(spark, path)
+    encodeWithQuantizers(index, unitVectors(df, idCol, vecCol))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+    ivfPqLoad(spark, path)
   }
 
   /** Persist an index: `<path>/codes` is the corpus-scale parquet

@@ -189,6 +189,20 @@ object ScaleQueries {
       Similarity.ivfPqTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
         dim = 64, nQueries = 10, k = 5)),
 
+    // multimodal retrieval composite: binary image corpus → batch
+    // decode/featurize (stub encoder, real Spark plumbing) → cosine
+    // top-k over the feature column — the image near-dup/retrieval
+    // path a multimodal training pipeline runs. Rows-only;
+    // MultimodalSpec pins that byte-identical payloads featurize
+    // identically and retrieve each other at sim 1.0.
+    "q90_image_retrieval" -> ((s, dir) => {
+      val images = graft.ops.Multimodal.syntheticImages(
+        t(s, dir, "documents"), "doc_id")
+      val feats = graft.ops.Multimodal.decodeAndFeaturize(images, "id")
+        .select(col("id"), col("features"))
+      Similarity.cosineTopK(feats, "id", "features", nQueries = 10, k = 5)
+    }),
+
     // EXACT semantic dedup (embedding-space clusters): all-pairs cosine
     // edges ≥ 0.4 → connected components → cluster + rep per vector.
     // The audit form — the DuckDB twin replays every stage including

@@ -246,4 +246,23 @@ class MultimodalSpec extends AnyFunSuite {
       featured, "vec_id", "embedding", nQueries = 3, k = 2)
     assert(topk.count() === 6)
   }
+
+  test("image retrieval composite: byte-identical images retrieve each other at sim 1") {
+    // syntheticBmp dims cycle with the id (mod 64 / mod 48), so ids 0
+    // and 192 carry byte-identical payloads → identical stub features;
+    // the retrieval composite must rank 192 first for query 0 at
+    // similarity 1.0 — the image near-dup path, end to end
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = (0L until 200L).toDF("doc_id")
+    val images = Multimodal.syntheticImages(docs, "doc_id")
+    val feats = Multimodal.decodeAndFeaturize(images, "id")
+      .select(col("id"), col("features"))
+    val rows = graft.ops.Similarity.cosineTopK(
+      feats, "id", "features", nQueries = 10, k = 3).collect()
+    val q0top = rows.filter(r => r.getLong(0) == 0L && r.getInt(1) == 1)
+      .head
+    assert(q0top.getLong(2) === 192L, s"expected 192, got $q0top")
+    assert(q0top.getDouble(3) === 1.0)
+  }
 }

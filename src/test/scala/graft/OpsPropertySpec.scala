@@ -207,4 +207,84 @@ class OpsPropertySpec extends AnyFunSuite {
       assert(got === expected, s"case $c: docs=$docs")
     }
   }
+
+  test("fast winnow family matches an in-memory rolling reference on random text") {
+    import org.apache.spark.sql.functions._
+    // exact reference: brute-force k-gram hashes with the SAME roll +
+    // fmix64 math, window minima by scan — pins the deque + in-place
+    // dedup implementation in the expression
+    def fmix64(x: Long): Long = {
+      var h = x
+      h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+      h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
+      h ^= h >>> 33; h
+    }
+    def ref(text: String, k: Int, w: Int): Seq[Long] = {
+      val cps = text.codePoints().toArray
+      if (cps.length < k) return Seq.empty
+      val B = 0x100000001b3L
+      val hs = (0 to cps.length - k).map { i =>
+        var h = 0L
+        (i until i + k).foreach(j => h = h * B + cps(j))
+        fmix64(h)
+      }
+      val mins =
+        if (hs.length < w) Seq(hs.min)
+        else (0 to hs.length - w).map(j => hs.slice(j, j + w).min)
+      mins.distinct.sorted
+    }
+    val rnd = new scala.util.Random(1234)
+    // mixed alphabet incl. multi-byte and astral code points so the
+    // code-point indexing is actually exercised — drawn as WHOLE code
+    // points (an unpaired surrogate would not survive the UTF8String
+    // round trip)
+    val alphabet = Vector("a", "b", "c", " ", "é", "ß", "🎈", "x")
+    for (c <- 1 to 20) {
+      val k = 2 + rnd.nextInt(6)
+      val w = 1 + rnd.nextInt(5)
+      val docs = (0L until (3 + rnd.nextInt(5)).toLong).map { i =>
+        (i, Seq.fill(rnd.nextInt(60))(
+          alphabet(rnd.nextInt(alphabet.size))).mkString)
+      }
+      val got = docs.toDF("doc_id", "text")
+        .select(col("doc_id"),
+          graft.functions.GraftFunctions.winnowFps(col("text"), k, w,
+            "fast").as("f"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toMap
+      docs.foreach { case (id, text) =>
+        assert(got(id) === ref(text, k, w),
+          s"case $c k=$k w=$w doc=$id text='$text'")
+      }
+    }
+  }
+
+  test("pq_encode expression matches an in-memory argmin on random vectors") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(77)
+    for (c <- 1 to 8) {
+      val dim = Seq(4, 8, 12)(rnd.nextInt(3))
+      val m = Seq(1, 2, 4)(rnd.nextInt(3)).min(dim)
+      val dsub = dim / m
+      val ks = 2 + rnd.nextInt(6)
+      val books = Array.fill(m, ks, dsub)(rnd.nextDouble() * 2 - 1)
+      val vecs = (0L until 30L).map(i =>
+        (i, Seq.fill(dim)(rnd.nextDouble() * 2 - 1)))
+      def refEnc(v: Seq[Double]): Seq[Int] = (0 until m).map { j =>
+        (0 until ks).minBy { cc =>
+          val d = (0 until dsub).map { i =>
+            val t = v(j * dsub + i) - books(j)(cc)(i); t * t
+          }.sum
+          // stable lowest-index tie-break: minBy keeps the first min
+          d
+        }
+      }
+      val got = vecs.toDF("id", "v")
+        .select(col("id"), graft.functions.GraftFunctions.pqEncode(
+          col("v"), books).as("codes"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toSeq)).toMap
+      vecs.foreach { case (id, v) =>
+        assert(got(id) === refEnc(v), s"case $c dim=$dim m=$m ks=$ks id=$id")
+      }
+    }
+  }
 }

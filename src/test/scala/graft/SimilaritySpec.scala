@@ -328,6 +328,52 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.forall(r => r.getInt(1) >= 1 && r.getInt(1) <= 3))
   }
 
+  test("ivfPqAppend: frozen quantizers, appended vectors retrievable, persisted ≡ in-memory") {
+    val corpusA = emb.filter(col("vec_id") >= 5 && col("vec_id") < 400)
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    // batch B: the rest of the corpus plus planted copies of the queries
+    val copies = emb.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 500000L).as("vec_id"), col("embedding"))
+    val corpusB = emb.filter(col("vec_id") >= 400)
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      .union(copies)
+    val queries = emb.filter(col("vec_id") < 5)
+
+    val base = Similarity.ivfPqBuild(corpusA, "vec_id", "embedding",
+      dim = 64)
+    val appended = Similarity.ivfPqAppend(base, corpusB, "vec_id",
+      "embedding")
+    // quantizers frozen, code table extended by exactly |B|
+    assert(appended.centers.map(_.toSeq).toSeq ===
+      base.centers.map(_.toSeq).toSeq)
+    assert(appended.codes.count() ===
+      base.codes.count() + corpusB.count())
+    // an appended identical vector must be retrievable at rank 1
+    val exactAll = Some(corpusA.unionByName(corpusB))
+    val rows = Similarity.ivfPqSearch(appended, queries, "vec_id",
+      "embedding", k = 3, exact = exactAll, exactIdCol = "vec_id",
+      exactVecCol = "embedding").collect()
+    (0L until 5L).foreach { q =>
+      val top1 = rows.filter(r => r.getLong(0) == q && r.getInt(1) == 1)
+        .map(_.getLong(2)).headOption
+      assert(top1.contains(q + 500000L),
+        s"query $q: appended copy is not rank 1 ($top1)")
+    }
+    // persisted append reproduces the in-memory append exactly
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_app")
+      .toString + "/index"
+    Similarity.ivfPqSave(base, dir)
+    val persisted = Similarity.ivfPqAppendSave(spark, dir, corpusB,
+      "vec_id", "embedding")
+    assert(persisted.codes.count() === appended.codes.count())
+    val viaPersisted = Similarity.ivfPqSearch(persisted, queries,
+      "vec_id", "embedding", k = 3, exact = exactAll,
+      exactIdCol = "vec_id", exactVecCol = "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(viaPersisted.toSeq === rows.map(r =>
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq)
+  }
+
   test("pqTopK: compressed-only ranking (rerank off) finds planted copies") {
     // a corpus vector IDENTICAL to the query encodes to the codes that
     // maximize the query's own LUT sum among vectors with its
