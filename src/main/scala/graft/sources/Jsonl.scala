@@ -62,4 +62,28 @@ object Jsonl {
     (if (codec == "none") w else w.option("compression", codec))
       .json(path)
   }
+
+  /** STREAMING JSONL front door: the same explicit-schema PERMISSIVE
+    * read as [[readJsonl]], as an unbounded source (new shards picked
+    * up as they land — the shape of a continuously-delivered crawl).
+    * Returns ONE stream carrying the schema columns plus
+    * (`__corrupt_record`, `__src`): a streaming read cannot be
+    * materialized-and-split here, so the caller separates clean from
+    * quarantine per micro-batch (filter on [[corruptCol]] inside
+    * foreachBatch, or route two filtered sinks) — feed the clean side
+    * to [[graft.streaming.Streams.ingestAvailableNow]]. */
+  def readJsonlStream(spark: SparkSession, path: String,
+      schema: StructType): DataFrame = {
+    require(!schema.fieldNames.contains(CorruptCol),
+      s"schema must not contain the reserved column $CorruptCol")
+    spark.readStream
+      .schema(schema.add(CorruptCol, "string"))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .json(path)
+      .withColumn("__src", input_file_name())
+  }
+
+  /** The reserved corrupt-record column name of the JSONL reads. */
+  def corruptCol: String = CorruptCol
 }

@@ -48,6 +48,37 @@ class JsonlSpec extends AnyFunSuite {
     assert(clean.exceptAll(docs).isEmpty && docs.exceptAll(clean).isEmpty)
   }
 
+  test("streaming JSONL front door: per-batch clean/quarantine split (AvailableNow)") {
+    val dir = Files.createTempDirectory("jsonl_stream").toString
+    Files.writeString(Paths.get(dir, "shard-0.jsonl"),
+      """{"doc_id": 1, "text": "alpha"}
+        |garbage line
+        |{"doc_id": 2, "text": "beta"}
+        |""".stripMargin)
+    val stream = graft.sources.Jsonl.readJsonlStream(spark, dir, schema)
+    assert(stream.isStreaming)
+    val cleanIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val badRaw = scala.collection.mutable.ArrayBuffer.empty[String]
+    val q = stream.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation",
+        Files.createTempDirectory("jsonl_ck").toString)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            _: Long) =>
+          val cc = graft.sources.Jsonl.corruptCol
+          cleanIds ++= batch.filter(col(cc).isNull)
+            .select("doc_id").collect().map(_.getLong(0))
+          badRaw ++= batch.filter(col(cc).isNotNull)
+            .select(cc).collect().map(_.getString(0))
+          ()
+      }
+      .start()
+    q.awaitTermination(60000L)
+    assert(cleanIds.sorted.toSeq === Seq(1L, 2L))
+    assert(badRaw.toSeq === Seq("garbage line"))
+  }
+
   test("readJsonl rejects a schema that collides with the corrupt column") {
     val bad = new StructType().add("__corrupt_record", StringType)
     val e = intercept[IllegalArgumentException] {
