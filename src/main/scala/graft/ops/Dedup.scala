@@ -953,13 +953,19 @@ object Dedup {
     val spread = df.repartition(
       df.sparkSession.sessionState.conf.numShufflePartitions, col(idCol))
     val fp = TextAnalysis.winnowSetFrame(spread, idCol, textCol, k, w,
-      family).localCheckpoint()
-    val keep = fp.groupBy("fp").agg(count(lit(1)).as("__carriers"))
+      family)
+    // carrier cap as a WINDOW over the fp frame, not an agg+join-back:
+    // one shuffle on fp computes the count AND filters in place (the
+    // same docfreq-window discipline as boilerplateScrub) — the
+    // agg+join form costs a second shuffle plus the join
+    val kept = fp
+      .withColumn("__carriers", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("fp")))
       .filter(col("__carriers") <= maxCarriers)
-      .select("fp")
-    // surviving fingerprints feed sizes AND both self-join sides —
-    // checkpointed so the fp-keep join runs once, not three times
-    val kept = fp.join(keep, "fp").localCheckpoint()
+      .drop("__carriers")
+      // surviving fingerprints feed sizes AND both self-join sides —
+      // checkpointed so the window pass runs once, not three times
+      .localCheckpoint()
     val sizes = kept.groupBy(idCol).agg(count(lit(1)).as("n_a"))
     val a = kept.select(col(idCol).as("id_a"), col("fp"))
     val b = kept.select(col(idCol).as("id_b"), col("fp"))

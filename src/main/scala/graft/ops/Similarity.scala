@@ -397,6 +397,12 @@ object Similarity {
 
   // ---- product quantization (PQ) — compressed-domain ANN ----
 
+  // Product quantization follows Jégou, Douze & Schmid, "Product
+  // Quantization for Nearest Neighbor Search" (TPAMI 2011): coordinate
+  // subspace split, per-subspace codebooks, ADC lookup-table search;
+  // the IVF-PQ composition with residual encoding is the paper's
+  // IVFADC structure.
+
   /** The m per-subspace codebooks of a product quantizer: codebooks(j)
     * is a ks × (dim/m) centroid matrix fit on the j-th subvector slice
     * of the UNIT-normalized corpus. Driver-sized (m·ks·dim/m = ks·dim
@@ -738,28 +744,56 @@ object Similarity {
       encodeWithQuantizers(index, unitVectors(df, idCol, vecCol))))
 
   /** [[ivfPqAppend]] against a PERSISTED index: encodes the batch with
-    * the stored quantizers and APPENDS its cells' parquet files under
-    * `<path>/codes` — existing files are untouched, so the append is
-    * one batch-sized write, not an index rewrite. Returns the loaded
-    * post-append index. */
+    * the stored quantizers and writes it as the NEXT batch directory
+    * under `<path>/codes` — existing batches are untouched, so the
+    * append is one batch-sized write, not an index rewrite. Returns
+    * the loaded post-append index. The version is derived from the
+    * existing batch count (replaying a crashed call is the caller's
+    * concern); for exactly-once appends keyed by a caller-owned
+    * version (a streaming micro-batch id), use
+    * [[ivfPqAppendVersioned]]. */
   def ivfPqAppendSave(spark: SparkSession, path: String, df: DataFrame,
       idCol: String, vecCol: String): IvfPqIndex = {
-    val index = ivfPqLoad(spark, path)
-    encodeWithQuantizers(index, unitVectors(df, idCol, vecCol))
-      .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+    val fs = new org.apache.hadoop.fs.Path(s"$path/codes")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val n = fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/codes"))
+      .count(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+    ivfPqAppendVersioned(spark, path, df, idCol, vecCol, f"a$n%06d")
     ivfPqLoad(spark, path)
   }
 
-  /** Persist an index: `<path>/codes` is the corpus-scale parquet
-    * (partitioned by cell, so a probe scans only its cells' files);
-    * `<path>/quantizers` holds both quantizers as rows (kind, j, c,
-    * vec); `<path>/meta` one row of shape params. All plain parquet —
-    * no JVM serialization, readable by any engine. */
+  /** Exactly-once persisted append: the batch's codes land under
+    * `<path>/codes/batch=<ver>` with OVERWRITE — a failure replay of
+    * the same version replaces its own files instead of duplicating
+    * codes (the S8 snapshot discipline; the streaming maintenance path
+    * keys this by micro-batch id). Partition discovery makes the batch
+    * directories transparent to [[ivfPqLoad]]. */
+  def ivfPqAppendVersioned(spark: SparkSession, path: String,
+      df: DataFrame, idCol: String, vecCol: String, ver: String): Unit = {
+    val index = ivfPqLoad(spark, path)
+    encodeWithQuantizers(index, unitVectors(df, idCol, vecCol))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/codes/batch=$ver")
+    // a replay OVERWRITE replaces part files in place — refresh any
+    // .cache()'d datasets over the codes tree so they re-materialize
+    // from the surviving files (fresh loads list fresh and need no
+    // help; a PRE-replay DataFrame must be re-created either way)
+    spark.catalog.refreshByPath(s"$path/codes")
+  }
+
+  /** Persist an index: `<path>/codes/batch=<ver>` holds the
+    * corpus-scale parquet (partitioned by cell, so a probe scans only
+    * its cells' files; EVERY write — initial and appends — lands under
+    * a batch directory so partition discovery always sees one
+    * consistent batch/cell layout); `<path>/quantizers` holds both
+    * quantizers as rows (kind, j, c, vec); `<path>/meta` one row of
+    * shape params. All plain parquet — no JVM serialization, readable
+    * by any engine. */
   def ivfPqSave(index: IvfPqIndex, path: String): Unit = {
     val spark = index.codes.sparkSession
     import spark.implicits._
     index.codes.write.mode("overwrite")
-      .partitionBy("cell").parquet(s"$path/codes")
+      .partitionBy("cell").parquet(s"$path/codes/batch=initial")
     val qrows =
       index.centers.zipWithIndex.map { case (c, i) =>
         ("coarse", 0, i, c.toSeq)

@@ -136,6 +136,29 @@ object Streams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming maintenance of a persisted IVF-PQ vector index: each
+    * micro-batch of new embeddings encodes against the index's FROZEN
+    * quantizers and lands as its own `batch=<id>` partition directory
+    * ([[graft.ops.Similarity.ivfPqAppendVersioned]]) — existing codes
+    * are never rewritten, and a failure replay of a micro-batch
+    * overwrites its own directory instead of duplicating codes
+    * (exactly-once, keyed by batch id like the snapshot sinks). This
+    * is how the ANN index tracks a continuously-growing corpus without
+    * rebuilds; rebuild deliberately when quantizer drift accumulates.
+    */
+  def indexMaintainStream(vecs: DataFrame, idCol: String,
+      vecCol: String, indexPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty)
+          graft.ops.Similarity.ivfPqAppendVersioned(batch.sparkSession,
+            indexPath, batch.toDF(), idCol, vecCol, f"batch_$id%06d")
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** INCREMENTAL cross-run corpus dedup as an AvailableNow stream: each
     * micro-batch of new documents folds into the persisted signature
     * state ([[graft.ops.Dedup.corpusDedupIncremental]]) — the existing

@@ -374,6 +374,34 @@ class SimilaritySpec extends AnyFunSuite {
       (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq)
   }
 
+  test("streaming index maintenance: AvailableNow appends batches, replay idempotent") {
+    val corpusA = emb.filter(col("vec_id") >= 5 && col("vec_id") < 300)
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    val corpusB = emb.filter(col("vec_id") >= 300)
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_str")
+      .toString
+    Similarity.ivfPqSave(
+      Similarity.ivfPqBuild(corpusA, "vec_id", "embedding", dim = 64),
+      s"$dir/index")
+    // land batch B as a parquet shard and stream it into the index
+    corpusB.write.parquet(s"$dir/arrivals")
+    val stream = spark.readStream
+      .schema(corpusB.schema).parquet(s"$dir/arrivals")
+    val q = graft.streaming.Streams.indexMaintainStream(stream,
+      "vec_id", "embedding", s"$dir/index", s"$dir/ck")
+    q.awaitTermination(120000L)
+    val afterStream = Similarity.ivfPqLoad(spark, s"$dir/index")
+      .codes.count()
+    assert(afterStream === corpusA.count() + corpusB.count())
+    // exactly-once: replaying the same micro-batch version overwrites
+    // its own directory, never duplicates
+    Similarity.ivfPqAppendVersioned(spark, s"$dir/index", corpusB,
+      "vec_id", "embedding", "batch_000000")
+    assert(Similarity.ivfPqLoad(spark, s"$dir/index").codes.count()
+      === afterStream)
+  }
+
   test("pqTopK: compressed-only ranking (rerank off) finds planted copies") {
     // a corpus vector IDENTICAL to the query encodes to the codes that
     // maximize the query's own LUT sum among vectors with its
