@@ -54,6 +54,7 @@ object Bench {
     "q88_ivfpq_topk",
     "q89_compression",
     "q90_image_retrieval",
+    "q91_packed_bins",
     "q78_unigram_ppl",
     "q79_keywords",
     "q80_containment",

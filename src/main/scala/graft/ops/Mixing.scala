@@ -86,6 +86,38 @@ object Mixing {
       .drop("__cum")
   }
 
+  /** Materialized packed sequences — the training-ready form of
+    * [[packSequences]]: one row per (group, bin) carrying the bin's
+    * documents IN PACK ORDER plus the boundary metadata a trainer
+    * needs to build attention masks across document joints —
+    * (doc_ids, doc_tokens, offsets = exclusive prefix sums,
+    * total_tokens). Order inside the bin is the same md5-hash order
+    * that assigned the bins, reconstructed by `sort_array` over
+    * (hash key, id) structs — `collect_list` alone is
+    * partitioning-dependent and would break rerun determinism. One
+    * extra shuffle on (group, bin) over the packing window's; per-bin
+    * arrays are bounded by binTokens/minDocTokens elements. */
+  def packedBins(df: DataFrame, groupCol: String, idCol: String,
+      keyCol: String, tokensCol: String, binTokens: Long): DataFrame = {
+    val packed = packSequences(df, groupCol, idCol, keyCol, tokensCol,
+      binTokens)
+    packed
+      .groupBy(col(groupCol), col("bin"))
+      .agg(sort_array(collect_list(struct(
+        md5(coalesce(col(keyCol).cast("string"), lit(""))).as("h"),
+        col(idCol).cast("long").as("id"),
+        col(tokensCol).cast("long").as("tk")))).as("__docs"))
+      .select(col(groupCol), col("bin"),
+        transform(col("__docs"), d => d.getField("id")).as("doc_ids"),
+        transform(col("__docs"), d => d.getField("tk")).as("doc_tokens"),
+        // exclusive prefix sums: drop the final running total
+        expr("slice(aggregate(doc_tokens, array(0L), " +
+          "(acc, x) -> concat(acc, array(element_at(acc, -1) + x))), " +
+          "1, size(doc_tokens))").as("offsets"),
+        aggregate(transform(col("__docs"), d => d.getField("tk")),
+          lit(0L), (acc, x) => acc + x).as("total_tokens"))
+  }
+
   /** Temperature-scaled mixture sampling — the alpha-sampling recipe
     * multilingual corpora use to flatten source imbalance: each group's
     * quota is proportional to `weight(count)` (default `sqrt`, i.e.

@@ -575,6 +575,26 @@ object ScaleQueries {
         .orderBy("lang", "doc_id")
     }),
 
+    // materialized packed sequences: one row per (lang, bin) with the
+    // bin's docs in pack order + token counts + total — the boundary
+    // metadata a trainer needs for cross-document attention masks.
+    // Arrays serialized (driver's rows-only canonicalizer is
+    // array-blind); offsets stay an engine-side column, derivable
+    // from doc_tokens.
+    "q91_packed_bins" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val withTokens = docs.join(
+        TextAnalysis.tokenCounts(docs, "doc_id", "text")
+          .select("doc_id", "ws_tokens"), "doc_id")
+      graft.ops.Mixing.packedBins(withTokens, "lang", "doc_id", "text",
+        "ws_tokens", binTokens = 2000L)
+        .select(col("lang"), col("bin"),
+          concat_ws(",", col("doc_ids")).as("doc_ids"),
+          concat_ws(",", col("doc_tokens")).as("doc_tokens"),
+          col("total_tokens"))
+        .orderBy("lang", "bin")
+    }),
+
     // PII redaction: deterministic synthetic PII is appended per doc
     // (both engines build the identical input), then scrubbed — so the
     // oracle checks real redactions, not a no-op pass over clean text
@@ -1672,6 +1692,24 @@ object ScaleQueries {
            FROM tk)
          SELECT lang, doc_id, cum_tokens FROM c
          WHERE cum_tokens <= 5000 ORDER BY lang, doc_id""",
+    "q91_packed_bins" ->
+      """WITH tk AS (SELECT doc_id, lang, text,
+                CAST(len(list_filter(string_split(coalesce(text, ''), ' '),
+                                     t -> length(t) > 0)) AS BIGINT) AS ws_tokens
+           FROM documents),
+           c AS (SELECT lang, doc_id, text, ws_tokens,
+                sum(ws_tokens) OVER (PARTITION BY lang
+                  ORDER BY md5(coalesce(text, '')), doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM tk),
+           b AS (SELECT lang, doc_id, text, ws_tokens,
+                CAST(floor((cum - ws_tokens) * 1.0 / 2000) AS BIGINT) AS bin
+           FROM c)
+         SELECT lang, bin,
+                array_to_string(list(doc_id ORDER BY md5(coalesce(text, '')), doc_id), ',') AS doc_ids,
+                array_to_string(list(ws_tokens ORDER BY md5(coalesce(text, '')), doc_id), ',') AS doc_tokens,
+                CAST(sum(ws_tokens) AS BIGINT) AS total_tokens
+         FROM b GROUP BY lang, bin ORDER BY lang, bin""",
     "q57c_packing" ->
       """WITH tk AS (SELECT doc_id, lang, text,
                 CAST(len(list_filter(string_split(coalesce(text, ''), ' '),

@@ -216,4 +216,44 @@ class MixingSpec extends AnyFunSuite {
     val hi = kept.count(_ > 300L)
     assert(hi > lo * 3, s"high-quality survival ($hi) should dwarf low ($lo)")
   }
+
+  test("packedBins: pack-order arrays, exclusive-prefix offsets, bin parity, determinism") {
+    import spark.implicits._
+    val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001",
+      "documents")
+    val withTokens = docs.join(
+      graft.ops.TextAnalysis.tokenCounts(docs, "doc_id", "text")
+        .select("doc_id", "ws_tokens"), "doc_id")
+    val bins = Mixing.packedBins(withTokens, "lang", "doc_id", "text",
+      "ws_tokens", binTokens = 500L).collect()
+    assert(bins.nonEmpty)
+    bins.foreach { r =>
+      val ids = r.getSeq[Long](2)
+      val tks = r.getSeq[Long](3)
+      val offs = r.getSeq[Long](4)
+      val total = r.getLong(5)
+      assert(ids.length === tks.length && offs.length === tks.length)
+      // offsets are the exclusive prefix sums of doc_tokens
+      assert(offs === tks.scanLeft(0L)(_ + _).dropRight(1))
+      assert(total === tks.sum)
+      // every bin starts below capacity: the first doc of a non-zero
+      // bin was pushed there because its predecessors filled earlier
+      // bins, so its start offset is 0 within the bin
+      assert(offs.head === 0L)
+    }
+    // bin membership agrees with the row-level packSequences assignment
+    val rowBins = Mixing.packSequences(withTokens, "lang", "doc_id",
+      "text", "ws_tokens", binTokens = 500L)
+      .select("lang", "doc_id", "bin").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    bins.foreach { r =>
+      r.getSeq[Long](2).foreach { id =>
+        assert(rowBins((r.getString(0), id)) === r.getLong(1))
+      }
+    }
+    val again = Mixing.packedBins(withTokens, "lang", "doc_id", "text",
+      "ws_tokens", binTokens = 500L).collect()
+    assert(bins.map(_.toString).sorted.toSeq ===
+      again.map(_.toString).sorted.toSeq)
+  }
 }
