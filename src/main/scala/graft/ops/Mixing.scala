@@ -278,6 +278,28 @@ object Mixing {
     TextOps.md5Hash60(concat_ws(":", lit(seed), idCol.cast("string")))
       .cast("double") / lit(math.pow(16.0, 15))
 
+  /** Leakage-safe train/test split: the split decision is made per
+    * NEAR-DUP CLUSTER, not per document — a per-doc split puts one
+    * copy of a near-duplicated document in train and another in test,
+    * and the model is then evaluated on data it has effectively seen
+    * (the dominant train/test contamination vector in web corpora;
+    * the per-doc [[stratifiedSplitTag]] stays for already-deduped
+    * inputs). Clusters come from [[graft.ops.Dedup.corpusDedup]]
+    * (MinHash-LSH + connected components); every member inherits its
+    * cluster's [[uniformFromId]] coin on the CLUSTER id, so the whole
+    * clique lands on one side, deterministically. Cost = the dedup
+    * pass itself; the split is a map-side expression over its output.
+    * Returns (idCol, cluster_id, split). */
+  def leakageSafeSplit(df: DataFrame, idCol: String, textCol: String,
+      trainFrac: Double = 0.8, seed: Long = 42L, k: Int = 8,
+      bands: Int = 2, minJaccard: Double = 0.75): DataFrame = {
+    require(trainFrac >= 0.0 && trainFrac <= 1.0)
+    graft.ops.Dedup.corpusDedup(df, idCol, textCol, k, bands, minJaccard)
+      .select(col(idCol), col("cluster_id"),
+        when(uniformFromId(col("cluster_id"), seed) < trainFrac, "train")
+          .otherwise("test").as("split"))
+  }
+
   /** Quality-weighted Bernoulli downsampling (the CCNet/RefinedWeb
     * shape): keep each row with its OWN probability `probCol` —
     * typically a quality score in [0, 1], so high-quality documents

@@ -678,6 +678,15 @@ object ScaleQueries {
         k = 8, bands = 2, minJaccard = 0.75)
         .orderBy("doc_id")),
 
+    // leakage-safe split: the train/test decision is per NEAR-DUP
+    // CLUSTER (every member of a clique lands on one side) — a per-doc
+    // split leaks near-duplicated text across the boundary. Oracle =
+    // the q61 clustering CTE + the md5 cluster coin.
+    "q92_leakage_split" -> ((s, dir) =>
+      graft.ops.Mixing.leakageSafeSplit(t(s, dir, "documents"), "doc_id",
+        "text", trainFrac = 0.8, seed = 42L)
+        .orderBy("doc_id")),
+
     // INCREMENTAL cross-run corpus dedup: build the signature state
     // from half the corpus, fold the other half in WITHOUT re-scanning
     // the first half's text. The oracle is q61's from-scratch SQL over
@@ -1001,7 +1010,10 @@ object ScaleQueries {
     * the gate, not pass silently). `AS MATERIALIZED` is load-bearing:
     * each round references the previous 3–4×, and DuckDB's default CTE
     * inlining would expand the plan 3^8-fold. */
-  private val q61Sql: String = {
+  /** The shared CTE prefix of the corpus-dedup oracles: md5-family
+    * signatures → band join → threshold pairs → 8 unrolled
+    * pointer-jumping rounds, ending with the l8 label table. */
+  private val q61Cte: String = {
     val maxl = Long.MaxValue.toString
     val sigList = (0 until 8).map(i =>
       s"""coalesce(list_min(list_transform(tk,
@@ -1039,14 +1051,32 @@ object ScaleQueries {
          edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM epairs
            UNION SELECT id_b, id_a FROM epairs),
          l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS lbl FROM edges),
-         $rounds
+         $rounds"""
+  }
+
+  private val q61Sql: String =
+    s"""$q61Cte
        SELECT d.doc_id,
               CAST(coalesce(cl.lbl, d.doc_id) AS BIGINT) AS cluster_id,
               (coalesce(cl.lbl, d.doc_id) = d.doc_id) AS is_rep
        FROM documents d LEFT JOIN (SELECT id, lbl FROM l8) cl
          ON cl.id = d.doc_id
        ORDER BY d.doc_id"""
-  }
+
+  /** q92: the q61 clustering + the per-CLUSTER md5 coin split — the
+    * coin replays [[graft.ops.Mixing.uniformFromId]] exactly
+    * (md5("seed:cluster_id") top 60 bits / 16^15). */
+  private val q92Sql: String =
+    s"""$q61Cte,
+         cl AS (SELECT d.doc_id,
+                CAST(coalesce(c.lbl, d.doc_id) AS BIGINT) AS cluster_id
+           FROM documents d LEFT JOIN (SELECT id, lbl FROM l8) c
+             ON c.id = d.doc_id)
+       SELECT doc_id, cluster_id,
+              CASE WHEN CAST('0x' || substr(md5('42:' || cluster_id::VARCHAR), 1, 15)
+                        AS BIGINT) * 1.0 / 1152921504606846976 < 0.8
+                   THEN 'train' ELSE 'test' END AS split
+       FROM cl ORDER BY doc_id"""
 
   /** DuckDB twin of q70: the same md5-family signatures and raw-value
     * band keys as q26b, bucket sizes by (band, bk). */
@@ -1079,6 +1109,7 @@ object ScaleQueries {
     // incremental two-batch build ≡ from-scratch build on the union —
     // the oracle IS the from-scratch q61 SQL
     "q68_incremental_dedup" -> q61Sql,
+    "q92_leakage_split" -> q92Sql,
     "q65_window_chunks" ->
       """WITH tkt AS (SELECT doc_id,
                  list_filter(string_split(coalesce(text, ''), ' '),

@@ -256,4 +256,38 @@ class MixingSpec extends AnyFunSuite {
     assert(bins.map(_.toString).sorted.toSeq ===
       again.map(_.toString).sorted.toSeq)
   }
+
+  test("leakageSafeSplit: every near-dup cluster lands whole on one side") {
+    import spark.implicits._
+    // three exact-duplicate families + singletons: a per-doc split
+    // would scatter the families across the boundary
+    val fam = Seq(
+      "alpha beta gamma delta epsilon zeta eta theta",
+      "one two three four five six seven eight nine ten",
+      "red orange yellow green blue indigo violet colors here")
+    val docs = (0L until 60L).map { i =>
+      val t = if (i < 30L) fam((i % 3).toInt)
+              else s"unique${i}a unique${i}b unique${i}c unique${i}d"
+      (i, t)
+    }.toDF("doc_id", "text")
+    val out = Mixing.leakageSafeSplit(docs, "doc_id", "text",
+      trainFrac = 0.5, seed = 7L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.length === 60)
+    // cluster coherence: one split side per cluster_id
+    out.groupBy(_._2).foreach { case (cl, rows) =>
+      assert(rows.map(_._3).distinct.length === 1,
+        s"cluster $cl split across sides: $rows")
+    }
+    // the three planted families are clusters of 10, not singletons
+    val famClusters = out.filter(_._1 < 30L).groupBy(_._2)
+    assert(famClusters.size === 3)
+    famClusters.values.foreach(rows => assert(rows.length === 10))
+    // both sides are populated (56 clusters, fair coin at 0.5)
+    assert(out.map(_._3).distinct.sorted.toSeq === Seq("test", "train"))
+    val again = Mixing.leakageSafeSplit(docs, "doc_id", "text",
+      trainFrac = 0.5, seed = 7L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+  }
 }
