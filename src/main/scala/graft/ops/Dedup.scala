@@ -556,6 +556,33 @@ object Dedup {
         (coalesce(col("lbl"), col(idCol)) === col(idCol)).as("is_rep"))
   }
 
+  /** [[corpusDedup]] with QUALITY-AWARE representative selection: the
+    * survivor of each near-dup cluster is the member maximizing
+    * `scoreCol` (ties to the lower id), not the minimum id — real
+    * curation keeps the BEST copy of a duplicated document (longest,
+    * least-truncated, highest quality score), and min-id is an
+    * arbitrary proxy that systematically keeps whichever copy was
+    * crawled first. Cluster membership is [[corpusDedup]]'s verbatim
+    * (cluster_id stays the component-min id — a stable label
+    * independent of the scoring); only the `is_rep` choice moves. One
+    * extra window over the cluster-keyed output.
+    * Returns (idCol, cluster_id, is_rep). */
+  def corpusDedupKeepBest(df: DataFrame, idCol: String, textCol: String,
+      scoreCol: Column, k: Int = 8, bands: Int = 2,
+      minJaccard: Double = 0.75,
+      maxBucket: Int = defaultMaxBucket): DataFrame = {
+    val clusters = corpusDedup(df, idCol, textCol, k, bands, minJaccard,
+      maxBucket).select(col(idCol), col("cluster_id"))
+    val scored = df.select(col(idCol).cast("long").as(idCol),
+      scoreCol.as("__score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id")
+      .orderBy(col("__score").desc, col(idCol).asc)
+    clusters.join(scored, Seq(idCol))
+      .withColumn("is_rep", row_number().over(w) === 1)
+      .select(col(idCol), col("cluster_id"), col("is_rep"))
+  }
+
   /** Persisted dedup STATE for incremental (cross-run) corpus dedup:
     * one row per document — (id: long, sig: array<long> md5 audit-family
     * MinHash, cluster_id: long = component min id). Built once from the

@@ -687,6 +687,16 @@ object ScaleQueries {
         "text", trainFrac = 0.8, seed = 42L)
         .orderBy("doc_id")),
 
+    // quality-aware dedup survivor: each near-dup cluster keeps its
+    // LONGEST member (token count, ties to lower id) instead of the
+    // arbitrary min-id copy. Oracle = q61 CTE + a max_by window.
+    "q93_keep_best" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.corpusDedupKeepBest(docs, "doc_id", "text",
+        TextAnalysis.nTokensCol(col("text")))
+        .orderBy("doc_id")
+    }),
+
     // INCREMENTAL cross-run corpus dedup: build the signature state
     // from half the corpus, fold the other half in WITHOUT re-scanning
     // the first half's text. The oracle is q61's from-scratch SQL over
@@ -1063,6 +1073,21 @@ object ScaleQueries {
          ON cl.id = d.doc_id
        ORDER BY d.doc_id"""
 
+  /** q93: q61 clustering + quality-aware rep — the highest-token
+    * member of each cluster (ties to the lower id) is the survivor. */
+  private val q93Sql: String =
+    s"""$q61Cte,
+         cl AS (SELECT d.doc_id,
+                CAST(coalesce(c.lbl, d.doc_id) AS BIGINT) AS cluster_id,
+                CAST(len(list_filter(string_split(coalesce(d.text, ''), ' '),
+                                     t -> length(t) > 0)) AS BIGINT) AS score
+           FROM documents d LEFT JOIN (SELECT id, lbl FROM l8) c
+             ON c.id = d.doc_id)
+       SELECT doc_id, cluster_id,
+              (row_number() OVER (PARTITION BY cluster_id
+                 ORDER BY score DESC, doc_id ASC) = 1) AS is_rep
+       FROM cl ORDER BY doc_id"""
+
   /** q92: the q61 clustering + the per-CLUSTER md5 coin split — the
     * coin replays [[graft.ops.Mixing.uniformFromId]] exactly
     * (md5("seed:cluster_id") top 60 bits / 16^15). */
@@ -1110,6 +1135,7 @@ object ScaleQueries {
     // the oracle IS the from-scratch q61 SQL
     "q68_incremental_dedup" -> q61Sql,
     "q92_leakage_split" -> q92Sql,
+    "q93_keep_best" -> q93Sql,
     "q65_window_chunks" ->
       """WITH tkt AS (SELECT doc_id,
                  list_filter(string_split(coalesce(text, ''), ' '),

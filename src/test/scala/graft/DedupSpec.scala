@@ -351,6 +351,35 @@ class DedupSpec extends AnyFunSuite {
     assert(out.map(_.getSeq[Long](1)).toSeq === again.toSeq)
   }
 
+  test("corpusDedupKeepBest: longest member survives, cluster label stays min id") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // docs 10/11/12 are exact duplicates except 12 carries extra text
+    // (the least-truncated copy); min-id dedup would keep 10
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val df = Seq(
+      (10L, base),
+      (11L, base),
+      (12L, s"$base lambda mu nu"),
+      (20L, "totally unrelated content with nothing shared here at all"))
+      .toDF("doc_id", "text")
+    val out = Dedup.corpusDedupKeepBest(df, "doc_id", "text",
+      graft.ops.TextAnalysis.nTokensCol(col("text")), minJaccard = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .sortBy(_._1)
+    val cluster = out.filter(_._1 < 20L)
+    assert(cluster.map(_._2).distinct.toSeq === Seq(10L),
+      s"cluster label must stay the component-min id: $cluster")
+    assert(cluster.filter(_._3).map(_._1).toSeq === Seq(12L),
+      s"the longest member must be the survivor: $cluster")
+    assert(out.find(_._1 == 20L).exists(r => r._2 == 20L && r._3))
+    val again = Dedup.corpusDedupKeepBest(df, "doc_id", "text",
+      graft.ops.TextAnalysis.nTokensCol(col("text")), minJaccard = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .sortBy(_._1)
+    assert(out.toSeq === again.toSeq)
+  }
+
   test("containmentPairs vs Jaccard: subset duplication invisible to Jaccard is caught") {
     import spark.implicits._
     val df = Seq(
