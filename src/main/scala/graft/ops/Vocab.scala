@@ -80,63 +80,147 @@ object Vocab {
     * occurs at all. */
   def learnBpe(df: DataFrame, textCol: String, numMerges: Int,
       maxDictWords: Int = 1 << 16): BpeModel = {
+    // evaluate the corpus-scale word count ONCE even when the cap audit
+    // needs a second action (top-N collect + tail mass) — without the
+    // persist a truncated dictionary paid the corpus shuffle twice
     val wc = wordCounts(df, textCol)
-    // top-N collect is bounded by maxDictWords rows — metadata-scale
-    // relative to the corpus (the same discipline as Dedup's
-    // smallGraphEdges cap, and audited below)
-    val top = wc.orderBy(desc("cnt"), asc("word"))
-      .limit(maxDictWords + 1).collect()
-    val truncated = top.length > maxDictWords
-    val dict0 = (if (truncated) top.dropRight(1) else top)
-      .map(r => (r.getString(0), r.getLong(1)))
-    if (truncated) {
-      val tail = wc.agg(sum("cnt")).head().getLong(0) - dict0.map(_._2).sum
-      System.err.println(
-        s"[graft] learnBpe: dictionary capped at $maxDictWords distinct " +
-        s"words; dropped tail carries $tail token occurrences and does " +
-        "not vote on merges — raise maxDictWords to widen")
-    }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // top-N collect is bounded by maxDictWords rows — metadata-scale
+      // relative to the corpus (the same discipline as Dedup's
+      // smallGraphEdges cap, and audited below)
+      val top = wc.orderBy(desc("cnt"), asc("word"))
+        .limit(maxDictWords + 1).collect()
+      val truncated = top.length > maxDictWords
+      val dict0 = (if (truncated) top.dropRight(1) else top)
+        .map(r => (r.getString(0), r.getLong(1)))
+      if (truncated) {
+        val tail = wc.agg(sum("cnt")).head().getLong(0) - dict0.map(_._2).sum
+        System.err.println(
+          s"[graft] learnBpe: dictionary capped at $maxDictWords distinct " +
+          s"words; dropped tail carries $tail token occurrences and does " +
+          "not vote on merges — raise maxDictWords to widen")
+      }
+      BpeModel(learnMerges(dict0, numMerges),
+        dict0.flatMap(_._1.map(_.toString)).distinct.sorted :+ EndOfWord)
+    } finally wc.unpersist()
+  }
 
-    var dict: Array[(Vector[String], Long)] =
-      dict0.map { case (w, c) => (toSymbols(w), c) }
+  /** The driver-side merge loop over the collected (word, count)
+    * dictionary, with INCREMENTAL pair-statistic maintenance: instead
+    * of rescanning every dictionary word per merge (O(merges × dict),
+    * the naive subword-nmt form — 64 Ki words × 50 k merges is 3×10⁹
+    * pair updates), keep
+    *  - a pair → count map, adjusted only for the words a merge
+    *    actually rewrites (subtract the word's old adjacent pairs, add
+    *    its new ones — exact, including overlapping occurrences),
+    *  - a pair → word-index posting list to find those words in O(hits)
+    *    (kept as a superset: stale postings are skipped by re-checking
+    *    the word, never compacted — bounded by total pair insertions),
+    *  - a lazy max-heap of (count, pair) snapshots for best-pair
+    *    selection in O(log) amortized; entries whose snapshot disagrees
+    *    with the live count are discarded on pop.
+    * The selection order is IDENTICAL to the rescan form — count desc,
+    * then pair lexicographic asc, over exactly-maintained statistics —
+    * so the learned merge list is bit-for-bit the same (VocabSpec pins
+    * the hand-computed Sennrich order and determinism). */
+  private def learnMerges(dict0: Array[(String, Long)],
+      numMerges: Int): Vector[(String, String)] = {
+    import scala.collection.mutable
+    val syms = dict0.map { case (w, _) => toSymbols(w) }
+    val cnts = dict0.map(_._2)
+    val pairCounts = mutable.HashMap.empty[(String, String), Long]
+    val postings = mutable.HashMap.empty[(String, String), mutable.ArrayBuffer[Int]]
+    // max-heap: count desc, then pair lexicographic ASC (so the heap
+    // ordering treats the lexicographically smaller pair as GREATER)
+    val heap = mutable.PriorityQueue.empty[(Long, String, String)](
+      new Ordering[(Long, String, String)] {
+        def compare(x: (Long, String, String), y: (Long, String, String)): Int = {
+          val c = java.lang.Long.compare(x._1, y._1)
+          if (c != 0) c
+          else {
+            val a = y._2.compareTo(x._2)
+            if (a != 0) a else y._3.compareTo(x._3)
+          }
+        }
+      })
+    def bump(p: (String, String), delta: Long, wordIdx: Int): Unit = {
+      val n = pairCounts.getOrElse(p, 0L) + delta
+      if (n <= 0L) pairCounts.remove(p)
+      else {
+        pairCounts(p) = n
+        if (delta > 0) {
+          heap.enqueue((n, p._1, p._2))
+          postings.getOrElseUpdate(p, mutable.ArrayBuffer.empty) += wordIdx
+        }
+      }
+    }
+    var w = 0
+    while (w < syms.length) {
+      val s = syms(w)
+      var i = 0
+      while (i < s.length - 1) { bump((s(i), s(i + 1)), cnts(w), w); i += 1 }
+      w += 1
+    }
     val merges = Vector.newBuilder[(String, String)]
     var step = 0
     var exhausted = false
     while (step < numMerges && !exhausted) {
-      val pairCounts = scala.collection.mutable.HashMap
-        .empty[(String, String), Long]
-      dict.foreach { case (syms, cnt) =>
-        var i = 0
-        while (i < syms.length - 1) {
-          val p = (syms(i), syms(i + 1))
-          pairCounts.update(p, pairCounts.getOrElse(p, 0L) + cnt)
-          i += 1
+      // pop until a snapshot matches the live count (lazy invalidation).
+      // Increases enqueue a fresh snapshot; decreases do not — instead a
+      // stale too-high snapshot is requeued at the live count when
+      // popped, so every live pair always has ≥1 snapshot ≥ its current
+      // count in the heap and the true maximum cannot be missed.
+      var best: (String, String) = null
+      while (best == null && heap.nonEmpty) {
+        val (c, a, b) = heap.dequeue()
+        pairCounts.get((a, b)) match {
+          case Some(live) if live == c => best = (a, b)
+          case Some(live) if live < c =>
+            // stale high snapshot: requeue at the live count so the
+            // pair keeps exactly one fresh entry, then keep popping
+            heap.enqueue((live, a, b))
+          case _ => () // dead pair (count 0) or older duplicate snapshot
         }
       }
-      if (pairCounts.isEmpty) exhausted = true
+      if (best == null) exhausted = true
       else {
-        // total order: count desc, then pair lexicographic asc
-        val best = pairCounts.minBy { case ((a, b), c) => (-c, a, b) }._1
         merges += best
         val merged = best._1 + best._2
-        dict = dict.map { case (syms, cnt) =>
-          if (syms.length < 2) (syms, cnt)
-          else {
-            val out = Vector.newBuilder[String]
+        val hits = postings.remove(best).getOrElse(mutable.ArrayBuffer.empty)
+        val seen = mutable.HashSet.empty[Int]
+        hits.foreach { w =>
+          if (seen.add(w)) {
+            val old = syms(w)
+            // postings are a superset (never compacted on decrease):
+            // re-check the word actually contains the pair NOW
+            var has = false
             var i = 0
-            while (i < syms.length) {
-              if (i < syms.length - 1 && syms(i) == best._1 &&
-                  syms(i + 1) == best._2) { out += merged; i += 2 }
-              else { out += syms(i); i += 1 }
+            while (!has && i < old.length - 1) {
+              has = old(i) == best._1 && old(i + 1) == best._2; i += 1
             }
-            (out.result(), cnt)
+            if (has) {
+              val cnt = cnts(w)
+              i = 0
+              while (i < old.length - 1) { bump((old(i), old(i + 1)), -cnt, w); i += 1 }
+              val out = Vector.newBuilder[String]
+              i = 0
+              while (i < old.length) {
+                if (i < old.length - 1 && old(i) == best._1 &&
+                    old(i + 1) == best._2) { out += merged; i += 2 }
+                else { out += old(i); i += 1 }
+              }
+              val nw = out.result()
+              syms(w) = nw
+              i = 0
+              while (i < nw.length - 1) { bump((nw(i), nw(i + 1)), cnt, w); i += 1 }
+            }
           }
         }
         step += 1
       }
     }
-    BpeModel(merges.result(),
-      dict0.flatMap(_._1.map(_.toString)).distinct.sorted :+ EndOfWord)
+    merges.result()
   }
 
   /** Frequency-weighted adjacent symbol-pair counts over the initial
@@ -160,9 +244,15 @@ object Vocab {
   /** The learned merge table as a frame: (rank, left, right, merged) —
     * the persistable artifact (write it once, encode anywhere). */
   def mergesFrame(df: DataFrame, textCol: String, numMerges: Int,
-      maxDictWords: Int = 1 << 16): DataFrame = {
-    val spark = df.sparkSession
-    val model = learnBpe(df, textCol, numMerges, maxDictWords)
+      maxDictWords: Int = 1 << 16): DataFrame =
+    mergesFrameOf(df.sparkSession,
+      learnBpe(df, textCol, numMerges, maxDictWords))
+
+  /** [[mergesFrame]] for an already-learned model (train once, persist
+    * the table, encode anywhere — no reason to re-pay the corpus
+    * shuffle to render the artifact). */
+  def mergesFrameOf(spark: org.apache.spark.sql.SparkSession,
+      model: BpeModel): DataFrame = {
     val rows = model.merges.zipWithIndex.map { case ((a, b), i) =>
       Row(i, a, b, a + b)
     }

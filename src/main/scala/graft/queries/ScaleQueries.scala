@@ -66,6 +66,22 @@ object ScaleQueries {
         graft.ml.ThemePipeline.fitLda(preppedDocs(s, dir), "processed",
           k = 5, maxIter = 20))
 
+  /** One BPE model per (session, sf dir, merge budget) — q81/q82/q82b
+    * each need the corpus-trained model; without the cache every one of
+    * them re-pays the word-count shuffle AND the driver merge loop
+    * (Verify and Bench run all queries in one session, and a user
+    * training a tokenizer then encoding with it holds the model the
+    * same way). Pure model value — deterministic, so sharing cannot
+    * change any query's result. */
+  private val bpeCache = new java.util.WeakHashMap[SparkSession,
+    scala.collection.concurrent.TrieMap[String, Vocab.BpeModel]]()
+
+  private def bpeFor(s: SparkSession, dir: String,
+      numMerges: Int): Vocab.BpeModel =
+    perSessionEntry(bpeCache, s)(scala.collection.concurrent.TrieMap.empty)
+      .getOrElseUpdate(s"$dir|$numMerges",
+        Vocab.learnBpe(t(s, dir, "documents"), "text", numMerges))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup via content hash (scale form of A1)
     "q25_dedup_hash" -> ((s, dir) =>
@@ -309,7 +325,7 @@ object ScaleQueries {
     // VocabSpec pins id stability, the vocab round-trip and unk counting
     "q82b_bpe_ids" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      val model = Vocab.learnBpe(d, "text", numMerges = 50)
+      val model = bpeFor(s, dir, numMerges = 50)
       Vocab.encodeIdsBpe(d, "doc_id", "text", model)
         .select(col("doc_id"), col("n_tokens"), col("n_unk"),
           concat_ws(",", transform(slice(col("token_ids"), 1, 8),
@@ -328,7 +344,7 @@ object ScaleQueries {
     // table. Rows-only (the merge recursion is not SQL-expressible);
     // VocabSpec pins the hand-computed merge order and determinism.
     "q81_bpe_merges" -> ((s, dir) =>
-      Vocab.mergesFrame(t(s, dir, "documents"), "text", numMerges = 50)
+      Vocab.mergesFrameOf(s, bpeFor(s, dir, numMerges = 50))
         .orderBy("rank")),
 
     // BPE AUDIT twin: the frequency-weighted symbol-pair counts the
@@ -345,7 +361,7 @@ object ScaleQueries {
     // decode round-trip and count bounds.
     "q82_bpe_encode" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      val model = Vocab.learnBpe(d, "text", numMerges = 50)
+      val model = bpeFor(s, dir, numMerges = 50)
       Vocab.encodeBpe(d, "doc_id", "text", model)
         .select(col("doc_id"), col("n_ws_tokens"), col("n_bpe_tokens"),
           round(col("n_bpe_tokens").cast("double") /

@@ -133,4 +133,67 @@ class VocabSpec extends AnyFunSuite {
     assert(model.merges.forall { case (l, r) =>
       !l.contains("c") && !r.contains("c") })
   }
+
+  /** Textbook rescan BPE (recompute pair stats from the whole dict each
+    * step, pick count desc / pair asc) — the specification the
+    * incremental heap+postings loop in [[Vocab.learnBpe]] must match
+    * merge-for-merge. */
+  private def rescanMerges(words: Seq[(String, Long)],
+      numMerges: Int): Seq[(String, String)] = {
+    var dict = words.map { case (w, c) =>
+      (w.map(_.toString).toVector :+ Vocab.EndOfWord, c) }
+    val out = Vector.newBuilder[(String, String)]
+    var step = 0
+    var done = false
+    while (step < numMerges && !done) {
+      val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      dict.foreach { case (s, c) =>
+        s.sliding(2).foreach { p =>
+          if (p.length == 2) {
+            val k = (p(0), p(1)); pc(k) = pc.getOrElse(k, 0L) + c
+          }
+        }
+      }
+      if (pc.isEmpty) done = true
+      else {
+        val best = pc.keys.minBy { case (a, b) => (-pc((a, b)), a, b) }
+        out += best
+        val m = best._1 + best._2
+        dict = dict.map { case (s, c) =>
+          val nb = Vector.newBuilder[String]
+          var i = 0
+          while (i < s.length) {
+            if (i < s.length - 1 && s(i) == best._1 && s(i + 1) == best._2) {
+              nb += m; i += 2
+            } else { nb += s(i); i += 1 }
+          }
+          (nb.result(), c)
+        }
+        step += 1
+      }
+    }
+    out.result()
+  }
+
+  test("incremental merge loop matches the textbook rescan on random dictionaries") {
+    // seeded generator: reruns reproduce the same 20 corpora. Small
+    // alphabet + long merge budget maximizes pair-count collisions,
+    // re-formed pairs, and heap-staleness churn — the failure modes a
+    // lazy-invalidation loop can have.
+    val rnd = new scala.util.Random(42)
+    (1 to 20).foreach { trial =>
+      val nWords = 5 + rnd.nextInt(40)
+      val words = (1 to nWords).map { _ =>
+        val len = 1 + rnd.nextInt(8)
+        (Vector.fill(len)(('a' + rnd.nextInt(3)).toChar).mkString,
+          1L + rnd.nextInt(9))
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sorted
+      val text = words.flatMap { case (w, c) =>
+        Seq.fill(c.toInt)(w) }.mkString(" ")
+      val model = Vocab.learnBpe(Seq(text).toDF("text"), "text",
+        numMerges = 60)
+      assert(model.merges === rescanMerges(words, 60),
+        s"trial $trial diverged (corpus: $text)")
+    }
+  }
 }
