@@ -745,19 +745,41 @@ object ScaleQueries {
 
     // sketch aggregates — the approximate forms that replace exact
     // aggregation at 100 TB: HLL count-distinct (fixed-size state vs a
-    // full distinct shuffle) and t-digest style percentiles (vs a global
-    // sort). Rows-only: estimates are engine-specific; SketchSpec pins
-    // relative error against the exact values.
+    // full distinct shuffle) and approx percentiles (vs a global sort).
+    // Oracle-checked via IN-PLAN bounds: the raw estimates are
+    // engine-specific (DuckDB cannot reproduce Spark's HLL), so the
+    // query emits the EXACT aggregates (hash-anchored against DuckDB)
+    // plus booleans asserting each estimate lies within its error bound
+    // of the in-plan exact value — the oracle emits the same exacts and
+    // literal TRUEs, so a hash match proves both the anchors and the
+    // bounds. HLL bound: 3× the configured rsd. Percentile bound: the
+    // estimate must land inside the exact [p-0.05, p+0.05] quantile
+    // envelope (rank error at accuracy 10000 is ~n/10⁴ ≪ n/20).
+    // SketchSpec additionally pins the raw estimates' relative error.
     "q56_sketches" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-          approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("acd_orderkey"),
-          approx_count_distinct(col("l_extendedprice"), rsd = 0.02).as("acd_price"),
-          round(expr("approx_percentile(l_extendedprice, 0.5, 10000)"), 4)
-            .as("p50_price"),
-          round(expr("approx_percentile(l_extendedprice, 0.99, 10000)"), 4)
-            .as("p99_price"))
+          countDistinct(col("l_orderkey")).as("nd_orderkey"),
+          countDistinct(col("l_extendedprice")).as("nd_price"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50_exact"),
+          approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("__acd_ok"),
+          approx_count_distinct(col("l_extendedprice"), rsd = 0.02)
+            .as("__acd_pr"),
+          expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("__ap50"),
+          expr("approx_percentile(l_extendedprice, 0.99, 10000)").as("__ap99"),
+          expr("percentile(l_extendedprice, 0.45)").as("__p45"),
+          expr("percentile(l_extendedprice, 0.55)").as("__p55"),
+          expr("percentile(l_extendedprice, 0.985)").as("__p985"),
+          expr("percentile(l_extendedprice, 0.995)").as("__p995"))
+        .select(col("l_returnflag"), col("nd_orderkey"), col("nd_price"),
+          col("p50_exact"),
+          (abs(col("__acd_ok") - col("nd_orderkey")) <=
+            col("nd_orderkey") * 0.06).as("hll_ok"),
+          (abs(col("__acd_pr") - col("nd_price")) <=
+            col("nd_price") * 0.06).as("hll_price_ok"),
+          col("__ap50").between(col("__p45"), col("__p55")).as("p50_ok"),
+          col("__ap99").between(col("__p985"), col("__p995")).as("p99_ok"))
         .orderBy("l_returnflag")),
 
     // FULL corpus-build composite — the end-to-end training-data story
@@ -1701,6 +1723,17 @@ object ScaleQueries {
          SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id,
                 (min(lbl) = id) AS is_rep
          FROM reach GROUP BY id ORDER BY doc_id""",
+    // bounded-compare oracle: the exact aggregates anchor cross-engine;
+    // the ok-flags are TRUE here and computed (estimate within bound of
+    // the in-plan exact) on the Spark side — a hash match proves both
+    "q56_sketches" ->
+      """SELECT l_returnflag,
+                count(DISTINCT l_orderkey) AS nd_orderkey,
+                count(DISTINCT l_extendedprice) AS nd_price,
+                round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
+                TRUE AS hll_ok, TRUE AS hll_price_ok,
+                TRUE AS p50_ok, TRUE AS p99_ok
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q27b_simhash_oracle" -> q27bSql,
     "q30b_ann_oracle" -> q30bSql,
     "q26b_minhash_oracle" ->
