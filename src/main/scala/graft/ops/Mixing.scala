@@ -152,6 +152,9 @@ object Mixing {
       .withColumn("__fl", floor(col("__exact")).cast("long"))
       .withColumn("__rem", col("__exact") - floor(col("__exact")))
     val short = exact.agg((lit(totalTarget) - sum("__fl")).as("__d"))
+    PlanNotes.declaredGlobalWindow("temperatureSample.quota",
+      "largest-remainder rank over G group rows (one row per group, " +
+      "never data rows)")
     val remRank = Window.orderBy(col("__rem").desc, col(groupCol).asc)
     val quotas = exact.crossJoin(broadcast(short))
       .withColumn("__rk", row_number().over(remRank))

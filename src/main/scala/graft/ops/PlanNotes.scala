@@ -1,0 +1,22 @@
+package graft.ops
+
+/** Loud, once-per-tag annotations for plan shapes that LOOK like scale
+  * bugs but are declared safe — so an expected `WindowExec: No
+  * Partition Defined` warning in a log tail can be matched to its
+  * declaration instead of masking a real regression. PlanAuditSpec
+  * enforces the closed-world side: the ONLY unpartitioned windows in
+  * the bench set are the ones declared here.
+  */
+object PlanNotes {
+
+  private val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Record that `tag` intentionally plans an unpartitioned window and
+    * say why it is safe (e.g. it runs over group rows, not data rows).
+    * Prints once per tag per JVM. */
+  def declaredGlobalWindow(tag: String, why: String): Unit =
+    if (seen.add(tag))
+      System.err.println(s"[graft] expected global window [$tag]: $why " +
+        "(the WindowExec 'No Partition Defined' warning this plan emits " +
+        "is declared, not a scale bug)")
+}

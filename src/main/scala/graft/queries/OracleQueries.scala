@@ -327,6 +327,9 @@ object OracleQueries {
     // shape must be keyed (partitionBy) or range-partitioned first
     // (df.repartitionByRange on the order key + per-partition windows).
     "q19_window_frame" -> ((s, dir) => {
+      graft.ops.PlanNotes.declaredGlobalWindow("q19.declared",
+        "the oracle form declares globally-ordered frame semantics; " +
+        "the scale-safe twins are q19b/q19c")
       val w = Window.orderBy("o_orderdate", "o_orderkey").rowsBetween(-2, 0)
       t(s, dir, "orders")
         .withColumn("mv_sum", round(sum(col("o_totalprice")).over(w), 4))

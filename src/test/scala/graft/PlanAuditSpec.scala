@@ -208,4 +208,33 @@ class PlanAuditSpec extends AnyFunSuite {
         p.take(3000))
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
+
+  test("the only unpartitioned windows in the bench set are the declared ones") {
+    // closed world for the `WindowExec: No Partition Defined` warning:
+    // q19 DECLARES globally-ordered frame semantics (its scale-safe
+    // twins are q19b/q19c); q63 and q76 both route through
+    // temperatureSample, whose quota apportionment ranks G group rows
+    // (one row per group / per k-means cell) — see
+    // PlanNotes.declaredGlobalWindow at both sites. Any other bench
+    // query planning a partition-less window is a data-scale
+    // single-task sort and fails here.
+    val declared = Set("q19_window_frame", "q63_temperature_mix",
+      "q76_cluster_sample")
+    val offenders = Bench.headline.flatMap { name =>
+      val df = SparkEntry.queries(name)(spark, dir)
+      val globals = df.queryExecution.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+        case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+            if w.partitionSpec.isEmpty => w
+      }
+      if (globals.nonEmpty) Some(name) else None
+    }.toSet
+    assert(offenders.subsetOf(declared),
+      s"undeclared global windows in: ${(offenders -- declared).mkString(", ")}")
+    // and the declaration must stay accurate — if a declared query
+    // stops planning a global window, remove it from the allowlist
+    assert(declared.subsetOf(offenders),
+      s"stale declarations: ${(declared -- offenders).mkString(", ")}")
+  }
 }
