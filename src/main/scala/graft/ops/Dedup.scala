@@ -975,24 +975,30 @@ object Dedup {
     // so a narrow input (one parquet file → one split) serializes
     // minutes of CPU onto a single core while the rest of the cluster
     // idles. One shuffle of the raw text is orders of magnitude
-    // cheaper than that; AQE re-coalesces if the corpus is already
-    // wide.
-    val spread = df.repartition(
-      df.sparkSession.sessionState.conf.numShufflePartitions, col(idCol))
+    // cheaper than that. No explicit partition count: a
+    // count-carrying repartition is honored exactly and AQE cannot
+    // coalesce it, so an already-wide corpus would pay an unconditional
+    // full raw-text shuffle at a fixed width — the count-free form
+    // lets AQE size (and skip-coalesce) the exchange.
+    val spread = df.repartition(col(idCol))
+    // the winnowing pass is the expensive corpus-scale work — one
+    // checkpoint so the cap count and the kept-side consumers below
+    // read it instead of re-hashing the corpus
     val fp = TextAnalysis.winnowSetFrame(spread, idCol, textCol, k, w,
-      family)
-    // carrier cap as a WINDOW over the fp frame, not an agg+join-back:
-    // one shuffle on fp computes the count AND filters in place (the
-    // same docfreq-window discipline as boilerplateScrub) — the
-    // agg+join form costs a second shuffle plus the join
-    val kept = fp
-      .withColumn("__carriers", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("fp")))
-      .filter(col("__carriers") <= maxCarriers)
-      .drop("__carriers")
-      // surviving fingerprints feed sizes AND both self-join sides —
-      // checkpointed so the window pass runs once, not three times
-      .localCheckpoint()
+      family).localCheckpoint()
+    // carrier cap via map-side-combined count + BROADCAST anti-join,
+    // NOT a Window.partitionBy(fp): the ubiquitous boilerplate
+    // fingerprints the cap exists to neutralize are exactly the keys a
+    // per-fp window would route through one task (a single-reducer
+    // hotspot at corpus scale). Partial aggregation keeps hot keys
+    // distributed, and the over-cap set is tiny by construction (only
+    // fingerprints carried by > maxCarriers docs), so the anti-join is
+    // a map-side broadcast — no second fp-frame shuffle.
+    val overCap = fp.groupBy("fp")
+      .agg(count(lit(1)).as("__carriers"))
+      .filter(col("__carriers") > maxCarriers)
+      .select("fp")
+    val kept = fp.join(broadcast(overCap), Seq("fp"), "left_anti")
     val sizes = kept.groupBy(idCol).agg(count(lit(1)).as("n_a"))
     val a = kept.select(col(idCol).as("id_a"), col("fp"))
     val b = kept.select(col(idCol).as("id_b"), col("fp"))

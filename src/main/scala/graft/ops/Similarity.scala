@@ -580,9 +580,18 @@ object Similarity {
     val dsub = dim / m
     val corpus = df.filter(col(idCol) >= nQueries)
     val pq = pqFit(corpus, idCol, vecCol, dim, m, ks, seed, fitSampleMod)
-    val corpusUnit = unitVectors(corpus, idCol, vecCol)
+    // the checkpoint exists so the re-rank join reads the normalized
+    // vectors instead of re-evaluating the normalization subtree — but
+    // it materializes FULL float vectors to executor storage, which at
+    // the billion-vector scale this operator targets would undermine
+    // the compressed-domain memory story. Gate it on there actually
+    // being a second consumer: with rerank <= k stage 2 is disabled and
+    // the encode pass is the only reader, so nothing justifies the
+    // materialization (the IVF-PQ path never pays it at all).
+    val corpusUnit0 = unitVectors(corpus, idCol, vecCol)
       .select(col("id").as("cid"), col("vhat"))
-      .localCheckpoint() // feeds encode AND the re-rank join once
+    val corpusUnit =
+      if (rerank > k) corpusUnit0.localCheckpoint() else corpusUnit0
     val codes = corpusUnit.select(col("cid"),
       graft.functions.GraftFunctions.pqEncode(col("vhat"), pq.codebooks)
         .as("codes"))
@@ -758,7 +767,22 @@ object Similarity {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val n = fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/codes"))
       .count(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
-    ivfPqAppendVersioned(spark, path, df, idCol, vecCol, f"a$n%06d")
+    val ver = f"a$n%06d"
+    // count-derived versions are NOT safe under concurrency: two
+    // appenders (or an append racing the streaming maintenance path)
+    // that list the same batch count would compute the same version and
+    // the versioned write's overwrite would silently destroy one
+    // batch's codes. Fail loudly if the target already exists — callers
+    // that need concurrent or replayable appends must coordinate their
+    // own versions through [[ivfPqAppendVersioned]].
+    val target = new org.apache.hadoop.fs.Path(s"$path/codes/batch=$ver")
+    if (fs.exists(target))
+      throw new IllegalStateException(
+        s"ivfPqAppendSave: derived batch version '$ver' already exists " +
+        s"at $target — a concurrent append (or a replay racing the " +
+        "streaming maintenance path) got there first; coordinate " +
+        "versions via ivfPqAppendVersioned")
+    ivfPqAppendVersioned(spark, path, df, idCol, vecCol, ver)
     ivfPqLoad(spark, path)
   }
 

@@ -29,8 +29,14 @@ object Jsonl {
 
   /** Read a JSONL tree into (clean, quarantine): `clean` has exactly
     * `schema`'s columns for lines that parsed AND carried at least one
-    * schema field; `quarantine` has (raw line, source file) for lines
-    * that did not parse as a JSON object of the expected shape. */
+    * non-null schema field; `quarantine` has (raw line, source file)
+    * for lines that did not parse as a JSON object of the expected
+    * shape — INCLUDING well-formed objects with no usable schema field
+    * (`{}`, wrong keys): PERMISSIVE parses those without a corrupt
+    * record, and an all-null row is junk to every downstream operator.
+    * For that all-null case the parser has discarded the original
+    * line, so `raw` carries the reconstructed JSON of the schema
+    * columns (`{}`) rather than the source bytes. */
   def readJsonl(spark: SparkSession, path: String,
       schema: StructType): (DataFrame, DataFrame) = {
     require(!schema.fieldNames.contains(CorruptCol),
@@ -46,10 +52,14 @@ object Jsonl {
       // frames (it also sidesteps Spark's restriction on querying the
       // corrupt column alone); without it each output re-parses the tree
       .localCheckpoint()
-    val clean = raw.filter(col(CorruptCol).isNull)
-      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
-    val quarantine = raw.filter(col(CorruptCol).isNotNull)
-      .select(col(CorruptCol).as("raw"), col("__src").as("src_file"))
+    val schemaCols = schema.fieldNames.map(col).toIndexedSeq
+    val anyField = schemaCols.map(_.isNotNull).reduce(_ || _)
+    val clean = raw.filter(col(CorruptCol).isNull && anyField)
+      .select(schemaCols: _*)
+    val quarantine = raw.filter(col(CorruptCol).isNotNull || !anyField)
+      .select(coalesce(col(CorruptCol),
+        to_json(struct(schemaCols: _*))).as("raw"),
+        col("__src").as("src_file"))
     (clean, quarantine)
   }
 

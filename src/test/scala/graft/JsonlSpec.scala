@@ -37,6 +37,28 @@ class JsonlSpec extends AnyFunSuite {
       .forall(_.getString(0).contains("part-0.jsonl")))
   }
 
+  test("readJsonl quarantines well-formed objects with no usable schema field") {
+    val dir = Files.createTempDirectory("jsonl_empty").toString
+    Files.writeString(Paths.get(dir, "part-0.jsonl"),
+      """{"doc_id": 1, "text": "alpha"}
+        |{}
+        |{"wrong_key": 7}
+        |{"doc_id": 2}
+        |""".stripMargin)
+    val (clean, quarantine) = Jsonl.readJsonl(spark, dir, schema)
+    // {} and {"wrong_key":7} parse fine but land all-null — junk to
+    // every downstream operator, so they quarantine; a PARTIAL row
+    // (doc_id without text) is clean
+    val rows = clean.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1))))
+    assert(rows.toSeq === Seq((1L, Some("alpha")), (2L, None)))
+    // the parser discarded the original bytes for parsed rows, so the
+    // reconstructed raw is the all-null JSON rendering (empty object)
+    val bad = quarantine.select("raw").collect().map(_.getString(0))
+    assert(bad.length === 2)
+    assert(bad.forall(_ === "{}"))
+  }
+
   test("writeJsonl -> readJsonl round-trips real documents, gzip transparent") {
     val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001",
       "documents").select("doc_id", "text")
