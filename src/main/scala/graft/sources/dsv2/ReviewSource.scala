@@ -28,6 +28,13 @@ import graft.sources.ReviewFixture
   *
   * Rows come from the deterministic [[ReviewFixture]] generator —
   * swapping in a real Bolt/parquet backend changes only the reader.
+  * When a `url` option is configured, the scan dials the endpoint for
+  * real at plan time — the public Bolt wire handshake (magic preamble
+  * + version negotiation over TCP) under the same retry loop the
+  * per-partition session opens use — and reports loudly whether it
+  * negotiated or fell back; the full Bolt session protocol
+  * (PackStream, HELLO/RUN/PULL) is deliberately not wired in this
+  * build, so the row source is the fixture either way.
   * Partitioned by id range: `partitions` splits of `numRows`.
   *
   * Usage: `spark.read.format(classOf[ReviewTableProvider].getName)
@@ -85,6 +92,92 @@ object ReviewConnection {
       }
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** Parse a validated `url` option into (host, port) — Bolt's default
+    * port 7687 when the URL omits one. */
+  def hostPort(url: String): (String, Int) = {
+    val m = urlRe.findFirstMatchIn(url).getOrElse(
+      throw new IllegalArgumentException(
+        s"review connector: malformed url '$url'"))
+    (m.group(2), Option(m.group(4)).map(_.toInt).getOrElse(7687))
+  }
+
+  /** The Bolt wire handshake (public protocol, Neo4j "Bolt Protocol"
+    * spec): send the 0x6060B017 magic preamble plus four proposed
+    * versions (4 bytes each, big-endian, `00 00 minor major`, newest
+    * first), read the server's 4-byte chosen version. Returns
+    * (major, minor); (0, 0) means the server accepted the connection
+    * but no proposed version. Connection-level failures (refused,
+    * timeout, closed mid-handshake) are the [[TransientStoreException]]
+    * class — the same flap category the reference driver retries
+    * (`extract.py:52-58`). */
+  def boltHandshake(host: String, port: Int,
+      timeoutMs: Int = 2000): (Int, Int) = {
+    val sock = new java.net.Socket()
+    try {
+      sock.connect(new java.net.InetSocketAddress(host, port), timeoutMs)
+      sock.setSoTimeout(timeoutMs)
+      val out = sock.getOutputStream
+      out.write(Array[Byte](0x60, 0x60, 0xB0.toByte, 0x17))
+      // propose 5.4, 5.0, 4.4, 4.0 — a spread every 4.x/5.x server
+      // can negotiate
+      out.write(Array[Byte](
+        0, 0, 4, 5,
+        0, 0, 0, 5,
+        0, 0, 4, 4,
+        0, 0, 0, 4))
+      out.flush()
+      val in = sock.getInputStream
+      val buf = new Array[Byte](4)
+      var read = 0
+      while (read < 4) {
+        val n = in.read(buf, read, 4 - read)
+        if (n < 0)
+          throw new TransientStoreException(
+            "bolt handshake: connection closed before the version reply")
+        read += n
+      }
+      ((buf(3) & 0xff), (buf(2) & 0xff))
+    } catch {
+      case e: java.io.IOException =>
+        throw new TransientStoreException(
+          s"bolt handshake: ${e.getClass.getSimpleName}: ${e.getMessage}")
+    } finally sock.close()
+  }
+
+  /** Driver-side endpoint probe, once per scan (the reference's single
+    * `GraphDatabase.driver` connect): handshake under the retry loop
+    * when a `url` is configured. NEVER fails the scan — the full Bolt
+    * session protocol (PackStream, HELLO/RUN/PULL) is deliberately not
+    * wired in this build, so whether the endpoint is reachable or not
+    * the rows come from the embedded fixture store; the probe makes
+    * the connection surface honest (URL parsing, TCP dial, version
+    * negotiation, retry classification all run for real) and says
+    * loudly which case happened. */
+  def probeEndpoint(rawOpts: Map[String, String], maxRetries: Int): Unit = {
+    val opts = rawOpts.map { case (k, v) => k.toLowerCase -> v }
+    opts.get("url").foreach { url =>
+      val (host, port) = hostPort(url)
+      try {
+        val (maj, min) = withRetry(maxRetries, backoffMs = 10L)(
+          boltHandshake(host, port))
+        if (maj == 0 && min == 0)
+          System.err.println(s"[graft] review connector: $host:$port " +
+            "accepted the connection but negotiated no common Bolt " +
+            "version; reading from the embedded fixture store")
+        else
+          System.err.println(s"[graft] review connector: $host:$port " +
+            s"reachable, negotiated Bolt $maj.$min — the full Bolt " +
+            "session protocol is not wired in this build, rows come " +
+            "from the embedded fixture store")
+      } catch {
+        case e: TransientStoreException =>
+          System.err.println(s"[graft] review connector: $host:$port " +
+            s"unreachable after $maxRetries retries (${e.getMessage}); " +
+            "falling back to the embedded fixture store")
+      }
+    }
   }
 
   def validate(rawOpts: Map[String, String]): Unit = {
@@ -151,7 +244,8 @@ class ReviewTable(props: Map[String, String]) extends Table
     new ReviewScanBuilder(
       options.getInt("partitions", 4),
       options.getInt("maxRetries", 3),
-      options.getInt("simulateTransientFailures", 0))
+      options.getInt("simulateTransientFailures", 0),
+      options.asCaseSensitiveMap().asScala.toMap)
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -160,7 +254,8 @@ class ReviewTable(props: Map[String, String]) extends Table
 }
 
 class ReviewScanBuilder(partitions: Int, maxRetries: Int,
-    simFailures: Int) extends ScanBuilder
+    simFailures: Int, connOpts: Map[String, String] = Map.empty)
+    extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
   private var required: StructType = ReviewFixture.schema
@@ -183,7 +278,8 @@ class ReviewScanBuilder(partitions: Int, maxRetries: Int,
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new ReviewScan(required, pushed, partitions, maxRetries, simFailures)
+    new ReviewScan(required, pushed, partitions, maxRetries, simFailures,
+      connOpts)
 }
 
 case class IdRangePartition(start: Int, end: Int) extends InputPartition
@@ -210,7 +306,8 @@ object ReviewFaults {
 }
 
 class ReviewScan(required: StructType, pushed: Array[Filter],
-    partitions: Int, maxRetries: Int, simFailures: Int)
+    partitions: Int, maxRetries: Int, simFailures: Int,
+    connOpts: Map[String, String] = Map.empty)
     extends Scan with Batch {
 
   private val scanId = java.util.UUID.randomUUID().toString
@@ -224,6 +321,10 @@ class ReviewScan(required: StructType, pushed: Array[Filter],
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
+    // driver-side, once per scan: dial the configured Bolt endpoint
+    // (real TCP handshake under the retry loop) before any partition
+    // is planned — the reference's single driver connect boundary
+    ReviewConnection.probeEndpoint(connOpts, maxRetries)
     val n = ReviewFixture.numRows
     val per = math.max(1, math.ceil(n.toDouble / partitions).toInt)
     (0 until n by per)

@@ -141,6 +141,98 @@ class ReviewSourceSpec extends AnyFunSuite {
     assert(e4.getMessage.contains("malformed url"))
   }
 
+  /** Minimal fake Bolt endpoint: accepts TCP connections, validates the
+    * 20-byte client handshake (magic + 4 proposed versions), replies
+    * with a fixed chosen version — except for the first `flaky`
+    * connections, which it closes before replying (the connection-flap
+    * class the retry loop must absorb). */
+  private def withFakeBolt[T](reply: Array[Byte], flaky: Int = 0)(
+      body: (Int, java.util.concurrent.atomic.AtomicInteger,
+             java.util.concurrent.BlockingQueue[Array[Byte]]) => T): T = {
+    val server = new java.net.ServerSocket(0)
+    val accepted = new java.util.concurrent.atomic.AtomicInteger(0)
+    val received = new java.util.concurrent.LinkedBlockingQueue[Array[Byte]]()
+    val t = new Thread(() => {
+      try while (true) {
+        val s = server.accept()
+        val n = accepted.incrementAndGet()
+        if (n <= flaky) s.close() // flap: die before the version reply
+        else {
+          val in = s.getInputStream
+          val buf = new Array[Byte](20)
+          var read = 0
+          while (read < 20) {
+            val r = in.read(buf, read, 20 - read)
+            if (r < 0) throw new java.io.EOFException()
+            read += r
+          }
+          received.put(buf)
+          s.getOutputStream.write(reply)
+          s.getOutputStream.flush()
+          s.close()
+        }
+      } catch { case _: Throwable => () } // server closed: drain out
+    })
+    t.setDaemon(true)
+    t.start()
+    try body(server.getLocalPort, accepted, received)
+    finally server.close()
+  }
+
+  test("bolt probe: real handshake negotiates against a fake Bolt listener") {
+    withFakeBolt(reply = Array[Byte](0, 0, 4, 4)) { (port, accepted, received) =>
+      val (maj, min) = graft.sources.dsv2.ReviewConnection
+        .boltHandshake("127.0.0.1", port)
+      assert((maj, min) === (4, 4))
+      val sent = received.take()
+      // magic preamble then 4 proposed versions, newest (5.4) first
+      assert(sent.take(4) === Array[Byte](0x60, 0x60, 0xB0.toByte, 0x17))
+      assert(sent.slice(4, 8) === Array[Byte](0, 0, 4, 5))
+      // a full read with the url configured: the scan dials the
+      // endpoint once at plan time, rows still come from the fixture
+      val df = spark.read.format(classOf[ReviewTableProvider].getName)
+        .option("url", s"bolt://127.0.0.1:$port")
+        .option("partitions", 2).load()
+      assert(df.count() === 128)
+      assert(accepted.get() >= 2, "scan planning must dial the endpoint")
+    }
+  }
+
+  test("bolt probe: retry loop absorbs connection flaps, version lands") {
+    // 2 flaps then serve — the same budget shape as the fixture-side
+    // retry test, but over REAL sockets
+    withFakeBolt(reply = Array[Byte](0, 0, 4, 5), flaky = 2) {
+      (port, accepted, _) =>
+        val (maj, min) = graft.sources.dsv2.ReviewConnection
+          .withRetry(maxRetries = 3, backoffMs = 5L)(
+            graft.sources.dsv2.ReviewConnection
+              .boltHandshake("127.0.0.1", port))
+        assert((maj, min) === (5, 4))
+        assert(accepted.get() === 3, "two flapped dials plus the success")
+    }
+    // flaps exceeding the budget surface as the transient class
+    withFakeBolt(reply = Array[Byte](0, 0, 4, 4), flaky = 99) { (port, _, _) =>
+      intercept[graft.sources.dsv2.ReviewConnection.TransientStoreException] {
+        graft.sources.dsv2.ReviewConnection
+          .withRetry(maxRetries = 2, backoffMs = 5L)(
+            graft.sources.dsv2.ReviewConnection
+              .boltHandshake("127.0.0.1", port))
+      }
+    }
+  }
+
+  test("bolt probe: unreachable endpoint falls back to the fixture, read succeeds") {
+    // grab a port nobody listens on
+    val ss = new java.net.ServerSocket(0)
+    val deadPort = ss.getLocalPort
+    ss.close()
+    val df = spark.read.format(classOf[ReviewTableProvider].getName)
+      .option("url", s"bolt://127.0.0.1:$deadPort")
+      .option("maxRetries", 1)
+      .option("partitions", 2).load()
+    assert(df.count() === 128, "unreachable store must not fail the scan")
+  }
+
   test("commit installs only manifested attempts; speculative staging swept") {
     import graft.sources.dsv2.{ReviewBatchWrite, ReviewCommit, ReviewStore,
       ReviewWriteBuilder}
