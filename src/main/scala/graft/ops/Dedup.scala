@@ -54,7 +54,7 @@ object Dedup {
     * aggregation and both sides of the subsequent self-join then read
     * cached blocks instead of recomputing the signature subtree.
     */
-  private def auditBuckets(banded: DataFrame, keys: Seq[String],
+  private[ops] def auditBuckets(banded: DataFrame, keys: Seq[String],
       maxBucket: Int, op: String): DataFrame =
     auditBucketsPreCp(banded.localCheckpoint(), keys, maxBucket, op)
 

@@ -1,0 +1,139 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Edit-distance record linkage — the fuzzy self-join that catches the
+  * near-identical keys exact dedup misses (title variants, OCR noise,
+  * template fills: the record-linkage layer of corpus curation; no
+  * reference analog, the same extension family as [[Dedup]]).
+  *
+  * Candidate generation is positional q-gram blocking with the count
+  * filter's soundness argument (Gravano et al., VLDB 2001,
+  * "Approximate String Joins in a Database (Almost) for Free"):
+  * an edit script of cost ≤ d destroys at most q·d of a string's
+  * positional q-grams and shifts survivors by at most d positions, so
+  * whenever `max(|a|,|b|) ≥ q·(d+1)` two strings within distance d
+  * share ≥ 1 q-gram at positions differing by ≤ d — the pair surfaces
+  * from an EQUI-join on the gram. Pairs where both sides are shorter
+  * than q·(d+1) fall below that guarantee and route through a small
+  * "short band" self-join instead (bucket-cap audited; short keys are
+  * truncated/empty outliers by construction). Union, distinct, then
+  * one exact `levenshtein` verify per candidate. Recall is EXACT: the
+  * two generators jointly cover every pair within distance d, which is
+  * what lets a brute-force oracle check the whole operator.
+  *
+  * Scale shape: one shuffle on the gram key (hot grams audited by the
+  * [[Dedup.defaultMaxBucket]] guard — same discipline as the LSH band
+  * join), length and position filters inside the join condition, and
+  * verification cost proportional to candidates, never |corpus|².
+  * At 100 TB add the prefix filter (index only each string's rarest
+  * grams) to shrink the candidate set further — a pure optimization,
+  * the recall argument is unchanged.
+  */
+object FuzzyJoin {
+
+  /** All pairs with `levenshtein(key_a, key_b) <= maxDist` as
+    * (id_a, id_b, dist), id_a < id_b. `q` is the gram width; recall is
+    * exact for every key length (see object doc for the two-generator
+    * split). Null keys are treated as empty strings. */
+  def editDistancePairs(df: DataFrame, idCol: String, keyCol: String,
+      maxDist: Int, q: Int = 3,
+      maxBucket: Int = Dedup.defaultMaxBucket): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    require(q >= 1, s"q must be >= 1, got $q")
+    // below this length the shared-gram guarantee lapses (count bound
+    // max(|a|,|b|) - q + 1 - q*d reaches zero)
+    val guaranteed = q * (maxDist + 1)
+    val keys = df.select(col(idCol).as("__id"),
+      coalesce(col(keyCol), lit("")).as("__key"))
+      .withColumn("__len", length(col("__key")))
+
+    // generator 1: positional q-grams for every key long enough to
+    // have them; join on the gram, positions within maxDist, lengths
+    // within maxDist, and at least one side long enough for the
+    // guarantee (both-short pairs belong to generator 2)
+    val allGrams = keys.filter(col("__len") >= q)
+      .select(col("__id"), col("__key"), col("__len"),
+        explode(expr(
+          s"transform(sequence(1, __len - ${q - 1}), " +
+          s"i -> struct(i as pos, substring(__key, i, $q) as gram))"))
+          .as("g"))
+      .select(col("__id"), col("__key"), col("__len"),
+        col("g.pos"), col("g.gram"))
+      .localCheckpoint() // feeds the frequency count AND the rank join
+    // Ed-Join prefix filter (Xiao, Wang & Lin, VLDB 2008): indexing
+    // EVERY gram makes ubiquitous grams ("the", "ing") quadratic —
+    // n occurrences of one gram value meet as n² candidate rows before
+    // any filter can run. An edit script of cost ≤ d destroys at most
+    // q·d gram occurrences, so under ANY fixed global gram order the
+    // first q·d+1 occurrences of each string must overlap for a pair
+    // within distance d — index ONLY that prefix, ordered rarest-first
+    // (corpus gram frequency asc) so the grams that survive into
+    // prefixes are precisely the selective ones. One map-side-combined
+    // frequency count + a per-string top-(q·d+1) window buys candidate
+    // sets proportional to rare-gram co-occurrence, not corpus².
+    val prefixLen = q * maxDist + 1
+    val gramFreq = allGrams.groupBy("gram").agg(count(lit(1)).as("__gf"))
+    val byRarity = org.apache.spark.sql.expressions.Window
+      .partitionBy("__id")
+      .orderBy(col("__gf").asc, col("gram").asc, col("pos").asc)
+    val grams = Dedup.auditBuckets(
+      allGrams.join(gramFreq, "gram")
+        .withColumn("__rk", row_number().over(byRarity))
+        .filter(col("__rk") <= prefixLen)
+        .select("__id", "__key", "__len", "pos", "gram"),
+      Seq("gram"), maxBucket, "editDistancePairs")
+    // usingColumns join, NOT `ga("gram") === gb("gram")`: both sides
+    // project the same checkpointed frame, so the column-reference form
+    // resolves to one attribute id (a vacuously-true condition — the
+    // join degrades to a cartesian over gram rows that only the verify
+    // step cleans up); Seq("gram") disambiguates left/right correctly
+    val ga = grams.select(col("gram"), col("__id").as("id_a"),
+      col("__key").as("key_a"), col("__len").as("len_a"),
+      col("pos").as("pos_a"))
+    val gb = grams.select(col("gram"), col("__id").as("id_b"),
+      col("__key").as("key_b"), col("__len").as("len_b"),
+      col("pos").as("pos_b"))
+    val gramCand = ga.join(gb, Seq("gram"))
+      .filter(col("id_a") < col("id_b") &&
+        abs(col("len_a") - col("len_b")) <= maxDist &&
+        abs(col("pos_a") - col("pos_b")) <= maxDist &&
+        greatest(col("len_a"), col("len_b")) >= guaranteed)
+      .select("id_a", "id_b", "key_a", "key_b")
+
+    // generator 2: both sides under the guarantee length — a tiny band
+    // (truncated/empty keys); single-bucket self-join, cap audited so
+    // a corpus of all-short keys fails loudly instead of quadratically
+    val short = Dedup.auditBuckets(
+      keys.filter(col("__len") < guaranteed).withColumn("__b", lit(0)),
+      Seq("__b"), maxBucket, "editDistancePairs.shortBand")
+    val sa = short.select(col("__b"), col("__id").as("id_a"),
+      col("__key").as("key_a"), col("__len").as("len_a"))
+    val sb = short.select(col("__b"), col("__id").as("id_b"),
+      col("__key").as("key_b"), col("__len").as("len_b"))
+    val shortCand = sa.join(sb, Seq("__b"))
+      .filter(col("id_a") < col("id_b") &&
+        abs(col("len_a") - col("len_b")) <= maxDist)
+      .select("id_a", "id_b", "key_a", "key_b")
+
+    gramCand.union(shortCand).distinct()
+      .withColumn("dist",
+        levenshtein(col("key_a"), col("key_b")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select("id_a", "id_b", "dist")
+  }
+
+  /** [[editDistancePairs]] plus survivor choice: keep the smallest id
+    * of each connected fuzzy-duplicate cluster (the same keep-min
+    * convention as [[Dedup.exactByHash]]), via the shared
+    * [[Dedup.connectedComponents]] machinery. Returns
+    * (idCol, cluster_id, is_rep). */
+  def fuzzyDedupClusters(df: DataFrame, idCol: String, keyCol: String,
+      maxDist: Int, q: Int = 3): DataFrame = {
+    val pairs = editDistancePairs(df, idCol, keyCol, maxDist, q)
+    Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .select(col("id").as(idCol), col("lbl").as("cluster_id"),
+        (col("lbl") === col("id")).as("is_rep"))
+  }
+}

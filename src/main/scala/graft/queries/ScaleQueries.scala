@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import graft.ops.{Dedup, Mixing, Similarity, TextAnalysis, TextOps, Vocab}
+import graft.ops.{Dedup, FuzzyJoin, Mixing, Similarity, TextAnalysis, TextOps, Vocab}
 
 /** North-star extension queries (SURVEY.md §7 step 7): deduplication,
   * similarity search, and text analysis at corpus scale. Oracle SQL is
@@ -710,6 +710,34 @@ object ScaleQueries {
       val docs = t(s, dir, "documents")
       Dedup.corpusDedupKeepBest(docs, "doc_id", "text",
         TextAnalysis.nTokensCol(col("text")))
+        .orderBy("doc_id")
+    }),
+
+    // edit-distance record linkage (fuzzy self-join): positional
+    // q-gram blocking (exact recall — see FuzzyJoin object doc) +
+    // levenshtein verify over a 32-char key prefix, FULL corpus (the
+    // blocking is what makes that affordable). Oracle: brute-force
+    // quadratic levenshtein over the whole table — exact recall makes
+    // the blocking pipeline answer-identical to it.
+    "q94_fuzzy_pairs" -> ((s, dir) => {
+      val keyed = t(s, dir, "documents")
+        .select(col("doc_id"),
+          lower(substring(coalesce(col("text"), lit("")), 1, 32))
+            .as("key"))
+      FuzzyJoin.editDistancePairs(keyed, "doc_id", "key", maxDist = 2, q = 5)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // fuzzy-dup CLUSTERING over the q94 pair source: connected
+    // components + min-id representative, the same chain-from-pairs
+    // contract as q55. Oracle: recursive CTE over the brute-force
+    // pair set.
+    "q95_fuzzy_clusters" -> ((s, dir) => {
+      val keyed = t(s, dir, "documents")
+        .select(col("doc_id"),
+          lower(substring(coalesce(col("text"), lit("")), 1, 32))
+            .as("key"))
+      FuzzyJoin.fuzzyDedupClusters(keyed, "doc_id", "key", maxDist = 2, q = 5)
         .orderBy("doc_id")
     }),
 
@@ -1714,6 +1742,34 @@ object ScaleQueries {
                      WHERE len(list_intersect(a.tk, b.tk)) * 1.0 /
                            (len(a.tk) + len(b.tk)
                             - len(list_intersect(a.tk, b.tk))) >= 0.6),
+           edges AS (SELECT id_a src, id_b dst FROM pairs
+                     UNION SELECT id_b, id_a FROM pairs),
+           reach(id, lbl) AS (
+             SELECT src, src FROM edges
+             UNION
+             SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id)
+         SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id,
+                (min(lbl) = id) AS is_rep
+         FROM reach GROUP BY id ORDER BY doc_id""",
+    // brute-force quadratic form over the bounded slice — the blocking
+    // pipeline's exact recall makes it answer-identical
+    "q94_fuzzy_pairs" ->
+      """WITH k AS (SELECT doc_id,
+                           lower(substr(coalesce(text, ''), 1, 32)) AS key
+                    FROM documents)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                CAST(levenshtein(a.key, b.key) AS BIGINT) AS dist
+         FROM k a JOIN k b ON a.doc_id < b.doc_id
+         WHERE levenshtein(a.key, b.key) <= 2
+         ORDER BY id_a, id_b""",
+    "q95_fuzzy_clusters" ->
+      """WITH RECURSIVE
+           k AS (SELECT doc_id,
+                        lower(substr(coalesce(text, ''), 1, 32)) AS key
+                 FROM documents),
+           pairs AS (SELECT a.doc_id id_a, b.doc_id id_b
+                     FROM k a JOIN k b ON a.doc_id < b.doc_id
+                     WHERE levenshtein(a.key, b.key) <= 2),
            edges AS (SELECT id_a src, id_b dst FROM pairs
                      UNION SELECT id_b, id_a FROM pairs),
            reach(id, lbl) AS (

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.FuzzyJoin
+
+class FuzzyJoinSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  /** Textbook DP levenshtein — the specification the operator's
+    * blocking + verify pipeline must reproduce pair-for-pair. */
+  private def lev(a: String, b: String): Int = {
+    val dp = Array.tabulate(a.length + 1)(i => i)
+    for (j <- 1 to b.length) {
+      var prev = dp(0)
+      dp(0) = j
+      for (i <- 1 to a.length) {
+        val cur = dp(i)
+        dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+          prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        prev = cur
+      }
+    }
+    dp(a.length)
+  }
+
+  private def brute(keys: Seq[(Long, String)],
+      d: Int): Set[(Long, Long, Long)] =
+    (for {
+      (ia, ka) <- keys
+      (ib, kb) <- keys
+      if ia < ib
+      dist = lev(ka, kb)
+      if dist <= d
+    } yield (ia, ib, dist.toLong)).toSet
+
+  private def run(keys: Seq[(Long, String)], d: Int,
+      q: Int = 3): Set[(Long, Long, Long)] =
+    FuzzyJoin.editDistancePairs(keys.toDF("id", "key"), "id", "key", d, q)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("hand cases: identical, single edits, boundary distance") {
+    val keys = Seq(
+      1L -> "the quick brown fox jumps",
+      2L -> "the quick brown fox jumps",   // dist 0 to 1
+      3L -> "the quick brown fox jump",    // deletion, dist 1
+      4L -> "the quack brown fox jumps",   // substitution, dist 1
+      5L -> "a completely different line",
+      6L -> "the quick brown fox leaps")   // dist 4 to 1 (jump→leap+s)
+    val got = run(keys, d = 3)
+    assert(got === brute(keys, 3))
+    assert(got.contains((1L, 2L, 0L)) && got.contains((1L, 3L, 1L)))
+    assert(!got.exists { case (a, b, _) => a == 5L || b == 5L })
+  }
+
+  test("short keys, empty strings, and nulls route through the short band") {
+    val df = Seq[(Long, String)](
+      1L -> "", 2L -> "a", 3L -> "ab", 4L -> "abcd",
+      5L -> "zzzzzzzzzzzz",           // len 12 = q*(d+1), gram side
+      6L -> "zzzzzzzzzzz")            // len 11, short side — dist 1 to 5
+      .toDF("id", "key")
+      .union(Seq((7L, null.asInstanceOf[String])).toDF("id", "key"))
+    val got = FuzzyJoin.editDistancePairs(df, "id", "key", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val keys = Seq(1L -> "", 2L -> "a", 3L -> "ab", 4L -> "abcd",
+      5L -> "zzzzzzzzzzzz", 6L -> "zzzzzzzzzzz", 7L -> "")
+    assert(got === brute(keys, 3))
+    // the null key behaves as empty: within distance 1 of "a"
+    assert(got.contains((2L, 7L, 1L)))
+    // the cross-generator boundary pair (len 11 vs len 12) is caught
+    assert(got.contains((5L, 6L, 1L)))
+  }
+
+  test("matches brute force on randomly perturbed strings (seeded)") {
+    val rnd = new scala.util.Random(7)
+    val alpha = "abcde "
+    def randStr(n: Int) =
+      Vector.fill(n)(alpha(rnd.nextInt(alpha.length))).mkString
+    // clusters of perturbed copies + unrelated strings, lengths from
+    // empty through short-band into gram territory
+    val bases = Vector.fill(8)(randStr(6 + rnd.nextInt(30)))
+    val keys = (0 until 60).map { i =>
+      val s =
+        if (i < 40) {
+          var x = bases(rnd.nextInt(bases.length))
+          val edits = rnd.nextInt(5)
+          (0 until edits).foreach { _ =>
+            val p = if (x.isEmpty) 0 else rnd.nextInt(x.length)
+            rnd.nextInt(3) match {
+              case 0 => x = x.take(p) + alpha(rnd.nextInt(alpha.length)) +
+                x.drop(p + 1) // substitute
+              case 1 => x = x.take(p) + alpha(rnd.nextInt(alpha.length)) +
+                x.drop(p) // insert
+              case 2 => x = x.take(p) + x.drop(p + 1) // delete
+            }
+          }
+          x
+        } else randStr(rnd.nextInt(20))
+      i.toLong -> s
+    }
+    (1 to 4).foreach { d =>
+      assert(run(keys, d) === brute(keys, d), s"diverged at maxDist=$d")
+    }
+  }
+
+  test("fuzzyDedupClusters: min-id representative per connected cluster") {
+    val keys = Seq(
+      10L -> "hello world out there",
+      11L -> "hello world out ther",   // one deletion, dist 1 to 10
+      12L -> "hello world out thereee", // two inserts, dist 2 to 10
+      20L -> "unrelated content here")
+    val got = FuzzyJoin
+      .fuzzyDedupClusters(keys.toDF("id", "key"), "id", "key", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .toSet
+    // 10-11-12 chain into one cluster labeled by min id; 20 has no
+    // pairs so (chain-from-pairs contract) does not appear
+    assert(got.map(_._1) === Set(10L, 11L, 12L))
+    assert(got.forall(_._2 == 10L))
+    assert(got.count(_._3) === 1 && got.contains((10L, 10L, true)))
+  }
+}
