@@ -209,6 +209,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  test("q94 fuzzy join: every stage is an equi-join, no cartesian anywhere") {
+    val p = graft.queries.ScaleQueries.queries("q94_fuzzy_pairs")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the whole point of q-gram blocking + the prefix filter is that no
+    // stage ever falls back to an all-pairs shape; a self-join condition
+    // written with column references (not usingColumns) silently
+    // degrades to exactly this
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
   test("the only unpartitioned windows in the bench set are the declared ones") {
     // closed world for the `WindowExec: No Partition Defined` warning:
     // q19 DECLARES globally-ordered frame semantics (its scale-safe
