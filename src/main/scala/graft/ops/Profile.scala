@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Table profiling — the data-quality summary every ingest step runs
+  * before trusting a new corpus drop (the scale generalization of the
+  * reference's per-column null counts and value_counts,
+  * `cleaner.py:64-75`): one row per column with row/null/distinct
+  * counts, typed min/max, mean rendered length, and the modal value.
+  *
+  * Scale shape, deliberately window-free:
+  *  - ONE typed scan computes nulls / min / max / avg-length for every
+  *    column simultaneously (a single aggregate over per-column
+  *    expressions — Catalyst evaluates them in one pass);
+  *  - ONE shuffle computes distinct + mode for every column at once:
+  *    `stack` unpivots to (colname, value) rows, a grouped count gets
+  *    per-value frequencies with map-side partial aggregation, and the
+  *    mode is a `min(struct(-count, value))` re-aggregation — total
+  *    order (count desc, value asc), no per-column window, no hot
+  *    single-reducer partition;
+  *  - min/max are computed on the TYPED column then rendered to
+  *    string, so numeric columns report numeric extrema (a
+  *    lexicographic min over rendered values would say min(doc_id) of
+  *    {9, 10} is "10").
+  *
+  * The grouped value count is the honest cost: distinct values of a
+  * wide text column are corpus-scale. At 100 TB profile a sample, or
+  * swap the exact distinct for `approx_count_distinct` and drop the
+  * mode — the one-scan scalar pass is always cheap.
+  */
+object Profile {
+
+  /** Profile `cols` (default: every column) of `df`: one row per
+    * column — (colname, n_rows, n_null, n_distinct, min_val, max_val,
+    * avg_len, top_value, top_count). `n_distinct`, the mode and
+    * `avg_len` ignore nulls; rendering is `cast(value as string)`.
+    * Deterministic: modal ties break on the smaller rendered value. */
+  def tableProfile(df: DataFrame, cols: Seq[String] = Nil): DataFrame = {
+    val cs = if (cols.nonEmpty) cols else df.columns.toSeq
+    require(cs.nonEmpty, "tableProfile: no columns to profile")
+
+    // pass 1: all scalar stats in one aggregate over the typed frame
+    val scalarStructs = cs.map { c =>
+      struct(
+        lit(c).as("colname"),
+        count(lit(1)).as("n_rows"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+        min(col(c)).cast("string").as("min_val"),
+        max(col(c)).cast("string").as("max_val"),
+        round(avg(length(col(c).cast("string"))), 4).as("avg_len"))
+        .as(s"__p_$c")
+    }
+    val scalars = df.agg(scalarStructs.head, scalarStructs.tail: _*)
+      .select(explode(array(cs.map(c => col(s"__p_$c")): _*)).as("p"))
+      .select("p.*")
+
+    // pass 2: one unpivot + one grouped count for distinct and mode of
+    // every column together
+    val stackExpr = s"stack(${cs.length}, " +
+      cs.map(c => s"'$c', cast(`$c` as string)").mkString(", ") +
+      ") as (colname, val)"
+    val valueCounts = df.select(expr(stackExpr))
+      .filter(col("val").isNotNull)
+      .groupBy("colname", "val").agg(count(lit(1)).as("c"))
+    val distinctAndMode = valueCounts.groupBy("colname").agg(
+      count(lit(1)).as("n_distinct"),
+      min(struct((-col("c")).as("nc"), col("val"))).as("__t"))
+      .select(col("colname"), col("n_distinct"),
+        col("__t.val").as("top_value"), (-col("__t.nc")).as("top_count"))
+
+    // all-null columns have no value rows — left join, zero-filled
+    scalars.join(distinctAndMode, Seq("colname"), "left")
+      .select(col("colname"), col("n_rows"), col("n_null"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        col("min_val"), col("max_val"), col("avg_len"),
+        col("top_value"),
+        coalesce(col("top_count"), lit(0L)).as("top_count"))
+  }
+
+  /** The DuckDB replay of [[tableProfile]] for the oracle gate: a
+    * UNION ALL of one per-column SELECT over `table`, mirroring the
+    * exact rendering and tie-break rules. */
+  def tableProfileSql(table: String, cols: Seq[String]): String =
+    cols.map { c =>
+      s"""SELECT '$c' AS colname,
+             count(*) AS n_rows,
+             CAST(sum(CASE WHEN "$c" IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null,
+             CAST(count(DISTINCT "$c") AS BIGINT) AS n_distinct,
+             CAST(min("$c") AS VARCHAR) AS min_val,
+             CAST(max("$c") AS VARCHAR) AS max_val,
+             round(avg(length(CAST("$c" AS VARCHAR))), 4) AS avg_len,
+             (SELECT CAST("$c" AS VARCHAR) FROM $table
+              WHERE "$c" IS NOT NULL
+              GROUP BY 1 ORDER BY count(*) DESC, 1 ASC LIMIT 1)
+               AS top_value,
+             CAST(coalesce((SELECT count(*) FROM $table
+              WHERE "$c" IS NOT NULL
+              GROUP BY CAST("$c" AS VARCHAR)
+              ORDER BY count(*) DESC, CAST("$c" AS VARCHAR) ASC LIMIT 1),
+              0) AS BIGINT) AS top_count
+         FROM $table"""
+    }.mkString("\nUNION ALL\n") + "\nORDER BY colname"
+}

@@ -713,6 +713,13 @@ object ScaleQueries {
         .orderBy("doc_id")
     }),
 
+    // table profiling: per-column rows/nulls/distinct/extrema/length/
+    // mode in one typed scan + one stacked shuffle (window-free).
+    // Oracle: UNION-ALL per-column replay generated by tableProfileSql.
+    "q96_profile" -> ((s, dir) =>
+      graft.ops.Profile.tableProfile(t(s, dir, "documents"))
+        .orderBy("colname")),
+
     // edit-distance record linkage (fuzzy self-join): positional
     // q-gram blocking (exact recall — see FuzzyJoin object doc) +
     // levenshtein verify over a 32-char key prefix, FULL corpus (the
@@ -1751,6 +1758,8 @@ object ScaleQueries {
          SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id,
                 (min(lbl) = id) AS is_rep
          FROM reach GROUP BY id ORDER BY doc_id""",
+    "q96_profile" -> graft.ops.Profile.tableProfileSql("documents",
+      Seq("doc_id", "text", "lang", "source", "n_chars")),
     // brute-force quadratic form over the bounded slice — the blocking
     // pipeline's exact recall makes it answer-identical
     "q94_fuzzy_pairs" ->

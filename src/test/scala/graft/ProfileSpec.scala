@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Profile
+
+class ProfileSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  test("hand-computed profile: nulls, typed extrema, mode tie-break") {
+    val df = Seq[(java.lang.Long, String)](
+      (9L, "aa"), (10L, "bb"), (11L, "aa"),
+      (null, "bb"), (2L, null))
+      .toDF("id", "tag")
+    val got = Profile.tableProfile(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+
+    val id = got("id")
+    assert(id.getLong(1) === 5L && id.getLong(2) === 1L) // rows, nulls
+    assert(id.getLong(3) === 4L)                          // distinct
+    // TYPED min/max: 2 < 9 < 10 < 11 numerically ("10" < "2" would be
+    // the lexicographic bug)
+    assert(id.getString(4) === "2" && id.getString(5) === "11")
+    // every id value is unique → modal tie broken on smallest rendered
+    // value: "10" (lexicographic among "9","10","11","2")
+    assert(id.getString(7) === "10" && id.getLong(8) === 1L)
+
+    val tag = got("tag")
+    assert(tag.getLong(2) === 1L && tag.getLong(3) === 2L)
+    // "aa" and "bb" both occur twice → tie to "aa"
+    assert(tag.getString(7) === "aa" && tag.getLong(8) === 2L)
+    // avg_len over non-null tags: (2+2+2+2)/4 = 2
+    assert(tag.getDouble(6) === 2.0)
+  }
+
+  test("all-null column profiles as zero-distinct with null extrema") {
+    val df = Seq((1L, null.asInstanceOf[String]),
+      (2L, null.asInstanceOf[String])).toDF("id", "gone")
+    val gone = Profile.tableProfile(df, Seq("gone")).collect().head
+    assert(gone.getLong(1) === 2L && gone.getLong(2) === 2L)
+    assert(gone.getLong(3) === 0L)
+    assert(gone.isNullAt(4) && gone.isNullAt(5) && gone.isNullAt(7))
+    assert(gone.getLong(8) === 0L)
+  }
+
+  test("profile of the documents table matches direct aggregates") {
+    val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001",
+      "documents")
+    val p = Profile.tableProfile(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(p.keySet === docs.columns.toSet)
+    val n = docs.count()
+    assert(p.values.forall(_.getLong(1) === n))
+    val langs = docs.select("lang").distinct().count()
+    assert(p("lang").getLong(3) === langs)
+  }
+}
