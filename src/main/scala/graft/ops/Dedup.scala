@@ -730,7 +730,6 @@ object Dedup {
     */
   def chunkDedup(df: DataFrame, idCol: String, textCol: String,
       chunkTokens: Int = 20): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val w = chunkTokens
     val tk = TextOps.wsTokens(col(textCol))
     val base = df.select(col(idCol).as("id"), tk.as("tk"))
@@ -744,6 +743,17 @@ object Dedup {
       .select(col("id"), col("idx"),
         concat_ws(" ",
           slice(col("tk"), col("idx") * w + 1, lit(w))).as("para"))
+    firstWinReassemble(df, idCol, chunks)
+  }
+
+  /** Shared tail of the chunk-dedup family ([[chunkDedup]],
+    * [[cdcChunkDedup]]): corpus-wide first-occurrence selection on the
+    * chunk content hash (row_number over md5 groups — tiny by
+    * construction) + per-document reassembly from surviving chunks.
+    * `chunks` carries (id, idx, para). */
+  private def firstWinReassemble(df: DataFrame, idCol: String,
+      chunks: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val firstWin = Window.partitionBy(md5(col("para")))
       .orderBy(col("id"), col("idx"))
     val ranked = chunks.withColumn("rn", row_number().over(firstWin))
@@ -761,6 +771,61 @@ object Dedup {
         coalesce(col("text"), lit("")).as("text"),
         coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
         coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+  }
+
+  /** CONTENT-DEFINED chunk dedup — [[chunkDedup]] with boundaries
+    * chosen by the content itself instead of a fixed stride: a chunk
+    * ends at token i when the rolling fingerprint of the last `window`
+    * tokens satisfies `hash % targetTokens == 0` (expected chunk length
+    * ≈ targetTokens). The property fixed-stride chunking lacks: insert
+    * one token near the start of a document and every fixed chunk after
+    * it shifts (nothing dedups against the original), while CDC
+    * boundaries re-align within one window of the edit — the rsync/
+    * LBFS boundary trick (Muthitacharoen et al., SOSP 2001) applied at
+    * token granularity, which is why large-corpus pipelines prefer it
+    * for near-identical page revisions.
+    *
+    * The boundary hash is the md5-audit family ([[TextOps.md5Hash60]]),
+    * so DuckDB replays the exact segmentation for the oracle. Scale
+    * mechanics identical to [[chunkDedup]]: map-side segmentation
+    * (array expressions, no shuffle), one shuffle on the chunk hash,
+    * one on the doc id. */
+  def cdcChunkDedup(df: DataFrame, idCol: String, textCol: String,
+      targetTokens: Int = 20, window: Int = 4): DataFrame = {
+    require(targetTokens >= 1,
+      s"targetTokens must be >= 1, got $targetTokens")
+    require(window >= 1, s"window must be >= 1, got $window")
+    val w1 = window - 1
+    val base = df.select(col(idCol).as("id"),
+      TextOps.wsTokens(col(textCol)).as("tk"))
+      .withColumn("n", size(col("tk")))
+    // marks(i) = 1 iff a chunk ends after token i; chunk index of
+    // token i = exclusive prefix sum of marks (the packedBins
+    // aggregate-and-slice idiom — no window over data rows)
+    val marked = base.withColumn("marks", expr(
+      s"""IF(n = 0, array(),
+            transform(sequence(1, n), i ->
+              IF(i >= $window AND
+                 pmod(CAST(conv(substring(md5(
+                     array_join(slice(tk, i - $w1, $window), ' ')),
+                   1, 15), 16, 10) AS BIGINT), $targetTokens) = 0,
+              1, 0)))"""))
+      .withColumn("cum", expr(
+        """IF(n = 0, array(),
+             slice(aggregate(marks, array(0),
+               (acc, x) -> concat(acc, array(element_at(acc, -1) + x))),
+             1, n))"""))
+    val chunks = marked
+      .select(col("id"), explode(expr(
+        """IF(n = 0, array(),
+             transform(sequence(1, n), i ->
+               struct(element_at(cum, i) AS idx, i AS pos,
+                      element_at(tk, i) AS tok)))""")).as("p"))
+      .groupBy(col("id"), col("p.idx").as("idx"))
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("p.pos"), col("p.tok")))),
+          s => s.getField("tok"))).as("para"))
+    firstWinReassemble(df, idCol, chunks)
   }
 
   /** Cross-document BOILERPLATE removal (the C4-style cleanup at chunk

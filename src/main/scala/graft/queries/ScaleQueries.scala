@@ -771,6 +771,15 @@ object ScaleQueries {
         chunkTokens = 20)
         .orderBy("doc_id")),
 
+    // content-defined chunking dedup: boundaries from the rolling
+    // md5-family fingerprint (insert-robust, unlike q60's fixed
+    // stride); same first-win + reassembly tail. Oracle replays the
+    // exact segmentation via the shared md5 hash.
+    "q97_cdc_dedup" -> ((s, dir) =>
+      Dedup.cdcChunkDedup(t(s, dir, "documents"), "doc_id", "text",
+        targetTokens = 20, window = 4)
+        .orderBy("doc_id")),
+
     // cross-document boilerplate removal: 20-token chunks occurring in
     // >= 2 distinct documents are scrubbed from EVERY document
     "q71_boilerplate" -> ((s, dir) =>
@@ -1293,6 +1302,48 @@ object ScaleQueries {
                  array_to_string(list_slice(tk, idx * 20 + 1, idx * 20 + 20),
                                  ' ') AS para
              FROM ch),
+           r AS (SELECT doc_id, idx, para,
+                 row_number() OVER (PARTITION BY md5(para)
+                   ORDER BY doc_id, idx) AS rn
+             FROM p),
+           agg AS (SELECT doc_id,
+                 string_agg(CASE WHEN rn = 1 THEN para END, ' '
+                            ORDER BY idx) AS text,
+                 count(*) AS n_chunks,
+                 sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS n_dropped
+             FROM r GROUP BY doc_id)
+         SELECT d.doc_id,
+                coalesce(a.text, '') AS text,
+                CAST(coalesce(a.n_chunks, 0) AS BIGINT) AS n_chunks,
+                CAST(coalesce(a.n_dropped, 0) AS BIGINT) AS n_dropped
+         FROM documents d LEFT JOIN agg a USING (doc_id)
+         ORDER BY doc_id""",
+    // the oracle may use windows freely (DuckDB is single-node): the
+    // running boundary count replays Spark's aggregate-and-slice
+    // prefix sums exactly
+    "q97_cdc_dedup" ->
+      """WITH tkt AS (SELECT doc_id,
+                 list_filter(string_split(coalesce(text, ''), ' '),
+                             t -> length(t) > 0) AS tk
+           FROM documents),
+           pos AS (SELECT doc_id, tk,
+                 unnest(range(1, len(tk) + 1)) AS i
+             FROM tkt WHERE len(tk) > 0),
+           mk AS (SELECT doc_id, i, tk[i] AS tok,
+                 CASE WHEN i >= 4 AND
+                   (CAST('0x' || substr(md5(array_to_string(
+                      list_slice(tk, i - 3, i), ' ')), 1, 15) AS BIGINT)
+                    % 20) = 0
+                 THEN 1 ELSE 0 END AS m
+             FROM pos),
+           cx AS (SELECT doc_id, i, tok,
+                 coalesce(sum(m) OVER (PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS idx
+             FROM mk),
+           p AS (SELECT doc_id, idx,
+                 string_agg(tok, ' ' ORDER BY i) AS para
+             FROM cx GROUP BY doc_id, idx),
            r AS (SELECT doc_id, idx, para,
                  row_number() OVER (PARTITION BY md5(para)
                    ORDER BY doc_id, idx) AS rn

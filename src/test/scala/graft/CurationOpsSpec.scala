@@ -71,6 +71,49 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out(2) === ((3L, "", 1L, 1L)))
   }
 
+  test("cdcChunkDedup: single doc reassembles losslessly; determinism") {
+    import graft.ops.Dedup
+    val rnd = new scala.util.Random(3)
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val text = Vector.fill(300)(words(rnd.nextInt(words.length)))
+      .mkString(" ")
+    val df = Seq((1L, text)).toDF("id", "text")
+    val out = Dedup.cdcChunkDedup(df, "id", "text").collect().head
+    // one doc, no duplicates anywhere → reassembly must be lossless
+    assert(out.getString(1) === text)
+    assert(out.getLong(3) === 0L)
+    // boundaries are content-derived → a rerun chunks identically
+    val again = Dedup.cdcChunkDedup(df, "id", "text").collect().head
+    assert(again.getLong(2) === out.getLong(2))
+    // expected chunk length ≈ targetTokens: the 300-token doc must
+    // split into more than one chunk and fewer than one per token
+    assert(out.getLong(2) > 1L && out.getLong(2) < 300L)
+  }
+
+  test("cdcChunkDedup survives a prefix insertion that defeats fixed chunking") {
+    import graft.ops.Dedup
+    val rnd = new scala.util.Random(11)
+    val words = Vector("lorem", "ipsum", "dolor", "sit", "amet", "sed")
+    val a = Vector.fill(400)(words(rnd.nextInt(words.length)))
+      .mkString(" ")
+    val b = "INSERTED " + a // one token prepended
+    val df = Seq((1L, a), (2L, b)).toDF("id", "text")
+    // fixed-stride chunking: the insertion shifts every 20-token chunk
+    // of doc 2, so nothing dedups
+    val fixed = Dedup.chunkDedup(df, "id", "text", chunkTokens = 20)
+      .orderBy("id").collect()
+    assert(fixed(1).getLong(3) === 0L,
+      "fixed chunking unexpectedly dropped a shifted chunk")
+    // content-defined boundaries re-align within one window of the
+    // edit: the bulk of doc 2's chunks dedup against doc 1
+    val cdc = Dedup.cdcChunkDedup(df, "id", "text").orderBy("id").collect()
+    val (nChunks, nDropped) = (cdc(1).getLong(2), cdc(1).getLong(3))
+    assert(nDropped * 2 > nChunks,
+      s"CDC should dedup most of the shifted doc: $nDropped of $nChunks")
+    // doc 1 (first occurrence everywhere) stays lossless
+    assert(cdc(0).getString(1) === a && cdc(0).getLong(3) === 0L)
+  }
+
   test("scrub is idempotent and leaves no residual matches (property)") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     import graft.ops.Redaction.{emailRe, phoneRe, ipv4Re}
