@@ -68,7 +68,9 @@ object Bench {
     "q85_weighted_sample",
     "q13b_join_full",
     "q52b_window_rank",
-    "q94_fuzzy_pairs")
+    "q94_fuzzy_pairs",
+    "q96_profile",
+    "q97_cdc_dedup")
 
   /** Queries whose r6→r7 numbers moved 2–6× with no code change — the
     * self-join/ANN family is short (<3 s warm) so a single co-tenant

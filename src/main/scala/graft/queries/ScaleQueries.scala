@@ -82,6 +82,25 @@ object ScaleQueries {
       .getOrElseUpdate(s"$dir|$numMerges",
         Vocab.learnBpe(t(s, dir, "documents"), "text", numMerges))
 
+  /** One materialized fuzzy-pair frame per (session, sf dir) — q94
+    * renders it, q95 chains components from it; without the cache the
+    * clustering query re-pays the whole blocking + verify pipeline.
+    * localCheckpoint, not cache: the pair set is tiny (verified pairs
+    * only) and the blocking subtree behind it is the expensive part. */
+  private val fuzzyCache = new java.util.WeakHashMap[SparkSession,
+    scala.collection.concurrent.TrieMap[String, DataFrame]]()
+
+  private def fuzzyPairsFor(s: SparkSession, dir: String): DataFrame =
+    perSessionEntry(fuzzyCache, s)(scala.collection.concurrent.TrieMap.empty)
+      .getOrElseUpdate(dir, {
+        val keyed = t(s, dir, "documents")
+          .select(col("doc_id"),
+            lower(substring(coalesce(col("text"), lit("")), 1, 32))
+              .as("key"))
+        FuzzyJoin.editDistancePairs(keyed, "doc_id", "key",
+          maxDist = 2, q = 5).localCheckpoint()
+      })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup via content hash (scale form of A1)
     "q25_dedup_hash" -> ((s, dir) =>
@@ -726,27 +745,18 @@ object ScaleQueries {
     // blocking is what makes that affordable). Oracle: brute-force
     // quadratic levenshtein over the whole table — exact recall makes
     // the blocking pipeline answer-identical to it.
-    "q94_fuzzy_pairs" -> ((s, dir) => {
-      val keyed = t(s, dir, "documents")
-        .select(col("doc_id"),
-          lower(substring(coalesce(col("text"), lit("")), 1, 32))
-            .as("key"))
-      FuzzyJoin.editDistancePairs(keyed, "doc_id", "key", maxDist = 2, q = 5)
-        .orderBy("id_a", "id_b")
-    }),
+    "q94_fuzzy_pairs" -> ((s, dir) =>
+      fuzzyPairsFor(s, dir).orderBy("id_a", "id_b")),
 
     // fuzzy-dup CLUSTERING over the q94 pair source: connected
     // components + min-id representative, the same chain-from-pairs
     // contract as q55. Oracle: recursive CTE over the brute-force
     // pair set.
-    "q95_fuzzy_clusters" -> ((s, dir) => {
-      val keyed = t(s, dir, "documents")
-        .select(col("doc_id"),
-          lower(substring(coalesce(col("text"), lit("")), 1, 32))
-            .as("key"))
-      FuzzyJoin.fuzzyDedupClusters(keyed, "doc_id", "key", maxDist = 2, q = 5)
-        .orderBy("doc_id")
-    }),
+    "q95_fuzzy_clusters" -> ((s, dir) =>
+      Dedup.connectedComponents(fuzzyPairsFor(s, dir), "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
+          (col("lbl") === col("id")).as("is_rep"))
+        .orderBy("doc_id")),
 
     // INCREMENTAL cross-run corpus dedup: build the signature state
     // from half the corpus, fold the other half in WITHOUT re-scanning
