@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** One heavy-hitter candidate: the item and its RESIDUAL count (a
+  * lower bound on true frequency; true ≤ residual + n/(capacity+1)). */
+case class HHEntry(item: String, cnt: Long)
+
+/** Misra–Gries heavy hitters as a typed mergeable `Aggregator` — the
+  * fixed-state alternative to a full `groupBy(value).count` when only
+  * the frequent items matter (vocabulary heads, hot keys, dominant
+  * sources): state is `capacity` counters regardless of input size,
+  * partial aggregation runs map-side, and merges stay within the
+  * bound (the mergeable-summaries result of Agarwal et al., PODS 2012:
+  * combine counters, then subtract the (capacity+1)-th largest count
+  * and drop non-positives).
+  *
+  * Guarantee (what q98 checks in-plan over the real corpus): every
+  * item with true frequency > n/(capacity+1) of n total rows survives
+  * in the summary, and each reported count lower-bounds the true
+  * frequency by at most that same n/(capacity+1). No order sensitivity
+  * beyond that: the surviving SET above threshold is deterministic
+  * even though residual counts depend on partitioning — which is why
+  * the oracle checks membership of the exactly-heavy set, not residual
+  * values.
+  *
+  * At 100 TB the full groupBy shuffles every distinct value; this
+  * shuffles `capacity` counters per map partition.
+  */
+class HeavyHittersAgg(capacity: Int)
+    extends Aggregator[String, Map[String, Long], Seq[HHEntry]] {
+  require(capacity > 0, s"capacity must be positive, got $capacity")
+
+  override def zero: Map[String, Long] = Map.empty
+
+  override def reduce(b: Map[String, Long], item: String): Map[String, Long] =
+    b.get(item) match {
+      case Some(c) => b.updated(item, c + 1L)
+      case None if b.size < capacity => b.updated(item, 1L)
+      case None =>
+        // the Misra–Gries step: an unseen item with a full summary
+        // decrements every counter (charging one occurrence of each)
+        b.iterator.map { case (k, v) => k -> (v - 1L) }
+          .filter(_._2 > 0L).toMap
+    }
+
+  override def merge(a: Map[String, Long],
+      b: Map[String, Long]): Map[String, Long] = {
+    if (a.isEmpty) return b
+    if (b.isEmpty) return a
+    val combined = b.foldLeft(a) { case (m, (k, v)) =>
+      m.updated(k, m.getOrElse(k, 0L) + v)
+    }
+    if (combined.size <= capacity) combined
+    else {
+      // subtract the (capacity+1)-th largest count — the smallest
+      // adjustment that shrinks the summary back within capacity while
+      // preserving the error bound
+      val cut = combined.valuesIterator.toArray.sortBy(-_)(
+        Ordering.Long).apply(capacity)
+      combined.iterator.map { case (k, v) => k -> (v - cut) }
+        .filter(_._2 > 0L).toMap
+    }
+  }
+
+  override def finish(m: Map[String, Long]): Seq[HHEntry] =
+    m.toSeq.sortBy { case (k, v) => (-v, k) }
+      .map { case (k, v) => HHEntry(k, v) }
+
+  override def bufferEncoder: Encoder[Map[String, Long]] =
+    ExpressionEncoder[Map[String, Long]]()
+
+  override def outputEncoder: Encoder[Seq[HHEntry]] =
+    ExpressionEncoder[Seq[HHEntry]]()
+}
+
+object HeavyHittersAgg {
+  /** Column form for `agg(...)`: the summary as a sorted
+    * `array<struct<item,cnt>>` (residual count desc, item asc). */
+  def heavyHitters(item: Column, capacity: Int): Column =
+    udaf(new HeavyHittersAgg(capacity), ExpressionEncoder[String]())
+      .apply(item)
+}

@@ -732,6 +732,34 @@ object ScaleQueries {
         .orderBy("doc_id")
     }),
 
+    // Misra–Gries heavy hitters over corpus tokens (capacity 64):
+    // fixed-state top items vs the full distinct shuffle. Oracle via
+    // the q56 in-plan-bounds trick: exact top-10 token counts anchor
+    // cross-engine; is_heavy replays exactly in DuckDB; mg_ok asserts
+    // the MG guarantee (every token with cnt > n/(cap+1) is in the
+    // summary) and the oracle emits literal TRUE.
+    "q98_heavy_hitters" -> ((s, dir) => {
+      val cap = 64
+      val toks = t(s, dir, "documents")
+        .select(explode(TextOps.wsTokens(col("text"))).as("tok"))
+      val cand = toks
+        .agg(graft.functions.HeavyHittersAgg.heavyHitters(col("tok"), cap)
+          .as("hh"))
+        .select(explode(col("hh")).as("e"))
+        .select(col("e.item").as("tok"), lit(true).as("__in_mg"))
+      val totalF = toks.agg(count(lit(1)).as("__n"))
+      val top = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), asc("tok")).limit(10)
+      top.crossJoin(broadcast(totalF))
+        .join(broadcast(cand), Seq("tok"), "left")
+        .withColumn("is_heavy",
+          col("cnt") > col("__n") / lit((cap + 1).toDouble))
+        .select(col("tok"), col("cnt"), col("is_heavy"),
+          (!col("is_heavy") || coalesce(col("__in_mg"), lit(false)))
+            .as("mg_ok"))
+        .orderBy(desc("cnt"), asc("tok"))
+    }),
+
     // table profiling: per-column rows/nulls/distinct/extrema/length/
     // mode in one typed scan + one stacked shuffle (window-free).
     // Oracle: UNION-ALL per-column replay generated by tableProfileSql.
@@ -1821,6 +1849,18 @@ object ScaleQueries {
          FROM reach GROUP BY id ORDER BY doc_id""",
     "q96_profile" -> graft.ops.Profile.tableProfileSql("documents",
       Seq("doc_id", "text", "lang", "source", "n_chars")),
+    "q98_heavy_hitters" ->
+      """WITH tok AS (SELECT unnest(list_filter(
+                        string_split(coalesce(text, ''), ' '),
+                        t -> length(t) > 0)) AS tok
+                      FROM documents),
+           tot AS (SELECT count(*) AS n FROM tok),
+           c AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+           top AS (SELECT tok, CAST(cnt AS BIGINT) AS cnt,
+                          (cnt > n / 65.0) AS is_heavy,
+                          TRUE AS mg_ok
+                   FROM c, tot ORDER BY cnt DESC, tok ASC LIMIT 10)
+         SELECT * FROM top ORDER BY cnt DESC, tok ASC""",
     // brute-force quadratic form over the bounded slice — the blocking
     // pipeline's exact recall makes it answer-identical
     "q94_fuzzy_pairs" ->

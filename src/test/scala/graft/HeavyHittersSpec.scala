@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.HeavyHittersAgg
+
+class HeavyHittersSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  private def summarize(items: Seq[String], cap: Int): Map[String, Long] =
+    items.toDF("v").repartition(8)
+      .agg(HeavyHittersAgg.heavyHitters(col("v"), cap).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .collect().map(r => r.getStruct(0).getString(0) ->
+        r.getStruct(0).getLong(1)).toMap
+
+  test("MG guarantee: every item above n/(cap+1) survives; counts lower-bound") {
+    val rnd = new scala.util.Random(5)
+    // skewed stream: a few dominant items + a long random tail
+    val items = Seq.fill(2000)("alpha") ++ Seq.fill(1200)("beta") ++
+      Seq.fill(700)("gamma") ++
+      Seq.fill(6000)(s"tail${rnd.nextInt(3000)}")
+    val shuffled = rnd.shuffle(items)
+    val n = shuffled.length
+    val cap = 16
+    val exact = shuffled.groupBy(identity).view.mapValues(_.size.toLong)
+    val mg = summarize(shuffled, cap)
+    assert(mg.size <= cap)
+    val threshold = n.toDouble / (cap + 1)
+    exact.filter(_._2 > threshold).foreach { case (item, f) =>
+      assert(mg.contains(item), s"heavy item $item (f=$f) missing")
+      // residual count lower-bounds truth, within the error envelope
+      assert(mg(item) <= f && mg(item) >= f - threshold - 1,
+        s"$item: residual ${mg(item)} vs exact $f")
+    }
+  }
+
+  test("exact regime: distinct values within capacity reproduce exact counts") {
+    val items = Seq.fill(40)("x") ++ Seq.fill(25)("y") ++ Seq.fill(9)("z")
+    val mg = summarize(new scala.util.Random(1).shuffle(items), cap = 8)
+    assert(mg === Map("x" -> 40L, "y" -> 25L, "z" -> 9L))
+  }
+
+  test("q98: every in-plan guarantee flag is true, heavy rows exist") {
+    val rows = graft.queries.ScaleQueries
+      .queries("q98_heavy_hitters")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.length === 10)
+    assert(rows.forall(_.getAs[Boolean]("mg_ok")))
+  }
+}
