@@ -69,4 +69,50 @@ object Contamination {
         round(fracRaw, 4).as("frac"),
         (fracRaw >= threshold).as("contaminated"))
   }
+
+  /** [[ngramOverlap]] with a BLOOM-FILTER prefilter on the corpus
+    * side — the shape for the regime where the benchmark's exact
+    * shingle set is too large to broadcast but its Bloom filter is not
+    * (1e8 shingles ≈ 120 MB of bits at 1% fpp vs ~GBs of hash-set +
+    * join machinery): corpus shingles that cannot possibly match are
+    * dropped MAP-SIDE before the exact join, so the shuffled semi-join
+    * only ever moves the maybe-matching sliver of the corpus. Bloom
+    * false positives merely pass through to the exact join and are
+    * settled there — the result is row-identical to [[ngramOverlap]]
+    * (q59b shares q59's oracle verbatim), the filter only prunes work.
+    *
+    * The filter is built by `DataFrameStatFunctions.bloomFilter` over
+    * the benchmark's distinct shingle hashes — a benchmark-scale
+    * driver-side object (the same bounded-collect class as the PQ
+    * quantizer fits), broadcast once. The corpus shingle frame is
+    * checkpointed so totals and the pruned join read one evaluation of
+    * the explode+distinct subtree (the q59 single-scan discipline). */
+  def ngramOverlapBloom(corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String,
+      n: Int = 8, threshold: Double = 0.1,
+      fpp: Double = 0.01): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    val spark = corpus.sparkSession
+    val corpSh = shingles(corpus, idCol, textCol, n).localCheckpoint()
+    val benchSh = shingles(bench, idCol, textCol, n)
+      .select(col("h")).distinct().localCheckpoint()
+    val expected = math.max(benchSh.count(), 1L)
+    val bloom = benchSh.stat.bloomFilter("h", expected, fpp)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((h: Long) => bc.value.mightContainLong(h))
+    val hits = corpSh.filter(mightContain(col("h")))
+      .join(benchSh.select(col("h")), Seq("h"), "left_semi")
+      .groupBy(idCol).agg(count(lit(1)).as("n_hits"))
+    val totals = corpSh.groupBy(idCol).agg(count(lit(1)).as("n_shingles"))
+    val stats = totals.join(hits, Seq(idCol), "left")
+    val fracRaw = coalesce(col("n_hits"), lit(0L)).cast("double") /
+      greatest(coalesce(col("n_shingles"), lit(0L)), lit(1L))
+    corpus.select(col(idCol))
+      .join(stats, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(fracRaw, 4).as("frac"),
+        (fracRaw >= threshold).as("contaminated"))
+  }
 }

@@ -657,6 +657,19 @@ object ScaleQueries {
         .orderBy("doc_id")
     }),
 
+    // Bloom-prefiltered decontamination: corpus shingles that cannot
+    // match are dropped map-side before the exact join (the regime
+    // where the benchmark's Bloom bits broadcast but its exact set
+    // does not). Row-identical to q59 — shares its oracle verbatim.
+    "q59b_decontaminate_bloom" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.Contamination.ngramOverlapBloom(
+        docs.filter(col("doc_id") >= 50),
+        docs.filter(col("doc_id") < 50),
+        "doc_id", "text", n = 8, threshold = 0.1)
+        .orderBy("doc_id")
+    }),
+
     // fractional-epoch corpus replication: per-source epoch weights
     // 0.5–3.3 derived from the source index; floor(e) full copies plus
     // the deterministic first frac(e) of each source once more
@@ -1247,6 +1260,36 @@ object ScaleQueries {
        ORDER BY n_ids DESC, band, bk LIMIT 50"""
   }
 
+  private val q59Sql: String =
+    """WITH tk AS (SELECT doc_id,
+                 list_filter(string_split(coalesce(text, ''), ' '),
+                             t -> length(t) > 0) AS tk
+           FROM documents),
+           sh AS (SELECT DISTINCT doc_id,
+                 CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS h
+             FROM (SELECT doc_id,
+                      unnest(CASE WHEN len(tk) >= 8
+                        THEN list_transform(range(1, len(tk) - 6),
+                               i -> array_to_string(list_slice(tk, i, i + 7), ' '))
+                        ELSE [] END) AS g
+                   FROM tk)),
+           bench AS (SELECT DISTINCT h FROM sh WHERE doc_id < 50),
+           corp AS (SELECT * FROM sh WHERE doc_id >= 50),
+           tot AS (SELECT doc_id, count(*) AS n_sh FROM corp GROUP BY doc_id),
+           hit AS (SELECT c.doc_id, count(*) AS n_hits
+                   FROM corp c JOIN bench b USING (h) GROUP BY c.doc_id)
+         SELECT d.doc_id,
+                CAST(coalesce(t.n_sh, 0) AS BIGINT) AS n_shingles,
+                CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+                round(coalesce(h.n_hits, 0) * 1.0
+                      / greatest(coalesce(t.n_sh, 0), 1), 4) AS frac,
+                (coalesce(h.n_hits, 0) * 1.0
+                 / greatest(coalesce(t.n_sh, 0), 1)) >= 0.1 AS contaminated
+         FROM (SELECT doc_id FROM documents WHERE doc_id >= 50) d
+         LEFT JOIN tot t USING (doc_id)
+         LEFT JOIN hit h USING (doc_id)
+         ORDER BY doc_id"""
+
   val oracleSql: Map[String, String] = Map(
     "q70_lsh_buckets" -> q70Sql,
     "q43b_group_signature_oracle" -> q43bSql,
@@ -1654,35 +1697,11 @@ object ScaleQueries {
                 (coalesce(c.lbl, e.vec_id) = e.vec_id) AS is_rep
          FROM embeddings e LEFT JOIN cc c ON c.id = e.vec_id
          ORDER BY e.vec_id""",
-    "q59_decontaminate" ->
-      """WITH tk AS (SELECT doc_id,
-                 list_filter(string_split(coalesce(text, ''), ' '),
-                             t -> length(t) > 0) AS tk
-           FROM documents),
-           sh AS (SELECT DISTINCT doc_id,
-                 CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS h
-             FROM (SELECT doc_id,
-                      unnest(CASE WHEN len(tk) >= 8
-                        THEN list_transform(range(1, len(tk) - 6),
-                               i -> array_to_string(list_slice(tk, i, i + 7), ' '))
-                        ELSE [] END) AS g
-                   FROM tk)),
-           bench AS (SELECT DISTINCT h FROM sh WHERE doc_id < 50),
-           corp AS (SELECT * FROM sh WHERE doc_id >= 50),
-           tot AS (SELECT doc_id, count(*) AS n_sh FROM corp GROUP BY doc_id),
-           hit AS (SELECT c.doc_id, count(*) AS n_hits
-                   FROM corp c JOIN bench b USING (h) GROUP BY c.doc_id)
-         SELECT d.doc_id,
-                CAST(coalesce(t.n_sh, 0) AS BIGINT) AS n_shingles,
-                CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
-                round(coalesce(h.n_hits, 0) * 1.0
-                      / greatest(coalesce(t.n_sh, 0), 1), 4) AS frac,
-                (coalesce(h.n_hits, 0) * 1.0
-                 / greatest(coalesce(t.n_sh, 0), 1)) >= 0.1 AS contaminated
-         FROM (SELECT doc_id FROM documents WHERE doc_id >= 50) d
-         LEFT JOIN tot t USING (doc_id)
-         LEFT JOIN hit h USING (doc_id)
-         ORDER BY doc_id""",
+    "q59_decontaminate" -> q59Sql,
+    // the Bloom prefilter variant is row-identical by construction
+    // (false positives are settled by the exact join) — the SAME
+    // oracle is the strongest statement of that
+    "q59b_decontaminate_bloom" -> q59Sql,
     "q25_dedup_hash" ->
       """SELECT min(doc_id) AS doc_id, md5(text) AS h FROM documents
          GROUP BY md5(text) ORDER BY doc_id""",

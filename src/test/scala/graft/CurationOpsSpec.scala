@@ -54,6 +54,29 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out(2)._2 === 0L && out(2)._3 === 0L && !out(2)._5)
   }
 
+  test("ngramOverlapBloom is row-identical to the exact form") {
+    import graft.ops.Contamination
+    val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001",
+      "documents")
+    val corpus = docs.filter($"doc_id" >= 50)
+    val bench = docs.filter($"doc_id" < 50)
+    val exact = Contamination.ngramOverlap(corpus, bench,
+      "doc_id", "text", n = 8, threshold = 0.1)
+    // a deliberately HIGH fpp forces Bloom false positives through the
+    // prefilter — the exact join must settle them identically.
+    val bloom = Contamination.ngramOverlapBloom(corpus, bench,
+      "doc_id", "text", n = 8, threshold = 0.1, fpp = 0.3)
+    // collect-compare, NOT exceptAll: a union/groupBy over these two
+    // shared-lineage plans mis-groups binary-identical rows (Spark
+    // 4.1.2 planner artifact — two [67,0] rows land in two count-1
+    // groups), so exceptAll reports every row as unmatched even though
+    // independent collects are equal. See the verify-skill gotcha.
+    val e = exact.collect().map(_.toString).sorted.toSeq
+    val b = bloom.collect().map(_.toString).sorted.toSeq
+    assert(e === b)
+    assert(e.nonEmpty)
+  }
+
   test("chunkDedup keeps first occurrence and reassembles surviving chunks") {
     import graft.ops.Dedup
     // chunk width 3: doc 1 = [a b c][d e f]; doc 2 repeats [a b c] then
