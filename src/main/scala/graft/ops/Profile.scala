@@ -78,6 +78,59 @@ object Profile {
         coalesce(col("top_count"), lit(0L)).as("top_count"))
   }
 
+  /** The 100 TB fast path: [[tableProfile]] minus everything that
+    * shuffles distinct VALUES — `approx_count_distinct` (HLL, fixed
+    * state) replaces the exact distinct, and the mode is dropped (its
+    * grouped value count is the profiler's only corpus-scale shuffle).
+    * ONE scan, fixed aggregate state, no shuffle at all.
+    *
+    * `auditBounds = true` is the verification form (q96b): it ADDS the
+    * exact distinct per column — paying the distinct shuffle the fast
+    * path exists to avoid — so the output carries exact anchors plus
+    * `nd_ok` (HLL within 3×rsd of exact), the q56 bounded-oracle
+    * pattern. Production profiling of a 100 TB drop runs the default;
+    * the audit form is how this library PROVES the default's estimates
+    * honest on oracle-scale data. */
+  def tableProfileApprox(df: DataFrame, cols: Seq[String] = Nil,
+      rsd: Double = 0.02, auditBounds: Boolean = false): DataFrame = {
+    val cs = if (cols.nonEmpty) cols else df.columns.toSeq
+    require(cs.nonEmpty, "tableProfileApprox: no columns to profile")
+    val structs = cs.map { c =>
+      val base = Seq(
+        lit(c).as("colname"),
+        count(lit(1)).as("n_rows"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+        min(col(c)).cast("string").as("min_val"),
+        max(col(c)).cast("string").as("max_val"))
+      val tail =
+        if (auditBounds) Seq(
+          countDistinct(col(c)).as("n_distinct"),
+          (abs(approx_count_distinct(col(c), rsd) - countDistinct(col(c)))
+            <= countDistinct(col(c)) * (3 * rsd)).as("nd_ok"))
+        else Seq(
+          approx_count_distinct(col(c), rsd).as("n_distinct_approx"))
+      struct(base ++ tail: _*).as(s"__pa_$c")
+    }
+    df.agg(structs.head, structs.tail: _*)
+      .select(explode(array(cs.map(c => col(s"__pa_$c")): _*)).as("p"))
+      .select("p.*")
+  }
+
+  /** The DuckDB replay of [[tableProfileApprox]]: exact aggregates +
+    * literal TRUE for the HLL bound flag. */
+  def tableProfileApproxSql(table: String, cols: Seq[String]): String =
+    cols.map { c =>
+      s"""SELECT '$c' AS colname,
+             count(*) AS n_rows,
+             CAST(sum(CASE WHEN "$c" IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null,
+             CAST(count(DISTINCT "$c") AS BIGINT) AS n_distinct,
+             CAST(min("$c") AS VARCHAR) AS min_val,
+             CAST(max("$c") AS VARCHAR) AS max_val,
+             TRUE AS nd_ok
+         FROM $table"""
+    }.mkString("\nUNION ALL\n") + "\nORDER BY colname"
+
   /** The DuckDB replay of [[tableProfile]] for the oracle gate: a
     * UNION ALL of one per-column SELECT over `table`, mirroring the
     * exact rendering and tie-break rules. */

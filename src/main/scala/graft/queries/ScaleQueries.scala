@@ -780,6 +780,14 @@ object ScaleQueries {
       graft.ops.Profile.tableProfile(t(s, dir, "documents"))
         .orderBy("colname")),
 
+    // fast-path profiler AUDIT form: one-scan scalar stats + HLL
+    // distinct, with exact anchors + 3×rsd bound flags (the q56
+    // pattern) proving the estimates honest
+    "q96b_profile_approx" -> ((s, dir) =>
+      graft.ops.Profile.tableProfileApprox(t(s, dir, "documents"),
+        auditBounds = true)
+        .orderBy("colname")),
+
     // edit-distance record linkage (fuzzy self-join): positional
     // q-gram blocking (exact recall — see FuzzyJoin object doc) +
     // levenshtein verify over a 32-char key prefix, FULL corpus (the
@@ -1868,6 +1876,8 @@ object ScaleQueries {
          FROM reach GROUP BY id ORDER BY doc_id""",
     "q96_profile" -> graft.ops.Profile.tableProfileSql("documents",
       Seq("doc_id", "text", "lang", "source", "n_chars")),
+    "q96b_profile_approx" -> graft.ops.Profile.tableProfileApproxSql(
+      "documents", Seq("doc_id", "text", "lang", "source", "n_chars")),
     "q98_heavy_hitters" ->
       """WITH tok AS (SELECT unnest(list_filter(
                         string_split(coalesce(text, ''), ' '),

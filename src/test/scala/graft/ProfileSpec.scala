@@ -45,6 +45,23 @@ class ProfileSpec extends AnyFunSuite {
     assert(gone.getLong(8) === 0L)
   }
 
+  test("approx fast path: no distinct shuffle by default, bounds in audit form") {
+    val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001",
+      "documents")
+    val fast = Profile.tableProfileApprox(docs)
+    // the default form must plan ZERO exchanges introduced by the
+    // profiler itself beyond the single aggregate (no groupBy on
+    // values, no window)
+    val plan = fast.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.take(1500))
+    val rows = fast.collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet === docs.columns.toSet)
+    // audit form: every bound flag true on real data
+    val audit = Profile.tableProfileApprox(docs, auditBounds = true)
+      .collect()
+    assert(audit.nonEmpty && audit.forall(_.getAs[Boolean]("nd_ok")))
+  }
+
   test("profile of the documents table matches direct aggregates") {
     val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001",
       "documents")
