@@ -70,8 +70,10 @@ object Bench {
     "q52b_window_rank",
     "q94_fuzzy_pairs",
     "q96_profile",
+    "q96b_profile_approx",
     "q97_cdc_dedup",
-    "q98_heavy_hitters")
+    "q98_heavy_hitters",
+    "q59b_decontaminate_bloom")
 
   /** Queries whose r6→r7 numbers moved 2–6× with no code change — the
     * self-join/ANN family is short (<3 s warm) so a single co-tenant
