@@ -220,6 +220,22 @@ class PlanAuditSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
   }
 
+  test("q96 profiler plans exactly two scans; the approx fast path exactly one") {
+    val exact = graft.queries.ScaleQueries.queries("q96_profile")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // one typed scalar-agg pass + one stacked unpivot pass — a naive
+    // per-column formulation would scan once per column per metric
+    val exactScans = "documents\\.parquet".r.findAllIn(exact).length
+    assert(exactScans === 2, s"expected 2 documents scans, found $exactScans")
+    val fast = graft.ops.Profile
+      .tableProfileApprox(graft.sources.Tables(spark, dir, "documents"))
+      .queryExecution.executedPlan.toString
+    val fastScans = "documents\\.parquet".r.findAllIn(fast).length
+    assert(fastScans === 1, s"fast path must be one scan, found $fastScans")
+    assert(!fast.contains("Window") && !fast.contains("Exchange hashpartitioning"),
+      "fast path must not shuffle on values:\n" + fast.take(1500))
+  }
+
   test("the only unpartitioned windows in the bench set are the declared ones") {
     // closed world for the `WindowExec: No Partition Defined` warning:
     // q19 DECLARES globally-ordered frame semantics (its scale-safe
