@@ -62,6 +62,35 @@ class ProfileSpec extends AnyFunSuite {
     assert(audit.nonEmpty && audit.forall(_.getAs[Boolean]("nd_ok")))
   }
 
+  test("matches an in-JVM reference on seeded random frames (fuzz)") {
+    val rnd = new scala.util.Random(13)
+    (1 to 5).foreach { trial =>
+      val n = 20 + rnd.nextInt(60)
+      val vals = Vector.fill(n)(
+        if (rnd.nextInt(5) == 0) null
+        else ('a' + rnd.nextInt(4)).toChar.toString * (1 + rnd.nextInt(3)))
+      val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "v")
+      val got = Profile.tableProfile(df, Seq("v")).collect().head
+      val nonNull = vals.filter(_ != null)
+      assert(got.getLong(1) === n.toLong, s"trial $trial n_rows")
+      assert(got.getLong(2) === vals.count(_ == null).toLong,
+        s"trial $trial n_null")
+      assert(got.getLong(3) === nonNull.distinct.size.toLong,
+        s"trial $trial n_distinct")
+      assert(got.getString(4) === nonNull.min, s"trial $trial min")
+      assert(got.getString(5) === nonNull.max, s"trial $trial max")
+      val expAvg = BigDecimal(nonNull.map(_.length).sum.toDouble /
+        nonNull.size).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(got.getDouble(6) - expAvg) < 1e-9,
+        s"trial $trial avg_len")
+      val mode = nonNull.groupBy(identity).view.mapValues(_.size).toSeq
+        .minBy { case (v, c) => (-c, v) }
+      assert(got.getString(7) === mode._1 && got.getLong(8) === mode._2.toLong,
+        s"trial $trial mode")
+    }
+  }
+
   test("profile of the documents table matches direct aggregates") {
     val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001",
       "documents")
