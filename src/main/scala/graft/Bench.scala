@@ -83,7 +83,10 @@ object Bench {
     * it happens anyway. */
   val highVariance: Set[String] = Set(
     "q26_minhash_pairs", "q27_simhash_pairs", "q29_cosine_topk",
-    "q30_ann_lsh", "q86_pq_topk", "q88_ivfpq_topk")
+    "q30_ann_lsh", "q86_pq_topk", "q88_ivfpq_topk",
+    // r8 moved 0.92 → 1.25 s at loadavg 1.93 with no code change —
+    // promoted to the repeat set until it reads stable
+    "q63_temperature_mix")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -127,7 +130,12 @@ object Bench {
       }
     }
     val ok = results.filter(_._2 >= 0)
-    val qs = ok.map { case (k, v) => "\"" + k + "\":" + v }
+    // 3-decimal (ms-resolution) timings: full double precision ~doubles
+    // the line length for digits that are pure measurement noise, and
+    // the stdout line must fit the driver's 2000-char tail window
+    def fmtSec(v: Double): String =
+      "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = ok.map { case (k, v) => "\"" + k + "\":" + fmtSec(v) }
       .mkString("{", ",", "}")
     val failedArr = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // a failed query must not make "value" smaller (a regression would
@@ -140,21 +148,33 @@ object Bench {
     // driver's numbers caught a co-tenant burst that only a clean re-run
     // could disambiguate — record the machine state alongside the result
     val loadavg = osBean.getSystemLoadAverage
+    // Locale.ROOT: f"$v%.2f" uses the JVM default locale, and a
+    // comma-decimal locale (de_DE) would render 0,52 — invalid JSON
     val loadavgJson = loadavgs
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
+      .map { case (k, v) =>
+        "\"" + k + "\":" + "%.2f".formatLocal(java.util.Locale.ROOT, v) }
       .mkString("{", ",", "}")
     val repeatsJson = repeats
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val totalStr =
+      if (failed.isEmpty) fmtSec(total) else "1e308"
+    // STDOUT gets the compact contract line only (metric/value/unit/
+    // queries/failed/loadavg/sf): the driver captures a 2000-char tail
+    // of process output, and the per-query loadavg + repeat maps pushed
+    // the full object past that window (BENCH_r08 "parsed" was null).
+    // The side file keeps the full diagnostics.
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedArr,"loadavg":$loadavg,"query_loadavg":$loadavgJson,"query_repeats":$repeatsJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"failed":$failedArr,"loadavg":$loadavg,"sf":"$sfDir"}"""
+    val fullLine =
+      s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"failed":$failedArr,"loadavg":$loadavg,"query_loadavg":$loadavgJson,"query_repeats":$repeatsJson,"sf":"$sfDir"}"""
     // sbt's logger decorates stdout with [info] prefixes, which breaks
     // line-oriented JSON parsing downstream — always ALSO write the line
     // to a bare file: $SPARK_GRAFT_BENCH_OUT if set, else ./bench_out.json.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(outPath),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Exception =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
     spark.stop()

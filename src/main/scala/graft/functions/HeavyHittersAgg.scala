@@ -1,5 +1,7 @@
 package graft.functions
 
+import scala.collection.mutable
+
 import org.apache.spark.sql.{Column, Encoder}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
@@ -29,49 +31,58 @@ case class HHEntry(item: String, cnt: Long)
   *
   * At 100 TB the full groupBy shuffles every distinct value; this
   * shuffles `capacity` counters per map partition.
+  *
+  * The buffer is a `mutable.HashMap` updated in place: the Aggregator
+  * runs as a `TypedImperativeAggregate`, which holds the buffer as a
+  * plain JVM object between input rows and only round-trips it through
+  * `bufferEncoder` at partial-output boundaries — so the hot MG
+  * decrement step (every unseen item once the summary is full, the
+  * common case on long-tailed streams) is allocation-free instead of
+  * rebuilding all `capacity` immutable-map entries per row.
   */
 class HeavyHittersAgg(capacity: Int)
-    extends Aggregator[String, Map[String, Long], Seq[HHEntry]] {
+    extends Aggregator[String, mutable.HashMap[String, Long], Seq[HHEntry]] {
   require(capacity > 0, s"capacity must be positive, got $capacity")
 
-  override def zero: Map[String, Long] = Map.empty
+  override def zero: mutable.HashMap[String, Long] = mutable.HashMap.empty
 
-  override def reduce(b: Map[String, Long], item: String): Map[String, Long] =
+  override def reduce(b: mutable.HashMap[String, Long],
+      item: String): mutable.HashMap[String, Long] =
     b.get(item) match {
-      case Some(c) => b.updated(item, c + 1L)
-      case None if b.size < capacity => b.updated(item, 1L)
+      case Some(c) => b.update(item, c + 1L); b
+      case None if b.size < capacity => b.update(item, 1L); b
       case None =>
         // the Misra–Gries step: an unseen item with a full summary
         // decrements every counter (charging one occurrence of each)
-        b.iterator.map { case (k, v) => k -> (v - 1L) }
-          .filter(_._2 > 0L).toMap
+        b.mapValuesInPlace((_, v) => v - 1L)
+        b.filterInPlace((_, v) => v > 0L)
+        b
     }
 
-  override def merge(a: Map[String, Long],
-      b: Map[String, Long]): Map[String, Long] = {
+  override def merge(a: mutable.HashMap[String, Long],
+      b: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
     if (a.isEmpty) return b
     if (b.isEmpty) return a
-    val combined = b.foldLeft(a) { case (m, (k, v)) =>
-      m.updated(k, m.getOrElse(k, 0L) + v)
-    }
-    if (combined.size <= capacity) combined
+    b.foreach { case (k, v) => a.update(k, a.getOrElse(k, 0L) + v) }
+    if (a.size <= capacity) a
     else {
       // subtract the (capacity+1)-th largest count — the smallest
       // adjustment that shrinks the summary back within capacity while
       // preserving the error bound
-      val cut = combined.valuesIterator.toArray.sortBy(-_)(
+      val cut = a.valuesIterator.toArray.sortBy(-_)(
         Ordering.Long).apply(capacity)
-      combined.iterator.map { case (k, v) => k -> (v - cut) }
-        .filter(_._2 > 0L).toMap
+      a.mapValuesInPlace((_, v) => v - cut)
+      a.filterInPlace((_, v) => v > 0L)
+      a
     }
   }
 
-  override def finish(m: Map[String, Long]): Seq[HHEntry] =
+  override def finish(m: mutable.HashMap[String, Long]): Seq[HHEntry] =
     m.toSeq.sortBy { case (k, v) => (-v, k) }
       .map { case (k, v) => HHEntry(k, v) }
 
-  override def bufferEncoder: Encoder[Map[String, Long]] =
-    ExpressionEncoder[Map[String, Long]]()
+  override def bufferEncoder: Encoder[mutable.HashMap[String, Long]] =
+    ExpressionEncoder[mutable.HashMap[String, Long]]()
 
   override def outputEncoder: Encoder[Seq[HHEntry]] =
     ExpressionEncoder[Seq[HHEntry]]()

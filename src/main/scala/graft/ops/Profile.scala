@@ -117,16 +117,18 @@ object Profile {
   }
 
   /** The DuckDB replay of [[tableProfileApprox]]: exact aggregates +
-    * literal TRUE for the HLL bound flag. */
+    * literal TRUE for the HLL bound flag. Column order mirrors the
+    * audit-form Spark struct (min/max before n_distinct/nd_ok) so the
+    * match doesn't depend on the checker's sort-columns-by-name step. */
   def tableProfileApproxSql(table: String, cols: Seq[String]): String =
     cols.map { c =>
       s"""SELECT '$c' AS colname,
              count(*) AS n_rows,
              CAST(sum(CASE WHEN "$c" IS NULL THEN 1 ELSE 0 END) AS BIGINT)
                AS n_null,
-             CAST(count(DISTINCT "$c") AS BIGINT) AS n_distinct,
              CAST(min("$c") AS VARCHAR) AS min_val,
              CAST(max("$c") AS VARCHAR) AS max_val,
+             CAST(count(DISTINCT "$c") AS BIGINT) AS n_distinct,
              TRUE AS nd_ok
          FROM $table"""
     }.mkString("\nUNION ALL\n") + "\nORDER BY colname"
@@ -140,7 +142,8 @@ object Profile {
              count(*) AS n_rows,
              CAST(sum(CASE WHEN "$c" IS NULL THEN 1 ELSE 0 END) AS BIGINT)
                AS n_null,
-             CAST(count(DISTINCT "$c") AS BIGINT) AS n_distinct,
+             CAST(count(DISTINCT CAST("$c" AS VARCHAR)) AS BIGINT)
+               AS n_distinct,
              CAST(min("$c") AS VARCHAR) AS min_val,
              CAST(max("$c") AS VARCHAR) AS max_val,
              round(avg(length(CAST("$c" AS VARCHAR))), 4) AS avg_len,

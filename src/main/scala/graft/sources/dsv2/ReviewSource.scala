@@ -312,6 +312,13 @@ class ReviewScan(required: StructType, pushed: Array[Filter],
 
   private val scanId = java.util.UUID.randomUUID().toString
 
+  // once per ReviewScan INSTANCE, not per action: planInputPartitions
+  // runs on every action over the DataFrame, and with an unreachable
+  // url each probe blocks for maxRetries × connect-timeout and re-logs
+  // the fallback — memoize so only the first action pays the dial
+  private lazy val probed: Unit =
+    ReviewConnection.probeEndpoint(connOpts, maxRetries)
+
   override def readSchema(): StructType = required
 
   override def description(): String =
@@ -324,7 +331,7 @@ class ReviewScan(required: StructType, pushed: Array[Filter],
     // driver-side, once per scan: dial the configured Bolt endpoint
     // (real TCP handshake under the retry loop) before any partition
     // is planned — the reference's single driver connect boundary
-    ReviewConnection.probeEndpoint(connOpts, maxRetries)
+    probed
     val n = ReviewFixture.numRows
     val per = math.max(1, math.ceil(n.toDouble / partitions).toInt)
     (0 until n by per)
