@@ -1,0 +1,101 @@
+package graft.functions
+
+import java.io.ByteArrayInputStream
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, LongType}
+import org.apache.spark.util.sketch.BloomFilter
+
+/** `bloom_might_contain(h, filter_bytes)` — membership test of a long
+  * hash against a serialized `org.apache.spark.util.sketch.BloomFilter`
+  * (the object `DataFrameStatFunctions.bloomFilter` builds).
+  *
+  * This exists so Bloom prefilters sit INSIDE whole-stage codegen: the
+  * previous form was a per-row Scala UDF
+  * (`udf(h => bc.value.mightContainLong(h))`) on the one corpus-scale
+  * stream the decontamination operator scans — a codegen fence plus a
+  * Long box/unbox per shingle. Here the filter is deserialized once per
+  * expression instance (driver side, before codegen), registered as a
+  * codegen reference object, and the generated code calls
+  * `mightContainLong` directly on the primitive.
+  *
+  * Shipping: the deserialized filter rides the codegen references
+  * array inside the task binary, which Spark itself broadcasts to
+  * executors once per stage — so a bench-set filter (~120 KB at 1e5
+  * shingles / 1% fpp; ~120 MB at the 1e8-shingle regime the Bloom path
+  * exists for) is NOT re-sent per task and needs no explicit
+  * `broadcast()`.
+  *
+  * The filter argument must be a FOLDABLE binary expression (in
+  * practice `lit(filter.toByteArray-style bytes)`): the filter must be
+  * available at plan time, and a row-varying filter has no meaning.
+  * Violations throw at analysis, matching the `minhash_sig(k)` rule.
+  */
+case class BloomMightContainFn(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  if (!right.foldable)
+    throw new IllegalArgumentException(
+      "bloom_might_contain: filter must be a foldable binary expression " +
+        "(a serialized BloomFilter literal)")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "bloom_might_contain expects (bigint, binary), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+
+  override def dataType: DataType = BooleanType
+
+  @transient private lazy val bloom: BloomFilter = {
+    val bytes = right.eval(null).asInstanceOf[Array[Byte]]
+    require(bytes != null, "bloom_might_contain: filter bytes are null")
+    BloomFilter.readFrom(new ByteArrayInputStream(bytes))
+  }
+
+  override def nullSafeEval(h: Any, ignoredBytes: Any): Any =
+    bloom.mightContainLong(h.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    // only the hash child is evaluated per row; the filter is a
+    // reference object, never re-decoded
+    val ref = ctx.addReferenceObj("bloom", bloom,
+      classOf[BloomFilter].getName)
+    val h = left.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${h.code}
+        boolean ${ev.isNull} = ${h.isNull};
+        boolean ${ev.value} = false;
+        if (!${ev.isNull}) {
+          ${ev.value} = $ref.mightContainLong(${h.value});
+        }
+      """)
+  }
+
+  override def prettyName: String = "bloom_might_contain"
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BloomMightContainFn =
+    copy(left = newLeft, right = newRight)
+}
+
+object BloomMightContainFn {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.graft.bridge
+
+  /** Column form: `mightContain(col("h"), filter)` — serializes the
+    * filter once and binds it as a binary literal. */
+  def mightContain(h: Column, filter: BloomFilter): Column = {
+    val out = new java.io.ByteArrayOutputStream()
+    filter.writeTo(out)
+    bridge.column(BloomMightContainFn(
+      bridge.expression(h),
+      org.apache.spark.sql.catalyst.expressions.Literal(out.toByteArray)))
+  }
+}

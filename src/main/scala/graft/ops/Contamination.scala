@@ -84,23 +84,38 @@ object Contamination {
     * The filter is built by `DataFrameStatFunctions.bloomFilter` over
     * the benchmark's distinct shingle hashes — a benchmark-scale
     * driver-side object (the same bounded-collect class as the PQ
-    * quantizer fits), broadcast once. The corpus shingle frame is
-    * checkpointed so totals and the pruned join read one evaluation of
-    * the explode+distinct subtree (the q59 single-scan discipline). */
+    * quantizer fits) — and bound into a codegen
+    * [[graft.functions.BloomMightContainFn]] expression, so the
+    * membership test runs inside whole-stage codegen on the primitive
+    * hash (no per-row UDF boxing on the corpus-scale stream).
+    *
+    * `checkpointShingles` (default FALSE) controls whether the corpus
+    * shingle frame is `localCheckpoint`ed so totals and the pruned join
+    * read one materialized evaluation. At 100 TB that materialization
+    * is a cluster-storage-scale write of ~10× the corpus token count —
+    * recomputing the map-side explode+distinct subtree twice (cheap
+    * CPU, no shuffle, and the scan underneath is shared by Spark's
+    * file-cache anyway) is the right trade, so recompute is the
+    * default; opt in to the checkpoint only when the corpus is small
+    * relative to executor storage. */
   def ngramOverlapBloom(corpus: DataFrame, bench: DataFrame,
       idCol: String, textCol: String,
       n: Int = 8, threshold: Double = 0.1,
-      fpp: Double = 0.01): DataFrame = {
+      fpp: Double = 0.01, checkpointShingles: Boolean = false): DataFrame = {
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
-    val spark = corpus.sparkSession
-    val corpSh = shingles(corpus, idCol, textCol, n).localCheckpoint()
+    val corpShRaw = shingles(corpus, idCol, textCol, n)
+    val corpSh =
+      if (checkpointShingles) corpShRaw.localCheckpoint() else corpShRaw
+    // the benchmark side IS small by the operator's contract — the
+    // checkpoint caps it at one evaluation (count + filter build + join
+    // probe side all read the materialized frame)
     val benchSh = shingles(bench, idCol, textCol, n)
       .select(col("h")).distinct().localCheckpoint()
     val expected = math.max(benchSh.count(), 1L)
     val bloom = benchSh.stat.bloomFilter("h", expected, fpp)
-    val bc = spark.sparkContext.broadcast(bloom)
-    val mightContain = udf((h: Long) => bc.value.mightContainLong(h))
-    val hits = corpSh.filter(mightContain(col("h")))
+    val mightContain =
+      graft.functions.BloomMightContainFn.mightContain(col("h"), bloom)
+    val hits = corpSh.filter(mightContain)
       .join(benchSh.select(col("h")), Seq("h"), "left_semi")
       .groupBy(idCol).agg(count(lit(1)).as("n_hits"))
     val totals = corpSh.groupBy(idCol).agg(count(lit(1)).as("n_shingles"))

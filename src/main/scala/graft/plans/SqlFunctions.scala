@@ -79,6 +79,11 @@ object SqlFunctions {
       (es: Seq[Expression]) => {
         val Seq(a, b) = arity("array_eq_count", 2)(es)
         ArrayEqCount(a, b)
+      }),
+    ("bloom_might_contain", classOf[BloomMightContainFn],
+      (es: Seq[Expression]) => {
+        val Seq(h, f) = arity("bloom_might_contain", 2)(es)
+        BloomMightContainFn(h, f)
       })
   ).map { case (name, clazz, builder) =>
     (FunctionIdentifier(name),

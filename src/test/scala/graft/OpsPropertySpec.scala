@@ -287,4 +287,37 @@ class OpsPropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("bloom_might_contain expression agrees with the driver-side filter") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.util.sketch.BloomFilter
+    val rnd = new scala.util.Random(55)
+    for (c <- 1 to 8) {
+      val nIns = 50 + rnd.nextInt(200)
+      val inserted = Seq.fill(nIns)(rnd.nextLong())
+      val probesOnly = Seq.fill(300)(rnd.nextLong()).filterNot(inserted.contains)
+      val fpp = Seq(0.01, 0.1, 0.3)(rnd.nextInt(3))
+      val bloom = BloomFilter.create(nIns.toLong, fpp)
+      inserted.foreach(bloom.putLong)
+      val probes = (inserted ++ probesOnly).distinct
+      // the expression must agree probe-for-probe with the driver-side
+      // object — same bits, same hash family — in BOTH execution paths
+      for (codegen <- Seq("true", "false")) {
+        spark.conf.set("spark.sql.codegen.wholeStage", codegen)
+        try {
+          val got = probes.toDF("h")
+            .select(col("h"),
+              graft.functions.BloomMightContainFn
+                .mightContain(col("h"), bloom).as("m"))
+            .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+          probes.foreach { h =>
+            assert(got(h) === bloom.mightContainLong(h),
+              s"case $c codegen=$codegen fpp=$fpp h=$h")
+          }
+          // no false negatives, ever
+          inserted.foreach(h => assert(got(h), s"false negative on $h"))
+        } finally spark.conf.unset("spark.sql.codegen.wholeStage")
+      }
+    }
+  }
 }
