@@ -22,7 +22,15 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        // A broken query must surface as a red row, never as absence: the
+        // driver's correctness compare skips missing dirs, so write an
+        // _ERROR marker (message + stack head) into the query's out dir.
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val d = Paths.get(outDir, name)
+        Files.createDirectories(d)
+        val head = e.getStackTrace.take(5).mkString("\n  at ", "\n  at ", "")
+        Files.writeString(d.resolve("_ERROR"),
+          s"${e.getClass.getName}: ${e.getMessage}$head\n")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -3,11 +3,52 @@ package graft.functions
 import java.io.ByteArrayInputStream
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, LongType}
 import org.apache.spark.util.sketch.BloomFilter
+
+/** Holder for an out-of-plan BloomFilter: equality/hashCode key on a
+  * 64-bit digest of the serialized form, NOT the bit array, so plan
+  * canonicalization / semanticEquals over an expression carrying a
+  * ~120 MB filter is O(1) instead of an array scan, and toString never
+  * prints the bits into explain()/UI plan renderings.
+  */
+final class BloomRef(@transient private var _filter: BloomFilter,
+    val digest: Long, val byteSize: Long) extends Serializable {
+  def filter: BloomFilter = _filter
+  override def equals(o: Any): Boolean = o match {
+    case b: BloomRef => b.digest == digest && b.byteSize == byteSize
+    case _           => false
+  }
+  override def hashCode: Int = java.lang.Long.hashCode(digest)
+  override def toString: String =
+    s"bloom_ref(digest=${java.lang.Long.toHexString(digest)}, bytes=$byteSize)"
+
+  // BloomFilterImpl's Java serialization round-trips via writeTo/readFrom;
+  // ship the compact serialized form explicitly so the holder survives the
+  // task-binary closure serializer regardless of the impl's own support.
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    _filter.writeTo(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    _filter = BloomFilter.readFrom(in)
+  }
+}
+
+object BloomRef {
+  def apply(filter: BloomFilter): BloomRef = {
+    val out = new java.io.ByteArrayOutputStream()
+    filter.writeTo(out)
+    val bytes = out.toByteArray
+    val md = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    val digest = java.nio.ByteBuffer.wrap(md).getLong
+    new BloomRef(filter, digest, bytes.length.toLong)
+  }
+}
 
 /** `bloom_might_contain(h, filter_bytes)` — membership test of a long
   * hash against a serialized `org.apache.spark.util.sketch.BloomFilter`
@@ -22,39 +63,55 @@ import org.apache.spark.util.sketch.BloomFilter
   * codegen reference object, and the generated code calls
   * `mightContainLong` directly on the primitive.
   *
-  * Shipping: the deserialized filter rides the codegen references
-  * array inside the task binary, which Spark itself broadcasts to
-  * executors once per stage — so a bench-set filter (~120 KB at 1e5
-  * shingles / 1% fpp; ~120 MB at the 1e8-shingle regime the Bloom path
-  * exists for) is NOT re-sent per task and needs no explicit
-  * `broadcast()`.
+  * Two construction paths, different filter transport:
   *
-  * The filter argument must be a FOLDABLE binary expression (in
-  * practice `lit(filter.toByteArray-style bytes)`): the filter must be
-  * available at plan time, and a row-varying filter has no meaning.
-  * Violations throw at analysis, matching the `minhash_sig(k)` rule.
+  *  - **Column API** ([[BloomMightContainFn.mightContain]]): the filter
+  *    rides OUT of the plan tree as a [[BloomRef]] non-child field
+  *    (`right` is an empty-bytes placeholder literal). A large filter
+  *    (~120 MB at the 1e8-shingle regime this path exists for) therefore
+  *    never gets scanned by Literal equals/hashCode during plan
+  *    canonicalization and never gets hex-printed by explain()/UI.
+  *  - **SQL registration** (`bloom_might_contain(h, X'...')`): the filter
+  *    is a foldable binary literal child. Intended for small filters in
+  *    hand-authored SQL; the bytes are validated (non-null, deserializable)
+  *    at analysis in `checkInputDataTypes`, so misuse fails with a
+  *    TypeCheckFailure instead of a mid-query executor exception.
+  *
+  * Shipping: the deserialized filter rides the codegen references array
+  * inside the task binary, which Spark broadcasts to executors once per
+  * stage — NOT re-sent per task, no explicit `broadcast()` needed.
   */
-case class BloomMightContainFn(left: Expression, right: Expression)
+case class BloomMightContainFn(left: Expression, right: Expression,
+    filterRef: Option[BloomRef] = None)
     extends BinaryExpression {
 
-  if (!right.foldable)
-    throw new IllegalArgumentException(
-      "bloom_might_contain: filter must be a foldable binary expression " +
-        "(a serialized BloomFilter literal)")
-
   override def checkInputDataTypes(): TypeCheckResult =
-    if (left.dataType == LongType && right.dataType == BinaryType)
-      TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      "bloom_might_contain expects (bigint, binary), got " +
-        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    if (left.dataType != LongType || right.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure(
+        "bloom_might_contain expects (bigint, binary), got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    else if (filterRef.isDefined) TypeCheckResult.TypeCheckSuccess
+    else if (!right.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        "bloom_might_contain: filter must be a foldable binary expression " +
+          "(a serialized BloomFilter literal)")
+    else scala.util.Try(bloom) match {
+      case scala.util.Failure(e) => TypeCheckResult.TypeCheckFailure(
+        "bloom_might_contain: filter bytes are not a serialized " +
+          s"BloomFilter (${e.getMessage})")
+      case _ => TypeCheckResult.TypeCheckSuccess
+    }
 
   override def dataType: DataType = BooleanType
 
-  @transient private lazy val bloom: BloomFilter = {
-    val bytes = right.eval(null).asInstanceOf[Array[Byte]]
-    require(bytes != null, "bloom_might_contain: filter bytes are null")
-    BloomFilter.readFrom(new ByteArrayInputStream(bytes))
+  // Memoizes on first success; a failing SQL-path deserialize is surfaced
+  // by checkInputDataTypes above, so execution only ever sees a valid one.
+  @transient private lazy val bloom: BloomFilter = filterRef match {
+    case Some(ref) => ref.filter
+    case None =>
+      val bytes = right.eval(null).asInstanceOf[Array[Byte]]
+      require(bytes != null, "bloom_might_contain: filter bytes are null")
+      BloomFilter.readFrom(new ByteArrayInputStream(bytes))
   }
 
   override def nullSafeEval(h: Any, ignoredBytes: Any): Any =
@@ -80,6 +137,11 @@ case class BloomMightContainFn(left: Expression, right: Expression)
 
   override def prettyName: String = "bloom_might_contain"
 
+  override def toString: String = filterRef match {
+    case Some(ref) => s"bloom_might_contain($left, $ref)"
+    case None      => s"bloom_might_contain($left, $right)"
+  }
+
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): BloomMightContainFn =
     copy(left = newLeft, right = newRight)
@@ -89,13 +151,12 @@ object BloomMightContainFn {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.graft.bridge
 
-  /** Column form: `mightContain(col("h"), filter)` — serializes the
-    * filter once and binds it as a binary literal. */
-  def mightContain(h: Column, filter: BloomFilter): Column = {
-    val out = new java.io.ByteArrayOutputStream()
-    filter.writeTo(out)
+  /** Column form: `mightContain(col("h"), filter)` — binds the filter as
+    * an out-of-plan [[BloomRef]]; the plan tree carries only a 16-byte
+    * digest, never the serialized bits. */
+  def mightContain(h: Column, filter: BloomFilter): Column =
     bridge.column(BloomMightContainFn(
       bridge.expression(h),
-      org.apache.spark.sql.catalyst.expressions.Literal(out.toByteArray)))
-  }
+      Literal(Array.emptyByteArray, BinaryType),
+      Some(BloomRef(filter))))
 }

@@ -395,6 +395,74 @@ object Similarity {
       .select(col("id").as(idCol), col("cell"))
   }
 
+  // ---- oracle-replayable cell-assignment twins ----
+
+  /** Deterministic md5-seeded cell assignment — the ORACLE-REPLAYABLE
+    * quantizer twin of [[cellAssign]]: the `nLists` centroids are the
+    * unit vectors of the ids ranked first by (md5("c:" || id), id) —
+    * data rows, not Lloyd's output — so a cross-engine SQL twin can
+    * reconstruct the identical centers and replay the identical
+    * argmin-||v̂−c||² assignment (sequential-fold arithmetic, lowest
+    * cell index on ties — [[graft.functions.PqEncodeExpr]] semantics).
+    * No Lloyd iterations on purpose: seeded-row centers trade cell
+    * adaptivity for exact cross-engine replayability; the adaptive
+    * paths keep [[cellAssign]]. The centroid collect is nLists rows —
+    * metadata-sized by contract.
+    */
+  private def cellAssignAuditable(base: DataFrame,
+      nLists: Int): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val centers = base
+      .orderBy(md5(concat(lit("c:"), col("id").cast("string"))), col("id"))
+      .limit(nLists)
+      .select(col("vhat")).as[Seq[Double]].collect()
+      .map(_.toArray)
+    require(centers.length == nLists,
+      s"cellAssignAuditable: corpus has ${centers.length} usable " +
+        s"vectors < nLists ($nLists)")
+    base.select(col("id"), col("vhat"),
+      element_at(graft.functions.GraftFunctions.pqEncode(col("vhat"),
+        Array(centers)), 1).as("cell"))
+  }
+
+  /** Audit twin of [[semanticDedup]] (same cells→within-cell-pairs→
+    * connected-components shape) over the md5-seeded replayable
+    * quantizer, so the ENTIRE clustered pipeline — normalization, cell
+    * assignment, within-cell cosine edges, component closure, cluster +
+    * representative labels — is oracle-checked cross-engine. The fast
+    * path (`q73b`) keeps the adaptive Lloyd's quantizer and stays
+    * rows-only; this twin pins the machinery around it.
+    */
+  def semanticDedupAuditable(df: DataFrame, idCol: String, vecCol: String,
+      minSim: Double = 0.4, nLists: Int = 16): DataFrame = {
+    val base = unitVectors(df, idCol, vecCol)
+    val assigned = cellAssignAuditable(base, nLists)
+      // the cell self-join reads this twice; one evaluation, not two
+      .localCheckpoint()
+    val a = assigned.select(col("cell"), col("id").as("id_a"),
+      col("vhat").as("va"))
+    val b = assigned.select(col("cell"), col("id").as("id_b"),
+      col("vhat").as("vb"))
+    val pairs = a.join(b, Seq("cell")).filter(col("id_a") < col("id_b"))
+      .filter(dot(col("va"), col("vb")) >= minSim)
+      .select("id_a", "id_b")
+    ccAssignment(df, idCol, pairs)
+  }
+
+  /** Audit twin of [[clusterBalancedSample]] over the md5-seeded
+    * replayable quantizer: cells, √-temperature quotas
+    * (largest-remainder apportionment), and the per-cell md5-order
+    * selection are all oracle-checked; only the adaptive quantizer fit
+    * of the fast path stays outside the oracle surface. */
+  def clusterBalancedSampleAuditable(df: DataFrame, idCol: String,
+      vecCol: String, totalTarget: Long, nLists: Int = 16): DataFrame = {
+    val base = unitVectors(df, idCol, vecCol)
+    val cells = cellAssignAuditable(base, nLists).select("id", "cell")
+    Mixing.temperatureSample(cells, "cell", "id", "id", totalTarget)
+      .select(col("id").as(idCol), col("cell"))
+  }
+
   // ---- product quantization (PQ) — compressed-domain ANN ----
 
   // Product quantization follows Jégou, Douze & Schmid, "Product

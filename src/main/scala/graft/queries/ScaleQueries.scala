@@ -193,6 +193,16 @@ object ScaleQueries {
         "embedding", totalTarget = 200L, nLists = 16)
         .orderBy("vec_id")),
 
+    // AUDIT TWIN of q76: same cells→√-quota→md5-order selection, over
+    // the md5-seeded replayable quantizer — quota apportionment and
+    // per-cell selection are oracle-checked; only the adaptive kmeans
+    // fit stays rows-only (in q76).
+    "q76b_cluster_sample_oracle" -> ((s, dir) =>
+      Similarity.clusterBalancedSampleAuditable(t(s, dir, "embeddings"),
+        "vec_id", "embedding", totalTarget = 200L, nLists = 16)
+        .select(col("vec_id"), col("cell").cast("int").as("cell"))
+        .orderBy("vec_id")),
+
     // encoding-level canonicalization — NFC + lowercase + control
     // strip + whitespace collapse, the pass every other text op
     // assumes has already run at ingest. Fully oracle-checked (DuckDB
@@ -252,6 +262,14 @@ object ScaleQueries {
     // SimilaritySpec pins soundness + planted-pair recall vs q73.
     "q73b_semantic_ivf" -> ((s, dir) =>
       Similarity.semanticDedup(t(s, dir, "embeddings"), "vec_id",
+        "embedding", minSim = 0.4, nLists = 16).orderBy("vec_id")),
+
+    // AUDIT TWIN of q73b: identical cells→within-cell-pairs→connected-
+    // components machinery over the md5-seeded replayable quantizer, so
+    // every stage is oracle-checked; only the adaptive kmeans fit stays
+    // rows-only (in q73b).
+    "q73c_semantic_cells_oracle" -> ((s, dir) =>
+      Similarity.semanticDedupAuditable(t(s, dir, "embeddings"), "vec_id",
         "embedding", minSim = 0.4, nLists = 16).orderBy("vec_id")),
 
     // heuristic language identification
@@ -1071,6 +1089,82 @@ object ScaleQueries {
        FROM r WHERE rn <= 5 ORDER BY qid, rn"""
   }
 
+  /** Shared DuckDB CTE prefix for the md5-seeded replayable cell
+    * assignment ([[graft.ops.Similarity]] `cellAssignAuditable`): unit
+    * vectors, the nLists centroid rows in (md5('c:'||id), id) order,
+    * and the argmin-||v̂−c||² assignment with sequential-fold distance
+    * and lowest-cell tie-break — term-for-term the arithmetic
+    * [[graft.functions.PqEncodeExpr]] runs, so cells match exactly. */
+  private def cellCteSql(nLists: Int): String =
+    s"""raw AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       nr AS (SELECT id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+              FROM raw),
+       base AS (SELECT id, list_transform(v, x -> x / nrm) AS vhat
+                FROM nr WHERE nrm > 0),
+       ctr AS (SELECT vhat AS cv,
+                      row_number() OVER (ORDER BY md5('c:' || CAST(id AS VARCHAR)), id) - 1 AS cell
+               FROM base
+               ORDER BY md5('c:' || CAST(id AS VARCHAR)), id LIMIT $nLists),
+       dist AS (SELECT b.id, b.vhat, c.cell,
+                       list_sum(list_transform(range(1, 65),
+                         i -> (b.vhat[i] - c.cv[i]) * (b.vhat[i] - c.cv[i]))) AS d
+                FROM base b CROSS JOIN ctr c),
+       asg AS (SELECT id, vhat, cell FROM (
+                 SELECT id, vhat, cell,
+                        row_number() OVER (PARTITION BY id
+                          ORDER BY d ASC, cell ASC) AS rn
+                 FROM dist) WHERE rn = 1)"""
+
+  /** Generated DuckDB twin of the q73c clustered semantic dedup: the
+    * full cells→within-cell-pairs→connected-components pipeline over
+    * the replayable quantizer (recursive-CTE closure like q73). */
+  private val q73cSql: String =
+    s"""WITH RECURSIVE
+         ${cellCteSql(16)},
+         pairs AS (SELECT a.id AS id_a, b.id AS id_b
+                   FROM asg a JOIN asg b
+                     ON a.cell = b.cell AND a.id < b.id
+                   WHERE list_sum(list_transform(range(1, 65),
+                           i -> a.vhat[i] * b.vhat[i])) >= 0.4),
+         edges AS (SELECT id_a src, id_b dst FROM pairs
+                   UNION SELECT id_b, id_a FROM pairs),
+         reach(id, lbl) AS (
+           SELECT src, src FROM edges
+           UNION
+           SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+         cc AS (SELECT id, min(lbl) AS lbl FROM reach GROUP BY id)
+       SELECT e.vec_id,
+              CAST(coalesce(c.lbl, e.vec_id) AS BIGINT) AS cluster_id,
+              (coalesce(c.lbl, e.vec_id) = e.vec_id) AS is_rep
+       FROM embeddings e LEFT JOIN cc c ON c.id = e.vec_id
+       ORDER BY e.vec_id"""
+
+  /** Generated DuckDB twin of the q76b cluster-balanced sample:
+    * replayable cells + the q63 temperature-quota tail (√-weights,
+    * largest-remainder apportionment, per-cell md5-order selection). */
+  private val q76bSql: String =
+    s"""WITH ${cellCteSql(16)},
+         cells AS (SELECT id, cell FROM asg),
+         c AS (SELECT cell, CAST(count(*) AS DOUBLE) AS cnt
+               FROM cells GROUP BY cell),
+         w AS (SELECT cell, sqrt(cnt) AS wt FROM c),
+         e AS (SELECT cell,
+               200.0 * wt / (SELECT sum(wt) FROM w) AS ex FROM w),
+         f AS (SELECT cell, CAST(floor(ex) AS BIGINT) AS fl,
+               ex - floor(ex) AS rem FROM e),
+         d AS (SELECT 200 - sum(fl) AS dd FROM f),
+         q AS (SELECT cell,
+               fl + (CASE WHEN row_number() OVER (ORDER BY rem DESC, cell)
+                          <= (SELECT dd FROM d) THEN 1 ELSE 0 END) AS quota
+               FROM f),
+         r AS (SELECT cell, id,
+               row_number() OVER (PARTITION BY cell
+                 ORDER BY md5(CAST(id AS VARCHAR)), id) AS rn
+               FROM cells)
+       SELECT r.id AS vec_id, CAST(r.cell AS INT) AS cell
+       FROM r JOIN q USING (cell)
+       WHERE rn <= quota ORDER BY vec_id"""
+
   /** Generated DuckDB twin of [[Dedup.simHashAuditable]]: 60 bit-vote
     * terms over md5-derived token hashes. */
   private val q27bSql: String = {
@@ -1705,6 +1799,8 @@ object ScaleQueries {
                 (coalesce(c.lbl, e.vec_id) = e.vec_id) AS is_rep
          FROM embeddings e LEFT JOIN cc c ON c.id = e.vec_id
          ORDER BY e.vec_id""",
+    "q73c_semantic_cells_oracle" -> q73cSql,
+    "q76b_cluster_sample_oracle" -> q76bSql,
     "q59_decontaminate" -> q59Sql,
     // the Bloom prefilter variant is row-identical by construction
     // (false positives are settled by the exact join) — the SAME

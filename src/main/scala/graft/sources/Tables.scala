@@ -23,16 +23,31 @@ object Tables {
       case n        => spark.read.parquet(s"$dir/$n.parquet")
     }
 
-  /** `events.parquet` stores `ts` as INT64 TIMESTAMP(NANOS), which Spark's
-    * vectorized parquet reader rejects ([PARQUET_TYPE_ILLEGAL]). Read the
-    * nanos as a plain long and floor to microseconds — the same truncation
-    * DuckDB applies on CAST(timestamp_ns AS TIMESTAMP), so oracle results
-    * line up.
+  /** `events.parquet` has shipped with two physical layouts for `ts`:
+    *
+    *  1. INT64 TIMESTAMP(NANOS) — Spark's vectorized reader rejects it
+    *     ([PARQUET_TYPE_ILLEGAL]) unless `nanosAsLong` surfaces it as a
+    *     plain long; we then floor to micros, matching DuckDB's
+    *     CAST(timestamp_ns AS TIMESTAMP) truncation.
+    *  2. TIMESTAMP(MICROS, isAdjustedToUTC=false) — Spark reads it as
+    *     TIMESTAMP_NTZ; under the UTC session timezone (GraftSession) a
+    *     cast to TIMESTAMP is an exact relabel, and lines up with DuckDB
+    *     reading the same file as TIMESTAMP.
+    *
+    * Dispatch on the resolved schema rather than hard-coding one layout,
+    * so a testdata regeneration can't silently break every events query.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = spark.read.parquet(s"$dir/events.parquet")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>          // nanos layout
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>  // micros, no tz
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ =>                                            // already TIMESTAMP
+        df
+    }
   }
 
   /** The 5-row topic→theme dimension (reference `cleaner.py:211-217`, J1).

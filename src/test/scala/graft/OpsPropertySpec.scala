@@ -320,4 +320,55 @@ class OpsPropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("bloom_might_contain interpreted eval + SQL registration paths") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.util.sketch.BloomFilter
+    val rnd = new scala.util.Random(56)
+    val inserted = Seq.fill(100)(rnd.nextLong())
+    val bloom = BloomFilter.create(100L, 0.01)
+    inserted.foreach(bloom.putLong)
+    val probes = inserted ++ Seq.fill(200)(rnd.nextLong())
+
+    // 1. Direct interpreted path: Expression.eval on an InternalRow —
+    //    disabling wholeStage codegen still uses expression codegen for
+    //    projections, so only a direct eval covers nullSafeEval.
+    val out = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(out)
+    val bytes = out.toByteArray
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+    import org.apache.spark.sql.types.{BinaryType, LongType}
+    val litExpr = graft.functions.BloomMightContainFn(
+      BoundReference(0, LongType, nullable = true), Literal(bytes, BinaryType))
+    val refExpr = graft.functions.BloomMightContainFn(
+      BoundReference(0, LongType, nullable = true),
+      Literal(Array.emptyByteArray, BinaryType),
+      Some(graft.functions.BloomRef(bloom)))
+    probes.foreach { h =>
+      assert(litExpr.eval(InternalRow(h)) === bloom.mightContainLong(h))
+      assert(refExpr.eval(InternalRow(h)) === bloom.mightContainLong(h))
+    }
+    assert(litExpr.eval(InternalRow(null)) === null, "null hash -> null")
+    assert(refExpr.eval(InternalRow(null)) === null, "null hash -> null")
+
+    // 2. SQL-registered builder with a hex binary literal.
+    graft.plans.SqlFunctions.registerInto(spark)
+    val hex = bytes.map(b => f"$b%02X").mkString
+    val viaSql = spark.sql(
+      s"SELECT h, bloom_might_contain(h, X'$hex') AS m FROM " +
+        "(SELECT explode(ARRAY(" + probes.take(50).mkString(",") + "L)) AS h)")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    probes.take(50).foreach(h => assert(viaSql(h) === bloom.mightContainLong(h)))
+
+    // 3. Analysis-time validation: junk filter bytes fail at analysis
+    //    (TypeCheckFailure), not mid-query on an executor.
+    val junk = intercept[Exception] {
+      spark.sql("SELECT bloom_might_contain(1L, X'DEADBEEF')").collect()
+    }
+    assert(junk.getMessage.toLowerCase.contains("bloom_might_contain"))
+
+    // 4. Plan rendering with the out-of-plan BloomRef elides the bits.
+    val rendered = refExpr.toString
+    assert(rendered.contains("bloom_ref(digest="), rendered)
+  }
 }
