@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output passes straight through instead of being wrapped in
+// sbt's "[info] " logger prefix — the Bench stdout contract line must be
+// bare JSON for line-oriented tail parsers (the prefix made BENCH_r08/r09
+// "parsed" come back null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

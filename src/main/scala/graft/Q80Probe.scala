@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Dev probe (not driver contract): stage-level timing of the q80b
+  * containment screen to localize its cost — winnowing materialization
+  * vs carrier-cap machinery vs the fp self-join. Arg 1 = sfDir. */
+object Q80Probe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val spark = GraftSession.local(
+      math.min(32, Runtime.getRuntime.availableProcessors()))
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    val docs = graft.sources.Tables(spark, sfDir, "documents")
+
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[q80probe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
+    for (round <- 1 to 2; family <- Seq("md5", "fast")) {
+      println(s"[q80probe] --- round $round family=$family ---")
+      val spread = docs.repartition(col("doc_id"))
+      val fp = time(s"winnow+checkpoint($family)") {
+        val f = graft.ops.TextAnalysis.winnowSetFrame(
+          spread, "doc_id", "text", 8, 4, family).localCheckpoint()
+        f
+      }
+      time(s"fpCount($family)") { println("  fp rows: " + fp.count()) }
+      val overCap = time(s"overCap($family)") {
+        val oc = fp.groupBy("fp").agg(count(lit(1)).as("__carriers"))
+          .filter(col("__carriers") > 64).select("fp")
+        println("  overcap rows: " + oc.count()); oc
+      }
+      val kept = fp.join(broadcast(overCap), Seq("fp"), "left_anti")
+      time(s"selfjoin+agg($family)") {
+        val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n_a"))
+        val a = kept.select(col("doc_id").as("id_a"), col("fp"))
+        val b = kept.select(col("doc_id").as("id_b"), col("fp"))
+        val n = a.join(b, "fp").filter(col("id_a") =!= col("id_b"))
+          .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+          .join(sizes.select(col("doc_id").as("id_a"), col("n_a")), "id_a")
+          .withColumn("fraction", col("inter").cast("double") / col("n_a"))
+          .filter(col("fraction") >= 0.8).count()
+        println("  result rows: " + n)
+      }
+      // finer pieces of the self-join path
+      val keptCp = time(s"keptCheckpoint($family)") {
+        kept.localCheckpoint()
+      }
+      val a2 = keptCp.select(col("doc_id").as("id_a"), col("fp"))
+      val b2 = keptCp.select(col("doc_id").as("id_b"), col("fp"))
+      time(s"pairGen($family)") {
+        println("  pair rows: " +
+          a2.join(b2, "fp").filter(col("id_a") =!= col("id_b")).count())
+      }
+      time(s"pairAgg($family)") {
+        println("  agg rows: " +
+          a2.join(b2, "fp").filter(col("id_a") =!= col("id_b"))
+            .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter")).count())
+      }
+      time(s"fullFromCp($family)") {
+        val sizes = keptCp.groupBy("doc_id").agg(count(lit(1)).as("n_a"))
+        val n = a2.join(b2, "fp").filter(col("id_a") =!= col("id_b"))
+          .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+          .join(sizes.select(col("doc_id").as("id_a"), col("n_a")), "id_a")
+          .withColumn("fraction", col("inter").cast("double") / col("n_a"))
+          .filter(col("fraction") >= 0.8).count()
+        println("  result rows: " + n)
+      }
+      // Tried and rejected (round 10, all within noise of pairAgg):
+      // packed single-long group key (1.75 s), pre-repartition on the
+      // pair key (1.51 s), map-side pair expansion from collect_list
+      // carrier arrays (8.6 s — interpreted HOFs). The pair-group hash
+      // aggregation over ~1.8M nearly-unique (id_a, id_b) keys IS the
+      // floor; partial aggregation reduces nothing by construction.
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,174 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** EXACT substring-level deduplication — the Lee et al. 2022
+  * ("Deduplicating Training Data Makes Language Models Better",
+  * ExactSubstr) curation operator: find every maximal token span of at
+  * least `minLen` tokens that appears VERBATIM in two documents at
+  * ARBITRARY (unaligned) offsets, and scrub the later copy. This is
+  * the grain the fixed-window chunk dedup ([[Dedup.chunkDedup]], q60)
+  * and content-defined chunking ([[Dedup.cdcDedup]], q97) both miss: a
+  * 60-token verbatim quote straddling chunk boundaries shifts every
+  * fixed window and can shift CDC cut points, but is still an exact
+  * repeated substring.
+  *
+  * The reference implementation builds a corpus-wide suffix array — a
+  * global sorted structure with no natural Spark analogue. The
+  * Spark-first reformulation uses WINNOWING ANCHORS (Schleimer et al.
+  * 2003) instead:
+  *
+  *  1. per doc, hash every k-token gram (md5 over the joined tokens —
+  *     content-equal grams get equal hashes, map-side);
+  *  2. select anchor positions: the rightmost-minimal gram hash of
+  *     every w-gram window, w = minLen − k + 1 (plain winnowing —
+  *     selection depends only on window content, so two verbatim
+  *     copies of a span select the SAME relative positions). Expected
+  *     anchor density is 2/(w+2): the corpus-scale stream carries a
+  *     ~w/2-times-sparser projection of the token stream;
+  *  3. bucket-join anchors on gram hash (cross-doc, id_a < id_b, with
+  *     the [[Dedup]] oversized-bucket audit guard — never an uncapped
+  *     quadratic stage);
+  *  4. extend each anchor pair to its MAXIMAL matching span
+  *     (token-by-token, array ops over the two docs' token arrays);
+  *     keep spans ≥ minLen, dedup (several anchors inside one span
+  *     extend to the same maximal tuple).
+  *
+  * EXACTNESS: any repeated span of length ≥ minLen = w + k − 1
+  * contains a full w-window of its gram sequence; identical window
+  * content selects the same relative anchor in both copies, so step 3
+  * always finds at least one seed inside the span and step 4 recovers
+  * the identical maximal tuple the brute-force definition yields.
+  * The q100 oracle twin IS that brute-force definition (per-diagonal
+  * maximal runs in DuckDB), so the whole algorithm — tokenization,
+  * hashing, winnowing, extension, scrub — is oracle-checked, not just
+  * spot-tested. SubstrDedupSpec additionally fuzzes spans() against an
+  * in-JVM brute-force reference on low-entropy random corpora.
+  *
+  * Scale shape: steps 1–2 are map-side (O(n·w) array work per doc, no
+  * shuffle); step 3 shuffles the sparse anchor projection once on the
+  * gram hash; step 4 joins span-pair rows back to the two token
+  * arrays (two hash joins keyed by id) and does per-row array work
+  * proportional to the matched span, not the corpus. No stage is
+  * all-pairs; pathological gram buckets (mass-duplicated boilerplate)
+  * are excluded loudly by the audit guard, same contract as the LSH
+  * family.
+  */
+object SubstrDedup {
+
+  private val gramSep = ""
+
+  /** (id, toks) projection shared by both stages. */
+  private def docToks(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("id"),
+      TextOps.wsTokens(col(textCol)).as("toks"))
+
+  /** Winnowing anchor positions as an array column over a gram-hash
+    * array: for every w-window, the rightmost position holding the
+    * window minimum (0-based gram positions, distinct). */
+  private def winnowAnchors(hs: Column, w: Int): Column = {
+    val nWin = size(hs) - w + 1
+    array_distinct(transform(sequence(lit(0), nWin - 1), j => {
+      val win = slice(hs, j + 1, lit(w))
+      j + lit(w) - array_position(reverse(win), array_min(win)).cast("int")
+    }))
+  }
+
+  /** Maximal cross-document duplicate spans ≥ `minLen` tokens:
+    * (id_a, id_b, start_a, start_b, len) with id_a < id_b, starts
+    * 0-based token offsets. Exact (see object doc); `maxBucket` is the
+    * audited ceiling for one gram-hash bucket of ANCHORS. */
+  def spans(df: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 20, k: Int = 8,
+      maxBucket: Int = 4096): DataFrame = {
+    require(k >= 1 && minLen >= k,
+      s"need minLen ($minLen) >= k ($k) >= 1")
+    val w = minLen - k + 1
+    val docs = docToks(df, idCol, textCol)
+      // both the seed explode and the two extension joins read this
+      .localCheckpoint()
+
+    // docs shorter than minLen cannot contain (or contribute) a span
+    val eligible = docs.filter(size(col("toks")) >= minLen)
+      .withColumn("hs", transform(
+        sequence(lit(0), size(col("toks")) - k),
+        i => md5(array_join(slice(col("toks"), i + 1, lit(k)), gramSep))))
+    val seeds = eligible
+      .select(col("id"), explode(winnowAnchors(col("hs"), w)).as("p"),
+        col("hs"))
+      .select(col("id"), col("p"),
+        element_at(col("hs"), col("p") + 1).as("h"))
+
+    val audited = Dedup.auditBuckets(seeds, Seq("h"), maxBucket,
+      "substrSpans")
+    val a = audited.select(col("h"), col("id").as("id_a"),
+      col("p").as("pa"))
+    val b = audited.select(col("h"), col("id").as("id_b"),
+      col("p").as("pb"))
+    val pairSeeds = a.join(b, Seq("h"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "pa", "id_b", "pb").distinct()
+
+    // extension: longest equal run leftward of the anchors + the gram
+    // itself + longest equal run rightward; null-padded zip_with tails
+    // (one doc ends before the other) compare as non-equal — boundary.
+    def eqRun(xs: Column, ys: Column): Column = {
+      val eqs = zip_with(xs, ys, (x, y) => coalesce(x === y, lit(false)))
+      val firstFalse = array_position(eqs, false).cast("int")
+      when(firstFalse === 0, size(eqs)).otherwise(firstFalse - 1)
+    }
+    val withToks = pairSeeds
+      .join(docs.select(col("id").as("id_a"), col("toks").as("ta")), "id_a")
+      .join(docs.select(col("id").as("id_b"), col("toks").as("tb")), "id_b")
+    val extended = withToks
+      .withColumn("ext_l", eqRun(
+        reverse(slice(col("ta"), lit(1), col("pa"))),
+        reverse(slice(col("tb"), lit(1), col("pb")))))
+      .withColumn("ext_r", eqRun(
+        slice(col("ta"), col("pa") + k + 1, size(col("ta"))),
+        slice(col("tb"), col("pb") + k + 1, size(col("tb")))))
+      .withColumn("len", col("ext_l") + lit(k) + col("ext_r"))
+      .filter(col("len") >= minLen)
+    extended
+      .select(col("id_a"), col("id_b"),
+        (col("pa") - col("ext_l")).as("start_a"),
+        (col("pb") - col("ext_l")).as("start_b"), col("len"))
+      .distinct()
+  }
+
+  /** Scrub pass — keep-first at substring grain: every token of a doc
+    * that sits inside a span duplicated from a LOWER-id doc is removed;
+    * the lower-id copy survives untouched. Returns one row per input
+    * document: (idCol, dup_tokens, clean_text), clean_text = surviving
+    * tokens joined by single spaces (canonical whitespace, same as the
+    * chunk-dedup family). Within-doc self-repeats are [[Dedup]]'s
+    * intra-doc operator's job (q83), not this one's.
+    */
+  def scrub(df: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 20, k: Int = 8,
+      maxBucket: Int = 4096): DataFrame = {
+    val sp = spans(df, idCol, textCol, minLen, k, maxBucket)
+    val perDoc = sp
+      .select(col("id_b").as("id"), struct(
+        col("start_b").as("s"),
+        (col("start_b") + col("len")).as("e")).as("span"))
+      .groupBy("id").agg(collect_list("span").as("spans"))
+    docToks(df, idCol, textCol)
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        (size(col("toks")) - size(kept(col("toks"), col("spans"))))
+          .cast("long").as("dup_tokens"),
+        array_join(kept(col("toks"), col("spans")), " ").as("clean_text"))
+  }
+
+  /** Tokens whose 0-based position is covered by no span (null span
+    * list = nothing scrubbed). */
+  private def kept(toks: Column, spans: Column): Column =
+    filter(toks, (_, i) =>
+      !coalesce(
+        exists(spans, sp =>
+          sp.getField("s") <= i && i < sp.getField("e")),
+        lit(false)))
+}

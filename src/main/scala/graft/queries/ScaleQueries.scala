@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import graft.ops.{Dedup, FuzzyJoin, Mixing, Similarity, TextAnalysis, TextOps, Vocab}
+import graft.ops.{Dedup, FuzzyJoin, Mixing, Similarity, SubstrDedup, TextAnalysis, TextOps, Vocab}
 
 /** North-star extension queries (SURVEY.md §7 step 7): deduplication,
   * similarity search, and text analysis at corpus scale. Oracle SQL is
@@ -326,7 +326,16 @@ object ScaleQueries {
         .orderBy("id_a", "id_b")),
 
     // corpus-scale containment screen: winnowing-fingerprint sets,
-    // guarded self-join — the scale path q80 is the bounded audit of
+    // guarded self-join — the scale path q80 is the bounded audit of.
+    // PERF (pinned round 10, Q80Probe at sf0.1, loadavg < 2): ~3.2 s =
+    // 0.9-1.2 s md5 winnowing+checkpoint + 0.15 s carrier cap + 0.2 s
+    // fp self-join (2.05M collision pairs) + ~1.5 s pair-group hash agg
+    // over 1.8M nearly-unique (id_a, id_b) keys — the agg is the floor
+    // (mostly-singleton groups defeat partial aggregation; packed-key
+    // and pre-repartition forms measured within noise). Not a plan
+    // regression vs r7: the carrier-cap machinery costs 0.15 s and
+    // BOUNDS the join. The fast family (q80c) saves the md5 ~0.6 s;
+    // md5 is the price of the DuckDB-replayable oracle.
     "q80b_containment_screen" -> ((s, dir) =>
       Dedup.containmentScreen(t(s, dir, "documents"), "doc_id", "text",
         k = 8, w = 4, minFraction = 0.8)
@@ -341,6 +350,24 @@ object ScaleQueries {
       Dedup.containmentScreen(t(s, dir, "documents"), "doc_id", "text",
         k = 8, w = 4, minFraction = 0.8, family = "fast")
         .orderBy("id_a", "id_b")),
+
+    // EXACT substring-level dedup (Lee et al. 2022 ExactSubstr shape):
+    // winnowing-anchor seeds → anchor-grouped maximal extension →
+    // scrub duplicated spans ≥ 20 tokens from the later copy. The
+    // bounded slice is the audit form: the DuckDB twin is the
+    // BRUTE-FORCE definition (per-diagonal maximal runs), so the whole
+    // winnowing algorithm is oracle-checked against ground truth.
+    "q100_substr_scrub" -> ((s, dir) =>
+      SubstrDedup.scrub(t(s, dir, "documents").filter(col("doc_id") < 200),
+        "doc_id", "text", minLen = 20, k = 8).orderBy("doc_id")),
+
+    // full-corpus span inventory — the scale form (rows-only: same
+    // algorithm as the oracle-checked q100 slice; SubstrDedupSpec
+    // fuzzes spans() against an in-JVM brute force)
+    "q100b_substr_spans" -> ((s, dir) =>
+      SubstrDedup.spans(t(s, dir, "documents"), "doc_id", "text",
+        minLen = 20, k = 8)
+        .orderBy("id_a", "id_b", "start_a", "start_b")),
 
     // corpus composition audit: per (lang, source) volumes and shares
     "q84_composition" -> ((s, dir) =>
@@ -1801,6 +1828,44 @@ object ScaleQueries {
          ORDER BY e.vec_id""",
     "q73c_semantic_cells_oracle" -> q73cSql,
     "q76b_cluster_sample_oracle" -> q76bSql,
+    // Brute-force ground truth for the winnowing-anchor substring
+    // dedup: every maximal per-diagonal run of matching token
+    // positions >= 20 across doc pairs (a < b), scrubbed from b.
+    "q100_substr_scrub" ->
+      """WITH docs AS (SELECT doc_id,
+                  list_filter(string_split(coalesce(text, ''), ' '),
+                              t -> length(t) > 0) AS tk
+           FROM documents WHERE doc_id < 200),
+         pos AS (SELECT doc_id, tk[i] AS tok, i
+                 FROM (SELECT doc_id, tk,
+                              unnest(range(1, len(tk) + 1)) AS i
+                       FROM docs)),
+         m AS (SELECT a.doc_id ia, b.doc_id ib, a.i ai, b.i bi
+               FROM pos a JOIN pos b
+                 ON a.tok = b.tok AND a.doc_id < b.doc_id),
+         runs AS (SELECT ia, ib, ai - bi AS dg,
+                    ai - row_number() OVER (PARTITION BY ia, ib, ai - bi
+                                            ORDER BY ai) AS grp,
+                    ai, bi
+                  FROM m),
+         spans AS (SELECT ia, ib, min(bi) AS sb, count(*) AS len
+                   FROM runs GROUP BY ia, ib, dg, grp
+                   HAVING count(*) >= 20),
+         scrub AS (SELECT DISTINCT ib AS doc_id,
+                          sb + unnest(range(0, len)) AS p
+                   FROM spans),
+         kept AS (SELECT p.doc_id, p.i, p.tok
+                  FROM pos p LEFT JOIN scrub s
+                    ON s.doc_id = p.doc_id AND s.p = p.i
+                  WHERE s.p IS NULL),
+         agg AS (SELECT doc_id, count(*) AS kept_n,
+                        string_agg(tok, ' ' ORDER BY i) AS ct
+                 FROM kept GROUP BY doc_id)
+       SELECT d.doc_id,
+              CAST(len(d.tk) - coalesce(a.kept_n, 0) AS BIGINT) AS dup_tokens,
+              coalesce(a.ct, '') AS clean_text
+       FROM docs d LEFT JOIN agg a USING (doc_id)
+       ORDER BY d.doc_id""",
     "q59_decontaminate" -> q59Sql,
     // the Bloom prefilter variant is row-identical by construction
     // (false positives are settled by the exact join) — the SAME

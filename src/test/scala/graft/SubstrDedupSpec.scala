@@ -1,0 +1,153 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Dedup, SubstrDedup}
+
+/** Substring-level dedup: planted-copy grain proof vs the chunk family,
+  * plus randomized exactness fuzz against an in-JVM brute-force
+  * reference (every maximal cross-doc run, every scrub position).
+  */
+class SubstrDedupSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  /** All maximal cross-doc matching runs ≥ minLen — the ground-truth
+    * definition the winnowing-anchor pipeline must reproduce exactly. */
+  private def bruteSpans(docs: Seq[(Long, Vector[String])],
+      minLen: Int): Set[(Long, Long, Int, Int, Int)] = {
+    val res = scala.collection.mutable.Set.empty[(Long, Long, Int, Int, Int)]
+    for {
+      (ia, ta) <- docs
+      (ib, tb) <- docs
+      if ia < ib
+      i <- ta.indices
+      j <- tb.indices
+      if ta(i) == tb(j) && (i == 0 || j == 0 || ta(i - 1) != tb(j - 1))
+    } {
+      var len = 0
+      while (i + len < ta.length && j + len < tb.length &&
+        ta(i + len) == tb(j + len)) len += 1
+      if (len >= minLen) res += ((ia, ib, i, j, len))
+    }
+    res.toSet
+  }
+
+  private def tok(s: String): Vector[String] =
+    s.split(" ").filter(_.nonEmpty).toVector
+
+  test("planted 60-token copy at an unaligned offset: found whole, " +
+    "scrubbed whole; fixed chunks (q60) drop nothing, CDC (q97) less") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    def words(n: Int, r: scala.util.Random): Vector[String] =
+      Vector.fill(n)(vocab(r.nextInt(vocab.size)))
+    val span = words(60, rnd)
+    // doc 1 carries the span aligned at 0; doc 2 embeds it at offset 7
+    // (not a multiple of the 20-token chunk stride) between unrelated
+    // padding drawn from disjoint filler words
+    val fillB = Vector("pad1", "pad2", "pad3", "pad4", "pad5", "pad6",
+      "pad7")
+    val tailB = Vector("tail1", "tail2", "tail3", "tail4", "tail5")
+    val docA = span ++ words(25, rnd).map(_ + "x")   // suffix-marked: no accidental overlap
+    val docB = fillB ++ span ++ tailB
+    val df = Seq((1L, docA.mkString(" ")), (2L, docB.mkString(" ")))
+      .toDF("doc_id", "text")
+
+    val sp = SubstrDedup.spans(df, "doc_id", "text", minLen = 20, k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getInt(3), r.getInt(4)))
+    assert(sp.toSet === Set((1L, 2L, 0, 7, 60)),
+      "exactly the planted span, maximal, at the unaligned offset")
+
+    val scrubbed = SubstrDedup.scrub(df, "doc_id", "text",
+      minLen = 20, k = 8).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(scrubbed(1L)._1 === 0L, "first copy untouched")
+    assert(scrubbed(1L)._2 === docA.mkString(" "))
+    assert(scrubbed(2L)._1 === 60L, "all 60 duplicated tokens scrubbed")
+    assert(scrubbed(2L)._2 === (fillB ++ tailB).mkString(" "))
+
+    // the same corpus through the chunk-dedup family: fixed 20-token
+    // windows shift by the 7-token offset, so NO chunk of doc 2 matches
+    // any chunk of doc 1 — q60 provably misses the copy entirely
+    val fixed = Dedup.chunkDedup(df, "doc_id", "text", chunkTokens = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(fixed(2L) === 0L, "fixed chunking drops nothing")
+    // CDC boundaries re-align inside the span, but the span's EDGES land
+    // in chunks mixed with doc-2-only padding: CDC can only drop interior
+    // chunks — strictly fewer than the 60 duplicated tokens
+    val cdc = Dedup.cdcChunkDedup(df, "doc_id", "text",
+      targetTokens = 20, window = 4)
+      .collect().map(r => r.getLong(0) -> tok(r.getString(1)).size).toMap
+    val cdcDropped = docB.size - cdc(2L)
+    assert(cdcDropped < 60,
+      s"CDC scrubs $cdcDropped < 60 — coarser than substring grain")
+  }
+
+  test("spans() is exact vs brute force on random low-entropy corpora") {
+    val minLen = 6
+    val k = 3
+    val rnd = new scala.util.Random(77)
+    val vocab = Vector("aa", "bb", "cc", "dd")
+    for (c <- 1 to 12) {
+      val nDocs = 4 + rnd.nextInt(5)
+      // low entropy + planted shared fragments at random offsets so
+      // long cross-doc runs actually occur
+      val shared = Vector.fill(3)(
+        Vector.fill(minLen + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))))
+      val docs: Seq[(Long, Vector[String])] = (0 until nDocs).map { i =>
+        var t = Vector.fill(5 + rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size)))
+        (0 until rnd.nextInt(3)).foreach { _ =>
+          val frag = shared(rnd.nextInt(shared.size))
+          val at = rnd.nextInt(t.size + 1)
+          t = (t.take(at) ++ frag) ++ t.drop(at)
+        }
+        (i.toLong, t)
+      }
+      val expected = bruteSpans(docs, minLen)
+      val df = docs.map { case (i, t) => (i, t.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = SubstrDedup.spans(df, "doc_id", "text",
+        minLen = minLen, k = k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+          r.getInt(3), r.getInt(4))).toSet
+      assert(got === expected, s"case $c: docs=${docs.map(_._2.size)}")
+
+      // scrub ground truth: token positions of doc b covered by any span
+      val scrubRef: Map[Long, Set[Int]] = expected
+        .groupBy(_._2)
+        .map { case (ib, sps) =>
+          ib -> sps.flatMap(s => s._4 until (s._4 + s._5))
+        }
+      val gotScrub = SubstrDedup.scrub(df, "doc_id", "text",
+        minLen = minLen, k = k).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+      docs.foreach { case (id, t) =>
+        val cut = scrubRef.getOrElse(id, Set.empty)
+        val expectClean = t.zipWithIndex.collect {
+          case (w, i) if !cut(i) => w
+        }.mkString(" ")
+        assert(gotScrub(id)._1 === cut.size.toLong, s"case $c doc $id")
+        assert(gotScrub(id)._2 === expectClean, s"case $c doc $id")
+      }
+    }
+  }
+
+  test("sub-minLen repeats and short docs produce no spans") {
+    val df = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e x y z w v"),      // shares only 5 < minLen=6
+      (3L, "q r s"),                     // shorter than minLen
+      (4L, "")).toDF("doc_id", "text")
+    assert(SubstrDedup.spans(df, "doc_id", "text", minLen = 6, k = 3)
+      .count() === 0L)
+    val out = SubstrDedup.scrub(df, "doc_id", "text", minLen = 6, k = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
+      .toMap
+    assert(out(1L) === ((0L, "a b c d e f g h i j")))
+    assert(out(4L) === ((0L, "")))
+  }
+}
