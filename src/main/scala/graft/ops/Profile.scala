@@ -96,6 +96,8 @@ object Profile {
     val cs = if (cols.nonEmpty) cols else df.columns.toSeq
     require(cs.nonEmpty, "tableProfileApprox: no columns to profile")
     val structs = cs.map { c =>
+      val numeric = df.schema(c).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType]
       val base = Seq(
         lit(c).as("colname"),
         count(lit(1)).as("n_rows"),
@@ -109,7 +111,40 @@ object Profile {
             <= countDistinct(col(c)) * (3 * rsd)).as("nd_ok"))
         else Seq(
           approx_count_distinct(col(c), rsd).as("n_distinct_approx"))
-      struct(base ++ tail: _*).as(s"__pa_$c")
+      // numeric quantiles: p50/p95. Fast path reports the KLL-sketch
+      // estimates (fixed aggregate state, still zero shuffle); the
+      // audit form reports EXACT quantiles plus in-plan bound flags —
+      // the sketch estimate must sit between the exact quantiles at
+      // q ∓ 0.01 (covers the sketch's ~1e-4 rank error plus the
+      // interpolation discreteness of 1/n for n ≥ 100 — the q56
+      // bounded-oracle pattern: the oracle replays the exact anchors
+      // and literal TRUE). Non-numeric columns carry NULL quantiles
+      // and vacuously-true flags.
+      val qtail =
+        if (!numeric && auditBounds) Seq(
+          lit(null).cast("double").as("p50"),
+          lit(null).cast("double").as("p95"),
+          lit(true).as("p50_ok"), lit(true).as("p95_ok"))
+        else if (!numeric) Seq(
+          lit(null).cast("double").as("p50_approx"),
+          lit(null).cast("double").as("p95_approx"))
+        else if (auditBounds) {
+          val a50 = percentile_approx(col(c), lit(0.5), lit(10000))
+          val a95 = percentile_approx(col(c), lit(0.95), lit(10000))
+          def exact(q: Double) = expr(s"percentile(`$c`, $q)")
+          Seq(
+            round(exact(0.5), 4).as("p50"),
+            round(exact(0.95), 4).as("p95"),
+            (a50.cast("double") >= exact(0.49) &&
+              a50.cast("double") <= exact(0.51)).as("p50_ok"),
+            (a95.cast("double") >= exact(0.94) &&
+              a95.cast("double") <= exact(0.96)).as("p95_ok"))
+        } else Seq(
+          percentile_approx(col(c), lit(0.5), lit(10000))
+            .cast("double").as("p50_approx"),
+          percentile_approx(col(c), lit(0.95), lit(10000))
+            .cast("double").as("p95_approx"))
+      struct(base ++ tail ++ qtail: _*).as(s"__pa_$c")
     }
     df.agg(structs.head, structs.tail: _*)
       .select(explode(array(cs.map(c => col(s"__pa_$c")): _*)).as("p"))
@@ -117,11 +152,23 @@ object Profile {
   }
 
   /** The DuckDB replay of [[tableProfileApprox]]: exact aggregates +
-    * literal TRUE for the HLL bound flag. Column order mirrors the
-    * audit-form Spark struct (min/max before n_distinct/nd_ok) so the
-    * match doesn't depend on the checker's sort-columns-by-name step. */
-  def tableProfileApproxSql(table: String, cols: Seq[String]): String =
+    * literal TRUE for the in-plan bound flags (HLL and quantile).
+    * Column order mirrors the audit-form Spark struct (min/max before
+    * n_distinct/nd_ok before quantiles) so the match doesn't depend on
+    * the checker's sort-columns-by-name step. `numericCols` names the
+    * columns that carry quantiles (non-numeric ones emit NULLs, like
+    * the Spark side). */
+  def tableProfileApproxSql(table: String, cols: Seq[String],
+      numericCols: Set[String] = Set.empty): String =
     cols.map { c =>
+      val quant =
+        if (numericCols(c))
+          s"""round(quantile_cont("$c", 0.5), 4) AS p50,
+             round(quantile_cont("$c", 0.95), 4) AS p95,
+             TRUE AS p50_ok, TRUE AS p95_ok"""
+        else
+          """CAST(NULL AS DOUBLE) AS p50, CAST(NULL AS DOUBLE) AS p95,
+             TRUE AS p50_ok, TRUE AS p95_ok"""
       s"""SELECT '$c' AS colname,
              count(*) AS n_rows,
              CAST(sum(CASE WHEN "$c" IS NULL THEN 1 ELSE 0 END) AS BIGINT)
@@ -129,7 +176,8 @@ object Profile {
              CAST(min("$c") AS VARCHAR) AS min_val,
              CAST(max("$c") AS VARCHAR) AS max_val,
              CAST(count(DISTINCT "$c") AS BIGINT) AS n_distinct,
-             TRUE AS nd_ok
+             TRUE AS nd_ok,
+             $quant
          FROM $table"""
     }.mkString("\nUNION ALL\n") + "\nORDER BY colname"
 

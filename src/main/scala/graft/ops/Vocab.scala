@@ -80,6 +80,17 @@ object Vocab {
     * occurs at all. */
   def learnBpe(df: DataFrame, textCol: String, numMerges: Int,
       maxDictWords: Int = 1 << 16): BpeModel = {
+    val dict0 = collectDict(df, textCol, maxDictWords, "learnBpe")
+    BpeModel(learnMerges(dict0, numMerges),
+      dict0.flatMap(_._1.map(_.toString)).distinct.sorted :+ EndOfWord)
+  }
+
+  /** The bounded driver-side (word, count) dictionary shared by both
+    * tokenizer trainers: top `maxDictWords` by (count desc, word asc)
+    * with a LOUD audit of the dropped tail — the cap that makes the
+    * driver loop corpus-size-independent. */
+  private def collectDict(df: DataFrame, textCol: String,
+      maxDictWords: Int, what: String): Array[(String, Long)] = {
     // evaluate the corpus-scale word count ONCE even when the cap audit
     // needs a second action (top-N collect + tail mass) — without the
     // persist a truncated dictionary paid the corpus shuffle twice
@@ -97,12 +108,11 @@ object Vocab {
       if (truncated) {
         val tail = wc.agg(sum("cnt")).head().getLong(0) - dict0.map(_._2).sum
         System.err.println(
-          s"[graft] learnBpe: dictionary capped at $maxDictWords distinct " +
+          s"[graft] $what: dictionary capped at $maxDictWords distinct " +
           s"words; dropped tail carries $tail token occurrences and does " +
-          "not vote on merges — raise maxDictWords to widen")
+          "not vote — raise maxDictWords to widen")
       }
-      BpeModel(learnMerges(dict0, numMerges),
-        dict0.flatMap(_._1.map(_.toString)).distinct.sorted :+ EndOfWord)
+      dict0
     } finally wc.unpersist()
   }
 
@@ -373,4 +383,289 @@ object Vocab {
   def decodeCol(tokensCol: String): org.apache.spark.sql.Column =
     filter(split(concat_ws("", col(tokensCol)), EndOfWord),
       w => length(w) > 0)
+
+  // ---- unigram language-model tokenizer (SentencePiece Unigram) ----
+
+  // Kudo 2018, "Subword Regularization: Improving Neural Network
+  // Translation Models with Multiple Subword Candidates": pieces carry
+  // unigram probabilities; training alternates EM (expected piece
+  // counts over ALL segmentations of each word, forward–backward) with
+  // pruning of the least-useful pieces; encoding is the Viterbi (max-
+  // probability) segmentation. The second dominant tokenizer family
+  // beside BPE — same corpus-size-independent scale shape here: the
+  // corpus-scale work is [[wordCounts]] (one map-side-combined shuffle)
+  // and the map-side encode; EM + pruning run on the capped driver
+  // dictionary ([[collectDict]], loud-audit cap).
+  //
+  // Deviation from the reference implementation, on purpose: pruning
+  // drops the lowest-EXPECTED-COUNT multi-character pieces per round
+  // (a fixed fraction, then re-EM) instead of ranking pieces by exact
+  // likelihood loss — the standard simplified variant; single
+  // characters are never pruned, so every trainable word stays
+  // segmentable. Deterministic throughout: seed selection orders by
+  // (count desc, piece asc), pruning by (expected count asc, piece
+  // asc), and all float folds are sequential — reruns reproduce the
+  // model bit-for-bit (UnigramSpec pins a hand-computed EM step and
+  // determinism).
+
+  /** A learned unigram tokenizer: piece → log probability. */
+  final case class UnigramModel(pieces: Vector[(String, Double)]) {
+    lazy val logp: Map[String, Double] = pieces.toMap
+    lazy val maxLen: Int =
+      if (pieces.isEmpty) 1 else pieces.iterator.map(_._1.length).max
+  }
+
+  /** Frequency-weighted counts of every word substring up to
+    * `maxPieceLen` chars — the SEED statistic unigram training starts
+    * from, as a declarative frame: the oracle twin anchoring the
+    * trainer's decision input cross-engine (the EM loop itself is not
+    * SQL-expressible, but what it consumes is — the q81b/pairCounts
+    * pattern). Returns (piece, cnt). */
+  def pieceCountsFrame(df: DataFrame, textCol: String,
+      maxPieceLen: Int = 8): DataFrame = {
+    val wc = wordCounts(df, textCol)
+    wc.select(col("cnt"),
+      explode(flatten(transform(
+        sequence(lit(1), length(col("word"))),
+        i => transform(
+          sequence(i, least(i + (maxPieceLen - 1), length(col("word")))),
+          j => col("word").substr(i, j - i + 1))))).as("piece"))
+      .groupBy("piece").agg(sum("cnt").as("cnt"))
+  }
+
+  /** Learn a unigram-LM piece inventory of `vocabSize` pieces.
+    * Seeds = the `seedSize` highest-count substrings (≤ `maxPieceLen`
+    * chars, counts weighted by word frequency) plus every single
+    * character of the dictionary; then `emIters` EM rounds, then
+    * prune-and-re-EM until the inventory is at `vocabSize`. */
+  def learnUnigram(df: DataFrame, textCol: String, vocabSize: Int = 512,
+      maxPieceLen: Int = 8, maxDictWords: Int = 1 << 16,
+      seedSize: Int = 4096, emIters: Int = 2,
+      pruneFrac: Double = 0.25): UnigramModel = {
+    val dict = collectDict(df, textCol, maxDictWords, "learnUnigram")
+    learnUnigramFromDict(dict, vocabSize, maxPieceLen, seedSize,
+      emIters, pruneFrac)
+  }
+
+  /** Driver-side trainer over an explicit (word, count) dictionary —
+    * split out so specs can hand-compute EM steps. */
+  def learnUnigramFromDict(dict: Array[(String, Long)], vocabSize: Int,
+      maxPieceLen: Int, seedSize: Int, emIters: Int,
+      pruneFrac: Double): UnigramModel = {
+    import scala.collection.mutable
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    require(pruneFrac > 0 && pruneFrac < 1,
+      s"pruneFrac must be in (0,1), got $pruneFrac")
+    // seed counts: every substring ≤ maxPieceLen, weighted by word count
+    val subCounts = mutable.HashMap.empty[String, Long]
+    dict.foreach { case (w, c) =>
+      var i = 0
+      while (i < w.length) {
+        var l = 1
+        val lmax = math.min(maxPieceLen, w.length - i)
+        while (l <= lmax) {
+          val p = w.substring(i, i + l)
+          subCounts(p) = subCounts.getOrElse(p, 0L) + c
+          l += 1
+        }
+        i += 1
+      }
+    }
+    val chars: Set[String] = dict.iterator
+      .flatMap(_._1.iterator.map(_.toString)).toSet
+    val seeds: Vector[String] = (subCounts.toSeq
+      .sortBy { case (p, c) => (-c, p) }
+      .take(math.max(seedSize, chars.size))
+      .map(_._1) ++ chars).distinct.sorted.toVector
+
+    // initial probabilities ∝ seed counts
+    def normalize(counts: Map[String, Double],
+        inv: Vector[String]): Map[String, Double] = {
+      // sequential fold in sorted piece order: bit-reproducible
+      val floor = 1e-10 // characters with zero expected count survive
+      val vals = inv.map(p => math.max(counts.getOrElse(p, 0.0), floor))
+      val total = vals.sum
+      inv.zip(vals.map(v => math.log(v / total))).toMap
+    }
+    var inventory: Vector[String] = seeds
+    var lp: Map[String, Double] = normalize(
+      subCounts.map { case (p, c) => (p, c.toDouble) }.toMap, inventory)
+
+    // forward–backward expected piece counts over every dict word
+    def expectedCounts(inv: Set[String],
+        logp: Map[String, Double]): Map[String, Double] = {
+      val e = mutable.HashMap.empty[String, Double]
+      val maxLen = math.min(maxPieceLen,
+        if (inv.isEmpty) 1 else inv.iterator.map(_.length).max)
+      def lse(a: Double, b: Double): Double =
+        if (a == Double.NegativeInfinity) b
+        else if (b == Double.NegativeInfinity) a
+        else { val m = math.max(a, b); m + math.log1p(math.exp(-(math.abs(a - b)))) }
+      dict.foreach { case (w, c) =>
+        val n = w.length
+        val alpha = Array.fill(n + 1)(Double.NegativeInfinity)
+        val beta = Array.fill(n + 1)(Double.NegativeInfinity)
+        alpha(0) = 0.0
+        var i = 1
+        while (i <= n) {
+          var j = math.max(0, i - maxLen)
+          while (j < i) {
+            val p = w.substring(j, i)
+            if (alpha(j) != Double.NegativeInfinity)
+              logp.get(p).foreach(l => alpha(i) = lse(alpha(i), alpha(j) + l))
+            j += 1
+          }
+          i += 1
+        }
+        beta(n) = 0.0
+        i = n - 1
+        while (i >= 0) {
+          var j = i + 1
+          val jmax = math.min(n, i + maxLen)
+          while (j <= jmax) {
+            val p = w.substring(i, j)
+            if (beta(j) != Double.NegativeInfinity)
+              logp.get(p).foreach(l => beta(i) = lse(beta(i), l + beta(j)))
+            j += 1
+          }
+          i -= 1
+        }
+        val z = alpha(n)
+        if (z != Double.NegativeInfinity) {
+          i = 0
+          while (i < n) {
+            var j = i + 1
+            val jmax = math.min(n, i + maxLen)
+            while (j <= jmax) {
+              val p = w.substring(i, j)
+              logp.get(p).foreach { l =>
+                val post = math.exp(alpha(i) + l + beta(j) - z)
+                e(p) = e.getOrElse(p, 0.0) + c * post
+              }
+              j += 1
+            }
+            i += 1
+          }
+        }
+      }
+      e.toMap
+    }
+
+    def emRounds(rounds: Int): Unit = {
+      var r = 0
+      while (r < rounds) {
+        lp = normalize(expectedCounts(inventory.toSet, lp), inventory)
+        r += 1
+      }
+    }
+    emRounds(emIters)
+
+    // prune to target: drop the lowest-expected-count multi-char
+    // pieces, a fraction per round, never characters; re-EM each round
+    while (inventory.size > math.max(vocabSize, chars.size)) {
+      val e = expectedCounts(inventory.toSet, lp)
+      val removable = inventory.filter(p => p.length > 1)
+      val excess = inventory.size - math.max(vocabSize, chars.size)
+      val nRemove = math.max(1, math.min(excess,
+        (pruneFrac * removable.size).toInt))
+      val drop = removable
+        .sortBy(p => (e.getOrElse(p, 0.0), p))(
+          Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.String))
+        .take(nRemove).toSet
+      inventory = inventory.filterNot(drop)
+      lp = normalize(expectedCounts(inventory.toSet, lp), inventory)
+      emRounds(1)
+    }
+    UnigramModel(inventory.map(p => (p, lp(p))))
+  }
+
+  /** Viterbi (max-probability) segmentation of one word; ties keep the
+    * smallest split point (fixed scan order — deterministic). A
+    * character outside the inventory is emitted as [[UnkToken]]. */
+  private def viterbiWord(w: String, logp: Map[String, Double],
+      maxLen: Int): Vector[String] = {
+    val n = w.length
+    if (n == 0) return Vector.empty
+    val unkPenalty = -1e3
+    val best = Array.fill(n + 1)(Double.NegativeInfinity)
+    val back = Array.fill(n + 1)(-1)
+    val viaUnk = Array.fill(n + 1)(false)
+    best(0) = 0.0
+    var i = 1
+    while (i <= n) {
+      var j = math.max(0, i - maxLen)
+      while (j < i) {
+        if (best(j) != Double.NegativeInfinity) {
+          logp.get(w.substring(j, i)).foreach { l =>
+            val s = best(j) + l
+            if (s > best(i)) { best(i) = s; back(i) = j; viaUnk(i) = false }
+          }
+        }
+        j += 1
+      }
+      // unknown single char: always available, heavily penalized
+      if (best(i) == Double.NegativeInfinity &&
+          best(i - 1) != Double.NegativeInfinity) {
+        best(i) = best(i - 1) + unkPenalty
+        back(i) = i - 1
+        viaUnk(i) = true
+      }
+      i += 1
+    }
+    val out = List.newBuilder[String]
+    var pos = n
+    val rev = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (pos > 0) {
+      val j = back(pos)
+      rev += (if (viaUnk(pos)) UnkToken else w.substring(j, pos))
+      pos = j
+    }
+    out ++= rev.reverse
+    out.result().toVector
+  }
+
+  /** Encode `textCol` under a learned unigram model: (idCol,
+    * uni_pieces, n_ws_tokens, n_pieces). Same map-side shape as
+    * [[encodeBpe]]: broadcast piece table, per-partition word memo,
+    * zero shuffle. */
+  def encodeUnigram(df: DataFrame, idCol: String, textCol: String,
+      model: UnigramModel): DataFrame = {
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast((model.logp, model.maxLen))
+    val idType = df.schema(idCol).dataType
+    val in = df.select(col(idCol), TextOps.wsTokens(col(textCol)).as("__tk"))
+    val outSchema = StructType(Seq(
+      StructField("__id", idType, nullable = true),
+      StructField("uni_pieces", ArrayType(StringType, containsNull = false),
+        nullable = false),
+      StructField("n_ws_tokens", LongType, nullable = false),
+      StructField("n_pieces", LongType, nullable = false)))
+    val enc = spark.createDataFrame(
+      in.rdd.mapPartitions { it =>
+        val (logp, maxLen) = bc.value
+        val memo = scala.collection.mutable.HashMap.empty[String, Vector[String]]
+        it.map { r =>
+          val words = r.getSeq[String](1)
+          val pieces = words.iterator.flatMap(w =>
+            memo.getOrElseUpdate(w, viterbiWord(w, logp, maxLen))).toVector
+          Row(r.get(0), pieces, words.length.toLong, pieces.length.toLong)
+        }
+      }, outSchema)
+    enc.withColumnRenamed("__id", idCol)
+  }
+
+  /** The learned inventory as a frame: (piece, logp, is_char) in
+    * (logp desc, piece asc) order — the persistable artifact. */
+  def unigramFrame(spark: org.apache.spark.sql.SparkSession,
+      model: UnigramModel): DataFrame = {
+    val rows = model.pieces
+      .sortBy { case (p, l) => (-l, p) }
+      .map { case (p, l) => Row(p, l, p.length == 1) }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("piece", StringType, nullable = false),
+        StructField("logp", DoubleType, nullable = false),
+        StructField("is_char", BooleanType, nullable = false))))
+  }
 }

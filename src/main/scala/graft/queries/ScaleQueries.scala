@@ -82,6 +82,17 @@ object ScaleQueries {
       .getOrElseUpdate(s"$dir|$numMerges",
         Vocab.learnBpe(t(s, dir, "documents"), "text", numMerges))
 
+  /** One unigram model per (session, sf dir) — q99/q99c share it, same
+    * rationale as [[bpeFor]]. */
+  private val uniCache = new java.util.WeakHashMap[SparkSession,
+    scala.collection.concurrent.TrieMap[String, Vocab.UnigramModel]]()
+
+  private def uniFor(s: SparkSession, dir: String,
+      vocabSize: Int): Vocab.UnigramModel =
+    perSessionEntry(uniCache, s)(scala.collection.concurrent.TrieMap.empty)
+      .getOrElseUpdate(s"$dir|$vocabSize",
+        Vocab.learnUnigram(t(s, dir, "documents"), "text", vocabSize))
+
   /** One materialized fuzzy-pair frame per (session, sf dir) — q94
     * renders it, q95 chains components from it; without the cache the
     * clustering query re-pays the whole blocking + verify pipeline.
@@ -402,6 +413,37 @@ object ScaleQueries {
     "q83_intradoc_dedup" -> ((s, dir) =>
       Dedup.intraDocDedup(t(s, dir, "documents"), "doc_id", "text",
         chunkTokens = 20).orderBy("doc_id")),
+
+    // unigram-LM (SentencePiece Unigram) vocabulary learning — the
+    // second dominant tokenizer family beside BPE: seed substrings →
+    // EM (forward–backward expected counts) → prune-and-re-EM.
+    // Rows-only (the EM loop is not SQL-expressible); UnigramSpec pins
+    // a hand-computed EM step, pruning determinism, and round-trips.
+    "q99_unigram_vocab" -> ((s, dir) =>
+      Vocab.unigramFrame(s, uniFor(s, dir, vocabSize = 256))
+        .select(col("piece"), round(col("logp"), 6).as("logp"),
+          col("is_char"))
+        .orderBy(desc("logp"), col("piece"))),
+
+    // unigram AUDIT twin: the frequency-weighted substring counts the
+    // seed inventory is drawn from, as a declarative frame — anchors
+    // the trainer's decision input cross-engine (the q81b pattern)
+    "q99b_unigram_seed_counts" -> ((s, dir) =>
+      Vocab.pieceCountsFrame(t(s, dir, "documents"), "text",
+        maxPieceLen = 8)
+        .orderBy(desc("cnt"), col("piece"))
+        .limit(100)
+        .orderBy(desc("cnt"), col("piece"))),
+
+    // Viterbi encode under the corpus-trained unigram model: map-side,
+    // broadcast pieces, per-partition word memo. Rows-only; UnigramSpec
+    // pins round-trip and count bounds.
+    "q99c_unigram_encode" -> ((s, dir) =>
+      Vocab.encodeUnigram(t(s, dir, "documents"), "doc_id", "text",
+        uniFor(s, dir, vocabSize = 256))
+        .select(col("doc_id"), col("n_ws_tokens"), col("n_pieces"),
+          concat_ws(",", slice(col("uni_pieces"), 1, 8)).as("pieces_head"))
+        .orderBy("doc_id")),
 
     // BPE vocabulary learning: corpus word counts (the one shuffle) →
     // driver merge loop over the frequency dict → persistable merge
@@ -1828,6 +1870,26 @@ object ScaleQueries {
          ORDER BY e.vec_id""",
     "q73c_semantic_cells_oracle" -> q73cSql,
     "q76b_cluster_sample_oracle" -> q76bSql,
+    // frequency-weighted substring counts (unigram tokenizer seed
+    // statistic): every substring of length 1..8 of every corpus word,
+    // counts weighted by word frequency, with multiplicity
+    "q99b_unigram_seed_counts" ->
+      """WITH wc AS (SELECT tok AS word, CAST(count(*) AS BIGINT) AS cnt
+                     FROM (SELECT unnest(list_filter(
+                             string_split(coalesce(text, ''), ' '),
+                             t -> length(t) > 0)) AS tok
+                           FROM documents)
+                     GROUP BY tok),
+           subs AS (SELECT substr(word, i, l) AS piece, cnt
+                    FROM (SELECT word, cnt,
+                                 unnest(range(1, length(word) + 1)) AS i
+                          FROM wc),
+                         (SELECT unnest(range(1, 9)) AS l) L
+                    WHERE i + l - 1 <= length(word)),
+           agg AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS cnt
+                   FROM subs GROUP BY piece)
+         SELECT piece, cnt FROM agg
+         ORDER BY cnt DESC, piece LIMIT 100""",
     // Brute-force ground truth for the winnowing-anchor substring
     // dedup: every maximal per-diagonal run of matching token
     // positions >= 20 across doc pairs (a < b), scrubbed from b.
@@ -2038,7 +2100,8 @@ object ScaleQueries {
     "q96_profile" -> graft.ops.Profile.tableProfileSql("documents",
       Seq("doc_id", "text", "lang", "source", "n_chars")),
     "q96b_profile_approx" -> graft.ops.Profile.tableProfileApproxSql(
-      "documents", Seq("doc_id", "text", "lang", "source", "n_chars")),
+      "documents", Seq("doc_id", "text", "lang", "source", "n_chars"),
+      numericCols = Set("doc_id", "n_chars")),
     "q98_heavy_hitters" ->
       """WITH tok AS (SELECT unnest(list_filter(
                         string_split(coalesce(text, ''), ' '),

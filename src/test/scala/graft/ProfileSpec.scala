@@ -91,6 +91,55 @@ class ProfileSpec extends AnyFunSuite {
     }
   }
 
+  test("numeric quantiles: audit anchors match an in-JVM reference, " +
+    "bound flags hold, non-numeric columns carry nulls") {
+    val rnd = new scala.util.Random(31)
+    (1 to 4).foreach { trial =>
+      val n = 120 + rnd.nextInt(80) // n >= 100: the bound contract
+      val vals = Vector.fill(n)(rnd.nextInt(1000).toLong)
+      val df = vals.zipWithIndex
+        .map { case (v, i) => (i.toLong, v, s"s$v") }
+        .toDF("id", "x", "s")
+      val audit = Profile
+        .tableProfileApprox(df, Seq("x", "s"), auditBounds = true)
+        .collect().map(r => r.getString(0) -> r).toMap
+      val x = audit("x")
+      assert(x.getAs[Boolean]("p50_ok") && x.getAs[Boolean]("p95_ok"),
+        s"trial $trial bound flags")
+      // type-7 interpolated quantile, rounded like the operator
+      def ref(q: Double): Double = {
+        val s = vals.sorted
+        val pos = q * (n - 1)
+        val lo = math.floor(pos).toInt
+        val hi = math.ceil(pos).toInt
+        val frac = pos - lo
+        s(lo) + frac * (s(hi) - s(lo))
+      }
+      def r4(d: Double) = BigDecimal(d)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(x.getAs[Double]("p50") - r4(ref(0.5))) < 1e-9,
+        s"trial $trial p50")
+      assert(math.abs(x.getAs[Double]("p95") - r4(ref(0.95))) < 1e-9,
+        s"trial $trial p95")
+      // non-numeric: null quantiles, vacuously-true flags
+      val sCol = audit("s")
+      assert(sCol.isNullAt(sCol.fieldIndex("p50")) &&
+        sCol.getAs[Boolean]("p50_ok"), s"trial $trial non-numeric")
+
+      // fast path: sketch estimate within one order statistic of the
+      // target rank (tiny n → the sketch is effectively exact)
+      val fast = Profile.tableProfileApprox(df, Seq("x"))
+        .collect().head
+      val sorted = vals.sorted
+      def near(v: Double, q: Double): Boolean = {
+        val r = math.ceil(q * n).toInt
+        v >= sorted(math.max(0, r - 2)) && v <= sorted(math.min(n - 1, r))
+      }
+      assert(near(fast.getAs[Double]("p50_approx"), 0.5), s"trial $trial")
+      assert(near(fast.getAs[Double]("p95_approx"), 0.95), s"trial $trial")
+    }
+  }
+
   test("profile of the documents table matches direct aggregates") {
     val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001",
       "documents")

@@ -1,0 +1,90 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Vocab
+
+/** Unigram-LM tokenizer: hand-computed EM arithmetic, deterministic
+  * pruning, dominance of planted pieces, Viterbi round-trips, unk
+  * handling.
+  */
+class UnigramSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  test("one EM round matches the hand-computed forward-backward step") {
+    // dict {"aa": 1}, pieces {a, aa}: seed counts a=2, aa=1 → initial
+    // probs (2/3, 1/3). Segmentations of "aa": [a,a] mass 4/9, [aa]
+    // mass 1/3, Z = 7/9. Expected counts: E[a] = 2·(4/9)/(7/9) = 8/7,
+    // E[aa] = (1/3)/(7/9) = 3/7 → normalized (8/11, 3/11).
+    val m = Vocab.learnUnigramFromDict(Array(("aa", 1L)), vocabSize = 2,
+      maxPieceLen = 2, seedSize = 10, emIters = 1, pruneFrac = 0.25)
+    assert(m.pieces.map(_._1).sorted === Vector("a", "aa"))
+    assert(math.abs(m.logp("a") - math.log(8.0 / 11)) < 1e-12)
+    assert(math.abs(m.logp("aa") - math.log(3.0 / 11)) < 1e-12)
+  }
+
+  test("pruning removes the multi-char piece, never the characters") {
+    val m = Vocab.learnUnigramFromDict(Array(("aa", 1L)), vocabSize = 1,
+      maxPieceLen = 2, seedSize = 10, emIters = 1, pruneFrac = 0.25)
+    assert(m.pieces.map(_._1) === Vector("a"))
+  }
+
+  test("training is deterministic (bit-identical reruns)") {
+    val dict = Array(("xyxyxy", 20L), ("xyq", 5L), ("rr", 3L))
+    val a = Vocab.learnUnigramFromDict(dict, vocabSize = 6,
+      maxPieceLen = 3, seedSize = 32, emIters = 2, pruneFrac = 0.25)
+    val b = Vocab.learnUnigramFromDict(dict, vocabSize = 6,
+      maxPieceLen = 3, seedSize = 32, emIters = 2, pruneFrac = 0.25)
+    assert(a.pieces === b.pieces, "pieces and probs bit-identical")
+  }
+
+  test("a planted dominant bigram survives pruning and wins Viterbi") {
+    // chars {x, y, q, r}; one multi-char slot above them → must be "xy"
+    val dict = Array(("xyxyxy", 50L), ("q", 5L), ("r", 3L))
+    val m = Vocab.learnUnigramFromDict(dict, vocabSize = 5,
+      maxPieceLen = 2, seedSize = 64, emIters = 2, pruneFrac = 0.25)
+    assert(m.pieces.map(_._1).contains("xy"), m.pieces.map(_._1))
+    val df = Seq((1L, "xyxyxy")).toDF("doc_id", "text")
+    val enc = Vocab.encodeUnigram(df, "doc_id", "text", m).collect().head
+    assert(enc.getSeq[String](1) === Seq("xy", "xy", "xy"))
+  }
+
+  test("corpus-trained encode round-trips and handles unknowns") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox again and again and again"),
+      (3L, "pack my box with five dozen liquor jugs"),
+      (4L, "the the the quick quick brown"))
+    val df = docs.toDF("doc_id", "text")
+    val m = Vocab.learnUnigram(df, "text", vocabSize = 40,
+      maxPieceLen = 4, seedSize = 256, emIters = 2)
+    // every trained word reassembles exactly from its pieces
+    val enc = Vocab.encodeUnigram(df, "doc_id", "text", m).collect()
+    val originals = docs.toMap
+    enc.foreach { r =>
+      val rebuilt = r.getSeq[String](1).mkString("")
+      assert(rebuilt === originals(r.getLong(0)).replace(" ", ""))
+      assert(r.getLong(3) >= r.getLong(2),
+        "pieces at least one per word")
+    }
+    // unseen character ('7' never occurs in training) → unk piece,
+    // everything else still segments
+    val unk = Vocab.encodeUnigram(
+      Seq((9L, "the d7g")).toDF("doc_id", "text"),
+      "doc_id", "text", m).collect().head
+    assert(unk.getSeq[String](1).contains(Vocab.UnkToken))
+    assert(unk.getSeq[String](1).head === "the")
+  }
+
+  test("pieceCountsFrame counts substrings with multiplicity") {
+    val df = Seq((1L, "aba aba"), (2L, "aba")).toDF("doc_id", "text")
+    // word "aba" has corpus count 3; substrings per occurrence:
+    // a(2), b(1), ab(1), ba(1), aba(1)
+    val got = Vocab.pieceCountsFrame(df, "text", maxPieceLen = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("a" -> 6L, "b" -> 3L, "ab" -> 3L, "ba" -> 3L,
+      "aba" -> 3L))
+  }
+}
