@@ -73,7 +73,10 @@ object Bench {
     "q96b_profile_approx",
     "q97_cdc_dedup",
     "q98_heavy_hitters",
-    "q59b_decontaminate_bloom")
+    "q59b_decontaminate_bloom",
+    // round 10: substring-grain dedup + unigram tokenizer encode
+    "q100b_substr_spans",
+    "q99c_unigram_encode")
 
   /** Queries whose r6→r7 numbers moved 2–6× with no code change — the
     * self-join/ANN family is short (<3 s warm) so a single co-tenant

@@ -409,8 +409,10 @@ object Similarity {
     * paths keep [[cellAssign]]. The centroid collect is nLists rows —
     * metadata-sized by contract.
     */
-  private def cellAssignAuditable(base: DataFrame,
-      nLists: Int): DataFrame = {
+  /** The md5-seeded replayable centroids themselves (nLists-row driver
+    * collect — metadata-sized by contract). */
+  private def auditableCenters(base: DataFrame,
+      nLists: Int): Array[Array[Double]] = {
     val spark = base.sparkSession
     import spark.implicits._
     val centers = base
@@ -419,11 +421,57 @@ object Similarity {
       .select(col("vhat")).as[Seq[Double]].collect()
       .map(_.toArray)
     require(centers.length == nLists,
-      s"cellAssignAuditable: corpus has ${centers.length} usable " +
+      s"auditableCenters: corpus has ${centers.length} usable " +
         s"vectors < nLists ($nLists)")
+    centers
+  }
+
+  private def cellAssignAuditable(base: DataFrame,
+      nLists: Int): DataFrame = {
+    val centers = auditableCenters(base, nLists)
     base.select(col("id"), col("vhat"),
       element_at(graft.functions.GraftFunctions.pqEncode(col("vhat"),
         Array(centers)), 1).as("cell"))
+  }
+
+  /** Audit twin of [[ivfTopK]] over the md5-seeded replayable
+    * quantizer: coarse cells, query-to-cell probe ranking, the
+    * cell-equi-join candidate scan, and the bounded-heap top-k are all
+    * oracle-checked cross-engine (the q30b inline-constants idea, with
+    * data-row centroids instead of literal hyperplanes); only the
+    * adaptive Lloyd's fit stays rows-only (in q30c). Distances use the
+    * same sequential-fold arithmetic as cell assignment so both
+    * engines rank probes identically.
+    */
+  def ivfTopKAuditable(df: DataFrame, idCol: String, vecCol: String,
+      nQueries: Int = 10, k: Int = 5, nLists: Int = 16,
+      nProbe: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val all = unitVectors(df, idCol, vecCol)
+    val corpus = all.filter(col("id") >= nQueries)
+    val centers = auditableCenters(corpus, nLists)
+    val assigned = corpus.select(col("id").as("cid"),
+      col("vhat").as("chat"),
+      element_at(graft.functions.GraftFunctions.pqEncode(col("vhat"),
+        Array(centers)), 1).as("cell"))
+    val centroids = centers.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "centroid")
+    // sequential-fold Σ(q−c)² — term-for-term the PqEncodeExpr loop
+    val probes = all.filter(col("id") < nQueries)
+      .select(col("id").as("qid"), col("vhat").as("qhat"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("__d", aggregate(
+        zip_with(col("qhat"), col("centroid"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x))
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("__d").asc, col("cell").asc)))
+      .filter(col("__rn") <= nProbe)
+      .select("qid", "qhat", "cell")
+    val sims = assigned.join(broadcast(probes), "cell")
+      .withColumn("sim", dot(col("qhat"), col("chat")))
+    topKPerQuery(sims, k)
   }
 
   /** Audit twin of [[semanticDedup]] (same cells→within-cell-pairs→

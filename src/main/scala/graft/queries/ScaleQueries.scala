@@ -174,6 +174,13 @@ object ScaleQueries {
       Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
         nQueries = 10, k = 5, nLists = 16, nProbe = 4)),
 
+    // IVF AUDIT twin: same cells→probe-ranking→cell-join→top-k
+    // machinery over the md5-seeded replayable quantizer — every IVF
+    // stage oracle-checked; only the Lloyd's fit stays rows-only (q30c)
+    "q30d_ivf_oracle" -> ((s, dir) =>
+      Similarity.ivfTopKAuditable(t(s, dir, "embeddings"), "vec_id",
+        "embedding", nQueries = 10, k = 5, nLists = 16, nProbe = 4)),
+
     // embedding-cosine near-dup pairs over a bounded slice
     "q31_cosine_neardup" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id",
@@ -1184,6 +1191,54 @@ object ScaleQueries {
                           ORDER BY d ASC, cell ASC) AS rn
                  FROM dist) WHERE rn = 1)"""
 
+  /** Generated DuckDB twin of the q30d IVF search: corpus-only
+    * replayable centroids, query probe ranking by the same
+    * sequential-fold squared distance, cell-equi-join candidate scan,
+    * (sim desc, cid) top-k — the full IVF pipeline minus the adaptive
+    * fit. */
+  private val q30dSql: String =
+    s"""WITH raw AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+                     FROM embeddings),
+         nr AS (SELECT id, v,
+                       sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+                FROM raw),
+         all_u AS (SELECT id, list_transform(v, x -> x / nrm) AS vhat
+                   FROM nr WHERE nrm > 0),
+         corp AS (SELECT id, vhat FROM all_u WHERE id >= 10),
+         ctr AS (SELECT vhat AS cv,
+                        row_number() OVER (ORDER BY md5('c:' || CAST(id AS VARCHAR)), id) - 1 AS cell
+                 FROM corp
+                 ORDER BY md5('c:' || CAST(id AS VARCHAR)), id LIMIT 16),
+         dist AS (SELECT c.id, c.vhat, t.cell,
+                         list_sum(list_transform(range(1, 65),
+                           i -> (c.vhat[i] - t.cv[i]) * (c.vhat[i] - t.cv[i]))) AS d
+                  FROM corp c CROSS JOIN ctr t),
+         asg AS (SELECT id, vhat, cell FROM (
+                   SELECT id, vhat, cell,
+                          row_number() OVER (PARTITION BY id
+                            ORDER BY d ASC, cell ASC) AS rn
+                   FROM dist) WHERE rn = 1),
+         q AS (SELECT id AS qid, vhat AS qv FROM all_u WHERE id < 10),
+         qd AS (SELECT q.qid, q.qv, t.cell,
+                       list_sum(list_transform(range(1, 65),
+                         i -> (q.qv[i] - t.cv[i]) * (q.qv[i] - t.cv[i]))) AS d
+                FROM q CROSS JOIN ctr t),
+         probes AS (SELECT qid, qv, cell FROM (
+                      SELECT qid, qv, cell,
+                             row_number() OVER (PARTITION BY qid
+                               ORDER BY d ASC, cell ASC) AS rn
+                      FROM qd) WHERE rn <= 4),
+         s AS (SELECT p.qid, a.id AS cid,
+                      list_sum(list_transform(range(1, 65),
+                        i -> p.qv[i] * a.vhat[i])) AS sim
+               FROM probes p JOIN asg a USING (cell)),
+         r AS (SELECT qid, cid, sim,
+                      row_number() OVER (PARTITION BY qid
+                        ORDER BY sim DESC, cid) AS rn
+               FROM s)
+       SELECT qid, CAST(rn AS INT) AS rn, cid, round(sim, 4) AS sim
+       FROM r WHERE rn <= 5 ORDER BY qid, rn"""
+
   /** Generated DuckDB twin of the q73c clustered semantic dedup: the
     * full cells→within-cell-pairs→connected-components pipeline over
     * the replayable quantizer (recursive-CTE closure like q73). */
@@ -1868,6 +1923,7 @@ object ScaleQueries {
                 (coalesce(c.lbl, e.vec_id) = e.vec_id) AS is_rep
          FROM embeddings e LEFT JOIN cc c ON c.id = e.vec_id
          ORDER BY e.vec_id""",
+    "q30d_ivf_oracle" -> q30dSql,
     "q73c_semantic_cells_oracle" -> q73cSql,
     "q76b_cluster_sample_oracle" -> q76bSql,
     // frequency-weighted substring counts (unigram tokenizer seed
