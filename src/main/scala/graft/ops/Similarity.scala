@@ -511,6 +511,57 @@ object Similarity {
       .select(col("id").as(idCol), col("cell"))
   }
 
+  /** Audit twin of [[pqTopK]] over md5-seeded replayable sub-codebooks
+    * (codebook j = the j-th subvector slices of the same
+    * [[auditableCenters]] rows): PQ encoding (per-subspace argmin),
+    * the LUT-summed asymmetric-distance scan of the ENCODED corpus,
+    * shortlist selection, and the exact-cosine re-rank are all
+    * oracle-checked cross-engine. The ADC score is computed as an
+    * ORDERED fold (subspace 0..m−1, component-sequential inner dots)
+    * in both engines so ranks cannot diverge on FP addition order.
+    * Only the per-subspace Lloyd's fit stays rows-only (in q86).
+    */
+  def pqTopKAuditable(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int = 64, nQueries: Int = 10, k: Int = 5, m: Int = 8,
+      ks: Int = 16, rerank: Int = 32): DataFrame = {
+    require(dim % m == 0, s"m ($m) must divide dim ($dim)")
+    val dsub = dim / m
+    val all = unitVectors(df, idCol, vecCol)
+    val corpus = all.filter(col("id") >= nQueries)
+    val seedRows = auditableCenters(corpus, ks)
+    val books: Array[Array[Array[Double]]] = Array.tabulate(m)(j =>
+      seedRows.map(v =>
+        java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub)))
+    // flat codebook literal BK[(j*ks + c)*dsub + i], identical layout
+    // to the generated DuckDB twin's DOUBLE[] literal
+    val flat: Array[Double] = books.flatMap(_.flatMap(identity))
+    val bk = array(flat.map(lit): _*)
+    val codes = corpus.select(col("id").as("cid"),
+      col("vhat").as("chat"),
+      graft.functions.GraftFunctions.pqEncode(col("vhat"), books)
+        .as("codes"))
+    val queries = all.filter(col("id") < nQueries)
+      .select(col("id").as("qid"), col("vhat").as("qhat"))
+    // ADC: Σ_j Σ_i q[j·dsub+i] · BK[(j·ks + code_j)·dsub + i], both
+    // folds sequential
+    val adcSim = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+      (acc, j) => acc + aggregate(
+        transform(sequence(lit(1), lit(dsub)), i =>
+          element_at(col("qhat"), (j * dsub + i).cast("int")) *
+            element_at(bk,
+              ((j * ks + element_at(col("codes"), (j + 1).cast("int")))
+                * dsub + i).cast("int"))),
+        lit(0.0), (a, x) => a + x))
+    val adc = codes.join(broadcast(queries)).withColumn("sim", adcSim)
+    val shortlist = topKPerQuery(adc, rerank).select("qid", "cid")
+    val rescored = corpus.select(col("id").as("cid"),
+      col("vhat").as("chat"))
+      .join(broadcast(shortlist), "cid")
+      .join(broadcast(queries.select(col("qid"), col("qhat"))), "qid")
+      .withColumn("sim", dot(col("qhat"), col("chat")))
+    topKPerQuery(rescored, k)
+  }
+
   // ---- product quantization (PQ) — compressed-domain ANN ----
 
   // Product quantization follows Jégou, Douze & Schmid, "Product

@@ -242,6 +242,15 @@ object ScaleQueries {
       Similarity.pqTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
         dim = 64, nQueries = 10, k = 5)),
 
+    // PQ AUDIT twin: encode→ADC-scan→shortlist→exact-re-rank over
+    // md5-seeded replayable sub-codebooks, every stage oracle-checked
+    // (ordered ADC folds both engines); only the per-subspace Lloyd's
+    // fit stays rows-only (in q86)
+    "q86b_pq_oracle" -> ((s, dir) =>
+      Similarity.pqTopKAuditable(t(s, dir, "embeddings"), "vec_id",
+        "embedding", dim = 64, nQueries = 10, k = 5, m = 8, ks = 16,
+        rerank = 32)),
+
     // IVF-PQ: the COMPOSED billion-scale ANN layout (FAISS IVFADC) —
     // coarse cells + residual PQ codes; a query scans ~nProbe/nLists of
     // the corpus and only ever reads cell+codes (no float vectors),
@@ -1239,6 +1248,66 @@ object ScaleQueries {
        SELECT qid, CAST(rn AS INT) AS rn, cid, round(sim, 4) AS sim
        FROM r WHERE rn <= 5 ORDER BY qid, rn"""
 
+  /** Generated DuckDB twin of the q86b PQ search: the md5-seeded rows'
+    * subvector slices ARE the sub-codebooks (reconstructed in SQL, no
+    * literals), per-subspace argmin encoding, ordered-fold ADC scan of
+    * the encoded corpus, (sim desc, cid) shortlist, exact-cosine
+    * re-rank. BK layout matches the Spark twin: codebook j, code c,
+    * component i ↦ seed row c's vhat[j·dsub+i]. */
+  private val q86bSql: String =
+    s"""WITH raw AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+                     FROM embeddings),
+         nr AS (SELECT id, v,
+                       sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+                FROM raw),
+         all_u AS (SELECT id, list_transform(v, x -> x / nrm) AS vhat
+                   FROM nr WHERE nrm > 0),
+         corp AS (SELECT id, vhat FROM all_u WHERE id >= 10),
+         ctr AS (SELECT vhat AS cv,
+                        row_number() OVER (ORDER BY md5('c:' || CAST(id AS VARCHAR)), id) - 1 AS cell
+                 FROM corp
+                 ORDER BY md5('c:' || CAST(id AS VARCHAR)), id LIMIT 16),
+         cb AS (SELECT list(cv ORDER BY cell) AS b FROM ctr),
+         sub AS (SELECT c.id, jj.j, t.cell,
+                        list_sum(list_transform(range(1, 9),
+                          i -> (c.vhat[jj.j * 8 + i] - t.cv[jj.j * 8 + i])
+                             * (c.vhat[jj.j * 8 + i] - t.cv[jj.j * 8 + i]))) AS d
+                 FROM corp c,
+                      (SELECT unnest(range(0, 8)) AS j) jj,
+                      ctr t),
+         codes AS (SELECT id, j, cell AS code FROM (
+                     SELECT id, j, cell,
+                            row_number() OVER (PARTITION BY id, j
+                              ORDER BY d ASC, cell ASC) AS rn
+                     FROM sub) WHERE rn = 1),
+         ca AS (SELECT id, list(code ORDER BY j) AS codes
+                FROM codes GROUP BY id),
+         q AS (SELECT id AS qid, vhat AS qv FROM all_u WHERE id < 10),
+         adc AS (SELECT q.qid, ca.id AS cid,
+                        list_sum(list_transform(range(0, 8), j ->
+                          list_sum(list_transform(range(1, 9), i ->
+                            q.qv[j * 8 + i] *
+                              (cb.b)[ca.codes[j + 1] + 1][j * 8 + i]))))
+                          AS sim
+                 FROM q CROSS JOIN ca CROSS JOIN cb),
+         short AS (SELECT qid, cid FROM (
+                     SELECT qid, cid,
+                            row_number() OVER (PARTITION BY qid
+                              ORDER BY sim DESC, cid) AS rn
+                     FROM adc) WHERE rn <= 32),
+         ex AS (SELECT s.qid, s.cid,
+                       list_sum(list_transform(range(1, 65),
+                         i -> q.qv[i] * c.vhat[i])) AS sim
+                FROM short s
+                JOIN q ON q.qid = s.qid
+                JOIN corp c ON c.id = s.cid),
+         r AS (SELECT qid, cid, sim,
+                      row_number() OVER (PARTITION BY qid
+                        ORDER BY sim DESC, cid) AS rn
+               FROM ex)
+       SELECT qid, CAST(rn AS INT) AS rn, cid, round(sim, 4) AS sim
+       FROM r WHERE rn <= 5 ORDER BY qid, rn"""
+
   /** Generated DuckDB twin of the q73c clustered semantic dedup: the
     * full cells→within-cell-pairs→connected-components pipeline over
     * the replayable quantizer (recursive-CTE closure like q73). */
@@ -1924,6 +1993,7 @@ object ScaleQueries {
          FROM embeddings e LEFT JOIN cc c ON c.id = e.vec_id
          ORDER BY e.vec_id""",
     "q30d_ivf_oracle" -> q30dSql,
+    "q86b_pq_oracle" -> q86bSql,
     "q73c_semantic_cells_oracle" -> q73cSql,
     "q76b_cluster_sample_oracle" -> q76bSql,
     // frequency-weighted substring counts (unigram tokenizer seed
