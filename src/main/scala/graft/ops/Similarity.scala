@@ -410,13 +410,15 @@ object Similarity {
     * metadata-sized by contract.
     */
   /** The md5-seeded replayable centroids themselves (nLists-row driver
-    * collect — metadata-sized by contract). */
-  private def auditableCenters(base: DataFrame,
-      nLists: Int): Array[Array[Double]] = {
+    * collect — metadata-sized by contract). `salt` picks an independent
+    * seed set (the residual-codebook rows must differ from the coarse
+    * centers — a coarse center's own residual is the zero vector). */
+  private def auditableCenters(base: DataFrame, nLists: Int,
+      salt: String = "c:"): Array[Array[Double]] = {
     val spark = base.sparkSession
     import spark.implicits._
     val centers = base
-      .orderBy(md5(concat(lit("c:"), col("id").cast("string"))), col("id"))
+      .orderBy(md5(concat(lit(salt), col("id").cast("string"))), col("id"))
       .limit(nLists)
       .select(col("vhat")).as[Seq[Double]].collect()
       .map(_.toArray)
@@ -424,6 +426,26 @@ object Similarity {
       s"auditableCenters: corpus has ${centers.length} usable " +
         s"vectors < nLists ($nLists)")
     centers
+  }
+
+  /** Nearest center by the [[graft.functions.PqEncodeExpr]] arithmetic
+    * (sequential Σ(v−c)², strict-<, lowest index on ties) — driver-side
+    * form for metadata-sized inputs. */
+  private def nearestCenter(v: Array[Double],
+      centers: Array[Array[Double]]): Int = {
+    var best = 0
+    var bd = Double.MaxValue
+    var c = 0
+    while (c < centers.length) {
+      var d = 0.0
+      var i = 0
+      while (i < v.length) {
+        val t = v(i) - centers(c)(i); d += t * t; i += 1
+      }
+      if (d < bd) { bd = d; best = c }
+      c += 1
+    }
+    best
   }
 
   private def cellAssignAuditable(base: DataFrame,
@@ -559,6 +581,91 @@ object Similarity {
       .join(broadcast(shortlist), "cid")
       .join(broadcast(queries.select(col("qid"), col("qhat"))), "qid")
       .withColumn("sim", dot(col("qhat"), col("chat")))
+    topKPerQuery(rescored, k)
+  }
+
+  /** Audit twin of [[ivfPqTopK]] — the composed IVFADC layout with
+    * BOTH quantizers replayable: coarse cells from the "c:"-salted
+    * seed rows ([[auditableCenters]]), residual sub-codebooks from the
+    * residuals of an INDEPENDENT "p:"-salted seed set (a coarse
+    * center's own residual is zero — a distinct set keeps the
+    * codebooks meaningful). Cell assignment, residual encoding, the
+    * probe ranking with its carried q·c_cell constant, the
+    * compressed-domain ADC scan (ordered folds, like [[
+    * pqTopKAuditable]]), shortlist, and exact re-rank are all
+    * oracle-checked; only the Lloyd's fits stay rows-only (in q88).
+    */
+  def ivfPqTopKAuditable(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int = 64, nQueries: Int = 10, k: Int = 5, nLists: Int = 16,
+      nProbe: Int = 4, m: Int = 8, ks: Int = 16,
+      rerank: Int = 32): DataFrame = {
+    require(dim % m == 0, s"m ($m) must divide dim ($dim)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dsub = dim / m
+    val all = unitVectors(df, idCol, vecCol)
+    val corpus = all.filter(col("id") >= nQueries)
+    val centers = auditableCenters(corpus, nLists)
+    // residual codebooks: the "p:"-seeded rows' residuals vs THEIR
+    // nearest coarse center, sliced per subspace (driver-side — same
+    // arithmetic as the distributed assignment)
+    val seed2 = auditableCenters(corpus, ks, salt = "p:")
+    val resRows: Array[Array[Double]] = seed2.map { v =>
+      val c = centers(nearestCenter(v, centers))
+      Array.tabulate(dim)(i => v(i) - c(i))
+    }
+    val books: Array[Array[Array[Double]]] = Array.tabulate(m)(j =>
+      resRows.map(v =>
+        java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub)))
+    val flat: Array[Double] = books.flatMap(_.flatMap(identity))
+    val bk = array(flat.map(lit): _*)
+
+    val centroids = centers.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "centroid")
+    val codes = corpus
+      .withColumn("cell",
+        element_at(graft.functions.GraftFunctions.pqEncode(col("vhat"),
+          Array(centers)), 1))
+      .join(broadcast(centroids), "cell")
+      .withColumn("codes", graft.functions.GraftFunctions.pqEncode(
+        zip_with(col("vhat"), col("centroid"), (x, c) => x - c), books))
+      .select(col("id").as("cid"), col("vhat").as("chat"), col("cell"),
+        col("codes"))
+
+    // probe ranking: sequential Σ(q−c)² + the carried q·c constant
+    val probes = all.filter(col("id") < nQueries)
+      .select(col("id").as("qid"), col("vhat").as("qhat"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("__d", aggregate(
+        zip_with(col("qhat"), col("centroid"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x))
+      .withColumn("qdotc", dot(col("qhat"), col("centroid")))
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("__d").asc, col("cell").asc)))
+      .filter(col("__rn") <= nProbe)
+      .select("qid", "qhat", "cell", "qdotc")
+
+    // ADC on probed cells only: q·c_cell + Σ_j Σ_i q[j·dsub+i] ·
+    // BK[(j·ks + code_j)·dsub + i], ordered folds
+    val lutSum = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+      (acc, j) => acc + aggregate(
+        transform(sequence(lit(1), lit(dsub)), i =>
+          element_at(col("qhat"), (j * dsub + i).cast("int")) *
+            element_at(bk,
+              ((j * ks + element_at(col("codes"), (j + 1).cast("int")))
+                * dsub + i).cast("int"))),
+        lit(0.0), (a, x) => a + x))
+    val adc = codes.join(broadcast(probes), "cell")
+      .withColumn("sim", col("qdotc") + lutSum)
+    val shortlist = topKPerQuery(adc, rerank).select("qid", "cid")
+    val queries = all.filter(col("id") < nQueries)
+      .select(col("id").as("qid"), col("vhat").as("qv"))
+    val rescored = corpus.select(col("id").as("cid"),
+      col("vhat").as("chat"))
+      .join(broadcast(shortlist), "cid")
+      .join(broadcast(queries), "qid")
+      .withColumn("sim", dot(col("qv"), col("chat")))
     topKPerQuery(rescored, k)
   }
 

@@ -251,6 +251,17 @@ object ScaleQueries {
         "embedding", dim = 64, nQueries = 10, k = 5, m = 8, ks = 16,
         rerank = 32)),
 
+    // IVF-PQ AUDIT twin (completes the ANN family): both quantizers
+    // replayable — coarse cells from 'c:'-seeded rows, residual
+    // sub-codebooks from 'p:'-seeded rows' residuals; assignment,
+    // residual encode, probe ranking with the carried q·c_cell
+    // constant, compressed-domain ADC, and exact re-rank all
+    // oracle-checked; only the Lloyd's fits stay rows-only (in q88)
+    "q88b_ivfpq_oracle" -> ((s, dir) =>
+      Similarity.ivfPqTopKAuditable(t(s, dir, "embeddings"), "vec_id",
+        "embedding", dim = 64, nQueries = 10, k = 5, nLists = 16,
+        nProbe = 4, m = 8, ks = 16, rerank = 32)),
+
     // IVF-PQ: the COMPOSED billion-scale ANN layout (FAISS IVFADC) —
     // coarse cells + residual PQ codes; a query scans ~nProbe/nLists of
     // the corpus and only ever reads cell+codes (no float vectors),
@@ -1308,6 +1319,107 @@ object ScaleQueries {
        SELECT qid, CAST(rn AS INT) AS rn, cid, round(sim, 4) AS sim
        FROM r WHERE rn <= 5 ORDER BY qid, rn"""
 
+  /** Generated DuckDB twin of the q88b IVF-PQ search: coarse cells
+    * from the 'c:'-seeded rows, residual sub-codebooks from the
+    * 'p:'-seeded rows' residuals, per-subspace residual encoding,
+    * probe ranking carrying the exact q·c_cell constant, ordered-fold
+    * ADC over probed cells only, exact-cosine re-rank. */
+  private val q88bSql: String =
+    s"""WITH raw AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+                     FROM embeddings),
+         nr AS (SELECT id, v,
+                       sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+                FROM raw),
+         all_u AS (SELECT id, list_transform(v, x -> x / nrm) AS vhat
+                   FROM nr WHERE nrm > 0),
+         corp AS (SELECT id, vhat FROM all_u WHERE id >= 10),
+         ctr AS (SELECT vhat AS cv,
+                        row_number() OVER (ORDER BY md5('c:' || CAST(id AS VARCHAR)), id) - 1 AS cell
+                 FROM corp
+                 ORDER BY md5('c:' || CAST(id AS VARCHAR)), id LIMIT 16),
+         dist AS (SELECT c.id, c.vhat, t.cell,
+                         list_sum(list_transform(range(1, 65),
+                           i -> (c.vhat[i] - t.cv[i]) * (c.vhat[i] - t.cv[i]))) AS d
+                  FROM corp c CROSS JOIN ctr t),
+         asg AS (SELECT id, vhat, cell FROM (
+                   SELECT id, vhat, cell,
+                          row_number() OVER (PARTITION BY id
+                            ORDER BY d ASC, cell ASC) AS rn
+                   FROM dist) WHERE rn = 1),
+         ctr2 AS (SELECT vhat AS pv,
+                         row_number() OVER (ORDER BY md5('p:' || CAST(id AS VARCHAR)), id) - 1 AS pidx
+                  FROM corp
+                  ORDER BY md5('p:' || CAST(id AS VARCHAR)), id LIMIT 16),
+         d2 AS (SELECT p.pidx, p.pv, t.cell,
+                       list_sum(list_transform(range(1, 65),
+                         i -> (p.pv[i] - t.cv[i]) * (p.pv[i] - t.cv[i]))) AS d
+                FROM ctr2 p CROSS JOIN ctr t),
+         pc AS (SELECT pidx, pv, cell FROM (
+                  SELECT pidx, pv, cell,
+                         row_number() OVER (PARTITION BY pidx
+                           ORDER BY d ASC, cell ASC) AS rn
+                  FROM d2) WHERE rn = 1),
+         pres AS (SELECT pc.pidx,
+                         list_transform(range(1, 65),
+                           i -> pc.pv[i] - t.cv[i]) AS rv
+                  FROM pc JOIN ctr t USING (cell)),
+         rb AS (SELECT list(rv ORDER BY pidx) AS b FROM pres),
+         resid AS (SELECT a.id, a.cell,
+                          list_transform(range(1, 65),
+                            i -> a.vhat[i] - t.cv[i]) AS rv
+                   FROM asg a JOIN ctr t USING (cell)),
+         sub AS (SELECT r.id, jj.j, p.pidx,
+                        list_sum(list_transform(range(1, 9),
+                          i -> (r.rv[jj.j * 8 + i] - p.rv[jj.j * 8 + i])
+                             * (r.rv[jj.j * 8 + i] - p.rv[jj.j * 8 + i]))) AS d
+                 FROM resid r,
+                      (SELECT unnest(range(0, 8)) AS j) jj,
+                      pres p),
+         codes AS (SELECT id, j, pidx AS code FROM (
+                     SELECT id, j, pidx,
+                            row_number() OVER (PARTITION BY id, j
+                              ORDER BY d ASC, pidx ASC) AS rn
+                     FROM sub) WHERE rn = 1),
+         ca AS (SELECT c.id, a.cell, list(c.code ORDER BY c.j) AS codes
+                FROM codes c JOIN asg a USING (id)
+                GROUP BY c.id, a.cell),
+         q AS (SELECT id AS qid, vhat AS qv FROM all_u WHERE id < 10),
+         qd AS (SELECT q.qid, q.qv, t.cell,
+                       list_sum(list_transform(range(1, 65),
+                         i -> (q.qv[i] - t.cv[i]) * (q.qv[i] - t.cv[i]))) AS d,
+                       list_sum(list_transform(range(1, 65),
+                         i -> q.qv[i] * t.cv[i])) AS qdotc
+                FROM q CROSS JOIN ctr t),
+         probes AS (SELECT qid, qv, cell, qdotc FROM (
+                      SELECT qid, qv, cell, qdotc,
+                             row_number() OVER (PARTITION BY qid
+                               ORDER BY d ASC, cell ASC) AS rn
+                      FROM qd) WHERE rn <= 4),
+         adc AS (SELECT p.qid, c.id AS cid,
+                        p.qdotc + list_sum(list_transform(range(0, 8), j ->
+                          list_sum(list_transform(range(1, 9), i ->
+                            p.qv[j * 8 + i] *
+                              (rb.b)[c.codes[j + 1] + 1][j * 8 + i]))))
+                          AS sim
+                 FROM probes p JOIN ca c USING (cell) CROSS JOIN rb),
+         short AS (SELECT qid, cid FROM (
+                     SELECT qid, cid,
+                            row_number() OVER (PARTITION BY qid
+                              ORDER BY sim DESC, cid) AS rn
+                     FROM adc) WHERE rn <= 32),
+         ex AS (SELECT s.qid, s.cid,
+                       list_sum(list_transform(range(1, 65),
+                         i -> q.qv[i] * c.vhat[i])) AS sim
+                FROM short s
+                JOIN q ON q.qid = s.qid
+                JOIN corp c ON c.id = s.cid),
+         r AS (SELECT qid, cid, sim,
+                      row_number() OVER (PARTITION BY qid
+                        ORDER BY sim DESC, cid) AS rn
+               FROM ex)
+       SELECT qid, CAST(rn AS INT) AS rn, cid, round(sim, 4) AS sim
+       FROM r WHERE rn <= 5 ORDER BY qid, rn"""
+
   /** Generated DuckDB twin of the q73c clustered semantic dedup: the
     * full cells→within-cell-pairs→connected-components pipeline over
     * the replayable quantizer (recursive-CTE closure like q73). */
@@ -1994,6 +2106,7 @@ object ScaleQueries {
          ORDER BY e.vec_id""",
     "q30d_ivf_oracle" -> q30dSql,
     "q86b_pq_oracle" -> q86bSql,
+    "q88b_ivfpq_oracle" -> q88bSql,
     "q73c_semantic_cells_oracle" -> q73cSql,
     "q76b_cluster_sample_oracle" -> q76bSql,
     // frequency-weighted substring counts (unigram tokenizer seed
