@@ -409,24 +409,38 @@ object Similarity {
     * paths keep [[cellAssign]]. The centroid collect is nLists rows —
     * metadata-sized by contract.
     */
-  /** The md5-seeded replayable centroids themselves (nLists-row driver
-    * collect — metadata-sized by contract). `salt` picks an independent
-    * seed set (the residual-codebook rows must differ from the coarse
-    * centers — a coarse center's own residual is the zero vector). */
-  private def auditableCenters(base: DataFrame, nLists: Int,
-      salt: String = "c:"): Array[Array[Double]] = {
+  /** The md5-seeded replayable centroids with their source row ids
+    * (nLists-row driver collect — metadata-sized by contract). `salt`
+    * picks an independent hash order; `exclude` HARD-excludes row ids
+    * from the pool — the residual-codebook seed set must be disjoint
+    * from the coarse centers (a coarse center's own residual is the
+    * zero vector, which would zero one row of every sub-codebook), and
+    * a different salt alone only makes overlap unlikely, not
+    * impossible (ADVICE r10). */
+  private def auditableCenterRows(base: DataFrame, nLists: Int,
+      salt: String = "c:",
+      exclude: Set[Long] = Set.empty): Array[(Long, Array[Double])] = {
     val spark = base.sparkSession
     import spark.implicits._
-    val centers = base
+    val pool =
+      if (exclude.isEmpty) base
+      else base.filter(!col("id").isin(exclude.toSeq: _*))
+    val rows = pool
       .orderBy(md5(concat(lit(salt), col("id").cast("string"))), col("id"))
       .limit(nLists)
-      .select(col("vhat")).as[Seq[Double]].collect()
-      .map(_.toArray)
-    require(centers.length == nLists,
-      s"auditableCenters: corpus has ${centers.length} usable " +
+      .select(col("id").cast("long"), col("vhat"))
+      .as[(Long, Seq[Double])].collect()
+      .map { case (i, v) => (i, v.toArray) }
+    require(rows.length == nLists,
+      s"auditableCenters: corpus has ${rows.length} usable " +
         s"vectors < nLists ($nLists)")
-    centers
+    rows
   }
+
+  private def auditableCenters(base: DataFrame, nLists: Int,
+      salt: String = "c:",
+      exclude: Set[Long] = Set.empty): Array[Array[Double]] =
+    auditableCenterRows(base, nLists, salt, exclude).map(_._2)
 
   /** Nearest center by the [[graft.functions.PqEncodeExpr]] arithmetic
     * (sequential Σ(v−c)², strict-<, lowest index on ties) — driver-side
@@ -574,7 +588,7 @@ object Similarity {
               ((j * ks + element_at(col("codes"), (j + 1).cast("int")))
                 * dsub + i).cast("int"))),
         lit(0.0), (a, x) => a + x))
-    val adc = codes.join(broadcast(queries)).withColumn("sim", adcSim)
+    val adc = codes.crossJoin(broadcast(queries)).withColumn("sim", adcSim)
     val shortlist = topKPerQuery(adc, rerank).select("qid", "cid")
     val rescored = corpus.select(col("id").as("cid"),
       col("vhat").as("chat"))
@@ -605,11 +619,14 @@ object Similarity {
     val dsub = dim / m
     val all = unitVectors(df, idCol, vecCol)
     val corpus = all.filter(col("id") >= nQueries)
-    val centers = auditableCenters(corpus, nLists)
+    val centerRows = auditableCenterRows(corpus, nLists)
+    val centers = centerRows.map(_._2)
     // residual codebooks: the "p:"-seeded rows' residuals vs THEIR
     // nearest coarse center, sliced per subspace (driver-side — same
-    // arithmetic as the distributed assignment)
-    val seed2 = auditableCenters(corpus, ks, salt = "p:")
+    // arithmetic as the distributed assignment); coarse-center rows are
+    // excluded so no codebook row can be a zero residual
+    val seed2 = auditableCenters(corpus, ks, salt = "p:",
+      exclude = centerRows.map(_._1).toSet)
     val resRows: Array[Array[Double]] = seed2.map { v =>
       val c = centers(nearestCenter(v, centers))
       Array.tabulate(dim)(i => v(i) - c(i))
@@ -885,7 +902,7 @@ object Similarity {
       (qid, lut)
     }
     val qdf = luts.toDF("qid", "lut")
-    val adc = codes.join(broadcast(qdf))
+    val adc = codes.crossJoin(broadcast(qdf))
       .withColumn("sim", aggregate(
         zip_with(col("codes"),
           sequence(lit(0), lit(m - 1)),

@@ -57,7 +57,14 @@ import org.apache.spark.sql.functions._
   */
 object SubstrDedup {
 
-  private val gramSep = ""
+  // Tokens come from wsTokens (split on the space character) so no
+  // token can contain a space — joining with one is injective on token
+  // sequences. A non-space separator could itself occur inside tokens,
+  // making the join boundary-ambiguous (["ab","c"] vs ["a","bc"] join
+  // equal); the extension step never re-compares the k anchor-gram
+  // tokens, so an ambiguous gram hash would yield false spans over
+  // unequal tokens and scrub() would delete non-duplicate text.
+  private val gramSep = " " // was "\\u0001" (ADVICE r10 high)
 
   /** (id, toks) projection shared by both stages. */
   private def docToks(df: DataFrame, idCol: String,

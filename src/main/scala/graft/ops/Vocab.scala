@@ -495,6 +495,14 @@ object Vocab {
     def expectedCounts(inv: Set[String],
         logp: Map[String, Double]): Map[String, Double] = {
       val e = mutable.HashMap.empty[String, Double]
+      // Mask lookups to the surviving inventory: the post-prune caller
+      // passes the STALE logp (still holding just-dropped pieces), and
+      // an unmasked forward-backward would let pruned pieces keep
+      // absorbing probability mass in the first re-estimation,
+      // deflating survivors (ADVICE r10). inv is the source of truth.
+      val lpm: Map[String, Double] =
+        if (logp.keysIterator.forall(inv)) logp
+        else logp.filter { case (p, _) => inv(p) }
       val maxLen = math.min(maxPieceLen,
         if (inv.isEmpty) 1 else inv.iterator.map(_.length).max)
       def lse(a: Double, b: Double): Double =
@@ -512,7 +520,7 @@ object Vocab {
           while (j < i) {
             val p = w.substring(j, i)
             if (alpha(j) != Double.NegativeInfinity)
-              logp.get(p).foreach(l => alpha(i) = lse(alpha(i), alpha(j) + l))
+              lpm.get(p).foreach(l => alpha(i) = lse(alpha(i), alpha(j) + l))
             j += 1
           }
           i += 1
@@ -525,7 +533,7 @@ object Vocab {
           while (j <= jmax) {
             val p = w.substring(i, j)
             if (beta(j) != Double.NegativeInfinity)
-              logp.get(p).foreach(l => beta(i) = lse(beta(i), l + beta(j)))
+              lpm.get(p).foreach(l => beta(i) = lse(beta(i), l + beta(j)))
             j += 1
           }
           i -= 1
@@ -538,7 +546,7 @@ object Vocab {
             val jmax = math.min(n, i + maxLen)
             while (j <= jmax) {
               val p = w.substring(i, j)
-              logp.get(p).foreach { l =>
+              lpm.get(p).foreach { l =>
                 val post = math.exp(alpha(i) + l + beta(j) - z)
                 e(p) = e.getOrElse(p, 0.0) + c * post
               }

@@ -1333,7 +1333,7 @@ object ScaleQueries {
          all_u AS (SELECT id, list_transform(v, x -> x / nrm) AS vhat
                    FROM nr WHERE nrm > 0),
          corp AS (SELECT id, vhat FROM all_u WHERE id >= 10),
-         ctr AS (SELECT vhat AS cv,
+         ctr AS (SELECT id, vhat AS cv,
                         row_number() OVER (ORDER BY md5('c:' || CAST(id AS VARCHAR)), id) - 1 AS cell
                  FROM corp
                  ORDER BY md5('c:' || CAST(id AS VARCHAR)), id LIMIT 16),
@@ -1349,6 +1349,7 @@ object ScaleQueries {
          ctr2 AS (SELECT vhat AS pv,
                          row_number() OVER (ORDER BY md5('p:' || CAST(id AS VARCHAR)), id) - 1 AS pidx
                   FROM corp
+                  WHERE id NOT IN (SELECT id FROM ctr)
                   ORDER BY md5('p:' || CAST(id AS VARCHAR)), id LIMIT 16),
          d2 AS (SELECT p.pidx, p.pv, t.cell,
                        list_sum(list_transform(range(1, 65),

@@ -136,6 +136,64 @@ class SubstrDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("gram join is token-boundary-injective: tokens containing the " +
+    "old separator cannot alias a differently-segmented gram") {
+    // ADVICE r10 (high): with a separator that can occur INSIDE tokens,
+    // ["uv","q"] and ["u","vq"] join to the same string, the
+    // gram hashes collide, and — because extension never re-compares the
+    // k anchor tokens — a false span over UNEQUAL tokens survives and
+    // scrub() deletes non-duplicate text. gramSep = " " is injective
+    // (wsTokens splits on space, so no token contains one). These docs
+    // share only a 3-token prefix and 4-token suffix (< minLen = 6); the
+    // middle grams alias under any in-token separator but not under " ".
+    val docA = Vector("z1", "z2", "z3", "uv", "q", "r",
+      "z4", "z5", "z6")
+    val docB = Vector("z1", "z2", "z3", "u", "vq", "r",
+      "z4", "z5", "z6")
+    val df = Seq((1L, docA.mkString(" ")), (2L, docB.mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(bruteSpans(Seq((1L, docA), (2L, docB)), 6).isEmpty)
+    assert(SubstrDedup.spans(df, "doc_id", "text", minLen = 6, k = 3)
+      .count() === 0L, "no false span from boundary-aliased grams")
+    val out = SubstrDedup.scrub(df, "doc_id", "text", minLen = 6, k = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
+      .toMap
+    assert(out(1L) === ((0L, docA.mkString(" "))))
+    assert(out(2L) === ((0L, docB.mkString(" "))), "nothing scrubbed")
+  }
+
+  test("spans() exact vs brute force with separator-bearing, " +
+    "variable-length tokens") {
+    // the original fuzz vocab (fixed-width aa/bb/cc/dd) could never
+    // trigger boundary aliasing; this one is built to
+    val minLen = 6
+    val k = 3
+    val rnd = new scala.util.Random(711)
+    val vocab = Vector("a", "b", "ab", "ab", "ba", "aba")
+    for (c <- 1 to 8) {
+      val nDocs = 4 + rnd.nextInt(4)
+      val shared = Vector.fill(3)(
+        Vector.fill(minLen + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.size))))
+      val docs: Seq[(Long, Vector[String])] = (0 until nDocs).map { i =>
+        var t = Vector.fill(5 + rnd.nextInt(25))(vocab(rnd.nextInt(vocab.size)))
+        (0 until rnd.nextInt(3)).foreach { _ =>
+          val frag = shared(rnd.nextInt(shared.size))
+          val at = rnd.nextInt(t.size + 1)
+          t = (t.take(at) ++ frag) ++ t.drop(at)
+        }
+        (i.toLong, t)
+      }
+      val expected = bruteSpans(docs, minLen)
+      val df = docs.map { case (i, t) => (i, t.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = SubstrDedup.spans(df, "doc_id", "text",
+        minLen = minLen, k = k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+          r.getInt(3), r.getInt(4))).toSet
+      assert(got === expected, s"case $c: docs=${docs.map(_._2.size)}")
+    }
+  }
+
   test("sub-minLen repeats and short docs produce no spans") {
     val df = Seq(
       (1L, "a b c d e f g h i j"),
