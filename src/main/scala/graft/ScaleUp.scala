@@ -1,0 +1,163 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic scale-up generator for scale rehearsals: writes a
+  * `factor`-times-larger copy of a testdata directory with the SAME
+  * internal statistics, so BENCH numbers at the two scales are
+  * comparable and a super-linear operator shows up as a ratio, not a
+  * guess. `runMain graft.ScaleUp <srcDir> <dstDir> [factor=10]`.
+  *
+  * Replication model — `factor` replicas, replica 0 byte-identical to
+  * the source, each replica a self-contained world:
+  *
+  *  - Fact/entity tables replicate with per-replica KEY OFFSETS
+  *    (stride = max(key)+1) applied consistently to primary and
+  *    foreign keys, so join fan-outs and group cardinalities per
+  *    replica are exactly the source's (a customer still owns the same
+  *    orders, an order the same lineitems). Dims (`region`, `nation`)
+  *    and event timestamps stay fixed: 10× data means 10× more
+  *    customers and events over the SAME calendar and geography —
+  *    groups get 10× heavier, their count does not explode.
+  *  - `documents.text`: replica r > 0 suffixes every token with one
+  *    LETTER (r → 'a'+r). Within a replica the duplication structure
+  *    (exact dups, near-dups, repeated substrings, chunk content) is
+  *    preserved EXACTLY — the suffix map is injective on tokens — while
+  *    across replicas token sets are disjoint, so no dedup family
+  *    (exact / MinHash / SimHash / chunk / substring) sees phantom
+  *    cross-replica duplicates that real independent data would not
+  *    have. A letter (not a digit/punct) keeps alpha-ratio quality
+  *    gates at source selectivity; stopword ratios drop to 0 for
+  *    replicas, which only LOOSENS the `<=` curation gate — doc counts
+  *    through q50-style filters still scale ~linearly.
+  *  - `embeddings.embedding`: replica r applies a circular dimension
+  *    shift (by r·⌊dim/factor⌋) plus a fixed per-replica sign-flip
+  *    pattern — orthogonal transforms, so EVERY within-replica dot
+  *    product and norm is preserved bit-for-bit (same flips on both
+  *    sides multiply to +1) and the replica's ANN/near-dup geometry is
+  *    the source's, while cross-replica cosines decay to noise. Query
+  *    vectors (lowest ids) live in replica 0, so fixed-query ANN scans
+  *    sweep a factor-times-larger corpus — the scaling actually being
+  *    rehearsed.
+  */
+object ScaleUp {
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: ScaleUp <srcDir> <dstDir> [factor]")
+    val src = args(0)
+    val dst = args(1)
+    val factor = if (args.length > 2) args(2).toInt else 10
+    require(factor >= 1 && factor <= 26, s"factor $factor not in [1,26]")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(32, Runtime.getRuntime.availableProcessors()).toString).toInt
+    val spark = GraftSession.local(cpus)
+    try run(spark, src, dst, factor) finally spark.stop()
+  }
+
+  def run(spark: SparkSession, src: String, dst: String,
+      factor: Int): Unit = {
+    def rd(t: String): DataFrame =
+      spark.read.parquet(s"$src/$t.parquet")
+    def wr(df: DataFrame, t: String, parts: Int): Unit =
+      df.repartition(parts).write.mode("overwrite")
+        .parquet(s"$dst/$t.parquet")
+
+    // dims: fixed worlds, copied as-is
+    wr(rd("region"), "region", 1)
+    wr(rd("nation"), "nation", 1)
+
+    // stride = max(key)+1 — replica keys occupy disjoint ranges and
+    // replica 0 keeps the source ids (bounded-slice queries like
+    // "first N ids" keep reading source rows)
+    def stride(df: DataFrame, key: String): Long =
+      df.agg(max(col(key).cast("long"))).head.getLong(0) + 1L
+
+    val (cust, supp, part, ords, li, ev) = (rd("customer"), rd("supplier"),
+      rd("part"), rd("orders"), rd("lineitem"), rd("events"))
+    val cS = stride(cust, "c_custkey")
+    val sS = stride(supp, "s_suppkey")
+    val pS = stride(part, "p_partkey")
+    val oS = stride(ords, "o_orderkey")
+    val eS = stride(ev, "event_id")
+    val uS = stride(ev, "user_id")
+
+    /** factor replicas with `key + rep * stride` applied to the listed
+      * columns, original dtypes preserved. */
+    def replicate(df: DataFrame, shifts: (String, Long)*): DataFrame = {
+      val shifted = shifts.toMap
+      val rep = df.withColumn("__rep",
+        explode(sequence(lit(0), lit(factor - 1))))
+      val out = df.columns.foldLeft(rep) { (d, c) =>
+        shifted.get(c) match {
+          case Some(s) =>
+            val t = df.schema(c).dataType
+            d.withColumn(c,
+              (col(c).cast("long") + col("__rep") * s).cast(t))
+          case None => d
+        }
+      }
+      out.drop("__rep")
+    }
+
+    wr(replicate(cust, "c_custkey" -> cS), "customer", 2)
+    wr(replicate(supp, "s_suppkey" -> sS), "supplier", 1)
+    wr(replicate(part, "p_partkey" -> pS), "part", 2)
+    wr(replicate(ords, "o_orderkey" -> oS, "o_custkey" -> cS), "orders", 4)
+    wr(replicate(li, "l_orderkey" -> oS, "l_partkey" -> pS,
+      "l_suppkey" -> sS), "lineitem", 16)
+    wr(replicate(ev, "event_id" -> eS, "user_id" -> uS), "events", 8)
+
+    // documents: token-suffixed replicas (see object doc)
+    val docs = rd("documents")
+    val dS = stride(docs, "doc_id")
+    val letter = substring(lit("abcdefghijklmnopqrstuvwxyz"),
+      col("__rep") + 1, lit(1))
+    val suffixed = array_join(
+      transform(
+        filter(split(coalesce(col("text"), lit("")), " "),
+          t => length(t) > 0),
+        t => concat(t, letter)),
+      " ")
+    val docsUp = docs
+      .withColumn("__rep", explode(sequence(lit(0), lit(factor - 1))))
+      .withColumn("doc_id",
+        (col("doc_id").cast("long") + col("__rep") * dS)
+          .cast(docs.schema("doc_id").dataType))
+      .withColumn("text",
+        when(col("__rep") === 0, col("text")).otherwise(suffixed))
+      .withColumn("n_chars",
+        when(col("__rep") === 0, col("n_chars"))
+          .otherwise(length(col("text"))
+            .cast(docs.schema("n_chars").dataType)))
+      .drop("__rep")
+    wr(docsUp, "documents", 8)
+
+    // embeddings: orthogonally transformed replicas (see object doc)
+    val emb = rd("embeddings")
+    val vS = stride(emb, "vec_id")
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    val shift = (col("__rep") * lit(math.max(1, dim / factor))) % lit(dim)
+    val rotated = concat(
+      slice(col("embedding"), shift + 1, lit(dim) - shift),
+      slice(col("embedding"), lit(1), shift))
+    // sign pattern s(i, rep) ∈ {±1}, identical for every vector of a
+    // replica — an orthogonal reflection (identity for replica 0)
+    val flipped = transform(rotated, (x, i) =>
+      when(col("__rep") =!= 0 &&
+        pmod((i + lit(1)) * (col("__rep") + 2), lit(5)) === 0,
+        -x).otherwise(x))
+    val embUp = emb
+      .withColumn("__rep", explode(sequence(lit(0), lit(factor - 1))))
+      .withColumn("vec_id",
+        (col("vec_id").cast("long") + col("__rep") * vS)
+          .cast(emb.schema("vec_id").dataType))
+      .withColumn("embedding",
+        when(col("__rep") === 0, col("embedding")).otherwise(flipped)
+          .cast(emb.schema("embedding").dataType))
+      .drop("__rep")
+    wr(embUp, "embeddings", 4)
+
+    println(s"[scaleup] wrote $dst at factor $factor from $src")
+  }
+}

@@ -251,6 +251,61 @@ object Vocab {
       .agg(sum("cnt").as("cnt"))
   }
 
+  /** A REPLAYABLE closed-form BPE model for cross-engine ENCODE audits
+    * (q82c): tier-1 merges are the top `tier1` frequency-weighted
+    * symbol pairs — exactly the oracle-checked [[pairCountsFrame]]
+    * (q81b) in (cnt desc, pair asc) order — and tier-2 merges are the
+    * `chainTop`×`chainTop` products of the top pairs' MERGED symbols,
+    * ranked after tier 1 in (i·chainTop + j) order, so multi-level
+    * merges (a merged symbol merging again) genuinely fire during the
+    * audit. Both tiers are pure SQL over the corpus — no driver merge
+    * loop — so a DuckDB twin can reconstruct the identical rank table
+    * and replay [[encodeBpe]]'s greedy argmin-rank application as a
+    * recursive CTE. This is the encode-path analogue of the q81b
+    * trick: the LEARNED model's decisions are pinned by q81b +
+    * VocabSpec; this pins the APPLICATION loop (argmin selection,
+    * leftmost tie-break, rewrite, termination) on a model both engines
+    * derive independently. Duplicate pairs keep their lowest rank
+    * (first occurrence), mirrored by min(rank) in SQL — only the
+    * RELATIVE rank order matters to [[encodeWord]]'s argmin. */
+  def staticBpeModel(df: DataFrame, textCol: String, tier1: Int = 30,
+      chainTop: Int = 5): BpeModel = {
+    val top = pairCountsFrame(df, textCol)
+      .orderBy(desc("cnt"), col("l_sym"), col("r_sym"))
+      .limit(tier1)
+      .select("l_sym", "r_sym").collect()
+      .map(r => (r.getString(0), r.getString(1))).toVector
+    val chain = for {
+      a <- top.take(chainTop)
+      b <- top.take(chainTop)
+    } yield (a._1 + a._2, b._1 + b._2)
+    BpeModel((top ++ chain).distinct)
+  }
+
+  /** A REPLAYABLE closed-form unigram model for cross-engine ENCODE
+    * audits (q99d), the [[staticBpeModel]] idea over the
+    * oracle-checked [[pieceCountsFrame]] (q99b): the inventory is the
+    * top `nPieces` substrings in (cnt desc, piece asc) order UNION
+    * every single-character piece (full coverage — the Viterbi unk
+    * path never fires, so the twin need not model the penalty), and
+    * logp of the k-th kept piece (0-based, same order) is −(k+1)/16 —
+    * a DYADIC rational, exact in fp64, so Viterbi path scores are
+    * exact sums cross-engine and ties resolve identically (strict->
+    * argmax, smallest split point on ties) with no transcendental
+    * (log) whose last ulp could differ between libm and the JVM. */
+  def staticUnigramModel(df: DataFrame, textCol: String,
+      nPieces: Int = 60, maxPieceLen: Int = 8): UnigramModel = {
+    val pcf = pieceCountsFrame(df, textCol, maxPieceLen)
+    val top = pcf.orderBy(desc("cnt"), col("piece")).limit(nPieces)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val chars = pcf.filter(length(col("piece")) === 1)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val kept = (top ++ chars).distinctBy(_._1)
+      .sortBy { case (p, c) => (-c, p) }
+    UnigramModel(kept.zipWithIndex
+      .map { case ((p, _), k) => (p, -(k + 1) / 16.0) }.toVector)
+  }
+
   /** The learned merge table as a frame: (rank, left, right, merged) —
     * the persistable artifact (write it once, encode anywhere). */
   def mergesFrame(df: DataFrame, textCol: String, numMerges: Int,
