@@ -503,6 +503,45 @@ object ScaleQueries {
         .orderBy("doc_id")
     }),
 
+    // BPE ENCODE oracle twin: a replayable closed-form model (tier-1
+    // ranks = the oracle-checked q81b pair frame; tier-2 = chained
+    // merged-symbol pairs so multi-level merges fire), applied with the
+    // REAL encodeBpe to the top-50 corpus words — DuckDB reconstructs
+    // the identical rank table and replays the greedy argmin-rank merge
+    // loop as a recursive CTE, pinning the application semantics
+    // (argmin selection, leftmost tie-break, rewrite, termination)
+    // cross-engine. Closes the encode-path audit gap (r10 verdict #2).
+    "q82c_bpe_encode_oracle" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val model = Vocab.staticBpeModel(d, "text", tier1 = 30, chainTop = 5)
+      val words = Vocab.wordCounts(d, "text")
+        .orderBy(desc("cnt"), col("word")).limit(50)
+      Vocab.encodeBpe(words, "word", "word", model)
+        .select(col("word"),
+          concat_ws(" ", col("bpe_tokens")).as("pieces"),
+          col("n_bpe_tokens").as("n_pieces"))
+        .orderBy("word")
+    }),
+
+    // Viterbi ENCODE oracle twin (r10 verdict #3): closed-form unigram
+    // model over the oracle-checked q99b piece frame with dyadic
+    // -(rank+1)/16 log-probs (exact fp64 sums — no transcendental ulp
+    // drift), applied with the REAL encodeUnigram to the top-50 corpus
+    // words; DuckDB replays the Viterbi DP (strict-> argmax, smallest
+    // split on ties) and the backtrack as recursive CTEs.
+    "q99d_unigram_encode_oracle" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val model = Vocab.staticUnigramModel(d, "text",
+        nPieces = 60, maxPieceLen = 8)
+      val words = Vocab.wordCounts(d, "text")
+        .orderBy(desc("cnt"), col("word")).limit(50)
+      Vocab.encodeUnigram(words, "word", "word", model)
+        .select(col("word"),
+          concat_ws(" ", col("uni_pieces")).as("pieces"),
+          col("n_pieces"))
+        .orderBy("word")
+    }),
+
     // token counting under three tokenizers
     "q34_tokens" -> ((s, dir) =>
       TextAnalysis.tokenCounts(t(s, dir, "documents"), "doc_id", "text")
@@ -2052,6 +2091,153 @@ object ScaleQueries {
          SELECT * FROM (SELECT * FROM agg
                         ORDER BY cnt DESC, l_sym, r_sym LIMIT 100) x
          ORDER BY cnt DESC, l_sym, r_sym""",
+    // Viterbi encode twin: inventory = top-60 pieces (+ all single
+    // chars) from the q99b piece frame, logp = -(position in
+    // (cnt desc, piece) order)/16 — dyadic, so DP sums are exact fp64
+    // and equality/comparison replay identically. The DP fills best[]
+    // (strict argmax, first/leftmost j on ties = smallest split, the
+    // encodeUnigram semantics) one position per recursion step; the
+    // backtrack walks back[] rebuilding the piece string.
+    "q99d_unigram_encode_oracle" ->
+      """WITH RECURSIVE
+           w AS (SELECT unnest(list_filter(
+                   string_split(coalesce(text, ''), ' '),
+                   t -> length(t) > 0)) AS word
+                 FROM documents),
+           wc AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),
+           subs AS (SELECT substr(word, i, l) AS piece, cnt
+                    FROM (SELECT word, cnt,
+                                 unnest(range(1, length(word) + 1)) AS i
+                          FROM wc),
+                         (SELECT unnest(range(1, 9)) AS l) L
+                    WHERE i + l - 1 <= length(word)),
+           pc AS (SELECT piece, sum(cnt) AS cnt
+                  FROM subs GROUP BY piece),
+           kept AS (SELECT piece, cnt FROM
+                      (SELECT piece, cnt FROM
+                        (SELECT piece, cnt FROM pc
+                         ORDER BY cnt DESC, piece LIMIT 60)
+                       UNION
+                       SELECT piece, cnt FROM pc
+                       WHERE length(piece) = 1)),
+           krow AS (SELECT list(piece ORDER BY cnt DESC, piece) AS ks,
+                           max(length(piece)) AS ml
+                    FROM kept),
+           words AS (SELECT word FROM wc
+                     ORDER BY cnt DESC, word LIMIT 50),
+           vit AS (
+             SELECT word, [CAST(0.0 AS DOUBLE)] AS best, [0] AS back
+             FROM words
+             UNION ALL
+             SELECT word,
+                    list_append(best, mx),
+                    list_append(back, bj)
+             FROM (SELECT word, best, back, mx,
+                          g0 + list_position(rl, mx) - 1 AS bj
+                   FROM (SELECT word, best, back, rl, g0,
+                           list_max(list_filter(rl,
+                             x -> x IS NOT NULL)) AS mx
+                         FROM (SELECT v.word, v.best, v.back, g0, pos,
+                                 list_transform(range(g0, pos), j ->
+                                   v.best[j+1] -
+                                   nullif(list_position(k.ks,
+                                     substr(v.word, j+1, pos-j)), 0)
+                                     / 16.0)
+                                   AS rl
+                               FROM (SELECT word, best, back,
+                                            len(best) AS pos,
+                                            greatest(0,
+                                              len(best) - k2.ml) AS g0
+                                     FROM vit CROSS JOIN krow k2
+                                     WHERE len(best) <=
+                                           length(word)) v
+                                 CROSS JOIN krow k)))),
+           done AS (SELECT word, back
+                    FROM vit WHERE len(best) = length(word) + 1),
+           bt AS (
+             SELECT word, back, length(word) AS pos,
+                    CAST('' AS VARCHAR) AS pieces, 0 AS np
+             FROM done
+             UNION ALL
+             SELECT word, back, back[pos+1],
+                    substr(word, back[pos+1] + 1, pos - back[pos+1]) ||
+                      CASE WHEN pieces = '' THEN ''
+                           ELSE ' ' END || pieces,
+                    np + 1
+             FROM bt WHERE pos > 0)
+         SELECT word, pieces, CAST(np AS BIGINT) AS n_pieces
+         FROM bt WHERE pos = 0 ORDER BY word""",
+    // BPE encode twin: reconstruct the static rank table (tier1 = top-30
+    // pair counts, tier2 = top-5 x top-5 chained merged-symbol pairs,
+    // duplicate pairs keep min rank — only RELATIVE order matters to the
+    // argmin) and replay encodeWord's greedy loop as a recursive CTE:
+    // each step looks up adjacent-pair ranks via list_position into the
+    // rank-ordered key list (position IS rank+1), merges the leftmost
+    // minimal-rank pair, and stops when no pair is ranked.
+    "q82c_bpe_encode_oracle" ->
+      """WITH RECURSIVE
+           w AS (SELECT unnest(list_filter(
+                   string_split(coalesce(text, ''), ' '),
+                   t -> length(t) > 0)) AS word
+                 FROM documents),
+           wc AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),
+           s AS (SELECT cnt,
+                   list_append(string_split(word, ''), '</w>') AS s
+                 FROM wc),
+           p AS (SELECT s[i] AS l_sym, s[i+1] AS r_sym, cnt
+                 FROM (SELECT cnt, s, unnest(range(1, len(s))) AS i
+                       FROM s)),
+           agg AS (SELECT l_sym, r_sym, sum(cnt) AS cnt
+                   FROM p GROUP BY l_sym, r_sym),
+           t1 AS (SELECT l_sym, r_sym,
+                         row_number() OVER (ORDER BY cnt DESC, l_sym,
+                                            r_sym) - 1 AS rank
+                  FROM agg ORDER BY cnt DESC, l_sym, r_sym LIMIT 30),
+           t2 AS (SELECT a.l_sym || a.r_sym AS l_sym,
+                         b.l_sym || b.r_sym AS r_sym,
+                         30 + a.rank * 5 + b.rank AS rank
+                  FROM t1 a CROSS JOIN t1 b
+                  WHERE a.rank < 5 AND b.rank < 5),
+           allm AS (SELECT l_sym, r_sym, min(rank) AS rank
+                    FROM (SELECT * FROM t1 UNION ALL SELECT * FROM t2)
+                    GROUP BY l_sym, r_sym),
+           krow AS (SELECT list(l_sym || chr(1) || r_sym
+                                ORDER BY rank) AS ks
+                    FROM allm),
+           words AS (SELECT word FROM wc
+                     ORDER BY cnt DESC, word LIMIT 50),
+           enc AS (
+             SELECT word,
+                    list_append(string_split(word, ''), '</w>') AS s,
+                    0 AS it, FALSE AS done
+             FROM words
+             UNION ALL
+             SELECT word,
+                    CASE WHEN br >= 2147483647 THEN s
+                         ELSE list_concat(list_concat(
+                                s[1:bi-1],
+                                [s[bi] || s[bi+1]]),
+                                s[bi+2:len(s)]) END,
+                    it + 1,
+                    br >= 2147483647
+             FROM (SELECT word, s, it,
+                          coalesce(list_min(rl), 2147483647) AS br,
+                          coalesce(list_position(rl, list_min(rl)), 1)
+                            AS bi
+                   FROM (SELECT e.word, e.s, e.it,
+                           list_transform(range(1, len(e.s)), i ->
+                             coalesce(nullif(list_position(k.ks,
+                               e.s[i] || chr(1) || e.s[i+1]), 0),
+                               2147483647)) AS rl
+                         FROM enc e CROSS JOIN krow k
+                         WHERE NOT e.done AND len(e.s) > 1))),
+           fin AS (SELECT word, s,
+                          row_number() OVER (PARTITION BY word
+                            ORDER BY it DESC) AS rn
+                   FROM enc)
+         SELECT word, array_to_string(s, ' ') AS pieces,
+                CAST(len(s) AS BIGINT) AS n_pieces
+         FROM fin WHERE rn = 1 ORDER BY word""",
     "q84_composition" ->
       """WITH cells AS (SELECT lang, source, count(*) AS n_docs,
                 sum(len(list_filter(string_split(coalesce(text, ''), ' '),

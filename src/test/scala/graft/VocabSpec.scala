@@ -175,6 +175,51 @@ class VocabSpec extends AnyFunSuite {
     out.result()
   }
 
+  test("staticBpeModel: tier-1 order is the pair frame, tier-2 chains " +
+    "fire during encode, duplicate pairs keep lowest rank") {
+    // corpus engineered so ('a','b') and ('c','d') are the two top
+    // pairs: "ab" x9 and "cd" x8, plus "abcd" x3 so the chained merge
+    // (ab, cd) actually applies
+    val text = (Seq.fill(9)("ab") ++ Seq.fill(8)("cd") ++
+      Seq.fill(3)("abcd")).mkString(" ")
+    val df = Seq(text).toDF("text")
+    val m = Vocab.staticBpeModel(df, "text", tier1 = 4, chainTop = 2)
+    // tier1 = top-4 pairs by (cnt desc, pair asc); tier2 = 2x2 chains
+    assert(m.merges.take(4).forall(p => p._1.length == 1 ||
+      p._1 == Vocab.EndOfWord || p._2 == Vocab.EndOfWord ||
+      p._2.length == 1))
+    val chains = m.merges.drop(4)
+    assert(chains.size == 4 &&
+      chains.forall { case (l, r) => l.length > 1 && r.length > 1 },
+      s"tier-2 merged-symbol chains expected, got $chains")
+    // the encode of "abcd" must apply BOTH tier-1 merges and then a
+    // tier-2 chain if ranked — verify multi-level merging fires
+    val out = Vocab.encodeBpe(Seq((1L, "abcd")).toDF("id", "t"),
+      "id", "t", m).select("bpe_tokens").head.getSeq[String](0)
+    assert(out.exists(_.length > 2),
+      s"no multi-level merge fired: $out")
+    // determinism: same corpus -> identical merges
+    assert(Vocab.staticBpeModel(df, "text", tier1 = 4, chainTop = 2)
+      .merges === m.merges)
+  }
+
+  test("staticUnigramModel: full char coverage (no unk), dyadic " +
+    "-(k+1)/16 log-probs in (cnt desc, piece) order") {
+    val df = Seq("abc abc xyz q").toDF("text")
+    val m = Vocab.staticUnigramModel(df, "text", nPieces = 3)
+    // every single char present even beyond the top-3 budget
+    val inv = m.pieces.map(_._1).toSet
+    assert(Set("a", "b", "c", "x", "y", "z", "q").subsetOf(inv))
+    // logp are exactly -(k+1)/16 in inventory order
+    m.pieces.zipWithIndex.foreach { case ((_, lp), k) =>
+      assert(lp == -(k + 1) / 16.0)
+    }
+    // encode never produces unk (chars cover everything)
+    val enc = Vocab.encodeUnigram(Seq((1L, "abc xyz q")).toDF("id", "t"),
+      "id", "t", m).select("uni_pieces").head.getSeq[String](0)
+    assert(!enc.contains(Vocab.UnkToken), enc.toString)
+  }
+
   test("incremental merge loop matches the textbook rescan on random dictionaries") {
     // seeded generator: reruns reproduce the same 20 corpora. Small
     // alphabet + long merge budget maximizes pair-count collisions,
