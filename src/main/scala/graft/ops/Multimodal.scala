@@ -74,8 +74,52 @@ object Multimodal {
         else None
       } else None
 
+    /** JPEG: SOI then a marker-segment walk to the first SOF frame
+      * header (0xC0–0xCF minus the non-frame C4/C8/CC), whose payload
+      * is precision(1), height BE16, width BE16, components(1) — the
+      * standard header-only dimension probe (what `identify`/libjpeg's
+      * jpeg_read_header do before any scan decode). Standalone markers
+      * (TEM, RSTn) and fill bytes are skipped; the walk stops at SOS or
+      * EOI — dimensions live before entropy data by construction. */
+    private def jpeg(p: Array[Byte]): Option[ImageMeta] =
+      if (p.length >= 4 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8) {
+        var i = 2
+        var out: Option[ImageMeta] = None
+        var stop = false
+        while (!stop && out.isEmpty && i + 3 < p.length) {
+          if ((p(i) & 0xff) != 0xff) stop = true // desync: not a marker
+          else {
+            var j = i
+            while (j + 1 < p.length && (p(j + 1) & 0xff) == 0xff) j += 1 // fill bytes
+            val m = p(j + 1) & 0xff
+            if (m == 0x01 || (m >= 0xd0 && m <= 0xd8)) i = j + 2 // standalone
+            else if (m == 0xd9 || m == 0xda) stop = true // EOI / SOS
+            else if (j + 3 >= p.length) stop = true
+            else {
+              val segLen = ((p(j + 2) & 0xff) << 8) | (p(j + 3) & 0xff)
+              if (segLen < 2) stop = true
+              else {
+                if (m >= 0xc0 && m <= 0xcf &&
+                    m != 0xc4 && m != 0xc8 && m != 0xcc &&
+                    j + 9 < p.length && segLen >= 8) {
+                  val h = ((p(j + 5) & 0xff) << 8) | (p(j + 6) & 0xff)
+                  val w = ((p(j + 7) & 0xff) << 8) | (p(j + 8) & 0xff)
+                  val comps = p(j + 9) & 0xff
+                  if (w > 0 && h > 0 && comps >= 1 && comps <= 4)
+                    out = Some(ImageMeta(w, h, comps, "jpeg"))
+                  else stop = true
+                }
+                i = j + 2 + segLen
+              }
+            }
+          }
+        }
+        out
+      } else None
+
     def decode(payload: Array[Byte]): Option[ImageMeta] =
-      if (payload == null) None else bmp(payload).orElse(png(payload))
+      if (payload == null) None
+      else bmp(payload).orElse(png(payload)).orElse(jpeg(payload))
   }
 
   /** Minimal valid 24-bit BMP of the given dimensions (file header +
@@ -100,6 +144,79 @@ object Multimodal {
       y += 1
     }
     buf.array()
+  }
+
+  /** Minimal VALID 8-bit RGB PNG of the given dimensions: signature,
+    * IHDR, one IDAT holding the zlib-deflated filter-0 scanlines
+    * (deterministic pixels), IEND — all chunk CRCs real, so external
+    * decoders (ImageIO) open it too. MultimodalSpec proves that. */
+  def syntheticPng(width: Int, height: Int): Array[Byte] = {
+    require(width > 0 && height > 0, "dimensions must be positive")
+    val raw = new Array[Byte](height * (1 + width * 3)) // filter byte + RGB
+    var y = 0
+    while (y < height) {
+      val base = y * (1 + width * 3)
+      var x = 0
+      while (x < width * 3) {
+        raw(base + 1 + x) = ((x + y) % 251).toByte; x += 1
+      }
+      y += 1
+    }
+    val d = new java.util.zip.Deflater()
+    d.setInput(raw); d.finish()
+    val compBuf = new Array[Byte](raw.length + 64)
+    val compLen = d.deflate(compBuf); d.end()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte))
+    def chunk(tag: String, body: Array[Byte]): Unit = {
+      val len = java.nio.ByteBuffer.allocate(4).putInt(body.length).array()
+      out.write(len)
+      val tb = tag.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(body)
+      out.write(tb); out.write(body)
+      out.write(java.nio.ByteBuffer.allocate(4)
+        .putInt(crc.getValue.toInt).array())
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(width).putInt(height)
+      .put(8.toByte).put(2.toByte) // bit depth 8, color type 2 (RGB)
+      .put(0.toByte).put(0.toByte).put(0.toByte) // deflate, filter, no interlace
+      .array()
+    chunk("IHDR", ihdr)
+    chunk("IDAT", java.util.Arrays.copyOf(compBuf, compLen))
+    chunk("IEND", Array.empty[Byte])
+    out.toByteArray
+  }
+
+  /** Minimal JFIF byte stream with a real SOF0 frame header (SOI, APP0
+    * JFIF, a COM segment so the decode walk must SKIP a variable-length
+    * segment, DQT, SOF0 with the given dims, EOI). Header-complete —
+    * exactly what a dimension probe reads; carries no entropy-coded
+    * scan (the synthetic corpus tests metadata plumbing, not IDCT). */
+  def syntheticJpegHeader(width: Int, height: Int): Array[Byte] = {
+    require(width > 0 && height > 0 && width < 65536 && height < 65536,
+      "dimensions must fit BE16")
+    val out = new java.io.ByteArrayOutputStream()
+    def seg(marker: Int, body: Array[Byte]): Unit = {
+      out.write(0xff); out.write(marker)
+      val len = body.length + 2
+      out.write((len >> 8) & 0xff); out.write(len & 0xff)
+      out.write(body, 0, body.length)
+    }
+    out.write(0xff); out.write(0xd8) // SOI
+    seg(0xe0, Array[Byte]('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    seg(0xfe, "graft synthetic".getBytes("US-ASCII")) // COM: walk must skip
+    seg(0xdb, Array.tabulate[Byte](65)(i => if (i == 0) 0 else 16)) // DQT
+    val sof = Array[Byte](8, // precision
+      ((height >> 8) & 0xff).toByte, (height & 0xff).toByte,
+      ((width >> 8) & 0xff).toByte, (width & 0xff).toByte,
+      3, // components
+      1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1) // id, sampling, quant table
+    seg(0xc0, sof)
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
   }
 
   /** REAL decode boundary: batch header decode over the media payload
@@ -680,6 +797,29 @@ object Multimodal {
         length(col("payload")).cast("long").as("n_bytes")).as("media"))
   }
 
+  /** [[syntheticImages]] over a format MIX — BMP / valid PNG / JFIF
+    * header by id mod 3, correct per-row mime — the shape of a real
+    * multimodal corpus (mostly JPEG in the wild): one decode pass must
+    * dispatch per payload, not per partition. */
+  def syntheticImagesMixed(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = 16 + (id % 64).toInt
+        val h = 16 + (id % 48).toInt
+        (id % 3) match {
+          case 0 => (id, syntheticBmp(w, h), "image/bmp")
+          case 1 => (id, syntheticPng(w, h), "image/png")
+          case _ => (id, syntheticJpegHeader(w, h), "image/jpeg")
+        }
+      })
+      .toDF("id", "payload", "mime")
+      .select(col("id"), struct(
+        col("payload"), col("mime"),
+        length(col("payload")).cast("long").as("n_bytes")).as("media"))
+  }
+
   /** FALLBACK decode: deterministic pseudo-metadata derived from the
     * payload hash, for payloads no JVM codec can open (the text
     * stand-ins in q36) — same schema as the real path. */
@@ -689,6 +829,93 @@ object Multimodal {
       (pmod(h, lit(1920L)) + 16).cast("int").as("width"),
       (pmod(shiftrightunsigned(h, 11), lit(1080L)) + 16).cast("int").as("height"),
       lit(3).as("channels"))
+  }
+
+  /** REAL image featurizer over decoded 24-bit BMP pixels: a
+    * `grid`×`grid` downsampled mean-luma map plus global per-channel
+    * means and the aspect fraction w/(w+h) — grid·grid+4 dims. Cell
+    * means are approximately invariant under nearest-neighbor resize
+    * (each cell of the resized image samples the same source region),
+    * so a resized copy lands next to its original in cosine space —
+    * the image near-dup property q90 exercises; the aspect term is
+    * exactly resize-invariant and separates differently-shaped images.
+    * Returns None for payloads that are not 24-bit BMPs (a real
+    * deployment would add decoders behind the same [[HeaderCodec]]
+    * boundary). */
+  def bmpFeatures(p: Array[Byte], grid: Int = 4,
+      codec: HeaderCodec = new HeaderCodec): Option[Array[Double]] =
+    codec.decode(p).filter(m => m.format == "bmp" && m.channels == 3)
+      .map { m =>
+        val dataOff = ((p(10) & 0xff) | ((p(11) & 0xff) << 8) |
+          ((p(12) & 0xff) << 16) | ((p(13) & 0xff) << 24)).toLong
+        val rawH = (p(22) & 0xff) | ((p(23) & 0xff) << 8) |
+          ((p(24) & 0xff) << 16) | ((p(25) & 0xff) << 24)
+        val topDown = rawH < 0
+        val srcRow = (m.width.toLong * 3 + 3) / 4 * 4
+        val sums = Array.fill(grid * grid)(0.0)
+        val counts = Array.fill(grid * grid)(0L)
+        var sumB = 0.0; var sumG = 0.0; var sumR = 0.0
+        var n = 0L
+        var y = 0
+        while (y < m.height) {
+          val sy = if (topDown) y else m.height - 1 - y // logical row y
+          val rowOff = dataOff + sy * srcRow
+          val cy = math.min(grid - 1, y * grid / m.height)
+          var x = 0
+          while (x < m.width) {
+            val so = rowOff + x * 3
+            if (so >= 0 && so + 2 < p.length) {
+              val b = p(so.toInt) & 0xff
+              val g = p(so.toInt + 1) & 0xff
+              val r = p(so.toInt + 2) & 0xff
+              val luma = 0.299 * r + 0.587 * g + 0.114 * b
+              val cx = math.min(grid - 1, x * grid / m.width)
+              sums(cy * grid + cx) += luma
+              counts(cy * grid + cx) += 1
+              sumB += b; sumG += g; sumR += r; n += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        val cells = Array.tabulate(grid * grid)(i =>
+          if (counts(i) == 0) 0.0 else sums(i) / counts(i) / 255.0)
+        // CENTER the spatial map: without it every feature vector
+        // shares a large positive mean-luma component and cosines
+        // crowd toward 1 (measured 0.999+ corpus-wide on synthetic
+        // ramps) — centered, the grid term is the spatial CORRELATION
+        // of the luma layout, which is what separates content
+        val mean = cells.sum / cells.length
+        val centered = cells.map(_ - mean)
+        val nn = math.max(1L, n).toDouble
+        // the tail is centered the same way — an uncentered ~0.5-mean
+        // tail would re-introduce the shared component the grid
+        // centering just removed and dominate the cosine
+        val gray = (sumB + sumG + sumR) / 3.0
+        centered ++ Array(
+          (sumB - gray) / nn / 255.0, (sumG - gray) / nn / 255.0,
+          (sumR - gray) / nn / 255.0,
+          m.width.toDouble / (m.width + m.height) - 0.5)
+      }
+
+  /** Batch featurize over a `media` frame — the q90 real path: one
+    * codec per partition, zero shuffle; rows whose payload the
+    * featurizer cannot open are DROPPED (retrieval over undecodable
+    * bytes is meaningless). Returns (id, features). */
+  def featurizeImagesBatch(df: DataFrame, idCol: String,
+      grid: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+        col("media.payload").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val codec = new HeaderCodec
+        rows.flatMap { case (id, p) =>
+          bmpFeatures(p, grid, codec).map(f => (id, f))
+        }
+      }
+      .toDF("id", "features")
   }
 
   /** STUB feature extraction: an 8-dim deterministic embedding from

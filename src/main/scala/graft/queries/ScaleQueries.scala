@@ -281,8 +281,11 @@ object ScaleQueries {
     "q90_image_retrieval" -> ((s, dir) => {
       val images = graft.ops.Multimodal.syntheticImages(
         t(s, dir, "documents"), "doc_id")
-      val feats = graft.ops.Multimodal.decodeAndFeaturize(images, "id")
-        .select(col("id"), col("features"))
+      // REAL featurizer (r11): grid mean-luma + channel means + aspect
+      // over decoded BMP pixels — resize-robust, so near-dup copies
+      // retrieve each other (MultimodalSpec pins a resized copy at
+      // top-1); one codec per partition, zero shuffle
+      val feats = graft.ops.Multimodal.featurizeImagesBatch(images, "id")
       Similarity.cosineTopK(feats, "id", "features", nQueries = 10, k = 5)
     }),
 
@@ -575,13 +578,15 @@ object ScaleQueries {
         .orderBy("doc_id")
     }),
 
-    // real multimodal decode boundary: synthesize a BMP per document id
-    // (mapPartitions batch), then batch-decode the headers with the
-    // per-partition codec — width/height must round-trip exactly
-    // (no oracle: binary payloads are engine-generated; pinned by
-    // MultimodalSpec)
+    // real multimodal decode boundary: synthesize a MIXED-format corpus
+    // (BMP / valid PNG / JFIF-header JPEG by id mod 3, the real-corpus
+    // shape) per document id, then batch-decode the headers with the
+    // per-partition codec — width/height/format must round-trip exactly
+    // per payload (no oracle: binary payloads are engine-generated;
+    // pinned by MultimodalSpec incl. an ImageIO cross-decode of the
+    // synthetic PNGs)
     "q37_image_decode" -> ((s, dir) => {
-      val images = graft.ops.Multimodal.syntheticImages(
+      val images = graft.ops.Multimodal.syntheticImagesMixed(
         t(s, dir, "documents"), "doc_id")
       graft.ops.Multimodal.decodeImageMetaBatch(images, "id")
         .select(col("id").as("doc_id"), col("n_bytes"), col("width"),

@@ -247,6 +247,107 @@ class MultimodalSpec extends AnyFunSuite {
     assert(topk.count() === 6)
   }
 
+  test("JPEG SOF walk: dims + components from a JFIF header, COM " +
+    "segment skipped, corrupt streams rejected") {
+    val codec = new Multimodal.HeaderCodec
+    val p = Multimodal.syntheticJpegHeader(123, 77)
+    assert(codec.decode(p) ===
+      Some(Multimodal.ImageMeta(123, 77, 3, "jpeg")))
+    // big dims exercise both BE16 bytes
+    assert(codec.decode(Multimodal.syntheticJpegHeader(40000, 300)) ===
+      Some(Multimodal.ImageMeta(40000, 300, 3, "jpeg")))
+    // truncation before SOF → None, never garbage
+    assert(codec.decode(p.take(20)) === None)
+    // SOI alone, and a non-marker desync byte, reject cleanly
+    assert(codec.decode(Array(0xff, 0xd8, 0x00, 0x11)
+      .map(_.toByte)) === None)
+  }
+
+  test("synthetic PNG is a VALID png: ImageIO opens it with the same " +
+    "dims our codec reports") {
+    val p = Multimodal.syntheticPng(37, 21)
+    val codec = new Multimodal.HeaderCodec
+    assert(codec.decode(p) === Some(Multimodal.ImageMeta(37, 21, 3, "png")))
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+    assert(img != null, "ImageIO rejected the synthetic PNG")
+    assert(img.getWidth === 37 && img.getHeight === 21)
+  }
+
+  test("mixed-format corpus (q37 shape): every payload decodes with " +
+    "format matching its mime") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = (0L until 30L).toDF("doc_id")
+    val rows = Multimodal.decodeImageMetaBatch(
+      Multimodal.syntheticImagesMixed(docs, "doc_id"), "id")
+      .orderBy("id").collect()
+    assert(rows.length === 30)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val expected = (id % 3) match {
+        case 0 => "bmp"; case 1 => "png"; case _ => "jpeg"
+      }
+      assert(r.getAs[String]("format") === expected, s"id $id")
+      assert(r.getAs[String]("mime") === s"image/$expected")
+      assert(r.getAs[Int]("width") === 16 + (id % 64).toInt, s"id $id")
+      assert(r.getAs[Int]("height") === 16 + (id % 48).toInt, s"id $id")
+    }
+  }
+
+  test("real featurizer: a RESIZED copy is its original's top-1 " +
+    "neighbor — not just byte-identical payloads") {
+    val spark2 = spark
+    import spark2.implicits._
+    // corpus: 40 distinct-dim BMPs; query id 1000 = image 7 resized to
+    // half size (different bytes, different dims, same content layout)
+    val codec = new Multimodal.HeaderCodec
+    // per-id CONTENT, not just dims: paint id-keyed bright bands over
+    // the base ramp so each image has a distinct spatial layout (the
+    // ramp alone makes every image's layout near-identical)
+    def img(id: Long): Array[Byte] = {
+      val w = 20 + (id * 3 % 60).toInt
+      val h = 16 + (id * 5 % 40).toInt
+      val p = Multimodal.syntheticBmp(w, h)
+      val rowBytes = (w * 3 + 3) / 4 * 4
+      // bands THICKER than the 2x downsample stride (else an odd-row
+      // 1-px band vanishes under nearest-neighbor halving)
+      val thick = math.max(3, h / 6)
+      val band = (id % math.max(1, h - thick)).toInt
+      val band2 = ((id * 13 + 5) % math.max(1, h - thick)).toInt
+      for (b <- Seq(band, band2); dy <- 0 until thick;
+           x <- 0 until rowBytes)
+        p(54 + (b + dy) * rowBytes + x) = (((id * 31) + x) % 251).toByte
+      p
+    }
+    val corpus = (0L until 40L).map(id => (id, img(id)))
+    val q7 = corpus.find(_._1 == 7L).get._2
+    val m7 = codec.decode(q7).get
+    val resized = Multimodal.resizeBmp(q7,
+      m7.width / 2, m7.height / 2, codec).get
+    val all = corpus :+ (1000L, resized)
+    val media = all.toDF("id", "payload")
+      .select(col("id"), struct(col("payload"),
+        lit("image/bmp").as("mime"),
+        length(col("payload")).cast("long").as("n_bytes")).as("media"))
+    val feats = Multimodal.featurizeImagesBatch(media, "id")
+    assert(feats.count() === 41, "all BMPs featurized")
+    // cosineTopK keys queries by lowest ids; rank directly instead
+    val f = feats.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      dot / (na * nb)
+    }
+    val qf = f(1000L)
+    val ranked = f.filter(_._1 != 1000L).toSeq
+      .map { case (id, v) => (id, cos(qf, v)) }
+      .sortBy(-_._2)
+    assert(ranked.head._1 === 7L,
+      s"resized copy should retrieve its original; got ${ranked.take(3)}")
+  }
+
   test("image retrieval composite: byte-identical images retrieve each other at sim 1") {
     // syntheticBmp dims cycle with the id (mod 64 / mod 48), so ids 0
     // and 192 carry byte-identical payloads → identical stub features;
