@@ -97,6 +97,16 @@ object Bench {
       math.min(32, Runtime.getRuntime.availableProcessors()).toString).toInt
     val spark = GraftSession.local(cpus)
 
+    // Bench-only: every unpartitioned window in the headline set is
+    // DECLARED and closed-world-audited (PlanAuditSpec fails on any
+    // undeclared one), so WindowExec's per-execution warning carries no
+    // information here — but dozens of repeats bury real warnings in
+    // the output tail the driver captures. Silence that one logger for
+    // this process; correctness enforcement stays in the test suite.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
+
     // Warm the JVM + codegen + file-index paths so the first timed query
     // is not charged session startup.
     spark.range(1000000).selectExpr("sum(id)").collect()

@@ -72,6 +72,14 @@ object CorpusPipeline {
       // near-dup signature and its token budget; pure projection,
       // costs no extra shuffle. 0 = off
       intraDocChunkTokens: Int = 0,
+      // > 0: EXACT substring-level dedup (ExactSubstr grain — the
+      // finest: unaligned verbatim spans >= this many tokens scrubbed
+      // keep-first across docs) between lexical/semantic dedup and
+      // decontamination; catches quote-level duplication chunk and
+      // doc-level dedup both miss. 0 = off
+      substrMinLen: Int = 0,
+      substrK: Int = 8,
+      substrMaxBucket: Int = 4096,
       // > 0: compression-ratio gate (deflate bytes / raw bytes) in the
       // SAME gate projection — docs compressing below the floor are
       // boilerplate/generator loops, above the ceiling binary noise;
@@ -80,8 +88,8 @@ object CorpusPipeline {
       maxDeflateRatio: Double = 1.0)
 
   case class Report(input: Long, gated: Long, boiler: Long,
-      deduped: Long, semantic: Long, clean: Long, sampled: Long,
-      sequences: Long)
+      deduped: Long, semantic: Long, substr: Long, clean: Long,
+      sampled: Long, sequences: Long)
 
   // ---- the five stage transforms, shared by build and buildStaged ----
 
@@ -155,6 +163,23 @@ object CorpusPipeline {
     deduped.join(reps.union(noEmb), "doc_id")
   }
 
+  /** Substring-grain scrub over the doc-level-dedup survivors: spans
+    * >= substrMinLen tokens duplicated verbatim at ANY offset are
+    * removed keep-first ([[SubstrDedup.scrub]] — oracle-anchored by
+    * q100); docs scrubbed to emptiness are dropped. Runs AFTER doc
+    * dedup (whole-doc copies are already gone, so the anchor join sees
+    * only genuine partial overlap) and BEFORE decontamination (the
+    * scrub can only remove eval-set n-grams, never add them). */
+  private[graft] def substrStage(deduped: DataFrame,
+      cfg: Config): DataFrame = {
+    val scrubbed = SubstrDedup.scrub(deduped, "doc_id", "text",
+      minLen = cfg.substrMinLen, k = cfg.substrK,
+      maxBucket = cfg.substrMaxBucket)
+    deduped.select(col("doc_id"), col("lang"))
+      .join(scrubbed.filter(length(col("clean_text")) > 0)
+        .select(col("doc_id"), col("clean_text").as("text")), "doc_id")
+  }
+
   private[graft] def cleanStage(deduped: DataFrame, evalSet: DataFrame,
       cfg: Config): DataFrame = {
     val flagged = Contamination.ngramOverlap(deduped, evalSet,
@@ -209,7 +234,11 @@ object CorpusPipeline {
         persistCorpus(semanticStage(deduped, emb, cfg), "semantic")
       case None => deduped
     }
-    val clean = cleanStage(semantic, evalSet, cfg).localCheckpoint()
+    val substr =
+      if (cfg.substrMinLen > 0)
+        persistCorpus(substrStage(semantic, cfg), "substr")
+      else semantic
+    val clean = cleanStage(substr, evalSet, cfg).localCheckpoint()
     val sampled = sampleStage(clean, cfg).localCheckpoint()
     val sequences = chunkStage(sampled, cfg)
 
@@ -219,6 +248,7 @@ object CorpusPipeline {
       boiler = boiled.count(),
       deduped = deduped.count(),
       semantic = semantic.count(),
+      substr = substr.count(),
       clean = clean.count(),
       sampled = sampled.count(),
       sequences = sequences.count())
@@ -319,13 +349,18 @@ object CorpusPipeline {
         stage("02b_semantic")(semanticStage(deduped, emb, cfg))
       case None => (deduped, nDeduped)
     }
+    // "02c": optional substring-grain scrub keeps stage names stable
+    val (substr, nSubstr) =
+      if (cfg.substrMinLen > 0)
+        stage("02c_substr")(substrStage(semantic, cfg))
+      else (semantic, nSemantic)
     val (clean, nClean) =
-      stage("03_clean")(cleanStage(semantic, evalSet, cfg))
+      stage("03_clean")(cleanStage(substr, evalSet, cfg))
     val (sampled, nSampled) = stage("04_sampled")(sampleStage(clean, cfg))
     val (sequences, nSeq) = stage("05_sequences")(chunkStage(sampled, cfg))
 
     (sequences,
-      Report(nInput, nGated, nBoiler, nDeduped, nSemantic, nClean,
-        nSampled, nSeq))
+      Report(nInput, nGated, nBoiler, nDeduped, nSemantic, nSubstr,
+        nClean, nSampled, nSeq))
   }
 }

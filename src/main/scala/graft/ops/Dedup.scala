@@ -432,7 +432,17 @@ object Dedup {
       s"connectedComponents: ${stats.getLong(1)} pair rows carry a null " +
         "id — a null vertex would silently merge unrelated components; " +
         "drop or repair null ids upstream")
-    if (nPairs <= smallGraphEdges) return ccInCore(pairsCp)
+    if (nPairs <= smallGraphEdges) {
+      // the threshold is the ONLY thing between a skewed corpus and a
+      // driver OOM in the in-core path — log the decision with the
+      // measured size so a mis-tuned threshold is visible in ops logs,
+      // and re-assert the bound right where the collect happens
+      System.err.println(
+        s"[graft] connectedComponents: $nPairs edges <= in-core " +
+        s"threshold $smallGraphEdges — running driver-side union-find " +
+        "(the distributed pointer-jump loop is the default above it)")
+      return ccInCore(pairsCp, nPairs, smallGraphEdges)
+    }
     // size partitioning to the graph, ~1M edge rows per partition; the
     // symmetrized edge count is bounded by 2×pairs
     val p = math.max(1,
@@ -481,7 +491,12 @@ object Dedup {
   /** Exact driver-side union-find (path-halving + union-by-min) for
     * graphs under the small-graph threshold; returns the same (id,
     * lbl = component min id) contract as the distributed loop. */
-  private def ccInCore(pairsCp: DataFrame): DataFrame = {
+  private def ccInCore(pairsCp: DataFrame, nPairs: Long,
+      threshold: Long): DataFrame = {
+    require(nPairs <= threshold,
+      s"ccInCore: $nPairs edges exceed the small-graph threshold " +
+        s"$threshold — refusing the driver-side collect (caller bug: " +
+        "the distributed loop must handle this graph)")
     val edges = pairsCp.collect().map(r => (r.getLong(0), r.getLong(1)))
     val parent = new scala.collection.mutable.HashMap[Long, Long]()
     def find(x: Long): Long = {

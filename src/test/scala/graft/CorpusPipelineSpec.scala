@@ -296,6 +296,60 @@ class CorpusPipelineSpec extends AnyFunSuite {
         .as[(Long, Long, String, Long)].collect().toSeq)
   }
 
+  test("substring-scrub stage: an unaligned 60-token quote is scrubbed " +
+    "from the later doc only when the stage is on; staged build agrees") {
+    // doc 2 carries the quote at offset 0; doc 5 embeds it at offset 7
+    // (unaligned — chunk-grain dedup can't see it, and the 0.36 Jaccard
+    // keeps BOTH docs through lexical dedup)
+    def qt(j: Int): String =
+      s"qu${(97 + j / 26).toChar}${(97 + j % 26).toChar}"
+    val quote = (0 until 60).map(qt).mkString(" ")
+    val docA = quote + " " + (0 until 60).map(j => tok(2, j)).mkString(" ")
+    val docB = (0 until 7).map(j => tok(5, j)).mkString(" ") + " " +
+      quote + " " + (40 until 80).map(j => tok(5, j)).mkString(" ")
+    val others = (10 to 15).map(i => (i.toLong, "en",
+      (0 until 40).map(j => tok(i, j)).mkString(" ")))
+    val input = ((2L, "en", docA) +: (5L, "en", docB) +: others)
+      .toDF("doc_id", "lang", "text")
+    val quoteToks = quote.split(" ").toSet
+
+    val cfgOff = CorpusPipeline.Config(totalTarget = 1000L)
+    val (seqsOff, repOff) = CorpusPipeline.build(input, synEval, cfgOff)
+    assert(repOff.substr === repOff.semantic, "stage off: pass-through")
+    val bOff = seqsOff.filter($"doc_id" === 5L).select("chunk")
+      .as[String].collect()
+    assert(bOff.exists(_.split(" ").exists(quoteToks)),
+      "without the stage the quote survives in doc 5")
+
+    val cfgOn = cfgOff.copy(substrMinLen = 20)
+    val (seqsOn, repOn) = CorpusPipeline.build(input, synEval, cfgOn)
+    assert(repOn.substr === repOn.semantic,
+      "no doc emptied: counts unchanged, content scrubbed")
+    val aOn = seqsOn.filter($"doc_id" === 2L).select("chunk")
+      .as[String].collect()
+    val bOn = seqsOn.filter($"doc_id" === 5L).select("chunk")
+      .as[String].collect()
+    assert(aOn.exists(_.split(" ").exists(quoteToks)),
+      "first copy (lower id) keeps the quote")
+    assert(bOn.nonEmpty && bOn.forall(_.split(" ").forall(w =>
+      !quoteToks(w))), "later copy scrubbed at substring grain")
+
+    // determinism + staged-build parity with the stage on
+    val (seqs2, rep2) = CorpusPipeline.build(input, synEval, cfgOn)
+    assert(rep2 === repOn)
+    val staging = java.nio.file.Files
+      .createTempDirectory("graft_substr_stage").toString
+    val (seqsStaged, repStaged) = CorpusPipeline.buildStaged(
+      input, synEval, staging, cfgOn)
+    assert(repStaged === repOn)
+    assert(seqsStaged.orderBy("doc_id", "win_idx")
+      .as[(Long, Long, String, Long)].collect().toSeq ===
+      seqsOn.orderBy("doc_id", "win_idx")
+        .as[(Long, Long, String, Long)].collect().toSeq)
+    assert(new java.io.File(s"$staging/02c_substr/_GRAFT_STAGE_COMPLETE")
+      .exists(), "optional stage materialized under its fixed name")
+  }
+
   test("build: contaminated documents cannot reach the output") {
     // make doc 60's text literally an eval-set passage so its 8-gram
     // overlap is total — the decontamination stage must drop it
