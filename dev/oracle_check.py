@@ -25,7 +25,12 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 def main(out_dir: str, sf_dir: str) -> int:
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        # driver testdata is one file per table; Spark-written dirs
+        # (e.g. the graft.ScaleUp sf1 output) hold part files inside
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     n_fail = 0
     for name in sorted(oracle):

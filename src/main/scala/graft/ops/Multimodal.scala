@@ -150,15 +150,31 @@ object Multimodal {
     * IHDR, one IDAT holding the zlib-deflated filter-0 scanlines
     * (deterministic pixels), IEND — all chunk CRCs real, so external
     * decoders (ImageIO) open it too. MultimodalSpec proves that. */
-  def syntheticPng(width: Int, height: Int): Array[Byte] = {
+  def syntheticPng(width: Int, height: Int): Array[Byte] =
+    encodePngRgb(width, height, (x, y) => {
+      val b0 = ((x * 3 + y) % 251) & 0xff
+      val b1 = ((x * 3 + 1 + y) % 251) & 0xff
+      val b2 = ((x * 3 + 2 + y) % 251) & 0xff
+      (b0 << 16) | (b1 << 8) | b2
+    })
+
+  /** Deterministic RGB PNG encoder over a pixel function (packed
+    * 0xRRGGBB) — our own writer, so re-encoded bytes are bit-stable
+    * across JVMs (ImageIO's writer makes no such promise). */
+  def encodePngRgb(width: Int, height: Int,
+      rgb: (Int, Int) => Int): Array[Byte] = {
     require(width > 0 && height > 0, "dimensions must be positive")
     val raw = new Array[Byte](height * (1 + width * 3)) // filter byte + RGB
     var y = 0
     while (y < height) {
       val base = y * (1 + width * 3)
       var x = 0
-      while (x < width * 3) {
-        raw(base + 1 + x) = ((x + y) % 251).toByte; x += 1
+      while (x < width) {
+        val v = rgb(x, y)
+        raw(base + 1 + x * 3) = ((v >> 16) & 0xff).toByte
+        raw(base + 2 + x * 3) = ((v >> 8) & 0xff).toByte
+        raw(base + 3 + x * 3) = (v & 0xff).toByte
+        x += 1
       }
       y += 1
     }
@@ -293,6 +309,21 @@ object Multimodal {
   /** Batch resize over the media payload (`mapPartitions`, one codec
     * per partition): emits (id, payload) with each BMP resized to
     * (tw, th); unparseable payloads pass through as null. */
+  /** Nearest-neighbor resize of a PNG payload: full pixel decode via
+    * the JVM's ImageIO reader (pure-JVM PNG support is standard),
+    * re-encoded with OUR deterministic writer ([[encodePngRgb]]) so
+    * output bytes are bit-stable across machines. None for payloads
+    * ImageIO cannot open. */
+  def resizePng(p: Array[Byte], tw: Int, th: Int): Option[Array[Byte]] = {
+    require(tw > 0 && th > 0, "target dimensions must be positive")
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+      catch { case _: Exception => null }
+    if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+    else Some(encodePngRgb(tw, th, (x, y) =>
+      img.getRGB(x * img.getWidth / tw, y * img.getHeight / th) & 0xffffff))
+  }
+
   def resizeImagesBatch(df: DataFrame, idCol: String, tw: Int,
       th: Int): DataFrame = {
     val spark = df.sparkSession
@@ -303,13 +334,19 @@ object Multimodal {
       .mapPartitions { rows =>
         val codec = new HeaderCodec // once per partition, reused per row
         rows.map { case (id, payload) =>
-          (id, if (payload == null) null
-               else resizeBmp(payload, tw, th, codec).orNull)
+          val meta = codec.decode(payload)
+          meta.map(_.format) match {
+            case Some("bmp") =>
+              (id, resizeBmp(payload, tw, th, codec).orNull, "image/bmp")
+            case Some("png") =>
+              (id, resizePng(payload, tw, th).orNull, "image/png")
+            case _ => (id, null, null) // no pixel decoder for it
+          }
         }
       }
-      .toDF("id", "payload")
+      .toDF("id", "payload", "mime")
       .select(col("id"), struct(
-        col("payload"), lit("image/bmp").as("mime"),
+        col("payload"), col("mime"),
         coalesce(length(col("payload")), lit(0)).cast("long").as("n_bytes"))
         .as("media"))
   }

@@ -294,6 +294,45 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("PNG resize: ImageIO-decoded pixels, deterministic re-encode, " +
+    "mixed-corpus batch dispatches per format") {
+    val p = Multimodal.syntheticPng(40, 30)
+    val r = Multimodal.resizePng(p, 20, 15).get
+    val codec = new Multimodal.HeaderCodec
+    assert(codec.decode(r) === Some(Multimodal.ImageMeta(20, 15, 3, "png")))
+    // nearest-neighbor at exact halving: pixel (x,y) of the result is
+    // source pixel (2x,2y) — verify via ImageIO on both sides
+    val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+    val dst = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r))
+    for (x <- Seq(0, 7, 19); y <- Seq(0, 5, 14))
+      assert((dst.getRGB(x, y) & 0xffffff) ===
+        (src.getRGB(2 * x, 2 * y) & 0xffffff), s"pixel ($x,$y)")
+    // deterministic bytes
+    assert(Multimodal.resizePng(p, 20, 15).get.toSeq === r.toSeq)
+
+    // mixed corpus: BMP and PNG rows land on target dims with their own
+    // mime; JPEG header-only payloads have no pixel decoder -> null
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = (0L until 12L).toDF("doc_id")
+    val resized = Multimodal.resizeImagesBatch(
+      Multimodal.syntheticImagesMixed(docs, "doc_id"), "id", 8, 6)
+    val rows = Multimodal.decodeImageMetaBatch(resized, "id")
+      .orderBy("id").collect()
+    rows.foreach { row =>
+      val id = row.getLong(0)
+      if (id % 3 == 2) assert(row.isNullAt(3), s"jpeg id $id must be null")
+      else {
+        assert(row.getAs[Int]("width") === 8 && row.getAs[Int]("height") === 6,
+          s"id $id")
+        assert(row.getAs[String]("format") ===
+          (if (id % 3 == 0) "bmp" else "png"), s"id $id")
+        assert(row.getAs[String]("mime") === "image/" +
+          (if (id % 3 == 0) "bmp" else "png"), s"id $id")
+      }
+    }
+  }
+
   test("real featurizer: a RESIZED copy is its original's top-1 " +
     "neighbor — not just byte-identical payloads") {
     val spark2 = spark
