@@ -587,6 +587,221 @@ object Multimodal {
         length(col("payload")).cast("long").as("n_bytes")).as("media"))
   }
 
+  /** Deterministic SIGNED 16-bit PCM WAV — the feature-extraction
+    * fixture sibling of [[syntheticWav]] (whose samples are all
+    * non-negative, which makes zero-crossing trivially zero). Samples
+    * are the integer sequence s_i = ((i*7919 + 1237) mod 65536) −
+    * 32768 — pure integer arithmetic, so a SQL oracle can replay the
+    * exact PCM stream and pin the downstream feature math
+    * cross-engine (q101). */
+  def syntheticWavSigned(sampleRate: Int, channels: Int,
+      nSamples: Int): Array[Byte] = {
+    require(sampleRate > 0 && channels > 0 && nSamples >= 0)
+    val dataLen = nSamples * channels * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
+      .put("fmt ".getBytes).putInt(16)
+      .putShort(1).putShort(channels.toShort)
+      .putInt(sampleRate).putInt(sampleRate * channels * 2)
+      .putShort((channels * 2).toShort).putShort(16)
+      .put("data".getBytes).putInt(dataLen)
+    var i = 0
+    while (i < nSamples * channels) {
+      buf.putShort((((i * 7919 + 1237) % 65536) - 32768).toShort)
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** Signed synthetic audio corpus — same per-id rate/channels/length
+    * derivation as [[syntheticAudio]], signed samples for the feature
+    * queries (q101/q101b). */
+  def syntheticAudioSigned(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id")).as[Long]
+      .mapPartitions(_.map { id =>
+        (id, syntheticWavSigned(8000 * (1 + (id % 3).toInt),
+          1 + (id % 2).toInt, 200 + (id % 100).toInt))
+      })
+      .toDF("id", "payload")
+      .select(col("id"), struct(
+        col("payload"),
+        lit("audio/wav").as("mime"),
+        length(col("payload")).cast("long").as("n_bytes")).as("media"))
+  }
+
+  /** Pure 16-bit sine WAV at `freqHz` — the spectral fixture with
+    * known ground truth: RMS ≈ amp/(32768·√2), ZCR ≈ 2·f/rate,
+    * dominant FFT bin ≈ f. All channels carry the same signal. */
+  def sineWav(sampleRate: Int, channels: Int, nSamples: Int,
+      freqHz: Double, amp: Int = 16384): Array[Byte] = {
+    require(sampleRate > 0 && channels > 0 && nSamples >= 0)
+    val dataLen = nSamples * channels * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
+      .put("fmt ".getBytes).putInt(16)
+      .putShort(1).putShort(channels.toShort)
+      .putInt(sampleRate).putInt(sampleRate * channels * 2)
+      .putShort((channels * 2).toShort).putShort(16)
+      .put("data".getBytes).putInt(dataLen)
+    var f = 0
+    while (f < nSamples) {
+      val s = math.round(amp *
+        math.sin(2.0 * math.Pi * freqHz * f / sampleRate)).toShort
+      var c = 0
+      while (c < channels) { buf.putShort(s); c += 1 }
+      f += 1
+    }
+    buf.array()
+  }
+
+  /** In-place iterative radix-2 FFT (Cooley–Tukey 1965); length must
+    * be a power of two. Used for the per-payload spectral features —
+    * fftN is a constant (default 1024), so the per-document cost is
+    * O(fftN·log fftN) regardless of corpus size. */
+  private[graft] def fft(re: Array[Double], im: Array[Double]): Unit = {
+    val n = re.length
+    var j = 0
+    var i = 1
+    while (i < n) {
+      var bit = n >> 1
+      while ((j & bit) != 0) { j ^= bit; bit >>= 1 }
+      j |= bit
+      if (i < j) {
+        val tr = re(i); re(i) = re(j); re(j) = tr
+        val ti = im(i); im(i) = im(j); im(j) = ti
+      }
+      i += 1
+    }
+    var len = 2
+    while (len <= n) {
+      val ang = -2.0 * math.Pi / len
+      val wr = math.cos(ang); val wi = math.sin(ang)
+      val half = len >> 1
+      var base = 0
+      while (base < n) {
+        var cwr = 1.0; var cwi = 0.0
+        var k = 0
+        while (k < half) {
+          val ur = re(base + k); val ui = im(base + k)
+          val vr0 = re(base + k + half); val vi0 = im(base + k + half)
+          val vr = vr0 * cwr - vi0 * cwi
+          val vi = vr0 * cwi + vi0 * cwr
+          re(base + k) = ur + vr; im(base + k) = ui + vi
+          re(base + k + half) = ur - vr; im(base + k + half) = ui - vi
+          val nwr = cwr * wr - cwi * wi
+          cwi = cwr * wi + cwi * wr
+          cwr = nwr
+          k += 1
+        }
+        base += len
+      }
+      len <<= 1
+    }
+  }
+
+  /** Features of one 16-bit PCM payload. Time-domain fields use the
+    * mono-mixed normalized signal m_f = (Σ_c s_{f,c}/32768)/channels:
+    * rms = √(Σm²/n), zcr = strict sign flips / n, peak = max|m|.
+    * Spectral fields come from a radix-2 FFT over the first
+    * min(n, fftN) mixed samples zero-padded to fftN: dominantHz is the
+    * argmax magnitude bin in (0, fftN/2] (ties → lower bin) scaled to
+    * Hz; centroidHz is the magnitude-weighted mean bin frequency. */
+  case class AudioFeatures(sampleRate: Int, channels: Int,
+      nFrames: Long, rms: Double, zcr: Double, peak: Double,
+      dominantHz: Double, centroidHz: Double)
+
+  /** Decode + featurize one payload; None for non-WAV / non-16-bit. */
+  def audioFeatures(p: Array[Byte], fftN: Int = 1024,
+      codec: WavCodec = new WavCodec): Option[AudioFeatures] =
+    codec.decodeWithData(p).flatMap { case (m, dataOff, dataLen) =>
+      if (m.bitsPerSample != 16) None
+      else {
+        val ch = m.channels
+        val nFrames = dataLen / (2 * ch)
+        val win = math.min(nFrames, fftN)
+        val re = new Array[Double](fftN)
+        val im = new Array[Double](fftN)
+        var sumSq = 0.0
+        var peak = 0.0
+        var zc = 0
+        var prev = 0.0
+        var f = 0
+        while (f < nFrames) {
+          var c = 0
+          var acc = 0.0
+          while (c < ch) {
+            val off = dataOff + (f * ch + c) * 2
+            val s = ((p(off) & 0xff) | (p(off + 1) << 8)).toShort
+            acc += s / 32768.0
+            c += 1
+          }
+          val v = acc / ch
+          if (f < win) re(f) = v
+          sumSq += v * v
+          val a = math.abs(v)
+          if (a > peak) peak = a
+          if (f > 0 && prev * v < 0) zc += 1
+          prev = v
+          f += 1
+        }
+        val rms = if (nFrames == 0) 0.0 else math.sqrt(sumSq / nFrames)
+        val zcr = if (nFrames == 0) 0.0 else zc.toDouble / nFrames
+        fft(re, im)
+        val half = fftN / 2
+        var bestK = 0
+        var bestMag = 0.0
+        var magSum = 0.0
+        var wSum = 0.0
+        var k = 1
+        while (k <= half) {
+          val mag = math.sqrt(re(k) * re(k) + im(k) * im(k))
+          if (mag > bestMag) { bestMag = mag; bestK = k }
+          magSum += mag
+          wSum += mag * k
+          k += 1
+        }
+        val binHz = m.sampleRate.toDouble / fftN
+        Some(AudioFeatures(m.sampleRate, ch, nFrames.toLong, rms, zcr,
+          peak,
+          if (bestK == 0) 0.0 else bestK * binHz,
+          if (magSum == 0.0) 0.0 else wSum / magSum * binHz))
+      }
+    }
+
+  /** Batch audio feature extraction — the audio "feature-extract"
+    * stage of the modality contract (decode / featurize / transform /
+    * sample): decode → mono-mix → time-domain (rms / zero-crossing
+    * rate / peak) + spectral (dominant bin, centroid via FFT) per
+    * payload, in the same `mapPartitions` per-partition-codec shape as
+    * every other modality batch. 16-bit PCM only; rows whose payload
+    * cannot be opened yield null features. Fully map-side: cost is
+    * O(samples + fftN·log fftN) per document, no shuffle. */
+  def audioFeaturesBatch(df: DataFrame, idCol: String,
+      fftN: Int = 1024): DataFrame = {
+    require(fftN > 0 && (fftN & (fftN - 1)) == 0,
+      s"fftN must be a power of two, got $fftN")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+        col("media.payload").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val codec = new WavCodec
+        rows.map { case (id, p) =>
+          val fo = audioFeatures(p, fftN, codec)
+          (id, fo.map(_.sampleRate.toLong), fo.map(_.channels.toLong),
+            fo.map(_.nFrames), fo.map(_.rms), fo.map(_.zcr),
+            fo.map(_.peak), fo.map(_.dominantHz), fo.map(_.centroidHz))
+        }
+      }
+      .toDF("id", "sample_rate", "channels", "n_frames", "rms", "zcr",
+        "peak", "dominant_hz", "centroid_hz")
+  }
+
   /** Parsed video (AVI) header metadata. */
   case class VideoMeta(width: Int, height: Int, nFrames: Int,
       microsPerFrame: Int, format: String) {

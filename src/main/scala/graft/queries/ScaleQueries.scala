@@ -410,6 +410,39 @@ object ScaleQueries {
         minLen = 20, k = 8)
         .orderBy("id_a", "id_b", "start_a", "start_b")),
 
+    // audio feature extraction over the SIGNED synthetic corpus — the
+    // "feature-extract" stage of the audio modality. The PCM stream is
+    // integer-deterministic (s_i = ((i*7919+1237) mod 65536) − 32768),
+    // so the DuckDB oracle replays the exact samples from the generator
+    // formula and pins the mono-mix / rms / zero-crossing / peak math
+    // cross-engine — the codec walk itself is pinned by q66 + spec
+    "q101_audio_features" -> ((s, dir) => {
+      val audio = graft.ops.Multimodal.syntheticAudioSigned(
+        t(s, dir, "documents"), "doc_id")
+      graft.ops.Multimodal.audioFeaturesBatch(audio, "id")
+        .select(col("id").as("doc_id"), col("sample_rate"),
+          col("channels"), col("n_frames"),
+          round(col("rms"), 4).as("rms"),
+          round(col("zcr"), 4).as("zcr"),
+          round(col("peak"), 4).as("peak"))
+        .orderBy("doc_id")
+    }),
+
+    // spectral features (dominant FFT-bin frequency + spectral
+    // centroid, radix-2 FFT in the partition codec) — no oracle:
+    // transcendental FFT arithmetic is not replayable in SQL;
+    // MultimodalSpec pins known-sine fixtures (dominant ≈ f, RMS ≈
+    // amp/√2, ZCR ≈ 2f/rate) and corrupt-payload nulls
+    "q101b_audio_spectral" -> ((s, dir) => {
+      val audio = graft.ops.Multimodal.syntheticAudioSigned(
+        t(s, dir, "documents"), "doc_id")
+      graft.ops.Multimodal.audioFeaturesBatch(audio, "id")
+        .select(col("id").as("doc_id"),
+          round(col("dominant_hz"), 2).as("dominant_hz"),
+          round(col("centroid_hz"), 2).as("centroid_hz"))
+        .orderBy("doc_id")
+    }),
+
     // corpus composition audit: per (lang, source) volumes and shares
     "q84_composition" -> ((s, dir) =>
       TextAnalysis.corpusComposition(t(s, dir, "documents"))
@@ -2359,6 +2392,32 @@ object ScaleQueries {
               coalesce(a.ct, '') AS clean_text
        FROM docs d LEFT JOIN agg a USING (doc_id)
        ORDER BY d.doc_id""",
+    // replays the signed synthetic PCM stream from the generator
+    // formula (integer-exact) and recomputes mono-mix → rms / zcr /
+    // peak — the audio feature math pinned cross-engine
+    "q101_audio_features" ->
+      """WITH par AS (SELECT doc_id AS id,
+                  8000*(1+(doc_id % 3)) AS sample_rate,
+                  (1+(doc_id % 2)) AS channels,
+                  (200+(doc_id % 100)) AS n_frames
+           FROM documents),
+         samp AS (SELECT id, sample_rate, channels, n_frames,
+                  unnest(range(0, n_frames*channels)) AS i
+                  FROM par),
+         mixed AS (SELECT id, sample_rate, channels, n_frames,
+                  i // channels AS f,
+                  AVG((((i*7919 + 1237) % 65536) - 32768) / 32768.0) AS m
+                  FROM samp GROUP BY 1, 2, 3, 4, 5),
+         lagged AS (SELECT id, sample_rate, channels, n_frames, m,
+                  LAG(m) OVER (PARTITION BY id ORDER BY f) AS pm
+                  FROM mixed)
+       SELECT id AS doc_id, sample_rate, channels, n_frames,
+              ROUND(SQRT(AVG(m*m)), 4) AS rms,
+              ROUND(SUM(CASE WHEN pm IS NOT NULL AND m*pm < 0
+                             THEN 1 ELSE 0 END)
+                    / CAST(n_frames AS DOUBLE), 4) AS zcr,
+              ROUND(MAX(ABS(m)), 4) AS peak
+       FROM lagged GROUP BY 1, 2, 3, 4 ORDER BY doc_id""",
     "q59_decontaminate" -> q59Sql,
     // the Bloom prefilter variant is row-identical by construction
     // (false positives are settled by the exact join) — the SAME

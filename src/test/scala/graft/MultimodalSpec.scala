@@ -212,6 +212,99 @@ class MultimodalSpec extends AnyFunSuite {
         c.getAs[Int]("channels") == o.getAs[Int]("channels") })
   }
 
+  test("audio features: pure sine lands on known RMS / ZCR / dominant bin") {
+    // 443 Hz at 8 kHz (443 coprime to 8000, so samples never land
+    // exactly on a zero crossing — the strict sign-product ZCR counts
+    // every crossing), amp 16384 → normalized amp 0.5:
+    //   rms ≈ 0.5/√2, zcr ≈ 2·443/8000, dominant within one FFT bin
+    val wav = Multimodal.sineWav(8000, 1, 4000, 443.0, amp = 16384)
+    val f = Multimodal.audioFeatures(wav).get
+    assert(f.sampleRate === 8000 && f.channels === 1 && f.nFrames === 4000L)
+    assert(math.abs(f.rms - 0.5 / math.sqrt(2.0)) < 0.01, s"rms ${f.rms}")
+    assert(math.abs(f.zcr - 2.0 * 443.0 / 8000.0) < 0.005, s"zcr ${f.zcr}")
+    assert(math.abs(f.peak - 0.5) < 0.01, s"peak ${f.peak}")
+    val binHz = 8000.0 / 1024
+    assert(math.abs(f.dominantHz - 443.0) <= binHz, s"dom ${f.dominantHz}")
+    // a sine's spectral centroid sits near its frequency (leakage pulls
+    // it up slightly; well inside a loose band)
+    assert(f.centroidHz > 300 && f.centroidHz < 1200, s"cent ${f.centroidHz}")
+  }
+
+  test("audio features: higher sine → proportionally higher ZCR and dominant") {
+    val lo = Multimodal.audioFeatures(
+      Multimodal.sineWav(8000, 1, 4000, 443.0)).get
+    val hi = Multimodal.audioFeatures(
+      Multimodal.sineWav(8000, 1, 4000, 1772.0)).get
+    assert(math.abs(hi.dominantHz / lo.dominantHz - 4.0) < 0.2)
+    assert(math.abs(hi.zcr / lo.zcr - 4.0) < 0.2)
+  }
+
+  test("audio features: batch equals a direct in-JVM replay of the generator") {
+    val base = spark.range(0, 30).toDF("doc_id")
+    val audio = Multimodal.syntheticAudioSigned(base, "doc_id")
+    val got = Multimodal.audioFeaturesBatch(audio, "id")
+      .orderBy("id").collect()
+    assert(got.length === 30)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val ch = 1 + (id % 2).toInt
+      val n = 200 + (id % 100).toInt
+      // replay the formula directly (no WAV layer): mixed, rms, zcr, peak
+      val mixed = Array.tabulate(n) { f =>
+        (0 until ch).map { c =>
+          val i = f * ch + c
+          (((i * 7919 + 1237) % 65536) - 32768) / 32768.0
+        }.sum / ch
+      }
+      val rms = math.sqrt(mixed.map(x => x * x).sum / n)
+      val zc = (1 until n).count(f => mixed(f - 1) * mixed(f) < 0)
+      assert(r.getAs[Long]("sample_rate") === 8000L * (1 + (id % 3)))
+      assert(r.getAs[Long]("channels") === ch.toLong)
+      assert(r.getAs[Long]("n_frames") === n.toLong)
+      assert(math.abs(r.getAs[Double]("rms") - rms) < 1e-12)
+      assert(math.abs(r.getAs[Double]("zcr") - zc.toDouble / n) < 1e-12)
+      assert(math.abs(r.getAs[Double]("peak") - mixed.map(math.abs).max) < 1e-12)
+    }
+  }
+
+  test("audio features: anti-phase stereo mixes to silence; corrupt → null") {
+    // L = sine, R = −sine → mono mix is exactly zero everywhere
+    val rate = 8000; val n = 512
+    val dataLen = n * 2 * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
+      .put("fmt ".getBytes).putInt(16)
+      .putShort(1).putShort(2).putInt(rate).putInt(rate * 4)
+      .putShort(4).putShort(16)
+      .put("data".getBytes).putInt(dataLen)
+    (0 until n).foreach { f =>
+      val s = math.round(16384 * math.sin(2 * math.Pi * 440 * f / rate)).toShort
+      buf.putShort(s).putShort((-s).toShort)
+    }
+    val f0 = Multimodal.audioFeatures(buf.array()).get
+    assert(f0.rms === 0.0 && f0.zcr === 0.0 && f0.peak === 0.0)
+    assert(f0.dominantHz === 0.0 && f0.centroidHz === 0.0)
+    assert(Multimodal.audioFeatures("junk".getBytes).isEmpty)
+    assert(Multimodal.audioFeatures(null).isEmpty)
+  }
+
+  test("fft: impulse is flat, shifted impulse preserves magnitudes") {
+    val n = 64
+    val re = new Array[Double](n); val im = new Array[Double](n)
+    re(0) = 1.0
+    Multimodal.fft(re, im)
+    (0 until n).foreach { k =>
+      assert(math.abs(math.sqrt(re(k) * re(k) + im(k) * im(k)) - 1.0) < 1e-9)
+    }
+    val re2 = new Array[Double](n); val im2 = new Array[Double](n)
+    re2(3) = 1.0
+    Multimodal.fft(re2, im2)
+    (0 until n).foreach { k =>
+      assert(math.abs(math.sqrt(re2(k) * re2(k) + im2(k) * im2(k)) - 1.0) < 1e-9)
+    }
+  }
+
   test("AVI codec: avih found through nested LISTs, fields round-trip") {
     import graft.ops.Multimodal
     val codec = new Multimodal.AviCodec
