@@ -77,7 +77,8 @@ object Bench {
     // round 10: substring-grain dedup + unigram tokenizer encode
     "q100b_substr_spans",
     "q99c_unigram_encode",
-    "q101_audio_features")
+    "q101_audio_features",
+    "q102_zorder")
 
   /** Queries whose r6→r7 numbers moved 2–6× with no code change — the
     * self-join/ANN family is short (<3 s warm) so a single co-tenant

@@ -1,0 +1,42 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Retrieval evaluation: measure an ANN index against exact ground
+  * truth INSIDE the engine, so index-quality regression checks run as
+  * ordinary queries over the same corpus (no exported eval harness).
+  *
+  * The 100 TB shape: ground truth is only ever computed for a bounded
+  * query panel (the brute-force side is OnQ·corpus work — priced by
+  * the panel size, not the corpus alone), while the approximate side
+  * is the production index path. The comparison itself is one
+  * hash join + aggregate on (query, candidate) — negligible.
+  */
+object Eval {
+
+  /** recall@k per query: both inputs are top-k frames shaped
+    * (qid, rn, cid, …) — `truth` exact, `approx` the index under
+    * test. Returns (qid, hits, recall) for every truth query,
+    * zero-filled for queries the index missed entirely. */
+  def recallAtK(truth: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val t = truth.select(col("qid"), col("cid"))
+    val a = approx.select(col("qid"), col("cid"))
+    val hits = t.join(a, Seq("qid", "cid"), "left_semi")
+      .groupBy("qid").agg(count(lit(1)).as("hits"))
+    t.select("qid").distinct()
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)) / k.toDouble, 4).as("recall"))
+  }
+
+  /** Macro summary over [[recallAtK]]'s per-query frame: one row
+    * (n_queries, mean_recall, min_recall) — the number a nightly
+    * index-health check alerts on. */
+  def recallSummary(perQuery: DataFrame): DataFrame =
+    perQuery.agg(count(lit(1)).as("n_queries"),
+      round(avg("recall"), 4).as("mean_recall"),
+      round(min("recall"), 4).as("min_recall"))
+}

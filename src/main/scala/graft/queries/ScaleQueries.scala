@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import graft.ops.{Dedup, FuzzyJoin, Mixing, Similarity, SubstrDedup, TextAnalysis, TextOps, Vocab}
+import graft.ops.{Dedup, FuzzyJoin, Layout, Mixing, Similarity, SubstrDedup, TextAnalysis, TextOps, Vocab}
 
 /** North-star extension queries (SURVEY.md §7 step 7): deduplication,
   * similarity search, and text analysis at corpus scale. Oracle SQL is
@@ -441,6 +441,35 @@ object ScaleQueries {
           round(col("dominant_hz"), 2).as("dominant_hz"),
           round(col("centroid_hz"), 2).as("centroid_hz"))
         .orderBy("doc_id")
+    }),
+
+    // in-engine retrieval evaluation: recall@5 of the oracle-checked
+    // LSH ANN configuration against brute-force ground truth, per
+    // query — the index-health query a nightly pipeline alerts on. The
+    // oracle composes the q29 and q30b SQL twins verbatim, so the
+    // whole eval (both sides + the hit join) is oracle-checked
+    "q103_recall_eval" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val truth = Similarity.cosineTopK(emb, "vec_id", "embedding",
+        nQueries = 10, k = 5)
+      val approx = Similarity.annTopK(emb, "vec_id", "embedding",
+        dim = 64, nQueries = 10, k = 5, planes = 8, maxFlips = 1,
+        tables = 1)
+      graft.ops.Eval.recallAtK(truth, approx, k = 5).orderBy("qid")
+    }),
+
+    // Morton/z-order layout: the interleave arithmetic oracle-checked
+    // cross-engine (bits=10 over partkey/suppkey buckets); the layout
+    // operator itself (sampled range-exchange on z + within-partition
+    // sort) is pinned by LayoutSpec's measured file-skipping ratios
+    "q102_zorder" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          Layout.bucketize(col("l_partkey"), 10).as("x"),
+          Layout.bucketize(col("l_suppkey"), 10).as("y"))
+        .withColumn("z", Layout.zValue2(col("x"), col("y"), 10))
+        .orderBy("z", "l_orderkey", "l_linenumber")
+        .limit(300)
     }),
 
     // corpus composition audit: per (lang, source) volumes and shares
@@ -1237,6 +1266,22 @@ object ScaleQueries {
     * inlined as literal DOUBLE[] arrays; Double.toString round-trips to
     * the identical bits, and both engines fold dot products in
     * sequential index order, so bucket assignment matches exactly. */
+  /** Brute-force cosine top-5 oracle (q29) — also the ground-truth
+    * side of the q103 recall evaluation, so it lives in a val both
+    * entries share. */
+  private val q29Sql: String =
+    """WITH base AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+            q AS (SELECT vec_id qid, v qv FROM base WHERE vec_id < 10),
+            c AS (SELECT vec_id cid, v cv FROM base WHERE vec_id >= 10),
+            s AS (SELECT qid, cid, list_cosine_similarity(qv, cv) sim
+                  FROM q CROSS JOIN c),
+            r AS (SELECT qid, cid, sim,
+                         row_number() OVER (PARTITION BY qid
+                           ORDER BY sim DESC, cid) rn
+                  FROM s)
+       SELECT qid, CAST(rn AS INT) AS rn, cid, round(sim, 4) AS sim
+       FROM r WHERE rn <= 5 ORDER BY qid, rn"""
+
   private val q30bSql: String = {
     val hp = graft.ops.Similarity.hyperplanes(dim = 64, planes = 8, seed = 42L)
     val bucketTerms = hp.zipWithIndex.map { case (plane, j) =>
@@ -2418,6 +2463,29 @@ object ScaleQueries {
                     / CAST(n_frames AS DOUBLE), 4) AS zcr,
               ROUND(MAX(ABS(m)), 4) AS peak
        FROM lagged GROUP BY 1, 2, 3, 4 ORDER BY doc_id""",
+    // both retrieval sides are the q29/q30b twins embedded verbatim as
+    // derived tables; only the hit join + zero-fill is new SQL
+    "q103_recall_eval" ->
+      s"""WITH truth AS (SELECT * FROM ($q29Sql) t0),
+            approx AS (SELECT * FROM ($q30bSql) a0),
+            hit AS (SELECT t.qid, COUNT(*) AS hits
+                    FROM truth t JOIN approx a
+                      ON a.qid = t.qid AND a.cid = t.cid
+                    GROUP BY t.qid),
+            qs AS (SELECT DISTINCT qid FROM truth)
+          SELECT qs.qid, COALESCE(h.hits, 0) AS hits,
+                 ROUND(COALESCE(h.hits, 0) / 5.0, 4) AS recall
+          FROM qs LEFT JOIN hit h USING (qid) ORDER BY qs.qid""",
+    // the bit walk is generated from the same loop as the Column
+    // expression, so both engines compute term-identical arithmetic
+    "q102_zorder" -> {
+      val z = Layout.zValue2Sql("l_partkey % 1024", "l_suppkey % 1024", 10)
+      s"""SELECT l_orderkey, l_linenumber,
+                 l_partkey % 1024 AS x, l_suppkey % 1024 AS y,
+                 $z AS z
+          FROM lineitem
+          ORDER BY z, l_orderkey, l_linenumber LIMIT 300"""
+    },
     "q59_decontaminate" -> q59Sql,
     // the Bloom prefilter variant is row-identical by construction
     // (false positives are settled by the exact join) — the SAME
@@ -2448,18 +2516,7 @@ object ScaleQueries {
          SELECT id_a, id_b, round(j, 4) AS jac
          FROM (SELECT * FROM jac ORDER BY j DESC, id_a, id_b LIMIT 100) x
          ORDER BY jac DESC, id_a, id_b""",
-    "q29_cosine_topk" ->
-      """WITH base AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
-              q AS (SELECT vec_id qid, v qv FROM base WHERE vec_id < 10),
-              c AS (SELECT vec_id cid, v cv FROM base WHERE vec_id >= 10),
-              s AS (SELECT qid, cid, list_cosine_similarity(qv, cv) sim
-                    FROM q CROSS JOIN c),
-              r AS (SELECT qid, cid, sim,
-                           row_number() OVER (PARTITION BY qid
-                             ORDER BY sim DESC, cid) rn
-                    FROM s)
-         SELECT qid, CAST(rn AS INT) AS rn, cid, round(sim, 4) AS sim
-         FROM r WHERE rn <= 5 ORDER BY qid, rn""",
+    "q29_cosine_topk" -> q29Sql,
     "q31_cosine_neardup" ->
       """WITH base AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings
                        WHERE vec_id < 200),

@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Eval
+
+class EvalSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  test("recallAtK counts hits per query and zero-fills missed queries") {
+    val truth = Seq(
+      (1L, 1, 10L), (1L, 2, 11L), (1L, 3, 12L),
+      (2L, 1, 20L), (2L, 2, 21L), (2L, 3, 22L),
+      (3L, 1, 30L), (3L, 2, 31L), (3L, 3, 32L)).toDF("qid", "rn", "cid")
+    val approx = Seq(
+      (1L, 1, 10L), (1L, 2, 11L), (1L, 3, 12L), // full hit
+      (2L, 1, 20L), (2L, 2, 99L), (2L, 3, 98L)  // 1/3; qid 3 absent
+    ).toDF("qid", "rn", "cid")
+    val r = Eval.recallAtK(truth, approx, k = 3).orderBy("qid").collect()
+    assert(r.map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSeq ===
+      Seq((1L, 3L, 1.0), (2L, 1L, 0.3333), (3L, 0L, 0.0)))
+  }
+
+  test("recallSummary aggregates the panel") {
+    val truth = Seq((1L, 1, 10L), (2L, 1, 20L)).toDF("qid", "rn", "cid")
+    val approx = Seq((1L, 1, 10L)).toDF("qid", "rn", "cid")
+    val s = Eval.recallSummary(Eval.recallAtK(truth, approx, k = 1)).head()
+    assert(s.getLong(0) === 2L)
+    assert(s.getDouble(1) === 0.5)
+    assert(s.getDouble(2) === 0.0)
+  }
+
+  test("approx candidates outside truth never inflate recall") {
+    val truth = Seq((1L, 1, 10L)).toDF("qid", "rn", "cid")
+    val approx = Seq((1L, 1, 77L), (1L, 2, 78L), (9L, 1, 10L))
+      .toDF("qid", "rn", "cid")
+    val r = Eval.recallAtK(truth, approx, k = 1).collect()
+    // qid 9 is not a truth query → not reported; qid 1 has no hits
+    assert(r.map(x => (x.getLong(0), x.getLong(1))).toSeq === Seq((1L, 0L)))
+  }
+
+  test("q103 shape on testdata: self-recall is 1, ANN recall is sane") {
+    // wiring check, not an index-quality pin (RecallProbe owns the
+    // recall floors for the production configurations)
+    val emb = graft.sources.Tables(spark, "/root/testdata/sf0.001",
+      "embeddings")
+    val truth = graft.ops.Similarity.cosineTopK(emb, "vec_id", "embedding",
+      nQueries = 10, k = 5)
+    val self = Eval.recallSummary(Eval.recallAtK(truth, truth, 5)).head()
+    assert(self.getLong(0) === 10L)
+    assert(self.getDouble(1) === 1.0 && self.getDouble(2) === 1.0)
+    val approx = graft.ops.Similarity.annTopK(emb, "vec_id", "embedding",
+      dim = 64, nQueries = 10, k = 5, planes = 8, maxFlips = 1, tables = 1)
+    val s = Eval.recallSummary(Eval.recallAtK(truth, approx, 5)).head()
+    assert(s.getLong(0) === 10L)
+    val mean = s.getDouble(1)
+    assert(mean > 0.0 && mean <= 1.0, s"mean recall $mean")
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Layout
+
+class LayoutSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  /** Reference interleave, written independently of the Column fold. */
+  private def zRef(x: Long, y: Long, bits: Int): Long = {
+    var z = 0L
+    var b = 0
+    while (b < bits) {
+      z |= ((x >> b) & 1L) << (2 * b)
+      z |= ((y >> b) & 1L) << (2 * b + 1)
+      b += 1
+    }
+    z
+  }
+
+  test("zValue2 matches hand-computed interleaves") {
+    // x=0b101, y=0b011 → z bits x@{0,4}, y@{1,3} → 0b011011 = 27
+    val r = Seq((5L, 3L)).toDF("x", "y")
+      .select(Layout.zValue2(col("x"), col("y"), 3)).head().getLong(0)
+    assert(r === 27L)
+    assert(zRef(5L, 3L, 3) === 27L)
+  }
+
+  test("zValue2 equals the reference interleave across the domain") {
+    val bits = 8
+    val pairs = Seq.tabulate(500)(i => ((i * 37L) % 256, (i * 101L) % 256))
+    val got = pairs.toDF("x", "y")
+      .select(col("x"), col("y"), Layout.zValue2(col("x"), col("y"), bits).as("z"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(2) === zRef(r.getLong(0), r.getLong(1), bits),
+        s"(${r.getLong(0)}, ${r.getLong(1)})")
+    }
+  }
+
+  test("the generated SQL twin computes the identical z in Spark SQL") {
+    val bits = 10
+    val df = Seq.tabulate(300)(i => ((i * 7L) % 1024, (i * 13L) % 1024))
+      .toDF("x", "y")
+    val both = df.select(
+      Layout.zValue2(col("x"), col("y"), bits).as("a"),
+      expr(Layout.zValue2Sql("x", "y", bits)).as("b"))
+    assert(both.filter(col("a") =!= col("b")).count() === 0L)
+  }
+
+  test("clusterByZ bounds both dimensions; x-sort leaves y unpruned") {
+    // 128×128 grid; query = the y ≤ 15 slab (x unconstrained).
+    // An x-sorted layout cannot skip anything for it; the z layout
+    // skips every partition whose quad cells sit above the slab.
+    val n = 128
+    val grid = spark.range(0, n.toLong * n)
+      .select((col("id") / n).cast("long").as("x"),
+        pmod(col("id"), lit(n.toLong)).as("y"))
+    val zStats = Layout.partitionStats(
+      Layout.clusterByZ(grid, "x", "y", bits = 7, numPartitions = 16),
+      "x", "y")
+    val xStats = Layout.partitionStats(
+      grid.repartitionByRange(16, col("x")).sortWithinPartitions("x"),
+      "x", "y")
+    val zFrac = Layout.pruneFraction(zStats, 0, n - 1, 0, 15)
+    val xFrac = Layout.pruneFraction(xStats, 0, n - 1, 0, 15)
+    assert(xFrac === 1.0, s"x-sorted layout should hit all partitions, $xFrac")
+    assert(zFrac <= 0.5, s"z layout should skip most partitions, got $zFrac")
+    // and the z layout still prunes on x for an x-slab query
+    val zFracX = Layout.pruneFraction(zStats, 0, 15, 0, n - 1)
+    assert(zFracX <= 0.5, s"z layout should also prune x slabs, got $zFracX")
+  }
+
+  test("clusterByZ preserves rows and z is sorted within partitions") {
+    val grid = spark.range(0, 4096)
+      .select(pmod(col("id") * 17, lit(64L)).as("x"),
+        pmod(col("id") * 31, lit(64L)).as("y"))
+    val clustered = Layout.clusterByZ(grid, "x", "y", bits = 6,
+      numPartitions = 8)
+    assert(clustered.count() === 4096L)
+    val perPart = clustered
+      .mapPartitions(it => Iterator.single(
+        it.map(_.getAs[Long]("z")).toSeq))
+      .collect()
+    perPart.foreach(zs => assert(zs == zs.sorted, "z not sorted in partition"))
+  }
+}
