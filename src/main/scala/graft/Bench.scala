@@ -78,7 +78,9 @@ object Bench {
     "q100b_substr_spans",
     "q99c_unigram_encode",
     "q101_audio_features",
-    "q102_zorder")
+    "q102_zorder",
+    "q103_recall_eval",
+    "q104_keyframes")
 
   /** Queries whose r6→r7 numbers moved 2–6× with no code change — the
     * self-join/ANN family is short (<3 s warm) so a single co-tenant

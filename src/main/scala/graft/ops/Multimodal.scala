@@ -146,6 +146,40 @@ object Multimodal {
     buf.array()
   }
 
+  /** Deterministic 24-bit BMP encoder over a pixel function (packed
+    * 0xRRGGBB, logical top-down coordinates; rows stored bottom-up as
+    * positive-height BMPs are) — the content-controllable fixture
+    * generator behind the keyframe spec. */
+  def encodeBmpRgb(width: Int, height: Int,
+      rgb: (Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0, "dimensions must be positive")
+    val rowBytes = (width * 3 + 3) / 4 * 4
+    val dataSize = rowBytes * height
+    val buf = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+      .putInt(54 + dataSize).putInt(0).putInt(54)
+      .putInt(40).putInt(width).putInt(height)
+      .putShort(1).putShort(24)
+      .putInt(0).putInt(dataSize)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var sy = height - 1 // bottom-up storage: last logical row first
+    while (sy >= 0) {
+      var x = 0
+      while (x < width) {
+        val v = rgb(x, sy)
+        buf.put((v & 0xff).toByte)           // B
+          .put(((v >> 8) & 0xff).toByte)     // G
+          .put(((v >> 16) & 0xff).toByte)    // R
+        x += 1
+      }
+      var pad = width * 3
+      while (pad < rowBytes) { buf.put(0.toByte); pad += 1 }
+      sy -= 1
+    }
+    buf.array()
+  }
+
   /** Minimal VALID 8-bit RGB PNG of the given dimensions: signature,
     * IHDR, one IDAT holding the zlib-deflated filter-0 scanlines
     * (deterministic pixels), IEND — all chunk CRCs real, so external
@@ -420,6 +454,90 @@ object Multimodal {
         }
       }
       .toDF("id", "frame_idx", "frame")
+  }
+
+  /** Cosine distance between feature vectors; zero-norm handling:
+    * both empty/flat → 0 (identical nothingness), one flat → 1. */
+  private def cosineDist(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i)
+      i += 1
+    }
+    if (na == 0.0 && nb == 0.0) 0.0
+    else if (na == 0.0 || nb == 0.0) 1.0
+    else 1.0 - dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Keyframe (scene-change) detection — the video "feature-extract"
+    * stage: demux the movi frames, featurize each with the
+    * resize-robust [[bmpFeatures]] grid vector, and flag frames whose
+    * cosine distance to the previous decodable frame exceeds
+    * `threshold` (frame 0, and any undecodable frame, is a boundary
+    * by convention — an unknown gap is a cut, not a continuation).
+    * Shape: per-partition codecs, zero shuffle; cost is
+    * O(pixels + grid²) per frame. Returns
+    * (id, frame_idx, dist, is_key). */
+  def keyframesBatch(df: DataFrame, idCol: String,
+      threshold: Double = 0.3, grid: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+        col("media.payload").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val avi = new AviCodec
+        val img = new HeaderCodec
+        rows.flatMap { case (id, p) =>
+          var prev: Option[Array[Double]] = None
+          avi.frameSlices(p).iterator.zipWithIndex.map {
+            case ((off, len), i) =>
+              val feat = bmpFeatures(
+                java.util.Arrays.copyOfRange(p, off, off + len), grid, img)
+              val dist = (prev, feat) match {
+                case (Some(a), Some(b)) => cosineDist(a, b)
+                case _ => 1.0
+              }
+              prev = feat
+              (id, i, dist, i == 0 || dist > threshold)
+          }
+        }
+      }
+      .toDF("id", "frame_idx", "dist", "is_key")
+  }
+
+  /** Synthetic scene-cut video corpus: per id, a run of identical
+    * gradient frames (scene A) followed by a run of the INVERSE
+    * gradient (scene B) — centered grid features negate across the
+    * cut, so the boundary sits at cosine distance ≈ 2 while
+    * within-scene distances are exactly 0. The ground-truth cut index
+    * is 2 + id%3. */
+  def syntheticSceneVideos(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = 16 + (id % 3).toInt * 4
+        val h = 12 + (id % 2).toInt * 4
+        val grad = encodeBmpRgb(w, h, (x, _) => {
+          val v = x * 255 / math.max(1, w - 1); (v << 16) | (v << 8) | v
+        })
+        val igrad = encodeBmpRgb(w, h, (x, _) => {
+          val v = 255 - x * 255 / math.max(1, w - 1)
+          (v << 16) | (v << 8) | v
+        })
+        val nA = 2 + (id % 3).toInt
+        val nB = 2 + (id % 2).toInt
+        (id, packAviFrames(w, h, 25,
+          Seq.fill(nA)(grad) ++ Seq.fill(nB)(igrad)))
+      })
+      .toDF("id", "payload")
+      .select(col("id"), struct(
+        col("payload"),
+        lit("video/avi").as("mime"),
+        length(col("payload")).cast("long").as("n_bytes")).as("media"))
   }
 
   /** Parsed audio (WAV/PCM) header metadata. */

@@ -737,6 +737,20 @@ object ScaleQueries {
         .orderBy("doc_id", "frame_idx")
     }),
 
+    // keyframe (scene-change) detection over real AVI containers:
+    // demux → per-frame resize-robust grid features → cosine distance
+    // to the previous frame → boundary flags (no oracle: binary
+    // payloads are engine-generated; MultimodalSpec pins planted cuts,
+    // resize non-cuts, and undecodable-frame boundaries)
+    "q104_keyframes" -> ((s, dir) => {
+      val videos = graft.ops.Multimodal.syntheticSceneVideos(
+        t(s, dir, "documents"), "doc_id")
+      graft.ops.Multimodal.keyframesBatch(videos, "id")
+        .select(col("id").as("doc_id"), col("frame_idx"),
+          round(col("dist"), 4).as("dist"), col("is_key"))
+        .orderBy("doc_id", "frame_idx")
+    }),
+
     // LSH bucket-size profile — the side-channel audit surface behind
     // the oversized-bucket skew guard; band keys are raw md5
     // signature-slice values, so sizes are oracle-checked end-to-end

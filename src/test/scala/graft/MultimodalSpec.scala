@@ -305,6 +305,77 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("keyframes: scene cut detected exactly at the boundary") {
+    val w = 16; val h = 12
+    val grad = Multimodal.encodeBmpRgb(w, h, (x, _) => {
+      val v = x * 255 / (w - 1); (v << 16) | (v << 8) | v
+    })
+    val igrad = Multimodal.encodeBmpRgb(w, h, (x, _) => {
+      val v = 255 - x * 255 / (w - 1); (v << 16) | (v << 8) | v
+    })
+    val avi = Multimodal.packAviFrames(w, h, 25,
+      Seq(grad, grad, grad, igrad, igrad, igrad))
+    val df = Seq((7L, avi)).toDF("id", "payload")
+      .select(col("id"), struct(col("payload"),
+        lit("video/avi").as("mime"),
+        length(col("payload")).cast("long").as("n_bytes")).as("media"))
+    val rows = Multimodal.keyframesBatch(df, "id")
+      .orderBy("frame_idx").collect()
+    assert(rows.length === 6)
+    assert(rows.map(_.getAs[Boolean]("is_key")).toSeq ===
+      Seq(true, false, false, true, false, false))
+    // within-scene identical frames: distance numerically zero;
+    // inverse gradient: centered grids negate → distance near 2
+    assert(rows(1).getAs[Double]("dist") < 1e-9)
+    assert(rows(3).getAs[Double]("dist") > 1.5)
+  }
+
+  test("keyframes: nearest-neighbor-resized same content is NOT a cut") {
+    def grad(w: Int, h: Int) = Multimodal.encodeBmpRgb(w, h, (x, _) => {
+      val v = x * 255 / (w - 1); (v << 16) | (v << 8) | v
+    })
+    val avi = Multimodal.packAviFrames(32, 24, 25,
+      Seq(grad(16, 12), grad(32, 24)))
+    val df = Seq((1L, avi)).toDF("id", "payload")
+      .select(col("id"), struct(col("payload"),
+        lit("video/avi").as("mime"),
+        length(col("payload")).cast("long").as("n_bytes")).as("media"))
+    val rows = Multimodal.keyframesBatch(df, "id")
+      .orderBy("frame_idx").collect()
+    assert(rows.length === 2)
+    assert(!rows(1).getAs[Boolean]("is_key"),
+      s"resized duplicate flagged as cut, dist ${rows(1).getAs[Double]("dist")}")
+  }
+
+  test("keyframes: undecodable frame is a boundary, and so is the next") {
+    val w = 16; val h = 12
+    val grad = Multimodal.encodeBmpRgb(w, h, (x, _) => {
+      val v = x * 255 / (w - 1); (v << 16) | (v << 8) | v
+    })
+    val junk = "definitely not a bmp frame".getBytes
+    val avi = Multimodal.packAviFrames(w, h, 25, Seq(grad, junk, grad))
+    val df = Seq((1L, avi)).toDF("id", "payload")
+      .select(col("id"), struct(col("payload"),
+        lit("video/avi").as("mime"),
+        length(col("payload")).cast("long").as("n_bytes")).as("media"))
+    val rows = Multimodal.keyframesBatch(df, "id")
+      .orderBy("frame_idx").collect()
+    assert(rows.map(_.getAs[Boolean]("is_key")).toSeq ===
+      Seq(true, true, true))
+  }
+
+  test("keyframes: scene corpus puts the second key at the planted cut") {
+    val docs = (0L until 20L).toDF("doc_id")
+    val videos = Multimodal.syntheticSceneVideos(docs, "doc_id")
+    val keys = Multimodal.keyframesBatch(videos, "id")
+      .filter(col("is_key"))
+      .orderBy("id", "frame_idx").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getInt(1)).toSeq)
+    (0L until 20L).foreach { id =>
+      assert(keys(id) === Seq(0, (2 + id % 3).toInt), s"id $id: ${keys(id)}")
+    }
+  }
+
   test("AVI codec: avih found through nested LISTs, fields round-trip") {
     import graft.ops.Multimodal
     val codec = new Multimodal.AviCodec
