@@ -920,6 +920,51 @@ object Multimodal {
         "peak", "dominant_hz", "centroid_hz")
   }
 
+  /** Container-independent audio content keys — the multimodal exact
+    * dedup primitive: md5 over (sample_rate, channels, bits, raw data
+    * chunk bytes), so two WAVs that differ only in container furniture
+    * (LIST/fact chunks between fmt and data, RIFF padding, header
+    * rewrites) share a key while any sample difference splits them.
+    * Byte-level file hashing misses re-muxed duplicates; this is the
+    * decode-then-hash form that catches them. Returns
+    * (id, content_key) with null keys for undecodable payloads. */
+  def audioContentKeyBatch(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+        col("media.payload").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val codec = new WavCodec
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { case (id, p) =>
+          val key = codec.decodeWithData(p).map { case (m, off, len) =>
+            md.reset()
+            md.update(java.nio.ByteBuffer.allocate(12)
+              .putInt(m.sampleRate).putInt(m.channels)
+              .putInt(m.bitsPerSample).array())
+            md.update(p, off, len)
+            md.digest().map("%02x".format(_)).mkString
+          }
+          (id, key)
+        }
+      }
+      .toDF("id", "content_key")
+  }
+
+  /** Keep-first dedup over [[audioContentKeyBatch]]: (id, rep_id)
+    * where rep_id is the smallest id sharing the content key
+    * (undecodable payloads are their own reps). One hash-partition
+    * shuffle on the key — the q25 exact-dedup shape on decoded
+    * content instead of raw text. */
+  def audioDedup(df: DataFrame, idCol: String): DataFrame = {
+    val keys = audioContentKeyBatch(df, idCol)
+    val reps = keys.filter(col("content_key").isNotNull)
+      .groupBy("content_key").agg(min("id").as("rep_id"))
+    keys.join(reps, Seq("content_key"), "left")
+      .select(col("id"), coalesce(col("rep_id"), col("id")).as("rep_id"))
+  }
+
   /** Parsed video (AVI) header metadata. */
   case class VideoMeta(width: Int, height: Int, nFrames: Int,
       microsPerFrame: Int, format: String) {

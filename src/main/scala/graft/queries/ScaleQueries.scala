@@ -751,6 +751,20 @@ object ScaleQueries {
         .orderBy("doc_id", "frame_idx")
     }),
 
+    // container-independent audio dedup: decode → hash ONLY
+    // (rate, channels, bits, data-chunk bytes) → keep-first. The
+    // signed synthetic corpus derives content from (id%3, id%2,
+    // id%100), so the DuckDB oracle states the expected equivalence
+    // classes in closed form — the whole decode-hash-dedup pipeline is
+    // oracle-checked without DuckDB ever parsing a WAV
+    "q105_audio_dedup" -> ((s, dir) => {
+      val audio = graft.ops.Multimodal.syntheticAudioSigned(
+        t(s, dir, "documents"), "doc_id")
+      graft.ops.Multimodal.audioDedup(audio, "id")
+        .select(col("id").as("doc_id"), col("rep_id"))
+        .orderBy("doc_id")
+    }),
+
     // LSH bucket-size profile — the side-channel audit surface behind
     // the oversized-bucket skew guard; band keys are raw md5
     // signature-slice values, so sizes are oracle-checked end-to-end
@@ -2500,6 +2514,17 @@ object ScaleQueries {
           FROM lineitem
           ORDER BY z, l_orderkey, l_linenumber LIMIT 300"""
     },
+    // two synthetic WAVs carry identical PCM iff they agree on
+    // (rate, channels, length) = (id%3, id%2, id%100): the closed-form
+    // statement of the content-hash equivalence classes
+    "q105_audio_dedup" ->
+      """WITH par AS (SELECT doc_id, doc_id % 3 AS a, doc_id % 2 AS b,
+                             doc_id % 100 AS c
+                      FROM documents),
+            rep AS (SELECT a, b, c, MIN(doc_id) AS rep_id
+                    FROM par GROUP BY a, b, c)
+         SELECT p.doc_id, r.rep_id
+         FROM par p JOIN rep r USING (a, b, c) ORDER BY p.doc_id""",
     "q59_decontaminate" -> q59Sql,
     // the Bloom prefilter variant is row-identical by construction
     // (false positives are settled by the exact join) — the SAME

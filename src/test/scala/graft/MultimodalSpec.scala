@@ -305,6 +305,44 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("audio content key survives re-muxing, splits on sample change") {
+    val codec = new Multimodal.WavCodec
+    val wav = Multimodal.syntheticWavSigned(8000, 1, 100)
+    // re-mux: splice a LIST chunk between fmt and data (the same
+    // surgery the codec round-trip test performs) — bytes differ,
+    // content key must not
+    val fmtEnd = 12 + 8 + 16
+    val listChunk = "LIST".getBytes ++
+      Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes
+    val remuxed = wav.take(fmtEnd) ++ listChunk ++ wav.drop(fmtEnd)
+    assert(codec.decode(remuxed).nonEmpty, "fixture must stay decodable")
+    val other = Multimodal.syntheticWav(8000, 1, 100) // same geometry, different samples
+    val df = Seq((0L, wav), (1L, remuxed), (2L, other))
+      .toDF("id", "payload")
+      .select(col("id"), struct(col("payload"),
+        lit("audio/wav").as("mime"),
+        length(col("payload")).cast("long").as("n_bytes")).as("media"))
+    val keys = Multimodal.audioContentKeyBatch(df, "id")
+      .orderBy("id").collect().map(_.getString(1))
+    assert(keys(0) === keys(1), "re-muxed copy must share the key")
+    assert(keys(0) !== keys(2), "different samples must split")
+    val reps = Multimodal.audioDedup(df, "id")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(reps.toSeq === Seq((0L, 0L), (1L, 0L), (2L, 2L)))
+  }
+
+  test("audio dedup: undecodable payloads are their own reps") {
+    val wav = Multimodal.syntheticWavSigned(8000, 1, 50)
+    val df = Seq((0L, wav), (1L, "not audio".getBytes), (2L, wav))
+      .toDF("id", "payload")
+      .select(col("id"), struct(col("payload"),
+        lit("audio/wav").as("mime"),
+        length(col("payload")).cast("long").as("n_bytes")).as("media"))
+    val reps = Multimodal.audioDedup(df, "id")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(reps.toSeq === Seq((0L, 0L), (1L, 1L), (2L, 0L)))
+  }
+
   test("keyframes: scene cut detected exactly at the boundary") {
     val w = 16; val h = 12
     val grad = Multimodal.encodeBmpRgb(w, h, (x, _) => {
