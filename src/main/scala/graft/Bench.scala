@@ -81,7 +81,8 @@ object Bench {
     "q102_zorder",
     "q103_recall_eval",
     "q104_keyframes",
-    "q105_audio_dedup")
+    "q105_audio_dedup",
+    "q106_image_dedup")
 
   /** Queries whose r6→r7 numbers moved 2–6× with no code change — the
     * self-join/ANN family is short (<3 s warm) so a single co-tenant

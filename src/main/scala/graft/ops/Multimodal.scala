@@ -151,7 +151,7 @@ object Multimodal {
     * positive-height BMPs are) — the content-controllable fixture
     * generator behind the keyframe spec. */
   def encodeBmpRgb(width: Int, height: Int,
-      rgb: (Int, Int) => Int): Array[Byte] = {
+      rgb: (Int, Int) => Int, topDown: Boolean = false): Array[Byte] = {
     require(width > 0 && height > 0, "dimensions must be positive")
     val rowBytes = (width * 3 + 3) / 4 * 4
     val dataSize = rowBytes * height
@@ -159,12 +159,14 @@ object Multimodal {
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     buf.put('B'.toByte).put('M'.toByte)
       .putInt(54 + dataSize).putInt(0).putInt(54)
-      .putInt(40).putInt(width).putInt(height)
+      .putInt(40).putInt(width)
+      .putInt(if (topDown) -height else height) // negative = top-down
       .putShort(1).putShort(24)
       .putInt(0).putInt(dataSize)
       .putInt(2835).putInt(2835).putInt(0).putInt(0)
-    var sy = height - 1 // bottom-up storage: last logical row first
-    while (sy >= 0) {
+    // storage order: bottom-up walks last logical row first
+    val rows = if (topDown) 0 until height else (height - 1) to 0 by -1
+    rows.foreach { sy =>
       var x = 0
       while (x < width) {
         val v = rgb(x, sy)
@@ -175,7 +177,6 @@ object Multimodal {
       }
       var pad = width * 3
       while (pad < rowBytes) { buf.put(0.toByte); pad += 1 }
-      sy -= 1
     }
     buf.array()
   }
@@ -918,6 +919,62 @@ object Multimodal {
       }
       .toDF("id", "sample_rate", "channels", "n_frames", "rms", "zcr",
         "peak", "dominant_hz", "centroid_hz")
+  }
+
+  /** Container-independent image content keys — md5 over (width,
+    * height, logical top-down BGR rows WITHOUT stride padding), so
+    * BMPs that differ only in storage orientation (top-down vs
+    * bottom-up), header length, or row padding share a key while any
+    * pixel difference splits them. 24-bit BMP only (the decodable
+    * subset); null keys otherwise. */
+  def imageContentKeyBatch(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+        col("media.payload").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val codec = new HeaderCodec
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { case (id, p) =>
+          val key = codec.decode(p)
+            .filter(m => m.format == "bmp" && m.channels == 3)
+            .flatMap { m =>
+              val dataOff = (p(10) & 0xff) | ((p(11) & 0xff) << 8) |
+                ((p(12) & 0xff) << 16) | ((p(13) & 0xff) << 24)
+              val rawH = (p(22) & 0xff) | ((p(23) & 0xff) << 8) |
+                ((p(24) & 0xff) << 16) | ((p(25) & 0xff) << 24)
+              val topDown = rawH < 0
+              val srcRow = (m.width * 3 + 3) / 4 * 4
+              if (dataOff < 0 ||
+                dataOff.toLong + srcRow.toLong * m.height > p.length) None
+              else {
+                md.reset()
+                md.update(java.nio.ByteBuffer.allocate(8)
+                  .putInt(m.width).putInt(m.height).array())
+                var y = 0
+                while (y < m.height) {
+                  val sy = if (topDown) y else m.height - 1 - y
+                  md.update(p, dataOff + sy * srcRow, m.width * 3)
+                  y += 1
+                }
+                Some(md.digest().map("%02x".format(_)).mkString)
+              }
+            }
+          (id, key)
+        }
+      }
+      .toDF("id", "content_key")
+  }
+
+  /** Keep-first dedup over [[imageContentKeyBatch]] — same contract
+    * as [[audioDedup]]: (id, rep_id), undecodable rows self-rep. */
+  def imageDedup(df: DataFrame, idCol: String): DataFrame = {
+    val keys = imageContentKeyBatch(df, idCol)
+    val reps = keys.filter(col("content_key").isNotNull)
+      .groupBy("content_key").agg(min("id").as("rep_id"))
+    keys.join(reps, Seq("content_key"), "left")
+      .select(col("id"), coalesce(col("rep_id"), col("id")).as("rep_id"))
   }
 
   /** Container-independent audio content keys — the multimodal exact

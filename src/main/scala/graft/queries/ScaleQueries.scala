@@ -765,6 +765,18 @@ object ScaleQueries {
         .orderBy("doc_id")
     }),
 
+    // the image sibling of q105: pixel-content keys (dims + logical
+    // top-down rows, stride padding and orientation excluded) →
+    // keep-first; synthetic BMP content is fully determined by
+    // (id%64, id%48), so the oracle is again closed-form
+    "q106_image_dedup" -> ((s, dir) => {
+      val images = graft.ops.Multimodal.syntheticImages(
+        t(s, dir, "documents"), "doc_id")
+      graft.ops.Multimodal.imageDedup(images, "id")
+        .select(col("id").as("doc_id"), col("rep_id"))
+        .orderBy("doc_id")
+    }),
+
     // LSH bucket-size profile — the side-channel audit surface behind
     // the oversized-bucket skew guard; band keys are raw md5
     // signature-slice values, so sizes are oracle-checked end-to-end
@@ -2525,6 +2537,15 @@ object ScaleQueries {
                     FROM par GROUP BY a, b, c)
          SELECT p.doc_id, r.rep_id
          FROM par p JOIN rep r USING (a, b, c) ORDER BY p.doc_id""",
+    // synthetic BMP pixels are a pure function of (width, height) =
+    // (16+id%64, 16+id%48): the closed-form equivalence classes
+    "q106_image_dedup" ->
+      """WITH par AS (SELECT doc_id, doc_id % 64 AS a, doc_id % 48 AS b
+                      FROM documents),
+            rep AS (SELECT a, b, MIN(doc_id) AS rep_id
+                    FROM par GROUP BY a, b)
+         SELECT p.doc_id, r.rep_id
+         FROM par p JOIN rep r USING (a, b) ORDER BY p.doc_id""",
     "q59_decontaminate" -> q59Sql,
     // the Bloom prefilter variant is row-identical by construction
     // (false positives are settled by the exact join) — the SAME

@@ -343,6 +343,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(reps.toSeq === Seq((0L, 0L), (1L, 1L), (2L, 0L)))
   }
 
+  test("image content key ignores storage orientation, splits on pixels") {
+    def pix(x: Int, y: Int) = ((x * 7 + y * 13) % 256) * 0x010101
+    val bottomUp = Multimodal.encodeBmpRgb(10, 6, pix)
+    val topDown = Multimodal.encodeBmpRgb(10, 6, pix, topDown = true)
+    assert(!java.util.Arrays.equals(bottomUp, topDown),
+      "fixture bytes must differ")
+    val other = Multimodal.encodeBmpRgb(10, 6, (x, y) => pix(x, y) ^ 1)
+    val df = Seq((0L, bottomUp), (1L, topDown), (2L, other))
+      .toDF("id", "payload")
+      .select(col("id"), struct(col("payload"),
+        lit("image/bmp").as("mime"),
+        length(col("payload")).cast("long").as("n_bytes")).as("media"))
+    val keys = Multimodal.imageContentKeyBatch(df, "id")
+      .orderBy("id").collect().map(_.getString(1))
+    assert(keys(0) === keys(1), "orientation must not affect the key")
+    assert(keys(0) !== keys(2), "pixel change must split")
+    val reps = Multimodal.imageDedup(df, "id")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(reps.toSeq === Seq((0L, 0L), (1L, 0L), (2L, 2L)))
+  }
+
   test("keyframes: scene cut detected exactly at the boundary") {
     val w = 16; val h = 12
     val grad = Multimodal.encodeBmpRgb(w, h, (x, _) => {
