@@ -1,0 +1,36 @@
+#!/usr/bin/env python3
+"""Render the SCALING.md per-query ratio table from two Bench JSONs.
+
+Usage: python3 dev/scaling_table.py BENCH_sf01.json BENCH_sf1.json
+"""
+import json
+import sys
+
+
+def main(small_path: str, big_path: str) -> int:
+    small = json.load(open(small_path))
+    big = json.load(open(big_path))
+    qs, qb = small["queries"], big["queries"]
+    common = sorted(set(qs) & set(qb),
+                    key=lambda q: qb[q] / max(qs[q], 1e-9), reverse=True)
+    print(f"| | sf0.1 | sf1 (10x rows) | ratio |")
+    print(f"|---|---|---|---|")
+    print(f"| total wall ({len(common)} queries, min-of-2) "
+          f"| {small['value']:.1f} s | {big['value']:.1f} s "
+          f"| **{big['value'] / small['value']:.2f}x** |")
+    print(f"| failed queries | {len(small['failed'])} | {len(big['failed'])} | - |")
+    print(f"| loadavg at end | {small['loadavg']:.1f} | {big['loadavg']:.1f} | |")
+    print()
+    print("| ratio | query | sf0.1 s | sf1 s |")
+    print("|---|---|---|---|")
+    for q in common:
+        r = qb[q] / max(qs[q], 1e-9)
+        print(f"| {r:.1f}x | {q} | {qs[q]:.3f} | {qb[q]:.3f} |")
+    only = sorted((set(qs) | set(qb)) - set(common))
+    if only:
+        print(f"\n(not in both runs: {', '.join(only)})")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
