@@ -977,6 +977,65 @@ object Multimodal {
       .select(col("id"), coalesce(col("rep_id"), col("id")).as("rep_id"))
   }
 
+  /** Near-duplicate image pairs — the modality's fuzzy grain above
+    * the exact pixel key ([[imageDedup]]): resize-robust grid features
+    * → brute-force cosine over a bounded id slice (the q31 shape on
+    * image features instead of embeddings). Catches resized /
+    * re-encoded duplicates the exact key cannot. Scale path: the
+    * (id, features) frame drops into the LSH/IVF ANN family
+    * unchanged — brute force here is the bounded audit form. */
+  def imageNearDupPairs(df: DataFrame, idCol: String,
+      maxId: Long = 1000000L, minSim: Double = 0.98,
+      grid: Int = 4): DataFrame =
+    Similarity.cosineNearDupPairs(
+      featurizeImagesBatch(df, idCol, grid), "id", "features",
+      maxId, minSim)
+
+  /** Distinct-content image corpus with PLANTED resized duplicates:
+    * ids in each decade carry per-id gradient layouts (distinct
+    * feature vectors), except id ≡ 9 (mod 10), which is the decade
+    * anchor's image pushed through the REAL nearest-neighbor resize to
+    * half dimensions — ground-truth near-dup pairs (10k, 10k+9). */
+  def syntheticImagesDistinct(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // per-id random 4×4 BLOCK pattern (hash-mixed luma per block):
+    // distinct ids get independent grid layouts (cosine of centered
+    // 16-dim features concentrates near 0), while nearest-neighbor
+    // resize maps every target pixel into the same source block, so a
+    // resized copy keeps the exact layout
+    def pix(id: Long, w: Int, h: Int)(x: Int, y: Int): Int = {
+      // Murmur3 fmix64 — a multiply-shift alone is near-linear in the
+      // block index and produces structured cross-id correlations
+      var z = id * 16 + (y * 4 / h) * 4 + (x * 4 / w)
+      z ^= z >>> 33; z *= 0xff51afd7ed558ccdL
+      z ^= z >>> 33; z *= 0xc4ceb9fe1a85ec53L
+      z ^= z >>> 33
+      val v = (z & 0xff).toInt
+      (v << 16) | (v << 8) | v
+    }
+    df.select(col(idCol).cast("long").as("id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val anchor = id - (id % 10)
+        // multiples of 8 so the half-size resize keeps block and
+        // feature-cell boundaries exactly aligned under the codec's
+        // center-rounded nearest-neighbor sampling
+        val w = 24 + (anchor % 5).toInt * 8
+        val h = 16 + (anchor % 3).toInt * 8
+        val payload =
+          if (id % 10 == 9)
+            resizeBmp(encodeBmpRgb(w, h, pix(anchor, w, h)), w / 2, h / 2)
+              .getOrElse(encodeBmpRgb(w, h, pix(anchor, w, h)))
+          else encodeBmpRgb(w, h, pix(id, w, h))
+        (id, payload)
+      })
+      .toDF("id", "payload")
+      .select(col("id"), struct(
+        col("payload"),
+        lit("image/bmp").as("mime"),
+        length(col("payload")).cast("long").as("n_bytes")).as("media"))
+  }
+
   /** Container-independent audio content keys — the multimodal exact
     * dedup primitive: md5 over (sample_rate, channels, bits, raw data
     * chunk bytes), so two WAVs that differ only in container furniture

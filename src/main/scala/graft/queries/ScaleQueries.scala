@@ -777,6 +777,19 @@ object ScaleQueries {
         .orderBy("doc_id")
     }),
 
+    // image near-dup pairs above the exact grain of q106: resize-robust
+    // grid features → bounded brute cosine (the q31 audit shape; the
+    // production path drops the same feature frame into the ANN
+    // family). Planted ground truth: every id ≡ 9 (mod 10) is its
+    // decade anchor's image through the REAL resize — rows-only, the
+    // planted-pair recovery is spec-pinned
+    "q107_image_neardup" -> ((s, dir) => {
+      val images = graft.ops.Multimodal.syntheticImagesDistinct(
+        t(s, dir, "documents"), "doc_id")
+      graft.ops.Multimodal.imageNearDupPairs(images, "id",
+        maxId = 300L, minSim = 0.98)
+    }),
+
     // LSH bucket-size profile — the side-channel audit surface behind
     // the oversized-bucket skew guard; band keys are raw md5
     // signature-slice values, so sizes are oracle-checked end-to-end

@@ -364,6 +364,17 @@ class MultimodalSpec extends AnyFunSuite {
     assert(reps.toSeq === Seq((0L, 0L), (1L, 0L), (2L, 2L)))
   }
 
+  test("image near-dup: planted resized copies found, distinct content not") {
+    val docs = (0L until 40L).toDF("doc_id")
+    val images = Multimodal.syntheticImagesDistinct(docs, "doc_id")
+    val pairs = Multimodal.imageNearDupPairs(images, "id",
+      maxId = 40L, minSim = 0.98)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = Set((0L, 9L), (10L, 19L), (20L, 29L), (30L, 39L))
+    planted.foreach(p => assert(pairs.contains(p), s"missing planted $p"))
+    assert(pairs === planted, s"false positives: ${pairs -- planted}")
+  }
+
   test("keyframes: scene cut detected exactly at the boundary") {
     val w = 16; val h = 12
     val grad = Multimodal.encodeBmpRgb(w, h, (x, _) => {
