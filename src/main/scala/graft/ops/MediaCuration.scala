@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The multimodal mirror of the text capstone (`CorpusPipeline`):
+  * curate a binary image corpus through the modality operators in
+  * dependency order —
+  *
+  *   1. decode gate   — payloads the codec cannot open are dropped
+  *      with reason `undecodable` (never silently)
+  *   2. size gate     — thumbnails below (minWidth, minHeight) →
+  *      `too_small`
+  *   3. exact dedup   — container-independent pixel keys
+  *      ([[Multimodal.imageDedup]]): orientation / padding / header
+  *      re-encodes collapse, keep-first → `exact_dup`
+  *   4. near-dup      — resize-robust grid features over the exact
+  *      representatives only (the corpus already shrank), cosine
+  *      pairs → connected components → `near_dup` to the component
+  *      minimum
+  *
+  * Every row of the input appears exactly once in the output manifest
+  * (id, status, rep_id) — the audit property the spec pins. Statuses:
+  * kept | undecodable | too_small | exact_dup | near_dup; rep_id is
+  * the surviving representative (self for kept/undecodable/too_small).
+  *
+  * Scale shape: gates and keys are map-side; exact dedup is one
+  * key shuffle; near-dup runs on exact reps only and its bounded
+  * brute-force form here swaps for the LSH/IVF ANN family over the
+  * same feature frame at corpus scale.
+  */
+object MediaCuration {
+
+  def curateImages(df: DataFrame, idCol: String,
+      minWidth: Int = 16, minHeight: Int = 16,
+      nearSim: Double = 0.98, nearMaxId: Long = 1000000L,
+      grid: Int = 4): DataFrame = {
+    val media = df.select(col(idCol).cast("long").as("id"), col("media"))
+    val meta = Multimodal.decodeImageMetaBatch(media, "id")
+      .select(col("id"), col("width"), col("height"))
+
+    val undecodable = meta.filter(col("width").isNull).select("id")
+    val tooSmall = meta.filter(col("width").isNotNull &&
+      (col("width") < minWidth || col("height") < minHeight))
+      .select("id")
+    val gated = meta.filter(col("width").isNotNull &&
+      col("width") >= minWidth && col("height") >= minHeight)
+      .select("id")
+
+    val gatedMedia = media.join(gated, Seq("id"))
+    val exact = Multimodal.imageDedup(gatedMedia, "id") // (id, rep_id)
+    val exactReps = exact.filter(col("id") === col("rep_id")).select("id")
+
+    val pairs = Multimodal.imageNearDupPairs(
+      gatedMedia.join(exactReps, Seq("id")), "id", nearMaxId, nearSim,
+      grid)
+    val cc = Dedup.connectedComponents(
+      pairs.select("id_a", "id_b"), "id_a", "id_b") // (id, lbl)
+
+    val finalRep = exact
+      .join(cc.select(col("id").as("rep_id"), col("lbl").as("near_rep")),
+        Seq("rep_id"), "left")
+      .select(col("id"), col("rep_id"),
+        coalesce(col("near_rep"), col("rep_id")).as("final_rep"))
+
+    val curated = finalRep.select(col("id"),
+      when(col("id") === col("final_rep"), "kept")
+        .when(col("id") === col("rep_id"), "near_dup")
+        .otherwise("exact_dup").as("status"),
+      col("final_rep").as("rep_id"))
+
+    curated
+      .unionByName(undecodable.select(col("id"),
+        lit("undecodable").as("status"), col("id").as("rep_id")))
+      .unionByName(tooSmall.select(col("id"),
+        lit("too_small").as("status"), col("id").as("rep_id")))
+  }
+}

@@ -790,6 +790,21 @@ object ScaleQueries {
         maxId = 300L, minSim = 0.98)
     }),
 
+    // multimodal curation capstone: decode gate → size gate → exact
+    // pixel-key dedup → near-dup CC over exact reps, one manifest row
+    // per input. On the distinct-block corpus the only collapse is the
+    // planted resize, so the oracle states the full manifest in closed
+    // form — the composite (gates + both dedup grains + CC) is
+    // oracle-checked end to end
+    "q108_media_curation" -> ((s, dir) => {
+      val images = graft.ops.Multimodal.syntheticImagesDistinct(
+        t(s, dir, "documents").filter(col("doc_id") < 300), "doc_id")
+      graft.ops.MediaCuration.curateImages(images, "id",
+        minWidth = 10, minHeight = 8)
+        .select(col("id").as("doc_id"), col("status"), col("rep_id"))
+        .orderBy("doc_id")
+    }),
+
     // LSH bucket-size profile — the side-channel audit surface behind
     // the oversized-bucket skew guard; band keys are raw md5
     // signature-slice values, so sizes are oracle-checked end-to-end
@@ -2559,6 +2574,16 @@ object ScaleQueries {
                     FROM par GROUP BY a, b)
          SELECT p.doc_id, r.rep_id
          FROM par p JOIN rep r USING (a, b) ORDER BY p.doc_id""",
+    // every id decodes and passes the size gate; exact keys are unique
+    // (per-id block patterns), so the only collapse is the planted
+    // resize: id ≡ 9 (mod 10) → near_dup to its decade anchor
+    "q108_media_curation" ->
+      """SELECT doc_id,
+                CASE WHEN doc_id % 10 = 9 THEN 'near_dup'
+                     ELSE 'kept' END AS status,
+                CASE WHEN doc_id % 10 = 9 THEN doc_id - 9
+                     ELSE doc_id END AS rep_id
+         FROM documents WHERE doc_id < 300 ORDER BY doc_id""",
     "q59_decontaminate" -> q59Sql,
     // the Bloom prefilter variant is row-identical by construction
     // (false positives are settled by the exact join) — the SAME

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{MediaCuration, Multimodal}
+
+class MediaCurationSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  private def asMedia(rows: Seq[(Long, Array[Byte])]) =
+    rows.toDF("id", "payload")
+      .select(col("id"), struct(col("payload"),
+        lit("image/bmp").as("mime"),
+        length(col("payload")).cast("long").as("n_bytes")).as("media"))
+
+  test("curateImages routes every row to exactly one audited status") {
+    def blocks(seed: Long)(x: Int, y: Int): Int = {
+      var z = seed * 16 + (y * 4 / 16) * 4 + (x * 4 / 24)
+      z ^= z >>> 33; z *= 0xff51afd7ed558ccdL
+      z ^= z >>> 33
+      val v = (z & 0xff).toInt
+      (v << 16) | (v << 8) | v
+    }
+    val a = Multimodal.encodeBmpRgb(24, 16, blocks(1))
+    val aTopDown = Multimodal.encodeBmpRgb(24, 16, blocks(1), topDown = true)
+    val aResized = Multimodal.resizeBmp(a, 12, 8).get
+    val b = Multimodal.encodeBmpRgb(24, 16, blocks(2))
+    val tiny = Multimodal.encodeBmpRgb(8, 8, blocks(3))
+    val junk = "not an image".getBytes
+    val corpus = asMedia(Seq(
+      0L -> a, 1L -> aTopDown, 2L -> aResized,
+      3L -> b, 4L -> junk, 5L -> tiny))
+
+    val out = MediaCuration.curateImages(corpus, "id",
+      minWidth = 10, minHeight = 8)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+
+    assert(out.toSeq === Seq(
+      (0L, "kept", 0L),
+      (1L, "exact_dup", 0L),  // top-down re-encode, same pixels
+      (2L, "near_dup", 0L),   // real resize: exact key differs, features match
+      (3L, "kept", 3L),
+      (4L, "undecodable", 4L),
+      (5L, "too_small", 5L)))
+  }
+
+  test("manifest is a permutation of the input ids (nothing lost or doubled)") {
+    val docs = (0L until 60L).toDF("doc_id")
+    val images = Multimodal.syntheticImagesDistinct(docs, "doc_id")
+    // half-size resized copies go down to 12×8 — gate below that so
+    // they reach the near-dup stage instead of the size gate
+    val out = MediaCuration.curateImages(images, "id",
+      minWidth = 10, minHeight = 8)
+    assert(out.count() === 60L)
+    assert(out.select("id").distinct().count() === 60L)
+    // distinct-block corpus: the only collapse is the planted resize
+    val st = out.groupBy("status").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(st === Map("kept" -> 54L, "near_dup" -> 6L))
+    val nd = out.filter(col("status") === "near_dup")
+      .orderBy("id").collect()
+    nd.foreach(r => assert(r.getLong(2) === r.getLong(0) - 9,
+      s"near-dup rep should be the decade anchor: $r"))
+  }
+}
