@@ -84,7 +84,8 @@ object Bench {
     "q105_audio_dedup",
     "q106_image_dedup",
     "q107_image_neardup",
-    "q108_media_curation")
+    "q108_media_curation",
+    "q109_video_dedup")
 
   /** Queries whose r6→r7 numbers moved 2–6× with no code change — the
     * self-join/ANN family is short (<3 s warm) so a single co-tenant

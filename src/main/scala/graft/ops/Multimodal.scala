@@ -927,6 +927,35 @@ object Multimodal {
     * bottom-up), header length, or row padding share a key while any
     * pixel difference splits them. 24-bit BMP only (the decodable
     * subset); null keys otherwise. */
+  /** One image's canonical pixel key (the per-payload core of
+    * [[imageContentKeyBatch]], shared with the video content key). */
+  private[graft] def bmpContentKey(p: Array[Byte], codec: HeaderCodec,
+      md: java.security.MessageDigest): Option[String] =
+    codec.decode(p)
+      .filter(m => m.format == "bmp" && m.channels == 3)
+      .flatMap { m =>
+        val dataOff = (p(10) & 0xff) | ((p(11) & 0xff) << 8) |
+          ((p(12) & 0xff) << 16) | ((p(13) & 0xff) << 24)
+        val rawH = (p(22) & 0xff) | ((p(23) & 0xff) << 8) |
+          ((p(24) & 0xff) << 16) | ((p(25) & 0xff) << 24)
+        val topDown = rawH < 0
+        val srcRow = (m.width * 3 + 3) / 4 * 4
+        if (dataOff < 0 ||
+          dataOff.toLong + srcRow.toLong * m.height > p.length) None
+        else {
+          md.reset()
+          md.update(java.nio.ByteBuffer.allocate(8)
+            .putInt(m.width).putInt(m.height).array())
+          var y = 0
+          while (y < m.height) {
+            val sy = if (topDown) y else m.height - 1 - y
+            md.update(p, dataOff + sy * srcRow, m.width * 3)
+            y += 1
+          }
+          Some(md.digest().map("%02x".format(_)).mkString)
+        }
+      }
+
   def imageContentKeyBatch(df: DataFrame, idCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -936,35 +965,59 @@ object Multimodal {
       .mapPartitions { rows =>
         val codec = new HeaderCodec
         val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { case (id, p) => (id, bmpContentKey(p, codec, md)) }
+      }
+      .toDF("id", "content_key")
+  }
+
+  /** Container-independent VIDEO content keys — completes the
+    * modality trio (audio [[audioContentKeyBatch]], image
+    * [[imageContentKeyBatch]]): md5 over the ordered sequence of
+    * per-frame canonical pixel keys, so a re-muxed AVI (different
+    * chunk layout, padding, header furniture) shares its key while
+    * any frame-content difference splits it. An undecodable FRAME
+    * hashes as a sentinel (deterministic — two videos corrupt in the
+    * same frame still compare); an unreadable CONTAINER yields a null
+    * key. */
+  def videoContentKeyBatch(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+        col("media.payload").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val avi = new AviCodec
+        val img = new HeaderCodec
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val outer = java.security.MessageDigest.getInstance("MD5")
         rows.map { case (id, p) =>
-          val key = codec.decode(p)
-            .filter(m => m.format == "bmp" && m.channels == 3)
-            .flatMap { m =>
-              val dataOff = (p(10) & 0xff) | ((p(11) & 0xff) << 8) |
-                ((p(12) & 0xff) << 16) | ((p(13) & 0xff) << 24)
-              val rawH = (p(22) & 0xff) | ((p(23) & 0xff) << 8) |
-                ((p(24) & 0xff) << 16) | ((p(25) & 0xff) << 24)
-              val topDown = rawH < 0
-              val srcRow = (m.width * 3 + 3) / 4 * 4
-              if (dataOff < 0 ||
-                dataOff.toLong + srcRow.toLong * m.height > p.length) None
-              else {
-                md.reset()
-                md.update(java.nio.ByteBuffer.allocate(8)
-                  .putInt(m.width).putInt(m.height).array())
-                var y = 0
-                while (y < m.height) {
-                  val sy = if (topDown) y else m.height - 1 - y
-                  md.update(p, dataOff + sy * srcRow, m.width * 3)
-                  y += 1
-                }
-                Some(md.digest().map("%02x".format(_)).mkString)
-              }
+          val key = avi.decode(p).map { m =>
+            outer.reset()
+            // frame period is content (a 25 vs 30 fps cut differs);
+            // it also survives any re-mux, unlike chunk layout
+            outer.update(java.nio.ByteBuffer.allocate(4)
+              .putInt(m.microsPerFrame).array())
+            avi.frameSlices(p).foreach { case (off, len) =>
+              val frame = java.util.Arrays.copyOfRange(p, off, off + len)
+              outer.update(bmpContentKey(frame, img, md)
+                .getOrElse("x").getBytes)
             }
+            outer.digest().map("%02x".format(_)).mkString
+          }
           (id, key)
         }
       }
       .toDF("id", "content_key")
+  }
+
+  /** Keep-first dedup over [[videoContentKeyBatch]] — same contract
+    * as [[audioDedup]]/[[imageDedup]]. */
+  def videoDedup(df: DataFrame, idCol: String): DataFrame = {
+    val keys = videoContentKeyBatch(df, idCol)
+    val reps = keys.filter(col("content_key").isNotNull)
+      .groupBy("content_key").agg(min("id").as("rep_id"))
+    keys.join(reps, Seq("content_key"), "left")
+      .select(col("id"), coalesce(col("rep_id"), col("id")).as("rep_id"))
   }
 
   /** Keep-first dedup over [[imageContentKeyBatch]] — same contract

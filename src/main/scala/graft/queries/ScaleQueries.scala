@@ -805,6 +805,19 @@ object ScaleQueries {
         .orderBy("doc_id")
     }),
 
+    // video sibling of q105/q106, completing the modality trio:
+    // content key = md5 over (frame period + the ordered per-frame
+    // canonical pixel keys) → keep-first; synthetic AVI frame
+    // sequences are a pure function of (id%16, id%5), so the oracle
+    // is closed-form again
+    "q109_video_dedup" -> ((s, dir) => {
+      val videos = graft.ops.Multimodal.syntheticFrameVideos(
+        t(s, dir, "documents"), "doc_id")
+      graft.ops.Multimodal.videoDedup(videos, "id")
+        .select(col("id").as("doc_id"), col("rep_id"))
+        .orderBy("doc_id")
+    }),
+
     // LSH bucket-size profile — the side-channel audit surface behind
     // the oversized-bucket skew guard; band keys are raw md5
     // signature-slice values, so sizes are oracle-checked end-to-end
@@ -2584,6 +2597,16 @@ object ScaleQueries {
                 CASE WHEN doc_id % 10 = 9 THEN doc_id - 9
                      ELSE doc_id END AS rep_id
          FROM documents WHERE doc_id < 300 ORDER BY doc_id""",
+    // frame count is 3+id%5 and frame i dims are (8+(id+i)%16,
+    // 8+id%8); id%8 is determined by id%16, so the content classes
+    // are exactly (id%16, id%5)
+    "q109_video_dedup" ->
+      """WITH par AS (SELECT doc_id, doc_id % 16 AS a, doc_id % 5 AS b
+                      FROM documents),
+            rep AS (SELECT a, b, MIN(doc_id) AS rep_id
+                    FROM par GROUP BY a, b)
+         SELECT p.doc_id, r.rep_id
+         FROM par p JOIN rep r USING (a, b) ORDER BY p.doc_id""",
     "q59_decontaminate" -> q59Sql,
     // the Bloom prefilter variant is row-identical by construction
     // (false positives are settled by the exact join) — the SAME

@@ -375,6 +375,53 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs === planted, s"false positives: ${pairs -- planted}")
   }
 
+  test("video content key survives re-muxing, splits on frame change") {
+    def leInt(v: Int) = Array[Byte](
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val frames = Seq(Multimodal.syntheticBmp(12, 10),
+      Multimodal.syntheticBmp(16, 10))
+    val avi = Multimodal.packAviFrames(320, 240, 25, frames)
+    // re-mux: splice a JUNK chunk before the movi LIST, patch RIFF size
+    val moviAt = avi.indexOfSlice("movi".getBytes) - 8
+    assert(moviAt > 0, "fixture must contain a movi LIST")
+    val junk = "JUNK".getBytes ++ leInt(4) ++ "pad!".getBytes
+    val remuxed = avi.take(moviAt) ++ junk ++ avi.drop(moviAt)
+    val riffSize = ((avi(4) & 0xff) | ((avi(5) & 0xff) << 8) |
+      ((avi(6) & 0xff) << 16) | ((avi(7) & 0xff) << 24)) + junk.length
+    leInt(riffSize).zipWithIndex.foreach { case (b, i) => remuxed(4 + i) = b }
+    val altered = Multimodal.packAviFrames(320, 240, 25,
+      Seq(Multimodal.syntheticBmp(12, 10), Multimodal.syntheticBmp(16, 12)))
+    val df = Seq((0L, avi), (1L, remuxed), (2L, altered),
+        (3L, "not a video".getBytes))
+      .toDF("id", "payload")
+      .select(col("id"), struct(col("payload"),
+        lit("video/avi").as("mime"),
+        length(col("payload")).cast("long").as("n_bytes")).as("media"))
+    val keys = Multimodal.videoContentKeyBatch(df, "id")
+      .orderBy("id").collect().map(_.getString(1))
+    assert(keys(0) === keys(1), "re-muxed copy must share the key")
+    assert(keys(0) !== keys(2), "changed frame must split")
+    assert(keys(3) == null, "unreadable container has no key")
+    val reps = Multimodal.videoDedup(df, "id")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(reps.toSeq === Seq((0L, 0L), (1L, 0L), (2L, 2L), (3L, 3L)))
+  }
+
+  test("video content key includes the frame period") {
+    val frames = Seq(Multimodal.syntheticBmp(12, 10))
+    val df = Seq(
+        (0L, Multimodal.packAviFrames(320, 240, 25, frames)),
+        (1L, Multimodal.packAviFrames(320, 240, 30, frames)))
+      .toDF("id", "payload")
+      .select(col("id"), struct(col("payload"),
+        lit("video/avi").as("mime"),
+        length(col("payload")).cast("long").as("n_bytes")).as("media"))
+    val keys = Multimodal.videoContentKeyBatch(df, "id")
+      .orderBy("id").collect().map(_.getString(1))
+    assert(keys(0) !== keys(1), "different fps is different content")
+  }
+
   test("keyframes: scene cut detected exactly at the boundary") {
     val w = 16; val h = 12
     val grad = Multimodal.encodeBmpRgb(w, h, (x, _) => {
