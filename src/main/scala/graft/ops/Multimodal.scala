@@ -1134,6 +1134,143 @@ object Multimodal {
       .select(col("id"), coalesce(col("rep_id"), col("id")).as("rep_id"))
   }
 
+  /** Per-window dominant-bin landmark sequence — the amplitude- and
+    * clip-robust audio fingerprint (the landmark idea behind
+    * constellation fingerprinting, reduced to one peak per window):
+    * the mono mix is cut into consecutive `fftN`-sample windows and
+    * each window contributes its dominant FFT bin. Amplitude scaling
+    * preserves every argmax; truncation only shortens the sequence.
+    * 16-bit PCM only; None otherwise. */
+  def audioLandmarks(p: Array[Byte], fftN: Int = 256,
+      codec: WavCodec = new WavCodec): Option[Array[Int]] =
+    codec.decodeWithData(p).flatMap { case (m, dataOff, dataLen) =>
+      if (m.bitsPerSample != 16) None
+      else {
+        val ch = m.channels
+        val nFrames = dataLen / (2 * ch)
+        val nWin = nFrames / fftN
+        val bins = new Array[Int](nWin)
+        val re = new Array[Double](fftN)
+        val im = new Array[Double](fftN)
+        var w = 0
+        while (w < nWin) {
+          var i = 0
+          while (i < fftN) {
+            var c = 0
+            var acc = 0.0
+            while (c < ch) {
+              val off = dataOff + ((w * fftN + i) * ch + c) * 2
+              acc += ((p(off) & 0xff) | (p(off + 1) << 8)).toShort / 32768.0
+              c += 1
+            }
+            re(i) = acc / ch
+            im(i) = 0.0
+            i += 1
+          }
+          fft(re, im)
+          var bestK = 1
+          var bestMag = -1.0
+          var k = 1
+          while (k <= fftN / 2) {
+            val mag = re(k) * re(k) + im(k) * im(k)
+            if (mag > bestMag) { bestMag = mag; bestK = k }
+            k += 1
+          }
+          bins(w) = bestK
+          w += 1
+        }
+        Some(bins)
+      }
+    }
+
+  /** Landmark sequences rendered as whitespace-joined "fingerprint
+    * text", so the existing exact n-gram Jaccard operator (and, at
+    * scale, the MinHash family) applies to audio unchanged. Rows the
+    * codec cannot open are dropped. */
+  def audioFingerprintBatch(df: DataFrame, idCol: String,
+      fftN: Int = 256): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+        col("media.payload").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val codec = new WavCodec
+        rows.flatMap { case (id, p) =>
+          audioLandmarks(p, fftN, codec).map(b => (id, b.mkString(" ")))
+        }
+      }
+      .toDF("id", "fp")
+  }
+
+  /** Audio near-dup pairs — the fuzzy grain above [[audioDedup]]'s
+    * exact key: landmark fingerprints → exact 3-gram Jaccard over a
+    * bounded slice (the q28 audit shape; the same fingerprint column
+    * drops into MinHash-LSH for the corpus-scale path). Catches
+    * re-encoded (amplitude-scaled) and clipped duplicates. */
+  def audioNearDupPairs(df: DataFrame, idCol: String,
+      fftN: Int = 256, maxId: Long = 150, topN: Int = 100,
+      minJaccard: Double = 0.5): DataFrame =
+    Dedup.ngramJaccardTopPairs(audioFingerprintBatch(df, idCol, fftN),
+      "id", "fp", n = 3, maxId = maxId, topN = topN)
+      .filter(col("jac") >= minJaccard)
+
+  /** Per-id "chirp" fixture: window w carries EXACTLY binOf(id, w)
+    * cycles (an integer per window), so each window's FFT peak is the
+    * planted bin with no leakage. */
+  def syntheticChirpWav(sampleRate: Int, nWindows: Int, fftN: Int,
+      seed: Long, amp: Int = 12000): Array[Byte] = {
+    val n = nWindows * fftN
+    val dataLen = n * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
+      .put("fmt ".getBytes).putInt(16)
+      .putShort(1).putShort(1).putInt(sampleRate).putInt(sampleRate * 2)
+      .putShort(2).putShort(16)
+      .put("data".getBytes).putInt(dataLen)
+    var w = 0
+    while (w < nWindows) {
+      var z = seed * 1000003L + w
+      z ^= z >>> 33; z *= 0xff51afd7ed558ccdL
+      z ^= z >>> 33; z *= 0xc4ceb9fe1a85ec53L
+      z ^= z >>> 33
+      val bin = 4 + (z & 31L).toInt
+      var i = 0
+      while (i < fftN) {
+        buf.putShort(math.round(
+          amp * math.sin(2.0 * math.Pi * bin * i / fftN)).toShort)
+        i += 1
+      }
+      w += 1
+    }
+    buf.array()
+  }
+
+  /** Chirp corpus with planted near-dups: id ≡ 9 (mod 10) carries its
+    * decade anchor's chirp at ONE THIRD the amplitude and clipped to
+    * 60% of the windows — exactly the perturbations the landmark
+    * fingerprint is built to survive. */
+  def syntheticAudioNearDupCorpus(df: DataFrame, idCol: String,
+      fftN: Int = 256, nWindows: Int = 24): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val payload =
+          if (id % 10 == 9)
+            syntheticChirpWav(8000, nWindows * 6 / 10, fftN,
+              seed = id - 9, amp = 4000)
+          else syntheticChirpWav(8000, nWindows, fftN, seed = id)
+        (id, payload)
+      })
+      .toDF("id", "payload")
+      .select(col("id"), struct(
+        col("payload"),
+        lit("audio/wav").as("mime"),
+        length(col("payload")).cast("long").as("n_bytes")).as("media"))
+  }
+
   /** Parsed video (AVI) header metadata. */
   case class VideoMeta(width: Int, height: Int, nFrames: Int,
       microsPerFrame: Int, format: String) {

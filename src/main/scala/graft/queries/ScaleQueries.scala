@@ -818,6 +818,20 @@ object ScaleQueries {
         .orderBy("doc_id")
     }),
 
+    // audio near-dup pairs — the fuzzy grain above q105's exact key:
+    // per-window dominant-bin landmarks → exact 3-gram Jaccard (q28
+    // audit shape; the fingerprint column drops into MinHash-LSH at
+    // corpus scale). Planted ground truth: id ≡ 9 (mod 10) is its
+    // decade anchor's chirp at 1/3 amplitude clipped to 60% — the
+    // perturbations the landmark fingerprint survives (rows-only;
+    // planted-pair recovery spec-pinned)
+    "q110_audio_neardup" -> ((s, dir) => {
+      val corpus = graft.ops.Multimodal.syntheticAudioNearDupCorpus(
+        t(s, dir, "documents"), "doc_id")
+      graft.ops.Multimodal.audioNearDupPairs(corpus, "id", maxId = 300L,
+        topN = 200)
+    }),
+
     // LSH bucket-size profile — the side-channel audit surface behind
     // the oversized-bucket skew guard; band keys are raw md5
     // signature-slice values, so sizes are oracle-checked end-to-end

@@ -375,6 +375,44 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs === planted, s"false positives: ${pairs -- planted}")
   }
 
+  test("audio landmarks recover the planted chirp bins exactly") {
+    val fftN = 256
+    val wav = Multimodal.syntheticChirpWav(8000, 8, fftN, seed = 42L)
+    val bins = Multimodal.audioLandmarks(wav, fftN).get
+    assert(bins.length === 8)
+    (0 until 8).foreach { w =>
+      var z = 42L * 1000003L + w
+      z ^= z >>> 33; z *= 0xff51afd7ed558ccdL
+      z ^= z >>> 33; z *= 0xc4ceb9fe1a85ec53L
+      z ^= z >>> 33
+      assert(bins(w) === 4 + (z & 31L).toInt, s"window $w")
+    }
+  }
+
+  test("audio near-dup: amplitude-scaled copy matches at jaccard 1") {
+    val a = Multimodal.syntheticChirpWav(8000, 16, 256, seed = 5L,
+      amp = 12000)
+    val b = Multimodal.syntheticChirpWav(8000, 16, 256, seed = 5L,
+      amp = 3000)
+    val df = Seq((0L, a), (1L, b)).toDF("id", "payload")
+      .select(col("id"), struct(col("payload"),
+        lit("audio/wav").as("mime"),
+        length(col("payload")).cast("long").as("n_bytes")).as("media"))
+    val pairs = Multimodal.audioNearDupPairs(df, "id").collect()
+    assert(pairs.length === 1)
+    assert(pairs.head.getDouble(2) === 1.0)
+  }
+
+  test("audio near-dup: planted scaled+clipped copies found, distinct not") {
+    val docs = (0L until 40L).toDF("doc_id")
+    val corpus = Multimodal.syntheticAudioNearDupCorpus(docs, "doc_id")
+    val pairs = Multimodal.audioNearDupPairs(corpus, "id", maxId = 40L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = Set((0L, 9L), (10L, 19L), (20L, 29L), (30L, 39L))
+    planted.foreach(p => assert(pairs.contains(p), s"missing planted $p"))
+    assert(pairs === planted, s"false positives: ${pairs -- planted}")
+  }
+
   test("video content key survives re-muxing, splits on frame change") {
     def leInt(v: Int) = Array[Byte](
       (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
