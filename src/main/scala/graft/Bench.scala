@@ -86,7 +86,8 @@ object Bench {
     "q107_image_neardup",
     "q108_media_curation",
     "q109_video_dedup",
-    "q110_audio_neardup")
+    "q110_audio_neardup",
+    "q111_video_neardup")
 
   /** Queries whose r6→r7 numbers moved 2–6× with no code change — the
     * self-join/ANN family is short (<3 s warm) so a single co-tenant

@@ -1010,6 +1010,87 @@ object Multimodal {
       .toDF("id", "content_key")
   }
 
+  /** Per-frame key sequences as fingerprint text — the video
+    * analogue of [[audioFingerprintBatch]]: n-gram Jaccard over
+    * frame-key shingles catches re-CUT videos (frames inserted,
+    * dropped, or re-ordered around a shared core) that the exact
+    * sequence key ([[videoContentKeyBatch]]) cannot. Undecodable
+    * frames shingle as a sentinel; unreadable containers drop. */
+  def videoFingerprintBatch(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+        col("media.payload").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val avi = new AviCodec
+        val img = new HeaderCodec
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.flatMap { case (id, p) =>
+          avi.decode(p).map { _ =>
+            val keys = avi.frameSlices(p).map { case (off, len) =>
+              bmpContentKey(
+                java.util.Arrays.copyOfRange(p, off, off + len), img, md)
+                .getOrElse("x")
+            }
+            (id, keys.mkString(" "))
+          }
+        }
+      }
+      .toDF("id", "fp")
+  }
+
+  /** Video near-dup pairs: frame-key 3-gram Jaccard over a bounded
+    * slice (q28 audit shape; MinHash-LSH over the same fingerprint
+    * column at corpus scale). */
+  def videoNearDupPairs(df: DataFrame, idCol: String,
+      maxId: Long = 150, topN: Int = 100,
+      minJaccard: Double = 0.5): DataFrame =
+    Dedup.ngramJaccardTopPairs(videoFingerprintBatch(df, idCol),
+      "id", "fp", n = 3, maxId = maxId, topN = topN)
+      .filter(col("jac") >= minJaccard)
+
+  /** Video near-dup corpus with planted RE-CUTS: ids carry 12
+    * distinct hash-block frames each; id ≡ 9 (mod 10) is its decade
+    * anchor's video with one extra frame spliced into the middle —
+    * the exact sequence key splits, the frame-shingle Jaccard holds
+    * at 8/13. */
+  def syntheticVideoNearDupCorpus(df: DataFrame,
+      idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id")).as[Long]
+      .mapPartitions { it =>
+        // helpers live INSIDE the task closure: a local def at method
+        // level lifts to an instance method of the (non-serializable)
+        // enclosing object and poisons the closure
+        def blockPix(seed: Long)(x: Int, y: Int): Int = {
+          var z = seed * 16 + (y * 4 / 12) * 4 + (x * 4 / 16)
+          z ^= z >>> 33; z *= 0xff51afd7ed558ccdL
+          z ^= z >>> 33; z *= 0xc4ceb9fe1a85ec53L
+          z ^= z >>> 33
+          val v = (z & 0xff).toInt
+          (v << 16) | (v << 8) | v
+        }
+        def frame(seed: Long) =
+          Multimodal.encodeBmpRgb(16, 12, blockPix(seed))
+        it.map { id =>
+          val frames =
+            if (id % 10 == 9) {
+              val a = id - 9
+              val core = (0 until 12).map(i => frame(a * 1000 + i))
+              core.take(6) ++ Seq(frame(a * 1000 + 999)) ++ core.drop(6)
+            } else (0 until 12).map(i => frame(id * 1000 + i))
+          (id, Multimodal.packAviFrames(320, 240, 25, frames))
+        }
+      }
+      .toDF("id", "payload")
+      .select(col("id"), struct(
+        col("payload"),
+        lit("video/avi").as("mime"),
+        length(col("payload")).cast("long").as("n_bytes")).as("media"))
+  }
+
   /** Keep-first dedup over [[videoContentKeyBatch]] — same contract
     * as [[audioDedup]]/[[imageDedup]]. */
   def videoDedup(df: DataFrame, idCol: String): DataFrame = {

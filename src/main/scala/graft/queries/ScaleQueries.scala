@@ -832,6 +832,18 @@ object ScaleQueries {
         topN = 200)
     }),
 
+    // video near-dup pairs — the fuzzy grain above q109's exact
+    // sequence key: frame-key shingles → exact 3-gram Jaccard (q28
+    // audit shape; MinHash-LSH over the same column at scale). Catches
+    // re-CUT videos (a frame spliced into a shared core). Planted
+    // ground truth at 8/13 — rows-only; recovery spec-pinned
+    "q111_video_neardup" -> ((s, dir) => {
+      val corpus = graft.ops.Multimodal.syntheticVideoNearDupCorpus(
+        t(s, dir, "documents"), "doc_id")
+      graft.ops.Multimodal.videoNearDupPairs(corpus, "id", maxId = 300L,
+        topN = 200)
+    }),
+
     // LSH bucket-size profile — the side-channel audit surface behind
     // the oversized-bucket skew guard; band keys are raw md5
     // signature-slice values, so sizes are oracle-checked end-to-end

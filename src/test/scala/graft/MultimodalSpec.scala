@@ -413,6 +413,43 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs === planted, s"false positives: ${pairs -- planted}")
   }
 
+  test("video near-dup: re-cut (frame-inserted) copy found by shingles") {
+    // 12 distinct frames; the re-cut copy inserts one new frame in the
+    // middle — the exact sequence key splits, the shingle Jaccard stays
+    // high; an unrelated video shares nothing
+    def f(i: Int) = Multimodal.encodeBmpRgb(16, 12, (x, y) => {
+      val v = ((x * 7 + y * 13 + i * 31) % 256); (v << 16) | (v << 8) | v
+    })
+    val core = (0 until 12).map(f)
+    val recut = core.take(6) ++ Seq(f(99)) ++ core.drop(6)
+    val other = (100 until 112).map(f)
+    val df = Seq(
+        (0L, Multimodal.packAviFrames(320, 240, 25, core)),
+        (1L, Multimodal.packAviFrames(320, 240, 25, recut)),
+        (2L, Multimodal.packAviFrames(320, 240, 25, other)))
+      .toDF("id", "payload")
+      .select(col("id"), struct(col("payload"),
+        lit("video/avi").as("mime"),
+        length(col("payload")).cast("long").as("n_bytes")).as("media"))
+    // exact keys split on the insert
+    val keys = Multimodal.videoContentKeyBatch(df, "id")
+      .orderBy("id").collect().map(_.getString(1))
+    assert(keys(0) !== keys(1))
+    // shingle near-dup finds exactly the re-cut pair
+    val pairs = Multimodal.videoNearDupPairs(df, "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((0L, 1L)), s"got $pairs")
+  }
+
+  test("video near-dup corpus: planted re-cuts found, distinct not") {
+    val docs = (0L until 40L).toDF("doc_id")
+    val corpus = Multimodal.syntheticVideoNearDupCorpus(docs, "doc_id")
+    val pairs = Multimodal.videoNearDupPairs(corpus, "id", maxId = 40L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = Set((0L, 9L), (10L, 19L), (20L, 29L), (30L, 39L))
+    assert(pairs === planted, s"got $pairs")
+  }
+
   test("video content key survives re-muxing, splits on frame change") {
     def leInt(v: Int) = Array[Byte](
       (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
