@@ -739,14 +739,23 @@ object ScaleQueries {
 
     // keyframe (scene-change) detection over real AVI containers:
     // demux → per-frame resize-robust grid features → cosine distance
-    // to the previous frame → boundary flags (no oracle: binary
-    // payloads are engine-generated; MultimodalSpec pins planted cuts,
-    // resize non-cuts, and undecodable-frame boundaries)
+    // to the previous frame → boundary flags. Oracle-checked in closed
+    // form: the scene fixture makes every distance a pure function of
+    // the frame dims — frame 0 → 1.0 by the unknown-prev convention,
+    // within-scene identical frames → 0.0, and the inverse-gradient
+    // cut sits just under 2.0 (centered grid features negate exactly;
+    // the shared aspect term w/(w+h)−0.5 pulls the cosine off −1 by an
+    // amount determined by (w, h) = (16+4·(id%3), 12+4·(id%2))) — so
+    // DuckDB states the full (dist, is_key) table from id alone, six
+    // constants for six dim combos, without parsing a container;
+    // MultimodalSpec additionally pins resize non-cuts and
+    // undecodable-frame boundaries
     "q104_keyframes" -> ((s, dir) => {
       val videos = graft.ops.Multimodal.syntheticSceneVideos(
         t(s, dir, "documents"), "doc_id")
       graft.ops.Multimodal.keyframesBatch(videos, "id")
-        .select(col("id").as("doc_id"), col("frame_idx"),
+        .select(col("id").as("doc_id"),
+          col("frame_idx").cast("long").as("frame_idx"),
           round(col("dist"), 4).as("dist"), col("is_key"))
         .orderBy("doc_id", "frame_idx")
     }),
@@ -781,8 +790,12 @@ object ScaleQueries {
     // grid features → bounded brute cosine (the q31 audit shape; the
     // production path drops the same feature frame into the ANN
     // family). Planted ground truth: every id ≡ 9 (mod 10) is its
-    // decade anchor's image through the REAL resize — rows-only, the
-    // planted-pair recovery is spec-pinned
+    // decade anchor's image through the REAL resize. Oracle-checked in
+    // closed form: nearest-neighbor halving maps every target pixel
+    // into the same source 4×4 block, so the resized copy's grid-4
+    // features are BIT-identical to the anchor's and the planted pairs
+    // sit at sim exactly 1.0, while distinct hash-block layouts never
+    // clear the 0.98 bar (MultimodalSpec pins the exact pair set)
     "q107_image_neardup" -> ((s, dir) => {
       val images = graft.ops.Multimodal.syntheticImagesDistinct(
         t(s, dir, "documents"), "doc_id")
@@ -823,8 +836,11 @@ object ScaleQueries {
     // audit shape; the fingerprint column drops into MinHash-LSH at
     // corpus scale). Planted ground truth: id ≡ 9 (mod 10) is its
     // decade anchor's chirp at 1/3 amplitude clipped to 60% — the
-    // perturbations the landmark fingerprint survives (rows-only;
-    // planted-pair recovery spec-pinned)
+    // perturbations the landmark fingerprint survives. Oracle-checked
+    // end to end: the chirp plants each window's dominant FFT bin as
+    // 4 + (fmix64(seed·1000003 + w) & 31) with zero leakage, so DuckDB
+    // replays the landmark sequences with 128-bit modular arithmetic
+    // (no WAV parse, no FFT) and recomputes the 3-gram Jaccard exactly
     "q110_audio_neardup" -> ((s, dir) => {
       val corpus = graft.ops.Multimodal.syntheticAudioNearDupCorpus(
         t(s, dir, "documents"), "doc_id")
@@ -835,8 +851,11 @@ object ScaleQueries {
     // video near-dup pairs — the fuzzy grain above q109's exact
     // sequence key: frame-key shingles → exact 3-gram Jaccard (q28
     // audit shape; MinHash-LSH over the same column at scale). Catches
-    // re-CUT videos (a frame spliced into a shared core). Planted
-    // ground truth at 8/13 — rows-only; recovery spec-pinned
+    // re-CUT videos (a frame spliced into a shared core). Oracle-
+    // checked in closed form: 12 distinct core frames + 1 splice give
+    // the variant 11 shingles to the anchor's 10 with exactly 8 shared
+    // (the 3 straddling the splice break), so every planted pair sits
+    // at Jaccard 8/13 and cross-id frames share nothing
     "q111_video_neardup" -> ((s, dir) => {
       val corpus = graft.ops.Multimodal.syntheticVideoNearDupCorpus(
         t(s, dir, "documents"), "doc_id")
@@ -2633,6 +2652,99 @@ object ScaleQueries {
                     FROM par GROUP BY a, b)
          SELECT p.doc_id, r.rep_id
          FROM par p JOIN rep r USING (a, b) ORDER BY p.doc_id""",
+    // every frame distance is a pure function of id (see the query
+    // comment): frame 0 → 1.0, within-scene → 0.0, and the cut at
+    // frame nA → one of six constants determined by the frame dims
+    // (id % 6 indexes the (id%3, id%2) combo): the negated grid part
+    // drives the cosine to −1 + 2a²/(‖c‖² + a²) with a = w/(w+h) − ½
+    "q104_keyframes" ->
+      """WITH par AS (SELECT doc_id, 2 + doc_id % 3 AS na,
+                             2 + doc_id % 2 AS nb
+                      FROM documents),
+            fr AS (SELECT doc_id, na,
+                          unnest(range(0, na + nb)) AS frame_idx
+                   FROM par)
+         SELECT doc_id, frame_idx,
+                CAST(CASE WHEN frame_idx = 0 THEN 1.0
+                          WHEN frame_idx = na THEN
+                            CASE doc_id % 6
+                              WHEN 0 THEN 1.9929 WHEN 1 THEN 1.9956
+                              WHEN 2 THEN 1.9599 WHEN 3 THEN 2.0
+                              WHEN 4 THEN 1.9777 WHEN 5 THEN 1.9854
+                            END
+                          ELSE 0.0 END AS DOUBLE) AS dist,
+                (frame_idx = 0 OR frame_idx = na) AS is_key
+         FROM fr ORDER BY doc_id, frame_idx""",
+    // nearest-neighbor halving preserves the 4×4 block layout, so the
+    // planted resized copies are BIT-identical in grid-feature space
+    // (sim exactly 1.0) and nothing else clears 0.98
+    "q107_image_neardup" ->
+      """SELECT doc_id - 9 AS id_a, doc_id AS id_b,
+                CAST(1.0 AS DOUBLE) AS sim
+         FROM documents WHERE doc_id % 10 = 9 AND doc_id < 300
+         ORDER BY id_a, id_b""",
+    // full landmark replay: each window's dominant bin is
+    // 4 + (fmix64(seed·1000003 + w) & 31); fmix64's two 64-bit modular
+    // multiplies run in 32-bit halves under HUGEINT so the products
+    // never leave 128 bits. From the replayed sequences the 3-gram
+    // Jaccard join mirrors ngramJaccardTopPairs exactly; every pair at
+    // jac ≥ 0.5 ranks inside the operator's top-200 cut (planted pairs
+    // lead, junk single-gram collisions trail far below 0.5), so the
+    // ≥ 0.5 filter alone reproduces the output
+    "q110_audio_neardup" ->
+      """WITH par AS (SELECT doc_id AS id,
+                  CASE WHEN doc_id % 10 = 9 THEN doc_id - 9
+                       ELSE doc_id END AS seed,
+                  CASE WHEN doc_id % 10 = 9 THEN 14 ELSE 24 END AS nw
+           FROM documents WHERE doc_id < 300),
+         win AS (SELECT id, seed, unnest(range(0, nw)) AS w FROM par),
+         z0 AS (SELECT id, w,
+                  CAST(seed * 1000003 + w AS UBIGINT) AS z FROM win),
+         x0 AS (SELECT id, w,
+                  CAST(xor(z, z >> 33) AS HUGEINT) AS z FROM z0),
+         z1 AS (SELECT id, w, CAST(
+                  ((((z >> 32) * 3981806797 + (z & 4294967295) * 4283543511)
+                      % 4294967296) * 4294967296
+                    + (z & 4294967295) * 3981806797)
+                  % 18446744073709551616 AS UBIGINT) AS z FROM x0),
+         x1 AS (SELECT id, w,
+                  CAST(xor(z, z >> 33) AS HUGEINT) AS z FROM z1),
+         z2 AS (SELECT id, w, CAST(
+                  ((((z >> 32) * 444984403 + (z & 4294967295) * 3301882366)
+                      % 4294967296) * 4294967296
+                    + (z & 4294967295) * 444984403)
+                  % 18446744073709551616 AS UBIGINT) AS z FROM x1),
+         fp AS (SELECT id, w,
+                  CAST(4 + (xor(z, z >> 33) & 31) AS BIGINT) AS bin
+                FROM z2),
+         grams AS (SELECT DISTINCT a.id,
+                     CAST(a.bin AS VARCHAR) || ' ' ||
+                     CAST(b.bin AS VARCHAR) || ' ' ||
+                     CAST(c.bin AS VARCHAR) AS gram
+                   FROM fp a
+                   JOIN fp b ON b.id = a.id AND b.w = a.w + 1
+                   JOIN fp c ON c.id = a.id AND c.w = a.w + 2),
+         sz AS (SELECT id, COUNT(*) AS s FROM grams GROUP BY id),
+         inter AS (SELECT a.id AS id_a, b.id AS id_b,
+                     CAST(COUNT(*) AS BIGINT) AS i
+                   FROM grams a JOIN grams b
+                     ON a.gram = b.gram AND a.id < b.id
+                   GROUP BY 1, 2)
+       SELECT id_a, id_b,
+              ROUND(i * 1.0 / (sa.s + sb.s - i), 4) AS jac
+       FROM inter
+       JOIN sz sa ON sa.id = id_a
+       JOIN sz sb ON sb.id = id_b
+       WHERE i * 1.0 / (sa.s + sb.s - i) >= 0.5
+       ORDER BY jac DESC, id_a, id_b""",
+    // closed-form splice arithmetic: anchor 10 shingles, re-cut 11,
+    // 8 shared → every planted pair at exactly 8/13; distinct
+    // hash-block frames never collide across ids
+    "q111_video_neardup" ->
+      """SELECT doc_id - 9 AS id_a, doc_id AS id_b,
+                ROUND(8.0 / 13.0, 4) AS jac
+         FROM documents WHERE doc_id % 10 = 9 AND doc_id < 300
+         ORDER BY id_a, id_b""",
     "q59_decontaminate" -> q59Sql,
     // the Bloom prefilter variant is row-identical by construction
     // (false positives are settled by the exact join) — the SAME
