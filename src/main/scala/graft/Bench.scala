@@ -87,7 +87,12 @@ object Bench {
     "q108_media_curation",
     "q109_video_dedup",
     "q110_audio_neardup",
-    "q111_video_neardup")
+    "q111_video_neardup",
+    // round 11 session 2: set-algebra / robust-stats / versioning ops
+    "q112_corpus_overlap",
+    "q113_length_outliers",
+    "q114_snapshot_diff",
+    "q115_pagerank")
 
   /** Queries whose r6→r7 numbers moved 2–6× with no code change — the
     * self-join/ANN family is short (<3 s warm) so a single co-tenant

@@ -1,0 +1,186 @@
+package graft.functions
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** KMV buffer: the k smallest distinct 64-bit hashes seen so far, held
+  * as a MAX-heap in `heap` (root = current kth minimum) so the common
+  * reject path — a hash above the root once the sketch is full — is
+  * O(1) and accept is O(log k). `members` mirrors the heap contents as
+  * a set for O(1) duplicate rejection (KMV is a sketch of the DISTINCT
+  * value set; admitting one value twice would double-count it). The
+  * set is transient-by-convention: only `heap` round-trips through the
+  * encoder at partial-aggregation boundaries, and [[ensureMembers]]
+  * rebuilds the mirror lazily after deserialization.
+  */
+case class KmvBuf(heap: mutable.ArrayBuffer[Long]) {
+  @transient private var members: mutable.HashSet[Long] = _
+
+  def ensureMembers(): mutable.HashSet[Long] = {
+    if (members == null) members = mutable.HashSet.from(heap)
+    members
+  }
+
+  private def siftUp(i0: Int): Unit = {
+    var i = i0
+    while (i > 0 && heap((i - 1) / 2) < heap(i)) {
+      val p = (i - 1) / 2
+      val t = heap(p); heap(p) = heap(i); heap(i) = t
+      i = p
+    }
+  }
+
+  private def siftDown(): Unit = {
+    var i = 0
+    val n = heap.length
+    var done = false
+    while (!done) {
+      val l = 2 * i + 1
+      val r = 2 * i + 2
+      var m = i
+      if (l < n && heap(l) > heap(m)) m = l
+      if (r < n && heap(r) > heap(m)) m = r
+      if (m == i) done = true
+      else {
+        val t = heap(m); heap(m) = heap(i); heap(i) = t
+        i = m
+      }
+    }
+  }
+
+  /** Admit `h` if it belongs among the k minima and is unseen. */
+  def offer(h: Long, k: Int): Unit = {
+    val set = ensureMembers()
+    if (heap.length < k) {
+      if (set.add(h)) { heap += h; siftUp(heap.length - 1) }
+    } else if (h < heap(0) && !set.contains(h)) {
+      set.remove(heap(0))
+      set.add(h)
+      heap(0) = h
+      siftDown()
+    }
+  }
+}
+
+/** KMV (k-minimum-values) distinct-value sketch as a typed mergeable
+  * `Aggregator` (Bar-Yossef et al. 2002; Beyer et al., SIGMOD 2007):
+  * state is the k smallest distinct 64-bit hashes of the input,
+  * regardless of input size. Two sketches built with the same hash
+  * support the SET ALGEBRA that HLL cannot: the k smallest of
+  * A ∪ B are recoverable from the two sketches alone, and the
+  * fraction of that combined sketch present in both sides is an
+  * unbiased Jaccard estimator — which makes KMV the right sketch for
+  * CORPUS OVERLAP questions (how much of dataset B is already in A?
+  * is this crawl snapshot mostly a re-crawl?) answered without
+  * shuffling either token set.
+  *
+  * Estimators (k' = sketch size when the input had fewer than k
+  * distinct values — then the sketch IS the distinct set and counts
+  * are exact):
+  *  - distinct count: (k − 1) / u_k, with u_k the kth-smallest hash
+  *    mapped to (0, 1] — relative std error ≈ 1 / √(k − 2)
+  *  - jaccard(A, B): |K(A ∪ B) ∩ A_k ∩ B_k| / k over the combined
+  *    k-min set — std error ≈ √(J(1 − J) / k)
+  *
+  * Hashing: MD5 first 8 bytes (big-endian, sign bit cleared) — the
+  * corpus-standard digest already used by the MinHash family, stable
+  * across JVMs and partitionings. The sketch is therefore fully
+  * deterministic: any partitioning of the same input yields the
+  * byte-identical sorted sketch (OpsPropertySpec-style pin in
+  * KmvSpec).
+  *
+  * At 100 TB: exact overlap of two token sets is two full-corpus
+  * shuffles and a giant join; this is one map-side pass per corpus
+  * with k longs of state per partition and a k-long merge — the
+  * pre-flight estimate that decides whether the exact
+  * decontamination/dedup pass (q59/q80) is worth scheduling.
+  */
+class KmvAgg(k: Int) extends Aggregator[String, KmvBuf, Array[Long]] {
+  require(k >= 16, s"sketch size must be >= 16, got $k")
+
+  override def zero: KmvBuf = KmvBuf(mutable.ArrayBuffer.empty)
+
+  override def reduce(b: KmvBuf, item: String): KmvBuf = {
+    if (item != null) b.offer(Kmv.hash64(item), k)
+    b
+  }
+
+  override def merge(a: KmvBuf, b: KmvBuf): KmvBuf = {
+    if (a.heap.isEmpty) return b
+    b.heap.foreach(h => a.offer(h, k))
+    a
+  }
+
+  override def finish(b: KmvBuf): Array[Long] = {
+    val out = b.heap.toArray
+    java.util.Arrays.sort(out)
+    out
+  }
+
+  override def bufferEncoder: Encoder[KmvBuf] = ExpressionEncoder[KmvBuf]()
+
+  override def outputEncoder: Encoder[Array[Long]] =
+    ExpressionEncoder[Array[Long]]()
+}
+
+object Kmv {
+
+  /** 63-bit positive hash: MD5 head, sign cleared — uniform on
+    * [0, 2^63), identical on every JVM. */
+  def hash64(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val h = ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+      ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+      ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+    h & Long.MaxValue
+  }
+
+  /** Column form for `agg(...)`: sorted `array<bigint>` sketch. */
+  def kmvSketch(item: Column, k: Int): Column =
+    udaf(new KmvAgg(k), ExpressionEncoder[String]()).apply(item)
+
+  /** Distinct-count estimate from a sorted sketch. Exact (= sketch
+    * size) when the input had fewer than k distinct values. */
+  def estimateDistinct(sketch: Array[Long], k: Int): Double =
+    if (sketch.length < k) sketch.length.toDouble
+    else {
+      val uK = (sketch(k - 1).toDouble + 1.0) / 9.223372036854776e18
+      (k - 1).toDouble / uK
+    }
+
+  /** Jaccard estimate from two sorted sketches built with the same k:
+    * the k smallest of the union, scored for two-sided membership.
+    * Exact when both inputs had fewer than k distinct values. */
+  def jaccard(a: Array[Long], b: Array[Long], k: Int): Double = {
+    if (a.isEmpty && b.isEmpty) return 0.0
+    val sa = a.toSet
+    val sb = b.toSet
+    val union = (sa ++ sb).toArray
+    java.util.Arrays.sort(union)
+    val m = math.min(k, union.length)
+    var both = 0
+    var i = 0
+    while (i < m) {
+      if (sa.contains(union(i)) && sb.contains(union(i))) both += 1
+      i += 1
+    }
+    both.toDouble / m
+  }
+
+  /** Intersection-size estimate: Ĵ · |A ∪ B| with the union size
+    * estimated from the combined k-min sketch. */
+  def estimateIntersection(a: Array[Long], b: Array[Long], k: Int): Double = {
+    val union = (a.toSet ++ b.toSet).toArray
+    java.util.Arrays.sort(union)
+    val uEst =
+      if (union.length < k) union.length.toDouble
+      else estimateDistinct(union.take(k), k)
+    jaccard(a, b, k) * uEst
+  }
+}

@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph centrality — the quality prior web-corpus curation runs
+  * attach to every page before any text is read (CommonCrawl ranks
+  * hosts by centrality; CCNet/RefinedWeb-style pipelines keep it as a
+  * quality feature): PageRank by power iteration, built from the same
+  * distributed-iteration discipline as the dedup family's
+  * connected-components loop (`Dedup.connectedComponents`) — edges
+  * partition once and stay put, only the rank vector moves per round.
+  *
+  * Iteration shape (per round, d = damping):
+  *   r'(v) = (1 − d)/N + d · (Σ_{u→v} r(u)/outdeg(u) + D/N)
+  * where D is the total rank mass sitting on DANGLING nodes (no
+  * out-edges) — redistributed uniformly, the standard stochastic-
+  * matrix completion, so Σr stays 1 and rank never silently leaks.
+  *
+  * Scale shape:
+  *  - edges are hash-partitioned on src ONCE and cached; every
+  *    iteration's contribution join reuses that layout (the rank
+  *    vector, N rows, is the only thing reshuffled per round);
+  *  - out-degrees are computed once, merged into the edge frame
+  *    before the loop — the per-round join carries (src, dst,
+  *    inv_deg) and needs no second join;
+  *  - the rank vector is `localCheckpoint`ed each round (the CC-loop
+  *    lesson: an unbroken 5-round lineage re-executes every prior
+  *    shuffle on each action);
+  *  - the dangling mass is a one-scalar aggregate per round
+  *    (metadata-sized driver contract, same as the CC round counter).
+  *
+  * Fixed iteration count, not convergence-tested: curation wants a
+  * deterministic, replayable score, and a bounded-round power
+  * iteration is exactly what the q115 DuckDB twin can replay as
+  * chained CTEs.
+  */
+object Centrality {
+
+  /** PageRank over `edges` (used as given — dedupe upstream if
+    * multiplicity is not intended). Nodes = distinct endpoints.
+    * Returns (node, rank) with ranks summing to 1. */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 5, damping: Double = 0.85): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+
+    val nodes = e.select(col("src").as("v"))
+      .union(e.select(col("dst").as("v")))
+      .distinct()
+      .repartition(col("v"))
+      .cache()
+    val n = nodes.count().toDouble
+
+    // out-degree folded into the edge frame once; partitioned by src
+    // so each round's rank join is the only exchange that moves data
+    val deg = e.groupBy("src").agg(count(lit(1)).cast("double").as("deg"))
+    val eWithDeg = e.join(deg, "src").repartition(col("src")).cache()
+    eWithDeg.count() // materialize before the loop
+
+    val base = (1.0 - damping) / n
+    var ranks = nodes.select(col("v"), (lit(1.0) / n).as("r"))
+      .localCheckpoint()
+
+    var i = 0
+    while (i < iters) {
+      // rank mass on dangling nodes (no out-edges): one scalar
+      val dangling = ranks.join(deg.select(col("src").as("v")), Seq("v"),
+        "left_anti").agg(coalesce(sum(col("r")), lit(0.0)))
+        .collect()(0).getDouble(0)
+      val contribs = eWithDeg
+        .join(ranks.withColumnRenamed("v", "src"), "src")
+        .select(col("dst").as("v"), (col("r") / col("deg")).as("share"))
+        .groupBy("v").agg(sum(col("share")).as("c"))
+      ranks = nodes.join(contribs, Seq("v"), "left")
+        .select(col("v"),
+          (lit(base) + lit(damping) *
+            (coalesce(col("c"), lit(0.0)) + lit(dangling) / n)).as("r"))
+        .localCheckpoint()
+      i += 1
+    }
+    ranks.select(col("v"), col("r").as("rank"))
+  }
+
+  /** The q115 fixture: a deterministic 2-out-regular link graph over
+    * the document ids (i → (31i+7) mod N and i → (17i+3) mod N,
+    * distinct), expressible identically in SQL — so the full power
+    * iteration is DuckDB-replayable as chained CTEs. */
+  def docLinkGraph(docs: DataFrame, idCol: String): DataFrame = {
+    val n = docs.count()
+    docs.select(col(idCol).as("src"),
+        ((col(idCol) * 31 + 7) % n).as("dst"))
+      .union(docs.select(col(idCol).as("src"),
+        ((col(idCol) * 17 + 3) % n).as("dst")))
+      .distinct()
+  }
+}

@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Kmv
+
+/** Corpus-overlap estimation — the pre-flight question every curation
+  * run asks before paying for an exact pass: how much of corpus B's
+  * vocabulary / shingle set is already in corpus A? A fresh crawl
+  * snapshot that is 95% re-crawl should short-circuit into the
+  * incremental path (q68); a benchmark whose shingles barely touch
+  * the corpus does not need the full q59 decontamination join.
+  *
+  * Reference analogue: the dashboard's corpus-level distinct counts
+  * (`/root/reference/dashboard.py:21-46` value_counts over the single
+  * review table) — re-expressed here as SET ALGEBRA BETWEEN corpora,
+  * which the reference's single-table pandas model never needed.
+  *
+  * Exact and sketched forms share one contract:
+  *  - [[exactOverlap]]: distinct-element counts and Jaccard via a
+  *    full outer set join — two full shuffles of the element sets; the
+  *    audit form, and the only form DuckDB can replay.
+  *  - [[sketchOverlap]]: one [[graft.functions.KmvAgg]] pass per side
+  *    over the RAW (un-distincted) element stream — the sketch's
+  *    member set rejects duplicates itself, so no distinct shuffle is
+  *    paid; k longs of state per partition, estimates from the two
+  *    sketches on the driver — the 100 TB form. Error bounds are the
+  *    KMV standards: 1/√(k−2) relative on counts, √(J(1−J)/k) on
+  *    Jaccard.
+  *
+  * q112 runs both and pins the exacts cross-engine plus in-plan
+  * booleans asserting each estimate lands within its bound (the q56
+  * in-plan-bounds idiom — DuckDB cannot reproduce the sketch, but it
+  * can prove the exacts and the TRUEs).
+  */
+object Overlap {
+
+  /** Distinct elements of `elem` — the set frame the exact form
+    * consumes. */
+  private def elems(df: DataFrame, elem: Column): DataFrame =
+    df.select(elem.as("e")).filter(col("e").isNotNull).distinct()
+
+  /** Exact overlap of two element sets in ONE distributed plan: a
+    * full outer join of the per-side distinct sets, then one
+    * aggregate row (n_a, n_b, n_inter, n_union, jaccard,
+    * containment = |A∩B| / |A|). Both join inputs are hash-partitioned
+    * on the element by their distincts, so the join reuses the
+    * exchange instead of shuffling a third time. */
+  def exactOverlap(a: DataFrame, b: DataFrame, elem: Column): DataFrame = {
+    val ea = elems(a, elem).withColumn("ia", lit(1))
+    val eb = elems(b, elem).withColumn("ib", lit(1))
+    ea.join(eb, Seq("e"), "full")
+      .agg(
+        count(col("ia")).as("n_a"),
+        count(col("ib")).as("n_b"),
+        count(when(col("ia").isNotNull && col("ib").isNotNull, 1))
+          .as("n_inter"),
+        count(lit(1)).as("n_union"))
+      .select(col("n_a"), col("n_b"), col("n_inter"), col("n_union"),
+        round(when(col("n_union") === 0, 0.0)
+          .otherwise(col("n_inter").cast("double") / col("n_union")), 4)
+          .as("jaccard"),
+        round(when(col("n_a") === 0, 0.0)
+          .otherwise(col("n_inter").cast("double") / col("n_a")), 4)
+          .as("containment"))
+  }
+
+  /** Sketched overlap: one KMV pass per side, estimates on the
+    * driver. Returns (est_a, est_b, est_jaccard, k). */
+  def sketchOverlap(a: DataFrame, b: DataFrame, elem: Column,
+      k: Int = 1024): DataFrame = {
+    val sa = sketchOf(a, elem, k)
+    val sb = sketchOf(b, elem, k)
+    val spark = a.sparkSession
+    import spark.implicits._
+    Seq((Kmv.estimateDistinct(sa, k), Kmv.estimateDistinct(sb, k),
+      Kmv.jaccard(sa, sb, k), k))
+      .toDF("est_a", "est_b", "est_jaccard", "k")
+  }
+
+  /** The per-corpus sketch itself (sorted k-min hash array) — the
+    * thing a nightly pipeline persists per dataset so any pair of
+    * datasets can be overlap-tested later WITHOUT re-reading either
+    * (k-min sketches are closed under union). Consumes the raw
+    * element stream: the sketch deduplicates internally, so the plan
+    * is a map-side partial aggregate and one k-long final merge —
+    * no distinct shuffle. */
+  def sketchOf(df: DataFrame, elem: Column, k: Int): Array[Long] = {
+    val rows = df.select(elem.as("e")).filter(col("e").isNotNull)
+      .agg(Kmv.kmvSketch(col("e"), k).as("sk"))
+      .collect()
+    rows.head.getAs[scala.collection.Seq[Long]]("sk").toArray
+  }
+}

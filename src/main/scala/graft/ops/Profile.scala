@@ -206,4 +206,53 @@ object Profile {
               0) AS BIGINT) AS top_count
          FROM $table"""
     }.mkString("\nUNION ALL\n") + "\nORDER BY colname"
+
+  /** Robust per-group outlier detection over `value` — the modified
+    * z-score of Iglewicz & Hoaglin (1993): a point is an outlier when
+    * 0.6745·|x − median| / MAD exceeds `threshold` (3.5 is their
+    * recommended cut). Median/MAD instead of mean/stddev because the
+    * statistic must survive the very contamination it hunts: one
+    * 500 MB garbage document moves a mean-based z-score's own
+    * baseline, but moves the median of a million documents not at
+    * all. This is the length-outlier gate of a curation pipeline (a
+    * 3-char or 2 MB "document" inside one language bucket) as a
+    * first-class operator.
+    *
+    * Shape: three grouped aggregates and two joins, ALL keyed on the
+    * group column — Catalyst reuses one hash exchange across the
+    * chain, so the cost is one shuffle of (group, x) plus
+    * per-group exact `percentile` state. Exact percentile is the
+    * audit form; at 100 TB pass `approx = true` to swap both medians
+    * for `approx_percentile` (fixed sketch state, same plan shape —
+    * the q96b profiler discipline).
+    *
+    * MAD = 0 (over half the group at one value) degrades gracefully:
+    * any deviation from the median is then flagged, matching the
+    * limit of the z-score as MAD → 0.
+    *
+    * Returns one row per group:
+    * (group, n, med, mad, n_outliers) — med/mad rounded to 4.
+    */
+  def robustOutliers(df: DataFrame, groupCol: String,
+      value: org.apache.spark.sql.Column, threshold: Double = 3.5,
+      approx: Boolean = false): DataFrame = {
+    def p50(c: String) =
+      if (approx) expr(s"approx_percentile($c, 0.5, 10000)").cast("double")
+      else expr(s"percentile($c, 0.5)")
+    val base = df.select(col(groupCol).as("g"), value.cast("double").as("x"))
+      .filter(col("x").isNotNull)
+    val med = base.groupBy("g").agg(p50("x").as("med"))
+    val dev = base.join(med, "g")
+      .withColumn("dev", abs(col("x") - col("med")))
+    val mad = dev.groupBy("g").agg(p50("dev").as("mad"))
+    dev.join(mad, "g")
+      .withColumn("is_out",
+        when(col("mad") === 0.0, col("dev") > 0.0)
+          .otherwise(lit(0.6745) * col("dev") / col("mad") > threshold))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"),
+        round(first(col("med")), 4).as("med"),
+        round(first(col("mad")), 4).as("mad"),
+        sum(when(col("is_out"), 1L).otherwise(0L)).as("n_outliers"))
+  }
 }

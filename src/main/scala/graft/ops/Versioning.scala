@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Snapshot diff between two corpus versions — the audit step of
+  * every incremental pipeline run: which documents did this drop ADD,
+  * REMOVE, or CHANGE relative to the version we trained on last week?
+  * The incremental dedup path (q68, corpusSigState) consumes the
+  * additions; the removals and changes feed the retraining /
+  * invalidation decision. The reference re-reads and re-processes the
+  * full table every run (`ml_pipeline_dag.py` schedules the whole DAG
+  * nightly); a diff-first pipeline touches only what moved.
+  *
+  * Mechanics: one null-safe content fingerprint per row (md5 over the
+  * content columns with a non-printable separator and a per-column
+  * null sentinel, so ("a", null) never collides with ("a", "")), then
+  * ONE full outer join on the key. Both sides hash-partition on the
+  * key, so the plan is a single co-partitioned shuffle; when the
+  * snapshots are stored as bucketed tables on the key
+  * ([[Bucketing]]), the exchange disappears entirely — the diff of
+  * two 100 TB snapshots reads both sides once and shuffles nothing.
+  *
+  * Statuses: `added` (key only in new), `removed` (key only in old),
+  * `changed` (both, fingerprints differ), `unchanged`.
+  */
+object Versioning {
+
+  /** Null-safe row fingerprint over `cols`: md5 of the
+    * sentinel-separated rendering. */
+  def contentFingerprint(cols: Seq[Column]): Column =
+    md5(concat_ws("\u0001",
+      cols.map(c => coalesce(c.cast("string"), lit("\u0002"))): _*))
+
+  /** Per-key diff: (key, status, old_fp, new_fp), one row per key in
+    * either snapshot. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keyCol: String,
+      contentCols: Seq[String]): DataFrame = {
+    def fp(df: DataFrame, as: String) =
+      df.select(col(keyCol).as("k"),
+        contentFingerprint(contentCols.map(col)).as(as))
+    fp(oldDf, "old_fp").join(fp(newDf, "new_fp"), Seq("k"), "full")
+      .select(col("k").as(keyCol),
+        when(col("old_fp").isNull, "added")
+          .when(col("new_fp").isNull, "removed")
+          .when(col("old_fp") =!= col("new_fp"), "changed")
+          .otherwise("unchanged").as("status"),
+        col("old_fp"), col("new_fp"))
+  }
+
+  /** Aggregate form: (status, n) — the one-look summary a nightly run
+    * logs and alerts on (an all-`added` diff means the key joined
+    * wrong; a 90%-`changed` diff means upstream re-serialized). */
+  def diffSummary(oldDf: DataFrame, newDf: DataFrame, keyCol: String,
+      contentCols: Seq[String]): DataFrame =
+    snapshotDiff(oldDf, newDf, keyCol, contentCols)
+      .groupBy("status").agg(count(lit(1)).as("n"))
+}

@@ -863,6 +863,82 @@ object ScaleQueries {
         topN = 200)
     }),
 
+    // corpus-overlap estimation: exact token-set algebra between the
+    // even- and odd-id halves of the corpus (one full-outer set join,
+    // DuckDB-replayable) + the KMV sketch estimates with in-plan
+    // bound booleans (the q56 idiom: DuckDB proves the exacts and the
+    // TRUEs; KmvSpec pins the estimator's error beyond them). Bounds
+    // are 4σ: ±12.5% relative on counts (k = 1024 → rsd ≈ 3.1%),
+    // ±0.065 absolute on Jaccard.
+    "q112_corpus_overlap" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tok = explode(split(coalesce(col("text"), lit("")), " ")).as("e")
+      def side(parity: Int) = docs.filter(col("doc_id") % 2 === parity)
+        .select(tok).filter(length(col("e")) > 0)
+      val a = side(0)
+      val b = side(1)
+      val exact = graft.ops.Overlap.exactOverlap(a, b, col("e"))
+      val est = graft.ops.Overlap.sketchOverlap(a, b, col("e"), k = 1024)
+      exact.crossJoin(broadcast(est)).select(
+        col("n_a"), col("n_b"), col("n_inter"), col("n_union"),
+        col("jaccard"), col("containment"),
+        (abs(col("est_a") - col("n_a")) <= col("n_a") * 0.125)
+          .as("kmv_a_ok"),
+        (abs(col("est_b") - col("n_b")) <= col("n_b") * 0.125)
+          .as("kmv_b_ok"),
+        (abs(col("est_jaccard") - col("n_inter").cast("double")
+          / col("n_union")) <= 0.065).as("kmv_j_ok"))
+    }),
+
+    // robust per-language length outliers (modified z-score over
+    // median/MAD): the curation gate that catches the 3-char and the
+    // 2 MB "document" without letting them move the baseline; exact
+    // medians make the whole statistic DuckDB-replayable
+    "q113_length_outliers" -> ((s, dir) =>
+      graft.ops.Profile.robustOutliers(
+        t(s, dir, "documents"), "lang", length(col("text")))
+        .select(col("g").as("lang"), col("n"), col("med"), col("mad"),
+          col("n_outliers"))
+        .orderBy("lang")),
+
+    // snapshot diff between two corpus versions (the incremental-run
+    // audit): the "new" snapshot is derived in-plan by deterministic
+    // id-class mutations — drop id ≡ 3 (mod 17), append " v2" to the
+    // text of id ≡ 2 (mod 11), add re-keyed copies of id ≡ 5
+    // (mod 13) — so DuckDB states every per-key status in closed form
+    // while Spark computes it the real way (fingerprint + one
+    // co-partitioned full outer join)
+    // link-graph centrality (PageRank, 5 damped power-iteration
+    // rounds) over a deterministic 2-out-regular doc link graph — the
+    // web-corpus quality prior as a first-class iterative operator;
+    // the DuckDB twin replays ALL five rounds as chained CTEs
+    // generated from the same iteration count, so the full fixed-point
+    // arithmetic (out-degree shares, damping, base mass) is
+    // oracle-checked, not just the last state
+    "q115_pagerank" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val edges = graft.ops.Centrality.docLinkGraph(docs, "doc_id")
+      graft.ops.Centrality.pageRank(edges, "src", "dst", iters = 5)
+        .select(col("v").as("doc_id"), round(col("rank"), 8).as("rank"))
+        .orderBy("doc_id")
+    }),
+
+    "q114_snapshot_diff" -> ((s, dir) => {
+      val old = t(s, dir, "documents")
+      val mutated = old.filter(col("doc_id") % 17 =!= 3)
+        .withColumn("text",
+          when(col("doc_id") % 11 === 2,
+            concat(coalesce(col("text"), lit("")), lit(" v2")))
+            .otherwise(col("text")))
+      val added = old.filter(col("doc_id") % 13 === 5)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      val nw = mutated.unionByName(added)
+      graft.ops.Versioning.snapshotDiff(old, nw, "doc_id",
+        Seq("text", "lang", "source"))
+        .select(col("doc_id"), col("status"))
+        .orderBy("doc_id")
+    }),
+
     // LSH bucket-size profile — the side-channel audit surface behind
     // the oversized-bucket skew guard; band keys are raw md5
     // signature-slice values, so sizes are oracle-checked end-to-end
@@ -1916,6 +1992,39 @@ object ScaleQueries {
        ORDER BY n_ids DESC, band, bk LIMIT 50"""
   }
 
+  /** q115 oracle: the five PageRank rounds as chained CTEs, GENERATED
+    * from the same iteration count as the operator call — each round
+    * recomputes r_i from r_{i-1} with the identical out-degree-share
+    * and damping arithmetic, over the identical 2-out-regular edge
+    * derivation (UNION = the operator's distinct). */
+  private val q115Sql: String = {
+    val rounds = (1 to 5).map { i =>
+      s"""r$i AS (SELECT d.doc_id AS v,
+               (1 - 0.85) / (SELECT n FROM nn) + 0.85 * coalesce(s.c, 0) AS r
+             FROM documents d LEFT JOIN (
+               SELECT e.dst AS v, SUM(p.r / e.deg) AS c
+               FROM ed e JOIN r${i - 1} p ON p.v = e.src
+               GROUP BY e.dst) s
+               ON s.v = d.doc_id)"""
+    }.mkString(",\n        ")
+    s"""WITH nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        e0 AS (SELECT doc_id AS src,
+                      (doc_id * 31 + 7) %
+                        (SELECT count(*) FROM documents) AS dst
+               FROM documents
+               UNION
+               SELECT doc_id,
+                      (doc_id * 17 + 3) % (SELECT count(*) FROM documents)
+               FROM documents),
+        deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg
+                FROM e0 GROUP BY src),
+        ed AS (SELECT e0.src, e0.dst, deg.deg FROM e0 JOIN deg USING (src)),
+        r0 AS (SELECT doc_id AS v, 1.0 / (SELECT n FROM nn) AS r
+               FROM documents),
+        $rounds
+        SELECT v AS doc_id, ROUND(r, 8) AS rank FROM r5 ORDER BY doc_id"""
+  }
+
   private val q59Sql: String =
     """WITH tk AS (SELECT doc_id,
                  list_filter(string_split(coalesce(text, ''), ' '),
@@ -2745,6 +2854,63 @@ object ScaleQueries {
                 ROUND(8.0 / 13.0, 4) AS jac
          FROM documents WHERE doc_id % 10 = 9 AND doc_id < 300
          ORDER BY id_a, id_b""",
+    // exact token-set algebra replayed on distinct-token CTEs; the
+    // sketch bound booleans are literal TRUEs (q56 idiom)
+    "q112_corpus_overlap" ->
+      """WITH ta AS (SELECT DISTINCT tok AS e
+                     FROM (SELECT unnest(string_split(coalesce(text, ''),
+                                                      ' ')) AS tok
+                           FROM documents WHERE doc_id % 2 = 0)
+                     WHERE length(tok) > 0),
+            tb AS (SELECT DISTINCT tok AS e
+                   FROM (SELECT unnest(string_split(coalesce(text, ''),
+                                                    ' ')) AS tok
+                         FROM documents WHERE doc_id % 2 = 1)
+                   WHERE length(tok) > 0),
+            j AS (SELECT
+                    (SELECT count(*) FROM ta) AS n_a,
+                    (SELECT count(*) FROM tb) AS n_b,
+                    (SELECT count(*) FROM ta JOIN tb USING (e)) AS n_inter)
+         SELECT n_a, n_b, n_inter, n_a + n_b - n_inter AS n_union,
+                ROUND(n_inter * 1.0 / (n_a + n_b - n_inter), 4) AS jaccard,
+                ROUND(n_inter * 1.0 / n_a, 4) AS containment,
+                TRUE AS kmv_a_ok, TRUE AS kmv_b_ok, TRUE AS kmv_j_ok
+         FROM j""",
+    // full median/MAD replay: quantile_cont matches Spark's exact
+    // interpolating percentile (the q56-pinned equivalence)
+    "q113_length_outliers" ->
+      """WITH base AS (SELECT lang, CAST(length(text) AS DOUBLE) AS x
+                       FROM documents WHERE length(text) IS NOT NULL),
+            med AS (SELECT lang, quantile_cont(x, 0.5) AS med
+                    FROM base GROUP BY lang),
+            dev AS (SELECT b.lang, b.x, m.med, abs(b.x - m.med) AS dev
+                    FROM base b JOIN med m USING (lang)),
+            mad AS (SELECT lang, quantile_cont(dev, 0.5) AS mad
+                    FROM dev GROUP BY lang)
+         SELECT d.lang, count(*) AS n,
+                ROUND(MAX(d.med), 4) AS med,
+                ROUND(MAX(m.mad), 4) AS mad,
+                CAST(SUM(CASE WHEN (CASE WHEN m.mad = 0 THEN d.dev > 0
+                                    ELSE 0.6745 * d.dev / m.mad > 3.5
+                                    END)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+         FROM dev d JOIN mad m USING (lang)
+         GROUP BY d.lang ORDER BY d.lang""",
+    // all five power-iteration rounds replayed as generated chained
+    // CTEs — same edge derivation, same damping arithmetic
+    "q115_pagerank" -> q115Sql,
+    // the mutation classes state every per-key status in closed form
+    // (removal wins over change for keys in both classes)
+    "q114_snapshot_diff" ->
+      """SELECT doc_id,
+                CASE WHEN doc_id % 17 = 3 THEN 'removed'
+                     WHEN doc_id % 11 = 2 THEN 'changed'
+                     ELSE 'unchanged' END AS status
+         FROM documents
+         UNION ALL
+         SELECT doc_id + 1000000 AS doc_id, 'added' AS status
+         FROM documents WHERE doc_id % 13 = 5
+         ORDER BY doc_id""",
     "q59_decontaminate" -> q59Sql,
     // the Bloom prefilter variant is row-identical by construction
     // (false positives are settled by the exact join) — the SAME

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Centrality
+
+/** PageRank contract: the fixed points and hand-computable rounds a
+  * power iteration must reproduce — uniform rank on a ring, exact
+  * one-round values with a dangling node (mass redistributed, total
+  * conserved), hub dominance on a star, and conservation on the q115
+  * fixture graph. */
+class CentralitySpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  test("ring graph: uniform rank is the fixed point, exactly 1/n") {
+    val n = 10
+    val edges = (0 until n).map(i => (i.toLong, ((i + 1) % n).toLong))
+      .toDF("src", "dst")
+    val ranks = Centrality.pageRank(edges, "src", "dst", iters = 3)
+      .as[(Long, Double)].collect().toMap
+    assert(ranks.size === n)
+    ranks.values.foreach(r => assert(math.abs(r - 0.1) < 1e-12, r))
+  }
+
+  test("dangling node: mass redistributes, totals conserved (hand-computed)") {
+    // a -> b, b dangling. r0 = (.5, .5); dangling mass .5
+    // r1(a) = .15/2 + .85*(0 + .25)  = .2875
+    // r1(b) = .15/2 + .85*(.5 + .25) = .7125
+    val edges = Seq((0L, 1L)).toDF("src", "dst")
+    val r = Centrality.pageRank(edges, "src", "dst", iters = 1)
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(r(0L) - 0.2875) < 1e-12, r(0L))
+    assert(math.abs(r(1L) - 0.7125) < 1e-12, r(1L))
+    assert(math.abs(r.values.sum - 1.0) < 1e-12)
+  }
+
+  test("star graph: the hub outranks every leaf") {
+    val n = 20
+    val spokes = (1 until n).map(i => (i.toLong, 0L))
+    val back = (1 until n).map(i => (0L, i.toLong))
+    val ranks = Centrality.pageRank((spokes ++ back).toDF("src", "dst"),
+      "src", "dst", iters = 5).as[(Long, Double)].collect().toMap
+    val hub = ranks(0L)
+    (1 until n).foreach(i => assert(hub > ranks(i.toLong)))
+    assert(math.abs(ranks.values.sum - 1.0) < 1e-10)
+  }
+
+  test("q115 fixture: rank mass conserved, all nodes present, deterministic") {
+    val docs = (0L until 40L).toDF("doc_id")
+    val edges = Centrality.docLinkGraph(docs, "doc_id")
+    val a = Centrality.pageRank(edges, "src", "dst", iters = 5)
+      .as[(Long, Double)].collect().sortBy(_._1)
+    assert(a.length === 40)
+    assert(math.abs(a.map(_._2).sum - 1.0) < 1e-10)
+    val b = Centrality.pageRank(edges.repartition(7), "src", "dst",
+      iters = 5).as[(Long, Double)].collect().sortBy(_._1)
+    assert(a.map(_._1).toSeq === b.map(_._1).toSeq)
+    a.zip(b).foreach { case ((_, ra), (_, rb)) =>
+      assert(math.abs(ra - rb) < 1e-12)
+    }
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Kmv
+import graft.ops.Overlap
+
+/** KMV sketch contract: exactness below capacity, accuracy above it,
+  * and the two properties that make it a SKETCH rather than a sample —
+  * partitioning invariance (any split of the same input yields the
+  * byte-identical sketch) and duplicate insensitivity (the sketch
+  * summarizes the distinct SET). The estimator error pins go beyond
+  * q112's in-plan 4σ flags: they check the actual relative error at
+  * the spec'd k.
+  */
+class KmvSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  private def strs(r: Range): Seq[String] = r.map(i => s"elem-$i")
+
+  test("below capacity the sketch IS the distinct set: counts exact") {
+    val df = strs(0 until 200).toDF("e")
+    val sk = Overlap.sketchOf(df, col("e"), k = 1024)
+    assert(sk.length === 200)
+    assert(Kmv.estimateDistinct(sk, 1024) === 200.0)
+  }
+
+  test("distinct estimate within 4/sqrt(k-2) relative at 20k >> k") {
+    val df = strs(0 until 20000).toDF("e")
+    val k = 1024
+    val est = Kmv.estimateDistinct(Overlap.sketchOf(df, col("e"), k), k)
+    val rel = math.abs(est - 20000.0) / 20000.0
+    assert(rel <= 4.0 / math.sqrt(k - 2.0), s"relative error $rel")
+  }
+
+  test("sketch is invariant to partitioning") {
+    val df = strs(0 until 5000).toDF("e")
+    val a = Overlap.sketchOf(df.repartition(1), col("e"), k = 256)
+    val b = Overlap.sketchOf(df.repartition(13), col("e"), k = 256)
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("duplicates do not perturb the sketch") {
+    val once = strs(0 until 3000).toDF("e")
+    val five = strs(0 until 3000).flatMap(Seq.fill(5)(_)).toDF("e")
+    val a = Overlap.sketchOf(once, col("e"), k = 256)
+    val b = Overlap.sketchOf(five, col("e"), k = 256)
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("jaccard estimate lands within 4 sigma on a planted 1/3 overlap") {
+    val k = 1024
+    val a = Overlap.sketchOf(strs(0 until 10000).toDF("e"), col("e"), k)
+    val b = Overlap.sketchOf(strs(5000 until 15000).toDF("e"), col("e"), k)
+    val j = Kmv.jaccard(a, b, k)
+    val sigma = math.sqrt((1.0 / 3) * (2.0 / 3) / k)
+    assert(math.abs(j - 1.0 / 3) <= 4 * sigma, s"jaccard estimate $j")
+    val inter = Kmv.estimateIntersection(a, b, k)
+    assert(math.abs(inter - 5000.0) / 5000.0 <= 0.2,
+      s"intersection estimate $inter")
+  }
+
+  test("sketches are closed under union: merge equals sketch-of-union") {
+    val k = 256
+    val da = strs(0 until 4000).toDF("e")
+    val db = strs(3000 until 7000).toDF("e")
+    val merged = (Overlap.sketchOf(da, col("e"), k).toSet ++
+      Overlap.sketchOf(db, col("e"), k).toSet).toArray.sorted.take(k)
+    val direct = Overlap.sketchOf(da.union(db), col("e"), k)
+    assert(merged.toSeq === direct.toSeq)
+  }
+
+  test("q112: exact set algebra sane and every sketch bound flag true") {
+    val row = graft.queries.ScaleQueries
+      .queries("q112_corpus_overlap")(spark, "/root/testdata/sf0.001")
+      .collect().head
+    val (na, nb, ni, nu) = (row.getAs[Long]("n_a"), row.getAs[Long]("n_b"),
+      row.getAs[Long]("n_inter"), row.getAs[Long]("n_union"))
+    assert(na > 0 && nb > 0 && ni > 0)
+    assert(nu === na + nb - ni)
+    assert(ni <= math.min(na, nb))
+    Seq("kmv_a_ok", "kmv_b_ok", "kmv_j_ok").foreach(c =>
+      assert(row.getAs[Boolean](c), s"$c is false"))
+  }
+}

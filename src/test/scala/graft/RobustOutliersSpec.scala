@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Profile
+
+/** Modified z-score outlier gate: planted extremes are flagged, the
+  * robustness claim holds (the outlier does not move its own
+  * baseline), the MAD = 0 degenerate group behaves as the z-score
+  * limit, and the approx form agrees with the exact form where the
+  * sketch is effectively exact. */
+class RobustOutliersSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  test("planted extreme lengths are flagged; clean group flags none") {
+    // en: 101 values at 100±5 plus one 10000 — median 100, MAD ~3,
+    // modified z of the extreme is huge; fr: uniform-ish, no outlier
+    val en = (0 until 101).map(i => ("en", 95.0 + (i % 11))) :+
+      (("en", 10000.0))
+    val fr = (0 until 50).map(i => ("fr", 200.0 + i))
+    val out = Profile.robustOutliers(
+      (en ++ fr).toDF("lang", "len"), "lang", col("len"))
+      .as[(String, Long, Double, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("en")._5 === 1L, s"en: ${out("en")}")
+    assert(out("fr")._5 === 0L, s"fr: ${out("fr")}")
+    // robustness: the 10000 moved neither median nor MAD off the
+    // clean-data values (mean/stddev would have moved both)
+    assert(out("en")._3 === 100.0)
+    assert(out("en")._4 <= 5.0)
+  }
+
+  test("MAD = 0: any deviation from the point mass is an outlier") {
+    val df = (Seq.fill(20)(("g", 7.0)) :+ (("g", 7.5))).toDF("lang", "len")
+    val out = Profile.robustOutliers(df, "lang", col("len"))
+      .as[(String, Long, Double, Double, Long)].collect().head
+    assert(out._4 === 0.0)
+    assert(out._5 === 1L)
+  }
+
+  test("approx form agrees with exact on a small group") {
+    // odd symmetric set: both medians (value and deviation) land
+    // exactly on data elements, where approx_percentile (which
+    // returns elements, never interpolates) must equal the exact
+    // interpolating percentile
+    val df = (0 until 201).map(i => ("en", i.toDouble))
+      .toDF("lang", "len")
+    val exact = Profile.robustOutliers(df, "lang", col("len"))
+      .collect().head
+    val approx = Profile.robustOutliers(df, "lang", col("len"),
+      approx = true).collect().head
+    assert(exact === approx)
+  }
+
+  test("null values are ignored, not grouped or flagged") {
+    val df = Seq(("en", Some(10.0)), ("en", Some(11.0)), ("en", None),
+      ("en", Some(12.0))).toDF("lang", "len")
+    val out = Profile.robustOutliers(df, "lang", col("len"))
+      .as[(String, Long, Double, Double, Long)].collect().head
+    assert(out._2 === 3L)
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Versioning
+
+/** Snapshot-diff contract: the four statuses on planted mutations,
+  * null-safety of the content fingerprint (null is not "", column
+  * boundaries cannot shift), and the summary roll-up. */
+class VersioningSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  private val old = Seq(
+    (1L, Option("alpha"), Option("en")),
+    (2L, Option("beta"), Option("en")),
+    (3L, Option("gamma"), Option("fr")),
+    (4L, Option.empty[String], Option("de")))
+    .toDF("id", "text", "lang")
+
+  private val nw = Seq(
+    (1L, Option("alpha"), Option("en")),    // unchanged
+    (2L, Option("beta v2"), Option("en")),  // changed
+    (4L, Option(""), Option("de")),         // changed: null -> ""
+    (5L, Option("delta"), Option("es")))    // added; 3 removed
+    .toDF("id", "text", "lang")
+
+  test("statuses: added / removed / changed / unchanged as planted") {
+    val d = Versioning.snapshotDiff(old, nw, "id", Seq("text", "lang"))
+      .select("id", "status").as[(Long, String)].collect().toMap
+    assert(d === Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "changed", 5L -> "added"))
+  }
+
+  test("fingerprint: null vs empty string differ; boundaries cannot shift") {
+    val fps = Seq(
+      ("n", Option.empty[String], Option("x")),
+      ("e", Option(""), Option("x")),
+      ("ab_c", Option("ab"), Option("c")),
+      ("a_bc", Option("a"), Option("bc")))
+      .toDF("tag", "c1", "c2")
+      .select(col("tag"),
+        Versioning.contentFingerprint(Seq(col("c1"), col("c2"))).as("fp"))
+      .as[(String, String)].collect().toMap
+    assert(fps("n") !== fps("e"), "null collided with empty string")
+    assert(fps("ab_c") !== fps("a_bc"), "column boundary shifted")
+  }
+
+  test("diffSummary counts match the per-key statuses") {
+    val s = Versioning.diffSummary(old, nw, "id", Seq("text", "lang"))
+      .as[(String, Long)].collect().toMap
+    assert(s === Map("unchanged" -> 1L, "changed" -> 2L,
+      "removed" -> 1L, "added" -> 1L))
+  }
+
+  test("identical snapshots diff to all-unchanged") {
+    val d = Versioning.snapshotDiff(old, old, "id", Seq("text", "lang"))
+      .select("status").distinct().as[String].collect().toSeq
+    assert(d === Seq("unchanged"))
+  }
+}
