@@ -92,7 +92,8 @@ object Bench {
     "q112_corpus_overlap",
     "q113_length_outliers",
     "q114_snapshot_diff",
-    "q115_pagerank")
+    "q115_pagerank",
+    "q116_markup_strip")
 
   /** Queries whose r6→r7 numbers moved 2–6× with no code change — the
     * self-join/ANN family is short (<3 s warm) so a single co-tenant

@@ -100,4 +100,42 @@ object TextOps {
           coalesce(c, lit("")))),
         "[\\x00-\\x1f\\x7f]", " "),
       "[ \\t\\n\\x0B\\f\\r]+", " "))
+
+  /** Markup strip — the ingestion-boundary step BEFORE every text
+    * gate when the corpus arrives as web pages: drop script/style
+    * payloads wholesale (their content is code, not text), drop
+    * comments, flatten the remaining tags to spaces (a tag boundary
+    * is a word boundary: `<p>a</p><p>b</p>` must not fuse to "ab"),
+    * decode the five predefined XML entities plus `&nbsp;`/`&#39;`,
+    * then collapse whitespace. A trafilatura-class extractor does
+    * more (layout heuristics, main-content detection); this is the
+    * deterministic core that every downstream operator (dedup
+    * shingles, quality gates, tokenizers) needs so markup never
+    * leaks into token statistics.
+    *
+    * Every step is a codegen built-in (regexp_replace / replace) in
+    * one map-side projection — and every regex is written in the
+    * Java∩RE2 common dialect (no backreferences — script and style
+    * handled as separate literal patterns; explicit whitespace class,
+    * the [[canonicalizeCol]] discipline), so the DuckDB oracle twin
+    * replays the exact chain. `&amp;` decodes LAST: the standard
+    * single-pass order, so `&amp;lt;` yields the literal text "&lt;"
+    * rather than double-decoding to "<". Lowercase tags only — the
+    * canonicalization contract upstream of this call.
+    */
+  def stripMarkup(c: Column): Column = {
+    val noScript = regexp_replace(coalesce(c, lit("")),
+      "(?s)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?s)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]*>", " ")
+    val decoded = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (acc, (ent, ch)) =>
+        replace(acc, lit(ent), lit(ch))
+      }
+    trim(regexp_replace(decoded, "[ \\t\\n\\x0B\\f\\r]+", " "))
+  }
 }

@@ -908,6 +908,29 @@ object ScaleQueries {
     // (mod 13) — so DuckDB states every per-key status in closed form
     // while Spark computes it the real way (fingerprint + one
     // co-partitioned full outer join)
+    // markup strip at the ingestion boundary: the documents are
+    // wrapped in-plan into full HTML pages (head/style/script,
+    // comments, per-doc tag ids, text spaces as &nbsp;, an entity
+    // gauntlet including the &amp;amp; double-decode trap), then
+    // stripped by the operator — the oracle rebuilds the same pages
+    // and replays the same Java∩RE2 regex + literal-replace chain,
+    // so the whole extractor core round-trips cross-engine
+    "q116_markup_strip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val html = concat(
+        lit("<!doctype html><html><head><style>p{margin:0}</style>" +
+          "<script type=\"t\">if(a<2){a=3}</script></head>" +
+          "<body><!-- hidden --><p id=\"d"),
+        col("doc_id").cast("string"), lit("\">"),
+        regexp_replace(coalesce(col("text"), lit("")), " ", "&nbsp;"),
+        lit("</p><div>&quot;q&quot; &amp;amp; &lt;b&gt; it&#39;s" +
+          "</div></body></html>"))
+      docs.select(col("doc_id"),
+        graft.ops.TextOps.stripMarkup(html).as("clean"))
+        .withColumn("n_chars_clean", length(col("clean")).cast("long"))
+        .orderBy("doc_id")
+    }),
+
     // link-graph centrality (PageRank, 5 damped power-iteration
     // rounds) over a deterministic 2-out-regular doc link graph — the
     // web-corpus quality prior as a first-class iterative operator;
@@ -2899,6 +2922,37 @@ object ScaleQueries {
     // all five power-iteration rounds replayed as generated chained
     // CTEs — same edge derivation, same damping arithmetic
     "q115_pagerank" -> q115Sql,
+    // the same page construction and the same strip chain, replayed
+    // in DuckDB's RE2 dialect (every pattern is Java∩RE2-common)
+    "q116_markup_strip" ->
+      """WITH h AS (SELECT doc_id,
+               '<!doctype html><html><head><style>p{margin:0}</style>'
+               || '<script type="t">if(a<2){a=3}</script></head>'
+               || '<body><!-- hidden --><p id="d'
+               || CAST(doc_id AS VARCHAR) || '">'
+               || regexp_replace(coalesce(text, ''), ' ', '&nbsp;', 'g')
+               || '</p><div>&quot;q&quot; &amp;amp; &lt;b&gt; it&#39;s'
+               || '</div></body></html>' AS html
+             FROM documents),
+         s1 AS (SELECT doc_id, regexp_replace(html,
+                  '(?s)<script[^>]*>.*?</script>', ' ', 'g') AS t FROM h),
+         s2 AS (SELECT doc_id, regexp_replace(t,
+                  '(?s)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM s1),
+         s3 AS (SELECT doc_id, regexp_replace(t,
+                  '(?s)<!--.*?-->', ' ', 'g') AS t FROM s2),
+         s4 AS (SELECT doc_id, regexp_replace(t,
+                  '<[^>]*>', ' ', 'g') AS t FROM s3),
+         d AS (SELECT doc_id,
+                 replace(replace(replace(replace(replace(replace(t,
+                   '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                   '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS t
+               FROM s4)
+       SELECT doc_id,
+              trim(regexp_replace(t, '[ \t\n\x0B\f\r]+', ' ', 'g'))
+                AS clean,
+              CAST(length(trim(regexp_replace(t, '[ \t\n\x0B\f\r]+',
+                ' ', 'g'))) AS BIGINT) AS n_chars_clean
+       FROM d ORDER BY doc_id""",
     // the mutation classes state every per-key status in closed form
     // (removal wins over change for keys in both classes)
     "q114_snapshot_diff" ->

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.TextOps
+
+/** stripMarkup contract: tags are word boundaries, script/style
+  * payloads vanish wholesale (including unescaped '<' inside them),
+  * comments vanish, entities decode in the single-pass order with
+  * `&amp;` last, and plain text passes through untouched. */
+class StripMarkupSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  private def strip(s: String*): Seq[String] =
+    s.toDF("t").select(TextOps.stripMarkup(col("t")).as("c"))
+      .as[String].collect().toSeq
+
+  test("tags flatten to word boundaries, never fuse adjacent text") {
+    assert(strip("<p>a</p><p>b</p>") === Seq("a b"))
+    assert(strip("""<a href="x">link</a> tail""") === Seq("link tail"))
+  }
+
+  test("script and style payloads drop wholesale, comments drop") {
+    assert(strip(
+      "<style>p{color:red}</style>keep<script>if(a<2){b()}</script>") ===
+      Seq("keep"))
+    assert(strip("a<!-- no\nmulti\nline -->b") === Seq("a b"))
+  }
+
+  test("entities decode once, &amp; last: no double decoding") {
+    assert(strip("x&nbsp;y &lt;tag&gt; &quot;q&quot; it&#39;s A&amp;B") ===
+      Seq("x y <tag> \"q\" it's A&B"))
+    // the trap: &amp;lt; is the TEXT "&lt;", not a second-pass "<"
+    assert(strip("&amp;lt;") === Seq("&lt;"))
+  }
+
+  test("plain text is untouched; null and empty collapse to empty") {
+    assert(strip("no markup here") === Seq("no markup here"))
+    val out = Seq(Option.empty[String], Some(""))
+      .toDF("t").select(TextOps.stripMarkup(col("t")).as("c"))
+      .as[String].collect().toSeq
+    assert(out === Seq("", ""))
+  }
+}
