@@ -85,11 +85,20 @@ object CorpusPipeline {
       // boilerplate/generator loops, above the ceiling binary noise;
       // 0 disables (ceiling only applies when the floor is on)
       minDeflateRatio: Double = 0.0,
-      maxDeflateRatio: Double = 1.0)
+      maxDeflateRatio: Double = 1.0,
+      // > 0: robust per-language length-outlier gate between the
+      // per-doc gates and the boilerplate scrub — drop docs whose
+      // token-count modified z-score (0.6745·|x−med|/MAD over the
+      // LANGUAGE's median/MAD, Profile.robustOutlierFlags) exceeds
+      // this threshold. Unlike the fixed minTokens floor, this gate
+      // adapts to each language's own length distribution and its
+      // baseline cannot be moved by the outliers it hunts. 3.5 is the
+      // Iglewicz–Hoaglin cut; 0 = off
+      outlierZ: Double = 0.0)
 
-  case class Report(input: Long, gated: Long, boiler: Long,
-      deduped: Long, semantic: Long, substr: Long, clean: Long,
-      sampled: Long, sequences: Long)
+  case class Report(input: Long, gated: Long, outliers: Long,
+      boiler: Long, deduped: Long, semantic: Long, substr: Long,
+      clean: Long, sampled: Long, sequences: Long)
 
   // ---- the five stage transforms, shared by build and buildStaged ----
 
@@ -121,6 +130,19 @@ object CorpusPipeline {
       }
     gated.select(col("doc_id"), col("lang"), outText.as("text"))
   }
+
+  /** Optional robust length-outlier gate (Profile.robustOutlierFlags
+    * over the per-LANGUAGE token-count median/MAD): the adaptive
+    * sibling of the fixed minTokens floor — catches the 2 MB
+    * generator dump and the 3-char stub that sit inside an otherwise
+    * healthy language bucket without moving that bucket's own
+    * baseline. Keeps (doc_id, lang, text). */
+  private[graft] def outlierStage(gated: DataFrame,
+      cfg: Config): DataFrame =
+    Profile.robustOutlierFlags(gated, "lang",
+        TextAnalysis.nTokensCol(col("text")), threshold = cfg.outlierZ)
+      .filter(!col("is_out"))
+      .select(col("doc_id"), col("lang"), col("text"))
 
   /** Optional cross-document boilerplate scrub ([[Dedup.boilerplateScrub]])
     * applied to the gated+scrubbed text. Documents whose text becomes
@@ -224,10 +246,14 @@ object CorpusPipeline {
         df.sparkSession.table(tbl)
       }
     val gated = persistCorpus(gateStage(docs, cfg), "gated")
+    val outliered =
+      if (cfg.outlierZ > 0)
+        persistCorpus(outlierStage(gated, cfg), "outlier")
+      else gated
     val boiled =
       if (cfg.boilerplateMinDocFreq >= 2)
-        persistCorpus(boilerStage(gated, cfg), "boiler")
-      else gated
+        persistCorpus(boilerStage(outliered, cfg), "boiler")
+      else outliered
     val deduped = persistCorpus(dedupStage(boiled, cfg), "deduped")
     val semantic = embeddings match {
       case Some(emb) =>
@@ -245,6 +271,7 @@ object CorpusPipeline {
     val report = Report(
       input = docs.count(),
       gated = gated.count(),
+      outliers = outliered.count(),
       boiler = boiled.count(),
       deduped = deduped.count(),
       semantic = semantic.count(),
@@ -335,12 +362,16 @@ object CorpusPipeline {
     }
 
     val (gated, nGated) = stage("01_gated")(gateStage(docs, cfg))
-    // "01b"/"02b": optional stages keep the fixed stage names (and any
-    // staging dir written without them) stable in every mode
+    // "01a"/"01b"/"02b": optional stages keep the fixed stage names
+    // (and any staging dir written without them) stable in every mode
+    val (outliered, nOutliers) =
+      if (cfg.outlierZ > 0)
+        stage("01a_outlier")(outlierStage(gated, cfg))
+      else (gated, nGated)
     val (boiled, nBoiler) =
       if (cfg.boilerplateMinDocFreq >= 2)
-        stage("01b_boiler")(boilerStage(gated, cfg))
-      else (gated, nGated)
+        stage("01b_boiler")(boilerStage(outliered, cfg))
+      else (outliered, nOutliers)
     val (deduped, nDeduped) = stage("02_deduped")(dedupStage(boiled, cfg))
     // "02b": the optional stage keeps the existing stage names (and any
     // staging dir written without it) stable in both modes
@@ -360,7 +391,7 @@ object CorpusPipeline {
     val (sequences, nSeq) = stage("05_sequences")(chunkStage(sampled, cfg))
 
     (sequences,
-      Report(nInput, nGated, nBoiler, nDeduped, nSemantic, nSubstr,
-        nClean, nSampled, nSeq))
+      Report(nInput, nGated, nOutliers, nBoiler, nDeduped, nSemantic,
+        nSubstr, nClean, nSampled, nSeq))
   }
 }

@@ -235,24 +235,41 @@ object Profile {
     */
   def robustOutliers(df: DataFrame, groupCol: String,
       value: org.apache.spark.sql.Column, threshold: Double = 3.5,
+      approx: Boolean = false): DataFrame =
+    robustOutlierFlags(
+      df.select(col(groupCol).as("g"), value.cast("double").as("x"))
+        .filter(col("x").isNotNull),
+      "g", col("x"), threshold, approx)
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"),
+        round(first(col("__rz_med")), 4).as("med"),
+        round(first(col("__rz_mad")), 4).as("mad"),
+        sum(when(col("is_out"), 1L).otherwise(0L)).as("n_outliers"))
+
+  /** Per-ROW form of [[robustOutliers]] — the shape a pipeline gate
+    * consumes: every input column is preserved and three are added —
+    * `is_out` (the modified-z flag; false for null values and for
+    * groups with no non-null value at all) plus the group baselines
+    * `__rz_med` / `__rz_mad` for audit logging. Same plan shape as the
+    * aggregate form: every join and aggregate keys on the group
+    * column, so one hash exchange is reused across the chain. */
+  def robustOutlierFlags(df: DataFrame, groupCol: String,
+      value: org.apache.spark.sql.Column, threshold: Double = 3.5,
       approx: Boolean = false): DataFrame = {
     def p50(c: String) =
       if (approx) expr(s"approx_percentile($c, 0.5, 10000)").cast("double")
       else expr(s"percentile($c, 0.5)")
-    val base = df.select(col(groupCol).as("g"), value.cast("double").as("x"))
-      .filter(col("x").isNotNull)
-    val med = base.groupBy("g").agg(p50("x").as("med"))
-    val dev = base.join(med, "g")
-      .withColumn("dev", abs(col("x") - col("med")))
-    val mad = dev.groupBy("g").agg(p50("dev").as("mad"))
-    dev.join(mad, "g")
+    val withX = df.withColumn("__rz_x", value.cast("double"))
+    val med = withX.groupBy(groupCol).agg(p50("__rz_x").as("__rz_med"))
+    val dev = withX.join(med, Seq(groupCol), "left")
+      .withColumn("__rz_dev", abs(col("__rz_x") - col("__rz_med")))
+    val mad = dev.groupBy(groupCol).agg(p50("__rz_dev").as("__rz_mad"))
+    dev.join(mad, Seq(groupCol), "left")
       .withColumn("is_out",
-        when(col("mad") === 0.0, col("dev") > 0.0)
-          .otherwise(lit(0.6745) * col("dev") / col("mad") > threshold))
-      .groupBy("g")
-      .agg(count(lit(1)).as("n"),
-        round(first(col("med")), 4).as("med"),
-        round(first(col("mad")), 4).as("mad"),
-        sum(when(col("is_out"), 1L).otherwise(0L)).as("n_outliers"))
+        when(col("__rz_x").isNull || col("__rz_mad").isNull, false)
+          .when(col("__rz_mad") === 0.0, col("__rz_dev") > 0.0)
+          .otherwise(
+            lit(0.6745) * col("__rz_dev") / col("__rz_mad") > threshold))
+      .drop("__rz_x", "__rz_dev")
   }
 }

@@ -363,4 +363,49 @@ class CorpusPipelineSpec extends AnyFunSuite {
     val (seqs, _) = CorpusPipeline.build(poisoned, evalSet)
     assert(seqs.filter($"doc_id" === 60L).count() === 0L)
   }
+
+  test("outlier gate: a per-language length outlier drops only when on, " +
+      "and only within its own language's baseline") {
+    import spark.implicits._
+    // en: 30 docs of 12–19 tokens + one 1200-token giant that passes
+    // every FIXED gate; fr: uniform docs whose baseline the en giant
+    // must not touch
+    val word = "plain"
+    def txt(n: Int) = Seq.fill(n)(word).mkString(" ")
+    val en = (0 until 30).map(i => (i.toLong, "en", txt(12 + i % 8)))
+    val giant = Seq((99L, "en", txt(1200)))
+    val fr = (200 until 210).map(i => (i.toLong, "fr", txt(40)))
+    val df = (en ++ giant ++ fr).toDF("doc_id", "lang", "text")
+    val cfgOff = CorpusPipeline.Config(minTokens = 4, minAlpha = 0.0,
+      maxStopword = 1.0)
+
+    val gated = CorpusPipeline.gateStage(df, cfgOff)
+    assert(gated.count() === 41, "all docs must pass the fixed gates")
+
+    val kept = CorpusPipeline
+      .outlierStage(gated, cfgOff.copy(outlierZ = 3.5))
+      .select("doc_id").as[Long].collect().toSet
+    assert(!kept.contains(99L), "the giant must fall to the z gate")
+    assert(kept.size === 40, s"only the giant drops: ${41 - kept.size}")
+    // fr is a zero-MAD point mass: uniform lengths must all survive
+    assert((200L until 210L).forall(kept.contains))
+  }
+
+  test("buildStaged with the outlier gate: counted in the report, resumable") {
+    import spark.implicits._
+    def txt(n: Int) = Seq.fill(n)("plain").mkString(" ")
+    val docs = ((0 until 30).map(i => (i.toLong, "en", txt(12 + i % 8))) :+
+      ((99L, "en", txt(1200)))).toDF("doc_id", "lang", "text")
+    val eval = Seq((1000L, "nothing shared here")).toDF("doc_id", "text")
+    val cfg = CorpusPipeline.Config(minTokens = 4, minAlpha = 0.0,
+      maxStopword = 1.0, minJaccard = 0.99, totalTarget = 100L,
+      outlierZ = 3.5)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_outlier_staged").toString
+    val (_, repA) = CorpusPipeline.buildStaged(docs, eval, base, cfg)
+    assert(repA.gated === 31 && repA.outliers === 30, repA.toString)
+    // resume: complete stages read back, report identical
+    val (_, repB) = CorpusPipeline.buildStaged(docs, eval, base, cfg)
+    assert(repB === repA)
+  }
 }
