@@ -24,11 +24,24 @@ import org.apache.spark.sql.functions._
   *  - out-degrees are computed once, merged into the edge frame
   *    before the loop — the per-round join carries (src, dst,
   *    inv_deg) and needs no second join;
-  *  - the rank vector is `localCheckpoint`ed each round (the CC-loop
-  *    lesson: an unbroken 5-round lineage re-executes every prior
-  *    shuffle on each action);
-  *  - the dangling mass is a one-scalar aggregate per round
-  *    (metadata-sized driver contract, same as the CC round counter).
+  *  - the loop stays LAZY: the dangling mass enters the plan as a
+  *    broadcast one-row scalar (`crossJoin(broadcast(...))`, the
+  *    codebase's scalar-bind idiom), so a fixed-round power iteration
+  *    issues NO per-round driver action — unlike the CC loop, which
+  *    must act each round to test convergence, the whole DAG executes
+  *    once at the consumer's action;
+  *  - each round ends in a LAZY `localCheckpoint(eager = false)`:
+  *    with dangling redistribution on, round i's frame is referenced
+  *    twice by round i+1 (the dangling aggregate and the contribution
+  *    join), and without a materialization point that doubling
+  *    compounds toward 2^iters re-evaluations of round 1 (measured:
+  *    7 s vs 3.8 s warm at sf0.1). The lazy checkpoint materializes
+  *    each round exactly once, inside the single consumer action, and
+  *    cuts lineage as a side effect. The steady ~0.7 s/round that
+  *    remains is the two per-round exchanges (rank vector to the edge
+  *    layout, contributions back to the node layout) — fixed
+  *    scheduling cost at bench scale, the actual data movement at
+  *    100 TB; the same profile as the q61 CC loop.
   *
   * Fixed iteration count, not convergence-tested: curation wants a
   * deterministic, replayable score, and a bounded-round power
@@ -45,38 +58,64 @@ object Centrality {
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
 
-    val nodes = e.select(col("src").as("v"))
-      .union(e.select(col("dst").as("v")))
-      .distinct()
-      .repartition(col("v"))
-      .cache()
-    val n = nodes.count().toDouble
-
     // out-degree folded into the edge frame once; partitioned by src
     // so each round's rank join is the only exchange that moves data
     val deg = e.groupBy("src").agg(count(lit(1)).cast("double").as("deg"))
     val eWithDeg = e.join(deg, "src").repartition(col("src")).cache()
-    eWithDeg.count() // materialize before the loop
+
+    // the dangling SET is static — resolve it into a has_out flag on
+    // the node frame once, so the per-round dangling mass is a filter
+    // + tiny aggregate over the (checkpointed) rank frame instead of
+    // an anti-join per round
+    val nodes = e.select(col("src").as("v"))
+      .union(e.select(col("dst").as("v")))
+      .distinct()
+      .join(deg.select(col("src").as("v"), lit(true).as("has_out")),
+        Seq("v"), "left")
+      .select(col("v"), coalesce(col("has_out"), lit(false)).as("has_out"))
+      .repartition(col("v"))
+      .cache()
+    val n = nodes.count().toDouble
 
     val base = (1.0 - damping) / n
-    var ranks = nodes.select(col("v"), (lit(1.0) / n).as("r"))
-      .localCheckpoint()
+    var ranks = nodes.select(col("v"), (lit(1.0) / n).as("r"),
+      col("has_out"))
+
+    // a graph with no dangling node (every web graph after the usual
+    // self-loop completion; the q115 fixture by construction) needs
+    // none of the redistribution machinery — one cheap probe on the
+    // cached node frame drops the scalar-bind branch from every round
+    // (exact arithmetic either way: dm = 0 adds literal +0.0)
+    val hasDangling = nodes.filter(!col("has_out")).limit(1).count() > 0
 
     var i = 0
     while (i < iters) {
-      // rank mass on dangling nodes (no out-edges): one scalar
-      val dangling = ranks.join(deg.select(col("src").as("v")), Seq("v"),
-        "left_anti").agg(coalesce(sum(col("r")), lit(0.0)))
-        .collect()(0).getDouble(0)
       val contribs = eWithDeg
-        .join(ranks.withColumnRenamed("v", "src"), "src")
+        .join(ranks.select(col("v").as("src"), col("r")), "src")
         .select(col("dst").as("v"), (col("r") / col("deg")).as("share"))
         .groupBy("v").agg(sum(col("share")).as("c"))
-      ranks = nodes.join(contribs, Seq("v"), "left")
-        .select(col("v"),
-          (lit(base) + lit(damping) *
-            (coalesce(col("c"), lit(0.0)) + lit(dangling) / n)).as("r"))
-        .localCheckpoint()
+      val joined = nodes.join(contribs, Seq("v"), "left")
+      val next =
+        if (!hasDangling)
+          joined.select(col("v"),
+            (lit(base) + lit(damping) * coalesce(col("c"), lit(0.0)))
+              .as("r"),
+            col("has_out"))
+        else {
+          // rank mass on dangling nodes, bound into the plan as a
+          // broadcast one-row scalar — no driver action
+          val dMass = ranks.filter(!col("has_out"))
+            .agg(coalesce(sum(col("r")), lit(0.0)).as("dm"))
+          joined.crossJoin(broadcast(dMass))
+            .select(col("v"),
+              (lit(base) + lit(damping) *
+                (coalesce(col("c"), lit(0.0)) + col("dm") / n)).as("r"),
+              col("has_out"))
+        }
+      // lazy checkpoint: round i is referenced twice by round i+1 when
+      // dangling redistribution is on, and the consumer may act on the
+      // result more than once — materialize each round exactly once
+      ranks = next.localCheckpoint(eager = false)
       i += 1
     }
     ranks.select(col("v"), col("r").as("rank"))

@@ -73,6 +73,30 @@ class KmvSpec extends AnyFunSuite {
     assert(merged.toSeq === direct.toSeq)
   }
 
+  test("streaming parity: the sketch aggregates a stream to the batch result") {
+    // typed mergeable Aggregators drop into streaming aggregation
+    // unchanged — the property that makes the per-dataset sketch a
+    // MAINTAINABLE artifact (each micro-batch folds in, no re-scan)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val elems = strs(0 until 2000)
+    val stream = MemoryStream[String]
+    val q = stream.toDF().select(col("value").as("e"))
+      .agg(Kmv.kmvSketch(col("e"), 256).as("sk"))
+      .writeStream.format("memory").queryName("kmv_stream")
+      .outputMode("complete").start()
+    try {
+      stream.addData(elems.take(700))
+      q.processAllAvailable()
+      stream.addData(elems.drop(700))
+      q.processAllAvailable()
+      val streamed = spark.table("kmv_stream").collect().head
+        .getAs[scala.collection.Seq[Long]]("sk").toSeq
+      val batch = Overlap.sketchOf(elems.toDF("e"), col("e"), 256).toSeq
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("q112: exact set algebra sane and every sketch bound flag true") {
     val row = graft.queries.ScaleQueries
       .queries("q112_corpus_overlap")(spark, "/root/testdata/sf0.001")
