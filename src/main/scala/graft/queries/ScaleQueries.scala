@@ -657,15 +657,35 @@ object ScaleQueries {
     }),
 
     // image resize chain: generate → resize to 32×24 (real pixel
-    // transform) → decode; every row must land on the target dims
-    // (no oracle: binary; pinned by MultimodalSpec)
+    // transform) → decode. Oracle-checked in closed form: every row
+    // must land on the target dims, and the re-encoded BMP's size is
+    // the bitmap arithmetic 54 + stride(32)·24 — the resize + encode
+    // + decode round-trip pinned without DuckDB touching a pixel
     "q37b_image_resize" -> ((s, dir) => {
       val images = graft.ops.Multimodal.syntheticImages(
         t(s, dir, "documents"), "doc_id")
       val resized = graft.ops.Multimodal.resizeImagesBatch(images, "id", 32, 24)
       graft.ops.Multimodal.decodeImageMetaBatch(resized, "id")
-        .select(col("id").as("doc_id"), col("n_bytes"), col("width"),
-          col("height"))
+        .select(col("id").as("doc_id"), col("n_bytes"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"))
+        .orderBy("doc_id")
+    }),
+
+    // the oracle-checkable slice of q37: the MIXED-format corpus's
+    // decoded dims/channels/format are closed-form in id (n_bytes is
+    // not — the PNG IDAT length is zlib-dependent — so q37 keeps the
+    // byte-level rows-only check and this twin pins the real header
+    // walks: BMP little-endian dims, PNG IHDR big-endian dims, JPEG
+    // SOF scan past COM/DQT segments)
+    "q37c_image_meta" -> ((s, dir) => {
+      val images = graft.ops.Multimodal.syntheticImagesMixed(
+        t(s, dir, "documents"), "doc_id")
+      graft.ops.Multimodal.decodeImageMetaBatch(images, "id")
+        .select(col("id").as("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("channels").cast("long").as("channels"), col("format"))
         .orderBy("doc_id")
     }),
 
@@ -700,33 +720,44 @@ object ScaleQueries {
     }),
 
     // real audio decode boundary: synthesize a PCM WAV per document id,
-    // batch-decode via the chunk-walking per-partition codec (no
-    // oracle: binary payloads are engine-generated; pinned by
-    // MultimodalSpec round-trips)
+    // batch-decode via the chunk-walking per-partition codec. Oracle-
+    // checked in closed form: every field the codec extracts — header
+    // size included — is a pure function of the generator parameters
+    // (rate, channels, frames) = (8000·(1+id%3), 1+id%2, 200+id%100),
+    // so DuckDB states the full metadata table without opening a WAV
     "q66_audio_decode" -> ((s, dir) => {
       val audio = graft.ops.Multimodal.syntheticAudio(
         t(s, dir, "documents"), "doc_id")
       graft.ops.Multimodal.decodeAudioMetaBatch(audio, "id")
         .select(col("id").as("doc_id"), col("n_bytes"),
-          col("sample_rate"), col("channels"), col("bits"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("channels").cast("long").as("channels"),
+          col("bits").cast("long").as("bits"),
           col("n_samples"), col("duration_ms"), col("format"))
         .orderBy("doc_id")
     }),
 
     // real video decode boundary: synthetic AVI per document id,
-    // chunk-walking header codec (no oracle: binary; MultimodalSpec)
+    // chunk-walking header codec. Oracle-checked in closed form: the
+    // header-only container is 88 bytes flat and every avih field is a
+    // pure function of id (incl. the integer-truncation chain
+    // fps → µs/frame → fps×1000 that maps 30 to 30000 via 33333 µs)
     "q67_video_decode" -> ((s, dir) => {
       val videos = graft.ops.Multimodal.syntheticVideos(
         t(s, dir, "documents"), "doc_id")
       graft.ops.Multimodal.decodeVideoMetaBatch(videos, "id")
-        .select(col("id").as("doc_id"), col("n_bytes"), col("width"),
-          col("height"), col("n_frames"), col("fps_x1000"), col("format"))
+        .select(col("id").as("doc_id"), col("n_bytes"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_frames").cast("long").as("n_frames"),
+          col("fps_x1000"), col("format"))
         .orderBy("doc_id")
     }),
 
     // real AVI frame demux + sampling: every 2nd movi frame of a real
     // container, frame bytes fingerprinted for the rows-only check
-    // (no oracle: binary; MultimodalSpec pins the demux round-trip)
+    // (no oracle here: the md5 is over engine-generated binary; the
+    // q69b twin below pins the demux geometry in closed form)
     "q69_frame_sample" -> ((s, dir) => {
       val videos = graft.ops.Multimodal.syntheticFrameVideos(
         t(s, dir, "documents"), "doc_id")
@@ -734,6 +765,21 @@ object ScaleQueries {
         .select(col("id").as("doc_id"), col("frame_idx"),
           length(col("frame")).as("frame_bytes"),
           md5(col("frame")).as("frame_md5"))
+        .orderBy("doc_id", "frame_idx")
+    }),
+
+    // the oracle-checkable slice of q69: sampled frame INDICES and the
+    // demuxed frame byte-lengths are closed-form in id (frame i is a
+    // BMP of dims (8+(id+i)%16, 8+id%8)), so a wrong chunk walk, a
+    // mis-read length, or an off-by-one in the sampling stride all
+    // break the oracle — only the frame CONTENT stays rows-only (q69)
+    "q69b_frame_meta" -> ((s, dir) => {
+      val videos = graft.ops.Multimodal.syntheticFrameVideos(
+        t(s, dir, "documents"), "doc_id")
+      graft.ops.Multimodal.sampleFramesBatch(videos, "id", everyNth = 2)
+        .select(col("id").as("doc_id"),
+          col("frame_idx").cast("long").as("frame_idx"),
+          length(col("frame")).cast("long").as("frame_bytes"))
         .orderBy("doc_id", "frame_idx")
     }),
 
@@ -2784,6 +2830,65 @@ object ScaleQueries {
                     FROM par GROUP BY a, b)
          SELECT p.doc_id, r.rep_id
          FROM par p JOIN rep r USING (a, b) ORDER BY p.doc_id""",
+    // WAV metadata is closed-form in the generator parameters; header
+    // is the fixed 44-byte RIFF/fmt/data layout, duration is the
+    // codec's integer millisecond floor
+    "q66_audio_decode" ->
+      """WITH par AS (SELECT doc_id, 8000 * (1 + doc_id % 3) AS rate,
+                             1 + doc_id % 2 AS ch,
+                             200 + doc_id % 100 AS ns
+                      FROM documents)
+         SELECT doc_id, CAST(44 + ns * ch * 2 AS BIGINT) AS n_bytes,
+                CAST(rate AS BIGINT) AS sample_rate,
+                CAST(ch AS BIGINT) AS channels,
+                CAST(16 AS BIGINT) AS bits,
+                CAST(ns AS BIGINT) AS n_samples,
+                CAST(ns * 1000 // rate AS BIGINT) AS duration_ms,
+                'wav' AS format
+         FROM par ORDER BY doc_id""",
+    // header-only AVI is 88 bytes flat; the fps chain replays the
+    // integer truncation 1e6//fps then 1e9//(µs/frame)
+    "q67_video_decode" ->
+      """SELECT doc_id, CAST(88 AS BIGINT) AS n_bytes,
+                CAST(320 + (doc_id % 4) * 160 AS BIGINT) AS width,
+                CAST(240 + (doc_id % 3) * 120 AS BIGINT) AS height,
+                CAST(24 * (10 + doc_id % 50) AS BIGINT) AS n_frames,
+                CAST(1000000000 // (1000000 // CASE WHEN doc_id % 2 = 0
+                     THEN 25 ELSE 30 END) AS BIGINT) AS fps_x1000,
+                'avi' AS format
+         FROM documents ORDER BY doc_id""",
+    // resize target dims are constants; the re-encoded BMP size is
+    // the bitmap arithmetic 54 + 4-byte-aligned stride × height
+    "q37b_image_resize" ->
+      """SELECT doc_id,
+                CAST(54 + ((32 * 3 + 3) // 4 * 4) * 24 AS BIGINT)
+                  AS n_bytes,
+                CAST(32 AS BIGINT) AS width, CAST(24 AS BIGINT) AS height
+         FROM documents ORDER BY doc_id""",
+    // mixed-format dims/channels/format are closed-form in id; only
+    // the PNG byte length (zlib-dependent) stays un-oracled, on q37
+    "q37c_image_meta" ->
+      """SELECT doc_id,
+                CAST(16 + doc_id % 64 AS BIGINT) AS width,
+                CAST(16 + doc_id % 48 AS BIGINT) AS height,
+                CAST(3 AS BIGINT) AS channels,
+                CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'bmp'
+                     WHEN 1 THEN 'png' ELSE 'jpeg' END AS format
+         FROM documents ORDER BY doc_id""",
+    // sampled indices = range(0, 3+id%5, 2); frame i is a BMP of dims
+    // (8+(id+i)%16, 8+id%8) whose size is the bitmap arithmetic
+    "q69b_frame_meta" ->
+      """WITH par AS (SELECT doc_id, 3 + doc_id % 5 AS n FROM documents),
+            fr AS (SELECT doc_id, unnest(range(0, n, 2)) AS frame_idx
+                   FROM par),
+            dims AS (SELECT doc_id, frame_idx,
+                            8 + (doc_id + frame_idx) % 16 AS w,
+                            8 + doc_id % 8 AS h
+                     FROM fr)
+         SELECT doc_id, frame_idx,
+                CAST(54 + ((w * 3 + 3) // 4 * 4) * h AS BIGINT)
+                  AS frame_bytes
+         FROM dims ORDER BY doc_id, frame_idx""",
     // every frame distance is a pure function of id (see the query
     // comment): frame 0 → 1.0, within-scene → 0.0, and the cut at
     // frame nA → one of six constants determined by the frame dims
