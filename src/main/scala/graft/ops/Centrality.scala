@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Link-graph centrality — the quality prior web-corpus curation runs
@@ -52,9 +52,20 @@ object Centrality {
 
   /** PageRank over `edges` (used as given — dedupe upstream if
     * multiplicity is not intended). Nodes = distinct endpoints.
-    * Returns (node, rank) with ranks summing to 1. */
+    * Returns (node, rank) with ranks summing to 1.
+    *
+    * `teleport`, when given, is a (node, weight) frame that turns the
+    * uniform restart into a PERSONALIZED one: the restart mass (and
+    * any dangling mass) lands on nodes in proportion to their weight
+    * (weights need not be normalized; nodes absent from the frame get
+    * zero restart mass and are reached only through links). This is
+    * the quality-biased variant a curation pipeline runs when some
+    * sources are already trusted — seed the teleport vector with the
+    * trusted set and the walk scores the rest by proximity to it
+    * (Haveliwala 2002, topic-sensitive PageRank). */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int = 5, damping: Double = 0.85): DataFrame = {
+      iters: Int = 5, damping: Double = 0.85,
+      teleport: Option[DataFrame] = None): DataFrame = {
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
 
@@ -66,20 +77,40 @@ object Centrality {
     // the dangling SET is static — resolve it into a has_out flag on
     // the node frame once, so the per-round dangling mass is a filter
     // + tiny aggregate over the (checkpointed) rank frame instead of
-    // an anti-join per round
-    val nodes = e.select(col("src").as("v"))
+    // an anti-join per round. The teleport probability t(v) rides the
+    // same cached frame: uniform 1/N, or the normalized weight column
+    // (normalization in-plan via a broadcast one-row sum — the weight
+    // frame is corpus-sized, never collected).
+    val endpoints = e.select(col("src").as("v"))
       .union(e.select(col("dst").as("v")))
       .distinct()
       .join(deg.select(col("src").as("v"), lit(true).as("has_out")),
         Seq("v"), "left")
       .select(col("v"), coalesce(col("has_out"), lit(false)).as("has_out"))
-      .repartition(col("v"))
-      .cache()
-    val n = nodes.count().toDouble
+    val n = endpoints.count().toDouble
 
-    val base = (1.0 - damping) / n
-    var ranks = nodes.select(col("v"), (lit(1.0) / n).as("r"),
-      col("has_out"))
+    val nodes = (teleport match {
+      case None =>
+        endpoints.withColumn("t", lit(1.0) / n)
+      case Some(w) =>
+        val wf = w.select(col(w.columns(0)).cast("long").as("v"),
+          col(w.columns(1)).cast("double").as("w"))
+        val wSum = wf.agg(sum(col("w")).as("ws"))
+        endpoints.join(wf, Seq("v"), "left")
+          .crossJoin(broadcast(wSum))
+          .select(col("v"), col("has_out"),
+            (coalesce(col("w"), lit(0.0)) / col("ws")).as("t"))
+    }).repartition(col("v")).cache()
+
+    // uniform restart keeps the historical single-division arithmetic
+    // ((1−d)/n, matching the q115 oracle bit-for-bit); the weighted
+    // path scales t(v) per row
+    val baseCol: Column =
+      if (teleport.isEmpty) lit((1.0 - damping) / n)
+      else lit(1.0 - damping) * col("t")
+    var ranks = nodes.select(col("v"),
+      (if (teleport.isEmpty) lit(1.0) / n else col("t")).as("r"),
+      col("has_out"), col("t"))
 
     // a graph with no dangling node (every web graph after the usual
     // self-loop completion; the q115 fixture by construction) needs
@@ -98,19 +129,22 @@ object Centrality {
       val next =
         if (!hasDangling)
           joined.select(col("v"),
-            (lit(base) + lit(damping) * coalesce(col("c"), lit(0.0)))
+            (baseCol + lit(damping) * coalesce(col("c"), lit(0.0)))
               .as("r"),
-            col("has_out"))
+            col("has_out"), col("t"))
         else {
           // rank mass on dangling nodes, bound into the plan as a
-          // broadcast one-row scalar — no driver action
+          // broadcast one-row scalar — no driver action; redistributed
+          // uniformly (dm/n) or along the teleport vector (dm·t)
           val dMass = ranks.filter(!col("has_out"))
             .agg(coalesce(sum(col("r")), lit(0.0)).as("dm"))
+          val dTerm =
+            if (teleport.isEmpty) col("dm") / n else col("dm") * col("t")
           joined.crossJoin(broadcast(dMass))
             .select(col("v"),
-              (lit(base) + lit(damping) *
-                (coalesce(col("c"), lit(0.0)) + col("dm") / n)).as("r"),
-              col("has_out"))
+              (baseCol + lit(damping) *
+                (coalesce(col("c"), lit(0.0)) + dTerm)).as("r"),
+              col("has_out"), col("t"))
         }
       // lazy checkpoint: round i is referenced twice by round i+1 when
       // dangling redistribution is on, and the consumer may act on the

@@ -992,6 +992,23 @@ object ScaleQueries {
         .orderBy("doc_id")
     }),
 
+    // personalized (teleport-weighted) PageRank over the same graph:
+    // the restart mass lands in proportion to a per-doc weight
+    // (1 + id%5 — a stand-in quality prior), the topic-sensitive
+    // variant a curation run uses to score pages by proximity to a
+    // trusted seed set; the oracle replays the same five rounds with
+    // the weighted restart term
+    "q115b_pagerank_personalized" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val edges = graft.ops.Centrality.docLinkGraph(docs, "doc_id")
+      val weights = docs.select(col("doc_id"),
+        (lit(1) + col("doc_id") % 5).cast("double").as("w"))
+      graft.ops.Centrality.pageRank(edges, "src", "dst", iters = 5,
+        teleport = Some(weights))
+        .select(col("v").as("doc_id"), round(col("rank"), 8).as("rank"))
+        .orderBy("doc_id")
+    }),
+
     "q114_snapshot_diff" -> ((s, dir) => {
       val old = t(s, dir, "documents")
       val mutated = old.filter(col("doc_id") % 17 =!= 3)
@@ -2094,6 +2111,42 @@ object ScaleQueries {
         SELECT v AS doc_id, ROUND(r, 8) AS rank FROM r5 ORDER BY doc_id"""
   }
 
+  /** q115b oracle: the personalized variant — same generated round
+    * chain, with the restart term scaled by the normalized teleport
+    * weight t(v) instead of 1/N (r0 = t as well). The weight sum is
+    * an exact integer in double, so t is bit-identical cross-engine. */
+  private val q115bSql: String = {
+    val rounds = (1 to 5).map { i =>
+      s"""r$i AS (SELECT tv.v,
+               (1 - 0.85) * tv.t + 0.85 * coalesce(s.c, 0) AS r
+             FROM tv LEFT JOIN (
+               SELECT e.dst AS v, SUM(p.r / e.deg) AS c
+               FROM ed e JOIN r${i - 1} p ON p.v = e.src
+               GROUP BY e.dst) s
+               ON s.v = tv.v)"""
+    }.mkString(",\n        ")
+    s"""WITH e0 AS (SELECT doc_id AS src,
+                      (doc_id * 31 + 7) %
+                        (SELECT count(*) FROM documents) AS dst
+               FROM documents
+               UNION
+               SELECT doc_id,
+                      (doc_id * 17 + 3) % (SELECT count(*) FROM documents)
+               FROM documents),
+        deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg
+                FROM e0 GROUP BY src),
+        ed AS (SELECT e0.src, e0.dst, deg.deg FROM e0 JOIN deg USING (src)),
+        ws AS (SELECT SUM(CAST(1 + doc_id % 5 AS DOUBLE)) AS ws
+               FROM documents),
+        tv AS (SELECT doc_id AS v,
+                      CAST(1 + doc_id % 5 AS DOUBLE) / (SELECT ws FROM ws)
+                        AS t
+               FROM documents),
+        r0 AS (SELECT v, t AS r FROM tv),
+        $rounds
+        SELECT v AS doc_id, ROUND(r, 8) AS rank FROM r5 ORDER BY v"""
+  }
+
   private val q59Sql: String =
     """WITH tk AS (SELECT doc_id,
                  list_filter(string_split(coalesce(text, ''), ' '),
@@ -3027,6 +3080,8 @@ object ScaleQueries {
     // all five power-iteration rounds replayed as generated chained
     // CTEs — same edge derivation, same damping arithmetic
     "q115_pagerank" -> q115Sql,
+    // the personalized rounds, weighted restart term replayed
+    "q115b_pagerank_personalized" -> q115bSql,
     // the same page construction and the same strip chain, replayed
     // in DuckDB's RE2 dialect (every pattern is Java∩RE2-common)
     "q116_markup_strip" ->

@@ -48,6 +48,28 @@ class CentralitySpec extends AnyFunSuite {
     assert(math.abs(ranks.values.sum - 1.0) < 1e-10)
   }
 
+  test("personalized teleport: mass follows the weights, conserved; " +
+      "uniform weights reproduce the unpersonalized walk") {
+    val docs = (0L until 40L).toDF("doc_id")
+    val edges = Centrality.docLinkGraph(docs, "doc_id")
+    // all-equal weights must be EXACTLY the uniform walk's semantics
+    // (t = w/Σw = 1/n) up to the arithmetic-order difference, which
+    // 1e-12 absorbs
+    val uni = Centrality.pageRank(edges, "src", "dst", iters = 3)
+      .as[(Long, Double)].collect().toMap
+    val flat = Centrality.pageRank(edges, "src", "dst", iters = 3,
+      teleport = Some(docs.select(col("doc_id"), lit(2.0).as("w"))))
+      .as[(Long, Double)].collect().toMap
+    uni.foreach { case (v, r) => assert(math.abs(flat(v) - r) < 1e-12) }
+    // a heavily-seeded node outranks its uniform self; mass conserved
+    val seeded = Centrality.pageRank(edges, "src", "dst", iters = 3,
+      teleport = Some(docs.select(col("doc_id"),
+        when(col("doc_id") === 7L, 100.0).otherwise(1.0).as("w"))))
+      .as[(Long, Double)].collect().toMap
+    assert(seeded(7L) > uni(7L) * 2)
+    assert(math.abs(seeded.values.sum - 1.0) < 1e-10)
+  }
+
   test("q115 fixture: rank mass conserved, all nodes present, deterministic") {
     val docs = (0L until 40L).toDF("doc_id")
     val edges = Centrality.docLinkGraph(docs, "doc_id")
