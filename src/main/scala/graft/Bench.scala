@@ -93,7 +93,10 @@ object Bench {
     "q113_length_outliers",
     "q114_snapshot_diff",
     "q115_pagerank",
-    "q116_markup_strip")
+    "q115b_pagerank_personalized",
+    "q116_markup_strip",
+    "q117_funnel",
+    "q118_retention")
 
   /** Queries whose r6→r7 numbers moved 2–6× with no code change — the
     * self-join/ANN family is short (<3 s warm) so a single co-tenant

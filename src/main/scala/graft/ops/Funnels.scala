@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Event-sequence analytics over the event stream — the two queries
+  * every product-analytics workload runs and a MATCH_RECOGNIZE-less
+  * engine usually can't express cleanly: ordered-step funnels and
+  * cohort retention. Both are declarative compositions (no UDFs, no
+  * per-user state machines), so Catalyst sees ordinary joins and
+  * aggregates it can push, reorder, and codegen.
+  *
+  * Scale shape (both): every join and aggregate keys on the user
+  * column — one hash exchange of the event slice per step, reused
+  * across the chain; no windows, no sorts, no per-user collects. A
+  * k-step funnel is k conditional min-aggregations, each over ONLY
+  * that step's event-type slice (the filter pushes into the scan).
+  */
+object Funnels {
+
+  /** Strict-order funnel: a user reaches step k+1 only with an event
+    * of that type STRICTLY after their earliest completion of step k
+    * (ties don't convert — the standard strict semantics, so a click
+    * logged in the same microsecond as the view cannot count as a
+    * response to it). Returns one row per step:
+    * (step_idx, step, users, conv_total, conv_step), ratios rounded
+    * to 4; empty upstream steps yield 0.0 ratios, never NaN. */
+  def funnel(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val ev = events.select(col(userCol).as("u"), col(typeCol).as("et"),
+      col(tsCol).cast("timestamp").as("ts"))
+
+    // t_k per user: k chained conditional min-aggregations, all keyed
+    // on u — the whole chain is ONE lazy plan (no per-step action)
+    val reaches = steps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+      case (prev, (step, _)) =>
+        val slice = ev.filter(col("et") === step)
+        Some(prev match {
+          case None =>
+            slice.groupBy("u").agg(min(col("ts")).as("t"))
+          case Some(p) =>
+            slice.join(p.select(col("u"), col("t").as("pt")), "u")
+              .filter(col("ts") > col("pt"))
+              .groupBy("u").agg(min(col("ts")).as("t"))
+        })
+    }.flatten
+
+    val counts = reaches.zip(steps.zipWithIndex).map {
+      case (r, (step, i)) =>
+        r.agg(count(lit(1)).as("users"))
+          .select(lit(i + 1).cast("long").as("step_idx"),
+            lit(step).as("step"), col("users"))
+    }.reduce(_ unionByName _)
+
+    val first = counts.filter(col("step_idx") === 1)
+      .select(col("users").as("u0"))
+    val prevC = counts.select((col("step_idx") + 1).as("step_idx"),
+      col("users").as("uprev"))
+    counts.join(prevC, Seq("step_idx"), "left")
+      .crossJoin(broadcast(first))
+      .select(col("step_idx"), col("step"), col("users"),
+        round(when(col("u0") > 0,
+          col("users").cast("double") / col("u0")).otherwise(0.0), 4)
+          .as("conv_total"),
+        round(when(col("step_idx") === 1, 1.0)
+          .when(col("uprev") > 0,
+            col("users").cast("double") / col("uprev"))
+          .otherwise(0.0), 4).as("conv_step"))
+      .orderBy("step_idx")
+  }
+
+  /** Cohort retention over fixed time buckets (`bucketSeconds`,
+    * default weekly): cohort = the bucket of a user's FIRST event,
+    * and each (cohort, offset) cell counts users with any activity
+    * `offset` buckets after their cohort bucket. Pure integer
+    * epoch arithmetic — no calendar semantics to disagree on across
+    * engines. Returns (cohort, week_offset, users). */
+  def retention(events: DataFrame, userCol: String, tsCol: String,
+      bucketSeconds: Long = 604800L): DataFrame = {
+    val ev = events.select(col(userCol).as("u"),
+      expr(s"CAST(`$tsCol` AS LONG) div ${bucketSeconds}L").as("wk"))
+    val firstWk = ev.groupBy("u").agg(min(col("wk")).as("cohort"))
+    ev.join(firstWk, "u")
+      .select(col("u"), col("cohort"), (col("wk") - col("cohort")).as("week_offset"))
+      .distinct()
+      .groupBy("cohort", "week_offset")
+      .agg(count(lit(1)).as("users"))
+      .orderBy("cohort", "week_offset")
+  }
+}

@@ -954,6 +954,20 @@ object ScaleQueries {
     // (mod 13) — so DuckDB states every per-key status in closed form
     // while Spark computes it the real way (fingerprint + one
     // co-partitioned full outer join)
+    // strict-order event funnel (view → click → purchase): k chained
+    // conditional min-aggregations keyed on user, one lazy plan; the
+    // oracle replays the chain as CTEs with the same strict-inequality
+    // and zero-guard semantics
+    "q117_funnel" -> ((s, dir) =>
+      graft.ops.Funnels.funnel(Tables.events(s, dir), "user_id",
+        "event_type", "ts", Seq("view", "click", "purchase"))),
+
+    // weekly cohort retention: pure integer epoch-bucket arithmetic
+    // (no calendar semantics to disagree on), one user-keyed exchange
+    "q118_retention" -> ((s, dir) =>
+      graft.ops.Funnels.retention(Tables.events(s, dir), "user_id",
+        "ts")),
+
     // markup strip at the ingestion boundary: the documents are
     // wrapped in-plan into full HTML pages (head/style/script,
     // comments, per-doc tag ids, text spaces as &nbsp;, an entity
@@ -3082,6 +3096,52 @@ object ScaleQueries {
     "q115_pagerank" -> q115Sql,
     // the personalized rounds, weighted restart term replayed
     "q115b_pagerank_personalized" -> q115bSql,
+    // the funnel chain replayed as CTEs: strict ts inequality against
+    // the previous step's earliest completion, zero-guarded ratios
+    "q117_funnel" ->
+      """WITH e AS (SELECT user_id AS u, event_type AS et,
+                           CAST(ts AS TIMESTAMP) AS ts
+                    FROM events),
+            r1 AS (SELECT u, MIN(ts) AS t FROM e
+                   WHERE et = 'view' GROUP BY u),
+            r2 AS (SELECT e.u, MIN(e.ts) AS t FROM e
+                   JOIN r1 ON r1.u = e.u
+                   WHERE e.et = 'click' AND e.ts > r1.t GROUP BY e.u),
+            r3 AS (SELECT e.u, MIN(e.ts) AS t FROM e
+                   JOIN r2 ON r2.u = e.u
+                   WHERE e.et = 'purchase' AND e.ts > r2.t GROUP BY e.u),
+            c AS (SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step,
+                         (SELECT count(*) FROM r1) AS users
+                  UNION ALL
+                  SELECT 2, 'click', (SELECT count(*) FROM r2)
+                  UNION ALL
+                  SELECT 3, 'purchase', (SELECT count(*) FROM r3))
+         SELECT step_idx, step, CAST(users AS BIGINT) AS users,
+                ROUND(CASE WHEN (SELECT users FROM c WHERE step_idx = 1) > 0
+                           THEN users * 1.0 /
+                                (SELECT users FROM c WHERE step_idx = 1)
+                           ELSE 0.0 END, 4) AS conv_total,
+                ROUND(CASE WHEN step_idx = 1 THEN 1.0
+                           WHEN (SELECT users FROM c c2
+                                 WHERE c2.step_idx = c.step_idx - 1) > 0
+                           THEN users * 1.0 /
+                                (SELECT users FROM c c2
+                                 WHERE c2.step_idx = c.step_idx - 1)
+                           ELSE 0.0 END, 4) AS conv_step
+         FROM c ORDER BY step_idx""",
+    // epoch-bucket retention: integer floor-division weeks, first
+    // bucket per user, distinct activity cells
+    "q118_retention" ->
+      """WITH e AS (SELECT user_id AS u,
+                           CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+                             // 604800 AS wk
+                    FROM events),
+            fw AS (SELECT u, MIN(wk) AS cohort FROM e GROUP BY u),
+            act AS (SELECT DISTINCT e.u, fw.cohort,
+                           e.wk - fw.cohort AS week_offset
+                    FROM e JOIN fw USING (u))
+         SELECT cohort, week_offset, CAST(count(*) AS BIGINT) AS users
+         FROM act GROUP BY 1, 2 ORDER BY 1, 2""",
     // the same page construction and the same strip chain, replayed
     // in DuckDB's RE2 dialect (every pattern is Java∩RE2-common)
     "q116_markup_strip" ->

@@ -1,0 +1,77 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Funnels
+
+/** Funnel + retention contract: strict ordering (pre-step and
+  * same-instant events never convert), per-step counting against the
+  * EARLIEST completion, zero-guarded ratios, and integer-bucket
+  * cohort arithmetic. */
+class FunnelsSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  test("strict order: pre-step and same-instant events never convert") {
+    val ev = Seq(
+      // user 1 converts fully in order
+      (1L, "view", ts(10)), (1L, "click", ts(20)), (1L, "purchase", ts(30)),
+      // user 2: click BEFORE view — no conversion past step 1
+      (2L, "click", ts(5)), (2L, "view", ts(10)),
+      // user 3: click at the same instant as view — strict, no convert
+      (3L, "view", ts(10)), (3L, "click", ts(10)),
+      // user 4: never views — not even step 1
+      (4L, "click", ts(10)), (4L, "purchase", ts(20)))
+      .toDF("user_id", "event_type", "ts")
+    val out = Funnels.funnel(ev, "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase"))
+      .as[(Long, String, Long, Double, Double)].collect()
+    assert(out.map(r => (r._1, r._2, r._3)).toSeq ===
+      Seq((1L, "view", 3L), (2L, "click", 1L), (3L, "purchase", 1L)))
+    assert(out(0)._4 === 1.0 && out(0)._5 === 1.0)
+    assert(out(1)._4 === 0.3333 && out(1)._5 === 0.3333)
+    assert(out(2)._4 === 0.3333 && out(2)._5 === 1.0)
+  }
+
+  test("conversion counts against the EARLIEST step completion") {
+    // view@10, view@100, click@50: the click is after the FIRST view,
+    // so it converts even though a later view follows it
+    val ev = Seq((1L, "view", ts(10)), (1L, "view", ts(100)),
+      (1L, "click", ts(50)))
+      .toDF("user_id", "event_type", "ts")
+    val out = Funnels.funnel(ev, "user_id", "event_type", "ts",
+      Seq("view", "click")).as[(Long, String, Long, Double, Double)]
+      .collect()
+    assert(out.map(_._3).toSeq === Seq(1L, 1L))
+  }
+
+  test("empty steps yield zero ratios, never NaN") {
+    val ev = Seq((1L, "view", ts(10))).toDF("user_id", "event_type", "ts")
+    val out = Funnels.funnel(ev, "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase"))
+      .as[(Long, String, Long, Double, Double)].collect()
+    assert(out.map(_._3).toSeq === Seq(1L, 0L, 0L))
+    assert(out(1)._4 === 0.0 && out(1)._5 === 0.0)
+    assert(out(2)._4 === 0.0 && out(2)._5 === 0.0)
+  }
+
+  test("retention: cohort = first bucket, offsets count distinct activity") {
+    val wk = 604800L
+    val ev = Seq(
+      (1L, ts(10)), (1L, ts(wk + 5)), (1L, ts(3 * wk + 1)), // w0, w1, w3
+      (1L, ts(wk + 9)),                                     // dup cell w1
+      (2L, ts(wk + 1)),                                     // cohort w1
+      (3L, ts(2)), (3L, ts(wk - 1)))                        // both in w0
+      .toDF("user_id", "ts")
+    val out = Funnels.retention(ev, "user_id", "ts")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out === Seq((0L, 0L, 2L), (0L, 1L, 1L), (0L, 3L, 1L),
+      (1L, 0L, 1L)))
+  }
+}
