@@ -1,0 +1,71 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Elementwise running sum for [[VectorAvgAgg]]: one double per
+  * dimension plus the row count — fixed state regardless of group
+  * size, which is the whole point: mean-pooling a trillion chunk
+  * embeddings into document embeddings shuffles dim+1 doubles per
+  * (partition, group), never the vectors themselves. */
+case class VecSumBuf(var sum: Array[Double], var n: Long)
+
+/** Elementwise mean of float-vector columns as a typed mergeable
+  * `Aggregator` — the pooling step that turns chunk/token embeddings
+  * into document/label embeddings (mean pooling is the standard
+  * sentence-embedding composition). Dimensions are taken from the
+  * first non-null vector; rows with a different length are REJECTED
+  * loudly (a silent truncation would corrupt every downstream cosine)
+  * — ragged inputs are a schema bug, not data.
+  *
+  * The declarative audit twin (posexplode → groupBy(group, pos) →
+  * avg) computes the same means with Catalyst built-ins at ×dim the
+  * shuffle volume; q119 pins this aggregate against DuckDB's replay
+  * of that exploded form, and MeanPoolSpec pins the two forms against
+  * each other.
+  */
+class VectorAvgAgg extends Aggregator[Seq[Float], VecSumBuf, Seq[Double]] {
+
+  override def zero: VecSumBuf = VecSumBuf(Array.emptyDoubleArray, 0L)
+
+  override def reduce(b: VecSumBuf, v: Seq[Float]): VecSumBuf = {
+    if (v == null) return b
+    if (b.n == 0L && b.sum.isEmpty) b.sum = new Array[Double](v.length)
+    require(v.length == b.sum.length,
+      s"ragged vector: got length ${v.length}, group uses ${b.sum.length}")
+    var i = 0
+    while (i < b.sum.length) { b.sum(i) += v(i); i += 1 }
+    b.n += 1L
+    b
+  }
+
+  override def merge(a: VecSumBuf, b: VecSumBuf): VecSumBuf = {
+    if (b.n == 0L) return a
+    if (a.n == 0L) return b
+    require(a.sum.length == b.sum.length,
+      s"ragged merge: ${a.sum.length} vs ${b.sum.length}")
+    var i = 0
+    while (i < a.sum.length) { a.sum(i) += b.sum(i); i += 1 }
+    a.n += b.n
+    a
+  }
+
+  override def finish(b: VecSumBuf): Seq[Double] =
+    if (b.n == 0L) Seq.empty
+    else b.sum.map(_ / b.n).toSeq
+
+  override def bufferEncoder: Encoder[VecSumBuf] =
+    ExpressionEncoder[VecSumBuf]()
+
+  override def outputEncoder: Encoder[Seq[Double]] =
+    ExpressionEncoder[Seq[Double]]()
+}
+
+object VectorAvgAgg {
+  /** Column form for `agg(...)`: the elementwise mean as
+    * `array<double>` (empty array for all-null groups). */
+  def vectorAvg(vec: Column): Column =
+    udaf(new VectorAvgAgg, ExpressionEncoder[Seq[Float]]()).apply(vec)
+}

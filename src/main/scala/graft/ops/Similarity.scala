@@ -1196,4 +1196,38 @@ object Similarity {
       case _ => topKPerQuery(adc, k)
     }
   }
+
+  // ---- embedding pooling: chunk/token vectors -> one vector per group ----
+
+  /** Elementwise mean of `vecCol` per `groupCol` — the pooling step
+    * that turns chunk embeddings into document embeddings (and token
+    * embeddings into sentence embeddings): mean pooling, the standard
+    * composition. One shuffle of dim+1 doubles per (partition, group)
+    * via the fixed-state [[graft.functions.VectorAvgAgg]] — the
+    * vectors themselves never move. Returns (group, n_vecs, mean_vec).
+    */
+  def meanPoolVectors(df: DataFrame, groupCol: String,
+      vecCol: String): DataFrame =
+    df.filter(col(vecCol).isNotNull)
+      .groupBy(col(groupCol).as("g"))
+      .agg(graft.functions.VectorAvgAgg.vectorAvg(col(vecCol))
+        .as("mean_vec"),
+        count(lit(1)).as("n_vecs"))
+      .select(col("g"), col("n_vecs"), col("mean_vec"))
+
+  /** Declarative audit twin of [[meanPoolVectors]]: posexplode ->
+    * per-(group, position) avg — Catalyst built-ins end to end, at
+    * ×dim the shuffle volume; the form DuckDB replays (q119) and the
+    * parity anchor for the aggregator. Returns one ROW per dimension:
+    * (group, pos, m, n_vecs). */
+  def meanPoolExploded(df: DataFrame, groupCol: String,
+      vecCol: String): DataFrame =
+    df.filter(col(vecCol).isNotNull)
+      .select(col(groupCol).as("g"),
+        posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy("g", "pos")
+      .agg(avg(col("x").cast("double")).as("m"),
+        count(lit(1)).as("n_vecs"))
+      .select(col("g"), col("pos").cast("long").as("pos"), col("m"),
+        col("n_vecs"))
 }

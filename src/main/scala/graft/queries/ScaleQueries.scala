@@ -954,6 +954,21 @@ object ScaleQueries {
     // (mod 13) — so DuckDB states every per-key status in closed form
     // while Spark computes it the real way (fingerprint + one
     // co-partitioned full outer join)
+    // embedding mean-pooling (chunk vectors → one vector per label):
+    // the fixed-state VectorAvgAgg shuffles dim+1 doubles per group,
+    // never the vectors; the output explodes to one row per dimension
+    // so the oracle replays the declarative exploded form and the
+    // driver compare never sees an array column
+    "q119_mean_pool" -> ((s, dir) => {
+      val pooled = Similarity.meanPoolVectors(
+        t(s, dir, "embeddings"), "label", "embedding")
+      pooled.select(col("g").cast("long").as("label"), col("n_vecs"),
+        posexplode(col("mean_vec")).as(Seq("pos", "m")))
+        .select(col("label"), col("pos").cast("long").as("pos"),
+          round(col("m"), 4).as("m"), col("n_vecs"))
+        .orderBy("label", "pos")
+    }),
+
     // strict-order event funnel (view → click → purchase): k chained
     // conditional min-aggregations keyed on user, one lazy plan; the
     // oracle replays the chain as CTEs with the same strict-inequality
@@ -3096,6 +3111,18 @@ object ScaleQueries {
     "q115_pagerank" -> q115Sql,
     // the personalized rounds, weighted restart term replayed
     "q115b_pagerank_personalized" -> q115bSql,
+    // DuckDB replays the exploded form: zipped parallel unnests give
+    // (pos, value) pairs, per-(label, pos) averages match the
+    // aggregator's means at round-4
+    "q119_mean_pool" ->
+      """WITH ex AS (SELECT label,
+                            unnest(range(0, len(embedding))) AS pos,
+                            CAST(unnest(embedding) AS DOUBLE) AS x
+                     FROM embeddings WHERE embedding IS NOT NULL)
+         SELECT CAST(label AS BIGINT) AS label, pos,
+                ROUND(AVG(x), 4) AS m,
+                CAST(count(*) AS BIGINT) AS n_vecs
+         FROM ex GROUP BY 1, 2 ORDER BY 1, 2""",
     // the funnel chain replayed as CTEs: strict ts inequality against
     // the previous step's earliest completion, zero-guarded ratios
     "q117_funnel" ->

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Similarity
+
+/** Mean-pooling contract: exact means on hand-built vectors, parity
+  * between the fixed-state aggregator and the declarative exploded
+  * twin, partitioning invariance at round precision, and the loud
+  * ragged-input rejection. */
+class MeanPoolSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  private val df = Seq(
+    (0, Seq(1.0f, 2.0f, 3.0f)),
+    (0, Seq(3.0f, 2.0f, 1.0f)),
+    (1, Seq(10.0f, 0.0f, -10.0f)))
+    .toDF("label", "embedding")
+
+  test("exact means on hand-built vectors, counts right") {
+    val out = Similarity.meanPoolVectors(df, "label", "embedding")
+      .as[(Int, Long, Seq[Double])].collect().sortBy(_._1)
+    assert(out(0) === ((0, 2L, Seq(2.0, 2.0, 2.0))))
+    assert(out(1) === ((1, 1L, Seq(10.0, 0.0, -10.0))))
+  }
+
+  test("aggregator equals the declarative exploded twin") {
+    val emb = graft.sources.Tables(spark, "/root/testdata/sf0.001",
+      "embeddings")
+    val agg = Similarity.meanPoolVectors(emb, "label", "embedding")
+      .select(col("g"), col("n_vecs"),
+        posexplode(col("mean_vec")).as(Seq("pos", "m")))
+      .select(col("g"), col("pos").cast("long").as("pos"),
+        round(col("m"), 6).as("m"), col("n_vecs"))
+      .as[(Int, Long, Double, Long)].collect().sortBy(r => (r._1, r._2))
+    val exp = Similarity.meanPoolExploded(emb, "label", "embedding")
+      .select(col("g"), col("pos"), round(col("m"), 6).as("m"),
+        col("n_vecs"))
+      .as[(Int, Long, Double, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(agg.length === exp.length && agg.nonEmpty)
+    agg.zip(exp).foreach { case (a, e) =>
+      assert(a._1 === e._1 && a._2 === e._2 && a._4 === e._4)
+      assert(math.abs(a._3 - e._3) < 1e-6, s"$a vs $e")
+    }
+  }
+
+  test("ragged vectors are rejected loudly, not truncated") {
+    val bad = Seq((0, Seq(1.0f, 2.0f)), (0, Seq(1.0f)))
+      .toDF("label", "embedding")
+    val e = intercept[org.apache.spark.SparkException] {
+      Similarity.meanPoolVectors(bad, "label", "embedding").collect()
+    }
+    assert(e.getMessage.contains("ragged") ||
+      Option(e.getCause).exists(_.getMessage.contains("ragged")))
+  }
+}
