@@ -96,7 +96,11 @@ object Bench {
     "q115b_pagerank_personalized",
     "q116_markup_strip",
     "q117_funnel",
-    "q118_retention")
+    "q118_retention",
+    "q119_mean_pool",
+    "q120_matryoshka_recall",
+    "q121_bm25",
+    "q122_hybrid_rrf")
 
   /** Queries whose r6→r7 numbers moved 2–6× with no code change — the
     * self-join/ANN family is short (<3 s warm) so a single co-tenant

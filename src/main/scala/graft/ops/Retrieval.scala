@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lexical retrieval — the sparse half of a modern retrieval stack.
+  * The ANN family (q29/q30/q86/q88) answers "nearest in embedding
+  * space"; BM25 answers "best lexical match", and production search
+  * runs BOTH and fuses (see [[rrfFuse]]) because each recalls what
+  * the other misses (exact terms / rare identifiers vs paraphrase).
+  *
+  * BM25 (Robertson–Spärck Jones, with Lucene's +1 idf smoothing so
+  * idf is never negative):
+  *   score(q, d) = Σ_{t ∈ q} ln(1 + (N − df(t) + ½)/(df(t) + ½)) ·
+  *                 tf · (k1 + 1) / (tf + k1 · (1 − b + b · dl/avgdl))
+  *
+  * Shape: the score is one explode → two grouped aggregates (tf per
+  * (doc, term), df per term) → a join with the exploded query terms →
+  * a per-(qid, doc) sum — every exchange keyed on the term or the
+  * doc. The corpus-wide scalars (N, avgdl) bind as a broadcast
+  * one-row frame. Ranking is a window PARTITIONED by qid (never
+  * global) over the ROUNDED score with doc-id tiebreak — rounding
+  * first makes the order reproducible cross-engine, where raw ln()
+  * can differ in the last ulp.
+  */
+object Retrieval {
+
+  private def toks(c: org.apache.spark.sql.Column) =
+    filter(split(coalesce(c, lit("")), " "), t => length(t) > 0)
+
+  /** Top-k documents per query by BM25. `queries` needs
+    * (qid, qtext). Returns (qid, doc_id, rank, score) with score
+    * rounded to 4. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qidCol: String, qtextCol: String,
+      k: Int = 5, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val d = docs.select(col(idCol).as("doc"), toks(col(textCol)).as("tk"))
+    val terms = d.select(col("doc"), explode(col("tk")).as("term"),
+      size(col("tk")).cast("double").as("dl"))
+    val tf = terms.groupBy("doc", "term")
+      .agg(count(lit(1)).cast("double").as("tf"),
+        first(col("dl")).as("dl"))
+    val dfreq = tf.groupBy("term")
+      .agg(count(lit(1)).cast("double").as("df"))
+    val stats = d.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(size(col("tk"))).as("avgdl"))
+
+    val qterms = queries
+      .select(col(qidCol).as("qid"), explode(toks(col(qtextCol))).as("term"))
+      .distinct()
+
+    val scored = tf
+      .join(qterms, "term")
+      .join(dfreq, "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5)
+          / (col("df") + 0.5)))
+      .withColumn("w",
+        col("idf") * col("tf") * (lit(k1) + 1.0)
+          / (col("tf") + lit(k1)
+            * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("qid", "doc")
+      .agg(round(sum(col("w")), 4).as("score"))
+
+    val w = Window.partitionBy("qid")
+      .orderBy(col("score").desc, col("doc").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("doc").as("doc_id"),
+        col("rank").cast("long").as("rank"), col("score"))
+      .orderBy("qid", "rank")
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of two ranked lists
+    * (qid, doc_id, rank): fused = Σ 1/(k0 + rank) over the lists that
+    * ranked the doc. The industry-standard hybrid-search combiner —
+    * rank-based, so the two sides' incomparable score scales never
+    * meet. The two-term sum is written explicitly (coalesce + add),
+    * so fusion scores are bit-identical cross-engine and ranking
+    * needs no rounding. Returns (qid, doc_id, rank, rrf round 6). */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int = 5,
+      k0: Int = 60): DataFrame = {
+    val ra = a.select(col("qid"), col("doc_id"), col("rank").as("ra"))
+    val rb = b.select(col("qid"), col("doc_id"), col("rank").as("rb"))
+    val fused = ra.join(rb, Seq("qid", "doc_id"), "full")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(k0) + col("ra")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(k0) + col("rb")), lit(0.0)))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("doc_id"),
+        col("rank").cast("long").as("rank"), round(col("rrf"), 6).as("rrf"))
+      .orderBy("qid", "rank")
+  }
+}

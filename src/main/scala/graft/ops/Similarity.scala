@@ -1230,4 +1230,22 @@ object Similarity {
         count(lit(1)).as("n_vecs"))
       .select(col("g"), col("pos").cast("long").as("pos"), col("m"),
         col("n_vecs"))
+
+  /** Matryoshka-style storage tiering: keep only the first `dims`
+    * components and renormalize to unit length — the MRL contract
+    * (Kusupati et al. 2022): prefix dimensions carry the coarse
+    * semantics, so a 4× truncation gives a 4× cheaper first-pass
+    * index whose recall the q120 eval measures in-engine against the
+    * full-dimension ground truth. Renormalization keeps dot-product
+    * readers honest; cosine readers are invariant to it. Pure
+    * map-side projection. Returns (id, vec: array<double>). */
+  def truncateRenorm(df: DataFrame, idCol: String, vecCol: String,
+      dims: Int): DataFrame = {
+    require(dims > 0, s"dims must be positive, got $dims")
+    val sliced = slice(asDouble(col(vecCol)), 1, dims)
+    val nrm = sqrt(aggregate(sliced, lit(0.0), (a, x) => a + x * x))
+    df.select(col(idCol).as("id"),
+      when(nrm > 0.0, transform(sliced, x => x / nrm))
+        .otherwise(sliced).as("vec"))
+  }
 }

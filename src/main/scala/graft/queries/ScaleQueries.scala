@@ -954,6 +954,58 @@ object ScaleQueries {
     // (mod 13) — so DuckDB states every per-key status in closed form
     // while Spark computes it the real way (fingerprint + one
     // co-partitioned full outer join)
+    // matryoshka storage tiering evaluated in-engine: recall@5 of
+    // cosine retrieval on 16-dim truncated+renormalized vectors vs
+    // the 64-dim exact ground truth (the q103 eval frame); the oracle
+    // composes the q29 truth SQL with a list_slice'd approximate side
+    "q120_matryoshka_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val truth = Similarity.cosineTopK(emb, "vec_id", "embedding",
+        nQueries = 10, k = 5)
+      val tr = Similarity.truncateRenorm(emb, "vec_id", "embedding", 16)
+      val approx = Similarity.cosineTopK(tr, "id", "vec",
+        nQueries = 10, k = 5)
+      graft.ops.Eval.recallAtK(truth, approx, k = 5).orderBy("qid")
+    }),
+
+    // BM25 lexical retrieval (the sparse half of a hybrid stack):
+    // query panel = first-8-token prefixes of docs 0-4, corpus = the
+    // rest; the oracle replays tokenization, tf/df, the Lucene
+    // +1-smoothed idf, and the rounded-score ranking exactly
+    "q121_bm25" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val qtext = concat_ws(" ",
+        slice(filter(split(coalesce(col("text"), lit("")), " "),
+          t => length(t) > 0), 1, 8))
+      val queries = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"), qtext.as("qtext"))
+      graft.ops.Retrieval.bm25TopK(docs.filter(col("doc_id") >= 5),
+        "doc_id", "text", queries, "qid", "qtext", k = 5)
+    }),
+
+    // hybrid retrieval: reciprocal-rank fusion of the BM25 list and
+    // the dense cosine list over the same qid panel (ids pair the
+    // text query with its embedding — the stand-in for a dual-encoded
+    // query). RRF sums are two explicit exact terms, so the fused
+    // ranking is bit-identical cross-engine with no rounding
+    "q122_hybrid_rrf" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val qtext = concat_ws(" ",
+        slice(filter(split(coalesce(col("text"), lit("")), " "),
+          t => length(t) > 0), 1, 8))
+      val queries = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"), qtext.as("qtext"))
+      val lex = graft.ops.Retrieval.bm25TopK(
+        docs.filter(col("doc_id") >= 5), "doc_id", "text",
+        queries, "qid", "qtext", k = 10)
+        .select(col("qid"), col("doc_id"), col("rank"))
+      val dense = Similarity.cosineTopK(t(s, dir, "embeddings"),
+        "vec_id", "embedding", nQueries = 5, k = 10)
+        .select(col("qid"), col("cid").as("doc_id"),
+          col("rn").cast("long").as("rank"))
+      graft.ops.Retrieval.rrfFuse(lex, dense, k = 5)
+    }),
+
     // embedding mean-pooling (chunk vectors → one vector per label):
     // the fixed-state VectorAvgAgg shuffles dim+1 doubles per group,
     // never the vectors; the output explodes to one row per dimension
@@ -2176,6 +2228,84 @@ object ScaleQueries {
         SELECT v AS doc_id, ROUND(r, 8) AS rank FROM r5 ORDER BY v"""
   }
 
+  /** Shared BM25 CTE chain (q121/q122): tokenization, tf/df, the
+    * Lucene +1-smoothed idf, corpus scalars, and the rounded-score
+    * ranking — every constant written as the same arithmetic the
+    * Column expression computes ((1.2 + 1.0), (1.0 − 0.75)) so the
+    * doubles agree bit-for-bit. */
+  private def bm25Ctes: String =
+    """d AS (SELECT doc_id AS doc,
+              list_filter(string_split(coalesce(text, ''), ' '),
+                          t -> length(t) > 0) AS tk
+            FROM documents WHERE doc_id >= 5),
+       terms AS (SELECT doc, unnest(tk) AS term,
+                        CAST(len(tk) AS DOUBLE) AS dl
+                 FROM d),
+       tf AS (SELECT doc, term, CAST(count(*) AS DOUBLE) AS tf,
+                     MAX(dl) AS dl
+              FROM terms GROUP BY doc, term),
+       dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+                 FROM tf GROUP BY term),
+       stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                        AVG(len(tk)) AS avgdl
+                 FROM d),
+       q AS (SELECT doc_id AS qid,
+                    list_slice(list_filter(
+                      string_split(coalesce(text, ''), ' '),
+                      t -> length(t) > 0), 1, 8) AS qt
+             FROM documents WHERE doc_id < 5),
+       qterms AS (SELECT DISTINCT qid, unnest(qt) AS term FROM q),
+       sc AS (SELECT qt.qid, tf.doc,
+                     ROUND(SUM(
+                       ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+                       * tf.tf * (1.2 + 1.0)
+                       / (tf.tf + 1.2 * ((1.0 - 0.75)
+                          + 0.75 * tf.dl / s.avgdl))), 4) AS score
+              FROM tf JOIN qterms qt USING (term)
+              JOIN dfreq df USING (term), stats s
+              GROUP BY qt.qid, tf.doc),
+       rk AS (SELECT qid, doc, score,
+                     row_number() OVER (PARTITION BY qid
+                       ORDER BY score DESC, doc ASC) AS rank
+              FROM sc)"""
+
+  private val q121Sql: String =
+    s"""WITH $bm25Ctes
+        SELECT qid, doc AS doc_id, CAST(rank AS BIGINT) AS rank, score
+        FROM rk WHERE rank <= 5 ORDER BY qid, rank"""
+
+  /** q122: RRF fusion of the BM25 list (k = 10) and the dense cosine
+    * list (k = 10) — explicit two-term exact sums, ranked without
+    * rounding. */
+  private val q122Sql: String =
+    s"""WITH $bm25Ctes,
+        lex AS (SELECT qid, doc AS doc_id, CAST(rank AS BIGINT) AS rank
+                FROM rk WHERE rank <= 10),
+        base AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        dq AS (SELECT vec_id qid, v qv FROM base WHERE vec_id < 5),
+        dc AS (SELECT vec_id cid, v cv FROM base WHERE vec_id >= 5),
+        ds AS (SELECT qid, cid, list_cosine_similarity(qv, cv) sim
+               FROM dq CROSS JOIN dc),
+        dr AS (SELECT qid, cid,
+                      row_number() OVER (PARTITION BY qid
+                        ORDER BY sim DESC, cid) rn
+               FROM ds),
+        dense AS (SELECT qid, cid AS doc_id, CAST(rn AS BIGINT) AS rank
+                  FROM dr WHERE rn <= 10),
+        fused AS (SELECT coalesce(l.qid, e.qid) AS qid,
+                         coalesce(l.doc_id, e.doc_id) AS doc_id,
+                         coalesce(1.0 / (60 + l.rank), 0.0)
+                           + coalesce(1.0 / (60 + e.rank), 0.0) AS rrf
+                  FROM lex l FULL JOIN dense e
+                    ON e.qid = l.qid AND e.doc_id = l.doc_id),
+        frk AS (SELECT qid, doc_id, rrf,
+                       row_number() OVER (PARTITION BY qid
+                         ORDER BY rrf DESC, doc_id ASC) AS rank
+                FROM fused)
+        SELECT qid, doc_id, CAST(rank AS BIGINT) AS rank,
+               ROUND(rrf, 6) AS rrf
+        FROM frk WHERE rank <= 5 ORDER BY qid, rank"""
+
   private val q59Sql: String =
     """WITH tk AS (SELECT doc_id,
                  list_filter(string_split(coalesce(text, ''), ' '),
@@ -3111,6 +3241,33 @@ object ScaleQueries {
     "q115_pagerank" -> q115Sql,
     // the personalized rounds, weighted restart term replayed
     "q115b_pagerank_personalized" -> q115bSql,
+    // truth = the q29 twin verbatim; approx = cosine over
+    // list_slice'd 16-dim prefixes (renormalization cancels in
+    // cosine); the recall join is the q103 pattern
+    "q120_matryoshka_recall" ->
+      s"""WITH truth AS (SELECT * FROM ($q29Sql) t0),
+            ab AS (SELECT vec_id,
+                          list_slice(embedding::DOUBLE[], 1, 16) v
+                   FROM embeddings),
+            aq AS (SELECT vec_id qid, v qv FROM ab WHERE vec_id < 10),
+            ac AS (SELECT vec_id cid, v cv FROM ab WHERE vec_id >= 10),
+            asim AS (SELECT qid, cid, list_cosine_similarity(qv, cv) sim
+                     FROM aq CROSS JOIN ac),
+            ar AS (SELECT qid, cid,
+                          row_number() OVER (PARTITION BY qid
+                            ORDER BY sim DESC, cid) rn
+                   FROM asim),
+            approx AS (SELECT qid, cid FROM ar WHERE rn <= 5),
+            hit AS (SELECT t.qid, COUNT(*) AS hits
+                    FROM truth t JOIN approx a
+                      ON a.qid = t.qid AND a.cid = t.cid
+                    GROUP BY t.qid),
+            qs AS (SELECT DISTINCT qid FROM truth)
+          SELECT qs.qid, COALESCE(h.hits, 0) AS hits,
+                 ROUND(COALESCE(h.hits, 0) / 5.0, 4) AS recall
+          FROM qs LEFT JOIN hit h USING (qid) ORDER BY qs.qid""",
+    "q121_bm25" -> q121Sql,
+    "q122_hybrid_rrf" -> q122Sql,
     // DuckDB replays the exploded form: zipped parallel unnests give
     // (pos, value) pairs, per-(label, pos) averages match the
     // aggregator's means at round-4

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Retrieval, Similarity}
+
+/** BM25 + RRF + matryoshka-truncation contract: hand-computed scores
+  * on a tiny corpus, idf-driven ordering, fusion arithmetic with
+  * single-list documents, and the truncation projection's unit norm. */
+class RetrievalSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  test("bm25: hand-computed scores and ranking on a two-doc corpus") {
+    val docs = Seq((10L, "a a b"), (11L, "b c")).toDF("doc_id", "text")
+    val queries = Seq((0L, "a b")).toDF("qid", "qtext")
+    val out = Retrieval.bm25TopK(docs, "doc_id", "text", queries,
+      "qid", "qtext", k = 5)
+      .as[(Long, Long, Long, Double)].collect()
+
+    // replicate the operator's exact formula
+    def idf(df: Double, n: Double) = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    def w(tf: Double, dl: Double, avgdl: Double, idfV: Double) =
+      idfV * tf * (1.2 + 1.0) / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))
+    val avgdl = 2.5
+    val s10 = w(2, 3, avgdl, idf(1, 2)) + w(1, 3, avgdl, idf(2, 2))
+    val s11 = w(1, 2, avgdl, idf(2, 2))
+    def r4(x: Double) = BigDecimal(x).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.toSeq === Seq((0L, 10L, 1L, r4(s10)), (0L, 11L, 2L, r4(s11))))
+    assert(s10 > s11, "the doc matching the rare term must rank first")
+  }
+
+  test("bm25: docs without query terms never appear; rank cut respected") {
+    val docs = Seq((10L, "x y"), (11L, "a b"), (12L, "a a"),
+      (13L, "a c")).toDF("doc_id", "text")
+    val queries = Seq((0L, "a")).toDF("qid", "qtext")
+    val out = Retrieval.bm25TopK(docs, "doc_id", "text", queries,
+      "qid", "qtext", k = 2)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.length === 2)
+    assert(!out.map(_._2).contains(10L))
+  }
+
+  test("rrf: fusion sums are exact, single-list docs still fuse") {
+    val lex = Seq((0L, 100L, 1L), (0L, 101L, 2L))
+      .toDF("qid", "doc_id", "rank")
+    val dense = Seq((0L, 101L, 1L), (0L, 102L, 2L))
+      .toDF("qid", "doc_id", "rank")
+    val out = Retrieval.rrfFuse(lex, dense, k = 5)
+      .as[(Long, Long, Long, Double)].collect()
+    def r6(x: Double) = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    // 101: 1/62 + 1/61 (both lists) beats 100: 1/61 and 102: 1/62
+    assert(out.map(r => (r._2, r._3)).toSeq ===
+      Seq((101L, 1L), (100L, 2L), (102L, 3L)))
+    assert(out(0)._4 === r6(1.0 / 62 + 1.0 / 61))
+    assert(out(1)._4 === r6(1.0 / 61))
+    assert(out(2)._4 === r6(1.0 / 62))
+  }
+
+  test("truncateRenorm: prefix slice, unit norm, zero-vector guard") {
+    val df = Seq((1L, Seq(3.0f, 4.0f, 100.0f)), (2L, Seq(0.0f, 0.0f, 5.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.truncateRenorm(df, "vec_id", "embedding", 2)
+      .as[(Long, Seq[Double])].collect().sortBy(_._1).toMap
+    assert(out(1L).map(x => math.round(x * 1e6) / 1e6) === Seq(0.6, 0.8))
+    assert(out(2L) === Seq(0.0, 0.0), "zero prefix stays zero, no NaN")
+  }
+}
