@@ -968,6 +968,23 @@ object ScaleQueries {
       graft.ops.Eval.recallAtK(truth, approx, k = 5).orderBy("qid")
     }),
 
+    // the int8 storage tier measured the same way as the matryoshka
+    // tier (q120): recall@5 of cosine over quantize→dequantize
+    // round-tripped vectors vs exact ground truth — with q120 and the
+    // full-precision baseline this is the storage-tier tradeoff table
+    // (float32 / int8 / 16-dim prefix) computed entirely in-engine
+    "q123_int8_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val truth = Similarity.cosineTopK(emb, "vec_id", "embedding",
+        nQueries = 10, k = 5)
+      val deq = Similarity.quantizeInt8(emb, "vec_id", "embedding")
+        .select(col("vec_id"),
+          Similarity.dequantizeInt8("q", "vmin", "vmax").as("vec"))
+      val approx = Similarity.cosineTopK(deq, "vec_id", "vec",
+        nQueries = 10, k = 5)
+      graft.ops.Eval.recallAtK(truth, approx, k = 5).orderBy("qid")
+    }),
+
     // BM25 lexical retrieval (the sparse half of a hybrid stack):
     // query panel = first-8-token prefixes of docs 0-4, corpus = the
     // rest; the oracle replays tokenization, tf/df, the Lucene
@@ -3268,6 +3285,38 @@ object ScaleQueries {
           FROM qs LEFT JOIN hit h USING (qid) ORDER BY qs.qid""",
     "q121_bm25" -> q121Sql,
     "q122_hybrid_rrf" -> q122Sql,
+    // the quantize→dequantize round trip replayed exactly (floor is
+    // IEEE-exact — the reason q74 chose it), then the q120 eval shape
+    "q123_int8_recall" ->
+      s"""WITH truth AS (SELECT * FROM ($q29Sql) t0),
+            ab AS (SELECT vec_id, embedding::DOUBLE[] v,
+                          list_min(embedding::DOUBLE[]) mn,
+                          list_max(embedding::DOUBLE[]) mx
+                   FROM embeddings),
+            dq AS (SELECT vec_id,
+                          CASE WHEN mx > mn THEN
+                            list_transform(v, x ->
+                              mn + floor((x - mn) * 255.0 / (mx - mn)
+                                         + 0.5) * (mx - mn) / 255.0)
+                          ELSE v END AS v
+                   FROM ab),
+            aq AS (SELECT vec_id qid, v qv FROM dq WHERE vec_id < 10),
+            ac AS (SELECT vec_id cid, v cv FROM dq WHERE vec_id >= 10),
+            asim AS (SELECT qid, cid, list_cosine_similarity(qv, cv) sim
+                     FROM aq CROSS JOIN ac),
+            ar AS (SELECT qid, cid,
+                          row_number() OVER (PARTITION BY qid
+                            ORDER BY sim DESC, cid) rn
+                   FROM asim),
+            approx AS (SELECT qid, cid FROM ar WHERE rn <= 5),
+            hit AS (SELECT t.qid, COUNT(*) AS hits
+                    FROM truth t JOIN approx a
+                      ON a.qid = t.qid AND a.cid = t.cid
+                    GROUP BY t.qid),
+            qs AS (SELECT DISTINCT qid FROM truth)
+          SELECT qs.qid, COALESCE(h.hits, 0) AS hits,
+                 ROUND(COALESCE(h.hits, 0) / 5.0, 4) AS recall
+          FROM qs LEFT JOIN hit h USING (qid) ORDER BY qs.qid""",
     // DuckDB replays the exploded form: zipped parallel unnests give
     // (pos, value) pairs, per-(label, pos) averages match the
     // aggregator's means at round-4
