@@ -96,4 +96,49 @@ object Retrieval {
         col("rank").cast("long").as("rank"), round(col("rrf"), 6).as("rrf"))
       .orderBy("qid", "rank")
   }
+
+  /** ColBERT-style late interaction (Khattab & Zaharia 2020) over
+    * MULTI-vector representations: both query and document are SETS
+    * of vectors (token/chunk embeddings), and
+    *   maxsim(q, d) = Σ_{i ∈ q} max_{j ∈ d} cos(q_i, d_j)
+    * — each query vector finds its best-matching document vector, so
+    * a document matches on the pieces it actually shares instead of
+    * one pooled average (the precision the q119 mean-pool trades
+    * away). Completes the retrieval family: single-vector dense
+    * (q29/ANN), sparse lexical (q121), hybrid fusion (q122),
+    * multi-vector late interaction (this).
+    *
+    * Shape: queries broadcast (bounded panel by contract), one scan
+    * of the document vectors, per-(query-vector, doc) max then
+    * per-(query, doc) sum — two grouped aggregates over the broadcast
+    * join, no shuffle of the document side beyond the aggregation.
+    * Ranking over the ROUNDED score, doc-id tiebreak (the q121
+    * discipline). Returns (qid, doc_id, rank, score round 4).
+    */
+  def maxSimTopK(docVecs: DataFrame, docCol: String, dVecCol: String,
+      queryVecs: DataFrame, qidCol: String, qvidCol: String,
+      qVecCol: String, k: Int = 5): DataFrame = {
+    import graft.ops.Similarity.{dot, norm}
+    def unit(c: org.apache.spark.sql.Column) =
+      transform(c, x => x.cast("double"))
+    val q = queryVecs.select(col(qidCol).as("qid"),
+      col(qvidCol).as("qvid"), unit(col(qVecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val d = docVecs.select(col(docCol).as("doc"),
+      unit(col(dVecCol)).as("dv"))
+      .withColumn("dn", norm(col("dv")))
+    val pair = d.crossJoin(broadcast(q))
+      .withColumn("cos", dot(col("qv"), col("dv")) / (col("qn") * col("dn")))
+      .filter(!isnan(col("cos")))
+      .groupBy("qid", "qvid", "doc").agg(max(col("cos")).as("mx"))
+    val scored = pair.groupBy("qid", "doc")
+      .agg(round(sum(col("mx")), 4).as("score"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("qid")
+      .orderBy(col("score").desc, col("doc").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("doc").as("doc_id"),
+        col("rank").cast("long").as("rank"), col("score"))
+      .orderBy("qid", "rank")
+  }
 }

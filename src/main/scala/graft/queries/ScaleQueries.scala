@@ -968,6 +968,22 @@ object ScaleQueries {
       graft.ops.Eval.recallAtK(truth, approx, k = 5).orderBy("qid")
     }),
 
+    // multi-vector late interaction (ColBERT maxsim): labels 0-1 are
+    // the query vector SETS, labels 2+ the document sets — each query
+    // vector finds its best-matching doc vector, scores sum per
+    // (query, doc); the oracle replays the max-then-sum over the same
+    // cosine pairs
+    "q124_maxsim" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.ops.Retrieval.maxSimTopK(
+        emb.filter(col("label") >= 2)
+          .withColumn("doc", col("label").cast("long")),
+        "doc", "embedding",
+        emb.filter(col("label") < 2)
+          .withColumn("qid", col("label").cast("long")),
+        "qid", "vec_id", "embedding", k = 5)
+    }),
+
     // the int8 storage tier measured the same way as the matryoshka
     // tier (q120): recall@5 of cosine over quantize→dequantize
     // round-tripped vectors vs exact ground truth — with q120 and the
@@ -3285,6 +3301,26 @@ object ScaleQueries {
           FROM qs LEFT JOIN hit h USING (qid) ORDER BY qs.qid""",
     "q121_bm25" -> q121Sql,
     "q122_hybrid_rrf" -> q122Sql,
+    // per-(query-vector, doc) max then per-(query, doc) sum over the
+    // same cosine pairs; ranking over the rounded score
+    "q124_maxsim" ->
+      """WITH base AS (SELECT vec_id, label,
+                              embedding::DOUBLE[] v FROM embeddings),
+            qv AS (SELECT CAST(label AS BIGINT) qid, vec_id qvid, v qv
+                   FROM base WHERE label < 2),
+            dv AS (SELECT CAST(label AS BIGINT) doc, v dv
+                   FROM base WHERE label >= 2),
+            pair AS (SELECT qid, qvid, doc,
+                            MAX(list_cosine_similarity(qv, dv)) AS mx
+                     FROM qv CROSS JOIN dv GROUP BY qid, qvid, doc),
+            sc AS (SELECT qid, doc, ROUND(SUM(mx), 4) AS score
+                   FROM pair GROUP BY qid, doc),
+            rk AS (SELECT qid, doc, score,
+                          row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, doc ASC) AS rank
+                   FROM sc)
+         SELECT qid, doc AS doc_id, CAST(rank AS BIGINT) AS rank, score
+         FROM rk WHERE rank <= 5 ORDER BY qid, rank""",
     // the quantize→dequantize round trip replayed exactly (floor is
     // IEEE-exact — the reason q74 chose it), then the q120 eval shape
     "q123_int8_recall" ->

@@ -61,6 +61,24 @@ class RetrievalSpec extends AnyFunSuite {
     assert(out(2)._4 === r6(1.0 / 62))
   }
 
+  test("maxsim: each query vector matches its best doc vector; sums rank") {
+    // query set {e1, e2}. doc 10 = {e1, e2} -> 1+1 = 2.0;
+    // doc 11 = {e1, -e2} -> 1 + max(0, -1) = 1.0;
+    // doc 12 = {e3} -> 0 + 0 = 0.0
+    val docs = Seq(
+      (10L, Seq(1f, 0f, 0f)), (10L, Seq(0f, 1f, 0f)),
+      (11L, Seq(1f, 0f, 0f)), (11L, Seq(0f, -1f, 0f)),
+      (12L, Seq(0f, 0f, 1f)))
+      .toDF("doc", "vec")
+    val qs = Seq((0L, 1L, Seq(1f, 0f, 0f)), (0L, 2L, Seq(0f, 1f, 0f)))
+      .toDF("qid", "qvid", "vec")
+    val out = Retrieval.maxSimTopK(docs, "doc", "vec", qs,
+      "qid", "qvid", "vec", k = 5)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.map(r => (r._2, r._3, r._4)).toSeq ===
+      Seq((10L, 1L, 2.0), (11L, 2L, 1.0), (12L, 3L, 0.0)))
+  }
+
   test("truncateRenorm: prefix slice, unit norm, zero-vector guard") {
     val df = Seq((1L, Seq(3.0f, 4.0f, 100.0f)), (2L, Seq(0.0f, 0.0f, 5.0f)))
       .toDF("vec_id", "embedding")
