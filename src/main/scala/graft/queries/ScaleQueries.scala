@@ -972,14 +972,18 @@ object ScaleQueries {
     // the query vector SETS, labels 2+ the document sets — each query
     // vector finds its best-matching doc vector, scores sum per
     // (query, doc); the oracle replays the max-then-sum over the same
-    // cosine pairs
+    // cosine pairs. The query panel is BOUNDED (vec_id < 640 — the
+    // full label-0/1 sets at oracle scale) so panel work stays fixed
+    // while the document side scans linearly: without the bound a
+    // 10× corpus grows BOTH sides and the pair stage goes quadratic
+    // (measured 8.8× at sf1 before the bound)
     "q124_maxsim" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       graft.ops.Retrieval.maxSimTopK(
         emb.filter(col("label") >= 2)
           .withColumn("doc", col("label").cast("long")),
         "doc", "embedding",
-        emb.filter(col("label") < 2)
+        emb.filter(col("label") < 2 && col("vec_id") < 640)
           .withColumn("qid", col("label").cast("long")),
         "qid", "vec_id", "embedding", k = 5)
     }),
@@ -3307,7 +3311,7 @@ object ScaleQueries {
       """WITH base AS (SELECT vec_id, label,
                               embedding::DOUBLE[] v FROM embeddings),
             qv AS (SELECT CAST(label AS BIGINT) qid, vec_id qvid, v qv
-                   FROM base WHERE label < 2),
+                   FROM base WHERE label < 2 AND vec_id < 640),
             dv AS (SELECT CAST(label AS BIGINT) doc, v dv
                    FROM base WHERE label >= 2),
             pair AS (SELECT qid, qvid, doc,
