@@ -61,6 +61,59 @@ class FunnelsSpec extends AnyFunSuite {
     assert(out(2)._4 === 0.0 && out(2)._5 === 0.0)
   }
 
+  test("fuzz: funnel counts match an in-JVM brute force on random streams") {
+    val rnd = new scala.util.Random(42)
+    val types = Array("view", "click", "purchase", "error")
+    val ev = (0 until 2000).map { _ =>
+      (rnd.nextInt(60).toLong, types(rnd.nextInt(types.length)),
+        ts(rnd.nextInt(5000).toLong))
+    }
+    val steps = Seq("view", "click", "purchase")
+    val out = Funnels.funnel(ev.toDF("user_id", "event_type", "ts"),
+      "user_id", "event_type", "ts", steps)
+      .as[(Long, String, Long, Double, Double)].collect()
+      .map(r => r._2 -> r._3).toMap
+
+    // reference: earliest strict-chain completion per user
+    val byUser = ev.groupBy(_._1)
+    val expected = steps.indices.map { k =>
+      byUser.values.count { es =>
+        var t = Option.empty[java.sql.Timestamp]
+        var ok = true
+        steps.take(k + 1).foreach { s =>
+          if (ok) {
+            val cand = es.filter(e => e._2 == s &&
+              t.forall(prev => e._3.getTime > prev.getTime)).map(_._3)
+            if (cand.isEmpty) ok = false
+            else t = Some(cand.minBy(_.getTime))
+          }
+        }
+        ok
+      }.toLong
+    }
+    steps.zip(expected).foreach { case (s, n) =>
+      assert(out(s) === n, s"step $s: got ${out(s)}, brute force $n")
+    }
+  }
+
+  test("fuzz: retention cells match an in-JVM brute force") {
+    val rnd = new scala.util.Random(7)
+    val wk = 604800L
+    val ev = (0 until 1500).map { _ =>
+      (rnd.nextInt(40).toLong, ts(rnd.nextInt(6 * wk.toInt).toLong))
+    }
+    val out = Funnels.retention(ev.toDF("user_id", "ts"), "user_id", "ts")
+      .as[(Long, Long, Long)].collect().toSet
+    val weeks = ev.map { case (u, t) => (u, t.getTime / 1000 / wk) }
+    val cohort = weeks.groupBy(_._1).map { case (u, ws) =>
+      u -> ws.map(_._2).min }
+    val expected = weeks.distinct
+      .map { case (u, w) => (cohort(u), w - cohort(u)) }
+      .groupBy(identity).map { case ((c, o), xs) =>
+        (c, o, xs.size.toLong) }.toSet
+    assert(out === expected)
+  }
+
   test("retention: cohort = first bucket, offsets count distinct activity") {
     val wk = 604800L
     val ev = Seq(
