@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Dev probe (not driver contract): localize the q115/q115b PageRank
+  * cost — is the ~3 s bench time a data-dependent blowup or the
+  * fixed per-round scheduling floor the Centrality scaladoc claims?
+  * Times the setup (edge derivation + degree fold + node cache),
+  * then the loop at 1/3/5/10 iterations: if the claim holds, wall
+  * time is affine in the round count with a slope equal to the
+  * per-round floor and the slope barely moves between sf0.1 and sf1
+  * (the marginal round cost is exchange scheduling, not data volume,
+  * at bench scale). Arg 1 = sfDir. */
+object Q115Probe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val spark = GraftSession.local(
+      math.min(32, Runtime.getRuntime.availableProcessors()))
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    val docs = graft.sources.Tables(spark, sfDir, "documents")
+
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[q115probe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
+    for (round <- 1 to 2) {
+      println(s"[q115probe] --- round $round ---")
+      val edges = time("edge derivation (count)") {
+        val e = graft.ops.Centrality.docLinkGraph(docs, "doc_id")
+        println("  edges: " + e.count()); e
+      }
+      var prev = 0.0
+      for (iters <- Seq(1, 3, 5, 10)) {
+        val t0 = System.nanoTime()
+        val n = graft.ops.Centrality
+          .pageRank(edges, "src", "dst", iters = iters).count()
+        val t = (System.nanoTime() - t0) / 1e9
+        val marginal =
+          if (prev > 0) f" (marginal ${(t - prev)}%.2f s since last)" else ""
+        println(f"[q115probe] iters=$iters%2d: $t%.2f s, $n rows$marginal")
+        prev = t
+      }
+    }
+    spark.stop()
+  }
+}

@@ -37,11 +37,16 @@ import org.apache.spark.sql.functions._
   *    compounds toward 2^iters re-evaluations of round 1 (measured:
   *    7 s vs 3.8 s warm at sf0.1). The lazy checkpoint materializes
   *    each round exactly once, inside the single consumer action, and
-  *    cuts lineage as a side effect. The steady ~0.7 s/round that
+  *    cuts lineage as a side effect. The steady per-round cost that
   *    remains is the two per-round exchanges (rank vector to the edge
   *    layout, contributions back to the node layout) — fixed
   *    scheduling cost at bench scale, the actual data movement at
-  *    100 TB; the same profile as the q61 CC loop.
+  *    100 TB; the same profile as the q61 CC loop. PINNED by
+  *    `Q115Probe` (stage-level, warm): wall time is affine in the
+  *    round count with slope ≈ 0.50 s/round at sf0.1 and
+  *    ≈ 0.63 s/round at sf1 — 10× the data moves the marginal round
+  *    cost only 1.27×, so the bench number is rounds × floor, not a
+  *    data-dependent blowup.
   *
   * Fixed iteration count, not convergence-tested: curation wants a
   * deterministic, replayable score, and a bounded-round power
