@@ -38,9 +38,13 @@ object Retrieval {
     val d = docs.select(col(idCol).as("doc"), toks(col(textCol)).as("tk"))
     val terms = d.select(col("doc"), explode(col("tk")).as("term"),
       size(col("tk")).cast("double").as("dl"))
+    // tf feeds BOTH the document-frequency aggregate and the score
+    // join; a lazy checkpoint materializes the explode + first
+    // aggregate once, so the corpus is scanned once, not per consumer
     val tf = terms.groupBy("doc", "term")
       .agg(count(lit(1)).cast("double").as("tf"),
         first(col("dl")).as("dl"))
+      .localCheckpoint(eager = false)
     val dfreq = tf.groupBy("term")
       .agg(count(lit(1)).cast("double").as("df"))
     val stats = d.agg(count(lit(1)).cast("double").as("n_docs"),
