@@ -32,18 +32,22 @@ object Funnels {
       col(tsCol).cast("timestamp").as("ts"))
 
     // t_k per user: k chained conditional min-aggregations, all keyed
-    // on u — the whole chain is ONE lazy plan (no per-step action)
+    // on u — the whole chain is ONE lazy plan (no per-step action).
+    // Each reach frame is referenced twice (its own count branch and
+    // the next step's join), so it ends in a LAZY checkpoint: the
+    // per-step event slice is scanned once, and the per-user reach
+    // rows (tiny) are what downstream consumers reread
     val reaches = steps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
       case (prev, (step, _)) =>
         val slice = ev.filter(col("et") === step)
-        Some(prev match {
+        Some((prev match {
           case None =>
             slice.groupBy("u").agg(min(col("ts")).as("t"))
           case Some(p) =>
             slice.join(p.select(col("u"), col("t").as("pt")), "u")
               .filter(col("ts") > col("pt"))
               .groupBy("u").agg(min(col("ts")).as("t"))
-        })
+        }).localCheckpoint(eager = false))
     }.flatten
 
     val counts = reaches.zip(steps.zipWithIndex).map {
