@@ -102,7 +102,8 @@ object Bench {
     "q121_bm25",
     "q122_hybrid_rrf",
     "q123_int8_recall",
-    "q124_maxsim")
+    "q124_maxsim",
+    "q125_quality_checks")
 
   /** Queries whose r6→r7 numbers moved 2–6× with no code change — the
     * self-join/ANN family is short (<3 s warm) so a single co-tenant

@@ -1,0 +1,121 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality constraints — the validation gate a
+  * pipeline runs on every new drop BEFORE trusting it downstream
+  * (the Deequ/Great-Expectations core, re-expressed as plain
+  * aggregates): each rule states an invariant, the checker returns
+  * one row per rule with its violation count, and the caller fails
+  * the run (or quarantines the drop) on any non-zero row. The
+  * reference hand-rolls exactly these as asserts scattered through
+  * `cleaner.py` (null checks, dtype checks); here they are data, not
+  * code — loggable, diffable between runs, and oracle-checkable.
+  *
+  * Scale shape: every ROW-LOCAL rule (null / range / set / regex /
+  * arbitrary predicate) folds into ONE aggregate projection over a
+  * single scan — adding a rule adds a column to the aggregate, not a
+  * pass. [[Unique]] rules are the honest exception: each needs a
+  * grouped count on its key (one shuffle per uniqueness rule, the
+  * same cost as the dedup family's hash pass).
+  */
+object Checks {
+
+  sealed trait Rule { def name: String }
+
+  /** Column must never be null. */
+  case class NotNull(col: String) extends Rule {
+    def name = s"not_null($col)"
+  }
+
+  /** String column must never be null OR empty. */
+  case class NonEmpty(col: String) extends Rule {
+    def name = s"non_empty($col)"
+  }
+
+  /** Numeric column within [lo, hi] (nulls violate — an absent
+    * measurement is not an in-range one). */
+  case class InRange(col: String, lo: Double, hi: Double) extends Rule {
+    def name = s"in_range($col,$lo,$hi)"
+  }
+
+  /** Column value drawn from a closed set (nulls violate). */
+  case class InSet(col: String, values: Seq[String]) extends Rule {
+    def name = s"in_set($col)"
+  }
+
+  /** String column fully matches the anchored pattern (Java∩RE2
+    * dialect — the stripMarkup discipline; nulls violate). */
+  case class MatchesRegex(col: String, pattern: String) extends Rule {
+    def name = s"matches_regex($col)"
+  }
+
+  /** Arbitrary row-local invariant (cross-column consistency —
+    * e.g. a stored length column equals the recomputed length).
+    * Violated when the predicate is false OR null. */
+  case class Satisfies(label: String, predicate: Column) extends Rule {
+    def name = s"satisfies($label)"
+  }
+
+  /** Key columns identify rows uniquely (violations = rows carrying
+    * a key that occurs more than once — the count of OFFENDING ROWS,
+    * not offending keys, so the number is the size of the cleanup). */
+  case class Unique(cols: Seq[String]) extends Rule {
+    def name = s"unique(${cols.mkString(",")})"
+  }
+
+  private def violation(r: Rule): Column = r match {
+    case NotNull(c) => col(c).isNull
+    case NonEmpty(c) => col(c).isNull || length(col(c)) === 0
+    case InRange(c, lo, hi) =>
+      !(col(c).isNotNull && col(c) >= lo && col(c) <= hi)
+    // isNotNull guard: a bare isin on NULL is NULL, which a naive
+    // negation would silently count as compliant
+    case InSet(c, vs) => !(col(c).isNotNull && col(c).isin(vs: _*))
+    case MatchesRegex(c, p) => !(col(c).isNotNull && col(c).rlike(p))
+    case Satisfies(_, pred) => !coalesce(pred, lit(false))
+    case _: Unique =>
+      throw new IllegalStateException("unique handled separately")
+  }
+
+  /** Evaluate `rules` against `df`: one row per rule —
+    * (rule, n_rows, violations, passed) — ordered by rule name. */
+  def check(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "check: no rules given")
+    val (uniques, rowLocal) = rules.partition(_.isInstanceOf[Unique])
+
+    // every row-local rule folds into ONE aggregate over one scan;
+    // the one-row result is lazily checkpointed because each rule's
+    // output row re-reads it
+    val rowLocalFrame: Option[DataFrame] =
+      if (rowLocal.isEmpty) None
+      else {
+        val head = count(lit(1)).as("__n")
+        val aggs = rowLocal.zipWithIndex.map { case (r, i) =>
+          sum(when(violation(r), 1L).otherwise(0L)).as(s"v$i")
+        }
+        val one = df.agg(head, aggs: _*).localCheckpoint(eager = false)
+        val rows = rowLocal.zipWithIndex.map { case (r, i) =>
+          one.select(lit(r.name).as("rule"), col("__n").as("n_rows"),
+            col(s"v$i").as("violations"))
+        }
+        Some(rows.reduce(_ unionByName _))
+      }
+
+    val uniqueFrames = uniques.collect { case u @ Unique(cols0) =>
+      val keyed = df.groupBy(cols0.map(col): _*)
+        .agg(count(lit(1)).as("__c"))
+      keyed.agg(
+        coalesce(sum(col("__c")), lit(0L)).as("n_rows"),
+        coalesce(sum(when(col("__c") > 1, col("__c")).otherwise(0L)),
+          lit(0L)).as("violations"))
+        .select(lit(u.name).as("rule"), col("n_rows"), col("violations"))
+    }
+
+    (rowLocalFrame.toSeq ++ uniqueFrames)
+      .reduce(_ unionByName _)
+      .withColumn("passed", col("violations") === 0L)
+      .orderBy("rule")
+  }
+}

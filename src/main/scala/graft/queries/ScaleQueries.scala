@@ -954,6 +954,25 @@ object ScaleQueries {
     // (mod 13) — so DuckDB states every per-key status in closed form
     // while Spark computes it the real way (fingerprint + one
     // co-partitioned full outer join)
+    // declarative data-quality gate (the Deequ/expectations core):
+    // seven invariants over the documents drop — six row-local rules
+    // in ONE aggregate pass + a uniqueness rule's grouped count; the
+    // oracle restates every rule as SQL counts, so the gate's verdict
+    // row-for-row matches an independent engine's reading of the
+    // same invariants
+    "q125_quality_checks" -> ((s, dir) => {
+      import graft.ops.Checks._
+      check(t(s, dir, "documents"), Seq(
+        NotNull("doc_id"),
+        NotNull("text"),
+        NonEmpty("lang"),
+        InSet("lang", Seq("en", "de", "fr", "es", "zh")),
+        InRange("n_chars", 0, 1e6),
+        Satisfies("n_chars_consistent",
+          col("n_chars") === length(col("text"))),
+        Unique(Seq("doc_id"))))
+    }),
+
     // matryoshka storage tiering evaluated in-engine: recall@5 of
     // cosine retrieval on 16-dim truncated+renormalized vectors vs
     // the 64-dim exact ground truth (the q103 eval frame); the oracle
@@ -3278,6 +3297,45 @@ object ScaleQueries {
     "q115_pagerank" -> q115Sql,
     // the personalized rounds, weighted restart term replayed
     "q115b_pagerank_personalized" -> q115bSql,
+    // every rule restated as an independent SQL count; rule names
+    // must match Checks.Rule.name exactly
+    "q125_quality_checks" ->
+      """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows
+                    FROM documents),
+            rules AS (
+              SELECT 'not_null(doc_id)' AS rule,
+                     (SELECT count(*) FROM documents
+                      WHERE doc_id IS NULL) AS violations
+              UNION ALL
+              SELECT 'not_null(text)',
+                     (SELECT count(*) FROM documents WHERE text IS NULL)
+              UNION ALL
+              SELECT 'non_empty(lang)',
+                     (SELECT count(*) FROM documents
+                      WHERE lang IS NULL OR length(lang) = 0)
+              UNION ALL
+              SELECT 'in_set(lang)',
+                     (SELECT count(*) FROM documents
+                      WHERE lang IS NULL
+                         OR lang NOT IN ('en', 'de', 'fr', 'es', 'zh'))
+              UNION ALL
+              SELECT 'in_range(n_chars,0.0,1000000.0)',
+                     (SELECT count(*) FROM documents
+                      WHERE n_chars IS NULL
+                         OR n_chars < 0 OR n_chars > 1000000)
+              UNION ALL
+              SELECT 'satisfies(n_chars_consistent)',
+                     (SELECT count(*) FROM documents
+                      WHERE NOT coalesce(n_chars = length(text), FALSE))
+              UNION ALL
+              SELECT 'unique(doc_id)',
+                     (SELECT coalesce(sum(c), 0) FROM
+                       (SELECT count(*) AS c FROM documents
+                        GROUP BY doc_id HAVING count(*) > 1)))
+         SELECT r.rule, n.n_rows,
+                CAST(r.violations AS BIGINT) AS violations,
+                r.violations = 0 AS passed
+         FROM rules r, n ORDER BY r.rule""",
     // truth = the q29 twin verbatim; approx = cosine over
     // list_slice'd 16-dim prefixes (renormalization cancels in
     // cosine); the recall join is the q103 pattern

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Checks._
+
+/** Constraint-checker contract: every rule type counts its planted
+  * violations exactly, nulls always count as violations (never
+  * silently compliant through three-valued logic), and uniqueness
+  * reports offending ROWS (the size of the cleanup). */
+class ChecksSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  private val df = Seq(
+    (Some(1L), Some("aaa"), Some("en"), Some(3L)),
+    (Some(2L), Some(""), Some("xx"), Some(0L)),     // empty text, bad lang
+    (Some(3L), None, Some("de"), Some(99L)),        // null text, bad len
+    (Some(3L), Some("bb"), None, None),             // dup id, null lang+len
+    (Some(3L), Some("cc"), Some("fr"), Some(2L)))   // dup id
+    .toDF("id", "text", "lang", "n")
+
+  test("each rule type counts planted violations exactly") {
+    val out = check(df, Seq(
+      NotNull("text"),
+      NonEmpty("text"),
+      InSet("lang", Seq("en", "de", "fr")),
+      InRange("n", 0, 10),
+      Satisfies("len_ok", col("n") === length(col("text"))),
+      Unique(Seq("id"))))
+      .as[(String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> (r._3, r._4)).toMap
+    assert(out("not_null(text)") === ((1L, false)))
+    assert(out("non_empty(text)") === ((2L, false)))
+    // xx + NULL lang both violate the set
+    assert(out("in_set(lang)") === ((2L, false)))
+    // 99 out of range + NULL n violates
+    assert(out("in_range(n,0.0,10.0)") === ((2L, false)))
+    // rows 1,2,5 satisfy; row 3 (null text) and row 4 (null n) violate
+    assert(out("satisfies(len_ok)") === ((2L, false)))
+    // id 3 occurs three times -> 3 offending ROWS
+    assert(out("unique(id)") === ((3L, false)))
+  }
+
+  test("a clean frame passes every rule") {
+    val clean = Seq((1L, "ab", "en"), (2L, "cd", "de"))
+      .toDF("id", "text", "lang")
+    val out = check(clean, Seq(NotNull("text"), NonEmpty("text"),
+      InSet("lang", Seq("en", "de")), Unique(Seq("id")),
+      MatchesRegex("text", "[a-z]+")))
+      .as[(String, Long, Long, Boolean)].collect()
+    assert(out.forall(_._4), out.mkString(", "))
+    assert(out.forall(_._2 === 2L))
+  }
+
+  test("regex rule: anchored full-match semantics, null violates") {
+    val d = Seq(Some("abc"), Some("ab1"), None).toDF("text")
+    val out = check(d, Seq(MatchesRegex("text", "^[a-z]+$")))
+      .as[(String, Long, Long, Boolean)].collect().head
+    assert(out._3 === 2L) // "ab1" and NULL
+  }
+}
