@@ -954,6 +954,26 @@ object ScaleQueries {
     // (mod 13) — so DuckDB states every per-key status in closed form
     // while Spark computes it the real way (fingerprint + one
     // co-partitioned full outer join)
+    // metric anomaly scan — the batch sibling of the streaming
+    // quality monitor: hourly value sums per event type (integer
+    // epoch buckets, rounded BEFORE the stats so both engines feed
+    // identical doubles into the robust gate), then the q113
+    // median/MAD modified z-score flags the anomalous hours per
+    // type — the baseline the anomalies themselves cannot move
+    "q126_metric_anomalies" -> ((s, dir) => {
+      val hourly = Tables.events(s, dir)
+        .select(col("event_type"),
+          expr("CAST(ts AS LONG) div 3600L").as("hour"), col("value"))
+        .groupBy("event_type", "hour")
+        .agg(round(sum(col("value")), 4).as("hourly_sum"))
+      graft.ops.Profile.robustOutlierFlags(hourly, "event_type",
+        col("hourly_sum"), threshold = 3.5)
+        .select(col("event_type"), col("hour"), col("hourly_sum"),
+          round(col("__rz_med"), 4).as("med"),
+          round(col("__rz_mad"), 4).as("mad"), col("is_out"))
+        .orderBy("event_type", "hour")
+    }),
+
     // declarative data-quality gate (the Deequ/expectations core):
     // seven invariants over the documents drop — six row-local rules
     // in ONE aggregate pass + a uniqueness rule's grouped count; the
@@ -3297,6 +3317,28 @@ object ScaleQueries {
     "q115_pagerank" -> q115Sql,
     // the personalized rounds, weighted restart term replayed
     "q115b_pagerank_personalized" -> q115bSql,
+    // same bucket arithmetic, same rounded inputs, same median/MAD
+    // flag pipeline via quantile_cont (the q113 equivalence)
+    "q126_metric_anomalies" ->
+      """WITH hourly AS (SELECT event_type,
+                    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+                      // 3600 AS hour,
+                    ROUND(SUM(value), 4) AS hourly_sum
+             FROM events GROUP BY 1, 2),
+         med AS (SELECT event_type,
+                        quantile_cont(hourly_sum, 0.5) AS med
+                 FROM hourly GROUP BY event_type),
+         dev AS (SELECT h.*, m.med,
+                        abs(h.hourly_sum - m.med) AS dev
+                 FROM hourly h JOIN med m USING (event_type)),
+         mad AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad
+                 FROM dev GROUP BY event_type)
+       SELECT d.event_type, d.hour, d.hourly_sum,
+              ROUND(d.med, 4) AS med, ROUND(m.mad, 4) AS mad,
+              CASE WHEN m.mad = 0 THEN d.dev > 0
+                   ELSE 0.6745 * d.dev / m.mad > 3.5 END AS is_out
+       FROM dev d JOIN mad m USING (event_type)
+       ORDER BY d.event_type, d.hour""",
     // every rule restated as an independent SQL count; rule names
     // must match Checks.Rule.name exactly
     "q125_quality_checks" ->
