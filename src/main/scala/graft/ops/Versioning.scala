@@ -55,4 +55,28 @@ object Versioning {
       contentCols: Seq[String]): DataFrame =
     snapshotDiff(oldDf, newDf, keyCol, contentCols)
       .groupBy("status").agg(count(lit(1)).as("n"))
+
+  /** Latest-version compaction — the lakehouse MERGE/upsert read
+    * primitive: keep, per key, the row with the LEXICOGRAPHICALLY
+    * GREATEST (orderCols...) tuple (a version counter, an event
+    * timestamp + a unique id as tiebreak — the caller chooses a
+    * total order; a bare timestamp with ties would be
+    * nondeterministic, which is why orderCols is a LIST).
+    *
+    * One `max(struct(order..., row))` aggregate — map-side partial
+    * combine, one shuffle of one candidate row per (partition, key);
+    * never a per-key window sort (the naive row_number form sorts
+    * every key's full history). The full input row rides inside the
+    * struct and is re-expanded on the way out, so the result schema
+    * is the input schema. */
+  def compactLatest(df: DataFrame, keyCols: Seq[String],
+      orderCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty && orderCols.nonEmpty,
+      "compactLatest needs key and order columns")
+    val ordered = struct(
+      (orderCols.map(col) :+ struct(df.columns.map(col): _*).as("__row")): _*)
+    df.groupBy(keyCols.map(col): _*)
+      .agg(max(ordered).as("__m"))
+      .select(col("__m.__row.*"))
+  }
 }

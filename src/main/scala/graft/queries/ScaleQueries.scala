@@ -954,6 +954,26 @@ object ScaleQueries {
     // (mod 13) — so DuckDB states every per-key status in closed form
     // while Spark computes it the real way (fingerprint + one
     // co-partitioned full outer join)
+    // latest-version compaction (the lakehouse MERGE read primitive):
+    // one surviving row per (user, event_type) — the lexicographically
+    // greatest (ts, event_id) wins, so timestamp ties resolve by the
+    // unique id instead of nondeterminism; ONE max(struct) aggregate
+    // with map-side combine, never a per-key window sort. The oracle
+    // replays it as the row_number-DESC form — two different
+    // formulations of the same total order must agree row-for-row
+    "q127_compaction" -> ((s, dir) => {
+      graft.ops.Versioning.compactLatest(
+        Tables.events(s, dir)
+          .select("user_id", "event_type", "ts", "event_id", "value"),
+        keyCols = Seq("user_id", "event_type"),
+        orderCols = Seq("ts", "event_id"))
+        .select(col("user_id"), col("event_type"),
+          col("ts").cast("long").as("last_ts"),
+          col("event_id").as("last_event_id"),
+          round(col("value"), 4).as("last_value"))
+        .orderBy("user_id", "event_type")
+    }),
+
     // metric anomaly scan — the batch sibling of the streaming
     // quality monitor: hourly value sums per event type (integer
     // epoch buckets, rounded BEFORE the stats so both engines feed
@@ -3317,6 +3337,20 @@ object ScaleQueries {
     "q115_pagerank" -> q115Sql,
     // the personalized rounds, weighted restart term replayed
     "q115b_pagerank_personalized" -> q115bSql,
+    // the row_number-DESC formulation of the same (ts, event_id)
+    // total order — must agree row-for-row with max(struct)
+    "q127_compaction" ->
+      """WITH r AS (SELECT user_id, event_type,
+                           CAST(floor(epoch(CAST(ts AS TIMESTAMP)))
+                             AS BIGINT) AS last_ts,
+                           event_id AS last_event_id,
+                           ROUND(value, 4) AS last_value,
+                           row_number() OVER (
+                             PARTITION BY user_id, event_type
+                             ORDER BY ts DESC, event_id DESC) AS rn
+                    FROM events)
+         SELECT user_id, event_type, last_ts, last_event_id, last_value
+         FROM r WHERE rn = 1 ORDER BY user_id, event_type""",
     // same bucket arithmetic, same rounded inputs, same median/MAD
     // flag pipeline via quantile_cont (the q113 equivalence)
     "q126_metric_anomalies" ->

@@ -55,6 +55,27 @@ class VersioningSpec extends AnyFunSuite {
       "removed" -> 1L, "added" -> 1L))
   }
 
+  test("compaction: latest version wins, ties break on the id column") {
+    import graft.ops.Versioning.compactLatest
+    val df = Seq(
+      (1L, "a", 10L, 100L, "v1"),
+      (1L, "a", 20L, 101L, "v2"),   // later ts wins
+      (2L, "a", 30L, 200L, "x"),
+      (2L, "a", 30L, 201L, "y"),    // ts tie -> higher id wins
+      (3L, "b", 5L, 300L, "only"))
+      .toDF("k", "g", "ts", "id", "payload")
+    val out = compactLatest(df, Seq("k", "g"), Seq("ts", "id"))
+      .as[(Long, String, Long, Long, String)].collect()
+      .sortBy(r => (r._1, r._2))
+    assert(out.toSeq === Seq(
+      (1L, "a", 20L, 101L, "v2"),
+      (2L, "a", 30L, 201L, "y"),
+      (3L, "b", 5L, 300L, "only")))
+    // result schema is the input schema
+    assert(compactLatest(df, Seq("k"), Seq("ts")).columns.toSeq ===
+      df.columns.toSeq)
+  }
+
   test("identical snapshots diff to all-unchanged") {
     val d = Versioning.snapshotDiff(old, old, "id", Seq("text", "lang"))
       .select("status").distinct().as[String].collect().toSeq
