@@ -105,7 +105,8 @@ object Bench {
     "q124_maxsim",
     "q125_quality_checks",
     "q126_metric_anomalies",
-    "q127_compaction")
+    "q127_compaction",
+    "q128_session_funnel")
 
   /** Queries whose r6→r7 numbers moved 2–6× with no code change — the
     * self-join/ANN family is short (<3 s warm) so a single co-tenant

@@ -13,11 +13,15 @@ import org.apache.spark.sql.functions._
   */
 object Sessionize {
 
-  def sessionizeBatch(df: DataFrame, keyCol: String, tsCol: String,
-      idCol: String, valueCol: String, gapMinutes: Int = 30): DataFrame = {
+  /** Per-EVENT session tags: every input column plus `session_id`
+    * (1-based within the key, gap-break semantics identical to
+    * [[sessionizeBatch]]) — the form downstream per-session analytics
+    * (the q128 session funnel) consume. */
+  def sessionTags(df: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, gapMinutes: Int = 30): DataFrame = {
     val order = Window.partitionBy(keyCol).orderBy(col(tsCol), col(idCol))
     val gapMs = gapMinutes * 60000L
-    val withBreaks = df
+    df
       .withColumn("__prev", lag(col(tsCol), 1).over(order))
       .withColumn("__brk",
         when(col("__prev").isNull ||
@@ -27,7 +31,12 @@ object Sessionize {
         sum(col("__brk")).over(
           order.rowsBetween(Window.unboundedPreceding, Window.currentRow))
           .cast("int"))
-    withBreaks
+      .drop("__prev", "__brk")
+  }
+
+  def sessionizeBatch(df: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valueCol: String, gapMinutes: Int = 30): DataFrame = {
+    sessionTags(df, keyCol, tsCol, idCol, gapMinutes)
       .groupBy(col(keyCol), col("session_id"))
       .agg(
         count(lit(1)).as("n_events"),

@@ -954,6 +954,21 @@ object ScaleQueries {
     // (mod 13) — so DuckDB states every per-key status in closed form
     // while Spark computes it the real way (fingerprint + one
     // co-partitioned full outer join)
+    // SESSION-scoped funnel: the q117 strict-order chain keyed on
+    // (user, session) instead of user lifetime — a purchase in a
+    // later session no longer converts the earlier session's view,
+    // the product-analytics norm. Composes the oracle-checked
+    // sessionizer (per-event tags) with the oracle-checked funnel;
+    // the DuckDB twin replays BOTH stages
+    "q128_session_funnel" -> ((s, dir) => {
+      val tagged = graft.ops.Sessionize.sessionTags(
+        Tables.events(s, dir), "user_id", "ts", "event_id", 30)
+        .withColumn("sk",
+          concat_ws("#", col("user_id"), col("session_id")))
+      graft.ops.Funnels.funnel(tagged, "sk", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+    }),
+
     // latest-version compaction (the lakehouse MERGE read primitive):
     // one surviving row per (user, event_type) — the lexicographically
     // greatest (ts, event_id) wins, so timestamp ties resolve by the
@@ -3337,6 +3352,51 @@ object ScaleQueries {
     "q115_pagerank" -> q115Sql,
     // the personalized rounds, weighted restart term replayed
     "q115b_pagerank_personalized" -> q115bSql,
+    // sessionization (lag + cumulative break sum, STRICT > gap — the
+    // sessionizeBatch semantics) then the funnel chain on the
+    // composite (user#session) key
+    "q128_session_funnel" ->
+      """WITH e0 AS (SELECT user_id, event_id, event_type,
+                            CAST(ts AS TIMESTAMP) AS ts FROM events),
+            l AS (SELECT *, lag(ts) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS prev FROM e0),
+            f AS (SELECT *, CASE WHEN prev IS NULL
+                     OR epoch_ms(ts) - epoch_ms(prev) > 1800000
+                   THEN 1 ELSE 0 END AS brk FROM l),
+            sg AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS session_id FROM f),
+            e AS (SELECT CAST(user_id AS VARCHAR) || '#'
+                         || CAST(session_id AS VARCHAR) AS u,
+                         event_type AS et, ts FROM sg),
+            r1 AS (SELECT u, MIN(ts) AS t FROM e
+                   WHERE et = 'view' GROUP BY u),
+            r2 AS (SELECT e.u, MIN(e.ts) AS t FROM e
+                   JOIN r1 ON r1.u = e.u
+                   WHERE e.et = 'click' AND e.ts > r1.t GROUP BY e.u),
+            r3 AS (SELECT e.u, MIN(e.ts) AS t FROM e
+                   JOIN r2 ON r2.u = e.u
+                   WHERE e.et = 'purchase' AND e.ts > r2.t GROUP BY e.u),
+            c AS (SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step,
+                         (SELECT count(*) FROM r1) AS users
+                  UNION ALL
+                  SELECT 2, 'click', (SELECT count(*) FROM r2)
+                  UNION ALL
+                  SELECT 3, 'purchase', (SELECT count(*) FROM r3))
+         SELECT step_idx, step, CAST(users AS BIGINT) AS users,
+                ROUND(CASE WHEN (SELECT users FROM c WHERE step_idx = 1) > 0
+                           THEN users * 1.0 /
+                                (SELECT users FROM c WHERE step_idx = 1)
+                           ELSE 0.0 END, 4) AS conv_total,
+                ROUND(CASE WHEN step_idx = 1 THEN 1.0
+                           WHEN (SELECT users FROM c c2
+                                 WHERE c2.step_idx = c.step_idx - 1) > 0
+                           THEN users * 1.0 /
+                                (SELECT users FROM c c2
+                                 WHERE c2.step_idx = c.step_idx - 1)
+                           ELSE 0.0 END, 4) AS conv_step
+         FROM c ORDER BY step_idx""",
     // the row_number-DESC formulation of the same (ts, event_id)
     // total order — must agree row-for-row with max(struct)
     "q127_compaction" ->

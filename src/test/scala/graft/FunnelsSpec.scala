@@ -61,6 +61,29 @@ class FunnelsSpec extends AnyFunSuite {
     assert(out(2)._4 === 0.0 && out(2)._5 === 0.0)
   }
 
+  test("session-scoped funnel: a later session's purchase does not convert") {
+    // user 1: view+click+purchase inside one session -> full chain.
+    // user 2: view at t=0, then purchase 2 HOURS later (new session
+    // under the 30-min gap) -> lifetime funnel would convert, the
+    // session funnel must not get past step 1 in either session.
+    val ev = Seq(
+      (1L, 10L, "view", ts(100)), (1L, 11L, "click", ts(200)),
+      (1L, 12L, "purchase", ts(300)),
+      (2L, 20L, "view", ts(0)), (2L, 21L, "purchase", ts(7200)))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val tagged = graft.ops.Sessionize.sessionTags(ev, "user_id", "ts",
+      "event_id", 30)
+      .withColumn("sk", concat_ws("#", col("user_id"), col("session_id")))
+    val out = Funnels.funnel(tagged, "sk", "event_type", "ts",
+      Seq("view", "click", "purchase"))
+      .as[(Long, String, Long, Double, Double)].collect()
+      .map(r => r._2 -> r._3).toMap
+    // sessions reaching view: 1#1 and 2#1 (2#2 has no view)
+    assert(out("view") === 2L)
+    assert(out("click") === 1L)
+    assert(out("purchase") === 1L, "cross-session conversion leaked")
+  }
+
   test("fuzz: funnel counts match an in-JVM brute force on random streams") {
     val rnd = new scala.util.Random(42)
     val types = Array("view", "click", "purchase", "error")
