@@ -92,8 +92,12 @@ object Checks {
       if (rowLocal.isEmpty) None
       else {
         val head = count(lit(1)).as("__n")
+        // coalesce: sum over an EMPTY frame is NULL, and a null
+        // violation count would read as neither passed nor failed —
+        // an empty drop passes every row-local rule with 0 violations
         val aggs = rowLocal.zipWithIndex.map { case (r, i) =>
-          sum(when(violation(r), 1L).otherwise(0L)).as(s"v$i")
+          coalesce(sum(when(violation(r), 1L).otherwise(0L)), lit(0L))
+            .as(s"v$i")
         }
         val one = df.agg(head, aggs: _*).localCheckpoint(eager = false)
         val rows = rowLocal.zipWithIndex.map { case (r, i) =>

@@ -55,6 +55,16 @@ class ChecksSpec extends AnyFunSuite {
     assert(out.forall(_._2 === 2L))
   }
 
+  test("empty frame: every rule passes with zero violations, never null") {
+    val empty = Seq.empty[(Long, String)].toDF("id", "text")
+    val out = check(empty, Seq(NotNull("text"), Unique(Seq("id"))))
+      .as[(String, Long, Long, Boolean)].collect()
+    assert(out.length === 2)
+    out.foreach { r =>
+      assert(r._2 === 0L && r._3 === 0L && r._4, r.toString)
+    }
+  }
+
   test("regex rule: anchored full-match semantics, null violates") {
     val d = Seq(Some("abc"), Some("ab1"), None).toDF("text")
     val out = check(d, Seq(MatchesRegex("text", "^[a-z]+$")))
