@@ -129,10 +129,21 @@ class KmvAgg(k: Int) extends Aggregator[String, KmvBuf, Array[Long]] {
 
 object Kmv {
 
+  // one digest per executor thread, reset between rows — MD5 instances
+  // are reusable but not thread-safe, and a per-row getInstance inside
+  // the aggregator's reduce path is an avoidable allocation for a
+  // sketch meant to be the cheap 100 TB pre-flight pass
+  private val localMd5 =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
   /** 63-bit positive hash: MD5 head, sign cleared — uniform on
     * [0, 2^63), identical on every JVM. */
   def hash64(s: String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = localMd5.get()
+    md.reset()
     val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val h = ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
       ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |

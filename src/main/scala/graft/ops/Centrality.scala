@@ -157,7 +157,17 @@ object Centrality {
       ranks = next.localCheckpoint(eager = false)
       i += 1
     }
-    ranks.select(col("v"), col("r").as("rank"))
+    // final round materializes EAGERLY (pulling the whole lazy chain
+    // through in one pass — same total work, just moved inside the
+    // call) so the two cached helper frames can be released here
+    // rather than leak across invocations: bench rounds and the
+    // Q115Probe sweeps call pageRank repeatedly, and un-released
+    // caches accumulate until LRU pressure evicts them mid-query
+    val out = ranks.select(col("v"), col("r").as("rank"))
+      .localCheckpoint(eager = true)
+    eWithDeg.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    out
   }
 
   /** The q115 fixture: a deterministic 2-out-regular link graph over

@@ -82,8 +82,14 @@ object Funnels {
     * engines. Returns (cohort, week_offset, users). */
   def retention(events: DataFrame, userCol: String, tsCol: String,
       bucketSeconds: Long = 604800L): DataFrame = {
+    // FLOOR division, exact in long arithmetic: Spark's `div`
+    // truncates toward zero while the DuckDB twin's `//` floors, so
+    // pre-epoch (negative) timestamps would land in different buckets.
+    // (ts - pmod(ts, b)) / b == floor(ts / b) for all longs, because
+    // pmod is always in [0, b).
     val ev = events.select(col(userCol).as("u"),
-      expr(s"CAST(`$tsCol` AS LONG) div ${bucketSeconds}L").as("wk"))
+      expr(s"(CAST(`$tsCol` AS LONG) - pmod(CAST(`$tsCol` AS LONG), " +
+        s"${bucketSeconds}L)) div ${bucketSeconds}L").as("wk"))
     val firstWk = ev.groupBy("u").agg(min(col("wk")).as("cohort"))
     ev.join(firstWk, "u")
       .select(col("u"), col("cohort"), (col("wk") - col("cohort")).as("week_offset"))

@@ -259,12 +259,21 @@ object Profile {
     def p50(c: String) =
       if (approx) expr(s"approx_percentile($c, 0.5, 10000)").cast("double")
       else expr(s"percentile($c, 0.5)")
+    // NULL group keys form a real group of their own: groupBy already
+    // aggregates them together, and the null-safe join condition (<=>)
+    // below carries the baselines back — a plain equijoin would drop
+    // them (NULL never equijoins), silently exempting the null group
+    // from the gate. The SQL twin must use IS NOT DISTINCT FROM.
+    def joinNs(l: DataFrame, r: DataFrame): DataFrame =
+      l.join(r.withColumnRenamed(groupCol, "__rz_g"),
+          col(groupCol) <=> col("__rz_g"), "left")
+        .drop("__rz_g")
     val withX = df.withColumn("__rz_x", value.cast("double"))
     val med = withX.groupBy(groupCol).agg(p50("__rz_x").as("__rz_med"))
-    val dev = withX.join(med, Seq(groupCol), "left")
+    val dev = joinNs(withX, med)
       .withColumn("__rz_dev", abs(col("__rz_x") - col("__rz_med")))
     val mad = dev.groupBy(groupCol).agg(p50("__rz_dev").as("__rz_mad"))
-    dev.join(mad, Seq(groupCol), "left")
+    joinNs(dev, mad)
       .withColumn("is_out",
         when(col("__rz_x").isNull || col("__rz_mad").isNull, false)
           .when(col("__rz_mad") === 0.0, col("__rz_dev") > 0.0)

@@ -20,6 +20,21 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Hard ceiling on any driver-side vector collect (fit samples,
+    * broadcast query panels, audit-seeded centers). Every such collect
+    * is bounded by contract (a `limit`, an nQueries filter, an nLists
+    * cap) — this gate is the ccInCore-style belt-and-suspenders that
+    * turns a mis-wired cap into a LOUD error instead of a silent
+    * driver OOM. 2^18 rows × 128-dim doubles ≈ 256 MB, the most a
+    * quantizer fit or query panel legitimately needs. */
+  val MaxDriverVectors: Int = 1 << 18
+
+  private def gateDriverRows(n: Int, what: String): Unit =
+    require(n <= MaxDriverVectors,
+      s"$what: refusing to hold $n vectors on the driver " +
+        s"(cap $MaxDriverVectors) — a fit sample or query panel this " +
+        "large indicates a mis-wired cap; raise deliberately if real")
+
   /** Elementwise sequential dot product in double precision — fused
     * codegen expression (HOF aggregate/zip_with is CodegenFallback). */
   def dot(a: Column, b: Column): Column =
@@ -422,6 +437,7 @@ object Similarity {
       exclude: Set[Long] = Set.empty): Array[(Long, Array[Double])] = {
     val spark = base.sparkSession
     import spark.implicits._
+    gateDriverRows(nLists, "auditableCenters")
     val pool =
       if (exclude.isEmpty) base
       else base.filter(!col("id").isin(exclude.toSeq: _*))
@@ -751,6 +767,7 @@ object Similarity {
       minNeeded: Int, what: String): Array[Array[Double]] = {
     require(fitSampleMod >= 1, s"fitSampleMod must be >= 1, got $fitSampleMod")
     require(fitCap > minNeeded, s"fitCap ($fitCap) must exceed $minNeeded")
+    gateDriverRows(fitCap, s"fitSample($what)")
     val spark = base.sparkSession
     import spark.implicits._
     def take(df: DataFrame): Array[Array[Double]] = df
@@ -868,6 +885,7 @@ object Similarity {
       fitSampleMod: Int = 1): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    gateDriverRows(nQueries, "pqTopK query panel")
     val dsub = dim / m
     val corpus = df.filter(col(idCol) >= nQueries)
     val pq = pqFit(corpus, idCol, vecCol, dim, m, ks, seed, fitSampleMod)
@@ -887,8 +905,11 @@ object Similarity {
       graft.functions.GraftFunctions.pqEncode(col("vhat"), pq.codebooks)
         .as("codes"))
     // queries: nQueries unit vectors — metadata-sized driver collect
-    // (same discipline as the broadcast-queries side of cosineTopK)
+    // (same discipline as the broadcast-queries side of cosineTopK);
+    // gated at function entry, and the limit makes the collect
+    // STRUCTURALLY bounded even if the filter were mis-wired
     val qRows = unitVectors(df.filter(col(idCol) < nQueries), idCol, vecCol)
+      .limit(MaxDriverVectors)
       .select(col("id"), col("vhat")).as[(Long, Seq[Double])].collect()
     val luts: Seq[(Long, Seq[Double])] = qRows.toSeq.map { case (qid, qv) =>
       // flat LUT: lut(j*ks + c) = q_j · codebook(j)(c)
@@ -1155,8 +1176,13 @@ object Similarity {
     val (dim, nLists, m, ks) = (index.dim, index.nLists, index.m,
       index.ks)
     val dsub = dim / m
+    // broadcast-queries discipline: collect at most cap+1 rows (the
+    // limit bounds the transfer itself) and refuse loudly on overflow
+    // instead of letting an unbounded query frame OOM the driver
     val qRows = unitVectors(queries, qidCol, vecCol)
+      .limit(MaxDriverVectors + 1)
       .select(col("id"), col("vhat")).as[(Long, Seq[Double])].collect()
+    gateDriverRows(qRows.length, "ivfPqSearch query panel")
     val probes = qRows.toSeq.flatMap { case (qid, qv) =>
       val byDist = index.centers.zipWithIndex.map { case (c, i) =>
         var d = 0.0; var dotQC = 0.0; var j = 0

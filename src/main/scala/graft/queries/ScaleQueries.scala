@@ -998,7 +998,10 @@ object ScaleQueries {
     "q126_metric_anomalies" -> ((s, dir) => {
       val hourly = Tables.events(s, dir)
         .select(col("event_type"),
-          expr("CAST(ts AS LONG) div 3600L").as("hour"), col("value"))
+          // floor-division bucket (Funnels.retention idiom): exact for
+          // pre-epoch timestamps too, matching DuckDB's `//`
+          expr("(CAST(ts AS LONG) - pmod(CAST(ts AS LONG), 3600L)) " +
+            "div 3600L").as("hour"), col("value"))
         .groupBy("event_type", "hour")
         .agg(round(sum(col("value")), 4).as("hourly_sum"))
       graft.ops.Profile.robustOutlierFlags(hourly, "event_type",
@@ -1208,8 +1211,15 @@ object ScaleQueries {
           when(col("doc_id") % 11 === 2,
             concat(coalesce(col("text"), lit("")), lit(" v2")))
             .otherwise(col("text")))
+      // the re-key offset is derived IN-PLAN (max(doc_id)+1, a
+      // broadcast one-row scalar), not a fixed constant: a corpus with
+      // >= 1M docs would otherwise collide synthetic 'added' keys with
+      // real doc_ids and silently reclassify them as changed/unchanged
+      val off = old.agg((max(col("doc_id")) + lit(1L)).as("__off"))
       val added = old.filter(col("doc_id") % 13 === 5)
-        .withColumn("doc_id", col("doc_id") + 1000000L)
+        .crossJoin(broadcast(off))
+        .withColumn("doc_id", col("doc_id") + col("__off"))
+        .drop("__off")
       val nw = mutated.unionByName(added)
       graft.ops.Versioning.snapshotDiff(old, nw, "doc_id",
         Seq("text", "lang", "source"))
@@ -3335,7 +3345,8 @@ object ScaleQueries {
             med AS (SELECT lang, quantile_cont(x, 0.5) AS med
                     FROM base GROUP BY lang),
             dev AS (SELECT b.lang, b.x, m.med, abs(b.x - m.med) AS dev
-                    FROM base b JOIN med m USING (lang)),
+                    FROM base b JOIN med m
+                      ON b.lang IS NOT DISTINCT FROM m.lang),
             mad AS (SELECT lang, quantile_cont(dev, 0.5) AS mad
                     FROM dev GROUP BY lang)
          SELECT d.lang, count(*) AS n,
@@ -3345,7 +3356,7 @@ object ScaleQueries {
                                     ELSE 0.6745 * d.dev / m.mad > 3.5
                                     END)
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
-         FROM dev d JOIN mad m USING (lang)
+         FROM dev d JOIN mad m ON d.lang IS NOT DISTINCT FROM m.lang
          GROUP BY d.lang ORDER BY d.lang""",
     // all five power-iteration rounds replayed as generated chained
     // CTEs — same edge derivation, same damping arithmetic
@@ -3649,7 +3660,8 @@ object ScaleQueries {
                      ELSE 'unchanged' END AS status
          FROM documents
          UNION ALL
-         SELECT doc_id + 1000000 AS doc_id, 'added' AS status
+         SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id,
+                'added' AS status
          FROM documents WHERE doc_id % 13 = 5
          ORDER BY doc_id""",
     "q59_decontaminate" -> q59Sql,

@@ -150,4 +150,22 @@ class FunnelsSpec extends AnyFunSuite {
     assert(out === Seq((0L, 0L, 2L), (0L, 1L, 1L), (0L, 3L, 1L),
       (1L, 0L, 1L)))
   }
+
+  test("retention: pre-epoch timestamps bucket by FLOOR division") {
+    // ts = -1 s sits in bucket -1 (floor), not bucket 0 (truncation):
+    // Spark's `div` truncates toward zero, DuckDB's `//` floors — the
+    // pmod-adjusted bucket must match the floor (oracle) semantics
+    val wk = 604800L
+    val ev = Seq(
+      (1L, ts(-1)),           // floor(-1/wk)   = -1
+      (1L, ts(-wk)),          // floor(-wk/wk)  = -1 (exact boundary)
+      (1L, ts(-wk - 1)),      // floor          = -2
+      (2L, ts(5)))            // bucket 0
+      .toDF("user_id", "ts")
+    val out = Funnels.retention(ev, "user_id", "ts")
+      .as[(Long, Long, Long)].collect().toSeq
+    // user 1 cohort = -2, activity at offsets 0 (bucket -2) and 1
+    // (bucket -1, twice but distinct-counted once); user 2 cohort 0
+    assert(out === Seq((-2L, 0L, 1L), (-2L, 1L, 1L), (0L, 0L, 1L)))
+  }
 }

@@ -62,4 +62,28 @@ class RobustOutliersSpec extends AnyFunSuite {
       .as[(String, Long, Double, Double, Long)].collect().head
     assert(out._2 === 3L)
   }
+
+  test("NULL group key is a real group with real baselines (null-safe join)") {
+    // a plain equijoin would never match the null key back to its
+    // aggregated baselines — med/mad would come back NULL and every
+    // row of the null group would silently pass the gate
+    val df = Seq((Option.empty[String], 100.0),
+      (None, 101.0), (None, 99.0), (None, 10000.0),
+      (Some("en"), 50.0), (Some("en"), 51.0))
+      .toDF("lang", "len")
+    val flags = Profile.robustOutlierFlags(df, "lang", col("len"))
+    val nullRows = flags.filter(col("lang").isNull)
+      .select(col("__rz_med"), col("__rz_mad"), col("is_out"), col("len"))
+      .as[(Option[Double], Option[Double], Boolean, Double)].collect()
+    assert(nullRows.length === 4)
+    assert(nullRows.forall(r => r._1.isDefined && r._2.isDefined),
+      "null group must receive real med/MAD baselines")
+    assert(nullRows.filter(_._3).map(_._4).toSeq === Seq(10000.0),
+      "the planted outlier in the null group must be flagged")
+    // and the aggregate form carries the null group through
+    val agg = Profile.robustOutliers(df, "lang", col("len"))
+      .filter(col("g").isNull)
+      .as[(Option[String], Long, Double, Double, Long)].collect()
+    assert(agg.length === 1 && agg.head._5 === 1L)
+  }
 }

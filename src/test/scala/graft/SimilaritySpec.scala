@@ -448,4 +448,14 @@ class SimilaritySpec extends AnyFunSuite {
         s"query $q: planted copy not in top-3 ($hits)")
     }
   }
+
+  test("driver-collect gate: an over-cap query panel refuses loudly") {
+    // ccInCore-style belt-and-suspenders: a mis-wired panel size must
+    // be an IllegalArgumentException at entry, never a driver OOM
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pqTopK(emb, "vec_id", "embedding", dim = 64,
+        nQueries = Similarity.MaxDriverVectors + 1)
+    }
+    assert(e.getMessage.contains("refusing to hold"))
+  }
 }
