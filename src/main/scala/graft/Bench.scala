@@ -106,7 +106,14 @@ object Bench {
     "q125_quality_checks",
     "q126_metric_anomalies",
     "q127_compaction",
-    "q128_session_funnel")
+    "q128_session_funnel",
+    // round 12: the composed corpus-build capstone — the end-to-end
+    // wall time a corpus-build user actually pays (and its staged
+    // restartable form), plus the incremental cross-run dedup path
+    "q50b_full_curation",
+    "q68_incremental_dedup",
+    "q129_capstone_build",
+    "q129b_capstone_staged")
 
   /** Queries whose r6→r7 numbers moved 2–6× with no code change — the
     * self-join/ANN family is short (<3 s warm) so a single co-tenant

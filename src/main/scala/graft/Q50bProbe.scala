@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.TextAnalysis
+
+/** Stage-level probe for q50b_full_curation (~10 s warm at sf0.1 while
+  * every component query benches sub-second): times the gate
+  * projection, the md5/min_by dedup, and the token-budget window in
+  * isolation to localize the pathology. Dev tool, not driver contract.
+  */
+object Q50bProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = GraftSession.local(
+      math.min(32, Runtime.getRuntime.availableProcessors()))
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    val docs = graft.sources.Tables(spark, sfDir, "documents")
+    docs.limit(100).count()
+
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[q50bprobe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
+    for (round <- 1 to 2) {
+      println(s"[q50bprobe] --- round $round ---")
+      val gated = docs.select(col("doc_id"), col("text"), col("lang"),
+          TextAnalysis.nTokensCol(col("text")).as("n_tokens"),
+          TextAnalysis.alphaRatioCol(col("text")).as("alpha_ratio"),
+          TextAnalysis.stopwordRatioCol(col("text")).as("stopword_ratio"),
+          TextAnalysis.dupBigramFracCol(col("text")).as("dup_bigram_frac"))
+        .filter(col("n_tokens") >= 30 && col("alpha_ratio") >= 0.9 &&
+          col("stopword_ratio") <= 0.5 && col("dup_bigram_frac") <= 0.2 &&
+          col("lang").isin("en", "de", "fr"))
+      time("gate only (count)") { println("  gated: " + gated.count()) }
+      time("gate minus dupBigram (count)") {
+        val g2 = docs.select(col("doc_id"), col("text"), col("lang"),
+            TextAnalysis.nTokensCol(col("text")).as("n_tokens"),
+            TextAnalysis.alphaRatioCol(col("text")).as("alpha_ratio"),
+            TextAnalysis.stopwordRatioCol(col("text")).as("stopword_ratio"))
+          .filter(col("n_tokens") >= 30 && col("alpha_ratio") >= 0.9 &&
+            col("stopword_ratio") <= 0.5 && col("lang").isin("en", "de", "fr"))
+        println("  gated2: " + g2.count())
+      }
+      val deduped = gated
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min("doc_id").as("doc_id"),
+          min_by(col("lang"), col("doc_id")).as("lang"),
+          min_by(col("text"), col("doc_id")).as("text"),
+          min_by(col("n_tokens"), col("doc_id")).as("n_tokens"))
+      time("gate + dedup (count)") { println("  deduped: " + deduped.count()) }
+      val budgeted = graft.ops.Mixing.tokenBudget(deduped, "lang",
+        "doc_id", "text", "n_tokens", budget = 4000L)
+      time("full q50b (count)") { println("  rows: " + budgeted.count()) }
+    }
+    spark.stop()
+  }
+}

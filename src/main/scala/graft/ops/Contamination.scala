@@ -32,12 +32,19 @@ object Contamination {
     * rows. */
   def shingles(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
-    val tk = TextOps.wsTokens(col(textCol))
+    // tokenize ONCE into a projected column before the per-element
+    // lambda: slice(tk, i, n) with tk inline re-evaluates the whole
+    // split per element — O(tokens²) per document (the q50b gate
+    // pathology). A bound column reference makes each slice O(n).
+    // CollapseProject keeps the projection: the alias is non-cheap and
+    // referenced three times, so the optimizer does not inline it.
+    val tk = col("__tk")
     val grams: Column = when(size(tk) >= n,
       transform(sequence(lit(1), size(tk) - n + 1),
         i => concat_ws(" ", slice(tk, i, lit(n)))))
       .otherwise(array())
-    df.select(col(idCol), explode(grams).as("gram"))
+    df.select(col(idCol), TextOps.wsTokens(col(textCol)).as("__tk"))
+      .select(col(idCol), explode(grams).as("gram"))
       .select(col(idCol), TextOps.md5Hash60(col("gram")).as("h"))
       .distinct()
   }

@@ -104,14 +104,6 @@ object CorpusPipeline {
 
   private[graft] def gateStage(docs: DataFrame, cfg: Config): DataFrame = {
     val txt = col("text")
-    // PII scrub, then (optionally) the intra-doc repetition scrub —
-    // both pure projections, so the whole gate stage stays ONE scan
-    // with zero shuffle regardless of the flag
-    val outText =
-      if (cfg.intraDocChunkTokens > 0)
-        Dedup.intraDocScrubCol(Redaction.scrubCol(txt),
-          cfg.intraDocChunkTokens)
-      else Redaction.scrubCol(txt)
     val base = docs
       .select(col("doc_id"), col("lang"), txt,
         TextAnalysis.nTokensCol(txt).as("n_tokens"),
@@ -128,7 +120,17 @@ object CorpusPipeline {
           coalesce(txt, lit("")))
         base.filter(r >= cfg.minDeflateRatio && r <= cfg.maxDeflateRatio)
       }
-    gated.select(col("doc_id"), col("lang"), outText.as("text"))
+    // PII scrub, then (optionally) the intra-doc repetition scrub —
+    // all pure projections, so the gate stage stays ONE scan with zero
+    // shuffle regardless of the flag. The intra-doc scrub runs via
+    // intraDocScrubbed (staged projections, linear cost) rather than a
+    // single scalar expression, whose lambdas would re-tokenize per
+    // element — quadratic per document.
+    val scrubbed = gated.select(col("doc_id"), col("lang"),
+      Redaction.scrubCol(txt).as("text"))
+    if (cfg.intraDocChunkTokens > 0)
+      Dedup.intraDocScrubbed(scrubbed, "text", cfg.intraDocChunkTokens)
+    else scrubbed
   }
 
   /** Optional robust length-outlier gate (Profile.robustOutlierFlags

@@ -918,8 +918,11 @@ object Dedup {
     */
   def ngramJaccardTopPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, maxId: Long = 150, topN: Int = 100): DataFrame = {
-    val toks = split(col(textCol), " ")
+    // tokens projected ONCE before the per-element lambda (an inline
+    // split would be re-evaluated per element — quadratic per doc)
+    val toks = col("__tk")
     val grams = df.filter(col(idCol) < maxId)
+      .select(col(idCol), split(col(textCol), " ").as("__tk"))
       .select(col(idCol),
         explode(when(size(toks) >= n,
           transform(sequence(lit(0), size(toks) - n),
@@ -958,43 +961,55 @@ object Dedup {
     *
     * Returns (idCol, text, n_chunks, n_dropped) for every input doc.
     */
-  /** The chunk array of `textCol` and its keep-first filtered form —
-    * the shared basis of [[intraDocDedup]] and [[intraDocScrubCol]]. */
-  private def intraDocChunks(textCol: Column,
-      chunkTokens: Int): (Column, Column) = {
-    val w = chunkTokens
-    val tk = TextOps.wsTokens(textCol)
+  /** Fixed-stride chunk array over a PRE-BOUND tokens column. `tk`
+    * MUST be a plain column reference: an inline expression here is
+    * re-evaluated PER ELEMENT by the transform lambda — the whole
+    * tokenization again for every chunk, O(tokens²/w) per document
+    * (the q50b gate pathology, 9 of its 10 s at sf0.1). */
+  private def chunksFromToks(tk: Column, w: Int): Column = {
     val nch = ceil(size(tk).cast("double") / w).cast("int")
-    val chunks = when(nch > 0,
+    when(nch > 0,
       transform(sequence(lit(0), nch - 1),
         i => concat_ws(" ", slice(tk, i * w + 1, lit(w)))))
       .otherwise(array().cast("array<string>"))
-    // keep chunk i iff it does not appear in the prefix before i
-    // (array_position = 0 means absent — matches the oracle's
-    // list_position contract)
-    val kept = filter(chunks, (c, i) =>
-      array_position(slice(chunks, lit(1), i), c) === 0)
-    (chunks, kept)
   }
 
-  /** [[intraDocDedup]] as a pure scalar column (scrubbed text only) —
-    * for composing into a wider projection (e.g. the capstone's gate
-    * stage) without forcing the frame through this op's output schema.
-    * Single consumer of the lambda expression, so the projection-split
-    * workaround below is not needed here. */
-  def intraDocScrubCol(textCol: Column, chunkTokens: Int): Column =
-    concat_ws(" ", intraDocChunks(textCol, chunkTokens)._2)
+  /** Keep chunk i iff it does not appear in the prefix before i
+    * (array_position = 0 means absent — matches the oracle's
+    * list_position contract). `chunks` MUST be a plain column
+    * reference for the same per-element re-evaluation reason. */
+  private def keptFromChunks(chunks: Column): Column =
+    filter(chunks, (c, i) =>
+      array_position(slice(chunks, lit(1), i), c) === 0)
+
+  /** Keep-first intra-document chunk scrub applied to `textCol` IN
+    * PLACE — every other column is preserved, so it composes into any
+    * pipeline stage (the capstone gate uses it on the PII-scrubbed
+    * text). Pure projections, zero shuffle; the tokens and chunk
+    * arrays are materialized as intermediate columns so every lambda
+    * reads a bound reference (linear cost), and the repeated non-cheap
+    * aliases keep CollapseProject from re-inlining them. */
+  def intraDocScrubbed(df: DataFrame, textCol: String,
+      chunkTokens: Int): DataFrame =
+    df.withColumn("__tk", TextOps.wsTokens(col(textCol)))
+      .withColumn("__chunks", chunksFromToks(col("__tk"), chunkTokens))
+      .withColumn("__kept", keptFromChunks(col("__chunks")))
+      .withColumn(textCol, concat_ws(" ", col("__kept")))
+      .drop("__tk", "__chunks", "__kept")
 
   def intraDocDedup(df: DataFrame, idCol: String, textCol: String,
       chunkTokens: Int = 20): DataFrame = {
-    val (chunks, kept) = intraDocChunks(col(textCol), chunkTokens)
-    // two-step projection ON PURPOSE: referencing the lambda-bearing
-    // `kept` expression from several output columns in one projection
-    // trips codegen subexpression elimination over the shared lambda
-    // variables (n_dropped silently computed 0); naming the arrays
-    // first makes every consumer read a plain column, and the repeated
-    // non-cheap alias keeps CollapseProject from re-inlining it
-    df.select(col(idCol), chunks.as("__chunks"), kept.as("__kept"))
+    // staged projections ON PURPOSE, two reasons: (a) every lambda
+    // input is a bound column (per-element re-evaluation of inline
+    // expressions is quadratic — see chunksFromToks); (b) referencing
+    // the lambda-bearing `kept` expression from several output columns
+    // in one projection trips codegen subexpression elimination over
+    // the shared lambda variables (n_dropped silently computed 0)
+    df.select(col(idCol), TextOps.wsTokens(col(textCol)).as("__tk"))
+      .select(col(idCol), chunksFromToks(col("__tk"), chunkTokens)
+        .as("__chunks"))
+      .select(col(idCol), col("__chunks"),
+        keptFromChunks(col("__chunks")).as("__kept"))
       .select(col(idCol),
         concat_ws(" ", col("__kept")).as("text"),
         size(col("__chunks")).cast("long").as("n_chunks"),

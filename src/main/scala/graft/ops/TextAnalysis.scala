@@ -67,10 +67,15 @@ object TextAnalysis {
 
   def dupBigramFracCol(txt: Column): Column = {
     val tk = TextOps.wsTokens(txt)
-    val bigrams = when(size(tk) >= 2,
-      transform(sequence(lit(1), size(tk) - 1),
-        i => concat(element_at(tk, i), lit(" "), element_at(tk, i + 1))))
-      .otherwise(array())
+    // adjacent bigrams via zip_with over two shifted SLICES: the slice
+    // arguments are evaluated once per ROW before the lambda zips
+    // elements. The previous form (element_at(tk, i) inside a
+    // transform lambda) re-evaluated the whole tokenization PER
+    // ELEMENT — O(tokens²) per document; it alone was ~9 of q50b's
+    // ~10 s at sf0.1.
+    val nb = greatest(size(tk) - 1, lit(0))
+    val bigrams = zip_with(slice(tk, lit(1), nb), slice(tk, lit(2), nb),
+      (a, b) => concat(a, lit(" "), b))
     round(when(size(bigrams) > 0,
       lit(1.0) - size(array_distinct(bigrams)).cast("double")
         / size(bigrams)).otherwise(0.0), 4)
