@@ -1,0 +1,27 @@
+package graft
+
+/** Dev probe: print the formatted physical plan of named SparkEntry
+  * queries (arg 1 = sfDir, rest = query names) plus an exchange/sort
+  * census — the plan-diff tool for pinning whether a bench move is a
+  * plan change or machine noise. Not part of the driver contract. */
+object PlanProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val spark = GraftSession.local(
+      math.min(32, Runtime.getRuntime.availableProcessors()))
+    args.drop(1).foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      val nEx = "(?m)^\\s*[+*:-]*\\s*\\(?\\d*\\)?\\s*Exchange".r
+        .findAllIn(plan).length
+      val counts = Seq("Exchange", "Sort ", "BroadcastExchange",
+        "WholeStageCodegen").map { k =>
+        k.trim -> plan.sliding(k.length).count(_ == k)
+      }
+      println(s"==== $name ${counts.map { case (k, v) => s"$k=$v" }.mkString(" ")} (regex ex=$nEx)")
+      println(plan)
+    }
+    spark.stop()
+  }
+}
