@@ -1328,6 +1328,33 @@ object Multimodal {
     buf.array()
   }
 
+  /** Single-window pure-tone corpus — the q101c spectral-oracle
+    * fixture: each id carries ONE `fftN`-sample window holding exactly
+    * binOf(id) = 4 + (fmix64(id·1000003) & 31) cycles, i.e. a sine
+    * aligned to FFT bin binOf(id) with zero leakage. The analysis FFT
+    * (audioFeatures at the same fftN) therefore lands its argmax on
+    * the planted bin EXACTLY, and dominant_hz = bin·rate/fftN is an
+    * exact 4-decimal double (rate 8000 / fftN 1024 → bin·125/16) —
+    * DuckDB replays the bin via the q110 HUGEINT fmix64 chain with no
+    * WAV parse and no FFT. The centroid cannot be replayed exactly
+    * (16-bit quantization noise spreads ~1e-4 of the magnitude mass
+    * across the spectrum) but is pinned by an in-plan bound against
+    * the dominant bin. */
+  def syntheticToneCorpus(df: DataFrame, idCol: String,
+      fftN: Int = 1024): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id")).as[Long]
+      .mapPartitions(_.map { id =>
+        (id, syntheticChirpWav(8000, 1, fftN, seed = id))
+      })
+      .toDF("id", "payload")
+      .select(col("id"), struct(
+        col("payload"),
+        lit("audio/wav").as("mime"),
+        length(col("payload")).cast("long").as("n_bytes")).as("media"))
+  }
+
   /** Chirp corpus with planted near-dups: id ≡ 9 (mod 10) carries its
     * decade anchor's chirp at ONE THIRD the amplitude and clipped to
     * 60% of the windows — exactly the perturbations the landmark

@@ -477,6 +477,26 @@ object ScaleQueries {
         .orderBy("doc_id")
     }),
 
+    // the spectral ORACLE twin (q101b's closure): pure tones aligned
+    // to FFT bin 4 + (fmix64(doc_id·1000003) & 31), so the analysis
+    // FFT's argmax equals the planted bin exactly and dominant_hz =
+    // bin·125/16 is an exact 4-decimal double — DuckDB replays the
+    // bin with the q110 HUGEINT fmix64 chain (no WAV parse, no FFT).
+    // The centroid rides the in-plan-bounds idiom (q56/q112): all
+    // spectral mass sits on the planted bin up to 16-bit quantization
+    // noise (~1e-4 relative), so |centroid − dominant| ≤ 8 Hz is a
+    // 5σ-loose bound both engines state as TRUE
+    "q101c_audio_spectral_oracle" -> ((s, dir) => {
+      val audio = graft.ops.Multimodal.syntheticToneCorpus(
+        t(s, dir, "documents"), "doc_id")
+      graft.ops.Multimodal.audioFeaturesBatch(audio, "id")
+        .select(col("id").as("doc_id"),
+          round(col("dominant_hz"), 4).as("dominant_hz"),
+          (abs(col("centroid_hz") - col("dominant_hz")) <= 8.0)
+            .as("centroid_ok"))
+        .orderBy("doc_id")
+    }),
+
     // in-engine retrieval evaluation: recall@5 of the oracle-checked
     // LSH ANN configuration against brute-force ground truth, per
     // query — the index-health query a nightly pipeline alerts on. The
@@ -3309,6 +3329,36 @@ object ScaleQueries {
                 CAST(1.0 AS DOUBLE) AS sim
          FROM documents WHERE doc_id % 10 = 9 AND doc_id < 300
          ORDER BY id_a, id_b""",
+    // spectral replay: the planted bin via the same HUGEINT fmix64
+    // chain as q110; dominant_hz = bin·7.8125 is an exact 4-decimal
+    // double on both engines (125/16ths), so ROUND(,4) is identity —
+    // no float-rounding cliff. centroid_ok is the in-plan bound both
+    // engines assert TRUE (quantization noise ≪ 8 Hz)
+    "q101c_audio_spectral_oracle" ->
+      """WITH z0 AS (SELECT doc_id,
+                  CAST(doc_id * 1000003 AS UBIGINT) AS z FROM documents),
+         x0 AS (SELECT doc_id,
+                  CAST(xor(z, z >> 33) AS HUGEINT) AS z FROM z0),
+         z1 AS (SELECT doc_id, CAST(
+                  ((((z >> 32) * 3981806797 + (z & 4294967295) * 4283543511)
+                      % 4294967296) * 4294967296
+                    + (z & 4294967295) * 3981806797)
+                  % 18446744073709551616 AS UBIGINT) AS z FROM x0),
+         x1 AS (SELECT doc_id,
+                  CAST(xor(z, z >> 33) AS HUGEINT) AS z FROM z1),
+         z2 AS (SELECT doc_id, CAST(
+                  ((((z >> 32) * 444984403 + (z & 4294967295) * 3301882366)
+                      % 4294967296) * 4294967296
+                    + (z & 4294967295) * 444984403)
+                  % 18446744073709551616 AS UBIGINT) AS z FROM x1),
+         fp AS (SELECT doc_id,
+                  CAST(4 + (xor(z, z >> 33) & 31) AS BIGINT) AS bin
+                FROM z2)
+       SELECT doc_id,
+              ROUND(bin * 7.8125, 4) AS dominant_hz,
+              TRUE AS centroid_ok
+       FROM fp ORDER BY doc_id""",
+
     // full landmark replay: each window's dominant bin is
     // 4 + (fmix64(seed·1000003 + w) & 31); fmix64's two 64-bit modular
     // multiplies run in 32-bit halves under HUGEINT so the products
