@@ -113,7 +113,8 @@ object Bench {
     "q50b_full_curation",
     "q68_incremental_dedup",
     "q129_capstone_build",
-    "q129b_capstone_staged")
+    "q129b_capstone_staged",
+    "q130_media_manifest")
 
   /** Queries whose r6→r7 numbers moved 2–6× with no code change — the
     * self-join/ANN family is short (<3 s warm) so a single co-tenant

@@ -4,32 +4,66 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** The multimodal mirror of the text capstone (`CorpusPipeline`):
-  * curate a binary image corpus through the modality operators in
+  * curate a binary media corpus through the modality operators in
   * dependency order —
   *
-  *   1. decode gate   — payloads the codec cannot open are dropped
-  *      with reason `undecodable` (never silently)
-  *   2. size gate     — thumbnails below (minWidth, minHeight) →
-  *      `too_small`
-  *   3. exact dedup   — container-independent pixel keys
-  *      ([[Multimodal.imageDedup]]): orientation / padding / header
-  *      re-encodes collapse, keep-first → `exact_dup`
-  *   4. near-dup      — resize-robust grid features over the exact
-  *      representatives only (the corpus already shrank), cosine
-  *      pairs → connected components → `near_dup` to the component
-  *      minimum
+  *   1. modality dispatch — payload MAGIC sniff (map-side, one pass;
+  *      [[Multimodal.classifyMediaBatch]]); unreadable magic →
+  *      `undecodable` with modality `unknown`
+  *   2. decode gate   — payloads the modality's codec cannot open are
+  *      dropped with reason `undecodable` (never silently)
+  *   3. size gate     — thumbnails below (minWidth, minHeight),
+  *      audio shorter than `minAudioFrames` samples, video with fewer
+  *      than `minVideoFrames` frames → `too_small`
+  *   4. exact dedup   — container-independent content keys
+  *      ([[Multimodal.imageDedup]]/[[Multimodal.audioDedup]]/
+  *      [[Multimodal.videoDedup]]): orientation / padding / chunk
+  *      re-muxes collapse, keep-first → `exact_dup`
+  *   5. near-dup      — the modality's fuzzy grain over the exact
+  *      representatives only (the corpus already shrank): resize-robust
+  *      grid-feature cosine (image), dominant-bin landmark 3-gram
+  *      Jaccard (audio), frame-shingle Jaccard (video); pairs →
+  *      connected components → `near_dup` to the component minimum
   *
   * Every row of the input appears exactly once in the output manifest
-  * (id, status, rep_id) — the audit property the spec pins. Statuses:
-  * kept | undecodable | too_small | exact_dup | near_dup; rep_id is
-  * the surviving representative (self for kept/undecodable/too_small).
+  * (id, modality, status, rep_id) — the audit property the spec pins.
+  * Statuses: kept | undecodable | too_small | exact_dup | near_dup;
+  * rep_id is the surviving representative (self for
+  * kept/undecodable/too_small).
   *
-  * Scale shape: gates and keys are map-side; exact dedup is one
-  * key shuffle; near-dup runs on exact reps only and its bounded
-  * brute-force form here swaps for the LSH/IVF ANN family over the
-  * same feature frame at corpus scale.
+  * Scale shape: dispatch, gates, and keys are map-side; exact dedup is
+  * one key shuffle per modality slice; near-dup runs on exact reps
+  * only, and the bounded brute-force/Jaccard forms here swap for the
+  * LSH/ANN family over the same feature/fingerprint frames at corpus
+  * scale.
   */
 object MediaCuration {
+
+  /** The shared exact→near-dup→status manifold: `gatedMedia` is the
+    * (id, media) slice that passed the gates, `exact` its (id, rep_id)
+    * keep-first assignment, `pairsFn` the modality's near-dup pair
+    * source over the exact representatives' media. */
+  private def dedupManifold(gatedMedia: DataFrame, exact: DataFrame,
+      pairsFn: DataFrame => DataFrame): DataFrame = {
+    val exactReps = exact.filter(col("id") === col("rep_id")).select("id")
+    val pairs = pairsFn(gatedMedia.join(exactReps, Seq("id")))
+    val cc = Dedup.connectedComponents(
+      pairs.select("id_a", "id_b"), "id_a", "id_b") // (id, lbl)
+    val finalRep = exact
+      .join(cc.select(col("id").as("rep_id"), col("lbl").as("near_rep")),
+        Seq("rep_id"), "left")
+      .select(col("id"), col("rep_id"),
+        coalesce(col("near_rep"), col("rep_id")).as("final_rep"))
+    finalRep.select(col("id"),
+      when(col("id") === col("final_rep"), "kept")
+        .when(col("id") === col("rep_id"), "near_dup")
+        .otherwise("exact_dup").as("status"),
+      col("final_rep").as("rep_id"))
+  }
+
+  private def selfStatus(ids: DataFrame, status: String): DataFrame =
+    ids.select(col("id"), lit(status).as("status"),
+      col("id").as("rep_id"))
 
   def curateImages(df: DataFrame, idCol: String,
       minWidth: Int = 16, minHeight: Int = 16,
@@ -48,31 +82,91 @@ object MediaCuration {
       .select("id")
 
     val gatedMedia = media.join(gated, Seq("id"))
-    val exact = Multimodal.imageDedup(gatedMedia, "id") // (id, rep_id)
-    val exactReps = exact.filter(col("id") === col("rep_id")).select("id")
-
-    val pairs = Multimodal.imageNearDupPairs(
-      gatedMedia.join(exactReps, Seq("id")), "id", nearMaxId, nearSim,
-      grid)
-    val cc = Dedup.connectedComponents(
-      pairs.select("id_a", "id_b"), "id_a", "id_b") // (id, lbl)
-
-    val finalRep = exact
-      .join(cc.select(col("id").as("rep_id"), col("lbl").as("near_rep")),
-        Seq("rep_id"), "left")
-      .select(col("id"), col("rep_id"),
-        coalesce(col("near_rep"), col("rep_id")).as("final_rep"))
-
-    val curated = finalRep.select(col("id"),
-      when(col("id") === col("final_rep"), "kept")
-        .when(col("id") === col("rep_id"), "near_dup")
-        .otherwise("exact_dup").as("status"),
-      col("final_rep").as("rep_id"))
+    val curated = dedupManifold(gatedMedia,
+      Multimodal.imageDedup(gatedMedia, "id"),
+      reps => Multimodal.imageNearDupPairs(reps, "id", nearMaxId,
+        nearSim, grid))
 
     curated
-      .unionByName(undecodable.select(col("id"),
-        lit("undecodable").as("status"), col("id").as("rep_id")))
-      .unionByName(tooSmall.select(col("id"),
-        lit("too_small").as("status"), col("id").as("rep_id")))
+      .unionByName(selfStatus(undecodable, "undecodable"))
+      .unionByName(selfStatus(tooSmall, "too_small"))
+  }
+
+  /** The unified manifest: one call for a MIXED media corpus — every
+    * input row lands in exactly one (id, modality, status, rep_id)
+    * row regardless of what its payload turns out to be. Audio and
+    * video ride the same gate→exact→near-dup manifold as images,
+    * with their own codecs, keys, and fuzzy grains. */
+  def curateMedia(df: DataFrame, idCol: String,
+      minWidth: Int = 16, minHeight: Int = 16,
+      minAudioFrames: Long = 1024L, minVideoFrames: Int = 2,
+      imageNearSim: Double = 0.98, avMinJaccard: Double = 0.5,
+      nearMaxId: Long = 1000000L, nearTopN: Int = 200,
+      grid: Int = 4, audioFftN: Int = 256): DataFrame = {
+    val classified = Multimodal.classifyMediaBatch(
+      df.select(col(idCol).cast("long").as(idCol), col("media")), idCol)
+    def slice(m: String) =
+      classified.filter(col("modality") === m).select("id", "media")
+
+    // images: delegate to the single-modality capstone (same manifold)
+    val imageManifest = curateImages(slice("image"), "id",
+      minWidth, minHeight, imageNearSim, nearMaxId, grid)
+      .select(col("id"), lit("image").as("modality"), col("status"),
+        col("rep_id"))
+
+    // audio: decode gate on the WAV walk, length gate in samples
+    val audioMedia = slice("audio")
+    val audioMeta = Multimodal.decodeAudioMetaBatch(audioMedia, "id")
+      .select(col("id"), col("n_samples"))
+    val audioGatedIds = audioMeta.filter(
+      col("n_samples").isNotNull && col("n_samples") >= minAudioFrames)
+      .select("id")
+    val audioGated = audioMedia.join(audioGatedIds, Seq("id"))
+    val audioManifest = dedupManifold(audioGated,
+      Multimodal.audioDedup(audioGated, "id"),
+      reps => Multimodal.audioNearDupPairs(reps, "id", audioFftN,
+        nearMaxId, nearTopN, avMinJaccard))
+      .unionByName(selfStatus(
+        audioMeta.filter(col("n_samples").isNull).select("id"),
+        "undecodable"))
+      .unionByName(selfStatus(
+        audioMeta.filter(col("n_samples").isNotNull &&
+          col("n_samples") < minAudioFrames).select("id"),
+        "too_small"))
+      .select(col("id"), lit("audio").as("modality"), col("status"),
+        col("rep_id"))
+
+    // video: decode gate on the AVI walk, frame-count + dims gate
+    val videoMedia = slice("video")
+    val videoMeta = Multimodal.decodeVideoMetaBatch(videoMedia, "id")
+      .select(col("id"), col("width"), col("height"), col("n_frames"))
+    val videoOk = col("width").isNotNull &&
+      col("width") >= minWidth && col("height") >= minHeight &&
+      col("n_frames") >= minVideoFrames
+    val videoGated = videoMedia.join(
+      videoMeta.filter(videoOk).select("id"), Seq("id"))
+    val videoManifest = dedupManifold(videoGated,
+      Multimodal.videoDedup(videoGated, "id"),
+      reps => Multimodal.videoNearDupPairs(reps, "id", nearMaxId,
+        nearTopN, avMinJaccard))
+      .unionByName(selfStatus(
+        videoMeta.filter(col("width").isNull).select("id"),
+        "undecodable"))
+      .unionByName(selfStatus(
+        videoMeta.filter(col("width").isNotNull && !videoOk).select("id"),
+        "too_small"))
+      .select(col("id"), lit("video").as("modality"), col("status"),
+        col("rep_id"))
+
+    val unknownManifest = selfStatus(
+      classified.filter(col("modality") === "unknown").select("id"),
+      "undecodable")
+      .select(col("id"), lit("unknown").as("modality"), col("status"),
+        col("rep_id"))
+
+    imageManifest
+      .unionByName(audioManifest)
+      .unionByName(videoManifest)
+      .unionByName(unknownManifest)
   }
 }

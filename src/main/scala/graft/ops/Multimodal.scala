@@ -1328,6 +1328,167 @@ object Multimodal {
     buf.array()
   }
 
+  /** Map-side modality classifier — the dispatch front door of the
+    * unified media-curation manifest: sniffs the payload MAGIC (never
+    * the mime label, which travels with the file and lies) and tags
+    * each row image / audio / video / unknown. One pass, no shuffle;
+    * the media struct rides through so downstream slices need no
+    * join back to the input. */
+  def classifyMediaBatch(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+        col("media.payload").as("payload"), col("media.mime").as("mime"),
+        col("media.n_bytes").as("n_bytes"))
+      .as[(Long, Array[Byte], String, Long)]
+      .mapPartitions(_.map { case (id, p, mime, nb) =>
+        def tag(off: Int): String =
+          if (p != null && p.length >= off + 4)
+            new String(p, off, 4,
+              java.nio.charset.StandardCharsets.US_ASCII)
+          else ""
+        val modality =
+          if (p == null || p.length < 12) "unknown"
+          else if (tag(0) == "RIFF" && tag(8) == "WAVE") "audio"
+          else if (tag(0) == "RIFF" && tag(8) == "AVI ") "video"
+          else if (p(0) == 'B'.toByte && p(1) == 'M'.toByte) "image"
+          else if ((p(0) & 0xff) == 0x89 && tag(1) == "PNG\r") "image"
+          else if ((p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8) "image"
+          else "unknown"
+        (id, p, mime, nb, modality)
+      })
+      .toDF("id", "payload", "mime", "n_bytes", "modality")
+      .select(col("id"),
+        struct(col("payload"), col("mime"), col("n_bytes")).as("media"),
+        col("modality"))
+  }
+
+  /** Re-mux a WAV by appending a `junk` chunk (word-aligned, RIFF size
+    * patched) — the container-level change that must NOT change the
+    * audio content key: the codec's chunk walk skips it and the key
+    * hashes only (rate, channels, bits, data bytes). */
+  def remuxWavWithJunk(p: Array[Byte],
+      junk: Array[Byte] = Array[Byte](7, 7, 7)): Array[Byte] = {
+    val pad = junk.length & 1
+    val out = java.nio.ByteBuffer
+      .allocate(p.length + 8 + junk.length + pad)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put(p).put("junk".getBytes).putInt(junk.length).put(junk)
+    if (pad == 1) out.put(0.toByte)
+    val arr = out.array()
+    val riffSize = arr.length - 8
+    arr(4) = (riffSize & 0xff).toByte
+    arr(5) = ((riffSize >> 8) & 0xff).toByte
+    arr(6) = ((riffSize >> 16) & 0xff).toByte
+    arr(7) = ((riffSize >> 24) & 0xff).toByte
+    arr
+  }
+
+  /** Mixed-modality corpus with closed-form curation ground truth for
+    * the unified manifest (q130): modality rotates with id % 3 —
+    * decades rotate it further since 10 ≡ 1 (mod 3), so every modality
+    * sees every plant class. Per decade (anchor a = id − id%10, always
+    * plain and same modality as its plants since 6 ≡ 9 ≡ 0 (mod 3)):
+    *   id%10 = 6 → same CONTENT as the anchor (audio: a REAL re-mux
+    *               with a junk chunk; image/video: byte-identical) →
+    *               exact_dup to a;
+    *   id%10 = 9 → the modality's near-dup perturbation (image: real
+    *               half-resize; audio: 1/3-amplitude 60%-clip chirp;
+    *               video: one frame spliced mid-sequence) → near_dup
+    *               to a;
+    *   id%10 = 7 → junk bytes (no magic) → unknown/undecodable;
+    *   id%10 = 4 → decodable but under the size gate (4×4 image /
+    *               64-sample WAV / 1-frame AVI) → too_small;
+    *   else     → distinct per-id content → kept.
+    * Content formulas are IDENTICAL to the per-modality synthetic
+    * corpora (q107/q110/q111), so their no-stray-pair guarantees carry
+    * over to each modality slice. */
+  def syntheticMixedMediaCorpus(df: DataFrame, idCol: String,
+      fftN: Int = 256, nWindows: Int = 24): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id")).as[Long]
+      .mapPartitions { it =>
+        // helpers INSIDE the task closure (object-level defs would
+        // drag the non-serializable enclosing object into the closure)
+        def fmixByte(z0: Long): Int = {
+          var z = z0
+          z ^= z >>> 33; z *= 0xff51afd7ed558ccdL
+          z ^= z >>> 33; z *= 0xc4ceb9fe1a85ec53L
+          z ^= z >>> 33
+          (z & 0xff).toInt
+        }
+        def pix(seed: Long, w: Int, h: Int)(x: Int, y: Int): Int = {
+          val v = fmixByte(seed * 16 + (y * 4 / h) * 4 + (x * 4 / w))
+          (v << 16) | (v << 8) | v
+        }
+        def vframe(seed: Long) = {
+          def bp(x: Int, y: Int): Int = {
+            val v = fmixByte(seed * 16 + (y * 4 / 12) * 4 + (x * 4 / 16))
+            (v << 16) | (v << 8) | v
+          }
+          Multimodal.encodeBmpRgb(16, 12, bp)
+        }
+        def imagePayload(id: Long): Array[Byte] = {
+          val a = id - id % 10
+          val w = 24 + (a % 5).toInt * 8
+          val h = 16 + (a % 3).toInt * 8
+          id % 10 match {
+            case 9 =>
+              val src = Multimodal.encodeBmpRgb(w, h, pix(a, w, h))
+              Multimodal.resizeBmp(src, w / 2, h / 2).getOrElse(src)
+            case 6 => Multimodal.encodeBmpRgb(w, h, pix(a, w, h))
+            case _ => Multimodal.encodeBmpRgb(w, h, pix(id, w, h))
+          }
+        }
+        def audioPayload(id: Long): Array[Byte] = id % 10 match {
+          case 9 => Multimodal.syntheticChirpWav(8000, nWindows * 6 / 10,
+            fftN, seed = id - 9, amp = 4000)
+          case 6 => Multimodal.remuxWavWithJunk(
+            Multimodal.syntheticChirpWav(8000, nWindows, fftN,
+              seed = id - 6))
+          case _ => Multimodal.syntheticChirpWav(8000, nWindows, fftN,
+            seed = id)
+        }
+        def vcore(a: Long): IndexedSeq[Array[Byte]] =
+          (0 until 12).map(i => vframe(a * 1000 + i))
+        def videoPayload(id: Long): Array[Byte] = {
+          val a = id - id % 10
+          val frames = id % 10 match {
+            case 9 =>
+              val core = vcore(a)
+              core.take(6) ++ Seq(vframe(a * 1000 + 999)) ++ core.drop(6)
+            case 6 => vcore(a)
+            case _ => (0 until 12).map(i => vframe(id * 1000 + i))
+          }
+          Multimodal.packAviFrames(320, 240, 25, frames)
+        }
+        it.map { id =>
+          val (payload, mime) =
+            if (id % 10 == 7)
+              (Array.fill(16)(0x51.toByte), "application/octet-stream")
+            else if (id % 10 == 4) (id % 3) match {
+              case 0 => (Multimodal.encodeBmpRgb(4, 4, pix(id, 4, 4)),
+                "image/bmp")
+              case 1 => (Multimodal.syntheticChirpWav(8000, 1, 64,
+                seed = id), "audio/wav")
+              case _ => (Multimodal.packAviFrames(16, 12, 25,
+                Seq(vframe(id))), "video/avi")
+            }
+            else (id % 3) match {
+              case 0 => (imagePayload(id), "image/bmp")
+              case 1 => (audioPayload(id), "audio/wav")
+              case _ => (videoPayload(id), "video/avi")
+            }
+          (id, payload, mime)
+        }
+      }
+      .toDF("id", "payload", "mime")
+      .select(col("id"), struct(
+        col("payload"), col("mime"),
+        length(col("payload")).cast("long").as("n_bytes")).as("media"))
+  }
+
   /** Single-window pure-tone corpus — the q101c spectral-oracle
     * fixture: each id carries ONE `fftN`-sample window holding exactly
     * binOf(id) = 4 + (fmix64(id·1000003) & 31) cycles, i.e. a sine

@@ -918,6 +918,25 @@ object ScaleQueries {
         .orderBy("doc_id")
     }),
 
+    // the UNIFIED media-curation manifest (q108 generalized to a MIXED
+    // corpus): one call dispatches image/audio/video payloads by magic
+    // sniff through each modality's gate → exact dedup → near-dup
+    // manifold; every input row lands in exactly one manifest row. The
+    // fixture plants all five statuses in every modality (decades
+    // rotate modality since 10 ≡ 1 mod 3): byte/remux copies →
+    // exact_dup, resize/clip/splice → near_dup, magic-less junk →
+    // undecodable, under-gate minis → too_small — all closed-form
+    "q130_media_manifest" -> ((s, dir) => {
+      val corpus = graft.ops.Multimodal.syntheticMixedMediaCorpus(
+        t(s, dir, "documents").filter(col("doc_id") < 300), "doc_id")
+      graft.ops.MediaCuration.curateMedia(corpus, "id",
+        minWidth = 10, minHeight = 8, minAudioFrames = 1024L,
+        minVideoFrames = 2, nearMaxId = 300L)
+        .select(col("id").as("doc_id"), col("modality"), col("status"),
+          col("rep_id"))
+        .orderBy("doc_id")
+    }),
+
     // video sibling of q105/q106, completing the modality trio:
     // content key = md5 over (frame period + the ordered per-frame
     // canonical pixel keys) → keep-first; synthetic AVI frame
@@ -3219,6 +3238,26 @@ object ScaleQueries {
                     FROM par GROUP BY a, b)
          SELECT p.doc_id, r.rep_id
          FROM par p JOIN rep r USING (a, b) ORDER BY p.doc_id""",
+    // the planted mixed-media statuses in closed form: plant class =
+    // id mod 10 (7 junk, 4 mini, 6 exact copy/remux of id−6, 9 fuzzy
+    // variant of id−9), modality = id mod 3 — the plants always share
+    // the anchor's modality because 6 ≡ 9 ≡ 0 (mod 3)
+    "q130_media_manifest" ->
+      """SELECT doc_id,
+                CASE WHEN doc_id % 10 = 7 THEN 'unknown'
+                     WHEN doc_id % 3 = 0 THEN 'image'
+                     WHEN doc_id % 3 = 1 THEN 'audio'
+                     ELSE 'video' END AS modality,
+                CASE WHEN doc_id % 10 = 7 THEN 'undecodable'
+                     WHEN doc_id % 10 = 4 THEN 'too_small'
+                     WHEN doc_id % 10 = 6 THEN 'exact_dup'
+                     WHEN doc_id % 10 = 9 THEN 'near_dup'
+                     ELSE 'kept' END AS status,
+                CASE WHEN doc_id % 10 = 6 THEN doc_id - 6
+                     WHEN doc_id % 10 = 9 THEN doc_id - 9
+                     ELSE doc_id END AS rep_id
+         FROM documents WHERE doc_id < 300 ORDER BY doc_id""",
+
     // every id decodes and passes the size gate; exact keys are unique
     // (per-id block patterns), so the only collapse is the planted
     // resize: id ≡ 9 (mod 10) → near_dup to its decade anchor

@@ -66,4 +66,78 @@ class MediaCurationSpec extends AnyFunSuite {
     nd.foreach(r => assert(r.getLong(2) === r.getLong(0) - 9,
       s"near-dup rep should be the decade anchor: $r"))
   }
+
+  test("curateMedia: a re-muxed WAV is exact_dup, a re-cut AVI near_dup") {
+    // the container-vs-content contract across modalities: a junk
+    // chunk appended to a WAV changes every byte position after the
+    // header but not the content key (exact_dup); splicing one frame
+    // into an AVI splits the exact sequence key but keeps 8 of 13
+    // frame shingles (near_dup)
+    val tone = Multimodal.syntheticChirpWav(8000, 24, 256, seed = 1L)
+    val toneRemux = Multimodal.remuxWavWithJunk(tone)
+    assert(!java.util.Arrays.equals(tone, toneRemux))
+
+    def frame(seed: Long) = {
+      def bp(x: Int, y: Int): Int = {
+        var z = seed * 16 + (y * 4 / 12) * 4 + (x * 4 / 16)
+        z ^= z >>> 33; z *= 0xff51afd7ed558ccdL
+        z ^= z >>> 33; z *= 0xc4ceb9fe1a85ec53L
+        z ^= z >>> 33
+        val v = (z & 0xff).toInt
+        (v << 16) | (v << 8) | v
+      }
+      Multimodal.encodeBmpRgb(16, 12, bp)
+    }
+    val core = (0 until 12).map(i => frame(100L + i))
+    val vid = Multimodal.packAviFrames(320, 240, 25, core)
+    val vidRecut = Multimodal.packAviFrames(320, 240, 25,
+      core.take(6) ++ Seq(frame(999L)) ++ core.drop(6))
+
+    val corpus = Seq(
+      (0L, tone, "audio/wav"), (1L, toneRemux, "audio/wav"),
+      (10L, vid, "video/avi"), (11L, vidRecut, "video/avi"),
+      (20L, "no magic here....".getBytes, "application/octet-stream"))
+      .toDF("id", "payload", "mime")
+      .select(col("id"), struct(col("payload"), col("mime"),
+        length(col("payload")).cast("long").as("n_bytes")).as("media"))
+
+    val out = MediaCuration.curateMedia(corpus, "id",
+        minAudioFrames = 1024L, minVideoFrames = 2, nearMaxId = 100L)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (0L, "audio", "kept", 0L),
+      (1L, "audio", "exact_dup", 0L),
+      (10L, "video", "kept", 10L),
+      (11L, "video", "near_dup", 10L),
+      (20L, "unknown", "undecodable", 20L)))
+  }
+
+  test("curateMedia mixed corpus: every row exactly once, plants land") {
+    val docs = (0L until 90L).toDF("doc_id")
+    val corpus = Multimodal.syntheticMixedMediaCorpus(docs, "doc_id")
+    val out = MediaCuration.curateMedia(corpus, "id",
+      minWidth = 10, minHeight = 8, minAudioFrames = 1024L,
+      minVideoFrames = 2, nearMaxId = 90L)
+    assert(out.count() === 90L)
+    assert(out.select("id").distinct().count() === 90L)
+    val rows = out.orderBy("id").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2),
+        r.getLong(3)))).toMap
+    (0L until 90L).foreach { id =>
+      val modality =
+        if (id % 10 == 7) "unknown"
+        else Seq("image", "audio", "video")((id % 3).toInt)
+      val (status, rep) = (id % 10) match {
+        case 7 => ("undecodable", id)
+        case 4 => ("too_small", id)
+        case 6 => ("exact_dup", id - 6)
+        case 9 => ("near_dup", id - 9)
+        case _ => ("kept", id)
+      }
+      assert(rows(id) === ((modality, status, rep)),
+        s"id $id: got ${rows(id)}, want ($modality, $status, $rep)")
+    }
+  }
 }
