@@ -57,6 +57,13 @@ object Funnels {
             lit(step).as("step"), col("users"))
     }.reduce(_ unionByName _)
 
+    ratiosFromCounts(counts)
+  }
+
+  /** (step_idx, step, users) → the funnel output shape with total and
+    * per-step conversion ratios (shared by the batch funnel and the
+    * streaming state reader). */
+  private[graft] def ratiosFromCounts(counts: DataFrame): DataFrame = {
     val first = counts.filter(col("step_idx") === 1)
       .select(col("users").as("u0"))
     val prevC = counts.select((col("step_idx") + 1).as("step_idx"),
@@ -74,6 +81,24 @@ object Funnels {
       .orderBy("step_idx")
   }
 
+  /** The funnel result from a WIDE per-user reach-time frame
+    * (u, t1..tk — the streaming fold's state table): step i's user
+    * count is count(t_i non-null), one aggregate pass over the state,
+    * then the shared ratio arithmetic. Identical output contract to
+    * [[funnel]]. */
+  def funnelFromTimes(times: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val agg = times.agg(
+      count(col("t1")).as("c1"),
+      steps.indices.drop(1).map(i =>
+        count(col(s"t${i + 1}")).as(s"c${i + 1}")): _*)
+    val counts = steps.zipWithIndex.map { case (step, i) =>
+      agg.select(lit(i + 1).cast("long").as("step_idx"),
+        lit(step).as("step"), col(s"c${i + 1}").as("users"))
+    }.reduce(_ unionByName _)
+    ratiosFromCounts(counts)
+  }
+
   /** Cohort retention over fixed time buckets (`bucketSeconds`,
     * default weekly): cohort = the bucket of a user's FIRST event,
     * and each (cohort, offset) cell counts users with any activity
@@ -81,15 +106,30 @@ object Funnels {
     * epoch arithmetic — no calendar semantics to disagree on across
     * engines. Returns (cohort, week_offset, users). */
   def retention(events: DataFrame, userCol: String, tsCol: String,
-      bucketSeconds: Long = 604800L): DataFrame = {
-    // FLOOR division, exact in long arithmetic: Spark's `div`
-    // truncates toward zero while the DuckDB twin's `//` floors, so
-    // pre-epoch (negative) timestamps would land in different buckets.
-    // (ts - pmod(ts, b)) / b == floor(ts / b) for all longs, because
-    // pmod is always in [0, b).
-    val ev = events.select(col(userCol).as("u"),
-      expr(s"(CAST(`$tsCol` AS LONG) - pmod(CAST(`$tsCol` AS LONG), " +
-        s"${bucketSeconds}L)) div ${bucketSeconds}L").as("wk"))
+      bucketSeconds: Long = 604800L): DataFrame =
+    retentionFromWeeks(userWeeks(events, userCol, tsCol, bucketSeconds))
+
+  /** The distinct (u, wk) activity pairs of an event slice — FLOOR
+    * division, exact in long arithmetic: Spark's `div` truncates
+    * toward zero while the DuckDB twin's `//` floors, so pre-epoch
+    * (negative) timestamps would land in different buckets.
+    * (ts - pmod(ts, b)) div b == floor(ts / b) for all longs, because
+    * pmod is always in [0, b). This is also the streaming retention's
+    * STATE grain: a distinct-union fold over (u, wk) is commutative
+    * and idempotent, so the incremental form is exact under ANY batch
+    * order or replay. */
+  def userWeeks(events: DataFrame, userCol: String, tsCol: String,
+      bucketSeconds: Long = 604800L): DataFrame =
+    events.select(col(userCol).as("u"),
+        expr(s"(CAST(`$tsCol` AS LONG) - pmod(CAST(`$tsCol` AS LONG), " +
+          s"${bucketSeconds}L)) div ${bucketSeconds}L").as("wk"))
+      .distinct()
+
+  /** Retention from the distinct (u, wk) activity pairs: cohort =
+    * min wk per user, offsets counted over the distinct pairs. Shared
+    * by the batch form and the streaming state reader. */
+  def retentionFromWeeks(weeks: DataFrame): DataFrame = {
+    val ev = weeks.select(col("u"), col("wk"))
     val firstWk = ev.groupBy("u").agg(min(col("wk")).as("cohort"))
     ev.join(firstWk, "u")
       .select(col("u"), col("cohort"), (col("wk") - col("cohort")).as("week_offset"))

@@ -310,6 +310,141 @@ object Streams {
       .join(reps, "doc_id")
   }
 
+  /** Latest persisted run version strictly before `ver` under `base`
+    * (the replay-safe prior-state lookup every incremental fold uses):
+    * a replayed batch must never read its own partial output. */
+  private def priorVersion(spark: SparkSession, base: String,
+      ver: String): Option[String] =
+    scala.util.Try(graft.sources.Sinks.runVersions(spark, base))
+      .getOrElse(Seq.empty).filter(_ < ver)
+      .sorted.lastOption
+
+  /** INCREMENTAL strict-order funnel as an AvailableNow stream — the
+    * deployable form of [[graft.ops.Funnels.funnel]]: per micro-batch,
+    * a conditional-min fold updates one state row per user
+    * (u, t1..tk = earliest valid chain completion per step), so per
+    * run the work is proportional to the new batch plus the state
+    * table, never the accumulated event history.
+    *
+    * EXACTNESS PRECONDITION (documented, spec-pinned): per-user event
+    * time must be non-decreasing across batches (in-order ingestion,
+    * the log-pipeline norm). Then t_{i-1} never moves EARLIER after a
+    * step-i event was evaluated against it, so a discarded event could
+    * never have become valid later — the fold is exactly the batch
+    * funnel. Out-of-order feeds need the batch form (or a reprocess).
+    *
+    * State lands under `stateBase/run_ts=batch_NNNNNN` (the S8
+    * versioned layout, same replay discipline as
+    * [[dedupIncrementalAvailableNow]]); read results with
+    * [[funnelFromState]]. */
+  def funnelIncrementalAvailableNow(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, steps: Seq[String],
+      stateBase: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val k = steps.length
+    events.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val spark = batch.sparkSession
+        val ver = f"batch_$id%06d"
+        val b = batch.toDF().select(col(userCol).as("u"),
+          col(typeCol).as("et"), col(tsCol).cast("timestamp").as("ts"))
+        val empty = b.select(col("u")).limit(0)
+          .select(col("u") +: (1 to k).map(j =>
+            lit(null).cast("timestamp").as(s"t$j")): _*)
+        var acc = priorVersion(spark, stateBase, ver) match {
+          case Some(p) => spark.read.parquet(s"$stateBase/run_ts=$p")
+          case None => empty
+        }
+        steps.zipWithIndex.foreach { case (step, idx) =>
+          val i = idx + 1
+          val slice = b.filter(col("et") === step)
+            .select(col("u"), col("ts"))
+          // step 1 admits every event; step i > 1 only events strictly
+          // after the user's CURRENT t_{i-1} — which this loop already
+          // updated with this batch's step-(i-1) events, so in-batch
+          // chains convert too
+          val cond =
+            if (i == 1) slice
+            else slice
+              .join(acc.select(col("u"), col(s"t${idx}").as("__pt")), "u")
+              .filter(col("ts") > col("__pt"))
+              .select(col("u"), col("ts"))
+          val mins = cond.groupBy("u").agg(min(col("ts")).as("__new"))
+          // full outer: users seen for the first time enter the state;
+          // least() ignores nulls, so an absent side passes through
+          acc = acc.join(mins, Seq("u"), "full")
+            .select(col("u") +: (1 to k).map(j =>
+              (if (j == i) least(col(s"t$j"), col("__new"))
+               else col(s"t$j")).as(s"t$j")): _*)
+        }
+        acc.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$stateBase/run_ts=$ver")
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
+  /** The funnel result from the latest persisted streaming state —
+    * identical output contract to the oracle-checked batch
+    * [[graft.ops.Funnels.funnel]] (parity spec-pinned). */
+  def funnelFromState(spark: SparkSession, stateBase: String,
+      steps: Seq[String]): DataFrame = {
+    val versions = scala.util.Try(
+      graft.sources.Sinks.runVersions(spark, stateBase))
+      .getOrElse(Seq.empty)
+    require(versions.nonEmpty,
+      s"no funnel state under $stateBase — run the stream first")
+    graft.ops.Funnels.funnelFromTimes(
+      spark.read.parquet(s"$stateBase/run_ts=${versions.max}"), steps)
+  }
+
+  /** INCREMENTAL cohort retention as an AvailableNow stream: the state
+    * is the distinct (u, wk) activity-pair table
+    * ([[graft.ops.Funnels.userWeeks]]) and the fold is a
+    * distinct-union — commutative and idempotent, so unlike the funnel
+    * this is exact under ANY batch order, replay, or duplication. Per
+    * run the work is the new batch plus one state merge; cohorts and
+    * offsets are derived at READ time ([[retentionFromState]]), which
+    * is what makes late data safe: a user's cohort can still move
+    * earlier when an old event finally lands. */
+  def retentionIncrementalAvailableNow(events: DataFrame,
+      userCol: String, tsCol: String, stateBase: String,
+      checkpoint: String, bucketSeconds: Long = 604800L)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val spark = batch.sparkSession
+        val ver = f"batch_$id%06d"
+        val weeks = graft.ops.Funnels.userWeeks(batch.toDF(), userCol,
+          tsCol, bucketSeconds)
+        val next = priorVersion(spark, stateBase, ver) match {
+          case Some(p) => spark.read.parquet(s"$stateBase/run_ts=$p")
+            .unionByName(weeks).distinct()
+          case None => weeks
+        }
+        next.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$stateBase/run_ts=$ver")
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** Retention from the latest persisted (u, wk) state — identical
+    * output contract to the oracle-checked batch
+    * [[graft.ops.Funnels.retention]] (parity spec-pinned). */
+  def retentionFromState(spark: SparkSession,
+      stateBase: String): DataFrame = {
+    val versions = scala.util.Try(
+      graft.sources.Sinks.runVersions(spark, stateBase))
+      .getOrElse(Seq.empty)
+    require(versions.nonEmpty,
+      s"no retention state under $stateBase — run the stream first")
+    graft.ops.Funnels.retentionFromWeeks(
+      spark.read.parquet(s"$stateBase/run_ts=${versions.max}"))
+  }
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
 

@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Funnels
+import graft.streaming.Streams
+
+/** Stream-batch parity for the incremental event-analytics family:
+  * the AvailableNow funnel and retention folds must be
+  * indistinguishable from the oracle-checked batch forms
+  * (q117/q118) over the same events — the same discipline as
+  * dedupIncrementalAvailableNow vs corpusDedup.
+  *
+  * Funnel batches are TIME-SPLIT (the fold's documented in-order
+  * exactness precondition); retention batches are deliberately split
+  * out of order — its distinct-union fold is order-independent.
+  */
+class StreamFunnelSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  private val steps = Seq("view", "click", "purchase")
+
+  private def events = graft.sources.Tables(
+    spark, "/root/testdata/sf0.001", "events")
+
+  private def funnelRows(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("step_idx").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+
+  test("streaming funnel over time-split batches == batch funnel") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_sfun").toString
+    val ev = events.localCheckpoint()
+    val cut1 = ev.selectExpr("percentile(CAST(ts AS LONG), 0.33)")
+      .head.getDouble(0)
+    val cut2 = ev.selectExpr("percentile(CAST(ts AS LONG), 0.66)")
+      .head.getDouble(0)
+    // three time-ordered batches — file names sort in time order, so
+    // the file source delivers them as ordered micro-batches
+    ev.filter(col("ts").cast("long") <= cut1)
+      .coalesce(1).write.parquet(s"$base/in/p0")
+    ev.filter(col("ts").cast("long") > cut1 &&
+        col("ts").cast("long") <= cut2)
+      .coalesce(1).write.parquet(s"$base/in/p1")
+    ev.filter(col("ts").cast("long") > cut2)
+      .coalesce(1).write.parquet(s"$base/in/p2")
+
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$base/in/p*")
+    val q = Streams.funnelIncrementalAvailableNow(stream, "user_id",
+      "event_type", "ts", steps, s"$base/state", s"$base/ckpt")
+    q.awaitTermination(300000)
+
+    assert(graft.sources.Sinks.runVersions(spark, s"$base/state")
+      .size === 3)
+    val got = funnelRows(
+      Streams.funnelFromState(spark, s"$base/state", steps))
+    val want = funnelRows(
+      Funnels.funnel(ev, "user_id", "event_type", "ts", steps))
+    assert(got === want)
+    assert(want.head._3 > 0, "fixture should actually reach step 1")
+  }
+
+  test("streaming retention over OUT-OF-ORDER batches == batch retention") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_sret").toString
+    val ev = events.localCheckpoint()
+    // deliberately shuffled split: late data and interleaved users —
+    // the distinct-union fold must not care
+    ev.filter(col("event_id") % 3 === 2)
+      .coalesce(1).write.parquet(s"$base/in/p0")
+    ev.filter(col("event_id") % 3 === 0)
+      .coalesce(1).write.parquet(s"$base/in/p1")
+    ev.filter(col("event_id") % 3 === 1)
+      .coalesce(1).write.parquet(s"$base/in/p2")
+
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$base/in/p*")
+    val q = Streams.retentionIncrementalAvailableNow(stream, "user_id",
+      "ts", s"$base/state", s"$base/ckpt")
+    q.awaitTermination(300000)
+
+    val got = Streams.retentionFromState(spark, s"$base/state")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val want = Funnels.retention(ev, "user_id", "ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got === want)
+    assert(want.nonEmpty)
+  }
+
+  test("funnel state fold converts in-batch chains and replays idempotently") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_sfun2").toString
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // user 1 completes the whole chain INSIDE one batch; user 2's
+    // chain spans batches; user 3 clicks before viewing (never converts)
+    val b0 = Seq((1L, "view", ts(10)), (1L, "click", ts(20)),
+      (1L, "purchase", ts(30)), (2L, "view", ts(15)),
+      (3L, "click", ts(5)))
+    val b1 = Seq((2L, "click", ts(40)), (2L, "purchase", ts(50)),
+      (3L, "view", ts(60)))
+    b0.toDF("user_id", "event_type", "ts")
+      .coalesce(1).write.parquet(s"$base/in/p0")
+    b1.toDF("user_id", "event_type", "ts")
+      .coalesce(1).write.parquet(s"$base/in/p1")
+
+    val schema = b0.toDF("user_id", "event_type", "ts").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in/p*")
+    val q = Streams.funnelIncrementalAvailableNow(stream, "user_id",
+      "event_type", "ts", steps, s"$base/state", s"$base/ckpt")
+    q.awaitTermination(300000)
+
+    val rows = funnelRows(
+      Streams.funnelFromState(spark, s"$base/state", steps))
+    assert(rows === Seq(
+      (1L, "view", 3L, 1.0, 1.0),
+      (2L, "click", 2L, 0.6667, 0.6667),
+      (3L, "purchase", 2L, 0.6667, 1.0)))
+
+    // replaying the last batch against its own prior state is a no-op
+    // (the fold reads only versions strictly before the replayed id)
+    val st1 = spark.read.parquet(s"$base/state/run_ts=batch_000001")
+      .orderBy("u").collect().toSeq
+    val prior = spark.read.parquet(s"$base/state/run_ts=batch_000000")
+    // simulate the replay by refolding batch 1 from the prior version
+    val b = b1.toDF("user_id", "event_type", "ts")
+    var acc = prior
+    steps.zipWithIndex.foreach { case (step, idx) =>
+      val i = idx + 1
+      val slice = b.filter(col("event_type") === step)
+        .select(col("user_id").as("u"), col("ts"))
+      val cond =
+        if (i == 1) slice
+        else slice.join(acc.select(col("u"), col(s"t$idx").as("__pt")),
+            "u")
+          .filter(col("ts") > col("__pt")).select(col("u"), col("ts"))
+      val mins = cond.groupBy("u").agg(min(col("ts")).as("__new"))
+      acc = acc.join(mins, Seq("u"), "full")
+        .select(col("u") +: (1 to 3).map(j =>
+          (if (j == i) least(col(s"t$j"), col("__new"))
+           else col(s"t$j")).as(s"t$j")): _*)
+    }
+    assert(acc.orderBy("u").collect().toSeq === st1)
+  }
+}
