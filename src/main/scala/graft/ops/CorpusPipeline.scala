@@ -57,9 +57,13 @@ object CorpusPipeline {
       // Size to cluster width (e.g. 4× executor count); 0 = off.
       corpusBuckets: Int = 0,
       // semantic (embedding-space) dedup stage — applied only when an
-      // embeddings frame is passed to build/buildStaged
+      // embeddings frame is passed to build/buildStaged. The cell
+      // count is sized to the survivor corpus (~semanticPerCell
+      // vectors per cell, never fewer than semanticLists cells) so the
+      // within-cell pair stage stays linear in corpus size
       semanticMinSim: Double = 0.9,
       semanticLists: Int = 16,
+      semanticPerCell: Int = 1280,
       // >= 2: cross-document boilerplate scrub between the gates and
       // lexical dedup (chunks in >= this many distinct docs removed
       // from every doc) — stripping boilerplate FIRST keeps shared
@@ -180,7 +184,8 @@ object CorpusPipeline {
     val embSlice = emb.select(col("doc_id"), col("embedding"))
       .join(deduped.select("doc_id"), "doc_id")
     val reps = Similarity.semanticDedup(embSlice, "doc_id", "embedding",
-        minSim = cfg.semanticMinSim, nLists = cfg.semanticLists)
+        minSim = cfg.semanticMinSim, nLists = cfg.semanticLists,
+        targetPerCell = cfg.semanticPerCell)
       .filter(col("is_rep")).select("doc_id")
     val noEmb = deduped.select("doc_id")
       .join(emb.select("doc_id"), Seq("doc_id"), "left_anti")

@@ -363,14 +363,42 @@ object Similarity {
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
       minSim: Double = 0.4, nLists: Int = 16,
       seed: Long = 42L, smallCorpus: Int = 256,
-      fitSampleMod: Int = 1): DataFrame = {
+      fitSampleMod: Int = 1, targetPerCell: Int = 0): DataFrame = {
     // the fit path needs k <= n; n > smallCorpus >= nLists guarantees it
     require(nLists <= smallCorpus,
       s"nLists ($nLists) must be <= smallCorpus ($smallCorpus)")
     require(fitSampleMod >= 1, s"fitSampleMod must be >= 1, got $fitSampleMod")
     val base = unitVectors(df, idCol, vecCol)
+    // targetPerCell > 0 sizes the cell count TO THE CORPUS, which is
+    // what keeps this operator honest at scale: with nLists fixed the
+    // within-cell pair stage is Σ|cell|²/2 ≈ N²/(2·nLists) — quadratic
+    // in N (the sf10 rehearsal measured 18× at 10× rows before this
+    // knob). ceil(n/targetPerCell) caps the EXPECTED cell size, so the
+    // pair stage is ~N·targetPerCell/2 — linear in N. One metadata
+    // count; k ≤ n holds by construction (targetPerCell ≥ 1), and the
+    // driver-side center array is gated like every other vector
+    // collect. Fixture-scale corpora (n ≤ nLists·targetPerCell) keep
+    // exactly nLists cells, so oracle-pinned small-scale output is
+    // unchanged.
+    val effLists =
+      if (targetPerCell <= 0) nLists
+      else {
+        val n = base.count()
+        val auto = math.max(nLists.toLong,
+          (n + targetPerCell - 1) / targetPerCell)
+        // the fit sample (fitCap = 16384) must exceed k, and the
+        // centers live on the driver — cap cells loudly rather than
+        // fit a degenerate codebook; a corpus that genuinely needs
+        // more cells should also raise fitCap deliberately
+        require(auto <= 8192L,
+          s"semanticDedup: auto cell count $auto (n=$n / " +
+            s"targetPerCell=$targetPerCell) exceeds the 8192 fit cap — " +
+            "raise targetPerCell or partition the corpus upstream")
+        auto.toInt
+      }
     val assigned =
-      cellAssign(base, nLists, seed, smallCorpus, fitSampleMod)
+      cellAssign(base, effLists, seed,
+        math.max(smallCorpus, effLists), fitSampleMod)
         // the cell self-join reads this twice; one evaluation, not two
         .localCheckpoint()
     val a = assigned.select(col("cell"), col("id").as("id_a"),

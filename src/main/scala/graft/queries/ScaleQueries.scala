@@ -335,9 +335,15 @@ object ScaleQueries {
     // k-means cells on the unit sphere, pairwise cosine WITHIN cells
     // only. Rows-only (kmeans is seed/optimizer-specific);
     // SimilaritySpec pins soundness + planted-pair recall vs q73.
+    // targetPerCell sizes the cell count to the corpus (≥16 cells,
+    // ~1280 vectors/cell): identical output at fixture/bench scales
+    // (n ≤ 20480 → exactly 16 cells) while the sf10 rehearsal stays
+    // linear instead of the N²/nLists blowup a fixed 16 gave (18× at
+    // 10× rows, round 12)
     "q73b_semantic_ivf" -> ((s, dir) =>
       Similarity.semanticDedup(t(s, dir, "embeddings"), "vec_id",
-        "embedding", minSim = 0.4, nLists = 16).orderBy("vec_id")),
+        "embedding", minSim = 0.4, nLists = 16, targetPerCell = 1280)
+        .orderBy("vec_id")),
 
     // AUDIT TWIN of q73b: identical cells→within-cell-pairs→connected-
     // components machinery over the md5-seeded replayable quantizer, so
