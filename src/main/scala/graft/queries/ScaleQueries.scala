@@ -111,12 +111,14 @@ object ScaleQueries {
     * a fixed budget would flatter the scaling ratio. Eval set =
     * the deterministic ~1% doc_id % 97 == 13 slice. */
   private def capstoneRun(s: SparkSession, dir: String,
-      staged: Boolean): DataFrame = {
+      staged: Boolean, semantic: Boolean = true): DataFrame = {
     val docs = t(s, dir, "documents").select("doc_id", "lang", "text")
     val evalSet = docs.filter(col("doc_id") % 97 === 13)
       .select("doc_id", "text")
-    val emb = t(s, dir, "embeddings")
-      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val emb =
+      if (semantic) Some(t(s, dir, "embeddings")
+        .select(col("vec_id").as("doc_id"), col("embedding")))
+      else None
     val cfg = CorpusPipeline.Config(
       totalTarget = math.max(200L, docs.count() / 5),
       outlierZ = 3.5,
@@ -127,9 +129,9 @@ object ScaleQueries {
         val stagingDir = java.nio.file.Files
           .createTempDirectory("graft_capstone_staged_").toString
         CorpusPipeline.buildStaged(docs, evalSet, stagingDir, cfg,
-          embeddings = Some(emb))
+          embeddings = emb)
       } else CorpusPipeline.build(docs, evalSet, cfg,
-        embeddings = Some(emb))
+        embeddings = emb)
     sequences.select(col("doc_id"), col("win_idx"),
         md5(col("chunk")).as("chunk_h"), col("win_tokens"))
       .orderBy("doc_id", "win_idx")
@@ -1730,6 +1732,19 @@ object ScaleQueries {
     // restartability: one parquet write + read-back per stage.
     "q129b_capstone_staged" -> ((s, dir) => capstoneRun(s, dir, staged = true)),
 
+    // the capstone ORACLE form: the same build WITHOUT the semantic
+    // stage (its kmeans fit is the one stage SQL cannot replay), so
+    // the ENTIRE remaining chain — gates → PII scrub → intra-doc
+    // scrub → robust outliers → boilerplate scrub → MinHash-LSH
+    // corpus dedup → decontamination → temperature sample → window
+    // chunks — is ONE DuckDB statement composed from the per-stage
+    // oracle templates (q50/q58/q83/q113/q71/q61/q59/q63/q65), with
+    // the sample budget derived in-SQL exactly as the Spark side does
+    // (greatest(count//5, 200)). A hash match here oracle-checks the
+    // COMPOSITION, not just each stage in isolation.
+    "q129c_capstone_oracle" -> ((s, dir) =>
+      capstoneRun(s, dir, staged = false, semantic = false)),
+
     // salted equi-join: same rows as the plain join (oracle proves it),
     // with the hot-key spread that survives extreme skew at scale
     "q44_salted_join" -> ((s, dir) => {
@@ -2277,7 +2292,12 @@ object ScaleQueries {
   /** The shared CTE prefix of the corpus-dedup oracles: md5-family
     * signatures → band join → threshold pairs → 8 unrolled
     * pointer-jumping rounds, ending with the l8 label table. */
-  private val q61Cte: String = {
+  /** The q61 corpus-dedup CTE chain parameterized on its SOURCE
+    * relation (the capstone oracle runs it mid-pipeline over the
+    * boilerplate-scrubbed corpus instead of the raw table): md5-family
+    * signatures → band join → threshold pairs → 8 pointer-jump rounds
+    * ending in `l8`. Returned WITHOUT the leading `WITH`. */
+  private def q61CteBody(src: String): String = {
     val maxl = Long.MaxValue.toString
     val sigList = (0 until 8).map(i =>
       s"""coalesce(list_min(list_transform(tk,
@@ -2294,10 +2314,10 @@ object ScaleQueries {
          |  FROM l$p a LEFT JOIN nbr$r n ON n.id = a.id
          |              LEFT JOIN jmp$r j ON j.id = a.id)""".stripMargin
     }.mkString(",\n")
-    s"""WITH toks AS (SELECT doc_id,
+    s"""toks AS (SELECT doc_id,
              list_distinct(list_filter(string_split(coalesce(text, ''), ' '),
                                        t -> length(t) > 0)) AS tk
-           FROM documents),
+           FROM $src),
          sigs AS MATERIALIZED (SELECT doc_id, $sigList AS sig FROM toks),
          banded AS (SELECT doc_id, sig, b.band,
              array_to_string(list_transform(
@@ -2317,6 +2337,8 @@ object ScaleQueries {
          l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS lbl FROM edges),
          $rounds"""
   }
+
+  private val q61Cte: String = "WITH " + q61CteBody("documents")
 
   private val q61Sql: String =
     s"""$q61Cte
@@ -2558,7 +2580,181 @@ object ScaleQueries {
          LEFT JOIN hit h USING (doc_id)
          ORDER BY doc_id"""
 
+  /** The COMPOSED capstone oracle (q129c): the whole
+    * CorpusPipeline.build chain minus the semantic stage as one DuckDB
+    * statement. Each stage is the proven per-stage oracle template,
+    * renamed and re-sourced to chain; the raw table is only read at
+    * top level (gates, the eval-set shingles, the sample budget), so
+    * no schema-qualified name is needed anywhere. */
+  private val q129cSql: String = {
+    import graft.ops.Redaction.{emailRe, phoneRe, ipv4Re}
+    s"""WITH
+       -- stage 1a: quality gates on RAW text (q50 formulas)
+       g0 AS (SELECT doc_id, lang, text,
+                CAST(len(list_filter(string_split(coalesce(text, ''), ' '),
+                         t -> length(t) > 0)) AS BIGINT) AS n_tokens,
+                round(length(regexp_replace(text, '[^a-z ]', '', 'g')) * 1.0
+                      / greatest(length(text), 1), 4) AS alpha_ratio,
+                round(len(list_filter(string_split(coalesce(text, ''), ' '),
+                          t -> list_contains($sqlStopwords, t))) * 1.0
+                      / greatest(len(list_filter(
+                          string_split(coalesce(text, ''), ' '),
+                          t -> length(t) > 0)), 1), 4) AS stopword_ratio
+              FROM documents),
+       g1 AS (SELECT doc_id, lang, text FROM g0
+              WHERE n_tokens >= 30 AND alpha_ratio >= 0.9
+                AND stopword_ratio <= 0.5 AND lang IN ('en', 'de', 'fr')),
+       -- stage 1b: PII scrub, email → ip → phone (q58 chain)
+       g2 AS (SELECT doc_id, lang,
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(text, '$emailRe', '<EMAIL>', 'g'),
+                    '$ipv4Re', '<IP>', 'g'),
+                  '$phoneRe', '<PHONE>', 'g') AS text
+              FROM g1),
+       -- stage 1c: intra-doc keep-first chunk scrub (q83 formulas)
+       i0 AS (SELECT doc_id, lang,
+                list_filter(string_split(coalesce(text, ''), ' '),
+                            t -> length(t) > 0) AS tk
+              FROM g2),
+       i1 AS (SELECT doc_id, lang,
+                CASE WHEN len(tk) > 0
+                  THEN list_transform(
+                    range(0, CAST(ceil(len(tk) / 20.0) AS BIGINT)),
+                    i -> array_to_string(
+                      list_slice(tk, i * 20 + 1, i * 20 + 20), ' '))
+                  ELSE [] END AS chunks
+              FROM i0),
+       s_gate AS (SELECT doc_id, lang,
+                array_to_string(list_filter(chunks,
+                  (x, i) -> list_position(chunks[1:i-1], x) = 0), ' ')
+                  AS text
+              FROM i1),
+       -- stage 2: robust per-language token-count outliers (q113 math)
+       o0 AS (SELECT doc_id, lang, text,
+                CAST(len(list_filter(string_split(coalesce(text, ''), ' '),
+                         t -> length(t) > 0)) AS DOUBLE) AS x
+              FROM s_gate),
+       omed AS (SELECT lang, quantile_cont(x, 0.5) AS med
+                FROM o0 GROUP BY lang),
+       odev AS (SELECT o.doc_id, o.lang, o.text, o.x,
+                abs(o.x - m.med) AS dev
+                FROM o0 o JOIN omed m USING (lang)),
+       omad AS (SELECT lang, quantile_cont(dev, 0.5) AS mad
+                FROM odev GROUP BY lang),
+       s_outlier AS (SELECT d.doc_id, d.lang, d.text
+                FROM odev d JOIN omad m USING (lang)
+                WHERE NOT (CASE WHEN m.mad = 0 THEN d.dev > 0
+                           ELSE 0.6745 * d.dev / m.mad > 3.5 END)),
+       -- stage 3: cross-doc boilerplate scrub, docfreq >= 2 (q71)
+       b0 AS (SELECT doc_id, lang,
+                list_filter(string_split(coalesce(text, ''), ' '),
+                            t -> length(t) > 0) AS tk
+              FROM s_outlier),
+       b1 AS (SELECT doc_id,
+                unnest(range(0, CAST(ceil(len(tk) / 20.0) AS BIGINT))) AS idx,
+                tk
+              FROM b0),
+       b2 AS (SELECT doc_id, idx,
+                array_to_string(list_slice(tk, idx * 20 + 1, idx * 20 + 20),
+                                ' ') AS para
+              FROM b1),
+       bfreq AS (SELECT md5(para) AS h, count(DISTINCT doc_id) AS docfreq
+                FROM b2 GROUP BY md5(para)),
+       bmk AS (SELECT doc_id, idx, para, (docfreq >= 2) AS boiler
+                FROM b2 JOIN bfreq ON md5(para) = h),
+       bagg AS (SELECT doc_id,
+                string_agg(CASE WHEN NOT boiler THEN para END, ' '
+                           ORDER BY idx) AS text
+                FROM bmk GROUP BY doc_id),
+       s_boiler AS (SELECT a.doc_id, t.lang, a.text
+                FROM bagg a JOIN b0 t USING (doc_id)
+                WHERE a.text IS NOT NULL AND length(a.text) > 0),
+       -- stage 4: MinHash-LSH corpus dedup, keep representatives (q61)
+       ${q61CteBody("s_boiler")},
+       s_dedup AS (SELECT d.doc_id, d.lang, d.text
+                FROM s_boiler d LEFT JOIN (SELECT id, lbl FROM l8) cl
+                  ON cl.id = d.doc_id
+                WHERE coalesce(cl.lbl, d.doc_id) = d.doc_id),
+       -- stage 5: decontamination vs the RAW doc_id % 97 = 13 eval
+       -- slice (q59 shingle machinery, 8-gram, frac >= 0.1 drops)
+       etk AS (SELECT doc_id,
+                list_filter(string_split(coalesce(text, ''), ' '),
+                            t -> length(t) > 0) AS tk
+              FROM documents WHERE doc_id % 97 = 13),
+       eval_sh AS (SELECT DISTINCT
+                CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS h
+              FROM (SELECT unnest(CASE WHEN len(tk) >= 8
+                      THEN list_transform(range(1, len(tk) - 6),
+                             i -> array_to_string(list_slice(tk, i, i + 7), ' '))
+                      ELSE [] END) AS g
+                    FROM etk)),
+       ctk AS (SELECT doc_id,
+                list_filter(string_split(coalesce(text, ''), ' '),
+                            t -> length(t) > 0) AS tk
+              FROM s_dedup),
+       csh AS (SELECT DISTINCT doc_id,
+                CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS h
+              FROM (SELECT doc_id, unnest(CASE WHEN len(tk) >= 8
+                      THEN list_transform(range(1, len(tk) - 6),
+                             i -> array_to_string(list_slice(tk, i, i + 7), ' '))
+                      ELSE [] END) AS g
+                    FROM ctk)),
+       ctot AS (SELECT doc_id, count(*) AS n_sh FROM csh GROUP BY doc_id),
+       chit AS (SELECT c.doc_id, count(*) AS n_hits
+                FROM csh c JOIN eval_sh b USING (h) GROUP BY c.doc_id),
+       s_clean AS (SELECT d.doc_id, d.lang, d.text
+                FROM s_dedup d
+                LEFT JOIN ctot t USING (doc_id)
+                LEFT JOIN chit h USING (doc_id)
+                WHERE NOT ((coalesce(h.n_hits, 0) * 1.0
+                            / greatest(coalesce(t.n_sh, 0), 1)) >= 0.1)),
+       -- stage 6: temperature sample; the budget is derived in-SQL
+       -- exactly as the Spark side (greatest(count(documents)//5, 200))
+       tgt AS (SELECT greatest(CAST(count(*) // 5 AS BIGINT), 200) AS t
+              FROM documents),
+       sc AS (SELECT lang, CAST(count(*) AS DOUBLE) AS cnt
+              FROM s_clean GROUP BY lang),
+       sw AS (SELECT lang, sqrt(cnt) AS wt FROM sc),
+       se AS (SELECT lang,
+                (SELECT t FROM tgt) * 1.0 * wt / (SELECT sum(wt) FROM sw)
+                  AS ex FROM sw),
+       sfl AS (SELECT lang, CAST(floor(ex) AS BIGINT) AS fl,
+                ex - floor(ex) AS rem FROM se),
+       sdd AS (SELECT (SELECT t FROM tgt) - sum(fl) AS dd FROM sfl),
+       sq AS (SELECT lang,
+                fl + (CASE WHEN row_number() OVER (ORDER BY rem DESC, lang)
+                           <= (SELECT dd FROM sdd) THEN 1 ELSE 0 END)
+                  AS quota
+              FROM sfl),
+       sr AS (SELECT s.lang, s.doc_id, s.text,
+                row_number() OVER (PARTITION BY s.lang
+                  ORDER BY md5(coalesce(s.text, '')), s.doc_id) AS rn
+              FROM s_clean s),
+       s_sample AS (SELECT sr.doc_id, sr.text
+              FROM sr JOIN sq USING (lang) WHERE rn <= quota),
+       -- stage 7: sliding window chunks 128/96 (q65)
+       wtk AS (SELECT doc_id,
+                list_filter(string_split(coalesce(text, ''), ' '),
+                            t -> length(t) > 0) AS tk
+              FROM s_sample),
+       ww AS (SELECT doc_id,
+                unnest(range(0, CAST(ceil(len(tk) / 96.0) AS BIGINT)))
+                  AS win_idx,
+                tk
+              FROM wtk),
+       wc AS (SELECT doc_id, win_idx,
+                array_to_string(list_slice(tk, win_idx * 96 + 1,
+                                           win_idx * 96 + 128), ' ') AS chunk
+              FROM ww)
+       SELECT doc_id, CAST(win_idx AS BIGINT) AS win_idx,
+              md5(chunk) AS chunk_h,
+              CAST(len(string_split(chunk, ' ')) AS BIGINT) AS win_tokens
+       FROM wc ORDER BY doc_id, win_idx"""
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q129c_capstone_oracle" -> q129cSql,
     "q70_lsh_buckets" -> q70Sql,
     "q43b_group_signature_oracle" -> q43bSql,
     "q61_corpus_dedup" -> q61Sql,
