@@ -139,6 +139,71 @@ object Mixing {
     val counts = df.groupBy(groupCol)
       .agg(count(lit(1)).cast("double").as("__cnt"))
       .withColumn("__w", weight(col("__cnt")))
+    quotaFill(df, groupCol, idCol, keyCol, totalTarget,
+      counts.select(col(groupCol), col("__w")))
+  }
+
+  /** Mixture sampling with CALLER-SUPPLIED group weights — the
+    * generalized form [[temperatureSample]] reduces to (its weights
+    * are `weight(count)`): quotas ∝ the weight column of `weights`
+    * (any positive values, normalized in-plan), scaled to
+    * `totalTarget` by largest-remainder apportionment and filled
+    * deterministically in md5 hash order. Groups present in `df` but
+    * absent from `weights` get zero quota; weighted groups absent
+    * from `df` contribute quota that simply goes unfilled (the window
+    * runs out of rows). This is the materialization half of the
+    * [[reweight]] feedback loop. */
+  def weightedQuotaSample(df: DataFrame, groupCol: String, idCol: String,
+      keyCol: String, totalTarget: Long, weights: DataFrame): DataFrame =
+    quotaFill(df, groupCol, idCol, keyCol, totalTarget,
+      weights.select(col(weights.columns(0)).as(groupCol),
+        col(weights.columns(1)).cast("double").as("__w")))
+
+  /** Multiplicative-weights domain reweighting — the DoReMi feedback
+    * idea (Xie et al. 2023) restated with a RATIONAL update so both
+    * engines agree bit-for-bit: given the current mixture
+    * (domain, weight) and per-domain feedback losses (domain, loss),
+    *
+    *   w'_d ∝ w_d · (1 + eta · (loss_d − min_e loss_e))
+    *
+    * — domains whose loss exceeds the best get proportionally more
+    * mass (they are where the model still has the most to learn),
+    * the best-loss domain keeps factor 1, and the exponentiated-
+    * gradient exp(η·excess) is replaced by its first-order expansion
+    * because IEEE exp is not reproducible across engines while
+    * +/·/− are (the same reason temperatureSample uses sqrt, which IS
+    * correctly rounded, rather than pow). Output weights are
+    * normalized in-plan (broadcast one-row sum — G-row frames, never
+    * collected). Domains missing a loss row keep factor 1 (no
+    * feedback ⇒ no update), via a left join + coalesce. */
+  def reweight(weights: DataFrame, losses: DataFrame,
+      eta: Double = 0.5): DataFrame = {
+    val g = weights.columns(0)
+    val w = weights.select(col(g), col(weights.columns(1))
+      .cast("double").as("__w"))
+    val l = losses.select(col(losses.columns(0)).as(g),
+      col(losses.columns(1)).cast("double").as("__loss"))
+    val minL = l.agg(min(col("__loss")).as("__minl"))
+    val raw = w.join(l, Seq(g), "left")
+      .crossJoin(broadcast(minL))
+      .select(col(g),
+        (col("__w") * (lit(1.0) + lit(eta) *
+          (coalesce(col("__loss"), col("__minl")) - col("__minl"))))
+          .as("__raw"))
+    val tot = raw.agg(sum(col("__raw")).as("__sum"))
+    raw.crossJoin(broadcast(tot))
+      .select(col(g), (col("__raw") / col("__sum")).as("weight"))
+  }
+
+  /** The shared quota machinery of [[temperatureSample]] and
+    * [[weightedQuotaSample]]: largest-remainder apportionment of
+    * `totalTarget` over the (groupCol, __w) weight frame, then the
+    * per-group hash-order fill. Arithmetic is EXACTLY the historical
+    * temperatureSample chain (the q63 and composed-capstone oracles
+    * replay it term for term). */
+  private def quotaFill(df: DataFrame, groupCol: String, idCol: String,
+      keyCol: String, totalTarget: Long, wdf: DataFrame): DataFrame = {
+    val counts = wdf
     val total = counts.agg(sum("__w").as("__sw"))
     // largest-remainder apportionment: plain floors would undershoot
     // the target by up to G rows and starve groups whose exact share is

@@ -1745,6 +1745,42 @@ object ScaleQueries {
     "q129c_capstone_oracle" -> ((s, dir) =>
       capstoneRun(s, dir, staged = false, semantic = false)),
 
+    // DoReMi-style mixture reweighting from per-domain feedback: the
+    // multiplicative-weights update w' ∝ w·(1 + η·(loss − min loss))
+    // over a uniform prior, losses = per-source mean n_chars (the
+    // deterministic stand-in for per-domain eval loss). Rational
+    // update on purpose — exp(η·excess) is not IEEE-reproducible
+    // across engines, +/·/− are; the 12-decimal round absorbs the
+    // G-row sum's association ulp
+    "q131_domain_reweight" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val w0 = docs.select(col("source")).distinct()
+        .withColumn("w", lit(1.0))
+      val losses = docs.groupBy("source")
+        .agg(avg(col("n_chars")).as("loss"))
+      graft.ops.Mixing.reweight(w0, losses, eta = 0.5)
+        .select(col("source"), round(col("weight"), 12).as("weight"))
+        .orderBy("source")
+    }),
+
+    // the materialization half of the feedback loop: resample the
+    // corpus to the UPDATED mixture via the generalized
+    // weightedQuotaSample (largest-remainder quotas over the supplied
+    // weights, md5 hash-order fill — the q63 machinery with feedback
+    // weights instead of sqrt(count))
+    "q131b_reweighted_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val w0 = docs.select(col("source")).distinct()
+        .withColumn("w", lit(1.0))
+      val losses = docs.groupBy("source")
+        .agg(avg(col("n_chars")).as("loss"))
+      val w1 = graft.ops.Mixing.reweight(w0, losses, eta = 0.5)
+      graft.ops.Mixing.weightedQuotaSample(docs, "source", "doc_id",
+        "text", totalTarget = 200L, weights = w1)
+        .select("source", "doc_id")
+        .orderBy("source", "doc_id")
+    }),
+
     // salted equi-join: same rows as the plain join (oracle proves it),
     // with the hot-key spread that survives extreme skew at scale
     "q44_salted_join" -> ((s, dir) => {
@@ -2753,8 +2789,47 @@ object ScaleQueries {
        FROM wc ORDER BY doc_id, win_idx"""
   }
 
+  /** Shared CTE chain of the q131 family: uniform prior → mean-n_chars
+    * losses → rational multiplicative update, arithmetic mirrored term
+    * for term (1.0·(1.0 + 0.5·(loss − min))). */
+  private val q131Cte: String =
+    """WITH l AS (SELECT source, avg(n_chars) AS loss
+                  FROM documents GROUP BY source),
+         m AS (SELECT min(loss) AS minl FROM l),
+         raw AS (SELECT source,
+                 1.0 * (1.0 + 0.5 * (loss - (SELECT minl FROM m))) AS raw
+                 FROM l),
+         s AS (SELECT sum(raw) AS sm FROM raw),
+         wn AS (SELECT source, raw / (SELECT sm FROM s) AS weight
+                FROM raw)"""
+
   val oracleSql: Map[String, String] = Map(
     "q129c_capstone_oracle" -> q129cSql,
+    "q131_domain_reweight" ->
+      s"""$q131Cte
+         SELECT source, round(weight, 12) AS weight
+         FROM wn ORDER BY source""",
+    // the q63 largest-remainder + hash-fill machinery over the
+    // UPDATED weights (normalized again inside the sampler, exactly
+    // as weightedQuotaSample's quotaFill does)
+    "q131b_reweighted_sample" ->
+      s"""$q131Cte,
+         sw2 AS (SELECT sum(weight) AS sw FROM wn),
+         e AS (SELECT source,
+               200.0 * weight / (SELECT sw FROM sw2) AS ex FROM wn),
+         f AS (SELECT source, CAST(floor(ex) AS BIGINT) AS fl,
+               ex - floor(ex) AS rem FROM e),
+         d AS (SELECT 200 - sum(fl) AS dd FROM f),
+         q AS (SELECT source,
+               fl + (CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
+                          <= (SELECT dd FROM d) THEN 1 ELSE 0 END) AS quota
+               FROM f),
+         r AS (SELECT source, doc_id,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY md5(coalesce(text, '')), doc_id) AS rn
+               FROM documents)
+         SELECT r.source, r.doc_id FROM r JOIN q USING (source)
+         WHERE rn <= quota ORDER BY source, doc_id""",
     "q70_lsh_buckets" -> q70Sql,
     "q43b_group_signature_oracle" -> q43bSql,
     "q61_corpus_dedup" -> q61Sql,

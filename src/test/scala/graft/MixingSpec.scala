@@ -290,4 +290,47 @@ class MixingSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
     assert(out.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
   }
+
+  test("reweight: excess-loss domains gain, best keeps factor 1, sums to 1") {
+    val w0 = Seq(("a", 0.25), ("b", 0.25), ("c", 0.25), ("d", 0.25))
+      .toDF("dom", "w")
+    val losses = Seq(("a", 2.0), ("b", 4.0), ("c", 2.0)).toDF("dom", "l")
+    val out = Mixing.reweight(w0, losses, eta = 0.5).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // raw factors: a=1, b=1+0.5*2=2, c=1, d (no feedback row)=1 → sum 5
+    assert(math.abs(out("a") - 0.2) < 1e-12)
+    assert(math.abs(out("b") - 0.4) < 1e-12)
+    assert(math.abs(out("c") - 0.2) < 1e-12)
+    assert(math.abs(out("d") - 0.2) < 1e-12)
+    assert(math.abs(out.values.sum - 1.0) < 1e-12)
+    // eta = 0: the update is the identity on the normalized prior
+    val id = Mixing.reweight(w0, losses, eta = 0.0).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    id.values.foreach(v => assert(math.abs(v - 0.25) < 1e-12))
+  }
+
+  test("weightedQuotaSample: quotas follow the supplied weights exactly") {
+    val docs = (0L until 300L).map(i => (s"g${i % 3}", i, s"t$i"))
+      .toDF("g", "id", "key")
+    val w = Seq(("g0", 3.0), ("g1", 1.0), ("g2", 0.0)).toDF("g", "w")
+    val out = Mixing.weightedQuotaSample(docs, "g", "id", "key",
+      totalTarget = 100L, weights = w)
+    val perG = out.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perG === Map("g0" -> 75L, "g1" -> 25L))
+    assert(out.count() === 100L)
+    // determinism: the same call selects the same ids
+    val a = out.select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val b = Mixing.weightedQuotaSample(docs, "g", "id", "key", 100L, w)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a === b)
+    // temperatureSample is the sqrt(count)-weights special case of the
+    // same machinery: equal group sizes → identical output either way
+    val uni = Seq(("g0", 1.0), ("g1", 1.0), ("g2", 1.0)).toDF("g", "w")
+    val viaWeights = Mixing.weightedQuotaSample(docs, "g", "id", "key",
+      99L, uni).select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val viaTemp = Mixing.temperatureSample(docs, "g", "id", "key", 99L)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(viaWeights === viaTemp)
+  }
 }
