@@ -98,6 +98,52 @@ object Layout {
   /** The z-interleave as DuckDB SQL over long expressions `x`, `y` —
     * the oracle twin of [[zValue2]], generated from the same bit walk
     * so the two engines compute term-for-term identical arithmetic. */
+  case class CompactReport(filesBefore: Long, filesAfter: Long,
+      bytesBefore: Long, bytesAfter: Long, rows: Long)
+
+  /** Small-file compaction — the lakehouse OPTIMIZE maintenance pass:
+    * rewrite a parquet directory so each output file holds
+    * ~`targetFileBytes` of the CURRENT footprint, content
+    * row-identical. At 100 TB this is what keeps scan parallelism and
+    * namenode/listing pressure sane after many small incremental
+    * appends (a dir of 10k 1 MB files → ~78 files at the 128 MiB
+    * default); the repo's streaming sinks (versioned snapshots,
+    * ingest candidates) are exactly the writers that fragment.
+    *
+    * Shape: ONE read → `coalesce(n)` (merges input splits with NO
+    * shuffle — compaction must not pay a cluster-wide exchange just
+    * to re-bin bytes) → write to a temp sibling → swap via two
+    * renames (old dir moved aside, temp renamed in, old deleted last,
+    * so a crash leaves either the old or the new dir intact under the
+    * original name — never a half state). Bin count is derived from
+    * the real byte footprint, not a row guess. */
+  def compactDir(spark: org.apache.spark.sql.SparkSession, dir: String,
+      targetFileBytes: Long = 128L << 20): CompactReport = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(p: org.apache.hadoop.fs.Path) =
+      fs.listStatus(p).toSeq.filter(s => s.isFile &&
+        !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+    val before = dataFiles(path)
+    val bytesBefore = before.map(_.getLen).sum
+    val nBins = math.max(1L,
+      (bytesBefore + targetFileBytes - 1) / targetFileBytes).toInt
+    val tmp = new org.apache.hadoop.fs.Path(dir + ".__compact_tmp")
+    val old = new org.apache.hadoop.fs.Path(dir + ".__compact_old")
+    spark.read.parquet(dir).coalesce(nBins)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(tmp.toString)
+    fs.delete(old, true)
+    require(fs.rename(path, old), s"compactDir: could not move $dir aside")
+    require(fs.rename(tmp, path), s"compactDir: could not install $tmp")
+    fs.delete(old, true)
+    val after = dataFiles(path)
+    CompactReport(before.size.toLong, after.size.toLong, bytesBefore,
+      after.map(_.getLen).sum, spark.read.parquet(dir).count())
+  }
+
   def zValue2Sql(x: String, y: String, bits: Int = 16): String = {
     require(bits >= 1 && bits <= 31)
     val terms = (0 until bits).flatMap { b =>

@@ -1745,6 +1745,23 @@ object ScaleQueries {
     "q129c_capstone_oracle" -> ((s, dir) =>
       capstoneRun(s, dir, staged = false, semantic = false)),
 
+    // small-file compaction (lakehouse OPTIMIZE): fragment a copy of
+    // lineitem into 64 shards, compact to ~4 MiB bins (coalesce — no
+    // shuffle — temp write, two-rename swap), then read the compacted
+    // dir back. The oracle is the strongest possible statement of the
+    // maintenance contract: content is row-identical to the source
+    // table; the file-count mechanics are pinned by LayoutSpec
+    "q132_file_compaction" -> ((s, dir) => {
+      val tmpDir = java.nio.file.Files
+        .createTempDirectory("graft_compact_").toString + "/li"
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .repartition(64).write.parquet(tmpDir)
+      graft.ops.Layout.compactDir(s, tmpDir, targetFileBytes = 4L << 20)
+      s.read.parquet(tmpDir)
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity")
+    }),
+
     // DoReMi-style mixture reweighting from per-domain feedback: the
     // multiplicative-weights update w' ∝ w·(1 + η·(loss − min loss))
     // over a uniform prior, losses = per-source mean n_chars (the
@@ -2809,6 +2826,11 @@ object ScaleQueries {
       s"""$q131Cte
          SELECT source, round(weight, 12) AS weight
          FROM wn ORDER BY source""",
+    // compaction must be content-invariant: the compacted dir reads
+    // back as exactly the source projection
+    "q132_file_compaction" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity
+         FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity""",
     // the q63 largest-remainder + hash-fill machinery over the
     // UPDATED weights (normalized again inside the sampler, exactly
     // as weightedQuotaSample's quotaFill does)

@@ -88,4 +88,32 @@ class LayoutSpec extends AnyFunSuite {
       .collect()
     perPart.foreach(zs => assert(zs == zs.sorted, "z not sorted in partition"))
   }
+
+  test("compactDir: fewer files, identical content, sane report") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_compact_spec").toString + "/t"
+    val src = spark.range(0, 20000)
+      .select(col("id"), (col("id") * 7 % 1000).as("v"))
+    src.repartition(16).write.parquet(base)
+    def files() = new java.io.File(base).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith(".")).toSeq
+    val nBefore = files().size
+    assert(nBefore === 16)
+    val bytes = files().map(_.length).sum
+    val target = bytes / 3 + 1
+    val rep = Layout.compactDir(spark, base, targetFileBytes = target)
+    assert(rep.filesBefore === 16L)
+    assert(rep.filesAfter <= 4L, rep.toString)   // ceil(bytes/target)≈3
+    assert(rep.filesAfter === files().size.toLong)
+    assert(rep.rows === 20000L)
+    // content row-identical (set compare: layout owns the order)
+    val back = spark.read.parquet(base)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = src.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(back === want)
+    // no temp/old residue from the two-rename swap
+    val parent = new java.io.File(base).getParentFile.listFiles().map(_.getName)
+    assert(!parent.exists(_.contains("__compact")), parent.mkString(","))
+  }
 }
