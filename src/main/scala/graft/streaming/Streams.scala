@@ -445,6 +445,91 @@ object Streams {
       spark.read.parquet(s"$stateBase/run_ts=${versions.max}"))
   }
 
+  /** INCREMENTAL exact media dedup as an AvailableNow stream — the
+    * multimodal front door's dedup grain ([[graft.ops.MediaCuration]]
+    * statuses kept/exact_dup) folded per micro-batch: each batch is
+    * magic-classified and content-keyed with the per-modality codecs
+    * (container-independent keys, so a re-muxed WAV or re-encoded BMP
+    * arriving later still collapses onto the original), and the
+    * (id, modality, content_key) rows fold into the persisted state
+    * with first-write-wins on id (a dirty upstream re-sending a file
+    * must not create two state rows). Per run the work is the new
+    * batch's decode passes plus one state merge — the existing corpus
+    * is never re-decoded. The min-id representative is resolved at
+    * READ time ([[mediaDedupFromState]]): a later batch can contain a
+    * SMALLER id for an existing key, retroactively re-electing the
+    * representative, which a fold-time election would get wrong.
+    * Near-dup grains stay batch passes over the state's survivors (the
+    * same division as ingestAvailableNow's boilerplate exclusion). */
+  def mediaDedupIncrementalAvailableNow(media: DataFrame, idCol: String,
+      stateBase: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    media.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val spark = batch.sparkSession
+        val ver = f"batch_$id%06d"
+        val classified = graft.ops.Multimodal.classifyMediaBatch(
+          batch.toDF(), idCol)
+        def keys(m: String,
+            f: (DataFrame, String) => DataFrame): DataFrame =
+          f(classified.filter(col("modality") === m)
+            .select(col("id"), col("media")), "id")
+            .select(col("id"), lit(m).as("modality"), col("content_key"))
+        val batchKeys =
+          keys("image", graft.ops.Multimodal.imageContentKeyBatch)
+            .unionByName(
+              keys("audio", graft.ops.Multimodal.audioContentKeyBatch))
+            .unionByName(
+              keys("video", graft.ops.Multimodal.videoContentKeyBatch))
+            .unionByName(classified
+              .filter(col("modality") === "unknown")
+              .select(col("id"), col("modality"),
+                lit(null).cast("string").as("content_key")))
+        // within-batch id dedupe, deterministically (min over the
+        // (modality, key) struct — `first` would be partition-order
+        // dependent and break replay idempotence)
+        val batchOne = batchKeys.groupBy("id")
+          .agg(min(struct(col("modality"), col("content_key"))).as("mk"))
+          .select(col("id"), col("mk.modality").as("modality"),
+            col("mk.content_key").as("content_key"))
+        val next = priorVersion(spark, stateBase, ver) match {
+          case Some(p) =>
+            val prior = spark.read.parquet(s"$stateBase/run_ts=$p")
+            // first write wins per id: drop re-sent ids entirely
+            prior.unionByName(batchOne.join(prior.select("id"),
+              Seq("id"), "left_anti"))
+          case None => batchOne
+        }
+        next.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$stateBase/run_ts=$ver")
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** The exact-dedup manifest from the latest media state: one row per
+    * ingested id with (modality, status kept|exact_dup|undecodable,
+    * rep_id = min id sharing the content key). Identical grain to the
+    * batch [[graft.ops.MediaCuration.curateMedia]] exact layer
+    * (parity spec-pinned). */
+  def mediaDedupFromState(spark: SparkSession,
+      stateBase: String): DataFrame = {
+    val versions = scala.util.Try(
+      graft.sources.Sinks.runVersions(spark, stateBase))
+      .getOrElse(Seq.empty)
+    require(versions.nonEmpty,
+      s"no media state under $stateBase — run the stream first")
+    val st = spark.read.parquet(s"$stateBase/run_ts=${versions.max}")
+    val reps = st.filter(col("content_key").isNotNull)
+      .groupBy("content_key").agg(min(col("id")).as("rep_id"))
+    st.join(reps, Seq("content_key"), "left")
+      .select(col("id"), col("modality"),
+        when(col("content_key").isNull, "undecodable")
+          .when(col("rep_id") === col("id"), "kept")
+          .otherwise("exact_dup").as("status"),
+        coalesce(col("rep_id"), col("id")).as("rep_id"))
+  }
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
 

@@ -140,4 +140,39 @@ class MediaCurationSpec extends AnyFunSuite {
         s"id $id: got ${rows(id)}, want ($modality, $status, $rep)")
     }
   }
+
+  test("streaming media dedup over out-of-order batches == batch exact grain") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_smedia").toString
+    val docs = (0L until 60L).toDF("doc_id")
+    val corpus = Multimodal.syntheticMixedMediaCorpus(docs, "doc_id")
+      .localCheckpoint()
+    // out-of-order split: the exact grain must not care (reps are
+    // elected at read time, so a smaller id arriving later still wins)
+    corpus.filter(col("id") % 2 === 1).coalesce(1)
+      .write.parquet(s"$base/in/p0")
+    corpus.filter(col("id") % 2 === 0).coalesce(1)
+      .write.parquet(s"$base/in/p1")
+    val stream = spark.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in/p*")
+    val q = graft.streaming.Streams.mediaDedupIncrementalAvailableNow(
+      stream, "id", s"$base/state", s"$base/ckpt")
+    q.awaitTermination(300000)
+
+    val got = graft.streaming.Streams
+      .mediaDedupFromState(spark, s"$base/state")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSet
+    // batch equivalent of the exact grain: gates off, near-dup
+    // thresholds unreachable → statuses are kept/exact_dup/undecodable
+    val want = MediaCuration.curateMedia(corpus, "id",
+        minWidth = 0, minHeight = 0, minAudioFrames = 0L,
+        minVideoFrames = 0, imageNearSim = 1.01, avMinJaccard = 1.01,
+        nearMaxId = 60L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSet
+    assert(got === want)
+    // the planted exact pairs actually collapsed (incl. the re-mux)
+    assert(got.count(_._3 == "exact_dup") === 6)
+  }
 }
