@@ -39,4 +39,50 @@ object Eval {
     perQuery.agg(count(lit(1)).as("n_queries"),
       round(avg("recall"), 4).as("mean_recall"),
       round(min("recall"), 4).as("min_recall"))
+
+  /** Dedup-index health — the dedup sibling of the ANN recall eval:
+    * precision/recall of the banded-MinHash candidate generator
+    * (signature-agreement estimate ≥ `minJaccard`, the md5 audit
+    * family so DuckDB replays it) against EXACT token-set Jaccard
+    * ground truth at the same threshold, on a bounded audit slice
+    * (`maxId` — the exact side is quadratic by construction, like
+    * every brute-force twin; at corpus scale this runs on a sampled
+    * slice while the estimator runs everywhere). Returns ONE row
+    * (n_pred, n_truth, n_hit, precision, recall) — the number that
+    * tells a pipeline whether its (k, bands, threshold) setting is
+    * missing duplicates (recall) or wasting verify work (precision).
+    */
+  def dedupPrecisionRecall(docs: DataFrame, idCol: String,
+      textCol: String, maxId: Long = 150L, minJaccard: Double = 0.5,
+      k: Int = 8, bands: Int = 2): DataFrame = {
+    val slice = docs.filter(col(idCol) < maxId)
+    val pred = Dedup.minHashPairsAuditable(slice, idCol, textCol,
+      k, bands, minJaccard).select(col("id_a"), col("id_b"))
+
+    // exact ground truth over the same distinct ws-token sets the
+    // signatures hash; J(∅, ∅) = 0 by the greatest(·, 1) guard
+    val toks = slice.select(col(idCol).cast("long").as("id"),
+      array_distinct(TextOps.wsTokens(col(textCol))).as("tk"))
+    val a = toks.select(col("id").as("id_a"), col("tk").as("ta"))
+    val b = toks.select(col("id").as("id_b"), col("tk").as("tb"))
+    val truth = a.join(b, col("id_a") < col("id_b"))
+      .withColumn("__inter", size(array_intersect(col("ta"), col("tb")))
+        .cast("double"))
+      .withColumn("__jac", col("__inter") /
+        greatest(size(col("ta")) + size(col("tb")) - col("__inter"),
+          lit(1.0)))
+      .filter(col("__jac") >= minJaccard)
+      .select("id_a", "id_b")
+
+    val hit = pred.join(truth, Seq("id_a", "id_b"), "left_semi")
+    val nP = pred.agg(count(lit(1)).as("n_pred"))
+    val nT = truth.agg(count(lit(1)).as("n_truth"))
+    val nH = hit.agg(count(lit(1)).as("n_hit"))
+    nP.crossJoin(broadcast(nT)).crossJoin(broadcast(nH))
+      .select(col("n_pred"), col("n_truth"), col("n_hit"),
+        round(col("n_hit").cast("double") /
+          greatest(col("n_pred"), lit(1L)), 4).as("precision"),
+        round(col("n_hit").cast("double") /
+          greatest(col("n_truth"), lit(1L)), 4).as("recall"))
+  }
 }

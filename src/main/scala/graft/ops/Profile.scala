@@ -281,4 +281,52 @@ object Profile {
             lit(0.6745) * col("__rz_dev") / col("__rz_mad") > threshold))
       .drop("__rz_x", "__rz_dev")
   }
+
+  /** Categorical distribution DRIFT between two corpus snapshots —
+    * the monitoring query a nightly ingest runs before accepting a
+    * batch ("did the language/source mix move?"). Per category:
+    * shares on each side plus the symmetrized χ²-style contribution
+    *
+    *   contrib = (p_new − p_old)² / (p_new + p_old)
+    *
+    * (triangular discrimination, Topsøe's Δ: the p+q denominator keeps
+    * BRAND-NEW and vanished categories finite where classic χ²/PSI
+    * blow up or need an epsilon, and — unlike PSI — it needs no ln,
+    * which is not IEEE-reproducible across engines; +/·/− are, so the
+    * whole statistic is oracle-checkable). Σ contrib ∈ [0, 2]: 0 =
+    * identical mix, 2 = disjoint support. NULL categories are a real
+    * category (null-safe join, the robustOutlierFlags discipline).
+    * One G-row frame per side, one broadcast total each — no
+    * corpus-×-corpus work. */
+  def categoricalDrift(oldDf: DataFrame, newDf: DataFrame,
+      colName: String): DataFrame = {
+    def dist(df: DataFrame, pName: String, nName: String): DataFrame = {
+      val counts = df.groupBy(col(colName).as("value"))
+        .agg(count(lit(1)).as(nName))
+      val tot = counts.agg(sum(col(nName)).as("__tot"))
+      counts.crossJoin(broadcast(tot))
+        .select(col("value"), col(nName),
+          (col(nName) / col("__tot")).as(pName))
+    }
+    val o = dist(oldDf, "p_old", "n_old")
+    val n = dist(newDf, "p_new", "n_new")
+      .withColumnRenamed("value", "__v_new")
+    o.join(n, col("value") <=> col("__v_new"), "full")
+      .select(coalesce(col("value"), col("__v_new")).as("value"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("p_old"), lit(0.0)).as("p_old"),
+        coalesce(col("p_new"), lit(0.0)).as("p_new"))
+      .withColumn("contrib",
+        (col("p_new") - col("p_old")) * (col("p_new") - col("p_old"))
+          / (col("p_new") + col("p_old")))
+  }
+
+  /** One-row roll-up of [[categoricalDrift]]: the drift statistic and
+    * its verdict against `threshold` — what the monitor alerts on. */
+  def driftStat(perValue: DataFrame, threshold: Double = 0.1): DataFrame =
+    perValue.agg(
+      count(lit(1)).as("n_categories"),
+      round(sum(col("contrib")), 6).as("drift"),
+      (sum(col("contrib")) > threshold).as("drifted"))
 }

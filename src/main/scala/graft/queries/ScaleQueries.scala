@@ -1745,6 +1745,43 @@ object ScaleQueries {
     "q129c_capstone_oracle" -> ((s, dir) =>
       capstoneRun(s, dir, staged = false, semantic = false)),
 
+    // distribution drift between two snapshots (the ingest monitor's
+    // "did the language mix move?"): symmetrized χ²-style divergence
+    // in pure rational arithmetic (no ln — PSI is not cross-engine
+    // reproducible), finite for brand-new and vanished categories.
+    // Old = first half of the corpus, new = second half
+    "q134_distribution_drift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.Profile.categoricalDrift(
+          docs.filter(col("doc_id") < 250),
+          docs.filter(col("doc_id") >= 250), "lang")
+        .select(col("value").as("lang"), col("n_old"), col("n_new"),
+          round(col("p_old"), 6).as("p_old"),
+          round(col("p_new"), 6).as("p_new"),
+          round(col("contrib"), 6).as("contrib"))
+        .orderBy("lang")
+    }),
+
+    // the one-row alert roll-up over the same drift frame
+    "q134b_drift_stat" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.Profile.driftStat(
+        graft.ops.Profile.categoricalDrift(
+          docs.filter(col("doc_id") < 250),
+          docs.filter(col("doc_id") >= 250), "lang"),
+        threshold = 0.05)
+    }),
+
+    // dedup-index health (the dedup sibling of q103's ANN recall
+    // eval): precision/recall of the banded md5-family MinHash
+    // candidate generator vs EXACT token-set Jaccard at the same
+    // threshold, bounded audit slice — every stage of BOTH sides is
+    // DuckDB-replayable, so the PR numbers themselves are
+    // oracle-checked
+    "q133_dedup_eval" -> ((s, dir) =>
+      graft.ops.Eval.dedupPrecisionRecall(t(s, dir, "documents"),
+        "doc_id", "text", maxId = 150L, minJaccard = 0.5)),
+
     // small-file compaction (lakehouse OPTIMIZE): fragment a copy of
     // lineitem into 64 shards, compact to ~4 MiB bins (coalesce — no
     // shuffle — temp write, two-rename swap), then read the compacted
@@ -2820,12 +2857,83 @@ object ScaleQueries {
          wn AS (SELECT source, raw / (SELECT sm FROM s) AS weight
                 FROM raw)"""
 
+  /** Shared drift CTE (q134 family): per-side shares, null-safe full
+    * category join, symmetrized χ²-style contrib — operation order
+    * mirrors Profile.categoricalDrift term for term. */
+  private val q134Cte: String =
+    """WITH o AS (SELECT lang AS value, count(*) AS n_old
+                  FROM documents WHERE doc_id < 250 GROUP BY lang),
+         od AS (SELECT value, n_old,
+                n_old / (SELECT sum(n_old) FROM o) AS p_old FROM o),
+         nn AS (SELECT lang AS value, count(*) AS n_new
+                FROM documents WHERE doc_id >= 250 GROUP BY lang),
+         nd AS (SELECT value, n_new,
+                n_new / (SELECT sum(n_new) FROM nn) AS p_new FROM nn),
+         j AS (SELECT coalesce(od.value, nd.value) AS lang,
+                CAST(coalesce(n_old, 0) AS BIGINT) AS n_old,
+                CAST(coalesce(n_new, 0) AS BIGINT) AS n_new,
+                coalesce(p_old, 0.0) AS p_old,
+                coalesce(p_new, 0.0) AS p_new,
+                (coalesce(p_new, 0.0) - coalesce(p_old, 0.0))
+                  * (coalesce(p_new, 0.0) - coalesce(p_old, 0.0))
+                  / (coalesce(p_new, 0.0) + coalesce(p_old, 0.0))
+                  AS contrib
+               FROM od FULL JOIN nd
+                 ON od.value IS NOT DISTINCT FROM nd.value)"""
+
   val oracleSql: Map[String, String] = Map(
     "q129c_capstone_oracle" -> q129cSql,
     "q131_domain_reweight" ->
       s"""$q131Cte
          SELECT source, round(weight, 12) AS weight
          FROM wn ORDER BY source""",
+    // both sides of the drift arithmetic replayed (full null-safe
+    // category join, rational contrib, same operation order)
+    "q134_distribution_drift" -> (q134Cte +
+      """
+         SELECT lang, n_old, n_new, round(p_old, 6) AS p_old,
+                round(p_new, 6) AS p_new, round(contrib, 6) AS contrib
+         FROM j ORDER BY lang"""),
+    "q134b_drift_stat" -> (q134Cte +
+      """
+         SELECT CAST(count(*) AS BIGINT) AS n_categories,
+                round(sum(contrib), 6) AS drift,
+                (sum(contrib) > 0.05) AS drifted
+         FROM j"""),
+    // both sides of the dedup eval replayed: the q26b md5-family
+    // banded candidates (est = agreeing-positions/8 >= 0.5) vs exact
+    // token-set Jaccard on the same slice, then the PR arithmetic
+    "q133_dedup_eval" -> {
+      val sliceCte =
+        s"""WITH d AS (SELECT doc_id, text FROM documents
+                       WHERE doc_id < 150),
+         ${q61CteBody("d").replace("/ 8.0 >= 0.75", "/ 8.0 >= 0.5")
+           .split(",\nnbr1 AS MATERIALIZED").head}"""
+      s"""$sliceCte,
+         pred AS (SELECT id_a, id_b FROM epairs),
+         tt AS (SELECT doc_id AS id,
+                  list_distinct(list_filter(
+                    string_split(coalesce(text, ''), ' '),
+                    t -> length(t) > 0)) AS tk
+                FROM d),
+         truth AS (SELECT a.id AS id_a, b.id AS id_b
+                   FROM tt a JOIN tt b ON a.id < b.id
+                   WHERE len(list_intersect(a.tk, b.tk)) * 1.0
+                         / greatest(len(a.tk) + len(b.tk)
+                                    - len(list_intersect(a.tk, b.tk)), 1)
+                         >= 0.5),
+         hit AS (SELECT p.id_a, p.id_b FROM pred p
+                 JOIN truth t ON t.id_a = p.id_a AND t.id_b = p.id_b),
+         np AS (SELECT count(*) AS n_pred FROM pred),
+         nt AS (SELECT count(*) AS n_truth FROM truth),
+         nh AS (SELECT count(*) AS n_hit FROM hit)
+       SELECT CAST(n_pred AS BIGINT) AS n_pred,
+              CAST(n_truth AS BIGINT) AS n_truth,
+              CAST(n_hit AS BIGINT) AS n_hit,
+              round(n_hit * 1.0 / greatest(n_pred, 1), 4) AS precision,
+              round(n_hit * 1.0 / greatest(n_truth, 1), 4) AS recall
+       FROM np, nt, nh"""
+    },
     // compaction must be content-invariant: the compacted dir reads
     // back as exactly the source projection
     "q132_file_compaction" ->

@@ -151,4 +151,35 @@ class ProfileSpec extends AnyFunSuite {
     val langs = docs.select("lang").distinct().count()
     assert(p("lang").getLong(3) === langs)
   }
+
+  test("categoricalDrift: new/vanished/null categories finite, bounds hold") {
+    import spark.implicits._
+    val old = Seq(Some("a"), Some("a"), Some("b"), Some("b"),
+      None, None).toDF("lang")
+    val nw = Seq(Some("a"), Some("a"), Some("a"), Some("c"), None,
+      None).toDF("lang")
+    val d = Profile.categoricalDrift(old, nw, "lang")
+    val rows = d.collect().map(r => (Option(r.getString(0)),
+      r.getLong(1), r.getLong(2), r.getDouble(5))).toSeq
+    val byKey = rows.map(r => r._1 -> r).toMap
+    assert(rows.length === 4)
+    // vanished category: contrib = p_old² / p_old = p_old
+    assert(math.abs(byKey(Some("b"))._4 - 2.0 / 6.0) < 1e-12)
+    // brand-new category: p_new, finite (χ²/PSI would blow up)
+    assert(math.abs(byKey(Some("c"))._4 - 1.0 / 6.0) < 1e-12)
+    // NULL is a real category and joins null-safely: 2/6 on both sides
+    assert(byKey(None)._2 === 2L && byKey(None)._3 === 2L)
+    assert(math.abs(byKey(None)._4) < 1e-12)
+    // total stat within [0, 2]; identical snapshots → exactly 0
+    val stat = Profile.driftStat(d).collect().head
+    assert(stat.getDouble(1) >= 0.0 && stat.getDouble(1) <= 2.0)
+    val zero = Profile.driftStat(
+      Profile.categoricalDrift(old, old, "lang")).collect().head
+    assert(zero.getDouble(1) === 0.0 && !zero.getBoolean(2))
+    // fully disjoint supports → the maximum, exactly 2
+    val far = Profile.driftStat(Profile.categoricalDrift(
+      Seq("x", "x").toDF("lang"), Seq("y").toDF("lang"), "lang"))
+      .collect().head
+    assert(math.abs(far.getDouble(1) - 2.0) < 1e-12 && far.getBoolean(2))
+  }
 }
