@@ -40,6 +40,30 @@ object Sinks {
     spark.read.parquet(base).select("run_ts").distinct()
       .collect().map(_.getString(0)).toSeq.sorted
 
+  /** Retention pruning (VACUUM) for the S8 versioned layout: keep the
+    * newest `keep` versions under `base`, delete the rest — the
+    * maintenance pass every incremental state writer needs, since each
+    * fold persists a full snapshot and old versions exist only as
+    * restart points ([[graft.streaming.Streams]] dedup/funnel/
+    * retention/media states, [[writeVersioned]] histories).
+    * `keep >= 1` is enforced: pruning the LATEST version would destroy
+    * the live state, so it can never be expressed. Deletes go oldest
+    * first, so a crash mid-vacuum leaves a contiguous suffix of
+    * versions — exactly the shape every prior-version reader expects.
+    * Returns the deleted version ids. */
+  def pruneVersions(spark: SparkSession, base: String,
+      keep: Int): Seq[String] = {
+    require(keep >= 1, s"pruneVersions must keep >= 1 version, got $keep")
+    val versions = runVersions(spark, base)
+    val doomed = versions.dropRight(keep)
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    doomed.foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$base/run_ts=$v"), true)
+    }
+    doomed
+  }
+
   /** S5 JSON metrics sink: single-row document with injected timestamp
     * (`loader.py:212-247`). coalesce(1): a metrics document is one row —
     * one file, not 32 shards. */

@@ -46,6 +46,26 @@ class SinksSpec extends AnyFunSuite {
     assert(scan.contains("PartitionFilters: [isnotnull(run_ts"), scan)
   }
 
+  test("pruneVersions keeps the newest N, refuses keep=0, reports deletions") {
+    val base = tmp() + "/vacuum"
+    (1 to 4).foreach { i =>
+      Sinks.writeVersioned(Seq((i.toLong, s"v$i")).toDF("id", "v"),
+        base, f"batch_$i%06d")
+    }
+    val deleted = Sinks.pruneVersions(spark, base, keep = 2)
+    assert(deleted === Seq("batch_000001", "batch_000002"))
+    assert(Sinks.runVersions(spark, base) ===
+      Seq("batch_000003", "batch_000004"))
+    // surviving data is intact and readable
+    assert(spark.read.parquet(base).count() === 2)
+    // keep >= 1: the live state can never be expressed away
+    intercept[IllegalArgumentException] {
+      Sinks.pruneVersions(spark, base, keep = 0)
+    }
+    // idempotent when nothing is prunable
+    assert(Sinks.pruneVersions(spark, base, keep = 5) === Seq.empty)
+  }
+
   test("Fs: ensure/exists/copyRecursive/download round-trip a directory tree") {
     import graft.sources.Fs
     val root = tmp()
