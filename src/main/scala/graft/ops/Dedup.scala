@@ -912,6 +912,45 @@ object Dedup {
         coalesce(col("n_boiler"), lit(0L)).as("n_boiler"))
   }
 
+  /** EXACT n-gram Jaccard pairs at corpus scale — the sparse
+    * inverted-index form of [[ngramJaccardTopPairs]]: distinct grams
+    * explode once, the gram self-join runs only WITHIN gram buckets
+    * (audited cap — a ubiquitous gram is excluded LOUDLY, the
+    * lshOversizedBuckets discipline), shared counts aggregate, and the
+    * Jaccard filter is exact. No id bound, no all-pairs panel: cost is
+    * Σ bucket² over gram buckets, which for high-entropy grams
+    * (hash-derived fingerprints, winnowed anchors) is ∝ matches. This
+    * is the production near-dup grain for the media fingerprints —
+    * recall 1.0 by construction, unlike an LSH screen, with the skew
+    * guard bounding the one join that could blow up. */
+  def ngramJaccardPairsSparse(df: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, minJaccard: Double = 0.5,
+      maxBucket: Int = defaultMaxBucket): DataFrame = {
+    val toks = col("__tk")
+    val grams = df
+      .select(col(idCol).cast("long").as("id"),
+        split(col(textCol), " ").as("__tk"))
+      .select(col("id"),
+        explode(when(size(toks) >= n,
+          array_distinct(transform(sequence(lit(0), size(toks) - n),
+            i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+          .otherwise(array())).as("gram"))
+    val audited = auditBuckets(grams, Seq("gram"), maxBucket,
+      "ngramJaccardPairsSparse")
+    val sizes = audited.groupBy("id").agg(count(lit(1)).as("sz"))
+    val a = audited.select(col("id").as("id_a"), col("gram"))
+    val b = audited.select(col("id").as("id_b"), col("gram"))
+    val inter = a.join(b, "gram").filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sa")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sb")), "id_b")
+      .withColumn("jac", col("i").cast("double") /
+        (col("sa") + col("sb") - col("i")))
+      .filter(col("jac") >= minJaccard)
+      .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jac"))
+  }
+
   /** Exact n-gram Jaccard similarity for the top pairs in a bounded id
     * slice (pairwise exact comparison is quadratic — the full-corpus path
     * is [[minHashPairs]]; this is the auditable exact form).

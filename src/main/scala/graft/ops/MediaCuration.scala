@@ -101,7 +101,7 @@ object MediaCuration {
       minWidth: Int = 16, minHeight: Int = 16,
       minAudioFrames: Long = 1024L, minVideoFrames: Int = 2,
       imageNearSim: Double = 0.98, avMinJaccard: Double = 0.5,
-      nearMaxId: Long = 1000000L, nearTopN: Int = 200,
+      nearMaxId: Long = 1000000L,
       grid: Int = 4, audioFftN: Int = 256): DataFrame = {
     val classified = Multimodal.classifyMediaBatch(
       df.select(col(idCol).cast("long").as(idCol), col("media")), idCol)
@@ -122,10 +122,14 @@ object MediaCuration {
       col("n_samples").isNotNull && col("n_samples") >= minAudioFrames)
       .select("id")
     val audioGated = audioMedia.join(audioGatedIds, Seq("id"))
+    // audio/video near-dup runs the SPARSE exact gram join (no id
+    // bound, audited bucket caps — the corpus-scale grain); only the
+    // image side keeps a bounded brute-force panel, whose documented
+    // scale swap is the LSH/IVF ANN family over the same features
     val audioManifest = dedupManifold(audioGated,
       Multimodal.audioDedup(audioGated, "id"),
-      reps => Multimodal.audioNearDupPairs(reps, "id", audioFftN,
-        nearMaxId, nearTopN, avMinJaccard))
+      reps => Multimodal.audioNearDupPairsScale(reps, "id", audioFftN,
+        avMinJaccard))
       .unionByName(selfStatus(
         audioMeta.filter(col("n_samples").isNull).select("id"),
         "undecodable"))
@@ -147,8 +151,8 @@ object MediaCuration {
       videoMeta.filter(videoOk).select("id"), Seq("id"))
     val videoManifest = dedupManifold(videoGated,
       Multimodal.videoDedup(videoGated, "id"),
-      reps => Multimodal.videoNearDupPairs(reps, "id", nearMaxId,
-        nearTopN, avMinJaccard))
+      reps => Multimodal.videoNearDupPairsScale(reps, "id",
+        avMinJaccard))
       .unionByName(selfStatus(
         videoMeta.filter(col("width").isNull).select("id"),
         "undecodable"))

@@ -1050,6 +1050,13 @@ object Multimodal {
       "id", "fp", n = 3, maxId = maxId, topN = topN)
       .filter(col("jac") >= minJaccard)
 
+  /** Corpus-scale form of [[videoNearDupPairs]] — the
+    * [[audioNearDupPairsScale]] discipline over frame-key shingles. */
+  def videoNearDupPairsScale(df: DataFrame, idCol: String,
+      minJaccard: Double = 0.5): DataFrame =
+    Dedup.ngramJaccardPairsSparse(videoFingerprintBatch(df, idCol),
+      "id", "fp", n = 3, minJaccard = minJaccard)
+
   /** Video near-dup corpus with planted RE-CUTS: ids carry 12
     * distinct hash-block frames each; id ≡ 9 (mod 10) is its decade
     * anchor's video with one extra frame spliced into the middle —
@@ -1295,6 +1302,17 @@ object Multimodal {
     Dedup.ngramJaccardTopPairs(audioFingerprintBatch(df, idCol, fftN),
       "id", "fp", n = 3, maxId = maxId, topN = topN)
       .filter(col("jac") >= minJaccard)
+
+  /** The corpus-scale form of [[audioNearDupPairs]]: same landmark
+    * fingerprints, same 3-gram Jaccard grain, but pairs come from the
+    * EXACT sparse inverted gram join ([[Dedup.ngramJaccardPairsSparse]]
+    * — no id bound, audited gram-bucket caps, recall 1.0) instead of a
+    * bounded brute-force panel. Identical output on any corpus where
+    * the bounded form's panel covers all ids. */
+  def audioNearDupPairsScale(df: DataFrame, idCol: String,
+      fftN: Int = 256, minJaccard: Double = 0.5): DataFrame =
+    Dedup.ngramJaccardPairsSparse(audioFingerprintBatch(df, idCol, fftN),
+      "id", "fp", n = 3, minJaccard = minJaccard)
 
   /** Per-id "chirp" fixture: window w carries EXACTLY binOf(id, w)
     * cycles (an integer per window), so each window's FFT peak is the

@@ -141,6 +141,26 @@ class MediaCurationSpec extends AnyFunSuite {
     }
   }
 
+  test("sparse gram join == bounded brute force on the planted corpora") {
+    // the corpus-scale near-dup grain (exact inverted gram join, no id
+    // bound) must reproduce the bounded audit form's pairs exactly
+    val docs = (0L until 80L).toDF("doc_id")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val audio = Multimodal.syntheticAudioNearDupCorpus(docs, "doc_id")
+    assert(pairs(Multimodal.audioNearDupPairsScale(audio, "id")) ===
+      pairs(Multimodal.audioNearDupPairs(audio, "id", maxId = 80L,
+        topN = 1000)))
+    val video = Multimodal.syntheticVideoNearDupCorpus(docs, "doc_id")
+    assert(pairs(Multimodal.videoNearDupPairsScale(video, "id")) ===
+      pairs(Multimodal.videoNearDupPairs(video, "id", maxId = 80L,
+        topN = 1000)))
+    // and the planted decade pairs are all present
+    val got = pairs(Multimodal.audioNearDupPairsScale(audio, "id"))
+      .map(p => (p._1, p._2))
+    assert((0L until 80L by 10L).map(a => (a, a + 9)).toSet.subsetOf(got))
+  }
+
   test("streaming media dedup over out-of-order batches == batch exact grain") {
     val base = java.nio.file.Files
       .createTempDirectory("graft_smedia").toString
