@@ -95,6 +95,92 @@ object Layout {
     }
   }
 
+  /** Hilbert index of two `bits`-bit columns — the locality-tighter
+    * sibling of [[zValue2]]: consecutive Hilbert positions are always
+    * grid-adjacent, so range-partitioned files carry tighter (x, y)
+    * bounding boxes than Morton's quadrant jumps allow (Hilbert 1891;
+    * the classic xy→d walk with per-level quadrant rotation). Built as
+    * CHAINED PROJECTIONS — one withColumn per bit level over bound
+    * references — because the rotation feeds x and y back into the
+    * next level: inlining would grow the expression tree ~3^bits (the
+    * HOF-lambda lesson applied to scalar folds). All integer
+    * arithmetic, so the DuckDB twin ([[hilbertSql]]) replays the walk
+    * term for term. Adds `out`; drops its scratch columns. */
+  def withHilbert(df: DataFrame, xCol: String, yCol: String,
+      bits: Int = 16, out: String = "h"): DataFrame = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    val seeded = df
+      .withColumn("__hx", bucketize(col(xCol), bits))
+      .withColumn("__hy", bucketize(col(yCol), bits))
+      .withColumn("__hd", lit(0L))
+    val walked = (bits - 1 to 0 by -1).foldLeft(seeded) { (cur, level) =>
+      val s = 1L << level
+      val rx = when(col("__hx").bitwiseAND(lit(s)) > 0, 1L).otherwise(0L)
+      val ry = when(col("__hy").bitwiseAND(lit(s)) > 0, 1L).otherwise(0L)
+      cur
+        .withColumn("__rx", rx)
+        .withColumn("__ry", ry)
+        .withColumn("__hd", col("__hd") + lit(s * s) *
+          (lit(3L) * col("__rx")).bitwiseXOR(col("__ry")))
+        // rotation: in the ry = 0 half, flip when rx = 1, then swap
+        .withColumn("__nx",
+          when(col("__ry") === 0,
+            when(col("__rx") === 1, lit(s - 1) - col("__hy"))
+              .otherwise(col("__hy")))
+            .otherwise(col("__hx")))
+        .withColumn("__ny",
+          when(col("__ry") === 0,
+            when(col("__rx") === 1, lit(s - 1) - col("__hx"))
+              .otherwise(col("__hx")))
+            .otherwise(col("__hy")))
+        .withColumn("__hx", col("__nx"))
+        .withColumn("__hy", col("__ny"))
+        .drop("__nx", "__ny", "__rx", "__ry")
+    }
+    walked.withColumn(out, col("__hd"))
+      .drop("__hx", "__hy", "__hd")
+  }
+
+  /** [[clusterByZ]] with the Hilbert index: same one-shuffle
+    * range-exchange + within-partition sort, tighter boxes. */
+  def clusterByHilbert(df: DataFrame, xCol: String, yCol: String,
+      bits: Int = 16, numPartitions: Int = 0): DataFrame = {
+    val withH = withHilbert(df, xCol, yCol, bits, out = "h")
+    val ranged =
+      if (numPartitions > 0) withH.repartitionByRange(numPartitions, col("h"))
+      else withH.repartitionByRange(col("h"))
+    ranged.sortWithinPartitions("h")
+  }
+
+  /** The Hilbert walk as generated DuckDB SQL (chained CTEs, one per
+    * bit level — the same staged shape as [[withHilbert]]) over a
+    * source relation exposing long columns `x` and `y` plus
+    * passthrough columns `passCols`. Yields CTEs `hil0..hil{bits}`;
+    * read `d` from `hil$bits`. */
+  def hilbertSql(src: String, bits: Int, passCols: Seq[String]): String = {
+    val pass = passCols.mkString(", ")
+    val levels = (bits - 1 to 0 by -1).zipWithIndex.map {
+      case (level, i) =>
+        val s = 1L << level
+        val prev = s"hil$i"
+        s"""hil${i + 1} AS (
+           SELECT $pass,
+                  d + ${s * s} * xor(3 * (CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END),
+                                     (CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END)) AS d,
+                  CASE WHEN (CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END) = 0
+                       THEN CASE WHEN (CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END) = 1
+                                 THEN ${s - 1} - y ELSE y END
+                       ELSE x END AS x,
+                  CASE WHEN (CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END) = 0
+                       THEN CASE WHEN (CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END) = 1
+                                 THEN ${s - 1} - x ELSE x END
+                       ELSE y END AS y
+           FROM $prev)"""
+    }.mkString(",\n         ")
+    s"""hil0 AS (SELECT $pass, x, y, CAST(0 AS BIGINT) AS d FROM $src),
+         $levels"""
+  }
+
   /** The z-interleave as DuckDB SQL over long expressions `x`, `y` —
     * the oracle twin of [[zValue2]], generated from the same bit walk
     * so the two engines compute term-for-term identical arithmetic. */

@@ -1745,6 +1745,22 @@ object ScaleQueries {
     "q129c_capstone_oracle" -> ((s, dir) =>
       capstoneRun(s, dir, staged = false, semantic = false)),
 
+    // Hilbert-curve layout index — the locality-tighter sibling of
+    // q102's Morton z-order: the full xy→d quadrant-rotation walk in
+    // pure integer arithmetic, chained one projection per bit level
+    // (inlining the rotation feedback would grow the expression tree
+    // ~3^bits — the HOF-lambda lesson applied to scalar folds), and
+    // the oracle replays the identical walk as generated chained CTEs
+    "q135_hilbert" -> ((s, dir) =>
+      graft.ops.Layout.withHilbert(
+        t(s, dir, "lineitem").select(col("l_orderkey"),
+          col("l_linenumber"),
+          Layout.bucketize(col("l_partkey"), 10).as("x"),
+          Layout.bucketize(col("l_suppkey"), 10).as("y")),
+        "x", "y", bits = 10)
+        .select("l_orderkey", "l_linenumber", "x", "y", "h")
+        .orderBy("h", "l_orderkey", "l_linenumber")),
+
     // distribution drift between two snapshots (the ingest monitor's
     // "did the language mix move?"): symmetrized χ²-style divergence
     // in pure rational arithmetic (no ln — PSI is not cross-engine
@@ -2887,6 +2903,20 @@ object ScaleQueries {
       s"""$q131Cte
          SELECT source, round(weight, 12) AS weight
          FROM wn ORDER BY source""",
+    // the Hilbert walk replayed level by level in integer arithmetic
+    "q135_hilbert" -> {
+      val walk = graft.ops.Layout.hilbertSql("src", 10,
+        Seq("l_orderkey", "l_linenumber", "x0", "y0"))
+      s"""WITH src AS (SELECT l_orderkey, l_linenumber,
+                l_partkey % 1024 AS x, l_suppkey % 1024 AS y,
+                l_partkey % 1024 AS x0, l_suppkey % 1024 AS y0
+              FROM lineitem),
+         $walk
+         SELECT l_orderkey, l_linenumber,
+                CAST(x0 AS BIGINT) AS x, CAST(y0 AS BIGINT) AS y,
+                CAST(d AS BIGINT) AS h
+         FROM hil10 ORDER BY h, l_orderkey, l_linenumber"""
+    },
     // both sides of the drift arithmetic replayed (full null-safe
     // category join, rational contrib, same operation order)
     "q134_distribution_drift" -> (q134Cte +

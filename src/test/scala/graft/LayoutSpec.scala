@@ -89,6 +89,43 @@ class LayoutSpec extends AnyFunSuite {
     perPart.foreach(zs => assert(zs == zs.sorted, "z not sorted in partition"))
   }
 
+  test("hilbert: bijective on the grid, consecutive cells grid-adjacent") {
+    val bits = 3
+    val n = 1L << bits
+    val grid = spark.range(0, n * n)
+      .select((col("id") / n).cast("long").as("x"),
+        pmod(col("id"), lit(n)).as("y"))
+    val rows = Layout.withHilbert(grid, "x", "y", bits)
+      .collect().map(r => (r.getLong(2), r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    // bijection: d covers 0 .. n²−1 exactly once
+    assert(rows.map(_._1).toSeq === (0L until n * n))
+    // THE Hilbert property Morton lacks: every consecutive pair of
+    // curve positions is grid-adjacent (|dx| + |dy| = 1)
+    rows.sliding(2).foreach { case Array((_, x0, y0), (d1, x1, y1)) =>
+      assert(math.abs(x1 - x0) + math.abs(y1 - y0) === 1L,
+        s"jump at d=$d1: ($x0,$y0) -> ($x1,$y1)")
+    }
+  }
+
+  test("clusterByHilbert prunes at least as well as rows, boxes measured") {
+    val n = 64L
+    val grid = spark.range(0, n * n)
+      .select((col("id") / n).cast("long").as("x"),
+        pmod(col("id") * 31, lit(n)).as("y"))
+    def frac(df: org.apache.spark.sql.DataFrame): Double =
+      Layout.pruneFraction(Layout.partitionStats(df, "x", "y"),
+        8, 23, 8, 23)
+    val h = frac(Layout.clusterByHilbert(grid, "x", "y", bits = 6,
+      numPartitions = 16))
+    val z = frac(Layout.clusterByZ(grid, "x", "y", bits = 6,
+      numPartitions = 16))
+    assert(h <= 0.5, s"hilbert layout should skip most partitions: $h")
+    // same ballpark as morton on a square query box (hilbert's tighter
+    // boxes can only help; allow one-partition slack for splits)
+    assert(h <= z + 1.0 / 16 + 1e-9, s"hilbert $h vs morton $z")
+  }
+
   test("compactDir: fewer files, identical content, sane report") {
     val base = java.nio.file.Files
       .createTempDirectory("graft_compact_spec").toString + "/t"
