@@ -115,7 +115,8 @@ object Bench {
     "q129_capstone_build",
     "q129b_capstone_staged",
     "q130_media_manifest",
-    "q132_file_compaction")
+    "q132_file_compaction",
+    "q135_hilbert")
 
   /** Queries whose r6→r7 numbers moved 2–6× with no code change — the
     * self-join/ANN family is short (<3 s warm) so a single co-tenant
