@@ -199,10 +199,17 @@ object Layout {
     * Shape: ONE read → `coalesce(n)` (merges input splits with NO
     * shuffle — compaction must not pay a cluster-wide exchange just
     * to re-bin bytes) → write to a temp sibling → swap via two
-    * renames (old dir moved aside, temp renamed in, old deleted last,
-    * so a crash leaves either the old or the new dir intact under the
-    * original name — never a half state). Bin count is derived from
-    * the real byte footprint, not a row guess. */
+    * renames (old dir moved aside, temp renamed in, old deleted
+    * last). If the second rename fails, the old dir is renamed BACK
+    * so the swap is compensated and `dir` survives under its original
+    * name; only a hard crash INSIDE the two-rename window (after the
+    * first rename, before the second or the compensation) leaves the
+    * original name briefly absent, with the data parked intact in
+    * `.__compact_old` / `.__compact_tmp` for manual recovery —
+    * rename-based swap on a filesystem without atomic dir exchange
+    * cannot close that window, and concurrent readers racing the swap
+    * may observe the gap. Bin count is derived from the real byte
+    * footprint, not a row guess. */
   def compactDir(spark: org.apache.spark.sql.SparkSession, dir: String,
       targetFileBytes: Long = 128L << 20): CompactReport = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
@@ -223,7 +230,19 @@ object Layout {
       .parquet(tmp.toString)
     fs.delete(old, true)
     require(fs.rename(path, old), s"compactDir: could not move $dir aside")
-    require(fs.rename(tmp, path), s"compactDir: could not install $tmp")
+    // compensating handler: if installing the new dir fails, put the
+    // old one back under the original name before surfacing the error
+    // — a failed swap must not leave `dir` missing
+    val installed =
+      try fs.rename(tmp, path)
+      catch { case e: Throwable => fs.rename(old, path); throw e }
+    if (!installed) {
+      require(fs.rename(old, path),
+        s"compactDir: install of $tmp failed AND rollback of $old failed " +
+          s"— manual recovery required under ${dir}.__compact_old")
+      throw new IllegalStateException(
+        s"compactDir: could not install $tmp; original $dir restored")
+    }
     fs.delete(old, true)
     val after = dataFiles(path)
     CompactReport(before.size.toLong, after.size.toLong, bytesBefore,

@@ -163,10 +163,16 @@ object Similarity {
     * broadcast, and the probe is an equi-join on cell id: scan
     * fraction ≈ nProbe/nLists. Returns (qid, rn, cid, sim) like the
     * other top-k paths.
+    *
+    * `targetPerCell > 0` sizes the cell count to the corpus
+    * ([[autoCellCount]]): probed work per query becomes
+    * ~nProbe·targetPerCell rows — constant as the corpus grows —
+    * instead of nProbe·N/nLists with a fixed list count.
     */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
       nQueries: Int = 10, k: Int = 5, nLists: Int = 16,
-      nProbe: Int = 4, seed: Long = 42L): DataFrame = {
+      nProbe: Int = 4, seed: Long = 42L,
+      targetPerCell: Int = 0): DataFrame = {
     val spark = df.sparkSession
     // quantize on the UNIT SPHERE: the final ranking is cosine, and on
     // normalized vectors argmin ||q−c||² ≡ argmax q·c ≡ argmax cosine —
@@ -178,10 +184,11 @@ object Similarity {
       .withColumn("vhat", transform(col("v"), x => x / col("nrm")))
     val corpus = base.filter(col(idCol) >= nQueries)
 
+    val effLists = autoCellCount(corpus, nLists, targetPerCell, "ivfTopK")
     val centers = lloyds(
       fitSample(corpus.select(col(idCol).as("id"), col("vhat")),
-        fitCap = 16384, fitSampleMod = 1, minNeeded = nLists, "ivfTopK"),
-      nLists, iters = 10, new scala.util.Random(seed))
+        fitCap = 16384, fitSampleMod = 1, minNeeded = effLists, "ivfTopK"),
+      effLists, iters = 10, new scala.util.Random(seed))
     val assigned = corpus.select(col(idCol).as("cid"),
       col("vhat").as("chat"),
       element_at(graft.functions.GraftFunctions.pqEncode(col("vhat"),
@@ -369,33 +376,11 @@ object Similarity {
       s"nLists ($nLists) must be <= smallCorpus ($smallCorpus)")
     require(fitSampleMod >= 1, s"fitSampleMod must be >= 1, got $fitSampleMod")
     val base = unitVectors(df, idCol, vecCol)
-    // targetPerCell > 0 sizes the cell count TO THE CORPUS, which is
-    // what keeps this operator honest at scale: with nLists fixed the
-    // within-cell pair stage is Σ|cell|²/2 ≈ N²/(2·nLists) — quadratic
-    // in N (the sf10 rehearsal measured 18× at 10× rows before this
-    // knob). ceil(n/targetPerCell) caps the EXPECTED cell size, so the
-    // pair stage is ~N·targetPerCell/2 — linear in N. One metadata
-    // count; k ≤ n holds by construction (targetPerCell ≥ 1), and the
-    // driver-side center array is gated like every other vector
-    // collect. Fixture-scale corpora (n ≤ nLists·targetPerCell) keep
-    // exactly nLists cells, so oracle-pinned small-scale output is
-    // unchanged.
-    val effLists =
-      if (targetPerCell <= 0) nLists
-      else {
-        val n = base.count()
-        val auto = math.max(nLists.toLong,
-          (n + targetPerCell - 1) / targetPerCell)
-        // the fit sample (fitCap = 16384) must exceed k, and the
-        // centers live on the driver — cap cells loudly rather than
-        // fit a degenerate codebook; a corpus that genuinely needs
-        // more cells should also raise fitCap deliberately
-        require(auto <= 8192L,
-          s"semanticDedup: auto cell count $auto (n=$n / " +
-            s"targetPerCell=$targetPerCell) exceeds the 8192 fit cap — " +
-            "raise targetPerCell or partition the corpus upstream")
-        auto.toInt
-      }
+    // corpus-sized cell count (see [[autoCellCount]]): caps expected
+    // cell size so the within-cell pair stage is ~N·targetPerCell/2 —
+    // linear in N instead of the N²/(2·nLists) a fixed nLists gives
+    val effLists = autoCellCount(base, nLists, targetPerCell,
+      "semanticDedup")
     val assigned =
       cellAssign(base, effLists, seed,
         math.max(smallCorpus, effLists), fitSampleMod)
@@ -791,6 +776,36 @@ object Similarity {
     * few thousand samples per centroid, so the corpus-sized work stays
     * in the distributed ASSIGNMENT pass, and the fit costs one
     * TakeOrdered job instead of iters× distributed passes. */
+  /** Corpus-sized cell count shared by the k-means cell family
+    * (semanticDedup, IVF, IVF-PQ): `targetPerCell > 0` sizes the cell
+    * count TO THE CORPUS — cells = max(nLists, ⌈n/targetPerCell⌉) —
+    * capping the EXPECTED cell size so per-cell work stays constant as
+    * the corpus grows. With a FIXED nLists each cell holds N/nLists
+    * vectors, so the within-cell pair stage (dedup) is ~N²/(2·nLists)
+    * and the probed-cells scan (ANN) is nProbe·N/nLists — both grow
+    * linearly-to-quadratically with N and degenerate toward a full
+    * scan at 100×; the sf10 rehearsals measured exactly that (18× for
+    * semanticDedup in r11, 5.7× for IVF-PQ in r12). One metadata
+    * count; fixture-scale corpora (n ≤ nLists·targetPerCell) keep
+    * exactly nLists cells, so small-scale output is bit-identical and
+    * spec-pinned recall floors are untouched. The fit sample
+    * (fitCap = 16384) must exceed k and the centers live on the
+    * driver — cells are capped LOUDLY rather than fitting a
+    * degenerate codebook. */
+  private def autoCellCount(base: DataFrame, nLists: Int,
+      targetPerCell: Int, what: String): Int =
+    if (targetPerCell <= 0) nLists
+    else {
+      val n = base.count()
+      val auto = math.max(nLists.toLong,
+        (n + targetPerCell - 1) / targetPerCell)
+      require(auto <= 8192L,
+        s"$what: auto cell count $auto (n=$n / " +
+          s"targetPerCell=$targetPerCell) exceeds the 8192 fit cap — " +
+          "raise targetPerCell or partition the corpus upstream")
+      auto.toInt
+    }
+
   private def fitSample(base: DataFrame, fitCap: Int, fitSampleMod: Int,
       minNeeded: Int, what: String): Array[Array[Double]] = {
     require(fitSampleMod >= 1, s"fitSampleMod must be >= 1, got $fitSampleMod")
@@ -996,10 +1011,10 @@ object Similarity {
   def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       nQueries: Int = 10, k: Int = 5, nLists: Int = 16, nProbe: Int = 4,
       m: Int = 8, ks: Int = 256, rerank: Int = 32, seed: Long = 42L,
-      fitSampleMod: Int = 1): DataFrame = {
+      fitSampleMod: Int = 1, targetPerCell: Int = 0): DataFrame = {
     val corpus = df.filter(col(idCol) >= nQueries)
     val index = ivfPqBuild(corpus, idCol, vecCol, dim, nLists, m, ks,
-      seed, fitSampleMod)
+      seed, fitSampleMod, targetPerCell)
     ivfPqSearch(index, df.filter(col(idCol) < nQueries), idCol, vecCol,
       k, nProbe, rerank, exact = Some(corpus.select(col(idCol),
         col(vecCol))), exactIdCol = idCol, exactVecCol = vecCol)
@@ -1018,24 +1033,31 @@ object Similarity {
   /** Fit both quantizers on ONE deterministic driver-side sample
     * (coarse centers on the vectors, PQ codebooks on the sample's
     * residuals) and encode the whole corpus in one map-side
-    * projection. See [[ivfPqTopK]] for the layout rationale. */
+    * projection. See [[ivfPqTopK]] for the layout rationale.
+    * `targetPerCell > 0` sizes the cell count to the corpus
+    * ([[autoCellCount]]) — at a growing corpus the probed-cells scan
+    * stays ~nProbe·targetPerCell codes per query instead of growing
+    * with N/nLists; the built index's [[IvfPqIndex.nLists]] records
+    * the EFFECTIVE count, so search/save/load/append are unchanged. */
   def ivfPqBuild(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       nLists: Int = 16, m: Int = 8, ks: Int = 256, seed: Long = 42L,
-      fitSampleMod: Int = 1): IvfPqIndex = {
+      fitSampleMod: Int = 1, targetPerCell: Int = 0): IvfPqIndex = {
     require(dim % m == 0, s"m ($m) must divide dim ($dim)")
     val spark = df.sparkSession
     import spark.implicits._
     val dsub = dim / m
     val corpus = unitVectors(df, idCol, vecCol)
-    val pts = fitSample(corpus, fitCap = 16384,
-      fitSampleMod = fitSampleMod, minNeeded = math.max(nLists, ks),
+    val effLists = autoCellCount(corpus, nLists, targetPerCell,
       "ivfPqBuild")
-    val centers = lloyds(pts, nLists, iters = 10,
+    val pts = fitSample(corpus, fitCap = 16384,
+      fitSampleMod = fitSampleMod, minNeeded = math.max(effLists, ks),
+      "ivfPqBuild")
+    val centers = lloyds(pts, effLists, iters = 10,
       new scala.util.Random(seed))
     def nearestCell(v: Array[Double]): Int = {
       var best = 0; var bd = Double.MaxValue
       var c = 0
-      while (c < nLists) {
+      while (c < effLists) {
         var d = 0.0; var i = 0
         while (i < dim) { val t = v(i) - centers(c)(i); d += t * t; i += 1 }
         if (d < bd) { bd = d; best = c }
@@ -1052,7 +1074,7 @@ object Similarity {
         j * dsub, (j + 1) * dsub))
       lloyds(sub, ks, iters = 5, new scala.util.Random(seed + 1 + j))
     }
-    val index = IvfPqIndex(dim, nLists, m, ks, centers, books, null)
+    val index = IvfPqIndex(dim, effLists, m, ks, centers, books, null)
     index.copy(codes = encodeWithQuantizers(index, corpus))
   }
 

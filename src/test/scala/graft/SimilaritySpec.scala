@@ -69,6 +69,38 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.2, s"recall $recall")
   }
 
+  test("targetPerCell: fixture output bit-identical; small target forces " +
+    "corpus-sized cells and search stays valid") {
+    // n <= nLists*targetPerCell => exactly nLists cells, so the
+    // auto-sized form must reproduce the fixed form bit-for-bit —
+    // this is what keeps the q30c/q88 oracle/bench rows unchanged
+    val fixedIvf = Similarity.ivfTopK(emb, "vec_id", "embedding",
+      nQueries = 5, k = 3, nLists = 8, nProbe = 3).collect().toSeq
+    val autoIvf = Similarity.ivfTopK(emb, "vec_id", "embedding",
+      nQueries = 5, k = 3, nLists = 8, nProbe = 3, targetPerCell = 1280)
+      .collect().toSeq
+    assert(fixedIvf === autoIvf)
+    val fixedPq = Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+      dim = 64, nQueries = 5, k = 3, m = 8, ks = 16).collect().toSeq
+    val autoPq = Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+      dim = 64, nQueries = 5, k = 3, m = 8, ks = 16, targetPerCell = 1280)
+      .collect().toSeq
+    assert(fixedPq === autoPq)
+    // a target smaller than n/nLists forces MORE cells (this is the
+    // 100 TB path: cells grow with the corpus, per-cell size doesn't);
+    // the index records the effective count and search still returns
+    // k rows per query
+    val corpus = emb.filter(col("vec_id") >= 5)
+    val idx = Similarity.ivfPqBuild(corpus, "vec_id", "embedding",
+      dim = 64, nLists = 8, m = 8, ks = 16, targetPerCell = 50)
+    assert(idx.nLists > 8 && idx.nLists === idx.centers.length)
+    val hits = Similarity.ivfPqSearch(idx,
+      emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+      k = 3, nProbe = 3).collect()
+    assert(hits.map(_.getLong(0)).distinct.length === 5)
+    assert(hits.groupBy(_.getLong(0)).values.forall(_.length === 3))
+  }
+
   test("auditable (oracle-replayable) ANN twins are real searches: " +
     "recall floors vs brute force, determinism") {
     val exact = Similarity.cosineTopK(emb, "vec_id", "embedding",
