@@ -241,6 +241,28 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** REAL baseline JPEG encode via the JVM's bundled writer — fixture
+    * support for the full-decode paths ([[imageFeatures]] /
+    * [[imageContentKey]]): unlike [[syntheticJpegHeader]] this carries
+    * a real entropy-coded scan ImageIO can open. Deterministic within
+    * one JVM (the spec/fixture scope); the repo's own bit-stable
+    * cross-JVM writer remains [[encodePngRgb]]. */
+  def encodeJpegRgb(width: Int, height: Int,
+      rgb: (Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0, "dimensions must be positive")
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgb(x, y)); x += 1 }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    out.toByteArray
+  }
+
   /** Minimal JFIF byte stream with a real SOF0 frame header (SOI, APP0
     * JFIF, a COM segment so the decode walk must SKIP a variable-length
     * segment, DQT, SOF0 with the given dims, EOI). Header-complete —
@@ -925,8 +947,9 @@ object Multimodal {
     * height, logical top-down BGR rows WITHOUT stride padding), so
     * BMPs that differ only in storage orientation (top-down vs
     * bottom-up), header length, or row padding share a key while any
-    * pixel difference splits them. 24-bit BMP only (the decodable
-    * subset); null keys otherwise. */
+    * pixel difference splits them. This is the 24-bit-BMP walk;
+    * PNG/JPEG payloads get the SAME canonical hash through
+    * [[imageContentKey]]'s ImageIO path. */
   /** One image's canonical pixel key (the per-payload core of
     * [[imageContentKeyBatch]], shared with the video content key). */
   private[graft] def bmpContentKey(p: Array[Byte], codec: HeaderCodec,
@@ -956,6 +979,44 @@ object Multimodal {
         }
       }
 
+  /** Format-dispatched canonical pixel key: BMP via the zero-copy
+    * header walk ([[bmpContentKey]], bit-identical to the closed-form
+    * oracle fixtures), PNG/JPEG via full ImageIO decode hashing the
+    * SAME canonical form — md5 over (width, height, logical top-down
+    * BGR rows). Container-independent BY CONSTRUCTION: a lossless PNG
+    * re-encode of a BMP shares its key (spec-pinned), while any pixel
+    * difference splits; byte-identical JPEG copies share a key
+    * through their decoded pixels. Undecodable payloads yield None —
+    * exact dedup can still fall back to container bytes upstream. */
+  private[graft] def imageContentKey(p: Array[Byte], codec: HeaderCodec,
+      md: java.security.MessageDigest): Option[String] =
+    codec.decode(p).flatMap { m =>
+      if (m.format == "bmp") bmpContentKey(p, codec, md)
+      else imageIoDecode(p).map { img =>
+        val w = img.getWidth; val h = img.getHeight
+        md.reset()
+        md.update(java.nio.ByteBuffer.allocate(8).putInt(w).putInt(h)
+          .array())
+        val row = new Array[Int](w)
+        val line = new Array[Byte](w * 3)
+        var y = 0
+        while (y < h) {
+          img.getRGB(0, y, w, 1, row, 0, w)
+          var x = 0
+          while (x < w) {
+            val rgb = row(x)
+            line(x * 3) = (rgb & 0xff).toByte // B — the BMP row order
+            line(x * 3 + 1) = ((rgb >> 8) & 0xff).toByte
+            line(x * 3 + 2) = ((rgb >> 16) & 0xff).toByte
+            x += 1
+          }
+          md.update(line)
+          y += 1
+        }
+        md.digest().map("%02x".format(_)).mkString
+      }
+    }
+
   def imageContentKeyBatch(df: DataFrame, idCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -965,7 +1026,7 @@ object Multimodal {
       .mapPartitions { rows =>
         val codec = new HeaderCodec
         val md = java.security.MessageDigest.getInstance("MD5")
-        rows.map { case (id, p) => (id, bmpContentKey(p, codec, md)) }
+        rows.map { case (id, p) => (id, imageContentKey(p, codec, md)) }
       }
       .toDF("id", "content_key")
   }
@@ -1839,6 +1900,46 @@ object Multimodal {
       lit(3).as("channels"))
   }
 
+  /** The shared grid-feature accumulator: `walk(visit)` must call
+    * `visit(x, y, r, g, b)` for every pixel in LOGICAL top-down row
+    * order — accumulation order (and therefore the IEEE result) is
+    * identical across containers, so the same pixels produce the
+    * bit-same vector whether they arrived as BMP, PNG, or a decoded
+    * JPEG. */
+  private def gridFeaturesOf(w: Int, h: Int, grid: Int)(
+      walk: ((Int, Int, Int, Int, Int) => Unit) => Unit): Array[Double] = {
+    val sums = Array.fill(grid * grid)(0.0)
+    val counts = Array.fill(grid * grid)(0L)
+    var sumB = 0.0; var sumG = 0.0; var sumR = 0.0
+    var n = 0L
+    walk { (x, y, r, g, b) =>
+      val luma = 0.299 * r + 0.587 * g + 0.114 * b
+      val cy = math.min(grid - 1, y * grid / h)
+      val cx = math.min(grid - 1, x * grid / w)
+      sums(cy * grid + cx) += luma
+      counts(cy * grid + cx) += 1
+      sumB += b; sumG += g; sumR += r; n += 1
+    }
+    val cells = Array.tabulate(grid * grid)(i =>
+      if (counts(i) == 0) 0.0 else sums(i) / counts(i) / 255.0)
+    // CENTER the spatial map: without it every feature vector
+    // shares a large positive mean-luma component and cosines
+    // crowd toward 1 (measured 0.999+ corpus-wide on synthetic
+    // ramps) — centered, the grid term is the spatial CORRELATION
+    // of the luma layout, which is what separates content
+    val mean = cells.sum / cells.length
+    val centered = cells.map(_ - mean)
+    val nn = math.max(1L, n).toDouble
+    // the tail is centered the same way — an uncentered ~0.5-mean
+    // tail would re-introduce the shared component the grid
+    // centering just removed and dominate the cosine
+    val gray = (sumB + sumG + sumR) / 3.0
+    centered ++ Array(
+      (sumB - gray) / nn / 255.0, (sumG - gray) / nn / 255.0,
+      (sumR - gray) / nn / 255.0,
+      w.toDouble / (w + h) - 0.5)
+  }
+
   /** REAL image featurizer over decoded 24-bit BMP pixels: a
     * `grid`×`grid` downsampled mean-luma map plus global per-channel
     * means and the aspect fraction w/(w+h) — grid·grid+4 dims. Cell
@@ -1847,9 +1948,8 @@ object Multimodal {
     * so a resized copy lands next to its original in cosine space —
     * the image near-dup property q90 exercises; the aspect term is
     * exactly resize-invariant and separates differently-shaped images.
-    * Returns None for payloads that are not 24-bit BMPs (a real
-    * deployment would add decoders behind the same [[HeaderCodec]]
-    * boundary). */
+    * Returns None for payloads that are not 24-bit BMPs; PNG/JPEG go
+    * through [[imageFeatures]], which dispatches here for BMP. */
   def bmpFeatures(p: Array[Byte], grid: Int = 4,
       codec: HeaderCodec = new HeaderCodec): Option[Array[Double]] =
     codec.decode(p).filter(m => m.format == "bmp" && m.channels == 3)
@@ -1860,51 +1960,74 @@ object Multimodal {
           ((p(24) & 0xff) << 16) | ((p(25) & 0xff) << 24)
         val topDown = rawH < 0
         val srcRow = (m.width.toLong * 3 + 3) / 4 * 4
-        val sums = Array.fill(grid * grid)(0.0)
-        val counts = Array.fill(grid * grid)(0L)
-        var sumB = 0.0; var sumG = 0.0; var sumR = 0.0
-        var n = 0L
-        var y = 0
-        while (y < m.height) {
-          val sy = if (topDown) y else m.height - 1 - y // logical row y
-          val rowOff = dataOff + sy * srcRow
-          val cy = math.min(grid - 1, y * grid / m.height)
-          var x = 0
-          while (x < m.width) {
-            val so = rowOff + x * 3
-            if (so >= 0 && so + 2 < p.length) {
-              val b = p(so.toInt) & 0xff
-              val g = p(so.toInt + 1) & 0xff
-              val r = p(so.toInt + 2) & 0xff
-              val luma = 0.299 * r + 0.587 * g + 0.114 * b
-              val cx = math.min(grid - 1, x * grid / m.width)
-              sums(cy * grid + cx) += luma
-              counts(cy * grid + cx) += 1
-              sumB += b; sumG += g; sumR += r; n += 1
+        gridFeaturesOf(m.width, m.height, grid) { visit =>
+          var y = 0
+          while (y < m.height) {
+            val sy = if (topDown) y else m.height - 1 - y // logical row y
+            val rowOff = dataOff + sy * srcRow
+            var x = 0
+            while (x < m.width) {
+              val so = rowOff + x * 3
+              if (so >= 0 && so + 2 < p.length) {
+                val b = p(so.toInt) & 0xff
+                val g = p(so.toInt + 1) & 0xff
+                val r = p(so.toInt + 2) & 0xff
+                visit(x, y, r, g, b)
+              }
+              x += 1
             }
-            x += 1
+            y += 1
           }
-          y += 1
         }
-        val cells = Array.tabulate(grid * grid)(i =>
-          if (counts(i) == 0) 0.0 else sums(i) / counts(i) / 255.0)
-        // CENTER the spatial map: without it every feature vector
-        // shares a large positive mean-luma component and cosines
-        // crowd toward 1 (measured 0.999+ corpus-wide on synthetic
-        // ramps) — centered, the grid term is the spatial CORRELATION
-        // of the luma layout, which is what separates content
-        val mean = cells.sum / cells.length
-        val centered = cells.map(_ - mean)
-        val nn = math.max(1L, n).toDouble
-        // the tail is centered the same way — an uncentered ~0.5-mean
-        // tail would re-introduce the shared component the grid
-        // centering just removed and dominate the cosine
-        val gray = (sumB + sumG + sumR) / 3.0
-        centered ++ Array(
-          (sumB - gray) / nn / 255.0, (sumG - gray) / nn / 255.0,
-          (sumR - gray) / nn / 255.0,
-          m.width.toDouble / (m.width + m.height) - 0.5)
       }
+
+  /** Full pixel decode for PNG/JPEG via the JVM's bundled ImageIO
+    * readers (pure-JVM PNG and baseline-JPEG support is standard —
+    * the decode [[resizePng]] already uses, now shared by the feature
+    * and content-key paths). None when ImageIO cannot open the
+    * payload (e.g. the header-only JFIF stand-ins in some fixtures —
+    * those stay exact-dedup-able by container bytes only, honestly). */
+  private[graft] def imageIoDecode(
+      p: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+      catch { case _: Exception => null }
+    if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+    else Some(img)
+  }
+
+  /** Format-dispatched image featurizer — [[bmpFeatures]]' grid-luma /
+    * channel-mean / aspect math over ALL decodable containers: BMP via
+    * the zero-copy header walk (bit-identical to the output the
+    * closed-form oracles pin), PNG/JPEG via full ImageIO pixel decode
+    * behind the same [[HeaderCodec]] sniff. The accumulator
+    * ([[gridFeaturesOf]]) is shared, so a lossless PNG re-encode of a
+    * BMP featurizes BIT-identically and a (lossy) JPEG re-encode
+    * lands at cosine ≈ 1 — the near-dup grain covers the formats a
+    * real corpus is made of, not just BMP. */
+  def imageFeatures(p: Array[Byte], grid: Int = 4,
+      codec: HeaderCodec = new HeaderCodec): Option[Array[Double]] =
+    codec.decode(p).flatMap { m =>
+      if (m.format == "bmp") bmpFeatures(p, grid, codec)
+      else imageIoDecode(p).map { img =>
+        val w = img.getWidth; val h = img.getHeight
+        val row = new Array[Int](w)
+        gridFeaturesOf(w, h, grid) { visit =>
+          var y = 0
+          while (y < h) {
+            img.getRGB(0, y, w, 1, row, 0, w)
+            var x = 0
+            while (x < w) {
+              val rgb = row(x)
+              visit(x, y, (rgb >> 16) & 0xff, (rgb >> 8) & 0xff,
+                rgb & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+        }
+      }
+    }
 
   /** Batch featurize over a `media` frame — the q90 real path: one
     * codec per partition, zero shuffle; rows whose payload the
@@ -1920,7 +2043,7 @@ object Multimodal {
       .mapPartitions { rows =>
         val codec = new HeaderCodec
         rows.flatMap { case (id, p) =>
-          bmpFeatures(p, grid, codec).map(f => (id, f))
+          imageFeatures(p, grid, codec).map(f => (id, f))
         }
       }
       .toDF("id", "features")

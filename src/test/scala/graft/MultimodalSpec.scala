@@ -375,6 +375,83 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs === planted, s"false positives: ${pairs -- planted}")
   }
 
+  test("PNG/JPEG pixel decode: cross-container keys and features") {
+    // smooth-ish block layout so the lossy JPEG round-trip stays close
+    def blockPix(mul: Int)(x: Int, y: Int): Int = {
+      val v = (((x * 4 / 64) * 4 + (y * 4 / 48)) * mul) % 256
+      (v << 16) | (v << 8) | v
+    }
+    val bmp = Multimodal.encodeBmpRgb(64, 48, blockPix(16))
+    val png = Multimodal.encodePngRgb(64, 48, blockPix(16))
+    val jpegA = Multimodal.encodeJpegRgb(64, 48, blockPix(16))
+    val jpegB = Multimodal.encodeJpegRgb(64, 48, blockPix(16))
+    assert(java.util.Arrays.equals(jpegA, jpegB),
+      "JPEG encode must be deterministic within a JVM")
+    val codec = new Multimodal.HeaderCodec
+    val md = java.security.MessageDigest.getInstance("MD5")
+    // lossless containers share the canonical key BY CONSTRUCTION:
+    // both hash (w, h, logical top-down BGR rows)
+    val kb = Multimodal.imageContentKey(bmp, codec, md)
+    val kp = Multimodal.imageContentKey(png, codec, md)
+    assert(kb.isDefined && kb === kp,
+      s"BMP/PNG of the same pixels must share a key: $kb vs $kp")
+    // JPEG keys come from DECODED pixels: defined and rerun-stable
+    val kj = Multimodal.imageContentKey(jpegA, codec, md)
+    assert(kj.isDefined && kj === Multimodal.imageContentKey(jpegB, codec, md))
+    assert(kj !== kb, "lossy re-encode is a DIFFERENT exact key")
+    // shared accumulator + identical visit order: the PNG featurizes
+    // BIT-identically to the BMP
+    val fb = Multimodal.imageFeatures(bmp).get
+    val fp = Multimodal.imageFeatures(png).get
+    assert(fb.toSeq === fp.toSeq)
+    // the lossy JPEG lands at cosine ~1 next to the original — the
+    // near-dup grain now covers real-corpus formats
+    val fj = Multimodal.imageFeatures(jpegA).get
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    assert(cos(fb, fj) > 0.95, s"jpeg-vs-bmp cosine ${cos(fb, fj)}")
+    // header-only JFIF (no entropy scan) stays honestly undecodable
+    val hdrOnly = Multimodal.syntheticJpegHeader(64, 48)
+    assert(Multimodal.imageContentKey(hdrOnly, codec, md).isEmpty)
+    assert(Multimodal.imageFeatures(hdrOnly).isEmpty)
+  }
+
+  test("mixed-container manifest: JPEG exact-dup collapses, PNG resize " +
+    "lands as near_dup") {
+    def blockPix(mul: Int, off: Int)(x: Int, y: Int): Int = {
+      val v = (((x * 4 / 64) * 4 + (y * 4 / 48)) * mul + off) % 256
+      (v << 16) | (v << 8) | v
+    }
+    val bmp = Multimodal.encodeBmpRgb(64, 48, blockPix(16, 0))
+    val png = Multimodal.encodePngRgb(64, 48, blockPix(16, 0))
+    // nearest-neighbor halving: every target pixel samples inside the
+    // same constant block, so grid-4 features are bit-identical → a
+    // guaranteed near-dup pair across PNG containers
+    val pngHalf = Multimodal.resizePng(png, 32, 24).get
+    val jpeg = Multimodal.encodeJpegRgb(64, 48, blockPix(73, 40))
+    val jpegCopy = jpeg.clone()
+    val hdrOnly = Multimodal.syntheticJpegHeader(64, 48)
+    val df = Seq((0L, bmp, "image/bmp"), (1L, png, "image/png"),
+      (2L, pngHalf, "image/png"), (3L, jpeg, "image/jpeg"),
+      (4L, jpegCopy, "image/jpeg"), (5L, hdrOnly, "image/jpeg"))
+      .toDF("id", "payload", "mime")
+      .select(col("id"), struct(col("payload"), col("mime"),
+        length(col("payload")).cast("long").as("n_bytes")).as("media"))
+    val manifest = graft.ops.MediaCuration.curateImages(df, "id",
+      minWidth = 10, minHeight = 8)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(manifest === Seq(
+      (0L, "kept", 0L),        // the anchor
+      (1L, "exact_dup", 0L),   // lossless PNG of the same pixels
+      (2L, "near_dup", 0L),    // PNG resize: fuzzy grain across containers
+      (3L, "kept", 3L),        // distinct JPEG content
+      (4L, "exact_dup", 3L),   // byte-identical JPEG copy
+      (5L, "kept", 5L)))       // header-only: gated in, pixel-keyless
+  }
+
   test("audio landmarks recover the planted chirp bins exactly") {
     val fftN = 256
     val wav = Multimodal.syntheticChirpWav(8000, 8, fftN, seed = 42L)
