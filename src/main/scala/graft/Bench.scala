@@ -116,7 +116,9 @@ object Bench {
     "q129b_capstone_staged",
     "q130_media_manifest",
     "q132_file_compaction",
-    "q135_hilbert")
+    "q135_hilbert",
+    "q136_zorder3",
+    "q137_hilbert3")
 
   /** Queries whose r6→r7 numbers moved 2–6× with no code change — the
     * self-join/ANN family is short (<3 s warm) so a single co-tenant

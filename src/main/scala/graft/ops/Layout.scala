@@ -41,6 +41,36 @@ object Layout {
     }
   }
 
+  /** Morton value of `d` `bits`-bit long columns — [[zValue2]]
+    * generalized to the 3-4 column layout keys real tables carry: bit
+    * b of column j lands at position b·d + j, so a range partition of
+    * the z-value bounds EVERY dimension's span per file. `bits·d`
+    * must fit a non-negative long (≤ 63). */
+  def zValueN(cols: Seq[Column], bits: Int): Column = {
+    val d = cols.length
+    require(d >= 2, s"need at least 2 columns, got $d")
+    require(bits >= 1 && bits * d <= 63,
+      s"bits*d must be in [2,63], got $bits*$d")
+    (0 until bits).foldLeft(lit(0L)) { (acc, b) =>
+      cols.zipWithIndex.foldLeft(acc) { case (a, (c, j)) =>
+        a.bitwiseOR(shiftleft(c.bitwiseAND(lit(1L << b)), b * (d - 1) + j))
+      }
+    }
+  }
+
+  /** [[zValueN]] as generated DuckDB SQL over long expressions — the
+    * oracle twin, same bit walk term for term. */
+  def zValueNSql(exprs: Seq[String], bits: Int): String = {
+    val d = exprs.length
+    require(d >= 2 && bits >= 1 && bits * d <= 63)
+    val terms = (0 until bits).flatMap { b =>
+      exprs.zipWithIndex.map { case (e, j) =>
+        s"((($e) & ${1L << b}) << ${b * (d - 1) + j})"
+      }
+    }
+    terms.mkString("(", " | ", ")")
+  }
+
   /** Clamp a non-negative long column into [0, 2^bits) by modulus —
     * the cheapest order-preserving-within-period bucketizer for keys
     * that are already roughly uniform (surrogate ids). Skewed or
@@ -152,6 +182,128 @@ object Layout {
     ranged.sortWithinPartitions("h")
   }
 
+  /** [[clusterByZ]] for `d` columns: z = [[zValueN]] interleave,
+    * sampled range-exchange, z-sorted within partitions — every
+    * output file carries a tight bounding box in ALL `d` dims. */
+  def clusterByZN(df: DataFrame, cols: Seq[String], bits: Int,
+      numPartitions: Int = 0): DataFrame = {
+    val z = zValueN(cols.map(c => bucketize(col(c), bits)), bits).as("z")
+    val withZ = df.withColumn("z", z)
+    val ranged =
+      if (numPartitions > 0) withZ.repartitionByRange(numPartitions, col("z"))
+      else withZ.repartitionByRange(col("z"))
+    ranged.sortWithinPartitions("z")
+  }
+
+  /** [[partitionStats]] for `d` columns: per-partition row count plus
+    * (min, max) of every layout column — the d-dim footer box. */
+  def partitionStatsN(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.withColumn("pid", spark_partition_id())
+      .groupBy("pid")
+      .agg(count(lit(1)).as("rows"),
+        cols.flatMap(c => Seq(min(c).as(s"${c}_min"),
+          max(c).as(s"${c}_max"))): _*)
+
+  /** [[pruneFraction]] for a d-dim query box: fraction of partitions
+    * whose d-dim bounding box intersects `ranges` (one (lo, hi) per
+    * layout column, in [[partitionStatsN]] column order). */
+  def pruneFractionN(stats: DataFrame, cols: Seq[String],
+      ranges: Seq[(Long, Long)]): Double = {
+    require(cols.length == ranges.length, "one range per column")
+    val rows = stats
+      .select(cols.flatMap(c => Seq(col(s"${c}_min"), col(s"${c}_max"))): _*)
+      .collect()
+    if (rows.isEmpty) 0.0
+    else {
+      val hit = rows.count { r =>
+        ranges.zipWithIndex.forall { case ((lo, hi), i) =>
+          r.getLong(2 * i + 1) >= lo && r.getLong(2 * i) <= hi
+        }
+      }
+      hit.toDouble / rows.length
+    }
+  }
+
+  /** Hilbert index of `d` `bits`-bit columns — [[withHilbert]]
+    * generalized past two dimensions via the Skilling transform
+    * (Skilling 2004, "Programming the Hilbert curve"): the classic
+    * axes→transpose walk — per bit level an invert-or-exchange
+    * against axis 0, then a Gray encode across axes and the
+    * top-axis correction fold — after which the Hilbert index is the
+    * straight [[zValueN]]-style interleave of the transposed axes
+    * (axis 0 most significant within each level). Like
+    * [[withHilbert]] this is CHAINED PROJECTIONS, one per
+    * (level, axis) step, because each step feeds the mutated axes
+    * into the next — inlining would blow the expression tree up
+    * exponentially. Pure integer arithmetic throughout, so
+    * [[hilbertNSql]] replays the walk term for term in DuckDB.
+    * Adds `out`; drops scratch columns. The d = 2 instance is a
+    * different (symmetry-equivalent) orientation than
+    * [[withHilbert]]'s xy walk — both are true Hilbert curves;
+    * LayoutSpec pins the defining adjacency property directly. */
+  def withHilbertN(df: DataFrame, cols: Seq[String], bits: Int,
+      out: String = "h"): DataFrame = {
+    val d = cols.length
+    require(d >= 2, s"need at least 2 columns, got $d")
+    require(bits >= 1 && bits * d <= 62,
+      s"bits*d must be in [2,62], got $bits*$d")
+    def x(i: Int) = col(s"__hn$i")
+    var cur = df
+    for (j <- 0 until d)
+      cur = cur.withColumn(s"__hn$j", bucketize(col(cols(j)), bits))
+    // inverse undo: Q from 2^(bits-1) down to 2; per axis either
+    // invert axis 0's low bits or exchange them with this axis's
+    for (level <- (bits - 1) to 1 by -1) {
+      val q = 1L << level
+      val p = q - 1
+      for (i <- 0 until d) {
+        val cond = x(i).bitwiseAND(lit(q)) > 0
+        if (i == 0)
+          cur = cur.withColumn("__hn0",
+            when(cond, x(0).bitwiseXOR(lit(p))).otherwise(x(0)))
+        else {
+          // t = (X0 ^ Xi) & P in the exchange branch, 0 in the invert
+          // branch — one scratch column read by both updates
+          cur = cur
+            .withColumn("__ht", when(cond, lit(0L))
+              .otherwise(x(0).bitwiseXOR(x(i)).bitwiseAND(lit(p))))
+            .withColumn("__hn0", when(cond, x(0).bitwiseXOR(lit(p)))
+              .otherwise(x(0).bitwiseXOR(col("__ht"))))
+            .withColumn(s"__hn$i", x(i).bitwiseXOR(col("__ht")))
+        }
+      }
+    }
+    // Gray encode: X[i] ^= X[i-1] (updated) == cumulative XOR of the
+    // original axes 0..i — one projection, no per-axis chain
+    val grayed = cur.select(col("*") +: (1 until d).map { i =>
+      (0 to i).map(x).reduce(_ bitwiseXOR _).as(s"__hg$i")
+    }: _*)
+    val renamed = (1 until d).foldLeft(grayed) { (c, i) =>
+      c.withColumn(s"__hn$i", col(s"__hg$i")).drop(s"__hg$i")
+    }
+    // top-axis correction: t folds conditional (Q-1) XORs off the
+    // LAST axis, then every axis XORs t
+    val tExpr = ((bits - 1) to 1 by -1).foldLeft(lit(0L): Column) {
+      (acc, level) =>
+        val q = 1L << level
+        when(x(d - 1).bitwiseAND(lit(q)) > 0,
+          acc.bitwiseXOR(lit(q - 1))).otherwise(acc)
+    }
+    var fin = renamed.withColumn("__ht", tExpr)
+    for (i <- 0 until d)
+      fin = fin.withColumn(s"__hn$i", x(i).bitwiseXOR(col("__ht")))
+    // transpose → index: bit q of axis i lands at q·d + (d-1-i)
+    val idx = (0 until bits).foldLeft(lit(0L)) { (acc, b) =>
+      (0 until d).foldLeft(acc) { (a, i) =>
+        a.bitwiseOR(shiftleft(
+          shiftrightunsigned(x(i), b).bitwiseAND(lit(1L)),
+          b * d + (d - 1 - i)))
+      }
+    }
+    fin.withColumn(out, idx)
+      .drop("__ht" +: (0 until d).map(i => s"__hn$i"): _*)
+  }
+
   /** The Hilbert walk as generated DuckDB SQL (chained CTEs, one per
     * bit level — the same staged shape as [[withHilbert]]) over a
     * source relation exposing long columns `x` and `y` plus
@@ -179,6 +331,61 @@ object Layout {
     }.mkString(",\n         ")
     s"""hil0 AS (SELECT $pass, x, y, CAST(0 AS BIGINT) AS d FROM $src),
          $levels"""
+  }
+
+  /** The Skilling walk as generated DuckDB SQL — the oracle twin of
+    * [[withHilbertN]], chained CTEs mirroring the chained projections
+    * step for step: one CTE per (level, axis) invert/exchange, one
+    * for the Gray encode (the sequential `X[i] ^= X[i-1]` over
+    * updated values collapses to a cumulative XOR), one for the
+    * top-axis correction fold, one applying it, one interleaving the
+    * transpose into `h`. Source relation must expose long columns
+    * `x0..x{dims-1}` (pre-bucketized) plus `passCols`; read `h` from
+    * the final CTE, whose name this returns alongside the SQL. */
+  def hilbertNSql(src: String, dims: Int, bits: Int,
+      passCols: Seq[String]): (String, String) = {
+    require(dims >= 2 && bits >= 1 && bits * dims <= 62)
+    val pass = passCols.mkString(", ")
+    val xs = (0 until dims).map(i => s"x$i")
+    val steps = scala.collection.mutable.ArrayBuffer.empty[String]
+    var k = 0
+    def emit(cols: String): Unit = {
+      val prev = s"hn$k"; k += 1
+      steps += s"hn$k AS (SELECT $pass, $cols FROM $prev)"
+    }
+    for (level <- (bits - 1) to 1 by -1; i <- 0 until dims) {
+      val q = 1L << level
+      val p = q - 1
+      val cols = (0 until dims).map { j =>
+        if (i == 0 && j == 0)
+          s"CASE WHEN (x0 & $q) > 0 THEN xor(x0, $p) ELSE x0 END AS x0"
+        else if (j == 0)
+          s"CASE WHEN (x$i & $q) > 0 THEN xor(x0, $p) " +
+            s"ELSE xor(x0, xor(x0, x$i) & $p) END AS x0"
+        else if (j == i)
+          s"xor(x$i, CASE WHEN (x$i & $q) > 0 THEN 0 " +
+            s"ELSE xor(x0, x$i) & $p END) AS x$i"
+        else s"x$j"
+      }.mkString(",\n             ")
+      emit(cols)
+    }
+    emit((0 until dims).map { i =>
+      if (i == 0) "x0"
+      else (0 to i).map(j => s"x$j")
+        .reduce((a, b) => s"xor($a, $b)") + s" AS x$i"
+    }.mkString(", "))
+    val tExpr = ((bits - 1) to 1 by -1)
+      .foldLeft("CAST(0 AS BIGINT)") { (acc, level) =>
+        val q = 1L << level
+        s"CASE WHEN (x${dims - 1} & $q) > 0 THEN xor($acc, ${q - 1}) ELSE $acc END"
+      }
+    emit(s"${xs.mkString(", ")}, $tExpr AS t")
+    emit((0 until dims).map(i => s"xor(x$i, t) AS x$i").mkString(", "))
+    val hTerms = for (b <- 0 until bits; i <- 0 until dims)
+      yield s"(((x$i >> $b) & 1) << ${b * dims + (dims - 1 - i)})"
+    emit(s"${xs.mkString(", ")}, ${hTerms.mkString("(", " | ", ")")} AS h")
+    (s"""hn0 AS (SELECT $pass, ${xs.mkString(", ")} FROM $src),
+         ${steps.mkString(",\n         ")}""", s"hn$k")
   }
 
   /** The z-interleave as DuckDB SQL over long expressions `x`, `y` —

@@ -1797,6 +1797,37 @@ object ScaleQueries {
         .select("l_orderkey", "l_linenumber", "x", "y", "h")
         .orderBy("h", "l_orderkey", "l_linenumber")),
 
+    // 3-column Morton — real layout keys are 3-4 predicate columns,
+    // not 2: straight 3-stream bit interleave, every dimension's span
+    // bounded per file. Fully oracle-checked (zValueNSql replays the
+    // identical bit walk)
+    "q136_zorder3" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          Layout.bucketize(col("l_partkey"), 8).as("x"),
+          Layout.bucketize(col("l_suppkey"), 8).as("y"),
+          Layout.bucketize(col("l_orderkey"), 8).as("w"))
+        .withColumn("z",
+          Layout.zValueN(Seq(col("x"), col("y"), col("w")), 8))
+        .orderBy("z", "l_orderkey", "l_linenumber")
+        .limit(300)),
+
+    // 3-column Hilbert via the Skilling axes→transpose walk — the
+    // locality-tighter d-dim layout (LayoutSpec pins bijectivity and
+    // the consecutive-cells-grid-adjacent property on the full cube).
+    // Fully oracle-checked: hilbertNSql replays every invert/exchange,
+    // the Gray fold, and the interleave as chained CTEs
+    "q137_hilbert3" -> ((s, dir) =>
+      graft.ops.Layout.withHilbertN(
+        t(s, dir, "lineitem").select(col("l_orderkey"),
+          col("l_linenumber"),
+          Layout.bucketize(col("l_partkey"), 8).as("x"),
+          Layout.bucketize(col("l_suppkey"), 8).as("y"),
+          Layout.bucketize(col("l_orderkey"), 8).as("w")),
+        Seq("x", "y", "w"), bits = 8)
+        .select("l_orderkey", "l_linenumber", "x", "y", "w", "h")
+        .orderBy("h", "l_orderkey", "l_linenumber")),
+
     // distribution drift between two snapshots (the ingest monitor's
     // "did the language mix move?"): symmetrized χ²-style divergence
     // in pure rational arithmetic (no ln — PSI is not cross-engine
@@ -2961,6 +2992,35 @@ object ScaleQueries {
                 CAST(x0 AS BIGINT) AS x, CAST(y0 AS BIGINT) AS y,
                 CAST(d AS BIGINT) AS h
          FROM hil10 ORDER BY h, l_orderkey, l_linenumber"""
+    },
+    // the 3-stream interleave replayed term for term
+    "q136_zorder3" -> {
+      val z = Layout.zValueNSql(Seq("l_partkey % 256",
+        "l_suppkey % 256", "l_orderkey % 256"), 8)
+      s"""SELECT l_orderkey, l_linenumber,
+                 l_partkey % 256 AS x, l_suppkey % 256 AS y,
+                 l_orderkey % 256 AS w,
+                 $z AS z
+          FROM lineitem
+          ORDER BY z, l_orderkey, l_linenumber LIMIT 300"""
+    },
+    // the full Skilling walk replayed: every (level, axis)
+    // invert/exchange CTE, the cumulative-XOR Gray encode, the
+    // top-axis correction, the transpose interleave
+    "q137_hilbert3" -> {
+      val (walk, last) = graft.ops.Layout.hilbertNSql("src", 3, 8,
+        Seq("l_orderkey", "l_linenumber", "xp", "yp", "wp"))
+      s"""WITH src AS (SELECT l_orderkey, l_linenumber,
+                l_partkey % 256 AS x0, l_suppkey % 256 AS x1,
+                l_orderkey % 256 AS x2,
+                l_partkey % 256 AS xp, l_suppkey % 256 AS yp,
+                l_orderkey % 256 AS wp
+              FROM lineitem),
+         $walk
+         SELECT l_orderkey, l_linenumber,
+                CAST(xp AS BIGINT) AS x, CAST(yp AS BIGINT) AS y,
+                CAST(wp AS BIGINT) AS w, CAST(h AS BIGINT) AS h
+         FROM $last ORDER BY h, l_orderkey, l_linenumber"""
     },
     // both sides of the drift arithmetic replayed (full null-safe
     // category join, rational contrib, same operation order)

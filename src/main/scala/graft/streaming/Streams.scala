@@ -331,7 +331,8 @@ object Streams {
     * the log-pipeline norm). Then t_{i-1} never moves EARLIER after a
     * step-i event was evaluated against it, so a discarded event could
     * never have become valid later — the fold is exactly the batch
-    * funnel. Out-of-order feeds need the batch form (or a reprocess).
+    * funnel. Out-of-order feeds use [[funnelEventsAvailableNow]],
+    * whose distinct-event-time state is exact under any batch order.
     *
     * State lands under `stateBase/run_ts=batch_NNNNNN` (the S8
     * versioned layout, same replay discipline as
@@ -398,6 +399,76 @@ object Streams {
       s"no funnel state under $stateBase — run the stream first")
     graft.ops.Funnels.funnelFromTimes(
       spark.read.parquet(s"$stateBase/run_ts=${versions.max}"), steps)
+  }
+
+  /** OUT-OF-ORDER-tolerant incremental funnel — the order-free
+    * sibling of [[funnelIncrementalAvailableNow]], built on the
+    * retention discipline: the state is the DISTINCT (u, et, ts)
+    * funnel-event table and the per-batch fold is a distinct-union —
+    * commutative and idempotent, so the result is exact under ANY
+    * batch order, replay, or duplication. The compact t1..tk fold
+    * cannot be: once it discards a step-i event as "too early", a
+    * LATE step-(i-1) arrival can re-validate it, and the discarded
+    * time is gone — a late-click-before-view batch silently
+    * under-converts (spec-pinned). Here the strict chain is derived
+    * at READ time from the folded event-time state
+    * ([[funnelFromEventState]] delegates to the oracle-checked batch
+    * [[graft.ops.Funnels.funnel]]), so late data can still move any
+    * step earlier, exactly as a batch recompute would. Note that
+    * folding per-step MINIMA alone would not be enough: the chain
+    * needs min{ts > t_{i-1}}, and which event that is changes as
+    * t_{i-1} moves — only the full distinct time set answers it.
+    *
+    * Cost shape: per run = new batch + one distinct merge keyed on
+    * (u, et, ts); state is bounded by distinct funnel-event times
+    * (duplicates and replays collapse; non-step events are filtered
+    * before the merge), not by run count. A deployment that needs
+    * the state smaller finalizes under a watermark — freeze users
+    * whose newest event is older than the watermark into compact
+    * t1..tk rows and drop their triples — the standard
+    * event-time-store compaction; the exact unbounded form is what
+    * the parity spec pins. */
+  def funnelEventsAvailableNow(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, steps: Seq[String],
+      stateBase: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    events.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val spark = batch.sparkSession
+        val ver = f"batch_$id%06d"
+        val fresh = batch.toDF().select(col(userCol).as("u"),
+            col(typeCol).as("et"), col(tsCol).cast("timestamp").as("ts"))
+          .filter(col("et").isin(steps: _*))
+          .distinct()
+        val acc = priorVersion(spark, stateBase, ver) match {
+          case Some(p) => spark.read.parquet(s"$stateBase/run_ts=$p")
+            .unionByName(fresh).distinct()
+          case None => fresh
+        }
+        acc.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$stateBase/run_ts=$ver")
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
+  /** The funnel result from the latest [[funnelEventsAvailableNow]]
+    * state: the strict chain over the folded distinct event times —
+    * literally the batch funnel on the state table, so the output
+    * contract (and the q117 oracle semantics) are inherited, not
+    * re-implemented. */
+  def funnelFromEventState(spark: SparkSession, stateBase: String,
+      steps: Seq[String]): DataFrame = {
+    val versions = scala.util.Try(
+      graft.sources.Sinks.runVersions(spark, stateBase))
+      .getOrElse(Seq.empty)
+    require(versions.nonEmpty,
+      s"no funnel event state under $stateBase — run the stream first")
+    graft.ops.Funnels.funnel(
+      spark.read.parquet(s"$stateBase/run_ts=${versions.max}"),
+      "u", "et", "ts", steps)
   }
 
   /** INCREMENTAL cohort retention as an AvailableNow stream: the state

@@ -126,6 +126,97 @@ class LayoutSpec extends AnyFunSuite {
     assert(h <= z + 1.0 / 16 + 1e-9, s"hilbert $h vs morton $z")
   }
 
+  test("zValueN: d=2 equals zValue2; d=3 matches the reference interleave") {
+    val two = Seq((5L, 3L)).toDF("x", "y")
+      .select(Layout.zValueN(Seq(col("x"), col("y")), 3).as("zn"),
+        Layout.zValue2(col("x"), col("y"), 3).as("z2")).head()
+    assert(two.getLong(0) === two.getLong(1))
+    // independent 3-stream reference
+    def zRef3(x: Long, y: Long, z: Long, bits: Int): Long = {
+      var v = 0L
+      var b = 0
+      while (b < bits) {
+        v |= ((x >> b) & 1L) << (3 * b)
+        v |= ((y >> b) & 1L) << (3 * b + 1)
+        v |= ((z >> b) & 1L) << (3 * b + 2)
+        b += 1
+      }
+      v
+    }
+    val n = 8L
+    val got = spark.range(0, n * n * n)
+      .select((col("id") / (n * n)).cast("long").as("x"),
+        pmod((col("id") / n).cast("long"), lit(n)).as("y"),
+        pmod(col("id"), lit(n)).as("z"))
+      .select(col("x"), col("y"), col("z"),
+        Layout.zValueN(Seq(col("x"), col("y"), col("z")), 3).as("zv"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(3) ===
+        zRef3(r.getLong(0), r.getLong(1), r.getLong(2), 3))
+    }
+    assert(got.map(_.getLong(3)).distinct.length === (n * n * n).toInt)
+  }
+
+  test("hilbertN: bijective on the 3-d grid, consecutive cells " +
+    "grid-adjacent; d=2 is a true Hilbert curve too") {
+    val bits = 3
+    val n = 1L << bits
+    val grid3 = spark.range(0, n * n * n)
+      .select((col("id") / (n * n)).cast("long").as("x"),
+        pmod((col("id") / n).cast("long"), lit(n)).as("y"),
+        pmod(col("id"), lit(n)).as("z"))
+    val rows = Layout.withHilbertN(grid3, Seq("x", "y", "z"), bits)
+      .select("h", "x", "y", "z").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    // bijection over the full cube
+    assert(rows.map(_._1).toSeq === (0L until n * n * n))
+    // the defining property: consecutive curve positions differ by
+    // exactly 1 in exactly one coordinate
+    rows.sliding(2).foreach { case Array((_, x0, y0, z0), (h1, x1, y1, z1)) =>
+      assert(math.abs(x1 - x0) + math.abs(y1 - y0) + math.abs(z1 - z0)
+        === 1L, s"jump at h=$h1: ($x0,$y0,$z0) -> ($x1,$y1,$z1)")
+    }
+    // the d=2 instance (different orientation than withHilbert's xy
+    // walk) satisfies the same property
+    val grid2 = spark.range(0, n * n)
+      .select((col("id") / n).cast("long").as("x"),
+        pmod(col("id"), lit(n)).as("y"))
+    val r2 = Layout.withHilbertN(grid2, Seq("x", "y"), bits)
+      .select("h", "x", "y").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(r2.map(_._1).toSeq === (0L until n * n))
+    r2.sliding(2).foreach { case Array((_, x0, y0), (h1, x1, y1)) =>
+      assert(math.abs(x1 - x0) + math.abs(y1 - y0) === 1L,
+        s"2-d jump at h=$h1")
+    }
+  }
+
+  test("3-dim slab: z3/hilbert3 clustering prunes what a 1-column sort " +
+    "cannot") {
+    val n = 32L
+    val cube = spark.range(0, n * n * n)
+      .select((col("id") / (n * n)).cast("long").as("x"),
+        pmod((col("id") / n).cast("long"), lit(n)).as("y"),
+        pmod(col("id") * 31, lit(n)).as("z"))
+    val cols = Seq("x", "y", "z")
+    // selective box on y and z only — the dims a plain x-sort ignores
+    val box = Seq((0L, n - 1), (4L, 11L), (4L, 11L))
+    def frac(df: org.apache.spark.sql.DataFrame): Double =
+      Layout.pruneFractionN(Layout.partitionStatsN(df, cols), cols, box)
+    val plain = frac(cube.repartitionByRange(16, col("x"))
+      .sortWithinPartitions("x"))
+    val z3 = frac(Layout.clusterByZN(cube, cols, bits = 5,
+      numPartitions = 16))
+    val h3 = frac(Layout.withHilbertN(cube, cols, bits = 5)
+      .repartitionByRange(16, col("h")).sortWithinPartitions("h"))
+    assert(plain >= 0.99, s"x-sort cannot prune a y/z box: $plain")
+    assert(z3 <= 0.5, s"z3 should skip most partitions: $z3")
+    assert(h3 <= 0.5, s"hilbert3 should skip most partitions: $h3")
+  }
+
   test("compactDir: fewer files, identical content, sane report") {
     val base = java.nio.file.Files
       .createTempDirectory("graft_compact_spec").toString + "/t"

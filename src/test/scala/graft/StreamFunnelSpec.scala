@@ -66,6 +66,76 @@ class StreamFunnelSpec extends AnyFunSuite {
     assert(want.head._3 > 0, "fixture should actually reach step 1")
   }
 
+  test("event-state funnel over OUT-OF-ORDER batches == batch funnel") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_sfun_ooo").toString
+    val ev = events.localCheckpoint()
+    // deliberately shuffled split (the retention spec's discipline):
+    // per-user event order is scrambled across batches — late clicks
+    // arrive before their views routinely
+    ev.filter(col("event_id") % 3 === 2)
+      .coalesce(1).write.parquet(s"$base/in/p0")
+    ev.filter(col("event_id") % 3 === 0)
+      .coalesce(1).write.parquet(s"$base/in/p1")
+    ev.filter(col("event_id") % 3 === 1)
+      .coalesce(1).write.parquet(s"$base/in/p2")
+
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$base/in/p*")
+    val q = Streams.funnelEventsAvailableNow(stream, "user_id",
+      "event_type", "ts", steps, s"$base/state", s"$base/ckpt")
+    q.awaitTermination(300000)
+
+    val got = funnelRows(
+      Streams.funnelFromEventState(spark, s"$base/state", steps))
+    val want = funnelRows(
+      Funnels.funnel(ev, "user_id", "event_type", "ts", steps))
+    assert(got === want)
+    assert(want.head._3 > 0)
+  }
+
+  test("late-click-before-view: compact fold under-converts, " +
+    "event-state fold is exact") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_sfun_late").toString
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // batch 0 delivers the DOWNSTREAM steps; the view that validates
+    // them lands late in batch 1 — the compact t1..tk fold has
+    // already discarded the click/purchase by then
+    val b0 = Seq((1L, "click", ts(20)), (1L, "purchase", ts(30)))
+    val b1 = Seq((1L, "view", ts(10)))
+    b0.toDF("user_id", "event_type", "ts")
+      .coalesce(1).write.parquet(s"$base/in/p0")
+    b1.toDF("user_id", "event_type", "ts")
+      .coalesce(1).write.parquet(s"$base/in/p1")
+    val schema = b0.toDF("user_id", "event_type", "ts").schema
+
+    def run(dir: String,
+        f: (org.apache.spark.sql.DataFrame, String) =>
+          org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/in/p*")
+      f(stream, dir).awaitTermination(300000)
+    }
+    run("compact", (s, d) => Streams.funnelIncrementalAvailableNow(
+      s, "user_id", "event_type", "ts", steps,
+      s"$base/$d/state", s"$base/$d/ckpt"))
+    run("events", (s, d) => Streams.funnelEventsAvailableNow(
+      s, "user_id", "event_type", "ts", steps,
+      s"$base/$d/state", s"$base/$d/ckpt"))
+
+    // the documented in-order precondition is violated: the compact
+    // fold converts only step 1
+    val compact = funnelRows(Streams.funnelFromState(
+      spark, s"$base/compact/state", steps)).map(r => (r._2, r._3))
+    assert(compact === Seq(("view", 1L), ("click", 0L), ("purchase", 0L)))
+    // the event-state fold recovers the full chain, = batch recompute
+    val exact = funnelRows(Streams.funnelFromEventState(
+      spark, s"$base/events/state", steps)).map(r => (r._2, r._3))
+    assert(exact === Seq(("view", 1L), ("click", 1L), ("purchase", 1L)))
+  }
+
   test("streaming retention over OUT-OF-ORDER batches == batch retention") {
     val base = java.nio.file.Files
       .createTempDirectory("graft_sret").toString
