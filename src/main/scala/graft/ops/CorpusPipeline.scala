@@ -43,7 +43,10 @@ object CorpusPipeline {
       minAlpha: Double = 0.9,
       maxStopword: Double = 0.5,
       langs: Seq[String] = Seq("en", "de", "fr"),
-      minJaccard: Double = 0.75,
+      // lexical near-dup stage dials — the SHARED config type both
+      // capstones take ([[graft.ops.Dedup.NearDupConfig]]); the media
+      // capstone threads the same type through its three grains
+      nearDup: Dedup.NearDupConfig = Dedup.NearDupConfig(),
       contaminationNgram: Int = 8,
       contaminationThreshold: Double = 0.1,
       totalTarget: Long = 200L,
@@ -165,7 +168,9 @@ object CorpusPipeline {
 
   private[graft] def dedupStage(gated: DataFrame, cfg: Config): DataFrame = {
     val reps = Dedup.corpusDedup(gated, "doc_id", "text",
-        minJaccard = cfg.minJaccard)
+        k = cfg.nearDup.k, bands = cfg.nearDup.bands,
+        minJaccard = cfg.nearDup.minJaccard,
+        maxBucket = cfg.nearDup.maxBucket)
       .filter(col("is_rep")).select("doc_id")
     gated.join(reps, "doc_id")
   }

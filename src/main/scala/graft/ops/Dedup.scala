@@ -38,6 +38,24 @@ object Dedup {
     * single bucket, not the corpus, is the job. */
   val defaultMaxBucket: Int = 1 << 16
 
+  /** The shared near-duplicate tuning dials — ONE type for every
+    * fuzzy grain in both capstones (text [[graft.ops.CorpusPipeline]]
+    * and media [[graft.ops.MediaCuration]]): signature size, LSH
+    * banding, the audited bucket cap, and the two similarity
+    * thresholds — `minJaccard` for the set-similarity grains (token
+    * shingles, audio landmark 3-grams, video frame shingles),
+    * `minSim` for the cosine grains (image grid features, embedding
+    * vectors). Call sites pick their own VALUES (text dedup ships
+    * 0.75 Jaccard, the media fingerprint grains 0.5, image cosine
+    * 0.98); what is shared is the dial surface, so tuning one
+    * capstone reads identically to tuning the other. */
+  case class NearDupConfig(
+      k: Int = 8,
+      bands: Int = 2,
+      maxBucket: Int = defaultMaxBucket,
+      minJaccard: Double = 0.75,
+      minSim: Double = 0.98)
+
   /** Eager per-bucket size audit before an LSH-style pairwise
     * self-join — the skew guard for pathological buckets. Upstream
     * signature collapse removes IDENTICAL signatures, but thousands of

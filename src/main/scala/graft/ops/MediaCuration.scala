@@ -65,9 +65,19 @@ object MediaCuration {
     ids.select(col("id"), lit(status).as("status"),
       col("id").as("rep_id"))
 
+  /** Media-grain defaults for the shared [[Dedup.NearDupConfig]]
+    * dials: 0.98 cosine on image grid features (nearest-neighbor
+    * resizes land at 1.0, distinct block layouts never clear it),
+    * 0.5 Jaccard on the audio-landmark / video-frame-shingle
+    * fingerprint grams (a clip/splice keeps about two-thirds of its
+    * source's grams). */
+  val mediaNearDupDefaults: Dedup.NearDupConfig =
+    Dedup.NearDupConfig(minSim = 0.98, minJaccard = 0.5)
+
   def curateImages(df: DataFrame, idCol: String,
       minWidth: Int = 16, minHeight: Int = 16,
-      nearSim: Double = 0.98, nearMaxId: Long = 1000000L,
+      nearDup: Dedup.NearDupConfig = mediaNearDupDefaults,
+      nearMaxId: Long = 1000000L,
       grid: Int = 4): DataFrame = {
     val media = df.select(col(idCol).cast("long").as("id"), col("media"))
     val meta = Multimodal.decodeImageMetaBatch(media, "id")
@@ -85,7 +95,7 @@ object MediaCuration {
     val curated = dedupManifold(gatedMedia,
       Multimodal.imageDedup(gatedMedia, "id"),
       reps => Multimodal.imageNearDupPairs(reps, "id", nearMaxId,
-        nearSim, grid))
+        nearDup.minSim, grid))
 
     curated
       .unionByName(selfStatus(undecodable, "undecodable"))
@@ -100,7 +110,7 @@ object MediaCuration {
   def curateMedia(df: DataFrame, idCol: String,
       minWidth: Int = 16, minHeight: Int = 16,
       minAudioFrames: Long = 1024L, minVideoFrames: Int = 2,
-      imageNearSim: Double = 0.98, avMinJaccard: Double = 0.5,
+      nearDup: Dedup.NearDupConfig = mediaNearDupDefaults,
       nearMaxId: Long = 1000000L,
       grid: Int = 4, audioFftN: Int = 256): DataFrame = {
     val classified = Multimodal.classifyMediaBatch(
@@ -110,7 +120,7 @@ object MediaCuration {
 
     // images: delegate to the single-modality capstone (same manifold)
     val imageManifest = curateImages(slice("image"), "id",
-      minWidth, minHeight, imageNearSim, nearMaxId, grid)
+      minWidth, minHeight, nearDup, nearMaxId, grid)
       .select(col("id"), lit("image").as("modality"), col("status"),
         col("rep_id"))
 
@@ -129,7 +139,7 @@ object MediaCuration {
     val audioManifest = dedupManifold(audioGated,
       Multimodal.audioDedup(audioGated, "id"),
       reps => Multimodal.audioNearDupPairsScale(reps, "id", audioFftN,
-        avMinJaccard))
+        nearDup.minJaccard, nearDup.maxBucket))
       .unionByName(selfStatus(
         audioMeta.filter(col("n_samples").isNull).select("id"),
         "undecodable"))
@@ -152,7 +162,7 @@ object MediaCuration {
     val videoManifest = dedupManifold(videoGated,
       Multimodal.videoDedup(videoGated, "id"),
       reps => Multimodal.videoNearDupPairsScale(reps, "id",
-        avMinJaccard))
+        nearDup.minJaccard, nearDup.maxBucket))
       .unionByName(selfStatus(
         videoMeta.filter(col("width").isNull).select("id"),
         "undecodable"))

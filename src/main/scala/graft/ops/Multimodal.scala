@@ -1114,9 +1114,10 @@ object Multimodal {
   /** Corpus-scale form of [[videoNearDupPairs]] — the
     * [[audioNearDupPairsScale]] discipline over frame-key shingles. */
   def videoNearDupPairsScale(df: DataFrame, idCol: String,
-      minJaccard: Double = 0.5): DataFrame =
+      minJaccard: Double = 0.5,
+      maxBucket: Int = Dedup.defaultMaxBucket): DataFrame =
     Dedup.ngramJaccardPairsSparse(videoFingerprintBatch(df, idCol),
-      "id", "fp", n = 3, minJaccard = minJaccard)
+      "id", "fp", n = 3, minJaccard = minJaccard, maxBucket = maxBucket)
 
   /** Video near-dup corpus with planted RE-CUTS: ids carry 12
     * distinct hash-block frames each; id ≡ 9 (mod 10) is its decade
@@ -1371,9 +1372,10 @@ object Multimodal {
     * bounded brute-force panel. Identical output on any corpus where
     * the bounded form's panel covers all ids. */
   def audioNearDupPairsScale(df: DataFrame, idCol: String,
-      fftN: Int = 256, minJaccard: Double = 0.5): DataFrame =
+      fftN: Int = 256, minJaccard: Double = 0.5,
+      maxBucket: Int = Dedup.defaultMaxBucket): DataFrame =
     Dedup.ngramJaccardPairsSparse(audioFingerprintBatch(df, idCol, fftN),
-      "id", "fp", n = 3, minJaccard = minJaccard)
+      "id", "fp", n = 3, minJaccard = minJaccard, maxBucket = maxBucket)
 
   /** Per-id "chirp" fixture: window w carries EXACTLY binOf(id, w)
     * cycles (an integer per window), so each window's FFT peak is the

@@ -417,9 +417,32 @@ object ScaleQueries {
     // noise. Rows-only (no zlib in the oracle); TextAnalysisSpec pins
     // ordering (repeated < prose < random), bounds, null/empty, and
     // determinism.
-    "q89_compression" -> ((s, dir) =>
-      TextAnalysis.compressionFeatures(t(s, dir, "documents"), "doc_id",
-        "text").orderBy("doc_id")),
+    // compression-ratio quality gate, ORACLE-CHECKED with the q56
+    // in-plan-bounds idiom: the raw deflate byte counts are
+    // zlib-version-dependent (the reason this row was rows-only
+    // through r12), so the query emits the exact cross-engine anchors
+    // (doc_id, n_chars) plus BOOLEAN bounds evaluated in-plan —
+    // ratio ∈ (0, 1.1] and a same-length repeated-char payload
+    // compressing at least as well as the document — and the oracle
+    // replays the anchors and states the bounds as literal TRUEs.
+    // Short docs (< 32 chars, where deflate framing dominates) pass
+    // vacuously. The ratio VALUES stay spec-pinned
+    // (TextAnalysisSpec: repeated < prose < random ordering, (0,1.1]
+    // envelope, determinism) via compressionFeatures directly.
+    "q89_compression" -> ((s, dir) => {
+      val txt = coalesce(col("text"), lit(""))
+      val r = graft.functions.GraftFunctions.deflateRatio(txt)
+      val rep = graft.functions.GraftFunctions.deflateRatio(
+        repeat(lit("a"), length(txt).cast("int")))
+      t(s, dir, "documents").select(
+          col("doc_id"),
+          length(txt).cast("long").as("n_chars"),
+          (length(txt) < 32 || (r > 0 && r <= lit(1.1)))
+            .as("ratio_bounded"),
+          (length(txt) < 32 || rep <= r + lit(0.01))
+            .as("repeat_leq_text"))
+        .orderBy("doc_id")
+    }),
 
     // corpus diversity: fraction of each doc's distinct 8-gram shingles
     // occurring in NO other document (audit-family hashes, q59 machinery)
@@ -2993,6 +3016,15 @@ object ScaleQueries {
                 CAST(d AS BIGINT) AS h
          FROM hil10 ORDER BY h, l_orderkey, l_linenumber"""
     },
+    // the q56 bounds idiom: exact anchors + literal TRUEs for the
+    // zlib-version-dependent deflate bounds the Spark side asserts
+    // in-plan
+    "q89_compression" ->
+      """SELECT doc_id,
+                CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars,
+                TRUE AS ratio_bounded,
+                TRUE AS repeat_leq_text
+         FROM documents ORDER BY doc_id""",
     // the 3-stream interleave replayed term for term
     "q136_zorder3" -> {
       val z = Layout.zValueNSql(Seq("l_partkey % 256",

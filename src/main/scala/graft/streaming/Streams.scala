@@ -238,8 +238,7 @@ object Streams {
   def ingestAvailableNow(docs: DataFrame, evalSet: DataFrame,
       stateBase: String, candBase: String, checkpoint: String,
       cfg: graft.ops.CorpusPipeline.Config =
-        graft.ops.CorpusPipeline.Config(),
-      k: Int = 8, bands: Int = 2)
+        graft.ops.CorpusPipeline.Config())
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
@@ -277,10 +276,11 @@ object Streams {
         val next = priorState match {
           case None =>
             graft.ops.Dedup.corpusSigState(fresh, "doc_id", "text",
-              k, bands, cfg.minJaccard)
+              cfg.nearDup.k, cfg.nearDup.bands, cfg.nearDup.minJaccard)
           case Some(st) =>
             graft.ops.Dedup.corpusDedupIncremental(st,
-              fresh, "doc_id", "text", k, bands, cfg.minJaccard)
+              fresh, "doc_id", "text",
+              cfg.nearDup.k, cfg.nearDup.bands, cfg.nearDup.minJaccard)
         }
         next.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
           .parquet(s"$stateBase/run_ts=$ver")

@@ -398,8 +398,9 @@ class CorpusPipelineSpec extends AnyFunSuite {
       ((99L, "en", txt(1200)))).toDF("doc_id", "lang", "text")
     val eval = Seq((1000L, "nothing shared here")).toDF("doc_id", "text")
     val cfg = CorpusPipeline.Config(minTokens = 4, minAlpha = 0.0,
-      maxStopword = 1.0, minJaccard = 0.99, totalTarget = 100L,
-      outlierZ = 3.5)
+      maxStopword = 1.0,
+      nearDup = graft.ops.Dedup.NearDupConfig(minJaccard = 0.99),
+      totalTarget = 100L, outlierZ = 3.5)
     val base = java.nio.file.Files
       .createTempDirectory("graft_outlier_staged").toString
     val (_, repA) = CorpusPipeline.buildStaged(docs, eval, base, cfg)

@@ -187,7 +187,9 @@ class MediaCurationSpec extends AnyFunSuite {
     // thresholds unreachable → statuses are kept/exact_dup/undecodable
     val want = MediaCuration.curateMedia(corpus, "id",
         minWidth = 0, minHeight = 0, minAudioFrames = 0L,
-        minVideoFrames = 0, imageNearSim = 1.01, avMinJaccard = 1.01,
+        minVideoFrames = 0,
+        nearDup = graft.ops.Dedup.NearDupConfig(
+          minSim = 1.01, minJaccard = 1.01),
         nearMaxId = 60L)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
         r.getLong(3))).toSet
