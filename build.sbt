@@ -31,5 +31,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: local[32] runs 32 concurrent tasks against ONE
+  // unified memory region; the r13 sf10 rehearsal showed 8g leaves
+  // ~140 MB execution memory per task — q80c's corpus-scale pair
+  // aggregation OOMed at hash-map init. The box has 128 GiB; 16g is
+  // still conservative. Override with SPARK_DRIVER_MEM.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Dev probe (not driver contract): separate the IVF-PQ BUILD cost
+  * from the SEARCH cost — the q88 bench row times both together, so
+  * the r13 corpus-sized-cells fix (`targetPerCell`) is invisible in
+  * it: a fresh build is corpus-proportional no matter how the cells
+  * are sized (one encode pass over every vector), while the number a
+  * deployed index user pays per query batch is the SEARCH, whose
+  * probed-cells scan is what `targetPerCell` bounds.
+  *
+  * For fixed nLists=16 and auto cells (targetPerCell=1280), builds
+  * the index once, then times `ivfPqSearch` (compressed-domain ADC +
+  * exact re-rank) three times — warm numbers are the claim: fixed
+  * cells scan nProbe·N/16 codes per query and grow linearly with the
+  * corpus; auto cells scan ~nProbe·1280 and stay flat. Arg 1 = sfDir.
+  */
+object Q88Probe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val spark = GraftSession.local(
+      math.min(32, Runtime.getRuntime.availableProcessors()))
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    val emb = graft.sources.Tables(spark, sfDir, "embeddings")
+    val nQ = 10
+    val corpus = emb.filter(col("vec_id") >= nQ).localCheckpoint()
+    val queries = emb.filter(col("vec_id") < nQ).localCheckpoint()
+    println("[q88probe] corpus vectors: " + corpus.count())
+
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[q88probe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+    }
+
+    for ((label, tpc) <- Seq(("fixed nLists=16", 0),
+        ("auto targetPerCell=1280", 1280))) {
+      time(s"build ($label)") {
+        graft.ops.Similarity.ivfPqBuild(corpus, "vec_id", "embedding",
+          dim = 64, targetPerCell = tpc).codes.count()
+      }
+      val built = graft.ops.Similarity.ivfPqBuild(corpus, "vec_id",
+        "embedding", dim = 64, targetPerCell = tpc)
+      // materialize the code table once — a deployed index is the
+      // PERSISTED form (ivfPqSave); searching the lazy build frame
+      // would re-run the whole corpus encode per query batch
+      val index = built.copy(codes = built.codes.localCheckpoint())
+      println(s"[q88probe] $label -> ${index.nLists} cells")
+      for (i <- 1 to 3)
+        time(s"search $i ($label)") {
+          graft.ops.Similarity.ivfPqSearch(index, queries, "vec_id",
+            "embedding", k = 5, nProbe = 4, rerank = 32,
+            exact = Some(corpus.select(col("vec_id"), col("embedding"))),
+            exactIdCol = "vec_id", exactVecCol = "embedding").count()
+        }
+      // compressed-only: no exact re-rank (whose corpus scan is a
+      // shared linear floor) — isolates the probed-cells ADC scan the
+      // cell sizing governs
+      for (i <- 1 to 3)
+        time(s"adc-only $i ($label)") {
+          graft.ops.Similarity.ivfPqSearch(index, queries, "vec_id",
+            "embedding", k = 5, nProbe = 4, rerank = 0).count()
+        }
+    }
+    spark.stop()
+  }
+}
