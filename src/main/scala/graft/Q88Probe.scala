@@ -63,6 +63,19 @@ object Q88Probe {
             "embedding", k = 5, nProbe = 4, rerank = 0).count()
         }
     }
+    // keepRaw (IVFFlat-refine) layout: the index stores vhat next to
+    // its codes, so the exact re-rank is probed-cells-bounded too —
+    // the full search should land near the adc-only floor
+    val builtRaw = graft.ops.Similarity.ivfPqBuild(corpus, "vec_id",
+      "embedding", dim = 64, targetPerCell = 1280, keepRaw = true)
+    val rawIdx = builtRaw.copy(codes = builtRaw.codes.localCheckpoint())
+    println(s"[q88probe] keepRaw auto -> ${rawIdx.nLists} cells")
+    for (i <- 1 to 3) {
+      time(s"search+rerank $i (keepRaw auto)") {
+        graft.ops.Similarity.ivfPqSearch(rawIdx, queries, "vec_id",
+          "embedding", k = 5, nProbe = 4, rerank = 32).count()
+      }
+    }
     spark.stop()
   }
 }

@@ -1038,10 +1038,18 @@ object Similarity {
     * ([[autoCellCount]]) — at a growing corpus the probed-cells scan
     * stays ~nProbe·targetPerCell codes per query instead of growing
     * with N/nLists; the built index's [[IvfPqIndex.nLists]] records
-    * the EFFECTIVE count, so search/save/load/append are unchanged. */
+    * the EFFECTIVE count, so search/save/load/append are unchanged.
+    * `keepRaw = true` stores the unit vector NEXT TO its codes (the
+    * FAISS IVFFlat-refine layout): the persisted form partitions it
+    * by cell, so exact re-rank reads only the probed cells' files
+    * instead of normalizing and scanning the whole raw corpus —
+    * Q88Probe measured that scan as the search path's one remaining
+    * linear floor. Costs dim doubles per vector of storage; the
+    * codes-only form remains the default 32× compact layout. */
   def ivfPqBuild(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       nLists: Int = 16, m: Int = 8, ks: Int = 256, seed: Long = 42L,
-      fitSampleMod: Int = 1, targetPerCell: Int = 0): IvfPqIndex = {
+      fitSampleMod: Int = 1, targetPerCell: Int = 0,
+      keepRaw: Boolean = false): IvfPqIndex = {
     require(dim % m == 0, s"m ($m) must divide dim ($dim)")
     val spark = df.sparkSession
     import spark.implicits._
@@ -1075,7 +1083,7 @@ object Similarity {
       lloyds(sub, ks, iters = 5, new scala.util.Random(seed + 1 + j))
     }
     val index = IvfPqIndex(dim, effLists, m, ks, centers, books, null)
-    index.copy(codes = encodeWithQuantizers(index, corpus))
+    index.copy(codes = encodeWithQuantizers(index, corpus, keepRaw))
   }
 
   /** Corpus-sized encode pass against FROZEN quantizers: cell
@@ -1084,12 +1092,12 @@ object Similarity {
     * initial build and [[ivfPqAppend]]. Input must be the
     * [[unitVectors]] form (id, vhat). */
   private def encodeWithQuantizers(index: IvfPqIndex,
-      unit: DataFrame): DataFrame = {
+      unit: DataFrame, keepRaw: Boolean = false): DataFrame = {
     val spark = unit.sparkSession
     import spark.implicits._
     val centroidDf = index.centers.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "centroid")
-    unit.select(col("id").as("cid"), col("vhat"))
+    val encoded = unit.select(col("id").as("cid"), col("vhat"))
       .withColumn("cell",
         element_at(graft.functions.GraftFunctions.pqEncode(col("vhat"),
           Array(index.centers)), 1))
@@ -1097,7 +1105,8 @@ object Similarity {
       .withColumn("codes", graft.functions.GraftFunctions.pqEncode(
         zip_with(col("vhat"), col("centroid"), (x, c) => x - c),
         index.books))
-      .select("cid", "cell", "codes")
+    if (keepRaw) encoded.select("cid", "cell", "codes", "vhat")
+    else encoded.select("cid", "cell", "codes")
   }
 
   /** Incremental index maintenance — the operational mode a growing
@@ -1112,7 +1121,8 @@ object Similarity {
   def ivfPqAppend(index: IvfPqIndex, df: DataFrame, idCol: String,
       vecCol: String): IvfPqIndex =
     index.copy(codes = index.codes.unionByName(
-      encodeWithQuantizers(index, unitVectors(df, idCol, vecCol))))
+      encodeWithQuantizers(index, unitVectors(df, idCol, vecCol),
+        keepRaw = index.codes.columns.contains("vhat"))))
 
   /** [[ivfPqAppend]] against a PERSISTED index: encodes the batch with
     * the stored quantizers and writes it as the NEXT batch directory
@@ -1206,8 +1216,15 @@ object Similarity {
     val books = Array.tabulate(m) { j =>
       q.filter(p => p._1 == "pq" && p._2 == j).sortBy(_._3).map(_._4)
     }
+    val codes = spark.read.parquet(s"$path/codes")
+    // keepRaw indexes persist vhat next to the codes (IVFFlat-refine
+    // layout — cell-partitioned, so the re-rank read prunes to the
+    // probed cells' files); carry it through when present
+    val codeCols =
+      if (codes.columns.contains("vhat")) Seq("cid", "cell", "codes", "vhat")
+      else Seq("cid", "cell", "codes")
     IvfPqIndex(dim, nLists, m, ks, centers, books,
-      spark.read.parquet(s"$path/codes").select("cid", "cell", "codes"))
+      codes.select(codeCols.map(col): _*))
   }
 
   /** Search an index: queries is a (qidCol, vecCol) frame, collected
@@ -1259,18 +1276,36 @@ object Similarity {
           sequence(lit(0), lit(m - 1)),
           (c, j) => element_at(col("lut"), (j * lit(ks) + c + 1).cast("int"))),
         lit(0.0), (acc, x) => acc + x))
-    exact match {
-      case Some(vecs) if rerank > k =>
-        val shortlist = topKPerQuery(adc, rerank).select("qid", "cid")
-        val qvec = qRows.toSeq.toDF("qid", "qv")
-        val rescored = unitVectors(vecs, exactIdCol, exactVecCol)
-          .select(col("id").as("cid"), col("vhat"))
-          .join(broadcast(shortlist), "cid")
-          .join(broadcast(qvec), "qid")
-          .withColumn("sim", dot(col("qv"), col("vhat")))
-        topKPerQuery(rescored, k)
-      case _ => topKPerQuery(adc, k)
-    }
+    // exact re-rank candidate source, cheapest first:
+    //  (a) a keepRaw index stores vhat NEXT TO the codes — the FAISS
+    //      IVFFlat-refine layout: candidates come from the PROBED
+    //      cells of the index's own table (persisted form: partition
+    //      pruning reads only those cells' files), so re-rank work is
+    //      probed-cells-bounded like the ADC scan, not a normalize +
+    //      scan of the whole raw corpus;
+    //  (b) otherwise the caller-supplied `exact` frame — a full
+    //      corpus unit-normalize + broadcast semi-join, the linear
+    //      floor the r13 Q88Probe measured.
+    // Both paths re-rank with dot(qv, vhat) over the same unit
+    // vectors, so results are bit-identical (spec-pinned).
+    val hasRaw = index.codes.columns.contains("vhat")
+    if (rerank > k && (hasRaw || exact.isDefined)) {
+      val shortlist = topKPerQuery(adc, rerank).select("qid", "cid")
+      val qvec = qRows.toSeq.toDF("qid", "qv")
+      val candidates =
+        if (hasRaw)
+          index.codes
+            .join(broadcast(probes.select("cell").distinct()), "cell")
+            .select(col("cid"), col("vhat"))
+        else
+          unitVectors(exact.get, exactIdCol, exactVecCol)
+            .select(col("id").as("cid"), col("vhat"))
+      val rescored = candidates
+        .join(broadcast(shortlist), "cid")
+        .join(broadcast(qvec), "qid")
+        .withColumn("sim", dot(col("qv"), col("vhat")))
+      topKPerQuery(rescored, k)
+    } else topKPerQuery(adc, k)
   }
 
   // ---- embedding pooling: chunk/token vectors -> one vector per group ----

@@ -378,6 +378,47 @@ class SimilaritySpec extends AnyFunSuite {
     assert(viaIndex.toSeq === direct.toSeq)
   }
 
+  test("keepRaw index: re-rank from stored vhat == exact-frame re-rank, " +
+    "survives save/load/append") {
+    val corpus = emb.filter(col("vec_id") >= 5)
+    val queries = emb.filter(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    // same unit vectors feed both re-rank paths → bit-identical output
+    val plain = Similarity.ivfPqBuild(corpus, "vec_id", "embedding",
+      dim = 64)
+    val raw = Similarity.ivfPqBuild(corpus, "vec_id", "embedding",
+      dim = 64, keepRaw = true)
+    assert(raw.codes.columns.contains("vhat"))
+    val viaExact = rows(Similarity.ivfPqSearch(plain, queries, "vec_id",
+      "embedding", k = 3,
+      exact = Some(corpus.select(col("vec_id"), col("embedding"))),
+      exactIdCol = "vec_id", exactVecCol = "embedding"))
+    // NO exact frame passed — the index itself carries the vectors
+    val viaRaw = rows(Similarity.ivfPqSearch(raw, queries, "vec_id",
+      "embedding", k = 3))
+    assert(viaRaw === viaExact)
+    // persisted round-trip keeps the vhat column (cell-partitioned)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_raw")
+      .toString + "/index"
+    Similarity.ivfPqSave(raw, dir)
+    val loaded = Similarity.ivfPqLoad(spark, dir)
+    assert(loaded.codes.columns.contains("vhat"))
+    assert(rows(Similarity.ivfPqSearch(loaded, queries, "vec_id",
+      "embedding", k = 3)) === viaExact)
+    // append inherits the schema: new batch's vectors are re-rankable
+    val appended = Similarity.ivfPqAppend(loaded,
+      emb.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")),
+      "vec_id", "embedding")
+    val hits = rows(Similarity.ivfPqSearch(appended, queries, "vec_id",
+      "embedding", k = 1))
+    // each query's planted copy (itself, shifted id) is its top-1 at sim ~1
+    assert(hits.forall { case (qid, _, cid, sim) =>
+      cid == qid + 100000L && sim > 0.999 })
+  }
+
   test("ivfPq index: compressed-only search works without the exact frame") {
     val corpus = emb.filter(col("vec_id") >= 5)
     val index = Similarity.ivfPqBuild(corpus, "vec_id", "embedding",
