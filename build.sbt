@@ -31,10 +31,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 16g default: local[32] runs 32 concurrent tasks against ONE
-  // unified memory region; the r13 sf10 rehearsal showed 8g leaves
-  // ~140 MB execution memory per task — q80c's corpus-scale pair
-  // aggregation OOMed at hash-map init. The box has 128 GiB; 16g is
-  // still conservative. Override with SPARK_DRIVER_MEM.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // 8g default is the BENCH-SCALE posture: a 16g heap was measured
+  // costing 8-15% on the sf0.1 headline (GC behavior), while 8g
+  // leaves ~140 MB execution memory per concurrent task — enough
+  // through sf1, but the r13 sf10 rehearsal OOMed q80c's pair-count
+  // aggregation at hash-map init under it. Local runs at >= sf10 set
+  // SPARK_DRIVER_MEM=16g; on a real cluster the same dial is
+  // executor memory per core (see SCALING.md round 13).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

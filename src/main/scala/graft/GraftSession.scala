@@ -32,19 +32,18 @@ object GraftSession {
     "spark.sql.shuffle.partitions" -> shufflePartitions.toString,
     "spark.sql.adaptive.enabled" -> "true",
     "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
-    // Shuffles START 8x wider than the static setting and AQE
-    // coalesces back down per-stage (parallelismFirst keeps small
-    // stages at ~`shufflePartitions`, so fixture-scale plans are
-    // unchanged in effect). The width only materializes when a stage
-    // is genuinely large — which is exactly when a final hash
-    // aggregation's per-task state must shrink to fit execution
-    // memory: the r13 sf10 rehearsal OOMed q80c's pair-count
-    // aggregation at a static 32 (≥10M distinct pairs per task ×
-    // 32 concurrent tasks exhausted the unified region at map INIT,
-    // where the sort-spill fallback cannot engage). Runtime re-plan,
-    // not hand-tuned per-query widths, is the 100 TB posture.
-    "spark.sql.adaptive.coalescePartitions.initialPartitionNum" ->
-      (shufflePartitions * 8).toString,
+    // NOTE (r13): an 8× adaptive.coalescePartitions.initialPartitionNum
+    // was tried here after the sf10 rehearsal OOMed q80c's pair-count
+    // aggregation — it fixed the OOM but taxed every exchange: the
+    // iterative family pays per ROUND (PageRank 3.0 → 5.6 s at sf0.1,
+    // +85%) and sub-second queries picked up ~0.3 s of AQE machinery.
+    // The OOM root cause was heap, not width: 8g across 32 concurrent
+    // tasks left ~140 MB execution memory each, below the hash map's
+    // INIT allocation (where the sort-spill fallback cannot engage).
+    // The 16g default driver heap (build.sbt) fixes q80c at sf10 with
+    // the static width intact — measured post-revert. On a real
+    // cluster the equivalent dial is executor memory per core, not
+    // shuffle width.
     "spark.sql.adaptive.skewJoin.enabled" -> "true",
     "spark.sql.files.maxPartitionBytes" -> (256L * 1024 * 1024).toString,
     "spark.sql.session.timeZone" -> "UTC")
