@@ -1167,7 +1167,10 @@ object Similarity {
   def ivfPqAppendVersioned(spark: SparkSession, path: String,
       df: DataFrame, idCol: String, vecCol: String, ver: String): Unit = {
     val index = ivfPqLoad(spark, path)
-    encodeWithQuantizers(index, unitVectors(df, idCol, vecCol))
+    // a keepRaw index's appends must carry vhat too, or the new
+    // batch's rows would re-rank against null vectors
+    encodeWithQuantizers(index, unitVectors(df, idCol, vecCol),
+      keepRaw = index.codes.columns.contains("vhat"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/codes/batch=$ver")
     // a replay OVERWRITE replaces part files in place — refresh any
@@ -1223,8 +1226,78 @@ object Similarity {
     val codeCols =
       if (codes.columns.contains("vhat")) Seq("cid", "cell", "codes", "vhat")
       else Seq("cid", "cell", "codes")
-    IvfPqIndex(dim, nLists, m, ks, centers, books,
-      codes.select(codeCols.map(col): _*))
+    val selected = codes.select(codeCols.map(col): _*)
+    // tombstones (takedowns) filter at READ time — a broadcast
+    // anti-join on cid, so no stored code is touched by a delete
+    val live = tombstoneIds(spark, path) match {
+      case Some(ts) => selected.join(broadcast(ts), Seq("cid"), "left_anti")
+      case None => selected
+    }
+    IvfPqIndex(dim, nLists, m, ks, centers, books, live)
+  }
+
+  private def tombstoneIds(spark: SparkSession,
+      path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)
+      .select("cid").distinct())
+    else None
+  }
+
+  /** TAKEDOWN support for a persisted index — the operation a corpus
+    * under deletion requests (rights removals, contamination
+    * discoveries) needs without a rebuild: append the ids as a
+    * TOMBSTONE batch under `<path>/tombstones/batch=<ver>`; no stored
+    * code moves. [[ivfPqLoad]] anti-joins tombstones at read time
+    * (broadcast — the tombstone set is takedown-sized, not
+    * corpus-sized), so every search over a re-loaded index is clean.
+    * A tombstone kills its id across ALL batches visible at read
+    * time, including any later re-append of the same id — re-adding
+    * a previously deleted id requires [[ivfPqVacuum]] first (the
+    * caller owns id discipline, as with append). The versioned write
+    * is replay-idempotent (same S8 overwrite discipline as
+    * [[ivfPqAppendVersioned]]). */
+  def ivfPqDelete(spark: SparkSession, path: String, ids: DataFrame,
+      idCol: String, ver: String): Unit = {
+    ids.select(col(idCol).cast("long").as("cid")).distinct()
+      .write.mode("overwrite")
+      .parquet(s"$path/tombstones/batch=$ver")
+    spark.catalog.refreshByPath(s"$path/tombstones")
+  }
+
+  /** Physical reclamation of tombstoned codes: rewrite the live code
+    * set (tombstones applied) as a single fresh batch, swap it in
+    * with the two-rename discipline ([[graft.ops.Layout.compactDir]]'s
+    * shape), and drop the tombstone directory. Run when the tombstone
+    * fraction makes the read-time anti-join or the dead bytes worth
+    * reclaiming; between vacuums, deletes stay O(takedown). Returns
+    * the reloaded index. */
+  def ivfPqVacuum(spark: SparkSession, path: String): IvfPqIndex = {
+    val live = ivfPqLoad(spark, path).codes
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val codesPath = new org.apache.hadoop.fs.Path(s"$path/codes")
+    val fs = codesPath.getFileSystem(hconf)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/codes.__vacuum_tmp")
+    val old = new org.apache.hadoop.fs.Path(s"$path/codes.__vacuum_old")
+    live.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$tmp/batch=v0")
+    fs.delete(old, true)
+    require(fs.rename(codesPath, old),
+      s"ivfPqVacuum: could not move $codesPath aside")
+    val installed =
+      try fs.rename(tmp, codesPath)
+      catch { case e: Throwable => fs.rename(old, codesPath); throw e }
+    if (!installed) {
+      require(fs.rename(old, codesPath),
+        s"ivfPqVacuum: install AND rollback failed — recover from $old")
+      throw new IllegalStateException(
+        s"ivfPqVacuum: could not install $tmp; original codes restored")
+    }
+    fs.delete(old, true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+    spark.catalog.refreshByPath(s"$path/codes")
+    ivfPqLoad(spark, path)
   }
 
   /** Search an index: queries is a (qidCol, vecCol) frame, collected

@@ -454,6 +454,60 @@ object Streams {
       .start()
   }
 
+  /** Watermark compaction for the [[funnelEventsAvailableNow]] state
+    * — the size-control half of the order-free design. A user whose
+    * NEWEST event is older than `watermark` is FROZEN: under the
+    * watermark contract (no arriving event carries ts < watermark),
+    * every event that user ever receives from now on is LATER than
+    * all their recorded times, so none of their step times t_i can
+    * move and a discarded non-chain time can never become selectable
+    * (step i's rejects were all ≤ t_{i-1}, which is now final).
+    * Their triples therefore collapse EXACTLY to the chain rows
+    * {(u, step_i, t_i) : t_i non-null} — at most k rows per user —
+    * while recent users keep full event-time state. The compacted
+    * state keeps the (u, et, ts) triple format, so the fold and
+    * [[funnelFromEventState]] are untouched; it lands as version
+    * `<latest>_c` (string-sorts between the latest batch and the
+    * next, so the next micro-batch folds from it). Returns the
+    * compacted frame. */
+  def funnelEventStateCompact(spark: SparkSession, stateBase: String,
+      steps: Seq[String],
+      watermark: java.sql.Timestamp): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val versions = scala.util.Try(
+      graft.sources.Sinks.runVersions(spark, stateBase))
+      .getOrElse(Seq.empty)
+    require(versions.nonEmpty,
+      s"no funnel event state under $stateBase — run the stream first")
+    val latest = versions.max
+    val st = spark.read.parquet(s"$stateBase/run_ts=$latest")
+    val frozenUsers = st.groupBy("u").agg(max(col("ts")).as("__mx"))
+      .filter(col("__mx") < lit(watermark)).select("u")
+    val frozen = st.join(frozenUsers, "u")
+    val recent = st.join(frozenUsers, Seq("u"), "left_anti")
+    // the strict chain per frozen user — the same k chained
+    // conditional mins as the batch funnel, but keeping the TIMES
+    val chains = steps.zipWithIndex
+      .scanLeft(Option.empty[DataFrame]) { case (prev, (step, _)) =>
+        val slice = frozen.filter(col("et") === step)
+          .select(col("u"), col("ts"))
+        Some((prev match {
+          case None => slice.groupBy("u").agg(min(col("ts")).as("t"))
+          case Some(p) =>
+            slice.join(p.select(col("u"), col("t").as("pt")), "u")
+              .filter(col("ts") > col("pt"))
+              .groupBy("u").agg(min(col("ts")).as("t"))
+        }).localCheckpoint(eager = false))
+      }.flatten
+    val chainTriples = chains.zip(steps).map { case (r, step) =>
+      r.select(col("u"), lit(step).as("et"), col("t").as("ts"))
+    }.reduce(_ unionByName _)
+    val compacted = chainTriples.unionByName(recent)
+    compacted.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$stateBase/run_ts=${latest}_c")
+    compacted
+  }
+
   /** The funnel result from the latest [[funnelEventsAvailableNow]]
     * state: the strict chain over the folded distinct event times —
     * literally the batch funnel on the state table, so the output

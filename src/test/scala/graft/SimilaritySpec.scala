@@ -419,6 +419,45 @@ class SimilaritySpec extends AnyFunSuite {
       cid == qid + 100000L && sim > 0.999 })
   }
 
+  test("tombstone deletes: takedowns vanish from search, vacuum " +
+    "reclaims physically, id re-usable after vacuum") {
+    val corpus = emb.filter(col("vec_id") >= 5)
+    val queries = emb.filter(col("vec_id") < 5)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_del")
+      .toString + "/index"
+    val planted = queries
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    Similarity.ivfPqSave(Similarity.ivfPqBuild(corpus, "vec_id",
+      "embedding", dim = 64, keepRaw = true), dir)
+    Similarity.ivfPqAppendSave(spark, dir, planted, "vec_id", "embedding")
+    def top1: Map[Long, Long] =
+      Similarity.ivfPqSearch(Similarity.ivfPqLoad(spark, dir), queries,
+        "vec_id", "embedding", k = 1).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toMap
+    // every query's planted copy is its top-1 before the takedown
+    assert(top1.forall { case (q, c) => c == q + 100000L })
+    // tombstone the planted copies: no stored code moves, but a fresh
+    // load's search no longer returns them
+    Similarity.ivfPqDelete(spark, dir, planted.select("vec_id"),
+      "vec_id", "d000000")
+    val afterDelete = top1
+    assert(afterDelete.forall { case (q, c) => c != q + 100000L })
+    val liveCount = Similarity.ivfPqLoad(spark, dir).codes.count()
+    assert(liveCount === corpus.count())
+    // vacuum: same live set and same search results, tombstone dir
+    // gone, codes physically rewritten without the dead rows
+    val vac = Similarity.ivfPqVacuum(spark, dir)
+    assert(vac.codes.count() === liveCount)
+    assert(top1 === afterDelete)
+    assert(!new java.io.File(
+      dir.stripPrefix("file:") + "/tombstones").exists())
+    // a vacuumed id is re-usable: append one planted copy back and it
+    // retrieves again (before vacuum the old tombstone would kill it)
+    val one = planted.filter(col("vec_id") === 100000L)
+    Similarity.ivfPqAppendSave(spark, dir, one, "vec_id", "embedding")
+    assert(top1(0L) === 100000L)
+  }
+
   test("ivfPq index: compressed-only search works without the exact frame") {
     val corpus = emb.filter(col("vec_id") >= 5)
     val index = Similarity.ivfPqBuild(corpus, "vec_id", "embedding",

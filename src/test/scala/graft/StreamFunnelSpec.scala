@@ -136,6 +136,67 @@ class StreamFunnelSpec extends AnyFunSuite {
     assert(exact === Seq(("view", 1L), ("click", 1L), ("purchase", 1L)))
   }
 
+  test("event-state compaction: frozen users collapse to exact chain " +
+    "rows; funnel invariant now AND after future events") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_sfun_comp").toString
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // user 1: full chain (10,20,30) + a pre-view click(5) and a
+    // late rejected click(25) — both non-chain; user 2: click before
+    // view (unconverted so far); user 3: recent activity
+    val b0 = Seq((1L, "click", ts(5)), (1L, "view", ts(10)),
+      (1L, "click", ts(20)), (1L, "click", ts(25)),
+      (1L, "purchase", ts(30)), (2L, "view", ts(15)),
+      (2L, "click", ts(12)), (3L, "view", ts(100)))
+    val b1 = Seq((3L, "click", ts(110)))
+    b0.toDF("user_id", "event_type", "ts")
+      .coalesce(1).write.parquet(s"$base/in/p0")
+    b1.toDF("user_id", "event_type", "ts")
+      .coalesce(1).write.parquet(s"$base/in/p1")
+    val schema = b0.toDF("user_id", "event_type", "ts").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in/p*")
+    Streams.funnelEventsAvailableNow(stream, "user_id", "event_type",
+      "ts", steps, s"$base/state", s"$base/ckpt")
+      .awaitTermination(300000)
+    val before = funnelRows(
+      Streams.funnelFromEventState(spark, s"$base/state", steps))
+
+    // watermark 50: users 1 (newest 30) and 2 (newest 15) freeze;
+    // user 3 (newest 110) keeps full state
+    val compacted = Streams.funnelEventStateCompact(spark,
+      s"$base/state", steps, ts(50)).localCheckpoint()
+    val byUser = compacted.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2)))
+      .groupBy(_._1).view.mapValues(_.toSet).toMap
+    assert(byUser(1L) === Set((1L, "view", ts(10)),
+      (1L, "click", ts(20)), (1L, "purchase", ts(30))),
+      "frozen full-chain user keeps exactly the chain rows")
+    assert(byUser(2L) === Set((2L, "view", ts(15))),
+      "frozen unconverted user keeps only the reached prefix")
+    assert(byUser(3L) === Set((3L, "view", ts(100)),
+      (3L, "click", ts(110))), "recent user keeps full event state")
+    // the compacted version is what the state reader now sees, and
+    // the funnel result is unchanged
+    val after = funnelRows(
+      Streams.funnelFromEventState(spark, s"$base/state", steps))
+    assert(after === before)
+
+    // future events (>= watermark by contract) fold onto the
+    // compacted state EXACTLY as onto the full history: user 2
+    // finally clicks at 60 and purchases at 70
+    val future = Seq((2L, "click", ts(60)), (2L, "purchase", ts(70)))
+      .toDF("u", "et", "ts")
+    val fromCompacted = funnelRows(Funnels.funnel(
+      compacted.unionByName(future), "u", "et", "ts", steps))
+    val fromFull = funnelRows(Funnels.funnel(
+      (b0 ++ b1).toDF("u", "et", "ts").unionByName(future),
+      "u", "et", "ts", steps))
+    assert(fromCompacted === fromFull)
+    assert(fromCompacted.map(_._3) === Seq(3L, 3L, 2L),
+      "user 2's late chain completes through the compacted state")
+  }
+
   test("streaming retention over OUT-OF-ORDER batches == batch retention") {
     val base = java.nio.file.Files
       .createTempDirectory("graft_sret").toString
