@@ -397,6 +397,13 @@ object Multimodal {
               (id, resizeBmp(payload, tw, th, codec).orNull, "image/bmp")
             case Some("png") =>
               (id, resizePng(payload, tw, th).orNull, "image/png")
+            case Some("jpeg") =>
+              // ImageIO decodes the scan; output re-encodes through
+              // OUR deterministic PNG writer (resizePng), so resized
+              // bytes stay bit-stable across JVMs — a JPEG re-encode
+              // would not be. Header-only JFIF (no scan) → null.
+              val out = resizePng(payload, tw, th)
+              (id, out.orNull, out.map(_ => "image/png").orNull)
             case _ => (id, null, null) // no pixel decoder for it
           }
         }

@@ -754,7 +754,8 @@ class MultimodalSpec extends AnyFunSuite {
       .orderBy("id").collect()
     rows.foreach { row =>
       val id = row.getLong(0)
-      if (id % 3 == 2) assert(row.isNullAt(3), s"jpeg id $id must be null")
+      if (id % 3 == 2) assert(row.isNullAt(3),
+        s"header-only jpeg id $id must be null (no scan to decode)")
       else {
         assert(row.getAs[Int]("width") === 8 && row.getAs[Int]("height") === 6,
           s"id $id")
@@ -764,6 +765,20 @@ class MultimodalSpec extends AnyFunSuite {
           (if (id % 3 == 0) "bmp" else "png"), s"id $id")
       }
     }
+
+    // a REAL (scan-carrying) JPEG resizes through the ImageIO decode
+    // and lands as our deterministic PNG on the target dims
+    val realJpeg = Multimodal.encodeJpegRgb(40, 30,
+      (x, y) => (((x * 4 / 40) * 4 + (y * 4 / 30)) * 16 % 256) * 0x010101)
+    val jr = Seq((0L, realJpeg, "image/jpeg"))
+      .toDF("id", "payload", "mime")
+      .select(col("id"), struct(col("payload"), col("mime"),
+        length(col("payload")).cast("long").as("n_bytes")).as("media"))
+    val jrow = Multimodal.decodeImageMetaBatch(
+      Multimodal.resizeImagesBatch(jr, "id", 8, 6), "id").collect().head
+    assert(jrow.getAs[Int]("width") === 8 && jrow.getAs[Int]("height") === 6)
+    assert(jrow.getAs[String]("format") === "png" &&
+      jrow.getAs[String]("mime") === "image/png")
   }
 
   test("real featurizer: a RESIZED copy is its original's top-1 " +
