@@ -61,6 +61,71 @@ object Similarity {
     topKPerQuery(sims, k)
   }
 
+  /** [[cosineTopK]] with the similarity ROUNDED before ranking — the
+    * cross-engine-stable form for corpora whose similarity spectrum is
+    * degenerate (many near-identical vectors, gaps at the 1-2-ulp
+    * level, e.g. the q90 synthetic-ramp image features where distinct
+    * images cosine within 1e-16 of each other). Ranking raw doubles
+    * there is decided by summation-order noise — not meaningful, and
+    * not reproducible across engines; rounding first makes the tie
+    * class explicit and the cid tiebreak deterministic everywhere.
+    * Output sim is the ranked (rounded) value. */
+  def cosineTopKStable(df: DataFrame, idCol: String, vecCol: String,
+      nQueries: Int = 10, k: Int = 5, decimals: Int = 4): DataFrame = {
+    val base = df.select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val queries = base.filter(col(idCol) < nQueries)
+      .select(col(idCol).as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val corpus = base.filter(col(idCol) >= nQueries)
+      .select(col(idCol).as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+    val sims = corpus.join(broadcast(queries))
+      .withColumn("sim",
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), decimals))
+    topKPerQuery(sims, k)
+  }
+
+  /** Embedding-space benchmark decontamination — the semantic sibling
+    * of [[graft.ops.Contamination.ngramOverlap]]: a corpus document is
+    * contaminated when its embedding's cosine against ANY benchmark
+    * panel vector reaches `minSim`. N-gram overlap misses paraphrased
+    * benchmark leakage (reworded eval questions share no 8-gram);
+    * embedding similarity is exactly the detector for that, and the
+    * two are run together in a real curation pass (q59's token form
+    * catches verbatim leaks, this catches semantic ones).
+    *
+    * Scale (100 TB): the panel is benchmark-sized (thousands to ~10^5
+    * vectors — broadcastable by construction), so the plan is a
+    * broadcast nested-loop against the corpus scan with NO corpus
+    * shuffle at the pair grain: partial aggregation folds the
+    * corpus×panel rows to one max per corpus id map-side (ids are
+    * unique per row, so the exchanged frame is corpus-sized). This
+    * exact form IS the scale path — there is nothing to index when one
+    * side broadcasts.
+    *
+    * Returns (idCol, max_sim, contaminated) for every corpus row;
+    * rows whose vector admits no finite similarity (zero norm) carry
+    * (0.0, false). */
+  def semanticDecontaminate(corpus: DataFrame, panel: DataFrame,
+      idCol: String, vecCol: String, minSim: Double = 0.4): DataFrame = {
+    val c = corpus.select(col(idCol).as("__id"),
+        asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+    val p = panel.select(asDouble(col(vecCol)).as("pv"))
+      .withColumn("pn", norm(col("pv")))
+    // try_divide: a zero-norm vector (corpus or panel side) admits no
+    // finite similarity — null it out rather than throw under ANSI
+    val sims = c.join(broadcast(p))
+      .withColumn("sim",
+        try_divide(dot(col("cv"), col("pv")), col("cn") * col("pn")))
+      .filter(col("sim").isNotNull && !isnan(col("sim")))
+    val agg = sims.groupBy("__id").agg(max("sim").as("__m"))
+    c.select(col("__id"))
+      .join(agg, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        round(coalesce(col("__m"), lit(0.0)), 4).as("max_sim"),
+        (coalesce(col("__m"), lit(0.0)) >= minSim).as("contaminated"))
+  }
+
   /** Shared tail of the top-k paths: per-qid bounded-heap top-k via
     * [[graft.functions.TopKAgg]] (rank = sim DESC, cid ASC — identical
     * to the window form's row_number order). Candidates are reduced

@@ -251,6 +251,73 @@ object TextAnalysis {
         round(exp(coalesce(col("__avg"), lit(0.0))), 4).as("ppl"))
   }
 
+  /** Interpolated-bigram LM quality score — the KenLM-shaped
+    * perplexity filter one notch above [[unigramScore]]: a corpus
+    * bigram model scores each document's own bigram stream, and high
+    * perplexity flags incoherent/boilerplate text that unigram
+    * statistics miss (unigram PPL is blind to word ORDER — a shuffled
+    * document scores identically; bigram PPL is exactly the signal
+    * that separates it).
+    *
+    * Model: every statistic is over the corpus bigram-event space —
+    * p(w2|w1) = λ·c(w1,w2)/ctx(w1) + (1-λ)·cont(w2)/T, with ctx(w1) =
+    * Σ_w2 c(w1,w2) (bigrams starting at w1), cont(w2) = Σ_w1 c(w1,w2)
+    * (continuation count), T = total bigram events. Deriving all three
+    * from ONE (w1,w2) count frame means a single corpus pass and no
+    * separate unigram explode; scoring the corpus against itself means
+    * every scored event has c ≥ 1, so the MLE term never needs an
+    * unseen-event floor (the interpolation weight is still what rates
+    * rare-continuation bigrams as surprising).
+    *
+    * Scale (100 TB): one explode → one (doc,w1,w2) shuffle for tf
+    * (materialized — it feeds three aggregates and the scoring join);
+    * everything downstream is bigram-type-grained, not occurrence-
+    * grained: ctx/cont/total aggregate the tf frame, the scoring join
+    * is tf ⋈ (w1-keyed ctx) ⋈ (w2-keyed cont) with AQE broadcasting
+    * whichever side is small, the grand total is a broadcast single
+    * row. Hot-token skew never concentrates: the (w1,w2) key space is
+    * far finer than either token key alone.
+    *
+    * Returns (idCol, n_bigrams, avg_nll, ppl); docs with < 2 tokens
+    * carry (0, 0.0, 1.0). */
+  def bigramScore(df: DataFrame, idCol: String, textCol: String,
+      lambda: Double = 0.75): DataFrame = {
+    // zip the token array with its own tail — both zip_with inputs
+    // evaluate once per row (the HOF per-element re-eval trap does not
+    // apply); the n-th element pairs with the null pad and is dropped
+    val toks = df.select(col(idCol), TextOps.wsTokens(col(textCol)).as("tk"))
+    val pairs = toks.select(col(idCol),
+        explode(filter(
+          zip_with(col("tk"), slice(col("tk"), lit(2), size(col("tk"))),
+            (a, b) => struct(a.as("w1"), b.as("w2"))),
+          p => p.getField("w2").isNotNull)).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val tf = pairs.groupBy(col(idCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val cb = tf.groupBy("w1", "w2").agg(sum("tf").as("__cb"))
+    val ctx = cb.groupBy("w1").agg(sum("__cb").as("__ctx"))
+    val cont = cb.groupBy("w2").agg(sum("__cb").as("__cont"))
+    val total = cb.agg(sum("__cb").as("__tot"))
+    val scored = tf.join(cb, Seq("w1", "w2"))
+      .join(ctx, Seq("w1")).join(cont, Seq("w2"))
+      .crossJoin(broadcast(total))
+      .select(col(idCol), col("tf"),
+        (col("tf") * -log(
+          lit(lambda) * (col("__cb").cast("double") / col("__ctx")) +
+          (lit(1.0) - lit(lambda)) *
+            (col("__cont").cast("double") / col("__tot")))).as("__nll"))
+      .groupBy(idCol).agg(
+        sum("tf").as("n_bigrams"),
+        (sum("__nll") / sum("tf")).as("__avg"))
+    df.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(coalesce(col("__avg"), lit(0.0)), 4).as("avg_nll"),
+        round(exp(coalesce(col("__avg"), lit(0.0))), 4).as("ppl"))
+  }
+
   /** Top-k TF-IDF keywords per document — the per-doc summarization /
     * topic-indexing primitive (and the exact-arithmetic sibling of the
     * ML-side TF-IDF in [[graft.ml.ThemePipeline]], which feeds LDA).

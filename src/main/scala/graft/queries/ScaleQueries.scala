@@ -361,6 +361,22 @@ object ScaleQueries {
       Similarity.cosineTopK(feats, "id", "features", nQueries = 10, k = 5)
     }),
 
+    // AUDIT TWIN of q90: same decode→grid-featurize→cosine-top-k
+    // composite, but ranked on ROUNDED similarity — the synthetic ramp
+    // corpus is cosine-degenerate (distinct images within 1-2 ulp), so
+    // raw-double ranking is summation-order noise; rounding makes the
+    // tie classes explicit and the cid tiebreak deterministic, and the
+    // DuckDB twin replays the whole path closed-form: ramp pixels
+    // (3x+c+storageRow) % 251, per-cell mean luma, centered grid +
+    // channel/aspect tail, cosine, rounded rank (q90bSql).
+    "q90b_image_retrieval_oracle" -> ((s, dir) => {
+      val images = graft.ops.Multimodal.syntheticImages(
+        t(s, dir, "documents"), "doc_id")
+      val feats = graft.ops.Multimodal.featurizeImagesBatch(images, "id")
+      Similarity.cosineTopKStable(feats, "id", "features",
+        nQueries = 10, k = 5)
+    }),
+
     // EXACT semantic dedup (embedding-space clusters): all-pairs cosine
     // edges ≥ 0.4 → connected components → cluster + rep per vector.
     // The audit form — the DuckDB twin replays every stage including
@@ -455,6 +471,26 @@ object ScaleQueries {
     "q78_unigram_ppl" -> ((s, dir) =>
       TextAnalysis.unigramScore(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
+
+    // interpolated-bigram LM perplexity (the KenLM-shaped filter one
+    // notch above q78): corpus bigram stats score each doc's own
+    // bigram stream — word-ORDER-sensitive where unigram PPL is blind
+    "q138_bigram_ppl" -> ((s, dir) =>
+      TextAnalysis.bigramScore(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // embedding-space benchmark decontamination (semantic sibling of
+    // q59): panel = vec_id < 20, corpus = rest; a corpus vector whose
+    // cosine vs ANY panel vector reaches 0.4 is flagged — catches the
+    // paraphrased leakage the 8-gram form cannot
+    "q139_semantic_decon" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.semanticDecontaminate(
+        emb.filter(col("vec_id") >= 20),
+        emb.filter(col("vec_id") < 20),
+        "vec_id", "embedding", minSim = 0.4)
+        .orderBy("vec_id")
+    }),
 
     // top-5 TF-IDF keywords per document, total tie-break on the token
     "q79_keywords" -> ((s, dir) =>
@@ -2083,6 +2119,70 @@ object ScaleQueries {
        SELECT qid, CAST(rn AS INT) AS rn, cid, round(sim, 4) AS sim
        FROM r WHERE rn <= 5 ORDER BY qid, rn"""
 
+  /** q90b: closed-form replay of the synthetic-BMP featurize→retrieve
+    * composite. syntheticBmp fills storage row sy with bytes
+    * (byteIdx + sy) % 251 (bottom-up rows), so logical pixel (x,y) of
+    * an id's w×h image has b/g/r = (3x + {0,1,2} + (h-1-y)) % 251 —
+    * the whole decode is arithmetic. Features replay gridFeaturesOf
+    * exactly: per-cell mean luma (0.299r+0.587g+0.114b)/255 centered
+    * by the 16-cell mean, channel tail (sum_c - gray)/n/255 (integer
+    * sums — exact in both engines), aspect w/(w+h)-0.5. Rank on
+    * ROUNDED cosine (see cosineTopKStable: the ramp corpus is
+    * ulp-degenerate; audited min distance of any sim to a round-4
+    * half-boundary is 1.5e-8, four orders above cross-engine FP
+    * divergence). */
+  private val q90bSql: String =
+    """WITH imgs AS (
+         SELECT doc_id::BIGINT AS id,
+                CAST(16 + doc_id % 64 AS INT) AS w,
+                CAST(16 + doc_id % 48 AS INT) AS h
+         FROM documents),
+       pix0 AS (
+         SELECT id, w, h, unnest(generate_series(0, w*h - 1)) AS p
+         FROM imgs),
+       pix AS (
+         SELECT id, w, h, (p % w) AS x, (p // w) AS y,
+                ((3*(p % w)     + (h-1-(p // w))) % 251) AS b,
+                ((3*(p % w) + 1 + (h-1-(p // w))) % 251) AS g,
+                ((3*(p % w) + 2 + (h-1-(p // w))) % 251) AS r
+         FROM pix0),
+       cellm AS (
+         SELECT id, (least(3, y*4//h)*4 + least(3, x*4//w)) AS cell,
+                sum(0.299*r + 0.587*g + 0.114*b)/count(*)/255.0 AS cm
+         FROM pix GROUP BY id, least(3, y*4//h)*4 + least(3, x*4//w)),
+       cmean AS (SELECT id, sum(cm)/16.0 AS mu FROM cellm GROUP BY id),
+       chan AS (
+         SELECT id, any_value(w) AS w, any_value(h) AS h,
+                sum(b)::DOUBLE AS sb, sum(g)::DOUBLE AS sg,
+                sum(r)::DOUBLE AS sr, count(*)::DOUBLE AS n
+         FROM pix GROUP BY id),
+       feats AS (
+         SELECT id, cell AS d, cm - mu AS val
+         FROM cellm JOIN cmean USING (id)
+         UNION ALL
+         SELECT id, 16, (sb - (sb+sg+sr)/3.0)/n/255.0 FROM chan
+         UNION ALL
+         SELECT id, 17, (sg - (sb+sg+sr)/3.0)/n/255.0 FROM chan
+         UNION ALL
+         SELECT id, 18, (sr - (sb+sg+sr)/3.0)/n/255.0 FROM chan
+         UNION ALL
+         SELECT id, 19, w::DOUBLE/(w+h) - 0.5 FROM chan),
+       nrm AS (SELECT id, sqrt(sum(val*val)) AS nrm FROM feats GROUP BY id),
+       s AS (
+         SELECT fq.id AS qid, fc.id AS cid,
+                round(sum(fq.val*fc.val) / (nq.nrm * nc.nrm), 4) AS sim
+         FROM feats fq JOIN feats fc ON fq.d = fc.d
+           AND fq.id < 10 AND fc.id >= 10
+         JOIN nrm nq ON nq.id = fq.id
+         JOIN nrm nc ON nc.id = fc.id
+         GROUP BY fq.id, fc.id, nq.nrm, nc.nrm),
+       r AS (SELECT qid, cid, sim,
+                    row_number() OVER (PARTITION BY qid
+                      ORDER BY sim DESC, cid) AS rn
+             FROM s)
+       SELECT qid, CAST(rn AS INT) AS rn, cid, round(sim, 4) AS sim
+       FROM r WHERE rn <= 5 ORDER BY qid, rn"""
+
   private val q30bSql: String = {
     val hp = graft.ops.Similarity.hyperplanes(dim = 64, planes = 8, seed = 42L)
     val bucketTerms = hp.zipWithIndex.map { case (plane, j) =>
@@ -3369,6 +3469,50 @@ object ScaleQueries {
                 round(exp(coalesce(sc.a, 0)), 4) AS ppl
          FROM documents d LEFT JOIN sc USING (doc_id)
          ORDER BY d.doc_id""",
+    // bigram events via list self-zip (tk[i], tk[i+1]); all three model
+    // statistics (bigram count, context count, continuation count) and
+    // the total derive from the one (w1,w2) count frame, mirroring the
+    // engine's single-corpus-pass shape; same expression tree for the
+    // interpolated probability so the transcendental agrees
+    "q138_bigram_ppl" ->
+      """WITH tk AS (SELECT doc_id,
+                 list_filter(string_split(coalesce(text, ''), ' '),
+                             t -> length(t) > 0) AS tk
+           FROM documents),
+           bg AS (SELECT doc_id,
+                         unnest(list_transform(range(1, len(tk)),
+                           i -> {'w1': tk[i], 'w2': tk[i + 1]})) AS b
+                  FROM tk WHERE len(tk) >= 2),
+           tf AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2,
+                         CAST(count(*) AS BIGINT) AS tf
+                  FROM bg GROUP BY doc_id, b.w1, b.w2),
+           cb AS (SELECT w1, w2, sum(tf) AS cb FROM tf GROUP BY w1, w2),
+           ctx AS (SELECT w1, sum(cb) AS ctx FROM cb GROUP BY w1),
+           cont AS (SELECT w2, sum(cb) AS cont FROM cb GROUP BY w2),
+           tot AS (SELECT sum(cb) AS tot FROM cb),
+           sc AS (SELECT doc_id, sum(tf) AS n_bigrams,
+                         sum(tf * -ln(0.75 * (cb * 1.0 / ctx) +
+                                      (1.0 - 0.75) * (cont * 1.0 / tot)))
+                           / sum(tf) AS a
+                  FROM tf JOIN cb USING (w1, w2) JOIN ctx USING (w1)
+                       JOIN cont USING (w2) CROSS JOIN tot
+                  GROUP BY doc_id)
+         SELECT d.doc_id,
+                CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                round(coalesce(sc.a, 0), 4) AS avg_nll,
+                round(exp(coalesce(sc.a, 0)), 4) AS ppl
+         FROM documents d LEFT JOIN sc USING (doc_id)
+         ORDER BY d.doc_id""",
+    "q139_semantic_decon" ->
+      """WITH base AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+           p AS (SELECT v AS pv FROM base WHERE vec_id < 20),
+           c AS (SELECT vec_id, v AS cv FROM base WHERE vec_id >= 20),
+           s AS (SELECT vec_id, max(list_cosine_similarity(cv, pv)) AS m
+                 FROM c CROSS JOIN p GROUP BY vec_id)
+         SELECT c.vec_id, round(coalesce(s.m, 0), 4) AS max_sim,
+                coalesce(s.m, 0) >= 0.4 AS contaminated
+         FROM c LEFT JOIN s USING (vec_id)
+         ORDER BY c.vec_id""",
     "q79_keywords" ->
       """WITH tk AS (SELECT doc_id,
                  list_filter(string_split(coalesce(text, ''), ' '),
@@ -4414,6 +4558,7 @@ object ScaleQueries {
          FROM (SELECT * FROM jac ORDER BY j DESC, id_a, id_b LIMIT 100) x
          ORDER BY jac DESC, id_a, id_b""",
     "q29_cosine_topk" -> q29Sql,
+    "q90b_image_retrieval_oracle" -> q90bSql,
     "q31_cosine_neardup" ->
       """WITH base AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings
                        WHERE vec_id < 200),

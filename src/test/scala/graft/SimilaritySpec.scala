@@ -561,6 +561,53 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("semanticDecontaminate: planted panel duplicate flags, orthogonal " +
+      "and zero-norm rows pass clean, every corpus row present") {
+    val rows = Seq(
+      (0L, Array(1.0, 0.0, 0.0, 0.0)),   // panel
+      (1L, Array(0.0, 1.0, 0.0, 0.0)),   // panel
+      (10L, Array(2.0, 0.0, 0.0, 0.0)),  // scaled copy of panel 0 → sim 1
+      (11L, Array(0.0, 0.0, 1.0, 0.0)),  // orthogonal to the panel
+      (12L, Array(0.0, 0.0, 0.0, 0.0)),  // zero norm — no finite sim
+      (13L, Array(1.0, 1.0, 0.0, 0.0)))  // cos 1/√2 ≈ 0.7071 vs both
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semanticDecontaminate(
+      rows.filter(col("vec_id") >= 10), rows.filter(col("vec_id") < 10),
+      "vec_id", "embedding", minSim = 0.8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getBoolean(2)))).toMap
+    assert(out.keySet === Set(10L, 11L, 12L, 13L))
+    assert(out(10L) === ((1.0, true)))
+    assert(out(11L) === ((0.0, false)))
+    assert(out(12L) === ((0.0, false)), "zero-norm row must not be NaN")
+    assert(out(13L)._1 === 0.7071 && !out(13L)._2)
+  }
+
+  test("cosineTopKStable: ulp-level sim gaps collapse to one tie class " +
+      "ranked by cid; clean-gap corpora match cosineTopK") {
+    // two corpus vectors at angles differing ~1e-9 from the query —
+    // raw ranking is FP-noise-decided, rounded ranking ties → cid ASC
+    val eps = 1e-9
+    val near = Seq(
+      (0L, Array(1.0, 0.0)),
+      (20L, Array(1.0, eps)),
+      (10L, Array(1.0, 2 * eps)),
+      (30L, Array(0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val stable = Similarity.cosineTopKStable(near, "vec_id", "embedding",
+      nQueries = 5, k = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toList
+    assert(stable === List((0L, 1, 10L), (0L, 2, 20L), (0L, 3, 30L)),
+      "tie class must rank by cid, not by summation noise")
+    // a corpus with real gaps: both paths agree exactly
+    val clean = emb.limit(60)
+    val a = Similarity.cosineTopK(clean, "vec_id", "embedding",
+      nQueries = 5, k = 3).collect().map(_.toSeq).toList
+    val b = Similarity.cosineTopKStable(clean, "vec_id", "embedding",
+      nQueries = 5, k = 3).collect().map(_.toSeq).toList
+    assert(a === b)
+  }
+
   test("driver-collect gate: an over-cap query panel refuses loudly") {
     // ccInCore-style belt-and-suspenders: a mis-wired panel size must
     // be an IllegalArgumentException at entry, never a driver OOM

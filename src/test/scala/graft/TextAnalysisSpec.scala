@@ -216,6 +216,54 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(3L) === ((0L, 0.0, 1.0)))
   }
 
+  test("bigramScore: exact interpolated NLL, short docs score (0, 0, 1)") {
+    // corpus bigrams: (a,b)=2 (b,a)=2; ctx(a)=ctx(b)=2, cont=2, T=4
+    // every event: p = 0.75·(2/2) + 0.25·(2/4) = 0.875
+    val df = Seq(
+      (1L, "a b a"),
+      (2L, "b a b"),
+      (3L, "a"),
+      (4L, ""))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramScore(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    val nll = -math.log(0.875)
+    assert(out(1L)._1 === 2L)
+    assert(math.abs(out(1L)._2 - r4(nll)) < 1e-9)
+    assert(math.abs(out(1L)._3 - r4(math.exp(nll))) < 1e-9)
+    assert(out(2L) === out(1L))
+    assert(out(3L) === ((0L, 0.0, 1.0)))
+    assert(out(4L) === ((0L, 0.0, 1.0)))
+  }
+
+  test("bigramScore: word-order-sensitive where unigram PPL is blind") {
+    // both docs have identical unigram counts (2 x, 2 y) — unigramScore
+    // CANNOT separate them; the bigram model rates doc 2's rare
+    // self-transitions (y,y)/(x,x) as more surprising
+    val df = Seq(
+      (1L, "x y x y"),
+      (2L, "y y x x"))
+      .toDF("doc_id", "text")
+    val uni = TextAnalysis.unigramScore(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(uni(1L) === uni(2L), "unigram is order-blind by construction")
+    val bi = TextAnalysis.bigramScore(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    // global: cb(x,y)=2 (y,x)=2 (y,y)=1 (x,x)=1, T=6, ctx=cont=3 each
+    val pCommon = 0.75 * (2.0 / 3) + 0.25 * (3.0 / 6)  // (x,y) and (y,x)
+    val pRare = 0.75 * (1.0 / 3) + 0.25 * (3.0 / 6)    // (y,y) and (x,x)
+    val nll1 = -(2 * math.log(pCommon) + math.log(pCommon)) / 3
+    val nll2 = -(math.log(pRare) + math.log(pCommon) + math.log(pRare)) / 3
+    assert(bi(1L)._1 === 3L && bi(2L)._1 === 3L)
+    assert(math.abs(bi(1L)._2 - r4(nll1)) < 1e-9)
+    assert(math.abs(bi(2L)._2 - r4(nll2)) < 1e-9)
+    assert(bi(2L)._2 > bi(1L)._2, "disordered doc must score higher")
+  }
+
   test("tfIdfKeywords: scores exact, corpus-wide tokens drop to zero, token tie-break total") {
     // 2 docs; "x" in both (idf ln(1) = 0), "q"/"z" unique to doc 1
     val df = Seq(
