@@ -101,7 +101,18 @@ object CorpusPipeline {
       // adapts to each language's own length distribution and its
       // baseline cannot be moved by the outliers it hunts. 3.5 is the
       // Iglewicz–Hoaglin cut; 0 = off
-      outlierZ: Double = 0.0)
+      outlierZ: Double = 0.0,
+      // > 0: SEMANTIC decontamination alongside the token form in the
+      // clean stage — a survivor whose embedding cosines >= this
+      // against ANY eval-panel embedding is dropped
+      // ([[Similarity.semanticDecontaminate]]): catches paraphrased
+      // benchmark leakage the 8-gram shingle overlap cannot. Needs
+      // BOTH an embeddings frame and an evalEmbeddings panel passed to
+      // build/buildStaged (missing frames fail loudly — a silently
+      // skipped decontamination stage is a data-poisoning hazard).
+      // Docs without an embedding row are kept, the same
+      // lag-tolerant rule as the semantic-dedup stage. 0 = off
+      semanticDeconMinSim: Double = 0.0)
 
   case class Report(input: Long, gated: Long, outliers: Long,
       boiler: Long, deduped: Long, semantic: Long, substr: Long,
@@ -215,12 +226,32 @@ object CorpusPipeline {
   }
 
   private[graft] def cleanStage(deduped: DataFrame, evalSet: DataFrame,
-      cfg: Config): DataFrame = {
+      cfg: Config, embeddings: Option[DataFrame] = None,
+      evalEmbeddings: Option[DataFrame] = None): DataFrame = {
     val flagged = Contamination.ngramOverlap(deduped, evalSet,
         "doc_id", "text",
         n = cfg.contaminationNgram, threshold = cfg.contaminationThreshold)
       .filter(col("contaminated")).select("doc_id")
-    deduped.join(flagged, Seq("doc_id"), "left_anti")
+    val lexical = deduped.join(flagged, Seq("doc_id"), "left_anti")
+    if (cfg.semanticDeconMinSim <= 0) lexical
+    else {
+      // a silently skipped decontamination stage is a data-poisoning
+      // hazard — demand both frames rather than no-op
+      require(embeddings.isDefined && evalEmbeddings.isDefined,
+        "semanticDeconMinSim > 0 needs both an embeddings frame and an " +
+          "evalEmbeddings panel passed to build/buildStaged")
+      // restrict the similarity scan to the survivors' vectors (with
+      // corpusBuckets the doc_id join reads pre-partitioned buckets);
+      // docs without an embedding row never enter `semFlagged` → kept
+      val corpusVecs = embeddings.get
+        .select(col("doc_id"), col("embedding"))
+        .join(lexical.select("doc_id"), Seq("doc_id"))
+      val semFlagged = Similarity.semanticDecontaminate(corpusVecs,
+          evalEmbeddings.get.select(col("embedding")),
+          "doc_id", "embedding", minSim = cfg.semanticDeconMinSim)
+        .filter(col("contaminated")).select("doc_id")
+      lexical.join(semFlagged, Seq("doc_id"), "left_anti")
+    }
   }
 
   private def sampleStage(clean: DataFrame, cfg: Config): DataFrame =
@@ -240,7 +271,8 @@ object CorpusPipeline {
     * [[buildStaged]]. */
   def build(docs: DataFrame, evalSet: DataFrame,
       cfg: Config = Config(),
-      embeddings: Option[DataFrame] = None): (DataFrame, Report) = {
+      embeddings: Option[DataFrame] = None,
+      evalEmbeddings: Option[DataFrame] = None): (DataFrame, Report) = {
     // several downstream stages re-read each frame — checkpoints keep
     // every corpus-scale subtree single-evaluation (the contamination
     // shingle explode in particular: `clean` is read by the sampling
@@ -276,7 +308,8 @@ object CorpusPipeline {
       if (cfg.substrMinLen > 0)
         persistCorpus(substrStage(semantic, cfg), "substr")
       else semantic
-    val clean = cleanStage(substr, evalSet, cfg).localCheckpoint()
+    val clean = cleanStage(substr, evalSet, cfg, embeddings,
+      evalEmbeddings).localCheckpoint()
     val sampled = sampleStage(clean, cfg).localCheckpoint()
     val sequences = chunkStage(sampled, cfg)
 
@@ -309,7 +342,8 @@ object CorpusPipeline {
     */
   def buildStaged(docs: DataFrame, evalSet: DataFrame, stagingDir: String,
       cfg: Config = Config(),
-      embeddings: Option[DataFrame] = None): (DataFrame, Report) = {
+      embeddings: Option[DataFrame] = None,
+      evalEmbeddings: Option[DataFrame] = None): (DataFrame, Report) = {
     val spark = docs.sparkSession
     val hconf = spark.sparkContext.hadoopConfiguration
     val basePath = new org.apache.hadoop.fs.Path(stagingDir)
@@ -339,7 +373,8 @@ object CorpusPipeline {
     // config manifest: a resumed run MUST be the same build — including
     // whether the semantic stage exists (an embeddings frame's PRESENCE
     // changes the stage chain; its contents are pinned by determinism)
-    val cfgStr = cfg.toString + s";semantic=${embeddings.isDefined}"
+    val cfgStr = cfg.toString + s";semantic=${embeddings.isDefined}" +
+      s";semdecon=${evalEmbeddings.isDefined}"
     readMarker("_GRAFT_CONFIG") match {
       case Some(prev) => require(prev == cfgStr,
         s"staging dir $stagingDir was written by a different Config " +
@@ -398,7 +433,8 @@ object CorpusPipeline {
         stage("02c_substr")(substrStage(semantic, cfg))
       else (semantic, nSemantic)
     val (clean, nClean) =
-      stage("03_clean")(cleanStage(substr, evalSet, cfg))
+      stage("03_clean")(cleanStage(substr, evalSet, cfg, embeddings,
+        evalEmbeddings))
     val (sampled, nSampled) = stage("04_sampled")(sampleStage(clean, cfg))
     val (sequences, nSeq) = stage("05_sequences")(chunkStage(sampled, cfg))
 

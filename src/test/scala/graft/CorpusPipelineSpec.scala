@@ -97,6 +97,56 @@ class CorpusPipelineSpec extends AnyFunSuite {
       .as[(Long, Long, String, Long)].collect().toSeq === out.toSeq)
   }
 
+  test("semantic decontamination stage: panel-identical embedding drops " +
+      "its doc, off/missing-frame behavior is explicit") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.sources.Tables(spark, dir, "embeddings")
+      .select($"vec_id".as("doc_id"), $"embedding")
+    // baseline: default build (no semantic decon)
+    val (seqs0, rep0) = CorpusPipeline.build(
+      docs.filter($"doc_id" >= 50), evalSet)
+    val survivors = seqs0.select("doc_id").distinct()
+      .as[Long].collect().sorted
+    assert(survivors.nonEmpty)
+    val victim = survivors.head
+    // panel = the victim's own embedding → cosine 1.0 → dropped at any
+    // positive threshold; every other survivor's fate is decided by
+    // the same 0.999 bar (near-exact only)
+    val panel = emb.filter(col("doc_id") === victim).select("embedding")
+    val cfgOn = CorpusPipeline.Config(semanticDeconMinSim = 0.999)
+    val (seqs1, rep1) = CorpusPipeline.build(
+      docs.filter($"doc_id" >= 50), evalSet, cfgOn,
+      embeddings = Some(emb), evalEmbeddings = Some(panel))
+    val survivors1 = seqs1.select("doc_id").distinct()
+      .as[Long].collect().toSet
+    assert(!survivors1.contains(victim),
+      s"doc $victim's embedding IS the panel — it must be dropped")
+    assert(rep1.clean < rep0.clean)
+    // determinism with the stage on
+    val (seqs1b, rep1b) = CorpusPipeline.build(
+      docs.filter($"doc_id" >= 50), evalSet, cfgOn,
+      embeddings = Some(emb), evalEmbeddings = Some(panel))
+    assert(rep1b === rep1)
+    assert(seqs1b.orderBy("doc_id", "win_idx")
+      .as[(Long, Long, String, Long)].collect().toSeq ===
+      seqs1.orderBy("doc_id", "win_idx")
+        .as[(Long, Long, String, Long)].collect().toSeq)
+    // threshold off → frames ignored, output identical to baseline
+    val (seqs2, rep2) = CorpusPipeline.build(
+      docs.filter($"doc_id" >= 50), evalSet, CorpusPipeline.Config(),
+      embeddings = None, evalEmbeddings = Some(panel))
+    assert(rep2 === rep0)
+    assert(seqs2.orderBy("doc_id", "win_idx")
+      .as[(Long, Long, String, Long)].collect().toSeq ===
+      seqs0.orderBy("doc_id", "win_idx")
+        .as[(Long, Long, String, Long)].collect().toSeq)
+    // threshold on without the frames → loud refusal, not a silent skip
+    val e = intercept[IllegalArgumentException] {
+      CorpusPipeline.build(docs.filter($"doc_id" >= 50), evalSet, cfgOn)
+    }
+    assert(e.getMessage.contains("semanticDeconMinSim"))
+  }
+
   test("build evaluates the contamination shingle subtree exactly once") {
     // `clean` is checkpointed inside build; without that, the Report's
     // clean.count() re-evaluates the whole ngramOverlap subtree (an
