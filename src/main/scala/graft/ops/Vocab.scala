@@ -731,4 +731,322 @@ object Vocab {
         StructField("logp", DoubleType, nullable = false),
         StructField("is_char", BooleanType, nullable = false))))
   }
+
+  // ------------------------------------------------------------------
+  // WordPiece (Schuster & Nakajima 2012; Wu et al. 2016, "Google's
+  // Neural Machine Translation System") — the third tokenizer family
+  // next to BPE and unigram-LM, and the one BERT-lineage models use.
+  // Two independent halves, like the other two families:
+  //  - TRAINING is BPE-shaped (merge adjacent symbol pairs) but ranks
+  //    candidates by the LIKELIHOOD gain score
+  //    count(lr) / (count(l) · count(r)) instead of raw pair count —
+  //    a rare pair of two rare symbols can out-rank a frequent pair
+  //    of ubiquitous symbols (VocabSpec pins a corpus where the two
+  //    criteria pick DIFFERENT first merges);
+  //  - ENCODING is greedy longest-match-first over the final vocab
+  //    (MaxMatch/"greedy WordPiece"): at the word start match the
+  //    longest plain piece, afterwards the longest ##-continuation
+  //    piece; a position with no match maps the WHOLE word to
+  //    [[UnkToken]] (canonical BERT behavior). Encoding depends only
+  //    on the vocab SET, not the merge order — which is what makes
+  //    the closed-form [[staticWordPieceModel]] twin possible.
+  // Scale shape is identical to BPE: corpus-scale work is ONE
+  // map-side-combined word count; the merge loop is driver-side over
+  // the capped dictionary (corpus-size-independent); encoding is a
+  // broadcast-vocab map-side pass with a per-partition memo.
+  // ------------------------------------------------------------------
+
+  /** Continuation-piece marker (BERT convention): `##x` may only
+    * match at word-internal positions, bare `x` only word-initially. */
+  val ContMarker = "##"
+
+  /** A WordPiece vocabulary: word-initial pieces (bare) and
+    * word-internal continuation pieces (WITHOUT their `##` marker —
+    * the marker is presentation, the match is on the raw substring).
+    * Ids: 0 = [[UnkToken]], then initial pieces sorted, then `##`
+    * continuation pieces sorted — a pure function of the sets, stable
+    * across reruns. */
+  final case class WordPieceModel(initPieces: Set[String],
+      contPieces: Set[String]) {
+    require(initPieces.nonEmpty, "empty WordPiece vocabulary")
+    lazy val maxInitLen: Int = initPieces.iterator.map(_.length).max
+    lazy val maxContLen: Int =
+      if (contPieces.isEmpty) 0 else contPieces.iterator.map(_.length).max
+    lazy val vocab: Map[String, Int] = {
+      val ordered = (UnkToken +: initPieces.toSeq.sorted) ++
+        contPieces.toSeq.sorted.map(ContMarker + _)
+      ordered.zipWithIndex.toMap
+    }
+  }
+
+  /** WordPiece symbolization of a word: first character bare, every
+    * later character a continuation symbol. The `##` marker is kept IN
+    * the working symbols during training so merge products inherit
+    * their position class (`a`+`##b` → `ab`, `##a`+`##b` → `##ab`). */
+  private def wpSymbols(word: String): Vector[String] =
+    word.headOption.map(_.toString).toVector ++
+      word.drop(1).map(c => ContMarker + c)
+
+  private def wpMerge(l: String, r: String): String =
+    l + r.stripPrefix(ContMarker)
+
+  /** Learn a WordPiece vocabulary: BPE's merge loop under the
+    * likelihood score s(l,r) = count(lr) / (count(l)·count(r)) —
+    * maximizing s maximizes the corpus unigram-LM likelihood gain of
+    * the merge, WordPiece's defining criterion. Selection order is
+    * (score desc, l asc, r asc); score comparison is EXACT — doubles
+    * decide when they differ by > 1e-9 relative (far above the ~1e-15
+    * accumulated rounding of two multiplies and a divide), else the
+    * cross-multiplied BigInt rationals settle it — so the learned
+    * vocab is deterministic cross-machine, never at the mercy of a
+    * last-ulp tie.
+    *
+    * Unlike [[learnMerges]]' incremental bookkeeping, each step
+    * RESCANS the dictionary (O(numMerges × dictChars)): the
+    * likelihood score is non-local — one merge changes count(l),
+    * count(r) and count(lr), which re-scores EVERY pair touching
+    * those symbols, so the posting-list trick buys little. The
+    * [[collectDict]] cap keeps the loop corpus-size-independent
+    * either way (64 Ki words × ~8 chars × merges, driver-side
+    * seconds). Stops early when no adjacent pair remains. */
+  def learnWordPiece(df: DataFrame, textCol: String, numMerges: Int,
+      maxDictWords: Int = 1 << 16): WordPieceModel = {
+    val dict0 = collectDict(df, textCol, maxDictWords, "learnWordPiece")
+    import scala.collection.mutable
+    val syms = dict0.map { case (w, _) => wpSymbols(w) }
+    val cnts = dict0.map(_._2)
+    val produced = Vector.newBuilder[String]
+    var step = 0
+    var exhausted = false
+    while (step < numMerges && !exhausted) {
+      val symCnt = mutable.HashMap.empty[String, Long]
+      val pairCnt = mutable.HashMap.empty[(String, String), Long]
+      var w = 0
+      while (w < syms.length) {
+        val s = syms(w); val c = cnts(w)
+        var i = 0
+        while (i < s.length) {
+          symCnt(s(i)) = symCnt.getOrElse(s(i), 0L) + c
+          if (i < s.length - 1) {
+            val p = (s(i), s(i + 1))
+            pairCnt(p) = pairCnt.getOrElse(p, 0L) + c
+          }
+          i += 1
+        }
+        w += 1
+      }
+      if (pairCnt.isEmpty) exhausted = true
+      else {
+        // best by (score desc, l asc, r asc); score = p/(l·r) compared
+        // as doubles with an exact-rational fallback inside the 1e-9
+        // relative band
+        var best: (String, String) = null
+        var bestP, bestL, bestR = 0L
+        var bestScore = -1.0
+        pairCnt.foreach { case (p @ (l, r), pc) =>
+          val lc = symCnt(l); val rc = symCnt(r)
+          val sc = pc.toDouble / (lc.toDouble * rc.toDouble)
+          val rel = math.abs(sc - bestScore) /
+            math.max(math.abs(sc), math.max(math.abs(bestScore), 1e-300))
+          val cmp =
+            if (best == null) 1
+            else if (rel > 1e-9) java.lang.Double.compare(sc, bestScore)
+            else {
+              val exact = (BigInt(pc) * BigInt(bestL) * BigInt(bestR))
+                .compare(BigInt(bestP) * BigInt(lc) * BigInt(rc))
+              if (exact != 0) exact
+              else {
+                val a = best._1.compareTo(l)
+                if (a != 0) a else best._2.compareTo(r)
+              }
+            }
+          if (cmp > 0) {
+            best = p; bestP = pc; bestL = lc; bestR = rc; bestScore = sc
+          }
+        }
+        produced += wpMerge(best._1, best._2)
+        var w2 = 0
+        while (w2 < syms.length) {
+          val old = syms(w2)
+          var has = false
+          var i = 0
+          while (!has && i < old.length - 1) {
+            has = old(i) == best._1 && old(i + 1) == best._2; i += 1
+          }
+          if (has) {
+            val out = Vector.newBuilder[String]
+            i = 0
+            while (i < old.length) {
+              if (i < old.length - 1 && old(i) == best._1 &&
+                  old(i + 1) == best._2) {
+                out += wpMerge(old(i), old(i + 1)); i += 2
+              } else { out += old(i); i += 1 }
+            }
+            syms(w2) = out.result()
+          }
+          w2 += 1
+        }
+        step += 1
+      }
+    }
+    val alphabet = dict0.flatMap { case (w, _) => wpSymbols(w) }.distinct
+    val all = alphabet.toVector ++ produced.result()
+    WordPieceModel(
+      all.filterNot(_.startsWith(ContMarker)).toSet,
+      all.filter(_.startsWith(ContMarker))
+        .map(_.stripPrefix(ContMarker)).toSet)
+  }
+
+  /** Greedy longest-match-first WordPiece encoding of one word; no
+    * match at any position → the whole word is [[UnkToken]]. */
+  private def encodeWpWord(word: String, m: WordPieceModel): Vector[String] = {
+    if (word.isEmpty) return Vector.empty
+    val out = Vector.newBuilder[String]
+    var pos = 0
+    while (pos < word.length) {
+      val init = pos == 0
+      val cap = math.min(word.length - pos,
+        if (init) m.maxInitLen else m.maxContLen)
+      var len = cap
+      var hit = false
+      while (!hit && len >= 1) {
+        val sub = word.substring(pos, pos + len)
+        hit = if (init) m.initPieces(sub) else m.contPieces(sub)
+        if (!hit) len -= 1
+      }
+      if (!hit) return Vector(UnkToken)
+      out += (if (init) word.substring(pos, pos + len)
+              else ContMarker + word.substring(pos, pos + len))
+      pos += len
+    }
+    out.result()
+  }
+
+  /** Encode `textCol` under a WordPiece vocab: (idCol, wp_tokens,
+    * n_ws_tokens, n_wp_tokens, n_unk_words). Same execution shape as
+    * [[encodeBpe]]: broadcast vocab sets, map-side `mapPartitions`
+    * with a per-partition word→pieces memo — zero shuffle. */
+  def encodeWordPiece(df: DataFrame, idCol: String, textCol: String,
+      model: WordPieceModel): DataFrame = {
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(model)
+    val idType = df.schema(idCol).dataType
+    val in = df.select(col(idCol), TextOps.wsTokens(col(textCol)).as("__tk"))
+    val outSchema = StructType(Seq(
+      StructField("__id", idType, nullable = true),
+      StructField("wp_tokens", ArrayType(StringType, containsNull = false),
+        nullable = false),
+      StructField("n_ws_tokens", LongType, nullable = false),
+      StructField("n_wp_tokens", LongType, nullable = false),
+      StructField("n_unk_words", LongType, nullable = false)))
+    val enc = spark.createDataFrame(
+      in.rdd.mapPartitions { it =>
+        val m = bc.value
+        val memo = scala.collection.mutable.HashMap.empty[String, Vector[String]]
+        it.map { r =>
+          val words = r.getSeq[String](1)
+          val toks = words.iterator.flatMap(w =>
+            memo.getOrElseUpdate(w, encodeWpWord(w, m))).toVector
+          Row(r.get(0), toks, words.length.toLong, toks.length.toLong,
+            toks.count(_ == UnkToken).toLong)
+        }
+      }, outSchema)
+    enc.withColumnRenamed("__id", idCol)
+  }
+
+  /** Inverse of [[encodeWordPiece]] as a column: a bare token starts a
+    * new word, a `##` token extends the current one — exact for any
+    * unk-free encoding (spec-pinned round-trip). */
+  def wpDecodeCol(tokensCol: String): org.apache.spark.sql.Column =
+    filter(split(aggregate(col(tokensCol), lit(""),
+      (acc, t) => when(substring(t, 1, 2) === ContMarker,
+          concat(acc, substring(t, 3, 1 << 20)))
+        .otherwise(concat(acc, lit(" "), t))), " "), w => length(w) > 0)
+
+  /** Frequency-weighted position-classed substring counts — the
+    * statistic [[staticWordPieceModel]] selects its vocab from, as a
+    * declarative frame: (piece, cnt) where a substring starting at a
+    * word's first character counts toward the bare piece and any later
+    * start toward `##`piece. One corpus pass (word count) + a bounded
+    * per-word explode, DuckDB-expressible term for term. */
+  def wpPieceCountsFrame(df: DataFrame, textCol: String,
+      maxPieceLen: Int = 6): DataFrame = {
+    val wc = wordCounts(df, textCol)
+    wc.select(col("cnt"),
+      explode(flatten(transform(
+        sequence(lit(1), length(col("word"))),
+        i => transform(
+          sequence(i, least(i + (maxPieceLen - 1), length(col("word")))),
+          j => concat(when(i === 1, lit("")).otherwise(lit(ContMarker)),
+            col("word").substr(i, j - i + 1)))))).as("piece"))
+      .groupBy("piece").agg(sum("cnt").as("cnt"))
+  }
+
+  /** A REPLAYABLE closed-form WordPiece vocab for cross-engine ENCODE
+    * audits (q140) — the [[staticBpeModel]]/[[staticUnigramModel]]
+    * idea: initial vocab = top `nInit` bare pieces of
+    * [[wpPieceCountsFrame]] in (cnt desc, piece asc) order UNION every
+    * single-character bare piece, continuation vocab likewise over the
+    * `##` pieces — full single-character coverage, so greedy matching
+    * always advances and the twin never needs the unk path. Encoding
+    * is vocab-set-driven (no ranks, no scores), so the DuckDB twin
+    * replays it as a pure longest-match walk. */
+  def staticWordPieceModel(df: DataFrame, textCol: String,
+      nInit: Int = 40, nCont: Int = 40,
+      maxPieceLen: Int = 6): WordPieceModel = {
+    val pcf = wpPieceCountsFrame(df, textCol, maxPieceLen)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      def side(cont: Boolean, n: Int): Set[String] = {
+        val mine = pcf.filter(
+          if (cont) col("piece").startsWith(ContMarker)
+          else !col("piece").startsWith(ContMarker))
+        val strip: String => String =
+          if (cont) _.stripPrefix(ContMarker) else identity
+        val top = mine.orderBy(desc("cnt"), col("piece")).limit(n)
+          .collect().map(r => strip(r.getString(0)))
+        val chars = mine
+          .filter(length(col("piece")) === (if (cont) 3 else 1))
+          .collect().map(r => strip(r.getString(0)))
+        (top ++ chars).toSet
+      }
+      WordPieceModel(side(cont = false, nInit), side(cont = true, nCont))
+    } finally pcf.unpersist()
+  }
+
+  /** The WordPiece trainer's first-merge decision input as a frame —
+    * the q81b/[[pairCountsFrame]] pattern for the LIKELIHOOD criterion:
+    * adjacent-pair counts over the initial `##` symbolization joined
+    * with both symbols' own frequency-weighted counts, plus the score
+    * count(lr)/(count(l)·count(r)) the trainer maximizes. All exact
+    * integer aggregation + one IEEE multiply/divide — bit-replayable
+    * in DuckDB. Returns (l_sym, r_sym, pair_cnt, l_cnt, r_cnt, score). */
+  def wpPairScoresFrame(df: DataFrame, textCol: String): DataFrame = {
+    val wc = wordCounts(df, textCol)
+    // one transform over 1..len with a position-conditional marker —
+    // never a sequence(2, len) that would run DESCENDING for 1-char
+    // words (Spark's sequence() reverses when start > stop)
+    val syms = wc.filter(length(col("word")) > 0).select(col("cnt"),
+      transform(sequence(lit(1), length(col("word"))),
+        i => concat(when(i === 1, lit("")).otherwise(lit(ContMarker)),
+          col("word").substr(i, lit(1)))).as("s"))
+    val symCnt = syms.select(col("cnt"), explode(col("s")).as("sym"))
+      .groupBy("sym").agg(sum("cnt").as("sym_cnt"))
+    val pairs = syms.filter(size(col("s")) >= 2).select(col("cnt"),
+      explode(transform(sequence(lit(1), size(col("s")) - 1),
+        i => struct(element_at(col("s"), i).as("l_sym"),
+          element_at(col("s"), i + 1).as("r_sym")))).as("p"))
+      .select(col("cnt"), col("p.l_sym"), col("p.r_sym"))
+      .groupBy("l_sym", "r_sym").agg(sum("cnt").as("pair_cnt"))
+    pairs
+      .join(symCnt.withColumnRenamed("sym", "l_sym")
+        .withColumnRenamed("sym_cnt", "l_cnt"), Seq("l_sym"))
+      .join(symCnt.withColumnRenamed("sym", "r_sym")
+        .withColumnRenamed("sym_cnt", "r_cnt"), Seq("r_sym"))
+      .select(col("l_sym"), col("r_sym"), col("pair_cnt"),
+        col("l_cnt"), col("r_cnt"),
+        (col("pair_cnt").cast("double") /
+          (col("l_cnt").cast("double") * col("r_cnt").cast("double")))
+          .as("score"))
+  }
 }

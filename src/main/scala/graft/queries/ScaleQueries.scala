@@ -764,6 +764,35 @@ object ScaleQueries {
         .orderBy("word")
     }),
 
+    // WordPiece ENCODE oracle twin — the third tokenizer family's
+    // application loop (greedy longest-match-first, BERT-style ##
+    // continuations) replayed cross-engine. The static vocab is the
+    // closed-form top-40-per-side + full single-char coverage of the
+    // position-classed substring counts (staticWordPieceModel), so
+    // matching always advances and the twin is a pure MaxMatch walk —
+    // no unk path, no scores, no tie-break beyond "longest".
+    "q140_wordpiece_encode_oracle" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val model = Vocab.staticWordPieceModel(d, "text",
+        nInit = 40, nCont = 40, maxPieceLen = 6)
+      val words = Vocab.wordCounts(d, "text")
+        .orderBy(desc("cnt"), col("word")).limit(50)
+      Vocab.encodeWordPiece(words, "word", "word", model)
+        .select(col("word"),
+          concat_ws(" ", col("wp_tokens")).as("pieces"),
+          col("n_wp_tokens").as("n_pieces"))
+        .orderBy("word")
+    }),
+
+    // WordPiece TRAINER decision-input anchor (the q81b pattern for
+    // the likelihood criterion): adjacent-pair counts over the ##
+    // symbolization with both symbols' counts and the score
+    // cnt(lr)/(cnt(l)·cnt(r)) the first merge maximizes — exact int
+    // aggregation + one IEEE multiply/divide, bit-replayable
+    "q140b_wordpiece_pair_scores" -> ((s, dir) =>
+      Vocab.wpPairScoresFrame(t(s, dir, "documents"), "text")
+        .orderBy(desc("score"), col("l_sym"), col("r_sym")).limit(100)),
+
     // token counting under three tokenizers
     "q34_tokens" -> ((s, dir) =>
       TextAnalysis.tokenCounts(t(s, dir, "documents"), "doc_id", "text")
@@ -3771,6 +3800,98 @@ object ScaleQueries {
          SELECT word, array_to_string(s, ' ') AS pieces,
                 CAST(len(s) AS BIGINT) AS n_pieces
          FROM fin WHERE rn = 1 ORDER BY word""",
+    // WordPiece encode twin: rebuild the static vocab (top-40 bare +
+    // top-40 ## substring counts, single-char coverage unioned in)
+    // and replay greedy longest-match as a recursive CTE — per step
+    // the best length is the max L whose substring is in the
+    // position-appropriate piece list; full coverage ⇒ bl ≥ 1 always.
+    "q140_wordpiece_encode_oracle" ->
+      """WITH RECURSIVE
+           w AS (SELECT unnest(list_filter(
+                   string_split(coalesce(text, ''), ' '),
+                   t -> length(t) > 0)) AS word
+                 FROM documents),
+           wc AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),
+           s1 AS (SELECT word, cnt,
+                         unnest(range(1, length(word) + 1)) AS i
+                  FROM wc),
+           s2 AS (SELECT cnt,
+                         CASE WHEN i = 1 THEN '' ELSE '##' END ||
+                           substr(word, i, L) AS piece
+                  FROM (SELECT word, cnt, i,
+                          unnest(range(1,
+                            least(6, length(word) - i + 1) + 1)) AS L
+                        FROM s1)),
+           pc AS (SELECT piece, sum(cnt) AS cnt FROM s2 GROUP BY piece),
+           itop AS (SELECT piece FROM pc WHERE piece NOT LIKE '##%'
+                    ORDER BY cnt DESC, piece LIMIT 40),
+           iall AS (SELECT DISTINCT piece FROM (
+                      SELECT piece FROM itop UNION ALL
+                      SELECT piece FROM pc
+                      WHERE piece NOT LIKE '##%' AND length(piece) = 1)),
+           il AS (SELECT list(piece) AS l FROM iall),
+           ctop AS (SELECT piece FROM pc WHERE piece LIKE '##%'
+                    ORDER BY cnt DESC, piece LIMIT 40),
+           cpcs AS (SELECT DISTINCT substr(piece, 3) AS piece FROM (
+                      SELECT piece FROM ctop UNION ALL
+                      SELECT piece FROM pc
+                      WHERE piece LIKE '##%' AND length(piece) = 3)),
+           cl AS (SELECT list(piece) AS l FROM cpcs),
+           words AS (SELECT word FROM wc
+                     ORDER BY cnt DESC, word LIMIT 50),
+           enc AS (
+             SELECT word, 1 AS pos, CAST([] AS VARCHAR[]) AS toks
+             FROM words
+             UNION ALL
+             SELECT word, pos + bl,
+                    list_append(toks,
+                      CASE WHEN pos = 1 THEN substr(word, pos, bl)
+                           ELSE '##' || substr(word, pos, bl) END)
+             FROM (SELECT e.word, e.pos, e.toks,
+                     list_max(list_transform(
+                       range(1, least(6, length(e.word) - e.pos + 1) + 1),
+                       L -> CASE WHEN list_contains(
+                              CASE WHEN e.pos = 1 THEN i.l ELSE c.l END,
+                              substr(e.word, e.pos, L))
+                            THEN L ELSE 0 END)) AS bl
+                   FROM enc e CROSS JOIN il i CROSS JOIN cl c
+                   WHERE e.pos <= length(e.word))
+             WHERE bl > 0)
+         SELECT word, array_to_string(toks, ' ') AS pieces,
+                CAST(len(toks) AS BIGINT) AS n_pieces
+         FROM enc WHERE pos = length(word) + 1 ORDER BY word""",
+    // WordPiece trainer anchor: same ## symbolization, exact integer
+    // counts, score as one double multiply + divide of exact ints —
+    // IEEE-identical cross-engine, ties broken by (l_sym, r_sym)
+    "q140b_wordpiece_pair_scores" ->
+      """WITH w AS (SELECT unnest(list_filter(
+                  string_split(coalesce(text, ''), ' '),
+                  t -> length(t) > 0)) AS word
+                FROM documents),
+           wc AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),
+           s1 AS (SELECT word, cnt,
+                         unnest(range(1, length(word) + 1)) AS i
+                  FROM wc),
+           sym AS (SELECT cnt,
+                          CASE WHEN i = 1 THEN '' ELSE '##' END ||
+                            substr(word, i, 1) AS sym
+                   FROM s1),
+           symc AS (SELECT sym, sum(cnt) AS sym_cnt FROM sym GROUP BY sym),
+           pr AS (SELECT CASE WHEN i = 1 THEN '' ELSE '##' END ||
+                           substr(word, i, 1) AS l_sym,
+                         '##' || substr(word, i + 1, 1) AS r_sym, cnt
+                  FROM s1 WHERE i < length(word)),
+           prc AS (SELECT l_sym, r_sym, sum(cnt) AS pair_cnt
+                   FROM pr GROUP BY l_sym, r_sym)
+         SELECT p.l_sym, p.r_sym, CAST(p.pair_cnt AS BIGINT) AS pair_cnt,
+                CAST(l.sym_cnt AS BIGINT) AS l_cnt,
+                CAST(r.sym_cnt AS BIGINT) AS r_cnt,
+                p.pair_cnt::DOUBLE /
+                  (l.sym_cnt::DOUBLE * r.sym_cnt::DOUBLE) AS score
+         FROM prc p
+         JOIN symc l ON p.l_sym = l.sym
+         JOIN symc r ON p.r_sym = r.sym
+         ORDER BY score DESC, p.l_sym, p.r_sym LIMIT 100""",
     "q84_composition" ->
       """WITH cells AS (SELECT lang, source, count(*) AS n_docs,
                 sum(len(list_filter(string_split(coalesce(text, ''), ' '),

@@ -241,4 +241,104 @@ class VocabSpec extends AnyFunSuite {
         s"trial $trial diverged (corpus: $text)")
     }
   }
+
+  // ---------------------------------------------------------------
+  // WordPiece
+  // ---------------------------------------------------------------
+
+  test("learnWordPiece: likelihood criterion picks a DIFFERENT first " +
+      "merge than raw pair count, hand-computed order") {
+    // ab×10, az×20, cb×20, xy×2. Pair counts: (a,##z)=20=(c,##b) win
+    // on COUNT; scores: (x,##y)=2/(2·2)=0.5 beats (a,##z)=20/(30·20)
+    // and (c,##b)=20/(20·30) (both 1/30) and (a,##b)=10/(30·30).
+    // After xy: (a,##z) ties (c,##b) EXACTLY (20·600 = 20·600) → lex
+    // tie-break picks l='a'. Then (a,##b) ties (c,##b) exactly again
+    // (10·20·30 = 20·10·30) → ab, then cb.
+    val df = Seq((Seq.fill(10)("ab") ++ Seq.fill(20)("az") ++
+      Seq.fill(20)("cb") ++ Seq.fill(2)("xy")).mkString(" "))
+      .toDF("text")
+    val m = Vocab.learnWordPiece(df, "text", numMerges = 4)
+    // merge products land in the vocab in application order; all four
+    // are word-initial (bare) pieces
+    assert(m.initPieces === Set("a", "c", "x", "xy", "az", "cb", "ab"))
+    assert(m.contPieces === Set("b", "z", "y"))
+    // the count criterion would NEVER merge xy with budget 1: assert
+    // the score winner directly off the decision-input frame
+    val top = Vocab.wpPairScoresFrame(df, "text")
+      .orderBy(desc("score"), col("l_sym"), col("r_sym"))
+      .select("l_sym", "r_sym").head()
+    assert((top.getString(0), top.getString(1)) === (("x", "##y")))
+    val m1 = Vocab.learnWordPiece(df, "text", numMerges = 1)
+    assert(m1.initPieces.contains("xy") && !m1.initPieces.contains("az"))
+  }
+
+  test("learnWordPiece is deterministic and stops when no pairs remain") {
+    val df = Seq("ab ab cd e").toDF("text")
+    val m1 = Vocab.learnWordPiece(df, "text", numMerges = 100)
+    val m2 = Vocab.learnWordPiece(df, "text", numMerges = 100)
+    assert(m1 === m2)
+    // ab and cd fully merge (2 merges), e is a lone char
+    assert(m1.initPieces === Set("a", "c", "e", "ab", "cd"))
+    assert(m1.contPieces === Set("b", "d"))
+  }
+
+  test("encodeWordPiece: greedy longest-match-first, ## continuations, " +
+      "whole-word unk") {
+    val m = Vocab.WordPieceModel(
+      initPieces = Set("un", "u", "n", "a", "run"),
+      contPieces = Set("able", "a", "b", "l", "e", "n"))
+    val enc = Vocab.encodeWordPiece(
+      Seq((1L, "unable runa un qx"), (2L, "")).toDF("id", "t"),
+      "id", "t", m).collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[String](1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    // longest-first: "un"+"##able" (not u/n/a...), "run"+"##a";
+    // "qx": no initial piece covers 'q' → whole word unk
+    assert(enc(1L)._1 === Seq("un", "##able", "run", "##a", "un",
+      Vocab.UnkToken))
+    assert(enc(1L)._2 === 4L) // ws words
+    assert(enc(1L)._4 === 1L) // unk words
+    assert(enc(2L)._1 === Seq.empty)
+  }
+
+  test("encodeWordPiece round-trips through wpDecodeCol on a trained " +
+      "model (alphabet coverage ⇒ zero unk)") {
+    val sample = docs.limit(50)
+    val model = Vocab.learnWordPiece(sample, "text", numMerges = 80)
+    val enc = Vocab.encodeWordPiece(sample, "doc_id", "text", model)
+    assert(enc.agg(sum("n_unk_words")).head.getLong(0) === 0L)
+    val joined = enc.select(col("doc_id"),
+        Vocab.wpDecodeCol("wp_tokens").as("decoded"))
+      .join(sample.select(col("doc_id"),
+        TextOps.wsTokens(col("text")).as("orig")), "doc_id")
+    assert(joined.filter(col("decoded") =!= col("orig")).count() === 0L)
+    // compression: trained subwords mean fewer pieces than characters
+    val agg = enc.agg(sum("n_wp_tokens"), sum("n_ws_tokens")).head
+    assert(agg.getLong(0) >= agg.getLong(1)) // ≥ one piece per word
+  }
+
+  test("staticWordPieceModel: single-char coverage means no unk, " +
+      "vocab ids stable, encode deterministic") {
+    val sample = docs.limit(80)
+    val m = Vocab.staticWordPieceModel(sample, "text",
+      nInit = 40, nCont = 40, maxPieceLen = 6)
+    val m2 = Vocab.staticWordPieceModel(sample, "text",
+      nInit = 40, nCont = 40, maxPieceLen = 6)
+    assert(m === m2)
+    assert(m.vocab(Vocab.UnkToken) === 0)
+    assert(m.vocab.size === 1 + m.initPieces.size + m.contPieces.size)
+    val enc = Vocab.encodeWordPiece(sample, "doc_id", "text", m)
+    assert(enc.agg(sum("n_unk_words")).head.getLong(0) === 0L)
+  }
+
+  test("wpPairScoresFrame: score = pair/(l·r) exactly, symbolization " +
+      "classes split at position 1") {
+    // "aa ba": syms [a,##a] and [b,##a] → counts a=1,b=1,##a=2;
+    // pairs (a,##a)=1 score 1/(1·2)=0.5, (b,##a)=1 score 0.5
+    val rows = Vocab.wpPairScoresFrame(Seq("aa ba").toDF("text"), "text")
+      .orderBy("l_sym").collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq === Seq(
+      ("a", "##a", 1L, 1L, 2L, 0.5), ("b", "##a", 1L, 1L, 2L, 0.5)))
+  }
 }
