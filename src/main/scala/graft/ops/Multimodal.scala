@@ -998,30 +998,44 @@ object Multimodal {
   private[graft] def imageContentKey(p: Array[Byte], codec: HeaderCodec,
       md: java.security.MessageDigest): Option[String] =
     codec.decode(p).flatMap { m =>
-      if (m.format == "bmp") bmpContentKey(p, codec, md)
-      else imageIoDecode(p).map { img =>
-        val w = img.getWidth; val h = img.getHeight
-        md.reset()
-        md.update(java.nio.ByteBuffer.allocate(8).putInt(w).putInt(h)
-          .array())
-        val row = new Array[Int](w)
-        val line = new Array[Byte](w * 3)
-        var y = 0
-        while (y < h) {
-          img.getRGB(0, y, w, 1, row, 0, w)
-          var x = 0
-          while (x < w) {
-            val rgb = row(x)
-            line(x * 3) = (rgb & 0xff).toByte // B — the BMP row order
-            line(x * 3 + 1) = ((rgb >> 8) & 0xff).toByte
-            line(x * 3 + 2) = ((rgb >> 16) & 0xff).toByte
-            x += 1
-          }
-          md.update(line)
-          y += 1
+      // BMP prefers the zero-copy 24-bit header walk (bit-identical to
+      // the closed-form oracle fixtures) but FALLS BACK to the shared
+      // ImageIO decode for variants the walk declines (32-bpp,
+      // compressed) — otherwise a 32-bpp BMP gets no key while its
+      // lossless PNG re-encode does, splitting cross-container dups
+      if (m.format == "bmp")
+        bmpContentKey(p, codec, md).orElse(imageIoContentKey(p, md))
+      else imageIoContentKey(p, md)
+    }
+
+  /** The PNG/JPEG (and fallback-BMP) arm of [[imageContentKey]]: full
+    * ImageIO pixel decode hashed in the SAME canonical form as the BMP
+    * header walk — md5 over (width, height, logical top-down BGR
+    * rows). */
+  private[graft] def imageIoContentKey(p: Array[Byte],
+      md: java.security.MessageDigest): Option[String] =
+    imageIoDecode(p).map { img =>
+      val w = img.getWidth; val h = img.getHeight
+      md.reset()
+      md.update(java.nio.ByteBuffer.allocate(8).putInt(w).putInt(h)
+        .array())
+      val row = new Array[Int](w)
+      val line = new Array[Byte](w * 3)
+      var y = 0
+      while (y < h) {
+        img.getRGB(0, y, w, 1, row, 0, w)
+        var x = 0
+        while (x < w) {
+          val rgb = row(x)
+          line(x * 3) = (rgb & 0xff).toByte // B — the BMP row order
+          line(x * 3 + 1) = ((rgb >> 8) & 0xff).toByte
+          line(x * 3 + 2) = ((rgb >> 16) & 0xff).toByte
+          x += 1
         }
-        md.digest().map("%02x".format(_)).mkString
+        md.update(line)
+        y += 1
       }
+      md.digest().map("%02x".format(_)).mkString
     }
 
   def imageContentKeyBatch(df: DataFrame, idCol: String): DataFrame = {
@@ -2017,23 +2031,34 @@ object Multimodal {
   def imageFeatures(p: Array[Byte], grid: Int = 4,
       codec: HeaderCodec = new HeaderCodec): Option[Array[Double]] =
     codec.decode(p).flatMap { m =>
-      if (m.format == "bmp") bmpFeatures(p, grid, codec)
-      else imageIoDecode(p).map { img =>
-        val w = img.getWidth; val h = img.getHeight
-        val row = new Array[Int](w)
-        gridFeaturesOf(w, h, grid) { visit =>
-          var y = 0
-          while (y < h) {
-            img.getRGB(0, y, w, 1, row, 0, w)
-            var x = 0
-            while (x < w) {
-              val rgb = row(x)
-              visit(x, y, (rgb >> 16) & 0xff, (rgb >> 8) & 0xff,
-                rgb & 0xff)
-              x += 1
-            }
-            y += 1
+      // same fallback discipline as [[imageContentKey]]: BMP variants
+      // the 24-bit header walk declines (32-bpp, compressed) go
+      // through the shared ImageIO decode instead of featurizing as
+      // nothing while their PNG re-encodes featurize fine
+      if (m.format == "bmp")
+        bmpFeatures(p, grid, codec).orElse(imageIoFeatures(p, grid))
+      else imageIoFeatures(p, grid)
+    }
+
+  /** The ImageIO arm of [[imageFeatures]] — [[gridFeaturesOf]] over a
+    * full pixel decode, shared by PNG/JPEG and the BMP fallback. */
+  private def imageIoFeatures(p: Array[Byte],
+      grid: Int): Option[Array[Double]] =
+    imageIoDecode(p).map { img =>
+      val w = img.getWidth; val h = img.getHeight
+      val row = new Array[Int](w)
+      gridFeaturesOf(w, h, grid) { visit =>
+        var y = 0
+        while (y < h) {
+          img.getRGB(0, y, w, 1, row, 0, w)
+          var x = 0
+          while (x < w) {
+            val rgb = row(x)
+            visit(x, y, (rgb >> 16) & 0xff, (rgb >> 8) & 0xff,
+              rgb & 0xff)
+            x += 1
           }
+          y += 1
         }
       }
     }

@@ -119,11 +119,17 @@ object Similarity {
         try_divide(dot(col("cv"), col("pv")), col("cn") * col("pn")))
       .filter(col("sim").isNotNull && !isnan(col("sim")))
     val agg = sims.groupBy("__id").agg(max("sim").as("__m"))
+    // contaminated thresholds on the SAME rounded value the row emits
+    // (the cosineTopKStable discipline): a sim within cross-engine FP
+    // summation noise of minSim would otherwise let max_sim read
+    // 0.4000 with contaminated=false — the rounded comparison makes
+    // the tie class explicit and the DuckDB twin replays it exactly
     c.select(col("__id"))
       .join(agg, Seq("__id"), "left")
+      .withColumn("__mr", round(coalesce(col("__m"), lit(0.0)), 4))
       .select(col("__id").as(idCol),
-        round(coalesce(col("__m"), lit(0.0)), 4).as("max_sim"),
-        (coalesce(col("__m"), lit(0.0)) >= minSim).as("contaminated"))
+        col("__mr").as("max_sim"),
+        (col("__mr") >= minSim).as("contaminated"))
   }
 
   /** Shared tail of the top-k paths: per-qid bounded-heap top-k via
@@ -1090,10 +1096,17 @@ object Similarity {
     * artifact, m ints per vector. Build once, persist with
     * [[ivfPqSave]], query many times with [[ivfPqSearch]]: at corpus
     * scale the index is infrastructure, not a per-query computation. */
+  /** `tombstones` carries the takedown set of a loaded persisted index
+    * (null for a fresh in-memory build): [[ivfPqAppend]] anti-joins
+    * every appended batch against it, so the ivfPqDelete contract — a
+    * tombstone kills its id across ALL batches, including a later
+    * re-append — holds for in-memory appends onto a loaded index too,
+    * not just through [[ivfPqLoad]]. */
   final case class IvfPqIndex(dim: Int, nLists: Int, m: Int, ks: Int,
       centers: Array[Array[Double]],
       books: Array[Array[Array[Double]]],
-      codes: DataFrame)
+      codes: DataFrame,
+      tombstones: DataFrame = null)
 
   /** Fit both quantizers on ONE deterministic driver-side sample
     * (coarse centers on the vectors, PQ codebooks on the sample's
@@ -1184,10 +1197,18 @@ object Similarity {
     * disjointness, same as [[graft.ops.Dedup.corpusDedupIncremental]].
     */
   def ivfPqAppend(index: IvfPqIndex, df: DataFrame, idCol: String,
-      vecCol: String): IvfPqIndex =
-    index.copy(codes = index.codes.unionByName(
-      encodeWithQuantizers(index, unitVectors(df, idCol, vecCol),
-        keepRaw = index.codes.columns.contains("vhat"))))
+      vecCol: String): IvfPqIndex = {
+    val batch = encodeWithQuantizers(index, unitVectors(df, idCol, vecCol),
+      keepRaw = index.codes.columns.contains("vhat"))
+    // apply the loaded index's tombstones to the NEW batch too — a
+    // re-appended tombstoned id must stay dead in this session, not
+    // only after the next ivfPqLoad (the ivfPqDelete contract)
+    val live = Option(index.tombstones) match {
+      case Some(ts) => batch.join(broadcast(ts), Seq("cid"), "left_anti")
+      case None => batch
+    }
+    index.copy(codes = index.codes.unionByName(live))
+  }
 
   /** [[ivfPqAppend]] against a PERSISTED index: encodes the batch with
     * the stored quantizers and writes it as the NEXT batch directory
@@ -1294,11 +1315,12 @@ object Similarity {
     val selected = codes.select(codeCols.map(col): _*)
     // tombstones (takedowns) filter at READ time — a broadcast
     // anti-join on cid, so no stored code is touched by a delete
-    val live = tombstoneIds(spark, path) match {
-      case Some(ts) => selected.join(broadcast(ts), Seq("cid"), "left_anti")
+    val ts = tombstoneIds(spark, path)
+    val live = ts match {
+      case Some(t) => selected.join(broadcast(t), Seq("cid"), "left_anti")
       case None => selected
     }
-    IvfPqIndex(dim, nLists, m, ks, centers, books, live)
+    IvfPqIndex(dim, nLists, m, ks, centers, books, live, ts.orNull)
   }
 
   private def tombstoneIds(spark: SparkSession,

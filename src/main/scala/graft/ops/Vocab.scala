@@ -779,16 +779,28 @@ object Vocab {
     }
   }
 
-  /** WordPiece symbolization of a word: first character bare, every
-    * later character a continuation symbol. The `##` marker is kept IN
-    * the working symbols during training so merge products inherit
-    * their position class (`a`+`##b` → `ab`, `##a`+`##b` → `##ab`). */
-  private def wpSymbols(word: String): Vector[String] =
-    word.headOption.map(_.toString).toVector ++
-      word.drop(1).map(c => ContMarker + c)
+  /** A training-time symbol: its position class carried OUT-OF-BAND
+    * as a Boolean instead of an in-band `##` string prefix — a word
+    * that itself begins with `#` (hashtag corpora) would otherwise
+    * produce merge products spelled exactly like the marker (`#`+`##`
+    * → bare `##`), conflating bare and continuation symbols of the
+    * same spelling in symCnt/pairCnt and corrupting the learned
+    * vocab. `render` is only the deterministic tie-break/presentation
+    * form. */
+  private final case class WpSym(isCont: Boolean, piece: String) {
+    def render: String = if (isCont) ContMarker + piece else piece
+  }
 
-  private def wpMerge(l: String, r: String): String =
-    l + r.stripPrefix(ContMarker)
+  /** WordPiece symbolization of a word: first character bare, every
+    * later character a continuation symbol. Merge products inherit the
+    * LEFT symbol's position class (`a`+`##b` → `ab`, `##a`+`##b` →
+    * `##ab`) — tracked via [[WpSym.isCont]], never the spelling. */
+  private def wpSymbols(word: String): Vector[WpSym] =
+    word.headOption.map(c => WpSym(isCont = false, c.toString)).toVector ++
+      word.drop(1).map(c => WpSym(isCont = true, c.toString))
+
+  private def wpMerge(l: WpSym, r: WpSym): WpSym =
+    WpSym(l.isCont, l.piece + r.piece)
 
   /** Learn a WordPiece vocabulary: BPE's merge loop under the
     * likelihood score s(l,r) = count(lr) / (count(l)·count(r)) —
@@ -815,12 +827,12 @@ object Vocab {
     import scala.collection.mutable
     val syms = dict0.map { case (w, _) => wpSymbols(w) }
     val cnts = dict0.map(_._2)
-    val produced = Vector.newBuilder[String]
+    val produced = Vector.newBuilder[WpSym]
     var step = 0
     var exhausted = false
     while (step < numMerges && !exhausted) {
-      val symCnt = mutable.HashMap.empty[String, Long]
-      val pairCnt = mutable.HashMap.empty[(String, String), Long]
+      val symCnt = mutable.HashMap.empty[WpSym, Long]
+      val pairCnt = mutable.HashMap.empty[(WpSym, WpSym), Long]
       var w = 0
       while (w < syms.length) {
         val s = syms(w); val c = cnts(w)
@@ -837,10 +849,12 @@ object Vocab {
       }
       if (pairCnt.isEmpty) exhausted = true
       else {
-        // best by (score desc, l asc, r asc); score = p/(l·r) compared
-        // as doubles with an exact-rational fallback inside the 1e-9
-        // relative band
-        var best: (String, String) = null
+        // best by (score desc, l asc, r asc) on the RENDERED symbols
+        // (marker-prefixed presentation — keeps the learned vocab
+        // byte-identical to the pre-WpSym trainer on marker-free
+        // corpora); score = p/(l·r) compared as doubles with an
+        // exact-rational fallback inside the 1e-9 relative band
+        var best: (WpSym, WpSym) = null
         var bestP, bestL, bestR = 0L
         var bestScore = -1.0
         pairCnt.foreach { case (p @ (l, r), pc) =>
@@ -856,8 +870,8 @@ object Vocab {
                 .compare(BigInt(bestP) * BigInt(lc) * BigInt(rc))
               if (exact != 0) exact
               else {
-                val a = best._1.compareTo(l)
-                if (a != 0) a else best._2.compareTo(r)
+                val a = best._1.render.compareTo(l.render)
+                if (a != 0) a else best._2.render.compareTo(r.render)
               }
             }
           if (cmp > 0) {
@@ -874,7 +888,7 @@ object Vocab {
             has = old(i) == best._1 && old(i + 1) == best._2; i += 1
           }
           if (has) {
-            val out = Vector.newBuilder[String]
+            val out = Vector.newBuilder[WpSym]
             i = 0
             while (i < old.length) {
               if (i < old.length - 1 && old(i) == best._1 &&
@@ -891,10 +905,10 @@ object Vocab {
     }
     val alphabet = dict0.flatMap { case (w, _) => wpSymbols(w) }.distinct
     val all = alphabet.toVector ++ produced.result()
-    WordPieceModel(
-      all.filterNot(_.startsWith(ContMarker)).toSet,
-      all.filter(_.startsWith(ContMarker))
-        .map(_.stripPrefix(ContMarker)).toSet)
+    // the position class comes off the out-of-band flag, never off a
+    // string prefix — bare pieces spelled "##…" survive intact
+    val (contS, initS) = all.partition(_.isCont)
+    WordPieceModel(initS.map(_.piece).toSet, contS.map(_.piece).toSet)
   }
 
   /** Greedy longest-match-first WordPiece encoding of one word; no
@@ -956,7 +970,13 @@ object Vocab {
 
   /** Inverse of [[encodeWordPiece]] as a column: a bare token starts a
     * new word, a `##` token extends the current one — exact for any
-    * unk-free encoding (spec-pinned round-trip). */
+    * unk-free encoding of a corpus whose WORDS do not themselves begin
+    * with `##` (spec-pinned round-trip). The `##` marker is the BERT
+    * presentation convention and is inherently in-band in the token
+    * STREAM: a word starting with `##` encodes to a bare piece spelled
+    * `##…` that this column cannot tell from a continuation. Training
+    * and encoding are immune (position class is out-of-band there);
+    * only this textual decode carries the caveat. */
   def wpDecodeCol(tokensCol: String): org.apache.spark.sql.Column =
     filter(split(aggregate(col(tokensCol), lit(""),
       (acc, t) => when(substring(t, 1, 2) === ContMarker,
@@ -968,7 +988,12 @@ object Vocab {
     * declarative frame: (piece, cnt) where a substring starting at a
     * word's first character counts toward the bare piece and any later
     * start toward `##`piece. One corpus pass (word count) + a bounded
-    * per-word explode, DuckDB-expressible term for term. */
+    * per-word explode, DuckDB-expressible term for term. The position
+    * class is in-band HERE by design (the marked string is what a SQL
+    * twin can replay), so a corpus whose words begin with `##` would
+    * conflate a bare `##x` piece with a continuation `x` piece — the
+    * trainer ([[learnWordPiece]]) carries the class out-of-band and
+    * has no such caveat. */
   def wpPieceCountsFrame(df: DataFrame, textCol: String,
       maxPieceLen: Int = 6): DataFrame = {
     val wc = wordCounts(df, textCol)

@@ -3539,7 +3539,7 @@ object ScaleQueries {
            s AS (SELECT vec_id, max(list_cosine_similarity(cv, pv)) AS m
                  FROM c CROSS JOIN p GROUP BY vec_id)
          SELECT c.vec_id, round(coalesce(s.m, 0), 4) AS max_sim,
-                coalesce(s.m, 0) >= 0.4 AS contaminated
+                round(coalesce(s.m, 0), 4) >= 0.4 AS contaminated
          FROM c LEFT JOIN s USING (vec_id)
          ORDER BY c.vec_id""",
     "q79_keywords" ->

@@ -418,6 +418,56 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.imageFeatures(hdrOnly).isEmpty)
   }
 
+  test("32-bpp BMP: header walk declines, ImageIO fallback unifies it " +
+      "with its PNG re-encode") {
+    def blockPix(x: Int, y: Int): Int = {
+      val v = (((x * 4 / 64) * 4 + (y * 4 / 48)) * 16) % 256
+      (v << 16) | (v << 8) | v
+    }
+    // hand-rolled BI_RGB 32-bpp BMP: bottom-up BGRA rows, no padding
+    def encodeBmp32(w: Int, h: Int, pix: (Int, Int) => Int): Array[Byte] = {
+      val rowBytes = w * 4
+      val size = 54 + rowBytes * h
+      val b = java.nio.ByteBuffer.allocate(size)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put('B'.toByte).put('M'.toByte).putInt(size)
+        .putShort(0).putShort(0).putInt(54)
+      b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(32)
+        .putInt(0).putInt(rowBytes * h).putInt(2835).putInt(2835)
+        .putInt(0).putInt(0)
+      var y = h - 1
+      while (y >= 0) {
+        var x = 0
+        while (x < w) {
+          val rgb = pix(x, y)
+          b.put((rgb & 0xff).toByte)
+            .put(((rgb >> 8) & 0xff).toByte)
+            .put(((rgb >> 16) & 0xff).toByte)
+            .put(0xff.toByte)
+          x += 1
+        }
+        y -= 1
+      }
+      b.array()
+    }
+    val bmp32 = encodeBmp32(64, 48, blockPix)
+    val png = Multimodal.encodePngRgb(64, 48, blockPix)
+    val codec = new Multimodal.HeaderCodec
+    val md = java.security.MessageDigest.getInstance("MD5")
+    // sniffed as BMP with 4 channels — the 24-bit walk declines it
+    val meta = codec.decode(bmp32).get
+    assert(meta.format === "bmp" && meta.channels === 4)
+    assert(Multimodal.bmpContentKey(bmp32, codec, md).isEmpty)
+    // …but the dispatcher falls back to ImageIO, so the 32-bpp BMP
+    // shares its canonical key and features with the PNG of the same
+    // pixels instead of dropping out of dedup entirely
+    val k32 = Multimodal.imageContentKey(bmp32, codec, md)
+    assert(k32.isDefined, "32-bpp BMP must decode via the ImageIO fallback")
+    assert(k32 === Multimodal.imageContentKey(png, codec, md))
+    assert(Multimodal.imageFeatures(bmp32).get.toSeq ===
+      Multimodal.imageFeatures(png).get.toSeq)
+  }
+
   test("mixed-container manifest: JPEG exact-dup collapses, PNG resize " +
     "lands as near_dup") {
     def blockPix(mul: Int, off: Int)(x: Int, y: Int): Int = {

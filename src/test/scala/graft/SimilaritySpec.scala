@@ -444,6 +444,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert(afterDelete.forall { case (q, c) => c != q + 100000L })
     val liveCount = Similarity.ivfPqLoad(spark, dir).codes.count()
     assert(liveCount === corpus.count())
+    // the tombstone kills a re-append IN-MEMORY too: ivfPqAppend onto
+    // the loaded index anti-joins the new batch against the stored
+    // tombstones, so the contract holds without a round-trip through
+    // ivfPqLoad
+    val reApp = Similarity.ivfPqAppend(Similarity.ivfPqLoad(spark, dir),
+      planted, "vec_id", "embedding")
+    assert(reApp.codes.count() === liveCount,
+      "re-appended tombstoned ids must not enter the in-memory code set")
+    val reHits = Similarity.ivfPqSearch(reApp, queries, "vec_id",
+      "embedding", k = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(reHits.forall { case (q, c) => c != q + 100000L })
     // vacuum: same live set and same search results, tombstone dir
     // gone, codes physically rewritten without the dead rows
     val vac = Similarity.ivfPqVacuum(spark, dir)
@@ -581,6 +593,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out(11L) === ((0.0, false)))
     assert(out(12L) === ((0.0, false)), "zero-norm row must not be NaN")
     assert(out(13L)._1 === 0.7071 && !out(13L)._2)
+  }
+
+  test("semanticDecontaminate thresholds on the ROUNDED max_sim: a sim " +
+      "inside FP noise of minSim cannot read 0.4000/false") {
+    // cos vs panel [1,0]: 0.39996 rounds to 0.4000 → contaminated;
+    // 0.39994 rounds to 0.3999 → clean — the emitted value and the
+    // flag are decided by the same rounded number
+    def at(c: Double) = Array(c, math.sqrt(1.0 - c * c))
+    val rows = Seq(
+      (0L, Array(1.0, 0.0)),  // panel
+      (10L, at(0.39996)),     // rounds UP to the threshold
+      (11L, at(0.39994)))     // rounds below it
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semanticDecontaminate(
+      rows.filter(col("vec_id") >= 10), rows.filter(col("vec_id") < 10),
+      "vec_id", "embedding", minSim = 0.4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getBoolean(2)))).toMap
+    assert(out(10L) === ((0.4, true)),
+      "max_sim 0.4000 must imply contaminated at minSim 0.4")
+    assert(out(11L) === ((0.3999, false)))
   }
 
   test("cosineTopKStable: ulp-level sim gaps collapse to one tie class " +

@@ -282,6 +282,33 @@ class VocabSpec extends AnyFunSuite {
     assert(m1.contPieces === Set("b", "d"))
   }
 
+  test("learnWordPiece: '#'-initial words train cleanly — the position " +
+      "class is out-of-band, not a '##' string prefix") {
+    // the word "##ab" symbolizes as bare '#' + continuations #,a,b;
+    // an in-band marker would merge '#'+cont-'#' into a bare symbol
+    // SPELLED "##" and then misclassify it (and its products) as
+    // continuation pieces at model build. With the class carried
+    // out-of-band the fully-merged word lands in initPieces verbatim.
+    val df = Seq.fill(4)("##ab ##ab zq").toDF("text")
+    val m = Vocab.learnWordPiece(df, "text", numMerges = 10)
+    assert(m.initPieces.contains("##ab"),
+      s"fully-merged hashtag word must be a BARE piece: $m")
+    // bare '#'-spelled pieces never leak into the continuation side
+    assert(!m.contPieces.contains("#ab") && !m.contPieces.contains("##ab"))
+    // encoding a hashtag word under the trained model: one piece, no unk
+    val enc = Vocab.encodeWordPiece(
+      Seq((1L, "##ab")).toDF("id", "t"), "id", "t", m).collect().head
+    assert(enc.getSeq[String](1) === Seq("##ab"))
+    assert(enc.getLong(4) === 0L, "no unk for an in-vocab hashtag word")
+    // bare and continuation symbols of the same SPELLING stay distinct
+    // statistics: 'a' occurs bare (word "ab") and as a continuation
+    // (word "ba") — both sides of the vocab carry their own 'a'
+    val mix = Vocab.learnWordPiece(
+      Seq("ab ba ab ba").toDF("text"), "text", numMerges = 0)
+    assert(mix.initPieces === Set("a", "b"))
+    assert(mix.contPieces === Set("a", "b"))
+  }
+
   test("encodeWordPiece: greedy longest-match-first, ## continuations, " +
       "whole-word unk") {
     val m = Vocab.WordPieceModel(
