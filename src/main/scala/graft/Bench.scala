@@ -118,7 +118,16 @@ object Bench {
     "q132_file_compaction",
     "q135_hilbert",
     "q136_zorder3",
-    "q137_hilbert3")
+    "q137_hilbert3",
+    // round 14: pull the r13 additions into the measured envelope —
+    // bigram-LM perplexity, semantic decontamination, the WordPiece
+    // encode/pair-score anchors, and the WordPiece LEARN row (q81's
+    // role for the third tokenizer family)
+    "q138_bigram_ppl",
+    "q139_semantic_decon",
+    "q140_wordpiece_encode_oracle",
+    "q140b_wordpiece_pair_scores",
+    "q141_wordpiece_vocab")
 
   /** Queries whose r6→r7 numbers moved 2–6× with no code change — the
     * self-join/ANN family is short (<3 s warm) so a single co-tenant

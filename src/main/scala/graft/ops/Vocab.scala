@@ -983,6 +983,27 @@ object Vocab {
           concat(acc, substring(t, 3, 1 << 20)))
         .otherwise(concat(acc, lit(" "), t))), " "), w => length(w) > 0)
 
+  /** The learned WordPiece vocabulary as its persistable artifact
+    * frame — [[mergesFrameOf]]'s role for the third family: (id,
+    * piece, is_cont) in the model's stable id order (unk, sorted bare
+    * pieces, sorted `##` continuations). `piece` is the RAW substring;
+    * the position class rides in `is_cont`, never a string prefix
+    * (write it once, encode anywhere, hashtag corpora included). */
+  def wpVocabFrameOf(spark: org.apache.spark.sql.SparkSession,
+      model: WordPieceModel): DataFrame = {
+    val rows = ((UnkToken, false) +:
+      (model.initPieces.toSeq.sorted.map((_, false)) ++
+        model.contPieces.toSeq.sorted.map((_, true))))
+      .zipWithIndex
+      .map { case ((p, c), i) => Row(i, p, c) }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("id", IntegerType, nullable = false),
+        StructField("piece", StringType, nullable = false),
+        StructField("is_cont", BooleanType, nullable = false))))
+  }
+
   /** Frequency-weighted position-classed substring counts — the
     * statistic [[staticWordPieceModel]] selects its vocab from, as a
     * declarative frame: (piece, cnt) where a substring starting at a

@@ -82,6 +82,17 @@ object ScaleQueries {
       .getOrElseUpdate(s"$dir|$numMerges",
         Vocab.learnBpe(t(s, dir, "documents"), "text", numMerges))
 
+  /** One WordPiece model per (session, sf dir) — q141's learn row and
+    * any encode consumer share it, same rationale as [[bpeFor]]. */
+  private val wpCache = new java.util.WeakHashMap[SparkSession,
+    scala.collection.concurrent.TrieMap[String, Vocab.WordPieceModel]]()
+
+  private def wpFor(s: SparkSession, dir: String,
+      numMerges: Int): Vocab.WordPieceModel =
+    perSessionEntry(wpCache, s)(scala.collection.concurrent.TrieMap.empty)
+      .getOrElseUpdate(s"$dir|$numMerges",
+        Vocab.learnWordPiece(t(s, dir, "documents"), "text", numMerges))
+
   /** One unigram model per (session, sf dir) — q99/q99c share it, same
     * rationale as [[bpeFor]]. */
   private val uniCache = new java.util.WeakHashMap[SparkSession,
@@ -128,11 +139,22 @@ object ScaleQueries {
       }
       if (root.exists()) walk(root)
     }
+    // previous-dir reaping happens OFF the caller's thread: fresh() is
+    // called inside timed bench bodies (q132 re-runs), and a
+    // synchronous rmrf of the prior invocation's 64-file dir would be
+    // charged to the query it precedes (+0.5 s read as a regression in
+    // r13). The reaper is a daemon single thread; the shutdown hook
+    // still collects whatever is live at exit.
+    private lazy val reaper = java.util.concurrent.Executors
+      .newSingleThreadExecutor { r =>
+        val t = new Thread(r, "graft-scratch-reaper")
+        t.setDaemon(true); t
+      }
     def fresh(tag: String): String = {
       if (hooked.compareAndSet(false, true))
         sys.addShutdownHook(live.values.foreach(rmrf)): Unit
       val dir = java.nio.file.Files.createTempDirectory(tag).toString
-      live.put(tag, dir).foreach(rmrf)
+      live.put(tag, dir).foreach(old => reaper.execute(() => rmrf(old)))
       dir
     }
   }
@@ -792,6 +814,15 @@ object ScaleQueries {
     "q140b_wordpiece_pair_scores" -> ((s, dir) =>
       Vocab.wpPairScoresFrame(t(s, dir, "documents"), "text")
         .orderBy(desc("score"), col("l_sym"), col("r_sym")).limit(100)),
+
+    // WordPiece LEARN headline — q81's shape for the third tokenizer
+    // family: the trained vocab as its persistable artifact frame.
+    // Rows-only by design (the likelihood merge loop is deterministic
+    // driver-side work over the capped dict); its decision input is
+    // oracle-anchored by q140b and its application loop by q140.
+    "q141_wordpiece_vocab" -> ((s, dir) =>
+      Vocab.wpVocabFrameOf(s, wpFor(s, dir, numMerges = 50))
+        .orderBy("id")),
 
     // token counting under three tokenizers
     "q34_tokens" -> ((s, dir) =>
