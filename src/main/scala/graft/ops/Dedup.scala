@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale corpus curation — the
@@ -558,18 +558,35 @@ object Dedup {
     // to all-nulls and sail past connectedComponents' integral-id guard
     // (the cast output IS long) — refuse here with the same contract
     requireIntegralId(df, idCol, "corpusDedup")
-    // A heavily-duplicated corpus makes LSH buckets quadratic: one
-    // identical-signature group of m docs shares every band value and
-    // would emit m²/2 est=1.0 pairs. Collapse identical full signatures
-    // FIRST: a star (group-min rep → member) replaces the clique
-    // without changing connected components (identical sigs always
-    // estimate 1.0 ≥ any threshold), and cross-group estimates depend
-    // only on the signatures, so banding the distinct-signature reps
-    // merges exactly the same components the all-docs join would.
-    // Measured on the test corpus at sf0.1: 5000 docs → 1146 distinct
-    // sigs; candidate pairs 4.6M → 19k.
-    val sigs = df.select(col(idCol).cast("long").as("id"),
-      auditableMinHashSig(col(textCol), k).as("sig"))
+    clustersFromSigs(
+      df.select(col(idCol).cast("long").as("id"),
+        auditableMinHashSig(col(textCol), k).as("sig")),
+      k, bands, minJaccard, maxBucket)
+      .select(col("id").as(idCol), col("cluster_id"),
+        (col("cluster_id") === col("id")).as("is_rep"))
+  }
+
+  /** The signature half of [[corpusDedup]]: cluster a (id, sig) frame.
+    * Signatures are SUFFICIENT STATISTICS for the whole clustering —
+    * every edge depends only on a signature pair — which is what makes
+    * both the incremental fold ([[corpusDedupIncremental]]) and exact
+    * takedowns ([[sigStateApplyTombstones]]) possible without ever
+    * re-reading corpus text. Returns (id, sig, cluster_id).
+    *
+    * A heavily-duplicated corpus makes LSH buckets quadratic: one
+    * identical-signature group of m docs shares every band value and
+    * would emit m²/2 est=1.0 pairs. Collapse identical full signatures
+    * FIRST: a star (group-min rep → member) replaces the clique
+    * without changing connected components (identical sigs always
+    * estimate 1.0 ≥ any threshold), and cross-group estimates depend
+    * only on the signatures, so banding the distinct-signature reps
+    * merges exactly the same components the all-docs join would.
+    * Measured on the test corpus at sf0.1: 5000 docs → 1146 distinct
+    * sigs; candidate pairs 4.6M → 19k. */
+  private[graft] def clustersFromSigs(sigFrame: DataFrame,
+      k: Int, bands: Int, minJaccard: Double,
+      maxBucket: Int = defaultMaxBucket): DataFrame = {
+    val sigs = sigFrame.select(col("id"), col("sig"))
       .withColumn("sigKey", concat_ws(",", col("sig")))
     val groups = sigs.groupBy("sigKey")
       .agg(min("id").as("rep"), first("sig").as("sig"))
@@ -582,11 +599,10 @@ object Dedup {
       k, bands, minJaccard, maxBucket).select("id_a", "id_b")
     val cc = connectedComponents(memberEdges.union(repPairs),
       "id_a", "id_b")
-    df.select(col(idCol).cast("long").as(idCol))
-      .join(cc.withColumnRenamed("id", idCol), Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("lbl"), col(idCol)).as("cluster_id"),
-        (coalesce(col("lbl"), col(idCol)) === col(idCol)).as("is_rep"))
+    sigs.select("id", "sig")
+      .join(cc, Seq("id"), "left")
+      .select(col("id"), col("sig"),
+        coalesce(col("lbl"), col("id")).as("cluster_id"))
   }
 
   /** [[corpusDedup]] with QUALITY-AWARE representative selection: the
@@ -629,11 +645,13 @@ object Dedup {
   def corpusSigState(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, bands: Int = 2, minJaccard: Double = 0.75): DataFrame = {
     requireIntegralId(df, idCol, "corpusSigState")
-    val sigs = df.select(col(idCol).cast("long").as("id"),
-      auditableMinHashSig(col(textCol), k).as("sig"))
-    val assigned = corpusDedup(df, idCol, textCol, k, bands, minJaccard)
-    sigs.join(assigned.select(col(idCol).as("id"), col("cluster_id")), "id")
-      .select("id", "sig", "cluster_id")
+    // one signature pass: [[clustersFromSigs]] returns (id, sig,
+    // cluster_id) directly — the pre-r14 form computed signatures
+    // TWICE (once here, once inside corpusDedup) and joined them back
+    clustersFromSigs(
+      df.select(col(idCol).cast("long").as("id"),
+        auditableMinHashSig(col(textCol), k).as("sig")),
+      k, bands, minJaccard)
   }
 
   /** Fold a NEW batch of documents into an existing dedup state —
@@ -742,6 +760,144 @@ object Dedup {
   def assignmentFromState(state: DataFrame, idCol: String): DataFrame =
     state.select(col("id").as(idCol), col("cluster_id"),
       (col("cluster_id") === col("id")).as("is_rep"))
+
+  // ------------------------------------------------------------------
+  // TAKEDOWN (forget) for dedup signature state — the ivfPqDelete/
+  // ivfPqVacuum contract for [[corpusSigState]]: a corpus under
+  // deletion requests (rights removals, contamination discoveries)
+  // must be able to forget a document EXACTLY, not just hide it — a
+  // removed doc may have been a cluster's min-id label, its best
+  // representative, or the LSH bridge holding two sub-groups in one
+  // component. Because signatures are sufficient statistics for the
+  // whole clustering ([[clustersFromSigs]]), exact removal needs no
+  // corpus text: only clusters CONTAINING a tombstoned id can change
+  // (a removed doc cannot have bridged two DIFFERENT clusters — it
+  // would have merged them), so the apply re-clusters just the
+  // touched clusters' surviving signatures and unions the untouched
+  // rows through untouched. Work is O(touched docs), never corpus-
+  // sized — the 100 TB shape.
+  // ------------------------------------------------------------------
+
+  /** Exactly remove `tombstones` ids from a dedup `state` (the
+    * (id, sig, cluster_id) frame of [[corpusSigState]]): the result
+    * equals `corpusSigState` built from scratch over the reduced
+    * corpus (spec-pinned, the q68 oracle pattern in reverse —
+    * including bridge-doc splits and min-label re-election).
+    * (k, bands, minJaccard) must be the state's own build dials, same
+    * contract as [[corpusDedupIncremental]]. */
+  def sigStateApplyTombstones(state: DataFrame, tombstones: DataFrame,
+      k: Int = 8, bands: Int = 2, minJaccard: Double = 0.75,
+      maxBucket: Int = defaultMaxBucket): DataFrame = {
+    val ts = tombstones.select(col(tombstones.columns.head)
+      .cast("long").as("id")).distinct()
+    // takedown sets are request-sized, never corpus-sized → broadcast
+    val touched = state.join(broadcast(ts), Seq("id"), "left_semi")
+      .select("cluster_id").distinct()
+    val untouched = state.join(broadcast(touched), Seq("cluster_id"),
+        "left_anti")
+      .select("id", "sig", "cluster_id")
+    val survivors = state.join(broadcast(touched), Seq("cluster_id"),
+        "left_semi")
+      .join(broadcast(ts), Seq("id"), "left_anti")
+      .select("id", "sig")
+    untouched.unionByName(
+      clustersFromSigs(survivors, k, bands, minJaccard, maxBucket))
+  }
+
+  /** Tombstone directory for a persisted sig state: a SIBLING of
+    * `stateBase`, never inside it — `runVersions` partition-discovers
+    * `stateBase` itself, and a non-`run_ts=` subdirectory would break
+    * that discovery. */
+  def sigStateTombstonePath(stateBase: String): String =
+    stateBase.stripSuffix("/") + ".tombstones"
+
+  /** TAKEDOWN for a persisted dedup state (the S8 versioned layout of
+    * [[graft.streaming.Streams.dedupIncrementalAvailableNow]] /
+    * `ingestAvailableNow`): append `ids` as a tombstone batch; no
+    * stored state row moves. Every read and every incremental fold
+    * applies tombstones ([[sigStateLoad]]), so a deleted id is gone —
+    * exactly, bridge splits included — from the next read on, across
+    * ALL state versions including later folds. Re-ingesting a deleted
+    * id requires [[sigStateVacuum]] first (the caller owns id
+    * discipline, as with the fold's disjointness contract). The
+    * versioned write is replay-idempotent (S8 overwrite). */
+  def sigStateDelete(spark: SparkSession, stateBase: String,
+      ids: DataFrame, idCol: String, ver: String): Unit = {
+    val dir = sigStateTombstonePath(stateBase)
+    ids.select(col(idCol).cast("long").as("id")).distinct()
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dir/batch=$ver")
+    spark.catalog.refreshByPath(dir)
+  }
+
+  private[graft] def sigStateTombstoneIds(spark: SparkSession,
+      stateBase: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(
+      sigStateTombstonePath(stateBase))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      Some(spark.read.parquet(p.toString).select("id").distinct())
+    else None
+  }
+
+  /** One persisted state VERSION with tombstones applied — what every
+    * reader and every incremental fold must consume (a deleted bridge
+    * doc left in the fold's input would forge cross-batch edges
+    * through a vertex that no longer exists). */
+  def sigStateLoadVersion(spark: SparkSession, stateBase: String,
+      ver: String, k: Int = 8, bands: Int = 2,
+      minJaccard: Double = 0.75): DataFrame = {
+    val raw = spark.read.parquet(s"$stateBase/run_ts=$ver")
+      .select("id", "sig", "cluster_id")
+    sigStateTombstoneIds(spark, stateBase) match {
+      case Some(ts) => sigStateApplyTombstones(raw, ts, k, bands, minJaccard)
+      case None => raw
+    }
+  }
+
+  /** The LATEST persisted state, tombstones applied. */
+  def sigStateLoad(spark: SparkSession, stateBase: String,
+      k: Int = 8, bands: Int = 2, minJaccard: Double = 0.75): DataFrame = {
+    val versions = graft.sources.Sinks.runVersions(spark, stateBase)
+    require(versions.nonEmpty, s"no dedup state under $stateBase")
+    sigStateLoadVersion(spark, stateBase, versions.max, k, bands, minJaccard)
+  }
+
+  /** Physical reclamation of tombstoned state rows — the FORGET
+    * completion: materialize the applied latest state as a new
+    * version named `<latest>_vacuum` (sorts after its source version
+    * and before any later micro-batch id, so both `runVersions.max`
+    * readers and the fold's strictly-before-`ver` recovery pick it
+    * up), delete the pre-vacuum versions (they still CONTAIN the
+    * forgotten documents — retaining them as restart points would
+    * defeat the takedown; pass `pruneHistory = false` only when the
+    * history itself is subject to a separate retention contract), and
+    * drop the tombstone directory, making deleted ids re-usable.
+    * Run quiesced (no concurrent ingest), like any S8 maintenance
+    * pass. Crash-ordering: new version → prune history → drop
+    * tombstones, so every intermediate crash state still applies the
+    * tombstones at read time. */
+  def sigStateVacuum(spark: SparkSession, stateBase: String,
+      k: Int = 8, bands: Int = 2, minJaccard: Double = 0.75,
+      pruneHistory: Boolean = true): DataFrame = {
+    val versions = graft.sources.Sinks.runVersions(spark, stateBase)
+    require(versions.nonEmpty, s"no dedup state under $stateBase")
+    val latest = versions.max
+    val ver = s"${latest}_vacuum"
+    sigStateLoadVersion(spark, stateBase, latest, k, bands, minJaccard)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$stateBase/run_ts=$ver")
+    val fs = new org.apache.hadoop.fs.Path(stateBase)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (pruneHistory) versions.foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$stateBase/run_ts=$v"), true): Unit
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(
+      sigStateTombstonePath(stateBase)), true): Unit
+    spark.catalog.refreshByPath(stateBase)
+    spark.read.parquet(s"$stateBase/run_ts=$ver")
+  }
 
   /** Sub-document (paragraph-level) exact dedup: segment each document
     * into fixed-width token chunks, keep only the corpus-wide FIRST

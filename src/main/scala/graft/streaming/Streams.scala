@@ -187,13 +187,17 @@ object Streams {
         val prior = scala.util.Try(
             graft.sources.Sinks.runVersions(spark, stateBase))
           .getOrElse(Seq.empty).filter(_ < ver)
+        // the prior state is read TOMBSTONE-APPLIED: a deleted bridge
+        // doc left in the fold's input would forge cross-batch edges
+        // through a vertex the takedown already removed
         val next =
           if (prior.isEmpty)
             graft.ops.Dedup.corpusSigState(batch.toDF(), idCol, textCol,
               k, bands, minJaccard)
           else
             graft.ops.Dedup.corpusDedupIncremental(
-              spark.read.parquet(s"$stateBase/run_ts=${prior.max}"),
+              graft.ops.Dedup.sigStateLoadVersion(spark, stateBase,
+                prior.max, k, bands, minJaccard),
               batch.toDF(), idCol, textCol, k, bands, minJaccard)
         next.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
           .parquet(s"$stateBase/run_ts=$ver")
@@ -249,8 +253,11 @@ object Streams {
         val prior = scala.util.Try(
             graft.sources.Sinks.runVersions(spark, stateBase))
           .getOrElse(Seq.empty).filter(_ < ver)
-        val priorState = prior.lastOption.map(v =>
-          spark.read.parquet(s"$stateBase/run_ts=$v"))
+        // tombstone-applied (see dedupIncrementalAvailableNow): the
+        // fold must never route edges through a taken-down vertex
+        val priorState = prior.sorted.lastOption.map(v =>
+          graft.ops.Dedup.sigStateLoadVersion(spark, stateBase, v,
+            cfg.nearDup.k, cfg.nearDup.bands, cfg.nearDup.minJaccard))
         val gatedAll = graft.ops.CorpusPipeline.gateStage(batch.toDF(), cfg)
         // first write wins: ids already in the state (a dirty upstream
         // re-sending a doc) are dropped — the incremental fold requires
@@ -295,14 +302,20 @@ object Streams {
     * read time, so retroactive demotions (old-old cluster merges by a
     * later batch) are honored. Returns (doc_id, lang, text). */
   def ingestedCorpus(spark: SparkSession, stateBase: String,
-      candBase: String): DataFrame = {
+      candBase: String,
+      cfg: graft.ops.CorpusPipeline.Config =
+        graft.ops.CorpusPipeline.Config()): DataFrame = {
     val versions = scala.util.Try(
       graft.sources.Sinks.runVersions(spark, stateBase)).getOrElse(Seq.empty)
     require(versions.nonEmpty,
       s"no ingest state under $stateBase — run ingestAvailableNow first")
     val latest = versions.max
+    // tombstone-applied: a taken-down doc stops being a representative
+    // at the NEXT read, and its cluster re-elects (or splits) exactly
     val reps = graft.ops.Dedup.assignmentFromState(
-        spark.read.parquet(s"$stateBase/run_ts=$latest"), "doc_id")
+        graft.ops.Dedup.sigStateLoadVersion(spark, stateBase, latest,
+          cfg.nearDup.k, cfg.nearDup.bands, cfg.nearDup.minJaccard),
+        "doc_id")
       .filter(col("is_rep")).select("doc_id")
     spark.read.parquet(candBase)
       .filter(!col("contaminated"))

@@ -144,6 +144,132 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("sigStateApplyTombstones: bridge removal SPLITS its cluster, " +
+      "identical-sig reps re-elect, untouched clusters byte-identical") {
+    // hand-built signatures (k=8, bands=2 ⇒ band1 = sig[1..4],
+    // band2 = sig[5..8]; est = matching fraction ≥ 0.75):
+    //   est(A,B) = 6/8 sharing band1 → edge; est(B,C) = 6/8 sharing
+    //   band2 → edge; est(A,C) = 4/8, no shared band → NO edge.
+    // B is the bridge: {A,B,C} is one cluster only through it.
+    val sigA = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L)
+    val sigB = Seq(1L, 2L, 3L, 4L, 5L, 6L, 9L, 10L)
+    val sigC = Seq(11L, 12L, 3L, 4L, 5L, 6L, 9L, 10L)
+    val sigD = Seq(20L, 21L, 22L, 23L, 24L, 25L, 26L, 27L)
+    val sigE = Seq(30L, 31L, 32L, 33L, 34L, 35L, 36L, 37L)
+    val state = Seq(
+      (1L, sigA, 1L), (2L, sigB, 1L), (3L, sigC, 1L), // bridged cluster
+      (10L, sigD, 10L), (11L, sigD, 10L),             // identical-sig pair
+      (50L, sigE, 50L))                               // untouched singleton
+      .toDF("id", "sig", "cluster_id")
+    // precondition: the fabricated state IS what clustersFromSigs builds
+    val rebuilt = Dedup.clustersFromSigs(
+        state.select("id", "sig"), k = 8, bands = 2, minJaccard = 0.75)
+      .orderBy("id").as[(Long, Seq[Long], Long)].collect().toSeq
+    assert(rebuilt.map(r => (r._1, r._3)) ===
+      Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L), (50L, 50L)))
+
+    // delete the bridge B(2) and the identical-sig rep D(10)
+    val applied = Dedup.sigStateApplyTombstones(state,
+        Seq(2L, 10L).toDF("id"), k = 8, bands = 2, minJaccard = 0.75)
+      .orderBy("id").as[(Long, Seq[Long], Long)].collect().toSeq
+    assert(applied.map(r => (r._1, r._3)) ===
+      Seq((1L, 1L),   // split: A alone
+          (3L, 3L),   // split: C re-labeled to its own min
+          (11L, 11L), // re-election: surviving twin is its own rep
+          (50L, 50L)), applied.toString)
+    // untouched cluster rows pass through byte-identical (sig included)
+    assert(applied.find(_._1 == 50L).get._2 === sigE)
+    // tombstoning ids absent from the state is the identity
+    val noop = Dedup.sigStateApplyTombstones(state,
+        Seq(999L).toDF("id"), k = 8, bands = 2, minJaccard = 0.75)
+      .orderBy("id").as[(Long, Seq[Long], Long)].collect().toSeq
+    assert(noop.map(r => (r._1, r._3)) ===
+      Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L), (50L, 50L)))
+  }
+
+  test("plant → delete → fold ≡ from-scratch corpusDedup over the " +
+      "reduced corpus ∪ batch (the q68 oracle pattern in reverse)") {
+    val initial = docs.filter($"doc_id" % 3 =!= 2)
+    val batch = docs.filter($"doc_id" % 3 === 2)
+    val state = Dedup.corpusSigState(initial, "doc_id", "text")
+      .localCheckpoint()
+    val delIds = initial.filter($"doc_id" % 5 === 0).select("doc_id")
+    // non-vacuous: the takedown must hit actual cluster structure —
+    // at least one deleted id is a multi-member cluster's label
+    val deletedReps = Dedup.assignmentFromState(state, "doc_id")
+      .groupBy("cluster_id").count().filter($"count" > 1)
+      .join(delIds, $"cluster_id" === $"doc_id", "left_semi").count()
+    assert(deletedReps > 0, "test corpus must delete at least one rep")
+
+    val appliedState = Dedup.sigStateApplyTombstones(state, delIds)
+      .localCheckpoint()
+    val folded = Dedup.corpusDedupIncremental(appliedState, batch,
+      "doc_id", "text")
+    val expected = assignments(Dedup.corpusDedup(
+      initial.filter($"doc_id" % 5 =!= 0).unionByName(batch),
+      "doc_id", "text"))
+    assert(assignments(Dedup.assignmentFromState(folded, "doc_id"))
+      === expected)
+  }
+
+  test("persisted takedown: delete survives later ingest batches, " +
+      "vacuum reclaims and drops tombstones") {
+    val full = graft.sources.Tables(spark, dir, "documents")
+      .select("doc_id", "lang", "text").filter($"doc_id" >= 50)
+    val evalSet = graft.sources.Tables(spark, dir, "documents")
+      .filter($"doc_id" < 50).select("doc_id", "text")
+    val cfg = graft.ops.CorpusPipeline.Config()
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_takedown").toString
+    val stateBase = s"$base/state"
+    // ingest two batches
+    full.filter($"doc_id" % 3 === 0).coalesce(1)
+      .write.parquet(s"$base/in/p0")
+    full.filter($"doc_id" % 3 === 1).coalesce(1)
+      .write.parquet(s"$base/in/p1")
+    def run(): Unit = {
+      val stream = spark.readStream.schema(full.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/in/p*")
+      graft.streaming.Streams.ingestAvailableNow(stream, evalSet,
+        stateBase, s"$base/cand", s"$base/ckpt", cfg)
+        .awaitTermination(300000): Unit
+    }
+    run()
+    // takedown: delete every 7th ingested doc (includes reps)
+    val delIds = spark.read.parquet(stateBase)
+      .filter($"id" % 7 === 0).select($"id".as("doc_id"))
+      .localCheckpoint()
+    assert(delIds.count() > 0)
+    Dedup.sigStateDelete(spark, stateBase, delIds, "doc_id", "d000000")
+    // a LATER batch folds against the tombstone-applied state
+    full.filter($"doc_id" % 3 === 2).coalesce(1)
+      .write.parquet(s"$base/in/p2")
+    run()
+    // read side ≡ the batch pipeline over the corpus WITHOUT the
+    // deleted docs — splits, re-elections and all
+    val reduced = full.join(delIds, Seq("doc_id"), "left_anti")
+    val expected = graft.ops.CorpusPipeline.cleanStage(
+        graft.ops.CorpusPipeline.dedupStage(
+          graft.ops.CorpusPipeline.gateStage(reduced, cfg), cfg),
+        evalSet, cfg)
+      .select("doc_id", "lang", "text").orderBy("doc_id")
+      .as[(Long, String, String)].collect().toSeq
+    def corpus(): Seq[(Long, String, String)] =
+      graft.streaming.Streams.ingestedCorpus(spark, stateBase,
+          s"$base/cand", cfg)
+        .orderBy("doc_id").as[(Long, String, String)].collect().toSeq
+    assert(corpus() === expected)
+    // vacuum: same corpus, tombstone dir gone, history pruned to the
+    // single vacuum version, deleted ids physically absent
+    val vac = Dedup.sigStateVacuum(spark, stateBase)
+    assert(!new java.io.File(
+      Dedup.sigStateTombstonePath(stateBase)).exists())
+    assert(graft.sources.Sinks.runVersions(spark, stateBase).size === 1)
+    assert(vac.join(delIds, vac("id") === delIds("doc_id"), "left_semi")
+      .count() === 0L)
+    assert(corpus() === expected)
+  }
+
   test("AvailableNow stream folds file batches into persisted state") {
     val base = java.nio.file.Files
       .createTempDirectory("graft_incr").toString
