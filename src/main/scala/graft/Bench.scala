@@ -127,7 +127,10 @@ object Bench {
     "q139_semantic_decon",
     "q140_wordpiece_encode_oracle",
     "q140b_wordpiece_pair_scores",
-    "q141_wordpiece_vocab")
+    "q141_wordpiece_vocab",
+    // learned quality-classifier gate: the corpus-scale scoring pass
+    // (model trained once per session — the deployed-gate shape)
+    "q142_quality_gate")
 
   /** Queries whose r6→r7 numbers moved 2–6× with no code change — the
     * self-join/ANN family is short (<3 s warm) so a single co-tenant

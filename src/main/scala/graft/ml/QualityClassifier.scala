@@ -1,0 +1,65 @@
+package graft.ml
+
+import org.apache.spark.ml.{Pipeline, PipelineModel, PipelineStage}
+import org.apache.spark.ml.classification.LogisticRegression
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Learned corpus quality gate — the CCNet/fastText-classifier shape
+  * (Wenzek et al. 2020; Brown et al. 2020 §2.2): train a binary
+  * classifier to tell a CURATED reference corpus from RAW crawl text,
+  * then score every document and keep those the model finds
+  * reference-like. This is the standard learned complement to the
+  * closed-form gates (entropy, repetition, stopword/alpha ratios,
+  * compression ratio) — those catch mechanical junk; the classifier
+  * catches fluent-but-low-value text the heuristics pass.
+  *
+  * Reference analogue: the reference's own supervised text classifier
+  * (TF-IDF + random forest, `ml_pipeline.py` / `cleaner.py:250-260`)
+  * is exactly this pipeline with themes for labels; here the label is
+  * curated-vs-raw and the output is the acceptance probability.
+  *
+  * Scale (100 TB): TRAINING runs on curated+raw SAMPLES (reference
+  * corpus + a bounded crawl sample — classifier training sets are
+  * ~10^5-10^6 docs, never the corpus); SCORING is the corpus-scale
+  * pass and is embarrassingly parallel — CountVectorizerModel,
+  * IDFModel and LogisticRegressionModel transforms are all map-side
+  * projections against broadcast state (vocabulary, idf vector,
+  * coefficient vector), so the gate adds ZERO shuffle to the corpus
+  * plan, same as the heuristic gates it sits beside.
+  */
+object QualityClassifier {
+
+  /** Train curated-vs-raw on the shared TF-IDF feature stages
+    * ([[ThemePipeline.featureStages]] — unigram+bigram TF-IDF) topped
+    * with logistic regression (probability-calibrated output, the
+    * CCNet choice; the RF of the theme pipeline scores classes, LR
+    * scores a usable acceptance probability). Seed-pinned and
+    * deterministic: same inputs → same coefficients → same scores. */
+  def train(curated: DataFrame, raw: DataFrame, textCol: String,
+      vocabSize: Int = 1000, maxIter: Int = 50,
+      regParam: Double = 0.01): PipelineModel = {
+    val labeled = curated.select(col(textCol)).withColumn("__label", lit(1.0))
+      .unionByName(raw.select(col(textCol)).withColumn("__label", lit(0.0)))
+    val lr = new LogisticRegression()
+      .setFeaturesCol("features").setLabelCol("__label")
+      .setMaxIter(maxIter).setRegParam(regParam)
+    new Pipeline().setStages(
+      ThemePipeline.featureStages(textCol, vocabSize)
+        ++ Array[PipelineStage](lr))
+      .fit(labeled)
+  }
+
+  /** Score a frame: the input columns plus `quality_prob` =
+    * P(curated | text). One map-side pass (broadcast model state, no
+    * shuffle) — the corpus-scale gate projection. */
+  def score(model: PipelineModel, df: DataFrame,
+      textCol: String): DataFrame = {
+    val cols = df.columns
+    model.transform(df)
+      .withColumn("quality_prob",
+        element_at(vector_to_array(col("probability")), 2))
+      .select((cols.map(col) :+ col("quality_prob")): _*)
+  }
+}

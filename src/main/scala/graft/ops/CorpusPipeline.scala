@@ -112,11 +112,20 @@ object CorpusPipeline {
       // skipped decontamination stage is a data-poisoning hazard).
       // Docs without an embedding row are kept, the same
       // lag-tolerant rule as the semantic-dedup stage. 0 = off
-      semanticDeconMinSim: Double = 0.0)
+      semanticDeconMinSim: Double = 0.0,
+      // > 0: LEARNED quality-classifier gate (the CCNet/fastText
+      // corpus-gate shape, [[graft.ml.QualityClassifier]]) right
+      // after the heuristic gates — drop docs whose P(curated) falls
+      // below this probability. Needs a trained model passed to
+      // build/buildStaged (missing model fails loudly — a silently
+      // skipped gate would change the corpus composition unnoticed).
+      // Scoring is a map-side broadcast projection: zero extra
+      // shuffle, same cost class as the heuristic gates. 0 = off
+      qualityMinProb: Double = 0.0)
 
-  case class Report(input: Long, gated: Long, outliers: Long,
-      boiler: Long, deduped: Long, semantic: Long, substr: Long,
-      clean: Long, sampled: Long, sequences: Long)
+  case class Report(input: Long, gated: Long, classifier: Long,
+      outliers: Long, boiler: Long, deduped: Long, semantic: Long,
+      substr: Long, clean: Long, sampled: Long, sequences: Long)
 
   // ---- the five stage transforms, shared by build and buildStaged ----
 
@@ -150,6 +159,18 @@ object CorpusPipeline {
       Dedup.intraDocScrubbed(scrubbed, "text", cfg.intraDocChunkTokens)
     else scrubbed
   }
+
+  /** Optional LEARNED quality gate: keep docs the curated-vs-raw
+    * classifier scores at or above `qualityMinProb`. Runs right after
+    * the heuristic gates — the classifier catches fluent-but-low-value
+    * text the closed-form ratios pass, and running it on the already
+    * heuristic-gated stream keeps its scoring pass from paying for
+    * mechanical junk the cheap gates kill anyway. Map-side only. */
+  private[graft] def classifierStage(gated: DataFrame,
+      model: org.apache.spark.ml.PipelineModel, cfg: Config): DataFrame =
+    graft.ml.QualityClassifier.score(model, gated, "text")
+      .filter(col("quality_prob") >= cfg.qualityMinProb)
+      .select("doc_id", "lang", "text")
 
   /** Optional robust length-outlier gate (Profile.robustOutlierFlags
     * over the per-LANGUAGE token-count median/MAD): the adaptive
@@ -272,7 +293,14 @@ object CorpusPipeline {
   def build(docs: DataFrame, evalSet: DataFrame,
       cfg: Config = Config(),
       embeddings: Option[DataFrame] = None,
-      evalEmbeddings: Option[DataFrame] = None): (DataFrame, Report) = {
+      evalEmbeddings: Option[DataFrame] = None,
+      qualityModel: Option[org.apache.spark.ml.PipelineModel] = None)
+      : (DataFrame, Report) = {
+    // a silently skipped learned gate is a corpus-composition hazard —
+    // demand the model rather than no-op (the semantic-decon rule)
+    require(cfg.qualityMinProb <= 0 || qualityModel.isDefined,
+      "qualityMinProb > 0 needs a trained QualityClassifier model " +
+        "passed to build/buildStaged")
     // several downstream stages re-read each frame — checkpoints keep
     // every corpus-scale subtree single-evaluation (the contamination
     // shingle explode in particular: `clean` is read by the sampling
@@ -290,10 +318,15 @@ object CorpusPipeline {
         df.sparkSession.table(tbl)
       }
     val gated = persistCorpus(gateStage(docs, cfg), "gated")
+    val classified =
+      if (cfg.qualityMinProb > 0)
+        persistCorpus(classifierStage(gated, qualityModel.get, cfg),
+          "classifier")
+      else gated
     val outliered =
       if (cfg.outlierZ > 0)
-        persistCorpus(outlierStage(gated, cfg), "outlier")
-      else gated
+        persistCorpus(outlierStage(classified, cfg), "outlier")
+      else classified
     val boiled =
       if (cfg.boilerplateMinDocFreq >= 2)
         persistCorpus(boilerStage(outliered, cfg), "boiler")
@@ -316,6 +349,7 @@ object CorpusPipeline {
     val report = Report(
       input = docs.count(),
       gated = gated.count(),
+      classifier = classified.count(),
       outliers = outliered.count(),
       boiler = boiled.count(),
       deduped = deduped.count(),
@@ -343,7 +377,12 @@ object CorpusPipeline {
   def buildStaged(docs: DataFrame, evalSet: DataFrame, stagingDir: String,
       cfg: Config = Config(),
       embeddings: Option[DataFrame] = None,
-      evalEmbeddings: Option[DataFrame] = None): (DataFrame, Report) = {
+      evalEmbeddings: Option[DataFrame] = None,
+      qualityModel: Option[org.apache.spark.ml.PipelineModel] = None)
+      : (DataFrame, Report) = {
+    require(cfg.qualityMinProb <= 0 || qualityModel.isDefined,
+      "qualityMinProb > 0 needs a trained QualityClassifier model " +
+        "passed to build/buildStaged")
     val spark = docs.sparkSession
     val hconf = spark.sparkContext.hadoopConfiguration
     val basePath = new org.apache.hadoop.fs.Path(stagingDir)
@@ -374,7 +413,8 @@ object CorpusPipeline {
     // whether the semantic stage exists (an embeddings frame's PRESENCE
     // changes the stage chain; its contents are pinned by determinism)
     val cfgStr = cfg.toString + s";semantic=${embeddings.isDefined}" +
-      s";semdecon=${evalEmbeddings.isDefined}"
+      s";semdecon=${evalEmbeddings.isDefined}" +
+      s";quality=${qualityModel.isDefined}"
     readMarker("_GRAFT_CONFIG") match {
       case Some(prev) => require(prev == cfgStr,
         s"staging dir $stagingDir was written by a different Config " +
@@ -409,12 +449,18 @@ object CorpusPipeline {
     }
 
     val (gated, nGated) = stage("01_gated")(gateStage(docs, cfg))
-    // "01a"/"01b"/"02b": optional stages keep the fixed stage names
-    // (and any staging dir written without them) stable in every mode
+    // "01q"/"01a"/"01b"/"02b": optional stages keep the fixed stage
+    // names (and any staging dir written without them) stable in
+    // every mode
+    val (classified, nClassifier) =
+      if (cfg.qualityMinProb > 0)
+        stage("01q_classifier")(
+          classifierStage(gated, qualityModel.get, cfg))
+      else (gated, nGated)
     val (outliered, nOutliers) =
       if (cfg.outlierZ > 0)
-        stage("01a_outlier")(outlierStage(gated, cfg))
-      else (gated, nGated)
+        stage("01a_outlier")(outlierStage(classified, cfg))
+      else (classified, nClassifier)
     val (boiled, nBoiler) =
       if (cfg.boilerplateMinDocFreq >= 2)
         stage("01b_boiler")(boilerStage(outliered, cfg))
@@ -439,7 +485,7 @@ object CorpusPipeline {
     val (sequences, nSeq) = stage("05_sequences")(chunkStage(sampled, cfg))
 
     (sequences,
-      Report(nInput, nGated, nOutliers, nBoiler, nDeduped, nSemantic,
-        nSubstr, nClean, nSampled, nSeq))
+      Report(nInput, nGated, nClassifier, nOutliers, nBoiler, nDeduped,
+        nSemantic, nSubstr, nClean, nSampled, nSeq))
   }
 }

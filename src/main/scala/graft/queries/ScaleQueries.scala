@@ -93,6 +93,36 @@ object ScaleQueries {
       .getOrElseUpdate(s"$dir|$numMerges",
         Vocab.learnWordPiece(t(s, dir, "documents"), "text", numMerges))
 
+  /** One trained quality-classifier per (session, sf dir) — the
+    * "train once, score anywhere" shape ([[bpeFor]]'s rationale): the
+    * bench row's repeats measure the corpus-scale SCORING pass (the
+    * 100 TB-relevant cost — map-side, zero shuffle), with training
+    * paid once like any deployed gate model. Weak supervision: the
+    * heuristic gates label the training split (curated = passes
+    * token/alpha/stopword floors in an accepted language, raw = the
+    * rest) — the CCNet move of bootstrapping the learned gate from a
+    * reference signal that already exists. */
+  private val qcCache = new java.util.WeakHashMap[SparkSession,
+    scala.collection.concurrent.TrieMap[String,
+      org.apache.spark.ml.PipelineModel]]()
+
+  private def heuristicPass(): org.apache.spark.sql.Column =
+    TextAnalysis.nTokensCol(col("text")) >= 30 &&
+      TextAnalysis.alphaRatioCol(col("text")) >= 0.9 &&
+      TextAnalysis.stopwordRatioCol(col("text")) <= 0.5 &&
+      col("lang").isin("en", "de", "fr")
+
+  private def qcFor(s: SparkSession, dir: String)
+      : org.apache.spark.ml.PipelineModel =
+    perSessionEntry(qcCache, s)(scala.collection.concurrent.TrieMap.empty)
+      .getOrElseUpdate(dir, {
+        val d = t(s, dir, "documents").select("doc_id", "lang", "text")
+          .withColumn("__pass", heuristicPass())
+          .localCheckpoint()
+        graft.ml.QualityClassifier.train(
+          d.filter(col("__pass")), d.filter(!col("__pass")), "text")
+      })
+
   /** One unigram model per (session, sf dir) — q99/q99c share it, same
     * rationale as [[bpeFor]]. */
   private val uniCache = new java.util.WeakHashMap[SparkSession,
@@ -814,6 +844,19 @@ object ScaleQueries {
     "q140b_wordpiece_pair_scores" -> ((s, dir) =>
       Vocab.wpPairScoresFrame(t(s, dir, "documents"), "text")
         .orderBy(desc("score"), col("l_sym"), col("r_sym")).limit(100)),
+
+    // Learned quality-classifier gate (CCNet corpus-gate shape):
+    // score EVERY document with the curated-vs-raw model — the
+    // corpus-scale map-side pass a deployed gate pays. Rows-only by
+    // design (LR probabilities are seed-pinned in spec, the q40-q42
+    // convention for ML fits; DuckDB has no analogue).
+    "q142_quality_gate" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id", "lang", "text")
+      graft.ml.QualityClassifier.score(qcFor(s, dir), d, "text")
+        .select(col("doc_id"), round(col("quality_prob"), 4).as("prob"),
+          (col("quality_prob") >= 0.5).as("accepted"))
+        .orderBy("doc_id")
+    }),
 
     // WordPiece LEARN headline — q81's shape for the third tokenizer
     // family: the trained vocab as its persistable artifact frame.

@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ml.QualityClassifier
+import graft.ops.CorpusPipeline
+
+/** Learned quality-classifier gate (the CCNet/fastText corpus-gate
+  * shape). Seed-pinned like the LDA/RF specs — ML fits are
+  * oracle-excluded by convention (q40-q42); what the spec pins is
+  * separability on a planted corpus, determinism across re-fits, and
+  * the capstone wiring (gate drops fluent-looking junk the heuristic
+  * gates pass, loud failure when the model is missing, staged
+  * manifest pins the gate's presence). */
+class QualityClassifierSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  // two disjoint token registers, both fully alphabetic so BOTH pass
+  // the alpha-ratio heuristic: "curated" text is stopword-rich
+  // English-like prose; "raw" is fluent-LOOKING generator junk (no
+  // stopwords, alien vocabulary) — exactly the text the closed-form
+  // gates cannot reject (alpha 1.0, stopword 0.0 ≤ 0.5)
+  private val prose = Seq("the", "quick", "brown", "fox", "jumps",
+    "over", "a", "lazy", "dog", "and", "runs", "into", "the", "green",
+    "field", "with", "joy", "in", "its", "heart")
+  private val junk = Seq("qzxv", "blorp", "mntk", "vrzl", "xplqu",
+    "trbnk", "zzfht", "wqply", "grmbx", "ndlkv")
+
+  private def doc(pool: Seq[String], seed: Int, n: Int = 36): String =
+    (0 until n).map(i => pool((i * 7 + seed * 13) % pool.size))
+      .mkString(" ")
+
+  private def corpus(ids: Range, pool: Seq[String]): DataFrame =
+    ids.map(i => (i.toLong, "en", doc(pool, i)))
+      .toDF("doc_id", "lang", "text")
+
+  test("curated-vs-raw is separable and re-fits are deterministic") {
+    val curated = corpus(0 until 30, prose)
+    val raw = corpus(100 until 130, junk)
+    val heldOut = corpus(200 until 210, prose)
+      .unionByName(corpus(300 until 310, junk))
+
+    def fitAndScore(): Map[Long, Double] =
+      QualityClassifier.score(
+          QualityClassifier.train(curated, raw, "text"),
+          heldOut, "text")
+        .select(col("doc_id"), round(col("quality_prob"), 6).as("p"))
+        .as[(Long, Double)].collect().toMap
+
+    val s1 = fitAndScore()
+    val s2 = fitAndScore()
+    assert(s1 === s2, "same inputs must fit to identical scores")
+    // held-out prose scores above every held-out junk doc, with the
+    // 0.5 decision point between the registers
+    val proseScores = (200L until 210L).map(s1)
+    val junkScores = (300L until 310L).map(s1)
+    assert(proseScores.min > 0.5 && junkScores.max < 0.5,
+      s"prose ${proseScores.min} vs junk ${junkScores.max}")
+  }
+
+  test("capstone gate: fluent junk passing every heuristic is dropped " +
+      "by the classifier stage; missing model fails loudly") {
+    val curated = corpus(0 until 30, prose)
+    val raw = corpus(100 until 130, junk)
+    val model = QualityClassifier.train(curated, raw, "text")
+    // the build corpus: fresh prose + fresh junk, all gate-passing
+    val docs = corpus(1000 until 1020, prose)
+      .unionByName(corpus(2000 until 2010, junk))
+    val evalSet = Seq((1L, "benchmark text nothing shares")).toDF(
+      "doc_id", "text")
+    val cfg = CorpusPipeline.Config(qualityMinProb = 0.5)
+
+    val (seq1, rep) = CorpusPipeline.build(docs, evalSet, cfg,
+      qualityModel = Some(model))
+    // every doc passes the heuristic gates (alpha 1.0, no stopwords)…
+    assert(rep.gated === 30L, rep.toString)
+    // …and the classifier alone removes exactly the junk register
+    assert(rep.classifier === 20L, rep.toString)
+    val survivors = seq1.select("doc_id").distinct()
+      .as[Long].collect().toSet
+    assert(survivors.forall(_ < 2000L), s"junk survived: $survivors")
+
+    // gate off → pass-through (classifier == gated)
+    val (_, repOff) = CorpusPipeline.build(docs, evalSet,
+      CorpusPipeline.Config())
+    assert(repOff.classifier === repOff.gated)
+
+    // qualityMinProb > 0 without a model must fail loudly, not no-op
+    val e = intercept[IllegalArgumentException] {
+      CorpusPipeline.build(docs, evalSet, cfg)
+    }
+    assert(e.getMessage.contains("QualityClassifier"))
+  }
+
+  test("buildStaged pins the gate: 01q stage materialized, config " +
+      "manifest records the model's presence") {
+    val curated = corpus(0 until 30, prose)
+    val raw = corpus(100 until 130, junk)
+    val model = QualityClassifier.train(curated, raw, "text")
+    val docs = corpus(1000 until 1020, prose)
+      .unionByName(corpus(2000 until 2010, junk))
+    val evalSet = Seq((1L, "benchmark text nothing shares")).toDF(
+      "doc_id", "text")
+    val cfg = CorpusPipeline.Config(qualityMinProb = 0.5)
+    val dirA = java.nio.file.Files
+      .createTempDirectory("graft_qc_staged").toString
+
+    val (stagedSeq, stagedRep) = CorpusPipeline.buildStaged(docs,
+      evalSet, dirA, cfg, qualityModel = Some(model))
+    assert(stagedRep.classifier === 20L)
+    assert(new java.io.File(
+      s"$dirA/01q_classifier/_GRAFT_STAGE_COMPLETE").exists())
+    val manifest = scala.io.Source.fromFile(
+      s"$dirA/_GRAFT_CONFIG").mkString
+    assert(manifest.contains("quality=true"))
+
+    // staged ≡ in-memory build, byte for byte
+    val (memSeq, memRep) = CorpusPipeline.build(docs, evalSet, cfg,
+      qualityModel = Some(model))
+    assert(stagedRep === memRep)
+    val a = stagedSeq.orderBy("doc_id", "win_idx").collect().map(_.toSeq)
+    val b = memSeq.orderBy("doc_id", "win_idx").collect().map(_.toSeq)
+    assert(a.toSeq === b.toSeq)
+  }
+}
