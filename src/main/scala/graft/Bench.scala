@@ -130,7 +130,11 @@ object Bench {
     "q141_wordpiece_vocab",
     // learned quality-classifier gate: the corpus-scale scoring pass
     // (model trained once per session — the deployed-gate shape)
-    "q142_quality_gate")
+    "q142_quality_gate",
+    // domain-grain curation: extraction + blocklist/prior + mixture
+    "q143_domain_extract",
+    "q143b_domain_curation",
+    "q143c_domain_composition")
 
   /** Queries whose r6→r7 numbers moved 2–6× with no code change — the
     * self-join/ANN family is short (<3 s warm) so a single co-tenant

@@ -121,7 +121,14 @@ object CorpusPipeline {
       // skipped gate would change the corpus composition unnoticed).
       // Scoring is a map-side broadcast projection: zero extra
       // shuffle, same cost class as the heuristic gates. 0 = off
-      qualityMinProb: Double = 0.0)
+      qualityMinProb: Double = 0.0,
+      // non-empty: registrable-domain blocklist gate
+      // ([[Domains.domainGate]], the C4/RefinedWeb discipline) ahead
+      // of the per-doc gates — docs whose `url` column's registrable
+      // domain is listed are dropped, every subdomain with them.
+      // Needs a `url` column on the input (fails loudly otherwise).
+      // Map-side literal-array filter: zero shuffle. Nil = off
+      domainBlocklist: Seq[String] = Nil)
 
   case class Report(input: Long, gated: Long, classifier: Long,
       outliers: Long, boiler: Long, deduped: Long, semantic: Long,
@@ -131,7 +138,18 @@ object CorpusPipeline {
 
   private[graft] def gateStage(docs: DataFrame, cfg: Config): DataFrame = {
     val txt = col("text")
-    val base = docs
+    // domain blocklist first: cheapest gate, and the per-doc gates
+    // then never pay for documents a rights/abuse decision already
+    // excluded. A silently skipped blocklist is a policy hazard —
+    // demand the url column rather than no-op.
+    val inDocs =
+      if (cfg.domainBlocklist.isEmpty) docs
+      else {
+        require(docs.columns.contains("url"),
+          "domainBlocklist needs a `url` column on the input docs")
+        Domains.domainGate(docs, "url", cfg.domainBlocklist)
+      }
+    val base = inDocs
       .select(col("doc_id"), col("lang"), txt,
         TextAnalysis.nTokensCol(txt).as("n_tokens"),
         TextAnalysis.alphaRatioCol(txt).as("alpha_ratio"),

@@ -1,0 +1,133 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Domain-grain web-corpus curation — the C4/RefinedWeb discipline
+  * (Raffel et al. 2020 §2.2; Penedo et al. 2023 §3.1): crawl-scale
+  * corpora are gated, weighted and audited per REGISTRABLE DOMAIN
+  * (the public-suffix-plus-one unit — `example.co.uk`, not
+  * `a.b.example.co.uk` and not `co.uk`), because quality, duplication
+  * and licensing cluster at that grain. Components:
+  *
+  *  - [[registrableDomainCol]]: pure-string-ops extraction (scheme /
+  *    userinfo / port / path stripping, public-suffix-style label
+  *    fold) — every step is an engine-agnostic string function, so a
+  *    DuckDB twin replays it term for term (q143's hash-green oracle);
+  *  - [[domainGate]]: blocklist filter at the registrable grain (a
+  *    blocked domain kills every subdomain under it);
+  *  - [[domainQualityPrior]]: per-domain aggregate prior (doc count +
+  *    mean per-doc quality) joined back per doc — the "domain
+  *    reputation" feature a crawl gate thresholds on;
+  *  - [[domainComposition]]: the q84 composition report at (lang,
+  *    domain) grain.
+  *
+  * Scale: extraction is a map-side projection; the gate is a filter
+  * against a broadcast-sized literal set; the prior is one hash
+  * aggregate on the domain key + a broadcast-or-shuffle join back
+  * (domains are ~10^6-10^7 at web scale — a slim frame next to the
+  * corpus). Nothing here is ever corpus×corpus.
+  */
+object Domains {
+
+  /** A representative subset of the Public Suffix List's two-level
+    * public suffixes. The real PSL is DATA (thousands of entries,
+    * periodically updated) — production passes its current snapshot
+    * via the `multiSuffixes` parameter; this default keeps the
+    * operator meaningful and the oracle twin replayable without
+    * shipping the list. */
+  val DefaultMultiSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "co.jp", "ne.jp", "or.jp",
+    "com.au", "net.au", "org.au", "co.nz", "com.br", "com.cn",
+    "com.mx", "co.in", "co.za", "com.sg", "com.tr", "com.ar")
+
+  /** The lowercased host of a URL: scheme, userinfo, port, path,
+    * query, fragment and any trailing dot stripped — four
+    * regexp_replace/extract steps, each with a DuckDB-identical
+    * counterpart. A schemeless input ("example.com/path") is treated
+    * as starting at the host, the lenient crawler convention. */
+  def hostCol(url: Column): Column = {
+    val afterScheme =
+      regexp_replace(url, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val afterUser = regexp_replace(afterScheme, "^[^/@]*@", "")
+    val hostPort = regexp_extract(afterUser, "^([^/?#]*)", 1)
+    lower(regexp_replace(regexp_replace(hostPort, ":[0-9]*$", ""),
+      "\\.$", ""))
+  }
+
+  /** Registrable domain (public-suffix-plus-one) of a URL: the last
+    * two host labels, or the last THREE when the last two form a
+    * known multi-level public suffix (`www.example.co.uk` →
+    * `example.co.uk`). IPv4 literals and single-label hosts
+    * (localhost, intranet names) pass through whole; an empty host
+    * yields null. Pure string/array ops — no UDF, no lookup service —
+    * so the extraction replays cross-engine and costs one projection.
+    */
+  def registrableDomainCol(url: Column,
+      multiSuffixes: Seq[String] = DefaultMultiSuffixes): Column = {
+    val h = hostCol(url)
+    val labels = split(h, "\\.")
+    val n = size(labels)
+    val last2 = concat_ws(".", slice(labels, -2, 2))
+    val last3 = concat_ws(".", slice(labels, -3, 3))
+    val isIp = h.rlike("^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$")
+    val suffixArr = array(multiSuffixes.map(lit): _*)
+    when(h === "", lit(null).cast("string"))
+      .when(isIp || n <= 2, h)
+      .when(array_contains(suffixArr, last2), last3)
+      .otherwise(last2)
+  }
+
+  /** Blocklist gate at the registrable grain: rows whose URL's
+    * registrable domain is blocked are dropped — every subdomain of a
+    * blocked domain with it. Blocklists are curation-sized (10^3-10^5
+    * entries): an in-plan literal array keeps the filter map-side. */
+  def domainGate(df: DataFrame, urlCol: String,
+      blocklist: Seq[String],
+      multiSuffixes: Seq[String] = DefaultMultiSuffixes): DataFrame =
+    if (blocklist.isEmpty) df
+    else df.filter(!coalesce(
+      array_contains(array(blocklist.map(l => lit(l.toLowerCase)): _*),
+        registrableDomainCol(col(urlCol), multiSuffixes)),
+      lit(false)))
+
+  /** Per-domain quality prior: (domain, n_docs, avg of `scoreCol`) —
+    * one hash aggregate on the domain key. Join it back per doc to
+    * threshold on domain reputation, or inspect it directly as the
+    * curation report. Null domains (unparseable URLs) group under
+    * null and surface rather than vanish. */
+  def domainQualityPrior(df: DataFrame, urlCol: String,
+      scoreCol: Column,
+      multiSuffixes: Seq[String] = DefaultMultiSuffixes): DataFrame =
+    df.withColumn("domain",
+        registrableDomainCol(col(urlCol), multiSuffixes))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(scoreCol), 4).as("avg_score"))
+
+  /** Per-document domain prior annotation: the input plus (domain,
+    * domain_docs, domain_avg_score) — the shape a gate thresholds
+    * (`domain_avg_score >= x`) or a sampler weights. The prior frame
+    * is domain-grained (slim), so the join back broadcasts at
+    * curation scale and shuffles only the slim side at web scale. */
+  def withDomainPrior(df: DataFrame, urlCol: String, scoreCol: Column,
+      multiSuffixes: Seq[String] = DefaultMultiSuffixes): DataFrame = {
+    val prior = domainQualityPrior(df, urlCol, scoreCol, multiSuffixes)
+      .withColumnRenamed("n_docs", "domain_docs")
+      .withColumnRenamed("avg_score", "domain_avg_score")
+    df.withColumn("domain",
+        registrableDomainCol(col(urlCol), multiSuffixes))
+      .join(prior, Seq("domain"), "left")
+  }
+
+  /** [[TextAnalysis.corpusComposition]] at (lang, registrable-domain)
+    * grain — the mixture report a web-corpus build reads before
+    * setting per-domain sampling weights. */
+  def domainComposition(df: DataFrame, urlCol: String,
+      langCol: String = "lang", textCol: String = "text",
+      multiSuffixes: Seq[String] = DefaultMultiSuffixes): DataFrame =
+    TextAnalysis.corpusComposition(
+      df.withColumn("domain",
+        registrableDomainCol(col(urlCol), multiSuffixes)),
+      langCol = langCol, sourceCol = "domain", textCol = textCol)
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import graft.ops.{CorpusPipeline, Dedup, FuzzyJoin, Layout, Mixing, Similarity, SubstrDedup, TextAnalysis, TextOps, Vocab}
+import graft.ops.{CorpusPipeline, Dedup, Domains, FuzzyJoin, Layout, Mixing, Similarity, SubstrDedup, TextAnalysis, TextOps, Vocab}
 
 /** North-star extension queries (SURVEY.md §7 step 7): deduplication,
   * similarity search, and text analysis at corpus scale. Oracle SQL is
@@ -105,6 +105,32 @@ object ScaleQueries {
   private val qcCache = new java.util.WeakHashMap[SparkSession,
     scala.collection.concurrent.TrieMap[String,
       org.apache.spark.ml.PipelineModel]]()
+
+  /** The [[Domains.DefaultMultiSuffixes]] set as a DuckDB list
+    * literal — the oracle twins must fold labels under the SAME
+    * public-suffix subset as the engine expression. */
+  private def domainSuffixSqlList: String =
+    Domains.DefaultMultiSuffixes
+      .map(s => s"'$s'").mkString("[", ", ", "]")
+
+  /** Deterministic URL for the domain-curation queries (the documents
+    * table has no URL column): pure concat over (source, doc_id), so
+    * the DuckDB twin rebuilds the identical strings. Covers the
+    * extraction's edge classes: userinfo (%11), IPv4 literal (%13),
+    * mixed-case host (%5), multi-level public suffix (%3), port (%7).
+    */
+  private def syntheticUrl: org.apache.spark.sql.Column =
+    concat(lit("https://"),
+      when(col("doc_id") % 11 === 0, lit("crawler:pw@")).otherwise(lit("")),
+      when(col("doc_id") % 13 === 0,
+        concat(lit("10.0.0."), (col("doc_id") % 200).cast("string")))
+        .otherwise(concat(
+          when(col("doc_id") % 5 === 0, lit("WWW.")).otherwise(lit("sub.")),
+          col("source"),
+          when(col("doc_id") % 3 === 0, lit(".co.uk"))
+            .otherwise(lit(".com")))),
+      when(col("doc_id") % 7 === 0, lit(":8080")).otherwise(lit("")),
+      lit("/p/"), col("doc_id").cast("string"))
 
   private def heuristicPass(): org.apache.spark.sql.Column =
     TextAnalysis.nTokensCol(col("text")) >= 30 &&
@@ -844,6 +870,45 @@ object ScaleQueries {
     "q140b_wordpiece_pair_scores" -> ((s, dir) =>
       Vocab.wpPairScoresFrame(t(s, dir, "documents"), "text")
         .orderBy(desc("score"), col("l_sym"), col("r_sym")).limit(100)),
+
+    // Registrable-domain extraction (C4/RefinedWeb domain-grain
+    // curation): the documents table carries no URL, so the queries
+    // derive one DETERMINISTICALLY from (source, doc_id) — scheme +
+    // optional userinfo + host (subdomain'd source, multi-level
+    // public suffix on every 3rd id, IPv4 literal on every 13th,
+    // mixed case on every 5th) + optional port + path — and the
+    // DuckDB twin replays the same concat, so the extraction
+    // expression itself is what the hash checks.
+    "q143_domain_extract" -> ((s, dir) => {
+      val d = t(s, dir, "documents").withColumn("url", syntheticUrl)
+      d.select(col("doc_id"), col("url"),
+          Domains.registrableDomainCol(col("url")).as("domain"))
+        .orderBy("doc_id")
+    }),
+
+    // domain blocklist gate + per-domain quality prior: blocked
+    // registrable domains (every subdomain with them) drop out, and
+    // each survivor carries its domain's doc count and mean capped
+    // token score — integral score, so the cross-engine average is
+    // one exact int-sum divide (the q84 discipline)
+    "q143b_domain_curation" -> ((s, dir) => {
+      val d = t(s, dir, "documents").withColumn("url", syntheticUrl)
+      val gated = Domains.domainGate(d, "url",
+        Seq("src3.com", "src7.co.uk"))
+      Domains.withDomainPrior(gated, "url",
+          least(lit(100L), TextAnalysis.nTokensCol(col("text"))))
+        .select(col("doc_id"), col("domain"), col("domain_docs"),
+          col("domain_avg_score"))
+        .orderBy("doc_id")
+    }),
+
+    // q84's composition report at (lang, registrable-domain) grain —
+    // the mixture table a web-corpus build reads before setting
+    // per-domain sampling weights
+    "q143c_domain_composition" -> ((s, dir) => {
+      val d = t(s, dir, "documents").withColumn("url", syntheticUrl)
+      Domains.domainComposition(d, "url").orderBy("lang", "domain")
+    }),
 
     // Learned quality-classifier gate (CCNet corpus-gate shape):
     // score EVERY document with the curated-vs-raw model — the
@@ -3966,6 +4031,153 @@ object ScaleQueries {
          JOIN symc l ON p.l_sym = l.sym
          JOIN symc r ON p.r_sym = r.sym
          ORDER BY score DESC, p.l_sym, p.r_sym LIMIT 100""",
+    // Registrable-domain extraction twin: rebuild the identical
+    // synthetic URL, then replay the same regex chain + label fold —
+    // the CASE guards evaluate lazily, and out-of-range list indexes
+    // are NULL in DuckDB, so the n<=2 branch never faults
+    "q143_domain_extract" ->
+      s"""WITH d AS (SELECT doc_id,
+                'https://' ||
+                CASE WHEN doc_id % 11 = 0 THEN 'crawler:pw@' ELSE '' END ||
+                CASE WHEN doc_id % 13 = 0
+                     THEN '10.0.0.' || (doc_id % 200)::VARCHAR
+                     ELSE (CASE WHEN doc_id % 5 = 0 THEN 'WWW.'
+                                ELSE 'sub.' END) || source ||
+                          (CASE WHEN doc_id % 3 = 0 THEN '.co.uk'
+                                ELSE '.com' END) END ||
+                CASE WHEN doc_id % 7 = 0 THEN ':8080' ELSE '' END ||
+                '/p/' || doc_id::VARCHAR AS url
+           FROM documents),
+           h AS (SELECT doc_id, url,
+                 lower(regexp_replace(regexp_replace(
+                   regexp_extract(
+                     regexp_replace(regexp_replace(url,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+                       '^[^/@]*@', ''),
+                     '^([^/?#]*)', 1),
+                   ':[0-9]*$$', ''), '\\.$$', '')) AS host
+           FROM d),
+           r AS (SELECT doc_id, url, host,
+                        string_split(host, '.') AS l,
+                        len(string_split(host, '.')) AS n
+                 FROM h)
+         SELECT doc_id, url,
+                CASE WHEN host = '' THEN NULL
+                     WHEN regexp_matches(host,
+                            '^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$$')
+                          OR n <= 2 THEN host
+                     WHEN list_contains($domainSuffixSqlList,
+                            l[n-1] || '.' || l[n])
+                       THEN l[n-2] || '.' || l[n-1] || '.' || l[n]
+                     ELSE l[n-1] || '.' || l[n] END AS domain
+         FROM r ORDER BY doc_id""",
+    // gate + prior twin: same URL/domain chain, blocklist as a literal
+    // list, score = least(100, n_tokens) — integral, so the per-domain
+    // average is one exact int-sum divide
+    "q143b_domain_curation" ->
+      s"""WITH d AS (SELECT doc_id, text,
+                'https://' ||
+                CASE WHEN doc_id % 11 = 0 THEN 'crawler:pw@' ELSE '' END ||
+                CASE WHEN doc_id % 13 = 0
+                     THEN '10.0.0.' || (doc_id % 200)::VARCHAR
+                     ELSE (CASE WHEN doc_id % 5 = 0 THEN 'WWW.'
+                                ELSE 'sub.' END) || source ||
+                          (CASE WHEN doc_id % 3 = 0 THEN '.co.uk'
+                                ELSE '.com' END) END ||
+                CASE WHEN doc_id % 7 = 0 THEN ':8080' ELSE '' END ||
+                '/p/' || doc_id::VARCHAR AS url
+           FROM documents),
+           h AS (SELECT doc_id, text, url,
+                 lower(regexp_replace(regexp_replace(
+                   regexp_extract(
+                     regexp_replace(regexp_replace(url,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+                       '^[^/@]*@', ''),
+                     '^([^/?#]*)', 1),
+                   ':[0-9]*$$', ''), '\\.$$', '')) AS host
+           FROM d),
+           r AS (SELECT doc_id, text, host,
+                        string_split(host, '.') AS l,
+                        len(string_split(host, '.')) AS n
+                 FROM h),
+           dom AS (SELECT doc_id, text,
+                CASE WHEN host = '' THEN NULL
+                     WHEN regexp_matches(host,
+                            '^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$$')
+                          OR n <= 2 THEN host
+                     WHEN list_contains($domainSuffixSqlList,
+                            l[n-1] || '.' || l[n])
+                       THEN l[n-2] || '.' || l[n-1] || '.' || l[n]
+                     ELSE l[n-1] || '.' || l[n] END AS domain
+           FROM r),
+           gated AS (SELECT * FROM dom
+                     WHERE NOT coalesce(list_contains(
+                       ['src3.com', 'src7.co.uk'], domain), FALSE)),
+           scored AS (SELECT doc_id, domain,
+                least(100, len(list_filter(
+                  string_split(coalesce(text, ''), ' '),
+                  t -> length(t) > 0))) AS score
+           FROM gated),
+           prior AS (SELECT domain, count(*) AS domain_docs,
+                            round(avg(score), 4) AS domain_avg_score
+                     FROM scored GROUP BY domain)
+         SELECT s.doc_id, s.domain,
+                CAST(p.domain_docs AS BIGINT) AS domain_docs,
+                p.domain_avg_score
+         FROM scored s JOIN prior p USING (domain)
+         ORDER BY s.doc_id""",
+    // composition at (lang, domain) grain — the q84 twin with the
+    // domain chain substituted for source
+    "q143c_domain_composition" ->
+      s"""WITH d AS (SELECT doc_id, lang, text,
+                'https://' ||
+                CASE WHEN doc_id % 11 = 0 THEN 'crawler:pw@' ELSE '' END ||
+                CASE WHEN doc_id % 13 = 0
+                     THEN '10.0.0.' || (doc_id % 200)::VARCHAR
+                     ELSE (CASE WHEN doc_id % 5 = 0 THEN 'WWW.'
+                                ELSE 'sub.' END) || source ||
+                          (CASE WHEN doc_id % 3 = 0 THEN '.co.uk'
+                                ELSE '.com' END) END ||
+                CASE WHEN doc_id % 7 = 0 THEN ':8080' ELSE '' END ||
+                '/p/' || doc_id::VARCHAR AS url
+           FROM documents),
+           h AS (SELECT doc_id, lang, text, url,
+                 lower(regexp_replace(regexp_replace(
+                   regexp_extract(
+                     regexp_replace(regexp_replace(url,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+                       '^[^/@]*@', ''),
+                     '^([^/?#]*)', 1),
+                   ':[0-9]*$$', ''), '\\.$$', '')) AS host
+           FROM d),
+           r AS (SELECT doc_id, lang, text, host,
+                        string_split(host, '.') AS l,
+                        len(string_split(host, '.')) AS n
+                 FROM h),
+           dom AS (SELECT doc_id, lang, text,
+                CASE WHEN host = '' THEN NULL
+                     WHEN regexp_matches(host,
+                            '^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$$')
+                          OR n <= 2 THEN host
+                     WHEN list_contains($domainSuffixSqlList,
+                            l[n-1] || '.' || l[n])
+                       THEN l[n-2] || '.' || l[n-1] || '.' || l[n]
+                     ELSE l[n-1] || '.' || l[n] END AS domain
+           FROM r),
+           cells AS (SELECT lang, domain, count(*) AS n_docs,
+                sum(len(list_filter(string_split(coalesce(text, ''), ' '),
+                                    t -> length(t) > 0))) AS n_tokens,
+                sum(length(coalesce(text, ''))) AS n_chars
+           FROM dom GROUP BY lang, domain),
+           tot AS (SELECT sum(n_docs) AS td, sum(n_tokens) AS tt FROM cells)
+         SELECT lang, domain,
+                CAST(n_docs AS BIGINT) AS n_docs,
+                CAST(n_tokens AS BIGINT) AS n_tokens,
+                CAST(n_chars AS BIGINT) AS n_chars,
+                round(n_tokens * 1.0 / n_docs, 4) AS avg_doc_tokens,
+                round(n_docs * 1.0 / td, 4) AS doc_share,
+                round(n_tokens * 1.0 / tt, 4) AS token_share
+         FROM cells CROSS JOIN tot ORDER BY lang, domain""",
     "q84_composition" ->
       """WITH cells AS (SELECT lang, source, count(*) AS n_docs,
                 sum(len(list_filter(string_split(coalesce(text, ''), ' '),

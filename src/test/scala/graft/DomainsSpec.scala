@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{CorpusPipeline, Domains}
+
+class DomainsSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  private def extract(urls: String*): Seq[Option[String]] =
+    urls.zipWithIndex.map { case (u, i) => (i, u) }
+      .toDF("i", "url")
+      .select(col("i"), Domains.registrableDomainCol(col("url")).as("d"))
+      .orderBy("i")
+      .collect().map(r => Option(r.getString(1))).toSeq
+
+  test("registrableDomainCol: scheme/userinfo/port/path/case/trailing-" +
+      "dot stripping, PSL fold, IP and single-label pass-through") {
+    assert(extract(
+      "https://WWW.Example.CO.UK/path?q=1#frag",
+      "http://user:pw@sub.a.example.com:8080/x",
+      "https://10.0.0.5:443/x",
+      "localhost",
+      "example.com/path",
+      "https://example.com./x",
+      "https://deep.sub.host.org.uk/",
+      "ftp://files.example.com.au/pub",
+      "https://") === Seq(
+      Some("example.co.uk"),   // PSL fold keeps 3 labels, lowercased
+      Some("example.com"),     // userinfo + port + deep subdomain
+      Some("10.0.0.5"),        // IPv4 literal whole
+      Some("localhost"),       // single label whole
+      Some("example.com"),     // schemeless
+      Some("example.com"),     // trailing dot
+      Some("host.org.uk"),     // multi-suffix under deep subdomain
+      Some("example.com.au"),  // non-http scheme + .com.au
+      None))                   // empty host
+  }
+
+  test("domainGate: blocked registrable domain kills every subdomain; " +
+      "unparseable (null-domain) rows survive the gate") {
+    val df = Seq(
+      (1L, "https://a.bad.com/x"),
+      (2L, "https://bad.com/y"),
+      (3L, "https://good.com/z"),
+      (4L, "https://bad.com.evil.net/q"), // registrable = evil.net
+      (5L, "https://"))                   // null domain → kept
+      .toDF("doc_id", "url")
+    val kept = Domains.domainGate(df, "url", Seq("bad.com"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(3L, 4L, 5L))
+  }
+
+  test("withDomainPrior: per-domain docs/avg joined back per row") {
+    val df = Seq(
+      (1L, "https://a.x.com/1", 10L),
+      (2L, "https://b.x.com/2", 30L),
+      (3L, "https://y.com/3", 50L))
+      .toDF("doc_id", "url", "score")
+    val out = Domains.withDomainPrior(df, "url", col("score"))
+      .select("doc_id", "domain", "domain_docs", "domain_avg_score")
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Double)].collect().toSeq
+    assert(out === Seq(
+      (1L, "x.com", 2L, 20.0),
+      (2L, "x.com", 2L, 20.0),
+      (3L, "y.com", 1L, 50.0)))
+  }
+
+  test("capstone domainBlocklist knob: blocked docs never reach the " +
+      "per-doc gates; missing url column fails loudly") {
+    val text = Seq.fill(35)("the quick brown fox and the lazy dog runs")
+      .mkString(" ")
+    val docs = Seq(
+      (1L, "en", text, "https://keep.com/a"),
+      (2L, "en", text, "https://sub.block.co.uk/b"),
+      (3L, "en", text, "https://block.co.uk/c"))
+      .toDF("doc_id", "lang", "text", "url")
+    val evalSet = Seq((99L, "nothing shared")).toDF("doc_id", "text")
+    val cfg = CorpusPipeline.Config(domainBlocklist = Seq("block.co.uk"))
+    val (seqs, rep) = CorpusPipeline.build(docs, evalSet, cfg)
+    assert(rep.gated === 1L, rep.toString)
+    assert(seqs.select("doc_id").distinct().as[Long].collect().toSet
+      === Set(1L))
+    val e = intercept[IllegalArgumentException] {
+      CorpusPipeline.build(docs.drop("url"), evalSet, cfg)
+    }
+    assert(e.getMessage.contains("url"))
+  }
+}
