@@ -127,6 +127,7 @@ object Bench {
     "q139_semantic_decon",
     "q140_wordpiece_encode_oracle",
     "q140b_wordpiece_pair_scores",
+    "q140c_wordpiece_scored_encode",
     "q141_wordpiece_vocab",
     // learned quality-classifier gate: the corpus-scale scoring pass
     // (model trained once per session — the deployed-gate shape)

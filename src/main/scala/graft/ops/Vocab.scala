@@ -1060,6 +1060,55 @@ object Vocab {
     } finally pcf.unpersist()
   }
 
+  /** [[staticWordPieceModel]] with LIKELIHOOD-scored selection — the
+    * closed-form twin of the trainer's own criterion (q140c): instead
+    * of ranking candidate pieces by raw count, rank by the score of
+    * the merge that would have FORMED the piece,
+    * `cnt(piece) / (cnt(prefix) · cnt(##last))` — the
+    * count(lr)/(count(l)·count(r)) objective of [[learnWordPiece]]
+    * applied to the piece-count frame. Multi-char pieces rank by
+    * (score desc, piece asc); single-char pieces join unconditionally
+    * (coverage, so greedy matching always advances — no unk path in
+    * the twin). Prefix and last-char counts always exist: they are
+    * substrings of the same occurrences that produced the piece.
+    * Every term is exact-int aggregation + the same one IEEE
+    * multiply/divide as [[wpPairScoresFrame]] — bit-replayable. */
+  def scoredWordPieceModel(df: DataFrame, textCol: String,
+      nInit: Int = 40, nCont: Int = 40,
+      maxPieceLen: Int = 6): WordPieceModel = {
+    val pcf = wpPieceCountsFrame(df, textCol, maxPieceLen)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val ps = pcf.select(col("piece"), col("cnt"),
+          col("piece").startsWith(ContMarker).as("isc"))
+        .withColumn("raw", when(col("isc"),
+          col("piece").substr(lit(3), length(col("piece")) - 2))
+          .otherwise(col("piece")))
+      val multi = ps.filter(length(col("raw")) >= 2)
+        .withColumn("prefixPiece", concat(
+          when(col("isc"), lit(ContMarker)).otherwise(lit("")),
+          col("raw").substr(lit(1), length(col("raw")) - 1)))
+        .withColumn("lastPiece", concat(lit(ContMarker),
+          col("raw").substr(length(col("raw")), lit(1))))
+        .join(pcf.select(col("piece").as("prefixPiece"),
+          col("cnt").as("pcnt")), "prefixPiece")
+        .join(pcf.select(col("piece").as("lastPiece"),
+          col("cnt").as("lcnt")), "lastPiece")
+        .withColumn("score", col("cnt").cast("double") /
+          (col("pcnt").cast("double") * col("lcnt").cast("double")))
+      def side(cont: Boolean, n: Int): Set[String] = {
+        val top = multi.filter(col("isc") === cont)
+          .orderBy(desc("score"), col("piece")).limit(n)
+          .select("raw").collect().map(_.getString(0))
+        val chars = ps.filter(col("isc") === cont &&
+            length(col("raw")) === 1)
+          .select("raw").collect().map(_.getString(0))
+        (top ++ chars).toSet
+      }
+      WordPieceModel(side(cont = false, nInit), side(cont = true, nCont))
+    } finally { pcf.unpersist(); () }
+  }
+
   /** The WordPiece trainer's first-merge decision input as a frame —
     * the q81b/[[pairCountsFrame]] pattern for the LIKELIHOOD criterion:
     * adjacent-pair counts over the initial `##` symbolization joined

@@ -862,6 +862,24 @@ object ScaleQueries {
         .orderBy("word")
     }),
 
+    // WordPiece ENCODE oracle under the LIKELIHOOD-scored closed-form
+    // vocab (q82c's replayable-model rigor for the scored criterion):
+    // vocab selection ranks candidate pieces by the trainer's own
+    // objective cnt(piece)/(cnt(prefix)·cnt(##last)) instead of raw
+    // count — the twin replays scoring, ranking AND the MaxMatch walk
+    "q140c_wordpiece_scored_encode" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val model = Vocab.scoredWordPieceModel(d, "text",
+        nInit = 40, nCont = 40, maxPieceLen = 6)
+      val words = Vocab.wordCounts(d, "text")
+        .orderBy(desc("cnt"), col("word")).limit(50)
+      Vocab.encodeWordPiece(words, "word", "word", model)
+        .select(col("word"),
+          concat_ws(" ", col("wp_tokens")).as("pieces"),
+          col("n_wp_tokens").as("n_pieces"))
+        .orderBy("word")
+    }),
+
     // WordPiece TRAINER decision-input anchor (the q81b pattern for
     // the likelihood criterion): adjacent-pair counts over the ##
     // symbolization with both symbols' counts and the score
@@ -3975,6 +3993,79 @@ object ScaleQueries {
                       SELECT piece FROM ctop UNION ALL
                       SELECT piece FROM pc
                       WHERE piece LIKE '##%' AND length(piece) = 3)),
+           cl AS (SELECT list(piece) AS l FROM cpcs),
+           words AS (SELECT word FROM wc
+                     ORDER BY cnt DESC, word LIMIT 50),
+           enc AS (
+             SELECT word, 1 AS pos, CAST([] AS VARCHAR[]) AS toks
+             FROM words
+             UNION ALL
+             SELECT word, pos + bl,
+                    list_append(toks,
+                      CASE WHEN pos = 1 THEN substr(word, pos, bl)
+                           ELSE '##' || substr(word, pos, bl) END)
+             FROM (SELECT e.word, e.pos, e.toks,
+                     list_max(list_transform(
+                       range(1, least(6, length(e.word) - e.pos + 1) + 1),
+                       L -> CASE WHEN list_contains(
+                              CASE WHEN e.pos = 1 THEN i.l ELSE c.l END,
+                              substr(e.word, e.pos, L))
+                            THEN L ELSE 0 END)) AS bl
+                   FROM enc e CROSS JOIN il i CROSS JOIN cl c
+                   WHERE e.pos <= length(e.word))
+             WHERE bl > 0)
+         SELECT word, array_to_string(toks, ' ') AS pieces,
+                CAST(len(toks) AS BIGINT) AS n_pieces
+         FROM enc WHERE pos = length(word) + 1 ORDER BY word""",
+    // scored-vocab encode twin: q140's piece-count + MaxMatch
+    // machinery with the selection CTEs swapped for the likelihood
+    // ranking — prefix/##last counts joined from the same pc frame,
+    // score as the identical double multiply+divide, ties by piece
+    "q140c_wordpiece_scored_encode" ->
+      """WITH RECURSIVE
+           w AS (SELECT unnest(list_filter(
+                   string_split(coalesce(text, ''), ' '),
+                   t -> length(t) > 0)) AS word
+                 FROM documents),
+           wc AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),
+           s1 AS (SELECT word, cnt,
+                         unnest(range(1, length(word) + 1)) AS i
+                  FROM wc),
+           s2 AS (SELECT cnt,
+                         CASE WHEN i = 1 THEN '' ELSE '##' END ||
+                           substr(word, i, L) AS piece
+                  FROM (SELECT word, cnt, i,
+                          unnest(range(1,
+                            least(6, length(word) - i + 1) + 1)) AS L
+                        FROM s1)),
+           pc AS (SELECT piece, sum(cnt) AS cnt FROM s2 GROUP BY piece),
+           ps AS (SELECT piece, cnt, piece LIKE '##%' AS isc,
+                         CASE WHEN piece LIKE '##%'
+                              THEN substr(piece, 3) ELSE piece END AS raw
+                  FROM pc),
+           scored AS (SELECT p.piece, p.isc, p.raw,
+                  p.cnt::DOUBLE /
+                    (pf.cnt::DOUBLE * lc.cnt::DOUBLE) AS score
+                FROM ps p
+                JOIN pc pf ON pf.piece =
+                  (CASE WHEN p.isc THEN '##' ELSE '' END ||
+                   substr(p.raw, 1, length(p.raw) - 1))
+                JOIN pc lc ON lc.piece =
+                  '##' || substr(p.raw, length(p.raw), 1)
+                WHERE length(p.raw) >= 2),
+           itop AS (SELECT raw AS piece FROM scored WHERE NOT isc
+                    ORDER BY score DESC, piece LIMIT 40),
+           iall AS (SELECT DISTINCT piece FROM (
+                      SELECT piece FROM itop UNION ALL
+                      SELECT raw AS piece FROM ps
+                      WHERE NOT isc AND length(raw) = 1)),
+           il AS (SELECT list(piece) AS l FROM iall),
+           ctop AS (SELECT raw AS piece FROM scored WHERE isc
+                    ORDER BY score DESC, piece LIMIT 40),
+           cpcs AS (SELECT DISTINCT piece FROM (
+                      SELECT piece FROM ctop UNION ALL
+                      SELECT raw AS piece FROM ps
+                      WHERE isc AND length(raw) = 1)),
            cl AS (SELECT list(piece) AS l FROM cpcs),
            words AS (SELECT word FROM wc
                      ORDER BY cnt DESC, word LIMIT 50),

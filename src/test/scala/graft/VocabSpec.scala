@@ -358,6 +358,32 @@ class VocabSpec extends AnyFunSuite {
     assert(enc.agg(sum("n_unk_words")).head.getLong(0) === 0L)
   }
 
+  test("scoredWordPieceModel: likelihood ranking picks a DIFFERENT " +
+      "vocab than count ranking; single-char coverage ⇒ no unk") {
+    // "ab" is the most FREQUENT bigram but its parts are ubiquitous
+    // (a,b everywhere); "xq" is rarer but its parts occur ONLY
+    // together, so cnt(xq)/(cnt(x)·cnt(##q)) ≫ cnt(ab)/(cnt(a)·cnt(##b))
+    // — with one multi-char slot the two criteria must disagree
+    // (count ranking mixes single chars into its top-N — 'a' outcounts
+    // 'ab' — so it needs two slots to reach its best multi-char piece;
+    // the scored ranking is multi-char-only by construction)
+    val df = Seq("ab ab ab ab ab a b xq xq xq").toDF("text")
+    val byCount = Vocab.staticWordPieceModel(df, "text",
+      nInit = 2, nCont = 1, maxPieceLen = 2)
+    val byScore = Vocab.scoredWordPieceModel(df, "text",
+      nInit = 1, nCont = 1, maxPieceLen = 2)
+    assert(byCount.initPieces.contains("ab") &&
+      !byCount.initPieces.contains("xq"), byCount.toString)
+    assert(byScore.initPieces.contains("xq") &&
+      !byScore.initPieces.contains("ab"), byScore.toString)
+    // determinism + coverage on the real corpus
+    val sample = docs.limit(80)
+    val m = Vocab.scoredWordPieceModel(sample, "text")
+    assert(m === Vocab.scoredWordPieceModel(sample, "text"))
+    val enc = Vocab.encodeWordPiece(sample, "doc_id", "text", m)
+    assert(enc.agg(sum("n_unk_words")).head.getLong(0) === 0L)
+  }
+
   test("wpPairScoresFrame: score = pair/(l·r) exactly, symbolization " +
       "classes split at position 1") {
     // "aa ba": syms [a,##a] and [b,##a] → counts a=1,b=1,##a=2;
