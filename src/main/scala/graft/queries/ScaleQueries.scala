@@ -144,9 +144,20 @@ object ScaleQueries {
       .getOrElseUpdate(dir, {
         val d = t(s, dir, "documents").select("doc_id", "lang", "text")
           .withColumn("__pass", heuristicPass())
-          .localCheckpoint()
+        // BOUNDED deterministic training sample per class (lowest 5k
+        // doc ids — TakeOrderedAndProject, never a full sort): the
+        // sf10 rehearsal caught the unbounded form paying a 44 s
+        // corpus-sized FIT; classifier training sets are sample-sized
+        // by discipline (CCNet trains on a reference corpus, not the
+        // crawl), only SCORING is corpus-scale. The CAPPED frames are
+        // what checkpoints (the ML fit iterates its input — CV fit,
+        // IDF fit, LR passes — and must iterate 5k rows, never re-pay
+        // a corpus scan per iteration; checkpointing the full corpus
+        // instead was itself a corpus-sized materialization)
+        def cap(f: org.apache.spark.sql.Column): DataFrame =
+          d.filter(f).orderBy("doc_id").limit(5000).localCheckpoint()
         graft.ml.QualityClassifier.train(
-          d.filter(col("__pass")), d.filter(!col("__pass")), "text")
+          cap(col("__pass")), cap(!col("__pass")), "text")
       })
 
   /** One unigram model per (session, sf dir) — q99/q99c share it, same
