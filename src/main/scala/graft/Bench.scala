@@ -135,7 +135,10 @@ object Bench {
     // domain-grain curation: extraction + blocklist/prior + mixture
     "q143_domain_extract",
     "q143b_domain_curation",
-    "q143c_domain_composition")
+    "q143c_domain_composition",
+    // takedown on dedup state: full-state build + tombstone apply,
+    // oracle = from-scratch clustering over the reduced corpus
+    "q144_dedup_takedown")
 
   /** Queries whose r6→r7 numbers moved 2–6× with no code change — the
     * self-join/ANN family is short (<3 s warm) so a single co-tenant

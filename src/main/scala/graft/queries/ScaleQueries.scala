@@ -1906,6 +1906,21 @@ object ScaleQueries {
       Dedup.assignmentFromState(grown, "doc_id").orderBy("doc_id")
     }),
 
+    // TAKEDOWN (forget) on dedup state: build the signature state over
+    // the FULL corpus, tombstone every 5th id, apply — the oracle is
+    // q61's from-scratch SQL over the REDUCED corpus, so the hash
+    // proves exact forgetting (bridge-doc splits, min-label
+    // re-elections) without ever re-reading surviving text
+    "q144_dedup_takedown" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val state = Dedup.corpusSigState(docs, "doc_id", "text",
+        k = 8, bands = 2, minJaccard = 0.75)
+      val applied = Dedup.sigStateApplyTombstones(state,
+        docs.filter(col("doc_id") % 5 === 0).select("doc_id"),
+        k = 8, bands = 2, minJaccard = 0.75)
+      Dedup.assignmentFromState(applied, "doc_id").orderBy("doc_id")
+    }),
+
     // paragraph-level dedup: fixed 20-token chunks, first occurrence
     // wins corpus-wide, documents reassembled from surviving chunks
     "q60_chunk_dedup" -> ((s, dir) =>
@@ -2851,6 +2866,22 @@ object ScaleQueries {
          ON cl.id = d.doc_id
        ORDER BY d.doc_id"""
 
+  /** q144: the takedown oracle — from-scratch q61 clustering over the
+    * REDUCED corpus (every 5th id deleted). The engine side builds the
+    * FULL state and applies tombstones; hash equality proves the
+    * touched-cluster re-clustering (bridge splits, min re-elections)
+    * exactly matches a rebuild, cross-engine. */
+  private val q144Sql: String =
+    s"""WITH d144 AS (SELECT doc_id, text FROM documents
+           WHERE doc_id % 5 <> 0),
+         ${q61CteBody("d144")}
+       SELECT d.doc_id,
+              CAST(coalesce(cl.lbl, d.doc_id) AS BIGINT) AS cluster_id,
+              (coalesce(cl.lbl, d.doc_id) = d.doc_id) AS is_rep
+       FROM d144 d LEFT JOIN (SELECT id, lbl FROM l8) cl
+         ON cl.id = d.doc_id
+       ORDER BY d.doc_id"""
+
   /** q93: q61 clustering + quality-aware rep — the highest-token
     * member of each cluster (ties to the lower id) is the survivor. */
   private val q93Sql: String =
@@ -3430,6 +3461,7 @@ object ScaleQueries {
     // incremental two-batch build ≡ from-scratch build on the union —
     // the oracle IS the from-scratch q61 SQL
     "q68_incremental_dedup" -> q61Sql,
+    "q144_dedup_takedown" -> q144Sql,
     "q92_leakage_split" -> q92Sql,
     "q93_keep_best" -> q93Sql,
     "q65_window_chunks" ->
