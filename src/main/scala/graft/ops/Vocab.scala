@@ -398,6 +398,40 @@ object Vocab {
         StructField("token", StringType, nullable = false))))
   }
 
+  /** Inverse of [[mergesFrameOf]] + [[vocabFrame]] — the load half of
+    * "write the artifact once, encode anywhere": rebuild the model
+    * from its two persisted frames (merge ORDER from the merges
+    * table, base-symbol inventory from the vocab table). Both frames
+    * are model-sized (≤ vocab entries) — a driver collect, never a
+    * corpus read. The loader VALIDATES itself: the rebuilt model must
+    * reproduce the persisted id assignment exactly (a base symbol
+    * spelled identically to a later merge product would be
+    * ambiguous — fail loudly instead of encoding differently). */
+  def bpeModelOf(merges: DataFrame, vocab: DataFrame): BpeModel = {
+    val ms = merges.select("rank", "left", "right")
+      .collect().sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val toks = vocab.select("token_id", "token")
+      .collect().sortBy(_.getInt(0)).map(_.getString(1)).toSeq
+    require(toks.headOption.contains(UnkToken),
+      s"vocab frame must lead with $UnkToken")
+    val products = ms.map { case (a, b) => a + b }.toSet
+    val base = toks.drop(1).filterNot(products)
+    val model = BpeModel(ms, base)
+    require(model.vocab.toSeq.sortBy(_._2).map(_._1) == toks,
+      "bpeModelOf: rebuilt vocab does not reproduce the persisted id " +
+        "assignment — the artifact frames are inconsistent (or a base " +
+        "symbol collides with a merge product)")
+    model
+  }
+
+  /** Inverse of [[unigramFrame]]: rebuild the unigram-LM inventory
+    * from its persisted (piece, logp) artifact. */
+  def unigramModelOf(frame: DataFrame): UnigramModel =
+    UnigramModel(frame.select("piece", "logp").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .sortBy { case (p, l) => (-l, p) }.toVector)
+
   /** [[encodeBpe]] to integer ids under the model's stable vocab
     * (0 = unk for symbols outside the training inventory): the
     * training-ready form. Same map-side execution; returns
@@ -1002,6 +1036,16 @@ object Vocab {
         StructField("id", IntegerType, nullable = false),
         StructField("piece", StringType, nullable = false),
         StructField("is_cont", BooleanType, nullable = false))))
+  }
+
+  /** Inverse of [[wpVocabFrameOf]]: rebuild a WordPiece model from its
+    * persisted (id, piece, is_cont) artifact — exact and total (the
+    * position class is a COLUMN, so `#`-spelled pieces round-trip). */
+  def wpModelOf(frame: DataFrame): WordPieceModel = {
+    val rows = frame.select("piece", "is_cont")
+      .collect().map(r => (r.getString(0), r.getBoolean(1)))
+    val (cont, init) = rows.filter(_._1 != UnkToken).partition(_._2)
+    WordPieceModel(init.map(_._1).toSet, cont.map(_._1).toSet)
   }
 
   /** Frequency-weighted position-classed substring counts — the

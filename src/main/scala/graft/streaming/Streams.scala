@@ -657,7 +657,15 @@ object Streams {
       .getOrElse(Seq.empty)
     require(versions.nonEmpty,
       s"no media state under $stateBase — run the stream first")
-    val st = spark.read.parquet(s"$stateBase/run_ts=${versions.max}")
+    val raw = spark.read.parquet(s"$stateBase/run_ts=${versions.max}")
+    // TAKEDOWN at the media grain (the sigState contract, simpler
+    // here: exact content keys mean a removal can never SPLIT a
+    // group — the min-id representative just re-elects among the
+    // survivors, which the read-time election below does for free)
+    val st = graft.ops.Dedup.sigStateTombstoneIds(spark, stateBase) match {
+      case Some(ts) => raw.join(broadcast(ts), Seq("id"), "left_anti")
+      case None => raw
+    }
     val reps = st.filter(col("content_key").isNotNull)
       .groupBy("content_key").agg(min(col("id")).as("rep_id"))
     st.join(reps, Seq("content_key"), "left")
@@ -666,6 +674,48 @@ object Streams {
           .when(col("rep_id") === col("id"), "kept")
           .otherwise("exact_dup").as("status"),
         coalesce(col("rep_id"), col("id")).as("rep_id"))
+  }
+
+  /** TAKEDOWN for the media dedup state: append `ids` as a tombstone
+    * batch (the same sibling-dir S8 layout as
+    * [[graft.ops.Dedup.sigStateDelete]] — shared implementation). A
+    * deleted id vanishes from [[mediaDedupFromState]] at the next
+    * read and its duplicate group re-elects the surviving min id;
+    * re-ingesting a deleted id requires [[mediaDedupVacuum]] first
+    * (the fold's first-write-wins still sees the stored row). */
+  def mediaDedupDelete(spark: SparkSession, stateBase: String,
+      ids: DataFrame, idCol: String, ver: String): Unit =
+    graft.ops.Dedup.sigStateDelete(spark, stateBase, ids, idCol, ver)
+
+  /** Physical reclamation for the media state — the
+    * [[graft.ops.Dedup.sigStateVacuum]] discipline: materialize the
+    * tombstone-applied latest version as `<latest>_vacuum`, prune the
+    * pre-vacuum history (it still contains the forgotten rows), drop
+    * the tombstones. Run quiesced. */
+  def mediaDedupVacuum(spark: SparkSession,
+      stateBase: String): DataFrame = {
+    val versions = graft.sources.Sinks.runVersions(spark, stateBase)
+    require(versions.nonEmpty, s"no media state under $stateBase")
+    val latest = versions.max
+    val raw = spark.read.parquet(s"$stateBase/run_ts=$latest")
+    val applied = graft.ops.Dedup.sigStateTombstoneIds(spark, stateBase)
+      match {
+      case Some(ts) => raw.join(broadcast(ts), Seq("id"), "left_anti")
+      case None => raw
+    }
+    val ver = s"${latest}_vacuum"
+    applied.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$stateBase/run_ts=$ver")
+    val fs = new org.apache.hadoop.fs.Path(stateBase)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    versions.foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$stateBase/run_ts=$v"), true): Unit
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(
+      graft.ops.Dedup.sigStateTombstonePath(stateBase)), true): Unit
+    spark.catalog.refreshByPath(stateBase)
+    spark.read.parquet(s"$stateBase/run_ts=$ver")
   }
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

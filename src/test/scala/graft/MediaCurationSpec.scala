@@ -196,5 +196,40 @@ class MediaCurationSpec extends AnyFunSuite {
     assert(got === want)
     // the planted exact pairs actually collapsed (incl. the re-mux)
     assert(got.count(_._3 == "exact_dup") === 6)
+
+    // TAKEDOWN: delete every duplicate group's REPRESENTATIVE — the
+    // strongest case: each group must re-elect its surviving member
+    val repIds = got.filter(_._3 == "exact_dup").map(_._4).toSeq
+    assert(repIds.nonEmpty)
+    graft.streaming.Streams.mediaDedupDelete(spark, s"$base/state",
+      repIds.toDF("id"), "id", "d000000")
+    def manifest(): Set[(Long, String, String, Long)] =
+      graft.streaming.Streams.mediaDedupFromState(spark, s"$base/state")
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          r.getString(2), r.getLong(3))).toSet
+    val reduced = corpus.join(repIds.toDF("id"), Seq("id"), "left_anti")
+      .localCheckpoint()
+    val wantReduced = MediaCuration.curateMedia(reduced, "id",
+        minWidth = 0, minHeight = 0, minAudioFrames = 0L,
+        minVideoFrames = 0,
+        nearDup = graft.ops.Dedup.NearDupConfig(
+          minSim = 1.01, minJaccard = 1.01),
+        nearMaxId = 60L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSet
+    val afterDelete = manifest()
+    assert(afterDelete === wantReduced)
+    // every former dup re-elected itself (its rep was the deletion)
+    assert(afterDelete.count(_._3 === "exact_dup") === 0)
+    // vacuum: same manifest, tombstones gone, single pruned version,
+    // deleted ids physically absent
+    val vac = graft.streaming.Streams.mediaDedupVacuum(spark,
+      s"$base/state")
+    assert(!new java.io.File(graft.ops.Dedup
+      .sigStateTombstonePath(s"$base/state")).exists())
+    assert(graft.sources.Sinks
+      .runVersions(spark, s"$base/state").size === 1)
+    assert(vac.filter(col("id").isin(repIds: _*)).count() === 0L)
+    assert(manifest() === wantReduced)
   }
 }

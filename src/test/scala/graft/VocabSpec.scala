@@ -358,6 +358,44 @@ class VocabSpec extends AnyFunSuite {
     assert(enc.agg(sum("n_unk_words")).head.getLong(0) === 0L)
   }
 
+  test("artifact round-trip, all three families: train → persist " +
+      "frame(s) → load → identical model and identical encode") {
+    val sample = docs.limit(60)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_vocab_rt").toString
+    def roundTrip(df: org.apache.spark.sql.DataFrame,
+        name: String): org.apache.spark.sql.DataFrame = {
+      df.write.parquet(s"$dir/$name")
+      spark.read.parquet(s"$dir/$name")
+    }
+    // BPE: merge order + id assignment through two frames
+    val bpe = Vocab.learnBpe(sample, "text", numMerges = 40)
+    val bpe2 = Vocab.bpeModelOf(
+      roundTrip(Vocab.mergesFrameOf(spark, bpe), "bpe_merges"),
+      roundTrip(Vocab.vocabFrame(spark, bpe), "bpe_vocab"))
+    // base-symbol ORDER is not persisted (vocab ids sort it away) —
+    // the semantic surfaces are the merge ranks and the id assignment
+    assert(bpe2.ranks === bpe.ranks && bpe2.vocab === bpe.vocab)
+    // unigram-LM: (piece, logp) inventory
+    val uni = Vocab.learnUnigram(sample, "text", vocabSize = 60)
+    val uni2 = Vocab.unigramModelOf(
+      roundTrip(Vocab.unigramFrame(spark, uni), "uni"))
+    // the inventory VECTOR's order is training-incidental; Viterbi
+    // encode reads only the logp map (and maxLen, derived from it)
+    assert(uni2.logp === uni.logp && uni2.maxLen === uni.maxLen)
+    // WordPiece: position class as a column — exact and total
+    val wp = Vocab.learnWordPiece(sample, "text", numMerges = 40)
+    val wp2 = Vocab.wpModelOf(
+      roundTrip(Vocab.wpVocabFrameOf(spark, wp), "wp"))
+    assert(wp2 === wp)
+    // and the loaded WordPiece model encodes identically
+    val a = Vocab.encodeWordPiece(sample, "doc_id", "text", wp)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val b = Vocab.encodeWordPiece(sample, "doc_id", "text", wp2)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("scoredWordPieceModel: likelihood ranking picks a DIFFERENT " +
       "vocab than count ranking; single-char coverage ⇒ no unk") {
     // "ab" is the most FREQUENT bigram but its parts are ubiquitous
