@@ -51,6 +51,48 @@ object QualityClassifier {
       .fit(labeled)
   }
 
+  /** Deterministic content fingerprint of a trained model: an MD5 over
+    * the learned state — CountVectorizer vocabulary, IDF vector, LR
+    * coefficients and intercept. Two models score every document
+    * identically iff these agree, so this (not the uid, which changes
+    * per fit, and not mere presence) is the model's identity for
+    * staged-resume manifests: resuming a staging dir with a RETRAINED
+    * model must recompute, not silently reuse the old model's stage. */
+  def fingerprint(model: PipelineModel): String = {
+    val cv = model.stages.collectFirst {
+      case m: org.apache.spark.ml.feature.CountVectorizerModel => m }
+    val idf = model.stages.collectFirst {
+      case m: org.apache.spark.ml.feature.IDFModel => m }
+    val lr = model.stages.collectFirst {
+      case m: org.apache.spark.ml.classification.LogisticRegressionModel => m }
+    require(cv.isDefined && idf.isDefined && lr.isDefined,
+      "fingerprint expects a QualityClassifier.train pipeline " +
+        "(CountVectorizer + IDF + LogisticRegression)")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def putDouble(d: Double): Unit = {
+      val b = java.nio.ByteBuffer.allocate(8)
+      b.putLong(java.lang.Double.doubleToLongBits(d))
+      md.update(b.array())
+    }
+    // CountVectorizer's vocabulary ORDER is fit-incidental (equal-count
+    // terms land in arbitrary order), but feature index i always ties
+    // vocabulary(i) ↔ idf(i) ↔ coefficient(i); the scoring function is
+    // exactly the term → (idf, coef) MAP plus the intercept. Hash the
+    // triples in sorted-term order so a semantically identical re-fit
+    // fingerprints identically and any scoring-relevant change shows.
+    val terms = cv.get.vocabulary
+    val idfArr = idf.get.idf.toArray
+    val coefs = lr.get.coefficients.toArray
+    terms.indices.sortBy(terms(_)).foreach { i =>
+      md.update(terms(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      md.update(0.toByte) // term delimiter: ["ab","c"] != ["a","bc"]
+      putDouble(idfArr(i))
+      putDouble(coefs(i))
+    }
+    putDouble(lr.get.intercept)
+    md.digest().map("%02x".format(_)).mkString
+  }
+
   /** Score a frame: the input columns plus `quality_prob` =
     * P(curated | text). One map-side pass (broadcast model state, no
     * shuffle) — the corpus-scale gate projection. */

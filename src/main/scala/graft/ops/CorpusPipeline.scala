@@ -430,9 +430,15 @@ object CorpusPipeline {
     // config manifest: a resumed run MUST be the same build — including
     // whether the semantic stage exists (an embeddings frame's PRESENCE
     // changes the stage chain; its contents are pinned by determinism)
+    // the quality model is an EXTERNAL artifact (unlike embeddings,
+    // which are deterministically derived from the corpus), so its
+    // manifest entry is a content fingerprint, not mere presence:
+    // resuming with a retrained model must fail loudly, not silently
+    // reuse the old model's 01q stage output
     val cfgStr = cfg.toString + s";semantic=${embeddings.isDefined}" +
       s";semdecon=${evalEmbeddings.isDefined}" +
-      s";quality=${qualityModel.isDefined}"
+      s";quality=${qualityModel
+        .map(graft.ml.QualityClassifier.fingerprint).getOrElse("none")}"
     readMarker("_GRAFT_CONFIG") match {
       case Some(prev) => require(prev == cfgStr,
         s"staging dir $stagingDir was written by a different Config " +

@@ -811,6 +811,53 @@ object Dedup {
   def sigStateTombstonePath(stateBase: String): String =
     stateBase.stripSuffix("/") + ".tombstones"
 
+  /** Dials manifest for a persisted sig state — a sibling marker (same
+    * placement rule as the tombstone dir) pinning the (k, bands,
+    * minJaccard) the state was BUILT with. Signatures are only
+    * meaningful under their build dials: a takedown's read-time
+    * re-cluster (or an incremental fold) under different dials would
+    * band length-k signatures as the wrong width and produce wrong
+    * splits/merges with no error. The streaming folds write it on
+    * first state write; [[sigStateLoadVersion]] validates every read
+    * against it. */
+  def sigStateDialsPath(stateBase: String): String =
+    stateBase.stripSuffix("/") + ".dials"
+
+  /** Pin (or validate against) the state's dials manifest: first call
+    * writes it, later calls require an exact match — so two writers
+    * (or a writer and a reader) disagreeing on dials fail loudly
+    * instead of silently mixing clusterings. */
+  def sigStatePinDials(spark: SparkSession, stateBase: String,
+      k: Int, bands: Int, minJaccard: Double): Unit = {
+    val p = new org.apache.hadoop.fs.Path(sigStateDialsPath(stateBase))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val want = s"k=$k;bands=$bands;minJaccard=$minJaccard"
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val have = try {
+        val src = scala.io.Source.fromInputStream(in, "UTF-8")
+        try src.mkString.trim finally src.close()
+      } finally in.close()
+      require(have == want,
+        s"sig state $stateBase was built with dials ($have) but this " +
+          s"call passed ($want) — signatures are only meaningful under " +
+          "their build dials; pass the state's own (k, bands, minJaccard)")
+    } else {
+      val out = fs.create(p, true)
+      try out.write(want.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+  }
+
+  private def sigStateCheckDials(spark: SparkSession, stateBase: String,
+      k: Int, bands: Int, minJaccard: Double): Unit = {
+    val p = new org.apache.hadoop.fs.Path(sigStateDialsPath(stateBase))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // no manifest (state written by a pre-manifest build or a bare
+    // batch writer) → the caller owns dial discipline, as before
+    if (fs.exists(p)) sigStatePinDials(spark, stateBase, k, bands, minJaccard)
+  }
+
   /** TAKEDOWN for a persisted dedup state (the S8 versioned layout of
     * [[graft.streaming.Streams.dedupIncrementalAvailableNow]] /
     * `ingestAvailableNow`): append `ids` as a tombstone batch; no
@@ -847,6 +894,7 @@ object Dedup {
   def sigStateLoadVersion(spark: SparkSession, stateBase: String,
       ver: String, k: Int = 8, bands: Int = 2,
       minJaccard: Double = 0.75): DataFrame = {
+    sigStateCheckDials(spark, stateBase, k, bands, minJaccard)
     val raw = spark.read.parquet(s"$stateBase/run_ts=$ver")
       .select("id", "sig", "cluster_id")
     sigStateTombstoneIds(spark, stateBase) match {
@@ -873,28 +921,55 @@ object Dedup {
     * defeat the takedown; pass `pruneHistory = false` only when the
     * history itself is subject to a separate retention contract), and
     * drop the tombstone directory, making deleted ids re-usable.
+    * With `pruneHistory = false` the tombstone directory is KEPT:
+    * the retained pre-vacuum versions still contain the forgotten
+    * documents, and only read-time tombstone application keeps every
+    * `sigStateLoadVersion` of them clean — so deleted ids stay
+    * unavailable for re-ingest until a pruning vacuum runs.
     * Run quiesced (no concurrent ingest), like any S8 maintenance
     * pass. Crash-ordering: new version → prune history → drop
     * tombstones, so every intermediate crash state still applies the
     * tombstones at read time. */
   def sigStateVacuum(spark: SparkSession, stateBase: String,
       k: Int = 8, bands: Int = 2, minJaccard: Double = 0.75,
-      pruneHistory: Boolean = true): DataFrame = {
+      pruneHistory: Boolean = true): DataFrame =
+    vacuumVersionedState(spark, stateBase, pruneHistory) { latest =>
+      sigStateLoadVersion(spark, stateBase, latest, k, bands, minJaccard)
+    }
+
+  /** The crash-ordering-sensitive vacuum sequence shared by
+    * [[sigStateVacuum]] and the media-state vacuum
+    * ([[graft.streaming.Streams.mediaDedupVacuum]]) — ONE maintained
+    * copy, so fixes to the ordering or version naming reach both.
+    * Sequence: materialize `applied(latest)` (the caller's
+    * tombstone-applied read of the latest version) as a new version
+    * `<latest>_vacuum`, then iff `pruneHistory` delete the pre-vacuum
+    * versions AND the tombstone directory. Tombstones may only be
+    * dropped when history was pruned: a retained pre-vacuum version
+    * still contains the forgotten rows, and only read-time tombstone
+    * application keeps versioned reads of it clean. Every
+    * intermediate crash state therefore still applies tombstones at
+    * read time. */
+  private[graft] def vacuumVersionedState(spark: SparkSession,
+      stateBase: String, pruneHistory: Boolean)(
+      applied: String => DataFrame): DataFrame = {
     val versions = graft.sources.Sinks.runVersions(spark, stateBase)
-    require(versions.nonEmpty, s"no dedup state under $stateBase")
+    require(versions.nonEmpty, s"no state under $stateBase")
     val latest = versions.max
     val ver = s"${latest}_vacuum"
-    sigStateLoadVersion(spark, stateBase, latest, k, bands, minJaccard)
+    applied(latest)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$stateBase/run_ts=$ver")
     val fs = new org.apache.hadoop.fs.Path(stateBase)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (pruneHistory) versions.foreach { v =>
+    if (pruneHistory) {
+      versions.foreach { v =>
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"$stateBase/run_ts=$v"), true): Unit
+      }
       fs.delete(new org.apache.hadoop.fs.Path(
-        s"$stateBase/run_ts=$v"), true): Unit
+        sigStateTombstonePath(stateBase)), true): Unit
     }
-    fs.delete(new org.apache.hadoop.fs.Path(
-      sigStateTombstonePath(stateBase)), true): Unit
     spark.catalog.refreshByPath(stateBase)
     spark.read.parquet(s"$stateBase/run_ts=$ver")
   }

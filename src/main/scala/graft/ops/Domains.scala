@@ -49,7 +49,10 @@ object Domains {
   def hostCol(url: Column): Column = {
     val afterScheme =
       regexp_replace(url, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
-    val afterUser = regexp_replace(afterScheme, "^[^/@]*@", "")
+    // RFC 3986 §3.2: the authority ends at '/', '?' or '#', so the
+    // userinfo '@' must precede all three — else an '@' in the query
+    // of a path-less URL ("example.com?a=b@c") would eat the host.
+    val afterUser = regexp_replace(afterScheme, "^[^/@?#]*@", "")
     val hostPort = regexp_extract(afterUser, "^([^/?#]*)", 1)
     lower(regexp_replace(regexp_replace(hostPort, ":[0-9]*$", ""),
       "\\.$", ""))

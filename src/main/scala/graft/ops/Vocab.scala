@@ -836,6 +836,17 @@ object Vocab {
   private def wpMerge(l: WpSym, r: WpSym): WpSym =
     WpSym(l.isCont, l.piece + r.piece)
 
+  /** TOTAL order on symbols for trainer tie-breaks: render order
+    * first (byte-identical to the pre-WpSym trainer on marker-free
+    * corpora), then the position class — two DISTINCT syms can render
+    * identically (bare piece `##a` and continuation `a` both render
+    * `##a`), and a comparator that returns 0 for them would leave
+    * exact-score ties to HashMap iteration order. */
+  private def cmpSym(a: WpSym, b: WpSym): Int = {
+    val c = a.render.compareTo(b.render)
+    if (c != 0) c else java.lang.Boolean.compare(a.isCont, b.isCont)
+  }
+
   /** Learn a WordPiece vocabulary: BPE's merge loop under the
     * likelihood score s(l,r) = count(lr) / (count(l)·count(r)) —
     * maximizing s maximizes the corpus unigram-LM likelihood gain of
@@ -904,8 +915,8 @@ object Vocab {
                 .compare(BigInt(bestP) * BigInt(lc) * BigInt(rc))
               if (exact != 0) exact
               else {
-                val a = best._1.render.compareTo(l.render)
-                if (a != 0) a else best._2.render.compareTo(r.render)
+                val a = cmpSym(best._1, l)
+                if (a != 0) a else cmpSym(best._2, r)
               }
             }
           if (cmp > 0) {
@@ -1042,10 +1053,14 @@ object Vocab {
     * persisted (id, piece, is_cont) artifact — exact and total (the
     * position class is a COLUMN, so `#`-spelled pieces round-trip). */
   def wpModelOf(frame: DataFrame): WordPieceModel = {
-    val rows = frame.select("piece", "is_cont")
-      .collect().map(r => (r.getString(0), r.getBoolean(1)))
-    val (cont, init) = rows.filter(_._1 != UnkToken).partition(_._2)
-    WordPieceModel(init.map(_._1).toSet, cont.map(_._1).toSet)
+    // the reserved unk row is dropped by its RESERVED ID (0), never by
+    // its spelling: a corpus containing the literal word "<unk>" can
+    // legitimately learn a piece spelled UnkToken, written as a second
+    // piece="<unk>" row with id > 0 — it must survive the round-trip
+    val rows = frame.select("id", "piece", "is_cont")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getBoolean(2)))
+    val (cont, init) = rows.filter(_._1 != 0).partition(_._3)
+    WordPieceModel(init.map(_._2).toSet, cont.map(_._2).toSet)
   }
 
   /** Frequency-weighted position-classed substring counts — the

@@ -197,6 +197,12 @@ object ScaleQueries {
     * rounds no longer accumulate unbounded parquet in /tmp. */
   private object Scratch {
     private val live = scala.collection.concurrent.TrieMap.empty[String, String]
+    // dirs handed to the async reaper but not yet deleted: the shutdown
+    // hook drains these too, else a dir replaced just before JVM exit
+    // (last query of a run re-invoking fresh) leaks when the daemon
+    // reaper thread dies with its queue non-empty
+    private val pending =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     private val hooked = new java.util.concurrent.atomic.AtomicBoolean(false)
     private def rmrf(p: String): Unit = {
       val root = new java.io.File(p)
@@ -219,9 +225,17 @@ object ScaleQueries {
       }
     def fresh(tag: String): String = {
       if (hooked.compareAndSet(false, true))
-        sys.addShutdownHook(live.values.foreach(rmrf)): Unit
+        sys.addShutdownHook {
+          live.values.foreach(rmrf)
+          // rmrf tolerates a tree the reaper half-deleted or already
+          // removed, so the hook can safely re-visit pending entries
+          pending.forEach(p => rmrf(p))
+        }: Unit
       val dir = java.nio.file.Files.createTempDirectory(tag).toString
-      live.put(tag, dir).foreach(old => reaper.execute(() => rmrf(old)))
+      live.put(tag, dir).foreach { old =>
+        pending.add(old): Unit
+        reaper.execute { () => rmrf(old); pending.remove(old): Unit }
+      }
       dir
     }
   }
@@ -4187,7 +4201,7 @@ object ScaleQueries {
                    regexp_extract(
                      regexp_replace(regexp_replace(url,
                        '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
-                       '^[^/@]*@', ''),
+                       '^[^/@?#]*@', ''),
                      '^([^/?#]*)', 1),
                    ':[0-9]*$$', ''), '\\.$$', '')) AS host
            FROM d),
@@ -4226,7 +4240,7 @@ object ScaleQueries {
                    regexp_extract(
                      regexp_replace(regexp_replace(url,
                        '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
-                       '^[^/@]*@', ''),
+                       '^[^/@?#]*@', ''),
                      '^([^/?#]*)', 1),
                    ':[0-9]*$$', ''), '\\.$$', '')) AS host
            FROM d),
@@ -4280,7 +4294,7 @@ object ScaleQueries {
                    regexp_extract(
                      regexp_replace(regexp_replace(url,
                        '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
-                       '^[^/@]*@', ''),
+                       '^[^/@?#]*@', ''),
                      '^([^/?#]*)', 1),
                    ':[0-9]*$$', ''), '\\.$$', '')) AS host
            FROM d),

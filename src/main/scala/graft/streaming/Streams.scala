@@ -182,6 +182,10 @@ object Streams {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         val spark = batch.sparkSession
         val ver = f"batch_$id%06d"
+        // pin the build dials beside the state: every later fold,
+        // read and takedown re-cluster must run under exactly these
+        graft.ops.Dedup.sigStatePinDials(spark, stateBase,
+          k, bands, minJaccard)
         // only versions strictly BEFORE this batch id count as existing
         // corpus: a replay must not read its own partial output as state
         val prior = scala.util.Try(
@@ -248,6 +252,11 @@ object Streams {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         val spark = batch.sparkSession
         val ver = f"batch_$id%06d"
+        // pin the build dials beside the state (see
+        // dedupIncrementalAvailableNow): read-time consumers like
+        // ingestedCorpus validate their cfg against this manifest
+        graft.ops.Dedup.sigStatePinDials(spark, stateBase,
+          cfg.nearDup.k, cfg.nearDup.bands, cfg.nearDup.minJaccard)
         // only versions strictly BEFORE this batch id count as existing
         // corpus: a replay must not read its own partial output as state
         val prior = scala.util.Try(
@@ -687,36 +696,23 @@ object Streams {
       ids: DataFrame, idCol: String, ver: String): Unit =
     graft.ops.Dedup.sigStateDelete(spark, stateBase, ids, idCol, ver)
 
-  /** Physical reclamation for the media state — the
-    * [[graft.ops.Dedup.sigStateVacuum]] discipline: materialize the
-    * tombstone-applied latest version as `<latest>_vacuum`, prune the
-    * pre-vacuum history (it still contains the forgotten rows), drop
-    * the tombstones. Run quiesced. */
-  def mediaDedupVacuum(spark: SparkSession,
-      stateBase: String): DataFrame = {
-    val versions = graft.sources.Sinks.runVersions(spark, stateBase)
-    require(versions.nonEmpty, s"no media state under $stateBase")
-    val latest = versions.max
-    val raw = spark.read.parquet(s"$stateBase/run_ts=$latest")
-    val applied = graft.ops.Dedup.sigStateTombstoneIds(spark, stateBase)
-      match {
-      case Some(ts) => raw.join(broadcast(ts), Seq("id"), "left_anti")
-      case None => raw
+  /** Physical reclamation for the media state — the shared
+    * [[graft.ops.Dedup.sigStateVacuum]] sequence
+    * (`Dedup.vacuumVersionedState`, one maintained copy of the
+    * crash-ordering) with the media grain's simpler tombstone apply
+    * (exact keys: an anti-join, no re-cluster). With
+    * `pruneHistory = false` the tombstones are retained, keeping
+    * versioned reads of the surviving history clean. Run quiesced. */
+  def mediaDedupVacuum(spark: SparkSession, stateBase: String,
+      pruneHistory: Boolean = true): DataFrame =
+    graft.ops.Dedup.vacuumVersionedState(spark, stateBase,
+        pruneHistory) { latest =>
+      val raw = spark.read.parquet(s"$stateBase/run_ts=$latest")
+      graft.ops.Dedup.sigStateTombstoneIds(spark, stateBase) match {
+        case Some(ts) => raw.join(broadcast(ts), Seq("id"), "left_anti")
+        case None => raw
+      }
     }
-    val ver = s"${latest}_vacuum"
-    applied.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$stateBase/run_ts=$ver")
-    val fs = new org.apache.hadoop.fs.Path(stateBase)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    versions.foreach { v =>
-      fs.delete(new org.apache.hadoop.fs.Path(
-        s"$stateBase/run_ts=$v"), true): Unit
-    }
-    fs.delete(new org.apache.hadoop.fs.Path(
-      graft.ops.Dedup.sigStateTombstonePath(stateBase)), true): Unit
-    spark.catalog.refreshByPath(stateBase)
-    spark.read.parquet(s"$stateBase/run_ts=$ver")
-  }
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)

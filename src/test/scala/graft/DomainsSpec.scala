@@ -28,6 +28,8 @@ class DomainsSpec extends AnyFunSuite {
       "https://example.com./x",
       "https://deep.sub.host.org.uk/",
       "ftp://files.example.com.au/pub",
+      "https://example.com?replyto=a@b.com",
+      "https://example.com#x@y.com",
       "https://") === Seq(
       Some("example.co.uk"),   // PSL fold keeps 3 labels, lowercased
       Some("example.com"),     // userinfo + port + deep subdomain
@@ -37,6 +39,8 @@ class DomainsSpec extends AnyFunSuite {
       Some("example.com"),     // trailing dot
       Some("host.org.uk"),     // multi-suffix under deep subdomain
       Some("example.com.au"),  // non-http scheme + .com.au
+      Some("example.com"),     // '@' in query of path-less URL ≠ userinfo
+      Some("example.com"),     // '@' in fragment of path-less URL
       None))                   // empty host
   }
 

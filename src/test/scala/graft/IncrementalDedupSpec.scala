@@ -270,6 +270,58 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(corpus() === expected)
   }
 
+  test("dials manifest: a state built under non-default (k, bands, " +
+      "minJaccard) refuses reads/folds under different dials") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_dials").toString
+    val stateBase = s"$base/state"
+    docs.coalesce(1).write.parquet(s"$base/in/p0")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in/p*")
+    graft.streaming.Streams.dedupIncrementalAvailableNow(
+        stream, "doc_id", "text", stateBase, s"$base/ckpt",
+        k = 16, bands = 4, minJaccard = 0.9)
+      .awaitTermination(300000): Unit
+    // matching dials read fine
+    assert(Dedup.sigStateLoad(spark, stateBase, 16, 4, 0.9).count() > 0)
+    // a defaulted read (the silent-wrong-clustering path) fails loudly
+    val e = intercept[IllegalArgumentException] {
+      Dedup.sigStateLoad(spark, stateBase)
+    }
+    assert(e.getMessage.contains("dials"))
+  }
+
+  test("vacuum with pruneHistory=false KEEPS tombstones: versioned " +
+      "reads of retained history never resurrect taken-down docs") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_vac_keep").toString
+    val stateBase = s"$base/state"
+    Dedup.corpusSigState(docs, "doc_id", "text")
+      .write.parquet(s"$stateBase/run_ts=v1")
+    val delIds = docs.filter($"doc_id" % 5 === 0)
+      .select("doc_id").localCheckpoint()
+    Dedup.sigStateDelete(spark, stateBase, delIds, "doc_id", "d0")
+    Dedup.sigStateVacuum(spark, stateBase, pruneHistory = false): Unit
+    // history retained, AND the tombstone dir with it
+    val vers = graft.sources.Sinks.runVersions(spark, stateBase)
+    assert(vers.toSet === Set("v1", "v1_vacuum"), vers.toString)
+    assert(new java.io.File(
+      Dedup.sigStateTombstonePath(stateBase)).exists())
+    // the documented restart-point path: a versioned read of the
+    // PRE-vacuum version still applies the takedown
+    val pre = Dedup.sigStateLoadVersion(spark, stateBase, "v1")
+    assert(pre.join(delIds, pre("id") === delIds("doc_id"), "left_semi")
+      .count() === 0L)
+    // a pruning vacuum then completes the forget: single version, no
+    // tombstones, ids physically absent
+    val vac2 = Dedup.sigStateVacuum(spark, stateBase)
+    assert(graft.sources.Sinks.runVersions(spark, stateBase).size === 1)
+    assert(!new java.io.File(
+      Dedup.sigStateTombstonePath(stateBase)).exists())
+    assert(vac2.join(delIds, vac2("id") === delIds("doc_id"), "left_semi")
+      .count() === 0L)
+  }
+
   test("AvailableNow stream folds file batches into persisted state") {
     val base = java.nio.file.Files
       .createTempDirectory("graft_incr").toString

@@ -97,7 +97,7 @@ class QualityClassifierSpec extends AnyFunSuite {
   }
 
   test("buildStaged pins the gate: 01q stage materialized, config " +
-      "manifest records the model's presence") {
+      "manifest records the model's content fingerprint") {
     val curated = corpus(0 until 30, prose)
     val raw = corpus(100 until 130, junk)
     val model = QualityClassifier.train(curated, raw, "text")
@@ -116,7 +116,32 @@ class QualityClassifierSpec extends AnyFunSuite {
       s"$dirA/01q_classifier/_GRAFT_STAGE_COMPLETE").exists())
     val manifest = scala.io.Source.fromFile(
       s"$dirA/_GRAFT_CONFIG").mkString
-    assert(manifest.contains("quality=true"))
+    // the manifest pins the model's CONTENT (fingerprint), not mere
+    // presence: resuming with a retrained model must not silently
+    // reuse the old model's 01q stage output
+    assert(manifest.contains(
+      s"quality=${QualityClassifier.fingerprint(model)}"))
+    val retrained = QualityClassifier.train(curated,
+      corpus(400 until 430, junk), "text")
+    assert(QualityClassifier.fingerprint(retrained)
+      !== QualityClassifier.fingerprint(model))
+    val e = intercept[IllegalArgumentException] {
+      CorpusPipeline.buildStaged(docs, evalSet, dirA, cfg,
+        qualityModel = Some(retrained))
+    }
+    assert(e.getMessage.contains("different Config"))
+    // the SAME persisted artifact reloaded (the realistic resume
+    // scenario: train once, save, reload next run) fingerprints
+    // identically and resumes cleanly
+    val mDir = java.nio.file.Files
+      .createTempDirectory("graft_qc_model").toString + "/m"
+    model.write.overwrite().save(mDir)
+    val reloaded = org.apache.spark.ml.PipelineModel.load(mDir)
+    assert(QualityClassifier.fingerprint(reloaded)
+      === QualityClassifier.fingerprint(model))
+    val (_, resumedRep) = CorpusPipeline.buildStaged(docs, evalSet,
+      dirA, cfg, qualityModel = Some(reloaded))
+    assert(resumedRep === stagedRep)
 
     // staged ≡ in-memory build, byte for byte
     val (memSeq, memRep) = CorpusPipeline.build(docs, evalSet, cfg,

@@ -394,6 +394,14 @@ class VocabSpec extends AnyFunSuite {
     val b = Vocab.encodeWordPiece(sample, "doc_id", "text", wp2)
       .orderBy("doc_id").collect().map(_.toSeq)
     assert(a.toSeq === b.toSeq)
+    // a genuine learned piece SPELLED "<unk>" survives the round-trip:
+    // the loader drops the reserved row by id 0, never by spelling
+    val wpUnk = Vocab.WordPieceModel(
+      wp.initPieces + Vocab.UnkToken, wp.contPieces)
+    val wpUnk2 = Vocab.wpModelOf(
+      roundTrip(Vocab.wpVocabFrameOf(spark, wpUnk), "wp_unk"))
+    assert(wpUnk2 === wpUnk)
+    assert(wpUnk2.initPieces(Vocab.UnkToken))
   }
 
   test("scoredWordPieceModel: likelihood ranking picks a DIFFERENT " +
