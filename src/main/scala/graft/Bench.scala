@@ -138,7 +138,11 @@ object Bench {
     "q143c_domain_composition",
     // takedown on dedup state: full-state build + tombstone apply,
     // oracle = from-scratch clustering over the reduced corpus
-    "q144_dedup_takedown")
+    "q144_dedup_takedown",
+    // canonical-URL normalization + URL-grain dedup (the refetch
+    // collapse ahead of any content-grain dedup)
+    "q145_url_canonical",
+    "q145b_url_dedup")
 
   /** Queries whose r6→r7 numbers moved 2–6× with no code change — the
     * self-join/ANN family is short (<3 s warm) so a single co-tenant

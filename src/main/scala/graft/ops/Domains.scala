@@ -81,6 +81,91 @@ object Domains {
       .otherwise(last2)
   }
 
+  /** Query-parameter keys dropped by [[canonicalUrlCol]] — the
+    * click-tracking decorations (UTM campaign tags, ad-click ids)
+    * that vary per referral without changing the fetched content,
+    * the classic cause of URL-grain duplicate explosions. Like
+    * [[DefaultMultiSuffixes]] this default is a representative
+    * snapshot; production passes its own list. */
+  val DefaultTrackingParams: Seq[String] = Seq(
+    "utm_source", "utm_medium", "utm_campaign", "utm_term",
+    "utm_content", "fbclid", "gclid", "msclkid", "mc_eid", "ref")
+
+  /** Canonical form of a URL — the normalization a web-corpus build
+    * runs BEFORE URL-grain exact dedup (the C4/CommonCrawl-pipeline
+    * discipline: a page is refetched under scheme-case, default-port,
+    * fragment, tracking-param and param-order variants, and naive
+    * string equality misses all of them). Steps, each a pure
+    * string/array op with a DuckDB-identical counterpart:
+    *
+    *  1. scheme lowercased (kept: http vs https ARE different fetches);
+    *  2. userinfo stripped, host lowercased, trailing dot stripped;
+    *  3. default port stripped (:80 under http, :443 under https) —
+    *     non-default ports kept;
+    *  4. fragment dropped (never sent to the server);
+    *  5. trailing '/' runs stripped from the path; empty path → "/";
+    *  6. tracking params ([[DefaultTrackingParams]]) dropped, the
+    *     survivors SORTED (param order is transport-incidental);
+    *     empty query dropped entirely.
+    *
+    * Percent-encoding is deliberately NOT decoded: un-escaping can
+    * change which octets are delimiters, so conservative canonical
+    * equality keeps encodings as sent. One map-side projection. */
+  def canonicalUrlCol(url: Column,
+      trackingParams: Seq[String] = DefaultTrackingParams): Column = {
+    val scheme = lower(regexp_extract(url,
+      "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val afterScheme =
+      regexp_replace(url, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val afterUser = regexp_replace(afterScheme, "^[^/@?#]*@", "")
+    val authority = regexp_extract(afterUser, "^([^/?#]*)", 1)
+    val host = lower(regexp_replace(
+      regexp_replace(authority, ":[0-9]*$", ""), "\\.$", ""))
+    val port = regexp_extract(authority, ":([0-9]+)$", 1)
+    val portN = when(port === "" ||
+        (scheme === "http" && port === "80") ||
+        (scheme === "https" && port === "443"), lit(""))
+      .otherwise(concat(lit(":"), port))
+    val noFrag = regexp_replace(
+      regexp_replace(afterUser, "^[^/?#]*", ""), "#.*$", "")
+    val path = regexp_extract(noFrag, "^([^?]*)", 1)
+    val pathTrim = regexp_replace(path, "/+$", "")
+    val pathN = when(pathTrim === "", lit("/")).otherwise(pathTrim)
+    val query = regexp_extract(noFrag, "\\?(.*)$", 1)
+    val tracking = array(trackingParams.map(lit): _*)
+    val qN = array_join(array_sort(filter(split(query, "&"), p =>
+      length(p) > 0 &&
+        !array_contains(tracking, regexp_extract(p, "^([^=]*)", 1)))), "&")
+    concat(
+      when(scheme === "", lit("")).otherwise(concat(scheme, lit("://"))),
+      host, portN, pathN,
+      when(qN === "", lit("")).otherwise(concat(lit("?"), qN)))
+  }
+
+  /** URL-grain exact dedup: one row per input with (canonical_url,
+    * url_status kept|url_dup, rep_id = min id sharing the canonical
+    * URL) — the refetch-collapse a crawl corpus runs before any
+    * content-grain dedup (same page under tracking-param/port/
+    * fragment variants is the cheapest duplicate class to kill, and
+    * killing it here spares the MinHash stage its volume). Rows whose
+    * URL does not parse (null canonical) keep themselves — surfaced,
+    * not silently grouped. Cost: one map-side canonicalization + one
+    * hash aggregate on the canonical key + the join back (key-grain
+    * frame, slim next to the corpus — the [[domainQualityPrior]]
+    * shape). */
+  def urlDedup(df: DataFrame, idCol: String, urlCol: String,
+      trackingParams: Seq[String] = DefaultTrackingParams): DataFrame = {
+    val withCanon = df.withColumn("canonical_url",
+      canonicalUrlCol(col(urlCol), trackingParams))
+    val reps = withCanon.filter(col("canonical_url").isNotNull)
+      .groupBy("canonical_url").agg(min(col(idCol)).as("rep_id"))
+    withCanon.join(reps, Seq("canonical_url"), "left")
+      .select(col(idCol), col("canonical_url"),
+        when(col("rep_id").isNull || col("rep_id") === col(idCol),
+          "kept").otherwise("url_dup").as("url_status"),
+        coalesce(col("rep_id"), col(idCol)).as("rep_id"))
+  }
+
   /** Blocklist gate at the registrable grain: rows whose URL's
     * registrable domain is blocked are dropped — every subdomain of a
     * blocked domain with it. Blocklists are curation-sized (10^3-10^5

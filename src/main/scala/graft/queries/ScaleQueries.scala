@@ -113,6 +113,12 @@ object ScaleQueries {
     Domains.DefaultMultiSuffixes
       .map(s => s"'$s'").mkString("[", ", ", "]")
 
+  /** [[Domains.DefaultTrackingParams]] as a DuckDB list literal — the
+    * q145 twins must drop the SAME tracking keys as the engine. */
+  private def trackingSqlList: String =
+    Domains.DefaultTrackingParams
+      .map(s => s"'$s'").mkString("[", ", ", "]")
+
   /** Deterministic URL for the domain-curation queries (the documents
     * table has no URL column): pure concat over (source, doc_id), so
     * the DuckDB twin rebuilds the identical strings. Covers the
@@ -131,6 +137,32 @@ object ScaleQueries {
             .otherwise(lit(".com")))),
       when(col("doc_id") % 7 === 0, lit(":8080")).otherwise(lit("")),
       lit("/p/"), col("doc_id").cast("string"))
+
+  /** Deterministic URL fixture for the canonicalization family
+    * (q145): distinct doc_ids COLLIDE at the canonical grain — the
+    * page key is doc_id % 211 (~2.4 docs per page at sf0.01), and six
+    * decoration classes vary WITHOUT changing the canonical form
+    * (scheme case %2, host case %5, default :443 port %7, trailing
+    * slash %3, param order %2, utm tracking param %4, fragment %6),
+    * so the dedup query has real work and every normalization step is
+    * exercised. Pure concat over doc_id — the DuckDB twin rebuilds
+    * the identical strings. */
+  private def syntheticUrlVariants: org.apache.spark.sql.Column = {
+    val page = col("doc_id") % 211
+    concat(
+      when(col("doc_id") % 2 === 0, lit("HTTPS://"))
+        .otherwise(lit("https://")),
+      when(col("doc_id") % 5 === 0, lit("SITE")).otherwise(lit("site")),
+      (page % 7).cast("string"), lit(".com"),
+      when(col("doc_id") % 7 === 0, lit(":443")).otherwise(lit("")),
+      lit("/p/"), page.cast("string"),
+      when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit("")),
+      when(col("doc_id") % 2 === 0, lit("?b=2&a=1"))
+        .otherwise(lit("?a=1&b=2")),
+      when(col("doc_id") % 4 === 0, lit("&utm_source=feed"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 6 === 0, lit("#sec2")).otherwise(lit("")))
+  }
 
   private def heuristicPass(): org.apache.spark.sql.Column =
     TextAnalysis.nTokensCol(col("text")) >= 30 &&
@@ -951,6 +983,29 @@ object ScaleQueries {
     "q143c_domain_composition" -> ((s, dir) => {
       val d = t(s, dir, "documents").withColumn("url", syntheticUrl)
       Domains.domainComposition(d, "url").orderBy("lang", "domain")
+    }),
+
+    // Canonical-URL normalization (the C4/CommonCrawl refetch-collapse
+    // discipline): scheme/host case, default port, fragment, tracking
+    // params, param order and trailing slashes all fold away — the
+    // DuckDB twin replays the whole chain step for step, so the hash
+    // checks the normalization itself
+    "q145_url_canonical" -> ((s, dir) => {
+      val d = t(s, dir, "documents").withColumn("url",
+        syntheticUrlVariants)
+      d.select(col("doc_id"), col("url"),
+          Domains.canonicalUrlCol(col("url")).as("canonical_url"))
+        .orderBy("doc_id")
+    }),
+
+    // URL-grain exact dedup over the canonical form: min doc_id per
+    // canonical URL keeps, decorated refetches of the same page drop —
+    // the cheapest duplicate class, killed before MinHash ever runs
+    "q145b_url_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents").withColumn("url",
+        syntheticUrlVariants)
+      Domains.urlDedup(d, "doc_id", "url")
+        .orderBy("doc_id")
     }),
 
     // Learned quality-classifier gate (CCNet corpus-gate shape):
@@ -4326,6 +4381,129 @@ object ScaleQueries {
                 round(n_docs * 1.0 / td, 4) AS doc_share,
                 round(n_tokens * 1.0 / tt, 4) AS token_share
          FROM cells CROSS JOIN tot ORDER BY lang, domain""",
+    // Canonical-URL twin: rebuild the identical variant-decorated URL,
+    // then replay the whole normalization chain — scheme lowercase,
+    // userinfo strip, host lowercase + trailing dot, default-port
+    // strip, fragment drop, trailing-slash fold, tracking-param drop +
+    // param sort — step for step in DuckDB string/list functions
+    "q145_url_canonical" ->
+      s"""WITH d AS (SELECT doc_id,
+                (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://'
+                      ELSE 'https://' END) ||
+                (CASE WHEN doc_id % 5 = 0 THEN 'SITE' ELSE 'site' END) ||
+                ((doc_id % 211) % 7)::VARCHAR || '.com' ||
+                (CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END) ||
+                '/p/' || (doc_id % 211)::VARCHAR ||
+                (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END) ||
+                (CASE WHEN doc_id % 2 = 0 THEN '?b=2&a=1'
+                      ELSE '?a=1&b=2' END) ||
+                (CASE WHEN doc_id % 4 = 0 THEN '&utm_source=feed'
+                      ELSE '' END) ||
+                (CASE WHEN doc_id % 6 = 0 THEN '#sec2' ELSE '' END)
+                  AS url
+           FROM documents),
+           p1 AS (SELECT doc_id, url,
+                  lower(regexp_extract(url,
+                    '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                  regexp_replace(regexp_replace(url,
+                    '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+                    '^[^/@?#]*@', '') AS au
+           FROM d),
+           p2 AS (SELECT doc_id, url, scheme,
+                  regexp_extract(au, '^([^/?#]*)', 1) AS auth,
+                  regexp_replace(regexp_replace(au, '^[^/?#]*', ''),
+                    '#.*$$', '') AS nofrag
+           FROM p1),
+           p3 AS (SELECT doc_id, url, scheme,
+                  lower(regexp_replace(regexp_replace(auth,
+                    ':[0-9]*$$', ''), '\\.$$', '')) AS host,
+                  regexp_extract(auth, ':([0-9]+)$$', 1) AS port,
+                  regexp_extract(nofrag, '^([^?]*)', 1) AS path,
+                  regexp_extract(nofrag, '\\?(.*)$$', 1) AS query
+           FROM p2),
+           p4 AS (SELECT doc_id, url, scheme, host, port, path,
+                  array_to_string(list_sort(list_filter(
+                    string_split(query, '&'),
+                    x -> len(x) > 0 AND NOT list_contains(
+                      $trackingSqlList,
+                      regexp_extract(x, '^([^=]*)', 1)))), '&') AS qn
+           FROM p3)
+         SELECT doc_id, url,
+                (CASE WHEN scheme = '' THEN ''
+                      ELSE scheme || '://' END) || host ||
+                (CASE WHEN port = ''
+                        OR (scheme = 'http' AND port = '80')
+                        OR (scheme = 'https' AND port = '443')
+                      THEN '' ELSE ':' || port END) ||
+                (CASE WHEN regexp_replace(path, '/+$$', '') = ''
+                      THEN '/'
+                      ELSE regexp_replace(path, '/+$$', '') END) ||
+                (CASE WHEN qn = '' THEN '' ELSE '?' || qn END)
+                  AS canonical_url
+         FROM p4 ORDER BY doc_id""",
+    // URL-grain dedup twin: same canonical chain, then min-per-key
+    // representative election as a window
+    "q145b_url_dedup" ->
+      s"""WITH d AS (SELECT doc_id,
+                (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://'
+                      ELSE 'https://' END) ||
+                (CASE WHEN doc_id % 5 = 0 THEN 'SITE' ELSE 'site' END) ||
+                ((doc_id % 211) % 7)::VARCHAR || '.com' ||
+                (CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END) ||
+                '/p/' || (doc_id % 211)::VARCHAR ||
+                (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END) ||
+                (CASE WHEN doc_id % 2 = 0 THEN '?b=2&a=1'
+                      ELSE '?a=1&b=2' END) ||
+                (CASE WHEN doc_id % 4 = 0 THEN '&utm_source=feed'
+                      ELSE '' END) ||
+                (CASE WHEN doc_id % 6 = 0 THEN '#sec2' ELSE '' END)
+                  AS url
+           FROM documents),
+           p1 AS (SELECT doc_id, url,
+                  lower(regexp_extract(url,
+                    '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                  regexp_replace(regexp_replace(url,
+                    '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+                    '^[^/@?#]*@', '') AS au
+           FROM d),
+           p2 AS (SELECT doc_id, url, scheme,
+                  regexp_extract(au, '^([^/?#]*)', 1) AS auth,
+                  regexp_replace(regexp_replace(au, '^[^/?#]*', ''),
+                    '#.*$$', '') AS nofrag
+           FROM p1),
+           p3 AS (SELECT doc_id, url, scheme,
+                  lower(regexp_replace(regexp_replace(auth,
+                    ':[0-9]*$$', ''), '\\.$$', '')) AS host,
+                  regexp_extract(auth, ':([0-9]+)$$', 1) AS port,
+                  regexp_extract(nofrag, '^([^?]*)', 1) AS path,
+                  regexp_extract(nofrag, '\\?(.*)$$', 1) AS query
+           FROM p2),
+           p4 AS (SELECT doc_id, scheme, host, port, path,
+                  array_to_string(list_sort(list_filter(
+                    string_split(query, '&'),
+                    x -> len(x) > 0 AND NOT list_contains(
+                      $trackingSqlList,
+                      regexp_extract(x, '^([^=]*)', 1)))), '&') AS qn
+           FROM p3),
+           canon AS (SELECT doc_id,
+                (CASE WHEN scheme = '' THEN ''
+                      ELSE scheme || '://' END) || host ||
+                (CASE WHEN port = ''
+                        OR (scheme = 'http' AND port = '80')
+                        OR (scheme = 'https' AND port = '443')
+                      THEN '' ELSE ':' || port END) ||
+                (CASE WHEN regexp_replace(path, '/+$$', '') = ''
+                      THEN '/'
+                      ELSE regexp_replace(path, '/+$$', '') END) ||
+                (CASE WHEN qn = '' THEN '' ELSE '?' || qn END)
+                  AS canonical_url
+           FROM p4)
+         SELECT doc_id, canonical_url,
+                CASE WHEN doc_id = min(doc_id) OVER
+                       (PARTITION BY canonical_url)
+                     THEN 'kept' ELSE 'url_dup' END AS url_status,
+                min(doc_id) OVER (PARTITION BY canonical_url) AS rep_id
+         FROM canon ORDER BY doc_id""",
     "q84_composition" ->
       """WITH cells AS (SELECT lang, source, count(*) AS n_docs,
                 sum(len(list_filter(string_split(coalesce(text, ''), ' '),

@@ -74,6 +74,62 @@ class DomainsSpec extends AnyFunSuite {
       (3L, "y.com", 1L, 50.0)))
   }
 
+  test("canonicalUrlCol: scheme/host case, default port, fragment, " +
+      "tracking params, param order and trailing slash all fold away; " +
+      "meaningful variants are preserved") {
+    def canon(urls: String*): Seq[String] =
+      urls.zipWithIndex.map { case (u, i) => (i, u) }
+        .toDF("i", "url")
+        .select(col("i"), Domains.canonicalUrlCol(col("url")).as("c"))
+        .orderBy("i").collect().map(_.getString(1)).toSeq
+    // six decorated refetches of ONE page → one canonical form
+    val variants = canon(
+      "HTTPS://Example.com/a/?b=2&a=1#frag",
+      "https://example.com:443/a?a=1&b=2",
+      "https://user:pw@example.com/a/?a=1&utm_source=x&b=2",
+      "https://example.com./a//?b=2&a=1&gclid=123",
+      "https://EXAMPLE.COM/a?b=2&a=1",
+      "https://example.com/a/?a=1&b=2&fbclid=z#x@y")
+    assert(variants.distinct === Seq("https://example.com/a?a=1&b=2"))
+    // distinctions that MUST survive: scheme, non-default port, path
+    // depth, param values, percent-encoding (not decoded)
+    assert(canon(
+      "http://example.com/a?a=1&b=2",
+      "https://example.com:8443/a?a=1&b=2",
+      "https://example.com/a/b?a=1&b=2",
+      "https://example.com/a?a=2&b=2",
+      "https://example.com/a%2Fb?a=1&b=2",
+      "http://example.com:80/",
+      "https://example.com") === Seq(
+      "http://example.com/a?a=1&b=2",     // scheme kept
+      "https://example.com:8443/a?a=1&b=2", // non-default port kept
+      "https://example.com/a/b?a=1&b=2",  // deeper path distinct
+      "https://example.com/a?a=2&b=2",    // value change distinct
+      "https://example.com/a%2Fb?a=1&b=2", // %2F NOT decoded to '/'
+      "http://example.com/",              // default :80 under http
+      "https://example.com/"))            // empty path → "/"
+  }
+
+  test("urlDedup: min id per canonical URL keeps, decorated " +
+      "refetches drop; unparseable URLs keep themselves") {
+    val df = Seq(
+      (1L, "https://x.com/p?a=1&utm_source=s"),
+      (2L, "HTTPS://X.COM:443/p/?a=1#f"),     // dup of 1
+      (3L, "https://x.com/p?a=2"),            // different values
+      (4L, "https://x.com/p/?a=1"),           // dup of 1
+      (5L, null.asInstanceOf[String]))        // unparseable
+      .toDF("doc_id", "url")
+    val out = Domains.urlDedup(df, "doc_id", "url")
+      .select("doc_id", "url_status", "rep_id").orderBy("doc_id")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(out === Seq(
+      (1L, "kept", 1L),
+      (2L, "url_dup", 1L),
+      (3L, "kept", 3L),
+      (4L, "url_dup", 1L),
+      (5L, "kept", 5L)))
+  }
+
   test("capstone domainBlocklist knob: blocked docs never reach the " +
       "per-doc gates; missing url column fails loudly") {
     val text = Seq.fill(35)("the quick brown fox and the lazy dog runs")
