@@ -128,7 +128,16 @@ object CorpusPipeline {
       // domain is listed are dropped, every subdomain with them.
       // Needs a `url` column on the input (fails loudly otherwise).
       // Map-side literal-array filter: zero shuffle. Nil = off
-      domainBlocklist: Seq[String] = Nil)
+      domainBlocklist: Seq[String] = Nil,
+      // true: URL-grain exact dedup ([[Domains.urlDedupKeep]], the
+      // C4/CommonCrawl refetch collapse) right after the domain gate —
+      // decorated refetches of one page (tracking params, default
+      // ports, fragments, param order) collapse to the min doc_id
+      // BEFORE any text gate or content-grain dedup pays for them.
+      // Needs a `url` column (fails loudly otherwise). One window
+      // shuffle on the canonical key — the cheapest duplicate class,
+      // killed at the cheapest point. false = off
+      urlDedupe: Boolean = false)
 
   case class Report(input: Long, gated: Long, classifier: Long,
       outliers: Long, boiler: Long, deduped: Long, semantic: Long,
@@ -142,12 +151,22 @@ object CorpusPipeline {
     // then never pay for documents a rights/abuse decision already
     // excluded. A silently skipped blocklist is a policy hazard —
     // demand the url column rather than no-op.
-    val inDocs =
+    val blocked =
       if (cfg.domainBlocklist.isEmpty) docs
       else {
         require(docs.columns.contains("url"),
           "domainBlocklist needs a `url` column on the input docs")
         Domains.domainGate(docs, "url", cfg.domainBlocklist)
+      }
+    // URL-grain refetch collapse next: still ahead of the per-doc
+    // text gates (a dropped refetch never pays tokenization), after
+    // the blocklist (no point canonicalizing banned domains)
+    val inDocs =
+      if (!cfg.urlDedupe) blocked
+      else {
+        require(docs.columns.contains("url"),
+          "urlDedupe needs a `url` column on the input docs")
+        Domains.urlDedupKeep(blocked, "doc_id", "url")
       }
     val base = inDocs
       .select(col("doc_id"), col("lang"), txt,

@@ -166,6 +166,25 @@ object Domains {
         coalesce(col("rep_id"), col(idCol)).as("rep_id"))
   }
 
+  /** Survivor-only form of [[urlDedup]] for pipeline use: the input
+    * rows (ALL columns) whose id is the minimum over their canonical
+    * URL; unparseable URLs (null canonical) always survive. ONE
+    * shuffle on the canonical key via a window — no status frame, no
+    * join back, the corpus never moves on a second key. Parity with
+    * `urlDedup(...).filter(kept)` is spec-pinned. */
+  def urlDedupKeep(df: DataFrame, idCol: String, urlCol: String,
+      trackingParams: Seq[String] = DefaultTrackingParams): DataFrame = {
+    val canon = canonicalUrlCol(col(urlCol), trackingParams)
+    // a null canonical must not collapse with OTHER nulls into one
+    // group: key unparseable rows by their own id (' ' cannot
+    // open a canonical form — those start with a scheme char or host)
+    val key = coalesce(canon,
+      concat(lit(" unparsed:"), col(idCol).cast("string")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(key)
+    df.withColumn("__url_rep", min(col(idCol)).over(w))
+      .filter(col("__url_rep") === col(idCol)).drop("__url_rep")
+  }
+
   /** Blocklist gate at the registrable grain: rows whose URL's
     * registrable domain is blocked are dropped — every subdomain of a
     * blocked domain with it. Blocklists are curation-sized (10^3-10^5

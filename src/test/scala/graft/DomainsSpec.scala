@@ -130,6 +130,45 @@ class DomainsSpec extends AnyFunSuite {
       (5L, "kept", 5L)))
   }
 
+  test("urlDedupKeep ≡ urlDedup survivors (all columns kept); " +
+      "capstone urlDedupe knob collapses decorated refetches") {
+    val textA = Seq.fill(35)("the quick brown fox and the lazy dog runs")
+      .mkString(" ")
+    // distinct body for the second page: the CONTENT dedup stage must
+    // not be what separates the survivors in this URL-grain test
+    val textB = Seq.fill(35)("a small red hen walks by the old mill pond")
+      .mkString(" ")
+    val docs = Seq(
+      (1L, "en", textA, "https://x.com/p?a=1&utm_source=s"),
+      (2L, "en", textA, "HTTPS://X.COM:443/p/?a=1#f"), // refetch of 1
+      (3L, "en", textB, "https://x.com/q?a=1"),
+      (4L, "en", textA, null.asInstanceOf[String]),    // unparseable
+      (5L, "en", textB, null.asInstanceOf[String]))    // second null
+      .toDF("doc_id", "lang", "text", "url")
+    // window form ≡ status-frame survivors, full columns preserved
+    val kept = Domains.urlDedupKeep(docs, "doc_id", "url")
+    assert(kept.columns.toSeq === docs.columns.toSeq)
+    val keptIds = kept.select("doc_id").as[Long].collect().toSet
+    val statusIds = Domains.urlDedup(docs, "doc_id", "url")
+      .filter(col("url_status") === "kept")
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptIds === statusIds)
+    // BOTH unparseable rows survive (null canonicals never collapse)
+    assert(keptIds === Set(1L, 3L, 4L, 5L))
+
+    val evalSet = Seq((99L, "nothing shared")).toDF("doc_id", "text")
+    val cfg = CorpusPipeline.Config(urlDedupe = true)
+    val (seqs, rep) = CorpusPipeline.build(
+      docs.filter(col("url").isNotNull), evalSet, cfg)
+    assert(rep.gated === 2L, rep.toString) // refetch died pre-gates
+    assert(seqs.select("doc_id").distinct().as[Long].collect().toSet
+      === Set(1L, 3L))
+    val e = intercept[IllegalArgumentException] {
+      CorpusPipeline.build(docs.drop("url"), evalSet, cfg)
+    }
+    assert(e.getMessage.contains("url"))
+  }
+
   test("capstone domainBlocklist knob: blocked docs never reach the " +
       "per-doc gates; missing url column fails loudly") {
     val text = Seq.fill(35)("the quick brown fox and the lazy dog runs")
