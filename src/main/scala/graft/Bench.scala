@@ -142,7 +142,10 @@ object Bench {
     // canonical-URL normalization + URL-grain dedup (the refetch
     // collapse ahead of any content-grain dedup)
     "q145_url_canonical",
-    "q145b_url_dedup")
+    "q145b_url_dedup",
+    // per-language tokenizer fertility/compression eval (word-type
+    // grain, closed-form WordPiece vocab)
+    "q146_tokenizer_fertility")
 
   /** Queries whose r6→r7 numbers moved 2–6× with no code change — the
     * self-join/ANN family is short (<3 s warm) so a single co-tenant

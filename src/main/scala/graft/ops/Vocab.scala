@@ -1013,6 +1013,45 @@ object Vocab {
     enc.withColumnRenamed("__id", idCol)
   }
 
+  /** Tokenizer EVALUATION at a grouping key — the fertility table a
+    * tokenizer selection reads (Rust/SentencePiece reports the same
+    * stats): per group (typically language), whitespace-word count,
+    * subword-token count under `model`, character count, and the two
+    * derived ratios — fertility (subword tokens per word; 1.0 = every
+    * word is one piece, higher = more fragmentation) and
+    * chars-per-token (compression; higher = fewer, longer tokens).
+    * A multilingual vocab is judged by how evenly these sit across
+    * languages — a high-fertility language pays more sequence length
+    * for the same text.
+    *
+    * Scale: statistics live at the WORD-TYPE grain (the q138
+    * bigram-type discipline) — one (group, word) count shuffle, each
+    * DISTINCT word encoded once map-side (broadcast model), and the
+    * type-grained join back; nothing re-encodes the corpus per row.
+    * Fully oracle-replayable under a closed-form model: counts,
+    * vocab selection, the MaxMatch walk and the ratio arithmetic all
+    * have DuckDB twins (q146). */
+  def wordPieceFertility(df: DataFrame, groupCol: String,
+      textCol: String, model: WordPieceModel): DataFrame = {
+    val words = df.select(col(groupCol).as("__g"),
+        explode(TextOps.wsTokens(col(textCol))).as("word"))
+      .groupBy("__g", "word").agg(count(lit(1)).as("cnt"))
+    val enc = encodeWordPiece(words.select("word").distinct(),
+        "word", "word", model)
+      .select(col("word"), col("n_wp_tokens").as("__np"))
+    words.join(enc, "word")
+      .groupBy("__g")
+      .agg(sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * col("__np")).as("n_wp_tokens"),
+        sum(col("cnt") * length(col("word"))).as("n_chars"))
+      .select(col("__g").as(groupCol), col("n_words"),
+        col("n_wp_tokens"), col("n_chars"),
+        round(col("n_wp_tokens") * lit(1.0) / col("n_words"), 4)
+          .as("fertility"),
+        round(col("n_chars") * lit(1.0) / col("n_wp_tokens"), 4)
+          .as("chars_per_token"))
+  }
+
   /** Inverse of [[encodeWordPiece]] as a column: a bare token starts a
     * new word, a `##` token extends the current one — exact for any
     * unk-free encoding of a corpus whose WORDS do not themselves begin

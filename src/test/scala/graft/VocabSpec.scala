@@ -404,6 +404,34 @@ class VocabSpec extends AnyFunSuite {
     assert(wpUnk2.initPieces(Vocab.UnkToken))
   }
 
+  test("wordPieceFertility: type-grain aggregation ≡ direct per-doc " +
+      "encode; ratio invariants hold") {
+    val sample = docs.limit(80).select("doc_id", "lang", "text")
+    val model = Vocab.staticWordPieceModel(sample, "text",
+      nInit = 40, nCont = 40, maxPieceLen = 6)
+    val out = Vocab.wordPieceFertility(sample, "lang", "text", model)
+      .orderBy("lang")
+      .as[(String, Long, Long, Long, Double, Double)].collect().toSeq
+    // the word-type-grained table must agree exactly with encoding
+    // every document directly and aggregating per language
+    val direct = Vocab.encodeWordPiece(sample, "doc_id", "text", model)
+      .join(sample.select("doc_id", "lang"), "doc_id")
+      .groupBy("lang")
+      .agg(sum("n_ws_tokens").as("w"), sum("n_wp_tokens").as("p"))
+      .orderBy("lang")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out.map(r => (r._1, r._2, r._3))
+      === direct.map(r => (r._1, r._2, r._3)))
+    out.foreach { case (lang, nW, nP, nC, fert, cpt) =>
+      // full single-char coverage → no unk, so every word is >= 1
+      // piece and every piece covers >= 1 char
+      assert(fert >= 1.0, s"$lang fertility $fert")
+      assert(cpt >= 1.0, s"$lang chars/token $cpt")
+      assert(fert === (nP * 1.0 / nW * 10000).round / 10000.0)
+      assert(cpt === (nC * 1.0 / nP * 10000).round / 10000.0)
+    }
+  }
+
   test("scoredWordPieceModel: likelihood ranking picks a DIFFERENT " +
       "vocab than count ranking; single-char coverage ⇒ no unk") {
     // "ab" is the most FREQUENT bigram but its parts are ubiquitous
