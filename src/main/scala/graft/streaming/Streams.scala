@@ -714,6 +714,94 @@ object Streams {
       }
     }
 
+  /** INCREMENTAL URL-grain dedup as an AvailableNow stream — the
+    * crawl frontier's refetch collapse
+    * ([[graft.ops.Domains.urlDedup]]) folded per micro-batch: each
+    * batch's URLs are canonicalized (map-side projection, no decode
+    * pass to amortize) and the (id, canonical_url) rows fold into the
+    * persisted state with first-write-wins on id. The min-id
+    * representative resolves at READ time ([[urlDedupFromState]]),
+    * the media-state discipline: a later batch can carry a SMALLER id
+    * for an existing canonical URL, retroactively re-electing the
+    * representative, which a fold-time election would get wrong. Per
+    * run the work is one projection over the new batch plus one state
+    * merge — stored URLs are never re-canonicalized. */
+  def urlDedupIncrementalAvailableNow(docs: DataFrame, idCol: String,
+      urlCol: String, stateBase: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val spark = batch.sparkSession
+        val ver = f"batch_$id%06d"
+        // within-batch id dedupe deterministically (min canonical —
+        // `first` would be partition-order dependent, breaking replay
+        // idempotence; min over an all-null group stays null)
+        val batchKeys = batch.toDF()
+          .select(col(idCol).cast("long").as("id"),
+            graft.ops.Domains.canonicalUrlCol(col(urlCol))
+              .as("canonical_url"))
+          .groupBy("id")
+          .agg(min(col("canonical_url")).as("canonical_url"))
+        val next = priorVersion(spark, stateBase, ver) match {
+          case Some(p) =>
+            val prior = spark.read.parquet(s"$stateBase/run_ts=$p")
+            // first write wins per id: drop re-sent ids entirely
+            prior.unionByName(batchKeys.join(prior.select("id"),
+              Seq("id"), "left_anti"))
+          case None => batchKeys
+        }
+        next.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$stateBase/run_ts=$ver")
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** The URL-dedup manifest from the latest state: one row per
+    * ingested id with (canonical_url, url_status kept|url_dup,
+    * rep_id = min id sharing the canonical URL) — identical grain to
+    * the batch [[graft.ops.Domains.urlDedup]] (parity spec-pinned).
+    * Tombstone-applied at read: a taken-down id vanishes and its
+    * group re-elects the surviving min id, exactly the media-state
+    * contract (exact keys — a removal can never split a group). Rows
+    * with a null canonical (unparseable URL) keep themselves. */
+  def urlDedupFromState(spark: SparkSession,
+      stateBase: String): DataFrame = {
+    val versions = scala.util.Try(
+      graft.sources.Sinks.runVersions(spark, stateBase))
+      .getOrElse(Seq.empty)
+    require(versions.nonEmpty,
+      s"no URL state under $stateBase — run the stream first")
+    val raw = spark.read.parquet(s"$stateBase/run_ts=${versions.max}")
+    val st = graft.ops.Dedup.sigStateTombstoneIds(spark, stateBase) match {
+      case Some(ts) => raw.join(broadcast(ts), Seq("id"), "left_anti")
+      case None => raw
+    }
+    val reps = st.filter(col("canonical_url").isNotNull)
+      .groupBy("canonical_url").agg(min(col("id")).as("rep_id"))
+    st.join(reps, Seq("canonical_url"), "left")
+      .select(col("id"), col("canonical_url"),
+        when(col("rep_id").isNull || col("rep_id") === col("id"),
+          "kept").otherwise("url_dup").as("url_status"),
+        coalesce(col("rep_id"), col("id")).as("rep_id"))
+  }
+
+  /** TAKEDOWN for the URL state — the shared sibling-dir tombstone
+    * layout ([[graft.ops.Dedup.sigStateDelete]]); a deleted id
+    * vanishes from [[urlDedupFromState]] at the next read and its
+    * group re-elects. Re-ingesting a deleted id requires
+    * [[urlDedupVacuum]] first. */
+  def urlDedupDelete(spark: SparkSession, stateBase: String,
+      ids: DataFrame, idCol: String, ver: String): Unit =
+    graft.ops.Dedup.sigStateDelete(spark, stateBase, ids, idCol, ver)
+
+  /** Physical reclamation for the URL state — the exact-key grain's
+    * vacuum is identical to the media state's (id anti-join under the
+    * shared `Dedup.vacuumVersionedState` sequence), so it delegates. */
+  def urlDedupVacuum(spark: SparkSession, stateBase: String,
+      pruneHistory: Boolean = true): DataFrame =
+    mediaDedupVacuum(spark, stateBase, pruneHistory)
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
 

@@ -169,6 +169,66 @@ class DomainsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("url"))
   }
 
+  test("streaming URL dedup: fold ≡ batch urlDedup on the union; " +
+      "retroactive re-election, first-write-wins, takedown, vacuum") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_url_state").toString
+    val stateBase = s"$base/state"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("url",
+        org.apache.spark.sql.types.StringType)))
+    // batch 0: ids 10 (page A) and 11 (page B); batch 1: id 2 is a
+    // decorated refetch of page A with a SMALLER id (must demote 10
+    // retroactively), id 10 re-sent under page B (must be dropped —
+    // first write wins)
+    val b0 = Seq((10L, "https://a.com/p?x=1&utm_source=s"),
+      (11L, "https://b.com/q"))
+    val b1 = Seq((2L, "HTTPS://A.COM:443/p/?x=1#f"),
+      (10L, "https://b.com/q"))
+    Seq(b0, b1).zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("doc_id", "url").coalesce(1)
+        .write.parquet(s"$base/in/p$i")
+    }
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in/p*")
+    graft.streaming.Streams.urlDedupIncrementalAvailableNow(
+        stream, "doc_id", "url", stateBase, s"$base/ckpt")
+      .awaitTermination(300000): Unit
+
+    def manifest(): Map[Long, (String, Long)] =
+      graft.streaming.Streams.urlDedupFromState(spark, stateBase)
+        .select("id", "url_status", "rep_id")
+        .as[(Long, String, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+    // read-time election: 2 kept, 10 demoted to url_dup under rep 2
+    // (the url 10 was re-sent with is IGNORED — first write wins)
+    assert(manifest() === Map(
+      2L -> ("kept", 2L), 10L -> ("url_dup", 2L), 11L -> ("kept", 11L)))
+    // parity with the batch operator over first-write-wins rows
+    val union = (b0 ++ b1.filter(_._1 == 2L)).toDF("doc_id", "url")
+    val batchIds = graft.ops.Domains.urlDedup(union, "doc_id", "url")
+      .select("doc_id", "url_status", "rep_id")
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(manifest() === batchIds)
+    // takedown of the elected rep: group re-elects 10 at the next read
+    graft.streaming.Streams.urlDedupDelete(spark, stateBase,
+      Seq(2L).toDF("doc_id"), "doc_id", "d0")
+    assert(manifest() === Map(
+      10L -> ("kept", 10L), 11L -> ("kept", 11L)))
+    // vacuum completes the forget: one version, no tombstones, id 2
+    // physically absent
+    val vac = graft.streaming.Streams.urlDedupVacuum(spark, stateBase)
+    assert(!new java.io.File(
+      graft.ops.Dedup.sigStateTombstonePath(stateBase)).exists())
+    assert(graft.sources.Sinks.runVersions(spark, stateBase).size === 1)
+    assert(vac.filter(col("id") === 2L).count() === 0L)
+    assert(manifest() === Map(
+      10L -> ("kept", 10L), 11L -> ("kept", 11L)))
+  }
+
   test("capstone domainBlocklist knob: blocked docs never reach the " +
       "per-doc gates; missing url column fails loudly") {
     val text = Seq.fill(35)("the quick brown fox and the lazy dog runs")
