@@ -144,8 +144,9 @@ object Bench {
     "q145_url_canonical",
     "q145b_url_dedup",
     // per-language tokenizer fertility/compression eval (word-type
-    // grain, closed-form WordPiece vocab)
-    "q146_tokenizer_fertility")
+    // grain, closed-form count-ranked + likelihood-scored vocabs)
+    "q146_tokenizer_fertility",
+    "q146b_fertility_scored")
 
   /** Queries whose r6→r7 numbers moved 2–6× with no code change — the
     * self-join/ANN family is short (<3 s warm) so a single co-tenant

@@ -933,6 +933,17 @@ object ScaleQueries {
         .orderBy("lang")
     }),
 
+    // the same fertility table under the LIKELIHOOD-scored vocab —
+    // the pair a tokenizer selection actually compares: count-ranked
+    // vs likelihood-ranked compression on identical text
+    "q146b_fertility_scored" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val model = Vocab.scoredWordPieceModel(d, "text",
+        nInit = 40, nCont = 40, maxPieceLen = 6)
+      Vocab.wordPieceFertility(d, "lang", "text", model)
+        .orderBy("lang")
+    }),
+
     // WordPiece ENCODE oracle under the LIKELIHOOD-scored closed-form
     // vocab (q82c's replayable-model rigor for the scored criterion):
     // vocab selection ranks candidate pieces by the trainer's own
@@ -4179,6 +4190,88 @@ object ScaleQueries {
                       SELECT piece FROM ctop UNION ALL
                       SELECT piece FROM pc
                       WHERE piece LIKE '##%' AND length(piece) = 3)),
+           cl AS (SELECT list(piece) AS l FROM cpcs),
+           words AS (SELECT word FROM wc),
+           enc AS (
+             SELECT word, 1 AS pos, CAST([] AS VARCHAR[]) AS toks
+             FROM words
+             UNION ALL
+             SELECT word, pos + bl,
+                    list_append(toks,
+                      CASE WHEN pos = 1 THEN substr(word, pos, bl)
+                           ELSE '##' || substr(word, pos, bl) END)
+             FROM (SELECT e.word, e.pos, e.toks,
+                     list_max(list_transform(
+                       range(1, least(6, length(e.word) - e.pos + 1) + 1),
+                       L -> CASE WHEN list_contains(
+                              CASE WHEN e.pos = 1 THEN i.l ELSE c.l END,
+                              substr(e.word, e.pos, L))
+                            THEN L ELSE 0 END)) AS bl
+                   FROM enc e CROSS JOIN il i CROSS JOIN cl c
+                   WHERE e.pos <= length(e.word))
+             WHERE bl > 0),
+           encn AS (SELECT word, len(toks) AS n_pieces
+                    FROM enc WHERE pos = length(word) + 1),
+           agg AS (SELECT lang, sum(cnt) AS n_words,
+                          sum(cnt * n_pieces) AS n_wp,
+                          sum(cnt * length(word)) AS n_chars
+                   FROM lwc JOIN encn USING (word) GROUP BY lang)
+         SELECT lang, CAST(n_words AS BIGINT) AS n_words,
+                CAST(n_wp AS BIGINT) AS n_wp_tokens,
+                CAST(n_chars AS BIGINT) AS n_chars,
+                round(n_wp * 1.0 / n_words, 4) AS fertility,
+                round(n_chars * 1.0 / n_wp, 4) AS chars_per_token
+         FROM agg ORDER BY lang""",
+    // scored-vocab fertility twin: q146's lang-grained counts +
+    // full-vocab MaxMatch walk with q140c's likelihood-ranked
+    // selection CTEs
+    "q146b_fertility_scored" ->
+      """WITH RECURSIVE
+           w AS (SELECT lang, unnest(list_filter(
+                   string_split(coalesce(text, ''), ' '),
+                   t -> length(t) > 0)) AS word
+                 FROM documents),
+           lwc AS (SELECT lang, word, count(*) AS cnt
+                   FROM w GROUP BY lang, word),
+           wc AS (SELECT word, sum(cnt) AS cnt FROM lwc GROUP BY word),
+           s1 AS (SELECT word, cnt,
+                         unnest(range(1, length(word) + 1)) AS i
+                  FROM wc),
+           s2 AS (SELECT cnt,
+                         CASE WHEN i = 1 THEN '' ELSE '##' END ||
+                           substr(word, i, L) AS piece
+                  FROM (SELECT word, cnt, i,
+                          unnest(range(1,
+                            least(6, length(word) - i + 1) + 1)) AS L
+                        FROM s1)),
+           pc AS (SELECT piece, sum(cnt) AS cnt FROM s2 GROUP BY piece),
+           ps AS (SELECT piece, cnt, piece LIKE '##%' AS isc,
+                         CASE WHEN piece LIKE '##%'
+                              THEN substr(piece, 3) ELSE piece END AS raw
+                  FROM pc),
+           scored AS (SELECT p.piece, p.isc, p.raw,
+                  p.cnt::DOUBLE /
+                    (pf.cnt::DOUBLE * lc.cnt::DOUBLE) AS score
+                FROM ps p
+                JOIN pc pf ON pf.piece =
+                  (CASE WHEN p.isc THEN '##' ELSE '' END ||
+                   substr(p.raw, 1, length(p.raw) - 1))
+                JOIN pc lc ON lc.piece =
+                  '##' || substr(p.raw, length(p.raw), 1)
+                WHERE length(p.raw) >= 2),
+           itop AS (SELECT raw AS piece FROM scored WHERE NOT isc
+                    ORDER BY score DESC, piece LIMIT 40),
+           iall AS (SELECT DISTINCT piece FROM (
+                      SELECT piece FROM itop UNION ALL
+                      SELECT raw AS piece FROM ps
+                      WHERE NOT isc AND length(raw) = 1)),
+           il AS (SELECT list(piece) AS l FROM iall),
+           ctop AS (SELECT raw AS piece FROM scored WHERE isc
+                    ORDER BY score DESC, piece LIMIT 40),
+           cpcs AS (SELECT DISTINCT piece FROM (
+                      SELECT piece FROM ctop UNION ALL
+                      SELECT raw AS piece FROM ps
+                      WHERE isc AND length(raw) = 1)),
            cl AS (SELECT list(piece) AS l FROM cpcs),
            words AS (SELECT word FROM wc),
            enc AS (
