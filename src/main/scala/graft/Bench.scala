@@ -146,7 +146,13 @@ object Bench {
     // per-language tokenizer fertility/compression eval (word-type
     // grain, closed-form count-ranked + likelihood-scored vocabs)
     "q146_tokenizer_fertility",
-    "q146b_fertility_scored")
+    "q146b_fertility_scored",
+    // cross-family comparison: all three tokenizers' fertility on the
+    // same text in ONE type-grain pass (the family-selection table)
+    "q147_fertility_families",
+    // DSIR importance weights + deterministic Gumbel-top-k resampling
+    "q148_dsir_weights",
+    "q148b_dsir_select")
 
   /** Queries whose r6→r7 numbers moved 2–6× with no code change — the
     * self-join/ANN family is short (<3 s warm) so a single co-tenant

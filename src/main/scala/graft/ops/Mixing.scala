@@ -380,4 +380,95 @@ object Mixing {
       probCol: String, seed: Long = 0L): DataFrame =
     df.filter(uniformFromId(col(idCol), seed) <
       greatest(least(col(probCol).cast("double"), lit(1.0)), lit(0.0)))
+
+  /** Hashed-unigram feature bucket (DSIR's hashed n-gram features):
+    * md5 of the word, first 8 hex chars as a 32-bit integer, modulo
+    * `buckets` — deterministic, engine-replayable (the md5 coin
+    * discipline), and collision behavior is part of the METHOD (DSIR
+    * hashes into a fixed feature space on purpose). */
+  private def dsirBucket(word: Column, buckets: Int): Column =
+    pmod(conv(substring(md5(word), 1, 8), 16, 10).cast("long"),
+      lit(buckets.toLong))
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): fit two
+    * bag-of-hashed-unigram LMs — p̂_t over a small TARGET corpus (the
+    * curated distribution you want more of) and p̂_r over the RAW pool
+    * being scored — with add-α smoothing over the `buckets`-sized
+    * feature space, and score every raw document by its log importance
+    * weight w(d) = Σ_b cnt_d(b) · ln( p̂_t(b) / p̂_r(b) ). High-w
+    * documents look more target-like than pool-like.
+    *
+    * Returns (idCol, n_tokens, log_weight) for EVERY raw row
+    * (token-free docs score 0). `log_weight` is rounded to 4 decimals
+    * — the q138 transcendental discipline: anything ranked or
+    * thresholded downstream compares the SAME rounded value in both
+    * engines.
+    *
+    * Scale: one (id, bucket) map-side-combined count shuffle over the
+    * raw pool + one over the target (target is panel-sized by
+    * contract); the two bucket-LM frames are ≤ `buckets` rows —
+    * broadcast joined, so scoring is map-side against the doc-bucket
+    * counts; final per-doc roll-up shuffles the already-slim
+    * (id, bucket) grain. No global window, no driver state. */
+  def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 1024,
+      alpha: Double = 1.0): DataFrame = {
+    val b = lit(buckets.toDouble)
+    val a = lit(alpha)
+    def docBuckets(df: DataFrame) =
+      df.select(col(idCol).as("__id"),
+          explode(TextOps.wsTokens(col(textCol))).as("__w"))
+        .select(col("__id"), dsirBucket(col("__w"), buckets).as("__b"))
+        .groupBy("__id", "__b").agg(count(lit(1)).as("__c"))
+    val rawB = docBuckets(raw)
+    val rc = rawB.groupBy("__b").agg(sum("__c").as("__rc"))
+    val tc = docBuckets(target).groupBy("__b").agg(sum("__c").as("__tc"))
+    val tots = rc.agg(sum("__rc").as("__R")).crossJoin(
+      tc.agg(coalesce(sum("__tc"), lit(0L)).as("__T")))
+    // raw-pool buckets only: every scored doc's bucket has __rc >= 1
+    // by construction (the doc itself is in the pool), so the left
+    // side is total; target-absent buckets smooth through alpha
+    val lr = rc.join(tc, Seq("__b"), "left").crossJoin(broadcast(tots))
+      .select(col("__b"),
+        log((coalesce(col("__tc"), lit(0L)) + a) * (col("__R") + a * b) /
+            ((col("__rc") + a) * (col("__T") + a * b))).as("__lr"))
+    val w = rawB.join(broadcast(lr), "__b")
+      .groupBy("__id")
+      .agg(sum("__c").as("n_tokens"),
+        sum(col("__c") * col("__lr")).as("__w"))
+    raw.select(col(idCol)).distinct()
+      .join(w.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        round(coalesce(col("__w"), lit(0.0)), 4).as("log_weight"))
+  }
+
+  /** DSIR's resampling step, made deterministic: Gumbel-top-k on the
+    * importance weights. Each raw doc draws its Gumbel noise from the
+    * md5 coin (u = (md5Hash60 + 0.5) / 16^15 ∈ (0,1), g = −ln(−ln u))
+    * and the k largest (rounded) keys w + g are selected — an exact
+    * sample from the softmax of the weights, reproducible across
+    * reruns and engines (no RNG state). Returns every raw row:
+    * (idCol, n_tokens, log_weight, gumbel_key, selected).
+    *
+    * Scale: [[dsirWeights]] + one TakeOrderedAndProject (distributed
+    * per-partition top-k, never a global window) + a broadcast semi
+    * join of the k selected ids back onto the scored frame. */
+  def dsirSelect(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, k: Int, buckets: Int = 1024, alpha: Double = 1.0,
+      seed: String = "dsir"): DataFrame = {
+    val wts = dsirWeights(raw, target, idCol, textCol, buckets, alpha)
+    val u = (TextOps.md5Hash60(concat_ws(":", lit(seed),
+        col(idCol).cast("string"))).cast("double") + lit(0.5)) /
+      lit(math.pow(16.0, 15))
+    val keyed = wts.withColumn("gumbel_key",
+      round(col("log_weight") - log(-log(u)), 4))
+    val sel = keyed.orderBy(desc("gumbel_key"), col(idCol)).limit(k)
+      .select(col(idCol), lit(true).as("selected"))
+    keyed.join(broadcast(sel), Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"), col("log_weight"),
+        col("gumbel_key"),
+        coalesce(col("selected"), lit(false)).as("selected"))
+  }
 }

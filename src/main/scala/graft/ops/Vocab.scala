@@ -1052,6 +1052,69 @@ object Vocab {
           .as("chars_per_token"))
   }
 
+  /** Cross-FAMILY tokenizer comparison — [[wordPieceFertility]]'s
+    * per-group fertility/compression table for ALL THREE families
+    * (BPE greedy-merge, unigram-LM Viterbi, WordPiece MaxMatch) on
+    * the same text: the side-by-side a tokenizer selection actually
+    * reads when picking a family, not just a vocab within one.
+    * Returns (family, groupCol, n_words, n_tokens, n_chars,
+    * fertility, chars_per_token), one row per (family, group).
+    *
+    * Scale: ONE (group, word) count shuffle; each DISTINCT word is
+    * encoded once under all three broadcast models in a SINGLE
+    * map-side pass (shared type scan — three walks amortized against
+    * one row read, the q138/q146 word-type-grain discipline); one
+    * type-grain join back; the family axis is unpivoted AFTER the
+    * group-grain aggregate, so it multiplies ~|groups| rows, never
+    * the corpus. Fully oracle-replayable under the closed-form
+    * models (q147): counts, all three vocab selections, the q82c
+    * merge loop, the q99d Viterbi DP and the q140 MaxMatch walk, and
+    * the exact-int-sum ratio divides all have DuckDB twins. */
+  def tokenizerFertilityCompare(df: DataFrame, groupCol: String,
+      textCol: String, bpe: BpeModel, uni: UnigramModel,
+      wp: WordPieceModel): DataFrame = {
+    val spark = df.sparkSession
+    val words = df.select(col(groupCol).as("__g"),
+        explode(TextOps.wsTokens(col(textCol))).as("word"))
+      .groupBy("__g", "word").agg(count(lit(1)).as("cnt"))
+    val bc = spark.sparkContext.broadcast(
+      (bpe.ranks, uni.logp, uni.maxLen, wp))
+    val outSchema = StructType(Seq(
+      StructField("word", StringType, nullable = true),
+      StructField("__nb", LongType, nullable = false),
+      StructField("__nu", LongType, nullable = false),
+      StructField("__nw", LongType, nullable = false)))
+    val enc = spark.createDataFrame(
+      words.select("word").distinct().rdd.mapPartitions { it =>
+        val (ranks, logp, maxLen, wpm) = bc.value
+        it.map { r =>
+          val w = r.getString(0)
+          Row(w, encodeWord(w, ranks).length.toLong,
+            viterbiWord(w, logp, maxLen).length.toLong,
+            encodeWpWord(w, wpm).length.toLong)
+        }
+      }, outSchema)
+    val agg = words.join(enc, "word")
+      .groupBy("__g")
+      .agg(sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * length(col("word"))).as("n_chars"),
+        sum(col("cnt") * col("__nb")).as("__tb"),
+        sum(col("cnt") * col("__nu")).as("__tu"),
+        sum(col("cnt") * col("__nw")).as("__tw"))
+    agg.select(col("__g"), col("n_words"), col("n_chars"),
+        explode(array(
+          struct(lit("bpe").as("family"), col("__tb").as("n_tokens")),
+          struct(lit("unigram").as("family"), col("__tu").as("n_tokens")),
+          struct(lit("wordpiece").as("family"),
+            col("__tw").as("n_tokens")))).as("f"))
+      .select(col("f.family").as("family"), col("__g").as(groupCol),
+        col("n_words"), col("f.n_tokens").as("n_tokens"), col("n_chars"),
+        round(col("f.n_tokens") * lit(1.0) / col("n_words"), 4)
+          .as("fertility"),
+        round(col("n_chars") * lit(1.0) / col("f.n_tokens"), 4)
+          .as("chars_per_token"))
+  }
+
   /** Inverse of [[encodeWordPiece]] as a column: a bare token starts a
     * new word, a `##` token extends the current one — exact for any
     * unk-free encoding of a corpus whose WORDS do not themselves begin

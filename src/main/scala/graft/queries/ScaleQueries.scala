@@ -944,6 +944,48 @@ object ScaleQueries {
         .orderBy("lang")
     }),
 
+    // Cross-FAMILY tokenizer comparison: the q146 fertility table for
+    // BPE, unigram-LM and WordPiece side by side on the same text —
+    // the comparison a FAMILY selection reads. One type-grain pass
+    // encodes every distinct word under all three broadcast
+    // closed-form models at once; the oracle twin replays all three
+    // walks (q82c merge loop, q99d Viterbi, q140 MaxMatch) over every
+    // distinct word plus the vocab selections and ratio arithmetic.
+    "q147_fertility_families" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Vocab.tokenizerFertilityCompare(d, "lang", "text",
+        Vocab.staticBpeModel(d, "text", tier1 = 30, chainTop = 5),
+        Vocab.staticUnigramModel(d, "text", nPieces = 60, maxPieceLen = 8),
+        Vocab.staticWordPieceModel(d, "text",
+          nInit = 40, nCont = 40, maxPieceLen = 6))
+        .orderBy("family", "lang")
+    }),
+
+    // DSIR importance weights (Xie et al. 2023): hashed-unigram
+    // bag-of-buckets LMs for a FIXED target panel (doc_id < 20, the
+    // q139 bound discipline) vs the raw pool; per-doc log importance
+    // weight under add-1 smoothing over 1024 md5 buckets. Every stage
+    // is oracle-replayed: the bucket hash, both LM count frames, the
+    // smoothed log-ratio expression, and the per-doc roll-up.
+    "q148_dsir_weights" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Mixing.dsirWeights(d.filter(col("doc_id") >= 20),
+          d.filter(col("doc_id") < 20), "doc_id", "text",
+          buckets = 1024, alpha = 1.0)
+        .orderBy("doc_id")
+    }),
+
+    // DSIR's resampling step: deterministic Gumbel-top-k over the
+    // importance weights (md5-coin Gumbel noise, k = 64) — an exact
+    // softmax sample, reproducible across engines and reruns
+    "q148b_dsir_select" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Mixing.dsirSelect(d.filter(col("doc_id") >= 20),
+          d.filter(col("doc_id") < 20), "doc_id", "text", k = 64,
+          buckets = 1024, alpha = 1.0, seed = "dsir")
+        .orderBy("doc_id")
+    }),
+
     // WordPiece ENCODE oracle under the LIKELIHOOD-scored closed-form
     // vocab (q82c's replayable-model rigor for the scored criterion):
     // vocab selection ranks candidate pieces by the trainer's own
@@ -4304,6 +4346,278 @@ object ScaleQueries {
                 round(n_wp * 1.0 / n_words, 4) AS fertility,
                 round(n_chars * 1.0 / n_wp, 4) AS chars_per_token
          FROM agg ORDER BY lang""",
+    // cross-family fertility twin: ONE query replaying all three
+    // closed-form tokenizers over every distinct word — q82c's BPE
+    // rank table + greedy merge loop, q99d's dyadic-logp Viterbi DP +
+    // backtrack, q146's WordPiece vocab selection + MaxMatch walk —
+    // then the lang-grained exact-int aggregation unpivoted to the
+    // family axis. CTE names are family-prefixed (b/u/w) to splice
+    // the three proven chains into one WITH RECURSIVE.
+    "q147_fertility_families" ->
+      """WITH RECURSIVE
+           w AS (SELECT lang, unnest(list_filter(
+                   string_split(coalesce(text, ''), ' '),
+                   t -> length(t) > 0)) AS word
+                 FROM documents),
+           lwc AS (SELECT lang, word, count(*) AS cnt
+                   FROM w GROUP BY lang, word),
+           wc AS (SELECT word, sum(cnt) AS cnt FROM lwc GROUP BY word),
+           words AS (SELECT word FROM wc),
+           bs AS (SELECT cnt,
+                   list_append(string_split(word, ''), '</w>') AS s
+                 FROM wc),
+           bp AS (SELECT s[i] AS l_sym, s[i+1] AS r_sym, cnt
+                 FROM (SELECT cnt, s, unnest(range(1, len(s))) AS i
+                       FROM bs)),
+           bagg AS (SELECT l_sym, r_sym, sum(cnt) AS cnt
+                   FROM bp GROUP BY l_sym, r_sym),
+           bt1 AS (SELECT l_sym, r_sym,
+                         row_number() OVER (ORDER BY cnt DESC, l_sym,
+                                            r_sym) - 1 AS rank
+                  FROM bagg ORDER BY cnt DESC, l_sym, r_sym LIMIT 30),
+           bt2 AS (SELECT a.l_sym || a.r_sym AS l_sym,
+                         b.l_sym || b.r_sym AS r_sym,
+                         30 + a.rank * 5 + b.rank AS rank
+                  FROM bt1 a CROSS JOIN bt1 b
+                  WHERE a.rank < 5 AND b.rank < 5),
+           ballm AS (SELECT l_sym, r_sym, min(rank) AS rank
+                    FROM (SELECT * FROM bt1 UNION ALL SELECT * FROM bt2)
+                    GROUP BY l_sym, r_sym),
+           bkrow AS (SELECT list(l_sym || chr(1) || r_sym
+                                ORDER BY rank) AS ks
+                    FROM ballm),
+           benc AS (
+             SELECT word,
+                    list_append(string_split(word, ''), '</w>') AS s,
+                    0 AS it, FALSE AS done
+             FROM words
+             UNION ALL
+             SELECT word,
+                    CASE WHEN br >= 2147483647 THEN s
+                         ELSE list_concat(list_concat(
+                                s[1:bi-1],
+                                [s[bi] || s[bi+1]]),
+                                s[bi+2:len(s)]) END,
+                    it + 1,
+                    br >= 2147483647
+             FROM (SELECT word, s, it,
+                          coalesce(list_min(rl), 2147483647) AS br,
+                          coalesce(list_position(rl, list_min(rl)), 1)
+                            AS bi
+                   FROM (SELECT e.word, e.s, e.it,
+                           list_transform(range(1, len(e.s)), i ->
+                             coalesce(nullif(list_position(k.ks,
+                               e.s[i] || chr(1) || e.s[i+1]), 0),
+                               2147483647)) AS rl
+                         FROM benc e CROSS JOIN bkrow k
+                         WHERE NOT e.done AND len(e.s) > 1))),
+           bfin AS (SELECT word, s,
+                          row_number() OVER (PARTITION BY word
+                            ORDER BY it DESC) AS rn
+                   FROM benc),
+           nb AS (SELECT word, len(s) AS np FROM bfin WHERE rn = 1),
+           usubs AS (SELECT substr(word, i, l) AS piece, cnt
+                    FROM (SELECT word, cnt,
+                                 unnest(range(1, length(word) + 1)) AS i
+                          FROM wc),
+                         (SELECT unnest(range(1, 9)) AS l) L
+                    WHERE i + l - 1 <= length(word)),
+           upc AS (SELECT piece, sum(cnt) AS cnt
+                  FROM usubs GROUP BY piece),
+           ukept AS (SELECT piece, cnt FROM
+                      (SELECT piece, cnt FROM
+                        (SELECT piece, cnt FROM upc
+                         ORDER BY cnt DESC, piece LIMIT 60)
+                       UNION
+                       SELECT piece, cnt FROM upc
+                       WHERE length(piece) = 1)),
+           ukrow AS (SELECT list(piece ORDER BY cnt DESC, piece) AS ks,
+                           max(length(piece)) AS ml
+                    FROM ukept),
+           uvit AS (
+             SELECT word, [CAST(0.0 AS DOUBLE)] AS best, [0] AS back
+             FROM words
+             UNION ALL
+             SELECT word,
+                    list_append(best, mx),
+                    list_append(back, bj)
+             FROM (SELECT word, best, back, mx,
+                          g0 + list_position(rl, mx) - 1 AS bj
+                   FROM (SELECT word, best, back, rl, g0,
+                           list_max(list_filter(rl,
+                             x -> x IS NOT NULL)) AS mx
+                         FROM (SELECT v.word, v.best, v.back, g0, pos,
+                                 list_transform(range(g0, pos), j ->
+                                   v.best[j+1] -
+                                   nullif(list_position(k.ks,
+                                     substr(v.word, j+1, pos-j)), 0)
+                                     / 16.0)
+                                   AS rl
+                               FROM (SELECT word, best, back,
+                                            len(best) AS pos,
+                                            greatest(0,
+                                              len(best) - k2.ml) AS g0
+                                     FROM uvit CROSS JOIN ukrow k2
+                                     WHERE len(best) <=
+                                           length(word)) v
+                                 CROSS JOIN ukrow k)))),
+           udone AS (SELECT word, back
+                    FROM uvit WHERE len(best) = length(word) + 1),
+           ubt AS (
+             SELECT word, back, length(word) AS pos, 0 AS np
+             FROM udone
+             UNION ALL
+             SELECT word, back, back[pos+1], np + 1
+             FROM ubt WHERE pos > 0),
+           nu AS (SELECT word, np FROM ubt WHERE pos = 0),
+           ws1 AS (SELECT word, cnt,
+                         unnest(range(1, length(word) + 1)) AS i
+                  FROM wc),
+           ws2 AS (SELECT cnt,
+                         CASE WHEN i = 1 THEN '' ELSE '##' END ||
+                           substr(word, i, L) AS piece
+                  FROM (SELECT word, cnt, i,
+                          unnest(range(1,
+                            least(6, length(word) - i + 1) + 1)) AS L
+                        FROM ws1)),
+           wpc AS (SELECT piece, sum(cnt) AS cnt FROM ws2 GROUP BY piece),
+           witop AS (SELECT piece FROM wpc WHERE piece NOT LIKE '##%'
+                    ORDER BY cnt DESC, piece LIMIT 40),
+           wiall AS (SELECT DISTINCT piece FROM (
+                      SELECT piece FROM witop UNION ALL
+                      SELECT piece FROM wpc
+                      WHERE piece NOT LIKE '##%' AND length(piece) = 1)),
+           wil AS (SELECT list(piece) AS l FROM wiall),
+           wctop AS (SELECT piece FROM wpc WHERE piece LIKE '##%'
+                    ORDER BY cnt DESC, piece LIMIT 40),
+           wcpcs AS (SELECT DISTINCT substr(piece, 3) AS piece FROM (
+                      SELECT piece FROM wctop UNION ALL
+                      SELECT piece FROM wpc
+                      WHERE piece LIKE '##%' AND length(piece) = 3)),
+           wcl AS (SELECT list(piece) AS l FROM wcpcs),
+           wenc AS (
+             SELECT word, 1 AS pos, 0 AS np
+             FROM words
+             UNION ALL
+             SELECT word, pos + bl, np + 1
+             FROM (SELECT e.word, e.pos, e.np,
+                     list_max(list_transform(
+                       range(1, least(6, length(e.word) - e.pos + 1) + 1),
+                       L -> CASE WHEN list_contains(
+                              CASE WHEN e.pos = 1 THEN i.l ELSE c.l END,
+                              substr(e.word, e.pos, L))
+                            THEN L ELSE 0 END)) AS bl
+                   FROM wenc e CROSS JOIN wil i CROSS JOIN wcl c
+                   WHERE e.pos <= length(e.word))
+             WHERE bl > 0),
+           nw AS (SELECT word, np FROM wenc
+                  WHERE pos = length(word) + 1),
+           aggall AS (SELECT lang, sum(cnt) AS n_words,
+                          sum(cnt * length(word)) AS n_chars,
+                          sum(cnt * nb.np) AS tb,
+                          sum(cnt * nu.np) AS tu,
+                          sum(cnt * nw.np) AS tw
+                   FROM lwc JOIN nb USING (word)
+                            JOIN nu USING (word)
+                            JOIN nw USING (word)
+                   GROUP BY lang),
+           fam AS (SELECT 'bpe' AS family, lang, n_words,
+                          tb AS n_tokens, n_chars FROM aggall
+                   UNION ALL
+                   SELECT 'unigram', lang, n_words, tu, n_chars
+                   FROM aggall
+                   UNION ALL
+                   SELECT 'wordpiece', lang, n_words, tw, n_chars
+                   FROM aggall)
+         SELECT family, lang, CAST(n_words AS BIGINT) AS n_words,
+                CAST(n_tokens AS BIGINT) AS n_tokens,
+                CAST(n_chars AS BIGINT) AS n_chars,
+                round(n_tokens * 1.0 / n_words, 4) AS fertility,
+                round(n_chars * 1.0 / n_tokens, 4) AS chars_per_token
+         FROM fam ORDER BY family, lang""",
+    // DSIR twins: same md5 bucket hash ('0x' + 8 hex chars % 1024 =
+    // conv base-16), same count frames, the IDENTICAL smoothed
+    // log-ratio expression tree (never the folded constants), per-doc
+    // sum rounded at 4 (the q138 transcendental discipline); the
+    // select twin layers the md5-coin Gumbel key and ranks on the
+    // ROUNDED key with doc_id tie-break
+    "q148_dsir_weights" ->
+      """WITH tok AS (SELECT doc_id, unnest(list_filter(
+                 string_split(coalesce(text, ''), ' '),
+                 t -> length(t) > 0)) AS word
+               FROM documents WHERE doc_id >= 20),
+           db AS (SELECT doc_id,
+                         CAST('0x' || substr(md5(word), 1, 8) AS BIGINT)
+                           % 1024 AS b,
+                         count(*) AS c
+                  FROM tok GROUP BY doc_id, b),
+           rb AS (SELECT b, sum(c) AS rc FROM db GROUP BY b),
+           tgt AS (SELECT CAST('0x' || substr(md5(word), 1, 8) AS BIGINT)
+                          % 1024 AS b
+                   FROM (SELECT unnest(list_filter(
+                           string_split(coalesce(text, ''), ' '),
+                           t -> length(t) > 0)) AS word
+                         FROM documents WHERE doc_id < 20)),
+           tb AS (SELECT b, count(*) AS tc FROM tgt GROUP BY b),
+           tots AS (SELECT (SELECT sum(rc) FROM rb) AS R,
+                           (SELECT count(*) FROM tgt) AS T),
+           lr AS (SELECT rb.b,
+                         ln((coalesce(tc, 0) + 1.0) * (R + 1.0 * 1024) /
+                            ((rc + 1.0) * (T + 1.0 * 1024))) AS lr
+                  FROM rb LEFT JOIN tb USING (b) CROSS JOIN tots),
+           wts AS (SELECT doc_id, sum(c) AS n_tokens,
+                          sum(c * lr) AS w
+                   FROM db JOIN lr USING (b) GROUP BY doc_id)
+         SELECT d.doc_id,
+                CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+                round(coalesce(w, 0.0), 4) AS log_weight
+         FROM (SELECT DISTINCT doc_id FROM documents
+               WHERE doc_id >= 20) d
+           LEFT JOIN wts USING (doc_id)
+         ORDER BY d.doc_id""",
+    "q148b_dsir_select" ->
+      """WITH tok AS (SELECT doc_id, unnest(list_filter(
+                 string_split(coalesce(text, ''), ' '),
+                 t -> length(t) > 0)) AS word
+               FROM documents WHERE doc_id >= 20),
+           db AS (SELECT doc_id,
+                         CAST('0x' || substr(md5(word), 1, 8) AS BIGINT)
+                           % 1024 AS b,
+                         count(*) AS c
+                  FROM tok GROUP BY doc_id, b),
+           rb AS (SELECT b, sum(c) AS rc FROM db GROUP BY b),
+           tgt AS (SELECT CAST('0x' || substr(md5(word), 1, 8) AS BIGINT)
+                          % 1024 AS b
+                   FROM (SELECT unnest(list_filter(
+                           string_split(coalesce(text, ''), ' '),
+                           t -> length(t) > 0)) AS word
+                         FROM documents WHERE doc_id < 20)),
+           tb AS (SELECT b, count(*) AS tc FROM tgt GROUP BY b),
+           tots AS (SELECT (SELECT sum(rc) FROM rb) AS R,
+                           (SELECT count(*) FROM tgt) AS T),
+           lr AS (SELECT rb.b,
+                         ln((coalesce(tc, 0) + 1.0) * (R + 1.0 * 1024) /
+                            ((rc + 1.0) * (T + 1.0 * 1024))) AS lr
+                  FROM rb LEFT JOIN tb USING (b) CROSS JOIN tots),
+           wts AS (SELECT doc_id, sum(c) AS n_tokens,
+                          sum(c * lr) AS w
+                   FROM db JOIN lr USING (b) GROUP BY doc_id),
+           keyed AS (SELECT d.doc_id,
+                  CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+                  round(coalesce(w, 0.0), 4) AS log_weight,
+                  round(round(coalesce(w, 0.0), 4) -
+                    ln(-ln((CAST('0x' || substr(md5('dsir:' ||
+                        d.doc_id::VARCHAR), 1, 15) AS BIGINT) + 0.5)
+                      / 1152921504606846976)), 4) AS gumbel_key
+                FROM (SELECT DISTINCT doc_id FROM documents
+                      WHERE doc_id >= 20) d
+                  LEFT JOIN wts USING (doc_id)),
+           sel AS (SELECT doc_id FROM keyed
+                   ORDER BY gumbel_key DESC, doc_id LIMIT 64)
+         SELECT k.doc_id, k.n_tokens, k.log_weight, k.gumbel_key,
+                (s.doc_id IS NOT NULL) AS selected
+         FROM keyed k LEFT JOIN sel s USING (doc_id)
+         ORDER BY k.doc_id""",
     // scored-vocab encode twin: q140's piece-count + MaxMatch
     // machinery with the selection CTEs swapped for the likelihood
     // ranking — prefix/##last counts joined from the same pc frame,

@@ -309,6 +309,57 @@ class MixingSpec extends AnyFunSuite {
     id.values.foreach(v => assert(math.abs(v - 0.25) < 1e-12))
   }
 
+  test("dsirWeights: target-like docs outscore pool-like docs; " +
+      "zero-token docs score 0; additive in token multiplicity") {
+    val target = Seq((100L, "quality prose quality prose signal"))
+      .toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "quality prose signal"),           // pure target vocab
+      (2L, "junk spam junk spam noise"),      // disjoint vocab
+      (3L, "quality prose signal quality prose signal"), // doc1 ×2
+      (4L, ""))                               // token-free
+      .toDF("doc_id", "text")
+    val out = Mixing.dsirWeights(raw, target, "doc_id", "text",
+        buckets = 256, alpha = 1.0)
+      .orderBy("doc_id")
+      .as[(Long, Long, Double)].collect().toSeq
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(out.map(_._1) === Seq(1L, 2L, 3L, 4L))
+    assert(byId(1L)._3 > byId(2L)._3,
+      s"target-like ${byId(1L)._3} must outscore pool-like ${byId(2L)._3}")
+    assert(byId(4L) === ((4L, 0L, 0.0)))
+    // doubling every token doubles the (unrounded) weight
+    assert(math.abs(byId(3L)._3 - 2.0 * byId(1L)._3) < 1e-3)
+    // deterministic across reruns and partitionings
+    val again = Mixing.dsirWeights(raw.repartition(5), target,
+        "doc_id", "text", buckets = 256, alpha = 1.0)
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    assert(again === out)
+  }
+
+  test("dsirSelect: exactly k selected, the top-k by (gumbel_key " +
+      "desc, id), every raw row present, seed-sensitive") {
+    val target = spark.range(5)
+      .selectExpr("id AS doc_id", "'alpha beta gamma' AS text")
+    val raw = spark.range(100, 140).selectExpr("id AS doc_id",
+      "CASE WHEN id % 2 = 0 THEN 'alpha beta gamma' " +
+        "ELSE 'zeta eta theta' END AS text")
+    val out = Mixing.dsirSelect(raw, target, "doc_id", "text", k = 10)
+      .as[(Long, Long, Double, Double, Boolean)].collect().toSeq
+    assert(out.size === 40)
+    assert(out.count(_._5) === 10)
+    val topK = out.sortBy(r => (-r._4, r._1)).take(10).map(_._1).toSet
+    assert(out.filter(_._5).map(_._1).toSet === topK)
+    val other = Mixing.dsirSelect(raw, target, "doc_id", "text",
+        k = 10, seed = "other")
+      .as[(Long, Long, Double, Double, Boolean)].collect().toSeq
+    // same weights, different Gumbel draws
+    assert(other.map(r => (r._1, r._3)).sorted ===
+      out.map(r => (r._1, r._3)).sorted)
+    assert(other.map(r => (r._1, r._4)).sorted !==
+      out.map(r => (r._1, r._4)).sorted)
+  }
+
   test("weightedQuotaSample: quotas follow the supplied weights exactly") {
     val docs = (0L until 300L).map(i => (s"g${i % 3}", i, s"t$i"))
       .toDF("g", "id", "key")

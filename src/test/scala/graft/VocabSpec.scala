@@ -458,6 +458,46 @@ class VocabSpec extends AnyFunSuite {
     assert(enc.agg(sum("n_unk_words")).head.getLong(0) === 0L)
   }
 
+  test("tokenizerFertilityCompare: each family row ≡ its direct " +
+      "per-doc encode; wordpiece rows ≡ wordPieceFertility") {
+    val sample = docs.limit(80).select("doc_id", "lang", "text")
+    val bpe = Vocab.staticBpeModel(sample, "text", tier1 = 30, chainTop = 5)
+    val uni = Vocab.staticUnigramModel(sample, "text",
+      nPieces = 60, maxPieceLen = 8)
+    val wp = Vocab.staticWordPieceModel(sample, "text",
+      nInit = 40, nCont = 40, maxPieceLen = 6)
+    val out = Vocab.tokenizerFertilityCompare(sample, "lang", "text",
+        bpe, uni, wp)
+      .orderBy("family", "lang")
+      .as[(String, String, Long, Long, Long, Double, Double)]
+      .collect().toSeq
+    assert(out.map(_._1).distinct === Seq("bpe", "unigram", "wordpiece"))
+    // family slice ≡ the single-family fertility table (wordpiece has
+    // a dedicated operator; bpe/unigram compare against direct
+    // per-doc encodes aggregated at the language grain)
+    val wpRows = Vocab.wordPieceFertility(sample, "lang", "text", wp)
+      .orderBy("lang")
+      .as[(String, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(out.filter(_._1 == "wordpiece").map(r =>
+      (r._2, r._3, r._4, r._5, r._6, r._7)) === wpRows)
+    def direct(enc: org.apache.spark.sql.DataFrame,
+        nCol: String): Seq[(String, Long)] =
+      enc.join(sample.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang").agg(sum(nCol).as("n")).orderBy("lang")
+        .as[(String, Long)].collect().toSeq
+    assert(out.filter(_._1 == "bpe").map(r => (r._2, r._4)) ===
+      direct(Vocab.encodeBpe(sample, "doc_id", "text", bpe),
+        "n_bpe_tokens"))
+    assert(out.filter(_._1 == "unigram").map(r => (r._2, r._4)) ===
+      direct(Vocab.encodeUnigram(sample, "doc_id", "text", uni),
+        "n_pieces"))
+    // n_words/n_chars identical across families for the same group
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).distinct.size === 1)
+      assert(rows.map(_._5).distinct.size === 1)
+    }
+  }
+
   test("wpPairScoresFrame: score = pair/(l·r) exactly, symbolization " +
       "classes split at position 1") {
     // "aa ba": syms [a,##a] and [b,##a] → counts a=1,b=1,##a=2;
