@@ -152,7 +152,9 @@ object Bench {
     "q147_fertility_families",
     // DSIR importance weights + deterministic Gumbel-top-k resampling
     "q148_dsir_weights",
-    "q148b_dsir_select")
+    "q148b_dsir_select",
+    // Kneser–Ney bigram perplexity (continuation-distribution backoff)
+    "q149_kn_ppl")
 
   /** Queries whose r6→r7 numbers moved 2–6× with no code change — the
     * self-join/ANN family is short (<3 s warm) so a single co-tenant

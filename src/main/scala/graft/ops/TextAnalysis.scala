@@ -318,6 +318,67 @@ object TextAnalysis {
         round(exp(coalesce(col("__avg"), lit(0.0))), 4).as("ppl"))
   }
 
+  /** Interpolated Kneser–Ney bigram perplexity — the principled
+    * smoothing upgrade over [[bigramScore]]'s Jelinek–Mercer mix (Kneser
+    * & Ney 1995; Chen & Goodman 1998 eq. 4.27, bigram order):
+    *
+    *   p_KN(w2|w1) = max(c(w1w2) − D, 0)/c(w1·)
+    *               + D·N1+(w1·)/c(w1·) · N1+(·w2)/N1+(··)
+    *
+    * Absolute discount D carves probability mass off every SEEN bigram
+    * and redistributes it through the CONTINUATION distribution — how
+    * many distinct contexts a word follows, not how often it occurs
+    * ("Francisco" is frequent but only ever follows "San", so its
+    * continuation probability is tiny). The lower-order weight is the
+    * leave-one-out-correct λ(w1) = D·N1+(w1·)/c(w1·), not a global
+    * constant.
+    *
+    * Same single-corpus-pass shape as [[bigramScore]]: every statistic
+    * — bigram count, context total, forward type count N1+(w1·),
+    * backward type count N1+(·w2), total type count — derives from the
+    * one (w1,w2) count frame; the two per-w1 statistics share one
+    * aggregate. Scored on the fitting corpus every bigram is seen, so
+    * the discounted term is positive and no unseen-event path is
+    * needed (the `greatest` keeps the textbook form). Returns
+    * (idCol, n_bigrams, avg_nll, ppl), rounded at 4 — the q138
+    * transcendental discipline. */
+  def bigramScoreKN(df: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75): DataFrame = {
+    val toks = df.select(col(idCol), TextOps.wsTokens(col(textCol)).as("tk"))
+    val pairs = toks.select(col(idCol),
+        explode(filter(
+          zip_with(col("tk"), slice(col("tk"), lit(2), size(col("tk"))),
+            (a, b) => struct(a.as("w1"), b.as("w2"))),
+          p => p.getField("w2").isNotNull)).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val tf = pairs.groupBy(col(idCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val cb = tf.groupBy("w1", "w2").agg(sum("tf").as("__cb"))
+    val ctx = cb.groupBy("w1").agg(sum("__cb").as("__ctx"),
+      count(lit(1)).as("__n1f"))
+    val cont = cb.groupBy("w2").agg(count(lit(1)).as("__n1b"))
+    val tt = cb.agg(count(lit(1)).as("__tt"))
+    val d = lit(discount)
+    val scored = tf.join(cb, Seq("w1", "w2"))
+      .join(ctx, Seq("w1")).join(cont, Seq("w2"))
+      .crossJoin(broadcast(tt))
+      .select(col(idCol), col("tf"),
+        (col("tf") * -log(
+          greatest(col("__cb") - d, lit(0.0)) / col("__ctx") +
+          (d * col("__n1f") / col("__ctx")) *
+            (col("__n1b").cast("double") / col("__tt")))).as("__nll"))
+      .groupBy(idCol).agg(
+        sum("tf").as("n_bigrams"),
+        (sum("__nll") / sum("tf")).as("__avg"))
+    df.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(coalesce(col("__avg"), lit(0.0)), 4).as("avg_nll"),
+        round(exp(coalesce(col("__avg"), lit(0.0))), 4).as("ppl"))
+  }
+
   /** Top-k TF-IDF keywords per document — the per-doc summarization /
     * topic-indexing primitive (and the exact-arithmetic sibling of the
     * ML-side TF-IDF in [[graft.ml.ThemePipeline]], which feeds LDA).

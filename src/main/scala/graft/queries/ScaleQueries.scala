@@ -961,6 +961,14 @@ object ScaleQueries {
         .orderBy("family", "lang")
     }),
 
+    // Kneser–Ney bigram perplexity: absolute-discount smoothing with
+    // the continuation distribution (the principled upgrade over
+    // q138's Jelinek–Mercer mix) — all five statistics from the one
+    // (w1,w2) count frame, same expression tree in the twin
+    "q149_kn_ppl" -> ((s, dir) =>
+      TextAnalysis.bigramScoreKN(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // DSIR importance weights (Xie et al. 2023): hashed-unigram
     // bag-of-buckets LMs for a FIXED target panel (doc_id < 20, the
     // q139 bound discipline) vs the raw pool; per-doc log importance
@@ -4535,6 +4543,40 @@ object ScaleQueries {
                 round(n_tokens * 1.0 / n_words, 4) AS fertility,
                 round(n_chars * 1.0 / n_tokens, 4) AS chars_per_token
          FROM fam ORDER BY family, lang""",
+    // KN twin: q138's bigram frame with the two type-count statistics
+    // (N1+ forward per w1 shares the context aggregate; N1+ backward
+    // per w2; total types) and the identical discount expression tree
+    "q149_kn_ppl" ->
+      """WITH tk AS (SELECT doc_id,
+                 list_filter(string_split(coalesce(text, ''), ' '),
+                             t -> length(t) > 0) AS tk
+           FROM documents),
+           bg AS (SELECT doc_id,
+                         unnest(list_transform(range(1, len(tk)),
+                           i -> {'w1': tk[i], 'w2': tk[i + 1]})) AS b
+                  FROM tk WHERE len(tk) >= 2),
+           tf AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2,
+                         CAST(count(*) AS BIGINT) AS tf
+                  FROM bg GROUP BY doc_id, b.w1, b.w2),
+           cb AS (SELECT w1, w2, sum(tf) AS cb FROM tf GROUP BY w1, w2),
+           ctx AS (SELECT w1, sum(cb) AS ctx, count(*) AS n1f
+                   FROM cb GROUP BY w1),
+           cont AS (SELECT w2, count(*) AS n1b FROM cb GROUP BY w2),
+           tt AS (SELECT count(*) AS tt FROM cb),
+           sc AS (SELECT doc_id, sum(tf) AS n_bigrams,
+                         sum(tf * -ln(
+                           greatest(cb - 0.75, 0.0) / ctx +
+                           (0.75 * n1f / ctx) * (n1b * 1.0 / tt)))
+                           / sum(tf) AS a
+                  FROM tf JOIN cb USING (w1, w2) JOIN ctx USING (w1)
+                       JOIN cont USING (w2) CROSS JOIN tt
+                  GROUP BY doc_id)
+         SELECT d.doc_id,
+                CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                round(coalesce(sc.a, 0), 4) AS avg_nll,
+                round(exp(coalesce(sc.a, 0)), 4) AS ppl
+         FROM documents d LEFT JOIN sc USING (doc_id)
+         ORDER BY d.doc_id""",
     // DSIR twins: same md5 bucket hash ('0x' + 8 hex chars % 1024 =
     // conv base-16), same count frames, the IDENTICAL smoothed
     // log-ratio expression tree (never the folded constants), per-doc

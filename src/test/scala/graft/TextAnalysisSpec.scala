@@ -238,6 +238,43 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(4L) === ((0L, 0.0, 1.0)))
   }
 
+  test("bigramScoreKN: exact Kneser–Ney NLL against hand-computed " +
+      "probabilities; short docs score (0, 0, 1)") {
+    // corpus bigrams: (a,b)=2 (b,a)=1 (a,c)=1
+    // ctx(a)=3 N1+(a·)=2; ctx(b)=1 N1+(b·)=1
+    // N1+(·b)=1 N1+(·a)=1 N1+(·c)=1; N1+(··)=3
+    // p(b|a) = (2−.75)/3 + (.75·2/3)·(1/3)
+    // p(a|b) = (1−.75)/1 + (.75·1/1)·(1/3)
+    // p(c|a) = (1−.75)/3 + (.75·2/3)·(1/3)
+    val df = Seq(
+      (1L, "a b a b"),
+      (2L, "a c"),
+      (3L, "solo"),
+      (4L, ""))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramScoreKN(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    val pBA = (2 - 0.75) / 3 + (0.75 * 2 / 3) * (1.0 / 3)
+    val pAB = (1 - 0.75) / 1 + (0.75 * 1 / 1) * (1.0 / 3)
+    val pCA = (1 - 0.75) / 3 + (0.75 * 2 / 3) * (1.0 / 3)
+    val a1 = (2 * -math.log(pBA) + -math.log(pAB)) / 3
+    val a2 = -math.log(pCA)
+    assert(out(1L)._1 === 3L)
+    assert(math.abs(out(1L)._2 - r4(a1)) < 1e-9)
+    assert(math.abs(out(1L)._3 - r4(math.exp(a1))) < 1e-9)
+    assert(out(2L)._1 === 1L)
+    assert(math.abs(out(2L)._2 - r4(a2)) < 1e-9)
+    assert(out(3L) === ((0L, 0.0, 1.0)))
+    assert(out(4L) === ((0L, 0.0, 1.0)))
+    // KN mass check on this corpus: p(·|a) sums below 1 only by the
+    // discount withheld from UNSEEN continuations — seen-event mass
+    // plus backoff mass over the three continuation types is exactly 1
+    val pAA = (0 - 0.75).max(0.0) / 3 + (0.75 * 2 / 3) * (1.0 / 3)
+    assert(math.abs((pBA + pCA + pAA) - 1.0) < 1e-12)
+  }
+
   test("bigramScore: word-order-sensitive where unigram PPL is blind") {
     // both docs have identical unigram counts (2 x, 2 y) — unigramScore
     // CANNOT separate them; the bigram model rates doc 2's rare
