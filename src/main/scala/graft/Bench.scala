@@ -154,7 +154,10 @@ object Bench {
     "q148_dsir_weights",
     "q148b_dsir_select",
     // Kneser–Ney bigram perplexity (continuation-distribution backoff)
-    "q149_kn_ppl")
+    "q149_kn_ppl",
+    // dedup-index PR curve over the threshold grid (candidates + exact
+    // truth computed once, grid as conditional aggregation)
+    "q133b_dedup_pr_sweep")
 
   /** Queries whose r6→r7 numbers moved 2–6× with no code change — the
     * self-join/ANN family is short (<3 s warm) so a single co-tenant

@@ -85,4 +85,60 @@ object Eval {
         round(col("n_hit").cast("double") /
           greatest(col("n_truth"), lit(1L)), 4).as("recall"))
   }
+
+  /** [[dedupPrecisionRecall]] swept over a THRESHOLD GRID — the full
+    * PR curve a (k, bands, threshold) tuning decision reads, not one
+    * operating point. Candidate pairs are generated ONCE (LSH banding
+    * with the estimate filter open at 0.0, so every co-banded pair
+    * survives with its signature-estimated Jaccard) and exact truth
+    * Jaccard is computed ONCE over the bounded audit slice; each grid
+    * threshold is then a conditional aggregation over the same joined
+    * pair frame — |grid| never multiplies the LSH or the exact-pair
+    * work, only the final slim count pass.
+    *
+    * Returns one row per threshold: (threshold, n_pred, n_truth,
+    * n_hit, precision, recall). Estimates are k-quantized (multiples
+    * of 1/k) so grid comparisons are exact; truth thresholds compare
+    * the same one-divide ratio in both engines. */
+  def dedupPrSweep(docs: DataFrame, idCol: String, textCol: String,
+      maxId: Long = 150L,
+      thresholds: Seq[Double] = Seq(0.3, 0.4, 0.5, 0.6, 0.7),
+      k: Int = 8, bands: Int = 2): DataFrame = {
+    val slice = docs.filter(col(idCol) < maxId)
+    val cand = Dedup.minHashPairsAuditable(slice, idCol, textCol,
+      k, bands, minJaccard = 0.0)
+      .select(col("id_a"), col("id_b"), col("est_jaccard").as("__est"))
+    val toks = slice.select(col(idCol).cast("long").as("id"),
+      array_distinct(TextOps.wsTokens(col(textCol))).as("tk"))
+    val a = toks.select(col("id").as("id_a"), col("tk").as("ta"))
+    val b = toks.select(col("id").as("id_b"), col("tk").as("tb"))
+    // exact Jaccard over ALL slice pairs — the superset of every
+    // candidate pair, so the candidate estimate left-joins onto it
+    val exact = a.join(b, col("id_a") < col("id_b"))
+      .withColumn("__inter", size(array_intersect(col("ta"), col("tb")))
+        .cast("double"))
+      .withColumn("__jac", col("__inter") /
+        greatest(size(col("ta")) + size(col("tb")) - col("__inter"),
+          lit(1.0)))
+      .select("id_a", "id_b", "__jac")
+    exact.join(cand, Seq("id_a", "id_b"), "left")
+      .select(col("__jac"), col("__est"),
+        explode(array(thresholds.map(lit): _*)).as("threshold"))
+      .groupBy("threshold")
+      .agg(
+        sum(when(col("__est") >= col("threshold"), 1L).otherwise(0L))
+          .as("n_pred"),
+        sum(when(col("__jac") >= col("threshold"), 1L).otherwise(0L))
+          .as("n_truth"),
+        sum(when(col("__est") >= col("threshold") &&
+          col("__jac") >= col("threshold"), 1L).otherwise(0L))
+          .as("n_hit"))
+      .select(col("threshold"), col("n_pred"), col("n_truth"),
+        col("n_hit"),
+        round(col("n_hit").cast("double") /
+          greatest(col("n_pred"), lit(1L)), 4).as("precision"),
+        round(col("n_hit").cast("double") /
+          greatest(col("n_truth"), lit(1L)), 4).as("recall"))
+      .orderBy("threshold")
+  }
 }

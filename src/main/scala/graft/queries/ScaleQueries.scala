@@ -2276,6 +2276,14 @@ object ScaleQueries {
     // threshold, bounded audit slice — every stage of BOTH sides is
     // DuckDB-replayable, so the PR numbers themselves are
     // oracle-checked
+    // the q133 evaluator swept over a threshold grid — the PR CURVE a
+    // (k, bands, threshold) tuning reads: candidates generated once
+    // (estimate filter open), exact truth once, each threshold a
+    // conditional aggregation over the same joined pair frame
+    "q133b_dedup_pr_sweep" -> ((s, dir) =>
+      graft.ops.Eval.dedupPrSweep(t(s, dir, "documents"),
+        "doc_id", "text")),
+
     "q133_dedup_eval" -> ((s, dir) =>
       graft.ops.Eval.dedupPrecisionRecall(t(s, dir, "documents"),
         "doc_id", "text", maxId = 150L, minJaccard = 0.5)),
@@ -2952,7 +2960,8 @@ object ScaleQueries {
     * needs, produced directly instead of by string surgery on the
     * full chain (an r12 split-on-junction attempt silently never
     * matched). */
-  private def q61CteBody(src: String, rounds: Int = 8): String = {
+  private def q61CteBody(src: String, rounds: Int = 8,
+      minEst: String = "0.75"): String = {
     require(rounds >= 0 && rounds <= 8, s"rounds out of range: $rounds")
     val maxl = Long.MaxValue.toString
     val sigList = (0 until 8).map(i =>
@@ -2992,11 +3001,13 @@ object ScaleQueries {
          cpairs AS (SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b
            FROM banded a JOIN banded bb
              ON a.band = bb.band AND a.bk = bb.bk AND a.doc_id < bb.doc_id),
-         epairs AS (SELECT p.id_a, p.id_b
+         eraw AS (SELECT p.id_a, p.id_b,
+             len(list_filter(range(1, 9),
+                 i -> sa.sig[i] = sb.sig[i])) / 8.0 AS est
            FROM cpairs p JOIN sigs sa ON sa.doc_id = p.id_a
-                         JOIN sigs sb ON sb.doc_id = p.id_b
-           WHERE len(list_filter(range(1, 9),
-                     i -> sa.sig[i] = sb.sig[i])) / 8.0 >= 0.75)$ccChain"""
+                         JOIN sigs sb ON sb.doc_id = p.id_b),
+         epairs AS (SELECT id_a, id_b, est FROM eraw
+                    WHERE est >= $minEst)$ccChain"""
   }
 
   private val q61Cte: String = "WITH " + q61CteBody("documents")
@@ -3542,12 +3553,50 @@ object ScaleQueries {
     // both sides of the dedup eval replayed: the q26b md5-family
     // banded candidates (est = agreeing-positions/8 >= 0.5) vs exact
     // token-set Jaccard on the same slice, then the PR arithmetic
+    // PR-sweep twin: q133's machinery with the epairs estimate open
+    // at 0.0 (every co-banded pair survives with its est), the exact
+    // Jaccard over ALL slice pairs, and the grid as a CROSS JOIN over
+    // the one joined pair frame — conditional counts per threshold
+    "q133b_dedup_pr_sweep" -> {
+      val sliceCte =
+        s"""WITH d AS (SELECT doc_id, text FROM documents
+                       WHERE doc_id < 150),
+         ${q61CteBody("d", rounds = 0, minEst = "0.0")}"""
+      s"""$sliceCte,
+         tt AS (SELECT doc_id AS id,
+                  list_distinct(list_filter(
+                    string_split(coalesce(text, ''), ' '),
+                    t -> length(t) > 0)) AS tk
+                FROM d),
+         exact AS (SELECT a.id AS id_a, b.id AS id_b,
+                     len(list_intersect(a.tk, b.tk)) * 1.0
+                       / greatest(len(a.tk) + len(b.tk)
+                                  - len(list_intersect(a.tk, b.tk)), 1)
+                       AS jac
+                   FROM tt a JOIN tt b ON a.id < b.id),
+         j AS (SELECT e.jac, p.est FROM exact e
+               LEFT JOIN epairs p
+                 ON p.id_a = e.id_a AND p.id_b = e.id_b),
+         g AS (SELECT unnest([0.3, 0.4, 0.5, 0.6, 0.7]::DOUBLE[])
+                 AS threshold),
+         agg AS (SELECT threshold,
+             sum(CASE WHEN est >= threshold THEN 1 ELSE 0 END) AS n_pred,
+             sum(CASE WHEN jac >= threshold THEN 1 ELSE 0 END) AS n_truth,
+             sum(CASE WHEN est >= threshold AND jac >= threshold
+                 THEN 1 ELSE 0 END) AS n_hit
+           FROM j CROSS JOIN g GROUP BY threshold)
+       SELECT threshold, CAST(n_pred AS BIGINT) AS n_pred,
+              CAST(n_truth AS BIGINT) AS n_truth,
+              CAST(n_hit AS BIGINT) AS n_hit,
+              round(n_hit * 1.0 / greatest(n_pred, 1), 4) AS precision,
+              round(n_hit * 1.0 / greatest(n_truth, 1), 4) AS recall
+       FROM agg ORDER BY threshold"""
+    },
     "q133_dedup_eval" -> {
       val sliceCte =
         s"""WITH d AS (SELECT doc_id, text FROM documents
                        WHERE doc_id < 150),
-         ${q61CteBody("d", rounds = 0)
-           .replace("/ 8.0 >= 0.75", "/ 8.0 >= 0.5")}"""
+         ${q61CteBody("d", rounds = 0, minEst = "0.5")}"""
       s"""$sliceCte,
          pred AS (SELECT id_a, id_b FROM epairs),
          tt AS (SELECT doc_id AS id,

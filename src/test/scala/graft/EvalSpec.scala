@@ -58,4 +58,25 @@ class EvalSpec extends AnyFunSuite {
     val mean = s.getDouble(1)
     assert(mean > 0.0 && mean <= 1.0, s"mean recall $mean")
   }
+
+  test("dedupPrSweep: the grid row at a threshold ≡ the single-point " +
+      "evaluator; truth counts monotone non-increasing in threshold") {
+    val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001",
+      "documents")
+    val sweep = Eval.dedupPrSweep(docs, "doc_id", "text",
+        thresholds = Seq(0.3, 0.5, 0.7))
+      .as[(Double, Long, Long, Long, Double, Double)].collect()
+      .sortBy(_._1).toSeq
+    val single = Eval.dedupPrecisionRecall(docs, "doc_id", "text",
+        minJaccard = 0.5)
+      .as[(Long, Long, Long, Double, Double)].head()
+    val at05 = sweep.find(_._1 == 0.5).get
+    assert((at05._2, at05._3, at05._4, at05._5, at05._6) === single)
+    // tightening the threshold can only shrink prediction + truth sets
+    assert(sweep.map(_._2) === sweep.map(_._2).sorted.reverse)
+    assert(sweep.map(_._3) === sweep.map(_._3).sorted.reverse)
+    sweep.foreach { r =>
+      assert(r._4 <= r._2 && r._4 <= r._3, s"hits exceed a set: $r")
+    }
+  }
 }
