@@ -802,6 +802,87 @@ object Streams {
       pruneHistory: Boolean = true): DataFrame =
     mediaDedupVacuum(spark, stateBase, pruneHistory)
 
+  /** INCREMENTAL per-domain quality prior as an AvailableNow stream —
+    * [[graft.ops.Domains.domainQualityPrior]] maintained across crawl
+    * batches without rescanning the corpus. The state is ID-GRAINED
+    * (id, domain, score) with first-write-wins on id (replay-safe),
+    * and the domain aggregate is computed at READ time
+    * ([[domainPriorFromState]]) — the family discipline that makes
+    * EXACT takedown possible: a domain-grained running (n, sum) could
+    * never subtract a forgotten document's contribution, an id-grained
+    * state re-aggregates without it. Domains are extracted at write
+    * time and never re-derived (the stored-URL contract). Per run the
+    * work is one projection + slim aggregate over the NEW batch plus
+    * one state merge. */
+  def domainPriorIncrementalAvailableNow(docs: DataFrame, idCol: String,
+      urlCol: String, scoreCol: String, stateBase: String,
+      checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val spark = batch.sparkSession
+        val ver = f"batch_$id%06d"
+        // within-batch id dedupe via one struct min — deterministic
+        // AND keeps (domain, score) from the SAME row (independent
+        // per-column mins could stitch two rows together)
+        val batchKeys = batch.toDF()
+          .select(col(idCol).cast("long").as("id"),
+            struct(
+              graft.ops.Domains.registrableDomainCol(col(urlCol))
+                .as("domain"),
+              col(scoreCol).cast("double").as("score")).as("__ds"))
+          .groupBy("id").agg(min(col("__ds")).as("__ds"))
+          .select(col("id"), col("__ds.domain").as("domain"),
+            col("__ds.score").as("score"))
+        val next = priorVersion(spark, stateBase, ver) match {
+          case Some(p) =>
+            val prior = spark.read.parquet(s"$stateBase/run_ts=$p")
+            prior.unionByName(batchKeys.join(prior.select("id"),
+              Seq("id"), "left_anti"))
+          case None => batchKeys
+        }
+        next.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$stateBase/run_ts=$ver")
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** The per-domain prior from the latest state — identical schema to
+    * the batch [[graft.ops.Domains.domainQualityPrior]] (domain,
+    * n_docs, avg_score), parity spec-pinned. Tombstones apply at read:
+    * a taken-down document's contribution vanishes and its domain's
+    * count/average recompute exactly as if it were never ingested. */
+  def domainPriorFromState(spark: SparkSession,
+      stateBase: String): DataFrame = {
+    val versions = scala.util.Try(
+      graft.sources.Sinks.runVersions(spark, stateBase))
+      .getOrElse(Seq.empty)
+    require(versions.nonEmpty,
+      s"no domain-prior state under $stateBase — run the stream first")
+    val raw = spark.read.parquet(s"$stateBase/run_ts=${versions.max}")
+    val st = graft.ops.Dedup.sigStateTombstoneIds(spark, stateBase) match {
+      case Some(ts) => raw.join(broadcast(ts), Seq("id"), "left_anti")
+      case None => raw
+    }
+    st.groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("score")), 4).as("avg_score"))
+  }
+
+  /** TAKEDOWN for the domain-prior state — the shared sibling-dir
+    * tombstone layout; the forgotten id's (domain, score) row drops
+    * out of every subsequent [[domainPriorFromState]] aggregate. */
+  def domainPriorDelete(spark: SparkSession, stateBase: String,
+      ids: DataFrame, idCol: String, ver: String): Unit =
+    graft.ops.Dedup.sigStateDelete(spark, stateBase, ids, idCol, ver)
+
+  /** Physical reclamation for the domain-prior state — id-grained
+    * exact keys, so it shares the media/URL vacuum sequence. */
+  def domainPriorVacuum(spark: SparkSession, stateBase: String,
+      pruneHistory: Boolean = true): DataFrame =
+    mediaDedupVacuum(spark, stateBase, pruneHistory)
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
 

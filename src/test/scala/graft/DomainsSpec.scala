@@ -229,6 +229,69 @@ class DomainsSpec extends AnyFunSuite {
       10L -> ("kept", 10L), 11L -> ("kept", 11L)))
   }
 
+  test("streaming domain prior: fold ≡ batch domainQualityPrior on " +
+      "first-write-wins rows; takedown re-aggregates exactly; vacuum") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_domain_prior").toString
+    val stateBase = s"$base/state"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("url",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("q",
+        org.apache.spark.sql.types.DoubleType)))
+    // batch 0: a.com scores 0.2/0.8, b.com scores 1.0; batch 1: a.com
+    // gains 0.4 via a subdomain, id 10 re-sent with a different score
+    // (must be IGNORED — first write wins)
+    val b0 = Seq((10L, "https://a.com/x", 0.2),
+      (11L, "https://a.com/y", 0.8),
+      (12L, "https://b.com/z", 1.0))
+    val b1 = Seq((13L, "https://news.a.com/w", 0.4),
+      (10L, "https://a.com/x", 99.0))
+    Seq(b0, b1).zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("doc_id", "url", "q").coalesce(1)
+        .write.parquet(s"$base/in/p$i")
+    }
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in/p*")
+    graft.streaming.Streams.domainPriorIncrementalAvailableNow(
+        stream, "doc_id", "url", "q", stateBase, s"$base/ckpt")
+      .awaitTermination(300000): Unit
+
+    def prior(): Map[String, (Long, Double)] =
+      graft.streaming.Streams.domainPriorFromState(spark, stateBase)
+        .as[(String, Long, Double)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(prior() === Map(
+      "a.com" -> ((3L, round4((0.2 + 0.8 + 0.4) / 3))),
+      "b.com" -> ((1L, 1.0))))
+    // parity with the batch operator over first-write-wins rows
+    val union = (b0 ++ b1.filter(_._1 == 13L)).toDF("doc_id", "url", "q")
+    val batch = graft.ops.Domains.domainQualityPrior(union, "url", col("q"))
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(prior() === batch)
+    // takedown: forgetting id 11 re-aggregates a.com as if never seen
+    graft.streaming.Streams.domainPriorDelete(spark, stateBase,
+      Seq(11L).toDF("doc_id"), "doc_id", "d0")
+    assert(prior() === Map(
+      "a.com" -> ((2L, round4((0.2 + 0.4) / 2))),
+      "b.com" -> ((1L, 1.0))))
+    // vacuum completes the forget: id 11 physically absent, aggregate
+    // unchanged
+    val vac = graft.streaming.Streams.domainPriorVacuum(spark, stateBase)
+    assert(vac.filter(col("id") === 11L).count() === 0L)
+    assert(!new java.io.File(
+      graft.ops.Dedup.sigStateTombstonePath(stateBase)).exists())
+    assert(prior() === Map(
+      "a.com" -> ((2L, round4((0.2 + 0.4) / 2))),
+      "b.com" -> ((1L, 1.0))))
+  }
+
+  private def round4(x: Double): Double =
+    math.floor(x * 1e4 + 0.5) / 1e4
+
   test("capstone domainBlocklist knob: blocked docs never reach the " +
       "per-doc gates; missing url column fails loudly") {
     val text = Seq.fill(35)("the quick brown fox and the lazy dog runs")
