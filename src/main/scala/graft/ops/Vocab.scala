@@ -68,6 +68,17 @@ object Vocab {
     df.select(explode(TextOps.wsTokens(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
 
+  /** Per-(group, word) frequency counts — the shared type-grain frame
+    * the fertility evaluators aggregate over (`__g` is the group).
+    * [[wordCounts]] is its group-free roll-up: materialize THIS once
+    * (localCheckpoint) and derive both grains from it instead of
+    * paying one corpus scan per consumer. */
+  def typeCounts(df: DataFrame, groupCol: String,
+      textCol: String): DataFrame =
+    df.select(col(groupCol).as("__g"),
+        explode(TextOps.wsTokens(col(textCol))).as("word"))
+      .groupBy("__g", "word").agg(count(lit(1)).as("cnt"))
+
   private def toSymbols(word: String): Vector[String] =
     word.map(_.toString).toVector :+ EndOfWord
 
@@ -239,8 +250,12 @@ object Vocab {
     * anchors the merge loop's core arithmetic cross-engine (the loop
     * itself is not SQL-expressible, but its decision input is).
     * Returns (l_sym, r_sym, cnt). */
-  def pairCountsFrame(df: DataFrame, textCol: String): DataFrame = {
-    val wc = wordCounts(df, textCol)
+  def pairCountsFrame(df: DataFrame, textCol: String): DataFrame =
+    pairCountsFrameOf(wordCounts(df, textCol))
+
+  /** [[pairCountsFrame]] over a precomputed (word, cnt) frame — share
+    * one [[wordCounts]] scan across several model fits. */
+  def pairCountsFrameOf(wc: DataFrame): DataFrame = {
     val syms = concat(split(col("word"), ""), array(lit(EndOfWord)))
     wc.select(col("cnt"), syms.as("s"))
       .select(col("cnt"),
@@ -269,8 +284,13 @@ object Vocab {
     * (first occurrence), mirrored by min(rank) in SQL — only the
     * RELATIVE rank order matters to [[encodeWord]]'s argmin. */
   def staticBpeModel(df: DataFrame, textCol: String, tier1: Int = 30,
+      chainTop: Int = 5): BpeModel =
+    staticBpeModelOf(wordCounts(df, textCol), tier1, chainTop)
+
+  /** [[staticBpeModel]] over a precomputed (word, cnt) frame. */
+  def staticBpeModelOf(wc: DataFrame, tier1: Int = 30,
       chainTop: Int = 5): BpeModel = {
-    val top = pairCountsFrame(df, textCol)
+    val top = pairCountsFrameOf(wc)
       .orderBy(desc("cnt"), col("l_sym"), col("r_sym"))
       .limit(tier1)
       .select("l_sym", "r_sym").collect()
@@ -294,8 +314,13 @@ object Vocab {
     * argmax, smallest split point on ties) with no transcendental
     * (log) whose last ulp could differ between libm and the JVM. */
   def staticUnigramModel(df: DataFrame, textCol: String,
+      nPieces: Int = 60, maxPieceLen: Int = 8): UnigramModel =
+    staticUnigramModelOf(wordCounts(df, textCol), nPieces, maxPieceLen)
+
+  /** [[staticUnigramModel]] over a precomputed (word, cnt) frame. */
+  def staticUnigramModelOf(wc: DataFrame,
       nPieces: Int = 60, maxPieceLen: Int = 8): UnigramModel = {
-    val pcf = pieceCountsFrame(df, textCol, maxPieceLen)
+    val pcf = pieceCountsFrameOf(wc, maxPieceLen)
     val top = pcf.orderBy(desc("cnt"), col("piece")).limit(nPieces)
       .collect().map(r => (r.getString(0), r.getLong(1)))
     val chars = pcf.filter(length(col("piece")) === 1)
@@ -511,8 +536,12 @@ object Vocab {
     * SQL-expressible, but what it consumes is — the q81b/pairCounts
     * pattern). Returns (piece, cnt). */
   def pieceCountsFrame(df: DataFrame, textCol: String,
+      maxPieceLen: Int = 8): DataFrame =
+    pieceCountsFrameOf(wordCounts(df, textCol), maxPieceLen)
+
+  /** [[pieceCountsFrame]] over a precomputed (word, cnt) frame. */
+  def pieceCountsFrameOf(wc: DataFrame,
       maxPieceLen: Int = 8): DataFrame = {
-    val wc = wordCounts(df, textCol)
     wc.select(col("cnt"),
       explode(flatten(transform(
         sequence(lit(1), length(col("word"))),
@@ -1072,11 +1101,19 @@ object Vocab {
     * the exact-int-sum ratio divides all have DuckDB twins. */
   def tokenizerFertilityCompare(df: DataFrame, groupCol: String,
       textCol: String, bpe: BpeModel, uni: UnigramModel,
+      wp: WordPieceModel): DataFrame =
+    tokenizerFertilityCompareOf(typeCounts(df, groupCol, textCol),
+      groupCol, bpe, uni, wp)
+
+  /** [[tokenizerFertilityCompare]] over a precomputed [[typeCounts]]
+    * frame — the ONE-corpus-scan composition: materialize the
+    * (group, word) counts once, roll up [[wordCounts]] from it for
+    * the three model fits, and feed the same frame here (the q147
+    * shape: fit + evaluate three families off a single corpus pass). */
+  def tokenizerFertilityCompareOf(words: DataFrame, groupCol: String,
+      bpe: BpeModel, uni: UnigramModel,
       wp: WordPieceModel): DataFrame = {
-    val spark = df.sparkSession
-    val words = df.select(col(groupCol).as("__g"),
-        explode(TextOps.wsTokens(col(textCol))).as("word"))
-      .groupBy("__g", "word").agg(count(lit(1)).as("cnt"))
+    val spark = words.sparkSession
     val bc = spark.sparkContext.broadcast(
       (bpe.ranks, uni.logp, uni.maxLen, wp))
     val outSchema = StructType(Seq(
@@ -1177,8 +1214,12 @@ object Vocab {
     * trainer ([[learnWordPiece]]) carries the class out-of-band and
     * has no such caveat. */
   def wpPieceCountsFrame(df: DataFrame, textCol: String,
+      maxPieceLen: Int = 6): DataFrame =
+    wpPieceCountsFrameOf(wordCounts(df, textCol), maxPieceLen)
+
+  /** [[wpPieceCountsFrame]] over a precomputed (word, cnt) frame. */
+  def wpPieceCountsFrameOf(wc: DataFrame,
       maxPieceLen: Int = 6): DataFrame = {
-    val wc = wordCounts(df, textCol)
     wc.select(col("cnt"),
       explode(flatten(transform(
         sequence(lit(1), length(col("word"))),
@@ -1200,8 +1241,15 @@ object Vocab {
     * replays it as a pure longest-match walk. */
   def staticWordPieceModel(df: DataFrame, textCol: String,
       nInit: Int = 40, nCont: Int = 40,
+      maxPieceLen: Int = 6): WordPieceModel =
+    staticWordPieceModelOf(wordCounts(df, textCol), nInit, nCont,
+      maxPieceLen)
+
+  /** [[staticWordPieceModel]] over a precomputed (word, cnt) frame. */
+  def staticWordPieceModelOf(wc: DataFrame,
+      nInit: Int = 40, nCont: Int = 40,
       maxPieceLen: Int = 6): WordPieceModel = {
-    val pcf = wpPieceCountsFrame(df, textCol, maxPieceLen)
+    val pcf = wpPieceCountsFrameOf(wc, maxPieceLen)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       def side(cont: Boolean, n: Int): Set[String] = {

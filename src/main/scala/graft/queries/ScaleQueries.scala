@@ -953,10 +953,15 @@ object ScaleQueries {
     // distinct word plus the vocab selections and ratio arithmetic.
     "q147_fertility_families" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      Vocab.tokenizerFertilityCompare(d, "lang", "text",
-        Vocab.staticBpeModel(d, "text", tier1 = 30, chainTop = 5),
-        Vocab.staticUnigramModel(d, "text", nPieces = 60, maxPieceLen = 8),
-        Vocab.staticWordPieceModel(d, "text",
+      // ONE corpus scan: the (lang, word) type frame is materialized
+      // once; the global word counts the three model fits read are
+      // its slim roll-up, and the evaluation aggregates it directly
+      val lw = Vocab.typeCounts(d, "lang", "text").localCheckpoint()
+      val wc = lw.groupBy("word").agg(sum("cnt").as("cnt"))
+      Vocab.tokenizerFertilityCompareOf(lw, "lang",
+        Vocab.staticBpeModelOf(wc, tier1 = 30, chainTop = 5),
+        Vocab.staticUnigramModelOf(wc, nPieces = 60, maxPieceLen = 8),
+        Vocab.staticWordPieceModelOf(wc,
           nInit = 40, nCont = 40, maxPieceLen = 6))
         .orderBy("family", "lang")
     }),
