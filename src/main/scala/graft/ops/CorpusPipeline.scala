@@ -122,6 +122,17 @@ object CorpusPipeline {
       // Scoring is a map-side broadcast projection: zero extra
       // shuffle, same cost class as the heuristic gates. 0 = off
       qualityMinProb: Double = 0.0,
+      // > 0: corpus-fit LM perplexity gate (the CCNet discipline in
+      // its self-fit flavor): Kneser–Ney bigram average NLL is
+      // computed over the CURRENT survivors
+      // ([[TextAnalysis.bigramScoreKN]] — one (w1,w2) count pass) and
+      // docs ABOVE this average negative log-likelihood are dropped —
+      // statistical gibberish whose char-level heuristics (alpha
+      // ratio, stopwords, entropy) all pass. Runs after the
+      // classifier gate, before the length-outlier gate. Docs too
+      // short to score (< 2 tokens, avg_nll 0) pass through for the
+      // length gates to judge. 0 = off
+      maxAvgNll: Double = 0.0,
       // non-empty: registrable-domain blocklist gate
       // ([[Domains.domainGate]], the C4/RefinedWeb discipline) ahead
       // of the per-doc gates — docs whose `url` column's registrable
@@ -140,8 +151,9 @@ object CorpusPipeline {
       urlDedupe: Boolean = false)
 
   case class Report(input: Long, gated: Long, classifier: Long,
-      outliers: Long, boiler: Long, deduped: Long, semantic: Long,
-      substr: Long, clean: Long, sampled: Long, sequences: Long)
+      ppl: Long, outliers: Long, boiler: Long, deduped: Long,
+      semantic: Long, substr: Long, clean: Long, sampled: Long,
+      sequences: Long)
 
   // ---- the five stage transforms, shared by build and buildStaged ----
 
@@ -208,6 +220,22 @@ object CorpusPipeline {
     graft.ml.QualityClassifier.score(model, gated, "text")
       .filter(col("quality_prob") >= cfg.qualityMinProb)
       .select("doc_id", "lang", "text")
+
+  /** Optional corpus-fit LM perplexity gate (the CCNet shape,
+    * self-fit): a Kneser–Ney bigram LM is fit on the CURRENT
+    * survivors in one (w1,w2) count pass and every doc is scored by
+    * its average NLL under it — word-salad whose character-level
+    * statistics all pass (real words, sane lengths, stopwords
+    * present) scores high because its bigram TRANSITIONS never
+    * recur, while natural text's do. Cost class: one bigram-type
+    * shuffle + a slim semi join back; the gate's survivors keep the
+    * input columns untouched. */
+  private[graft] def pplStage(docs: DataFrame, cfg: Config): DataFrame =
+    docs.join(
+      TextAnalysis.bigramScoreKN(docs, "doc_id", "text")
+        .filter(col("avg_nll") <= cfg.maxAvgNll)
+        .select("doc_id"),
+      Seq("doc_id"), "left_semi")
 
   /** Optional robust length-outlier gate (Profile.robustOutlierFlags
     * over the per-LANGUAGE token-count median/MAD): the adaptive
@@ -360,10 +388,14 @@ object CorpusPipeline {
         persistCorpus(classifierStage(gated, qualityModel.get, cfg),
           "classifier")
       else gated
+    val ppled =
+      if (cfg.maxAvgNll > 0)
+        persistCorpus(pplStage(classified, cfg), "ppl")
+      else classified
     val outliered =
       if (cfg.outlierZ > 0)
-        persistCorpus(outlierStage(classified, cfg), "outlier")
-      else classified
+        persistCorpus(outlierStage(ppled, cfg), "outlier")
+      else ppled
     val boiled =
       if (cfg.boilerplateMinDocFreq >= 2)
         persistCorpus(boilerStage(outliered, cfg), "boiler")
@@ -387,6 +419,7 @@ object CorpusPipeline {
       input = docs.count(),
       gated = gated.count(),
       classifier = classified.count(),
+      ppl = ppled.count(),
       outliers = outliered.count(),
       boiler = boiled.count(),
       deduped = deduped.count(),
@@ -500,10 +533,14 @@ object CorpusPipeline {
         stage("01q_classifier")(
           classifierStage(gated, qualityModel.get, cfg))
       else (gated, nGated)
+    val (ppled, nPpl) =
+      if (cfg.maxAvgNll > 0)
+        stage("01p_ppl")(pplStage(classified, cfg))
+      else (classified, nClassifier)
     val (outliered, nOutliers) =
       if (cfg.outlierZ > 0)
-        stage("01a_outlier")(outlierStage(classified, cfg))
-      else (classified, nClassifier)
+        stage("01a_outlier")(outlierStage(ppled, cfg))
+      else (ppled, nPpl)
     val (boiled, nBoiler) =
       if (cfg.boilerplateMinDocFreq >= 2)
         stage("01b_boiler")(boilerStage(outliered, cfg))
@@ -528,7 +565,7 @@ object CorpusPipeline {
     val (sequences, nSeq) = stage("05_sequences")(chunkStage(sampled, cfg))
 
     (sequences,
-      Report(nInput, nGated, nClassifier, nOutliers, nBoiler, nDeduped,
-        nSemantic, nSubstr, nClean, nSampled, nSeq))
+      Report(nInput, nGated, nClassifier, nPpl, nOutliers, nBoiler,
+        nDeduped, nSemantic, nSubstr, nClean, nSampled, nSeq))
   }
 }

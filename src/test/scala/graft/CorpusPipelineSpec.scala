@@ -65,6 +65,50 @@ class CorpusPipelineSpec extends AnyFunSuite {
       s"the loop doc must fall to the compression floor ($keptOn)")
   }
 
+  test("perplexity gate: non-repetitive word salad dropped, natural " +
+      "text kept; off → pass-through; funnel position pinned") {
+    import spark.implicits._
+    // natural register: docs share their bigram TRANSITIONS (the
+    // corpus-fit LM learns them), each with a distinct tail so
+    // content dedup keeps all of them
+    val base = "the cat sat on the mat and the dog ran to the park " +
+      "while the bird flew over the fence and the fish swam in the pond "
+    val naturals = (0 until 6).map(i =>
+      (100L + i, "en", (base * 2) + s"ending number$i"))
+    // word salad: every token distinct and corpus-unique, so every
+    // bigram occurs once and every continuation is novel — exactly
+    // the statistical gibberish char-level heuristics cannot see
+    val saladWords = (0 until 40).map(i => s"zx${('a' + i % 26).toChar}q$i")
+    val salad = (999L, "en", saladWords.mkString(" "))
+    val df = (naturals :+ salad).toDF("doc_id", "lang", "text")
+
+    val scored = graft.ops.TextAnalysis
+      .bigramScoreKN(df, "doc_id", "text")
+      .select("doc_id", "avg_nll").as[(Long, Double)].collect().toMap
+    val worstNatural = naturals.map(n => scored(n._1)).max
+    assert(scored(999L) > worstNatural,
+      s"salad ${scored(999L)} must outscore natural $worstNatural")
+    val thr = (worstNatural + scored(999L)) / 2
+
+    val kept = CorpusPipeline.pplStage(df,
+        CorpusPipeline.Config(maxAvgNll = thr))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === naturals.map(_._1).toSet, s"kept $kept")
+
+    // end-to-end: the report pins the stage between classifier and
+    // outliers; off → pass-through
+    val evalSet = Seq((1L, "benchmark text nothing shares"))
+      .toDF("doc_id", "text")
+    val cfg = CorpusPipeline.Config(minTokens = 10, minAlpha = 0.5,
+      maxStopword = 0.9, maxAvgNll = thr)
+    val (_, rep) = CorpusPipeline.build(df, evalSet, cfg)
+    assert(rep.gated === 7L, rep.toString)
+    assert(rep.ppl === 6L, rep.toString)
+    val (_, repOff) = CorpusPipeline.build(df, evalSet,
+      cfg.copy(maxAvgNll = 0.0))
+    assert(repOff.ppl === repOff.classifier, repOff.toString)
+  }
+
   test("intra-doc scrub stage: repeats drop inside the gate projection, lang kept") {
     import spark.implicits._
     // gate thresholds relaxed so the synthetic doc passes, then the
