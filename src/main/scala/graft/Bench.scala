@@ -157,7 +157,9 @@ object Bench {
     "q149_kn_ppl",
     // dedup-index PR curve over the threshold grid (candidates + exact
     // truth computed once, grid as conditional aggregation)
-    "q133b_dedup_pr_sweep")
+    "q133b_dedup_pr_sweep",
+    // LSH S-curve design table (theory beside q133b's measurement)
+    "q150_lsh_scurve")
 
   /** Queries whose r6→r7 numbers moved 2–6× with no code change — the
     * self-join/ANN family is short (<3 s warm) so a single co-tenant

@@ -293,6 +293,33 @@ object Dedup {
     lshBucketProfile(df, idCol, textCol, k, bands)
       .filter(col("n_ids") > maxBucket)
 
+  /** The LSH S-CURVE design table — the theoretical candidate-capture
+    * probability behind a (k, bands) choice: a pair with true Jaccard
+    * s shares a given band (r = k/bands rows) with probability s^r and
+    * is captured by AT LEAST one of b bands with probability
+    * 1 − (1 − s^r)^b (Leskovec/Rajaraman/Ullman ch. 3). This is the
+    * artifact a banding decision reads next to the MEASURED PR sweep
+    * (q133b): the curve says where the capture knee sits, the sweep
+    * says what the corpus actually does there. One row per grid s.
+    *
+    * Exponentiation is written as explicit left-folded multiplication
+    * chains (s·s·…·s), never pow(): integer-exponent powers via libm
+    * pow are not guaranteed identically rounded across engines, a
+    * multiply chain is. Grid points are i/steps — one exact divide. */
+  def lshSCurve(spark: org.apache.spark.sql.SparkSession, k: Int,
+      bands: Int, steps: Int = 20): DataFrame = {
+    require(bands >= 1 && k % bands == 0,
+      s"bands $bands must divide k $k")
+    val r = k / bands
+    val s = col("s")
+    val sr = (1 to r).map(_ => s).reduce(_ * _)
+    val miss = (1 to bands).map(_ => lit(1.0) - sr).reduce(_ * _)
+    spark.range(1, steps.toLong)
+      .select((col("id") / lit(steps.toDouble)).as("s"))
+      .select(lit(k).as("k"), lit(bands).as("bands"), col("s"),
+        round(lit(1.0) - miss, 4).as("p_capture"))
+  }
+
   /** AUDITABLE SimHash twin (60-bit, md5-derived token hashes) — the
     * oracle-checkable analog of [[simHash]]: per bit i, the fingerprint
     * sets bit i iff at least half the token hashes have bit i set

@@ -966,6 +966,15 @@ object ScaleQueries {
         .orderBy("family", "lang")
     }),
 
+    // LSH S-curve design table for BOTH shipped MinHash families —
+    // the theoretical capture probability 1-(1-s^r)^b a banding
+    // decision reads next to q133b's measured PR sweep; power chains
+    // written as explicit multiplies so both engines round identically
+    "q150_lsh_scurve" -> ((s, dir) =>
+      Dedup.lshSCurve(s, k = 8, bands = 2)
+        .unionByName(Dedup.lshSCurve(s, k = 32, bands = 8))
+        .orderBy("k", "s")),
+
     // Kneser–Ney bigram perplexity: absolute-discount smoothing with
     // the continuation distribution (the principled upgrade over
     // q138's Jelinek–Mercer mix) — all five statistics from the one
@@ -4597,6 +4606,24 @@ object ScaleQueries {
                 round(n_tokens * 1.0 / n_words, 4) AS fertility,
                 round(n_chars * 1.0 / n_tokens, 4) AS chars_per_token
          FROM fam ORDER BY family, lang""",
+    // S-curve twin: the same explicit multiply chains (r = 4 for both
+    // families), grid points as the same one exact divide
+    "q150_lsh_scurve" ->
+      """WITH s AS (SELECT i / 20.0 AS s
+                    FROM (SELECT unnest(range(1, 20)) AS i)),
+           a AS (SELECT 8 AS k, 2 AS bands, s,
+                   round(1.0 - (1.0 - s*s*s*s) * (1.0 - s*s*s*s), 4)
+                     AS p_capture
+                 FROM s),
+           f AS (SELECT 32 AS k, 8 AS bands, s,
+                   round(1.0 -
+                     (1.0 - s*s*s*s) * (1.0 - s*s*s*s) *
+                     (1.0 - s*s*s*s) * (1.0 - s*s*s*s) *
+                     (1.0 - s*s*s*s) * (1.0 - s*s*s*s) *
+                     (1.0 - s*s*s*s) * (1.0 - s*s*s*s), 4) AS p_capture
+                 FROM s)
+         SELECT * FROM (SELECT * FROM a UNION ALL SELECT * FROM f)
+         ORDER BY k, s""",
     // KN twin: q138's bigram frame with the two type-count statistics
     // (N1+ forward per w1 shares the context aggregate; N1+ backward
     // per w2; total types) and the identical discount expression tree

@@ -394,4 +394,23 @@ class DedupSpec extends AnyFunSuite {
       .collect().headOption.map(_.getDouble(2)).getOrElse(0.0)
     assert(jac < 0.2, s"Jaccard should under-score the subset pair, got $jac")
   }
+
+  test("lshSCurve: monotone in s, more bands capture strictly more, " +
+      "exact value at a hand point; bands must divide k") {
+    val audit = Dedup.lshSCurve(spark, k = 8, bands = 2)
+      .orderBy("s").as[(Int, Int, Double, Double)].collect().toSeq
+    val fast = Dedup.lshSCurve(spark, k = 32, bands = 8)
+      .orderBy("s").as[(Int, Int, Double, Double)].collect().toSeq
+    assert(audit.map(_._4) === audit.map(_._4).sorted)
+    // same r = 4, more bands → pointwise ≥ (strict away from 0/1)
+    audit.zip(fast).foreach { case (a, f) =>
+      assert(f._4 >= a._4, s"fast ${f._4} < audit ${a._4} at s=${a._3}")
+    }
+    // hand point: s = 0.5 → s^4 = 0.0625, 1 − 0.9375² = 0.12109375
+    val at05 = audit.find(_._3 == 0.5).get._4
+    assert(at05 === 0.1211, s"s-curve at 0.5: $at05")
+    intercept[IllegalArgumentException] {
+      Dedup.lshSCurve(spark, k = 8, bands = 3)
+    }
+  }
 }
