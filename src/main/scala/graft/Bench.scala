@@ -159,7 +159,9 @@ object Bench {
     // truth computed once, grid as conditional aggregation)
     "q133b_dedup_pr_sweep",
     // LSH S-curve design table (theory beside q133b's measurement)
-    "q150_lsh_scurve")
+    "q150_lsh_scurve",
+    // ranked retrieval eval: MRR + nDCG@5 on the q103 truth/ANN pair
+    "q151_ranked_eval")
 
   /** Queries whose r6→r7 numbers moved 2–6× with no code change — the
     * self-join/ANN family is short (<3 s warm) so a single co-tenant

@@ -86,6 +86,51 @@ object Eval {
           greatest(col("n_truth"), lit(1L)), 4).as("recall"))
   }
 
+  /** RANKED retrieval metrics beside [[recallAtK]]'s set metric —
+    * reciprocal rank and nDCG@k, the two numbers that see ORDER
+    * quality where recall cannot (an index returning the right five
+    * neighbors backwards has recall 1.0 and poor nDCG):
+    *
+    *   rr(q)   = 1 / (approx rank of the truth TOP-1 neighbor), 0 if
+    *             the index missed it entirely (mean over queries = MRR)
+    *   grade   = k+1 − truth_rank for truth members, 0 otherwise
+    *   nDCG(q) = Σ grade_i / log2(i+1)  over the approx list, divided
+    *             by the ideal DCG (all grades in truth order)
+    *
+    * Both inputs are top-k frames (qid, rn, cid). The ideal DCG is
+    * built as an engine aggregation over the rank range — the same
+    * expression tree the oracle sums, never a pre-folded constant —
+    * and outputs are rounded at 4 (the transcendental discipline:
+    * log2 feeds a value, comparisons downstream use the rounded
+    * form). Cost: two hash joins + one slim aggregate on the
+    * panel-sized frames — negligible beside the index paths. */
+  def rankedEval(truth: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val spark = truth.sparkSession
+    val log2 = (x: org.apache.spark.sql.Column) => log(x) / log(lit(2.0))
+    val t = truth.select(col("qid"), col("rn").as("t_rn"), col("cid"))
+    val a = approx.select(col("qid"), col("rn").as("a_rn"), col("cid"))
+    val dcg = a.join(t, Seq("qid", "cid"), "left")
+      .select(col("qid"), (coalesce(lit(k + 1) - col("t_rn"), lit(0)) /
+        log2(col("a_rn") + lit(1.0))).as("__term"))
+      .groupBy("qid").agg(sum("__term").as("__dcg"))
+    val idcg = spark.range(1, k + 1L)
+      .agg(sum((lit(k + 1) - col("id")) /
+        log2(col("id") + lit(1.0))).as("__idcg"))
+    val rr = a.join(t.filter(col("t_rn") === 1).select("qid", "cid"),
+        Seq("qid", "cid"))
+      .select(col("qid"), (lit(1.0) / col("a_rn")).as("__rr"))
+    t.select("qid").distinct()
+      .join(rr, Seq("qid"), "left")
+      .join(dcg, Seq("qid"), "left")
+      .crossJoin(broadcast(idcg))
+      .select(col("qid"),
+        round(coalesce(col("__rr"), lit(0.0)), 4).as("rr"),
+        round(coalesce(col("__dcg"), lit(0.0)) / col("__idcg"), 4)
+          .as("ndcg"))
+      .orderBy("qid")
+  }
+
   /** [[dedupPrecisionRecall]] swept over a THRESHOLD GRID — the full
     * PR curve a (k, bands, threshold) tuning decision reads, not one
     * operating point. Candidate pairs are generated ONCE (LSH banding

@@ -750,6 +750,20 @@ object ScaleQueries {
       graft.ops.Eval.recallAtK(truth, approx, k = 5).orderBy("qid")
     }),
 
+    // RANKED retrieval eval: MRR + nDCG@5 on the q103 truth/approx
+    // pair — order quality where recall@k is blind (right neighbors
+    // backwards = recall 1.0, poor nDCG); both sides and the metric
+    // arithmetic fully oracle-replayed
+    "q151_ranked_eval" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val truth = Similarity.cosineTopK(emb, "vec_id", "embedding",
+        nQueries = 10, k = 5)
+      val approx = Similarity.annTopK(emb, "vec_id", "embedding",
+        dim = 64, nQueries = 10, k = 5, planes = 8, maxFlips = 1,
+        tables = 1)
+      graft.ops.Eval.rankedEval(truth, approx, k = 5)
+    }),
+
     // Morton/z-order layout: the interleave arithmetic oracle-checked
     // cross-engine (bits=10 over partkey/suppkey buckets); the layout
     // operator itself (sampled range-exchange on z + within-partition
@@ -5271,6 +5285,31 @@ object ScaleQueries {
           SELECT qs.qid, COALESCE(h.hits, 0) AS hits,
                  ROUND(COALESCE(h.hits, 0) / 5.0, 4) AS recall
           FROM qs LEFT JOIN hit h USING (qid) ORDER BY qs.qid""",
+    // ranked-eval twin: the q103 truth/approx subqueries with the MRR
+    // and nDCG arithmetic — grades k+1−rank, log2 as ln/ln, ideal DCG
+    // summed over the same rank range (never a pre-folded constant)
+    "q151_ranked_eval" ->
+      s"""WITH truth AS (SELECT * FROM ($q29Sql) t0),
+            approx AS (SELECT * FROM ($q30bSql) a0),
+            graded AS (SELECT a.qid,
+                         coalesce(6 - t.rn, 0) /
+                           (ln(a.rn + 1.0) / ln(2.0)) AS term
+                       FROM approx a LEFT JOIN truth t
+                         ON t.qid = a.qid AND t.cid = a.cid),
+            dcg AS (SELECT qid, sum(term) AS dcg
+                    FROM graded GROUP BY qid),
+            idcg AS (SELECT sum((6 - i) / (ln(i + 1.0) / ln(2.0)))
+                       AS idcg
+                     FROM (SELECT unnest(range(1, 6)) AS i)),
+            rr AS (SELECT a.qid, 1.0 / a.rn AS rr
+                   FROM approx a JOIN truth t
+                     ON t.qid = a.qid AND t.cid = a.cid AND t.rn = 1),
+            qs AS (SELECT DISTINCT qid FROM truth)
+          SELECT qs.qid, round(coalesce(rr.rr, 0.0), 4) AS rr,
+                 round(coalesce(dcg.dcg, 0.0) / idcg.idcg, 4) AS ndcg
+          FROM qs LEFT JOIN rr USING (qid) LEFT JOIN dcg USING (qid)
+            CROSS JOIN idcg
+          ORDER BY qs.qid""",
     // the bit walk is generated from the same loop as the Column
     // expression, so both engines compute term-identical arithmetic
     "q102_zorder" -> {

@@ -59,6 +59,32 @@ class EvalSpec extends AnyFunSuite {
     assert(mean > 0.0 && mean <= 1.0, s"mean recall $mean")
   }
 
+  test("rankedEval: hand-computed rr/nDCG; perfect order scores 1.0; " +
+      "missed top-1 scores rr 0") {
+    // q0: approx returns the right set in the wrong order (recall
+    // would say 1.0 for the first two); q1: perfect; q2: misses all
+    val truth = Seq(
+      (0L, 1, 10L), (0L, 2, 11L), (0L, 3, 12L),
+      (1L, 1, 20L), (1L, 2, 21L), (1L, 3, 22L),
+      (2L, 1, 30L), (2L, 2, 31L), (2L, 3, 32L))
+      .toDF("qid", "rn", "cid")
+    val approx = Seq(
+      (0L, 1, 11L), (0L, 2, 10L), (0L, 3, 99L),
+      (1L, 1, 20L), (1L, 2, 21L), (1L, 3, 22L),
+      (2L, 1, 90L), (2L, 2, 91L), (2L, 3, 92L))
+      .toDF("qid", "rn", "cid")
+    val out = Eval.rankedEval(truth, approx, k = 3)
+      .as[(Long, Double, Double)].collect().toSeq
+    def lg2(x: Double) = math.log(x) / math.log(2.0)
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    val idcg = 3 / lg2(2) + 2 / lg2(3) + 1 / lg2(4)
+    val dcg0 = 2 / lg2(2) + 3 / lg2(3) + 0.0
+    assert(out === Seq(
+      (0L, 0.5, r4(dcg0 / idcg)),
+      (1L, 1.0, 1.0),
+      (2L, 0.0, 0.0)))
+  }
+
   test("dedupPrSweep: the grid row at a threshold ≡ the single-point " +
       "evaluator; truth counts monotone non-increasing in threshold") {
     val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001",
