@@ -161,7 +161,9 @@ object Bench {
     // LSH S-curve design table (theory beside q133b's measurement)
     "q150_lsh_scurve",
     // ranked retrieval eval: MRR + nDCG@5 on the q103 truth/ANN pair
-    "q151_ranked_eval")
+    "q151_ranked_eval",
+    // embedding-space drift between snapshot halves (centroid shift)
+    "q152_embedding_drift")
 
   /** Queries whose r6→r7 numbers moved 2–6× with no code change — the
     * self-join/ANN family is short (<3 s warm) so a single co-tenant

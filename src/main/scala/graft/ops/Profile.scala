@@ -329,4 +329,45 @@ object Profile {
       count(lit(1)).as("n_categories"),
       round(sum(col("contrib")), 6).as("drift"),
       (sum(col("contrib")) > threshold).as("drifted"))
+
+  /** EMBEDDING-space drift between two snapshots — the semantic
+    * sibling of [[categoricalDrift]]: per group key, the per-dimension
+    * CENTROIDS of both snapshots and two displacement measures —
+    * euclidean distance between centroids (absolute shift in embedding
+    * space) and their cosine (directional agreement; 1.0 = the mean
+    * vector points the same way). Catches the re-embed / upstream-
+    * model-change / population-shift class of regression that
+    * categorical composition cannot see (same lang/source mix, moved
+    * semantics). Keys present in only one snapshot drop out (a
+    * centroid pair needs both sides — the categorical form already
+    * reports appear/vanish).
+    *
+    * Scale: the q119 mean-pool shape — per-dim explode is rows×dim but
+    * aggregates map-side to a (key, dim)-grain frame (keys × dim rows,
+    * corpus-independent); the distance roll-up is over that slim
+    * frame. Returns (keyCol, n_old, n_new, l2_drift, centroid_cos),
+    * rounded at 4. */
+  def embeddingDrift(oldDf: DataFrame, newDf: DataFrame,
+      keyCol: String, vecCol: String): DataFrame = {
+    def ex(df: DataFrame) = df.filter(col(vecCol).isNotNull)
+      .select(col(keyCol).as("__k"),
+        posexplode(col(vecCol).cast("array<double>")))
+    def n(df: DataFrame, name: String) = df.filter(col(vecCol).isNotNull)
+      .groupBy(col(keyCol).as("__k")).agg(count(lit(1)).as(name))
+    val co = ex(oldDf).groupBy("__k", "pos").agg(avg("col").as("__mo"))
+    val cn = ex(newDf).groupBy("__k", "pos").agg(avg("col").as("__mn"))
+    co.join(cn, Seq("__k", "pos"))
+      .groupBy("__k")
+      .agg(
+        sqrt(sum((col("__mo") - col("__mn")) *
+          (col("__mo") - col("__mn")))).as("__l2"),
+        (sum(col("__mo") * col("__mn")) /
+          (sqrt(sum(col("__mo") * col("__mo"))) *
+           sqrt(sum(col("__mn") * col("__mn"))))).as("__cs"))
+      .join(n(oldDf, "n_old"), "__k").join(n(newDf, "n_new"), "__k")
+      .select(col("__k").as(keyCol), col("n_old"), col("n_new"),
+        round(col("__l2"), 4).as("l2_drift"),
+        round(col("__cs"), 4).as("centroid_cos"))
+      .orderBy(keyCol)
+  }
 }

@@ -750,6 +750,18 @@ object ScaleQueries {
       graft.ops.Eval.recallAtK(truth, approx, k = 5).orderBy("qid")
     }),
 
+    // EMBEDDING-space drift between snapshots (q134's semantic
+    // sibling): per-label centroid displacement — euclidean + cosine —
+    // between the even- and odd-id halves standing in for two corpus
+    // versions; the q119 per-dim explode shape, fully oracle-replayed
+    "q152_embedding_drift" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.ops.Profile.embeddingDrift(
+        emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1),
+        "label", "embedding")
+    }),
+
     // RANKED retrieval eval: MRR + nDCG@5 on the q103 truth/approx
     // pair — order quality where recall@k is blind (right neighbors
     // backwards = recall 1.0, poor nDCG); both sides and the metric
@@ -5285,6 +5297,38 @@ object ScaleQueries {
           SELECT qs.qid, COALESCE(h.hits, 0) AS hits,
                  ROUND(COALESCE(h.hits, 0) / 5.0, 4) AS recall
           FROM qs LEFT JOIN hit h USING (qid) ORDER BY qs.qid""",
+    // embedding-drift twin: q119's parallel-unnest per-dim means for
+    // both halves, then the identical distance/cosine expression trees
+    "q152_embedding_drift" ->
+      """WITH base AS (SELECT vec_id, label, embedding FROM embeddings
+                       WHERE embedding IS NOT NULL),
+            exo AS (SELECT label,
+                           unnest(range(0, len(embedding))) AS pos,
+                           CAST(unnest(embedding) AS DOUBLE) AS x
+                    FROM base WHERE vec_id % 2 = 0),
+            exn AS (SELECT label,
+                           unnest(range(0, len(embedding))) AS pos,
+                           CAST(unnest(embedding) AS DOUBLE) AS x
+                    FROM base WHERE vec_id % 2 = 1),
+            co AS (SELECT label, pos, avg(x) AS mo
+                   FROM exo GROUP BY 1, 2),
+            cn AS (SELECT label, pos, avg(x) AS mn
+                   FROM exn GROUP BY 1, 2),
+            no_ AS (SELECT label, count(*) AS n_old FROM base
+                    WHERE vec_id % 2 = 0 GROUP BY label),
+            nn_ AS (SELECT label, count(*) AS n_new FROM base
+                    WHERE vec_id % 2 = 1 GROUP BY label),
+            d AS (SELECT label,
+                    sqrt(sum((mo - mn) * (mo - mn))) AS l2,
+                    sum(mo * mn) / (sqrt(sum(mo * mo)) *
+                                    sqrt(sum(mn * mn))) AS cs
+                  FROM co JOIN cn USING (label, pos) GROUP BY label)
+         SELECT CAST(label AS INT) AS label,
+                n_old, n_new,
+                round(l2, 4) AS l2_drift,
+                round(cs, 4) AS centroid_cos
+         FROM d JOIN no_ USING (label) JOIN nn_ USING (label)
+         ORDER BY label""",
     // ranked-eval twin: the q103 truth/approx subqueries with the MRR
     // and nDCG arithmetic — grades k+1−rank, log2 as ln/ln, ideal DCG
     // summed over the same rank range (never a pre-folded constant)

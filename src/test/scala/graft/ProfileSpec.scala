@@ -182,4 +182,30 @@ class ProfileSpec extends AnyFunSuite {
       .collect().head
     assert(math.abs(far.getDouble(1) - 2.0) < 1e-12 && far.getBoolean(2))
   }
+
+  test("embeddingDrift: identical snapshots → (0, 1); orthogonal " +
+      "centroid shift → (√2, 0); one-sided keys drop out") {
+    import spark.implicits._
+    val old = Seq(
+      (1, Array(1.0f, 0.0f)), (1, Array(1.0f, 0.0f)),
+      (2, Array(0.5f, 0.5f)),
+      (3, Array(1.0f, 1.0f)))
+      .toDF("label", "embedding")
+    val nw = Seq(
+      (1, Array(0.0f, 1.0f)),
+      (2, Array(0.5f, 0.5f)), (2, Array(0.5f, 0.5f)),
+      (4, Array(9.0f, 9.0f)))
+      .toDF("label", "embedding")
+    val out = Profile.embeddingDrift(old, nw, "label", "embedding")
+      .as[(Int, Long, Long, Double, Double)].collect().toSeq
+    // labels 3 (old-only) and 4 (new-only) have no centroid pair
+    assert(out.map(_._1) === Seq(1, 2))
+    val byK = out.map(r => r._1 -> r).toMap
+    // label 1: centroid (1,0) → (0,1): l2 = √2, cosine 0
+    assert(byK(1)._2 === 2L && byK(1)._3 === 1L)
+    assert(byK(1)._4 === math.floor(math.sqrt(2.0) * 1e4 + 0.5) / 1e4)
+    assert(byK(1)._5 === 0.0)
+    // label 2: identical centroid → zero displacement, cosine 1
+    assert(byK(2) === ((2, 1L, 2L, 0.0, 1.0)))
+  }
 }
