@@ -163,7 +163,9 @@ object Bench {
     // ranked retrieval eval: MRR + nDCG@5 on the q103 truth/ANN pair
     "q151_ranked_eval",
     // embedding-space drift between snapshot halves (centroid shift)
-    "q152_embedding_drift")
+    "q152_embedding_drift",
+    // crawl-frontier priority: canonical novelty × domain prior
+    "q153_frontier_priority")
 
   /** Queries whose r6→r7 numbers moved 2–6× with no code change — the
     * self-join/ANN family is short (<3 s warm) so a single co-tenant

@@ -237,4 +237,48 @@ object Domains {
       df.withColumn("domain",
         registrableDomainCol(col(urlCol), multiSuffixes)),
       langCol = langCol, sourceCol = "domain", textCol = textCol)
+
+  /** CRAWL-FRONTIER prioritization — the fetch-ordering decision a
+    * crawler makes from what the corpus already knows, composing the
+    * two curation signals this module maintains: a candidate URL is
+    * NOVEL when its canonical form ([[canonicalUrlCol]]) is not among
+    * the already-fetched pages, and a novel candidate's priority is
+    * its registrable domain's quality prior over the fetched corpus
+    * ([[domainQualityPrior]] — fetch more from domains that have been
+    * worth keeping). Refetches and unparseable URLs get priority 0.
+    *
+    * Returns every candidate: (idCol, canonical_url, domain, novel,
+    * priority), priority rounded at 4 (the prior's exact-int-divide
+    * discipline). Order by (priority desc, id) to get the fetch queue;
+    * within-batch canonical duplicates are the caller's
+    * [[urlDedupKeep]] step — this scores against the KNOWN set.
+    *
+    * Scale: the known side reduces to a distinct canonical-key frame
+    * (one hash aggregate) and a domain-grained prior (slim) — the
+    * candidate side is one map-side projection + two joins against
+    * those reduced frames; nothing pairs candidates with raw corpus
+    * rows. */
+  def frontierPrioritize(candidates: DataFrame, known: DataFrame,
+      idCol: String, urlCol: String, scoreCol: Column,
+      multiSuffixes: Seq[String] = DefaultMultiSuffixes): DataFrame = {
+    val fetched = known
+      .select(canonicalUrlCol(col(urlCol)).as("canonical_url"))
+      .filter(col("canonical_url").isNotNull)
+      .distinct()
+      .withColumn("__seen", lit(true))
+    val prior = domainQualityPrior(known, urlCol, scoreCol, multiSuffixes)
+      .select(col("domain"), col("avg_score"))
+    candidates
+      .select(col(idCol),
+        canonicalUrlCol(col(urlCol)).as("canonical_url"),
+        registrableDomainCol(col(urlCol), multiSuffixes).as("domain"))
+      .join(fetched, Seq("canonical_url"), "left")
+      .join(prior, Seq("domain"), "left")
+      .select(col(idCol), col("canonical_url"), col("domain"),
+        (col("__seen").isNull && col("canonical_url").isNotNull)
+          .as("novel"),
+        when(col("__seen").isNull && col("canonical_url").isNotNull,
+          coalesce(col("avg_score"), lit(0.0))).otherwise(lit(0.0))
+          .as("priority"))
+  }
 }

@@ -750,6 +750,22 @@ object ScaleQueries {
       graft.ops.Eval.recallAtK(truth, approx, k = 5).orderBy("qid")
     }),
 
+    // CRAWL-FRONTIER prioritization: candidates scored by canonical
+    // novelty against the fetched set × the fetched corpus's
+    // per-domain quality prior — the fetch-queue composition of the
+    // q145 canonicalizer and the q143b prior; known = doc_id < 100
+    // (pages 0–99), so candidates split into real novel/refetch mixes
+    "q153_frontier_priority" -> ((s, dir) => {
+      val d = t(s, dir, "documents").withColumn("url",
+        syntheticUrlVariants)
+      Domains.frontierPrioritize(
+        d.filter(col("doc_id") >= 400),
+        d.filter(col("doc_id") < 100),
+        "doc_id", "url",
+        least(lit(100L), TextAnalysis.nTokensCol(col("text"))))
+        .orderBy("doc_id")
+    }),
+
     // EMBEDDING-space drift between snapshots (q134's semantic
     // sibling): per-label centroid displacement — euclidean + cosine —
     // between the even- and odd-id halves standing in for two corpus
@@ -5297,6 +5313,34 @@ object ScaleQueries {
           SELECT qs.qid, COALESCE(h.hits, 0) AS hits,
                  ROUND(COALESCE(h.hits, 0) / 5.0, 4) AS recall
           FROM qs LEFT JOIN hit h USING (qid) ORDER BY qs.qid""",
+    // frontier twin: the variant fixture collapses in CLOSED FORM
+    // (page = id % 211, domain = page % 7 — the q105/q106 oracle
+    // discipline), so novelty is a set membership and the prior the
+    // q143b exact-int-divide
+    "q153_frontier_priority" ->
+      """WITH d AS (SELECT doc_id, text, doc_id % 211 AS page,
+                           (doc_id % 211) % 7 AS dom
+                    FROM documents),
+           known AS (SELECT * FROM d WHERE doc_id < 100),
+           kp AS (SELECT DISTINCT page FROM known),
+           pr AS (SELECT dom, round(avg(least(100, len(list_filter(
+                    string_split(coalesce(text, ''), ' '),
+                    t -> length(t) > 0)))), 4) AS prior
+                  FROM known GROUP BY dom),
+           cand AS (SELECT doc_id, page, dom FROM d
+                    WHERE doc_id >= 400),
+           j AS (SELECT c.doc_id, c.page, c.dom,
+                        (kp.page IS NULL) AS novel, pr.prior
+                 FROM cand c LEFT JOIN kp ON kp.page = c.page
+                             LEFT JOIN pr ON pr.dom = c.dom)
+         SELECT doc_id,
+                'https://site' || dom || '.com/p/' || page ||
+                  '?a=1&b=2' AS canonical_url,
+                'site' || dom || '.com' AS domain,
+                novel,
+                CASE WHEN novel THEN coalesce(prior, 0.0)
+                     ELSE 0.0 END AS priority
+         FROM j ORDER BY doc_id""",
     // embedding-drift twin: q119's parallel-unnest per-dim means for
     // both halves, then the identical distance/cosine expression trees
     "q152_embedding_drift" ->

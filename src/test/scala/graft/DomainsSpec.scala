@@ -229,6 +229,32 @@ class DomainsSpec extends AnyFunSuite {
       10L -> ("kept", 10L), 11L -> ("kept", 11L)))
   }
 
+  test("frontierPrioritize: refetch scores 0, novel-on-known-domain " +
+      "scores the prior, novel-on-unknown-domain scores 0") {
+    val known = Seq(
+      (1L, "https://good.com/a", 10.0),
+      (2L, "https://good.com/b", 20.0),
+      (3L, "https://meh.com/x", 2.0))
+      .toDF("doc_id", "url", "q")
+    val candidates = Seq(
+      (10L, "HTTPS://GOOD.COM:443/a"),     // decorated refetch of /a
+      (11L, "https://good.com/new"),       // novel, high-prior domain
+      (12L, "https://meh.com/new"),        // novel, low-prior domain
+      (13L, "https://unseen.org/page"))    // novel, unknown domain
+      .toDF("doc_id", "url")
+    val out = Domains.frontierPrioritize(candidates, known,
+        "doc_id", "url", col("q"))
+      .orderBy("doc_id")
+      .as[(Long, String, String, Boolean, Double)].collect().toSeq
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(byId(10L)._4 === false && byId(10L)._5 === 0.0)
+    assert(byId(11L)._4 === true && byId(11L)._5 === 15.0)
+    assert(byId(12L)._4 === true && byId(12L)._5 === 2.0)
+    assert(byId(13L)._4 === true && byId(13L)._5 === 0.0)
+    // the fetch queue: priority desc puts the good-domain page first
+    assert(out.sortBy(r => (-r._5, r._1)).head._1 === 11L)
+  }
+
   test("streaming domain prior: fold ≡ batch domainQualityPrior on " +
       "first-write-wins rows; takedown re-aggregates exactly; vacuum") {
     val base = java.nio.file.Files
