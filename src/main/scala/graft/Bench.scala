@@ -165,7 +165,9 @@ object Bench {
     // embedding-space drift between snapshot halves (centroid shift)
     "q152_embedding_drift",
     // crawl-frontier priority: canonical novelty × domain prior
-    "q153_frontier_priority")
+    "q153_frontier_priority",
+    // corpus bigram-count frame (the LM anchor + state parity target)
+    "q154_bigram_counts")
 
   /** Queries whose r6→r7 numbers moved 2–6× with no code change — the
     * self-join/ANN family is short (<3 s warm) so a single co-tenant

@@ -280,20 +280,38 @@ object TextAnalysis {
     *
     * Returns (idCol, n_bigrams, avg_nll, ppl); docs with < 2 tokens
     * carry (0, 0.0, 1.0). */
-  def bigramScore(df: DataFrame, idCol: String, textCol: String,
-      lambda: Double = 0.75): DataFrame = {
-    // zip the token array with its own tail — both zip_with inputs
-    // evaluate once per row (the HOF per-element re-eval trap does not
-    // apply); the n-th element pairs with the null pad and is dropped
+  /** Per-document bigram-type counts (idCol, w1, w2, tf) — the
+    * id-grained decision-input frame every bigram LM here derives its
+    * statistics from, and the row grain the incrementally-maintained
+    * LM state stores (id-grained is what makes EXACT forget possible:
+    * re-aggregate without the forgotten id's rows). The token array is
+    * zipped with its own tail — both zip_with inputs evaluate once per
+    * row (the HOF per-element re-eval trap does not apply); the n-th
+    * element pairs with the null pad and is dropped. */
+  def docBigramCounts(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
     val toks = df.select(col(idCol), TextOps.wsTokens(col(textCol)).as("tk"))
-    val pairs = toks.select(col(idCol),
+    toks.select(col(idCol),
         explode(filter(
           zip_with(col("tk"), slice(col("tk"), lit(2), size(col("tk"))),
             (a, b) => struct(a.as("w1"), b.as("w2"))),
           p => p.getField("w2").isNotNull)).as("bg"))
       .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val tf = pairs.groupBy(col(idCol), col("w1"), col("w2"))
+      .groupBy(col(idCol), col("w1"), col("w2"))
       .agg(count(lit(1)).as("tf"))
+  }
+
+  /** Corpus bigram-type counts (w1, w2, cb) — [[docBigramCounts]]
+    * rolled up over the id axis: the batch anchor the incremental LM
+    * state's read is parity-pinned against. */
+  def bigramCounts(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docBigramCounts(df, idCol, textCol)
+      .groupBy("w1", "w2").agg(sum("tf").as("cb"))
+
+  def bigramScore(df: DataFrame, idCol: String, textCol: String,
+      lambda: Double = 0.75): DataFrame = {
+    val tf = docBigramCounts(df, idCol, textCol)
       .localCheckpoint()
     val cb = tf.groupBy("w1", "w2").agg(sum("tf").as("__cb"))
     val ctx = cb.groupBy("w1").agg(sum("__cb").as("__ctx"))
@@ -344,15 +362,7 @@ object TextAnalysis {
     * transcendental discipline. */
   def bigramScoreKN(df: DataFrame, idCol: String, textCol: String,
       discount: Double = 0.75): DataFrame = {
-    val toks = df.select(col(idCol), TextOps.wsTokens(col(textCol)).as("tk"))
-    val pairs = toks.select(col(idCol),
-        explode(filter(
-          zip_with(col("tk"), slice(col("tk"), lit(2), size(col("tk"))),
-            (a, b) => struct(a.as("w1"), b.as("w2"))),
-          p => p.getField("w2").isNotNull)).as("bg"))
-      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val tf = pairs.groupBy(col(idCol), col("w1"), col("w2"))
-      .agg(count(lit(1)).as("tf"))
+    val tf = docBigramCounts(df, idCol, textCol)
       .localCheckpoint()
     val cb = tf.groupBy("w1", "w2").agg(sum("tf").as("__cb"))
     val ctx = cb.groupBy("w1").agg(sum("__cb").as("__ctx"),

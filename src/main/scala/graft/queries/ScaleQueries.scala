@@ -1017,6 +1017,13 @@ object ScaleQueries {
         .unionByName(Dedup.lshSCurve(s, k = 32, bands = 8))
         .orderBy("k", "s")),
 
+    // the corpus bigram-count frame itself — the LM decision-input
+    // anchor (q81b's role for the bigram LMs) and the parity target
+    // of the incrementally-maintained LM state (lmFromState)
+    "q154_bigram_counts" -> ((s, dir) =>
+      TextAnalysis.bigramCounts(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("w1", "w2")),
+
     // Kneser–Ney bigram perplexity: absolute-discount smoothing with
     // the continuation distribution (the principled upgrade over
     // q138's Jelinek–Mercer mix) — all five statistics from the one
@@ -4666,6 +4673,18 @@ object ScaleQueries {
                  FROM s)
          SELECT * FROM (SELECT * FROM a UNION ALL SELECT * FROM f)
          ORDER BY k, s""",
+    "q154_bigram_counts" ->
+      """WITH tk AS (SELECT doc_id,
+                 list_filter(string_split(coalesce(text, ''), ' '),
+                             t -> length(t) > 0) AS tk
+           FROM documents),
+           bg AS (SELECT doc_id,
+                         unnest(list_transform(range(1, len(tk)),
+                           i -> {'w1': tk[i], 'w2': tk[i + 1]})) AS b
+                  FROM tk WHERE len(tk) >= 2)
+         SELECT b.w1 AS w1, b.w2 AS w2,
+                CAST(count(*) AS BIGINT) AS cb
+         FROM bg GROUP BY 1, 2 ORDER BY w1, w2""",
     // KN twin: q138's bigram frame with the two type-count statistics
     // (N1+ forward per w1 shares the context aggregate; N1+ backward
     // per w2; total types) and the identical discount expression tree

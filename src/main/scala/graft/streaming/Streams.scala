@@ -883,6 +883,80 @@ object Streams {
       pruneHistory: Boolean = true): DataFrame =
     mediaDedupVacuum(spark, stateBase, pruneHistory)
 
+  /** INCREMENTAL corpus LM counts as an AvailableNow stream — the
+    * bigram-count frame behind the q138/q149 perplexity scorers and
+    * the capstone's PPL gate, maintained across batches without
+    * rescanning the corpus. The state stores
+    * [[graft.ops.TextAnalysis.docBigramCounts]]' ID-GRAINED rows
+    * (id, w1, w2, tf) with first-write-wins on id (replay-safe); the
+    * corpus (w1, w2) roll-up happens at READ time ([[lmFromState]]) —
+    * counts are additive, but a domain-grained running sum could
+    * never subtract a forgotten document exactly, the id-grained
+    * state re-aggregates without it. Ids whose first-seen text has
+    * fewer than two tokens contribute no rows (nothing to count and
+    * nothing to forget). */
+  def lmCountsIncrementalAvailableNow(docs: DataFrame, idCol: String,
+      textCol: String, stateBase: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val spark = batch.sparkSession
+        val ver = f"batch_$id%06d"
+        // within-batch id dedupe: keep one deterministic text per id
+        // (min), then count — counting both copies would double tf
+        val one = batch.toDF()
+          .select(col(idCol).cast("long").as("id"),
+            col(textCol).as("__t"))
+          .groupBy("id").agg(min(col("__t")).as("__t"))
+        val batchKeys = graft.ops.TextAnalysis
+          .docBigramCounts(one, "id", "__t")
+        val next = priorVersion(spark, stateBase, ver) match {
+          case Some(p) =>
+            val prior = spark.read.parquet(s"$stateBase/run_ts=$p")
+            prior.unionByName(batchKeys.join(
+              prior.select("id").distinct(), Seq("id"), "left_anti"))
+          case None => batchKeys
+        }
+        next.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$stateBase/run_ts=$ver")
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** The corpus bigram-count frame from the latest LM state —
+    * identical schema to the batch
+    * [[graft.ops.TextAnalysis.bigramCounts]] (w1, w2, cb), parity
+    * spec-pinned. Tombstones apply at read: a taken-down document's
+    * bigram contributions vanish and every count recomputes exactly
+    * as if it were never ingested. */
+  def lmFromState(spark: SparkSession, stateBase: String): DataFrame = {
+    val versions = scala.util.Try(
+      graft.sources.Sinks.runVersions(spark, stateBase))
+      .getOrElse(Seq.empty)
+    require(versions.nonEmpty,
+      s"no LM state under $stateBase — run the stream first")
+    val raw = spark.read.parquet(s"$stateBase/run_ts=${versions.max}")
+    val st = graft.ops.Dedup.sigStateTombstoneIds(spark, stateBase) match {
+      case Some(ts) => raw.join(broadcast(ts), Seq("id"), "left_anti")
+      case None => raw
+    }
+    st.groupBy("w1", "w2").agg(sum("tf").as("cb"))
+  }
+
+  /** TAKEDOWN for the LM state — the shared sibling-dir tombstone
+    * layout; the forgotten id's bigram rows drop out of every
+    * subsequent [[lmFromState]] aggregate. */
+  def lmDelete(spark: SparkSession, stateBase: String,
+      ids: DataFrame, idCol: String, ver: String): Unit =
+    graft.ops.Dedup.sigStateDelete(spark, stateBase, ids, idCol, ver)
+
+  /** Physical reclamation for the LM state — id-grained rows, the
+    * shared vacuum sequence. */
+  def lmVacuum(spark: SparkSession, stateBase: String,
+      pruneHistory: Boolean = true): DataFrame =
+    mediaDedupVacuum(spark, stateBase, pruneHistory)
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
 

@@ -275,6 +275,53 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(math.abs((pBA + pCA + pAA) - 1.0) < 1e-12)
   }
 
+  test("streaming LM counts: fold ≡ batch bigramCounts on " +
+      "first-write-wins docs; takedown ≡ from-scratch reduced; vacuum") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_lm_state").toString
+    val stateBase = s"$base/state"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val b0 = Seq((1L, "a b a b"), (2L, "b a"))
+    // batch 1: new doc 3, doc 1 re-sent with DIFFERENT text (must be
+    // ignored — first write wins), and a too-short doc 4 (no bigrams)
+    val b1 = Seq((3L, "c c a b"), (1L, "x y x y"), (4L, "solo"))
+    Seq(b0, b1).zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.parquet(s"$base/in/p$i")
+    }
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in/p*")
+    graft.streaming.Streams.lmCountsIncrementalAvailableNow(
+        stream, "doc_id", "text", stateBase, s"$base/ckpt")
+      .awaitTermination(300000): Unit
+
+    def cb(): Map[(String, String), Long] =
+      graft.streaming.Streams.lmFromState(spark, stateBase)
+        .as[(String, String, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+    def batchCb(docs: Seq[(Long, String)]): Map[(String, String), Long] =
+      graft.ops.TextAnalysis.bigramCounts(
+          docs.toDF("doc_id", "text"), "doc_id", "text")
+        .as[(String, String, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+    val firstWins = b0 ++ b1.filter(r => r._1 != 1L)
+    assert(cb() === batchCb(firstWins))
+    assert(cb()(("a", "b")) === 3L) // doc1 ×2 + doc3 ×1
+    // takedown of doc 1: counts recompute as if it was never ingested
+    graft.streaming.Streams.lmDelete(spark, stateBase,
+      Seq(1L).toDF("doc_id"), "doc_id", "d0")
+    val reduced = firstWins.filter(_._1 != 1L)
+    assert(cb() === batchCb(reduced))
+    // vacuum: physical forget, aggregate unchanged
+    val vac = graft.streaming.Streams.lmVacuum(spark, stateBase)
+    assert(vac.filter(col("id") === 1L).count() === 0L)
+    assert(cb() === batchCb(reduced))
+  }
+
   test("bigramScore: word-order-sensitive where unigram PPL is blind") {
     // both docs have identical unigram counts (2 x, 2 y) — unigramScore
     // CANNOT separate them; the bigram model rates doc 2's rare
