@@ -471,4 +471,96 @@ object Mixing {
         col("gumbel_key"),
         coalesce(col("selected"), lit(false)).as("selected"))
   }
+
+  /** UniMax language-budget allocation (Chung et al. 2023, "UniMax:
+    * Fairer and More Effective Language Sampling for Large-Scale
+    * Multilingual Pretraining"): distribute a token budget B as
+    * UNIFORMLY as possible across groups, except no group may repeat
+    * more than `maxEpochs` passes over its own `n_tokens` — the
+    * water-filling allocation
+    *
+    *   quota_g = min(maxEpochs · n_g, L)  with L chosen so Σ quota = B
+    *
+    * (when even the caps cannot absorb B, every group is capped and
+    * the leftover budget goes unspent — the epoch cap is the point).
+    * The paper states it as a sequential greedy over groups sorted by
+    * cap ascending (alloc = min(cap, remaining/|remaining groups|));
+    * that recurrence collapses to a closed form because once one
+    * group goes uncapped every LARGER group is uncapped too with the
+    * SAME share — so capped groups are exactly the prefix where
+    *
+    *   cap_g · (G − rank_g + 1) ≤ B − (prefix cap sum before g)
+    *
+    * and the common share is (B − Σ capped caps) / #uncapped. That
+    * closed form is what both engines replay, term for term.
+    *
+    * Contrast with [[temperatureSample]]: temperature flattens
+    * proportionally (quota ∝ count^α) and can still starve tiny
+    * languages or over-epoch them; UniMax gives every language the
+    * same budget until its epoch cap binds — the fairness argument of
+    * the paper.
+    *
+    * Determinism: caps/cumulative sums are products and sums of
+    * INTEGER token counts scaled by `maxEpochs` — keep `maxEpochs` a
+    * small dyadic (2.0, 0.5, 1.0) and every intermediate is an
+    * integral-valued double, exact under any summation order; the
+    * share division is a single IEEE divide (correctly rounded on
+    * both engines — the q63 sqrt-not-pow discipline).
+    *
+    * Returns one row per group: (groupCol, n_docs, n_tokens, capped,
+    * quota round 4, epochs round 6 = quota/n_tokens). Scale: one
+    * group aggregate, then windows over the G-row group frame only
+    * (declared below), never over data rows. */
+  def unimaxQuotas(df: DataFrame, groupCol: String, tokensCol: String,
+      budget: Double, maxEpochs: Double = 1.0): DataFrame = {
+    require(budget >= 0 && maxEpochs > 0)
+    val g = df.groupBy(groupCol)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(tokensCol)).cast("double").as("__nt"))
+      .withColumn("__cap", col("__nt") * lit(maxEpochs))
+    PlanNotes.declaredGlobalWindow("unimaxQuotas.waterfill",
+      "rank + running cap sum over G group rows (one row per group, " +
+      "never data rows)")
+    val ord = Window.orderBy(col("__cap").asc, col(groupCol).asc)
+    val ranked = g
+      .withColumn("__rk", row_number().over(ord))
+      .withColumn("__cum", sum(col("__cap")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val withG = ranked.crossJoin(broadcast(
+      g.agg(count(lit(1)).as("__g"))))
+    val flagged = withG.withColumn("capped",
+      col("__cap") * (col("__g") - col("__rk") + 1) <=
+        lit(budget) - (col("__cum") - col("__cap")))
+    val tot = flagged.agg(
+      sum(when(col("capped"), col("__cap")).otherwise(0.0)).as("__capsum"),
+      sum(when(col("capped"), 0L).otherwise(1L)).as("__nuncap"))
+    flagged.crossJoin(broadcast(tot))
+      .withColumn("__quota", when(col("capped"), col("__cap"))
+        .otherwise((lit(budget) - col("__capsum")) / col("__nuncap")))
+      .select(col(groupCol), col("n_docs"),
+        col("__nt").cast("long").as("n_tokens"), col("capped"),
+        round(col("__quota"), 4).as("quota"),
+        round(when(col("__nt") > 0, col("__quota") / col("__nt"))
+          .otherwise(lit(0.0)), 6).as("epochs"))
+  }
+
+  /** The document-grain fill of a [[unimaxQuotas]] allocation: per
+    * group, keep documents in md5 hash order while the running token
+    * total stays within the group's quota (the [[tokenBudget]] fill
+    * under UniMax quotas instead of one global cap). Returns the
+    * input columns plus `cum_tokens`. Scale: the quota frame is G
+    * rows broadcast onto one per-group window pass. */
+  def unimaxSample(df: DataFrame, groupCol: String, idCol: String,
+      keyCol: String, tokensCol: String, budget: Double,
+      maxEpochs: Double = 1.0): DataFrame = {
+    val quotas = unimaxQuotas(df, groupCol, tokensCol, budget, maxEpochs)
+      .select(col(groupCol), col("quota"))
+    val w = Window.partitionBy(groupCol)
+      .orderBy(hashOrder(col(keyCol), col(idCol)): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.join(broadcast(quotas), groupCol)
+      .withColumn("cum_tokens", sum(col(tokensCol)).over(w))
+      .filter(col("cum_tokens") <= col("quota"))
+      .drop("quota")
+  }
 }

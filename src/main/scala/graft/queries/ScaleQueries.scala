@@ -1991,6 +1991,33 @@ object ScaleQueries {
         .select("lang", "doc_id")
         .orderBy("lang", "doc_id")),
 
+    // UniMax water-filling budget allocation (Chung et al. 2023):
+    // 12k-token budget, 0.5-epoch cap — per-language quota frame with
+    // the capped/uncapped split; maxEpochs is dyadic so every cap and
+    // running sum is an integral-valued double (exact cross-engine)
+    "q155_unimax" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val withTokens = docs.join(
+        TextAnalysis.tokenCounts(docs, "doc_id", "text")
+          .select("doc_id", "ws_tokens"), "doc_id")
+      graft.ops.Mixing.unimaxQuotas(withTokens, "lang", "ws_tokens",
+        budget = 12000.0, maxEpochs = 0.5)
+        .orderBy("lang")
+    }),
+
+    // the document-grain fill of the q155 allocation: per language,
+    // hash-order running token total within the (rounded) quota
+    "q155b_unimax_fill" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val withTokens = docs.join(
+        TextAnalysis.tokenCounts(docs, "doc_id", "text")
+          .select("doc_id", "ws_tokens"), "doc_id")
+      graft.ops.Mixing.unimaxSample(withTokens, "lang", "doc_id", "text",
+        "ws_tokens", budget = 12000.0, maxEpochs = 0.5)
+        .select("lang", "doc_id", "cum_tokens")
+        .orderBy("lang", "doc_id")
+    }),
+
     // deterministic stratified 80/20 split per language — exact integer
     // boundary, rerun-stable membership
     "q64_stratified_split" -> ((s, dir) =>
@@ -2530,6 +2557,34 @@ object ScaleQueries {
     * inlined as literal DOUBLE[] arrays; Double.toString round-trips to
     * the identical bits, and both engines fold dot products in
     * sequential index order, so bucket assignment matches exactly. */
+  /** Shared CTE chain of the q155 UniMax twins: token counts →
+    * per-language totals → cap rank/running sum → capped-prefix flag →
+    * capped-sum/uncapped-count scalars. Budget 12000.0, epoch cap 0.5
+    * (dyadic, so cap = ws·0.5 is an integral-valued double and every
+    * sum is exact under any accumulation order). */
+  private val unimaxQuotaCte: String =
+    """WITH tk AS (SELECT doc_id, lang, text,
+                CAST(len(list_filter(string_split(coalesce(text, ''), ' '),
+                                     t -> length(t) > 0)) AS BIGINT) AS ws
+           FROM documents),
+           g AS (SELECT lang, count(*) AS n_docs,
+                        CAST(sum(ws) AS DOUBLE) AS nt
+                 FROM tk GROUP BY lang),
+           r AS (SELECT lang, n_docs, nt, nt * 0.5 AS cap,
+                   row_number() OVER (ORDER BY nt * 0.5 ASC, lang) AS rk,
+                   sum(nt * 0.5) OVER (ORDER BY nt * 0.5 ASC, lang
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS cum,
+                   (SELECT count(*) FROM g) AS gg
+                 FROM g),
+           f AS (SELECT *,
+                   cap * (gg - rk + 1) <= 12000.0 - (cum - cap) AS capped
+                 FROM r),
+           s2 AS (SELECT sum(CASE WHEN capped THEN cap ELSE 0.0 END)
+                    AS capsum,
+                  sum(CASE WHEN capped THEN 0 ELSE 1 END) AS nuncap
+                  FROM f)"""
+
   /** Brute-force cosine top-5 oracle (q29) — also the ground-truth
     * side of the q103 recall evaluation, so it lives in a val both
     * entries share. */
@@ -3755,6 +3810,38 @@ object ScaleQueries {
                  FROM documents)
          SELECT r.lang, r.doc_id FROM r JOIN q USING (lang)
          WHERE rn <= quota ORDER BY lang, doc_id""",
+    // UniMax twins: the water-filling closed form replayed term for
+    // term — rank/running-sum windows over the G-row language frame,
+    // capped prefix test cap·(G−rk+1) ≤ B − (cum−cap), share as ONE
+    // divide; caps are integral-valued doubles (ws·0.5) so the sums
+    // are exact under any accumulation order
+    "q155_unimax" ->
+      s"""$unimaxQuotaCte
+         SELECT lang, n_docs, CAST(nt AS BIGINT) AS n_tokens, capped,
+                round(CASE WHEN capped THEN cap
+                           ELSE (12000.0 - capsum) / nuncap END, 4)
+                  AS quota,
+                round(CASE WHEN nt > 0 THEN
+                        (CASE WHEN capped THEN cap
+                              ELSE (12000.0 - capsum) / nuncap END) / nt
+                      ELSE 0.0 END, 6) AS epochs
+         FROM f CROSS JOIN s2 ORDER BY lang""",
+    "q155b_unimax_fill" ->
+      s"""$unimaxQuotaCte,
+           q AS (SELECT lang,
+                   round(CASE WHEN capped THEN cap
+                              ELSE (12000.0 - capsum) / nuncap END, 4)
+                     AS quota
+                 FROM f CROSS JOIN s2),
+           c AS (SELECT lang, doc_id,
+                   CAST(sum(ws) OVER (PARTITION BY lang
+                     ORDER BY md5(coalesce(text, '')), doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cum_tokens
+                 FROM tk)
+         SELECT c.lang, c.doc_id, c.cum_tokens
+         FROM c JOIN q USING (lang)
+         WHERE cum_tokens <= quota ORDER BY lang, doc_id""",
     "q72_shuffle" ->
       """SELECT doc_id, lang,
                 md5('7:' || CAST(doc_id AS VARCHAR)) AS shuffle_key

@@ -384,4 +384,63 @@ class MixingSpec extends AnyFunSuite {
       .select("id").collect().map(_.getLong(0)).sorted.toSeq
     assert(viaWeights === viaTemp)
   }
+
+  // UniMax fixture: A holds 10 tokens, B 100, C 1000 → with E = 2 the
+  // caps are 20 / 200 / 2000
+  private def unimaxDocs = {
+    val rows =
+      (1 to 2).map(i => ("A", i.toLong, s"a$i", 5L)) ++
+      (1 to 10).map(i => ("B", 100L + i, s"b$i", 10L)) ++
+      (1 to 10).map(i => ("C", 200L + i, s"c$i", 100L))
+    rows.toDF("grp", "id", "key", "toks").repartition(3)
+  }
+
+  test("unimaxQuotas: water-filling hand-computed — capped prefix, uncapped share") {
+    // B=600, E=2: sorted by cap (A 20, B 200, C 2000):
+    //   A: 20·3 = 60  ≤ 600        → capped, alloc 20
+    //   B: 200·2 = 400 ≤ 600−20    → capped, alloc 200
+    //   C: 2000·1 = 2000 > 380     → uncapped, share (600−220)/1 = 380
+    val q = Mixing.unimaxQuotas(unimaxDocs, "grp", "toks", 600.0, 2.0)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Boolean]("capped"), r.getAs[Double]("quota"),
+          r.getAs[Double]("epochs")))).toMap
+    assert(q("A") === ((true, 20.0, 2.0)))
+    assert(q("B") === ((true, 200.0, 2.0)))
+    assert(q("C") === ((false, 380.0, 0.38)))
+    // budget exactly exhausted when any group is uncapped
+    assert(q.values.map(_._2).sum === 600.0)
+  }
+
+  test("unimaxQuotas: small budget → uniform split, no group capped") {
+    val q = Mixing.unimaxQuotas(unimaxDocs, "grp", "toks", 30.0, 2.0)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Boolean]("capped"), r.getAs[Double]("quota")))).toMap
+    assert(q === Map("A" -> ((false, 10.0)), "B" -> ((false, 10.0)),
+      "C" -> ((false, 10.0))))
+  }
+
+  test("unimaxQuotas: budget beyond all caps → every group capped, leftover unspent") {
+    val q = Mixing.unimaxQuotas(unimaxDocs, "grp", "toks", 5000.0, 2.0)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Boolean]("capped"), r.getAs[Double]("quota"),
+          r.getAs[Double]("epochs")))).toMap
+    assert(q("A") === ((true, 20.0, 2.0)))
+    assert(q("B") === ((true, 200.0, 2.0)))
+    assert(q("C") === ((true, 2000.0, 2.0)))
+  }
+
+  test("unimaxSample: per-group hash-order fill within the quota, rerun-stable") {
+    // quotas 20/200/380: A keeps both docs (cum 10 ≤ 20), B all ten
+    // (cum 100 ≤ 200), C the first three in hash order (300 ≤ 380 < 400)
+    val out = Mixing.unimaxSample(unimaxDocs, "grp", "id", "key", "toks",
+      600.0, 2.0)
+    val perG = out.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perG === Map("A" -> 2L, "B" -> 10L, "C" -> 3L))
+    val a = out.select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val b = Mixing.unimaxSample(unimaxDocs.repartition(7), "grp", "id",
+      "key", "toks", 600.0, 2.0)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a === b)
+  }
 }
