@@ -84,6 +84,83 @@ object Similarity {
     topKPerQuery(sims, k)
   }
 
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019, "Margin-based
+    * Parallel Corpus Mining with Multilingual Sentence Embeddings" —
+    * the LASER/CCMatrix recipe for harvesting translation pairs from
+    * web corpora): candidate pairs between a QUERY slice X (one
+    * language, panel-bounded by contract) and a corpus slice Y (the
+    * other language) are scored by the RATIO margin
+    *
+    *   margin(x, y) = cos(x, y) / ((meanK(x→Y) + meanK(y→X)) / 2)
+    *
+    * — the cosine normalized by how "hubby" both endpoints are (their
+    * mean similarity to their own k nearest neighbors). An absolute
+    * cosine threshold fails on multilingual embeddings because hub
+    * sentences sit close to EVERYTHING; the margin cancels the hub
+    * term. Selection is the paper's `max` strategy over the k-NN
+    * candidate list: each x takes its best-margin candidate among its
+    * k forward neighbors, kept when the pair is MUTUAL (x is also y's
+    * best backward neighbor) and the margin clears `minMargin`.
+    *
+    * Determinism: raw cosines are bit-identical cross-engine (the
+    * sequential-fold dot of q29), candidate sims are ROUNDED to 4
+    * before any mean; the k-neighbor means sum 1e4-scaled INTEGERS so
+    * they are exact under any accumulation order, and the final
+    * margin rank orders on the rounded margin with id tiebreak.
+    *
+    * Scale (100 TB): X broadcasts (panel by contract); the Y corpus
+    * is scanned for the pair products, and BOTH k-NN heaps fold
+    * map-side ([[graft.functions.TopKAgg]] partial aggregation — the
+    * per-y heap exchanges one bounded row per corpus id, the per-x
+    * heap one per panel id). The candidate list (|X|·k rows) then
+    * broadcast-joins back against the per-y stats; no shuffle ever
+    * carries the corpus×panel pair grain.
+    *
+    * Returns one row per x that has ≥1 finite-sim candidate:
+    * (x_id, y_id, sim, margin, mutual, selected). */
+  def bitextMine(xs: DataFrame, ys: DataFrame, idCol: String,
+      vecCol: String, k: Int = 4, minMargin: Double = 1.0): DataFrame = {
+    import graft.functions.TopKAgg
+    val x = xs.select(col(idCol).cast("long").as("xid"),
+      asDouble(col(vecCol)).as("xv")).withColumn("xn", norm(col("xv")))
+    val y = ys.select(col(idCol).cast("long").as("yid"),
+      asDouble(col(vecCol)).as("yv")).withColumn("yn", norm(col("yv")))
+    val pair = y.join(broadcast(x))
+      .withColumn("sim", dot(col("xv"), col("yv")) / (col("xn") * col("yn")))
+      .filter(col("sim").isNotNull && !isnan(col("sim")))
+      .select("xid", "yid", "sim")
+    // order-independent mean of the heap's k best sims: round each to
+    // 4, sum as 1e4-scaled integers, one exact divide
+    def heapMean(h: Column): Column =
+      aggregate(transform(h,
+          e => round(round(e.getField("score"), 4) * 10000, 0)
+            .cast("long")),
+        lit(0L), (a, b) => a + b).cast("double") /
+        (size(h) * lit(10000.0))
+    val fwd = pair.groupBy("xid")
+      .agg(TopKAgg.topK(col("sim"), col("yid"), lit(0L), k).as("__h"))
+      .select(col("xid"), heapMean(col("__h")).as("mx"),
+        posexplode(col("__h")))
+      .select(col("xid"), col("mx"), col("col.t1").as("yid"),
+        round(col("col.score"), 4).as("sim"))
+    val bwd = pair.groupBy("yid")
+      .agg(TopKAgg.topK(col("sim"), col("xid"), lit(0L), k).as("__h"))
+      .select(col("yid"), heapMean(col("__h")).as("my"),
+        element_at(col("__h"), 1).getField("t1").as("best_x"))
+    val scored = bwd.join(broadcast(fwd), "yid")
+      .withColumn("margin",
+        round(col("sim") / ((col("mx") + col("my")) / 2.0), 4))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("xid")
+      .orderBy(col("margin").desc, col("yid").asc)
+    scored.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col("xid").as("x_id"), col("yid").as("y_id"), col("sim"),
+        col("margin"), (col("best_x") === col("xid")).as("mutual"),
+        (col("best_x") === col("xid") && col("margin") >= minMargin)
+          .as("selected"))
+      .orderBy("x_id")
+  }
+
   /** Embedding-space benchmark decontamination — the semantic sibling
     * of [[graft.ops.Contamination.ngramOverlap]]: a corpus document is
     * contaminated when its embedding's cosine against ANY benchmark

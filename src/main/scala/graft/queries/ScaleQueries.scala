@@ -792,6 +792,18 @@ object ScaleQueries {
       graft.ops.Eval.rankedEval(truth, approx, k = 5)
     }),
 
+    // margin-based bitext mining (Artetxe & Schwenk 2019): label-0
+    // panel (fixed vec_id bound) mined against the label-1 corpus
+    // slice; ratio margin over k=4 neighbor means, mutual-best + 1.0
+    // threshold — hubness-corrected pair harvesting, fully replayed
+    "q156_bitext" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bitextMine(
+        emb.filter(col("label") === 0 && col("vec_id") < 250),
+        emb.filter(col("label") === 1),
+        "vec_id", "embedding", k = 4, minMargin = 1.0)
+    }),
+
     // Morton/z-order layout: the interleave arithmetic oracle-checked
     // cross-engine (bits=10 over partkey/suppkey buckets); the layout
     // operator itself (sampled range-exchange on z + within-partition
@@ -5504,6 +5516,51 @@ object ScaleQueries {
           FROM qs LEFT JOIN rr USING (qid) LEFT JOIN dcg USING (qid)
             CROSS JOIN idcg
           ORDER BY qs.qid""",
+    // bitext-mining twin: the full pair cosine frame, forward/backward
+    // k=4 rank windows (raw sim — bit-identical cross-engine — with id
+    // tiebreak), 1e4-scaled INTEGER neighbor-mean sums (exact under
+    // any accumulation order), the ratio margin on rounded values, and
+    // the per-x best-margin + mutuality selection
+    "q156_bitext" ->
+      """WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] v
+                       FROM embeddings),
+            x AS (SELECT vec_id xid, v xv FROM base
+                  WHERE label = 0 AND vec_id < 250),
+            y AS (SELECT vec_id yid, v yv FROM base WHERE label = 1),
+            p0 AS (SELECT xid, yid, list_cosine_similarity(xv, yv) sim
+                   FROM x CROSS JOIN y),
+            p AS (SELECT * FROM p0 WHERE NOT isnan(sim)),
+            fr AS (SELECT xid, yid, sim,
+                     row_number() OVER (PARTITION BY xid
+                       ORDER BY sim DESC, yid) rn
+                   FROM p),
+            fm AS (SELECT xid,
+                     CAST(sum(CAST(round(round(sim, 4) * 10000, 0)
+                       AS BIGINT)) AS DOUBLE) / (count(*) * 10000.0) mx
+                   FROM fr WHERE rn <= 4 GROUP BY xid),
+            cand AS (SELECT fr.xid, fr.yid, round(fr.sim, 4) AS sim,
+                       fm.mx
+                     FROM fr JOIN fm USING (xid) WHERE fr.rn <= 4),
+            br AS (SELECT xid, yid, sim,
+                     row_number() OVER (PARTITION BY yid
+                       ORDER BY sim DESC, xid) rn
+                   FROM p),
+            bm AS (SELECT yid,
+                     CAST(sum(CAST(round(round(sim, 4) * 10000, 0)
+                       AS BIGINT)) AS DOUBLE) / (count(*) * 10000.0) my,
+                     max(CASE WHEN rn = 1 THEN xid END) best_x
+                   FROM br WHERE rn <= 4 GROUP BY yid),
+            sc AS (SELECT c.xid, c.yid, c.sim,
+                     round(c.sim / ((c.mx + bm.my) / 2.0), 4) AS margin,
+                     bm.best_x
+                   FROM cand c JOIN bm USING (yid)),
+            r AS (SELECT *, row_number() OVER (PARTITION BY xid
+                    ORDER BY margin DESC, yid) rk
+                  FROM sc)
+         SELECT CAST(xid AS BIGINT) AS x_id, CAST(yid AS BIGINT) AS y_id,
+                sim, margin, best_x = xid AS mutual,
+                (best_x = xid AND margin >= 1.0) AS selected
+         FROM r WHERE rk = 1 ORDER BY x_id""",
     // the bit walk is generated from the same loop as the Column
     // expression, so both engines compute term-identical arithmetic
     "q102_zorder" -> {

@@ -641,6 +641,38 @@ class SimilaritySpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("bitextMine: hand-computed margins, threshold split, hub-mean arithmetic") {
+    // X: unit vectors (1,0), (0,1), (0.8,0.6); Y: (1,0), (0.6,0.8), (0,1)
+    // k=2 forward means: x1 0.8, x2 0.9, x3 0.88; backward means:
+    // y1 0.9, y2 0.88, y3 0.8 — best margins 1.1765 / 1.1765 / 1.0909,
+    // all mutual; minMargin=1.1 keeps x1, x2 and rejects x3
+    val xs = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(0.8f, 0.6f))).toDF("vec_id", "embedding")
+    val ys = Seq((11L, Array(1.0f, 0.0f)), (12L, Array(0.6f, 0.8f)),
+      (13L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.bitextMine(xs, ys, "vec_id", "embedding",
+      k = 2, minMargin = 1.1).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(3),
+        r.getBoolean(4), r.getBoolean(5)))).toMap
+    assert(out(1L) === ((11L, 1.1765, true, true)))
+    assert(out(2L) === ((13L, 1.1765, true, true)))
+    assert(out(3L) === ((12L, 1.0909, true, false)))
+  }
+
+  test("bitextMine: non-mutual pair is never selected") {
+    // one y, two xs: both nominate y, but y's best backward neighbor
+    // is x1 — x2's pair is non-mutual regardless of margin
+    val xs = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val ys = Seq((11L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.bitextMine(xs, ys, "vec_id", "embedding",
+      k = 1, minMargin = 0.0).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(4), r.getBoolean(5))))
+      .toMap
+    assert(out(1L) === ((true, true)))
+    assert(out(2L) === ((false, false)))
+  }
+
   test("driver-collect gate: an over-cap query panel refuses loudly") {
     // ccInCore-style belt-and-suspenders: a mis-wired panel size must
     // be an IllegalArgumentException at entry, never a driver OOM
