@@ -161,6 +161,42 @@ object Similarity {
       .orderBy("x_id")
   }
 
+  /** Hard-negative mining for contrastive training data (the
+    * DPR/ANCE discipline — Karpukhin et al. 2020, Xiong et al. 2021):
+    * for each anchor, the k corpus items MOST similar to it that are
+    * (a) not a known positive and (b) inside the hard-negative band
+    * `[minSim, maxSim)` — above `minSim` so the negative is actually
+    * confusable (random negatives teach nothing once training
+    * starts), below `maxSim` so an unlabeled near-duplicate/paraphrase
+    * of the positive is never mined as a negative (the false-negative
+    * poisoning failure every hard-negative pipeline guards against).
+    *
+    * Band thresholds compare the ROUNDED similarity (the tie class is
+    * explicit cross-engine); ranking inside the band is on the raw
+    * cosine (bit-identical per the q29 fold) with id tiebreak.
+    *
+    * Scale: anchors broadcast (panel by contract), positives are
+    * anchor-sized (≤ a few per anchor) and broadcast into the
+    * anti-join; one corpus scan, the per-anchor heap folds map-side
+    * (TopKAgg partial aggregation). Returns (qid, rn, cid, sim). */
+  def hardNegativeMine(anchors: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, positives: DataFrame,
+      k: Int = 5, minSim: Double = 0.0,
+      maxSim: Double = 0.95): DataFrame = {
+    val a = anchors.select(col(idCol).cast("long").as("qid"),
+      asDouble(col(vecCol)).as("qv")).withColumn("qn", norm(col("qv")))
+    val c = corpus.select(col(idCol).cast("long").as("cid"),
+      asDouble(col(vecCol)).as("cv")).withColumn("cn", norm(col("cv")))
+    val pos = positives.toDF("qid", "cid")
+      .select(col("qid").cast("long"), col("cid").cast("long"))
+    val sims = c.join(broadcast(a))
+      .withColumn("sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .filter(round(col("sim"), 4) >= minSim &&
+        round(col("sim"), 4) < maxSim)
+      .join(broadcast(pos), Seq("qid", "cid"), "left_anti")
+    topKPerQuery(sims, k)
+  }
+
   /** Embedding-space benchmark decontamination — the semantic sibling
     * of [[graft.ops.Contamination.ngramOverlap]]: a corpus document is
     * contaminated when its embedding's cosine against ANY benchmark

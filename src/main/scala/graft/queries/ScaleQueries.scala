@@ -792,6 +792,21 @@ object ScaleQueries {
       graft.ops.Eval.rankedEval(truth, approx, k = 5)
     }),
 
+    // hard-negative mining (DPR/ANCE): per anchor, the top-5 corpus
+    // items inside the [0.3, 0.9) rounded-sim band, with the presumed
+    // positive (exact rank-1 neighbor) anti-joined out — the
+    // contrastive-training negative sampler, fully oracle-replayed
+    "q157_hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val positives = Similarity.cosineTopK(emb, "vec_id", "embedding",
+        nQueries = 10, k = 1).select("qid", "cid")
+      Similarity.hardNegativeMine(
+        emb.filter(col("vec_id") < 10),
+        emb.filter(col("vec_id") >= 10),
+        "vec_id", "embedding", positives,
+        k = 5, minSim = 0.3, maxSim = 0.9)
+    }),
+
     // margin-based bitext mining (Artetxe & Schwenk 2019): label-0
     // panel (fixed vec_id bound) mined against the label-1 corpus
     // slice; ratio margin over k=4 neighbor means, mutual-best + 1.0
@@ -5516,6 +5531,31 @@ object ScaleQueries {
           FROM qs LEFT JOIN rr USING (qid) LEFT JOIN dcg USING (qid)
             CROSS JOIN idcg
           ORDER BY qs.qid""",
+    // hard-negative twin: the q29 pair frame with the rounded-sim band
+    // filter, the rank-1 positive anti-joined out, raw-sim ranking
+    "q157_hard_negatives" ->
+      """WITH base AS (SELECT vec_id, embedding::DOUBLE[] v
+                       FROM embeddings),
+            q AS (SELECT vec_id qid, v qv FROM base WHERE vec_id < 10),
+            c AS (SELECT vec_id cid, v cv FROM base WHERE vec_id >= 10),
+            s AS (SELECT qid, cid, list_cosine_similarity(qv, cv) sim
+                  FROM q CROSS JOIN c),
+            pos AS (SELECT qid, cid FROM
+                      (SELECT qid, cid, row_number() OVER (PARTITION BY
+                         qid ORDER BY sim DESC, cid) rn FROM s)
+                    WHERE rn = 1),
+            band AS (SELECT s.qid, s.cid, s.sim FROM s
+                     WHERE round(s.sim, 4) >= 0.3
+                       AND round(s.sim, 4) < 0.9
+                       AND NOT EXISTS (SELECT 1 FROM pos p
+                         WHERE p.qid = s.qid AND p.cid = s.cid)),
+            r AS (SELECT qid, cid, sim,
+                    row_number() OVER (PARTITION BY qid
+                      ORDER BY sim DESC, cid) rn
+                  FROM band)
+         SELECT CAST(qid AS BIGINT) AS qid, CAST(rn AS INT) AS rn,
+                CAST(cid AS BIGINT) AS cid, round(sim, 4) AS sim
+         FROM r WHERE rn <= 5 ORDER BY qid, rn""",
     // bitext-mining twin: the full pair cosine frame, forward/backward
     // k=4 rank windows (raw sim — bit-identical cross-engine — with id
     // tiebreak), 1e4-scaled INTEGER neighbor-mean sums (exact under

@@ -673,6 +673,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out(2L) === ((false, false)))
   }
 
+  test("hardNegativeMine: band excludes near-dups and floor, positives anti-joined") {
+    val anchors = Seq((0L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (10L, Array(1.0f, 0.0f)),  // sim 1.0 — above maxSim (near-dup)
+      (11L, Array(0.8f, 0.6f)),  // sim 0.8 — the hard negative
+      (12L, Array(0.6f, 0.8f)),  // sim 0.6 — in band, but is a positive
+      (13L, Array(0.0f, 1.0f)))  // sim 0.0 — below minSim (too easy)
+      .toDF("vec_id", "embedding")
+    val positives = Seq((0L, 12L)).toDF("qid", "cid")
+    val out = Similarity.hardNegativeMine(anchors, corpus, "vec_id",
+      "embedding", positives, k = 5, minSim = 0.3, maxSim = 0.9)
+      .collect()
+    assert(out.length === 1)
+    assert(out.head.getLong(0) === 0L)
+    assert(out.head.getLong(2) === 11L)
+    assert(out.head.getDouble(3) === 0.8)
+  }
+
   test("driver-collect gate: an over-cap query panel refuses loudly") {
     // ccInCore-style belt-and-suspenders: a mis-wired panel size must
     // be an IllegalArgumentException at entry, never a driver OOM
