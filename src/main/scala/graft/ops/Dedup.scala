@@ -1119,6 +1119,85 @@ object Dedup {
     firstWinReassemble(df, idCol, chunks)
   }
 
+  /** SLIDING-span keep-first dedup — the C4 "three-sentence span"
+    * discipline (Raffel et al. 2020: "we discarded all but one of any
+    * three-sentence span occurring more than once"), restated over
+    * fixed-width token units (this corpus has no sentence boundaries;
+    * on real text a sentence splitter produces the units and
+    * everything downstream is unchanged): every span of `span`
+    * CONSECUTIVE units is hashed, the globally FIRST occurrence of
+    * each span content — min (doc, position) — survives, and every
+    * unit covered by a later occurrence is dropped from its document.
+    *
+    * Differs from [[boilerplateScrub]] on both axes that matter:
+    * spans SLIDE (a duplicated passage straddling a chunk boundary is
+    * still caught — non-overlapping chunks provably miss it), and the
+    * semantics are keep-FIRST (one copy of the content survives the
+    * corpus) rather than drop-everywhere (boilerplate is noise in all
+    * its positions; a duplicated passage is content that should exist
+    * once). Complements [[graft.ops.SubstrDedup]]: that is exact
+    * substring-grain with winnowed anchors; this is the cheap
+    * unit-aligned form a C4-style pipeline runs first.
+    *
+    * Returns (idCol, text, n_units, n_dropped). Documents shorter
+    * than one full span carry no spans and pass through untouched.
+    *
+    * Scale: unit explode is map-side (rows ≈ corpus tokens / unit);
+    * span assembly is a lead() window PARTITIONED BY DOC (never
+    * global); keep-first is one row_number shuffle on the span hash;
+    * the drop set explodes ≤ span ids per duplicate occurrence and
+    * anti-joins the unit frame on (doc, unit idx); reassembly is one
+    * aggregate on doc id. No corpus×corpus join. */
+  def slidingSpanScrub(df: DataFrame, idCol: String, textCol: String,
+      unitTokens: Int = 5, span: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(unitTokens > 0 && span >= 2)
+    val w = unitTokens
+    val tk = TextOps.wsTokens(col(textCol))
+    val base = df.select(col(idCol).as("id"), tk.as("tk"))
+      .withColumn("nu",
+        ceil(size(col("tk")).cast("double") / w).cast("int"))
+    val units = base
+      .select(col("id"),
+        explode(when(col("nu") > 0,
+          sequence(lit(0), col("nu") - 1)).otherwise(array())).as("ui"),
+        col("tk"))
+      .select(col("id"), col("ui"),
+        concat_ws(" ", slice(col("tk"), col("ui") * w + 1, lit(w)))
+          .as("unit"))
+    val perDoc = Window.partitionBy("id").orderBy("ui")
+    val spans = units
+      .withColumn("__sp", concat_ws(" ",
+        (0 until span).map(j =>
+          if (j == 0) col("unit") else lead(col("unit"), j).over(perDoc)): _*))
+      .withColumn("__last", lead(col("unit"), span - 1).over(perDoc))
+      .filter(col("__last").isNotNull)
+      .select(col("id"), col("ui").as("si"), md5(col("__sp")).as("h"))
+    val firstW = Window.partitionBy("h").orderBy(col("id"), col("si"))
+    val dropSpans = spans
+      .withColumn("__rn", row_number().over(firstW))
+      .filter(col("__rn") > 1)
+    val dropUnits = dropSpans
+      .select(col("id"),
+        explode(sequence(col("si"), col("si") + (span - 1))).as("ui"))
+      .distinct()
+    val kept = units.join(dropUnits, Seq("id", "ui"), "left_anti")
+    val rebuilt = kept.groupBy("id")
+      .agg(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("ui"), col("unit")))),
+            s => s.getField("unit"))).as("text"),
+        count(lit(1)).as("n_kept"))
+    val counts = units.groupBy("id").agg(count(lit(1)).as("n_units"))
+    df.select(col(idCol).as("id")).distinct()
+      .join(counts, Seq("id"), "left")
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("text"), lit("")).as("text"),
+        coalesce(col("n_units"), lit(0L)).as("n_units"),
+        (coalesce(col("n_units"), lit(0L)) -
+          coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
+
   /** Cross-document BOILERPLATE removal (the C4-style cleanup at chunk
     * granularity): a fixed-width token chunk whose exact content occurs
     * in at least `minDocFreq` DISTINCT documents is boilerplate

@@ -792,6 +792,15 @@ object ScaleQueries {
       graft.ops.Eval.rankedEval(truth, approx, k = 5)
     }),
 
+    // C4 sliding-span keep-first dedup: 3-unit spans over 5-token
+    // units, globally-first occurrence survives, later occurrences'
+    // units scrubbed; catches passage duplication straddling chunk
+    // boundaries that non-overlapping chunks (q71) provably miss
+    "q158_span_scrub" -> ((s, dir) =>
+      Dedup.slidingSpanScrub(t(s, dir, "documents"), "doc_id", "text",
+        unitTokens = 5, span = 3)
+        .orderBy("doc_id")),
+
     // hard-negative mining (DPR/ANCE): per anchor, the top-5 corpus
     // items inside the [0.3, 0.9) rounded-sim band, with the presumed
     // positive (exact rank-1 neighbor) anti-joined out — the
@@ -5531,6 +5540,52 @@ object ScaleQueries {
           FROM qs LEFT JOIN rr USING (qid) LEFT JOIN dcg USING (qid)
             CROSS JOIN idcg
           ORDER BY qs.qid""",
+    // sliding-span twin: unit chunks via 1-based list slices, spans as
+    // lead() windows per doc, keep-first row_number on md5(span),
+    // covered-unit explode + anti-join, ordered reassembly
+    "q158_span_scrub" ->
+      """WITH tk AS (SELECT doc_id,
+                list_filter(string_split(coalesce(text, ''), ' '),
+                            t -> length(t) > 0) AS w
+           FROM documents),
+            b AS (SELECT doc_id, w,
+                    CAST(ceil(len(w) / 5.0) AS INT) AS nu FROM tk),
+            u0 AS (SELECT doc_id, unnest(range(0, nu)) AS ui, w
+                   FROM b WHERE nu > 0),
+            u2 AS (SELECT doc_id, CAST(ui AS INT) AS ui,
+                     array_to_string(w[ui*5+1: ui*5+5], ' ') AS unit
+                   FROM u0),
+            sp AS (SELECT doc_id, ui AS si,
+                     unit || ' ' || lead(unit, 1) OVER win
+                          || ' ' || lead(unit, 2) OVER win AS span
+                   FROM u2
+                   WINDOW win AS (PARTITION BY doc_id ORDER BY ui)
+                   QUALIFY lead(unit, 2) OVER win IS NOT NULL),
+            dsp AS (SELECT doc_id, si FROM
+                      (SELECT doc_id, si, row_number() OVER
+                         (PARTITION BY md5(span)
+                          ORDER BY doc_id, si) rn FROM sp)
+                    WHERE rn > 1),
+            du AS (SELECT DISTINCT doc_id, si + g.j AS ui
+                   FROM dsp CROSS JOIN
+                     (SELECT unnest([0, 1, 2]) AS j) g),
+            kept AS (SELECT u.doc_id, u.ui, u.unit FROM u2 u
+                     WHERE NOT EXISTS (SELECT 1 FROM du
+                       WHERE du.doc_id = u.doc_id AND du.ui = u.ui)),
+            reb AS (SELECT doc_id,
+                      array_to_string(list(unit ORDER BY ui), ' ')
+                        AS text,
+                      count(*) AS n_kept
+                    FROM kept GROUP BY doc_id),
+            cnt AS (SELECT doc_id, count(*) AS n_units
+                    FROM u2 GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(reb.text, '') AS text,
+                coalesce(cnt.n_units, 0) AS n_units,
+                coalesce(cnt.n_units, 0) - coalesce(reb.n_kept, 0)
+                  AS n_dropped
+         FROM (SELECT DISTINCT doc_id FROM documents) d
+         LEFT JOIN cnt USING (doc_id) LEFT JOIN reb USING (doc_id)
+         ORDER BY d.doc_id""",
     // hard-negative twin: the q29 pair frame with the rounded-sim band
     // filter, the rank-1 positive anti-joined out, raw-sim ranking
     "q157_hard_negatives" ->

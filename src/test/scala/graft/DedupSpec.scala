@@ -170,6 +170,48 @@ class DedupSpec extends AnyFunSuite {
     assert(jacs.forall(j => j >= 0.0 && j <= 1.0))
   }
 
+  test("slidingSpanScrub: keep-first over sliding spans, short docs untouched") {
+    // unitTokens=1, span=2 → bigram-grain: units are single tokens,
+    // spans are adjacent token pairs.
+    //   d1 "a b c d": spans (a b)(b c)(c d) — all first → untouched
+    //   d2 "x b c y": (b c) already seen at (d1, 1) → units b, c drop
+    //   d3 "a b":     its only span duplicates (d1, 0) → whole doc out
+    //   d4 "z":       shorter than one span → untouched
+    val df = Seq(
+      (1L, "a b c d"), (2L, "x b c y"), (3L, "a b"), (4L, "z"))
+      .toDF("doc_id", "text")
+    val out = Dedup.slidingSpanScrub(df, "doc_id", "text",
+      unitTokens = 1, span = 2).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === (("a b c d", 4L, 0L)))
+    assert(out(2L) === (("x y", 4L, 2L)))
+    assert(out(3L) === (("", 2L, 2L)))
+    assert(out(4L) === (("z", 1L, 0L)))
+  }
+
+  test("slidingSpanScrub catches a straddling duplicate that chunk dedup misses") {
+    // the duplicated 3-token passage "p q r" sits at an ODD offset in
+    // d2, straddling any 2-token chunk boundary — non-overlapping
+    // 2-token chunks see different chunk contents in d1 and d2, but
+    // sliding 3-unit spans of 1-token units align regardless of offset
+    val df = Seq(
+      (1L, "p q r s"),
+      (2L, "m p q r"))
+      .toDF("doc_id", "text")
+    val out = Dedup.slidingSpanScrub(df, "doc_id", "text",
+      unitTokens = 1, span = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(3)))).toMap
+    assert(out(1L) === (("p q r s", 0L)))
+    assert(out(2L) === (("m", 3L)))
+    // the non-overlapping chunk form keeps both copies: chunks
+    // ("p q","r s") vs ("m p","q r") share nothing
+    val chunks = Dedup.boilerplateScrub(df, "doc_id", "text",
+      chunkTokens = 2, minDocFreq = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(chunks === Map(1L -> 0L, 2L -> 0L))
+  }
+
   test("boilerplateScrub drops cross-doc chunks everywhere, keeps within-doc repeats") {
     // 4-token chunks. "hh hh hh hh" appears in docs 1, 2 AND 3 →
     // boilerplate, removed from every document (not first-wins).
