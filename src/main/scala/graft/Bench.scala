@@ -167,7 +167,16 @@ object Bench {
     // crawl-frontier priority: canonical novelty × domain prior
     "q153_frontier_priority",
     // corpus bigram-count frame (the LM anchor + state parity target)
-    "q154_bigram_counts")
+    "q154_bigram_counts",
+    // UniMax water-filling budget allocation + its document-grain fill
+    "q155_unimax",
+    "q155b_unimax_fill",
+    // margin-based bitext mining (ratio margin, mutual-best)
+    "q156_bitext",
+    // hard-negative mining (similarity band, positives anti-joined)
+    "q157_hard_negatives",
+    // C4 sliding-span keep-first dedup
+    "q158_span_scrub")
 
   /** Queries whose r6→r7 numbers moved 2–6× with no code change — the
     * self-join/ANN family is short (<3 s warm) so a single co-tenant

@@ -1126,8 +1126,16 @@ object Dedup {
     * on real text a sentence splitter produces the units and
     * everything downstream is unchanged): every span of `span`
     * CONSECUTIVE units is hashed, the globally FIRST occurrence of
-    * each span content — min (doc, position) — survives, and every
-    * unit covered by a later occurrence is dropped from its document.
+    * each span content — min (doc, position) — is exempt from
+    * dropping, and every unit covered by a LATER occurrence is
+    * dropped from its document. When occurrences don't overlap this
+    * means exactly one intact copy of the content survives; when a
+    * span overlaps its own earlier occurrence (e.g. "a a a" with
+    * unitTokens=1, span=2), units of the kept-first occurrence can
+    * still be covered — and dropped — by a later overlapping
+    * occurrence, so the surviving text may be shorter than one full
+    * span. C4's published rule has the same property; both engines
+    * (Spark and the SQL twin) agree on it.
     *
     * Differs from [[boilerplateScrub]] on both axes that matter:
     * spans SLIDE (a duplicated passage straddling a chunk boundary is
@@ -1140,7 +1148,13 @@ object Dedup {
     * unit-aligned form a C4-style pipeline runs first.
     *
     * Returns (idCol, text, n_units, n_dropped). Documents shorter
-    * than one full span carry no spans and pass through untouched.
+    * than one full span carry no spans, so none of their units are
+    * dropped — but note the text column is REASSEMBLED from
+    * whitespace tokens via concat_ws for every document, so runs of
+    * whitespace normalize to single spaces even when n_dropped = 0
+    * (identically in both engines). Callers needing byte-exact text
+    * for untouched documents should join back to the source on id
+    * where n_dropped = 0.
     *
     * Scale: unit explode is map-side (rows ≈ corpus tokens / unit);
     * span assembly is a lead() window PARTITIONED BY DOC (never

@@ -118,6 +118,17 @@ object Similarity {
     *
     * Returns one row per x that has ≥1 finite-sim candidate:
     * (x_id, y_id, sim, margin, mutual, selected). */
+  /** Order-independent mean of a [[graft.functions.TopKAgg]] heap's
+    * best-k scores: round each to 4, sum as 1e4-scaled integers (exact
+    * under any accumulation order), one exact divide — the neighbor
+    * mean both bitext miners feed the ratio margin. */
+  private def heapMean(h: Column): Column =
+    aggregate(transform(h,
+        e => round(round(e.getField("score"), 4) * 10000, 0)
+          .cast("long")),
+      lit(0L), (a, b) => a + b).cast("double") /
+      (size(h) * lit(10000.0))
+
   def bitextMine(xs: DataFrame, ys: DataFrame, idCol: String,
       vecCol: String, k: Int = 4, minMargin: Double = 1.0): DataFrame = {
     import graft.functions.TopKAgg
@@ -129,14 +140,6 @@ object Similarity {
       .withColumn("sim", dot(col("xv"), col("yv")) / (col("xn") * col("yn")))
       .filter(col("sim").isNotNull && !isnan(col("sim")))
       .select("xid", "yid", "sim")
-    // order-independent mean of the heap's k best sims: round each to
-    // 4, sum as 1e4-scaled integers, one exact divide
-    def heapMean(h: Column): Column =
-      aggregate(transform(h,
-          e => round(round(e.getField("score"), 4) * 10000, 0)
-            .cast("long")),
-        lit(0L), (a, b) => a + b).cast("double") /
-        (size(h) * lit(10000.0))
     val fwd = pair.groupBy("xid")
       .agg(TopKAgg.topK(col("sim"), col("yid"), lit(0L), k).as("__h"))
       .select(col("xid"), heapMean(col("__h")).as("mx"),
@@ -148,6 +151,91 @@ object Similarity {
       .select(col("yid"), heapMean(col("__h")).as("my"),
         element_at(col("__h"), 1).getField("t1").as("best_x"))
     val scored = bwd.join(broadcast(fwd), "yid")
+      .withColumn("margin",
+        round(col("sim") / ((col("mx") + col("my")) / 2.0), 4))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("xid")
+      .orderBy(col("margin").desc, col("yid").asc)
+    scored.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col("xid").as("x_id"), col("yid").as("y_id"), col("sim"),
+        col("margin"), (col("best_x") === col("xid")).as("mutual"),
+        (col("best_x") === col("xid") && col("margin") >= minMargin)
+          .as("selected"))
+      .orderBy("x_id")
+  }
+
+  /** ANN-backed margin bitext mining — the CORPUS×CORPUS form of
+    * [[bitextMine]] (the CCMatrix deployment: Schwenk et al. 2021 mine
+    * billions of pairs by running BOTH directions' k-NN through a
+    * FAISS index, never the brute pair matrix). The panel contract is
+    * lifted: X is never broadcast and never collected — the only
+    * driver-side collect is the nLists replayable centroid rows
+    * (metadata-sized, [[auditableCenterRows]] over Y with the same
+    * md5-"c:" seeding as q30d/q73c, so a SQL twin replays the whole
+    * path).
+    *
+    * Shape: Y is coarse-quantized into nLists cells (argmin ||v̂−c||²,
+    * sequential fold, lowest cell on ties — PqEncodeExpr semantics);
+    * each x ranks cells by the same fold and probes the nProbe
+    * nearest; candidates are the probed cells' Y rows scored by exact
+    * unit-vector dot (IVF-Flat: margin arithmetic runs on exact
+    * cosines, only the CANDIDATE SET is approximate). The forward
+    * top-k heap folds per x, and — the CCMatrix trick — the backward
+    * stats (meanK(y→X), best_x) come from the SAME candidate pair
+    * set, so y's neighborhood is approximated by the x's that probed
+    * into y's cell; no second index over X is built. Margin, rounding,
+    * mutual-best selection are term-for-term [[bitextMine]]'s.
+    *
+    * Scale (100 TB): one Y assignment pass, one per-x probe ranking
+    * (nLists-row broadcast), one cell-equi candidate join whose
+    * volume is |X|·nProbe·(|Y|/nLists) — size nLists to the corpus
+    * (the [[semanticDedup]] targetPerCell discipline) and it is
+    * linear, not the |X|·|Y| brute grain; both direction heaps fold
+    * map-side (TopKAgg), and the fwd⋈bwd stats join carries |X|·k vs
+    * |Y| bounded rows on a real shuffle (nothing broadcast-sized is
+    * assumed). Returns the [[bitextMine]] schema; rows exist for every
+    * x with ≥1 candidate in its probed cells. */
+  def bitextMineIvf(xs: DataFrame, ys: DataFrame, idCol: String,
+      vecCol: String, k: Int = 4, minMargin: Double = 1.0,
+      nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+    import graft.functions.TopKAgg
+    val spark = xs.sparkSession
+    import spark.implicits._
+    val x = unitVectors(xs, idCol, vecCol)
+      .select(col("id").as("xid"), col("vhat").as("xv"))
+    val yBase = unitVectors(ys, idCol, vecCol)
+    val centers = auditableCenters(yBase, nLists)
+    val y = yBase.select(col("id").as("yid"), col("vhat").as("yv"),
+      element_at(graft.functions.GraftFunctions.pqEncode(col("vhat"),
+        Array(centers)), 1).as("cell"))
+    val centroids = centers.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "centroid")
+    // per-x probe ranking: sequential-fold Σ(x−c)², d ASC, cell ASC —
+    // term-for-term the assignment arithmetic, so both engines probe
+    // identical cells
+    val probes = x.crossJoin(broadcast(centroids))
+      .withColumn("__d", aggregate(
+        zip_with(col("xv"), col("centroid"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, t) => acc + t))
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("xid")
+          .orderBy(col("__d").asc, col("cell").asc)))
+      .filter(col("__rn") <= nProbe)
+      .select("xid", "xv", "cell")
+    val pair = y.join(probes, Seq("cell"))
+      .withColumn("sim", dot(col("xv"), col("yv")))
+      .select("xid", "yid", "sim")
+    val fwd = pair.groupBy("xid")
+      .agg(TopKAgg.topK(col("sim"), col("yid"), lit(0L), k).as("__h"))
+      .select(col("xid"), heapMean(col("__h")).as("mx"),
+        posexplode(col("__h")))
+      .select(col("xid"), col("mx"), col("col.t1").as("yid"),
+        round(col("col.score"), 4).as("sim"))
+    val bwd = pair.groupBy("yid")
+      .agg(TopKAgg.topK(col("sim"), col("xid"), lit(0L), k).as("__h"))
+      .select(col("yid"), heapMean(col("__h")).as("my"),
+        element_at(col("__h"), 1).getField("t1").as("best_x"))
+    val scored = bwd.join(fwd, "yid")
       .withColumn("margin",
         round(col("sim") / ((col("mx") + col("my")) / 2.0), 4))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("xid")

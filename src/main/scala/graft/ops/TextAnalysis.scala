@@ -461,10 +461,14 @@ object TextAnalysis {
   /** Token counts under three tokenizers: whitespace, alpha-runs (regex),
     * and a bytes/4 BPE-cost estimate. */
   def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val txt = col(textCol)
+    // Null-safe on purpose: a null text counts as 0 tokens in every
+    // column (size(null) is null/-1 in Spark and would diverge from the
+    // SQL twins' coalesce(text,'')). wsTokens IS the declared single
+    // whitespace-tokenization definition — reuse it, don't restate it.
+    val txt = coalesce(col(textCol), lit(""))
     df.select(
       col(idCol),
-      size(filter(split(txt, " "), t => length(t) > 0)).cast("long").as("ws_tokens"),
+      size(graft.ops.TextOps.wsTokens(col(textCol))).cast("long").as("ws_tokens"),
       size(regexp_extract_all(txt, lit("[a-z]+"), lit(0))).cast("long").as("alpha_tokens"),
       ceil(length(txt) / lit(4.0)).cast("long").as("bpe_est"))
   }

@@ -828,6 +828,24 @@ object ScaleQueries {
         "vec_id", "embedding", k = 4, minMargin = 1.0)
     }),
 
+    // ANN-backed bitext mining (the CCMatrix corpus×corpus form): the
+    // same X/Y slices and margin arithmetic as q156, but candidates
+    // come from an IVF probe over the md5-seeded replayable quantizer
+    // (q30d pattern) instead of the brute pair scan, and the backward
+    // neighbor stats are taken from the same probe candidate set — X
+    // is never broadcast or collected, so the operator itself has no
+    // panel bound (the query keeps q156's fixture slice so the two
+    // forms are directly comparable; SimilaritySpec pins planted-pair
+    // parity)
+    "q156b_bitext_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bitextMineIvf(
+        emb.filter(col("label") === 0 && col("vec_id") < 250),
+        emb.filter(col("label") === 1),
+        "vec_id", "embedding", k = 4, minMargin = 1.0,
+        nLists = 16, nProbe = 4)
+    }),
+
     // Morton/z-order layout: the interleave arithmetic oracle-checked
     // cross-engine (bits=10 over partkey/suppkey buckets); the layout
     // operator itself (sampled range-exchange on z + within-partition
@@ -5593,8 +5611,9 @@ object ScaleQueries {
                        FROM embeddings),
             q AS (SELECT vec_id qid, v qv FROM base WHERE vec_id < 10),
             c AS (SELECT vec_id cid, v cv FROM base WHERE vec_id >= 10),
-            s AS (SELECT qid, cid, list_cosine_similarity(qv, cv) sim
-                  FROM q CROSS JOIN c),
+            s0 AS (SELECT qid, cid, list_cosine_similarity(qv, cv) sim
+                   FROM q CROSS JOIN c),
+            s AS (SELECT * FROM s0 WHERE NOT isnan(sim)),
             pos AS (SELECT qid, cid FROM
                       (SELECT qid, cid, row_number() OVER (PARTITION BY
                          qid ORDER BY sim DESC, cid) rn FROM s)
@@ -5625,6 +5644,86 @@ object ScaleQueries {
             p0 AS (SELECT xid, yid, list_cosine_similarity(xv, yv) sim
                    FROM x CROSS JOIN y),
             p AS (SELECT * FROM p0 WHERE NOT isnan(sim)),
+            fr AS (SELECT xid, yid, sim,
+                     row_number() OVER (PARTITION BY xid
+                       ORDER BY sim DESC, yid) rn
+                   FROM p),
+            fm AS (SELECT xid,
+                     CAST(sum(CAST(round(round(sim, 4) * 10000, 0)
+                       AS BIGINT)) AS DOUBLE) / (count(*) * 10000.0) mx
+                   FROM fr WHERE rn <= 4 GROUP BY xid),
+            cand AS (SELECT fr.xid, fr.yid, round(fr.sim, 4) AS sim,
+                       fm.mx
+                     FROM fr JOIN fm USING (xid) WHERE fr.rn <= 4),
+            br AS (SELECT xid, yid, sim,
+                     row_number() OVER (PARTITION BY yid
+                       ORDER BY sim DESC, xid) rn
+                   FROM p),
+            bm AS (SELECT yid,
+                     CAST(sum(CAST(round(round(sim, 4) * 10000, 0)
+                       AS BIGINT)) AS DOUBLE) / (count(*) * 10000.0) my,
+                     max(CASE WHEN rn = 1 THEN xid END) best_x
+                   FROM br WHERE rn <= 4 GROUP BY yid),
+            sc AS (SELECT c.xid, c.yid, c.sim,
+                     round(c.sim / ((c.mx + bm.my) / 2.0), 4) AS margin,
+                     bm.best_x
+                   FROM cand c JOIN bm USING (yid)),
+            r AS (SELECT *, row_number() OVER (PARTITION BY xid
+                    ORDER BY margin DESC, yid) rk
+                  FROM sc)
+         SELECT CAST(xid AS BIGINT) AS x_id, CAST(yid AS BIGINT) AS y_id,
+                sim, margin, best_x = xid AS mutual,
+                (best_x = xid AND margin >= 1.0) AS selected
+         FROM r WHERE rk = 1 ORDER BY x_id""",
+    // ANN-backed bitext twin: the q30d replayable-quantizer machinery
+    // (md5-"c:" seeded Y centroids, sequential-fold argmin assignment,
+    // per-x probe ranking) feeding q156's exact margin arithmetic —
+    // candidates are the probed cells' pairs, backward stats from the
+    // SAME candidate set (the CCMatrix one-graph trick)
+    "q156b_bitext_ivf" ->
+      """WITH raw AS (SELECT vec_id AS id, label, embedding::DOUBLE[] v
+                      FROM embeddings),
+            nr AS (SELECT id, label, v,
+                          sqrt(list_sum(list_transform(v, t -> t * t))) AS nrm
+                   FROM raw),
+            all_u AS (SELECT id, label,
+                             list_transform(v, t -> t / nrm) AS vhat
+                      FROM nr WHERE nrm > 0),
+            xs AS (SELECT id AS xid, vhat AS xv FROM all_u
+                   WHERE label = 0 AND id < 250),
+            ys AS (SELECT id AS yid, vhat AS yv FROM all_u
+                   WHERE label = 1),
+            ctr AS (SELECT yv AS cv,
+                           row_number() OVER (ORDER BY
+                             md5('c:' || CAST(yid AS VARCHAR)), yid) - 1
+                             AS cell
+                    FROM ys
+                    ORDER BY md5('c:' || CAST(yid AS VARCHAR)), yid
+                    LIMIT 16),
+            yd AS (SELECT y.yid, y.yv, t.cell,
+                          list_sum(list_transform(range(1, 65),
+                            i -> (y.yv[i] - t.cv[i]) * (y.yv[i] - t.cv[i])))
+                            AS d
+                   FROM ys y CROSS JOIN ctr t),
+            asg AS (SELECT yid, yv, cell FROM (
+                      SELECT yid, yv, cell,
+                             row_number() OVER (PARTITION BY yid
+                               ORDER BY d ASC, cell ASC) AS rn
+                      FROM yd) WHERE rn = 1),
+            xd AS (SELECT x.xid, x.xv, t.cell,
+                          list_sum(list_transform(range(1, 65),
+                            i -> (x.xv[i] - t.cv[i]) * (x.xv[i] - t.cv[i])))
+                            AS d
+                   FROM xs x CROSS JOIN ctr t),
+            probes AS (SELECT xid, xv, cell FROM (
+                         SELECT xid, xv, cell,
+                                row_number() OVER (PARTITION BY xid
+                                  ORDER BY d ASC, cell ASC) AS rn
+                         FROM xd) WHERE rn <= 4),
+            p AS (SELECT pr.xid, a.yid,
+                         list_sum(list_transform(range(1, 65),
+                           i -> pr.xv[i] * a.yv[i])) AS sim
+                  FROM probes pr JOIN asg a USING (cell)),
             fr AS (SELECT xid, yid, sim,
                      row_number() OVER (PARTITION BY xid
                        ORDER BY sim DESC, yid) rn
@@ -6356,8 +6455,8 @@ object ScaleQueries {
     "q34_tokens" ->
       """SELECT doc_id,
                 CAST(len(list_filter(string_split(coalesce(text, ''), ' '), t -> length(t) > 0)) AS BIGINT) AS ws_tokens,
-                CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS alpha_tokens,
-                CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe_est
+                CAST(len(regexp_extract_all(coalesce(text, ''), '[a-z]+')) AS BIGINT) AS alpha_tokens,
+                CAST(ceil(length(coalesce(text, '')) / 4.0) AS BIGINT) AS bpe_est
          FROM documents ORDER BY doc_id""",
     "q35_fingerprint" ->
       """SELECT doc_id,

@@ -673,6 +673,43 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out(2L) === ((false, false)))
   }
 
+  test("bitextMineIvf: full probing is exactly the brute miner") {
+    // nProbe = nLists → every x probes every cell → the candidate set
+    // is the full pair matrix and BOTH directions' stats see all pairs:
+    // the IVF form must equal bitextMine row-for-row (margins, flags)
+    val xs = emb.filter(col("label") === 0 && col("vec_id") < 250)
+    val ys = emb.filter(col("label") === 1)
+    val brute = Similarity.bitextMine(xs, ys, "vec_id", "embedding",
+      k = 4, minMargin = 1.0).collect().map(_.toSeq).toList
+    val ivf = Similarity.bitextMineIvf(xs, ys, "vec_id", "embedding",
+      k = 4, minMargin = 1.0, nLists = 8, nProbe = 8)
+      .collect().map(_.toSeq).toList
+    assert(ivf === brute)
+  }
+
+  test("bitextMineIvf: planted translation pairs are mined corpus-side") {
+    // X: 8 real vectors; Y: the label-1 corpus plus an exact copy of
+    // each x under a fresh id. A copy shares its x's argmin cell (same
+    // centers, same fold), so partial probing (nProbe=4 of 16) still
+    // surfaces it; sim 1.0 makes it the best-margin mutual candidate.
+    val xs = emb.filter(col("label") === 0 && col("vec_id") < 40)
+      .limit(8).localCheckpoint()
+    val xIds = xs.select("vec_id").as[Long].collect().sorted
+    val planted = xs.select((col("vec_id") + 100000L).as("vec_id"),
+      col("embedding"), col("label"))
+    val ys = emb.filter(col("label") === 1).union(planted)
+    val out = Similarity.bitextMineIvf(xs, ys, "vec_id", "embedding",
+      k = 4, minMargin = 1.0, nLists = 16, nProbe = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getBoolean(4), r.getBoolean(5)))).toMap
+    for (x <- xIds) {
+      val (yid, mutual, selected) = out(x)
+      assert(yid === x + 100000L,
+        s"x $x: planted translation not mined (got $yid)")
+      assert(mutual && selected, s"x $x: planted pair not selected")
+    }
+  }
+
   test("hardNegativeMine: band excludes near-dups and floor, positives anti-joined") {
     val anchors = Seq((0L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
     val corpus = Seq(
