@@ -173,10 +173,14 @@ object Bench {
     "q155b_unimax_fill",
     // margin-based bitext mining (ratio margin, mutual-best)
     "q156_bitext",
+    // the ANN-backed (IVF-candidate) corpus×corpus form of q156
+    "q156b_bitext_ivf",
     // hard-negative mining (similarity band, positives anti-joined)
     "q157_hard_negatives",
     // C4 sliding-span keep-first dedup
-    "q158_span_scrub")
+    "q158_span_scrub",
+    // learned char-n-gram language id (bounded train + map-side score)
+    "q159_langid_learned")
 
   /** Queries whose r6→r7 numbers moved 2–6× with no code change — the
     * self-join/ANN family is short (<3 s warm) so a single co-tenant

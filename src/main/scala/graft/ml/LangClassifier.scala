@@ -1,0 +1,156 @@
+package graft.ml
+
+import org.apache.spark.ml.classification.{LogisticRegression, LogisticRegressionModel}
+import org.apache.spark.ml.feature.HashingTF
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Learned language identification — the fastText lid.176 shape
+  * (Joulin et al. 2017; the classifier CCNet runs ahead of every other
+  * gate): hashed character n-gram counts fed to a multinomial logistic
+  * model. The heuristic marker lexicon ([[graft.ops.TextAnalysis
+  * .languageId]], q32) needs a curated word list per language and
+  * misses anything the list misses; char n-grams learn the
+  * orthographic signature (suffix/digraph statistics) from labeled
+  * examples and generalize to unseen vocabulary — the standard
+  * upgrade for a real multilingual corpus build.
+  *
+  * Reference analogue: the reference's TF-IDF + supervised classifier
+  * pipeline (`ml_pipeline.py`, `cleaner.py:250-260`) with language for
+  * the label and char grams for the features — the same learned-gate
+  * machinery as [[QualityClassifier]], one abstraction level down
+  * (chars, not words).
+  *
+  * Scale (100 TB): TRAINING is bounded by contract — a deterministic
+  * md5-ordered slice of at most `perLangCap` docs per language (the
+  * q142 discipline: fits must be corpus-size-independent), each
+  * contributing at most `maxChars` chars of features (language is a
+  * prefix property; fastText reads ~the first KB too). SCORING is a
+  * map-side projection against broadcast state (the hash has no
+  * vocabulary; the LR coefficient matrix is numFeatures×K) — zero
+  * shuffle on the corpus, the same cost class as the heuristic gates.
+  */
+object LangClassifier {
+
+  /** A trained model: the label vocabulary (sorted, index = LR class)
+    * plus the LR over hashed char-gram counts and the feature dials
+    * scoring must replay exactly. */
+  case class LangIdModel(labels: Seq[String], lr: LogisticRegressionModel,
+      numFeatures: Int, minN: Int, maxN: Int, maxChars: Int)
+
+  /** The lang-id view of a document: lowercased, whitespace collapsed,
+    * truncated to the first `maxChars` chars (language is a prefix
+    * property), null-safe. */
+  def normalizeText(txt: Column, maxChars: Int): Column =
+    substring(regexp_replace(lower(coalesce(txt, lit(""))),
+      "\\s+", " "), 1, maxChars)
+
+  /** Char n-grams (all n in [minN, maxN]) over an ALREADY-BOUND
+    * normalized-text column. `normCol` must be a plain column
+    * reference (bind [[normalizeText]] with withColumn first): the
+    * per-element substr lambdas index whatever expression they are
+    * handed, and handing them the normalization itself re-runs it per
+    * gram — the O(len²) HOF trap ([[graft.ops.TextAnalysis
+    * .dupBigramFracCol]]'s q50b lesson). */
+  def charNgrams(normCol: Column, minN: Int, maxN: Int): Column = {
+    require(1 <= minN && minN <= maxN, s"bad n-gram range [$minN,$maxN]")
+    // guard per n: sequence(1, stop) DESCENDS when stop < 1, so a
+    // too-short string must short-circuit to an empty gram list
+    flatten(transform(
+      sequence(lit(minN), lit(maxN)),
+      n => when(length(normCol) >= n,
+        transform(
+          sequence(lit(1), length(normCol) - n + 1),
+          i => normCol.substr(i, n)))
+        .otherwise(array().cast("array<string>"))))
+  }
+
+  private def featurize(df: DataFrame, textCol: String, numFeatures: Int,
+      minN: Int, maxN: Int, maxChars: Int): DataFrame = {
+    val withGrams = df
+      .withColumn("__nrm", normalizeText(col(textCol), maxChars))
+      .withColumn("__grams", charNgrams(col("__nrm"), minN, maxN))
+    new HashingTF().setInputCol("__grams").setOutputCol("features")
+      .setNumFeatures(numFeatures).setBinary(false)
+      .transform(withGrams)
+  }
+
+  /** Fit on (textCol, langCol)-labeled docs. Deterministic: the
+    * per-language training slice is the first `perLangCap` docs in
+    * (md5(text), text) order — same inputs, same slice, same model —
+    * and labels are the sorted distinct languages, so class index i is
+    * labels(i) with no fit-order dependence. */
+  def train(docs: DataFrame, textCol: String, langCol: String,
+      numFeatures: Int = 4096, minN: Int = 2, maxN: Int = 4,
+      maxChars: Int = 1000, perLangCap: Int = 2000,
+      maxIter: Int = 60, regParam: Double = 0.01): LangIdModel = {
+    val labels = docs.select(col(langCol)).na.drop().distinct()
+      .orderBy(langCol)
+      .collect().map(_.getString(0)).toSeq
+    require(labels.size >= 2,
+      s"LangClassifier.train needs >= 2 languages, got $labels")
+    val labelArr = array(labels.map(lit): _*)
+    val w = Window.partitionBy(langCol)
+      .orderBy(md5(coalesce(col(textCol), lit(""))), col(textCol))
+    val slice = docs
+      .filter(col(langCol).isNotNull && col(textCol).isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= perLangCap)
+      .withColumn("label",
+        (array_position(labelArr, col(langCol)) - 1).cast("double"))
+    val feats = featurize(slice, textCol, numFeatures, minN, maxN,
+      maxChars)
+    val lr = new LogisticRegression()
+      .setFamily("multinomial")
+      .setFeaturesCol("features").setLabelCol("label")
+      .setMaxIter(maxIter).setRegParam(regParam)
+      .fit(feats)
+    LangIdModel(labels, lr, numFeatures, minN, maxN, maxChars)
+  }
+
+  /** Score a frame: the input columns plus `pred_lang` (argmax class,
+    * first index on probability ties) and `lang_prob` (its
+    * probability). One map-side pass — broadcast coefficients, no
+    * shuffle. */
+  def score(model: LangIdModel, df: DataFrame,
+      textCol: String): DataFrame = {
+    val cols = df.columns
+    val scored = model.lr.transform(
+      featurize(df, textCol, model.numFeatures, model.minN, model.maxN,
+        model.maxChars))
+    val probs = vector_to_array(col("probability"))
+    val labelArr = array(model.labels.map(lit): _*)
+    scored
+      .withColumn("__p", probs)
+      .select((cols.map(col) :+
+        element_at(labelArr,
+          array_position(col("__p"), array_max(col("__p"))).cast("int"))
+          .as("pred_lang") :+
+        array_max(col("__p")).as("lang_prob")): _*)
+  }
+
+  /** Deterministic content fingerprint (the [[QualityClassifier
+    * .fingerprint]] contract): MD5 over the label vocabulary, the
+    * feature dials, and the LR coefficient matrix + intercepts — two
+    * models score identically iff these agree, so this is the model
+    * identity a staged-resume manifest pins. */
+  def fingerprint(model: LangIdModel): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def putDouble(d: Double): Unit = {
+      val b = java.nio.ByteBuffer.allocate(8)
+      b.putLong(java.lang.Double.doubleToLongBits(d))
+      md.update(b.array())
+    }
+    model.labels.foreach { l =>
+      md.update(l.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      md.update(0.toByte)
+    }
+    Seq(model.numFeatures, model.minN, model.maxN, model.maxChars)
+      .foreach(v => putDouble(v.toDouble))
+    model.lr.coefficientMatrix.toArray.foreach(putDouble)
+    model.lr.interceptVector.toArray.foreach(putDouble)
+    md.digest().map("%02x".format(_)).mkString
+  }
+}

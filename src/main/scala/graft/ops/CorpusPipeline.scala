@@ -148,7 +148,19 @@ object CorpusPipeline {
       // Needs a `url` column (fails loudly otherwise). One window
       // shuffle on the canonical key — the cheapest duplicate class,
       // killed at the cheapest point. false = off
-      urlDedupe: Boolean = false)
+      urlDedupe: Boolean = false,
+      // > 0: LEARNED language identification ([[graft.ml
+      // .LangClassifier]], the fastText-lid shape) replaces the
+      // metadata `lang` column in the gate: each doc's language is
+      // PREDICTED from its char n-grams, docs whose winning
+      // probability falls below this floor are dropped, and the
+      // surviving frame's `lang` column carries the prediction (so
+      // every downstream per-language stage — outlier gate, mixing —
+      // buckets by what the text IS, not what the crawler claimed).
+      // Needs a trained model passed to build/buildStaged (missing
+      // model fails loudly). Scoring is a map-side broadcast
+      // projection: zero extra shuffle. 0 = off (trust the column)
+      langIdMinProb: Double = 0.0)
 
   case class Report(input: Long, gated: Long, classifier: Long,
       ppl: Long, outliers: Long, boiler: Long, deduped: Long,
@@ -157,7 +169,9 @@ object CorpusPipeline {
 
   // ---- the five stage transforms, shared by build and buildStaged ----
 
-  private[graft] def gateStage(docs: DataFrame, cfg: Config): DataFrame = {
+  private[graft] def gateStage(docs: DataFrame, cfg: Config,
+      langIdModel: Option[graft.ml.LangClassifier.LangIdModel] = None)
+      : DataFrame = {
     val txt = col("text")
     // domain blocklist first: cheapest gate, and the per-doc gates
     // then never pay for documents a rights/abuse decision already
@@ -180,7 +194,22 @@ object CorpusPipeline {
           "urlDedupe needs a `url` column on the input docs")
         Domains.urlDedupKeep(blocked, "doc_id", "url")
       }
-    val base = inDocs
+    // learned lang-id: predict the language from the text, floor the
+    // confidence, and REPLACE the metadata lang column — from here on
+    // the pipeline buckets by predicted language. Map-side only, so
+    // the gate stage stays one scan with zero shuffle either way.
+    val langed =
+      if (cfg.langIdMinProb <= 0) inDocs
+      else {
+        val scored = graft.ml.LangClassifier.score(langIdModel.get,
+          inDocs, "text")
+        val keep = scored.columns
+          .filterNot(c => c == "lang" || c == "pred_lang" ||
+            c == "lang_prob").map(col)
+        scored.filter(col("lang_prob") >= cfg.langIdMinProb)
+          .select((keep :+ col("pred_lang").as("lang")): _*)
+      }
+    val base = langed
       .select(col("doc_id"), col("lang"), txt,
         TextAnalysis.nTokensCol(txt).as("n_tokens"),
         TextAnalysis.alphaRatioCol(txt).as("alpha_ratio"),
@@ -359,13 +388,17 @@ object CorpusPipeline {
       cfg: Config = Config(),
       embeddings: Option[DataFrame] = None,
       evalEmbeddings: Option[DataFrame] = None,
-      qualityModel: Option[org.apache.spark.ml.PipelineModel] = None)
+      qualityModel: Option[org.apache.spark.ml.PipelineModel] = None,
+      langIdModel: Option[graft.ml.LangClassifier.LangIdModel] = None)
       : (DataFrame, Report) = {
     // a silently skipped learned gate is a corpus-composition hazard —
     // demand the model rather than no-op (the semantic-decon rule)
     require(cfg.qualityMinProb <= 0 || qualityModel.isDefined,
       "qualityMinProb > 0 needs a trained QualityClassifier model " +
         "passed to build/buildStaged")
+    require(cfg.langIdMinProb <= 0 || langIdModel.isDefined,
+      "langIdMinProb > 0 needs a trained LangClassifier model passed " +
+        "to build/buildStaged (langIdModel)")
     // several downstream stages re-read each frame — checkpoints keep
     // every corpus-scale subtree single-evaluation (the contamination
     // shingle explode in particular: `clean` is read by the sampling
@@ -382,7 +415,7 @@ object CorpusPipeline {
         Bucketing.writeBucketed(df, tbl, "doc_id", cfg.corpusBuckets)
         df.sparkSession.table(tbl)
       }
-    val gated = persistCorpus(gateStage(docs, cfg), "gated")
+    val gated = persistCorpus(gateStage(docs, cfg, langIdModel), "gated")
     val classified =
       if (cfg.qualityMinProb > 0)
         persistCorpus(classifierStage(gated, qualityModel.get, cfg),
@@ -448,11 +481,15 @@ object CorpusPipeline {
       cfg: Config = Config(),
       embeddings: Option[DataFrame] = None,
       evalEmbeddings: Option[DataFrame] = None,
-      qualityModel: Option[org.apache.spark.ml.PipelineModel] = None)
+      qualityModel: Option[org.apache.spark.ml.PipelineModel] = None,
+      langIdModel: Option[graft.ml.LangClassifier.LangIdModel] = None)
       : (DataFrame, Report) = {
     require(cfg.qualityMinProb <= 0 || qualityModel.isDefined,
       "qualityMinProb > 0 needs a trained QualityClassifier model " +
         "passed to build/buildStaged")
+    require(cfg.langIdMinProb <= 0 || langIdModel.isDefined,
+      "langIdMinProb > 0 needs a trained LangClassifier model passed " +
+        "to build/buildStaged (langIdModel)")
     val spark = docs.sparkSession
     val hconf = spark.sparkContext.hadoopConfiguration
     val basePath = new org.apache.hadoop.fs.Path(stagingDir)
@@ -490,7 +527,9 @@ object CorpusPipeline {
     val cfgStr = cfg.toString + s";semantic=${embeddings.isDefined}" +
       s";semdecon=${evalEmbeddings.isDefined}" +
       s";quality=${qualityModel
-        .map(graft.ml.QualityClassifier.fingerprint).getOrElse("none")}"
+        .map(graft.ml.QualityClassifier.fingerprint).getOrElse("none")}" +
+      s";langid=${langIdModel
+        .map(graft.ml.LangClassifier.fingerprint).getOrElse("none")}"
     readMarker("_GRAFT_CONFIG") match {
       case Some(prev) => require(prev == cfgStr,
         s"staging dir $stagingDir was written by a different Config " +
@@ -524,7 +563,7 @@ object CorpusPipeline {
         n
     }
 
-    val (gated, nGated) = stage("01_gated")(gateStage(docs, cfg))
+    val (gated, nGated) = stage("01_gated")(gateStage(docs, cfg, langIdModel))
     // "01q"/"01a"/"01b"/"02b": optional stages keep the fixed stage
     // names (and any staging dir written without them) stable in
     // every mode

@@ -547,6 +547,23 @@ object ScaleQueries {
       TextAnalysis.languageId(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // LEARNED language identification (fastText-lid shape: hashed char
+    // 2–4-gram counts → multinomial LR) — train on a bounded
+    // deterministic per-language slice of the corpus' own labels, then
+    // score every document map-side. Rows-only by the q142 convention
+    // (LR fits are seed-pinned in LangClassifierSpec, which also pins
+    // held-out accuracy on planted orthographies; the synthetic corpus
+    // text carries no real language signal for an oracle to check)
+    "q159_langid_learned" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = graft.ml.LangClassifier.train(docs, "text", "lang",
+        numFeatures = 4096, perLangCap = 500)
+      graft.ml.LangClassifier.score(model, docs, "text")
+        .select(col("doc_id"), col("pred_lang"),
+          round(col("lang_prob"), 4).as("lang_prob"))
+        .orderBy("doc_id")
+    }),
+
     // quality features
     "q33_quality" -> ((s, dir) =>
       TextAnalysis.qualityFeatures(t(s, dir, "documents"), "doc_id", "text")

@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ml.LangClassifier
+import graft.ops.CorpusPipeline
+
+/** Learned char-n-gram language id (the fastText lid shape).
+  * Seed-pinned like the LDA/RF/quality-classifier specs — ML fits are
+  * oracle-excluded by convention; the spec pins held-out separability
+  * on planted orthographic registers, determinism across re-fits, the
+  * bounded-training contract, and the capstone lang-gate wiring. */
+class LangClassifierSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  // three synthetic orthographies with disjoint digraph/suffix
+  // statistics — the signature char-gram lang-id actually learns.
+  // Every word is ascii-alphabetic so all of them pass the heuristic
+  // alpha gate; the MARKER lexicon (q32) knows none of these words.
+  private val pools: Map[String, Seq[String]] = Map(
+    "aa" -> Seq("thalling", "wringent", "shouldering", "thested",
+      "anthing", "wheting", "thropping", "ingleth", "weathing",
+      "thorring"),
+    "bb" -> Seq("schwarzung", "pfeilschaft", "zungsvoll", "schung",
+      "tzlichkeit", "pfortung", "schaftszug", "ungspfad", "schutzung",
+      "zwickschaft"),
+    "cc" -> Seq("beaulieux", "eauvoir", "lesieux", "tionneau",
+      "champeaux", "quelleaux", "tionnaise", "eauxtemps", "lesquelles",
+      "voirneau"))
+
+  private def doc(lang: String, seed: Int, n: Int = 24): String = {
+    val p = pools(lang)
+    (0 until n).map(i => p((i * 7 + seed * 13) % p.size)).mkString(" ")
+  }
+
+  private def corpus(lang: String, ids: Range): DataFrame =
+    ids.map(i => (i.toLong, lang, doc(lang, i)))
+      .toDF("doc_id", "lang", "text")
+
+  private def trainSet: DataFrame =
+    corpus("aa", 0 until 30)
+      .unionByName(corpus("bb", 100 until 130))
+      .unionByName(corpus("cc", 200 until 230))
+
+  private def heldOut: DataFrame =
+    corpus("aa", 1000 until 1010)
+      .unionByName(corpus("bb", 1100 until 1110))
+      .unionByName(corpus("cc", 1200 until 1210))
+
+  test("held-out registers classify correctly; re-fits are deterministic") {
+    def fitAndScore(): Map[Long, (String, Double)] =
+      LangClassifier.score(
+          LangClassifier.train(trainSet, "text", "lang",
+            numFeatures = 1024),
+          heldOut, "text")
+        .select(col("doc_id"), col("pred_lang"),
+          round(col("lang_prob"), 6).as("p"))
+        .as[(Long, String, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    val s1 = fitAndScore()
+    val s2 = fitAndScore()
+    assert(s1 === s2, "same inputs must fit to identical predictions")
+    for ((id, (pred, p)) <- s1) {
+      val truth = if (id < 1100) "aa" else if (id < 1200) "bb" else "cc"
+      assert(pred === truth, s"doc $id: predicted $pred, wanted $truth")
+      assert(p > 0.5, s"doc $id: winning prob $p not decisive")
+    }
+  }
+
+  test("training slice is bounded and deterministic under perLangCap") {
+    // a cap smaller than the corpus must not change WHICH docs train
+    // across runs (md5-order slice) — fingerprints pin model identity
+    val m1 = LangClassifier.train(trainSet, "text", "lang",
+      numFeatures = 1024, perLangCap = 10)
+    val m2 = LangClassifier.train(trainSet, "text", "lang",
+      numFeatures = 1024, perLangCap = 10)
+    assert(LangClassifier.fingerprint(m1) ===
+      LangClassifier.fingerprint(m2))
+    // and a different slice is a different model
+    val m3 = LangClassifier.train(trainSet, "text", "lang",
+      numFeatures = 1024, perLangCap = 20)
+    assert(LangClassifier.fingerprint(m1) !==
+      LangClassifier.fingerprint(m3))
+  }
+
+  test("charNgrams: range, boundaries, null safety") {
+    val df = Seq(("ab cd", 1L), (null: String, 2L)).toDF("t", "id")
+      .withColumn("__nrm", LangClassifier.normalizeText(col("t"), 1000))
+      .withColumn("g", LangClassifier.charNgrams(col("__nrm"), 2, 3))
+    val rows = df.select("id", "g").as[(Long, Seq[String])]
+      .collect().toMap
+    assert(rows(1L) === Seq("ab", "b ", " c", "cd", "ab ", "b c", " cd"))
+    assert(rows(2L) === Seq.empty)
+  }
+
+  test("capstone lang gate: predicted language replaces the metadata column") {
+    val model = LangClassifier.train(trainSet, "text", "lang",
+      numFeatures = 1024)
+    // build corpus: register-aa docs MISLABELED as bb, register-cc
+    // docs labeled correctly — with langIdMinProb on, the gate must
+    // trust the classifier, keep both sets under their PREDICTED
+    // languages, and drop nothing for the metadata lie. Texts are made
+    // gate-passing (long enough, no stopword issue at maxStopword
+    // 1.0).
+    val docs = corpus("aa", 5000 until 5010)
+      .withColumn("lang", lit("bb"))
+      .unionByName(corpus("cc", 6000 until 6010))
+    val evalSet = Seq((1L, "benchmark text nothing shares"))
+      .toDF("doc_id", "text")
+    val cfg = CorpusPipeline.Config(
+      minTokens = 5L, minAlpha = 0.0, maxStopword = 1.0,
+      langs = Seq("aa", "cc"), langIdMinProb = 0.5,
+      totalTarget = 20L, seqTokens = 16, stride = 16)
+    val (_, rep) = CorpusPipeline.build(docs, evalSet, cfg,
+      langIdModel = Some(model))
+    assert(rep.gated === 20L,
+      s"all docs pass under predicted langs: $rep")
+    // the surviving lang column is the PREDICTION, not the metadata
+    // (chunkStage's output drops lang, so read the gate stage itself)
+    val gateLangs = CorpusPipeline.gateStage(docs, cfg, Some(model))
+      .select("lang").distinct().as[String].collect().toSet
+    assert(gateLangs === Set("aa", "cc"), gateLangs.toString)
+    // and with the knob OFF, the metadata lie routes aa-register docs
+    // through the bb bucket and drops them (bb not in langs)
+    val (_, repOff) = CorpusPipeline.build(docs, evalSet,
+      cfg.copy(langIdMinProb = 0.0))
+    assert(repOff.gated === 10L, repOff.toString)
+    // missing model fails loudly
+    val err = intercept[IllegalArgumentException] {
+      CorpusPipeline.build(docs, evalSet, cfg)
+    }
+    assert(err.getMessage.contains("langIdModel"))
+  }
+}
