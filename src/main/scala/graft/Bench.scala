@@ -180,7 +180,9 @@ object Bench {
     // C4 sliding-span keep-first dedup
     "q158_span_scrub",
     // learned char-n-gram language id (bounded train + map-side score)
-    "q159_langid_learned")
+    "q159_langid_learned",
+    // byte-fallback unigram encode (closed-form model + UTF-8 walk)
+    "q160_byte_fallback_oracle")
 
   /** Queries whose r6→r7 numbers moved 2–6× with no code change — the
     * self-join/ANN family is short (<3 s warm) so a single co-tenant

@@ -1353,4 +1353,300 @@ object Vocab {
           (col("l_cnt").cast("double") * col("r_cnt").cast("double")))
           .as("score"))
   }
+
+  // ------------------------------------------------------------------
+  // Byte-fallback encode tier (SentencePiece `byte_fallback`; the
+  // GPT-2 byte-level idea applied only at the coverage boundary): a
+  // symbol the vocabulary cannot cover decomposes to its UTF-8 byte
+  // tokens <0x00>..<0xFF> instead of collapsing to an information-
+  // destroying unk — modern pipelines never lose bytes, so encode∘
+  // decode is the identity on EVERY string, not just covered ones.
+  // One tier, three attachments: the unigram Viterbi's unknown-char
+  // branch, the WordPiece MaxMatch's whole-word failure, and the BPE
+  // id mapping's out-of-vocabulary symbols. The walks themselves are
+  // unchanged — fallback only rewrites what the losing branch EMITS —
+  // but these variants run over CODEPOINTS (not UTF-16 units, which
+  // split astral chars into lone surrogates whose bytes are
+  // unrecoverable), matching the oracle engine's character semantics.
+
+  /** The byte piece for one UTF-8 byte value: `<0xXX>`, uppercase. */
+  def byteToken(b: Int): String = f"<0x$b%02X>"
+
+  /** UTF-8 byte pieces of a string, in byte order. */
+  def byteTokens(s: String): Vector[String] =
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .toVector.map(b => byteToken(b & 0xFF))
+
+  private val ByteTokenRe = "^<0x([0-9A-F]{2})>$".r
+
+  /** Inverse of the byte-piece rendering: concatenate a piece
+    * sequence, decoding maximal runs of byte tokens as UTF-8 — the
+    * round-trip witness (spec-pinned on astral/multibyte fixtures).
+    * Non-byte pieces pass through verbatim. */
+  def byteFallbackRestore(pieces: Seq[String]): String = {
+    val sb = new StringBuilder
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    def flush(): Unit = if (buf.nonEmpty) {
+      sb.append(new String(buf.toArray,
+        java.nio.charset.StandardCharsets.UTF_8))
+      buf.clear()
+    }
+    pieces.foreach {
+      case ByteTokenRe(hex) => buf += Integer.parseInt(hex, 16).toByte
+      case p => flush(); sb.append(p)
+    }
+    flush()
+    sb.result()
+  }
+
+  private def toCodepoints(word: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.result()
+  }
+
+  /** [[viterbiWord]] with the unknown-single-char branch emitting the
+    * char's UTF-8 byte pieces instead of [[UnkToken]]. DP positions
+    * are CODEPOINT indices (an astral char is one DP step, its
+    * fallback four byte pieces); piece paths are still strictly
+    * preferred — fallback fires only where NO piece path reaches. */
+  private def viterbiWordByteFallback(w: String,
+      logp: Map[String, Double], maxLen: Int): Vector[String] = {
+    val cps = toCodepoints(w)
+    val n = cps.length
+    if (n == 0) return Vector.empty
+    val unkPenalty = -1e3
+    val best = Array.fill(n + 1)(Double.NegativeInfinity)
+    val back = Array.fill(n + 1)(-1)
+    val viaUnk = Array.fill(n + 1)(false)
+    best(0) = 0.0
+    var i = 1
+    while (i <= n) {
+      var j = math.max(0, i - maxLen)
+      while (j < i) {
+        if (best(j) != Double.NegativeInfinity) {
+          logp.get(cps.slice(j, i).mkString).foreach { l =>
+            val s = best(j) + l
+            if (s > best(i)) { best(i) = s; back(i) = j; viaUnk(i) = false }
+          }
+        }
+        j += 1
+      }
+      if (best(i) == Double.NegativeInfinity &&
+          best(i - 1) != Double.NegativeInfinity) {
+        best(i) = best(i - 1) + unkPenalty
+        back(i) = i - 1
+        viaUnk(i) = true
+      }
+      i += 1
+    }
+    val rev = scala.collection.mutable.ArrayBuffer.empty[Vector[String]]
+    var pos = n
+    while (pos > 0) {
+      val j = back(pos)
+      rev += (if (viaUnk(pos)) byteTokens(cps(pos - 1))
+              else Vector(cps.slice(j, pos).mkString))
+      pos = j
+    }
+    rev.reverseIterator.flatten.toVector
+  }
+
+  /** [[encodeUnigram]] with byte fallback: (idCol, uni_pieces,
+    * n_ws_tokens, n_pieces, n_byte_pieces). On text the model fully
+    * covers this is exactly [[encodeUnigram]] with n_byte_pieces = 0
+    * (spec-pinned); uncovered chars become byte pieces and the
+    * encoding stays losslessly decodable ([[byteFallbackRestore]]).
+    * Same map-side shape: broadcast model, per-partition word memo,
+    * zero shuffle. */
+  def encodeUnigramByteFallback(df: DataFrame, idCol: String,
+      textCol: String, model: UnigramModel): DataFrame = {
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast((model.logp, model.maxLen))
+    val idType = df.schema(idCol).dataType
+    val in = df.select(col(idCol), TextOps.wsTokens(col(textCol)).as("__tk"))
+    val outSchema = StructType(Seq(
+      StructField("__id", idType, nullable = true),
+      StructField("uni_pieces", ArrayType(StringType, containsNull = false),
+        nullable = false),
+      StructField("n_ws_tokens", LongType, nullable = false),
+      StructField("n_pieces", LongType, nullable = false),
+      StructField("n_byte_pieces", LongType, nullable = false)))
+    val enc = spark.createDataFrame(
+      in.rdd.mapPartitions { it =>
+        val (logp, maxLen) = bc.value
+        val memo = scala.collection.mutable.HashMap.empty[String, Vector[String]]
+        it.map { r =>
+          val words = r.getSeq[String](1)
+          val pieces = words.iterator.flatMap(w =>
+            memo.getOrElseUpdate(w,
+              viterbiWordByteFallback(w, logp, maxLen))).toVector
+          Row(r.get(0), pieces, words.length.toLong, pieces.length.toLong,
+            pieces.count(ByteTokenRe.matches(_)).toLong)
+        }
+      }, outSchema)
+    enc.withColumnRenamed("__id", idCol)
+  }
+
+  /** [[encodeWpWord]] with byte fallback: MaxMatch over CODEPOINTS;
+    * a word the walk cannot cover becomes its UTF-8 byte pieces
+    * (whole word — the natural extension of WordPiece's whole-word
+    * unk) instead of [[UnkToken]]. */
+  private def encodeWpWordByteFallback(word: String,
+      m: WordPieceModel): Vector[String] = {
+    val cps = toCodepoints(word)
+    if (cps.isEmpty) return Vector.empty
+    val out = Vector.newBuilder[String]
+    var pos = 0
+    while (pos < cps.length) {
+      val init = pos == 0
+      val cap = math.min(cps.length - pos,
+        if (init) m.maxInitLen else m.maxContLen)
+      var len = cap
+      var hit = false
+      while (!hit && len >= 1) {
+        val sub = cps.slice(pos, pos + len).mkString
+        hit = if (init) m.initPieces(sub) else m.contPieces(sub)
+        if (!hit) len -= 1
+      }
+      if (!hit) return byteTokens(word)
+      out += (if (init) cps.slice(pos, pos + len).mkString
+              else ContMarker + cps.slice(pos, pos + len).mkString)
+      pos += len
+    }
+    out.result()
+  }
+
+  /** [[encodeWordPiece]] with byte fallback: (idCol, wp_tokens,
+    * n_ws_tokens, n_wp_tokens, n_fallback_words). Covered words
+    * encode identically to [[encodeWordPiece]] (spec-pinned);
+    * uncovered words emit their UTF-8 byte pieces and stay
+    * decodable. */
+  def encodeWordPieceByteFallback(df: DataFrame, idCol: String,
+      textCol: String, model: WordPieceModel): DataFrame = {
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(model)
+    val idType = df.schema(idCol).dataType
+    val in = df.select(col(idCol), TextOps.wsTokens(col(textCol)).as("__tk"))
+    val outSchema = StructType(Seq(
+      StructField("__id", idType, nullable = true),
+      StructField("wp_tokens", ArrayType(StringType, containsNull = false),
+        nullable = false),
+      StructField("n_ws_tokens", LongType, nullable = false),
+      StructField("n_wp_tokens", LongType, nullable = false),
+      StructField("n_fallback_words", LongType, nullable = false)))
+    val enc = spark.createDataFrame(
+      in.rdd.mapPartitions { it =>
+        val m = bc.value
+        val memo = scala.collection.mutable.HashMap.empty[String, Vector[String]]
+        it.map { r =>
+          val words = r.getSeq[String](1)
+          var fallback = 0L
+          val toks = words.iterator.flatMap { w =>
+            val enc = memo.getOrElseUpdate(w, encodeWpWordByteFallback(w, m))
+            if (enc.nonEmpty && ByteTokenRe.matches(enc.head)) fallback += 1
+            enc
+          }.toVector
+          Row(r.get(0), toks, words.length.toLong, toks.length.toLong,
+            fallback)
+        }
+      }, outSchema)
+    enc.withColumnRenamed("__id", idCol)
+  }
+
+  /** The BPE byte-fallback id block starts one past the model's
+    * largest piece id; byte b maps to `byteIdBase + b`. EXISTING piece
+    * ids are untouched — enabling fallback never re-numbers a vocab
+    * (spec-pinned), so checkpoints trained against the base ids stay
+    * valid. */
+  def byteIdBase(model: BpeModel): Int = model.vocab.values.max + 1
+
+  /** [[encodeIdsBpe]] with byte fallback: symbols the vocab lacks —
+    * exactly the unseen single codepoints, since every merge product
+    * and every training-dict base symbol is in the vocab by
+    * construction — emit their UTF-8 byte ids ([[byteIdBase]] + b)
+    * instead of the id-0 unk. The merge walk runs over codepoint
+    * symbols (an astral char is ONE symbol; UTF-16 units would split
+    * it into two lone surrogates whose bytes are unrecoverable).
+    * Returns (idCol, token_ids, n_tokens, n_byte_tokens). */
+  def encodeIdsBpeByteFallback(df: DataFrame, idCol: String,
+      textCol: String, model: BpeModel): DataFrame = {
+    val spark = df.sparkSession
+    val bcRanks = spark.sparkContext.broadcast(model.ranks)
+    val bcVocab = spark.sparkContext.broadcast(model.vocab)
+    val base = byteIdBase(model)
+    val idType = df.schema(idCol).dataType
+    val in = df.select(col(idCol), TextOps.wsTokens(col(textCol)).as("__tk"))
+    val outSchema = StructType(Seq(
+      StructField("__id", idType, nullable = true),
+      StructField("token_ids", ArrayType(IntegerType, containsNull = false),
+        nullable = false),
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("n_byte_tokens", LongType, nullable = false)))
+    val enc = spark.createDataFrame(
+      in.rdd.mapPartitions { it =>
+        val ranks = bcRanks.value
+        val vocab = bcVocab.value
+        val memo = scala.collection.mutable.HashMap.empty[String, Vector[Int]]
+        it.map { r =>
+          var nBytes = 0L
+          val ids = r.getSeq[String](1).iterator.flatMap { w =>
+            val enc = memo.getOrElseUpdate(w,
+              encodeWordCp(w, ranks).flatMap(t => vocab.get(t) match {
+                case Some(id) => Vector(id)
+                case None =>
+                  t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+                    .toVector.map(b => base + (b & 0xFF))
+              }))
+            enc
+          }.toVector
+          nBytes = ids.count(_ >= base).toLong
+          Row(r.get(0), ids, ids.length.toLong, nBytes)
+        }
+      }, outSchema)
+    enc.withColumnRenamed("__id", idCol)
+  }
+
+  /** [[encodeWord]] over codepoint symbols (fallback tier only — the
+    * base encoders keep the original UTF-16 walk, whose behavior the
+    * green oracles pin on ascii corpora). */
+  private def encodeWordCp(word: String,
+      ranks: Map[(String, String), Int]): Vector[String] = {
+    var syms = toCodepoints(word) :+ EndOfWord
+    var done = false
+    while (!done && syms.length > 1) {
+      var bestRank = Int.MaxValue
+      var bestIdx = -1
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; bestIdx = i }
+        i += 1
+      }
+      if (bestIdx < 0) done = true
+      else syms = (syms.take(bestIdx) :+
+        (syms(bestIdx) + syms(bestIdx + 1))) ++ syms.drop(bestIdx + 2)
+    }
+    syms
+  }
+
+  /** Decode a [[encodeIdsBpeByteFallback]] id sequence back to words:
+    * byte-block ids collect into UTF-8 runs, piece ids map through the
+    * reversed vocab, and the concatenation splits on [[EndOfWord]] —
+    * exact inverse by construction (spec-pinned on astral fixtures). */
+  def decodeIdsBpeByteFallback(ids: Seq[Int],
+      model: BpeModel): Vector[String] = {
+    val base = byteIdBase(model)
+    val rev = model.vocab.map(_.swap)
+    val pieces = ids.map { id =>
+      if (id >= base) byteToken(id - base) else rev(id)
+    }
+    byteFallbackRestore(pieces)
+      .split(java.util.regex.Pattern.quote(EndOfWord), -1)
+      .toVector.filter(_.nonEmpty)
+  }
 }

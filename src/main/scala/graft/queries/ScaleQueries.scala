@@ -1012,6 +1012,31 @@ object ScaleQueries {
         .orderBy("word")
     }),
 
+    // BYTE-FALLBACK encode oracle twin (SentencePiece byte_fallback):
+    // the q99d closed-form unigram model (full single-char coverage of
+    // the ASCII corpus) applied to the top-20 words with a fixed
+    // multibyte suffix (2-, 3-, and 4-byte UTF-8 chars) appended —
+    // every suffix char misses the inventory, so the Viterbi's
+    // fallback branch fires and emits UTF-8 byte pieces <0xXX>. The
+    // DuckDB twin replays the DP (dyadic logp, exact -1000 penalty,
+    // codepoint positions) AND the UTF-8 encoding arithmetic
+    // (codepoint -> byte sequence, closed form) — the astral char
+    // pins that both engines byte-encode the CODEPOINT, never a lone
+    // surrogate
+    "q160_byte_fallback_oracle" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val model = Vocab.staticUnigramModel(d, "text",
+        nPieces = 60, maxPieceLen = 8)
+      val words = Vocab.wordCounts(d, "text")
+        .orderBy(desc("cnt"), col("word")).limit(20)
+        .select(concat(col("word"), lit("é中𝄞")).as("word"))
+      Vocab.encodeUnigramByteFallback(words, "word", "word", model)
+        .select(col("word"),
+          concat_ws(" ", col("uni_pieces")).as("pieces"),
+          col("n_pieces"), col("n_byte_pieces"))
+        .orderBy("word")
+    }),
+
     // WordPiece ENCODE oracle twin — the third tokenizer family's
     // application loop (greedy longest-match-first, BERT-style ##
     // continuations) replayed cross-engine. The static vocab is the
@@ -4342,6 +4367,112 @@ object ScaleQueries {
                     np + 1
              FROM bt WHERE pos > 0)
          SELECT word, pieces, CAST(np AS BIGINT) AS n_pieces
+         FROM bt WHERE pos = 0 ORDER BY word""",
+    // byte-fallback twin: the q99d Viterbi with the unknown-char
+    // branch (best[pos-1] - 1000, back = pos-1, vu flag) and a
+    // backtrack that renders fallback positions as their UTF-8 byte
+    // pieces — the codepoint->bytes arithmetic written closed-form
+    // (192+cp//64 etc.), so both engines byte-encode codepoints
+    "q160_byte_fallback_oracle" ->
+      """WITH RECURSIVE
+           w AS (SELECT unnest(list_filter(
+                   string_split(coalesce(text, ''), ' '),
+                   t -> length(t) > 0)) AS word
+                 FROM documents),
+           wc AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),
+           subs AS (SELECT substr(word, i, l) AS piece, cnt
+                    FROM (SELECT word, cnt,
+                                 unnest(range(1, length(word) + 1)) AS i
+                          FROM wc),
+                         (SELECT unnest(range(1, 9)) AS l) L
+                    WHERE i + l - 1 <= length(word)),
+           pc AS (SELECT piece, sum(cnt) AS cnt
+                  FROM subs GROUP BY piece),
+           kept AS (SELECT piece, cnt FROM
+                      (SELECT piece, cnt FROM
+                        (SELECT piece, cnt FROM pc
+                         ORDER BY cnt DESC, piece LIMIT 60)
+                       UNION
+                       SELECT piece, cnt FROM pc
+                       WHERE length(piece) = 1)),
+           krow AS (SELECT list(piece ORDER BY cnt DESC, piece) AS ks,
+                           max(length(piece)) AS ml
+                    FROM kept),
+           words AS (SELECT word || 'é中𝄞' AS word FROM
+                       (SELECT word FROM wc
+                        ORDER BY cnt DESC, word LIMIT 20)),
+           vit AS (
+             SELECT word, [CAST(0.0 AS DOUBLE)] AS best, [0] AS back,
+                    [FALSE] AS vu
+             FROM words
+             UNION ALL
+             SELECT word,
+                    list_append(best,
+                      CASE WHEN mx IS NULL THEN best[pos] - 1000.0
+                           ELSE mx END),
+                    list_append(back,
+                      CASE WHEN mx IS NULL THEN pos - 1 ELSE bj END),
+                    list_append(vu, mx IS NULL)
+             FROM (SELECT word, best, back, vu, pos, mx,
+                          g0 + list_position(rl, mx) - 1 AS bj
+                   FROM (SELECT word, best, back, vu, rl, g0, pos,
+                           list_max(list_filter(rl,
+                             x -> x IS NOT NULL)) AS mx
+                         FROM (SELECT v.word, v.best, v.back, v.vu,
+                                 g0, pos,
+                                 list_transform(range(g0, pos), j ->
+                                   v.best[j+1] -
+                                   nullif(list_position(k.ks,
+                                     substr(v.word, j+1, pos-j)), 0)
+                                     / 16.0)
+                                   AS rl
+                               FROM (SELECT word, best, back, vu,
+                                            len(best) AS pos,
+                                            greatest(0,
+                                              len(best) - k2.ml) AS g0
+                                     FROM vit CROSS JOIN krow k2
+                                     WHERE len(best) <=
+                                           length(word)) v
+                                 CROSS JOIN krow k)))),
+           done AS (SELECT word, back, vu
+                    FROM vit WHERE len(best) = length(word) + 1),
+           bt AS (
+             SELECT word, back, vu, length(word) AS pos,
+                    CAST('' AS VARCHAR) AS pieces, 0 AS np, 0 AS nb
+             FROM done
+             UNION ALL
+             SELECT word, back, vu, back[pos+1],
+                    seg || CASE WHEN pieces = '' THEN ''
+                               ELSE ' ' END || pieces,
+                    np + segn,
+                    nb + CASE WHEN isfb THEN segn ELSE 0 END
+             FROM (SELECT word, back, vu, pos, pieces, np, nb, isfb,
+                     CASE WHEN NOT isfb
+                          THEN substr(word, back[pos+1] + 1,
+                                      pos - back[pos+1])
+                          WHEN cp < 128 THEN printf('<0x%02X>', cp)
+                          WHEN cp < 2048 THEN printf(
+                            '<0x%02X> <0x%02X>',
+                            192 + (cp // 64), 128 + (cp % 64))
+                          WHEN cp < 65536 THEN printf(
+                            '<0x%02X> <0x%02X> <0x%02X>',
+                            224 + (cp // 4096),
+                            128 + ((cp // 64) % 64), 128 + (cp % 64))
+                          ELSE printf(
+                            '<0x%02X> <0x%02X> <0x%02X> <0x%02X>',
+                            240 + (cp // 262144),
+                            128 + ((cp // 4096) % 64),
+                            128 + ((cp // 64) % 64), 128 + (cp % 64))
+                     END AS seg,
+                     CASE WHEN NOT isfb THEN 1
+                          WHEN cp < 128 THEN 1 WHEN cp < 2048 THEN 2
+                          WHEN cp < 65536 THEN 3 ELSE 4 END AS segn
+                   FROM (SELECT word, back, vu, pos, pieces, np, nb,
+                                vu[pos+1] AS isfb,
+                                ascii(substr(word, pos, 1)) AS cp
+                         FROM bt WHERE pos > 0)))
+         SELECT word, pieces, CAST(np AS BIGINT) AS n_pieces,
+                CAST(nb AS BIGINT) AS n_byte_pieces
          FROM bt WHERE pos = 0 ORDER BY word""",
     // BPE encode twin: reconstruct the static rank table (tier1 = top-30
     // pair counts, tier2 = top-5 x top-5 chained merged-symbol pairs,

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Vocab
+import graft.ops.Vocab.{BpeModel, UnigramModel, WordPieceModel}
+
+/** Byte-fallback encode tier for the three tokenizer families:
+  * uncovered symbols decompose to UTF-8 byte pieces (`<0xXX>`) instead
+  * of unk, so encode∘decode is the identity on EVERY string — pinned
+  * here on multibyte (2/3-byte) and ASTRAL (4-byte, surrogate-pair)
+  * fixtures, plus the no-fallback parity contract: on fully covered
+  * text each fallback encoder equals its base encoder exactly. */
+class ByteFallbackSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  // é = 2 UTF-8 bytes, 中 = 3, 𝄞 (U+1D11E, astral) = 4
+  private val exotic = "café 中文 a𝄞b"
+
+  test("byteTokens/byteFallbackRestore round-trip every width") {
+    for (s <- Seq("a", "é", "中", "𝄞", "café中𝄞", "", "mixed ascii é𝄞")) {
+      assert(Vocab.byteFallbackRestore(Vocab.byteTokens(s)) === s)
+    }
+    assert(Vocab.byteTokens("é") === Vector("<0xC3>", "<0xA9>"))
+    assert(Vocab.byteTokens("𝄞").length === 4)
+    // non-byte pieces pass through around a byte run
+    assert(Vocab.byteFallbackRestore(
+      Seq("ab", "<0xC3>", "<0xA9>", "cd")) === "abécd")
+  }
+
+  test("unigram byte fallback: lossless on astral chars, parity when covered") {
+    val corpus = Seq((1L, "aa ab ba bb abab")).toDF("id", "text")
+    val model = Vocab.staticUnigramModel(corpus, "text",
+      nPieces = 20, maxPieceLen = 4)
+    val docs = Seq((1L, exotic), (2L, "aa abab")).toDF("id", "text")
+    val out = Vocab.encodeUnigramByteFallback(docs, "id", "text", model)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[String](1), r.getLong(3), r.getLong(4)))).toMap
+    val (pieces, n, nBytes) = out(1L)
+    // every word restores exactly — including the surrogate-pair char
+    assert(Vocab.byteFallbackRestore(pieces) === "café中文a𝄞b")
+    // c(1) + f(1) + é(2) + 中(3) + 文(3) + 𝄞(4) byte pieces — the
+    // training corpus covers only a/b
+    assert(nBytes === 14L, pieces.toString)
+    assert(n === pieces.length.toLong)
+    // covered text: identical to the base encoder, zero fallback
+    val (p2, _, b2) = out(2L)
+    val base = Vocab.encodeUnigram(docs.filter(col("id") === 2), "id",
+      "text", model).collect().head.getSeq[String](1)
+    assert(p2 === base)
+    assert(b2 === 0L)
+  }
+
+  test("wordpiece byte fallback: whole uncovered word -> bytes, covered parity") {
+    val model = WordPieceModel(Set("a", "b", "ab"), Set("a", "b", "ab"))
+    val docs = Seq((1L, "abab a𝄞b ba"), (2L, "ab ba abba"))
+      .toDF("id", "text")
+    val out = Vocab.encodeWordPieceByteFallback(docs, "id", "text", model)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[String](1), r.getLong(4)))).toMap
+    val (toks, nFb) = out(1L)
+    assert(nFb === 1L)
+    // "a𝄞b": MaxMatch fails at 𝄞 -> the WHOLE word becomes bytes
+    // (1 + 4 + 1), and they restore to the original word
+    val fb = toks.dropWhile(!_.startsWith("<0x"))
+      .takeWhile(_.startsWith("<0x"))
+    assert(fb.length === 6)
+    assert(Vocab.byteFallbackRestore(fb) === "a𝄞b")
+    // covered doc: exactly the base encoder's pieces
+    val base = Vocab.encodeWordPiece(docs.filter(col("id") === 2), "id",
+      "text", model).collect().head.getSeq[String](1)
+    assert(out(2L)._1 === base)
+    assert(out(2L)._2 === 0L)
+  }
+
+  test("bpe id fallback: piece ids stable, byte block appended, decode exact") {
+    val corpus = Seq((1L, "ab ab ba")).toDF("id", "text")
+    val model = Vocab.learnBpe(corpus, "text", numMerges = 3)
+    val base = Vocab.byteIdBase(model)
+    assert(base === model.vocab.values.max + 1)
+    val docs = Seq((1L, "ab ba"), (2L, "ab café a𝄞b")).toDF("id", "text")
+    // covered text: token_ids identical to the base id encoder
+    val plain = Vocab.encodeIdsBpe(docs.filter(col("id") === 1), "id",
+      "text", model).collect().head.getSeq[Int](1)
+    val out = Vocab.encodeIdsBpeByteFallback(docs, "id", "text", model)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[Int](1), r.getLong(3)))).toMap
+    assert(out(1L)._1 === plain)
+    assert(out(1L)._2 === 0L)
+    // uncovered: c/f -> 1 byte id each, é -> 2, 𝄞 -> 4 (never two
+    // lone-surrogate unks), all in [base, base+256)
+    val (ids, nBytes) = out(2L)
+    assert(nBytes === 8L, ids.toString)
+    assert(ids.count(_ >= base) === 8)
+    assert(ids.forall(_ < base + 256))
+    assert(!ids.contains(0), "fallback must never emit the id-0 unk")
+    // exact round-trip through the id space
+    assert(Vocab.decodeIdsBpeByteFallback(ids, model) ===
+      Vector("ab", "café", "a𝄞b"))
+    assert(Vocab.decodeIdsBpeByteFallback(out(1L)._1, model) ===
+      Vector("ab", "ba"))
+  }
+}
