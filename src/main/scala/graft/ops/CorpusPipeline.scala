@@ -160,12 +160,30 @@ object CorpusPipeline {
       // Needs a trained model passed to build/buildStaged (missing
       // model fails loudly). Scoring is a map-side broadcast
       // projection: zero extra shuffle. 0 = off (trust the column)
-      langIdMinProb: Double = 0.0)
+      langIdMinProb: Double = 0.0,
+      // > 0: contrastive-pair extraction POST-stage (the DPR/ANCE
+      // hard-negative mining step, [[Similarity.hardNegativeMine]] —
+      // q157) over the CURATED corpus: for a fixed panel of
+      // `contrastiveAnchors` anchor docs (lowest surviving doc_ids —
+      // the fixed-bound panel discipline every retrieval stage
+      // follows), mine this many hardest in-band negatives per anchor
+      // from the remaining survivors, with each anchor's exact top-1
+      // neighbor anti-joined as the presumed positive. Runs AFTER
+      // decontamination on purpose: negatives mined from a corpus
+      // still carrying near-dups or benchmark leaks would poison the
+      // contrastive set. Needs an embeddings frame (fails loudly).
+      // buildStaged materializes the pairs as stage 06; build counts
+      // them into the Report (the staged form is the artifact path).
+      // 0 = off
+      contrastiveNegatives: Int = 0,
+      contrastiveAnchors: Int = 8,
+      contrastiveMinSim: Double = 0.3,
+      contrastiveMaxSim: Double = 0.9)
 
   case class Report(input: Long, gated: Long, classifier: Long,
       ppl: Long, outliers: Long, boiler: Long, deduped: Long,
       semantic: Long, substr: Long, clean: Long, sampled: Long,
-      sequences: Long)
+      sequences: Long, contrastive: Long = 0L)
 
   // ---- the five stage transforms, shared by build and buildStaged ----
 
@@ -340,6 +358,35 @@ object CorpusPipeline {
         .select(col("doc_id"), col("clean_text").as("text")), "doc_id")
   }
 
+  /** Optional contrastive-pair POST-stage over the curated corpus
+    * (see the Config scaladoc): anchors = the `contrastiveAnchors`
+    * lowest surviving doc_ids WITH an embedding row; the positive per
+    * anchor is its exact top-1 corpus neighbor (full-band k=1 mine,
+    * no anti-join); negatives are the hardest in-band survivors with
+    * that positive anti-joined ([[Similarity.hardNegativeMine]]).
+    * Returns (qid, rn, cid, sim) — the (anchor, rank, negative)
+    * training pairs. Scale: anchors are panel-sized by the fixed
+    * bound; the curated corpus is scanned twice (positive pass +
+    * mining pass) with map-side heaps — no pair-grain shuffle. */
+  private[graft] def contrastiveStage(clean: DataFrame, emb: DataFrame,
+      cfg: Config): DataFrame = {
+    val vecs = emb.select(col("doc_id"), col("embedding"))
+      .join(clean.select("doc_id"), "doc_id")
+      .localCheckpoint()
+    val anchors = vecs.orderBy("doc_id").limit(cfg.contrastiveAnchors)
+    val corpus = vecs.join(anchors.select("doc_id"), Seq("doc_id"),
+      "left_anti")
+    val noPositives = anchors
+      .select(col("doc_id").as("qid"), col("doc_id").as("cid")).limit(0)
+    val top1 = Similarity.hardNegativeMine(anchors, corpus, "doc_id",
+        "embedding", noPositives, k = 1, minSim = -1.0001,
+        maxSim = 1.0001)
+      .select("qid", "cid")
+    Similarity.hardNegativeMine(anchors, corpus, "doc_id", "embedding",
+      top1, k = cfg.contrastiveNegatives, minSim = cfg.contrastiveMinSim,
+      maxSim = cfg.contrastiveMaxSim)
+  }
+
   private[graft] def cleanStage(deduped: DataFrame, evalSet: DataFrame,
       cfg: Config, embeddings: Option[DataFrame] = None,
       evalEmbeddings: Option[DataFrame] = None): DataFrame = {
@@ -447,6 +494,13 @@ object CorpusPipeline {
       evalEmbeddings).localCheckpoint()
     val sampled = sampleStage(clean, cfg).localCheckpoint()
     val sequences = chunkStage(sampled, cfg)
+    val nContrastive =
+      if (cfg.contrastiveNegatives <= 0) 0L
+      else {
+        require(embeddings.isDefined, "contrastiveNegatives > 0 needs " +
+          "an embeddings frame passed to build/buildStaged")
+        contrastiveStage(clean, embeddings.get, cfg).count()
+      }
 
     val report = Report(
       input = docs.count(),
@@ -460,7 +514,8 @@ object CorpusPipeline {
       substr = substr.count(),
       clean = clean.count(),
       sampled = sampled.count(),
-      sequences = sequences.count())
+      sequences = sequences.count(),
+      contrastive = nContrastive)
     (sequences, report)
   }
 
@@ -602,9 +657,22 @@ object CorpusPipeline {
         evalEmbeddings))
     val (sampled, nSampled) = stage("04_sampled")(sampleStage(clean, cfg))
     val (sequences, nSeq) = stage("05_sequences")(chunkStage(sampled, cfg))
+    // "06": contrastive pairs are a SIDE artifact off the curated
+    // corpus (stage 03), materialized with the same completion
+    // manifest as every other stage; the cfg knobs are pinned in
+    // _GRAFT_CONFIG via cfg.toString like all stage dials
+    val nContrastive =
+      if (cfg.contrastiveNegatives <= 0) 0L
+      else {
+        require(embeddings.isDefined, "contrastiveNegatives > 0 needs " +
+          "an embeddings frame passed to build/buildStaged")
+        stage("06_contrastive")(
+          contrastiveStage(clean, embeddings.get, cfg))._2
+      }
 
     (sequences,
       Report(nInput, nGated, nClassifier, nPpl, nOutliers, nBoiler,
-        nDeduped, nSemantic, nSubstr, nClean, nSampled, nSeq))
+        nDeduped, nSemantic, nSubstr, nClean, nSampled, nSeq,
+        nContrastive))
   }
 }

@@ -503,4 +503,70 @@ class CorpusPipelineSpec extends AnyFunSuite {
     val (_, repB) = CorpusPipeline.buildStaged(docs, eval, base, cfg)
     assert(repB === repA)
   }
+
+  test("contrastive post-stage: staged artifact, hand-computed pairs, " +
+      "loud failure without embeddings, off by default") {
+    import spark.implicits._
+    // 6 survivors with 2D embeddings at known angles. Anchors = the 2
+    // lowest ids (1: x-axis, 2: y-axis); 3 is anchor 1's exact top-1
+    // (sim .95 — the presumed positive, and above the .9 band ceiling
+    // anyway), 6 is anchor 2's (symmetric); 4 (.8,.6) and 5 (.6,.8)
+    // sit inside the [.3,.9) band for BOTH anchors at sims .8/.6.
+    val y95 = math.sqrt(1.0 - 0.95 * 0.95).toFloat
+    val docs = Seq(
+      (1L, "en", "alpha bravo charlie delta"),
+      (2L, "en", "echo foxtrot golf hotel"),
+      (3L, "en", "india juliett kilo lima"),
+      (4L, "en", "mike november oscar papa"),
+      (5L, "en", "quebec romeo sierra tango"),
+      (6L, "en", "uniform victor whiskey xray"))
+      .toDF("doc_id", "lang", "text")
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(0.95f, y95)), (4L, Array(0.8f, 0.6f)),
+      (5L, Array(0.6f, 0.8f)), (6L, Array(y95, 0.95f)))
+      .toDF("doc_id", "embedding")
+    val eval = Seq((1000L, "nothing shared here")).toDF("doc_id", "text")
+    val cfg = CorpusPipeline.Config(minTokens = 3, minAlpha = 0.0,
+      maxStopword = 1.0, totalTarget = 1000L,
+      semanticMinSim = 0.999, // no pair reaches it — dedup keeps all 6
+      contrastiveNegatives = 2, contrastiveAnchors = 2)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_contrastive").toString
+
+    val (_, rep) = CorpusPipeline.buildStaged(docs, eval, base, cfg,
+      embeddings = Some(emb))
+    assert(rep.clean === 6L, rep.toString)
+    assert(rep.contrastive === 4L, rep.toString)
+    // the staged artifact carries exactly the hand-computed pairs
+    val marker = new java.io.File(
+      s"$base/06_contrastive/_GRAFT_STAGE_COMPLETE")
+    assert(marker.exists, "stage 06 must carry its completion manifest")
+    val pairs = spark.read.parquet(s"$base/06_contrastive")
+      .orderBy("qid", "rn")
+      .as[(Long, Int, Long, Double)].collect().toList
+    assert(pairs === List(
+      (1L, 1, 4L, 0.8), (1L, 2, 5L, 0.6),
+      (2L, 1, 5L, 0.8), (2L, 2, 4L, 0.6)), pairs.toString)
+    // in-memory build agrees on the count
+    val (_, repMem) = CorpusPipeline.build(docs, eval, cfg,
+      embeddings = Some(emb))
+    assert(repMem.contrastive === 4L)
+    // resume reads the staged pairs back, nothing recomputed
+    val (_, repC) = CorpusPipeline.buildStaged(docs, eval, base, cfg,
+      embeddings = Some(emb))
+    assert(repC === rep)
+    // knob on without an embeddings frame fails loudly
+    val err = intercept[IllegalArgumentException] {
+      CorpusPipeline.build(docs, eval, cfg)
+    }
+    assert(err.getMessage.contains("embeddings"))
+    // knob off: no stage dir, zero count (and no embeddings demanded)
+    val base2 = java.nio.file.Files
+      .createTempDirectory("graft_contrastive_off").toString
+    val (_, repOff) = CorpusPipeline.buildStaged(docs, eval, base2,
+      cfg.copy(contrastiveNegatives = 0))
+    assert(repOff.contrastive === 0L)
+    assert(!new java.io.File(s"$base2/06_contrastive").exists)
+  }
 }
