@@ -85,7 +85,7 @@ object LangClassifier {
   def train(docs: DataFrame, textCol: String, langCol: String,
       numFeatures: Int = 4096, minN: Int = 2, maxN: Int = 4,
       maxChars: Int = 1000, perLangCap: Int = 2000,
-      maxIter: Int = 60, regParam: Double = 0.01): LangIdModel = {
+      maxIter: Int = 25, regParam: Double = 0.01): LangIdModel = {
     val labels = docs.select(col(langCol)).na.drop().distinct()
       .orderBy(langCol)
       .collect().map(_.getString(0)).toSeq

@@ -556,8 +556,11 @@ object ScaleQueries {
     // text carries no real language signal for an oracle to check)
     "q159_langid_learned" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      // maxChars 400: language is a prefix property — half the gram
+      // volume of the 1000-char default at indistinguishable accuracy
+      // (fastText lid reads ~the first KB; CLD2 less)
       val model = graft.ml.LangClassifier.train(docs, "text", "lang",
-        numFeatures = 4096, perLangCap = 500)
+        numFeatures = 4096, perLangCap = 500, maxChars = 400)
       graft.ml.LangClassifier.score(model, docs, "text")
         .select(col("doc_id"), col("pred_lang"),
           round(col("lang_prob"), 4).as("lang_prob"))

@@ -245,8 +245,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // PlanNotes.declaredGlobalWindow at both sites. Any other bench
     // query planning a partition-less window is a data-scale
     // single-task sort and fails here.
+    // q155/q155b (r15 headline additions) route through unimaxQuotas,
+    // whose closed-form waterfill ranks the G-row LANGUAGE frame —
+    // declared at PlanNotes.declaredGlobalWindow (Mixing.scala), same
+    // class as temperatureSample's quota ranking
     val declared = Set("q19_window_frame", "q63_temperature_mix",
-      "q76_cluster_sample")
+      "q76_cluster_sample", "q155_unimax", "q155b_unimax_fill")
     val offenders = Bench.headline.flatMap { name =>
       val df = SparkEntry.queries(name)(spark, dir)
       val globals = df.queryExecution.sparkPlan.collect {
