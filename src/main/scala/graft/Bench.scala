@@ -182,7 +182,11 @@ object Bench {
     // learned char-n-gram language id (bounded train + map-side score)
     "q159_langid_learned",
     // byte-fallback unigram encode (closed-form model + UTF-8 walk)
-    "q160_byte_fallback_oracle")
+    "q160_byte_fallback_oracle",
+    // prototype-based pruning (SSL-prune/D4: per-cell proto-quota drop)
+    "q161_proto_prune",
+    // in-context pretraining ordering (cells → proto walk → windows)
+    "q162_icp_order")
 
   /** Queries whose r6→r7 numbers moved 2–6× with no code change — the
     * self-join/ANN family is short (<3 s warm) so a single co-tenant

