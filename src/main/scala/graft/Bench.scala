@@ -186,7 +186,14 @@ object Bench {
     // prototype-based pruning (SSL-prune/D4: per-cell proto-quota drop)
     "q161_proto_prune",
     // in-context pretraining ordering (cells → proto walk → windows)
-    "q162_icp_order")
+    "q162_icp_order",
+    // chat-template render with loss-mask spans + response-grain dedup
+    "q163_chat_render",
+    "q163b_turn_dedup",
+    // preference-pair construction by score margin (RM/DPO data)
+    "q164_preference_pairs",
+    // fill-in-the-middle transform (PSM, md5-coin split points)
+    "q165_fim_transform")
 
   /** Queries whose r6→r7 numbers moved 2–6× with no code change — the
     * self-join/ANN family is short (<3 s warm) so a single co-tenant

@@ -1,0 +1,196 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Supervised-fine-tuning / post-training data operators: the layer a
+  * pipeline runs AFTER pretraining curation to shape instruction,
+  * preference, and infilling data. Reference analogue: none (the
+  * reference stops at review analytics); this is the brief's
+  * "operations a large-scale training-data pipeline would need"
+  * extended to the post-training stage every modern stack carries —
+  * chat-template rendering with loss masks, response-grain dedup,
+  * preference-pair construction, and fill-in-the-middle transforms.
+  *
+  * Scale design: every operator here is a per-conversation or per-doc
+  * projection plus at most ONE keyed window/shuffle (conv id, response
+  * hash, or score rank) — nothing joins the corpus against itself, and
+  * nothing collects to the driver. All randomness is the engine's
+  * standard deterministic md5 coin ([[TextOps.md5Hash60]]) so reruns
+  * and the DuckDB oracles replay bit-identically.
+  */
+object SftData {
+
+  /** Deterministic conversation derivation over a flat document table:
+    * `turnsPerConv` consecutive ids form one conversation, roles
+    * alternate user/assistant from the user side. Purely structural
+    * (conv = id div turns, turn = id mod turns) so both engines and
+    * the specs can reconstruct it exactly; a real pipeline reads
+    * (conv_id, turn_idx, role, text) from its chat source instead and
+    * every operator below is unchanged. */
+  def conversationsFrom(docs: DataFrame, idCol: String, textCol: String,
+      turnsPerConv: Int = 4): DataFrame = {
+    require(turnsPerConv >= 2, s"need >= 2 turns, got $turnsPerConv")
+    val id = col(idCol).cast("long")
+    docs.select(
+      (id / turnsPerConv).cast("long").as("conv_id"),
+      (id % turnsPerConv).cast("int").as("turn_idx"),
+      when(id % turnsPerConv % 2 === 0, lit("user"))
+        .otherwise(lit("assistant")).as("role"),
+      coalesce(col(textCol), lit("")).as("text"))
+  }
+
+  /** Chat-template rendering with LOSS-MASK spans — the
+    * messages→training-sequence step of every SFT pipeline: each turn
+    * renders as `<|role|>\n TEXT <|end|>\n`, turns concatenate in
+    * `idxCol` order, and the spans where the loss applies (assistant
+    * TEXT only — never the template tokens, never user turns) are
+    * emitted as 0-based char offsets `start:end` joined by `;` in turn
+    * order. A trainer tokenizes the rendered string and masks
+    * everything outside the spans; emitting offsets instead of a
+    * parallel masked string keeps the output one rendered sequence,
+    * the shape collators consume.
+    *
+    * Returns (conv_id, n_turns, rendered, loss_spans). One
+    * conversation-grain shuffle; span arithmetic is a running-length
+    * window inside the same partition. Offsets count CODEPOINTS
+    * (`length()` semantics in both engines). */
+  def chatRender(msgs: DataFrame, convCol: String, idxCol: String,
+      roleCol: String, textCol: String): DataFrame = {
+    val txt = coalesce(col(textCol), lit(""))
+    val header = concat(lit("<|"), col(roleCol), lit("|>\n"))
+    val piece = concat(header, txt, lit("<|end|>\n"))
+    val w = Window.partitionBy(convCol).orderBy(idxCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val spanned = msgs
+      .withColumn("__piece", piece)
+      .withColumn("__cum", sum(length(col("__piece"))).over(w))
+      .withColumn("__start",
+        col("__cum") - length(col("__piece")) + length(header))
+      .withColumn("__end", col("__start") + length(txt))
+    spanned
+      .groupBy(col(convCol).as("conv_id"))
+      .agg(sort_array(collect_list(struct(
+        col(idxCol).cast("int").as("i"),
+        col("__piece").as("p"),
+        col(roleCol).as("r"),
+        col("__start").as("s"),
+        col("__end").as("e")))).as("__t"))
+      .select(col("conv_id"),
+        size(col("__t")).as("n_turns"),
+        array_join(transform(col("__t"), t => t.getField("p")), "")
+          .as("rendered"),
+        array_join(transform(
+          filter(col("__t"), t => t.getField("r") === "assistant"),
+          t => concat(t.getField("s").cast("string"), lit(":"),
+            t.getField("e").cast("string"))), ";").as("loss_spans"))
+  }
+
+  /** Response-grain exact dedup — the SFT-set hygiene step: identical
+    * assistant responses (whitespace-collapsed, case-folded) recur
+    * across scraped conversations and a model trained on them
+    * overfits the boilerplate. Keep-first by (conv, turn): every
+    * assistant turn gets its normalized-response equivalence class's
+    * first owner and a keep flag. One window shuffle on the response
+    * hash — user turns pass through untouched upstream (they are not
+    * emitted here; dedup decisions are per assistant RESPONSE).
+    *
+    * Returns (conv_id, turn_idx, norm_len, keep, first_conv,
+    * first_idx). */
+  def turnDedup(msgs: DataFrame, convCol: String, idxCol: String,
+      roleCol: String, textCol: String): DataFrame = {
+    // explicit class, not \s: Java's \s includes \x0B, RE2's doesn't —
+    // the engine/oracle pair must normalize identically
+    val norm = lower(trim(regexp_replace(
+      coalesce(col(textCol), lit("")), "[ \\t\\n\\r\\f]+", " ")))
+    val w = Window.partitionBy("__norm")
+      .orderBy(col(convCol).asc, col(idxCol).asc)
+    msgs.filter(col(roleCol) === "assistant")
+      .withColumn("__norm", norm)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__fc", first(col(convCol)).over(w))
+      .withColumn("__fi", first(col(idxCol)).over(w))
+      .select(col(convCol).cast("long").as("conv_id"),
+        col(idxCol).cast("int").as("turn_idx"),
+        length(col("__norm")).cast("long").as("norm_len"),
+        (col("__rn") === 1).as("keep"),
+        col("__fc").cast("long").as("first_conv"),
+        col("__fi").cast("int").as("first_idx"))
+  }
+
+  /** Preference-pair construction by score margin — the reward-model /
+    * DPO data step: within each group (same prompt cluster, domain,
+    * source), rank items best-first and worst-first and pair the i-th
+    * best with the i-th worst while the score gap clears `margin`
+    * (pairs whose chosen and rejected would be the same row, or that
+    * would reuse the middle element of an odd group, stop at
+    * i ≤ floor(n/2)). Deterministic ties on id. Returns (group,
+    * pair_idx, chosen_id, rejected_id, margin). Two windows over the
+    * same group partitioning — one shuffle. */
+  def preferencePairs(df: DataFrame, groupCol: String, idCol: String,
+      scoreCol: String, margin: Double): DataFrame = {
+    val best = Window.partitionBy(groupCol)
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    val worst = Window.partitionBy(groupCol)
+      .orderBy(col(scoreCol).asc, col(idCol).desc)
+    val n = Window.partitionBy(groupCol)
+    val ranked = df
+      .withColumn("__rb", row_number().over(best))
+      .withColumn("__rw", row_number().over(worst))
+      .withColumn("__n", count(lit(1)).over(n))
+    val chosen = ranked.select(col(groupCol).as("g"),
+      col("__rb").as("i"), col(idCol).as("chosen_id"),
+      col(scoreCol).as("cs"), col("__n").as("n"))
+    val rejected = ranked.select(col(groupCol).as("g"),
+      col("__rw").as("i"), col(idCol).as("rejected_id"),
+      col(scoreCol).as("rs"))
+    chosen.join(rejected, Seq("g", "i"))
+      .filter(col("i") <= floor(col("n") / 2) &&
+        (col("cs") - col("rs")) >= margin)
+      .select(col("g").as("group"), col("i").as("pair_idx"),
+        col("chosen_id"), col("rejected_id"),
+        round(col("cs") - col("rs"), 4).as("margin"))
+  }
+
+  /** Fill-in-the-middle transform (Bavarian et al. 2022, "Efficient
+    * Training of Language Models to Fill in the Middle"): a
+    * deterministic `fimRate` fraction of documents is rewritten in PSM
+    * order — `<PRE>prefix<SUF>suffix<MID>middle` — teaching infilling
+    * with zero extra data. Split points come from the standard md5
+    * coin family: a ∈ [1, L−2] and b ∈ [a+1, L−1] (all three segments
+    * non-empty), so `prefix+middle+suffix` always reassembles the
+    * original (spec-pinned). Documents shorter than `minChars` or
+    * losing the rate coin pass through as mode='plain'. Pure map-side
+    * projection — zero shuffle. Offsets are codepoint-based
+    * (`substring`/`length` agree across both engines on the corpus'
+    * BMP text). Returns (idCol, mode, a, b, fim_text). */
+  def fimTransform(docs: DataFrame, idCol: String, textCol: String,
+      fimRate: Double = 0.5, minChars: Int = 9): DataFrame = {
+    require(fimRate >= 0.0 && fimRate <= 1.0,
+      s"fimRate must be in [0,1], got $fimRate")
+    require(minChars >= 3, s"minChars must be >= 3, got $minChars")
+    val idStr = col(idCol).cast("string")
+    val txt = coalesce(col(textCol), lit(""))
+    val len = length(txt)
+    val coin = TextOps.md5Hash60(concat(lit("f:"), idStr)) % 100 <
+      lit((fimRate * 100).round)
+    val eligible = coin && len >= minChars
+    val a = (lit(1) +
+      TextOps.md5Hash60(concat(lit("a:"), idStr)) % (len - 2))
+      .cast("long")
+    val b = (a + 1 +
+      TextOps.md5Hash60(concat(lit("b:"), idStr)) % (len - 1 - a))
+      .cast("long")
+    val pre = txt.substr(lit(1), a)
+    val mid = txt.substr((a + 1).cast("int"), (b - a).cast("int"))
+    val suf = txt.substr((b + 1).cast("int"), (len.cast("long") - b).cast("int"))
+    docs.select(col(idCol),
+      when(eligible, lit("psm")).otherwise(lit("plain")).as("mode"),
+      when(eligible, a).otherwise(lit(null).cast("long")).as("a"),
+      when(eligible, b).otherwise(lit(null).cast("long")).as("b"),
+      when(eligible,
+        concat(lit("<PRE>"), pre, lit("<SUF>"), suf, lit("<MID>"), mid))
+        .otherwise(txt).as("fim_text"))
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import graft.ops.{CorpusPipeline, Dedup, Domains, FuzzyJoin, Layout, Mixing, Similarity, SubstrDedup, TextAnalysis, TextOps, Vocab}
+import graft.ops.{CorpusPipeline, Dedup, Domains, FuzzyJoin, Layout, Mixing, SftData, Similarity, SubstrDedup, TextAnalysis, TextOps, Vocab}
 
 /** North-star extension queries (SURVEY.md §7 step 7): deduplication,
   * similarity search, and text analysis at corpus scale. Oracle SQL is
@@ -888,6 +888,48 @@ object ScaleQueries {
             TextAnalysis.nTokensCol(col("text")).as("n_tokens")),
         "doc_id", "n_tokens", binTokens = 512L, nLists = 16)
         .orderBy("vec_id")),
+
+    // chat-template rendering with loss-mask spans: 4-turn
+    // conversations derived structurally from documents, each turn
+    // rendered <|role|>\n text <|end|>\n, assistant-text char spans
+    // emitted for the trainer's loss mask — fully oracle-replayed
+    "q163_chat_render" -> ((s, dir) =>
+      SftData.chatRender(
+        SftData.conversationsFrom(t(s, dir, "documents"), "doc_id",
+          "text", turnsPerConv = 4),
+        "conv_id", "turn_idx", "role", "text").orderBy("conv_id")),
+
+    // response-grain exact dedup over the same conversation frame:
+    // identical (ws-collapsed, case-folded) assistant responses
+    // keep-first by (conv, turn) — SFT-set boilerplate hygiene
+    "q163b_turn_dedup" -> ((s, dir) =>
+      SftData.turnDedup(
+        SftData.conversationsFrom(t(s, dir, "documents"), "doc_id",
+          "text", turnsPerConv = 4),
+        "conv_id", "turn_idx", "role", "text")
+        .orderBy("conv_id", "turn_idx")),
+
+    // preference-pair construction (RM/DPO data): per source, i-th
+    // best paired with i-th worst by type-token-ratio quality score
+    // (low = repetitive) while the margin clears 0.05 — deterministic,
+    // fully oracle-replayed
+    "q164_preference_pairs" -> ((s, dir) => {
+      val tk = TextOps.wsTokens(col("text"))
+      val scored = t(s, dir, "documents").select(col("doc_id"),
+        col("source"),
+        round(size(array_distinct(tk)).cast("double")
+          / greatest(size(tk), lit(1)), 4).as("score"))
+      SftData.preferencePairs(scored, "source", "doc_id", "score",
+        margin = 0.05).orderBy("group", "pair_idx")
+    }),
+
+    // fill-in-the-middle transform (Bavarian 2022): deterministic 50%
+    // of docs rewritten <PRE>prefix<SUF>suffix<MID>middle with
+    // md5-coin split points; prefix+middle+suffix reassembles the
+    // original (spec-pinned) — fully oracle-replayed
+    "q165_fim_transform" -> ((s, dir) =>
+      SftData.fimTransform(t(s, dir, "documents"), "doc_id", "text",
+        fimRate = 0.5, minChars = 9).orderBy("doc_id")),
 
     // Morton/z-order layout: the interleave arithmetic oracle-checked
     // cross-engine (bits=10 over partkey/suppkey buckets); the layout
@@ -3128,6 +3170,129 @@ object ScaleQueries {
                 ORDER BY pr DESC, id) AS INT) AS pos,
               n_tokens
        FROM b ORDER BY vec_id"""
+
+  /** Shared DuckDB CTE for the structural conversation derivation
+    * ([[graft.ops.SftData.conversationsFrom]], turnsPerConv = 4). */
+  private val convCteSql: String =
+    """msgs AS (SELECT CAST(doc_id // 4 AS BIGINT) AS conv_id,
+                       CAST(doc_id % 4 AS INT) AS turn_idx,
+                       CASE WHEN doc_id % 4 % 2 = 0
+                            THEN 'user' ELSE 'assistant' END AS role,
+                       coalesce(text, '') AS txt
+                FROM documents)"""
+
+  /** DuckDB twin of the q163 chat-template render: per-turn pieces,
+    * running-length span arithmetic, ordered string_agg — spans count
+    * codepoints like the engine's length(). */
+  private val q163Sql: String =
+    s"""WITH $convCteSql,
+         p AS (SELECT conv_id, turn_idx, role,
+                      '<|' || role || '|>' || chr(10) || txt ||
+                        '<|end|>' || chr(10) AS piece,
+                      length(role) + 5 AS hlen,
+                      length(txt) AS tlen
+               FROM msgs),
+         c AS (SELECT conv_id, turn_idx, role, piece, hlen, tlen,
+                      sum(length(piece)) OVER (PARTITION BY conv_id
+                        ORDER BY turn_idx
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum
+               FROM p),
+         sp AS (SELECT conv_id, turn_idx, role, piece,
+                       cum - length(piece) + hlen AS s,
+                       cum - length(piece) + hlen + tlen AS e
+                FROM c)
+       SELECT conv_id, CAST(count(*) AS INT) AS n_turns,
+              string_agg(piece, '' ORDER BY turn_idx) AS rendered,
+              coalesce(string_agg(CASE WHEN role = 'assistant'
+                  THEN CAST(s AS VARCHAR) || ':' || CAST(e AS VARCHAR)
+                END, ';' ORDER BY turn_idx), '') AS loss_spans
+       FROM sp GROUP BY conv_id ORDER BY conv_id"""
+
+  /** DuckDB twin of the q163b response-grain dedup: RE2-safe
+    * whitespace collapse, keep-first by (conv, turn) inside each
+    * normalized-response class. */
+  private val q163bSql: String =
+    s"""WITH $convCteSql,
+         a AS (SELECT conv_id, turn_idx,
+                      lower(trim(regexp_replace(txt,
+                        '[ \\t\\n\\r\\f]+', ' ', 'g'))) AS nrm
+               FROM msgs WHERE role = 'assistant'),
+         r AS (SELECT conv_id, turn_idx, nrm,
+                      row_number() OVER (PARTITION BY nrm
+                        ORDER BY conv_id, turn_idx) AS rn,
+                      first_value(conv_id) OVER (PARTITION BY nrm
+                        ORDER BY conv_id, turn_idx) AS fc,
+                      first_value(turn_idx) OVER (PARTITION BY nrm
+                        ORDER BY conv_id, turn_idx) AS fi
+               FROM a)
+       SELECT conv_id, turn_idx,
+              CAST(length(nrm) AS BIGINT) AS norm_len,
+              (rn = 1) AS keep, fc AS first_conv,
+              CAST(fi AS INT) AS first_idx
+       FROM r ORDER BY conv_id, turn_idx"""
+
+  /** DuckDB twin of the q164 preference pairs: best-first and
+    * worst-first ranks per source, i-th best × i-th worst while the
+    * type-token-ratio margin clears 0.05. */
+  private val q164Sql: String =
+    """WITH tk AS (SELECT doc_id, source,
+                     list_filter(string_split(coalesce(text, ''), ' '),
+                       t -> length(t) > 0) AS tok
+                   FROM documents),
+         d AS (SELECT doc_id, source,
+                    round(len(list_distinct(tok))::DOUBLE
+                      / greatest(len(tok), 1), 4) AS score
+               FROM tk),
+         r AS (SELECT doc_id, source, score,
+                      row_number() OVER (PARTITION BY source
+                        ORDER BY score DESC, doc_id ASC) AS rb,
+                      row_number() OVER (PARTITION BY source
+                        ORDER BY score ASC, doc_id DESC) AS rw,
+                      count(*) OVER (PARTITION BY source) AS n
+               FROM d)
+       SELECT c.source AS "group", CAST(c.rb AS INT) AS pair_idx,
+              c.doc_id AS chosen_id, j.doc_id AS rejected_id,
+              round(c.score - j.score, 4) AS margin
+       FROM r c JOIN r j
+         ON c.source = j.source AND c.rb = j.rw
+       WHERE c.rb <= c.n // 2 AND (c.score - j.score) >= 0.05::DOUBLE
+       ORDER BY "group", pair_idx"""
+
+  /** DuckDB twin of the q165 FIM transform: md5-coin rate gate and
+    * split points, codepoint-based segment slicing, PSM reassembly. */
+  private val q165Sql: String =
+    """WITH d AS (SELECT doc_id, coalesce(text, '') AS txt
+                  FROM documents),
+         h AS (SELECT doc_id, txt, length(txt) AS L,
+                      CAST('0x' || substr(md5('f:' ||
+                        CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                        % 100 AS coin,
+                      CAST('0x' || substr(md5('a:' ||
+                        CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS ha,
+                      CAST('0x' || substr(md5('b:' ||
+                        CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS hb
+               FROM d),
+         e AS (SELECT doc_id, txt, L, hb,
+                      (coin < 50 AND L >= 9) AS elig,
+                      CASE WHEN coin < 50 AND L >= 9
+                           THEN 1 + ha % (L - 2) END AS a0
+               FROM h),
+         f AS (SELECT doc_id, txt, L, elig, a0,
+                      CASE WHEN elig
+                           THEN a0 + 1 + hb % (L - 1 - a0) END AS b0
+               FROM e)
+       SELECT doc_id,
+              CASE WHEN elig THEN 'psm' ELSE 'plain' END AS mode,
+              CAST(a0 AS BIGINT) AS a, CAST(b0 AS BIGINT) AS b,
+              CASE WHEN elig THEN
+                '<PRE>' || substr(txt, 1, CAST(a0 AS INT)) ||
+                '<SUF>' || substr(txt, CAST(b0 AS INT) + 1,
+                  L - CAST(b0 AS INT)) ||
+                '<MID>' || substr(txt, CAST(a0 AS INT) + 1,
+                  CAST(b0 - a0 AS INT))
+              ELSE txt END AS fim_text
+       FROM f ORDER BY doc_id"""
 
   /** Generated DuckDB twin of the q76b cluster-balanced sample:
     * replayable cells + the q63 temperature-quota tail (√-weights,
@@ -5610,6 +5775,14 @@ object ScaleQueries {
     "q161_proto_prune" -> q161Sql,
 
     "q162_icp_order" -> q162Sql,
+
+    "q163_chat_render" -> q163Sql,
+
+    "q163b_turn_dedup" -> q163bSql,
+
+    "q164_preference_pairs" -> q164Sql,
+
+    "q165_fim_transform" -> q165Sql,
     "q76b_cluster_sample_oracle" -> q76bSql,
     // frequency-weighted substring counts (unigram tokenizer seed
     // statistic): every substring of length 1..8 of every corpus word,

@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.SftData
+
+class SftDataSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  test("conversationsFrom: structural derivation, alternating roles") {
+    val docs = (0L to 7L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val conv = SftData.conversationsFrom(docs, "doc_id", "text", 4)
+      .collect().sortBy(r => (r.getLong(0), r.getInt(1)))
+    assert(conv.map(_.getLong(0)).distinct.toSeq === Seq(0L, 1L))
+    assert(conv.take(4).map(_.getString(2)).toSeq ===
+      Seq("user", "assistant", "user", "assistant"))
+  }
+
+  test("chatRender: golden render + hand-computed loss span") {
+    val msgs = Seq(
+      (0L, 0, "user", "hi"),
+      (0L, 1, "assistant", "yo ok"))
+      .toDF("conv_id", "turn_idx", "role", "text")
+    val out = SftData.chatRender(msgs, "conv_id", "turn_idx", "role",
+      "text").collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getInt(1) === 2)
+    val rendered = r.getString(2)
+    assert(rendered ===
+      "<|user|>\nhi<|end|>\n<|assistant|>\nyo ok<|end|>\n")
+    // user piece 19 chars, assistant header 14 → span [33, 38)
+    assert(r.getString(3) === "33:38")
+    // the span really covers the assistant text (0-based offsets)
+    assert(rendered.substring(33, 38) === "yo ok")
+  }
+
+  test("chatRender: turns concatenate in idx order, null text renders " +
+      "empty, spans listed per assistant turn in order") {
+    val msgs = Seq(
+      (5L, 2, "user", "b"),
+      (5L, 0, "user", "a"),
+      (5L, 1, "assistant", null),
+      (5L, 3, "assistant", "xy"))
+      .toDF("conv_id", "turn_idx", "role", "text")
+    val r = SftData.chatRender(msgs, "conv_id", "turn_idx", "role",
+      "text").collect().head
+    val rendered = r.getString(2)
+    assert(rendered.startsWith("<|user|>\na<|end|>\n<|assistant|>\n"))
+    val spans = r.getString(3).split(";").map { s =>
+      val Array(a, b) = s.split(":"); (a.toInt, b.toInt)
+    }
+    assert(spans.length === 2)
+    // null-text span is empty (start == end); second covers "xy"
+    assert(spans(0)._1 === spans(0)._2)
+    assert(rendered.substring(spans(1)._1, spans(1)._2) === "xy")
+  }
+
+  test("turnDedup: ws-collapsed case-folded keep-first by (conv, turn)") {
+    val msgs = Seq(
+      (0L, 1, "assistant", "Hello   World"),
+      (1L, 1, "assistant", "hello world"),
+      (1L, 3, "assistant", " HELLO\tWORLD "),
+      (2L, 1, "assistant", "different"),
+      (2L, 0, "user", "hello world")) // user turns never considered
+      .toDF("conv_id", "turn_idx", "role", "text")
+    val out = SftData.turnDedup(msgs, "conv_id", "turn_idx", "role",
+      "text").collect().sortBy(r => (r.getLong(0), r.getInt(1)))
+    assert(out.length === 4)
+    val Seq(a, b, c, d) = out.toSeq
+    assert(a.getBoolean(3))                       // (0,1) first owner
+    assert(!b.getBoolean(3) && b.getLong(4) === 0L && b.getInt(5) === 1)
+    assert(!c.getBoolean(3) && c.getLong(4) === 0L)
+    assert(d.getBoolean(3))                       // "different" unique
+    assert(a.getLong(2) === "hello world".length)
+  }
+
+  test("preferencePairs: hand-computed ranks, margin gate, floor(n/2)") {
+    val df = Seq(
+      ("g", 1L, 0.9), ("g", 2L, 0.5), ("g", 3L, 0.1), ("g", 4L, 0.2),
+      ("h", 5L, 0.5), ("h", 6L, 0.48)) // margin 0.02 < 0.05: no pair
+      .toDF("src", "id", "score")
+    val out = SftData.preferencePairs(df, "src", "id", "score", 0.05)
+      .collect().sortBy(r => (r.getString(0), r.getInt(1)))
+    // g best-first: 1,2,4,3; worst-first: 3,4,2,1 → i=1: (1,3), i=2: (2,4)
+    assert(out.length === 2)
+    assert(out(0).getLong(2) === 1L && out(0).getLong(3) === 3L)
+    assert(math.abs(out(0).getDouble(4) - 0.8) < 1e-9)
+    assert(out(1).getLong(2) === 2L && out(1).getLong(3) === 4L)
+    // odd group never reuses its middle element
+    val odd = Seq(("o", 1L, 0.9), ("o", 2L, 0.5), ("o", 3L, 0.1))
+      .toDF("src", "id", "score")
+    val oo = SftData.preferencePairs(odd, "src", "id", "score", 0.05)
+      .collect()
+    assert(oo.length === 1)
+    assert(oo.head.getLong(2) === 1L && oo.head.getLong(3) === 3L)
+  }
+
+  test("fimTransform: PSM reassembly is the identity, bounds hold, " +
+      "short docs stay plain, deterministic") {
+    val docs = (0L to 99L)
+      .map(i => (i, if (i % 10 == 9) "short" else s"document body $i with enough characters"))
+      .toDF("doc_id", "text")
+    val out = SftData.fimTransform(docs, "doc_id", "text",
+      fimRate = 0.5, minChars = 9)
+    val rows = out.collect()
+    assert(rows.length === 100)
+    val orig = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    var psm = 0
+    for (r <- rows) {
+      val (id, mode, ft) = (r.getLong(0), r.getString(1), r.getString(4))
+      if (mode == "plain") {
+        assert(ft === orig(id))
+        assert(r.isNullAt(2) && r.isNullAt(3))
+      } else {
+        psm += 1
+        val (a, b) = (r.getLong(2), r.getLong(3))
+        val t = orig(id)
+        assert(a >= 1 && a < b && b < t.length)
+        // parse <PRE>p<SUF>s<MID>m and reassemble p+m+s
+        val body = ft.stripPrefix("<PRE>")
+        val si = body.indexOf("<SUF>"); val mi = body.indexOf("<MID>")
+        val p = body.substring(0, si)
+        val sfx = body.substring(si + 5, mi)
+        val m = body.substring(mi + 5)
+        assert(p + m + sfx === t, s"doc $id reassembly")
+        assert(p.length === a && (p + m).length === b)
+      }
+    }
+    // deterministic coin lands near the rate on the eligible docs
+    assert(psm > 25 && psm < 70, s"psm=$psm")
+    // short docs (< 9 chars) always plain
+    assert(rows.filter(_.getLong(0) % 10 == 9).forall(_.getString(1) == "plain"))
+    // rerun identical
+    val again = SftData.fimTransform(docs, "doc_id", "text",
+      fimRate = 0.5, minChars = 9).collect()
+    assert(rows.map(_.toSeq).sortBy(_.head.toString) ===
+      again.map(_.toSeq).sortBy(_.head.toString))
+    // rate 0 and 1 are total
+    assert(SftData.fimTransform(docs, "doc_id", "text", 0.0, 9)
+      .filter(col("mode") === "psm").count() === 0)
+    assert(SftData.fimTransform(docs, "doc_id", "text", 1.0, 9)
+      .filter(col("mode") === "plain").count() === 10)
+  }
+}
