@@ -1,18 +1,34 @@
 package graft
 
 /** Dev probe: time named SparkEntry queries once each (arg 1 = sfDir,
-  * rest = query names). Not part of the driver contract. */
+  * rest = query names). Not part of the driver contract.
+  *
+  * Default forcing is `.count()` — the Bench convention, comparable
+  * with every committed pair. A `full:` prefix (e.g.
+  * `full:q165_fim_transform`) forces FULL evaluation via a noop-sink
+  * write instead: count() lets Catalyst prune projection-only work
+  * (a map-side transform measures as a bare scan), so scale rows for
+  * pure-projection operators need this mode to say anything. */
 object TimeProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val spark = GraftSession.local(
       math.min(32, Runtime.getRuntime.availableProcessors()))
     spark.range(1000000).selectExpr("sum(id)").collect()
-    args.drop(1).foreach { name =>
+    args.drop(1).foreach { arg =>
+      val (name, full) =
+        if (arg.startsWith("full:")) (arg.stripPrefix("full:"), true)
+        else (arg, false)
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
-      println(f"[probe] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      val label = if (full) s"$name (full)" else name
+      if (full) {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      } else {
+        val n = fn(spark, sfDir).count()
+        println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      }
     }
     spark.stop()
   }

@@ -67,6 +67,17 @@ object CorpusPipeline {
       semanticMinSim: Double = 0.9,
       semanticLists: Int = 16,
       semanticPerCell: Int = 1280,
+      // > 0: prototype-pruning stage (SSL-prune, the D4 composition:
+      // SemDeDup removes near-COPIES, then this thins over-represented
+      // REGIONS — [[Similarity.prototypePrune]]) right after semantic
+      // dedup: drop this fraction of each embedding cell's
+      // most-prototypical survivors. Needs an embeddings frame (fails
+      // loudly). Docs without an embedding row — or with a zero-norm
+      // vector, which carries no direction to judge — are kept, the
+      // same lag-tolerant rule as the semantic stage. Cells reuse
+      // semanticLists/semanticPerCell (same embedding space, same
+      // sizing discipline). 0 = off
+      protoDropFrac: Double = 0.0,
       // >= 2: cross-document boilerplate scrub between the gates and
       // lexical dedup (chunks in >= this many distinct docs removed
       // from every doc) — stripping boilerplate FIRST keeps shared
@@ -183,7 +194,7 @@ object CorpusPipeline {
   case class Report(input: Long, gated: Long, classifier: Long,
       ppl: Long, outliers: Long, boiler: Long, deduped: Long,
       semantic: Long, substr: Long, clean: Long, sampled: Long,
-      sequences: Long, contrastive: Long = 0L)
+      sequences: Long, contrastive: Long = 0L, proto: Long = 0L)
 
   // ---- the five stage transforms, shared by build and buildStaged ----
 
@@ -341,6 +352,31 @@ object CorpusPipeline {
     deduped.join(reps.union(noEmb), "doc_id")
   }
 
+  /** Optional prototype-pruning stage — the D4 composition (Tirumala
+    * et al. 2023): semantic dedup has already removed near-copies, so
+    * what pruning sees is genuine density — over-represented regions
+    * of embedding space — and dropping each cell's most-prototypical
+    * `protoDropFrac` thins them without touching rare regions
+    * ([[Similarity.prototypePrune]], per-cell quotas). Docs without an
+    * embedding row or with a zero-norm vector are kept: no direction
+    * is not evidence of redundancy, and silently dropping them would
+    * turn embedding-pipeline lag into data loss. */
+  private[graft] def protoStage(semantic: DataFrame, emb: DataFrame,
+      cfg: Config): DataFrame = {
+    val embSlice = emb.select(col("doc_id"), col("embedding"))
+      .join(semantic.select("doc_id"), "doc_id")
+    val pruned = Similarity.prototypePrune(embSlice, "doc_id",
+      "embedding", dropFrac = cfg.protoDropFrac,
+      nLists = cfg.semanticLists, targetPerCell = cfg.semanticPerCell)
+    val kept = pruned.filter(col("keep")).select("doc_id")
+    // zero-norm vectors never enter the cell space — keep their docs
+    val noDir = embSlice.select("doc_id")
+      .join(pruned.select("doc_id"), Seq("doc_id"), "left_anti")
+    val noEmb = semantic.select("doc_id")
+      .join(emb.select("doc_id"), Seq("doc_id"), "left_anti")
+    semantic.join(kept.union(noDir).union(noEmb), "doc_id")
+  }
+
   /** Substring-grain scrub over the doc-level-dedup survivors: spans
     * >= substrMinLen tokens duplicated verbatim at ANY offset are
     * removed keep-first ([[SubstrDedup.scrub]] — oracle-anchored by
@@ -486,10 +522,16 @@ object CorpusPipeline {
         persistCorpus(semanticStage(deduped, emb, cfg), "semantic")
       case None => deduped
     }
+    val proto =
+      if (cfg.protoDropFrac > 0) {
+        require(embeddings.isDefined, "protoDropFrac > 0 needs an " +
+          "embeddings frame passed to build/buildStaged")
+        persistCorpus(protoStage(semantic, embeddings.get, cfg), "proto")
+      } else semantic
     val substr =
       if (cfg.substrMinLen > 0)
-        persistCorpus(substrStage(semantic, cfg), "substr")
-      else semantic
+        persistCorpus(substrStage(proto, cfg), "substr")
+      else proto
     val clean = cleanStage(substr, evalSet, cfg, embeddings,
       evalEmbeddings).localCheckpoint()
     val sampled = sampleStage(clean, cfg).localCheckpoint()
@@ -511,6 +553,7 @@ object CorpusPipeline {
       boiler = boiled.count(),
       deduped = deduped.count(),
       semantic = semantic.count(),
+      proto = proto.count(),
       substr = substr.count(),
       clean = clean.count(),
       sampled = sampled.count(),
@@ -647,11 +690,18 @@ object CorpusPipeline {
         stage("02b_semantic")(semanticStage(deduped, emb, cfg))
       case None => (deduped, nDeduped)
     }
+    // "02p": optional prototype pruning (D4) keeps stage names stable
+    val (proto, nProto) =
+      if (cfg.protoDropFrac > 0) {
+        require(embeddings.isDefined, "protoDropFrac > 0 needs an " +
+          "embeddings frame passed to build/buildStaged")
+        stage("02p_proto")(protoStage(semantic, embeddings.get, cfg))
+      } else (semantic, nSemantic)
     // "02c": optional substring-grain scrub keeps stage names stable
     val (substr, nSubstr) =
       if (cfg.substrMinLen > 0)
-        stage("02c_substr")(substrStage(semantic, cfg))
-      else (semantic, nSemantic)
+        stage("02c_substr")(substrStage(proto, cfg))
+      else (proto, nProto)
     val (clean, nClean) =
       stage("03_clean")(cleanStage(substr, evalSet, cfg, embeddings,
         evalEmbeddings))
@@ -673,6 +723,6 @@ object CorpusPipeline {
     (sequences,
       Report(nInput, nGated, nClassifier, nPpl, nOutliers, nBoiler,
         nDeduped, nSemantic, nSubstr, nClean, nSampled, nSeq,
-        nContrastive))
+        nContrastive, proto = nProto))
   }
 }

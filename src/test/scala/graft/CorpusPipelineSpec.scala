@@ -324,6 +324,61 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("different Config"))
   }
 
+  test("prototype-pruning stage (D4): dense-cap centers drop first, " +
+      "zero-norm and stage-off pass through, staged ≡ in-memory") {
+    // a 10-doc dense cap around e0 with increasing spread (pairwise
+    // cosine < 0.9 so the semantic stage keeps all) + 50 scattered
+    // basis docs + one zero-norm doc; the cap's most-central members
+    // are the corpus' most prototypical
+    val capVec = (1 to 10).map { i =>
+      val a = 0.5f + 0.1f * i
+      (i.toLong, Array.tabulate(64)(d =>
+        if (d == 0) 1.0f else if (d == i) a else 0.0f))
+    }
+    val protoEmb = (capVec ++ (11 to 60).map(i => (i.toLong, basis(i))) :+
+      ((61L, Array.fill(64)(0.0f)))).toDF("doc_id", "embedding")
+    val protoDocs = (1 to 61).map(i => (i.toLong, "en", synDoc(i)))
+      .toDF("doc_id", "lang", "text")
+    val off = CorpusPipeline.Config(totalTarget = 1000L)
+    val (seqsOff, repOff) = CorpusPipeline.build(protoDocs, synEval,
+      off, Some(protoEmb))
+    assert(repOff.proto === repOff.semantic) // stage off: pass-through
+    assert(repOff.semantic === 61L)
+    assert(seqsOff.filter($"doc_id" <= 6L).count() > 0)
+
+    val cfg = off.copy(protoDropFrac = 0.1)
+    val (seqs, rep) = CorpusPipeline.build(protoDocs, synEval,
+      cfg, Some(protoEmb))
+    // 60 usable vectors in one cell → floor(0.1·60) = 6 dropped, and
+    // they are the cap's most-central (smallest-spread) members 1..6
+    assert(rep.proto === 55L, rep.toString)
+    assert(seqs.filter($"doc_id" <= 6L).count() === 0L,
+      "the six most-prototypical cap docs must be pruned")
+    for (id <- Seq(7L, 8L, 9L, 10L, 11L, 60L, 61L))
+      assert(seqs.filter($"doc_id" === id).count() > 0,
+        s"doc $id (less prototypical / scattered / zero-norm) must survive")
+
+    // staged build: same report, 02p_proto manifest present, resume
+    // without the embeddings frame refuses
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_proto_stage").toString
+    val (seqsS, repS) = CorpusPipeline.buildStaged(protoDocs, synEval,
+      base, cfg, Some(protoEmb))
+    assert(repS === rep)
+    assert(seqsS.orderBy("doc_id", "win_idx")
+      .as[(Long, Long, String, Long)].collect().toSeq ===
+      seqs.orderBy("doc_id", "win_idx")
+        .as[(Long, Long, String, Long)].collect().toSeq)
+    assert(graft.sources.Fs.exists(spark,
+      s"$base/02p_proto/_GRAFT_STAGE_COMPLETE"))
+    // resuming WITHOUT the embeddings frame is a different build —
+    // the _GRAFT_CONFIG fingerprint (semantic=false) refuses first
+    val e = intercept[IllegalArgumentException] {
+      CorpusPipeline.buildStaged(protoDocs, synEval, base, cfg)
+    }
+    assert(e.getMessage.contains("different Config"))
+  }
+
   test("boilerplate stage scrubs shared chunks before dedup and drops emptied docs") {
     // shared 40-token boilerplate block (2 chunks, and above the
     // 30-token gate) prepended to docs 1-10; doc 30 is NOTHING BUT the

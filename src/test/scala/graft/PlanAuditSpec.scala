@@ -158,6 +158,20 @@ class PlanAuditSpec extends AnyFunSuite {
       s"checkpoint, found $scans:\n" + p.take(2000))
   }
 
+  test("q149 KN scoring evaluates the corpus bigram frame once " +
+      "(tf checkpoint) — the capstone gate's cost contract") {
+    // the r14 verdict watch-list item: pplStage (the capstone's KN
+    // gate) must pay ONE bigram-type pass, not one per consumer —
+    // bigramScoreKN's tf checkpoint feeds the codebook aggregation,
+    // the continuation counts, AND the scoring join from cached
+    // blocks; the only documents scan left is the id spine
+    val p = graft.queries.ScaleQueries.queries("q149_kn_ppl")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val scans = "documents\\.parquet".r.findAllIn(p).length
+    assert(scans <= 1, s"expected ≤1 documents scan after the tf " +
+      s"checkpoint, found $scans:\n" + p.take(2000))
+  }
+
   test("q83 intra-doc dedup is a pure projection (no join, no agg, one sort)") {
     val p = graft.queries.ScaleQueries.queries("q83_intradoc_dedup")(spark, dir)
       .queryExecution.executedPlan.toString
