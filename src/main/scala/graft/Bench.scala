@@ -190,6 +190,8 @@ object Bench {
     // chat-template render with loss-mask spans + response-grain dedup
     "q163_chat_render",
     "q163b_turn_dedup",
+    // packed SFT batches: md5-shard packing, spans re-offset
+    "q163c_packed_chats",
     // preference-pair construction by score margin (RM/DPO data)
     "q164_preference_pairs",
     // fill-in-the-middle transform (PSM, md5-coin split points)

@@ -119,6 +119,65 @@ object SftData {
         col("__fi").cast("int").as("first_idx"))
   }
 
+  /** Pack rendered conversations into fixed-budget training sequences
+    * with RE-OFFSET loss spans — the collator step after
+    * [[chatRender]]: conversations walk in deterministic md5 order
+    * into `binChars`-budget bins ([[Mixing.packSequences]] arithmetic:
+    * bin = floor(pre-conversation running total / budget) — bins never
+    * undershoot, overflow by at most one conversation), each bin
+    * concatenates its conversations in pack order, and every loss
+    * span shifts by its conversation's char offset inside the bin so
+    * the mask stays valid on the PACKED string.
+    *
+    * Packing is shard-parallel (`nShards` md5 shards, the same
+    * embarrassing parallelism a 1000-executor collator uses): windows
+    * partition by shard — never global — and bins are (shard, bin)
+    * keyed. Returns (shard, bin, n_convs, packed, loss_spans). */
+  def packChats(rendered: DataFrame, convCol: String, textCol: String,
+      spansCol: String, binChars: Long, nShards: Int = 32): DataFrame = {
+    require(binChars > 0, s"binChars must be positive, got $binChars")
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val cidStr = col("conv_id").cast("string")
+    val base = rendered.select(col(convCol).cast("long").as("conv_id"),
+        col(textCol).as("r"),
+        coalesce(col(spansCol), lit("")).as("sp"))
+      .withColumn("__h", md5(concat(lit("o:"), cidStr)))
+      .withColumn("shard",
+        (TextOps.md5Hash60(concat(lit("p:"), cidStr)) % nShards)
+          .cast("int"))
+    val wRun = Window.partitionBy("shard")
+      .orderBy(col("__h"), col("conv_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wBin = Window.partitionBy("shard", "bin")
+    val withOff = base
+      .withColumn("__len", length(col("r")).cast("long"))
+      .withColumn("__cum", sum(col("__len")).over(wRun))
+      .withColumn("bin",
+        floor((col("__cum") - col("__len")).cast("double") / binChars)
+          .cast("bigint"))
+      .withColumn("__off", col("__cum") - col("__len") -
+        min(col("__cum") - col("__len")).over(wBin))
+    val shifted = withOff.withColumn("__sps",
+      array_join(transform(
+        filter(split(col("sp"), ";"), s => length(s) > 0),
+        s => concat(
+          (element_at(split(s, ":"), 1).cast("long") + col("__off"))
+            .cast("string"),
+          lit(":"),
+          (element_at(split(s, ":"), 2).cast("long") + col("__off"))
+            .cast("string"))), ";"))
+    shifted.groupBy(col("shard"), col("bin"))
+      .agg(sort_array(collect_list(struct(col("__h").as("h"),
+          col("conv_id").as("id"), col("r").as("r"),
+          col("__sps").as("s")))).as("__c"))
+      .select(col("shard"), col("bin"),
+        size(col("__c")).as("n_convs"),
+        array_join(transform(col("__c"), c => c.getField("r")), "")
+          .as("packed"),
+        array_join(filter(transform(col("__c"), c => c.getField("s")),
+          s => length(s) > 0), ";").as("loss_spans"))
+  }
+
   /** Preference-pair construction by score margin — the reward-model /
     * DPO data step: within each group (same prompt cluster, domain,
     * source), rank items best-first and worst-first and pair the i-th

@@ -909,6 +909,21 @@ object ScaleQueries {
         "conv_id", "turn_idx", "role", "text")
         .orderBy("conv_id", "turn_idx")),
 
+    // packed SFT batches: rendered conversations walk in md5 order
+    // into 2048-char bins (8 md5 shards — the collator's
+    // embarrassing parallelism), loss spans RE-OFFSET onto the packed
+    // string — the training-ready composition of q163 + q91's packing
+    // arithmetic; fully oracle-replayed
+    "q163c_packed_chats" -> ((s, dir) =>
+      SftData.packChats(
+        SftData.chatRender(
+          SftData.conversationsFrom(t(s, dir, "documents"), "doc_id",
+            "text", turnsPerConv = 4),
+          "conv_id", "turn_idx", "role", "text"),
+        "conv_id", "rendered", "loss_spans",
+        binChars = 2048L, nShards = 8)
+        .orderBy("shard", "bin")),
+
     // preference-pair construction (RM/DPO data): per source, i-th
     // best paired with i-th worst by type-token-ratio quality score
     // (low = repetitive) while the margin clears 0.05 — deterministic,
@@ -3181,11 +3196,12 @@ object ScaleQueries {
                        coalesce(text, '') AS txt
                 FROM documents)"""
 
-  /** DuckDB twin of the q163 chat-template render: per-turn pieces,
+  /** Shared DuckDB CTE chain producing the q163 rendered frame
+    * `rend(conv_id, n_turns, rendered, loss_spans)`: per-turn pieces,
     * running-length span arithmetic, ordered string_agg — spans count
     * codepoints like the engine's length(). */
-  private val q163Sql: String =
-    s"""WITH $convCteSql,
+  private val rendCteSql: String =
+    s"""$convCteSql,
          p AS (SELECT conv_id, turn_idx, role,
                       '<|' || role || '|>' || chr(10) || txt ||
                         '<|end|>' || chr(10) AS piece,
@@ -3201,13 +3217,58 @@ object ScaleQueries {
          sp AS (SELECT conv_id, turn_idx, role, piece,
                        cum - length(piece) + hlen AS s,
                        cum - length(piece) + hlen + tlen AS e
-                FROM c)
-       SELECT conv_id, CAST(count(*) AS INT) AS n_turns,
-              string_agg(piece, '' ORDER BY turn_idx) AS rendered,
-              coalesce(string_agg(CASE WHEN role = 'assistant'
-                  THEN CAST(s AS VARCHAR) || ':' || CAST(e AS VARCHAR)
-                END, ';' ORDER BY turn_idx), '') AS loss_spans
-       FROM sp GROUP BY conv_id ORDER BY conv_id"""
+                FROM c),
+         rend AS (SELECT conv_id, CAST(count(*) AS INT) AS n_turns,
+                    string_agg(piece, '' ORDER BY turn_idx) AS rendered,
+                    coalesce(string_agg(CASE WHEN role = 'assistant'
+                        THEN CAST(s AS VARCHAR) || ':' ||
+                          CAST(e AS VARCHAR)
+                      END, ';' ORDER BY turn_idx), '') AS loss_spans
+                  FROM sp GROUP BY conv_id)"""
+
+  /** DuckDB twin of the q163 chat-template render. */
+  private val q163Sql: String =
+    s"""WITH $rendCteSql
+       SELECT conv_id, n_turns, rendered, loss_spans
+       FROM rend ORDER BY conv_id"""
+
+  /** DuckDB twin of the q163c packed chats: md5 shard + walk order,
+    * packSequences bin arithmetic, per-bin char offsets, span
+    * shifting, ordered concatenation. */
+  private val q163cSql: String =
+    s"""WITH $rendCteSql,
+         sb AS (SELECT conv_id, rendered, loss_spans,
+                       md5('o:' || CAST(conv_id AS VARCHAR)) AS h,
+                       CAST(CAST('0x' || substr(md5('p:' ||
+                         CAST(conv_id AS VARCHAR)), 1, 15) AS BIGINT)
+                         % 8 AS INT) AS shard
+                FROM rend),
+         cm AS (SELECT *, sum(length(rendered)) OVER (PARTITION BY shard
+                  ORDER BY h, conv_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS cum
+                FROM sb),
+         bn AS (SELECT *, CAST(floor((cum - length(rendered))::DOUBLE
+                  / 2048) AS BIGINT) AS bin
+                FROM cm),
+         ofs AS (SELECT *, cum - length(rendered) -
+                   min(cum - length(rendered)) OVER (
+                     PARTITION BY shard, bin) AS off
+                 FROM bn),
+         sh AS (SELECT shard, bin, h, conv_id, rendered,
+                  array_to_string(list_transform(
+                    list_filter(string_split(loss_spans, ';'),
+                      x -> length(x) > 0),
+                    x -> CAST(CAST(string_split(x, ':')[1] AS BIGINT)
+                           + off AS VARCHAR) || ':' ||
+                         CAST(CAST(string_split(x, ':')[2] AS BIGINT)
+                           + off AS VARCHAR)), ';') AS sps
+                FROM ofs)
+       SELECT shard, bin, CAST(count(*) AS INT) AS n_convs,
+              string_agg(rendered, '' ORDER BY h, conv_id) AS packed,
+              coalesce(string_agg(CASE WHEN sps <> '' THEN sps END,
+                ';' ORDER BY h, conv_id), '') AS loss_spans
+       FROM sh GROUP BY shard, bin ORDER BY shard, bin"""
 
   /** DuckDB twin of the q163b response-grain dedup: RE2-safe
     * whitespace collapse, keep-first by (conv, turn) inside each
@@ -5779,6 +5840,8 @@ object ScaleQueries {
     "q163_chat_render" -> q163Sql,
 
     "q163b_turn_dedup" -> q163bSql,
+
+    "q163c_packed_chats" -> q163cSql,
 
     "q164_preference_pairs" -> q164Sql,
 
