@@ -87,6 +87,16 @@ object SftData {
             t.getField("e").cast("string"))), ";").as("loss_spans"))
   }
 
+  /** The ONE response-normalization definition ([[turnDedup]], its
+    * DuckDB twin, and the incremental state in
+    * [[graft.streaming.Streams]] all share it): whitespace runs
+    * collapse to single spaces (explicit class, not \s — Java's \s
+    * includes \x0B, RE2's doesn't, and the engine/oracle pair must
+    * normalize identically), trimmed, case-folded. */
+  def normResponseCol(c: Column): Column =
+    lower(trim(regexp_replace(
+      coalesce(c, lit("")), "[ \\t\\n\\r\\f]+", " ")))
+
   /** Response-grain exact dedup — the SFT-set hygiene step: identical
     * assistant responses (whitespace-collapsed, case-folded) recur
     * across scraped conversations and a model trained on them
@@ -100,10 +110,7 @@ object SftData {
     * first_idx). */
   def turnDedup(msgs: DataFrame, convCol: String, idxCol: String,
       roleCol: String, textCol: String): DataFrame = {
-    // explicit class, not \s: Java's \s includes \x0B, RE2's doesn't —
-    // the engine/oracle pair must normalize identically
-    val norm = lower(trim(regexp_replace(
-      coalesce(col(textCol), lit("")), "[ \\t\\n\\r\\f]+", " ")))
+    val norm = normResponseCol(col(textCol))
     val w = Window.partitionBy("__norm")
       .orderBy(col(convCol).asc, col(idxCol).asc)
     msgs.filter(col(roleCol) === "assistant")

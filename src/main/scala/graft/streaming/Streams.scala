@@ -802,6 +802,110 @@ object Streams {
       pruneHistory: Boolean = true): DataFrame =
     mediaDedupVacuum(spark, stateBase, pruneHistory)
 
+  /** INCREMENTAL response-grain SFT dedup as an AvailableNow stream —
+    * [[graft.ops.SftData.turnDedup]] maintained across ingest batches:
+    * each batch's ASSISTANT turns normalize map-side
+    * ([[graft.ops.SftData.normResponseCol]], the single shared
+    * definition) and fold into the persisted state as (id = conv,
+    * turn_idx, norm_key = hash60 of the normalized response,
+    * norm_len), first-write-wins on the (conv, turn) grain. Keep-first
+    * resolves at READ time ([[turnDedupFromState]]): a later batch can
+    * carry an EARLIER (conv, turn) for an existing response,
+    * retroactively re-electing the first owner — a fold-time election
+    * would get that wrong (the URL-state discipline). The state
+    * stores the 60-bit response hash, not the text (the sig-state
+    * family convention — smaller and nothing quotable at rest); a
+    * hash collision merges two response classes, the accepted
+    * MinHash-family tradeoff. Takedown is CONVERSATION-grained (the
+    * real request unit): a tombstoned conv id's turns all vanish and
+    * their response groups re-elect among survivors. */
+  def turnDedupIncrementalAvailableNow(msgs: DataFrame, convCol: String,
+      idxCol: String, roleCol: String, textCol: String,
+      stateBase: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    msgs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val spark = batch.sparkSession
+        val ver = f"batch_$id%06d"
+        val batchKeys = batch.toDF()
+          .filter(col(roleCol) === "assistant")
+          .select(col(convCol).cast("long").as("id"),
+            col(idxCol).cast("int").as("turn_idx"),
+            graft.ops.SftData.normResponseCol(col(textCol)).as("__n"))
+          .select(col("id"), col("turn_idx"),
+            graft.ops.TextOps.md5Hash60(concat(lit("t:"), col("__n")))
+              .as("norm_key"),
+            length(col("__n")).cast("long").as("norm_len"))
+          // within-batch (conv, turn) duplicates collapse to ONE
+          // deterministic row (min struct keeps key+len consistent;
+          // `first` would be partition-order dependent)
+          .groupBy("id", "turn_idx")
+          .agg(min(struct(col("norm_key"), col("norm_len"))).as("__s"))
+          .select(col("id"), col("turn_idx"),
+            col("__s.norm_key").as("norm_key"),
+            col("__s.norm_len").as("norm_len"))
+        val next = priorVersion(spark, stateBase, ver) match {
+          case Some(p) =>
+            val prior = spark.read.parquet(s"$stateBase/run_ts=$p")
+            // first write wins per (conv, turn): drop re-sent turns
+            prior.unionByName(batchKeys.join(
+              prior.select("id", "turn_idx"),
+              Seq("id", "turn_idx"), "left_anti"))
+          case None => batchKeys
+        }
+        next.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$stateBase/run_ts=$ver")
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** The response-dedup manifest from the latest state: identical
+    * grain to the batch [[graft.ops.SftData.turnDedup]] (parity
+    * spec-pinned) — (conv_id, turn_idx, norm_len, keep, first_conv,
+    * first_idx), keep-first elected at read over the tombstone-applied
+    * rows, so a taken-down conversation's groups re-elect exactly. */
+  def turnDedupFromState(spark: SparkSession,
+      stateBase: String): DataFrame = {
+    val versions = scala.util.Try(
+      graft.sources.Sinks.runVersions(spark, stateBase))
+      .getOrElse(Seq.empty)
+    require(versions.nonEmpty,
+      s"no turn-dedup state under $stateBase — run the stream first")
+    val raw = spark.read.parquet(s"$stateBase/run_ts=${versions.max}")
+    val st = graft.ops.Dedup.sigStateTombstoneIds(spark, stateBase) match {
+      case Some(ts) => raw.join(broadcast(ts), Seq("id"), "left_anti")
+      case None => raw
+    }
+    val firsts = st.groupBy("norm_key")
+      .agg(min(struct(col("id"), col("turn_idx"))).as("__f"))
+    st.join(firsts, Seq("norm_key"))
+      .select(col("id").as("conv_id"), col("turn_idx"),
+        col("norm_len"),
+        (col("__f.id") === col("id") &&
+          col("__f.turn_idx") === col("turn_idx")).as("keep"),
+        col("__f.id").as("first_conv"),
+        col("__f.turn_idx").as("first_idx"))
+  }
+
+  /** TAKEDOWN for the turn-dedup state — conversation-grained (the
+    * shared sibling-dir tombstone layout,
+    * [[graft.ops.Dedup.sigStateDelete]]): every turn of a deleted
+    * conv vanishes from [[turnDedupFromState]] at the next read and
+    * its response groups re-elect. Re-ingesting a deleted conv
+    * requires [[turnDedupVacuum]] first. */
+  def turnDedupDelete(spark: SparkSession, stateBase: String,
+      ids: DataFrame, idCol: String, ver: String): Unit =
+    graft.ops.Dedup.sigStateDelete(spark, stateBase, ids, idCol, ver)
+
+  /** Physical reclamation for the turn-dedup state — the exact-key
+    * grain's vacuum (id anti-join under the shared
+    * `Dedup.vacuumVersionedState` sequence), identical to the
+    * media/URL states'. */
+  def turnDedupVacuum(spark: SparkSession, stateBase: String,
+      pruneHistory: Boolean = true): DataFrame =
+    mediaDedupVacuum(spark, stateBase, pruneHistory)
+
   /** INCREMENTAL per-domain quality prior as an AvailableNow stream —
     * [[graft.ops.Domains.domainQualityPrior]] maintained across crawl
     * batches without rescanning the corpus. The state is ID-GRAINED

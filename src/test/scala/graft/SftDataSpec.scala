@@ -135,6 +135,66 @@ class SftDataSpec extends AnyFunSuite {
     assert(oo.head.getLong(2) === 1L && oo.head.getLong(3) === 3L)
   }
 
+  test("streaming turn dedup: fold ≡ batch on first-write-wins rows; " +
+      "retroactive re-election, takedown, vacuum") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_turn_state").toString
+    val stateBase = s"$base/state"
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("conv_id", LongType), StructField("turn_idx", IntegerType),
+      StructField("role", StringType), StructField("text", StringType)))
+    // batch 0: convs 10/11; batch 1: conv 2 carries the SAME response
+    // as (10,1) with a SMALLER conv id (must demote 10 retroactively),
+    // (10,1) re-sent with different text (dropped — first write wins),
+    // and a user turn that must never enter the state
+    val b0 = Seq((10L, 1, "assistant", "Hello   World"),
+      (10L, 0, "user", "ignored user"),
+      (11L, 1, "assistant", "unique one"))
+    val b1 = Seq((2L, 1, "assistant", " HELLO\tWORLD "),
+      (10L, 1, "assistant", "changed text"))
+    Seq(b0, b1).zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("conv_id", "turn_idx", "role", "text").coalesce(1)
+        .write.parquet(s"$base/in/p$i")
+    }
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in/p*")
+    graft.streaming.Streams.turnDedupIncrementalAvailableNow(
+        stream, "conv_id", "turn_idx", "role", "text",
+        stateBase, s"$base/ckpt")
+      .awaitTermination(300000): Unit
+
+    def manifest(): Map[(Long, Int), (Long, Boolean, Long, Int)] =
+      graft.streaming.Streams.turnDedupFromState(spark, stateBase)
+        .as[(Long, Int, Long, Boolean, Long, Int)].collect()
+        .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    // read-time election: conv 2 owns the class, conv 10 demoted
+    assert(manifest() === Map(
+      (2L, 1) -> ((11L, true, 2L, 1)),
+      (10L, 1) -> ((11L, false, 2L, 1)),
+      (11L, 1) -> ((10L, true, 11L, 1))))
+    // parity with the batch operator over first-write-wins rows
+    val union = (b0 ++ b1.filter(_._1 == 2L))
+      .toDF("conv_id", "turn_idx", "role", "text")
+    val batchMap = SftData.turnDedup(union, "conv_id", "turn_idx",
+        "role", "text")
+      .as[(Long, Int, Long, Boolean, Long, Int)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    assert(manifest() === batchMap)
+    // takedown of the elected first owner: group re-elects conv 10
+    graft.streaming.Streams.turnDedupDelete(spark, stateBase,
+      Seq(2L).toDF("conv_id"), "conv_id", "d0")
+    assert(manifest() === Map(
+      (10L, 1) -> ((11L, true, 10L, 1)),
+      (11L, 1) -> ((10L, true, 11L, 1))))
+    // vacuum completes the forget: one version, no tombstones
+    val vac = graft.streaming.Streams.turnDedupVacuum(spark, stateBase)
+    assert(!new java.io.File(
+      graft.ops.Dedup.sigStateTombstonePath(stateBase)).exists())
+    assert(graft.sources.Sinks.runVersions(spark, stateBase).size === 1)
+    assert(vac.filter(col("id") === 2L).count() === 0L)
+  }
+
   test("fimTransform: PSM reassembly is the identity, bounds hold, " +
       "short docs stay plain, deterministic") {
     val docs = (0L to 99L)
