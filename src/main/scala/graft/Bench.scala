@@ -195,7 +195,10 @@ object Bench {
     // preference-pair construction by score margin (RM/DPO data)
     "q164_preference_pairs",
     // fill-in-the-middle transform (PSM, md5-coin split points)
-    "q165_fim_transform")
+    "q165_fim_transform",
+    // RM3 pseudo-relevance feedback: expansion terms + expanded top-k
+    "q166_rm3_terms",
+    "q166b_rm3_topk")
 
   /** Queries whose r6→r7 numbers moved 2–6× with no code change — the
     * self-join/ANN family is short (<3 s warm) so a single co-tenant

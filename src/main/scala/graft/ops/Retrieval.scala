@@ -77,6 +77,144 @@ object Retrieval {
       .orderBy("qid", "rank")
   }
 
+  // ---- RM3 pseudo-relevance feedback ----
+
+  /** Shared RM3 machinery (Lavrenko & Croft 2001 relevance models;
+    * the RM3 query interpolation of Abdul-Jaleel et al. 2004): run
+    * BM25 once, treat the top `fbDocs` per query as pseudo-relevant,
+    * estimate the relevance model P(t|R) = Σ_d P(t|d)·w(d) with
+    * P(t|d) = tf/dl and w(d) = score_d/Σscores (ROUNDED BM25 scores —
+    * the cross-engine anchor), and interpolate with the uniform
+    * original-query model: p′(t) = λ/|q| · [t ∈ q] + (1−λ)·P(t|R).
+    * Returns every (qid, term, weight = round(p′, 6)) with its rank —
+    * decisions rank on the ROUNDED weight (term tiebreak), the q121
+    * discipline for ln()-tainted arithmetic.
+    *
+    * Scale shape: one corpus explode materialized once (the lazy tf
+    * checkpoint feeds document frequencies, the feedback scoring, AND
+    * the rescore); the feedback-doc frame is fbDocs×queries rows; all
+    * joins key on term/doc; windows partition by qid. */
+  private def rm3Weights(tf: DataFrame, dfreq: DataFrame,
+      stats: DataFrame, qterms: DataFrame, fbDocs: Int,
+      lambda: Double, k1: Double, b: Double): DataFrame = {
+    val sc = tf
+      .join(qterms, "term")
+      .join(dfreq, "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("w",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5)
+          / (col("df") + 0.5))
+          * col("tf") * (lit(k1) + 1.0)
+          / (col("tf") + lit(k1)
+            * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("qid", "doc")
+      .agg(round(sum(col("w")), 4).as("score"))
+    val wq = Window.partitionBy("qid")
+      .orderBy(col("score").desc, col("doc").asc)
+    val fb = sc.withColumn("rank", row_number().over(wq))
+      .filter(col("rank") <= fbDocs)
+      .select("qid", "doc", "score")
+    val ssum = fb.groupBy("qid").agg(sum(col("score")).as("ssum"))
+    // P(t|R): every term of every feedback doc, weighted by the doc's
+    // normalized (rounded) BM25 score
+    val prm1 = fb.join(ssum, "qid")
+      .join(tf.select(col("doc"), col("term"), col("tf"), col("dl")),
+        "doc")
+      .groupBy("qid", "term")
+      .agg(sum(col("tf") / col("dl") * col("score") / col("ssum"))
+        .as("prm1"))
+    val nq = qterms.groupBy("qid")
+      .agg(count(lit(1)).cast("double").as("nq"))
+    prm1.join(qterms.withColumn("inq", lit(1.0)),
+        Seq("qid", "term"), "full")
+      .join(nq, "qid")
+      .select(col("qid"), col("term"),
+        round(lit(lambda) * coalesce(col("inq"), lit(0.0)) / col("nq")
+          + lit(1.0 - lambda) * coalesce(col("prm1"), lit(0.0)), 6)
+          .as("weight"))
+  }
+
+  private def bm25Frames(docs: DataFrame, idCol: String,
+      textCol: String): (DataFrame, DataFrame, DataFrame) = {
+    val d = docs.select(col(idCol).as("doc"), toks(col(textCol)).as("tk"))
+    val terms = d.select(col("doc"), explode(col("tk")).as("term"),
+      size(col("tk")).cast("double").as("dl"))
+    val tf = terms.groupBy("doc", "term")
+      .agg(count(lit(1)).cast("double").as("tf"),
+        first(col("dl")).as("dl"))
+      .localCheckpoint(eager = false)
+    val dfreq = tf.groupBy("term")
+      .agg(count(lit(1)).cast("double").as("df"))
+    val stats = d.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(size(col("tk"))).as("avgdl"))
+    (tf, dfreq, stats)
+  }
+
+  /** The RM3 expansion-term table: top `fbTerms` interpolated terms
+    * per query — the query-understanding artifact itself (inspection,
+    * caching, spell-out). Returns (qid, rank, term, weight). */
+  def rm3Expand(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qidCol: String, qtextCol: String,
+      fbDocs: Int = 3, fbTerms: Int = 5, lambda: Double = 0.6,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(fbDocs > 0 && fbTerms > 0, "fbDocs/fbTerms must be positive")
+    require(lambda >= 0 && lambda <= 1, s"lambda in [0,1], got $lambda")
+    val (tf, dfreq, stats) = bm25Frames(docs, idCol, textCol)
+    val qterms = queries.select(col(qidCol).as("qid"),
+      explode(toks(col(qtextCol))).as("term")).distinct()
+    val weights = rm3Weights(tf, dfreq, stats, qterms, fbDocs,
+      lambda, k1, b)
+    val w = Window.partitionBy("qid")
+      .orderBy(col("weight").desc, col("term").asc)
+    weights.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= fbTerms)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("term"), col("weight"))
+      .orderBy("qid", "rank")
+  }
+
+  /** RM3-expanded retrieval: rescore the corpus with the interpolated
+    * term WEIGHTS (score′ = Σ_t p′(t)·bm25term(t, d) over the top
+    * `fbTerms` expansion terms) and return the final top-k. One extra
+    * term-keyed join over plain [[bm25TopK]] — the corpus explode is
+    * still materialized once. Returns (qid, doc_id, rank, score). */
+  def rm3TopK(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qidCol: String, qtextCol: String,
+      k: Int = 5, fbDocs: Int = 3, fbTerms: Int = 5,
+      lambda: Double = 0.6, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val (tf, dfreq, stats) = bm25Frames(docs, idCol, textCol)
+    val qterms = queries.select(col(qidCol).as("qid"),
+      explode(toks(col(qtextCol))).as("term")).distinct()
+    val weights = rm3Weights(tf, dfreq, stats, qterms, fbDocs,
+      lambda, k1, b)
+    val wrank = Window.partitionBy("qid")
+      .orderBy(col("weight").desc, col("term").asc)
+    val expansion = weights.withColumn("trk", row_number().over(wrank))
+      .filter(col("trk") <= fbTerms)
+      .select("qid", "term", "weight")
+    val rescored = tf
+      .join(expansion, "term")
+      .join(dfreq, "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("w",
+        col("weight") * (
+          log(lit(1.0) + (col("n_docs") - col("df") + 0.5)
+            / (col("df") + 0.5))
+            * col("tf") * (lit(k1) + 1.0)
+            / (col("tf") + lit(k1)
+              * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))))
+      .groupBy("qid", "doc")
+      .agg(round(sum(col("w")), 4).as("score"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("score").desc, col("doc").asc)
+    rescored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("doc").as("doc_id"),
+        col("rank").cast("long").as("rank"), col("score"))
+      .orderBy("qid", "rank")
+  }
+
   /** Reciprocal-rank fusion (Cormack et al. 2009) of two ranked lists
     * (qid, doc_id, rank): fused = Σ 1/(k0 + rank) over the lists that
     * ranked the doc. The industry-standard hybrid-search combiner —

@@ -1845,6 +1845,37 @@ object ScaleQueries {
     // query panel = first-8-token prefixes of docs 0-4, corpus = the
     // rest; the oracle replays tokenization, tf/df, the Lucene
     // +1-smoothed idf, and the rounded-score ranking exactly
+    // RM3 pseudo-relevance feedback: the expansion-term table (top-5
+    // interpolated terms per query over the top-3 feedback docs) —
+    // query understanding as data; fully oracle-replayed over the
+    // q121 panel
+    "q166_rm3_terms" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val qtext = concat_ws(" ",
+        slice(filter(split(coalesce(col("text"), lit("")), " "),
+          t => length(t) > 0), 1, 8))
+      val queries = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"), qtext.as("qtext"))
+      graft.ops.Retrieval.rm3Expand(docs.filter(col("doc_id") >= 5),
+        "doc_id", "text", queries, "qid", "qtext",
+        fbDocs = 3, fbTerms = 5, lambda = 0.6)
+    }),
+
+    // RM3-expanded retrieval: rescore with the interpolated term
+    // weights, final top-5 — the classic lexical recall lift; same
+    // panel, fully oracle-replayed
+    "q166b_rm3_topk" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val qtext = concat_ws(" ",
+        slice(filter(split(coalesce(col("text"), lit("")), " "),
+          t => length(t) > 0), 1, 8))
+      val queries = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"), qtext.as("qtext"))
+      graft.ops.Retrieval.rm3TopK(docs.filter(col("doc_id") >= 5),
+        "doc_id", "text", queries, "qid", "qtext",
+        k = 5, fbDocs = 3, fbTerms = 5, lambda = 0.6)
+    }),
+
     "q121_bm25" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val qtext = concat_ws(" ",
@@ -3728,6 +3759,62 @@ object ScaleQueries {
     s"""WITH $bm25Ctes
         SELECT qid, doc AS doc_id, CAST(rank AS BIGINT) AS rank, score
         FROM rk WHERE rank <= 5 ORDER BY qid, rank"""
+
+  /** Shared RM3 CTE suffix over [[bm25Ctes]]: feedback docs, the
+    * relevance model P(t|R) on rounded BM25 weights, the λ-interpolated
+    * term weights, and their per-query ranking. */
+  private def rm3Ctes: String =
+    """fb AS (SELECT qid, doc, score FROM rk WHERE rank <= 3),
+       ssum AS (SELECT qid, SUM(score) AS ssum FROM fb GROUP BY qid),
+       prm1 AS (SELECT f.qid, t.term,
+                       SUM(t.tf / t.dl * f.score / s.ssum) AS prm1
+                FROM fb f JOIN ssum s USING (qid)
+                JOIN tf t ON t.doc = f.doc
+                GROUP BY f.qid, t.term),
+       nq AS (SELECT qid, CAST(count(*) AS DOUBLE) AS nq
+              FROM qterms GROUP BY qid),
+       pw AS (SELECT coalesce(p.qid, qt.qid) AS qid,
+                     coalesce(p.term, qt.term) AS term,
+                     round(0.6 * (CASE WHEN qt.term IS NOT NULL
+                         THEN 1.0 ELSE 0.0 END) / n.nq
+                       + 0.4 * coalesce(p.prm1, 0.0), 6) AS weight
+              FROM prm1 p FULL JOIN qterms qt
+                ON qt.qid = p.qid AND qt.term = p.term
+              JOIN nq n ON n.qid = coalesce(p.qid, qt.qid)),
+       trk AS (SELECT qid, term, weight,
+                      row_number() OVER (PARTITION BY qid
+                        ORDER BY weight DESC, term ASC) AS trk
+               FROM pw)"""
+
+  /** q166: the RM3 expansion-term table. */
+  private val q166Sql: String =
+    s"""WITH $bm25Ctes,
+        $rm3Ctes
+        SELECT qid, CAST(trk AS BIGINT) AS rank, term, weight
+        FROM trk WHERE trk <= 5 ORDER BY qid, rank"""
+
+  /** q166b: RM3-expanded retrieval — weighted BM25 rescore over the
+    * top-5 expansion terms, final top-5 per query. */
+  private val q166bSql: String =
+    s"""WITH $bm25Ctes,
+        $rm3Ctes,
+        expn AS (SELECT qid, term, weight FROM trk WHERE trk <= 5),
+        rs AS (SELECT e.qid, t.doc,
+                      ROUND(SUM(e.weight *
+                        (ln(1.0 + (s.n_docs - df.df + 0.5)
+                           / (df.df + 0.5))
+                         * t.tf * (1.2 + 1.0)
+                         / (t.tf + 1.2 * ((1.0 - 0.75)
+                            + 0.75 * t.dl / s.avgdl)))), 4) AS score
+               FROM tf t JOIN expn e USING (term)
+               JOIN dfreq df USING (term), stats s
+               GROUP BY e.qid, t.doc),
+        rrk AS (SELECT qid, doc, score,
+                       row_number() OVER (PARTITION BY qid
+                         ORDER BY score DESC, doc ASC) AS rank
+                FROM rs)
+        SELECT qid, doc AS doc_id, CAST(rank AS BIGINT) AS rank, score
+        FROM rrk WHERE rank <= 5 ORDER BY qid, rank"""
 
   /** q122: RRF fusion of the BM25 list (k = 10) and the dense cosine
     * list (k = 10) — explicit two-term exact sums, ranked without
@@ -6672,6 +6759,10 @@ object ScaleQueries {
                  ROUND(COALESCE(h.hits, 0) / 5.0, 4) AS recall
           FROM qs LEFT JOIN hit h USING (qid) ORDER BY qs.qid""",
     "q121_bm25" -> q121Sql,
+
+    "q166_rm3_terms" -> q166Sql,
+
+    "q166b_rm3_topk" -> q166bSql,
     "q122_hybrid_rrf" -> q122Sql,
     // per-(query-vector, doc) max then per-(query, doc) sum over the
     // same cosine pairs; ranking over the rounded score

@@ -44,6 +44,52 @@ class RetrievalSpec extends AnyFunSuite {
     assert(!out.map(_._2).contains(10L))
   }
 
+  test("rm3: hand-computed relevance model, interpolation, and the " +
+      "classic PRF recall lift (a no-query-term doc becomes " +
+      "retrievable via expansion)") {
+    // docs 10/11 share 'apple' (the feedback set for query "apple");
+    // doc 12 has no overlap; doc 13 shares only 'banana' with doc 10 —
+    // invisible to plain BM25, reachable ONLY through expansion
+    val docs = Seq(
+      (10L, "apple banana"), (11L, "apple cherry"),
+      (12L, "dog egg"), (13L, "banana melon"))
+      .toDF("doc_id", "text")
+    val queries = Seq((0L, "apple")).toDF("qid", "qtext")
+
+    val terms = Retrieval.rm3Expand(docs, "doc_id", "text", queries,
+      "qid", "qtext", fbDocs = 3, fbTerms = 5, lambda = 0.6)
+      .as[(Long, Long, String, Double)].collect().toSeq
+    // feedback docs = {10, 11} (equal scores), w(d) = 1/2 each;
+    // P(apple|R) = ½·½ + ½·½ = ½; P(banana|R) = P(cherry|R) = ¼;
+    // p' = 0.6·orig + 0.4·rm1 → apple 0.8, banana/cherry 0.1 (tie on
+    // the term string: banana before cherry)
+    assert(terms.map(t => (t._3, t._4)) ===
+      Seq(("apple", 0.8), ("banana", 0.1), ("cherry", 0.1)))
+    assert(terms.map(_._2) === Seq(1L, 2L, 3L))
+    // the interpolated distribution is a probability distribution
+    assert(math.abs(terms.map(_._4).sum - 1.0) < 1e-9)
+
+    // plain BM25 cannot see doc 13; RM3 retrieves it via 'banana'
+    val plain = Retrieval.bm25TopK(docs, "doc_id", "text", queries,
+      "qid", "qtext", k = 5).select("doc_id")
+      .as[Long].collect().toSet
+    assert(!plain.contains(13L))
+    val expanded = Retrieval.rm3TopK(docs, "doc_id", "text", queries,
+      "qid", "qtext", k = 5, fbDocs = 3, fbTerms = 5, lambda = 0.6)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(expanded.map(_._2).contains(13L),
+      "expansion must surface the banana-only doc")
+    // the no-overlap doc stays invisible, and the original-query docs
+    // still dominate the ranking (λ keeps the query in charge)
+    assert(!expanded.map(_._2).contains(12L))
+    assert(Set(10L, 11L).contains(expanded.head._2))
+    // deterministic rerun
+    val again = Retrieval.rm3TopK(docs, "doc_id", "text", queries,
+      "qid", "qtext", k = 5).as[(Long, Long, Long, Double)]
+      .collect().toSeq
+    assert(expanded === again)
+  }
+
   test("rrf: fusion sums are exact, single-list docs still fuse") {
     val lex = Seq((0L, 100L, 1L), (0L, 101L, 2L))
       .toDF("qid", "doc_id", "rank")
