@@ -198,7 +198,9 @@ object Bench {
     "q165_fim_transform",
     // RM3 pseudo-relevance feedback: expansion terms + expanded top-k
     "q166_rm3_terms",
-    "q166b_rm3_topk")
+    "q166b_rm3_topk",
+    // pairwise source-overlap matrix from per-source KMV sketches
+    "q167_source_overlap")
 
   /** Queries whose r6→r7 numbers moved 2–6× with no code change — the
     * self-join/ANN family is short (<3 s warm) so a single co-tenant

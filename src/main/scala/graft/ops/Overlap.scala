@@ -79,6 +79,45 @@ object Overlap {
       .toDF("est_a", "est_b", "est_jaccard", "k")
   }
 
+  /** Pairwise source-overlap MATRIX — the corpus-composition
+    * diagnostic asked of every multi-source training mix (which
+    * sources are near-copies of each other? which crawl re-ingests
+    * which dump?): ONE grouped KMV pass builds a sketch per source
+    * (k longs of state each — the corpus is scanned once and never
+    * self-joined), then every source PAIR's Jaccard and containment
+    * are estimated from the G-row sketch frame alone with the
+    * standard KMV set algebra — X = k smallest of A∪B, Ĵ = |X∩A∩B| /
+    * |X|, Ĉ(A⊆B) = |X∩A∩B| / |X∩A|. When a source has fewer than k
+    * distinct elements its sketch IS its hash set and the estimates
+    * are exact. The whole pipeline — k-min-of-md5 sketches included —
+    * is deterministic and declaratively replayable, so the oracle
+    * checks the MATRIX itself, not just bounds (unlike q112's
+    * aggregator-vs-bounds form).
+    *
+    * Returns (src_a, src_b, k_eff, est_jaccard, est_containment) for
+    * every unordered pair (src_a < src_b). The pair join is a G-row ×
+    * G-row broadcast nested loop — G is the SOURCE count, matrix-sized
+    * by definition, never the corpus. */
+  def sourceOverlapMatrix(df: DataFrame, groupCol: String, elem: Column,
+      k: Int = 1024): DataFrame = {
+    val sk = df.select(col(groupCol).as("g"), elem.as("e"))
+      .filter(col("e").isNotNull)
+      .groupBy("g").agg(Kmv.kmvSketch(col("e"), k).as("sk"))
+    val a = sk.select(col("g").as("src_a"), col("sk").as("ska"))
+    val b = sk.select(col("g").as("src_b"), col("sk").as("skb"))
+    val x = slice(array_sort(array_union(col("ska"), col("skb"))), 1, k)
+    val inBoth = array_intersect(x,
+      array_intersect(col("ska"), col("skb")))
+    val inA = array_intersect(x, col("ska"))
+    a.join(b, col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        size(x).as("k_eff"),
+        round(size(inBoth).cast("double")
+          / greatest(size(x), lit(1)), 4).as("est_jaccard"),
+        round(size(inBoth).cast("double")
+          / greatest(size(inA), lit(1)), 4).as("est_containment"))
+  }
+
   /** The per-corpus sketch itself (sorted k-min hash array) — the
     * thing a nightly pipeline persists per dataset so any pair of
     * datasets can be overlap-tested later WITHOUT re-reading either

@@ -1695,6 +1695,18 @@ object ScaleQueries {
           / col("n_union")) <= 0.065).as("kmv_j_ok"))
     }),
 
+    // pairwise source-overlap matrix: one KMV sketch per source, every
+    // source pair's Jaccard/containment from the G-row sketch frame —
+    // the k-min-of-md5 sketches are deterministic and declaratively
+    // replayable, so the MATRIX itself is oracle-checked
+    "q167_source_overlap" -> ((s, dir) => {
+      val toks = t(s, dir, "documents").select(col("source"),
+        explode(TextOps.wsTokens(col("text"))).as("tok"))
+      graft.ops.Overlap.sourceOverlapMatrix(toks, "source",
+        col("tok"), k = 256)
+        .orderBy("src_a", "src_b")
+    }),
+
     // robust per-language length outliers (modified z-score over
     // median/MAD): the curation gate that catches the 3-char and the
     // 2 MB "document" without letting them move the baseline; exact
@@ -6763,6 +6775,43 @@ object ScaleQueries {
     "q166_rm3_terms" -> q166Sql,
 
     "q166b_rm3_topk" -> q166bSql,
+
+    "q167_source_overlap" ->
+      """WITH toks AS (SELECT source AS g,
+                unnest(list_filter(string_split(coalesce(text, ''), ' '),
+                  t -> length(t) > 0)) AS e
+              FROM documents),
+           de AS (SELECT DISTINCT g, e FROM toks),
+           hd AS (SELECT DISTINCT g,
+                    CAST((CAST('0x' || substr(md5(e), 1, 8)
+                        AS BIGINT)::HUGEINT * 4294967296
+                      + CAST('0x' || substr(md5(e), 9, 8) AS BIGINT))
+                      % 9223372036854775808 AS BIGINT) AS hv
+                  FROM de),
+           r AS (SELECT g, hv, row_number() OVER (PARTITION BY g
+                   ORDER BY hv) AS rn
+                 FROM hd),
+           sk AS (SELECT g, list(hv ORDER BY hv) AS sk
+                  FROM r WHERE rn <= 256 GROUP BY g),
+           p AS (SELECT a.g AS src_a, b.g AS src_b,
+                        a.sk AS ska, b.sk AS skb
+                 FROM sk a JOIN sk b ON a.g < b.g),
+           c AS (SELECT src_a, src_b, ska, skb,
+                   list_slice(list_sort(list_distinct(
+                     list_concat(ska, skb))), 1, 256) AS x
+                 FROM p),
+           m AS (SELECT src_a, src_b, x,
+                   len(list_filter(x, v -> list_contains(ska, v)
+                     AND list_contains(skb, v))) AS nboth,
+                   len(list_filter(x, v -> list_contains(ska, v)))
+                     AS na
+                 FROM c)
+         SELECT src_a, src_b, CAST(len(x) AS INT) AS k_eff,
+                round(nboth::DOUBLE / greatest(len(x), 1), 4)
+                  AS est_jaccard,
+                round(nboth::DOUBLE / greatest(na, 1), 4)
+                  AS est_containment
+         FROM m ORDER BY src_a, src_b""",
     "q122_hybrid_rrf" -> q122Sql,
     // per-(query-vector, doc) max then per-(query, doc) sum over the
     // same cosine pairs; ranking over the rounded score

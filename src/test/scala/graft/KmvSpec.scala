@@ -97,6 +97,49 @@ class KmvSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sourceOverlapMatrix: exact below capacity on planted set " +
+      "algebra; identical sources read 1.0, disjoint read 0.0") {
+    // groups under the sketch capacity → estimates are EXACT:
+    // A = {1..40}, B = {21..60} (Jaccard 20/60, containment-in-A
+    // 20/40), C = A verbatim (1.0 / 1.0), D disjoint (0 / 0)
+    val rows =
+      (1 to 40).map(i => ("A", s"e$i")) ++
+      (21 to 60).map(i => ("B", s"e$i")) ++
+      (1 to 40).map(i => ("C", s"e$i")) ++
+      (1 to 30).map(i => ("D", s"x$i"))
+    val df = rows.toDF("src", "tok")
+    val out = Overlap.sourceOverlapMatrix(df, "src", col("tok"), k = 256)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getInt(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out.size === 6)
+    assert(out(("A", "B")) === ((60, 0.3333, 0.5)))
+    assert(out(("A", "C")) === ((40, 1.0, 1.0)))
+    assert(out(("A", "D")) === ((70, 0.0, 0.0)))
+    assert(out(("B", "C")) === ((60, 0.3333, 0.5)))
+    // duplicates in the element stream do not perturb the matrix
+    val dup = (rows ++ rows).toDF("src", "tok")
+    val out2 = Overlap.sourceOverlapMatrix(dup, "src", col("tok"),
+      k = 256).collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getInt(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out === out2)
+  }
+
+  test("sourceOverlapMatrix above capacity: planted half-overlap " +
+      "estimated within 4 sigma") {
+    val k = 256
+    val n = 20000
+    // E = {1..n}, F = {n/2+1 .. 3n/2}: true J = 1/3
+    val rows = (1 to n).map(i => ("E", s"v$i")) ++
+      (n / 2 + 1 to 3 * n / 2).map(i => ("F", s"v$i"))
+    val out = Overlap.sourceOverlapMatrix(rows.toDF("src", "tok"),
+      "src", col("tok"), k = k).collect()
+    assert(out.length === 1)
+    val j = out.head.getDouble(3)
+    val sigma = math.sqrt((1.0 / 3) * (2.0 / 3) / k)
+    assert(math.abs(j - 1.0 / 3) <= 4 * sigma, s"estimate $j")
+    assert(out.head.getInt(2) === k)
+  }
+
   test("q112: exact set algebra sane and every sketch bound flag true") {
     val row = graft.queries.ScaleQueries
       .queries("q112_corpus_overlap")(spark, "/root/testdata/sf0.001")
