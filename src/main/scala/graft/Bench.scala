@@ -200,7 +200,9 @@ object Bench {
     "q166_rm3_terms",
     "q166b_rm3_topk",
     // pairwise source-overlap matrix from per-source KMV sketches
-    "q167_source_overlap")
+    "q167_source_overlap",
+    // continued BPE training: closed-form extension, encode replayed
+    "q168_bpe_extend_oracle")
 
   /** Queries whose r6→r7 numbers moved 2–6× with no code change — the
     * self-join/ANN family is short (<3 s warm) so a single co-tenant

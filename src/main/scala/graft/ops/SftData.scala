@@ -146,7 +146,7 @@ object SftData {
     require(nShards > 0, s"nShards must be positive, got $nShards")
     val cidStr = col("conv_id").cast("string")
     val base = rendered.select(col(convCol).cast("long").as("conv_id"),
-        col(textCol).as("r"),
+        coalesce(col(textCol), lit("")).as("r"),
         coalesce(col(spansCol), lit("")).as("sp"))
       .withColumn("__h", md5(concat(lit("o:"), cidStr)))
       .withColumn("shard",
@@ -191,9 +191,12 @@ object SftData {
     * best with the i-th worst while the score gap clears `margin`
     * (pairs whose chosen and rejected would be the same row, or that
     * would reuse the middle element of an odd group, stop at
-    * i ≤ floor(n/2)). Deterministic ties on id. Returns (group,
-    * pair_idx, chosen_id, rejected_id, margin). Two windows over the
-    * same group partitioning — one shuffle. */
+    * i ≤ floor(n/2)). Deterministic ties on id. Null-scored rows are
+    * excluded up front — a null has no rank (and Spark and SQL
+    * engines disagree on null placement under DESC, so admitting them
+    * would also break the oracle contract). Returns (group, pair_idx,
+    * chosen_id, rejected_id, margin). Two windows over the same group
+    * partitioning — one shuffle. */
   def preferencePairs(df: DataFrame, groupCol: String, idCol: String,
       scoreCol: String, margin: Double): DataFrame = {
     val best = Window.partitionBy(groupCol)
@@ -201,7 +204,7 @@ object SftData {
     val worst = Window.partitionBy(groupCol)
       .orderBy(col(scoreCol).asc, col(idCol).desc)
     val n = Window.partitionBy(groupCol)
-    val ranked = df
+    val ranked = df.filter(col(scoreCol).isNotNull)
       .withColumn("__rb", row_number().over(best))
       .withColumn("__rw", row_number().over(worst))
       .withColumn("__n", count(lit(1)).over(n))

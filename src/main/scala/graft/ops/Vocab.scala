@@ -52,12 +52,18 @@ object Vocab {
     * merge paths produce the same string) — a pure function of the
     * model, so ids are stable across reruns and machines. */
   final case class BpeModel(merges: Seq[(String, String)],
-      baseSymbols: Seq[String] = Nil) {
+      baseSymbols: Seq[String] = Nil,
+      extraSymbols: Seq[String] = Nil) {
+    // first occurrence wins: an EXTENDED model ([[extendBpe]]) may
+    // re-list a base pair (greedy order can leave a base pair adjacent
+    // in residual sequences); its rank must stay the base one or the
+    // extension would silently change base encodes
     lazy val ranks: Map[(String, String), Int] =
-      merges.zipWithIndex.toMap
+      merges.zipWithIndex.reverseIterator.toMap
     lazy val vocab: Map[String, Int] = {
-      val ordered = (UnkToken +: baseSymbols.distinct.sorted) ++
-        merges.map { case (a, b) => a + b }
+      val ordered = ((UnkToken +: baseSymbols.distinct.sorted) ++
+        merges.map { case (a, b) => a + b }) ++
+        extraSymbols.distinct.sorted
       ordered.distinct.zipWithIndex.toMap
     }
   }
@@ -94,6 +100,41 @@ object Vocab {
     val dict0 = collectDict(df, textCol, maxDictWords, "learnBpe")
     BpeModel(learnMerges(dict0, numMerges),
       dict0.flatMap(_._1.map(_.toString)).distinct.sorted :+ EndOfWord)
+  }
+
+  /** CONTINUED BPE training — the tokenizer-lifecycle step domain
+    * adaptation needs: extend a production vocabulary with
+    * domain-corpus merges WITHOUT invalidating a single existing id.
+    * The base model's merges are applied to the new corpus' dictionary
+    * first (exactly the encode walk, so the base tokenization is the
+    * starting point), then `extraMerges` further merges are learned
+    * from the residual pair statistics with the SAME (count desc, pair
+    * asc) selection rule. Invariants (spec-pinned):
+    *  - the extended merge list has the base merges as a strict
+    *    PREFIX, and every piece the base vocab assigned keeps its id
+    *    (new domain characters append AFTER the base id space via
+    *    `extraSymbols`; a re-learned base pair keeps its base rank —
+    *    first-occurrence-wins [[BpeModel.ranks]]);
+    *  - `extraMerges = 0` returns a model that encodes identically to
+    *    the base (the vocab may gain trailing ids for new characters).
+    * Cost: one word-count shuffle over the NEW corpus + the capped
+    * driver loop — the base corpus is never touched again. */
+  def extendBpe(base: BpeModel, df: DataFrame, textCol: String,
+      extraMerges: Int, maxDictWords: Int = 1 << 16): BpeModel = {
+    require(extraMerges >= 0, s"extraMerges must be >= 0, got $extraMerges")
+    val dict0 = collectDict(df, textCol, maxDictWords, "extendBpe")
+    val pre = dict0.map { case (w, c) => (encodeSyms(toSymbols(w),
+      base.ranks), c) }
+    val learned = learnMergesSym(pre.map(_._1), pre.map(_._2),
+      extraMerges)
+    // a residual pair can coincide with a base merge (greedy order can
+    // leave one adjacent); re-listing it would only pad the list — the
+    // rank table is first-occurrence-wins either way
+    val fresh = learned.filterNot(base.ranks.contains)
+    val newChars = dict0.flatMap(_._1.map(_.toString)).distinct
+      .filterNot(base.baseSymbols.contains).sorted
+    BpeModel(base.merges.toVector ++ fresh, base.baseSymbols,
+      (base.extraSymbols ++ newChars).distinct)
   }
 
   /** The bounded driver-side (word, count) dictionary shared by both
@@ -146,10 +187,18 @@ object Vocab {
     * so the learned merge list is bit-for-bit the same (VocabSpec pins
     * the hand-computed Sennrich order and determinism). */
   private def learnMerges(dict0: Array[(String, Long)],
-      numMerges: Int): Vector[(String, String)] = {
+      numMerges: Int): Vector[(String, String)] =
+    learnMergesSym(dict0.map { case (w, _) => toSymbols(w) },
+      dict0.map(_._2), numMerges)
+
+  /** [[learnMerges]] over pre-symbolized sequences — the entry point
+    * CONTINUED training ([[extendBpe]]) needs: the dictionary words
+    * arrive already rewritten by the base model's merges, and the loop
+    * learns from the residual pair statistics. */
+  private def learnMergesSym(syms0: Array[Vector[String]],
+      cnts: Array[Long], numMerges: Int): Vector[(String, String)] = {
     import scala.collection.mutable
-    val syms = dict0.map { case (w, _) => toSymbols(w) }
-    val cnts = dict0.map(_._2)
+    val syms = syms0.clone()
     val pairCounts = mutable.HashMap.empty[(String, String), Long]
     val postings = mutable.HashMap.empty[(String, String), mutable.ArrayBuffer[Int]]
     // max-heap: count desc, then pair lexicographic ASC (so the heap
@@ -302,6 +351,43 @@ object Vocab {
     BpeModel((top ++ chain).distinct)
   }
 
+  /** A REPLAYABLE closed-form EXTENDED model for the continued-training
+    * ENCODE audit (q168) — [[staticBpeModel]]'s idea applied to
+    * [[extendBpe]]'s shape: the base tiers come from `baseWc`
+    * (staticBpeModelOf), the extension tier is the top `extTop`
+    * adjacent pairs OF THE BASE-ENCODED top-`extDict` domain words
+    * (count desc, pair asc; pairs already in the base rank table
+    * excluded first), ranked after every base rank. No driver merge
+    * loop anywhere — base encode, residual pair counts, and the
+    * extension selection are all replayable declaratively, so a DuckDB
+    * twin derives the identical extended rank table and replays the
+    * final encode. The learned-loop form keeps [[extendBpe]] (VocabSpec
+    * pins its invariants); this pins the CONTINUATION arithmetic
+    * cross-engine. */
+  def staticExtendedBpeModel(baseWc: DataFrame, domWc: DataFrame,
+      tier1: Int = 30, chainTop: Int = 5, extDict: Int = 300,
+      extTop: Int = 10): BpeModel = {
+    val base = staticBpeModelOf(baseWc, tier1, chainTop)
+    val domTop = domWc.orderBy(desc("cnt"), col("word")).limit(extDict)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val pairCnt = scala.collection.mutable.HashMap
+      .empty[(String, String), Long]
+    domTop.foreach { case (w, c) =>
+      val s = encodeSyms(toSymbols(w), base.ranks)
+      var i = 0
+      while (i < s.length - 1) {
+        val p = (s(i), s(i + 1))
+        pairCnt(p) = pairCnt.getOrElse(p, 0L) + c
+        i += 1
+      }
+    }
+    val ext = pairCnt.toSeq
+      .filterNot { case (p, _) => base.ranks.contains(p) }
+      .sortBy { case ((l, r), c) => (-c, l, r) }
+      .take(extTop).map(_._1).toVector
+    BpeModel(base.merges.toVector ++ ext)
+  }
+
   /** A REPLAYABLE closed-form unigram model for cross-engine ENCODE
     * audits (q99d), the [[staticBpeModel]] idea over the
     * oracle-checked [[pieceCountsFrame]] (q99b): the inventory is the
@@ -360,8 +446,14 @@ object Vocab {
     * apply loop — encoding follows training order, so train-then-encode
     * on the same corpus is exact). */
   private def encodeWord(word: String,
+      ranks: Map[(String, String), Int]): Vector[String] =
+    encodeSyms(toSymbols(word), ranks)
+
+  /** The greedy apply loop over an arbitrary symbol sequence — shared
+    * by [[encodeWord]] and the pre-merge step of continued training. */
+  private def encodeSyms(syms0: Vector[String],
       ranks: Map[(String, String), Int]): Vector[String] = {
-    var syms = toSymbols(word)
+    var syms = syms0
     var done = false
     while (!done && syms.length > 1) {
       var bestRank = Int.MaxValue

@@ -1064,6 +1064,28 @@ object ScaleQueries {
     // loop as a recursive CTE, pinning the application semantics
     // (argmin selection, leftmost tie-break, rewrite, termination)
     // cross-engine. Closes the encode-path audit gap (r10 verdict #2).
+    // CONTINUED-training encode oracle (extendBpe's shape, closed
+    // form): base tiers from the even-doc corpus, extension tier =
+    // top-10 residual pairs of the base-encoded top-300 odd-doc
+    // words; top-50 odd-doc words encoded under the extended ranks —
+    // base-prefix rank stability and the continuation arithmetic
+    // both replayed cross-engine
+    "q168_bpe_extend_oracle" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val baseWc = Vocab.wordCounts(
+        d.filter(col("doc_id") % 2 === 0), "text")
+      val domWc = Vocab.wordCounts(
+        d.filter(col("doc_id") % 2 === 1), "text")
+      val model = Vocab.staticExtendedBpeModel(baseWc, domWc,
+        tier1 = 30, chainTop = 5, extDict = 300, extTop = 10)
+      val words = domWc.orderBy(desc("cnt"), col("word")).limit(50)
+      Vocab.encodeBpe(words, "word", "word", model)
+        .select(col("word"),
+          concat_ws(" ", col("bpe_tokens")).as("pieces"),
+          col("n_bpe_tokens").as("n_pieces"))
+        .orderBy("word")
+    }),
+
     "q82c_bpe_encode_oracle" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val model = Vocab.staticBpeModel(d, "text", tier1 = 30, chainTop = 5)
@@ -4889,6 +4911,127 @@ object ScaleQueries {
     // each step looks up adjacent-pair ranks via list_position into the
     // rank-ordered key list (position IS rank+1), merges the leftmost
     // minimal-rank pair, and stops when no pair is ranked.
+    "q168_bpe_extend_oracle" ->
+      """WITH RECURSIVE
+           wb AS (SELECT unnest(list_filter(
+                    string_split(coalesce(text, ''), ' '),
+                    t -> length(t) > 0)) AS word
+                  FROM documents WHERE doc_id % 2 = 0),
+           bwc AS (SELECT word, count(*) AS cnt FROM wb GROUP BY word),
+           wd AS (SELECT unnest(list_filter(
+                    string_split(coalesce(text, ''), ' '),
+                    t -> length(t) > 0)) AS word
+                  FROM documents WHERE doc_id % 2 = 1),
+           dwc AS (SELECT word, count(*) AS cnt FROM wd GROUP BY word),
+           s AS (SELECT cnt,
+                   list_append(string_split(word, ''), '</w>') AS s
+                 FROM bwc),
+           p AS (SELECT s[i] AS l_sym, s[i+1] AS r_sym, cnt
+                 FROM (SELECT cnt, s, unnest(range(1, len(s))) AS i
+                       FROM s)),
+           agg AS (SELECT l_sym, r_sym, sum(cnt) AS cnt
+                   FROM p GROUP BY l_sym, r_sym),
+           t1 AS (SELECT l_sym, r_sym,
+                         row_number() OVER (ORDER BY cnt DESC, l_sym,
+                                            r_sym) - 1 AS rank
+                  FROM agg ORDER BY cnt DESC, l_sym, r_sym LIMIT 30),
+           t2 AS (SELECT a.l_sym || a.r_sym AS l_sym,
+                         b.l_sym || b.r_sym AS r_sym,
+                         30 + a.rank * 5 + b.rank AS rank
+                  FROM t1 a CROSS JOIN t1 b
+                  WHERE a.rank < 5 AND b.rank < 5),
+           allm AS (SELECT l_sym, r_sym, min(rank) AS rank
+                    FROM (SELECT * FROM t1 UNION ALL SELECT * FROM t2)
+                    GROUP BY l_sym, r_sym),
+           krow AS (SELECT list(l_sym || chr(1) || r_sym
+                                ORDER BY rank) AS ks
+                    FROM allm),
+           extw AS (SELECT word, cnt FROM dwc
+                    ORDER BY cnt DESC, word LIMIT 300),
+           enc1 AS (
+             SELECT word,
+                    list_append(string_split(word, ''), '</w>') AS s,
+                    0 AS it, FALSE AS done
+             FROM extw
+             UNION ALL
+             SELECT word,
+                    CASE WHEN br >= 2147483647 THEN s
+                         ELSE list_concat(list_concat(
+                                s[1:bi-1],
+                                [s[bi] || s[bi+1]]),
+                                s[bi+2:len(s)]) END,
+                    it + 1,
+                    br >= 2147483647
+             FROM (SELECT word, s, it,
+                          coalesce(list_min(rl), 2147483647) AS br,
+                          coalesce(list_position(rl, list_min(rl)), 1)
+                            AS bi
+                   FROM (SELECT e.word, e.s, e.it,
+                           list_transform(range(1, len(e.s)), i ->
+                             coalesce(nullif(list_position(k.ks,
+                               e.s[i] || chr(1) || e.s[i+1]), 0),
+                               2147483647)) AS rl
+                         FROM enc1 e CROSS JOIN krow k
+                         WHERE NOT e.done AND len(e.s) > 1))),
+           fin1 AS (SELECT word, s,
+                           row_number() OVER (PARTITION BY word
+                             ORDER BY it DESC) AS rn
+                    FROM enc1),
+           rp AS (SELECT s[i] AS l_sym, s[i+1] AS r_sym, cnt
+                  FROM (SELECT f.s AS s, x.cnt AS cnt,
+                               unnest(range(1, len(f.s))) AS i
+                        FROM (SELECT word, s FROM fin1 WHERE rn = 1) f
+                        JOIN extw x USING (word))),
+           rpa AS (SELECT l_sym, r_sym, sum(cnt) AS cnt
+                   FROM rp GROUP BY l_sym, r_sym),
+           k2 AS (SELECT list(key ORDER BY rank) AS ks FROM (
+                    SELECT l_sym || chr(1) || r_sym AS key, rank
+                    FROM allm
+                    UNION ALL
+                    SELECT l_sym || chr(1) || r_sym,
+                           55 + row_number() OVER (ORDER BY cnt DESC,
+                             l_sym, r_sym)
+                    FROM (SELECT r.l_sym, r.r_sym, r.cnt FROM rpa r
+                          WHERE NOT EXISTS (SELECT 1 FROM allm m
+                            WHERE m.l_sym = r.l_sym
+                              AND m.r_sym = r.r_sym)
+                          ORDER BY r.cnt DESC, r.l_sym, r.r_sym
+                          LIMIT 10))),
+           words AS (SELECT word FROM dwc
+                     ORDER BY cnt DESC, word LIMIT 50),
+           enc2 AS (
+             SELECT word,
+                    list_append(string_split(word, ''), '</w>') AS s,
+                    0 AS it, FALSE AS done
+             FROM words
+             UNION ALL
+             SELECT word,
+                    CASE WHEN br >= 2147483647 THEN s
+                         ELSE list_concat(list_concat(
+                                s[1:bi-1],
+                                [s[bi] || s[bi+1]]),
+                                s[bi+2:len(s)]) END,
+                    it + 1,
+                    br >= 2147483647
+             FROM (SELECT word, s, it,
+                          coalesce(list_min(rl), 2147483647) AS br,
+                          coalesce(list_position(rl, list_min(rl)), 1)
+                            AS bi
+                   FROM (SELECT e.word, e.s, e.it,
+                           list_transform(range(1, len(e.s)), i ->
+                             coalesce(nullif(list_position(k.ks,
+                               e.s[i] || chr(1) || e.s[i+1]), 0),
+                               2147483647)) AS rl
+                         FROM enc2 e CROSS JOIN k2 k
+                         WHERE NOT e.done AND len(e.s) > 1))),
+           fin2 AS (SELECT word, s,
+                           row_number() OVER (PARTITION BY word
+                             ORDER BY it DESC) AS rn
+                    FROM enc2)
+         SELECT word, array_to_string(s, ' ') AS pieces,
+                CAST(len(s) AS BIGINT) AS n_pieces
+         FROM fin2 WHERE rn = 1 ORDER BY word""",
+
     "q82c_bpe_encode_oracle" ->
       """WITH RECURSIVE
            w AS (SELECT unnest(list_filter(

@@ -203,6 +203,42 @@ class VocabSpec extends AnyFunSuite {
       .merges === m.merges)
   }
 
+  test("extendBpe: base ids stable, base merges a strict prefix, " +
+      "extraMerges=0 encodes like the base, domain fertility improves, " +
+      "new chars id above the base space, deterministic") {
+    val baseDf = Seq((Seq.fill(9)("ab") ++ Seq.fill(8)("cd"))
+      .mkString(" ")).toDF("text")
+    val base = Vocab.learnBpe(baseDf, "text", numMerges = 6)
+    // domain corpus: a new frequent word with a NEW character 'z'
+    val domDf = Seq(Seq.fill(20)("zaz").mkString(" ")).toDF("text")
+    val ext = Vocab.extendBpe(base, domDf, "text", extraMerges = 4)
+    // prefix + id stability
+    assert(ext.merges.take(base.merges.length) === base.merges)
+    for ((piece, id) <- base.vocab)
+      assert(ext.vocab(piece) === id, s"base id moved for '$piece'")
+    // new chars enter ABOVE the whole base id space
+    assert(ext.vocab.contains("z"))
+    assert(ext.vocab("z") > base.vocab.values.max)
+    // extension actually learned domain merges: 'zaz' tokenizes to
+    // fewer pieces than under the base model
+    def nPieces(m: Vocab.BpeModel) =
+      Vocab.encodeBpe(Seq((1L, "zaz")).toDF("id", "t"), "id", "t", m)
+        .select("n_bpe_tokens").head.getLong(0)
+    assert(nPieces(ext) < nPieces(base),
+      s"ext ${nPieces(ext)} vs base ${nPieces(base)}")
+    // extraMerges = 0: encoding of base-corpus text is unchanged
+    val ext0 = Vocab.extendBpe(base, domDf, "text", extraMerges = 0)
+    assert(ext0.merges === base.merges)
+    val sharedIn = Seq((1L, "ab cd abcd")).toDF("id", "t")
+    val a = Vocab.encodeBpe(sharedIn, "id", "t", base)
+      .select("bpe_tokens").head.getSeq[String](0)
+    val b = Vocab.encodeBpe(sharedIn, "id", "t", ext0)
+      .select("bpe_tokens").head.getSeq[String](0)
+    assert(a === b)
+    // deterministic
+    assert(Vocab.extendBpe(base, domDf, "text", 4).merges === ext.merges)
+  }
+
   test("staticUnigramModel: full char coverage (no unk), dyadic " +
     "-(k+1)/16 log-probs in (cnt desc, piece) order") {
     val df = Seq("abc abc xyz q").toDF("text")
