@@ -202,7 +202,9 @@ object Bench {
     // pairwise source-overlap matrix from per-source KMV sketches
     "q167_source_overlap",
     // continued BPE training: closed-form extension, encode replayed
-    "q168_bpe_extend_oracle")
+    "q168_bpe_extend_oracle",
+    // lexicon gate over obfuscation-folded text (C4 badwords shape)
+    "q169_lexicon_gate")
 
   /** Queries whose r6→r7 numbers moved 2–6× with no code change — the
     * self-join/ANN family is short (<3 s warm) so a single co-tenant

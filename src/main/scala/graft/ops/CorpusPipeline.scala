@@ -144,6 +144,13 @@ object CorpusPipeline {
       // short to score (< 2 tokens, avg_nll 0) pass through for the
       // length gates to judge. 0 = off
       maxAvgNll: Double = 0.0,
+      // non-empty: token-lexicon gate over the obfuscation-FOLDED text
+      // ([[TextAnalysis.lexiconHitsCol]], the C4 badwords discipline):
+      // any hit drops the document. Folding (lower + leet
+      // substitutions) means "FR33" matches a "free" entry. Pure
+      // map-side literal-array filter inside the one gate scan: zero
+      // extra shuffle. Nil = off
+      blockLexicon: Seq[String] = Nil,
       // non-empty: registrable-domain blocklist gate
       // ([[Domains.domainGate]], the C4/RefinedWeb discipline) ahead
       // of the per-doc gates — docs whose `url` column's registrable
@@ -247,12 +254,18 @@ object CorpusPipeline {
         col("alpha_ratio") >= cfg.minAlpha &&
         col("stopword_ratio") <= cfg.maxStopword &&
         col("lang").isin(cfg.langs: _*))
+    // lexicon gate inside the same scan (map-side literal array):
+    // any folded-token hit drops the document, the C4 rule
+    val lexed =
+      if (cfg.blockLexicon.isEmpty) base
+      else base.filter(
+        TextAnalysis.lexiconHitsCol(txt, cfg.blockLexicon) === 0L)
     val gated =
-      if (cfg.minDeflateRatio <= 0.0) base
+      if (cfg.minDeflateRatio <= 0.0) lexed
       else {
         val r = graft.functions.GraftFunctions.deflateRatio(
           coalesce(txt, lit("")))
-        base.filter(r >= cfg.minDeflateRatio && r <= cfg.maxDeflateRatio)
+        lexed.filter(r >= cfg.minDeflateRatio && r <= cfg.maxDeflateRatio)
       }
     // PII scrub, then (optionally) the intra-doc repetition scrub —
     // all pure projections, so the gate stage stays ONE scan with zero

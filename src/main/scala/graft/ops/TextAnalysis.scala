@@ -65,6 +65,36 @@ object TextAnalysis {
       / greatest(size(tokens), lit(1)), 4)
   }
 
+  /** Obfuscation-folding normalization for lexicon gates: lower-case,
+    * then the standard leet substitutions 0→o 1→l 3→e 4→a 5→s 7→t
+    * @→a $→s, so "FR33" and "fr33" both fold to "free". One
+    * translate() call both engines share verbatim (8→b and multi-char
+    * tricks are out of scope for a translate-class fold — a
+    * production gate layers a richer normalizer in front). */
+  def lexiconFoldCol(txt: Column): Column =
+    translate(lower(coalesce(txt, lit(""))), "013457@$", "oleastas")
+
+  /** Token hits against a blocked lexicon over the FOLDED text —
+    * the C4 badwords-gate discipline (Raffel et al. 2020 removed any
+    * page with a blocked-list hit): the lexicon is a literal array
+    * (broadcast by value, zero shuffle), matching is exact at the
+    * token grain after [[lexiconFoldCol]]. */
+  def lexiconHitsCol(txt: Column, lexicon: Seq[String]): Column = {
+    require(lexicon.nonEmpty, "lexiconHitsCol needs a non-empty lexicon")
+    val lex = array(lexicon.map(w => lit(w.toLowerCase)): _*)
+    size(filter(TextOps.wsTokens(lexiconFoldCol(txt)),
+      t => array_contains(lex, t))).cast("long")
+  }
+
+  /** Per-document lexicon-gate report: (idCol, lex_hits, flagged).
+    * Pure map-side projection — the caller drops flagged rows (the C4
+    * rule) or routes them to review. */
+  def lexiconGate(df: DataFrame, idCol: String, textCol: String,
+      lexicon: Seq[String]): DataFrame =
+    df.select(col(idCol),
+      lexiconHitsCol(col(textCol), lexicon).as("lex_hits"))
+      .withColumn("flagged", col("lex_hits") > 0)
+
   def dupBigramFracCol(txt: Column): Column = {
     val tk = TextOps.wsTokens(txt)
     // adjacent bigrams via zip_with over two shifted SLICES: the slice

@@ -1717,6 +1717,15 @@ object ScaleQueries {
           / col("n_union")) <= 0.065).as("kmv_j_ok"))
     }),
 
+    // lexicon gate over obfuscation-folded text (C4 badwords shape):
+    // per-doc hit counts + flag against a demo blocked list ('hash',
+    // 'scan' — production supplies its own); folding maps leet
+    // substitutions back (h4sh → hash) — fully oracle-replayed
+    "q169_lexicon_gate" -> ((s, dir) =>
+      TextAnalysis.lexiconGate(t(s, dir, "documents"), "doc_id",
+        "text", Seq("hash", "scan"))
+        .orderBy("doc_id")),
+
     // pairwise source-overlap matrix: one KMV sketch per source, every
     // source pair's Jaccard/containment from the G-row sketch frame —
     // the k-min-of-md5 sketches are deterministic and declaratively
@@ -6918,6 +6927,24 @@ object ScaleQueries {
     "q166_rm3_terms" -> q166Sql,
 
     "q166b_rm3_topk" -> q166bSql,
+
+    "q169_lexicon_gate" ->
+      """WITH f AS (SELECT doc_id,
+              translate(lower(coalesce(text, '')),
+                '013457@$', 'oleastas') AS ftxt
+            FROM documents)
+         SELECT doc_id,
+                CAST(len(list_filter(
+                  list_filter(string_split(ftxt, ' '),
+                    t -> length(t) > 0),
+                  t -> list_contains(['hash', 'scan'], t)))
+                  AS BIGINT) AS lex_hits,
+                (len(list_filter(
+                  list_filter(string_split(ftxt, ' '),
+                    t -> length(t) > 0),
+                  t -> list_contains(['hash', 'scan'], t))) > 0)
+                  AS flagged
+         FROM f ORDER BY doc_id""",
 
     "q167_source_overlap" ->
       """WITH toks AS (SELECT source AS g,

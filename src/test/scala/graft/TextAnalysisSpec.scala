@@ -384,6 +384,43 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(math.abs(out.values.map(_._6).sum - 1.0) < 0.001)
   }
 
+  test("lexiconGate: leet/case folding catches obfuscated hits, clean " +
+      "and null docs pass, capstone knob drops flagged docs") {
+    val df = Seq(
+      (1L, "the h4sh table"),      // leet: h4sh → hash
+      (2L, "HASH and SC4N here"),  // case + leet, two hits
+      (3L, "perfectly clean text"),
+      (4L, null.asInstanceOf[String]),
+      (5L, "ha sh split evades the token-grain gate")) // by design
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.lexiconGate(df, "doc_id", "text",
+      Seq("hash", "scan")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out(1L) === ((1L, true)))
+    assert(out(2L) === ((2L, true)))
+    assert(out(3L) === ((0L, false)))
+    assert(out(4L) === ((0L, false)))
+    assert(out(5L) === ((0L, false)))
+
+    // capstone: blockLexicon drops the flagged docs inside the gate
+    // scan (the planted docs otherwise pass every heuristic gate)
+    def doc(i: Int, extra: String) =
+      (i.toLong, "en", (s"alpha$i beta gamma delta epsilon " * 8) + extra)
+    val docs = Seq(doc(1, "h4sh inside"), doc(2, "all clean"),
+      doc(3, "fine too")).toDF("doc_id", "lang", "text")
+    val evalSet = Seq((900L, "evq evw eve evr evt evy evu evi evo evp " * 4))
+      .toDF("doc_id", "text")
+    val cfgOff = graft.ops.CorpusPipeline.Config(totalTarget = 100L)
+    val (seqOff, _) = graft.ops.CorpusPipeline.build(docs, evalSet, cfgOff)
+    assert(seqOff.filter(col("doc_id") === 1L).count() > 0,
+      "planted doc must survive without the lexicon gate")
+    val (seqOn, rep) = graft.ops.CorpusPipeline.build(docs, evalSet,
+      cfgOff.copy(blockLexicon = Seq("hash")))
+    assert(seqOn.filter(col("doc_id") === 1L).count() === 0L)
+    assert(seqOn.filter(col("doc_id") === 2L).count() > 0)
+    assert(rep.gated === 2L)
+  }
+
   test("tfIdfKeywords: equal scores break ties on the token string") {
     val df = Seq((1L, "b a"), (2L, "c d")).toDF("doc_id", "text")
     val out = TextAnalysis.tfIdfKeywords(df, "doc_id", "text", k = 2)
