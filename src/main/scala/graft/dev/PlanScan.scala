@@ -1,0 +1,18 @@
+package graft.dev
+
+/** Dev probe: count documents-parquet scans and Generate (explode)
+  * nodes in named queries' executed plans (args: sfDir, names). Not
+  * part of the driver contract. */
+object PlanScan {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.GraftSession.local(4)
+    args.drop(1).foreach { name =>
+      val p = graft.SparkEntry.queries(name)(spark, args(0))
+        .queryExecution.executedPlan.toString
+      val scans = "documents\\.parquet".r.findAllIn(p).length
+      val gens = "(?m)^\\s*[+:]?-? ?Generate ".r.findAllIn(p).length
+      println(s"[planscan] $name: $scans scans, $gens generates")
+    }
+    spark.stop()
+  }
+}

@@ -145,8 +145,12 @@ object Retrieval {
       .localCheckpoint(eager = false)
     val dfreq = tf.groupBy("term")
       .agg(count(lit(1)).cast("double").as("df"))
+    // one-row frame, but its SOURCE is a corpus text scan (avgdl reads
+    // every document's tokens) — and the RM3 rescore references it a
+    // second time; checkpoint so the corpus pays the stats scan once
     val stats = d.agg(count(lit(1)).cast("double").as("n_docs"),
       avg(size(col("tk"))).as("avgdl"))
+      .localCheckpoint(eager = false)
     (tf, dfreq, stats)
   }
 
@@ -160,8 +164,11 @@ object Retrieval {
     require(fbDocs > 0 && fbTerms > 0, "fbDocs/fbTerms must be positive")
     require(lambda >= 0 && lambda <= 1, s"lambda in [0,1], got $lambda")
     val (tf, dfreq, stats) = bm25Frames(docs, idCol, textCol)
+    // panel-sized, referenced three times (feedback scoring, |q|,
+    // interpolation) — one evaluation, not three
     val qterms = queries.select(col(qidCol).as("qid"),
       explode(toks(col(qtextCol))).as("term")).distinct()
+      .localCheckpoint(eager = false)
     val weights = rm3Weights(tf, dfreq, stats, qterms, fbDocs,
       lambda, k1, b)
     val w = Window.partitionBy("qid")
@@ -186,6 +193,7 @@ object Retrieval {
     val (tf, dfreq, stats) = bm25Frames(docs, idCol, textCol)
     val qterms = queries.select(col(qidCol).as("qid"),
       explode(toks(col(qtextCol))).as("term")).distinct()
+      .localCheckpoint(eager = false)
     val weights = rm3Weights(tf, dfreq, stats, qterms, fbDocs,
       lambda, k1, b)
     val wrank = Window.partitionBy("qid")

@@ -172,6 +172,19 @@ class PlanAuditSpec extends AnyFunSuite {
       s"checkpoint, found $scans:\n" + p.take(2000))
   }
 
+  test("q166 RM3 materializes the corpus explode once (tf checkpoint " +
+      "feeds df, feedback scoring, and the relevance model)") {
+    val p = graft.queries.ScaleQueries.queries("q166_rm3_terms")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // allowed scans: the query panel (doc_id < 5) and the one-row
+    // stats aggregate (count-only read). The corpus TEXT is only read
+    // by the checkpointed tf frame — a per-consumer re-evaluation
+    // would show 4+ corpus scans (df, feedback, P(t|R), rescore)
+    val scans = "documents\\.parquet".r.findAllIn(p).length
+    assert(scans <= 2, s"expected ≤2 documents scans after the tf " +
+      s"checkpoint, found $scans:\n" + p.take(2000))
+  }
+
   test("q83 intra-doc dedup is a pure projection (no join, no agg, one sort)") {
     val p = graft.queries.ScaleQueries.queries("q83_intradoc_dedup")(spark, dir)
       .queryExecution.executedPlan.toString
