@@ -196,12 +196,21 @@ object CorpusPipeline {
       contrastiveNegatives: Int = 0,
       contrastiveAnchors: Int = 8,
       contrastiveMinSim: Double = 0.3,
-      contrastiveMaxSim: Double = 0.9)
+      contrastiveMaxSim: Double = 0.9,
+      // > 0: in-context-pretraining ORDER post-stage
+      // ([[Similarity.icpOrder]], ICLM): every sampled doc gets a
+      // (cell, bin, pos) context-window slot with this token budget
+      // per window — related docs adjacent. Needs an embeddings frame
+      // (fails loudly); docs without one are absent from the ordering
+      // (a trainer appends them shuffled). A side artifact; the
+      // sequence output is unchanged. 0 = off
+      icpBinTokens: Long = 0L)
 
   case class Report(input: Long, gated: Long, classifier: Long,
       ppl: Long, outliers: Long, boiler: Long, deduped: Long,
       semantic: Long, substr: Long, clean: Long, sampled: Long,
-      sequences: Long, contrastive: Long = 0L, proto: Long = 0L)
+      sequences: Long, contrastive: Long = 0L, proto: Long = 0L,
+      icp: Long = 0L)
 
   // ---- the five stage transforms, shared by build and buildStaged ----
 
@@ -436,6 +445,27 @@ object CorpusPipeline {
       maxSim = cfg.contrastiveMaxSim)
   }
 
+  /** Optional in-context-pretraining ORDER post-stage
+    * ([[Similarity.icpOrder]], the ICLM discipline): assign every
+    * CURATED document a (cell, bin, pos) training-context slot so
+    * related documents land adjacently in the same context window —
+    * the ordering artifact a trainer consumes INSTEAD of the plain
+    * q72 shuffle when long-range coherence matters. A side artifact
+    * off the sampled corpus (like the contrastive stage off the clean
+    * corpus): the sequence output itself is unchanged. Token counts
+    * come from the curated text (the one shared tokenization); cells
+    * reuse semanticLists/semanticPerCell. */
+  private[graft] def icpStage(sampled: DataFrame, emb: DataFrame,
+      cfg: Config): DataFrame = {
+    val vecs = emb.select(col("doc_id"), col("embedding"))
+      .join(sampled.select("doc_id"), "doc_id")
+    val tokens = sampled.select(col("doc_id"),
+      TextAnalysis.nTokensCol(col("text")).as("n_tokens"))
+    Similarity.icpOrder(vecs, "doc_id", "embedding", tokens,
+      "doc_id", "n_tokens", binTokens = cfg.icpBinTokens,
+      nLists = cfg.semanticLists, targetPerCell = cfg.semanticPerCell)
+  }
+
   private[graft] def cleanStage(deduped: DataFrame, evalSet: DataFrame,
       cfg: Config, embeddings: Option[DataFrame] = None,
       evalEmbeddings: Option[DataFrame] = None): DataFrame = {
@@ -556,6 +586,13 @@ object CorpusPipeline {
           "an embeddings frame passed to build/buildStaged")
         contrastiveStage(clean, embeddings.get, cfg).count()
       }
+    val nIcp =
+      if (cfg.icpBinTokens <= 0) 0L
+      else {
+        require(embeddings.isDefined, "icpBinTokens > 0 needs an " +
+          "embeddings frame passed to build/buildStaged")
+        icpStage(sampled, embeddings.get, cfg).count()
+      }
 
     val report = Report(
       input = docs.count(),
@@ -571,7 +608,8 @@ object CorpusPipeline {
       clean = clean.count(),
       sampled = sampled.count(),
       sequences = sequences.count(),
-      contrastive = nContrastive)
+      contrastive = nContrastive,
+      icp = nIcp)
     (sequences, report)
   }
 
@@ -732,10 +770,19 @@ object CorpusPipeline {
         stage("06_contrastive")(
           contrastiveStage(clean, embeddings.get, cfg))._2
       }
+    // "06b": ICP ordering is a second side artifact, off the SAMPLED
+    // corpus (the frame a trainer actually orders)
+    val nIcp =
+      if (cfg.icpBinTokens <= 0) 0L
+      else {
+        require(embeddings.isDefined, "icpBinTokens > 0 needs an " +
+          "embeddings frame passed to build/buildStaged")
+        stage("06b_icp")(icpStage(sampled, embeddings.get, cfg))._2
+      }
 
     (sequences,
       Report(nInput, nGated, nClassifier, nPpl, nOutliers, nBoiler,
         nDeduped, nSemantic, nSubstr, nClean, nSampled, nSeq,
-        nContrastive, proto = nProto))
+        nContrastive, proto = nProto, icp = nIcp))
   }
 }

@@ -379,6 +379,52 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("different Config"))
   }
 
+  test("ICP-order post-stage (06b): every sampled embedded doc gets a " +
+      "(cell, bin, pos) slot, dense-cap docs share a cell, staged " +
+      "manifest present, off = 0") {
+    val capVec = (1 to 10).map { i =>
+      val a = 0.5f + 0.1f * i
+      (i.toLong, Array.tabulate(64)(d =>
+        if (d == 0) 1.0f else if (d == i) a else 0.0f))
+    }
+    val icpEmb = (capVec ++ (11 to 60).map(i => (i.toLong, basis(i))))
+      .toDF("doc_id", "embedding")
+    val icpDocs = (1 to 60).map(i => (i.toLong, "en", synDoc(i)))
+      .toDF("doc_id", "lang", "text")
+    val off = CorpusPipeline.Config(totalTarget = 1000L)
+    val (_, repOff) = CorpusPipeline.build(icpDocs, synEval, off,
+      Some(icpEmb))
+    assert(repOff.icp === 0L)
+
+    val cfg = off.copy(icpBinTokens = 120L)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_icp_stage").toString
+    val (_, rep) = CorpusPipeline.buildStaged(icpDocs, synEval, base,
+      cfg, Some(icpEmb))
+    assert(rep.icp === 60L, rep.toString)
+    val slots = spark.read.parquet(s"$base/06b_icp")
+    assert(graft.sources.Fs.exists(spark,
+      s"$base/06b_icp/_GRAFT_STAGE_COMPLETE"))
+    assert(slots.count() === 60L)
+    // the dense cap lands in one cell (related docs adjacent), and
+    // per (cell, bin) positions are contiguous from 1
+    val rows = slots.collect()
+    assert(rows.filter(_.getLong(0) <= 10).map(_.getInt(1)).distinct
+      .length === 1)
+    for ((_, g) <- rows.groupBy(r => (r.getInt(1), r.getLong(2))))
+      assert(g.map(_.getInt(3)).sorted === (1 to g.length).toSeq)
+    // 40-token docs, 120-token windows: every full window holds 3 docs
+    val sizes = rows.groupBy(r => (r.getInt(1), r.getLong(2)))
+      .map(_._2.length)
+    assert(sizes.max <= 3 && sizes.count(_ == 3) >= 1)
+    // missing config on resume refuses (the config fingerprint)
+    val e = intercept[IllegalArgumentException] {
+      CorpusPipeline.buildStaged(icpDocs, synEval, base, off,
+        Some(icpEmb))
+    }
+    assert(e.getMessage.contains("different Config"))
+  }
+
   test("boilerplate stage scrubs shared chunks before dedup and drops emptied docs") {
     // shared 40-token boilerplate block (2 chunks, and above the
     // 30-token gate) prepended to docs 1-10; doc 30 is NOTHING BUT the
