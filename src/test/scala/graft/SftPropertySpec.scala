@@ -1,0 +1,169 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{SftData, Similarity}
+
+/** Randomized cross-checks of the r15 SFT/pruning family against exact
+  * in-memory references — seeded (deterministic) inputs, the
+  * OpsPropertySpec discipline. Multibyte (BMP) characters are included
+  * everywhere text is sliced so the codepoint contracts are exercised,
+  * not just asserted. */
+class SftPropertySpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  private val alphabet =
+    "ab cd-éü中ß!".toVector // spaces + multibyte + punctuation
+
+  private def randText(rnd: scala.util.Random, max: Int): String =
+    (0 until rnd.nextInt(max)).map(_ =>
+      alphabet(rnd.nextInt(alphabet.size))).mkString
+
+  test("fimTransform reassembles the original on random multibyte " +
+      "strings at every rate") {
+    val rnd = new scala.util.Random(7)
+    for (c <- 1 to 8) {
+      val docs = (0L until 60L).map(i => (i, randText(rnd, 25)))
+      val df = docs.toDF("doc_id", "text")
+      val rate = Seq(0.0, 0.3, 1.0)(c % 3)
+      val out = SftData.fimTransform(df, "doc_id", "text",
+        fimRate = rate, minChars = 5).collect()
+      val orig = docs.toMap
+      for (r <- out) {
+        val (id, mode, ft) = (r.getLong(0), r.getString(1), r.getString(4))
+        if (mode == "plain") assert(ft === orig(id))
+        else {
+          val body = ft.stripPrefix("<PRE>")
+          val si = body.indexOf("<SUF>"); val mi = body.indexOf("<MID>")
+          assert(si >= 0 && mi > si, s"case $c doc $id: bad frame $ft")
+          val p = body.substring(0, si)
+          val sfx = body.substring(si + 5, mi)
+          val m = body.substring(mi + 5)
+          assert(p + m + sfx === orig(id), s"case $c doc $id")
+          assert(p.nonEmpty && m.nonEmpty && sfx.nonEmpty)
+        }
+      }
+      if (rate == 0.0) assert(out.forall(_.getString(1) == "plain"))
+    }
+  }
+
+  test("chatRender + packChats: spans extract the assistant texts " +
+      "exactly on random multibyte conversations; packed strings are " +
+      "whole-conversation concatenations") {
+    val rnd = new scala.util.Random(11)
+    for (c <- 1 to 6) {
+      val msgs = (0L until 12L).flatMap { conv =>
+        (0 until 2 + rnd.nextInt(4)).map { t =>
+          val role = if (t % 2 == 0) "user" else "assistant"
+          (conv, t, role,
+            if (rnd.nextInt(10) == 0) null else randText(rnd, 15))
+        }
+      }
+      val df = msgs.toDF("conv_id", "turn_idx", "role", "text")
+      val rendered = SftData.chatRender(df, "conv_id", "turn_idx",
+        "role", "text")
+      // per-conversation spans address the assistant text (codepoints:
+      // extract via offset walking on the Scala side with codePoints)
+      def slice(s: String, a: Int, b: Int): String = {
+        val cps = s.codePoints().toArray
+        new String(cps, a, b - a)
+      }
+      val rmap = rendered.collect()
+        .map(r => r.getLong(0) -> ((r.getString(2), r.getString(3)))).toMap
+      val expected = msgs.filter(_._3 == "assistant")
+        .map(m => (m._1, Option(m._4).getOrElse("")))
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      for ((conv, (txt, spans)) <- rmap) {
+        val got =
+          if (spans.isEmpty) Seq.empty[String]
+          else spans.split(";").toSeq.map { sp =>
+            val Array(a, b) = sp.split(":").map(_.toInt)
+            slice(txt, a, b)
+          }
+        assert(got === expected.getOrElse(conv, Seq.empty),
+          s"case $c conv $conv")
+      }
+      // packing: every bin is a concatenation of whole rendered convs,
+      // and re-offset spans still extract the same multiset
+      val packed = SftData.packChats(rendered, "conv_id", "rendered",
+        "loss_spans", binChars = 120L, nShards = 3).collect()
+      val allSpans = packed.flatMap { r =>
+        val (p, sp) = (r.getString(3), r.getString(4))
+        if (sp.isEmpty) Nil
+        else sp.split(";").toSeq.map { s =>
+          val Array(a, b) = s.split(":").map(_.toInt)
+          slice(p, a, b)
+        }
+      }.sorted.toSeq
+      val want = expected.values.flatten.toSeq.sorted
+      assert(allSpans === want, s"case $c packed spans")
+      assert(packed.map(_.getInt(2)).sum === 12, s"case $c conv count")
+    }
+  }
+
+  test("preferencePairs matches an in-memory reference on random scores") {
+    val rnd = new scala.util.Random(13)
+    for (c <- 1 to 10) {
+      val rows = (0L until 30L).map(i =>
+        (s"g${i % 3}", i, math.floor(rnd.nextDouble() * 20) / 20.0))
+      val margin = 0.1
+      val out = SftData.preferencePairs(rows.toDF("g", "id", "s"),
+        "g", "id", "s", margin).collect()
+        .map(r => (r.getString(0), r.getInt(1)) ->
+          ((r.getLong(2), r.getLong(3)))).toMap
+      // reference: best-first (s desc, id asc), worst-first (s asc,
+      // id desc), pair i while i <= n/2 and margin clears
+      val ref = rows.groupBy(_._1).flatMap { case (g, rs) =>
+        val best = rs.sortBy(r => (-r._3, r._2))
+        val worst = rs.sortBy(r => (r._3, -r._2))
+        (1 to rs.length / 2).flatMap { i =>
+          val (ch, rj) = (best(i - 1), worst(i - 1))
+          if (ch._3 - rj._3 >= margin)
+            Some((g, i) -> ((ch._2, rj._2)))
+          else None
+        }
+      }.toMap
+      assert(out === ref, s"case $c")
+    }
+  }
+
+  test("prototypePrune single-cell case matches an in-memory " +
+      "cosine-to-mean reference on random vectors") {
+    val rnd = new scala.util.Random(17)
+    for (c <- 1 to 6) {
+      val vecs = (0L until 40L).map(i =>
+        (i, Array.fill(8)((rnd.nextDouble() * 2 - 1).toFloat)))
+      val dropFrac = 0.25
+      // smallCorpus above n => one cell: reference is global
+      val out = Similarity.prototypePrune(vecs.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", dropFrac = dropFrac, nLists = 2,
+        smallCorpus = 256).collect()
+        .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+      // in-memory: unit vectors, float-mean prototype, cosine, rank
+      val unit = vecs.map { case (i, v) =>
+        val d = v.map(_.toDouble)
+        val n = math.sqrt(d.map(x => x * x).sum)
+        (i, d.map(_ / n))
+      }
+      val asFloatBack = unit.map { case (i, u) =>
+        (i, u.map(x => x.toFloat.toDouble))
+      }
+      val mean = (0 until 8).map(d =>
+        asFloatBack.map(_._2(d)).sum / asFloatBack.length).toArray
+      val mn = math.sqrt(mean.map(x => x * x).sum)
+      val scored = unit.map { case (i, u) =>
+        val cos = u.zip(mean).map { case (a, b) => a * b }.sum / mn
+        (i, BigDecimal(cos).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      val ranked = scored.sortBy { case (i, p) => (-p, i) }
+      val nDrop = (dropFrac * ranked.length).toInt
+      val refKeep = ranked.zipWithIndex
+        .map { case ((i, _), r) => i -> (r >= nDrop) }.toMap
+      assert(out === refKeep, s"case $c")
+    }
+  }
+}
