@@ -621,6 +621,54 @@ object Vocab {
       if (pieces.isEmpty) 1 else pieces.iterator.map(_._1.length).max
   }
 
+  /** CONTINUED unigram-inventory training — the SentencePiece
+    * "added tokens / user-defined symbols" convention, the unigram
+    * sibling of [[extendBpe]]: the top `extraPieces` domain substrings
+    * (count ≥ `minCount`, length ≤ `maxPieceLen`) absent from the base
+    * inventory APPEND after it — base pieces and scores stay
+    * byte-identical, so position-derived ids are stable — carrying
+    * score len(p)², the SUPERADDITIVE added-token preference: every
+    * added piece outranks any learned logp (all < 0) wherever it
+    * matches, and a longer added match strictly beats any split into
+    * shorter added pieces ((a+b)² > a² + b²), so domain terms tokenize
+    * WHOLE — the in-LM equivalent of SentencePiece extracting
+    * user-defined symbols before the LM runs.
+    * The appended scores are a segmentation preference, not
+    * probabilities (the distribution is knowingly unnormalized,
+    * exactly as SentencePiece's add-token path leaves it; downstream
+    * embeddings for the appended rows are freshly trained anyway).
+    * Encodes of text containing no added piece are unchanged
+    * (spec-pinned). Cost: one word-count shuffle over the NEW corpus
+    * + a capped driver substring pass — the base corpus is never
+    * touched. */
+  def extendUnigram(base: UnigramModel, df: DataFrame, textCol: String,
+      extraPieces: Int, maxPieceLen: Int = 8, minCount: Long = 2,
+      maxDictWords: Int = 1 << 16): UnigramModel = {
+    require(extraPieces >= 0,
+      s"extraPieces must be >= 0, got $extraPieces")
+    val dict = collectDict(df, textCol, maxDictWords, "extendUnigram")
+    val subCounts = scala.collection.mutable.HashMap.empty[String, Long]
+    dict.foreach { case (w, c) =>
+      var i = 0
+      while (i < w.length) {
+        var l = 1
+        val lmax = math.min(maxPieceLen, w.length - i)
+        while (l <= lmax) {
+          val p = w.substring(i, i + l)
+          subCounts(p) = subCounts.getOrElse(p, 0L) + c
+          l += 1
+        }
+        i += 1
+      }
+    }
+    val fresh = subCounts.toSeq
+      .filter { case (p, c) => c >= minCount && !base.logp.contains(p) }
+      .sortBy { case (p, c) => (-c, p) }
+      .take(extraPieces).map(_._1)
+    UnigramModel(base.pieces ++
+      fresh.map(p => (p, p.length.toDouble * p.length)))
+  }
+
   /** Frequency-weighted counts of every word substring up to
     * `maxPieceLen` chars — the SEED statistic unigram training starts
     * from, as a declarative frame: the oracle twin anchoring the

@@ -239,6 +239,40 @@ class VocabSpec extends AnyFunSuite {
     assert(Vocab.extendBpe(base, domDf, "text", 4).merges === ext.merges)
   }
 
+  test("extendUnigram: base pieces/scores byte-identical and " +
+      "position-stable, added domain term tokenizes whole (len² " +
+      "superadditive score), base-only text encodes unchanged, " +
+      "deterministic") {
+    val baseDf = Seq(("abc abd abe cde " * 10).trim).toDF("text")
+    val base = Vocab.learnUnigram(baseDf, "text", vocabSize = 12)
+    val domDf = Seq(Seq.fill(20)("zqzw").mkString(" ")).toDF("text")
+    val ext = Vocab.extendUnigram(base, domDf, "text", extraPieces = 9)
+    // base prefix byte-identical (ids derived from position: stable)
+    assert(ext.pieces.take(base.pieces.length) === base.pieces)
+    // appended rows carry the superadditive added-token score len²
+    val added = ext.pieces.drop(base.pieces.length)
+    assert(added.nonEmpty)
+    assert(added.forall { case (p, s) => s == p.length.toDouble * p.length })
+    assert(added.map(_._1).contains("zqzw"))
+    // the most frequent domain substring is the whole word: encodes
+    // as ONE piece under the extension...
+    val enc = Vocab.encodeUnigram(Seq((1L, "zqzw")).toDF("id", "t"),
+      "id", "t", ext).select("uni_pieces").head.getSeq[String](0)
+    assert(enc === Seq("zqzw"), enc.toString)
+    // ...and base-only text is segmented exactly as before
+    val sharedIn = Seq((1L, "abc cde abd")).toDF("id", "t")
+    val a = Vocab.encodeUnigram(sharedIn, "id", "t", base)
+      .select("uni_pieces").head.getSeq[String](0)
+    val b = Vocab.encodeUnigram(sharedIn, "id", "t", ext)
+      .select("uni_pieces").head.getSeq[String](0)
+    assert(a === b)
+    // extraPieces = 0 is the identity
+    assert(Vocab.extendUnigram(base, domDf, "text", 0) === base)
+    // deterministic
+    assert(Vocab.extendUnigram(base, domDf, "text", 9).pieces
+      === ext.pieces)
+  }
+
   test("staticUnigramModel: full char coverage (no unk), dyadic " +
     "-(k+1)/16 log-probs in (cnt desc, piece) order") {
     val df = Seq("abc abc xyz q").toDF("text")
