@@ -188,24 +188,31 @@ object Similarity {
     * mutual-best selection are term-for-term [[bitextMine]]'s.
     *
     * Scale (100 TB): one Y assignment pass, one per-x probe ranking
-    * (nLists-row broadcast), one cell-equi candidate join whose
-    * volume is |X|·nProbe·(|Y|/nLists) — size nLists to the corpus
-    * (the [[semanticDedup]] targetPerCell discipline) and it is
-    * linear, not the |X|·|Y| brute grain; both direction heaps fold
+    * (cells-row broadcast), one cell-equi candidate join whose
+    * volume is |X|·nProbe·(|Y|/cells). `targetPerCell > 0` sizes the
+    * cell count to the Y corpus ([[autoCellCount]], the exact
+    * [[ivfTopK]]/[[semanticDedup]] discipline): candidate volume per x
+    * stays ~nProbe·targetPerCell rows — constant as Y grows — instead
+    * of |Y|/nLists under a fixed dial; fixture-scale corpora
+    * (|Y| ≤ nLists·targetPerCell) keep exactly nLists cells, so the
+    * q156b oracle row is bit-unchanged. Both direction heaps fold
     * map-side (TopKAgg), and the fwd⋈bwd stats join carries |X|·k vs
     * |Y| bounded rows on a real shuffle (nothing broadcast-sized is
     * assumed). Returns the [[bitextMine]] schema; rows exist for every
     * x with ≥1 candidate in its probed cells. */
   def bitextMineIvf(xs: DataFrame, ys: DataFrame, idCol: String,
       vecCol: String, k: Int = 4, minMargin: Double = 1.0,
-      nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+      nLists: Int = 16, nProbe: Int = 4,
+      targetPerCell: Int = 0): DataFrame = {
     import graft.functions.TopKAgg
     val spark = xs.sparkSession
     import spark.implicits._
     val x = unitVectors(xs, idCol, vecCol)
       .select(col("id").as("xid"), col("vhat").as("xv"))
     val yBase = unitVectors(ys, idCol, vecCol)
-    val centers = auditableCenters(yBase, nLists)
+    val effLists =
+      autoCellCount(yBase, nLists, targetPerCell, "bitextMineIvf")
+    val centers = auditableCenters(yBase, effLists)
     val y = yBase.select(col("id").as("yid"), col("vhat").as("yv"),
       element_at(graft.functions.GraftFunctions.pqEncode(col("vhat"),
         Array(centers)), 1).as("cell"))
@@ -1252,7 +1259,7 @@ object Similarity {
     * (fitCap = 16384) must exceed k and the centers live on the
     * driver — cells are capped LOUDLY rather than fitting a
     * degenerate codebook. */
-  private def autoCellCount(base: DataFrame, nLists: Int,
+  private[graft] def autoCellCount(base: DataFrame, nLists: Int,
       targetPerCell: Int, what: String): Int =
     if (targetPerCell <= 0) nLists
     else {

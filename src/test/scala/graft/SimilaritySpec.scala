@@ -710,6 +710,37 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("bitextMineIvf targetPerCell: fixture output bit-identical; " +
+    "cell count grows with the Y corpus") {
+    val xs = emb.filter(col("label") === 0 && col("vec_id") < 40).limit(8)
+    val ys = emb.filter(col("label") === 1)
+    // |Y| <= nLists*targetPerCell => exactly nLists cells, so the
+    // auto-sized form reproduces the fixed form bit-for-bit — this is
+    // what keeps the q156b oracle row unchanged
+    val fixed = Similarity.bitextMineIvf(xs, ys, "vec_id", "embedding",
+      k = 4, minMargin = 1.0, nLists = 16, nProbe = 4)
+      .collect().map(_.toSeq).toList
+    val auto = Similarity.bitextMineIvf(xs, ys, "vec_id", "embedding",
+      k = 4, minMargin = 1.0, nLists = 16, nProbe = 4,
+      targetPerCell = 100000).collect().map(_.toSeq).toList
+    assert(auto === fixed)
+    // the 100 TB contract: cells = max(nLists, ceil(|Y|/target)) — a
+    // target smaller than |Y|/nLists forces MORE cells, so candidate
+    // volume per x stays ~nProbe*targetPerCell instead of |Y|/16
+    val nY = ys.count()
+    val tgt = math.max(1, (nY / 64).toInt)
+    val grown = Similarity.autoCellCount(ys, 16, tgt, "spec")
+    assert(grown.toLong === (nY + tgt - 1) / tgt && grown > 16,
+      s"expected ceil($nY/$tgt) cells, got $grown")
+    // and the auto-sized search is still a valid miner: every x gets
+    // at most one row, schema and determinism intact
+    val out = Similarity.bitextMineIvf(xs, ys, "vec_id", "embedding",
+      k = 4, minMargin = 1.0, nLists = 16, nProbe = 4,
+      targetPerCell = tgt).collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getLong(0)).distinct.length === out.length)
+  }
+
   test("hardNegativeMine: band excludes near-dups and floor, positives anti-joined") {
     val anchors = Seq((0L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
     val corpus = Seq(
