@@ -192,6 +192,8 @@ object Bench {
     "q163b_turn_dedup",
     // packed SFT batches: md5-shard packing, spans re-offset
     "q163c_packed_chats",
+    // token-budget packed chats (trainer-denominated collator bins)
+    "q163d_packed_chats_tokens",
     // preference-pair construction by score margin (RM/DPO data)
     "q164_preference_pairs",
     // fill-in-the-middle transform (PSM, md5-coin split points)
@@ -204,7 +206,9 @@ object Bench {
     // continued BPE training: closed-form extension, encode replayed
     "q168_bpe_extend_oracle",
     // lexicon gate over obfuscation-folded text (C4 badwords shape)
-    "q169_lexicon_gate")
+    "q169_lexicon_gate",
+    // continued unigram training: combined-score Viterbi replayed
+    "q170_unigram_extend_oracle")
 
   /** Queries whose r6→r7 numbers moved 2–6× with no code change — the
     * self-join/ANN family is short (<3 s warm) so a single co-tenant

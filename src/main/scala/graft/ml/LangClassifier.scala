@@ -77,11 +77,20 @@ object LangClassifier {
       .transform(withGrams)
   }
 
-  /** Fit on (textCol, langCol)-labeled docs. Deterministic: the
+  /** Fit on (textCol, langCol)-labeled docs. Deterministic INPUTS: the
     * per-language training slice is the first `perLangCap` docs in
-    * (md5(text), text) order — same inputs, same slice, same model —
-    * and labels are the sorted distinct languages, so class index i is
-    * labels(i) with no fit-order dependence. */
+    * (md5(text), text) order — same inputs, same slice — and labels
+    * are the sorted distinct languages, so class index i is labels(i)
+    * with no fit-order dependence. The fitted COEFFICIENTS are
+    * same-session/same-layout reproducible only: Spark's L-BFGS
+    * aggregates gradients with treeAggregate, whose float summation
+    * order follows the partition layout, so identical inputs on a
+    * different cluster/parallelism can yield last-ulp-different
+    * coefficientMatrix (and thus a different [[graft.ops
+    * .CorpusPipeline]] model fingerprint). The resume contract is
+    * therefore the same as the quality classifier's: persist and
+    * reload the trained artifact — never refit and expect the
+    * `_GRAFT_CONFIG` fingerprint to match (see buildStaged docs). */
   def train(docs: DataFrame, textCol: String, langCol: String,
       numFeatures: Int = 4096, minN: Int = 2, maxN: Int = 4,
       maxChars: Int = 1000, perLangCap: Int = 2000,

@@ -625,6 +625,16 @@ object CorpusPipeline {
     * Determinism makes resume exact: stages are pure functions of their
     * staged inputs, so kill-after-stage-k + resume is byte-identical to
     * an uninterrupted run (pinned by spec).
+    *
+    * External-model resume contract: the `_GRAFT_CONFIG` manifest pins
+    * the quality AND langid models by CONTENT fingerprint
+    * (vocab/idf/coefficients). Neither fit is refit-reproducible —
+    * CountVectorizer vocab-truncation ties for the quality model,
+    * L-BFGS treeAggregate summation order for the langid model (see
+    * [[graft.ml.LangClassifier.train]]) — so a resume must load the
+    * SAME serialized artifact used by the original run; retraining on
+    * identical data and expecting the fingerprint to match will refuse
+    * the resume, by design.
     */
   def buildStaged(docs: DataFrame, evalSet: DataFrame, stagingDir: String,
       cfg: Config = Config(),

@@ -143,11 +143,47 @@ object SftData {
   def packChats(rendered: DataFrame, convCol: String, textCol: String,
       spansCol: String, binChars: Long, nShards: Int = 32): DataFrame = {
     require(binChars > 0, s"binChars must be positive, got $binChars")
+    packChatsImpl(rendered, convCol, textCol, spansCol,
+      length(coalesce(col(textCol), lit(""))).cast("long"), binChars,
+      nShards, emitTokens = false)
+  }
+
+  /** [[packChats]] with a TOKEN budget — trainer context windows are
+    * token-denominated, so the collator that has token counts (q57c's
+    * column, or any tokenizer's n_tokens output) should bin on them,
+    * not on the char proxy. Identical walk order, bin arithmetic
+    * (bin = floor(pre-conversation running TOKEN total / binTokens))
+    * and shard parallelism; the loss-span re-offsets stay CHAR
+    * arithmetic — spans address the packed STRING regardless of what
+    * the budget counts. `tokensCol` is a column of `rendered` (join
+    * your token counts on before calling; null counts as 0). Returns
+    * (shard, bin, n_convs, n_tokens, packed, loss_spans) — n_tokens
+    * is the bin's actual token load (≥ binTokens overflow by at most
+    * one conversation, the packSequences contract). */
+  def packChatsByTokens(rendered: DataFrame, convCol: String,
+      textCol: String, spansCol: String, tokensCol: String,
+      binTokens: Long, nShards: Int = 32): DataFrame = {
+    require(binTokens > 0, s"binTokens must be positive, got $binTokens")
+    packChatsImpl(rendered, convCol, textCol, spansCol,
+      coalesce(col(tokensCol), lit(0L)).cast("long"), binTokens,
+      nShards, emitTokens = true)
+  }
+
+  /** Shared collator core: md5-ordered walk, prefix-sum binning on an
+    * arbitrary per-conversation `weight` (chars for [[packChats]],
+    * tokens for [[packChatsByTokens]]), char-based span re-offsets,
+    * ordered per-bin concatenation. One keyed shuffle (shard), windows
+    * never global. */
+  private def packChatsImpl(rendered: DataFrame, convCol: String,
+      textCol: String, spansCol: String,
+      weight: org.apache.spark.sql.Column, budget: Long, nShards: Int,
+      emitTokens: Boolean): DataFrame = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
     val cidStr = col("conv_id").cast("string")
     val base = rendered.select(col(convCol).cast("long").as("conv_id"),
         coalesce(col(textCol), lit("")).as("r"),
-        coalesce(col(spansCol), lit("")).as("sp"))
+        coalesce(col(spansCol), lit("")).as("sp"),
+        weight.as("__w"))
       .withColumn("__h", md5(concat(lit("o:"), cidStr)))
       .withColumn("shard",
         (TextOps.md5Hash60(concat(lit("p:"), cidStr)) % nShards)
@@ -158,9 +194,14 @@ object SftData {
     val wBin = Window.partitionBy("shard", "bin")
     val withOff = base
       .withColumn("__len", length(col("r")).cast("long"))
+      // bin assignment runs on the WEIGHT prefix sum; the within-bin
+      // char offset runs on the CHAR prefix sum over the same walk —
+      // for packChats the two coincide (weight IS __len), so its
+      // output is bit-identical to the pre-refactor form (q163c pins)
+      .withColumn("__wcum", sum(col("__w")).over(wRun))
       .withColumn("__cum", sum(col("__len")).over(wRun))
       .withColumn("bin",
-        floor((col("__cum") - col("__len")).cast("double") / binChars)
+        floor((col("__wcum") - col("__w")).cast("double") / budget)
           .cast("bigint"))
       .withColumn("__off", col("__cum") - col("__len") -
         min(col("__cum") - col("__len")).over(wBin))
@@ -173,16 +214,19 @@ object SftData {
           lit(":"),
           (element_at(split(s, ":"), 2).cast("long") + col("__off"))
             .cast("string"))), ";"))
-    shifted.groupBy(col("shard"), col("bin"))
+    val grouped = shifted.groupBy(col("shard"), col("bin"))
       .agg(sort_array(collect_list(struct(col("__h").as("h"),
           col("conv_id").as("id"), col("r").as("r"),
-          col("__sps").as("s")))).as("__c"))
-      .select(col("shard"), col("bin"),
-        size(col("__c")).as("n_convs"),
-        array_join(transform(col("__c"), c => c.getField("r")), "")
-          .as("packed"),
-        array_join(filter(transform(col("__c"), c => c.getField("s")),
-          s => length(s) > 0), ";").as("loss_spans"))
+          col("__sps").as("s")))).as("__c"),
+        sum(col("__w")).as("__wsum"))
+    val head = Seq(col("shard"), col("bin"),
+      size(col("__c")).as("n_convs")) ++
+      (if (emitTokens) Seq(col("__wsum").as("n_tokens")) else Nil)
+    grouped.select(head ++ Seq(
+      array_join(transform(col("__c"), c => c.getField("r")), "")
+        .as("packed"),
+      array_join(filter(transform(col("__c"), c => c.getField("s")),
+        s => length(s) > 0), ";").as("loss_spans")): _*)
   }
 
   /** Preference-pair construction by score margin — the reward-model /

