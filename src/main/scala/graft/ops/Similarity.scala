@@ -939,17 +939,25 @@ object Similarity {
     * and bit-exact cross-engine — the member-mean form's parallel avg
     * is FP-order-dependent and stays on the adaptive path). Cells,
     * cosine-to-prototype, per-cell ranking, and the floor-quota drop
-    * are all oracle-checked. */
+    * are all oracle-checked. `targetPerCell > 0` sizes the cell count
+    * to the corpus ([[autoCellCount]], same discipline as the adaptive
+    * path): the per-cell rank window stays bounded AND parallel as the
+    * corpus grows instead of 16 ever-fatter partitions; the count is
+    * itself replayable (greatest(nLists, ceil(n/target)) over the
+    * usable-vector count), so the SQL twin stays exact at ANY scale,
+    * not just fixture scale. */
   def prototypePruneAuditable(df: DataFrame, idCol: String,
       vecCol: String, dropFrac: Double = 0.25,
-      nLists: Int = 16): DataFrame = {
+      nLists: Int = 16, targetPerCell: Int = 0): DataFrame = {
     require(dropFrac >= 0.0 && dropFrac < 1.0,
       s"dropFrac must be in [0, 1), got $dropFrac")
     val spark = df.sparkSession
     import spark.implicits._
     val base = unitVectors(df, idCol, vecCol)
-    val centers = auditableCenters(base, nLists)
-    val assigned = cellAssignAuditable(base, nLists)
+    val effLists = autoCellCount(base, nLists, targetPerCell,
+      "prototypePruneAuditable")
+    val centers = auditableCenters(base, effLists)
+    val assigned = cellAssignAuditable(base, effLists)
     val protos = centers.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "mean_vec")

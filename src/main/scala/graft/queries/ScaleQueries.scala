@@ -872,7 +872,8 @@ object ScaleQueries {
     // the adaptive member-mean form is exercised by SimilaritySpec
     "q161_proto_prune" -> ((s, dir) =>
       Similarity.prototypePruneAuditable(t(s, dir, "embeddings"),
-        "vec_id", "embedding", dropFrac = 0.25, nLists = 16)
+        "vec_id", "embedding", dropFrac = 0.25, nLists = 16,
+        targetPerCell = 625)
         .orderBy("vec_id")),
 
     // in-context pretraining ordering (ICLM): replayable cells, the
@@ -2992,6 +2993,36 @@ object ScaleQueries {
     * and the argmin-||v̂−c||² assignment with sequential-fold distance
     * and lowest-cell tie-break — term-for-term the arithmetic
     * [[graft.functions.PqEncodeExpr]] runs, so cells match exactly. */
+  /** [[cellCteSql]] with the REPLAYED corpus-sized cell count
+    * (autoCellCount: greatest(nLists, ceil(n / targetPerCell)) over
+    * the usable-vector count) — the twin stays exact at ANY scale
+    * instead of assuming the fixture keeps nLists cells. Integer vs
+    * float ceil agree for n < 2^52. */
+  private def cellCteSqlAuto(nLists: Int, targetPerCell: Int): String =
+    s"""raw AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       nr AS (SELECT id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+              FROM raw),
+       base AS (SELECT id, list_transform(v, x -> x / nrm) AS vhat
+                FROM nr WHERE nrm > 0),
+       ncell AS (SELECT greatest($nLists,
+                   CAST(ceil(count(*)::DOUBLE / $targetPerCell)
+                     AS BIGINT)) AS n
+                 FROM base),
+       ctr AS (SELECT cv, cell FROM (
+                 SELECT vhat AS cv,
+                        row_number() OVER (ORDER BY md5('c:' || CAST(id AS VARCHAR)), id) - 1 AS cell
+                 FROM base), ncell
+               WHERE cell < ncell.n),
+       dist AS (SELECT b.id, b.vhat, c.cell,
+                       list_sum(list_transform(range(1, 65),
+                         i -> (b.vhat[i] - c.cv[i]) * (b.vhat[i] - c.cv[i]))) AS d
+                FROM base b CROSS JOIN ctr c),
+       asg AS (SELECT id, vhat, cell FROM (
+                 SELECT id, vhat, cell,
+                        row_number() OVER (PARTITION BY id
+                          ORDER BY d ASC, cell ASC) AS rn
+                 FROM dist) WHERE rn = 1)"""
+
   private def cellCteSql(nLists: Int): String =
     s"""raw AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
        nr AS (SELECT id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
@@ -3247,11 +3278,16 @@ object ScaleQueries {
        ORDER BY e.vec_id"""
 
   /** Generated DuckDB twin of the q161 prototype pruning: replayable
-    * cells, cosine to the seeded center (sequential folds — bit-exact
-    * with [[graft.ops.Similarity]] `pruneByProto`), per-cell rank on
+    * cells at the REPLAYED corpus-sized count (targetPerCell = 625 —
+    * 16 cells at the sf0.01/sf0.1 gate scales, 32 at sf1, ~320 at the
+    * sf10 rehearsal: the per-cell rank window PARALLELIZES with the
+    * corpus instead of 16 ever-fatter partitions, while the n·cells
+    * assignment stays ~n·sqrt(n)-shaped), cosine to the
+    * seeded center (sequential folds — bit-exact with
+    * [[graft.ops.Similarity]] `pruneByProto`), per-cell rank on
     * the 6-dp-rounded score, floor-quota drop. */
   private val q161Sql: String =
-    s"""WITH ${cellCteSql(16)},
+    s"""WITH ${cellCteSqlAuto(16, 625)},
          p AS (SELECT a.id, a.cell,
                       list_sum(list_transform(range(1, 65),
                         i -> a.vhat[i] * c.cv[i]))

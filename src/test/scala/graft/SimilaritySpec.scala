@@ -710,6 +710,31 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("prototypePruneAuditable targetPerCell: fixture bit-identical; " +
+    "small target forces more cells and the floor-quota still holds") {
+    val fixed = Similarity.prototypePruneAuditable(emb, "vec_id",
+      "embedding", dropFrac = 0.25, nLists = 16).collect().map(_.toSeq)
+    val auto = Similarity.prototypePruneAuditable(emb, "vec_id",
+      "embedding", dropFrac = 0.25, nLists = 16, targetPerCell = 100000)
+      .collect().map(_.toSeq)
+    assert(auto.toSeq === fixed.toSeq)
+    // a small target grows the cell count (ceil(n/target) > 16): the
+    // 100 TB path — windows parallelize with the corpus
+    val n = emb.count()
+    val tgt = math.max(1, (n / 40).toInt)
+    val grown = Similarity.prototypePruneAuditable(emb, "vec_id",
+      "embedding", dropFrac = 0.25, nLists = 16, targetPerCell = tgt)
+      .collect()
+    val cells = grown.map(_.getInt(1)).distinct
+    assert(cells.length > 16, s"expected >16 cells, got ${cells.length}")
+    // every cell still drops exactly floor(0.25 * |cell|)
+    for ((c, rows) <- grown.groupBy(_.getInt(1))) {
+      val dropped = rows.count(!_.getBoolean(3))
+      assert(dropped === (0.25 * rows.length).toInt,
+        s"cell $c dropped $dropped of ${rows.length}")
+    }
+  }
+
   test("bitextMineIvf targetPerCell: fixture output bit-identical; " +
     "cell count grows with the Y corpus") {
     val xs = emb.filter(col("label") === 0 && col("vec_id") < 40).limit(8)
