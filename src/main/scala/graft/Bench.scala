@@ -201,6 +201,8 @@ object Bench {
     // RM3 pseudo-relevance feedback: expansion terms + expanded top-k
     "q166_rm3_terms",
     "q166b_rm3_topk",
+    // RM3 through the persisted term/doc-bucketed BM25 index
+    "q166c_rm3_topk_indexed",
     // pairwise source-overlap matrix from per-source KMV sketches
     "q167_source_overlap",
     // continued BPE training: closed-form extension, encode replayed

@@ -43,6 +43,22 @@ object Bucketing {
       .format("parquet").saveAsTable(table)
   }
 
+  /** Write `df` as a plain (unbucketed) managed catalog table with the
+    * same overwrite-and-own semantics as [[writeBucketed]] — for the
+    * metadata-sized side tables an index keeps next to its bucketed
+    * fact tables (corpus stats, manifests). */
+  def writeTable(df: DataFrame, table: String): Unit = {
+    require(!table.contains("."),
+      s"writeTable manages default-database tables only, got '$table'")
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.catalog.getDatabase("default").locationUri + "/" + table)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    df.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(table)
+  }
+
   /** Join two same-bucket-count tables on their bucket key. With both
     * sides bucketed this plans as a zero-exchange sort-merge join. The
     * join condition must reference the SAME DataFrame instances being

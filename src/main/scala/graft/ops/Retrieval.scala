@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -96,7 +96,19 @@ object Retrieval {
     * joins key on term/doc; windows partition by qid. */
   private def rm3Weights(tf: DataFrame, dfreq: DataFrame,
       stats: DataFrame, qterms: DataFrame, fbDocs: Int,
-      lambda: Double, k1: Double, b: Double): DataFrame = {
+      lambda: Double, k1: Double, b: Double): DataFrame =
+    rm3WeightsWith(tf, tf, dfreq, stats, qterms, fbDocs, lambda, k1, b)
+
+  /** [[rm3Weights]] with an explicit FORWARD frame for the
+    * feedback-doc term fetch: P(t|R) reads every term OF chosen DOCS —
+    * a doc-keyed lookup, which the indexed path serves from the
+    * doc-bucketed `_fwd` table (an inverted index answers term
+    * lookups; fetching a document's terms is the forward index's job).
+    * The in-plan path passes the same tf frame for both. */
+  private def rm3WeightsWith(tf: DataFrame, fwd: DataFrame,
+      dfreq: DataFrame, stats: DataFrame, qterms: DataFrame,
+      fbDocs: Int, lambda: Double, k1: Double,
+      b: Double): DataFrame = {
     val sc = tf
       .join(qterms, "term")
       .join(dfreq, "term")
@@ -118,7 +130,7 @@ object Retrieval {
     // P(t|R): every term of every feedback doc, weighted by the doc's
     // normalized (rounded) BM25 score
     val prm1 = fb.join(ssum, "qid")
-      .join(tf.select(col("doc"), col("term"), col("tf"), col("dl")),
+      .join(fwd.select(col("doc"), col("term"), col("tf"), col("dl")),
         "doc")
       .groupBy("qid", "term")
       .agg(sum(col("tf") / col("dl") * col("score") / col("ssum"))
@@ -194,7 +206,18 @@ object Retrieval {
     val qterms = queries.select(col(qidCol).as("qid"),
       explode(toks(col(qtextCol))).as("term")).distinct()
       .localCheckpoint(eager = false)
-    val weights = rm3Weights(tf, dfreq, stats, qterms, fbDocs,
+    rm3TopKCore(tf, tf, dfreq, stats, qterms, k, fbDocs, fbTerms,
+      lambda, k1, b)
+  }
+
+  /** The RM3 rescore over prepared corpus frames — shared by
+    * [[rm3TopK]] (in-plan frames, fwd = tf) and [[rm3TopKIndexed]]
+    * (bucketed catalog tables, fwd = the doc-bucketed layout). */
+  private def rm3TopKCore(tf: DataFrame, fwd: DataFrame,
+      dfreq: DataFrame, stats: DataFrame, qterms: DataFrame, k: Int,
+      fbDocs: Int, fbTerms: Int, lambda: Double, k1: Double,
+      b: Double): DataFrame = {
+    val weights = rm3WeightsWith(tf, fwd, dfreq, stats, qterms, fbDocs,
       lambda, k1, b)
     val wrank = Window.partitionBy("qid")
       .orderBy(col("weight").desc, col("term").asc)
@@ -221,6 +244,72 @@ object Retrieval {
       .select(col("qid"), col("doc").as("doc_id"),
         col("rank").cast("long").as("rank"), col("score"))
       .orderBy("qid", "rank")
+  }
+
+  // ---- persisted BM25 index (the corpusBuckets discipline) ----
+
+  /** Build the BM25 corpus statistics ONCE as TERM-bucketed catalog
+    * tables — the inverted-index discipline a search stack runs at
+    * 100 TB: the corpus-scale work (the token explode, the tf
+    * aggregation, the df roll-up) is paid at INDEX time, and every
+    * query batch after it plans against pre-bucketed term postings
+    * with no corpus-side exchange (audited in RetrievalIndexSpec, the
+    * CapstoneBucketingSpec pattern). Tables written (all owned,
+    * overwrite semantics):
+    *   - `<prefix>_tf`    (term, doc, tf, dl) — bucketed+sorted by term
+    *     (the INVERTED index: term-keyed scoring joins)
+    *   - `<prefix>_fwd`   (doc, term, tf, dl) — bucketed+sorted by doc
+    *     (the FORWARD index: the RM3 feedback step fetches every term
+    *     of chosen docs — a doc-keyed lookup the inverted layout would
+    *     answer only by repartitioning the postings)
+    *   - `<prefix>_df`    (term, df)          — bucketed+sorted by term
+    *   - `<prefix>_stats` (n_docs, avgdl)     — one row
+    * `fwd` and `dfreq` are derived from the WRITTEN tf table, so the
+    * explode runs once and the df aggregation itself reads buckets
+    * (no exchange). */
+  def buildBm25Index(docs: DataFrame, idCol: String, textCol: String,
+      prefix: String, buckets: Int): Unit = {
+    val spark = docs.sparkSession
+    val d = docs.select(col(idCol).as("doc"), toks(col(textCol)).as("tk"))
+    val terms = d.select(col("doc"), explode(col("tk")).as("term"),
+      size(col("tk")).cast("double").as("dl"))
+    val tf = terms.groupBy("doc", "term")
+      .agg(count(lit(1)).cast("double").as("tf"),
+        first(col("dl")).as("dl"))
+      .select("term", "doc", "tf", "dl")
+    Bucketing.writeBucketed(tf, s"${prefix}_tf", "term", buckets)
+    val written = spark.table(s"${prefix}_tf")
+    Bucketing.writeBucketed(
+      written.select("doc", "term", "tf", "dl"),
+      s"${prefix}_fwd", "doc", buckets)
+    val dfreq = written.groupBy("term")
+      .agg(count(lit(1)).cast("double").as("df"))
+    Bucketing.writeBucketed(dfreq, s"${prefix}_df", "term", buckets)
+    val stats = d.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(size(col("tk"))).as("avgdl"))
+    Bucketing.writeTable(stats, s"${prefix}_stats")
+  }
+
+  /** [[rm3TopK]] against a persisted [[buildBm25Index]] index: the
+    * per-batch plan touches no document text — the tf/df joins read
+    * term-bucketed postings (zero corpus-side exchange), the stats row
+    * broadcasts, and only query-panel-sized frames shuffle. Output is
+    * row-identical to [[rm3TopK]] over the same corpus (spec-pinned:
+    * the frames carry the same values, the arithmetic is shared). */
+  def rm3TopKIndexed(spark: SparkSession, prefix: String,
+      queries: DataFrame, qidCol: String, qtextCol: String,
+      k: Int = 5, fbDocs: Int = 3, fbTerms: Int = 5,
+      lambda: Double = 0.6, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val tf = spark.table(s"${prefix}_tf")
+    val fwd = spark.table(s"${prefix}_fwd")
+    val dfreq = spark.table(s"${prefix}_df")
+    val stats = spark.table(s"${prefix}_stats")
+    val qterms = queries.select(col(qidCol).as("qid"),
+      explode(toks(col(qtextCol))).as("term")).distinct()
+      .localCheckpoint(eager = false)
+    rm3TopKCore(tf, fwd, dfreq, stats, qterms, k, fbDocs, fbTerms,
+      lambda, k1, b)
   }
 
   /** Reciprocal-rank fusion (Cormack et al. 2009) of two ranked lists

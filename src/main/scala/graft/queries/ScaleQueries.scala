@@ -1963,6 +1963,25 @@ object ScaleQueries {
         k = 5, fbDocs = 3, fbTerms = 5, lambda = 0.6)
     }),
 
+    // q166b through the PERSISTED index (buildBm25Index: term-bucketed
+    // postings + doc-bucketed forward table + df/stats — the
+    // write-once-query-many layout; RetrievalIndexSpec audits the
+    // zero-postings-exchange plan): output is row-identical to the
+    // in-plan form, so it shares q166b's oracle SQL
+    "q166c_rm3_topk_indexed" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val qtext = concat_ws(" ",
+        slice(filter(split(coalesce(col("text"), lit("")), " "),
+          t => length(t) > 0), 1, 8))
+      val queries = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"), qtext.as("qtext"))
+      graft.ops.Retrieval.buildBm25Index(docs.filter(col("doc_id") >= 5),
+        "doc_id", "text", "graft_bm25_q166c", buckets = 8)
+      graft.ops.Retrieval.rm3TopKIndexed(s, "graft_bm25_q166c",
+        queries, "qid", "qtext",
+        k = 5, fbDocs = 3, fbTerms = 5, lambda = 0.6)
+    }),
+
     "q121_bm25" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val qtext = concat_ws(" ",
@@ -7165,6 +7184,9 @@ object ScaleQueries {
     "q166_rm3_terms" -> q166Sql,
 
     "q166b_rm3_topk" -> q166bSql,
+    // the indexed form is row-identical by contract (same frames, same
+    // arithmetic, different physical layout) — same twin
+    "q166c_rm3_topk_indexed" -> q166bSql,
 
     "q169_lexicon_gate" ->
       """WITH f AS (SELECT doc_id,

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Retrieval
+
+/** The persisted BM25 index (buildBm25Index), audited the
+  * CapstoneBucketingSpec way: the RM3 plan over the index must read
+  * term-bucketed postings with NO exchange anywhere below the tf-side
+  * scans — the shuffle saving the index exists for — while producing
+  * row-identical output to the in-plan rm3TopK over the same corpus.
+  */
+class RetrievalIndexSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private def docs = graft.sources.Tables(spark, dir, "documents")
+    .select("doc_id", "text")
+  private def queries = docs.filter($"doc_id" < 5)
+    .select($"doc_id".as("qid"), $"text".as("qtext"))
+
+  test("indexed RM3 ≡ in-plan RM3, row for row") {
+    Retrieval.buildBm25Index(docs, "doc_id", "text", "graft_bm25_spec",
+      buckets = 8)
+    val direct = Retrieval.rm3TopK(docs, "doc_id", "text", queries,
+      "qid", "qtext", k = 5).collect().map(_.toSeq).toSeq
+    val indexed = Retrieval.rm3TopKIndexed(spark, "graft_bm25_spec",
+      queries, "qid", "qtext", k = 5).collect().map(_.toSeq).toSeq
+    assert(indexed === direct)
+    assert(direct.nonEmpty)
+  }
+
+  test("the indexed plan never shuffles a bucketed-scan subtree: " +
+    "tf/df postings join exchange-free") {
+    Retrieval.buildBm25Index(docs, "doc_id", "text", "graft_bm25_spec",
+      buckets = 8)
+    // force the sort-merge path a 100 TB run takes (the panel side
+    // would broadcast at test scale) and pin AQE off so the executed
+    // plan is a plain auditable tree
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = Retrieval.rm3TopKIndexed(spark, "graft_bm25_spec",
+        queries, "qid", "qtext", k = 5)
+      df.collect() // executedPlan must be the real one
+      val plan = df.queryExecution.executedPlan
+      // both bucketed tables are actually read as buckets
+      val scans = plan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      val bucketedScans = scans.filter(_.bucketedScan)
+      assert(bucketedScans.size >= 3,
+        s"expected >=3 bucketed scans (tf, fwd, df), got " +
+          s"${bucketedScans.size} of ${scans.size}:\n" +
+          plan.toString.take(3000))
+      // the index contract: postings are never REPARTITIONED on their
+      // way into their first join — each bucketed scan feeds a join
+      // directly (filter/sort/project allowed, no exchange). Shuffles
+      // ABOVE a join or aggregate are panel-grain by construction
+      // (everything after the qterms/fb join is query-panel-sized), so
+      // the audit truncates at join/aggregate nodes: an offender is an
+      // exchange whose subtree reaches a bucketed scan without passing
+      // through one.
+      def rawPostings(p: SparkPlan): Boolean = p match {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.bucketedScan
+        case _: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+          false
+        case _: org.apache.spark.sql.execution.aggregate
+              .BaseAggregateExec => false
+        case other => other.children.exists(rawPostings)
+      }
+      val offenders = plan.collect {
+        case e: ShuffleExchangeExec if rawPostings(e.child) => e
+      }
+      assert(offenders.isEmpty,
+        s"postings shuffled:\n${offenders.map(_.toString.take(800))
+          .mkString("\n---\n")}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+}
