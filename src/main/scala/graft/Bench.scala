@@ -194,6 +194,8 @@ object Bench {
     "q163c_packed_chats",
     // token-budget packed chats (trainer-denominated collator bins)
     "q163d_packed_chats_tokens",
+    // incremental turn dedup: two state folds + keep-first election
+    "q163e_turn_dedup_incremental",
     // preference-pair construction by score margin (RM/DPO data)
     "q164_preference_pairs",
     // fill-in-the-middle transform (PSM, md5-coin split points)

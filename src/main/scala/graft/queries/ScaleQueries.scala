@@ -925,6 +925,26 @@ object ScaleQueries {
         binChars = 2048L, nShards = 8)
         .orderBy("shard", "bin")),
 
+    // INCREMENTAL turn dedup — the q68/q144 treatment for the SFT
+    // response-grain state: fold the even-conv slice into a fresh
+    // state, fold the odd-conv slice on top (the exact foreachBatch
+    // arithmetic of the AvailableNow stream, replayed as batch folds),
+    // elect keep-first at read — the oracle is q163b's FROM-SCRATCH
+    // SQL over the full conversation frame, so the hash proves the
+    // incremental fold + election is exactly the batch operator
+    "q163e_turn_dedup_incremental" -> ((s, dir) => {
+      val msgs = SftData.conversationsFrom(t(s, dir, "documents"),
+        "doc_id", "text", turnsPerConv = 4)
+      val s0 = graft.streaming.Streams.turnDedupFold(None,
+        msgs.filter(col("conv_id") % 2 === 0),
+        "conv_id", "turn_idx", "role", "text")
+      val s1 = graft.streaming.Streams.turnDedupFold(Some(s0),
+        msgs.filter(col("conv_id") % 2 === 1),
+        "conv_id", "turn_idx", "role", "text")
+      graft.streaming.Streams.turnDedupElect(s1)
+        .orderBy("conv_id", "turn_idx")
+    }),
+
     // TOKEN-budget packed SFT batches: the q163c collator binning on
     // ws-token counts (the trainer's denomination) instead of the
     // char proxy — same md5 walk and prefix-sum arithmetic, span
@@ -6347,6 +6367,9 @@ object ScaleQueries {
     "q163_chat_render" -> q163Sql,
 
     "q163b_turn_dedup" -> q163bSql,
+    // incremental fold + election ≡ from-scratch batch dedup: the
+    // same twin proves exact equivalence (the q68/q144 discipline)
+    "q163e_turn_dedup_incremental" -> q163bSql,
 
     "q163c_packed_chats" -> q163cSql,
     "q163d_packed_chats_tokens" -> q163dSql,

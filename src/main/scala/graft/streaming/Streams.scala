@@ -827,38 +827,67 @@ object Streams {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         val spark = batch.sparkSession
         val ver = f"batch_$id%06d"
-        val batchKeys = batch.toDF()
-          .filter(col(roleCol) === "assistant")
-          .select(col(convCol).cast("long").as("id"),
-            col(idxCol).cast("int").as("turn_idx"),
-            graft.ops.SftData.normResponseCol(col(textCol)).as("__n"))
-          .select(col("id"), col("turn_idx"),
-            graft.ops.TextOps.md5Hash60(concat(lit("t:"), col("__n")))
-              .as("norm_key"),
-            length(col("__n")).cast("long").as("norm_len"))
-          // within-batch (conv, turn) duplicates collapse to ONE
-          // deterministic row (min struct keeps key+len consistent;
-          // `first` would be partition-order dependent)
-          .groupBy("id", "turn_idx")
-          .agg(min(struct(col("norm_key"), col("norm_len"))).as("__s"))
-          .select(col("id"), col("turn_idx"),
-            col("__s.norm_key").as("norm_key"),
-            col("__s.norm_len").as("norm_len"))
-        val next = priorVersion(spark, stateBase, ver) match {
-          case Some(p) =>
-            val prior = spark.read.parquet(s"$stateBase/run_ts=$p")
-            // first write wins per (conv, turn): drop re-sent turns
-            prior.unionByName(batchKeys.join(
-              prior.select("id", "turn_idx"),
-              Seq("id", "turn_idx"), "left_anti"))
-          case None => batchKeys
-        }
-        next.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        val prior = priorVersion(spark, stateBase, ver)
+          .map(p => spark.read.parquet(s"$stateBase/run_ts=$p"))
+        turnDedupFold(prior, batch.toDF(), convCol, idxCol, roleCol,
+          textCol)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
           .parquet(s"$stateBase/run_ts=$ver")
       }
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+
+  /** One fold of the incremental turn-dedup state — the EXACT
+    * foreachBatch arithmetic as a batch function (backfills, and the
+    * q163e oracle row, which replays two folds + an election against
+    * the from-scratch q163b twin): normalize the batch's ASSISTANT
+    * turns map-side, collapse within-batch (conv, turn) duplicates to
+    * ONE deterministic row (min struct keeps key+len consistent;
+    * `first` would be partition-order dependent), then
+    * first-write-wins against `prior` on the (conv, turn) grain. */
+  def turnDedupFold(prior: Option[DataFrame], batch: DataFrame,
+      convCol: String, idxCol: String, roleCol: String,
+      textCol: String): DataFrame = {
+    val batchKeys = batch
+      .filter(col(roleCol) === "assistant")
+      .select(col(convCol).cast("long").as("id"),
+        col(idxCol).cast("int").as("turn_idx"),
+        graft.ops.SftData.normResponseCol(col(textCol)).as("__n"))
+      .select(col("id"), col("turn_idx"),
+        graft.ops.TextOps.md5Hash60(concat(lit("t:"), col("__n")))
+          .as("norm_key"),
+        length(col("__n")).cast("long").as("norm_len"))
+      .groupBy("id", "turn_idx")
+      .agg(min(struct(col("norm_key"), col("norm_len"))).as("__s"))
+      .select(col("id"), col("turn_idx"),
+        col("__s.norm_key").as("norm_key"),
+        col("__s.norm_len").as("norm_len"))
+    prior match {
+      case Some(p) =>
+        // first write wins per (conv, turn): drop re-sent turns
+        p.unionByName(batchKeys.join(
+          p.select("id", "turn_idx"),
+          Seq("id", "turn_idx"), "left_anti"))
+      case None => batchKeys
+    }
+  }
+
+  /** Keep-first election over a turn-dedup state frame — the read-time
+    * half shared by [[turnDedupFromState]] and batch replays: each
+    * norm_key group's min (conv, turn) struct owns the class. One
+    * grouped aggregate + one key-equi join, both on the response hash. */
+  def turnDedupElect(st: DataFrame): DataFrame = {
+    val firsts = st.groupBy("norm_key")
+      .agg(min(struct(col("id"), col("turn_idx"))).as("__f"))
+    st.join(firsts, Seq("norm_key"))
+      .select(col("id").as("conv_id"), col("turn_idx"),
+        col("norm_len"),
+        (col("__f.id") === col("id") &&
+          col("__f.turn_idx") === col("turn_idx")).as("keep"),
+        col("__f.id").as("first_conv"),
+        col("__f.turn_idx").as("first_idx"))
+  }
 
   /** The response-dedup manifest from the latest state: identical
     * grain to the batch [[graft.ops.SftData.turnDedup]] (parity
@@ -877,15 +906,7 @@ object Streams {
       case Some(ts) => raw.join(broadcast(ts), Seq("id"), "left_anti")
       case None => raw
     }
-    val firsts = st.groupBy("norm_key")
-      .agg(min(struct(col("id"), col("turn_idx"))).as("__f"))
-    st.join(firsts, Seq("norm_key"))
-      .select(col("id").as("conv_id"), col("turn_idx"),
-        col("norm_len"),
-        (col("__f.id") === col("id") &&
-          col("__f.turn_idx") === col("turn_idx")).as("keep"),
-        col("__f.id").as("first_conv"),
-        col("__f.turn_idx").as("first_idx"))
+    turnDedupElect(st)
   }
 
   /** TAKEDOWN for the turn-dedup state — conversation-grained (the
