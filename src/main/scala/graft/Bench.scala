@@ -196,6 +196,8 @@ object Bench {
     "q163d_packed_chats_tokens",
     // incremental turn dedup: two state folds + keep-first election
     "q163e_turn_dedup_incremental",
+    // SFT capstone: conversations -> hygiene -> render -> token pack
+    "q172_sft_pipeline",
     // preference-pair construction by score margin (RM/DPO data)
     "q164_preference_pairs",
     // fill-in-the-middle transform (PSM, md5-coin split points)
@@ -203,7 +205,8 @@ object Bench {
     // RM3 pseudo-relevance feedback: expansion terms + expanded top-k
     "q166_rm3_terms",
     "q166b_rm3_topk",
-    // RM3 through the persisted term/doc-bucketed BM25 index
+    // BM25 + RM3 through the persisted term/doc-bucketed index
+    "q121b_bm25_indexed",
     "q166c_rm3_topk_indexed",
     // pairwise source-overlap matrix from per-source KMV sketches
     "q167_source_overlap",
@@ -212,7 +215,9 @@ object Bench {
     // lexicon gate over obfuscation-folded text (C4 badwords shape)
     "q169_lexicon_gate",
     // continued unigram training: combined-score Viterbi replayed
-    "q170_unigram_extend_oracle")
+    "q170_unigram_extend_oracle",
+    // unigram inventory prune: smaller deployment tier, re-encode
+    "q171_unigram_prune_oracle")
 
   /** Queries whose r6→r7 numbers moved 2–6× with no code change — the
     * self-join/ANN family is short (<3 s warm) so a single co-tenant

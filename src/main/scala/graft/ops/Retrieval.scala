@@ -35,39 +35,52 @@ object Retrieval {
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, qidCol: String, qtextCol: String,
       k: Int = 5, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val d = docs.select(col(idCol).as("doc"), toks(col(textCol)).as("tk"))
-    val terms = d.select(col("doc"), explode(col("tk")).as("term"),
-      size(col("tk")).cast("double").as("dl"))
     // tf feeds BOTH the document-frequency aggregate and the score
-    // join; a lazy checkpoint materializes the explode + first
-    // aggregate once, so the corpus is scanned once, not per consumer
-    val tf = terms.groupBy("doc", "term")
-      .agg(count(lit(1)).cast("double").as("tf"),
-        first(col("dl")).as("dl"))
-      .localCheckpoint(eager = false)
-    val dfreq = tf.groupBy("term")
-      .agg(count(lit(1)).cast("double").as("df"))
-    val stats = d.agg(count(lit(1)).cast("double").as("n_docs"),
-      avg(size(col("tk"))).as("avgdl"))
-
+    // join; bm25Frames' lazy checkpoint materializes the explode +
+    // first aggregate once, so the corpus is scanned once per consumer
+    val (tf, dfreq, stats) = bm25Frames(docs, idCol, textCol)
     val qterms = queries
       .select(col(qidCol).as("qid"), explode(toks(col(qtextCol))).as("term"))
       .distinct()
+    bm25Rank(bm25Score(tf, dfreq, stats, qterms, k1, b), k)
+  }
 
-    val scored = tf
+  /** [[bm25TopK]] against a persisted [[buildBm25Index]] index — the
+    * per-batch plan reads term-bucketed postings with no corpus-side
+    * exchange (same audit contract as [[rm3TopKIndexed]]); output is
+    * row-identical to [[bm25TopK]] over the same corpus. */
+  def bm25TopKIndexed(spark: SparkSession, prefix: String,
+      queries: DataFrame, qidCol: String, qtextCol: String,
+      k: Int = 5, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tf = spark.table(s"${prefix}_tf")
+    val dfreq = spark.table(s"${prefix}_df")
+    val stats = spark.table(s"${prefix}_stats")
+    val qterms = queries
+      .select(col(qidCol).as("qid"), explode(toks(col(qtextCol))).as("term"))
+      .distinct()
+    bm25Rank(bm25Score(tf, dfreq, stats, qterms, k1, b), k)
+  }
+
+  /** The one BM25 scoring definition — (qid, doc, score rounded 4)
+    * from prepared frames; shared by both bm25TopK forms and the RM3
+    * feedback step so the arithmetic exists exactly once. */
+  private def bm25Score(tf: DataFrame, dfreq: DataFrame,
+      stats: DataFrame, qterms: DataFrame, k1: Double,
+      b: Double): DataFrame =
+    tf
       .join(qterms, "term")
       .join(dfreq, "term")
       .crossJoin(broadcast(stats))
-      .withColumn("idf",
-        log(lit(1.0) + (col("n_docs") - col("df") + 0.5)
-          / (col("df") + 0.5)))
       .withColumn("w",
-        col("idf") * col("tf") * (lit(k1) + 1.0)
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5)
+          / (col("df") + 0.5))
+          * col("tf") * (lit(k1) + 1.0)
           / (col("tf") + lit(k1)
             * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
       .groupBy("qid", "doc")
       .agg(round(sum(col("w")), 4).as("score"))
 
+  private def bm25Rank(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("qid")
       .orderBy(col("score").desc, col("doc").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -109,18 +122,7 @@ object Retrieval {
       dfreq: DataFrame, stats: DataFrame, qterms: DataFrame,
       fbDocs: Int, lambda: Double, k1: Double,
       b: Double): DataFrame = {
-    val sc = tf
-      .join(qterms, "term")
-      .join(dfreq, "term")
-      .crossJoin(broadcast(stats))
-      .withColumn("w",
-        log(lit(1.0) + (col("n_docs") - col("df") + 0.5)
-          / (col("df") + 0.5))
-          * col("tf") * (lit(k1) + 1.0)
-          / (col("tf") + lit(k1)
-            * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
-      .groupBy("qid", "doc")
-      .agg(round(sum(col("w")), 4).as("score"))
+    val sc = bm25Score(tf, dfreq, stats, qterms, k1, b)
     val wq = Window.partitionBy("qid")
       .orderBy(col("score").desc, col("doc").asc)
     val fb = sc.withColumn("rank", row_number().over(wq))

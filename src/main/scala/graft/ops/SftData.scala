@@ -229,6 +229,44 @@ object SftData {
         s => length(s) > 0), ";").as("loss_spans")): _*)
   }
 
+  /** The SFT data capstone — the CorpusPipeline composition idea
+    * applied to post-training data: structural conversations →
+    * response-grain hygiene → chat-template render with loss spans →
+    * TOKEN-budget packing, one lazy plan end to end.
+    *
+    * Hygiene rule: a conversation is dropped WHOLE when any of its
+    * assistant turns loses a [[turnDedup]] keep-first election — the
+    * conservative choice that keeps surviving chats structurally
+    * intact (excising a mid-conversation turn would corrupt the
+    * dialogue; the first owner of every response class survives, so
+    * no response text is lost from the set). Token counts are
+    * ws-token counts of the RENDERED string ([[graft.ops.TextAnalysis
+    * .nTokensCol]] — swap in a tokenizer's n_tokens by joining it on
+    * and calling the stages directly).
+    *
+    * Scale shape: one conversation-grain projection, one
+    * response-hash window (dedup), one broadcast-sized anti-join
+    * (dropped-conv ids — duplicates are the exception, not the rule),
+    * one conversation-grain render window, one md5-shard packing
+    * window. Nothing corpus×corpus, nothing driver-side.
+    * Returns [[packChatsByTokens]]'s frame:
+    * (shard, bin, n_convs, n_tokens, packed, loss_spans). */
+  def sftPipeline(docs: DataFrame, idCol: String, textCol: String,
+      turnsPerConv: Int = 4, binTokens: Long = 2048L,
+      nShards: Int = 32): DataFrame = {
+    val msgs = conversationsFrom(docs, idCol, textCol, turnsPerConv)
+      .localCheckpoint(eager = false)
+    val dd = turnDedup(msgs, "conv_id", "turn_idx", "role", "text")
+    val dropConvs = dd.filter(!col("keep")).select("conv_id").distinct()
+    val kept = msgs.join(broadcast(dropConvs), Seq("conv_id"),
+      "left_anti")
+    val rendered = chatRender(kept, "conv_id", "turn_idx", "role",
+      "text")
+      .withColumn("n_tokens", TextAnalysis.nTokensCol(col("rendered")))
+    packChatsByTokens(rendered, "conv_id", "rendered", "loss_spans",
+      "n_tokens", binTokens, nShards)
+  }
+
   /** Preference-pair construction by score margin — the reward-model /
     * DPO data step: within each group (same prompt cluster, domain,
     * source), rank items best-first and worst-first and pair the i-th

@@ -162,6 +162,30 @@ object Vocab {
       prior ++ appended)
   }
 
+  /** BPE inventory PRUNING — the shrink direction of the lifecycle
+    * ([[pruneUnigram]]'s sibling), and for BPE it is EXACT by the
+    * greedy-prefix property: training is deterministic and each merge
+    * depends only on earlier ones, so `merges.take(k)` IS the model
+    * that training with k merges would have produced on the same
+    * corpus (spec-pinned against a literal retrain), and encoding
+    * under the pruned model equals the smaller model's encoding
+    * token-for-token. Ids: the default layout keeps every surviving
+    * piece's id unchanged (unk, base symbols, then the surviving merge
+    * products in order — a strict PREFIX of the base model's id
+    * space), so trained-embedding rows for kept ids stay valid.
+    * Pristine models only — prune BEFORE extending (an extended
+    * model's extras sit above the products, so truncating products
+    * would shift them; fail loudly instead). Zero corpus reads. */
+  def pruneBpe(base: BpeModel, targetMerges: Int): BpeModel = {
+    require(targetMerges >= 0,
+      s"targetMerges must be >= 0, got $targetMerges")
+    require(base.assignedIds.isEmpty && base.extraSymbols.isEmpty,
+      "pruneBpe prunes PRISTINE models — prune before extendBpe " +
+        "(truncating an extended model's merge products would shift " +
+        "its extra-symbol ids)")
+    BpeModel(base.merges.take(targetMerges), base.baseSymbols)
+  }
+
   /** The bounded driver-side (word, count) dictionary shared by both
     * tokenizer trainers: top `maxDictWords` by (count desc, word asc)
     * with a LOUD audit of the dropped tail — the cap that makes the
@@ -598,12 +622,25 @@ object Vocab {
       s"vocab frame must lead with $UnkToken")
     val products = ms.map { case (a, b) => a + b }.toSet
     val base = toks.drop(1).filterNot(products)
-    val model = BpeModel(ms, base)
-    require(model.vocab.toSeq.sortBy(_._2).map(_._1) == toks,
-      "bpeModelOf: rebuilt vocab does not reproduce the persisted id " +
-        "assignment — the artifact frames are inconsistent (or a base " +
-        "symbol collides with a merge product)")
-    model
+    val fieldDerived = BpeModel(ms, base)
+    if (fieldDerived.vocab.toSeq.sortBy(_._2).map(_._1) == toks)
+      // a pristine (never-extended) model: the default layout
+      // reproduces the persisted ids exactly — return the
+      // field-faithful form so downstream extendBpe bookkeeping sees
+      // the true baseSymbols
+      fieldDerived
+    else {
+      // an EXTENDED model's layout is not a pure function of
+      // (merges, sorted symbols) — its ids were assigned append-stably
+      // across extensions. The persisted id column IS the layout: pin
+      // it verbatim via assignedIds. Every merge product must still be
+      // accounted for, or the two frames are genuinely inconsistent.
+      val missing = products -- toks.toSet
+      require(missing.isEmpty,
+        s"bpeModelOf: merge products absent from the vocab frame " +
+          s"(inconsistent artifact): ${missing.take(5).mkString(", ")}")
+      BpeModel(ms, base, Nil, assignedIds = toks)
+    }
   }
 
   /** Inverse of [[unigramFrame]]: rebuild the unigram-LM inventory
@@ -731,6 +768,33 @@ object Vocab {
       .take(extraPieces).map(_._1)
     UnigramModel(base.pieces ++
       fresh.map(p => (p, p.length.toDouble * p.length)))
+  }
+
+  /** Unigram inventory PRUNING — the third tokenizer-lifecycle step
+    * next to learn ([[learnUnigram]]) and extend ([[extendUnigram]]):
+    * derive a SMALLER deployment tier from a trained model without
+    * touching the corpus (the SentencePiece shrink direction — serve a
+    * memory-constrained encoder from the same training run). Keeps
+    * every single-character piece (segmentability — no word gains an
+    * unk path that did not have one) plus the highest-scoring
+    * multi-character pieces until `targetSize`, ties on piece asc;
+    * kept pieces retain their EXACT scores and relative order, so
+    * Viterbi decisions among survivors are unchanged — a word whose
+    * best segmentation used only kept pieces encodes IDENTICALLY
+    * (spec-pinned). Position-derived ids of pieces AFTER a dropped one
+    * shift (inherent to pruning — the deployment tier is a new model,
+    * unlike [[extendUnigram]] whose whole point is id stability).
+    * Purely driver-side model arithmetic: zero corpus reads, zero
+    * shuffles. */
+  def pruneUnigram(base: UnigramModel, targetSize: Int): UnigramModel = {
+    require(targetSize >= 1, s"targetSize must be >= 1, got $targetSize")
+    val chars = base.pieces.filter(_._1.length == 1)
+    val multi = base.pieces.filter(_._1.length > 1)
+    val budget = math.max(0, targetSize - chars.length)
+    val keepSet = multi.sortBy { case (p, s) => (-s, p) }
+      .take(budget).map(_._1).toSet
+    UnigramModel(base.pieces.filter { case (p, _) =>
+      p.length == 1 || keepSet(p) })
   }
 
   /** Frequency-weighted counts of every word substring up to

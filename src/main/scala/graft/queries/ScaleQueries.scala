@@ -945,6 +945,26 @@ object ScaleQueries {
         .orderBy("conv_id", "turn_idx")
     }),
 
+    // SFT DATA CAPSTONE (the q129 composition idea for post-training
+    // data): conversations → whole-conversation response-hygiene drop
+    // (any conv with a losing assistant turn) → chat render with loss
+    // spans → TOKEN-budget packing, one lazy plan. Duplicate
+    // conversations are PLANTED (first 10 convs re-ingested under
+    // shifted ids) so the hygiene stage provably fires: the copies
+    // lose every keep-first election to the originals and vanish, the
+    // originals flow through to the packed bins — composed oracle
+    // replays all four stages
+    "q172_sft_pipeline" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val planted = d.filter(col("doc_id") < 40)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      val corpus = d.select(col("doc_id"), col("text"))
+        .unionByName(planted)
+      SftData.sftPipeline(corpus, "doc_id", "text", turnsPerConv = 4,
+        binTokens = 384L, nShards = 8)
+        .orderBy("shard", "bin")
+    }),
+
     // TOKEN-budget packed SFT batches: the q163c collator binning on
     // ws-token counts (the trainer's denomination) instead of the
     // char proxy — same md5 walk and prefix-sum arithmetic, span
@@ -1143,6 +1163,28 @@ object ScaleQueries {
       val model = Vocab.staticExtendedUnigramModelOf(baseWc, domWc,
         nPieces = 60, maxPieceLen = 8, extTop = 10, minCount = 2)
       val words = domWc.orderBy(desc("cnt"), col("word")).limit(50)
+      Vocab.encodeUnigram(words, "word", "word", model)
+        .select(col("word"),
+          concat_ws(" ", col("uni_pieces")).as("pieces"),
+          col("n_pieces"))
+        .orderBy("word")
+    }),
+
+    // unigram inventory PRUNE oracle (the third lifecycle step after
+    // learn/extend, closed form): the q99d static model pruned to 45
+    // pieces — every single char kept (segmentability), the
+    // highest-scoring multi-char pieces kept until budget, exact
+    // scores retained — and the top-50 words re-encoded under the
+    // smaller tier; DuckDB rebuilds the pruned inventory (char tier ∪
+    // top-budget multis by rank) and replays the same Viterbi
+    "q171_unigram_prune_oracle" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val model = Vocab.pruneUnigram(
+        Vocab.staticUnigramModel(d, "text", nPieces = 60,
+          maxPieceLen = 8),
+        targetSize = 45)
+      val words = Vocab.wordCounts(d, "text")
+        .orderBy(desc("cnt"), col("word")).limit(50)
       Vocab.encodeUnigram(words, "word", "word", model)
         .select(col("word"),
           concat_ws(" ", col("uni_pieces")).as("pieces"),
@@ -2011,6 +2053,21 @@ object ScaleQueries {
         .select(col("doc_id").as("qid"), qtext.as("qtext"))
       graft.ops.Retrieval.bm25TopK(docs.filter(col("doc_id") >= 5),
         "doc_id", "text", queries, "qid", "qtext", k = 5)
+    }),
+
+    // q121 through the persisted index (shares the q166c-built tables'
+    // layout but owns its prefix — queries must stay order-independent)
+    "q121b_bm25_indexed" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val qtext = concat_ws(" ",
+        slice(filter(split(coalesce(col("text"), lit("")), " "),
+          t => length(t) > 0), 1, 8))
+      val queries = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"), qtext.as("qtext"))
+      graft.ops.Retrieval.buildBm25Index(docs.filter(col("doc_id") >= 5),
+        "doc_id", "text", "graft_bm25_q121b", buckets = 8)
+      graft.ops.Retrieval.bm25TopKIndexed(s, "graft_bm25_q121b",
+        queries, "qid", "qtext", k = 5)
     }),
 
     // hybrid retrieval: reciprocal-rank fusion of the BM25 list and
@@ -3462,12 +3519,195 @@ object ScaleQueries {
                 ';' ORDER BY h, conv_id), '') AS loss_spans
        FROM sh GROUP BY shard, bin ORDER BY shard, bin"""
 
+  /** DuckDB twin of the q171 unigram PRUNE: the q99d static inventory
+    * (top-60 ∪ chars, dyadic −rank/16 scores) pruned to 45 — all
+    * single chars kept, multis kept by score rank until the
+    * char-count-dependent budget — then the q170-form Viterbi (ks/sc
+    * parallel lists) over the surviving table. */
+  private val q171Sql: String =
+    """WITH RECURSIVE
+           w AS (SELECT unnest(list_filter(
+                   string_split(coalesce(text, ''), ' '),
+                   t -> length(t) > 0)) AS word
+                 FROM documents),
+           wc AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),
+           subs AS (SELECT substr(word, i, l) AS piece, cnt
+                    FROM (SELECT word, cnt,
+                                 unnest(range(1, length(word) + 1)) AS i
+                          FROM wc),
+                         (SELECT unnest(range(1, 9)) AS l) L
+                    WHERE i + l - 1 <= length(word)),
+           pc AS (SELECT piece, sum(cnt) AS cnt
+                  FROM subs GROUP BY piece),
+           kept0 AS (SELECT piece, cnt FROM
+                       (SELECT piece, cnt FROM
+                         (SELECT piece, cnt FROM pc
+                          ORDER BY cnt DESC, piece LIMIT 60)
+                        UNION
+                        SELECT piece, cnt FROM pc
+                        WHERE length(piece) = 1)),
+           inv0 AS (SELECT piece,
+                           -(row_number() OVER (ORDER BY cnt DESC, piece))
+                             / 16.0 AS sc,
+                           row_number() OVER (ORDER BY cnt DESC, piece)
+                             AS rn,
+                           length(piece) AS l
+                    FROM kept0),
+           nch AS (SELECT count(*) AS c FROM inv0 WHERE l = 1),
+           multi AS (SELECT piece, sc,
+                            row_number() OVER (ORDER BY rn) AS mrn
+                     FROM inv0 WHERE l > 1),
+           kept AS (SELECT piece, sc FROM inv0 WHERE l = 1
+                    UNION ALL
+                    SELECT piece, sc FROM multi, nch
+                    WHERE mrn <= greatest(0, 45 - nch.c)),
+           krow AS (SELECT list(piece ORDER BY piece) AS ks,
+                           list(sc ORDER BY piece) AS sc,
+                           max(length(piece)) AS ml
+                    FROM kept),
+           words AS (SELECT word FROM wc
+                     ORDER BY cnt DESC, word LIMIT 50),
+           vit AS (
+             SELECT word, [CAST(0.0 AS DOUBLE)] AS best, [0] AS back
+             FROM words
+             UNION ALL
+             SELECT word,
+                    list_append(best, mx),
+                    list_append(back, bj)
+             FROM (SELECT word, best, back, mx,
+                          g0 + list_position(rl, mx) - 1 AS bj
+                   FROM (SELECT word, best, back, rl, g0,
+                           list_max(list_filter(rl,
+                             x -> x IS NOT NULL)) AS mx
+                         FROM (SELECT v.word, v.best, v.back, g0, pos,
+                                 list_transform(range(g0, pos), j ->
+                                   v.best[j+1] +
+                                   k.sc[nullif(list_position(k.ks,
+                                     substr(v.word, j+1, pos-j)), 0)])
+                                   AS rl
+                               FROM (SELECT word, best, back,
+                                            len(best) AS pos,
+                                            greatest(0,
+                                              len(best) - k2.ml) AS g0
+                                     FROM vit CROSS JOIN krow k2
+                                     WHERE len(best) <=
+                                           length(word)) v
+                                 CROSS JOIN krow k)))),
+           done AS (SELECT word, back
+                    FROM vit WHERE len(best) = length(word) + 1),
+           bt AS (
+             SELECT word, back, length(word) AS pos,
+                    CAST('' AS VARCHAR) AS pieces, 0 AS np
+             FROM done
+             UNION ALL
+             SELECT word, back, back[pos+1],
+                    substr(word, back[pos+1] + 1, pos - back[pos+1]) ||
+                      CASE WHEN pieces = '' THEN ''
+                           ELSE ' ' END || pieces,
+                    np + 1
+             FROM bt WHERE pos > 0)
+         SELECT word, pieces, CAST(np AS BIGINT) AS n_pieces
+         FROM bt WHERE pos = 0 ORDER BY word"""
+
   /** DuckDB twin of the q163d TOKEN-budget packed chats: the q163c
     * walk with the bin prefix-sum running on ws-token counts of the
     * rendered string (space-split, empties dropped — TextOps.wsTokens
     * exactly) while the span offsets stay on the char prefix sum. */
   private val q163dSql: String =
     s"""WITH $rendCteSql,
+         sb AS (SELECT conv_id, rendered, loss_spans,
+                       md5('o:' || CAST(conv_id AS VARCHAR)) AS h,
+                       CAST(CAST('0x' || substr(md5('p:' ||
+                         CAST(conv_id AS VARCHAR)), 1, 15) AS BIGINT)
+                         % 8 AS INT) AS shard,
+                       CAST(len(list_filter(
+                         string_split(rendered, ' '),
+                         t -> length(t) > 0)) AS BIGINT) AS tk
+                FROM rend),
+         cm AS (SELECT *, sum(tk) OVER (PARTITION BY shard
+                  ORDER BY h, conv_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS tcum,
+                  sum(length(rendered)) OVER (PARTITION BY shard
+                  ORDER BY h, conv_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS cum
+                FROM sb),
+         bn AS (SELECT *, CAST(floor((tcum - tk)::DOUBLE
+                  / 384) AS BIGINT) AS bin
+                FROM cm),
+         ofs AS (SELECT *, cum - length(rendered) -
+                   min(cum - length(rendered)) OVER (
+                     PARTITION BY shard, bin) AS off
+                 FROM bn),
+         sh AS (SELECT shard, bin, h, conv_id, rendered, tk,
+                  array_to_string(list_transform(
+                    list_filter(string_split(loss_spans, ';'),
+                      x -> length(x) > 0),
+                    x -> CAST(CAST(string_split(x, ':')[1] AS BIGINT)
+                           + off AS VARCHAR) || ':' ||
+                         CAST(CAST(string_split(x, ':')[2] AS BIGINT)
+                           + off AS VARCHAR)), ';') AS sps
+                FROM ofs)
+       SELECT shard, bin, CAST(count(*) AS INT) AS n_convs,
+              CAST(sum(tk) AS BIGINT) AS n_tokens,
+              string_agg(rendered, '' ORDER BY h, conv_id) AS packed,
+              coalesce(string_agg(CASE WHEN sps <> '' THEN sps END,
+                ';' ORDER BY h, conv_id), '') AS loss_spans
+       FROM sh GROUP BY shard, bin ORDER BY shard, bin"""
+
+  /** COMPOSED DuckDB twin of the q172 SFT capstone: planted-duplicate
+    * corpus → conversation derivation → response-hash keep-first
+    * (whole-conversation drop) → the q163 render chain over survivors
+    * → the q163d token-budget pack chain. Every stage is the
+    * already-proven CTE body re-sourced. */
+  private val q172Sql: String =
+    """WITH RECURSIVE
+         docs2 AS (SELECT doc_id, text FROM documents
+                   UNION ALL
+                   SELECT doc_id + 100000 AS doc_id, text
+                   FROM documents WHERE doc_id < 40),
+         msgs AS (SELECT CAST(doc_id // 4 AS BIGINT) AS conv_id,
+                         CAST(doc_id % 4 AS INT) AS turn_idx,
+                         CASE WHEN doc_id % 4 % 2 = 0
+                              THEN 'user' ELSE 'assistant' END AS role,
+                         coalesce(text, '') AS txt
+                  FROM docs2),
+         a AS (SELECT conv_id, turn_idx,
+                      lower(trim(regexp_replace(txt,
+                        '[ \t\n\r\f]+', ' ', 'g'))) AS nrm
+               FROM msgs WHERE role = 'assistant'),
+         r AS (SELECT conv_id,
+                      row_number() OVER (PARTITION BY nrm
+                        ORDER BY conv_id, turn_idx) AS rn
+               FROM a),
+         bad AS (SELECT DISTINCT conv_id FROM r WHERE rn > 1),
+         keptm AS (SELECT m.conv_id, m.turn_idx, m.role, m.txt
+                   FROM msgs m LEFT JOIN bad b USING (conv_id)
+                   WHERE b.conv_id IS NULL),
+         p AS (SELECT conv_id, turn_idx, role,
+                      '<|' || role || '|>' || chr(10) || txt ||
+                        '<|end|>' || chr(10) AS piece,
+                      length(role) + 5 AS hlen,
+                      length(txt) AS tlen
+               FROM keptm),
+         c AS (SELECT conv_id, turn_idx, role, piece, hlen, tlen,
+                      sum(length(piece)) OVER (PARTITION BY conv_id
+                        ORDER BY turn_idx
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum
+               FROM p),
+         sp AS (SELECT conv_id, turn_idx, role, piece,
+                       cum - length(piece) + hlen AS s,
+                       cum - length(piece) + hlen + tlen AS e
+                FROM c),
+         rend AS (SELECT conv_id, CAST(count(*) AS INT) AS n_turns,
+                    string_agg(piece, '' ORDER BY turn_idx) AS rendered,
+                    coalesce(string_agg(CASE WHEN role = 'assistant'
+                        THEN CAST(s AS VARCHAR) || ':' ||
+                          CAST(e AS VARCHAR)
+                      END, ';' ORDER BY turn_idx), '') AS loss_spans
+                  FROM sp GROUP BY conv_id),
          sb AS (SELECT conv_id, rendered, loss_spans,
                        md5('o:' || CAST(conv_id AS VARCHAR)) AS h,
                        CAST(CAST('0x' || substr(md5('p:' ||
@@ -6370,6 +6610,8 @@ object ScaleQueries {
     // incremental fold + election ≡ from-scratch batch dedup: the
     // same twin proves exact equivalence (the q68/q144 discipline)
     "q163e_turn_dedup_incremental" -> q163bSql,
+    "q171_unigram_prune_oracle" -> q171Sql,
+    "q172_sft_pipeline" -> q172Sql,
 
     "q163c_packed_chats" -> q163cSql,
     "q163d_packed_chats_tokens" -> q163dSql,
@@ -7203,6 +7445,8 @@ object ScaleQueries {
                  ROUND(COALESCE(h.hits, 0) / 5.0, 4) AS recall
           FROM qs LEFT JOIN hit h USING (qid) ORDER BY qs.qid""",
     "q121_bm25" -> q121Sql,
+    // the indexed form is row-identical by contract — same twin
+    "q121b_bm25_indexed" -> q121Sql,
 
     "q166_rm3_terms" -> q166Sql,
 

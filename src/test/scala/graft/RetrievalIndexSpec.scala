@@ -23,7 +23,7 @@ class RetrievalIndexSpec extends AnyFunSuite {
   private def queries = docs.filter($"doc_id" < 5)
     .select($"doc_id".as("qid"), $"text".as("qtext"))
 
-  test("indexed RM3 ≡ in-plan RM3, row for row") {
+  test("indexed RM3 and indexed BM25 ≡ their in-plan forms, row for row") {
     Retrieval.buildBm25Index(docs, "doc_id", "text", "graft_bm25_spec",
       buckets = 8)
     val direct = Retrieval.rm3TopK(docs, "doc_id", "text", queries,
@@ -32,6 +32,12 @@ class RetrievalIndexSpec extends AnyFunSuite {
       queries, "qid", "qtext", k = 5).collect().map(_.toSeq).toSeq
     assert(indexed === direct)
     assert(direct.nonEmpty)
+    val bmDirect = Retrieval.bm25TopK(docs, "doc_id", "text", queries,
+      "qid", "qtext", k = 5).collect().map(_.toSeq).toSeq
+    val bmIndexed = Retrieval.bm25TopKIndexed(spark, "graft_bm25_spec",
+      queries, "qid", "qtext", k = 5).collect().map(_.toSeq).toSeq
+    assert(bmIndexed === bmDirect)
+    assert(bmDirect.nonEmpty)
   }
 
   test("the indexed plan never shuffles a bucketed-scan subtree: " +

@@ -156,6 +156,51 @@ class SftDataSpec extends AnyFunSuite {
       Seq("shard", "bin", "n_convs", "packed", "loss_spans"))
   }
 
+  test("sftPipeline: duplicate conversations dropped WHOLE, originals " +
+      "survive, packed spans still extract the surviving turns") {
+    val docs = (0L to 39L).map(i => (i, s"unique turn body $i"))
+      .toDF("doc_id", "text")
+    // plant copies of the first 2 conversations under shifted ids:
+    // their assistant turns lose every keep-first election
+    val planted = docs.filter(col("doc_id") < 8)
+      .select((col("doc_id") + 1000L).as("doc_id"), col("text"))
+    val corpus = docs.unionByName(planted)
+    val packed = SftData.sftPipeline(corpus, "doc_id", "text",
+      turnsPerConv = 4, binTokens = 30L, nShards = 4).collect()
+    // 10 original conversations survive; the 2 planted copies vanish
+    assert(packed.map(_.getInt(2)).sum === 10)
+    // no planted conv's rendered text appears twice: extract all
+    // assistant texts via spans and compare against the ORIGINAL set
+    val extracted = packed.flatMap { r =>
+      val (p, sp) = (r.getString(4), r.getString(5))
+      if (sp.isEmpty) Nil
+      else sp.split(";").map { s =>
+        val Array(a, b) = s.split(":").map(_.toInt)
+        p.substring(a, b)
+      }.toSeq
+    }.sorted.toSeq
+    val expected = SftData.conversationsFrom(docs, "doc_id", "text", 4)
+      .filter(col("role") === "assistant")
+      .select("text").collect().map(_.getString(0)).sorted.toSeq
+    assert(extracted === expected)
+    // a corpus with NO duplicates passes through the hygiene stage
+    // unchanged: pipeline ≡ render+pack directly
+    val direct = {
+      val rendered = SftData.chatRender(
+        SftData.conversationsFrom(docs, "doc_id", "text", 4),
+        "conv_id", "turn_idx", "role", "text")
+        .withColumn("n_tokens",
+          graft.ops.TextAnalysis.nTokensCol(col("rendered")))
+      SftData.packChatsByTokens(rendered, "conv_id", "rendered",
+        "loss_spans", "n_tokens", binTokens = 30L, nShards = 4)
+        .collect().map(_.toSeq).toSeq
+    }
+    val noDup = SftData.sftPipeline(docs, "doc_id", "text",
+      turnsPerConv = 4, binTokens = 30L, nShards = 4)
+      .collect().map(_.toSeq).toSeq
+    assert(noDup.sortBy(_.toString) === direct.sortBy(_.toString))
+  }
+
   test("preferencePairs: hand-computed ranks, margin gate, floor(n/2)") {
     val df = Seq(
       ("g", 1L, 0.9), ("g", 2L, 0.5), ("g", 3L, 0.1), ("g", 4L, 0.2),

@@ -346,6 +346,71 @@ class VocabSpec extends AnyFunSuite {
       nPieces = 12, extTop = 10).pieces === ext.pieces)
   }
 
+  test("pruneBpe: take(k) IS the k-merge retrain (greedy-prefix " +
+      "property), ids a strict prefix, extended models refused") {
+    val sample = docs.limit(60)
+    val big = Vocab.learnBpe(sample, "text", numMerges = 40)
+    val pruned = Vocab.pruneBpe(big, targetMerges = 15)
+    val retrained = Vocab.learnBpe(sample, "text", numMerges = 15)
+    assert(pruned.merges === retrained.merges)
+    assert(pruned.vocab === retrained.vocab)
+    // surviving ids are a strict prefix of the big model's id space
+    for ((piece, id) <- pruned.vocab)
+      assert(big.vocab(piece) === id, s"id moved for '$piece'")
+    // encode under pruned == encode under the retrain, token for token
+    val a = Vocab.encodeBpe(sample, "doc_id", "text", pruned)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val b = Vocab.encodeBpe(sample, "doc_id", "text", retrained)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(a.toSeq === b.toSeq)
+    // extended models are refused loudly
+    val dom = Seq(Seq.fill(20)("zaz").mkString(" ")).toDF("text")
+    val ext = Vocab.extendBpe(big, dom, "text", extraMerges = 3)
+    intercept[IllegalArgumentException] {
+      Vocab.pruneBpe(ext, targetMerges = 10)
+    }
+  }
+
+  test("pruneUnigram: chars always survive, budgeted multis by score, " +
+      "kept-piece segmentations unchanged, shrink-to-chars floor") {
+    val df = Seq(("abc abd abe cde " * 10).trim).toDF("text")
+    val base = Vocab.learnUnigram(df, "text", vocabSize = 12)
+    val nChars = base.pieces.count(_._1.length == 1)
+    val pruned = Vocab.pruneUnigram(base, targetSize = nChars + 2)
+    // every single char survives; exactly 2 multis, the top-scored ones
+    assert(pruned.pieces.count(_._1.length == 1) === nChars)
+    val keptMulti = pruned.pieces.filter(_._1.length > 1)
+    val expected = base.pieces.filter(_._1.length > 1)
+      .sortBy { case (p, s) => (-s, p) }.take(2).toSet
+    assert(keptMulti.length === 2 && keptMulti.toSet === expected)
+    // kept pieces retain exact scores and relative order
+    val baseScore = base.logp
+    assert(pruned.pieces.forall { case (p, s) => baseScore(p) == s })
+    assert(pruned.pieces.map(_._1) ===
+      base.pieces.map(_._1).filter(pruned.logp.contains))
+    // a word segmentable entirely from kept pieces encodes identically
+    val in = Seq((1L, "abc")).toDF("id", "t")
+    if (expected.exists(_._1 == "abc") ||
+        pruned.logp.keySet.intersect(Set("ab", "bc", "abc")).nonEmpty) {
+      val a = Vocab.encodeUnigram(in, "id", "t", base)
+        .select("uni_pieces").head.getSeq[String](0)
+      val fromKept = a.forall(pruned.logp.contains)
+      if (fromKept) {
+        val b = Vocab.encodeUnigram(in, "id", "t", pruned)
+          .select("uni_pieces").head.getSeq[String](0)
+        assert(a === b)
+      }
+    }
+    // floor: target below the char count keeps chars only — every word
+    // still segmentable, no unk
+    val floor = Vocab.pruneUnigram(base, targetSize = 1)
+    assert(floor.pieces.forall(_._1.length == 1))
+    assert(floor.pieces.length === nChars)
+    val enc = Vocab.encodeUnigram(df.withColumn("id", lit(1L)),
+      "id", "text", floor).select("uni_pieces").head.getSeq[String](0)
+    assert(!enc.contains(Vocab.UnkToken))
+  }
+
   test("staticUnigramModel: full char coverage (no unk), dyadic " +
     "-(k+1)/16 log-probs in (cnt desc, piece) order") {
     val df = Seq("abc abc xyz q").toDF("text")
@@ -545,6 +610,22 @@ class VocabSpec extends AnyFunSuite {
       roundTrip(Vocab.wpVocabFrameOf(spark, wpUnk), "wp_unk"))
     assert(wpUnk2 === wpUnk)
     assert(wpUnk2.initPieces(Vocab.UnkToken))
+    // an EXTENDED BPE model round-trips too: its append-stable id
+    // layout is not a pure function of (merges, sorted symbols), so
+    // the loader pins the persisted id column verbatim (assignedIds)
+    // — continued-training artifacts are persistable, not
+    // session-locked
+    val dom = Seq(Seq.fill(20)("zaz").mkString(" ")).toDF("text")
+    val ext = Vocab.extendBpe(bpe, dom, "text", extraMerges = 4)
+    val ext2 = Vocab.bpeModelOf(
+      roundTrip(Vocab.mergesFrameOf(spark, ext), "bpe_ext_merges"),
+      roundTrip(Vocab.vocabFrame(spark, ext), "bpe_ext_vocab"))
+    assert(ext2.ranks === ext.ranks && ext2.vocab === ext.vocab)
+    val encA = Vocab.encodeIdsBpe(sample, "doc_id", "text", ext)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val encB = Vocab.encodeIdsBpe(sample, "doc_id", "text", ext2)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(encA.toSeq === encB.toSeq)
   }
 
   test("wordPieceFertility: type-grain aggregation ≡ direct per-doc " +
