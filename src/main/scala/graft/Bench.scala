@@ -207,6 +207,8 @@ object Bench {
     "q166b_rm3_topk",
     // BM25 + RM3 through the persisted term/doc-bucketed index
     "q121b_bm25_indexed",
+    // incremental index maintenance: append half, query, ≡ rebuild
+    "q121c_bm25_index_append",
     "q166c_rm3_topk_indexed",
     // pairwise source-overlap matrix from per-source KMV sketches
     "q167_source_overlap",

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -287,8 +287,80 @@ object Retrieval {
     val dfreq = written.groupBy("term")
       .agg(count(lit(1)).cast("double").as("df"))
     Bucketing.writeBucketed(dfreq, s"${prefix}_df", "term", buckets)
+    // sum_dl rides along so appendBm25Index can update avgdl as an
+    // EXACT running-sum increment instead of re-reading the corpus
     val stats = d.agg(count(lit(1)).cast("double").as("n_docs"),
-      avg(size(col("tk"))).as("avgdl"))
+      avg(size(col("tk"))).as("avgdl"),
+      coalesce(sum(size(col("tk")).cast("double")), lit(0.0))
+        .as("sum_dl"))
+    Bucketing.writeTable(stats, s"${prefix}_stats")
+  }
+
+  /** INCREMENTAL index maintenance — fold NEW documents into a
+    * persisted [[buildBm25Index]] index without re-reading the
+    * indexed corpus text (the segment-append discipline a serving
+    * stack runs between full rebuilds): the batch's postings APPEND
+    * to the `_tf`/`_fwd` bucketed tables (same bucket spec — scans
+    * stay bucketed, term/doc joins stay exchange-free), `_df`
+    * recomputes from the COMBINED postings (one bucketed read, no
+    * exchange — document frequencies are not incrementable per-term
+    * without a merge anyway, and the agg is postings-sized, not
+    * text-sized), and `_stats` updates as an exact running-sum
+    * increment (n_docs+, sum_dl+, avgdl = sum/count). New doc ids
+    * must be genuinely new: `checkCollisions` (default on) audits the
+    * batch against the doc-bucketed `_fwd` (batch side broadcast — no
+    * corpus exchange) and fails loudly on a re-ingest; takedown or
+    * rebuild instead. Parity contract: query output after append ==
+    * a full [[buildBm25Index]] over the union corpus (spec-pinned;
+    * avgdl's two-term sum vs a rebuild's fold can differ in the last
+    * ulp, absorbed by the 4-dp score rounding every ranking uses). */
+  def appendBm25Index(docs: DataFrame, idCol: String, textCol: String,
+      prefix: String, buckets: Int,
+      checkCollisions: Boolean = true): Unit = {
+    val spark = docs.sparkSession
+    val d = docs.select(col(idCol).as("doc"), toks(col(textCol)).as("tk"))
+    if (checkCollisions) {
+      val ids = d.select("doc").distinct()
+      val clash = spark.table(s"${prefix}_fwd").select("doc")
+        .join(broadcast(ids), "doc").limit(1).collect()
+      require(clash.isEmpty,
+        s"appendBm25Index($prefix): batch re-ingests already-indexed " +
+          s"doc ids (e.g. ${clash.headOption.map(_.get(0))}) — " +
+          "take the old version down or rebuild instead")
+    }
+    val terms = d.select(col("doc"), explode(col("tk")).as("term"),
+      size(col("tk")).cast("double").as("dl"))
+    val tfNew = terms.groupBy("doc", "term")
+      .agg(count(lit(1)).cast("double").as("tf"),
+        first(col("dl")).as("dl"))
+      .select("term", "doc", "tf", "dl")
+      .localCheckpoint() // three consumers; one batch-sized evaluation
+    tfNew.write.mode(SaveMode.Append)
+      .bucketBy(buckets, "term").sortBy("term")
+      .format("parquet").saveAsTable(s"${prefix}_tf")
+    tfNew.select("doc", "term", "tf", "dl")
+      .write.mode(SaveMode.Append)
+      .bucketBy(buckets, "doc").sortBy("doc")
+      .format("parquet").saveAsTable(s"${prefix}_fwd")
+    val dfreq = spark.table(s"${prefix}_tf").groupBy("term")
+      .agg(count(lit(1)).cast("double").as("df"))
+    Bucketing.writeBucketed(dfreq, s"${prefix}_df", "term", buckets)
+    val old = spark.table(s"${prefix}_stats")
+      .select("n_docs", "avgdl", "sum_dl").head
+    val batch = d.agg(count(lit(1)).cast("double"),
+      coalesce(sum(size(col("tk")).cast("double")), lit(0.0))).head
+    val nDocs = old.getDouble(0) + batch.getDouble(0)
+    val sumDl = old.getDouble(2) + batch.getDouble(1)
+    val stats = spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(
+        nDocs, if (nDocs > 0) sumDl / nDocs else 0.0, sumDl)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("n_docs",
+          org.apache.spark.sql.types.DoubleType, nullable = false),
+        org.apache.spark.sql.types.StructField("avgdl",
+          org.apache.spark.sql.types.DoubleType, nullable = false),
+        org.apache.spark.sql.types.StructField("sum_dl",
+          org.apache.spark.sql.types.DoubleType, nullable = false))))
     Bucketing.writeTable(stats, s"${prefix}_stats")
   }
 

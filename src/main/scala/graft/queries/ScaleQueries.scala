@@ -2070,6 +2070,31 @@ object ScaleQueries {
         queries, "qid", "qtext", k = 5)
     }),
 
+    // INCREMENTAL index maintenance (the q68/q144 treatment for the
+    // retrieval index): build on the even-doc half of the corpus,
+    // APPEND the odd-doc half (postings append to the bucketed
+    // tables, df recomputed from combined postings, stats as an exact
+    // running-sum increment — the indexed text is never re-read),
+    // query — the oracle is q121's FROM-SCRATCH SQL over the union,
+    // so the hash proves append ≡ rebuild
+    "q121c_bm25_index_append" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val qtext = concat_ws(" ",
+        slice(filter(split(coalesce(col("text"), lit("")), " "),
+          t => length(t) > 0), 1, 8))
+      val queries = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"), qtext.as("qtext"))
+      val corpus = docs.filter(col("doc_id") >= 5)
+      graft.ops.Retrieval.buildBm25Index(
+        corpus.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", "graft_bm25_q121c", buckets = 8)
+      graft.ops.Retrieval.appendBm25Index(
+        corpus.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", "graft_bm25_q121c", buckets = 8)
+      graft.ops.Retrieval.bm25TopKIndexed(s, "graft_bm25_q121c",
+        queries, "qid", "qtext", k = 5)
+    }),
+
     // hybrid retrieval: reciprocal-rank fusion of the BM25 list and
     // the dense cosine list over the same qid panel (ids pair the
     // text query with its embedding — the stand-in for a dual-encoded
@@ -7447,6 +7472,9 @@ object ScaleQueries {
     "q121_bm25" -> q121Sql,
     // the indexed form is row-identical by contract — same twin
     "q121b_bm25_indexed" -> q121Sql,
+    // append ≡ rebuild: the from-scratch twin proves exact index
+    // maintenance (the q68/q144 discipline)
+    "q121c_bm25_index_append" -> q121Sql,
 
     "q166_rm3_terms" -> q166Sql,
 

@@ -40,6 +40,56 @@ class RetrievalIndexSpec extends AnyFunSuite {
     assert(bmDirect.nonEmpty)
   }
 
+  test("appendBm25Index: append ≡ full rebuild (bm25 + rm3), scans " +
+    "stay bucketed, collision audit fires") {
+    val half0 = docs.filter($"doc_id" % 2 === 0)
+    val half1 = docs.filter($"doc_id" % 2 === 1)
+    Retrieval.buildBm25Index(half0, "doc_id", "text",
+      "graft_bm25_app", buckets = 8)
+    Retrieval.appendBm25Index(half1, "doc_id", "text",
+      "graft_bm25_app", buckets = 8)
+    Retrieval.buildBm25Index(docs, "doc_id", "text",
+      "graft_bm25_full", buckets = 8)
+    def rows(prefix: String) = (
+      Retrieval.bm25TopKIndexed(spark, prefix, queries, "qid", "qtext",
+        k = 5).collect().map(_.toSeq).toSeq,
+      Retrieval.rm3TopKIndexed(spark, prefix, queries, "qid", "qtext",
+        k = 5).collect().map(_.toSeq).toSeq)
+    val (bmApp, rmApp) = rows("graft_bm25_app")
+    val (bmFull, rmFull) = rows("graft_bm25_full")
+    assert(bmApp === bmFull)
+    assert(rmApp === rmFull)
+    assert(bmFull.nonEmpty && rmFull.nonEmpty)
+    // appended tables still read as buckets when a join exploits it —
+    // same pinning as the exchange audit (with broadcast on, Spark
+    // rightly coalesces the bucketed read since nothing uses it)
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = Retrieval.bm25TopKIndexed(spark, "graft_bm25_app",
+        queries, "qid", "qtext", k = 5)
+      df.collect()
+      val plan = df.queryExecution.executedPlan
+      assert(plan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.bucketedScan => s
+      }.nonEmpty, s"no bucketed scan after append:\n${plan.toString.take(2000)}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+    // stats carried the exact running sums: n_docs matches the corpus
+    val st = spark.table("graft_bm25_app_stats").head
+    assert(st.getDouble(0) === docs.count().toDouble)
+    // re-ingesting indexed ids is refused loudly
+    intercept[IllegalArgumentException] {
+      Retrieval.appendBm25Index(half0.limit(3), "doc_id", "text",
+        "graft_bm25_app", buckets = 8)
+    }
+  }
+
   test("the indexed plan never shuffles a bucketed-scan subtree: " +
     "tf/df postings join exchange-free") {
     Retrieval.buildBm25Index(docs, "doc_id", "text", "graft_bm25_spec",
