@@ -77,6 +77,64 @@ object Contamination {
         (fracRaw >= threshold).as("contaminated"))
   }
 
+  /** PER-EVAL-ITEM contamination attribution — the report an eval
+    * owner needs once [[ngramOverlap]] says the corpus is dirty: the
+    * corpus-side view flags which TRAINING docs to drop; this is the
+    * benchmark-side inverse — for each eval item, how much of IT
+    * leaked (distinct-shingle coverage), how many corpus docs touch
+    * it, and the worst offender (most shared shingles, smallest doc
+    * id on ties) — the evidence a takedown/appeal workflow attaches
+    * to "this benchmark number is compromised".
+    *
+    * Returns one row per eval item (clean items included with zeros
+    * and a null offender): (bench id, n_shingles, n_hit_shingles,
+    * frac round 4, n_docs, top_doc, top_shared).
+    *
+    * Scale: one corpus shingle pass (map-side explode + per-doc
+    * distinct); the join keys on the shingle hash with the
+    * benchmark-sized side broadcastable; everything after the join is
+    * hits-grain (bounded by contamination volume, not corpus volume);
+    * windows partition by eval item, never global. */
+  def contaminationReport(corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpSh = shingles(corpus, idCol, textCol, n)
+      .select(col(idCol).as("doc"), col("h"))
+    val benchSh = shingles(bench, idCol, textCol, n)
+      .select(col(idCol).as("bench_id"), col("h"))
+    val benchTot = benchSh.groupBy("bench_id")
+      .agg(count(lit(1)).as("n_shingles"))
+    val pairs = benchSh.join(corpSh, "h")
+    // distinct leaked shingles per item (a shingle hit by 3 docs
+    // covers the item once) vs per-doc shared counts (the offender
+    // ranking) — both from the ONE hits-grain frame
+    val covered = pairs.select("bench_id", "h").distinct()
+      .groupBy("bench_id").agg(count(lit(1)).as("n_hit_shingles"))
+    val perDoc = pairs.groupBy("bench_id", "doc")
+      .agg(count(lit(1)).as("shared"))
+    val w = Window.partitionBy("bench_id")
+      .orderBy(col("shared").desc, col("doc").asc)
+    val offenders = perDoc
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__nd", count(lit(1))
+        .over(Window.partitionBy("bench_id")))
+      .filter(col("__rn") === 1)
+      .select(col("bench_id"), col("__nd").as("n_docs"),
+        col("doc").as("top_doc"), col("shared").as("top_shared"))
+    bench.select(col(idCol).as("bench_id"))
+      .join(benchTot, Seq("bench_id"), "left")
+      .join(covered, Seq("bench_id"), "left")
+      .join(offenders, Seq("bench_id"), "left")
+      .select(col("bench_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_hit_shingles"), lit(0L)).as("n_hit_shingles"),
+        round(coalesce(col("n_hit_shingles"), lit(0L)).cast("double")
+          / greatest(coalesce(col("n_shingles"), lit(0L)), lit(1L)), 4)
+          .as("frac"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        col("top_doc"), col("top_shared"))
+  }
+
   /** [[ngramOverlap]] with a BLOOM-FILTER prefilter on the corpus
     * side — the shape for the regime where the benchmark's exact
     * shingle set is too large to broadcast but its Bloom filter is not

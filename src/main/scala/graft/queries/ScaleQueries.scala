@@ -2365,6 +2365,27 @@ object ScaleQueries {
         .orderBy("doc_id")
     }),
 
+    // PER-EVAL-ITEM contamination attribution (the q59 inverse): which
+    // eval items leaked, how much of each, and the worst offending
+    // corpus doc. Leaks are PLANTED — three bench items re-ingested
+    // verbatim, one of them under TWO ids (a multi-offender item with
+    // a deterministic smallest-id tie-break) — so the report provably
+    // fires in the oracle; clean items report zeros + null offender
+    "q173_contamination_report" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") < 50)
+      val leaks = bench.filter(col("doc_id") < 3)
+        .select((col("doc_id") + 200000L).as("doc_id"), col("text"))
+      val leaks2 = bench.filter(col("doc_id") < 1)
+        .select((col("doc_id") + 300000L).as("doc_id"), col("text"))
+      val corpus = docs.filter(col("doc_id") >= 50)
+        .select(col("doc_id"), col("text"))
+        .unionByName(leaks).unionByName(leaks2)
+      graft.ops.Contamination.contaminationReport(corpus, bench,
+        "doc_id", "text", n = 8)
+        .orderBy("bench_id")
+    }),
+
     // Bloom-prefiltered decontamination: corpus shingles that cannot
     // match are dropped map-side before the exact join (the regime
     // where the benchmark's Bloom bits broadcast but its exact set
@@ -4350,6 +4371,74 @@ object ScaleQueries {
          LEFT JOIN tot t USING (doc_id)
          LEFT JOIN hit h USING (doc_id)
          ORDER BY doc_id"""
+
+  /** DuckDB twin of the q173 per-eval-item contamination attribution:
+    * the q59 shingle machinery over BOTH sides (corpus = training half
+    * + planted verbatim leaks), hits-grain joins, distinct-shingle
+    * coverage per item, worst offender by (shared desc, doc asc). */
+  private val q173Sql: String =
+    """WITH corp0 AS (SELECT doc_id, text FROM documents
+                      WHERE doc_id >= 50
+                      UNION ALL
+                      SELECT doc_id + 200000 AS doc_id, text
+                      FROM documents WHERE doc_id < 3
+                      UNION ALL
+                      SELECT doc_id + 300000 AS doc_id, text
+                      FROM documents WHERE doc_id < 1),
+         btk AS (SELECT doc_id,
+                        list_filter(string_split(coalesce(text, ''), ' '),
+                                    t -> length(t) > 0) AS tk
+                 FROM documents WHERE doc_id < 50),
+         bsh AS (SELECT DISTINCT doc_id AS bench_id,
+                        CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS h
+                 FROM (SELECT doc_id,
+                          unnest(CASE WHEN len(tk) >= 8
+                            THEN list_transform(range(1, len(tk) - 6),
+                                   i -> array_to_string(
+                                     list_slice(tk, i, i + 7), ' '))
+                            ELSE [] END) AS g
+                       FROM btk)),
+         ctk AS (SELECT doc_id,
+                        list_filter(string_split(coalesce(text, ''), ' '),
+                                    t -> length(t) > 0) AS tk
+                 FROM corp0),
+         csh AS (SELECT DISTINCT doc_id AS doc,
+                        CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS h
+                 FROM (SELECT doc_id,
+                          unnest(CASE WHEN len(tk) >= 8
+                            THEN list_transform(range(1, len(tk) - 6),
+                                   i -> array_to_string(
+                                     list_slice(tk, i, i + 7), ' '))
+                            ELSE [] END) AS g
+                       FROM ctk)),
+         btot AS (SELECT bench_id, count(*) AS n_sh
+                  FROM bsh GROUP BY bench_id),
+         pairs AS (SELECT b.bench_id, c.doc, b.h
+                   FROM bsh b JOIN csh c USING (h)),
+         cov AS (SELECT bench_id, count(DISTINCT h) AS nh
+                 FROM pairs GROUP BY bench_id),
+         pd AS (SELECT bench_id, doc, count(*) AS shared
+                FROM pairs GROUP BY bench_id, doc),
+         off AS (SELECT bench_id, n_docs, doc AS top_doc,
+                        shared AS top_shared
+                 FROM (SELECT bench_id, doc, shared,
+                              row_number() OVER (PARTITION BY bench_id
+                                ORDER BY shared DESC, doc) AS rn,
+                              count(*) OVER (PARTITION BY bench_id)
+                                AS n_docs
+                       FROM pd) WHERE rn = 1)
+       SELECT b.doc_id AS bench_id,
+              CAST(coalesce(t.n_sh, 0) AS BIGINT) AS n_shingles,
+              CAST(coalesce(cv.nh, 0) AS BIGINT) AS n_hit_shingles,
+              round(coalesce(cv.nh, 0) * 1.0
+                    / greatest(coalesce(t.n_sh, 0), 1), 4) AS frac,
+              CAST(coalesce(o.n_docs, 0) AS BIGINT) AS n_docs,
+              o.top_doc, CAST(o.top_shared AS BIGINT) AS top_shared
+       FROM (SELECT doc_id FROM documents WHERE doc_id < 50) b
+       LEFT JOIN btot t ON t.bench_id = b.doc_id
+       LEFT JOIN cov cv ON cv.bench_id = b.doc_id
+       LEFT JOIN off o ON o.bench_id = b.doc_id
+       ORDER BY bench_id"""
 
   /** The COMPOSED capstone oracle (q129c): the whole
     * CorpusPipeline.build chain minus the semantic stage as one DuckDB
@@ -7693,6 +7782,7 @@ object ScaleQueries {
          FROM documents WHERE doc_id % 13 = 5
          ORDER BY doc_id""",
     "q59_decontaminate" -> q59Sql,
+    "q173_contamination_report" -> q173Sql,
     // the Bloom prefilter variant is row-identical by construction
     // (false positives are settled by the exact join) — the SAME
     // oracle is the strongest statement of that

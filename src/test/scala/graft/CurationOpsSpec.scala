@@ -54,6 +54,36 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out(2)._2 === 0L && out(2)._3 === 0L && !out(2)._5)
   }
 
+  test("contaminationReport: per-item coverage, multi-offender count, " +
+      "deterministic top offender, clean items zeroed") {
+    val eightGram = "one two three four five six seven eight"
+    val bench = Seq(
+      (100L, s"prefix $eightGram suffix trailing words pad pad"),
+      (101L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("id", "text")
+    val corpus = Seq(
+      // two docs carry item 100's 8-gram: offender tie-break on the
+      // SMALLER doc id when shared counts match
+      (5L, s"noise $eightGram more"),
+      (9L, s"other $eightGram words"),
+      (2L, "totally disjoint vocabulary here nothing shared at all"))
+      .toDF("id", "text")
+    val out = Contamination.contaminationReport(corpus, bench,
+      "id", "text", n = 8).orderBy("bench_id").collect()
+    assert(out.length === 2)
+    val hot = out(0)
+    assert(hot.getLong(0) === 100L)
+    assert(hot.getLong(1) > 0)                 // n_shingles
+    assert(hot.getLong(2) >= 1)                // n_hit_shingles
+    assert(hot.getLong(4) === 2L)              // n_docs: both offenders
+    assert(hot.getLong(5) === 5L, "tie must break to the smaller doc")
+    assert(hot.getLong(6) >= 1)                // top_shared
+    val clean = out(1)
+    assert(clean.getLong(2) === 0L && clean.getLong(4) === 0L)
+    assert(clean.isNullAt(5) && clean.isNullAt(6))
+    assert(clean.getDouble(3) === 0.0)
+  }
+
   test("ngramOverlapBloom is row-identical to the exact form") {
     import graft.ops.Contamination
     val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001",
