@@ -198,6 +198,8 @@ object Bench {
     "q163e_turn_dedup_incremental",
     // SFT capstone: conversations -> hygiene -> render -> token pack
     "q172_sft_pipeline",
+    // its staged (kill-resume) form: per-stage parquet + markers
+    "q172b_sft_staged",
     // per-eval-item contamination attribution (planted leaks)
     "q173_contamination_report",
     // preference-pair construction by score margin (RM/DPO data)

@@ -364,6 +364,30 @@ object Retrieval {
     Bucketing.writeTable(stats, s"${prefix}_stats")
   }
 
+  /** [[rm3Expand]] against a persisted [[buildBm25Index]] index — the
+    * expansion-term table served from the bucketed layout (same
+    * zero-postings-exchange contract as [[rm3TopKIndexed]]). */
+  def rm3ExpandIndexed(spark: SparkSession, prefix: String,
+      queries: DataFrame, qidCol: String, qtextCol: String,
+      fbDocs: Int = 3, fbTerms: Int = 5, lambda: Double = 0.6,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(fbDocs > 0 && fbTerms > 0, "fbDocs/fbTerms must be positive")
+    require(lambda >= 0 && lambda <= 1, s"lambda in [0,1], got $lambda")
+    val qterms = queries.select(col(qidCol).as("qid"),
+      explode(toks(col(qtextCol))).as("term")).distinct()
+      .localCheckpoint(eager = false)
+    val weights = rm3WeightsWith(spark.table(s"${prefix}_tf"),
+      spark.table(s"${prefix}_fwd"), spark.table(s"${prefix}_df"),
+      spark.table(s"${prefix}_stats"), qterms, fbDocs, lambda, k1, b)
+    val w = Window.partitionBy("qid")
+      .orderBy(col("weight").desc, col("term").asc)
+    weights.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= fbTerms)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("term"), col("weight"))
+      .orderBy("qid", "rank")
+  }
+
   /** [[rm3TopK]] against a persisted [[buildBm25Index]] index: the
     * per-batch plan touches no document text — the tf/df joins read
     * term-bucketed postings (zero corpus-side exchange), the stats row

@@ -267,6 +267,100 @@ object SftData {
       "n_tokens", binTokens, nShards)
   }
 
+  /** [[sftPipelineStaged]]'s run manifest. */
+  final case class SftReport(nConvsIn: Long, nConvsKept: Long,
+      nBins: Long)
+
+  /** [[sftPipeline]] with per-stage parquet materialization under
+    * `stagingDir` — the CorpusPipeline.buildStaged discipline applied
+    * to the SFT capstone: each stage directory gets a
+    * `_GRAFT_STAGE_COMPLETE` marker (row count) written only after its
+    * parquet commit, so a killed run leaves no stage half-trusted —
+    * complete stages read back from parquet, the first incomplete
+    * stage onward recomputes; a `_GRAFT_CONFIG` marker pins
+    * (turnsPerConv, binTokens, nShards) and refuses a resume under a
+    * different configuration. Stages: `01_kept` (hygiene-surviving
+    * messages), `02_rendered` (render + token counts), `03_packed`.
+    * Determinism makes resume exact (every stage is a pure function
+    * of its staged input — spec-pinned staged ≡ in-memory). */
+  def sftPipelineStaged(docs: DataFrame, idCol: String, textCol: String,
+      stagingDir: String, turnsPerConv: Int = 4,
+      binTokens: Long = 2048L, nShards: Int = 32)
+      : (DataFrame, SftReport) = {
+    val spark = docs.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val basePath = new org.apache.hadoop.fs.Path(stagingDir)
+    val fs = basePath.getFileSystem(hconf)
+    fs.mkdirs(basePath)
+    def markerPath(rel: String) =
+      new org.apache.hadoop.fs.Path(s"$stagingDir/$rel")
+    def readMarker(rel: String): Option[String] = {
+      val p = markerPath(rel)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try {
+          val src = scala.io.Source.fromInputStream(in, "UTF-8")
+          try Some(src.mkString.trim) finally src.close()
+        } finally in.close()
+      }
+    }
+    def writeMarker(rel: String, content: String): Unit = {
+      val out = fs.create(markerPath(rel), true)
+      try out.write(
+        content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    val cfgStr =
+      s"turns=$turnsPerConv;binTokens=$binTokens;nShards=$nShards"
+    readMarker("_GRAFT_CONFIG") match {
+      case Some(prev) => require(prev == cfgStr,
+        s"staging dir $stagingDir was written by a different SFT " +
+          s"config ($prev vs $cfgStr); resuming would mix incompatible " +
+          "stage outputs — use a fresh staging dir or the original " +
+          "configuration")
+      case None => writeMarker("_GRAFT_CONFIG", cfgStr)
+    }
+    def stage(name: String)(compute: => DataFrame): (DataFrame, Long) = {
+      val dataDir = s"$stagingDir/$name"
+      readMarker(s"$name/_GRAFT_STAGE_COMPLETE") match {
+        case Some(n) => (spark.read.parquet(dataDir), n.toLong)
+        case None =>
+          compute.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(dataDir)
+          val back = spark.read.parquet(dataDir)
+          val n = back.count()
+          writeMarker(s"$name/_GRAFT_STAGE_COMPLETE", n.toString)
+          (back, n)
+      }
+    }
+    val nConvsIn = readMarker("00_input/_GRAFT_STAGE_COMPLETE") match {
+      case Some(n) => n.toLong
+      case None =>
+        val n = conversationsFrom(docs, idCol, textCol, turnsPerConv)
+          .select("conv_id").distinct().count()
+        writeMarker("00_input/_GRAFT_STAGE_COMPLETE", n.toString)
+        n
+    }
+    val (kept, _) = stage("01_kept") {
+      val msgs = conversationsFrom(docs, idCol, textCol, turnsPerConv)
+        .localCheckpoint(eager = false)
+      val dd = turnDedup(msgs, "conv_id", "turn_idx", "role", "text")
+      val dropConvs = dd.filter(!col("keep")).select("conv_id")
+        .distinct()
+      msgs.join(broadcast(dropConvs), Seq("conv_id"), "left_anti")
+    }
+    val (rendered, nKept) = stage("02_rendered") {
+      chatRender(kept, "conv_id", "turn_idx", "role", "text")
+        .withColumn("n_tokens", TextAnalysis.nTokensCol(col("rendered")))
+    }
+    val (packed, nBins) = stage("03_packed") {
+      packChatsByTokens(rendered, "conv_id", "rendered", "loss_spans",
+        "n_tokens", binTokens, nShards)
+    }
+    (packed, SftReport(nConvsIn, nKept, nBins))
+  }
+
   /** Preference-pair construction by score margin — the reward-model /
     * DPO data step: within each group (same prompt cluster, domain,
     * source), rank items best-first and worst-first and pair the i-th

@@ -965,6 +965,22 @@ object ScaleQueries {
         .orderBy("shard", "bin")
     }),
 
+    // the STAGED form of the SFT capstone (buildStaged discipline:
+    // per-stage parquet + completeness markers + config pin) — output
+    // byte-identical to the in-memory q172 chain, so it shares the
+    // composed oracle
+    "q172b_sft_staged" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val planted = d.filter(col("doc_id") < 40)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      val corpus = d.select(col("doc_id"), col("text"))
+        .unionByName(planted)
+      val (packed, _) = SftData.sftPipelineStaged(corpus, "doc_id",
+        "text", Scratch.fresh("graft_sft_staged_"), turnsPerConv = 4,
+        binTokens = 384L, nShards = 8)
+      packed.orderBy("shard", "bin")
+    }),
+
     // TOKEN-budget packed SFT batches: the q163c collator binning on
     // ws-token counts (the trainer's denomination) instead of the
     // char proxy — same md5 walk and prefix-sum arithmetic, span
@@ -6726,6 +6742,8 @@ object ScaleQueries {
     "q163e_turn_dedup_incremental" -> q163bSql,
     "q171_unigram_prune_oracle" -> q171Sql,
     "q172_sft_pipeline" -> q172Sql,
+    // staged ≡ in-memory byte-identical (spec-pinned) — same twin
+    "q172b_sft_staged" -> q172Sql,
 
     "q163c_packed_chats" -> q163cSql,
     "q163d_packed_chats_tokens" -> q163dSql,

@@ -38,6 +38,12 @@ class RetrievalIndexSpec extends AnyFunSuite {
       queries, "qid", "qtext", k = 5).collect().map(_.toSeq).toSeq
     assert(bmIndexed === bmDirect)
     assert(bmDirect.nonEmpty)
+    val exDirect = Retrieval.rm3Expand(docs, "doc_id", "text", queries,
+      "qid", "qtext").collect().map(_.toSeq).toSeq
+    val exIndexed = Retrieval.rm3ExpandIndexed(spark, "graft_bm25_spec",
+      queries, "qid", "qtext").collect().map(_.toSeq).toSeq
+    assert(exIndexed === exDirect)
+    assert(exDirect.nonEmpty)
   }
 
   test("appendBm25Index: append ≡ full rebuild (bm25 + rm3), scans " +

@@ -201,6 +201,41 @@ class SftDataSpec extends AnyFunSuite {
     assert(noDup.sortBy(_.toString) === direct.sortBy(_.toString))
   }
 
+  test("sftPipelineStaged: staged ≡ in-memory byte-identical, resume " +
+      "reads markers only, different config refused") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_sft_staged").toString
+    val docs = (0L to 39L).map(i => (i, s"unique turn body $i"))
+      .toDF("doc_id", "text")
+    val planted = docs.filter(col("doc_id") < 8)
+      .select((col("doc_id") + 1000L).as("doc_id"), col("text"))
+    val corpus = docs.unionByName(planted)
+    val inMem = SftData.sftPipeline(corpus, "doc_id", "text",
+      turnsPerConv = 4, binTokens = 30L, nShards = 4)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val (packed, rep) = SftData.sftPipelineStaged(corpus, "doc_id",
+      "text", s"$base/st", turnsPerConv = 4, binTokens = 30L,
+      nShards = 4)
+    assert(packed.collect().map(_.toSeq).sortBy(_.toString).toSeq
+      === inMem)
+    assert(rep.nConvsIn === 12L && rep.nConvsKept === 10L)
+    assert(rep.nBins > 0)
+    // a resumed run (same dir, same config) reproduces byte-identically
+    // from the staged parquet — input frame not even consulted beyond
+    // being handed in
+    val (packed2, rep2) = SftData.sftPipelineStaged(corpus, "doc_id",
+      "text", s"$base/st", turnsPerConv = 4, binTokens = 30L,
+      nShards = 4)
+    assert(packed2.collect().map(_.toSeq).sortBy(_.toString).toSeq
+      === inMem)
+    assert(rep2 === rep)
+    // a different config must refuse the staging dir
+    intercept[IllegalArgumentException] {
+      SftData.sftPipelineStaged(corpus, "doc_id", "text", s"$base/st",
+        turnsPerConv = 4, binTokens = 64L, nShards = 4)
+    }
+  }
+
   test("preferencePairs: hand-computed ranks, margin gate, floor(n/2)") {
     val df = Seq(
       ("g", 1L, 0.9), ("g", 2L, 0.5), ("g", 3L, 0.1), ("g", 4L, 0.2),
