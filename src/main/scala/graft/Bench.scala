@@ -213,6 +213,8 @@ object Bench {
     "q121b_bm25_indexed",
     // incremental index maintenance: append half, query, ≡ rebuild
     "q121c_bm25_index_append",
+    // index takedown: tombstone every 5th doc, read-time forgetting
+    "q121d_bm25_index_takedown",
     "q166c_rm3_topk_indexed",
     // pairwise source-overlap matrix from per-source KMV sketches
     "q167_source_overlap",

@@ -52,9 +52,7 @@ object Retrieval {
   def bm25TopKIndexed(spark: SparkSession, prefix: String,
       queries: DataFrame, qidCol: String, qtextCol: String,
       k: Int = 5, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val tf = spark.table(s"${prefix}_tf")
-    val dfreq = spark.table(s"${prefix}_df")
-    val stats = spark.table(s"${prefix}_stats")
+    val (tf, _, dfreq, stats) = indexFrames(spark, prefix)
     val qterms = queries
       .select(col(qidCol).as("qid"), explode(toks(col(qtextCol))).as("term"))
       .distinct()
@@ -287,6 +285,13 @@ object Retrieval {
     val dfreq = written.groupBy("term")
       .agg(count(lit(1)).cast("double").as("df"))
     Bucketing.writeBucketed(dfreq, s"${prefix}_df", "term", buckets)
+    // the doc roster (doc, dl) — includes ZERO-token docs, which have
+    // no postings rows but DO count in n_docs/avgdl: the collision
+    // audit and the takedown stats decrement both need the exact
+    // roster, not the postings-derived doc set
+    Bucketing.writeBucketed(
+      d.select(col("doc"), size(col("tk")).cast("double").as("dl")),
+      s"${prefix}_docs", "doc", buckets)
     // sum_dl rides along so appendBm25Index can update avgdl as an
     // EXACT running-sum increment instead of re-reading the corpus
     val stats = d.agg(count(lit(1)).cast("double").as("n_docs"),
@@ -321,12 +326,23 @@ object Retrieval {
     val d = docs.select(col(idCol).as("doc"), toks(col(textCol)).as("tk"))
     if (checkCollisions) {
       val ids = d.select("doc").distinct()
-      val clash = spark.table(s"${prefix}_fwd").select("doc")
+      // audited against the doc ROSTER (a zero-token indexed doc must
+      // refuse a re-ingest too — it counts in n_docs) UNION the live
+      // tombstones (a taken-down id stays ineligible until
+      // [[vacuumBm25Index]] — the turn-dedup convention: delete,
+      // vacuum, then re-ingest)
+      val roster = spark.table(s"${prefix}_docs").select("doc")
+      val blocked =
+        if (spark.catalog.tableExists(s"${prefix}_tombstones"))
+          roster.unionByName(
+            spark.table(s"${prefix}_tombstones").select("doc"))
+        else roster
+      val clash = blocked
         .join(broadcast(ids), "doc").limit(1).collect()
       require(clash.isEmpty,
-        s"appendBm25Index($prefix): batch re-ingests already-indexed " +
-          s"doc ids (e.g. ${clash.headOption.map(_.get(0))}) — " +
-          "take the old version down or rebuild instead")
+        s"appendBm25Index($prefix): batch re-ingests an indexed or " +
+          s"tombstoned doc id (e.g. ${clash.headOption.map(_.get(0))}) " +
+          "— take the old version down and vacuum, or rebuild")
     }
     val terms = d.select(col("doc"), explode(col("tk")).as("term"),
       size(col("tk")).cast("double").as("dl"))
@@ -342,6 +358,10 @@ object Retrieval {
       .write.mode(SaveMode.Append)
       .bucketBy(buckets, "doc").sortBy("doc")
       .format("parquet").saveAsTable(s"${prefix}_fwd")
+    d.select(col("doc"), size(col("tk")).cast("double").as("dl"))
+      .write.mode(SaveMode.Append)
+      .bucketBy(buckets, "doc").sortBy("doc")
+      .format("parquet").saveAsTable(s"${prefix}_docs")
     val dfreq = spark.table(s"${prefix}_tf").groupBy("term")
       .agg(count(lit(1)).cast("double").as("df"))
     Bucketing.writeBucketed(dfreq, s"${prefix}_df", "term", buckets)
@@ -364,6 +384,100 @@ object Retrieval {
     Bucketing.writeTable(stats, s"${prefix}_stats")
   }
 
+  /** The four reader frames of a persisted index, TOMBSTONE-ADJUSTED
+    * when a `_tombstones` table exists (after [[deleteBm25Index]],
+    * before [[vacuumBm25Index]]): postings anti-join the tombstones
+    * map-side (broadcast — takedowns are metadata-sized), document
+    * frequencies decrement by each term's removed-doc count (derived
+    * from the doc-bucketed forward postings, tombstone-bounded), and
+    * the stats row decrements by the removed docs' exact (count,
+    * Σdl) from the roster — all integer-valued double arithmetic, so
+    * reads under tombstones are BIT-equal to a from-scratch index
+    * over the reduced corpus (q121d hash-proves it; no indexed text
+    * is ever re-read). */
+  private def indexFrames(spark: SparkSession, prefix: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val tf0 = spark.table(s"${prefix}_tf")
+    val fwd0 = spark.table(s"${prefix}_fwd")
+    val df0 = spark.table(s"${prefix}_df")
+    val st0 = spark.table(s"${prefix}_stats")
+    if (!spark.catalog.tableExists(s"${prefix}_tombstones"))
+      (tf0, fwd0, df0, st0)
+    else {
+      val ts = broadcast(
+        spark.table(s"${prefix}_tombstones").select("doc"))
+      val tf = tf0.join(ts, Seq("doc"), "left_anti")
+      val fwd = fwd0.join(ts, Seq("doc"), "left_anti")
+      val remDf = fwd0.join(ts, Seq("doc"))
+        .groupBy("term").agg(count(lit(1)).cast("double").as("__rdf"))
+      val dfreq = df0.join(remDf, Seq("term"), "left")
+        .select(col("term"),
+          (col("df") - coalesce(col("__rdf"), lit(0.0))).as("df"))
+        .filter(col("df") > 0)
+      val rem = spark.table(s"${prefix}_docs").join(ts, Seq("doc"))
+        .agg(count(lit(1)).cast("double").as("__rn"),
+          coalesce(sum(col("dl")), lit(0.0)).as("__rsum"))
+      val stats = st0.crossJoin(rem).select(
+        (col("n_docs") - col("__rn")).as("n_docs"),
+        ((col("sum_dl") - col("__rsum"))
+          / greatest(col("n_docs") - col("__rn"), lit(1.0)))
+          .as("avgdl"),
+        (col("sum_dl") - col("__rsum")).as("sum_dl"))
+      (tf, fwd, dfreq, stats)
+    }
+  }
+
+  /** TAKEDOWN for a persisted index — the q144/turn-dedup discipline
+    * applied to retrieval: tombstone doc ids; every indexed reader
+    * applies them at READ time exactly ([[indexFrames]]), so a query
+    * after delete equals a from-scratch index over the reduced corpus
+    * without re-reading any indexed text. O(tombstones) write.
+    * Physical reclamation (and re-ingest eligibility) is
+    * [[vacuumBm25Index]]. */
+  def deleteBm25Index(spark: SparkSession, prefix: String,
+      ids: DataFrame, idCol: String): Unit = {
+    val newTs = ids.select(col(idCol).as("doc"))
+    val combined =
+      (if (spark.catalog.tableExists(s"${prefix}_tombstones"))
+        spark.table(s"${prefix}_tombstones").select("doc")
+          .unionByName(newTs)
+      else newTs).distinct().localCheckpoint()
+    Bucketing.writeTable(combined, s"${prefix}_tombstones")
+  }
+
+  /** Physical reclamation for a tombstoned index: rewrite the
+    * postings/roster tables without the tombstoned docs (survivors
+    * materialized BEFORE the overwrite — never read a table being
+    * replaced), recompute `_df` from the rewritten postings and
+    * `_stats` from the rewritten roster (exact integer sums — reader
+    * results are unchanged across the vacuum, spec-pinned), then drop
+    * the tombstones: the forgotten ids become re-ingestable. */
+  def vacuumBm25Index(spark: SparkSession, prefix: String,
+      buckets: Int): Unit = {
+    if (!spark.catalog.tableExists(s"${prefix}_tombstones")) return
+    val ts = broadcast(
+      spark.table(s"${prefix}_tombstones").select("doc"))
+    val tfKeep = spark.table(s"${prefix}_tf")
+      .join(ts, Seq("doc"), "left_anti").localCheckpoint()
+    val docsKeep = spark.table(s"${prefix}_docs")
+      .join(ts, Seq("doc"), "left_anti").localCheckpoint()
+    Bucketing.writeBucketed(tfKeep.select("term", "doc", "tf", "dl"),
+      s"${prefix}_tf", "term", buckets)
+    val written = spark.table(s"${prefix}_tf")
+    Bucketing.writeBucketed(written.select("doc", "term", "tf", "dl"),
+      s"${prefix}_fwd", "doc", buckets)
+    Bucketing.writeBucketed(docsKeep, s"${prefix}_docs", "doc", buckets)
+    val dfreq = written.groupBy("term")
+      .agg(count(lit(1)).cast("double").as("df"))
+    Bucketing.writeBucketed(dfreq, s"${prefix}_df", "term", buckets)
+    val stats = spark.table(s"${prefix}_docs").agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      coalesce(avg(col("dl")), lit(0.0)).as("avgdl"),
+      coalesce(sum(col("dl")), lit(0.0)).as("sum_dl"))
+    Bucketing.writeTable(stats, s"${prefix}_stats")
+    Bucketing.dropTable(spark, s"${prefix}_tombstones")
+  }
+
   /** [[rm3Expand]] against a persisted [[buildBm25Index]] index — the
     * expansion-term table served from the bucketed layout (same
     * zero-postings-exchange contract as [[rm3TopKIndexed]]). */
@@ -376,9 +490,9 @@ object Retrieval {
     val qterms = queries.select(col(qidCol).as("qid"),
       explode(toks(col(qtextCol))).as("term")).distinct()
       .localCheckpoint(eager = false)
-    val weights = rm3WeightsWith(spark.table(s"${prefix}_tf"),
-      spark.table(s"${prefix}_fwd"), spark.table(s"${prefix}_df"),
-      spark.table(s"${prefix}_stats"), qterms, fbDocs, lambda, k1, b)
+    val (tf, fwd, dfreq, stats) = indexFrames(spark, prefix)
+    val weights = rm3WeightsWith(tf, fwd, dfreq, stats, qterms,
+      fbDocs, lambda, k1, b)
     val w = Window.partitionBy("qid")
       .orderBy(col("weight").desc, col("term").asc)
     weights.withColumn("rank", row_number().over(w))
@@ -399,10 +513,7 @@ object Retrieval {
       k: Int = 5, fbDocs: Int = 3, fbTerms: Int = 5,
       lambda: Double = 0.6, k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
-    val tf = spark.table(s"${prefix}_tf")
-    val fwd = spark.table(s"${prefix}_fwd")
-    val dfreq = spark.table(s"${prefix}_df")
-    val stats = spark.table(s"${prefix}_stats")
+    val (tf, fwd, dfreq, stats) = indexFrames(spark, prefix)
     val qterms = queries.select(col(qidCol).as("qid"),
       explode(toks(col(qtextCol))).as("term")).distinct()
       .localCheckpoint(eager = false)

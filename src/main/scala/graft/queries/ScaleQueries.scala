@@ -2111,6 +2111,28 @@ object ScaleQueries {
         queries, "qid", "qtext", k = 5)
     }),
 
+    // index TAKEDOWN (the q144 treatment for retrieval): build on the
+    // full corpus, tombstone every 5th doc, query — readers apply the
+    // tombstones at READ time (postings anti-joined, df and stats
+    // DECREMENTED from the roster; indexed text never re-read). The
+    // oracle is the from-scratch q121 SQL over the REDUCED corpus, so
+    // the hash proves exact forgetting
+    "q121d_bm25_index_takedown" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val qtext = concat_ws(" ",
+        slice(filter(split(coalesce(col("text"), lit("")), " "),
+          t => length(t) > 0), 1, 8))
+      val queries = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"), qtext.as("qtext"))
+      graft.ops.Retrieval.buildBm25Index(docs.filter(col("doc_id") >= 5),
+        "doc_id", "text", "graft_bm25_q121d", buckets = 8)
+      graft.ops.Retrieval.deleteBm25Index(s, "graft_bm25_q121d",
+        docs.filter(col("doc_id") >= 5 && col("doc_id") % 5 === 0)
+          .select("doc_id"), "doc_id")
+      graft.ops.Retrieval.bm25TopKIndexed(s, "graft_bm25_q121d",
+        queries, "qid", "qtext", k = 5)
+    }),
+
     // hybrid retrieval: reciprocal-rank fusion of the BM25 list and
     // the dense cosine list over the same qid panel (ids pair the
     // text query with its embedding — the stand-in for a dual-encoded
@@ -4229,11 +4251,15 @@ object ScaleQueries {
     * ranking — every constant written as the same arithmetic the
     * Column expression computes ((1.2 + 1.0), (1.0 − 0.75)) so the
     * doubles agree bit-for-bit. */
-  private def bm25Ctes: String =
-    """d AS (SELECT doc_id AS doc,
+  private def bm25Ctes: String = bm25CtesOf("doc_id >= 5")
+
+  /** [[bm25Ctes]] with a parameterized corpus predicate — the takedown
+    * twin (q121d) replays the REDUCED corpus from scratch. */
+  private def bm25CtesOf(corpusWhere: String): String =
+    s"""d AS (SELECT doc_id AS doc,
               list_filter(string_split(coalesce(text, ''), ' '),
                           t -> length(t) > 0) AS tk
-            FROM documents WHERE doc_id >= 5),
+            FROM documents WHERE $corpusWhere),
        terms AS (SELECT doc, unnest(tk) AS term,
                         CAST(len(tk) AS DOUBLE) AS dl
                  FROM d),
@@ -4267,6 +4293,15 @@ object ScaleQueries {
 
   private val q121Sql: String =
     s"""WITH $bm25Ctes
+        SELECT qid, doc AS doc_id, CAST(rank AS BIGINT) AS rank, score
+        FROM rk WHERE rank <= 5 ORDER BY qid, rank"""
+
+  /** q121d: the takedown twin — the identical BM25 chain FROM SCRATCH
+    * over the reduced corpus (every 5th doc removed), proving the
+    * engine's read-time tombstone arithmetic (postings anti-join +
+    * df/stats decrements) is exact forgetting. */
+  private val q121dSql: String =
+    s"""WITH ${bm25CtesOf("doc_id >= 5 AND doc_id % 5 <> 0")}
         SELECT qid, doc AS doc_id, CAST(rank AS BIGINT) AS rank, score
         FROM rk WHERE rank <= 5 ORDER BY qid, rank"""
 
@@ -7582,6 +7617,9 @@ object ScaleQueries {
     // append ≡ rebuild: the from-scratch twin proves exact index
     // maintenance (the q68/q144 discipline)
     "q121c_bm25_index_append" -> q121Sql,
+    // takedown ≡ from-scratch over the reduced corpus: exact
+    // forgetting, read-time tombstones
+    "q121d_bm25_index_takedown" -> q121dSql,
 
     "q166_rm3_terms" -> q166Sql,
 

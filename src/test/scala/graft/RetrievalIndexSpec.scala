@@ -96,6 +96,44 @@ class RetrievalIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("deleteBm25Index: read-time tombstones ≡ from-scratch reduced " +
+    "index; vacuum keeps results, reclaims, re-opens the ids") {
+    Retrieval.buildBm25Index(docs, "doc_id", "text",
+      "graft_bm25_del", buckets = 8)
+    val victims = docs.filter($"doc_id" % 5 === 0).select("doc_id")
+    Retrieval.deleteBm25Index(spark, "graft_bm25_del", victims,
+      "doc_id")
+    Retrieval.buildBm25Index(docs.filter($"doc_id" % 5 =!= 0),
+      "doc_id", "text", "graft_bm25_red", buckets = 8)
+    def rows(prefix: String) = (
+      Retrieval.bm25TopKIndexed(spark, prefix, queries, "qid", "qtext",
+        k = 5).collect().map(_.toSeq).toSeq,
+      Retrieval.rm3TopKIndexed(spark, prefix, queries, "qid", "qtext",
+        k = 5).collect().map(_.toSeq).toSeq)
+    val (bmDel, rmDel) = rows("graft_bm25_del")
+    val (bmRed, rmRed) = rows("graft_bm25_red")
+    assert(bmDel === bmRed, "bm25 after delete != from-scratch reduced")
+    assert(rmDel === rmRed, "rm3 after delete != from-scratch reduced")
+    assert(bmRed.nonEmpty && rmRed.nonEmpty)
+    // vacuum: physical rewrite, identical reads, tombstones gone
+    Retrieval.vacuumBm25Index(spark, "graft_bm25_del", buckets = 8)
+    assert(!spark.catalog.tableExists("graft_bm25_del_tombstones"))
+    val (bmVac, rmVac) = rows("graft_bm25_del")
+    assert(bmVac === bmRed && rmVac === rmRed)
+    // stats rewrote exactly: roster count matches the reduced corpus
+    assert(spark.table("graft_bm25_del_stats").head.getDouble(0)
+      === docs.filter($"doc_id" % 5 =!= 0).count().toDouble)
+    // a vacuumed id is re-ingestable; a merely-tombstoned one is not
+    Retrieval.appendBm25Index(docs.filter($"doc_id" === 0L), "doc_id",
+      "text", "graft_bm25_del", buckets = 8)
+    Retrieval.deleteBm25Index(spark, "graft_bm25_del",
+      Seq(5L).toDF("doc_id"), "doc_id")
+    intercept[IllegalArgumentException] {
+      Retrieval.appendBm25Index(docs.filter($"doc_id" === 5L), "doc_id",
+        "text", "graft_bm25_del", buckets = 8)
+    }
+  }
+
   test("the indexed plan never shuffles a bucketed-scan subtree: " +
     "tf/df postings join exchange-free") {
     Retrieval.buildBm25Index(docs, "doc_id", "text", "graft_bm25_spec",
