@@ -194,6 +194,8 @@ object Bench {
     "q163c_packed_chats",
     // token-budget packed chats (trainer-denominated collator bins)
     "q163d_packed_chats_tokens",
+    // tokenizer-TRUE packing: real unigram piece counts drive bins
+    "q163f_packed_chats_unigram",
     // incremental turn dedup: two state folds + keep-first election
     "q163e_turn_dedup_incremental",
     // SFT capstone: conversations -> hygiene -> render -> token pack

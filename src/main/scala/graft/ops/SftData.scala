@@ -258,8 +258,11 @@ object SftData {
       .localCheckpoint(eager = false)
     val dd = turnDedup(msgs, "conv_id", "turn_idx", "role", "text")
     val dropConvs = dd.filter(!col("keep")).select("conv_id").distinct()
-    val kept = msgs.join(broadcast(dropConvs), Seq("conv_id"),
-      "left_anti")
+    // no broadcast HINT: duplicates are usually the exception (a
+    // broadcast-sized drop list), but a mass re-ingest can make this
+    // frame corpus-scale — let AQE pick broadcast vs shuffled anti-join
+    // from the measured size instead of pinning an assumption
+    val kept = msgs.join(dropConvs, Seq("conv_id"), "left_anti")
     val rendered = chatRender(kept, "conv_id", "turn_idx", "role",
       "text")
       .withColumn("n_tokens", TextAnalysis.nTokensCol(col("rendered")))
@@ -348,7 +351,8 @@ object SftData {
       val dd = turnDedup(msgs, "conv_id", "turn_idx", "role", "text")
       val dropConvs = dd.filter(!col("keep")).select("conv_id")
         .distinct()
-      msgs.join(broadcast(dropConvs), Seq("conv_id"), "left_anti")
+      // AQE-decided anti-join — same reasoning as [[sftPipeline]]
+      msgs.join(dropConvs, Seq("conv_id"), "left_anti")
     }
     val (rendered, nKept) = stage("02_rendered") {
       chatRender(kept, "conv_id", "turn_idx", "role", "text")

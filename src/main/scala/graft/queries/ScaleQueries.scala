@@ -998,6 +998,32 @@ object ScaleQueries {
         .orderBy("shard", "bin")
     }),
 
+    // TOKENIZER-TRUE packed chats: the collator binning on REAL
+    // unigram token counts — per-doc Viterbi piece counts under the
+    // q99d static model, summed per conversation (CONTENT tokens; the
+    // per-turn template overhead is a constant and deliberately
+    // excluded) — the composed oracle replays the all-words Viterbi
+    // DP, the doc/conv roll-up, AND the q163d pack chain in one
+    // statement
+    "q163f_packed_chats_unigram" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val model = Vocab.staticUnigramModel(d, "text", nPieces = 60,
+        maxPieceLen = 8)
+      val docTok = Vocab.encodeUnigram(d, "doc_id", "text", model)
+        .select(col("doc_id"), col("n_pieces"))
+      val convTok = docTok
+        .groupBy((col("doc_id").cast("long") / 4).cast("long")
+          .as("conv_id"))
+        .agg(sum("n_pieces").as("n_tokens"))
+      val rendered = SftData.chatRender(
+        SftData.conversationsFrom(d, "doc_id", "text", turnsPerConv = 4),
+        "conv_id", "turn_idx", "role", "text")
+        .join(convTok, Seq("conv_id"))
+      SftData.packChatsByTokens(rendered, "conv_id", "rendered",
+        "loss_spans", "n_tokens", binTokens = 512L, nShards = 8)
+        .orderBy("shard", "bin")
+    }),
+
     // preference-pair construction (RM/DPO data): per source, i-th
     // best paired with i-th worst by type-token-ratio quality score
     // (low = repetitive) while the margin clears 0.05 — deterministic,
@@ -3812,6 +3838,124 @@ object ScaleQueries {
                 FROM sb),
          bn AS (SELECT *, CAST(floor((tcum - tk)::DOUBLE
                   / 384) AS BIGINT) AS bin
+                FROM cm),
+         ofs AS (SELECT *, cum - length(rendered) -
+                   min(cum - length(rendered)) OVER (
+                     PARTITION BY shard, bin) AS off
+                 FROM bn),
+         sh AS (SELECT shard, bin, h, conv_id, rendered, tk,
+                  array_to_string(list_transform(
+                    list_filter(string_split(loss_spans, ';'),
+                      x -> length(x) > 0),
+                    x -> CAST(CAST(string_split(x, ':')[1] AS BIGINT)
+                           + off AS VARCHAR) || ':' ||
+                         CAST(CAST(string_split(x, ':')[2] AS BIGINT)
+                           + off AS VARCHAR)), ';') AS sps
+                FROM ofs)
+       SELECT shard, bin, CAST(count(*) AS INT) AS n_convs,
+              CAST(sum(tk) AS BIGINT) AS n_tokens,
+              string_agg(rendered, '' ORDER BY h, conv_id) AS packed,
+              coalesce(string_agg(CASE WHEN sps <> '' THEN sps END,
+                ';' ORDER BY h, conv_id), '') AS loss_spans
+       FROM sh GROUP BY shard, bin ORDER BY shard, bin"""
+
+  /** COMPOSED DuckDB twin of the q163f tokenizer-true packed chats:
+    * the q99d Viterbi DP over EVERY distinct corpus word (u-prefixed
+    * CTEs to coexist with the render chain), per-doc/per-conv token
+    * roll-ups, the q163 render chain, and the q163d pack chain with
+    * the REAL token counts driving the bins. */
+  private val q163fSql: String =
+    s"""WITH RECURSIVE $rendCteSql,
+         uw AS (SELECT unnest(list_filter(
+                  string_split(coalesce(text, ''), ' '),
+                  t -> length(t) > 0)) AS word
+                FROM documents),
+         uwc AS (SELECT word, count(*) AS cnt FROM uw GROUP BY word),
+         usubs AS (SELECT substr(word, i, l) AS piece, cnt
+                   FROM (SELECT word, cnt,
+                                unnest(range(1, length(word) + 1)) AS i
+                         FROM uwc),
+                        (SELECT unnest(range(1, 9)) AS l) L
+                   WHERE i + l - 1 <= length(word)),
+         upc AS (SELECT piece, sum(cnt) AS cnt
+                 FROM usubs GROUP BY piece),
+         ukept AS (SELECT piece, cnt FROM
+                     (SELECT piece, cnt FROM
+                       (SELECT piece, cnt FROM upc
+                        ORDER BY cnt DESC, piece LIMIT 60)
+                      UNION
+                      SELECT piece, cnt FROM upc
+                      WHERE length(piece) = 1)),
+         ukrow AS (SELECT list(piece ORDER BY cnt DESC, piece) AS ks,
+                          max(length(piece)) AS ml
+                   FROM ukept),
+         uwords AS (SELECT word FROM uwc),
+         uvit AS (
+           SELECT word, [CAST(0.0 AS DOUBLE)] AS best, [0] AS back
+           FROM uwords
+           UNION ALL
+           SELECT word,
+                  list_append(best, mx),
+                  list_append(back, bj)
+           FROM (SELECT word, best, back, mx,
+                        g0 + list_position(rl, mx) - 1 AS bj
+                 FROM (SELECT word, best, back, rl, g0,
+                         list_max(list_filter(rl,
+                           x -> x IS NOT NULL)) AS mx
+                       FROM (SELECT v.word, v.best, v.back, g0, pos,
+                               list_transform(range(g0, pos), j ->
+                                 v.best[j+1] -
+                                 nullif(list_position(k.ks,
+                                   substr(v.word, j+1, pos-j)), 0)
+                                   / 16.0)
+                                 AS rl
+                             FROM (SELECT word, best, back,
+                                          len(best) AS pos,
+                                          greatest(0,
+                                            len(best) - k2.ml) AS g0
+                                   FROM uvit CROSS JOIN ukrow k2
+                                   WHERE len(best) <=
+                                         length(word)) v
+                               CROSS JOIN ukrow k)))),
+         udone AS (SELECT word, back
+                   FROM uvit WHERE len(best) = length(word) + 1),
+         ubt AS (
+           SELECT word, back, length(word) AS pos, 0 AS np
+           FROM udone
+           UNION ALL
+           SELECT word, back, back[pos+1], np + 1
+           FROM ubt WHERE pos > 0),
+         wnp AS (SELECT word, np FROM ubt WHERE pos = 0),
+         dtok AS (SELECT doc_id, unnest(list_filter(
+                    string_split(coalesce(text, ''), ' '),
+                    t -> length(t) > 0)) AS word
+                  FROM documents),
+         dnp AS (SELECT doc_id, sum(w.np) AS np
+                 FROM dtok d JOIN wnp w USING (word)
+                 GROUP BY doc_id),
+         ctok AS (SELECT CAST(doc_id // 4 AS BIGINT) AS conv_id,
+                         CAST(sum(coalesce(np, 0)) AS BIGINT)
+                           AS n_tokens
+                  FROM documents LEFT JOIN dnp USING (doc_id)
+                  GROUP BY CAST(doc_id // 4 AS BIGINT)),
+         sb AS (SELECT r.conv_id, r.rendered, r.loss_spans,
+                       md5('o:' || CAST(r.conv_id AS VARCHAR)) AS h,
+                       CAST(CAST('0x' || substr(md5('p:' ||
+                         CAST(r.conv_id AS VARCHAR)), 1, 15) AS BIGINT)
+                         % 8 AS INT) AS shard,
+                       c.n_tokens AS tk
+                FROM rend r JOIN ctok c USING (conv_id)),
+         cm AS (SELECT *, sum(tk) OVER (PARTITION BY shard
+                  ORDER BY h, conv_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS tcum,
+                  sum(length(rendered)) OVER (PARTITION BY shard
+                  ORDER BY h, conv_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS cum
+                FROM sb),
+         bn AS (SELECT *, CAST(floor((tcum - tk)::DOUBLE
+                  / 512) AS BIGINT) AS bin
                 FROM cm),
          ofs AS (SELECT *, cum - length(rendered) -
                    min(cum - length(rendered)) OVER (
@@ -6782,6 +6926,7 @@ object ScaleQueries {
 
     "q163c_packed_chats" -> q163cSql,
     "q163d_packed_chats_tokens" -> q163dSql,
+    "q163f_packed_chats_unigram" -> q163fSql,
 
     "q164_preference_pairs" -> q164Sql,
 
