@@ -204,6 +204,8 @@ object Bench {
     "q172b_sft_staged",
     // per-eval-item contamination attribution (planted leaks)
     "q173_contamination_report",
+    // its incremental-state form: two folds, report from state
+    "q173b_contamination_incremental",
     // preference-pair construction by score margin (RM/DPO data)
     "q164_preference_pairs",
     // fill-in-the-middle transform (PSM, md5-coin split points)

@@ -96,12 +96,22 @@ object Contamination {
     * hits-grain (bounded by contamination volume, not corpus volume);
     * windows partition by eval item, never global. */
   def contaminationReport(corpus: DataFrame, bench: DataFrame,
-      idCol: String, textCol: String, n: Int = 8): DataFrame = {
+      idCol: String, textCol: String, n: Int = 8): DataFrame =
+    contaminationReportOver(
+      shingles(corpus, idCol, textCol, n)
+        .select(col(idCol).as("doc"), col("h")),
+      shingles(bench, idCol, textCol, n)
+        .select(col(idCol).as("bench_id"), col("h")),
+      bench.select(col(idCol).as("bench_id")))
+
+  /** [[contaminationReport]] over PREPARED frames — shared by the
+    * from-scratch form and the incremental-state reader
+    * ([[contaminationReportFromState]]): `corpSh` = (doc, h) corpus
+    * shingles, `benchSh` = (bench_id, h) benchmark shingles, `spine` =
+    * one row per eval item (items too short to shingle report zeros). */
+  private[ops] def contaminationReportOver(corpSh: DataFrame,
+      benchSh: DataFrame, spine: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val corpSh = shingles(corpus, idCol, textCol, n)
-      .select(col(idCol).as("doc"), col("h"))
-    val benchSh = shingles(bench, idCol, textCol, n)
-      .select(col(idCol).as("bench_id"), col("h"))
     val benchTot = benchSh.groupBy("bench_id")
       .agg(count(lit(1)).as("n_shingles"))
     val pairs = benchSh.join(corpSh, "h")
@@ -121,7 +131,7 @@ object Contamination {
       .filter(col("__rn") === 1)
       .select(col("bench_id"), col("__nd").as("n_docs"),
         col("doc").as("top_doc"), col("shared").as("top_shared"))
-    bench.select(col(idCol).as("bench_id"))
+    spine
       .join(benchTot, Seq("bench_id"), "left")
       .join(covered, Seq("bench_id"), "left")
       .join(offenders, Seq("bench_id"), "left")
@@ -134,6 +144,44 @@ object Contamination {
         coalesce(col("n_docs"), lit(0L)).as("n_docs"),
         col("top_doc"), col("top_shared"))
   }
+
+  /** One fold of an INCREMENTAL benchmark-shingle state — eval suites
+    * rotate, so the protection set should grow without re-shingling
+    * every prior benchmark (the turn-dedup state discipline applied to
+    * contamination): the batch's items shingle map-side and
+    * first-write-wins on bench_id against `prior` (a re-sent item is
+    * ignored — its shingles are already protected). Every batch item
+    * gets a roster row (null h) so shingle-less items stay reportable;
+    * state rows are (bench_id, h nullable). Takedown is the anti-join
+    * the caller applies before the next fold/read (retire a benchmark
+    * by dropping its bench_id rows — exact by construction, the state
+    * is id-grained). */
+  def benchShingleFold(prior: Option[DataFrame], batch: DataFrame,
+      idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    val sh = shingles(batch, idCol, textCol, n)
+      .select(col(idCol).as("bench_id"), col("h"))
+    val batchRows = batch.select(col(idCol).as("bench_id"))
+      .distinct().withColumn("h", lit(null).cast("long"))
+      .unionByName(sh)
+    prior match {
+      case Some(p) => p.unionByName(batchRows.join(
+        p.select("bench_id").distinct(), Seq("bench_id"), "left_anti"))
+      case None => batchRows
+    }
+  }
+
+  /** [[contaminationReport]] against a folded [[benchShingleFold]]
+    * state instead of re-shingling the benchmarks: the roster rows
+    * (null h) carry shingle-less items, the non-null rows are the
+    * protection set. Row-identical to the from-scratch report over
+    * the union of all folded batches (q173b hash-proves it). */
+  def contaminationReportFromState(state: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, n: Int = 8): DataFrame =
+    contaminationReportOver(
+      shingles(corpus, idCol, textCol, n)
+        .select(col(idCol).as("doc"), col("h")),
+      state.filter(col("h").isNotNull),
+      state.select("bench_id").distinct())
 
   /** [[ngramOverlap]] with a BLOOM-FILTER prefilter on the corpus
     * side — the shape for the regime where the benchmark's exact

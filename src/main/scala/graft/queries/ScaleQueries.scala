@@ -2159,6 +2159,32 @@ object ScaleQueries {
         queries, "qid", "qtext", k = 5)
     }),
 
+    // INCREMENTAL benchmark-shingle state (the q163e treatment for
+    // contamination): fold the even eval items, fold the odd items on
+    // top (first-write-wins per bench id, roster rows for
+    // shingle-less items), report against the planted corpus FROM THE
+    // STATE — the oracle is q173's from-scratch SQL over the full
+    // benchmark, so the hash proves the incremental protection set is
+    // exactly the batch one
+    "q173b_contamination_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") < 50)
+      val s0 = graft.ops.Contamination.benchShingleFold(None,
+        bench.filter(col("doc_id") % 2 === 0), "doc_id", "text", n = 8)
+      val s1 = graft.ops.Contamination.benchShingleFold(Some(s0),
+        bench.filter(col("doc_id") % 2 === 1), "doc_id", "text", n = 8)
+      val leaks = bench.filter(col("doc_id") < 3)
+        .select((col("doc_id") + 200000L).as("doc_id"), col("text"))
+      val leaks2 = bench.filter(col("doc_id") < 1)
+        .select((col("doc_id") + 300000L).as("doc_id"), col("text"))
+      val corpus = docs.filter(col("doc_id") >= 50)
+        .select(col("doc_id"), col("text"))
+        .unionByName(leaks).unionByName(leaks2)
+      graft.ops.Contamination.contaminationReportFromState(s1, corpus,
+        "doc_id", "text", n = 8)
+        .orderBy("bench_id")
+    }),
+
     // hybrid retrieval: reciprocal-rank fusion of the BM25 list and
     // the dense cosine list over the same qid panel (ids pair the
     // text query with its embedding — the stand-in for a dual-encoded
@@ -7984,6 +8010,8 @@ object ScaleQueries {
          ORDER BY doc_id""",
     "q59_decontaminate" -> q59Sql,
     "q173_contamination_report" -> q173Sql,
+    // incremental protection state ≡ from-scratch benchmark shingles
+    "q173b_contamination_incremental" -> q173Sql,
     // the Bloom prefilter variant is row-identical by construction
     // (false positives are settled by the exact join) — the SAME
     // oracle is the strongest statement of that

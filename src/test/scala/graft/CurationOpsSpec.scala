@@ -84,6 +84,43 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(clean.getDouble(3) === 0.0)
   }
 
+  test("benchShingleFold: incremental state ≡ from-scratch report, " +
+      "re-sent items ignored, takedown retires an eval item exactly") {
+    val eightGram = "one two three four five six seven eight"
+    val b0 = Seq((100L, s"prefix $eightGram suffix pad pad pad"))
+      .toDF("id", "text")
+    val b1 = Seq(
+      (101L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (100L, "resent DIFFERENT text must be ignored first write wins"),
+      (102L, "tiny")) // too short to shingle — roster row only
+      .toDF("id", "text")
+    val corpus = Seq((5L, s"noise $eightGram more"))
+      .toDF("id", "text")
+    val s0 = Contamination.benchShingleFold(None, b0, "id", "text", 8)
+    val s1 = Contamination.benchShingleFold(Some(s0), b1, "id", "text", 8)
+    val fromState = Contamination.contaminationReportFromState(
+      s1, corpus, "id", "text", 8)
+      .orderBy("bench_id").collect().map(_.toSeq).toSeq
+    val batch = Contamination.contaminationReport(corpus,
+      b0.unionByName(b1.filter(col("id") =!= 100L)), "id", "text", 8)
+      .orderBy("bench_id").collect().map(_.toSeq).toSeq
+    assert(fromState === batch)
+    assert(fromState.length === 3)
+    // item 100 still reports ITS ORIGINAL shingles (re-send ignored):
+    // the planted leak is found
+    assert(fromState.head(4) === 1L, fromState.head.toString)
+    // shingle-less item 102 is present with zeros
+    val tiny = fromState.find(_.head == 102L).get
+    assert(tiny(1) === 0L && tiny(4) === 0L)
+    // takedown: retiring item 100 is one id anti-join on the state
+    val retired = s1.filter(col("bench_id") =!= 100L)
+    val after = Contamination.contaminationReportFromState(
+      retired, corpus, "id", "text", 8).collect()
+    assert(after.length === 2)
+    assert(!after.exists(_.getLong(0) == 100L))
+    assert(after.forall(_.getLong(4) == 0L)) // no leak without item 100
+  }
+
   test("ngramOverlapBloom is row-identical to the exact form") {
     import graft.ops.Contamination
     val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001",
