@@ -175,6 +175,8 @@ object Bench {
     "q156_bitext",
     // the ANN-backed (IVF-candidate) corpus×corpus form of q156
     "q156b_bitext_ivf",
+    // q156b over the persisted cell-bucketed Y index
+    "q156c_bitext_indexed",
     // hard-negative mining (similarity band, positives anti-joined)
     "q157_hard_negatives",
     // C4 sliding-span keep-first dedup

@@ -218,6 +218,65 @@ object Similarity {
         Array(centers)), 1).as("cell"))
     val centroids = centers.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "centroid")
+    bitextMineCore(x, y, centroids, k, minMargin, nProbe)
+  }
+
+  /** Persist the bitext-mining Y side ONCE as catalog tables — the
+    * repeated-mining amortization ([[buildBm25Index]]'s idea for the
+    * ANN family): CCMatrix-style mining runs MANY X panels against the
+    * same target corpus, and the Y assignment pass + centroid
+    * derivation should be paid at index time, not per run. Tables
+    * (owned, overwrite semantics):
+    *   - `<prefix>_y`   (cell, yid, yv) — bucketed+sorted by CELL, so
+    *     the per-run candidate join reads co-located cells with no Y
+    *     exchange;
+    *   - `<prefix>_ctr` (cell, centroid) — the G-row probe table.
+    * Same md5-seeded replayable quantizer as the in-plan form
+    * (doubles round-trip parquet bit-exactly), so
+    * [[bitextMineIvfIndexed]] is row-identical to [[bitextMineIvf]]
+    * over the same Y (spec-pinned; q156c shares q156b's oracle). */
+  def buildBitextIndex(ys: DataFrame, idCol: String, vecCol: String,
+      prefix: String, nLists: Int = 16, nProbe: Int = 4,
+      targetPerCell: Int = 0, buckets: Int = 16): Unit = {
+    val spark = ys.sparkSession
+    import spark.implicits._
+    val yBase = unitVectors(ys, idCol, vecCol)
+    val effLists =
+      autoCellCount(yBase, nLists, targetPerCell, "buildBitextIndex")
+    val centers = auditableCenters(yBase, effLists)
+    val y = yBase.select(col("id").as("yid"), col("vhat").as("yv"),
+      element_at(graft.functions.GraftFunctions.pqEncode(col("vhat"),
+        Array(centers)), 1).as("cell"))
+    Bucketing.writeBucketed(y.select("cell", "yid", "yv"),
+      s"${prefix}_y", "cell", buckets)
+    val centroids = centers.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "centroid")
+    Bucketing.writeTable(centroids, s"${prefix}_ctr")
+  }
+
+  /** [[bitextMineIvf]] against a persisted [[buildBitextIndex]] — the
+    * per-run plan never re-assigns or re-shuffles Y: candidates read
+    * cell-bucketed postings, probes rank against the persisted G-row
+    * centroid table, and only X-derived frames move. Row-identical to
+    * the in-plan form over the same Y. */
+  def bitextMineIvfIndexed(spark: org.apache.spark.sql.SparkSession,
+      prefix: String, xs: DataFrame, idCol: String, vecCol: String,
+      k: Int = 4, minMargin: Double = 1.0,
+      nProbe: Int = 4): DataFrame = {
+    val x = unitVectors(xs, idCol, vecCol)
+      .select(col("id").as("xid"), col("vhat").as("xv"))
+    bitextMineCore(x, spark.table(s"${prefix}_y"),
+      spark.table(s"${prefix}_ctr"), k, minMargin, nProbe)
+  }
+
+  /** The shared mining tail of [[bitextMineIvf]] /
+    * [[bitextMineIvfIndexed]]: per-x probe ranking, cell-equi
+    * candidate join, both direction heaps, margin + mutual-best
+    * selection — the arithmetic exists exactly once. */
+  private def bitextMineCore(x: DataFrame, y: DataFrame,
+      centroids: DataFrame, k: Int, minMargin: Double,
+      nProbe: Int): DataFrame = {
+    import graft.functions.TopKAgg
     // per-x probe ranking: sequential-fold Σ(x−c)², d ASC, cell ASC —
     // term-for-term the assignment arithmetic, so both engines probe
     // identical cells

@@ -866,6 +866,20 @@ object ScaleQueries {
         nLists = 16, nProbe = 4)
     }),
 
+    // q156b through a PERSISTED Y-side index (buildBitextIndex:
+    // cell-bucketed postings + the G-row centroid table — repeated
+    // mining runs stop re-assigning Y per panel): row-identical to
+    // the in-plan form, shares q156b's twin
+    "q156c_bitext_indexed" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.buildBitextIndex(emb.filter(col("label") === 1),
+        "vec_id", "embedding", "graft_bitext_q156c",
+        nLists = 16, buckets = 8)
+      Similarity.bitextMineIvfIndexed(s, "graft_bitext_q156c",
+        emb.filter(col("label") === 0 && col("vec_id") < 250),
+        "vec_id", "embedding", k = 4, minMargin = 1.0, nProbe = 4)
+    }),
+
     // prototype-based data pruning (SSL-prune / D4): replayable cells,
     // cosine-to-seeded-center prototypicality, per-cell floor-quota
     // drop of the most-prototypical 25% — every stage oracle-checked;
@@ -4872,7 +4886,10 @@ object ScaleQueries {
                FROM od FULL JOIN nd
                  ON od.value IS NOT DISTINCT FROM nd.value)"""
 
-  val oracleSql: Map[String, String] = Map(
+  /** The literal-map half of [[oracleSql]], split so alias rows
+    * (identical-output operator forms sharing a twin) can reference
+    * entries without duplicating multi-hundred-line SQL strings. */
+  private lazy val oracleSqlBase: Map[String, String] = Map(
     "q129c_capstone_oracle" -> q129cSql,
     "q131_domain_reweight" ->
       s"""$q131Cte
@@ -8418,4 +8435,10 @@ object ScaleQueries {
                 round(sum(value), 4) AS total_value
          FROM s GROUP BY user_id, session_id
          ORDER BY user_id, session_id""")
+
+  val oracleSql: Map[String, String] = oracleSqlBase ++ Map(
+    // the persisted-index bitext form is row-identical by contract
+    // (same replayable quantizer, doubles round-trip parquet
+    // bit-exactly) — it shares q156b's twin verbatim
+    "q156c_bitext_indexed" -> oracleSqlBase("q156b_bitext_ivf"))
 }

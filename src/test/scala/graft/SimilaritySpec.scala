@@ -766,6 +766,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.map(_.getLong(0)).distinct.length === out.length)
   }
 
+  test("bitextMineIvfIndexed ≡ in-plan bitextMineIvf row for row; " +
+    "repeated runs reuse the persisted Y side") {
+    val xs = emb.filter(col("label") === 0 && col("vec_id") < 40).limit(8)
+    val ys = emb.filter(col("label") === 1)
+    Similarity.buildBitextIndex(ys, "vec_id", "embedding",
+      "graft_bitext_spec", nLists = 16, buckets = 8)
+    val inPlan = Similarity.bitextMineIvf(xs, ys, "vec_id", "embedding",
+      k = 4, minMargin = 1.0, nLists = 16, nProbe = 4)
+      .collect().map(_.toSeq).toSeq
+    val indexed = Similarity.bitextMineIvfIndexed(spark,
+      "graft_bitext_spec", xs, "vec_id", "embedding",
+      k = 4, minMargin = 1.0, nProbe = 4)
+      .collect().map(_.toSeq).toSeq
+    assert(indexed === inPlan)
+    assert(inPlan.nonEmpty)
+    // a second panel runs against the same tables — no rebuild
+    val xs2 = emb.filter(col("label") === 0 && col("vec_id") >= 40
+      && col("vec_id") < 80).limit(8)
+    val indexed2 = Similarity.bitextMineIvfIndexed(spark,
+      "graft_bitext_spec", xs2, "vec_id", "embedding",
+      k = 4, minMargin = 1.0, nProbe = 4)
+      .collect().map(_.toSeq).toSeq
+    val inPlan2 = Similarity.bitextMineIvf(xs2, ys, "vec_id",
+      "embedding", k = 4, minMargin = 1.0, nLists = 16, nProbe = 4)
+      .collect().map(_.toSeq).toSeq
+    assert(indexed2 === inPlan2)
+  }
+
   test("hardNegativeMine: band excludes near-dups and floor, positives anti-joined") {
     val anchors = Seq((0L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
     val corpus = Seq(
