@@ -231,7 +231,18 @@ object Bench {
     // continued unigram training: combined-score Viterbi replayed
     "q170_unigram_extend_oracle",
     // unigram inventory prune: smaller deployment tier, re-encode
-    "q171_unigram_prune_oracle")
+    "q171_unigram_prune_oracle",
+    // CCNet perplexity tiers (KN LM + per-language ntile) + the
+    // tail-dropped composition roll-up
+    "q174_ppl_buckets",
+    "q174b_ccnet_composition",
+    // incremental semantic dedup: frozen-quantizer state fold and
+    // exact takedown (the embedding tier of the q68/q144 pair)
+    "q175_semdedup_incremental",
+    "q175b_semdedup_takedown",
+    // greedy k-center coreset walk + its argmin partition pass
+    "q176_kcenter",
+    "q176b_kcenter_assign")
 
   /** Queries whose r6→r7 numbers moved 2–6× with no code change — the
     * self-join/ANN family is short (<3 s warm) so a single co-tenant

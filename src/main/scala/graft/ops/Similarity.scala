@@ -902,6 +902,303 @@ object Similarity {
     ccAssignment(df, idCol, pairs)
   }
 
+  // ------------------------------------------------------------------
+  // Persisted semantic-dedup STATE — the [[graft.ops.Dedup.corpusSigState]]
+  // contract for the embedding tier, completing the {exact, MinHash,
+  // semantic} × {batch, incremental+takedown} matrix: a corpus under
+  // continuous ingest must fold new embeddings into yesterday's
+  // clustering WITHOUT re-scanning old vectors' source data, and a
+  // corpus under deletion requests must forget a vector EXACTLY.
+  // State = (rows: one (id, v̂, cell, cluster_id) per ingested vector;
+  // centers: the FROZEN replayable quantizer (cell, cv)). The
+  // quantizer is pinned at build time — the honest incremental
+  // contract (re-seeding centers from the grown corpus would reassign
+  // every old vector): fold(build(A), B) equals a from-scratch build
+  // over A ∪ B **with A's frozen centers**, and the q175 oracle proves
+  // exactly that. Centers are model geometry, not content: a takedown
+  // removes the vector's row, but a center fitted from it persists
+  // (the FAISS-centroid convention, same as ivfPqDelete).
+  // ------------------------------------------------------------------
+
+  /** See the section note above: `rows` is corpus-sized and
+    * cluster-labeled, `centers` is G-row metadata. */
+  final case class SemState(rows: DataFrame, centers: DataFrame)
+
+  /** Shared tail of the state ops: within-group cosine edges over an
+    * (grp, id, vhat) frame → connected components. */
+  private def groupedSimEdges(assigned: DataFrame, grpCol: String,
+      minSim: Double): DataFrame = {
+    val a = assigned.select(col(grpCol).as("__g"), col("id").as("id_a"),
+      col("vhat").as("va"))
+    val b = assigned.select(col(grpCol).as("__g"), col("id").as("id_b"),
+      col("vhat").as("vb"))
+    a.join(b, Seq("__g")).filter(col("id_a") < col("id_b"))
+      .filter(dot(col("va"), col("vb")) >= minSim)
+      .select("id_a", "id_b")
+  }
+
+  /** Build a semantic-dedup state from an initial corpus: replayable
+    * md5-seeded centers at the corpus-sized cell count
+    * ([[autoCellCount]]), frozen assignment, within-cell cosine edges,
+    * connected components — [[semanticDedupAuditable]]'s pipeline, with
+    * the sufficient statistics kept instead of discarded. Clusters are
+    * CELL-LOCAL by construction (edges never cross cells), which is
+    * what makes the takedown's per-cluster re-clustering exact.
+    *
+    * `centerPool` (default: the corpus itself) is the slice the frozen
+    * quantizer is seeded — and the auto cell count taken — from. It
+    * exists to make the incremental contract EXPRESSIBLE: a fold must
+    * equal `semStateBuild(union, centerPool = initialCorpus)`, and a
+    * takedown `semStateBuild(reduced, centerPool = fullCorpus)` —
+    * which is word-for-word what the q175/q175b oracles replay. */
+  def semStateBuild(df: DataFrame, idCol: String, vecCol: String,
+      minSim: Double = 0.4, nLists: Int = 16,
+      targetPerCell: Int = 0, centerPool: DataFrame = null): SemState = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = unitVectors(df, idCol, vecCol)
+    val pool =
+      if (centerPool == null) base
+      else unitVectors(centerPool, idCol, vecCol)
+    val effLists = autoCellCount(pool, nLists, targetPerCell,
+      "semStateBuild")
+    val centerVecs = auditableCenters(pool, effLists)
+    val centers = centerVecs.zipWithIndex
+      .map { case (v, i) => (i, v.toSeq) }.toSeq.toDF("cell", "cv")
+    val assigned = base.select(col("id"), col("vhat"),
+        element_at(graft.functions.GraftFunctions.pqEncode(col("vhat"),
+          Array(centerVecs)), 1).as("cell"))
+      .localCheckpoint() // feeds the pair self-join AND the label join
+    val cc = Dedup.connectedComponents(
+      groupedSimEdges(assigned, "cell", minSim), "id_a", "id_b")
+    val rows = assigned
+      .join(cc.withColumnRenamed("id", "__ccid"),
+        col("id") === col("__ccid"), "left")
+      .select(col("id"), col("vhat"), col("cell"),
+        coalesce(col("lbl"), col("id")).as("cluster_id"))
+    SemState(rows, centers)
+  }
+
+  /** Fold a NEW batch of embeddings into an existing semantic state —
+    * incremental cross-run semantic dedup. Returns the state covering
+    * old ∪ new with exactly the clusters a from-scratch build over the
+    * union (under the state's frozen centers) would produce — the q68
+    * contraction argument, vector edition: (1) a cross edge depends
+    * only on the two unit vectors and the frozen cell assignment, so
+    * joining the batch against the state's (cell, v̂) rows generates
+    * every old↔new edge the from-scratch build would; (2) an old
+    * cluster is internally connected, so contracting it to its label
+    * (= member-min id) preserves components; (3) the label IS the
+    * min id, so component minima are preserved. New-batch text/source
+    * data is scanned once; old vectors participate only through the
+    * state rows — never re-read from source.
+    *
+    * Scale: the cross stage is a cell equi-join, Σ|B_cell|·|A_cell| —
+    * bounded by the build's `targetPerCell` sizing, never batch ×
+    * corpus. Contract: id spaces disjoint, same `minSim` as the build
+    * (the [[graft.ops.Dedup.corpusDedupIncremental]] contract). */
+  def semStateFold(state: SemState, batch: DataFrame, idCol: String,
+      vecCol: String, minSim: Double = 0.4): SemState = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val ctrRows = state.centers.orderBy("cell")
+      .select(col("cell"), col("cv"))
+      .as[(Int, Seq[Double])].collect()
+    gateDriverRows(ctrRows.length, "semStateFold centers")
+    require(ctrRows.map(_._1).toSeq == ctrRows.indices.toSeq,
+      "semStateFold: center cells must be contiguous 0..n-1")
+    val centerVecs = ctrRows.map(_._2.toArray)
+    val nb = unitVectors(batch, idCol, vecCol)
+      .select(col("id"), col("vhat"),
+        element_at(graft.functions.GraftFunctions.pqEncode(col("vhat"),
+          Array(centerVecs)), 1).as("cell"))
+      .localCheckpoint() // feeds within-pairs, cross-pairs, label join
+    val within = groupedSimEdges(nb, "cell", minSim)
+    // old side: full (cell, v̂) rows — vector edges need the individual
+    // vector, unlike the sig state's distinct-signature contraction;
+    // the CLUSTER contraction still applies, as the edge VERTEX
+    val cross = nb.select(col("cell"), col("id").as("id_b"),
+        col("vhat").as("vb"))
+      .join(state.rows.select(col("cell"), col("vhat").as("va"),
+        col("cluster_id")), Seq("cell"))
+      .filter(dot(col("va"), col("vb")) >= minSim)
+      .select(col("cluster_id").as("id_a"), col("id_b")).distinct()
+    val cc = Dedup.connectedComponents(within.union(cross),
+      "id_a", "id_b")
+    val newRows = nb
+      .join(cc.withColumnRenamed("id", "__ccid"),
+        col("id") === col("__ccid"), "left")
+      .select(col("id"), col("vhat"), col("cell"),
+        coalesce(col("lbl"), col("id")).as("cluster_id"))
+    // relabel old rows whose cluster vertex was touched — a new doc
+    // with a smaller id can become the component min, so labels move
+    val relabel = cc.select(col("id").as("cluster_id"),
+      col("lbl").as("__nl"))
+    val oldRows = state.rows.join(relabel, Seq("cluster_id"), "left")
+      .select(col("id"), col("vhat"), col("cell"),
+        coalesce(col("__nl"), col("cluster_id")).as("cluster_id"))
+    SemState(oldRows.unionByName(newRows), state.centers)
+  }
+
+  /** Exactly remove `tombstones` ids from a semantic state: the result
+    * equals a from-scratch build over the reduced corpus under the
+    * frozen centers (the q175b oracle). Only clusters CONTAINING a
+    * tombstoned id can change — a removed vector cannot have bridged
+    * two DIFFERENT clusters (they would already be one) — and
+    * survivors of one touched cluster cannot edge another cluster's
+    * survivors (same argument), so re-clustering runs per touched
+    * cluster: work is O(touched), never corpus-sized. The min label
+    * re-elects where the old min id was removed. Tombstone sets are
+    * request-sized → broadcast. */
+  def semStateApplyTombstones(state: SemState, tombstones: DataFrame,
+      minSim: Double = 0.4): SemState = {
+    val ts = tombstones.select(col(tombstones.columns.head)
+      .cast("long").as("id")).distinct()
+    val touched = state.rows.join(broadcast(ts), Seq("id"), "left_semi")
+      .select("cluster_id").distinct()
+    val untouched = state.rows.join(broadcast(touched), Seq("cluster_id"),
+      "left_anti")
+    val survivors = state.rows
+      .join(broadcast(touched), Seq("cluster_id"), "left_semi")
+      .join(broadcast(ts), Seq("id"), "left_anti")
+      .select("id", "vhat", "cell", "cluster_id")
+      .localCheckpoint() // feeds the pair self-join AND the label join
+    val cc = Dedup.connectedComponents(
+      groupedSimEdges(survivors, "cluster_id", minSim), "id_a", "id_b")
+    val newSurv = survivors
+      .join(cc.withColumnRenamed("id", "__ccid"),
+        col("id") === col("__ccid"), "left")
+      .select(col("id"), col("vhat"), col("cell"),
+        coalesce(col("lbl"), col("id")).as("cluster_id"))
+    SemState(untouched.unionByName(newSurv), state.centers)
+  }
+
+  /** Present a semantic state as the assignment frame
+    * [[semanticDedup]] returns: (idCol, cluster_id, is_rep). */
+  def semAssignmentFromState(state: SemState, idCol: String): DataFrame =
+    state.rows.select(col("id").as(idCol), col("cluster_id"),
+      (col("cluster_id") === col("id")).as("is_rep"))
+
+  // ------------------------------------------------------------------
+  // k-center coreset selection (farthest-point sampling) — the
+  // coverage-guaranteed diversity selector: Gonzalez (1985,
+  // "Clustering to minimize the maximum intercluster distance")'s
+  // greedy is a 2-approximation of the optimal k-center cover, and
+  // Sener & Savarese (ICLR 2018, "Active Learning for CNNs: A
+  // Core-Set Approach") is exactly this selector over embedding
+  // space — pick the k documents that COVER the corpus, the
+  // complement of prototypePrune (which drops redundancy) and of
+  // clusterBalancedSample (which flattens density).
+  // ------------------------------------------------------------------
+
+  /** Sequential-fold squared L2 distance to a fixed center — the
+    * [[graft.functions.PqEncodeExpr]] arithmetic as a column, so a SQL
+    * twin replays it term-for-term. */
+  private def sqDistToLit(center: Seq[Double])(v: Column): Column =
+    aggregate(
+      zip_with(v, typedLit(center), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** The greedy farthest-point walk shared by [[kCenterSelect]] and
+    * [[kCenterAssign]]: (step, id, unit vector, raw min-distance at
+    * selection — NaN for the seed). Determinism: the seed is the first
+    * id in the md5("kc:"‖id) total order (the auditable-centers
+    * discipline); every later step maximizes the 6-dp-ROUNDED running
+    * min-distance with the id as tie-break (the q161 rank-on-rounded
+    * discipline), so both engines pick identical rows.
+    *
+    * Scale: k passes over the corpus. Each pass is one map-side
+    * `least(mind, d)` update plus a top-1 reduce (TakeOrderedAndProject
+    * — never a global sort), and the (id, v̂, mind) frame is
+    * re-materialized per step (localCheckpoint) so the plan stays flat
+    * instead of k-deep. The driver holds exactly k vectors
+    * ([[gateDriverRows]]). k corpus scans is the known price of EXACT
+    * greedy k-center; at 100 TB pre-thin the pool first
+    * ([[clusterBalancedSample]] or a cell pass) and run the walk on
+    * the thinned pool. */
+  private def kCenterRows(base: DataFrame, k: Int)
+      : Array[(Int, Long, Array[Double], Double)] = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    gateDriverRows(k, "kCenterSelect")
+    val seed = base
+      .orderBy(md5(concat(lit("kc:"), col("id").cast("string"))), col("id"))
+      .limit(1).select(col("id"), col("vhat"))
+      .as[(Long, Seq[Double])].collect()
+    require(seed.nonEmpty, "kCenterSelect: no non-zero vectors to select")
+    val picked = scala.collection.mutable.ArrayBuffer(
+      (0, seed(0)._1, seed(0)._2.toArray, Double.NaN))
+    var cur = base.select(col("id"), col("vhat"),
+        sqDistToLit(seed(0)._2)(col("vhat")).as("mind"))
+      .localCheckpoint()
+    var i = 1
+    while (i < k) {
+      val next = cur
+        .orderBy(round(col("mind"), 6).desc, col("id").asc)
+        .limit(1).select(col("id"), col("vhat"), col("mind"))
+        .as[(Long, Seq[Double], Double)].collect()(0)
+      picked += ((i, next._1, next._2.toArray, next._3))
+      if (i < k - 1) {
+        val prev = cur
+        cur = cur.select(col("id"), col("vhat"),
+            least(col("mind"), sqDistToLit(next._2)(col("vhat")))
+              .as("mind"))
+          .localCheckpoint()
+        prev.unpersist()
+      }
+      i += 1
+    }
+    picked.toArray
+  }
+
+  /** Greedy k-center selection over an embedding column: the k rows
+    * that maximize corpus coverage (every point is within the reported
+    * covering radius of some selected point — the farthest-point
+    * guarantee). Returns one row per selection step:
+    * (step, center_id, radius) where radius is the selected point's
+    * squared unit-sphere L2 distance to the already-selected set at
+    * selection time (rounded at 4; null for the step-0 seed) — a
+    * non-increasing sequence that IS the coverage curve (stop reading
+    * where it flattens). */
+  def kCenterSelect(df: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"kCenterSelect: k must be >= 1, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = kCenterRows(unitVectors(df, idCol, vecCol), k)
+    rows.map { case (s, id, _, r) =>
+        (s, id, if (r.isNaN) None else Some(r)) }.toSeq
+      .toDF("step", "center_id", "radius_raw")
+      .select(col("step"), col("center_id"),
+        round(col("radius_raw"), 4).as("radius"))
+      .orderBy("step")
+  }
+
+  /** The coreset partition: assign EVERY corpus vector to its nearest
+    * [[kCenterSelect]] center — the map-side application pass (k-row
+    * broadcast, argmin by the same sequential-fold distance with the
+    * lower step on ties). Returns (idCol, center_step, center_id, d)
+    * with d the squared distance rounded at 4. */
+  def kCenterAssign(df: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = unitVectors(df, idCol, vecCol)
+    val centers = kCenterRows(base, k)
+      .map { case (s, id, v, _) => (s, id, v.toSeq) }.toSeq
+      .toDF("center_step", "center_id", "cv")
+    val w = Window.partitionBy("id")
+      .orderBy(col("__d").asc, col("center_step").asc)
+    base.crossJoin(broadcast(centers))
+      .withColumn("__d", aggregate(
+        zip_with(col("vhat"), col("cv"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("id").as(idCol), col("center_step"), col("center_id"),
+        round(col("__d"), 4).as("d"))
+  }
+
   /** Audit twin of [[clusterBalancedSample]] over the md5-seeded
     * replayable quantizer: cells, √-temperature quotas
     * (largest-remainder apportionment), and the per-cell md5-order

@@ -419,6 +419,68 @@ object TextAnalysis {
         round(exp(coalesce(col("__avg"), lit(0.0))), 4).as("ppl"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data"): score every document with the corpus Kneser–Ney bigram LM
+    * ([[bigramScoreKN]]) and split EACH language into `nBuckets`
+    * equal-frequency perplexity tiers — bucket 1 = "head" (lowest
+    * perplexity, most fluent), bucket `nBuckets` = "tail" (highest,
+    * typically boilerplate/garbled), everything between = "middle".
+    * CCNet's production recipe keeps head+middle and drops or
+    * down-weights tail; [[pplBucketComposition]] is that application.
+    *
+    * Determinism: the tier split ranks on the ROUNDED ppl
+    * ([[bigramScoreKN]] rounds at 4) with the id as tie-break, so the
+    * partition is total-ordered and replays bit-identically
+    * cross-engine (the q161 rank-on-rounded discipline). Equal-
+    * frequency `ntile` stands in for CCNet's global ppl thresholds —
+    * on a static corpus the head/middle/tail partition is the same
+    * object, without shipping a threshold side-file.
+    *
+    * Scale: the LM statistics are [[bigramScoreKN]]'s one (w1,w2)
+    * count frame; the only new work is one window per language —
+    * parallel across languages. A language is a coarse partition
+    * (tens of values), so at 100 TB the per-language sort is the
+    * binding stage; CCNet itself shards this exact sort per language
+    * snapshot. Returns (idCol, langCol, ppl, bucket_idx, bucket).
+    */
+  def pplBuckets(df: DataFrame, idCol: String, textCol: String,
+      langCol: String, nBuckets: Int = 3): DataFrame = {
+    require(nBuckets >= 2 && nBuckets <= 1000,
+      s"pplBuckets: nBuckets must be in [2, 1000], got $nBuckets")
+    val scored = bigramScoreKN(df, idCol, textCol)
+      .select(col(idCol), col("ppl"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(langCol).orderBy(col("ppl").asc, col(idCol).asc)
+    df.select(col(idCol), col(langCol))
+      .join(scored, Seq(idCol))
+      .withColumn("bucket_idx", ntile(nBuckets).over(w))
+      .withColumn("bucket",
+        when(col("bucket_idx") === 1, "head")
+          .when(col("bucket_idx") === nBuckets, "tail")
+          .otherwise("middle"))
+  }
+
+  /** The CCNet application of [[pplBuckets]]: drop the tail tier and
+    * report the retained corpus composition per (language, source,
+    * bucket) — document and whitespace-token counts, the numbers a
+    * mixing stage ([[Mixing]]) consumes as its per-source budget
+    * frame. One extra hash aggregate over the bucketed frame; token
+    * counts reuse the one shared tokenization ([[nTokensCol]]).
+    * Returns (langCol, srcCol, bucket, n_docs, n_tokens).
+    */
+  def pplBucketComposition(df: DataFrame, idCol: String, textCol: String,
+      langCol: String, srcCol: String, nBuckets: Int = 3): DataFrame = {
+    val kept = pplBuckets(df, idCol, textCol, langCol, nBuckets)
+      .filter(col("bucket_idx") < nBuckets)
+      .select(col(idCol), col(langCol), col("bucket"))
+    df.select(col(idCol), col(srcCol),
+        nTokensCol(col(textCol)).as("__nt"))
+      .join(kept, Seq(idCol))
+      .groupBy(langCol, srcCol, "bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("__nt").as("n_tokens"))
+  }
+
   /** Top-k TF-IDF keywords per document — the per-doc summarization /
     * topic-indexing primitive (and the exact-arithmetic sibling of the
     * ML-side TF-IDF in [[graft.ml.ThemePipeline]], which feeds LDA).

@@ -542,6 +542,39 @@ object ScaleQueries {
       Similarity.semanticDedupAuditable(t(s, dir, "embeddings"), "vec_id",
         "embedding", minSim = 0.4, nLists = 16).orderBy("vec_id")),
 
+    // INCREMENTAL semantic dedup: build the state from the even half
+    // (frozen replayable quantizer, corpus-sized cell count), fold the
+    // odd half in WITHOUT re-reading old vectors' source data. Oracle:
+    // from-scratch over the UNION under the even-half's frozen centers
+    // — the q68 append-≡-rebuild anchor, embedding tier
+    "q175_semdedup_incremental" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val st = Similarity.semStateBuild(
+        emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+        minSim = 0.4, nLists = 16, targetPerCell = 625)
+      val grown = Similarity.semStateFold(st,
+        emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding",
+        minSim = 0.4)
+      Similarity.semAssignmentFromState(grown, "vec_id")
+        .orderBy("vec_id")
+    }),
+
+    // TAKEDOWN on semantic state: build over the full corpus,
+    // tombstone every 5th id, apply — the oracle is the from-scratch
+    // build over the REDUCED corpus under the full build's frozen
+    // centers, so the hash proves exact forgetting (cluster splits,
+    // min-label re-elections) touching only affected clusters
+    "q175b_semdedup_takedown" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val st = Similarity.semStateBuild(emb, "vec_id", "embedding",
+        minSim = 0.4, nLists = 16, targetPerCell = 625)
+      val applied = Similarity.semStateApplyTombstones(st,
+        emb.filter(col("vec_id") % 5 === 0).select("vec_id"),
+        minSim = 0.4)
+      Similarity.semAssignmentFromState(applied, "vec_id")
+        .orderBy("vec_id")
+    }),
+
     // heuristic language identification
     "q32_lang_id" -> ((s, dir) =>
       TextAnalysis.languageId(t(s, dir, "documents"), "doc_id", "text")
@@ -902,6 +935,23 @@ object ScaleQueries {
           .select(col("doc_id"),
             TextAnalysis.nTokensCol(col("text")).as("n_tokens")),
         "doc_id", "n_tokens", binTokens = 512L, nLists = 16)
+        .orderBy("vec_id")),
+
+    // greedy k-center coreset selection (Gonzalez 1985; Sener &
+    // Savarese 2018): md5-seeded start, 8 farthest-point steps ranked
+    // on the 6-dp-rounded running min-distance — the selection walk
+    // AND its coverage radii are oracle-replayed by an unrolled CTE
+    // chain (the closed-form-twin convention)
+    "q176_kcenter" -> ((s, dir) =>
+      Similarity.kCenterSelect(t(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 8)),
+
+    // the coreset partition: every vector assigned to its nearest of
+    // the 8 selected centers (broadcast argmin, lower step on ties) —
+    // the map-side application pass, fully oracle-replayed
+    "q176b_kcenter_assign" -> ((s, dir) =>
+      Similarity.kCenterAssign(t(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 8)
         .orderBy("vec_id")),
 
     // chat-template rendering with loss-mask spans: 4-turn
@@ -1394,6 +1444,24 @@ object ScaleQueries {
     "q149_kn_ppl" -> ((s, dir) =>
       TextAnalysis.bigramScoreKN(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
+
+    // CCNet perplexity tiers (Wenzek et al. 2020): q149's KN LM scores
+    // every document, ntile(3) per language on the (rounded ppl, id)
+    // total order splits head/middle/tail — the standard LM-quality
+    // partition of a crawled corpus. Oracle replays the q149 chain plus
+    // the identical window.
+    "q174_ppl_buckets" -> ((s, dir) =>
+      TextAnalysis.pplBuckets(t(s, dir, "documents"), "doc_id", "text",
+        "lang")
+        .orderBy("doc_id")),
+
+    // the CCNet application: drop the tail tier, report the retained
+    // composition per (lang, source, bucket) with whitespace-token
+    // sums — the budget frame a mixing stage consumes
+    "q174b_ccnet_composition" -> ((s, dir) =>
+      TextAnalysis.pplBucketComposition(t(s, dir, "documents"),
+        "doc_id", "text", "lang", "source")
+        .orderBy("lang", "source", "bucket")),
 
     // DSIR importance weights (Xie et al. 2023): hashed-unigram
     // bag-of-buckets LMs for a FIXED target panel (doc_id < 20, the
@@ -3269,6 +3337,139 @@ object ScaleQueries {
                           ORDER BY d ASC, cell ASC) AS rn
                  FROM dist) WHERE rn = 1)"""
 
+  /** Cell CTE for the semantic-STATE twins: centers seeded (and the
+    * auto cell count taken) from the `ctrPred` slice — the FROZEN
+    * quantizer of the state build — while assignment covers the
+    * `asgPred` slice. With ctrPred = even ids / asgPred = all, this is
+    * the from-scratch-under-frozen-centers build the q175 fold must
+    * equal; with ctrPred = all / asgPred = survivors, the q175b
+    * takedown anchor. */
+  private def semStateCteSql(nLists: Int, targetPerCell: Int,
+      ctrPred: String, asgPred: String): String =
+    s"""raw AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       nr AS (SELECT id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+              FROM raw),
+       base AS (SELECT id, list_transform(v, x -> x / nrm) AS vhat
+                FROM nr WHERE nrm > 0),
+       pool AS (SELECT id, vhat FROM base WHERE $ctrPred),
+       ncell AS (SELECT greatest($nLists,
+                   CAST(ceil(count(*)::DOUBLE / $targetPerCell)
+                     AS BIGINT)) AS n
+                 FROM pool),
+       ctr AS (SELECT cv, cell FROM (
+                 SELECT vhat AS cv,
+                        row_number() OVER (ORDER BY md5('c:' || CAST(id AS VARCHAR)), id) - 1 AS cell
+                 FROM pool), ncell
+               WHERE cell < ncell.n),
+       keep AS (SELECT id, vhat FROM base WHERE $asgPred),
+       dist AS (SELECT b.id, b.vhat, c.cell,
+                       list_sum(list_transform(range(1, 65),
+                         i -> (b.vhat[i] - c.cv[i]) * (b.vhat[i] - c.cv[i]))) AS d
+                FROM keep b CROSS JOIN ctr c),
+       asg AS (SELECT id, vhat, cell FROM (
+                 SELECT id, vhat, cell,
+                        row_number() OVER (PARTITION BY id
+                          ORDER BY d ASC, cell ASC) AS rn
+                 FROM dist) WHERE rn = 1)"""
+
+  /** Clustering tail shared by the semantic-state twins: within-cell
+    * cosine edges, recursive-CTE components, min-label assignment —
+    * q73c's tail over the [[semStateCteSql]] universe. */
+  private def semStateTailSql: String =
+    """pairs AS (SELECT a.id AS id_a, b.id AS id_b
+                   FROM asg a JOIN asg b
+                     ON a.cell = b.cell AND a.id < b.id
+                   WHERE list_sum(list_transform(range(1, 65),
+                           i -> a.vhat[i] * b.vhat[i])) >= 0.4),
+         edges AS (SELECT id_a src, id_b dst FROM pairs
+                   UNION SELECT id_b, id_a FROM pairs),
+         reach(id, lbl) AS (
+           SELECT src, src FROM edges
+           UNION
+           SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+         cc AS (SELECT id, min(lbl) AS lbl FROM reach GROUP BY id)
+       SELECT a.id AS vec_id,
+              CAST(coalesce(c.lbl, a.id) AS BIGINT) AS cluster_id,
+              (coalesce(c.lbl, a.id) = a.id) AS is_rep
+       FROM asg a LEFT JOIN cc c ON c.id = a.id
+       ORDER BY a.id"""
+
+  private val q175Sql: String =
+    s"""WITH RECURSIVE
+         ${semStateCteSql(16, 625, "id % 2 = 0", "TRUE")},
+         $semStateTailSql"""
+
+  private val q175bSql: String =
+    s"""WITH RECURSIVE
+         ${semStateCteSql(16, 625, "TRUE", "id % 5 <> 0")},
+         $semStateTailSql"""
+
+  /** Unrolled greedy k-center walk as a chained-CTE list (the
+    * closed-form-twin convention, like the q168/q170 tokenizer twins):
+    * c0 is the md5("kc:"‖id)-seeded start; each step i picks the
+    * argmax of the 6-dp-rounded running min-distance (id tie-break)
+    * from m(i-1) and m(i) folds the new center's sequential-fold
+    * squared distance in with `least`. Exactly
+    * [[graft.ops.Similarity.kCenterSelect]]'s loop, flattened. */
+  private def kCenterCteSql(k: Int): String = {
+    val dist = (p: String, c: String) =>
+      s"list_sum(list_transform(range(1, 65), " +
+        s"i -> ($p.vhat[i] - $c.vhat[i]) * ($p.vhat[i] - $c.vhat[i])))"
+    val sb = new StringBuilder(
+      s"""raw AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+                  FROM embeddings),
+       nr AS (SELECT id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+              FROM raw),
+       base AS (SELECT id, list_transform(v, x -> x / nrm) AS vhat
+                FROM nr WHERE nrm > 0),
+       c0 AS (SELECT id, vhat FROM base
+              ORDER BY md5('kc:' || CAST(id AS VARCHAR)), id LIMIT 1),
+       m0 AS (SELECT b.id, b.vhat, ${dist("b", "c")} AS mind
+              FROM base b CROSS JOIN c0 c)""")
+    for (s <- 1 until k) {
+      sb.append(s""",
+       c$s AS (SELECT id, vhat, mind FROM m${s - 1}
+               ORDER BY round(mind, 6) DESC, id LIMIT 1),
+       m$s AS (SELECT m.id, m.vhat,
+                      least(m.mind, ${dist("m", "c")}) AS mind
+               FROM m${s - 1} m CROSS JOIN c$s c)""")
+    }
+    sb.toString
+  }
+
+  private def kCenterSelectSql(k: Int): String = {
+    val steps = (1 until k).map(s =>
+      s"SELECT $s AS step, id AS center_id, round(mind, 4) AS radius FROM c$s")
+      .mkString("\n         UNION ALL ")
+    s"""WITH ${kCenterCteSql(k)}
+       SELECT CAST(step AS INT) AS step,
+              CAST(center_id AS BIGINT) AS center_id, radius
+       FROM (SELECT 0 AS step, id AS center_id,
+                    CAST(NULL AS DOUBLE) AS radius FROM c0
+         UNION ALL $steps)
+       ORDER BY step"""
+  }
+
+  private def kCenterAssignSql(k: Int): String = {
+    val ctrs = (s"SELECT 0 AS center_step, id AS center_id, vhat FROM c0" +:
+      (1 until k).map(s => s"SELECT $s, id, vhat FROM c$s"))
+      .mkString("\n         UNION ALL ")
+    s"""WITH ${kCenterCteSql(k)},
+         ctrs AS ($ctrs),
+         dist AS (SELECT b.id, c.center_step, c.center_id,
+                         list_sum(list_transform(range(1, 65),
+                           i -> (b.vhat[i] - c.vhat[i])
+                              * (b.vhat[i] - c.vhat[i]))) AS d
+                  FROM base b CROSS JOIN ctrs c),
+         pick AS (SELECT id, center_step, center_id, d,
+                         row_number() OVER (PARTITION BY id
+                           ORDER BY d ASC, center_step ASC) AS rn
+                  FROM dist)
+       SELECT id AS vec_id, CAST(center_step AS INT) AS center_step,
+              CAST(center_id AS BIGINT) AS center_id, round(d, 4) AS d
+       FROM pick WHERE rn = 1 ORDER BY vec_id"""
+  }
+
   private def cellCteSql(nLists: Int): String =
     s"""raw AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
        nr AS (SELECT id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
@@ -3502,6 +3703,62 @@ object ScaleQueries {
   /** Generated DuckDB twin of the q73c clustered semantic dedup: the
     * full cells→within-cell-pairs→connected-components pipeline over
     * the replayable quantizer (recursive-CTE closure like q73). */
+  /** The q149 Kneser–Ney per-doc scoring chain as a reusable CTE list
+    * (verbatim semantics — q149's own entry keeps its original inline
+    * string), ending in `sd(doc_id, lang, source, ppl)`. */
+  private val knPplCteSql: String =
+    """tk AS (SELECT doc_id,
+                 list_filter(string_split(coalesce(text, ''), ' '),
+                             t -> length(t) > 0) AS tk
+           FROM documents),
+           bg AS (SELECT doc_id,
+                         unnest(list_transform(range(1, len(tk)),
+                           i -> {'w1': tk[i], 'w2': tk[i + 1]})) AS b
+                  FROM tk WHERE len(tk) >= 2),
+           tf AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2,
+                         CAST(count(*) AS BIGINT) AS tf
+                  FROM bg GROUP BY doc_id, b.w1, b.w2),
+           cb AS (SELECT w1, w2, sum(tf) AS cb FROM tf GROUP BY w1, w2),
+           ctx AS (SELECT w1, sum(cb) AS ctx, count(*) AS n1f
+                   FROM cb GROUP BY w1),
+           cont AS (SELECT w2, count(*) AS n1b FROM cb GROUP BY w2),
+           tt AS (SELECT count(*) AS tt FROM cb),
+           sc AS (SELECT doc_id, sum(tf) AS n_bigrams,
+                         sum(tf * -ln(
+                           greatest(cb - 0.75, 0.0) / ctx +
+                           (0.75 * n1f / ctx) * (n1b * 1.0 / tt)))
+                           / sum(tf) AS a
+                  FROM tf JOIN cb USING (w1, w2) JOIN ctx USING (w1)
+                       JOIN cont USING (w2) CROSS JOIN tt
+                  GROUP BY doc_id),
+           sd AS (SELECT d.doc_id, d.lang, d.source,
+                         round(exp(coalesce(sc.a, 0)), 4) AS ppl
+                  FROM documents d LEFT JOIN sc USING (doc_id)),
+           bk AS (SELECT doc_id, lang, source, ppl,
+                         ntile(3) OVER (PARTITION BY lang
+                           ORDER BY ppl ASC, doc_id ASC) AS b
+                  FROM sd)"""
+
+  private val q174Sql: String =
+    s"""WITH $knPplCteSql
+       SELECT doc_id, lang, ppl, CAST(b AS INT) AS bucket_idx,
+              CASE WHEN b = 1 THEN 'head'
+                   WHEN b = 3 THEN 'tail'
+                   ELSE 'middle' END AS bucket
+       FROM bk ORDER BY doc_id"""
+
+  private val q174bSql: String =
+    s"""WITH $knPplCteSql,
+         nt AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS nt FROM tk)
+       SELECT k.lang, k.source,
+              CASE WHEN k.b = 1 THEN 'head' ELSE 'middle' END AS bucket,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n.nt) AS BIGINT) AS n_tokens
+       FROM bk k JOIN nt n USING (doc_id)
+       WHERE k.b < 3
+       GROUP BY 1, 2, 3
+       ORDER BY lang, source, bucket"""
+
   private val q73cSql: String =
     s"""WITH RECURSIVE
          ${cellCteSql(16)},
@@ -6436,6 +6693,12 @@ object ScaleQueries {
                 round(exp(coalesce(sc.a, 0)), 4) AS ppl
          FROM documents d LEFT JOIN sc USING (doc_id)
          ORDER BY d.doc_id""",
+    // CCNet tier twins: the q149 KN chain verbatim, then the identical
+    // ntile window on (rounded ppl asc, doc_id asc) per language; the
+    // composition twin drops bucket 3 and rolls up with the shared
+    // whitespace-token length
+    "q174_ppl_buckets" -> q174Sql,
+    "q174b_ccnet_composition" -> q174bSql,
     // DSIR twins: same md5 bucket hash ('0x' + 8 hex chars % 1024 =
     // conv base-16), same count frames, the IDENTICAL smoothed
     // log-ratio expression tree (never the folded constants), per-doc
@@ -6952,9 +7215,21 @@ object ScaleQueries {
     "q88b_ivfpq_oracle" -> q88bSql,
     "q73c_semantic_cells_oracle" -> q73cSql,
 
+    // semantic-state twins: from-scratch builds under the state's
+    // frozen quantizer — incremental fold and exact takedown must be
+    // hash-indistinguishable from rebuilding
+    "q175_semdedup_incremental" -> q175Sql,
+    "q175b_semdedup_takedown" -> q175bSql,
+
     "q161_proto_prune" -> q161Sql,
 
     "q162_icp_order" -> q162Sql,
+
+    // k-center twins: the greedy walk unrolled as chained CTEs —
+    // same seed order, same sequential-fold distances, same
+    // rank-on-rounded argmax, same tie-breaks
+    "q176_kcenter" -> kCenterSelectSql(8),
+    "q176b_kcenter_assign" -> kCenterAssignSql(8),
 
     "q163_chat_render" -> q163Sql,
 

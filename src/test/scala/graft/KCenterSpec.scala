@@ -1,0 +1,105 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Similarity
+
+/** Greedy k-center selection (Gonzalez farthest-point): the Spark walk
+  * must match an in-core reference that replays the exact disciplines —
+  * md5("kc:"‖id) seed order, sequential-fold squared distances,
+  * argmax on the 6-dp-rounded running min-distance with id tie-break —
+  * and the assignment pass must be the true argmin partition. */
+class KCenterSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  val dir = "/root/testdata/sf0.001"
+  def emb = graft.sources.Tables(spark, dir, "embeddings")
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def rnd(x: Double, p: Int): Double =
+    new java.math.BigDecimal(x)
+      .setScale(p, java.math.RoundingMode.HALF_UP).doubleValue
+
+  /** Sequential left-to-right fold — the PqEncodeExpr arithmetic. */
+  private def sqd(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val t = a(i) - b(i); s += t * t; i += 1 }
+    s
+  }
+
+  private def unitBase(): Array[(Long, Array[Double])] =
+    emb.select($"vec_id", $"embedding").as[(Long, Seq[Float])]
+      .collect()
+      .flatMap { case (id, v) =>
+        val d = v.map(_.toDouble).toArray
+        var s = 0.0; var i = 0
+        while (i < d.length) { s += d(i) * d(i); i += 1 }
+        val n = math.sqrt(s)
+        if (n > 0) Some((id, d.map(_ / n))) else None
+      }
+
+  /** The greedy reference: (step, id, vec, rawMindAtSelection). */
+  private def refWalk(k: Int): Vector[(Int, Long, Array[Double], Double)] = {
+    val base = unitBase()
+    val seed = base.minBy { case (id, _) => (md5hex("kc:" + id), id) }
+    var picked = Vector((0, seed._1, seed._2, Double.NaN))
+    var mind = base.map { case (id, v) => (id, v, sqd(v, seed._2)) }
+    for (i <- 1 until k) {
+      val next = mind.minBy { case (id, _, m) => (-rnd(m, 6), id) }
+      picked :+= ((i, next._1, next._2, next._3))
+      mind = mind.map { case (id, v, m) =>
+        (id, v, math.min(m, sqd(v, next._2))) }
+    }
+    picked
+  }
+
+  test("kCenterSelect matches the in-core greedy reference, k=6") {
+    val ref = refWalk(6)
+    val out = Similarity.kCenterSelect(emb, "vec_id", "embedding", k = 6)
+      .as[(Int, Long, Option[Double])].collect().toSeq
+    assert(out.map(t => (t._1, t._2)) === ref.map(t => (t._1, t._2)))
+    assert(out.head._3 === None)
+    assert(out.tail.map(_._3.get) === ref.tail.map(t => rnd(t._4, 4)))
+  }
+
+  test("radii are non-increasing and centers are distinct") {
+    val out = Similarity.kCenterSelect(emb, "vec_id", "embedding", k = 8)
+      .as[(Int, Long, Option[Double])].collect().toSeq
+    assert(out.map(_._2).distinct.size === 8)
+    val radii = out.flatMap(_._3)
+    assert(radii.zip(radii.tail).forall { case (a, b) => a >= b })
+    assert(radii.forall(r => r >= 0.0 && r <= 4.0001))
+  }
+
+  test("kCenterAssign is the argmin partition with lower-step ties") {
+    val k = 6
+    val ref = refWalk(k)
+    val expected = unitBase().map { case (id, v) =>
+      val best = ref.map { case (s, cid, cv, _) => (sqd(v, cv), s, cid) }
+        .minBy { case (d, s, _) => (d, s) }
+      id -> ((best._2, best._3, rnd(best._1, 4)))
+    }.toMap
+    val out = Similarity.kCenterAssign(emb, "vec_id", "embedding", k = k)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(out.length === expected.size)
+    for ((id, st, cid, d) <- out)
+      assert((st, cid, d) === expected(id), s"vec $id")
+  }
+
+  test("every selected center is assigned to itself at distance 0") {
+    val out = Similarity.kCenterAssign(emb, "vec_id", "embedding", k = 5)
+      .as[(Long, Int, Long, Double)].collect()
+      .map(t => t._1 -> t).toMap
+    val centers = Similarity.kCenterSelect(emb, "vec_id", "embedding",
+      k = 5).as[(Int, Long, Option[Double])].collect()
+    for ((step, cid, _) <- centers) {
+      val (_, st, c, d) = out(cid)
+      assert(st === step && c === cid && d === 0.0)
+    }
+  }
+}

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Similarity
+import graft.ops.Similarity.SemState
+
+/** Persisted semantic-dedup state (the embedding tier of the
+  * incremental-dedup matrix): folding new vectors into an existing
+  * state must be indistinguishable from a from-scratch build over the
+  * union UNDER THE STATE'S FROZEN QUANTIZER, and a takedown must be
+  * indistinguishable from a from-scratch build over the reduced corpus
+  * — the same contracts IncrementalDedupSpec pins for the MinHash
+  * signature state (q68/q144), expressed via `semStateBuild`'s
+  * `centerPool` hook (which is word-for-word what the q175/q175b
+  * DuckDB oracles replay).
+  */
+class SemStateSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  val dir = "/root/testdata/sf0.001"
+  def emb = graft.sources.Tables(spark, dir, "embeddings")
+
+  private def assignments(st: SemState): Seq[(Long, Long, Boolean)] =
+    Similarity.semAssignmentFromState(st, "vec_id")
+      .orderBy("vec_id").as[(Long, Long, Boolean)].collect().toSeq
+
+  test("two-batch fold ≡ from-scratch build under the frozen quantizer") {
+    val even = emb.filter($"vec_id" % 2 === 0)
+    val odd = emb.filter($"vec_id" % 2 === 1)
+    val folded = Similarity.semStateFold(
+      Similarity.semStateBuild(even, "vec_id", "embedding"),
+      odd, "vec_id", "embedding")
+    val rebuilt = Similarity.semStateBuild(emb, "vec_id", "embedding",
+      centerPool = even)
+    val r = assignments(rebuilt)
+    assert(assignments(folded) === r)
+    // non-vacuous: the equality must be exercised by real clusters
+    assert(r.count(a => !a._3) > 0)
+  }
+
+  test("three-batch fold chain ≡ one-shot rebuild under batch-0 centers") {
+    val b0 = emb.filter($"vec_id" % 3 === 0)
+    var st = Similarity.semStateBuild(b0, "vec_id", "embedding")
+    for (m <- Seq(1, 2)) {
+      // persisted-state stand-in per run (IncrementalDedupSpec pattern)
+      st = SemState(st.rows.localCheckpoint(), st.centers)
+      st = Similarity.semStateFold(st,
+        emb.filter($"vec_id" % 3 === m), "vec_id", "embedding")
+    }
+    val rebuilt = Similarity.semStateBuild(emb, "vec_id", "embedding",
+      centerPool = b0)
+    assert(assignments(st) === assignments(rebuilt))
+  }
+
+  test("takedown ≡ from-scratch on the reduced corpus, frozen centers") {
+    val st = Similarity.semStateBuild(emb, "vec_id", "embedding")
+    val applied = Similarity.semStateApplyTombstones(st,
+      emb.filter($"vec_id" % 5 === 0).select("vec_id"))
+    val rebuilt = Similarity.semStateBuild(
+      emb.filter($"vec_id" % 5 =!= 0), "vec_id", "embedding",
+      centerPool = emb)
+    assert(assignments(applied) === assignments(rebuilt))
+  }
+
+  test("fold then takedown of the folded batch restores the original") {
+    val even = emb.filter($"vec_id" % 2 === 0)
+    val odd = emb.filter($"vec_id" % 2 === 1)
+    val st0 = Similarity.semStateBuild(even, "vec_id", "embedding")
+    val grown = Similarity.semStateFold(st0, odd, "vec_id", "embedding")
+    val back = Similarity.semStateApplyTombstones(grown,
+      odd.select("vec_id"))
+    assert(assignments(back) === assignments(st0))
+  }
+
+  test("a folded vector merges two existing clusters (old-old merge)") {
+    // orthogonal unit vectors: cosine 0 < 0.4 → two singletons; the
+    // diagonal bridges both (cos ≈ 0.707 ≥ 0.4) and carries the
+    // smaller id, so the merged component re-elects its min label
+    val batch1 = Seq((10L, Array(1.0f, 0.0f)), (20L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val batch2 = Seq((5L, Array(0.7f, 0.7f))).toDF("vec_id", "embedding")
+    val st1 = Similarity.semStateBuild(batch1, "vec_id", "embedding",
+      nLists = 1)
+    assert(assignments(st1).map(_._2).distinct.size === 2)
+    val grown = Similarity.semStateFold(st1, batch2, "vec_id", "embedding")
+    val a = assignments(grown)
+    assert(a.map(_._2).toSet === Set(5L))
+    assert(a.filter(_._3).map(_._1) === Seq(5L))
+  }
+
+  test("zero-norm vectors are excluded from the state") {
+    val df = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val st = Similarity.semStateBuild(df, "vec_id", "embedding",
+      nLists = 1)
+    assert(assignments(st).map(_._1) === Seq(1L))
+  }
+}

@@ -428,4 +428,43 @@ class TextAnalysisSpec extends AnyFunSuite {
       .collect().map(_.getString(2)).toSeq
     assert(out === Seq("a", "b"))
   }
+
+  test("pplBuckets: per-language equal-frequency tiers cover every doc") {
+    val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001",
+      "documents")
+    val out = TextAnalysis.pplBuckets(docs, "doc_id", "text", "lang")
+      .select("doc_id", "lang", "ppl", "bucket_idx", "bucket")
+      .as[(Long, String, Double, Int, String)].collect().toSeq
+    assert(out.length === docs.count())
+    assert(out.map(_._1).distinct.length === out.length)
+    for ((_, g) <- out.groupBy(_._2)) {
+      val sizes = g.groupBy(_._4).view.mapValues(_.size).toMap
+      // ntile: per-language tier sizes differ by at most one
+      assert(sizes.keySet.subsetOf(Set(1, 2, 3)))
+      if (g.size >= 3) {
+        assert(sizes.values.max - sizes.values.min <= 1)
+        // tiers are ordered by perplexity (ties may straddle, so <=)
+        val byTier = g.groupBy(_._4).view
+          .mapValues(_.map(_._3)).toMap
+        assert(byTier(1).max <= byTier(2).min)
+        assert(byTier(2).max <= byTier(3).min)
+      }
+    }
+    // names follow the index
+    assert(out.forall(r => r._5 === (r._4 match {
+      case 1 => "head"; case 3 => "tail"; case _ => "middle" })))
+  }
+
+  test("pplBucketComposition: tail dropped, counts reconcile") {
+    val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001",
+      "documents")
+    val tiers = TextAnalysis.pplBuckets(docs, "doc_id", "text", "lang")
+    val comp = TextAnalysis.pplBucketComposition(docs, "doc_id", "text",
+      "lang", "source")
+      .as[(String, String, String, Long, Long)].collect().toSeq
+    assert(comp.forall(r => Set("head", "middle").contains(r._3)))
+    assert(comp.forall(r => r._4 > 0 && r._5 >= 0))
+    val keptDocs = tiers.filter(col("bucket_idx") < 3).count()
+    assert(comp.map(_._4).sum === keptDocs)
+  }
 }
