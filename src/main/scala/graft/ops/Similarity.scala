@@ -1079,6 +1079,74 @@ object Similarity {
     state.rows.select(col("id").as(idCol), col("cluster_id"),
       (col("cluster_id") === col("id")).as("is_rep"))
 
+  // ---- persistence (the S8 versioned layout the streaming fold uses) ----
+
+  /** Frozen-quantizer table for a persisted semantic state — a SIBLING
+    * of `stateBase` (the [[graft.ops.Dedup.sigStateTombstonePath]]
+    * placement rule: `runVersions` partition-discovers `stateBase`
+    * itself). Written once by the FIRST state write and never again:
+    * the quantizer is frozen by contract. */
+  def semStateCentersPath(stateBase: String): String =
+    stateBase.stripSuffix("/") + ".centers"
+
+  def semStateDialsPath(stateBase: String): String =
+    stateBase.stripSuffix("/") + ".dials"
+
+  /** Pin (or validate against) the state's dials manifest — the
+    * [[graft.ops.Dedup.sigStatePinDials]] discipline: cluster rows are
+    * only meaningful under the minSim they were built with, and cell
+    * ids only under the build's quantizer sizing. */
+  def semStatePinDials(spark: SparkSession, stateBase: String,
+      minSim: Double, nLists: Int, targetPerCell: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(semStateDialsPath(stateBase))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val want = s"minSim=$minSim;nLists=$nLists;targetPerCell=$targetPerCell"
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val have = try {
+        val src = scala.io.Source.fromInputStream(in, "UTF-8")
+        try src.mkString.trim finally src.close()
+      } finally in.close()
+      require(have == want,
+        s"semantic state $stateBase was built with dials ($have) but " +
+          s"this call passed ($want) — pass the state's own " +
+          "(minSim, nLists, targetPerCell)")
+    } else {
+      val out = fs.create(p, true)
+      try out.write(want.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+  }
+
+  /** Persist a state version: rows land under `run_ts=ver` (S8
+    * overwrite — replay-idempotent), centers once beside the base. */
+  def semStateSave(state: SemState, stateBase: String,
+      ver: String): Unit = {
+    val spark = state.rows.sparkSession
+    val cp = new org.apache.hadoop.fs.Path(semStateCentersPath(stateBase))
+    val fs = cp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(cp))
+      state.centers.write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(cp.toString)
+    state.rows.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"${stateBase.stripSuffix("/")}/run_ts=$ver")
+  }
+
+  /** Load one persisted state version (dials validated when the
+    * manifest exists — bare writes stay caller-disciplined). */
+  def semStateLoadVersion(spark: SparkSession, stateBase: String,
+      ver: String, minSim: Double = 0.4, nLists: Int = 16,
+      targetPerCell: Int = 0): SemState = {
+    val dp = new org.apache.hadoop.fs.Path(semStateDialsPath(stateBase))
+    val fs = dp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dp))
+      semStatePinDials(spark, stateBase, minSim, nLists, targetPerCell)
+    SemState(
+      spark.read.parquet(s"${stateBase.stripSuffix("/")}/run_ts=$ver"),
+      spark.read.parquet(semStateCentersPath(stateBase)))
+  }
+
   // ------------------------------------------------------------------
   // k-center coreset selection (farthest-point sampling) — the
   // coverage-guaranteed diversity selector: Gonzalez (1985,

@@ -210,6 +210,70 @@ object Streams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** INCREMENTAL semantic dedup as an AvailableNow stream — the
+    * embedding tier of [[dedupIncrementalAvailableNow]]: the FIRST
+    * micro-batch builds the state ([[graft.ops.Similarity.semStateBuild]]
+    * — md5-seeded frozen quantizer at the corpus-sized cell count,
+    * within-cell cosine clusters), every later batch folds in via
+    * [[graft.ops.Similarity.semStateFold]] without re-reading old
+    * vectors' source data. The quantizer is trained on batch 0 and
+    * FROZEN — the honest streaming contract (SemStateSpec pins fold ≡
+    * rebuild-under-frozen-centers; drift far from batch 0's geometry
+    * degrades cell balance, not correctness, and calls for a
+    * re-quantized rebuild like any IVF index).
+    *
+    * State: rows under `stateBase/run_ts=batch_NNNNNN` (S8 versioned,
+    * replay-idempotent overwrite; recovery reads the latest version
+    * strictly before the replayed batch id), centers + dials as
+    * sibling manifests. Read with [[semDedupFromState]]. */
+  def semDedupIncrementalAvailableNow(vectors: DataFrame, idCol: String,
+      vecCol: String, stateBase: String, checkpoint: String,
+      minSim: Double = 0.4, nLists: Int = 16, targetPerCell: Int = 625)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val spark = batch.sparkSession
+        val ver = f"batch_$id%06d"
+        graft.ops.Similarity.semStatePinDials(spark, stateBase,
+          minSim, nLists, targetPerCell)
+        // only versions strictly BEFORE this batch id count as existing
+        // corpus: a replay must not read its own partial output as state
+        val prior = scala.util.Try(
+            graft.sources.Sinks.runVersions(spark, stateBase))
+          .getOrElse(Seq.empty).filter(_ < ver)
+        val next = prior.sorted.lastOption match {
+          case None =>
+            graft.ops.Similarity.semStateBuild(batch.toDF(), idCol,
+              vecCol, minSim, nLists, targetPerCell)
+          case Some(p) =>
+            graft.ops.Similarity.semStateFold(
+              graft.ops.Similarity.semStateLoadVersion(spark, stateBase,
+                p, minSim, nLists, targetPerCell),
+              batch.toDF(), idCol, vecCol, minSim)
+        }
+        graft.ops.Similarity.semStateSave(next, stateBase, ver)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** The semantic-dedup assignment from the latest persisted streaming
+    * state — identical output contract to the batch
+    * [[graft.ops.Similarity.semAssignmentFromState]] (parity vs the
+    * q175 batch fold is spec-pinned). */
+  def semDedupFromState(spark: SparkSession, stateBase: String,
+      idCol: String, minSim: Double = 0.4, nLists: Int = 16,
+      targetPerCell: Int = 625): DataFrame = {
+    val versions = scala.util.Try(
+      graft.sources.Sinks.runVersions(spark, stateBase))
+      .getOrElse(Seq.empty)
+    require(versions.nonEmpty,
+      s"semDedupFromState: no state versions under $stateBase")
+    graft.ops.Similarity.semAssignmentFromState(
+      graft.ops.Similarity.semStateLoadVersion(spark, stateBase,
+        versions.max, minSim, nLists, targetPerCell), idCol)
+  }
+
   /** Streaming corpus INGEST — the full front door as one AvailableNow
     * pipeline, per micro-batch:
     *

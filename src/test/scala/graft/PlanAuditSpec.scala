@@ -263,6 +263,51 @@ class PlanAuditSpec extends AnyFunSuite {
       "fast path must not shuffle on values:\n" + fast.take(1500))
   }
 
+  test("q174 ppl tiers: one documents scan (the spine) after the tf " +
+      "checkpoint; the ntile window is partitioned by language") {
+    val df = graft.queries.ScaleQueries.queries("q174_ppl_buckets")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // two pruned spine scans are allowed ((doc_id) for the score join,
+    // (doc_id, lang) for the tier window); the corpus TEXT is read only
+    // by the checkpointed tf frame, so no remaining scan may include it
+    val scans = "documents\\.parquet".r.findAllIn(p).length
+    assert(scans <= 2, s"expected ≤2 pruned documents spine scans, " +
+      s"found $scans:\n" + p.take(2000))
+    val textScans = p.linesIterator.filter(_.contains("ReadSchema:"))
+      .count(l => l.contains("documents") && l.contains("text"))
+    assert(textScans === 0, s"the corpus text must come from the tf " +
+      s"checkpoint, not a re-scan:\n" + p.take(2000))
+    val globals = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(globals.isEmpty,
+      "the tier split must never plan a global window")
+  }
+
+  test("q175 semantic-state fold: within-cell and cross-batch pair " +
+      "stages are equi-joins, never cartesian") {
+    val p = graft.queries.ScaleQueries
+      .queries("q175_semdedup_incremental")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // both pair generators key on the frozen cell id; an all-pairs
+    // fallback here is batch × corpus — the exact shape the state
+    // exists to avoid
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("q176b k-center assignment: centers broadcast, corpus never " +
+      "shuffles for the argmin") {
+    val p = graft.queries.ScaleQueries
+      .queries("q176b_kcenter_assign")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      "the k-row center frame must broadcast:\n" + p.take(3000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(3000))
+  }
+
   test("the only unpartitioned windows in the bench set are the declared ones") {
     // closed world for the `WindowExec: No Partition Defined` warning:
     // q19 DECLARES globally-ordered frame semantics (its scale-safe

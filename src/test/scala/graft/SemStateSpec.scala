@@ -92,6 +92,37 @@ class SemStateSpec extends AnyFunSuite {
     assert(a.filter(_._3).map(_._1) === Seq(5L))
   }
 
+  test("streaming fold (AvailableNow) ≡ the q175 batch fold") {
+    val even = emb.filter($"vec_id" % 2 === 0)
+    val odd = emb.filter($"vec_id" % 2 === 1)
+    // batch expectation: build(even) then fold(odd) — the q175 shape
+    val expected = assignments(Similarity.semStateFold(
+      Similarity.semStateBuild(even, "vec_id", "embedding",
+        targetPerCell = 625),
+      odd, "vec_id", "embedding"))
+
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_semstate").toString
+    even.coalesce(1).write.parquet(s"$base/in/p0")
+    odd.coalesce(1).write.parquet(s"$base/in/p1")
+    val stream = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$base/in/p*")
+    val q = graft.streaming.Streams.semDedupIncrementalAvailableNow(
+      stream, "vec_id", "embedding", s"$base/state", s"$base/ckpt")
+    q.awaitTermination(300000)
+
+    val got = graft.streaming.Streams.semDedupFromState(spark,
+        s"$base/state", "vec_id")
+      .orderBy("vec_id").as[(Long, Long, Boolean)].collect().toSeq
+    assert(got === expected)
+    // dials manifest enforces the build's own knobs on later reads
+    intercept[IllegalArgumentException] {
+      graft.streaming.Streams.semDedupFromState(spark,
+        s"$base/state", "vec_id", minSim = 0.9)
+    }
+  }
+
   test("zero-norm vectors are excluded from the state") {
     val df = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 0.0f)))
       .toDF("vec_id", "embedding")
