@@ -1133,8 +1133,41 @@ object Similarity {
       .parquet(s"${stateBase.stripSuffix("/")}/run_ts=$ver")
   }
 
-  /** Load one persisted state version (dials validated when the
-    * manifest exists — bare writes stay caller-disciplined). */
+  /** Tombstone directory — a sibling of `stateBase`, the
+    * [[graft.ops.Dedup.sigStateTombstonePath]] placement rule. */
+  def semStateTombstonePath(stateBase: String): String =
+    stateBase.stripSuffix("/") + ".tombstones"
+
+  /** TAKEDOWN for a persisted semantic state: append `ids` as a
+    * tombstone batch; no stored row moves. Every read and every
+    * incremental fold applies tombstones ([[semStateLoadVersion]]), so
+    * a deleted vector is gone — exactly, cluster splits and min-label
+    * re-elections included — from the next read on, across ALL state
+    * versions. Deleted ids stay unavailable for re-ingest until a
+    * pruning [[semStateVacuum]] (the sig-state contract). */
+  def semStateDelete(spark: SparkSession, stateBase: String,
+      ids: DataFrame, idCol: String, ver: String): Unit = {
+    val dir = semStateTombstonePath(stateBase)
+    ids.select(col(idCol).cast("long").as("id")).distinct()
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dir/batch=$ver")
+    spark.catalog.refreshByPath(dir)
+  }
+
+  private[graft] def semStateTombstoneIds(spark: SparkSession,
+      stateBase: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(semStateTombstonePath(stateBase))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      Some(spark.read.parquet(p.toString).select("id").distinct())
+    else None
+  }
+
+  /** Load one persisted state version, TOMBSTONES APPLIED — what every
+    * reader and every incremental fold must consume (a deleted vector
+    * left in the fold's old side would forge cross-batch edges through
+    * a vertex that no longer exists). Dials validated when the
+    * manifest exists — bare writes stay caller-disciplined. */
   def semStateLoadVersion(spark: SparkSession, stateBase: String,
       ver: String, minSim: Double = 0.4, nLists: Int = 16,
       targetPerCell: Int = 0): SemState = {
@@ -1142,10 +1175,40 @@ object Similarity {
     val fs = dp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(dp))
       semStatePinDials(spark, stateBase, minSim, nLists, targetPerCell)
-    SemState(
+    val raw = SemState(
       spark.read.parquet(s"${stateBase.stripSuffix("/")}/run_ts=$ver"),
       spark.read.parquet(semStateCentersPath(stateBase)))
+    semStateTombstoneIds(spark, stateBase) match {
+      case Some(ts) => semStateApplyTombstones(raw, ts, minSim)
+      case None => raw
+    }
   }
+
+  /** The LATEST persisted state, tombstones applied. */
+  def semStateLoad(spark: SparkSession, stateBase: String,
+      minSim: Double = 0.4, nLists: Int = 16,
+      targetPerCell: Int = 0): SemState = {
+    val versions = graft.sources.Sinks.runVersions(spark, stateBase)
+    require(versions.nonEmpty, s"no semantic state under $stateBase")
+    semStateLoadVersion(spark, stateBase, versions.max, minSim, nLists,
+      targetPerCell)
+  }
+
+  /** Physical reclamation of tombstoned semantic-state rows — the
+    * [[graft.ops.Dedup.sigStateVacuum]] contract via the ONE shared
+    * crash-ordering-safe sequence ([[Dedup.vacuumVersionedState]]):
+    * materialize the applied latest rows as `<latest>_vacuum`, prune
+    * pre-vacuum versions (they still contain the forgotten vectors),
+    * drop the tombstone dir. The centers table is untouched: the
+    * frozen quantizer is model geometry, not content (the
+    * FAISS-centroid convention — see the section note). */
+  def semStateVacuum(spark: SparkSession, stateBase: String,
+      minSim: Double = 0.4, nLists: Int = 16, targetPerCell: Int = 0,
+      pruneHistory: Boolean = true): DataFrame =
+    Dedup.vacuumVersionedState(spark, stateBase, pruneHistory) { latest =>
+      semStateLoadVersion(spark, stateBase, latest, minSim, nLists,
+        targetPerCell).rows
+    }
 
   // ------------------------------------------------------------------
   // k-center coreset selection (farthest-point sampling) — the

@@ -123,6 +123,37 @@ class SemStateSpec extends AnyFunSuite {
     }
   }
 
+  test("persisted takedown lifecycle: delete applies at every read, " +
+      "vacuum reclaims rows and drops tombstones") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_semtakedown").toString
+    val stateBase = s"$base/state"
+    val st = Similarity.semStateBuild(emb, "vec_id", "embedding",
+      targetPerCell = 625)
+    Similarity.semStateSave(st, stateBase, "batch_000000")
+    val ts = emb.filter($"vec_id" % 5 === 0).select("vec_id")
+    Similarity.semStateDelete(spark, stateBase, ts, "vec_id", "t0")
+    val expected = assignments(Similarity.semStateApplyTombstones(st, ts))
+    // read-time application (no stored row moved yet)
+    val loaded = Similarity.semStateLoad(spark, stateBase,
+      targetPerCell = 625)
+    assert(assignments(loaded) === expected)
+    // vacuum: applied rows materialized, history pruned, tombstones gone
+    val rows = Similarity.semStateVacuum(spark, stateBase,
+      targetPerCell = 625)
+    assert(rows.count().toInt === expected.size)
+    val tp = new org.apache.hadoop.fs.Path(
+      Similarity.semStateTombstonePath(stateBase))
+    val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(tp))
+    val after = Similarity.semStateLoad(spark, stateBase,
+      targetPerCell = 625)
+    assert(assignments(after) === expected)
+    // the frozen quantizer survives the vacuum (model geometry)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      Similarity.semStateCentersPath(stateBase))))
+  }
+
   test("zero-norm vectors are excluded from the state") {
     val df = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 0.0f)))
       .toDF("vec_id", "embedding")
