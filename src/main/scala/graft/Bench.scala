@@ -242,7 +242,11 @@ object Bench {
     "q175b_semdedup_takedown",
     // greedy k-center coreset walk + its argmin partition pass
     "q176_kcenter",
-    "q176b_kcenter_assign")
+    "q176b_kcenter_assign",
+    // distinct-n corpus diversity report (one tokenization, 3 explodes)
+    "q177_distinct_ngrams",
+    // rejection-sampling SFT selection (best-of-N + cross-prompt dedup)
+    "q178_rft_select")
 
   /** Queries whose r6→r7 numbers moved 2–6× with no code change — the
     * self-join/ANN family is short (<3 s warm) so a single co-tenant

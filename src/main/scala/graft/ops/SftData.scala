@@ -402,6 +402,40 @@ object SftData {
         round(col("cs") - col("rs"), 4).as("margin"))
   }
 
+  /** Rejection-sampling selection (the RFT/RAFT/best-of-N SFT shape —
+    * Yuan et al. 2023 "Scaling Relationship on Learning Mathematical
+    * Reasoning", Dong et al. 2023 "RAFT", and the Llama-2 SFT recipe):
+    * each prompt group carries N candidate generations with a reward
+    * score; keep the top `keepK` per group (ties to the lower id) that
+    * clear `minScore`, then flag exact duplicate response bodies
+    * ACROSS groups (md5 of the text, keep-first by (group, id)) — N
+    * samples per prompt in, a deduplicated high-reward SFT slice out.
+    * Null-scored rows are excluded up front (the [[preferencePairs]]
+    * null contract). Returns (group, rank, idCol, score, kept) where
+    * `kept` is false only for a cross-group duplicate body that lost
+    * keep-first.
+    *
+    * Scale: one window shuffle on the group key, one on the response
+    * hash — both keyed, never global; the reward column arrives
+    * precomputed (a learned RM score or a closed-form proxy), so this
+    * operator never touches model state. */
+  def rejectionSample(df: DataFrame, groupCol: String, idCol: String,
+      textCol: String, scoreCol: String, keepK: Int,
+      minScore: Double): DataFrame = {
+    require(keepK >= 1, s"rejectionSample: keepK must be >= 1, got $keepK")
+    val w = Window.partitionBy(groupCol)
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    val dw = Window.partitionBy("__h")
+      .orderBy(col(groupCol).asc, col(idCol).asc)
+    df.filter(col(scoreCol).isNotNull)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= keepK && col(scoreCol) >= minScore)
+      .withColumn("__h", md5(coalesce(col(textCol), lit(""))))
+      .withColumn("kept", row_number().over(dw) === 1)
+      .select(col(groupCol).as("group"), col("rank"), col(idCol),
+        col(scoreCol).as("score"), col("kept"))
+  }
+
   /** Fill-in-the-middle transform (Bavarian et al. 2022, "Efficient
     * Training of Language Models to Fill in the Middle"): a
     * deterministic `fimRate` fraction of documents is rewritten in PSM

@@ -481,6 +481,49 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"), sum("__nt").as("n_tokens"))
   }
 
+  /** Corpus diversity by distinct-n (Li et al. 2016, "A
+    * Diversity-Promoting Objective Function for Neural Conversation
+    * Models" — the standard distinct-1/2/3 report, here at corpus
+    * grain): per group (source, snapshot, model run, …) and per n in
+    * 1..maxN, the total n-gram count, the distinct n-gram count, and
+    * their ratio — low distinct-2/3 is the canonical fingerprint of
+    * templated or degenerate text, the aggregate complement of the
+    * per-document repetition gates ([[repetitionFeatures]]).
+    *
+    * Scale: the tokenization is materialized ONCE (localCheckpoint —
+    * one explode per n reads it from cached blocks, the q149 tf
+    * discipline); each n costs one explode + a (group, n) aggregate
+    * with an exact count-distinct (one extra shuffle — the metric IS
+    * the exact distinct count; the sketch escape at 100 TB is
+    * `approx_count_distinct`, the q96b HLL form, at the cost of the
+    * oracle anchor). Returns (groupCol, n, total_ngrams,
+    * distinct_ngrams, distinct_ratio); (group, n) slices with zero
+    * n-grams produce no row in either engine.
+    */
+  def distinctNgrams(df: DataFrame, textCol: String, groupCol: String,
+      maxN: Int = 3): DataFrame = {
+    require(maxN >= 1 && maxN <= 8,
+      s"distinctNgrams: maxN must be in [1, 8], got $maxN")
+    val tk = df.select(col(groupCol),
+        TextOps.wsTokens(col(textCol)).as("__tk"))
+      .localCheckpoint()
+    val perN = (1 to maxN).map { n =>
+      tk.select(col(groupCol), explode(
+          when(size(col("__tk")) >= n,
+            transform(sequence(lit(1), size(col("__tk")) - n + 1),
+              i => concat_ws(" ", slice(col("__tk"), i, lit(n)))))
+            .otherwise(array().cast("array<string>"))).as("gram"))
+        .withColumn("n", lit(n))
+    }
+    perN.reduce(_ unionByName _)
+      .groupBy(groupCol, "n")
+      .agg(count(lit(1)).as("total_ngrams"),
+        countDistinct("gram").as("distinct_ngrams"))
+      .withColumn("distinct_ratio",
+        round(col("distinct_ngrams").cast("double")
+          / col("total_ngrams"), 4))
+  }
+
   /** Top-k TF-IDF keywords per document — the per-doc summarization /
     * topic-indexing primitive (and the exact-arithmetic sibling of the
     * ML-side TF-IDF in [[graft.ml.ThemePipeline]], which feeds LDA).

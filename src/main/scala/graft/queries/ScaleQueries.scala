@@ -1110,6 +1110,30 @@ object ScaleQueries {
       SftData.fimTransform(t(s, dir, "documents"), "doc_id", "text",
         fimRate = 0.5, minChars = 9).orderBy("doc_id")),
 
+    // corpus diversity by distinct-n (Li et al. 2016): per (source, n)
+    // total vs distinct n-gram counts and their ratio — the aggregate
+    // templated-text fingerprint; one tokenization, one explode per n
+    "q177_distinct_ngrams" -> ((s, dir) =>
+      TextAnalysis.distinctNgrams(t(s, dir, "documents"), "text",
+        "source", maxN = 3)
+        .orderBy("source", "n")),
+
+    // rejection-sampling selection (RFT/best-of-N): structural prompt
+    // groups of 8 candidates, type-token-ratio reward (the q164 score),
+    // top-2 per prompt over a 0.3 floor, exact duplicate bodies across
+    // prompts keep-first flagged — fully oracle-replayed
+    "q178_rft_select" -> ((s, dir) => {
+      val tk = TextOps.wsTokens(col("text"))
+      val scored = t(s, dir, "documents").select(col("doc_id"),
+        floor(col("doc_id") / 8).cast("long").as("prompt"),
+        col("text"),
+        round(size(array_distinct(tk)).cast("double")
+          / greatest(size(tk), lit(1)), 4).as("score"))
+      SftData.rejectionSample(scored, "prompt", "doc_id", "text",
+        "score", keepK = 2, minScore = 0.3)
+        .orderBy("group", "rank")
+    }),
+
     // Morton/z-order layout: the interleave arithmetic oracle-checked
     // cross-engine (bits=10 over partkey/suppkey buckets); the layout
     // operator itself (sampled range-exchange on z + within-partition
@@ -4324,6 +4348,53 @@ object ScaleQueries {
        WHERE c.rb <= c.n // 2 AND (c.score - j.score) >= 0.05::DOUBLE
        ORDER BY "group", pair_idx"""
 
+  /** Distinct-n twin: one tokenization CTE, n-grams via list slicing
+    * for n ∈ 1..3, exact distinct counts per (source, n). */
+  private val q177Sql: String =
+    """WITH tk AS (SELECT source,
+                     list_filter(string_split(coalesce(text, ''), ' '),
+                       t -> length(t) > 0) AS tk
+                   FROM documents),
+         grams AS (SELECT source, n,
+                          unnest(list_transform(range(1, len(tk) - n + 2),
+                            i -> array_to_string(tk[i:i+n-1], ' '))) AS gram
+                   FROM tk CROSS JOIN (SELECT unnest([1, 2, 3]) AS n) ns
+                   WHERE len(tk) >= n)
+       SELECT source, CAST(n AS INT) AS n,
+              CAST(count(*) AS BIGINT) AS total_ngrams,
+              CAST(count(DISTINCT gram) AS BIGINT) AS distinct_ngrams,
+              round(count(DISTINCT gram)::DOUBLE / count(*), 4)
+                AS distinct_ratio
+       FROM grams GROUP BY 1, 2 ORDER BY source, n"""
+
+  /** Rejection-sampling twin: the q164 score expression, per-prompt
+    * rank with id tie-break, the keepK/minScore gate, and the
+    * cross-prompt keep-first duplicate flag on md5(text). */
+  private val q178Sql: String =
+    """WITH tk AS (SELECT doc_id,
+                     CAST(floor(doc_id / 8) AS BIGINT) AS prompt,
+                     coalesce(text, '') AS txt,
+                     list_filter(string_split(coalesce(text, ''), ' '),
+                       t -> length(t) > 0) AS tok
+                   FROM documents),
+         d AS (SELECT doc_id, prompt, txt,
+                      round(len(list_distinct(tok))::DOUBLE
+                        / greatest(len(tok), 1), 4) AS score
+               FROM tk),
+         r AS (SELECT doc_id, prompt, txt, score,
+                      row_number() OVER (PARTITION BY prompt
+                        ORDER BY score DESC, doc_id ASC) AS rank
+               FROM d),
+         k AS (SELECT doc_id, prompt, score, rank, md5(txt) AS h
+               FROM r WHERE rank <= 2 AND score >= 0.3::DOUBLE),
+         fin AS (SELECT prompt, rank, doc_id, score,
+                        row_number() OVER (PARTITION BY h
+                          ORDER BY prompt ASC, doc_id ASC) = 1 AS kept
+                 FROM k)
+       SELECT prompt AS "group", CAST(rank AS INT) AS rank, doc_id,
+              score, kept
+       FROM fin ORDER BY "group", rank"""
+
   /** DuckDB twin of the q165 FIM transform: md5-coin rate gate and
     * split points, codepoint-based segment slicing, PSM reassembly. */
   private val q165Sql: String =
@@ -7249,6 +7320,8 @@ object ScaleQueries {
     "q164_preference_pairs" -> q164Sql,
 
     "q165_fim_transform" -> q165Sql,
+    "q177_distinct_ngrams" -> q177Sql,
+    "q178_rft_select" -> q178Sql,
     "q76b_cluster_sample_oracle" -> q76bSql,
     // frequency-weighted substring counts (unigram tokenizer seed
     // statistic): every substring of length 1..8 of every corpus word,

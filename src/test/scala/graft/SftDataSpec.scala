@@ -363,4 +363,25 @@ class SftDataSpec extends AnyFunSuite {
     assert(SftData.fimTransform(docs, "doc_id", "text", 1.0, 9)
       .filter(col("mode") === "plain").count() === 10)
   }
+
+  test("rejectionSample: top-k per prompt over the floor, cross-prompt " +
+      "duplicate bodies keep-first") {
+    val df = Seq(
+      (1L, 0L, "good answer", 0.9),
+      (2L, 0L, "dup body", 0.8),
+      (3L, 0L, "also fine", 0.7),  // rank 3 → cut by keepK = 2
+      (4L, 1L, "dup body", 0.95),  // duplicate of doc 2's body
+      (5L, 1L, "below floor", 0.1), // score < 0.3 → gated
+      (6L, 2L, null.asInstanceOf[String], 0.5)) // null body hashes as ""
+      .toDF("doc_id", "prompt", "text", "score")
+    val out = SftData.rejectionSample(df, "prompt", "doc_id", "text",
+      "score", keepK = 2, minScore = 0.3)
+      .orderBy("group", "rank")
+      .as[(Long, Int, Long, Double, Boolean)].collect().toSeq
+    assert(out === Seq(
+      (0L, 1, 1L, 0.9, true),
+      (0L, 2, 2L, 0.8, true),   // keep-first: the (group, id)-lowest copy
+      (1L, 1, 4L, 0.95, false), // loses keep-first to doc 2
+      (2L, 1, 6L, 0.5, true)))
+  }
 }

@@ -429,6 +429,22 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out === Seq("a", "b"))
   }
 
+  test("distinctNgrams: exact counts and ratios on hand-built docs") {
+    val df = Seq(
+      (1L, "a", "a a a"), // uni: a×3; bi: "a a"×2; tri: "a a a"×1
+      (2L, "a", "a b"),   // uni: a, b; bi: "a b"
+      (3L, "b", "x"))     // uni only — no bi/tri row for source b
+      .toDF("doc_id", "source", "text")
+    val out = graft.ops.TextAnalysis.distinctNgrams(df, "text", "source")
+      .orderBy("source", "n")
+      .as[(String, Int, Long, Long, Double)].collect().toSeq
+    assert(out === Seq(
+      ("a", 1, 5L, 2L, 0.4),
+      ("a", 2, 3L, 2L, 0.6667),
+      ("a", 3, 1L, 1L, 1.0),
+      ("b", 1, 1L, 1L, 1.0)))
+  }
+
   test("pplBuckets: per-language equal-frequency tiers cover every doc") {
     val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001",
       "documents")
