@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Dev probe: stage-level timing decomposition of
+  * q174b_ccnet_composition (arg 1 = sfDir). Not part of the driver
+  * contract. */
+object Q174Probe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/tmp/sf1")
+    val spark = GraftSession.local(
+      math.min(32, Runtime.getRuntime.availableProcessors()))
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    val docs = graft.sources.Tables(spark, sfDir, "documents")
+
+    def t[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[q174probe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
+    val scored = t("bigramScoreKN construct (tf checkpoint)") {
+      graft.ops.TextAnalysis.bigramScoreKN(docs, "doc_id", "text")
+    }
+    t("scored.count")(scored.count())
+    val tiers = t("pplBuckets construct") {
+      graft.ops.TextAnalysis.pplBuckets(docs, "doc_id", "text", "lang")
+    }
+    t("pplBuckets.count")(tiers.count())
+    val kept = tiers.filter(col("bucket_idx") < 3)
+      .select(col("doc_id"), col("lang"), col("bucket"))
+    t("kept.count")(kept.count())
+    val nt = docs.select(col("doc_id"), col("source"),
+      graft.ops.TextAnalysis.nTokensCol(col("text")).as("__nt"))
+    t("nt.count")(nt.count())
+    t("join.count")(nt.join(kept, Seq("doc_id")).count())
+    t("composition.count") {
+      graft.ops.TextAnalysis.pplBucketComposition(docs, "doc_id",
+        "text", "lang", "source").count()
+    }
+    t("composition.count again") {
+      graft.ops.TextAnalysis.pplBucketComposition(docs, "doc_id",
+        "text", "lang", "source").count()
+    }
+    spark.stop()
+  }
+}

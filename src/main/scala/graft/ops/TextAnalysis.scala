@@ -400,14 +400,20 @@ object TextAnalysis {
     val cont = cb.groupBy("w2").agg(count(lit(1)).as("__n1b"))
     val tt = cb.agg(count(lit(1)).as("__tt"))
     val d = lit(discount)
-    val scored = tf.join(cb, Seq("w1", "w2"))
-      .join(ctx, Seq("w1")).join(cont, Seq("w2"))
+    // the per-TYPE smoothed term is computed at (w1, w2) grain first —
+    // the ctx/cont/tt joins touch only the type frame (≪ corpus
+    // bigrams), and the corpus-grain tf frame is shuffled ONCE (the
+    // type join) instead of three times; tf · (−ln …) is the identical
+    // expression tree either way, so the oracle hash is unmoved
+    val typeScore = cb.join(ctx, Seq("w1")).join(cont, Seq("w2"))
       .crossJoin(broadcast(tt))
-      .select(col(idCol), col("tf"),
-        (col("tf") * -log(
+      .select(col("w1"), col("w2"),
+        (-log(
           greatest(col("__cb") - d, lit(0.0)) / col("__ctx") +
           (d * col("__n1f") / col("__ctx")) *
-            (col("__n1b").cast("double") / col("__tt")))).as("__nll"))
+            (col("__n1b").cast("double") / col("__tt")))).as("__t"))
+    val scored = tf.join(typeScore, Seq("w1", "w2"))
+      .select(col(idCol), col("tf"), (col("tf") * col("__t")).as("__nll"))
       .groupBy(idCol).agg(
         sum("tf").as("n_bigrams"),
         (sum("__nll") / sum("tf")).as("__avg"))
