@@ -245,6 +245,10 @@ object Bench {
     "q176b_kcenter_assign",
     // distinct-n corpus diversity report (one tokenization, 3 explodes)
     "q177_distinct_ngrams",
+    // its HLL fast path (fixed sketch state; exact anchors audited)
+    "q177b_distinct_ngrams_hll",
+    // pre-thinned k-center (pool-bounded walk, the large-k path)
+    "q176c_kcenter_approx",
     // rejection-sampling SFT selection (best-of-N + cross-prompt dedup)
     "q178_rft_select")
 

@@ -144,6 +144,16 @@ object CorpusPipeline {
       // short to score (< 2 tokens, avg_nll 0) pass through for the
       // length gates to judge. 0 = off
       maxAvgNll: Double = 0.0,
+      // >= 2: CCNet-style RELATIVE perplexity gate (Wenzek et al.
+      // 2020) — split each LANGUAGE into this many equal-frequency
+      // KN-perplexity tiers ([[TextAnalysis.pplBuckets]]) and drop
+      // the top (worst) tier. The per-language relative cut is
+      // CCNet's actual recipe: an absolute maxAvgNll threshold
+      // over-prunes whichever language the shared LM fits worst,
+      // while the tier cut drops each language's own worst slice.
+      // Composes with maxAvgNll (absolute floor first if both set).
+      // 0 = off
+      pplTiers: Int = 0,
       // non-empty: token-lexicon gate over the obfuscation-FOLDED text
       // ([[TextAnalysis.lexiconHitsCol]], the C4 badwords discipline):
       // any hit drops the document. Folding (lower + leet
@@ -314,6 +324,18 @@ object CorpusPipeline {
     docs.join(
       TextAnalysis.bigramScoreKN(docs, "doc_id", "text")
         .filter(col("avg_nll") <= cfg.maxAvgNll)
+        .select("doc_id"),
+      Seq("doc_id"), "left_semi")
+
+  /** Optional CCNet-style RELATIVE perplexity gate (see
+    * `Config.pplTiers`): keep every tier but the per-language worst.
+    * Same cost class as [[pplStage]] plus one per-language window —
+    * parallel across languages, never global. */
+  private[graft] def pplTierStage(docs: DataFrame, cfg: Config): DataFrame =
+    docs.join(
+      TextAnalysis.pplBuckets(docs, "doc_id", "text", "lang",
+          cfg.pplTiers)
+        .filter(col("bucket_idx") < cfg.pplTiers)
         .select("doc_id"),
       Seq("doc_id"), "left_semi")
 
@@ -547,10 +569,14 @@ object CorpusPipeline {
         persistCorpus(classifierStage(gated, qualityModel.get, cfg),
           "classifier")
       else gated
-    val ppled =
+    val ppled0 =
       if (cfg.maxAvgNll > 0)
         persistCorpus(pplStage(classified, cfg), "ppl")
       else classified
+    val ppled =
+      if (cfg.pplTiers >= 2)
+        persistCorpus(pplTierStage(ppled0, cfg), "ppltier")
+      else ppled0
     val outliered =
       if (cfg.outlierZ > 0)
         persistCorpus(outlierStage(ppled, cfg), "outlier")
@@ -731,10 +757,14 @@ object CorpusPipeline {
         stage("01q_classifier")(
           classifierStage(gated, qualityModel.get, cfg))
       else (gated, nGated)
-    val (ppled, nPpl) =
+    val (ppled0, nPpl0) =
       if (cfg.maxAvgNll > 0)
         stage("01p_ppl")(pplStage(classified, cfg))
       else (classified, nClassifier)
+    val (ppled, nPpl) =
+      if (cfg.pplTiers >= 2)
+        stage("01t_ppltier")(pplTierStage(ppled0, cfg))
+      else (ppled0, nPpl0)
     val (outliered, nOutliers) =
       if (cfg.outlierZ > 0)
         stage("01a_outlier")(outlierStage(ppled, cfg))

@@ -1210,6 +1210,36 @@ object Similarity {
         targetPerCell).rows
     }
 
+  /** Scheduled RE-QUANTIZATION of a persisted semantic state — the
+    * IVF re-train convention for a stream that drifted far from the
+    * batch-0 geometry: rebuild from the CURRENT tombstone-applied rows
+    * under FRESH md5-seeded centers (pool = the surviving corpus) into
+    * `newStateBase`. Blue/green by design: the old state stays intact
+    * and readable until the caller switches over, so a crash anywhere
+    * leaves no version/centers mismatch (centers are per-base and
+    * written once — an in-place swap could orphan old row versions
+    * under new geometry). The rebuild consumes the state's stored unit
+    * vectors; re-normalizing a unit vector is the identity up to one
+    * ulp, and the spec pins requantized ≡ a fresh
+    * [[semStateBuild]] over those rows. Clusters can MOVE (that is the
+    * point — fresh cells re-capture drifted density); minSim semantics
+    * are unchanged. */
+  def semStateRequantize(spark: SparkSession, stateBase: String,
+      newStateBase: String, minSim: Double = 0.4, nLists: Int = 16,
+      targetPerCell: Int = 0): SemState = {
+    require(newStateBase.stripSuffix("/") != stateBase.stripSuffix("/"),
+      "semStateRequantize is blue/green: newStateBase must differ " +
+        "from stateBase (in-place swap would orphan old row versions " +
+        "under new centers)")
+    val cur = semStateLoad(spark, stateBase, minSim, nLists,
+      targetPerCell)
+    val rebuilt = semStateBuild(cur.rows.select(col("id"), col("vhat")),
+      "id", "vhat", minSim, nLists, targetPerCell)
+    semStatePinDials(spark, newStateBase, minSim, nLists, targetPerCell)
+    semStateSave(rebuilt, newStateBase, "batch_000000")
+    rebuilt
+  }
+
   // ------------------------------------------------------------------
   // k-center coreset selection (farthest-point sampling) — the
   // coverage-guaranteed diversity selector: Gonzalez (1985,
@@ -1297,6 +1327,39 @@ object Similarity {
     val spark = df.sparkSession
     import spark.implicits._
     val rows = kCenterRows(unitVectors(df, idCol, vecCol), k)
+    rows.map { case (s, id, _, r) =>
+        (s, id, if (r.isNaN) None else Some(r)) }.toSeq
+      .toDF("step", "center_id", "radius_raw")
+      .select(col("step"), col("center_id"),
+        round(col("radius_raw"), 4).as("radius"))
+      .orderBy("step")
+  }
+
+  /** Pre-thinned greedy k-center for LARGE k — the scale path when the
+    * exact walk's k corpus passes are too many: the walk runs on a
+    * `poolTarget`-row cluster-balanced pool
+    * ([[clusterBalancedSampleAuditable]] — deterministic, md5-order
+    * within cells, density-flattened so sparse regions keep
+    * candidates), and only the pool pays the per-step pass. The
+    * farthest-point guarantee degrades gracefully: every selected
+    * center is a real corpus row, and coverage is measured against the
+    * pool (spec pins selection ⊆ pool and parity with the in-core
+    * greedy on the same pool). Corpus-wide coverage still comes from
+    * [[kCenterAssign]]'s broadcast argmin over the returned centers.
+    * Same output contract as [[kCenterSelect]]. */
+  def kCenterSelectApprox(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, poolTarget: Long, nLists: Int = 16): DataFrame = {
+    require(k >= 1, s"kCenterSelectApprox: k must be >= 1, got $k")
+    require(poolTarget >= k,
+      s"kCenterSelectApprox: poolTarget ($poolTarget) must be >= k ($k)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val poolIds = clusterBalancedSampleAuditable(df, idCol, vecCol,
+      poolTarget, nLists).select(col(idCol))
+    val base = unitVectors(
+      df.join(broadcast(poolIds), Seq(idCol), "left_semi"),
+      idCol, vecCol)
+    val rows = kCenterRows(base, k)
     rows.map { case (s, id, _, r) =>
         (s, id, if (r.isNaN) None else Some(r)) }.toSeq
       .toDF("step", "center_id", "radius_raw")

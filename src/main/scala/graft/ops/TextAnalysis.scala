@@ -506,28 +506,63 @@ object TextAnalysis {
     * distinct_ngrams, distinct_ratio); (group, n) slices with zero
     * n-grams produce no row in either engine.
     */
-  def distinctNgrams(df: DataFrame, textCol: String, groupCol: String,
-      maxN: Int = 3): DataFrame = {
+  /** (groupCol, n, gram) frame shared by [[distinctNgrams]] and
+    * [[distinctNgramsApprox]]: ONE materialized tokenization, one
+    * explode per n. */
+  private def ngramFrame(df: DataFrame, textCol: String,
+      groupCol: String, maxN: Int): DataFrame = {
     require(maxN >= 1 && maxN <= 8,
       s"distinctNgrams: maxN must be in [1, 8], got $maxN")
     val tk = df.select(col(groupCol),
         TextOps.wsTokens(col(textCol)).as("__tk"))
       .localCheckpoint()
-    val perN = (1 to maxN).map { n =>
+    (1 to maxN).map { n =>
       tk.select(col(groupCol), explode(
           when(size(col("__tk")) >= n,
             transform(sequence(lit(1), size(col("__tk")) - n + 1),
               i => concat_ws(" ", slice(col("__tk"), i, lit(n)))))
             .otherwise(array().cast("array<string>"))).as("gram"))
         .withColumn("n", lit(n))
-    }
-    perN.reduce(_ unionByName _)
+    }.reduce(_ unionByName _)
+  }
+
+  def distinctNgrams(df: DataFrame, textCol: String, groupCol: String,
+      maxN: Int = 3): DataFrame =
+    ngramFrame(df, textCol, groupCol, maxN)
       .groupBy(groupCol, "n")
       .agg(count(lit(1)).as("total_ngrams"),
         countDistinct("gram").as("distinct_ngrams"))
       .withColumn("distinct_ratio",
         round(col("distinct_ngrams").cast("double")
           / col("total_ngrams"), 4))
+
+  /** The 100 TB fast path of [[distinctNgrams]]: HLL approximate
+    * distinct counts — fixed sketch state per (group, n), no
+    * distinct-VALUE shuffle. With `auditBounds` on (the q56/q96b
+    * bounded-oracle idiom) the row also carries the exact count and an
+    * in-plan boolean asserting the estimate sits within 3×rsd of it,
+    * so the oracle replays the exact anchors and literal TRUE; at true
+    * scale pass auditBounds = false to drop the exact anchor (the row
+    * is then rows-only by construction). */
+  def distinctNgramsApprox(df: DataFrame, textCol: String,
+      groupCol: String, maxN: Int = 3, rsd: Double = 0.05,
+      auditBounds: Boolean = true): DataFrame = {
+    val grams = ngramFrame(df, textCol, groupCol, maxN)
+    if (auditBounds)
+      grams.groupBy(groupCol, "n")
+        .agg(count(lit(1)).as("total_ngrams"),
+          countDistinct("gram").as("distinct_ngrams"),
+          (abs(approx_count_distinct(col("gram"), rsd)
+              - countDistinct(col("gram")))
+            <= countDistinct(col("gram")) * (3 * rsd)).as("nd_ok"))
+        .withColumn("distinct_ratio",
+          round(col("distinct_ngrams").cast("double")
+            / col("total_ngrams"), 4))
+    else
+      grams.groupBy(groupCol, "n")
+        .agg(count(lit(1)).as("total_ngrams"),
+          approx_count_distinct(col("gram"), rsd)
+            .as("distinct_ngrams_approx"))
   }
 
   /** Top-k TF-IDF keywords per document — the per-doc summarization /

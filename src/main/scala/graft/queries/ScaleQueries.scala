@@ -1118,6 +1118,21 @@ object ScaleQueries {
         "source", maxN = 3)
         .orderBy("source", "n")),
 
+    // the HLL fast path of q177 with the q56/q96b bounded-oracle
+    // audit: exact anchors hash-checked, the sketch estimate asserted
+    // within 3×rsd IN-PLAN (oracle emits literal TRUE)
+    "q177b_distinct_ngrams_hll" -> ((s, dir) =>
+      TextAnalysis.distinctNgramsApprox(t(s, dir, "documents"), "text",
+        "source", maxN = 3)
+        .orderBy("source", "n")),
+
+    // pre-thinned k-center for large k: the greedy walk over a
+    // 200-row cluster-balanced pool (rows-only; KCenterSpec pins
+    // pool-⊆ and full-pool ≡ exact parity)
+    "q176c_kcenter_approx" -> ((s, dir) =>
+      Similarity.kCenterSelectApprox(t(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 8, poolTarget = 200)),
+
     // rejection-sampling selection (RFT/best-of-N): structural prompt
     // groups of 8 candidates, type-token-ratio reward (the q164 score),
     // top-2 per prompt over a 0.3 floor, exact duplicate bodies across
@@ -4367,6 +4382,27 @@ object ScaleQueries {
                 AS distinct_ratio
        FROM grams GROUP BY 1, 2 ORDER BY source, n"""
 
+  /** HLL twin: q177's exact anchors plus literal TRUE for the in-plan
+    * 3×rsd bound flag (the q56 bounded-oracle idiom — DuckDB cannot
+    * reproduce Spark's HLL, so the bound is asserted engine-side). */
+  private val q177bSql: String =
+    """WITH tk AS (SELECT source,
+                     list_filter(string_split(coalesce(text, ''), ' '),
+                       t -> length(t) > 0) AS tk
+                   FROM documents),
+         grams AS (SELECT source, n,
+                          unnest(list_transform(range(1, len(tk) - n + 2),
+                            i -> array_to_string(tk[i:i+n-1], ' '))) AS gram
+                   FROM tk CROSS JOIN (SELECT unnest([1, 2, 3]) AS n) ns
+                   WHERE len(tk) >= n)
+       SELECT source, CAST(n AS INT) AS n,
+              CAST(count(*) AS BIGINT) AS total_ngrams,
+              CAST(count(DISTINCT gram) AS BIGINT) AS distinct_ngrams,
+              TRUE AS nd_ok,
+              round(count(DISTINCT gram)::DOUBLE / count(*), 4)
+                AS distinct_ratio
+       FROM grams GROUP BY 1, 2 ORDER BY source, n"""
+
   /** Rejection-sampling twin: the q164 score expression, per-prompt
     * rank with id tie-break, the keepK/minScore gate, and the
     * cross-prompt keep-first duplicate flag on md5(text). */
@@ -7321,6 +7357,7 @@ object ScaleQueries {
 
     "q165_fim_transform" -> q165Sql,
     "q177_distinct_ngrams" -> q177Sql,
+    "q177b_distinct_ngrams_hll" -> q177bSql,
     "q178_rft_select" -> q178Sql,
     "q76b_cluster_sample_oracle" -> q76bSql,
     // frequency-weighted substring counts (unigram tokenizer seed

@@ -91,6 +91,27 @@ class KCenterSpec extends AnyFunSuite {
       assert((st, cid, d) === expected(id), s"vec $id")
   }
 
+  test("kCenterSelectApprox: full-sized pool reproduces the exact walk; " +
+      "a small pool selects only pool members") {
+    val n = emb.count()
+    val full = Similarity.kCenterSelectApprox(emb, "vec_id",
+        "embedding", k = 6, poolTarget = n)
+      .as[(Int, Long, Option[Double])].collect().toSeq
+    val exact = Similarity.kCenterSelect(emb, "vec_id", "embedding",
+      k = 6).as[(Int, Long, Option[Double])].collect().toSeq
+    assert(full === exact)
+
+    val pool = Similarity.clusterBalancedSampleAuditable(emb, "vec_id",
+        "embedding", totalTarget = 20, nLists = 16)
+      .select("vec_id").as[Long].collect().toSet
+    val small = Similarity.kCenterSelectApprox(emb, "vec_id",
+        "embedding", k = 5, poolTarget = 20)
+      .as[(Int, Long, Option[Double])].collect().toSeq
+    assert(small.map(_._2).forall(pool.contains))
+    val radii = small.flatMap(_._3)
+    assert(radii.zip(radii.tail).forall { case (a, b) => a >= b })
+  }
+
   test("every selected center is assigned to itself at distance 0") {
     val out = Similarity.kCenterAssign(emb, "vec_id", "embedding", k = 5)
       .as[(Long, Int, Long, Double)].collect()

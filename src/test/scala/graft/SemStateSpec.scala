@@ -154,6 +154,38 @@ class SemStateSpec extends AnyFunSuite {
       Similarity.semStateCentersPath(stateBase))))
   }
 
+  test("requantize: blue/green rebuild under fresh centers equals a " +
+      "fresh build on the applied rows; old state untouched") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_semrequant").toString
+    val stateBase = s"$base/state"
+    val st = Similarity.semStateBuild(
+      emb.filter($"vec_id" % 2 === 0), "vec_id", "embedding",
+      targetPerCell = 625)
+    Similarity.semStateSave(st, stateBase, "batch_000000")
+    val ts = emb.filter($"vec_id" % 10 === 0).select("vec_id")
+    Similarity.semStateDelete(spark, stateBase, ts, "vec_id", "t0")
+    val newBase = s"$base/state_v2"
+    val requant = Similarity.semStateRequantize(spark, stateBase,
+      newBase, targetPerCell = 625)
+    // ≡ a fresh build over the applied rows' unit vectors
+    val applied = Similarity.semStateLoad(spark, stateBase,
+      targetPerCell = 625)
+    val expected = assignments(Similarity.semStateBuild(
+      applied.rows.select($"id", $"vhat"), "id", "vhat",
+      targetPerCell = 625))
+    assert(assignments(requant) === expected)
+    // persisted copy reads back identically; source state untouched
+    val reload = Similarity.semStateLoad(spark, newBase,
+      targetPerCell = 625)
+    assert(assignments(reload) === expected)
+    assert(assignments(applied).nonEmpty)
+    // in-place swap is refused
+    intercept[IllegalArgumentException] {
+      Similarity.semStateRequantize(spark, stateBase, stateBase)
+    }
+  }
+
   test("zero-norm vectors are excluded from the state") {
     val df = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 0.0f)))
       .toDF("vec_id", "embedding")

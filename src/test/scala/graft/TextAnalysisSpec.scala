@@ -445,6 +445,46 @@ class TextAnalysisSpec extends AnyFunSuite {
       ("b", 1, 1L, 1L, 1.0)))
   }
 
+  test("distinctNgramsApprox: exact anchors match the exact form, " +
+      "HLL bound flag holds, fast path has no exact column") {
+    val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001",
+      "documents")
+    val exact = graft.ops.TextAnalysis.distinctNgrams(docs, "text",
+        "source").orderBy("source", "n")
+      .as[(String, Int, Long, Long, Double)].collect().toSeq
+    val audited = graft.ops.TextAnalysis.distinctNgramsApprox(docs,
+        "text", "source").orderBy("source", "n")
+      .as[(String, Int, Long, Long, Boolean, Double)].collect().toSeq
+    assert(audited.map(t => (t._1, t._2, t._3, t._4, t._6)) === exact)
+    assert(audited.forall(_._5), "every HLL estimate within 3×rsd")
+    val fast = graft.ops.TextAnalysis.distinctNgramsApprox(docs, "text",
+      "source", auditBounds = false)
+    assert(fast.columns.toSeq ===
+      Seq("source", "n", "total_ngrams", "distinct_ngrams_approx"))
+  }
+
+  test("pplTierStage: the per-language worst tier is dropped, " +
+      "survivors keep their columns") {
+    val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001",
+      "documents").select("doc_id", "lang", "text")
+    val cfg = graft.ops.CorpusPipeline.Config(pplTiers = 3)
+    val out = graft.ops.CorpusPipeline.pplTierStage(docs, cfg)
+    val tiers = graft.ops.TextAnalysis.pplBuckets(docs, "doc_id",
+      "text", "lang", 3)
+    val expectedIds = tiers.filter(col("bucket_idx") < 3)
+      .select("doc_id").as[Long].collect().toSet
+    val gotIds = out.select("doc_id").as[Long].collect().toSet
+    assert(gotIds === expectedIds)
+    assert(out.columns.toSeq === docs.columns.toSeq)
+    // per language, exactly the ntile-3 tail is gone
+    val perLang = tiers.filter(col("bucket_idx") === 3)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    val dropped = docs.join(out.select("doc_id"), Seq("doc_id"),
+        "left_anti").groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    assert(dropped === perLang)
+  }
+
   test("pplBuckets: per-language equal-frequency tiers cover every doc") {
     val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001",
       "documents")
