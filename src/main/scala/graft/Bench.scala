@@ -250,7 +250,9 @@ object Bench {
     // pre-thinned k-center (pool-bounded walk, the large-k path)
     "q176c_kcenter_approx",
     // rejection-sampling SFT selection (best-of-N + cross-prompt dedup)
-    "q178_rft_select")
+    "q178_rft_select",
+    // KN perplexity under an EXTERNAL LM with OOV backoff (CCNet)
+    "q179_kn_ppl_external")
 
   /** Queries whose r6→r7 numbers moved 2–6× with no code change — the
     * self-join/ANN family is short (<3 s warm) so a single co-tenant

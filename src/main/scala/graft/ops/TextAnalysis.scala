@@ -425,6 +425,70 @@ object TextAnalysis {
         round(exp(coalesce(col("__avg"), lit(0.0))), 4).as("ppl"))
   }
 
+  /** [[bigramScoreKN]] under an EXTERNAL bigram-count frame
+    * (w1, w2, cb) — the true CCNet recipe (Wenzek et al. 2020 score
+    * with a Wikipedia-trained LM, not the corpus's own), and the
+    * scoring half of the incrementally-maintained LM state
+    * ([[graft.streaming.Streams.lmFromState]] produces exactly this
+    * frame). Unlike the self-fit form, scored bigrams can be UNSEEN
+    * by the model, so the smoothed probability backs off per class:
+    * w1 seen → the KN form with c = 0 for an unseen pair; w1 unseen →
+    * the continuation unigram N1+(·w2)/types; an unseen w2's
+    * continuation mass is floored at 1/types (never zero, so no
+    * infinite NLL). Also reports `n_oov` (scored
+    * bigram occurrences whose pair the model never saw) — the
+    * domain-mismatch diagnostic.
+    *
+    * Scale: the model statistics are model-grained (bigram TYPES) and
+    * broadcast into the corpus tf frame — the scoring pass is
+    * map-side over one corpus count shuffle. Returns
+    * (idCol, n_bigrams, n_oov, avg_nll, ppl), rounded at 4. */
+  def bigramScoreKNFrom(df: DataFrame, idCol: String, textCol: String,
+      counts: DataFrame, discount: Double = 0.75): DataFrame = {
+    val tf = docBigramCounts(df, idCol, textCol)
+      .localCheckpoint()
+    val cb = counts.select(col("w1"), col("w2"), col("cb").as("__cb"))
+    val ctx = cb.groupBy("w1").agg(sum("__cb").as("__ctx"),
+      count(lit(1)).as("__n1f"))
+    val cont = cb.groupBy("w2").agg(count(lit(1)).as("__n1b"))
+    val tt = cb.agg(count(lit(1)).as("__tt"))
+    val d = lit(discount)
+    // floored continuation mass: a seen w2 keeps N1+(·w2)/types, an
+    // unseen w2 gets exactly the 1/types minimum — so the backoff term
+    // is never zero (a seen context with an unseen successor would
+    // otherwise score p = 0 → infinite NLL)
+    val pcont =
+      when(col("__n1b").isNotNull,
+        col("__n1b").cast("double") / col("__tt"))
+      .otherwise(lit(1.0) / col("__tt"))
+    val p =
+      when(col("__ctx").isNotNull,
+        greatest(coalesce(col("__cb"), lit(0L)) - d, lit(0.0))
+          / col("__ctx") +
+        (d * col("__n1f") / col("__ctx")) * pcont)
+      .otherwise(pcont)
+    val scored = tf
+      .join(cb, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(broadcast(tt))
+      .select(col(idCol), col("tf"),
+        (col("tf") * -log(p)).as("__nll"),
+        when(col("__cb").isNull, col("tf")).otherwise(lit(0L))
+          .as("__oovtf"))
+      .groupBy(idCol).agg(
+        sum("tf").as("n_bigrams"),
+        sum("__oovtf").as("n_oov"),
+        (sum("__nll") / sum("tf")).as("__avg"))
+    df.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        round(coalesce(col("__avg"), lit(0.0)), 4).as("avg_nll"),
+        round(exp(coalesce(col("__avg"), lit(0.0))), 4).as("ppl"))
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
     * Extracting High Quality Monolingual Datasets from Web Crawl
     * Data"): score every document with the corpus Kneser–Ney bigram LM

@@ -1502,6 +1502,19 @@ object ScaleQueries {
         "doc_id", "text", "lang", "source")
         .orderBy("lang", "source", "bucket")),
 
+    // KN perplexity under an EXTERNAL LM (the true CCNet recipe): the
+    // model is the q154 count frame fit on the even-id reference
+    // slice, every doc scored under it with per-class OOV backoff
+    // (pair unseen → c=0; context unseen → continuation unigram; both
+    // → 1/types floor) + the n_oov domain-mismatch diagnostic
+    "q179_kn_ppl_external" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = TextAnalysis.bigramCounts(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+      TextAnalysis.bigramScoreKNFrom(docs, "doc_id", "text", model)
+        .orderBy("doc_id")
+    }),
+
     // DSIR importance weights (Xie et al. 2023): hashed-unigram
     // bag-of-buckets LMs for a FIXED target panel (doc_id < 20, the
     // q139 bound discipline) vs the raw pool; per-doc log importance
@@ -3777,6 +3790,62 @@ object ScaleQueries {
                          ntile(3) OVER (PARTITION BY lang
                            ORDER BY ppl ASC, doc_id ASC) AS b
                   FROM sd)"""
+
+  /** External-LM KN twin: q154's count chain over the even-id
+    * reference slice (cbm/ctxm/contm/ttm), the corpus tf chain over
+    * ALL docs, LEFT joins into the model stats, and the per-class OOV
+    * CASE — term-for-term [[graft.ops.TextAnalysis.bigramScoreKNFrom]]. */
+  private val q179Sql: String =
+    """WITH tkm AS (SELECT doc_id,
+                 list_filter(string_split(coalesce(text, ''), ' '),
+                             t -> length(t) > 0) AS tk
+           FROM documents WHERE doc_id % 2 = 0),
+         bgm AS (SELECT doc_id,
+                        unnest(list_transform(range(1, len(tk)),
+                          i -> {'w1': tk[i], 'w2': tk[i + 1]})) AS b
+                 FROM tkm WHERE len(tk) >= 2),
+         cbm AS (SELECT b.w1 AS w1, b.w2 AS w2,
+                        CAST(count(*) AS BIGINT) AS cb
+                 FROM bgm GROUP BY 1, 2),
+         ctxm AS (SELECT w1, sum(cb) AS ctx, count(*) AS n1f
+                  FROM cbm GROUP BY w1),
+         contm AS (SELECT w2, count(*) AS n1b FROM cbm GROUP BY w2),
+         ttm AS (SELECT count(*) AS tt FROM cbm),
+         tk AS (SELECT doc_id,
+                 list_filter(string_split(coalesce(text, ''), ' '),
+                             t -> length(t) > 0) AS tk
+           FROM documents),
+         bg AS (SELECT doc_id,
+                       unnest(list_transform(range(1, len(tk)),
+                         i -> {'w1': tk[i], 'w2': tk[i + 1]})) AS b
+                FROM tk WHERE len(tk) >= 2),
+         tf AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2,
+                       CAST(count(*) AS BIGINT) AS tf
+                FROM bg GROUP BY doc_id, b.w1, b.w2),
+         sc AS (SELECT doc_id, sum(tf) AS n_bigrams,
+                       sum(CASE WHEN cb IS NULL THEN tf ELSE 0 END)
+                         AS n_oov,
+                       sum(tf * -ln(
+                         CASE WHEN ctx IS NOT NULL THEN
+                           greatest(coalesce(cb, 0) - 0.75, 0.0) / ctx +
+                           (0.75 * n1f / ctx) *
+                             (CASE WHEN n1b IS NOT NULL
+                                THEN n1b * 1.0 / tt
+                                ELSE 1.0 / tt END)
+                         WHEN n1b IS NOT NULL THEN n1b * 1.0 / tt
+                         ELSE 1.0 / tt END)) / sum(tf) AS a
+                FROM tf LEFT JOIN cbm USING (w1, w2)
+                     LEFT JOIN ctxm USING (w1)
+                     LEFT JOIN contm USING (w2)
+                     CROSS JOIN ttm
+                GROUP BY doc_id)
+       SELECT d.doc_id,
+              CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+              CAST(coalesce(sc.n_oov, 0) AS BIGINT) AS n_oov,
+              round(coalesce(sc.a, 0), 4) AS avg_nll,
+              round(exp(coalesce(sc.a, 0)), 4) AS ppl
+       FROM documents d LEFT JOIN sc USING (doc_id)
+       ORDER BY d.doc_id"""
 
   private val q174Sql: String =
     s"""WITH $knPplCteSql
@@ -6806,6 +6875,9 @@ object ScaleQueries {
     // whitespace-token length
     "q174_ppl_buckets" -> q174Sql,
     "q174b_ccnet_composition" -> q174bSql,
+    // external-LM twin: model CTEs over the even-id slice, the scoring
+    // CASE replayed per OOV class, same rounding discipline
+    "q179_kn_ppl_external" -> q179Sql,
     // DSIR twins: same md5 bucket hash ('0x' + 8 hex chars % 1024 =
     // conv base-16), same count frames, the IDENTICAL smoothed
     // log-ratio expression tree (never the folded constants), per-doc

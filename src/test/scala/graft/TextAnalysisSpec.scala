@@ -485,6 +485,25 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(dropped === perLang)
   }
 
+  test("bigramScoreKNFrom: external model with per-class OOV backoff") {
+    val model = graft.ops.TextAnalysis.bigramCounts(
+      Seq((0L, "a b a b")).toDF("doc_id", "text"), "doc_id", "text")
+    // model stats: cb(a,b)=2, cb(b,a)=1; ctx(a)=(2,1), ctx(b)=(1,1);
+    // cont(a)=1, cont(b)=1; types=2
+    val docs = Seq((10L, "a b c a"), (11L, "")).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.bigramScoreKNFrom(docs, "doc_id",
+        "text", model).orderBy("doc_id")
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    // (a,b) seen: (2-.75)/2 + (.75·1/2)·(1/2); (b,c) pair+w2 unseen
+    // under seen ctx(b): 0 + (.75·1/1)·(1/2); (c,a) ctx unseen: 1/2
+    val ps = Seq(0.8125, 0.375, 0.5)
+    val avg = ps.map(p => -math.log(p)).sum / 3
+    def r4(x: Double) = new java.math.BigDecimal(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue
+    assert(out(0) === ((10L, 3L, 2L, r4(avg), r4(math.exp(avg)))))
+    assert(out(1) === ((11L, 0L, 0L, 0.0, 1.0)))
+  }
+
   test("pplBuckets: per-language equal-frequency tiers cover every doc") {
     val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001",
       "documents")
