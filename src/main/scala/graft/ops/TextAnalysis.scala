@@ -447,7 +447,12 @@ object TextAnalysis {
       counts: DataFrame, discount: Double = 0.75): DataFrame = {
     val tf = docBigramCounts(df, idCol, textCol)
       .localCheckpoint()
+    // the model frame feeds FOUR consumers (ctx, cont, tt, the scoring
+    // join) — materialize it once, the q149 tf discipline; without
+    // this a model fit passed as a raw plan re-pays its source scan
+    // and count shuffle per consumer
     val cb = counts.select(col("w1"), col("w2"), col("cb").as("__cb"))
+      .localCheckpoint()
     val ctx = cb.groupBy("w1").agg(sum("__cb").as("__ctx"),
       count(lit(1)).as("__n1f"))
     val cont = cb.groupBy("w2").agg(count(lit(1)).as("__n1b"))

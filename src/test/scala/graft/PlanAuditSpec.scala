@@ -308,6 +308,22 @@ class PlanAuditSpec extends AnyFunSuite {
       p.take(3000))
   }
 
+  test("q179 external-LM scoring: the corpus text is read once per " +
+      "count pass, no cartesian anywhere") {
+    val p = graft.queries.ScaleQueries
+      .queries("q179_kn_ppl_external")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // both tokenizing passes are checkpointed (the corpus tf frame and
+    // the model count frame — the latter feeds four consumers), so the
+    // final plan may read text NOWHERE; the model-stat joins must
+    // never degrade to an all-pairs shape
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    val textScans = p.linesIterator.filter(_.contains("ReadSchema:"))
+      .count(l => l.contains("documents") && l.contains("text"))
+    assert(textScans === 0, s"both text passes are checkpointed, " +
+      s"found $textScans re-scans:\n" + p.take(2000))
+  }
+
   test("the only unpartitioned windows in the bench set are the declared ones") {
     // closed world for the `WindowExec: No Partition Defined` warning:
     // q19 DECLARES globally-ordered frame semantics (its scale-safe
