@@ -1320,7 +1320,15 @@ object Similarity {
     * squared unit-sphere L2 distance to the already-selected set at
     * selection time (rounded at 4; null for the step-0 seed) — a
     * non-increasing sequence that IS the coverage curve (stop reading
-    * where it flattens). */
+    * where it flattens).
+    *
+    * Saturation contract: once every distinct vector is covered at
+    * distance 0 (k exceeds the number of distinct unit vectors), the
+    * walk keeps returning the rounded-argmax row — the minimum-id
+    * zero-distance point — with radius 0.0, so repeated center_ids
+    * CAN appear in that regime; radius 0 is the signal the selection
+    * is complete (read the curve, or size k below the distinct-vector
+    * count). */
   def kCenterSelect(df: DataFrame, idCol: String, vecCol: String,
       k: Int): DataFrame = {
     require(k >= 1, s"kCenterSelect: k must be >= 1, got $k")

@@ -371,4 +371,94 @@ class OpsPropertySpec extends AnyFunSuite {
     val rendered = refExpr.toString
     assert(rendered.contains("bloom_ref(digest="), rendered)
   }
+
+  test("distinctNgrams matches an in-memory reference on random corpora") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("x", "yy", "zzz", "w")
+    for (_ <- 1 to 10) {
+      val docs: Seq[(Long, String, String)] =
+        (0 until (4 + rnd.nextInt(5))).map { i =>
+          val src = s"s${rnd.nextInt(3)}"
+          val toks = Vector.fill(rnd.nextInt(7))(
+            vocab(rnd.nextInt(vocab.size)))
+          (i.toLong, src, toks.mkString(" "))
+        }
+      // reference: per (source, n) total and distinct n-gram counts
+      val ref = (for {
+        (_, src, text) <- docs
+        toks = text.split(" ").filter(_.nonEmpty).toSeq
+        n <- 1 to 3
+        if toks.length >= n
+        g <- toks.sliding(n).map(_.mkString(" "))
+      } yield ((src, n), g))
+        .groupBy(_._1).map { case (k, gs) =>
+          (k._1, k._2, gs.size.toLong, gs.map(_._2).distinct.size.toLong)
+        }.toSet
+      val got = graft.ops.TextAnalysis.distinctNgrams(
+          docs.toDF("doc_id", "source", "text"), "text", "source")
+        .select("source", "n", "total_ngrams", "distinct_ngrams")
+        .as[(String, Int, Long, Long)].collect().toSet
+      assert(got === ref)
+    }
+  }
+
+  test("rejectionSample invariants on random scored frames") {
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 10) {
+      val rows: Seq[(Long, Long, String, Double)] =
+        (0 until (10 + rnd.nextInt(20))).map { i =>
+          (i.toLong, rnd.nextInt(4).toLong,
+            s"body${rnd.nextInt(6)}",
+            math.floor(rnd.nextDouble() * 100) / 100)
+        }
+      val k = 1 + rnd.nextInt(3)
+      val floor = 0.2
+      val out = graft.ops.SftData.rejectionSample(
+          rows.toDF("doc_id", "prompt", "text", "score"),
+          "prompt", "doc_id", "text", "score", keepK = k,
+          minScore = floor)
+        .as[(Long, Int, Long, Double, Boolean)].collect().toSeq
+      // every survivor clears the floor and its per-group rank bound
+      assert(out.forall(r => r._4 >= floor && r._2 >= 1 && r._2 <= k))
+      // at most keepK survivors per group, ranks distinct within group
+      for ((_, g) <- out.groupBy(_._1)) {
+        assert(g.size <= k)
+        assert(g.map(_._2).distinct.size === g.size)
+      }
+      // keep-first: per duplicate body, exactly one survivor is kept,
+      // and it is the (group, id)-least one
+      val byBody = out.groupBy(r => rows.find(_._1 == r._3).get._3)
+      for ((_, g) <- byBody) {
+        val kept = g.filter(_._5)
+        assert(kept.size === 1)
+        assert(kept.head._1 -> kept.head._3 ===
+          g.map(r => r._1 -> r._3).min)
+      }
+      // survivors are exactly the reference top-k per group
+      val ref = rows.filter(_._4 >= floor).groupBy(_._2).flatMap {
+        case (_, g) =>
+          g.sortBy(r => (-r._4, r._1)).take(k).map(_._1)
+      }.toSet
+      assert(out.map(_._3).toSet === ref)
+    }
+  }
+
+  test("pplBuckets tier sizes differ by at most one per language") {
+    val rnd = new scala.util.Random(13)
+    val docs: Seq[(Long, String, String)] = (0 until 40).map { i =>
+      val lang = Seq("en", "de", "fr")(rnd.nextInt(3))
+      val toks = Vector.fill(3 + rnd.nextInt(10))(
+        s"t${rnd.nextInt(8)}")
+      (i.toLong, lang, toks.mkString(" "))
+    }
+    val out = graft.ops.TextAnalysis.pplBuckets(
+        docs.toDF("doc_id", "lang", "text"), "doc_id", "text", "lang")
+      .select("lang", "bucket_idx")
+      .as[(String, Int)].collect().toSeq
+    assert(out.size === docs.size)
+    for ((_, g) <- out.groupBy(_._1); if g.size >= 3) {
+      val sizes = g.groupBy(_._2).values.map(_.size)
+      assert(sizes.max - sizes.min <= 1)
+    }
+  }
 }
