@@ -304,7 +304,17 @@ object Bench {
       SparkEntry.queries.get(name).map { fn =>
         def once(): Option[Double] = {
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+          // noop-sink forcing, NOT count(): count() lets Catalyst
+          // join-eliminate any tail left-join whose right side is
+          // keyed on the join key (the q149/q174 "spine LEFT JOIN
+          // per-doc agg" scoring shape never ran its scoring joins
+          // under count()), so those rows under-measured their real
+          // cost. The noop sink consumes every column of every row —
+          // nothing upstream is eliminable — while writing nothing.
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            Some((System.nanoTime() - t0) / 1e9)
+          }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             None

@@ -329,15 +329,27 @@ object CorpusPipeline {
 
   /** Optional CCNet-style RELATIVE perplexity gate (see
     * `Config.pplTiers`): keep every tier but the per-language worst.
-    * Same cost class as [[pplStage]] plus one per-language window —
-    * parallel across languages, never global. */
-  private[graft] def pplTierStage(docs: DataFrame, cfg: Config): DataFrame =
+    * The dropped tier is the per-language MAX *assigned* bucket, not
+    * the literal `pplTiers` — `ntile(n)` over a language with fewer
+    * rows than `n` assigns buckets 1..rows, so filtering on the
+    * literal would silently keep every row of a small language (its
+    * worst documents never gated). A language with a single assigned
+    * bucket (one doc) is kept whole: dropping the max bucket there
+    * would delete the language, which is a coverage decision, not a
+    * quality gate. Same cost class as [[pplStage]] plus one
+    * per-language window — the max() reuses the ntile window's own
+    * lang partitioning, parallel across languages, never global. */
+  private[graft] def pplTierStage(docs: DataFrame, cfg: Config): DataFrame = {
+    val langW = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang")
     docs.join(
       TextAnalysis.pplBuckets(docs, "doc_id", "text", "lang",
           cfg.pplTiers)
-        .filter(col("bucket_idx") < cfg.pplTiers)
+        .withColumn("__maxb", max(col("bucket_idx")).over(langW))
+        .filter(col("bucket_idx") < greatest(col("__maxb"), lit(2)))
         .select("doc_id"),
       Seq("doc_id"), "left_semi")
+  }
 
   /** Optional robust length-outlier gate (Profile.robustOutlierFlags
     * over the per-LANGUAGE token-count median/MAD): the adaptive

@@ -1089,8 +1089,12 @@ object Similarity {
   def semStateCentersPath(stateBase: String): String =
     stateBase.stripSuffix("/") + ".centers"
 
+  /** Dials manifest path — same delegation rule as
+    * [[semStateTombstonePath]]: one constant, shared with the
+    * sig-state layout, so the vacuum's cleanup set and these paths
+    * cannot diverge. */
   def semStateDialsPath(stateBase: String): String =
-    stateBase.stripSuffix("/") + ".dials"
+    Dedup.sigStateDialsPath(stateBase)
 
   /** Pin (or validate against) the state's dials manifest — the
     * [[graft.ops.Dedup.sigStatePinDials]] discipline: cluster rows are
@@ -1133,10 +1137,14 @@ object Similarity {
       .parquet(s"${stateBase.stripSuffix("/")}/run_ts=$ver")
   }
 
-  /** Tombstone directory — a sibling of `stateBase`, the
-    * [[graft.ops.Dedup.sigStateTombstonePath]] placement rule. */
+  /** Tombstone directory — DELEGATES to the sig-state constant so the
+    * suffix [[graft.ops.Dedup.vacuumVersionedState]] deletes and the
+    * suffix the sem-state reads/writes are the SAME string by
+    * construction (they were coincidentally-equal literals before —
+    * a drift in either would have made semStateVacuum silently stop
+    * dropping this dir). */
   def semStateTombstonePath(stateBase: String): String =
-    stateBase.stripSuffix("/") + ".tombstones"
+    Dedup.sigStateTombstonePath(stateBase)
 
   /** TAKEDOWN for a persisted semantic state: append `ids` as a
     * tombstone batch; no stored row moves. Every read and every
@@ -1231,6 +1239,28 @@ object Similarity {
       "semStateRequantize is blue/green: newStateBase must differ " +
         "from stateBase (in-place swap would orphan old row versions " +
         "under new centers)")
+    // the target must be PRISTINE: semStateSave's write-centers-only-
+    // if-absent rule means a pre-existing .centers file at
+    // newStateBase would silently survive, persisting the rebuilt
+    // rows under STALE geometry — later folds would assign new
+    // vectors with the wrong quantizer and no error
+    locally {
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val cp = new org.apache.hadoop.fs.Path(
+        semStateCentersPath(newStateBase))
+      val fs = cp.getFileSystem(hconf)
+      val dirty = Seq(
+        newStateBase.stripSuffix("/"),
+        semStateCentersPath(newStateBase),
+        semStateDialsPath(newStateBase),
+        semStateTombstonePath(newStateBase))
+        .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+      require(dirty.isEmpty,
+        s"semStateRequantize: newStateBase $newStateBase is not " +
+          s"pristine (${dirty.mkString(", ")} already exist) — " +
+          "rebuilt rows would persist under the PRE-EXISTING centers/" +
+          "dials (stale geometry); requantize into a fresh base")
+    }
     val cur = semStateLoad(spark, stateBase, minSim, nLists,
       targetPerCell)
     val rebuilt = semStateBuild(cur.rows.select(col("id"), col("vhat")),
@@ -1251,6 +1281,19 @@ object Similarity {
   // complement of prototypePrune (which drops redundancy) and of
   // clusterBalancedSample (which flattens density).
   // ------------------------------------------------------------------
+
+  /** Above this k, [[kCenterSelect]] auto-switches to the pre-thinned
+    * pool walk ([[kCenterSelectApprox]]) — the exact walk's k full
+    * corpus passes stop being a sane default around here (a 100-pass
+    * scan of a 100 TB corpus is a day of I/O; the pool walk pays the
+    * same passes over a bounded pool). Overridable per call. */
+  val KCenterExactKMax: Int = 128
+
+  /** Pool rows per requested center when the auto-switch engages:
+    * k·32 keeps the pool ≫ k (the farthest-point walk needs slack to
+    * find genuinely-far rows) while staying orders of magnitude under
+    * corpus size. */
+  val KCenterApproxPoolFactor: Long = 32L
 
   /** Sequential-fold squared L2 distance to a fixed center — the
     * [[graft.functions.PqEncodeExpr]] arithmetic as a column, so a SQL
@@ -1330,8 +1373,18 @@ object Similarity {
     * is complete (read the curve, or size k below the distinct-vector
     * count). */
   def kCenterSelect(df: DataFrame, idCol: String, vecCol: String,
-      k: Int): DataFrame = {
+      k: Int, exactKMax: Int = KCenterExactKMax): DataFrame = {
     require(k >= 1, s"kCenterSelect: k must be >= 1, got $k")
+    require(exactKMax >= 1,
+      s"kCenterSelect: exactKMax must be >= 1, got $exactKMax")
+    // the large-k trap made un-hittable: the exact walk is k FULL
+    // corpus passes by contract, so above the threshold it
+    // auto-switches to the pre-thinned pool walk (same output
+    // contract, selection ⊆ a KCenterApproxPoolFactor·k
+    // cluster-balanced pool) — KCenterSpec pins the switch point
+    if (k > exactKMax)
+      return kCenterSelectApprox(df, idCol, vecCol, k,
+        poolTarget = k.toLong * KCenterApproxPoolFactor)
     val spark = df.sparkSession
     import spark.implicits._
     val rows = kCenterRows(unitVectors(df, idCol, vecCol), k)
@@ -1382,11 +1435,21 @@ object Similarity {
     * lower step on ties). Returns (idCol, center_step, center_id, d)
     * with d the squared distance rounded at 4. */
   def kCenterAssign(df: DataFrame, idCol: String, vecCol: String,
-      k: Int): DataFrame = {
+      k: Int, exactKMax: Int = KCenterExactKMax): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val base = unitVectors(df, idCol, vecCol)
-    val centers = kCenterRows(base, k)
+    // same large-k guard as [[kCenterSelect]]: the center WALK runs
+    // over the bounded pool above the threshold; the assignment pass
+    // below is always corpus-wide (one map-side broadcast argmin)
+    val walkBase =
+      if (k > exactKMax) {
+        val poolIds = clusterBalancedSampleAuditable(df, idCol, vecCol,
+          k.toLong * KCenterApproxPoolFactor).select(col(idCol))
+        unitVectors(df.join(broadcast(poolIds), Seq(idCol), "left_semi"),
+          idCol, vecCol)
+      } else base
+    val centers = kCenterRows(walkBase, k)
       .map { case (s, id, v, _) => (s, id, v.toSeq) }.toSeq
       .toDF("center_step", "center_id", "cv")
     val w = Window.partitionBy("id")

@@ -112,6 +112,37 @@ class KCenterSpec extends AnyFunSuite {
     assert(radii.zip(radii.tail).forall { case (a, b) => a >= b })
   }
 
+  test("large-k auto-switch: above exactKMax the walk runs on the " +
+      "KCenterApproxPoolFactor·k pool (≡ kCenterSelectApprox)") {
+    // k=5 over exactKMax=4 must be EXACTLY the approx walk at the
+    // documented pool sizing — the switch point is part of the contract
+    val switched = Similarity.kCenterSelect(emb, "vec_id", "embedding",
+        k = 5, exactKMax = 4)
+      .as[(Int, Long, Option[Double])].collect().toSeq
+    val approx = Similarity.kCenterSelectApprox(emb, "vec_id",
+        "embedding", k = 5,
+        poolTarget = 5L * Similarity.KCenterApproxPoolFactor)
+      .as[(Int, Long, Option[Double])].collect().toSeq
+    assert(switched === approx)
+    // at the threshold itself (k == exactKMax) the exact walk runs
+    val atMax = Similarity.kCenterSelect(emb, "vec_id", "embedding",
+        k = 4, exactKMax = 4)
+      .as[(Int, Long, Option[Double])].collect().toSeq
+    val exact = Similarity.kCenterSelect(emb, "vec_id", "embedding",
+        k = 4).as[(Int, Long, Option[Double])].collect().toSeq
+    assert(atMax === exact)
+    // assign shares the guard: switched centers ⊆ the pool, and the
+    // assignment is still the corpus-wide argmin over those centers
+    val pool = Similarity.clusterBalancedSampleAuditable(emb, "vec_id",
+        "embedding", 5L * Similarity.KCenterApproxPoolFactor)
+      .select("vec_id").as[Long].collect().toSet
+    val assigned = Similarity.kCenterAssign(emb, "vec_id", "embedding",
+        k = 5, exactKMax = 4)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(assigned.map(_._3).toSet.subsetOf(pool))
+    assert(assigned.map(_._1).toSet.size === assigned.length)
+  }
+
   test("every selected center is assigned to itself at distance 0") {
     val out = Similarity.kCenterAssign(emb, "vec_id", "embedding", k = 5)
       .as[(Long, Int, Long, Double)].collect()

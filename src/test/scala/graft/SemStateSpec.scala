@@ -184,6 +184,22 @@ class SemStateSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Similarity.semStateRequantize(spark, stateBase, stateBase)
     }
+    // a DIRTY target is refused too: newBase now has centers+rows, and
+    // semStateSave's write-centers-only-if-absent rule would otherwise
+    // persist a second rebuild under the FIRST rebuild's stale geometry
+    val dirty = intercept[IllegalArgumentException] {
+      Similarity.semStateRequantize(spark, stateBase, newBase,
+        targetPerCell = 625)
+    }
+    assert(dirty.getMessage.contains("pristine"))
+    // a bare pre-existing .centers file alone (no rows) is also dirty
+    val newBase2 = s"$base/state_v3"
+    st.centers.write.parquet(
+      Similarity.semStateCentersPath(newBase2))
+    intercept[IllegalArgumentException] {
+      Similarity.semStateRequantize(spark, stateBase, newBase2,
+        targetPerCell = 625)
+    }
   }
 
   test("zero-norm vectors are excluded from the state") {

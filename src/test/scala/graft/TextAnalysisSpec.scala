@@ -485,6 +485,42 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(dropped === perLang)
   }
 
+  test("pplTierStage: a language smaller than pplTiers still loses its " +
+      "worst ASSIGNED tier; a one-doc language is kept whole") {
+    // ntile(3) over a 2-row language assigns buckets 1..2 — the literal
+    // `bucket_idx < 3` filter would keep BOTH rows (silent no-op); the
+    // max-assigned-bucket rule drops the worse one. A 1-row language
+    // has a single assigned bucket and must survive (dropping it would
+    // delete the language, not gate its quality).
+    val docs = Seq(
+      (0L, "big", "the cat sat on the mat and the cat sat again"),
+      (1L, "big", "the cat sat on the mat and then slept well"),
+      (2L, "big", "zq xv qj zx vq jx zv qx jv xq"),
+      (3L, "two", "the dog ran to the park and the dog ran back"),
+      (4L, "two", "wk kw wq qw wx xw wz zw wv vw"),
+      (5L, "one", "a single document language survives the tier gate"))
+      .toDF("doc_id", "lang", "text")
+    val cfg = graft.ops.CorpusPipeline.Config(pplTiers = 3)
+    val kept = graft.ops.CorpusPipeline.pplTierStage(docs, cfg)
+      .select("doc_id").as[Long].collect().toSet
+    val tiers = graft.ops.TextAnalysis.pplBuckets(docs, "doc_id",
+        "text", "lang", 3)
+      .select("doc_id", "lang", "bucket_idx")
+      .as[(Long, String, Int)].collect()
+    // the 3-doc language drops exactly its bucket-3 doc
+    val bigDropped = tiers.filter(t => t._2 == "big" && t._3 == 3)
+      .map(_._1).toSet
+    assert(bigDropped.size === 1 && !kept.exists(bigDropped))
+    // the 2-doc language drops exactly its bucket-2 (max assigned) doc
+    val twoDropped = tiers.filter(t => t._2 == "two" && t._3 == 2)
+      .map(_._1).toSet
+    assert(twoDropped.size === 1 && !kept.exists(twoDropped))
+    // the 1-doc language survives whole
+    assert(kept.contains(5L))
+    // 6 docs in, one dropped from "big", one from "two"
+    assert(kept.size === 4)
+  }
+
   test("bigramScoreKNFrom: external model with per-class OOV backoff") {
     val model = graft.ops.TextAnalysis.bigramCounts(
       Seq((0L, "a b a b")).toDF("doc_id", "text"), "doc_id", "text")
