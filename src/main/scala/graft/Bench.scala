@@ -35,6 +35,8 @@ object Bench {
     "q50_curation",
     "q55_dedup_clusters",
     "q58_pii_scrub",
+    // r17: the FULL PII class set (keys, IPv6, SSN, Luhn-checked cards)
+    "q58b_pii_scrub_full",
     "q59_decontaminate",
     "q60_chunk_dedup",
     "q61_corpus_dedup",

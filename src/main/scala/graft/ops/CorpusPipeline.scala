@@ -154,6 +154,14 @@ object CorpusPipeline {
       // Composes with maxAvgNll (absolute floor first if both set).
       // 0 = off
       pplTiers: Int = 0,
+      // true: scrub the FULL PII class set in the gate projection
+      // ([[Redaction.scrubFullCol]] — emails, AWS/generic keys, IPv6,
+      // IPv4, SSN shapes, Luhn-valid cards, phones) instead of the
+      // base email/IP/phone chain. Same cost class (one more regex
+      // pass per class plus the bounded card fold, still zero
+      // shuffle); default off so existing corpus builds replay
+      // bit-identically
+      piiFull: Boolean = false,
       // non-empty: token-lexicon gate over the obfuscation-FOLDED text
       // ([[TextAnalysis.lexiconHitsCol]], the C4 badwords discipline):
       // any hit drops the document. Folding (lower + leet
@@ -293,7 +301,8 @@ object CorpusPipeline {
     // single scalar expression, whose lambdas would re-tokenize per
     // element — quadratic per document.
     val scrubbed = gated.select(col("doc_id"), col("lang"),
-      Redaction.scrubCol(txt).as("text"))
+      (if (cfg.piiFull) Redaction.scrubFullCol(txt)
+       else Redaction.scrubCol(txt)).as("text"))
     if (cfg.intraDocChunkTokens > 0)
       Dedup.intraDocScrubbed(scrubbed, "text", cfg.intraDocChunkTokens)
     else scrubbed

@@ -65,6 +65,144 @@ object Redaction {
     e + i + p
   }
 
+  // ---- the full corpus-compliance class set (BigCode/StarCoder PII
+  // convention: emails, IPs, keys, plus the Luhn-checkable card and
+  // SSN shapes). Same RE2∩Java discipline as the base three — no
+  // backreferences, no lookarounds, explicit whitespace classes. ----
+
+  /** IPv6: the full 8-group form plus the common `::`-compressed form
+    * (both sides of the `::` bounded). Deliberately NOT matching
+    * colon-separated runs without `::` unless all 8 groups are present
+    * — MAC addresses (6 groups) and clock strings ("12:30:45") must
+    * not fold into this tag. The compressed alternative has no
+    * trailing \b (it may legitimately end in ':'). */
+  val ipv6Re: String =
+    "\\b(?:[0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}\\b" +
+      "|\\b(?:[0-9A-Fa-f]{1,4}:){1,6}:" +
+      "(?:[0-9A-Fa-f]{1,4}(?::[0-9A-Fa-f]{1,4}){0,5})?"
+
+  /** SSN-shaped ids: the hyphenated 3-2-4 form only. Bare 9-digit runs
+    * are far too false-positive-prone for a corpus-wide scrub (order
+    * ids, timestamps), and the grouped credit-card forms cannot
+    * partially match this shape (their groups are 4+ digits wide). */
+  val ssnRe: String = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+
+  /** Credit-card CANDIDATES: 13–19 digits, optionally single-space- or
+    * hyphen-separated. Candidates are only scrubbed when they pass the
+    * Luhn check ([[luhnValidCol]]) — a random digit run has a 1-in-10
+    * chance of passing, a real PAN always does. */
+  val ccCandRe: String = "\\b[0-9](?:[ -]?[0-9]){12,18}\\b"
+
+  /** AWS-style access-key ids (the fixed-prefix class every secret
+    * scanner ships): AKIA/ASIA + 16 uppercase alphanumerics. */
+  val awsKeyRe: String = "\\b(?:AKIA|ASIA)[0-9A-Z]{16}\\b"
+
+  /** Generic secret assignments: a credential-ish name, `:` or `=`,
+    * and a token-shaped value of >= 8 chars. Explicit `[ \t]` (never
+    * \s — the Java/RE2 vertical-tab disagreement). The value class
+    * covers base64/hex/path-ish secrets; a closing quote is not
+    * consumed (not in the value class), which is fine — the VALUE is
+    * what must not survive. */
+  val secretRe: String =
+    "(?i)\\b(?:api[_-]?key|secret|token|passwd|password)[\"']?" +
+      "[ \\t]*[:=][ \\t]*[\"']?[A-Za-z0-9_/+=-]{8,}"
+
+  val ip6Tag = "<IP6>"
+  val ssnTag = "<SSN>"
+  val ccTag = "<CC>"
+  val keyTag = "<KEY>"
+
+  /** In-plan Luhn check over a candidate string: strip separators,
+    * double every second digit from the right (subtracting 9 above 9),
+    * valid iff the sum ≡ 0 (mod 10) and 13–19 digits. Pure `aggregate`
+    * arithmetic — both engines replay it term-for-term. The candidate
+    * re-strips per sequence element inside the fold (the HOF
+    * re-evaluation rule), but candidates are <= 25 chars so the cost
+    * is a few ns per match, not the corpus-scan quadratic the rule
+    * guards against. */
+  def luhnValidCol(cand: Column): Column = {
+    val ds = regexp_replace(cand, "[^0-9]", "")
+    val len = length(ds)
+    val total = aggregate(
+      sequence(lit(1), len), lit(0),
+      (acc, i) => {
+        val d = ds.substr(len - i + 1, lit(1)).cast("int")
+        val dbl = d * 2
+        acc + when(i % 2 === 1, d)
+          .otherwise(dbl - when(dbl > 9, lit(9)).otherwise(lit(0)))
+      })
+    len >= 13 && len <= 19 && total % 10 === 0
+  }
+
+  /** Luhn-valid card candidates in `txt`, in match order. Group 0 =
+    * the whole match (the default group 1 would error — the candidate
+    * pattern's only group is non-capturing). */
+  private def ccValidArr(txt: Column): Column =
+    filter(regexp_extract_all(txt, lit(ccCandRe), lit(0)), luhnValidCol(_))
+
+  /** Scrub every Luhn-valid candidate via a fold of plain `replace`
+    * calls (a regex cannot express "replace only if Luhn passes").
+    * `replace` kills every occurrence of the candidate string, so a
+    * PAN that also appears in a non-\b-delimited context is scrubbed
+    * there too — an over-approximation in the safe direction. */
+  private def ccScrub(txt: Column): Column =
+    aggregate(ccValidArr(txt), txt, (acc, c) => replace(acc, c, lit(ccTag)))
+
+  /** The full-class staged scrub chain: email → AWS key → generic
+    * secret → IPv6 → IPv4 → SSN → Luhn-valid card → phone. Order is
+    * load-bearing and mirrored stage-for-stage in the q58b oracle:
+    * keys early (their values may embed ip/digit shapes that are part
+    * of ONE secret, not separate PII), IPs before the digit-run
+    * classes (the q58 octet-swallowing rule), SSN before cards (both
+    * before the greedy phone run). Each stage's count is taken on the
+    * PREVIOUS stage's output — the [[countCols]] staged discipline —
+    * so the counts sum to exactly what the scrub removed. */
+  private def fullStages(txt: Column): (Seq[Column], Column) = {
+    val t0 = txt
+    val t1 = regexp_replace(t0, emailRe, emailTag)
+    val t2 = regexp_replace(t1, awsKeyRe, keyTag)
+    val t3 = regexp_replace(t2, secretRe, keyTag)
+    val t4 = regexp_replace(t3, ipv6Re, ip6Tag)
+    val t5 = regexp_replace(t4, ipv4Re, ipTag)
+    val t6 = regexp_replace(t5, ssnRe, ssnTag)
+    val t7 = ccScrub(t6)
+    val out = regexp_replace(t7, phoneRe, phoneTag)
+    def cnt(t: Column, re: String) =
+      regexp_count(t, lit(re)).cast("long")
+    val counts = Seq(
+      cnt(t0, emailRe),
+      cnt(t1, awsKeyRe) + cnt(t2, secretRe),
+      cnt(t3, ipv6Re),
+      cnt(t4, ipv4Re),
+      cnt(t5, ssnRe),
+      size(ccValidArr(t6)).cast("long"),
+      cnt(t7, phoneRe))
+    (counts, out)
+  }
+
+  /** Full-class scrubbed text — [[fullStages]]'s final stage. */
+  def scrubFullCol(txt: Column): Column = fullStages(txt)._2
+
+  /** Total full-class redaction count (staged — see [[fullStages]]). */
+  def totalCountFullCol(txt: Column): Column =
+    fullStages(txt)._1.reduce(_ + _)
+
+  /** (id, scrubbed text, per-class redaction counts, total) under the
+    * FULL class set — the corpus-compliance form of [[scrub]]. Still a
+    * pure map-side projection: zero shuffle, linear scans at any
+    * corpus size; the only non-regex stage is the card fold, bounded
+    * by matches-per-document. */
+  def scrubFull(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val txt = col(textCol)
+    val (counts, out) = fullStages(txt)
+    val names = Seq("n_emails", "n_keys", "n_ip6", "n_ips", "n_ssns",
+      "n_ccs", "n_phones")
+    df.select(Seq(col(idCol), out.as("text")) ++
+        names.zip(counts).map { case (n, c) => c.as(n) }: _*)
+      .withColumn("n_redactions",
+        names.map(col).reduce(_ + _))
+  }
+
   /** (id, scrubbed text, per-kind redaction counts, total). */
   def scrub(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val txt = col(textCol)

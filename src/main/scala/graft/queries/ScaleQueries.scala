@@ -2578,6 +2578,42 @@ object ScaleQueries {
         .orderBy("doc_id")
     }),
 
+    // FULL-class PII scrub (the BigCode/StarCoder convention): one
+    // deterministic planted instance of every class per doc — email,
+    // AWS + generic key, both IPv6 forms, IPv4, SSN shape, a
+    // Luhn-VALID card (separator style varies by doc), a Luhn-INVALID
+    // 16-digit run that must SURVIVE (proves the in-plan Luhn filter,
+    // not just the regex), and a phone — scrubbed through the staged
+    // chain; the oracle replays every stage including the Luhn fold
+    "q58b_pii_scrub_full" -> ((s, dir) => {
+      val id = col("doc_id").cast("string")
+      val withPii = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), id, lit("@example.com"),
+          lit(" key AKIA"),
+          upper(substring(md5(concat(lit("k:"), id)), 1, 16)),
+          lit(" api_key = "),
+          substring(md5(concat(lit("s:"), id)), 1, 12),
+          lit(" v6 2001:0db8:85a3:0000:0000:8a2e:0370:"),
+          substring(md5(concat(lit("6:"), id)), 1, 4),
+          lit(" local fe80::1 from 10.0."),
+          expr("(doc_id div 256) % 256").cast("string"),
+          lit("."), (col("doc_id") % 256).cast("string"),
+          lit(" ssn "),
+          lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad((col("doc_id") % 100).cast("string"), 2, "0"), lit("-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" card "),
+          when(col("doc_id") % 3 === 0, lit("4242424242424242"))
+            .when(col("doc_id") % 3 === 1, lit("4111 1111 1111 1111"))
+            .otherwise(lit("5500-0000-0000-0004")),
+          lit(" bad 1234 5678 9012 3456 or +1 555 010 "),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+          .as("text"))
+      graft.ops.Redaction.scrubFull(withPii, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // benchmark decontamination: docs 0-49 stand in as the eval set,
     // the rest as the training corpus; 8-gram shingle-hash overlap
     "q59_decontaminate" -> ((s, dir) => {
@@ -4644,6 +4680,92 @@ object ScaleQueries {
          FROM staged2 ORDER BY doc_id"""
   }
 
+  /** The Luhn check as a DuckDB expression over candidate `v` —
+    * term-for-term [[graft.ops.Redaction.luhnValidCol]]: strip
+    * non-digits, walk positions from the right, double every second
+    * digit (−9 above 9), valid iff 13–19 digits and sum ≡ 0 mod 10.
+    * Pure integer arithmetic — no FP drift surface. */
+  private def luhnSql(v: String): String = {
+    val ds = s"regexp_replace($v, '[^0-9]', '', 'g')"
+    def dig = s"CAST(substr($ds, len($ds) - i + 1, 1) AS INT)"
+    s"""(len($ds) BETWEEN 13 AND 19 AND
+          list_sum(list_transform(range(1, len($ds) + 1),
+            i -> CASE WHEN i % 2 = 1 THEN $dig
+                 ELSE 2 * $dig
+                      - CASE WHEN 2 * $dig > 9 THEN 9 ELSE 0 END
+                 END)) % 10 = 0)"""
+  }
+
+  /** Single-quote escape for splicing a regex that CONTAINS quotes
+    * (the secretRe class) into a single-quoted SQL literal. */
+  private def reLit(re: String): String = re.replace("'", "''")
+
+  /** DuckDB twin of q58b: identical planted-PII injection, the staged
+    * full-class chain replayed stage-for-stage ([[graft.ops.Redaction
+    * .fullStages]] order: email → AWS key → secret → IPv6 → IPv4 →
+    * SSN → Luhn-valid card → phone), counts on each stage's INPUT,
+    * and the card fold as list_reduce over the Luhn-filtered
+    * candidate list. */
+  private val q58bSql: String = {
+    import graft.ops.Redaction._
+    s"""WITH base AS (
+           SELECT doc_id,
+                  text || ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com'
+                       || ' key AKIA'
+                       || upper(substr(md5('k:' || CAST(doc_id AS VARCHAR)), 1, 16))
+                       || ' api_key = '
+                       || substr(md5('s:' || CAST(doc_id AS VARCHAR)), 1, 12)
+                       || ' v6 2001:0db8:85a3:0000:0000:8a2e:0370:'
+                       || substr(md5('6:' || CAST(doc_id AS VARCHAR)), 1, 4)
+                       || ' local fe80::1 from 10.0.'
+                       || CAST((doc_id // 256) % 256 AS VARCHAR)
+                       || '.' || CAST(doc_id % 256 AS VARCHAR)
+                       || ' ssn '
+                       || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                       || '-' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                       || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       || ' card '
+                       || CASE doc_id % 3
+                            WHEN 0 THEN '4242424242424242'
+                            WHEN 1 THEN '4111 1111 1111 1111'
+                            ELSE '5500-0000-0000-0004' END
+                       || ' bad 1234 5678 9012 3456 or +1 555 010 '
+                       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t0
+           FROM documents),
+         s1 AS (SELECT *, regexp_replace(t0, '${reLit(emailRe)}', '$emailTag', 'g') AS t1 FROM base),
+         s2 AS (SELECT *, regexp_replace(t1, '${reLit(awsKeyRe)}', '$keyTag', 'g') AS t2 FROM s1),
+         s3 AS (SELECT *, regexp_replace(t2, '${reLit(secretRe)}', '$keyTag', 'g') AS t3 FROM s2),
+         s4 AS (SELECT *, regexp_replace(t3, '${reLit(ipv6Re)}', '$ip6Tag', 'g') AS t4 FROM s3),
+         s5 AS (SELECT *, regexp_replace(t4, '${reLit(ipv4Re)}', '$ipTag', 'g') AS t5 FROM s4),
+         s6 AS (SELECT *, regexp_replace(t5, '${reLit(ssnRe)}', '$ssnTag', 'g') AS t6 FROM s5),
+         s7 AS (SELECT *, list_filter(regexp_extract_all(t6, '${reLit(ccCandRe)}'),
+                            c -> ${luhnSql("c")}) AS ccv
+                FROM s6),
+         s8 AS (SELECT *, list_reduce(list_prepend(t6, ccv),
+                            (a, b) -> replace(a, b, '$ccTag')) AS t7
+                FROM s7)
+       SELECT doc_id,
+              regexp_replace(t7, '${reLit(phoneRe)}', '$phoneTag', 'g') AS text,
+              CAST(len(regexp_extract_all(t0, '${reLit(emailRe)}')) AS BIGINT) AS n_emails,
+              CAST(len(regexp_extract_all(t1, '${reLit(awsKeyRe)}'))
+                 + len(regexp_extract_all(t2, '${reLit(secretRe)}')) AS BIGINT) AS n_keys,
+              CAST(len(regexp_extract_all(t3, '${reLit(ipv6Re)}')) AS BIGINT) AS n_ip6,
+              CAST(len(regexp_extract_all(t4, '${reLit(ipv4Re)}')) AS BIGINT) AS n_ips,
+              CAST(len(regexp_extract_all(t5, '${reLit(ssnRe)}')) AS BIGINT) AS n_ssns,
+              CAST(len(ccv) AS BIGINT) AS n_ccs,
+              CAST(len(regexp_extract_all(t7, '${reLit(phoneRe)}')) AS BIGINT) AS n_phones,
+              CAST(len(regexp_extract_all(t0, '${reLit(emailRe)}'))
+                 + len(regexp_extract_all(t1, '${reLit(awsKeyRe)}'))
+                 + len(regexp_extract_all(t2, '${reLit(secretRe)}'))
+                 + len(regexp_extract_all(t3, '${reLit(ipv6Re)}'))
+                 + len(regexp_extract_all(t4, '${reLit(ipv4Re)}'))
+                 + len(regexp_extract_all(t5, '${reLit(ssnRe)}'))
+                 + len(ccv)
+                 + len(regexp_extract_all(t7, '${reLit(phoneRe)}')) AS BIGINT) AS n_redactions
+       FROM s8 ORDER BY doc_id"""
+  }
+
   /** Generated DuckDB twin of q61 full-corpus dedup. The label loop is
     * the SAME pointer-jumping update the Spark side runs, unrolled as 8
     * chained CTE rounds (covers component diameter 2^8 — near-dup
@@ -5596,6 +5718,7 @@ object ScaleQueries {
          SELECT source, doc_id, unnest(range(0, reps)) AS copy
          FROM r WHERE reps > 0 ORDER BY source, doc_id, copy""",
     "q58_pii_scrub" -> q58Sql,
+    "q58b_pii_scrub_full" -> q58bSql,
     "q87_canonicalize" ->
       """SELECT doc_id,
                 trim(regexp_replace(regexp_replace(
