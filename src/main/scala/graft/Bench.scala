@@ -157,6 +157,8 @@ object Bench {
     "q148b_dsir_select",
     // Kneser–Ney bigram perplexity (continuation-distribution backoff)
     "q149_kn_ppl",
+    // r17: order-3 KN with recursive continuation backoff
+    "q149b_kn3_ppl",
     // dedup-index PR curve over the threshold grid (candidates + exact
     // truth computed once, grid as conditional aggregation)
     "q133b_dedup_pr_sweep",
@@ -194,6 +196,8 @@ object Bench {
     // chat-template render with loss-mask spans + response-grain dedup
     "q163_chat_render",
     "q163b_turn_dedup",
+    // r17: near-dup (MinHash) grain for turn hygiene
+    "q163g_turn_dedup_near",
     // packed SFT batches: md5-shard packing, spans re-offset
     "q163c_packed_chats",
     // token-budget packed chats (trainer-denominated collator bins)

@@ -144,6 +144,14 @@ object CorpusPipeline {
       // short to score (< 2 tokens, avg_nll 0) pass through for the
       // length gates to judge. 0 = off
       maxAvgNll: Double = 0.0,
+      // 2 or 3: the Kneser–Ney order the maxAvgNll gate scores with —
+      // 2 = bigram ([[TextAnalysis.bigramScoreKN]], the default and
+      // the oracled capstone configuration), 3 = trigram with
+      // recursive continuation backoff ([[TextAnalysis
+      // .trigramScoreKN]], one more count frame, same type-grain join
+      // discipline; docs with < 3 tokens score 0 and pass, the same
+      // too-short-to-judge rule as order 2)
+      pplOrder: Int = 2,
       // >= 2: CCNet-style RELATIVE perplexity gate (Wenzek et al.
       // 2020) — split each LANGUAGE into this many equal-frequency
       // KN-perplexity tiers ([[TextAnalysis.pplBuckets]]) and drop
@@ -329,12 +337,17 @@ object CorpusPipeline {
     * recur, while natural text's do. Cost class: one bigram-type
     * shuffle + a slim semi join back; the gate's survivors keep the
     * input columns untouched. */
-  private[graft] def pplStage(docs: DataFrame, cfg: Config): DataFrame =
+  private[graft] def pplStage(docs: DataFrame, cfg: Config): DataFrame = {
+    require(cfg.pplOrder == 2 || cfg.pplOrder == 3,
+      s"pplOrder must be 2 (bigram KN) or 3 (trigram KN), got ${cfg.pplOrder}")
+    val scored =
+      if (cfg.pplOrder == 3)
+        TextAnalysis.trigramScoreKN(docs, "doc_id", "text")
+      else TextAnalysis.bigramScoreKN(docs, "doc_id", "text")
     docs.join(
-      TextAnalysis.bigramScoreKN(docs, "doc_id", "text")
-        .filter(col("avg_nll") <= cfg.maxAvgNll)
-        .select("doc_id"),
+      scored.filter(col("avg_nll") <= cfg.maxAvgNll).select("doc_id"),
       Seq("doc_id"), "left_semi")
+  }
 
   /** Optional CCNet-style RELATIVE perplexity gate (see
     * `Config.pplTiers`): keep every tier but the per-language worst.

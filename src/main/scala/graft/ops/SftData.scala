@@ -126,6 +126,49 @@ object SftData {
         col("__fi").cast("int").as("first_idx"))
   }
 
+  /** NEAR-dup (MinHash/LSH) grain for SFT turn hygiene — the q61
+    * banded-LSH machinery ([[Dedup.corpusDedup]]) composed at the
+    * assistant-TURN grain: paraphrased boilerplate responses
+    * (reworded/reordered/recased variants of the same canned reply)
+    * survive [[turnDedup]]'s exact-match normalization but overlap
+    * heavily at the token-set level, and a model trained on them
+    * still overfits the boilerplate. Responses are normalized first
+    * ([[normResponseCol]] — identical responses therefore always
+    * cluster, so this grain SUBSUMES the exact one), clustered over
+    * banded MinHash signatures, and each cluster elects keep-first by
+    * (conv, turn).
+    *
+    * The turn uid is `conv·turnsPerConv + idx` — integral, and
+    * ordered exactly like (conv, idx), so the cluster label
+    * (component-min uid) IS the keep-first winner with no extra
+    * window. Caller contract: `idxCol` ∈ [0, turnsPerConv) (the
+    * [[conversationsFrom]] shape; a wider index would alias uids).
+    *
+    * Scale: [[Dedup.corpusDedup]]'s banded join + audited bucket caps
+    * — no all-pairs; everything else is one response-grain
+    * projection. Dials thread through the ONE shared
+    * [[Dedup.NearDupConfig]]. Returns (conv_id, turn_idx, keep,
+    * first_conv, first_idx). */
+  def turnDedupNear(msgs: DataFrame, convCol: String, idxCol: String,
+      roleCol: String, textCol: String, turnsPerConv: Int,
+      nearDup: Dedup.NearDupConfig = Dedup.NearDupConfig()): DataFrame = {
+    require(turnsPerConv >= 2,
+      s"turnDedupNear: need >= 2 turns per conversation, got $turnsPerConv")
+    val uid = col(convCol).cast("long") * turnsPerConv +
+      col(idxCol).cast("long")
+    val turns = msgs.filter(col(roleCol) === "assistant")
+      .select(uid.as("turn_uid"),
+        normResponseCol(col(textCol)).as("__norm"))
+    val clustered = Dedup.corpusDedup(turns, "turn_uid", "__norm",
+      nearDup.k, nearDup.bands, nearDup.minJaccard, nearDup.maxBucket)
+    clustered.select(
+      expr(s"turn_uid div $turnsPerConv").as("conv_id"),
+      (col("turn_uid") % turnsPerConv).cast("int").as("turn_idx"),
+      (col("turn_uid") === col("cluster_id")).as("keep"),
+      expr(s"cluster_id div $turnsPerConv").as("first_conv"),
+      (col("cluster_id") % turnsPerConv).cast("int").as("first_idx"))
+  }
+
   /** Pack rendered conversations into fixed-budget training sequences
     * with RE-OFFSET loss spans — the collator step after
     * [[chatRender]]: conversations walk in deterministic md5 order
@@ -253,10 +296,18 @@ object SftData {
     * (shard, bin, n_convs, n_tokens, packed, loss_spans). */
   def sftPipeline(docs: DataFrame, idCol: String, textCol: String,
       turnsPerConv: Int = 4, binTokens: Long = 2048L,
-      nShards: Int = 32): DataFrame = {
+      nShards: Int = 32,
+      nearDupTurns: Option[Dedup.NearDupConfig] = None): DataFrame = {
     val msgs = conversationsFrom(docs, idCol, textCol, turnsPerConv)
       .localCheckpoint(eager = false)
-    val dd = turnDedup(msgs, "conv_id", "turn_idx", "role", "text")
+    // hygiene grain: exact by default; the NEAR grain when a config is
+    // passed ([[turnDedupNear]] — it subsumes the exact one: identical
+    // normalized responses always share a signature)
+    val dd = nearDupTurns match {
+      case Some(nd) => turnDedupNear(msgs, "conv_id", "turn_idx",
+        "role", "text", turnsPerConv, nd)
+      case None => turnDedup(msgs, "conv_id", "turn_idx", "role", "text")
+    }
     val dropConvs = dd.filter(!col("keep")).select("conv_id").distinct()
     // no broadcast HINT: duplicates are usually the exception (a
     // broadcast-sized drop list), but a mass re-ingest can make this

@@ -425,6 +425,92 @@ object TextAnalysis {
         round(exp(coalesce(col("__avg"), lit(0.0))), 4).as("ppl"))
   }
 
+  /** Per-document trigram-type counts (idCol, w1, w2, w3, tf) — the
+    * order-3 sibling of [[docBigramCounts]], same zip-the-tails
+    * construction (all zip_with inputs evaluate once per row; the
+    * null-padded tail rows drop on the w3 filter — a w2-null row is
+    * always also w3-null). */
+  def docTrigramCounts(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), TextOps.wsTokens(col(textCol)).as("tk"))
+    toks.select(col(idCol),
+        explode(filter(
+          zip_with(
+            zip_with(col("tk"), slice(col("tk"), lit(2), size(col("tk"))),
+              (a, b) => struct(a.as("w1"), b.as("w2"))),
+            slice(col("tk"), lit(3), size(col("tk"))),
+            (p, c) => struct(p.getField("w1").as("w1"),
+              p.getField("w2").as("w2"), c.as("w3"))),
+          t => t.getField("w3").isNotNull)).as("tg"))
+      .select(col(idCol), col("tg.w1").as("w1"), col("tg.w2").as("w2"),
+        col("tg.w3").as("w3"))
+      .groupBy(col(idCol), col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("tf"))
+  }
+
+  /** Order-3 interpolated Kneser–Ney perplexity with RECURSIVE
+    * continuation backoff (Chen & Goodman 1998, eq. 4.27 applied at
+    * both levels) — the honest upgrade over [[bigramScoreKN]] toward
+    * the 5-gram KenLM CCNet scores with:
+    *
+    *   p3(w3|w1w2) = max(c(w1w2w3)−D,0)/c(w1w2·)
+    *               + D·N1+(w1w2·)/c(w1w2·) · p2(w3|w2)
+    *   p2(w3|w2)   = max(N1+(·w2w3)−D,0)/N1+(·w2·)
+    *               + D·N1+(w2·)/N1+(·w2·) · N1+(·w3)/N1+(··)
+    *
+    * The middle order runs on CONTINUATION counts (how many distinct
+    * left contexts a bigram type completes), not raw bigram counts —
+    * the Kneser–Ney insight applied recursively; every lower-order
+    * statistic (N1+(·w2w3), N1+(·w2·), N1+(w2·), N1+(·w3), N1+(··))
+    * derives from the ONE trigram TYPE frame, so "bigram" here means
+    * "bigram observed as the tail of some trigram" (a doc-initial
+    * bigram with no left context contributes nothing — the standard
+    * count-from-higher-order convention).
+    *
+    * Same type-grain join discipline as [[bigramScoreKN]] post-q174b:
+    * the smoothed term is assembled entirely at (w1,w2,w3) TYPE grain
+    * (five type-frame joins + one broadcast scalar), and the
+    * corpus-grain tf frame shuffles ONCE into it. Scored on the
+    * fitting corpus every trigram is seen — all denominators
+    * positive. Returns (idCol, n_trigrams, avg_nll, ppl), rounded at
+    * 4; docs with < 3 tokens carry (0, 0.0, 1.0). */
+  def trigramScoreKN(df: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75): DataFrame = {
+    val tf = docTrigramCounts(df, idCol, textCol)
+      .localCheckpoint()
+    val cb = tf.groupBy("w1", "w2", "w3").agg(sum("tf").as("__c3"))
+    val ctx = cb.groupBy("w1", "w2").agg(sum("__c3").as("__c12"),
+      count(lit(1)).as("__n3f"))
+    val cont2 = cb.groupBy("w2", "w3").agg(count(lit(1)).as("__n12b"))
+    val mid = cont2.groupBy("w2").agg(sum("__n12b").as("__m2"),
+      count(lit(1)).as("__n2f"))
+    val cont1 = cont2.groupBy("w3").agg(count(lit(1)).as("__n1b"))
+    val tt = cont2.agg(count(lit(1)).as("__tt"))
+    val d = lit(discount)
+    val typeScore = cb.join(ctx, Seq("w1", "w2"))
+      .join(cont2, Seq("w2", "w3"))
+      .join(mid, Seq("w2")).join(cont1, Seq("w3"))
+      .crossJoin(broadcast(tt))
+      .select(col("w1"), col("w2"), col("w3"),
+        (-log(
+          greatest(col("__c3") - d, lit(0.0)) / col("__c12") +
+          (d * col("__n3f") / col("__c12")) * (
+            greatest(col("__n12b") - d, lit(0.0)) / col("__m2") +
+            (d * col("__n2f") / col("__m2")) *
+              (col("__n1b").cast("double") / col("__tt"))))).as("__t"))
+    val scored = tf.join(typeScore, Seq("w1", "w2", "w3"))
+      .select(col(idCol), col("tf"), (col("tf") * col("__t")).as("__nll"))
+      .groupBy(idCol).agg(
+        sum("tf").as("n_trigrams"),
+        (sum("__nll") / sum("tf")).as("__avg"))
+    df.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        round(coalesce(col("__avg"), lit(0.0)), 4).as("avg_nll"),
+        round(exp(coalesce(col("__avg"), lit(0.0))), 4).as("ppl"))
+  }
+
   /** [[bigramScoreKN]] under an EXTERNAL bigram-count frame
     * (w1, w2, cb) — the true CCNet recipe (Wenzek et al. 2020 score
     * with a Wikipedia-trained LM, not the corpus's own), and the

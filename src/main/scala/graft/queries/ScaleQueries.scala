@@ -989,6 +989,19 @@ object ScaleQueries {
         binChars = 2048L, nShards = 8)
         .orderBy("shard", "bin")),
 
+    // NEAR-dup turn hygiene: the q61 banded-LSH machinery at the
+    // assistant-turn grain over NORMALIZED responses — paraphrased
+    // boilerplate that beats exact matching clusters here; keep-first
+    // by (conv, turn) is the component-min uid. Oracle = q61CteBody
+    // over the normalized assistant-turn slice (uid ≡ doc_id under
+    // the structural conversation derivation)
+    "q163g_turn_dedup_near" -> ((s, dir) =>
+      SftData.turnDedupNear(
+        SftData.conversationsFrom(t(s, dir, "documents"), "doc_id",
+          "text", turnsPerConv = 4),
+        "conv_id", "turn_idx", "role", "text", turnsPerConv = 4)
+        .orderBy("conv_id", "turn_idx")),
+
     // INCREMENTAL turn dedup — the q68/q144 treatment for the SFT
     // response-grain state: fold the even-conv slice into a fresh
     // state, fold the odd-conv slice on top (the exact foreachBatch
@@ -1482,6 +1495,16 @@ object ScaleQueries {
     // (w1,w2) count frame, same expression tree in the twin
     "q149_kn_ppl" -> ((s, dir) =>
       TextAnalysis.bigramScoreKN(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // order-3 Kneser–Ney with RECURSIVE continuation backoff (Chen &
+    // Goodman eq. 4.27 at both levels): the middle order runs on
+    // continuation counts derived from the trigram TYPE frame, the
+    // q174b type-grain join discipline throughout — one more count
+    // frame than q149, replayed term-for-term in the twin
+    "q149b_kn3_ppl" -> ((s, dir) =>
+      TextAnalysis.trigramScoreKN(t(s, dir, "documents"), "doc_id",
+        "text")
         .orderBy("doc_id")),
 
     // CCNet perplexity tiers (Wenzek et al. 2020): q149's KN LM scores
@@ -3827,6 +3850,56 @@ object ScaleQueries {
                            ORDER BY ppl ASC, doc_id ASC) AS b
                   FROM sd)"""
 
+  /** Order-3 KN twin (q149b): trigram types from the same ws
+    * tokenization, all five lower-order statistics derived from the
+    * trigram TYPE frame (continuation counts — the recursive KN
+    * convention), the two-level smoothed term replayed with the exact
+    * engine expression shapes (greatest(c−0.75,0), 0.75·n/c,
+    * n1b·1.0/tt). */
+  private val q149bSql: String =
+    """WITH tk AS (SELECT doc_id,
+                 list_filter(string_split(coalesce(text, ''), ' '),
+                             t -> length(t) > 0) AS tk
+           FROM documents),
+         tg AS (SELECT doc_id,
+                       unnest(list_transform(range(1, len(tk) - 1),
+                         i -> {'w1': tk[i], 'w2': tk[i + 1],
+                               'w3': tk[i + 2]})) AS g
+                FROM tk WHERE len(tk) >= 3),
+         tf AS (SELECT doc_id, g.w1 AS w1, g.w2 AS w2, g.w3 AS w3,
+                       CAST(count(*) AS BIGINT) AS tf
+                FROM tg GROUP BY doc_id, g.w1, g.w2, g.w3),
+         cb AS (SELECT w1, w2, w3, sum(tf) AS c3
+                FROM tf GROUP BY w1, w2, w3),
+         ctx AS (SELECT w1, w2, sum(c3) AS c12, count(*) AS n3f
+                 FROM cb GROUP BY w1, w2),
+         cont2 AS (SELECT w2, w3, count(*) AS n12b
+                   FROM cb GROUP BY w2, w3),
+         mid AS (SELECT w2, sum(n12b) AS m2, count(*) AS n2f
+                 FROM cont2 GROUP BY w2),
+         cont1 AS (SELECT w3, count(*) AS n1b FROM cont2 GROUP BY w3),
+         tt AS (SELECT count(*) AS tt FROM cont2),
+         sc AS (SELECT doc_id, sum(tf) AS n_trigrams,
+                       sum(tf * -ln(
+                         greatest(c3 - 0.75, 0.0) / c12 +
+                         (0.75 * n3f / c12) * (
+                           greatest(n12b - 0.75, 0.0) / m2 +
+                           (0.75 * n2f / m2) * (n1b * 1.0 / tt))))
+                         / sum(tf) AS a
+                FROM tf JOIN cb USING (w1, w2, w3)
+                     JOIN ctx USING (w1, w2)
+                     JOIN cont2 USING (w2, w3)
+                     JOIN mid USING (w2)
+                     JOIN cont1 USING (w3)
+                     CROSS JOIN tt
+                GROUP BY doc_id)
+       SELECT d.doc_id,
+              CAST(coalesce(sc.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+              round(coalesce(sc.a, 0), 4) AS avg_nll,
+              round(exp(coalesce(sc.a, 0)), 4) AS ppl
+       FROM documents d LEFT JOIN sc USING (doc_id)
+       ORDER BY d.doc_id"""
+
   /** External-LM KN twin: q154's count chain over the even-id
     * reference slice (cbm/ctxm/contm/ttm), the corpus tf chain over
     * ALL docs, LEFT joins into the model stats, and the per-class OOV
@@ -4440,6 +4513,28 @@ object ScaleQueries {
               (rn = 1) AS keep, fc AS first_conv,
               CAST(fi AS INT) AS first_idx
        FROM r ORDER BY conv_id, turn_idx"""
+
+  /** DuckDB twin of q163g near-dup turn hygiene: the q61 MinHash/LSH
+    * CTE chain over the NORMALIZED assistant-turn slice. Under the
+    * structural conversation derivation (turnsPerConv = 4) the turn
+    * uid conv·4+idx IS doc_id, and assistant turns are doc_id%4 ∈
+    * {1,3}; the component-min label decodes back to (first_conv,
+    * first_idx) by integer div/mod. */
+  private val q163gSql: String =
+    s"""WITH turns AS (
+         SELECT doc_id,
+                lower(trim(regexp_replace(coalesce(text, ''),
+                  '[ \\t\\n\\r\\f]+', ' ', 'g'))) AS text
+         FROM documents WHERE doc_id % 4 IN (1, 3)),
+       ${q61CteBody("turns")}
+       SELECT (t.doc_id // 4) AS conv_id,
+              CAST(t.doc_id % 4 AS INT) AS turn_idx,
+              (coalesce(cl.lbl, t.doc_id) = t.doc_id) AS keep,
+              (coalesce(cl.lbl, t.doc_id) // 4) AS first_conv,
+              CAST(coalesce(cl.lbl, t.doc_id) % 4 AS INT) AS first_idx
+       FROM turns t LEFT JOIN (SELECT id, lbl FROM l8) cl
+         ON cl.id = t.doc_id
+       ORDER BY conv_id, turn_idx"""
 
   /** DuckDB twin of the q164 preference pairs: best-first and
     * worst-first ranks per source, i-th best × i-th worst while the
@@ -6992,6 +7087,9 @@ object ScaleQueries {
                 round(exp(coalesce(sc.a, 0)), 4) AS ppl
          FROM documents d LEFT JOIN sc USING (doc_id)
          ORDER BY d.doc_id""",
+    // order-3 KN twin: trigram type frame + recursive continuation
+    // backoff, both smoothing levels replayed term-for-term
+    "q149b_kn3_ppl" -> q149bSql,
     // CCNet tier twins: the q149 KN chain verbatim, then the identical
     // ntile window on (rounded ppl asc, doc_id asc) per language; the
     // composition twin drops bucket 3 and rolls up with the shared
@@ -7536,6 +7634,9 @@ object ScaleQueries {
     "q163_chat_render" -> q163Sql,
 
     "q163b_turn_dedup" -> q163bSql,
+    // near-dup turn hygiene: the q61 chain over the normalized
+    // assistant-turn slice, keep-first decoded from the min label
+    "q163g_turn_dedup_near" -> q163gSql,
     // incremental fold + election ≡ from-scratch batch dedup: the
     // same twin proves exact equivalence (the q68/q144 discipline)
     "q163e_turn_dedup_incremental" -> q163bSql,

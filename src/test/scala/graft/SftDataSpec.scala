@@ -78,6 +78,68 @@ class SftDataSpec extends AnyFunSuite {
     assert(a.getLong(2) === "hello world".length)
   }
 
+  test("turnDedupNear: paraphrased boilerplate (reordered/recased/" +
+      "respaced) clusters and loses keep-first; distinct responses " +
+      "stay; exact duplicates are subsumed") {
+    val msgs = Seq(
+      (0L, 0, "user", "q0"),
+      (0L, 1, "assistant", "Sure here is the canned answer you wanted today"),
+      (1L, 0, "user", "q1"),
+      // same token SET, different order/case/whitespace — beats the
+      // exact grain, est 1.0 under MinHash over the normalized set
+      (1L, 1, "assistant", "here is THE canned   answer you wanted today sure"),
+      (2L, 0, "user", "q2"),
+      (2L, 1, "assistant", "a completely different handwritten reply about gardens"),
+      (3L, 0, "user", "q3"),
+      // exact duplicate of conv 0's normalized response
+      (3L, 1, "assistant", "sure here is the canned answer you wanted today"))
+      .toDF("conv_id", "turn_idx", "role", "text")
+    val out = SftData.turnDedupNear(msgs, "conv_id", "turn_idx",
+        "role", "text", turnsPerConv = 2)
+      .orderBy("conv_id", "turn_idx")
+      .as[(Long, Int, Boolean, Long, Int)].collect().toSeq
+    assert(out === Seq(
+      (0L, 1, true, 0L, 1),
+      (1L, 1, false, 0L, 1),
+      (2L, 1, true, 2L, 1),
+      (3L, 1, false, 0L, 1)))
+    // the exact grain catches only the verbatim duplicate — the near
+    // grain's drop set strictly contains it
+    val exact = SftData.turnDedup(msgs, "conv_id", "turn_idx", "role",
+        "text").filter(!col("keep"))
+      .select("conv_id").as[Long].collect().toSet
+    assert(exact === Set(3L))
+  }
+
+  test("sftPipeline with nearDupTurns ≡ exact pipeline over the " +
+      "near-surviving conversations") {
+    // docs 0..7 at turnsPerConv=2 → convs 0..3 with the turnDedupNear
+    // fixture's assistant responses (docs 1,3,5,7)
+    val docs = Seq(
+      (0L, "q0"),
+      (1L, "Sure here is the canned answer you wanted today"),
+      (2L, "q1"),
+      (3L, "here is THE canned   answer you wanted today sure"),
+      (4L, "q2"),
+      (5L, "a completely different handwritten reply about gardens"),
+      (6L, "q3"),
+      (7L, "sure here is the canned answer you wanted today"))
+      .toDF("doc_id", "text")
+    val near = SftData.sftPipeline(docs, "doc_id", "text",
+      turnsPerConv = 2, binTokens = 64L, nShards = 2,
+      nearDupTurns = Some(graft.ops.Dedup.NearDupConfig()))
+    // convs 1 and 3 lose their near elections → survivors are convs
+    // 0 and 2; the exact pipeline over just those docs packs the same
+    val survivors = docs.filter(col("doc_id") < 2 ||
+      (col("doc_id") >= 4 && col("doc_id") < 6))
+    val exact = SftData.sftPipeline(survivors, "doc_id", "text",
+      turnsPerConv = 2, binTokens = 64L, nShards = 2)
+    val a = near.collect().map(_.toString).sorted.toSeq
+    val b = exact.collect().map(_.toString).sorted.toSeq
+    assert(a === b && a.nonEmpty)
+    assert(a.mkString.contains("gardens") && !a.mkString.contains("THE"))
+  }
+
   test("packChats: re-offset spans still address the assistant text " +
       "on the PACKED string; bins respect the budget") {
     val docs = (0L to 39L).map(i => (i, s"turn body $i " + ("x" * (i % 7).toInt)))

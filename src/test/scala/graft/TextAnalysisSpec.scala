@@ -521,6 +521,49 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(kept.size === 4)
   }
 
+  test("trigramScoreKN: hand-computed recursive-backoff values; " +
+      "short docs carry (0, 0.0, 1.0)") {
+    // corpus "a b a b a": trigram types (a,b,a)×2, (b,a,b)×1.
+    // cb: c3(aba)=2, c3(bab)=1; ctx: (a,b)→(2,1), (b,a)→(1,1);
+    // cont2: (b,a)→1, (a,b)→1; mid: b→(1,1), a→(1,1);
+    // cont1: a→1, b→1; tt=2.
+    // p2(a|b) = (1−.75)/1 + (.75·1/1)·(1/2) = 0.625 = p2(b|a)
+    // p3(a|ab) = (2−.75)/2 + (.75·1/2)·0.625 = 0.859375
+    // p3(b|ba) = (1−.75)/1 + (.75·1/1)·0.625 = 0.71875
+    val docs = Seq((0L, "a b a b a"), (1L, "x y")).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.trigramScoreKN(docs, "doc_id",
+        "text").orderBy("doc_id")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    val avg = (2 * -math.log(0.859375) + -math.log(0.71875)) / 3
+    def r4(x: Double) = new java.math.BigDecimal(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue
+    assert(out(0) === ((0L, 3L, r4(avg), r4(math.exp(avg)))))
+    assert(out(1) === ((1L, 0L, 0.0, 1.0)))
+  }
+
+  test("pplStage pplOrder=3 gates on the trigram KN score; invalid " +
+      "order fails loudly") {
+    val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001",
+      "documents").select("doc_id", "lang", "text")
+    val scored = graft.ops.TextAnalysis.trigramScoreKN(docs, "doc_id",
+      "text")
+    // a cut that provably drops SOME docs and keeps some: the median
+    val cut = scored.filter(col("n_trigrams") > 0)
+      .stat.approxQuantile("avg_nll", Array(0.5), 0.0)(0)
+    val cfg = graft.ops.CorpusPipeline.Config(maxAvgNll = cut,
+      pplOrder = 3)
+    val kept = graft.ops.CorpusPipeline.pplStage(docs, cfg)
+      .select("doc_id").as[Long].collect().toSet
+    val expected = scored.filter(col("avg_nll") <= cut)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === expected)
+    assert(kept.nonEmpty && kept.size < docs.count())
+    intercept[IllegalArgumentException] {
+      graft.ops.CorpusPipeline.pplStage(docs,
+        graft.ops.CorpusPipeline.Config(maxAvgNll = 1.0, pplOrder = 4))
+    }
+  }
+
   test("bigramScoreKNFrom: external model with per-class OOV backoff") {
     val model = graft.ops.TextAnalysis.bigramCounts(
       Seq((0L, "a b a b")).toDF("doc_id", "text"), "doc_id", "text")
