@@ -97,6 +97,8 @@ object Bench {
     "q115_pagerank",
     "q115b_pagerank_personalized",
     "q116_markup_strip",
+    // r17: jusText-shape main-content extraction over in-plan pages
+    "q180_main_content",
     "q117_funnel",
     "q118_retention",
     "q119_mean_pool",

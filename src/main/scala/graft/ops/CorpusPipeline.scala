@@ -162,6 +162,15 @@ object CorpusPipeline {
       // Composes with maxAvgNll (absolute floor first if both set).
       // 0 = off
       pplTiers: Int = 0,
+      // true: the input `text` column holds HTML PAGES — run
+      // block-level main-content extraction ([[TextOps
+      // .mainContentCol]]: structural-tag segmentation, per-block
+      // length + link-density gates, jusText shape) FIRST, so nav/
+      // sidebar/footer boilerplate never reaches the quality gates,
+      // dedup shingles, or token statistics. Map-side projection in
+      // the same gate scan: zero extra shuffle. Default off: the
+      // standard corpus tables already carry plain text
+      mainContent: Boolean = false,
       // true: scrub the FULL PII class set in the gate projection
       // ([[Redaction.scrubFullCol]] — emails, AWS/generic keys, IPv6,
       // IPv4, SSN shapes, Luhn-valid cards, phones) instead of the
@@ -244,16 +253,27 @@ object CorpusPipeline {
       langIdModel: Option[graft.ml.LangClassifier.LangIdModel] = None)
       : DataFrame = {
     val txt = col("text")
-    // domain blocklist first: cheapest gate, and the per-doc gates
+    // main-content extraction FIRST when the input is HTML pages:
+    // every downstream decision (lang-id, gates, shingles, token
+    // stats) must see body prose, not nav/footer boilerplate. Same
+    // map-side scan; the text column is replaced in place.
+    val docs0 =
+      if (!cfg.mainContent) docs
+      else {
+        val others = docs.columns.filterNot(_ == "text").map(col)
+        docs.select(others :+
+          TextOps.mainContentCol(col("text")).as("text"): _*)
+      }
+    // domain blocklist next: cheapest gate, and the per-doc gates
     // then never pay for documents a rights/abuse decision already
     // excluded. A silently skipped blocklist is a policy hazard —
     // demand the url column rather than no-op.
     val blocked =
-      if (cfg.domainBlocklist.isEmpty) docs
+      if (cfg.domainBlocklist.isEmpty) docs0
       else {
-        require(docs.columns.contains("url"),
+        require(docs0.columns.contains("url"),
           "domainBlocklist needs a `url` column on the input docs")
-        Domains.domainGate(docs, "url", cfg.domainBlocklist)
+        Domains.domainGate(docs0, "url", cfg.domainBlocklist)
       }
     // URL-grain refetch collapse next: still ahead of the per-doc
     // text gates (a dropped refetch never pays tokenization), after

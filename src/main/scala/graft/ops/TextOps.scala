@@ -123,13 +123,29 @@ object TextOps {
     * rather than double-decoding to "<". Lowercase tags only — the
     * canonicalization contract upstream of this call.
     */
-  def stripMarkup(c: Column): Column = {
-    val noScript = regexp_replace(coalesce(c, lit("")),
-      "(?s)<script[^>]*>.*?</script>", " ")
+  def stripMarkup(c: Column): Column =
+    flattenInline(stripPayloads(coalesce(c, lit(""))))
+
+  /** The payload-dropping prefix of [[stripMarkup]]: script/style
+    * bodies and comments removed wholesale. Shared with
+    * [[mainContentCol]], which must drop payloads BEFORE block
+    * segmentation (a script body may contain block-tag-shaped
+    * strings) but keep the tags for density scoring. */
+  private[graft] def stripPayloads(c: Column): Column = {
+    val noScript = regexp_replace(c, "(?s)<script[^>]*>.*?</script>", " ")
     val noStyle = regexp_replace(noScript,
       "(?s)<style[^>]*>.*?</style>", " ")
-    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
-    val noTags = regexp_replace(noComment, "<[^>]*>", " ")
+    regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+  }
+
+  /** The tag-flattening tail of [[stripMarkup]]: remaining tags →
+    * spaces, the six-entity decode (&amp; last — single-pass order),
+    * whitespace collapse, trim. Applied per BLOCK (and per link text)
+    * by the main-content extractor, whole-document by
+    * [[stripMarkup]] — composition is byte-identical to the
+    * pre-refactor chain (q116 pins it). */
+  private[graft] def flattenInline(c: Column): Column = {
+    val noTags = regexp_replace(c, "<[^>]*>", " ")
     val decoded = Seq(
       "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
       "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
@@ -137,5 +153,81 @@ object TextOps {
         replace(acc, lit(ent), lit(ch))
       }
     trim(regexp_replace(decoded, "[ \\t\\n\\x0B\\f\\r]+", " "))
+  }
+
+  /** Block boundary tags for [[mainContentCol]] — the structural HTML
+    * set (lowercase only, the canonicalization contract): opening,
+    * closing, or self-closing forms, attributes allowed. Inline tags
+    * (`a`, `span`, `em`, …) deliberately NOT here: they stay inside
+    * their block so link density can be measured. */
+  val blockTagRe: String =
+    "</?(?:html|header|head|body|title|p|div|h[1-6]|ul|ol|li|table|" +
+      "tr|td|th|article|section|footer|nav|aside|blockquote|main|" +
+      "form|pre|hr|br)(?:[ \\t\\n][^>]*)?/?>"
+
+  /** Default block-level gates for main-content extraction — the
+    * jusText operating point: a content block is at least this many
+    * flattened chars, with link text at most this fraction of it. */
+  val MainContentMinBlockChars: Int = 40
+  val MainContentMaxLinkDensity: Double = 0.4
+
+  /** Per-block (text, link-char) scores — the shared core of
+    * [[mainContentCol]] and [[mainContent]]:
+    * drop payloads, segment on [[blockTagRe]], flatten each block and
+    * sum the flattened lengths of its `<a>…</a>` contents. Returns an
+    * array of structs (t, lc); inputs to every HOF are single bound
+    * expressions, so nothing re-evaluates per element beyond the
+    * per-block work itself. */
+  private[graft] def mainContentScores(html: Column): Column =
+    transform(split(stripPayloads(coalesce(html, lit(""))), blockTagRe),
+      b => struct(
+        flattenInline(b).as("t"),
+        aggregate(
+          regexp_extract_all(b, lit("(?s)<a[^>]*>(.*?)</a>"), lit(1)),
+          lit(0), (acc, x) => acc + length(flattenInline(x))).as("lc")))
+
+  /** Main-content extraction (the jusText/trafilatura shape — Pomikálek
+    * 2011, "Removing boilerplate and duplicate content from web
+    * corpora"): segment the page into blocks on structural tags, score
+    * each block's flattened text length and LINK density (chars inside
+    * `<a>` / block chars), and keep only long-enough, link-sparse
+    * blocks — nav bars, sidebars, and footers are short or link-heavy
+    * and drop; body prose survives. The deterministic density core of
+    * the jusText classifier (no stopword model — language-neutral),
+    * sitting between [[stripMarkup]]'s flattening and the quality
+    * gates in a web-ingestion pipeline.
+    *
+    * One pure map-side Column — zero shuffle, linear in page bytes;
+    * the keep rule multiplies instead of dividing (lc ≤ maxLink·len)
+    * so there is no zero-guard and the FP comparison replays exactly
+    * cross-engine. Kept blocks join with single spaces. */
+  def mainContentCol(html: Column,
+      minBlockChars: Int = MainContentMinBlockChars,
+      maxLinkDensity: Double = MainContentMaxLinkDensity): Column = {
+    val kept = filter(mainContentScores(html), s =>
+      length(s.getField("t")) >= minBlockChars &&
+        s.getField("lc") <= lit(maxLinkDensity) * length(s.getField("t")))
+    array_join(transform(kept, _.getField("t")), " ")
+  }
+
+  /** [[mainContentCol]] with the audit counts a pipeline wants when
+    * tuning the gates: (idCol, main_text, n_blocks, n_kept). The block
+    * pipeline is BOUND into intermediate projection columns (the
+    * CollapseProject discipline) so emitting three outputs does not
+    * re-run the split/flatten work three times per row. */
+  def mainContent(df: DataFrame, idCol: String, htmlCol: String,
+      minBlockChars: Int = MainContentMinBlockChars,
+      maxLinkDensity: Double = MainContentMaxLinkDensity): DataFrame = {
+    val keepRule = (s: Column) =>
+      length(s.getField("t")) >= minBlockChars &&
+        s.getField("lc") <= lit(maxLinkDensity) * length(s.getField("t"))
+    df.select(col(idCol), mainContentScores(col(htmlCol)).as("__sc"))
+      .select(col(idCol), col("__sc"),
+        filter(col("__sc"), keepRule).as("__kept"))
+      .select(col(idCol),
+        array_join(transform(col("__kept"), _.getField("t")), " ")
+          .as("main_text"),
+        size(col("__sc")).cast("long").as("n_blocks"),
+        size(col("__kept")).cast("long").as("n_kept"))
   }
 }

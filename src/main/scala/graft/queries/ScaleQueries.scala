@@ -2417,6 +2417,34 @@ object ScaleQueries {
         .orderBy("doc_id")
     }),
 
+    // main-content extraction (jusText shape): pages built in-plan
+    // with a link-only nav, a too-short note, a link-heavy footer
+    // (dropped by DENSITY, not length), the doc text as the body
+    // paragraph, and one long link-bearing block that must SURVIVE
+    // the density gate — the oracle rebuilds the same pages and
+    // replays the block segmentation + flatten + density arithmetic
+    "q180_main_content" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val html = concat(
+        lit("<html><head><title>T</title><style>p{color:red}</style>" +
+          "</head><body>" +
+          "<nav><a href=\"/\">Home</a> <a href=\"/about\">About us</a> " +
+          "<a href=\"/contact\">Contact</a></nav><p>"),
+        coalesce(col("text"), lit("")),
+        lit("</p><div>Short note.</div>" +
+          "<div>In the middle of this long paragraph there is just " +
+          "one <a href=\"/x\">small link</a> among many plain words " +
+          "that continue for a while longer here.</div>" +
+          "<footer>Copyright 2026 All rights reserved worldwide " +
+          "<a href=\"/terms\">Terms of service</a> " +
+          "<a href=\"/privacy\">Privacy policy overview</a> " +
+          "<a href=\"/c\">Cookie settings page</a></footer>" +
+          "</body></html>"))
+      graft.ops.TextOps.mainContent(
+        docs.select(col("doc_id"), html.as("html")), "doc_id", "html")
+        .orderBy("doc_id")
+    }),
+
     // link-graph centrality (PageRank, 5 damped power-iteration
     // rounds) over a deterministic 2-out-regular doc link graph — the
     // web-corpus quality prior as a first-class iterative operator;
@@ -4859,6 +4887,61 @@ object ScaleQueries {
                  + len(ccv)
                  + len(regexp_extract_all(t7, '${reLit(phoneRe)}')) AS BIGINT) AS n_redactions
        FROM s8 ORDER BY doc_id"""
+  }
+
+  /** The q116 flatten chain (tags → spaces, six-entity decode, ws
+    * collapse, trim) over an arbitrary SQL expression — the per-BLOCK
+    * form the q180 twin applies inside list lambdas. */
+  private def flattenSql(v: String): String =
+    s"""trim(regexp_replace(replace(replace(replace(replace(replace(replace(
+          regexp_replace($v, '<[^>]*>', ' ', 'g'),
+          '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+          '&#39;', ''''), '&amp;', '&'),
+        '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))"""
+
+  /** DuckDB twin of q180 main-content extraction: identical page
+    * construction, payload drop, block segmentation on the SAME
+    * [[graft.ops.TextOps.blockTagRe]], per-block flatten + link-char
+    * sum, and the multiply-form density gate (0.4::DOUBLE — the
+    * DECIMAL-literal trap). */
+  private val q180Sql: String = {
+    val block = graft.ops.TextOps.blockTagRe
+    s"""WITH h AS (SELECT doc_id,
+           '<html><head><title>T</title><style>p{color:red}</style></head><body>'
+           || '<nav><a href="/">Home</a> <a href="/about">About us</a> <a href="/contact">Contact</a></nav><p>'
+           || coalesce(text, '')
+           || '</p><div>Short note.</div>'
+           || '<div>In the middle of this long paragraph there is just one <a href="/x">small link</a> among many plain words that continue for a while longer here.</div>'
+           || '<footer>Copyright 2026 All rights reserved worldwide <a href="/terms">Terms of service</a> <a href="/privacy">Privacy policy overview</a> <a href="/c">Cookie settings page</a></footer>'
+           || '</body></html>' AS html
+         FROM documents),
+         p1 AS (SELECT doc_id, regexp_replace(html,
+                  '(?s)<script[^>]*>.*?</script>', ' ', 'g') AS t FROM h),
+         p2 AS (SELECT doc_id, regexp_replace(t,
+                  '(?s)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM p1),
+         p3 AS (SELECT doc_id, regexp_replace(t,
+                  '(?s)<!--.*?-->', ' ', 'g') AS t FROM p2),
+         b AS (SELECT doc_id, string_split_regex(t, '$block') AS blocks
+               FROM p3),
+         sc AS (SELECT doc_id, blocks,
+                  list_transform(blocks, x -> struct_pack(
+                    t := ${flattenSql("x")},
+                    lc := coalesce(list_sum(list_transform(
+                            regexp_extract_all(x,
+                              '(?s)<a[^>]*>(.*?)</a>', 1),
+                            y -> length(${flattenSql("y")}))), 0))) AS sc
+                FROM b)
+       SELECT doc_id,
+              array_to_string(list_transform(list_filter(sc,
+                s -> length(s.t) >= 40 AND
+                     s.lc <= 0.4::DOUBLE * length(s.t)),
+                s -> s.t), ' ') AS main_text,
+              CAST(len(blocks) AS BIGINT) AS n_blocks,
+              CAST(len(list_filter(sc,
+                s -> length(s.t) >= 40 AND
+                     s.lc <= 0.4::DOUBLE * length(s.t))) AS BIGINT)
+                AS n_kept
+       FROM sc ORDER BY doc_id"""
   }
 
   /** Generated DuckDB twin of q61 full-corpus dedup. The label loop is
@@ -8664,6 +8747,11 @@ object ScaleQueries {
          FROM act GROUP BY 1, 2 ORDER BY 1, 2""",
     // the same page construction and the same strip chain, replayed
     // in DuckDB's RE2 dialect (every pattern is Java∩RE2-common)
+    // main-content twin: the q116 flatten chain applied per BLOCK
+    // inside list lambdas, link chars from group-1 extract_all, the
+    // identical multiply-form density comparison (0.4::DOUBLE — the
+    // DECIMAL-literal trap)
+    "q180_main_content" -> q180Sql,
     "q116_markup_strip" ->
       """WITH h AS (SELECT doc_id,
                '<!doctype html><html><head><style>p{margin:0}</style>'

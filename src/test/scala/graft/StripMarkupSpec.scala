@@ -44,4 +44,80 @@ class StripMarkupSpec extends AnyFunSuite {
       .as[String].collect().toSeq
     assert(out === Seq("", ""))
   }
+
+  // ---- main-content extraction (jusText shape) ----
+
+  private def mc(s: String): (String, Long, Long) =
+    TextOps.mainContent(Seq((0L, s)).toDF("doc_id", "html"),
+        "doc_id", "html")
+      .as[(Long, String, Long, Long)].collect()
+      .map(t => (t._2, t._3, t._4)).head
+
+  test("mainContent: link-only nav and link-heavy footer drop, body " +
+      "prose and a link-bearing dense block survive") {
+    val page =
+      "<html><body>" +
+        "<nav><a href=\"/\">Home</a> <a href=\"/a\">About</a> " +
+        "<a href=\"/c\">Contact</a></nav>" +
+        "<p>the quick brown fox jumps over the lazy dog and keeps " +
+        "going through the long field</p>" +
+        "<div>In this long paragraph there is just one " +
+        "<a href=\"/x\">small link</a> among many plain words that " +
+        "continue for quite a while longer here.</div>" +
+        "<footer>Copyright 2026 all rights reserved " +
+        "<a href=\"/t\">Terms of service</a> " +
+        "<a href=\"/p\">Privacy policy overview</a> " +
+        "<a href=\"/k\">Cookie settings page</a></footer>" +
+        "</body></html>"
+    val (text, _, kept) = mc(page)
+    assert(kept === 2L)
+    assert(text.startsWith("the quick brown fox"))
+    assert(text.contains("small link") && text.contains("plain words"))
+    assert(!text.contains("Home") && !text.contains("Copyright"))
+  }
+
+  test("mainContent: short dense blocks drop by length; a page with " +
+      "no block tags is one block; empty html is zero kept") {
+    val (t1, b1, k1) = mc("<p>Short note.</p>")
+    assert(t1 === "" && k1 === 0L && b1 >= 1L)
+    val plain = "a plain text document with no markup at all that is " +
+      "definitely longer than the forty char floor"
+    val (t2, _, k2) = mc(plain)
+    assert(t2 === plain && k2 === 1L)
+    val (t3, _, k3) = mc("")
+    assert(t3 === "" && k3 === 0L)
+  }
+
+  test("mainContent: script payloads containing block-tag strings do " +
+      "not create phantom blocks; density gate is strict") {
+    val page = "<script>var x = '<div>not a block</div>';</script>" +
+      "<p>genuine body copy that is clearly long enough to pass the " +
+      "length floor of the extractor</p>"
+    val (t, _, k) = mc(page)
+    assert(k === 1L && !t.contains("not a block"))
+    // a block that is exactly half links fails the 0.4 ceiling
+    val half = "<p>aaaa bbbb cccc dddd eeee " +
+      "<a href=\"/\">ffff gggg hhhh iiii jjjj</a></p>"
+    val (t2, _, k2) = mc(half)
+    assert(k2 === 0L && t2 === "")
+  }
+
+  test("capstone mainContent flag replaces page text with extracted " +
+      "prose before the gates") {
+    val prose = "the quick brown fox jumps over the lazy dog while " +
+      "the calm river flows past the old mill and the small town " +
+      "wakes slowly under a pale morning sky with gentle light on " +
+      "every quiet street and garden"
+    val page = "<html><body><nav><a href=\"/\">Home</a> " +
+      "<a href=\"/a\">About</a> <a href=\"/c\">Contact</a></nav><p>" +
+      prose + "</p><footer>Copyright 2026 " +
+      "<a href=\"/t\">Terms of service link</a> " +
+      "<a href=\"/p\">Privacy policy page</a></footer></body></html>"
+    val docs = Seq((0L, "en", page)).toDF("doc_id", "lang", "text")
+    val cfg = graft.ops.CorpusPipeline.Config(mainContent = true)
+    val out = graft.ops.CorpusPipeline.gateStage(docs, cfg)
+      .select("text").as[String].collect()
+    assert(out.length === 1)
+    assert(out(0) === prose)
+  }
 }
