@@ -592,15 +592,23 @@ object Similarity {
     */
   def quantizeInt8(df: DataFrame, idCol: String,
       vecCol: String): DataFrame = {
-    val v = asDouble(col(vecCol))
-    val mn = array_min(v)
-    val mx = array_max(v)
-    df.select(col(idCol),
-      when(mx > mn,
-        transform(v, x =>
-          floor((x - mn) * lit(255.0) / (mx - mn) + lit(0.5)).cast("int")))
-        .otherwise(transform(v, _ => lit(0))).as("q"),
-      mn.as("vmin"), mx.as("vmax"))
+    // vector, min and max BOUND into projection columns before the
+    // per-component lambda: the unbound form re-ran array_min/
+    // array_max (and the double recast) PER ELEMENT — O(dim²) per row,
+    // invisible under count() forcing. Same expressions, same values;
+    // the q74 oracle is unmoved.
+    val v = col("__v")
+    val mn = col("vmin")
+    val mx = col("vmax")
+    df.select(col(idCol), asDouble(col(vecCol)).as("__v"))
+      .select(col(idCol), v, array_min(v).as("vmin"),
+        array_max(v).as("vmax"))
+      .select(col(idCol),
+        when(mx > mn,
+          transform(v, x =>
+            floor((x - mn) * lit(255.0) / (mx - mn) + lit(0.5)).cast("int")))
+          .otherwise(transform(v, _ => lit(0))).as("q"),
+        mn, mx)
   }
 
   /** Inverse of [[quantizeInt8]]: x̂ = min + q · (max − min) / 255.

@@ -155,16 +155,24 @@ object TextAnalysis {
     */
   def repetitionFeatures(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val tk = TextOps.wsTokens(col(textCol))
+    // the token array is BOUND into a projection column before any
+    // lambda touches it: a lambda body re-evaluates NON-column inputs
+    // per element, so the unbound form re-tokenized the document once
+    // per distinct token — O(distinct × tokenize) per row (invisible
+    // under count() forcing, 2.5× of the row's honest cost under the
+    // noop sink). Same expressions, same values — only the binding
+    // moved.
+    val tk = col("__tk")
     val topCount = array_max(transform(array_distinct(tk),
       t => size(filter(tk, x => x === t))))
-    df.select(
-      col(idCol),
-      size(tk).cast("long").as("n_tokens"),
-      dupBigramFracCol(col(textCol)).as("dup_bigram_frac"),
-      round(when(size(tk) > 0,
-        topCount.cast("double") / size(tk)).otherwise(0.0), 4)
-        .as("top_word_frac"))
+    df.withColumn("__tk", TextOps.wsTokens(col(textCol)))
+      .select(
+        col(idCol),
+        size(tk).cast("long").as("n_tokens"),
+        dupBigramFracCol(col(textCol)).as("dup_bigram_frac"),
+        round(when(size(tk) > 0,
+          topCount.cast("double") / size(tk)).otherwise(0.0), 4)
+          .as("top_word_frac"))
   }
 
   /** Lexical-diversity quality signals: Shannon entropy of the token
@@ -178,22 +186,33 @@ object TextAnalysis {
     */
   def entropyFeatures(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val tk = TextOps.wsTokens(col(textCol))
+    // tokens and distinct tokens BOUND before the lambdas — the
+    // [[repetitionFeatures]] re-evaluation fix: the unbound form
+    // re-tokenized per distinct token inside the entropy fold (and
+    // re-computed size(wsTokens(...)) per element for `n`), which the
+    // noop-forced bench priced at 7.9 s/sf0.1 for what is a
+    // sub-second map-side scan. Fold order (first occurrence) and
+    // every FP expression are unchanged — outputs bit-identical, the
+    // q75 oracle is unmoved.
+    val tk = col("__tk")
+    val dt = col("__dt")
     val n = size(tk).cast("double")
-    val ent = aggregate(array_distinct(tk), lit(0.0),
+    val ent = aggregate(dt, lit(0.0),
       (acc, t) => {
         val p = size(filter(tk, x => x === t)).cast("double") / n
         acc - p * log(p)
       })
-    df.select(
-      col(idCol),
-      size(tk).cast("long").as("n_tokens"),
-      size(array_distinct(tk)).cast("long").as("n_types"),
-      round(when(size(tk) > 0,
-        size(array_distinct(tk)).cast("double") / n).otherwise(0.0), 4)
-        .as("type_token_ratio"),
-      round(when(size(tk) > 0, ent).otherwise(0.0), 4)
-        .as("token_entropy"))
+    df.withColumn("__tk", TextOps.wsTokens(col(textCol)))
+      .withColumn("__dt", array_distinct(col("__tk")))
+      .select(
+        col(idCol),
+        size(tk).cast("long").as("n_tokens"),
+        size(dt).cast("long").as("n_types"),
+        round(when(size(tk) > 0,
+          size(dt).cast("double") / n).otherwise(0.0), 4)
+          .as("type_token_ratio"),
+        round(when(size(tk) > 0, ent).otherwise(0.0), 4)
+          .as("token_entropy"))
   }
 
   /** N-gram NOVELTY — the corpus-diversity metric: for each document,
