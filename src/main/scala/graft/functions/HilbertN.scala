@@ -1,0 +1,153 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** d-dimensional Hilbert index via the Skilling transform (Skilling
+  * 2004, "Programming the Hilbert curve") as ONE imperative loop —
+  * value-identical, step for step, to the chained-projection walk
+  * [[graft.ops.Layout.withHilbertN]] ran before r17 (invert/exchange
+  * per (level, axis), Gray fold as cumulative XOR, top-axis
+  * correction, transpose interleave), and therefore to the
+  * [[graft.ops.Layout.hilbertNSql]] DuckDB twin that still pins the
+  * values. The chained form existed because inlining ~50 dependent
+  * projections would blow the expression tree up exponentially; the
+  * imperative form has no such problem and keeps the whole row inside
+  * one whole-stage-codegen call (the q137 bench row paid 14 s at
+  * sf0.1 through the projection chain — interpreted fallback — vs
+  * sub-second here). Pure integer arithmetic, no allocation beyond
+  * the caller's axis array.
+  */
+object HilbertN {
+
+  /** Hilbert index of `axes` (each in [0, 2^bits)); MUTATES `axes`
+    * (callers pass `ArrayData.toLongArray()`, a fresh copy). */
+  def hilbertIndex(axes: Array[Long], bits: Int): Long = {
+    val d = axes.length
+    // inverse undo: Q from 2^(bits-1) down to 2; per axis either
+    // invert axis 0's low bits or exchange them with this axis's
+    var level = bits - 1
+    while (level >= 1) {
+      val q = 1L << level
+      val p = q - 1
+      var i = 0
+      while (i < d) {
+        if ((axes(i) & q) != 0L) axes(0) ^= p
+        else {
+          val t = (axes(0) ^ axes(i)) & p
+          axes(0) ^= t
+          axes(i) ^= t
+        }
+        i += 1
+      }
+      level -= 1
+    }
+    // Gray encode over updated values == cumulative XOR of axes 0..i
+    var i = 1
+    while (i < d) { axes(i) ^= axes(i - 1); i += 1 }
+    // top-axis correction: fold conditional (Q-1) XORs off the LAST
+    // axis, then every axis XORs t
+    var t = 0L
+    level = bits - 1
+    while (level >= 1) {
+      val q = 1L << level
+      if ((axes(d - 1) & q) != 0L) t ^= (q - 1)
+      level -= 1
+    }
+    i = 0
+    while (i < d) { axes(i) ^= t; i += 1 }
+    // transpose → index: bit b of axis i lands at b·d + (d-1-i)
+    var h = 0L
+    var b = 0
+    while (b < bits) {
+      i = 0
+      while (i < d) {
+        h |= ((axes(i) >>> b) & 1L) << (b * d + (d - 1 - i))
+        i += 1
+      }
+      b += 1
+    }
+    h
+  }
+}
+
+object HilbertXY {
+
+  /** 2-D Hilbert index — the classic xy rotation walk, value-identical
+    * step for step to [[graft.ops.Layout.withHilbert]]'s pre-r17
+    * chained projections (and to [[graft.ops.Layout.hilbertSql]]'s
+    * per-level CTEs, which still pin the values): per level,
+    * d += s²·((3·rx) xor ry), then in the ry = 0 half flip when
+    * rx = 1, else swap. A different (symmetry-equivalent) orientation
+    * than the Skilling d = 2 instance — both true Hilbert curves. */
+  def hilbertXY(x0: Long, y0: Long, bits: Int): Long = {
+    var x = x0
+    var y = y0
+    var d = 0L
+    var level = bits - 1
+    while (level >= 0) {
+      val s = 1L << level
+      val rx = if ((x & s) != 0L) 1L else 0L
+      val ry = if ((y & s) != 0L) 1L else 0L
+      d += s * s * ((3L * rx) ^ ry)
+      if (ry == 0L) {
+        if (rx == 1L) {
+          val nx = (s - 1L) - y
+          val ny = (s - 1L) - x
+          x = nx
+          y = ny
+        } else {
+          val t = x
+          x = y
+          y = t
+        }
+      }
+      level -= 1
+    }
+    d
+  }
+}
+
+/** `hilbertXY(x, y, bits)` as a codegen'd expression. */
+case class HilbertXYExpr(left: Expression, right: Expression, bits: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(x: Any, y: Any): Any =
+    HilbertXY.hilbertXY(x.asInstanceOf[Long], y.asInstanceOf[Long], bits)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (x, y) => s"graft.functions.HilbertXY.hilbertXY($x, $y, $bits)")
+
+  override def prettyName: String = "hilbert_xy"
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): HilbertXYExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `hilbertIndex(array<long>, bits)` as a codegen'd expression. */
+case class HilbertNExpr(child: Expression, bits: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    HilbertN.hilbertIndex(
+      input.asInstanceOf[ArrayData].toLongArray(), bits)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HilbertN.hilbertIndex($c.toLongArray(), $bits)")
+
+  override def prettyName: String = "hilbert_n"
+
+  override protected def withNewChildInternal(
+      newChild: Expression): HilbertNExpr = copy(child = newChild)
+}

@@ -70,6 +70,15 @@ object GraftFunctions {
   def arrayEqCount(a: Column, b: Column): Column =
     bridge.column(ArrayEqCount(bridge.expression(a), bridge.expression(b)))
 
+  /** d-dim Hilbert index (Skilling walk) of an array<long> of axes. */
+  def hilbertN(axes: Column, bits: Int): Column =
+    bridge.column(HilbertNExpr(bridge.expression(axes), bits))
+
+  /** 2-D Hilbert index (classic xy rotation walk). */
+  def hilbertXY(x: Column, y: Column, bits: Int): Column =
+    bridge.column(HilbertXYExpr(bridge.expression(x),
+      bridge.expression(y), bits))
+
   /** Sequential-order dot product over two array<double> columns. */
   def dotProduct(a: Column, b: Column): Column =
     bridge.column(DotProduct(bridge.expression(a), bridge.expression(b)))

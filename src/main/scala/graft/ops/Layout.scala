@@ -139,36 +139,12 @@ object Layout {
   def withHilbert(df: DataFrame, xCol: String, yCol: String,
       bits: Int = 16, out: String = "h"): DataFrame = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
-    val seeded = df
-      .withColumn("__hx", bucketize(col(xCol), bits))
-      .withColumn("__hy", bucketize(col(yCol), bits))
-      .withColumn("__hd", lit(0L))
-    val walked = (bits - 1 to 0 by -1).foldLeft(seeded) { (cur, level) =>
-      val s = 1L << level
-      val rx = when(col("__hx").bitwiseAND(lit(s)) > 0, 1L).otherwise(0L)
-      val ry = when(col("__hy").bitwiseAND(lit(s)) > 0, 1L).otherwise(0L)
-      cur
-        .withColumn("__rx", rx)
-        .withColumn("__ry", ry)
-        .withColumn("__hd", col("__hd") + lit(s * s) *
-          (lit(3L) * col("__rx")).bitwiseXOR(col("__ry")))
-        // rotation: in the ry = 0 half, flip when rx = 1, then swap
-        .withColumn("__nx",
-          when(col("__ry") === 0,
-            when(col("__rx") === 1, lit(s - 1) - col("__hy"))
-              .otherwise(col("__hy")))
-            .otherwise(col("__hx")))
-        .withColumn("__ny",
-          when(col("__ry") === 0,
-            when(col("__rx") === 1, lit(s - 1) - col("__hx"))
-              .otherwise(col("__hx")))
-            .otherwise(col("__hy")))
-        .withColumn("__hx", col("__nx"))
-        .withColumn("__hy", col("__ny"))
-        .drop("__nx", "__ny", "__rx", "__ry")
-    }
-    walked.withColumn(out, col("__hd"))
-      .drop("__hx", "__hy", "__hd")
+    // ONE codegen'd call per row ([[graft.functions.HilbertXY]]) —
+    // the same chained-projection retirement as [[withHilbertN]];
+    // [[hilbertSql]]'s per-level CTE twin still pins every rotation.
+    df.withColumn(out,
+      graft.functions.GraftFunctions.hilbertXY(
+        bucketize(col(xCol), bits), bucketize(col(yCol), bits), bits))
   }
 
   /** [[clusterByZ]] with the Hilbert index: same one-shuffle
@@ -247,61 +223,17 @@ object Layout {
     require(d >= 2, s"need at least 2 columns, got $d")
     require(bits >= 1 && bits * d <= 62,
       s"bits*d must be in [2,62], got $bits*$d")
-    def x(i: Int) = col(s"__hn$i")
-    var cur = df
-    for (j <- 0 until d)
-      cur = cur.withColumn(s"__hn$j", bucketize(col(cols(j)), bits))
-    // inverse undo: Q from 2^(bits-1) down to 2; per axis either
-    // invert axis 0's low bits or exchange them with this axis's
-    for (level <- (bits - 1) to 1 by -1) {
-      val q = 1L << level
-      val p = q - 1
-      for (i <- 0 until d) {
-        val cond = x(i).bitwiseAND(lit(q)) > 0
-        if (i == 0)
-          cur = cur.withColumn("__hn0",
-            when(cond, x(0).bitwiseXOR(lit(p))).otherwise(x(0)))
-        else {
-          // t = (X0 ^ Xi) & P in the exchange branch, 0 in the invert
-          // branch — one scratch column read by both updates
-          cur = cur
-            .withColumn("__ht", when(cond, lit(0L))
-              .otherwise(x(0).bitwiseXOR(x(i)).bitwiseAND(lit(p))))
-            .withColumn("__hn0", when(cond, x(0).bitwiseXOR(lit(p)))
-              .otherwise(x(0).bitwiseXOR(col("__ht"))))
-            .withColumn(s"__hn$i", x(i).bitwiseXOR(col("__ht")))
-        }
-      }
-    }
-    // Gray encode: X[i] ^= X[i-1] (updated) == cumulative XOR of the
-    // original axes 0..i — one projection, no per-axis chain
-    val grayed = cur.select(col("*") +: (1 until d).map { i =>
-      (0 to i).map(x).reduce(_ bitwiseXOR _).as(s"__hg$i")
-    }: _*)
-    val renamed = (1 until d).foldLeft(grayed) { (c, i) =>
-      c.withColumn(s"__hn$i", col(s"__hg$i")).drop(s"__hg$i")
-    }
-    // top-axis correction: t folds conditional (Q-1) XORs off the
-    // LAST axis, then every axis XORs t
-    val tExpr = ((bits - 1) to 1 by -1).foldLeft(lit(0L): Column) {
-      (acc, level) =>
-        val q = 1L << level
-        when(x(d - 1).bitwiseAND(lit(q)) > 0,
-          acc.bitwiseXOR(lit(q - 1))).otherwise(acc)
-    }
-    var fin = renamed.withColumn("__ht", tExpr)
-    for (i <- 0 until d)
-      fin = fin.withColumn(s"__hn$i", x(i).bitwiseXOR(col("__ht")))
-    // transpose → index: bit q of axis i lands at q·d + (d-1-i)
-    val idx = (0 until bits).foldLeft(lit(0L)) { (acc, b) =>
-      (0 until d).foldLeft(acc) { (a, i) =>
-        a.bitwiseOR(shiftleft(
-          shiftrightunsigned(x(i), b).bitwiseAND(lit(1L)),
-          b * d + (d - 1 - i)))
-      }
-    }
-    fin.withColumn(out, idx)
-      .drop("__ht" +: (0 until d).map(i => s"__hn$i"): _*)
+    // ONE codegen'd call per row ([[graft.functions.HilbertN]]): the
+    // walk used to run as ~bits·d chained projections (each step
+    // feeds the mutated axes into the next; inlining would blow the
+    // expression tree up exponentially), which fell out of
+    // whole-stage codegen and priced the q137 bench row at 14 s/sf0.1
+    // under honest forcing. The imperative loop is value-identical
+    // step for step — [[hilbertNSql]]'s DuckDB twin still pins every
+    // invert/exchange/Gray/correction/interleave against it.
+    df.withColumn(out,
+      graft.functions.GraftFunctions.hilbertN(
+        array(cols.map(c => bucketize(col(c), bits)): _*), bits))
   }
 
   /** The Hilbert walk as generated DuckDB SQL (chained CTEs, one per

@@ -84,6 +84,16 @@ object SqlFunctions {
       (es: Seq[Expression]) => {
         val Seq(h, f) = arity("bloom_might_contain", 2)(es)
         BloomMightContainFn(h, f)
+      }),
+    ("hilbert_n", classOf[HilbertNExpr],
+      (es: Seq[Expression]) => {
+        val Seq(a, b) = arity("hilbert_n", 2)(es)
+        HilbertNExpr(a, litInt("hilbert_n", "bits")(b))
+      }),
+    ("hilbert_xy", classOf[HilbertXYExpr],
+      (es: Seq[Expression]) => {
+        val Seq(x, y, b) = arity("hilbert_xy", 3)(es)
+        HilbertXYExpr(x, y, litInt("hilbert_xy", "bits")(b))
       })
   ).map { case (name, clazz, builder) =>
     (FunctionIdentifier(name),

@@ -51,6 +51,37 @@ class SqlFunctionsSpec extends AnyFunSuite {
     assert(viaSql.exceptAll(viaCol).isEmpty && viaCol.exceptAll(viaSql).isEmpty)
   }
 
+  test("hilbert functions agree with the column API and the Layout " +
+      "operators") {
+    import graft.functions.GraftFunctions._
+    val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001",
+      "lineitem").limit(500)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+    docs.createOrReplaceTempView("li_sqlfn_h")
+    val viaSql = spark.sql(
+      """SELECT l_orderkey,
+                hilbert_n(array(pmod(l_partkey, 256),
+                                pmod(l_suppkey, 256),
+                                pmod(l_orderkey, 256)), 8) AS h3,
+                hilbert_xy(pmod(l_partkey, 256),
+                           pmod(l_suppkey, 256), 8) AS h2
+         FROM li_sqlfn_h""")
+    val viaCol = docs.select(col("l_orderkey"),
+      hilbertN(array(pmod(col("l_partkey"), lit(256L)),
+        pmod(col("l_suppkey"), lit(256L)),
+        pmod(col("l_orderkey"), lit(256L))), 8).as("h3"),
+      hilbertXY(pmod(col("l_partkey"), lit(256L)),
+        pmod(col("l_suppkey"), lit(256L)), 8).as("h2"))
+    assert(viaSql.exceptAll(viaCol).isEmpty && viaCol.exceptAll(viaSql).isEmpty)
+    // and the Layout operators route through the same expressions
+    val viaOp = graft.ops.Layout.withHilbertN(
+      graft.ops.Layout.withHilbert(docs, "l_partkey", "l_suppkey",
+        bits = 8, out = "h2"),
+      Seq("l_partkey", "l_suppkey", "l_orderkey"), bits = 8, out = "h3")
+      .select("l_orderkey", "h3", "h2")
+    assert(viaOp.exceptAll(viaCol).isEmpty && viaCol.exceptAll(viaOp).isEmpty)
+  }
+
   test("vector functions work in SQL over embeddings") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     emb.createOrReplaceTempView("emb_sqlfn")
