@@ -2546,10 +2546,19 @@ object Similarity {
   def truncateRenorm(df: DataFrame, idCol: String, vecCol: String,
       dims: Int): DataFrame = {
     require(dims > 0, s"dims must be positive, got $dims")
-    val sliced = slice(asDouble(col(vecCol)), 1, dims)
-    val nrm = sqrt(aggregate(sliced, lit(0.0), (a, x) => a + x * x))
+    // slice and norm BOUND before the renorm lambda — the
+    // quantizeInt8 re-evaluation fix: the unbound form re-ran the
+    // whole norm aggregate (itself over a re-evaluated slice) PER
+    // COMPONENT — O(dims²) per row. Same expressions, same values.
+    val sliced = col("__sl")
+    val nrm = col("__nrm")
     df.select(col(idCol).as("id"),
-      when(nrm > 0.0, transform(sliced, x => x / nrm))
-        .otherwise(sliced).as("vec"))
+        slice(asDouble(col(vecCol)), 1, dims).as("__sl"))
+      .select(col("id"), sliced,
+        sqrt(aggregate(sliced, lit(0.0), (a, x) => a + x * x))
+          .as("__nrm"))
+      .select(col("id"),
+        when(nrm > 0.0, transform(sliced, x => x / nrm))
+          .otherwise(sliced).as("vec"))
   }
 }
