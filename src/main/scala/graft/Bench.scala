@@ -99,6 +99,8 @@ object Bench {
     "q116_markup_strip",
     // r17: jusText-shape main-content extraction over in-plan pages
     "q180_main_content",
+    // r17: the FULL classifier (stopword density + neighbor rescue)
+    "q180b_main_content_full",
     "q117_funnel",
     "q118_retention",
     "q119_mean_pool",

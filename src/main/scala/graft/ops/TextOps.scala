@@ -210,6 +210,81 @@ object TextOps {
     array_join(transform(kept, _.getField("t")), " ")
   }
 
+  /** Default stopword-density floor for [[mainContentFull]] — below
+    * it a block reads as listing/boilerplate (jusText's low-stopword
+    * class; real prose in the engine's stopword languages sits well
+    * above, token dumps near zero). */
+  val MainContentMinStopword: Double = 0.15
+
+  /** FULL jusText-style block classification ([[mainContentCol]] plus
+    * the two signals that define the jusText classifier proper):
+    * per-block STOPWORD DENSITY (a long link-sparse block of
+    * near-zero stopword density is a listing/tag-soup/boilerplate
+    * block, not prose) and one step of CONTEXT SMOOTHING (a SHORT
+    * prose block adjacent to a GOOD block is a caption/lead-in and is
+    * RESCUED — jusText's near-good propagation simplified to
+    * immediate adjacency over the non-empty block sequence, a
+    * deterministic one-step rule both engines replay).
+    *
+    * Classes, in rule order per non-empty block: link density over
+    * `maxLinkDensity` → bad; stopword fraction below `minStopword` →
+    * bad; length ≥ `minBlockChars` → good; else short. Final keep =
+    * good, or short with an immediately-adjacent good neighbor.
+    * Empty segments (tag-boundary artifacts of the split) are
+    * dropped BEFORE classification so adjacency means real blocks.
+    *
+    * Still one map-side scan, zero shuffle: the block pipeline binds
+    * into projection columns, neighbors come from shifted-slice zips
+    * (never per-element array references). Returns (idCol, main_text,
+    * n_blocks, n_kept, n_rescued) — n_blocks counts NON-EMPTY blocks
+    * here, unlike [[mainContent]]'s raw segment count. */
+  def mainContentFull(df: DataFrame, idCol: String, htmlCol: String,
+      minBlockChars: Int = MainContentMinBlockChars,
+      maxLinkDensity: Double = MainContentMaxLinkDensity,
+      minStopword: Double = MainContentMinStopword): DataFrame = {
+    val sw = array(stopwords.map(lit): _*)
+    def classify(s: Column): Column = {
+      val t = s.getField("t")
+      val len = length(t)
+      val toks = wsTokens(t)
+      val frac = size(filter(toks, x => array_contains(sw, x)))
+        .cast("double") / greatest(size(toks), lit(1))
+      when(s.getField("lc") > lit(maxLinkDensity) * len, "bad")
+        .when(frac < minStopword, "bad")
+        .when(len >= minBlockChars, "good")
+        .otherwise("short")
+    }
+    val cls = col("__cls")
+    val tail = greatest(size(cls) - 1, lit(0))
+    df.select(col(idCol), mainContentScores(col(htmlCol)).as("__sc0"))
+      .select(col(idCol),
+        filter(col("__sc0"), s => length(s.getField("t")) > 0).as("__sc"))
+      .select(col(idCol), col("__sc"),
+        transform(col("__sc"), classify(_)).as("__cls"))
+      .select(col(idCol), col("__sc"), cls,
+        concat(array(lit("none")), slice(cls, lit(1), tail)).as("__prev"),
+        concat(slice(cls, lit(2), tail), array(lit("none"))).as("__next"))
+      .select(col(idCol), col("__sc"), cls,
+        zip_with(
+          zip_with(cls, col("__prev"),
+            (c, p) => struct(c.as("c"), p.as("p"))),
+          col("__next"),
+          (cp, n) => cp.getField("c") === "good" ||
+            (cp.getField("c") === "short" &&
+              (cp.getField("p") === "good" || n === "good"))).as("__kp"))
+      .select(col(idCol),
+        array_join(transform(
+          filter(zip_with(col("__sc"), col("__kp"),
+            (s, k) => struct(s.getField("t").as("t"), k.as("k"))),
+            e => e.getField("k")),
+          _.getField("t")), " ").as("main_text"),
+        size(col("__sc")).cast("long").as("n_blocks"),
+        size(filter(col("__kp"), k => k)).cast("long").as("n_kept"),
+        size(filter(zip_with(cls, col("__kp"),
+          (c, k) => c === "short" && k), b => b)).cast("long")
+          .as("n_rescued"))
+  }
+
   /** [[mainContentCol]] with the audit counts a pipeline wants when
     * tuning the gates: (idCol, main_text, n_blocks, n_kept). The block
     * pipeline is BOUND into intermediate projection columns (the

@@ -2445,6 +2445,34 @@ object ScaleQueries {
         .orderBy("doc_id")
     }),
 
+    // FULL jusText classification (q180 + stopword density + one-step
+    // neighbor rescue): the corpus doc text plays the LISTING role
+    // (stopword-poor synthetic tokens → dropped as boilerplate even
+    // though long and link-free), planted English prose is the good
+    // block, a short prose lead-in adjacent to it is RESCUED, and a
+    // stopword-dense short block between two bad blocks is not
+    "q180b_main_content_full" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val html = concat(
+        lit("<html><body>" +
+          "<nav><a href=\"/\">Home</a> <a href=\"/about\">About us</a> " +
+          "<a href=\"/contact\">Contact</a></nav>" +
+          "<p>and it is a calm day</p>" +
+          "<p>in the morning the river is calm and the village is " +
+          "quiet with a soft light on the water and it is a good day " +
+          "for a walk in the hills</p><p>"),
+        coalesce(col("text"), lit("")),
+        lit("</p><div>or of to in</div>" +
+          "<footer>Copyright 2026 All rights reserved worldwide " +
+          "<a href=\"/terms\">Terms of service</a> " +
+          "<a href=\"/privacy\">Privacy policy overview</a> " +
+          "<a href=\"/c\">Cookie settings page</a></footer>" +
+          "</body></html>"))
+      graft.ops.TextOps.mainContentFull(
+        docs.select(col("doc_id"), html.as("html")), "doc_id", "html")
+        .orderBy("doc_id")
+    }),
+
     // link-graph centrality (PageRank, 5 damped power-iteration
     // rounds) over a deterministic 2-out-regular doc link graph — the
     // web-corpus quality prior as a first-class iterative operator;
@@ -4942,6 +4970,73 @@ object ScaleQueries {
                      s.lc <= 0.4::DOUBLE * length(s.t))) AS BIGINT)
                 AS n_kept
        FROM sc ORDER BY doc_id"""
+  }
+
+  /** DuckDB twin of q180b full jusText classification: the q180 block
+    * chain over the q180b page, empty segments dropped, per-block
+    * class CASE (link density → stopword density → length), the
+    * one-step neighbor rescue as an index transform over the BOUND
+    * class list, and the kept-text join by index filter. Thresholds
+    * as ::DOUBLE (the DECIMAL-literal trap); the stopword list is the
+    * engine's own, spliced verbatim. */
+  private val q180bSql: String = {
+    val block = graft.ops.TextOps.blockTagRe
+    val swList = graft.ops.TextOps.stopwords
+      .map(w => s"'$w'").mkString(", ")
+    def wsToks(v: String) =
+      s"list_filter(string_split($v, ' '), x -> length(x) > 0)"
+    val frac = s"len(list_filter(${wsToks("s.t")}, x -> x IN ($swList)))" +
+      s" * 1.0 / greatest(len(${wsToks("s.t")}), 1)"
+    s"""WITH h AS (SELECT doc_id,
+           '<html><body>'
+           || '<nav><a href="/">Home</a> <a href="/about">About us</a> <a href="/contact">Contact</a></nav>'
+           || '<p>and it is a calm day</p>'
+           || '<p>in the morning the river is calm and the village is quiet with a soft light on the water and it is a good day for a walk in the hills</p><p>'
+           || coalesce(text, '')
+           || '</p><div>or of to in</div>'
+           || '<footer>Copyright 2026 All rights reserved worldwide <a href="/terms">Terms of service</a> <a href="/privacy">Privacy policy overview</a> <a href="/c">Cookie settings page</a></footer>'
+           || '</body></html>' AS html
+         FROM documents),
+         p1 AS (SELECT doc_id, regexp_replace(html,
+                  '(?s)<script[^>]*>.*?</script>', ' ', 'g') AS t FROM h),
+         p2 AS (SELECT doc_id, regexp_replace(t,
+                  '(?s)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM p1),
+         p3 AS (SELECT doc_id, regexp_replace(t,
+                  '(?s)<!--.*?-->', ' ', 'g') AS t FROM p2),
+         b AS (SELECT doc_id, string_split_regex(t, '$block') AS blocks
+               FROM p3),
+         sc0 AS (SELECT doc_id,
+                  list_transform(blocks, x -> struct_pack(
+                    t := ${flattenSql("x")},
+                    lc := coalesce(list_sum(list_transform(
+                            regexp_extract_all(x,
+                              '(?s)<a[^>]*>(.*?)</a>', 1),
+                            y -> length(${flattenSql("y")}))), 0))) AS sc
+                FROM b),
+         scn AS (SELECT doc_id,
+                  list_filter(sc, s -> length(s.t) > 0) AS sc FROM sc0),
+         cl AS (SELECT doc_id, sc,
+                  list_transform(sc, s -> CASE
+                    WHEN s.lc > 0.4::DOUBLE * length(s.t) THEN 'bad'
+                    WHEN $frac < 0.15::DOUBLE THEN 'bad'
+                    WHEN length(s.t) >= 40 THEN 'good'
+                    ELSE 'short' END) AS cls
+                FROM scn),
+         k AS (SELECT doc_id, sc, cls,
+                 list_transform(range(1, len(cls) + 1), i ->
+                   cls[i] = 'good' OR (cls[i] = 'short' AND
+                     ((i > 1 AND cls[i - 1] = 'good') OR
+                      (i < len(cls) AND cls[i + 1] = 'good')))) AS kp
+               FROM cl)
+       SELECT doc_id,
+              array_to_string(list_transform(
+                list_filter(range(1, len(kp) + 1), i -> kp[i]),
+                i -> sc[i].t), ' ') AS main_text,
+              CAST(len(sc) AS BIGINT) AS n_blocks,
+              CAST(len(list_filter(kp, x -> x)) AS BIGINT) AS n_kept,
+              CAST(len(list_filter(range(1, len(kp) + 1),
+                i -> kp[i] AND cls[i] = 'short')) AS BIGINT) AS n_rescued
+       FROM k ORDER BY doc_id"""
   }
 
   /** Generated DuckDB twin of q61 full-corpus dedup. The label loop is
@@ -8752,6 +8847,8 @@ object ScaleQueries {
     // identical multiply-form density comparison (0.4::DOUBLE — the
     // DECIMAL-literal trap)
     "q180_main_content" -> q180Sql,
+    // full jusText: class CASE + neighbor rescue over the bound list
+    "q180b_main_content_full" -> q180bSql,
     "q116_markup_strip" ->
       """WITH h AS (SELECT doc_id,
                '<!doctype html><html><head><style>p{margin:0}</style>'

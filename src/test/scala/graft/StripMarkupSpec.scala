@@ -102,6 +102,43 @@ class StripMarkupSpec extends AnyFunSuite {
     assert(k2 === 0L && t2 === "")
   }
 
+  test("mainContentFull: stopword-poor listings drop, short prose is " +
+      "rescued only next to good blocks, counts reconcile") {
+    val page = "<html><body>" +
+      "<nav><a href=\"/\">Home</a> <a href=\"/a\">About</a> " +
+      "<a href=\"/c\">Contact</a></nav>" +
+      "<p>and it is a calm day</p>" + // short prose, next to good → rescued
+      "<p>in the morning the river is calm and the village is quiet " +
+      "with a soft light on the water and it is a good day for a " +
+      "walk</p>" + // good
+      "<p>alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau</p>" + // long, 0 stopwords → bad
+      "<div>or of to in</div>" + // short prose between bads → dropped
+      "<footer>Copyright 2026 all rights reserved " +
+      "<a href=\"/t\">Terms of service</a> " +
+      "<a href=\"/p\">Privacy policy overview</a> " +
+      "<a href=\"/k\">Cookie settings page</a></footer>" +
+      "</body></html>"
+    val out = graft.ops.TextOps.mainContentFull(
+        Seq((0L, page)).toDF("doc_id", "html"), "doc_id", "html")
+      .as[(Long, String, Long, Long, Long)].collect().head
+    val (_, text, nBlocks, nKept, nRescued) = out
+    assert(text === "and it is a calm day in the morning the river is " +
+      "calm and the village is quiet with a soft light on the water " +
+      "and it is a good day for a walk")
+    assert(nBlocks === 6L && nKept === 2L && nRescued === 1L)
+    // rescue requires adjacency: the same short block isolated among
+    // bad neighbors is dropped
+    val iso = graft.ops.TextOps.mainContentFull(
+        Seq((0L, "<p>word list alpha beta gamma delta epsilon zeta " +
+          "eta theta iota kappa lambda</p><p>and it is a calm day</p>" +
+          "<div>tag soup rho sigma tau upsilon phi chi psi omega one " +
+          "two three</div>"))
+          .toDF("doc_id", "html"), "doc_id", "html")
+      .as[(Long, String, Long, Long, Long)].collect().head
+    assert(iso._2 === "" && iso._4 === 0L && iso._5 === 0L)
+  }
+
   test("capstone mainContent flag replaces page text with extracted " +
       "prose before the gates") {
     val prose = "the quick brown fox jumps over the lazy dog while " +
