@@ -202,6 +202,8 @@ object Bench {
     "q163b_turn_dedup",
     // r17: near-dup (MinHash) grain for turn hygiene
     "q163g_turn_dedup_near",
+    // r17: preamble tier — span scrub at the turn grain
+    "q163h_turn_span_scrub",
     // packed SFT batches: md5-shard packing, spans re-offset
     "q163c_packed_chats",
     // token-budget packed chats (trainer-denominated collator bins)

@@ -169,6 +169,39 @@ object SftData {
       (col("cluster_id") % turnsPerConv).cast("int").as("first_idx"))
   }
 
+  /** Sliding-span scrub at the assistant-TURN grain — the PREFIX/
+    * preamble tier of SFT turn hygiene, between [[turnDedup]] (whole
+    * responses, exact) and [[turnDedupNear]] (whole responses,
+    * fuzzy): responses that share a boilerplate PREAMBLE ("Sure!
+    * Here's what you asked for: …") before divergent content keep
+    * both under either whole-response grain, but the repeated span
+    * itself is training noise. [[Dedup.slidingSpanScrub]] over the
+    * turn frame removes every later occurrence of any repeated
+    * `span`-unit token window keep-first by (conv, turn, position) —
+    * the uid ordering trick of [[turnDedupNear]] makes the
+    * (doc, unit) election exactly that order.
+    *
+    * Returns (conv_id, turn_idx, text, n_units, n_dropped) — text is
+    * the REBUILT response (surviving units in order), the shape the
+    * render stage consumes. Same scale contract as q158: span-hash
+    * window election, anti-join, per-turn reassembly; nothing
+    * corpus×corpus. */
+  def turnSpanScrub(msgs: DataFrame, convCol: String, idxCol: String,
+      roleCol: String, textCol: String, turnsPerConv: Int,
+      unitTokens: Int = 5, span: Int = 3): DataFrame = {
+    require(turnsPerConv >= 2,
+      s"turnSpanScrub: need >= 2 turns per conversation, got $turnsPerConv")
+    val uid = col(convCol).cast("long") * turnsPerConv +
+      col(idxCol).cast("long")
+    val turns = msgs.filter(col(roleCol) === "assistant")
+      .select(uid.as("turn_uid"),
+        coalesce(col(textCol), lit("")).as("__t"))
+    Dedup.slidingSpanScrub(turns, "turn_uid", "__t", unitTokens, span)
+      .select(expr(s"turn_uid div $turnsPerConv").as("conv_id"),
+        (col("turn_uid") % turnsPerConv).cast("int").as("turn_idx"),
+        col("text"), col("n_units"), col("n_dropped"))
+  }
+
   /** Pack rendered conversations into fixed-budget training sequences
     * with RE-OFFSET loss spans — the collator step after
     * [[chatRender]]: conversations walk in deterministic md5 order

@@ -1002,6 +1002,17 @@ object ScaleQueries {
         "conv_id", "turn_idx", "role", "text", turnsPerConv = 4)
         .orderBy("conv_id", "turn_idx")),
 
+    // sliding-span scrub at the turn grain: the PREAMBLE tier of turn
+    // hygiene — repeated multi-unit spans across assistant responses
+    // scrubbed keep-first by (conv, turn, position). Oracle = the
+    // q158 chain (spanScrubCte) over the turn slice, uid decoded
+    "q163h_turn_span_scrub" -> ((s, dir) =>
+      SftData.turnSpanScrub(
+        SftData.conversationsFrom(t(s, dir, "documents"), "doc_id",
+          "text", turnsPerConv = 4),
+        "conv_id", "turn_idx", "role", "text", turnsPerConv = 4)
+        .orderBy("conv_id", "turn_idx")),
+
     // INCREMENTAL turn dedup — the q68/q144 treatment for the SFT
     // response-grain state: fold the even-conv slice into a fresh
     // state, fold the odd-conv slice on top (the exact foreachBatch
@@ -5039,6 +5050,50 @@ object ScaleQueries {
        FROM k ORDER BY doc_id"""
   }
 
+  /** The q158 sliding-span scrub chain parameterized on its SOURCE
+    * relation (doc_id, text) — the q61CteBody convention: unit
+    * segmentation (5-token units), 3-unit spans via window leads,
+    * md5-keyed keep-first election ordered by (doc_id, unit idx),
+    * drop-unit explosion, anti-joined reassembly. Ends with CTEs
+    * `u2`, `kept`, `reb`, `cnt`; the caller writes the final SELECT
+    * (q158 at doc grain, q163h decoding the turn uid). */
+  private def spanScrubCte(src: String): String =
+    s"""tk AS (SELECT doc_id,
+                list_filter(string_split(coalesce(text, ''), ' '),
+                            t -> length(t) > 0) AS w
+           FROM $src),
+            b AS (SELECT doc_id, w,
+                    CAST(ceil(len(w) / 5.0) AS INT) AS nu FROM tk),
+            u0 AS (SELECT doc_id, unnest(range(0, nu)) AS ui, w
+                   FROM b WHERE nu > 0),
+            u2 AS (SELECT doc_id, CAST(ui AS INT) AS ui,
+                     array_to_string(w[ui*5+1: ui*5+5], ' ') AS unit
+                   FROM u0),
+            sp AS (SELECT doc_id, ui AS si,
+                     unit || ' ' || lead(unit, 1) OVER win
+                          || ' ' || lead(unit, 2) OVER win AS span
+                   FROM u2
+                   WINDOW win AS (PARTITION BY doc_id ORDER BY ui)
+                   QUALIFY lead(unit, 2) OVER win IS NOT NULL),
+            dsp AS (SELECT doc_id, si FROM
+                      (SELECT doc_id, si, row_number() OVER
+                         (PARTITION BY md5(span)
+                          ORDER BY doc_id, si) rn FROM sp)
+                    WHERE rn > 1),
+            du AS (SELECT DISTINCT doc_id, si + g.j AS ui
+                   FROM dsp CROSS JOIN
+                     (SELECT unnest([0, 1, 2]) AS j) g),
+            kept AS (SELECT u.doc_id, u.ui, u.unit FROM u2 u
+                     WHERE NOT EXISTS (SELECT 1 FROM du
+                       WHERE du.doc_id = u.doc_id AND du.ui = u.ui)),
+            reb AS (SELECT doc_id,
+                      array_to_string(list(unit ORDER BY ui), ' ')
+                        AS text,
+                      count(*) AS n_kept
+                    FROM kept GROUP BY doc_id),
+            cnt AS (SELECT doc_id, count(*) AS n_units
+                    FROM u2 GROUP BY doc_id)"""
+
   /** Generated DuckDB twin of q61 full-corpus dedup. The label loop is
     * the SAME pointer-jumping update the Spark side runs, unrolled as 8
     * chained CTE rounds (covers component diameter 2^8 — near-dup
@@ -7815,6 +7870,20 @@ object ScaleQueries {
     // near-dup turn hygiene: the q61 chain over the normalized
     // assistant-turn slice, keep-first decoded from the min label
     "q163g_turn_dedup_near" -> q163gSql,
+    // preamble tier: the q158 span chain over the turn slice
+    "q163h_turn_span_scrub" -> (s"""WITH turns AS (
+           SELECT doc_id, coalesce(text, '') AS text
+           FROM documents WHERE doc_id % 4 IN (1, 3)),
+         ${spanScrubCte("turns")}
+       SELECT (d.doc_id // 4) AS conv_id,
+              CAST(d.doc_id % 4 AS INT) AS turn_idx,
+              coalesce(reb.text, '') AS text,
+              coalesce(cnt.n_units, 0) AS n_units,
+              coalesce(cnt.n_units, 0) - coalesce(reb.n_kept, 0)
+                AS n_dropped
+       FROM (SELECT DISTINCT doc_id FROM turns) d
+       LEFT JOIN cnt USING (doc_id) LEFT JOIN reb USING (doc_id)
+       ORDER BY conv_id, turn_idx"""),
     // incremental fold + election ≡ from-scratch batch dedup: the
     // same twin proves exact equivalence (the q68/q144 discipline)
     "q163e_turn_dedup_incremental" -> q163bSql,
@@ -8019,49 +8088,14 @@ object ScaleQueries {
     // sliding-span twin: unit chunks via 1-based list slices, spans as
     // lead() windows per doc, keep-first row_number on md5(span),
     // covered-unit explode + anti-join, ordered reassembly
-    "q158_span_scrub" ->
-      """WITH tk AS (SELECT doc_id,
-                list_filter(string_split(coalesce(text, ''), ' '),
-                            t -> length(t) > 0) AS w
-           FROM documents),
-            b AS (SELECT doc_id, w,
-                    CAST(ceil(len(w) / 5.0) AS INT) AS nu FROM tk),
-            u0 AS (SELECT doc_id, unnest(range(0, nu)) AS ui, w
-                   FROM b WHERE nu > 0),
-            u2 AS (SELECT doc_id, CAST(ui AS INT) AS ui,
-                     array_to_string(w[ui*5+1: ui*5+5], ' ') AS unit
-                   FROM u0),
-            sp AS (SELECT doc_id, ui AS si,
-                     unit || ' ' || lead(unit, 1) OVER win
-                          || ' ' || lead(unit, 2) OVER win AS span
-                   FROM u2
-                   WINDOW win AS (PARTITION BY doc_id ORDER BY ui)
-                   QUALIFY lead(unit, 2) OVER win IS NOT NULL),
-            dsp AS (SELECT doc_id, si FROM
-                      (SELECT doc_id, si, row_number() OVER
-                         (PARTITION BY md5(span)
-                          ORDER BY doc_id, si) rn FROM sp)
-                    WHERE rn > 1),
-            du AS (SELECT DISTINCT doc_id, si + g.j AS ui
-                   FROM dsp CROSS JOIN
-                     (SELECT unnest([0, 1, 2]) AS j) g),
-            kept AS (SELECT u.doc_id, u.ui, u.unit FROM u2 u
-                     WHERE NOT EXISTS (SELECT 1 FROM du
-                       WHERE du.doc_id = u.doc_id AND du.ui = u.ui)),
-            reb AS (SELECT doc_id,
-                      array_to_string(list(unit ORDER BY ui), ' ')
-                        AS text,
-                      count(*) AS n_kept
-                    FROM kept GROUP BY doc_id),
-            cnt AS (SELECT doc_id, count(*) AS n_units
-                    FROM u2 GROUP BY doc_id)
+    "q158_span_scrub" -> (s"""WITH ${spanScrubCte("documents")}
          SELECT d.doc_id, coalesce(reb.text, '') AS text,
                 coalesce(cnt.n_units, 0) AS n_units,
                 coalesce(cnt.n_units, 0) - coalesce(reb.n_kept, 0)
                   AS n_dropped
          FROM (SELECT DISTINCT doc_id FROM documents) d
          LEFT JOIN cnt USING (doc_id) LEFT JOIN reb USING (doc_id)
-         ORDER BY d.doc_id""",
+         ORDER BY d.doc_id"""),
     // hard-negative twin: the q29 pair frame with the rounded-sim band
     // filter, the rank-1 positive anti-joined out, raw-sim ranking
     "q157_hard_negatives" ->

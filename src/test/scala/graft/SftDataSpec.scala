@@ -111,6 +111,33 @@ class SftDataSpec extends AnyFunSuite {
     assert(exact === Set(3L))
   }
 
+  test("turnSpanScrub: a shared preamble is scrubbed keep-first by " +
+      "(conv, turn); divergent content survives") {
+    // unitTokens=2, span=2 → repeated 4-token windows scrub. The
+    // 8-token preamble forms spans at aligned unit boundaries in
+    // every response; conv 0 keeps it, later convs lose exactly those
+    // units while their distinct tails survive.
+    val pre = "sure here is what you asked for today"
+    val msgs = Seq(
+      (0L, 0, "user", "q0"),
+      (0L, 1, "assistant", s"$pre the red fox story begins"),
+      (1L, 0, "user", "q1"),
+      (1L, 1, "assistant", s"$pre a tale about green rivers"),
+      (2L, 0, "user", "q2"),
+      (2L, 1, "assistant", "completely original answer with no shared prefix at all"))
+      .toDF("conv_id", "turn_idx", "role", "text")
+    val out = SftData.turnSpanScrub(msgs, "conv_id", "turn_idx",
+        "role", "text", turnsPerConv = 2, unitTokens = 2, span = 2)
+      .orderBy("conv_id")
+      .as[(Long, Int, String, Long, Long)].collect().toSeq
+    assert(out(0)._3 === s"$pre the red fox story begins" &&
+      out(0)._5 === 0L)
+    assert(out(1)._3 === "a tale about green rivers" && out(1)._5 === 4L)
+    assert(out(2)._3 ===
+      "completely original answer with no shared prefix at all" &&
+      out(2)._5 === 0L)
+  }
+
   test("sftPipeline with nearDupTurns ≡ exact pipeline over the " +
       "near-surviving conversations") {
     // docs 0..7 at turnsPerConv=2 → convs 0..3 with the turnDedupNear
