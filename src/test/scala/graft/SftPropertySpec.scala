@@ -166,4 +166,88 @@ class SftPropertySpec extends AnyFunSuite {
       assert(out === refKeep, s"case $c")
     }
   }
+
+  test("turnSpanScrub conservation: kept + dropped = units, rebuilt " +
+      "units are a subsequence of the original, duplicate-free " +
+      "corpora pass through unchanged") {
+    val rnd = new scala.util.Random(11)
+    // random word-salad responses over a tiny vocab so spans DO recur
+    val vocab = Vector("aa", "bb", "cc", "dd")
+    def resp(n: Int) =
+      (0 until n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val msgs = (0L until 40L).flatMap(c => Seq(
+      (c, 0, "user", s"q$c"),
+      (c, 1, "assistant", resp(6 + rnd.nextInt(18)))))
+      .toDF("conv_id", "turn_idx", "role", "text")
+    val orig = msgs.filter(col("role") === "assistant")
+      .select("conv_id", "text").as[(Long, String)].collect().toMap
+    val out = SftData.turnSpanScrub(msgs, "conv_id", "turn_idx",
+        "role", "text", turnsPerConv = 2, unitTokens = 2, span = 2)
+      .as[(Long, Int, String, Long, Long)].collect()
+    assert(out.length === 40)
+    for ((c, _, text, nUnits, nDropped) <- out) {
+      val origUnits = orig(c).split(" ").filter(_.nonEmpty)
+        .grouped(2).map(_.mkString(" ")).toVector
+      assert(nUnits === origUnits.length.toLong)
+      val keptUnits = if (text.isEmpty) Vector.empty[String]
+        else {
+          // rebuilt text is surviving units joined; re-chunk by
+          // scanning origUnits as a subsequence
+          var rest = text
+          origUnits.filter { u =>
+            if (rest == u || rest.startsWith(u + " ")) {
+              rest = rest.stripPrefix(u).stripPrefix(" "); true
+            } else false
+          }
+        }
+      assert(keptUnits.length === (nUnits - nDropped),
+        s"conv $c: $text vs $origUnits")
+    }
+    // distinct-token corpus (no shared spans possible) → identity
+    val uniq = (0L until 10L).flatMap(c => Seq(
+      (c, 0, "user", s"q$c"),
+      (c, 1, "assistant",
+        (0 until 8).map(j => s"w${c}_$j").mkString(" "))))
+      .toDF("conv_id", "turn_idx", "role", "text")
+    val uout = SftData.turnSpanScrub(uniq, "conv_id", "turn_idx",
+        "role", "text", turnsPerConv = 2, unitTokens = 2, span = 2)
+      .as[(Long, Int, String, Long, Long)].collect()
+    assert(uout.forall(_._5 == 0L))
+    val uorig = uniq.filter(col("role") === "assistant")
+      .select("conv_id", "text").as[(Long, String)].collect().toMap
+    assert(uout.forall(r => r._3 == uorig(r._1)))
+  }
+
+  test("mainContentFull: kept text is always a space-join of a subset " +
+      "of the page's non-empty flattened blocks; counts reconcile") {
+    val rnd = new scala.util.Random(13)
+    val prose = "in the morning the river is calm and the village is " +
+      "quiet with a soft light on the water"
+    val fragments = Vector(
+      s"<p>$prose</p>",
+      "<p>and it is a calm day</p>",
+      "<div><a href=\"/x\">link one</a> <a href=\"/y\">link two</a></div>",
+      "<p>alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu</p>",
+      "<br>", "<div>of to in</div>")
+    for (_ <- 1 to 12) {
+      val page = (0 until (2 + rnd.nextInt(5)))
+        .map(_ => fragments(rnd.nextInt(fragments.size))).mkString
+      val out = graft.ops.TextOps.mainContentFull(
+          Seq((0L, page)).toDF("doc_id", "html"), "doc_id", "html")
+        .as[(Long, String, Long, Long, Long)].collect().head
+      val (_, text, nBlocks, nKept, nRescued) = out
+      assert(nRescued <= nKept && nKept <= nBlocks)
+      if (text.nonEmpty) {
+        // every kept block body must appear verbatim in page order
+        val bodies = Seq(prose, "and it is a calm day")
+        assert(text.split(" ").forall(w =>
+          page.contains(w) || bodies.exists(_.contains(w))))
+      }
+      // pages with no prose at all keep nothing
+      if (!page.contains("<p>" + prose) &&
+          !page.contains("and it is a calm day"))
+        assert(nKept === 0L, s"page $page kept $text")
+    }
+  }
 }
