@@ -144,13 +144,15 @@ object CorpusPipeline {
       // short to score (< 2 tokens, avg_nll 0) pass through for the
       // length gates to judge. 0 = off
       maxAvgNll: Double = 0.0,
-      // 2 or 3: the Kneser–Ney order the maxAvgNll gate scores with —
+      // 2..5: the Kneser–Ney order the maxAvgNll gate scores with —
       // 2 = bigram ([[TextAnalysis.bigramScoreKN]], the default and
       // the oracled capstone configuration), 3 = trigram with
       // recursive continuation backoff ([[TextAnalysis
-      // .trigramScoreKN]], one more count frame, same type-grain join
-      // discipline; docs with < 3 tokens score 0 and pass, the same
-      // too-short-to-judge rule as order 2)
+      // .trigramScoreKN]]), 4/5 = the generalized continuation tower
+      // ([[TextAnalysis.ngramScoreKN]] — 5 is real CCNet's KenLM
+      // order; mind the type-frame growth, SCALING.md r18). Docs with
+      // < order tokens score 0 and pass — the too-short-to-judge rule
+      // at every order
       pplOrder: Int = 2,
       // >= 2: CCNet-style RELATIVE perplexity gate (Wenzek et al.
       // 2020) — split each LANGUAGE into this many equal-frequency
@@ -358,12 +360,13 @@ object CorpusPipeline {
     * shuffle + a slim semi join back; the gate's survivors keep the
     * input columns untouched. */
   private[graft] def pplStage(docs: DataFrame, cfg: Config): DataFrame = {
-    require(cfg.pplOrder == 2 || cfg.pplOrder == 3,
-      s"pplOrder must be 2 (bigram KN) or 3 (trigram KN), got ${cfg.pplOrder}")
-    val scored =
-      if (cfg.pplOrder == 3)
-        TextAnalysis.trigramScoreKN(docs, "doc_id", "text")
-      else TextAnalysis.bigramScoreKN(docs, "doc_id", "text")
+    require(cfg.pplOrder >= 2 && cfg.pplOrder <= 5,
+      s"pplOrder must be in [2, 5] (KN order), got ${cfg.pplOrder}")
+    val scored = cfg.pplOrder match {
+      case 2 => TextAnalysis.bigramScoreKN(docs, "doc_id", "text")
+      case 3 => TextAnalysis.trigramScoreKN(docs, "doc_id", "text")
+      case o => TextAnalysis.ngramScoreKN(docs, "doc_id", "text", o)
+    }
     docs.join(
       scored.filter(col("avg_nll") <= cfg.maxAvgNll).select("doc_id"),
       Seq("doc_id"), "left_semi")

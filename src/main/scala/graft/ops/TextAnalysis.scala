@@ -530,6 +530,112 @@ object TextAnalysis {
         round(exp(coalesce(col("__avg"), lit(0.0))), 4).as("ppl"))
   }
 
+  /** Per-document n-gram TYPE counts (idCol, w1..wn, tf) for any order
+    * n in [2, 8] — the order-N generalization of [[docBigramCounts]] /
+    * [[docTrigramCounts]] (same whitespace tokenization, same
+    * group-by-type grain). Windows come from one `transform` over the
+    * valid start positions; docs with fewer than n tokens are filtered
+    * BEFORE the explode (they produce no rows — the scorer's left join
+    * restores them with zero counts, the same convention as the fixed
+    * orders). `element_at` against the BOUND token-array column is an
+    * O(1) grab per slot, so the per-row cost is exactly the
+    * n·(len−n+1) struct fills both engines pay — no per-element
+    * re-evaluation of anything corpus-sized (the r17 HOF rule). */
+  def docNgramCounts(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    require(n >= 2 && n <= 8,
+      s"docNgramCounts: n must be in [2, 8], got $n")
+    val ws = (1 to n).map(k => s"w$k")
+    val toks = df.select(col(idCol),
+        TextOps.wsTokens(col(textCol)).as("__tk"))
+      .filter(size(col("__tk")) >= n)
+    val gram = transform(sequence(lit(1), size(col("__tk")) - n + 1),
+      i => struct(ws.zipWithIndex.map { case (w, k) =>
+        element_at(col("__tk"), i + k).as(w) }: _*))
+    toks.select(col(idCol), explode(gram).as("__g"))
+      .select(col(idCol) +: ws.map(w => col(s"__g.$w").as(w)): _*)
+      .groupBy(col(idCol) +: ws.map(col): _*)
+      .agg(count(lit(1)).as("tf"))
+  }
+
+  /** Order-N interpolated Kneser–Ney perplexity with RECURSIVE
+    * continuation backoff (Chen & Goodman 1998, eq. 4.27 applied at
+    * EVERY level) — [[trigramScoreKN]] generalized to the 4/5-gram
+    * orders real CCNet scoring uses (Wenzek et al. 2020 ships a 5-gram
+    * KenLM). Level k's count frame (k < order) is the CONTINUATION
+    * type count N1+(· w_{n−k+1..n}) derived from level k+1's TYPE
+    * frame — "counts from higher orders" — so every statistic in the
+    * tower derives from the ONE top-order type frame:
+    *
+    *   p_k(wn | ctx_k) = max(c_k − D, 0)/den_k
+    *                   + D·N1+(ctx_k ·)/den_k · p_{k−1}(wn | ctx_{k−1})
+    *   p_1(wn)         = N1+(·wn) / N1+(··)
+    *
+    * Join discipline unchanged from [[trigramScoreKN]]: the smoothed
+    * term is assembled at top-order TYPE grain (2·order − 2 type-frame
+    * joins + one broadcast scalar) and the corpus-grain tf frame
+    * shuffles ONCE into it. TYPE-FRAME GROWTH is the scale watch item
+    * at order 4/5 — the n-gram type count approaches the corpus token
+    * count as n grows (SCALING.md r18 measures the tower at sf0.1/sf1)
+    * — but the frame stays a join-not-collect object throughout, so
+    * the cost is shuffle volume, never driver memory. Orders 2/3 stay
+    * on [[bigramScoreKN]]/[[trigramScoreKN]] (identical arithmetic —
+    * NgramKNSpec pins the order-2/3 equivalence value-for-value); this
+    * entry point is the capstone's `pplOrder` ≥ 4 path. Returns
+    * (idCol, n_ngrams, avg_nll, ppl), rounded at 4; docs with fewer
+    * than `order` tokens carry (0, 0.0, 1.0). */
+  def ngramScoreKN(df: DataFrame, idCol: String, textCol: String,
+      order: Int, discount: Double = 0.75): DataFrame = {
+    require(order >= 2 && order <= 5,
+      s"ngramScoreKN: order must be in [2, 5], got $order")
+    val n = order
+    def ws(from: Int, to: Int): Seq[String] = (from to to).map(k => s"w$k")
+    val tf = docNgramCounts(df, idCol, textCol, n).localCheckpoint()
+    // the level tower: frames(n) = raw top-order type counts; each
+    // frames(k) below it = continuation type counts over level k+1.
+    // Grain of frames(k) is the SUFFIX (w_{n-k+1} .. w_n).
+    val frames = scala.collection.mutable.Map[Int, DataFrame]()
+    frames(n) = tf.groupBy(ws(1, n).map(col): _*)
+      .agg(sum("tf").as(s"__c$n"))
+    for (k <- (n - 1) to 1 by -1)
+      frames(k) = frames(k + 1)
+        .groupBy(ws(n - k + 1, n).map(col): _*)
+        .agg(count(lit(1)).as(s"__c$k"))
+    // per-level context stats (denominator + forward type count) and
+    // the broadcast base denominator N1+(··)
+    val ctxs = (2 to n).map { k =>
+      k -> frames(k).groupBy(ws(n - k + 1, n - 1).map(col): _*)
+        .agg(sum(s"__c$k").as(s"__den$k"), count(lit(1)).as(s"__nf$k"))
+    }.toMap
+    val tt = frames(2).agg(count(lit(1)).as("__tt"))
+    val d = lit(discount)
+    val joined = ((n - 1) to 1 by -1)
+      .foldLeft(frames(n).join(ctxs(n), ws(1, n - 1))) { (acc, k) =>
+        val withFrame = acc.join(frames(k), ws(n - k + 1, n))
+        if (k >= 2) withFrame.join(ctxs(k), ws(n - k + 1, n - 1))
+        else withFrame
+      }
+      .crossJoin(broadcast(tt))
+    val p = (2 to n).foldLeft(
+      col("__c1").cast("double") / col("__tt")) { (lower, k) =>
+      greatest(col(s"__c$k") - d, lit(0.0)) / col(s"__den$k") +
+        (d * col(s"__nf$k") / col(s"__den$k")) * lower
+    }
+    val typeScore = joined.select(
+      ws(1, n).map(col) :+ (-log(p)).as("__t"): _*)
+    val scored = tf.join(typeScore, ws(1, n))
+      .select(col(idCol), col("tf"), (col("tf") * col("__t")).as("__nll"))
+      .groupBy(idCol).agg(
+        sum("tf").as("n_ngrams"),
+        (sum("__nll") / sum("tf")).as("__avg"))
+    df.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
+        round(coalesce(col("__avg"), lit(0.0)), 4).as("avg_nll"),
+        round(exp(coalesce(col("__avg"), lit(0.0))), 4).as("ppl"))
+  }
+
   /** [[bigramScoreKN]] under an EXTERNAL bigram-count frame
     * (w1, w2, cb) — the true CCNet recipe (Wenzek et al. 2020 score
     * with a Wikipedia-trained LM, not the corpus's own), and the
@@ -645,14 +751,27 @@ object TextAnalysis {
     * report the retained corpus composition per (language, source,
     * bucket) — document and whitespace-token counts, the numbers a
     * mixing stage ([[Mixing]]) consumes as its per-source budget
-    * frame. One extra hash aggregate over the bucketed frame; token
-    * counts reuse the one shared tokenization ([[nTokensCol]]).
-    * Returns (langCol, srcCol, bucket, n_docs, n_tokens).
+    * frame. The dropped tier is the per-language MAX *assigned*
+    * bucket, not the literal `nBuckets` — `ntile(n)` over a language
+    * with fewer rows than `n` assigns buckets 1..rows, so filtering on
+    * the literal would silently keep a small language's worst slice (a
+    * no-op gate); a single-bucket language is kept whole, dropping it
+    * entirely being a coverage decision, not a quality gate. The SAME
+    * rule as the capstone's tier gate
+    * ([[CorpusPipeline.pplTierStage]]), so the report describes
+    * exactly what that gate retains. One extra hash aggregate over the
+    * bucketed frame; the max() reuses the ntile window's own lang
+    * partitioning; token counts reuse the one shared tokenization
+    * ([[nTokensCol]]). Returns (langCol, srcCol, bucket, n_docs,
+    * n_tokens).
     */
   def pplBucketComposition(df: DataFrame, idCol: String, textCol: String,
       langCol: String, srcCol: String, nBuckets: Int = 3): DataFrame = {
+    val langW = org.apache.spark.sql.expressions.Window
+      .partitionBy(langCol)
     val kept = pplBuckets(df, idCol, textCol, langCol, nBuckets)
-      .filter(col("bucket_idx") < nBuckets)
+      .withColumn("__maxb", max(col("bucket_idx")).over(langW))
+      .filter(col("bucket_idx") < greatest(col("__maxb"), lit(2)))
       .select(col(idCol), col(langCol), col("bucket"))
     df.select(col(idCol), col(srcCol),
         nTokensCol(col(textCol)).as("__nt"))

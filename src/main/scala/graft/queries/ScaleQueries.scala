@@ -1518,6 +1518,24 @@ object ScaleQueries {
         "text")
         .orderBy("doc_id")),
 
+    // order-4 recursive KN (Chen & Goodman eq. 4.27 at every level):
+    // the f4→f1 continuation tower all derived from the ONE 4-gram
+    // TYPE frame — ngramScoreKN's generalized tower, twin generated
+    // from the same order parameter (the hilbert_n CTE convention)
+    "q149c_kn4_ppl" -> ((s, dir) =>
+      TextAnalysis.ngramScoreKN(t(s, dir, "documents"), "doc_id",
+        "text", order = 4)
+        .orderBy("doc_id")),
+
+    // order-5 — the order real CCNet scores with (Wenzek et al. 2020
+    // ships a 5-gram KenLM). The 5-gram type frame approaches corpus
+    // token count (SCALING.md r18 measures the tower), so this is the
+    // KN family's scale watch row
+    "q149d_kn5_ppl" -> ((s, dir) =>
+      TextAnalysis.ngramScoreKN(t(s, dir, "documents"), "doc_id",
+        "text", order = 5)
+        .orderBy("doc_id")),
+
     // CCNet perplexity tiers (Wenzek et al. 2020): q149's KN LM scores
     // every document, ntile(3) per language on the (rounded ppl, id)
     // total order splits head/middle/tail — the standard LM-quality
@@ -3967,6 +3985,67 @@ object ScaleQueries {
        FROM documents d LEFT JOIN sc USING (doc_id)
        ORDER BY d.doc_id"""
 
+  /** Generated DuckDB twin of the order-N recursive-KN chain
+    * ([[graft.ops.TextAnalysis.ngramScoreKN]]) — q149b's CTE shape
+    * with the continuation tower (f_n raw type counts, f_{k<n}
+    * continuation counts, per-level ctx stats, the f2-type base
+    * denominator) and the nested smoothed term EMITTED from the same
+    * order parameter, the hilbert_n generated-twin convention: a
+    * level mis-derivation on either side fails the hash gate. */
+  private def knNSql(n: Int): String = {
+    def cols(from: Int, to: Int): String =
+      (from to to).map(k => s"w$k").mkString(", ")
+    val gramStruct =
+      (1 to n).map(k => s"'w$k': tk[i + ${k - 1}]").mkString(", ")
+    val lowers = ((n - 1) to 1 by -1).map { k =>
+      s"""f$k AS (SELECT ${cols(n - k + 1, n)}, count(*) AS c$k
+                  FROM f${k + 1} GROUP BY ${cols(n - k + 1, n)})"""
+    }
+    val ctxs = (2 to n).map { k =>
+      s"""ctx$k AS (SELECT ${cols(n - k + 1, n - 1)}, sum(c$k) AS den$k,
+                         count(*) AS nf$k
+                  FROM f$k GROUP BY ${cols(n - k + 1, n - 1)})"""
+    }
+    val p = (2 to n).foldLeft("c1 * 1.0 / tt") { (lower, k) =>
+      s"greatest(c$k - 0.75, 0.0) / den$k + (0.75 * nf$k / den$k) * ($lower)"
+    }
+    val joins = ((n - 1) to 1 by -1).flatMap { k =>
+      Seq(s"JOIN f$k USING (${cols(n - k + 1, n)})") ++
+        (if (k >= 2) Seq(s"JOIN ctx$k USING (${cols(n - k + 1, n - 1)})")
+         else Nil)
+    }.mkString("\n                     ")
+    s"""WITH tk AS (SELECT doc_id,
+                 list_filter(string_split(coalesce(text, ''), ' '),
+                             t -> length(t) > 0) AS tk
+           FROM documents),
+         ng AS (SELECT doc_id,
+                       unnest(list_transform(range(1, len(tk) - ${n - 2}),
+                         i -> {$gramStruct})) AS g
+                FROM tk WHERE len(tk) >= $n),
+         tf AS (SELECT doc_id,
+                       ${(1 to n).map(k => s"g.w$k AS w$k").mkString(", ")},
+                       CAST(count(*) AS BIGINT) AS tf
+                FROM ng GROUP BY doc_id, ${cols(1, n)}),
+         f$n AS (SELECT ${cols(1, n)}, sum(tf) AS c$n
+                FROM tf GROUP BY ${cols(1, n)}),
+         ${lowers.mkString(",\n         ")},
+         ${ctxs.mkString(",\n         ")},
+         tt AS (SELECT count(*) AS tt FROM f2),
+         sc AS (SELECT doc_id, sum(tf) AS n_ngrams,
+                       sum(tf * -ln($p)) / sum(tf) AS a
+                FROM tf JOIN f$n USING (${cols(1, n)})
+                     JOIN ctx$n USING (${cols(1, n - 1)})
+                     $joins
+                     CROSS JOIN tt
+                GROUP BY doc_id)
+       SELECT d.doc_id,
+              CAST(coalesce(sc.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+              round(coalesce(sc.a, 0), 4) AS avg_nll,
+              round(exp(coalesce(sc.a, 0)), 4) AS ppl
+       FROM documents d LEFT JOIN sc USING (doc_id)
+       ORDER BY d.doc_id"""
+  }
+
   /** External-LM KN twin: q154's count chain over the even-id
     * reference slice (cbm/ctxm/contm/ttm), the corpus tf chain over
     * ALL docs, LEFT joins into the model stats, and the per-class OOV
@@ -4031,15 +4110,20 @@ object ScaleQueries {
                    ELSE 'middle' END AS bucket
        FROM bk ORDER BY doc_id"""
 
+  // the tail drop is the per-language MAX ASSIGNED bucket (greatest
+  // (…, 2) keeps single-bucket languages whole), replaying the
+  // engine's small-language rule — the same rule as the capstone tier
+  // gate, so the report and the gate can never disagree
   private val q174bSql: String =
     s"""WITH $knPplCteSql,
-         nt AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS nt FROM tk)
+         nt AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS nt FROM tk),
+         mb AS (SELECT lang, max(b) AS maxb FROM bk GROUP BY lang)
        SELECT k.lang, k.source,
               CASE WHEN k.b = 1 THEN 'head' ELSE 'middle' END AS bucket,
               CAST(count(*) AS BIGINT) AS n_docs,
               CAST(sum(n.nt) AS BIGINT) AS n_tokens
-       FROM bk k JOIN nt n USING (doc_id)
-       WHERE k.b < 3
+       FROM bk k JOIN nt n USING (doc_id) JOIN mb USING (lang)
+       WHERE k.b < greatest(mb.maxb, 2)
        GROUP BY 1, 2, 3
        ORDER BY lang, source, bucket"""
 
@@ -7323,6 +7407,8 @@ object ScaleQueries {
     // order-3 KN twin: trigram type frame + recursive continuation
     // backoff, both smoothing levels replayed term-for-term
     "q149b_kn3_ppl" -> q149bSql,
+    "q149c_kn4_ppl" -> knNSql(4),
+    "q149d_kn5_ppl" -> knNSql(5),
     // CCNet tier twins: the q149 KN chain verbatim, then the identical
     // ntile window on (rounded ppl asc, doc_id asc) per language; the
     // composition twin drops bucket 3 and rolls up with the shared

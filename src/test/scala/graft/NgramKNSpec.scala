@@ -1,0 +1,151 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.TextAnalysis
+
+/** Pins [[graft.ops.TextAnalysis.ngramScoreKN]] (the order-N
+  * recursive-KN tower) three independent ways: (1) value-identity with
+  * the fixed-order [[TextAnalysis.bigramScoreKN]] /
+  * [[TextAnalysis.trigramScoreKN]] implementations at orders 2/3,
+  * (2) a from-scratch plain-Scala Kneser–Ney reference (Maps and
+  * sliding windows, no Spark) at every order 2..5, and (3) the
+  * too-short-doc and input-validation contracts. The DuckDB twin
+  * (q149c/q149d) checks the same arithmetic cross-engine; this spec
+  * checks it cross-IMPLEMENTATION, so a shared mis-derivation in the
+  * generated CTE tower cannot hide. */
+class NgramKNSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the cat sat on the mat and the cat ran"),
+    (2L, "the cat sat on the mat the cat sat on the mat"),
+    (3L, "a b c d e f g a b c d e"),
+    (4L, "one two three four"),
+    (5L, "short doc"),
+    (6L, ""),
+    (7L, "x y x y x y x y z"))
+
+  private def df = docs.toDF("doc_id", "text")
+
+  /** Plain-Scala recursive-KN reference: every lower-order statistic a
+    * continuation count derived from the top-order type frame —
+    * independent of the Spark implementation's join tower. */
+  private def knRef(n: Int, d: Double = 0.75)
+      : Map[Long, (Long, Double, Double)] = {
+    val toks = docs.map { case (id, t) =>
+      id -> t.split(" ").filter(_.nonEmpty).toSeq }.toMap
+    val grams: Map[Long, Seq[Seq[String]]] = toks.map { case (id, tk) =>
+      id -> (if (tk.size < n) Nil else tk.sliding(n).map(_.toList).toSeq)
+    }
+    val top: Map[Seq[String], Long] = grams.values.flatten
+      .groupMapReduce(identity)(_ => 1L)(_ + _)
+    var frames = Map[Int, Map[Seq[String], Long]](n -> top)
+    for (k <- (n - 1) to 1 by -1)
+      frames += k -> frames(k + 1).keys.toSeq.map(_.takeRight(k))
+        .groupMapReduce(identity)(_ => 1L)(_ + _)
+    val ctx: Map[Int, Map[Seq[String], (Long, Long)]] = (2 to n).map { k =>
+      k -> frames(k).toSeq.groupBy(_._1.dropRight(1)).map { case (c, xs) =>
+        c -> ((xs.map(_._2).sum, xs.size.toLong))
+      }
+    }.toMap
+    val tt = frames(2).size.toLong
+    def p(g: Seq[String]): Double =
+      (2 to n).foldLeft(frames(1)(g.takeRight(1)).toDouble / tt) {
+        (lower, k) =>
+          val (den, nf) = ctx(k)(g.takeRight(k).dropRight(1))
+          math.max(frames(k)(g.takeRight(k)) - d, 0.0) / den +
+            (d * nf / den) * lower
+      }
+    def r4(v: Double) = BigDecimal(v)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    grams.map { case (id, gs) =>
+      if (gs.isEmpty) id -> ((0L, 0.0, 1.0))
+      else {
+        val avg = gs.map(g => -math.log(p(g))).sum / gs.size
+        id -> ((gs.size.toLong, r4(avg), r4(math.exp(avg))))
+      }
+    }
+  }
+
+  private def collectScores(order: Int)
+      : Map[Long, (Long, Double, Double)] =
+    TextAnalysis.ngramScoreKN(df, "doc_id", "text", order)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+
+  for (order <- 2 to 5)
+    test(s"ngramScoreKN order $order matches the plain-Scala reference") {
+      val got = collectScores(order)
+      val want = knRef(order)
+      assert(got.keySet === want.keySet)
+      for ((id, (wn, wa, wp)) <- want) {
+        val (gn, ga, gp) = got(id)
+        assert(gn === wn, s"doc $id n_ngrams at order $order")
+        // both sides round at 4; float-sum order may differ in the
+        // last ulp before rounding, so allow one ulp of the rounding
+        assert(math.abs(ga - wa) <= 2e-4, s"doc $id avg_nll order $order")
+        assert(math.abs(gp - wp) <= 2e-4 * math.max(1.0, wp),
+          s"doc $id ppl order $order")
+      }
+    }
+
+  test("order 2 tower is value-identical to bigramScoreKN") {
+    val gen = collectScores(2)
+    val fixed = TextAnalysis.bigramScoreKN(df, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(gen === fixed)
+  }
+
+  test("order 3 tower is value-identical to trigramScoreKN") {
+    val gen = collectScores(3)
+    val fixed = TextAnalysis.trigramScoreKN(df, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(gen === fixed)
+  }
+
+  test("docs shorter than the order score (0, 0.0, 1.0)") {
+    val got = collectScores(5)
+    assert(got(4L) === ((0L, 0.0, 1.0))) // 4 tokens < order 5
+    assert(got(5L) === ((0L, 0.0, 1.0)))
+    assert(got(6L) === ((0L, 0.0, 1.0)))
+  }
+
+  test("order bounds are enforced") {
+    intercept[IllegalArgumentException] {
+      TextAnalysis.ngramScoreKN(df, "doc_id", "text", 1)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.ngramScoreKN(df, "doc_id", "text", 6)
+    }
+  }
+
+  test("capstone pplOrder 4/5 gates through the generalized tower") {
+    // gibberish whose n-gram transitions never recur scores HIGHER nll
+    // than recurring natural-ish text — the same separation pplStage
+    // exploits at order 2/3. Self-fit singleton n-grams still keep the
+    // discounted mass (≈0.25 per level), so the gibberish nll lands
+    // near −ln(0.58) ≈ 0.55, not at the unseen-event extreme: the
+    // threshold sits between the two regimes, not at an absolute
+    val corpus = (Seq.tabulate(6)(i =>
+      (i.toLong, "en", "the cat sat on the mat and the cat sat on the mat")) :+
+      ((99L, "en", "qq zz rr pp kk jj vv ww xx yy uu oo")))
+      .toDF("doc_id", "lang", "text")
+    for (order <- Seq(4, 5)) {
+      val cfg = graft.ops.CorpusPipeline.Config(
+        maxAvgNll = 0.2, pplOrder = order)
+      val kept = graft.ops.CorpusPipeline.pplStage(corpus, cfg)
+        .select("doc_id").as[Long].collect().toSet
+      assert(!kept.contains(99L), s"order $order should drop gibberish")
+      assert(kept.contains(0L), s"order $order keeps recurring text")
+    }
+  }
+}
