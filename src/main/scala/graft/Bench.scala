@@ -101,6 +101,8 @@ object Bench {
     "q180_main_content",
     // r17: the FULL classifier (stopword density + neighbor rescue)
     "q180b_main_content_full",
+    // r18: run-propagated rescue (nearest-non-short fold per side)
+    "q180c_main_content_runs",
     "q117_funnel",
     "q118_retention",
     "q119_mean_pool",
@@ -163,6 +165,9 @@ object Bench {
     "q149_kn_ppl",
     // r17: order-3 KN with recursive continuation backoff
     "q149b_kn3_ppl",
+    // r18: the generalized tower at CCNet's real order — the KN
+    // family's type-frame-growth watch row
+    "q149d_kn5_ppl",
     // dedup-index PR curve over the threshold grid (candidates + exact
     // truth computed once, grid as conditional aggregation)
     "q133b_dedup_pr_sweep",

@@ -237,11 +237,24 @@ object TextOps {
     * into projection columns, neighbors come from shifted-slice zips
     * (never per-element array references). Returns (idCol, main_text,
     * n_blocks, n_kept, n_rescued) — n_blocks counts NON-EMPTY blocks
-    * here, unlike [[mainContent]]'s raw segment count. */
+    * here, unlike [[mainContent]]'s raw segment count.
+    *
+    * `runRescue = true` generalizes the one-step rescue to RUNS of
+    * short blocks (full jusText's near-good propagation): real pages
+    * carry caption + credit + lead-in runs beside one good paragraph,
+    * and the one-step rule only saves the run's edge. The neighbor a
+    * short block consults becomes the NEAREST NON-SHORT class on each
+    * side (computed by one aggregate fold per direction — state =
+    * last non-short class seen, O(blocks) per row, lambdas touch only
+    * their bound arguments per the r17 HOF rule); the keep rule
+    * itself is unchanged, so the one-step form is exactly this rule
+    * restricted to immediate adjacency. A short run bounded by bad
+    * blocks on both sides still drops. */
   def mainContentFull(df: DataFrame, idCol: String, htmlCol: String,
       minBlockChars: Int = MainContentMinBlockChars,
       maxLinkDensity: Double = MainContentMaxLinkDensity,
-      minStopword: Double = MainContentMinStopword): DataFrame = {
+      minStopword: Double = MainContentMinStopword,
+      runRescue: Boolean = false): DataFrame = {
     val sw = array(stopwords.map(lit): _*)
     def classify(s: Column): Column = {
       val t = s.getField("t")
@@ -256,14 +269,28 @@ object TextOps {
     }
     val cls = col("__cls")
     val tail = greatest(size(cls) - 1, lit(0))
+    // exclusive-prefix "nearest non-short class to the left" per
+    // element: one fold, state = (emitted prefix, last non-short seen)
+    def nearestNonShort(arr: Column): Column =
+      aggregate(arr,
+        struct(array().cast("array<string>").as("o"), lit("none").as("l")),
+        (st, c) => struct(
+          concat(st.getField("o"), array(st.getField("l"))).as("o"),
+          when(c === "short", st.getField("l")).otherwise(c).as("l")),
+        _.getField("o"))
+    val (prevArr, nextArr) =
+      if (!runRescue)
+        (concat(array(lit("none")), slice(cls, lit(1), tail)),
+          concat(slice(cls, lit(2), tail), array(lit("none"))))
+      else
+        (nearestNonShort(cls), reverse(nearestNonShort(reverse(cls))))
     df.select(col(idCol), mainContentScores(col(htmlCol)).as("__sc0"))
       .select(col(idCol),
         filter(col("__sc0"), s => length(s.getField("t")) > 0).as("__sc"))
       .select(col(idCol), col("__sc"),
         transform(col("__sc"), classify(_)).as("__cls"))
       .select(col(idCol), col("__sc"), cls,
-        concat(array(lit("none")), slice(cls, lit(1), tail)).as("__prev"),
-        concat(slice(cls, lit(2), tail), array(lit("none"))).as("__next"))
+        prevArr.as("__prev"), nextArr.as("__next"))
       .select(col(idCol), col("__sc"), cls,
         zip_with(
           zip_with(cls, col("__prev"),

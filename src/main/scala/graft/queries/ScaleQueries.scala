@@ -2502,6 +2502,38 @@ object ScaleQueries {
         .orderBy("doc_id")
     }),
 
+    // RUN-propagated jusText rescue (q180b generalized — full
+    // jusText's near-good propagation): a planted caption + credit +
+    // lead-in RUN of short prose blocks beside one good paragraph is
+    // rescued in full (the one-step rule only saves the run's edge),
+    // while a stopword-dense short block between two bad blocks still
+    // drops. Neighbors = nearest NON-SHORT class per side, via one
+    // aggregate fold per direction; the oracle replays them as
+    // index-scan list lambdas
+    "q180c_main_content_runs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val html = concat(
+        lit("<html><body>" +
+          "<nav><a href=\"/\">Home</a> <a href=\"/about\">About us</a> " +
+          "<a href=\"/contact\">Contact</a></nav>" +
+          "<p>in the morning the river is calm and the village is " +
+          "quiet with a soft light on the water</p>" +
+          "<p>a photo of the quiet hills</p>" +
+          "<p>taken by a friend of ours</p>" +
+          "<p>and now for the story</p><div>"),
+        coalesce(col("text"), lit("")),
+        lit("</div><div>or of to in</div>" +
+          "<footer>Copyright 2026 All rights reserved worldwide " +
+          "<a href=\"/terms\">Terms of service</a> " +
+          "<a href=\"/privacy\">Privacy policy overview</a> " +
+          "<a href=\"/c\">Cookie settings page</a></footer>" +
+          "</body></html>"))
+      graft.ops.TextOps.mainContentFull(
+        docs.select(col("doc_id"), html.as("html")), "doc_id", "html",
+        runRescue = true)
+        .orderBy("doc_id")
+    }),
+
     // link-graph centrality (PageRank, 5 damped power-iteration
     // rounds) over a deterministic 2-out-regular doc link graph — the
     // web-corpus quality prior as a first-class iterative operator;
@@ -5122,6 +5154,80 @@ object ScaleQueries {
                    cls[i] = 'good' OR (cls[i] = 'short' AND
                      ((i > 1 AND cls[i - 1] = 'good') OR
                       (i < len(cls) AND cls[i + 1] = 'good')))) AS kp
+               FROM cl)
+       SELECT doc_id,
+              array_to_string(list_transform(
+                list_filter(range(1, len(kp) + 1), i -> kp[i]),
+                i -> sc[i].t), ' ') AS main_text,
+              CAST(len(sc) AS BIGINT) AS n_blocks,
+              CAST(len(list_filter(kp, x -> x)) AS BIGINT) AS n_kept,
+              CAST(len(list_filter(range(1, len(kp) + 1),
+                i -> kp[i] AND cls[i] = 'short')) AS BIGINT) AS n_rescued
+       FROM k ORDER BY doc_id"""
+  }
+
+  /** DuckDB twin of q180c run-propagated jusText: the q180b block/
+    * class chain over the run fixture page, with the rescue neighbor
+    * generalized to the NEAREST NON-SHORT class per side — replayed
+    * as index-scan list lambdas (list_max/list_min over the non-short
+    * index set; an empty set → NULL index → NULL class → 'none', the
+    * engine's boundary sentinel). The engine computes the same
+    * classes with one aggregate fold per direction; a disagreement in
+    * either the fold or the scan fails the hash gate. */
+  private val q180cSql: String = {
+    val block = graft.ops.TextOps.blockTagRe
+    val swList = graft.ops.TextOps.stopwords
+      .map(w => s"'$w'").mkString(", ")
+    def wsToks(v: String) =
+      s"list_filter(string_split($v, ' '), x -> length(x) > 0)"
+    val frac = s"len(list_filter(${wsToks("s.t")}, x -> x IN ($swList)))" +
+      s" * 1.0 / greatest(len(${wsToks("s.t")}), 1)"
+    val prevGood = "coalesce(cls[list_max(list_filter(range(1, i), " +
+      "j -> cls[j] <> 'short'))], 'none') = 'good'"
+    val nextGood = "coalesce(cls[list_min(list_filter(" +
+      "range(i + 1, len(cls) + 1), j -> cls[j] <> 'short'))], 'none') " +
+      "= 'good'"
+    s"""WITH h AS (SELECT doc_id,
+           '<html><body>'
+           || '<nav><a href="/">Home</a> <a href="/about">About us</a> <a href="/contact">Contact</a></nav>'
+           || '<p>in the morning the river is calm and the village is quiet with a soft light on the water</p>'
+           || '<p>a photo of the quiet hills</p>'
+           || '<p>taken by a friend of ours</p>'
+           || '<p>and now for the story</p><div>'
+           || coalesce(text, '')
+           || '</div><div>or of to in</div>'
+           || '<footer>Copyright 2026 All rights reserved worldwide <a href="/terms">Terms of service</a> <a href="/privacy">Privacy policy overview</a> <a href="/c">Cookie settings page</a></footer>'
+           || '</body></html>' AS html
+         FROM documents),
+         p1 AS (SELECT doc_id, regexp_replace(html,
+                  '(?s)<script[^>]*>.*?</script>', ' ', 'g') AS t FROM h),
+         p2 AS (SELECT doc_id, regexp_replace(t,
+                  '(?s)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM p1),
+         p3 AS (SELECT doc_id, regexp_replace(t,
+                  '(?s)<!--.*?-->', ' ', 'g') AS t FROM p2),
+         b AS (SELECT doc_id, string_split_regex(t, '$block') AS blocks
+               FROM p3),
+         sc0 AS (SELECT doc_id,
+                  list_transform(blocks, x -> struct_pack(
+                    t := ${flattenSql("x")},
+                    lc := coalesce(list_sum(list_transform(
+                            regexp_extract_all(x,
+                              '(?s)<a[^>]*>(.*?)</a>', 1),
+                            y -> length(${flattenSql("y")}))), 0))) AS sc
+                FROM b),
+         scn AS (SELECT doc_id,
+                  list_filter(sc, s -> length(s.t) > 0) AS sc FROM sc0),
+         cl AS (SELECT doc_id, sc,
+                  list_transform(sc, s -> CASE
+                    WHEN s.lc > 0.4::DOUBLE * length(s.t) THEN 'bad'
+                    WHEN $frac < 0.15::DOUBLE THEN 'bad'
+                    WHEN length(s.t) >= 40 THEN 'good'
+                    ELSE 'short' END) AS cls
+                FROM scn),
+         k AS (SELECT doc_id, sc, cls,
+                 list_transform(range(1, len(cls) + 1), i ->
+                   cls[i] = 'good' OR (cls[i] = 'short' AND
+                     ($prevGood OR $nextGood))) AS kp
                FROM cl)
        SELECT doc_id,
               array_to_string(list_transform(
@@ -8969,6 +9075,9 @@ object ScaleQueries {
     "q180_main_content" -> q180Sql,
     // full jusText: class CASE + neighbor rescue over the bound list
     "q180b_main_content_full" -> q180bSql,
+    // run-propagated rescue twin: nearest-non-short neighbor classes
+    // as index-scan lambdas over the bound class list
+    "q180c_main_content_runs" -> q180cSql,
     "q116_markup_strip" ->
       """WITH h AS (SELECT doc_id,
                '<!doctype html><html><head><style>p{margin:0}</style>'

@@ -139,6 +139,42 @@ class StripMarkupSpec extends AnyFunSuite {
     assert(iso._2 === "" && iso._4 === 0L && iso._5 === 0L)
   }
 
+  test("mainContentFull runRescue: a short RUN beside a good block is " +
+      "rescued in full, a run between bads still drops, one-step only " +
+      "saves the edge") {
+    val page = "<html><body>" +
+      "<nav><a href=\"/\">Home</a> <a href=\"/a\">About</a> " +
+      "<a href=\"/c\">Contact</a></nav>" +
+      "<p>in the morning the river is calm and the village is quiet " +
+      "with a soft light on the water and it is a good day for a " +
+      "walk</p>" + // good
+      "<p>a photo of the quiet hills</p>" + // short run, position 1
+      "<p>taken by a friend of ours</p>" + // short run, position 2
+      "<p>and now for the story</p>" + // short run, position 3
+      "<p>alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau</p>" + // bad listing
+      "<div>or of to in</div>" + // short between two bads → dropped
+      "<footer>Copyright 2026 all rights reserved " +
+      "<a href=\"/t\">Terms of service</a> " +
+      "<a href=\"/p\">Privacy policy overview</a> " +
+      "<a href=\"/k\">Cookie settings page</a></footer>" +
+      "</body></html>"
+    val df = Seq((0L, page)).toDF("doc_id", "html")
+    val run = graft.ops.TextOps.mainContentFull(df, "doc_id", "html",
+        runRescue = true)
+      .as[(Long, String, Long, Long, Long)].collect().head
+    assert(run._2.endsWith("a photo of the quiet hills " +
+      "taken by a friend of ours and now for the story"))
+    assert(!run._2.contains("or of to in"))
+    assert(run._4 === 4L && run._5 === 3L) // good + full run; run kept
+    // one-step on the SAME page: only the run's edge survives
+    val step = graft.ops.TextOps.mainContentFull(df, "doc_id", "html")
+      .as[(Long, String, Long, Long, Long)].collect().head
+    assert(step._2.contains("a photo of the quiet hills"))
+    assert(!step._2.contains("taken by a friend of ours"))
+    assert(step._4 === 2L && step._5 === 1L)
+  }
+
   test("capstone mainContent flag replaces page text with extracted " +
       "prose before the gates") {
     val prose = "the quick brown fox jumps over the lazy dog while " +
