@@ -37,6 +37,8 @@ object Bench {
     "q58_pii_scrub",
     // r17: the FULL PII class set (keys, IPv6, SSN, Luhn-checked cards)
     "q58b_pii_scrub_full",
+    // r18: structured-format (JSON/env/YAML) key-name-driven scrub
+    "q58c_pii_structured",
     "q59_decontaminate",
     "q60_chunk_dedup",
     "q61_corpus_dedup",

@@ -181,6 +181,14 @@ object CorpusPipeline {
       // shuffle); default off so existing corpus builds replay
       // bit-identically
       piiFull: Boolean = false,
+      // true: key-name-driven STRUCTURED-format secret scrub
+      // ([[Redaction.scrubStructuredCol]] — JSON members, env
+      // assignments, YAML mappings; value-only replacement keeps the
+      // document parseable) applied BEFORE the prose-shape chain, so
+      // the generic secret token class never eats half of a
+      // structured value first. The BigCode/code-corpus composition;
+      // same zero-shuffle cost class. Default off
+      piiStructured: Boolean = false,
       // non-empty: token-lexicon gate over the obfuscation-FOLDED text
       // ([[TextAnalysis.lexiconHitsCol]], the C4 badwords discipline):
       // any hit drops the document. Folding (lower + leet
@@ -330,9 +338,11 @@ object CorpusPipeline {
     // intraDocScrubbed (staged projections, linear cost) rather than a
     // single scalar expression, whose lambdas would re-tokenize per
     // element — quadratic per document.
+    val piiIn =
+      if (cfg.piiStructured) Redaction.scrubStructuredCol(txt) else txt
     val scrubbed = gated.select(col("doc_id"), col("lang"),
-      (if (cfg.piiFull) Redaction.scrubFullCol(txt)
-       else Redaction.scrubCol(txt)).as("text"))
+      (if (cfg.piiFull) Redaction.scrubFullCol(piiIn)
+       else Redaction.scrubCol(piiIn)).as("text"))
     if (cfg.intraDocChunkTokens > 0)
       Dedup.intraDocScrubbed(scrubbed, "text", cfg.intraDocChunkTokens)
     else scrubbed

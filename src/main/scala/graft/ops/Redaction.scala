@@ -112,6 +112,87 @@ object Redaction {
   val ccTag = "<CC>"
   val keyTag = "<KEY>"
 
+  // ---- structured-format secrets (the BigCode next step beyond
+  // [[secretRe]]'s single-token prose shape): code corpora carry
+  // credentials in JSON members, env assignments, and YAML mappings
+  // whose values the generic token class only partially eats (quoted
+  // values with dots/spaces, `export K=V` lines, JWT-ish segments).
+  // Each pattern captures the KEY + SEPARATOR as group 1 and replaces
+  // only the VALUE ("$1<KEY>"), so the document stays structurally
+  // parseable — same RE2∩Java discipline (no backreferences IN THE
+  // PATTERN, no lookarounds, explicit [ \t] classes; group refs in
+  // the REPLACEMENT are fine: Java spells them $1, the DuckDB twin
+  // \1). Line anchors are \n-only by contract: Java's (?m) also
+  // treats \r and U+0085 as terminators where RE2 does not, so
+  // carriage-return-delimited inputs are outside the parity contract
+  // (the corpus convention is \n). ----
+
+  /** Credential key-name core shared by the three structured shapes. */
+  private val secretNames: String =
+    "api[_-]?key|secret|token|passwd|password|access[_-]?key|" +
+      "private[_-]?key|client[_-]?secret"
+
+  /** JSON member: `"<key>": "<value>"` — the key EXACTLY one of the
+    * credential names (anchored by its own quotes, so "my_token" does
+    * not fold in), the value everything up to the closing quote. */
+  val jsonSecretRe: String =
+    "(?i)(\"(?:" + secretNames + ")\"[ \\t]*:[ \\t]*\")([^\"\\n]{4,})"
+
+  /** Env assignment at line start (optional `export `): the name ends
+    * in a credential token — underscore-delimited (GITHUB_TOKEN,
+    * AWS_SECRET_ACCESS_KEY, SSH_KEY), so MONKEY= does not fold into
+    * KEY=. Value = rest of line. */
+  val envSecretRe: String =
+    "(?im)^([ \\t]*(?:export[ \\t]+)?(?:[A-Za-z0-9_]*_)?" +
+      "(?:api[_-]?key|secret|token|passwd|password|key)[ \\t]*=)" +
+      "([^\\n]{4,})$"
+
+  /** YAML mapping at line start (optional `- ` list marker): unquoted
+    * credential-suffixed name, `: `, value = rest of line. Quoted-key
+    * YAML lines are JSON-shaped and handled by [[jsonSecretRe]]. */
+  val yamlSecretRe: String =
+    "(?im)^([ \\t]*(?:- )?(?:[A-Za-z0-9_]*_)?" +
+      "(?:api[_-]?key|secret|token|passwd|password)[ \\t]*:[ \\t]+)" +
+      "([^\\n]{4,})$"
+
+  /** The structured staged scrub chain: JSON members → env
+    * assignments → YAML mappings, each stage's count taken on the
+    * previous stage's output (the [[countCols]] discipline — a line
+    * is one removal under exactly one shape: JSON needs a quoted key,
+    * env `=`, YAML `:`, so the stages cannot double-fire on each
+    * other's leftovers; a scrubbed value's `<KEY>` tag is not a valid
+    * value token for any later stage). Group-1-preserving
+    * replacements keep the key and separator in place. */
+  private def structuredStages(txt: Column): (Seq[Column], Column) = {
+    val t0 = txt
+    val t1 = regexp_replace(t0, jsonSecretRe, "$1" + keyTag)
+    val t2 = regexp_replace(t1, envSecretRe, "$1" + keyTag)
+    val out = regexp_replace(t2, yamlSecretRe, "$1" + keyTag)
+    def cnt(t: Column, re: String) =
+      regexp_count(t, lit(re)).cast("long")
+    (Seq(cnt(t0, jsonSecretRe), cnt(t1, envSecretRe),
+      cnt(t2, yamlSecretRe)), out)
+  }
+
+  /** Structured-format scrubbed text — [[structuredStages]]' final
+    * stage. The capstone (`Config.piiStructured`) runs this BEFORE
+    * the prose-shape chain: the generic [[secretRe]] token class
+    * would otherwise eat the parseable prefix of a structured value
+    * and leave the tail in place. */
+  def scrubStructuredCol(txt: Column): Column = structuredStages(txt)._2
+
+  /** (id, scrubbed text, per-shape counts, total) under the
+    * structured-format class set. Pure map-side projection — three
+    * regex passes, zero shuffle, linear in corpus bytes. */
+  def scrubStructured(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val (counts, out) = structuredStages(col(textCol))
+    val names = Seq("n_json_keys", "n_env_keys", "n_yaml_keys")
+    df.select(Seq(col(idCol), out.as("text")) ++
+        names.zip(counts).map { case (n, c) => c.as(n) }: _*)
+      .withColumn("n_redactions", names.map(col).reduce(_ + _))
+  }
+
   /** In-plan Luhn check over a candidate string: strip separators,
     * double every second digit from the right (subtracting 9 above 9),
     * valid iff the sum ≡ 0 (mod 10) and 13–19 digits. Pure `aggregate`

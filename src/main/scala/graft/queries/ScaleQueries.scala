@@ -2754,6 +2754,28 @@ object ScaleQueries {
         .orderBy("doc_id")
     }),
 
+    // STRUCTURED-format secret scrub (the BigCode code-corpus step
+    // beyond prose shapes): one planted instance per format per doc —
+    // a JSON member, an `export`-ed env assignment, a YAML mapping —
+    // plus three that must SURVIVE (a non-credential JSON member, a
+    // MONKEY= assignment proving the underscore-delimited name rule,
+    // and a non-credential yaml line). Value-only replacement: the
+    // key + separator survive, so the scrubbed doc stays parseable
+    "q58c_pii_structured" -> ((s, dir) => {
+      val id = col("doc_id").cast("string")
+      val withPii = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" {\"api_key\": \"sk-"),
+          substring(md5(concat(lit("j:"), id)), 1, 12),
+          lit("\", \"name\": \"value keeper\"}\nexport GITHUB_TOKEN=ghp_"),
+          substring(md5(concat(lit("e:"), id)), 1, 10),
+          lit("\nMONKEY=banananana\ndb_password: "),
+          substring(md5(concat(lit("y:"), id)), 1, 8),
+          lit("\nuser: alice\ncount = 12345678")).as("text"))
+      graft.ops.Redaction.scrubStructured(withPii, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // benchmark decontamination: docs 0-49 stand in as the eval set,
     // the rest as the training corpus; 8-gram shingle-hash overlap
     "q59_decontaminate" -> ((s, dir) => {
@@ -5044,6 +5066,40 @@ object ScaleQueries {
        FROM s8 ORDER BY doc_id"""
   }
 
+  /** DuckDB twin of q58c structured-format secret scrub: identical
+    * planted fixtures (chr(10) for the engine's \n line breaks), the
+    * three-stage json → env → yaml chain with group-1-preserving
+    * replacements (DuckDB spells the replacement backreference \1
+    * where Java spells it $1 — same semantics), counts on each
+    * stage's INPUT per the staged discipline. */
+  private val q58cSql: String = {
+    import graft.ops.Redaction._
+    s"""WITH base AS (
+           SELECT doc_id,
+                  text || ' {"api_key": "sk-'
+                       || substr(md5('j:' || CAST(doc_id AS VARCHAR)), 1, 12)
+                       || '", "name": "value keeper"}' || chr(10)
+                       || 'export GITHUB_TOKEN=ghp_'
+                       || substr(md5('e:' || CAST(doc_id AS VARCHAR)), 1, 10)
+                       || chr(10) || 'MONKEY=banananana' || chr(10)
+                       || 'db_password: '
+                       || substr(md5('y:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                       || chr(10) || 'user: alice'
+                       || chr(10) || 'count = 12345678' AS t0
+           FROM documents),
+         s1 AS (SELECT *, regexp_replace(t0, '${reLit(jsonSecretRe)}', '\\1$keyTag', 'g') AS t1 FROM base),
+         s2 AS (SELECT *, regexp_replace(t1, '${reLit(envSecretRe)}', '\\1$keyTag', 'g') AS t2 FROM s1)
+       SELECT doc_id,
+              regexp_replace(t2, '${reLit(yamlSecretRe)}', '\\1$keyTag', 'g') AS text,
+              CAST(len(regexp_extract_all(t0, '${reLit(jsonSecretRe)}')) AS BIGINT) AS n_json_keys,
+              CAST(len(regexp_extract_all(t1, '${reLit(envSecretRe)}')) AS BIGINT) AS n_env_keys,
+              CAST(len(regexp_extract_all(t2, '${reLit(yamlSecretRe)}')) AS BIGINT) AS n_yaml_keys,
+              CAST(len(regexp_extract_all(t0, '${reLit(jsonSecretRe)}'))
+                 + len(regexp_extract_all(t1, '${reLit(envSecretRe)}'))
+                 + len(regexp_extract_all(t2, '${reLit(yamlSecretRe)}')) AS BIGINT) AS n_redactions
+       FROM s2 ORDER BY doc_id"""
+  }
+
   /** The q116 flatten chain (tags → spaces, six-entity decode, ws
     * collapse, trim) over an arbitrary SQL expression — the per-BLOCK
     * form the q180 twin applies inside list lambdas. */
@@ -6237,6 +6293,9 @@ object ScaleQueries {
          FROM r WHERE reps > 0 ORDER BY source, doc_id, copy""",
     "q58_pii_scrub" -> q58Sql,
     "q58b_pii_scrub_full" -> q58bSql,
+    // structured-format secrets: json → env → yaml staged chain,
+    // value-only \1-preserving replacements
+    "q58c_pii_structured" -> q58cSql,
     "q87_canonicalize" ->
       """SELECT doc_id,
                 trim(regexp_replace(regexp_replace(

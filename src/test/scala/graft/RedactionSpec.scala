@@ -128,4 +128,80 @@ class RedactionSpec extends AnyFunSuite {
       assert(outFull(0).contains("<CC>") && outFull(0).contains("<SSN>"))
     assert(outBase.nonEmpty === outFull.nonEmpty)
   }
+
+  /** (scrubbed text, counts) under the STRUCTURED-format chain. */
+  private def scrubStructuredOne(s: String): (String, Map[String, Long]) = {
+    val df = Seq((0L, s)).toDF("doc_id", "text")
+    val out = Redaction.scrubStructured(df, "doc_id", "text")
+    val row = out.collect()(0)
+    val counts = out.columns.filter(_.startsWith("n_"))
+      .map(c => c -> row.getAs[Long](c)).toMap
+    (row.getAs[String]("text"), counts)
+  }
+
+  test("structured JSON member: value-only scrub keeps the document " +
+      "parseable; non-credential member survives") {
+    val (t, c) = scrubStructuredOne(
+      "{\"api_key\": \"sk-abc.def/123 xyz\", \"name\": \"value keeper\"}")
+    assert(t === "{\"api_key\": \"<KEY>\", \"name\": \"value keeper\"}")
+    assert(c === Map("n_json_keys" -> 1L, "n_env_keys" -> 0L,
+      "n_yaml_keys" -> 0L, "n_redactions" -> 1L))
+  }
+
+  test("structured env assignments: underscore-delimited credential " +
+      "names only — MONKEY= and PATH= survive") {
+    val (t, c) = scrubStructuredOne(
+      "export GITHUB_TOKEN=ghp_abcd1234xyz\nMONKEY=banananana\n" +
+        "AWS_SECRET_ACCESS_KEY=9/8+7.a\nPATH=/usr/bin")
+    assert(t === "export GITHUB_TOKEN=<KEY>\nMONKEY=banananana\n" +
+      "AWS_SECRET_ACCESS_KEY=<KEY>\nPATH=/usr/bin")
+    assert(c("n_env_keys") === 2L && c("n_redactions") === 2L)
+  }
+
+  test("structured YAML mappings: list items and prefixed names " +
+      "scrubbed, non-credential keys survive") {
+    val (t, c) = scrubStructuredOne(
+      "config:\n  db_password: hunter2\n  - token: abc123xyz\n" +
+        "  user: alice\n  retries: 12345")
+    assert(t === "config:\n  db_password: <KEY>\n  - token: <KEY>\n" +
+      "  user: alice\n  retries: 12345")
+    assert(c("n_yaml_keys") === 2L && c("n_redactions") === 2L)
+  }
+
+  test("structured stages do not double-fire and quoted keys stay " +
+      "with the JSON stage") {
+    // the quoted-key line is JSON-shaped: yaml must not also fire on
+    // it, and a scrubbed <KEY> tag is not a valid value for any later
+    // stage — counts stay one per planted secret
+    val (t, c) = scrubStructuredOne(
+      "\"token\": \"eyJh.bGci.OiJI\"\nsecret: 0123456789abc")
+    assert(t === "\"token\": \"<KEY>\"\nsecret: <KEY>")
+    assert(c === Map("n_json_keys" -> 1L, "n_env_keys" -> 0L,
+      "n_yaml_keys" -> 1L, "n_redactions" -> 2L))
+  }
+
+  test("capstone piiStructured flag scrubs structured values ahead of " +
+      "the prose chain") {
+    val docs = Seq(
+      (0L, "en", "the quick brown fox jumps over the lazy dog near " +
+        "the quiet river bank today while a gentle wind moves through " +
+        "the tall green trees and the small village wakes slowly in " +
+        "morning light while the story continues with more calm " +
+        "words about the long warm summer evening and the slow walk " +
+        "home across the old stone bridge under a wide open sky " +
+        "config {\"api_key\": \"abcd saved value\"} end"))
+      .toDF("doc_id", "lang", "text")
+    val base = graft.ops.CorpusPipeline.Config()
+    val structured = base.copy(piiStructured = true)
+    val outBase = graft.ops.CorpusPipeline.gateStage(docs, base)
+      .select("text").as[String].collect()
+    val outStruct = graft.ops.CorpusPipeline.gateStage(docs, structured)
+      .select("text").as[String].collect()
+    assert(outBase.nonEmpty === outStruct.nonEmpty)
+    if (outBase.nonEmpty) {
+      assert(outBase(0).contains("abcd saved value"))
+      assert(outStruct(0).contains("\"api_key\": \"<KEY>\""))
+      assert(!outStruct(0).contains("abcd saved value"))
+    }
+  }
 }
