@@ -1,9 +1,10 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** d-dimensional Hilbert index via the Skilling transform (Skilling
   * 2004, "Programming the Hilbert curve") as ONE imperative loop —
@@ -23,9 +24,15 @@ import org.apache.spark.sql.types.{DataType, LongType}
 object HilbertN {
 
   /** Hilbert index of `axes` (each in [0, 2^bits)); MUTATES `axes`
-    * (callers pass `ArrayData.toLongArray()`, a fresh copy). */
+    * (callers pass `ArrayData.toLongArray()`, a fresh copy). The
+    * dims·bits ≤ 62 guard (Layout's own contract) runs here because
+    * the dimension count is only known per row on the SQL path — an
+    * oversized combination must fail loudly, not overflow into the
+    * sign bit. One compare per row; `require`'s message is by-name. */
   def hilbertIndex(axes: Array[Long], bits: Int): Long = {
     val d = axes.length
+    require(d >= 1 && d * bits <= 62,
+      s"hilbert_n: need dims >= 1 and dims*bits <= 62, got dims=$d bits=$bits")
     // inverse undo: Q from 2^(bits-1) down to 2; per axis either
     // invert axis 0's low bits or exchange them with this axis's
     var level = bits - 1
@@ -116,6 +123,20 @@ case class HilbertXYExpr(left: Expression, right: Expression, bits: Int)
 
   override def dataType: DataType = LongType
 
+  // SQL callers reach this without Layout's own guards: reject
+  // non-bigint coordinates and out-of-range bits at ANALYSIS time
+  // (an array<int> input would otherwise throw an opaque cast error
+  // mid-query, and bits > 31 would overflow silently)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType != LongType || right.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"hilbert_xy expects (BIGINT, BIGINT) coordinates, got " +
+          s"(${left.dataType.sql}, ${right.dataType.sql})")
+    else if (bits < 1 || bits > 31)
+      TypeCheckResult.TypeCheckFailure(
+        s"hilbert_xy: bits must be in [1, 31], got $bits")
+    else TypeCheckResult.TypeCheckSuccess
+
   override def nullSafeEval(x: Any, y: Any): Any =
     HilbertXY.hilbertXY(x.asInstanceOf[Long], y.asInstanceOf[Long], bits)
 
@@ -136,6 +157,22 @@ case class HilbertNExpr(child: Expression, bits: Int)
     extends UnaryExpression {
 
   override def dataType: DataType = LongType
+
+  // analysis-time input validation for the SQL path (see
+  // [[HilbertXYExpr.checkInputDataTypes]]); the per-row dims·bits
+  // bound lives in [[HilbertN.hilbertIndex]] because the dimension
+  // count is the runtime array length
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) if bits >= 1 && bits <= 31 =>
+        TypeCheckResult.TypeCheckSuccess
+      case ArrayType(LongType, _) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"hilbert_n: bits must be in [1, 31], got $bits")
+      case other =>
+        TypeCheckResult.TypeCheckFailure(
+          s"hilbert_n expects ARRAY<BIGINT> axes, got ${other.sql}")
+    }
 
   override def nullSafeEval(input: Any): Any =
     HilbertN.hilbertIndex(

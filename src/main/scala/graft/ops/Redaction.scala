@@ -237,7 +237,12 @@ object Redaction {
     * classes (the q58 octet-swallowing rule), SSN before cards (both
     * before the greedy phone run). Each stage's count is taken on the
     * PREVIOUS stage's output — the [[countCols]] staged discipline —
-    * so the counts sum to exactly what the scrub removed. */
+    * so the regex stages' counts are exactly the tags each stage
+    * inserts. The CARD stage is the one lower bound: n_ccs counts
+    * Luhn-valid CANDIDATES, but its plain `replace` also deletes any
+    * non-word-boundary occurrence of the same PAN that the candidate
+    * extraction never saw — over-scrub in the safe direction, so the
+    * total is AT LEAST what the counts say, never less. */
   private def fullStages(txt: Column): (Seq[Column], Column) = {
     val t0 = txt
     val t1 = regexp_replace(t0, emailRe, emailTag)

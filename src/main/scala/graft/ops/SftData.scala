@@ -142,20 +142,36 @@ object SftData {
     * ordered exactly like (conv, idx), so the cluster label
     * (component-min uid) IS the keep-first winner with no extra
     * window. Caller contract: `idxCol` ∈ [0, turnsPerConv) (the
-    * [[conversationsFrom]] shape; a wider index would alias uids).
+    * [[conversationsFrom]] shape) — ENFORCED in-plan: an index
+    * outside the bound raises with the offending value instead of
+    * silently aliasing uids across conversations ([[turnUid]]).
     *
     * Scale: [[Dedup.corpusDedup]]'s banded join + audited bucket caps
     * — no all-pairs; everything else is one response-grain
     * projection. Dials thread through the ONE shared
     * [[Dedup.NearDupConfig]]. Returns (conv_id, turn_idx, keep,
     * first_conv, first_idx). */
+  /** Packed turn uid `conv·turnsPerConv + idx` with an IN-PLAN bounds
+    * guard: the first row whose idx breaks the [0, turnsPerConv)
+    * contract raises with the offending value instead of silently
+    * aliasing uids across conversations (which would corrupt
+    * keep-first elections with no error). One comparison per row. */
+  private def turnUid(convCol: String, idxCol: String,
+      turnsPerConv: Int): Column = {
+    val idx = col(idxCol).cast("long")
+    val checked = when(idx >= 0 && idx < turnsPerConv, idx)
+      .otherwise(raise_error(concat(
+        lit(s"turn uid: $idxCol must be in [0, $turnsPerConv), got "),
+        coalesce(col(idxCol).cast("string"), lit("null")))))
+    col(convCol).cast("long") * turnsPerConv + checked
+  }
+
   def turnDedupNear(msgs: DataFrame, convCol: String, idxCol: String,
       roleCol: String, textCol: String, turnsPerConv: Int,
       nearDup: Dedup.NearDupConfig = Dedup.NearDupConfig()): DataFrame = {
     require(turnsPerConv >= 2,
       s"turnDedupNear: need >= 2 turns per conversation, got $turnsPerConv")
-    val uid = col(convCol).cast("long") * turnsPerConv +
-      col(idxCol).cast("long")
+    val uid = turnUid(convCol, idxCol, turnsPerConv)
     val turns = msgs.filter(col(roleCol) === "assistant")
       .select(uid.as("turn_uid"),
         normResponseCol(col(textCol)).as("__norm"))
@@ -191,8 +207,7 @@ object SftData {
       unitTokens: Int = 5, span: Int = 3): DataFrame = {
     require(turnsPerConv >= 2,
       s"turnSpanScrub: need >= 2 turns per conversation, got $turnsPerConv")
-    val uid = col(convCol).cast("long") * turnsPerConv +
-      col(idxCol).cast("long")
+    val uid = turnUid(convCol, idxCol, turnsPerConv)
     val turns = msgs.filter(col(roleCol) === "assistant")
       .select(uid.as("turn_uid"),
         coalesce(col(textCol), lit("")).as("__t"))

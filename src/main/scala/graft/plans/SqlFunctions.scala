@@ -28,6 +28,17 @@ object SqlFunctions {
         s"$fn: $arg must be an integer literal, got $other")
     }
 
+  /** [[litInt]] with an inclusive range check — builder-time
+    * validation for parameters whose out-of-range values would only
+    * fail (or silently overflow) deep inside codegen'd arithmetic. */
+  private def litIntIn(fn: String, arg: String, lo: Int, hi: Int)(
+      e: Expression): Int = {
+    val v = litInt(fn, arg)(e)
+    if (v < lo || v > hi) throw new IllegalArgumentException(
+      s"$fn: $arg must be in [$lo, $hi], got $v")
+    v
+  }
+
   private def arity(fn: String, n: Int)(
       es: Seq[Expression]): Seq[Expression] = {
     if (es.length != n) throw new IllegalArgumentException(
@@ -88,12 +99,12 @@ object SqlFunctions {
     ("hilbert_n", classOf[HilbertNExpr],
       (es: Seq[Expression]) => {
         val Seq(a, b) = arity("hilbert_n", 2)(es)
-        HilbertNExpr(a, litInt("hilbert_n", "bits")(b))
+        HilbertNExpr(a, litIntIn("hilbert_n", "bits", 1, 31)(b))
       }),
     ("hilbert_xy", classOf[HilbertXYExpr],
       (es: Seq[Expression]) => {
         val Seq(x, y, b) = arity("hilbert_xy", 3)(es)
-        HilbertXYExpr(x, y, litInt("hilbert_xy", "bits")(b))
+        HilbertXYExpr(x, y, litIntIn("hilbert_xy", "bits", 1, 31)(b))
       })
   ).map { case (name, clazz, builder) =>
     (FunctionIdentifier(name),

@@ -111,6 +111,28 @@ class SftDataSpec extends AnyFunSuite {
     assert(exact === Set(3L))
   }
 
+  test("turn uid bounds guard: an index outside [0, turnsPerConv) " +
+      "raises with the offending value instead of aliasing uids") {
+    // turn_idx 2 at turnsPerConv=2 would pack to conv 1's turn 0
+    val bad = Seq(
+      (0L, 0, "user", "q0"),
+      (0L, 2, "assistant", "an out of contract index row"),
+      (1L, 0, "user", "q1"),
+      (1L, 1, "assistant", "a normal reply"))
+      .toDF("conv_id", "turn_idx", "role", "text")
+    for (run <- Seq(
+        () => SftData.turnDedupNear(bad, "conv_id", "turn_idx",
+          "role", "text", turnsPerConv = 2).collect(),
+        () => SftData.turnSpanScrub(bad, "conv_id", "turn_idx",
+          "role", "text", turnsPerConv = 2).collect())) {
+      val e = intercept[Exception] { run() }
+      def m(t: Throwable): String =
+        (if (t.getMessage == null) "" else t.getMessage) +
+          (if (t.getCause == null) "" else m(t.getCause))
+      assert(m(e).contains("turn uid") && m(e).contains("got 2"))
+    }
+  }
+
   test("turnSpanScrub: a shared preamble is scrubbed keep-first by " +
       "(conv, turn); divergent content survives") {
     // unitTokens=2, span=2 → repeated 4-token windows scrub. The

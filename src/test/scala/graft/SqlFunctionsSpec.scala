@@ -109,4 +109,34 @@ class SqlFunctionsSpec extends AnyFunSuite {
       err.getCause != null &&
         err.getCause.getMessage.contains("porter_stem"))
   }
+
+  test("hilbert input validation: non-bigint axes fail at analysis, " +
+      "oversized bits at builder time, oversized dims*bits in-plan") {
+    // array<int> axes → analysis-time type-check failure, not an
+    // opaque runtime cast error
+    val typeErr = intercept[Exception] {
+      spark.sql("SELECT hilbert_n(array(1, 2), 8)").collect()
+    }
+    assert(typeErr.getMessage.contains("ARRAY<BIGINT>") ||
+      typeErr.getMessage.contains("hilbert_n"))
+    // bits outside [1, 31] → builder-time range error (would
+    // otherwise overflow into the sign bit silently)
+    val bitsErr = intercept[Exception] {
+      spark.sql("SELECT hilbert_xy(1L, 2L, 40)").collect()
+    }
+    assert(bitsErr.getMessage.contains("[1, 31]") ||
+      bitsErr.getMessage.contains("hilbert_xy"))
+    // dims*bits > 62 is only knowable per row → in-plan raise
+    val dimErr = intercept[Exception] {
+      spark.sql(
+        "SELECT hilbert_n(array(1L, 1L, 1L, 1L, 1L, 1L, 1L), 16)")
+        .collect()
+    }
+    assert(dimErr.getMessage.contains("dims*bits") ||
+      dimErr.getCause != null &&
+        dimErr.getCause.getMessage.contains("dims*bits"))
+    // the guards reject only invalid input: a valid call still works
+    assert(spark.sql("SELECT hilbert_xy(0L, 0L, 8)")
+      .collect()(0).getLong(0) === 0L)
+  }
 }
