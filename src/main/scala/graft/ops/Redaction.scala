@@ -30,17 +30,36 @@ object Redaction {
   val phoneTag = "<PHONE>"
   val ipTag = "<IP>"
 
+  /** One-pass pre-filter for the base chain: the three class shapes
+    * as one alternation. Most corpus documents carry no PII — gating
+    * the staged chain on a single rlike scan lets the clean majority
+    * skip every replace/count pass, and since the alternation is the
+    * UNION of the class patterns, any document any stage would touch
+    * also trips the gate: gating is semantics-preserving (specs +
+    * the untouched q58/q58b oracles pin this). */
+  val basePrefilterRe: String =
+    Seq(emailRe, ipv4Re, phoneRe).mkString("(?:", ")|(?:", ")")
+
+  /** Null-preserving zero for gated counts: null text stays null (the
+    * regexp_count(null) semantics the oracles replay), clean text
+    * counts 0. */
+  private def zeroCount(txt: Column): Column =
+    (length(txt) * 0).cast("long")
+
   /** Scrubbed text: emails, then IPs, then phones. IPs go BEFORE
     * phones: the phone pattern is greedy over digit/space runs and
     * would otherwise swallow the leading octet of an adjacent IP
     * ("+1 5550101234 10.1.2.3" → "<PHONE>.1.2.3"). The order is fixed
-    * and mirrored in the q58 oracle SQL. */
+    * and mirrored in the q58 oracle SQL. Pre-filtered: a clean doc
+    * pays one rlike scan, not three replaces. */
   def scrubCol(txt: Column): Column =
-    regexp_replace(
+    when(txt.rlike(basePrefilterRe),
       regexp_replace(
-        regexp_replace(txt, emailRe, emailTag),
-        ipv4Re, ipTag),
-      phoneRe, phoneTag)
+        regexp_replace(
+          regexp_replace(txt, emailRe, emailTag),
+          ipv4Re, ipTag),
+        phoneRe, phoneTag))
+      .otherwise(txt)
 
   /** Per-kind redaction counts, STAGED like the scrub itself: emails
     * are counted on the raw text, IPs on the email-scrubbed text,
@@ -50,13 +69,19 @@ object Redaction {
     * on the raw text would double-count PII nested in another match
     * (an IP inside an email's host is one removal, not two). ONE
     * definition, shared by [[scrub]] and the streaming curation path.
+    * Gated on [[basePrefilterRe]] like the scrub (clean docs: zero
+    * counts from one shared scan, null text stays null).
     */
   def countCols(txt: Column): (Column, Column, Column) = {
+    val pre = txt.rlike(basePrefilterRe)
     val afterEmail = regexp_replace(txt, emailRe, emailTag)
     val afterIp = regexp_replace(afterEmail, ipv4Re, ipTag)
-    (regexp_count(txt, lit(emailRe)).cast("long"),
-      regexp_count(afterEmail, lit(ipv4Re)).cast("long"),
-      regexp_count(afterIp, lit(phoneRe)).cast("long"))
+    val z = zeroCount(txt)
+    (when(pre, regexp_count(txt, lit(emailRe)).cast("long")).otherwise(z),
+      when(pre, regexp_count(afterEmail, lit(ipv4Re)).cast("long"))
+        .otherwise(z),
+      when(pre, regexp_count(afterIp, lit(phoneRe)).cast("long"))
+        .otherwise(z))
   }
 
   /** Total staged redaction count — [[countCols]] summed. */
@@ -174,22 +199,38 @@ object Redaction {
       cnt(t2, yamlSecretRe)), out)
   }
 
+  /** The three structured shapes as one gating alternation (the
+    * [[fullPrefilterRe]] discipline — union of the class patterns, so
+    * gating is semantics-preserving). */
+  val structuredPrefilterRe: String =
+    Seq(jsonSecretRe, envSecretRe, yamlSecretRe)
+      .mkString("(?:", ")|(?:", ")")
+
   /** Structured-format scrubbed text — [[structuredStages]]' final
-    * stage. The capstone (`Config.piiStructured`) runs this BEFORE
-    * the prose-shape chain: the generic [[secretRe]] token class
-    * would otherwise eat the parseable prefix of a structured value
-    * and leave the tail in place. */
-  def scrubStructuredCol(txt: Column): Column = structuredStages(txt)._2
+    * stage, gated on [[structuredPrefilterRe]]. The capstone
+    * (`Config.piiStructured`) runs this BEFORE the prose-shape chain:
+    * the generic [[secretRe]] token class would otherwise eat the
+    * parseable prefix of a structured value and leave the tail in
+    * place. */
+  def scrubStructuredCol(txt: Column): Column =
+    when(txt.rlike(structuredPrefilterRe), structuredStages(txt)._2)
+      .otherwise(txt)
 
   /** (id, scrubbed text, per-shape counts, total) under the
     * structured-format class set. Pure map-side projection — three
-    * regex passes, zero shuffle, linear in corpus bytes. */
+    * regex passes behind one bound prefilter scan, zero shuffle,
+    * linear in corpus bytes. */
   def scrubStructured(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val (counts, out) = structuredStages(col(textCol))
+    val txt = col(textCol)
+    val (counts, out) = structuredStages(txt)
     val names = Seq("n_json_keys", "n_env_keys", "n_yaml_keys")
-    df.select(Seq(col(idCol), out.as("text")) ++
-        names.zip(counts).map { case (n, c) => c.as(n) }: _*)
+    val z = zeroCount(txt)
+    df.withColumn("__pre", txt.rlike(structuredPrefilterRe))
+      .select(Seq(col(idCol),
+        when(col("__pre"), out).otherwise(txt).as("text")) ++
+        names.zip(counts).map { case (n, c) =>
+          when(col("__pre"), c).otherwise(z).as(n) }: _*)
       .withColumn("n_redactions", names.map(col).reduce(_ + _))
   }
 
@@ -266,25 +307,45 @@ object Redaction {
     (counts, out)
   }
 
-  /** Full-class scrubbed text — [[fullStages]]'s final stage. */
-  def scrubFullCol(txt: Column): Column = fullStages(txt)._2
+  /** [[basePrefilterRe]]'s full-class sibling: all eight class shapes
+    * as one alternation, each wrapped non-capturing so [[secretRe]]'s
+    * inline (?i) stays scoped to its own branch. The chain's eight
+    * regexp_replace passes each allocate a full copy of the document
+    * (the string churn behind q58b's sf10 residue) — one rlike scan
+    * lets the clean majority skip all of it. */
+  val fullPrefilterRe: String =
+    Seq(emailRe, awsKeyRe, secretRe, ipv6Re, ipv4Re, ssnRe, ccCandRe,
+      phoneRe).mkString("(?:", ")|(?:", ")")
 
-  /** Total full-class redaction count (staged — see [[fullStages]]). */
+  /** Full-class scrubbed text — [[fullStages]]'s final stage, gated
+    * on [[fullPrefilterRe]] (clean docs: one scan, text unchanged). */
+  def scrubFullCol(txt: Column): Column =
+    when(txt.rlike(fullPrefilterRe), fullStages(txt)._2).otherwise(txt)
+
+  /** Total full-class redaction count (staged — see [[fullStages]]),
+    * gated like [[scrubFullCol]]. */
   def totalCountFullCol(txt: Column): Column =
-    fullStages(txt)._1.reduce(_ + _)
+    when(txt.rlike(fullPrefilterRe), fullStages(txt)._1.reduce(_ + _))
+      .otherwise(zeroCount(txt))
 
   /** (id, scrubbed text, per-class redaction counts, total) under the
     * FULL class set — the corpus-compliance form of [[scrub]]. Still a
     * pure map-side projection: zero shuffle, linear scans at any
     * corpus size; the only non-regex stage is the card fold, bounded
-    * by matches-per-document. */
+    * by matches-per-document. The prefilter is BOUND into a projection
+    * column so the text and all seven gated counts test one shared
+    * per-row boolean. */
   def scrubFull(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val txt = col(textCol)
     val (counts, out) = fullStages(txt)
     val names = Seq("n_emails", "n_keys", "n_ip6", "n_ips", "n_ssns",
       "n_ccs", "n_phones")
-    df.select(Seq(col(idCol), out.as("text")) ++
-        names.zip(counts).map { case (n, c) => c.as(n) }: _*)
+    val z = zeroCount(txt)
+    df.withColumn("__pre", txt.rlike(fullPrefilterRe))
+      .select(Seq(col(idCol),
+        when(col("__pre"), out).otherwise(txt).as("text")) ++
+        names.zip(counts).map { case (n, c) =>
+          when(col("__pre"), c).otherwise(z).as(n) }: _*)
       .withColumn("n_redactions",
         names.map(col).reduce(_ + _))
   }

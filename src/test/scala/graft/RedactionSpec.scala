@@ -129,6 +129,26 @@ class RedactionSpec extends AnyFunSuite {
     assert(outBase.nonEmpty === outFull.nonEmpty)
   }
 
+  test("prefilter gates are semantics-preserving: clean docs pass " +
+      "through unchanged with zero counts, null text stays null") {
+    val clean = "a perfectly clean sentence with plain words only"
+    val (t, c) = scrubOne(clean)
+    assert(t === clean)
+    assert(c.values.forall(_ === 0L))
+    val (ts, cs) = scrubStructuredOne(clean)
+    assert(ts === clean && cs.values.forall(_ === 0L))
+    // null text propagates as null through text and counts — the
+    // regexp-on-null semantics the oracles replay
+    val df = Seq((0L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    for (out <- Seq(Redaction.scrubFull(df, "doc_id", "text"),
+        Redaction.scrub(df, "doc_id", "text"),
+        Redaction.scrubStructured(df, "doc_id", "text"))) {
+      val row = out.collect()(0)
+      assert(row.isNullAt(row.fieldIndex("text")))
+      assert(row.isNullAt(row.fieldIndex("n_redactions")))
+    }
+  }
+
   /** (scrubbed text, counts) under the STRUCTURED-format chain. */
   private def scrubStructuredOne(s: String): (String, Map[String, Long]) = {
     val df = Seq((0L, s)).toDF("doc_id", "text")
