@@ -146,6 +146,8 @@ object Bench {
     "q143_domain_extract",
     "q143b_domain_curation",
     "q143c_domain_composition",
+    // r18: license allowlist + robots opt-out rights gates
+    "q143d_license_gate",
     // takedown on dedup state: full-state build + tombstone apply,
     // oracle = from-scratch clustering over the reduced corpus
     "q144_dedup_takedown",

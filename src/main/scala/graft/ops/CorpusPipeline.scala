@@ -203,6 +203,17 @@ object CorpusPipeline {
       // Needs a `url` column on the input (fails loudly otherwise).
       // Map-side literal-array filter: zero shuffle. Nil = off
       domainBlocklist: Seq[String] = Nil,
+      // non-empty: license ALLOWLIST over a per-doc `license` column
+      // ([[Domains.licenseGate]] — default-deny: null/unknown rights
+      // drop; the C4 discipline for CommonCrawl-lineage metadata).
+      // Needs a `license` column on the input (fails loudly — a
+      // silently skipped rights gate is a policy hazard). Nil = off
+      allowedLicenses: Seq[String] = Nil,
+      // true: respect robots/meta directives from a per-doc `robots`
+      // column ([[Domains.robotsGate]] — opt-out polarity: docs
+      // carrying noai/noindex drop, absent directives keep). Needs a
+      // `robots` column on the input (fails loudly). Default off
+      respectRobots: Boolean = false,
       // true: URL-grain exact dedup ([[Domains.urlDedupKeep]], the
       // C4/CommonCrawl refetch collapse) right after the domain gate —
       // decorated refetches of one page (tracking params, default
@@ -285,15 +296,34 @@ object CorpusPipeline {
           "domainBlocklist needs a `url` column on the input docs")
         Domains.domainGate(docs0, "url", cfg.domainBlocklist)
       }
+    // license/robots RIGHTS gates beside the blocklist: per-doc
+    // metadata decisions, still literal map-side filters ahead of
+    // anything that pays per content byte. Same fail-loudly
+    // discipline — a configured rights gate with no metadata column
+    // is a policy hazard, not a no-op.
+    val licensed =
+      if (cfg.allowedLicenses.isEmpty) blocked
+      else {
+        require(blocked.columns.contains("license"),
+          "allowedLicenses needs a `license` column on the input docs")
+        Domains.licenseGate(blocked, "license", cfg.allowedLicenses)
+      }
+    val robotsOk =
+      if (!cfg.respectRobots) licensed
+      else {
+        require(licensed.columns.contains("robots"),
+          "respectRobots needs a `robots` column on the input docs")
+        Domains.robotsGate(licensed, "robots")
+      }
     // URL-grain refetch collapse next: still ahead of the per-doc
     // text gates (a dropped refetch never pays tokenization), after
     // the blocklist (no point canonicalizing banned domains)
     val inDocs =
-      if (!cfg.urlDedupe) blocked
+      if (!cfg.urlDedupe) robotsOk
       else {
         require(docs.columns.contains("url"),
           "urlDedupe needs a `url` column on the input docs")
-        Domains.urlDedupKeep(blocked, "doc_id", "url")
+        Domains.urlDedupKeep(robotsOk, "doc_id", "url")
       }
     // learned lang-id: predict the language from the text, floor the
     // confidence, and REPLACE the metadata lang column — from here on

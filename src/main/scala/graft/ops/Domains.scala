@@ -198,6 +198,50 @@ object Domains {
         registrableDomainCol(col(urlCol), multiSuffixes)),
       lit(false)))
 
+  /** License ALLOWLIST gate on per-document rights metadata (the C4
+    * discipline applied to license columns a CommonCrawl-lineage
+    * pipeline carries when present): keep a doc iff its case-folded,
+    * trimmed license value is in `allowed`. DEFAULT-DENY: a null,
+    * empty, or unrecognized license is a rights unknown, and unknown
+    * rights are not a keep — the opposite polarity from
+    * [[robotsGate]], where absence of a directive means permitted.
+    * The allowlist must be non-empty (an empty one would silently
+    * drop the whole corpus — a policy decision, not a gate default).
+    * Map-side literal-array filter: zero shuffle. */
+  def licenseGate(df: DataFrame, licenseCol: String,
+      allowed: Seq[String]): DataFrame = {
+    require(allowed.nonEmpty,
+      "licenseGate: empty allowlist would drop every document — " +
+        "pass the intended licenses explicitly")
+    df.filter(coalesce(
+      array_contains(array(allowed.map(l => lit(l.toLowerCase)): _*),
+        lower(trim(col(licenseCol)))),
+      lit(false)))
+  }
+
+  /** Robots-directive deny tokens a training-data pipeline respects
+    * by default: `noai` (the emerging opt-out-of-training directive)
+    * and `noindex` (the page asked to be left out of derived
+    * collections). */
+  val DefaultRobotsDeny: Seq[String] = Seq("noai", "noindex")
+
+  /** Robots/meta-directive gate: drop a doc when its directive column
+    * (comma/semicolon/whitespace-separated tokens, case-folded)
+    * contains any deny token. OPT-OUT polarity: a null or empty
+    * directive column keeps the doc — robots exclusion is something a
+    * page declares, the complement of [[licenseGate]]'s default-deny.
+    * Map-side split + literal membership: zero shuffle. */
+  def robotsGate(df: DataFrame, robotsCol: String,
+      deny: Seq[String] = DefaultRobotsDeny): DataFrame = {
+    require(deny.nonEmpty,
+      "robotsGate: empty deny set is a no-op — drop the gate instead")
+    val toks = split(lower(coalesce(col(robotsCol), lit(""))),
+      "[,;\\t ]+")
+    df.filter(!deny
+      .map(d => array_contains(toks, d.toLowerCase))
+      .reduce((a, b) => a || b))
+  }
+
   /** Per-domain quality prior: (domain, n_docs, avg of `scoreCol`) —
     * one hash aggregate on the domain key. Join it back per doc to
     * threshold on domain reputation, or inspect it directly as the

@@ -1678,6 +1678,31 @@ object ScaleQueries {
       Domains.domainComposition(d, "url").orderBy("lang", "domain")
     }),
 
+    // license/robots RIGHTS gates (the C4 discipline over per-doc
+    // CommonCrawl-lineage metadata): in-plan synthetic rights columns
+    // — licenses cycle four values (two allowed; folded case/space
+    // variants prove the trim+lower; every 7th doc NULL proves
+    // default-deny), robots directives cycle four shapes (two carry
+    // deny tokens; the empty string proves opt-out polarity)
+    "q143d_license_gate" -> ((s, dir) => {
+      val idx = (col("doc_id") % 4 + 1).cast("int")
+      val lic = element_at(array(lit("cc-by"), lit("CC-BY-SA "),
+        lit("all-rights-reserved"), lit("public-domain")), idx)
+      val rob = element_at(array(lit("index, follow"), lit("NOAI"),
+        lit("noindex,nofollow"), lit("")), idx)
+      val d = t(s, dir, "documents")
+        .withColumn("license",
+          when(col("doc_id") % 7 === 0, lit(null).cast("string"))
+            .otherwise(lic))
+        .withColumn("robots", rob)
+      Domains.robotsGate(
+          Domains.licenseGate(d, "license",
+            Seq("cc-by", "cc-by-sa", "public-domain")),
+          "robots")
+        .select(col("doc_id"), col("license"), col("robots"))
+        .orderBy("doc_id")
+    }),
+
     // Canonical-URL normalization (the C4/CommonCrawl refetch-collapse
     // discipline): scheme/host case, default port, fragment, tracking
     // params, param order and trailing slashes all fold away — the
@@ -7940,6 +7965,28 @@ object ScaleQueries {
          FROM cells CROSS JOIN tot ORDER BY lang, domain""",
     // Canonical-URL twin: rebuild the identical variant-decorated URL,
     // then replay the whole normalization chain — scheme lowercase,
+    // license allowlist (default-deny: null drops, trim+lower folds)
+    // then robots deny tokens (opt-out: empty keeps) — both replayed
+    // as literal list membership over the same synthetic metadata
+    "q143d_license_gate" ->
+      s"""WITH d AS (SELECT doc_id,
+                CASE WHEN doc_id % 7 = 0 THEN NULL
+                     ELSE ['cc-by', 'CC-BY-SA ', 'all-rights-reserved',
+                           'public-domain'][CAST(doc_id % 4 + 1 AS INT)]
+                END AS license,
+                ['index, follow', 'NOAI', 'noindex,nofollow',
+                 ''][CAST(doc_id % 4 + 1 AS INT)] AS robots
+           FROM documents)
+       SELECT doc_id, license, robots FROM d
+       WHERE coalesce(list_contains(
+               ['cc-by', 'cc-by-sa', 'public-domain'],
+               lower(trim(license))), FALSE)
+         AND NOT (list_contains(string_split_regex(
+                    lower(coalesce(robots, '')), '[,;\\t ]+'), 'noai')
+               OR list_contains(string_split_regex(
+                    lower(coalesce(robots, '')), '[,;\\t ]+'), 'noindex'))
+       ORDER BY doc_id""",
+
     // userinfo strip, host lowercase + trailing dot, default-port
     // strip, fragment drop, trailing-slash fold, tracking-param drop +
     // param sort — step for step in DuckDB string/list functions

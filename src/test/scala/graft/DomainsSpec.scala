@@ -338,4 +338,59 @@ class DomainsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("url"))
   }
+
+  test("licenseGate: default-deny allowlist — null/unknown/folded " +
+      "cases; empty allowlist refused") {
+    val docs = Seq(
+      (1L, "cc-by"), (2L, " CC-BY-SA  "), (3L, "all-rights-reserved"),
+      (4L, null.asInstanceOf[String]), (5L, ""), (6L, "public-domain"))
+      .toDF("doc_id", "license")
+    val kept = graft.ops.Domains.licenseGate(docs, "license",
+        Seq("cc-by", "cc-by-sa", "public-domain"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 2L, 6L)) // trim+lower folds; null/"" drop
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Domains.licenseGate(docs, "license", Nil)
+    }
+    assert(e.getMessage.contains("allowlist"))
+  }
+
+  test("robotsGate: opt-out polarity — deny tokens drop across " +
+      "separators, null/empty/benign directives keep") {
+    val docs = Seq(
+      (1L, "index, follow"), (2L, "NOAI"), (3L, "noindex,nofollow"),
+      (4L, null.asInstanceOf[String]), (5L, ""), (6L, "noai extra"),
+      (7L, "nofollow")) // nofollow alone is a LINK directive — keeps
+      .toDF("doc_id", "robots")
+    val kept = graft.ops.Domains.robotsGate(docs, "robots")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 4L, 5L, 7L))
+  }
+
+  test("capstone rights knobs: allowedLicenses/respectRobots gate " +
+      "ahead of the text gates; missing columns fail loudly") {
+    val text = Seq.fill(35)("the quick brown fox and the lazy dog runs")
+      .mkString(" ")
+    val docs = Seq(
+      (1L, "en", text, "cc-by", ""),
+      (2L, "en", text, "all-rights-reserved", ""),
+      (3L, "en", text, "cc-by", "noai"))
+      .toDF("doc_id", "lang", "text", "license", "robots")
+    val evalSet = Seq((99L, "nothing shared")).toDF("doc_id", "text")
+    val cfg = CorpusPipeline.Config(
+      allowedLicenses = Seq("cc-by"), respectRobots = true)
+    val (seqs, rep) = CorpusPipeline.build(docs, evalSet, cfg)
+    assert(rep.gated === 1L, rep.toString)
+    assert(seqs.select("doc_id").distinct().as[Long].collect().toSet
+      === Set(1L))
+    val e1 = intercept[IllegalArgumentException] {
+      CorpusPipeline.build(docs.drop("license"), evalSet, cfg)
+    }
+    assert(e1.getMessage.contains("license"))
+    val e2 = intercept[IllegalArgumentException] {
+      CorpusPipeline.build(docs.drop("robots"), evalSet,
+        CorpusPipeline.Config(respectRobots = true))
+    }
+    assert(e2.getMessage.contains("robots"))
+  }
 }
