@@ -343,8 +343,28 @@ object Bench {
         }
         val reps = if (highVariance(name)) 3 else 2
         loadavgs(name) = osBean.getSystemLoadAverage
-        repeats(name) = reps
-        val times = Seq.fill(reps)(once()).flatten
+        var times = Seq.fill(reps)(once()).flatten
+        // VARIANCE GOVERNANCE (r18): a single co-tenant burst can
+        // cover two back-to-back runs, so min-of-2 alone still reads
+        // inflated — when the two FASTEST cuts disagree by more than
+        // 1.5x, the row is re-run (up to 2 extra reps) until they
+        // agree or the budget is spent. Rows whose fastest cut is
+        // under 0.5 s are exempt: there the 1.5x ratio is dominated
+        // by first-run codegen/JIT asymmetry (the sf0.001 smoke fired
+        // on half the fleet under a 0.15 s floor), and their absolute
+        // contribution to the total is bounded by the floor itself.
+        // The rule is recorded in SCALING.md; query_repeats in the
+        // side file shows where it fired.
+        def unstable(ts: Seq[Double]): Boolean = ts.size >= 2 && {
+          val s = ts.sorted
+          s(0) > 0.5 && s(1) / s(0) > 1.5
+        }
+        var extra = 0
+        while (times.nonEmpty && unstable(times) && extra < 2) {
+          extra += 1
+          times ++= once()
+        }
+        repeats(name) = reps + extra
         if (times.isEmpty) failed += name
         name -> (if (times.isEmpty) -1.0 else times.min)
       }

@@ -356,4 +356,40 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(declared.subsetOf(offenders),
       s"stale declarations: ${(declared -- offenders).mkString(", ")}")
   }
+
+  test("layout/canonicalize/markup projections run inside whole-stage " +
+      "codegen in the EXECUTED plan (the r17 interpreted-fallback " +
+      "class cannot silently recur)") {
+    // The q137 failure mode was invisible until benched: a per-row
+    // arithmetic walk fell out of codegen and ran interpreted at 15x
+    // the cost, while the values (and hence the oracle hash) stayed
+    // green. Guard the rows whose projections are pure arithmetic/
+    // regex chains — every Project in their FINAL plan must carry the
+    // codegen star. HOF projections (lambdafunction in the plan) are
+    // exempt by design: transform/filter lambdas are CodegenFallback
+    // in Spark, and every engine HOF is bounded per element group
+    // (q145's query-param sort, q180's block walks) — the class this
+    // audit guards is pure arithmetic/regex chains falling out of
+    // codegen SILENTLY. Plans must be EXECUTED first (collect) — AQE
+    // only materializes codegen stages at run time, and its printed
+    // "Initial Plan" echo is unstarred by construction, so only the
+    // section above it is audited.
+    for (n <- Seq("q135_hilbert", "q136_zorder3", "q137_hilbert3",
+        "q102_zorder", "q87_canonicalize", "q145_url_canonical",
+        "q116_markup_strip")) {
+      val df = SparkEntry.queries(n)(spark, dir)
+      df.collect()
+      val all = df.queryExecution.executedPlan.toString
+      val p = all.indexOf("== Initial Plan ==") match {
+        case -1 => all
+        case i => all.substring(0, i)
+      }
+      val unstarred = p.linesIterator.filter(l =>
+        l.matches(".*\\bProject \\[.*") && !l.contains("*(") &&
+          !l.contains("lambdafunction")).toList
+      assert(unstarred.isEmpty,
+        s"$n has projections outside WholeStageCodegen:\n" +
+          unstarred.mkString("\n"))
+    }
+  }
 }
