@@ -558,9 +558,15 @@ class TextAnalysisSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(kept === expected)
     assert(kept.nonEmpty && kept.size < docs.count())
+    // orders 2..5 are valid as of r18 (ngramScoreKN tower); outside
+    // that range still fails loudly
     intercept[IllegalArgumentException] {
       graft.ops.CorpusPipeline.pplStage(docs,
-        graft.ops.CorpusPipeline.Config(maxAvgNll = 1.0, pplOrder = 4))
+        graft.ops.CorpusPipeline.Config(maxAvgNll = 1.0, pplOrder = 6))
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.CorpusPipeline.pplStage(docs,
+        graft.ops.CorpusPipeline.Config(maxAvgNll = 1.0, pplOrder = 1))
     }
   }
 
