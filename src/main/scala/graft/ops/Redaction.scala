@@ -30,15 +30,17 @@ object Redaction {
   val phoneTag = "<PHONE>"
   val ipTag = "<IP>"
 
-  /** One-pass pre-filter for the base chain: the three class shapes
-    * as one alternation. Most corpus documents carry no PII — gating
-    * the staged chain on a single rlike scan lets the clean majority
-    * skip every replace/count pass, and since the alternation is the
-    * UNION of the class patterns, any document any stage would touch
-    * also trips the gate: gating is semantics-preserving (specs +
-    * the untouched q58/q58b oracles pin this). */
-  val basePrefilterRe: String =
-    Seq(emailRe, ipv4Re, phoneRe).mkString("(?:", ")|(?:", ")")
+  /** Cheap NECESSARY-CONDITION pre-filter for the base chain: every
+    * class pattern requires a digit (IPv4, phone) or '@' (email), so
+    * a doc without either cannot match any stage — gating is
+    * semantics-preserving by necessity, not by replaying the class
+    * alternation (which would itself cost ~one scan per class: Java
+    * regex alternation retries each branch per position). Most
+    * curated-corpus prose carries neither character, so the clean
+    * majority skips every replace/count pass for one trivial
+    * char-class scan (specs + the untouched q58/q58b/q58c oracles
+    * pin the value identity). */
+  val basePrefilterRe: String = "[0-9@]"
 
   /** Null-preserving zero for gated counts: null text stays null (the
     * regexp_count(null) semantics the oracles replay), clean text
@@ -46,20 +48,33 @@ object Redaction {
   private def zeroCount(txt: Column): Column =
     (length(txt) * 0).cast("long")
 
+  /** NULL-gate for the prefilter: NULL for clean docs, the text
+    * itself for docs any class might touch. The chains run on THIS
+    * column, so a clean doc null-propagates through every
+    * regexp_replace/regexp_count in O(1) — crucially WITHOUT putting
+    * the stage chain under a CASE branch, which would disable
+    * codegen subexpression elimination and re-run the chain once per
+    * output column (measured 2x on the all-dirty q58b fixture before
+    * this form). Callers restore clean-doc outputs with
+    * coalesce(out, txt) / coalesce(count, [[zeroCount]]). */
+  private def nullGate(txt: Column, prefilterRe: String): Column =
+    when(txt.rlike(prefilterRe), txt)
+
   /** Scrubbed text: emails, then IPs, then phones. IPs go BEFORE
     * phones: the phone pattern is greedy over digit/space runs and
     * would otherwise swallow the leading octet of an adjacent IP
     * ("+1 5550101234 10.1.2.3" → "<PHONE>.1.2.3"). The order is fixed
-    * and mirrored in the q58 oracle SQL. Pre-filtered: a clean doc
-    * pays one rlike scan, not three replaces. */
+    * and mirrored in the q58 oracle SQL. Prefilter-gated: a clean doc
+    * pays one rlike scan, not three replaces ([[nullGate]]). */
   def scrubCol(txt: Column): Column =
-    when(txt.rlike(basePrefilterRe),
+    coalesce(
       regexp_replace(
         regexp_replace(
-          regexp_replace(txt, emailRe, emailTag),
+          regexp_replace(nullGate(txt, basePrefilterRe),
+            emailRe, emailTag),
           ipv4Re, ipTag),
-        phoneRe, phoneTag))
-      .otherwise(txt)
+        phoneRe, phoneTag),
+      txt)
 
   /** Per-kind redaction counts, STAGED like the scrub itself: emails
     * are counted on the raw text, IPs on the email-scrubbed text,
@@ -69,19 +84,17 @@ object Redaction {
     * on the raw text would double-count PII nested in another match
     * (an IP inside an email's host is one removal, not two). ONE
     * definition, shared by [[scrub]] and the streaming curation path.
-    * Gated on [[basePrefilterRe]] like the scrub (clean docs: zero
-    * counts from one shared scan, null text stays null).
+    * Gated via [[nullGate]] like the scrub (clean docs: zero counts
+    * from one shared scan, null text stays null).
     */
   def countCols(txt: Column): (Column, Column, Column) = {
-    val pre = txt.rlike(basePrefilterRe)
-    val afterEmail = regexp_replace(txt, emailRe, emailTag)
+    val gated = nullGate(txt, basePrefilterRe)
+    val afterEmail = regexp_replace(gated, emailRe, emailTag)
     val afterIp = regexp_replace(afterEmail, ipv4Re, ipTag)
     val z = zeroCount(txt)
-    (when(pre, regexp_count(txt, lit(emailRe)).cast("long")).otherwise(z),
-      when(pre, regexp_count(afterEmail, lit(ipv4Re)).cast("long"))
-        .otherwise(z),
-      when(pre, regexp_count(afterIp, lit(phoneRe)).cast("long"))
-        .otherwise(z))
+    (coalesce(regexp_count(gated, lit(emailRe)).cast("long"), z),
+      coalesce(regexp_count(afterEmail, lit(ipv4Re)).cast("long"), z),
+      coalesce(regexp_count(afterIp, lit(phoneRe)).cast("long"), z))
   }
 
   /** Total staged redaction count — [[countCols]] summed. */
@@ -199,38 +212,37 @@ object Redaction {
       cnt(t2, yamlSecretRe)), out)
   }
 
-  /** The three structured shapes as one gating alternation (the
-    * [[fullPrefilterRe]] discipline — union of the class patterns, so
-    * gating is semantics-preserving). */
-  val structuredPrefilterRe: String =
-    Seq(jsonSecretRe, envSecretRe, yamlSecretRe)
-      .mkString("(?:", ")|(?:", ")")
+  /** Necessary-condition gate for the structured shapes: every one
+    * requires its separator — '"' (JSON member), '=' (env
+    * assignment), ':' (YAML mapping / JSON) — so prose without any of
+    * the three characters cannot match (the [[basePrefilterRe]]
+    * discipline). */
+  val structuredPrefilterRe: String = "[\"=:]"
 
   /** Structured-format scrubbed text — [[structuredStages]]' final
-    * stage, gated on [[structuredPrefilterRe]]. The capstone
+    * stage over the [[nullGate]]d input. The capstone
     * (`Config.piiStructured`) runs this BEFORE the prose-shape chain:
     * the generic [[secretRe]] token class would otherwise eat the
     * parseable prefix of a structured value and leave the tail in
     * place. */
   def scrubStructuredCol(txt: Column): Column =
-    when(txt.rlike(structuredPrefilterRe), structuredStages(txt)._2)
-      .otherwise(txt)
+    coalesce(structuredStages(nullGate(txt, structuredPrefilterRe))._2,
+      txt)
 
   /** (id, scrubbed text, per-shape counts, total) under the
     * structured-format class set. Pure map-side projection — three
-    * regex passes behind one bound prefilter scan, zero shuffle,
-    * linear in corpus bytes. */
+    * regex passes behind one shared prefilter scan ([[nullGate]]),
+    * zero shuffle, linear in corpus bytes. */
   def scrubStructured(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val txt = col(textCol)
-    val (counts, out) = structuredStages(txt)
+    val (counts, out) = structuredStages(
+      nullGate(txt, structuredPrefilterRe))
     val names = Seq("n_json_keys", "n_env_keys", "n_yaml_keys")
     val z = zeroCount(txt)
-    df.withColumn("__pre", txt.rlike(structuredPrefilterRe))
-      .select(Seq(col(idCol),
-        when(col("__pre"), out).otherwise(txt).as("text")) ++
+    df.select(Seq(col(idCol), coalesce(out, txt).as("text")) ++
         names.zip(counts).map { case (n, c) =>
-          when(col("__pre"), c).otherwise(z).as(n) }: _*)
+          coalesce(c, z).as(n) }: _*)
       .withColumn("n_redactions", names.map(col).reduce(_ + _))
   }
 
@@ -307,45 +319,42 @@ object Redaction {
     (counts, out)
   }
 
-  /** [[basePrefilterRe]]'s full-class sibling: all eight class shapes
-    * as one alternation, each wrapped non-capturing so [[secretRe]]'s
-    * inline (?i) stays scoped to its own branch. The chain's eight
-    * regexp_replace passes each allocate a full copy of the document
-    * (the string churn behind q58b's sf10 residue) — one rlike scan
-    * lets the clean majority skip all of it. */
-  val fullPrefilterRe: String =
-    Seq(emailRe, awsKeyRe, secretRe, ipv6Re, ipv4Re, ssnRe, ccCandRe,
-      phoneRe).mkString("(?:", ")|(?:", ")")
+  /** [[basePrefilterRe]]'s full-class sibling — per-class necessary
+    * conditions: digits (IPv4/SSN/card/phone), '@' (email), ':'
+    * (IPv6, secret-assignment separator), '=' (secret assignment),
+    * or the AKIA/ASIA fixed prefixes (the one all-letter class). The
+    * chain's eight regexp_replace passes each allocate a full copy of
+    * the document (the string churn behind q58b's sf10 residue) —
+    * this one cheap scan lets the clean majority skip all of it. */
+  val fullPrefilterRe: String = "[0-9@:=]|(?i)akia|asia"
 
-  /** Full-class scrubbed text — [[fullStages]]'s final stage, gated
-    * on [[fullPrefilterRe]] (clean docs: one scan, text unchanged). */
+  /** Full-class scrubbed text — [[fullStages]]'s final stage over the
+    * [[nullGate]]d input (clean docs: one scan, text unchanged). */
   def scrubFullCol(txt: Column): Column =
-    when(txt.rlike(fullPrefilterRe), fullStages(txt)._2).otherwise(txt)
+    coalesce(fullStages(nullGate(txt, fullPrefilterRe))._2, txt)
 
   /** Total full-class redaction count (staged — see [[fullStages]]),
     * gated like [[scrubFullCol]]. */
   def totalCountFullCol(txt: Column): Column =
-    when(txt.rlike(fullPrefilterRe), fullStages(txt)._1.reduce(_ + _))
-      .otherwise(zeroCount(txt))
+    coalesce(fullStages(nullGate(txt, fullPrefilterRe))._1.reduce(_ + _),
+      zeroCount(txt))
 
   /** (id, scrubbed text, per-class redaction counts, total) under the
     * FULL class set — the corpus-compliance form of [[scrub]]. Still a
     * pure map-side projection: zero shuffle, linear scans at any
     * corpus size; the only non-regex stage is the card fold, bounded
-    * by matches-per-document. The prefilter is BOUND into a projection
-    * column so the text and all seven gated counts test one shared
-    * per-row boolean. */
+    * by matches-per-document. All eight outputs share the one
+    * [[nullGate]]d chain — subexpression elimination keeps each stage
+    * single-evaluation because nothing sits under a CASE branch. */
   def scrubFull(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val txt = col(textCol)
-    val (counts, out) = fullStages(txt)
+    val (counts, out) = fullStages(nullGate(txt, fullPrefilterRe))
     val names = Seq("n_emails", "n_keys", "n_ip6", "n_ips", "n_ssns",
       "n_ccs", "n_phones")
     val z = zeroCount(txt)
-    df.withColumn("__pre", txt.rlike(fullPrefilterRe))
-      .select(Seq(col(idCol),
-        when(col("__pre"), out).otherwise(txt).as("text")) ++
+    df.select(Seq(col(idCol), coalesce(out, txt).as("text")) ++
         names.zip(counts).map { case (n, c) =>
-          when(col("__pre"), c).otherwise(z).as(n) }: _*)
+          coalesce(c, z).as(n) }: _*)
       .withColumn("n_redactions",
         names.map(col).reduce(_ + _))
   }
