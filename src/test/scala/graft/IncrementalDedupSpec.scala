@@ -109,6 +109,52 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("ingestAvailableNow inherits the r18 rights/structured-PII " +
+      "knobs through the shared gateStage (stream ≡ batch)") {
+    val full = graft.sources.Tables(spark, dir, "documents")
+      .select("doc_id", "lang", "text").filter($"doc_id" >= 50)
+      .withColumn("license",
+        when($"doc_id" % 3 === 0, lit("all-rights-reserved"))
+          .otherwise(lit("cc-by")))
+      .withColumn("robots",
+        when($"doc_id" % 5 === 0, lit("noai")).otherwise(lit("")))
+    val evalSet = graft.sources.Tables(spark, dir, "documents")
+      .filter($"doc_id" < 50).select("doc_id", "text")
+    val cfg = graft.ops.CorpusPipeline.Config(
+      allowedLicenses = Seq("cc-by"), respectRobots = true,
+      piiStructured = true)
+
+    val gated = graft.ops.CorpusPipeline.gateStage(full, cfg)
+    val deduped = graft.ops.CorpusPipeline.dedupStage(gated, cfg)
+    val expected = graft.ops.CorpusPipeline
+      .cleanStage(deduped, evalSet, cfg)
+      .select("doc_id", "lang", "text").orderBy("doc_id")
+      .as[(Long, String, String)].collect().toSeq
+    assert(expected.nonEmpty)
+    // the gates actually fired: every all-rights-reserved or noai doc
+    // is absent from the batch expectation
+    val keptIds = expected.map(_._1).toSet
+    assert(keptIds.forall(id => id % 3 != 0 && id % 5 != 0))
+
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_ingest_rights").toString
+    full.filter($"doc_id" % 2 === 0).coalesce(1)
+      .write.parquet(s"$base/in/p0")
+    full.filter($"doc_id" % 2 === 1).coalesce(1)
+      .write.parquet(s"$base/in/p1")
+    val stream = spark.readStream.schema(full.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$base/in/p*")
+    val q = graft.streaming.Streams.ingestAvailableNow(stream, evalSet,
+      s"$base/state", s"$base/cand", s"$base/ckpt", cfg)
+    q.awaitTermination(300000)
+
+    val got = graft.streaming.Streams.ingestedCorpus(spark,
+        s"$base/state", s"$base/cand")
+      .orderBy("doc_id").as[(Long, String, String)].collect().toSeq
+    assert(got === expected)
+  }
+
   test("ingestAvailableNow: re-ingested ids are dropped (first write wins)") {
     val full = graft.sources.Tables(spark, dir, "documents")
       .select("doc_id", "lang", "text").filter($"doc_id" >= 50)
