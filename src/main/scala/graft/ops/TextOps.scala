@@ -256,10 +256,14 @@ object TextOps {
       minStopword: Double = MainContentMinStopword,
       runRescue: Boolean = false): DataFrame = {
     val sw = array(stopwords.map(lit): _*)
+    // classify reads the token array as a STRUCT FIELD (materialized
+    // once per block in the __sc projection below) — referencing
+    // wsTokens(t) here would re-tokenize the block once per mention
+    // (the r17 HOF single-evaluation rule applied at block grain)
     def classify(s: Column): Column = {
       val t = s.getField("t")
       val len = length(t)
-      val toks = wsTokens(t)
+      val toks = s.getField("tk")
       val frac = size(filter(toks, x => array_contains(sw, x)))
         .cast("double") / greatest(size(toks), lit(1))
       when(s.getField("lc") > lit(maxLinkDensity) * len, "bad")
@@ -286,7 +290,13 @@ object TextOps {
         (nearestNonShort(cls), reverse(nearestNonShort(reverse(cls))))
     df.select(col(idCol), mainContentScores(col(htmlCol)).as("__sc0"))
       .select(col(idCol),
-        filter(col("__sc0"), s => length(s.getField("t")) > 0).as("__sc"))
+        filter(col("__sc0"), s => length(s.getField("t")) > 0).as("__sc1"))
+      // tokenize each block ONCE into the struct; classify and the
+      // stopword fraction then read tk by field access
+      .select(col(idCol),
+        transform(col("__sc1"), s => struct(
+          s.getField("t").as("t"), s.getField("lc").as("lc"),
+          wsTokens(s.getField("t")).as("tk"))).as("__sc"))
       .select(col(idCol), col("__sc"),
         transform(col("__sc"), classify(_)).as("__cls"))
       .select(col(idCol), col("__sc"), cls,
