@@ -172,6 +172,9 @@ object Bench {
     // r18: the generalized tower at CCNet's real order — the KN
     // family's type-frame-growth watch row
     "q149d_kn5_ppl",
+    // r18: count-pruned tower + recursive OOV backoff (the KenLM
+    // deployability discipline — the model frame shrink path)
+    "q149e_kn4_pruned",
     // dedup-index PR curve over the threshold grid (candidates + exact
     // truth computed once, grid as conditional aggregation)
     "q133b_dedup_pr_sweep",

@@ -154,6 +154,14 @@ object CorpusPipeline {
       // < order tokens score 0 and pass — the too-short-to-judge rule
       // at every order
       pplOrder: Int = 2,
+      // > 1: COUNT-PRUNE the KN model at the top order before scoring
+      // ([[TextAnalysis.ngramScoreKNPruned]] — the KenLM
+      // deployability discipline; at the measured ~0.88-types-per-
+      // token order-5 frame, minCount 2 drops the singleton mass).
+      // Scoring takes the recursive OOV backoff, so pruned/unseen
+      // grams fall through to lower orders instead of scoring zero.
+      // 1 = the exact unpruned tower (default)
+      pplMinCount: Long = 1L,
       // >= 2: CCNet-style RELATIVE perplexity gate (Wenzek et al.
       // 2020) — split each LANGUAGE into this many equal-frequency
       // KN-perplexity tiers ([[TextAnalysis.pplBuckets]]) and drop
@@ -402,11 +410,15 @@ object CorpusPipeline {
   private[graft] def pplStage(docs: DataFrame, cfg: Config): DataFrame = {
     require(cfg.pplOrder >= 2 && cfg.pplOrder <= 5,
       s"pplOrder must be in [2, 5] (KN order), got ${cfg.pplOrder}")
-    val scored = cfg.pplOrder match {
-      case 2 => TextAnalysis.bigramScoreKN(docs, "doc_id", "text")
-      case 3 => TextAnalysis.trigramScoreKN(docs, "doc_id", "text")
-      case o => TextAnalysis.ngramScoreKN(docs, "doc_id", "text", o)
-    }
+    val scored =
+      if (cfg.pplMinCount > 1L)
+        TextAnalysis.ngramScoreKNPruned(docs, "doc_id", "text",
+          cfg.pplOrder, cfg.pplMinCount)
+      else cfg.pplOrder match {
+        case 2 => TextAnalysis.bigramScoreKN(docs, "doc_id", "text")
+        case 3 => TextAnalysis.trigramScoreKN(docs, "doc_id", "text")
+        case o => TextAnalysis.ngramScoreKN(docs, "doc_id", "text", o)
+      }
     docs.join(
       scored.filter(col("avg_nll") <= cfg.maxAvgNll).select("doc_id"),
       Seq("doc_id"), "left_semi")

@@ -636,6 +636,101 @@ object TextAnalysis {
         round(exp(coalesce(col("__avg"), lit(0.0))), 4).as("ppl"))
   }
 
+  /** [[ngramScoreKN]] with COUNT PRUNING — the KenLM discipline that
+    * makes high orders deployable (its default prunes singleton
+    * n-grams at orders ≥ 3; the r18 measurement shows the unpruned
+    * order-5 type frame IS ~corpus tokens): top-order types with
+    * count < `minCount` are dropped from the MODEL, and the whole
+    * continuation tower derives from the PRUNED frame. Pruning breaks
+    * the self-fit "every scored gram is seen" invariant, so scoring
+    * takes the [[bigramScoreKNFrom]] OOV path applied recursively at
+    * EVERY level:
+    *
+    *   p_k = seen ctx_k:  max(c_k − D, 0)/den_k
+    *                      + D·N1+(ctx_k ·)/den_k · p_{k−1}   (c_k may be 0)
+    *         unseen ctx_k: p_{k−1}                            (no mass to discount)
+    *   p_1 = seen w_n: N1+(·wn)/N1+(··); unseen: 1/N1+(··)   (the floor —
+    *                                          never a zero probability)
+    *
+    * `minCount = 1` is EXACTLY [[ngramScoreKN]] (no type prunes, every
+    * level present — NgramKNSpec pins the identity), so the pruned
+    * form is a strict generalization. Scale: the smoothed term is
+    * still assembled at the UNPRUNED corpus type grain (every scored
+    * gram type LEFT-joins the pruned tower — one corpus-tf shuffle
+    * into it, the q174b discipline), while the MODEL tower shrinks
+    * with the prune (at the measured 0.88 types/token order-5 frame,
+    * minCount 2 drops the ~80% singleton mass). Reports `n_oov`
+    * (scored occurrences whose type the pruned model dropped or never
+    * saw — the prune-rate diagnostic). Returns (idCol, n_ngrams,
+    * n_oov, avg_nll, ppl), rounded at 4. */
+  def ngramScoreKNPruned(df: DataFrame, idCol: String, textCol: String,
+      order: Int, minCount: Long, discount: Double = 0.75): DataFrame = {
+    require(order >= 2 && order <= 5,
+      s"ngramScoreKNPruned: order must be in [2, 5], got $order")
+    require(minCount >= 1L,
+      s"ngramScoreKNPruned: minCount must be >= 1, got $minCount")
+    val n = order
+    def ws(from: Int, to: Int): Seq[String] = (from to to).map(k => s"w$k")
+    val tf = docNgramCounts(df, idCol, textCol, n).localCheckpoint()
+    // the scored-universe type frame (unpruned — every gram the
+    // corpus contains) carries the top-order count; the MODEL count
+    // __c{n} is null for pruned types, which is what the per-level
+    // CASEs key on
+    val fAll = tf.groupBy(ws(1, n).map(col): _*)
+      .agg(sum("tf").as("__call"))
+      .localCheckpoint()
+    val frames = scala.collection.mutable.Map[Int, DataFrame]()
+    frames(n) = fAll.filter(col("__call") >= minCount)
+      .select(ws(1, n).map(col) :+ col("__call").as(s"__c$n"): _*)
+    for (k <- (n - 1) to 1 by -1)
+      frames(k) = frames(k + 1)
+        .groupBy(ws(n - k + 1, n).map(col): _*)
+        .agg(count(lit(1)).as(s"__c$k"))
+    val ctxs = (2 to n).map { k =>
+      k -> frames(k).groupBy(ws(n - k + 1, n - 1).map(col): _*)
+        .agg(sum(s"__c$k").as(s"__den$k"), count(lit(1)).as(s"__nf$k"))
+    }.toMap
+    val tt = frames(2).agg(count(lit(1)).as("__tt"))
+    val d = lit(discount)
+    val top = fAll.withColumn(s"__c$n",
+      when(col("__call") >= minCount, col("__call")))
+    val joined = ((n - 1) to 1 by -1)
+      .foldLeft(top.join(ctxs(n), ws(1, n - 1), "left")) { (acc, k) =>
+        val withFrame = acc.join(frames(k), ws(n - k + 1, n), "left")
+        if (k >= 2) withFrame.join(ctxs(k), ws(n - k + 1, n - 1), "left")
+        else withFrame
+      }
+      .crossJoin(broadcast(tt))
+    val p1 = when(col("__c1").isNotNull,
+      col("__c1").cast("double") / col("__tt"))
+      .otherwise(lit(1.0) / col("__tt"))
+    val p = (2 to n).foldLeft(p1) { (lower, k) =>
+      when(col(s"__den$k").isNotNull,
+        greatest(coalesce(col(s"__c$k"), lit(0L)) - d, lit(0.0)) /
+          col(s"__den$k") +
+          (d * col(s"__nf$k") / col(s"__den$k")) * lower)
+        .otherwise(lower)
+    }
+    val typeScore = joined.select(
+      ws(1, n).map(col) ++ Seq((-log(p)).as("__t"),
+        col(s"__c$n").isNull.as("__oov")): _*)
+    val scored = tf.join(typeScore, ws(1, n))
+      .select(col(idCol), col("tf"),
+        (col("tf") * col("__t")).as("__nll"),
+        when(col("__oov"), col("tf")).otherwise(lit(0L)).as("__oovtf"))
+      .groupBy(idCol).agg(
+        sum("tf").as("n_ngrams"),
+        sum("__oovtf").as("n_oov"),
+        (sum("__nll") / sum("tf")).as("__avg"))
+    df.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        round(coalesce(col("__avg"), lit(0.0)), 4).as("avg_nll"),
+        round(exp(coalesce(col("__avg"), lit(0.0))), 4).as("ppl"))
+  }
+
   /** [[bigramScoreKN]] under an EXTERNAL bigram-count frame
     * (w1, w2, cb) — the true CCNet recipe (Wenzek et al. 2020 score
     * with a Wikipedia-trained LM, not the corpus's own), and the

@@ -1556,6 +1556,20 @@ object ScaleQueries {
         "text", order = 5)
         .orderBy("doc_id")),
 
+    // COUNT-PRUNED order-4 KN (the KenLM deployability discipline —
+    // its default prunes singleton n-grams at orders >= 3): the model
+    // tower derives from the count-filtered top frame, and scoring
+    // takes the q179 OOV backoff applied recursively at EVERY level
+    // (pruned/unseen context falls through to the lower order; the
+    // 1/N1+(..) floor keeps probabilities nonzero). minCount 2 over
+    // the 0.78-types-per-token 4-gram frame exercises the OOV path on
+    // the majority of scored grams; minCount 1 ≡ q149c exactly
+    // (spec-pinned)
+    "q149e_kn4_pruned" -> ((s, dir) =>
+      TextAnalysis.ngramScoreKNPruned(t(s, dir, "documents"), "doc_id",
+        "text", order = 4, minCount = 2L)
+        .orderBy("doc_id")),
+
     // CCNet perplexity tiers (Wenzek et al. 2020): q149's KN LM scores
     // every document, ntile(3) per language on the (rounded ppl, id)
     // total order splits head/middle/tail — the standard LM-quality
@@ -4139,6 +4153,86 @@ object ScaleQueries {
                 GROUP BY doc_id)
        SELECT d.doc_id,
               CAST(coalesce(sc.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+              round(coalesce(sc.a, 0), 4) AS avg_nll,
+              round(exp(coalesce(sc.a, 0)), 4) AS ppl
+       FROM documents d LEFT JOIN sc USING (doc_id)
+       ORDER BY d.doc_id"""
+  }
+
+  /** Generated DuckDB twin of the PRUNED order-N KN chain
+    * ([[graft.ops.TextAnalysis.ngramScoreKNPruned]]): the [[knNSql]]
+    * tower derived from the count-filtered top frame, the score
+    * assembled over the UNPRUNED corpus type frame via LEFT joins,
+    * and the per-level seen/unseen CASE (the q179 OOV shape applied
+    * recursively) emitted as chained p1..pN CTEs — column references
+    * keep the SQL linear where the engine's nested fold duplicates
+    * the lower tree textually; values are identical either way. */
+  private def knNPrunedSql(n: Int, minCount: Long): String = {
+    def cols(from: Int, to: Int): String =
+      (from to to).map(k => s"w$k").mkString(", ")
+    val gramStruct =
+      (1 to n).map(k => s"'w$k': tk[i + ${k - 1}]").mkString(", ")
+    val lowers = ((n - 1) to 1 by -1).map { k =>
+      s"""f$k AS (SELECT ${cols(n - k + 1, n)}, count(*) AS c$k
+                  FROM f${k + 1} GROUP BY ${cols(n - k + 1, n)})"""
+    }
+    val ctxs = (2 to n).map { k =>
+      s"""ctx$k AS (SELECT ${cols(n - k + 1, n - 1)}, sum(c$k) AS den$k,
+                         count(*) AS nf$k
+                  FROM f$k GROUP BY ${cols(n - k + 1, n - 1)})"""
+    }
+    val joins = ((n - 1) to 1 by -1).flatMap { k =>
+      Seq(s"LEFT JOIN f$k USING (${cols(n - k + 1, n)})") ++
+        (if (k >= 2)
+           Seq(s"LEFT JOIN ctx$k USING (${cols(n - k + 1, n - 1)})")
+         else Nil)
+    }.mkString("\n                   ")
+    val jCols = (Seq(s"CASE WHEN call >= $minCount THEN call END AS c$n",
+      s"den$n", s"nf$n") ++
+      ((n - 1) to 1 by -1).flatMap { k =>
+        Seq(s"c$k") ++ (if (k >= 2) Seq(s"den$k", s"nf$k") else Nil)
+      } :+ "tt").mkString(", ")
+    val pCtes = (2 to n).map { k =>
+      s"""p${k}c AS (SELECT *, CASE WHEN den$k IS NOT NULL
+                    THEN greatest(coalesce(c$k, 0) - 0.75, 0.0) / den$k
+                         + (0.75 * nf$k / den$k) * (p${k - 1})
+                    ELSE p${k - 1} END AS p$k FROM p${k - 1}c)"""
+    }
+    s"""WITH tk AS (SELECT doc_id,
+                 list_filter(string_split(coalesce(text, ''), ' '),
+                             t -> length(t) > 0) AS tk
+           FROM documents),
+         ng AS (SELECT doc_id,
+                       unnest(list_transform(range(1, len(tk) - ${n - 2}),
+                         i -> {$gramStruct})) AS g
+                FROM tk WHERE len(tk) >= $n),
+         tf AS (SELECT doc_id,
+                       ${(1 to n).map(k => s"g.w$k AS w$k").mkString(", ")},
+                       CAST(count(*) AS BIGINT) AS tf
+                FROM ng GROUP BY doc_id, ${cols(1, n)}),
+         fa AS (SELECT ${cols(1, n)}, sum(tf) AS call
+                FROM tf GROUP BY ${cols(1, n)}),
+         f$n AS (SELECT ${cols(1, n)}, call AS c$n
+                FROM fa WHERE call >= $minCount),
+         ${lowers.mkString(",\n         ")},
+         ${ctxs.mkString(",\n         ")},
+         tt AS (SELECT count(*) AS tt FROM f2),
+         j AS (SELECT ${cols(1, n)}, $jCols
+               FROM fa LEFT JOIN ctx$n USING (${cols(1, n - 1)})
+                   $joins
+                   CROSS JOIN tt),
+         p1c AS (SELECT *, CASE WHEN c1 IS NOT NULL
+                   THEN c1 * 1.0 / tt ELSE 1.0 / tt END AS p1 FROM j),
+         ${pCtes.mkString(",\n         ")},
+         sc AS (SELECT doc_id, sum(tf) AS n_ngrams,
+                       sum(CASE WHEN c$n IS NULL THEN tf ELSE 0 END)
+                         AS n_oov,
+                       sum(tf * -ln(p$n)) / sum(tf) AS a
+                FROM tf JOIN p${n}c USING (${cols(1, n)})
+                GROUP BY doc_id)
+       SELECT d.doc_id,
+              CAST(coalesce(sc.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+              CAST(coalesce(sc.n_oov, 0) AS BIGINT) AS n_oov,
               round(coalesce(sc.a, 0), 4) AS avg_nll,
               round(exp(coalesce(sc.a, 0)), 4) AS ppl
        FROM documents d LEFT JOIN sc USING (doc_id)
@@ -7619,6 +7713,8 @@ object ScaleQueries {
     "q149b_kn3_ppl" -> q149bSql,
     "q149c_kn4_ppl" -> knNSql(4),
     "q149d_kn5_ppl" -> knNSql(5),
+    // pruned tower + recursive OOV backoff, chained p-level CTEs
+    "q149e_kn4_pruned" -> knNPrunedSql(4, 2L),
     // CCNet tier twins: the q149 KN chain verbatim, then the identical
     // ntile window on (rounded ppl asc, doc_id asc) per language; the
     // composition twin drops bucket 3 and rolls up with the shared

@@ -119,6 +119,103 @@ class NgramKNSpec extends AnyFunSuite {
     assert(got(6L) === ((0L, 0.0, 1.0)))
   }
 
+  /** Plain-Scala PRUNED recursive-KN reference: model tower from the
+    * count-filtered top frame, per-level seen/unseen fall-through,
+    * 1/N1+(··) floor — independent of the Spark left-join tower. */
+  private def knPrunedRef(n: Int, minCount: Long, d: Double = 0.75)
+      : Map[Long, (Long, Long, Double, Double)] = {
+    val toks = docs.map { case (id, t) =>
+      id -> t.split(" ").filter(_.nonEmpty).toSeq }.toMap
+    val grams: Map[Long, Seq[Seq[String]]] = toks.map { case (id, tk) =>
+      id -> (if (tk.size < n) Nil else tk.sliding(n).map(_.toList).toSeq)
+    }
+    val all: Map[Seq[String], Long] = grams.values.flatten
+      .groupMapReduce(identity)(_ => 1L)(_ + _)
+    var frames = Map[Int, Map[Seq[String], Long]](
+      n -> all.filter(_._2 >= minCount))
+    for (k <- (n - 1) to 1 by -1)
+      frames += k -> frames(k + 1).keys.toSeq.map(_.takeRight(k))
+        .groupMapReduce(identity)(_ => 1L)(_ + _)
+    val ctx: Map[Int, Map[Seq[String], (Long, Long)]] = (2 to n).map { k =>
+      k -> frames(k).toSeq.groupBy(_._1.dropRight(1)).map { case (c, xs) =>
+        c -> ((xs.map(_._2).sum, xs.size.toLong))
+      }
+    }.toMap
+    val tt = frames(2).size.toLong
+    def p(g: Seq[String]): Double =
+      (2 to n).foldLeft(frames(1).get(g.takeRight(1))
+          .map(_.toDouble / tt).getOrElse(1.0 / tt)) { (lower, k) =>
+        ctx(k).get(g.takeRight(k).dropRight(1)) match {
+          case Some((den, nf)) =>
+            math.max(frames(k).getOrElse(g.takeRight(k), 0L) - d, 0.0) /
+              den + (d * nf / den) * lower
+          case None => lower
+        }
+      }
+    def r4(v: Double) = BigDecimal(v)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    grams.map { case (id, gs) =>
+      if (gs.isEmpty) id -> ((0L, 0L, 0.0, 1.0))
+      else {
+        val avg = gs.map(g => -math.log(p(g))).sum / gs.size
+        val oov = gs.count(g => !frames(n).contains(g)).toLong
+        id -> ((gs.size.toLong, oov, r4(avg), r4(math.exp(avg))))
+      }
+    }
+  }
+
+  private def collectPruned(order: Int, minCount: Long)
+      : Map[Long, (Long, Long, Double, Double)] =
+    TextAnalysis.ngramScoreKNPruned(df, "doc_id", "text", order, minCount)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+
+  for (order <- 2 to 5; mc <- Seq(2L, 3L))
+    test(s"pruned KN order $order minCount $mc matches the plain-Scala " +
+        "reference (per-level OOV fall-through + floor)") {
+      val got = collectPruned(order, mc)
+      val want = knPrunedRef(order, mc)
+      assert(got.keySet === want.keySet)
+      for ((id, (wn, wo, wa, wp)) <- want) {
+        val (gn, go, ga, gp) = got(id)
+        assert(gn === wn && go === wo,
+          s"doc $id counts order $order mc $mc")
+        assert(math.abs(ga - wa) <= 2e-4, s"doc $id avg_nll")
+        assert(math.abs(gp - wp) <= 2e-4 * math.max(1.0, wp),
+          s"doc $id ppl")
+      }
+      // pruning actually fired somewhere on this fixture
+      assert(want.values.exists(_._2 > 0),
+        s"fixture exercises no OOV at order $order mc $mc")
+    }
+
+  test("minCount = 1 is exactly the unpruned tower, n_oov all zero") {
+    for (order <- 2 to 4) {
+      val pruned = collectPruned(order, 1L)
+      val plain = collectScores(order)
+      assert(pruned.view.mapValues(v => (v._1, v._3, v._4)).toMap
+        === plain)
+      assert(pruned.values.forall(_._2 === 0L))
+    }
+  }
+
+  test("capstone pplMinCount routes the gate through the pruned tower") {
+    val corpus = (Seq.tabulate(6)(i =>
+      (i.toLong, "en", "the cat sat on the mat and the cat sat on the mat")) :+
+      ((99L, "en", "qq zz rr pp kk jj vv ww xx yy uu oo")))
+      .toDF("doc_id", "lang", "text")
+    // minCount 2 prunes the gibberish doc's singleton 4-grams out of
+    // the model entirely — its mass comes from the floor, so its nll
+    // rises ABOVE the unpruned 0.5034 while the recurring docs stay low
+    val cfg = graft.ops.CorpusPipeline.Config(
+      maxAvgNll = 0.2, pplOrder = 4, pplMinCount = 2L)
+    val kept = graft.ops.CorpusPipeline.pplStage(corpus, cfg)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!kept.contains(99L) && kept.contains(0L))
+  }
+
   test("order bounds are enforced") {
     intercept[IllegalArgumentException] {
       TextAnalysis.ngramScoreKN(df, "doc_id", "text", 1)
