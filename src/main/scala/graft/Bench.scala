@@ -307,6 +307,23 @@ object Bench {
       "org.apache.spark.sql.execution.window.WindowExec",
       org.apache.logging.log4j.Level.ERROR)
 
+    // LEG ADMISSION (r18): a leg started while the box is busy reads
+    // inflated fleet-wide in a way the per-row re-run rule cannot
+    // fully repair (both reps share the co-tenant). If the 1-min
+    // loadavg exceeds the threshold, wait in 60 s steps (bounded —
+    // never refuse outright: a driver-run leg must still produce its
+    // JSON line) and record the delay + admission loadavg in the side
+    // file so a reader can judge the leg's conditions.
+    val osBean0 = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val admissionMax = sys.env.getOrElse("SPARK_GRAFT_MAX_LOADAVG", "2.5").toDouble
+    var legDelay = 0
+    while (osBean0.getSystemLoadAverage > admissionMax && legDelay < 300) {
+      System.err.println(f"[bench] loadavg ${osBean0.getSystemLoadAverage}%.2f > $admissionMax%.1f — delaying leg 60 s")
+      Thread.sleep(60000)
+      legDelay += 60
+    }
+    val admissionLoadavg = osBean0.getSystemLoadAverage
+
     // Warm the JVM + codegen + file-index paths so the first timed query
     // is not charged session startup.
     spark.range(1000000).selectExpr("sum(id)").collect()
@@ -409,8 +426,10 @@ object Bench {
     // The side file keeps the full diagnostics.
     val line =
       s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"failed":$failedArr,"loadavg":$loadavg,"sf":"$sfDir"}"""
+    val admissionJson = "%.2f".formatLocal(java.util.Locale.ROOT,
+      admissionLoadavg)
     val fullLine =
-      s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"failed":$failedArr,"loadavg":$loadavg,"query_loadavg":$loadavgJson,"query_repeats":$repeatsJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"failed":$failedArr,"loadavg":$loadavg,"leg_delay_s":$legDelay,"admission_loadavg":$admissionJson,"query_loadavg":$loadavgJson,"query_repeats":$repeatsJson,"sf":"$sfDir"}"""
     // sbt's logger decorates stdout with [info] prefixes, which breaks
     // line-oriented JSON parsing downstream — always ALSO write the line
     // to a bare file: $SPARK_GRAFT_BENCH_OUT if set, else ./bench_out.json.
