@@ -39,6 +39,8 @@ object Bench {
     "q58b_pii_scrub_full",
     // r18: structured-format (JSON/env/YAML) key-name-driven scrub
     "q58c_pii_structured",
+    // r19: entropy-gated structured scrub (triple extraction + gate)
+    "q58d_pii_entropy",
     "q59_decontaminate",
     "q60_chunk_dedup",
     "q61_corpus_dedup",
@@ -105,6 +107,8 @@ object Bench {
     "q180b_main_content_full",
     // r18: run-propagated rescue (nearest-non-short fold per side)
     "q180c_main_content_runs",
+    // r19: four-class jusText (near-good band + heading rescue)
+    "q180d_main_content_justext",
     "q117_funnel",
     "q118_retention",
     "q119_mean_pool",
@@ -175,6 +179,11 @@ object Bench {
     // r18: count-pruned tower + recursive OOV backoff (the KenLM
     // deployability discipline — the model frame shrink path)
     "q149e_kn4_pruned",
+    // r19: per-order prune vector (KenLM --prune 0 0 1 1 shape)
+    "q149f_kn4_prunevec",
+    // r19: externally-fit pruned order-N scoring (fit on the even-id
+    // slice, score all — the complete CCNet recipe's cost shape)
+    "q149g_kn3_external",
     // dedup-index PR curve over the threshold grid (candidates + exact
     // truth computed once, grid as conditional aggregation)
     "q133b_dedup_pr_sweep",

@@ -1,0 +1,169 @@
+package graft.functions
+
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fused single-evaluation full-class PII scrub — the q58b chain
+  * ([[graft.ops.Redaction]] fullStages: email → AWS key → generic
+  * secret → IPv6 → IPv4 → SSN → Luhn-valid card → phone) as ONE
+  * static call instead of eight chained `regexp_replace` columns plus
+  * seven staged `regexp_count`s: the declarative form allocates a
+  * fresh document copy per stage and scans each intermediate twice
+  * (replace + count), ~16 scans and 8 copies per dirty document —
+  * the string churn behind the q58b sf10 residue (SCALING.md r18).
+  * The fused walk runs each stage once with a shared StringBuilder
+  * (no copy when a stage matches nothing) and takes the count from
+  * the SAME matcher pass, so every stage is exactly one scan.
+  *
+  * BYTE-PARITY CONTRACT: same compiled patterns, same stage order,
+  * same replacement strings, and the same candidate-fold semantics
+  * for cards (each Luhn-valid candidate replaced EVERYWHERE in match
+  * order — the over-approximation in the safe direction), so output
+  * text and staged counts are bit-identical to the declarative chain
+  * (RedactionSpec pins it on the planted fixture and a fuzz sweep;
+  * the q58b oracle is unmoved). Counts are the staged discipline:
+  * each stage's count is the matches it replaced on the PREVIOUS
+  * stage's output; keys = AWS + generic summed, cards = Luhn-valid
+  * candidate occurrences.
+  */
+object FullScrubber {
+
+  import graft.ops.Redaction
+
+  private val emailP = Pattern.compile(Redaction.emailRe)
+  private val awsP = Pattern.compile(Redaction.awsKeyRe)
+  private val secretP = Pattern.compile(Redaction.secretRe)
+  private val ip6P = Pattern.compile(Redaction.ipv6Re)
+  private val ip4P = Pattern.compile(Redaction.ipv4Re)
+  private val ssnP = Pattern.compile(Redaction.ssnRe)
+  private val ccP = Pattern.compile(Redaction.ccCandRe)
+  private val phoneP = Pattern.compile(Redaction.phoneRe)
+
+  /** One stage: replace every match of `p` in `in` with `tag`,
+    * returning (result, matches). No allocation when nothing matches
+    * (the common clean-document case behind the prefilter). Literal
+    * append — replacement tags carry no `$`/`\` so this is exactly
+    * `Matcher.appendReplacement` semantics without its escape parse. */
+  private def stage(p: Pattern, in: String, tag: String): (String, Long) = {
+    val m = p.matcher(in)
+    if (!m.find()) return (in, 0L)
+    val sb = new java.lang.StringBuilder(in.length)
+    var last = 0
+    var n = 0L
+    do {
+      sb.append(in, last, m.start()).append(tag)
+      last = m.end()
+      n += 1
+    } while (m.find())
+    sb.append(in, last, in.length)
+    (sb.toString, n)
+  }
+
+  /** The in-plan Luhn check ([[graft.ops.Redaction.luhnValidCol]]),
+    * same integer arithmetic: strip non-digits, double every second
+    * digit from the right (−9 above 9), 13–19 digits, sum % 10 == 0. */
+  private def luhnValid(cand: String): Boolean = {
+    var digits = 0
+    var i = 0
+    while (i < cand.length) {
+      if (cand.charAt(i) >= '0' && cand.charAt(i) <= '9') digits += 1
+      i += 1
+    }
+    if (digits < 13 || digits > 19) return false
+    var total = 0
+    var pos = 0 // 1-based position from the RIGHT over digits only
+    i = cand.length - 1
+    while (i >= 0) {
+      val c = cand.charAt(i)
+      if (c >= '0' && c <= '9') {
+        pos += 1
+        val d = c - '0'
+        total += (if (pos % 2 == 1) d
+                  else { val dbl = d * 2; if (dbl > 9) dbl - 9 else dbl })
+      }
+      i -= 1
+    }
+    total % 10 == 0
+  }
+
+  /** Card stage: Luhn-valid candidates in match order, each replaced
+    * EVERYWHERE via literal replace (the aggregate-fold semantics —
+    * a duplicate candidate's later fold steps are no-ops). Count =
+    * valid candidate OCCURRENCES found in the scan, the chain's
+    * `size(ccValidArr(t6))`. */
+  private def ccStage(in: String): (String, Long) = {
+    val m = ccP.matcher(in)
+    var valid: List[String] = Nil
+    var n = 0L
+    while (m.find()) {
+      val c = m.group()
+      if (luhnValid(c)) { valid = c :: valid; n += 1 }
+    }
+    if (n == 0L) return (in, 0L)
+    var cur = in
+    valid.reverse.foreach { c => cur = cur.replace(c, Redaction.ccTag) }
+    (cur, n)
+  }
+
+  /** The fused chain. Returns the struct row (text, n_emails, n_keys,
+    * n_ip6, n_ips, n_ssns, n_ccs, n_phones). */
+  def scrubRow(s: String): InternalRow = {
+    val (t1, nEmail) = stage(emailP, s, Redaction.emailTag)
+    val (t2, nAws) = stage(awsP, t1, Redaction.keyTag)
+    val (t3, nSec) = stage(secretP, t2, Redaction.keyTag)
+    val (t4, nIp6) = stage(ip6P, t3, Redaction.ip6Tag)
+    val (t5, nIp4) = stage(ip4P, t4, Redaction.ipTag)
+    val (t6, nSsn) = stage(ssnP, t5, Redaction.ssnTag)
+    val (t7, nCc) = ccStage(t6)
+    val (out, nPhone) = stage(phoneP, t7, Redaction.phoneTag)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](UTF8String.fromString(out), nEmail, nAws + nSec,
+        nIp6, nIp4, nSsn, nCc, nPhone))
+  }
+
+  val outputType: StructType = StructType(Seq(
+    StructField("text", StringType),
+    StructField("n_emails", LongType),
+    StructField("n_keys", LongType),
+    StructField("n_ip6", LongType),
+    StructField("n_ips", LongType),
+    StructField("n_ssns", LongType),
+    StructField("n_ccs", LongType),
+    StructField("n_phones", LongType)))
+}
+
+/** Catalyst expression for the fused scrub — the [[PorterStem]]
+  * pattern: a static call generated in-line so the projection stays
+  * inside whole-stage codegen. Null-safe: a prefilter-gated null
+  * input yields a null struct and the caller's per-field coalesce
+  * restores the clean-document defaults. */
+case class FullScrubExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = FullScrubber.outputType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"full_scrub requires a string argument, got ${child.dataType}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    FullScrubber.scrubRow(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.FullScrubber.scrubRow($c.toString())")
+
+  override def prettyName: String = "full_scrub"
+
+  override protected def withNewChildInternal(newChild: Expression): FullScrubExpr =
+    copy(child = newChild)
+}

@@ -31,7 +31,7 @@ object HilbertN {
     * sign bit. One compare per row; `require`'s message is by-name. */
   def hilbertIndex(axes: Array[Long], bits: Int): Long = {
     val d = axes.length
-    require(d >= 1 && d * bits <= 62,
+    require(d >= 1 && d.toLong * bits <= 62,
       s"hilbert_n: need dims >= 1 and dims*bits <= 62, got dims=$d bits=$bits")
     // inverse undo: Q from 2^(bits-1) down to 2; per axis either
     // invert axis 0's low bits or exchange them with this axis's

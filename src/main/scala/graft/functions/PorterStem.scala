@@ -79,6 +79,12 @@ object GraftFunctions {
     bridge.column(HilbertXYExpr(bridge.expression(x),
       bridge.expression(y), bits))
 
+  /** Fused full-class PII scrub: the whole q58b stage chain + staged
+    * counts as one codegen'd call returning (text, 7 counts) —
+    * byte-identical to the declarative chain (see [[FullScrubber]]). */
+  def fullScrubStruct(c: Column): Column =
+    bridge.column(FullScrubExpr(bridge.expression(c)))
+
   /** Sequential-order dot product over two array<double> columns. */
   def dotProduct(a: Column, b: Column): Column =
     bridge.column(DotProduct(bridge.expression(a), bridge.expression(b)))

@@ -162,6 +162,14 @@ object CorpusPipeline {
       // grams fall through to lower orders instead of scoring zero.
       // 1 = the exact unpruned tower (default)
       pplMinCount: Long = 1L,
+      // non-empty: PER-ORDER prune thresholds for the KN gate —
+      // KenLM's `--prune t1 .. tn` discipline in full
+      // ([[TextAnalysis.ngramScoreKNPrunedVec]]): one minimum count
+      // per order, length must equal pplOrder, order 1 never pruned
+      // (head must be 1), non-decreasing. The vector generalizes
+      // pplMinCount (≡ 1,…,1,minCount) — set one or the other, not
+      // both. Empty = off (default)
+      pplPrune: Seq[Long] = Seq.empty,
       // >= 2: CCNet-style RELATIVE perplexity gate (Wenzek et al.
       // 2020) — split each LANGUAGE into this many equal-frequency
       // KN-perplexity tiers ([[TextAnalysis.pplBuckets]]) and drop
@@ -197,6 +205,14 @@ object CorpusPipeline {
       // structured value first. The BigCode/code-corpus composition;
       // same zero-shuffle cost class. Default off
       piiStructured: Boolean = false,
+      // > 0: gate the structured scrub on VALUE Shannon entropy
+      // ([[Redaction.scrubStructuredEntropyCol]] — the detect-secrets
+      // discipline): a key-name match is redacted only when its value
+      // clears this floor (nats), so config templates
+      // ("password: changeme", "TOKEN=xxxx") survive. Requires
+      // piiStructured; [[Redaction.SecretMinEntropy]] (2.0) is the
+      // calibrated floor. 0 = ungated regex replacement (default)
+      piiMinEntropy: Double = 0.0,
       // non-empty: token-lexicon gate over the obfuscation-FOLDED text
       // ([[TextAnalysis.lexiconHitsCol]], the C4 badwords discipline):
       // any hit drops the document. Folding (lower + leet
@@ -376,8 +392,14 @@ object CorpusPipeline {
     // intraDocScrubbed (staged projections, linear cost) rather than a
     // single scalar expression, whose lambdas would re-tokenize per
     // element — quadratic per document.
+    require(cfg.piiMinEntropy == 0.0 || cfg.piiStructured,
+      "piiMinEntropy gates the STRUCTURED scrub — set piiStructured " +
+        "with it")
     val piiIn =
-      if (cfg.piiStructured) Redaction.scrubStructuredCol(txt) else txt
+      if (cfg.piiStructured && cfg.piiMinEntropy > 0.0)
+        Redaction.scrubStructuredEntropyCol(txt, cfg.piiMinEntropy)
+      else if (cfg.piiStructured) Redaction.scrubStructuredCol(txt)
+      else txt
     val scrubbed = gated.select(col("doc_id"), col("lang"),
       (if (cfg.piiFull) Redaction.scrubFullCol(piiIn)
        else Redaction.scrubCol(piiIn)).as("text"))
@@ -410,8 +432,14 @@ object CorpusPipeline {
   private[graft] def pplStage(docs: DataFrame, cfg: Config): DataFrame = {
     require(cfg.pplOrder >= 2 && cfg.pplOrder <= 5,
       s"pplOrder must be in [2, 5] (KN order), got ${cfg.pplOrder}")
+    require(cfg.pplPrune.isEmpty || cfg.pplMinCount == 1L,
+      "set pplPrune (per-order vector) or pplMinCount (top-order " +
+        "scalar), not both")
     val scored =
-      if (cfg.pplMinCount > 1L)
+      if (cfg.pplPrune.nonEmpty)
+        TextAnalysis.ngramScoreKNPrunedVec(docs, "doc_id", "text",
+          cfg.pplOrder, cfg.pplPrune)
+      else if (cfg.pplMinCount > 1L)
         TextAnalysis.ngramScoreKNPruned(docs, "doc_id", "text",
           cfg.pplOrder, cfg.pplMinCount)
       else cfg.pplOrder match {

@@ -194,7 +194,7 @@ object Domains {
       multiSuffixes: Seq[String] = DefaultMultiSuffixes): DataFrame =
     if (blocklist.isEmpty) df
     else df.filter(!coalesce(
-      array_contains(array(blocklist.map(l => lit(l.toLowerCase)): _*),
+      array_contains(array(blocklist.map(l => lit(l.toLowerCase(java.util.Locale.ROOT))): _*),
         registrableDomainCol(col(urlCol), multiSuffixes)),
       lit(false)))
 
@@ -214,7 +214,7 @@ object Domains {
       "licenseGate: empty allowlist would drop every document — " +
         "pass the intended licenses explicitly")
     df.filter(coalesce(
-      array_contains(array(allowed.map(l => lit(l.toLowerCase)): _*),
+      array_contains(array(allowed.map(l => lit(l.toLowerCase(java.util.Locale.ROOT))): _*),
         lower(trim(col(licenseCol)))),
       lit(false)))
   }
@@ -238,7 +238,7 @@ object Domains {
     val toks = split(lower(coalesce(col(robotsCol), lit(""))),
       "[,;\\t ]+")
     df.filter(!deny
-      .map(d => array_contains(toks, d.toLowerCase))
+      .map(d => array_contains(toks, d.toLowerCase(java.util.Locale.ROOT)))
       .reduce((a, b) => a || b))
   }
 

@@ -246,6 +246,100 @@ object Redaction {
       .withColumn("n_redactions", names.map(col).reduce(_ + _))
   }
 
+  /** Shannon CHARACTER entropy of a short value (nats — the q75
+    * entropy fold applied at VALUE grain, first-occurrence distinct
+    * order): placeholders read near zero ("xxxx" = 0, "banananana" =
+    * 0.94, "changeme" = 1.91), real credentials read near ln(len)
+    * (mostly-distinct random chars). The per-distinct-char count
+    * rescans the char array inside the fold — the [[luhnValidCol]]
+    * cost class: values are line-bounded (tens of chars), so the
+    * quadratic is over a short string, never the corpus. */
+  private[graft] def charEntropyCol(v: Column): Column = {
+    val n = length(v).cast("double")
+    val chars = transform(sequence(lit(1), length(v)),
+      i => v.substr(i, lit(1)))
+    aggregate(array_distinct(chars), lit(0.0), (acc, c) => {
+      val p = size(filter(chars, x => x === c)).cast("double") / n
+      acc - p * log(p)
+    })
+  }
+
+  /** Default value-entropy floor for [[scrubStructuredEntropy]]:
+    * 2.0 nats keeps dictionary-word placeholders ("changeme" = 1.91,
+    * "hunter2" = 1.95) and repeated-char fillers (0-0.9) while
+    * scrubbing any mostly-distinct value of 8+ chars (all-distinct
+    * 8 chars = ln 8 = 2.08; a 32-hex digest ≈ 2.6). */
+  val SecretMinEntropy: Double = 2.0
+
+  /** One entropy-gated structured stage: extract every (full match,
+    * key+separator prefix, value) triple for `re`, keep only triples
+    * whose value clears the entropy floor, and fold plain `replace`
+    * calls over the survivors (a regex cannot express "replace only
+    * if the value looks random" — the [[ccScrub]] shape). `replace`
+    * kills every occurrence of the matched line, so a secret that
+    * also appears in an unmatched context goes with it — the cc
+    * over-approximation in the safe direction. Returns (scrubbed,
+    * n gated replacements, n low-entropy survivors). */
+  private def entropyStage(t: Column, re: String,
+      minEntropy: Double): (Column, Column, Column) = {
+    val trip = zip_with(
+      zip_with(
+        regexp_extract_all(t, lit(re), lit(0)),
+        regexp_extract_all(t, lit(re), lit(1)),
+        (f, p) => struct(f.as("f"), p.as("p"))),
+      regexp_extract_all(t, lit(re), lit(2)),
+      (fp, v) => struct(fp.getField("f").as("f"),
+        fp.getField("p").as("p"), v.as("v")))
+    val hot = filter(trip,
+      s => charEntropyCol(s.getField("v")) >= lit(minEntropy))
+    val out = aggregate(hot, t, (acc, s) =>
+      replace(acc, s.getField("f"),
+        concat(s.getField("p"), lit(keyTag))))
+    (out, size(hot).cast("long"), (size(trip) - size(hot)).cast("long"))
+  }
+
+  /** [[scrubStructured]] gated on VALUE ENTROPY — the detect-secrets
+    * discipline (Shannon entropy over the candidate string) composed
+    * with the key-name shapes: a structured match is redacted only
+    * when its value actually looks like a secret, so config TEMPLATES
+    * ("password: changeme", "TOKEN=xxxx") survive untouched — fewer
+    * false redactions, same zero-shuffle map-side cost class (the
+    * triple extraction adds two regex passes per stage behind the
+    * same prefilter gate). Stage order and the staged-count
+    * discipline match [[scrubStructured]]; `minEntropy = 0` gates
+    * nothing out and reproduces its replacements (RedactionSpec pins
+    * it on the planted fixture). Returns (id, text, per-shape GATED
+    * counts, n_low_entropy survivors, n_redactions). */
+  def scrubStructuredEntropy(df: DataFrame, idCol: String,
+      textCol: String,
+      minEntropy: Double = SecretMinEntropy): DataFrame = {
+    require(minEntropy >= 0.0,
+      s"minEntropy must be >= 0, got $minEntropy")
+    val txt = col(textCol)
+    val g = nullGate(txt, structuredPrefilterRe)
+    val (t1, c1, s1) = entropyStage(g, jsonSecretRe, minEntropy)
+    val (t2, c2, s2) = entropyStage(t1, envSecretRe, minEntropy)
+    val (out, c3, s3) = entropyStage(t2, yamlSecretRe, minEntropy)
+    val z = zeroCount(txt)
+    df.select(col(idCol), coalesce(out, txt).as("text"),
+        coalesce(c1, z).as("n_json_keys"),
+        coalesce(c2, z).as("n_env_keys"),
+        coalesce(c3, z).as("n_yaml_keys"),
+        coalesce(s1 + s2 + s3, z).as("n_low_entropy"))
+      .withColumn("n_redactions",
+        col("n_json_keys") + col("n_env_keys") + col("n_yaml_keys"))
+  }
+
+  /** Scrubbed-text column form of [[scrubStructuredEntropy]] — the
+    * capstone's `Config.piiMinEntropy` path. */
+  def scrubStructuredEntropyCol(txt: Column,
+      minEntropy: Double = SecretMinEntropy): Column = {
+    val g = nullGate(txt, structuredPrefilterRe)
+    val (t1, _, _) = entropyStage(g, jsonSecretRe, minEntropy)
+    val (t2, _, _) = entropyStage(t1, envSecretRe, minEntropy)
+    coalesce(entropyStage(t2, yamlSecretRe, minEntropy)._1, txt)
+  }
+
   /** In-plan Luhn check over a candidate string: strip separators,
     * double every second digit from the right (subtracting 9 above 9),
     * valid iff the sum ≡ 0 (mod 10) and 13–19 digits. Pure `aggregate`

@@ -636,64 +636,77 @@ object TextAnalysis {
         round(exp(coalesce(col("__avg"), lit(0.0))), 4).as("ppl"))
   }
 
-  /** [[ngramScoreKN]] with COUNT PRUNING — the KenLM discipline that
-    * makes high orders deployable (its default prunes singleton
-    * n-grams at orders ≥ 3; the r18 measurement shows the unpruned
-    * order-5 type frame IS ~corpus tokens): top-order types with
-    * count < `minCount` are dropped from the MODEL, and the whole
-    * continuation tower derives from the PRUNED frame. Pruning breaks
-    * the self-fit "every scored gram is seen" invariant, so scoring
-    * takes the [[bigramScoreKNFrom]] OOV path applied recursively at
-    * EVERY level:
-    *
-    *   p_k = seen ctx_k:  max(c_k − D, 0)/den_k
-    *                      + D·N1+(ctx_k ·)/den_k · p_{k−1}   (c_k may be 0)
-    *         unseen ctx_k: p_{k−1}                            (no mass to discount)
-    *   p_1 = seen w_n: N1+(·wn)/N1+(··); unseen: 1/N1+(··)   (the floor —
-    *                                          never a zero probability)
-    *
-    * `minCount = 1` is EXACTLY [[ngramScoreKN]] (no type prunes, every
-    * level present — NgramKNSpec pins the identity), so the pruned
-    * form is a strict generalization. Scale: the smoothed term is
-    * still assembled at the UNPRUNED corpus type grain (every scored
-    * gram type LEFT-joins the pruned tower — one corpus-tf shuffle
-    * into it, the q174b discipline), while the MODEL tower shrinks
-    * with the prune (at the measured 0.88 types/token order-5 frame,
-    * minCount 2 drops the ~80% singleton mass). Reports `n_oov`
-    * (scored occurrences whose type the pruned model dropped or never
-    * saw — the prune-rate diagnostic). Returns (idCol, n_ngrams,
-    * n_oov, avg_nll, ppl), rounded at 4. */
-  def ngramScoreKNPruned(df: DataFrame, idCol: String, textCol: String,
-      order: Int, minCount: Long, discount: Double = 0.75): DataFrame = {
-    require(order >= 2 && order <= 5,
-      s"ngramScoreKNPruned: order must be in [2, 5], got $order")
-    require(minCount >= 1L,
-      s"ngramScoreKNPruned: minCount must be >= 1, got $minCount")
-    val n = order
+  /** Corpus n-gram TYPE counts (w1..wn, cn) — [[docNgramCounts]]
+    * rolled up over the id axis, the order-N [[bigramCounts]]: the
+    * model-fit frame [[ngramScoreKNFrom]] consumes, and the batch
+    * anchor an order-N incremental LM state reads back to. One
+    * word-grain shuffle past the per-doc frame. */
+  def ngramCounts(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    docNgramCounts(df, idCol, textCol, n)
+      .groupBy((1 to n).map(k => col(s"w$k")): _*)
+      .agg(sum("tf").as("cn"))
+
+  /** Validates a per-order prune vector (KenLM's `--prune`
+    * discipline, 1-based thresholds as MINIMUM counts): length must
+    * equal the order, order 1 is never pruned (KenLM forbids unigram
+    * pruning — the continuation base and the 1/N1+(··) floor must
+    * exist for every word), and thresholds are non-decreasing with
+    * order (KenLM's own requirement; a sparser high order backed off
+    * into a denser low order is the shape that makes sense). */
+  private def requirePruneVec(order: Int, prune: Seq[Long]): Unit = {
+    require(prune.length == order,
+      s"prune vector must have one threshold per order ($order), " +
+        s"got ${prune.length}")
+    require(prune.head == 1L,
+      "order-1 is never pruned (the KenLM rule: the continuation " +
+        s"base must cover every word) — prune(0) must be 1, got ${prune.head}")
+    require(prune.forall(_ >= 1L),
+      s"prune thresholds are minimum counts >= 1, got $prune")
+    require(prune.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)),
+      s"prune thresholds must be non-decreasing with order " +
+        s"(the KenLM rule), got $prune")
+  }
+
+  /** The shared pruned recursive-KN scoring tail: derives the
+    * continuation tower (levels n−1..1, each level pruned by its own
+    * threshold) from the PRUNED top frame `topFrame` (w1..wn, __cn),
+    * assembles the per-level seen/unseen smoothed term over the
+    * scored-universe type frame `top` (w1..wn, __cn nullable — null
+    * marks a type the model dropped or never saw), and folds the
+    * doc-grain `tf` frame into per-doc (n_ngrams, n_oov, avg_nll,
+    * ppl). All tower joins are type-grain LEFT joins; the corpus-
+    * grain tf shuffles ONCE into the assembled type score — the
+    * q174b discipline every KN entry point shares. */
+  private def knTowerScore(df: DataFrame, idCol: String, tf: DataFrame,
+      top: DataFrame, topFrame: DataFrame, n: Int, prune: Seq[Long],
+      discount: Double): DataFrame = {
     def ws(from: Int, to: Int): Seq[String] = (from to to).map(k => s"w$k")
-    val tf = docNgramCounts(df, idCol, textCol, n).localCheckpoint()
-    // the scored-universe type frame (unpruned — every gram the
-    // corpus contains) carries the top-order count; the MODEL count
-    // __c{n} is null for pruned types, which is what the per-level
-    // CASEs key on
-    val fAll = tf.groupBy(ws(1, n).map(col): _*)
-      .agg(sum("tf").as("__call"))
-      .localCheckpoint()
     val frames = scala.collection.mutable.Map[Int, DataFrame]()
-    frames(n) = fAll.filter(col("__call") >= minCount)
-      .select(ws(1, n).map(col) :+ col("__call").as(s"__c$n"): _*)
-    for (k <- (n - 1) to 1 by -1)
-      frames(k) = frames(k + 1)
+    frames(n) = topFrame
+    for (k <- (n - 1) to 1 by -1) {
+      val derived = frames(k + 1)
         .groupBy(ws(n - k + 1, n).map(col): _*)
         .agg(count(lit(1)).as(s"__c$k"))
+      frames(k) =
+        if (prune(k - 1) > 1L)
+          derived.filter(col(s"__c$k") >= prune(k - 1))
+        else derived
+    }
     val ctxs = (2 to n).map { k =>
       k -> frames(k).groupBy(ws(n - k + 1, n - 1).map(col): _*)
         .agg(sum(s"__c$k").as(s"__den$k"), count(lit(1)).as(s"__nf$k"))
     }.toMap
-    val tt = frames(2).agg(count(lit(1)).as("__tt"))
+    // a model whose level-2 continuation frame pruned to EMPTY has no
+    // base distribution (N1+(··) = 0 — every p would divide by zero):
+    // that is a degenerate fit, not a scoring case — fail loudly
+    // in-plan (the q163b discipline), don't emit garbage scores
+    val tt = frames(2).agg(count(lit(1)).as("__tt0"))
+      .select(when(col("__tt0") === 0, raise_error(lit(
+        "KN model degenerate: every order-2 continuation type was " +
+          "pruned (N1+(..) = 0) — lower the prune thresholds"))
+        .cast("long")).otherwise(col("__tt0")).as("__tt"))
     val d = lit(discount)
-    val top = fAll.withColumn(s"__c$n",
-      when(col("__call") >= minCount, col("__call")))
     val joined = ((n - 1) to 1 by -1)
       .foldLeft(top.join(ctxs(n), ws(1, n - 1), "left")) { (acc, k) =>
         val withFrame = acc.join(frames(k), ws(n - k + 1, n), "left")
@@ -729,6 +742,115 @@ object TextAnalysis {
         coalesce(col("n_oov"), lit(0L)).as("n_oov"),
         round(coalesce(col("__avg"), lit(0.0)), 4).as("avg_nll"),
         round(exp(coalesce(col("__avg"), lit(0.0))), 4).as("ppl"))
+  }
+
+  /** [[ngramScoreKN]] with PER-ORDER count pruning — KenLM's
+    * `--prune t1 .. tn` discipline in full (its thresholds are
+    * per-order; the scalar [[ngramScoreKNPruned]] is the special
+    * case that prunes only the top): level k of the continuation
+    * tower keeps only types whose (continuation) count reaches
+    * `prune(k−1)`, and each level derives from the level ABOVE it
+    * as already pruned — exactly how KenLM's adjusted counts see a
+    * pruned higher order. Pruning at ANY level can now make a scored
+    * gram's suffix unseen, so the per-level seen/unseen fall-through
+    * of the scalar form:
+    *
+    *   p_k = seen ctx_k:  max(c_k − D, 0)/den_k
+    *                      + D·N1+(ctx_k ·)/den_k · p_{k−1}   (c_k may be 0)
+    *         unseen ctx_k: p_{k−1}                            (no mass to discount)
+    *   p_1 = seen w_n: N1+(·wn)/N1+(··); unseen: 1/N1+(··)   (the floor)
+    *
+    * is already the general arithmetic — the vector form adds only
+    * the per-level filters. `prune` is validated by
+    * [[requirePruneVec]]: length = order, prune(0) = 1 (unigrams are
+    * never pruned), non-decreasing. An all-ones vector is EXACTLY
+    * [[ngramScoreKN]] (NgramKNSpec pins the identity). Scale: the
+    * MODEL tower shrinks level-by-level with the prunes while the
+    * scored universe stays the corpus type grain — one corpus-tf
+    * shuffle, smaller broadcast-free type joins. Returns (idCol,
+    * n_ngrams, n_oov, avg_nll, ppl), rounded at 4; `n_oov` counts
+    * occurrences whose TOP-order type the model dropped. */
+  def ngramScoreKNPrunedVec(df: DataFrame, idCol: String,
+      textCol: String, order: Int, prune: Seq[Long],
+      discount: Double = 0.75): DataFrame = {
+    require(order >= 2 && order <= 5,
+      s"ngramScoreKNPrunedVec: order must be in [2, 5], got $order")
+    requirePruneVec(order, prune)
+    val n = order
+    def ws(from: Int, to: Int): Seq[String] = (from to to).map(k => s"w$k")
+    val tf = docNgramCounts(df, idCol, textCol, n).localCheckpoint()
+    // ONE corpus type frame serves both the pruned model top (filter)
+    // and the scored universe (null-marking projection) — no join
+    // between them, the q149e plan shape
+    val fAll = tf.groupBy(ws(1, n).map(col): _*)
+      .agg(sum("tf").as("__call"))
+      .localCheckpoint()
+    val topFrame = fAll.filter(col("__call") >= prune(n - 1))
+      .select(ws(1, n).map(col) :+ col("__call").as(s"__c$n"): _*)
+    val top = fAll.select(ws(1, n).map(col) :+
+      when(col("__call") >= prune(n - 1), col("__call")).as(s"__c$n"): _*)
+    knTowerScore(df, idCol, tf, top, topFrame, n, prune, discount)
+  }
+
+  /** [[ngramScoreKN]] with COUNT PRUNING at the top order — the
+    * KenLM deployability default (prune singletons at the highest
+    * orders; the r18 measurement shows the unpruned order-5 type
+    * frame IS ~corpus tokens). The scalar threshold is the
+    * [[ngramScoreKNPrunedVec]] special case (1, …, 1, minCount);
+    * `minCount = 1` is EXACTLY [[ngramScoreKN]] (NgramKNSpec pins
+    * both identities). Returns (idCol, n_ngrams, n_oov, avg_nll,
+    * ppl), rounded at 4. */
+  def ngramScoreKNPruned(df: DataFrame, idCol: String, textCol: String,
+      order: Int, minCount: Long, discount: Double = 0.75): DataFrame = {
+    require(order >= 2 && order <= 5,
+      s"ngramScoreKNPruned: order must be in [2, 5], got $order")
+    require(minCount >= 1L,
+      s"ngramScoreKNPruned: minCount must be >= 1, got $minCount")
+    ngramScoreKNPrunedVec(df, idCol, textCol, order,
+      Seq.fill(order - 1)(1L) :+ minCount, discount)
+  }
+
+  /** Order-N KN scoring under an EXTERNAL top-order count frame
+    * (w1..wn, cn) with optional per-order pruning — the COMPLETE
+    * CCNet recipe (Wenzek et al. 2020: a 5-gram KenLM fit on
+    * Wikipedia, count-pruned for deployability, scores the crawl):
+    * [[bigramScoreKNFrom]] lifted to orders 2–5. The model tower
+    * derives entirely from `counts` (fit one corpus with
+    * [[ngramCounts]], or read an incrementally-maintained LM state
+    * back); the SCORED corpus contributes only its gram types, every
+    * one LEFT-joined into the pruned tower with the recursive
+    * seen/unseen fall-through and the 1/N1+(··) floor — so nothing
+    * scores zero and `n_oov` (occurrences whose top-order type the
+    * model lacks) is the domain-mismatch diagnostic. At order 2 with
+    * an all-ones prune this is value-identical to
+    * [[bigramScoreKNFrom]] (NgramKNSpec pins it). Scale: model
+    * statistics at model type grain, scored universe at corpus type
+    * grain, one corpus-tf shuffle — fit once, score many. Returns
+    * (idCol, n_ngrams, n_oov, avg_nll, ppl), rounded at 4. */
+  def ngramScoreKNFrom(df: DataFrame, idCol: String, textCol: String,
+      order: Int, counts: DataFrame, prune: Seq[Long] = Seq.empty,
+      discount: Double = 0.75): DataFrame = {
+    require(order >= 2 && order <= 5,
+      s"ngramScoreKNFrom: order must be in [2, 5], got $order")
+    val n = order
+    def ws(from: Int, to: Int): Seq[String] = (from to to).map(k => s"w$k")
+    val pv = if (prune.isEmpty) Seq.fill(n)(1L) else prune
+    requirePruneVec(n, pv)
+    require(ws(1, n).forall(counts.columns.contains) &&
+        counts.columns.contains("cn"),
+      s"ngramScoreKNFrom: counts must carry (w1..w$n, cn), " +
+        s"got ${counts.columns.mkString(", ")}")
+    val tf = docNgramCounts(df, idCol, textCol, n).localCheckpoint()
+    // the model frame feeds the whole tower — materialize it once
+    // (the q179 discipline; a raw fit plan would re-pay its source
+    // scan per tower level)
+    val cnts = counts.select(ws(1, n).map(col) :+ col("cn"): _*)
+      .localCheckpoint()
+    val topFrame = cnts.filter(col("cn") >= pv(n - 1))
+      .select(ws(1, n).map(col) :+ col("cn").as(s"__c$n"): _*)
+    val types = tf.select(ws(1, n).map(col): _*).distinct()
+    val top = types.join(topFrame, ws(1, n), "left")
+    knTowerScore(df, idCol, tf, top, topFrame, n, pv, discount)
   }
 
   /** [[bigramScoreKN]] under an EXTERNAL bigram-count frame

@@ -322,6 +322,171 @@ object TextOps {
           .as("n_rescued"))
   }
 
+  /** HIGH stopword-density threshold for [[mainContentJusText]] —
+    * at or above it a long block is unambiguous prose (good); between
+    * [[MainContentMinStopword]] and it the block is NEAR-GOOD: kept
+    * only with good context (jusText's four-class scheme). */
+  val MainContentStopwordHigh: Double = 0.30
+
+  /** How many blocks ahead a heading looks for a good block before
+    * giving itself up ([[mainContentJusText]]) — the block-grain
+    * analogue of jusText's MAX_HEADING_DISTANCE (its 200 chars). */
+  val MainContentHeadingDistance: Int = 3
+
+  /** Opening h1–h6 tag (attributes allowed) — the heading-mark
+    * pattern [[mainContentJusText]] and its DuckDB twin share. */
+  val headingTagRe: String = "(<h[1-6](?:[ \t\n][^>]*)?/?>)"
+
+  /** Heading-mark sentinel: injected AFTER each opening h1–h6 tag so
+    * the block split (which consumes the tag) leaves the heading's
+    * segment starting with it. U+0001 never survives to output — both
+    * engines strip it before flattening. */
+  private[graft] val HeadingMark: String = "\u0001"
+
+  /** FULL four-class jusText (Pomikálek 2011 §5): [[mainContentFull]]
+    * plus the two remaining pieces of the published classifier —
+    *
+    *   - the NEAR-GOOD BAND: a long, link-sparse block whose stopword
+    *     density sits between `minStopword` and `stopwordHigh` is no
+    *     longer unconditionally good; it is kept only when its nearest
+    *     non-short non-neargood neighbor on either side is good (the
+    *     context-sensitive half of jusText's classifier);
+    *   - HEADING RESCUE: an h1–h6 block that is not bad is kept when a
+    *     good block FOLLOWS within `headingDistance` blocks — headings
+    *     title the prose below them, so a title whose section survived
+    *     survives with it, while a heading over nav/footer machinery
+    *     drops (jusText's MAX_HEADING_DISTANCE at block grain).
+    *
+    * Classes per non-empty block, in rule order: link-dense → bad;
+    * stopword density < `minStopword` → bad; shorter than
+    * `minBlockChars` → short; density ≥ `stopwordHigh` → good; else
+    * NEAR-GOOD. Keep = good, or short whose nearest NON-SHORT
+    * neighbor (either side) is good (the q180c run rule — a neargood
+    * neighbor does not rescue a short), or neargood whose nearest
+    * non-short NON-NEARGOOD neighbor (either side) is good, or a
+    * non-bad HEADING with a good block at distance ≤ `headingDistance`
+    * ahead. Headings are detected by injecting [[HeadingMark]] after
+    * each opening h1–h6 tag before the split (the split consumes the
+    * tag; the mark survives as the segment's first char and is
+    * stripped before flattening on both engines).
+    *
+    * Still one map-side scan, zero shuffle: nearest-class context via
+    * one aggregate fold per (direction, skip-set), heading distance
+    * via one reversed fold with (class, distance) state, and the keep
+    * rule as an index transform over BOUND arrays (O(1) element_at
+    * per slot — the r17 HOF rule). Returns (idCol, main_text,
+    * n_blocks, n_kept, n_rescued, n_headings): n_rescued counts kept
+    * non-good blocks (any rescue path), n_headings counts kept
+    * heading blocks. */
+  def mainContentJusText(df: DataFrame, idCol: String, htmlCol: String,
+      minBlockChars: Int = MainContentMinBlockChars,
+      maxLinkDensity: Double = MainContentMaxLinkDensity,
+      minStopword: Double = MainContentMinStopword,
+      stopwordHigh: Double = MainContentStopwordHigh,
+      headingDistance: Int = MainContentHeadingDistance): DataFrame = {
+    require(minStopword <= stopwordHigh,
+      s"minStopword ($minStopword) must be <= stopwordHigh ($stopwordHigh)")
+    require(headingDistance >= 1,
+      s"headingDistance must be >= 1, got $headingDistance")
+    val sw = array(stopwords.map(lit): _*)
+    val mark = lit(HeadingMark)
+    // mark heading segments, then the q180 block pipeline with the
+    // mark stripped before flatten (it must never reach main_text)
+    val marked = regexp_replace(
+      stripPayloads(coalesce(col(htmlCol), lit(""))),
+      headingTagRe, "$1" + HeadingMark)
+    val scores = transform(split(marked, blockTagRe),
+      b => struct(
+        flattenInline(replace(b, mark, lit(""))).as("t"),
+        aggregate(
+          regexp_extract_all(b, lit("(?s)<a[^>]*>(.*?)</a>"), lit(1)),
+          lit(0), (acc, x) => acc + length(flattenInline(x))).as("lc"),
+        startswith(b, mark).as("h")))
+    def classify(s: Column): Column = {
+      val t = s.getField("t")
+      val len = length(t)
+      val toks = s.getField("tk")
+      val frac = size(filter(toks, x => array_contains(sw, x)))
+        .cast("double") / greatest(size(toks), lit(1))
+      when(s.getField("lc") > lit(maxLinkDensity) * len, "bad")
+        .when(frac < minStopword, "bad")
+        .when(len < minBlockChars, "short")
+        .when(frac >= stopwordHigh, "good")
+        .otherwise("neargood")
+    }
+    val cls = col("__cls")
+    // exclusive-prefix "nearest class outside `skip` to the left";
+    // reverse for the right side — one fold per (direction, skip-set)
+    def nearestSkipping(arr: Column, skip: Seq[String]): Column =
+      aggregate(arr,
+        struct(array().cast("array<string>").as("o"), lit("none").as("l")),
+        (st, c) => struct(
+          concat(st.getField("o"), array(st.getField("l"))).as("o"),
+          when(c.isin(skip: _*), st.getField("l")).otherwise(c).as("l")),
+        _.getField("o"))
+    // exclusive distance to the NEXT good block (fold over the
+    // reversed classes, state = saturating distance-since-good)
+    val big = 1000000000
+    def distNextGood(arr: Column): Column =
+      reverse(aggregate(reverse(arr),
+        struct(array().cast("array<int>").as("o"), lit(big).as("s")),
+        (st, c) => struct(
+          concat(st.getField("o"),
+            array(least(st.getField("s") + 1, lit(big)))).as("o"),
+          when(c === "good", lit(0))
+            .otherwise(least(st.getField("s") + 1, lit(big))).as("s")),
+        _.getField("o")))
+    val hd = col("__hd")
+    val pns = col("__pns"); val nns = col("__nns")
+    val pcx = col("__pcx"); val ncx = col("__ncx")
+    val dng = col("__dng")
+    val kp = col("__kp")
+    df.select(col(idCol), scores.as("__sc0"))
+      .select(col(idCol),
+        filter(col("__sc0"), s => length(s.getField("t")) > 0).as("__sc1"))
+      .select(col(idCol),
+        transform(col("__sc1"), s => struct(
+          s.getField("t").as("t"), s.getField("lc").as("lc"),
+          s.getField("h").as("h"),
+          wsTokens(s.getField("t")).as("tk"))).as("__sc"))
+      .select(col(idCol), col("__sc"),
+        transform(col("__sc"), classify(_)).as("__cls"),
+        transform(col("__sc"), _.getField("h")).as("__hd"))
+      .select(col(idCol), col("__sc"), cls, hd,
+        nearestSkipping(cls, Seq("short")).as("__pns"),
+        reverse(nearestSkipping(reverse(cls), Seq("short"))).as("__nns"),
+        nearestSkipping(cls, Seq("short", "neargood")).as("__pcx"),
+        reverse(nearestSkipping(reverse(cls), Seq("short", "neargood")))
+          .as("__ncx"),
+        distNextGood(cls).as("__dng"))
+      .select(col(idCol), col("__sc"), cls,
+        when(size(cls) === 0, array().cast("array<boolean>"))
+          .otherwise(transform(sequence(lit(1), size(cls)), i => {
+            val c = element_at(cls, i)
+            (c === "good") ||
+              (c === "short" && (element_at(pns, i) === "good" ||
+                element_at(nns, i) === "good")) ||
+              (c === "neargood" && (element_at(pcx, i) === "good" ||
+                element_at(ncx, i) === "good")) ||
+              (element_at(hd, i) && c =!= "bad" &&
+                element_at(dng, i) <= headingDistance)
+          })).as("__kp"))
+      .select(col(idCol),
+        array_join(transform(
+          filter(zip_with(col("__sc"), kp,
+            (s, k) => struct(s.getField("t").as("t"), k.as("k"))),
+            e => e.getField("k")),
+          _.getField("t")), " ").as("main_text"),
+        size(col("__sc")).cast("long").as("n_blocks"),
+        size(filter(kp, k => k)).cast("long").as("n_kept"),
+        size(filter(zip_with(cls, kp,
+          (c, k) => c =!= "good" && k), b => b)).cast("long")
+          .as("n_rescued"),
+        size(filter(zip_with(
+          transform(col("__sc"), _.getField("h")), kp,
+          (h, k) => h && k), b => b)).cast("long").as("n_headings"))
+  }
+
   /** [[mainContentCol]] with the audit counts a pipeline wants when
     * tuning the gates: (idCol, main_text, n_blocks, n_kept). The block
     * pipeline is BOUND into intermediate projection columns (the

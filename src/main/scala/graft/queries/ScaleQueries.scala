@@ -1520,6 +1520,14 @@ object ScaleQueries {
       TextAnalysis.bigramCounts(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("w1", "w2")),
 
+    // the order-3 count frame — q154 at order N: the fit half of the
+    // q149g external scorer and the parity target of the order-N
+    // incremental LM state (lmNFromState reads back exactly this)
+    "q154b_ngram3_counts" -> ((s, dir) =>
+      TextAnalysis.ngramCounts(t(s, dir, "documents"), "doc_id",
+        "text", 3)
+        .orderBy("w1", "w2", "w3")),
+
     // Kneser–Ney bigram perplexity: absolute-discount smoothing with
     // the continuation distribution (the principled upgrade over
     // q138's Jelinek–Mercer mix) — all five statistics from the one
@@ -1569,6 +1577,36 @@ object ScaleQueries {
       TextAnalysis.ngramScoreKNPruned(t(s, dir, "documents"), "doc_id",
         "text", order = 4, minCount = 2L)
         .orderBy("doc_id")),
+
+    // PER-ORDER prune vector (KenLM's full `--prune t1..tn`
+    // discipline — this vector is its `--prune 0 0 1 1` shape: orders
+    // 1-2 unpruned, singletons dropped at 3-4): each tower level
+    // filtered by its own threshold,
+    // each level deriving from the level above AS ALREADY PRUNED —
+    // mid-level prunes make lower-order context fall-throughs fire
+    // even where the top-order gram survives. Twin GENERATED from the
+    // same (order, vector) parameters; (1,1,…,minCount) ≡ q149e and
+    // all-ones ≡ q149c are spec-pinned identities
+    "q149f_kn4_prunevec" -> ((s, dir) =>
+      TextAnalysis.ngramScoreKNPrunedVec(t(s, dir, "documents"),
+        "doc_id", "text", order = 4, prune = Seq(1L, 1L, 2L, 2L))
+        .orderBy("doc_id")),
+
+    // the COMPLETE CCNet recipe (Wenzek et al. 2020): an order-N KN
+    // model fit on ONE corpus (the even-id reference slice — q179's
+    // convention lifted to order 3), count-pruned for deployability,
+    // scores ANOTHER with recursive OOV backoff — fit once, score
+    // many. The model tower derives entirely from the external count
+    // frame ([[TextAnalysis.ngramCounts]]); the scored corpus
+    // contributes only its distinct gram types
+    "q149g_kn3_external" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = TextAnalysis.ngramCounts(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", 3)
+      TextAnalysis.ngramScoreKNFrom(docs, "doc_id", "text", 3, model,
+        prune = Seq(1L, 1L, 2L))
+        .orderBy("doc_id")
+    }),
 
     // CCNet perplexity tiers (Wenzek et al. 2020): q149's KN LM scores
     // every document, ntile(3) per language on the (rounded ppl, id)
@@ -2593,6 +2631,44 @@ object ScaleQueries {
         .orderBy("doc_id")
     }),
 
+    // FOUR-class jusText (q180c + the published classifier's last
+    // two pieces): the NEAR-GOOD stopword-density band [0.15, 0.30)
+    // — long link-sparse blocks there keep only with good context —
+    // and h1-h6 HEADING rescue (a non-bad heading with a good block
+    // within 3 ahead survives with its section). Planted: a heading
+    // above (bad, good) kept by the heading rule alone, a near-good
+    // beside good kept, its twin between bads dropped, a heading
+    // above the footer dropped. Twin replays the sentinel mark, the
+    // 5-class CASE, both skip-set context scans, and the
+    // heading-distance scan as index lambdas
+    "q180d_main_content_justext" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val html = concat(
+        lit("<html><body>" +
+          "<nav><a href=\"/\">Home</a> <a href=\"/about\">About us</a> " +
+          "<a href=\"/contact\">Contact</a></nav>" +
+          "<h1>the quiet hills of the north</h1>" +
+          "<div>alpha beta gamma delta epsilon listing</div>" +
+          "<p>in the morning the river is calm and the village is " +
+          "quiet with a soft light on the water and it is a good day " +
+          "for a walk in the hills</p>" +
+          "<p>river stones gleam in the pale light and the wind moves " +
+          "across open water near a far shore</p><div>"),
+        coalesce(col("text"), lit("")),
+        lit("</div><p>tall pines lean over a narrow trail and loose " +
+          "rocks slide along the steep bank toward a wooden bridge</p>" +
+          "<h2>more about the station</h2>" +
+          "<div>or of to in</div>" +
+          "<footer>Copyright 2026 All rights reserved worldwide " +
+          "<a href=\"/terms\">Terms of service</a> " +
+          "<a href=\"/privacy\">Privacy policy overview</a> " +
+          "<a href=\"/c\">Cookie settings page</a></footer>" +
+          "</body></html>"))
+      graft.ops.TextOps.mainContentJusText(
+        docs.select(col("doc_id"), html.as("html")), "doc_id", "html")
+        .orderBy("doc_id")
+    }),
+
     // link-graph centrality (PageRank, 5 damped power-iteration
     // rounds) over a deterministic 2-out-regular doc link graph — the
     // web-corpus quality prior as a first-class iterative operator;
@@ -2832,6 +2908,32 @@ object ScaleQueries {
           substring(md5(concat(lit("y:"), id)), 1, 8),
           lit("\nuser: alice\ncount = 12345678")).as("text"))
       graft.ops.Redaction.scrubStructured(withPii, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // ENTROPY-GATED structured scrub (the detect-secrets discipline
+    // composed with q58c's key-name shapes): each planted shape
+    // carries a HIGH-entropy real credential (md5-derived, >= 2.3
+    // nats — scrubbed) and a LOW-entropy placeholder ("changeme"
+    // 1.91, "xxxxxxxxxxxx" 0, "aaaabbbb" 0.69 — SURVIVES). The twin
+    // replays the triple extraction, the q75 char-entropy fold at
+    // value grain, the gate, and the struct-accumulator replace fold
+    "q58d_pii_entropy" -> ((s, dir) => {
+      val id = col("doc_id").cast("string")
+      val withPii = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" {\"api_key\": \"sk-"),
+          md5(concat(lit("j:"), id)),
+          lit("\", \"token\": \"changeme\", \"name\": \"value keeper\"}" +
+            "\nexport GITHUB_TOKEN=ghp_"),
+          substring(md5(concat(lit("e:"), id)), 1, 20),
+          lit("\nDB_PASSWORD=xxxxxxxxxxxx" +
+            "\nMONKEY=banananana\ndb_password: "),
+          substring(md5(concat(lit("y:"), id)), 1, 24),
+          lit("\ndb_token: aaaabbbb\nuser: alice\ncount = 12345678"))
+          .as("text"))
+      graft.ops.Redaction.scrubStructuredEntropy(withPii, "doc_id",
+        "text")
         .orderBy("doc_id")
     }),
 
@@ -4160,21 +4262,30 @@ object ScaleQueries {
   }
 
   /** Generated DuckDB twin of the PRUNED order-N KN chain
-    * ([[graft.ops.TextAnalysis.ngramScoreKNPruned]]): the [[knNSql]]
-    * tower derived from the count-filtered top frame, the score
-    * assembled over the UNPRUNED corpus type frame via LEFT joins,
-    * and the per-level seen/unseen CASE (the q179 OOV shape applied
-    * recursively) emitted as chained p1..pN CTEs — column references
-    * keep the SQL linear where the engine's nested fold duplicates
-    * the lower tree textually; values are identical either way. */
-  private def knNPrunedSql(n: Int, minCount: Long): String = {
+    * ([[graft.ops.TextAnalysis.ngramScoreKNPrunedVec]], with the
+    * scalar [[graft.ops.TextAnalysis.ngramScoreKNPruned]] as the
+    * (1,…,1,minCount) special case): the [[knNSql]] tower derived
+    * from the count-filtered top frame with each LOWER level filtered
+    * by its own threshold (HAVING on the continuation count — KenLM's
+    * per-order `--prune`), the score assembled over the UNPRUNED
+    * corpus type frame via LEFT joins, and the per-level seen/unseen
+    * CASE (the q179 OOV shape applied recursively) emitted as chained
+    * p1..pN CTEs — column references keep the SQL linear where the
+    * engine's nested fold duplicates the lower tree textually; values
+    * are identical either way. */
+  private def knNPrunedVecSql(n: Int, prune: Seq[Long]): String = {
+    require(prune.length == n && prune.head == 1L)
     def cols(from: Int, to: Int): String =
       (from to to).map(k => s"w$k").mkString(", ")
     val gramStruct =
       (1 to n).map(k => s"'w$k': tk[i + ${k - 1}]").mkString(", ")
     val lowers = ((n - 1) to 1 by -1).map { k =>
+      val having =
+        if (prune(k - 1) > 1L)
+          s"\n                  HAVING count(*) >= ${prune(k - 1)}"
+        else ""
       s"""f$k AS (SELECT ${cols(n - k + 1, n)}, count(*) AS c$k
-                  FROM f${k + 1} GROUP BY ${cols(n - k + 1, n)})"""
+                  FROM f${k + 1} GROUP BY ${cols(n - k + 1, n)}$having)"""
     }
     val ctxs = (2 to n).map { k =>
       s"""ctx$k AS (SELECT ${cols(n - k + 1, n - 1)}, sum(c$k) AS den$k,
@@ -4187,7 +4298,8 @@ object ScaleQueries {
            Seq(s"LEFT JOIN ctx$k USING (${cols(n - k + 1, n - 1)})")
          else Nil)
     }.mkString("\n                   ")
-    val jCols = (Seq(s"CASE WHEN call >= $minCount THEN call END AS c$n",
+    val jCols = (Seq(
+      s"CASE WHEN call >= ${prune(n - 1)} THEN call END AS c$n",
       s"den$n", s"nf$n") ++
       ((n - 1) to 1 by -1).flatMap { k =>
         Seq(s"c$k") ++ (if (k >= 2) Seq(s"den$k", s"nf$k") else Nil)
@@ -4213,12 +4325,113 @@ object ScaleQueries {
          fa AS (SELECT ${cols(1, n)}, sum(tf) AS call
                 FROM tf GROUP BY ${cols(1, n)}),
          f$n AS (SELECT ${cols(1, n)}, call AS c$n
-                FROM fa WHERE call >= $minCount),
+                FROM fa WHERE call >= ${prune(n - 1)}),
          ${lowers.mkString(",\n         ")},
          ${ctxs.mkString(",\n         ")},
          tt AS (SELECT count(*) AS tt FROM f2),
          j AS (SELECT ${cols(1, n)}, $jCols
                FROM fa LEFT JOIN ctx$n USING (${cols(1, n - 1)})
+                   $joins
+                   CROSS JOIN tt),
+         p1c AS (SELECT *, CASE WHEN c1 IS NOT NULL
+                   THEN c1 * 1.0 / tt ELSE 1.0 / tt END AS p1 FROM j),
+         ${pCtes.mkString(",\n         ")},
+         sc AS (SELECT doc_id, sum(tf) AS n_ngrams,
+                       sum(CASE WHEN c$n IS NULL THEN tf ELSE 0 END)
+                         AS n_oov,
+                       sum(tf * -ln(p$n)) / sum(tf) AS a
+                FROM tf JOIN p${n}c USING (${cols(1, n)})
+                GROUP BY doc_id)
+       SELECT d.doc_id,
+              CAST(coalesce(sc.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+              CAST(coalesce(sc.n_oov, 0) AS BIGINT) AS n_oov,
+              round(coalesce(sc.a, 0), 4) AS avg_nll,
+              round(exp(coalesce(sc.a, 0)), 4) AS ppl
+       FROM documents d LEFT JOIN sc USING (doc_id)
+       ORDER BY d.doc_id"""
+  }
+
+  /** The scalar-prune twin (q149e): the vector generator at
+    * (1, …, 1, minCount) — one generator, both disciplines. */
+  private def knNPrunedSql(n: Int, minCount: Long): String =
+    knNPrunedVecSql(n, Seq.fill(n - 1)(1L) :+ minCount)
+
+  /** Generated twin of the EXTERNAL pruned order-N KN chain
+    * ([[graft.ops.TextAnalysis.ngramScoreKNFrom]]) — the complete
+    * CCNet recipe: the model tower (with per-order prune HAVINGs)
+    * derives from the even-id reference slice's top-order counts
+    * (q179's model-slice convention lifted to order N), the scored
+    * corpus contributes its DISTINCT gram types LEFT-joined into the
+    * tower, and the recursive seen/unseen CASEs replay term-for-term.
+    * n_oov counts occurrences whose top-order type the model lacks
+    * (pruned or never seen). */
+  private def knNFromSql(n: Int, prune: Seq[Long]): String = {
+    require(prune.length == n && prune.head == 1L)
+    def cols(from: Int, to: Int): String =
+      (from to to).map(k => s"w$k").mkString(", ")
+    val gramStruct =
+      (1 to n).map(k => s"'w$k': tk[i + ${k - 1}]").mkString(", ")
+    val lowers = ((n - 1) to 1 by -1).map { k =>
+      val having =
+        if (prune(k - 1) > 1L)
+          s"\n                  HAVING count(*) >= ${prune(k - 1)}"
+        else ""
+      s"""f$k AS (SELECT ${cols(n - k + 1, n)}, count(*) AS c$k
+                  FROM f${k + 1} GROUP BY ${cols(n - k + 1, n)}$having)"""
+    }
+    val ctxs = (2 to n).map { k =>
+      s"""ctx$k AS (SELECT ${cols(n - k + 1, n - 1)}, sum(c$k) AS den$k,
+                         count(*) AS nf$k
+                  FROM f$k GROUP BY ${cols(n - k + 1, n - 1)})"""
+    }
+    val joins = ((n - 1) to 1 by -1).flatMap { k =>
+      Seq(s"LEFT JOIN f$k USING (${cols(n - k + 1, n)})") ++
+        (if (k >= 2)
+           Seq(s"LEFT JOIN ctx$k USING (${cols(n - k + 1, n - 1)})")
+         else Nil)
+    }.mkString("\n                   ")
+    val jCols = (Seq(s"c$n", s"den$n", s"nf$n") ++
+      ((n - 1) to 1 by -1).flatMap { k =>
+        Seq(s"c$k") ++ (if (k >= 2) Seq(s"den$k", s"nf$k") else Nil)
+      } :+ "tt").mkString(", ")
+    val pCtes = (2 to n).map { k =>
+      s"""p${k}c AS (SELECT *, CASE WHEN den$k IS NOT NULL
+                    THEN greatest(coalesce(c$k, 0) - 0.75, 0.0) / den$k
+                         + (0.75 * nf$k / den$k) * (p${k - 1})
+                    ELSE p${k - 1} END AS p$k FROM p${k - 1}c)"""
+    }
+    s"""WITH tkm AS (SELECT doc_id,
+                 list_filter(string_split(coalesce(text, ''), ' '),
+                             t -> length(t) > 0) AS tk
+           FROM documents WHERE doc_id % 2 = 0),
+         ngm AS (SELECT doc_id,
+                       unnest(list_transform(range(1, len(tk) - ${n - 2}),
+                         i -> {$gramStruct})) AS g
+                FROM tkm WHERE len(tk) >= $n),
+         cm AS (SELECT ${(1 to n).map(k => s"g.w$k AS w$k").mkString(", ")},
+                       CAST(count(*) AS BIGINT) AS cn
+                FROM ngm GROUP BY ${cols(1, n)}),
+         f$n AS (SELECT ${cols(1, n)}, cn AS c$n
+                FROM cm WHERE cn >= ${prune(n - 1)}),
+         ${lowers.mkString(",\n         ")},
+         ${ctxs.mkString(",\n         ")},
+         tt AS (SELECT count(*) AS tt FROM f2),
+         tk AS (SELECT doc_id,
+                 list_filter(string_split(coalesce(text, ''), ' '),
+                             t -> length(t) > 0) AS tk
+           FROM documents),
+         ng AS (SELECT doc_id,
+                       unnest(list_transform(range(1, len(tk) - ${n - 2}),
+                         i -> {$gramStruct})) AS g
+                FROM tk WHERE len(tk) >= $n),
+         tf AS (SELECT doc_id,
+                       ${(1 to n).map(k => s"g.w$k AS w$k").mkString(", ")},
+                       CAST(count(*) AS BIGINT) AS tf
+                FROM ng GROUP BY doc_id, ${cols(1, n)}),
+         ty AS (SELECT DISTINCT ${cols(1, n)} FROM tf),
+         j AS (SELECT ${cols(1, n)}, $jCols
+               FROM ty LEFT JOIN f$n USING (${cols(1, n)})
+                   LEFT JOIN ctx$n USING (${cols(1, n - 1)})
                    $joins
                    CROSS JOIN tt),
          p1c AS (SELECT *, CASE WHEN c1 IS NOT NULL
@@ -5239,6 +5452,74 @@ object ScaleQueries {
        FROM s2 ORDER BY doc_id"""
   }
 
+  /** DuckDB twin of q58d entropy-gated structured scrub: per stage,
+    * the (full, prefix, value) triples via three regexp_extract_all
+    * group pulls zipped by index, the q75 Shannon fold over the
+    * value's chars (first-occurrence distinct order, both engines),
+    * the 2.0-nat gate, and the replacement as a list_reduce whose
+    * ACCUMULATOR is the same struct type as the elements (DuckDB's
+    * list_reduce has no init — prepend struct_pack(f := text, p :=
+    * '') and fold replace over .f, the q58b list_prepend idiom lifted
+    * to pairs). Counts replay the staged discipline: gated per-shape
+    * counts + the low-entropy survivor total. */
+  private val q58dSql: String = {
+    import graft.ops.Redaction._
+    def chars(v: String) =
+      s"list_transform(range(1, length($v) + 1), i -> $v[i])"
+    def ent(v: String) =
+      s"""coalesce(list_sum(list_transform(list_distinct(${chars(v)}),
+            c -> -(len(list_filter(${chars(v)}, x -> x = c)) * 1.0
+                    / length($v))
+                 * ln(len(list_filter(${chars(v)}, x -> x = c)) * 1.0
+                    / length($v)))), 0.0)"""
+    def stage(k: Int, tin: String, re: String): String = {
+      val r = reLit(re)
+      s"""e$k AS (SELECT *, list_filter(
+             list_transform(
+               range(1, len(regexp_extract_all($tin, '$r', 0)) + 1),
+               i -> struct_pack(
+                 f := regexp_extract_all($tin, '$r', 0)[i],
+                 p := regexp_extract_all($tin, '$r', 1)[i],
+                 v := regexp_extract_all($tin, '$r', 2)[i])),
+             s -> ${ent("s.v")} >= 2.0::DOUBLE) AS h$k,
+           CAST(len(regexp_extract_all($tin, '$r', 0)) AS BIGINT) AS a$k
+         FROM ${if (k == 1) "base" else s"e${k - 1}b"}),
+         e${k}b AS (SELECT *, list_reduce(
+             list_prepend(struct_pack(f := $tin, p := '', v := ''), h$k),
+             (acc, x) -> struct_pack(
+               f := replace(acc.f, x.f, x.p || '$keyTag'),
+               p := '', v := '')).f AS t$k
+           FROM e$k)"""
+    }
+    s"""WITH base AS (
+           SELECT doc_id,
+                  text || ' {"api_key": "sk-'
+                       || md5('j:' || CAST(doc_id AS VARCHAR))
+                       || '", "token": "changeme", "name": "value keeper"}'
+                       || chr(10) || 'export GITHUB_TOKEN=ghp_'
+                       || substr(md5('e:' || CAST(doc_id AS VARCHAR)), 1, 20)
+                       || chr(10) || 'DB_PASSWORD=xxxxxxxxxxxx'
+                       || chr(10) || 'MONKEY=banananana'
+                       || chr(10) || 'db_password: '
+                       || substr(md5('y:' || CAST(doc_id AS VARCHAR)), 1, 24)
+                       || chr(10) || 'db_token: aaaabbbb'
+                       || chr(10) || 'user: alice'
+                       || chr(10) || 'count = 12345678' AS t0
+           FROM documents),
+         ${stage(1, "t0", jsonSecretRe)},
+         ${stage(2, "t1", envSecretRe)},
+         ${stage(3, "t2", yamlSecretRe)}
+       SELECT doc_id, t3 AS text,
+              CAST(len(h1) AS BIGINT) AS n_json_keys,
+              CAST(len(h2) AS BIGINT) AS n_env_keys,
+              CAST(len(h3) AS BIGINT) AS n_yaml_keys,
+              CAST(a1 - len(h1) + a2 - len(h2) + a3 - len(h3) AS BIGINT)
+                AS n_low_entropy,
+              CAST(len(h1) + len(h2) + len(h3) AS BIGINT)
+                AS n_redactions
+       FROM e3b ORDER BY doc_id"""
+  }
+
   /** The q116 flatten chain (tags → spaces, six-entity decode, ws
     * collapse, trim) over an arbitrary SQL expression — the per-BLOCK
     * form the q180 twin applies inside list lambdas. */
@@ -5432,6 +5713,103 @@ object ScaleQueries {
               CAST(len(list_filter(kp, x -> x)) AS BIGINT) AS n_kept,
               CAST(len(list_filter(range(1, len(kp) + 1),
                 i -> kp[i] AND cls[i] = 'short')) AS BIGINT) AS n_rescued
+       FROM k ORDER BY doc_id"""
+  }
+
+  /** DuckDB twin of q180d four-class jusText: the q180c block chain
+    * with the HEADING SENTINEL (chr(1) injected after each opening
+    * h1-h6 tag before the split — stripped before flatten on both
+    * engines), the 5-class CASE (near-good band between 0.15 and
+    * 0.30), BOTH skip-set context scans (short-only for shorts,
+    * short+neargood for neargoods), and the heading-distance scan
+    * (min j−i over following good blocks, 3-block horizon) — all as
+    * index lambdas over the BOUND class list. */
+  private val q180dSql: String = {
+    val block = graft.ops.TextOps.blockTagRe
+    val heading = graft.ops.TextOps.headingTagRe
+    val swList = graft.ops.TextOps.stopwords
+      .map(w => s"'$w'").mkString(", ")
+    def wsToks(v: String) =
+      s"list_filter(string_split($v, ' '), x -> length(x) > 0)"
+    val frac = s"len(list_filter(${wsToks("s.t")}, x -> x IN ($swList)))" +
+      s" * 1.0 / greatest(len(${wsToks("s.t")}), 1)"
+    val prevNS = "coalesce(cls[list_max(list_filter(range(1, i), " +
+      "j -> cls[j] <> 'short'))], 'none') = 'good'"
+    val nextNS = "coalesce(cls[list_min(list_filter(" +
+      "range(i + 1, len(cls) + 1), j -> cls[j] <> 'short'))], 'none') " +
+      "= 'good'"
+    val prevCtx = "coalesce(cls[list_max(list_filter(range(1, i), " +
+      "j -> cls[j] <> 'short' AND cls[j] <> 'neargood'))], 'none') " +
+      "= 'good'"
+    val nextCtx = "coalesce(cls[list_min(list_filter(" +
+      "range(i + 1, len(cls) + 1), " +
+      "j -> cls[j] <> 'short' AND cls[j] <> 'neargood'))], 'none') " +
+      "= 'good'"
+    val distGood = "coalesce(list_min(list_transform(list_filter(" +
+      "range(i + 1, len(cls) + 1), j -> cls[j] = 'good'), " +
+      "j -> j - i)), 1000000000)"
+    s"""WITH h AS (SELECT doc_id,
+           '<html><body>'
+           || '<nav><a href="/">Home</a> <a href="/about">About us</a> <a href="/contact">Contact</a></nav>'
+           || '<h1>the quiet hills of the north</h1>'
+           || '<div>alpha beta gamma delta epsilon listing</div>'
+           || '<p>in the morning the river is calm and the village is quiet with a soft light on the water and it is a good day for a walk in the hills</p>'
+           || '<p>river stones gleam in the pale light and the wind moves across open water near a far shore</p><div>'
+           || coalesce(text, '')
+           || '</div><p>tall pines lean over a narrow trail and loose rocks slide along the steep bank toward a wooden bridge</p>'
+           || '<h2>more about the station</h2>'
+           || '<div>or of to in</div>'
+           || '<footer>Copyright 2026 All rights reserved worldwide <a href="/terms">Terms of service</a> <a href="/privacy">Privacy policy overview</a> <a href="/c">Cookie settings page</a></footer>'
+           || '</body></html>' AS html
+         FROM documents),
+         p1 AS (SELECT doc_id, regexp_replace(html,
+                  '(?s)<script[^>]*>.*?</script>', ' ', 'g') AS t FROM h),
+         p2 AS (SELECT doc_id, regexp_replace(t,
+                  '(?s)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM p1),
+         p3 AS (SELECT doc_id, regexp_replace(t,
+                  '(?s)<!--.*?-->', ' ', 'g') AS t FROM p2),
+         pm AS (SELECT doc_id, regexp_replace(t,
+                  '$heading', '\\1' || chr(1), 'g') AS t FROM p3),
+         b AS (SELECT doc_id, string_split_regex(t, '$block') AS blocks
+               FROM pm),
+         sc0 AS (SELECT doc_id,
+                  list_transform(blocks, x -> struct_pack(
+                    t := ${flattenSql("replace(x, chr(1), '')")},
+                    lc := coalesce(list_sum(list_transform(
+                            regexp_extract_all(x,
+                              '(?s)<a[^>]*>(.*?)</a>', 1),
+                            y -> length(${flattenSql("y")}))), 0),
+                    h := starts_with(x, chr(1)))) AS sc
+                FROM b),
+         scn AS (SELECT doc_id,
+                  list_filter(sc, s -> length(s.t) > 0) AS sc FROM sc0),
+         cl AS (SELECT doc_id, sc,
+                  list_transform(sc, s -> CASE
+                    WHEN s.lc > 0.4::DOUBLE * length(s.t) THEN 'bad'
+                    WHEN $frac < 0.15::DOUBLE THEN 'bad'
+                    WHEN length(s.t) < 40 THEN 'short'
+                    WHEN $frac >= 0.3::DOUBLE THEN 'good'
+                    ELSE 'neargood' END) AS cls,
+                  list_transform(sc, s -> s.h) AS hd
+                FROM scn),
+         k AS (SELECT doc_id, sc, cls, hd,
+                 list_transform(range(1, len(cls) + 1), i ->
+                   cls[i] = 'good'
+                   OR (cls[i] = 'short' AND ($prevNS OR $nextNS))
+                   OR (cls[i] = 'neargood' AND ($prevCtx OR $nextCtx))
+                   OR (hd[i] AND cls[i] <> 'bad' AND
+                       $distGood <= 3)) AS kp
+               FROM cl)
+       SELECT doc_id,
+              array_to_string(list_transform(
+                list_filter(range(1, len(kp) + 1), i -> kp[i]),
+                i -> sc[i].t), ' ') AS main_text,
+              CAST(len(sc) AS BIGINT) AS n_blocks,
+              CAST(len(list_filter(kp, x -> x)) AS BIGINT) AS n_kept,
+              CAST(len(list_filter(range(1, len(kp) + 1),
+                i -> kp[i] AND cls[i] <> 'good')) AS BIGINT) AS n_rescued,
+              CAST(len(list_filter(range(1, len(kp) + 1),
+                i -> kp[i] AND hd[i])) AS BIGINT) AS n_headings
        FROM k ORDER BY doc_id"""
   }
 
@@ -6435,6 +6813,7 @@ object ScaleQueries {
     // structured-format secrets: json → env → yaml staged chain,
     // value-only \1-preserving replacements
     "q58c_pii_structured" -> q58cSql,
+    "q58d_pii_entropy" -> q58dSql,
     "q87_canonicalize" ->
       """SELECT doc_id,
                 trim(regexp_replace(regexp_replace(
@@ -7662,6 +8041,19 @@ object ScaleQueries {
                  FROM s)
          SELECT * FROM (SELECT * FROM a UNION ALL SELECT * FROM f)
          ORDER BY k, s""",
+    "q154b_ngram3_counts" ->
+      """WITH tk AS (SELECT doc_id,
+                 list_filter(string_split(coalesce(text, ''), ' '),
+                             t -> length(t) > 0) AS tk
+           FROM documents),
+           ng AS (SELECT doc_id,
+                         unnest(list_transform(range(1, len(tk) - 1),
+                           i -> {'w1': tk[i], 'w2': tk[i + 1],
+                                 'w3': tk[i + 2]})) AS g
+                  FROM tk WHERE len(tk) >= 3)
+         SELECT g.w1 AS w1, g.w2 AS w2, g.w3 AS w3,
+                CAST(count(*) AS BIGINT) AS cn
+         FROM ng GROUP BY 1, 2, 3 ORDER BY w1, w2, w3""",
     "q154_bigram_counts" ->
       """WITH tk AS (SELECT doc_id,
                  list_filter(string_split(coalesce(text, ''), ' '),
@@ -7715,6 +8107,8 @@ object ScaleQueries {
     "q149d_kn5_ppl" -> knNSql(5),
     // pruned tower + recursive OOV backoff, chained p-level CTEs
     "q149e_kn4_pruned" -> knNPrunedSql(4, 2L),
+    "q149f_kn4_prunevec" -> knNPrunedVecSql(4, Seq(1L, 1L, 2L, 2L)),
+    "q149g_kn3_external" -> knNFromSql(3, Seq(1L, 1L, 2L)),
     // CCNet tier twins: the q149 KN chain verbatim, then the identical
     // ntile window on (rounded ppl asc, doc_id asc) per language; the
     // composition twin drops bucket 3 and rolls up with the shared
@@ -9300,6 +9694,7 @@ object ScaleQueries {
     // run-propagated rescue twin: nearest-non-short neighbor classes
     // as index-scan lambdas over the bound class list
     "q180c_main_content_runs" -> q180cSql,
+    "q180d_main_content_justext" -> q180dSql,
     "q116_markup_strip" ->
       """WITH h AS (SELECT doc_id,
                '<!doctype html><html><head><style>p{margin:0}</style>'

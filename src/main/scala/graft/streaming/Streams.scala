@@ -1146,6 +1146,79 @@ object Streams {
       pruneHistory: Boolean = true): DataFrame =
     mediaDedupVacuum(spark, stateBase, pruneHistory)
 
+  /** [[lmCountsIncrementalAvailableNow]] at ORDER N — the complete
+    * incremental backend for the external-LM scorer: the state stores
+    * [[graft.ops.TextAnalysis.docNgramCounts]]' ID-GRAINED rows
+    * (id, w1..wn, tf) with first-write-wins on id (replay-safe), so
+    * the capstone's order-4/5 KN gate
+    * ([[graft.ops.TextAnalysis.ngramScoreKNFrom]], with or without
+    * per-order pruning) scores from MAINTAINED state instead of
+    * refitting on every corpus pass — and a takedown subtracts a
+    * forgotten document's n-grams exactly, which a rolled-up count
+    * state never could. The order is carried by the state's own
+    * SCHEMA (its w1..wn columns): [[lmNFromState]] infers it at read,
+    * so a mismatched-order consumer cannot silently mis-aggregate.
+    * Ids whose first-seen text has fewer than `order` tokens
+    * contribute no rows. Takedown/vacuum are [[lmDelete]]/
+    * [[lmVacuum]] — id-grained rows, the shared tombstone layout. */
+  def lmNCountsIncrementalAvailableNow(docs: DataFrame, idCol: String,
+      textCol: String, order: Int, stateBase: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(order >= 2 && order <= 5,
+      s"lmNCountsIncrementalAvailableNow: order must be in [2, 5], " +
+        s"got $order")
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val spark = batch.sparkSession
+        val ver = f"batch_$id%06d"
+        val one = batch.toDF()
+          .select(col(idCol).cast("long").as("id"),
+            col(textCol).as("__t"))
+          .groupBy("id").agg(min(col("__t")).as("__t"))
+        val batchKeys = graft.ops.TextAnalysis
+          .docNgramCounts(one, "id", "__t", order)
+        val next = priorVersion(spark, stateBase, ver) match {
+          case Some(p) =>
+            val prior = spark.read.parquet(s"$stateBase/run_ts=$p")
+            prior.unionByName(batchKeys.join(
+              prior.select("id").distinct(), Seq("id"), "left_anti"))
+          case None => batchKeys
+        }
+        next.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$stateBase/run_ts=$ver")
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
+  /** The corpus order-N count frame from the latest LM state —
+    * identical schema to the batch
+    * [[graft.ops.TextAnalysis.ngramCounts]] (w1..wn, cn), exactly
+    * what [[graft.ops.TextAnalysis.ngramScoreKNFrom]] consumes;
+    * parity spec-pinned (fold ≡ batch, takedown ≡ reduced rebuild).
+    * The order comes from the state's own schema. Tombstones apply at
+    * read: a taken-down document's n-gram contributions vanish and
+    * every count recomputes exactly as if it were never ingested. */
+  def lmNFromState(spark: SparkSession, stateBase: String): DataFrame = {
+    val versions = scala.util.Try(
+      graft.sources.Sinks.runVersions(spark, stateBase))
+      .getOrElse(Seq.empty)
+    require(versions.nonEmpty,
+      s"no LM state under $stateBase — run the stream first")
+    val raw = spark.read.parquet(s"$stateBase/run_ts=${versions.max}")
+    val ws = raw.columns.filter(_.matches("w\\d+"))
+      .sortBy(_.drop(1).toInt)
+    require(ws.length >= 2,
+      s"state under $stateBase carries no n-gram columns " +
+        s"(${raw.columns.mkString(", ")}) — not an order-N LM state")
+    val st = graft.ops.Dedup.sigStateTombstoneIds(spark, stateBase) match {
+      case Some(ts) => raw.join(broadcast(ts), Seq("id"), "left_anti")
+      case None => raw
+    }
+    st.groupBy(ws.map(col): _*).agg(sum("tf").as("cn"))
+  }
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
 

@@ -26,7 +26,16 @@ class NgramKNSpec extends AnyFunSuite {
     (4L, "one two three four"),
     (5L, "short doc"),
     (6L, ""),
-    (7L, "x y x y x y x y z"))
+    (7L, "x y x y x y x y z"),
+    // branching high-count contexts: two surviving 4-gram types share
+    // the 3-suffix (q r s) / (x r s), and those two 3-suffixes share
+    // the 2-suffix (r s) — so mid-level prune thresholds of 2 leave a
+    // LIVE continuation tower (pruning everything at level 2 is the
+    // degenerate-model case, pinned separately)
+    (8L, "p q r s p q r s p q r s"),
+    (9L, "o q r s o q r s o q r s"),
+    (10L, "m x r s m x r s m x r s"),
+    (11L, "n x r s n x r s n x r s"))
 
   private def df = docs.toDF("doc_id", "text")
 
@@ -119,23 +128,29 @@ class NgramKNSpec extends AnyFunSuite {
     assert(got(6L) === ((0L, 0.0, 1.0)))
   }
 
-  /** Plain-Scala PRUNED recursive-KN reference: model tower from the
-    * count-filtered top frame, per-level seen/unseen fall-through,
+  /** Plain-Scala PRUNED recursive-KN reference, generalized to a
+    * PER-ORDER prune vector and an optional external model slice:
+    * model tower from the count-filtered top frame of `modelDocs`
+    * (per-level thresholds, each level derived from the level above
+    * as already pruned), per-level seen/unseen fall-through,
     * 1/N1+(··) floor — independent of the Spark left-join tower. */
-  private def knPrunedRef(n: Int, minCount: Long, d: Double = 0.75)
+  private def knPrunedVecRef(n: Int, prune: Seq[Long],
+      modelIds: Long => Boolean = _ => true, d: Double = 0.75)
       : Map[Long, (Long, Long, Double, Double)] = {
     val toks = docs.map { case (id, t) =>
       id -> t.split(" ").filter(_.nonEmpty).toSeq }.toMap
     val grams: Map[Long, Seq[Seq[String]]] = toks.map { case (id, tk) =>
       id -> (if (tk.size < n) Nil else tk.sliding(n).map(_.toList).toSeq)
     }
-    val all: Map[Seq[String], Long] = grams.values.flatten
+    val modelCounts: Map[Seq[String], Long] = grams
+      .filter(g => modelIds(g._1)).values.flatten
       .groupMapReduce(identity)(_ => 1L)(_ + _)
     var frames = Map[Int, Map[Seq[String], Long]](
-      n -> all.filter(_._2 >= minCount))
+      n -> modelCounts.filter(_._2 >= prune(n - 1)))
     for (k <- (n - 1) to 1 by -1)
       frames += k -> frames(k + 1).keys.toSeq.map(_.takeRight(k))
         .groupMapReduce(identity)(_ => 1L)(_ + _)
+        .filter(_._2 >= prune(k - 1))
     val ctx: Map[Int, Map[Seq[String], (Long, Long)]] = (2 to n).map { k =>
       k -> frames(k).toSeq.groupBy(_._1.dropRight(1)).map { case (c, xs) =>
         c -> ((xs.map(_._2).sum, xs.size.toLong))
@@ -164,6 +179,10 @@ class NgramKNSpec extends AnyFunSuite {
     }
   }
 
+  private def knPrunedRef(n: Int, minCount: Long)
+      : Map[Long, (Long, Long, Double, Double)] =
+    knPrunedVecRef(n, Seq.fill(n - 1)(1L) :+ minCount)
+
   private def collectPruned(order: Int, minCount: Long)
       : Map[Long, (Long, Long, Double, Double)] =
     TextAnalysis.ngramScoreKNPruned(df, "doc_id", "text", order, minCount)
@@ -172,20 +191,32 @@ class NgramKNSpec extends AnyFunSuite {
         ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
       .toMap
 
+  private def rows4(got: org.apache.spark.sql.DataFrame)
+      : Map[Long, (Long, Long, Double, Double)] =
+    got.collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+
+  private def assertClose(
+      got: Map[Long, (Long, Long, Double, Double)],
+      want: Map[Long, (Long, Long, Double, Double)], tag: String): Unit = {
+    assert(got.keySet === want.keySet, tag)
+    for ((id, (wn, wo, wa, wp)) <- want) {
+      val (gn, go, ga, gp) = got(id)
+      assert(gn === wn && go === wo, s"doc $id counts $tag")
+      assert(math.abs(ga - wa) <= 2e-4, s"doc $id avg_nll $tag")
+      assert(math.abs(gp - wp) <= 2e-4 * math.max(1.0, wp),
+        s"doc $id ppl $tag")
+    }
+  }
+
   for (order <- 2 to 5; mc <- Seq(2L, 3L))
     test(s"pruned KN order $order minCount $mc matches the plain-Scala " +
         "reference (per-level OOV fall-through + floor)") {
       val got = collectPruned(order, mc)
       val want = knPrunedRef(order, mc)
-      assert(got.keySet === want.keySet)
-      for ((id, (wn, wo, wa, wp)) <- want) {
-        val (gn, go, ga, gp) = got(id)
-        assert(gn === wn && go === wo,
-          s"doc $id counts order $order mc $mc")
-        assert(math.abs(ga - wa) <= 2e-4, s"doc $id avg_nll")
-        assert(math.abs(gp - wp) <= 2e-4 * math.max(1.0, wp),
-          s"doc $id ppl")
-      }
+      assertClose(got, want, s"order $order mc $mc")
       // pruning actually fired somewhere on this fixture
       assert(want.values.exists(_._2 > 0),
         s"fixture exercises no OOV at order $order mc $mc")
@@ -198,6 +229,116 @@ class NgramKNSpec extends AnyFunSuite {
       assert(pruned.view.mapValues(v => (v._1, v._3, v._4)).toMap
         === plain)
       assert(pruned.values.forall(_._2 === 0L))
+    }
+  }
+
+  for ((order, vec) <- Seq(3 -> Seq(1L, 2L, 2L), 4 -> Seq(1L, 2L, 2L, 3L),
+      4 -> Seq(1L, 1L, 2L, 2L)))
+    test(s"per-order prune vector $vec at order $order matches the " +
+        "plain-Scala reference (mid-level prunes)") {
+      val got = rows4(TextAnalysis.ngramScoreKNPrunedVec(
+        df, "doc_id", "text", order, vec))
+      assertClose(got, knPrunedVecRef(order, vec), s"vec $vec")
+      // a mid-level prune actually removed something the top kept:
+      // the reference tower must differ from the scalar top-only form
+      val topOnly = knPrunedRef(order, vec.last)
+      assert(knPrunedVecRef(order, vec) !== topOnly,
+        s"fixture does not exercise mid-level pruning at $vec")
+    }
+
+  test("all-ones prune vector is exactly the unpruned tower") {
+    for (order <- 2 to 4) {
+      val vec = rows4(TextAnalysis.ngramScoreKNPrunedVec(
+        df, "doc_id", "text", order, Seq.fill(order)(1L)))
+      val plain = collectScores(order)
+      assert(vec.view.mapValues(v => (v._1, v._3, v._4)).toMap === plain)
+      assert(vec.values.forall(_._2 === 0L))
+    }
+  }
+
+  test("prune vector validation: length, unigram rule, monotonicity") {
+    intercept[IllegalArgumentException] {
+      TextAnalysis.ngramScoreKNPrunedVec(df, "doc_id", "text", 3,
+        Seq(1L, 2L))
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.ngramScoreKNPrunedVec(df, "doc_id", "text", 3,
+        Seq(2L, 2L, 2L)) // unigrams are never pruned
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.ngramScoreKNPrunedVec(df, "doc_id", "text", 3,
+        Seq(1L, 3L, 2L)) // decreasing
+    }
+  }
+
+  test("a model pruned to an empty continuation base raises in-plan " +
+      "instead of emitting garbage scores") {
+    // only docs 1-7: no branching high-count contexts, so a mid-level
+    // threshold of 2 prunes EVERY level-2 continuation type
+    val small = docs.filter(_._1 <= 7L).toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      TextAnalysis.ngramScoreKNPrunedVec(small, "doc_id", "text", 3,
+        Seq(1L, 2L, 2L)).collect()
+    }
+    assert(ex.getMessage.contains("degenerate") ||
+      Option(ex.getCause).exists(_.getMessage.contains("degenerate")))
+  }
+
+  test("external fit: ngramScoreKNFrom on the corpus's own counts is " +
+      "exactly the self-fit pruned tower") {
+    for ((order, vec) <- Seq(3 -> Seq(1L, 1L, 2L), 4 -> Seq(1L, 2L, 2L, 3L))) {
+      val self = rows4(TextAnalysis.ngramScoreKNPrunedVec(
+        df, "doc_id", "text", order, vec))
+      val ext = rows4(TextAnalysis.ngramScoreKNFrom(
+        df, "doc_id", "text", order,
+        TextAnalysis.ngramCounts(df, "doc_id", "text", order), vec))
+      assert(ext === self, s"order $order vec $vec")
+    }
+  }
+
+  test("external fit on a slice matches the plain-Scala reference " +
+      "(true cross-corpus scoring, model = even ids)") {
+    import org.apache.spark.sql.functions.col
+    for ((order, vec) <- Seq(2 -> Seq(1L, 1L), 3 -> Seq(1L, 1L, 2L))) {
+      val model = TextAnalysis.ngramCounts(
+        df.filter(col("doc_id") % 2 === 0), "doc_id", "text", order)
+      val got = rows4(TextAnalysis.ngramScoreKNFrom(
+        df, "doc_id", "text", order, model, vec))
+      val want = knPrunedVecRef(order, vec, modelIds = _ % 2 == 0)
+      assertClose(got, want, s"external order $order vec $vec")
+      // the odd-id docs must actually contain model-unseen grams
+      assert(want.exists { case (id, v) => id % 2 == 1 && v._2 > 0 },
+        "fixture exercises no cross-corpus OOV")
+    }
+  }
+
+  test("ngramScoreKNFrom at order 2 is value-identical to " +
+      "bigramScoreKNFrom (modulo the count column name)") {
+    import org.apache.spark.sql.functions.col
+    val model = TextAnalysis.bigramCounts(
+      df.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+    val fixed = rows4(TextAnalysis.bigramScoreKNFrom(
+      df, "doc_id", "text", model))
+    val gen = rows4(TextAnalysis.ngramScoreKNFrom(
+      df, "doc_id", "text", 2, model.withColumnRenamed("cb", "cn")))
+    assert(gen === fixed)
+  }
+
+  test("capstone pplPrune routes the gate through the vector tower " +
+      "and rejects a conflicting pplMinCount") {
+    val corpus = (Seq.tabulate(6)(i =>
+      (i.toLong, "en", "the cat sat on the mat and the cat sat on the mat")) :+
+      ((99L, "en", "qq zz rr pp kk jj vv ww xx yy uu oo")))
+      .toDF("doc_id", "lang", "text")
+    val cfg = graft.ops.CorpusPipeline.Config(
+      maxAvgNll = 0.2, pplOrder = 4, pplPrune = Seq(1L, 1L, 1L, 2L))
+    val kept = graft.ops.CorpusPipeline.pplStage(corpus, cfg)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!kept.contains(99L) && kept.contains(0L))
+    intercept[IllegalArgumentException] {
+      graft.ops.CorpusPipeline.pplStage(corpus,
+        graft.ops.CorpusPipeline.Config(maxAvgNll = 0.2, pplOrder = 4,
+          pplPrune = Seq(1L, 1L, 2L, 2L), pplMinCount = 2L))
     }
   }
 

@@ -175,6 +175,72 @@ class StripMarkupSpec extends AnyFunSuite {
     assert(step._4 === 2L && step._5 === 1L)
   }
 
+  test("mainContentJusText: near-good band kept only with good " +
+      "context, heading rescued by a following good block, heading " +
+      "over footer machinery drops") {
+    val page = "<html><body>" +
+      "<nav><a href=\"/\">Home</a> <a href=\"/a\">About</a> " +
+      "<a href=\"/c\">Contact</a></nav>" +
+      "<h1>the quiet hills of the north</h1>" + // short heading; next
+      // non-short is the BAD byline, so only the heading rule (good at
+      // distance 2) keeps it
+      "<div>alpha beta gamma delta epsilon listing</div>" + // bad
+      "<p>in the morning the river is calm and the village is quiet " +
+      "with a soft light on the water and it is a good day for a " +
+      "walk in the hills</p>" + // good (stopword density 0.61)
+      "<p>river stones gleam in the pale light and the wind moves " +
+      "across open water near a far shore</p>" + // NEAR-GOOD (0.278):
+      // long enough, but the density sits in the [0.15, 0.30) band —
+      // kept only because its context neighbor is good
+      "<div>tok alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu</div>" + // bad listing
+      "<p>tall pines lean over a narrow trail and loose rocks slide " +
+      "along the steep bank toward a wooden bridge</p>" + // NEAR-GOOD
+      // (0.211) between bads → drops (the band is context-sensitive)
+      "<h2>more about the station</h2>" + // heading, no good follows →
+      // drops; its nearest non-short neighbor is a NEARGOOD, which
+      // does not rescue a short
+      "<div>or of to in</div>" + // short between non-good → drops
+      "<footer>Copyright 2026 all rights reserved " +
+      "<a href=\"/t\">Terms of service</a> " +
+      "<a href=\"/p\">Privacy policy overview</a> " +
+      "<a href=\"/k\">Cookie settings page</a></footer>" +
+      "</body></html>"
+    val df = Seq((0L, page)).toDF("doc_id", "html")
+    val out = graft.ops.TextOps.mainContentJusText(df, "doc_id", "html")
+      .as[(Long, String, Long, Long, Long, Long)].collect().head
+    val (_, text, nBlocks, nKept, nRescued, nHeadings) = out
+    assert(text === "the quiet hills of the north " +
+      "in the morning the river is calm and the village is quiet " +
+      "with a soft light on the water and it is a good day for a " +
+      "walk in the hills " +
+      "river stones gleam in the pale light and the wind moves " +
+      "across open water near a far shore")
+    assert(nBlocks === 10L && nKept === 3L && nRescued === 2L &&
+      nHeadings === 1L)
+    // the heading distance is honored: at 1 the good block (2 away)
+    // no longer reaches the h1
+    val tight = graft.ops.TextOps.mainContentJusText(df, "doc_id",
+        "html", headingDistance = 1)
+      .as[(Long, String, Long, Long, Long, Long)].collect().head
+    assert(!tight._2.contains("quiet hills of the north") &&
+      tight._6 === 0L)
+    // near-good context skips SHORT blocks: good / short / neargood
+    // still rescues the band block (and the short, via the good)
+    val skip = "<html><body>" +
+      "<p>in the morning the river is calm and the village is quiet " +
+      "with a soft light on the water and it is a good day for a " +
+      "walk in the hills</p>" +
+      "<p>a small note sits here</p>" +
+      "<p>river stones gleam in the pale light and the wind moves " +
+      "across open water near a far shore</p>" +
+      "</body></html>"
+    val sk = graft.ops.TextOps.mainContentJusText(
+        Seq((0L, skip)).toDF("doc_id", "html"), "doc_id", "html")
+      .as[(Long, String, Long, Long, Long, Long)].collect().head
+    assert(sk._4 === 3L, s"expected all three kept, got $sk")
+  }
+
   test("capstone mainContent flag replaces page text with extracted " +
       "prose before the gates") {
     val prose = "the quick brown fox jumps over the lazy dog while " +

@@ -322,6 +322,70 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(cb() === batchCb(reduced))
   }
 
+  test("order-N streaming LM state: fold ≡ batch ngramCounts, " +
+      "takedown ≡ reduced rebuild, the external scorer reads it") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_lmn_state").toString
+    val stateBase = s"$base/state"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val b0 = Seq((1L, "a b c a b c"), (2L, "b c a"))
+    // batch 1: new doc 3, doc 1 re-sent with DIFFERENT text (first
+    // write wins), and a doc 4 too short for trigrams
+    val b1 = Seq((3L, "c c a b c"), (1L, "x y z x y"), (4L, "so lo"))
+    Seq(b0, b1).zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.parquet(s"$base/in/p$i")
+    }
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in/p*")
+    graft.streaming.Streams.lmNCountsIncrementalAvailableNow(
+        stream, "doc_id", "text", 3, stateBase, s"$base/ckpt")
+      .awaitTermination(300000): Unit
+
+    def cn(): Map[(String, String, String), Long] =
+      graft.streaming.Streams.lmNFromState(spark, stateBase)
+        .as[(String, String, String, Long)].collect()
+        .map(r => (r._1, r._2, r._3) -> r._4).toMap
+    def batchCn(docs: Seq[(Long, String)])
+        : Map[(String, String, String), Long] =
+      graft.ops.TextAnalysis.ngramCounts(
+          docs.toDF("doc_id", "text"), "doc_id", "text", 3)
+        .as[(String, String, String, Long)].collect()
+        .map(r => (r._1, r._2, r._3) -> r._4).toMap
+    val firstWins = b0 ++ b1.filter(r => r._1 != 1L)
+    assert(cn() === batchCn(firstWins))
+    assert(cn()(("a", "b", "c")) === 3L) // doc1 ×2 + doc3 ×1
+    // the external scorer consumes the state directly — score a held
+    // corpus under the MAINTAINED model ≡ under a from-scratch fit
+    val scored = Seq((10L, "a b c a"), (11L, "q r s t"))
+      .toDF("doc_id", "text")
+    val fromState = TextAnalysis.ngramScoreKNFrom(scored, "doc_id",
+        "text", 3, graft.streaming.Streams.lmNFromState(spark, stateBase),
+        prune = Seq(1L, 1L, 2L))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val fromBatch = TextAnalysis.ngramScoreKNFrom(scored, "doc_id",
+        "text", 3, graft.ops.TextAnalysis.ngramCounts(
+          firstWins.toDF("doc_id", "text"), "doc_id", "text", 3),
+        prune = Seq(1L, 1L, 2L))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(fromState === fromBatch)
+    // takedown of doc 1: counts recompute as if it was never ingested
+    graft.streaming.Streams.lmDelete(spark, stateBase,
+      Seq(1L).toDF("doc_id"), "doc_id", "d0")
+    val reduced = firstWins.filter(_._1 != 1L)
+    assert(cn() === batchCn(reduced))
+    // vacuum: physical forget, aggregate unchanged
+    val vac = graft.streaming.Streams.lmVacuum(spark, stateBase)
+    assert(vac.filter(col("id") === 1L).count() === 0L)
+    assert(cn() === batchCn(reduced))
+  }
+
   test("bigramScore: word-order-sensitive where unigram PPL is blind") {
     // both docs have identical unigram counts (2 x, 2 y) — unigramScore
     // CANNOT separate them; the bigram model rates doc 2's rare
