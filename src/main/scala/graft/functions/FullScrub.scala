@@ -137,6 +137,136 @@ object FullScrubber {
     StructField("n_phones", LongType)))
 }
 
+/** Fused entropy-gated STRUCTURED scrub — the q58d chain
+  * ([[graft.ops.Redaction.scrubStructuredEntropy]]: JSON members →
+  * env assignments → YAML mappings, each match redacted only when its
+  * value's Shannon char entropy clears the floor) as one static call.
+  * The declarative Column form nests each stage's OUTPUT expression
+  * inside the next stage's three extracts + fold init, and Catalyst's
+  * subexpression elimination cannot share across lambda boundaries —
+  * stage 1 re-evaluated ~3^k times by stage k, measured 284 s at sf1
+  * for what is a linear scan (SCALING.md r19). The fused walk runs
+  * each stage once.
+  *
+  * BYTE-PARITY CONTRACT with the declarative chain (RedactionSpec
+  * pins planted + fuzz): same patterns, same stage order, the entropy
+  * fold in the SAME shape — code-point grain (Spark's length/substr
+  * are code-point-based), first-occurrence distinct order, the exact
+  * `acc − p·ln p` accumulation — and the same replace-fold semantics
+  * (each gated full match replaced EVERYWHERE, in match order). */
+object StructuredEntropyScrubber {
+
+  import graft.ops.Redaction
+
+  private val jsonP = Pattern.compile(Redaction.jsonSecretRe)
+  private val envP = Pattern.compile(Redaction.envSecretRe)
+  private val yamlP = Pattern.compile(Redaction.yamlSecretRe)
+
+  /** Shannon char entropy at code-point grain — the exact arithmetic
+    * of [[graft.ops.Redaction.charEntropyCol]] (and the q75 fold):
+    * distinct code points in first-occurrence order, p = count/len in
+    * code points, left-fold `acc − p·ln p`. */
+  private def charEntropy(v: String): Double = {
+    val cps = new java.util.ArrayList[Int]()
+    var i = 0
+    while (i < v.length) {
+      val cp = v.codePointAt(i)
+      cps.add(cp)
+      i += Character.charCount(cp)
+    }
+    val n = cps.size.toDouble
+    val seen = new java.util.LinkedHashMap[Integer, Integer]()
+    var k = 0
+    while (k < cps.size) {
+      val c = cps.get(k)
+      val prev = seen.get(c)
+      seen.put(c, if (prev == null) 1 else prev + 1)
+      k += 1
+    }
+    var acc = 0.0
+    val it = seen.values().iterator()
+    while (it.hasNext) {
+      val p = it.next().toDouble / n
+      acc = acc - p * Math.log(p)
+    }
+    acc
+  }
+
+  /** One gated stage: collect (full, prefix) for matches whose
+    * group-2 value clears the floor, then replace each full match
+    * EVERYWHERE in match order (the aggregate-fold semantics).
+    * Returns (result, gated count, low-entropy survivor count). */
+  private def stage(p: Pattern, in: String, minEntropy: Double)
+      : (String, Long, Long) = {
+    val m = p.matcher(in)
+    var hot: List[(String, String)] = Nil
+    var nHot = 0L
+    var nSkip = 0L
+    while (m.find()) {
+      if (charEntropy(m.group(2)) >= minEntropy) {
+        hot = (m.group(), m.group(1)) :: hot
+        nHot += 1
+      } else nSkip += 1
+    }
+    if (nHot == 0L) return (in, 0L, nSkip)
+    var cur = in
+    hot.reverse.foreach { case (f, pre) =>
+      cur = cur.replace(f, pre + Redaction.keyTag)
+    }
+    (cur, nHot, nSkip)
+  }
+
+  /** The fused chain. Returns (text, n_json_keys, n_env_keys,
+    * n_yaml_keys, n_low_entropy). */
+  def scrubRow(s: String, minEntropy: Double): InternalRow = {
+    val (t1, c1, s1) = stage(jsonP, s, minEntropy)
+    val (t2, c2, s2) = stage(envP, t1, minEntropy)
+    val (out, c3, s3) = stage(yamlP, t2, minEntropy)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](UTF8String.fromString(out), c1, c2, c3, s1 + s2 + s3))
+  }
+
+  val outputType: StructType = StructType(Seq(
+    StructField("text", StringType),
+    StructField("n_json_keys", LongType),
+    StructField("n_env_keys", LongType),
+    StructField("n_yaml_keys", LongType),
+    StructField("n_low_entropy", LongType)))
+}
+
+/** Catalyst expression for the fused entropy scrub — the
+  * [[FullScrubExpr]] pattern with the floor baked in as a literal
+  * parameter (it is a config constant, not a per-row value). */
+case class StructuredEntropyScrubExpr(child: Expression,
+    minEntropy: Double) extends UnaryExpression {
+
+  override def dataType: DataType = StructuredEntropyScrubber.outputType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"structured_entropy_scrub requires a string argument, " +
+          s"got ${child.dataType}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    StructuredEntropyScrubber.scrubRow(
+      input.asInstanceOf[UTF8String].toString, minEntropy)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.StructuredEntropyScrubber.scrubRow(" +
+        s"$c.toString(), $minEntropy)")
+
+  override def prettyName: String = "structured_entropy_scrub"
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : StructuredEntropyScrubExpr = copy(child = newChild)
+}
+
 /** Catalyst expression for the fused scrub — the [[PorterStem]]
   * pattern: a static call generated in-line so the projection stays
   * inside whole-stage codegen. Null-safe: a prefilter-gated null

@@ -85,6 +85,14 @@ object GraftFunctions {
   def fullScrubStruct(c: Column): Column =
     bridge.column(FullScrubExpr(bridge.expression(c)))
 
+  /** Fused entropy-gated structured scrub: the q58d stage chain +
+    * gated counts as one codegen'd call returning (text, 4 counts) —
+    * byte-identical to the declarative chain
+    * (see [[StructuredEntropyScrubber]]). */
+  def structuredEntropyScrub(c: Column, minEntropy: Double): Column =
+    bridge.column(StructuredEntropyScrubExpr(bridge.expression(c),
+      minEntropy))
+
   /** Sequential-order dot product over two array<double> columns. */
   def dotProduct(a: Column, b: Column): Column =
     bridge.column(DotProduct(bridge.expression(a), bridge.expression(b)))

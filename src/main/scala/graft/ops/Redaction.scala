@@ -315,6 +315,36 @@ object Redaction {
       minEntropy: Double = SecretMinEntropy): DataFrame = {
     require(minEntropy >= 0.0,
       s"minEntropy must be >= 0, got $minEntropy")
+    // FUSED path ([[graft.functions.StructuredEntropyScrubber]]): the
+    // declarative chain nests each stage's output inside the next
+    // stage's extracts + fold init, and subexpression elimination
+    // cannot share across lambda boundaries — stage 1 re-evaluated
+    // ~3^k times by stage k (measured 284 s at sf1 for a linear scan;
+    // SCALING.md r19). [[scrubStructuredEntropyChain]] is the
+    // declarative reference the fused form is byte-parity-pinned
+    // against (RedactionSpec).
+    val txt = col(textCol)
+    val z = zeroCount(txt)
+    df.withColumn("__sc", graft.functions.GraftFunctions
+        .structuredEntropyScrub(
+          nullGate(txt, structuredPrefilterRe), minEntropy))
+      .select(col(idCol), coalesce(col("__sc.text"), txt).as("text"),
+        coalesce(col("__sc.n_json_keys"), z).as("n_json_keys"),
+        coalesce(col("__sc.n_env_keys"), z).as("n_env_keys"),
+        coalesce(col("__sc.n_yaml_keys"), z).as("n_yaml_keys"),
+        coalesce(col("__sc.n_low_entropy"), z).as("n_low_entropy"))
+      .withColumn("n_redactions",
+        col("n_json_keys") + col("n_env_keys") + col("n_yaml_keys"))
+  }
+
+  /** The declarative Column-chain form of [[scrubStructuredEntropy]]
+    * — the reference implementation the fused expression is
+    * parity-pinned against (RedactionSpec: planted + fuzz, text and
+    * every count byte-equal). Not for production use at scale: see
+    * the fused path's scaladoc. */
+  private[graft] def scrubStructuredEntropyChain(df: DataFrame,
+      idCol: String, textCol: String,
+      minEntropy: Double = SecretMinEntropy): DataFrame = {
     val txt = col(textCol)
     val g = nullGate(txt, structuredPrefilterRe)
     val (t1, c1, s1) = entropyStage(g, jsonSecretRe, minEntropy)
@@ -331,14 +361,13 @@ object Redaction {
   }
 
   /** Scrubbed-text column form of [[scrubStructuredEntropy]] — the
-    * capstone's `Config.piiMinEntropy` path. */
+    * capstone's `Config.piiMinEntropy` path (fused). */
   def scrubStructuredEntropyCol(txt: Column,
-      minEntropy: Double = SecretMinEntropy): Column = {
-    val g = nullGate(txt, structuredPrefilterRe)
-    val (t1, _, _) = entropyStage(g, jsonSecretRe, minEntropy)
-    val (t2, _, _) = entropyStage(t1, envSecretRe, minEntropy)
-    coalesce(entropyStage(t2, yamlSecretRe, minEntropy)._1, txt)
-  }
+      minEntropy: Double = SecretMinEntropy): Column =
+    coalesce(graft.functions.GraftFunctions
+      .structuredEntropyScrub(
+        nullGate(txt, structuredPrefilterRe), minEntropy)
+      .getField("text"), txt)
 
   /** In-plan Luhn check over a candidate string: strip separators,
     * double every second digit from the right (subtracting 9 above 9),
@@ -425,13 +454,21 @@ object Redaction {
   /** Full-class scrubbed text — [[fullStages]]'s final stage over the
     * [[nullGate]]d input (clean docs: one scan, text unchanged). */
   def scrubFullCol(txt: Column): Column =
-    coalesce(fullStages(nullGate(txt, fullPrefilterRe))._2, txt)
+    coalesce(graft.functions.GraftFunctions
+      .fullScrubStruct(nullGate(txt, fullPrefilterRe))
+      .getField("text"), txt)
 
   /** Total full-class redaction count (staged — see [[fullStages]]),
-    * gated like [[scrubFullCol]]. */
-  def totalCountFullCol(txt: Column): Column =
-    coalesce(fullStages(nullGate(txt, fullPrefilterRe))._1.reduce(_ + _),
+    * gated like [[scrubFullCol]]. One fused evaluation: the seven
+    * field reads share the struct subtree under codegen subexpression
+    * elimination. */
+  def totalCountFullCol(txt: Column): Column = {
+    val sc = graft.functions.GraftFunctions
+      .fullScrubStruct(nullGate(txt, fullPrefilterRe))
+    coalesce(Seq("n_emails", "n_keys", "n_ip6", "n_ips", "n_ssns",
+      "n_ccs", "n_phones").map(sc.getField).reduce(_ + _),
       zeroCount(txt))
+  }
 
   /** (id, scrubbed text, per-class redaction counts, total) under the
     * FULL class set — the corpus-compliance form of [[scrub]]. Still a
@@ -441,6 +478,32 @@ object Redaction {
     * [[nullGate]]d chain — subexpression elimination keeps each stage
     * single-evaluation because nothing sits under a CASE branch. */
   def scrubFull(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val txt = col(textCol)
+    // FUSED path ([[graft.functions.FullScrubber]]): the whole stage
+    // chain + staged counts in one codegen'd call — one matcher pass
+    // per stage instead of ~16 regex scans and 8 document copies
+    // (measured 9.2 -> ? s sf0.1 noop-forced; SCALING.md r19). The
+    // struct binds into a projection column first so the nine field
+    // reads evaluate it ONCE (CollapseProject keeps non-cheap
+    // aliases); [[scrubFullChain]] is the declarative reference the
+    // fused form is byte-parity-pinned against.
+    val names = Seq("n_emails", "n_keys", "n_ip6", "n_ips", "n_ssns",
+      "n_ccs", "n_phones")
+    val z = zeroCount(txt)
+    df.withColumn("__sc", graft.functions.GraftFunctions
+        .fullScrubStruct(nullGate(txt, fullPrefilterRe)))
+      .select(Seq(col(idCol), coalesce(col("__sc.text"), txt).as("text")) ++
+        names.map(n => coalesce(col(s"__sc.$n"), z).as(n)): _*)
+      .withColumn("n_redactions",
+        names.map(col).reduce(_ + _))
+  }
+
+  /** The declarative stage-chain form of [[scrubFull]] — the
+    * reference implementation the fused expression is parity-pinned
+    * against (RedactionSpec: planted kitchen sink + fuzz sweep, text
+    * and every staged count byte-equal). */
+  private[graft] def scrubFullChain(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
     val txt = col(textCol)
     val (counts, out) = fullStages(nullGate(txt, fullPrefilterRe))
     val names = Seq("n_emails", "n_keys", "n_ip6", "n_ips", "n_ssns",

@@ -415,31 +415,46 @@ object TextOps {
         .otherwise("neargood")
     }
     val cls = col("__cls")
-    // exclusive-prefix "nearest class outside `skip` to the left";
-    // reverse for the right side — one fold per (direction, skip-set)
-    def nearestSkipping(arr: Column, skip: Seq[String]): Column =
-      aggregate(arr,
-        struct(array().cast("array<string>").as("o"), lit("none").as("l")),
-        (st, c) => struct(
-          concat(st.getField("o"), array(st.getField("l"))).as("o"),
-          when(c.isin(skip: _*), st.getField("l")).otherwise(c).as("l")),
-        _.getField("o"))
-    // exclusive distance to the NEXT good block (fold over the
-    // reversed classes, state = saturating distance-since-good)
+    // FUSED direction folds (one per direction, not one per signal —
+    // the q58d lesson applied at block grain): the forward fold's
+    // state carries BOTH exclusive-prefix "nearest class outside the
+    // skip set" signals (ns skips short — the short-rescue neighbor;
+    // cx skips short AND neargood — the near-good context neighbor);
+    // the reverse fold carries both plus the saturating
+    // distance-to-next-good for the heading rule
     val big = 1000000000
-    def distNextGood(arr: Column): Column =
-      reverse(aggregate(reverse(arr),
-        struct(array().cast("array<int>").as("o"), lit(big).as("s")),
+    def fwdFold(arr: Column): Column =
+      aggregate(arr,
+        struct(
+          filter(array(struct(lit("x").as("ns"), lit("x").as("cx"))),
+            _ => lit(false)).as("o"),
+          lit("none").as("l1"), lit("none").as("l2")),
         (st, c) => struct(
-          concat(st.getField("o"),
-            array(least(st.getField("s") + 1, lit(big)))).as("o"),
+          concat(st.getField("o"), array(struct(
+            st.getField("l1").as("ns"),
+            st.getField("l2").as("cx")))).as("o"),
+          when(c === "short", st.getField("l1")).otherwise(c).as("l1"),
+          when(c === "short" || c === "neargood", st.getField("l2"))
+            .otherwise(c).as("l2")),
+        _.getField("o"))
+    def revFold(arr: Column): Column =
+      reverse(aggregate(reverse(arr),
+        struct(
+          filter(array(struct(lit("x").as("ns"), lit("x").as("cx"),
+            lit(big).as("d"))), _ => lit(false)).as("o"),
+          lit("none").as("l1"), lit("none").as("l2"), lit(big).as("d")),
+        (st, c) => struct(
+          concat(st.getField("o"), array(struct(
+            st.getField("l1").as("ns"), st.getField("l2").as("cx"),
+            least(st.getField("d") + 1, lit(big)).as("d")))).as("o"),
+          when(c === "short", st.getField("l1")).otherwise(c).as("l1"),
+          when(c === "short" || c === "neargood", st.getField("l2"))
+            .otherwise(c).as("l2"),
           when(c === "good", lit(0))
-            .otherwise(least(st.getField("s") + 1, lit(big))).as("s")),
+            .otherwise(least(st.getField("d") + 1, lit(big))).as("d")),
         _.getField("o")))
     val hd = col("__hd")
-    val pns = col("__pns"); val nns = col("__nns")
-    val pcx = col("__pcx"); val ncx = col("__ncx")
-    val dng = col("__dng")
+    val pf = col("__pf"); val rf = col("__rf")
     val kp = col("__kp")
     df.select(col(idCol), scores.as("__sc0"))
       .select(col(idCol),
@@ -453,23 +468,21 @@ object TextOps {
         transform(col("__sc"), classify(_)).as("__cls"),
         transform(col("__sc"), _.getField("h")).as("__hd"))
       .select(col(idCol), col("__sc"), cls, hd,
-        nearestSkipping(cls, Seq("short")).as("__pns"),
-        reverse(nearestSkipping(reverse(cls), Seq("short"))).as("__nns"),
-        nearestSkipping(cls, Seq("short", "neargood")).as("__pcx"),
-        reverse(nearestSkipping(reverse(cls), Seq("short", "neargood")))
-          .as("__ncx"),
-        distNextGood(cls).as("__dng"))
+        fwdFold(cls).as("__pf"),
+        revFold(cls).as("__rf"))
       .select(col(idCol), col("__sc"), cls,
         when(size(cls) === 0, array().cast("array<boolean>"))
           .otherwise(transform(sequence(lit(1), size(cls)), i => {
             val c = element_at(cls, i)
+            val p = element_at(pf, i)
+            val r = element_at(rf, i)
             (c === "good") ||
-              (c === "short" && (element_at(pns, i) === "good" ||
-                element_at(nns, i) === "good")) ||
-              (c === "neargood" && (element_at(pcx, i) === "good" ||
-                element_at(ncx, i) === "good")) ||
+              (c === "short" && (p.getField("ns") === "good" ||
+                r.getField("ns") === "good")) ||
+              (c === "neargood" && (p.getField("cx") === "good" ||
+                r.getField("cx") === "good")) ||
               (element_at(hd, i) && c =!= "bad" &&
-                element_at(dng, i) <= headingDistance)
+                r.getField("d") <= headingDistance)
           })).as("__kp"))
       .select(col(idCol),
         array_join(transform(

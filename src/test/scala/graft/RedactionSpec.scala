@@ -249,7 +249,7 @@ class RedactionSpec extends AnyFunSuite {
     }
     val docs = (planted ++ fuzz).zipWithIndex
       .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
-    val chain = Redaction.scrubFull(docs, "doc_id", "text")
+    val chain = Redaction.scrubFullChain(docs, "doc_id", "text")
       .orderBy("doc_id").collect().map(_.toSeq)
     val sc = graft.functions.GraftFunctions.fullScrubStruct(col("text"))
     val z = lit(0L)
@@ -306,6 +306,34 @@ class RedactionSpec extends AnyFunSuite {
     assert(out.getAs[Long]("n_yaml_keys") === 1L)
     assert(out.getAs[Long]("n_low_entropy") === 3L)
     assert(out.getAs[Long]("n_redactions") === 3L)
+  }
+
+  test("fused entropy scrub ≡ the declarative entropy chain: planted " +
+      "shapes + fuzz, text and every count") {
+    val planted = Seq(
+      "{\"api_key\": \"sk-9f86d081a4\", \"token\": \"changeme\"}",
+      "export GITHUB_TOKEN=ghp_4a7d1ed414474e40\nDB_PASSWORD=xxxx2024",
+      "db_password: f4a99bc1d2e38477\ndb_token: aaaabbbb",
+      "", "no secrets here", "password: hunter2\npassword: a1b2c3d4e5f6")
+    val fuzz = (0 until 40).map { i =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ez:$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      s"{\"secret\": \"${h.take(4 + i % 20)}\"}\n" +
+        s"MY_TOKEN=${h.slice(8, 12 + i % 16)}\n" +
+        s"api_key: ${h.takeRight(4 + i % 24)}"
+    }
+    val docs = (planted ++ fuzz).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    for (floor <- Seq(0.0, 2.0, 2.5)) {
+      val chain = Redaction.scrubStructuredEntropyChain(
+        docs, "doc_id", "text", floor).orderBy("doc_id")
+        .collect().map(_.toSeq)
+      val fused = Redaction.scrubStructuredEntropy(
+        docs, "doc_id", "text", floor).orderBy("doc_id")
+        .collect().map(_.toSeq)
+      for ((f, c) <- fused.zip(chain))
+        assert(f === c, s"doc ${f.head} at floor $floor")
+    }
   }
 
   test("minEntropy = 0 reproduces the ungated structured scrub on the " +
