@@ -184,6 +184,8 @@ object Bench {
     // r19: externally-fit pruned order-N scoring (fit on the even-id
     // slice, score all — the complete CCNet recipe's cost shape)
     "q149g_kn3_external",
+    // r19: modified KN (Chen-Goodman estimated per-count discounts)
+    "q149h_kn3_modified",
     // dedup-index PR curve over the threshold grid (candidates + exact
     // truth computed once, grid as conditional aggregation)
     "q133b_dedup_pr_sweep",

@@ -170,6 +170,14 @@ object CorpusPipeline {
       // pplMinCount (≡ 1,…,1,minCount) — set one or the other, not
       // both. Empty = off (default)
       pplPrune: Seq[Long] = Seq.empty,
+      // true: MODIFIED Kneser-Ney for the KN gate
+      // ([[TextAnalysis.ngramScoreKNMod]] — Chen & Goodman per-count
+      // discounts estimated from count-of-count statistics, the
+      // KenLM default arithmetic) instead of the fixed 0.75 absolute
+      // discount. Not combinable with pplMinCount/pplPrune (discount
+      // estimation over a pruned tower is an r20 composition).
+      // Default off
+      pplModified: Boolean = false,
       // >= 2: CCNet-style RELATIVE perplexity gate (Wenzek et al.
       // 2020) — split each LANGUAGE into this many equal-frequency
       // KN-perplexity tiers ([[TextAnalysis.pplBuckets]]) and drop
@@ -420,6 +428,26 @@ object CorpusPipeline {
       .filter(col("quality_prob") >= cfg.qualityMinProb)
       .select("doc_id", "lang", "text")
 
+  /** Content fingerprint of an external LM count frame — the
+    * qualityModel discipline applied to a FRAME artifact: a resumed
+    * staged build under a refit or differently-pruned model must
+    * fail loudly, not silently reuse the old model's ppl-stage
+    * output. Order-independent (a sum of per-row hashes) and
+    * one aggregate pass: (n w-columns, row count, total count, row
+    * hash sum). */
+  private[graft] def lmFingerprint(df: DataFrame): String = {
+    val ws = df.columns.filter(_.matches("w\\d+")).sortBy(_.drop(1).toInt)
+    require(ws.length >= 2 && df.columns.contains("cn"),
+      s"not an LM count frame (need w1..wn, cn): " +
+        df.columns.mkString(", "))
+    // hash sum in DECIMAL: a Long sum of 2^63-range hashes overflows
+    // under ANSI at a few rows; decimal(38,0) is exact to ~10^19 rows
+    val r = df.agg(count(lit(1)), sum("cn"),
+      sum(xxhash64((ws :+ "cn").map(col): _*).cast("decimal(38,0)")))
+      .collect()(0)
+    s"${ws.length}:${r.get(0)}:${r.get(1)}:${r.get(2)}"
+  }
+
   /** Optional corpus-fit LM perplexity gate (the CCNet shape,
     * self-fit): a Kneser–Ney bigram LM is fit on the CURRENT
     * survivors in one (w1,w2) count pass and every doc is scored by
@@ -428,15 +456,47 @@ object CorpusPipeline {
     * present) scores high because its bigram TRANSITIONS never
     * recur, while natural text's do. Cost class: one bigram-type
     * shuffle + a slim semi join back; the gate's survivors keep the
-    * input columns untouched. */
-  private[graft] def pplStage(docs: DataFrame, cfg: Config): DataFrame = {
+    * input columns untouched.
+    *
+    * `lmCounts` switches the gate to the TRUE CCNet recipe: an
+    * EXTERNAL order-`pplOrder` count frame (w1..wn, cn — fit with
+    * [[TextAnalysis.ngramCounts]] on a reference corpus, or read
+    * back from the maintained order-N LM state,
+    * [[graft.streaming.Streams.lmNFromState]]) scores the survivors
+    * via [[TextAnalysis.ngramScoreKNFrom]] with the configured prune
+    * thresholds — fit once, score every build. Self-fit on the
+    * survivors' own counts is value-identical to the internal path
+    * (the NgramKNSpec identity chain; CorpusPipelineSpec pins it at
+    * the stage level). Not combinable with pplModified (discount
+    * estimation from an external frame is an r20 composition). */
+  private[graft] def pplStage(docs: DataFrame, cfg: Config,
+      lmCounts: Option[DataFrame] = None): DataFrame = {
     require(cfg.pplOrder >= 2 && cfg.pplOrder <= 5,
       s"pplOrder must be in [2, 5] (KN order), got ${cfg.pplOrder}")
     require(cfg.pplPrune.isEmpty || cfg.pplMinCount == 1L,
       "set pplPrune (per-order vector) or pplMinCount (top-order " +
         "scalar), not both")
+    require(lmCounts.isEmpty || !cfg.pplModified,
+      "an external LM frame with pplModified is not supported — " +
+        "estimated discounts come from the self-fit tower")
+    require(!cfg.pplModified ||
+        (cfg.pplPrune.isEmpty && cfg.pplMinCount == 1L),
+      "pplModified estimates discounts from the UNPRUNED tower — " +
+        "combining it with pplMinCount/pplPrune is not supported")
     val scored =
-      if (cfg.pplPrune.nonEmpty)
+      if (lmCounts.isDefined) {
+        val prune =
+          if (cfg.pplPrune.nonEmpty) cfg.pplPrune
+          else if (cfg.pplMinCount > 1L)
+            Seq.fill(cfg.pplOrder - 1)(1L) :+ cfg.pplMinCount
+          else Seq.empty[Long]
+        TextAnalysis.ngramScoreKNFrom(docs, "doc_id", "text",
+          cfg.pplOrder, lmCounts.get, prune)
+      }
+      else if (cfg.pplModified)
+        TextAnalysis.ngramScoreKNMod(docs, "doc_id", "text",
+          cfg.pplOrder)
+      else if (cfg.pplPrune.nonEmpty)
         TextAnalysis.ngramScoreKNPrunedVec(docs, "doc_id", "text",
           cfg.pplOrder, cfg.pplPrune)
       else if (cfg.pplMinCount > 1L)
@@ -674,10 +734,14 @@ object CorpusPipeline {
       embeddings: Option[DataFrame] = None,
       evalEmbeddings: Option[DataFrame] = None,
       qualityModel: Option[org.apache.spark.ml.PipelineModel] = None,
-      langIdModel: Option[graft.ml.LangClassifier.LangIdModel] = None)
+      langIdModel: Option[graft.ml.LangClassifier.LangIdModel] = None,
+      lmCounts: Option[DataFrame] = None)
       : (DataFrame, Report) = {
     // a silently skipped learned gate is a corpus-composition hazard —
     // demand the model rather than no-op (the semantic-decon rule)
+    require(lmCounts.isEmpty || cfg.maxAvgNll > 0,
+      "an external LM frame without maxAvgNll > 0 would be silently " +
+        "unused — set the gate threshold with it")
     require(cfg.qualityMinProb <= 0 || qualityModel.isDefined,
       "qualityMinProb > 0 needs a trained QualityClassifier model " +
         "passed to build/buildStaged")
@@ -708,7 +772,7 @@ object CorpusPipeline {
       else gated
     val ppled0 =
       if (cfg.maxAvgNll > 0)
-        persistCorpus(pplStage(classified, cfg), "ppl")
+        persistCorpus(pplStage(classified, cfg, lmCounts), "ppl")
       else classified
     val ppled =
       if (cfg.pplTiers >= 2)
@@ -804,8 +868,12 @@ object CorpusPipeline {
       embeddings: Option[DataFrame] = None,
       evalEmbeddings: Option[DataFrame] = None,
       qualityModel: Option[org.apache.spark.ml.PipelineModel] = None,
-      langIdModel: Option[graft.ml.LangClassifier.LangIdModel] = None)
+      langIdModel: Option[graft.ml.LangClassifier.LangIdModel] = None,
+      lmCounts: Option[DataFrame] = None)
       : (DataFrame, Report) = {
+    require(lmCounts.isEmpty || cfg.maxAvgNll > 0,
+      "an external LM frame without maxAvgNll > 0 would be silently " +
+        "unused — set the gate threshold with it")
     require(cfg.qualityMinProb <= 0 || qualityModel.isDefined,
       "qualityMinProb > 0 needs a trained QualityClassifier model " +
         "passed to build/buildStaged")
@@ -851,7 +919,8 @@ object CorpusPipeline {
       s";quality=${qualityModel
         .map(graft.ml.QualityClassifier.fingerprint).getOrElse("none")}" +
       s";langid=${langIdModel
-        .map(graft.ml.LangClassifier.fingerprint).getOrElse("none")}"
+        .map(graft.ml.LangClassifier.fingerprint).getOrElse("none")}" +
+      s";lm=${lmCounts.map(lmFingerprint).getOrElse("none")}"
     readMarker("_GRAFT_CONFIG") match {
       case Some(prev) => require(prev == cfgStr,
         s"staging dir $stagingDir was written by a different Config " +
@@ -896,7 +965,7 @@ object CorpusPipeline {
       else (gated, nGated)
     val (ppled0, nPpl0) =
       if (cfg.maxAvgNll > 0)
-        stage("01p_ppl")(pplStage(classified, cfg))
+        stage("01p_ppl")(pplStage(classified, cfg, lmCounts))
       else (classified, nClassifier)
     val (ppled, nPpl) =
       if (cfg.pplTiers >= 2)

@@ -853,6 +853,114 @@ object TextAnalysis {
     knTowerScore(df, idCol, tf, top, topFrame, n, pv, discount)
   }
 
+  /** MODIFIED Kneser–Ney (Chen & Goodman 1999 §3/eq. 26 — the
+    * arithmetic KenLM actually ships as its default): instead of one
+    * fixed absolute discount, each tower level k ≥ 2 estimates THREE
+    * discounts from its own count-of-count statistics
+    *
+    *   Y  = n1 / (n1 + 2·n2)
+    *   D1 = 1 − 2·Y·n2/n1    (applied to types with count 1)
+    *   D2 = 2 − 3·Y·n3/n2    (count 2)
+    *   D3+= 3 − 4·Y·n4/n3    (count ≥ 3)
+    *
+    * where n_i = number of level-k types with count exactly i, and
+    * the backoff mass becomes γ(ctx) = (D1·N1(ctx·) + D2·N2(ctx·) +
+    * D3+·N3+(ctx·)) / den — the per-count-class type counts replacing
+    * the single N1+ weight. Everything else is [[ngramScoreKN]]'s
+    * tower verbatim: continuation counts from the one top-order type
+    * frame, 2·order−2 type-grain joins, one corpus-tf shuffle. The
+    * count-of-count statistics are n−1 ONE-ROW broadcast frames (a
+    * four-way conditional sum over each level frame — one extra
+    * aggregate per level, no new shuffle grain). A level whose n1, n2
+    * or n3 is zero has undefined discounts (KenLM refuses such fits
+    * too) — that is a degenerate corpus for this estimator, and the
+    * level's broadcast row RAISES in-plan rather than emitting NaN
+    * scores. Returns (idCol, n_ngrams, avg_nll, ppl), rounded at 4;
+    * docs shorter than `order` carry (0, 0.0, 1.0). */
+  def ngramScoreKNMod(df: DataFrame, idCol: String, textCol: String,
+      order: Int): DataFrame = {
+    require(order >= 2 && order <= 5,
+      s"ngramScoreKNMod: order must be in [2, 5], got $order")
+    val n = order
+    def ws(from: Int, to: Int): Seq[String] = (from to to).map(k => s"w$k")
+    val tf = docNgramCounts(df, idCol, textCol, n).localCheckpoint()
+    val frames = scala.collection.mutable.Map[Int, DataFrame]()
+    frames(n) = tf.groupBy(ws(1, n).map(col): _*)
+      .agg(sum("tf").as(s"__c$n"))
+    for (k <- (n - 1) to 1 by -1)
+      frames(k) = frames(k + 1)
+        .groupBy(ws(n - k + 1, n).map(col): _*)
+        .agg(count(lit(1)).as(s"__c$k"))
+    // per-context per-count-class type counts (the γ numerator parts)
+    val ctxs = (2 to n).map { k =>
+      val c = col(s"__c$k")
+      k -> frames(k).groupBy(ws(n - k + 1, n - 1).map(col): _*)
+        .agg(sum(s"__c$k").as(s"__den$k"),
+          count(when(c === 1, 1)).as(s"__nf1_$k"),
+          count(when(c === 2, 1)).as(s"__nf2_$k"),
+          count(when(c >= 3, 1)).as(s"__nf3_$k"))
+    }.toMap
+    // per-level count-of-counts → one validated broadcast row each
+    val cocs = (2 to n).map { k =>
+      val c = col(s"__c$k")
+      val raw = frames(k).agg(
+        sum(when(c === 1, 1L).otherwise(0L)).as("__x1"),
+        sum(when(c === 2, 1L).otherwise(0L)).as("__x2"),
+        sum(when(c === 3, 1L).otherwise(0L)).as("__x3"),
+        sum(when(c === 4, 1L).otherwise(0L)).as("__x4"))
+      k -> raw.select(
+        when(col("__x1") > 0 && col("__x2") > 0 && col("__x3") > 0,
+          col("__x1")).otherwise(raise_error(lit(
+          s"modified-KN discounts undefined at level $k: need types " +
+            "with counts 1, 2 and 3 (n1/n2/n3 > 0, the KenLM " +
+            "requirement) — use ngramScoreKN's fixed discount on " +
+            "this corpus")).cast("long")).as(s"__n1_$k"),
+        col("__x2").as(s"__n2_$k"), col("__x3").as(s"__n3_$k"),
+        col("__x4").as(s"__n4_$k"))
+    }.toMap
+    val tt = frames(2).agg(count(lit(1)).as("__tt"))
+    val joined0 = ((n - 1) to 1 by -1)
+      .foldLeft(frames(n).join(ctxs(n), ws(1, n - 1))) { (acc, k) =>
+        val withFrame = acc.join(frames(k), ws(n - k + 1, n))
+        if (k >= 2) withFrame.join(ctxs(k), ws(n - k + 1, n - 1))
+        else withFrame
+      }
+      .crossJoin(broadcast(tt))
+    val joined = (2 to n).foldLeft(joined0) { (acc, k) =>
+      acc.crossJoin(broadcast(cocs(k)))
+    }
+    def dbl(c: Column): Column = c.cast("double")
+    val p = (2 to n).foldLeft(
+      dbl(col("__c1")) / col("__tt")) { (lower, k) =>
+      val n1 = dbl(col(s"__n1_$k")); val n2 = dbl(col(s"__n2_$k"))
+      val n3 = dbl(col(s"__n3_$k")); val n4 = dbl(col(s"__n4_$k"))
+      val y = n1 / (n1 + lit(2.0) * n2)
+      val d1 = lit(1.0) - lit(2.0) * y * n2 / n1
+      val d2 = lit(2.0) - lit(3.0) * y * n3 / n2
+      val d3 = lit(3.0) - lit(4.0) * y * n4 / n3
+      val c = col(s"__c$k")
+      val dk = when(c === 1, d1).when(c === 2, d2).otherwise(d3)
+      val den = dbl(col(s"__den$k"))
+      val gamma = (d1 * dbl(col(s"__nf1_$k")) +
+        d2 * dbl(col(s"__nf2_$k")) +
+        d3 * dbl(col(s"__nf3_$k"))) / den
+      greatest(dbl(c) - dk, lit(0.0)) / den + gamma * lower
+    }
+    val typeScore = joined.select(
+      ws(1, n).map(col) :+ (-log(p)).as("__t"): _*)
+    val scored = tf.join(typeScore, ws(1, n))
+      .select(col(idCol), col("tf"), (col("tf") * col("__t")).as("__nll"))
+      .groupBy(idCol).agg(
+        sum("tf").as("n_ngrams"),
+        (sum("__nll") / sum("tf")).as("__avg"))
+    df.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
+        round(coalesce(col("__avg"), lit(0.0)), 4).as("avg_nll"),
+        round(exp(coalesce(col("__avg"), lit(0.0))), 4).as("ppl"))
+  }
+
   /** [[bigramScoreKN]] under an EXTERNAL bigram-count frame
     * (w1, w2, cb) — the true CCNet recipe (Wenzek et al. 2020 score
     * with a Wikipedia-trained LM, not the corpus's own), and the

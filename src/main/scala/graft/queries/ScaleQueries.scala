@@ -1608,6 +1608,19 @@ object ScaleQueries {
         .orderBy("doc_id")
     }),
 
+    // MODIFIED Kneser-Ney (Chen & Goodman 1999 eq. 26 — KenLM's
+    // actual default): per-count discounts D1/D2/D3+ estimated from
+    // each level's count-of-count statistics (Y = n1/(n1+2n2)), the
+    // backoff mass the three-part weighted type-count sum. One extra
+    // one-row broadcast aggregate per level over the existing tower;
+    // a level with n1/n2/n3 = 0 raises in-plan (KenLM refuses such
+    // fits too). Twin generated from the same order with the same
+    // discount-estimation expression trees
+    "q149h_kn3_modified" -> ((s, dir) =>
+      TextAnalysis.ngramScoreKNMod(t(s, dir, "documents"), "doc_id",
+        "text", order = 3)
+        .orderBy("doc_id")),
+
     // CCNet perplexity tiers (Wenzek et al. 2020): q149's KN LM scores
     // every document, ntile(3) per language on the (rounded ppl, id)
     // total order splits head/middle/tail — the standard LM-quality
@@ -4251,6 +4264,90 @@ object ScaleQueries {
                 FROM tf JOIN f$n USING (${cols(1, n)})
                      JOIN ctx$n USING (${cols(1, n - 1)})
                      $joins
+                     CROSS JOIN tt
+                GROUP BY doc_id)
+       SELECT d.doc_id,
+              CAST(coalesce(sc.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+              round(coalesce(sc.a, 0), 4) AS avg_nll,
+              round(exp(coalesce(sc.a, 0)), 4) AS ppl
+       FROM documents d LEFT JOIN sc USING (doc_id)
+       ORDER BY d.doc_id"""
+  }
+
+  /** Generated DuckDB twin of the MODIFIED-KN chain
+    * ([[graft.ops.TextAnalysis.ngramScoreKNMod]]): the [[knNSql]]
+    * tower plus one count-of-counts CTE per level (n1..n4), the
+    * per-context per-count-class type counts in the ctx CTEs
+    * (nf1/nf2/nf3 replacing the single N1+ weight), and the
+    * Chen–Goodman discount-estimation arithmetic (Y, D1, D2, D3+)
+    * EMITTED with the same expression trees the engine builds —
+    * discount selection as a per-count CASE, γ as the three-part
+    * weighted type-count sum. */
+  private def knNModSql(n: Int): String = {
+    def cols(from: Int, to: Int): String =
+      (from to to).map(k => s"w$k").mkString(", ")
+    val gramStruct =
+      (1 to n).map(k => s"'w$k': tk[i + ${k - 1}]").mkString(", ")
+    val lowers = ((n - 1) to 1 by -1).map { k =>
+      s"""f$k AS (SELECT ${cols(n - k + 1, n)}, count(*) AS c$k
+                  FROM f${k + 1} GROUP BY ${cols(n - k + 1, n)})"""
+    }
+    val ctxs = (2 to n).map { k =>
+      s"""ctx$k AS (SELECT ${cols(n - k + 1, n - 1)}, sum(c$k) AS den$k,
+                         sum(CASE WHEN c$k = 1 THEN 1 ELSE 0 END) AS nf1_$k,
+                         sum(CASE WHEN c$k = 2 THEN 1 ELSE 0 END) AS nf2_$k,
+                         sum(CASE WHEN c$k >= 3 THEN 1 ELSE 0 END) AS nf3_$k
+                  FROM f$k GROUP BY ${cols(n - k + 1, n - 1)})"""
+    }
+    val cocs = (2 to n).map { k =>
+      s"""coc$k AS (SELECT
+                   sum(CASE WHEN c$k = 1 THEN 1 ELSE 0 END) AS n1_$k,
+                   sum(CASE WHEN c$k = 2 THEN 1 ELSE 0 END) AS n2_$k,
+                   sum(CASE WHEN c$k = 3 THEN 1 ELSE 0 END) AS n3_$k,
+                   sum(CASE WHEN c$k = 4 THEN 1 ELSE 0 END) AS n4_$k
+                 FROM f$k)"""
+    }
+    def d(v: String) = s"CAST($v AS DOUBLE)"
+    val p = (2 to n).foldLeft(s"${d("c1")} / tt") { (lower, k) =>
+      val y = s"(${d(s"n1_$k")} / (${d(s"n1_$k")} + 2.0 * ${d(s"n2_$k")}))"
+      val d1 = s"(1.0 - 2.0 * $y * ${d(s"n2_$k")} / ${d(s"n1_$k")})"
+      val d2 = s"(2.0 - 3.0 * $y * ${d(s"n3_$k")} / ${d(s"n2_$k")})"
+      val d3 = s"(3.0 - 4.0 * $y * ${d(s"n4_$k")} / ${d(s"n3_$k")})"
+      val dk = s"CASE WHEN c$k = 1 THEN $d1 WHEN c$k = 2 THEN $d2 " +
+        s"ELSE $d3 END"
+      val gam = s"(($d1 * ${d(s"nf1_$k")} + $d2 * ${d(s"nf2_$k")} + " +
+        s"$d3 * ${d(s"nf3_$k")}) / ${d(s"den$k")})"
+      s"greatest(${d(s"c$k")} - ($dk), 0.0) / ${d(s"den$k")} + " +
+        s"$gam * ($lower)"
+    }
+    val joins = ((n - 1) to 1 by -1).flatMap { k =>
+      Seq(s"JOIN f$k USING (${cols(n - k + 1, n)})") ++
+        (if (k >= 2) Seq(s"JOIN ctx$k USING (${cols(n - k + 1, n - 1)})")
+         else Nil)
+    } ++ (2 to n).map(k => s"CROSS JOIN coc$k")
+    s"""WITH tk AS (SELECT doc_id,
+                 list_filter(string_split(coalesce(text, ''), ' '),
+                             t -> length(t) > 0) AS tk
+           FROM documents),
+         ng AS (SELECT doc_id,
+                       unnest(list_transform(range(1, len(tk) - ${n - 2}),
+                         i -> {$gramStruct})) AS g
+                FROM tk WHERE len(tk) >= $n),
+         tf AS (SELECT doc_id,
+                       ${(1 to n).map(k => s"g.w$k AS w$k").mkString(", ")},
+                       CAST(count(*) AS BIGINT) AS tf
+                FROM ng GROUP BY doc_id, ${cols(1, n)}),
+         f$n AS (SELECT ${cols(1, n)}, sum(tf) AS c$n
+                FROM tf GROUP BY ${cols(1, n)}),
+         ${lowers.mkString(",\n         ")},
+         ${ctxs.mkString(",\n         ")},
+         ${cocs.mkString(",\n         ")},
+         tt AS (SELECT count(*) AS tt FROM f2),
+         sc AS (SELECT doc_id, sum(tf) AS n_ngrams,
+                       sum(tf * -ln($p)) / sum(tf) AS a
+                FROM tf JOIN f$n USING (${cols(1, n)})
+                     JOIN ctx$n USING (${cols(1, n - 1)})
+                     ${joins.mkString("\n                     ")}
                      CROSS JOIN tt
                 GROUP BY doc_id)
        SELECT d.doc_id,
@@ -8109,6 +8206,7 @@ object ScaleQueries {
     "q149e_kn4_pruned" -> knNPrunedSql(4, 2L),
     "q149f_kn4_prunevec" -> knNPrunedVecSql(4, Seq(1L, 1L, 2L, 2L)),
     "q149g_kn3_external" -> knNFromSql(3, Seq(1L, 1L, 2L)),
+    "q149h_kn3_modified" -> knNModSql(3),
     // CCNet tier twins: the q149 KN chain verbatim, then the identical
     // ntile window on (rounded ppl asc, doc_id asc) per language; the
     // composition twin drops bucket 3 and rolls up with the shared

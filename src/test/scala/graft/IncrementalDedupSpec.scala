@@ -155,6 +155,50 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("ingestAvailableNow inherits the r19 entropy-gate knob through " +
+      "the shared gateStage (stream ≡ batch): random secret scrubbed, " +
+      "placeholder survives") {
+    val full = graft.sources.Tables(spark, dir, "documents")
+      .select("doc_id", "lang", "text").filter($"doc_id" >= 50)
+      .withColumn("text", concat($"text", lit(
+        " cfg {\"api_key\": \"abc123def456abc9\", " +
+          "\"token\": \"changeme\"} end")))
+    val evalSet = graft.sources.Tables(spark, dir, "documents")
+      .filter($"doc_id" < 50).select("doc_id", "text")
+    val cfg = graft.ops.CorpusPipeline.Config(
+      piiStructured = true, piiMinEntropy = 2.0)
+
+    val gated = graft.ops.CorpusPipeline.gateStage(full, cfg)
+    val deduped = graft.ops.CorpusPipeline.dedupStage(gated, cfg)
+    val expected = graft.ops.CorpusPipeline
+      .cleanStage(deduped, evalSet, cfg)
+      .select("doc_id", "lang", "text").orderBy("doc_id")
+      .as[(Long, String, String)].collect().toSeq
+    assert(expected.nonEmpty)
+    // the gate actually fired with the entropy split: the random
+    // value is scrubbed, the placeholder survives, on every survivor
+    assert(expected.forall(_._3.contains("\"api_key\": \"<KEY>\"")))
+    assert(expected.forall(_._3.contains("\"token\": \"changeme\"")))
+
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_ingest_entropy").toString
+    full.filter($"doc_id" % 2 === 0).coalesce(1)
+      .write.parquet(s"$base/in/p0")
+    full.filter($"doc_id" % 2 === 1).coalesce(1)
+      .write.parquet(s"$base/in/p1")
+    val stream = spark.readStream.schema(full.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$base/in/p*")
+    val q = graft.streaming.Streams.ingestAvailableNow(stream, evalSet,
+      s"$base/state", s"$base/cand", s"$base/ckpt", cfg)
+    q.awaitTermination(300000)
+
+    val got = graft.streaming.Streams.ingestedCorpus(spark,
+        s"$base/state", s"$base/cand")
+      .orderBy("doc_id").as[(Long, String, String)].collect().toSeq
+    assert(got === expected)
+  }
+
   test("ingestAvailableNow: re-ingested ids are dropped (first write wins)") {
     val full = graft.sources.Tables(spark, dir, "documents")
       .select("doc_id", "lang", "text").filter($"doc_id" >= 50)

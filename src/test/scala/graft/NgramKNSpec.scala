@@ -35,7 +35,13 @@ class NgramKNSpec extends AnyFunSuite {
     (8L, "p q r s p q r s p q r s"),
     (9L, "o q r s o q r s o q r s"),
     (10L, "m x r s m x r s m x r s"),
-    (11L, "n x r s n x r s n x r s"))
+    (11L, "n x r s n x r s n x r s"),
+    // count-of-count support for the MODIFIED-KN estimator: these two
+    // push every tower level (orders 2-4) to n1, n2, n3 > 0 — the
+    // Chen-Goodman discounts need types of count exactly 1, 2 and 3
+    // at each level
+    (12L, "k t r s k t r s"),
+    (13L, "z q r s z q r s"))
 
   private def df = docs.toDF("doc_id", "text")
 
@@ -271,6 +277,146 @@ class NgramKNSpec extends AnyFunSuite {
     }
   }
 
+  /** Plain-Scala MODIFIED-KN reference: per-level Chen-Goodman
+    * discount estimation (Y, D1, D2, D3+) from count-of-counts, γ as
+    * the three-part weighted type-count sum — independent of the
+    * Spark broadcast/join tower. */
+  private def knModRef(n: Int): Map[Long, (Long, Double, Double)] = {
+    val toks = docs.map { case (id, t) =>
+      id -> t.split(" ").filter(_.nonEmpty).toSeq }.toMap
+    val grams: Map[Long, Seq[Seq[String]]] = toks.map { case (id, tk) =>
+      id -> (if (tk.size < n) Nil else tk.sliding(n).map(_.toList).toSeq)
+    }
+    val top: Map[Seq[String], Long] = grams.values.flatten
+      .groupMapReduce(identity)(_ => 1L)(_ + _)
+    var frames = Map[Int, Map[Seq[String], Long]](n -> top)
+    for (k <- (n - 1) to 1 by -1)
+      frames += k -> frames(k + 1).keys.toSeq.map(_.takeRight(k))
+        .groupMapReduce(identity)(_ => 1L)(_ + _)
+    val disc: Map[Int, (Double, Double, Double)] = (2 to n).map { k =>
+      val coc = frames(k).values.groupMapReduce(identity)(_ => 1L)(_ + _)
+      val n1 = coc.getOrElse(1L, 0L).toDouble
+      val n2 = coc.getOrElse(2L, 0L).toDouble
+      val n3 = coc.getOrElse(3L, 0L).toDouble
+      val n4 = coc.getOrElse(4L, 0L).toDouble
+      assert(n1 > 0 && n2 > 0 && n3 > 0, s"degenerate fixture level $k")
+      val y = n1 / (n1 + 2.0 * n2)
+      k -> ((1.0 - 2.0 * y * n2 / n1, 2.0 - 3.0 * y * n3 / n2,
+        3.0 - 4.0 * y * n4 / n3))
+    }.toMap
+    val ctx: Map[Int, Map[Seq[String], (Long, Long, Long, Long)]] =
+      (2 to n).map { k =>
+        k -> frames(k).toSeq.groupBy(_._1.dropRight(1)).map {
+          case (c, xs) =>
+            c -> ((xs.map(_._2).sum, xs.count(_._2 == 1L).toLong,
+              xs.count(_._2 == 2L).toLong, xs.count(_._2 >= 3L).toLong))
+        }
+      }.toMap
+    val tt = frames(2).size.toLong
+    def p(g: Seq[String]): Double =
+      (2 to n).foldLeft(frames(1)(g.takeRight(1)).toDouble / tt) {
+        (lower, k) =>
+          val (den, nf1, nf2, nf3) = ctx(k)(g.takeRight(k).dropRight(1))
+          val (d1, d2, d3) = disc(k)
+          val c = frames(k)(g.takeRight(k))
+          val dk = if (c == 1L) d1 else if (c == 2L) d2 else d3
+          val gamma = (d1 * nf1 + d2 * nf2 + d3 * nf3) / den
+          math.max(c - dk, 0.0) / den + gamma * lower
+      }
+    def r4(v: Double) = BigDecimal(v)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    grams.map { case (id, gs) =>
+      if (gs.isEmpty) id -> ((0L, 0.0, 1.0))
+      else {
+        val avg = gs.map(g => -math.log(p(g))).sum / gs.size
+        id -> ((gs.size.toLong, r4(avg), r4(math.exp(avg))))
+      }
+    }
+  }
+
+  for (order <- 2 to 4)
+    test(s"modified KN order $order matches the plain-Scala " +
+        "Chen-Goodman reference (estimated per-count discounts)") {
+      val got = TextAnalysis.ngramScoreKNMod(df, "doc_id", "text", order)
+        .collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+      val want = knModRef(order)
+      assert(got.keySet === want.keySet)
+      for ((id, (wn, wa, wp)) <- want) {
+        val (gn, ga, gp) = got(id)
+        assert(gn === wn, s"doc $id n_ngrams order $order")
+        assert(math.abs(ga - wa) <= 2e-4, s"doc $id avg_nll order $order")
+        assert(math.abs(gp - wp) <= 2e-4 * math.max(1.0, wp),
+          s"doc $id ppl order $order")
+      }
+      // the estimator actually left the fixed-discount regime: some
+      // level's D1 differs from 0.75 by a margin
+      assert((2 to order).exists { k =>
+        math.abs(knModRefDisc(order)(k)._1 - 0.75) > 0.05 })
+    }
+
+  private def knModRefDisc(n: Int): Map[Int, (Double, Double, Double)] = {
+    val toks = docs.map { case (id, t) =>
+      id -> t.split(" ").filter(_.nonEmpty).toSeq }.toMap
+    val grams: Map[Long, Seq[Seq[String]]] = toks.map { case (id, tk) =>
+      id -> (if (tk.size < n) Nil else tk.sliding(n).map(_.toList).toSeq)
+    }
+    val top: Map[Seq[String], Long] = grams.values.flatten
+      .groupMapReduce(identity)(_ => 1L)(_ + _)
+    var frames = Map[Int, Map[Seq[String], Long]](n -> top)
+    for (k <- (n - 1) to 1 by -1)
+      frames += k -> frames(k + 1).keys.toSeq.map(_.takeRight(k))
+        .groupMapReduce(identity)(_ => 1L)(_ + _)
+    (2 to n).map { k =>
+      val coc = frames(k).values.groupMapReduce(identity)(_ => 1L)(_ + _)
+      val n1 = coc.getOrElse(1L, 0L).toDouble
+      val n2 = coc.getOrElse(2L, 0L).toDouble
+      val n3 = coc.getOrElse(3L, 0L).toDouble
+      val n4 = coc.getOrElse(4L, 0L).toDouble
+      val y = n1 / (n1 + 2.0 * n2)
+      k -> ((1.0 - 2.0 * y * n2 / n1, 2.0 - 3.0 * y * n3 / n2,
+        3.0 - 4.0 * y * n4 / n3))
+    }.toMap
+  }
+
+  test("modified KN raises in-plan on a corpus without count-of-count " +
+      "support (the KenLM refusal)") {
+    val degenerate = Seq((1L, "aa bb cc dd ee"))
+      .toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      TextAnalysis.ngramScoreKNMod(degenerate, "doc_id", "text", 3)
+        .collect()
+    }
+    assert(ex.getMessage.contains("modified-KN") ||
+      Option(ex.getCause).exists(_.getMessage.contains("modified-KN")))
+  }
+
+  test("capstone pplModified routes the gate through the estimated-" +
+      "discount tower and rejects prune combinations") {
+    val corpus = Seq(
+      (1L, "en", "u v u v u v"), (2L, "en", "w x w x"),
+      (3L, "en", "y z y z y z y z"), (4L, "en", "q r"),
+      (5L, "en", "g1 g2 g3 g4 g5"))
+      .toDF("doc_id", "lang", "text")
+    // reference arithmetic on this corpus: docs 1-3 score 0.33-0.64,
+    // the singleton-bigram docs (4, gibberish 5) 0.79 — 0.7 separates
+    val cfg = graft.ops.CorpusPipeline.Config(
+      maxAvgNll = 0.7, pplOrder = 2, pplModified = true)
+    val kept = graft.ops.CorpusPipeline.pplStage(corpus, cfg)
+      .select("doc_id").as[Long].collect().toSet
+    val expected = TextAnalysis
+      .ngramScoreKNMod(corpus, "doc_id", "text", 2)
+      .filter(org.apache.spark.sql.functions.col("avg_nll") <= 0.7)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === expected && kept.nonEmpty && kept.size < 5)
+    intercept[IllegalArgumentException] {
+      graft.ops.CorpusPipeline.pplStage(corpus,
+        graft.ops.CorpusPipeline.Config(maxAvgNll = 0.7, pplOrder = 2,
+          pplModified = true, pplMinCount = 2L))
+    }
+  }
+
   test("a model pruned to an empty continuation base raises in-plan " +
       "instead of emitting garbage scores") {
     // only docs 1-7: no branching high-count contexts, so a mid-level
@@ -355,6 +501,58 @@ class NgramKNSpec extends AnyFunSuite {
     val kept = graft.ops.CorpusPipeline.pplStage(corpus, cfg)
       .select("doc_id").as[Long].collect().toSet
     assert(!kept.contains(99L) && kept.contains(0L))
+  }
+
+  test("capstone external-LM frame: self-counts reproduce the " +
+      "internal self-fit path; an even-id reference model gates by " +
+      "its own statistics; modified+external refuses") {
+    import org.apache.spark.sql.functions.col
+    val corpus = (Seq.tabulate(6)(i =>
+      (i.toLong, "en", "the cat sat on the mat and the cat sat on the mat")) :+
+      ((99L, "en", "qq zz rr pp kk jj vv ww xx yy uu oo")))
+      .toDF("doc_id", "lang", "text")
+    val cfg = graft.ops.CorpusPipeline.Config(
+      maxAvgNll = 0.2, pplOrder = 3)
+    def ids(out: org.apache.spark.sql.DataFrame): Set[Long] =
+      out.select("doc_id").as[Long].collect().toSet
+    val self = ids(graft.ops.CorpusPipeline.pplStage(corpus, cfg))
+    val selfCounts = TextAnalysis.ngramCounts(
+      corpus.select("doc_id", "text"), "doc_id", "text", 3)
+    val extSelf = ids(graft.ops.CorpusPipeline.pplStage(corpus, cfg,
+      Some(selfCounts)))
+    assert(extSelf === self && self.contains(0L) && !self.contains(99L))
+    // TRUE external: model fit on the even-id slice only
+    val extModel = TextAnalysis.ngramCounts(
+      corpus.filter(col("doc_id") % 2 === 0).select("doc_id", "text"),
+      "doc_id", "text", 3)
+    val kept = ids(graft.ops.CorpusPipeline.pplStage(corpus, cfg,
+      Some(extModel)))
+    val expected = ids(TextAnalysis.ngramScoreKNFrom(corpus, "doc_id",
+        "text", 3, extModel)
+      .filter(col("avg_nll") <= 0.2))
+    assert(kept === expected)
+    intercept[IllegalArgumentException] {
+      graft.ops.CorpusPipeline.pplStage(corpus,
+        cfg.copy(pplModified = true), Some(extModel))
+    }
+  }
+
+  test("lmFingerprint: row-order-independent, moves with content and " +
+      "order, rejects non-count frames") {
+    val a = TextAnalysis.ngramCounts(df, "doc_id", "text", 3)
+    val f1 = graft.ops.CorpusPipeline.lmFingerprint(a)
+    val f2 = graft.ops.CorpusPipeline.lmFingerprint(
+      a.orderBy(org.apache.spark.sql.functions.rand(7)))
+    assert(f1 === f2, "fingerprint must not depend on row order")
+    val b = TextAnalysis.ngramCounts(
+      df.filter(org.apache.spark.sql.functions.col("doc_id") =!= 1L),
+      "doc_id", "text", 3)
+    assert(graft.ops.CorpusPipeline.lmFingerprint(b) !== f1)
+    val c = TextAnalysis.ngramCounts(df, "doc_id", "text", 4)
+    assert(graft.ops.CorpusPipeline.lmFingerprint(c) !== f1)
+    intercept[IllegalArgumentException] {
+      graft.ops.CorpusPipeline.lmFingerprint(df)
+    }
   }
 
   test("order bounds are enforced") {
