@@ -872,11 +872,18 @@ object TextAnalysis {
     * count-of-count statistics are n−1 ONE-ROW broadcast frames (a
     * four-way conditional sum over each level frame — one extra
     * aggregate per level, no new shuffle grain). A level whose n1, n2
-    * or n3 is zero has undefined discounts (KenLM refuses such fits
-    * too) — that is a degenerate corpus for this estimator, and the
-    * level's broadcast row RAISES in-plan rather than emitting NaN
-    * scores. Returns (idCol, n_ngrams, avg_nll, ppl), rounded at 4;
-    * docs shorter than `order` carry (0, 0.0, 1.0). */
+    * or n3 is zero cannot support the estimator (KenLM refuses such
+    * fits outright); THIS implementation instead falls back to the
+    * fixed 0.75 absolute discount AT THAT LEVEL (D1 = D2 = D3+ =
+    * 0.75 — under which the modified arithmetic collapses exactly to
+    * [[ngramScoreKN]]'s, γ = 0.75·N1+/den; NgramKNSpec pins the
+    * fully-degenerate identity), because scaled synthetic corpora
+    * really do exhaust low-order continuation singletons (sf0.1's
+    * level-2 frame has n1 = 0) and a total, deterministic fit beats a
+    * refusal there. Natural-language corpora have singletons at every
+    * level, so the estimator runs everywhere in practice. Returns
+    * (idCol, n_ngrams, avg_nll, ppl), rounded at 4; docs shorter than
+    * `order` carry (0, 0.0, 1.0). */
   def ngramScoreKNMod(df: DataFrame, idCol: String, textCol: String,
       order: Int): DataFrame = {
     require(order >= 2 && order <= 5,
@@ -900,23 +907,14 @@ object TextAnalysis {
           count(when(c === 2, 1)).as(s"__nf2_$k"),
           count(when(c >= 3, 1)).as(s"__nf3_$k"))
     }.toMap
-    // per-level count-of-counts → one validated broadcast row each
+    // per-level count-of-counts → one broadcast row each
     val cocs = (2 to n).map { k =>
       val c = col(s"__c$k")
-      val raw = frames(k).agg(
-        sum(when(c === 1, 1L).otherwise(0L)).as("__x1"),
-        sum(when(c === 2, 1L).otherwise(0L)).as("__x2"),
-        sum(when(c === 3, 1L).otherwise(0L)).as("__x3"),
-        sum(when(c === 4, 1L).otherwise(0L)).as("__x4"))
-      k -> raw.select(
-        when(col("__x1") > 0 && col("__x2") > 0 && col("__x3") > 0,
-          col("__x1")).otherwise(raise_error(lit(
-          s"modified-KN discounts undefined at level $k: need types " +
-            "with counts 1, 2 and 3 (n1/n2/n3 > 0, the KenLM " +
-            "requirement) — use ngramScoreKN's fixed discount on " +
-            "this corpus")).cast("long")).as(s"__n1_$k"),
-        col("__x2").as(s"__n2_$k"), col("__x3").as(s"__n3_$k"),
-        col("__x4").as(s"__n4_$k"))
+      k -> frames(k).agg(
+        sum(when(c === 1, 1L).otherwise(0L)).as(s"__n1_$k"),
+        sum(when(c === 2, 1L).otherwise(0L)).as(s"__n2_$k"),
+        sum(when(c === 3, 1L).otherwise(0L)).as(s"__n3_$k"),
+        sum(when(c === 4, 1L).otherwise(0L)).as(s"__n4_$k"))
     }.toMap
     val tt = frames(2).agg(count(lit(1)).as("__tt"))
     val joined0 = ((n - 1) to 1 by -1)
@@ -934,10 +932,23 @@ object TextAnalysis {
       dbl(col("__c1")) / col("__tt")) { (lower, k) =>
       val n1 = dbl(col(s"__n1_$k")); val n2 = dbl(col(s"__n2_$k"))
       val n3 = dbl(col(s"__n3_$k")); val n4 = dbl(col(s"__n4_$k"))
-      val y = n1 / (n1 + lit(2.0) * n2)
-      val d1 = lit(1.0) - lit(2.0) * y * n2 / n1
-      val d2 = lit(2.0) - lit(3.0) * y * n3 / n2
-      val d3 = lit(3.0) - lit(4.0) * y * n4 / n3
+      // per-level estimator support gate: without count-1/2/3 types
+      // the Chen-Goodman formulas divide by zero — fall back to the
+      // fixed discount at THIS level (see scaladoc)
+      val ok = col(s"__n1_$k") > 0 && col(s"__n2_$k") > 0 &&
+        col(s"__n3_$k") > 0
+      // denominators via greatest(·, 1): identical values when `ok`
+      // (each n >= 1 there), and the unselected estimator branch
+      // stays division-safe even if codegen CSE evaluates it eagerly
+      val n1g = greatest(n1, lit(1.0)); val n2g = greatest(n2, lit(1.0))
+      val n3g = greatest(n3, lit(1.0))
+      val y = n1 / (n1g + lit(2.0) * n2)
+      val d1 = when(ok, lit(1.0) - lit(2.0) * y * n2 / n1g)
+        .otherwise(lit(0.75))
+      val d2 = when(ok, lit(2.0) - lit(3.0) * y * n3 / n2g)
+        .otherwise(lit(0.75))
+      val d3 = when(ok, lit(3.0) - lit(4.0) * y * n4 / n3g)
+        .otherwise(lit(0.75))
       val c = col(s"__c$k")
       val dk = when(c === 1, d1).when(c === 2, d2).otherwise(d3)
       val den = dbl(col(s"__den$k"))

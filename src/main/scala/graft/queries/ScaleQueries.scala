@@ -1613,9 +1613,12 @@ object ScaleQueries {
     // each level's count-of-count statistics (Y = n1/(n1+2n2)), the
     // backoff mass the three-part weighted type-count sum. One extra
     // one-row broadcast aggregate per level over the existing tower;
-    // a level with n1/n2/n3 = 0 raises in-plan (KenLM refuses such
-    // fits too). Twin generated from the same order with the same
-    // discount-estimation expression trees
+    // a level with n1/n2/n3 = 0 (scaled synthetic corpora exhaust
+    // low-order continuation singletons — sf0.1's level 2) falls
+    // back to the fixed 0.75 discount AT THAT LEVEL (fully-degenerate
+    // ≡ ngramScoreKN, spec-pinned; KenLM refuses such fits outright).
+    // Twin generated from the same order with the same
+    // discount-estimation + fallback expression trees
     "q149h_kn3_modified" -> ((s, dir) =>
       TextAnalysis.ngramScoreKNMod(t(s, dir, "documents"), "doc_id",
         "text", order = 3)
@@ -4309,10 +4312,20 @@ object ScaleQueries {
     }
     def d(v: String) = s"CAST($v AS DOUBLE)"
     val p = (2 to n).foldLeft(s"${d("c1")} / tt") { (lower, k) =>
-      val y = s"(${d(s"n1_$k")} / (${d(s"n1_$k")} + 2.0 * ${d(s"n2_$k")}))"
-      val d1 = s"(1.0 - 2.0 * $y * ${d(s"n2_$k")} / ${d(s"n1_$k")})"
-      val d2 = s"(2.0 - 3.0 * $y * ${d(s"n3_$k")} / ${d(s"n2_$k")})"
-      val d3 = s"(3.0 - 4.0 * $y * ${d(s"n4_$k")} / ${d(s"n3_$k")})"
+      // per-level estimator support gate + greatest(·,1) denominators
+      // — the engine's fallback form replayed term-for-term (values
+      // identical when the gate holds: each n >= 1 there)
+      val ok = s"(n1_$k > 0 AND n2_$k > 0 AND n3_$k > 0)"
+      val n1g = s"greatest(${d(s"n1_$k")}, 1.0)"
+      val n2g = s"greatest(${d(s"n2_$k")}, 1.0)"
+      val n3g = s"greatest(${d(s"n3_$k")}, 1.0)"
+      val y = s"(${d(s"n1_$k")} / ($n1g + 2.0 * ${d(s"n2_$k")}))"
+      val d1 = s"(CASE WHEN $ok THEN " +
+        s"1.0 - 2.0 * $y * ${d(s"n2_$k")} / $n1g ELSE 0.75 END)"
+      val d2 = s"(CASE WHEN $ok THEN " +
+        s"2.0 - 3.0 * $y * ${d(s"n3_$k")} / $n2g ELSE 0.75 END)"
+      val d3 = s"(CASE WHEN $ok THEN " +
+        s"3.0 - 4.0 * $y * ${d(s"n4_$k")} / $n3g ELSE 0.75 END)"
       val dk = s"CASE WHEN c$k = 1 THEN $d1 WHEN c$k = 2 THEN $d2 " +
         s"ELSE $d3 END"
       val gam = s"(($d1 * ${d(s"nf1_$k")} + $d2 * ${d(s"nf2_$k")} + " +

@@ -299,10 +299,12 @@ class NgramKNSpec extends AnyFunSuite {
       val n2 = coc.getOrElse(2L, 0L).toDouble
       val n3 = coc.getOrElse(3L, 0L).toDouble
       val n4 = coc.getOrElse(4L, 0L).toDouble
-      assert(n1 > 0 && n2 > 0 && n3 > 0, s"degenerate fixture level $k")
-      val y = n1 / (n1 + 2.0 * n2)
-      k -> ((1.0 - 2.0 * y * n2 / n1, 2.0 - 3.0 * y * n3 / n2,
-        3.0 - 4.0 * y * n4 / n3))
+      // the per-level fallback: no count-1/2/3 support → fixed 0.75
+      if (n1 > 0 && n2 > 0 && n3 > 0) {
+        val y = n1 / (n1 + 2.0 * n2)
+        k -> ((1.0 - 2.0 * y * n2 / n1, 2.0 - 3.0 * y * n3 / n2,
+          3.0 - 4.0 * y * n4 / n3))
+      } else k -> ((0.75, 0.75, 0.75))
     }.toMap
     val ctx: Map[Int, Map[Seq[String], (Long, Long, Long, Long)]] =
       (2 to n).map { k =>
@@ -374,22 +376,33 @@ class NgramKNSpec extends AnyFunSuite {
       val n2 = coc.getOrElse(2L, 0L).toDouble
       val n3 = coc.getOrElse(3L, 0L).toDouble
       val n4 = coc.getOrElse(4L, 0L).toDouble
-      val y = n1 / (n1 + 2.0 * n2)
-      k -> ((1.0 - 2.0 * y * n2 / n1, 2.0 - 3.0 * y * n3 / n2,
-        3.0 - 4.0 * y * n4 / n3))
+      if (n1 > 0 && n2 > 0 && n3 > 0) {
+        val y = n1 / (n1 + 2.0 * n2)
+        k -> ((1.0 - 2.0 * y * n2 / n1, 2.0 - 3.0 * y * n3 / n2,
+          3.0 - 4.0 * y * n4 / n3))
+      } else k -> ((0.75, 0.75, 0.75))
     }.toMap
   }
 
-  test("modified KN raises in-plan on a corpus without count-of-count " +
-      "support (the KenLM refusal)") {
-    val degenerate = Seq((1L, "aa bb cc dd ee"))
+  test("modified KN on a corpus without count-of-count support falls " +
+      "back to the fixed discount per level — fully degenerate ≡ " +
+      "ngramScoreKN exactly") {
+    // every n-gram type a singleton: n2 = n3 = 0 at every level, the
+    // estimator has nothing to fit — with D1 = D2 = D3+ = 0.75 at
+    // every level the modified arithmetic IS the fixed-discount tower
+    val degenerate = Seq((1L, "aa bb cc dd ee"), (2L, "ff gg hh ii"))
       .toDF("doc_id", "text")
-    val ex = intercept[Exception] {
-      TextAnalysis.ngramScoreKNMod(degenerate, "doc_id", "text", 3)
-        .collect()
+    for (order <- 2 to 3) {
+      val mod = TextAnalysis
+        .ngramScoreKNMod(degenerate, "doc_id", "text", order)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+      val fixed = TextAnalysis
+        .ngramScoreKN(degenerate, "doc_id", "text", order)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+      assert(mod === fixed, s"order $order")
     }
-    assert(ex.getMessage.contains("modified-KN") ||
-      Option(ex.getCause).exists(_.getMessage.contains("modified-KN")))
   }
 
   test("capstone pplModified routes the gate through the estimated-" +
