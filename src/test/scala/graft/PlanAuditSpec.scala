@@ -76,6 +76,30 @@ class PlanAuditSpec extends AnyFunSuite {
       s"redaction must not shuffle before the output sort: $exchanges")
   }
 
+  test("fused scrub rows stay map-side and inside whole-stage codegen " +
+      "(the r19 single-pass expressions)") {
+    for (n <- Seq("q58b_pii_scrub_full", "q58d_pii_entropy")) {
+      val df = graft.queries.ScaleQueries.queries(n)(spark, dir)
+      df.collect()
+      val all = df.queryExecution.executedPlan.toString
+      // map-side only: no join/aggregate, one exchange at most (sort)
+      assert(!all.contains("Join") && !all.contains("HashAggregate"),
+        s"$n: " + all.take(1500))
+      // the fused static-call expressions must not fall out of
+      // codegen — an unstarred Project would re-interpret the walk
+      val p = all.indexOf("== Initial Plan ==") match {
+        case -1 => all
+        case i => all.substring(0, i)
+      }
+      val unstarred = p.linesIterator.filter(l =>
+        l.matches(".*\\bProject \\[.*") && !l.contains("*(") &&
+          !l.contains("lambdafunction")).toList
+      assert(unstarred.isEmpty,
+        s"$n has projections outside WholeStageCodegen:\n" +
+          unstarred.mkString("\n"))
+    }
+  }
+
   test("q59 decontamination evaluates the corpus shingles exactly once") {
     val p = graft.queries.ScaleQueries.queries("q59_decontaminate")(spark, dir)
       .queryExecution.executedPlan.toString
