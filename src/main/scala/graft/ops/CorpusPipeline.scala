@@ -524,12 +524,23 @@ object CorpusPipeline {
     * quality gate. Same cost class as [[pplStage]] plus one
     * per-language window — the max() reuses the ntile window's own
     * lang partitioning, parallel across languages, never global. */
-  private[graft] def pplTierStage(docs: DataFrame, cfg: Config): DataFrame = {
+  private[graft] def pplTierStage(docs: DataFrame, cfg: Config,
+      lmCounts: Option[DataFrame] = None): DataFrame = {
     val langW = org.apache.spark.sql.expressions.Window
       .partitionBy("lang")
+    // external frame → tiers under the REFERENCE model at the
+    // configured order + prune thresholds (the actual CCNet recipe);
+    // the self-fit default stays the q174 bigram shape
+    val prune =
+      if (lmCounts.isEmpty) Seq.empty[Long]
+      else if (cfg.pplPrune.nonEmpty) cfg.pplPrune
+      else if (cfg.pplMinCount > 1L)
+        Seq.fill(cfg.pplOrder - 1)(1L) :+ cfg.pplMinCount
+      else Seq.empty[Long]
     docs.join(
       TextAnalysis.pplBuckets(docs, "doc_id", "text", "lang",
-          cfg.pplTiers)
+          cfg.pplTiers, lmCounts,
+          if (lmCounts.isEmpty) 2 else cfg.pplOrder, prune)
         .withColumn("__maxb", max(col("bucket_idx")).over(langW))
         .filter(col("bucket_idx") < greatest(col("__maxb"), lit(2)))
         .select("doc_id"),
@@ -776,7 +787,7 @@ object CorpusPipeline {
       else classified
     val ppled =
       if (cfg.pplTiers >= 2)
-        persistCorpus(pplTierStage(ppled0, cfg), "ppltier")
+        persistCorpus(pplTierStage(ppled0, cfg, lmCounts), "ppltier")
       else ppled0
     val outliered =
       if (cfg.outlierZ > 0)
@@ -969,7 +980,7 @@ object CorpusPipeline {
       else (classified, nClassifier)
     val (ppled, nPpl) =
       if (cfg.pplTiers >= 2)
-        stage("01t_ppltier")(pplTierStage(ppled0, cfg))
+        stage("01t_ppltier")(pplTierStage(ppled0, cfg, lmCounts))
       else (ppled0, nPpl0)
     val (outliered, nOutliers) =
       if (cfg.outlierZ > 0)

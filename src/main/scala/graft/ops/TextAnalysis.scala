@@ -1067,11 +1067,23 @@ object TextAnalysis {
     * snapshot. Returns (idCol, langCol, ppl, bucket_idx, bucket).
     */
   def pplBuckets(df: DataFrame, idCol: String, textCol: String,
-      langCol: String, nBuckets: Int = 3): DataFrame = {
+      langCol: String, nBuckets: Int = 3,
+      lmCounts: Option[DataFrame] = None, order: Int = 2,
+      prune: Seq[Long] = Seq.empty): DataFrame = {
     require(nBuckets >= 2 && nBuckets <= 1000,
       s"pplBuckets: nBuckets must be in [2, 1000], got $nBuckets")
-    val scored = bigramScoreKN(df, idCol, textCol)
-      .select(col(idCol), col("ppl"))
+    // the tiers under an EXTERNAL LM (the actual CCNet recipe — it
+    // buckets by the Wikipedia-model score) go through
+    // [[ngramScoreKNFrom]] at any order 2-5 with optional pruning;
+    // the default stays the bigram self-fit (q174's oracle shape)
+    require(lmCounts.isDefined || (order == 2 && prune.isEmpty),
+      "order/prune beyond the bigram self-fit need an external " +
+        "lmCounts frame")
+    val scored = (lmCounts match {
+      case Some(counts) =>
+        ngramScoreKNFrom(df, idCol, textCol, order, counts, prune)
+      case None => bigramScoreKN(df, idCol, textCol)
+    }).select(col(idCol), col("ppl"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(langCol).orderBy(col("ppl").asc, col(idCol).asc)
     df.select(col(idCol), col(langCol))
@@ -1102,10 +1114,13 @@ object TextAnalysis {
     * n_tokens).
     */
   def pplBucketComposition(df: DataFrame, idCol: String, textCol: String,
-      langCol: String, srcCol: String, nBuckets: Int = 3): DataFrame = {
+      langCol: String, srcCol: String, nBuckets: Int = 3,
+      lmCounts: Option[DataFrame] = None, order: Int = 2,
+      prune: Seq[Long] = Seq.empty): DataFrame = {
     val langW = org.apache.spark.sql.expressions.Window
       .partitionBy(langCol)
-    val kept = pplBuckets(df, idCol, textCol, langCol, nBuckets)
+    val kept = pplBuckets(df, idCol, textCol, langCol, nBuckets,
+      lmCounts, order, prune)
       .withColumn("__maxb", max(col("bucket_idx")).over(langW))
       .filter(col("bucket_idx") < greatest(col("__maxb"), lit(2)))
       .select(col(idCol), col(langCol), col("bucket"))

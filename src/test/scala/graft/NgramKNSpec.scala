@@ -568,6 +568,49 @@ class NgramKNSpec extends AnyFunSuite {
     }
   }
 
+  test("ppl tiers under an external LM: self-counts at order 2 " +
+      "reproduce the self-fit buckets; the tier gate follows the " +
+      "external model at order 3") {
+    import org.apache.spark.sql.functions.col
+    val corpus = docs.filter(_._2.nonEmpty).zipWithIndex.map {
+      case ((id, t), i) => (id, if (i % 2 == 0) "en" else "de", t)
+    }.toDF("doc_id", "lang", "text")
+    val selfB = TextAnalysis.pplBuckets(corpus, "doc_id", "text",
+        "lang")
+      .select("doc_id", "bucket_idx").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    val extB = TextAnalysis.pplBuckets(corpus, "doc_id", "text",
+        "lang", 3, Some(TextAnalysis.bigramCounts(corpus, "doc_id",
+          "text").withColumnRenamed("cb", "cn")))
+      .select("doc_id", "bucket_idx").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(extB === selfB)
+    // tier gate at order 3 under an even-id reference model: kept =
+    // everything but each language's max assigned bucket
+    val model = TextAnalysis.ngramCounts(
+      corpus.filter(col("doc_id") % 2 === 0).select("doc_id", "text"),
+      "doc_id", "text", 3)
+    val cfg = graft.ops.CorpusPipeline.Config(pplTiers = 3, pplOrder = 3)
+    val kept = graft.ops.CorpusPipeline
+      .pplTierStage(corpus, cfg, Some(model))
+      .select("doc_id").as[Long].collect().toSet
+    val buckets = TextAnalysis.pplBuckets(corpus, "doc_id", "text",
+        "lang", 3, Some(model), 3)
+      .select("doc_id", "lang", "bucket_idx").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val maxb = buckets.groupBy(_._2).view
+      .mapValues(_.map(_._3).max).toMap
+    val expected = buckets.filter { case (_, l, b) =>
+      b < math.max(maxb(l), 2) }.map(_._1).toSet
+    assert(kept === expected && kept.nonEmpty &&
+      kept.size < buckets.length)
+    // order/prune beyond the bigram self-fit demand the frame
+    intercept[IllegalArgumentException] {
+      TextAnalysis.pplBuckets(corpus, "doc_id", "text", "lang", 3,
+        None, 3)
+    }
+  }
+
   test("order bounds are enforced") {
     intercept[IllegalArgumentException] {
       TextAnalysis.ngramScoreKN(df, "doc_id", "text", 1)
