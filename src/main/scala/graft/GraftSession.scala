@@ -45,6 +45,15 @@ object GraftSession {
     // cluster the equivalent dial is executor memory per core, not
     // shuffle width.
     "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    // r19: allow co-partitioned joins whose children are hash-
+    // partitioned on a SUBSET of the join keys (SPARK-35703's
+    // relaxation, gated off by default). The KN/LM tower keys every
+    // level frame on a suffix that shares w_{n-1}; with the strict
+    // default every tower join re-shuffles both sides even though the
+    // one w_{n-1} exchange already co-locates them. Scale-independent:
+    // the subset hash still routes equal join keys to equal
+    // partitions on both sides.
+    "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
     "spark.sql.files.maxPartitionBytes" -> (256L * 1024 * 1024).toString,
     "spark.sql.session.timeZone" -> "UTC")
 

@@ -1,0 +1,157 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types.DataType
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.hash.Murmur3_x86_32
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fused lang-id featurization: normalize → char n-grams → hashed
+  * term counts as ONE codegen'd walk over the document's UTF-8 bytes,
+  * replacing the declarative chain
+  * `HashingTF(charNgrams(normalizeText(text)))` whose cost profile
+  * made q159 the single most expensive bench row:
+  *
+  *  - `charNgrams` is a nested higher-order `transform`, and HOFs are
+  *    CodegenFallback — ~(maxN−minN+1)·maxChars interpreted `substr`
+  *    calls allocating one String per gram per document;
+  *  - `HashingTF.transform` is a scalar UDF over that gram array
+  *    (another per-row array traversal + OpenHashMap);
+  *  - this expression hashes each gram directly from the normalized
+  *    string's UTF-8 byte range (a UTF-8 substring's bytes are a
+  *    contiguous slice, so no per-gram String exists at all) and
+  *    emits the finished ml.linalg sparse vector row.
+  *
+  * PARITY (pinned in LangClassifierSpec): byte-identical to the
+  * declarative chain —
+  *  - normalization replays `substring(regexp_replace(lower(x),
+  *    "\\s+", " "), 1, maxChars)` via the same engine primitives
+  *    (`UTF8String.toLowerCase`, `java.util.regex` replaceAll,
+  *    `UTF8String.substringSQL` — code-point semantics included);
+  *  - gram hashing replays `ml.feature.HashingTF` (hash version
+  *    SPARK_3: `FeatureHasher.murmur3Hash` = Murmur3_x86_32 over the
+  *    gram's UTF-8 bytes with seed 42, then `nonNegativeMod`);
+  *  - counts accumulate as doubles and indices emit sorted ascending,
+  *    exactly `Vectors.sparse(n, seq)`'s normal form — so the
+  *    downstream LogisticRegressionModel sees bit-identical vectors
+  *    and every fitted/scored number is unchanged.
+  */
+object LangIdFeaturizer {
+
+  private val wsPattern = java.util.regex.Pattern.compile("\\s+")
+  private val murmurSeed = 42
+
+  /** `Utils.nonNegativeMod` (private[spark]) replicated verbatim. */
+  private def nonNegativeMod(x: Int, mod: Int): Int = {
+    val rawMod = x % mod
+    rawMod + (if (rawMod < 0) mod else 0)
+  }
+
+  /** The serialized ml.linalg.SparseVector row for one document's
+    * hashed char-gram counts. `text` must be non-null (callers bind
+    * `coalesce(text, '')`). */
+  def features(text: UTF8String, numFeatures: Int, minN: Int,
+      maxN: Int, maxChars: Int): InternalRow = {
+    // normalizeText replay: lower → \s+ collapse → first maxChars
+    // code points (substringSQL(1, len) = the SQL substring)
+    val collapsed =
+      wsPattern.matcher(text.toLowerCase.toString).replaceAll(" ")
+    val norm = UTF8String.fromString(collapsed)
+      .substringSQL(1, maxChars)
+    val bytes = norm.getBytes
+    // code-point boundaries: starts(i) = byte offset of code point i
+    // (UTF-8 continuation bytes have the top two bits 10xxxxxx)
+    var nCp = 0
+    var b = 0
+    while (b < bytes.length) {
+      if ((bytes(b) & 0xC0) != 0x80) nCp += 1
+      b += 1
+    }
+    val starts = new Array[Int](nCp + 1)
+    var cp = 0
+    b = 0
+    while (b < bytes.length) {
+      if ((bytes(b) & 0xC0) != 0x80) { starts(cp) = b; cp += 1 }
+      b += 1
+    }
+    starts(nCp) = bytes.length
+    // hashed gram indices for every n in [minN, maxN]
+    var total = 0
+    var n = minN
+    while (n <= maxN) { total += math.max(0, nCp - n + 1); n += 1 }
+    val idxs = new Array[Int](total)
+    var out = 0
+    n = minN
+    while (n <= maxN) {
+      var i = 0
+      val last = nCp - n
+      while (i <= last) {
+        val from = starts(i)
+        val len = starts(i + n) - from
+        val h = Murmur3_x86_32.hashUnsafeBytes2(bytes,
+          Platform.BYTE_ARRAY_OFFSET + from, len, murmurSeed)
+        idxs(out) = nonNegativeMod(h, numFeatures)
+        out += 1
+        i += 1
+      }
+      n += 1
+    }
+    java.util.Arrays.sort(idxs)
+    // run-length → (sorted indices, double counts): Vectors.sparse's
+    // normal form
+    var distinct = 0
+    var i = 0
+    while (i < idxs.length) {
+      if (i == 0 || idxs(i) != idxs(i - 1)) distinct += 1
+      i += 1
+    }
+    val indices = new Array[Int](distinct)
+    val values = new Array[Double](distinct)
+    i = 0
+    var d = -1
+    while (i < idxs.length) {
+      if (i == 0 || idxs(i) != idxs(i - 1)) {
+        d += 1
+        indices(d) = idxs(i)
+        values(d) = 1.0
+      } else values(d) += 1.0
+      i += 1
+    }
+    // the VectorUDT serialized layout: (type=0 sparse, size, indices,
+    // values) — the same row VectorUDT.serialize(SparseVector) builds
+    val row = new GenericInternalRow(4)
+    row.setByte(0, 0.toByte)
+    row.setInt(1, numFeatures)
+    row.update(2, ArrayData.toArrayData(indices))
+    row.update(3, ArrayData.toArrayData(values))
+    row
+  }
+}
+
+/** `lang_id_features(text)` — see [[LangIdFeaturizer]]. Input must be
+  * non-null (bind `coalesce(text, '')`); output is ml VectorType. */
+case class LangIdFeatures(child: Expression, numFeatures: Int,
+    minN: Int, maxN: Int, maxChars: Int) extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.ml.linalg.SQLDataTypes.VectorType
+
+  override protected def nullSafeEval(input: Any): Any =
+    LangIdFeaturizer.features(input.asInstanceOf[UTF8String],
+      numFeatures, minN, maxN, maxChars)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.LangIdFeaturizer.features($c, $numFeatures, " +
+        s"$minN, $maxN, $maxChars)")
+
+  override def prettyName: String = "lang_id_features"
+
+  override protected def withNewChildInternal(
+      newChild: Expression): LangIdFeatures = copy(child = newChild)
+}

@@ -67,14 +67,33 @@ object LangClassifier {
         .otherwise(array().cast("array<string>"))))
   }
 
-  private def featurize(df: DataFrame, textCol: String, numFeatures: Int,
-      minN: Int, maxN: Int, maxChars: Int): DataFrame = {
+  /** r19: ONE fused codegen walk per document (see
+    * [[graft.functions.LangIdFeaturizer]]) replaces the
+    * interpreted-HOF gram explosion + HashingTF UDF — bit-identical
+    * vectors (spec-pinned against [[featurizeReference]]), ~5× less
+    * per-doc work on the scoring scan that made q159 the most
+    * expensive bench row. */
+  private[graft] def featurize(df: DataFrame, textCol: String,
+      numFeatures: Int, minN: Int, maxN: Int, maxChars: Int): DataFrame =
+    df.withColumn("features", org.apache.spark.sql.graft.bridge.column(
+      graft.functions.LangIdFeatures(
+        org.apache.spark.sql.graft.bridge.expression(
+          coalesce(col(textCol), lit(""))),
+        numFeatures, minN, maxN, maxChars)))
+
+  /** The pre-r19 declarative featurization chain — kept as the
+    * byte-parity reference for the fused expression (the FullScrub
+    * discipline: the fused walk must keep the declarative form beside
+    * it; LangClassifierSpec compares vectors exactly). */
+  private[graft] def featurizeReference(df: DataFrame, textCol: String,
+      numFeatures: Int, minN: Int, maxN: Int, maxChars: Int): DataFrame = {
     val withGrams = df
       .withColumn("__nrm", normalizeText(col(textCol), maxChars))
       .withColumn("__grams", charNgrams(col("__nrm"), minN, maxN))
     new HashingTF().setInputCol("__grams").setOutputCol("features")
       .setNumFeatures(numFeatures).setBinary(false)
       .transform(withGrams)
+      .drop("__nrm", "__grams")
   }
 
   /** Fit on (textCol, langCol)-labeled docs. Deterministic INPUTS: the

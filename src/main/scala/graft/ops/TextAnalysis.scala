@@ -355,19 +355,29 @@ object TextAnalysis {
     * state's read is parity-pinned against. */
   def bigramCounts(df: DataFrame, idCol: String,
       textCol: String): DataFrame =
-    docBigramCounts(df, idCol, textCol)
+    // r19: the w1-partitioned gram pass (same values, see
+    // docNgramCountsBy) makes both rollups share its one exchange
+    docNgramCountsBy(df, idCol, textCol, 2, partitionByTail = true)
       .groupBy("w1", "w2").agg(sum("tf").as("cb"))
 
   def bigramScore(df: DataFrame, idCol: String, textCol: String,
       lambda: Double = 0.75): DataFrame = {
-    val tf = docBigramCounts(df, idCol, textCol)
+    // r19: w1-partitioned gram pass — the cb/ctx rollups and the
+    // (w1,w2)/(w1) scoring joins all run exchange-free off tf's one
+    // shuffle; the w2-keyed continuation frame is vocabulary-sized
+    // and broadcasts (the ngramScoreKN tower discipline; values
+    // unchanged — identical expression tree)
+    val tf = docNgramCountsBy(df, idCol, textCol, 2,
+        partitionByTail = true)
       .localCheckpoint()
+      .repartition(col("w1"))
     val cb = tf.groupBy("w1", "w2").agg(sum("tf").as("__cb"))
     val ctx = cb.groupBy("w1").agg(sum("__cb").as("__ctx"))
     val cont = cb.groupBy("w2").agg(sum("__cb").as("__cont"))
     val total = cb.agg(sum("__cb").as("__tot"))
     val scored = tf.join(cb, Seq("w1", "w2"))
-      .join(ctx, Seq("w1")).join(cont, Seq("w2"))
+      .join(ctx, Seq("w1"))
+      .join(cont, Seq("w2"))
       .crossJoin(broadcast(total))
       .select(col(idCol), col("tf"),
         (col("tf") * -log(
@@ -410,39 +420,15 @@ object TextAnalysis {
     * (idCol, n_bigrams, avg_nll, ppl), rounded at 4 — the q138
     * transcendental discipline. */
   def bigramScoreKN(df: DataFrame, idCol: String, textCol: String,
-      discount: Double = 0.75): DataFrame = {
-    val tf = docBigramCounts(df, idCol, textCol)
-      .localCheckpoint()
-    val cb = tf.groupBy("w1", "w2").agg(sum("tf").as("__cb"))
-    val ctx = cb.groupBy("w1").agg(sum("__cb").as("__ctx"),
-      count(lit(1)).as("__n1f"))
-    val cont = cb.groupBy("w2").agg(count(lit(1)).as("__n1b"))
-    val tt = cb.agg(count(lit(1)).as("__tt"))
-    val d = lit(discount)
-    // the per-TYPE smoothed term is computed at (w1, w2) grain first —
-    // the ctx/cont/tt joins touch only the type frame (≪ corpus
-    // bigrams), and the corpus-grain tf frame is shuffled ONCE (the
-    // type join) instead of three times; tf · (−ln …) is the identical
-    // expression tree either way, so the oracle hash is unmoved
-    val typeScore = cb.join(ctx, Seq("w1")).join(cont, Seq("w2"))
-      .crossJoin(broadcast(tt))
-      .select(col("w1"), col("w2"),
-        (-log(
-          greatest(col("__cb") - d, lit(0.0)) / col("__ctx") +
-          (d * col("__n1f") / col("__ctx")) *
-            (col("__n1b").cast("double") / col("__tt")))).as("__t"))
-    val scored = tf.join(typeScore, Seq("w1", "w2"))
-      .select(col(idCol), col("tf"), (col("tf") * col("__t")).as("__nll"))
-      .groupBy(idCol).agg(
-        sum("tf").as("n_bigrams"),
-        (sum("__nll") / sum("tf")).as("__avg"))
-    df.select(col(idCol))
-      .join(scored, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        round(coalesce(col("__avg"), lit(0.0)), 4).as("avg_nll"),
-        round(exp(coalesce(col("__avg"), lit(0.0))), 4).as("ppl"))
-  }
+      discount: Double = 0.75): DataFrame =
+    // r19: delegates to the order-N tower — value-identical term for
+    // term (the fold at n = 2 assembles exactly this docstring's
+    // expression; NgramKNSpec pins the equivalence value-for-value,
+    // TextAnalysisSpec pins hand-computed anchors) and plan-optimal
+    // once instead of twice (one w1-keyed corpus shuffle, exchange-
+    // free type tower, broadcast continuation frame)
+    ngramScoreKN(df, idCol, textCol, order = 2, discount)
+      .withColumnRenamed("n_ngrams", "n_bigrams")
 
   /** Per-document trigram-type counts (idCol, w1, w2, w3, tf) — the
     * order-3 sibling of [[docBigramCounts]], same zip-the-tails
@@ -494,41 +480,14 @@ object TextAnalysis {
     * positive. Returns (idCol, n_trigrams, avg_nll, ppl), rounded at
     * 4; docs with < 3 tokens carry (0, 0.0, 1.0). */
   def trigramScoreKN(df: DataFrame, idCol: String, textCol: String,
-      discount: Double = 0.75): DataFrame = {
-    val tf = docTrigramCounts(df, idCol, textCol)
-      .localCheckpoint()
-    val cb = tf.groupBy("w1", "w2", "w3").agg(sum("tf").as("__c3"))
-    val ctx = cb.groupBy("w1", "w2").agg(sum("__c3").as("__c12"),
-      count(lit(1)).as("__n3f"))
-    val cont2 = cb.groupBy("w2", "w3").agg(count(lit(1)).as("__n12b"))
-    val mid = cont2.groupBy("w2").agg(sum("__n12b").as("__m2"),
-      count(lit(1)).as("__n2f"))
-    val cont1 = cont2.groupBy("w3").agg(count(lit(1)).as("__n1b"))
-    val tt = cont2.agg(count(lit(1)).as("__tt"))
-    val d = lit(discount)
-    val typeScore = cb.join(ctx, Seq("w1", "w2"))
-      .join(cont2, Seq("w2", "w3"))
-      .join(mid, Seq("w2")).join(cont1, Seq("w3"))
-      .crossJoin(broadcast(tt))
-      .select(col("w1"), col("w2"), col("w3"),
-        (-log(
-          greatest(col("__c3") - d, lit(0.0)) / col("__c12") +
-          (d * col("__n3f") / col("__c12")) * (
-            greatest(col("__n12b") - d, lit(0.0)) / col("__m2") +
-            (d * col("__n2f") / col("__m2")) *
-              (col("__n1b").cast("double") / col("__tt"))))).as("__t"))
-    val scored = tf.join(typeScore, Seq("w1", "w2", "w3"))
-      .select(col(idCol), col("tf"), (col("tf") * col("__t")).as("__nll"))
-      .groupBy(idCol).agg(
-        sum("tf").as("n_trigrams"),
-        (sum("__nll") / sum("tf")).as("__avg"))
-    df.select(col(idCol))
-      .join(scored, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
-        round(coalesce(col("__avg"), lit(0.0)), 4).as("avg_nll"),
-        round(exp(coalesce(col("__avg"), lit(0.0))), 4).as("ppl"))
-  }
+      discount: Double = 0.75): DataFrame =
+    // r19: delegates to the order-N tower — the fold at n = 3 is this
+    // docstring's p3/p2 expression term for term (ctx ≡ ctxs(3),
+    // cont2 ≡ frames(2), mid ≡ ctxs(2), cont1 ≡ frames(1), tt ≡ tt;
+    // NgramKNSpec pins the equivalence, TextAnalysisSpec the
+    // hand-computed values), with the one-shuffle tower plan
+    ngramScoreKN(df, idCol, textCol, order = 3, discount)
+      .withColumnRenamed("n_ngrams", "n_trigrams")
 
   /** Per-document n-gram TYPE counts (idCol, w1..wn, tf) for any order
     * n in [2, 8] — the order-N generalization of [[docBigramCounts]] /
@@ -542,7 +501,34 @@ object TextAnalysis {
     * n·(len−n+1) struct fills both engines pay — no per-element
     * re-evaluation of anything corpus-sized (the r17 HOF rule). */
   def docNgramCounts(df: DataFrame, idCol: String, textCol: String,
-      n: Int): DataFrame = {
+      n: Int): DataFrame =
+    docNgramCountsBy(df, idCol, textCol, n, partitionByTail = false)
+
+  /** [[docNgramCounts]] with a choice of shuffle key. With
+    * `partitionByTail` the exploded gram rows are hash-partitioned by
+    * `w_{n-1}` BEFORE the per-doc rollup — the rollup's own
+    * ClusteredDistribution on (id, w1..wn) is then already satisfied
+    * (a hash partitioning on a SUBSET of the grouping key clusters
+    * every group), so the per-doc aggregate adds no second exchange,
+    * and — the point — every downstream tower frame the KN scorers
+    * derive (level frames keyed on gram suffixes, context frames keyed
+    * on w_{i}..w_{n-1}) contains w_{n-1} in its key too, making the
+    * whole tower exchange-free off this ONE corpus-scale shuffle
+    * (guide §2.4: share one exchange across same-keyed operations).
+    * w_{n-1} rather than w_n because context keys end at w_{n-1};
+    * only the unigram continuation frame (keyed on w_n alone) falls
+    * outside, and that frame is vocabulary-sized — its join is
+    * broadcast. Trade-off, documented for the 100 TB posture: keying
+    * a corpus-scale shuffle by ONE word position concentrates hot
+    * tokens (a Zipf head word owns its partition) where the (id,
+    * gram) key spreads them; the r19 measurement shows the 10+
+    * avoided exchanges dominate that skew by a wide margin at both
+    * bench scales, and per-partition load stays bounded by the
+    * corpus's max single-token frequency share. Streaming per-batch
+    * folds keep the default key (batches are small; their state join
+    * is keyed elsewhere). */
+  private[graft] def docNgramCountsBy(df: DataFrame, idCol: String,
+      textCol: String, n: Int, partitionByTail: Boolean): DataFrame = {
     require(n >= 2 && n <= 8,
       s"docNgramCounts: n must be in [2, 8], got $n")
     val ws = (1 to n).map(k => s"w$k")
@@ -552,8 +538,11 @@ object TextAnalysis {
     val gram = transform(sequence(lit(1), size(col("__tk")) - n + 1),
       i => struct(ws.zipWithIndex.map { case (w, k) =>
         element_at(col("__tk"), i + k).as(w) }: _*))
-    toks.select(col(idCol), explode(gram).as("__g"))
+    val rows = toks.select(col(idCol), explode(gram).as("__g"))
       .select(col(idCol) +: ws.map(w => col(s"__g.$w").as(w)): _*)
+    val keyed =
+      if (partitionByTail) rows.repartition(col(s"w${n - 1}")) else rows
+    keyed
       .groupBy(col(idCol) +: ws.map(col): _*)
       .agg(count(lit(1)).as("tf"))
   }
@@ -590,7 +579,24 @@ object TextAnalysis {
       s"ngramScoreKN: order must be in [2, 5], got $order")
     val n = order
     def ws(from: Int, to: Int): Seq[String] = (from to to).map(k => s"w$k")
-    val tf = docNgramCounts(df, idCol, textCol, n).localCheckpoint()
+    // ONE reused corpus-scale exchange, keyed on w_{n-1} (see
+    // docNgramCountsBy): every tower groupBy and every tower join key
+    // below contains w_{n-1}, so off this exchange the whole assembly
+    // is exchange-free — except the vocabulary-sized unigram frame
+    // (keyed on w_n), which is broadcast. The multi-consumer sharing
+    // that localCheckpoint used to provide comes from exchange reuse
+    // instead (AQE stage-caches the identical exchange subtree; a
+    // checkpoint would DROP the partitioning — LogicalRDD under AQE
+    // reports unknown partitioning, which is exactly the 26-exchange
+    // r18 plan this replaces). Joins are hinted shuffle-hash:
+    // co-partitioned inputs need no exchange either way, but
+    // sort-merge would re-SORT the accumulated top-order frame on a
+    // different key per level (guide §3.1 — hash beats merge when one
+    // side is per-partition small).
+    val tf = docNgramCountsBy(df, idCol, textCol, n,
+      partitionByTail = true)
+      .localCheckpoint()
+      .repartition(col(s"w${n - 1}"))
     // the level tower: frames(n) = raw top-order type counts; each
     // frames(k) below it = continuation type counts over level k+1.
     // Grain of frames(k) is the SUFFIX (w_{n-k+1} .. w_n).
@@ -610,9 +616,13 @@ object TextAnalysis {
     val tt = frames(2).agg(count(lit(1)).as("__tt"))
     val d = lit(discount)
     val joined = ((n - 1) to 1 by -1)
-      .foldLeft(frames(n).join(ctxs(n), ws(1, n - 1))) { (acc, k) =>
-        val withFrame = acc.join(frames(k), ws(n - k + 1, n))
-        if (k >= 2) withFrame.join(ctxs(k), ws(n - k + 1, n - 1))
+      .foldLeft(frames(n)
+        .join(ctxs(n), ws(1, n - 1))) { (acc, k) =>
+        val withFrame =
+          if (k == 1) acc.join(frames(1), ws(n, n))
+          else acc.join(frames(k), ws(n - k + 1, n))
+        if (k >= 2)
+          withFrame.join(ctxs(k), ws(n - k + 1, n - 1))
         else withFrame
       }
       .crossJoin(broadcast(tt))
@@ -643,7 +653,7 @@ object TextAnalysis {
     * word-grain shuffle past the per-doc frame. */
   def ngramCounts(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
-    docNgramCounts(df, idCol, textCol, n)
+    docNgramCountsBy(df, idCol, textCol, n, partitionByTail = true)
       .groupBy((1 to n).map(k => col(s"w$k")): _*)
       .agg(sum("tf").as("cn"))
 
@@ -707,9 +717,17 @@ object TextAnalysis {
           "pruned (N1+(..) = 0) — lower the prune thresholds"))
         .cast("long")).otherwise(col("__tt0")).as("__tt"))
     val d = lit(discount)
+    // co-partitioned tower assembly (see ngramScoreKN): every join key
+    // here contains w_{n-1} except the vocabulary-sized unigram frame,
+    // which broadcasts; shuffle-hash hints keep the accumulated frame
+    // unsorted (left-outer SHJ builds the hinted right side)
     val joined = ((n - 1) to 1 by -1)
-      .foldLeft(top.join(ctxs(n), ws(1, n - 1), "left")) { (acc, k) =>
-        val withFrame = acc.join(frames(k), ws(n - k + 1, n), "left")
+      .foldLeft(top
+        .join(ctxs(n), ws(1, n - 1), "left")) {
+        (acc, k) =>
+        val withFrame =
+          if (k == 1) acc.join(frames(1), ws(n, n), "left")
+          else acc.join(frames(k), ws(n - k + 1, n), "left")
         if (k >= 2) withFrame.join(ctxs(k), ws(n - k + 1, n - 1), "left")
         else withFrame
       }
@@ -778,13 +796,20 @@ object TextAnalysis {
     requirePruneVec(order, prune)
     val n = order
     def ws(from: Int, to: Int): Seq[String] = (from to to).map(k => s"w$k")
-    val tf = docNgramCounts(df, idCol, textCol, n).localCheckpoint()
+    val tf = docNgramCountsBy(df, idCol, textCol, n,
+      partitionByTail = true)
+      .localCheckpoint()
+      .repartition(col(s"w${n - 1}"))
     // ONE corpus type frame serves both the pruned model top (filter)
     // and the scored universe (null-marking projection) — no join
-    // between them, the q149e plan shape
+    // between them, the q149e plan shape. Materialized once (it feeds
+    // the whole tower through both downstream frames), then re-keyed
+    // to w_{n-1} so the tower stays exchange-free (the checkpoint
+    // drops the partitioning; the repartition restores it).
     val fAll = tf.groupBy(ws(1, n).map(col): _*)
       .agg(sum("tf").as("__call"))
       .localCheckpoint()
+      .repartition(col(s"w${n - 1}"))
     val topFrame = fAll.filter(col("__call") >= prune(n - 1))
       .select(ws(1, n).map(col) :+ col("__call").as(s"__c$n"): _*)
     val top = fAll.select(ws(1, n).map(col) :+
@@ -840,12 +865,19 @@ object TextAnalysis {
         counts.columns.contains("cn"),
       s"ngramScoreKNFrom: counts must carry (w1..w$n, cn), " +
         s"got ${counts.columns.mkString(", ")}")
-    val tf = docNgramCounts(df, idCol, textCol, n).localCheckpoint()
-    // the model frame feeds the whole tower — materialize it once
-    // (the q179 discipline; a raw fit plan would re-pay its source
-    // scan per tower level)
+    val tf = docNgramCountsBy(df, idCol, textCol, n,
+      partitionByTail = true)
+      .localCheckpoint()
+      .repartition(col(s"w${n - 1}"))
+    // the model frame feeds the whole tower — share it through ONE
+    // reused model-scale exchange (the q179 materialize-once
+    // discipline, now via exchange reuse: a raw fit plan would
+    // re-pay its source scan per tower level, and a checkpoint would
+    // drop the partitioning), re-keyed to the scorer's w_{n-1}
+    // partitioning so the tower joins stay exchange-free
     val cnts = counts.select(ws(1, n).map(col) :+ col("cn"): _*)
       .localCheckpoint()
+      .repartition(col(s"w${n - 1}"))
     val topFrame = cnts.filter(col("cn") >= pv(n - 1))
       .select(ws(1, n).map(col) :+ col("cn").as(s"__c$n"): _*)
     val types = tf.select(ws(1, n).map(col): _*).distinct()
@@ -890,7 +922,13 @@ object TextAnalysis {
       s"ngramScoreKNMod: order must be in [2, 5], got $order")
     val n = order
     def ws(from: Int, to: Int): Seq[String] = (from to to).map(k => s"w$k")
-    val tf = docNgramCounts(df, idCol, textCol, n).localCheckpoint()
+    // co-partitioned tower (see ngramScoreKN): one reused
+    // w_{n-1}-keyed corpus exchange, exchange-free tower, broadcast
+    // unigram frame
+    val tf = docNgramCountsBy(df, idCol, textCol, n,
+      partitionByTail = true)
+      .localCheckpoint()
+      .repartition(col(s"w${n - 1}"))
     val frames = scala.collection.mutable.Map[Int, DataFrame]()
     frames(n) = tf.groupBy(ws(1, n).map(col): _*)
       .agg(sum("tf").as(s"__c$n"))
@@ -918,9 +956,13 @@ object TextAnalysis {
     }.toMap
     val tt = frames(2).agg(count(lit(1)).as("__tt"))
     val joined0 = ((n - 1) to 1 by -1)
-      .foldLeft(frames(n).join(ctxs(n), ws(1, n - 1))) { (acc, k) =>
-        val withFrame = acc.join(frames(k), ws(n - k + 1, n))
-        if (k >= 2) withFrame.join(ctxs(k), ws(n - k + 1, n - 1))
+      .foldLeft(frames(n)
+        .join(ctxs(n), ws(1, n - 1))) { (acc, k) =>
+        val withFrame =
+          if (k == 1) acc.join(frames(1), ws(n, n))
+          else acc.join(frames(k), ws(n - k + 1, n))
+        if (k >= 2)
+          withFrame.join(ctxs(k), ws(n - k + 1, n - 1))
         else withFrame
       }
       .crossJoin(broadcast(tt))
@@ -991,55 +1033,16 @@ object TextAnalysis {
     * map-side over one corpus count shuffle. Returns
     * (idCol, n_bigrams, n_oov, avg_nll, ppl), rounded at 4. */
   def bigramScoreKNFrom(df: DataFrame, idCol: String, textCol: String,
-      counts: DataFrame, discount: Double = 0.75): DataFrame = {
-    val tf = docBigramCounts(df, idCol, textCol)
-      .localCheckpoint()
-    // the model frame feeds FOUR consumers (ctx, cont, tt, the scoring
-    // join) — materialize it once, the q149 tf discipline; without
-    // this a model fit passed as a raw plan re-pays its source scan
-    // and count shuffle per consumer
-    val cb = counts.select(col("w1"), col("w2"), col("cb").as("__cb"))
-      .localCheckpoint()
-    val ctx = cb.groupBy("w1").agg(sum("__cb").as("__ctx"),
-      count(lit(1)).as("__n1f"))
-    val cont = cb.groupBy("w2").agg(count(lit(1)).as("__n1b"))
-    val tt = cb.agg(count(lit(1)).as("__tt"))
-    val d = lit(discount)
-    // floored continuation mass: a seen w2 keeps N1+(·w2)/types, an
-    // unseen w2 gets exactly the 1/types minimum — so the backoff term
-    // is never zero (a seen context with an unseen successor would
-    // otherwise score p = 0 → infinite NLL)
-    val pcont =
-      when(col("__n1b").isNotNull,
-        col("__n1b").cast("double") / col("__tt"))
-      .otherwise(lit(1.0) / col("__tt"))
-    val p =
-      when(col("__ctx").isNotNull,
-        greatest(coalesce(col("__cb"), lit(0L)) - d, lit(0.0))
-          / col("__ctx") +
-        (d * col("__n1f") / col("__ctx")) * pcont)
-      .otherwise(pcont)
-    val scored = tf
-      .join(cb, Seq("w1", "w2"), "left")
-      .join(ctx, Seq("w1"), "left")
-      .join(cont, Seq("w2"), "left")
-      .crossJoin(broadcast(tt))
-      .select(col(idCol), col("tf"),
-        (col("tf") * -log(p)).as("__nll"),
-        when(col("__cb").isNull, col("tf")).otherwise(lit(0L))
-          .as("__oovtf"))
-      .groupBy(idCol).agg(
-        sum("tf").as("n_bigrams"),
-        sum("__oovtf").as("n_oov"),
-        (sum("__nll") / sum("tf")).as("__avg"))
-    df.select(col(idCol))
-      .join(scored, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
-        round(coalesce(col("__avg"), lit(0.0)), 4).as("avg_nll"),
-        round(exp(coalesce(col("__avg"), lit(0.0))), 4).as("ppl"))
-  }
+      counts: DataFrame, discount: Double = 0.75): DataFrame =
+    // r19: delegates to the order-N external tower at n = 2 with the
+    // all-ones (no-op) prune — value-identical per class (w1 seen /
+    // unseen, w2 seen / unseen: the docstring's expression is the
+    // tower fold's per-level fall-through at n = 2; NgramKNSpec pins
+    // it modulo the count column name), with the co-partitioned
+    // one-shuffle plan
+    ngramScoreKNFrom(df, idCol, textCol, 2,
+      counts.select(col("w1"), col("w2"), col("cb").as("cn")), discount = discount)
+      .withColumnRenamed("n_ngrams", "n_bigrams")
 
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
     * Extracting High Quality Monolingual Datasets from Web Crawl

@@ -87,6 +87,49 @@ class LangClassifierSpec extends AnyFunSuite {
       LangClassifier.fingerprint(m3))
   }
 
+  test("fused featurizer is vector-identical to the declarative " +
+      "HashingTF chain (r19 parity pin)") {
+    // edge inventory: plain ascii, whitespace runs (tab/newline),
+    // uppercase (lower), multi-byte code points (é, 汉, astral 𝄞 —
+    // code-point substring semantics), exactly-minN/under-minN
+    // lengths, truncation at maxChars, null, empty
+    val docs = Seq(
+      (1L, "The quick brown fox jumps over the lazy dog"),
+      (2L, "  spaced\t\tout\n\nwhitespace   runs  "),
+      (3L, "MiXeD CaSe AbCdE"),
+      (4L, "école déjà vu naïve"),
+      (5L, "汉字漢字 mixed 文字 ascii"),
+      (6L, "astral 𝄞 clef 𝄞 twice"),
+      (7L, "ab"), (8L, "a"), (9L, ""), (10L, null: String),
+      (11L, ("longdoc " * 300).trim)) // > maxChars, exercises truncation
+      .toDF("id", "t")
+    for (maxChars <- Seq(40, 400); minN <- Seq(2); maxN <- Seq(2, 4)) {
+      val fused = LangClassifier.featurize(docs, "t", 512, minN, maxN,
+          maxChars)
+        .select(col("id"), col("features")).as[(Long, org.apache.spark
+          .ml.linalg.Vector)].collect().toMap
+      val ref = LangClassifier.featurizeReference(docs, "t", 512, minN,
+          maxN, maxChars)
+        .select(col("id"), col("features")).as[(Long, org.apache.spark
+          .ml.linalg.Vector)].collect().toMap
+      assert(fused.keySet === ref.keySet)
+      for (id <- ref.keys) assert(fused(id) === ref(id),
+        s"doc $id (maxChars=$maxChars, maxN=$maxN): fused vector " +
+          "diverges from the HashingTF chain")
+    }
+    // and on the real corpus slice at oracle scale
+    val corpus = graft.sources.Tables(spark, "/root/testdata/sf0.01",
+      "documents")
+    val f = LangClassifier.featurize(corpus, "text", 4096, 2, 4, 400)
+      .select(col("doc_id"), col("features")).as[(Long, org.apache.spark
+        .ml.linalg.Vector)].collect().toMap
+    val r = LangClassifier.featurizeReference(corpus, "text", 4096, 2, 4,
+        400)
+      .select(col("doc_id"), col("features")).as[(Long, org.apache.spark
+        .ml.linalg.Vector)].collect().toMap
+    assert(f === r)
+  }
+
   test("charNgrams: range, boundaries, null safety") {
     val df = Seq(("ab cd", 1L), (null: String, 2L)).toDF("t", "id")
       .withColumn("__nrm", LangClassifier.normalizeText(col("t"), 1000))
