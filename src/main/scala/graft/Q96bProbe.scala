@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Dev probe: bisect q96b's audit-form profiler cost by timing the
+  * wide aggregate with each expression family removed. Not part of
+  * the driver contract. */
+object Q96bProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val spark = GraftSession.local(
+      math.min(32, Runtime.getRuntime.availableProcessors()))
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    val df = graft.sources.Tables(spark, sfDir, "documents")
+    val cs = df.columns.toSeq
+    def time(label: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      f
+      println(f"[q96b] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    def run(tag: String, exact: Boolean, approxNd: Boolean,
+        pct: Boolean, scalars: Boolean): Unit = time(tag) {
+      val structs = cs.map { c =>
+        val numeric = df.schema(c).dataType
+          .isInstanceOf[org.apache.spark.sql.types.NumericType]
+        val base =
+          if (scalars) Seq(lit(c).as("colname"),
+            count(lit(1)).as("n_rows"),
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+            min(col(c)).cast("string").as("min_val"),
+            max(col(c)).cast("string").as("max_val"))
+          else Seq(lit(c).as("colname"), count(lit(1)).as("n_rows"))
+        val nd =
+          (if (exact) Seq(countDistinct(col(c)).as("nd")) else Nil) ++
+          (if (approxNd)
+            Seq(approx_count_distinct(col(c), 0.02).as("nda")) else Nil)
+        val q =
+          if (pct && numeric) Seq(
+            expr(s"percentile(`$c`, array(0.49D, 0.5D, 0.51D, " +
+              "0.94D, 0.95D, 0.96D))").as("grid"),
+            percentile_approx(col(c), lit(0.5), lit(10000)).as("a50"),
+            percentile_approx(col(c), lit(0.95), lit(10000)).as("a95"))
+          else Nil
+        struct(base ++ nd ++ q: _*).as(s"__p_$c")
+      }
+      df.agg(structs.head, structs.tail: _*)
+        .write.format("noop").mode("overwrite").save()
+    }
+    for (_ <- 1 to 2) {
+      run("all", exact = true, approxNd = true, pct = true,
+        scalars = true)
+      run("no exact distinct", exact = false, approxNd = true,
+        pct = true, scalars = true)
+      run("no approx distinct", exact = true, approxNd = false,
+        pct = true, scalars = true)
+      run("no percentiles", exact = true, approxNd = true, pct = false,
+        scalars = true)
+      run("scalars only", exact = false, approxNd = false, pct = false,
+        scalars = true)
+      run("count only", exact = false, approxNd = false, pct = false,
+        scalars = false)
+    }
+    spark.stop()
+  }
+}

@@ -71,8 +71,15 @@ object Centrality {
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 5, damping: Double = 0.85,
       teleport: Option[DataFrame] = None): DataFrame = {
+    // r19: materialize the edge frame once — the setup below runs
+    // THREE separate actions over it before any cache exists (the
+    // node count, the dangling probe, the first iteration's cache
+    // build), each re-paying the caller's edge-extraction plan; the
+    // checkpoint matches the existing eWithDeg/nodes cache posture
+    // (edge-frame-sized state, already accepted at scale)
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
+      .localCheckpoint()
 
     // out-degree folded into the edge frame once; partitioned by src
     // so each round's rank join is the only exchange that moves data

@@ -106,9 +106,17 @@ object Profile {
         max(col(c)).cast("string").as("max_val"))
       val tail =
         if (auditBounds) Seq(
-          countDistinct(col(c)).as("n_distinct"),
-          (abs(approx_count_distinct(col(c), rsd) - countDistinct(col(c)))
-            <= countDistinct(col(c)) * (3 * rsd)).as("nd_ok"))
+          // r19: the exact distinct is computed OUTSIDE this
+          // aggregate (stacked value shuffle below, the q96 shape)
+          // and joined back — a countDistinct here forces the
+          // Expand-based distinct rewrite, whose intermediate grain
+          // is (group, value): every HLL sketch and percentile
+          // buffer in this aggregate is then carried once PER
+          // DISTINCT VALUE instead of once per column (measured 6.8 s
+          // vs 0.5 s warm at sf0.1 — Q96bProbe bisects it). Only the
+          // HLL estimate stays in-scan; nd/nd_ok assemble after the
+          // join, same values.
+          approx_count_distinct(col(c), rsd).as("__nda"))
         else Seq(
           approx_count_distinct(col(c), rsd).as("n_distinct_approx"))
       // numeric quantiles: p50/p95. Fast path reports the KLL-sketch
@@ -131,14 +139,25 @@ object Profile {
         else if (auditBounds) {
           val a50 = percentile_approx(col(c), lit(0.5), lit(10000))
           val a95 = percentile_approx(col(c), lit(0.95), lit(10000))
-          def exact(q: Double) = expr(s"percentile(`$c`, $q)")
+          // r19: ONE exact-percentile buffer per column — the six
+          // grid points (the two reported quantiles + the four
+          // envelope bounds) come from a single
+          // `percentile(c, array(...))` aggregate, where six separate
+          // calls each buffered and sorted the whole column
+          // independently (six TypedImperative states per numeric
+          // column). Identical values: the array form evaluates every
+          // percentage over the same sorted counts map, and the
+          // literals are the same doubles.
+          val grid = expr(s"percentile(`$c`, " +
+            "array(0.49D, 0.5D, 0.51D, 0.94D, 0.95D, 0.96D))")
+          def g(i: Int) = element_at(grid, i)
           Seq(
-            round(exact(0.5), 4).as("p50"),
-            round(exact(0.95), 4).as("p95"),
-            (a50.cast("double") >= exact(0.49) &&
-              a50.cast("double") <= exact(0.51)).as("p50_ok"),
-            (a95.cast("double") >= exact(0.94) &&
-              a95.cast("double") <= exact(0.96)).as("p95_ok"))
+            round(g(2), 4).as("p50"),
+            round(g(5), 4).as("p95"),
+            (a50.cast("double") >= g(1) &&
+              a50.cast("double") <= g(3)).as("p50_ok"),
+            (a95.cast("double") >= g(4) &&
+              a95.cast("double") <= g(6)).as("p95_ok"))
         } else Seq(
           percentile_approx(col(c), lit(0.5), lit(10000))
             .cast("double").as("p50_approx"),
@@ -146,9 +165,33 @@ object Profile {
             .cast("double").as("p95_approx"))
       struct(base ++ tail ++ qtail: _*).as(s"__pa_$c")
     }
-    df.agg(structs.head, structs.tail: _*)
+    val scan = df.agg(structs.head, structs.tail: _*)
       .select(explode(array(cs.map(c => col(s"__pa_$c")): _*)).as("p"))
       .select("p.*")
+    if (!auditBounds) scan
+    else {
+      // exact distinct per column via ONE stacked value shuffle (no
+      // Expand — see the __nda note above); all-null columns have no
+      // value rows and zero-fill through the left join, countDistinct
+      // semantics exactly
+      val stackExpr = s"stack(${cs.length}, " +
+        cs.map(c => s"'$c', cast(`$c` as string)").mkString(", ") +
+        ") as (colname, val)"
+      val nd = df.select(expr(stackExpr))
+        .filter(col("val").isNotNull)
+        .select("colname", "val").distinct()
+        .groupBy("colname").agg(count(lit(1)).as("__nd"))
+      val out = scan.join(nd, Seq("colname"), "left")
+        .withColumn("n_distinct", coalesce(col("__nd"), lit(0L)))
+        .withColumn("nd_ok",
+          abs(col("__nda") - col("n_distinct")) <=
+            col("n_distinct") * (3 * rsd))
+      // restore the audit-form column order (colname, counts, extrema,
+      // n_distinct, nd_ok, quantiles)
+      out.select(col("colname"), col("n_rows"), col("n_null"),
+        col("min_val"), col("max_val"), col("n_distinct"), col("nd_ok"),
+        col("p50"), col("p95"), col("p50_ok"), col("p95_ok"))
+    }
   }
 
   /** The DuckDB replay of [[tableProfileApprox]]: exact aggregates +

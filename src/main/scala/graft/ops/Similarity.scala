@@ -420,6 +420,81 @@ object Similarity {
         col("col.t1").as("cid"), round(col("col.score"), 4).as("sim"))
       .orderBy("qid", "rn")
 
+  /** The q123 storage-tier eval's two top-k frames — exact (float)
+    * ground truth and the int8 quantize→dequantize round-trip — from
+    * ONE corpus scan. The r18 form ran [[cosineTopK]] twice (once on
+    * the raw vectors, once on the round-tripped ones): two full
+    * parquet scans + two broadcast joins + two dot-product passes
+    * over the corpus for ten queries each. Here each corpus row
+    * produces BOTH vector forms in one projection, one broadcast join
+    * carries both query panels, and one grouped aggregation folds
+    * both bounded heaps. [[topKPerQuery]]'s per-tier NaN/null drop is
+    * replayed by SENTINEL rows instead of a pre-filter (the tiers
+    * share one aggregation but differ in which rows are valid): an
+    * invalid row enters its tier's heap as (−∞, Long.MaxValue, t2=1),
+    * which ranks strictly below every valid candidate (valid cosines
+    * are finite — NaN is the invalid case itself), so sentinels only
+    * ever occupy a TRAILING slice of the sorted heap and the explode
+    * drops them on the t2 marker; the surviving prefix is
+    * row-identical to filter-then-aggregate (the q123 oracle pins
+    * it). The ten-row heap frame is materialized before splitting so
+    * the corpus scan runs once, not once per consumer.
+    * Returns (truth, approx), each shaped (qid, rn, cid, sim). */
+  def int8TierTopK(df: DataFrame, idCol: String, vecCol: String,
+      nQueries: Int = 10, k: Int = 5): (DataFrame, DataFrame) = {
+    val mn = col("vmin")
+    val mx = col("vmax")
+    val base = df.select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .select(col(idCol), col("v"), array_min(col("v")).as("vmin"),
+        array_max(col("v")).as("vmax"))
+      .select(col(idCol), col("v"),
+        when(mx > mn,
+          transform(col("v"), x =>
+            floor((x - mn) * lit(255.0) / (mx - mn) + lit(0.5))
+              .cast("int")))
+          .otherwise(transform(col("v"), _ => lit(0))).as("q"), mn, mx)
+      .select(col(idCol), col("v"),
+        transform(col("q"), q =>
+          mn + q.cast("double") * (mx - mn) / lit(255.0)).as("vd"))
+      .select(col(idCol), col("v"),
+        asDouble(col("vd")).as("vd"))
+      .select(col(idCol), col("v"), col("vd"),
+        norm(col("v")).as("nrm"), norm(col("vd")).as("nrmd"))
+    val queries = base.filter(col(idCol) < nQueries)
+      .select(col(idCol).as("qid"), col("v").as("qv"), col("vd").as("qvd"),
+        col("nrm").as("qn"), col("nrmd").as("qnd"))
+    val corpus = base.filter(col(idCol) >= nQueries)
+      .select(col(idCol).as("cid"), col("v").as("cv"), col("vd").as("cvd"),
+        col("nrm").as("cn"), col("nrmd").as("cnd"))
+    val sims = corpus.join(broadcast(queries))
+      .select(col("qid"), col("cid"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("sim_t"),
+        (dot(col("qvd"), col("cvd")) / (col("qnd") * col("cnd")))
+          .as("sim_d"))
+    import graft.functions.TopKAgg
+    def heap(s: Column): Column = {
+      val ok = s.isNotNull && !isnan(s) && col("cid").isNotNull
+      TopKAgg.topK(
+        when(ok, s).otherwise(lit(Double.NegativeInfinity)),
+        when(ok, col("cid")).otherwise(lit(Long.MaxValue)),
+        when(ok, lit(0L)).otherwise(lit(1L)), k)
+    }
+    val heaps = sims.groupBy("qid")
+      .agg(heap(col("sim_t")).as("__ht"), heap(col("sim_d")).as("__hd"))
+      .localCheckpoint() // nQueries rows — the split below must not
+                         // re-run the corpus scan per consumer
+    def explodeHeap(h: String): DataFrame = heaps
+      .select(col("qid"), posexplode(col(h)))
+      // sentinels are a trailing slice (see scaladoc), so the
+      // surviving positions stay contiguous from 0 and rn matches the
+      // filtered-first form
+      .filter(col("col.t2") === 0)
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rn"),
+        col("col.t1").as("cid"), round(col("col.score"), 4).as("sim"))
+      .orderBy("qid", "rn")
+    (explodeHeap("__ht"), explodeHeap("__hd"))
+  }
+
   /** Deterministic random-hyperplane signature: `planes` sign bits packed
     * into an int. Hyperplanes are generated driver-side from a fixed seed
     * and inlined as literals (tiny: planes × dim doubles).

@@ -2082,8 +2082,15 @@ object ScaleQueries {
     // exact_dup, resize/clip/splice → near_dup, magic-less junk →
     // undecodable, under-gate minis → too_small — all closed-form
     "q130_media_manifest" -> ((s, dir) => {
+      // r19: the synthetic payload builder feeds four modality slices
+      // and each slice several consumers (meta decode, gate join,
+      // exact dedup, near-dup) — materialize the bounded (300-doc)
+      // fixture once instead of re-synthesizing per consumer. A real
+      // deployment reads media from storage, where per-consumer
+      // re-reads are columnar scans, not codec work.
       val corpus = graft.ops.Multimodal.syntheticMixedMediaCorpus(
         t(s, dir, "documents").filter(col("doc_id") < 300), "doc_id")
+        .localCheckpoint()
       graft.ops.MediaCuration.curateMedia(corpus, "id",
         minWidth = 10, minHeight = 8, minAudioFrames = 1024L,
         minVideoFrames = 2, nearMaxId = 300L)
@@ -2320,13 +2327,11 @@ object ScaleQueries {
     // full-precision baseline this is the storage-tier tradeoff table
     // (float32 / int8 / 16-dim prefix) computed entirely in-engine
     "q123_int8_recall" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val truth = Similarity.cosineTopK(emb, "vec_id", "embedding",
-        nQueries = 10, k = 5)
-      val deq = Similarity.quantizeInt8(emb, "vec_id", "embedding")
-        .select(col("vec_id"),
-          Similarity.dequantizeInt8("q", "vmin", "vmax").as("vec"))
-      val approx = Similarity.cosineTopK(deq, "vec_id", "vec",
+      // r19: both tiers' heaps from ONE corpus scan (the previous
+      // form ran cosineTopK twice — two scans, two broadcast joins,
+      // two dot passes); heap contents row-identical (oracle + spec)
+      val (truth, approx) = Similarity.int8TierTopK(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
         nQueries = 10, k = 5)
       graft.ops.Eval.recallAtK(truth, approx, k = 5).orderBy("qid")
     }),
@@ -3169,9 +3174,16 @@ object ScaleQueries {
     // be indistinguishable from rebuilding.
     "q68_incremental_dedup" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      // r19: the in-plan state build (signature pass + clustering) is
+      // consumed twice inside the fold (oldSigReps + the relabel
+      // join) — materialize it once, the bigramScoreKNFrom
+      // discipline. A DEPLOYED fold reads the state from parquet
+      // (cheap re-read, no checkpoint needed) — this is the in-plan
+      // composition's cost only.
       val state = Dedup.corpusSigState(
         docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
         k = 8, bands = 2, minJaccard = 0.75)
+        .localCheckpoint()
       val grown = Dedup.corpusDedupIncremental(state,
         docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
         k = 8, bands = 2, minJaccard = 0.75)
@@ -3185,8 +3197,14 @@ object ScaleQueries {
     // re-elections) without ever re-reading surviving text
     "q144_dedup_takedown" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      // r19: the full-corpus state build feeds THREE consumers inside
+      // the takedown (touched / untouched / survivors) — without the
+      // checkpoint the whole signature+clustering plan re-executed
+      // per consumer (the q68 note applies: deployed takedowns read
+      // parquet state; this prices the in-plan composition)
       val state = Dedup.corpusSigState(docs, "doc_id", "text",
         k = 8, bands = 2, minJaccard = 0.75)
+        .localCheckpoint()
       val applied = Dedup.sigStateApplyTombstones(state,
         docs.filter(col("doc_id") % 5 === 0).select("doc_id"),
         k = 8, bands = 2, minJaccard = 0.75)

@@ -17,11 +17,70 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    name match {
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = name match {
       case "events" => events(spark, dir)
       case n        => spark.read.parquet(s"$dir/$n.parquet")
     }
+    // widen only the TEXT table: its consumers are the map-heavy
+    // operators (tokenization, scrubs, signatures, synthetic codecs)
+    // where one-task scans serialize real per-row work — measured
+    // −0.5…−2.7 s per row across the q58b/q75/q97/q109/q110/q142/
+    // q143b/q180-family bench rows. The relational/vector tables'
+    // consumers are aggregation/join-shaped (partial aggregation
+    // tolerates a narrow scan) and the blanket form taxed their cheap
+    // rows ~+0.3…0.8 s each (q102/q16/q52b A/B) for no map-side win.
+    if (name == "documents")
+      widenDeficientScan(spark, s"$dir/$name.parquet", df)
+    else df
+  }
+
+  /** Scan-parallelism floor for SMALL single-split tables (r19).
+    *
+    * Parquet's split unit is the row group, and this benchmark's
+    * testdata ships every table as ONE file with ONE row group
+    * (TESTDATA.md layout note, carried since r18) — so every scan is
+    * a single task and ALL downstream map-side work (tokenization,
+    * scrubs, signatures, codecs) serializes on one core regardless of
+    * cluster width. `spark.sql.files.minPartitionNum` cannot help: it
+    * only shrinks split byte ranges, and a row group never splits.
+    *
+    * Remedy: when the whole table fits in one split (total bytes
+    * under `files.maxPartitionBytes`) and the session has real
+    * parallelism, append one explicit round-robin repartition sized
+    * ~64 KiB/partition (capped at defaultParallelism). The exchange
+    * moves at most one split of bytes — noise — and unlocks the
+    * cluster for every map-heavy operator above it. Scale posture: a
+    * 100 TB table never qualifies (its scans split naturally); a
+    * table that DOES qualify is dimension-sized, where the exchange
+    * is free. Determinism: Spark's sort-before-repartition keeps the
+    * row→partition assignment reproducible, and only file SIZES are
+    * cached per session (metadata, never data or results). */
+  private val scanBytesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private def widenDeficientScan(spark: SparkSession, path: String,
+      df: DataFrame): DataFrame = {
+    val cores = spark.sparkContext.defaultParallelism
+    if (cores < 8) return df
+    val bytes = scanBytesCache.computeIfAbsent(path, { p =>
+      try {
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        java.lang.Long.valueOf(fs.getContentSummary(hp).getLength)
+      } catch { case _: Exception => java.lang.Long.valueOf(-1L) }
+    }).longValue()
+    val maxSplit = try
+      spark.conf.get("spark.sql.files.maxPartitionBytes",
+        (128L * 1024 * 1024).toString).toLong
+    catch { case _: NumberFormatException => 128L * 1024 * 1024 }
+    if (bytes <= 0 || bytes >= maxSplit) df
+    else {
+      val width = math.min(cores.toLong,
+        math.max(2L, bytes / (64L * 1024))).toInt
+      df.repartition(width)
+    }
+  }
 
   /** `events.parquet` has shipped with two physical layouts for `ts`:
     *
