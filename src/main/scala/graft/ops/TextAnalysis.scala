@@ -586,13 +586,14 @@ object TextAnalysis {
     // (keyed on w_n), which is broadcast. The multi-consumer sharing
     // that localCheckpoint used to provide comes from exchange reuse
     // instead (AQE stage-caches the identical exchange subtree; a
-    // checkpoint would DROP the partitioning — LogicalRDD under AQE
-    // reports unknown partitioning, which is exactly the 26-exchange
-    // r18 plan this replaces). Joins are hinted shuffle-hash:
-    // co-partitioned inputs need no exchange either way, but
-    // sort-merge would re-SORT the accumulated top-order frame on a
-    // different key per level (guide §3.1 — hash beats merge when one
-    // side is per-partition small).
+    // checkpoint alone would DROP the partitioning — LogicalRDD under
+    // AQE reports unknown partitioning — so it is followed by one
+    // cheap explicit repartition that re-establishes it for every
+    // consumer. Joins stay UNHINTED: Catalyst broadcasts the small
+    // tower frames at bench scale and falls back to co-partitioned
+    // (exchange-free) merge joins when a frame outgrows the
+    // threshold — forcing shuffle-hash was measured slower (per-task
+    // hash builds where one broadcast build serves all).
     val tf = docNgramCountsBy(df, idCol, textCol, n,
       partitionByTail = true)
       .localCheckpoint()

@@ -76,8 +76,15 @@ object Tables {
     catch { case _: NumberFormatException => 128L * 1024 * 1024 }
     if (bytes <= 0 || bytes >= maxSplit) df
     else {
+      // ~256 KiB per partition: wide enough to parallelize the
+      // map-heavy consumers (the win is 1 task → width), narrow
+      // enough that stage-DEEP chains (LSH banding, tokenizer
+      // encodes — 15+ stages over this scan) don't pay width×stages
+      // of task dispatch for map work they don't have (A/B'd at
+      // 64 KiB/26-way: q26/q80c/q140c carried a +0.7–1 s tax that
+      // the 256 KiB width retires while keeping the text-row wins)
       val width = math.min(cores.toLong,
-        math.max(2L, bytes / (64L * 1024))).toInt
+        math.max(2L, bytes / (256L * 1024))).toInt
       df.repartition(width)
     }
   }
