@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Dev probe: bisect the order-5 KN tower (q149d) — time each tower
+  * milestone under noop forcing, then dump per-stage task-time stats
+  * (max vs median = skew) from the status store. Not part of the
+  * driver contract. */
+object Q149dProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/tmp/sf1"
+    if (args.length > 1 && args(1) == "ui") {
+      // UI mode: run the declared q149d twice with the web UI up, then
+      // park so the REST API (localhost:4040) can be read from a shell
+      val s = GraftSession.builder(32).master("local[32]")
+        .config("spark.ui.enabled", "true").getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s.range(1000000).selectExpr("sum(id)").collect()
+      for (r <- 1 to 2) {
+        val t0 = System.nanoTime()
+        SparkEntry.queries("q149d_kn5_ppl")(s, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        println(f"[q149d] ui rep $r: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      println("[q149d] parked for REST reads")
+      Thread.sleep(180000)
+      s.stop()
+      return
+    }
+    val spark = GraftSession.local(
+      math.min(32, Runtime.getRuntime.availableProcessors()))
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    val docs = graft.sources.Tables(spark, sfDir, "documents")
+    val n = 5
+    def ws(from: Int, to: Int): Seq[String] = (from to to).map(k => s"w$k")
+    def time(label: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      f
+      println(f"[q149d] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    val intMode = args.length > 2 && args(2) == "int"
+    def gramsInt(): DataFrame = {
+      val wsn = (1 to n).map(k => s"w$k")
+      val toks = docs.select(col("doc_id"),
+          graft.ops.TextOps.wsTokens(col("text")).as("__tk"))
+        .filter(size(col("__tk")) >= n)
+        .select(col("doc_id"), transform(col("__tk"),
+          w => xxhash64(w)).as("__tk"))
+      val gram = transform(sequence(lit(1), size(col("__tk")) - n + 1),
+        i => struct(wsn.zipWithIndex.map { case (w, k) =>
+          element_at(col("__tk"), i + k).as(w) }: _*))
+      toks.select(col("doc_id"), explode(gram).as("__g"))
+        .select(col("doc_id") +: wsn.map(w => col(s"__g.$w").as(w)): _*)
+        .repartition(graft.ops.TextAnalysis.towerKey(n): _*)
+        .groupBy(col("doc_id") +: wsn.map(col): _*)
+        .agg(count(lit(1)).as("tf"))
+    }
+    for (rep <- 1 to (if (args.length > 1) args(1).toInt else 2)) {
+      println(s"=== rep $rep" + (if (intMode) " (int-encoded)" else ""))
+      var tf: DataFrame = null
+      time("tf build+checkpoint") {
+        tf = (if (intMode) gramsInt()
+          else graft.ops.TextAnalysis
+            .docNgramCountsBy(docs, "doc_id", "text", n,
+              partitionByTail = true))
+          .localCheckpoint()
+          .repartition(graft.ops.TextAnalysis.towerKey(n): _*)
+      }
+      var top: DataFrame = null
+      time("frames(5) agg+checkpoint") {
+        top = tf.groupBy(ws(1, n).map(col): _*)
+          .agg(sum("tf").as(s"__c$n"))
+          .localCheckpoint()
+          .repartition(graft.ops.TextAnalysis.towerKey(n): _*)
+      }
+      val frames = scala.collection.mutable.Map[Int, DataFrame]()
+      frames(n) = top
+      for (k <- (n - 1) to 1 by -1)
+        frames(k) = frames(k + 1)
+          .groupBy(ws(n - k + 1, n).map(col): _*)
+          .agg(count(lit(1)).as(s"__c$k"))
+      val ctxs = (2 to n).map { k =>
+        k -> frames(k).groupBy(ws(n - k + 1, n - 1).map(col): _*)
+          .agg(sum(s"__c$k").as(s"__den$k"), count(lit(1)).as(s"__nf$k"))
+      }.toMap
+      val tt = frames(2).agg(count(lit(1)).as("__tt"))
+      val d = lit(0.75)
+      val joined = ((n - 1) to 1 by -1)
+        .foldLeft(frames(n)
+          .join(ctxs(n), ws(1, n - 1))) { (acc, k) =>
+          val withFrame =
+            if (k == 1) acc.join(frames(1), ws(n, n))
+            else acc.join(frames(k), ws(n - k + 1, n))
+          if (k >= 2)
+            withFrame.join(ctxs(k), ws(n - k + 1, n - 1))
+          else withFrame
+        }
+        .crossJoin(broadcast(tt))
+      val p = (2 to n).foldLeft(
+        col("__c1").cast("double") / col("__tt")) { (lower, k) =>
+        greatest(col(s"__c$k") - d, lit(0.0)) / col(s"__den$k") +
+          (d * col(s"__nf$k") / col(s"__den$k")) * lower
+      }
+      val typeScore = joined.select(
+        ws(1, n).map(col) :+ (-log(p)).as("__t"): _*)
+      time("typeScore (join fold) noop") { noop(typeScore) }
+      val scored = tf.join(typeScore, ws(1, n))
+        .select(col("doc_id"), col("tf"),
+          (col("tf") * col("__t")).as("__nll"))
+        .groupBy("doc_id").agg(
+          sum("tf").as("n_ngrams"),
+          (sum("__nll") / sum("tf")).as("__avg"))
+      time("scored (tf join + doc agg) noop") { noop(scored) }
+      val full = docs.select(col("doc_id"))
+        .join(scored, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
+          round(coalesce(col("__avg"), lit(0.0)), 4).as("avg_nll"),
+          round(exp(coalesce(col("__avg"), lit(0.0))), 4).as("ppl"))
+      time("full (left join back) noop") { noop(full) }
+    }
+
+    // stage skew census: top stages by executor run time
+    // size + skew census: type-frame cardinalities per level and the
+    // per-partition spread of the w4-keyed layout
+    val tf2 = graft.ops.TextAnalysis
+      .docNgramCountsBy(docs, "doc_id", "text", n, partitionByTail = true)
+      .localCheckpoint()
+      .repartition(graft.ops.TextAnalysis.towerKey(n): _*)
+    println(s"tf rows = ${tf2.count()}")
+    val f5 = tf2.groupBy(ws(1, n).map(col): _*)
+      .agg(sum("tf").as("__c5")).localCheckpoint()
+    println(s"|5-gram types| = ${f5.count()}")
+    for (k <- 4 to 1 by -1)
+      println(s"|${k}-suffix types| = " +
+        f5.select(ws(n - k + 1, n).map(col): _*).distinct().count())
+    val parts = tf2.groupBy(spark_partition_id().as("p"))
+      .count().select("count").collect().map(_.getLong(0)).sorted
+    println(s"tf partitions: n=${parts.length} " +
+      s"min=${parts.head} med=${parts(parts.length / 2)} max=${parts.last}")
+    spark.stop()
+  }
+}

@@ -355,26 +355,32 @@ object TextAnalysis {
     * state's read is parity-pinned against. */
   def bigramCounts(df: DataFrame, idCol: String,
       textCol: String): DataFrame =
-    // r19: the w1-partitioned gram pass (same values, see
+    // r19: the tower-keyed gram pass (same values, see
     // docNgramCountsBy) makes both rollups share its one exchange
     docNgramCountsBy(df, idCol, textCol, 2, partitionByTail = true)
       .groupBy("w1", "w2").agg(sum("tf").as("cb"))
 
   def bigramScore(df: DataFrame, idCol: String, textCol: String,
       lambda: Double = 0.75): DataFrame = {
-    // r19: w1-partitioned gram pass — the cb/ctx rollups and the
+    // r19: tower-keyed hashed gram pass — the cb/ctx rollups and the
     // (w1,w2)/(w1) scoring joins all run exchange-free off tf's one
     // shuffle; the w2-keyed continuation frame is vocabulary-sized
     // and broadcasts (the ngramScoreKN tower discipline; values
     // unchanged — identical expression tree)
-    val tf = docNgramCountsBy(df, idCol, textCol, 2,
-        partitionByTail = true)
+    val (tfRaw, words) = docNgramCountsHashed(df, idCol, textCol, 2)
+    val tf = tfRaw
       .localCheckpoint()
-      .repartition(col("w1"))
+      .repartition(towerKey(2): _*)
+    // cb feeds FOUR consumers (ctx, cont, total, the scoring join);
+    // materialize the type frame once (see ngramScoreKN's frames(n))
     val cb = tf.groupBy("w1", "w2").agg(sum("tf").as("__cb"))
+      .localCheckpoint()
+      .repartition(towerKey(2): _*)
     val ctx = cb.groupBy("w1").agg(sum("__cb").as("__ctx"))
     val cont = cb.groupBy("w2").agg(sum("__cb").as("__cont"))
-    val total = cb.agg(sum("__cb").as("__tot"))
+    val total = cb.agg(sum("__cb").as("__tot0"))
+      .crossJoin(broadcast(hashGuard(words)))
+      .select(guardScalar(col("__tot0")).as("__tot"))
     val scored = tf.join(cb, Seq("w1", "w2"))
       .join(ctx, Seq("w1"))
       .join(cont, Seq("w2"))
@@ -515,18 +521,27 @@ object TextAnalysis {
     * on w_{i}..w_{n-1}) contains w_{n-1} in its key too, making the
     * whole tower exchange-free off this ONE corpus-scale shuffle
     * (guide §2.4: share one exchange across same-keyed operations).
-    * w_{n-1} rather than w_n because context keys end at w_{n-1};
-    * only the unigram continuation frame (keyed on w_n alone) falls
-    * outside, and that frame is vocabulary-sized — its join is
-    * broadcast. Trade-off, documented for the 100 TB posture: keying
-    * a corpus-scale shuffle by ONE word position concentrates hot
-    * tokens (a Zipf head word owns its partition) where the (id,
-    * gram) key spreads them; the r19 measurement shows the 10+
-    * avoided exchanges dominate that skew by a wide margin at both
-    * bench scales, and per-partition load stays bounded by the
-    * corpus's max single-token frequency share. Streaming per-batch
-    * folds keep the default key (batches are small; their state join
-    * is keyed elsewhere). */
+    * The key is the last TWO context positions (w_{n-2}, w_{n-1});
+    * (w1, w2) ≡ the full gram at n = 2. A single-word key is the
+    * guide §2.5 too-few-distinct-values trap: vocabulary values
+    * hashed into #partitions buckets leave most partitions EMPTY
+    * (measured r19 session 2: the sf1 corpus's 310-word vocabulary
+    * put the entire 2.5M-row order-5 tower in 7 of 32 partitions —
+    * ≤ 7 effective cores for every tower stage); the word PAIR has
+    * ~vocab² distinct values, which spreads any real corpus. Every
+    * corpus-scale tower operation keeps the pair in its key: level-k
+    * frames and context rollups key on suffixes starting at
+    * w_{n-k+1}, which contain (w_{n-2}, w_{n-1}) for every k ≥ 3 —
+    * and the k ≤ 2 frames that do NOT are vocabulary²-sized, so
+    * their exchanges move no real bytes and their joins broadcast.
+    * Streaming per-batch folds keep the default key (batches are
+    * small; their state join is keyed elsewhere). */
+  /** The tower's shuffle key (see [[docNgramCountsBy]]): the last two
+    * context positions (w_{n-2}, w_{n-1}); the full gram at n = 2. */
+  private[graft] def towerKey(n: Int): Seq[Column] =
+    if (n == 2) Seq(col("w1"), col("w2"))
+    else Seq(col(s"w${n - 2}"), col(s"w${n - 1}"))
+
   private[graft] def docNgramCountsBy(df: DataFrame, idCol: String,
       textCol: String, n: Int, partitionByTail: Boolean): DataFrame = {
     require(n >= 2 && n <= 8,
@@ -541,11 +556,71 @@ object TextAnalysis {
     val rows = toks.select(col(idCol), explode(gram).as("__g"))
       .select(col(idCol) +: ws.map(w => col(s"__g.$w").as(w)): _*)
     val keyed =
-      if (partitionByTail) rows.repartition(col(s"w${n - 1}")) else rows
+      if (partitionByTail) rows.repartition(towerKey(n): _*) else rows
     keyed
       .groupBy(col(idCol) +: ws.map(col): _*)
       .agg(count(lit(1)).as("tf"))
   }
+
+  /** HASH-ENCODED [[docNgramCountsBy]] for the KN/JM scorers (guide
+    * §2.3 "narrower types", §8 "shuffle keys, not payloads"): the
+    * scorers use words ONLY as grouping/join keys and never emit
+    * them, so each token is replaced by its xxhash64 (one fixed
+    * 8-byte key instead of a string) BEFORE the gram explode and the
+    * corpus shuffle — measured 2.5–3× off every downstream hash,
+    * sort, serialization and shuffle byte at sf1 (q149d stage
+    * census, r19 session 2). Exactness: grouping by an INJECTIVE
+    * image is identical to grouping by the words; injectivity over
+    * this corpus's vocabulary is ASSERTED IN-PLAN — `words` is the
+    * distinct-token frame, and [[hashGuard]] folds (n_words ==
+    * n_hashes) into a one-row frame each scorer threads into its
+    * broadcast base scalar (the q163b raise_error discipline), so a
+    * collision aborts the query loudly rather than merging two
+    * words' counts. 64-bit collision odds stay negligible into
+    * ~1e8-word vocabularies (~0.03% for any collision at 1e8, birthday
+    * bound), and the guard costs one vocabulary-grain aggregate over
+    * a partial-aggregated token distinct. Returns (grams, words):
+    * grams = (idCol, w1..wn: long, tf) hash-partitioned by
+    * [[towerKey]]; words = the distinct raw-token frame (callers
+    * union in any external model vocabulary before [[hashGuard]]). */
+  private[graft] def docNgramCountsHashed(df: DataFrame, idCol: String,
+      textCol: String, n: Int): (DataFrame, DataFrame) = {
+    require(n >= 2 && n <= 8,
+      s"docNgramCountsHashed: n must be in [2, 8], got $n")
+    val ws = (1 to n).map(k => s"w$k")
+    val toksRaw = df.select(col(idCol),
+      TextOps.wsTokens(col(textCol)).as("__tk"))
+    val words = toksRaw.select(explode(col("__tk")).as("__w")).distinct()
+    val toks = toksRaw.filter(size(col("__tk")) >= n)
+      .select(col(idCol),
+        transform(col("__tk"), w => xxhash64(w)).as("__tk"))
+    val gram = transform(sequence(lit(1), size(col("__tk")) - n + 1),
+      i => struct(ws.zipWithIndex.map { case (w, k) =>
+        element_at(col("__tk"), i + k).as(w) }: _*))
+    val grams = toks.select(col(idCol), explode(gram).as("__g"))
+      .select(col(idCol) +: ws.map(w => col(s"__g.$w").as(w)): _*)
+      .repartition(towerKey(n): _*)
+      .groupBy(col(idCol) +: ws.map(col): _*)
+      .agg(count(lit(1)).as("tf"))
+    (grams, words)
+  }
+
+  /** The one-row injectivity guard over a distinct-word frame (see
+    * [[docNgramCountsHashed]]): (__nw, __nh) with __nw = vocabulary
+    * size, __nh = distinct xxhash64 images. */
+  private[graft] def hashGuard(words: DataFrame): DataFrame =
+    words.agg(count(lit(1)).as("__nw"),
+      countDistinct(xxhash64(col("__w"))).as("__nh"))
+
+  /** Wraps a base scalar column with the collision check (raise on
+    * __nw != __nh, pass the scalar through otherwise). */
+  private def guardScalar(scalar: Column): Column =
+    when(col("__nw") =!= col("__nh"), raise_error(lit(
+      "xxhash64 word-encoding collision in the LM tower — two " +
+        "distinct tokens share a 64-bit hash; rerun this corpus " +
+        "through the string-keyed tower (docNgramCountsBy)"))
+      .cast("long"))
+      .otherwise(scalar)
 
   /** Order-N interpolated Kneser–Ney perplexity with RECURSIVE
     * continuation backoff (Chen & Goodman 1998, eq. 4.27 applied at
@@ -579,7 +654,7 @@ object TextAnalysis {
       s"ngramScoreKN: order must be in [2, 5], got $order")
     val n = order
     def ws(from: Int, to: Int): Seq[String] = (from to to).map(k => s"w$k")
-    // ONE reused corpus-scale exchange, keyed on w_{n-1} (see
+    // ONE reused corpus-scale exchange, keyed on towerKey (see
     // docNgramCountsBy): every tower groupBy and every tower join key
     // below contains w_{n-1}, so off this exchange the whole assembly
     // is exchange-free — except the vocabulary-sized unigram frame
@@ -594,16 +669,31 @@ object TextAnalysis {
     // (exchange-free) merge joins when a frame outgrows the
     // threshold — forcing shuffle-hash was measured slower (per-task
     // hash builds where one broadcast build serves all).
-    val tf = docNgramCountsBy(df, idCol, textCol, n,
-      partitionByTail = true)
+    val (tfRaw, words) = docNgramCountsHashed(df, idCol, textCol, n)
+    val tf = tfRaw
       .localCheckpoint()
-      .repartition(col(s"w${n - 1}"))
+      .repartition(towerKey(n): _*)
     // the level tower: frames(n) = raw top-order type counts; each
     // frames(k) below it = continuation type counts over level k+1.
     // Grain of frames(k) is the SUFFIX (w_{n-k+1} .. w_n).
+    // frames(n) is materialized once (checkpoint-then-repartition, the
+    // PrunedVec fAll discipline): it feeds THREE consumers — the
+    // level-below rollup, ctxs(n) and the join fold — and the tower
+    // below it is exchange-free, so without the barrier each consumer
+    // re-runs the corpus-gram → type aggregation from the tf
+    // checkpoint (no Exchange above tf means no AQE stage to reuse).
+    // Type-frame-sized state, the same posture as tf's own checkpoint.
     val frames = scala.collection.mutable.Map[Int, DataFrame]()
     frames(n) = tf.groupBy(ws(1, n).map(col): _*)
       .agg(sum("tf").as(s"__c$n"))
+      .localCheckpoint()
+      .repartition(towerKey(n): _*)
+    // level frames below the top stay LAZY: each is re-derived per
+    // consumer (3 each), but over the hash-encoded checkpointed top
+    // frame those re-aggregations are cheap int-keyed map-side work
+    // fused into the consumer's stage — A/B'd against checkpointing
+    // every level (r19 session 2), where the extra barriers and the
+    // sequential stage chain cost more than the recompute saved.
     for (k <- (n - 1) to 1 by -1)
       frames(k) = frames(k + 1)
         .groupBy(ws(n - k + 1, n).map(col): _*)
@@ -614,8 +704,16 @@ object TextAnalysis {
       k -> frames(k).groupBy(ws(n - k + 1, n - 1).map(col): _*)
         .agg(sum(s"__c$k").as(s"__den$k"), count(lit(1)).as(s"__nf$k"))
     }.toMap
-    val tt = frames(2).agg(count(lit(1)).as("__tt"))
+    val tt = frames(2).agg(count(lit(1)).as("__tt0"))
+      .crossJoin(broadcast(hashGuard(words)))
+      .select(guardScalar(col("__tt0")).as("__tt"))
     val d = lit(discount)
+    // flat assembly: all 2·n−2 frames join onto the top-order frame
+    // and the nested p expression evaluates there. A bottom-up
+    // per-suffix-grain assembly (score_k materialized per level) was
+    // A/B'd in r19 session 2 and lost at sf1 — its per-level
+    // barriers and sequential stage chain cost more than the top-
+    // grain re-sorts, which the hash-encoded int keys make cheap.
     val joined = ((n - 1) to 1 by -1)
       .foldLeft(frames(n)
         .join(ctxs(n), ws(1, n - 1))) { (acc, k) =>
@@ -691,7 +789,7 @@ object TextAnalysis {
     * q174b discipline every KN entry point shares. */
   private def knTowerScore(df: DataFrame, idCol: String, tf: DataFrame,
       top: DataFrame, topFrame: DataFrame, n: Int, prune: Seq[Long],
-      discount: Double): DataFrame = {
+      discount: Double, words: DataFrame): DataFrame = {
     def ws(from: Int, to: Int): Seq[String] = (from to to).map(k => s"w$k")
     val frames = scala.collection.mutable.Map[Int, DataFrame]()
     frames(n) = topFrame
@@ -713,10 +811,11 @@ object TextAnalysis {
     // that is a degenerate fit, not a scoring case — fail loudly
     // in-plan (the q163b discipline), don't emit garbage scores
     val tt = frames(2).agg(count(lit(1)).as("__tt0"))
-      .select(when(col("__tt0") === 0, raise_error(lit(
+      .crossJoin(broadcast(hashGuard(words)))
+      .select(guardScalar(when(col("__tt0") === 0, raise_error(lit(
         "KN model degenerate: every order-2 continuation type was " +
           "pruned (N1+(..) = 0) — lower the prune thresholds"))
-        .cast("long")).otherwise(col("__tt0")).as("__tt"))
+        .cast("long")).otherwise(col("__tt0"))).as("__tt"))
     val d = lit(discount)
     // co-partitioned tower assembly (see ngramScoreKN): every join key
     // here contains w_{n-1} except the vocabulary-sized unigram frame,
@@ -797,25 +896,25 @@ object TextAnalysis {
     requirePruneVec(order, prune)
     val n = order
     def ws(from: Int, to: Int): Seq[String] = (from to to).map(k => s"w$k")
-    val tf = docNgramCountsBy(df, idCol, textCol, n,
-      partitionByTail = true)
+    val (tfRaw, words) = docNgramCountsHashed(df, idCol, textCol, n)
+    val tf = tfRaw
       .localCheckpoint()
-      .repartition(col(s"w${n - 1}"))
+      .repartition(towerKey(n): _*)
     // ONE corpus type frame serves both the pruned model top (filter)
     // and the scored universe (null-marking projection) — no join
     // between them, the q149e plan shape. Materialized once (it feeds
     // the whole tower through both downstream frames), then re-keyed
-    // to w_{n-1} so the tower stays exchange-free (the checkpoint
-    // drops the partitioning; the repartition restores it).
+    // to the tower key so the tower stays exchange-free (the
+    // checkpoint drops the partitioning; the repartition restores it).
     val fAll = tf.groupBy(ws(1, n).map(col): _*)
       .agg(sum("tf").as("__call"))
       .localCheckpoint()
-      .repartition(col(s"w${n - 1}"))
+      .repartition(towerKey(n): _*)
     val topFrame = fAll.filter(col("__call") >= prune(n - 1))
       .select(ws(1, n).map(col) :+ col("__call").as(s"__c$n"): _*)
     val top = fAll.select(ws(1, n).map(col) :+
       when(col("__call") >= prune(n - 1), col("__call")).as(s"__c$n"): _*)
-    knTowerScore(df, idCol, tf, top, topFrame, n, prune, discount)
+    knTowerScore(df, idCol, tf, top, topFrame, n, prune, discount, words)
   }
 
   /** [[ngramScoreKN]] with COUNT PRUNING at the top order — the
@@ -866,24 +965,35 @@ object TextAnalysis {
         counts.columns.contains("cn"),
       s"ngramScoreKNFrom: counts must carry (w1..w$n, cn), " +
         s"got ${counts.columns.mkString(", ")}")
-    val tf = docNgramCountsBy(df, idCol, textCol, n,
-      partitionByTail = true)
+    val (tfRaw, corpusWords) = docNgramCountsHashed(df, idCol, textCol, n)
+    val tf = tfRaw
       .localCheckpoint()
-      .repartition(col(s"w${n - 1}"))
-    // the model frame feeds the whole tower — share it through ONE
-    // reused model-scale exchange (the q179 materialize-once
-    // discipline, now via exchange reuse: a raw fit plan would
-    // re-pay its source scan per tower level, and a checkpoint would
-    // drop the partitioning), re-keyed to the scorer's w_{n-1}
-    // partitioning so the tower joins stay exchange-free
-    val cnts = counts.select(ws(1, n).map(col) :+ col("cn"): _*)
+      .repartition(towerKey(n): _*)
+    // the model frame feeds the whole tower AND the injectivity
+    // guard — materialize the STRING form once (the q179
+    // materialize-once discipline: a raw fit plan would re-pay its
+    // whole fit per consumer — the first hashed cut re-ran the
+    // entire ngramCounts fit for the guard's vocabulary union),
+    // then the hash-encoded tower form once more (model-scale rows
+    // both times)
+    val cntsStr = counts.select(ws(1, n).map(col) :+ col("cn"): _*)
       .localCheckpoint()
-      .repartition(col(s"w${n - 1}"))
+    // the guard must cover the UNION of corpus and model
+    // vocabularies (a corpus↔model hash collision would fabricate a
+    // join match just as a within-corpus one would)
+    val words = corpusWords
+      .union(cntsStr.select(explode(array(ws(1, n).map(col): _*))
+        .as("__w")))
+      .distinct()
+    val cnts = cntsStr.select(ws(1, n).map(w => xxhash64(col(w)).as(w))
+        :+ col("cn"): _*)
+      .localCheckpoint()
+      .repartition(towerKey(n): _*)
     val topFrame = cnts.filter(col("cn") >= pv(n - 1))
       .select(ws(1, n).map(col) :+ col("cn").as(s"__c$n"): _*)
     val types = tf.select(ws(1, n).map(col): _*).distinct()
     val top = types.join(topFrame, ws(1, n), "left")
-    knTowerScore(df, idCol, tf, top, topFrame, n, pv, discount)
+    knTowerScore(df, idCol, tf, top, topFrame, n, pv, discount, words)
   }
 
   /** MODIFIED Kneser–Ney (Chen & Goodman 1999 §3/eq. 26 — the
@@ -924,15 +1034,22 @@ object TextAnalysis {
     val n = order
     def ws(from: Int, to: Int): Seq[String] = (from to to).map(k => s"w$k")
     // co-partitioned tower (see ngramScoreKN): one reused
-    // w_{n-1}-keyed corpus exchange, exchange-free tower, broadcast
+    // towerKey-keyed corpus exchange, exchange-free tower, broadcast
     // unigram frame
-    val tf = docNgramCountsBy(df, idCol, textCol, n,
-      partitionByTail = true)
+    val (tfRaw, words) = docNgramCountsHashed(df, idCol, textCol, n)
+    val tf = tfRaw
       .localCheckpoint()
-      .repartition(col(s"w${n - 1}"))
+      .repartition(towerKey(n): _*)
+    // frames(n) materialized once (see ngramScoreKN): below this
+    // barrier the tower is exchange-free, and modified-KN adds a
+    // FOURTH consumer per level (the count-of-count aggregate), so
+    // the un-materialized form re-ran the corpus-gram rollup once
+    // per consumer
     val frames = scala.collection.mutable.Map[Int, DataFrame]()
     frames(n) = tf.groupBy(ws(1, n).map(col): _*)
       .agg(sum("tf").as(s"__c$n"))
+      .localCheckpoint()
+      .repartition(towerKey(n): _*)
     for (k <- (n - 1) to 1 by -1)
       frames(k) = frames(k + 1)
         .groupBy(ws(n - k + 1, n).map(col): _*)
@@ -955,7 +1072,9 @@ object TextAnalysis {
         sum(when(c === 3, 1L).otherwise(0L)).as(s"__n3_$k"),
         sum(when(c === 4, 1L).otherwise(0L)).as(s"__n4_$k"))
     }.toMap
-    val tt = frames(2).agg(count(lit(1)).as("__tt"))
+    val tt = frames(2).agg(count(lit(1)).as("__tt0"))
+      .crossJoin(broadcast(hashGuard(words)))
+      .select(guardScalar(col("__tt0")).as("__tt"))
     val joined0 = ((n - 1) to 1 by -1)
       .foldLeft(frames(n)
         .join(ctxs(n), ws(1, n - 1))) { (acc, k) =>
@@ -1034,16 +1153,62 @@ object TextAnalysis {
     * map-side over one corpus count shuffle. Returns
     * (idCol, n_bigrams, n_oov, avg_nll, ppl), rounded at 4. */
   def bigramScoreKNFrom(df: DataFrame, idCol: String, textCol: String,
-      counts: DataFrame, discount: Double = 0.75): DataFrame =
-    // r19: delegates to the order-N external tower at n = 2 with the
-    // all-ones (no-op) prune — value-identical per class (w1 seen /
-    // unseen, w2 seen / unseen: the docstring's expression is the
-    // tower fold's per-level fall-through at n = 2; NgramKNSpec pins
-    // it modulo the count column name), with the co-partitioned
-    // one-shuffle plan
-    ngramScoreKNFrom(df, idCol, textCol, 2,
-      counts.select(col("w1"), col("w2"), col("cb").as("cn")), discount = discount)
-      .withColumnRenamed("n_ngrams", "n_bigrams")
+      counts: DataFrame, discount: Double = 0.75): DataFrame = {
+    // r19 session 2: the n = 2 tower delegation (value-identical,
+    // NgramKNSpec-pinned) was measured 2.8× SLOWER at sf1 than this
+    // bespoke form and reverted — at order 2 the model statistics are
+    // bigram-type-sized and BROADCAST into one corpus pass (zero
+    // corpus shuffles beyond the tf rollup), where the generalized
+    // tower pays the hashed gram pass, the types-distinct and the
+    // scored-universe join for generality order 2 never needs.
+    val tf = docBigramCounts(df, idCol, textCol)
+      .localCheckpoint()
+    // the model frame feeds FOUR consumers (ctx, cont, tt, the scoring
+    // join) — materialize it once, the q149 tf discipline; without
+    // this a model fit passed as a raw plan re-pays its source scan
+    // and count shuffle per consumer
+    val cb = counts.select(col("w1"), col("w2"), col("cb").as("__cb"))
+      .localCheckpoint()
+    val ctx = cb.groupBy("w1").agg(sum("__cb").as("__ctx"),
+      count(lit(1)).as("__n1f"))
+    val cont = cb.groupBy("w2").agg(count(lit(1)).as("__n1b"))
+    val tt = cb.agg(count(lit(1)).as("__tt"))
+    val d = lit(discount)
+    // floored continuation mass: a seen w2 keeps N1+(·w2)/types, an
+    // unseen w2 gets exactly the 1/types minimum — so the backoff term
+    // is never zero (a seen context with an unseen successor would
+    // otherwise score p = 0 → infinite NLL)
+    val pcont =
+      when(col("__n1b").isNotNull,
+        col("__n1b").cast("double") / col("__tt"))
+      .otherwise(lit(1.0) / col("__tt"))
+    val p =
+      when(col("__ctx").isNotNull,
+        greatest(coalesce(col("__cb"), lit(0L)) - d, lit(0.0))
+          / col("__ctx") +
+        (d * col("__n1f") / col("__ctx")) * pcont)
+      .otherwise(pcont)
+    val scored = tf
+      .join(cb, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(broadcast(tt))
+      .select(col(idCol), col("tf"),
+        (col("tf") * -log(p)).as("__nll"),
+        when(col("__cb").isNull, col("tf")).otherwise(lit(0L))
+          .as("__oovtf"))
+      .groupBy(idCol).agg(
+        sum("tf").as("n_bigrams"),
+        sum("__oovtf").as("n_oov"),
+        (sum("__nll") / sum("tf")).as("__avg"))
+    df.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        round(coalesce(col("__avg"), lit(0.0)), 4).as("avg_nll"),
+        round(exp(coalesce(col("__avg"), lit(0.0))), 4).as("ppl"))
+  }
 
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
     * Extracting High Quality Monolingual Datasets from Web Crawl
