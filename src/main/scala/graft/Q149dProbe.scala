@@ -11,17 +11,18 @@ object Q149dProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/tmp/sf1"
     if (args.length > 1 && args(1) == "ui") {
-      // UI mode: run the declared q149d twice with the web UI up, then
+      // UI mode: run a declared query twice with the web UI up, then
       // park so the REST API (localhost:4040) can be read from a shell
+      val qname = if (args.length > 2) args(2) else "q149d_kn5_ppl"
       val s = GraftSession.builder(32).master("local[32]")
         .config("spark.ui.enabled", "true").getOrCreate()
       s.sparkContext.setLogLevel("WARN")
       s.range(1000000).selectExpr("sum(id)").collect()
       for (r <- 1 to 2) {
         val t0 = System.nanoTime()
-        SparkEntry.queries("q149d_kn5_ppl")(s, sfDir)
+        SparkEntry.queries(qname)(s, sfDir)
           .write.format("noop").mode("overwrite").save()
-        println(f"[q149d] ui rep $r: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        println(f"[$qname] ui rep $r: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       }
       println("[q149d] parked for REST reads")
       Thread.sleep(180000)

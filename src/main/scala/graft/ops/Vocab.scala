@@ -1517,7 +1517,13 @@ object Vocab {
   def staticWordPieceModelOf(wc: DataFrame,
       nInit: Int = 40, nCont: Int = 40,
       maxPieceLen: Int = 6): WordPieceModel = {
+    // vocabulary-scale frame cached for 4 collect-side consumers:
+    // collapse it to ONE partition first — a cached plan keeps its
+    // shuffle width (AQE cannot re-coalesce it), so without this each
+    // tiny collect is a session-width job over ~hundreds of rows
+    // (measured 32 tasks x ~0 bytes per consumer, r19 s2)
     val pcf = wpPieceCountsFrameOf(wc, maxPieceLen)
+      .coalesce(1)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       def side(cont: Boolean, n: Int): Set[String] = {
@@ -1553,7 +1559,9 @@ object Vocab {
   def scoredWordPieceModel(df: DataFrame, textCol: String,
       nInit: Int = 40, nCont: Int = 40,
       maxPieceLen: Int = 6): WordPieceModel = {
+    // single-partition cache: same rationale as staticWordPieceModelOf
     val pcf = wpPieceCountsFrame(df, textCol, maxPieceLen)
+      .coalesce(1)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val ps = pcf.select(col("piece"), col("cnt"),
