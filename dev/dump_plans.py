@@ -1,0 +1,27 @@
+#!/usr/bin/env python3
+"""Split PlanProbe output into plans/<round>/<query>_<suffix>.txt files.
+
+Usage: sbt "runMain graft.PlanProbe <sfDir> q1 q2 ..." | \
+       python3 dev/dump_plans.py plans/r19 after
+"""
+import sys, os, re
+
+outdir, suffix = sys.argv[1], sys.argv[2]
+os.makedirs(outdir, exist_ok=True)
+cur, buf = None, []
+
+def flush():
+    if cur:
+        with open(os.path.join(outdir, f"{cur}_{suffix}.txt"), "w") as f:
+            f.write("\n".join(buf).rstrip() + "\n")
+        print(f"wrote {cur}_{suffix}.txt ({len(buf)} lines)")
+
+for line in sys.stdin:
+    line = re.sub(r"^\[info\] ", "", line.rstrip("\n"))
+    m = re.match(r"==== (q\S+)", line)
+    if m:
+        flush()
+        cur, buf = m.group(1), [line]
+    elif cur is not None:
+        buf.append(line)
+flush()

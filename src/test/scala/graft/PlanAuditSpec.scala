@@ -192,8 +192,12 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = graft.queries.ScaleQueries.queries("q149_kn_ppl")(spark, dir)
       .queryExecution.executedPlan.toString
     val scans = "documents\\.parquet".r.findAllIn(p).length
-    assert(scans <= 1, s"expected ≤1 documents scan after the tf " +
-      s"checkpoint, found $scans:\n" + p.take(2000))
+    // ≤2 (r19 s2): the id spine plus the hash-encoding vocabulary
+    // guard's token scan (docNgramCountsHashed) — ONE deliberate
+    // extra text pass that buys the 2.5–3× int-keyed tower; a
+    // per-consumer re-evaluation regression would read 3+
+    assert(scans <= 2, s"expected ≤2 documents scans (spine + " +
+      s"vocabulary guard), found $scans:\n" + p.take(2000))
   }
 
   test("q166 RM3 materializes the corpus explode once (tf checkpoint " +
@@ -291,16 +295,17 @@ class PlanAuditSpec extends AnyFunSuite {
       "checkpoint; the ntile window is partitioned by language") {
     val df = graft.queries.ScaleQueries.queries("q174_ppl_buckets")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
-    // two pruned spine scans are allowed ((doc_id) for the score join,
-    // (doc_id, lang) for the tier window); the corpus TEXT is read only
-    // by the checkpointed tf frame, so no remaining scan may include it
+    // allowed: two pruned spine scans ((doc_id) for the score join,
+    // (doc_id, lang) for the tier window) plus the hash-encoding
+    // vocabulary guard's token scan (r19 s2, see the q149 audit);
+    // the corpus text feeds ONLY the tf frame and that one guard
     val scans = "documents\\.parquet".r.findAllIn(p).length
-    assert(scans <= 2, s"expected ≤2 pruned documents spine scans, " +
-      s"found $scans:\n" + p.take(2000))
+    assert(scans <= 3, s"expected ≤3 documents scans (2 pruned " +
+      s"spines + vocabulary guard), found $scans:\n" + p.take(2000))
     val textScans = p.linesIterator.filter(_.contains("ReadSchema:"))
       .count(l => l.contains("documents") && l.contains("text"))
-    assert(textScans === 0, s"the corpus text must come from the tf " +
-      s"checkpoint, not a re-scan:\n" + p.take(2000))
+    assert(textScans <= 1, s"the corpus text must come only from the " +
+      s"tf checkpoint and the one vocabulary-guard scan:\n" + p.take(2000))
     val globals = df.queryExecution.sparkPlan.collect {
       case w: org.apache.spark.sql.execution.window.WindowExec
           if w.partitionSpec.isEmpty => w
